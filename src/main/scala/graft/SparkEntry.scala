@@ -1,13 +1,363 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.UpsertStream
+import graft.model.{IngestConfig, TargetTable}
+import graft.ops.{BatchSplit, Dedup}
+import graft.sink.Merge
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each query gates.
+  *
+  * Oracle-safety conventions (the driver hash-compares values with columns
+  * sorted by name):
+  *  - timestamps are emitted as epoch microseconds (`unix_micros` /
+  *    `epoch_us`) — avoids tz-annotation mismatches between Spark parquet
+  *    output and DuckDB results;
+  *  - money sums go through DECIMAL(18,2) accumulation in BOTH engines
+  *    (exact, order-independent) and only the final value is cast to
+  *    DOUBLE — a raw double sum would be shuffle-order-dependent;
+  *  - every computed column is aliased identically in the Spark plan and
+  *    the oracle SQL.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // The driver's events table stores TIMESTAMP(NANOS), which Spark has no
+    // native type for; read the raw int64 and work in microseconds (all
+    // values are whole µs — verified — so truncation is lossless and
+    // matches DuckDB's epoch_us). Runtime-settable, so any caller-provided
+    // session works.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** `events` mapped onto the ingestion-record contract of the reference
+    * (quick_stream `src/upsert.rs:19-33`): pkey + modified_date + payload;
+    * `event_id` is the deterministic tie-break (SURVEY.md §7 hard-point c).
+    * `ts div 1000` is integer division — a double round-trip would corrupt
+    * nano-epoch values (~1.7e18 > 2^53). */
+  private def eventRecords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("user_id").as("pkey"),
+      expr("ts div 1000").as("modified_date_us"),
+      col("event_id"),
+      col("event_type"),
+      col("value"))
+
+  private val key = Seq("pkey")
+  private val ver = "modified_date_us"
+  private val tie = Seq("event_id")
+
+  /** Standard output shape for merge-state queries. */
+  private def stateOut(df: DataFrame): DataFrame =
+    df.select(
+      col("pkey"),
+      col("modified_date_us"),
+      col("event_type"),
+      col("value"))
+
+  /** The DuckDB-side latest-wins dedup (arg-max per key) used by several
+    * oracles — mirrors quick_stream `remove_upsert_duplicates`
+    * (`src/lib.rs:12-16`) with an explicit event_id tie-break. */
+  private val oracleDedup =
+    """SELECT user_id AS pkey, ts, event_id, event_type, value,
+      |       row_number() OVER (PARTITION BY user_id
+      |                          ORDER BY ts DESC, event_id DESC) AS rn
+      |FROM events""".stripMargin.replace("\n", " ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("o1_dedup_latest_wins")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- O1/O2: latest-wins dedup (the reference's core operator) ----
+    "o1_dedup_latest_wins" -> ((s, dir) =>
+      stateOut(Dedup.latestWins(eventRecords(s, dir), key, ver, tie))),
+
+    "o1b_dedup_window" -> ((s, dir) =>
+      stateOut(Dedup.latestWinsWindow(eventRecords(s, dir), key, ver, tie))),
+
+    // ---- O2: sort-desc pre-pass, expressed as deterministic top-k ----
+    "o2_sort_topk" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+        .limit(100)
+        .select(
+          col("event_id"),
+          col("ts_us"),
+          col("user_id"),
+          col("event_type"))),
+
+    // ---- O3: fixed-arity batch split (100/10/remainder) as a chunk plan ----
+    "o3_batch_split" -> ((s, dir) =>
+      BatchSplit.chunkPlan(
+        t(s, dir, "events").withColumnRenamed("event_type", "route"),
+        Seq("route"))),
+
+    // ---- O4+O5+O10+O11: the streaming engine end-to-end ----
+    // Runs the actual UpsertStream (Structured Streaming + foreachBatch +
+    // broadcast merge) over the events file and returns the final target
+    // state; the oracle is the global latest-wins dedup, proving the
+    // incremental merge converges to it.
+    "o4_stream_ingest_e2e" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_o4_").toString
+      val target = TargetTable("events_state", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie)
+      val cfg = IngestConfig(name = s"o4-e2e-${System.nanoTime()}",
+        maxWriterPartitions = 4, checkpointDir = Some(s"$tmp/ckpt"))
+      // File-stream the events table; glob form because the source path is
+      // a single parquet file, not a directory.
+      val src = s.readStream.schema(batchSchema)
+        .parquet(s"$dir/events.parque[t]")
+        .select(
+          col("user_id").as("pkey"), expr("ts div 1000").as("modified_date_us"),
+          col("event_id"), col("event_type"), col("value"))
+      val q = new UpsertStream(s, cfg, target).run(src, Trigger.AvailableNow())
+      q.awaitTermination()
+      stateOut(s.read.parquet(target.path))
+    }),
+
+    // ---- O5: join-based MERGE (broadcast micro-batch strategy) ----
+    "o5_merge_upsert" -> ((s, dir) => {
+      val ev = eventRecords(s, dir)
+      val existing = Dedup.latestWins(
+        ev.filter(col("event_id") % 2 === 0), key, ver, tie)
+      val incoming = ev.filter(col("event_id") % 2 === 1)
+      stateOut(Merge.upsertBroadcast(existing, incoming, key, ver, tie))
+    }),
+
+    // ---- O5: same semantics via the full-outer shuffle strategy ----
+    "o5b_merge_shuffle" -> ((s, dir) => {
+      val ev = eventRecords(s, dir)
+      val existing = Dedup.latestWins(
+        ev.filter(col("event_id") % 2 === 0), key, ver, tie)
+      val incoming = ev.filter(col("event_id") % 2 === 1)
+      stateOut(Merge.upsertShuffle(existing, incoming, key, ver, tie))
+    }),
+
+    // ---- O6: soft delete (tombstone flag) ----
+    "o6_soft_delete" -> ((s, dir) => {
+      val ev = eventRecords(s, dir)
+      val target = Dedup.latestWins(ev, key, ver, tie)
+      val dels = ev.filter(col("event_type") === "error")
+      Merge.softDelete(target, dels, key, ver, tie, "row_active")
+        .select(
+          col("pkey"),
+          col("modified_date_us"),
+          col("value"),
+          col("row_active"))
+    }),
+
+    // ---- O6: hard delete ----
+    "o6b_hard_delete" -> ((s, dir) => {
+      val ev = eventRecords(s, dir)
+      val target = Dedup.latestWins(ev, key, ver, tie)
+      val dels = ev.filter(col("event_type") === "error")
+      Merge.hardDelete(target, dels, key, ver, tie)
+        .select(
+          col("pkey"),
+          col("modified_date_us"),
+          col("value"))
+    }),
+
+    // ---- O7: multi-table routing (per-route dedup + dispatch stats) ----
+    "o7_multi_table_route" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type").as("target_table"))
+        .agg(
+          count(lit(1)).as("n_received"),
+          countDistinct(col("user_id")).as("n_after_dedup"),
+          expr("max(ts) div 1000").as("latest_us"))),
+
+    // ---- Analytics: aggregation (TPC-H Q1 shape) ----
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,4)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // ---- Analytics: 3-way join + agg + top-k (TPC-H Q3 shape) ----
+    "q3_join_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(o("o_orderkey").as("orderkey"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,4)")))
+            .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- Analytics: window function (rank per group) ----
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rank_in_cust", row_number().over(w))
+        .filter(col("rank_in_cust") <= 3)
+        .select(
+          col("o_custkey").as("custkey"),
+          col("o_orderkey").as("orderkey"),
+          col("o_totalprice").as("totalprice"),
+          col("rank_in_cust").cast("long").as("rank_in_cust"))
+    }),
+
+    // ---- LLM pipeline: exact dedup over documents ----
+    "dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))),
+
+    // ---- LLM pipeline: token counting ----
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_out"))),
+
+    // ---- LLM pipeline: quality scoring signals ----
+    "text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nChars = length(col("text")).cast("long")
+      val nAlpha = length(regexp_replace(col("text"), "[^a-z]", "")).cast("long")
+      d.select(
+        col("doc_id"),
+        nChars.as("n_chars_out"),
+        nAlpha.as("n_alpha"),
+        (nAlpha.cast("double") / nChars.cast("double")).as("alpha_ratio"),
+        regexp_count(col("text"), lit("\\bthe\\b")).cast("long").as("n_the"))
+    }),
+
+    // ---- LLM pipeline: brute-force cosine top-k (ANN baseline) ----
+    "ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dotSelf = aggregate(
+        zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val n = e.withColumn("nrm", sqrt(dotSelf))
+      val q = n.filter(col("vec_id") < 10).select(
+        col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val pairs = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      val dot = aggregate(
+        zip_with(col("v"), col("qv"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val cos = dot / (col("nrm") * col("qn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(cos.desc, col("vec_id").asc)
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = {
+    val dedupState =
+      s"SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, value " +
+        s"FROM ($oracleDedup) WHERE rn = 1"
+    Map(
+      "o1_dedup_latest_wins" -> dedupState,
+      "o1b_dedup_window" -> dedupState,
+      "o2_sort_topk" ->
+        ("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type " +
+          "FROM events ORDER BY ts DESC, event_id DESC LIMIT 100"),
+      "o3_batch_split" ->
+        ("SELECT event_type AS route, count(*) AS n_records, " +
+          "count(*) // 100 AS n_hundred_chunks, " +
+          "(count(*) % 100) // 10 AS n_ten_chunks, " +
+          "count(*) % 10 AS remainder_arity, " +
+          "count(*) // 100 + (count(*) % 100) // 10 + " +
+          "CASE WHEN count(*) % 10 > 0 THEN 1 ELSE 0 END AS n_chunks " +
+          "FROM events GROUP BY event_type"),
+      "o4_stream_ingest_e2e" -> dedupState,
+      "o5_merge_upsert" -> dedupState,
+      "o5b_merge_shuffle" -> dedupState,
+      "o6_soft_delete" ->
+        (s"WITH t AS (SELECT pkey, ts, event_id, value FROM ($oracleDedup) WHERE rn = 1), " +
+          "d AS (SELECT user_id AS pkey, ts, event_id, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events WHERE event_type = 'error') " +
+          "SELECT t.pkey, epoch_us(t.ts) AS modified_date_us, t.value, " +
+          "(d.pkey IS NULL OR (d.ts, d.event_id) < (t.ts, t.event_id)) AS row_active " +
+          "FROM t LEFT JOIN (SELECT * FROM d WHERE rn = 1) d ON t.pkey = d.pkey"),
+      "o6b_hard_delete" ->
+        (s"WITH t AS (SELECT pkey, ts, event_id, value FROM ($oracleDedup) WHERE rn = 1), " +
+          "d AS (SELECT pkey, ts, event_id FROM (SELECT user_id AS pkey, ts, event_id, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events WHERE event_type = 'error') WHERE rn = 1) " +
+          "SELECT t.pkey, epoch_us(t.ts) AS modified_date_us, t.value " +
+          "FROM t LEFT JOIN d ON t.pkey = d.pkey " +
+          "WHERE d.pkey IS NULL OR (d.ts, d.event_id) < (t.ts, t.event_id)"),
+      "o7_multi_table_route" ->
+        ("SELECT event_type AS target_table, count(*) AS n_received, " +
+          "count(DISTINCT user_id) AS n_after_dedup, " +
+          "epoch_us(max(ts)) AS latest_us FROM events GROUP BY event_type"),
+      "q1_agg" ->
+        ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+          "CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
+          "count(*) AS count_order " +
+          "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+      "q3_join_topk" ->
+        ("SELECT o.o_orderkey AS orderkey, " +
+          "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * " +
+          "CAST(1 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+          "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+          "JOIN customer c ON o.o_custkey = c.c_custkey " +
+          "WHERE c.c_mktsegment = 'BUILDING' " +
+          "GROUP BY o.o_orderkey ORDER BY revenue DESC, orderkey LIMIT 10"),
+      "q_window_rank" ->
+        ("SELECT o_custkey AS custkey, o_orderkey AS orderkey, " +
+          "o_totalprice AS totalprice, rank_in_cust FROM " +
+          "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+          "row_number() OVER (PARTITION BY o_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_cust FROM orders) " +
+          "WHERE rank_in_cust <= 3"),
+      "dedup_exact" ->
+        ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies " +
+          "FROM documents GROUP BY text"),
+      "text_tokens" ->
+        ("SELECT doc_id, " +
+          "array_length(regexp_split_to_array(text, '\\s+')) AS n_tokens, " +
+          "length(text) AS n_chars_out FROM documents"),
+      "text_quality" ->
+        ("SELECT doc_id, length(text) AS n_chars_out, " +
+          "length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha, " +
+          "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / " +
+          "length(text) AS alpha_ratio, " +
+          "len(regexp_extract_all(text, '\\bthe\\b')) AS n_the FROM documents"),
+      "ann_topk" ->
+        ("WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+          "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+          "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+          "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), " +
+          "p AS (SELECT q.query_id, n.vec_id, " +
+          "list_inner_product(n.v, q.qv) / (n.nrm * q.qn) AS cos " +
+          "FROM n, q WHERE n.vec_id <> q.query_id) " +
+          "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM " +
+          "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"),
+    )
+  }
 }

@@ -1,0 +1,183 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+import graft.model.{IngestConfig, IngestContract, TargetTable}
+import graft.sink.ParquetTarget
+
+/** The four public processors of the reference, re-expressed as Structured
+  * Streaming pipelines (quick_stream entry points: `UpsertQuickStream::run`
+  * `src/upsert.rs:77`, `DeleteQuickStream::run` `src/delete.rs:71`,
+  * `MultiTableUpsertQuickStream::run` `src/upsert/multi_table_upsert.rs:72`,
+  * `MultiTableDeleteQuickStream::run` `src/delete/multi_table_delete.rs:386`).
+  *
+  * What the reference hand-rolls and Spark owns natively (SURVEY.md §2):
+  *  - lag-cycle accumulation (O4)  → micro-batch trigger interval
+  *  - sender pools / scaling (O8,O9) → task scheduler + dynamic allocation
+  *  - bounded-channel backpressure (O10) → next trigger waits for
+  *    `foreachBatch` to return; `maxFilesPerTrigger` bounds batch volume
+  *  - graceful shutdown (O11) → shutdown hook + `query.stop()`, plus
+  *    checkpointed restart the reference entirely lacks
+  */
+object Streams {
+
+  /** Wire a streaming source into a per-batch merge action with the
+    * config's trigger/backpressure knobs applied. */
+  private def start(
+      source: DataFrame,
+      config: IngestConfig,
+      defaultCheckpoint: String,
+      trigger: Trigger)(
+      action: (Dataset[Row], Long) => Unit): StreamingQuery = {
+    if (config.printConfig) {
+      // Reference: print_connection_configuration / pool-status table
+      // (src/upsert.rs:515-549). Here: one structured line at start.
+      println(s"[graft:${config.name}] trigger=${config.triggerMillis}ms " +
+        s"writers=${config.maxWriterPartitions} " +
+        s"rateLimit=${config.maxRecordsPerTrigger}")
+    }
+    source.writeStream
+      .queryName(config.name)
+      .option("checkpointLocation", config.checkpointDir.getOrElse(defaultCheckpoint))
+      .trigger(trigger)
+      .foreachBatch(action)
+      .start()
+  }
+
+  private def defaultTrigger(config: IngestConfig): Trigger =
+    Trigger.ProcessingTime(config.triggerMillis)
+}
+
+/** Single-table latest-wins upsert ingestion (reference §3.1). */
+final class UpsertStream(
+    spark: SparkSession,
+    config: IngestConfig,
+    target: TargetTable) {
+
+  def run(source: DataFrame, trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val sink = new ParquetTarget(spark, target)
+    source.writeStream
+      .queryName(config.name)
+      .option("checkpointLocation",
+        config.checkpointDir.getOrElse(target.path + "_ckpt"))
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink.mergeUpsert(batch, config)
+      }
+      .start()
+  }
+}
+
+/** Single-table delete ingestion; `soft = true` flips the tombstone flag
+  * (reference §3.2 "data soft deleter"), else rows are removed. */
+final class DeleteStream(
+    spark: SparkSession,
+    config: IngestConfig,
+    target: TargetTable,
+    soft: Boolean = true) {
+
+  def run(source: DataFrame, trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val sink = new ParquetTarget(spark, target)
+    source.writeStream
+      .queryName(config.name)
+      .option("checkpointLocation",
+        config.checkpointDir.getOrElse(target.path + "_del_ckpt"))
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (soft) sink.mergeSoftDelete(batch, config)
+        else sink.mergeHardDelete(batch, config)
+      }
+      .start()
+  }
+}
+
+/** Multi-table fan-out (reference §3.3): records carry a routing column;
+  * each batch is cached once and filtered per table — N cheap scans of one
+  * in-memory batch, not N source scans (SURVEY.md §7 "what's hard" (b)).
+  * Records routed to unknown tables are dropped, mirroring the reference's
+  * static `tables()` routing domain. */
+final class MultiTableUpsertStream(
+    spark: SparkSession,
+    config: IngestConfig,
+    catalog: Map[String, TargetTable],
+    tableCol: String = IngestContract.TableCol) {
+  require(catalog.nonEmpty, "catalog must not be empty")
+
+  def run(source: DataFrame, trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val sinks = catalog.map { case (n, t) => n -> new ParquetTarget(spark, t) }
+    val ckpt = catalog.values.head.path + "_multi_ckpt"
+    source.writeStream
+      .queryName(config.name)
+      .option("checkpointLocation", config.checkpointDir.getOrElse(ckpt))
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val cached = batch.persist()
+        try {
+          sinks.foreach { case (name, sink) =>
+            val slice = cached.filter(col(tableCol) === name).drop(tableCol)
+            if (!slice.isEmpty) sink.mergeUpsert(slice, config)
+          }
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+}
+
+/** Multi-table delete fan-out. NOTE: the reference has NO public builder
+  * for its multi-table delete processor (gap documented in SURVEY.md §2.2,
+  * verifiable at quick_stream `src/builder.rs:161-222`); this engine fixes
+  * that — `QuickStreamBuilder.buildMultiTableDelete` is first-class. */
+final class MultiTableDeleteStream(
+    spark: SparkSession,
+    config: IngestConfig,
+    catalog: Map[String, TargetTable],
+    tableCol: String = IngestContract.TableCol,
+    soft: Boolean = true) {
+  require(catalog.nonEmpty, "catalog must not be empty")
+
+  def run(source: DataFrame, trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+    val sinks = catalog.map { case (n, t) => n -> new ParquetTarget(spark, t) }
+    val ckpt = catalog.values.head.path + "_multi_del_ckpt"
+    source.writeStream
+      .queryName(config.name)
+      .option("checkpointLocation", config.checkpointDir.getOrElse(ckpt))
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val cached = batch.persist()
+        try {
+          sinks.foreach { case (name, sink) =>
+            val slice = cached.filter(col(tableCol) === name).drop(tableCol)
+            if (!slice.isEmpty) {
+              if (soft) sink.mergeSoftDelete(slice, config)
+              else sink.mergeHardDelete(slice, config)
+            }
+          }
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+}
+
+/** Graceful shutdown + observability (reference O11 `shutdown_service.rs`
+  * and the pool-status printer `src/upsert.rs:515-549`). Registers a JVM
+  * shutdown hook that stops the query, and a listener logging per-batch
+  * progress. Restart-exactly-once comes free from checkpointing. */
+object GracefulShutdown {
+  def install(spark: SparkSession, query: StreamingQuery): Unit = {
+    sys.addShutdownHook {
+      try query.stop()
+      catch { case _: Throwable => () }
+    }
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        println(s"[graft] query started: ${e.name}")
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        println(s"[graft] ${e.progress.name}: batch=${e.progress.batchId} " +
+          s"rows=${e.progress.numInputRows}")
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        println(s"[graft] query terminated: ${e.id}")
+    })
+  }
+}

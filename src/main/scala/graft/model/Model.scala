@@ -1,0 +1,85 @@
+package graft.model
+
+/** Column contract every ingestion record must satisfy.
+  *
+  * Mirrors the reference's `Upsert<T>`/`Delete<T>` trait accessors
+  * (quick_stream `src/upsert.rs:19-33`, `src/delete.rs:18-32`): a 64-bit
+  * primary key (`pkey() -> i64`), a version timestamp
+  * (`modified_date() -> NaiveDateTime`), and — for multi-table processors —
+  * a routing key (`table() -> String`,
+  * `src/upsert/multi_table_upsert.rs:21-28`).
+  *
+  * Spark-first restatement: instead of compile-time Rust generics, the
+  * contract is a set of required DataFrame columns; payload columns are
+  * arbitrary and flow through untouched, exactly as the reference treats
+  * the record body as opaque.
+  */
+object IngestContract {
+  val PKeyCol = "pkey"
+  val VersionCol = "modified_date"
+  val TableCol = "table"
+}
+
+/** A mutable merge target — the engine-side replacement for the
+  * reference's per-table `INSERT … ON CONFLICT (pk) DO UPDATE` SQL strings
+  * (quick_stream `src/builder/support.rs:159-232`). Spark knows the schema,
+  * so the merge plan is derived instead of user-authored: the user declares
+  * key/version/tie-break columns once per table.
+  *
+  * @param keyCols      merge identity (reference: `pkey`)
+  * @param versionCol   latest-wins ordering column (reference: `modified_date`)
+  * @param tieBreakCols extra ordering columns making latest-wins
+  *                     deterministic on version ties (the reference resolves
+  *                     equal timestamps arbitrarily-but-stably,
+  *                     `src/lib.rs:12-16`; we make the tie-break explicit)
+  * @param softDeleteCol tombstone flag column used by the soft-delete sink
+  *                     (reference: user SQL marks rows, `src/delete.rs:252`)
+  */
+final case class TargetTable(
+    name: String,
+    path: String,
+    keyCols: Seq[String] = Seq(IngestContract.PKeyCol),
+    versionCol: String = IngestContract.VersionCol,
+    tieBreakCols: Seq[String] = Nil,
+    softDeleteCol: String = "row_active") {
+  require(name.nonEmpty, "TargetTable.name must not be empty")
+  require(path.nonEmpty, "TargetTable.path must not be empty")
+  require(keyCols.nonEmpty, "TargetTable.keyCols must not be empty")
+  def orderingCols: Seq[String] = versionCol +: tieBreakCols
+}
+
+/** Engine configuration mapping the reference builder's 17 knobs
+  * (quick_stream `src/builder.rs:14-33`) onto Structured Streaming's native
+  * controls. Tokio-shaped knobs (channel buffers, per-arity sender pools,
+  * connection-creation thresholds) have no Spark analog by design — Spark's
+  * scheduler + micro-batch admission control replaces the hand-rolled pool
+  * (SURVEY.md §2 O8–O10).
+  *
+  * @param maxWriterPartitions writer parallelism cap — reference
+  *                            `max_con_count` (DB connection cap)
+  * @param maxRecordsPerTrigger source rate limit — reference
+  *                            `max_records_per_cycle_batch` +
+  *                            `buffer_size` backpressure bound
+  * @param lagCycles, lagMillis adaptive debounce — reference
+  *                            `introduced_lag_cycles` ×
+  *                            `introduced_lag_in_millies` (`src/lib.rs:60-64`);
+  *                            product = the micro-batch trigger interval
+  */
+final case class IngestConfig(
+    name: String = "graft-ingest",
+    maxWriterPartitions: Int = 10,
+    maxRecordsPerTrigger: Long = 10000L,
+    lagCycles: Int = 1,
+    lagMillis: Long = 10L,
+    checkpointDir: Option[String] = None,
+    printConfig: Boolean = false) {
+  require(name.nonEmpty, "name must not be empty")
+  require(maxWriterPartitions > 0, "maxWriterPartitions must be > 0")
+  require(maxRecordsPerTrigger > 0, "maxRecordsPerTrigger must be > 0")
+  require(lagCycles > 0, "lagCycles must be > 0")
+  require(lagMillis >= 0, "lagMillis must be >= 0")
+
+  /** Trigger interval = debounce budget, like the reference's lag-cycle
+    * accumulation loop (`src/upsert.rs:143-207`). */
+  def triggerMillis: Long = lagCycles * lagMillis
+}

@@ -1,0 +1,148 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Join-based MERGE — the Spark-native replacement for the reference's
+  * prepared `INSERT … ON CONFLICT (pk) DO UPDATE` statements
+  * (quick_stream `src/upsert.rs:24-29`, canonical SQL
+  * `src/upsert/multi_table_upsert.rs:651`) and its soft-delete twin
+  * (`src/delete.rs:23-28`).
+  *
+  * Semantics (deterministic, unlike the reference's arrival-order races):
+  *  - upsert: for each key, the row with the greatest
+  *    `(versionCol, tieBreakCols...)` wins; on an exact ordering tie the
+  *    INCOMING row wins, matching `ON CONFLICT DO UPDATE` (the update fires
+  *    even when the incoming version equals the stored one).
+  *  - delete: a delete tombstone applies iff its ordering tuple is >= the
+  *    target row's (an out-of-order stale delete must not kill a newer
+  *    update — the reference has no such guard because it relies on
+  *    single-writer arrival order, which doesn't exist on a cluster).
+  *
+  * Scale notes (100 TB target, micro-batch updates):
+  * `upsertBroadcast` never shuffles the target. The micro-batch side is
+  * deduped (small), broadcast, and the target is only scanned — survivors
+  * via a broadcast left join, displaced rows via a broadcast left-semi
+  * restriction. Shuffle volume is O(|batch|), independent of target size.
+  * `upsertShuffle` is the classic full-outer merge for batch-sized updates;
+  * with the target bucketed/pre-partitioned by key only the updates side
+  * exchanges.
+  */
+object Merge {
+
+  private def ordering(df: DataFrame, versionCol: String, tie: Seq[String]): Column =
+    struct((versionCol +: tie).map(df.col): _*)
+
+  private def keyCond(left: DataFrame, right: DataFrame, keyCols: Seq[String]): Column =
+    keyCols.map(k => left.col(k) === right.col(k)).reduce(_ && _)
+
+  /** Micro-batch merge: target is scanned, never shuffled; updates are
+    * deduped then broadcast. Preferred inside `foreachBatch`. */
+  def upsertBroadcast(
+      target: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val outCols = target.columns.toSeq
+    val u = Dedup.latestWins(updates.select(outCols.map(updates.col): _*),
+      keyCols, versionCol, tieBreakCols)
+
+    // (key, ordering) pairs of the incoming batch, broadcast to every task.
+    val uOrd = u.select(
+      (keyCols.map(u.col) :+ ordering(u, versionCol, tieBreakCols).as("__u_ord")): _*)
+    val bOrd = broadcast(uOrd)
+
+    // Target rows that survive: no incoming row for the key, or the stored
+    // row is strictly newer (incoming wins ties — ON CONFLICT DO UPDATE).
+    val tOrdCol = ordering(target, versionCol, tieBreakCols)
+    val survivors = target
+      .join(bOrd, keyCols.map(k => target.col(k) === bOrd.col(k)).reduce(_ && _), "left_outer")
+      .where(bOrd.col("__u_ord").isNull || tOrdCol > bOrd.col("__u_ord"))
+      .select(outCols.map(target.col): _*)
+
+    // Incoming rows that win: restrict the (huge) target to the batch's
+    // keys with a broadcast semi-join — O(|batch|) rows — then compare.
+    val tMatched = target
+      .join(broadcast(u.select(keyCols.map(u.col): _*).distinct()),
+        keyCols, "left_semi")
+    val tM = tMatched.select(
+      (keyCols.map(tMatched.col) :+ ordering(tMatched, versionCol, tieBreakCols).as("__t_ord")): _*)
+    val winners = u
+      .join(broadcast(tM), keyCols.map(k => u.col(k) === tM.col(k)).reduce(_ && _), "left_outer")
+      .where(tM.col("__t_ord").isNull || ordering(u, versionCol, tieBreakCols) >= tM.col("__t_ord"))
+      .select(outCols.map(u.col): _*)
+
+    survivors.unionByName(winners)
+  }
+
+  /** Batch-scale merge: one full-outer shuffle join on the key; per-column
+    * winner selection. Use when updates are comparable in size to the
+    * target (backfills, reprocessing). */
+  def upsertShuffle(
+      target: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val outCols = target.columns.toSeq
+    val u = Dedup.latestWins(updates.select(outCols.map(updates.col): _*),
+      keyCols, versionCol, tieBreakCols)
+    val t = target
+    val joined = t.join(u, keyCond(t, u, keyCols), "full_outer")
+    val uPresent = u.col(keyCols.head).isNotNull
+    val tPresent = t.col(keyCols.head).isNotNull
+    val uWins = uPresent && (!tPresent ||
+      ordering(u, versionCol, tieBreakCols) >= ordering(t, versionCol, tieBreakCols))
+    joined.select(outCols.map(c => when(uWins, u.col(c)).otherwise(t.col(c)).as(c)): _*)
+  }
+
+  /** Soft delete (reference "data soft deleter", `src/delete.rs:252`):
+    * flips `flagCol` to false for keys with a tombstone at least as new as
+    * the stored row. Adds `flagCol` (default true) if absent. */
+  def softDelete(
+      target: DataFrame,
+      deletes: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      tieBreakCols: Seq[String] = Nil,
+      flagCol: String = "row_active"): DataFrame = {
+    val withFlag =
+      if (target.columns.contains(flagCol)) target
+      else target.withColumn(flagCol, lit(true))
+    val d = Dedup.latestWins(deletes, keyCols, versionCol, tieBreakCols)
+    val dOrd = d.select(
+      (keyCols.map(d.col) :+ ordering(d, versionCol, tieBreakCols).as("__d_ord")): _*)
+    val bD = broadcast(dOrd)
+    val joined = withFlag.join(bD,
+      keyCols.map(k => withFlag.col(k) === bD.col(k)).reduce(_ && _), "left_outer")
+    val deleted = bD.col("__d_ord").isNotNull &&
+      bD.col("__d_ord") >= ordering(withFlag, versionCol, tieBreakCols)
+    val outCols = withFlag.columns.toSeq
+    joined.select(outCols.map {
+      case c if c == flagCol => (withFlag.col(flagCol) && !deleted).as(flagCol)
+      case c => withFlag.col(c)
+    }: _*)
+  }
+
+  /** Hard delete: drops rows whose key has a tombstone at least as new. */
+  def hardDelete(
+      target: DataFrame,
+      deletes: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val d = Dedup.latestWins(deletes, keyCols, versionCol, tieBreakCols)
+    val dOrd = d.select(
+      (keyCols.map(d.col) :+ ordering(d, versionCol, tieBreakCols).as("__d_ord")): _*)
+    val bD = broadcast(dOrd)
+    val joined = target.join(bD,
+      keyCols.map(k => target.col(k) === bD.col(k)).reduce(_ && _), "left_outer")
+    joined
+      .where(bD.col("__d_ord").isNull ||
+        bD.col("__d_ord") < ordering(target, versionCol, tieBreakCols))
+      .select(target.columns.toSeq.map(target.col): _*)
+  }
+}
