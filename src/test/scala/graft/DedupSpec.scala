@@ -1,0 +1,81 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.Dedup
+
+/** Latest-wins dedup invariants. Mirrors the reference's dedup unit test
+  * (quick_stream `src/upsert.rs:589-601`: 3 rows / 2 keys → the later
+  * `modified_date` row survives per key) plus the property checks from
+  * SURVEY.md §5: idempotent, input-order-insensitive, keeps max version.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def df(rows: Seq[(Long, Long, Long, String)]): DataFrame =
+    rows.toDF("pkey", "modified_date_us", "event_id", "payload")
+
+  test("reference fixture: keeps the later modified_date per key") {
+    // quick_stream src/upsert.rs:589-601 shape: keys {1,2}, key 1 twice.
+    val in = df(Seq(
+      (1L, 100L, 1L, "old"),
+      (2L, 150L, 2L, "only"),
+      (1L, 200L, 3L, "new")))
+    val out = Dedup.latestWins(in, Seq("pkey"), "modified_date_us", Seq("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(out == Set((1L, "new"), (2L, "only")))
+  }
+
+  test("equal version: tie-break column decides deterministically") {
+    val in = df(Seq(
+      (1L, 100L, 7L, "high-tie"),
+      (1L, 100L, 3L, "low-tie")))
+    val out = Dedup.latestWins(in, Seq("pkey"), "modified_date_us", Seq("event_id"))
+    assert(out.collect().map(_.getString(3)).toSeq == Seq("high-tie"))
+  }
+
+  test("agg form and window form agree on random data") {
+    val rnd = new Random(42)
+    val rows = Seq.fill(500)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(50).toLong, rnd.nextInt(100000).toLong, rnd.nextInt(5).toString))
+      // unique tie-break per (key, version) so both forms are deterministic
+      .groupBy(r => (r._1, r._2, r._3)).map(_._2.head).toSeq
+    val in = df(rows)
+    assertSameRows(
+      Dedup.latestWins(in, Seq("pkey"), "modified_date_us", Seq("event_id")),
+      Dedup.latestWinsWindow(in, Seq("pkey"), "modified_date_us", Seq("event_id")))
+  }
+
+  test("idempotent: dedup(dedup(x)) == dedup(x)") {
+    val rnd = new Random(7)
+    val in = df(Seq.fill(300)(
+      (rnd.nextInt(20).toLong, rnd.nextInt(30).toLong, rnd.nextLong(), "p")))
+    val once = Dedup.latestWins(in, Seq("pkey"), "modified_date_us", Seq("event_id"))
+    val twice = Dedup.latestWins(once, Seq("pkey"), "modified_date_us", Seq("event_id"))
+    assertSameRows(once, twice)
+  }
+
+  test("input-order-insensitive") {
+    val rnd = new Random(11)
+    val rows = Seq.fill(200)(
+      (rnd.nextInt(15).toLong, rnd.nextInt(25).toLong, rnd.nextLong(), "p"))
+    val a = Dedup.latestWins(df(rows), Seq("pkey"), "modified_date_us", Seq("event_id"))
+    val b = Dedup.latestWins(df(rnd.shuffle(rows)), Seq("pkey"), "modified_date_us", Seq("event_id"))
+    assertSameRows(a, b)
+  }
+
+  test("keeps exactly one row per key, and it is the max ordering tuple") {
+    val rnd = new Random(3)
+    val rows = Seq.fill(400)(
+      (rnd.nextInt(25).toLong, rnd.nextInt(40).toLong, rnd.nextLong(), "p"))
+    val out = Dedup.latestWins(df(rows), Seq("pkey"), "modified_date_us", Seq("event_id"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val expect = rows.groupBy(_._1).map { case (k, g) =>
+      k -> g.map(r => (r._2, r._3)).max
+    }
+    assert(out == expect)
+  }
+}
