@@ -114,16 +114,17 @@ object SparkEntry {
         keyCols = key, versionCol = ver, tieBreakCols = tie)
       val cfg = IngestConfig(name = s"o4-e2e-${System.nanoTime()}",
         maxWriterPartitions = 4, checkpointDir = Some(s"$tmp/ckpt"))
-      // File-stream the events table; glob form because the source path is
-      // a single parquet file, not a directory.
-      val src = s.readStream.schema(batchSchema)
-        .parquet(s"$dir/events.parque[t]")
+      // File-stream the events table via the rate-limited source helper;
+      // glob form because the source path is a single parquet file, not a
+      // directory.
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
         .select(
           col("user_id").as("pkey"), expr("ts div 1000").as("modified_date_us"),
           col("event_id"), col("event_type"), col("value"))
       val q = new UpsertStream(s, cfg, target).run(src, Trigger.AvailableNow())
       q.awaitTermination()
-      stateOut(s.read.parquet(target.path))
+      stateOut(new graft.sink.ParquetTarget(s, target).read().get)
     }),
 
     // ---- O5: join-based MERGE (broadcast micro-batch strategy) ----

@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types.StructType
 
 import graft.model.{IngestConfig, IngestContract, TargetTable}
 import graft.sink.ParquetTarget
@@ -15,21 +16,24 @@ import graft.sink.ParquetTarget
   *
   * What the reference hand-rolls and Spark owns natively (SURVEY.md §2):
   *  - lag-cycle accumulation (O4)  → micro-batch trigger interval
+  *    (`IngestConfig.triggerMillis`, applied as the default trigger here)
   *  - sender pools / scaling (O8,O9) → task scheduler + dynamic allocation
   *  - bounded-channel backpressure (O10) → next trigger waits for
-  *    `foreachBatch` to return; `maxFilesPerTrigger` bounds batch volume
+  *    `foreachBatch` to return; `Sources` applies the per-trigger volume
+  *    bound (`IngestConfig.maxRecordsPerTrigger`) at the source
   *  - graceful shutdown (O11) → shutdown hook + `query.stop()`, plus
   *    checkpointed restart the reference entirely lacks
   */
 object Streams {
 
   /** Wire a streaming source into a per-batch merge action with the
-    * config's trigger/backpressure knobs applied. */
-  private def start(
+    * config's trigger applied. ALL processors start through here, so the
+    * builder knobs (`withIntroducedLag*` → `triggerMillis`) are live. */
+  private[engine] def start(
       source: DataFrame,
       config: IngestConfig,
       defaultCheckpoint: String,
-      trigger: Trigger)(
+      trigger: Option[Trigger])(
       action: (Dataset[Row], Long) => Unit): StreamingQuery = {
     if (config.printConfig) {
       // Reference: print_connection_configuration / pool-status table
@@ -41,13 +45,42 @@ object Streams {
     source.writeStream
       .queryName(config.name)
       .option("checkpointLocation", config.checkpointDir.getOrElse(defaultCheckpoint))
-      .trigger(trigger)
+      .trigger(trigger.getOrElse(Trigger.ProcessingTime(config.triggerMillis)))
       .foreachBatch(action)
       .start()
   }
 
-  private def defaultTrigger(config: IngestConfig): Trigger =
-    Trigger.ProcessingTime(config.triggerMillis)
+  /** Deterministic default checkpoint for a multi-table processor: derived
+    * from the lexicographically smallest table name, so it cannot drift
+    * with Map iteration order between runs (which would silently abandon
+    * stream progress and replay from scratch). */
+  private[engine] def multiCheckpoint(
+      catalog: Map[String, TargetTable], suffix: String): String =
+    catalog(catalog.keys.min).path + suffix
+}
+
+/** Source constructors that apply `IngestConfig`'s admission-control knobs
+  * to the source — the reference's `max_records_per_cycle_batch` +
+  * `buffer_size` backpressure bound (quick_stream `src/upsert.rs:313`,
+  * `:433-440`). Spark's file source admits whole files per trigger, so the
+  * per-record bound maps to `maxFilesPerTrigger` via a caller-supplied
+  * records-per-file hint; a Kafka source would use `maxOffsetsPerTrigger`
+  * directly. */
+object Sources {
+
+  /** Parquet file stream with the rate limit applied. */
+  def parquet(
+      spark: SparkSession,
+      config: IngestConfig,
+      schema: StructType,
+      path: String,
+      recordsPerFileHint: Long = 100000L): DataFrame = {
+    val files = math.max(1L, config.maxRecordsPerTrigger / math.max(1L, recordsPerFileHint))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", files.toString)
+      .parquet(path)
+  }
 }
 
 /** Single-table latest-wins upsert ingestion (reference §3.1). */
@@ -56,17 +89,15 @@ final class UpsertStream(
     config: IngestConfig,
     target: TargetTable) {
 
-  def run(source: DataFrame, trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+  def run(source: DataFrame): StreamingQuery = runWith(source, None)
+  def run(source: DataFrame, trigger: Trigger): StreamingQuery =
+    runWith(source, Some(trigger))
+
+  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery = {
     val sink = new ParquetTarget(spark, target)
-    source.writeStream
-      .queryName(config.name)
-      .option("checkpointLocation",
-        config.checkpointDir.getOrElse(target.path + "_ckpt"))
-      .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        sink.mergeUpsert(batch, config)
-      }
-      .start()
+    Streams.start(source, config, target.path + "_ckpt", trigger) {
+      (batch: Dataset[Row], _: Long) => sink.mergeUpsert(batch, config)
+    }
   }
 }
 
@@ -78,18 +109,17 @@ final class DeleteStream(
     target: TargetTable,
     soft: Boolean = true) {
 
-  def run(source: DataFrame, trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+  def run(source: DataFrame): StreamingQuery = runWith(source, None)
+  def run(source: DataFrame, trigger: Trigger): StreamingQuery =
+    runWith(source, Some(trigger))
+
+  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery = {
     val sink = new ParquetTarget(spark, target)
-    source.writeStream
-      .queryName(config.name)
-      .option("checkpointLocation",
-        config.checkpointDir.getOrElse(target.path + "_del_ckpt"))
-      .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+    Streams.start(source, config, target.path + "_del_ckpt", trigger) {
+      (batch: Dataset[Row], _: Long) =>
         if (soft) sink.mergeSoftDelete(batch, config)
         else sink.mergeHardDelete(batch, config)
-      }
-      .start()
+    }
   }
 }
 
@@ -105,23 +135,22 @@ final class MultiTableUpsertStream(
     tableCol: String = IngestContract.TableCol) {
   require(catalog.nonEmpty, "catalog must not be empty")
 
-  def run(source: DataFrame, trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+  def run(source: DataFrame): StreamingQuery = runWith(source, None)
+  def run(source: DataFrame, trigger: Trigger): StreamingQuery =
+    runWith(source, Some(trigger))
+
+  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery = {
     val sinks = catalog.map { case (n, t) => n -> new ParquetTarget(spark, t) }
-    val ckpt = catalog.values.head.path + "_multi_ckpt"
-    source.writeStream
-      .queryName(config.name)
-      .option("checkpointLocation", config.checkpointDir.getOrElse(ckpt))
-      .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val cached = batch.persist()
-        try {
-          sinks.foreach { case (name, sink) =>
-            val slice = cached.filter(col(tableCol) === name).drop(tableCol)
-            if (!slice.isEmpty) sink.mergeUpsert(slice, config)
-          }
-        } finally { cached.unpersist(); () }
-      }
-      .start()
+    val ckpt = Streams.multiCheckpoint(catalog, "_multi_ckpt")
+    Streams.start(source, config, ckpt, trigger) { (batch: Dataset[Row], _: Long) =>
+      val cached = batch.persist()
+      try {
+        sinks.foreach { case (name, sink) =>
+          val slice = cached.filter(col(tableCol) === name).drop(tableCol)
+          if (!slice.isEmpty) sink.mergeUpsert(slice, config)
+        }
+      } finally { cached.unpersist(); () }
+    }
   }
 }
 
@@ -137,26 +166,25 @@ final class MultiTableDeleteStream(
     soft: Boolean = true) {
   require(catalog.nonEmpty, "catalog must not be empty")
 
-  def run(source: DataFrame, trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery = {
+  def run(source: DataFrame): StreamingQuery = runWith(source, None)
+  def run(source: DataFrame, trigger: Trigger): StreamingQuery =
+    runWith(source, Some(trigger))
+
+  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery = {
     val sinks = catalog.map { case (n, t) => n -> new ParquetTarget(spark, t) }
-    val ckpt = catalog.values.head.path + "_multi_del_ckpt"
-    source.writeStream
-      .queryName(config.name)
-      .option("checkpointLocation", config.checkpointDir.getOrElse(ckpt))
-      .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val cached = batch.persist()
-        try {
-          sinks.foreach { case (name, sink) =>
-            val slice = cached.filter(col(tableCol) === name).drop(tableCol)
-            if (!slice.isEmpty) {
-              if (soft) sink.mergeSoftDelete(slice, config)
-              else sink.mergeHardDelete(slice, config)
-            }
+    val ckpt = Streams.multiCheckpoint(catalog, "_multi_del_ckpt")
+    Streams.start(source, config, ckpt, trigger) { (batch: Dataset[Row], _: Long) =>
+      val cached = batch.persist()
+      try {
+        sinks.foreach { case (name, sink) =>
+          val slice = cached.filter(col(tableCol) === name).drop(tableCol)
+          if (!slice.isEmpty) {
+            if (soft) sink.mergeSoftDelete(slice, config)
+            else sink.mergeHardDelete(slice, config)
           }
-        } finally { cached.unpersist(); () }
-      }
-      .start()
+        }
+      } finally { cached.unpersist(); () }
+    }
   }
 }
 

@@ -38,6 +38,29 @@ object Merge {
   private def keyCond(left: DataFrame, right: DataFrame, keyCols: Seq[String]): Column =
     keyCols.map(k => left.col(k) === right.col(k)).reduce(_ && _)
 
+  /** Conform `updates` to the target's column set. Target columns absent
+    * from the batch are filled from `defaults` (e.g. a soft-delete flag
+    * added to the target after the stream started → incoming rows default
+    * to active) or typed NULL; batch columns absent from the target are a
+    * schema-contract violation and fail loud. */
+  private def conform(
+      target: DataFrame,
+      updates: DataFrame,
+      defaults: Map[String, Column]): DataFrame = {
+    val extra = updates.columns.toSeq.diff(target.columns.toSeq)
+    require(extra.isEmpty,
+      s"update batch has columns absent from the target table: " +
+        s"${extra.mkString(", ")} — targets never widen implicitly; " +
+        s"migrate the target schema first")
+    val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val have = updates.columns.toSet
+    target.columns.toSeq.foldLeft(updates) { (df, c) =>
+      if (have(c)) df
+      else df.withColumn(c,
+        defaults.getOrElse(c, lit(null)).cast(tTypes(c)))
+    }
+  }
+
   /** Micro-batch merge: target is scanned, never shuffled; updates are
     * deduped then broadcast. Preferred inside `foreachBatch`. */
   def upsertBroadcast(
@@ -45,9 +68,11 @@ object Merge {
       updates: DataFrame,
       keyCols: Seq[String],
       versionCol: String,
-      tieBreakCols: Seq[String] = Nil): DataFrame = {
+      tieBreakCols: Seq[String] = Nil,
+      defaults: Map[String, Column] = Map.empty): DataFrame = {
     val outCols = target.columns.toSeq
-    val u = Dedup.latestWins(updates.select(outCols.map(updates.col): _*),
+    val conformed = conform(target, updates, defaults)
+    val u = Dedup.latestWins(conformed.select(outCols.map(conformed.col): _*),
       keyCols, versionCol, tieBreakCols)
 
     // (key, ordering) pairs of the incoming batch, broadcast to every task.
@@ -86,9 +111,11 @@ object Merge {
       updates: DataFrame,
       keyCols: Seq[String],
       versionCol: String,
-      tieBreakCols: Seq[String] = Nil): DataFrame = {
+      tieBreakCols: Seq[String] = Nil,
+      defaults: Map[String, Column] = Map.empty): DataFrame = {
     val outCols = target.columns.toSeq
-    val u = Dedup.latestWins(updates.select(outCols.map(updates.col): _*),
+    val conformed = conform(target, updates, defaults)
+    val u = Dedup.latestWins(conformed.select(outCols.map(conformed.col): _*),
       keyCols, versionCol, tieBreakCols)
     val t = target
     val joined = t.join(u, keyCond(t, u, keyCols), "full_outer")

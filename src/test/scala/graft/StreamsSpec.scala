@@ -9,6 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.engine.{MultiTableUpsertStream, QuickStreamBuilder, UpsertStream}
 import graft.model.{IngestConfig, TargetTable}
 import graft.ops.Dedup
+import graft.sink.ParquetTarget
 
 /** End-to-end Structured Streaming behavior of the processors (reference
   * lifecycle §3): micro-batched latest-wins ingestion converges to the
@@ -23,6 +24,10 @@ class StreamsSpec extends SparkSpec {
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
+
+  /** Targets are versioned dirs + manifest now; resolve through the sink. */
+  private def readTarget(t: TargetTable) =
+    new ParquetTarget(spark, t).read().get
 
   test("UpsertStream converges to global latest-wins across micro-batches") {
     implicit val sql = spark.sqlContext
@@ -42,7 +47,7 @@ class StreamsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val state = spark.read.parquet(target.path)
+    val state = readTarget(target)
       .collect().map(r => r.getAs[Long]("pkey") -> r.getAs[String]("payload")).toMap
     assert(state == Map(1L -> "a1", 2L -> "b1", 3L -> "c0"))
   }
@@ -63,7 +68,7 @@ class StreamsSpec extends SparkSpec {
       val q = new UpsertStream(spark, cfg, target).run(events.toDF())
       batches.foreach { b => events.addData(b); q.processAllAvailable() }
       q.stop()
-      spark.read.parquet(target.path)
+      readTarget(target)
         .collect().map(r => r.getAs[Long]("pkey") -> r.getAs[String]("payload")).toMap
     }
 
@@ -93,15 +98,15 @@ class StreamsSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val alpha = spark.read.parquet(catalog("alpha").path)
+    val alpha = readTarget(catalog("alpha"))
       .collect().map(r => (r.getAs[Long]("pkey"), r.getAs[String]("payload")))
-    val beta = spark.read.parquet(catalog("beta").path)
+    val beta = readTarget(catalog("beta"))
       .collect().map(r => (r.getAs[Long]("pkey"), r.getAs[String]("payload")))
     assert(alpha.toSeq == Seq((1L, "a2")))
     assert(beta.toSeq == Seq((1L, "b")))
     // routing column is dropped before merge, like the reference's
     // per-table statement dispatch (multi_table_upsert.rs:288-293)
-    assert(!spark.read.parquet(catalog("alpha").path).columns.contains("table"))
+    assert(!readTarget(catalog("alpha")).columns.contains("table"))
   }
 
   test("builder-constructed soft DeleteStream tombstones via streaming") {
@@ -130,8 +135,66 @@ class StreamsSpec extends SparkSpec {
     del.addData(Ev(1, 15, 3, "tomb"), Ev(2, 19, 4, "stale-tomb"))
     delQ.processAllAvailable(); delQ.stop()
 
-    val state = spark.read.parquet(target.path)
+    val state = readTarget(target)
       .collect().map(r => r.getAs[Long]("pkey") -> r.getAs[Boolean]("row_active")).toMap
     assert(state == Map(1L -> false, 2L -> true))
+  }
+
+  test("upsert after soft delete conforms batch schema (flag defaults true)") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("graft_stream_updel_")
+    val target = TargetTable("t", s"$dir/target",
+      keyCols = Seq("pkey"), versionCol = "ver", tieBreakCols = Seq("seq"))
+
+    val up1 = MemoryStream[Ev]
+    val q1 = new UpsertStream(spark, IngestConfig(name = s"updel-a-${System.nanoTime()}",
+      maxWriterPartitions = 2, checkpointDir = Some(s"$dir/ck1")), target).run(up1.toDF())
+    up1.addData(Ev(1, 10, 1, "a"), Ev(2, 10, 2, "b"))
+    q1.processAllAvailable(); q1.stop()
+
+    val del = MemoryStream[Ev]
+    val q2 = new graft.engine.DeleteStream(spark, IngestConfig(
+      name = s"updel-b-${System.nanoTime()}",
+      maxWriterPartitions = 2, checkpointDir = Some(s"$dir/ck2")), target).run(del.toDF())
+    del.addData(Ev(1, 11, 3, "tomb"))
+    q2.processAllAvailable(); q2.stop()
+
+    // The target now carries row_active; a plain upsert batch (without the
+    // flag) must still merge — ADVICE r1: this used to AnalysisException.
+    val up2 = MemoryStream[Ev]
+    val q3 = new UpsertStream(spark, IngestConfig(name = s"updel-c-${System.nanoTime()}",
+      maxWriterPartitions = 2, checkpointDir = Some(s"$dir/ck3")), target).run(up2.toDF())
+    up2.addData(Ev(2, 12, 4, "b2"), Ev(3, 1, 5, "c"))
+    q3.processAllAvailable(); q3.stop()
+
+    val state = readTarget(target)
+      .collect().map(r => r.getAs[Long]("pkey") ->
+        ((r.getAs[String]("payload"), r.getAs[Boolean]("row_active")))).toMap
+    assert(state == Map(
+      1L -> (("a", false)),    // soft-deleted row survives with flag off
+      2L -> (("b2", true)),    // updated; incoming defaulted to active
+      3L -> (("c", true))))    // inserted; defaulted to active
+  }
+
+  test("target recovers committed state when the manifest is lost mid-swap") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("graft_stream_crash_")
+    val target = TargetTable("t", s"$dir/target",
+      keyCols = Seq("pkey"), versionCol = "ver", tieBreakCols = Seq("seq"))
+    val sink = new ParquetTarget(spark, target)
+    val cfg = IngestConfig(name = "crash", maxWriterPartitions = 2)
+    sink.mergeUpsert(Seq(Ev(1, 10, 1, "a"), Ev(2, 20, 2, "b")).toDF(), cfg)
+    sink.mergeUpsert(Seq(Ev(1, 15, 3, "a2")).toDF(), cfg)
+    // Simulate a crash in the repoint window: manifest gone, version dirs
+    // intact. read() must resolve the newest complete version, not None.
+    val fs = new org.apache.hadoop.fs.Path(target.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(target.path, "_LATEST"), false)
+    val state = sink.read().get
+      .collect().map(r => r.getAs[Long]("pkey") -> r.getAs[String]("payload")).toMap
+    assert(state == Map(1L -> "a2", 2L -> "b"))
+    // And the next merge commits on top of the recovered version.
+    sink.mergeUpsert(Seq(Ev(3, 1, 4, "c")).toDF(), cfg)
+    assert(sink.read().get.count() == 3)
   }
 }
