@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.engine.UpsertStream
+import graft.functions.{OracleSql, TextHash}
+import graft.ops.TextAnalysis.LangProfiles
 import graft.model.{IngestConfig, TargetTable}
-import graft.ops.{BatchSplit, Dedup}
+import graft.multimodal.Multimodal
+import graft.ops.{BatchSplit, Dedup, NearDup, Similarity, TextAnalysis}
 import graft.sink.Merge
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -248,6 +251,57 @@ object SparkEntry {
         regexp_count(col("text"), lit("\\bthe\\b")).cast("long").as("n_the"))
     }),
 
+    // ---- LLM pipeline: MinHash + LSH near-duplicate candidates ----
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      NearDup.lshCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3, r = 2)),
+
+    // ---- LLM pipeline: SimHash fingerprints ----
+    "dedup_simhash" -> ((s, dir) =>
+      NearDup.simhashFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", bits = 16)),
+
+    // ---- LLM pipeline: n-gram Jaccard similarity (blocked + sampled) ----
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      NearDup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", "lang",
+        sampleMod = 5, minJaccard = 0.01)),
+
+    // ---- LLM pipeline: embedding cosine near-dup (LSH-bucketed) ----
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, planes = 4, minCos = 0.3)),
+
+    // ---- LLM pipeline: LSH-bucketed ANN top-k (the scale path) ----
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, dim = 64, planes = 4)),
+
+    // ---- LLM pipeline: heuristic language ID ----
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- LLM pipeline: BPE-style token-class counting ----
+    "text_token_classes" -> ((s, dir) =>
+      TextAnalysis.tokenClasses(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- LLM pipeline: document fingerprinting ----
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text", n = 3)),
+
+    // ---- Multimodal: opaque-binary decode plumbing (stub kernel) ----
+    "mm_decode_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("mtype"),
+        col("text").cast("binary").as("content"))
+      Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
+    }),
+
     // ---- LLM pipeline: brute-force cosine top-k (ANN baseline) ----
     "ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -271,6 +325,110 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     }),
   )
+
+  /** DuckDB oracles for the hash-pipeline queries, generated from the same
+    * Scala constants that drive the Spark plans (OracleSql mirrors
+    * TextHash / Similarity / Multimodal value-for-value). */
+  private def docPipelineOracles: Map[String, String] = {
+    val wh = OracleSql.wordHashes("text")
+
+    val minhashLsh = {
+      val sigCols = (0 until 8).map(j =>
+        s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
+        s"sig AS (SELECT doc_id, $sigCols FROM sh_t), " +
+        s"banded AS (${OracleSql.lshBanded("doc_id", 8, 2)}) " +
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    }
+
+    val simhashSql =
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents) " +
+        s"SELECT doc_id, CAST(${OracleSql.simhash("wh", 16)} AS BIGINT) AS simhash FROM base"
+
+    val jaccardSql =
+      s"WITH base AS (SELECT doc_id, lang, $wh AS wh FROM documents WHERE doc_id % 5 = 0), " +
+        s"gr AS (SELECT doc_id, lang, list_distinct(${OracleSql.shingles("wh", 2)}) AS grams FROM base), " +
+        "g2 AS (SELECT * FROM gr WHERE len(grams) > 0), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard " +
+        "FROM g2 a JOIN g2 b ON a.lang = b.lang AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01"
+
+    val embNorm =
+      s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"n AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) AS nrm, " +
+        s"${OracleSql.hyperplaneBucket("v", 64, 4)} AS bucket FROM e)"
+
+    val cosineNearDup =
+      s"$embNorm, p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        s"${OracleSql.dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine " +
+        "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3"
+
+    val lshTopK =
+      s"$embNorm, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket " +
+        "FROM n WHERE vec_id < 10), " +
+        s"p AS (SELECT q.query_id, n.vec_id, ${OracleSql.dot("n.v", "q.qv")} / (n.nrm * q.qn) AS cos " +
+        "FROM n JOIN q ON n.bucket = q.qbucket AND n.vec_id <> q.query_id) " +
+        "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"
+
+    val langIdSql = {
+      val scoreCols = LangProfiles.map { case (lang, re) =>
+        s"len(regexp_extract_all(text, '$re')) AS score_$lang"
+      }.mkString(", ")
+      val best = LangProfiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+      val pred = LangProfiles.init.map { case (lang, _) =>
+        s"WHEN score_$lang = g THEN '$lang'"
+      }.mkString("CASE ", " ", s" ELSE '${LangProfiles.last._1}' END")
+      s"WITH sc AS (SELECT doc_id, $scoreCols FROM documents), " +
+        s"sg AS (SELECT *, $best AS g FROM sc) " +
+        s"SELECT doc_id, ${LangProfiles.map(p => s"score_${p._1}").mkString(", ")}, " +
+        s"$pred AS pred_lang FROM sg"
+    }
+
+    val tokenClassesSql =
+      "WITH c AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha_tokens, " +
+        "len(regexp_extract_all(text, '[0-9]')) AS n_digit_tokens, " +
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct_tokens " +
+        "FROM documents) " +
+        "SELECT doc_id, n_alpha_tokens, n_digit_tokens, n_punct_tokens, " +
+        "n_alpha_tokens + n_digit_tokens + n_punct_tokens AS n_bpe_tokens FROM c"
+
+    val fingerprintSql =
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"s AS (SELECT doc_id, wh, list_distinct(${OracleSql.shingles("wh", 3)}) AS sh FROM base) " +
+        s"SELECT doc_id, ${OracleSql.docHash("wh")} AS doc_fp, " +
+        "list_min(sh) AS min_shingle, CAST(len(sh) AS BIGINT) AS n_shingles FROM s"
+
+    val mmSql =
+      "WITH m AS (SELECT doc_id AS id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mt, " +
+        s"CAST(length(text) AS BIGINT) AS nb, ${OracleSql.asciiChecksum("text")} AS checksum " +
+        "FROM documents) " +
+        "SELECT id, mt AS \"mediaType\", nb AS \"nBytes\", checksum, " +
+        "CAST(checksum % 640 + 1 AS INT) AS width, " +
+        "CAST((checksum // 640) % 480 + 1 AS INT) AS height, " +
+        "CAST(CASE mt WHEN 'video' THEN checksum % 240 + 1 " +
+        "WHEN 'audio' THEN checksum % 48000 + 1 ELSE 1 END AS INT) AS \"nFrames\" FROM m"
+
+    Map(
+      "dedup_minhash_lsh" -> minhashLsh,
+      "dedup_simhash" -> simhashSql,
+      "dedup_ngram_jaccard" -> jaccardSql,
+      "dedup_embedding_cosine" -> cosineNearDup,
+      "ann_lsh_topk" -> lshTopK,
+      "text_langid" -> langIdSql,
+      "text_token_classes" -> tokenClassesSql,
+      "text_fingerprint" -> fingerprintSql,
+      "mm_decode_meta" -> mmSql)
+  }
 
   def oracleSql: Map[String, String] = {
     val dedupState =
@@ -359,6 +517,6 @@ object SparkEntry {
           "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM " +
           "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
           "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"),
-    )
+    ) ++ docPipelineOracles
   }
 }

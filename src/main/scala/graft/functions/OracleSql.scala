@@ -1,0 +1,107 @@
+package graft.functions
+
+/** DuckDB-SQL generators that re-derive the engine's deterministic hash
+  * pipelines (TextHash, Similarity's hyperplane LSH, Multimodal's stub
+  * checksum) value-for-value, so the driver's DuckDB oracle can
+  * hash-compare every near-dup / similarity / fingerprint query instead of
+  * falling back to a weak rows-only check.
+  *
+  * Every fragment mirrors one Column builder: integer arithmetic is mod
+  * TextHash.P in BIGINT (no platform sensitivity), and every float sum is a
+  * strict left-to-right `list_reduce` fold — the same association order as
+  * Spark's `aggregate(zip_with(...))` — so doubles are bit-identical, not
+  * merely close. Constants (MinHash permutation coefficients, hyperplane
+  * signs) are computed by the SAME Scala functions that feed the Spark
+  * plan, so the two sides cannot drift.
+  */
+object OracleSql {
+
+  private val P = TextHash.P
+
+  // ---- TextHash mirrors -------------------------------------------------
+
+  /** words(t): non-empty whitespace-separated tokens. */
+  def words(t: String): String =
+    s"list_filter(regexp_split_to_array($t, '\\s+'), w -> len(w) > 0)"
+
+  /** wordHash(w): fold a = (a*31 + ascii(c)) % P, seed 7, over chars. */
+  def wordHash(w: String): String = {
+    val codes = s"list_transform(range(1, len($w)+1), i -> ascii(substr($w, i, 1)))"
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), $codes), (a, c) -> (a*31 + c) % $P)"
+  }
+
+  /** wordHashes(t): hash of every token, order-preserving. */
+  def wordHashes(t: String): String =
+    s"list_transform(${words(t)}, w -> ${wordHash("w")})"
+
+  /** shingleHashes(wh, n): word-n-gram polynomial hashes (empty if < n). */
+  def shingles(wh: String, n: Int): String = {
+    val fold = (0 until n).foldLeft("CAST(7 AS BIGINT)") { (acc, k) =>
+      s"(($acc)*31 + $wh[i+$k+1]) % $P"
+    }
+    s"CASE WHEN len($wh) < $n THEN CAST([] AS BIGINT[]) " +
+      s"ELSE list_transform(range(0, len($wh)-$n+1), i -> $fold) END"
+  }
+
+  /** minhash(sh, j) with the same permutation coefficients as TextHash. */
+  def minhash(sh: String, j: Int): String =
+    s"list_min(list_transform(list_distinct($sh), s -> " +
+      s"(s*${TextHash.permuteA(j)} + ${TextHash.permuteB(j)}) % $P))"
+
+  /** simhash(wh, bits): per-bit ±1 majority vote, empty doc → 0. */
+  def simhash(wh: String, bits: Int): String =
+    (0 until bits).map { j =>
+      s"CASE WHEN coalesce(list_sum(list_transform($wh, " +
+        s"h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 " +
+        s"THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** docHash(wh): order-sensitive whole-doc fold, seed 7. */
+  def docHash(wh: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), $wh), (a, h) -> (a*31 + h) % $P)"
+
+  // ---- Similarity mirrors ----------------------------------------------
+
+  /** Strict left-to-right double sum of a list expression. */
+  def foldSum(products: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $products), (a, b) -> a + b)"
+
+  /** dot(v, w): Σ v[i]*w[i], left-to-right (Similarity.dot). */
+  def dot(v: String, w: String): String =
+    foldSum(s"list_transform(range(1, len($v)+1), i -> $v[i] * $w[i])")
+
+  /** planeSign(i, j): ±1 component of hyperplane i (Similarity.planeSign). */
+  def planeSign(i: Int, j: String): String =
+    s"CASE WHEN (((($j + ${64 * i}) * 1103515245) % $P + 12345) % $P) % 2 = 0 " +
+      "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+
+  /** hyperplaneBucket(v, dim, planes): bit i = sign of projection i. */
+  def hyperplaneBucket(v: String, dim: Int, planes: Int): String =
+    (0 until planes).map { i =>
+      val proj = foldSum(
+        s"list_transform(range(0, $dim), j -> $v[j+1] * ${planeSign(i, "j")})")
+      s"CASE WHEN ($proj) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** LSH band keys for a MinHash signature already projected as mh0..mh{m-1}:
+    * one SELECT per band over a `sig` CTE, UNION ALL'd. */
+  def lshBanded(idCol: String, m: Int, r: Int): String = {
+    val bands = m / r
+    (0 until bands).map { b =>
+      val key = (0 until r).foldLeft("CAST(7 AS BIGINT)") { (acc, k) =>
+        s"(($acc)*31 + mh${b * r + k}) % $P"
+      }
+      s"SELECT $idCol, $b AS band, $key AS key FROM sig WHERE mh0 IS NOT NULL"
+    }.mkString(" UNION ALL ")
+  }
+
+  // ---- Multimodal mirror -------------------------------------------------
+
+  /** The stub decode checksum over an ASCII text column's bytes:
+    * fold a = (a*31 + byte) % P, seed 7 (Multimodal.decodeBatch). */
+  def asciiChecksum(t: String): String = {
+    val codes =
+      s"list_transform(range(1, len($t)+1), i -> CAST(ascii(substr($t, i, 1)) AS BIGINT))"
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), $codes), (x, c) -> (x*31 + c) % $P)"
+  }
+}

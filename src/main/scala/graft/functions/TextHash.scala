@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer text-hash primitives used by the near-duplicate
+  * and fingerprinting operators (MinHash/LSH, SimHash, winnowing).
+  *
+  * All arithmetic is mod P = 1e9+7 in 64-bit integers, chosen so every
+  * intermediate fits in an i64 (max (P-1)*31 + c ≈ 3.1e10; max
+  * (P-1)*(P-1) ≈ 1.0e18 < 2^63) and so the EXACT same computation is
+  * expressible in ANSI-ish SQL (the driver's DuckDB oracle re-derives
+  * every value with list lambdas — integer arithmetic has no
+  * platform/order sensitivity, unlike float folds).
+  *
+  * These are column builders over Spark's higher-order array functions:
+  * per-row, no shuffle, fully parallel — at 100 TB the hashing stage is
+  * embarrassingly parallel map work that scales linearly with executors.
+  * (The reference has no text operators; these extend the engine for
+  * training-data pipelines per BASELINE.json's north star.)
+  */
+object TextHash {
+
+  /** Modulus: largest common 31-bit prime; see overflow analysis above. */
+  val P = 1000000007L
+
+  /** Non-empty whitespace-separated tokens. */
+  def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** Polynomial rolling hash of one token: fold a = (a*31 + codepoint) % P
+    * over its characters, seed 7. (ASCII: codepoint == byte.) */
+  def wordHash(w: Column): Column =
+    aggregate(
+      filter(split(w, ""), c => length(c) > 0),
+      lit(7L),
+      (a, c) => (a * 31L + ascii(c)) % P)
+
+  /** Hash every token of `text`: Array[Long], order-preserving, with
+    * multiplicity (SimHash weights by term frequency). */
+  def wordHashes(text: Column): Column = transform(words(text), wordHash(_))
+
+  /** Word-n-gram shingle hashes from a word-hash array: position i maps to
+    * the n consecutive word hashes folded with the same polynomial step.
+    * Docs shorter than n words yield an empty array. */
+  def shingleHashes(wh: Column, n: Int): Column =
+    when(size(wh) < n, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), size(wh) - n),
+        i => (0 until n).foldLeft(lit(7L): Column)((acc, k) =>
+          (acc * 31L + element_at(wh, i + k + 1)) % P)))
+
+  /** j-th universal hash h_j(x) = (A_j*x + B_j) % P with fixed
+    * pseudo-random odd multipliers — the MinHash permutation family. */
+  def permuteA(j: Int): Long = ((2L * j + 1L) * 1103515245L) % P
+  def permuteB(j: Int): Long = (j * 12345L + 678910111L) % P
+  def permute(j: Int, x: Column): Column = (x * permuteA(j) + permuteB(j)) % P
+
+  /** MinHash signature value j over a shingle-hash array: min of the j-th
+    * permutation over the DISTINCT shingle set; NULL for empty docs. */
+  def minhash(shingles: Column, j: Int): Column =
+    array_min(transform(array_distinct(shingles), s => permute(j, s)))
+
+  /** SimHash fingerprint of `bits` bits from a word-hash array: bit j is
+    * set iff the (+1/-1) majority vote of that bit across all token hashes
+    * is positive. One pass per bit over an in-memory array — row-local. */
+  def simhash(wh: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      val vote = aggregate(wh, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Order-sensitive whole-document hash: fold f = (f*31 + wordHash) % P,
+    * seed 7 — two docs with the same words in different order differ. */
+  def docHash(wh: Column): Column =
+    aggregate(wh, lit(7L), (a, h) => (a * 31L + h) % P)
+}

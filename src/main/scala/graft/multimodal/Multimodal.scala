@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride through the
+  * engine as opaque `binary` columns plus a typed metadata struct, and
+  * decode / feature-extraction runs as BATCHED partition-local work — the
+  * Spark-side shape a real decoder (JNI image lib, ffmpeg bridge, ONNX
+  * featurizer) plugs into.
+  *
+  * The decode kernel here is a clearly-marked deterministic STUB (media
+  * codecs aren't available in this environment): it derives pseudo-metadata
+  * from a byte checksum. Everything around it — the schema, the typed
+  * Dataset API, the `mapPartitions` batching (amortize per-batch model/
+  * codec init, exactly like an Arrow-batched UDF), the binary column
+  * transport — is the real production plumbing and is tested end-to-end.
+  *
+  * Scale notes: decode is row-local map work after an optional
+  * `repartition(n)` to right-size batches per executor; binary payloads
+  * stay columnar in parquet (no row-group explosion) and the metadata
+  * projection prunes the binary column away for downstream consumers that
+  * only need dimensions.
+  */
+object Multimodal {
+
+  /** A record carrying an opaque media payload. */
+  final case class MediaRecord(id: Long, mediaType: String, content: Array[Byte])
+
+  /** Typed decode output: metadata only — the binary column is dropped so
+    * downstream scans never touch payload bytes. */
+  final case class MediaMeta(
+      id: Long, mediaType: String, nBytes: Long, checksum: Long,
+      width: Int, height: Int, nFrames: Int)
+
+  private val P = 1000000007L
+
+  /** STUB decode kernel — deterministic fake standing in for a real codec.
+    * A production build replaces ONLY this function (same signature:
+    * one batch in, metadata out; per-batch init happens once per call). */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] = {
+    // real codec init would happen here, once per batch
+    batch.map { r =>
+      var a = 7L
+      var i = 0
+      while (i < r.content.length) { a = (a * 31L + (r.content(i) & 0xff)) % P; i += 1 }
+      val frames = r.mediaType match {
+        case "video" => (a % 240L + 1L).toInt
+        case "audio" => (a % 48000L + 1L).toInt // samples, abusing the field
+        case _ => 1
+      }
+      MediaMeta(r.id, r.mediaType, r.content.length.toLong, a,
+        (a % 640L + 1L).toInt, (a / 640L % 480L + 1L).toInt, frames)
+    }
+  }
+
+  /** Batched decode over a typed Dataset: partitions stream through in
+    * `batchSize` groups (the Arrow-batch shape), each handed to the
+    * kernel. */
+  def decode(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
+  }
+
+  /** Lift a DataFrame with a binary column into the media contract and
+    * decode it. `typeCol` tags the payload kind (image/audio/video). */
+  def decodeFrame(
+      df: DataFrame, idCol: String, binCol: String, typeCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      col(typeCol).cast("string").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    decode(ds, batchSize).toDF()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Embedding similarity search: brute-force cosine as the exactness
+  * baseline, random-hyperplane LSH bucketing as the scale path.
+  *
+  * Scale notes (100 TB / billions of vectors):
+  *  - brute-force top-k broadcasts the (small) query set and scans the
+  *    corpus once — shuffle is only the per-query top-k (rows × k), fine
+  *    for offline eval, linear in corpus size per query batch.
+  *  - hyperplane LSH assigns each vector a `planes`-bit bucket with
+  *    row-local map work; search/join happens within buckets only, so the
+  *    candidate set shrinks ~2^planes-fold. Buckets are also the natural
+  *    repartition key: co-locate a bucket per task, no global shuffle of
+  *    the corpus. (IVF with learned centroids is the next step; the
+  *    plumbing — bucket column + within-bucket ranking — is identical.)
+  *
+  * Hyperplanes are deterministic ±1 vectors derived from an LCG-style hash
+  * so the DuckDB oracle can re-derive them exactly; float dot products
+  * fold left-to-right in both engines (same IEEE result).
+  */
+object Similarity {
+
+  /** Σ v[j]*w[j] as a strict left-to-right double fold. */
+  def dot(v: Column, w: Column): Column =
+    aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** ±1 component j of hyperplane i (deterministic pseudo-random). */
+  private def planeSign(i: Int, j: Column): Column = {
+    val h = (j + lit(64 * i)) * 1103515245L % TextHash.P
+    when(((h + 12345L) % TextHash.P) % 2L === 0L, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** LSH bucket id: bit i = sign of the dot with hyperplane i. */
+  def hyperplaneBucket(v: Column, dim: Int, planes: Int): Column =
+    (0 until planes).map { i =>
+      val proj = aggregate(
+        zip_with(v, transform(sequence(lit(0), lit(dim - 1)), j => planeSign(i, j)),
+          (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: for each query vector (from `queryPred`),
+    * the k nearest others by cosine. Query side is broadcast. */
+  def bruteForceTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val n = e.withColumn("nrm", norm(col("v")))
+    val q = n.filter(queryPred).select(
+      col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = n.join(broadcast(q), col(idCol) =!= col("query_id"))
+    val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col(idCol).asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** LSH-bucketed top-k: identical ranking, but candidates are restricted
+    * to the query's hyperplane bucket — the scale path. Recall < 1 by
+    * design; raise `planes` ↓bucket size, or probe neighboring buckets. */
+  def lshTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dim: Int, planes: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val n = e.withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, planes))
+    val q = n.filter(queryPred).select(
+      col(idCol).as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val pairs = n.join(broadcast(q),
+      col("bucket") === col("qbucket") && col(idCol) =!= col("query_id"))
+    val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col(idCol).asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket candidates verified by
+    * exact cosine >= `minCos`. Shuffle is the bucket self-join — volume
+    * per bucket is |bucket|², the whole point of bucketing first. */
+  def cosineNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, minCos: Double): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val n = e.withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, planes))
+    val a = n.select(col("bucket"), col(idCol).as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = n.select(col("bucket"), col(idCol).as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val cos = dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cos)
+      .where(col("cosine") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

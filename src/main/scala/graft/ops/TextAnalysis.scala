@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * token-class counting, and document fingerprinting. All row-local
+  * (regexp + array folds over codegen'd built-ins): at 100 TB these are
+  * pure map stages — no shuffle, linear scaling, parquet column pruning
+  * reaches the scan because each uses only the text column.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles for the n-gram-free heuristic language classifier.
+    * Order matters: ties resolve to the FIRST language in this list whose
+    * score equals the max (deterministic, mirrored by the oracle SQL). */
+  val LangProfiles: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit)\\b",
+    "en" -> "\\b(the|a|of|and|is|not|to|in)\\b",
+    "es" -> "\\b(el|los|las|y|es|no|un|con)\\b",
+    "fr" -> "\\b(le|la|les|et|est|pas|un|avec)\\b")
+
+  /** Heuristic language ID: per-language stopword hit counts, argmax with
+    * first-wins tie-break. Emits (id, per-lang scores, pred_lang). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scores = LangProfiles.map { case (lang, re) =>
+      lang -> regexp_count(col(textCol), lit(re)).cast("long")
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.init.foldRight(lit(scores.last._1): Column) {
+      case ((lang, s), rest) => when(s === best, lang).otherwise(rest)
+    }
+    docs.select(
+      col(idCol) +:
+        scores.map { case (lang, s) => s.as(s"score_$lang") } :+
+        pred.as("pred_lang"): _*)
+  }
+
+  /** Token counting with a BPE-style pre-tokenizer split: alphabetic runs,
+    * single digits, non-space punctuation — the regex classes a byte-pair
+    * tokenizer would see. Whitespace-token count included for comparison
+    * with the plain split. */
+  def tokenClasses(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val alpha = regexp_count(t, lit("[A-Za-z]+")).cast("long")
+    val digit = regexp_count(t, lit("[0-9]")).cast("long")
+    val punct = regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("long")
+    docs.select(
+      col(idCol),
+      alpha.as("n_alpha_tokens"),
+      digit.as("n_digit_tokens"),
+      punct.as("n_punct_tokens"),
+      (alpha + digit + punct).as("n_bpe_tokens"))
+  }
+
+  /** Document fingerprint: order-sensitive whole-doc hash + the minimum
+    * shingle hash and distinct-shingle count (the winnowing-style content
+    * summary: equal fp ⇒ identical token stream; shingle stats survive
+    * local edits). */
+  def fingerprint(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val wh = TextHash.wordHashes(col(textCol))
+    val sh = array_distinct(TextHash.shingleHashes(wh, n))
+    docs.select(
+      col(idCol),
+      TextHash.docHash(wh).as("doc_fp"),
+      array_min(sh).as("min_shingle"),
+      size(sh).cast("long").as("n_shingles"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.ops.Similarity
+
+/** Unit specs for embedding similarity (dot/norm/bucket/top-k) and the
+  * multimodal decode plumbing. */
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("vec_id", "embedding")
+
+  test("dot and norm fold left-to-right over array columns") {
+    val df = emb((1L, Seq(1.0, 2.0, 3.0)))
+      .select(
+        Similarity.dot(col("embedding"), col("embedding")).as("d"),
+        Similarity.norm(col("embedding")).as("n"))
+    val r = df.head
+    assert(r.getDouble(0) == 14.0)
+    assert(r.getDouble(1) == math.sqrt(14.0))
+  }
+
+  test("hyperplaneBucket is deterministic and within [0, 2^planes)") {
+    val df = emb(
+      (1L, Seq.tabulate(8)(i => i.toDouble)),
+      (2L, Seq.tabulate(8)(i => i.toDouble)),
+      (3L, Seq.tabulate(8)(i => -i.toDouble)))
+      .select(col("vec_id"),
+        Similarity.hyperplaneBucket(col("embedding"), 8, 4).as("b"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L)) // identical vectors → identical bucket
+    assert(m.values.forall(b => b >= 0 && b < 16))
+    assert(m(1L) != m(3L)) // opposite vector flips every nonzero projection
+  }
+
+  test("bruteForceTopK ranks by exact cosine, excludes self") {
+    val df = emb(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(2.0, 0.0)),  // cos=1 with query
+      (2L, Seq(1.0, 1.0)),  // cos≈0.707
+      (3L, Seq(0.0, 1.0)))  // cos=0
+    val got = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      col("vec_id") === 0, k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("lshTopK only ranks same-bucket candidates; ranking matches brute force there") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0))))
+    val df = emb(vecs: _*)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 40)
+    val lsh = Similarity.lshTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 40, dim = 8, planes = 2)
+    // every LSH neighbor appears in brute-force order: relative order preserved
+    val bruteOrder = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, a) => q -> a.sortBy(_._3).map(_._2).toSeq }
+    val lshOrder = lsh.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, a) => q -> a.sortBy(_._3).map(_._2).toSeq }
+    lshOrder.foreach { case (q, neighbors) =>
+      val filtered = bruteOrder(q).filter(neighbors.contains)
+      assert(filtered == neighbors) // same relative order as exact ranking
+    }
+  }
+
+  test("cosineNearDupPairs finds a planted duplicate pair") {
+    val base = Seq.tabulate(8)(i => (i + 1).toDouble)
+    val df = emb(
+      (1L, base),
+      (2L, base.map(_ * 2.0)),          // same direction → cos = 1
+      (3L, Seq.tabulate(8)(i => math.cos(i * 3.7))))
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      dim = 8, planes = 2, minCos = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("multimodal decode: deterministic stub metadata, binary column dropped") {
+    val df = Seq(
+      (1L, "image", "abc"),
+      (2L, "video", "abc"),
+      (3L, "audio", "xyz"))
+      .toDF("id", "mtype", "payload")
+      .withColumn("content", col("payload").cast("binary"))
+    val out = Multimodal.decodeFrame(df, "id", "content", "mtype")
+    assert(out.columns.toSeq ==
+      Seq("id", "mediaType", "nBytes", "checksum", "width", "height", "nFrames"))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    // checksum of "abc": ((7*31+97)*31+98)*31+99 % P
+    val ck = "abc".foldLeft(7L)((a, c) => (a * 31 + c) % 1000000007L)
+    assert(rows(1L)._3 == ck)
+    assert(rows(2L)._3 == ck)        // same bytes → same checksum
+    assert(rows(1L)._6 == 1)         // image: 1 frame
+    assert(rows(2L)._6 == (ck % 240L + 1L).toInt) // video frames from checksum
+    assert(rows(1L)._2 == 3L)
+  }
+
+  test("decode batches partitions without dropping or duplicating rows") {
+    val n = 257 // deliberately not a multiple of the batch size
+    val ds = spark.range(n).select(
+      col("id"),
+      lit("image").as("mediaType"),
+      col("id").cast("string").cast("binary").as("content"))
+      .as[Multimodal.MediaRecord]
+    val out = Multimodal.decode(ds, batchSize = 64)
+    assert(out.count() == n)
+    assert(out.select("id").distinct().count() == n)
+  }
+}
