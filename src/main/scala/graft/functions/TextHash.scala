@@ -59,7 +59,14 @@ object TextHash {
   /** MinHash signature value j over a shingle-hash array: min of the j-th
     * permutation over the DISTINCT shingle set; NULL for empty docs. */
   def minhash(shingles: Column, j: Int): Column =
-    array_min(transform(array_distinct(shingles), s => permute(j, s)))
+    minhashDistinct(array_distinct(shingles), j)
+
+  /** MinHash over an already-deduplicated shingle array — callers that
+    * compute several signature values should materialize
+    * `array_distinct(shingles)` once and use this form (the distinct pass
+    * is O(shingles) per signature column otherwise). */
+  def minhashDistinct(distinctShingles: Column, j: Int): Column =
+    array_min(transform(distinctShingles, s => permute(j, s)))
 
   /** SimHash fingerprint of `bits` bits from a word-hash array: bit j is
     * set iff the (+1/-1) majority vote of that bit across all token hashes

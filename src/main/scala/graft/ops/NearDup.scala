@@ -18,20 +18,47 @@ import graft.functions.TextHash
   *    single hash-aggregate shuffle.
   *  - n-gram Jaccard: the exact verifier, run only on bounded candidate
   *    sets (same-bucket or sampled pairs), never on the full cross join.
+  *
+  * Evaluation-shape note (matters enormously): every pipeline stage is
+  * materialized as a real column in its own `select` before the next stage
+  * references it. Spark's higher-order array functions are interpreted
+  * (not whole-stage-codegen), and a lambda like `element_at(wh, i)`
+  * re-evaluates its child expression on every call — so feeding the
+  * word-hash EXPRESSION into the shingle transform would recompute the
+  * entire per-doc hash pipeline once per shingle element (O(doc²) per
+  * row; measured 100×+ slowdowns). With attributes, each stage runs once
+  * per row. CollapseProject keeps the split because the aliases are
+  * non-cheap and multiply referenced.
   */
 object NearDup {
 
+  /** Spread a compute-bound stage across the cluster when the source has
+    * fewer partitions than cores (e.g. one small parquet file): the
+    * hashing below costs far more than a round-robin shuffle of raw text.
+    * No-op when upstream already provides enough partitions. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** (id, __sh): distinct word-`n`-gram shingle hashes per doc, each
+    * pipeline stage materialized. */
+  private def distinctShingles(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col(idCol), TextHash.shingleHashes(col("__wh"), n).as("__shraw"))
+      .select(col(idCol), array_distinct(col("__shraw")).as("__sh"))
+
   /** MinHash signature columns `mh0..mh{m-1}` over word-`n`-gram shingles.
-    * Row-local: no shuffle. Docs with fewer than `n` words get NULL
-    * signatures (no shingles to hash). */
+    * Row-local: no shuffle beyond the parallelism spread. Docs with fewer
+    * than `n` words get NULL signatures (no shingles to hash). */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      m: Int = 8, n: Int = 3): DataFrame = {
-    val sh = TextHash.shingleHashes(TextHash.wordHashes(col(textCol)), n)
-    docs.select(
+      m: Int = 8, n: Int = 3): DataFrame =
+    distinctShingles(docs, idCol, textCol, n).select(
       col(idCol) +:
-        (0 until m).map(j => TextHash.minhash(sh, j).as(s"mh$j")): _*)
-  }
+        (0 until m).map(j => TextHash.minhashDistinct(col("__sh"), j).as(s"mh$j")): _*)
 
   /** LSH banding over a MinHash signature: `bands` bands of `r` rows; two
     * docs are candidates iff some band agrees exactly. Emits distinct
@@ -42,8 +69,13 @@ object NearDup {
       docs: DataFrame, idCol: String, textCol: String,
       m: Int = 8, n: Int = 3, r: Int = 2): DataFrame = {
     require(m % r == 0, s"signature size $m must divide into bands of $r")
+    // No isNotNull filter on the signatures: docs with < n words get NULL
+    // minhashes → NULL band keys, and the equi-join below never matches
+    // NULL keys, so they drop out for free. An explicit filter would be
+    // predicate-pushed below the repartition with the whole minhash
+    // expression substituted in — re-running the hash pipeline per row on
+    // the unspread input (measured 60s+ at sf0.1 vs ~2s without).
     val sig = minhashSignatures(docs, idCol, textCol, m, n)
-      .where(col("mh0").isNotNull)
     val bands = m / r
     // band key = polynomial fold of the band's signature values
     val banded = sig.select(
@@ -66,9 +98,9 @@ object NearDup {
   def simhashFingerprints(
       docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame =
-    docs.select(
-      col(idCol),
-      TextHash.simhash(TextHash.wordHashes(col(textCol)), bits).as("simhash"))
+    spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col(idCol), TextHash.simhash(col("__wh"), bits).as("simhash"))
 
   /** Exact word-bigram Jaccard similarity over candidate pairs. The
     * candidate set here is sampled (`idCol % sampleMod == 0`) and blocked
@@ -78,19 +110,24 @@ object NearDup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       sampleMod: Int = 5, minJaccard: Double = 0.01): DataFrame = {
-    val grams = array_distinct(
-      TextHash.shingleHashes(TextHash.wordHashes(col(textCol)), 2))
-    val base = docs
+    // The sample predicate touches only the raw id column → pushed into
+    // the parquet scan (cheap). No filter on the derived gram column: it
+    // would be predicate-pushed below the spread with the whole hash
+    // expression substituted (see lshCandidatePairs); empty-gram docs are
+    // instead eliminated by the zero-guarded jaccard threshold below.
+    val base = spread(docs
       .where(col(idCol) % sampleMod === 0)
-      .select(col(idCol), col(blockCol), grams.as("grams"))
-      .where(size(col("grams")) > 0)
+      .select(col(idCol), col(blockCol), col(textCol)))
+      .select(col(idCol), col(blockCol), TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col(idCol), col(blockCol),
+        array_distinct(TextHash.shingleHashes(col("__wh"), 2)).as("grams"))
     val a = base.select(col(blockCol), col(idCol).as("id_a"), col("grams").as("g_a"))
     val b = base.select(col(blockCol), col(idCol).as("id_b"), col("grams").as("g_b"))
     val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("double")
     val union = size(array_union(col("g_a"), col("g_b"))).cast("double")
     a.join(b, Seq(blockCol))
       .where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", inter / union)
+      .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -60,13 +60,17 @@ object TextAnalysis {
     * summary: equal fp ⇒ identical token stream; shingle stats survive
     * local edits). */
   def fingerprint(
-      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val wh = TextHash.wordHashes(col(textCol))
-    val sh = array_distinct(TextHash.shingleHashes(wh, n))
-    docs.select(
-      col(idCol),
-      TextHash.docHash(wh).as("doc_fp"),
-      array_min(sh).as("min_shingle"),
-      size(sh).cast("long").as("n_shingles"))
-  }
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    // Each stage materialized as a column: lambdas must index attributes,
+    // not re-evaluate the upstream hash expression per element (see
+    // NearDup's evaluation-shape note).
+    docs
+      .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col(idCol), col("__wh"),
+        array_distinct(TextHash.shingleHashes(col("__wh"), n)).as("__sh"))
+      .select(
+        col(idCol),
+        TextHash.docHash(col("__wh")).as("doc_fp"),
+        array_min(col("__sh")).as("min_shingle"),
+        size(col("__sh")).cast("long").as("n_shingles"))
 }
