@@ -130,6 +130,95 @@ object SparkEntry {
       stateOut(new graft.sink.ParquetTarget(s, target).read().get)
     }),
 
+    // ---- Event-time streaming: windowed agg + watermark, merged sink ----
+    // Update-mode tumbling windows flow through the latest-wins merge
+    // (version = the monotone event count), so the final target equals the
+    // batch aggregate regardless of micro-batching — the engine's
+    // beyond-reference streaming surface (SURVEY.md §2.9 watermark row).
+    "s1_stream_window_agg" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s1_").toString
+      val target = TargetTable("events_windows", s"$tmp/target",
+        keyCols = Seq("window_start_us", "event_type"), versionCol = "n_events")
+      val cfg = IngestConfig(name = s"s1-window-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("ts_t"),
+          col("event_type"), col("value"))
+      val agg = graft.streaming.EventTime.tumblingAgg(
+        src, "ts_t", "value", "1 day", "48 hours", Seq("event_type"))
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(agg, Trigger.AvailableNow())
+      q.awaitTermination()
+      new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("window_start_us"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // ---- Custom streaming state: flatMapGroupsWithState running counts ----
+    "s2_stream_stateful" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s2_").toString
+      val target = TargetTable("events_running", s"$tmp/target",
+        keyCols = Seq("pkey"), versionCol = "n_events")
+      val cfg = IngestConfig(name = s"s2-stateful-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(
+          col("user_id").as("pkey"), expr("ts div 1000").as("ver"),
+          col("event_id").as("tie"), col("value"))
+      val updates = graft.streaming.Stateful.runningPerKey(src)
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(updates, Trigger.AvailableNow())
+      q.awaitTermination()
+      new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("pkey"), col("n_events"), col("last_us"),
+          col("last_event_id"), col("last_value"))
+    }),
+
+    // ---- Scalar functions: JSON + string + date + math over events ----
+    "q_scalar_json" -> ((s, dir) => {
+      val ts = timestamp_micros(expr("ts div 1000"))
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+        upper(col("event_type")).as("type_uc"),
+        length(col("event_type")).cast("long").as("type_len"),
+        concat_ws("#", col("event_type"), col("user_id").cast("string")).as("tag"),
+        year(ts).cast("long").as("y"),
+        month(ts).cast("long").as("m"),
+        dayofmonth(ts).cast("long").as("d"),
+        hour(ts).cast("long").as("h"),
+        floor(col("value") * 100).cast("long").as("value_cents"))
+    }),
+
+    // ---- Sessionization: native session windows (6h inactivity gap) ----
+    "q_sessionize" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts_t"))
+        .groupBy(col("user_id"), session_window(col("ts_t"), "6 hours"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts_t"))).as("session_start_us"),
+          unix_micros(max(col("ts_t"))).as("session_end_us"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))),
+
+    // ---- Set operations: INTERSECT / EXCEPT over per-type user sets ----
+    "q_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def users(tpe: String) =
+        ev.filter(col("event_type") === tpe).select(col("user_id"))
+      users("click").intersect(users("error"))
+        .select(lit("click_and_error").as("cohort"), col("user_id"))
+        .unionAll(
+          users("click").except(users("purchase"))
+            .select(lit("click_not_purchase").as("cohort"), col("user_id")))
+    }),
+
     // ---- O5: join-based MERGE (broadcast micro-batch strategy) ----
     "o5_merge_upsert" -> ((s, dir) => {
       val ev = eventRecords(s, dir)
@@ -467,6 +556,41 @@ object SparkEntry {
           "SELECT t.pkey, epoch_us(t.ts) AS modified_date_us, t.value " +
           "FROM t LEFT JOIN d ON t.pkey = d.pkey " +
           "WHERE d.pkey IS NULL OR (d.ts, d.event_id) < (t.ts, t.event_id)"),
+      "s1_stream_window_agg" ->
+        ("SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) AS window_start_us, " +
+          "event_type, count(*) AS n_events, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+          "FROM events GROUP BY 1, 2"),
+      "s2_stream_stateful" ->
+        ("SELECT pkey, n_events, epoch_us(ts) AS last_us, " +
+          "event_id AS last_event_id, value AS last_value FROM " +
+          "(SELECT user_id AS pkey, ts, event_id, value, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, " +
+          "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) WHERE rn = 1"),
+      "q_scalar_json" ->
+        ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k, " +
+          "upper(event_type) AS type_uc, CAST(length(event_type) AS BIGINT) AS type_len, " +
+          "concat_ws('#', event_type, CAST(user_id AS VARCHAR)) AS tag, " +
+          "CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, " +
+          "CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, " +
+          "CAST(floor(value * 100) AS BIGINT) AS value_cents FROM events"),
+      "q_sessionize" ->
+        ("WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+          "m AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL " +
+          "OR us - lag(us) OVER w >= 21600000000 THEN 1 ELSE 0 END AS new_s " +
+          "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)) , " +
+          "sess AS (SELECT user_id, us, sum(new_s) OVER " +
+          "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+          "SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us, " +
+          "count(*) AS n_events FROM sess GROUP BY user_id, sid"),
+      "q_setops" ->
+        ("SELECT 'click_and_error' AS cohort, user_id FROM " +
+          "(SELECT user_id FROM events WHERE event_type = 'click' " +
+          "INTERSECT SELECT user_id FROM events WHERE event_type = 'error') " +
+          "UNION ALL " +
+          "SELECT 'click_not_purchase' AS cohort, user_id FROM " +
+          "(SELECT user_id FROM events WHERE event_type = 'click' " +
+          "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase')"),
       "o7_multi_table_route" ->
         ("SELECT event_type AS target_table, count(*) AS n_received, " +
           "count(DISTINCT user_id) AS n_after_dedup, " +

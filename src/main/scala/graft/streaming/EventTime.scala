@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.{IngestConfig, TargetTable}
+import graft.sink.ParquetTarget
+
+/** Event-time streaming operators — beyond the reference's processing-time
+  * lag cycles (SURVEY.md §2.9 lists watermarks/event-time windows as absent
+  * there; they are native to Structured Streaming, so the engine exposes
+  * them as first-class).
+  *
+  * Design for scale: a tumbling-window aggregation is a single shuffle on
+  * (window, dims) with partial aggregation map-side; the watermark bounds
+  * state to windows newer than (max event time - watermark), so state size
+  * is O(active windows × dims), independent of stream length. The merged
+  * target then holds the complete history — state eviction never loses
+  * emitted results because every update is upserted downstream.
+  */
+object EventTime {
+
+  /** Tumbling event-time aggregation over a (possibly streaming) frame:
+    * one row per (window start, dims...) carrying `n_events` and
+    * `sum_value` over `valueCol`. The window struct is flattened to epoch
+    * micros so results merge/compare cleanly. Works identically on batch
+    * and streaming inputs (same code path — the Spark way to verify a
+    * streaming pipeline against its batch equivalent). */
+  def tumblingAgg(
+      src: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String, watermark: String,
+      dims: Seq[String]): DataFrame =
+    src.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration) +: dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us") +:
+          dims.map(col) :+ col("n_events") :+ col("sum_value"): _*)
+}
+
+/** Streams an UPDATE-mode aggregation into a merge target: each micro-batch
+  * emits the aggregates that changed, and the sink upserts them by key with
+  * a monotone version column (e.g. the event count — it only grows within a
+  * key), so the final target equals the batch answer no matter how the
+  * stream was micro-batched, and replays are idempotent. This composes the
+  * engine's two halves: stateful streaming aggregation + latest-wins merge. */
+final class AggUpsertStream(
+    spark: SparkSession,
+    config: IngestConfig,
+    target: TargetTable) {
+
+  def run(aggregated: DataFrame, trigger: Trigger): StreamingQuery = {
+    val sink = new ParquetTarget(spark, target)
+    aggregated.writeStream
+      .queryName(config.name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        config.checkpointDir.getOrElse(target.path + "_agg_ckpt"))
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink.mergeUpsert(batch, config)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.{IngestConfig, TargetTable}
+import graft.sink.ParquetTarget
+import graft.streaming.{AggUpsertStream, EventTime, Stateful}
+
+/** Event-time streaming ops: windowed aggregation merged through the
+  * upsert sink, and flatMapGroupsWithState running state — both must
+  * converge to the batch answer regardless of micro-batch boundaries. */
+case class TEv(ts: Timestamp, kind: String, value: Double)
+case class SEv(pkey: Long, ver: Long, tie: Long, value: Double)
+
+class EventTimeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-03-01 10:$minute%02d:00")
+
+  test("tumblingAgg on a batch frame: epoch-aligned windows, count + sum") {
+    val df = Seq(
+      TEv(ts(1), "a", 1.0), TEv(ts(2), "a", 2.0),
+      TEv(ts(16), "a", 4.0), TEv(ts(2), "b", 8.0)).toDF()
+    val got = EventTime.tumblingAgg(df, "ts", "value", "15 minutes", "1 hour", Seq("kind"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val w0 = Timestamp.valueOf("2024-03-01 10:00:00").getTime * 1000L
+    val w1 = Timestamp.valueOf("2024-03-01 10:15:00").getTime * 1000L
+    assert(got == Set(
+      (w0, "a", 2L, 3.0), (w1, "a", 1L, 4.0), (w0, "b", 1L, 8.0)))
+  }
+
+  test("streamed windowed agg equals the batch aggregate across batch splits") {
+    implicit val sql = spark.sqlContext
+    val all = Seq(
+      TEv(ts(1), "a", 1.5), TEv(ts(3), "a", 2.0), TEv(ts(17), "b", 3.0),
+      TEv(ts(5), "b", 0.5), TEv(ts(20), "a", 7.0), TEv(ts(21), "a", 1.0))
+    val batch = EventTime
+      .tumblingAgg(all.toDF(), "ts", "value", "15 minutes", "1 hour", Seq("kind"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+
+    val events = MemoryStream[TEv]
+    val dir = Files.createTempDirectory("graft_et_").toString
+    val target = TargetTable("w", s"$dir/target",
+      keyCols = Seq("window_start_us", "kind"), versionCol = "n_events")
+    val cfg = IngestConfig(name = s"et-${System.nanoTime()}",
+      checkpointDir = Some(s"$dir/ckpt"))
+    val agg = EventTime.tumblingAgg(
+      events.toDF(), "ts", "value", "15 minutes", "1 hour", Seq("kind"))
+    val q = new AggUpsertStream(spark, cfg, target).run(agg, Trigger.ProcessingTime(0))
+    // deliberately awkward split: windows update across several batches
+    all.grouped(2).foreach { b => events.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    val merged = new ParquetTarget(spark, target).read().get
+      .collect().map(r => (r.getAs[Long]("window_start_us"), r.getAs[String]("kind")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))).toMap
+    assert(merged == batch)
+  }
+
+  test("stateful running counts + latest payload converge across splits") {
+    implicit val sql = spark.sqlContext
+    val all = Seq(
+      SEv(1, 10, 1, 1.0), SEv(1, 30, 2, 3.0), SEv(1, 20, 3, 2.0), // late row
+      SEv(2, 5, 4, 9.0), SEv(2, 5, 5, 8.0))                       // tie on ver
+    val events = MemoryStream[SEv]
+    val dir = Files.createTempDirectory("graft_st_").toString
+    val target = TargetTable("s", s"$dir/target",
+      keyCols = Seq("pkey"), versionCol = "n_events")
+    val cfg = IngestConfig(name = s"st-${System.nanoTime()}",
+      checkpointDir = Some(s"$dir/ckpt"))
+    val q = new AggUpsertStream(spark, cfg, target)
+      .run(Stateful.runningPerKey(events.toDF().toDF("pkey", "ver", "tie", "value")),
+        Trigger.ProcessingTime(0))
+    all.grouped(2).foreach { b => events.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    val got = new ParquetTarget(spark, target).read().get
+      .collect().map(r => r.getAs[Long]("pkey") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("last_us"),
+          r.getAs[Long]("last_event_id"), r.getAs[Double]("last_value")))).toMap
+    assert(got == Map(
+      1L -> ((3L, 30L, 2L, 3.0)),  // count 3; late ver=20 did not displace ver=30
+      2L -> ((2L, 5L, 5L, 8.0)))) // ver tie resolved by higher tie column
+  }
+}
