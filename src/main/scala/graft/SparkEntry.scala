@@ -219,6 +219,30 @@ object SparkEntry {
             .select(lit("click_not_purchase").as("cohort"), col("user_id")))
     }),
 
+    // ---- As-of join: point-in-time lookup (union+window, single shuffle) ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error").select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("err_us"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), expr("ts div 1000").as("purchase_us"),
+        col("value").as("purchase_value"))
+      graft.ops.AsOf.joinAsOf(errors, purchases,
+        Seq("user_id"), "err_us", "purchase_us",
+        Seq("purchase_us", "purchase_value"))
+        .select(col("event_id"), col("user_id"), col("err_us"),
+          col("asof_purchase_us").as("purchase_us"),
+          col("asof_purchase_value").as("purchase_value"))
+    }),
+
+    // ---- Exact percentiles (interpolated) per group ----
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        percentile(col("value"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n"))),
+
     // ---- O5: join-based MERGE (broadcast micro-batch strategy) ----
     "o5_merge_upsert" -> ((s, dir) => {
       val ev = eventRecords(s, dir)
@@ -556,6 +580,16 @@ object SparkEntry {
           "SELECT t.pkey, epoch_us(t.ts) AS modified_date_us, t.value " +
           "FROM t LEFT JOIN d ON t.pkey = d.pkey " +
           "WHERE d.pkey IS NULL OR (d.ts, d.event_id) < (t.ts, t.event_id)"),
+      "q_asof_join" ->
+        ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS err_us, " +
+          "epoch_us(r.ts) AS purchase_us, r.value AS purchase_value " +
+          "FROM (SELECT * FROM events WHERE event_type = 'error') l " +
+          "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r " +
+          "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+      "q_percentiles" ->
+        ("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
+          "quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99, " +
+          "count(*) AS n FROM events GROUP BY event_type"),
       "s1_stream_window_agg" ->
         ("SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) AS window_start_us, " +
           "event_type, count(*) AS n_events, " +

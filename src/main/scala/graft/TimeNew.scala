@@ -10,10 +10,16 @@ object TimeNew {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val explain = sys.env.get("GRAFT_EXPLAIN").contains("1")
     args.toSeq.foreach { n =>
-      val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"TIMED $n%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$c")
+      if (explain) {
+        println(s"==== PLAN $n ====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      } else {
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"TIMED $n%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$c")
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: each left row picks up the latest right row
+  * with the same key and right-ts <= left-ts — the lookup a feature store /
+  * training-data pipeline needs for leak-free labels, and an operator Spark
+  * has no built-in for.
+  *
+  * Implementation is the scale-correct union + window pattern, NOT a join:
+  * tag both sides, union, and run one `last(..., ignoreNulls)` window per
+  * carried column over (key, time, side). Cost is a single shuffle on the
+  * key — same as any keyed aggregation — with no pairwise candidate
+  * explosion: a range/theta join would explode with per-key density, and a
+  * per-key `collect_list` would OOM on hot keys; the running window is
+  * streaming-friendly and AQE-skew-splittable. Right rows order before
+  * left rows at equal timestamps, giving inclusive (<=) semantics that
+  * match DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` (the driver oracle).
+  */
+object AsOf {
+
+  /** @param rightValCols right columns carried onto matches (emitted as
+    *                     `asof_<name>`, NULL when no right row precedes);
+    *                     the right timestamp itself may be included to
+    *                     expose the match time. */
+  def joinAsOf(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTsCol: String, rightTsCol: String,
+      rightValCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join requires at least one key column")
+    val leftOut = left.columns.toSeq
+    val carried = rightValCols.map(c => s"asof_$c")
+
+    val l = left
+      .withColumn("__t", col(leftTsCol))
+      .withColumn("__side", lit(1))
+      .select(
+        (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
+          leftOut.filterNot(keyCols.contains).map(col) ++
+          rightValCols.map(c => lit(null).as(s"__rv_$c")): _*)
+    val r = right
+      .withColumn("__t", col(rightTsCol))
+      .withColumn("__side", lit(0))
+      .select(
+        (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
+          leftOut.filterNot(keyCols.contains).map(c => lit(null).as(c)) ++
+          rightValCols.map(c => col(c).as(s"__rv_$c")): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withAsOf = l.unionByName(r)
+      .select(
+        (col("*") +:
+          rightValCols.map(c => last(col(s"__rv_$c"), ignoreNulls = true)
+            .over(w).as(s"asof_$c"))): _*)
+
+    withAsOf
+      .where(col("__side") === 1)
+      .select((leftOut.map(col) ++ carried.map(col)): _*)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.AsOf
+
+/** As-of join semantics: latest right row at-or-before each left row. */
+class AsOfSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val right = Seq(
+    (1L, 10L, "r10"), (1L, 20L, "r20"), (1L, 30L, "r30"),
+    (2L, 100L, "s100")).toDF("k", "rt", "rv")
+
+  test("picks the latest right row with rt <= lt; none -> NULL") {
+    val left = Seq(
+      (1L, 5L, "before-any"), (1L, 20L, "exact-tie"),
+      (1L, 25L, "between"), (1L, 99L, "after-all"),
+      (2L, 100L, "other-key"), (3L, 50L, "unknown-key"))
+      .toDF("k", "lt", "tag")
+    val got = AsOf.joinAsOf(left, right, Seq("k"), "lt", "rt", Seq("rt", "rv"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        ((Option(r.getAs[java.lang.Long]("asof_rt")).map(_.toLong),
+          Option(r.getAs[String]("asof_rv"))))).toMap
+    assert(got("before-any") == ((None, None)))
+    assert(got("exact-tie") == ((Some(20L), Some("r20")))) // inclusive <=
+    assert(got("between") == ((Some(20L), Some("r20"))))
+    assert(got("after-all") == ((Some(30L), Some("r30"))))
+    assert(got("other-key") == ((Some(100L), Some("s100"))))
+    assert(got("unknown-key") == ((None, None)))
+  }
+
+  test("left rows and payload survive unchanged; one output row per left row") {
+    val left = (0L until 50L).map(i => (1L, i, s"p$i")).toDF("k", "lt", "payload")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "lt", "rt", Seq("rv"))
+    assert(out.count() == 50L)
+    assert(out.columns.toSeq == Seq("k", "lt", "payload", "asof_rv"))
+    assert(out.filter($"payload".startsWith("p")).count() == 50L)
+  }
+}
