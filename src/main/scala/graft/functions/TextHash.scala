@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.functions._
+
+import graft.functions.TextHashExprs._
 
 /** Deterministic integer text-hash primitives used by the near-duplicate
   * and fingerprinting operators (MinHash/LSH, SimHash, winnowing).
@@ -13,9 +15,14 @@ import org.apache.spark.sql.functions._
   * every value with list lambdas — integer arithmetic has no
   * platform/order sensitivity, unlike float folds).
   *
-  * These are column builders over Spark's higher-order array functions:
-  * per-row, no shuffle, fully parallel — at 100 TB the hashing stage is
-  * embarrassingly parallel map work that scales linearly with executors.
+  * The default builders wrap native codegen Catalyst expressions
+  * (TextHashExprs → NativeKernels): one JIT-compiled call per row inside
+  * the WholeStageCodegen span. The `*Hof` variants are the same algorithms
+  * over Spark's higher-order array functions — interpreted, an order of
+  * magnitude slower — kept as executable documentation and as an
+  * independent implementation the specs cross-check the native kernels
+  * against (NativeExprSpec). At 100 TB the hashing stage is embarrassingly
+  * parallel map work either way; native keeps it CPU-cheap too.
   * (The reference has no text operators; these extend the engine for
   * training-data pipelines per BASELINE.json's north star.)
   */
@@ -23,6 +30,43 @@ object TextHash {
 
   /** Modulus: largest common 31-bit prime; see overflow analysis above. */
   val P = 1000000007L
+
+  // ---- native builders (default) ----------------------------------------
+
+  /** Hash every whitespace-separated token of `text`: Array[Long],
+    * order-preserving, with multiplicity (SimHash weights by term freq). */
+  def wordHashes(text: Column): Column =
+    GraftSql.column(WordHashesExpr(GraftSql.expression(text)))
+
+  /** Word-n-gram shingle hashes from a word-hash array; docs shorter than
+    * n words yield an empty array. */
+  def shingleHashes(wh: Column, n: Int): Column =
+    GraftSql.column(ShingleHashesExpr(GraftSql.expression(wh), n))
+
+  /** All `m` MinHash signature values over a shingle array in one pass;
+    * NULL for empty docs. Index with element_at(sig, j+1). */
+  def minhashSignature(shingles: Column, m: Int): Column =
+    GraftSql.column(MinHashSignatureExpr(GraftSql.expression(shingles), m))
+
+  /** SimHash fingerprint of `bits` bits from a word-hash array: bit j set
+    * iff the (+1/-1) majority vote of that bit across tokens is positive. */
+  def simhash(wh: Column, bits: Int): Column =
+    GraftSql.column(SimHashExpr(GraftSql.expression(wh), bits))
+
+  /** Order-sensitive whole-document hash: fold f = (f*31 + wordHash) % P,
+    * seed 7 — two docs with the same words in different order differ. */
+  def docHash(wh: Column): Column =
+    GraftSql.column(DocHashExpr(GraftSql.expression(wh)))
+
+  // ---- MinHash permutation family (shared by both impls + the oracle) ----
+
+  /** j-th universal hash h_j(x) = (A_j*x + B_j) % P with fixed
+    * pseudo-random odd multipliers — the MinHash permutation family. */
+  def permuteA(j: Int): Long = ((2L * j + 1L) * 1103515245L) % P
+  def permuteB(j: Int): Long = (j * 12345L + 678910111L) % P
+  def permute(j: Int, x: Column): Column = (x * permuteA(j) + permuteB(j)) % P
+
+  // ---- higher-order-function variants (cross-check + documentation) ------
 
   /** Non-empty whitespace-separated tokens. */
   def words(text: Column): Column =
@@ -36,50 +80,31 @@ object TextHash {
       lit(7L),
       (a, c) => (a * 31L + ascii(c)) % P)
 
-  /** Hash every token of `text`: Array[Long], order-preserving, with
-    * multiplicity (SimHash weights by term frequency). */
-  def wordHashes(text: Column): Column = transform(words(text), wordHash(_))
+  def wordHashesHof(text: Column): Column = transform(words(text), wordHash(_))
 
-  /** Word-n-gram shingle hashes from a word-hash array: position i maps to
-    * the n consecutive word hashes folded with the same polynomial step.
-    * Docs shorter than n words yield an empty array. */
-  def shingleHashes(wh: Column, n: Int): Column =
+  def shingleHashesHof(wh: Column, n: Int): Column =
     when(size(wh) < n, array().cast("array<bigint>"))
       .otherwise(transform(
         sequence(lit(0), size(wh) - n),
         i => (0 until n).foldLeft(lit(7L): Column)((acc, k) =>
           (acc * 31L + element_at(wh, i + k + 1)) % P)))
 
-  /** j-th universal hash h_j(x) = (A_j*x + B_j) % P with fixed
-    * pseudo-random odd multipliers — the MinHash permutation family. */
-  def permuteA(j: Int): Long = ((2L * j + 1L) * 1103515245L) % P
-  def permuteB(j: Int): Long = (j * 12345L + 678910111L) % P
-  def permute(j: Int, x: Column): Column = (x * permuteA(j) + permuteB(j)) % P
-
   /** MinHash signature value j over a shingle-hash array: min of the j-th
     * permutation over the DISTINCT shingle set; NULL for empty docs. */
   def minhash(shingles: Column, j: Int): Column =
     minhashDistinct(array_distinct(shingles), j)
 
-  /** MinHash over an already-deduplicated shingle array — callers that
-    * compute several signature values should materialize
-    * `array_distinct(shingles)` once and use this form (the distinct pass
-    * is O(shingles) per signature column otherwise). */
+  /** MinHash over an already-deduplicated shingle array. */
   def minhashDistinct(distinctShingles: Column, j: Int): Column =
     array_min(transform(distinctShingles, s => permute(j, s)))
 
-  /** SimHash fingerprint of `bits` bits from a word-hash array: bit j is
-    * set iff the (+1/-1) majority vote of that bit across all token hashes
-    * is positive. One pass per bit over an in-memory array — row-local. */
-  def simhash(wh: Column, bits: Int): Column =
+  def simhashHof(wh: Column, bits: Int): Column =
     (0 until bits).map { j =>
       val vote = aggregate(wh, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Order-sensitive whole-document hash: fold f = (f*31 + wordHash) % P,
-    * seed 7 — two docs with the same words in different order differ. */
-  def docHash(wh: Column): Column =
+  def docHashHof(wh: Column): Column =
     aggregate(wh, lit(7L), (a, h) => (a * 31L + h) % P)
 }

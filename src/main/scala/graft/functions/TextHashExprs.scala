@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, BinaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hash/vector kernels —
+  * preference (b) of the extension ladder (compose built-ins > custom
+  * Expression > custom plan > mapPartitions): these are scalar/array
+  * functions, so an Expression with `doGenCode` is the right altitude.
+  * Each generates a single static call into NativeKernels, keeping the
+  * operator inside the WholeStageCodegen span (the higher-order-function
+  * equivalents in TextHash fall out of codegen and pay one interpreted
+  * lambda eval per array element).
+  *
+  * Values are bit-identical to the HOF builders and the DuckDB oracle
+  * (cross-checked in NativeExprSpec and by the driver's correctness gate).
+  */
+object TextHashExprs {
+
+  case class WordHashesExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_word_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.wordHashes(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.wordHashes($c)")
+    override protected def withNewChildInternal(newChild: Expression): WordHashesExpr =
+      copy(child = newChild)
+  }
+
+  case class ShingleHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n > 0, "shingle size must be positive")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.shingleHashes(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.shingleHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+      copy(child = newChild)
+  }
+
+  /** All m signature values at once; NULL for shingle-less docs (matching
+    * per-column array_min-of-empty semantics). */
+  case class MinHashSignatureExpr(child: Expression, m: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(m > 0, "signature size must be positive")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_minhash_signature"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.minhashSignature(input.asInstanceOf[ArrayData], m)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val res = nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.functions.NativeKernels.minhashSignature($c, $m);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+      res
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+      copy(child = newChild)
+  }
+
+  case class SimHashExpr(child: Expression, bits: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(bits > 0 && bits <= 63, "bits must be in [1, 63]")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.simhash(input.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.simhash($c, $bits)")
+    override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+      copy(child = newChild)
+  }
+
+  case class DocHashExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_doc_hash"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.docHash(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.docHash($c)")
+    override protected def withNewChildInternal(newChild: Expression): DocHashExpr =
+      copy(child = newChild)
+  }
+
+  /** Σ a[i]*b[i], strict left-to-right (bit-identical to the HOF fold). */
+  case class DotExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeKernels.dot($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class HyperplaneBucketExpr(child: Expression, dim: Int, planes: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(planes > 0 && planes <= 62, "planes must be in [1, 62]")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hyperplane_bucket"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.hyperplaneBucket(input.asInstanceOf[ArrayData], dim, planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.NativeKernels.hyperplaneBucket($c, $dim, $planes)")
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+      copy(child = newChild)
+  }
+}

@@ -41,24 +41,20 @@ object NearDup {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  /** (id, __sh): distinct word-`n`-gram shingle hashes per doc, each
-    * pipeline stage materialized. */
-  private def distinctShingles(
-      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    spread(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
-      .select(col(idCol), TextHash.shingleHashes(col("__wh"), n).as("__shraw"))
-      .select(col(idCol), array_distinct(col("__shraw")).as("__sh"))
-
   /** MinHash signature columns `mh0..mh{m-1}` over word-`n`-gram shingles.
-    * Row-local: no shuffle beyond the parallelism spread. Docs with fewer
-    * than `n` words get NULL signatures (no shingles to hash). */
+    * Row-local: no shuffle beyond the parallelism spread; the native
+    * signature expression computes all m permutation-minima in one pass
+    * (no array_distinct needed — duplicates can't change a minimum). Docs
+    * with fewer than `n` words get NULL signatures (no shingles to hash). */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       m: Int = 8, n: Int = 3): DataFrame =
-    distinctShingles(docs, idCol, textCol, n).select(
-      col(idCol) +:
-        (0 until m).map(j => TextHash.minhashDistinct(col("__sh"), j).as(s"mh$j")): _*)
+    spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col(idCol), TextHash.shingleHashes(col("__wh"), n).as("__sh"))
+      .select(col(idCol), TextHash.minhashSignature(col("__sh"), m).as("__sig"))
+      .select(col(idCol) +:
+        (0 until m).map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
 
   /** LSH banding over a MinHash signature: `bands` bands of `r` rows; two
     * docs are candidates iff some band agrees exactly. Emits distinct

@@ -26,11 +26,25 @@ import graft.functions.TextHash
   */
 object Similarity {
 
-  /** Σ v[j]*w[j] as a strict left-to-right double fold. */
+  /** Σ v[j]*w[j], strict left-to-right — native codegen expression; the
+    * `dotHof` fold below is the interpreted cross-check twin. */
   def dot(v: Column, w: Column): Column =
-    aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.TextHashExprs.DotExpr(
+        org.apache.spark.sql.GraftSql.expression(v),
+        org.apache.spark.sql.GraftSql.expression(w)))
 
   def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** LSH bucket id: bit i = sign of the dot with hyperplane i (native). */
+  def hyperplaneBucket(v: Column, dim: Int, planes: Int): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.TextHashExprs.HyperplaneBucketExpr(
+        org.apache.spark.sql.GraftSql.expression(v), dim, planes))
+
+  /** Σ v[j]*w[j] as a strict left-to-right double fold (HOF twin). */
+  def dotHof(v: Column, w: Column): Column =
+    aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** ±1 component j of hyperplane i (deterministic pseudo-random). */
   private def planeSign(i: Int, j: Column): Column = {
@@ -38,8 +52,8 @@ object Similarity {
     when(((h + 12345L) % TextHash.P) % 2L === 0L, lit(1.0)).otherwise(lit(-1.0))
   }
 
-  /** LSH bucket id: bit i = sign of the dot with hyperplane i. */
-  def hyperplaneBucket(v: Column, dim: Int, planes: Int): Column =
+  /** HOF twin of hyperplaneBucket (cross-check + documentation). */
+  def hyperplaneBucketHof(v: Column, dim: Int, planes: Int): Column =
     (0 until planes).map { i =>
       val proj = aggregate(
         zip_with(v, transform(sequence(lit(0), lit(dim - 1)), j => planeSign(i, j)),

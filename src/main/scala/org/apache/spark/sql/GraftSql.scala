@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column <-> Expression converters — the
+  * supported seam for libraries that add native Catalyst expressions
+  * (Spark 4 wraps Columns around ColumnNodes, so plain user code can no
+  * longer construct a Column from an Expression directly). */
+object GraftSql {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.ops.Similarity
+
+/** The native codegen kernels must be value-identical to their
+  * higher-order-function twins (same algorithm, two independent
+  * implementations) — on edge-case strings and on real corpus data. */
+class NativeExprSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val tricky = Seq(
+    "plain words here",
+    "  leading and trailing  ",
+    "multi\t\tseparators\n mixed \r\n kinds",
+    "x",
+    " ",
+    "",
+    "a b",
+    "repeat repeat repeat repeat",
+    "punct-u@tion, digits 123 mixed t0k3ns!")
+
+  test("native wordHashes == HOF wordHashes on edge cases") {
+    val df = tricky.toDF("t").select(
+      TextHash.wordHashes(col("t")).as("native"),
+      TextHash.wordHashesHof(col("t")).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch for row $r")
+    }
+  }
+
+  test("native shingle/minhash/simhash/docHash == HOF twins on corpus sample") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val wh = TextHash.wordHashes(col("text"))
+    val base = docs.select(col("doc_id"), wh.as("wh"))
+      .select(col("doc_id"), col("wh"),
+        TextHash.shingleHashes(col("wh"), 3).as("sh_n"),
+        TextHash.shingleHashesHof(col("wh"), 3).as("sh_h"))
+      .select(col("doc_id"), col("wh"), col("sh_n"), col("sh_h"),
+        TextHash.minhashSignature(col("sh_n"), 4).as("sig"),
+        TextHash.simhash(col("wh"), 16).as("sim_n"),
+        TextHash.simhashHof(col("wh"), 16).as("sim_h"),
+        TextHash.docHash(col("wh")).as("fp_n"),
+        TextHash.docHashHof(col("wh")).as("fp_h"),
+        TextHash.minhash(col("sh_h"), 0).as("mh0_h"),
+        TextHash.minhash(col("sh_h"), 3).as("mh3_h"))
+    base.collect().foreach { r =>
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), "shingles diverge")
+      assert(r.getLong(5) == r.getLong(6), "simhash diverges")
+      assert(r.getLong(7) == r.getLong(8), "docHash diverges")
+      val sig = r.getSeq[Long](4)
+      assert(sig(0) == r.getLong(9), "minhash j=0 diverges")
+      assert(sig(3) == r.getLong(10), "minhash j=3 diverges")
+    }
+  }
+
+  test("native dot/bucket == HOF twins on embeddings, bit-exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = emb.select(
+      Similarity.dot(col("v"), col("v")).as("d_n"),
+      Similarity.dotHof(col("v"), col("v")).as("d_h"),
+      Similarity.hyperplaneBucket(col("v"), 64, 6).as("b_n"),
+      Similarity.hyperplaneBucketHof(col("v"), 64, 6).as("b_h"))
+    both.collect().foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot not bit-exact")
+      assert(r.getLong(2) == r.getLong(3), "bucket diverges")
+    }
+  }
+
+  test("null/empty semantics: signature NULL for shingle-less docs") {
+    val df = Seq("one two", "one two three").toDF("t")
+      .select(TextHash.minhashSignature(
+        TextHash.shingleHashes(TextHash.wordHashes(col("t")), 3), 4).as("sig"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0))       // 2 words, no trigrams
+    assert(rows(1).getSeq[Long](0).length == 4)
+  }
+}
