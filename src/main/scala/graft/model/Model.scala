@@ -34,6 +34,11 @@ object IngestContract {
   *                     `src/lib.rs:12-16`; we make the tie-break explicit)
   * @param softDeleteCol tombstone flag column used by the soft-delete sink
   *                     (reference: user SQL marks rows, `src/delete.rs:252`)
+  * @param buckets      key-hash bucket count of the stored table: a merge
+  *                     only reads/rewrites buckets containing batch keys,
+  *                     so per-batch I/O is O(batch ∪ affected buckets).
+  *                     Size so one bucket ≈ a comfortable task read (at
+  *                     100 TB / 1000 executors: thousands of buckets)
   */
 final case class TargetTable(
     name: String,
@@ -41,10 +46,12 @@ final case class TargetTable(
     keyCols: Seq[String] = Seq(IngestContract.PKeyCol),
     versionCol: String = IngestContract.VersionCol,
     tieBreakCols: Seq[String] = Nil,
-    softDeleteCol: String = "row_active") {
+    softDeleteCol: String = "row_active",
+    buckets: Int = 16) {
   require(name.nonEmpty, "TargetTable.name must not be empty")
   require(path.nonEmpty, "TargetTable.path must not be empty")
   require(keyCols.nonEmpty, "TargetTable.keyCols must not be empty")
+  require(buckets > 0, "TargetTable.buckets must be > 0")
   def orderingCols: Seq[String] = versionCol +: tieBreakCols
 }
 

@@ -3,145 +3,243 @@ package graft.sink
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.types.StructType
 
 import graft.model.{IngestConfig, TargetTable}
 import graft.ops.Dedup
 
-/** A parquet-backed mutable table — the engine's stand-in for the
-  * reference's Postgres target tables. Each merge writes a NEW immutable
-  * version directory under `table.path` and then atomically repoints a
-  * manifest file (`_LATEST`) at it:
+/** A parquet-backed mutable table, hash-bucketed by merge key — the
+  * engine's stand-in for the reference's Postgres target tables, designed
+  * so a micro-batch merge costs O(batch ∪ affected buckets), NOT a rewrite
+  * of the whole table (at 100 TB the difference between a sink that works
+  * and one that doesn't).
+  *
+  * Layout — immutable per-version delta dirs + a manifest that maps each
+  * key-hash bucket to the version dir that last rewrote it:
   *
   * {{{
   *   table.path/
-  *     _LATEST          <- single line: name of the current version dir
-  *     v0000000001/     <- immutable parquet snapshot (has _SUCCESS)
-  *     v0000000002/
+  *     _LATEST                     <- name of the current manifest file
+  *     m0000000002                 <- manifest: "<bucket>\t<dir>" lines
+  *     d0000000001/                <- delta of version 1 (_SUCCESS marker)
+  *       __graft_bucket=0/...parquet
+  *       __graft_bucket=3/...parquet
+  *     d0000000002/
+  *       __graft_bucket=3/...parquet   <- v2 rewrote only bucket 3
   * }}}
   *
-  * Crash safety (there is NO window where committed state can be lost,
-  * unlike a live/old/staging double-rename):
-  *  - crash while writing a version dir: the dir lacks `_SUCCESS`; the
-  *    manifest still points at the previous complete version.
-  *  - crash between manifest delete and manifest rename: recovery scans for
-  *    the highest version dir containing `_SUCCESS` — which is the version
-  *    just written — so the merge result survives. Combined with the
-  *    checkpointed source and the deterministic latest-wins merge, a
-  *    replayed micro-batch re-merges idempotently (exactly-once state).
+  * A merge computes the batch's bucket set from its (deduped, small) keys,
+  * reads ONLY those buckets' dirs, merges, writes them under the next
+  * delta, and the next manifest carries every untouched bucket over by
+  * reference. Bucket count is `TargetTable.buckets`; Spark `hash`
+  * (Murmur3) over the key columns assigns buckets on both the read and
+  * write side, so merge planning never shuffles the target.
   *
-  * Scale notes: version dirs are the simple format-agnostic strategy; on
-  * object stores a transactional table format (v2 `MERGE INTO` target) is
-  * the production path and the merge planning here carries over unchanged.
-  * Writer parallelism is bounded by `IngestConfig.maxWriterPartitions`,
-  * the analog of the reference's DB-connection cap
-  * (`max_con_count`, quick_stream `src/builder.rs:14-33`).
+  * Crash safety (no window loses committed state):
+  *  - crash while writing a delta: no manifest references it; the next
+  *    commit of that version number overwrites the orphan.
+  *  - crash between manifest creation and `_LATEST` repoint: recovery
+  *    scans for the highest manifest whose referenced dirs all exist —
+  *    the one just written — so the merge survives. Combined with the
+  *    checkpointed source and deterministic latest-wins merge, replayed
+  *    micro-batches re-merge idempotently (exactly-once state).
+  *
+  * Schema migrations (e.g. soft delete adding its flag column) rewrite all
+  * buckets once, keeping every referenced file on one uniform schema so
+  * multi-dir reads never depend on parquet schema merging.
+  *
+  * On object stores a transactional table format (v2 `MERGE INTO` target)
+  * is the production path; the bucket-pruned merge planning here carries
+  * over unchanged. Writer parallelism is bounded by
+  * `IngestConfig.maxWriterPartitions`, the analog of the reference's
+  * DB-connection cap (`max_con_count`, quick_stream `src/builder.rs:14-33`).
   */
 final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
 
   private val root = new Path(table.path)
-  private val manifest = new Path(root, "_LATEST")
-  private val manifestTmp = new Path(root, "_LATEST.tmp")
+  private val pointer = new Path(root, "_LATEST")
+  private val pointerTmp = new Path(root, "_LATEST.tmp")
+  private val BucketCol = "__graft_bucket"
 
   private def fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def versionOf(name: String): Long =
-    if (name.length == 11 && name.startsWith("v") && name.drop(1).forall(_.isDigit))
+  private def versionOf(prefix: Char, name: String): Long =
+    if (name.length == 11 && name.head == prefix && name.drop(1).forall(_.isDigit))
       name.drop(1).toLong
     else -1L
 
-  private def dirName(v: Long): String = f"v$v%010d"
+  private def manifestName(v: Long): String = f"m$v%010d"
+  private def deltaName(v: Long): String = f"d$v%010d"
 
-  private def isComplete(name: String): Boolean =
-    fs.exists(new Path(new Path(root, name), "_SUCCESS"))
+  private def bucketOf(df: DataFrame): Column =
+    pmod(hash(table.keyCols.map(df.col): _*), lit(table.buckets))
 
-  /** The current version: what the manifest names if that dir is complete,
-    * else (recovery) the highest complete version dir on disk. */
+  /** Parse a manifest into bucket -> relative dir; None unless every
+    * referenced dir exists (an older manifest may reference GC'd dirs). */
+  private def readManifest(v: Long): Option[Map[Int, String]] = {
+    val p = new Path(root, manifestName(v))
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    val entries = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(b, dir) = line.split("\t", 2)
+      b.toInt -> dir
+    }.toMap
+    if (entries.values.forall(d => fs.exists(new Path(root, d)))) Some(entries)
+    else None
+  }
+
+  /** The committed version: what `_LATEST` names if that manifest is
+    * intact, else (crash recovery) the highest intact manifest on disk. */
   private def currentVersion(): Option[Long] = {
     if (!fs.exists(root)) return None
     val pointed =
-      if (fs.exists(manifest)) {
-        val in = fs.open(manifest)
+      if (fs.exists(pointer)) {
+        val in = fs.open(pointer)
         val name =
           try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
             StandardCharsets.UTF_8).trim
           finally in.close()
-        Some(name).filter(n => versionOf(n) >= 0 && isComplete(n)).map(versionOf)
+        Some(versionOf('m', name)).filter(_ >= 0).filter(readManifest(_).isDefined)
       } else None
     pointed.orElse {
-      // Manifest missing or stale: a crash hit the repoint window. The
-      // highest complete version is the most recent committed merge.
       val vs = fs.listStatus(root).toSeq
-        .map(_.getPath.getName)
-        .filter(n => versionOf(n) >= 0 && isComplete(n))
-        .map(versionOf)
+        .map(s => versionOf('m', s.getPath.getName))
+        .filter(v => v >= 0 && readManifest(v).isDefined)
       if (vs.isEmpty) None else Some(vs.max)
     }
   }
 
   def exists: Boolean = currentVersion().isDefined
 
-  /** Resolved path of the current snapshot, if any. */
-  def currentPath: Option[String] =
-    currentVersion().map(v => new Path(root, dirName(v)).toString)
+  private def current(): Option[Map[Int, String]] =
+    currentVersion().flatMap(readManifest)
 
-  def read(): Option[DataFrame] = currentPath.map(spark.read.parquet(_))
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
 
-  /** Latest-wins merge of one micro-batch into the target — the analog of
-    * the sender task executing `INSERT … ON CONFLICT DO UPDATE`
-    * (quick_stream `src/upsert.rs:283-295`). Idempotent: replaying the same
-    * batch yields the same table (deterministic latest-wins), which is the
-    * exactly-once story the reference lacks (SURVEY.md §7 "what's hard"). */
-  def mergeUpsert(batch: DataFrame, config: IngestConfig): Unit = {
-    val merged = read() match {
-      case Some(current) =>
-        Merge.upsertBroadcast(current, batch,
+  def read(): Option[DataFrame] =
+    current().filter(_.nonEmpty).map(m => readDirs(m.values.toSeq.distinct))
+
+  /** Uniform schema of the current snapshot (invariant: every referenced
+    * file shares it — migrations rewrite all buckets). */
+  private def currentSchema(m: Map[Int, String]): StructType =
+    readDirs(m.values.toSeq.distinct.take(1)).schema
+
+  private def emptyWithSchema(s: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+
+  /** Bucket ids the (small, deduped-later) batch touches. */
+  private def bucketsOf(batch: DataFrame): Seq[Int] =
+    batch.select(bucketOf(batch).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Latest-wins merge of one micro-batch — the analog of the sender task
+    * executing `INSERT … ON CONFLICT DO UPDATE` (quick_stream
+    * `src/upsert.rs:283-295`), bucket-pruned: only buckets containing
+    * batch keys are read and rewritten. */
+  def mergeUpsert(batch: DataFrame, config: IngestConfig): Unit =
+    current() match {
+      case None =>
+        commit(Dedup.latestWins(batch, table.keyCols, table.versionCol,
+          table.tieBreakCols), Map.empty, config)
+      case Some(m) =>
+        val affected = bucketsOf(batch)
+        val sliceDirs = affected.flatMap(m.get).distinct
+        val slice =
+          if (sliceDirs.nonEmpty) readDirs(sliceDirs)
+          else emptyWithSchema(currentSchema(m))
+        val merged = Merge.upsertBroadcast(slice, batch,
           table.keyCols, table.versionCol, table.tieBreakCols,
           defaults = Map(table.softDeleteCol -> lit(true)))
-      case None =>
-        Dedup.latestWins(batch, table.keyCols, table.versionCol, table.tieBreakCols)
+        commit(merged, m -- affected, config)
     }
-    commit(merged, config)
-  }
 
-  /** Soft delete a batch of tombstones (sets `table.softDeleteCol` false). */
+  /** Soft delete (sets `table.softDeleteCol` false). First use migrates
+    * the flag column in by rewriting every bucket once, so the snapshot
+    * schema stays uniform. */
   def mergeSoftDelete(batch: DataFrame, config: IngestConfig): Unit =
-    read().foreach { current =>
-      commit(Merge.softDelete(current, batch, table.keyCols, table.versionCol,
-        table.tieBreakCols, table.softDeleteCol), config)
+    current().foreach { m =>
+      val migrating = !currentSchema(m).fieldNames.contains(table.softDeleteCol)
+      val affected = if (migrating) m.keys.toSeq else bucketsOf(batch)
+      val sliceDirs = affected.flatMap(m.get).distinct
+      if (sliceDirs.nonEmpty) {
+        val merged = Merge.softDelete(readDirs(sliceDirs), batch, table.keyCols,
+          table.versionCol, table.tieBreakCols, table.softDeleteCol)
+        commit(merged, m -- affected, config)
+      }
     }
 
-  /** Hard delete a batch of tombstones (drops the rows). */
+  /** Hard delete (drops the rows). */
   def mergeHardDelete(batch: DataFrame, config: IngestConfig): Unit =
-    read().foreach { current =>
-      commit(Merge.hardDelete(current, batch, table.keyCols, table.versionCol,
-        table.tieBreakCols), config)
+    current().foreach { m =>
+      val affected = bucketsOf(batch)
+      val sliceDirs = affected.flatMap(m.get).distinct
+      if (sliceDirs.nonEmpty) {
+        val merged = Merge.hardDelete(readDirs(sliceDirs), batch, table.keyCols,
+          table.versionCol, table.tieBreakCols)
+        commit(merged, m -- affected, config)
+      }
     }
 
-  /** Write `df` as the next version dir, repoint the manifest, then drop
-    * superseded versions. The write fully materializes before any existing
-    * state is touched (we may be reading the version we're replacing). */
-  private def commit(df: DataFrame, config: IngestConfig): Unit = {
+  /** Write `df`'s buckets under the next delta dir, publish a manifest of
+    * (carried-over ++ rewritten) buckets, repoint `_LATEST`, GC. The data
+    * fully materializes before any existing state is referenced or
+    * touched (we may be reading dirs we're superseding). */
+  private def commit(
+      df: DataFrame, carryOver: Map[Int, String], config: IngestConfig): Unit = {
     val next = currentVersion().getOrElse(0L) + 1L
-    val dest = new Path(root, dirName(next))
-    df.repartition(config.maxWriterPartitions)
-      .write.mode("overwrite").parquet(dest.toString)
+    val delta = deltaName(next)
+    val deltaPath = new Path(root, delta)
+    df.withColumn(BucketCol, bucketOf(df))
+      .repartition(config.maxWriterPartitions,
+        (BucketCol +: table.keyCols).map(col): _*)
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(deltaPath.toString)
 
-    // Atomic repoint: write tmp, swap in. If we die between delete and
-    // rename, recovery (currentVersion) resolves to `next` anyway because
-    // it is now the highest complete version.
-    val out = fs.create(manifestTmp, true)
-    try out.write(dirName(next).getBytes(StandardCharsets.UTF_8))
+    // Buckets actually written (empty merge output writes none).
+    val written = fs.listStatus(deltaPath).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(n => n.stripPrefix(s"$BucketCol=").toInt -> s"$delta/$n")
+      .toMap
+    val entries = carryOver ++ written
+
+    // Publish the manifest, then atomically repoint. If we die between the
+    // two, recovery resolves to `next` anyway (highest intact manifest).
+    val mPath = new Path(root, manifestName(next))
+    val mTmp = new Path(root, manifestName(next) + ".tmp")
+    val out = fs.create(mTmp, true)
+    try out.write(entries.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b\t$d" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(manifest)) fs.delete(manifest, false)
-    fs.rename(manifestTmp, manifest)
+    fs.rename(mTmp, mPath)
+    val p = fs.create(pointerTmp, true)
+    try p.write(manifestName(next).getBytes(StandardCharsets.UTF_8))
+    finally p.close()
+    if (fs.exists(pointer)) fs.delete(pointer, false)
+    fs.rename(pointerTmp, pointer)
 
-    // GC: everything below the committed version is unreachable.
-    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
-      val v = versionOf(p.getName)
-      if (v >= 0 && v < next) fs.delete(p, true)
+    // GC: older manifests, and bucket dirs nothing references anymore.
+    val referenced = entries.values.toSet
+    fs.listStatus(root).toSeq.map(_.getPath).foreach { path =>
+      val n = path.getName
+      if (versionOf('m', n) >= 0 && versionOf('m', n) < next) fs.delete(path, false)
+      else if (versionOf('d', n) >= 0) {
+        fs.listStatus(path).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith(s"$BucketCol="))
+          .foreach { b =>
+            if (!referenced.contains(s"$n/${b.getName}")) fs.delete(b, true)
+          }
+        if (!fs.listStatus(path).exists(_.getPath.getName.startsWith(s"$BucketCol=")))
+          fs.delete(path, true)
+      }
     }
   }
 }
