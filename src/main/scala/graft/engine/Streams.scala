@@ -68,19 +68,44 @@ object Streams {
   * directly. */
 object Sources {
 
+  private def rated(
+      spark: SparkSession,
+      config: IngestConfig,
+      schema: StructType,
+      recordsPerFileHint: Long): org.apache.spark.sql.streaming.DataStreamReader = {
+    val files = math.max(1L, config.maxRecordsPerTrigger / math.max(1L, recordsPerFileHint))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", files.toString)
+  }
+
   /** Parquet file stream with the rate limit applied. */
   def parquet(
       spark: SparkSession,
       config: IngestConfig,
       schema: StructType,
       path: String,
-      recordsPerFileHint: Long = 100000L): DataFrame = {
-    val files = math.max(1L, config.maxRecordsPerTrigger / math.max(1L, recordsPerFileHint))
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", files.toString)
-      .parquet(path)
-  }
+      recordsPerFileHint: Long = 100000L): DataFrame =
+    rated(spark, config, schema, recordsPerFileHint).parquet(path)
+
+  /** CSV file stream (header assumed) with the rate limit applied. */
+  def csv(
+      spark: SparkSession,
+      config: IngestConfig,
+      schema: StructType,
+      path: String,
+      recordsPerFileHint: Long = 100000L): DataFrame =
+    rated(spark, config, schema, recordsPerFileHint)
+      .option("header", "true").csv(path)
+
+  /** JSON-lines file stream with the rate limit applied. */
+  def json(
+      spark: SparkSession,
+      config: IngestConfig,
+      schema: StructType,
+      path: String,
+      recordsPerFileHint: Long = 100000L): DataFrame =
+    rated(spark, config, schema, recordsPerFileHint).json(path)
 }
 
 /** Single-table latest-wins upsert ingestion (reference §3.1). */

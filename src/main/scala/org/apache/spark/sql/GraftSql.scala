@@ -9,4 +9,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSql {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register function builders into a live session's FunctionRegistry
+    * (the post-construction twin of SparkSessionExtensions.injectFunction). */
+  def registerFunctions(
+      spark: SparkSession,
+      fns: Seq[(catalyst.FunctionIdentifier,
+        catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)]): Unit =
+    fns.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
