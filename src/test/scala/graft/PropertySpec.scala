@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.{AsOf, Dedup}
+import graft.sink.Merge
+
+/** Randomized invariants for the core merge/dedup/as-of semantics
+  * (SURVEY.md §5's promised dedup properties): seeded random workloads
+  * with deliberately colliding keys, versions, and ties, checked against
+  * driver-side models. */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private type R = (Long, Long, Long, String)
+
+  /** Tiny domains force key/version collisions; (pkey, ver, seq) unique so
+    * latest-wins is fully deterministic (seq is the tie-break). */
+  private def randomRows(rng: scala.util.Random, n: Int): List[R] =
+    List.fill(n)((
+      rng.nextInt(7).toLong,
+      rng.nextInt(5).toLong,
+      rng.nextInt(500).toLong,
+      rng.alphanumeric.take(4).mkString))
+      .distinctBy(r => (r._1, r._2, r._3))
+
+  private def df(rows: List[R]): DataFrame =
+    rows.toDF("pkey", "ver", "seq", "payload")
+
+  private def canonRows(d: DataFrame): Set[R] =
+    d.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+  /** Driver-side latest-wins model: max (ver, seq) per key. */
+  private def model(rows: List[R]): Set[R] =
+    rows.groupBy(_._1).map { case (_, g) => g.maxBy(r => (r._2, r._3)) }.toSet
+
+  test("dedup agrees with the model, is idempotent and input-order blind") {
+    val rng = new scala.util.Random(421)
+    (1 to 3).foreach { _ =>
+      val rows = randomRows(rng, 40)
+      val d1 = Dedup.latestWins(df(rows), Seq("pkey"), "ver", Seq("seq"))
+      assert(canonRows(d1) == model(rows))
+      val d2 = Dedup.latestWins(d1, Seq("pkey"), "ver", Seq("seq"))
+      assert(canonRows(d2) == model(rows))
+      val d3 = Dedup.latestWins(df(rows.reverse), Seq("pkey"), "ver", Seq("seq"))
+      assert(canonRows(d3) == model(rows))
+      // both implementations agree
+      val dw = Dedup.latestWinsWindow(df(rows), Seq("pkey"), "ver", Seq("seq"))
+      assert(canonRows(dw) == model(rows))
+    }
+  }
+
+  test("merge: broadcast == shuffle == dedup-of-whole on random splits") {
+    val rng = new scala.util.Random(422)
+    (1 to 3).foreach { _ =>
+      val rows = randomRows(rng, 40)
+      val cut = 1 + rng.nextInt(math.max(1, rows.size - 2))
+      val (a, b) = rows.splitAt(cut)
+      val target = Dedup.latestWins(df(a), Seq("pkey"), "ver", Seq("seq"))
+      val viaB = Merge.upsertBroadcast(target, df(b), Seq("pkey"), "ver", Seq("seq"))
+      val viaS = Merge.upsertShuffle(target, df(b), Seq("pkey"), "ver", Seq("seq"))
+      val whole = model(rows)
+      assert(canonRows(viaB) == whole, s"broadcast diverged (cut=$cut)")
+      assert(canonRows(viaS) == whole, s"shuffle diverged (cut=$cut)")
+    }
+  }
+
+  test("merge applied per-batch converges to the one-shot answer") {
+    val rng = new scala.util.Random(423)
+    (1 to 2).foreach { _ =>
+      val rows = randomRows(rng, 30)
+      // batch size >= 6 caps the merge-chain depth (each chained merge
+      // deepens the logical plan; analysis time grows with depth)
+      val batches = rows.grouped(6 + rng.nextInt(5)).toList
+      val incremental = batches.tail.foldLeft(
+        Dedup.latestWins(df(batches.head), Seq("pkey"), "ver", Seq("seq"))) {
+        (acc, batch) =>
+          Merge.upsertBroadcast(acc, df(batch), Seq("pkey"), "ver", Seq("seq"))
+      }
+      assert(canonRows(incremental) == model(rows))
+    }
+  }
+
+  test("as-of agrees with the latest-at-or-before model") {
+    val rng = new scala.util.Random(424)
+    (1 to 3).foreach { _ =>
+      val left = List.fill(25)((rng.nextInt(4).toLong, rng.nextInt(30).toLong))
+        .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val right = List.fill(25)((rng.nextInt(4).toLong, rng.nextInt(30).toLong))
+        .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+      val got = AsOf.joinAsOf(
+        left.toDF("k", "lt", "lid"), right.toDF("k", "rt", "rid"),
+        Seq("k"), "lt", "rt", Seq("rid"))
+        .collect().map(r => r.getLong(2) ->
+          Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
+      assert(got.size == left.size)
+      left.foreach { case (k, t, lid) =>
+        val expect = right.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(got(lid) == expect, s"key=$k t=$t")
+      }
+    }
+  }
+}
