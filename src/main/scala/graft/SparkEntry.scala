@@ -114,7 +114,7 @@ object SparkEntry {
       val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_o4_").toString
       val target = TargetTable("events_state", s"$tmp/target",
-        keyCols = key, versionCol = ver, tieBreakCols = tie)
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
       val cfg = IngestConfig(name = s"o4-e2e-${System.nanoTime()}",
         maxWriterPartitions = 4, checkpointDir = Some(s"$tmp/ckpt"))
       // File-stream the events table via the rate-limited source helper;
@@ -139,7 +139,8 @@ object SparkEntry {
       val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s1_").toString
       val target = TargetTable("events_windows", s"$tmp/target",
-        keyCols = Seq("window_start_us", "event_type"), versionCol = "n_events")
+        keyCols = Seq("window_start_us", "event_type"), versionCol = "n_events",
+        buckets = 4)
       val cfg = IngestConfig(name = s"s1-window-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
       val src = graft.engine.Sources
@@ -162,7 +163,7 @@ object SparkEntry {
       val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s2_").toString
       val target = TargetTable("events_running", s"$tmp/target",
-        keyCols = Seq("pkey"), versionCol = "n_events")
+        keyCols = Seq("pkey"), versionCol = "n_events", buckets = 4)
       val cfg = IngestConfig(name = s"s2-stateful-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
       val src = graft.engine.Sources
