@@ -295,6 +295,24 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_after_dedup"),
           expr("max(ts) div 1000").as("latest_us"))),
 
+    // ---- Semi/anti joins: EXISTS / NOT EXISTS cohorts ----
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val high = o.filter(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .join(high, c("c_custkey") === high("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // ---- Rollup aggregation (subtotals + grand total) ----
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
     // ---- Analytics: aggregation (TPC-H Q1 shape) ----
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -416,6 +434,22 @@ object SparkEntry {
       Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
     }),
 
+    // ---- Multimodal: full metadata pipeline (decode → resize plan →
+    //      frame sampling → stub features), video payloads ----
+    "mm_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2) // the video rows of mm_decode_meta
+        .select(col("doc_id"), lit("video").as("mtype"),
+          col("text").cast("binary").as("content"))
+      val meta = Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
+      val planned = Multimodal.featurePlan(
+        Multimodal.frameSamplePlan(Multimodal.resizePlan(meta, 320, 240), 5), 2)
+      planned.select(col("id"), col("out_w"), col("out_h"),
+        col("f0"), col("f1"),
+        posexplode(col("frame_idx")).as(Seq("frame_pos", "frame_idx")))
+        .withColumn("frame_pos", col("frame_pos").cast("long"))
+    }),
+
     // ---- LLM pipeline: brute-force cosine top-k (ANN baseline) ----
     "ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -532,7 +566,23 @@ object SparkEntry {
         "CAST(CASE mt WHEN 'video' THEN checksum % 240 + 1 " +
         "WHEN 'audio' THEN checksum % 48000 + 1 ELSE 1 END AS INT) AS \"nFrames\" FROM m"
 
+    val mmPipeline =
+      s"WITH m AS (SELECT doc_id AS id, ${OracleSql.asciiChecksum("text")} AS ck " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "v AS (SELECT id, ck, CAST(ck % 240 + 1 AS BIGINT) AS n, " +
+        "ck % 640 + 1 AS w, (ck // 640) % 480 + 1 AS h FROM m), " +
+        "r AS (SELECT *, least(320000 // w, 240000 // h, 1000) AS scale FROM v), " +
+        "d AS (SELECT id, n, CAST(greatest(1, w * scale // 1000) AS INT) AS out_w, " +
+        "CAST(greatest(1, h * scale // 1000) AS INT) AS out_h, " +
+        "CAST((ck * 1 + 12345) % 1000000007 AS DOUBLE) / 1000000007 AS f0, " +
+        "CAST((ck * 3 + 24690) % 1000000007 AS DOUBLE) / 1000000007 AS f1 FROM r) " +
+        "SELECT id, out_w, out_h, f0, f1, CAST(g.i AS BIGINT) AS frame_pos, " +
+        "CAST(CASE WHEN n <= 5 THEN g.i ELSE g.i * (n-1) // 4 END AS BIGINT) AS frame_idx " +
+        "FROM d CROSS JOIN (SELECT unnest(range(5)) AS i) g " +
+        "WHERE g.i < CASE WHEN n <= 5 THEN n ELSE 5 END"
+
     Map(
+      "mm_pipeline" -> mmPipeline,
       "dedup_minhash_lsh" -> minhashLsh,
       "dedup_simhash" -> simhashSql,
       "dedup_ngram_jaccard" -> jaccardSql,
@@ -630,6 +680,14 @@ object SparkEntry {
         ("SELECT event_type AS target_table, count(*) AS n_received, " +
           "count(DISTINCT user_id) AS n_after_dedup, " +
           "epoch_us(max(ts)) AS latest_us FROM events GROUP BY event_type"),
+      "q_semi_anti" ->
+        ("SELECT c_custkey, c_name FROM customer c " +
+          "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
+          "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+          "AND o.o_totalprice > 100000.0)"),
+      "q_rollup" ->
+        ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+          "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
           "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +

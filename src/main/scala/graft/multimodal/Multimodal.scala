@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads ride through the
@@ -74,5 +74,51 @@ object Multimodal {
       col(typeCol).cast("string").as("mediaType"),
       col(binCol).cast("binary").as("content")).as[MediaRecord]
     decode(ds, batchSize).toDF()
+  }
+
+  // ---- metadata-stage transforms (post-decode, pure column arithmetic —
+  // codegen'd, no UDF; a real pixel/audio kernel would slot into the same
+  // batched-partition shape as decodeBatch) ------------------------------
+
+  /** Aspect-preserving resize plan: integer math in per-mille scale so the
+    * result is exact and oracle-expressible. Emits out_w/out_h alongside
+    * the input metadata. All quotients are small rationals, so the
+    * double-division floor equals exact integer division (the oracle's
+    * `//`): the quotient's distance to an integer is >= 1/divisor, far
+    * above double rounding error at these magnitudes. */
+  def resizePlan(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val sw = idiv(lit(maxW.toLong * 1000L), col("width"))
+    val sh = idiv(lit(maxH.toLong * 1000L), col("height"))
+    val scale = least(sw, sh, lit(1000L)) // never upscale
+    meta
+      .withColumn("out_w",
+        greatest(lit(1L), idiv(col("width") * scale, lit(1000L))).cast("int"))
+      .withColumn("out_h",
+        greatest(lit(1L), idiv(col("height") * scale, lit(1000L))).cast("int"))
+  }
+
+  /** Evenly-spaced frame-sampling plan: k indices over [0, nFrames-1]
+    * (fewer when the clip is shorter). Exact integer spacing —
+    * idx_i = i*(n-1) div (k-1) — so the DuckDB oracle re-derives it. */
+  def frameSamplePlan(meta: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "frame sampling needs k >= 2")
+    val n = col("nFrames").cast("long")
+    val idx = when(n <= k,
+      sequence(lit(0L), n - 1L))
+      .otherwise(transform(sequence(lit(0), lit(k - 1)),
+        i => floor(i.cast("long") * (n - 1L) / lit((k - 1).toLong)).cast("long")))
+    meta.withColumn("frame_idx", idx)
+  }
+
+  /** Deterministic pseudo-feature vector from the decode checksum — the
+    * stub standing in for a real featurizer (ONNX/CLIP-style), keeping the
+    * schema/batching contract: `dim` doubles in [0, 1). */
+  def featurePlan(meta: DataFrame, dim: Int): DataFrame = {
+    val feats = (0 until dim).map { j =>
+      (((col("checksum") * (2L * j + 1L) + 12345L * (j + 1L)) % P) .cast("double") / P)
+        .as(s"f$j")
+    }
+    meta.select((meta.columns.map(col).toSeq ++ feats): _*)
   }
 }

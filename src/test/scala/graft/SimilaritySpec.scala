@@ -103,6 +103,45 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(1L)._2 == 3L)
   }
 
+  test("resize plan preserves aspect ratio, never upscales, floors at 1px") {
+    val meta = Seq(
+      (1L, 640, 480),   // downscale, limited by width: 320x240
+      (2L, 100, 100),   // smaller than target: unchanged (no upscale)
+      (3L, 2000, 10),   // extreme aspect: width-bound, height floors at 1
+      (4L, 10, 2000))   // extreme aspect the other way
+      .toDF("id", "width", "height")
+    val out = Multimodal.resizePlan(meta, 320, 240)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) == ((320, 240)))
+    assert(out(2L) == ((100, 100)))
+    assert(out(3L)._1 == 320 && out(3L)._2 >= 1)
+    assert(out(4L)._2 == 240 || out(4L)._2 >= 1)
+    // aspect ratio of the width-bound case is exactly preserved
+    assert(out(1L)._1 * 480 == out(1L)._2 * 640)
+  }
+
+  test("frame sampling: k evenly spaced indices, short clips keep all frames") {
+    val meta = Seq((1L, 240), (2L, 3), (3L, 1)).toDF("id", "nFrames")
+    val out = Multimodal.frameSamplePlan(meta, 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(out(1L) == Seq(0L, 59L, 119L, 179L, 239L))
+    assert(out(2L) == Seq(0L, 1L, 2L))
+    assert(out(3L) == Seq(0L))
+  }
+
+  test("feature plan emits dim deterministic doubles in [0, 1)") {
+    val meta = Seq((1L, 12345L), (2L, 12345L), (3L, 999L)).toDF("id", "checksum")
+    val out = Multimodal.featurePlan(meta, 3)
+    assert(out.columns.toSeq == Seq("id", "checksum", "f0", "f1", "f2"))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows(1L) == rows(2L)) // same checksum → same features
+    assert(rows(1L) != rows(3L))
+    rows.values.foreach { case (a, b, c) =>
+      Seq(a, b, c).foreach(x => assert(x >= 0.0 && x < 1.0))
+    }
+  }
+
   test("decode batches partitions without dropping or duplicating rows") {
     val n = 257 // deliberately not a multiple of the batch size
     val ds = spark.range(n).select(
