@@ -5,11 +5,9 @@ import org.apache.spark.sql.SparkSession
 object TimeNew {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Same session posture as Bench/Verify so timings measure the same plans.
+    val spark = graft.engine.GraftSession.local("graft-time",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     val explain = sys.env.get("GRAFT_EXPLAIN").contains("1")
     args.toSeq.foreach { n =>
       if (explain) {

@@ -29,11 +29,12 @@ object Streams {
   /** Wire a streaming source into a per-batch merge action with the
     * config's trigger applied. ALL processors start through here, so the
     * builder knobs (`withIntroducedLag*` → `triggerMillis`) are live. */
-  private[engine] def start(
+  private[graft] def start(
       source: DataFrame,
       config: IngestConfig,
       defaultCheckpoint: String,
-      trigger: Option[Trigger])(
+      trigger: Option[Trigger],
+      outputMode: Option[String] = None)(
       action: (Dataset[Row], Long) => Unit): StreamingQuery = {
     if (config.printConfig) {
       // Reference: print_connection_configuration / pool-status table
@@ -42,12 +43,12 @@ object Streams {
         s"writers=${config.maxWriterPartitions} " +
         s"rateLimit=${config.maxRecordsPerTrigger}")
     }
-    source.writeStream
+    val w = source.writeStream
       .queryName(config.name)
       .option("checkpointLocation", config.checkpointDir.getOrElse(defaultCheckpoint))
       .trigger(trigger.getOrElse(Trigger.ProcessingTime(config.triggerMillis)))
-      .foreachBatch(action)
-      .start()
+    outputMode.foreach(w.outputMode)
+    w.foreachBatch(action).start()
   }
 
   /** Deterministic default checkpoint for a multi-table processor: derived

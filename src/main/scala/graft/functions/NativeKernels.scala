@@ -127,10 +127,15 @@ object NativeKernels {
   }
 
   /** Dot product with strict left-to-right accumulation — the same IEEE
-    * result as aggregate(zip_with(...)) and the oracle's list_reduce. */
+    * result as aggregate(zip_with(...)) and the oracle's list_reduce.
+    * Ragged inputs fail loud (unchecked indexing into UnsafeArrayData
+    * would read out of bounds and return garbage silently). */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    var acc = 0.0
     val len = a.numElements()
+    if (b.numElements() != len)
+      throw new IllegalArgumentException(
+        s"graft_dot: vector lengths differ (${len} vs ${b.numElements()})")
+    var acc = 0.0
     var i = 0
     while (i < len) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
@@ -138,15 +143,20 @@ object NativeKernels {
 
   /** Hyperplane-LSH bucket: bit i = sign of the projection onto the
     * deterministic ±1 plane i (Similarity.planeSign's exact formula,
-    * left-to-right accumulation). */
+    * left-to-right accumulation). The sign-hash stride is `dim` so planes
+    * stay independent for every dimension (a fixed stride would make
+    * plane i+1 a shifted copy of plane i whenever dim ≥ stride). */
   def hyperplaneBucket(v: ArrayData, dim: Int, planes: Int): Long = {
+    if (v.numElements() < dim)
+      throw new IllegalArgumentException(
+        s"graft_hyperplane_bucket: vector has ${v.numElements()} elements, needs $dim")
     var bucket = 0L
     var i = 0
     while (i < planes) {
       var proj = 0.0
       var j = 0
       while (j < dim) {
-        val h = ((j + 64L * i) * 1103515245L) % P
+        val h = ((j + dim.toLong * i) * 1103515245L) % P
         val sign = if (((h + 12345L) % P) % 2L == 0L) 1.0 else -1.0
         proj += v.getDouble(j) * sign
         j += 1

@@ -70,16 +70,17 @@ object OracleSql {
   def dot(v: String, w: String): String =
     foldSum(s"list_transform(range(1, len($v)+1), i -> $v[i] * $w[i])")
 
-  /** planeSign(i, j): ±1 component of hyperplane i (Similarity.planeSign). */
-  def planeSign(i: Int, j: String): String =
-    s"CASE WHEN (((($j + ${64 * i}) * 1103515245) % $P + 12345) % $P) % 2 = 0 " +
+  /** planeSign(i, j, dim): ±1 component of hyperplane i
+    * (Similarity.planeSign — sign-hash stride is dim). */
+  def planeSign(i: Int, j: String, dim: Int): String =
+    s"CASE WHEN (((($j + ${dim.toLong * i}) * 1103515245) % $P + 12345) % $P) % 2 = 0 " +
       "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
 
   /** hyperplaneBucket(v, dim, planes): bit i = sign of projection i. */
   def hyperplaneBucket(v: String, dim: Int, planes: Int): String =
     (0 until planes).map { i =>
       val proj = foldSum(
-        s"list_transform(range(0, $dim), j -> $v[j+1] * ${planeSign(i, "j")})")
+        s"list_transform(range(0, $dim), j -> $v[j+1] * ${planeSign(i, "j", dim)})")
       s"CASE WHEN ($proj) > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
 

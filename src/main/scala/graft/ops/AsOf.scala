@@ -31,7 +31,6 @@ object AsOf {
       rightValCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "as-of join requires at least one key column")
     val leftOut = left.columns.toSeq
-    val carried = rightValCols.map(c => s"asof_$c")
 
     val l = left
       .withColumn("__t", col(leftTsCol))
@@ -51,14 +50,20 @@ object AsOf {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE running-last over a struct of all carried columns: every value
+    // comes from the SAME matched right row (per-column lasts would
+    // back-fill a NULL value in the latest right row from an older row —
+    // a (ts, value) combination existing in no right row, diverging from
+    // ASOF JOIN semantics). The struct is non-null exactly on right rows.
+    val rowStruct = when(col("__side") === 0,
+      struct(rightValCols.map(c => col(s"__rv_$c").as(c)): _*))
     val withAsOf = l.unionByName(r)
-      .select(
-        (col("*") +:
-          rightValCols.map(c => last(col(s"__rv_$c"), ignoreNulls = true)
-            .over(w).as(s"asof_$c"))): _*)
+      .withColumn("__rv", last(rowStruct, ignoreNulls = true).over(w))
 
     withAsOf
       .where(col("__side") === 1)
-      .select((leftOut.map(col) ++ carried.map(col)): _*)
+      .select(
+        (leftOut.map(col) ++
+          rightValCols.map(c => col(s"__rv.$c").as(s"asof_$c"))): _*)
   }
 }

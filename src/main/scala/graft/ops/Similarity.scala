@@ -46,9 +46,10 @@ object Similarity {
   def dotHof(v: Column, w: Column): Column =
     aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** ±1 component j of hyperplane i (deterministic pseudo-random). */
-  private def planeSign(i: Int, j: Column): Column = {
-    val h = (j + lit(64 * i)) * 1103515245L % TextHash.P
+  /** ±1 component j of hyperplane i (deterministic pseudo-random; stride
+    * `dim` keeps planes independent for every dimension). */
+  private def planeSign(i: Int, j: Column, dim: Int): Column = {
+    val h = (j + lit(dim.toLong * i)) * 1103515245L % TextHash.P
     when(((h + 12345L) % TextHash.P) % 2L === 0L, lit(1.0)).otherwise(lit(-1.0))
   }
 
@@ -56,7 +57,7 @@ object Similarity {
   def hyperplaneBucketHof(v: Column, dim: Int, planes: Int): Column =
     (0 until planes).map { i =>
       val proj = aggregate(
-        zip_with(v, transform(sequence(lit(0), lit(dim - 1)), j => planeSign(i, j)),
+        zip_with(v, transform(sequence(lit(0), lit(dim - 1)), j => planeSign(i, j, dim)),
           (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))

@@ -41,17 +41,26 @@ object Merge {
   /** Conform `updates` to the target's column set. Target columns absent
     * from the batch are filled from `defaults` (e.g. a soft-delete flag
     * added to the target after the stream started → incoming rows default
-    * to active) or typed NULL; batch columns absent from the target are a
+    * to active) or typed NULL — EXCEPT the merge-contract columns
+    * (`requiredCols`: keys + ordering), which must be present: NULL-filled
+    * keys or versions would make the latest-wins comparisons silently
+    * drop/keep arbitrary rows. Batch columns absent from the target are a
     * schema-contract violation and fail loud. */
   private def conform(
       target: DataFrame,
       updates: DataFrame,
-      defaults: Map[String, Column]): DataFrame = {
+      defaults: Map[String, Column],
+      requiredCols: Seq[String]): DataFrame = {
     val extra = updates.columns.toSeq.diff(target.columns.toSeq)
     require(extra.isEmpty,
       s"update batch has columns absent from the target table: " +
         s"${extra.mkString(", ")} — targets never widen implicitly; " +
         s"migrate the target schema first")
+    val missing = requiredCols.diff(updates.columns.toSeq)
+    require(missing.isEmpty,
+      s"update batch is missing merge-contract columns: " +
+        s"${missing.mkString(", ")} — key/version/tie-break columns can " +
+        s"never be defaulted")
     val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
     val have = updates.columns.toSet
     target.columns.toSeq.foldLeft(updates) { (df, c) =>
@@ -71,7 +80,8 @@ object Merge {
       tieBreakCols: Seq[String] = Nil,
       defaults: Map[String, Column] = Map.empty): DataFrame = {
     val outCols = target.columns.toSeq
-    val conformed = conform(target, updates, defaults)
+    val conformed = conform(target, updates, defaults,
+      keyCols ++ (versionCol +: tieBreakCols))
     val u = Dedup.latestWins(conformed.select(outCols.map(conformed.col): _*),
       keyCols, versionCol, tieBreakCols)
 
@@ -114,7 +124,8 @@ object Merge {
       tieBreakCols: Seq[String] = Nil,
       defaults: Map[String, Column] = Map.empty): DataFrame = {
     val outCols = target.columns.toSeq
-    val conformed = conform(target, updates, defaults)
+    val conformed = conform(target, updates, defaults,
+      keyCols ++ (versionCol +: tieBreakCols))
     val u = Dedup.latestWins(conformed.select(outCols.map(conformed.col): _*),
       keyCols, versionCol, tieBreakCols)
     val t = target

@@ -78,7 +78,11 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
     pmod(hash(table.keyCols.map(df.col): _*), lit(table.buckets))
 
   /** Parse a manifest into bucket -> relative dir; None unless every
-    * referenced dir exists (an older manifest may reference GC'd dirs). */
+    * referenced dir exists (an older manifest may reference GC'd dirs).
+    * The `#buckets=` header pins the table's bucket count: opening an
+    * existing table with a different `TargetTable.buckets` fails loud —
+    * silently hashing mod a different count would prune the wrong buckets
+    * and corrupt latest-wins state. */
   private def readManifest(v: Long): Option[Map[Int, String]] = {
     val p = new Path(root, manifestName(v))
     if (!fs.exists(p)) return None
@@ -87,7 +91,16 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         StandardCharsets.UTF_8)
       finally in.close()
-    val entries = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    lines.find(_.startsWith("#buckets=")).foreach { h =>
+      val stored = h.stripPrefix("#buckets=").toInt
+      if (stored != table.buckets)
+        throw new IllegalStateException(
+          s"target ${table.name} was created with $stored buckets but " +
+            s"TargetTable.buckets is ${table.buckets} — bucket count is " +
+            "immutable once written (rebuild the table to change it)")
+    }
+    val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val Array(b, dir) = line.split("\t", 2)
       b.toInt -> dir
     }.toMap
@@ -135,58 +148,81 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
   private def emptyWithSchema(s: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
 
-  /** Bucket ids the (small, deduped-later) batch touches. */
-  private def bucketsOf(batch: DataFrame): Seq[Int] =
-    batch.select(bucketOf(batch).as("b")).distinct()
+  /** Bucket ids the (small, deduped-later) batch touches. Key columns are
+    * cast to the STORED key types first when a snapshot exists — Murmur3
+    * hashes differ across integer widths, so an int batch key against a
+    * long target key would otherwise prune the wrong buckets. */
+  private def bucketsOf(batch: DataFrame, stored: Option[StructType]): Seq[Int] = {
+    val types = stored.map(_.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+    val keys = batch.select(table.keyCols.map(k =>
+      types.get(k).map(t => batch.col(k).cast(t)).getOrElse(batch.col(k)).as(k)): _*)
+    keys.select(bucketOf(keys).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
+  }
 
   /** Latest-wins merge of one micro-batch — the analog of the sender task
     * executing `INSERT … ON CONFLICT DO UPDATE` (quick_stream
     * `src/upsert.rs:283-295`), bucket-pruned: only buckets containing
     * batch keys are read and rewritten. */
   def mergeUpsert(batch: DataFrame, config: IngestConfig): Unit =
-    current() match {
-      case None =>
-        commit(Dedup.latestWins(batch, table.keyCols, table.versionCol,
-          table.tieBreakCols), Map.empty, config)
-      case Some(m) =>
-        val affected = bucketsOf(batch)
-        val sliceDirs = affected.flatMap(m.get).distinct
-        val slice =
-          if (sliceDirs.nonEmpty) readDirs(sliceDirs)
-          else emptyWithSchema(currentSchema(m))
-        val merged = Merge.upsertBroadcast(slice, batch,
-          table.keyCols, table.versionCol, table.tieBreakCols,
-          defaults = Map(table.softDeleteCol -> lit(true)))
-        commit(merged, m -- affected, config)
+    withCached(batch) { b =>
+      current() match {
+        case None =>
+          commit(Dedup.latestWins(b, table.keyCols, table.versionCol,
+            table.tieBreakCols), Map.empty, config)
+        case Some(m) =>
+          val schema = currentSchema(m)
+          val affected = bucketsOf(b, Some(schema))
+          val sliceDirs = affected.flatMap(m.get).distinct
+          val slice =
+            if (sliceDirs.nonEmpty) readDirs(sliceDirs)
+            else emptyWithSchema(schema)
+          val merged = Merge.upsertBroadcast(slice, b,
+            table.keyCols, table.versionCol, table.tieBreakCols,
+            defaults = Map(table.softDeleteCol -> lit(true)))
+          commit(merged, m -- affected, config)
+      }
     }
 
   /** Soft delete (sets `table.softDeleteCol` false). First use migrates
     * the flag column in by rewriting every bucket once, so the snapshot
     * schema stays uniform. */
   def mergeSoftDelete(batch: DataFrame, config: IngestConfig): Unit =
-    current().foreach { m =>
-      val migrating = !currentSchema(m).fieldNames.contains(table.softDeleteCol)
-      val affected = if (migrating) m.keys.toSeq else bucketsOf(batch)
-      val sliceDirs = affected.flatMap(m.get).distinct
-      if (sliceDirs.nonEmpty) {
-        val merged = Merge.softDelete(readDirs(sliceDirs), batch, table.keyCols,
-          table.versionCol, table.tieBreakCols, table.softDeleteCol)
-        commit(merged, m -- affected, config)
+    withCached(batch) { b =>
+      current().foreach { m =>
+        val schema = currentSchema(m)
+        val migrating = !schema.fieldNames.contains(table.softDeleteCol)
+        val affected = if (migrating) m.keys.toSeq else bucketsOf(b, Some(schema))
+        val sliceDirs = affected.flatMap(m.get).distinct
+        if (sliceDirs.nonEmpty) {
+          val merged = Merge.softDelete(readDirs(sliceDirs), b, table.keyCols,
+            table.versionCol, table.tieBreakCols, table.softDeleteCol)
+          commit(merged, m -- affected, config)
+        }
       }
     }
 
   /** Hard delete (drops the rows). */
   def mergeHardDelete(batch: DataFrame, config: IngestConfig): Unit =
-    current().foreach { m =>
-      val affected = bucketsOf(batch)
-      val sliceDirs = affected.flatMap(m.get).distinct
-      if (sliceDirs.nonEmpty) {
-        val merged = Merge.hardDelete(readDirs(sliceDirs), batch, table.keyCols,
-          table.versionCol, table.tieBreakCols)
-        commit(merged, m -- affected, config)
+    withCached(batch) { b =>
+      current().foreach { m =>
+        val affected = bucketsOf(b, Some(currentSchema(m)))
+        val sliceDirs = affected.flatMap(m.get).distinct
+        if (sliceDirs.nonEmpty) {
+          val merged = Merge.hardDelete(readDirs(sliceDirs), b, table.keyCols,
+            table.versionCol, table.tieBreakCols)
+          commit(merged, m -- affected, config)
+        }
       }
     }
+
+  /** The batch is scanned several times per merge (bucket listing, dedup,
+    * broadcast sides) — cache it for the duration so the source micro-batch
+    * is read once, not once per use. */
+  private def withCached(batch: DataFrame)(f: DataFrame => Unit): Unit = {
+    val cached = batch.persist()
+    try f(cached) finally { cached.unpersist(); () }
+  }
 
   /** Write `df`'s buckets under the next delta dir, publish a manifest of
     * (carried-over ++ rewritten) buckets, repoint `_LATEST`, GC. The data
@@ -210,21 +246,31 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
       .toMap
     val entries = carryOver ++ written
 
-    // Publish the manifest, then atomically repoint. If we die between the
-    // two, recovery resolves to `next` anyway (highest intact manifest).
+    // Publish the manifest, then atomically repoint. Crash between the
+    // two: the intact pointer still names version next-1, the replayed
+    // micro-batch re-merges idempotently onto it, deletes this orphan
+    // manifest below and republishes version next. Pointer lost too:
+    // recovery scans to the highest intact manifest — this one. Rename
+    // results are checked: on HDFS a rename onto an existing destination
+    // returns false instead of overwriting (a replayed commit hits this),
+    // so the stale destination is deleted first and a false return is an
+    // error, never silence.
     val mPath = new Path(root, manifestName(next))
     val mTmp = new Path(root, manifestName(next) + ".tmp")
     val out = fs.create(mTmp, true)
-    try out.write(entries.toSeq.sortBy(_._1)
-      .map { case (b, d) => s"$b\t$d" }.mkString("\n")
-      .getBytes(StandardCharsets.UTF_8))
+    try out.write((s"#buckets=${table.buckets}" +:
+      entries.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fs.rename(mTmp, mPath)
+    if (fs.exists(mPath)) fs.delete(mPath, false)
+    if (!fs.rename(mTmp, mPath))
+      throw new IllegalStateException(s"failed to publish manifest $mPath")
     val p = fs.create(pointerTmp, true)
     try p.write(manifestName(next).getBytes(StandardCharsets.UTF_8))
     finally p.close()
     if (fs.exists(pointer)) fs.delete(pointer, false)
-    fs.rename(pointerTmp, pointer)
+    if (!fs.rename(pointerTmp, pointer))
+      throw new IllegalStateException(s"failed to repoint $pointer")
 
     // GC: older manifests, and bucket dirs nothing references anymore.
     val referenced = entries.values.toSet

@@ -52,17 +52,16 @@ final class AggUpsertStream(
     config: IngestConfig,
     target: TargetTable) {
 
-  def run(aggregated: DataFrame, trigger: Trigger): StreamingQuery = {
+  def run(aggregated: DataFrame): StreamingQuery = runWith(aggregated, None)
+  def run(aggregated: DataFrame, trigger: Trigger): StreamingQuery =
+    runWith(aggregated, Some(trigger))
+
+  private def runWith(
+      aggregated: DataFrame, trigger: Option[Trigger]): StreamingQuery = {
     val sink = new ParquetTarget(spark, target)
-    aggregated.writeStream
-      .queryName(config.name)
-      .outputMode("update")
-      .option("checkpointLocation",
-        config.checkpointDir.getOrElse(target.path + "_agg_ckpt"))
-      .trigger(trigger)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        sink.mergeUpsert(batch, config)
-      }
-      .start()
+    graft.engine.Streams.start(aggregated, config, target.path + "_agg_ckpt",
+      trigger, outputMode = Some("update")) {
+      (batch: Dataset[Row], _: Long) => sink.mergeUpsert(batch, config)
+    }
   }
 }

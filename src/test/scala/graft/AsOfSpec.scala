@@ -29,6 +29,18 @@ class AsOfSpec extends SparkSpec {
     assert(got("unknown-key") == ((None, None)))
   }
 
+  test("NULL value in the matched right row stays NULL (no back-fill stitch)") {
+    // r2 is the latest match but carries a NULL value: ASOF semantics
+    // return (rt=20, NULL), never rt=20 paired with r1's value.
+    val r = Seq(
+      (1L, 10L, Option("r10")),
+      (1L, 20L, Option.empty[String])).toDF("k", "rt", "rv")
+    val left = Seq((1L, 25L, "probe")).toDF("k", "lt", "tag")
+    val row = AsOf.joinAsOf(left, r, Seq("k"), "lt", "rt", Seq("rt", "rv")).head
+    assert(row.getAs[java.lang.Long]("asof_rt") == 20L)
+    assert(row.getAs[String]("asof_rv") == null)
+  }
+
   test("left rows and payload survive unchanged; one output row per left row") {
     val left = (0L until 50L).map(i => (1L, i, s"p$i")).toDF("k", "lt", "payload")
     val out = AsOf.joinAsOf(left, right, Seq("k"), "lt", "rt", Seq("rv"))

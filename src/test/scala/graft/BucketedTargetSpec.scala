@@ -33,7 +33,7 @@ class BucketedTargetSpec extends SparkSpec {
     val text = try new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
     finally in.close()
-    text.split("\n").filter(_.nonEmpty).map { l =>
+    text.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
       val Array(b, d) = l.split("\t", 2); b.toInt -> d.split("/")(0)
     }.toMap
   }
@@ -75,6 +75,29 @@ class BucketedTargetSpec extends SparkSpec {
       ("pkey", "ver", "seq", "payload"), cfg)
     assert(sink.read().isEmpty || sink.read().get.count() == 0)
     assert(all.size == 16)
+  }
+
+  test("reopening with a different bucket count fails loud, not silently") {
+    val (sink, t) = mk(buckets = 8)
+    sink.mergeUpsert(Seq((1L, 1L, 1L, "a")).toDF("pkey", "ver", "seq", "payload"), cfg)
+    val wrong = new ParquetTarget(spark, t.copy(buckets = 4))
+    val e = intercept[IllegalStateException] {
+      wrong.mergeUpsert(Seq((2L, 1L, 2L, "b")).toDF("pkey", "ver", "seq", "payload"), cfg)
+    }
+    assert(e.getMessage.contains("bucket count is immutable"))
+  }
+
+  test("int-typed batch keys hash like the stored long keys (no wrong-bucket prune)") {
+    val (sink, t) = mk(buckets = 8)
+    sink.mergeUpsert((0L until 16L).map(k => (k, 1L, k, s"p$k")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    // batch with int keys: must update the existing rows, not duplicate them
+    val intBatch = Seq((7, 2L, 100L, "updated")).toDF("pkey", "ver", "seq", "payload")
+    sink.mergeUpsert(intBatch, cfg)
+    val state = sink.read().get.collect()
+      .map(r => r.getAs[Long]("pkey") -> r.getAs[String]("payload")).toMap
+    assert(state.size == 16)
+    assert(state(7L) == "updated")
   }
 
   test("new keys landing in never-written buckets merge from empty slice") {
