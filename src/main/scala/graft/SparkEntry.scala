@@ -305,6 +305,14 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // ---- Pivot: per-user event-type counts as columns ----
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)),
+
     // ---- Rollup aggregation (subtotals + grand total) ----
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -685,6 +693,14 @@ object SparkEntry {
           "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
           "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
           "AND o.o_totalprice > 100000.0)"),
+      "q_pivot" ->
+        ("SELECT user_id, " +
+          "count(*) FILTER (WHERE event_type = 'click') AS click, " +
+          "count(*) FILTER (WHERE event_type = 'error') AS error, " +
+          "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+          "count(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+          "count(*) FILTER (WHERE event_type = 'view') AS view " +
+          "FROM events GROUP BY user_id"),
       "q_rollup" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
           "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
