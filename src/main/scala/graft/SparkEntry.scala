@@ -419,6 +419,12 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10, dim = 64, planes = 4)),
 
+    // ---- LLM pipeline: IVF ANN top-k (learned-partitioning scale path) ----
+    "ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, nCentroids = 8)),
+
     // ---- LLM pipeline: heuristic language ID ----
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
@@ -534,6 +540,26 @@ object SparkEntry {
         "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"
 
+    val ivfTopK = {
+      val dotVC = OracleSql.dot("n.v", "c.cv")
+      val dotSQ = OracleSql.dot("s.v", "q.qv")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"n AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) AS nrm FROM e), " +
+        "c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8), " +
+        s"a AS (SELECT n.vec_id, n.v, n.nrm, c.cid, $dotVC / (n.nrm * c.cnrm) AS cos " +
+        "FROM n CROSS JOIN c), " +
+        "cell AS (SELECT vec_id, v, nrm, cid AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cos DESC, cid ASC) AS rn FROM a) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell AS qcell " +
+        "FROM cell WHERE vec_id < 10), " +
+        s"p AS (SELECT q.query_id, s.vec_id, $dotSQ / (s.nrm * q.qn) AS cos " +
+        "FROM cell s JOIN q ON s.cell = q.qcell AND s.vec_id <> q.query_id) " +
+        "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"
+    }
+
     val langIdSql = {
       val scoreCols = LangProfiles.map { case (lang, re) =>
         s"len(regexp_extract_all(text, '$re')) AS score_$lang"
@@ -596,6 +622,7 @@ object SparkEntry {
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_embedding_cosine" -> cosineNearDup,
       "ann_lsh_topk" -> lshTopK,
+      "ann_ivf_topk" -> ivfTopK,
       "text_langid" -> langIdSql,
       "text_token_classes" -> tokenClassesSql,
       "text_fingerprint" -> fingerprintSql,

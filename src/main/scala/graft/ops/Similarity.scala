@@ -103,6 +103,49 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF (inverted-file) cell assignment: every vector joins the cell of
+    * its max-cosine centroid. The centroid set here is deterministic (the
+    * first `nCentroids` vectors by id — a stand-in for a kmeans training
+    * job; production swaps in learned centroids, the plumbing is
+    * identical). Centroids broadcast; the argmax is a per-vector
+    * row_number window with an explicit (cos desc, cid asc) tie-break so
+    * the assignment is bit-deterministic and oracle-reproducible.
+    * Emits (idCol, v, nrm, cell). */
+  def ivfCells(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = e.filter(col(idCol) < nCentroids).select(
+      col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cos = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+    val w = Window.partitionBy(col(idCol)).orderBy(cos.desc, col("cid").asc)
+    e.join(broadcast(cents))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("v"), col("nrm"), col("cid").as("cell"))
+  }
+
+  /** IVF top-k: rank candidates within the query's cell only — the
+    * learned-partitioning sibling of lshTopK (recall < 1 by design; raise
+    * nprobe by unioning neighboring cells in production). */
+  def ivfTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nCentroids: Int): DataFrame = {
+    val cells = ivfCells(emb, idCol, vecCol, nCentroids)
+    val q = cells.filter(queryPred).select(
+      col(idCol).as("query_id"), col("v").as("qv"),
+      col("nrm").as("qn"), col("cell").as("qcell"))
+    val pairs = cells.join(broadcast(q),
+      col("cell") === col("qcell") && col(idCol) =!= col("query_id"))
+    val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col(idCol).asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding near-duplicate pairs: same-bucket candidates verified by
     * exact cosine >= `minCos`. Shuffle is the bucket self-join — volume
     * per bucket is |bucket|², the whole point of bucketing first. */

@@ -70,6 +70,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfCells assigns every vector to exactly one cell of a centroid") {
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.tabulate(8)(j => math.cos(i * 8 + j + 0.5))))
+    val cells = Similarity.ivfCells(emb(vecs: _*), "vec_id", "embedding", 4)
+    val rows = cells.collect().map(r => r.getLong(0) -> r.getLong(3))
+    assert(rows.length == 30)                       // one row per vector
+    assert(rows.map(_._2).forall(c => c >= 0 && c < 4)) // cell ∈ centroid ids
+    // a centroid lands in its own cell (cos with itself = 1, the max)
+    val own = rows.toMap
+    (0L until 4L).foreach(c => assert(own(c) == c))
+  }
+
+  test("ivfTopK ranking matches brute force within the query's cell") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0))))
+    val df = emb(vecs: _*)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, a) => q -> a.sortBy(_._3).map(_._2).toSeq }
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 40, nCentroids = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, a) => q -> a.sortBy(_._3).map(_._2).toSeq }
+    ivf.foreach { case (q, neighbors) =>
+      assert(brute(q).filter(neighbors.contains) == neighbors)
+    }
+  }
+
   test("cosineNearDupPairs finds a planted duplicate pair") {
     val base = Seq.tabulate(8)(i => (i + 1).toDouble)
     val df = emb(
