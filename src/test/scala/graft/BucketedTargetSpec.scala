@@ -109,6 +109,25 @@ class BucketedTargetSpec extends SparkSpec {
     assert(state == Map(1L -> "a", 2L -> "b"))
   }
 
+  test("GC leaves exactly the latest manifest and its referenced dirs") {
+    val (sink, t) = mk(buckets = 4)
+    (1 to 5).foreach { v =>
+      sink.mergeUpsert(Seq((v.toLong % 3L, v.toLong, v.toLong, s"p$v")).toDF
+        ("pkey", "ver", "seq", "payload"), cfg)
+    }
+    val root = new Path(t.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    val manifests = names.filter(n => n.startsWith("m") && !n.endsWith(".tmp"))
+    assert(manifests == Set("m0000000005")) // older manifests GC'd
+    // every delta dir still on disk holds at least one referenced bucket
+    val referenced = bucketVersions(t).values.toSet
+    val deltas = names.filter(_.startsWith("d"))
+    assert(deltas == referenced, s"unreferenced deltas leak: $names")
+    // state intact after all the GC churn
+    assert(sink.read().get.count() == 3) // keys 0, 1, 2
+  }
+
   test("soft-delete migration rewrites all buckets once, then prunes") {
     val (sink, t) = mk(buckets = 8)
     sink.mergeUpsert((0L until 32L).map(k => (k, 1L, k, s"p$k")).toDF

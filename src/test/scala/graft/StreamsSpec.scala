@@ -176,6 +176,45 @@ class StreamsSpec extends SparkSpec {
       3L -> (("c", true))))    // inserted; defaulted to active
   }
 
+  test("MultiTableDeleteStream (builder-built) soft-deletes per routed table") {
+    implicit val sql = spark.sqlContext
+    val dir = tmp("graft_stream_mdel_")
+    def tt(n: String) = TargetTable(n, s"$dir/$n",
+      keyCols = Seq("pkey"), versionCol = "ver", tieBreakCols = Seq("seq"))
+    val catalog = Map("alpha" -> tt("alpha"), "beta" -> tt("beta"))
+
+    // seed both tables through the multi-table upsert path
+    val up = MemoryStream[(String, Long, Long, Long, String)]
+    val upQ = new MultiTableUpsertStream(spark,
+      IngestConfig(name = s"mdel-seed-${System.nanoTime()}",
+        maxWriterPartitions = 2, checkpointDir = Some(s"$dir/ck_up")), catalog)
+      .run(up.toDF().toDF("table", "pkey", "ver", "seq", "payload"))
+    up.addData(("alpha", 1L, 10L, 1L, "a"), ("beta", 1L, 10L, 2L, "b"))
+    upQ.processAllAvailable(); upQ.stop()
+
+    // the reference cannot even construct this processor via its builder
+    // (SURVEY.md §2.2 gap); here it is first-class
+    val del = MemoryStream[(String, Long, Long, Long, String)]
+    val delQ = new QuickStreamBuilder(spark)
+      .withName(s"mdel-${System.nanoTime()}")
+      .withMaxConCount(2).withMaxRecordsPerCycleBatch(100L)
+      .withCheckpointDir(s"$dir/ck_del").withCatalog(catalog)
+      .withSoftDelete(true)
+      .buildMultiTableDelete()
+      .run(del.toDF().toDF("table", "pkey", "ver", "seq", "payload"))
+    del.addData(("alpha", 1L, 11L, 3L, "tomb"))
+    delQ.processAllAvailable(); delQ.stop()
+
+    val alpha = readTarget(catalog("alpha")).collect()
+      .map(r => r.getAs[Long]("pkey") -> r.getAs[Boolean]("row_active")).toMap
+    assert(alpha == Map(1L -> false)) // routed tombstone applied
+    // no tombstones routed to beta → its sink never ran: no flag column,
+    // payload untouched
+    val betaDf = readTarget(catalog("beta"))
+    assert(!betaDf.columns.contains("row_active"))
+    assert(betaDf.collect().map(_.getAs[String]("payload")).toSeq == Seq("b"))
+  }
+
   test("target recovers committed state when the manifest is lost mid-swap") {
     implicit val sql = spark.sqlContext
     val dir = tmp("graft_stream_crash_")
