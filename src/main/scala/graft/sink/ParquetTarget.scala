@@ -148,16 +148,27 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
   private def emptyWithSchema(s: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
 
-  /** Bucket ids the (small, deduped-later) batch touches. Key columns are
-    * cast to the STORED key types first when a snapshot exists — Murmur3
-    * hashes differ across integer widths, so an int batch key against a
-    * long target key would otherwise prune the wrong buckets. */
-  private def bucketsOf(batch: DataFrame, stored: Option[StructType]): Seq[Int] = {
-    val types = stored.map(_.map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
-    val keys = batch.select(table.keyCols.map(k =>
-      types.get(k).map(t => batch.col(k).cast(t)).getOrElse(batch.col(k)).as(k)): _*)
-    keys.select(bucketOf(keys).as("b")).distinct()
+  /** Bucket ids the (small, deduped-later) batch touches. */
+  private def bucketsOf(batch: DataFrame): Seq[Int] =
+    batch.select(bucketOf(batch).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
+
+  /** Cast the batch's key columns to the STORED key types. Murmur3 hashes
+    * differ across integer widths, so an int batch key against a long
+    * target key would prune the wrong buckets — and the merged output
+    * (union-coerced to the wider type) would then hash into buckets the
+    * merge never read, breaking the one-row-per-key invariant. Conforming
+    * the keys up front keeps pruning, merging, and the written files on
+    * one key type. */
+  private def conformKeys(batch: DataFrame, stored: StructType): DataFrame = {
+    val types = stored.map(f => f.name -> f.dataType).toMap
+    table.keyCols.foldLeft(batch) { (df, k) =>
+      types.get(k) match {
+        case Some(t) if df.schema(k).dataType != t =>
+          df.withColumn(k, df.col(k).cast(t))
+        case _ => df
+      }
+    }
   }
 
   /** Latest-wins merge of one micro-batch — the analog of the sender task
@@ -172,12 +183,13 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
             table.tieBreakCols), Map.empty, config)
         case Some(m) =>
           val schema = currentSchema(m)
-          val affected = bucketsOf(b, Some(schema))
+          val bk = conformKeys(b, schema)
+          val affected = bucketsOf(bk)
           val sliceDirs = affected.flatMap(m.get).distinct
           val slice =
             if (sliceDirs.nonEmpty) readDirs(sliceDirs)
             else emptyWithSchema(schema)
-          val merged = Merge.upsertBroadcast(slice, b,
+          val merged = Merge.upsertBroadcast(slice, bk,
             table.keyCols, table.versionCol, table.tieBreakCols,
             defaults = Map(table.softDeleteCol -> lit(true)))
           commit(merged, m -- affected, config)
@@ -191,11 +203,12 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
     withCached(batch) { b =>
       current().foreach { m =>
         val schema = currentSchema(m)
+        val bk = conformKeys(b, schema)
         val migrating = !schema.fieldNames.contains(table.softDeleteCol)
-        val affected = if (migrating) m.keys.toSeq else bucketsOf(b, Some(schema))
+        val affected = if (migrating) m.keys.toSeq else bucketsOf(bk)
         val sliceDirs = affected.flatMap(m.get).distinct
         if (sliceDirs.nonEmpty) {
-          val merged = Merge.softDelete(readDirs(sliceDirs), b, table.keyCols,
+          val merged = Merge.softDelete(readDirs(sliceDirs), bk, table.keyCols,
             table.versionCol, table.tieBreakCols, table.softDeleteCol)
           commit(merged, m -- affected, config)
         }
@@ -206,10 +219,11 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
   def mergeHardDelete(batch: DataFrame, config: IngestConfig): Unit =
     withCached(batch) { b =>
       current().foreach { m =>
-        val affected = bucketsOf(b, Some(currentSchema(m)))
+        val bk = conformKeys(b, currentSchema(m))
+        val affected = bucketsOf(bk)
         val sliceDirs = affected.flatMap(m.get).distinct
         if (sliceDirs.nonEmpty) {
-          val merged = Merge.hardDelete(readDirs(sliceDirs), b, table.keyCols,
+          val merged = Merge.hardDelete(readDirs(sliceDirs), bk, table.keyCols,
             table.versionCol, table.tieBreakCols)
           commit(merged, m -- affected, config)
         }
