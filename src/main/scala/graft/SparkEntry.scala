@@ -465,27 +465,10 @@ object SparkEntry {
     }),
 
     // ---- LLM pipeline: brute-force cosine top-k (ANN baseline) ----
-    "ann_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val dotSelf = aggregate(
-        zip_with(col("v"), col("v"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      val n = e.withColumn("nrm", sqrt(dotSelf))
-      val q = n.filter(col("vec_id") < 10).select(
-        col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val pairs = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      val dot = aggregate(
-        zip_with(col("v"), col("qv"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      val cos = dot / (col("nrm") * col("qn"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(cos.desc, col("vec_id").asc)
-      pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("rank").cast("long").as("rank"))
-    }),
+    "ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 10)),
   )
 
   /** DuckDB oracles for the hash-pipeline queries, generated from the same

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NativeKernels {
 
-  final val P: Long = 1000000007L
+  final val P: Long = TextHash.P
 
   /** Java-regex `\s` charset (the split pattern of TextHash.words). */
   private def isWs(c: Char): Boolean =

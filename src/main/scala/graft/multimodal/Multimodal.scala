@@ -33,7 +33,9 @@ object Multimodal {
       id: Long, mediaType: String, nBytes: Long, checksum: Long,
       width: Int, height: Int, nFrames: Int)
 
-  private val P = 1000000007L
+  /** Shared modulus — the oracle-equality contract depends on every
+    * pipeline using the one constant. */
+  private val P = graft.functions.TextHash.P
 
   /** STUB decode kernel — deterministic fake standing in for a real codec.
     * A production build replaces ONLY this function (same signature:

@@ -24,38 +24,54 @@ object AsOf {
   /** @param rightValCols right columns carried onto matches (emitted as
     *                     `asof_<name>`, NULL when no right row precedes);
     *                     the right timestamp itself may be included to
-    *                     expose the match time. */
+    *                     expose the match time.
+    * @param rightTieBreakCols resolve several right rows sharing one
+    *                     (key, timestamp): the row with the greatest
+    *                     tie-break tuple wins. Pass a unique column when
+    *                     such collisions are possible — without it the
+    *                     winner is shuffle-order dependent. */
   def joinAsOf(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTsCol: String, rightTsCol: String,
-      rightValCols: Seq[String]): DataFrame = {
+      rightValCols: Seq[String],
+      rightTieBreakCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "as-of join requires at least one key column")
     val leftOut = left.columns.toSeq
 
+    val tbNames = rightTieBreakCols.zipWithIndex.map { case (_, i) => s"__tb_$i" }
     val l = left
       .withColumn("__t", col(leftTsCol))
       .withColumn("__side", lit(1))
       .select(
         (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
           leftOut.filterNot(keyCols.contains).map(col) ++
-          rightValCols.map(c => lit(null).as(s"__rv_$c")): _*)
+          rightValCols.map(c => lit(null).as(s"__rv_$c")) ++
+          tbNames.map(n => lit(null).as(n)): _*)
     val r = right
       .withColumn("__t", col(rightTsCol))
       .withColumn("__side", lit(0))
       .select(
         (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
           leftOut.filterNot(keyCols.contains).map(c => lit(null).as(c)) ++
-          rightValCols.map(c => col(c).as(s"__rv_$c")): _*)
+          rightValCols.map(c => col(c).as(s"__rv_$c")) ++
+          rightTieBreakCols.zip(tbNames).map { case (c, n) => col(c).as(n) }: _*)
 
+    // Order: time, then side (right rows before left at equal time →
+    // inclusive <=), then the right tie-break so equal-(key, ts) right
+    // rows resolve deterministically to the greatest tie tuple.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy((col("__t").asc +: col("__side").asc +:
+        tbNames.map(col(_).asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ONE running-last over a struct of all carried columns: every value
     // comes from the SAME matched right row (per-column lasts would
     // back-fill a NULL value in the latest right row from an older row —
     // a (ts, value) combination existing in no right row, diverging from
-    // ASOF JOIN semantics). The struct is non-null exactly on right rows.
-    val rowStruct = when(col("__side") === 0,
+    // ASOF JOIN semantics). The struct is non-null exactly on right rows
+    // with a real timestamp: a NULL right ts sorts NULLS-FIRST and would
+    // otherwise become a phantom match for left rows preceding all real
+    // right rows (ASOF's l.ts >= r.ts never matches a NULL r.ts).
+    val rowStruct = when(col("__side") === 0 && col("__t").isNotNull,
       struct(rightValCols.map(c => col(s"__rv_$c").as(c)): _*))
     val withAsOf = l.unionByName(r)
       .withColumn("__rv", last(rowStruct, ignoreNulls = true).over(w))

@@ -153,19 +153,20 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
     batch.select(bucketOf(batch).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
 
-  /** Cast the batch's key columns to the STORED key types. Murmur3 hashes
-    * differ across integer widths, so an int batch key against a long
-    * target key would prune the wrong buckets — and the merged output
-    * (union-coerced to the wider type) would then hash into buckets the
-    * merge never read, breaking the one-row-per-key invariant. Conforming
-    * the keys up front keeps pruning, merging, and the written files on
-    * one key type. */
+  /** Cast every batch column that exists in the snapshot to its STORED
+    * type. Two reasons this must cover ALL columns, not just keys:
+    * Murmur3 hashes differ across integer widths, so a differently-typed
+    * batch key would prune the wrong buckets (and the union-coerced merge
+    * output would hash into buckets the merge never read); and any wider
+    * batch column would union-coerce the rewritten buckets onto a
+    * different parquet type than the carried-over buckets, breaking the
+    * uniform-snapshot-schema invariant multi-dir reads rely on. */
   private def conformKeys(batch: DataFrame, stored: StructType): DataFrame = {
     val types = stored.map(f => f.name -> f.dataType).toMap
-    table.keyCols.foldLeft(batch) { (df, k) =>
-      types.get(k) match {
-        case Some(t) if df.schema(k).dataType != t =>
-          df.withColumn(k, df.col(k).cast(t))
+    batch.columns.foldLeft(batch) { (df, c) =>
+      types.get(c) match {
+        case Some(t) if df.schema(c).dataType != t =>
+          df.withColumn(c, df.col(c).cast(t))
         case _ => df
       }
     }
@@ -177,7 +178,11 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
     * batch keys are read and rewritten. */
   def mergeUpsert(batch: DataFrame, config: IngestConfig): Unit =
     withCached(batch) { b =>
-      current() match {
+      // A hard delete can legitimately empty the table: its manifest has
+      // zero entries and no schema to derive, so the next upsert
+      // re-initializes exactly like a fresh table instead of crashing on
+      // a zero-path schema read.
+      current().filter(_.nonEmpty) match {
         case None =>
           commit(Dedup.latestWins(b, table.keyCols, table.versionCol,
             table.tieBreakCols), Map.empty, config)
@@ -201,7 +206,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
     * schema stays uniform. */
   def mergeSoftDelete(batch: DataFrame, config: IngestConfig): Unit =
     withCached(batch) { b =>
-      current().foreach { m =>
+      current().filter(_.nonEmpty).foreach { m =>
         val schema = currentSchema(m)
         val bk = conformKeys(b, schema)
         val migrating = !schema.fieldNames.contains(table.softDeleteCol)
@@ -218,7 +223,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
   /** Hard delete (drops the rows). */
   def mergeHardDelete(batch: DataFrame, config: IngestConfig): Unit =
     withCached(batch) { b =>
-      current().foreach { m =>
+      current().filter(_.nonEmpty).foreach { m =>
         val bk = conformKeys(b, currentSchema(m))
         val affected = bucketsOf(bk)
         val sliceDirs = affected.flatMap(m.get).distinct

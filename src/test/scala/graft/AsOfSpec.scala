@@ -41,6 +41,28 @@ class AsOfSpec extends SparkSpec {
     assert(row.getAs[String]("asof_rv") == null)
   }
 
+  test("NULL right timestamp never becomes a phantom match") {
+    val r = Seq(
+      (1L, Option.empty[java.lang.Long], "null-ts"),
+      (1L, Option(50L).map(Long.box), "r50")).toDF("k", "rt", "rv")
+    val left = Seq((1L, 10L, "before-any-real"), (1L, 60L, "after-r50"))
+      .toDF("k", "lt", "tag")
+    val got = AsOf.joinAsOf(left, r, Seq("k"), "lt", "rt", Seq("rv"))
+      .collect().map(x => x.getAs[String]("tag") ->
+        Option(x.getAs[String]("asof_rv"))).toMap
+    assert(got("before-any-real").isEmpty) // NULL-ts row must not match
+    assert(got("after-r50").contains("r50"))
+  }
+
+  test("equal (key, ts) right rows resolve by the tie-break column") {
+    val r = Seq((1L, 20L, 1L, "low"), (1L, 20L, 9L, "high"))
+      .toDF("k", "rt", "seq", "rv")
+    val left = Seq((1L, 25L, "probe")).toDF("k", "lt", "tag")
+    val row = AsOf.joinAsOf(left, r, Seq("k"), "lt", "rt", Seq("rv"),
+      rightTieBreakCols = Seq("seq")).head
+    assert(row.getAs[String]("asof_rv") == "high") // greatest tie tuple wins
+  }
+
   test("left rows and payload survive unchanged; one output row per left row") {
     val left = (0L until 50L).map(i => (1L, i, s"p$i")).toDF("k", "lt", "payload")
     val out = AsOf.joinAsOf(left, right, Seq("k"), "lt", "rt", Seq("rv"))
