@@ -396,6 +396,33 @@ object SparkEntry {
       NearDup.lshCandidatePairs(
         t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3, r = 2)),
 
+    // ---- Custom UDAF: bounded top-k aggregator (O(groups*k) shuffle) ----
+    "q_topk_agg" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.Aggregators.TopK(3))
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(topk(col("value"), col("event_id")).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "row")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("row.value").as("value"), col("row.id").as("event_id"))
+    }),
+
+    // ---- Mergeable sketch: per-group MinHash signature via plain min ----
+    // The union-set signature of a group IS the elementwise min of its
+    // docs' signatures — sketch mergeability expressed declaratively, so
+    // Catalyst gets map-side partial aggregation for free.
+    "dedup_minhash_by_lang" -> ((s, dir) => {
+      val sig = NearDup.minhashSignatures(
+        t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3)
+      val lang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      sig.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+          min(col("mh0")).as("mh0"), min(col("mh1")).as("mh1"),
+          min(col("mh2")).as("mh2"), min(col("mh3")).as("mh3"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // ---- LLM pipeline: SimHash fingerprints ----
     "dedup_simhash" -> ((s, dir) =>
       NearDup.simhashFingerprints(
@@ -487,6 +514,23 @@ object SparkEntry {
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
         "FROM banded a JOIN banded b " +
         "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    }
+
+    val topkAggSql =
+      "SELECT event_type, CAST(rn AS BIGINT) AS rank, value, event_id FROM " +
+        "(SELECT event_type, value, event_id, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn " +
+        "FROM events) WHERE rn <= 3"
+
+    val minhashByLang = {
+      val sigCols = (0 until 4).map(j =>
+        s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
+        s"sig AS (SELECT doc_id, $sigCols FROM sh_t) " +
+        "SELECT d.lang, min(mh0) AS mh0, min(mh1) AS mh1, min(mh2) AS mh2, " +
+        "min(mh3) AS mh3, count(*) AS n_docs " +
+        "FROM sig JOIN documents d USING (doc_id) GROUP BY d.lang"
     }
 
     val simhashSql =
@@ -600,6 +644,8 @@ object SparkEntry {
 
     Map(
       "mm_pipeline" -> mmPipeline,
+      "q_topk_agg" -> topkAggSql,
+      "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
       "dedup_simhash" -> simhashSql,
       "dedup_ngram_jaccard" -> jaccardSql,
