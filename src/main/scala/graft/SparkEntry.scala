@@ -460,6 +460,15 @@ object SparkEntry {
     "text_token_classes" -> ((s, dir) =>
       TextAnalysis.tokenClasses(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- Generator (UDTF shape): explode per-doc shingles to rows ----
+    "text_shingles_explode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), TextHash.wordHashes(col("text")).as("__wh"))
+        .select(col("doc_id"), TextHash.shingleHashes(col("__wh"), 3).as("__sh"))
+        .select(col("doc_id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("shingle"))),
+
     // ---- LLM pipeline: document fingerprinting ----
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text", n = 3)),
@@ -610,6 +619,13 @@ object SparkEntry {
         "SELECT doc_id, n_alpha_tokens, n_digit_tokens, n_punct_tokens, " +
         "n_alpha_tokens + n_digit_tokens + n_punct_tokens AS n_bpe_tokens FROM c"
 
+    val shinglesExplode =
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents WHERE doc_id % 25 = 0), " +
+        s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base) " +
+        "SELECT doc_id, CAST(g.i AS BIGINT) AS pos, sh[g.i + 1] AS shingle " +
+        "FROM sh_t CROSS JOIN (SELECT unnest(range(10000)) AS i) g " +
+        "WHERE g.i < len(sh)"
+
     val fingerprintSql =
       s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
         s"s AS (SELECT doc_id, wh, list_distinct(${OracleSql.shingles("wh", 3)}) AS sh FROM base) " +
@@ -655,6 +671,7 @@ object SparkEntry {
       "text_langid" -> langIdSql,
       "text_token_classes" -> tokenClassesSql,
       "text_fingerprint" -> fingerprintSql,
+      "text_shingles_explode" -> shinglesExplode,
       "mm_decode_meta" -> mmSql)
   }
 
