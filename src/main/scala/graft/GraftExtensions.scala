@@ -36,7 +36,8 @@ object GraftExtensions {
   }
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, "", name, usage, "",
+      "", "", "", "", "", "built-in")
 
   /** (identifier, info, builder) triples — the exact shape
     * `injectFunction` and the session FunctionRegistry share. */

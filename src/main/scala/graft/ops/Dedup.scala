@@ -34,7 +34,7 @@ object Dedup {
       tieBreakCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "latestWins requires at least one key column")
     val ord = struct((versionCol +: tieBreakCols).map(df.col): _*)
-    val whole = struct(df.columns.map(df.col): _*)
+    val whole = struct(df.columns.toIndexedSeq.map(df.col): _*)
     df.groupBy(keyCols.map(df.col): _*)
       .agg(max_by(whole, ord).as("__latest"))
       .select("__latest.*")
