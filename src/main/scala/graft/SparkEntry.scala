@@ -428,11 +428,13 @@ object SparkEntry {
       NearDup.simhashFingerprints(
         t(s, dir, "documents"), "doc_id", "text", bits = 16)),
 
-    // ---- LLM pipeline: n-gram Jaccard similarity (blocked + sampled) ----
+    // ---- LLM pipeline: n-gram Jaccard verify over LSH candidates ----
+    // The production two-stage near-dup: banding proposes (linear), exact
+    // Jaccard disposes — no block/cross self-join anywhere in the plan.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      NearDup.ngramJaccardPairs(
-        t(s, dir, "documents"), "doc_id", "text", "lang",
-        sampleMod = 5, minJaccard = 0.01)),
+      NearDup.ngramJaccardVerify(
+        t(s, dir, "documents"), "doc_id", "text",
+        m = 8, n = 3, r = 2, minJaccard = 0.01)),
 
     // ---- LLM pipeline: embedding cosine near-dup (LSH-bucketed) ----
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -546,15 +548,26 @@ object SparkEntry {
       s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents) " +
         s"SELECT doc_id, CAST(${OracleSql.simhash("wh", 16)} AS BIGINT) AS simhash FROM base"
 
-    val jaccardSql =
-      s"WITH base AS (SELECT doc_id, lang, $wh AS wh FROM documents WHERE doc_id % 5 = 0), " +
-        s"gr AS (SELECT doc_id, lang, list_distinct(${OracleSql.shingles("wh", 2)}) AS grams FROM base), " +
-        "g2 AS (SELECT * FROM gr WHERE len(grams) > 0), " +
-        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / " +
-        "CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard " +
-        "FROM g2 a JOIN g2 b ON a.lang = b.lang AND a.doc_id < b.doc_id) " +
+    // Same CTE pipeline as minhashLsh up to the candidate pairs, then the
+    // exact-Jaccard verify joins gram sets onto the candidates — mirrors
+    // NearDup.ngramJaccardVerify stage for stage.
+    val jaccardSql = {
+      val sigCols = (0 until 8).map(j =>
+        s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
+        s"sig AS (SELECT doc_id, $sigCols FROM sh_t), " +
+        s"banded AS (${OracleSql.lshBanded("doc_id", 8, 2)}), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+        s"gr AS (SELECT doc_id, list_distinct(${OracleSql.shingles("wh", 2)}) AS grams FROM base), " +
+        "p AS (SELECT c.id_a, c.id_b, " +
+        "CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) AS jaccard " +
+        "FROM cand c JOIN gr ga ON ga.doc_id = c.id_a JOIN gr gb ON gb.doc_id = c.id_b) " +
         "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01"
+    }
 
     val embNorm =
       s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +

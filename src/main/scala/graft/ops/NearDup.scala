@@ -98,31 +98,36 @@ object NearDup {
       .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
       .select(col(idCol), TextHash.simhash(col("__wh"), bits).as("simhash"))
 
-  /** Exact word-bigram Jaccard similarity over candidate pairs. The
-    * candidate set here is sampled (`idCol % sampleMod == 0`) and blocked
-    * by `blockCol` equality — the pattern for the verify stage after LSH:
-    * never the raw cross join. Emits (id_a, id_b, jaccard) for pairs with
-    * jaccard >= minJaccard. */
-  def ngramJaccardPairs(
-      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
-      sampleMod: Int = 5, minJaccard: Double = 0.01): DataFrame = {
-    // The sample predicate touches only the raw id column → pushed into
-    // the parquet scan (cheap). No filter on the derived gram column: it
-    // would be predicate-pushed below the spread with the whole hash
-    // expression substituted (see lshCandidatePairs); empty-gram docs are
-    // instead eliminated by the zero-guarded jaccard threshold below.
-    val base = spread(docs
-      .where(col(idCol) % sampleMod === 0)
-      .select(col(idCol), col(blockCol), col(textCol)))
-      .select(col(idCol), col(blockCol), TextHash.wordHashes(col(textCol)).as("__wh"))
-      .select(col(idCol), col(blockCol),
+  /** Per-doc distinct word-bigram gram sets: (idCol, grams). */
+  private def gramSets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col(idCol),
         array_distinct(TextHash.shingleHashes(col("__wh"), 2)).as("grams"))
-    val a = base.select(col(blockCol), col(idCol).as("id_a"), col("grams").as("g_a"))
-    val b = base.select(col(blockCol), col(idCol).as("id_b"), col("grams").as("g_b"))
+
+  /** Exact word-bigram Jaccard VERIFY over the LSH candidate pairs — the
+    * production two-stage near-dup: banding proposes (linear shuffle,
+    * `lshCandidatePairs`), exact Jaccard disposes. Candidate volume is
+    * O(docs × bands) bucket collisions, never a block/cross self-join, so
+    * the whole pipeline stays linear in the corpus at 100 TB. The candidate
+    * list equi-joins the gram sets on each id — shuffle volume is
+    * candidates + grams (both linear); AQE picks broadcast when the
+    * candidate side is small enough, plain shuffle-hash when it isn't, so
+    * no hint is forced here. Emits (id_a, id_b, jaccard) for candidates
+    * with jaccard >= minJaccard. */
+  def ngramJaccardVerify(
+      docs: DataFrame, idCol: String, textCol: String,
+      m: Int = 8, n: Int = 3, r: Int = 2,
+      minJaccard: Double = 0.01): DataFrame = {
+    val cand = lshCandidatePairs(docs, idCol, textCol, m, n, r)
+    val grams = gramSets(docs, idCol, textCol)
+    val ga = grams.select(col(idCol).as("id_a"), col("grams").as("g_a"))
+    val gb = grams.select(col(idCol).as("id_b"), col("grams").as("g_b"))
     val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("double")
     val union = size(array_union(col("g_a"), col("g_b"))).cast("double")
-    a.join(b, Seq(blockCol))
-      .where(col("id_a") < col("id_b"))
+    // LSH candidates always have >= n words, so gram sets are non-empty;
+    // the zero guard keeps the expression total anyway.
+    cand.join(ga, "id_a").join(gb, "id_b")
       .withColumn("jaccard", when(union > 0, inter / union).otherwise(lit(0.0)))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -107,23 +107,37 @@ object Similarity {
     * its max-cosine centroid. The centroid set here is deterministic (the
     * first `nCentroids` vectors by id — a stand-in for a kmeans training
     * job; production swaps in learned centroids, the plumbing is
-    * identical). Centroids broadcast; the argmax is a per-vector
-    * row_number window with an explicit (cos desc, cid asc) tie-break so
-    * the assignment is bit-deterministic and oracle-reproducible.
+    * identical).
+    *
+    * Scale shape: the centroids are gathered into ONE array-of-structs row
+    * (sorted by cid) and broadcast-nested-loop-joined onto the corpus — a
+    * 1-row broadcast, so the corpus keeps its scan partitioning with ZERO
+    * exchanges between scan and cell assignment. The argmax is a per-row
+    * left-to-right fold over that array; strict `>` keeps the first
+    * (lowest-cid) maximum, the same order as a (cos desc, cid asc)
+    * tie-break, so the assignment stays bit-deterministic and
+    * oracle-reproducible. (The former implementation exploded n×C rows
+    * through a row_number window — a corpus×C shuffle the fold avoids.)
     * Emits (idCol, v, nrm, cell). */
   def ivfCells(
       emb: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int): DataFrame = {
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = e.filter(col(idCol) < nCentroids).select(
-      col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val cos = dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
-    val w = Window.partitionBy(col(idCol)).orderBy(cos.desc, col("cid").asc)
+    val cents = e.filter(col(idCol) < nCentroids)
+      .select(struct(col(idCol).as("cid"), col("v").as("cv"),
+        col("nrm").as("cnrm")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("__cents"))
+    val best = aggregate(
+      col("__cents"),
+      struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val cos = dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm"))
+        when(cos > acc.getField("cos"),
+          struct(cos.as("cos"), c.getField("cid").as("cid"))).otherwise(acc)
+      })
     e.join(broadcast(cents))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col(idCol), col("v"), col("nrm"), col("cid").as("cell"))
+      .select(col(idCol), col("v"), col("nrm"), best.getField("cid").as("cell"))
   }
 
   /** IVF top-k: rank candidates within the query's cell only — the

@@ -76,16 +76,18 @@ class TextOpsSpec extends SparkSpec {
     assert((0xFFFFL & fp(1L)) == fp(1L)) // fits in 16 bits
   }
 
-  test("ngramJaccardPairs: identical docs in a block score 1.0") {
+  test("ngramJaccardVerify: LSH candidates verified, identical docs score 1.0") {
     val docs = Seq(
-      (0L, "en", "a b c d e"),
-      (5L, "en", "a b c d e"),
-      (10L, "en", "v w x y z")).toDF("doc_id", "lang", "text")
-    val got = NearDup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
-      sampleMod = 5, minJaccard = 0.01)
+      (0L, "a b c d e"),
+      (5L, "a b c d e"),
+      (10L, "v w x y z")).toDF("doc_id", "text")
+    val got = NearDup.ngramJaccardVerify(docs, "doc_id", "text",
+      m = 8, n = 3, r = 2, minJaccard = 0.01)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(got((0L, 5L)) == 1.0)
-    assert(!got.contains((0L, 10L))) // disjoint grams filtered by threshold
+    // disjoint docs never become LSH candidates, so no pair is emitted
+    assert(!got.contains((0L, 10L)))
+    assert(!got.contains((5L, 10L)))
   }
 
   test("langId scores stopwords and tie-breaks to first profile") {
