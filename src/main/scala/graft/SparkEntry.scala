@@ -287,6 +287,55 @@ object SparkEntry {
           col("value"))
     }),
 
+    // ---- O12+O5: the JDBC sink end-to-end (the reference's true target:
+    //      prepared-statement upsert into a real database — here embedded
+    //      Derby standing in for Postgres). Two merge rounds exercise
+    //      insert, guarded update, and stale-skip; the read-back state must
+    //      equal the global latest-wins dedup. ----
+    "o12_jdbc_upsert" -> ((s, dir) => {
+      val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+      val jt = graft.sink.JdbcTarget(url, "events_state",
+        keyCols = key, versionCol = ver, tieBreakCols = tie)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try { conn.createStatement().executeUpdate(
+        "CREATE TABLE events_state (pkey BIGINT NOT NULL PRIMARY KEY, " +
+          "modified_date_us BIGINT, event_id BIGINT, " +
+          "event_type VARCHAR(32), value DOUBLE)"); () }
+      finally conn.close()
+      val sink = new graft.sink.JdbcSink(jt)
+      val cfg = IngestConfig(name = "o12-jdbc", maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      sink.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
+      sink.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
+      s.read.jdbc(url, "events_state", new java.util.Properties())
+        .select(col("pkey"), col("modified_date_us"), col("event_type"),
+          col("value"))
+    }),
+
+    // ---- O12+O6: JDBC soft delete (guarded tombstone UPDATE) ----
+    "o12b_jdbc_soft_delete" -> ((s, dir) => {
+      val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+      val jt = graft.sink.JdbcTarget(url, "events_state",
+        keyCols = key, versionCol = ver, tieBreakCols = tie)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try { conn.createStatement().executeUpdate(
+        "CREATE TABLE events_state (pkey BIGINT NOT NULL PRIMARY KEY, " +
+          "modified_date_us BIGINT, event_id BIGINT, " +
+          "event_type VARCHAR(32), value DOUBLE, " +
+          "row_active BOOLEAN DEFAULT TRUE NOT NULL)"); () }
+      finally conn.close()
+      val sink = new graft.sink.JdbcSink(jt)
+      val cfg = IngestConfig(name = "o12b-jdbc", maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      sink.mergeUpsert(ev, cfg)
+      sink.mergeSoftDelete(
+        ev.filter(col("event_type") === "error")
+          .select(col("pkey"), col("modified_date_us"), col("event_id")), cfg)
+      s.read.jdbc(url, "events_state", new java.util.Properties())
+        .select(col("pkey"), col("modified_date_us"), col("value"),
+          col("row_active"))
+    }),
+
     // ---- O7: multi-table routing (per-route dedup + dispatch stats) ----
     "o7_multi_table_route" -> ((s, dir) =>
       t(s, dir, "events").groupBy(col("event_type").as("target_table"))
@@ -709,6 +758,15 @@ object SparkEntry {
       "o4_stream_ingest_e2e" -> dedupState,
       "o5_merge_upsert" -> dedupState,
       "o5b_merge_shuffle" -> dedupState,
+      "o12_jdbc_upsert" -> dedupState,
+      "o12b_jdbc_soft_delete" ->
+        (s"WITH t AS (SELECT pkey, ts, event_id, value FROM ($oracleDedup) WHERE rn = 1), " +
+          "d AS (SELECT user_id AS pkey, ts, event_id, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events WHERE event_type = 'error') " +
+          "SELECT t.pkey, epoch_us(t.ts) AS modified_date_us, t.value, " +
+          "(d.pkey IS NULL OR (d.ts, d.event_id) < (t.ts, t.event_id)) AS row_active " +
+          "FROM t LEFT JOIN (SELECT * FROM d WHERE rn = 1) d ON t.pkey = d.pkey"),
       "o6_soft_delete" ->
         (s"WITH t AS (SELECT pkey, ts, event_id, value FROM ($oracleDedup) WHERE rn = 1), " +
           "d AS (SELECT user_id AS pkey, ts, event_id, " +

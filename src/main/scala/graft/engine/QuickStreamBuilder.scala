@@ -3,6 +3,7 @@ package graft.engine
 import org.apache.spark.sql.SparkSession
 
 import graft.model.{IngestConfig, IngestContract, TargetTable}
+import graft.sink.{JdbcDialect, JdbcSink, JdbcTarget}
 
 /** Fluent construction facade mirroring the reference's
   * `QuickStreamBuilder` (quick_stream `src/builder.rs:14-221`, 17 setters).
@@ -32,6 +33,8 @@ final class QuickStreamBuilder(spark: SparkSession) {
   private var catalog: Map[String, TargetTable] = Map.empty
   private var tableCol: String = IngestContract.TableCol
   private var soft: Boolean = true
+  private var jdbcTarget: Option[JdbcTarget] = None
+  private var jdbcDialect: JdbcDialect = JdbcDialect.Postgres
 
   def withName(n: String): this.type = { name = n; this }
   def withMaxConCount(n: Int): this.type = { maxConCount = Some(n); this }
@@ -47,6 +50,11 @@ final class QuickStreamBuilder(spark: SparkSession) {
   def withCheckpointDir(dir: String): this.type = { checkpointDir = Some(dir); this }
   def withPrintConnectionConfiguration(): this.type = { printConfiguration = true; this }
   def withTarget(t: TargetTable): this.type = { target = Some(t); this }
+  /** Reference `db_config` + `tls` knobs (`src/builder.rs:14-33`): the
+    * database target; TLS options travel in `JdbcTarget.properties`
+    * (`sslmode` etc., reference TLS branch `src/upsert.rs:213-244`). */
+  def withDbConfig(t: JdbcTarget): this.type = { jdbcTarget = Some(t); this }
+  def withDbDialect(d: JdbcDialect): this.type = { jdbcDialect = d; this }
   def withCatalog(c: Map[String, TargetTable]): this.type = { catalog = c; this }
   def withTableColumn(c: String): this.type = { tableCol = c; this }
   def withSoftDelete(s: Boolean): this.type = { soft = s; this }
@@ -73,6 +81,22 @@ final class QuickStreamBuilder(spark: SparkSession) {
     new UpsertStream(spark, config, requiredTarget)
   def buildDelete(): DeleteStream =
     new DeleteStream(spark, config, requiredTarget, soft)
+  /** JDBC processors — the reference's true target. Checkpoint must be
+    * explicit (a database target has no storage path to derive one from). */
+  def buildJdbcUpsert(): UpsertStream = {
+    val t = jdbcTarget.getOrElse(
+      throw new IllegalArgumentException("db_config is None"))
+    new UpsertStream(config, new JdbcSink(t, jdbcDialect),
+      checkpointDir.getOrElse(
+        throw new IllegalArgumentException("checkpoint dir is None")))
+  }
+  def buildJdbcDelete(): DeleteStream = {
+    val t = jdbcTarget.getOrElse(
+      throw new IllegalArgumentException("db_config is None"))
+    new DeleteStream(config, new JdbcSink(t, jdbcDialect),
+      checkpointDir.getOrElse(
+        throw new IllegalArgumentException("checkpoint dir is None")), soft)
+  }
   def buildMultiTableUpsert(): MultiTableUpsertStream =
     new MultiTableUpsertStream(spark, config, requiredCatalog, tableCol)
   def buildMultiTableDelete(): MultiTableDeleteStream =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
 import org.apache.spark.sql.types.StructType
 
 import graft.model.{IngestConfig, IngestContract, TargetTable}
-import graft.sink.ParquetTarget
+import graft.sink.{MergeSink, ParquetTarget}
 
 /** The four public processors of the reference, re-expressed as Structured
   * Streaming pipelines (quick_stream entry points: `UpsertQuickStream::run`
@@ -109,44 +109,51 @@ object Sources {
     rated(spark, config, schema, recordsPerFileHint).json(path)
 }
 
-/** Single-table latest-wins upsert ingestion (reference §3.1). */
+/** Single-table latest-wins upsert ingestion (reference §3.1) into any
+  * [[MergeSink]] — bucketed parquet by default, a JDBC database for true
+  * reference parity (`new UpsertStream(spark, cfg, new JdbcSink(jt), ckpt)`;
+  * JDBC sinks have no storage path, so the checkpoint seed is explicit). */
 final class UpsertStream(
-    spark: SparkSession,
     config: IngestConfig,
-    target: TargetTable) {
+    sink: MergeSink,
+    defaultCheckpoint: String) {
+
+  def this(spark: SparkSession, config: IngestConfig, target: TargetTable) =
+    this(config, new ParquetTarget(spark, target), target.path + "_ckpt")
 
   def run(source: DataFrame): StreamingQuery = runWith(source, None)
   def run(source: DataFrame, trigger: Trigger): StreamingQuery =
     runWith(source, Some(trigger))
 
-  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery = {
-    val sink = new ParquetTarget(spark, target)
-    Streams.start(source, config, target.path + "_ckpt", trigger) {
+  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery =
+    Streams.start(source, config, defaultCheckpoint, trigger) {
       (batch: Dataset[Row], _: Long) => sink.mergeUpsert(batch, config)
     }
-  }
 }
 
 /** Single-table delete ingestion; `soft = true` flips the tombstone flag
-  * (reference §3.2 "data soft deleter"), else rows are removed. */
+  * (reference §3.2 "data soft deleter"), else rows are removed. Takes any
+  * [[MergeSink]] like [[UpsertStream]]. */
 final class DeleteStream(
-    spark: SparkSession,
     config: IngestConfig,
-    target: TargetTable,
-    soft: Boolean = true) {
+    sink: MergeSink,
+    defaultCheckpoint: String,
+    soft: Boolean) {
+
+  def this(spark: SparkSession, config: IngestConfig, target: TargetTable,
+      soft: Boolean = true) =
+    this(config, new ParquetTarget(spark, target), target.path + "_del_ckpt", soft)
 
   def run(source: DataFrame): StreamingQuery = runWith(source, None)
   def run(source: DataFrame, trigger: Trigger): StreamingQuery =
     runWith(source, Some(trigger))
 
-  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery = {
-    val sink = new ParquetTarget(spark, target)
-    Streams.start(source, config, target.path + "_del_ckpt", trigger) {
+  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery =
+    Streams.start(source, config, defaultCheckpoint, trigger) {
       (batch: Dataset[Row], _: Long) =>
         if (soft) sink.mergeSoftDelete(batch, config)
         else sink.mergeHardDelete(batch, config)
     }
-  }
 }
 
 /** Multi-table fan-out (reference §3.3): records carry a routing column;

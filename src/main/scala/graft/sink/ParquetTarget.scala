@@ -56,7 +56,8 @@ import graft.ops.Dedup
   * `IngestConfig.maxWriterPartitions`, the analog of the reference's
   * DB-connection cap (`max_con_count`, quick_stream `src/builder.rs:14-33`).
   */
-final class ParquetTarget(spark: SparkSession, val table: TargetTable) {
+final class ParquetTarget(spark: SparkSession, val table: TargetTable)
+    extends MergeSink {
 
   private val root = new Path(table.path)
   private val pointer = new Path(root, "_LATEST")

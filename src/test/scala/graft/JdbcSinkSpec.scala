@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.engine.{QuickStreamBuilder, UpsertStream}
+import graft.model.IngestConfig
+import graft.ops.Dedup
+import graft.sink.{JdbcDialect, JdbcSink, JdbcTarget}
+
+/** The JDBC sink against embedded Derby — the testable stand-in for the
+  * reference's Postgres target. Semantics must equal Merge's (same guards),
+  * and the generated Postgres statement must be the reference's canonical
+  * `INSERT … ON CONFLICT (pk) DO UPDATE` shape. */
+class JdbcSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val cfg = IngestConfig(name = "jdbc-spec", maxWriterPartitions = 2)
+
+  private def freshDb(ddl: String): String = {
+    val url = s"jdbc:derby:memory:spec${System.nanoTime()};create=true"
+    val conn = DriverManager.getConnection(url)
+    try { conn.createStatement().executeUpdate(ddl); () } finally conn.close()
+    url
+  }
+
+  private def stateDdl(extra: String = "") =
+    "CREATE TABLE st (pkey BIGINT NOT NULL PRIMARY KEY, ver BIGINT, " +
+      s"seq BIGINT, payload VARCHAR(64)$extra)"
+
+  private def target(url: String) = JdbcTarget(url, "st",
+    keyCols = Seq("pkey"), versionCol = "ver", tieBreakCols = Seq("seq"))
+
+  private def readState(url: String) =
+    spark.read.jdbc(url, "st", new java.util.Properties())
+
+  test("upsert: insert, guarded update, stale skip, tie goes to incoming") {
+    val url = freshDb(stateDdl())
+    val sink = new JdbcSink(target(url))
+    sink.mergeUpsert(Seq(
+      Ev(1, 10, 1, "a0"), Ev(2, 20, 2, "b0")).toDF(), cfg)
+    sink.mergeUpsert(Seq(
+      Ev(1, 12, 3, "a1"),      // newer version -> update
+      Ev(2, 19, 4, "stale"),   // older -> skipped
+      Ev(3, 1, 5, "c0")).toDF(), cfg) // new key -> insert
+    val got = readState(url).collect()
+      .map(r => r.getAs[Long]("PKEY") -> r.getAs[String]("PAYLOAD")).toMap
+    assert(got == Map(1L -> "a1", 2L -> "b0", 3L -> "c0"))
+  }
+
+  test("upsert tie on (ver, seq): incoming wins exact ties like ON CONFLICT") {
+    val url = freshDb(stateDdl())
+    val sink = new JdbcSink(target(url))
+    sink.mergeUpsert(Seq(Ev(1, 10, 1, "old")).toDF(), cfg)
+    sink.mergeUpsert(Seq(Ev(1, 10, 1, "retry")).toDF(), cfg)
+    val got = readState(url).collect().map(_.getAs[String]("PAYLOAD")).toSeq
+    assert(got == Seq("retry"))
+  }
+
+  test("intra-batch dedup: one write per key, latest wins") {
+    val url = freshDb(stateDdl())
+    val sink = new JdbcSink(target(url))
+    val batch = Seq(
+      Ev(1, 5, 1, "x1"), Ev(1, 9, 2, "x2"), Ev(2, 3, 3, "y1"),
+      Ev(2, 2, 4, "stale"), Ev(1, 9, 6, "tie-hi"))
+    sink.mergeUpsert(batch.toDF(), cfg)
+    val expected = Dedup.latestWins(batch.toDF(), Seq("pkey"), "ver", Seq("seq"))
+      .collect().map(r => r.getAs[Long]("pkey") -> r.getAs[String]("payload")).toMap
+    val got = readState(url).collect()
+      .map(r => r.getAs[Long]("PKEY") -> r.getAs[String]("PAYLOAD")).toMap
+    assert(got == expected)
+  }
+
+  test("soft delete flips the flag only for tombstones at least as new") {
+    val url = freshDb(stateDdl(", row_active BOOLEAN DEFAULT TRUE NOT NULL"))
+    val sink = new JdbcSink(target(url))
+    sink.mergeUpsert(Seq(Ev(1, 10, 1, "a"), Ev(2, 20, 2, "b")).toDF(), cfg)
+    sink.mergeSoftDelete(Seq(
+      (1L, 10L, 1L),  // equal ordering -> deletes
+      (2L, 19L, 9L)   // stale tombstone -> must NOT delete
+    ).toDF("pkey", "ver", "seq"), cfg)
+    val got = readState(url).collect()
+      .map(r => r.getAs[Long]("PKEY") -> r.getAs[Boolean]("ROW_ACTIVE")).toMap
+    assert(got == Map(1L -> false, 2L -> true))
+  }
+
+  test("hard delete removes only rows with a tombstone at least as new") {
+    val url = freshDb(stateDdl())
+    val sink = new JdbcSink(target(url))
+    sink.mergeUpsert(Seq(Ev(1, 10, 1, "a"), Ev(2, 20, 2, "b")).toDF(), cfg)
+    sink.mergeHardDelete(Seq(
+      (1L, 11L, 1L), (2L, 19L, 9L)).toDF("pkey", "ver", "seq"), cfg)
+    val got = readState(url).collect().map(_.getAs[Long]("PKEY")).toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("Postgres dialect emits the canonical guarded ON CONFLICT statement") {
+    val phases = JdbcDialect.Postgres.upsertPhases(
+      target("jdbc:postgresql://example/db"),
+      Seq("pkey", "ver", "seq", "payload"))
+    assert(phases.map(_.sql) == Seq(
+      "INSERT INTO st (pkey, ver, seq, payload) VALUES (?, ?, ?, ?) " +
+        "ON CONFLICT (pkey) DO UPDATE SET ver = EXCLUDED.ver, " +
+        "seq = EXCLUDED.seq, payload = EXCLUDED.payload " +
+        "WHERE (st.ver < EXCLUDED.ver OR (st.ver = EXCLUDED.ver AND " +
+        "st.seq <= EXCLUDED.seq))"))
+    assert(phases.head.binds == Seq("pkey", "ver", "seq", "payload"))
+  }
+
+  test("UpsertStream drives micro-batches into the JDBC sink end-to-end") {
+    implicit val sql = spark.sqlContext
+    val url = freshDb(stateDdl())
+    val events = MemoryStream[Ev]
+    val ckpt = Files.createTempDirectory("graft_jdbc_ckpt_").toString
+    val q = new QuickStreamBuilder(spark)
+      .withName(s"jdbc-e2e-${System.nanoTime()}")
+      .withMaxConCount(2)
+      .withMaxRecordsPerCycleBatch(1000)
+      .withCheckpointDir(ckpt)
+      .withDbConfig(target(url))
+      .withDbDialect(JdbcDialect.Derby)
+      .buildJdbcUpsert()
+      .run(events.toDF())
+    events.addData(Ev(1, 10, 1, "a0"), Ev(2, 20, 2, "b0"), Ev(1, 12, 3, "a1"))
+    q.processAllAvailable()
+    events.addData(Ev(1, 11, 4, "late-stale"), Ev(2, 25, 5, "b1"), Ev(3, 1, 6, "c0"))
+    q.processAllAvailable()
+    q.stop()
+    val got = readState(url).collect()
+      .map(r => r.getAs[Long]("PKEY") -> r.getAs[String]("PAYLOAD")).toMap
+    assert(got == Map(1L -> "a1", 2L -> "b1", 3L -> "c0"))
+  }
+
+  test("probe fails fast on an unreachable database") {
+    val sink = new JdbcSink(JdbcTarget("jdbc:derby:memory:absent_db",
+      "st", keyCols = Seq("pkey"), versionCol = "ver"))
+    intercept[java.sql.SQLException] { sink.probe() }
+  }
+}
