@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = graft.engine.GraftSession.local("graft-bench", cpus.toInt)
     // Warm JVM/codegen/parquet paths so the first timed query isn't
     // charged for session startup. Best-effort only — a missing warmup
@@ -12,17 +13,29 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // n>=3 runs, median per query: single-run numbers at these scales mix
+    // in GC/compilation noise that reads as phantom regressions. Reps
+    // iterate outermost so rep k of every query sees an equally-warm JVM.
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // A failed query must read as a failure (-1), not as a fast timing.
       val ok = try { fn(spark, sfDir).count(); true }
       catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      samples(name) = t :: samples(name)
     }
+    def median(xs: List[Double]): Double =
+      if (xs.contains(-1.0)) -1.0
+      else xs.sorted.apply(xs.size / 2)
+    val results = names.map(n => n -> median(samples(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
