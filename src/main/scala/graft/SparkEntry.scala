@@ -503,6 +503,18 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10, nCentroids = 8)),
 
+    // ---- Recall knobs: multi-probe LSH (own + 2 Hamming-1 buckets) ----
+    "ann_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.lshTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, dim = 64, planes = 4, probes = 3)),
+
+    // ---- Recall knobs: IVF with nprobe=2 cells per query ----
+    "ann_ivf_nprobe" -> ((s, dir) =>
+      Similarity.ivfTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, nCentroids = 8, nprobe = 2)),
+
     // ---- LLM pipeline: heuristic language ID ----
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
@@ -638,6 +650,42 @@ object SparkEntry {
         "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"
 
+    val lshMultiprobe =
+      s"$embNorm, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket " +
+        "FROM n WHERE vec_id < 10), " +
+        "qp AS (SELECT query_id, qv, qn, " +
+        "unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2)]) AS pb FROM q), " +
+        s"p AS (SELECT q.query_id, n.vec_id, ${OracleSql.dot("n.v", "q.qv")} / (n.nrm * q.qn) AS cos " +
+        "FROM n JOIN qp q ON n.bucket = q.pb AND n.vec_id <> q.query_id) " +
+        "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"
+
+    val ivfNprobe = {
+      val dotVC = OracleSql.dot("n.v", "c.cv")
+      val dotQC = OracleSql.dot("q.qv", "c.cv")
+      val dotSQ = OracleSql.dot("s.v", "q.qv")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"n AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) AS nrm FROM e), " +
+        "c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8), " +
+        s"a AS (SELECT n.vec_id, n.v, n.nrm, c.cid, $dotVC / (n.nrm * c.cnrm) AS cos " +
+        "FROM n CROSS JOIN c), " +
+        "cell AS (SELECT vec_id, v, nrm, cid AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cos DESC, cid ASC) AS rn FROM a) WHERE rn = 1), " +
+        "q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn " +
+        "FROM cell WHERE vec_id < 10), " +
+        s"qc AS (SELECT q.query_id, q.qv, q.qn, c.cid, row_number() OVER " +
+        s"(PARTITION BY q.query_id ORDER BY $dotQC / (q.qn * c.cnrm) DESC, c.cid ASC) AS rn " +
+        "FROM q0 q CROSS JOIN c), " +
+        "qp AS (SELECT query_id, qv, qn, cid AS qcell FROM qc WHERE rn <= 2), " +
+        s"p AS (SELECT q.query_id, s.vec_id, $dotSQ / (s.nrm * q.qn) AS cos " +
+        "FROM cell s JOIN qp q ON s.cell = q.qcell AND s.vec_id <> q.query_id) " +
+        "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"
+    }
+
     val ivfTopK = {
       val dotVC = OracleSql.dot("n.v", "c.cv")
       val dotSQ = OracleSql.dot("s.v", "q.qv")
@@ -730,6 +778,8 @@ object SparkEntry {
       "dedup_embedding_cosine" -> cosineNearDup,
       "ann_lsh_topk" -> lshTopK,
       "ann_ivf_topk" -> ivfTopK,
+      "ann_lsh_multiprobe" -> lshMultiprobe,
+      "ann_ivf_nprobe" -> ivfNprobe,
       "text_langid" -> langIdSql,
       "text_token_classes" -> tokenClassesSql,
       "text_fingerprint" -> fingerprintSql,

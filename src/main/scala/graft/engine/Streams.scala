@@ -107,6 +107,41 @@ object Sources {
       path: String,
       recordsPerFileHint: Long = 100000L): DataFrame =
     rated(spark, config, schema, recordsPerFileHint).json(path)
+
+  /** Kafka source with the per-record admission bound applied DIRECTLY:
+    * `maxOffsetsPerTrigger = maxRecordsPerTrigger` (offsets are records,
+    * so no per-file hint is needed). This is the closest analog of the
+    * reference's bounded mpsc channel (`src/lib.rs:158`,
+    * `src/upsert.rs:313`): an unbounded ordered queue the engine drains
+    * at most `maxRecordsPerTrigger` per micro-batch, with backpressure
+    * for free (the next admission waits for the merge to finish).
+    * Requires the spark-sql-kafka connector on the classpath; options
+    * (auth, TLS) pass through `extraOptions`. */
+  def kafka(
+      spark: SparkSession,
+      config: IngestConfig,
+      bootstrapServers: String,
+      subscribe: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", subscribe)
+      .option("maxOffsetsPerTrigger", config.maxRecordsPerTrigger.toString)
+    extraOptions.foreach { case (k, v) => r.option(k, v) }
+    r.load()
+  }
+
+  /** Built-in offset-based source that admits EXACTLY
+    * `maxRecordsPerTrigger` rows per micro-batch — the in-process,
+    * deterministic stand-in for [[kafka]]'s `maxOffsetsPerTrigger`
+    * (same admission-control contract, testable without a broker).
+    * Emits (timestamp, value) rows; value is a monotone Long offset. */
+  def rateMicroBatch(spark: SparkSession, config: IngestConfig): DataFrame =
+    spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", config.maxRecordsPerTrigger.toString)
+      .load()
 }
 
 /** Single-table latest-wins upsert ingestion (reference §3.1) into any

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -63,6 +62,22 @@ object Similarity {
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Rank candidate (query_id, neighbor, cos) rows to per-query top-k via
+    * the engine's bounded TopK Aggregator: per-group state is k rows,
+    * partially aggregated map-side, so shuffle volume is O(queries × k) —
+    * a row_number window would shuffle AND sort every candidate row.
+    * Ordering (cos DESC, id ASC) matches the Aggregator's (value DESC,
+    * id ASC), keeping ranks bit-identical to the window form. */
+  private def rankTopK(pairs: DataFrame, idCol: String, cos: Column, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.TopK(k))
+    pairs
+      .groupBy(col("query_id"))
+      .agg(topk(cos, col(idCol)).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("pos", "row")))
+      .select(col("query_id"), col("row.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (from `queryPred`),
     * the k nearest others by cosine. Query side is broadcast. */
   def bruteForceTopK(
@@ -74,33 +89,38 @@ object Similarity {
       col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pairs = n.join(broadcast(q), col(idCol) =!= col("query_id"))
     val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
-    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col(idCol).asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        col("rank").cast("long").as("rank"))
+    rankTopK(pairs, idCol, cos, k)
   }
 
   /** LSH-bucketed top-k: identical ranking, but candidates are restricted
-    * to the query's hyperplane bucket — the scale path. Recall < 1 by
-    * design; raise `planes` ↓bucket size, or probe neighboring buckets. */
+    * to the query's hyperplane bucket(s) — the scale path. Recall < 1 by
+    * design; raise `planes` ↓bucket size, raise `probes` ↑recall.
+    *
+    * `probes` is the multi-probe knob: each query examines its own bucket
+    * plus `probes - 1` Hamming-1 neighbors (bit j flipped, ascending j) —
+    * cost scales linearly in probes ON THE QUERY SIDE ONLY (the corpus is
+    * neither re-hashed nor re-shuffled; the broadcast query set just
+    * carries `probes` bucket keys per query). */
   def lshTopK(
       emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, dim: Int, planes: Int): DataFrame = {
+      queryPred: Column, k: Int, dim: Int, planes: Int,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes must be in [1, planes + 1], got $probes")
     val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
     val n = e.withColumn("nrm", norm(col("v")))
       .withColumn("bucket", hyperplaneBucket(col("v"), dim, planes))
     val q = n.filter(queryPred).select(
       col(idCol).as("query_id"), col("v").as("qv"),
-      col("nrm").as("qn"), col("bucket").as("qbucket"))
+      col("nrm").as("qn"),
+      explode(array((0 until probes).map {
+        case 0 => col("bucket")
+        case i => col("bucket").bitwiseXOR(lit(1L << (i - 1)))
+      }: _*)).as("qbucket"))
     val pairs = n.join(broadcast(q),
       col("bucket") === col("qbucket") && col(idCol) =!= col("query_id"))
     val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
-    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col(idCol).asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        col("rank").cast("long").as("rank"))
+    rankTopK(pairs, idCol, cos, k)
   }
 
   /** IVF (inverted-file) cell assignment: every vector joins the cell of
@@ -140,24 +160,44 @@ object Similarity {
       .select(col(idCol), col("v"), col("nrm"), best.getField("cid").as("cell"))
   }
 
-  /** IVF top-k: rank candidates within the query's cell only — the
-    * learned-partitioning sibling of lshTopK (recall < 1 by design; raise
-    * nprobe by unioning neighboring cells in production). */
+  /** IVF top-k: rank candidates within the query's `nprobe` closest cells —
+    * the learned-partitioning sibling of lshTopK. `nprobe = 1` searches
+    * each query's own cell (zero extra work: the cell is already assigned
+    * row-locally); `nprobe > 1` ranks ALL centroids per query and probes
+    * the top n — that ranking is a queries × nCentroids problem on the
+    * (small, broadcast) query side only, so recall is bought without
+    * touching the corpus layout. */
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, nCentroids: Int): DataFrame = {
+      queryPred: Column, k: Int, nCentroids: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCentroids,
+      s"nprobe must be in [1, nCentroids], got $nprobe")
     val cells = ivfCells(emb, idCol, vecCol, nCentroids)
-    val q = cells.filter(queryPred).select(
-      col(idCol).as("query_id"), col("v").as("qv"),
-      col("nrm").as("qn"), col("cell").as("qcell"))
+    val q =
+      if (nprobe == 1)
+        cells.filter(queryPred).select(
+          col(idCol).as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell").as("qcell"))
+      else {
+        val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+          .withColumn("nrm", norm(col("v")))
+        val cents = e.filter(col(idCol) < nCentroids).select(
+          col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+        val qXc = cells.filter(queryPred)
+          .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+          .join(broadcast(cents))
+        val qcos = dot(col("qv"), col("cv")) / (col("qn") * col("cnrm"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(qcos.desc, col("cid").asc)
+        qXc.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= nprobe)
+          .select(col("query_id"), col("qv"), col("qn"), col("cid").as("qcell"))
+      }
     val pairs = cells.join(broadcast(q),
       col("cell") === col("qcell") && col(idCol) =!= col("query_id"))
     val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
-    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col(idCol).asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"),
-        col("rank").cast("long").as("rank"))
+    rankTopK(pairs, idCol, cos, k)
   }
 
   /** Embedding near-duplicate pairs: same-bucket candidates verified by

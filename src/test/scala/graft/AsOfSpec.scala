@@ -36,7 +36,7 @@ class AsOfSpec extends SparkSpec {
       (1L, 10L, Option("r10")),
       (1L, 20L, Option.empty[String])).toDF("k", "rt", "rv")
     val left = Seq((1L, 25L, "probe")).toDF("k", "lt", "tag")
-    val row = AsOf.joinAsOf(left, r, Seq("k"), "lt", "rt", Seq("rt", "rv")).head
+    val row = AsOf.joinAsOf(left, r, Seq("k"), "lt", "rt", Seq("rt", "rv")).head()
     assert(row.getAs[java.lang.Long]("asof_rt") == 20L)
     assert(row.getAs[String]("asof_rv") == null)
   }
@@ -59,7 +59,7 @@ class AsOfSpec extends SparkSpec {
       .toDF("k", "rt", "seq", "rv")
     val left = Seq((1L, 25L, "probe")).toDF("k", "lt", "tag")
     val row = AsOf.joinAsOf(left, r, Seq("k"), "lt", "rt", Seq("rv"),
-      rightTieBreakCols = Seq("seq")).head
+      rightTieBreakCols = Seq("seq")).head()
     assert(row.getAs[String]("asof_rv") == "high") // greatest tie tuple wins
   }
 

@@ -43,7 +43,7 @@ class ExtensionsSpec extends SparkSpec {
       .createOrReplaceTempView("vec_ext")
     val r = spark.sql(
       "SELECT graft_dot(v, v) AS d, graft_hyperplane_bucket(v, 4, 3) AS b " +
-        "FROM vec_ext").head
+        "FROM vec_ext").head()
     assert(r.getDouble(0) == 30.0)
     assert(r.getLong(1) >= 0 && r.getLong(1) < 8)
   }

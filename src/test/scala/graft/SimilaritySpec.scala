@@ -19,7 +19,7 @@ class SimilaritySpec extends SparkSpec {
       .select(
         Similarity.dot(col("embedding"), col("embedding")).as("d"),
         Similarity.norm(col("embedding")).as("n"))
-    val r = df.head
+    val r = df.head()
     assert(r.getDouble(0) == 14.0)
     assert(r.getDouble(1) == math.sqrt(14.0))
   }
@@ -97,6 +97,40 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, neighbors) =>
       assert(brute(q).filter(neighbors.contains) == neighbors)
     }
+  }
+
+  /** Recall vs brute force: fraction of exact top-k found, averaged. */
+  private def recall(
+      approx: Map[Long, Seq[Long]], exact: Map[Long, Seq[Long]], k: Int): Double = {
+    val per = exact.map { case (q, top) =>
+      val gold = top.take(k).toSet
+      approx.getOrElse(q, Nil).count(gold).toDouble / gold.size
+    }
+    per.sum / per.size
+  }
+
+  private def topMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, a) => q -> a.sortBy(_._3).map(_._2).toSeq }
+
+  test("multi-probe LSH and nprobe IVF monotonically improve recall") {
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0))))
+    val df = emb(vecs: _*)
+    val pred = col("vec_id") < 8
+    val k = 10
+    val exact = topMap(Similarity.bruteForceTopK(df, "vec_id", "embedding", pred, k))
+    def lshRecall(p: Int) = recall(topMap(Similarity.lshTopK(
+      df, "vec_id", "embedding", pred, k, dim = 8, planes = 3, probes = p)), exact, k)
+    def ivfRecall(np: Int) = recall(topMap(Similarity.ivfTopK(
+      df, "vec_id", "embedding", pred, k, nCentroids = 6, nprobe = np)), exact, k)
+    val (l1, l4) = (lshRecall(1), lshRecall(4))
+    val (i1, i3) = (ivfRecall(1), ivfRecall(3))
+    assert(l4 >= l1, s"multi-probe must not lose recall: $l4 < $l1")
+    assert(i3 >= i1, s"nprobe must not lose recall: $i3 < $i1")
+    // and on this seeded corpus the knobs actually BUY recall
+    assert(l4 > l1, s"probes=4 should find more than probes=1 (got $l1 -> $l4)")
+    assert(i3 > i1, s"nprobe=3 should find more than nprobe=1 (got $i1 -> $i3)")
   }
 
   test("cosineNearDupPairs finds a planted duplicate pair") {

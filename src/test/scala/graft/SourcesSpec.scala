@@ -1,0 +1,48 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.Sources
+import graft.model.IngestConfig
+
+/** Admission-control contract of the offset-based sources: every
+  * micro-batch admits at most (here: exactly) `maxRecordsPerTrigger`
+  * rows — the reference's bounded-channel backpressure (quick_stream
+  * `src/upsert.rs:313`) expressed as source rate limiting. */
+class SourcesSpec extends SparkSpec {
+
+  test("rate-micro-batch source admits exactly maxRecordsPerTrigger per batch") {
+    val cfg = IngestConfig(name = s"src-rate-${System.nanoTime()}",
+      maxRecordsPerTrigger = 37L)
+    val sizes = TrieMap.empty[Long, Long]
+    val q = Sources.rateMicroBatch(spark, cfg)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(10))
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sizes.put(id, b.count()); ()
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (sizes.size < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally q.stop()
+    assert(sizes.size >= 3, s"expected >=3 micro-batches, got ${sizes.size}")
+    assert(sizes.values.forall(_ == 37L),
+      s"every batch must admit exactly the bound; got $sizes")
+  }
+
+  test("kafka constructor reaches Spark's provider resolution (no jar here)") {
+    val cfg = IngestConfig(name = "src-kafka", maxRecordsPerTrigger = 100L)
+    val e = intercept[Exception] {
+      Sources.kafka(spark, cfg, "localhost:9092", "events")
+    }
+    // In this sandbox the connector jar is absent; the failure must be the
+    // missing-provider error (i.e. our option wiring got as far as data
+    // source lookup), not an option/validation error.
+    assert(e.getMessage.toLowerCase.contains("kafka"))
+  }
+}

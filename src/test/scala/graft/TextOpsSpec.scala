@@ -18,14 +18,14 @@ class TextOpsSpec extends SparkSpec {
   test("wordHash matches the reference polynomial fold") {
     val df = Seq("ab").toDF("w").select(TextHash.wordHash(col("w")).as("h"))
     // ((7*31 + 'a')*31 + 'b') % P = (217+97)=314; 314*31+98 = 9832
-    assert(df.head.getLong(0) == 9832L)
+    assert(df.head().getLong(0) == 9832L)
     assert(refWordHash("ab") == 9832L)
   }
 
   test("wordHashes tokenizes on whitespace, drops empties, keeps order") {
     val df = Seq("  foo  bar ").toDF("t")
       .select(TextHash.wordHashes(col("t")).as("wh"))
-    assert(df.head.getSeq[Long](0) == Seq(refWordHash("foo"), refWordHash("bar")))
+    assert(df.head().getSeq[Long](0) == Seq(refWordHash("foo"), refWordHash("bar")))
   }
 
   test("shingleHashes: n-gram fold, short docs yield empty") {
@@ -45,7 +45,7 @@ class TextOpsSpec extends SparkSpec {
     // invariance check: duplicated doc repeats its shingles; distinct set equal
     val sigOf = (df: org.apache.spark.sql.DataFrame) =>
       NearDup.minhashSignatures(df.withColumn("id", lit(1L)), "id", "t", m = 4, n = 3)
-        .drop("id").head.toSeq
+        .drop("id").head().toSeq
     val rep = Seq("x y z w x y z w").toDF("t") // shingles repeat {xyz,yzw,zwx,wxy...}
     assert(sigOf(a) != null && sigOf(rep) != null) // smoke: computed
     // direct invariance: same text twice in different whitespace
@@ -104,7 +104,7 @@ class TextOpsSpec extends SparkSpec {
 
   test("tokenClasses counts alpha runs, digits, punctuation") {
     val docs = Seq((1L, "ab cd 12, 3!")).toDF("doc_id", "text")
-    val r = TextAnalysis.tokenClasses(docs, "doc_id", "text").head
+    val r = TextAnalysis.tokenClasses(docs, "doc_id", "text").head()
     assert(r.getLong(1) == 2L) // ab, cd
     assert(r.getLong(2) == 3L) // 1 2 3
     assert(r.getLong(3) == 2L) // , !
