@@ -227,10 +227,14 @@ object SparkEntry {
         col("event_id"), col("user_id"), expr("ts div 1000").as("err_us"))
       val purchases = ev.filter(col("event_type") === "purchase").select(
         col("user_id"), expr("ts div 1000").as("purchase_us"),
-        col("value").as("purchase_value"))
+        col("value").as("purchase_value"), col("event_id"))
+      // event_id tie-break: two purchases sharing (user_id, purchase_us)
+      // must resolve deterministically on both engines, or the hash gate
+      // flakes the day the generator emits such a collision.
       graft.ops.AsOf.joinAsOf(errors, purchases,
         Seq("user_id"), "err_us", "purchase_us",
-        Seq("purchase_us", "purchase_value"))
+        Seq("purchase_us", "purchase_value"),
+        rightTieBreakCols = Seq("event_id"))
         .select(col("event_id"), col("user_id"), col("err_us"),
           col("asof_purchase_us").as("purchase_us"),
           col("asof_purchase_value").as("purchase_value"))
@@ -729,11 +733,14 @@ object SparkEntry {
         "SELECT doc_id, n_alpha_tokens, n_digit_tokens, n_punct_tokens, " +
         "n_alpha_tokens + n_digit_tokens + n_punct_tokens AS n_bpe_tokens FROM c"
 
+    // Position domain is derived from the data (max shingle count), not a
+    // hard-coded bound a long doc could silently overflow at larger SFs.
     val shinglesExplode =
       s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents WHERE doc_id % 25 = 0), " +
         s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base) " +
         "SELECT doc_id, CAST(g.i AS BIGINT) AS pos, sh[g.i + 1] AS shingle " +
-        "FROM sh_t CROSS JOIN (SELECT unnest(range(10000)) AS i) g " +
+        "FROM sh_t CROSS JOIN (SELECT unnest(range(" +
+        "(SELECT coalesce(max(len(sh)), 0) FROM sh_t))) AS i) g " +
         "WHERE g.i < len(sh)"
 
     val fingerprintSql =
@@ -833,11 +840,17 @@ object SparkEntry {
           "SELECT t.pkey, epoch_us(t.ts) AS modified_date_us, t.value " +
           "FROM t LEFT JOIN d ON t.pkey = d.pkey " +
           "WHERE d.pkey IS NULL OR (d.ts, d.event_id) < (t.ts, t.event_id)"),
+      // The right side is deduped to the max-event_id row per (user_id, ts)
+      // BEFORE the ASOF join — mirrors rightTieBreakCols = event_id on the
+      // Spark side (DuckDB's ASOF picks an arbitrary row on ts ties).
       "q_asof_join" ->
         ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS err_us, " +
           "epoch_us(r.ts) AS purchase_us, r.value AS purchase_value " +
           "FROM (SELECT * FROM events WHERE event_type = 'error') l " +
-          "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r " +
+          "ASOF LEFT JOIN (SELECT user_id, ts, value FROM " +
+          "(SELECT user_id, ts, event_id, value, row_number() OVER " +
+          "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+          "FROM events WHERE event_type = 'purchase') WHERE rn = 1) r " +
           "ON l.user_id = r.user_id AND l.ts >= r.ts"),
       "q_percentiles" ->
         ("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +

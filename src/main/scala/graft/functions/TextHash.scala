@@ -73,7 +73,11 @@ object TextHash {
     filter(split(text, "\\s+"), w => length(w) > 0)
 
   /** Polynomial rolling hash of one token: fold a = (a*31 + codepoint) % P
-    * over its characters, seed 7. (ASCII: codepoint == byte.) */
+    * over its characters, seed 7. Code-point semantics match the native
+    * kernel (NativeKernels folds codePointAt) on ALL of Unicode, astral
+    * planes included: Java's regex split("") never splits a surrogate
+    * pair and `ascii` returns the full code point — NativeExprSpec
+    * asserts bit-equality on emoji/CJK-extension inputs. */
   def wordHash(w: Column): Column =
     aggregate(
       filter(split(w, ""), c => length(c) > 0),

@@ -50,6 +50,13 @@ import graft.ops.Dedup
   * buckets once, keeping every referenced file on one uniform schema so
   * multi-dir reads never depend on parquet schema merging.
   *
+  * Concurrency contract: SINGLE WRITER per target. Commits take a
+  * create-exclusive `_LOCK` lease, so a second concurrent stream fails
+  * loud instead of silently clobbering a committed merge (see
+  * `withCommitLock`); route upserts and deletes for one target through
+  * one stream. Readers need no lock (manifests are immutable once
+  * published).
+  *
   * On object stores a transactional table format (v2 `MERGE INTO` target)
   * is the production path; the bucket-pruned merge planning here carries
   * over unchanged. Writer parallelism is bounded by
@@ -62,6 +69,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
   private val root = new Path(table.path)
   private val pointer = new Path(root, "_LATEST")
   private val pointerTmp = new Path(root, "_LATEST.tmp")
+  private val lockPath = new Path(root, "_LOCK")
   private val BucketCol = "__graft_bucket"
 
   private def fs: FileSystem =
@@ -244,12 +252,55 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
     try f(cached) finally { cached.unpersist(); () }
   }
 
+  /** Single-writer lease: the manifest protocol assumes one writer per
+    * target (two concurrent streams could both read version N and publish
+    * competing N+1 manifests, silently losing one committed merge — the
+    * Postgres reference gets this from DB transactions). A create-exclusive
+    * `_LOCK` file makes contention fail LOUD instead. A crash inside
+    * commit leaves a stale lease; recovery is explicit via [[breakLock]]
+    * after confirming no writer is alive — never automatic, because
+    * auto-expiry would re-open the silent-clobber window. */
+  private def withCommitLock[A](f: => A): A = {
+    val out =
+      try fs.create(lockPath, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"cannot acquire writer lease $lockPath for target ${table.name}: " +
+            "ParquetTarget is single-writer (route upserts and deletes " +
+            "through one stream); if the previous writer crashed mid-commit, " +
+            "call breakLock() after confirming it is dead", e)
+      }
+    out.close()
+    try f finally { fs.delete(lockPath, false); () }
+  }
+
+  /** Remove a stale writer lease left by a crash (see [[withCommitLock]]). */
+  def breakLock(): Unit = { fs.delete(lockPath, false); () }
+
+  /** Explicit schema migration: applies `transform` to the full current
+    * snapshot and rewrites EVERY bucket in one commit, keeping the
+    * uniform-snapshot-schema invariant (all referenced files share one
+    * schema). This is the deliberate path for widening/adding/dropping
+    * payload columns — implicit widening on merge stays rejected
+    * (Merge.conform fails loud) so a misconfigured upstream can't mutate
+    * the table by accident. Merge-contract columns (keys + ordering) must
+    * survive the transform. No-op on an empty/absent target. */
+  def migrate(config: IngestConfig)(transform: DataFrame => DataFrame): Unit =
+    current().filter(_.nonEmpty).foreach { m =>
+      val out = transform(readDirs(m.values.toSeq.distinct))
+      val missing =
+        (table.keyCols ++ table.orderingCols).diff(out.columns.toSeq)
+      require(missing.isEmpty,
+        s"migration dropped merge-contract columns: ${missing.mkString(", ")}")
+      commit(out, Map.empty, config)
+    }
+
   /** Write `df`'s buckets under the next delta dir, publish a manifest of
     * (carried-over ++ rewritten) buckets, repoint `_LATEST`, GC. The data
     * fully materializes before any existing state is referenced or
     * touched (we may be reading dirs we're superseding). */
   private def commit(
-      df: DataFrame, carryOver: Map[Int, String], config: IngestConfig): Unit = {
+      df: DataFrame, carryOver: Map[Int, String], config: IngestConfig): Unit = withCommitLock {
     val next = currentVersion().getOrElse(0L) + 1L
     val delta = deltaName(next)
     val deltaPath = new Path(root, delta)

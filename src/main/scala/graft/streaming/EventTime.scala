@@ -44,9 +44,16 @@ object EventTime {
 /** Streams an UPDATE-mode aggregation into a merge target: each micro-batch
   * emits the aggregates that changed, and the sink upserts them by key with
   * a monotone version column (e.g. the event count — it only grows within a
-  * key), so the final target equals the batch answer no matter how the
-  * stream was micro-batched, and replays are idempotent. This composes the
-  * engine's two halves: stateful streaming aggregation + latest-wins merge. */
+  * key), making replays idempotent. This composes the engine's two halves:
+  * stateful streaming aggregation + latest-wins merge.
+  *
+  * Convergence caveat: with a watermark, the merged target equals the batch
+  * answer ONLY while event-time disorder across micro-batches stays within
+  * the watermark — rows arriving later than (max event time - watermark)
+  * are dropped from the aggregation state and their contribution never
+  * reaches the target. Single-batch sources (e.g. AvailableNow over one
+  * file, as in the s1 driver gate) trivially satisfy this; a production
+  * stream must size the watermark to its real disorder bound. */
 final class AggUpsertStream(
     spark: SparkSession,
     config: IngestConfig,

@@ -147,4 +147,66 @@ class BucketedTargetSpec extends SparkSpec {
     val v3 = bucketVersions(t)
     assert(v3.values.count(_ == "d0000000003") == 1)
   }
+
+  test("explicit migrate widens a column and adds one; merges then accept the new schema") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (sink, t) = mk(buckets = 4)
+    sink.mergeUpsert((0L until 16L).map(k => (k, 1L, k, k.toInt)).toDF
+      ("pkey", "ver", "seq", "amount"), cfg)
+    // widening batch rejected while the target is un-migrated
+    val widened = Seq((1L, 2L, 50L, 1.5, "eu"))
+      .toDF("pkey", "ver", "seq", "amount", "region")
+    val err = intercept[IllegalArgumentException] {
+      sink.mergeUpsert(widened, cfg)
+    }
+    assert(err.getMessage.contains("migrate"))
+
+    // the deliberate path: widen amount int->double, add region
+    sink.migrate(cfg) { df =>
+      df.withColumn("amount", col("amount").cast("double"))
+        .withColumn("region", lit("us"))
+    }
+    // one uniform snapshot: every bucket rewritten in one commit
+    assert(bucketVersions(t).values.toSet.size == 1)
+    val schema = sink.read().get.schema
+    assert(schema("amount").dataType.typeName == "double")
+    assert(schema("region").dataType.typeName == "string")
+
+    // and the previously-rejected batch now merges
+    sink.mergeUpsert(widened, cfg)
+    val got = sink.read().get.collect()
+      .map(r => r.getAs[Long]("pkey") ->
+        ((r.getAs[Double]("amount"), r.getAs[String]("region")))).toMap
+    assert(got(1L) == ((1.5, "eu")))
+    assert(got(2L) == ((2.0, "us")))
+  }
+
+  test("migrate refuses to drop merge-contract columns") {
+    val (sink, _) = mk(buckets = 2)
+    sink.mergeUpsert(Seq((1L, 1L, 1L, "p")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    val err = intercept[IllegalArgumentException] {
+      sink.migrate(cfg)(_.drop("seq"))
+    }
+    assert(err.getMessage.contains("seq"))
+  }
+
+  test("commit takes a single-writer lease: contention fails loud, breakLock recovers") {
+    val (sink, t) = mk(buckets = 2)
+    sink.mergeUpsert(Seq((1L, 1L, 1L, "p")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    // simulate a concurrent (or crashed) writer holding the lease
+    val root = new Path(t.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(root, "_LOCK"), false).close()
+    val err = intercept[IllegalStateException] {
+      sink.mergeUpsert(Seq((2L, 1L, 1L, "q")).toDF
+        ("pkey", "ver", "seq", "payload"), cfg)
+    }
+    assert(err.getMessage.contains("single-writer"))
+    sink.breakLock()
+    sink.mergeUpsert(Seq((2L, 1L, 1L, "q")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    assert(sink.read().get.count() == 2)
+  }
 }

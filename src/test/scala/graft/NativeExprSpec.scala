@@ -21,7 +21,9 @@ class NativeExprSpec extends SparkSpec {
     "",
     "a b",
     "repeat repeat repeat repeat",
-    "punct-u@tion, digits 123 mixed t0k3ns!")
+    "punct-u@tion, digits 123 mixed t0k3ns!",
+    "unicode café 中文 words",
+    "astral 😀 emoji 🚀🍕 and 𤭢 cjk-ext")
 
   test("native wordHashes == HOF wordHashes on edge cases") {
     val df = tricky.toDF("t").select(
