@@ -476,6 +476,20 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
     }),
 
+    // ---- LLM pipeline: duplicate CLUSTERS (connected components over
+    //      LSH candidate pairs; canon_id = min doc in the component) ----
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = NearDup.lshCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3, r = 2)
+      graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("canon_id"))
+    }),
+
+    // ---- LLM pipeline: deterministic train/val/test split ----
+    "q_train_split" -> ((s, dir) =>
+      graft.ops.Sampling.assignSplits(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")),
+
     // ---- LLM pipeline: SimHash fingerprints ----
     "dedup_simhash" -> ((s, dir) =>
       NearDup.simhashFingerprints(
@@ -710,6 +724,34 @@ object SparkEntry {
         "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"
     }
 
+    // Components oracle: transitive min-reachability via a recursive CTE
+    // over the SAME candidate pairs the Spark side clusters. The fixpoint
+    // (min reachable id per vertex) is iteration-order independent, so
+    // propagation (Spark) and closure (DuckDB) agree exactly.
+    val clustersSql = {
+      val sigCols = (0 until 8).map(j =>
+        s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
+      s"WITH RECURSIVE base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
+        s"sig AS (SELECT doc_id, $sigCols FROM sh_t), " +
+        s"banded AS (${OracleSql.lshBanded("doc_id", 8, 2)}), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM cand " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM cand), " +
+        "reach(id, r) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) " +
+        "SELECT id AS doc_id, min(r) AS canon_id FROM reach GROUP BY id"
+    }
+
+    val trainSplitSql = {
+      val bucket = s"((doc_id * ${TextHash.permuteA(0)} + " +
+        s"${TextHash.permuteB(0)}) % ${TextHash.P}) % 100"
+      s"SELECT doc_id, lang, CASE WHEN $bucket < 80 THEN 'train' " +
+        s"WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split FROM documents"
+    }
+
     val langIdSql = {
       val scoreCols = LangProfiles.map { case (lang, re) =>
         s"len(regexp_extract_all(text, '$re')) AS score_$lang"
@@ -780,6 +822,8 @@ object SparkEntry {
       "q_topk_agg" -> topkAggSql,
       "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
+      "dedup_clusters" -> clustersSql,
+      "q_train_split" -> trainSplitSql,
       "dedup_simhash" -> simhashSql,
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_embedding_cosine" -> cosineNearDup,

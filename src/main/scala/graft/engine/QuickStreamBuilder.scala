@@ -34,6 +34,7 @@ final class QuickStreamBuilder(spark: SparkSession) {
   private var tableCol: String = IngestContract.TableCol
   private var soft: Boolean = true
   private var jdbcTarget: Option[JdbcTarget] = None
+  private var jdbcCatalog: Map[String, JdbcTarget] = Map.empty
   private var jdbcDialect: JdbcDialect = JdbcDialect.Postgres
 
   def withName(n: String): this.type = { name = n; this }
@@ -55,6 +56,9 @@ final class QuickStreamBuilder(spark: SparkSession) {
     * (`sslmode` etc., reference TLS branch `src/upsert.rs:213-244`). */
   def withDbConfig(t: JdbcTarget): this.type = { jdbcTarget = Some(t); this }
   def withDbDialect(d: JdbcDialect): this.type = { jdbcDialect = d; this }
+  /** Routing key → database table, the reference's multi-table surface
+    * (`MultiTableUpsertQueryHolder`, `src/builder/support.rs:70-106`). */
+  def withJdbcCatalog(c: Map[String, JdbcTarget]): this.type = { jdbcCatalog = c; this }
   def withCatalog(c: Map[String, TargetTable]): this.type = { catalog = c; this }
   def withTableColumn(c: String): this.type = { tableCol = c; this }
   def withSoftDelete(s: Boolean): this.type = { soft = s; this }
@@ -86,19 +90,28 @@ final class QuickStreamBuilder(spark: SparkSession) {
   def buildJdbcUpsert(): UpsertStream = {
     val t = jdbcTarget.getOrElse(
       throw new IllegalArgumentException("db_config is None"))
-    new UpsertStream(config, new JdbcSink(t, jdbcDialect),
-      checkpointDir.getOrElse(
-        throw new IllegalArgumentException("checkpoint dir is None")))
+    new UpsertStream(config, new JdbcSink(t, jdbcDialect), requiredCheckpoint)
   }
   def buildJdbcDelete(): DeleteStream = {
     val t = jdbcTarget.getOrElse(
       throw new IllegalArgumentException("db_config is None"))
-    new DeleteStream(config, new JdbcSink(t, jdbcDialect),
-      checkpointDir.getOrElse(
-        throw new IllegalArgumentException("checkpoint dir is None")), soft)
+    new DeleteStream(config, new JdbcSink(t, jdbcDialect), requiredCheckpoint, soft)
   }
   def buildMultiTableUpsert(): MultiTableUpsertStream =
     new MultiTableUpsertStream(spark, config, requiredCatalog, tableCol)
   def buildMultiTableDelete(): MultiTableDeleteStream =
     new MultiTableDeleteStream(spark, config, requiredCatalog, tableCol, soft)
+  def buildMultiTableJdbcUpsert(): MultiTableUpsertStream =
+    new MultiTableUpsertStream(config, requiredJdbcSinks, requiredCheckpoint, tableCol)
+  def buildMultiTableJdbcDelete(): MultiTableDeleteStream =
+    new MultiTableDeleteStream(config, requiredJdbcSinks, requiredCheckpoint, tableCol, soft)
+
+  private def requiredJdbcSinks: Map[String, graft.sink.MergeSink] = {
+    require(jdbcCatalog.nonEmpty, "multi-table jdbc catalog is empty")
+    jdbcCatalog.map { case (n, t) =>
+      (n, new JdbcSink(t, jdbcDialect): graft.sink.MergeSink)
+    }
+  }
+  private def requiredCheckpoint: String = checkpointDir.getOrElse(
+    throw new IllegalArgumentException("checkpoint dir is None"))
 }

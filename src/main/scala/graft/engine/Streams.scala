@@ -195,65 +195,80 @@ final class DeleteStream(
   * each batch is cached once and filtered per table — N cheap scans of one
   * in-memory batch, not N source scans (SURVEY.md §7 "what's hard" (b)).
   * Records routed to unknown tables are dropped, mirroring the reference's
-  * static `tables()` routing domain. */
+  * static `tables()` routing domain. The catalog maps routing keys to ANY
+  * [[MergeSink]] — parquet targets or JDBC tables (the reference's
+  * MultiTableUpsertQuickStream routes to multiple Postgres tables,
+  * `src/upsert/multi_table_upsert.rs:72`); sinks may be mixed. */
 final class MultiTableUpsertStream(
-    spark: SparkSession,
     config: IngestConfig,
-    catalog: Map[String, TargetTable],
-    tableCol: String = IngestContract.TableCol) {
-  require(catalog.nonEmpty, "catalog must not be empty")
+    sinks: Map[String, MergeSink],
+    defaultCheckpoint: String,
+    tableCol: String) {
+  require(sinks.nonEmpty, "catalog must not be empty")
+
+  def this(spark: SparkSession, config: IngestConfig,
+      catalog: Map[String, TargetTable],
+      tableCol: String = IngestContract.TableCol) =
+    this(config,
+      catalog.map { case (n, t) => (n, new ParquetTarget(spark, t): MergeSink) },
+      Streams.multiCheckpoint(catalog, "_multi_ckpt"), tableCol)
 
   def run(source: DataFrame): StreamingQuery = runWith(source, None)
   def run(source: DataFrame, trigger: Trigger): StreamingQuery =
     runWith(source, Some(trigger))
 
-  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery = {
-    val sinks = catalog.map { case (n, t) => n -> new ParquetTarget(spark, t) }
-    val ckpt = Streams.multiCheckpoint(catalog, "_multi_ckpt")
-    Streams.start(source, config, ckpt, trigger) { (batch: Dataset[Row], _: Long) =>
-      val cached = batch.persist()
-      try {
-        sinks.foreach { case (name, sink) =>
-          val slice = cached.filter(col(tableCol) === name).drop(tableCol)
-          if (!slice.isEmpty) sink.mergeUpsert(slice, config)
-        }
-      } finally { cached.unpersist(); () }
+  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery =
+    Streams.start(source, config, defaultCheckpoint, trigger) {
+      (batch: Dataset[Row], _: Long) =>
+        val cached = batch.persist()
+        try {
+          sinks.foreach { case (name, sink) =>
+            val slice = cached.filter(col(tableCol) === name).drop(tableCol)
+            if (!slice.isEmpty) sink.mergeUpsert(slice, config)
+          }
+        } finally { cached.unpersist(); () }
     }
-  }
 }
 
 /** Multi-table delete fan-out. NOTE: the reference has NO public builder
   * for its multi-table delete processor (gap documented in SURVEY.md §2.2,
   * verifiable at quick_stream `src/builder.rs:161-222`); this engine fixes
-  * that — `QuickStreamBuilder.buildMultiTableDelete` is first-class. */
+  * that — `QuickStreamBuilder.buildMultiTableDelete` is first-class.
+  * Catalog semantics as in [[MultiTableUpsertStream]] (any MergeSink). */
 final class MultiTableDeleteStream(
-    spark: SparkSession,
     config: IngestConfig,
-    catalog: Map[String, TargetTable],
-    tableCol: String = IngestContract.TableCol,
-    soft: Boolean = true) {
-  require(catalog.nonEmpty, "catalog must not be empty")
+    sinks: Map[String, MergeSink],
+    defaultCheckpoint: String,
+    tableCol: String,
+    soft: Boolean) {
+  require(sinks.nonEmpty, "catalog must not be empty")
+
+  def this(spark: SparkSession, config: IngestConfig,
+      catalog: Map[String, TargetTable],
+      tableCol: String = IngestContract.TableCol,
+      soft: Boolean = true) =
+    this(config,
+      catalog.map { case (n, t) => (n, new ParquetTarget(spark, t): MergeSink) },
+      Streams.multiCheckpoint(catalog, "_multi_del_ckpt"), tableCol, soft)
 
   def run(source: DataFrame): StreamingQuery = runWith(source, None)
   def run(source: DataFrame, trigger: Trigger): StreamingQuery =
     runWith(source, Some(trigger))
 
-  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery = {
-    val sinks = catalog.map { case (n, t) => n -> new ParquetTarget(spark, t) }
-    val ckpt = Streams.multiCheckpoint(catalog, "_multi_del_ckpt")
-    Streams.start(source, config, ckpt, trigger) { (batch: Dataset[Row], _: Long) =>
-      val cached = batch.persist()
-      try {
-        sinks.foreach { case (name, sink) =>
-          val slice = cached.filter(col(tableCol) === name).drop(tableCol)
-          if (!slice.isEmpty) {
-            if (soft) sink.mergeSoftDelete(slice, config)
-            else sink.mergeHardDelete(slice, config)
+  private def runWith(source: DataFrame, trigger: Option[Trigger]): StreamingQuery =
+    Streams.start(source, config, defaultCheckpoint, trigger) {
+      (batch: Dataset[Row], _: Long) =>
+        val cached = batch.persist()
+        try {
+          sinks.foreach { case (name, sink) =>
+            val slice = cached.filter(col(tableCol) === name).drop(tableCol)
+            if (!slice.isEmpty) {
+              if (soft) sink.mergeSoftDelete(slice, config)
+              else sink.mergeHardDelete(slice, config)
+            }
           }
-        }
-      } finally { cached.unpersist(); () }
+        } finally { cached.unpersist(); () }
     }
-  }
 }
 
 /** Graceful shutdown + observability (reference O11 `shutdown_service.rs`

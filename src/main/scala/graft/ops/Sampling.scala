@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Deterministic hash-based sampling and dataset splitting — the
+  * train/val/test assignment a training-data pipeline runs over every
+  * corpus. Both are pure row-local map work (zero shuffle, no RNG state):
+  * the assignment is a function of the id alone, so it is reproducible
+  * across runs/engines/cluster sizes, stable under repartitioning, and
+  * new data joins the same split it would always have gotten — none of
+  * which holds for `df.sample` or `rand()`-based splits.
+  *
+  * The hash is the engine's MinHash permutation family (`TextHash
+  * .permute`), already mirrored value-for-value by the DuckDB oracle, so
+  * split assignments are hash-gateable like every other operator.
+  */
+object Sampling {
+
+  /** Uniform pseudo-random bucket in [0, buckets) from an integral id. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    TextHash.permute(0, id) % buckets
+
+  /** Deterministic fractional sample: keeps ids hashing below
+    * `percent` % of the bucket space. */
+  def sampleByHash(df: DataFrame, idCol: String, percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
+    df.where(hashBucket(col(idCol)) < percent)
+  }
+
+  /** Split assignment column: `weights` are (name, percent) summing to
+    * 100; ids land in splits by hash-bucket range, so the split is exact
+    * in expectation and deterministic per id. */
+  def splitColumn(id: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100,
+      s"split weights must sum to 100, got $weights")
+    val bucket = hashBucket(id)
+    val cuts = weights.scanLeft(0)(_ + _._2).tail
+    weights.zip(cuts).init.foldRight(lit(weights.last._1)) {
+      case (((name, _), cut), els) => when(bucket < cut, name).otherwise(els)
+    }
+  }
+
+  /** (df + `split` column) per `weights` — train/val/test in one pass. */
+  def assignSplits(
+      df: DataFrame, idCol: String,
+      weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, splitColumn(col(idCol), weights))
+}

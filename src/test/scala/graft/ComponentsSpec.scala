@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.Components
+
+/** Connected components: clusters labeled by their minimum id, chains
+  * converge, separate components stay separate. */
+class ComponentsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] =
+    Components.connectedComponents(edges.toSeq.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+
+  test("two separate components get their own min labels") {
+    val got = cc((5L, 3L), (3L, 9L), (20L, 30L))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 30L -> 20L))
+  }
+
+  test("a long chain converges to the global minimum") {
+    // 0-1-2-...-12 as a path: diameter forces multiple propagation rounds
+    val path = (0L until 12L).map(i => (i, i + 1))
+    val got = cc(path: _*)
+    assert(got.size == 13)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("edge direction and duplication don't matter") {
+    val a = cc((1L, 2L), (3L, 2L))
+    val b = cc((2L, 1L), (2L, 3L), (1L, 2L), (3L, 2L))
+    assert(a == b)
+    assert(a.values.toSet == Set(1L))
+  }
+
+  test("non-convergence within maxRounds fails loud, not silently wrong") {
+    val path = (0L until 12L).map(i => (i, i + 1))
+    val err = intercept[IllegalArgumentException] {
+      Components.connectedComponents(
+        path.toDF("a", "b"), "a", "b", maxRounds = 2).collect()
+    }
+    assert(err.getMessage.contains("converge"))
+  }
+}

@@ -134,6 +134,47 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == Map(1L -> "a1", 2L -> "b1", 3L -> "c0"))
   }
 
+  test("multi-table fan-out routes micro-batches to two Derby tables") {
+    // Mirrors the reference's two-table integration test shape
+    // (quick_stream src/upsert/multi_table_upsert.rs:710-816): one stream,
+    // a routing column, per-table latest-wins state.
+    implicit val sql = spark.sqlContext
+    val url = s"jdbc:derby:memory:spec${System.nanoTime()};create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      Seq("ta", "tb").foreach { tn =>
+        conn.createStatement().executeUpdate(
+          s"CREATE TABLE $tn (pkey BIGINT NOT NULL PRIMARY KEY, ver BIGINT, " +
+            "seq BIGINT, payload VARCHAR(64))")
+      }
+    } finally conn.close()
+    def jt(tn: String) = JdbcTarget(url, tn,
+      keyCols = Seq("pkey"), versionCol = "ver", tieBreakCols = Seq("seq"))
+    val events = MemoryStream[(String, Long, Long, Long, String)]
+    val ckpt = Files.createTempDirectory("graft_jdbc_multi_").toString
+    val q = new QuickStreamBuilder(spark)
+      .withName(s"jdbc-multi-${System.nanoTime()}")
+      .withMaxConCount(2)
+      .withMaxRecordsPerCycleBatch(1000)
+      .withCheckpointDir(ckpt)
+      .withJdbcCatalog(Map("a" -> jt("ta"), "b" -> jt("tb")))
+      .withDbDialect(JdbcDialect.Derby)
+      .withTableColumn("route")
+      .buildMultiTableJdbcUpsert()
+      .run(events.toDF().toDF("route", "pkey", "ver", "seq", "payload"))
+    events.addData(
+      ("a", 1L, 10L, 1L, "a-old"), ("b", 1L, 30L, 2L, "b-1"),
+      ("a", 1L, 20L, 3L, "a-new"), ("unknown", 9L, 1L, 4L, "dropped"))
+    q.processAllAvailable()
+    q.stop()
+    val ta = spark.read.jdbc(url, "ta", new java.util.Properties()).collect()
+      .map(r => r.getAs[Long]("PKEY") -> r.getAs[String]("PAYLOAD")).toMap
+    val tb = spark.read.jdbc(url, "tb", new java.util.Properties()).collect()
+      .map(r => r.getAs[Long]("PKEY") -> r.getAs[String]("PAYLOAD")).toMap
+    assert(ta == Map(1L -> "a-new")) // same key, higher ver wins within route a
+    assert(tb == Map(1L -> "b-1"))   // same pkey in route b is independent
+  }
+
   test("probe fails fast on an unreachable database") {
     val sink = new JdbcSink(JdbcTarget("jdbc:derby:memory:absent_db",
       "st", keyCols = Seq("pkey"), versionCol = "ver"))

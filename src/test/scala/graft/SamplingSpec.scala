@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Deterministic hash splits: reproducible, partition-independent, and
+  * close to the requested proportions on a uniform id range. */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("split weights must sum to 100") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(lit(1L), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("assignment is a pure function of the id: stable across runs and layouts") {
+    val ids = spark.range(1000).toDF("id")
+    val a = Sampling.assignSplits(ids, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.assignSplits(ids.repartition(7), "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("proportions approach the weights on a uniform range") {
+    val n = 20000L
+    val counts = Sampling.assignSplits(spark.range(n).toDF("id"), "id")
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n)
+    assert(math.abs(counts("train") - 0.80 * n) < 0.02 * n, counts)
+    assert(math.abs(counts("val") - 0.10 * n) < 0.02 * n, counts)
+    assert(math.abs(counts("test") - 0.10 * n) < 0.02 * n, counts)
+  }
+
+  test("sampleByHash keeps exactly the ids below the bucket cut") {
+    val df = spark.range(500).toDF("id")
+    val kept = Sampling.sampleByHash(df, "id", 20)
+    val expected = df.where(Sampling.hashBucket(col("id")) < 20)
+    assertSameRows(kept, expected)
+    // 0% and 100% are the empty set and the identity
+    assert(Sampling.sampleByHash(df, "id", 0).count() == 0)
+    assert(Sampling.sampleByHash(df, "id", 100).count() == 500)
+  }
+}
