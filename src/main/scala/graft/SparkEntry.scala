@@ -554,6 +554,33 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text", n = 3)),
 
+    // ---- LLM pipeline: winnowing fingerprint selection (MOSS) ----
+    // Scalar summary of the fingerprint SET (count/min/max) so the gate is
+    // order-free: array_distinct and list_distinct order differently.
+    "text_winnow" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, w = 4)
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))),
+
+    // ---- Window-function suite: lead/lag/ntile/cume_dist/running sum ----
+    "q_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        cume_dist().over(w).as("cd"),
+        // decimal accumulation: running double sums are association-order
+        // sensitive and the two engines frame differently
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(run)
+          .cast("double").as("running_spend"))
+    }),
+
     // ---- Multimodal: opaque-binary decode plumbing (stub kernel) ----
     "mm_decode_meta" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(
@@ -785,6 +812,16 @@ object SparkEntry {
         "(SELECT coalesce(max(len(sh)), 0) FROM sh_t))) AS i) g " +
         "WHERE g.i < len(sh)"
 
+    val winnowSql =
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
+        "f AS (SELECT doc_id, CASE WHEN len(sh) = 0 THEN CAST([] AS BIGINT[]) " +
+        "WHEN len(sh) < 4 THEN [list_min(sh)] " +
+        "ELSE list_distinct(list_transform(range(0, len(sh) - 3), " +
+        "i -> list_min(sh[i+1:i+4]))) END AS fp FROM sh_t) " +
+        "SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, " +
+        "list_min(fp) AS min_fp, list_max(fp) AS max_fp FROM f"
+
     val fingerprintSql =
       s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
         s"s AS (SELECT doc_id, wh, list_distinct(${OracleSql.shingles("wh", 3)}) AS sh FROM base) " +
@@ -834,6 +871,7 @@ object SparkEntry {
       "text_langid" -> langIdSql,
       "text_token_classes" -> tokenClassesSql,
       "text_fingerprint" -> fingerprintSql,
+      "text_winnow" -> winnowSql,
       "text_shingles_explode" -> shinglesExplode,
       "mm_decode_meta" -> mmSql)
   }
@@ -970,6 +1008,17 @@ object SparkEntry {
           "JOIN customer c ON o.o_custkey = c.c_custkey " +
           "WHERE c.c_mktsegment = 'BUILDING' " +
           "GROUP BY o.o_orderkey ORDER BY revenue DESC, orderkey LIMIT 10"),
+      "q_window_suite" ->
+        ("SELECT o_custkey AS custkey, o_orderkey AS orderkey, " +
+          "lag(o_totalprice, 1) OVER w AS prev_price, " +
+          "lead(o_totalprice, 1) OVER w AS next_price, " +
+          "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+          "cume_dist() OVER w AS cd, " +
+          "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+          "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+          "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend " +
+          "FROM orders " +
+          "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"),
       "q_window_rank" ->
         ("SELECT o_custkey AS custkey, o_orderkey AS orderkey, " +
           "o_totalprice AS totalprice, rank_in_cust FROM " +

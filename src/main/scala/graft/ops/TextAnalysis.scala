@@ -55,6 +55,33 @@ object TextAnalysis {
       (alpha + digit + punct).as("n_bpe_tokens"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS selection):
+    * the distinct per-window minima of the shingle-hash sequence, window
+    * size `w`. The guarantee that makes it the standard at corpus scale:
+    * any shared run of >= w+n-1 tokens between two docs shares at least
+    * one selected fingerprint, while only ~2/(w+1) of shingles are kept —
+    * an inverted index over fingerprints finds overlapping docs at a
+    * fraction of full-shingle cost. Value-set variant (fingerprints are
+    * the minima VALUES, deduped): position-free, so the set is stable
+    * under content moves and directly DuckDB-mirrorable. Docs with fewer
+    * than w shingles keep their global minimum; shingle-less docs get an
+    * empty set. Emits (id, fp: Array[Long]). */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    require(w > 0, "winnow window must be positive")
+    docs
+      .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col(idCol), TextHash.shingleHashes(col("__wh"), n).as("__sh"))
+      .select(col(idCol),
+        when(size(col("__sh")) === 0, array().cast("array<bigint>"))
+          .when(size(col("__sh")) < w, array(array_min(col("__sh"))))
+          .otherwise(array_distinct(transform(
+            sequence(lit(0), size(col("__sh")) - w),
+            i => array_min(slice(col("__sh"), i + 1, lit(w))))))
+          .as("fp"))
+  }
+
   /** Document fingerprint: order-sensitive whole-doc hash + the minimum
     * shingle hash and distinct-shingle count (the winnowing-style content
     * summary: equal fp ⇒ identical token stream; shingle stats survive

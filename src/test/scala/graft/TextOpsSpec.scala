@@ -90,6 +90,23 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains((5L, 10L)))
   }
 
+  test("winnowing: shared runs share a fingerprint; selection is sparse") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      // doc 2 shares the long middle run of doc 1 → must share a fingerprint
+      (2L, "zzz two three four five six seven eight qqq"),
+      (3L, "a b"), // shingle-less (n=3 over 2 words)
+      (4L, "p q r s")).toDF("doc_id", "text") // 2 shingles < w → global min
+    val fp = graft.ops.TextAnalysis
+      .winnowFingerprints(docs, "doc_id", "text", n = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty)
+    assert(fp(3L).isEmpty)
+    assert(fp(4L).size == 1)
+    // selection is sparse: far fewer fingerprints than the 8 shingles of doc 1
+    assert(fp(1L).size < 8)
+  }
+
   test("langId scores stopwords and tie-breaks to first profile") {
     val docs = Seq(
       (1L, "the cat and the dog is not a bird"),
