@@ -58,6 +58,9 @@ object GraftExtensions {
       (FunctionIdentifier("graft_doc_hash"),
         info("graft_doc_hash", "_FUNC_(wordHashes) - order-sensitive document hash"),
         (args: Seq[Expression]) => DocHashExpr(args.head)),
+      (FunctionIdentifier("graft_winnow"),
+        info("graft_winnow", "_FUNC_(shingles, w) - distinct sliding-window minima (winnowing)"),
+        (args: Seq[Expression]) => WinnowExpr(args(0), lit(args(1)))),
       (FunctionIdentifier("graft_dot"),
         info("graft_dot", "_FUNC_(a, b) - strict left-to-right dot product"),
         (args: Seq[Expression]) => DotExpr(args(0), args(1))),

@@ -348,6 +348,18 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_after_dedup"),
           expr("max(ts) div 1000").as("latest_us"))),
 
+    // ---- Skew-salted join: hot event_type keys spread over 8 salts;
+    //      row-identical to the plain join (the oracle) by construction ----
+    "q_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"))
+      graft.ops.Skew.saltedJoin(
+        ev.select(col("event_id"), col("event_type")), dim,
+        Seq("event_type"), saltSource = col("event_id"), salts = 8)
+        .select(col("event_id"), col("event_type"), col("type_n"))
+    }),
+
     // ---- Semi/anti joins: EXISTS / NOT EXISTS cohorts ----
     "q_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -370,6 +382,14 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // ---- Cube aggregation (all grouping-set combinations) ----
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"))),
@@ -977,6 +997,10 @@ object SparkEntry {
         ("SELECT event_type AS target_table, count(*) AS n_received, " +
           "count(DISTINCT user_id) AS n_after_dedup, " +
           "epoch_us(max(ts)) AS latest_us FROM events GROUP BY event_type"),
+      "q_salted_join" ->
+        ("SELECT e.event_id, e.event_type, d.type_n FROM events e JOIN " +
+          "(SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type) d " +
+          "ON e.event_type = d.event_type"),
       "q_semi_anti" ->
         ("SELECT c_custkey, c_name FROM customer c " +
           "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) " +
@@ -993,6 +1017,9 @@ object SparkEntry {
       "q_rollup" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
           "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+      "q_cube" ->
+        ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+          "count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
           "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, " +

@@ -126,6 +126,46 @@ object NativeKernels {
     a
   }
 
+  /** Winnowing fingerprint selection (value-set variant): the distinct
+    * sliding-window minima of the shingle sequence, in first-occurrence
+    * order (matching array_distinct over the per-window minima). O(len)
+    * via a monotonic deque — the HOF twin pays O(len × w) interpreted.
+    * Fewer than w shingles → the global minimum; none → empty. */
+  def winnowFingerprints(sh: ArrayData, w: Int): ArrayData = {
+    val len = sh.numElements()
+    if (len == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    if (len < w) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < len) { val v = sh.getLong(i); if (v < m) m = v; i += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(Array(m))
+    }
+    // monotonic deque of candidate indices (values increasing front→back)
+    val deque = new Array[Int](len)
+    var head = 0
+    var tail = 0 // exclusive
+    val minima = new Array[Long](len - w + 1)
+    var i = 0
+    while (i < len) {
+      val v = sh.getLong(i)
+      while (tail > head && sh.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) minima(i - w + 1) = sh.getLong(deque(head))
+      i += 1
+    }
+    // dedupe, first occurrence wins (== array_distinct semantics)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](minima.length)
+    var k = 0
+    var j = 0
+    while (j < minima.length) {
+      if (seen.add(minima(j))) { out(k) = minima(j); k += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
   /** Dot product with strict left-to-right accumulation — the same IEEE
     * result as aggregate(zip_with(...)) and the oracle's list_reduce.
     * Ragged inputs fail loud (unchecked indexing into UnsafeArrayData

@@ -58,6 +58,11 @@ object TextHash {
   def docHash(wh: Column): Column =
     GraftSql.column(DocHashExpr(GraftSql.expression(wh)))
 
+  /** Winnowing fingerprints: distinct sliding-window minima (window `w`)
+    * of a shingle-hash array, first-occurrence order; O(len) native. */
+  def winnow(sh: Column, w: Int): Column =
+    GraftSql.column(WinnowExpr(GraftSql.expression(sh), w))
+
   // ---- MinHash permutation family (shared by both impls + the oracle) ----
 
   /** j-th universal hash h_j(x) = (A_j*x + B_j) % P with fixed
@@ -111,4 +116,12 @@ object TextHash {
 
   def docHashHof(wh: Column): Column =
     aggregate(wh, lit(7L), (a, h) => (a * 31L + h) % P)
+
+  /** HOF twin of [[winnow]] (O(len × w) interpreted — cross-check only). */
+  def winnowHof(sh: Column, w: Int): Column =
+    when(size(sh) === 0, array().cast("array<bigint>"))
+      .when(size(sh) < w, array(array_min(sh)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(sh) - w),
+        i => array_min(slice(sh, i + 1, lit(w))))))
 }

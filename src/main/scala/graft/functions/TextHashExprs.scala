@@ -97,6 +97,23 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  /** Distinct sliding-window minima of a shingle array (winnowing),
+    * first-occurrence order; O(len) monotonic-deque kernel. */
+  case class WinnowExpr(child: Expression, w: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(w > 0, "winnow window must be positive")
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_winnow"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.winnowFingerprints(input.asInstanceOf[ArrayData], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.NativeKernels.winnowFingerprints($c, $w)")
+    override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+      copy(child = newChild)
+  }
+
   /** Σ a[i]*b[i], strict left-to-right (bit-identical to the HOF fold). */
   case class DotExpr(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {

@@ -65,7 +65,9 @@ object TextAnalysis {
     * the minima VALUES, deduped): position-free, so the set is stable
     * under content moves and directly DuckDB-mirrorable. Docs with fewer
     * than w shingles keep their global minimum; shingle-less docs get an
-    * empty set. Emits (id, fp: Array[Long]). */
+    * empty set. Native O(len) monotonic-deque kernel (`TextHash.winnow`),
+    * cross-checked bit-exact against the O(len×w) HOF twin in
+    * NativeExprSpec. Emits (id, fp: Array[Long]). */
   def winnowFingerprints(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, w: Int = 4): DataFrame = {
@@ -73,13 +75,7 @@ object TextAnalysis {
     docs
       .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
       .select(col(idCol), TextHash.shingleHashes(col("__wh"), n).as("__sh"))
-      .select(col(idCol),
-        when(size(col("__sh")) === 0, array().cast("array<bigint>"))
-          .when(size(col("__sh")) < w, array(array_min(col("__sh"))))
-          .otherwise(array_distinct(transform(
-            sequence(lit(0), size(col("__sh")) - w),
-            i => array_min(slice(col("__sh"), i + 1, lit(w))))))
-          .as("fp"))
+      .select(col(idCol), TextHash.winnow(col("__sh"), w).as("fp"))
   }
 
   /** Document fingerprint: order-sensitive whole-doc hash + the minimum

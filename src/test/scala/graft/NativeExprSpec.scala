@@ -60,6 +60,23 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("native winnow == HOF twin on corpus sample and synthetic edges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200).select(col("text"))
+      .unionByName(Seq("", "a b", "a b c d", "x x x x x x x x",
+        "one two three four five six seven").toDF("text"))
+    val base = docs
+      .select(TextHash.wordHashes(col("text")).as("wh"))
+      .select(TextHash.shingleHashes(col("wh"), 3).as("sh"))
+      .select(
+        TextHash.winnow(col("sh"), 4).as("w_n"),
+        TextHash.winnowHof(col("sh"), 4).as("w_h"))
+    base.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"winnow diverges: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("native dot/bucket == HOF twins on embeddings, bit-exact") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)
