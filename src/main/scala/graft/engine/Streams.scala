@@ -108,6 +108,27 @@ object Sources {
       recordsPerFileHint: Long = 100000L): DataFrame =
     rated(spark, config, schema, recordsPerFileHint).json(path)
 
+  /** JSON-lines stream that ROUTES malformed records instead of dropping
+    * or dying on them (the reference logs per-record failures and moves
+    * on, `src/upsert.rs:286-294`; silently losing bad rows corrupts
+    * ingestion accounting at scale). PERMISSIVE parsing captures each
+    * unparseable line verbatim in `quarantineCol`; callers split on
+    * `IS NULL` — parsed rows to the merge, quarantined lines to a
+    * dead-letter target for replay after a schema fix. */
+  def jsonWithQuarantine(
+      spark: SparkSession,
+      config: IngestConfig,
+      schema: StructType,
+      path: String,
+      quarantineCol: String = "_corrupt_record",
+      recordsPerFileHint: Long = 100000L): DataFrame =
+    rated(spark, config,
+      schema.add(quarantineCol, org.apache.spark.sql.types.StringType),
+      recordsPerFileHint)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", quarantineCol)
+      .json(path)
+
   /** Kafka source with the per-record admission bound applied DIRECTLY:
     * `maxOffsetsPerTrigger = maxRecordsPerTrigger` (offsets are records,
     * so no per-file hint is needed). This is the closest analog of the

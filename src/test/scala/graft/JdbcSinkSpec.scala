@@ -134,6 +134,20 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == Map(1L -> "a1", 2L -> "b1", 3L -> "c0"))
   }
 
+  test("replayed micro-batch is idempotent: same state after a duplicate merge") {
+    // Checkpoint replay re-delivers a whole batch; the guarded
+    // update+insert must converge to the same state, not double-apply.
+    val url = freshDb(stateDdl())
+    val sink = new JdbcSink(target(url))
+    val batch = Seq(Ev(1, 10, 1, "a"), Ev(2, 20, 2, "b"))
+    sink.mergeUpsert(batch.toDF(), cfg)
+    val first = readState(url).collect().map(_.toString).sorted.toSeq
+    sink.mergeUpsert(batch.toDF(), cfg) // replay
+    val second = readState(url).collect().map(_.toString).sorted.toSeq
+    assert(first == second)
+    assert(first.size == 2)
+  }
+
   test("multi-table fan-out routes micro-batches to two Derby tables") {
     // Mirrors the reference's two-table integration test shape
     // (quick_stream src/upsert/multi_table_upsert.rs:710-816): one stream,

@@ -83,6 +83,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow: model-exact, subset of shingles, shared-run guarantee") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextHash
+    val rng = new scala.util.Random(425)
+    // random long arrays standing in for shingle sequences
+    val seqs = List.fill(30)(
+      List.fill(rng.nextInt(20))(rng.nextInt(50).toLong + 1))
+    val w = 4
+    def modelWinnow(sh: List[Long]): List[Long] =
+      if (sh.isEmpty) Nil
+      else if (sh.size < w) List(sh.min)
+      else sh.sliding(w).map(_.min).toList.distinct
+    val got = seqs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "sh")
+      .select(col("id"), TextHash.winnow(col("sh"), w).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    seqs.zipWithIndex.foreach { case (s, i) =>
+      val m = modelWinnow(s)
+      assert(got(i.toLong) == m, s"seq $i: $s")
+      assert(m.toSet.subsetOf(s.toSet)) // fingerprints are real shingles
+    }
+  }
+
+  test("components: labels idempotent under relabeling and permutation") {
+    import graft.ops.Components
+    val rng = new scala.util.Random(426)
+    (1 to 2).foreach { _ =>
+      val edges = List.fill(25)(
+        (rng.nextInt(15).toLong, rng.nextInt(15).toLong))
+        .filter(e => e._1 != e._2)
+      val base = Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // permuted edge order → identical labeling
+      val perm = Components.connectedComponents(
+        rng.shuffle(edges).toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(base == perm)
+      // a component's label is a member of the component, and minimal
+      base.groupBy(_._2).foreach { case (label, members) =>
+        assert(members.keySet.contains(label))
+        assert(members.keySet.min == label)
+      }
+      // edges never cross components
+      edges.foreach { case (a, b) => assert(base(a) == base(b)) }
+    }
+  }
+
   test("as-of agrees with the latest-at-or-before model") {
     val rng = new scala.util.Random(424)
     (1 to 3).foreach { _ =>

@@ -35,6 +35,37 @@ class SourcesSpec extends SparkSpec {
       s"every batch must admit exactly the bound; got $sizes")
   }
 
+  test("jsonWithQuarantine routes malformed lines instead of dropping them") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_quarantine_").toString
+    Files.writeString(Paths.get(s"$dir/a.json"),
+      """{"pkey": 1, "ver": 10, "payload": "ok"}
+        |this line is not json
+        |{"pkey": 2, "ver": 20, "payload": "also ok"}
+        |{"pkey": "not-a-number", "ver": 30}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("pkey", LongType), StructField("ver", LongType),
+      StructField("payload", StringType)))
+    val cfg = IngestConfig(name = s"src-q-${System.nanoTime()}")
+    val out = Sources.jsonWithQuarantine(spark, cfg, schema, s"$dir/*.json")
+    val q = out.writeStream
+      .format("memory").queryName(s"quar${System.nanoTime()}")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(q.name)
+    val good = rows.where(col("_corrupt_record").isNull)
+    val bad = rows.where(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    assert(good.select("pkey").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // both the non-JSON line and the type-mismatched record are captured verbatim
+    assert(bad.count() == 2)
+    assert(bad.collect().map(_.getAs[String]("_corrupt_record"))
+      .exists(_.contains("not json")))
+  }
+
   test("kafka constructor reaches Spark's provider resolution (no jar here)") {
     val cfg = IngestConfig(name = "src-kafka", maxRecordsPerTrigger = 100L)
     val e = intercept[Exception] {
