@@ -496,6 +496,16 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
     }),
 
+    // ---- LLM pipeline: winnowing inverted-index candidate pairs
+    //      (substring-overlap proposer; stop-fingerprints dropped).
+    //      w=8 → a shared run of >= 10 tokens is guaranteed a shared
+    //      fingerprint; this corpus reuses short phrases heavily, so the
+    //      longer-run bar keeps the candidate set selective. ----
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      NearDup.winnowCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, w = 8,
+        maxDocFreq = 10)),
+
     // ---- LLM pipeline: duplicate CLUSTERS (connected components over
     //      LSH candidate pairs; canon_id = min doc in the component) ----
     "dedup_clusters" -> ((s, dir) => {
@@ -832,15 +842,32 @@ object SparkEntry {
         "(SELECT coalesce(max(len(sh)), 0) FROM sh_t))) AS i) g " +
         "WHERE g.i < len(sh)"
 
-    val winnowSql =
+    val winnowFpCte =
       s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
         s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
         "f AS (SELECT doc_id, CASE WHEN len(sh) = 0 THEN CAST([] AS BIGINT[]) " +
         "WHEN len(sh) < 4 THEN [list_min(sh)] " +
         "ELSE list_distinct(list_transform(range(0, len(sh) - 3), " +
-        "i -> list_min(sh[i+1:i+4]))) END AS fp FROM sh_t) " +
-        "SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, " +
+        "i -> list_min(sh[i+1:i+4]))) END AS fp FROM sh_t)"
+
+    val winnowSql =
+      s"$winnowFpCte SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp, " +
         "list_min(fp) AS min_fp, list_max(fp) AS max_fp FROM f"
+
+    // w=8 fingerprint CTE (text_winnow's f uses w=4; this one selects over
+    // 8-wide windows for the longer shared-run bar)
+    val winnowPairsSql =
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
+        "f AS (SELECT doc_id, CASE WHEN len(sh) = 0 THEN CAST([] AS BIGINT[]) " +
+        "WHEN len(sh) < 8 THEN [list_min(sh)] " +
+        "ELSE list_distinct(list_transform(range(0, len(sh) - 7), " +
+        "i -> list_min(sh[i+1:i+8]))) END AS fp FROM sh_t), " +
+        "x AS (SELECT doc_id, unnest(fp) AS f FROM f), " +
+        "keep AS (SELECT f FROM x GROUP BY f HAVING count(*) <= 10), " +
+        "xk AS (SELECT x.doc_id, x.f FROM x JOIN keep USING (f)) " +
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM xk a JOIN xk b ON a.f = b.f AND a.doc_id < b.doc_id"
 
     val fingerprintSql =
       s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
@@ -892,6 +919,7 @@ object SparkEntry {
       "text_token_classes" -> tokenClassesSql,
       "text_fingerprint" -> fingerprintSql,
       "text_winnow" -> winnowSql,
+      "dedup_winnow_pairs" -> winnowPairsSql,
       "text_shingles_explode" -> shinglesExplode,
       "mm_decode_meta" -> mmSql)
   }

@@ -292,24 +292,55 @@ final class MultiTableDeleteStream(
     }
 }
 
+/** Queryable per-batch progress metrics — the reference's pool-status
+  * printer (`src/upsert.rs:515-549`) upgraded from log lines to a bounded
+  * in-memory table: every micro-batch records (query, batchId, input
+  * rows, batch duration, rows/sec), oldest entries evicted past
+  * `maxBatches`. `snapshot(spark)` exposes it as a DataFrame so
+  * operational dashboards query metrics with the same API as data. */
+final class MetricsListener(maxBatches: Int = 1000)
+    extends StreamingQueryListener {
+
+  private val buf =
+    new java.util.concurrent.ConcurrentLinkedDeque[MetricsListener.Batch]()
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    buf.addLast(MetricsListener.Batch(
+      String.valueOf(p.name), p.batchId, p.numInputRows,
+      p.durationMs.getOrDefault("triggerExecution", 0L),
+      p.processedRowsPerSecond))
+    while (buf.size() > maxBatches) buf.pollFirst()
+  }
+
+  def snapshot(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    buf.iterator().asScala.toSeq.toDF()
+  }
+}
+
+object MetricsListener {
+  final case class Batch(
+      query: String, batchId: Long, numInputRows: Long,
+      triggerMillis: Long, processedRowsPerSecond: Double)
+}
+
 /** Graceful shutdown + observability (reference O11 `shutdown_service.rs`
   * and the pool-status printer `src/upsert.rs:515-549`). Registers a JVM
-  * shutdown hook that stops the query, and a listener logging per-batch
-  * progress. Restart-exactly-once comes free from checkpointing. */
+  * shutdown hook that stops the query, and a [[MetricsListener]] that
+  * records per-batch progress (returned for querying). Restart-exactly-
+  * once comes free from checkpointing. */
 object GracefulShutdown {
-  def install(spark: SparkSession, query: StreamingQuery): Unit = {
+  def install(spark: SparkSession, query: StreamingQuery): MetricsListener = {
     sys.addShutdownHook {
       try query.stop()
       catch { case _: Throwable => () }
     }
-    spark.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-        println(s"[graft] query started: ${e.name}")
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        println(s"[graft] ${e.progress.name}: batch=${e.progress.batchId} " +
-          s"rows=${e.progress.numInputRows}")
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        println(s"[graft] query terminated: ${e.id}")
-    })
+    val metrics = new MetricsListener()
+    spark.streams.addListener(metrics)
+    metrics
   }
 }

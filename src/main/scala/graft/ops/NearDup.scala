@@ -90,6 +90,40 @@ object NearDup {
       .distinct()
   }
 
+  /** Winnowing-based candidate pairs: docs sharing ANY winnow fingerprint
+    * (guaranteed for any shared run of >= w+n-1 tokens) become candidates
+    * via an inverted fingerprint index — explode fp, self-join on the
+    * fingerprint value, distinct (a < b) pairs. Same linear shape as LSH
+    * banding (shuffle = docs × selected fingerprints, ~2/(w+1) of the
+    * shingles), but the guarantee is substring-overlap, not whole-doc
+    * Jaccard — the right proposer for contained/quoted duplication.
+    *
+    * `maxDocFreq` drops STOP-FINGERPRINTS (boilerplate phrases shared by
+    * more than that many docs) before the self-join: one fingerprint in
+    * d docs yields d² pairs, so a single hot phrase would otherwise turn
+    * the linear index quadratic — the same reason search engines drop
+    * stopwords. The frequency filter is one aggregate over the exploded
+    * index, and the surviving per-fingerprint pair count is bounded by
+    * maxDocFreq². */
+  def winnowCandidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4, maxDocFreq: Int = 100): DataFrame = {
+    // fp arrays are distinct per doc, so (id, f) rows are unique
+    val fp = TextAnalysis.winnowFingerprints(docs, idCol, textCol, n, w)
+      .select(col(idCol), explode(col("fp")).as("f"))
+    val kept = fp.groupBy("f")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+      .select(col("f"))
+    val indexed = fp.join(kept, "f")
+    val a = indexed.select(col("f"), col(idCol).as("id_a"))
+    val b = indexed.select(col("f"), col(idCol).as("id_b"))
+    a.join(b, Seq("f"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** SimHash fingerprints: (id, simhash) with a `bits`-bit fingerprint. */
   def simhashFingerprints(
       docs: DataFrame, idCol: String, textCol: String,

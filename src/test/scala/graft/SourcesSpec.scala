@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.engine.Sources
+import graft.engine.{MetricsListener, Sources}
 import graft.model.IngestConfig
 
 /** Admission-control contract of the offset-based sources: every
@@ -64,6 +64,36 @@ class SourcesSpec extends SparkSpec {
     assert(bad.count() == 2)
     assert(bad.collect().map(_.getAs[String]("_corrupt_record"))
       .exists(_.contains("not json")))
+  }
+
+  test("MetricsListener records per-batch progress queryable as a DataFrame") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val metrics = new MetricsListener()
+    spark.streams.addListener(metrics)
+    try {
+      val events = MemoryStream[Long]
+      val name = s"metrics${System.nanoTime()}"
+      val q = events.toDF().writeStream
+        .format("memory").queryName(name).start()
+      events.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      events.addData(4L)
+      q.processAllAvailable()
+      q.stop()
+      // listener events post asynchronously — poll until they land
+      val deadline = System.currentTimeMillis() + 30000
+      def rows() = metrics.snapshot(spark)
+        .where(col("query") === name && col("numInputRows") > 0)
+      while (rows().count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val got = rows().collect()
+        .map(r => r.getAs[Long]("batchId") -> r.getAs[Long]("numInputRows")).toMap
+      assert(got.values.sum == 4, s"expected 4 input rows total, got $got")
+      assert(got.size >= 2, "expected at least two non-empty batches")
+    } finally spark.streams.removeListener(metrics)
   }
 
   test("kafka constructor reaches Spark's provider resolution (no jar here)") {
