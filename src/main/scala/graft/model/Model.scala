@@ -39,6 +39,13 @@ object IngestContract {
   *                     so per-batch I/O is O(batch ∪ affected buckets).
   *                     Size so one bucket ≈ a comfortable task read (at
   *                     100 TB / 1000 executors: thousands of buckets)
+  * @param retainVersions how many committed snapshot versions GC keeps
+  *                     (>= 1). 1 = only the latest (minimum footprint);
+  *                     higher values give in-flight readers a stability
+  *                     window (a reader resolved against version N keeps
+  *                     its files while N stays within the retention) and
+  *                     enable `readVersion` time travel for debugging /
+  *                     reprocessing
   */
 final case class TargetTable(
     name: String,
@@ -47,11 +54,13 @@ final case class TargetTable(
     versionCol: String = IngestContract.VersionCol,
     tieBreakCols: Seq[String] = Nil,
     softDeleteCol: String = "row_active",
-    buckets: Int = 16) {
+    buckets: Int = 16,
+    retainVersions: Int = 1) {
   require(name.nonEmpty, "TargetTable.name must not be empty")
   require(path.nonEmpty, "TargetTable.path must not be empty")
   require(keyCols.nonEmpty, "TargetTable.keyCols must not be empty")
   require(buckets > 0, "TargetTable.buckets must be > 0")
+  require(retainVersions >= 1, "TargetTable.retainVersions must be >= 1")
   def orderingCols: Seq[String] = versionCol +: tieBreakCols
 }
 

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{col, count, hash, input_file_name, lit, pmod, regexp_extract}
 import org.apache.spark.sql.types.StructType
 
 import graft.model.{IngestConfig, TargetTable}
@@ -148,6 +148,46 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
 
   def read(): Option[DataFrame] =
     current().filter(_.nonEmpty).map(m => readDirs(m.values.toSeq.distinct))
+
+  /** Time travel: the snapshot a specific committed version published;
+    * None once GC'd past `TargetTable.retainVersions` (or never existed). */
+  def readVersion(v: Long): Option[DataFrame] =
+    readManifest(v).filter(_.nonEmpty).map(m => readDirs(m.values.toSeq.distinct))
+
+  /** Intact (readable) committed versions, ascending — at most
+    * `retainVersions` of them after any commit's GC. */
+  def versions(): Seq[Long] = {
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .map(s => versionOf('m', s.getPath.getName))
+      .filter(v => v >= 0 && readManifest(v).isDefined)
+      .sorted
+  }
+
+  /** Per-bucket row counts + owning delta dir of the current snapshot —
+    * the operational stats view (bucket skew, file placement). ONE scan
+    * of the snapshot (bucket recovered from the file path), not a job
+    * per bucket — thousands of buckets is the intended regime. */
+  def stats(): Option[DataFrame] =
+    current().filter(_.nonEmpty).map { m =>
+      import spark.implicits._
+      val counts = readDirs(m.values.toSeq.distinct)
+        .groupBy(regexp_extract(input_file_name(), s"$BucketCol=(\\d+)", 1)
+          .cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+      m.toSeq.toDF("bucket", "delta_dir")
+        .join(counts, Seq("bucket"), "left_outer")
+        .na.fill(0L, Seq("n_rows"))
+    }
+
+  /** Compaction: rewrite the current snapshot with exactly one file per
+    * bucket (a long-lived target accumulates up to maxWriterPartitions
+    * files per bucket per rewrite). One commit, data unchanged. */
+  def compact(config: IngestConfig): Unit =
+    current().filter(_.nonEmpty).foreach { m =>
+      commit(readDirs(m.values.toSeq.distinct), Map.empty, config,
+        onePerBucket = true)
+    }
 
   /** Uniform schema of the current snapshot (invariant: every referenced
     * file shares it — migrations rewrite all buckets). */
@@ -300,14 +340,17 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
     * fully materializes before any existing state is referenced or
     * touched (we may be reading dirs we're superseding). */
   private def commit(
-      df: DataFrame, carryOver: Map[Int, String], config: IngestConfig): Unit = withCommitLock {
+      df: DataFrame, carryOver: Map[Int, String], config: IngestConfig,
+      onePerBucket: Boolean = false): Unit = withCommitLock {
     val next = currentVersion().getOrElse(0L) + 1L
     val delta = deltaName(next)
     val deltaPath = new Path(root, delta)
-    df.withColumn(BucketCol, bucketOf(df))
-      .repartition(config.maxWriterPartitions,
+    val bucketed = df.withColumn(BucketCol, bucketOf(df))
+    val placed =
+      if (onePerBucket) bucketed.repartition(table.buckets, col(BucketCol))
+      else bucketed.repartition(config.maxWriterPartitions,
         (BucketCol +: table.keyCols).map(col): _*)
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(deltaPath.toString)
+    placed.write.partitionBy(BucketCol).mode("overwrite").parquet(deltaPath.toString)
 
     // Buckets actually written (empty merge output writes none).
     val written = fs.listStatus(deltaPath).toSeq
@@ -343,11 +386,16 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
     if (!fs.rename(pointerTmp, pointer))
       throw new IllegalStateException(s"failed to repoint $pointer")
 
-    // GC: older manifests, and bucket dirs nothing references anymore.
-    val referenced = entries.values.toSet
+    // GC: manifests older than the retention window, and bucket dirs no
+    // RETAINED manifest references (readers resolved against any retained
+    // version keep their files; retainVersions = 1 keeps only `next`).
+    val oldestKept = next - table.retainVersions + 1
+    val referenced = entries.values.toSet ++
+      (oldestKept until next).flatMap(readManifest(_)).flatMap(_.values)
     fs.listStatus(root).toSeq.map(_.getPath).foreach { path =>
       val n = path.getName
-      if (versionOf('m', n) >= 0 && versionOf('m', n) < next) fs.delete(path, false)
+      if (versionOf('m', n) >= 0 && versionOf('m', n) < oldestKept)
+        fs.delete(path, false)
       else if (versionOf('d', n) >= 0) {
         fs.listStatus(path).toSeq.map(_.getPath)
           .filter(_.getName.startsWith(s"$BucketCol="))

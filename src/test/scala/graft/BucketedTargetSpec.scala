@@ -148,6 +148,62 @@ class BucketedTargetSpec extends SparkSpec {
     assert(v3.values.count(_ == "d0000000003") == 1)
   }
 
+  test("retainVersions keeps a readable time-travel window; GC past it") {
+    val dir = Files.createTempDirectory("graft_retain_").toString
+    val t = TargetTable("t", s"$dir/target", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 4,
+      retainVersions = 3)
+    val sink = new ParquetTarget(spark, t)
+    (1 to 5).foreach { v =>
+      sink.mergeUpsert(Seq((1L, v.toLong, v.toLong, s"p$v")).toDF
+        ("pkey", "ver", "seq", "payload"), cfg)
+    }
+    assert(sink.versions() == Seq(3L, 4L, 5L))
+    // time travel: version 4's snapshot still shows payload p4
+    val v4 = sink.readVersion(4L).get.collect()
+      .map(_.getAs[String]("payload")).toSeq
+    assert(v4 == Seq("p4"))
+    assert(sink.readVersion(2L).isEmpty) // GC'd
+    assert(sink.read().get.collect().map(_.getAs[String]("payload")).toSeq
+      == Seq("p5"))
+  }
+
+  test("compact rewrites to one file per bucket without changing state") {
+    val dir = Files.createTempDirectory("graft_compact_").toString
+    val t = TargetTable("t", s"$dir/target", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 4)
+    val sink = new ParquetTarget(spark, t)
+    val wideCfg = IngestConfig(name = "compact-spec", maxWriterPartitions = 8)
+    sink.mergeUpsert((0L until 64L).map(k => (k, 1L, k, s"p$k")).toDF
+      ("pkey", "ver", "seq", "payload"), wideCfg)
+    val before = canon(sink.read().get)
+    def filesPerBucket: Map[String, Int] = {
+      val root = new Path(t.path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      bucketVersions(t).map { case (b, _) =>
+        val dirPath = fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.startsWith("d"))
+          .flatMap(d => fs.listStatus(d).map(_.getPath))
+          .find(_.getName == s"__graft_bucket=$b").get
+        s"b$b" -> fs.listStatus(dirPath).count(_.getPath.getName.endsWith(".parquet"))
+      }
+    }
+    assert(filesPerBucket.values.exists(_ > 1), "test needs multi-file buckets")
+    sink.compact(wideCfg)
+    assert(filesPerBucket.values.forall(_ == 1), s"not compacted: $filesPerBucket")
+    assert(canon(sink.read().get) == before)
+  }
+
+  test("stats reports per-bucket rows of the current snapshot") {
+    val (sink, _) = mk(buckets = 4)
+    sink.mergeUpsert((0L until 40L).map(k => (k, 1L, k, s"p$k")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    val st = sink.stats().get.collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n_rows")).toMap
+    assert(st.values.sum == 40L)
+    assert(st.keySet.subsetOf((0 until 4).toSet))
+  }
+
   test("explicit migrate widens a column and adds one; merges then accept the new schema") {
     import org.apache.spark.sql.functions.{col, lit}
     val (sink, t) = mk(buckets = 4)
