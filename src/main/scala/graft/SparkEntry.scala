@@ -506,6 +506,22 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", n = 3, w = 8,
         maxDocFreq = 10)),
 
+    // ---- LLM pipeline: edit-distance verify over winnow candidates
+    //      (sampled; prefixes bound the O(len²) DP per pair) ----
+    "dedup_edit_distance" -> ((s, dir) => {
+      val cand = NearDup.winnowCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, w = 8,
+        maxDocFreq = 10)
+        .where(col("id_a") % 7 === 0)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("t"))
+      cand
+        .join(d.select(col("doc_id").as("id_a"), col("t").as("t_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("t").as("t_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
+    }),
+
     // ---- LLM pipeline: duplicate CLUSTERS (connected components over
     //      LSH candidate pairs; canon_id = min doc in the component) ----
     "dedup_clusters" -> ((s, dir) => {
@@ -920,6 +936,13 @@ object SparkEntry {
       "text_fingerprint" -> fingerprintSql,
       "text_winnow" -> winnowSql,
       "dedup_winnow_pairs" -> winnowPairsSql,
+      "dedup_edit_distance" ->
+        (s"SELECT c.id_a, c.id_b, CAST(levenshtein(substr(da.text, 1, 120), " +
+          "substr(db.text, 1, 120)) AS BIGINT) AS edit_dist " +
+          s"FROM ($winnowPairsSql) c " +
+          "JOIN documents da ON da.doc_id = c.id_a " +
+          "JOIN documents db ON db.doc_id = c.id_b " +
+          "WHERE c.id_a % 7 = 0"),
       "text_shingles_explode" -> shinglesExplode,
       "mm_decode_meta" -> mmSql)
   }
