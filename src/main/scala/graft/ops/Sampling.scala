@@ -19,9 +19,12 @@ import graft.functions.TextHash
   */
 object Sampling {
 
-  /** Uniform pseudo-random bucket in [0, buckets) from an integral id. */
+  /** Uniform pseudo-random bucket in [0, buckets) from an integral id.
+    * pmod, not %: Scala/Spark `%` keeps the dividend's sign, so a
+    * negative id would land in a NEGATIVE bucket — below every split
+    * cut (always 'train') and inside every sample fraction, 0% included. */
   def hashBucket(id: Column, buckets: Int = 100): Column =
-    TextHash.permute(0, id) % buckets
+    pmod(TextHash.permute(0, id), lit(buckets))
 
   /** Deterministic fractional sample: keeps ids hashing below
     * `percent` % of the bucket space. */

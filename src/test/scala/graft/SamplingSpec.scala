@@ -36,6 +36,16 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("test") - 0.10 * n) < 0.02 * n, counts)
   }
 
+  test("negative ids get non-negative buckets (no always-train leak)") {
+    val ids = spark.range(-500, 500).toDF("id")
+    val buckets = ids.select(Sampling.hashBucket(col("id")).as("b"))
+      .agg(org.apache.spark.sql.functions.min("b"),
+        org.apache.spark.sql.functions.max("b"))
+      .head()
+    assert(buckets.getLong(0) >= 0 && buckets.getLong(1) < 100)
+    assert(Sampling.sampleByHash(ids, "id", 0).count() == 0)
+  }
+
   test("sampleByHash keeps exactly the ids below the bucket cut") {
     val df = spark.range(500).toDF("id")
     val kept = Sampling.sampleByHash(df, "id", 20)
