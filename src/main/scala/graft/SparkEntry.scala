@@ -819,8 +819,10 @@ object SparkEntry {
     }
 
     val trainSplitSql = {
-      val bucket = s"((doc_id * ${TextHash.permuteA(0)} + " +
-        s"${TextHash.permuteB(0)}) % ${TextHash.P}) % 100"
+      // pmod mirror (non-negative bucket even for negative ids), matching
+      // Sampling.hashBucket exactly
+      val bucket = s"((((doc_id * ${TextHash.permuteA(0)} + " +
+        s"${TextHash.permuteB(0)}) % ${TextHash.P}) % 100) + 100) % 100"
       s"SELECT doc_id, lang, CASE WHEN $bucket < 80 THEN 'train' " +
         s"WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split FROM documents"
     }

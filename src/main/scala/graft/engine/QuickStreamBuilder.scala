@@ -87,24 +87,32 @@ final class QuickStreamBuilder(spark: SparkSession) {
     new DeleteStream(spark, config, requiredTarget, soft)
   /** JDBC processors — the reference's true target. Checkpoint must be
     * explicit (a database target has no storage path to derive one from). */
+  // Each JDBC processor gets its OWN checkpoint subdir (mirroring the
+  // parquet targets' distinct _ckpt/_del_ckpt suffixes): sharing one
+  // location between an upsert and a delete stream would make the second
+  // resume from the first's committed offsets and silently skip batches.
   def buildJdbcUpsert(): UpsertStream = {
     val t = jdbcTarget.getOrElse(
       throw new IllegalArgumentException("db_config is None"))
-    new UpsertStream(config, new JdbcSink(t, jdbcDialect), requiredCheckpoint)
+    new UpsertStream(config, new JdbcSink(t, jdbcDialect),
+      s"$requiredCheckpoint/up")
   }
   def buildJdbcDelete(): DeleteStream = {
     val t = jdbcTarget.getOrElse(
       throw new IllegalArgumentException("db_config is None"))
-    new DeleteStream(config, new JdbcSink(t, jdbcDialect), requiredCheckpoint, soft)
+    new DeleteStream(config, new JdbcSink(t, jdbcDialect),
+      s"$requiredCheckpoint/del", soft)
   }
   def buildMultiTableUpsert(): MultiTableUpsertStream =
     new MultiTableUpsertStream(spark, config, requiredCatalog, tableCol)
   def buildMultiTableDelete(): MultiTableDeleteStream =
     new MultiTableDeleteStream(spark, config, requiredCatalog, tableCol, soft)
   def buildMultiTableJdbcUpsert(): MultiTableUpsertStream =
-    new MultiTableUpsertStream(config, requiredJdbcSinks, requiredCheckpoint, tableCol)
+    new MultiTableUpsertStream(config, requiredJdbcSinks,
+      s"$requiredCheckpoint/multi_up", tableCol)
   def buildMultiTableJdbcDelete(): MultiTableDeleteStream =
-    new MultiTableDeleteStream(config, requiredJdbcSinks, requiredCheckpoint, tableCol, soft)
+    new MultiTableDeleteStream(config, requiredJdbcSinks,
+      s"$requiredCheckpoint/multi_del", tableCol, soft)
 
   private def requiredJdbcSinks: Map[String, graft.sink.MergeSink] = {
     require(jdbcCatalog.nonEmpty, "multi-table jdbc catalog is empty")

@@ -167,7 +167,7 @@ object Sources {
 
 /** Single-table latest-wins upsert ingestion (reference §3.1) into any
   * [[MergeSink]] — bucketed parquet by default, a JDBC database for true
-  * reference parity (`new UpsertStream(spark, cfg, new JdbcSink(jt), ckpt)`;
+  * reference parity (`new UpsertStream(cfg, new JdbcSink(jt), ckpt)`;
   * JDBC sinks have no storage path, so the checkpoint seed is explicit). */
 final class UpsertStream(
     config: IngestConfig,

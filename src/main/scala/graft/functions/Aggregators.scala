@@ -24,8 +24,15 @@ object Aggregators {
   final class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     require(k > 0, "top-k needs k > 0")
 
-    private def better(a: Scored, b: Scored): Boolean =
-      a.value > b.value || (a.value == b.value && a.id < b.id)
+    // Double.compare, not >: matches Spark's SQL total order exactly
+    // (NaN greatest — so NaN scores rank FIRST under desc, as the
+    // row_number window and the DuckDB oracle both order them — and
+    // -0.0 < 0.0), keeping the aggregator bit-compatible with the
+    // window-function form on every input, zero-norm cosines included.
+    private def better(a: Scored, b: Scored): Boolean = {
+      val c = java.lang.Double.compare(a.value, b.value)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
 
     private def trim(s: Seq[Scored]): Seq[Scored] =
       s.sortWith(better).take(k)

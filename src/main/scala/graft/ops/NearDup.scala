@@ -102,20 +102,21 @@ object NearDup {
     * more than that many docs) before the self-join: one fingerprint in
     * d docs yields d² pairs, so a single hot phrase would otherwise turn
     * the linear index quadratic — the same reason search engines drop
-    * stopwords. The frequency filter is one aggregate over the exploded
-    * index, and the surviving per-fingerprint pair count is bounded by
-    * maxDocFreq². */
+    * stopwords. The frequency filter is a count window over the exploded
+    * index (one shuffle on f, no extra pass over the hash pipeline — a
+    * groupBy + join-back would recompute the whole tokenize/winnow
+    * pipeline a third time), and the surviving per-fingerprint pair count
+    * is bounded by maxDocFreq². */
   def winnowCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, w: Int = 4, maxDocFreq: Int = 100): DataFrame = {
     // fp arrays are distinct per doc, so (id, f) rows are unique
     val fp = TextAnalysis.winnowFingerprints(docs, idCol, textCol, n, w)
       .select(col(idCol), explode(col("fp")).as("f"))
-    val kept = fp.groupBy("f")
-      .agg(count(lit(1)).as("__df"))
+    val wdw = org.apache.spark.sql.expressions.Window.partitionBy("f")
+    val indexed = fp
+      .withColumn("__df", count(lit(1)).over(wdw))
       .where(col("__df") <= maxDocFreq)
-      .select(col("f"))
-    val indexed = fp.join(kept, "f")
     val a = indexed.select(col("f"), col(idCol).as("id_a"))
     val b = indexed.select(col("f"), col(idCol).as("id_b"))
     a.join(b, Seq("f"))

@@ -148,13 +148,19 @@ object Similarity {
       .select(struct(col(idCol).as("cid"), col("v").as("cv"),
         col("nrm").as("cnrm")).as("c"))
       .agg(array_sort(collect_list(col("c"))).as("__cents"))
+    // NaN cosine (zero-norm vector) must BEAT every real cosine — the
+    // (cos desc, cid asc) window this fold replaced orders NaN first
+    // (Spark's total order ranks NaN greatest), so a zero vector joins
+    // the first centroid's cell, not a phantom cell -1.
     val best = aggregate(
       col("__cents"),
       struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
       (acc, c) => {
         val cos = dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm"))
-        when(cos > acc.getField("cos"),
-          struct(cos.as("cos"), c.getField("cid").as("cid"))).otherwise(acc)
+        val wins = cos > acc.getField("cos") ||
+          (isnan(cos) && !isnan(acc.getField("cos")))
+        when(wins, struct(cos.as("cos"), c.getField("cid").as("cid")))
+          .otherwise(acc)
       })
     e.join(broadcast(cents))
       .select(col(idCol), col("v"), col("nrm"), best.getField("cid").as("cell"))

@@ -25,6 +25,13 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(keys.nonEmpty, "saltedJoin requires join keys")
+    // right/full-outer would emit each unmatched dim row once PER SALT
+    // REPLICA — only joins that never emit unmatched dim rows are safe
+    require(Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType " +
+        "(outer-on-dim joins would duplicate unmatched dim rows per salt)")
     val saltCol = "__graft_salt"
     val b = big.withColumn(saltCol, pmod(hash(saltSource), lit(salts)))
     val d = dim.withColumn(saltCol,

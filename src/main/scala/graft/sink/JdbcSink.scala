@@ -44,6 +44,7 @@ final case class JdbcTarget(
     versionCol: String,
     tieBreakCols: Seq[String] = Nil,
     softDeleteCol: String = "row_active",
+    hasSoftDelete: Boolean = false,
     properties: Map[String, String] = Map.empty,
     batchSize: Int = 100) {
   require(url.nonEmpty, "JdbcTarget.url must not be empty")
@@ -51,6 +52,13 @@ final case class JdbcTarget(
   require(keyCols.nonEmpty, "JdbcTarget.keyCols must not be empty")
   require(batchSize > 0, "JdbcTarget.batchSize must be > 0")
   def orderingCols: Seq[String] = versionCol +: tieBreakCols
+  /** Upserts must RESURRECT soft-deleted rows (set `softDeleteCol` back
+    * to TRUE when a newer upsert wins), matching Merge's defaults —
+    * applies when the table declares the flag (`hasSoftDelete`) and the
+    * batch doesn't carry it explicitly. */
+  private[sink] def resurrectCol(batchCols: Seq[String]): Option[String] =
+    if (hasSoftDelete && !batchCols.contains(softDeleteCol)) Some(softDeleteCol)
+    else None
 }
 
 /** One prepared statement of a merge: SQL text plus the batch column names
@@ -98,11 +106,13 @@ object JdbcDialect {
   case object Postgres extends JdbcDialect {
     override def upsertPhases(t: JdbcTarget, cols: Seq[String]): Seq[JdbcPhase] = {
       val nonKey = cols.diff(t.keyCols)
+      val sets = nonKey.map(c => s"$c = EXCLUDED.$c") ++
+        t.resurrectCol(cols).map(c => s"$c = TRUE")
       val sql =
         s"INSERT INTO ${t.table} (${cols.mkString(", ")}) " +
           s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
           s"ON CONFLICT (${t.keyCols.mkString(", ")}) DO UPDATE SET " +
-          nonKey.map(c => s"$c = EXCLUDED.$c").mkString(", ") +
+          sets.mkString(", ") +
           s" WHERE ${storedLeExcluded(t.table, t.orderingCols)}"
       Seq(JdbcPhase(sql, cols))
     }
@@ -118,8 +128,10 @@ object JdbcDialect {
       val nonKey = cols.diff(t.keyCols)
       val (guard, guardBinds) = storedLe(t.orderingCols)
       val (kEq, kBinds) = keyEq(t.keyCols)
+      val sets = nonKey.map(c => s"$c = ?") ++
+        t.resurrectCol(cols).map(c => s"$c = TRUE")
       val update = JdbcPhase(
-        s"UPDATE ${t.table} SET ${nonKey.map(c => s"$c = ?").mkString(", ")} " +
+        s"UPDATE ${t.table} SET ${sets.mkString(", ")} " +
           s"WHERE $kEq AND $guard",
         nonKey ++ kBinds ++ guardBinds)
       val from = dual.map(d => s" FROM $d").getOrElse("")

@@ -183,11 +183,12 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
   /** Compaction: rewrite the current snapshot with exactly one file per
     * bucket (a long-lived target accumulates up to maxWriterPartitions
     * files per bucket per rewrite). One commit, data unchanged. */
-  def compact(config: IngestConfig): Unit =
+  def compact(config: IngestConfig): Unit = withCommitLock {
     current().filter(_.nonEmpty).foreach { m =>
       commit(readDirs(m.values.toSeq.distinct), Map.empty, config,
         onePerBucket = true)
     }
+  }
 
   /** Uniform schema of the current snapshot (invariant: every referenced
     * file shares it — migrations rewrite all buckets). */
@@ -226,7 +227,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
     * `src/upsert.rs:283-295`), bucket-pruned: only buckets containing
     * batch keys are read and rewritten. */
   def mergeUpsert(batch: DataFrame, config: IngestConfig): Unit =
-    withCached(batch) { b =>
+    withCommitLock { withCached(batch) { b =>
       // A hard delete can legitimately empty the table: its manifest has
       // zero entries and no schema to derive, so the next upsert
       // re-initializes exactly like a fresh table instead of crashing on
@@ -248,13 +249,13 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
             defaults = Map(table.softDeleteCol -> lit(true)))
           commit(merged, m -- affected, config)
       }
-    }
+    }}
 
   /** Soft delete (sets `table.softDeleteCol` false). First use migrates
     * the flag column in by rewriting every bucket once, so the snapshot
     * schema stays uniform. */
   def mergeSoftDelete(batch: DataFrame, config: IngestConfig): Unit =
-    withCached(batch) { b =>
+    withCommitLock { withCached(batch) { b =>
       current().filter(_.nonEmpty).foreach { m =>
         val schema = currentSchema(m)
         val bk = conformKeys(b, schema)
@@ -267,11 +268,11 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
           commit(merged, m -- affected, config)
         }
       }
-    }
+    }}
 
   /** Hard delete (drops the rows). */
   def mergeHardDelete(batch: DataFrame, config: IngestConfig): Unit =
-    withCached(batch) { b =>
+    withCommitLock { withCached(batch) { b =>
       current().filter(_.nonEmpty).foreach { m =>
         val bk = conformKeys(b, currentSchema(m))
         val affected = bucketsOf(bk)
@@ -282,7 +283,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
           commit(merged, m -- affected, config)
         }
       }
-    }
+    }}
 
   /** The batch is scanned several times per merge (bucket listing, dedup,
     * broadcast sides) — cache it for the duration so the source micro-batch
@@ -296,10 +297,15 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
     * target (two concurrent streams could both read version N and publish
     * competing N+1 manifests, silently losing one committed merge — the
     * Postgres reference gets this from DB transactions). A create-exclusive
-    * `_LOCK` file makes contention fail LOUD instead. A crash inside
-    * commit leaves a stale lease; recovery is explicit via [[breakLock]]
-    * after confirming no writer is alive — never automatic, because
-    * auto-expiry would re-open the silent-clobber window. */
+    * `_LOCK` file makes contention fail LOUD instead. The lease wraps the
+    * WHOLE merge (manifest read → merge → commit), not just the commit —
+    * a commit-only lease would still let a writer that read version N
+    * before another's commit publish a manifest carrying stale bucket
+    * references, silently clobbering the other's merge without the leases
+    * ever overlapping. A crash inside the lease leaves it stale; recovery
+    * is explicit via [[breakLock]] after confirming no writer is alive —
+    * never automatic, because auto-expiry would re-open the silent-clobber
+    * window. */
   private def withCommitLock[A](f: => A): A = {
     val out =
       try fs.create(lockPath, false)
@@ -326,22 +332,25 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
     * the table by accident. Merge-contract columns (keys + ordering) must
     * survive the transform. No-op on an empty/absent target. */
   def migrate(config: IngestConfig)(transform: DataFrame => DataFrame): Unit =
-    current().filter(_.nonEmpty).foreach { m =>
-      val out = transform(readDirs(m.values.toSeq.distinct))
-      val missing =
-        (table.keyCols ++ table.orderingCols).diff(out.columns.toSeq)
-      require(missing.isEmpty,
-        s"migration dropped merge-contract columns: ${missing.mkString(", ")}")
-      commit(out, Map.empty, config)
+    withCommitLock {
+      current().filter(_.nonEmpty).foreach { m =>
+        val out = transform(readDirs(m.values.toSeq.distinct))
+        val missing =
+          (table.keyCols ++ table.orderingCols).diff(out.columns.toSeq)
+        require(missing.isEmpty,
+          s"migration dropped merge-contract columns: ${missing.mkString(", ")}")
+        commit(out, Map.empty, config)
+      }
     }
 
   /** Write `df`'s buckets under the next delta dir, publish a manifest of
     * (carried-over ++ rewritten) buckets, repoint `_LATEST`, GC. The data
     * fully materializes before any existing state is referenced or
-    * touched (we may be reading dirs we're superseding). */
+    * touched (we may be reading dirs we're superseding). Callers hold the
+    * `_LOCK` lease (every public mutator wraps itself in withCommitLock). */
   private def commit(
       df: DataFrame, carryOver: Map[Int, String], config: IngestConfig,
-      onePerBucket: Boolean = false): Unit = withCommitLock {
+      onePerBucket: Boolean = false): Unit = {
     val next = currentVersion().getOrElse(0L) + 1L
     val delta = deltaName(next)
     val deltaPath = new Path(root, delta)

@@ -87,6 +87,23 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got == Map(1L -> false, 2L -> true))
   }
 
+  test("a newer upsert resurrects a soft-deleted row (Merge parity)") {
+    val url = freshDb(stateDdl(", row_active BOOLEAN DEFAULT TRUE NOT NULL"))
+    val sink = new JdbcSink(target(url).copy(hasSoftDelete = true))
+    sink.mergeUpsert(Seq(Ev(1, 10, 1, "a")).toDF(), cfg)
+    sink.mergeSoftDelete(Seq((1L, 11L, 2L)).toDF("pkey", "ver", "seq"), cfg)
+    def active = readState(url).collect()
+      .map(r => r.getAs[Long]("PKEY") ->
+        ((r.getAs[Boolean]("ROW_ACTIVE"), r.getAs[String]("PAYLOAD")))).toMap
+    assert(active(1L) == ((false, "a")))
+    // a stale upsert (older than the stored row) must NOT resurrect
+    sink.mergeUpsert(Seq(Ev(1, 5, 0, "stale")).toDF(), cfg)
+    assert(active(1L) == ((false, "a")))
+    // a winning upsert flips the flag back on, like Merge's defaults
+    sink.mergeUpsert(Seq(Ev(1, 12, 3, "a2")).toDF(), cfg)
+    assert(active(1L) == ((true, "a2")))
+  }
+
   test("hard delete removes only rows with a tombstone at least as new") {
     val url = freshDb(stateDdl())
     val sink = new JdbcSink(target(url))
