@@ -596,6 +596,14 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("__sh")).as(Seq("pos", "shingle")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("shingle"))),
 
+    // ---- LLM pipeline: text normalization (pre-dedup cleanup) ----
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- LLM pipeline: PII redaction (email/URL/number masking) ----
+    "text_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- LLM pipeline: document fingerprinting ----
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text", n = 3)),
@@ -860,6 +868,30 @@ object SparkEntry {
         "(SELECT coalesce(max(len(sh)), 0) FROM sh_t))) AS i) g " +
         "WHERE g.i < len(sh)"
 
+    // DuckDB regexp_replace needs the 'g' flag (default = first match
+    // only); Spark's replaces all matches. Patterns are the same Scala
+    // constants (RE2 ∩ Java-regex subset).
+    val normalizeSql = {
+      val cleaned = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g'))"
+      s"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_in, " +
+        s"$cleaned AS text_norm, " +
+        s"CAST(length($cleaned) AS BIGINT) AS n_chars_norm FROM documents"
+    }
+
+    val redactSql = {
+      import TextAnalysis.{EmailRe, LongNumRe, UrlRe}
+      s"WITH r AS (SELECT doc_id, text AS t0, " +
+        s"regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM documents), " +
+        s"r2 AS (SELECT doc_id, t0, t1, " +
+        s"regexp_replace(t1, '$UrlRe', '<URL>', 'g') AS t2 FROM r) " +
+        s"SELECT doc_id, " +
+        s"len(regexp_extract_all(t0, '$EmailRe')) AS n_emails, " +
+        s"len(regexp_extract_all(t1, '$UrlRe')) AS n_urls, " +
+        s"len(regexp_extract_all(t2, '$LongNumRe')) AS n_numbers, " +
+        s"regexp_replace(t2, '$LongNumRe', '<NUM>', 'g') AS text_redacted FROM r2"
+    }
+
     val winnowFpCte =
       s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
         s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
@@ -936,6 +968,8 @@ object SparkEntry {
       "text_langid" -> langIdSql,
       "text_token_classes" -> tokenClassesSql,
       "text_fingerprint" -> fingerprintSql,
+      "text_normalize" -> normalizeSql,
+      "text_redact" -> redactSql,
       "text_winnow" -> winnowSql,
       "dedup_winnow_pairs" -> winnowPairsSql,
       "dedup_edit_distance" ->

@@ -55,6 +55,46 @@ object TextAnalysis {
       (alpha + digit + punct).as("n_bpe_tokens"))
   }
 
+  /** Text normalization for training corpora: lowercase, collapse all
+    * whitespace runs to single spaces, trim, and strip control chars —
+    * the canonical pre-dedup cleanup (dedup keyed on raw text misses
+    * trivially-reformatted copies). Row-local; emits the normalized text
+    * plus the pre/post lengths for shrinkage accounting. */
+  def normalize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[\\x00-\\x1f]", " "),
+      "\\s+", " "))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_in"),
+      cleaned.as("text_norm"),
+      length(cleaned).cast("long").as("n_chars_norm"))
+  }
+
+  /** Conservative RE2-compatible patterns (work identically in Java regex
+    * and DuckDB's RE2): no backrefs, no lookarounds. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val LongNumRe = "[0-9][0-9 ()+.-]{6,}[0-9]"
+
+  /** PII redaction: mask emails, URLs, and long number runs (phone/card
+    * shapes) with typed placeholder tokens, counting each — the standard
+    * scrub pass before corpus publication. Patterns are deliberately in
+    * the RE2 ∩ Java-regex subset so the oracle applies the SAME regexes.
+    * Order matters and is fixed: emails first (an email contains no
+    * masked URL), then URLs, then number runs. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, UrlRe, "<URL>")
+    docs.select(
+      col(idCol),
+      regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(t2, lit(LongNumRe)).cast("long").as("n_numbers"),
+      regexp_replace(t2, LongNumRe, "<NUM>").as("text_redacted"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS selection):
     * the distinct per-window minima of the shingle-hash sequence, window
     * size `w`. The guarantee that makes it the standard at corpus scale:

@@ -107,6 +107,27 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L).size < 8)
   }
 
+  test("normalize lowercases, collapses whitespace, strips control chars") {
+    val docs = Seq((1L, "  Hello\t\tWORLD  again \n")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.normalize(docs, "doc_id", "text").head()
+    assert(r.getString(2) == "hello world again")
+    assert(r.getLong(1) > r.getLong(3))
+  }
+
+  test("redactPii masks emails, urls, and long numbers with counts") {
+    val docs = Seq(
+      (1L, "mail a@b.org or visit https://x.io/page?q=1 call +1 (555) 123-4567 ok"),
+      (2L, "clean text with short num 123")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val (e, u, n, t) = out(1L)
+    assert(e == 1 && u == 1 && n == 1, out(1L))
+    assert(t.contains("<EMAIL>") && t.contains("<URL>") && t.contains("<NUM>"))
+    assert(!t.contains("a@b.org") && !t.contains("555"))
+    assert(out(2L) == ((0L, 0L, 0L, "clean text with short num 123")))
+  }
+
   test("langId scores stopwords and tie-breaks to first profile") {
     val docs = Seq(
       (1L, "the cat and the dog is not a bird"),
