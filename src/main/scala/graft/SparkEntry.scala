@@ -240,6 +240,15 @@ object SparkEntry {
           col("asof_purchase_value").as("purchase_value"))
     }),
 
+    // ---- Time-series gap-fill: dense daily grid + LOCF per user ----
+    "q_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("d"),
+        col("value"))
+      graft.ops.TimeSeries.gapFillDaily(ev, "user_id", "d", "value")
+    }),
+
     // ---- Exact percentiles (interpolated) per group ----
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type").agg(
@@ -1041,6 +1050,17 @@ object SparkEntry {
           "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
           "FROM events WHERE event_type = 'purchase') WHERE rn = 1) r " +
           "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+      "q_gapfill" ->
+        ("WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+          "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value " +
+          "FROM events GROUP BY 1, 2), " +
+          "spans AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1), " +
+          "grid AS (SELECT user_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day " +
+          "FROM spans) " +
+          "SELECT g.user_id, g.day, coalesce(d.n, 0) AS n_events, d.day_value, " +
+          "last_value(d.day_value IGNORE NULLS) OVER " +
+          "(PARTITION BY g.user_id ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS locf_value " +
+          "FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day"),
       "q_percentiles" ->
         ("SELECT event_type, quantile_cont(value, 0.5) AS p50, " +
           "quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99, " +

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample an event stream onto a dense
+  * per-key daily grid (every day between each key's first and last
+  * activity), filling gaps with zero counts and last-observation-carried-
+  * forward values — what feature pipelines need before windowed models
+  * (ragged event times make rolling features silently wrong).
+  *
+  * Scale shape: the dense grid is built by exploding a per-key date
+  * `sequence` (grid size = Σ key spans, generated — never a calendar
+  * cross join), the fill join is keyed on (key, day) like any keyed
+  * equi-join, and LOCF is one running window per key — a single shuffle,
+  * AQE-skew-splittable, no driver-side loops.
+  */
+object TimeSeries {
+
+  /** @return one row per (key, day) in the key's [min, max] activity
+    *         span: `n_events` (0 on gap days), `day_value` (that day's
+    *         decimal-exact sum, NULL on gaps), `locf_value` (most recent
+    *         non-NULL day_value at or before the day). */
+  def gapFillDaily(
+      df: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), col(dateCol).as("day"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("day_value"))
+    val spans = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__mn"), max(col("day")).as("__mx"))
+    val grid = spans.select(
+      col(keyCol), explode(sequence(col("__mn"), col("__mx"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left_outer")
+      .select(
+        col(keyCol), col("day"),
+        coalesce(col("__n"), lit(0L)).as("n_events"),
+        col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("locf_value"))
+  }
+}

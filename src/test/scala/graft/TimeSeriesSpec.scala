@@ -1,0 +1,31 @@
+package graft
+
+import java.sql.Date
+
+import graft.ops.TimeSeries
+
+/** Gap-fill: dense per-key daily grid, zero counts on gaps, LOCF. */
+class TimeSeriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("gapFillDaily densifies spans, zero-fills gaps, carries values forward") {
+    val ev = Seq(
+      (1L, Date.valueOf("2024-01-01"), 10.0),
+      (1L, Date.valueOf("2024-01-01"), 5.0),  // same day aggregates
+      (1L, Date.valueOf("2024-01-04"), 2.0),  // 2-day gap before this
+      (2L, Date.valueOf("2024-03-10"), 7.0))  // single-day span
+      .toDF("k", "d", "v")
+    val got = TimeSeries.gapFillDaily(ev, "k", "d", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getLong(2), Option(r.get(3)), r.getDouble(4))))
+      .toMap
+    assert(got.size == 5) // user 1: 4 days, user 2: 1 day
+    assert(got((1L, "2024-01-01")) == ((2L, Some(15.0), 15.0)))
+    assert(got((1L, "2024-01-02")) == ((0L, None, 15.0))) // gap, LOCF
+    assert(got((1L, "2024-01-03")) == ((0L, None, 15.0)))
+    assert(got((1L, "2024-01-04")) == ((1L, Some(2.0), 2.0)))
+    assert(got((2L, "2024-03-10")) == ((1L, Some(7.0), 7.0)))
+  }
+}
