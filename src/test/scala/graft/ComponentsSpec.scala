@@ -32,6 +32,29 @@ class ComponentsSpec extends SparkSpec {
     assert(a.values.toSet == Set(1L))
   }
 
+  test("a 2000-edge random graph converges and matches a union-find model") {
+    val rng = new scala.util.Random(99)
+    val edges = List.fill(2000)(
+      (rng.nextInt(800).toLong, rng.nextInt(800).toLong))
+      .filter(e => e._1 != e._2)
+    // driver-side union-find model
+    val parent = collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val model = parent.keys.map(v => v -> find(v)).toMap
+    // union-find roots are not necessarily component minima; normalize
+    val minOfComp = model.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+    val expected = model.map { case (v, r) => v -> minOfComp(r) }
+    val got = cc(edges: _*)
+    assert(got == expected)
+  }
+
   test("non-convergence within maxRounds fails loud, not silently wrong") {
     val path = (0L until 12L).map(i => (i, i + 1))
     val err = intercept[IllegalArgumentException] {

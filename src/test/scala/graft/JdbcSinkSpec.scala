@@ -206,6 +206,20 @@ class JdbcSinkSpec extends SparkSpec {
     assert(tb == Map(1L -> "b-1"))   // same pkey in route b is independent
   }
 
+  test("8 concurrent writer partitions ingest disjoint keys without deadlock") {
+    val url = freshDb(stateDdl())
+    val sink = new JdbcSink(target(url))
+    val wide = IngestConfig(name = "jdbc-wide", maxWriterPartitions = 8)
+    val rows = (0L until 2000L).map(k => Ev(k, 1L, k, s"p$k"))
+    sink.mergeUpsert(rows.toDF(), wide)
+    val n = readState(url).count()
+    assert(n == 2000L)
+    // second round updates all keys concurrently (pure update path)
+    sink.mergeUpsert(rows.map(e => e.copy(ver = 2L, payload = "v2")).toDF(), wide)
+    val v2 = readState(url).where("PAYLOAD = 'v2'").count()
+    assert(v2 == 2000L)
+  }
+
   test("probe fails fast on an unreachable database") {
     val sink = new JdbcSink(JdbcTarget("jdbc:derby:memory:absent_db",
       "st", keyCols = Seq("pkey"), versionCol = "ver"))
