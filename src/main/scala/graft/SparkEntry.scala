@@ -671,6 +671,31 @@ object SparkEntry {
         .withColumn("frame_pos", col("frame_pos").cast("long"))
     }),
 
+    // ---- CAPSTONE: the composed corpus pipeline — normalize → quality
+    //      filter → cluster-dedup (keep canonical docs) → split → stats.
+    //      One gate proving the operators CHAIN, not just run alone. ----
+    "pipeline_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val norm = TextAnalysis.normalize(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val quality = norm.where(
+        col("n_chars_norm") >= 20 && col("n_chars_norm") <= 10000)
+      val clusters = graft.ops.Components.connectedComponents(
+        NearDup.lshCandidatePairs(docs, "doc_id", "text", m = 8, n = 3, r = 2),
+        "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val keep = quality.join(clusters, Seq("doc_id"), "left_outer")
+        .where(col("comp").isNull || col("comp") === col("doc_id"))
+      keep
+        .withColumn("split", graft.ops.Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars_norm")).cast("long").as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+    }),
+
     // ---- LLM pipeline: brute-force cosine top-k (ANN baseline) ----
     "ann_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(
@@ -844,6 +869,37 @@ object SparkEntry {
         s"WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split FROM documents"
     }
 
+    // Capstone oracle: the same composition in one SQL statement —
+    // clusters (recursive closure), normalization, quality window, split.
+    val pipelineCorpusSql = {
+      val sigCols = (0 until 8).map(j =>
+        s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
+      val cleaned = "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g'))"
+      val bucket = s"((((doc_id * ${TextHash.permuteA(0)} + " +
+        s"${TextHash.permuteB(0)}) % ${TextHash.P}) % 100) + 100) % 100"
+      s"WITH RECURSIVE base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
+        s"sig AS (SELECT doc_id, $sigCols FROM sh_t), " +
+        s"banded AS (${OracleSql.lshBanded("doc_id", 8, 2)}), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM cand " +
+        "UNION SELECT id_b AS src, id_a AS dst FROM cand), " +
+        "reach(id, r) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), " +
+        "clusters AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id), " +
+        s"norm AS (SELECT doc_id, lang, length($cleaned) AS n FROM documents), " +
+        "q AS (SELECT * FROM norm WHERE n >= 20 AND n <= 10000), " +
+        "keep AS (SELECT q.doc_id, q.lang, q.n FROM q LEFT JOIN clusters c " +
+        "USING (doc_id) WHERE c.doc_id IS NULL OR c.comp = q.doc_id), " +
+        s"sp AS (SELECT *, CASE WHEN $bucket < 80 THEN 'train' " +
+        s"WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split FROM keep) " +
+        "SELECT split, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_chars, " +
+        "count(DISTINCT lang) AS n_langs FROM sp GROUP BY split"
+    }
+
     val langIdSql = {
       val scoreCols = LangProfiles.map { case (lang, re) =>
         s"len(regexp_extract_all(text, '$re')) AS score_$lang"
@@ -967,6 +1023,7 @@ object SparkEntry {
       "dedup_minhash_lsh" -> minhashLsh,
       "dedup_clusters" -> clustersSql,
       "q_train_split" -> trainSplitSql,
+      "pipeline_corpus" -> pipelineCorpusSql,
       "dedup_simhash" -> simhashSql,
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_embedding_cosine" -> cosineNearDup,
