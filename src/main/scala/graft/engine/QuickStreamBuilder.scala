@@ -91,17 +91,23 @@ final class QuickStreamBuilder(spark: SparkSession) {
   // parquet targets' distinct _ckpt/_del_ckpt suffixes): sharing one
   // location between an upsert and a delete stream would make the second
   // resume from the first's committed offsets and silently skip batches.
+  // probe() at build time fails fast on a bad URL/credentials on the
+  // DRIVER (mirrors the reference's startup connection check,
+  // src/upsert.rs:80-83) instead of at the first micro-batch inside an
+  // executor task.
   def buildJdbcUpsert(): UpsertStream = {
     val t = jdbcTarget.getOrElse(
       throw new IllegalArgumentException("db_config is None"))
-    new UpsertStream(config, new JdbcSink(t, jdbcDialect),
-      s"$requiredCheckpoint/up")
+    val sink = new JdbcSink(t, jdbcDialect)
+    sink.probe()
+    new UpsertStream(config, sink, s"$requiredCheckpoint/up")
   }
   def buildJdbcDelete(): DeleteStream = {
     val t = jdbcTarget.getOrElse(
       throw new IllegalArgumentException("db_config is None"))
-    new DeleteStream(config, new JdbcSink(t, jdbcDialect),
-      s"$requiredCheckpoint/del", soft)
+    val sink = new JdbcSink(t, jdbcDialect)
+    sink.probe()
+    new DeleteStream(config, sink, s"$requiredCheckpoint/del", soft)
   }
   def buildMultiTableUpsert(): MultiTableUpsertStream =
     new MultiTableUpsertStream(spark, config, requiredCatalog, tableCol)
@@ -117,7 +123,9 @@ final class QuickStreamBuilder(spark: SparkSession) {
   private def requiredJdbcSinks: Map[String, graft.sink.MergeSink] = {
     require(jdbcCatalog.nonEmpty, "multi-table jdbc catalog is empty")
     jdbcCatalog.map { case (n, t) =>
-      (n, new JdbcSink(t, jdbcDialect): graft.sink.MergeSink)
+      val sink = new JdbcSink(t, jdbcDialect)
+      sink.probe() // fail fast per table, driver-side (src/upsert.rs:80-83)
+      (n, sink: graft.sink.MergeSink)
     }
   }
   private def requiredCheckpoint: String = checkpointDir.getOrElse(

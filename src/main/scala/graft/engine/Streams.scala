@@ -114,7 +114,11 @@ object Sources {
     * ingestion accounting at scale). PERMISSIVE parsing captures each
     * unparseable line verbatim in `quarantineCol`; callers split on
     * `IS NULL` — parsed rows to the merge, quarantined lines to a
-    * dead-letter target for replay after a schema fix. */
+    * dead-letter target for replay after a schema fix. Caveat: Spark
+    * refuses a query over raw JSON that references ONLY the internal
+    * corrupt-record column (AnalysisException), so the dead-letter
+    * projection must include at least one data column, or the micro-batch
+    * must be cached/persisted before splitting. */
   def jsonWithQuarantine(
       spark: SparkSession,
       config: IngestConfig,

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * converges in O(log n) rounds with the same per-round plan shape; the
   * propagation below is the right default for dedup workloads.
   *
-  * Lineage is truncated with localCheckpoint every few rounds — an
+  * Lineage is truncated with an eager localCheckpoint every round — an
   * iterative plan otherwise grows by two joins per round until the
-  * optimizer chokes. The convergence probe is a driver-side count of
+  * optimizer chokes. localCheckpoint stores blocks on executors, so an
+  * executor loss mid-computation fails the job unrecoverably (acceptable
+  * for a bounded dedup pass; use reliable `checkpoint` if the cluster
+  * preempts executors). The convergence probe is a driver-side count of
   * changed labels (one scalar per round, not a data collect).
   */
 object Components {

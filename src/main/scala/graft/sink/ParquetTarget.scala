@@ -305,8 +305,22 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
     * ever overlapping. A crash inside the lease leaves it stale; recovery
     * is explicit via [[breakLock]] after confirming no writer is alive —
     * never automatic, because auto-expiry would re-open the silent-clobber
-    * window. */
+    * window.
+    *
+    * Atomicity caveat: `create(path, overwrite=false)` is atomic on HDFS
+    * but check-then-create on RawLocalFileSystem and object-store
+    * connectors (S3A), where two racing writers can both "succeed". The
+    * lease therefore writes a unique token and reads it back after a
+    * settle pause: on a non-atomic store the overwrite race resolves
+    * last-writer-wins, the loser sees a foreign token and aborts, so at
+    * most one writer proceeds. This shrinks the race window to the
+    * settle interval rather than closing it — for genuinely concurrent
+    * multi-writer deployments on object stores, front the target with
+    * external coordination (the reference gets this from Postgres
+    * transactions; see src/upsert.rs:209-269). */
   private def withCommitLock[A](f: => A): A = {
+    val token =
+      s"${java.util.UUID.randomUUID()}:${System.nanoTime()}".getBytes("UTF-8")
     val out =
       try fs.create(lockPath, false)
       catch { case e: java.io.IOException =>
@@ -316,7 +330,19 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
             "through one stream); if the previous writer crashed mid-commit, " +
             "call breakLock() after confirming it is dead", e)
       }
-    out.close()
+    try { out.write(token); out.hsync() } finally out.close()
+    Thread.sleep(50) // settle: let a racing create-overwrite land before the check
+    val readBack = {
+      val in = fs.open(lockPath)
+      try { val b = new Array[Byte](token.length + 1); val n = in.read(b)
+        java.util.Arrays.copyOf(b, math.max(n, 0)) }
+      finally in.close()
+    }
+    if (!java.util.Arrays.equals(readBack, token))
+      throw new IllegalStateException(
+        s"writer lease $lockPath for target ${table.name} was overwritten " +
+          "by a concurrent writer (non-atomic create-exclusive on this " +
+          "filesystem); aborting without committing")
     try f finally { fs.delete(lockPath, false); () }
   }
 
