@@ -66,6 +66,19 @@ object SparkEntry {
       col("event_type"),
       col("value"))
 
+  /** Gate harness for append-mode streams (s3/s4): drain the source with
+    * AvailableNow into a parquet dir, then read the result back. */
+  private def appendStream(
+      s: SparkSession, df: DataFrame, cfg: IngestConfig,
+      tmp: String): DataFrame = {
+    val q = df.writeStream.queryName(cfg.name)
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", cfg.checkpointDir.get)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+  }
+
   /** The DuckDB-side latest-wins dedup (arg-max per key) used by several
     * oracles — mirrors quick_stream `remove_upsert_duplicates`
     * (`src/lib.rs:12-16`) with an explicit event_id tie-break. */
@@ -178,6 +191,52 @@ object SparkEntry {
       new graft.sink.ParquetTarget(s, target).read().get
         .select(col("pkey"), col("n_events"), col("last_us"),
           col("last_event_id"), col("last_value"))
+    }),
+
+    // ---- Stream-stream interval join: each click paired with the same
+    //      user's purchases in the following hour (symmetric hash join;
+    //      watermark + range condition bound BOTH sides' state) ----
+    "s3_stream_stream_join" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s3_").toString
+      val cfg = IngestConfig(name = s"s3-join-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      def src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val clicks = src.filter(col("event_type") === "click").select(
+        col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_micros(expr("ts div 1000")).as("click_ts"))
+      val purchases = src.filter(col("event_type") === "purchase").select(
+        col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        timestamp_micros(expr("ts div 1000")).as("purchase_ts"),
+        col("value").as("purchase_value"))
+      // Gate watermark is effectively unbounded so the result equals the
+      // batch join exactly regardless of micro-batching; production sizes
+      // it to the stream's real disorder (see StreamJoins scaladoc).
+      val joined = graft.streaming.StreamJoins.intervalJoin(
+        clicks, purchases, Seq("c_user" -> "p_user"),
+        "click_ts", "purchase_ts", "0 seconds", "1 hour", "3650 days")
+        .select(col("c_user").as("user_id"), col("click_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          col("purchase_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("purchase_value"))
+      appendStream(s, joined, cfg, tmp)
+    }),
+
+    // ---- Streaming dedup: first-wins per key across the whole stream;
+    //      key-only projection so the emitted witness row is irrelevant ----
+    "s4_stream_dedup" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s4_").toString
+      val cfg = IngestConfig(name = s"s4-dedup-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(col("user_id"), col("event_type"))
+      appendStream(s,
+        graft.streaming.StreamDedup.exact(src, Seq("user_id", "event_type")),
+        cfg, tmp)
     }),
 
     // ---- Scalar functions: JSON + string + date + math over events ----
@@ -1133,6 +1192,15 @@ object SparkEntry {
           "(SELECT user_id AS pkey, ts, event_id, value, " +
           "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, " +
           "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) WHERE rn = 1"),
+      "s3_stream_stream_join" ->
+        ("SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us, " +
+          "p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us, " +
+          "p.value AS purchase_value " +
+          "FROM events c JOIN events p ON c.user_id = p.user_id " +
+          "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
+          "WHERE c.event_type = 'click' AND p.event_type = 'purchase'"),
+      "s4_stream_dedup" ->
+        "SELECT DISTINCT user_id, event_type FROM events",
       "q_scalar_json" ->
         ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k, " +
           "upper(event_type) AS type_uc, CAST(length(event_type) AS BIGINT) AS type_len, " +

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream relational operators — the remaining Structured-Streaming
+  * surface beyond windows (EventTime) and custom state (Stateful). The
+  * reference has no cross-stream operators at all (SURVEY.md §2.9: joins
+  * absent; its only per-stream state is the per-flush DataHolder buffer),
+  * so these are engine-first capabilities, built directly on Spark's
+  * streaming symmetric hash join and streaming-dedup state stores.
+  */
+object StreamJoins {
+
+  /** Stream-stream INNER interval join: pair each left row with the right
+    * rows sharing its key whose event time falls in
+    * `[leftTs - lookback, leftTs + lookahead]`.
+    *
+    * Design for scale: the time-range predicate plus per-side watermarks
+    * is exactly the shape Spark's streaming join planner needs to derive
+    * state watermarks for BOTH sides — each side's join state is evicted
+    * once it can no longer match any future row, so state is
+    * O(key cardinality × (watermark + interval) window), independent of
+    * stream length. Without the range condition the state would grow
+    * unboundedly. Execution is a symmetric hash join: one shuffle per
+    * side, keyed by the join key — the same partitioning a batch shuffle
+    * join would use, amortized across micro-batches.
+    *
+    * Column names must be disjoint between the sides (rename before the
+    * call) — the join condition is built by bare name, and disjoint names
+    * keep the output unambiguous for downstream merges.
+    *
+    * @param keyPairs  (leftCol, rightCol) equality pairs
+    * @param leftTsCol,rightTsCol event-time TimestampType columns
+    * @param lookback  interval string: how far BEFORE leftTs a right row
+    *                  may be (e.g. "0 seconds" = right not earlier)
+    * @param lookahead interval string: how far AFTER leftTs
+    * @param watermark disorder bound applied to both sides; rows later
+    *                  than it may be dropped from state before matching */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyPairs: Seq[(String, String)],
+      leftTsCol: String, rightTsCol: String,
+      lookback: String, lookahead: String,
+      watermark: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoin requires disjoint column names; shared: ${overlap.mkString(", ")}")
+    require(keyPairs.nonEmpty, "intervalJoin requires at least one key pair")
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    val keyCond = keyPairs.map { case (a, b) => col(a) === col(b) }.reduce(_ && _)
+    val rangeCond =
+      col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL '$lookback'") &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL '$lookahead'")
+    l.join(r, keyCond && rangeCond, "inner")
+  }
+}
+
+/** Streaming deduplication: emit each key once across the whole stream (or
+  * once per watermark window), the streaming twin of the batch latest-wins
+  * dedup (ops/Dedup) — the reference dedups only WITHIN one accumulated
+  * batch (`remove_upsert_duplicates`, src/lib.rs:12-16) and relies on the
+  * Postgres upsert for cross-batch identity; here the engine offers true
+  * cross-batch first-wins emission as a source-side filter.
+  */
+object StreamDedup {
+
+  /** Exact cross-stream dedup: the first row seen per key is emitted,
+    * every later row is dropped. State holds one entry PER DISTINCT KEY
+    * forever — correct and bounded for key domains that are themselves
+    * bounded (entity ids, routing tables); for unbounded domains use
+    * [[withinWatermark]]. Downstream should project the key columns (or
+    * treat the payload as arbitrary-witness): which duplicate arrives
+    * first is scheduling-dependent. */
+  def exact(src: DataFrame, keyCols: Seq[String]): DataFrame =
+    src.dropDuplicates(keyCols)
+
+  /** Watermark-bounded dedup: duplicates arriving within the watermark of
+    * the first occurrence are dropped; state for a key is evicted once
+    * the watermark passes it, so state is O(keys active inside one
+    * watermark window) — the 100-TB shape for unbounded key domains
+    * (e.g. URL dedup on a crawl stream). A key CAN re-emit after its
+    * state expires: at-least-once per key, exactly-once within the
+    * window — pair with a latest-wins merge sink for global identity. */
+  def withinWatermark(
+      src: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermark: String): DataFrame =
+    src.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamDedup, StreamJoins}
+
+/** Stream-stream join + streaming dedup semantics under MULTI-batch
+  * execution with real (tight) watermarks — the s3/s4 gates prove batch
+  * equivalence with an unbounded watermark; these specs prove the state
+  * machinery: matches across batch boundaries, watermark-bounded state,
+  * and within-watermark re-emission. */
+case class LEv(k: Long, lid: Long, lts: Timestamp)
+case class REv(rk: Long, rid: Long, rts: Timestamp)
+case class DEv(dk: Long, dts: Timestamp, tag: String)
+
+class StreamOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // offset from a sane epoch: event times AT the initial watermark (epoch
+  // 0) hit late-row/eviction edge cases that no real stream sees
+  private def ts(min: Long): Timestamp =
+    new Timestamp(1600000000000L + min * 60000L)
+
+  test("intervalJoin matches across micro-batch boundaries") {
+    implicit val sql = spark.sqlContext
+    val left = MemoryStream[LEv]
+    val right = MemoryStream[REv]
+    val out = StreamJoins.intervalJoin(
+      left.toDF(), right.toDF(), Seq("k" -> "rk"),
+      "lts", "rts", "0 seconds", "10 minutes", "1 hour")
+      .select($"lid", $"rid")
+    val dir = Files.createTempDirectory("graft_sj_").toString
+    val q = out.writeStream.format("memory").queryName("sj_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // batch 1: left arrives first, its match comes in a LATER batch
+    left.addData(LEv(1, 100, ts(0)), LEv(2, 200, ts(0)))
+    q.processAllAvailable()
+    right.addData(REv(1, 900, ts(5)))   // in-range for lid=100
+    right.addData(REv(2, 901, ts(20)))  // out of range for lid=200
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sj_out").as[(Long, Long)].collect().toSet
+    assert(rows == Set((100L, 900L)))
+  }
+
+  test("intervalJoin requires disjoint column names") {
+    val df = Seq((1L, ts(0))).toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      StreamJoins.intervalJoin(df, df, Seq("k" -> "k"),
+        "ts", "ts", "0 seconds", "1 hour", "1 hour")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("StreamDedup.exact emits each key once across batches") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[DEv]
+    val out = StreamDedup.exact(src.toDF(), Seq("dk")).select($"dk")
+    val dir = Files.createTempDirectory("graft_sd_").toString
+    val q = out.writeStream.format("memory").queryName("sd_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    src.addData(DEv(1, ts(0), "a"), DEv(1, ts(1), "dup-in-batch"))
+    q.processAllAvailable()
+    src.addData(DEv(1, ts(2), "dup-later-batch"), DEv(2, ts(2), "b"))
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("sd_out").as[Long].collect().toList
+    assert(keys.sorted == List(1L, 2L))
+  }
+
+  test("StreamDedup.withinWatermark drops dups inside the window and can " +
+    "re-emit after state expiry") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[DEv]
+    val out = StreamDedup.withinWatermark(
+      src.toDF(), Seq("dk"), "dts", "10 minutes").select($"dk", $"tag")
+    val dir = Files.createTempDirectory("graft_sdw_").toString
+    val q = out.writeStream.format("memory").queryName("sdw_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // which same-batch duplicate is the emitted witness is unspecified →
+    // same tag for both
+    src.addData(DEv(1, ts(0), "early"), DEv(1, ts(5), "early"))
+    q.processAllAvailable()
+    // advance event time far past the watermark so key 1's state expires
+    src.addData(DEv(2, ts(60), "advance"))
+    q.processAllAvailable()
+    src.addData(DEv(1, ts(61), "re-emit"))
+    q.processAllAvailable()
+    q.stop()
+    val tags = spark.table("sdw_out").as[(Long, String)].collect().toSet
+    assert(tags == Set((1L, "early"), (2L, "advance"), (1L, "re-emit")))
+  }
+}
