@@ -685,6 +685,21 @@ object SparkEntry {
         .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
           array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))),
 
+    // ---- LLM pipeline: context-window chunking (200 chars, 20 overlap) ----
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkChars(
+        t(s, dir, "documents"), "doc_id", "text", size = 200, overlap = 20)),
+
+    // ---- LLM pipeline: sequence packing (concat-and-split-at-boundary),
+    //      per-language packing domains = the parallel scale path ----
+    "q_pack_sequences" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packContiguous(toks, "doc_id", "n_tokens",
+        capacity = 256, partitionCols = Seq("lang"))
+    }),
+
     // ---- Window-function suite: lead/lag/ntile/cume_dist/running sum ----
     "q_window_suite" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1292,6 +1307,27 @@ object SparkEntry {
         ("SELECT doc_id, " +
           "array_length(regexp_split_to_array(text, '\\s+')) AS n_tokens, " +
           "length(text) AS n_chars_out FROM documents"),
+      "text_chunk" ->
+        ("WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents), " +
+          "n AS (SELECT doc_id, text, " +
+          "greatest(1, CAST(ceil((len - 20) / 180.0) AS BIGINT)) AS n_chunks FROM d), " +
+          "g AS (SELECT doc_id, text, unnest(range(n_chunks)) AS i FROM n) " +
+          "SELECT doc_id, i AS chunk_idx, i * 180 AS chunk_start, " +
+          "substr(text, CAST(i * 180 + 1 AS INT), 200) AS chunk_text, " +
+          "CAST(length(substr(text, CAST(i * 180 + 1 AS INT), 200)) AS BIGINT) " +
+          "AS n_chunk_chars FROM g"),
+      "q_pack_sequences" ->
+        ("WITH tk AS (SELECT doc_id, lang, " +
+          "CAST(array_length(regexp_split_to_array(text, '\\s+')) AS BIGINT) " +
+          "AS n_tokens FROM documents), " +
+          "s AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start FROM tk) " +
+          "SELECT doc_id, lang, n_tokens, tok_start, " +
+          "tok_start // 256 AS first_block, " +
+          "(tok_start + greatest(n_tokens - 1, 0)) // 256 AS last_block, " +
+          "tok_start % 256 AS offset_in_block, " +
+          "(tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
+          "AS n_blocks FROM s"),
       "text_quality" ->
         ("SELECT doc_id, length(text) AS n_chars_out, " +
           "length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha, " +

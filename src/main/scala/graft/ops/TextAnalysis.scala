@@ -118,6 +118,41 @@ object TextAnalysis {
       .select(col(idCol), TextHash.winnow(col("__sh"), w).as("fp"))
   }
 
+  /** Fixed-size character chunking with overlap — the context-window
+    * splitter of a training/RAG pipeline: chunk i covers
+    * `[i*stride, i*stride + size)` with `stride = size - overlap`, so
+    * consecutive chunks share `overlap` chars and every char is covered.
+    * A doc yields `max(1, ceil((len - overlap) / stride))` chunks (empty
+    * and sub-overlap docs yield exactly one). Row-local generate+substr:
+    * at 100 TB this is a map stage whose output is ~`1 + overlap/size`
+    * times the input — no shuffle, no state, and the generator shape
+    * (sequence + posexplode) keeps peak memory per row at one chunk
+    * index array, not the expanded text. Emits (id, chunk_idx,
+    * chunk_start, chunk_text, n_chunk_chars). */
+  def chunkChars(
+      docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val len = length(col(textCol)).cast("long")
+    val nChunks = greatest(lit(1L),
+      ceil((len - lit(overlap.toLong)).cast("double") / stride).cast("long"))
+    docs
+      .select(col(idCol), col(textCol),
+        sequence(lit(0L), nChunks - 1).as("__idx"))
+      .select(col(idCol), col(textCol),
+        posexplode(col("__idx")).as(Seq("__pos", "chunk_idx")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        col(textCol)
+          .substr((col("chunk_idx") * stride + 1).cast("int"), lit(size))
+          .as("chunk_text"))
+      .withColumn("n_chunk_chars", length(col("chunk_text")).cast("long"))
+  }
+
   /** Document fingerprint: order-sensitive whole-doc hash + the minimum
     * shingle hash and distinct-shingle count (the winnowing-style content
     * summary: equal fp ⇒ identical token stream; shingle stats survive
