@@ -1320,14 +1320,14 @@ object SparkEntry {
         ("WITH tk AS (SELECT doc_id, lang, " +
           "CAST(array_length(regexp_split_to_array(text, '\\s+')) AS BIGINT) " +
           "AS n_tokens FROM documents), " +
-          "s AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
-          "ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start FROM tk) " +
+          "s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id " +
+          "ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start FROM tk) " +
           "SELECT doc_id, lang, n_tokens, tok_start, " +
-          "tok_start // 256 AS first_block, " +
-          "(tok_start + greatest(n_tokens - 1, 0)) // 256 AS last_block, " +
-          "tok_start % 256 AS offset_in_block, " +
-          "(tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
-          "AS n_blocks FROM s"),
+          "CAST(tok_start // 256 AS BIGINT) AS first_block, " +
+          "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 AS BIGINT) AS last_block, " +
+          "CAST(tok_start % 256 AS BIGINT) AS offset_in_block, " +
+          "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
+          "AS BIGINT) AS n_blocks FROM s"),
       "text_quality" ->
         ("SELECT doc_id, length(text) AS n_chars_out, " +
           "length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha, " +

@@ -24,7 +24,11 @@ object Packing {
 
   /** Assign each row to its block span in the concatenated stream.
     *
-    * @param idCol     deterministic order within a partition (unique)
+    * @param idCol     deterministic order within a partition. Need not be
+    *                  unique: the explicit ROWS frame gives tied rows
+    *                  consecutive (not pooled) spans — though the span
+    *                  assignment among equal keys is then tie-order
+    *                  dependent, so a unique key keeps output deterministic
     * @param nTokensCol token count per row (>= 0)
     * @param capacity  block size in tokens
     * @param partitionCols independent packing domains (empty = global)
@@ -36,7 +40,12 @@ object Packing {
       df: DataFrame, idCol: String, nTokensCol: String, capacity: Long,
       partitionCols: Seq[String] = Nil): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    // Explicit ROWS frame: the default for an ordered window is RANGE
+    // UNBOUNDED PRECEDING..CURRENT ROW, which sums ALL rows tied on idCol
+    // together — silently corrupting block spans when idCol is not unique.
+    // ROWS gives each row its own running total regardless of ties.
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val n = col(nTokensCol).cast("long")
     val start = (sum(n).over(w) - n).as("tok_start")
     df.withColumn("tok_start", start)

@@ -63,8 +63,8 @@ import graft.ops.Dedup
   * `IngestConfig.maxWriterPartitions`, the analog of the reference's
   * DB-connection cap (`max_con_count`, quick_stream `src/builder.rs:14-33`).
   */
-final class ParquetTarget(spark: SparkSession, val table: TargetTable)
-    extends MergeSink {
+final class ParquetTarget(spark: SparkSession, val table: TargetTable,
+    leaseSettleMillis: Long = 0L) extends MergeSink {
 
   private val root = new Path(table.path)
   private val pointer = new Path(root, "_LATEST")
@@ -308,16 +308,20 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
     * window.
     *
     * Atomicity caveat: `create(path, overwrite=false)` is atomic on HDFS
-    * but check-then-create on RawLocalFileSystem and object-store
-    * connectors (S3A), where two racing writers can both "succeed". The
-    * lease therefore writes a unique token and reads it back after a
-    * settle pause: on a non-atomic store the overwrite race resolves
-    * last-writer-wins, the loser sees a foreign token and aborts, so at
-    * most one writer proceeds. This shrinks the race window to the
-    * settle interval rather than closing it — for genuinely concurrent
-    * multi-writer deployments on object stores, front the target with
-    * external coordination (the reference gets this from Postgres
-    * transactions; see src/upsert.rs:209-269). */
+    * (and kin) but check-then-create on RawLocalFileSystem and
+    * object-store connectors (S3A), where two racing writers can both
+    * "succeed". On atomic filesystems the lease alone is mutual
+    * exclusion and the commit pays nothing extra. Elsewhere the lease
+    * writes a unique token and reads it back — the overwrite race
+    * resolves last-writer-wins, the loser sees a foreign token and
+    * aborts, so at most one writer proceeds. `leaseSettleMillis`
+    * (default 0: single-writer deployments should not tax every
+    * micro-batch) optionally pauses before the read-back so a racing
+    * overwrite lands first on stores with delayed visibility. This
+    * shrinks the race window rather than closing it — for genuinely
+    * concurrent multi-writer deployments on object stores, front the
+    * target with external coordination (the reference gets this from
+    * Postgres transactions; see src/upsert.rs:209-269). */
   private def withCommitLock[A](f: => A): A = {
     val token =
       s"${java.util.UUID.randomUUID()}:${System.nanoTime()}".getBytes("UTF-8")
@@ -330,21 +334,37 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable)
             "through one stream); if the previous writer crashed mid-commit, " +
             "call breakLock() after confirming it is dead", e)
       }
-    try { out.write(token); out.hsync() } finally out.close()
-    Thread.sleep(50) // settle: let a racing create-overwrite land before the check
-    val readBack = {
-      val in = fs.open(lockPath)
-      try { val b = new Array[Byte](token.length + 1); val n = in.read(b)
-        java.util.Arrays.copyOf(b, math.max(n, 0)) }
-      finally in.close()
+    // A failed token write must not orphan the just-created lease file —
+    // that would wedge every later writer until a manual breakLock().
+    try { try { out.write(token); out.hsync() } finally out.close() }
+    catch { case e: Throwable => fs.delete(lockPath, false); throw e }
+    if (!atomicCreateExclusive) {
+      if (leaseSettleMillis > 0) Thread.sleep(leaseSettleMillis)
+      val readBack = {
+        val in = fs.open(lockPath)
+        try { // read to EOF: a single read() may legally return short
+          val buf = new java.io.ByteArrayOutputStream(token.length + 16)
+          val b = new Array[Byte](256)
+          var n = in.read(b)
+          while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+          buf.toByteArray
+        } finally in.close()
+      }
+      if (!java.util.Arrays.equals(readBack, token))
+        throw new IllegalStateException(
+          s"writer lease $lockPath for target ${table.name} was overwritten " +
+            "by a concurrent writer (non-atomic create-exclusive on this " +
+            "filesystem); aborting without committing")
     }
-    if (!java.util.Arrays.equals(readBack, token))
-      throw new IllegalStateException(
-        s"writer lease $lockPath for target ${table.name} was overwritten " +
-          "by a concurrent writer (non-atomic create-exclusive on this " +
-          "filesystem); aborting without committing")
     try f finally { fs.delete(lockPath, false); () }
   }
+
+  /** Whether this target's filesystem guarantees an atomic
+    * create-exclusive, making the lease's post-write token verification
+    * redundant. HDFS-family namenode creates are atomic; RawLocalFileSystem
+    * and object-store connectors are check-then-create. */
+  private def atomicCreateExclusive: Boolean =
+    Set("hdfs", "viewfs", "webhdfs", "swebhdfs").contains(fs.getUri.getScheme)
 
   /** Remove a stale writer lease left by a crash (see [[withCommitLock]]). */
   def breakLock(): Unit = { fs.delete(lockPath, false); () }

@@ -33,6 +33,15 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
+def types_of(rel):
+    """Column types sorted by column name — the driver's hash is
+    TYPE-sensitive (round 4's only red gate was a DuckDB HUGEINT vs Spark
+    BIGINT mismatch with identical values), so the local gate must compare
+    types too, via duckdb's view of both sides."""
+    order = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+    return [str(rel.types[i]) for i in order]
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -43,8 +52,10 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_types = types_of(spark_rel)
             s_cols, s_rows = canon(spark_rel.fetchall(), spark_rel.columns)
             duck_rel = con.sql(sql)
+            d_types = types_of(duck_rel)
             d_cols, d_rows = canon(duck_rel.fetchall(), duck_rel.columns)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")
@@ -52,6 +63,9 @@ def main(sf_dir, out_dir):
             continue
         if s_cols != d_cols:
             print(f"FAIL {name}: columns {s_cols} != {d_cols}")
+            n_fail += 1
+        elif s_types != d_types:
+            print(f"FAIL {name}: types spark={s_types} != duck={d_types}")
             n_fail += 1
         elif s_rows != d_rows:
             diff = sum(1 for a, b in zip(s_rows, d_rows) if a != b)
