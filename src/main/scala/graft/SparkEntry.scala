@@ -629,11 +629,15 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10, dim = 64, planes = 4)),
 
-    // ---- LLM pipeline: IVF ANN top-k (learned-partitioning scale path) ----
-    "ann_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 10, k = 10, nCentroids = 8)),
+    // ---- LLM pipeline: IVF ANN top-k over LEARNED cells (2 Lloyd's
+    //      iterations of deterministic fixed-point k-means) ----
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 10,
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = 8, iters = 2), nprobe = 1)
+    }),
 
     // ---- Recall knobs: multi-probe LSH (own + 2 Hamming-1 buckets) ----
     "ann_lsh_multiprobe" -> ((s, dir) =>
@@ -641,11 +645,14 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10, dim = 64, planes = 4, probes = 3)),
 
-    // ---- Recall knobs: IVF with nprobe=2 cells per query ----
-    "ann_ivf_nprobe" -> ((s, dir) =>
-      Similarity.ivfTopK(
-        t(s, dir, "embeddings"), "vec_id", "embedding",
-        col("vec_id") < 10, k = 10, nCentroids = 8, nprobe = 2)),
+    // ---- Recall knobs: IVF with nprobe=2 learned cells per query ----
+    "ann_ivf_nprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 10,
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = 8, iters = 2), nprobe = 2)
+    }),
 
     // ---- LLM pipeline: heuristic language ID ----
     "text_langid" -> ((s, dir) =>
@@ -868,13 +875,21 @@ object SparkEntry {
         "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"
 
+    // Learned-cell IVF oracles: the kmeans CTE chain (2 Lloyd's
+    // iterations, fixed-point means) replays Similarity.kmeansCentroids
+    // exactly; `samp` = full corpus (samplePercent=100 at test scale).
+    val ivfKmeans =
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"n AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) AS nrm FROM e), " +
+        "samp AS (SELECT * FROM n), " +
+        OracleSql.kmeansCtes("vec_id", k = 8, iters = 2, dim = 64) + ", " +
+        "c AS (SELECT * FROM c2), "
+
     val ivfNprobe = {
       val dotVC = OracleSql.dot("n.v", "c.cv")
       val dotQC = OracleSql.dot("q.qv", "c.cv")
       val dotSQ = OracleSql.dot("s.v", "q.qv")
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"n AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) AS nrm FROM e), " +
-        "c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8), " +
+      ivfKmeans +
         s"a AS (SELECT n.vec_id, n.v, n.nrm, c.cid, $dotVC / (n.nrm * c.cnrm) AS cos " +
         "FROM n CROSS JOIN c), " +
         "cell AS (SELECT vec_id, v, nrm, cid AS cell FROM " +
@@ -896,9 +911,7 @@ object SparkEntry {
     val ivfTopK = {
       val dotVC = OracleSql.dot("n.v", "c.cv")
       val dotSQ = OracleSql.dot("s.v", "q.qv")
-      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"n AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) AS nrm FROM e), " +
-        "c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 8), " +
+      ivfKmeans +
         s"a AS (SELECT n.vec_id, n.v, n.nrm, c.cid, $dotVC / (n.nrm * c.cnrm) AS cos " +
         "FROM n CROSS JOIN c), " +
         "cell AS (SELECT vec_id, v, nrm, cid AS cell FROM " +

@@ -96,6 +96,42 @@ object OracleSql {
     }.mkString(" UNION ALL ")
   }
 
+  /** Lloyd's k-means CTE chain mirroring `Similarity.kmeansCentroids`
+    * stage-for-stage, over a prior CTE `samp`($idCol, v, nrm). Emits CTEs
+    * `c0 .. c$iters`; the final `c$iters` holds (cid, cv, cnrm).
+    *
+    * Init = the k lowest-id sample vectors; assignment = argmax cosine
+    * with (cos DESC, cid ASC) tie-break (NaN ranks first in both engines,
+    * matching the Spark fold's zero-norm handling); means accumulate as
+    * `floor(x * 2^20)` BIGINTs so the sums are exact integers —
+    * order-independent, hence bit-identical across engines — and cells
+    * that lose all members keep their previous centroid (LEFT JOIN +
+    * coalesce). */
+  def kmeansCtes(idCol: String, k: Int, iters: Int, dim: Int): String = {
+    val q = 1048576L // Similarity.MeanQ
+    val init =
+      s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY $idCol) - 1 AS BIGINT) " +
+        "AS cid, v AS cv, nrm AS cnrm " +
+        s"FROM (SELECT * FROM samp ORDER BY $idCol LIMIT $k))"
+    val steps = (1 to iters).map { i =>
+      val p = s"c${i - 1}"
+      s"a$i AS (SELECT sid, sv, cid AS cell FROM (" +
+        s"SELECT s.$idCol AS sid, s.v AS sv, c.cid, row_number() OVER (" +
+        s"PARTITION BY s.$idCol ORDER BY ${dot("s.v", "c.cv")} / " +
+        "(s.nrm * c.cnrm) DESC, c.cid ASC) AS rn " +
+        s"FROM samp s CROSS JOIN $p c) WHERE rn = 1), " +
+        s"m$i AS (SELECT cell AS cid, t.j AS j, " +
+        s"sum(CAST(floor(a.sv[t.j] * $q.0) AS BIGINT)) AS sq, count(*) AS cnt " +
+        s"FROM a$i a, range(1, ${dim + 1}) t(j) GROUP BY cell, t.j), " +
+        s"g$i AS (SELECT cid, list(CAST(sq AS DOUBLE) / " +
+        s"CAST(cnt * $q AS DOUBLE) ORDER BY j) AS cv FROM m$i GROUP BY cid), " +
+        s"c$i AS (SELECT cid, cv, sqrt(${dot("cv", "cv")}) AS cnrm FROM " +
+        s"(SELECT p.cid, coalesce(g.cv, p.cv) AS cv " +
+        s"FROM $p p LEFT JOIN g$i g USING (cid)))"
+    }
+    (init +: steps).mkString(", ")
+  }
+
   // ---- Multimodal mirror -------------------------------------------------
 
   /** The stub decode checksum over an ASCII text column's bytes:

@@ -123,48 +123,140 @@ object Similarity {
     rankTopK(pairs, idCol, cos, k)
   }
 
-  /** IVF (inverted-file) cell assignment: every vector joins the cell of
-    * its max-cosine centroid. The centroid set here is deterministic (the
-    * first `nCentroids` vectors by id — a stand-in for a kmeans training
-    * job; production swaps in learned centroids, the plumbing is
-    * identical).
-    *
-    * Scale shape: the centroids are gathered into ONE array-of-structs row
-    * (sorted by cid) and broadcast-nested-loop-joined onto the corpus — a
+  /** Fixed-point quantum for k-means mean accumulation: component sums
+    * are `floor(x * 2^20)` BIGINTs, so the per-cell reduction is exact
+    * integer addition — order-independent across partitions AND engines —
+    * and the mean `Σq / (n * 2^20)` is one deterministic IEEE division.
+    * A naive double sum would make the learned centroids depend on
+    * partition merge order, breaking the hash-exact oracle gates. */
+  private val MeanQ = 1048576L
+
+  /** Centroid set (cid, cv, cnrm) gathered into ONE array-of-structs row
+    * (sorted by cid) for broadcast-nested-loop joining onto a corpus: a
     * 1-row broadcast, so the corpus keeps its scan partitioning with ZERO
-    * exchanges between scan and cell assignment. The argmax is a per-row
-    * left-to-right fold over that array; strict `>` keeps the first
+    * exchanges between scan and cell assignment. */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids
+      .select(struct(col("cid"), col("cv"), col("cnrm")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("__cents"))
+
+  /** Argmax-cosine cell for (v, nrm) against the broadcast `__cents`
+    * array: a per-row left-to-right fold; strict `>` keeps the first
     * (lowest-cid) maximum, the same order as a (cos desc, cid asc)
     * tie-break, so the assignment stays bit-deterministic and
-    * oracle-reproducible. (The former implementation exploded n×C rows
-    * through a row_number window — a corpus×C shuffle the fold avoids.)
-    * Emits (idCol, v, nrm, cell). */
-  def ivfCells(
-      emb: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int): DataFrame = {
-    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", norm(col("v")))
-    val cents = e.filter(col(idCol) < nCentroids)
-      .select(struct(col(idCol).as("cid"), col("v").as("cv"),
-        col("nrm").as("cnrm")).as("c"))
-      .agg(array_sort(collect_list(col("c"))).as("__cents"))
-    // NaN cosine (zero-norm vector) must BEAT every real cosine — the
-    // (cos desc, cid asc) window this fold replaced orders NaN first
-    // (Spark's total order ranks NaN greatest), so a zero vector joins
-    // the first centroid's cell, not a phantom cell -1.
-    val best = aggregate(
+    * oracle-reproducible. (A row_number window over exploded n×C rows
+    * would shuffle corpus×C — the fold avoids that entirely.)
+    *
+    * NaN cosine (zero-norm vector) must BEAT every real cosine — the
+    * (cos desc, cid asc) window this fold replaced orders NaN first
+    * (Spark's total order ranks NaN greatest), so a zero vector joins
+    * the first centroid's cell, not a phantom cell -1. */
+  private def bestCell(v: Column, nrm: Column): Column =
+    aggregate(
       col("__cents"),
       struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
       (acc, c) => {
-        val cos = dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm"))
+        val cos = dot(v, c.getField("cv")) / (nrm * c.getField("cnrm"))
         val wins = cos > acc.getField("cos") ||
           (isnan(cos) && !isnan(acc.getField("cos")))
         when(wins, struct(cos.as("cos"), c.getField("cid").as("cid")))
           .otherwise(acc)
-      })
-    e.join(broadcast(cents))
-      .select(col(idCol), col("v"), col("nrm"), best.getField("cid").as("cell"))
+      }).getField("cid")
+
+  /** The first `n` vectors by id as centroids (cid, cv, cnrm) — the
+    * zero-training stand-in; [[kmeansCentroids]] is the learned set. */
+  def firstNCentroids(
+      emb: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame =
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .filter(col(idCol) < n)
+      .select(col(idCol).cast("long").as("cid"), col("v").as("cv"),
+        norm(col("v")).as("cnrm"))
+
+  /** Learned IVF centroids: `iters` Lloyd's iterations over a
+    * deterministic hash sample of the corpus (see [[Sampling]];
+    * `samplePercent = 100` trains on everything — right for test scale,
+    * while a 100-TB corpus trains on a percent-scale sample, the standard
+    * IVF recipe). Initial centroids are the k lowest-id sample vectors.
+    *
+    * Deterministic by construction, so the learned cells are
+    * oracle-reproducible (mirrored CTE-for-stage by
+    * `OracleSql.kmeansCtes`): assignment reuses the bit-deterministic
+    * [[bestCell]] fold, and means accumulate in fixed point ([[MeanQ]])
+    * so integer sums are partition-order independent. Cells that lose
+    * all members keep their previous centroid.
+    *
+    * Scale shape: per iteration, one pass over the sample — centroids
+    * broadcast as a 1-row array (no corpus shuffle), then one
+    * (cell, component) hash aggregation of O(sample × dim) quantized
+    * longs with map-side combine. Only the k × dim centroid sums land on
+    * the driver (bounded by construction, the same contract as Spark
+    * MLlib's KMeans driver loop). */
+  def kmeansCentroids(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, samplePercent: Int = 100): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val samp = (if (samplePercent >= 100) e
+                else Sampling.sampleByHash(e, "__id", samplePercent))
+      .withColumn("nrm", norm(col("v")))
+    var cents: Array[(Long, Seq[Double])] = samp.orderBy(col("__id")).limit(k)
+      .select(col("__id"), col("v")).as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    require(cents.length == k,
+      s"sample holds only ${cents.length} vectors, need k=$k")
+    def centsDf: DataFrame = cents.toSeq.toDF("cid", "cv")
+      .select(col("cid"), col("cv"), norm(col("cv")).as("cnrm"))
+    for (_ <- 0 until iters) {
+      val assigned = samp.join(broadcast(centroidArray(centsDf)))
+        .select(bestCell(col("v"), col("nrm")).as("cell"), col("v"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy(col("cell"), col("j"))
+        .agg(sum(floor(col("x") * lit(MeanQ.toDouble)).cast("long")).as("sq"),
+          count(lit(1)).as("cnt"))
+        .collect() // k × dim rows, bounded by construction
+      val byCell = sums.groupBy(_.getAs[Long]("cell"))
+      cents = cents.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val m = old.toArray
+            rows.foreach { r =>
+              m(r.getAs[Int]("j")) =
+                r.getAs[Long]("sq").toDouble /
+                  (r.getAs[Long]("cnt") * MeanQ).toDouble
+            }
+            (cid, m.toSeq)
+          case None => (cid, old) // empty cell: keep previous centroid
+        }
+      }
+    }
+    centsDf
   }
+
+  /** IVF (inverted-file) cell assignment: every vector joins the cell of
+    * its max-cosine centroid from `centroids` (cid, cv, cnrm) — learned
+    * ([[kmeansCentroids]]) or stand-in ([[firstNCentroids]]).
+    * Emits (idCol, v, nrm, cell). */
+  def ivfCells(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    e.join(broadcast(centroidArray(centroids)))
+      .select(col(idCol), col("v"), col("nrm"),
+        bestCell(col("v"), col("nrm")).as("cell"))
+  }
+
+  /** First-N-centroid convenience overload. */
+  def ivfCells(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame =
+    ivfCells(emb, idCol, vecCol,
+      firstNCentroids(emb, idCol, vecCol, nCentroids))
 
   /** IVF top-k: rank candidates within the query's `nprobe` closest cells —
     * the learned-partitioning sibling of lshTopK. `nprobe = 1` searches
@@ -175,21 +267,18 @@ object Similarity {
     * touching the corpus layout. */
   def ivfTopK(
       emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, nCentroids: Int,
-      nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nCentroids,
-      s"nprobe must be in [1, nCentroids], got $nprobe")
-    val cells = ivfCells(emb, idCol, vecCol, nCentroids)
+      queryPred: Column, k: Int, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cells = ivfCells(emb, idCol, vecCol, centroids)
     val q =
       if (nprobe == 1)
         cells.filter(queryPred).select(
           col(idCol).as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("cell").as("qcell"))
       else {
-        val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-          .withColumn("nrm", norm(col("v")))
-        val cents = e.filter(col(idCol) < nCentroids).select(
-          col(idCol).as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+        val cents = centroids.select(
+          col("cid"), col("cv"), col("cnrm"))
         val qXc = cells.filter(queryPred)
           .select(col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
           .join(broadcast(cents))
@@ -204,6 +293,17 @@ object Similarity {
       col("cell") === col("qcell") && col(idCol) =!= col("query_id"))
     val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
     rankTopK(pairs, idCol, cos, k)
+  }
+
+  /** First-N-centroid convenience overload. */
+  def ivfTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nCentroids: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe <= nCentroids,
+      s"nprobe must be in [1, nCentroids], got $nprobe")
+    ivfTopK(emb, idCol, vecCol, queryPred, k,
+      firstNCentroids(emb, idCol, vecCol, nCentroids), nprobe)
   }
 
   /** Embedding near-duplicate pairs: same-bucket candidates verified by

@@ -91,7 +91,7 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1).map { case (q, a) => q -> a.sortBy(_._3).map(_._2).toSeq }
     val ivf = Similarity.ivfTopK(df, "vec_id", "embedding",
-      col("vec_id") < 3, k = 40, nCentroids = 4)
+      col("vec_id") < 3, k = 40, nCentroids = 4, nprobe = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .groupBy(_._1).map { case (q, a) => q -> a.sortBy(_._3).map(_._2).toSeq }
     ivf.foreach { case (q, neighbors) =>
@@ -131,6 +131,46 @@ class SimilaritySpec extends SparkSpec {
     // and on this seeded corpus the knobs actually BUY recall
     assert(l4 > l1, s"probes=4 should find more than probes=1 (got $l1 -> $l4)")
     assert(i3 > i1, s"nprobe=3 should find more than nprobe=1 (got $i1 -> $i3)")
+  }
+
+  test("kmeans centroids are deterministic, learned, and keep k rows") {
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0))))
+    val df = emb(vecs: _*)
+    def snap(c: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Double])] =
+      c.select(col("cid"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val a = snap(Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 6, iters = 2))
+    val b = snap(Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 6, iters = 2))
+    assert(a == b, "two identical trainings must be bit-identical")
+    assert(a.map(_._1) == (0L until 6L))
+    val init = snap(Similarity.firstNCentroids(df, "vec_id", "embedding", 6))
+    assert(a.map(_._2) != init.map(_._2), "Lloyd's iterations must move centroids")
+  }
+
+  test("learned-cell IVF recall meets the first-N baseline") {
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0))))
+    val df = emb(vecs: _*)
+    val pred = col("vec_id") < 8
+    val k = 10
+    val exact = topMap(Similarity.bruteForceTopK(df, "vec_id", "embedding", pred, k))
+    val learned = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 6, iters = 2)
+    val rLearned = recall(topMap(Similarity.ivfTopK(
+      df, "vec_id", "embedding", pred, k, learned, nprobe = 2)), exact, k)
+    val rFirstN = recall(topMap(Similarity.ivfTopK(
+      df, "vec_id", "embedding", pred, k, nCentroids = 6, nprobe = 2)), exact, k)
+    assert(rLearned >= rFirstN,
+      s"learned cells should not lose recall vs first-N ($rLearned < $rFirstN)")
+  }
+
+  test("kmeans samplePercent trains on the hash sample but still yields k cells") {
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0))))
+    val df = emb(vecs: _*)
+    val c = Similarity.kmeansCentroids(
+      df, "vec_id", "embedding", k = 4, iters = 1, samplePercent = 50)
+    assert(c.count() == 4)
   }
 
   test("cosineNearDupPairs finds a planted duplicate pair") {
