@@ -179,7 +179,8 @@ final class UpsertStream(
     defaultCheckpoint: String) {
 
   def this(spark: SparkSession, config: IngestConfig, target: TargetTable) =
-    this(config, new ParquetTarget(spark, target), target.path + "_ckpt")
+    this(config, new ParquetTarget(spark, target, config.leaseSettleMillis),
+      target.path + "_ckpt")
 
   def run(source: DataFrame): StreamingQuery = runWith(source, None)
   def run(source: DataFrame, trigger: Trigger): StreamingQuery =
@@ -202,7 +203,8 @@ final class DeleteStream(
 
   def this(spark: SparkSession, config: IngestConfig, target: TargetTable,
       soft: Boolean = true) =
-    this(config, new ParquetTarget(spark, target), target.path + "_del_ckpt", soft)
+    this(config, new ParquetTarget(spark, target, config.leaseSettleMillis),
+      target.path + "_del_ckpt", soft)
 
   def run(source: DataFrame): StreamingQuery = runWith(source, None)
   def run(source: DataFrame, trigger: Trigger): StreamingQuery =
@@ -235,7 +237,8 @@ final class MultiTableUpsertStream(
       catalog: Map[String, TargetTable],
       tableCol: String = IngestContract.TableCol) =
     this(config,
-      catalog.map { case (n, t) => (n, new ParquetTarget(spark, t): MergeSink) },
+      catalog.map { case (n, t) =>
+        (n, new ParquetTarget(spark, t, config.leaseSettleMillis): MergeSink) },
       Streams.multiCheckpoint(catalog, "_multi_ckpt"), tableCol)
 
   def run(source: DataFrame): StreamingQuery = runWith(source, None)
@@ -273,7 +276,8 @@ final class MultiTableDeleteStream(
       tableCol: String = IngestContract.TableCol,
       soft: Boolean = true) =
     this(config,
-      catalog.map { case (n, t) => (n, new ParquetTarget(spark, t): MergeSink) },
+      catalog.map { case (n, t) =>
+        (n, new ParquetTarget(spark, t, config.leaseSettleMillis): MergeSink) },
       Streams.multiCheckpoint(catalog, "_multi_del_ckpt"), tableCol, soft)
 
   def run(source: DataFrame): StreamingQuery = runWith(source, None)

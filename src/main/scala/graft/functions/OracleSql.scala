@@ -106,7 +106,14 @@ object OracleSql {
     * `floor(x * 2^20)` BIGINTs so the sums are exact integers —
     * order-independent, hence bit-identical across engines — and cells
     * that lose all members keep their previous centroid (LEFT JOIN +
-    * coalesce). */
+    * coalesce).
+    *
+    * PRECONDITION: `$idCol` must be unique within `samp`. The assignment
+    * step deduplicates via `row_number() OVER (PARTITION BY $idCol)`, so
+    * duplicate-id rows collapse to ONE assigned row here while
+    * `Similarity.kmeansCentroids`' bestCell fold assigns EVERY row — the
+    * engines silently diverge on duplicate ids (the same pitfall
+    * `Packing.packContiguous` documents for non-unique order keys). */
   def kmeansCtes(idCol: String, k: Int, iters: Int, dim: Int): String = {
     val q = 1048576L // Similarity.MeanQ
     val init =

@@ -67,9 +67,92 @@ object Components {
       }
       require(changed == 0,
         s"connected components did not converge in $maxRounds rounds — " +
-          "graph diameter exceeds the bound; raise maxRounds or use the " +
-          "log-round star rewrite for chain-heavy graphs")
+          "graph diameter exceeds the bound; raise maxRounds or use " +
+          "connectedComponentsStar (log-round) for chain-heavy graphs")
       labels
     } finally { sym.unpersist(); () }
+  }
+
+  /** Log-round connected components: the alternating large-star/small-star
+    * edge rewrite (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14). Same contract as [[connectedComponents]] — returns
+    * (id, comp), comp = minimum reachable id — but converges in O(log n)
+    * rounds regardless of graph diameter, so it is the right body for
+    * chain-heavy graphs where propagation's round count (= diameter) would
+    * explode. Per round the cost shape is identical to propagation's: two
+    * vertex-keyed shuffles of O(edges) (a min-aggregate + a join back), no
+    * driver-side data beyond one count per round.
+    *
+    *  - large-star(u): connect every neighbor larger than u to the minimum
+    *    of u's neighborhood (including u) — grows stars downward without
+    *    ever raising a label.
+    *  - small-star(u): connect u and its not-larger neighbors to that
+    *    minimum — contracts chains of smaller ids.
+    *
+    * Both rewrites preserve connectivity; the fixpoint is a forest of
+    * stars, each centered at its component's minimum id. Convergence is
+    * detected structurally (edge set unchanged: equal count + empty
+    * except), not via a monotonicity argument, so the stop test is exact.
+    * Self-loop-only vertices drop out of the rewrite; the final left join
+    * against the original vertex set restores them as their own component.
+    */
+  def connectedComponentsStar(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val raw = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val vertices = raw.select(col("u").as("id"))
+      .unionByName(raw.select(col("v").as("id"))).distinct().persist()
+    try {
+      // Canonical undirected form (u > v), self-loops dropped.
+      var cur = raw.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      var curCnt = cur.count()
+      var round = 0
+      var converged = curCnt == 0L
+      while (!converged && round < maxRounds) {
+        val next = smallStar(largeStar(cur)).localCheckpoint()
+        val nextCnt = next.count()
+        converged = nextCnt == curCnt && next.except(cur).isEmpty
+        cur = next
+        curCnt = nextCnt
+        round += 1
+      }
+      require(converged,
+        s"star rewrite did not converge in $maxRounds rounds — " +
+          "pathological input (rounds should be O(log n)); raise maxRounds")
+      val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val assign = sym.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("comp"))
+      vertices.join(assign, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+        .localCheckpoint()
+    } finally { vertices.unpersist(); () }
+  }
+
+  /** One large-star rewrite over canonical (u > v) edges; output canonical.
+    * For each vertex u with neighborhood N(u): emit (v, min(N(u) ∪ {u}))
+    * for every v ∈ N(u) with v > u. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.filter(col("v") > col("u")).join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star rewrite over canonical (u > v) edges; output canonical.
+    * For each u, with m = min of its not-larger neighbors: emit (u, m) and
+    * (v, m) for the remaining not-larger neighbors v. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    e.join(mins, "u").filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionByName(mins.select(col("u"), col("m").as("v")))
+      .distinct()
   }
 }

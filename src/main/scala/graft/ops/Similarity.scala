@@ -190,7 +190,11 @@ object Similarity {
     * (cell, component) hash aggregation of O(sample × dim) quantized
     * longs with map-side combine. Only the k × dim centroid sums land on
     * the driver (bounded by construction, the same contract as Spark
-    * MLlib's KMeans driver loop). */
+    * MLlib's KMeans driver loop).
+    *
+    * PRECONDITION: `idCol` must be unique within `emb` — the oracle mirror
+    * (`OracleSql.kmeansCtes`) deduplicates assignment per id, so duplicate
+    * ids would make the engines silently diverge (documented there). */
   def kmeansCentroids(
       emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, samplePercent: Int = 100): DataFrame = {
@@ -200,9 +204,14 @@ object Similarity {
     import spark.implicits._
     val e = emb.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("v"))
+    // Materialize the sample once: without this the seed collect plus every
+    // Lloyd's iteration re-runs the upstream scan + cast + norm (+ hash
+    // sampling) — at 100 TB that is `iters` extra reads of the source.
     val samp = (if (samplePercent >= 100) e
                 else Sampling.sampleByHash(e, "__id", samplePercent))
       .withColumn("nrm", norm(col("v")))
+      .persist()
+    try {
     var cents: Array[(Long, Seq[Double])] = samp.orderBy(col("__id")).limit(k)
       .select(col("__id"), col("v")).as[(Long, Seq[Double])].collect()
       .sortBy(_._1).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
@@ -235,6 +244,7 @@ object Similarity {
       }
     }
     centsDf
+    } finally { samp.unpersist(); () }
   }
 
   /** IVF (inverted-file) cell assignment: every vector joins the cell of

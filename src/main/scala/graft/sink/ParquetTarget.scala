@@ -339,7 +339,8 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     try { try { out.write(token); out.hsync() } finally out.close() }
     catch { case e: Throwable => fs.delete(lockPath, false); throw e }
     if (!atomicCreateExclusive) {
-      if (leaseSettleMillis > 0) Thread.sleep(leaseSettleMillis)
+      if (leaseSettleMillis == 0) warnSettleDisabledOnce()
+      onLeaseSettle()
       val readBack = {
         val in = fs.open(lockPath)
         try { // read to EOF: a single read() may legally return short
@@ -365,6 +366,30 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * and object-store connectors are check-then-create. */
   private def atomicCreateExclusive: Boolean =
     Set("hdfs", "viewfs", "webhdfs", "swebhdfs").contains(fs.getUri.getScheme)
+
+  /** One warning per target instance: with settle=0 on a non-atomic store,
+    * two racers that both pass create() will each likely read back their own
+    * token before the other's overwrite lands — the verification is then
+    * mostly ineffective, fine for the supported single-writer contract but
+    * worth a trace if a second writer does exist
+    * (`IngestConfig.leaseSettleMillis` is the knob). */
+  private lazy val warnSettleDisabledOnce: () => Unit = {
+    org.slf4j.LoggerFactory.getLogger(classOf[ParquetTarget]).warn(
+      "target {}: filesystem scheme '{}' has non-atomic create-exclusive and " +
+        "leaseSettleMillis=0 — the writer-lease token verification cannot " +
+        "catch a concurrent writer reliably; this is fine for single-writer " +
+        "deployments, otherwise set IngestConfig.leaseSettleMillis (~50ms)",
+      table.name, fs.getUri.getScheme)
+    () => ()
+  }
+
+  /** Test seam: runs at the settle point of the non-atomic lease path —
+    * after the token write closes, before the read-back. Default is the
+    * `leaseSettleMillis` pause; specs replace it to sequence a racing
+    * overwrite deterministically instead of timing a racer thread against
+    * a wall-clock sleep. */
+  private[graft] var onLeaseSettle: () => Unit =
+    () => if (leaseSettleMillis > 0) Thread.sleep(leaseSettleMillis)
 
   /** Remove a stale writer lease left by a crash (see [[withCommitLock]]). */
   def breakLock(): Unit = { fs.delete(lockPath, false); () }

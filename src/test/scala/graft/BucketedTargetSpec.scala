@@ -268,45 +268,29 @@ class BucketedTargetSpec extends SparkSpec {
 
   test("lease token verify: a racing overwrite during settle aborts the loser") {
     // Local FS create-exclusive is check-then-create, so the target falls
-    // back to token verification. Simulate the lost race by overwriting
-    // the lock with a foreign token while the committer is inside its
-    // settle pause — the committer must see the foreign token and abort
-    // without publishing.
+    // back to token verification. The settle-point test seam sequences the
+    // lost race deterministically: the hook runs after the committer's
+    // token write closes and before its read-back, exactly where a racing
+    // writer's overwrite would land — no racer thread, no wall clock.
     val dir = Files.createTempDirectory("graft_bkt_").toString
     val t = TargetTable("t", s"$dir/target", keyCols = Seq("pkey"),
       versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 2)
-    val sink = new ParquetTarget(spark, t, leaseSettleMillis = 1500L)
+    val sink = new ParquetTarget(spark, t)
     val root = new Path(t.path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
     val lock = new Path(root, "_LOCK")
     @volatile var overwrote = false
-    val racer = new Thread(() => {
-      // Wait for the committer's token to be fully written (file exists,
-      // non-empty, length stable) so the overwrite lands between the
-      // committer's close and its settle-end read-back — overwriting a
-      // still-open stream would race the local checksum file instead.
-      val deadline = System.nanoTime() + 10_000_000_000L
-      def len: Long =
-        if (fs.exists(lock)) fs.getFileStatus(lock).getLen else -1L
-      var prev = -1L
-      var cur = len
-      while ((cur <= 0 || cur != prev) && System.nanoTime() < deadline) {
-        Thread.sleep(20); prev = cur; cur = len
-      }
-      if (cur > 0) {
-        val out = fs.create(lock, true) // the non-atomic overwrite "win"
-        try out.write("foreign-writer-token".getBytes("UTF-8"))
-        finally out.close()
-        overwrote = true
-      }
-    })
-    racer.start()
+    sink.onLeaseSettle = () => {
+      val out = fs.create(lock, true) // the non-atomic overwrite "win"
+      try out.write("foreign-writer-token".getBytes("UTF-8"))
+      finally out.close()
+      overwrote = true
+    }
     val err = intercept[IllegalStateException] {
       sink.mergeUpsert(Seq((1L, 1L, 1L, "p")).toDF
         ("pkey", "ver", "seq", "payload"), cfg)
     }
-    racer.join()
     assert(overwrote)
     assert(err.getMessage.contains("overwritten"))
     assert(sink.read().isEmpty) // nothing was published

@@ -63,4 +63,38 @@ class ComponentsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("converge"))
   }
+
+  // ---- large-star/small-star (log-round) --------------------------------
+
+  private def ccStar(edges: (Long, Long)*): Map[Long, Long] =
+    Components.connectedComponentsStar(edges.toSeq.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+
+  test("star rewrite matches propagation on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 4) {
+      val n = 60 + trial * 40
+      val edges = List.fill(3 * n)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val prop = cc(edges: _*)
+      val star = ccStar(edges: _*)
+      assert(star == prop, s"trial $trial diverged")
+    }
+  }
+
+  test("star rewrite keeps self-loop-only vertices as their own component") {
+    val got = ccStar((4L, 4L), (1L, 2L))
+    assert(got == Map(4L -> 4L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("star rewrite solves a 5000-edge chain propagation's bound cannot") {
+    // Diameter 5000: propagation would need 5000 rounds (its default bound
+    // is 50); the star rewrite needs O(log n).
+    val path = (0L until 5000L).map(i => (i, i + 1))
+    val got = Components.connectedComponentsStar(
+      path.toDF("a", "b"), "a", "b", maxRounds = 30)
+    val rows = got.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp"))
+    assert(rows.length == 5001)
+    assert(rows.forall(_._2 == 0L))
+  }
 }
