@@ -782,7 +782,164 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10)),
+
+    // ---- Sources: format round-trips — write the corpus out as CSV /
+    //      JSON / ORC, read it back with the same schema, and prove
+    //      fidelity with content-sensitive aggregates (md5 extrema). The
+    //      oracle reads the parquet originals: equal aggregates ⇒ the
+    //      round-trip was lossless. ----
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_csv_").toString
+      formatFidelity(graft.sources.Formats.roundTrip(
+        s, t(s, dir, "documents"), "csv", s"$tmp/docs"))
+    }),
+    "src_json_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_json_").toString
+      formatFidelity(graft.sources.Formats.roundTrip(
+        s, t(s, dir, "documents"), "json", s"$tmp/docs"))
+    }),
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_orc_").toString
+      formatFidelity(graft.sources.Formats.roundTrip(
+        s, t(s, dir, "documents"), "orc", s"$tmp/docs"))
+    }),
+
+    // ---- Sources: hive-partitioned write + pruned read — the lang
+    //      filter must resolve to directory pruning, not a scan-and-drop
+    //      (FormatsSpec asserts the PartitionFilters in the plan) ----
+    "src_partitioned_prune" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_part_").toString
+      graft.sources.Formats.writePartitioned(
+        t(s, dir, "documents"), s"$tmp/docs", Seq("lang"))
+      graft.sources.Formats.readPartitioned(s, s"$tmp/docs")
+        .filter(col("lang") === "en")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // ---- LLM pipeline: BM25 keyword top-k (lexical search) ----
+    "bm25_topk" -> ((s, dir) =>
+      graft.ops.TextRank.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text", Bm25Terms, k = Bm25K)),
+
+    // ---- LLM pipeline: Gopher-style repetition quality metrics ----
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- LLM pipeline: per-domain cap sampling (anti-domination) ----
+    "sample_domain_cap" -> ((s, dir) =>
+      graft.ops.Sampling.capPerDomain(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
+        "source", "doc_id", cap = 12)),
   )
+
+  /** Content-fidelity aggregate for the format round-trip gates: per-lang
+    * counts plus md5 extrema of the text — any corruption, truncation, or
+    * type drift in the round-trip changes at least one of these. */
+  private def formatFidelity(docs: DataFrame): DataFrame =
+    docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(length(col("text"))).as("sum_len"),
+      min(md5(col("text"))).as("min_md5"),
+      max(md5(col("text"))).as("max_md5"))
+
+  /** Shared by the bm25_topk query AND its oracle so the term set and k
+    * cannot drift apart. */
+  private val Bm25Terms = Seq("spark", "merge", "hash")
+  private val Bm25K = 25
+
+  /** Oracles for the source-format, ranking, repetition, and domain-cap
+    * gates. The round-trip oracles read the parquet originals — fidelity
+    * IS the assertion. Float conventions: BM25 mirrors the Spark
+    * expression tree token-for-token (same literal forms, same
+    * associativity) and pins the comparison at round(·, 8); the
+    * repetition fractions are exact IEEE divisions of integer-valued
+    * operands, so no rounding is needed. */
+  private def sourceAndRankOracles: Map[String, String] = {
+    val fidelitySql =
+      "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_len, " +
+        "min(md5(text)) AS min_md5, max(md5(text)) AS max_md5 " +
+        "FROM documents GROUP BY lang"
+
+    val bm25Sql = {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val caseSums = Bm25Terms.map(t =>
+        s"coalesce(sum(CASE WHEN term = '$t' THEN contrib END), " +
+          "CAST(0 AS DOUBLE))").mkString(" + ")
+      "WITH toks AS (SELECT doc_id, " +
+        "unnest(string_split_regex(lower(text), '\\s+')) AS term " +
+        "FROM documents), " +
+        "toksf AS (SELECT * FROM toks WHERE term <> ''), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toksf GROUP BY doc_id), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, " +
+        "avg(dl) AS avgdl FROM dl), " +
+        s"qtf AS (SELECT doc_id, term, count(*) AS tf FROM toksf " +
+        s"WHERE term IN ($termList) GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df " +
+        "FROM qtf GROUP BY term), " +
+        "scored AS (SELECT q.doc_id, q.term, " +
+        "ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * " +
+        "(q.tf * (1.2 + 1)) / " +
+        "(q.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS contrib " +
+        "FROM qtf q JOIN dl l USING (doc_id) JOIN dfreq d USING (term) " +
+        "CROSS JOIN stats s), " +
+        s"agg AS (SELECT doc_id, $caseSums AS score " +
+        "FROM scored GROUP BY doc_id), " +
+        s"top AS (SELECT doc_id, score FROM agg " +
+        s"ORDER BY score DESC, doc_id LIMIT $Bm25K) " +
+        "SELECT doc_id, round(score, 8) AS score FROM top"
+    }
+
+    val repetitionSql =
+      "WITH base AS (SELECT doc_id, " +
+        "string_split_regex(lower(text), '\\s+') AS l FROM documents), " +
+        "wordsu AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, " +
+        "unnest(l) AS w FROM base), " +
+        "words AS (SELECT * FROM wordsu WHERE w <> ''), " +
+        "wc AS (SELECT doc_id, w, count(*) AS c " +
+        "FROM words GROUP BY doc_id, w), " +
+        "per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, " +
+        "count(*) AS n_distinct, max(c) AS top_c, " +
+        "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c " +
+        "FROM wc GROUP BY doc_id), " +
+        "bgw AS (SELECT doc_id, w, " +
+        "lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM words), " +
+        "bg AS (SELECT doc_id, w || ' ' || nxt AS bg FROM bgw " +
+        "WHERE nxt IS NOT NULL), " +
+        "bgc AS (SELECT doc_id, bg, count(*) AS c " +
+        "FROM bg GROUP BY doc_id, bg), " +
+        "bper AS (SELECT doc_id, max(c) AS top_bg, " +
+        "CAST(sum(c) AS BIGINT) AS n_bg FROM bgc GROUP BY doc_id) " +
+        "SELECT p.doc_id, p.n_words, p.n_distinct, " +
+        "CAST(p.top_c AS DOUBLE) / p.n_words AS top_word_frac, " +
+        "CAST(p.dup_c AS DOUBLE) / p.n_words AS dup_word_frac, " +
+        "coalesce(CAST(b.top_bg AS DOUBLE) / b.n_bg, CAST(0 AS DOUBLE)) " +
+        "AS top_bigram_frac " +
+        "FROM per p LEFT JOIN bper b USING (doc_id)"
+
+    val domainCapSql =
+      "SELECT doc_id, source, lang FROM (" +
+        "SELECT doc_id, source, lang, row_number() OVER (" +
+        "PARTITION BY source ORDER BY " +
+        s"(doc_id * ${TextHash.permuteA(0)} + ${TextHash.permuteB(0)}) " +
+        s"% ${TextHash.P}, doc_id) AS rn FROM documents) WHERE rn <= 12"
+
+    Map(
+      "src_csv_roundtrip" -> fidelitySql,
+      "src_json_roundtrip" -> fidelitySql,
+      "src_orc_roundtrip" -> fidelitySql,
+      "src_partitioned_prune" ->
+        ("SELECT source, count(*) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+          "FROM documents WHERE lang = 'en' GROUP BY source"),
+      "bm25_topk" -> bm25Sql,
+      "text_repetition" -> repetitionSql,
+      "sample_domain_cap" -> domainCapSql)
+  }
 
   /** DuckDB oracles for the hash-pipeline queries, generated from the same
     * Scala constants that drive the Spark plans (OracleSql mirrors
@@ -1358,6 +1515,6 @@ object SparkEntry {
           "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM " +
           "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
           "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"),
-    ) ++ docPipelineOracles
+    ) ++ docPipelineOracles ++ sourceAndRankOracles
   }
 }

@@ -52,4 +52,27 @@ object Sampling {
       weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
       splitCol: String = "split"): DataFrame =
     df.withColumn(splitCol, splitColumn(col(idCol), weights))
+
+  /** Per-domain cap: keep at most `cap` rows per value of `domainCol`,
+    * chosen in deterministic hash order `(permute(id), id)` — the
+    * standard anti-domination guard for web corpora, where a handful of
+    * sites would otherwise contribute most of the training tokens. The
+    * hash order makes the kept subset a uniform pseudo-random sample of
+    * each domain (NOT its first/lowest ids) while staying reproducible
+    * across runs and engines.
+    *
+    * Scale: one window keyed by domain. Domains are many and the cap is
+    * small, so partitions stay bounded; a pathological mega-domain skews
+    * one partition — pre-filter with a cheap `count per domain` + salt
+    * if a single domain approaches executor memory. */
+  def capPerDomain(
+      df: DataFrame, domainCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(TextHash.permute(0, col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

@@ -153,6 +153,53 @@ object TextAnalysis {
       .withColumn("n_chunk_chars", length(col("chunk_text")).cast("long"))
   }
 
+  /** Gopher-style repetition metrics — the quality filters that catch
+    * boilerplate, scraped templates, and generation loops, which
+    * length/punct ratios miss entirely. Per doc (word = lowercase
+    * whitespace token):
+    *  - `n_words`, `n_distinct` — size and vocabulary;
+    *  - `top_word_frac` — occurrences of the most frequent word / n_words;
+    *  - `dup_word_frac` — occurrences of words appearing more than once /
+    *    n_words;
+    *  - `top_bigram_frac` — occurrences of the most frequent adjacent word
+    *    pair / bigram count (0.0 for docs of fewer than two words).
+    * Fractions are exact IEEE divisions of integer-valued operands, so
+    * they are bit-identical across engines with no rounding convention.
+    *
+    * Scale: per-doc groupings only — the (doc, word) and (doc, bigram)
+    * aggregations shuffle keyed by doc id and combine map-side; no
+    * corpus-global state. The bigram window partitions by doc, so no
+    * single-partition window exists. */
+  def repetitionMetrics(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val wc = words.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val per = wc.groupBy(col(idCol)).agg(
+      sum(col("c")).as("n_words"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_c"),
+      sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_c"))
+    val bigrams = words
+      .withColumn("nxt",
+        lead(col("w"), 1).over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .filter(col("nxt").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("w"), col("nxt")).as("bg"))
+    val bper = bigrams.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+    per.join(bper, Seq(idCol), "left_outer").select(
+      col(idCol),
+      col("n_words").cast("long").as("n_words"),
+      col("n_distinct").cast("long").as("n_distinct"),
+      (col("top_c").cast("double") / col("n_words")).as("top_word_frac"),
+      (col("dup_c").cast("double") / col("n_words")).as("dup_word_frac"),
+      coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0.0))
+        .as("top_bigram_frac"))
+  }
+
   /** Document fingerprint: order-sensitive whole-doc hash + the minimum
     * shingle hash and distinct-shingle count (the winnowing-style content
     * summary: equal fp ⇒ identical token stream; shingle stats survive

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch source/sink formats beyond parquet — CSV, JSON, ORC — with the
+  * schema discipline a 100-TB pipeline needs: reads ALWAYS carry an
+  * explicit schema (schema inference is a full extra pass over the data
+  * and can silently widen/narrow types between runs), and writes go
+  * through the same options the read uses so a round-trip is lossless.
+  *
+  * The reference's surface is Postgres-only (tokio-postgres sinks,
+  * quick_stream `src/upsert.rs:209-269`); file formats are this engine's
+  * extension for corpus interchange — training corpora arrive as
+  * JSONL/CSV dumps and leave as columnar files at least as often as they
+  * live in a database.
+  *
+  * Scale notes per format:
+  *  - CSV/JSON are row-major and compress worse than parquet/ORC; they are
+  *    interchange formats, not storage formats. Reads are splittable at
+  *    newlines, so they parallelize — UNLESS `multiLine=true` (quoted
+  *    newlines), which forces one task per file; keep records
+  *    newline-free upstream if you can.
+  *  - ORC/parquet are columnar: column pruning and predicate pushdown
+  *    reach the scan, so `select`/`filter` cost is proportional to what
+  *    is read, not what is stored.
+  *  - Partitioned writes ([[writePartitioned]]) turn equality filters on
+  *    the partition column into directory pruning — zero I/O for
+  *    filtered-out partitions on ANY format. Choose low-cardinality
+  *    columns (lang, date, source); a high-cardinality partition column
+  *    produces millions of tiny files and kills the listing step.
+  */
+object Formats {
+
+  private val supported = Set("csv", "json", "orc", "parquet")
+
+  /** Write `df` to `path` as `format`, read it back with `df`'s own
+    * schema. The returned frame is the round-tripped data — the gate shape
+    * for "does this format preserve the corpus bit-for-bit". CSV keeps
+    * Spark's default quoting (quote `"`, escape `\`), so embedded
+    * delimiters survive; set `multiLine=true` in `options` only if values
+    * embed newlines (see scale notes). */
+  def roundTrip(
+      spark: SparkSession, df: DataFrame, format: String, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    require(supported.contains(format),
+      s"format must be one of ${supported.mkString(", ")}, got $format")
+    df.write.format(format).options(options).mode("overwrite").save(path)
+    spark.read.format(format).options(options).schema(df.schema).load(path)
+  }
+
+  /** Hive-style partitioned write: one directory per value of
+    * `partitionCols` (in order). Readers filtering on those columns scan
+    * only the matching directories. */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      format: String = "parquet"): Unit = {
+    require(supported.contains(format),
+      s"format must be one of ${supported.mkString(", ")}, got $format")
+    require(partitionCols.nonEmpty, "partitionCols must not be empty")
+    df.write.format(format).partitionBy(partitionCols: _*)
+      .mode("overwrite").save(path)
+  }
+
+  /** Read a partitioned layout. Partition columns come back from directory
+    * names (their type is whatever Spark infers from the path — pin
+    * string-typed partition values upstream if that matters); pass the
+    * DATA columns' schema via `dataSchema` to skip inference. */
+  def readPartitioned(
+      spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Formats
+
+/** Format round-trips preserve data exactly, and partitioned layouts
+  * prune at the directory level (the filter must appear as a
+  * PartitionFilter in the scan, not a post-scan Filter). */
+class FormatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val rows = Seq(
+    (1L, "plain text", "en", 10L),
+    (2L, "comma, semicolon; pipe|", "en", 23L),
+    (3L, "\"quoted\" and 'apostrophes'", "de", 26L),
+    (4L, "unicode: héllo wörld — ünïcode", "fr", 30L))
+
+  test("csv round-trip survives delimiters, quotes, and unicode") {
+    val df = rows.toDF("id", "text", "lang", "n")
+    val back = Formats.roundTrip(spark, df, "csv", tmp("fmt_csv_"))
+    assertSameRows(back, df)
+    // Explicit schema, no inference drift. Names/types only: Spark file
+    // reads force nullable=true regardless of the supplied schema.
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("csv multiLine option round-trips embedded newlines") {
+    val df = Seq((1L, "line one\nline two"), (2L, "no newline"))
+      .toDF("id", "text")
+    val back = Formats.roundTrip(spark, df, "csv", tmp("fmt_csvml_"),
+      Map("multiLine" -> "true"))
+    assertSameRows(back, df)
+  }
+
+  test("json and orc round-trips preserve nulls and schema") {
+    val df = Seq((1L, Some("x"), Some(2.5)), (2L, None, None))
+      .toDF("id", "text", "score")
+    for (fmt <- Seq("json", "orc")) {
+      val back = Formats.roundTrip(spark, df, fmt, tmp(s"fmt_${fmt}_"))
+      assertSameRows(back, df)
+    }
+  }
+
+  test("unsupported format fails loud") {
+    val df = Seq((1L, "x")).toDF("id", "text")
+    val err = intercept[IllegalArgumentException] {
+      Formats.roundTrip(spark, df, "avro", tmp("fmt_bad_"))
+    }
+    assert(err.getMessage.contains("format"))
+  }
+
+  test("partitioned write prunes at the directory level on read") {
+    val df = rows.toDF("id", "text", "lang", "n")
+    val dir = tmp("fmt_part_")
+    Formats.writePartitioned(df, dir, Seq("lang"))
+    val read = Formats.readPartitioned(spark, dir).filter(col("lang") === "en")
+    // The lang predicate must be a PartitionFilter (directory pruning),
+    // not a data Filter over a full scan.
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("lang")),
+      s"lang filter did not reach PartitionFilters:\n$plan")
+    assertSameRows(
+      read.select("id", "text", "n", "lang"),
+      df.filter(col("lang") === "en").select("id", "text", "n", "lang"))
+  }
+}

@@ -55,4 +55,20 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleByHash(df, "id", 0).count() == 0)
     assert(Sampling.sampleByHash(df, "id", 100).count() == 500)
   }
+
+  test("capPerDomain keeps min(cap, size) rows per domain, deterministically") {
+    val df = Seq.tabulate(7)(i => (i.toLong, "big")) ++
+      Seq((100L, "small"), (101L, "small"))
+    val in = df.toDF("id", "domain")
+    val kept = Sampling.capPerDomain(in, "domain", "id", cap = 3)
+    val byDomain = kept.collect().groupBy(_.getString(1))
+      .map { case (d, rs) => d -> rs.map(_.getLong(0)).sorted.toSeq }
+    assert(byDomain("big").size == 3)
+    assert(byDomain("small") == Seq(100L, 101L)) // under cap: all kept
+    // deterministic: a second evaluation keeps the same ids
+    val again = Sampling.capPerDomain(in, "domain", "id", cap = 3)
+    assertSameRows(kept, again)
+    // the kept set is hash-ordered, not the first ids
+    assert(byDomain("big") != Seq(0L, 1L, 2L))
+  }
 }

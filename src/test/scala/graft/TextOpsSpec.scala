@@ -149,6 +149,28 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(4) == 7L)
   }
 
+  test("repetition metrics: hand-computed fractions on tiny docs") {
+    val docs = Seq(
+      (1L, "a a b"),    // top word 'a' ×2; bigrams "a a","a b"
+      (2L, "x"),        // single word: no bigrams
+      (3L, "go go go go")) // fully repetitive
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(m(1L) == ((3L, 2L, 2.0 / 3, 2.0 / 3, 1.0 / 2)))
+    assert(m(2L) == ((1L, 1L, 1.0, 0.0, 0.0)))
+    assert(m(3L) == ((4L, 1L, 1.0, 1.0, 1.0))) // "go go" ×3 of 3 bigrams
+  }
+
+  test("repetition metrics ignore case and extra whitespace in tokenizing") {
+    val docs = Seq((1L, "  The THE the  ")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionMetrics(docs, "doc_id", "text").head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("fingerprint: order-sensitive doc hash, stable shingle stats") {
     val docs = Seq(
       (1L, "a b c d"),

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.TextRank
+
+/** BM25 ranking semantics: term frequency saturates, rare terms weigh
+  * more, longer docs are normalized down, ties break by id, k caps. */
+class TextRankSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private def rank(df: org.apache.spark.sql.DataFrame,
+      terms: Seq[String], k: Int = 10): Seq[(Long, Double)] =
+    TextRank.bm25TopK(df, "doc_id", "text", terms, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("doc with more query-term hits ranks first; non-matching docs absent") {
+    val d = docs(
+      1L -> "cat cat cat dog",
+      2L -> "cat fish fish fish",
+      3L -> "bird bird bird bird")
+    val got = rank(d, Seq("cat"))
+    assert(got.map(_._1) == Seq(1L, 2L)) // doc 3 has no hits → absent
+    assert(got.forall(_._2 > 0.0))
+  }
+
+  test("rarer term carries higher idf at equal tf and length") {
+    val d = docs(
+      1L -> "common rare pad1 pad2",
+      2L -> "common word pad1 pad2",
+      3L -> "common term pad1 pad2")
+    // 'rare' appears in 1 doc, 'common' in 3 — same tf=1, same dl.
+    val byRare = rank(d, Seq("rare")).head._2
+    val byCommon = rank(d, Seq("common")).head._2
+    assert(byRare > byCommon)
+  }
+
+  test("length normalization: same tf in a shorter doc scores higher") {
+    val d = docs(
+      1L -> "hit filler",
+      2L -> "hit filler filler filler filler filler filler filler")
+    val got = rank(d, Seq("hit"))
+    assert(got.map(_._1) == Seq(1L, 2L))
+  }
+
+  test("identical docs tie and break by ascending id; k caps the output") {
+    val d = docs(
+      5L -> "same text here",
+      3L -> "same text here",
+      9L -> "same text here",
+      1L -> "other words entirely")
+    val got = rank(d, Seq("same"), k = 2)
+    assert(got.map(_._1) == Seq(3L, 5L))
+    assert(got(0)._2 == got(1)._2)
+  }
+
+  test("multi-term scores sum per-term contributions in fixed order") {
+    val d = docs(
+      1L -> "alpha beta",
+      2L -> "alpha alpha",
+      3L -> "beta beta")
+    val both = rank(d, Seq("alpha", "beta")).toMap
+    val a = rank(d, Seq("alpha")).toMap
+    val b = rank(d, Seq("beta")).toMap
+    // doc 1 matches both terms; its combined score is the sum of the
+    // single-term scores (same df/dl/avgdl in this fixed corpus).
+    assert(math.abs(both(1L) - (a(1L) + b(1L))) < 1e-6)
+  }
+
+  test("duplicate or empty query terms fail loud") {
+    val d = docs(1L -> "x")
+    intercept[IllegalArgumentException] {
+      TextRank.bm25TopK(d, "doc_id", "text", Seq("a", "A"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextRank.bm25TopK(d, "doc_id", "text", Nil, 5)
+    }
+  }
+}
