@@ -832,6 +832,29 @@ object SparkEntry {
       graft.ops.Sampling.capPerDomain(
         t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
         "source", "doc_id", cap = 12)),
+
+    // ---- LLM pipeline: int8 scalar-quantized ANN + exact rerank ----
+    "ann_sq8_topk" -> ((s, dir) =>
+      Similarity.sq8TopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, rerank = 50)),
+
+    // ---- Range join: purchase windows × error windows, overlap pairs.
+    //      Bucketed equi-join restatement — the naive inequality join is
+    //      a nested loop (RangeJoinSpec proves both halves) ----
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev
+        .filter(col("event_type") === "purchase" && col("user_id") % 50 === 0)
+        .select(col("event_id").as("l_id"), expr("ts div 1000").as("ls"),
+          (expr("ts div 1000") + lit(1800000000L)).as("le"))
+      val r = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("r_id"), expr("ts div 1000").as("rs"),
+          (expr("ts div 1000") + lit(300000000L)).as("re"))
+      graft.ops.RangeJoin.intervalOverlapJoin(
+        l, r, "ls", "le", "rs", "re", bucketWidth = 1800000000L)
+        .select(col("l_id"), col("r_id"), col("ls"), col("rs"))
+    }),
   )
 
   /** Content-fidelity aggregate for the format round-trip gates: per-lang
@@ -938,7 +961,47 @@ object SparkEntry {
           "FROM documents WHERE lang = 'en' GROUP BY source"),
       "bm25_topk" -> bm25Sql,
       "text_repetition" -> repetitionSql,
-      "sample_domain_cap" -> domainCapSql)
+      "sample_domain_cap" -> domainCapSql,
+      "ann_sq8_topk" -> {
+        val dotQ = OracleSql.dot("n.qv", "q.qqv")
+        val dotX = OracleSql.dot("n.v", "q.qv2")
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+          "FROM embeddings), " +
+          "sc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s " +
+          "FROM e), " +
+          "qt AS (SELECT vec_id, list_transform(v, x -> " +
+          "greatest(-127.0, least(127.0, floor(x * 127.0 / sc.s + 0.5)))) " +
+          "AS qv FROM e, sc), " +
+          s"qn AS (SELECT vec_id, qv, sqrt(${OracleSql.dot("qv", "qv")}) " +
+          "AS qn FROM qt), " +
+          "q AS (SELECT vec_id AS query_id, qv AS qqv, qn AS qqn FROM qn " +
+          "WHERE vec_id < 10), " +
+          s"cp AS (SELECT q.query_id, n.vec_id, $dotQ / (n.qn * q.qqn) " +
+          "AS coarse FROM qn n JOIN q ON n.vec_id <> q.query_id), " +
+          "cand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+          "row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY coarse DESC, vec_id) AS rn FROM cp) WHERE rn <= 50), " +
+          s"nx AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) " +
+          "AS nrm FROM e), " +
+          "qx AS (SELECT vec_id AS query_id, v AS qv2, nrm AS qn2 FROM nx " +
+          "WHERE vec_id < 10), " +
+          s"ex AS (SELECT c.query_id, c.vec_id, $dotX / (n.nrm * q.qn2) " +
+          "AS cos FROM cand c JOIN nx n ON n.vec_id = c.vec_id " +
+          "JOIN qx q ON q.query_id = c.query_id) " +
+          "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) " +
+          "AS rank FROM (SELECT query_id, vec_id, row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank " +
+          "FROM ex) WHERE rank <= 10"
+      },
+      "q_range_join" ->
+        ("WITH l AS (SELECT event_id AS l_id, epoch_us(ts) AS ls, " +
+          "epoch_us(ts) + 1800000000 AS le FROM events " +
+          "WHERE event_type = 'purchase' AND user_id % 50 = 0), " +
+          "r AS (SELECT event_id AS r_id, epoch_us(ts) AS rs, " +
+          "epoch_us(ts) + 300000000 AS re FROM events " +
+          "WHERE event_type = 'error') " +
+          "SELECT l_id, r_id, ls, rs FROM l JOIN r " +
+          "ON l.ls <= r.re AND r.rs <= l.le"))
   }
 
   /** DuckDB oracles for the hash-pipeline queries, generated from the same

@@ -123,6 +123,55 @@ object Similarity {
     rankTopK(pairs, idCol, cos, k)
   }
 
+  /** Scalar-quantized (int8-range) ANN with exact rerank — the
+    * memory-bandwidth scale path: embeddings are quantized to integers in
+    * [-127, 127] with ONE corpus-wide symmetric scale (`q = clamp(floor(x
+    * · 127/S + 0.5))`, S = max |component|), the coarse top-`rerank`
+    * candidates per query are ranked on QUANTIZED cosine, and only that
+    * tiny candidate set is re-scored with exact float cosine for the
+    * final top-`k`. At 100 TB the coarse scan streams int8 codes — 8×
+    * less bandwidth than float64 vectors (store the codes as packed
+    * BinaryType at rest; this operator demonstrates the compute shape on
+    * array columns) — and the exact vectors are fetched for
+    * O(queries × rerank) rows only.
+    *
+    * Determinism: quantized components are exact small integers, so the
+    * coarse dot products are EXACT integer arithmetic (carried in
+    * doubles, |dot| ≤ dim·127² ≪ 2^53) — the coarse candidate cut is
+    * bit-reproducible across engines, no float-fuzz at the rerank
+    * boundary. The scale S is a one-row broadcast aggregate; the rerank
+    * stage mirrors [[bruteForceTopK]]'s math over candidates only. */
+  def sq8TopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val scale = e.agg(
+      max(array_max(transform(col("v"), x => abs(x)))).as("s"))
+    val quant = e.crossJoin(broadcast(scale))
+      .withColumn("qv", transform(col("v"), x =>
+        greatest(lit(-127.0), least(lit(127.0),
+          floor(x * lit(127.0) / col("s") + lit(0.5)).cast("double")))))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val q = quant.filter(queryPred).select(
+      col(idCol).as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
+    val coarsePairs = quant.join(broadcast(q), col(idCol) =!= col("query_id"))
+    val coarse = dot(col("qv"), col("qqv")) / (col("qn") * col("qqn"))
+    val cand = rankTopK(coarsePairs, idCol, coarse, rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // Exact rerank: fetch true vectors for the candidate set only.
+    val n = e.withColumn("nrm", norm(col("v")))
+    val qx = n.filter(queryPred).select(
+      col(idCol).as("query_id"), col("v").as("qv2"), col("nrm").as("qn2"))
+    val exact = cand
+      .join(n.select(col(idCol).as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .join(broadcast(qx), "query_id")
+    val cosx = dot(col("v"), col("qv2")) / (col("nrm") * col("qn2"))
+    rankTopK(exact, "neighbor_id", cosx, k)
+  }
+
   /** Fixed-point quantum for k-means mean accumulation: component sums
     * are `floor(x * 2^20)` BIGINTs, so the per-cell reduction is exact
     * integer addition — order-independent across partitions AND engines —

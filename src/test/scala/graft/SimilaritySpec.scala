@@ -70,6 +70,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sq8TopK with rerank = corpus size reproduces brute force exactly") {
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0))))
+    val df = emb(vecs: _*)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 10)
+    val sq8 = Similarity.sq8TopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 10, rerank = 30)
+    assertSameRows(sq8, brute) // full-rerank = exact, quantization only prunes
+  }
+
+  test("sq8TopK achieves high recall at modest rerank") {
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(j => math.cos(i * 3 + j * 1.7 + 1.0))))
+    val df = emb(vecs: _*)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.sq8TopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 5, rerank = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & sq8).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("sq8TopK rejects rerank < k") {
+    val df = emb((0L, Seq(1.0)), (1L, Seq(1.0)))
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopK(df, "vec_id", "embedding", col("vec_id") < 1,
+        k = 5, rerank = 3)
+    }
+  }
+
   test("ivfCells assigns every vector to exactly one cell of a centroid") {
     val vecs = (0L until 30L).map(i =>
       (i, Seq.tabulate(8)(j => math.cos(i * 8 + j + 0.5))))
