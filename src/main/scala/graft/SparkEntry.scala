@@ -833,6 +833,14 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
         "source", "doc_id", cap = 12)),
 
+    // ---- LLM pipeline: unigram-LM quality scoring (perplexity proxy) ----
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- Data quality: ANALYZE-style column profile ----
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "documents"))),
+
     // ---- LLM pipeline: int8 scalar-quantized ANN + exact rerank ----
     "ann_sq8_topk" -> ((s, dir) =>
       Similarity.sq8TopK(
@@ -962,6 +970,35 @@ object SparkEntry {
       "bm25_topk" -> bm25Sql,
       "text_repetition" -> repetitionSql,
       "sample_domain_cap" -> domainCapSql,
+      "text_unigram_logprob" -> {
+        val q = 1048576L // TextAnalysis.LogQ
+        val mean = s"CAST(sq AS DOUBLE) / (n_words * $q)"
+        "WITH toks AS (SELECT doc_id, " +
+          "unnest(string_split_regex(lower(text), '\\s+')) AS w " +
+          "FROM documents), " +
+          "toksf AS (SELECT * FROM toks WHERE w <> ''), " +
+          "freq AS (SELECT w, count(*) AS c FROM toksf GROUP BY w), " +
+          "stats AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v " +
+          "FROM freq), " +
+          "freqq AS (SELECT w, CAST(floor(ln((c + 1) / (t + v)) * " +
+          s"$q.0) AS BIGINT) AS lpq FROM freq, stats), " +
+          "dt AS (SELECT doc_id, w, count(*) AS tf FROM toksf " +
+          "GROUP BY doc_id, w), " +
+          "per AS (SELECT doc_id, CAST(sum(tf * lpq) AS BIGINT) AS sq, " +
+          "CAST(sum(tf) AS BIGINT) AS n_words " +
+          "FROM dt JOIN freqq USING (w) GROUP BY doc_id) " +
+          s"SELECT doc_id, n_words, $mean AS mean_logp, " +
+          s"(-($mean)) / ${graft.ops.TextAnalysis.Ln2} AS bits_per_token " +
+          "FROM per"
+      },
+      "q_profile" ->
+        Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+          s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+            s"count(*) - count($c) AS n_nulls, " +
+            s"count(DISTINCT $c) AS n_distinct, " +
+            s"CAST(min($c) AS VARCHAR) AS min_val, " +
+            s"CAST(max($c) AS VARCHAR) AS max_val FROM documents")
+          .mkString(" UNION ALL "),
       "ann_sq8_topk" -> {
         val dotQ = OracleSql.dot("n.qv", "q.qqv")
         val dotX = OracleSql.dot("n.v", "q.qv2")

@@ -141,7 +141,16 @@ object Sources {
     * at most `maxRecordsPerTrigger` per micro-batch, with backpressure
     * for free (the next admission waits for the merge to finish).
     * Requires the spark-sql-kafka connector on the classpath; options
-    * (auth, TLS) pass through `extraOptions`. */
+    * (auth, TLS) pass through `extraOptions`.
+    *
+    * TESTING CAVEAT: this path has never executed end-to-end — the
+    * development environment ships no Kafka connector jar and no broker,
+    * so coverage is (a) the option mapping asserted here and (b) the
+    * broker-free twin [[rateMicroBatch]], which exercises the same
+    * direct-offset admission contract per trigger (`SourcesSpec`). Before
+    * first production use, run one end-to-end soak against a real broker:
+    * verify offsets commit through the checkpoint, admission matches
+    * `maxRecordsPerTrigger`, and restart resumes without gaps. */
   def kafka(
       spark: SparkSession,
       config: IngestConfig,

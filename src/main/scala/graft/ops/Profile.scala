@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the `ANALYZE`-style data-quality pass a pipeline
+  * runs before trusting a new corpus drop: per column, row/null/distinct
+  * counts and min/max. One row out per column, one scan over the data
+  * (all per-column aggregates ride a single aggregation; the row-stats
+  * never leave the executors until the final handful of rows).
+  *
+  * Exact `countDistinct` over several columns expands the scan N-fold
+  * (Spark's Expand for multi-distinct aggregation) — fine for a handful
+  * of columns; at 100 TB over wide tables swap in
+  * `approx_count_distinct` (HyperLogLog++, one pass, mergeable) — kept
+  * exact here so the result stays oracle-checkable.
+  *
+  * min/max are computed in the column's native type and cast to string
+  * only for the uniform output schema (casting first would compare
+  * lexicographically — wrong for numerics).
+  */
+object Profile {
+
+  /** Profile `cols` (default: every column) of `df`. Output:
+    * (col_name, n_rows, n_nulls, n_distinct, min_val, max_val). */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val target = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(target.nonEmpty, "nothing to profile")
+    val aggs = target.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__dst_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = target.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__dst_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))
+    }
+    one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+}

@@ -200,6 +200,55 @@ object TextAnalysis {
         .as("top_bigram_frac"))
   }
 
+  /** Fixed-point quantum for unigram log-prob accumulation: per-token
+    * log-probs are quantized to `floor(lp · 2^20)` BIGINTs so the per-doc
+    * reduction is exact integer addition — order-independent across
+    * partitions and engines (the same convention as Similarity's k-means
+    * means). Only the final per-doc mean is a float division. */
+  private val LogQ = 1048576L
+
+  /** ln(2) as the exact double literal, shared with the oracle SQL so the
+    * bits-per-token division uses the identical constant in both engines. */
+  val Ln2: Double = 0.6931471805599453
+
+  /** Unigram language-model scoring — the perplexity-proxy quality filter:
+    * train a unigram LM on the corpus itself (add-one smoothing), score
+    * each doc by its mean token log-probability and bits-per-token. Docs
+    * full of rare/garbage tokens score low; natural text scores high —
+    * the cheap stand-in for the LM-perplexity filters production corpora
+    * run, with the same two-pass shape.
+    *
+    * Scale: pass 1 builds the token-frequency table — a full-vocabulary
+    * aggregation (inherent: it IS the model) with map-side combine, output
+    * O(vocab). Pass 2 joins doc tokens to the frequency table keyed by
+    * token and aggregates per doc. Corpus stats (total tokens, vocab
+    * size) are a one-row broadcast. Nothing collects to the driver.
+    *
+    * Determinism: log-probs are quantized to fixed-point longs ([[LogQ]])
+    * before the per-doc sum, so results are bit-identical regardless of
+    * shuffle order; the oracle mirrors the same quantization. */
+  def unigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val stats = freq.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    val freqQ = freq.crossJoin(broadcast(stats))
+      .select(col("w"),
+        floor(log((col("c") + lit(1L)) / (col("t") + col("v"))) * lit(LogQ))
+          .cast("long").as("lpq"))
+    val docTok = toks.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val mean = col("sq").cast("double") / (col("n_words") * lit(LogQ))
+    docTok.join(freqQ, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("lpq")).as("sq"), sum(col("tf")).as("n_words"))
+      .select(col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        mean.as("mean_logp"),
+        (-mean / lit(Ln2)).as("bits_per_token"))
+  }
+
   /** Document fingerprint: order-sensitive whole-doc hash + the minimum
     * shingle hash and distinct-shingle count (the winnowing-style content
     * summary: equal fp ⇒ identical token stream; shingle stats survive

@@ -171,6 +171,32 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("unigram log-prob: hand-computed smoothed model on a tiny corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // corpus: a×3, b×1, c×1 → T=5, V=3; lp(w) = ln((c+1)/(T+V))
+    val lpA = math.log(4.0 / 8); val lpB = math.log(2.0 / 8)
+    val lpC = lpB
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val q = 1048576.0 // quantization error bound: n tokens × 1/Q
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - (2 * lpA + lpB) / 3) <= 3 / q / 3 + 1e-12)
+    assert(got(2L)._1 == 2L)
+    assert(math.abs(got(2L)._2 - (lpA + lpC) / 2) <= 2 / q / 2 + 1e-12)
+    // common-token docs score higher (less negative) than rare-token docs
+    assert(got(1L)._2 > (lpB + lpC) / 2)
+  }
+
+  test("unigram log-prob is shuffle-order independent (fixed-point sums)") {
+    val docs = (0L until 50L)
+      .map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 11} shared"))
+    val a = TextAnalysis.unigramLogProb(
+      docs.toDF("doc_id", "text").repartition(13), "doc_id", "text")
+    val b = TextAnalysis.unigramLogProb(
+      docs.reverse.toDF("doc_id", "text").repartition(3), "doc_id", "text")
+    assertSameRows(a, b)
+  }
+
   test("fingerprint: order-sensitive doc hash, stable shingle stats") {
     val docs = Seq(
       (1L, "a b c d"),
