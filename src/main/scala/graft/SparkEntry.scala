@@ -239,6 +239,26 @@ object SparkEntry {
         cfg, tmp)
     }),
 
+    // ---- Stream-static enrichment: events stream × customer dim
+    //      (broadcast dim, no stream shuffle, no state store) ----
+    "s5_stream_static_join" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s5_").toString
+      val cfg = IngestConfig(name = s"s5-enrich-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .filter(col("user_id") < 150)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val enriched = graft.streaming.StreamJoins.enrichWithDim(
+        src, dim, Seq("user_id" -> "c_custkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_nationkey"), col("c_mktsegment"))
+      appendStream(s, enriched, cfg, tmp)
+    }),
+
     // ---- Scalar functions: JSON + string + date + math over events ----
     "q_scalar_json" -> ((s, dir) => {
       val ts = timestamp_micros(expr("ts div 1000"))
@@ -1486,6 +1506,11 @@ object SparkEntry {
           "WHERE c.event_type = 'click' AND p.event_type = 'purchase'"),
       "s4_stream_dedup" ->
         "SELECT DISTINCT user_id, event_type FROM events",
+      "s5_stream_static_join" ->
+        ("SELECT e.event_id, e.user_id, e.event_type, " +
+          "c.c_nationkey, c.c_mktsegment " +
+          "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey " +
+          "WHERE e.user_id < 150"),
       "q_scalar_json" ->
         ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k, " +
           "upper(event_type) AS type_uc, CAST(length(event_type) AS BIGINT) AS type_len, " +

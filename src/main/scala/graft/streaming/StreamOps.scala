@@ -55,6 +55,38 @@ object StreamJoins {
         col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL '$lookahead'")
     l.join(r, keyCond && rangeCond, "inner")
   }
+
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream (user → account, doc → source metadata) — the workhorse
+    * lookup every ingest pipeline needs before it aggregates or routes.
+    *
+    * Design for scale: the dimension side is BROADCAST (the default), so
+    * the stream keeps its source partitioning — no shuffle of the stream,
+    * and, unlike a stream-stream join, NO state store at all: the static
+    * side is re-resolved per micro-batch, which also means dimension
+    * updates become visible at the next trigger without restarts. Inner
+    * or left_outer only — those are the types Spark supports with the
+    * stream on the left, and left_outer keeps unmatched stream rows
+    * flowing (nulls) instead of silently dropping them. A dimension too
+    * big to broadcast: set `broadcastDim = false` and the planner falls
+    * back to a shuffled join of each micro-batch.
+    *
+    * @param keyPairs (streamCol, dimCol) equality pairs; names must be
+    *                 disjoint between the sides like [[intervalJoin]] */
+  def enrichWithDim(
+      stream: DataFrame, dim: DataFrame,
+      keyPairs: Seq[(String, String)],
+      joinType: String = "left_outer",
+      broadcastDim: Boolean = true): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"stream-static enrichment supports inner/left_outer, got $joinType")
+    require(keyPairs.nonEmpty, "enrichWithDim requires at least one key pair")
+    val overlap = stream.columns.toSet.intersect(dim.columns.toSet)
+    require(overlap.isEmpty,
+      s"enrichWithDim requires disjoint column names; shared: ${overlap.mkString(", ")}")
+    val cond = keyPairs.map { case (a, b) => col(a) === col(b) }.reduce(_ && _)
+    stream.join(if (broadcastDim) broadcast(dim) else dim, cond, joinType)
+  }
 }
 
 /** Streaming deduplication: emit each key once across the whole stream (or

@@ -95,4 +95,34 @@ class StreamOpsSpec extends SparkSpec {
     val tags = spark.table("sdw_out").as[(Long, String)].collect().toSet
     assert(tags == Set((1L, "early"), (2L, "advance"), (1L, "re-emit")))
   }
+
+  test("enrichWithDim: broadcast left_outer keeps unmatched stream rows") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[LEv]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dk2", "tier")
+    val out = StreamJoins.enrichWithDim(
+      src.toDF(), dim, Seq("k" -> "dk2"))
+      .select($"lid", $"tier")
+    val dir = Files.createTempDirectory("graft_se_").toString
+    val q = out.writeStream.format("memory").queryName("se_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    src.addData(LEv(1, 100, ts(0)), LEv(9, 900, ts(0))) // 9: no dim row
+    q.processAllAvailable()
+    src.addData(LEv(2, 200, ts(1))) // later batch re-resolves the dim
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("se_out").as[(Long, Option[String])].collect().toSet
+    assert(rows == Set((100L, Some("gold")), (900L, None), (200L, Some("silver"))))
+  }
+
+  test("enrichWithDim rejects unsupported join types and shared names") {
+    val dim = Seq((1L, "x")).toDF("dk2", "tier")
+    val st = Seq(LEv(1, 1, ts(0))).toDF()
+    intercept[IllegalArgumentException] {
+      StreamJoins.enrichWithDim(st, dim, Seq("k" -> "dk2"), joinType = "full")
+    }
+    intercept[IllegalArgumentException] {
+      StreamJoins.enrichWithDim(st, st, Seq("k" -> "k"))
+    }
+  }
 }
