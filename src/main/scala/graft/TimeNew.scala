@@ -8,11 +8,19 @@ object TimeNew {
     // Same session posture as Bench/Verify so timings measure the same plans.
     val spark = graft.engine.GraftSession.local("graft-time",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
-    val explain = sys.env.get("GRAFT_EXPLAIN").contains("1")
+    // GRAFT_EXPLAIN=1: pre-execution formatted plan.
+    // GRAFT_EXPLAIN=2: execute, then print the FINAL adaptive plan —
+    // shows what AQE actually ran (reused stages, runtime join picks).
+    val explain = sys.env.getOrElse("GRAFT_EXPLAIN", "0")
     args.toSeq.foreach { n =>
-      if (explain) {
+      if (explain == "1") {
         println(s"==== PLAN $n ====")
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      } else if (explain == "2") {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.count()
+        println(s"==== FINAL PLAN $n ====")
+        println(df.queryExecution.executedPlan.toString)
       } else {
         val t0 = System.nanoTime()
         val c = SparkEntry.queries(n)(spark, sfDir).count()

@@ -222,7 +222,13 @@ object TextAnalysis {
     * aggregation (inherent: it IS the model) with map-side combine, output
     * O(vocab). Pass 2 joins doc tokens to the frequency table keyed by
     * token and aggregates per doc. Corpus stats (total tokens, vocab
-    * size) are a one-row broadcast. Nothing collects to the driver.
+    * size) are a one-row broadcast. Nothing collects to the driver. The
+    * frequency table persists while the two model consumers (stats, the
+    * quantized log-probs) derive from it — without that, each branch
+    * re-scans and re-tokenizes the whole corpus (Spark does not reuse
+    * identical scan branches across a DAG) — and the result is
+    * materialized eagerly so the model table unpersists before return:
+    * exactly two corpus passes, total.
     *
     * Determinism: log-probs are quantized to fixed-point longs ([[LogQ]])
     * before the per-doc sum, so results are bit-identical regardless of
@@ -232,7 +238,8 @@ object TextAnalysis {
     val toks = docs
       .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
-    val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("c")).persist()
+    try {
     val stats = freq.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
     val freqQ = freq.crossJoin(broadcast(stats))
       .select(col("w"),
@@ -247,6 +254,8 @@ object TextAnalysis {
         col("n_words").cast("long").as("n_words"),
         mean.as("mean_logp"),
         (-mean / lit(Ln2)).as("bits_per_token"))
+      .localCheckpoint() // O(docs) result rows; frees the model table
+    } finally { freq.unpersist(); () }
   }
 
   /** Document fingerprint: order-sensitive whole-doc hash + the minimum

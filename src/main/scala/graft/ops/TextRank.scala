@@ -9,22 +9,28 @@ import org.apache.spark.sql.functions._
   * eval-set mining) and as the candidate generator feeding a re-ranker.
   *
   * Scale shape (the reason this is NOT "build an inverted index first"):
-  * for a FIXED query, only postings of the query terms matter. The plan
-  * filters the token stream to the query vocabulary BEFORE any (doc, term)
-  * aggregation, so the expensive full-vocabulary term-frequency shuffle
-  * never happens — the corpus pays one per-doc length aggregation
-  * (map-side combined, O(docs) output) plus one aggregation over
-  * query-term hits only. Document frequencies and corpus stats are
-  * single-row/handful-row aggregates, broadcast to the scoring join; the
-  * only data-sized shuffle is keyed by doc id. Serving MANY ad-hoc queries
-  * would amortize differently (materialize `(term, doc, tf)` postings
-  * bucketed by term once, then each query is a broadcast-semi-join); the
-  * one-shot path here is the batch-pipeline shape.
+  * for a FIXED query, only counts of the query terms matter. The corpus
+  * is scanned and tokenized EXACTLY ONCE, into ONE aggregation keyed by
+  * doc id with a conditional counter per query term — per-doc length and
+  * per-term frequencies land in a single O(docs)-row table, with map-side
+  * combine and no full-vocabulary key space anywhere. Document
+  * frequencies and corpus stats reduce that table to one broadcast row,
+  * and scoring is a row-local expression over it: the whole plan is one
+  * corpus scan + one doc-keyed shuffle + zero joins. (The four-branch
+  * dl/stats/tf/df formulation re-scans the corpus four times — Spark does
+  * not reuse identical scan branches across a DAG; measured, not
+  * guessed.) Serving MANY ad-hoc queries would amortize differently
+  * (materialize postings bucketed by term once; each query is then a
+  * broadcast-semi-join); the one-shot path here is the batch-pipeline
+  * shape.
+  *
+  * The result (≤ k rows) is materialized eagerly (localCheckpoint) so the
+  * per-doc table can be unpersisted before returning.
   *
   * Determinism: per-term contributions are summed in FIXED query order
-  * (one conditional aggregate per term — each over at most one row per
-  * doc), not in shuffle arrival order, so the double-precision score is
-  * bit-stable across runs, partitionings, and engines.
+  * inside one row-local expression — never in shuffle arrival order — so
+  * the double-precision score is bit-stable across runs, partitionings,
+  * and engines.
   */
 object TextRank {
 
@@ -32,7 +38,8 @@ object TextRank {
     * the `ln(1 + (N - df + 0.5)/(df + 0.5))` form, always positive).
     * Tokenization = lowercase whitespace split, matching the rest of the
     * text stack. Output: (idCol, score) — score rounded to 8 dp to pin
-    * the cross-engine comparison; ties break by ascending id.
+    * the cross-engine comparison; ties break by ascending id. Docs with
+    * no query-term hits are absent (not zero-scored).
     *
     * @param k1 term-frequency saturation (default 1.2)
     * @param b  length normalization strength (default 0.75) */
@@ -49,37 +56,42 @@ object TextRank {
       .select(col(idCol).as("__id"),
         explode(split(lower(col(textCol)), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-    // Per-doc length: the only full-corpus aggregation in the plan.
-    val dl = toks.groupBy("__id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl")) // exact: integer-valued double sums
-    // Query-vocabulary postings only — filtered BEFORE the (doc, term)
-    // aggregation, so no full-vocab shuffle exists anywhere.
-    val qtf = toks.filter(col("term").isin(terms: _*))
-      .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = qtf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val contrib: Column = {
+    // THE one corpus pass: doc length + one conditional counter per query
+    // term, in a single doc-keyed aggregation.
+    val perTermCounts = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, lit(1L)).otherwise(lit(0L))).as(s"__tf$i")
+    }
+    val perDoc = toks.groupBy(col("__id"))
+      .agg(count(lit(1)).as("dl"), perTermCounts: _*)
+      .persist()
+    try {
+    // Corpus stats + per-term document frequencies: ONE broadcast row.
+    val dfAggs = terms.indices.map(i =>
+      sum(when(col(s"__tf$i") > 0, lit(1L)).otherwise(lit(0L)))
+        .cast("double").as(s"__df$i"))
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl") +: dfAggs: _*) // exact: integer-valued sums
+    // Row-local scoring in fixed term order (0.0 for absent terms — an
+    // exact IEEE identity, so the sum equals the hits-only sum).
+    def contrib(i: Int): Column = {
+      val tf = col(s"__tf$i"); val df = col(s"__df$i")
       val idf = log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      idf * (col("tf") * (lit(k1) + lit(1.0))) /
-        (col("tf") + lit(k1) *
-          (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+        (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+      when(tf > 0,
+        idf * (tf * (lit(k1) + lit(1.0))) /
+          (tf + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
     }
-    val scored = qtf
-      .join(dl, "__id")
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .select(col("__id"), col("term"), contrib.as("contrib"))
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, col("contrib"))).as(s"__c$i")
-    }
-    val score = terms.indices
-      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
-      .reduce(_ + _)
-    scored.groupBy("__id").agg(perTerm.head, perTerm.tail: _*)
+    val score = terms.indices.map(contrib).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .where(terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
       .select(col("__id"), score.as("__score"))
       .orderBy(col("__score").desc, col("__id"))
       .limit(k)
       .select(col("__id").as(idCol), round(col("__score"), 8).as("score"))
+      .localCheckpoint() // ≤ k rows; lets the per-doc table unpersist below
+    } finally { perDoc.unpersist(); () }
   }
 }
