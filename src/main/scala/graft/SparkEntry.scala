@@ -991,7 +991,7 @@ object SparkEntry {
       "text_repetition" -> repetitionSql,
       "sample_domain_cap" -> domainCapSql,
       "text_unigram_logprob" -> {
-        val q = 1048576L // TextAnalysis.LogQ
+        val q = graft.ops.TextAnalysis.LogQ
         val mean = s"CAST(sq AS DOUBLE) / (n_words * $q)"
         "WITH toks AS (SELECT doc_id, " +
           "unnest(string_split_regex(lower(text), '\\s+')) AS w " +

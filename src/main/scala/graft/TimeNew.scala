@@ -18,7 +18,10 @@ object TimeNew {
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")
       } else if (explain == "2") {
         val df = SparkEntry.queries(n)(spark, sfDir)
-        df.count()
+        // Execute df's OWN QueryExecution: df.count() would run a derived
+        // plan (groupBy().count()), leaving this one un-executed and its
+        // AdaptiveSparkPlan non-final.
+        df.queryExecution.toRdd.count()
         println(s"==== FINAL PLAN $n ====")
         println(df.queryExecution.executedPlan.toString)
       } else {

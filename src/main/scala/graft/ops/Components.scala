@@ -46,9 +46,13 @@ object Components {
       .distinct()
       .persist()
     try {
-      var labels = sym.select(col("src").as("id")).distinct()
+      // Per-round checkpoints are freed as soon as the next round's state
+      // materializes (GraftSql.freeLocalCheckpoint) — without that, an
+      // n-round run retains n copies of the label set on executors.
+      var ckpt = sym.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
         .localCheckpoint()
+      var labels = ckpt
       var round = 0
       var changed = 1L
       while (changed > 0 && round < maxRounds) {
@@ -62,6 +66,8 @@ object Components {
             (col("__nbr_min") < col("comp")).as("__changed"))
           .localCheckpoint()
         changed = next.where(col("__changed")).count()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
+        ckpt = next
         labels = next.drop("__changed")
         round += 1
       }
@@ -117,6 +123,9 @@ object Components {
         val next = smallStar(largeStar(cur)).localCheckpoint()
         val nextCnt = next.count()
         converged = nextCnt == curCnt && next.except(cur).isEmpty
+        // The convergence check above is the last read of the previous
+        // round — free its checkpoint before stepping.
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(cur)
         cur = next
         curCnt = nextCnt
         round += 1
@@ -127,9 +136,11 @@ object Components {
       val sym = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
       val assign = sym.groupBy(col("u").as("id")).agg(min(col("v")).as("mn"))
         .select(col("id"), least(col("id"), col("mn")).as("comp"))
-      vertices.join(assign, Seq("id"), "left_outer")
+      val result = vertices.join(assign, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
         .localCheckpoint()
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(cur)
+      result
     } finally { vertices.unpersist(); () }
   }
 

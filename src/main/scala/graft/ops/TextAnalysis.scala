@@ -204,8 +204,21 @@ object TextAnalysis {
     * log-probs are quantized to `floor(lp · 2^20)` BIGINTs so the per-doc
     * reduction is exact integer addition — order-independent across
     * partitions and engines (the same convention as Similarity's k-means
-    * means). Only the final per-doc mean is a float division. */
-  private val LogQ = 1048576L
+    * means). Only the final per-doc mean is a float division. Public so
+    * the oracle SQL interpolates the SAME constant (like [[Ln2]]) —
+    * retuning it cannot silently drift the gate.
+    *
+    * Known cross-engine hazard (accepted): the quantized value floors a
+    * TRANSCENDENTAL — `ln` has a 1-ulp contract in both the JVM and
+    * libm, so the two engines may disagree by 1 ulp, and if `ln(p)·2^20`
+    * lies within that ulp of an integer the floor flips by 1. With ~2^-29
+    * boundary width per distinct count value and at most a few thousand
+    * distinct counts per corpus, the per-dataset flip probability is
+    * ~1e-6 — unlike the k-means quantization (which floors raw input
+    * doubles, identical by construction) this is probabilistic, not
+    * impossible. If the gate ever reds on exotic data, suspect this
+    * first. */
+  val LogQ = 1048576L
 
   /** ln(2) as the exact double literal, shared with the oracle SQL so the
     * bits-per-token division uses the identical constant in both engines. */

@@ -63,9 +63,15 @@ object StreamJoins {
     * Design for scale: the dimension side is BROADCAST (the default), so
     * the stream keeps its source partitioning — no shuffle of the stream,
     * and, unlike a stream-stream join, NO state store at all: the static
-    * side is re-resolved per micro-batch, which also means dimension
-    * updates become visible at the next trigger without restarts. Inner
-    * or left_outer only — those are the types Spark supports with the
+    * side RE-EXECUTES each micro-batch. Freshness caveat: re-execution is
+    * not re-discovery — a file-based dimension (parquet/csv/orc read)
+    * pins its file listing in the DataFrame's file index at creation, so
+    * rows appended or rewritten after that are NOT picked up (an
+    * overwrite can even fail the stream on deleted files). For a
+    * dimension that must refresh in-flight, read it through a catalog
+    * table whose metadata refreshes (or a transactional table format) —
+    * or restart the stream, which re-creates the frame. Inner or
+    * left_outer only — those are the types Spark supports with the
     * stream on the left, and left_outer keeps unmatched stream rows
     * flowing (nulls) instead of silently dropping them. A dimension too
     * big to broadcast: set `broadcastDim = false` and the planner falls

@@ -87,6 +87,21 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(4L -> 4L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("freeLocalCheckpoint releases per-round checkpoint blocks") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val df = Seq(1, 2, 3).toDF("x").localCheckpoint()
+    val added = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(added.nonEmpty, "localCheckpoint should persist an RDD")
+    org.apache.spark.sql.GraftSql.freeLocalCheckpoint(df)
+    val deadline = System.currentTimeMillis() + 10000
+    def stillThere: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet.intersect(added)
+    while (stillThere.nonEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(stillThere.isEmpty,
+      "checkpointed RDD blocks must be released (async unpersist)")
+  }
+
   test("star rewrite solves a 5000-edge chain propagation's bound cannot") {
     // Diameter 5000: propagation would need 5000 rounds (its default bound
     // is 50); the star rewrite needs O(log n).
