@@ -66,7 +66,13 @@ object GraftExtensions {
         (args: Seq[Expression]) => DotExpr(args(0), args(1))),
       (FunctionIdentifier("graft_hyperplane_bucket"),
         info("graft_hyperplane_bucket", "_FUNC_(v, dim, planes) - LSH bucket id"),
-        (args: Seq[Expression]) => HyperplaneBucketExpr(args(0), lit(args(1)), lit(args(2)))))
+        (args: Seq[Expression]) => HyperplaneBucketExpr(args(0), lit(args(1)), lit(args(2)))),
+      (FunctionIdentifier("graft_pack_i8"),
+        info("graft_pack_i8", "_FUNC_(v) - pack quantized [-127,127] doubles into int8 bytes"),
+        (args: Seq[Expression]) => PackI8Expr(args.head)),
+      (FunctionIdentifier("graft_dot_i8"),
+        info("graft_dot_i8", "_FUNC_(a, b) - exact integer dot over int8 codes"),
+        (args: Seq[Expression]) => DotI8Expr(args(0), args(1))))
 
   /** Register into an already-running session (e.g. a REPL). */
   def install(spark: SparkSession): Unit =

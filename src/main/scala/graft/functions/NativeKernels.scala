@@ -181,6 +181,39 @@ object NativeKernels {
     acc
   }
 
+  /** Pack an array of integer-valued doubles in [-127, 127] (the output
+    * of Similarity's scalar quantization) into true int8 bytes — 8× less
+    * storage and scan bandwidth than the double array. Non-integral or
+    * out-of-range components fail loud: silent truncation here would
+    * corrupt every downstream distance. */
+  def packI8(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val d = v.getDouble(i)
+      val l = d.toLong
+      if (l.toDouble != d || l < -127L || l > 127L)
+        throw new IllegalArgumentException(
+          s"graft_pack_i8: component $i is $d — must be an integer in [-127, 127]")
+      out(i) = l.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Exact integer dot product over packed int8 codes. |acc| is bounded
+    * by len · 127² ≪ 2^63 — no overflow for any realistic dimension. */
+  def dotI8(a: Array[Byte], b: Array[Byte]): Long = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"graft_dot_i8: code lengths differ (${a.length} vs ${b.length})")
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { acc += a(i).toLong * b(i).toLong; i += 1 }
+    acc
+  }
+
   /** Hyperplane-LSH bucket: bit i = sign of the projection onto the
     * deterministic ±1 plane i (Similarity.planeSign's exact formula,
     * left-to-right accumulation). The sign-hash stride is `dim` so planes

@@ -130,6 +130,35 @@ object TextHashExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Pack quantized integer-valued doubles into int8 bytes (BinaryType). */
+  case class PackI8Expr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_pack_i8"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.packI8(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.packI8($c)")
+    override protected def withNewChildInternal(newChild: Expression): PackI8Expr =
+      copy(child = newChild)
+  }
+
+  /** Exact integer dot product over two packed int8 code columns. */
+  case class DotI8Expr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_dot_i8"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.dotI8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NativeKernels.dotI8($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotI8Expr =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class HyperplaneBucketExpr(child: Expression, dim: Int, planes: Int)
       extends UnaryExpression with ExpectsInputTypes {
     require(planes > 0 && planes <= 62, "planes must be in [1, 62]")

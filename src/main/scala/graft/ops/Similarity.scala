@@ -45,6 +45,20 @@ object Similarity {
   def dotHof(v: Column, w: Column): Column =
     aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Pack quantized integer-valued doubles in [-127, 127] into true int8
+    * bytes (BinaryType) — native codegen kernel. */
+  def packI8(v: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.TextHashExprs.PackI8Expr(
+        org.apache.spark.sql.GraftSql.expression(v)))
+
+  /** Exact integer Σ a[j]·b[j] over packed int8 code columns (native). */
+  def dotI8(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.TextHashExprs.DotI8Expr(
+        org.apache.spark.sql.GraftSql.expression(a),
+        org.apache.spark.sql.GraftSql.expression(b)))
+
   /** ±1 component j of hyperplane i (deterministic pseudo-random; stride
     * `dim` keeps planes independent for every dimension). */
   private def planeSign(i: Int, j: Column, dim: Int): Column = {
@@ -136,11 +150,17 @@ object Similarity {
     * O(queries × rerank) rows only.
     *
     * Determinism: quantized components are exact small integers, so the
-    * coarse dot products are EXACT integer arithmetic (carried in
-    * doubles, |dot| ≤ dim·127² ≪ 2^53) — the coarse candidate cut is
-    * bit-reproducible across engines, no float-fuzz at the rerank
-    * boundary. The scale S is a one-row broadcast aggregate; the rerank
-    * stage mirrors [[bruteForceTopK]]'s math over candidates only. */
+    * coarse dot products are EXACT integer arithmetic — the coarse
+    * candidate cut is bit-reproducible across engines, no float-fuzz at
+    * the rerank boundary. The scale S is a one-row broadcast aggregate;
+    * the rerank stage mirrors [[bruteForceTopK]]'s math over candidates
+    * only.
+    *
+    * The codes column is TRUE int8 (BinaryType, packed by the codegen
+    * [[packI8]] kernel), and the coarse dot runs the native integer
+    * kernel [[dotI8]] over it — the coarse scan touches dim bytes per
+    * vector, not dim doubles. The oracle mirrors the LOGICAL values (int
+    * lists); packing is a storage detail it cannot observe. */
   def sq8TopK(
       emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, rerank: Int): DataFrame = {
@@ -153,11 +173,14 @@ object Similarity {
       .withColumn("qv", transform(col("v"), x =>
         greatest(lit(-127.0), least(lit(127.0),
           floor(x * lit(127.0) / col("s") + lit(0.5)).cast("double")))))
-      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("qb", packI8(col("qv")))
+      .drop("qv", "v", "s")
+      .withColumn("qn", sqrt(dotI8(col("qb"), col("qb")).cast("double")))
     val q = quant.filter(queryPred).select(
-      col(idCol).as("query_id"), col("qv").as("qqv"), col("qn").as("qqn"))
+      col(idCol).as("query_id"), col("qb").as("qqb"), col("qn").as("qqn"))
     val coarsePairs = quant.join(broadcast(q), col(idCol) =!= col("query_id"))
-    val coarse = dot(col("qv"), col("qqv")) / (col("qn") * col("qqn"))
+    val coarse =
+      dotI8(col("qb"), col("qqb")).cast("double") / (col("qn") * col("qqn"))
     val cand = rankTopK(coarsePairs, idCol, coarse, rerank)
       .select(col("query_id"), col("neighbor_id"))
     // Exact rerank: fetch true vectors for the candidate set only.

@@ -92,6 +92,46 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("int8 pack/dot: packed dot == double dot of the quantized values") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // quantize exactly as sq8TopK does (fixed scale here for test focus)
+    val q = emb.select(transform(col("v"), x =>
+      greatest(lit(-127.0), least(lit(127.0),
+        floor(x * lit(127.0) + lit(0.5)).cast("double")))).as("qv"))
+    val both = q.select(
+      Similarity.dotI8(
+        Similarity.packI8(col("qv")), Similarity.packI8(col("qv"))).as("i"),
+      Similarity.dot(col("qv"), col("qv")).as("d"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0).toDouble == r.getDouble(1),
+        "packed integer dot must equal the exact double dot")
+    }
+  }
+
+  test("int8 pack rejects non-integral and out-of-range components") {
+    // Depending on where evaluation happens (task vs local/constant
+    // folding) the kernel error may or may not be wrapped in a
+    // SparkException — assert on the root message instead.
+    def failsWith(df: org.apache.spark.sql.DataFrame, kernel: String): Unit = {
+      val e = intercept[Exception](df.collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains(kernel)), e.toString)
+    }
+    failsWith(Seq(Seq(0.5)).toDF("qv")
+      .select(Similarity.packI8(col("qv")).as("b")), "graft_pack_i8")
+    failsWith(Seq(Seq(128.0)).toDF("qv")
+      .select(Similarity.packI8(col("qv")).as("b")), "graft_pack_i8")
+    // mismatched code lengths fail loud, not garbage
+    failsWith(Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b").select(
+      Similarity.dotI8(
+        Similarity.packI8(col("a")), Similarity.packI8(col("b"))).as("d")),
+      "graft_dot_i8")
+  }
+
   test("null/empty semantics: signature NULL for shingle-less docs") {
     val df = Seq("one two", "one two three").toDF("t")
       .select(TextHash.minhashSignature(
