@@ -328,6 +328,15 @@ object SparkEntry {
       graft.ops.TimeSeries.gapFillDaily(ev, "user_id", "d", "value")
     }),
 
+    // ---- Time-series linear interpolation (gapFill's smooth sibling) ----
+    "q_interpolate" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("d"),
+        col("value"))
+      graft.ops.TimeSeries.interpolateDaily(ev, "user_id", "d", "value")
+    }),
+
     // ---- Exact percentiles (interpolated) per group ----
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type").agg(
@@ -1471,6 +1480,31 @@ object SparkEntry {
           "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
           "FROM events WHERE event_type = 'purchase') WHERE rn = 1) r " +
           "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+      "q_interpolate" -> {
+        val wb = "(PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING)"
+        val wf = "(PARTITION BY user_id ORDER BY day " +
+          "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        "WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value " +
+          "FROM events GROUP BY 1, 2), " +
+          "spans AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1), " +
+          "grid AS (SELECT user_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day " +
+          "FROM spans), " +
+          "j AS (SELECT g.user_id, g.day, d.day_value FROM grid g " +
+          "LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day), " +
+          "w AS (SELECT user_id, day, day_value, " +
+          "last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) " +
+          s"OVER $wb AS pd, " +
+          s"last_value(day_value IGNORE NULLS) OVER $wb AS pv, " +
+          "first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS) " +
+          s"OVER $wf AS nd, " +
+          s"first_value(day_value IGNORE NULLS) OVER $wf AS nv FROM j) " +
+          "SELECT user_id, day, day_value, " +
+          "CASE WHEN pd IS NULL THEN nv WHEN nd IS NULL THEN pv " +
+          "WHEN pd = nd THEN pv " +
+          "ELSE pv + (nv - pv) * CAST(date_diff('day', pd, day) AS DOUBLE) / " +
+          "CAST(date_diff('day', pd, nd) AS DOUBLE) END AS interp_value FROM w"
+      },
       "q_gapfill" ->
         ("WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, " +
           "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value " +

@@ -43,4 +43,49 @@ object TimeSeries {
         col("day_value"),
         last(col("day_value"), ignoreNulls = true).over(w).as("locf_value"))
   }
+
+  /** Linear-interpolation resampling — [[gapFillDaily]]'s smooth sibling:
+    * gap days get the value linearly interpolated between the NEAREST
+    * observed days on each side; days outside the observed range on
+    * either end clamp to the nearest observation (an end has only one
+    * neighbor — extrapolating invents trend). Observed days keep their
+    * exact value: the interpolation formula degenerates to it when
+    * prev = next = the day itself.
+    *
+    * Determinism: day distances are exact integers; the one formula
+    * `prev + (next - prev) · d/span` is a fixed-shape IEEE expression,
+    * bit-identical across engines. Scale shape identical to
+    * [[gapFillDaily]]: generated grid, keyed join, two running windows
+    * per key (backward + forward), one shuffle. */
+  def interpolateDaily(
+      df: DataFrame, keyCol: String, dateCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), col(dateCol).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("day_value"))
+    val spans = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__mn"), max(col("day")).as("__mx"))
+    val grid = spans.select(
+      col(keyCol), explode(sequence(col("__mn"), col("__mx"))).as("day"))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("day_value").isNotNull, col("day"))
+    val joined = grid.join(daily, Seq(keyCol, "day"), "left_outer")
+      .select(col(keyCol), col("day"), col("day_value"),
+        last(obsDay, ignoreNulls = true).over(wPrev).as("__pd"),
+        last(col("day_value"), ignoreNulls = true).over(wPrev).as("__pv"),
+        first(obsDay, ignoreNulls = true).over(wNext).as("__nd"),
+        first(col("day_value"), ignoreNulls = true).over(wNext).as("__nv"))
+    joined.select(
+      col(keyCol), col("day"), col("day_value"),
+      when(col("__pd").isNull, col("__nv"))         // before first obs
+        .when(col("__nd").isNull, col("__pv"))      // after last obs
+        .when(col("__pd") === col("__nd"), col("__pv")) // observed day
+        .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+          datediff(col("day"), col("__pd")).cast("double") /
+          datediff(col("__nd"), col("__pd")).cast("double"))
+        .as("interp_value"))
+  }
 }

@@ -28,4 +28,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got((1L, "2024-01-04")) == ((1L, Some(2.0), 2.0)))
     assert(got((2L, "2024-03-10")) == ((1L, Some(7.0), 7.0)))
   }
+
+  test("interpolateDaily: linear between observations, clamped ends") {
+    val ev = Seq(
+      (1L, Date.valueOf("2024-01-01"), 10.0),
+      (1L, Date.valueOf("2024-01-04"), 4.0),   // 2 gap days between
+      (1L, Date.valueOf("2024-01-04"), 12.0),  // same-day agg → 16.0
+      (2L, Date.valueOf("2024-03-10"), 7.0))
+      .toDF("k", "d", "v")
+    val got = TimeSeries.interpolateDaily(ev, "k", "d", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((Option(r.get(2)), r.getDouble(3))))
+      .toMap
+    assert(got.size == 5)
+    assert(got((1L, "2024-01-01")) == ((Some(10.0), 10.0)))
+    // 10 → 16 over 3 days: 12.0 and 14.0 on the gap days
+    assert(got((1L, "2024-01-02")) == ((None, 12.0)))
+    assert(got((1L, "2024-01-03")) == ((None, 14.0)))
+    assert(got((1L, "2024-01-04")) == ((Some(16.0), 16.0)))
+    assert(got((2L, "2024-03-10")) == ((Some(7.0), 7.0)))
+  }
 }
