@@ -876,6 +876,25 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10, rerank = 50)),
 
+    // ---- LLM pipeline: per-domain mixture sampling (data mixing) ----
+    "sample_mixture" -> ((s, dir) =>
+      graft.ops.Sampling.sampleMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
+        "source", "doc_id",
+        Map("src0" -> 50, "src1" -> 25, "src2" -> 0), defaultPercent = 80)),
+
+    // ---- Sources: training-shard export (split dirs, capped files) ----
+    "src_shard_export" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_shard_").toString
+      val split = graft.ops.Sampling.assignSplits(
+        t(s, dir, "documents"), "doc_id")
+      graft.sources.Formats.writeShards(split, s"$tmp/shards", "split",
+        maxRecordsPerShard = 100L)
+      s.read.parquet(s"$tmp/shards").groupBy("split").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- Range join: purchase windows × error windows, overlap pairs.
     //      Bucketed equi-join restatement — the naive inequality join is
     //      a nested loop (RangeJoinSpec proves both halves) ----
@@ -988,6 +1007,21 @@ object SparkEntry {
         s"(doc_id * ${TextHash.permuteA(0)} + ${TextHash.permuteB(0)}) " +
         s"% ${TextHash.P}, doc_id) AS rn FROM documents) WHERE rn <= 12"
 
+    // Sampling.hashBucket mirror: pmod keeps negative ids non-negative.
+    val hashBucket = s"((((doc_id * ${TextHash.permuteA(0)} + " +
+      s"${TextHash.permuteB(0)}) % ${TextHash.P}) % 100) + 100) % 100"
+
+    val mixtureSql =
+      s"SELECT doc_id, source, lang FROM documents WHERE $hashBucket < " +
+        "CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25 " +
+        "WHEN 'src2' THEN 0 ELSE 80 END"
+
+    val shardExportSql =
+      s"SELECT CASE WHEN $hashBucket < 80 THEN 'train' " +
+        s"WHEN $hashBucket < 90 THEN 'val' ELSE 'test' END AS split, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM documents GROUP BY 1"
+
     Map(
       "src_csv_roundtrip" -> fidelitySql,
       "src_json_roundtrip" -> fidelitySql,
@@ -999,6 +1033,8 @@ object SparkEntry {
       "bm25_topk" -> bm25Sql,
       "text_repetition" -> repetitionSql,
       "sample_domain_cap" -> domainCapSql,
+      "sample_mixture" -> mixtureSql,
+      "src_shard_export" -> shardExportSql,
       "text_unigram_logprob" -> {
         val q = graft.ops.TextAnalysis.LogQ
         val mean = s"CAST(sq AS DOUBLE) / (n_words * $q)"

@@ -75,4 +75,23 @@ object Sampling {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** Per-domain mixture sampling — the data-mixing step of corpus
+    * assembly: each domain keeps a different deterministic fraction
+    * (percent in [0, 100]) of its rows, so over-represented sources are
+    * thinned to a target mixture in ONE row-local pass (no shuffle, no
+    * window, no per-domain jobs). Domains absent from `rates` keep
+    * `defaultPercent`. Same hash family as [[sampleByHash]], so the kept
+    * subset is stable across runs/engines and nests: a domain sampled at
+    * 20% is a superset of the same domain at 10%. */
+  def sampleMixture(
+      df: DataFrame, domainCol: String, idCol: String,
+      rates: Map[String, Int], defaultPercent: Int = 100): DataFrame = {
+    (rates.values.toSeq :+ defaultPercent).foreach(p =>
+      require(p >= 0 && p <= 100, s"percent must be in [0, 100], got $p"))
+    val rate = rates.foldLeft(lit(defaultPercent)) { case (els, (d, p)) =>
+      when(col(domainCol) === d, lit(p)).otherwise(els)
+    }
+    df.where(hashBucket(col(idCol)) < rate)
+  }
 }

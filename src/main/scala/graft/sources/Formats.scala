@@ -68,4 +68,24 @@ object Formats {
   def readPartitioned(
       spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
     spark.read.format(format).load(path)
+
+  /** Training-shard export — the last mile of a corpus pipeline: one
+    * directory per `splitCol` value (train/val/test), each file capped at
+    * `maxRecordsPerShard` rows so downstream loaders stream uniform
+    * shards. `maxRecordsPerFile` splits at the writer level — tasks stay
+    * parallel and no extra shuffle is introduced; pair with
+    * `df.repartition(n)` upstream if you also need a file-COUNT floor
+    * (one task writes ≥ 1 file per partition value it holds). */
+  def writeShards(
+      df: DataFrame, path: String, splitCol: String,
+      maxRecordsPerShard: Long, format: String = "parquet"): Unit = {
+    require(supported.contains(format),
+      s"format must be one of ${supported.mkString(", ")}, got $format")
+    require(maxRecordsPerShard > 0,
+      s"maxRecordsPerShard must be positive, got $maxRecordsPerShard")
+    df.write.format(format)
+      .partitionBy(splitCol)
+      .option("maxRecordsPerFile", maxRecordsPerShard)
+      .mode("overwrite").save(path)
+  }
 }

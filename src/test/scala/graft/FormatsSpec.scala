@@ -57,6 +57,25 @@ class FormatsSpec extends SparkSpec {
     assert(err.getMessage.contains("format"))
   }
 
+  test("writeShards caps rows per file and loses nothing") {
+    val df = (0L until 500L).map(i => (i, if (i % 5 == 0) "val" else "train"))
+      .toDF("id", "split")
+    val dir = tmp("fmt_shard_")
+    Formats.writeShards(df, dir, "split", maxRecordsPerShard = 64L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500L)
+    assert(back.filter(col("split") === "val").count() == 100L)
+    // every parquet shard respects the record cap
+    import scala.jdk.CollectionConverters._
+    val shardCounts = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => spark.read.parquet(p.toString).count())
+      .toSeq
+    assert(shardCounts.nonEmpty)
+    assert(shardCounts.forall(_ <= 64L), shardCounts.toString)
+  }
+
   test("partitioned write prunes at the directory level on read") {
     val df = rows.toDF("id", "text", "lang", "n")
     val dir = tmp("fmt_part_")

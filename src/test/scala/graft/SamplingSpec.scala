@@ -56,6 +56,25 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleByHash(df, "id", 100).count() == 500)
   }
 
+  test("sampleMixture thins per-domain, nests across rates, 0/100 exact") {
+    val df = (0L until 600L).map(i => (i, s"d${i % 3}")).toDF("id", "domain")
+    val kept = Sampling.sampleMixture(df, "domain", "id",
+      Map("d0" -> 0, "d1" -> 30), defaultPercent = 100)
+    val byDomain = kept.collect().groupBy(_.getString(1))
+      .map { case (d, rs) => d -> rs.map(_.getLong(0)).toSet }
+    assert(!byDomain.contains("d0"))           // 0% = empty
+    assert(byDomain("d2").size == 200)         // default 100% = all
+    // nesting: d1 at 30% is a superset of d1 at 15%
+    val tighter = Sampling.sampleMixture(df, "domain", "id",
+      Map("d0" -> 0, "d1" -> 15), defaultPercent = 100)
+      .collect().filter(_.getString(1) == "d1").map(_.getLong(0)).toSet
+    assert(tighter.subsetOf(byDomain("d1")))
+    // per-domain keep matches the global hash sample restricted to it
+    val global = Sampling.sampleByHash(df, "id", 30)
+      .collect().filter(_.getString(1) == "d1").map(_.getLong(0)).toSet
+    assert(byDomain("d1") == global)
+  }
+
   test("capPerDomain keeps min(cap, size) rows per domain, deterministically") {
     val df = Seq.tabulate(7)(i => (i.toLong, "big")) ++
       Seq((100L, "small"), (101L, "small"))
