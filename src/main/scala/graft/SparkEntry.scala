@@ -646,6 +646,23 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         m = 8, n = 3, r = 2, minJaccard = 0.01)),
 
+    // ---- LLM pipeline: eval-set decontamination (benchmark-leakage
+    //      filter; eval = every 20th doc, broadcast hash-set semi-join) ----
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      NearDup.decontaminate(
+        docs.where(col("doc_id") % 20 =!= 3), "doc_id", "text",
+        docs.where(col("doc_id") % 20 === 3), "text",
+        n = 5, minHits = 2)
+    }),
+
+    // ---- LLM pipeline: duplicated-span statistics (exact substring-level
+    //      dedup signal: fraction of distinct 5-gram spans shared with
+    //      any other doc; df via window, no join-back) ----
+    "dedup_span_stats" -> ((s, dir) =>
+      NearDup.duplicatedSpanStats(
+        t(s, dir, "documents"), "doc_id", "text", n = 5)),
+
     // ---- LLM pipeline: embedding cosine near-dup (LSH-bucketed) ----
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
@@ -1166,6 +1183,31 @@ object SparkEntry {
         "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01"
     }
 
+    // Mirrors NearDup.decontaminate: distinct 5-gram shingles per side,
+    // train rows hit when the shingle is in the eval distinct-hash set.
+    val decontaminateSql =
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, list_distinct(${OracleSql.shingles("wh", 5)}) AS sh FROM base), " +
+        "tr AS (SELECT doc_id, unnest(sh) AS h FROM sh_t WHERE doc_id % 20 != 3), " +
+        "ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh_t WHERE doc_id % 20 = 3), " +
+        "hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (h) GROUP BY doc_id) " +
+        "SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_shingles, " +
+        "CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        "coalesce(h.n_hits, 0) >= 2 AS contaminated " +
+        "FROM sh_t s LEFT JOIN hits h USING (doc_id) WHERE s.doc_id % 20 != 3"
+
+    // Mirrors NearDup.duplicatedSpanStats: df = COUNT window over the
+    // exploded distinct (doc, shingle) rows; docs with no shingles drop.
+    val spanStatsSql =
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, unnest(list_distinct(${OracleSql.shingles("wh", 5)})) AS h FROM base), " +
+        "d AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS df FROM sh_t) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, " +
+        "CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_frac, " +
+        "CAST(max(df) AS BIGINT) AS max_df " +
+        "FROM d GROUP BY doc_id"
+
     val embNorm =
       s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         s"n AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) AS nrm, " +
@@ -1435,6 +1477,8 @@ object SparkEntry {
       "pipeline_corpus" -> pipelineCorpusSql,
       "dedup_simhash" -> simhashSql,
       "dedup_ngram_jaccard" -> jaccardSql,
+      "dedup_decontaminate" -> decontaminateSql,
+      "dedup_span_stats" -> spanStatsSql,
       "dedup_embedding_cosine" -> cosineNearDup,
       "ann_lsh_topk" -> lshTopK,
       "ann_ivf_topk" -> ivfTopK,

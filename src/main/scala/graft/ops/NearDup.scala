@@ -140,6 +140,77 @@ object NearDup {
       .select(col(idCol),
         array_distinct(TextHash.shingleHashes(col("__wh"), 2)).as("grams"))
 
+  /** Eval-set decontamination — the benchmark-leakage filter every
+    * training corpus needs: a train doc is CONTAMINATED when it shares at
+    * least `minHits` distinct word-`n`-gram shingle hashes with ANY doc in
+    * the eval set. Emits one row per train doc:
+    * (idCol, n_shingles, n_hits, contaminated).
+    *
+    * Scale: the eval side (benchmarks: MBs, not TBs) collapses to a
+    * distinct-hash set and is explicitly `broadcast` — the contamination
+    * check on the 100-TB train side is then a map-side hash-semi-join on
+    * the exploded shingles; the only corpus-keyed shuffle is the per-doc
+    * hit aggregation (map-side combine, output O(docs)). Per-doc shingle
+    * sets are `array_distinct`ed BEFORE the explode, so `count` after the
+    * join counts distinct matched shingles with no count-distinct state. */
+  def decontaminate(
+      train: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalTextCol: String,
+      n: Int = 5, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val tsh = spread(train.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col(idCol),
+        array_distinct(TextHash.shingleHashes(col("__wh"), n)).as("__sh"))
+    val esh = eval.select(TextHash.wordHashes(col(evalTextCol)).as("__wh"))
+      .select(explode(TextHash.shingleHashes(col("__wh"), n)).as("h"))
+      .distinct()
+    val hits = tsh.select(col(idCol), explode(col("__sh")).as("h"))
+      .join(broadcast(esh), "h")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
+    tsh.select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("__hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  /** Duplicated-span statistics — the substring-level dedup signal (the
+    * exact-substring counterpart of whole-doc MinHash, after Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better"): for each
+    * doc, what fraction of its DISTINCT word-`n`-gram shingles also occurs
+    * in at least one OTHER doc. Emits (idCol, n_shingles, n_shared,
+    * shared_frac, max_df) for every doc with at least one shingle (docs
+    * shorter than `n` words have no spans to measure and are dropped —
+    * document this to callers, the oracle mirrors it).
+    *
+    * Scale: per-doc shingle sets are distinct, so after the explode the
+    * (doc, hash) rows are unique and a COUNT window partitioned by hash
+    * IS the document frequency — one hash-keyed shuffle, no join-back,
+    * no count-distinct. The per-doc rollup is the second and last
+    * shuffle (map-side combine, output O(docs)). Both shuffles are
+    * linear in corpus shingle volume; nothing is pairwise. */
+  def duplicatedSpanStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val sh = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col(idCol),
+        explode(array_distinct(TextHash.shingleHashes(col("__wh"), n))).as("h"))
+    val wdw = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    sh.withColumn("__df", count(lit(1)).over(wdw))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"),
+        max(col("__df")).as("max_df"))
+      .select(col(idCol),
+        col("n_shingles"),
+        col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"),
+        col("max_df"))
+  }
+
   /** Exact word-bigram Jaccard VERIFY over the LSH candidate pairs — the
     * production two-stage near-dup: banding proposes (linear shuffle,
     * `lshCandidatePairs`), exact Jaccard disposes. Candidate volume is

@@ -90,6 +90,60 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains((5L, 10L)))
   }
 
+  test("decontaminate flags train docs sharing >= minHits shingles with eval") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains eval run
+      (2L, "completely unrelated training content here indeed"),
+      (3L, "short doc")). // < n words: zero shingles, never contaminated
+      toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "xx quick brown fox jumps over yy")).toDF("doc_id", "text")
+    val got = NearDup.decontaminate(train, "doc_id", "text", eval, "text",
+      n = 5, minHits = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // "quick brown fox jumps over" is the one shared 5-gram
+    assert(got(1L) == (1L, true))
+    assert(got(2L) == (0L, false))
+    assert(got(3L) == (0L, false)) // zero-shingle doc still emitted
+    // raising minHits above the overlap clears the flag
+    val strict = NearDup.decontaminate(train, "doc_id", "text", eval, "text",
+      n = 5, minHits = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(strict(1L) == false)
+  }
+
+  test("decontaminate counts DISTINCT matched shingles once") {
+    // train doc repeats the contaminated phrase — repeats must not
+    // inflate n_hits past the distinct overlap
+    val train = Seq(
+      (1L, "a b c d e a b c d e a b c d e")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val row = NearDup.decontaminate(train, "doc_id", "text", eval, "text",
+      n = 5, minHits = 1).head()
+    // distinct 5-grams of the repeated text that also appear in eval: just
+    // "a b c d e" (the others wrap across the repeat boundary)
+    assert(row.getLong(2) == 1L)
+    assert(row.getBoolean(3))
+  }
+
+  test("duplicatedSpanStats: shared fraction and df, zero-shingle docs drop") {
+    val docs = Seq(
+      (1L, "one two three four five unique1 tail1 tailx1"),
+      (2L, "one two three four five unique2 tail2 tailx2"),
+      (3L, "wholly distinct text with no overlap at all"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val got = NearDup.duplicatedSpanStats(docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // docs 1/2: 4 distinct 5-grams each, only "one two three four five"
+    // shared (df=2); doc 3: nothing shared; doc 4: no shingles → absent
+    assert(got(1L) == (4L, 1L, 0.25, 2L))
+    assert(got(2L) == (4L, 1L, 0.25, 2L))
+    assert(got(3L)._2 == 0L && got(3L)._4 == 1L)
+    assert(!got.contains(4L))
+  }
+
   test("winnowing: shared runs share a fingerprint; selection is sparse") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine ten"),
