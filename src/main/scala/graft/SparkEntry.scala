@@ -900,6 +900,16 @@ object SparkEntry {
         "source", "doc_id",
         Map("src0" -> 50, "src1" -> 25, "src2" -> 0), defaultPercent = 80)),
 
+    // ---- LLM pipeline: curriculum binning + per-bin thinning (quality
+    //      deciles per language; the two lowest deciles are thinned) ----
+    "sample_curriculum" -> ((s, dir) => {
+      val binned = graft.ops.Sampling.quantileBins(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", "doc_id", bins = 10)
+      graft.ops.Sampling.sampleByBin(
+        binned, "bin", "doc_id", Map(1L -> 20, 2L -> 50), defaultPercent = 100)
+    }),
+
     // ---- Sources: training-shard export (split dirs, capped files) ----
     "src_shard_export" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_shard_").toString
@@ -1033,6 +1043,12 @@ object SparkEntry {
         "CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 25 " +
         "WHEN 'src2' THEN 0 ELSE 80 END"
 
+    val curriculumSql =
+      "WITH b AS (SELECT doc_id, lang, n_chars, ntile(10) OVER (" +
+        "PARTITION BY lang ORDER BY n_chars, doc_id) AS bin FROM documents) " +
+        s"SELECT doc_id, lang, n_chars, bin FROM b WHERE $hashBucket < " +
+        "CASE bin WHEN 1 THEN 20 WHEN 2 THEN 50 ELSE 100 END"
+
     val shardExportSql =
       s"SELECT CASE WHEN $hashBucket < 80 THEN 'train' " +
         s"WHEN $hashBucket < 90 THEN 'val' ELSE 'test' END AS split, " +
@@ -1051,6 +1067,7 @@ object SparkEntry {
       "text_repetition" -> repetitionSql,
       "sample_domain_cap" -> domainCapSql,
       "sample_mixture" -> mixtureSql,
+      "sample_curriculum" -> curriculumSql,
       "src_shard_export" -> shardExportSql,
       "text_unigram_logprob" -> {
         val q = graft.ops.TextAnalysis.LogQ

@@ -76,6 +76,45 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-stratum quantile bins — curriculum/quality binning: rank rows
+    * within each stratum (e.g. language) by `scoreCol` and cut into
+    * `bins` equal-frequency bins via `ntile`. Ties break on `idCol`, so
+    * the assignment is total and deterministic (plain ntile over a
+    * non-unique score is engine-dependent). Bin ids are 1..bins as LONG.
+    *
+    * Scale: one shuffle keyed by stratum; window execution needs each
+    * stratum in ONE task, so this is for bounded strata (languages,
+    * sources — dozens to thousands of rows-per-stratum times what fits
+    * an executor). For a single giant stratum, pre-thin with
+    * [[sampleByHash]] or bin on broadcast percentile cut points instead
+    * of a global rank. */
+  def quantileBins(
+      df: DataFrame, strataCol: String, scoreCol: String, idCol: String,
+      bins: Int, binCol: String = "bin"): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(scoreCol), col(idCol))
+    df.withColumn(binCol, ntile(bins).over(w).cast("long"))
+  }
+
+  /** Per-bin deterministic sampling — the curriculum-mixing companion of
+    * [[quantileBins]]: each bin keeps its own percent of rows (absent
+    * bins keep `defaultPercent`), so e.g. low-quality deciles are thinned
+    * while high-quality deciles are kept whole. Row-local like
+    * [[sampleMixture]] and in the same hash family, so kept sets nest
+    * across rates and are stable across runs/engines. */
+  def sampleByBin(
+      df: DataFrame, binCol: String, idCol: String,
+      rates: Map[Long, Int], defaultPercent: Int = 100): DataFrame = {
+    (rates.values.toSeq :+ defaultPercent).foreach(p =>
+      require(p >= 0 && p <= 100, s"percent must be in [0, 100], got $p"))
+    val rate = rates.foldLeft(lit(defaultPercent)) { case (els, (b, p)) =>
+      when(col(binCol) === b, lit(p)).otherwise(els)
+    }
+    df.where(hashBucket(col(idCol)) < rate)
+  }
+
   /** Per-domain mixture sampling — the data-mixing step of corpus
     * assembly: each domain keeps a different deterministic fraction
     * (percent in [0, 100]) of its rows, so over-represented sources are

@@ -75,6 +75,38 @@ class SamplingSpec extends SparkSpec {
     assert(byDomain("d1") == global)
   }
 
+  test("quantileBins cuts equal-frequency bins per stratum, ties on id") {
+    // 20 rows per stratum, scores 0..19 → 4 bins of 5
+    val df = (0L until 40L).map(i => (i, s"s${i % 2}", (i / 2) % 20)).toDF("id", "lang", "score")
+    val binned = Sampling.quantileBins(df, "lang", "score", "id", bins = 4)
+    val sizes = binned.groupBy("lang", "bin").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sizes.size == 8 && sizes.values.forall(_ == 5L))
+    // monotone: higher score → same or higher bin within a stratum
+    val byScore = binned.filter(col("lang") === "s0")
+      .orderBy("score", "id").collect().map(_.getAs[Long]("bin"))
+    assert(byScore.sameElements(byScore.sorted))
+    // all-tied scores: assignment still total and deterministic via id
+    val tied = (0L until 8L).map(i => (i, "x", 1L)).toDF("id", "lang", "score")
+    val t1 = Sampling.quantileBins(tied, "lang", "score", "id", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(t1 == (0L until 8L).map(i => i -> (i / 2 + 1)).toMap)
+  }
+
+  test("sampleByBin thins listed bins, keeps others whole, nests with hash") {
+    val df = (0L until 300L).map(i => (i, i % 3 + 1)).toDF("id", "bin")
+    val kept = Sampling.sampleByBin(df, "bin", "id", Map(1L -> 0), defaultPercent = 100)
+    val byBin = kept.collect().groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(!byBin.contains(1L))
+    assert(byBin(2L) == 100 && byBin(3L) == 100)
+    // per-bin keep equals the global hash sample restricted to that bin
+    val half = Sampling.sampleByBin(df, "bin", "id", Map(2L -> 40), 100)
+      .collect().filter(_.getLong(1) == 2L).map(_.getLong(0)).toSet
+    val global = Sampling.sampleByHash(df, "id", 40)
+      .collect().filter(_.getLong(1) == 2L).map(_.getLong(0)).toSet
+    assert(half == global)
+  }
+
   test("capPerDomain keeps min(cap, size) rows per domain, deterministically") {
     val df = Seq.tabulate(7)(i => (i.toLong, "big")) ++
       Seq((100L, "small"), (101L, "small"))
