@@ -259,6 +259,28 @@ object SparkEntry {
       appendStream(s, enriched, cfg, tmp)
     }),
 
+    // ---- Streaming sessionization: session windows + watermark, append
+    //      mode (the only mode Spark allows for streaming session
+    //      aggregation) — the streaming twin of q_sessionize. Append
+    //      emits a session only once the watermark passes its close, so
+    //      BOTH engines are cut at a margin safely inside the emitted
+    //      set: cutoff = max event time - gap - 1 day ----
+    "s6_stream_session" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s6_").toString
+      val cfg = IngestConfig(name = s"s6-session-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts_t"))
+      val agg = graft.streaming.EventTime.sessionAgg(
+        src, "ts_t", "6 hours", "0 seconds", Seq("user_id"))
+      val out = appendStream(s, agg, cfg, tmp)
+      val maxUs = t(s, dir, "events")
+        .agg(max(expr("ts div 1000"))).head().getLong(0)
+      out.where(col("session_end_us") <= maxUs - (30L * 3600 * 1000000))
+    }),
+
     // ---- Scalar functions: JSON + string + date + math over events ----
     "q_scalar_json" -> ((s, dir) => {
       val ts = timestamp_micros(expr("ts div 1000"))
@@ -1523,6 +1545,16 @@ object SparkEntry {
     val dedupState =
       s"SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, value " +
         s"FROM ($oracleDedup) WHERE rn = 1"
+    // Shared by q_sessionize and its streaming twin s6_stream_session.
+    val sessionizeSql =
+      "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL " +
+        "OR us - lag(us) OVER w >= 21600000000 THEN 1 ELSE 0 END AS new_s " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)) , " +
+        "sess AS (SELECT user_id, us, sum(new_s) OVER " +
+        "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us, " +
+        "count(*) AS n_events FROM sess GROUP BY user_id, sid"
     Map(
       "o1_dedup_latest_wins" -> dedupState,
       "o1b_dedup_window" -> dedupState,
@@ -1649,15 +1681,12 @@ object SparkEntry {
           "CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, " +
           "CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, " +
           "CAST(floor(value * 100) AS BIGINT) AS value_cents FROM events"),
-      "q_sessionize" ->
-        ("WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), " +
-          "m AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL " +
-          "OR us - lag(us) OVER w >= 21600000000 THEN 1 ELSE 0 END AS new_s " +
-          "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)) , " +
-          "sess AS (SELECT user_id, us, sum(new_s) OVER " +
-          "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
-          "SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us, " +
-          "count(*) AS n_events FROM sess GROUP BY user_id, sid"),
+      "q_sessionize" -> sessionizeSql,
+      // streaming twin: same sessions, both engines cut one margin below
+      // the final watermark (max ts - 6h gap - 1 day)
+      "s6_stream_session" ->
+        (s"SELECT * FROM ($sessionizeSql) WHERE session_end_us <= " +
+          "(SELECT max(epoch_us(ts)) FROM events) - 108000000000"),
       "q_setops" ->
         ("SELECT 'click_and_error' AS cohort, user_id FROM " +
           "(SELECT user_id FROM events WHERE event_type = 'click' " +

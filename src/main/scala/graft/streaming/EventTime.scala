@@ -39,6 +39,35 @@ object EventTime {
       .select(
         unix_micros(col("window.start")).as("window_start_us") +:
           dims.map(col) :+ col("n_events") :+ col("sum_value"): _*)
+
+  /** Session-window aggregation — dynamic-gap sessionization as a
+    * streaming-capable plan: one session row per (dims..., burst of
+    * events with < `gap` inactivity between neighbors), carrying the
+    * event count and the min/max event times as epoch micros (the same
+    * output shape as the batch sessionizer, so the two verify against
+    * each other). Works on batch and streaming frames alike.
+    *
+    * Scale: state is one in-flight session per (dims, active burst) —
+    * the watermark evicts sessions older than the disorder bound, so
+    * state is O(active sessions), independent of stream length.
+    * Streaming caveat (same as all update-mode aggregation here): a
+    * session whose events span micro-batches is re-emitted as it grows,
+    * and the downstream merge must key on a SESSION-STABLE column set —
+    * (dims, session_start_us) is stable only when each session's
+    * earliest event arrives before its later ones (event-time order
+    * across batches, trivially true single-batch); otherwise merged
+    * sessions can leave a stale shorter-session row behind. */
+  def sessionAgg(
+      src: DataFrame, tsCol: String, gap: String, watermark: String,
+      dims: Seq[String]): DataFrame =
+    src.withWatermark(tsCol, watermark)
+      .groupBy(dims.map(col) :+ session_window(col(tsCol), gap): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_micros(min(col(tsCol))).as("session_start_us"),
+        unix_micros(max(col(tsCol))).as("session_end_us"))
+      .select(dims.map(col) :+ col("session_start_us") :+
+        col("session_end_us") :+ col("n_events"): _*)
 }
 
 /** Streams an UPDATE-mode aggregation into a merge target: each micro-batch

@@ -66,6 +66,48 @@ class EventTimeSpec extends SparkSpec {
     assert(merged == batch)
   }
 
+  test("sessionAgg on a batch frame: gap splits sessions, min/max bounds") {
+    val df = Seq(
+      TEv(ts(1), "a", 1.0), TEv(ts(3), "a", 1.0), // session 1 (gap < 10m)
+      TEv(ts(20), "a", 1.0),                      // session 2 (17m > 10m gap)
+      TEv(ts(5), "b", 1.0)).toDF()
+    val got = EventTime.sessionAgg(df, "ts", "10 minutes", "1 hour", Seq("kind"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def us(m: Int) = ts(m).getTime * 1000L
+    assert(got == Set(
+      ("a", us(1), us(3), 2L), ("a", us(20), us(20), 1L), ("b", us(5), us(5), 1L)))
+  }
+
+  test("streamed session agg (append) emits watermark-closed sessions") {
+    implicit val sql = spark.sqlContext
+    val all = Seq(
+      TEv(ts(1), "a", 0), TEv(ts(4), "a", 0), TEv(ts(30), "a", 0),
+      TEv(ts(2), "b", 0), TEv(ts(59), "b", 0))
+    val batch = EventTime
+      .sessionAgg(all.toDF(), "ts", "10 minutes", "0 seconds", Seq("kind"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val events = MemoryStream[TEv]
+    val agg = EventTime.sessionAgg(
+      events.toDF(), "ts", "10 minutes", "0 seconds", Seq("kind"))
+    val q = agg.writeStream.format("memory").queryName("sess_append")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1 sets the watermark to ts(59); the sentinel a day later
+    // advances it past every session's close, and the no-new-data flush
+    // batch emits them all — only the sentinel's own session stays open
+    events.addData(all); q.processAllAvailable()
+    events.addData(Seq(TEv(Timestamp.valueOf("2024-03-02 10:00:00"), "c", 0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_append")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty && got == batch)
+  }
+
   test("stateful running counts + latest payload converge across splits") {
     implicit val sql = spark.sqlContext
     val all = Seq(
