@@ -410,6 +410,26 @@ object SparkEntry {
           col("value"))
     }),
 
+    // ---- CDC: change feed between target versions (manifest-pruned
+    //      keyed diff). v1 = even events, v2 = + odd events, v3 = hard
+    //      delete of pkey%10=7; feed v1→v3 mixes all three change types ----
+    "o13_cdc_changes" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o13_").toString
+      val target = TargetTable("events_cdc", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4,
+        retainVersions = 4)
+      val cfg = IngestConfig(name = s"o13-cdc-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, target)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
+      pt.mergeHardDelete(ev.filter(col("pkey") % 10 === 7), cfg)
+      pt.readChanges(1L, 3L).get
+        .select(col("pkey"), col("modified_date_us"), col("event_type"),
+          col("value"), col("_change_type"))
+    }),
+
     // ---- O12+O5: the JDBC sink end-to-end (the reference's true target:
     //      prepared-statement upsert into a real database — here embedded
     //      Derby standing in for Postgres). Two merge rounds exercise
@@ -1573,6 +1593,28 @@ object SparkEntry {
       "o5_merge_upsert" -> dedupState,
       "o5b_merge_shuffle" -> dedupState,
       "o12_jdbc_upsert" -> dedupState,
+      // CDC feed v1→v3: pre = latest-wins of the even half, post = global
+      // latest-wins minus hard-deleted keys; compare the FULL stored tuple
+      // (incl. event_id) exactly like the engine's struct diff
+      "o13_cdc_changes" ->
+        ("WITH pre AS (SELECT pkey, ts_us, event_id, event_type, value FROM (" +
+          "SELECT user_id AS pkey, epoch_us(ts) AS ts_us, event_id, event_type, value, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events WHERE event_id % 2 = 0) WHERE rn = 1), " +
+          "post AS (SELECT pkey, ts_us, event_id, event_type, value FROM (" +
+          "SELECT user_id AS pkey, epoch_us(ts) AS ts_us, event_id, event_type, value, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events) WHERE rn = 1 AND pkey % 10 != 7) " +
+          "SELECT CASE WHEN po.pkey IS NOT NULL THEN po.pkey ELSE pr.pkey END AS pkey, " +
+          "CASE WHEN po.pkey IS NOT NULL THEN po.ts_us ELSE pr.ts_us END AS modified_date_us, " +
+          "CASE WHEN po.pkey IS NOT NULL THEN po.event_type ELSE pr.event_type END AS event_type, " +
+          "CASE WHEN po.pkey IS NOT NULL THEN po.value ELSE pr.value END AS value, " +
+          "CASE WHEN pr.pkey IS NULL THEN 'insert' WHEN po.pkey IS NULL THEN 'delete' " +
+          "ELSE 'update' END AS _change_type " +
+          "FROM pre pr FULL OUTER JOIN post po ON pr.pkey = po.pkey " +
+          "WHERE pr.pkey IS NULL OR po.pkey IS NULL OR " +
+          "(pr.ts_us, pr.event_id, pr.event_type, pr.value) IS DISTINCT FROM " +
+          "(po.ts_us, po.event_id, po.event_type, po.value)"),
       "o12b_jdbc_soft_delete" ->
         (s"WITH t AS (SELECT pkey, ts, event_id, value FROM ($oracleDedup) WHERE rn = 1), " +
           "d AS (SELECT user_id AS pkey, ts, event_id, " +

@@ -154,6 +154,70 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   def readVersion(v: Long): Option[DataFrame] =
     readManifest(v).filter(_.nonEmpty).map(m => readDirs(m.values.toSeq.distinct))
 
+  /** Change data feed between two committed versions (CDC): the keyed
+    * diff from → to, one row per inserted, updated, or deleted key with
+    * `_change_type` ∈ insert | update | delete. Insert/update rows carry
+    * the post-image, delete rows the pre-image (all table columns).
+    *
+    * Scale: each manifest records which bucket dirs its commit rewrote,
+    * so only buckets whose dir CHANGED between the two manifests are
+    * read and diffed — carried-over buckets reference the same immutable
+    * files and cannot contain changes. Cost is O(changed buckets), the
+    * same pruning merges enjoy (a 1-bucket commit on a 10k-bucket table
+    * diffs 1 bucket, not the table); the diff itself is one full-outer
+    * join on the merge keys within those buckets, and the key→bucket
+    * mapping is version-independent, so no change can hide outside them.
+    *
+    * Both versions must still be retained (`TargetTable.retainVersions`)
+    * and share one schema — a schema migration rewrites every bucket, so
+    * a cross-migration feed would degenerate to "every row changed" and
+    * is rejected loud instead. None when either version is gone. */
+  def readChanges(fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+    require(fromVersion < toVersion,
+      s"readChanges needs fromVersion < toVersion, got $fromVersion >= $toVersion")
+    for { mo <- readManifest(fromVersion); mn <- readManifest(toVersion) }
+    yield {
+      val changed = (mo.keySet ++ mn.keySet).toSeq.sorted
+        .filter(b => mo.get(b) != mn.get(b))
+      val oldDirs = changed.flatMap(mo.get).distinct
+      val newDirs = changed.flatMap(mn.get).distinct
+      val anyDirs = (mn ++ mo).values.toSeq.distinct
+      if (anyDirs.isEmpty)
+        // table empty at both versions: empty feed, marker column only
+        emptyWithSchema(StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "_change_type", org.apache.spark.sql.types.StringType))))
+      else {
+        val schema =
+          if (newDirs.nonEmpty) readDirs(newDirs).schema
+          else if (oldDirs.nonEmpty) readDirs(oldDirs).schema
+          else currentSchema(mn ++ mo) // no changed buckets: empty feed
+        if (oldDirs.nonEmpty && newDirs.nonEmpty) {
+          val oldSchema = readDirs(oldDirs).schema
+          require(oldSchema == schema,
+            s"readChanges across a schema migration is unsupported: version " +
+              s"$fromVersion schema $oldSchema != version $toVersion schema $schema")
+        }
+        val o = if (oldDirs.nonEmpty) readDirs(oldDirs) else emptyWithSchema(schema)
+        val n = if (newDirs.nonEmpty) readDirs(newDirs) else emptyWithSchema(schema)
+        val cols = schema.fieldNames.toSeq
+        val pre = o.select(table.keyCols.map(o.col) :+
+          org.apache.spark.sql.functions.struct(cols.map(o.col): _*).as("__pre"): _*)
+        val post = n.select(table.keyCols.map(n.col) :+
+          org.apache.spark.sql.functions.struct(cols.map(n.col): _*).as("__post"): _*)
+        import org.apache.spark.sql.functions.when
+        pre.join(post, table.keyCols, "full_outer")
+          .where(!(col("__pre") <=> col("__post")))
+          .select(cols.map(c =>
+            when(col("__post").isNotNull, col(s"__post.$c"))
+              .otherwise(col(s"__pre.$c")).as(c)) :+
+            when(col("__pre").isNull, lit("insert"))
+              .when(col("__post").isNull, lit("delete"))
+              .otherwise(lit("update")).as("_change_type"): _*)
+      }
+    }
+  }
+
   /** Intact (readable) committed versions, ascending — at most
     * `retainVersions` of them after any commit's GC. */
   def versions(): Seq[Long] = {

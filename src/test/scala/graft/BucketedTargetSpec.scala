@@ -63,6 +63,38 @@ class BucketedTargetSpec extends SparkSpec {
     assert(state(8L) == "v1-8")
   }
 
+  test("readChanges: keyed diff emits insert/update/delete, skips unchanged") {
+    val dir = Files.createTempDirectory("graft_cdc_").toString
+    val t = TargetTable("t", s"$dir/target", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 4,
+      retainVersions = 5)
+    val sink = new ParquetTarget(spark, t)
+    // v1: keys 0..9
+    sink.mergeUpsert((0L until 10L).map(k => (k, 1L, k, s"a$k")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    // v2: update key 3, insert key 100, stale write on key 4 (ignored)
+    sink.mergeUpsert(Seq(
+      (3L, 2L, 50L, "b3"), (100L, 1L, 51L, "new"), (4L, 0L, 52L, "stale")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    // v3: hard-delete key 7
+    sink.mergeHardDelete(Seq((7L, 9L, 60L, "x")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+
+    val feed = sink.readChanges(1L, 3L).get.collect()
+      .map(r => r.getAs[Long]("pkey") ->
+        ((r.getAs[String]("_change_type"), r.getAs[String]("payload")))).toMap
+    assert(feed == Map(
+      3L -> (("update", "b3")),
+      100L -> (("insert", "new")),
+      7L -> (("delete", "a7")))) // delete carries the pre-image
+    // adjacent-version feeds: v2→v3 sees only the delete
+    val feed23 = sink.readChanges(2L, 3L).get.collect()
+      .map(r => (r.getAs[Long]("pkey"), r.getAs[String]("_change_type")))
+    assert(feed23.toSeq == Seq((7L, "delete")))
+    // same manifests on both sides would be rejected by the precondition
+    intercept[IllegalArgumentException] { sink.readChanges(3L, 3L) }
+  }
+
   test("hard delete prunes to tombstone buckets; emptied bucket disappears") {
     val (sink, t) = mk(buckets = 4)
     sink.mergeUpsert((0L until 16L).map(k => (k, 1L, k, s"p$k")).toDF
