@@ -165,14 +165,20 @@ object NearDup {
     val esh = eval.select(TextHash.wordHashes(col(evalTextCol)).as("__wh"))
       .select(explode(TextHash.shingleHashes(col("__wh"), n)).as("h"))
       .distinct()
-    val hits = tsh.select(col(idCol), explode(col("__sh")).as("h"))
-      .join(broadcast(esh), "h")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
-    tsh.select(col(idCol), size(col("__sh")).cast("long").as("n_shingles"))
-      .join(hits, Seq(idCol), "left_outer")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("__hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("__hits"), lit(0L)) >= minHits).as("contaminated"))
+    // ONE corpus pass: explode_outer keeps zero-shingle docs (as a null
+    // shingle row that count(h) then ignores); the broadcast left join
+    // marks eval hits, and the per-doc rollup counts totals and hits
+    // together. A separate n_shingles branch would re-run the whole
+    // tokenize/shingle pipeline a second time (branches never share
+    // scans).
+    tsh.select(col(idCol), explode_outer(col("__sh")).as("h"))
+      .join(broadcast(esh.withColumn("__hit", lit(1))), Seq("h"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("h")).as("n_shingles"),
+        count(col("__hit")).as("n_hits"))
+      .select(col(idCol), col("n_shingles"), col("n_hits"),
+        (col("n_hits") >= minHits).as("contaminated"))
   }
 
   /** Duplicated-span statistics — the substring-level dedup signal (the
