@@ -171,6 +171,31 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    // ---- Sliding event-time windows: daily totals every 12 h (each
+    //      event in window/slide=2 windows), merged like s1 ----
+    "s7_stream_sliding" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s7_").toString
+      val target = TargetTable("events_sliding", s"$tmp/target",
+        keyCols = Seq("window_start_us", "event_type"), versionCol = "n_events",
+        buckets = 4)
+      val cfg = IngestConfig(name = s"s7-sliding-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("ts_t"),
+          col("event_type"), col("value"))
+      val agg = graft.streaming.EventTime.slidingAgg(
+        src, "ts_t", "value", "1 day", "12 hours", "48 hours", Seq("event_type"))
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(agg, Trigger.AvailableNow())
+      q.awaitTermination()
+      new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("window_start_us"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
+
     // ---- Custom streaming state: flatMapGroupsWithState running counts ----
     "s2_stream_stateful" -> ((s, dir) => {
       val batchSchema = t(s, dir, "events").schema
@@ -296,6 +321,16 @@ object SparkEntry {
         hour(ts).cast("long").as("h"),
         floor(col("value") * 100).cast("long").as("value_cents"))
     }),
+
+    // ---- Data layout: Z-order (Morton) clustering key over two bounded
+    //      dims — the multi-dim scan-pruning layout (see ops/Layout) ----
+    "q_zorder_key" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(1024L)).as("da"),
+          pmod(floor(col("value") * 100).cast("long"), lit(1024L)).as("db"))
+        .withColumn("zkey",
+          graft.ops.Layout.mortonKey(col("da"), col("db"), bits = 10))),
 
     // ---- Sessionization: native session windows (6h inactivity gap) ----
     "q_sessionize" -> ((s, dir) =>
@@ -1696,6 +1731,14 @@ object SparkEntry {
           "event_type, count(*) AS n_events, " +
           "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
           "FROM events GROUP BY 1, 2"),
+      // each event belongs to exactly 2 sliding windows: the 12h-aligned
+      // start and the one 12h earlier (window 1d / slide 12h)
+      "s7_stream_sliding" ->
+        ("SELECT (epoch_us(ts) - epoch_us(ts) % 43200000000 " +
+          "- i * 43200000000) AS window_start_us, " +
+          "event_type, count(*) AS n_events, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+          "FROM events CROSS JOIN range(0, 2) t(i) GROUP BY 1, 2"),
       "s2_stream_stateful" ->
         ("SELECT pkey, n_events, epoch_us(ts) AS last_us, " +
           "event_id AS last_event_id, value AS last_value FROM " +
@@ -1723,6 +1766,15 @@ object SparkEntry {
           "CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, " +
           "CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, " +
           "CAST(floor(value * 100) AS BIGINT) AS value_cents FROM events"),
+      "q_zorder_key" -> {
+        val zterms = (0 until 10).flatMap(i => Seq(
+          s"(((da >> $i) & 1) << ${2 * i})",
+          s"(((db >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+        s"SELECT event_id, da, db, $zterms AS zkey FROM (SELECT event_id, " +
+          "((user_id % 1024) + 1024) % 1024 AS da, " +
+          "((CAST(floor(value * 100) AS BIGINT) % 1024) + 1024) % 1024 AS db " +
+          "FROM events)"
+      },
       "q_sessionize" -> sessionizeSql,
       // streaming twin: same sessions, both engines cut one margin below
       // the final watermark (max ts - 6h gap - 1 day)

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering for scan pruning.
+  *
+  * At 100 TB the dominant cost is the scan, and the dominant scan saving
+  * is skipping files/row-groups whose min-max statistics exclude the
+  * predicate. A sort on one column gives perfect pruning on that column
+  * and none on any other; interleaving the bits of several bounded
+  * columns (Z-order / Morton curve) gives every interleaved column
+  * partial locality, so each file covers a small RECTANGLE of the key
+  * space and predicates on ANY of the dimensions prune. This is the same
+  * layout trick lakehouse table formats expose as `OPTIMIZE ... ZORDER
+  * BY`; here it is a plain deterministic expression plus a range
+  * repartition, so it works on any parquet table.
+  */
+object Layout {
+
+  /** Morton (Z-order) key of two non-negative dimension columns, `bits`
+    * bits each: bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Deterministic integer bit math (codegen'd built-ins, no UDF);
+    * callers bound the dimensions first (e.g. `pmod(x, 1 << bits)`). */
+  def mortonKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    // disjoint bit positions: OR == +, OR keeps the intent explicit
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Rewrite `df` into `numFiles` files clustered along the Z-order curve
+    * of two bounded dimension columns: range-repartition + in-partition
+    * sort on the Morton key, so each output file covers a compact
+    * rectangle of (a, b) space and min-max stats prune scans filtered on
+    * EITHER dimension. One shuffle (the range exchange); the sort is
+    * within partitions. The helper returns the clustered frame (caller
+    * writes it), with the internal key column dropped. */
+  def clusterByZOrder(
+      df: DataFrame, aCol: String, bCol: String,
+      numFiles: Int, bits: Int = 16): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.withColumn("__zkey", mortonKey(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+  }
+}

@@ -31,8 +31,28 @@ object EventTime {
       src: DataFrame, tsCol: String, valueCol: String,
       windowDuration: String, watermark: String,
       dims: Seq[String]): DataFrame =
+    windowedAgg(src, tsCol, valueCol,
+      window(col(tsCol), windowDuration), watermark, dims)
+
+  /** Sliding (hopping) event-time aggregation: windows of
+    * `windowDuration` every `slideDuration` — each event lands in
+    * window/slide overlapping windows (the rolling-metric shape:
+    * "daily totals, updated every 12 h"). Same single-shuffle plan as
+    * the tumbling form; state grows by the overlap factor (window/slide
+    * concurrent windows per dim), still watermark-bounded. */
+  def slidingAgg(
+      src: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String, slideDuration: String, watermark: String,
+      dims: Seq[String]): DataFrame =
+    windowedAgg(src, tsCol, valueCol,
+      window(col(tsCol), windowDuration, slideDuration), watermark, dims)
+
+  private def windowedAgg(
+      src: DataFrame, tsCol: String, valueCol: String,
+      win: org.apache.spark.sql.Column, watermark: String,
+      dims: Seq[String]): DataFrame =
     src.withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowDuration) +: dims.map(col): _*)
+      .groupBy(win +: dims.map(col): _*)
       .agg(
         count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -66,6 +66,20 @@ class EventTimeSpec extends SparkSpec {
     assert(merged == batch)
   }
 
+  test("slidingAgg: each event lands in window/slide overlapping windows") {
+    val df = Seq(TEv(ts(16), "a", 2.0), TEv(ts(2), "a", 1.0)).toDF()
+    val got = EventTime
+      .slidingAgg(df, "ts", "value", "30 minutes", "15 minutes", "1 hour", Seq("kind"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+    // ts(2) ∈ [09:45, 10:15), [10:00, 10:30); ts(16) ∈ [10:00,10:30), [10:15,10:45)
+    assert(got == Set(
+      (us("2024-03-01 09:45:00"), "a", 1L, 1.0),
+      (us("2024-03-01 10:00:00"), "a", 2L, 3.0),
+      (us("2024-03-01 10:15:00"), "a", 1L, 2.0)))
+  }
+
   test("sessionAgg on a batch frame: gap splits sessions, min/max bounds") {
     val df = Seq(
       TEv(ts(1), "a", 1.0), TEv(ts(3), "a", 1.0), // session 1 (gap < 10m)
