@@ -465,6 +465,31 @@ object SparkEntry {
           col("value"), col("_change_type"))
     }),
 
+    // ---- CDC consumer: incremental aggregate maintenance — base agg
+    //      over v1 + pre/post-image deltas from the v1→v3 feed must equal
+    //      a direct re-aggregation of v3 (O(changes), no table rescan) ----
+    "o13b_cdc_incremental_agg" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o13b_").toString
+      val target = TargetTable("events_cdc", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4,
+        retainVersions = 4)
+      val cfg = IngestConfig(name = s"o13b-cdc-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, target)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
+      pt.mergeHardDelete(ev.filter(col("pkey") % 10 === 7), cfg)
+      val base = graft.ops.Incremental.countSumAgg(
+        pt.readVersion(1L).get, Seq("event_type"), "value")
+      val feed = pt.readChanges(1L, 3L, updatePreimages = true).get
+      val deltas = graft.ops.Incremental.aggDeltas(
+        feed, Seq("event_type"), "value")
+      graft.ops.Incremental.applyAggDeltas(base, deltas, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"),
+          col("__sum").cast("double").as("sum_value"))
+    }),
+
     // ---- O12+O5: the JDBC sink end-to-end (the reference's true target:
     //      prepared-statement upsert into a real database — here embedded
     //      Derby standing in for Postgres). Two merge rounds exercise
@@ -1628,6 +1653,14 @@ object SparkEntry {
       "o5_merge_upsert" -> dedupState,
       "o5b_merge_shuffle" -> dedupState,
       "o12_jdbc_upsert" -> dedupState,
+      // incremental maintenance converges to a direct re-aggregation of
+      // the post state (latest-wins minus deleted keys)
+      "o13b_cdc_incremental_agg" ->
+        (s"WITH post AS (SELECT pkey, event_type, value FROM ($oracleDedup) " +
+          "WHERE rn = 1 AND pkey % 10 != 7) " +
+          "SELECT event_type, count(*) AS n_rows, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+          "FROM post GROUP BY event_type"),
       // CDC feed v1→v3: pre = latest-wins of the even half, post = global
       // latest-wins minus hard-deleted keys; compare the FULL stored tuple
       // (incl. event_id) exactly like the engine's struct diff

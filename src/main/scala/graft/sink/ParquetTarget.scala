@@ -168,11 +168,19 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * join on the merge keys within those buckets, and the key→bucket
     * mapping is version-independent, so no change can hide outside them.
     *
+    * With `updatePreimages = true`, an updated key emits TWO rows —
+    * `update_preimage` (the old row) and `update_postimage` (the new) —
+    * the shape incremental consumers need: downstream aggregates are
+    * maintained by subtracting pre-images and adding post-images
+    * (see `ops/Incremental`), O(changes) instead of an O(table) rescan.
+    *
     * Both versions must still be retained (`TargetTable.retainVersions`)
     * and share one schema — a schema migration rewrites every bucket, so
     * a cross-migration feed would degenerate to "every row changed" and
     * is rejected loud instead. None when either version is gone. */
-  def readChanges(fromVersion: Long, toVersion: Long): Option[DataFrame] = {
+  def readChanges(
+      fromVersion: Long, toVersion: Long,
+      updatePreimages: Boolean = false): Option[DataFrame] = {
     require(fromVersion < toVersion,
       s"readChanges needs fromVersion < toVersion, got $fromVersion >= $toVersion")
     for { mo <- readManifest(fromVersion); mn <- readManifest(toVersion) }
@@ -205,15 +213,22 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
           org.apache.spark.sql.functions.struct(cols.map(o.col): _*).as("__pre"): _*)
         val post = n.select(table.keyCols.map(n.col) :+
           org.apache.spark.sql.functions.struct(cols.map(n.col): _*).as("__post"): _*)
-        import org.apache.spark.sql.functions.when
+        import org.apache.spark.sql.functions.{array, explode, struct, when}
+        def tagged(img: Column, ct: String) =
+          struct(img.as("img"), lit(ct).as("ct"))
+        val updateRows =
+          if (updatePreimages)
+            array(tagged(col("__pre"), "update_preimage"),
+              tagged(col("__post"), "update_postimage"))
+          else array(tagged(col("__post"), "update"))
         pre.join(post, table.keyCols, "full_outer")
           .where(!(col("__pre") <=> col("__post")))
-          .select(cols.map(c =>
-            when(col("__post").isNotNull, col(s"__post.$c"))
-              .otherwise(col(s"__pre.$c")).as(c)) :+
-            when(col("__pre").isNull, lit("insert"))
-              .when(col("__post").isNull, lit("delete"))
-              .otherwise(lit("update")).as("_change_type"): _*)
+          .select(explode(
+            when(col("__pre").isNull, array(tagged(col("__post"), "insert")))
+              .when(col("__post").isNull, array(tagged(col("__pre"), "delete")))
+              .otherwise(updateRows)).as("__r"))
+          .select(cols.map(c => col(s"__r.img.$c").as(c)) :+
+            col("__r.ct").as("_change_type"): _*)
       }
     }
   }

@@ -93,6 +93,45 @@ class BucketedTargetSpec extends SparkSpec {
     assert(feed23.toSeq == Seq((7L, "delete")))
     // same manifests on both sides would be rejected by the precondition
     intercept[IllegalArgumentException] { sink.readChanges(3L, 3L) }
+
+    // pre-image mode: updates emit pre+post pairs
+    val pp = sink.readChanges(1L, 3L, updatePreimages = true).get.collect()
+      .map(r => (r.getAs[Long]("pkey"), r.getAs[String]("_change_type"),
+        r.getAs[String]("payload"))).toSet
+    assert(pp == Set(
+      (3L, "update_preimage", "a3"), (3L, "update_postimage", "b3"),
+      (100L, "insert", "new"), (7L, "delete", "a7")))
+  }
+
+  test("incremental agg maintenance from the feed equals re-aggregation") {
+    import graft.ops.Incremental
+    val dir = Files.createTempDirectory("graft_inc_").toString
+    val t = TargetTable("t", s"$dir/target", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 4,
+      retainVersions = 5)
+    val sink = new ParquetTarget(spark, t)
+    sink.mergeUpsert((0L until 20L).map(k => (k, 1L, k, s"g${k % 3}", k * 1.5))
+      .toDF("pkey", "ver", "seq", "grp", "v"), cfg)
+    sink.mergeUpsert(Seq(
+      (3L, 2L, 50L, "g1", 100.0),   // update: moves groups g0 -> g1
+      (100L, 1L, 51L, "g2", 7.25)). // insert
+      toDF("pkey", "ver", "seq", "grp", "v"), cfg)
+    sink.mergeHardDelete(Seq((8L, 9L, 60L, "g2", 0.0)).toDF
+      ("pkey", "ver", "seq", "grp", "v"), cfg)
+
+    val base = Incremental.countSumAgg(
+      sink.readVersion(1L).get, Seq("grp"), "v")
+    val feed = sink.readChanges(1L, 3L, updatePreimages = true).get
+    val maintained = Incremental.applyAggDeltas(
+      base, Incremental.aggDeltas(feed, Seq("grp"), "v"), Seq("grp"))
+    val direct = Incremental.countSumAgg(sink.read().get, Seq("grp"), "v")
+    assertSameRows(maintained, direct)
+
+    // a feed without pre-images cannot be maintained exactly: fail loud
+    val noPre = sink.readChanges(1L, 3L).get
+    intercept[Exception] {
+      Incremental.aggDeltas(noPre, Seq("grp"), "v").collect()
+    }
   }
 
   test("hard delete prunes to tombstone buckets; emptied bucket disappears") {
