@@ -1024,6 +1024,28 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ---- Sources: bucketed tables — the pre-shuffled co-location layout;
+    //      the orders⋈customer join below runs with ZERO exchanges on the
+    //      fact side (bucket metadata from the catalog; spec-proven) ----
+    "q_bucketed_join" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_bjoin_").toString
+      val suf = java.lang.Long.toHexString(System.nanoTime())
+      graft.sources.Formats.writeBucketedTable(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        s"orders_bkt_$suf", s"$tmp/orders", Seq("o_custkey"), buckets = 8)
+      graft.sources.Formats.writeBucketedTable(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        s"customer_bkt_$suf", s"$tmp/customer", Seq("c_custkey"), buckets = 8)
+      s.table(s"orders_bkt_$suf")
+        .join(s.table(s"customer_bkt_$suf"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+    }),
+
     // ---- Range join: purchase windows × error windows, overlap pairs.
     //      Bucketed equi-join restatement — the naive inequality join is
     //      a nested loop (RangeJoinSpec proves both halves) ----
@@ -1166,6 +1188,11 @@ object SparkEntry {
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
           "FROM documents WHERE lang = 'en' GROUP BY source"),
       "bm25_topk" -> bm25Sql,
+      "q_bucketed_join" ->
+        ("SELECT c.c_mktsegment, count(*) AS n_orders, " +
+          "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+          "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
+          "GROUP BY c.c_mktsegment"),
       "text_repetition" -> repetitionSql,
       "sample_domain_cap" -> domainCapSql,
       "sample_mixture" -> mixtureSql,

@@ -69,6 +69,33 @@ object Formats {
       spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
     spark.read.format(format).load(path)
 
+  /** Bucketed (pre-shuffled) table write — the co-location layout for
+    * repeated big joins and aggregations: rows are hash-partitioned into
+    * `buckets` files per partition by `bucketCols` AT WRITE TIME, so a
+    * join or groupBy on those columns against another table bucketed the
+    * same way needs NO exchange at read time. At 100 TB the shuffle of
+    * the fact table dominates every join; bucketing pays that shuffle
+    * once, at write, for every later query. Optional `sortCols` keeps
+    * each bucket file sorted (sort-merge joins skip the sort too).
+    *
+    * Registers `tableName` in the session catalog as an EXTERNAL table at
+    * `path` (bucket metadata lives in the catalog — a plain
+    * `spark.read.parquet` of the same files would not know the layout;
+    * read back with `spark.table(tableName)`). */
+  def writeBucketedTable(
+      df: DataFrame, tableName: String, path: String,
+      bucketCols: Seq[String], buckets: Int,
+      sortCols: Seq[String] = Nil, format: String = "parquet"): Unit = {
+    require(supported.contains(format),
+      s"format must be one of ${supported.mkString(", ")}, got $format")
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val w = df.write.format(format).option("path", path).mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tableName)
+  }
+
   /** Training-shard export — the last mile of a corpus pipeline: one
     * directory per `splitCol` value (train/val/test), each file capped at
     * `maxRecordsPerShard` rows so downstream loaders stream uniform

@@ -76,6 +76,29 @@ class FormatsSpec extends SparkSpec {
     assert(shardCounts.forall(_ <= 64L), shardCounts.toString)
   }
 
+  test("bucketed tables join and aggregate with zero exchanges") {
+    val suf = java.lang.Long.toHexString(System.nanoTime())
+    val dir = tmp("fmt_bkt_")
+    val fact = (0L until 400L).map(i => (i % 50, i * 1.0)).toDF("k", "v")
+    val dim = (0L until 50L).map(i => (i, s"n$i")).toDF("k", "name")
+    Formats.writeBucketedTable(fact, s"fact_$suf", s"$dir/f", Seq("k"), 4)
+    Formats.writeBucketedTable(dim, s"dim_$suf", s"$dir/d", Seq("k"), 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(s"fact_$suf").join(spark.table(s"dim_$suf"), "k")
+      assertSameRows(j, fact.join(dim, "k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+
+      val g = spark.table(s"fact_$suf").groupBy("k").count()
+      assert(g.collect().length == 50)
+      val gplan = g.queryExecution.executedPlan.toString
+      assert(!gplan.contains("Exchange"), s"bucketed agg shuffled:\n$gplan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned write prunes at the directory level on read") {
     val df = rows.toDF("id", "text", "lang", "n")
     val dir = tmp("fmt_part_")
