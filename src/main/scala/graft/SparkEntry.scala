@@ -802,6 +802,12 @@ object SparkEntry {
           k = 8, iters = 2), nprobe = 2)
     }),
 
+    // ---- LLM pipeline: random-projection dim reduction (JL sketch,
+    //      deterministic hyperplane family, row-local) ----
+    "emb_random_project" -> ((s, dir) =>
+      Similarity.randomProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, outDim = 8)),
+
     // ---- LLM pipeline: heuristic language ID ----
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
@@ -1626,6 +1632,14 @@ object SparkEntry {
       "dedup_decontaminate" -> decontaminateSql,
       "dedup_span_stats" -> spanStatsSql,
       "dedup_embedding_cosine" -> cosineNearDup,
+      "emb_random_project" -> {
+        val proj = (0 until 8).map { i =>
+          OracleSql.foldSum(s"list_transform(range(0, 64), j -> " +
+            s"v[j+1] * ${OracleSql.planeSign(i, "j", 64)})") + s" AS p$i"
+        }.mkString(", ")
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+          s"FROM embeddings) SELECT vec_id, $proj FROM e"
+      },
       "ann_lsh_topk" -> lshTopK,
       "ann_ivf_topk" -> ivfTopK,
       "ann_lsh_multiprobe" -> lshMultiprobe,

@@ -76,6 +76,28 @@ object Similarity {
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Deterministic random-projection dimensionality reduction — the
+    * Johnson-Lindenstrauss sketch that precedes clustering/ANN when the
+    * raw embedding is too wide: out[i] = Σ_j v[j] · sign(i, j) with the
+    * SAME deterministic ±1 hyperplane family as the LSH bucketing, so
+    * projections are reproducible across runs/engines (no RNG state) and
+    * the oracle mirrors them bit-for-bit. Row-local map work, O(dim ×
+    * outDim) per row, no shuffle; pairwise distances are preserved up to
+    * the JL distortion bound in expectation. Emits (idCol, p0..p{k-1}). */
+  def randomProject(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int): DataFrame = {
+    require(outDim >= 1 && dim >= 1, s"need dim/outDim >= 1, got $dim/$outDim")
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    e.select(col(idCol) +: (0 until outDim).map { i =>
+      aggregate(
+        zip_with(col("v"),
+          transform(sequence(lit(0), lit(dim - 1)), j => planeSign(i, j, dim)),
+          (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x).as(s"p$i")
+    }: _*)
+  }
+
   /** Rank candidate (query_id, neighbor, cos) rows to per-query top-k via
     * the engine's bounded TopK Aggregator: per-group state is k rows,
     * partially aggregated map-side, so shuffle volume is O(queries × k) —

@@ -37,6 +37,26 @@ class SimilaritySpec extends SparkSpec {
     assert(m(1L) != m(3L)) // opposite vector flips every nonzero projection
   }
 
+  test("randomProject: ±1 signs on one-hot inputs, linear, deterministic") {
+    // one-hot e_0: each projection is exactly the ±1 sign of plane i at j=0
+    val oneHot = emb((1L, 1.0 +: Seq.fill(7)(0.0)))
+    val p1 = Similarity.randomProject(oneHot, "vec_id", "embedding", 8, 4)
+      .drop("vec_id").head().toSeq.map(_.asInstanceOf[Double])
+    assert(p1.forall(v => v == 1.0 || v == -1.0))
+    // linearity: project(2v) = 2 * project(v)
+    val v = Seq.tabulate(8)(i => (i + 1).toDouble)
+    val both = emb((1L, v), (2L, v.map(_ * 2)))
+    val rows = Similarity.randomProject(both, "vec_id", "embedding", 8, 4)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(i => r.getDouble(i))).toMap
+    assert(rows(2L) == rows(1L).map(_ * 2))
+    // deterministic across evaluations
+    val again = Similarity.randomProject(both, "vec_id", "embedding", 8, 4)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(i => r.getDouble(i))).toMap
+    assert(again == rows)
+  }
+
   test("bruteForceTopK ranks by exact cosine, excludes self") {
     val df = emb(
       (0L, Seq(1.0, 0.0)),
