@@ -249,6 +249,38 @@ object SparkEntry {
       appendStream(s, joined, cfg, tmp)
     }),
 
+    // ---- Stream-stream LEFT OUTER interval join: clicks with their
+    //      following-hour purchases OR a null row once the watermark
+    //      proves none can arrive; both engines cut at max ts - 1h - 1d ----
+    "s3b_stream_left_join" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s3b_").toString
+      val cfg = IngestConfig(name = s"s3b-ljoin-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      def src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val clicks = src.filter(col("event_type") === "click").select(
+        col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_micros(expr("ts div 1000")).as("click_ts"))
+      val purchases = src.filter(col("event_type") === "purchase").select(
+        col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        timestamp_micros(expr("ts div 1000")).as("purchase_ts"),
+        col("value").as("purchase_value"))
+      val joined = graft.streaming.StreamJoins.intervalJoin(
+        clicks, purchases, Seq("c_user" -> "p_user"),
+        "click_ts", "purchase_ts", "0 seconds", "1 hour", "0 seconds",
+        joinType = "left_outer")
+        .select(col("c_user").as("user_id"), col("click_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          col("purchase_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("purchase_value"))
+      val out = appendStream(s, joined, cfg, tmp)
+      val maxUs = t(s, dir, "events")
+        .agg(max(expr("ts div 1000"))).head().getLong(0)
+      out.where(col("click_us") <= maxUs - (25L * 3600 * 1000000))
+    }),
+
     // ---- Streaming dedup: first-wins per key across the whole stream;
     //      key-only projection so the emitted witness row is irrelevant ----
     "s4_stream_dedup" -> ((s, dir) => {
@@ -1826,6 +1858,18 @@ object SparkEntry {
           "FROM events c JOIN events p ON c.user_id = p.user_id " +
           "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
           "WHERE c.event_type = 'click' AND p.event_type = 'purchase'"),
+      // left-outer twin: unmatched clicks null-extend; both engines cut
+      // one margin below the final watermark (max ts - 1h bound - 1 day)
+      "s3b_stream_left_join" ->
+        ("SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us, " +
+          "p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us, " +
+          "p.value AS purchase_value " +
+          "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+          "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+          "ON c.user_id = p.user_id " +
+          "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
+          "WHERE epoch_us(c.ts) <= " +
+          "(SELECT max(epoch_us(ts)) FROM events) - 90000000000"),
       "s4_stream_dedup" ->
         "SELECT DISTINCT user_id, event_type FROM events",
       "s5_stream_static_join" ->

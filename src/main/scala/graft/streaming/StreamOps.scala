@@ -36,24 +36,32 @@ object StreamJoins {
     *                  may be (e.g. "0 seconds" = right not earlier)
     * @param lookahead interval string: how far AFTER leftTs
     * @param watermark disorder bound applied to both sides; rows later
-    *                  than it may be dropped from state before matching */
+    *                  than it may be dropped from state before matching
+    * @param joinType  inner (default) or left_outer / right_outer /
+    *                  full_outer: outer rows null-extend ON STATE EXPIRY —
+    *                  an unmatched row emits only once the watermark
+    *                  proves no future partner can arrive, so outer
+    *                  results trail the watermark by the interval bound */
   def intervalJoin(
       left: DataFrame, right: DataFrame,
       keyPairs: Seq[(String, String)],
       leftTsCol: String, rightTsCol: String,
       lookback: String, lookahead: String,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"intervalJoin requires disjoint column names; shared: ${overlap.mkString(", ")}")
     require(keyPairs.nonEmpty, "intervalJoin requires at least one key pair")
+    require(Seq("inner", "left_outer", "right_outer", "full_outer")
+      .contains(joinType),
+      s"intervalJoin supports inner/left_outer/right_outer/full_outer, got $joinType")
     val l = left.withWatermark(leftTsCol, watermark)
     val r = right.withWatermark(rightTsCol, watermark)
     val keyCond = keyPairs.map { case (a, b) => col(a) === col(b) }.reduce(_ && _)
     val rangeCond =
       col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL '$lookback'") &&
         col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL '$lookahead'")
-    l.join(r, keyCond && rangeCond, "inner")
+    l.join(r, keyCond && rangeCond, joinType)
   }
 
   /** Stream-static enrichment join: attach dimension attributes to a

@@ -48,6 +48,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Set((100L, 900L)))
   }
 
+  test("left-outer intervalJoin null-extends once state expires") {
+    implicit val sql = spark.sqlContext
+    val left = MemoryStream[LEv]
+    val right = MemoryStream[REv]
+    val out = StreamJoins.intervalJoin(
+      left.toDF(), right.toDF(), Seq("k" -> "rk"),
+      "lts", "rts", "0 seconds", "10 minutes", "0 seconds",
+      joinType = "left_outer")
+      .select($"lid", $"rid")
+    val dir = Files.createTempDirectory("graft_slj_").toString
+    val q = out.writeStream.format("memory").queryName("slj_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    left.addData(LEv(1, 100, ts(0)), LEv(2, 200, ts(0)))
+    right.addData(REv(1, 900, ts(5))) // matches lid=100; lid=200 unmatched
+    q.processAllAvailable()
+    // sentinel a day later: watermark passes ts(0)+10m, lid=200 expires
+    left.addData(LEv(9, 999, ts(1440)))
+    right.addData(REv(9, 998, ts(1440)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("slj_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((100L, 900L)))  // matched pair, emitted inner
+    assert(rows.contains((200L, -1L)))   // unmatched left, null-extended
+  }
+
   test("intervalJoin requires disjoint column names") {
     val df = Seq((1L, ts(0))).toDF("k", "ts")
     val e = intercept[IllegalArgumentException] {
