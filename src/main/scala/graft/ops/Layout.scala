@@ -44,6 +44,8 @@ object Layout {
       df: DataFrame, aCol: String, bCol: String,
       numFiles: Int, bits: Int = 16): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(!df.columns.contains("__zkey"),
+      "clusterByZOrder reserves the column name __zkey; rename it upstream")
     df.withColumn("__zkey", mortonKey(col(aCol), col(bCol), bits))
       .repartitionByRange(numFiles, col("__zkey"))
       .sortWithinPartitions("__zkey")

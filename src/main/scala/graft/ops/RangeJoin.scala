@@ -42,6 +42,8 @@ object RangeJoin {
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       bucketWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
+      "intervalOverlapJoin reserves the column name __b; rename it upstream")
     def buckets(s: String, e: String): Column =
       explode(sequence(expr(s"`$s` div ${bucketWidth}L"),
         expr(s"`$e` div ${bucketWidth}L")))

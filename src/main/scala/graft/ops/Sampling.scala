@@ -68,6 +68,8 @@ object Sampling {
   def capPerDomain(
       df: DataFrame, domainCol: String, idCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
+    require(!df.columns.contains("__rn"),
+      "capPerDomain reserves the column name __rn; rename it upstream")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(domainCol))
       .orderBy(TextHash.permute(0, col(idCol)), col(idCol))
@@ -106,11 +108,20 @@ object Sampling {
     * across rates and are stable across runs/engines. */
   def sampleByBin(
       df: DataFrame, binCol: String, idCol: String,
-      rates: Map[Long, Int], defaultPercent: Int = 100): DataFrame = {
+      rates: Map[Long, Int], defaultPercent: Int = 100): DataFrame =
+    sampleByRate(df, binCol, idCol,
+      rates.map { case (k, v) => lit(k) -> v }, defaultPercent)
+
+  /** Shared keyed-rate filter behind [[sampleMixture]] / [[sampleByBin]]:
+    * validates the percents and keeps rows whose hash bucket falls below
+    * the rate of their key (a when-chain over literal keys). */
+  private def sampleByRate(
+      df: DataFrame, keyCol: String, idCol: String,
+      rates: Map[Column, Int], defaultPercent: Int): DataFrame = {
     (rates.values.toSeq :+ defaultPercent).foreach(p =>
       require(p >= 0 && p <= 100, s"percent must be in [0, 100], got $p"))
-    val rate = rates.foldLeft(lit(defaultPercent)) { case (els, (b, p)) =>
-      when(col(binCol) === b, lit(p)).otherwise(els)
+    val rate = rates.foldLeft(lit(defaultPercent)) { case (els, (k, p)) =>
+      when(col(keyCol) === k, lit(p)).otherwise(els)
     }
     df.where(hashBucket(col(idCol)) < rate)
   }
@@ -125,12 +136,7 @@ object Sampling {
     * 20% is a superset of the same domain at 10%. */
   def sampleMixture(
       df: DataFrame, domainCol: String, idCol: String,
-      rates: Map[String, Int], defaultPercent: Int = 100): DataFrame = {
-    (rates.values.toSeq :+ defaultPercent).foreach(p =>
-      require(p >= 0 && p <= 100, s"percent must be in [0, 100], got $p"))
-    val rate = rates.foldLeft(lit(defaultPercent)) { case (els, (d, p)) =>
-      when(col(domainCol) === d, lit(p)).otherwise(els)
-    }
-    df.where(hashBucket(col(idCol)) < rate)
-  }
+      rates: Map[String, Int], defaultPercent: Int = 100): DataFrame =
+    sampleByRate(df, domainCol, idCol,
+      rates.map { case (k, v) => lit(k) -> v }, defaultPercent)
 }

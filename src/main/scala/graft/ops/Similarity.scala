@@ -188,33 +188,46 @@ object Similarity {
       queryPred: Column, k: Int, rerank: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-    val scale = e.agg(
-      max(array_max(transform(col("v"), x => abs(x)))).as("s"))
-    val quant = e.crossJoin(broadcast(scale))
-      .withColumn("qv", transform(col("v"), x =>
-        greatest(lit(-127.0), least(lit(127.0),
-          floor(x * lit(127.0) / col("s") + lit(0.5)).cast("double")))))
-      .withColumn("qb", packI8(col("qv")))
-      .drop("qv", "v", "s")
-      .withColumn("qn", sqrt(dotI8(col("qb"), col("qb")).cast("double")))
-    val q = quant.filter(queryPred).select(
-      col(idCol).as("query_id"), col("qb").as("qqb"), col("qn").as("qqn"))
-    val coarsePairs = quant.join(broadcast(q), col(idCol) =!= col("query_id"))
-    val coarse =
-      dotI8(col("qb"), col("qqb")).cast("double") / (col("qn") * col("qqn"))
-    val cand = rankTopK(coarsePairs, idCol, coarse, rerank)
-      .select(col("query_id"), col("neighbor_id"))
-    // Exact rerank: fetch true vectors for the candidate set only.
-    val n = e.withColumn("nrm", norm(col("v")))
-    val qx = n.filter(queryPred).select(
-      col(idCol).as("query_id"), col("v").as("qv2"), col("nrm").as("qn2"))
-    val exact = cand
-      .join(n.select(col(idCol).as("neighbor_id"), col("v"), col("nrm")),
-        "neighbor_id")
-      .join(broadcast(qx), "query_id")
-    val cosx = dot(col("v"), col("qv2")) / (col("nrm") * col("qn2"))
-    rankTopK(exact, "neighbor_id", cosx, k)
+    // ONE source scan: the float vectors + norms persist, and every later
+    // stage (scale aggregate, quantize/pack, coarse corpus side, query
+    // sides, exact-rerank fetch) derives from the cached stages — Spark
+    // does not share identical scan branches across a DAG (measured in
+    // bm25TopK), so without the persists this operator would re-read and
+    // re-quantize the corpus ~5×. The returned frame is materialized
+    // eagerly (O(queries × k) rows) so the caches unpersist before return.
+    val n = emb
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    val quant = {
+      val scale = n.agg(max(array_max(transform(col("v"), x => abs(x)))).as("s"))
+      n.crossJoin(broadcast(scale))
+        .withColumn("qv", transform(col("v"), x =>
+          greatest(lit(-127.0), least(lit(127.0),
+            floor(x * lit(127.0) / col("s") + lit(0.5)).cast("double")))))
+        .withColumn("qb", packI8(col("qv")))
+        .drop("qv", "v", "nrm", "s")
+        .withColumn("qn", sqrt(dotI8(col("qb"), col("qb")).cast("double")))
+        .persist()
+    }
+    try {
+      val q = quant.filter(queryPred).select(
+        col(idCol).as("query_id"), col("qb").as("qqb"), col("qn").as("qqn"))
+      val coarsePairs = quant.join(broadcast(q), col(idCol) =!= col("query_id"))
+      val coarse =
+        dotI8(col("qb"), col("qqb")).cast("double") / (col("qn") * col("qqn"))
+      val cand = rankTopK(coarsePairs, idCol, coarse, rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      // Exact rerank: fetch true vectors for the candidate set only.
+      val qx = n.filter(queryPred).select(
+        col(idCol).as("query_id"), col("v").as("qv2"), col("nrm").as("qn2"))
+      val exact = cand
+        .join(n.select(col(idCol).as("neighbor_id"), col("v"), col("nrm")),
+          "neighbor_id")
+        .join(broadcast(qx), "query_id")
+      val cosx = dot(col("v"), col("qv2")) / (col("nrm") * col("qn2"))
+      rankTopK(exact, "neighbor_id", cosx, k).localCheckpoint()
+    } finally { quant.unpersist(); n.unpersist(); () }
   }
 
   /** Fixed-point quantum for k-means mean accumulation: component sums

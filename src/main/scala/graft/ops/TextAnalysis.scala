@@ -245,7 +245,12 @@ object TextAnalysis {
     *
     * Determinism: log-probs are quantized to fixed-point longs ([[LogQ]])
     * before the per-doc sum, so results are bit-identical regardless of
-    * shuffle order; the oracle mirrors the same quantization. */
+    * shuffle order; the oracle mirrors the same quantization.
+    *
+    * Lifecycle: the returned frame is localCheckpoint-materialized (so the
+    * model table can unpersist before return); long-running sessions call
+    * [[Checkpoints.release]] when done with it — plain `unpersist()` does
+    * not free local-checkpoint blocks. */
   def unigramLogProb(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs

@@ -196,18 +196,17 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
           org.apache.spark.sql.types.StructField(
             "_change_type", org.apache.spark.sql.types.StringType))))
       else {
-        val schema =
-          if (newDirs.nonEmpty) readDirs(newDirs).schema
-          else if (oldDirs.nonEmpty) readDirs(oldDirs).schema
-          else currentSchema(mn ++ mo) // no changed buckets: empty feed
-        if (oldDirs.nonEmpty && newDirs.nonEmpty) {
-          val oldSchema = readDirs(oldDirs).schema
-          require(oldSchema == schema,
-            s"readChanges across a schema migration is unsupported: version " +
-              s"$fromVersion schema $oldSchema != version $toVersion schema $schema")
-        }
-        val o = if (oldDirs.nonEmpty) readDirs(oldDirs) else emptyWithSchema(schema)
-        val n = if (newDirs.nonEmpty) readDirs(newDirs) else emptyWithSchema(schema)
+        // each side's frame is built ONCE (driver-side file listing +
+        // parquet footer reads happen per readDirs call)
+        val oldFrame = if (oldDirs.nonEmpty) Some(readDirs(oldDirs)) else None
+        val newFrame = if (newDirs.nonEmpty) Some(readDirs(newDirs)) else None
+        val schema = newFrame.orElse(oldFrame).map(_.schema)
+          .getOrElse(currentSchema(mn ++ mo)) // no changed buckets: empty feed
+        for { of <- oldFrame; _ <- newFrame } require(of.schema == schema,
+          s"readChanges across a schema migration is unsupported: version " +
+            s"$fromVersion schema ${of.schema} != version $toVersion schema $schema")
+        val o = oldFrame.getOrElse(emptyWithSchema(schema))
+        val n = newFrame.getOrElse(emptyWithSchema(schema))
         val cols = schema.fieldNames.toSeq
         val pre = o.select(table.keyCols.map(o.col) :+
           org.apache.spark.sql.functions.struct(cols.map(o.col): _*).as("__pre"): _*)

@@ -64,10 +64,15 @@ object Formats {
   /** Read a partitioned layout. Partition columns come back from directory
     * names (their type is whatever Spark infers from the path — pin
     * string-typed partition values upstream if that matters); pass the
-    * DATA columns' schema via `dataSchema` to skip inference. */
+    * DATA columns' schema via `dataSchema` to skip inference — mandatory
+    * hygiene for CSV/JSON (inference is a full extra pass), harmless for
+    * self-describing parquet/ORC. */
   def readPartitioned(
-      spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
-    spark.read.format(format).load(path)
+      spark: SparkSession, path: String, format: String = "parquet",
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format(format)
+    dataSchema.fold(r)(r.schema).load(path)
+  }
 
   /** Bucketed (pre-shuffled) table write — the co-location layout for
     * repeated big joins and aggregations: rows are hash-partitioned into
