@@ -834,6 +834,12 @@ object SparkEntry {
           k = 8, iters = 2), nprobe = 2)
     }),
 
+    // ---- LLM pipeline: KMV distinct-count sketch (mergeable, hash-exact
+    //      cross-engine — chosen over HLL for oracle verifiability) ----
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.kmvDistinctTokens(
+        t(s, dir, "documents"), "lang", "text", k = 64)),
+
     // ---- LLM pipeline: random-projection dim reduction (JL sketch,
     //      deterministic hyperplane family, row-local) ----
     "emb_random_project" -> ((s, dir) =>
@@ -1664,6 +1670,21 @@ object SparkEntry {
       "dedup_decontaminate" -> decontaminateSql,
       "dedup_span_stats" -> spanStatsSql,
       "dedup_embedding_cosine" -> cosineNearDup,
+      "sketch_kmv_distinct" -> {
+        val wh = OracleSql.wordHashes("lower(text)")
+        val kept = "sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END)"
+        s"WITH t AS (SELECT lang, unnest($wh) AS h0 FROM documents), " +
+          s"tp AS (SELECT lang, (h0 * ${TextHash.permuteA(0)} + " +
+          s"${TextHash.permuteB(0)}) % ${TextHash.P} AS h FROM t), " +
+          "d AS (SELECT DISTINCT lang, h FROM tp), " +
+          "r AS (SELECT lang, h, row_number() OVER (" +
+          "PARTITION BY lang ORDER BY h) AS rn FROM d) " +
+          s"SELECT lang, count(*) AS n_exact, CAST($kept AS BIGINT) AS n_kept, " +
+          s"CASE WHEN $kept < 64 THEN CAST($kept AS DOUBLE) " +
+          s"ELSE ${63.0 * graft.functions.TextHash.P} / " +
+          "max(CASE WHEN rn <= 64 THEN h END) END AS est_distinct " +
+          "FROM r GROUP BY lang"
+      },
       "emb_random_project" -> {
         val proj = (0 until 8).map { i =>
           OracleSql.foldSum(s"list_transform(range(0, 64), j -> " +

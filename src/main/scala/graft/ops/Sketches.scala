@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Distinct-count sketching — bounded-memory cardinality estimation for
+  * corpus statistics (distinct tokens per language, distinct urls per
+  * domain) where the exact distinct set is too large to hold but a few
+  * percent of error is fine.
+  *
+  * The sketch here is KMV (k-minimum-values): keep the k smallest hash
+  * values of the distinct items; the k-th smallest hash `m` estimates
+  * cardinality as `(k-1) · P / m` (hashes uniform on [0, P)). Chosen over
+  * HyperLogLog deliberately: same mergeability (union = k smallest of the
+  * concatenation) and error ~1/√k, but the sketch is a deterministic
+  * function of the item set through the engine's shared `TextHash`
+  * family — reproducible across runs, partitionings, AND engines, so the
+  * driver's DuckDB oracle hash-gates it exactly (an HLL's register layout
+  * is engine-private and unverifiable cross-engine).
+  *
+  * Scale: one distinct shuffle on (group, hash) — the inherent cost of
+  * distinctness — then a per-group window+aggregate keyed by group. The
+  * per-group state after the distinct is the k minima, not the distinct
+  * set. */
+object Sketches {
+
+  /** Per-group distinct-token KMV sketch over whitespace tokens of
+    * `lower(textCol)`. Emits one row per group:
+    * (groupCol, n_exact, n_kept, est_distinct) — `n_exact` (the true
+    * distinct count, a free byproduct of the same pass) lets callers and
+    * specs measure the estimate's error directly. Groups with fewer than
+    * `k` distinct tokens estimate exactly. */
+  def kmvDistinctTokens(
+      docs: DataFrame, groupCol: String, textCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    // The raw polynomial hash of SHORT tokens is range-bounded (a 5-char
+    // token folds to < 31^5·7, far below P), which wrecks the uniformity
+    // KMV's estimator assumes. The affine permutation (h·a + b mod P) —
+    // the same mixing MinHash applies to shingle hashes — spreads the
+    // clustered values across the full [0, P) range.
+    val toks = docs
+      .select(col(groupCol),
+        explode(TextHash.wordHashes(lower(col(textCol)))).as("__h0"))
+      .select(col(groupCol), TextHash.permute(0, col("__h0")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    toks
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("__rn") <= k, 1L).otherwise(0L)).as("n_kept"),
+        max(when(col("__rn") <= k, col("h"))).as("__kth"))
+      .select(col(groupCol), col("n_exact"), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * TextHash.P) / col("__kth"))
+          .as("est_distinct"))
+  }
+}

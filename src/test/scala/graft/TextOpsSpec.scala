@@ -144,6 +144,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("kmvDistinctTokens: exact below k, ~1/sqrt(k) error above") {
+    import graft.ops.Sketches
+    // small group: 5 distinct tokens < k=64 → exact
+    val small = Seq((1L, "a b c d e a b")).toDF("id", "text")
+      .withColumn("g", lit("small"))
+    val sm = Sketches.kmvDistinctTokens(small, "g", "text", k = 64).head()
+    assert(sm.getLong(1) == 5L && sm.getLong(2) == 5L && sm.getDouble(3) == 5.0)
+    // large group: 3000 distinct tokens, k=64 → estimate within 40%
+    val big = (0 until 3000).grouped(100)
+      .map(ws => (ws.head.toLong, ws.map(i => s"tok$i").mkString(" ")))
+      .toSeq.toDF("id", "text").withColumn("g", lit("big"))
+    val bg = Sketches.kmvDistinctTokens(big, "g", "text", k = 64).head()
+    assert(bg.getLong(1) == 3000L)
+    assert(math.abs(bg.getDouble(3) - 3000.0) / 3000.0 < 0.4,
+      s"estimate ${bg.getDouble(3)} too far from 3000")
+    // deterministic: same input → bit-identical estimate
+    val again = Sketches.kmvDistinctTokens(big, "g", "text", k = 64).head()
+    assert(again.getDouble(3) == bg.getDouble(3))
+  }
+
   test("winnowing: shared runs share a fingerprint; selection is sparse") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine ten"),
