@@ -354,6 +354,11 @@ object SparkEntry {
         floor(col("value") * 100).cast("long").as("value_cents"))
     }),
 
+    // ---- Profiling: per-type equi-width value histogram ----
+    "q_histogram" -> ((s, dir) =>
+      graft.ops.Profile.histogram(
+        t(s, dir, "events"), "event_type", "value", bins = 10)),
+
     // ---- Data layout: Z-order (Morton) clustering key over two bounded
     //      dims — the multi-dim scan-pruning layout (see ops/Layout) ----
     "q_zorder_key" -> ((s, dir) =>
@@ -1905,6 +1910,16 @@ object SparkEntry {
           "CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, " +
           "CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, " +
           "CAST(floor(value * 100) AS BIGINT) AS value_cents FROM events"),
+      "q_histogram" ->
+        ("WITH b AS (SELECT event_type, min(value) AS mn, max(value) AS mx " +
+          "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+          "q AS (SELECT e.event_type, CASE WHEN mx = mn THEN 0 " +
+          "ELSE least(9, CAST(floor((value - mn) * 10 / (mx - mn)) AS BIGINT)) " +
+          "END AS bin, mn, mx FROM events e JOIN b USING (event_type) " +
+          "WHERE value IS NOT NULL) " +
+          "SELECT event_type, bin, mn + bin * (mx - mn) / 10 AS bin_lo, " +
+          "mn + (bin + 1) * (mx - mn) / 10 AS bin_hi, count(*) AS n " +
+          "FROM q GROUP BY event_type, bin, mn, mx"),
       "q_zorder_key" -> {
         val zterms = (0 until 10).flatMap(i => Seq(
           s"(((da >> $i) & 1) << ${2 * i})",

@@ -44,4 +44,38 @@ object Profile {
     }
     one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Per-group equi-width histogram of a numeric column: `bins` buckets
+    * spanning the group's [min, max], max closing into the last bin;
+    * null values are dropped. Deterministic across engines: the bin is
+    * `least(bins-1, floor((x - min) · bins / (max - min)))` evaluated in
+    * the same IEEE order on both sides, so the oracle hash-gates it.
+    * Groups with min == max put every row in bin 0.
+    *
+    * Scale: two aggregations keyed by group — the bounds pass emits
+    * O(groups) rows broadcast back onto the scan, the binning pass
+    * combines map-side; no corpus-wide state, no sort. Emits
+    * (groupCol, bin, bin_lo, bin_hi, n). */
+  def histogram(
+      df: DataFrame, groupCol: String, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val v = col(valueCol).cast("double")
+    val bounds = df.where(v.isNotNull)
+      .groupBy(col(groupCol)).agg(min(v).as("__mn"), max(v).as("__mx"))
+    val width = col("__mx") - col("__mn")
+    val bin = when(col("__mx") === col("__mn"), lit(0L))
+      .otherwise(least(lit((bins - 1).toLong),
+        floor((v - col("__mn")) * bins / width)))
+    df.where(v.isNotNull)
+      .join(broadcast(bounds), groupCol)
+      .groupBy(col(groupCol), bin.as("bin"), col("__mn"), col("__mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("bin"),
+        (col("__mn") + col("bin") * (col("__mx") - col("__mn")) / bins)
+          .as("bin_lo"),
+        (col("__mn") + (col("bin") + 1) * (col("__mx") - col("__mn")) / bins)
+          .as("bin_hi"),
+        col("n"))
+  }
 }

@@ -33,4 +33,21 @@ class ProfileSpec extends SparkSpec {
       Profile.profile(df.select())
     }
   }
+
+  test("histogram: equi-width bins, max closes into last bin, nulls drop") {
+    val df = Seq(
+      ("a", Some(0.0)), ("a", Some(4.9)), ("a", Some(5.0)), ("a", Some(10.0)),
+      ("a", None),
+      ("b", Some(7.0)), ("b", Some(7.0))). // min == max group
+      toDF("g", "v")
+    val got = Profile.histogram(df, "g", "v", bins = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    // group a spans [0,10]: bins [0,5) and [5,10]; 4.9→bin0, 5.0 & 10.0→bin1
+    assert(got(("a", 0L)) == ((0.0, 5.0, 2L)))
+    assert(got(("a", 1L)) == ((5.0, 10.0, 2L)))
+    // degenerate group: everything in bin 0, zero-width bounds
+    assert(got(("b", 0L)) == ((7.0, 7.0, 2L)))
+    assert(got.size == 3) // the null row contributed nowhere
+  }
 }
