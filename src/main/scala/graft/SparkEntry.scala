@@ -845,6 +845,16 @@ object SparkEntry {
       graft.ops.Sketches.kmvDistinctTokens(
         t(s, dir, "documents"), "lang", "text", k = 64)),
 
+    // ---- LLM pipeline: KMV mergeability — per-(lang,source) sketches
+    //      rolled up to per-lang WITHOUT rescanning text must equal the
+    //      direct per-lang sketch (the oracle computes direct) ----
+    "sketch_kmv_merge" -> ((s, dir) => {
+      val fine = graft.ops.Sketches.kmvSketchTokens(
+        t(s, dir, "documents"), Seq("lang", "source"), "text", k = 64)
+      graft.ops.Sketches.kmvEstimate(
+        graft.ops.Sketches.kmvMerge(fine, Seq("lang"), k = 64), k = 64)
+    }),
+
     // ---- LLM pipeline: random-projection dim reduction (JL sketch,
     //      deterministic hyperplane family, row-local) ----
     "emb_random_project" -> ((s, dir) =>
@@ -1685,6 +1695,21 @@ object SparkEntry {
           "r AS (SELECT lang, h, row_number() OVER (" +
           "PARTITION BY lang ORDER BY h) AS rn FROM d) " +
           s"SELECT lang, count(*) AS n_exact, CAST($kept AS BIGINT) AS n_kept, " +
+          s"CASE WHEN $kept < 64 THEN CAST($kept AS DOUBLE) " +
+          s"ELSE ${63.0 * graft.functions.TextHash.P} / " +
+          "max(CASE WHEN rn <= 64 THEN h END) END AS est_distinct " +
+          "FROM r GROUP BY lang"
+      },
+      "sketch_kmv_merge" -> {
+        val wh = OracleSql.wordHashes("lower(text)")
+        val kept = "sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END)"
+        s"WITH t AS (SELECT lang, unnest($wh) AS h0 FROM documents), " +
+          s"tp AS (SELECT lang, (h0 * ${TextHash.permuteA(0)} + " +
+          s"${TextHash.permuteB(0)}) % ${TextHash.P} AS h FROM t), " +
+          "d AS (SELECT DISTINCT lang, h FROM tp), " +
+          "r AS (SELECT lang, h, row_number() OVER (" +
+          "PARTITION BY lang ORDER BY h) AS rn FROM d) " +
+          s"SELECT lang, CAST($kept AS BIGINT) AS n_kept, " +
           s"CASE WHEN $kept < 64 THEN CAST($kept AS DOUBLE) " +
           s"ELSE ${63.0 * graft.functions.TextHash.P} / " +
           "max(CASE WHEN rn <= 64 THEN h END) END AS est_distinct " +

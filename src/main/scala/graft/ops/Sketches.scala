@@ -26,6 +26,59 @@ import graft.functions.TextHash
   * set. */
 object Sketches {
 
+  /** Raw per-group KMV sketch: (groupCols..., minima) where `minima` is
+    * the ascending array of the k smallest distinct permuted token
+    * hashes. This is the MERGEABLE form — the union sketch of several
+    * groups is the k smallest of their concatenated minima
+    * ([[kmvMerge]]), so rollups (per-day → per-month, per-source →
+    * per-lang) never rescan the text. Sketch rows are O(k) each. */
+  def kmvSketchTokens(
+      docs: DataFrame, groupCols: Seq[String], textCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(groupCols.map(col) :+
+        explode(TextHash.wordHashes(lower(col(textCol)))).as("__h0"): _*)
+      .select(groupCols.map(col) :+ TextHash.permute(0, col("__h0")).as("h"): _*)
+      .distinct()
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    toks
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("h"))).as("minima"))
+  }
+
+  /** Merge sketches down to a coarser grouping: k smallest distinct
+    * values of the concatenated minima — identical to sketching the
+    * union directly (spec + gate prove it), at O(sketch rows × k) cost
+    * with no text rescan. */
+  def kmvMerge(
+      sketches: DataFrame, groupCols: Seq[String], k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("h"))
+    sketches
+      .select(groupCols.map(col) :+ explode(col("minima")).as("h"): _*)
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("h"))).as("minima"))
+  }
+
+  /** Cardinality estimate columns from a sketch's `minima` array:
+    * (n_kept, est_distinct) — exact below k, `(k-1)·P / kth-min` at k. */
+  def kmvEstimate(df: DataFrame, k: Int = 64): DataFrame =
+    df.select(df.columns.filter(_ != "minima").map(col).toSeq :+
+      size(col("minima")).cast("long").as("n_kept") :+
+      when(size(col("minima")) < k, size(col("minima")).cast("double"))
+        .otherwise(lit((k - 1).toDouble * TextHash.P) /
+          element_at(col("minima"), k))
+        .as("est_distinct"): _*)
+
   /** Per-group distinct-token KMV sketch over whitespace tokens of
     * `lower(textCol)`. Emits one row per group:
     * (groupCol, n_exact, n_kept, est_distinct) — `n_exact` (the true

@@ -164,6 +164,22 @@ class TextOpsSpec extends SparkSpec {
     assert(again.getDouble(3) == bg.getDouble(3))
   }
 
+  test("kmv sketches merge losslessly: rollup equals direct sketch") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.tabulate(60) { i =>
+      val words = Seq.fill(40)(s"w${rnd.nextInt(800)}").mkString(" ")
+      (i.toLong, s"L${i % 2}", s"s${i % 5}", words)
+    }.toDF("id", "lang", "source", "text")
+    val fine = Sketches.kmvSketchTokens(docs, Seq("lang", "source"), "text", k = 32)
+    val merged = Sketches.kmvMerge(fine, Seq("lang"), k = 32)
+    val direct = Sketches.kmvSketchTokens(docs, Seq("lang"), "text", k = 32)
+    assertSameRows(merged, direct)
+    // estimates from the merged sketch match the direct ones too
+    assertSameRows(
+      Sketches.kmvEstimate(merged, 32), Sketches.kmvEstimate(direct, 32))
+  }
+
   test("winnowing: shared runs share a fingerprint; selection is sparse") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine ten"),
