@@ -482,6 +482,21 @@ object SparkEntry {
           col("value"))
     }),
 
+    // ---- Point lookup: bucket-pruned key fetch from a target (reads
+    //      only the buckets the key set hashes into) ----
+    "o14_target_lookup" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o14_").toString
+      val target = TargetTable("events_lkp", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 8)
+      val cfg = IngestConfig(name = s"o14-lkp-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, target)
+      pt.mergeUpsert(ev, cfg)
+      val keys = ev.filter(col("pkey") % 25 === 3).select(col("pkey"))
+      stateOut(pt.lookup(keys).get)
+    }),
+
     // ---- CDC: change feed between target versions (manifest-pruned
     //      keyed diff). v1 = even events, v2 = + odd events, v3 = hard
     //      delete of pkey%10=7; feed v1→v3 mixes all three change types ----
@@ -1777,6 +1792,10 @@ object SparkEntry {
       "o5_merge_upsert" -> dedupState,
       "o5b_merge_shuffle" -> dedupState,
       "o12_jdbc_upsert" -> dedupState,
+      // bucket-pruned point lookup = global latest-wins restricted to keys
+      "o14_target_lookup" ->
+        (s"SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, value " +
+          s"FROM ($oracleDedup) WHERE rn = 1 AND pkey % 25 = 3"),
       // incremental maintenance converges to a direct re-aggregation of
       // the post state (latest-wins minus deleted keys)
       "o13b_cdc_incremental_agg" ->

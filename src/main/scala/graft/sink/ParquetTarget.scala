@@ -232,6 +232,25 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     }
   }
 
+  /** Point lookup: current rows whose key appears in `keys` (a frame
+    * carrying the key columns; extras ignored, duplicates collapsed).
+    * Reads ONLY the buckets those keys hash into — the read-side twin of
+    * the bucket-pruned merge: a lookup of b distinct keys scans at most
+    * min(b, touched-bucket) dirs of the table, not the table. The key
+    * set is broadcast and matched with a left-semi join, so the scan
+    * side never shuffles. None when the target does not exist. */
+  def lookup(keys: DataFrame): Option[DataFrame] =
+    current().filter(_.nonEmpty).map { m =>
+      val schema = currentSchema(m)
+      val bk = conformKeys(
+        keys.select(table.keyCols.map(keys.col): _*).distinct(), schema)
+      val dirs = bucketsOf(bk).flatMap(m.get).distinct
+      if (dirs.isEmpty) emptyWithSchema(schema)
+      else readDirs(dirs).join(
+        org.apache.spark.sql.functions.broadcast(bk),
+        table.keyCols, "left_semi")
+    }
+
   /** Intact (readable) committed versions, ascending — at most
     * `retainVersions` of them after any commit's GC. */
   def versions(): Seq[Long] = {

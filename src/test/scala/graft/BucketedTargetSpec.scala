@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.input_file_name
 
 import graft.model.{IngestConfig, TargetTable}
 import graft.sink.ParquetTarget
@@ -101,6 +102,23 @@ class BucketedTargetSpec extends SparkSpec {
     assert(pp == Set(
       (3L, "update_preimage", "a3"), (3L, "update_postimage", "b3"),
       (100L, "insert", "new"), (7L, "delete", "a7")))
+  }
+
+  test("lookup fetches exactly the requested keys, reading pruned buckets") {
+    val (sink, t) = mk(buckets = 8)
+    sink.mergeUpsert((0L until 64L).map(k => (k, 1L, k, s"p$k")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    val got = sink.lookup(Seq(3L, 17L, 3L).toDF("pkey")).get.collect()
+      .map(r => r.getAs[Long]("pkey") -> r.getAs[String]("payload")).toMap
+    assert(got == Map(3L -> "p3", 17L -> "p17"))
+    // absent keys return nothing; extra columns on the key frame ignored
+    assert(sink.lookup(Seq((999L, "x")).toDF("pkey", "junk")).get.count() == 0)
+    // pruning: the scanned files all come from the keys' own buckets
+    val probe = sink.lookup(Seq(3L).toDF("pkey")).get
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    val bucketDirs = probe.map(f =>
+      f.split("/").find(_.startsWith("__graft_bucket=")).get).distinct
+    assert(bucketDirs.length == 1, s"expected one bucket dir, got $bucketDirs")
   }
 
   test("incremental agg maintenance from the feed equals re-aggregation") {
