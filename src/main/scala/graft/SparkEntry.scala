@@ -354,6 +354,21 @@ object SparkEntry {
         floor(col("value") * 100).cast("long").as("value_cents"))
     }),
 
+    // ---- Arbitrary GROUPING SETS (beyond cube/rollup): two single-dim
+    //      sets + the pair, with grouping() indicators disambiguating
+    //      the subtotal nulls ----
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("ev_gsets")
+      s.sql(
+        "SELECT event_type, cohort, " +
+          "CAST(grouping(event_type) AS BIGINT) AS g_type, " +
+          "CAST(grouping(cohort) AS BIGINT) AS g_cohort, " +
+          "count(*) AS n, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+          "FROM (SELECT event_type, user_id % 10 AS cohort, value FROM ev_gsets) " +
+          "GROUP BY GROUPING SETS ((event_type, cohort), (event_type), (cohort))")
+    }),
+
     // ---- Profiling: per-type equi-width value histogram ----
     "q_histogram" -> ((s, dir) =>
       graft.ops.Profile.histogram(
@@ -1954,6 +1969,14 @@ object SparkEntry {
           "CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m, " +
           "CAST(day(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h, " +
           "CAST(floor(value * 100) AS BIGINT) AS value_cents FROM events"),
+      "q_grouping_sets" ->
+        ("SELECT event_type, cohort, " +
+          "CAST(grouping(event_type) AS BIGINT) AS g_type, " +
+          "CAST(grouping(cohort) AS BIGINT) AS g_cohort, " +
+          "count(*) AS n, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+          "FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events) " +
+          "GROUP BY GROUPING SETS ((event_type, cohort), (event_type), (cohort))"),
       "q_histogram" ->
         ("WITH b AS (SELECT event_type, min(value) AS mn, max(value) AS mx " +
           "FROM events WHERE value IS NOT NULL GROUP BY 1), " +
