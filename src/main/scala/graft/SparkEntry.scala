@@ -869,6 +869,12 @@ object SparkEntry {
           k = 8, iters = 2), nprobe = 2)
     }),
 
+    // ---- LLM pipeline: sparse TF-IDF vectors over a deterministic
+    //      top-32 vocabulary (fixed-point idf, LogQ convention) ----
+    "text_tfidf" -> ((s, dir) =>
+      graft.ops.TextRank.tfidfSparse(
+        t(s, dir, "documents"), "doc_id", "text", vocabSize = 32)),
+
     // ---- LLM pipeline: KMV distinct-count sketch (mergeable, hash-exact
     //      cross-engine — chosen over HLL for oracle verifiability) ----
     "sketch_kmv_distinct" -> ((s, dir) =>
@@ -1715,6 +1721,21 @@ object SparkEntry {
       "dedup_decontaminate" -> decontaminateSql,
       "dedup_span_stats" -> spanStatsSql,
       "dedup_embedding_cosine" -> cosineNearDup,
+      "text_tfidf" ->
+        ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 0)) AS w " +
+          "FROM documents), " +
+          "tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+          "dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w), " +
+          "n AS (SELECT count(DISTINCT doc_id) AS nd FROM tf), " +
+          "vocab AS (SELECT w, CAST(row_number() OVER (" +
+          "ORDER BY df DESC, w) - 1 AS BIGINT) AS term_idx, " +
+          s"CAST(floor(ln((nd + 1.0) / (df + 1)) * ${graft.ops.TextAnalysis.LogQ}) " +
+          "AS BIGINT) AS idfq " +
+          "FROM dft CROSS JOIN n ORDER BY df DESC, w LIMIT 32) " +
+          "SELECT tf.doc_id, v.term_idx, v.w AS token, tf.tf, " +
+          s"CAST(tf.tf * v.idfq AS DOUBLE) / ${graft.ops.TextAnalysis.LogQ} AS tfidf " +
+          "FROM tf JOIN vocab v USING (w)"),
       "sketch_kmv_distinct" -> {
         val wh = OracleSql.wordHashes("lower(text)")
         val kept = "sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END)"

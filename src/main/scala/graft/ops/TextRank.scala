@@ -94,4 +94,56 @@ object TextRank {
       .localCheckpoint() // ≤ k rows; lets the per-doc table unpersist below
     } finally { perDoc.unpersist(); () }
   }
+
+  /** Sparse TF-IDF document vectors over a deterministic top-`vocabSize`
+    * vocabulary — the classic lexical featurizer bridging the text stack
+    * to [[Similarity]]'s vector ops. Vocabulary = the `vocabSize` tokens
+    * of highest document frequency (ties broken by token, so the vocab —
+    * and every index — is a pure function of the corpus); one output row
+    * per (doc, vocab token present in doc):
+    * (idCol, term_idx, token, tf, tfidf).
+    *
+    * Determinism: idf is quantized to fixed point
+    * (`floor(ln((N+1)/(df+1)) · 2^20)`, the [[TextAnalysis.LogQ]]
+    * convention), so `tfidf = tf · idfq / 2^20` is an exact integer
+    * product with an exact power-of-two scale — bit-identical across
+    * partitionings and engines (same 1-ulp `ln` caveat as LogQ).
+    * N = docs with at least one token.
+    *
+    * Scale: one corpus scan into the persisted (doc, token, tf) table;
+    * document frequencies, corpus size, and the vocab derive from it
+    * (top-V via a distributed orderBy+limit — the only windowed rank
+    * runs over the V retained rows, never the full vocabulary); scoring
+    * is a broadcast join of the O(V) vocab onto the tf table. The result
+    * is localCheckpoint-materialized so the tf table unpersists before
+    * return — call [[Checkpoints.release]] when done with it. */
+  def tfidfSparse(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val n = tf.agg(count_distinct(col(idCol)).as("nd"))
+      val topV = dft.orderBy(col("df").desc, col("w")).limit(vocabSize)
+      val vocab = topV
+        .withColumn("term_idx",
+          row_number().over(Window.orderBy(col("df").desc, col("w"))) - 1)
+        .crossJoin(broadcast(n))
+        .select(col("w"), col("term_idx").cast("long").as("term_idx"),
+          floor(log((col("nd") + lit(1.0)) / (col("df") + lit(1L)))
+            * lit(TextAnalysis.LogQ)).cast("long").as("idfq"))
+      tf.join(broadcast(vocab), "w")
+        .select(col(idCol), col("term_idx"), col("w").as("token"),
+          col("tf"),
+          ((col("tf") * col("idfq")).cast("double") /
+            lit(TextAnalysis.LogQ.toDouble)).as("tfidf"))
+        .localCheckpoint()
+    } finally { tf.unpersist(); () }
+  }
 }

@@ -164,6 +164,27 @@ class TextOpsSpec extends SparkSpec {
     assert(again.getDouble(3) == bg.getDouble(3))
   }
 
+  test("tfidfSparse: deterministic vocab, fixed-point idf, hand-computed") {
+    import graft.ops.{TextAnalysis, TextRank}
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextRank.tfidfSparse(docs, "doc_id", "text", vocabSize = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    // df: a=2, b=1, c=1 → vocab (df desc, token asc) = [a, b]; c excluded
+    val q = TextAnalysis.LogQ
+    def idfq(n: Long, df: Long) =
+      math.floor(math.log((n + 1.0) / (df + 1)) * q).toLong
+    val ib = idfq(2, 1) // ln(3/2) quantized
+    assert(idfq(2, 2) == 0L) // ln(1) = 0
+    assert(got == Map(
+      (1L, "a") -> ((0L, 2L, 0.0)),
+      (1L, "b") -> ((1L, 1L, ib.toDouble / q)),
+      (2L, "a") -> ((0L, 1L, 0.0))))
+    graft.ops.Checkpoints.release(
+      TextRank.tfidfSparse(docs, "doc_id", "text", 2))
+  }
+
   test("kmv sketches merge losslessly: rollup equals direct sketch") {
     import graft.ops.Sketches
     val rnd = new scala.util.Random(7)
