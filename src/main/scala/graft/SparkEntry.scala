@@ -1107,6 +1107,13 @@ object SparkEntry {
         binned, "bin", "doc_id", Map(1L -> 20, 2L -> 50), defaultPercent = 100)
     }),
 
+    // ---- LLM pipeline: importance sampling by computed per-row rate
+    //      (longer docs kept at higher probability, capped at 90%) ----
+    "sample_importance" -> ((s, dir) =>
+      graft.ops.Sampling.sampleByRateColumn(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", least(lit(90L), expr("n_chars div 20")))),
+
     // ---- Sources: training-shard export (split dirs, capped files) ----
     "src_shard_export" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_shard_").toString
@@ -1268,6 +1275,10 @@ object SparkEntry {
         s"SELECT doc_id, lang, n_chars, bin FROM b WHERE $hashBucket < " +
         "CASE bin WHEN 1 THEN 20 WHEN 2 THEN 50 ELSE 100 END"
 
+    val importanceSql =
+      s"SELECT doc_id, lang, n_chars FROM documents WHERE $hashBucket < " +
+        "least(90, greatest(0, n_chars // 20))"
+
     val shardExportSql =
       s"SELECT CASE WHEN $hashBucket < 80 THEN 'train' " +
         s"WHEN $hashBucket < 90 THEN 'val' ELSE 'test' END AS split, " +
@@ -1292,6 +1303,7 @@ object SparkEntry {
       "sample_domain_cap" -> domainCapSql,
       "sample_mixture" -> mixtureSql,
       "sample_curriculum" -> curriculumSql,
+      "sample_importance" -> importanceSql,
       "src_shard_export" -> shardExportSql,
       "text_unigram_logprob" -> {
         val q = graft.ops.TextAnalysis.LogQ

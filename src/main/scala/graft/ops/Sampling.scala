@@ -112,6 +112,18 @@ object Sampling {
     sampleByRate(df, binCol, idCol,
       rates.map { case (k, v) => lit(k) -> v }, defaultPercent)
 
+  /** Per-row importance sampling — the continuous generalization of
+    * [[sampleMixture]]/[[sampleByBin]]: keep each row with probability
+    * `ratePercent`/100 where the rate is ANY computed column (quality
+    * score, domain weight, recency decay), clamped to [0, 100]. Still
+    * row-local and deterministic per id: a row's fate depends only on
+    * (id, its own rate), so re-runs and engines agree, and raising a
+    * row's rate can only ADD it to the kept set (monotone). */
+  def sampleByRateColumn(
+      df: DataFrame, idCol: String, ratePercent: Column): DataFrame =
+    df.where(hashBucket(col(idCol)) <
+      least(lit(100), greatest(lit(0), ratePercent)))
+
   /** Shared keyed-rate filter behind [[sampleMixture]] / [[sampleByBin]]:
     * validates the percents and keeps rows whose hash bucket falls below
     * the rate of their key (a when-chain over literal keys). */

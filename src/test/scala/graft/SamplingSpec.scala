@@ -107,6 +107,23 @@ class SamplingSpec extends SparkSpec {
     assert(half == global)
   }
 
+  test("sampleByRateColumn: per-row rates, clamped, monotone in the rate") {
+    val df = (0L until 400L).map(i => (i, (i % 4) * 50 - 50)).toDF("id", "r")
+    // rates -50/0/50/100 clamp to 0/0/50/100
+    val kept = Sampling.sampleByRateColumn(df, "id", col("r")).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(!kept.exists(_ % 4 <= 1))                  // rate <= 0: nothing
+    assert((3L until 400L by 4).forall(kept.contains)) // rate 100: everything
+    // rate-50 rows match the global 50% hash sample restricted to them
+    val expect50 = Sampling.sampleByHash(df, "id", 50).collect()
+      .map(_.getLong(0)).filter(_ % 4 == 2).toSet
+    assert(kept.filter(_ % 4 == 2) == expect50)
+    // monotone: doubling every rate can only grow the kept set
+    val more = Sampling.sampleByRateColumn(df, "id", col("r") * 2).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(kept.subsetOf(more))
+  }
+
   test("capPerDomain keeps min(cap, size) rows per domain, deterministically") {
     val df = Seq.tabulate(7)(i => (i.toLong, "big")) ++
       Seq((100L, "small"), (101L, "small"))
