@@ -832,6 +832,29 @@ object SparkEntry {
       NearDup.duplicatedSpanStats(
         t(s, dir, "documents"), "doc_id", "text", n = 5)),
 
+    // ---- LLM pipeline: corpus-wide frequent n-grams (boilerplate
+    //      detector: one gram-keyed hash-aggregate + TakeOrdered) ----
+    "text_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, k = 20)),
+
+    // ---- LLM pipeline: cluster representative selection (keep the
+    //      longest member of each near-dup cluster, singletons keep
+    //      themselves; the keep-list stage after dedup_clusters) ----
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      NearDup.clusterRepresentatives(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
+        NearDup.lshCandidatePairs(docs, "doc_id", "text", m = 8, n = 3, r = 2))
+    }),
+
+    // ---- LLM pipeline: duplicated-span SCRUB (ExactSubstr removal:
+    //      drop token positions covered by any repeated 5-gram span,
+    //      reassemble the surviving text; two linear shuffles) ----
+    "dedup_span_scrub" -> ((s, dir) =>
+      NearDup.scrubDuplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 5)),
+
     // ---- LLM pipeline: embedding cosine near-dup (LSH-bucketed) ----
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
@@ -890,6 +913,21 @@ object SparkEntry {
       graft.ops.Sketches.kmvEstimate(
         graft.ops.Sketches.kmvMerge(fine, Seq("lang"), k = 64), k = 64)
     }),
+
+    // ---- LLM pipeline: pairwise vocabulary overlap between languages
+    //      from KMV sketches alone (union by merge + inclusion-
+    //      exclusion; #pairs × k cost, no corpus rescan) ----
+    "sketch_kmv_jaccard" -> ((s, dir) =>
+      graft.ops.Sketches.kmvJaccard(
+        graft.ops.Sketches.kmvSketchTokens(
+          t(s, dir, "documents"), Seq("lang"), "text", k = 64),
+        "lang", k = 64)),
+
+    // ---- LLM pipeline: per-label embedding centroids (class
+    //      prototypes; fixed-point sums → hash-exact cross-engine) ----
+    "emb_centroid_by_label" -> ((s, dir) =>
+      Similarity.groupCentroids(
+        t(s, dir, "embeddings"), "label", "embedding")),
 
     // ---- LLM pipeline: random-projection dim reduction (JL sketch,
     //      deterministic hyperplane family, row-local) ----
@@ -1461,6 +1499,45 @@ object SparkEntry {
         "CAST(max(df) AS BIGINT) AS max_df " +
         "FROM d GROUP BY doc_id"
 
+    // Mirrors NearDup.scrubDuplicatedSpans: one struct-unnest gives
+    // (pos, tok, span-start hash); occurrence count windowed by hash,
+    // coverage by a per-doc RANGE window, ordered string_agg rebuild.
+    val spanScrubSql = {
+      val words = OracleSql.words("text")
+      val sh = OracleSql.shingles("wh", 5)
+      s"WITH base AS (SELECT doc_id, $words AS toks, $wh AS wh FROM documents), " +
+        s"b2 AS (SELECT doc_id, toks, $sh AS sh FROM base), " +
+        "p AS (SELECT doc_id, unnest(list_transform(range(0, len(toks)), " +
+        "i -> {'pos': i, 'tok': toks[i+1], " +
+        "'h': CASE WHEN i < len(sh) THEN sh[i+1] END})) AS u FROM b2), " +
+        "pos_t AS (SELECT doc_id, u.pos AS pos, u.tok AS tok, u.h AS h FROM p), " +
+        "d AS (SELECT *, CASE WHEN h IS NOT NULL THEN " +
+        "CASE WHEN count(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END END AS dup " +
+        "FROM pos_t), " +
+        "c AS (SELECT doc_id, pos, tok, max(dup) OVER (PARTITION BY doc_id " +
+        "ORDER BY pos RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS cov FROM d) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN coalesce(cov, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "coalesce(string_agg(CASE WHEN coalesce(cov, 0) = 0 THEN tok END, ' ' " +
+        "ORDER BY pos), '') AS scrubbed " +
+        "FROM c GROUP BY doc_id"
+    }
+
+    // Mirrors TextAnalysis.topNgrams (n=3, k=20): same tie-break.
+    val topNgramsSql = {
+      val words = OracleSql.words("text")
+      s"WITH base AS (SELECT doc_id, $words AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN " +
+        "list_transform(range(0, len(toks)-2), " +
+        "i -> array_to_string(toks[i+1:i+3], ' ')) " +
+        "ELSE CAST([] AS VARCHAR[]) END) AS ngram FROM base), " +
+        "a AS (SELECT ngram, count(*) AS cnt, count(DISTINCT doc_id) AS df " +
+        "FROM g GROUP BY ngram) " +
+        "SELECT ngram, CAST(cnt AS BIGINT) AS cnt, CAST(df AS BIGINT) AS df, " +
+        "CAST(row_number() OVER (ORDER BY cnt DESC, ngram) AS BIGINT) AS rank " +
+        "FROM a QUALIFY rank <= 20"
+    }
+
     val embNorm =
       s"WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         s"n AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) AS nrm, " +
@@ -1563,6 +1640,21 @@ object SparkEntry {
         "UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) " +
         "SELECT id AS doc_id, min(r) AS canon_id FROM reach GROUP BY id"
     }
+
+    // Mirrors NearDup.clusterRepresentatives over the LSH clusters:
+    // singletons via LEFT JOIN + coalesce, argmax via QUALIFY
+    // row_number (doc_id is unique, so the window is deterministic).
+    val keepBestSql =
+      s"WITH clus AS ($clustersSql), " +
+        "allc AS (SELECT d.doc_id, d.n_chars, " +
+        "coalesce(c.canon_id, d.doc_id) AS canon_id " +
+        "FROM documents d LEFT JOIN clus c USING (doc_id)), " +
+        "rep AS (SELECT canon_id, doc_id AS rep_id FROM allc " +
+        "QUALIFY row_number() OVER (PARTITION BY canon_id " +
+        "ORDER BY n_chars DESC, doc_id) = 1) " +
+        "SELECT a.doc_id, a.canon_id, rep.rep_id, " +
+        "a.doc_id = rep.rep_id AS keep " +
+        "FROM allc a JOIN rep USING (canon_id)"
 
     val trainSplitSql = {
       // pmod mirror (non-negative bucket even for negative ids), matching
@@ -1732,6 +1824,9 @@ object SparkEntry {
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_decontaminate" -> decontaminateSql,
       "dedup_span_stats" -> spanStatsSql,
+      "dedup_span_scrub" -> spanScrubSql,
+      "dedup_keep_best" -> keepBestSql,
+      "text_top_ngrams" -> topNgramsSql,
       "dedup_embedding_cosine" -> cosineNearDup,
       "text_tfidf" ->
         ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
@@ -1778,6 +1873,44 @@ object SparkEntry {
           "max(CASE WHEN rn <= 64 THEN h END) END AS est_distinct " +
           "FROM r GROUP BY lang"
       },
+      "sketch_kmv_jaccard" -> {
+        val wh = OracleSql.wordHashes("lower(text)")
+        def est(x: String) =
+          s"CASE WHEN len($x) < 64 THEN CAST(len($x) AS DOUBLE) " +
+            s"ELSE ${63.0 * graft.functions.TextHash.P} / $x[64] END"
+        s"WITH t AS (SELECT lang, unnest($wh) AS h0 FROM documents), " +
+          s"tp AS (SELECT lang, (h0 * ${TextHash.permuteA(0)} + " +
+          s"${TextHash.permuteB(0)}) % ${TextHash.P} AS h FROM t), " +
+          "d AS (SELECT DISTINCT lang, h FROM tp), " +
+          "r AS (SELECT lang, h, row_number() OVER (" +
+          "PARTITION BY lang ORDER BY h) AS rn FROM d), " +
+          "s AS (SELECT lang, list(h ORDER BY h) AS minima FROM r " +
+          "WHERE rn <= 64 GROUP BY lang), " +
+          "p AS (SELECT a.lang AS g_a, b.lang AS g_b, a.minima AS ma, " +
+          "b.minima AS mb, list_slice(list_sort(list_distinct(" +
+          "list_concat(a.minima, b.minima))), 1, 64) AS u " +
+          "FROM s a JOIN s b ON a.lang < b.lang), " +
+          s"e AS (SELECT g_a, g_b, ${est("ma")} AS est_a, " +
+          s"${est("mb")} AS est_b, ${est("u")} AS est_union FROM p) " +
+          "SELECT g_a, g_b, est_a, est_b, est_union, " +
+          "greatest(0.0, est_a + est_b - est_union) AS est_intersect, " +
+          "CASE WHEN est_union > 0 THEN " +
+          "greatest(0.0, est_a + est_b - est_union) / est_union " +
+          "ELSE 0.0 END AS jaccard_est FROM e"
+      },
+      "emb_centroid_by_label" ->
+        // Mirrors Similarity.groupCentroids: MeanQ fixed-point sums.
+        ("WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v " +
+          "FROM embeddings), " +
+          "x AS (SELECT label, unnest(list_transform(range(0, len(v)), " +
+          "j -> {'j': j, 'x': v[j+1]})) AS u FROM e), " +
+          "a AS (SELECT label, u.j AS j, " +
+          "sum(CAST(floor(u.x * 1048576.0) AS BIGINT)) AS sq, " +
+          "count(*) AS cnt FROM x GROUP BY label, u.j) " +
+          "SELECT label, CAST(j AS BIGINT) AS dim_idx, " +
+          "CAST(cnt AS BIGINT) AS n_vecs, " +
+          "CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) " +
+          "AS centroid FROM a"),
       "emb_random_project" -> {
         val proj = (0 until 8).map { i =>
           OracleSql.foldSum(s"list_transform(range(0, 64), j -> " +

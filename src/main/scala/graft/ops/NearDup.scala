@@ -217,6 +217,102 @@ object NearDup {
         col("max_df"))
   }
 
+  /** Cluster-representative selection — the decision stage that turns
+    * near-dup CLUSTERS into a training-set keep-list: group every doc by
+    * its duplicate cluster (connected components over `pairs`; docs in no
+    * pair are singleton clusters of themselves) and keep the single
+    * highest-`scoreCol` member (ties → smallest id, fully deterministic).
+    * Emits (idCol, canon_id, rep_id, keep) for EVERY input doc, so the
+    * caller can either filter `keep` or audit what was discarded and why.
+    *
+    * Scale: components cost is [[Components.connectedComponents]]
+    * (edge-linear per round); the argmax is ONE `max_by` hash-aggregate
+    * keyed by cluster (map-side combined, no sort, no window), and the
+    * keep-flag join is cluster-keyed with the O(#clusters) rep table on
+    * the build side — AQE broadcasts it when small. */
+  def clusterRepresentatives(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val cc = Components.connectedComponents(pairs, aCol, bCol)
+    val base = docs.select(col(idCol), col(scoreCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .withColumn("canon_id", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    val reps = base.groupBy(col("canon_id"))
+      .agg(max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as("rep_id"))
+    base.join(reps, "canon_id")
+      .select(col(idCol), col("canon_id"), col("rep_id"),
+        (col(idCol) === col("rep_id")).as("keep"))
+  }
+
+  /** Duplicated-span SCRUB — the removal counterpart of
+    * [[duplicatedSpanStats]] (ExactSubstr dedup after Lee et al. 2022):
+    * delete every token position covered by a word-`n`-gram span whose
+    * hash occurs more than once in the corpus (cross-doc OR repeated
+    * within one doc), and reassemble the surviving tokens in order.
+    * Emits (idCol, n_tokens, n_kept, scrubbed) for every doc with at
+    * least one token; a fully-duplicated doc survives as an empty
+    * `scrubbed` string rather than disappearing, so the row count is
+    * stable for downstream joins.
+    *
+    * Scale shape — two linear shuffles, no join-back:
+    *  1. tokens + their span-start hashes come from ONE row-local pass
+    *     (words / wordHashes / shingleHashes materialized stepwise, per
+    *     the interpreted-HOF rule above), then explode to (doc, pos,
+    *     tok, h) where `h` is the hash of the span STARTING at pos
+    *     (null for the last n-1 positions).
+    *  2. span frequency is a COUNT window keyed by hash — but tail
+    *     positions (null h) must not pile into one global null
+    *     partition, which at corpus scale is (n-1)·docs rows on a
+    *     single task. The window key is therefore (h, tailKey) with
+    *     tailKey = doc id when h is null: tail rows form per-doc
+    *     micro-partitions and their count is never consulted.
+    *  3. coverage is a per-doc RANGE window (a position is dropped iff
+    *     ANY of the n spans containing it is duplicated), and the final
+    *     per-doc rollup reuses the same doc-keyed partitioning.
+    *
+    * Tokenization is the engine-wide whitespace family ([[TextHash]]),
+    * so positions of `words` and `wordHashes` align by construction. */
+  def scrubDuplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 2, s"span length must be >= 2, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val base = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        TextHash.words(col(textCol)).as("__toks"),
+        TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col(idCol), col("__toks"),
+        TextHash.shingleHashes(col("__wh"), n).as("__sh"))
+    val pos = base
+      .select(col(idCol), col("__sh"),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos"), col("tok"),
+        // try_: tail positions index past the shingle array → null span
+        try_element_at(col("__sh"), col("pos") + 1).as("h"))
+    val wDf = Window.partitionBy(col("h"),
+      when(col("h").isNull, col(idCol)).otherwise(lit(0L)))
+    val wCov = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rangeBetween(-(n - 1), Window.currentRow)
+    val keep = coalesce(col("__cov"), lit(0)) === 0
+    pos
+      .withColumn("__dup",
+        when(col("h").isNotNull,
+          (count(lit(1)).over(wDf) > 1).cast("int")))
+      .withColumn("__cov", max(col("__dup")).over(wCov))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(keep.cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep,
+              struct(col("pos"), col("tok"))))),
+            x => x("tok")),
+          " ").as("scrubbed"))
+  }
+
   /** Exact word-bigram Jaccard VERIFY over the LSH candidate pairs — the
     * production two-stage near-dup: banding proposes (linear shuffle,
     * `lshCandidatePairs`), exact Jaccard disposes. Candidate volume is

@@ -238,6 +238,34 @@ object Similarity {
     * partition merge order, breaking the hash-exact oracle gates. */
   private val MeanQ = 1048576L
 
+  /** Per-group embedding centroids — the summarization primitive behind
+    * SemDeDup-style semantic clustering, per-domain drift monitoring, and
+    * class prototypes: the element-wise mean vector of every group.
+    * Emits one row per (group, dimension): (groupCol, dim_idx, n_vecs,
+    * centroid) — the long layout keeps the gate schema scalar and lets
+    * callers pivot to arrays when needed.
+    *
+    * Determinism at scale: components accumulate in [[MeanQ]] fixed
+    * point (exact integer sums, order-independent across partitions and
+    * engines), and the mean is one IEEE division — same contract as
+    * [[kmeansCentroids]]. Cost: one posexplode (rows × dim) into one
+    * map-side-combined hash aggregate keyed by (group, dim); output is
+    * O(groups × dim). */
+  def groupCentroids(
+      emb: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
+      .groupBy(col(groupCol), col("j"))
+      .agg(
+        sum(floor(col("x") * lit(MeanQ.toDouble)).cast("long")).as("__sq"),
+        count(lit(1)).as("n_vecs"))
+      .select(col(groupCol), col("j").cast("long").as("dim_idx"),
+        col("n_vecs"),
+        (col("__sq").cast("double") /
+          (col("n_vecs").cast("double") * lit(MeanQ.toDouble)))
+          .as("centroid"))
+
   /** Centroid set (cid, cv, cnrm) gathered into ONE array-of-structs row
     * (sorted by cid) for broadcast-nested-loop joining onto a corpus: a
     * 1-row broadcast, so the corpus keeps its scan partitioning with ZERO

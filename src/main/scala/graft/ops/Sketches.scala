@@ -69,6 +69,45 @@ object Sketches {
       .agg(sort_array(collect_list(col("h"))).as("minima"))
   }
 
+  /** Scalar estimator over a minima array: exact below k,
+    * `(k-1)·P / kth-min` at k. Deterministic — one double division on
+    * hash-exact inputs, so engines agree bit-for-bit. */
+  private def estFromMinima(c: org.apache.spark.sql.Column, k: Int) =
+    when(size(c) < k, size(c).cast("double"))
+      .otherwise(lit((k - 1).toDouble * TextHash.P) / element_at(c, k))
+
+  /** Pairwise set-overlap estimates between groups, from their KMV
+    * sketches ALONE — no text rescan, no pairwise token join: the union
+    * sketch of two groups is the k smallest of their concatenated minima
+    * (the same property [[kmvMerge]] relies on), and
+    * |A∩B| = |A| + |B| - |A∪B| by inclusion-exclusion. Emits one row per
+    * unordered group pair: (g_a, g_b, est_a, est_b, est_union,
+    * est_intersect, jaccard_est).
+    *
+    * Scale: the sketch table has one O(k) row per group, so the pair
+    * join is over #groups rows (broadcast nested-loop on the `<`
+    * condition) — cost is #pairs × k, independent of corpus size. Error
+    * follows the KMV ~1/√k bound on each of the three estimates. */
+  def kmvJaccard(sketches: DataFrame, groupCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val a = sketches.select(col(groupCol).as("g_a"), col("minima").as("m_a"))
+    val b = sketches.select(col(groupCol).as("g_b"), col("minima").as("m_b"))
+    a.join(b, col("g_a") < col("g_b"))
+      .withColumn("__u",
+        slice(array_sort(array_distinct(concat(col("m_a"), col("m_b")))),
+          1, k))
+      .select(col("g_a"), col("g_b"),
+        estFromMinima(col("m_a"), k).as("est_a"),
+        estFromMinima(col("m_b"), k).as("est_b"),
+        estFromMinima(col("__u"), k).as("est_union"))
+      .withColumn("est_intersect",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("jaccard_est",
+        when(col("est_union") > 0, col("est_intersect") / col("est_union"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Cardinality estimate columns from a sketch's `minima` array:
     * (n_kept, est_distinct) — exact below k, `(k-1)·P / kth-min` at k. */
   def kmvEstimate(df: DataFrame, k: Int = 64): DataFrame =

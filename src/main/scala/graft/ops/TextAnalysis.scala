@@ -276,6 +276,44 @@ object TextAnalysis {
     } finally { freq.unpersist(); () }
   }
 
+  /** Corpus-wide most-frequent word n-grams — the boilerplate detector
+    * (navigation chrome, license headers, cookie banners surface as
+    * high-count high-df n-grams; the output feeds a scrub list or a
+    * quality penalty). Emits the top `k` n-grams as
+    * (ngram, cnt, df, rank): total occurrences, distinct docs, and a
+    * dense 1-based rank ordered (cnt DESC, ngram ASC) — the tie-break
+    * makes the cut at `k` deterministic and cross-engine stable.
+    *
+    * Scale: n-gram strings are built row-locally from the materialized
+    * token array; the count is ONE hash-aggregate (map-side combined)
+    * keyed by n-gram, the df a count-distinct expand over the same
+    * shuffle; top-k is TakeOrdered over the aggregated (already small)
+    * table — no global sort of raw grams, and the final rank window runs
+    * on k rows. Docs shorter than n words contribute nothing. */
+  def topNgrams(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 1, s"ngram length must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), col(textCol))
+      .select(col(idCol), TextHash.words(col(textCol)).as("__toks"))
+    // when-guard: sequence(0, size-n) with size < n would run DESCENDING
+    // (Spark picks step -1 when start > stop) and fabricate grams
+    val grams = toks.select(col(idCol),
+      explode(when(size(col("__toks")) >= n,
+        transform(sequence(lit(0), size(col("__toks")) - n),
+          i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("ngram"))
+    val top = grams.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"), count_distinct(col(idCol)).as("df"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("ngram")))
+        .cast("long"))
+  }
+
   /** Document fingerprint: order-sensitive whole-doc hash + the minimum
     * shingle hash and distinct-shingle count (the winnowing-style content
     * summary: equal fp ⇒ identical token stream; shingle stats survive

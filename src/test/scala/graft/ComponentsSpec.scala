@@ -87,6 +87,27 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(4L -> 4L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("clusterRepresentatives keeps the best-scored member, singletons themselves") {
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3} (chain), cluster {7,8}, singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    // scores: 2 wins its cluster; 7 and 8 TIE → smaller id (7) wins
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 20L), (7L, 5L), (8L, 5L),
+      (9L, 1L)).toDF("doc_id", "score")
+    val got = graft.ops.NearDup.clusterRepresentatives(
+      docs, "doc_id", "score", pairs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(1L) == (1L, 2L, false))
+    assert(got(2L) == (1L, 2L, true))
+    assert(got(3L) == (1L, 2L, false))
+    assert(got(7L) == (7L, 7L, true))
+    assert(got(8L) == (7L, 7L, false))
+    assert(got(9L) == (9L, 9L, true)) // no pair → its own cluster, kept
+    assert(got.values.count(_._3) == 3)
+  }
+
   test("freeLocalCheckpoint releases per-round checkpoint blocks") {
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val df = Seq(1, 2, 3).toDF("x").localCheckpoint()

@@ -14,6 +14,21 @@ class SimilaritySpec extends SparkSpec {
   private def emb(rows: (Long, Seq[Double])*) =
     rows.toSeq.toDF("vec_id", "embedding")
 
+  test("groupCentroids: exact element-wise means in long layout") {
+    val df = Seq(
+      (1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)),     // means (2.0, 3.0)
+      (2, Seq(-1.5, 0.25))).toDF("label", "embedding")
+    val got = Similarity.groupCentroids(df, "label", "embedding")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // all inputs are exact binary fractions → fixed point is lossless
+    assert(got((1, 0L)) == (2L, 2.0))
+    assert(got((1, 1L)) == (2L, 3.0))
+    assert(got((2, 0L)) == (1L, -1.5))
+    assert(got((2, 1L)) == (1L, 0.25))
+  }
+
   test("dot and norm fold left-to-right over array columns") {
     val df = emb((1L, Seq(1.0, 2.0, 3.0)))
       .select(

@@ -144,6 +144,68 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("scrubDuplicatedSpans drops covered positions, keeps short docs whole") {
+    val docs = Seq(
+      (1L, "a b c d e x1 y1 z1"),
+      (2L, "a b c d e x2 y2 z2"),
+      (3L, "p q r s t u v w"),
+      (4L, "k"),
+      (5L, "m n o m n o m n o")).toDF("doc_id", "text")
+    val got = NearDup.scrubDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // docs 1/2 share spans (a b c)(b c d)(c d e) → positions 0-4 covered
+    assert(got(1L) == (8L, 3L, "x1 y1 z1"))
+    assert(got(2L) == (8L, 3L, "x2 y2 z2"))
+    // doc 3: nothing repeated anywhere → untouched
+    assert(got(3L) == (8L, 8L, "p q r s t u v w"))
+    // doc 4: shorter than n → no spans → kept whole (and NOT dropped)
+    assert(got(4L) == (1L, 1L, "k"))
+    // doc 5: every span repeats WITHIN the doc → fully scrubbed, row stays
+    assert(got(5L) == (9L, 0L, ""))
+  }
+
+  test("kmvJaccard: exact below k, inclusion-exclusion, identical groups = 1") {
+    import graft.ops.Sketches
+    // small groups (< k distinct): every estimate is exact
+    val docs = Seq(
+      ("A", "a b c"), ("B", "b c d"), ("C", "x y z w")).toDF("g", "text")
+    val sk = Sketches.kmvSketchTokens(docs, Seq("g"), "text", k = 64)
+    val got = Sketches.kmvJaccard(sk, "g", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(got(("A", "B")) == (3.0, 3.0, 4.0, 2.0, 0.5))
+    assert(got(("A", "C")) == (3.0, 4.0, 7.0, 0.0, 0.0))
+    assert(got.size == 3) // unordered pairs only
+    // large identical groups (> k): union sketch == own sketch → jaccard 1
+    val big = (0 until 3000).grouped(100)
+      .map(ws => ws.map(i => s"tok$i").mkString(" ")).toSeq
+    val two = (big.map(("P", _)) ++ big.map(("Q", _))).toDF("g", "text")
+    val j = Sketches.kmvJaccard(
+      Sketches.kmvSketchTokens(two, Seq("g"), "text", k = 64), "g", k = 64)
+      .head()
+    assert(j.getDouble(6) == 1.0)
+    assert(math.abs(j.getDouble(4) - 3000.0) / 3000.0 < 0.4)
+  }
+
+  test("topNgrams ranks by count with ngram tie-break, short docs drop") {
+    val docs = Seq(
+      (1L, "the quick fox the quick fox"),   // "the quick fox" x2 (+wraps)
+      (2L, "the quick fox jumps"),
+      (3L, "aa bb"),                          // < n words: contributes none
+      (4L, "zz yy xx")).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(docs, "doc_id", "text", n = 3, k = 3)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // "the quick fox": 3 occurrences across docs 1+2
+    assert(got.head == ("the quick fox", 3L, 2L, 1L))
+    assert(got.length == 3)
+    // remaining singles tie at cnt=1 → lexicographic ngram order
+    assert(got(1)._1 < got(2)._1 && got(1)._2 == 1L)
+  }
+
   test("kmvDistinctTokens: exact below k, ~1/sqrt(k) error above") {
     import graft.ops.Sketches
     // small group: 5 distinct tokens < k=64 → exact
