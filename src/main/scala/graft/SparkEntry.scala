@@ -196,6 +196,25 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    // ---- Per-key event-time quota: admit first 3 events per
+    //      (user, day), counter state evicted by event-time timeout ----
+    "s8_stream_quota" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s8_").toString
+      val cfg = IngestConfig(name = s"s8-quota-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("ts_t"),
+          col("user_id"), col("event_id"))
+      appendStream(s,
+        graft.streaming.StreamQuota.perKeyWindowQuota(
+          src, "user_id", "ts_t", "event_id",
+          "1 day", "48 hours", maxPerWindow = 3),
+        cfg, tmp)
+    }),
+
     // ---- Custom streaming state: flatMapGroupsWithState running counts ----
     "s2_stream_stateful" -> ((s, dir) => {
       val batchSchema = t(s, dir, "events").schema
@@ -2123,6 +2142,17 @@ object SparkEntry {
           "(SELECT max(epoch_us(ts)) FROM events) - 90000000000"),
       "s4_stream_dedup" ->
         "SELECT DISTINCT user_id, event_type FROM events",
+      // single AvailableNow batch → admission = global (ts, id)-first 3
+      "s8_stream_quota" ->
+        ("SELECT user_id, window_start_us, event_id, ts_us, " +
+          "CAST(rn AS BIGINT) AS admitted_rank FROM (" +
+          "SELECT user_id, " +
+          "(epoch_us(ts) - epoch_us(ts) % 86400000000) AS window_start_us, " +
+          "event_id, epoch_us(ts) AS ts_us, " +
+          "row_number() OVER (PARTITION BY user_id, " +
+          "(epoch_us(ts) - epoch_us(ts) % 86400000000) " +
+          "ORDER BY epoch_us(ts), event_id) AS rn FROM events) " +
+          "WHERE rn <= 3"),
       "s5_stream_static_join" ->
         ("SELECT e.event_id, e.user_id, e.event_type, " +
           "c.c_nationkey, c.c_mktsegment " +

@@ -135,3 +135,93 @@ object StreamDedup {
     src.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 }
+
+/** Per-key event-time admission quota — the per-SOURCE backpressure the
+  * reference applies globally (bounded mpsc, `src/lib.rs:158`), made
+  * per-key and per-window: admit at most `maxPerWindow` events for each
+  * (key, tumbling window), drop the rest. The shape of API rate limiting,
+  * per-user sampling caps, and abuse throttling on an ingest stream.
+  */
+object StreamQuota {
+
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** Event projected onto the quota key space. `ts` stays TimestampType
+    * so the upstream watermark column flows into the state operator
+    * (EventTimeTimeout requires it); `winEndUs` rides along so the
+    * timeout needs no driver-side interval parsing. */
+  final case class QEvent(
+      key: Long, winStartUs: Long, winEndUs: Long,
+      ts: java.sql.Timestamp, eventId: Long)
+
+  /** Event-time micros of a Timestamp (getTime alone truncates to ms). */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+  /** State per (key, window): how many events were already admitted. */
+  final case class QState(admitted: Long)
+
+  /** An admitted event with its 1-based admission rank in the window. */
+  final case class QAdmit(
+      user_id: Long, window_start_us: Long, event_id: Long, ts_us: Long,
+      admitted_rank: Long)
+
+  /** Admit the first `maxPerWindow` events per (keyCol, tumbling
+    * `windowDuration` window of `tsCol`), ordered by (event time, idCol)
+    * WITHIN each micro-batch; later batches consume whatever quota
+    * remains (state carries the admitted count). With all data in one
+    * batch the admitted set is exactly the global (ts, id)-first rows —
+    * the deterministic contract the oracle checks; across batches the
+    * count-based guarantee ("never more than N per key-window") holds
+    * regardless of arrival order.
+    *
+    * Scale: state is ONE counter per active (key, window), partitioned
+    * by the group key; event-time timeouts remove a window's counter
+    * once the watermark passes its end, so state is O(keys active
+    * within one watermark horizon), independent of stream length. */
+  def perKeyWindowQuota(
+      src: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      windowDuration: String, watermark: String,
+      maxPerWindow: Int): DataFrame = {
+    require(maxPerWindow >= 1,
+      s"maxPerWindow must be >= 1, got $maxPerWindow")
+    implicit val eventEnc = Encoders.product[QEvent]
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val stateEnc = Encoders.product[QState]
+    implicit val outEnc = Encoders.product[QAdmit]
+    src
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(window(col(tsCol), windowDuration).getField("start"))
+          .as("winStartUs"),
+        unix_micros(window(col(tsCol), windowDuration).getField("end"))
+          .as("winEndUs"),
+        col(tsCol).as("ts"),
+        col(idCol).cast("long").as("eventId"))
+      .as[QEvent]
+      .groupByKey(e => (e.key, e.winStartUs))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: (Long, Long), rows: Iterator[QEvent], state: GroupState[QState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed the window end: free the counter
+            Iterator.empty
+          } else {
+            val already = state.getOption.map(_.admitted).getOrElse(0L)
+            val room = maxPerWindow - already
+            val batch = rows.toSeq
+            val admitted =
+              if (room <= 0) Seq.empty[QEvent]
+              else batch.sortBy(e => (micros(e.ts), e.eventId)).take(room.toInt)
+            state.update(QState(already + admitted.length))
+            // evict once the watermark proves the window can't refill
+            state.setTimeoutTimestamp(batch.head.winEndUs / 1000L)
+            admitted.iterator.zipWithIndex.map { case (e, i) =>
+              QAdmit(k._1, k._2, e.eventId, micros(e.ts), already + i + 1L)
+            }
+          }
+      }
+      .toDF()
+  }
+}

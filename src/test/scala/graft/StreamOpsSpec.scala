@@ -122,6 +122,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(tags == Set((1L, "early"), (2L, "advance"), (1L, "re-emit")))
   }
 
+  test("StreamQuota: admits first N per key-window, state carries across batches") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[DEv]
+    // key = dk, window 1 hour, quota 2; tag is unused by the op
+    val out = graft.streaming.StreamQuota.perKeyWindowQuota(
+      src.toDF().withColumn("eid", $"dts".cast("long")),
+      "dk", "dts", "eid", "1 hour", "10 minutes", maxPerWindow = 2)
+    val dir = Files.createTempDirectory("graft_sq_").toString
+    val q = out.writeStream.format("memory").queryName("sq_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // batch 1: 3 events for key 1 in one hour-window → admit earliest 2
+    src.addData(DEv(1, ts(5), "c"), DEv(1, ts(1), "a"), DEv(1, ts(3), "b"))
+    q.processAllAvailable()
+    // batch 2: same key+window → quota already consumed, admit none;
+    // key 2 admits; key 1 in the NEXT window admits again
+    src.addData(DEv(1, ts(7), "late"), DEv(2, ts(8), "other"),
+      DEv(1, ts(90), "next-window"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sq_out")
+      .select($"user_id", $"ts_us", $"admitted_rank")
+      .as[(Long, Long, Long)].collect().toSet
+    def us(min: Long): Long = ts(min).getTime * 1000L
+    assert(got == Set(
+      (1L, us(1), 1L), (1L, us(3), 2L),   // earliest two of batch 1
+      (2L, us(8), 1L),                     // other key unaffected
+      (1L, us(90), 1L)))                   // fresh window, fresh quota
+  }
+
   test("enrichWithDim: broadcast left_outer keeps unmatched stream rows") {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[LEv]
