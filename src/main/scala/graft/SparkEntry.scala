@@ -816,6 +816,17 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("comp").as("canon_id"))
     }),
 
+    // ---- Graph centrality: fixed-point PageRank over the symmetrized
+    //      part↔supplier co-occurrence graph (3 power iterations; every
+    //      op BIGINT floor arithmetic, so the oracle is hash-exact) ----
+    "graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_partkey") * 2).cast("long").as("a"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+      val edges = li.unionByName(li.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.Graph.pageRank(edges, "a", "b", iters = 3)
+    }),
+
     // ---- LLM pipeline: deterministic train/val/test split ----
     "q_train_split" -> ((s, dir) =>
       graft.ops.Sampling.assignSplits(
@@ -1837,6 +1848,12 @@ object SparkEntry {
       "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
       "dedup_clusters" -> clustersSql,
+      "graph_pagerank" ->
+        ("WITH le AS (SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src, " +
+          "CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem), " +
+          "e AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le), " +
+          graft.functions.OracleSql.pageRankCtes(iters = 3) +
+          " SELECT node, rank_q FROM it3"),
       "q_train_split" -> trainSplitSql,
       "pipeline_corpus" -> pipelineCorpusSql,
       "dedup_simhash" -> simhashSql,

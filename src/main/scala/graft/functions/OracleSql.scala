@@ -139,6 +139,40 @@ object OracleSql {
     (init +: steps).mkString(", ")
   }
 
+  /** Fixed-point PageRank CTE chain mirroring `Graph.pageRank`
+    * stage-for-stage, over a prior CTE `e`(src, dst) that must already be
+    * DISTINCT (the engine collapses duplicate edges; a non-distinct `e`
+    * would double-count contributions here). Emits CTEs `deg`, `nodes`,
+    * `cst`, `it0 .. it$iters`; the final `it$iters` holds (node, rank_q).
+    *
+    * Every division is BIGINT floor division (`//`, matching Spark's
+    * `div` on the all-nonnegative ranks) and the contribution sum is cast
+    * back to BIGINT immediately (DuckDB sums BIGINT into HUGEINT — the
+    * round-4 type-fidelity lesson), so rank_q is bit-identical to the
+    * engine's. */
+  def pageRankCtes(iters: Int, q: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): String = {
+    val telNum = (dampDen - dampNum) * q
+    val base =
+      "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "cst AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+        s"it0 AS (SELECT node, CAST($q AS BIGINT) // cst.n AS rank_q " +
+        "FROM nodes CROSS JOIN cst)"
+    val steps = (1 to iters).map { i =>
+      val p = s"it${i - 1}"
+      s"s$i AS (SELECT e.dst AS node, " +
+        "CAST(sum(r.rank_q // d.outdeg) AS BIGINT) AS acc " +
+        s"FROM e JOIN deg d ON e.src = d.src JOIN $p r ON r.node = e.src " +
+        "GROUP BY e.dst), " +
+        s"it$i AS (SELECT nd.node, CAST($telNum AS BIGINT) // " +
+        s"($dampDen * cst.n) + ($dampNum * coalesce(s$i.acc, " +
+        s"CAST(0 AS BIGINT))) // $dampDen AS rank_q " +
+        s"FROM nodes nd CROSS JOIN cst LEFT JOIN s$i ON s$i.node = nd.node)"
+    }
+    (base +: steps).mkString(", ")
+  }
+
   // ---- Multimodal mirror -------------------------------------------------
 
   /** The stub decode checksum over an ASCII text column's bytes:

@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.Graph
+
+/** PageRank: fixed-point integer power iteration — checked against a
+  * driver-side double-precision model, plus structure and determinism. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Q = 1000000L
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters, Q)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_q"))
+      .toMap
+
+  /** Driver-side double model of the same simplified PageRank (no
+    * dangling redistribution), for tolerance comparison. */
+  private def model(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+    val in = e.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 0 until iters)
+      r = nodes.map { v =>
+        v -> (0.15 / nodes.size +
+          0.85 * in.getOrElse(v, Nil).map(u => r(u) / out(u)).sum)
+      }.toMap
+    r
+  }
+
+  test("matches the double-precision model within fixed-point tolerance") {
+    val rng = new scala.util.Random(7)
+    val edges = List.fill(300)(
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    // Symmetrize so every node has outdegree >= 1 (no mass leak, which
+    // would loosen the bound without invalidating either side).
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val got = pr(sym, iters = 5)
+    val want = model(sym, iters = 5)
+    assert(got.keySet == want.keySet)
+    // Floors lose at most ~1 unit per in-edge per iteration; with <=40
+    // in-edges and 5 iterations, 300 units is a generous envelope.
+    for ((v, w) <- want)
+      assert(math.abs(got(v) - (w * Q)) <= 300.0,
+        s"node $v: got ${got(v)}, model ${(w * Q).toLong}")
+  }
+
+  test("hub of a star ranks strictly above the leaves, leaves tie") {
+    val leaves = (1L to 6L)
+    val edges = leaves.flatMap(l => Seq((0L, l), (l, 0L)))
+    val got = pr(edges, iters = 4)
+    val leafRanks = leaves.map(got).toSet
+    assert(leafRanks.size == 1, s"leaves should tie, got $leafRanks")
+    assert(got(0L) > leafRanks.head)
+  }
+
+  test("duplicate edges collapse: multiplicity does not change ranks") {
+    val base = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    assert(pr(base, 3) == pr(base ++ base ++ base, 3))
+  }
+
+  test("iters = 0 returns the uniform init") {
+    val got = pr(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)), iters = 0)
+    assert(got.values.toSet == Set(Q / 3))
+  }
+
+  test("result is identical across input partitionings (exact integers)") {
+    val rng = new scala.util.Random(13)
+    val edges = List.fill(500)(
+      (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val df1 = edges.toDF("s", "d").repartition(1)
+    val df17 = edges.toDF("s", "d").repartition(17)
+    val a = Graph.pageRank(df1, "s", "d", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.pageRank(df17, "s", "d", 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+}
