@@ -388,6 +388,36 @@ object SparkEntry {
           "GROUP BY GROUPING SETS ((event_type, cohort), (event_type), (cohort))")
     }),
 
+    // ---- Correlated subqueries: EXISTS + NOT EXISTS + scalar-IN in one
+    //      predicate (Catalyst rewrites to semi/anti joins — spec-checked
+    //      in ExtensionsSpec territory; here the answers are gated) ----
+    "q_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust_ex")
+      t(s, dir, "orders").createOrReplaceTempView("ord_ex")
+      s.sql(
+        "SELECT c_custkey, c_name FROM cust_ex c " +
+          "WHERE EXISTS (SELECT 1 FROM ord_ex o " +
+          "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000) " +
+          "AND NOT EXISTS (SELECT 1 FROM ord_ex o " +
+          "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F' " +
+          "AND o.o_totalprice < 50000) " +
+          "AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')")
+    }),
+
+    // ---- LATERAL correlated subquery: top-2 orders per customer,
+    //      decorrelated by Catalyst into a ranked join (no driver loop,
+    //      no O(customers) subquery executions) ----
+    "q_lateral" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust_lat")
+      t(s, dir, "orders").createOrReplaceTempView("ord_lat")
+      s.sql(
+        "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice " +
+          "FROM cust_lat c JOIN LATERAL (" +
+          "SELECT o_orderkey, o_totalprice FROM ord_lat o " +
+          "WHERE o.o_custkey = c.c_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t")
+    }),
+
     // ---- Profiling: per-type equi-width value histogram ----
     "q_histogram" -> ((s, dir) =>
       graft.ops.Profile.histogram(
@@ -815,6 +845,20 @@ object SparkEntry {
       graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("canon_id"))
     }),
+
+    // ---- LLM pipeline: farthest-point (k-center greedy) diversity
+    //      sample over the embedding corpus — 8 picks, each round one
+    //      corpus pass with the centers broadcast as one array row ----
+    "sample_kcenter" -> ((s, dir) =>
+      Similarity.farthestPointSample(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
+
+    // ---- Heavy hitters: exact top-20 keys by frequency via a
+    //      Misra-Gries candidate pass + exact recount (shuffle bounded
+    //      by slots×partitions, not distinct keys) ----
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.ops.HeavyHitters.topKByFrequency(
+        t(s, dir, "events"), "user_id", k = 20)),
 
     // ---- Graph centrality: fixed-point PageRank over the symmetrized
     //      part↔supplier co-occurrence graph (3 power iterations; every
@@ -1848,6 +1892,32 @@ object SparkEntry {
       "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
       "dedup_clusters" -> clustersSql,
+      "q_exists" ->
+        ("SELECT c_custkey, c_name FROM customer c " +
+          "WHERE EXISTS (SELECT 1 FROM orders o " +
+          "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000) " +
+          "AND NOT EXISTS (SELECT 1 FROM orders o " +
+          "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F' " +
+          "AND o.o_totalprice < 50000) " +
+          "AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')"),
+      "q_lateral" ->
+        ("SELECT c.c_custkey, t.o_orderkey, t.o_totalprice " +
+          "FROM customer c JOIN LATERAL (" +
+          "SELECT o_orderkey, o_totalprice FROM orders o " +
+          "WHERE o.o_custkey = c.c_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true"),
+      "sample_kcenter" ->
+        ("WITH kc AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, " +
+          "CAST(embedding AS DOUBLE[]) AS v, " +
+          "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+          "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+          graft.functions.OracleSql.farthestPointCtes(k = 8) +
+          " SELECT pick, vec_id AS picked_id FROM sel7"),
+      "q_heavy_hitters" ->
+        ("SELECT CAST(user_id AS VARCHAR) AS key, cnt FROM " +
+          "(SELECT user_id, count(*) AS cnt FROM events " +
+          "WHERE user_id IS NOT NULL GROUP BY user_id) " +
+          "ORDER BY cnt DESC, key ASC LIMIT 20"),
       "graph_pagerank" ->
         ("WITH le AS (SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src, " +
           "CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem), " +

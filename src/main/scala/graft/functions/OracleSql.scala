@@ -173,6 +173,33 @@ object OracleSql {
     (base +: steps).mkString(", ")
   }
 
+  /** Farthest-point selection CTE chain mirroring
+    * `Similarity.farthestPointSample` round-for-round, over a prior CTE
+    * `kc`(vec_id, v, nrm). Emits `sel0 .. sel${k-1}`; the final
+    * `sel${k-1}` holds (pick, vec_id, v, nrm) for all k picks.
+    *
+    * Scores are per-row `list_inner_product` cosines (bit-identical to
+    * the engine's strict-fold dot — no cross-row accumulation), the max
+    * over centers is an aggregate max (associative, NaN-greatest in both
+    * engines, = the engine's fold), and each round's argmin tie-breaks
+    * (mc ASC, vec_id ASC) exactly like the engine's TakeOrdered. */
+  def farthestPointCtes(k: Int): String = {
+    val init =
+      "sel0 AS (SELECT CAST(0 AS BIGINT) AS pick, vec_id, v, nrm " +
+        "FROM (SELECT * FROM kc ORDER BY vec_id LIMIT 1))"
+    val steps = (1 until k).map { i =>
+      val p = s"sel${i - 1}"
+      s"m$i AS (SELECT e.vec_id, max(list_inner_product(e.v, s.v) / " +
+        s"(e.nrm * s.nrm)) AS mc FROM kc e, $p s " +
+        s"WHERE e.vec_id NOT IN (SELECT vec_id FROM $p) GROUP BY e.vec_id), " +
+        s"pk$i AS (SELECT vec_id FROM m$i ORDER BY mc ASC, vec_id ASC LIMIT 1), " +
+        s"sel$i AS (SELECT * FROM $p UNION ALL " +
+        s"SELECT CAST($i AS BIGINT), e.vec_id, e.v, e.nrm " +
+        s"FROM kc e JOIN pk$i USING (vec_id))"
+    }
+    (init +: steps).mkString(", ")
+  }
+
   // ---- Multimodal mirror -------------------------------------------------
 
   /** The stub decode checksum over an ASCII text column's bytes:

@@ -266,6 +266,73 @@ object Similarity {
           (col("n_vecs").cast("double") * lit(MeanQ.toDouble)))
           .as("centroid"))
 
+  /** Farthest-point (k-center greedy) coreset selection — the diversity
+    * sampler of a curation pipeline: pick `k` vectors that spread over
+    * the embedding space (each pick is the point LEAST similar to every
+    * already-picked center), the classic 2-approximation to the k-center
+    * objective. Use it to build an eval slice / seed set that covers the
+    * corpus instead of oversampling its dense core.
+    *
+    * Deterministic end-to-end, so a DuckDB oracle reproduces it
+    * row-for-row (`OracleSql.farthestPointCtes`): the seed is the
+    * minimum-id vector, each round's scores are per-row cosine folds
+    * (bit-identical across engines — no cross-row float accumulation
+    * anywhere), and the argmin tie-breaks by ascending id. A zero-norm
+    * vector's cosine is NaN, which both engines rank GREATEST — i.e.
+    * maximally similar, never picked — consistent with [[bestCell]].
+    *
+    * Scale shape: k-1 rounds, each ONE corpus pass with the current
+    * centers broadcast as a single array row (zero corpus-side
+    * exchanges) feeding a global top-1 (TakeOrdered — no full sort);
+    * only k (id, vector) rows ever reach the driver. Greedy selection is
+    * inherently sequential in k — keep k in the tens/hundreds and feed a
+    * pre-sampled corpus slice if the full scan per round is too hot. */
+  def farthestPointSample(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    try {
+      val seed = e.orderBy(col("__id").asc).limit(1)
+        .select(col("__id"), col("v"), col("nrm"))
+        .as[(Long, Seq[Double], Double)].collect()
+      require(seed.nonEmpty, "farthestPointSample needs a non-empty input")
+      var picks = Vector((0L, seed(0)._1, seed(0)._2, seed(0)._3))
+      for (i <- 1L until k.toLong) {
+        val cents = picks
+          .map { case (_, id, v, nr) => (id, v, nr) }.toDF("cid", "cv", "cnrm")
+        val chosen = picks.map(_._2)
+        val next = e.filter(!col("__id").isInCollection(chosen))
+          .join(broadcast(centroidArray(cents)))
+          .select(col("__id"), col("v"), col("nrm"),
+            maxCos(col("v"), col("nrm")).as("__mc"))
+          .orderBy(col("__mc").asc, col("__id").asc).limit(1)
+          .select(col("__id"), col("v"), col("nrm"))
+          .as[(Long, Seq[Double], Double)].collect()
+        if (next.nonEmpty) // fewer distinct points than k: stop early
+          picks :+= ((i, next(0)._1, next(0)._2, next(0)._3))
+      }
+      picks.map { case (p, id, _, _) => (p, id) }.toDF("pick", "picked_id")
+    } finally { e.unpersist(); () }
+  }
+
+  /** Max cosine of (v, nrm) against the broadcast `__cents` array — the
+    * farthest-point score. Same fold discipline as [[bestCell]]: strict
+    * left-to-right, NaN beats every real cosine. */
+  private def maxCos(v: Column, nrm: Column): Column =
+    aggregate(
+      col("__cents"),
+      lit(-2.0),
+      (acc, c) => {
+        val cos = dot(v, c.getField("cv")) / (nrm * c.getField("cnrm"))
+        when(cos > acc || (isnan(cos) && !isnan(acc)), cos).otherwise(acc)
+      })
+
   /** Centroid set (cid, cv, cnrm) gathered into ONE array-of-structs row
     * (sorted by cid) for broadcast-nested-loop joining onto a corpus: a
     * 1-row broadcast, so the corpus keeps its scan partitioning with ZERO

@@ -324,4 +324,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == n)
     assert(out.select("id").distinct().count() == n)
   }
+
+  private def kcenter(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Similarity.farthestPointSample(df, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("farthestPointSample: seeds at min id, then picks by least cosine") {
+    // Unit vectors at 0°, 5°, 90°, 180°: seed 1, then the antipode 4
+    // (cos -1), then the orthogonal 3 (max-cos 0 beats 2's 0.996).
+    val df = emb(
+      1L -> Seq(1.0, 0.0), 2L -> Seq(0.996, 0.087),
+      3L -> Seq(0.0, 1.0), 4L -> Seq(-1.0, 0.0))
+    assert(kcenter(df, 3) == Seq((0L, 1L), (1L, 4L), (2L, 3L)))
+  }
+
+  test("farthestPointSample: picks are distinct; k > n stops early") {
+    val df = emb(7L -> Seq(1.0, 0.0), 9L -> Seq(0.0, 1.0))
+    val got = kcenter(df, 5)
+    assert(got == Seq((0L, 7L), (1L, 9L)))
+  }
+
+  test("farthestPointSample: identical across partitionings") {
+    val rng = new scala.util.Random(3)
+    val rows = (0L until 200L).map(i =>
+      i -> Seq.fill(8)(rng.nextGaussian()))
+    val a = kcenter(emb(rows: _*).repartition(1), 6)
+    val b = kcenter(emb(rows: _*).repartition(13), 6)
+    assert(a == b && a.map(_._2).distinct.size == 6)
+  }
 }
