@@ -300,6 +300,41 @@ object SparkEntry {
       out.where(col("click_us") <= maxUs - (25L * 3600 * 1000000))
     }),
 
+    // ---- Stream-stream FULL OUTER interval join: clicks and purchases
+    //      pair within the hour; BOTH sides null-extend on state expiry,
+    //      so both engines cut both sides at max ts - 1h - 1d ----
+    "s3c_stream_full_join" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s3c_").toString
+      val cfg = IngestConfig(name = s"s3c-fjoin-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      def src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val clicks = src.filter(col("event_type") === "click").select(
+        col("user_id").as("c_user"), col("event_id").as("click_id"),
+        timestamp_micros(expr("ts div 1000")).as("click_ts"))
+      val purchases = src.filter(col("event_type") === "purchase").select(
+        col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        timestamp_micros(expr("ts div 1000")).as("purchase_ts"),
+        col("value").as("purchase_value"))
+      val joined = graft.streaming.StreamJoins.intervalJoin(
+        clicks, purchases, Seq("c_user" -> "p_user"),
+        "click_ts", "purchase_ts", "0 seconds", "1 hour", "0 seconds",
+        joinType = "full_outer")
+        .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_us"),
+          col("purchase_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("purchase_value"))
+      val out = appendStream(s, joined, cfg, tmp)
+      val maxUs = t(s, dir, "events")
+        .agg(max(expr("ts div 1000"))).head().getLong(0)
+      val cut = maxUs - (25L * 3600 * 1000000)
+      out.where(
+        (col("click_us").isNull || col("click_us") <= cut) &&
+          (col("purchase_us").isNull || col("purchase_us") <= cut))
+    }),
+
     // ---- Streaming dedup: first-wins per key across the whole stream;
     //      key-only projection so the emitted witness row is irrelevant ----
     "s4_stream_dedup" -> ((s, dir) => {
@@ -2227,6 +2262,21 @@ object SparkEntry {
           "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
           "WHERE epoch_us(c.ts) <= " +
           "(SELECT max(epoch_us(ts)) FROM events) - 90000000000"),
+      // full-outer twin: both unmatched sides null-extend; both engines
+      // cut BOTH sides one margin below the final watermark
+      "s3c_stream_full_join" ->
+        ("SELECT coalesce(c.user_id, p.user_id) AS user_id, " +
+          "c.event_id AS click_id, epoch_us(c.ts) AS click_us, " +
+          "p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us, " +
+          "p.value AS purchase_value " +
+          "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+          "FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+          "ON c.user_id = p.user_id " +
+          "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
+          "WHERE (c.event_id IS NULL OR epoch_us(c.ts) <= " +
+          "(SELECT max(epoch_us(ts)) FROM events) - 90000000000) " +
+          "AND (p.event_id IS NULL OR epoch_us(p.ts) <= " +
+          "(SELECT max(epoch_us(ts)) FROM events) - 90000000000)"),
       "s4_stream_dedup" ->
         "SELECT DISTINCT user_id, event_type FROM events",
       // single AvailableNow batch → admission = global (ts, id)-first 3

@@ -182,18 +182,23 @@ object OracleSql {
     * the engine's strict-fold dot — no cross-row accumulation), the max
     * over centers is an aggregate max (associative, NaN-greatest in both
     * engines, = the engine's fold), and each round's argmin tie-breaks
-    * (mc ASC, vec_id ASC) exactly like the engine's TakeOrdered. */
+    * (mc ASC, vec_id ASC) exactly like the engine's TakeOrdered.
+    *
+    * Every chained CTE is MATERIALIZED: each `sel$i` is referenced twice
+    * by round i+1 (the scan and the NOT IN), so DuckDB's default CTE
+    * inlining would re-expand the whole prefix 2^k times — measured 283 s
+    * for k=8 over 500 vectors; materialized, milliseconds. */
   def farthestPointCtes(k: Int): String = {
     val init =
-      "sel0 AS (SELECT CAST(0 AS BIGINT) AS pick, vec_id, v, nrm " +
+      "sel0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS pick, vec_id, v, nrm " +
         "FROM (SELECT * FROM kc ORDER BY vec_id LIMIT 1))"
     val steps = (1 until k).map { i =>
       val p = s"sel${i - 1}"
-      s"m$i AS (SELECT e.vec_id, max(list_inner_product(e.v, s.v) / " +
+      s"m$i AS MATERIALIZED (SELECT e.vec_id, max(list_inner_product(e.v, s.v) / " +
         s"(e.nrm * s.nrm)) AS mc FROM kc e, $p s " +
         s"WHERE e.vec_id NOT IN (SELECT vec_id FROM $p) GROUP BY e.vec_id), " +
         s"pk$i AS (SELECT vec_id FROM m$i ORDER BY mc ASC, vec_id ASC LIMIT 1), " +
-        s"sel$i AS (SELECT * FROM $p UNION ALL " +
+        s"sel$i AS MATERIALIZED (SELECT * FROM $p UNION ALL " +
         s"SELECT CAST($i AS BIGINT), e.vec_id, e.v, e.nrm " +
         s"FROM kc e JOIN pk$i USING (vec_id))"
     }
