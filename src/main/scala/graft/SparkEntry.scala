@@ -453,6 +453,45 @@ object SparkEntry {
           "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t")
     }),
 
+    // ---- Product analytics: ordered funnel (view -> click -> purchase,
+    //      strictly-after min-ts semantics; k user-keyed aggregates) ----
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnelStages(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // ---- Product analytics: retention triangle (cohort by first-active
+    //      date, exact distinct actives per day offset) ----
+    "q_retention" -> ((s, dir) =>
+      graft.ops.Funnel.retentionCohorts(
+        t(s, dir, "events").select(col("user_id"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day")),
+        "user_id", "day")),
+
+    // ---- Time series: per-user EWMA smoothing (strict prefix folds,
+    //      bit-identical to the DuckDB list_reduce mirror; bounded key
+    //      subset keeps the O(n^2) prefix work test-sized) ----
+    "q_ewma" -> ((s, dir) =>
+      graft.ops.TimeSeries.ewma(
+        t(s, dir, "events").filter(col("user_id") < 20)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value", alpha = 0.25)
+        .select(col("user_id"), col("ts").as("ts_us"),
+          col("id").as("event_id"), col("x").as("value"), col("ewma"))),
+
+    // ---- Feature normalization: per-group z-score from EXACT decimal
+    //      moments (bit-identical across partitionings and engines) ----
+    "q_zscore" -> ((s, dir) =>
+      graft.ops.Normalize.zscore(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("n_group"), col("z"))),
+
     // ---- Profiling: per-type equi-width value histogram ----
     "q_histogram" -> ((s, dir) =>
       graft.ops.Profile.histogram(
@@ -880,6 +919,12 @@ object SparkEntry {
       graft.ops.Components.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("canon_id"))
     }),
+
+    // ---- LLM pipeline: top collocations by pointwise lift (phrase
+    //      detection; one corpus scan, one pair-keyed aggregate) ----
+    "text_collocations" -> ((s, dir) =>
+      graft.ops.TextRank.topCollocations(
+        t(s, dir, "documents"), "text", k = 25, minPairCount = 5L)),
 
     // ---- LLM pipeline: farthest-point (k-center greedy) diversity
     //      sample over the embedding corpus — 8 picks, each round one
@@ -1927,6 +1972,47 @@ object SparkEntry {
       "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
       "dedup_clusters" -> clustersSql,
+      "q_funnel" ->
+        ("WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 " +
+          "FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+          "s2 AS (SELECT s1.user_id, s1.t1, " +
+          "min(CASE WHEN epoch_us(e.ts) > s1.t1 THEN epoch_us(e.ts) END) AS t2 " +
+          "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id " +
+          "AND e.event_type = 'click' GROUP BY s1.user_id, s1.t1), " +
+          "s3 AS (SELECT s2.user_id, s2.t1, s2.t2, " +
+          "min(CASE WHEN epoch_us(e.ts) > s2.t2 THEN epoch_us(e.ts) END) AS t3 " +
+          "FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id " +
+          "AND e.event_type = 'purchase' GROUP BY s2.user_id, s2.t1, s2.t2) " +
+          "SELECT user_id, t1, t2, t3, CAST(1 + " +
+          "CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END + " +
+          "CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) " +
+          "AS stages_completed FROM s3"),
+      "q_retention" ->
+        ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+          "c AS (SELECT user_id, min(day) AS cohort_date FROM d GROUP BY user_id), " +
+          "a AS (SELECT DISTINCT user_id, day FROM d), " +
+          "s AS (SELECT cohort_date, count(*) AS n_cohort FROM c " +
+          "GROUP BY cohort_date), " +
+          "r AS (SELECT c.cohort_date, CAST(a.day - c.cohort_date AS BIGINT) " +
+          "AS day_offset, count(*) AS n_active " +
+          "FROM a JOIN c USING (user_id) GROUP BY 1, 2) " +
+          "SELECT r.cohort_date, r.day_offset, r.n_active, s.n_cohort " +
+          "FROM r JOIN s USING (cohort_date)"),
+      "q_ewma" ->
+        ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value " +
+          "FROM events WHERE user_id < 20), " +
+          "g AS (SELECT user_id, list(struct_pack(ts := ts_us, " +
+          "id := event_id, x := value) ORDER BY ts_us, event_id, value) AS s " +
+          "FROM e GROUP BY user_id) " +
+          "SELECT user_id, r.ts AS ts_us, r.id AS event_id, r.x AS value, " +
+          "r.ew AS ewma FROM (SELECT user_id, " +
+          "unnest(list_transform(range(1, len(s) + 1), j -> struct_pack(" +
+          "ts := s[j].ts, id := s[j].id, x := s[j].x, " +
+          "ew := list_reduce(list_transform(list_slice(s, 1, j), t -> t.x), " +
+          "(p, x) -> 0.25 * x + 0.75 * p)))) AS r FROM g)"),
+      "q_zscore" -> graft.ops.Normalize.zscoreSql(
+        "events", "event_type", "value",
+        "event_id, event_type, value, n_group"),
       "q_exists" ->
         ("SELECT c_custkey, c_name FROM customer c " +
           "WHERE EXISTS (SELECT 1 FROM orders o " +
@@ -1941,6 +2027,25 @@ object SparkEntry {
           "SELECT o_orderkey, o_totalprice FROM orders o " +
           "WHERE o.o_custkey = c.c_custkey " +
           "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true"),
+      "text_collocations" ->
+        ("WITH tk AS (SELECT list_filter(regexp_split_to_array(lower(text), " +
+          "'\\s+'), w -> len(w) > 0) AS toks FROM documents), " +
+          "u AS (SELECT unnest(toks) AS w1, CAST(NULL AS VARCHAR) AS w2 FROM tk), " +
+          "b AS (SELECT unnest(list_transform(range(1, len(toks)), " +
+          "i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p FROM tk), " +
+          "bb AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM b), " +
+          "cnt AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM " +
+          "(SELECT * FROM u UNION ALL SELECT * FROM bb) GROUP BY w1, w2), " +
+          "uni AS (SELECT w1 AS w, c AS cw FROM cnt WHERE w2 IS NULL), " +
+          "pr AS (SELECT * FROM cnt WHERE w2 IS NOT NULL AND c >= 5), " +
+          "tot AS (SELECT CAST(sum(CASE WHEN w2 IS NULL THEN c END) AS BIGINT) AS n1, " +
+          "CAST(sum(CASE WHEN w2 IS NOT NULL THEN c END) AS BIGINT) AS nb FROM cnt) " +
+          "SELECT pr.w1, pr.w2, pr.c AS n_pair, " +
+          "(CAST(pr.c AS DOUBLE) * CAST(tot.n1 AS DOUBLE) * CAST(tot.n1 AS DOUBLE)) / " +
+          "(CAST(tot.nb AS DOUBLE) * CAST(ux.cw AS DOUBLE) * CAST(uy.cw AS DOUBLE)) " +
+          "AS score FROM pr CROSS JOIN tot " +
+          "JOIN uni ux ON pr.w1 = ux.w JOIN uni uy ON pr.w2 = uy.w " +
+          "ORDER BY score DESC, w1, w2 LIMIT 25"),
       "sample_kcenter" ->
         ("WITH kc AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, " +
           "CAST(embedding AS DOUBLE[]) AS v, " +

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics aggregates over an event stream: ordered funnels and
+  * cohort retention — the two queries every event warehouse serves daily,
+  * here as deterministic, oracle-gateable plans.
+  *
+  * Both are pure aggregation pipelines: no windows over the full stream,
+  * no per-user UDFs, no driver loops — each stage is a hash-aggregate or
+  * keyed join Catalyst can reorder/broadcast, and every output is an
+  * integer count or an event-time instant (no float accumulation, so
+  * results hash-match across engines bit-for-bit).
+  */
+object Funnel {
+
+  /** Ordered funnel: for each user who performed `steps.head`, the time
+    * they FIRST completed each successive step strictly after the
+    * previous one (min-ts semantics; a tie on the boundary does not
+    * advance the funnel). Output: (userCol, t1 .. t<k> — epoch-micro
+    * BIGINTs, NULL once the funnel stalls — and `stages_completed`).
+    *
+    * Scale shape: one filtered hash-aggregate per step (k is small and
+    * fixed), each keyed by user and joined back onto the funnel frame —
+    * k passes over the (pre-filtered) event scan, zero shuffles beyond
+    * the user-keyed aggregates. The monotone NULL chain means
+    * `stages_completed` needs no re-sort: it is 1 + the count of
+    * non-null later stages.
+    *
+    * @param tsCol event-time epoch MICROS as a long column */
+  def funnelStages(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    var cur = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).cast("long").as("t1"))
+    for (k <- 2 to steps.size) {
+      val prior = (1 until k).map(i => col(s"t$i"))
+      cur = df.filter(col(typeCol) === steps(k - 1))
+        .select(col(userCol), col(tsCol).cast("long").as("__ts"))
+        .join(cur, Seq(userCol), "right_outer")
+        .groupBy(col(userCol) +: prior: _*)
+        .agg(min(when(col("__ts") > col(s"t${k - 1}"), col("__ts")))
+          .as(s"t$k"))
+    }
+    val stages = (2 to steps.size)
+      .map(k => when(col(s"t$k").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    cur.withColumn("stages_completed", stages)
+  }
+
+  /** Classic retention triangle: users grouped by their first-activity
+    * date (cohort), activity counted per (cohort, day offset). Output:
+    * (cohort_date, day_offset, n_active, n_cohort) — one row per
+    * (cohort, offset) with at least one active user.
+    *
+    * Scale shape: a user-keyed min-aggregate (cohort assignment), a
+    * distinct over (user, day) — both map-side combinable — then one
+    * aggregate keyed by (cohort, offset) whose distinct-count is exact
+    * because each (user, day) row arrives once. Cohort sizes join on the
+    * (small) cohort dimension. */
+  def retentionCohorts(
+      df: DataFrame, userCol: String, dateCol: String): DataFrame = {
+    val cohorts = df.groupBy(col(userCol))
+      .agg(min(col(dateCol)).as("cohort_date"))
+    val active = df.select(col(userCol), col(dateCol).as("__day")).distinct()
+    val sizes = cohorts.groupBy(col("cohort_date"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(cohorts, userCol)
+      .groupBy(col("cohort_date"),
+        datediff(col("__day"), col("cohort_date")).cast("long")
+          .as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_date")
+  }
+}

@@ -65,7 +65,11 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct().persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    // Degree-annotated edges, joined ONCE and cached — the loop body then
+    // pays one join per round (ranks onto ed), not two.
+    val ed = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     try {
@@ -76,7 +80,7 @@ object Graph {
       var ckpt = nodes.withColumn("rank_q", lit(initQ)).localCheckpoint()
       var ranks = ckpt
       for (_ <- 0 until iters) {
-        val contrib = e.join(deg, "src")
+        val contrib = ed
           .join(ranks.select(col("node").as("src"), col("rank_q")), "src")
           .select(col("dst").as("node"), expr("rank_q div outdeg").as("__c"))
           .groupBy("node").agg(sum(col("__c")).as("__acc"))
@@ -90,6 +94,6 @@ object Graph {
         ranks = next
       }
       ranks
-    } finally { e.unpersist(); deg.unpersist(); nodes.unpersist(); () }
+    } finally { e.unpersist(); ed.unpersist(); nodes.unpersist(); () }
   }
 }

@@ -146,4 +146,69 @@ object TextRank {
         .localCheckpoint()
     } finally { tf.unpersist(); () }
   }
+
+  /** Top-k collocations (adjacent word pairs) by pointwise-lift
+    * `P(xy) / (P(x)·P(y))` — the statistical phrase detector ("new york"
+    * scores high, "of the" does not), the signal behind phrase-merge
+    * tokenizer prep and boilerplate discovery. `minPairCount` suppresses
+    * the rare-pair degeneracy (a pair seen once between two hapax words
+    * has huge lift and zero evidence).
+    *
+    * Output: (w1, w2, n_pair, score), the k highest-lift pairs, ties by
+    * (w1, w2). score = (n_pair · N1²) / (Nb · c(w1) · c(w2)) where N1 =
+    * total tokens, Nb = total bigrams — every input an exact integer
+    * count (< 2^53), the score ONE fixed-shape float expression per
+    * pair, so results are bit-identical across partitionings and
+    * engines; no float ever accumulates across rows.
+    *
+    * Scale: ONE corpus scan — each doc row-locally emits its tokens as
+    * (w, NULL) and its adjacent pairs as (w1, w2), and a single
+    * (w1, w2)-keyed hash-aggregate (map-side combinable) counts both
+    * populations in one shuffle. Unigram totals, bigram totals, and the
+    * per-word counts all derive from that persisted aggregate (size =
+    * distinct tokens + distinct pairs — the corpus compresses away);
+    * scoring joins the pair table to the word counts (AQE broadcasts
+    * the word side when it fits) and TakeOrdered keeps k. */
+  def topCollocations(
+      docs: DataFrame, textCol: String, k: Int,
+      minPairCount: Long = 5L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val toks = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+    val unis = transform(col("__toks"),
+      w => struct(w.as("w1"), lit(null).cast("string").as("w2")))
+    val bigs = filter(
+      zip_with(col("__toks"),
+        slice(col("__toks"), lit(2), greatest(size(col("__toks")), lit(1))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+    val counts = docs
+      .select(toks.as("__toks"))
+      .select(explode(concat(unis, bigs)).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val uni = counts.filter(col("w2").isNull)
+        .select(col("w1").as("w"), col("c").as("cw"))
+      val pair = counts.filter(col("w2").isNotNull &&
+        col("c") >= minPairCount)
+      val tot = counts.agg(
+        sum(when(col("w2").isNull, col("c"))).as("n1"),
+        sum(when(col("w2").isNotNull, col("c"))).as("nb"))
+      val score =
+        (col("c").cast("double") * col("n1").cast("double") *
+          col("n1").cast("double")) /
+          (col("nb").cast("double") * col("cx").cast("double") *
+            col("cy").cast("double"))
+      pair
+        .join(uni.select(col("w").as("w1"), col("cw").as("cx")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("cy")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c").as("n_pair"),
+          score.as("score"))
+        .orderBy(col("score").desc, col("w1"), col("w2")).limit(k)
+        .localCheckpoint()
+    } finally { counts.unpersist(); () }
+  }
 }

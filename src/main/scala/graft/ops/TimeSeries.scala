@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,5 +87,49 @@ object TimeSeries {
           datediff(col("day"), col("__pd")).cast("double") /
           datediff(col("__nd"), col("__pd")).cast("double"))
         .as("interp_value"))
+  }
+
+  /** Per-key exponentially weighted moving average over event order —
+    * the standard smoothing feature (trend lines, rate estimates,
+    * anomaly baselines): s_1 = x_1, s_t = α·x_t + (1-α)·s_{t-1} in
+    * (tsCol, idCol) order within each key.
+    *
+    * Determinism: each key's series is gathered once
+    * (`collect_list` + `array_sort`, total order (ts, id, x)) and every
+    * output is a strict left-to-right prefix fold with a fixed float
+    * shape — bit-identical across partitionings and engines (DuckDB
+    * mirrors it with `list_reduce` over `list_slice` prefixes). Prefer α
+    * values exact in binary (0.25, 0.5, 0.125…) when hash-comparing
+    * across engines: then 1-α is exact too and the mirror is trivially
+    * bit-safe.
+    *
+    * Scale/cost: one shuffle keyed by `keyCol`; each key's FULL series
+    * must fit in one task row (the same bound as any sessionize /
+    * reassembly op — fine for per-entity series, wrong for one global
+    * key), and the prefix folds make a key's work O(n²) in its series
+    * length — bound series per key (window the input by time period)
+    * before smoothing at corpus scale. Output: (keyCol, ts, id, x,
+    * ewma), one row per input row. */
+  def ewma(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val series = array_sort(collect_list(struct(
+      col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
+      col(valCol).cast("double").as("x"))))
+    val prefixFold = (i: Column) =>
+      aggregate(
+        slice(col("__s"), lit(1), i + lit(1)),
+        lit(null).cast("double"),
+        (acc, el) => when(acc.isNull, el.getField("x"))
+          .otherwise(lit(alpha) * el.getField("x") +
+            (lit(1.0) - lit(alpha)) * acc))
+    df.groupBy(col(keyCol))
+      .agg(series.as("__s"))
+      .select(col(keyCol), explode(transform(col("__s"),
+        (e, i) => struct(e.getField("ts").as("ts"), e.getField("id").as("id"),
+          e.getField("x").as("x"), prefixFold(i).as("ewma")))).as("__r"))
+      .select(col(keyCol), col("__r.ts").as("ts"), col("__r.id").as("id"),
+        col("__r.x").as("x"), col("__r.ewma").as("ewma"))
   }
 }

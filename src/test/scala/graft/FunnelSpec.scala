@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.Funnel
+
+/** Funnel + retention: strictly-after semantics, stall chains, cohort
+  * math. */
+class FunnelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Steps = Seq("view", "click", "buy")
+
+  private def funnel(rows: (Long, Long, String)*) =
+    Funnel.funnelStages(rows.toSeq.toDF("u", "ts", "et"),
+      "u", "ts", "et", Steps)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4)))).toMap
+
+  test("completes in order, takes the FIRST qualifying event per step") {
+    val got = funnel(
+      (1L, 10L, "view"), (1L, 5L, "click"),  // click before view: no
+      (1L, 20L, "click"), (1L, 30L, "click"),
+      (1L, 40L, "buy"))
+    assert(got(1L) == ((Some(10L), Some(20L), Some(40L), 3L)))
+  }
+
+  test("a tie on the boundary does not advance (strictly after)") {
+    val got = funnel((2L, 10L, "view"), (2L, 10L, "click"), (2L, 15L, "buy"))
+    assert(got(2L) == ((Some(10L), None, None, 1L)))
+  }
+
+  test("stall propagates: no click means buy can never count") {
+    val got = funnel((3L, 10L, "view"), (3L, 50L, "buy"))
+    assert(got(3L) == ((Some(10L), None, None, 1L)))
+  }
+
+  test("users who never enter the funnel are absent") {
+    val got = funnel((4L, 10L, "click"), (4L, 20L, "buy"),
+      (5L, 10L, "view"))
+    assert(got.keySet == Set(5L))
+  }
+
+  test("retention: cohorts by first day, exact actives per offset") {
+    val df = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-01"), (1L, "2024-01-03"),
+      (2L, "2024-01-01"), (2L, "2024-01-02"),
+      (3L, "2024-01-02"))
+      .toDF("u", "d").select($"u", $"d".cast("date").as("d"))
+    val got = Funnel.retentionCohorts(df, "u", "d")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("2024-01-01", 0L)) == ((2L, 2L))) // users 1,2 day 0
+    assert(got(("2024-01-01", 1L)) == ((1L, 2L))) // user 2 on day 1
+    assert(got(("2024-01-01", 2L)) == ((1L, 2L))) // user 1 on day 3
+    assert(got(("2024-01-02", 0L)) == ((1L, 1L))) // user 3
+    assert(got.size == 4)
+  }
+}

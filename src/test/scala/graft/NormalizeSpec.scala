@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Normalize
+
+/** Per-group z-score: exact-moment arithmetic, null on zero variance,
+  * partitioning invariance down to the bit. */
+class NormalizeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Q = 1048576.0
+
+  test("z-scores match the fixed-point model on integer values") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 9.0))
+      .toDF("g", "x")
+    val got = Normalize.zscore(df, "g", "x")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // group a: s1=6Q, s2=14Q^2, num=3*14Q^2-36Q^2=6Q^2
+    val stdA = math.sqrt(6.0 * Q * Q / (3.0 * 3.0 * (Q * Q)))
+    assert(got(("a", 1.0)) == ((3L, (1.0 - 2.0) / stdA)))
+    assert(got(("a", 3.0)) == ((3L, (3.0 - 2.0) / stdA)))
+    val stdB = math.sqrt((2.0 * 106.0 * Q * Q - 196.0 * Q * Q) /
+      (2.0 * 2.0 * (Q * Q)))
+    val meanB = 14.0 * Q / (2.0 * Q)
+    assert(got(("b", 9.0)) == ((2L, (9.0 - meanB) / stdB)))
+  }
+
+  test("zero-variance group emits NULL z") {
+    val df = Seq(("c", 7.5), ("c", 7.5), ("d", 1.0), ("d", 2.0)).toDF("g", "x")
+    val rows = Normalize.zscore(df, "g", "x").collect()
+    assert(rows.filter(_.getString(0) == "c").forall(_.isNullAt(3)))
+    assert(rows.filter(_.getString(0) == "d").forall(!_.isNullAt(3)))
+  }
+
+  test("bit-identical across partitionings") {
+    val rng = new scala.util.Random(5)
+    val rows = Seq.fill(2000)((s"g${rng.nextInt(7)}", rng.nextDouble() * 500))
+    val a = Normalize.zscore(rows.toDF("g", "x").repartition(1), "g", "x")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val b = Normalize.zscore(rows.toDF("g", "x").repartition(19), "g", "x")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(a == b)
+    // sanity: per-group z has mean ~0 (up to the 2^-20 quantization bias)
+    val zs = a.filter(_._1 == "g0").map(_._3)
+    assert(math.abs(zs.sum / zs.size) < 1e-6)
+  }
+}

@@ -77,4 +77,50 @@ class TextRankSpec extends SparkSpec {
       TextRank.bm25TopK(d, "doc_id", "text", Nil, 5)
     }
   }
+
+  /** Driver-side lift model with the engine's exact float shape. */
+  private def liftModel(
+      texts: Seq[String], minPair: Long): Map[(String, String), Double] = {
+    val toks = texts.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val pairs = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val n1 = toks.map(_.size.toLong).sum
+    val nb = toks.map(t => math.max(t.size - 1, 0).toLong).sum
+    pairs.filter(_._2 >= minPair).map { case ((x, y), c) =>
+      (x, y) -> (c.toDouble * n1.toDouble * n1.toDouble) /
+        (nb.toDouble * uni(x).toDouble * uni(y).toDouble)
+    }.toMap
+  }
+
+  test("topCollocations: lift ranks the glued pair first, exact scores") {
+    val texts =
+      Seq.fill(6)("new york is big and busy") ++
+        Seq.fill(6)("the cat and the dog and the bird") ++
+        Seq.fill(3)("york new nothing here")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextRank.topCollocations(df, "text", k = 30, minPairCount = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3))))
+    val want = liftModel(texts, 5)
+    assert(got.nonEmpty)
+    got.foreach { case (pq, (_, score)) =>
+      assert(want.contains(pq), s"unexpected pair $pq")
+      assert(score == want(pq), s"$pq: $score != ${want(pq)}")
+    }
+    // "new york" (6 pairs, both words rare) must outrank "and the"
+    val scores = got.toMap
+    assert(scores(("new", "york"))._2 > scores(("and", "the"))._2)
+    // ranked by descending score in the returned order
+    val ss = got.map(_._2._2)
+    assert(ss.sameElements(ss.sortBy(-(_: Double))))
+  }
+
+  test("topCollocations: minPairCount filters rare pairs") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c d")).toDF("doc_id", "text")
+    val got = TextRank.topCollocations(df, "text", k = 10, minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b")))
+  }
 }

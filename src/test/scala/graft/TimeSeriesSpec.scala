@@ -49,4 +49,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got((1L, "2024-01-04")) == ((Some(16.0), 16.0)))
     assert(got((2L, "2024-03-10")) == ((Some(7.0), 7.0)))
   }
+
+  test("ewma: recursive smoothing in (ts, id) order, seeded at x_1") {
+    val ev = Seq(
+      (1L, 10L, 100L, 4.0), (1L, 20L, 101L, 8.0), (1L, 30L, 102L, 2.0),
+      (2L, 10L, 200L, 6.0))
+      .toDF("k", "ts", "id", "x")
+    val got = TimeSeries.ewma(ev, "k", "ts", "id", "x", alpha = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4))
+      .toMap
+    assert(got((1L, 10L)) == 4.0)
+    assert(got((1L, 20L)) == 0.25 * 8.0 + 0.75 * 4.0)              // 5.0
+    assert(got((1L, 30L)) == 0.25 * 2.0 + 0.75 * 5.0)              // 4.25
+    assert(got((2L, 10L)) == 6.0)
+  }
+
+  test("ewma: bit-identical across partitionings") {
+    val rng = new scala.util.Random(21)
+    val rows = (0 until 800).map(i =>
+      ((i % 5).toLong, rng.nextInt(1000).toLong, i.toLong,
+        rng.nextDouble() * 100))
+    val run = (parts: Int) =>
+      TimeSeries.ewma(rows.toDF("k", "ts", "id", "x").repartition(parts),
+        "k", "ts", "id", "x", alpha = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(4))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(run(1) == run(17))
+  }
 }
