@@ -453,6 +453,20 @@ object SparkEntry {
           "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t")
     }),
 
+    // ---- Data ops: keyed snapshot diff (insert/delete/update + changed
+    //      column names; ONE full-outer join, null-safe compares) ----
+    "q_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val right = base.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.ops.Diff.keyedDiff(base, right, Seq("o_orderkey"))
+    }),
+
     // ---- Product analytics: ordered funnel (view -> click -> purchase,
     //      strictly-after min-ts semantics; k user-keyed aggregates) ----
     "q_funnel" -> ((s, dir) =>
@@ -1972,6 +1986,28 @@ object SparkEntry {
       "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
       "dedup_clusters" -> clustersSql,
+      "q_diff" ->
+        ("WITH l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+          "r AS (SELECT o_orderkey, o_orderstatus, " +
+          "CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0 " +
+          "ELSE o_totalprice END AS o_totalprice FROM orders " +
+          "WHERE o_orderkey % 97 <> 0 " +
+          "UNION ALL SELECT o_orderkey + 100000000, o_orderstatus, " +
+          "o_totalprice FROM orders WHERE o_orderkey % 101 = 0), " +
+          "j AS (SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey, " +
+          "l.o_orderkey IS NOT NULL AS lp, r.o_orderkey IS NOT NULL AS rp, " +
+          "list_sort(list_filter([" +
+          "CASE WHEN l.o_orderstatus IS DISTINCT FROM r.o_orderstatus " +
+          "THEN 'o_orderstatus' END, " +
+          "CASE WHEN l.o_totalprice IS DISTINCT FROM r.o_totalprice " +
+          "THEN 'o_totalprice' END], v -> v IS NOT NULL)) AS ch " +
+          "FROM l FULL JOIN r ON l.o_orderkey = r.o_orderkey) " +
+          "SELECT o_orderkey, CASE WHEN NOT rp THEN 'delete' " +
+          "WHEN NOT lp THEN 'insert' " +
+          "WHEN len(ch) > 0 THEN 'update' END AS change_type, " +
+          "CASE WHEN lp AND rp THEN ch ELSE CAST([] AS VARCHAR[]) END " +
+          "AS changed_cols FROM j " +
+          "WHERE (NOT rp) OR (NOT lp) OR len(ch) > 0"),
       "q_funnel" ->
         ("WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 " +
           "FROM events WHERE event_type = 'view' GROUP BY user_id), " +
