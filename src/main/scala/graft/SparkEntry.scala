@@ -975,6 +975,14 @@ object SparkEntry {
       NearDup.simhashFingerprints(
         t(s, dir, "documents"), "doc_id", "text", bits = 16)),
 
+    // ---- LLM pipeline: EXACT all-pairs Jaccard join via rarest-first
+    //      prefix filtering (guaranteed recall, integer threshold test;
+    //      the deterministic audit twin of the LSH path) ----
+    "dedup_prefix_jaccard" -> ((s, dir) =>
+      NearDup.prefixJaccardJoin(
+        t(s, dir, "documents"), "doc_id", "text",
+        n = 2, thetaNum = 3, thetaDen = 5)),
+
     // ---- LLM pipeline: n-gram Jaccard verify over LSH candidates ----
     // The production two-stage near-dup: banding proposes (linear), exact
     // Jaccard disposes — no block/cross self-join anywhere in the plan.
@@ -1642,6 +1650,20 @@ object SparkEntry {
         "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01"
     }
 
+    // Brute-force twin of NearDup.prefixJaccardJoin: prefix filtering is
+    // exact (no false negatives), so the oracle is the plain all-pairs
+    // threshold join over the same distinct 2-gram hash sets.
+    val prefixJaccardSql =
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"gr AS (SELECT doc_id, list_distinct(${OracleSql.shingles("wh", 2)}) AS g FROM base), " +
+        "tt AS (SELECT doc_id, g, len(g) AS n FROM gr WHERE len(g) > 0) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_inter, " +
+        "CAST(a.n + b.n - len(list_intersect(a.g, b.g)) AS BIGINT) AS n_union " +
+        "FROM tt a JOIN tt b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.g, b.g)) * 5 >= " +
+        "3 * (a.n + b.n - len(list_intersect(a.g, b.g)))"
+
     // Mirrors NearDup.decontaminate: distinct 5-gram shingles per side,
     // train rows hit when the shingle is in the eval distinct-hash set.
     val decontaminateSql =
@@ -2104,6 +2126,7 @@ object SparkEntry {
       "pipeline_corpus" -> pipelineCorpusSql,
       "dedup_simhash" -> simhashSql,
       "dedup_ngram_jaccard" -> jaccardSql,
+      "dedup_prefix_jaccard" -> prefixJaccardSql,
       "dedup_decontaminate" -> decontaminateSql,
       "dedup_span_stats" -> spanStatsSql,
       "dedup_span_scrub" -> spanScrubSql,

@@ -323,6 +323,79 @@ object NearDup {
     * candidate side is small enough, plain shuffle-hash when it isn't, so
     * no hint is forced here. Emits (id_a, id_b, jaccard) for candidates
     * with jaccard >= minJaccard. */
+  /** EXACT all-pairs Jaccard self-join via prefix filtering (the
+    * PPJoin-family shape) — the deterministic complement to the LSH path:
+    * `lshCandidatePairs` trades recall for speed, this one guarantees
+    * EVERY pair with gram-set Jaccard >= thetaNum/thetaDen, no
+    * probability involved, which is what a dedup audit or an oracle-grade
+    * similarity join needs.
+    *
+    * Why it scales without an all-pairs product: each doc's distinct
+    * `n`-gram hash set is ordered RAREST-FIRST (ascending global document
+    * frequency, ties by hash), and only the first
+    * `|g| - ceil(θ|g|) + 1` grams — the prefix — are indexed. Two sets
+    * with J >= θ MUST share a prefix gram (dropping the prefix leaves
+    * fewer than ceil(θ|g|) grams, too few to reach θ), so the candidate
+    * join is keyed by prefix gram only; because prefixes hold the rarest
+    * grams, bucket sizes track low document frequencies, not corpus
+    * size. A size-compatibility bound (θ·max(|a|,|b|) <= min(|a|,|b|))
+    * prunes before the distinct. Verification is exact set intersection
+    * on candidates only, and the threshold test is integer
+    * cross-multiplication — no floats anywhere.
+    *
+    * Cost: one corpus scan to gram sets, one gram-keyed df aggregate,
+    * one prefix-keyed candidate self-join, one verify join — all keyed
+    * shuffles. Degenerate corpora (every doc shares the same grams) push
+    * prefix buckets toward O(docs); that is the data telling you it IS
+    * all-pairs similar, not an algorithmic cliff.
+    *
+    * Output: (id_a, id_b, n_inter, n_union), id_a < id_b, exact counts. */
+  def prefixJaccardJoin(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, thetaNum: Int = 3, thetaDen: Int = 5): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(thetaNum > 0 && thetaNum <= thetaDen,
+      s"theta must be in (0, 1]: got $thetaNum/$thetaDen")
+    val ex = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__id"), TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col("__id"),
+        explode(array_distinct(TextHash.shingleHashes(col("__wh"), n))).as("h"))
+    val dfr = ex.groupBy("h").agg(count(lit(1)).as("__df"))
+    val ordered = ex.join(dfr, "h")
+      .groupBy("__id")
+      .agg(transform(array_sort(collect_list(struct(col("__df"), col("h")))),
+        s => s.getField("h")).as("__g"))
+      .withColumn("__n", size(col("__g")).cast("long"))
+      .persist()
+    try {
+      val prefLen = (col("__n") -
+        expr(s"(__n * $thetaNum + ${thetaDen - 1}) div $thetaDen") + 1)
+        .cast("int")
+      val pfx = ordered.select(col("__id"), col("__n"),
+        explode(slice(col("__g"), lit(1), prefLen)).as("h"))
+      val cand = pfx
+        .select(col("h"), col("__id").as("id_a"), col("__n").as("__na"))
+        .join(pfx.select(col("h"), col("__id").as("id_b"),
+          col("__n").as("__nb")), "h")
+        .filter(col("id_a") < col("id_b") &&
+          lit(thetaNum) * greatest(col("__na"), col("__nb")) <=
+            lit(thetaDen) * least(col("__na"), col("__nb")))
+        .select("id_a", "id_b").distinct()
+      val inter = size(array_intersect(col("__ga"), col("__gb"))).cast("long")
+      cand
+        .join(ordered.select(col("__id").as("id_a"), col("__g").as("__ga"),
+          col("__n").as("__sa")), "id_a")
+        .join(ordered.select(col("__id").as("id_b"), col("__g").as("__gb"),
+          col("__n").as("__sb")), "id_b")
+        .withColumn("n_inter", inter)
+        .withColumn("n_union", col("__sa") + col("__sb") - col("n_inter"))
+        .filter(col("n_inter") * lit(thetaDen) >=
+          lit(thetaNum) * col("n_union"))
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+        .localCheckpoint()
+    } finally { ordered.unpersist(); () }
+  }
+
   def ngramJaccardVerify(
       docs: DataFrame, idCol: String, textCol: String,
       m: Int = 8, n: Int = 3, r: Int = 2,

@@ -381,4 +381,49 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L)._1 != fp(2L)._1) // doc_fp is order-sensitive
     assert(fp(1L)._3 == 2L) // two trigrams in a 4-word doc
   }
+
+  /** Brute-force exact Jaccard over distinct word-bigram sets. */
+  private def bruteJaccard(
+      docs: Seq[(Long, String)], tn: Int, td: Int): Set[(Long, Long, Long, Long)] = {
+    def grams(t: String): Set[Seq[String]] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        .sliding(2).filter(_.size == 2).toSet
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      ga = grams(ta); gb = grams(tb) if ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size.toLong
+      uni = ga.size + gb.size - inter
+      if inter * td >= tn * uni
+    } yield (ia, ib, inter, uni)).toSet
+  }
+
+  test("prefixJaccardJoin: exact — equals brute force on a mixed corpus") {
+    val rng = new scala.util.Random(17)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val base = (0L until 40L).map(i =>
+      i -> Seq.fill(8)(words(rng.nextInt(words.size))).mkString(" "))
+    // seed guaranteed near-dups: doc 100/101 differ by one word
+    val docs = base ++ Seq(
+      100L -> "alpha beta gamma delta eps zeta alpha beta",
+      101L -> "alpha beta gamma delta eps zeta alpha gamma")
+    val got = NearDup.prefixJaccardJoin(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      n = 2, thetaNum = 3, thetaDen = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == bruteJaccard(docs, 3, 5))
+    assert(got.exists { case (a, b, _, _) => a == 100L && b == 101L })
+  }
+
+  test("prefixJaccardJoin: theta=1 keeps only identical gram sets") {
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y z w"),       // identical
+      (3L, "x y z q"))
+    val got = NearDup.prefixJaccardJoin(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      n = 2, thetaNum = 1, thetaDen = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
 }
