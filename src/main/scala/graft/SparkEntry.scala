@@ -350,6 +350,21 @@ object SparkEntry {
         cfg, tmp)
     }),
 
+    // ---- Streaming per-key RATE baseline: daily event counts smoothed
+    //      by a cross-window EWMA held as one state struct per key ----
+    "s9_stream_rate_ewma" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s9_").toString
+      val cfg = IngestConfig(name = s"s9-rate-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+      appendStream(s, graft.streaming.Stateful.perKeyRateEwma(
+        src, "user_id", "ets", "1 day", alpha = 0.25), cfg, tmp)
+    }),
+
     // ---- Stream-static enrichment: events stream × customer dim
     //      (broadcast dim, no stream shuffle, no state store) ----
     "s5_stream_static_join" -> ((s, dir) => {
@@ -495,6 +510,25 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "value", alpha = 0.25)
         .select(col("user_id"), col("ts").as("ts_us"),
           col("id").as("event_id"), col("x").as("value"), col("ewma"))),
+
+    // ---- Data cleaning: per-group IQR (Tukey-fence) outlier flags from
+    //      exact-interpolation quartiles ----
+    "q_iqr_outliers" -> ((s, dir) =>
+      graft.ops.Normalize.iqrOutliers(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("lo_bound"), col("hi_bound"), col("is_outlier"))),
+
+    // ---- Profiling: pairwise Pearson correlations from EXACT moments,
+    //      ONE corpus pass for all pairs ----
+    "q_corr_matrix" -> ((s, dir) =>
+      graft.ops.Normalize.correlationMatrix(
+        t(s, dir, "lineitem")
+          .select(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
     // ---- Feature normalization: per-group z-score from EXACT decimal
     //      moments (bit-identical across partitionings and engines) ----
@@ -2068,6 +2102,34 @@ object SparkEntry {
           "ts := s[j].ts, id := s[j].id, x := s[j].x, " +
           "ew := list_reduce(list_transform(list_slice(s, 1, j), t -> t.x), " +
           "(p, x) -> 0.25 * x + 0.75 * p)))) AS r FROM g)"),
+      "q_iqr_outliers" ->
+        ("WITH b AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, " +
+          "quantile_cont(value, 0.75) AS q3 FROM events GROUP BY event_type), " +
+          "bb AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo_bound, " +
+          "q3 + 1.5 * (q3 - q1) AS hi_bound FROM b) " +
+          "SELECT e.event_id, e.event_type, e.value, bb.lo_bound, " +
+          "bb.hi_bound, (e.value < bb.lo_bound OR e.value > bb.hi_bound) " +
+          "AS is_outlier FROM events e JOIN bb USING (event_type)"),
+      "q_corr_matrix" ->
+        ("WITH q AS (SELECT CAST(floor(l_quantity * 1048576.0) AS HUGEINT) AS a, " +
+          "CAST(floor(l_extendedprice * 1048576.0) AS HUGEINT) AS b, " +
+          "CAST(floor(l_discount * 1048576.0) AS HUGEINT) AS c FROM lineitem " +
+          "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL " +
+          "AND l_discount IS NOT NULL), " +
+          "m AS (SELECT count(*) AS n, sum(a) AS sa, sum(a*a) AS ssa, " +
+          "sum(b) AS sb, sum(b*b) AS ssb, sum(c) AS sc, sum(c*c) AS ssc, " +
+          "sum(a*b) AS sab, sum(a*c) AS sac, sum(b*c) AS sbc FROM q) " +
+          Seq(("l_quantity", "l_extendedprice", "sa", "ssa", "sb", "ssb", "sab"),
+            ("l_quantity", "l_discount", "sa", "ssa", "sc", "ssc", "sac"),
+            ("l_extendedprice", "l_discount", "sb", "ssb", "sc", "ssc", "sbc"))
+            .map { case (cx, cy, sx, ssx, sy, ssy, sp) =>
+              s"SELECT '$cx' AS col_x, '$cy' AS col_y, " +
+                "CAST(n AS BIGINT) AS n_rows, " +
+                s"CASE WHEN n*$ssx - $sx*$sx <= 0 OR n*$ssy - $sy*$sy <= 0 " +
+                s"THEN NULL ELSE CAST(n*$sp - $sx*$sy AS DOUBLE) / " +
+                s"sqrt(CAST(n*$ssx - $sx*$sx AS DOUBLE) * " +
+                s"CAST(n*$ssy - $sy*$sy AS DOUBLE)) END AS corr FROM m"
+            }.mkString(" UNION ALL ")),
       "q_zscore" -> graft.ops.Normalize.zscoreSql(
         "events", "event_type", "value",
         "event_id, event_type, value, n_group"),
@@ -2454,6 +2516,20 @@ object SparkEntry {
           "(epoch_us(ts) - epoch_us(ts) % 86400000000) " +
           "ORDER BY epoch_us(ts), event_id) AS rn FROM events) " +
           "WHERE rn <= 3"),
+      // single AvailableNow batch → windows fold in exact event-time order
+      "s9_stream_rate_ewma" ->
+        ("WITH w AS (SELECT user_id, " +
+          "(epoch_us(ts) - epoch_us(ts) % 86400000000) AS win, " +
+          "count(*) AS n FROM events GROUP BY 1, 2), " +
+          "g AS (SELECT user_id, list(struct_pack(w := win, n := n) " +
+          "ORDER BY win) AS s FROM w GROUP BY user_id) " +
+          "SELECT user_id, r.w AS window_start_us, r.n AS n_events, " +
+          "r.ew AS rate_ewma FROM (SELECT user_id, " +
+          "unnest(list_transform(range(1, len(s) + 1), j -> struct_pack(" +
+          "w := s[j].w, n := s[j].n, " +
+          "ew := list_reduce(list_transform(list_slice(s, 1, j), " +
+          "t -> CAST(t.n AS DOUBLE)), (p, x) -> 0.25 * x + 0.75 * p)))) " +
+          "AS r FROM g)"),
       "s5_stream_static_join" ->
         ("SELECT e.event_id, e.user_id, e.event_type, " +
           "c.c_nationkey, c.c_mktsegment " +

@@ -313,16 +313,6 @@ object NearDup {
           " ").as("scrubbed"))
   }
 
-  /** Exact word-bigram Jaccard VERIFY over the LSH candidate pairs — the
-    * production two-stage near-dup: banding proposes (linear shuffle,
-    * `lshCandidatePairs`), exact Jaccard disposes. Candidate volume is
-    * O(docs × bands) bucket collisions, never a block/cross self-join, so
-    * the whole pipeline stays linear in the corpus at 100 TB. The candidate
-    * list equi-joins the gram sets on each id — shuffle volume is
-    * candidates + grams (both linear); AQE picks broadcast when the
-    * candidate side is small enough, plain shuffle-hash when it isn't, so
-    * no hint is forced here. Emits (id_a, id_b, jaccard) for candidates
-    * with jaccard >= minJaccard. */
   /** EXACT all-pairs Jaccard self-join via prefix filtering (the
     * PPJoin-family shape) — the deterministic complement to the LSH path:
     * `lshCandidatePairs` trades recall for speed, this one guarantees
@@ -356,10 +346,14 @@ object NearDup {
     require(n >= 1, s"n must be >= 1, got $n")
     require(thetaNum > 0 && thetaNum <= thetaDen,
       s"theta must be in (0, 1]: got $thetaNum/$thetaDen")
+    // Persisted: `ex` feeds BOTH the df aggregate and the ordering join —
+    // without the persist the tokenize+shingle subtree runs twice over
+    // the corpus (Spark does not share identical scan branches).
     val ex = spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("__id"), TextHash.wordHashes(col(textCol)).as("__wh"))
       .select(col("__id"),
         explode(array_distinct(TextHash.shingleHashes(col("__wh"), n))).as("h"))
+      .persist()
     val dfr = ex.groupBy("h").agg(count(lit(1)).as("__df"))
     val ordered = ex.join(dfr, "h")
       .groupBy("__id")
@@ -393,9 +387,19 @@ object NearDup {
           lit(thetaNum) * col("n_union"))
         .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
         .localCheckpoint()
-    } finally { ordered.unpersist(); () }
+    } finally { ordered.unpersist(); ex.unpersist(); () }
   }
 
+  /** Exact word-bigram Jaccard VERIFY over the LSH candidate pairs — the
+    * production two-stage near-dup: banding proposes (linear shuffle,
+    * `lshCandidatePairs`), exact Jaccard disposes. Candidate volume is
+    * O(docs × bands) bucket collisions, never a block/cross self-join, so
+    * the whole pipeline stays linear in the corpus at 100 TB. The candidate
+    * list equi-joins the gram sets on each id — shuffle volume is
+    * candidates + grams (both linear); AQE picks broadcast when the
+    * candidate side is small enough, plain shuffle-hash when it isn't, so
+    * no hint is forced here. Emits (id_a, id_b, jaccard) for candidates
+    * with jaccard >= minJaccard. */
   def ngramJaccardVerify(
       docs: DataFrame, idCol: String, textCol: String,
       m: Int = 8, n: Int = 3, r: Int = 2,

@@ -32,9 +32,14 @@ object Normalize {
 
   /** Attach `z` = (x - mean_g) / std_g (population std) to every row.
     * Zero-variance groups emit NULL z (no meaningful scale). Output: the
-    * input columns + (n_group, z). */
+    * input columns + (n_group, z).
+    *
+    * @param broadcastMoments broadcast the one-row-per-group moments
+    *        (default); set false when groups number in the millions and
+    *        the join-back should shuffle instead */
   def zscore(
-      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+      df: DataFrame, groupCol: String, valCol: String,
+      broadcastMoments: Boolean = true): DataFrame = {
     val qx = floor(col(valCol) * lit(Q.toDouble)).cast("decimal(38,0)")
     val moments = df
       .groupBy(col(groupCol))
@@ -42,7 +47,8 @@ object Normalize {
         sum(qx).as("__s1"),
         sum(qx * qx).as("__s2"))
     // num = n*s2 - s1^2 = n^2 * (population variance) * Q^2, exactly.
-    val joined = df.join(broadcast(moments), groupCol)
+    val joined = df.join(
+      if (broadcastMoments) broadcast(moments) else moments, groupCol)
     val n = col("n_group").cast("decimal(38,0)")
     val num = (n * col("__s2") - col("__s1") * col("__s1"))
     val mean = col("__s1").cast("double") /
@@ -56,6 +62,78 @@ object Normalize {
         when(col("__num") <= 0, lit(null).cast("double"))
           .otherwise((col(valCol) - mean) / std))
       .drop("__s1", "__s2", "__num")
+  }
+
+  /** Per-group IQR (Tukey-fence) outlier flags — the robust companion to
+    * [[zscore]]: bounds from exact-interpolation quartiles
+    * (`percentile`, which matches DuckDB's `quantile_cont` bit-for-bit —
+    * proven by the percentile gates), so flags are engine-exact. Output:
+    * input columns + (lo_bound, hi_bound, is_outlier) where
+    * lo = q1 - factor·(q3-q1), hi = q3 + factor·(q3-q1).
+    *
+    * Cost: one per-group sort-based percentile aggregate (bounded by
+    * group size), one join back (broadcast by default — same caveat and
+    * knob as [[zscore]]). */
+  def iqrOutliers(
+      df: DataFrame, groupCol: String, valCol: String,
+      factor: Double = 1.5, broadcastBounds: Boolean = true): DataFrame = {
+    require(factor > 0.0, s"factor must be positive, got $factor")
+    val b = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.25)").as("__q1"),
+        expr(s"percentile($valCol, 0.75)").as("__q3"))
+      .select(col(groupCol),
+        (col("__q1") - lit(factor) * (col("__q3") - col("__q1")))
+          .as("lo_bound"),
+        (col("__q3") + lit(factor) * (col("__q3") - col("__q1")))
+          .as("hi_bound"))
+    df.join(if (broadcastBounds) broadcast(b) else b, groupCol)
+      .withColumn("is_outlier",
+        col(valCol) < col("lo_bound") || col(valCol) > col("hi_bound"))
+  }
+
+  /** Pairwise Pearson correlations over `cols`, long format
+    * (col_x, col_y, n_rows, corr) for every i<j pair — the profiling
+    * step before feature selection / redundancy pruning.
+    *
+    * Determinism contract (same discipline as [[zscore]]): every moment
+    * (Σx, Σx², Σxy) accumulates EXACTLY — values quantize to
+    * `floor(x·2^20)` and sum as DECIMAL(38,0) (HUGEINT in the DuckDB
+    * mirror) — and each correlation is one fixed-shape float expression
+    * over those exact integers, so results are bit-identical across
+    * partitionings and engines. Note corr is computed on the QUANTIZED
+    * values; quantization shifts Pearson r by O(2^-20/σ) — negligible
+    * unless a column's spread is near the quantization step.
+    *
+    * Cost: ONE pass — a single aggregate row carries all m + m(m-1)/2
+    * moment sums (map-side combinable); the per-pair projection reads
+    * that localCheckpointed row, never the corpus. Rows with a NULL in
+    * any of `cols` are dropped (pairwise-complete would need per-pair
+    * counts; this is the simpler listwise contract). Headroom: needs
+    * n·(max|x|·2^20)² < 10^38 — fine for |x| < 10^7 at a billion rows;
+    * lower the quantization scale for wider values. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    def qz(c: String) = floor(col(c) * lit(Q.toDouble)).cast("decimal(38,0)")
+    val pairs = for {
+      i <- cols.indices; j <- i + 1 until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(sum(qz(c)).as(s"__s_$c"),
+        sum(qz(c) * qz(c)).as(s"__ss_$c"))) ++
+      pairs.map { case (a, b) => sum(qz(a) * qz(b)).as(s"__sp_${a}__$b") }
+    val m = df.na.drop(cols).agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    pairs.map { case (a, b) =>
+      val n = col("n").cast("decimal(38,0)")
+      val num = n * col(s"__sp_${a}__$b") - col(s"__s_$a") * col(s"__s_$b")
+      val dx = n * col(s"__ss_$a") - col(s"__s_$a") * col(s"__s_$a")
+      val dy = n * col(s"__ss_$b") - col(s"__s_$b") * col(s"__s_$b")
+      m.select(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("n").as("n_rows"),
+        when(dx <= 0 || dy <= 0, lit(null).cast("double"))
+          .otherwise(num.cast("double") /
+            sqrt(dx.cast("double") * dy.cast("double"))).as("corr"))
+    }.reduce(_ unionByName _)
   }
 
   /** The DuckDB mirror of [[zscore]]'s arithmetic, for oracle authoring:

@@ -303,7 +303,9 @@ object Similarity {
         .as[(Long, Seq[Double], Double)].collect()
       require(seed.nonEmpty, "farthestPointSample needs a non-empty input")
       var picks = Vector((0L, seed(0)._1, seed(0)._2, seed(0)._3))
-      for (i <- 1L until k.toLong) {
+      var i = 1L
+      var exhausted = false // fewer distinct points than k: stop the rounds
+      while (i < k.toLong && !exhausted) {
         val cents = picks
           .map { case (_, id, v, nr) => (id, v, nr) }.toDF("cid", "cv", "cnrm")
         val chosen = picks.map(_._2)
@@ -314,8 +316,11 @@ object Similarity {
           .orderBy(col("__mc").asc, col("__id").asc).limit(1)
           .select(col("__id"), col("v"), col("nrm"))
           .as[(Long, Seq[Double], Double)].collect()
-        if (next.nonEmpty) // fewer distinct points than k: stop early
+        if (next.isEmpty) exhausted = true
+        else {
           picks :+= ((i, next(0)._1, next(0)._2, next(0)._3))
+          i += 1L
+        }
       }
       picks.map { case (p, id, _, _) => (p, id) }.toDF("pick", "picked_id")
     } finally { e.unpersist(); () }

@@ -109,7 +109,11 @@ object TimeSeries {
     * key), and the prefix folds make a key's work O(n²) in its series
     * length — bound series per key (window the input by time period)
     * before smoothing at corpus scale. Output: (keyCol, ts, id, x,
-    * ewma), one row per input row. */
+    * ewma), one row per input row.
+    *
+    * Rows with a NULL value are EXCLUDED from the series (they would
+    * otherwise poison the recurrence; a NULL is "no observation", not a
+    * zero) — mirror the same `WHERE x IS NOT NULL` in any oracle. */
   def ewma(
       df: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valCol: String, alpha: Double): DataFrame = {
@@ -124,7 +128,8 @@ object TimeSeries {
         (acc, el) => when(acc.isNull, el.getField("x"))
           .otherwise(lit(alpha) * el.getField("x") +
             (lit(1.0) - lit(alpha)) * acc))
-    df.groupBy(col(keyCol))
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(series.as("__s"))
       .select(col(keyCol), explode(transform(col("__s"),
         (e, i) => struct(e.getField("ts").as("ts"), e.getField("id").as("id"),

@@ -66,4 +66,63 @@ object Stateful {
       }
       .toDF()
   }
+
+  /** Event projected onto (key, tumbling-window start). */
+  final case class RateEvent(key: Long, winStartUs: Long)
+
+  /** EWMA carried across windows + the last folded window start. */
+  final case class RateState(ewma: Double, lastWin: Long)
+
+  /** One output row per (key, window) observed in the batch. */
+  final case class RateOut(
+      user_id: Long, window_start_us: Long, n_events: Long,
+      rate_ewma: Double)
+
+  /** Per-key event-RATE baseline: count events per tumbling window, then
+    * smooth across the key's windows with an EWMA
+    * (s_1 = n_1, s_t = α·n_t + (1-α)·s_{t-1}) — the streaming anomaly
+    * baseline ("is this key suddenly 10× its usual rate?") kept as ONE
+    * small state struct per key.
+    *
+    * Ordering contract: windows fold in event-time order WITHIN a batch
+    * (exact global order under a single AvailableNow batch — what the
+    * gate checks), and in arrival order across batches; a window split
+    * across batches folds once per batch with its partial counts. Size
+    * the watermark/trigger so windows close within a batch when exact
+    * cross-batch order matters. State is one (double, long) per key —
+    * bounded by key cardinality like [[runningPerKey]] (NoTimeout);
+    * bounded-entity domains only. */
+  def perKeyRateEwma(
+      src: DataFrame, keyCol: String, tsCol: String,
+      windowDuration: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    implicit val eventEnc = Encoders.product[RateEvent]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[RateState]
+    implicit val outEnc = Encoders.product[RateOut]
+    src
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(window(col(tsCol), windowDuration).getField("start"))
+          .as("winStartUs"))
+      .as[RateEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[RateEvent], state: GroupState[RateState]) =>
+          val counts = rows.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+            m.updated(e.winStartUs, m.getOrElse(e.winStartUs, 0L) + 1L)
+          }
+          var st = state.getOption
+          val out = counts.toSeq.sortBy(_._1).map { case (w, n) =>
+            val e = st match {
+              case Some(RateState(prev, _)) => alpha * n + (1 - alpha) * prev
+              case None => n.toDouble
+            }
+            st = Some(RateState(e, w))
+            RateOut(key, w, n, e)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
 }

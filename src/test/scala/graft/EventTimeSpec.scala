@@ -122,6 +122,37 @@ class EventTimeSpec extends SparkSpec {
     assert(batch.nonEmpty && got == batch)
   }
 
+  test("perKeyRateEwma: windows fold in order, EWMA carries across batches") {
+    implicit val sql = spark.sqlContext
+    def t2(day: Int, h: Int) = Timestamp.valueOf(f"2024-03-$day%02d $h%02d:00:00")
+    val events = MemoryStream[TEv]
+    val out = Stateful.perKeyRateEwma(
+      events.toDF().select(lit(7L).as("u"), col("ts")),
+      "u", "ts", "1 day", alpha = 0.25)
+    val q = out.writeStream.format("memory").queryName("rate_ewma")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: day1 x2 events, day2 x4 events (one batch: in-order fold)
+    events.addData(Seq(
+      TEv(t2(1, 1), "a", 0), TEv(t2(1, 2), "a", 0),
+      TEv(t2(2, 1), "a", 0), TEv(t2(2, 2), "a", 0),
+      TEv(t2(2, 3), "a", 0), TEv(t2(2, 4), "a", 0)))
+    q.processAllAvailable()
+    // batch 2: day3 x1 event — state must carry the day2 EWMA forward
+    events.addData(Seq(TEv(t2(3, 1), "a", 0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rate_ewma")
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    def d(day: Int) = Timestamp.valueOf(f"2024-03-$day%02d 00:00:00")
+      .getTime * 1000L
+    val e1 = 2.0                          // seed = first window's count
+    val e2 = 0.25 * 4.0 + 0.75 * e1       // 2.5
+    val e3 = 0.25 * 1.0 + 0.75 * e2       // cross-batch carry
+    assert(got == Map(
+      d(1) -> ((2L, e1)), d(2) -> ((4L, e2)), d(3) -> ((1L, e3))))
+  }
+
   test("stateful running counts + latest payload converge across splits") {
     implicit val sql = spark.sqlContext
     val all = Seq(

@@ -33,6 +33,35 @@ class NormalizeSpec extends SparkSpec {
     assert(rows.filter(_.getString(0) == "d").forall(!_.isNullAt(3)))
   }
 
+  test("iqrOutliers: Tukey fences flag exactly the extreme points") {
+    // group g: values 1..11 plus a wild 100. q1=3.75, q3=9.25 over the 12
+    // values; iqr=5.5 → fences [-4.5, 17.5] → only 100 is out.
+    val df = ((1 to 11).map(i => ("g", i.toDouble)) :+ ("g", 100.0))
+      .toDF("g", "x")
+    val got = graft.ops.Normalize.iqrOutliers(df, "g", "x")
+      .collect().map(r => r.getDouble(1) -> r.getBoolean(4)).toMap
+    assert(got(100.0))
+    assert((1 to 11).forall(i => !got(i.toDouble)))
+  }
+
+  test("correlationMatrix: exact +1/-1/0 structure and listwise drop") {
+    val df = Seq(
+      (1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0))
+      .toDF("a", "b", "c")
+    val got = graft.ops.Normalize.correlationMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("a", "b")) == ((4L, 1.0)))   // b = 2a exactly
+    assert(got(("a", "c")) == ((4L, -1.0)))  // c = -a exactly
+    assert(got(("b", "c")) == ((4L, -1.0)))
+    // zero variance → NULL corr
+    val z = Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b")
+    val zr = graft.ops.Normalize.correlationMatrix(z, Seq("a", "b"))
+      .collect()
+    assert(zr.length == 1 && zr(0).isNullAt(3))
+  }
+
   test("bit-identical across partitionings") {
     val rng = new scala.util.Random(5)
     val rows = Seq.fill(2000)((s"g${rng.nextInt(7)}", rng.nextDouble() * 500))

@@ -64,6 +64,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got((2L, 10L)) == 6.0)
   }
 
+  test("ewma: NULL values are excluded, not series-restarting") {
+    val ev = Seq(
+      (1L, 10L, 100L, Some(4.0)), (1L, 20L, 101L, None),
+      (1L, 30L, 102L, Some(8.0)))
+      .toDF("k", "ts", "id", "x")
+    val got = TimeSeries.ewma(ev, "k", "ts", "id", "x", alpha = 0.25)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    // the null row is absent and does NOT reset the recurrence
+    assert(got == Map(10L -> 4.0, 30L -> (0.25 * 8.0 + 0.75 * 4.0)))
+  }
+
   test("ewma: bit-identical across partitionings") {
     val rng = new scala.util.Random(21)
     val rows = (0 until 800).map(i =>
