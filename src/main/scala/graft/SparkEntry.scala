@@ -974,6 +974,18 @@ object SparkEntry {
       graft.ops.TextRank.topCollocations(
         t(s, dir, "documents"), "text", k = 25, minPairCount = 5L)),
 
+    // ---- LLM pipeline: BPE merge training over the distributed word
+    //      dict (10 rounds: freq-weighted pair counts -> argmax -> greedy
+    //      merge fold; only the learned pairs reach the driver) ----
+    "bpe_merges" -> ((s, dir) =>
+      graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text", merges = 10)),
+
+    // ---- LLM pipeline: BPE encode — per-doc token counts under the
+    //      10 learned merges (the tokens-per-word compression metric) ----
+    "bpe_encode" -> ((s, dir) =>
+      graft.ops.Bpe.encodeTokenCounts(
+        t(s, dir, "documents"), "doc_id", "text", merges = 10)),
+
     // ---- LLM pipeline: farthest-point (k-center greedy) diversity
     //      sample over the embedding corpus — 8 picks, each round one
     //      corpus pass with the centers broadcast as one array row ----
@@ -2147,6 +2159,25 @@ object SparkEntry {
           "SELECT o_orderkey, o_totalprice FROM orders o " +
           "WHERE o.o_custkey = c.c_custkey " +
           "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true"),
+      "bpe_merges" ->
+        ("WITH w0 AS (SELECT w, count(*) AS freq FROM (SELECT unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w " +
+          "FROM documents) GROUP BY w), " +
+          graft.functions.OracleSql.bpeCtes(10) + " " +
+          (1 to 10).map(r => s"SELECT CAST($r AS BIGINT) AS rank, " +
+            s"a AS sym_a, b AS sym_b, cnt AS n_occ FROM b$r")
+            .mkString(" UNION ALL ")),
+      "bpe_encode" ->
+        ("WITH w0 AS (SELECT w, count(*) AS freq FROM (SELECT unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w " +
+          "FROM documents) GROUP BY w), " +
+          graft.functions.OracleSql.bpeCtes(10) + ", " +
+          "dw AS (SELECT doc_id, unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w " +
+          "FROM documents) " +
+          "SELECT dw.doc_id, count(*) AS n_words, " +
+          "CAST(sum(len(v10.s)) AS BIGINT) AS n_bpe_tokens " +
+          "FROM dw JOIN v10 USING (w) GROUP BY dw.doc_id"),
       "text_collocations" ->
         ("WITH tk AS (SELECT list_filter(regexp_split_to_array(lower(text), " +
           "'\\s+'), w -> len(w) > 0) AS toks FROM documents), " +

@@ -205,6 +205,41 @@ object OracleSql {
     (init +: steps).mkString(", ")
   }
 
+  /** BPE merge-training CTE chain mirroring `Bpe.learnMerges`
+    * iteration-for-iteration, over a prior CTE `w0`(w, freq) — the
+    * word-frequency dict. Emits `v0` (character split) and, per round r,
+    * `p$r` (freq-weighted adjacent-pair counts), `b$r` (the chosen merge:
+    * count DESC, a ASC, b ASC) and `v$r` (dict rewritten by the greedy
+    * left-to-right merge fold). Select the merge table from `b1..b$k`.
+    *
+    * All chained CTEs are MATERIALIZED (each round reads the previous
+    * twice — the inlining-blowup lesson from farthestPointCtes); the
+    * merge fold is a seedless list_reduce whose accumulator starts as
+    * `[s1]` via the `list_transform(s, x -> [x])` wrapping, identical to
+    * the engine's empty-seed append fold. */
+  def bpeCtes(merges: Int): String = {
+    val init =
+      "v0 AS MATERIALIZED (SELECT w, list_transform(range(1, len(w) + 1), " +
+        "i -> substr(w, i, 1)) AS s, freq FROM w0)"
+    val steps = (1 to merges).map { r =>
+      val p = s"v${r - 1}"
+      s"p$r AS MATERIALIZED (SELECT t.p.a AS a, t.p.b AS b, " +
+        "CAST(sum(freq) AS BIGINT) AS cnt FROM (" +
+        "SELECT unnest(list_transform(range(1, len(s)), " +
+        s"i -> struct_pack(a := s[i], b := s[i+1]))) AS p, freq FROM $p) t " +
+        "GROUP BY t.p.a, t.p.b), " +
+        s"b$r AS (SELECT a, b, cnt FROM p$r " +
+        "ORDER BY cnt DESC, a ASC, b ASC LIMIT 1), " +
+        s"v$r AS MATERIALIZED (SELECT w, list_reduce(" +
+        "list_transform(s, x -> [x]), (acc, x) -> " +
+        s"CASE WHEN acc[-1] = b$r.a AND x[1] = b$r.b " +
+        s"THEN list_append(list_slice(acc, 1, len(acc) - 1), b$r.a || b$r.b) " +
+        "ELSE list_append(acc, x[1]) END) AS s, freq " +
+        s"FROM $p, b$r)"
+    }
+    (init +: steps).mkString(", ")
+  }
+
   // ---- Multimodal mirror -------------------------------------------------
 
   /** The stub decode checksum over an ASCII text column's bytes:
