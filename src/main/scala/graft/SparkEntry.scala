@@ -468,6 +468,37 @@ object SparkEntry {
           "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t")
     }),
 
+    // ---- Warehouse: SCD Type-2 dimension maintenance — close + open
+    //      versions in one full-outer join; no-op and out-of-order
+    //      changes leave the current version untouched ----
+    "q_scd2" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val hist = c.filter(col("c_custkey") % 5 === 0).select(
+        col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
+        (col("c_acctbal") - 5.0).as("c_acctbal"),
+        lit(-1000000L).as("valid_from_us"), lit(0L).as("valid_to_us"))
+      val curr = c.select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        lit(0L).as("valid_from_us"),
+        lit(null).cast("long").as("valid_to_us"))
+      val changes = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") + 10.5).as("c_acctbal"), lit(1000L).as("ts"))
+        .unionByName(c.filter(col("c_custkey") % 3 === 1)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            lit(2000L).as("ts")))
+        .unionByName(c.filter(col("c_custkey") % 3 === 2 &&
+            col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("LATE").as("c_mktsegment"),
+            col("c_acctbal"), lit(-5L).as("ts")))
+        .unionByName(c.filter(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 100000).as("c_custkey"),
+            lit("NEWSEG").as("c_mktsegment"), lit(1.0).as("c_acctbal"),
+            lit(3000L).as("ts")))
+      graft.ops.Scd2.applyChanges(hist.unionByName(curr), changes,
+        "c_custkey", "ts", Seq("c_mktsegment", "c_acctbal"))
+    }),
+
     // ---- Data ops: keyed snapshot diff (insert/delete/update + changed
     //      column names; ONE full-outer join, null-safe compares) ----
     "q_diff" -> ((s, dir) => {
@@ -2054,6 +2085,34 @@ object SparkEntry {
       "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
       "dedup_clusters" -> clustersSql,
+      "q_scd2" ->
+        ("WITH hist AS (SELECT c_custkey, 'OLDSEG' AS c_mktsegment, " +
+          "c_acctbal - 5.0 AS c_acctbal, CAST(-1000000 AS BIGINT) AS valid_from_us, " +
+          "CAST(0 AS BIGINT) AS valid_to_us FROM customer WHERE c_custkey % 5 = 0), " +
+          "cur AS (SELECT c_custkey, c_mktsegment, c_acctbal, " +
+          "CAST(0 AS BIGINT) AS vf FROM customer), " +
+          "chg AS (SELECT c_custkey, c_mktsegment, c_acctbal + 10.5 AS c_acctbal, " +
+          "CAST(1000 AS BIGINT) AS ts FROM customer WHERE c_custkey % 3 = 0 " +
+          "UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal, 2000 " +
+          "FROM customer WHERE c_custkey % 3 = 1 " +
+          "UNION ALL SELECT c_custkey, 'LATE', c_acctbal, -5 " +
+          "FROM customer WHERE c_custkey % 3 = 2 AND c_custkey % 7 = 0 " +
+          "UNION ALL SELECT c_custkey + 100000, 'NEWSEG', 1.0, 3000 " +
+          "FROM customer WHERE c_custkey % 11 = 0), " +
+          "j AS (SELECT coalesce(cur.c_custkey, chg.c_custkey) AS k, " +
+          "cur.c_custkey IS NOT NULL AS cp, chg.c_custkey IS NOT NULL AS np, " +
+          "cur.c_mktsegment AS cs, cur.c_acctbal AS ca, cur.vf AS vf, " +
+          "chg.c_mktsegment AS ns, chg.c_acctbal AS na, chg.ts AS ts " +
+          "FROM cur FULL JOIN chg ON cur.c_custkey = chg.c_custkey), " +
+          "sm AS (SELECT *, (cs IS NOT DISTINCT FROM ns AND " +
+          "ca IS NOT DISTINCT FROM na) AS eq FROM j) " +
+          "SELECT * FROM hist " +
+          "UNION ALL SELECT k, cs, ca, vf, CAST(NULL AS BIGINT) FROM sm " +
+          "WHERE cp AND (NOT np OR eq OR ts <= vf) " +
+          "UNION ALL SELECT k, cs, ca, vf, ts FROM sm " +
+          "WHERE cp AND np AND NOT eq AND ts > vf " +
+          "UNION ALL SELECT k, ns, na, ts, CAST(NULL AS BIGINT) FROM sm " +
+          "WHERE np AND (NOT cp OR (NOT eq AND ts > vf))"),
       "q_diff" ->
         ("WITH l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
           "r AS (SELECT o_orderkey, o_orderstatus, " +
