@@ -41,6 +41,38 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Shared fixture for the q_scd2 / q_temporal_join gates: a customer
+    * dimension with pre-existing history, run through one SCD2 change
+    * batch covering the real-change / no-op / out-of-order / new-key
+    * classes. */
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val hist = c.filter(col("c_custkey") % 5 === 0).select(
+      col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
+      (col("c_acctbal") - 5.0).as("c_acctbal"),
+      lit(-1000000L).as("valid_from_us"), lit(0L).as("valid_to_us"))
+    val curr = c.select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      lit(0L).as("valid_from_us"),
+      lit(null).cast("long").as("valid_to_us"))
+    val changes = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal") + 10.5).as("c_acctbal"), lit(1000L).as("ts"))
+      .unionByName(c.filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          lit(2000L).as("ts")))
+      .unionByName(c.filter(col("c_custkey") % 3 === 2 &&
+          col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("LATE").as("c_mktsegment"),
+          col("c_acctbal"), lit(-5L).as("ts")))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + 100000).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"), lit(1.0).as("c_acctbal"),
+          lit(3000L).as("ts")))
+    graft.ops.Scd2.applyChanges(hist.unionByName(curr), changes,
+      "c_custkey", "ts", Seq("c_mktsegment", "c_acctbal"))
+  }
+
   /** `events` mapped onto the ingestion-record contract of the reference
     * (quick_stream `src/upsert.rs:19-33`): pkey + modified_date + payload;
     * `event_id` is the deterministic tie-break (SURVEY.md §7 hard-point c).
@@ -471,32 +503,22 @@ object SparkEntry {
     // ---- Warehouse: SCD Type-2 dimension maintenance — close + open
     //      versions in one full-outer join; no-op and out-of-order
     //      changes leave the current version untouched ----
-    "q_scd2" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val hist = c.filter(col("c_custkey") % 5 === 0).select(
-        col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
-        (col("c_acctbal") - 5.0).as("c_acctbal"),
-        lit(-1000000L).as("valid_from_us"), lit(0L).as("valid_to_us"))
-      val curr = c.select(
-        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        lit(0L).as("valid_from_us"),
-        lit(null).cast("long").as("valid_to_us"))
-      val changes = c.filter(col("c_custkey") % 3 === 0)
-        .select(col("c_custkey"), col("c_mktsegment"),
-          (col("c_acctbal") + 10.5).as("c_acctbal"), lit(1000L).as("ts"))
-        .unionByName(c.filter(col("c_custkey") % 3 === 1)
-          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-            lit(2000L).as("ts")))
-        .unionByName(c.filter(col("c_custkey") % 3 === 2 &&
-            col("c_custkey") % 7 === 0)
-          .select(col("c_custkey"), lit("LATE").as("c_mktsegment"),
-            col("c_acctbal"), lit(-5L).as("ts")))
-        .unionByName(c.filter(col("c_custkey") % 11 === 0)
-          .select((col("c_custkey") + 100000).as("c_custkey"),
-            lit("NEWSEG").as("c_mktsegment"), lit(1.0).as("c_acctbal"),
-            lit(3000L).as("ts")))
-      graft.ops.Scd2.applyChanges(hist.unionByName(curr), changes,
-        "c_custkey", "ts", Seq("c_mktsegment", "c_acctbal"))
+    "q_scd2" -> ((s, dir) => scd2Dim(s, dir)),
+
+    // ---- Warehouse: point-in-time (temporal) join — each fact row joins
+    //      the dim VERSION valid at its timestamp (equality on key +
+    //      validity-range predicate; the consumer side of SCD2) ----
+    "q_temporal_join" -> ((s, dir) => {
+      val dim = scd2Dim(s, dir)
+      val facts = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_orderkey") % 4000).cast("long").as("ts"))
+      facts.join(dim,
+        facts("o_custkey") === dim("c_custkey") &&
+          col("ts") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("ts") < col("valid_to_us")))
+        .select(col("o_orderkey"), col("o_custkey"), col("ts"),
+          col("c_mktsegment"), col("c_acctbal"), col("valid_from_us"))
     }),
 
     // ---- Data ops: keyed snapshot diff (insert/delete/update + changed
@@ -551,6 +573,16 @@ object SparkEntry {
         "event_type", "value")
         .select(col("event_id"), col("event_type"), col("value"),
           col("lo_bound"), col("hi_bound"), col("is_outlier"))),
+
+    // ---- Data cleaning: per-group robust z-score (median/MAD — the
+    //      outlier-resistant twin of q_zscore) ----
+    "q_robust_z" -> ((s, dir) =>
+      graft.ops.Normalize.robustZ(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("robust_z"))),
 
     // ---- Profiling: pairwise Pearson correlations from EXACT moments,
     //      ONE corpus pass for all pairs ----
@@ -1727,6 +1759,36 @@ object SparkEntry {
         "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01"
     }
 
+    // Mirrors scd2Dim + Scd2.applyChanges branch-for-branch.
+    val scd2Sql =
+      "WITH hist AS (SELECT c_custkey, 'OLDSEG' AS c_mktsegment, " +
+        "c_acctbal - 5.0 AS c_acctbal, CAST(-1000000 AS BIGINT) AS valid_from_us, " +
+        "CAST(0 AS BIGINT) AS valid_to_us FROM customer WHERE c_custkey % 5 = 0), " +
+        "cur AS (SELECT c_custkey, c_mktsegment, c_acctbal, " +
+        "CAST(0 AS BIGINT) AS vf FROM customer), " +
+        "chg AS (SELECT c_custkey, c_mktsegment, c_acctbal + 10.5 AS c_acctbal, " +
+        "CAST(1000 AS BIGINT) AS ts FROM customer WHERE c_custkey % 3 = 0 " +
+        "UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal, 2000 " +
+        "FROM customer WHERE c_custkey % 3 = 1 " +
+        "UNION ALL SELECT c_custkey, 'LATE', c_acctbal, -5 " +
+        "FROM customer WHERE c_custkey % 3 = 2 AND c_custkey % 7 = 0 " +
+        "UNION ALL SELECT c_custkey + 100000, 'NEWSEG', 1.0, 3000 " +
+        "FROM customer WHERE c_custkey % 11 = 0), " +
+        "j AS (SELECT coalesce(cur.c_custkey, chg.c_custkey) AS k, " +
+        "cur.c_custkey IS NOT NULL AS cp, chg.c_custkey IS NOT NULL AS np, " +
+        "cur.c_mktsegment AS cs, cur.c_acctbal AS ca, cur.vf AS vf, " +
+        "chg.c_mktsegment AS ns, chg.c_acctbal AS na, chg.ts AS ts " +
+        "FROM cur FULL JOIN chg ON cur.c_custkey = chg.c_custkey), " +
+        "sm AS (SELECT *, (cs IS NOT DISTINCT FROM ns AND " +
+        "ca IS NOT DISTINCT FROM na) AS eq FROM j) " +
+        "SELECT * FROM hist " +
+        "UNION ALL SELECT k, cs, ca, vf, CAST(NULL AS BIGINT) FROM sm " +
+        "WHERE cp AND (NOT np OR eq OR ts <= vf) " +
+        "UNION ALL SELECT k, cs, ca, vf, ts FROM sm " +
+        "WHERE cp AND np AND NOT eq AND ts > vf " +
+        "UNION ALL SELECT k, ns, na, ts, CAST(NULL AS BIGINT) FROM sm " +
+        "WHERE np AND (NOT cp OR (NOT eq AND ts > vf))"
+
     // Brute-force twin of NearDup.prefixJaccardJoin: prefix filtering is
     // exact (no false negatives), so the oracle is the plain all-pairs
     // threshold join over the same distinct 2-gram hash sets.
@@ -2085,34 +2147,16 @@ object SparkEntry {
       "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
       "dedup_clusters" -> clustersSql,
-      "q_scd2" ->
-        ("WITH hist AS (SELECT c_custkey, 'OLDSEG' AS c_mktsegment, " +
-          "c_acctbal - 5.0 AS c_acctbal, CAST(-1000000 AS BIGINT) AS valid_from_us, " +
-          "CAST(0 AS BIGINT) AS valid_to_us FROM customer WHERE c_custkey % 5 = 0), " +
-          "cur AS (SELECT c_custkey, c_mktsegment, c_acctbal, " +
-          "CAST(0 AS BIGINT) AS vf FROM customer), " +
-          "chg AS (SELECT c_custkey, c_mktsegment, c_acctbal + 10.5 AS c_acctbal, " +
-          "CAST(1000 AS BIGINT) AS ts FROM customer WHERE c_custkey % 3 = 0 " +
-          "UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal, 2000 " +
-          "FROM customer WHERE c_custkey % 3 = 1 " +
-          "UNION ALL SELECT c_custkey, 'LATE', c_acctbal, -5 " +
-          "FROM customer WHERE c_custkey % 3 = 2 AND c_custkey % 7 = 0 " +
-          "UNION ALL SELECT c_custkey + 100000, 'NEWSEG', 1.0, 3000 " +
-          "FROM customer WHERE c_custkey % 11 = 0), " +
-          "j AS (SELECT coalesce(cur.c_custkey, chg.c_custkey) AS k, " +
-          "cur.c_custkey IS NOT NULL AS cp, chg.c_custkey IS NOT NULL AS np, " +
-          "cur.c_mktsegment AS cs, cur.c_acctbal AS ca, cur.vf AS vf, " +
-          "chg.c_mktsegment AS ns, chg.c_acctbal AS na, chg.ts AS ts " +
-          "FROM cur FULL JOIN chg ON cur.c_custkey = chg.c_custkey), " +
-          "sm AS (SELECT *, (cs IS NOT DISTINCT FROM ns AND " +
-          "ca IS NOT DISTINCT FROM na) AS eq FROM j) " +
-          "SELECT * FROM hist " +
-          "UNION ALL SELECT k, cs, ca, vf, CAST(NULL AS BIGINT) FROM sm " +
-          "WHERE cp AND (NOT np OR eq OR ts <= vf) " +
-          "UNION ALL SELECT k, cs, ca, vf, ts FROM sm " +
-          "WHERE cp AND np AND NOT eq AND ts > vf " +
-          "UNION ALL SELECT k, ns, na, ts, CAST(NULL AS BIGINT) FROM sm " +
-          "WHERE np AND (NOT cp OR (NOT eq AND ts > vf))"),
+      "q_scd2" -> scd2Sql,
+      "q_temporal_join" ->
+        (s"WITH scd AS ($scd2Sql), " +
+          "f AS (SELECT o_orderkey, o_custkey, " +
+          "CAST(o_orderkey % 4000 AS BIGINT) AS ts FROM orders) " +
+          "SELECT f.o_orderkey, f.o_custkey, f.ts, scd.c_mktsegment, " +
+          "scd.c_acctbal, scd.valid_from_us " +
+          "FROM f JOIN scd ON f.o_custkey = scd.c_custkey " +
+          "AND f.ts >= scd.valid_from_us " +
+          "AND (scd.valid_to_us IS NULL OR f.ts < scd.valid_to_us)"),
       "q_diff" ->
         ("WITH l AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
           "r AS (SELECT o_orderkey, o_orderstatus, " +
@@ -2181,6 +2225,18 @@ object SparkEntry {
           "SELECT e.event_id, e.event_type, e.value, bb.lo_bound, " +
           "bb.hi_bound, (e.value < bb.lo_bound OR e.value > bb.hi_bound) " +
           "AS is_outlier FROM events e JOIN bb USING (event_type)"),
+      "q_robust_z" ->
+        ("WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+          "FROM events GROUP BY event_type), " +
+          "d AS (SELECT e.event_type, e.value, m.med FROM events e " +
+          "JOIN m USING (event_type)), " +
+          "s AS (SELECT event_type, med, " +
+          "quantile_cont(abs(value - med), 0.5) AS mad FROM d " +
+          "GROUP BY event_type, med) " +
+          "SELECT e.event_id, e.event_type, e.value, s.med, s.mad, " +
+          "CASE WHEN s.mad <= 0 THEN NULL " +
+          "ELSE (e.value - s.med) / (1.4826 * s.mad) END AS robust_z " +
+          "FROM events e JOIN s USING (event_type)"),
       "q_corr_matrix" ->
         ("WITH q AS (SELECT CAST(floor(l_quantity * 1048576.0) AS HUGEINT) AS a, " +
           "CAST(floor(l_extendedprice * 1048576.0) AS HUGEINT) AS b, " +

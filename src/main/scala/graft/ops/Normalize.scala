@@ -91,6 +91,36 @@ object Normalize {
         col(valCol) < col("lo_bound") || col(valCol) > col("hi_bound"))
   }
 
+  /** Per-group ROBUST z-score via median absolute deviation —
+    * [[zscore]]'s outlier-resistant twin: mean/std move with the very
+    * outliers being hunted, median/MAD do not.
+    * robust_z = (x - median) / (scale · MAD), scale = 1.4826 (the
+    * normal-consistency constant); zero-MAD groups emit NULL.
+    *
+    * Determinism: both medians are exact-interpolation percentiles
+    * (`percentile` == DuckDB `quantile_cont` bit-for-bit) and the final
+    * score is one fixed-shape float expression — engine-exact like
+    * [[iqrOutliers]]. Cost: two grouped percentile aggregates (the MAD
+    * needs the median first) + two joins back; same broadcast default
+    * and knob as [[zscore]]. Output: input columns + (med, mad,
+    * robust_z). */
+  def robustZ(
+      df: DataFrame, groupCol: String, valCol: String,
+      scale: Double = 1.4826, broadcastStats: Boolean = true): DataFrame = {
+    require(scale > 0.0, s"scale must be positive, got $scale")
+    def bc(d: DataFrame) = if (broadcastStats) broadcast(d) else d
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val stats = df.join(bc(med), groupCol)
+      .groupBy(col(groupCol), col("med"))
+      .agg(expr(s"percentile(abs($valCol - med), 0.5)").as("mad"))
+    df.join(bc(stats), groupCol)
+      .withColumn("robust_z",
+        when(col("mad") <= 0, lit(null).cast("double"))
+          .otherwise((col(valCol) - col("med")) /
+            (lit(scale) * col("mad"))))
+  }
+
   /** Pairwise Pearson correlations over `cols`, long format
     * (col_x, col_y, n_rows, corr) for every i<j pair — the profiling
     * step before feature selection / redundancy pruning.

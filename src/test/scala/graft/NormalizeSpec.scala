@@ -62,6 +62,23 @@ class NormalizeSpec extends SparkSpec {
     assert(zr.length == 1 && zr(0).isNullAt(3))
   }
 
+  test("robustZ: median/MAD scores, outlier-resistant, null on zero MAD") {
+    // values 1..5 (med 3, |dev| = 2,1,0,1,2 → mad 1) plus outlier 1000:
+    // med of 6 values = 3.5, devs = 2.5,1.5,.5,.5,1.5,996.5 → mad = 1.5
+    val df = ((1 to 5).map(i => ("g", i.toDouble)) :+ ("g", 1000.0))
+      .toDF("g", "x")
+    val got = graft.ops.Normalize.robustZ(df, "g", "x")
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1000.0)._1 == 3.5 && got(1000.0)._2 == 1.5)
+    assert(got(1000.0)._3 == (1000.0 - 3.5) / (1.4826 * 1.5))
+    assert(math.abs(got(3.0)._3) < 1.0) // inliers stay small
+    // constant group → MAD 0 → NULL
+    val z = graft.ops.Normalize.robustZ(
+      Seq(("c", 2.0), ("c", 2.0)).toDF("g", "x"), "g", "x").collect()
+    assert(z.forall(_.isNullAt(4)))
+  }
+
   test("bit-identical across partitionings") {
     val rng = new scala.util.Random(5)
     val rows = Seq.fill(2000)((s"g${rng.nextInt(7)}", rng.nextDouble() * 500))
