@@ -269,6 +269,29 @@ object SparkEntry {
           col("last_event_id"), col("last_value"))
     }),
 
+    // ---- Streaming leaderboard: global top-3 per event_type by value,
+    //      O(k) custom state, slate re-emitted on change and converged
+    //      through the (key, rank)-keyed latest-wins merge sink ----
+    "s10_stream_topk" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s10_").toString
+      val target = TargetTable("type_leaderboard", s"$tmp/target",
+        keyCols = Seq("gkey", "rank"), versionCol = "upd_seq", buckets = 4)
+      val cfg = IngestConfig(name = s"s10-topk-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(col("event_type").as("gkey"),
+          col("event_id").as("id"), col("value").as("score"))
+      val updates = graft.streaming.Stateful.topKPerKey(src, k = 3)
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(updates, Trigger.AvailableNow())
+      q.awaitTermination()
+      new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("gkey").as("event_type"), col("rank"),
+          col("id").as("event_id"), col("score").as("value"))
+    }),
+
     // ---- Stream-stream interval join: each click paired with the same
     //      user's purchases in the following hour (symmetric hash join;
     //      watermark + range condition bound BOTH sides' state) ----
@@ -573,6 +596,46 @@ object SparkEntry {
         "event_type", "value")
         .select(col("event_id"), col("event_type"), col("value"),
           col("lo_bound"), col("hi_bound"), col("is_outlier"))),
+
+    // ---- Data contracts: declarative expectations audit — every rule
+    //      rides ONE aggregate over ONE scan; referential rules via
+    //      anti-join, same output shape ----
+    "q_expectations" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.ops.Profile.expect(li, Seq(
+          "quantity_range" -> col("l_quantity").between(1, 50),
+          "quantity_le_45" -> (col("l_quantity") <= 45),
+          "discount_le_005" -> (col("l_discount") <= 0.05),
+          "positive_price" -> (col("l_extendedprice") > 0),
+          "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+        .unionByName(graft.ops.Profile.orphanRule("orderkey_fk",
+          li, "l_orderkey", t(s, dir, "orders"), "o_orderkey"))
+        .unionByName(graft.ops.Profile.orphanRule("custkey_fk",
+          t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"),
+          "c_custkey"))
+    }),
+
+    // ---- Privacy: k-anonymity audit over quasi-identifiers (violating
+    //      equivalence classes only; empty result == fully k-anonymous) ----
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.ops.Profile.kAnonymityViolations(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 8)),
+
+    // ---- Data cleaning: per-group winsorization (clip to p05/p95
+    //      exact-interpolation percentiles — tame tails, don't drop) ----
+    "q_winsorize" -> ((s, dir) =>
+      graft.ops.Normalize.winsorize(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")),
+
+    // ---- Time series: fixed-interval OHLC downsampling (hourly bars
+    //      per user; single (key,bucket)-keyed exchange) ----
+    "q_resample_ohlc" -> ((s, dir) =>
+      graft.ops.TimeSeries.resampleOhlc(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value", bucketUs = 3600000000L)),
 
     // ---- Data cleaning: per-group robust z-score (median/MAD — the
     //      outlier-resistant twin of q_zscore) ----
@@ -1074,10 +1137,30 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "a", "b", iters = 3)
     }),
 
+    // ---- Graph: per-node triangle counts on the co-supply graph
+    //      (suppliers sharing a part) — degree-ordered node-iterator,
+    //      O(E^1.5) wedge bound, hub-proof ----
+    "graph_triangles" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = ps.as("x").join(ps.as("y"),
+          col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+      graft.ops.Graph.triangleCount(pairs, "a", "b")
+    }),
+
     // ---- LLM pipeline: deterministic train/val/test split ----
     "q_train_split" -> ((s, dir) =>
       graft.ops.Sampling.assignSplits(
         t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")),
+
+    // ---- LLM pipeline: sorted-neighborhood blocking (sort by normalized
+    //      prefix, pair within a window of 5, exact bigram-Jaccard
+    //      verify) — the record-linkage complement to LSH buckets ----
+    "dedup_sorted_neighborhood" -> ((s, dir) =>
+      NearDup.sortedNeighborhoodPairs(
+        t(s, dir, "documents"), "doc_id", "text", w = 5, minJaccard = 0.05)),
 
     // ---- LLM pipeline: SimHash fingerprints ----
     "dedup_simhash" -> ((s, dir) =>
@@ -1177,14 +1260,71 @@ object SparkEntry {
           k = 8, iters = 2), nprobe = 2)
     }),
 
+    // ---- LLM pipeline: SemDeDup — k-means cells + in-cell cosine
+    //      prune, min-id representative per semantic duplicate set ----
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          k = 8, iters = 2), threshold = 0.2)
+    }),
+
     // ---- LLM pipeline: sparse TF-IDF vectors over a deterministic
     //      top-32 vocabulary (fixed-point idf, LogQ convention) ----
     "text_tfidf" -> ((s, dir) =>
       graft.ops.TextRank.tfidfSparse(
         t(s, dir, "documents"), "doc_id", "text", vocabSize = 32)),
 
+    // ---- LLM pipeline: HLL distinct-count sketch — NO distinct shuffle
+    //      (max absorbs duplicates; ≤ m rows/group cross the wire), union
+    //      = elementwise register max; registers pinned to the shared
+    //      hash family so the oracle replays them exactly ----
+    "sketch_hll_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllSketchTokens(
+          t(s, dir, "documents"), Seq("lang"), "text"))),
+
+    // ---- LLM pipeline: HLL mergeability — per-(lang,source) registers
+    //      rolled up to per-lang by elementwise max WITHOUT rescanning
+    //      text must equal the direct per-lang sketch (oracle computes
+    //      direct) ----
+    "sketch_hll_merge" -> ((s, dir) =>
+      graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllMerge(
+          graft.ops.Sketches.hllSketchTokens(
+            t(s, dir, "documents"), Seq("lang", "source"), "text"),
+          Seq("lang")))),
+
+    // ---- LLM pipeline: bigram conditional LM table (all-integer
+    //      fixed-point P(w2|w1); window on the aggregated pair table) ----
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramConditionals(
+        t(s, dir, "documents"), "text", minCount = 2)),
+
+    // ---- LLM pipeline: Bloom membership sketch — 8 KiB bitmap per
+    //      group, zero false negatives; the join-pruning primitive
+    //      (probe a filter instead of shipping a token set) ----
+    "sketch_bloom_contains" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Sketches.bloomContains(
+        graft.ops.Sketches.bloomSketchTokens(
+          t(s, dir, "documents"), Seq("lang"), "text"),
+        Seq("lang"), bloomProbes.toDF("word"), "word")
+    }),
+
+    // ---- LLM pipeline: Bloom mergeability — per-(lang,source) bitmaps
+    //      OR-merged to per-lang == direct per-lang build (gated via the
+    //      popcount; the oracle counts distinct set positions) ----
+    "sketch_bloom_merge" -> ((s, dir) =>
+      graft.ops.Sketches.bloomBitsSet(
+        graft.ops.Sketches.bloomMerge(
+          graft.ops.Sketches.bloomSketchTokens(
+            t(s, dir, "documents"), Seq("lang", "source"), "text"),
+          Seq("lang")))),
+
     // ---- LLM pipeline: KMV distinct-count sketch (mergeable, hash-exact
-    //      cross-engine — chosen over HLL for oracle verifiability) ----
+    //      cross-engine; doubles as a set-overlap estimator, which HLL
+    //      registers cannot) ----
     "sketch_kmv_distinct" -> ((s, dir) =>
       graft.ops.Sketches.kmvDistinctTokens(
         t(s, dir, "documents"), "lang", "text", k = 64)),
@@ -1702,8 +1842,38 @@ object SparkEntry {
   /** DuckDB oracles for the hash-pipeline queries, generated from the same
     * Scala constants that drive the Spark plans (OracleSql mirrors
     * TextHash / Similarity / Multimodal value-for-value). */
+  /** Probe set for the bloom gates — mixed present/absent tokens; shared
+    * verbatim by the engine gate and the oracle. */
+  private val bloomProbes = Seq("the", "and", "data", "model", "training",
+    "of", "language", "qqqqzzz1", "xyzzyplugh9", "notarealtoken77")
+
   private def docPipelineOracles: Map[String, String] = {
     val wh = OracleSql.wordHashes("text")
+
+    // HLL replay: bucket = h mod m, rank = leading zeros of the remaining
+    // 24-bit value + 1 via length(bin(x)) — bit length of a positive
+    // BIGINT, identical semantics in Spark and DuckDB — and the harmonic
+    // denominator Σ 2^(25-r) summed as exact BIGINTs. One double division
+    // at the end. Shared by sketch_hll_distinct and sketch_hll_merge
+    // (merge == direct build is exactly the mergeability claim).
+    val hllOracle = {
+      val whl = OracleSql.wordHashes("lower(text)")
+      val m = 64
+      val rmax = graft.ops.Sketches.hllW(m) + 1
+      val num = graft.ops.Sketches.hllAlpha(m) *
+        m.toDouble * m.toDouble * math.pow(2.0, rmax)
+      s"WITH t AS (SELECT lang, unnest($whl) AS h0 FROM documents), " +
+        s"tp AS (SELECT lang, (h0 * ${TextHash.permuteA(0)} + " +
+        s"${TextHash.permuteB(0)}) % ${TextHash.P} AS h FROM t), " +
+        s"br AS (SELECT lang, h % $m AS b, CASE WHEN h // $m = 0 THEN $rmax " +
+        s"ELSE $rmax - length(bin(h // $m)) END AS r FROM tp), " +
+        s"mr AS (SELECT lang, b, max(r) AS r FROM br GROUP BY lang, b), " +
+        s"g AS (SELECT lang, CAST($m - count(*) AS BIGINT) AS n_zero, " +
+        s"CAST(sum((CAST(1 AS BIGINT) << $rmax) >> r) + " +
+        s"($m - count(*)) * (CAST(1 AS BIGINT) << $rmax) AS BIGINT) " +
+        "AS sum_q FROM mr GROUP BY lang) " +
+        s"SELECT lang, n_zero, sum_q, $num / sum_q AS est_distinct FROM g"
+    }
 
     val minhashLsh = {
       val sigCols = (0 until 8).map(j =>
@@ -1741,6 +1911,28 @@ object SparkEntry {
     // Same CTE pipeline as minhashLsh up to the candidate pairs, then the
     // exact-Jaccard verify joins gram sets onto the candidates — mirrors
     // NearDup.ngramJaccardVerify stage for stage.
+    // Sorted-neighborhood replay: DuckDB ranks the same (normalized
+    // 24-char prefix, id) total order; the window pairing is a rank-range
+    // join (nested loop is fine at oracle scale — the ENGINE uses the
+    // block equi-join) and the verify is the shared bigram Jaccard.
+    val sortedNeighborhoodSql = {
+      s"WITH base AS (SELECT doc_id, text, $wh AS wh FROM documents), " +
+        "k AS (SELECT doc_id, wh, substr(lower(regexp_replace(text, " +
+        "'\\s+', ' ', 'g')), 1, 24) AS kk FROM base), " +
+        "r AS (SELECT doc_id, wh, row_number() OVER (ORDER BY kk, doc_id) " +
+        "- 1 AS rank FROM k), " +
+        "cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM r a " +
+        "JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 4), " +
+        s"gr AS (SELECT doc_id, list_distinct(${OracleSql.shingles("wh", 2)}) " +
+        "AS grams FROM base), " +
+        "p AS (SELECT c.id_a, c.id_b, " +
+        "CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) " +
+        "AS jaccard FROM cand c JOIN gr ga ON ga.doc_id = c.id_a " +
+        "JOIN gr gb ON gb.doc_id = c.id_b) " +
+        "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.05"
+    }
+
     val jaccardSql = {
       val sigCols = (0 until 8).map(j =>
         s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
@@ -1907,6 +2099,60 @@ object SparkEntry {
         "samp AS (SELECT * FROM n), " +
         OracleSql.kmeansCtes("vec_id", k = 8, iters = 2, dim = 64) + ", " +
         "c AS (SELECT * FROM c2), "
+
+    // SemDeDup replay: the same learned cells as the IVF gates, then an
+    // in-cell lower-id cosine-neighbor EXISTS decides keep/drop.
+    val semanticDedup = {
+      val dotVC = OracleSql.dot("n.v", "c.cv")
+      val dotXY = OracleSql.dot("x.v", "y.v")
+      ivfKmeans +
+        s"a AS (SELECT n.vec_id, n.v, n.nrm, c.cid, $dotVC / (n.nrm * c.cnrm) AS cos " +
+        "FROM n CROSS JOIN c), " +
+        "cell AS (SELECT vec_id, v, nrm, cid AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cos DESC, cid ASC) AS rn FROM a) WHERE rn = 1), " +
+        s"d AS (SELECT DISTINCT x.vec_id FROM cell x JOIN cell y " +
+        s"ON x.cell = y.cell AND y.vec_id < x.vec_id " +
+        s"AND $dotXY / (x.nrm * y.nrm) >= 0.2) " +
+        "SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep " +
+        "FROM cell c LEFT JOIN d ON c.vec_id = d.vec_id"
+    }
+
+    // Bloom replay: the k bit positions are the MinHash permutation
+    // family mod mBits — pure integer arithmetic. The oracle keeps the
+    // DISTINCT position set per group (bitmap == position set);
+    // membership = all of a probe's positions present.
+    val bloomPos = { (h: String) =>
+      (0 until 3).map(j =>
+        s"((($h) * ${TextHash.permuteA(j)} + ${TextHash.permuteB(j)}) % " +
+          s"${TextHash.P}) % 65536").mkString("[", ", ", "]")
+    }
+    val bloomPosCte = {
+      val whl = OracleSql.wordHashes("lower(text)")
+      s"WITH t AS (SELECT lang, unnest($whl) AS h0 FROM documents), " +
+        "pos AS (SELECT DISTINCT lang, p FROM " +
+        s"(SELECT lang, unnest(${bloomPos("h0")}) AS p FROM t)), "
+    }
+    val bloomContainsOracle = {
+      val words = bloomProbes.map(w => s"'$w'").mkString(", ")
+      bloomPosCte +
+        s"pw AS (SELECT unnest([$words]) AS word), " +
+        s"ph AS (SELECT word, list_extract(${OracleSql.wordHashes("lower(word)")}, 1) " +
+        "AS h0 FROM pw), " +
+        s"pp AS (SELECT word, unnest(${bloomPos("h0")}) AS p FROM ph), " +
+        "np AS (SELECT word, count(DISTINCT p) AS n_pos FROM pp GROUP BY word), " +
+        "langs AS (SELECT DISTINCT lang FROM documents), " +
+        "nh AS (SELECT c.lang, c.word, count(*) AS n_hit FROM " +
+        "(SELECT DISTINCT l.lang, pp.word, pp.p FROM langs l CROSS JOIN pp) c " +
+        "JOIN pos ON pos.lang = c.lang AND pos.p = c.p " +
+        "GROUP BY c.lang, c.word) " +
+        "SELECT l.lang, w.word, coalesce(nh.n_hit, 0) = w.n_pos " +
+        "AS maybe_contains FROM langs l CROSS JOIN np w " +
+        "LEFT JOIN nh ON nh.lang = l.lang AND nh.word = w.word"
+    }
+    val bloomMergeOracle = bloomPosCte +
+      "g AS (SELECT lang, CAST(count(DISTINCT p) AS BIGINT) AS n_bits_set " +
+      "FROM pos GROUP BY lang) SELECT lang, n_bits_set FROM g"
 
     val ivfNprobe = {
       val dotVC = OracleSql.dot("n.v", "c.cv")
@@ -2225,6 +2471,60 @@ object SparkEntry {
           "SELECT e.event_id, e.event_type, e.value, bb.lo_bound, " +
           "bb.hi_bound, (e.value < bb.lo_bound OR e.value > bb.hi_bound) " +
           "AS is_outlier FROM events e JOIN bb USING (event_type)"),
+      "q_expectations" -> {
+        val ruleSqls = Seq(
+          "quantity_range" -> "l_quantity BETWEEN 1 AND 50",
+          "quantity_le_45" -> "l_quantity <= 45",
+          "discount_le_005" -> "l_discount <= 0.05",
+          "positive_price" -> "l_extendedprice > 0",
+          "flag_domain" -> "l_returnflag IN ('A', 'N', 'R')")
+        val vs = ruleSqls.zipWithIndex.map { case ((_, p), i) =>
+          s"sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) AS v$i"
+        }.mkString(", ")
+        val rows = ruleSqls.zipWithIndex.map { case ((name, _), i) =>
+          s"SELECT '$name' AS rule, n AS n_checked, " +
+            s"CAST(v$i AS BIGINT) AS n_violations, v$i = 0 AS pass FROM a"
+        }
+        val fk1 = "SELECT 'orderkey_fk', (SELECT count(*) FROM lineitem), " +
+          "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 " +
+          "FROM orders o WHERE o.o_orderkey = l.l_orderkey)), " +
+          "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 " +
+          "FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0"
+        val fk2 = "SELECT 'custkey_fk', (SELECT count(*) FROM orders), " +
+          "(SELECT count(*) FROM orders r WHERE NOT EXISTS (SELECT 1 " +
+          "FROM customer c WHERE c.c_custkey = r.o_custkey)), " +
+          "(SELECT count(*) FROM orders r WHERE NOT EXISTS (SELECT 1 " +
+          "FROM customer c WHERE c.c_custkey = r.o_custkey)) = 0"
+        s"WITH a AS (SELECT count(*) AS n, $vs FROM lineitem) " +
+          (rows :+ fk1 :+ fk2).mkString(" UNION ALL ")
+      },
+      "q_k_anonymity" ->
+        ("SELECT c_nationkey, c_mktsegment, count(*) AS class_size " +
+          "FROM customer GROUP BY c_nationkey, c_mktsegment " +
+          "HAVING count(*) < 8"),
+      "q_winsorize" ->
+        ("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS clip_lo, " +
+          "quantile_cont(value, 0.95) AS clip_hi FROM events GROUP BY event_type) " +
+          "SELECT e.event_id, e.event_type, e.value, b.clip_lo, b.clip_hi, " +
+          "CASE WHEN e.value < b.clip_lo THEN b.clip_lo " +
+          "WHEN e.value > b.clip_hi THEN b.clip_hi ELSE e.value END " +
+          "AS winsorized FROM events e JOIN b USING (event_type)"),
+      "q_resample_ohlc" ->
+        ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value " +
+          "FROM events), " +
+          "b AS (SELECT user_id, (ts_us // 3600000000) * 3600000000 " +
+          "AS bucket_start_us, value, " +
+          "row_number() OVER (PARTITION BY user_id, ts_us // 3600000000 " +
+          "ORDER BY ts_us, event_id) AS rf, " +
+          "row_number() OVER (PARTITION BY user_id, ts_us // 3600000000 " +
+          "ORDER BY ts_us DESC, event_id DESC) AS rl FROM e) " +
+          "SELECT user_id, bucket_start_us, " +
+          "max(CASE WHEN rf = 1 THEN value END) AS open, " +
+          "max(value) AS high, min(value) AS low, " +
+          "max(CASE WHEN rl = 1 THEN value END) AS close, " +
+          "count(*) AS n_events, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+          "FROM b GROUP BY user_id, bucket_start_us"),
       "q_robust_z" ->
         ("WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
           "FROM events GROUP BY event_type), " +
@@ -2330,9 +2630,25 @@ object SparkEntry {
           "e AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le), " +
           graft.functions.OracleSql.pageRankCtes(iters = 3) +
           " SELECT node, rank_q FROM it3"),
+      // Id-ordered 3-way self-join: same triangle SET as the engine's
+      // degree-ordered enumeration (orientation reorders the search, not
+      // the membership), tractable at oracle scale.
+      "graph_triangles" ->
+        ("WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s " +
+          "FROM lineitem), " +
+          "ce AS (SELECT DISTINCT CAST(x.s AS BIGINT) AS a, " +
+          "CAST(y.s AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.p = y.p AND x.s < y.s), " +
+          "tri AS (SELECT e1.a AS u, e1.b AS x, e2.b AS y FROM ce e1 " +
+          "JOIN ce e2 ON e2.a = e1.a AND e1.b < e2.b " +
+          "JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b) " +
+          "SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (" +
+          "SELECT u AS node FROM tri UNION ALL SELECT x FROM tri " +
+          "UNION ALL SELECT y FROM tri) GROUP BY node"),
       "q_train_split" -> trainSplitSql,
       "pipeline_corpus" -> pipelineCorpusSql,
       "dedup_simhash" -> simhashSql,
+      "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_prefix_jaccard" -> prefixJaccardSql,
       "dedup_decontaminate" -> decontaminateSql,
@@ -2356,6 +2672,25 @@ object SparkEntry {
           "SELECT tf.doc_id, v.term_idx, v.w AS token, tf.tf, " +
           s"CAST(tf.tf * v.idfq AS DOUBLE) / ${graft.ops.TextAnalysis.LogQ} AS tfidf " +
           "FROM tf JOIN vocab v USING (w)"),
+      "text_bigram_lm" ->
+        ("WITH wf AS (SELECT list_filter(string_split_regex(lower(text), " +
+          "'\\s+'), w -> w <> '') AS ws FROM documents), " +
+          "p AS (SELECT unnest(list_transform(range(1, len(ws)), " +
+          "i -> {'w1': ws[i], 'w2': ws[i+1]})) AS pr FROM wf " +
+          "WHERE len(ws) >= 2), " +
+          "c AS (SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS n_pair " +
+          "FROM p GROUP BY 1, 2), " +
+          "t AS (SELECT w1, w2, n_pair, CAST(sum(n_pair) OVER " +
+          "(PARTITION BY w1) AS BIGINT) AS n_prefix FROM c) " +
+          s"SELECT w1, w2, n_pair, n_prefix, CAST((n_pair * ${graft.ops.TextAnalysis.LogQ}) " +
+          "// n_prefix AS BIGINT) AS p_q FROM t WHERE n_pair >= 2"),
+      "sketch_bloom_contains" -> bloomContainsOracle,
+      "sketch_bloom_merge" -> bloomMergeOracle,
+      "sketch_hll_distinct" -> hllOracle,
+      // Mergeability IS the gate: the engine merges per-(lang,source)
+      // registers by elementwise max; the oracle computes per-lang
+      // directly. Equal output proves union(sketches) == sketch(union).
+      "sketch_hll_merge" -> hllOracle,
       "sketch_kmv_distinct" -> {
         val wh = OracleSql.wordHashes("lower(text)")
         val kept = "sum(CASE WHEN rn <= 64 THEN 1 ELSE 0 END)"
@@ -2436,6 +2771,7 @@ object SparkEntry {
       "ann_ivf_topk" -> ivfTopK,
       "ann_lsh_multiprobe" -> lshMultiprobe,
       "ann_ivf_nprobe" -> ivfNprobe,
+      "dedup_semantic" -> semanticDedup,
       "text_langid" -> langIdSql,
       "text_token_classes" -> tokenClassesSql,
       "text_fingerprint" -> fingerprintSql,
@@ -2609,6 +2945,12 @@ object SparkEntry {
           "event_type, count(*) AS n_events, " +
           "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
           "FROM events CROSS JOIN range(0, 2) t(i) GROUP BY 1, 2"),
+      "s10_stream_topk" ->
+        ("SELECT event_type, rank, event_id, value FROM " +
+          "(SELECT event_type, event_id, value, " +
+          "CAST(row_number() OVER (PARTITION BY event_type " +
+          "ORDER BY value DESC, event_id DESC) AS BIGINT) AS rank " +
+          "FROM events) WHERE rank <= 3"),
       "s2_stream_stateful" ->
         ("SELECT pkey, n_events, epoch_us(ts) AS last_us, " +
           "event_id AS last_event_id, value AS last_value FROM " +

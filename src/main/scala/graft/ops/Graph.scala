@@ -96,4 +96,68 @@ object Graph {
       ranks
     } finally { e.unpersist(); ed.unpersist(); nodes.unpersist(); () }
   }
+
+  /** Per-node triangle counts over an undirected simple graph (the input
+    * edge list is symmetrized/deduped; self-loops dropped) — the local
+    * clustering signal: spam/SEO link farms and bot follower rings show
+    * up as triangle-dense neighborhoods, and triangle counts feed
+    * clustering-coefficient features for graph-quality weighting.
+    *
+    * Scale shape — the textbook degree-ordered node-iterator (MR version:
+    * Suri & Vassilvitskii, WWW'11): orient every undirected edge from the
+    * (degree, id)-smaller endpoint to the larger, making out-degrees
+    * O(√E)-bounded on any graph (arboricity bound), so the wedge
+    * self-join generates Σ outdeg(v)² = O(E^1.5) candidates worst-case
+    * instead of Σ deg(v)² (catastrophic on hub nodes — a degree-10⁶ hub
+    * contributes 10¹² unordered wedges but only its oriented wedges
+    * survive here). Each wedge (v,w) then semi-joins the oriented edge
+    * set once; every shuffle is keyed by vertex or edge, no driver-side
+    * state. Output rows only for nodes on ≥ 1 triangle.
+    *
+    * Exact and deterministic (pure set algebra on BIGINTs) — the oracle
+    * replays it with an id-ordered 3-way self-join, which yields the
+    * identical triangle set because orientation only reorders the
+    * enumeration, never the membership. */
+  def triangleCount(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    // canonical undirected edges: a < b, deduped, no self-loops
+    val und = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") < col("b")).distinct().persist()
+    var oriented: DataFrame = null
+    try {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      // orient low (degree, id) -> high (degree, id)
+      oriented = und
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v")))
+            .otherwise(struct(col("b").as("u"), col("a").as("v")))
+            .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .persist()
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+      // closing edge may be oriented either way between x and y
+      val tri = wedges.join(
+        oriented.select(col("u").as("x"), col("v").as("y"))
+          .unionByName(oriented.select(col("v").as("x"), col("u").as("y"))),
+        Seq("x", "y"), "left_semi")
+      val out = tri
+        .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+      out.localCheckpoint()
+    } finally {
+      und.unpersist()
+      if (oriented != null) oriented.unpersist()
+      ()
+    }
+  }
 }

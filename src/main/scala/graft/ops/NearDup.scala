@@ -400,6 +400,63 @@ object NearDup {
     * candidate side is small enough, plain shuffle-hash when it isn't, so
     * no hint is forced here. Emits (id_a, id_b, jaccard) for candidates
     * with jaccard >= minJaccard. */
+  /** Sorted-neighborhood blocking + exact Jaccard verify — the classic
+    * record-linkage alternative to LSH: sort the corpus by a normalized
+    * key (whitespace-collapsed lowercase 24-char prefix + id tie-break),
+    * pair each doc with the `w-1` docs that FOLLOW it in sort order, and
+    * keep pairs whose word-bigram Jaccard ≥ `minJaccard`. Catches
+    * prefix-sharing near-dups (boilerplate headers, template pages) that
+    * hash-bucket methods only find probabilistically; misses dups whose
+    * difference is inside the key — run it alongside LSH, not instead.
+    *
+    * Scale shape: the sort is Spark's range-partitioned distributed sort;
+    * the global rank comes from `zipWithIndex` (one count job; only
+    * per-partition counts touch the driver — a legitimate RDD drop-down,
+    * there is no DataFrame global rank that avoids a 1-partition window).
+    * Candidate pairing is an EQUI-join: each row joins block
+    * `rank div (w-1)` and its successor block, then filters to
+    * `1 ≤ rank_b - rank_a ≤ w-1` — never a range/nested-loop join.
+    * Output volume ≤ docs × (w-1); verify cost is candidates only. */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 5, minJaccard: Double = 0.05): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    val keyed = docs.select(col(idCol), col(textCol),
+      substring(lower(regexp_replace(col(textCol), "\\s+", " ")), 1, 24)
+        .as("__k"))
+    val sorted = keyed.orderBy(col("__k"), col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "__rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema).persist()
+    try {
+      val dist = w - 1
+      val a = ranked.select(col(idCol).as("id_a"), col("__rank").as("__ra"),
+          explode(array(expr(s"__rank div $dist"),
+            expr(s"__rank div $dist + 1"))).as("__blk"))
+      val b = ranked.select(col(idCol).as("id_b"), col("__rank").as("__rb"),
+          expr(s"__rank div $dist").as("__blk"))
+      val cand = a.join(b, "__blk")
+        .filter(col("__rb") > col("__ra") && col("__rb") <= col("__ra") + dist)
+        .select(col("id_a"), col("id_b"))
+      val grams = gramSets(ranked.drop("__k", "__rank"), idCol, textCol)
+      val ga = grams.select(col(idCol).as("id_a"), col("grams").as("g_a"))
+      val gb = grams.select(col(idCol).as("id_b"), col("grams").as("g_b"))
+      val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("double")
+      val union = size(array_union(col("g_a"), col("g_b"))).cast("double")
+      cand.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("jaccard",
+          when(union > 0, inter / union).otherwise(lit(0.0)))
+        .where(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .localCheckpoint()
+    } finally { ranked.unpersist(); () }
+  }
+
   def ngramJaccardVerify(
       docs: DataFrame, idCol: String, textCol: String,
       m: Int = 8, n: Int = 3, r: Int = 2,

@@ -91,6 +91,33 @@ object Normalize {
         col(valCol) < col("lo_bound") || col(valCol) > col("hi_bound"))
   }
 
+  /** Per-group winsorization — clip values to the [pLo, pHi]
+    * exact-interpolation percentiles of their group: the standard tail
+    * treatment when outliers should be TAMED, not dropped
+    * ([[iqrOutliers]] flags; this repairs). Output: input columns +
+    * (clip_lo, clip_hi, winsorized).
+    *
+    * Engine-exact for the same reason as [[iqrOutliers]] (`percentile`
+    * == DuckDB `quantile_cont` bit-for-bit; the clip itself is pure
+    * comparison, no arithmetic on the value at all). Cost: one grouped
+    * percentile aggregate + one broadcast join back (knob as
+    * [[zscore]]). */
+  def winsorize(
+      df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      broadcastBounds: Boolean = true): DataFrame = {
+    require(pLo >= 0.0 && pHi <= 1.0 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val b = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, $pLo)").as("clip_lo"),
+        expr(s"percentile($valCol, $pHi)").as("clip_hi"))
+    df.join(if (broadcastBounds) broadcast(b) else b, groupCol)
+      .withColumn("winsorized",
+        when(col(valCol) < col("clip_lo"), col("clip_lo"))
+          .when(col(valCol) > col("clip_hi"), col("clip_hi"))
+          .otherwise(col(valCol)))
+  }
+
   /** Per-group ROBUST z-score via median absolute deviation —
     * [[zscore]]'s outlier-resistant twin: mean/std move with the very
     * outliers being hunted, median/MAD do not.

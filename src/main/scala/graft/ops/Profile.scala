@@ -45,6 +45,62 @@ object Profile {
     one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Declarative data-contract audit — the expectations pass
+    * (Great-Expectations / dbt-test shape) a pipeline runs per corpus
+    * drop: each rule is a boolean Column; a row VIOLATES when the
+    * predicate is false OR null (a null check result is a failure, not a
+    * free pass — three-valued logic would otherwise silently skip dirty
+    * rows). Emits (rule, n_checked, n_violations, pass).
+    *
+    * Scale: every rule rides ONE aggregation over ONE scan (no per-rule
+    * passes); output is O(rules). */
+  def expect(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+        .as(s"__v_$name")
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perRule = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"), col("__n").as("n_checked"),
+        col(s"__v_$name").as("n_violations"),
+        (col(s"__v_$name") === 0L).as("pass"))
+    }
+    one.select(explode(array(perRule: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Referential-integrity audit in the same output shape as [[expect]]:
+    * child rows whose key has no parent. A left ANTI join keyed by the
+    * parent key — broadcast when the parent is a dim, shuffle otherwise;
+    * Spark's runtime bloom filter prunes the child scan when selective. */
+  def orphanRule(
+      name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val n = child.count()
+    val o = child.join(
+      parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti").count()
+    child.sparkSession.range(1).select(
+      lit(name).as("rule"), lit(n).as("n_checked"),
+      lit(o).as("n_violations"), lit(o == 0L).as("pass"))
+  }
+
+  /** k-anonymity audit over quasi-identifier columns: every equivalence
+    * class (distinct QI combination) with fewer than `k` members is a
+    * re-identification risk. Emits ONLY violating classes
+    * (qiCols..., class_size) — output is bounded by the violation count,
+    * and an empty result IS the pass. One hash aggregate keyed by the
+    * QI tuple. */
+  def kAnonymityViolations(
+      df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
   /** Per-group equi-width histogram of a numeric column: `bins` buckets
     * spanning the group's [min, max], max closing into the last bin;
     * null values are dropped. Deterministic across engines: the bin is

@@ -475,6 +475,50 @@ object Similarity {
     ivfCells(emb, idCol, vecCol,
       firstNCentroids(emb, idCol, vecCol, nCentroids))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space (k-means cells), then
+    * within each cell mark every vector that has a LOWER-ID in-cell
+    * neighbor with cosine ≥ `threshold` as a duplicate — keeping exactly
+    * one deterministic representative (the min id) per semantic
+    * near-duplicate set, the embedding-space complement of the
+    * MinHash/winnow lexical pipeline. Output: one row per vector
+    * (idCol, cell, keep).
+    *
+    * Scale shape: cell assignment is the row-local broadcast-centroid
+    * fold of [[ivfCells]] (zero corpus-side exchanges), and the only
+    * join is the in-cell self-join — shuffle keyed by cell, cost
+    * Σ|cell|², the SemDeDup design point: k grows with the corpus
+    * (|corpus|/k vectors per cell ~ thousands) so cells stay
+    * self-join-able; k is the caller's knob via `centroids`. Skewed
+    * cells split under AQE like any keyed self-join.
+    *
+    * Deterministic: assignment reuses the bit-deterministic
+    * [[bestCell]] fold, the pair predicate is one fixed-shape cosine
+    * (no cross-row accumulation), and keep/drop depends only on the id
+    * order — so a DuckDB oracle replays it row-for-row. NaN cosines
+    * (zero-norm vectors) compare "greater than everything" in BOTH
+    * Spark SQL and DuckDB, so degenerate vectors collapse to one
+    * representative consistently in either engine. */
+  def semanticDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val cells = ivfCells(emb, idCol, vecCol, centroids).persist()
+    try {
+      val dup = cells.select(col(idCol).as("__ida"), col("v").as("__va"),
+          col("nrm").as("__na"), col("cell"))
+        .join(cells.select(col(idCol).as("__idb"), col("v").as("__vb"),
+          col("nrm").as("__nb"), col("cell")), "cell")
+        .filter(col("__idb") < col("__ida") &&
+          dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+            >= threshold)
+        .select(col("__ida")).distinct()
+      cells.select(col(idCol), col("cell"))
+        .join(dup, col(idCol) === col("__ida"), "left_outer")
+        .select(col(idCol), col("cell"), col("__ida").isNull.as("keep"))
+        .localCheckpoint()
+    } finally { cells.unpersist(); () }
+  }
+
   /** IVF top-k: rank candidates within the query's `nprobe` closest cells —
     * the learned-partitioning sibling of lshTopK. `nprobe = 1` searches
     * each query's own cell (zero extra work: the cell is already assigned

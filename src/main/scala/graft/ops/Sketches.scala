@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -10,20 +10,30 @@ import graft.functions.TextHash
   * domain) where the exact distinct set is too large to hold but a few
   * percent of error is fine.
   *
-  * The sketch here is KMV (k-minimum-values): keep the k smallest hash
-  * values of the distinct items; the k-th smallest hash `m` estimates
-  * cardinality as `(k-1) · P / m` (hashes uniform on [0, P)). Chosen over
-  * HyperLogLog deliberately: same mergeability (union = k smallest of the
-  * concatenation) and error ~1/√k, but the sketch is a deterministic
-  * function of the item set through the engine's shared `TextHash`
-  * family — reproducible across runs, partitionings, AND engines, so the
-  * driver's DuckDB oracle hash-gates it exactly (an HLL's register layout
-  * is engine-private and unverifiable cross-engine).
+  * Two sketch families, same hash source, different trade-offs:
   *
-  * Scale: one distinct shuffle on (group, hash) — the inherent cost of
-  * distinctness — then a per-group window+aggregate keyed by group. The
-  * per-group state after the distinct is the k minima, not the distinct
-  * set. */
+  *  - KMV (k-minimum-values): keep the k smallest hash values of the
+  *    distinct items; the k-th smallest hash `m` estimates cardinality as
+  *    `(k-1) · P / m` (hashes uniform on [0, P)). Union = k smallest of
+  *    the concatenation; error ~1/√k. Costs one distinct shuffle on
+  *    (group, hash) — the per-group state after the distinct is the k
+  *    minima, not the distinct set — and the sketch doubles as a
+  *    set-overlap estimator ([[kmvJaccard]]), something HLL registers
+  *    cannot do.
+  *  - HyperLogLog ([[hllSketchTokens]]): m max-rank registers. NO
+  *    distinct shuffle at all — `max` is duplicate-insensitive, so the
+  *    whole build is one map-side-combinable aggregate whose
+  *    post-shuffle volume is ≤ m rows per group regardless of corpus
+  *    size; union = elementwise register max ([[hllMerge]]). The cheaper
+  *    build at scale; intersections need inclusion-exclusion on
+  *    estimates (noisier than KMV's union-sketch route).
+  *
+  * Both are deterministic functions of the item set through the engine's
+  * shared `TextHash` family — reproducible across runs, partitionings,
+  * AND engines, so the driver's DuckDB oracle hash-gates them exactly.
+  * (Spark's own `approx_count_distinct` HLL++ is register-layout-private
+  * and unverifiable cross-engine; pinning registers to the public hash
+  * family is what makes this one oracle-checkable.) */
 object Sketches {
 
   /** Raw per-group KMV sketch: (groupCols..., minima) where `minima` is
@@ -151,5 +161,200 @@ object Sketches {
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble * TextHash.P) / col("__kth"))
           .as("est_distinct"))
+  }
+
+  // ---- HyperLogLog over the shared hash family ---------------------------
+
+  /** Register-value width: the permuted hash is uniform on [0, P), the low
+    * log2(m) bits pick the register, and the remaining `hllW(m)` bits feed
+    * the leading-zero rank, so ranks live in [1, hllW(m)+1]. */
+  def hllW(m: Int): Int = 64 - java.lang.Long.numberOfLeadingZeros(
+    (TextHash.P - 1) / m)
+
+  /** Bias constant of the raw HLL estimator (Flajolet et al. 2007). */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Rank of a post-bucket hash remainder `x` (a `hllW(m)`-bit value):
+    * leading zeros + 1, computed with pure integer/string ops —
+    * `length(bin(x))` is the bit length of a positive BIGINT in Spark AND
+    * DuckDB, so the oracle mirrors this exactly (no float log2 anywhere
+    * near a power-of-two boundary). */
+  private def hllRank(x: org.apache.spark.sql.Column, m: Int) =
+    when(x === 0, lit(hllW(m) + 1))
+      .otherwise(lit(hllW(m) + 1) - length(bin(x)))
+
+  private def hllAssemble(
+      grouped: DataFrame, groupCols: Seq[String], m: Int): DataFrame =
+    grouped
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__r"))))
+        .as("__mm"))
+      .select(groupCols.map(col) :+
+        transform(sequence(lit(0L), lit((m - 1).toLong)),
+          b => coalesce(element_at(col("__mm"), b), lit(0)).cast("int"))
+          .as("registers"): _*)
+
+  /** Per-group HLL registers over whitespace tokens of `lower(textCol)`:
+    * (groupCols..., registers) with `registers` the length-m array of
+    * max leading-zero ranks (0 = register never touched).
+    *
+    * Scale shape — the reason to pick this over [[kmvSketchTokens]] at
+    * 100 TB: no `distinct` materialization of the token universe. `max`
+    * absorbs duplicates, so the build is ONE aggregate keyed by
+    * (group, register) with map-side combine; at most m rows per group
+    * cross the shuffle no matter how many tokens scanned. */
+  def hllSketchTokens(
+      docs: DataFrame, groupCols: Seq[String], textCol: String,
+      m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val toks = docs
+      .select(groupCols.map(col) :+
+        explode(TextHash.wordHashes(lower(col(textCol)))).as("__h0"): _*)
+      .select(groupCols.map(col) :+ TextHash.permute(0, col("__h0")).as("__h"): _*)
+    hllAssemble(
+      toks
+        .select(groupCols.map(col) :+ (col("__h") % m).as("__b") :+
+          hllRank(expr(s"__h div $m"), m).as("__rk"): _*)
+        .groupBy(groupCols.map(col) :+ col("__b"): _*)
+        .agg(max(col("__rk")).as("__r")),
+      groupCols, m)
+  }
+
+  /** Merge sketches down to a coarser grouping: elementwise register max —
+    * identical to sketching the union directly (spec-proven), at
+    * O(sketch rows × m) cost with no text rescan. */
+  def hllMerge(
+      sketches: DataFrame, groupCols: Seq[String], m: Int = 64): DataFrame =
+    hllAssemble(
+      sketches
+        .select(groupCols.map(col) :+
+          posexplode(col("registers")).as(Seq("__p", "__rk")): _*)
+        .select(groupCols.map(col) :+ col("__p").cast("long").as("__b") :+
+          col("__rk"): _*)
+        .groupBy(groupCols.map(col) :+ col("__b"): _*)
+        .agg(max(col("__rk")).as("__r")),
+      groupCols, m)
+
+  // ---- Bloom filter over the shared hash family --------------------------
+
+  /** The `kHashes` bit positions of one raw token hash: the same affine
+    * permutation family MinHash uses (`TextHash.permute(j, ·)`), reduced
+    * mod `mBits` — pure integer ops, replayed exactly by the oracle. */
+  private def bloomPositions(h: Column, mBits: Int, kHashes: Int): Column =
+    array((0 until kHashes).map(j => TextHash.permute(j, h) % mBits): _*)
+
+  private def bitsAssemble(
+      grouped: DataFrame, groupCols: Seq[String], words: Int): DataFrame =
+    grouped
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__m"))))
+        .as("__mm"))
+      .select(groupCols.map(col) :+
+        transform(sequence(lit(0L), lit((words - 1).toLong)),
+          w => coalesce(element_at(col("__mm"), w), lit(0L)))
+          .as("bits"): _*)
+
+  /** Per-group Bloom-filter bitmap over whitespace tokens of
+    * `lower(textCol)`: (groupCols..., bits) with `bits` an array of
+    * mBits/64 BIGINT words. THE join-pruning sketch: ship a group's
+    * membership structure (8 KiB at the default 2^16 bits) instead of its
+    * token set, with zero false negatives and a tunable false-positive
+    * rate (~(1-e^(-k·n/m))^k).
+    *
+    * Scale shape: like [[hllSketchTokens]], NO distinct shuffle — BIT_OR
+    * absorbs duplicate positions in the map-side partial aggregate, so at
+    * most mBits/64 rows per group cross the wire. Union = elementwise OR
+    * ([[bloomMerge]]), so per-shard filters roll up without rescanning
+    * text. */
+  def bloomSketchTokens(
+      docs: DataFrame, groupCols: Seq[String], textCol: String,
+      mBits: Int = 65536, kHashes: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    require(kHashes >= 1, s"kHashes must be >= 1, got $kHashes")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val toks = docs
+      .select(groupCols.map(col) :+
+        explode(TextHash.wordHashes(lower(col(textCol)))).as("__h0"): _*)
+      .select(groupCols.map(col) :+
+        explode(bloomPositions(col("__h0"), mBits, kHashes)).as("__p"): _*)
+    bitsAssemble(
+      toks
+        .select(groupCols.map(col) :+ expr("__p div 64").as("__w") :+
+          call_function("shiftleft", lit(1L),
+            (col("__p") % 64).cast("int")).as("__m0"): _*)
+        .groupBy(groupCols.map(col) :+ col("__w"): _*)
+        .agg(expr("bit_or(__m0)").as("__m")),
+      groupCols, mBits / 64)
+  }
+
+  /** Merge bloom bitmaps to a coarser grouping: elementwise OR —
+    * identical to sketching the union directly (spec + gate prove it). */
+  def bloomMerge(
+      sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val words = sketches.select(size(col("bits"))).head().getInt(0)
+    bitsAssemble(
+      sketches
+        .select(groupCols.map(col) :+
+          posexplode(col("bits")).as(Seq("__pw", "__b")): _*)
+        .select(groupCols.map(col) :+ col("__pw").cast("long").as("__w") :+
+          col("__b"): _*)
+        .groupBy(groupCols.map(col) :+ col("__w"): _*)
+        .agg(expr("bit_or(__b)").as("__m")),
+      groupCols, words)
+  }
+
+  /** Popcount summary of a bitmap sketch: (…, n_bits_set) — the merge
+    * gate's scalar form, and the input to the standard fill-ratio
+    * false-positive estimate. */
+  def bloomBitsSet(df: DataFrame): DataFrame =
+    df.select(df.columns.filter(_ != "bits").map(col).toSeq :+
+      aggregate(col("bits"), lit(0L),
+        (a, x) => a + bit_count(x).cast("long")).as("n_bits_set"): _*)
+
+  /** Probe every `probes` word against every group's bitmap:
+    * (groupCols..., word, maybe_contains). `maybe_contains` is true iff
+    * ALL k bit positions of the word are set — never a false negative for
+    * tokens that entered the sketch. Cost: |probes| × |groups| row-local
+    * bit tests on the (tiny) sketch table; the corpus is never touched. */
+  def bloomContains(
+      sketches: DataFrame, groupCols: Seq[String], probes: DataFrame,
+      wordCol: String, mBits: Int = 65536, kHashes: Int = 3): DataFrame = {
+    val ph = probes.select(col(wordCol).as("word"),
+      TextHash.wordHash(lower(col(wordCol))).as("__h0"))
+    val pp = ph.select(col("word"),
+      bloomPositions(col("__h0"), mBits, kHashes).as("__ps"))
+    sketches.crossJoin(broadcast(pp))
+      .select(groupCols.map(col) :+ col("word") :+
+        forall(col("__ps"), p =>
+          call_function("shiftright",
+            element_at(col("bits"), (shiftright(p, 6) + 1).cast("int")),
+            (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1L)
+          .as("maybe_contains"): _*)
+  }
+
+  /** Estimator columns from a `registers` array: (…, n_zero, sum_q,
+    * est_distinct) where `sum_q = Σ_j 2^(W+1-M_j)` is the harmonic-mean
+    * denominator held EXACTLY as a BIGINT (every term is a power of two;
+    * W+1 ≤ 25 for m=64 over P≈2^30, so the sum is far below 2^63) and the
+    * raw estimate `α·m²·2^(W+1) / sum_q` is ONE double division of exact
+    * integers — bit-identical across partitionings and engines. The
+    * small-range linear-counting branch is deliberately omitted: it needs
+    * `ln`, whose last-ulp behavior is libm-specific, and the KMV sketch
+    * already covers exact-below-k small cardinalities. */
+  def hllEstimate(df: DataFrame, m: Int = 64): DataFrame = {
+    val rmax = hllW(m) + 1
+    val num = hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, rmax)
+    df.select(df.columns.filter(_ != "registers").map(col).toSeq :+
+      size(filter(col("registers"), r => r === 0)).cast("long").as("n_zero") :+
+      aggregate(col("registers"), lit(0L),
+        (a, r) => a + call_function("shiftright",
+          lit(1L << rmax), r.cast("int"))).as("sum_q"): _*)
+      .withColumn("est_distinct", lit(num) / col("sum_q"))
   }
 }

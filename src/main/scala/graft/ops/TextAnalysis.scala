@@ -332,4 +332,42 @@ object TextAnalysis {
         TextHash.docHash(col("__wh")).as("doc_fp"),
         array_min(col("__sh")).as("min_shingle"),
         size(col("__sh")).cast("long").as("n_shingles"))
+
+  /** Corpus bigram conditional-probability table — the n-gram LM step up
+    * from [[unigramLogProb]]: for every adjacent word pair,
+    * `P(w2|w1) ≈ p_q / 2^20` with `p_q = (n_pair · 2^20) div n_prefix`,
+    * ALL-INTEGER floor arithmetic (no log, no float accumulation), so
+    * the table is bit-identical across partitionings and engines. Feeds
+    * next-token-surprisal scoring, collocation mining, and simple
+    * generation tests. Output: (w1, w2, n_pair, n_prefix, p_q) for pairs
+    * seen at least `minCount` times.
+    *
+    * Scale shape: one pair explode (row-local; the word array is
+    * materialized ONCE per row before the transform references it — the
+    * interpreted-HOF rule), one (w1,w2)-keyed count with map-side
+    * combine, then n_prefix via a w1-partitioned window SUM on the
+    * ALREADY-AGGREGATED table (O(distinct pairs), not corpus tokens —
+    * and no second scan). */
+  def bigramConditionals(
+      docs: DataFrame, textCol: String, minCount: Long = 2,
+      q: Long = LogQ): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+        .as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    pairs
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .withColumn("n_prefix",
+        sum(col("n_pair")).over(Window.partitionBy(col("w1"))))
+      .filter(col("n_pair") >= minCount)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_prefix"),
+        expr(s"(n_pair * $q) div n_prefix").as("p_q"))
+  }
 }

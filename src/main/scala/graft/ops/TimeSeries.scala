@@ -137,4 +137,44 @@ object TimeSeries {
       .select(col(keyCol), col("__r.ts").as("ts"), col("__r.id").as("id"),
         col("__r.x").as("x"), col("__r.ewma").as("ewma"))
   }
+
+  /** Fixed-interval downsampling to OHLC bars — the standard reduction
+    * from a raw event stream to per-key, per-bucket open/high/low/close
+    * summaries (metrics dashboards, rate monitoring, financial bars).
+    *
+    * Determinism: open/close pick the value at the (ts, id)-first/last
+    * event of the bucket — `id` breaks timestamp ties, so the answer is
+    * unique however the data arrives (the same tie-break discipline as
+    * latest-wins dedup); high/low are exact max/min; `sum_value`
+    * accumulates in DECIMAL(18,2) (order-independent) per the corpus
+    * convention.
+    *
+    * Scale shape: ONE shuffle keyed by (key, bucket) — the two
+    * row_number windows and the final aggregate share that partitioning,
+    * so Catalyst plans a single exchange; no per-key series
+    * materialization (unlike [[ewma]], a bucket's events never meet in
+    * one row). Bucket count grows with the time span, not the event
+    * rate. */
+  def resampleOhlc(
+      df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val bucket = expr(s"$tsCol div $bucketUs") * bucketUs
+    val asc = Window.partitionBy(col(keyCol), col("__bk"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val desc = Window.partitionBy(col(keyCol), col("__bk"))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    df.select(col(keyCol), col(tsCol), col(idCol),
+        col(valCol).cast("double").as("__v"), bucket.as("__bk"))
+      .withColumn("__rf", row_number().over(asc))
+      .withColumn("__rl", row_number().over(desc))
+      .groupBy(col(keyCol), col("__bk").as("bucket_start_us"))
+      .agg(
+        max(when(col("__rf") === 1, col("__v"))).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max(when(col("__rl") === 1, col("__v"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("__v").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
 }

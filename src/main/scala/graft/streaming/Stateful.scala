@@ -125,4 +125,59 @@ object Stateful {
       }
       .toDF()
   }
+
+  /** One candidate for the per-key leaderboard. */
+  final case class Scored(gkey: String, id: Long, score: Double)
+
+  /** Bounded leaderboard state: update counter + the current top list. */
+  final case class TopState(seq: Long, top: Seq[(Long, Double)])
+
+  /** Leaderboard row: rank is 1-based; `upd_seq` is the key's monotone
+    * state version, which makes latest-wins merging converge. */
+  final case class TopRow(
+      gkey: String, rank: Long, id: Long, score: Double, upd_seq: Long)
+
+  /** Streaming global top-k per key — the leaderboard operator: each key
+    * keeps its k best (score desc, id desc ties) rows seen ANYWHERE in
+    * the stream, re-emitting the full k-row slate whenever it changes.
+    * Pairs with a (gkey, rank)-keyed latest-wins merge sink (version =
+    * `upd_seq`) so the target always holds exactly the current slate —
+    * set-replacement semantics built from the engine's own upsert
+    * primitive, no special sink needed.
+    *
+    * State per key is O(k) — a bounded fold, NOT a running collect_list:
+    * a hub key that sees a billion rows still stores k tuples. The fold
+    * is order-insensitive (max-set with a total tie-break), so batch
+    * iterator order and micro-batch partitioning cannot change the
+    * converged slate. */
+  def topKPerKey(src: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    implicit val eventEnc = Encoders.product[Scored]
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.product[TopState]
+    implicit val outEnc = Encoders.product[TopRow]
+    src
+      .select(col("gkey").cast("string").as("gkey"),
+        col("id").cast("long").as("id"),
+        col("score").cast("double").as("score"))
+      .as[Scored]
+      .groupByKey(_.gkey)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Scored], state: GroupState[TopState]) =>
+          val prev = state.getOption.getOrElse(TopState(0L, Nil))
+          val merged = (prev.top ++ rows.map(r => (r.id, r.score)))
+            .distinct
+            .sortBy { case (id, s) => (-s, -id) }
+            .take(k)
+          if (merged == prev.top) Iterator.empty
+          else {
+            val next = TopState(prev.seq + 1L, merged)
+            state.update(next)
+            merged.iterator.zipWithIndex.map { case ((id, s), i) =>
+              TopRow(key, i + 1L, id, s, next.seq)
+            }
+          }
+      }
+      .toDF()
+  }
 }

@@ -67,6 +67,34 @@ class DedupSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("sortedNeighborhoodPairs: window bounds pairs, Jaccard filters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa common prefix text one two three"),
+      (2L, "aaa common prefix text one two four"),
+      (3L, "aaa common prefix text one two three"), // dup of 1
+      (9L, "mmm unrelated middle document here now"),
+      (4L, "zzz totally different content words entirely")).toDF("doc_id", "text")
+    val got = graft.ops.NearDup.sortedNeighborhoodPairs(
+        docs, "doc_id", "text", w = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sort order: 1,2,3 (prefix aaa), 9, 4 — window 3 pairs each doc
+    // with the 2 following; only the aaa-cluster pairs survive J >= 0.5
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("sortedNeighborhoodPairs: w=2 pairs only adjacent ranks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaa same text here"), (2L, "aaa same text here"),
+      (3L, "aaa same text here")).toDF("doc_id", "text")
+    val got = graft.ops.NearDup.sortedNeighborhoodPairs(
+        docs, "doc_id", "text", w = 2, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,3) is distance 2 — outside a w=2 window
+    assert(got == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("keeps exactly one row per key, and it is the max ordering tuple") {
     val rnd = new Random(3)
     val rows = Seq.fill(400)(

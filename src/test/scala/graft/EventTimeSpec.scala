@@ -153,6 +153,39 @@ class EventTimeSpec extends SparkSpec {
       d(1) -> ((2L, e1)), d(2) -> ((4L, e2)), d(3) -> ((1L, e3))))
   }
 
+  test("topKPerKey: slate converges across batches, displaced rows leave") {
+    implicit val sql = spark.sqlContext
+    val events = MemoryStream[SEv] // (pkey → gkey proxy, ver → id, value)
+    val dir = Files.createTempDirectory("graft_tk_").toString
+    val target = TargetTable("lb", s"$dir/target",
+      keyCols = Seq("gkey", "rank"), versionCol = "upd_seq")
+    val cfg = IngestConfig(name = s"tk-${System.nanoTime()}",
+      checkpointDir = Some(s"$dir/ckpt"))
+    val src = events.toDF().select(
+      concat(lit("k"), col("pkey")).as("gkey"),
+      col("tie").as("id"), col("value").as("score"))
+    val q = new AggUpsertStream(spark, cfg, target)
+      .run(graft.streaming.Stateful.topKPerKey(src, k = 2),
+        Trigger.ProcessingTime(0))
+    // batch 1: key k1 sees scores 5, 1 → slate (5, 1)
+    events.addData(Seq(SEv(1, 0, 10, 5.0), SEv(1, 0, 11, 1.0)))
+    q.processAllAvailable()
+    // batch 2: 9 and 7 arrive → slate must become (9, 7); 5 and 1 leave.
+    // Also a no-change batch for k2 after its first slate.
+    events.addData(Seq(SEv(1, 0, 12, 9.0), SEv(1, 0, 13, 7.0),
+      SEv(2, 0, 20, 4.0)))
+    q.processAllAvailable()
+    events.addData(Seq(SEv(2, 0, 21, 3.0), SEv(2, 0, 22, 3.5)))
+    q.processAllAvailable()
+    q.stop()
+    val got = new ParquetTarget(spark, target).read().get
+      .collect().map(r => (r.getAs[String]("gkey"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Double]("score")))).toMap
+    assert(got == Map(
+      ("k1", 1L) -> ((12L, 9.0)), ("k1", 2L) -> ((13L, 7.0)),
+      ("k2", 1L) -> ((20L, 4.0)), ("k2", 2L) -> ((22L, 3.5))))
+  }
+
   test("stateful running counts + latest payload converge across splits") {
     implicit val sql = spark.sqlContext
     val all = Seq(

@@ -81,4 +81,39 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b)
   }
+
+  private def tc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCount(edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangles: K4 has 4 triangles, 3 per node; paths/stars have none") {
+    val k4 = for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)
+    assert(tc(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(tc(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty) // path
+    assert(tc((1L to 9L).map((0L, _))).isEmpty)           // star
+  }
+
+  test("triangles: direction, duplicates, and self-loops are immaterial") {
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val noisy = base ++ base.map(_.swap) ++ base ++ Seq((1L, 1L), (2L, 2L))
+    assert(tc(noisy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles: degree-ordered enumeration matches brute force") {
+    val rng = new scala.util.Random(7)
+    val edges = List.fill(400)(
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b && und((a, b))
+      c <- nodes if b < c && und((b, c)) && und((a, c))
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(tc(edges) == brute)
+  }
 }

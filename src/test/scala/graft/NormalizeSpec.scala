@@ -79,6 +79,20 @@ class NormalizeSpec extends SparkSpec {
     assert(z.forall(_.isNullAt(4)))
   }
 
+  test("winsorize clips to exact-interpolation percentiles, inliers pass") {
+    // group of 0..100: p05 = 5.0, p95 = 95.0 under linear interpolation
+    val rows = (0 to 100).map(i => ("g", i.toDouble)) :+ ("h", 7.0)
+    val got = graft.ops.Normalize.winsorize(
+      rows.toDF("g", "x"), "g", "x", pLo = 0.05, pHi = 0.95)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(("g", 0.0)) == (5.0, 95.0, 5.0))    // clipped up
+    assert(got(("g", 100.0)) == (5.0, 95.0, 95.0)) // clipped down
+    assert(got(("g", 50.0)) == (5.0, 95.0, 50.0))  // inlier untouched
+    // singleton group: both bounds collapse to the value, nothing clips
+    assert(got(("h", 7.0)) == (7.0, 7.0, 7.0))
+  }
+
   test("bit-identical across partitionings") {
     val rng = new scala.util.Random(5)
     val rows = Seq.fill(2000)((s"g${rng.nextInt(7)}", rng.nextDouble() * 500))

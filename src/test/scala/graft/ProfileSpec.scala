@@ -50,4 +50,38 @@ class ProfileSpec extends SparkSpec {
     assert(got(("b", 0L)) == ((7.0, 7.0, 2L)))
     assert(got.size == 3) // the null row contributed nowhere
   }
+
+  test("expect: null predicate results count as violations, not passes") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Some(5.0), "a"), (Some(60.0), "a"), (None, "b"), (Some(10.0), "z"))
+      .toDF("q", "f")
+    val got = Profile.expect(df, Seq(
+        "q_range" -> col("q").between(1, 50),   // 60 violates; NULL violates
+        "f_domain" -> col("f").isin("a", "b"))) // "z" violates
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("q_range") == ((4L, 2L, false)))
+    assert(got("f_domain") == ((4L, 1L, false)))
+  }
+
+  test("orphanRule counts child keys with no parent") {
+    import org.apache.spark.sql.functions._
+    val child = Seq((1L, "x"), (2L, "y"), (9L, "z"), (9L, "w"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Profile.orphanRule("fk_check", child, "fk", parent, "pk")
+      .collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getBoolean(3)) == (("fk_check", 4L, 2L, false)))
+  }
+
+  test("kAnonymityViolations emits only classes below k") {
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
+      Seq.fill(1)(("DE", "A"))).toDF("nation", "seg")
+    val got = Profile.kAnonymityViolations(df, Seq("nation", "seg"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("US", "B") -> 2L, ("DE", "A") -> 1L))
+  }
 }

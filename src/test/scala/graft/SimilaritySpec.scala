@@ -344,6 +344,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((0L, 7L), (1L, 9L)))
   }
 
+  test("semanticDedup: min-id representative per in-cell near-dup set") {
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv").withColumn("cnrm", lit(1.0))
+    val df = emb(
+      1L -> Seq(1.0, 0.0), 2L -> Seq(0.99, 0.05), 5L -> Seq(0.95, 0.1),
+      3L -> Seq(0.6, 0.8), 4L -> Seq(0.05, 1.0))
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding",
+        cents, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // cell 0 = {1, 2, 5}: pairwise cos > 0.99 → only min id 1 survives
+    assert(got(1L) == (0L, true))
+    assert(got(2L) == (0L, false))
+    assert(got(5L) == (0L, false))
+    // cell 1 = {3, 4}: cos(3,4) ≈ 0.83 < 0.9 → both survive
+    assert(got(3L) == (1L, true))
+    assert(got(4L) == (1L, true))
+  }
+
+  test("semanticDedup: identical across partitionings") {
+    val rng = new scala.util.Random(17)
+    val rows = (0L until 300L).map(i => i -> Seq.fill(8)(rng.nextGaussian()))
+    val run = (parts: Int) => {
+      val df = emb(rows: _*).repartition(parts)
+      Similarity.semanticDedup(df, "vec_id", "embedding",
+          Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 4, iters = 2),
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    }
+    assert(run(1) == run(11))
+  }
+
   test("farthestPointSample: identical across partitionings") {
     val rng = new scala.util.Random(3)
     val rows = (0L until 200L).map(i =>

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketches
+
+/** HyperLogLog sketch: register construction, mergeability (elementwise
+  * max == direct build on the union), estimator accuracy, and the
+  * partitioning-invariance the oracle gate depends on. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    // 3 groups with known distinct-token universes: X ~ 2000 distinct,
+    // Y ~ 500, Z tiny; duplication both within and across rows.
+    val x = (0 until 2000).grouped(50)
+      .map(ws => ("X", "s1", ws.map(i => s"tok$i").mkString(" "))).toSeq
+    val y = (0 until 500).grouped(25)
+      .map(ws => ("Y", "s1", ws.map(i => s"w$i").mkString(" "))).toSeq ++
+      (0 until 500).grouped(25)
+        .map(ws => ("Y", "s2", ws.map(i => s"w$i").mkString(" "))).toSeq
+    val z = Seq(("Z", "s1", "a b c a b c"), ("Z", "s2", "c d"))
+    (x ++ y ++ z).toDF("g", "src", "text")
+  }
+
+  test("hll registers: ranks bounded, zero only for untouched registers") {
+    val regs = Sketches.hllSketchTokens(corpus, Seq("g"), "text")
+      .select(col("g"), col("registers")).as[(String, Seq[Int])]
+      .collect().toMap
+    val w = Sketches.hllW(64)
+    assert(w == 24)
+    regs.values.foreach { rs =>
+      assert(rs.length == 64)
+      assert(rs.forall(r => r >= 0 && r <= w + 1))
+    }
+    // Z has 4 distinct tokens → at most 4 registers touched
+    assert(regs("Z").count(_ > 0) <= 4)
+    // X has 2000 distinct tokens → every register should be touched
+    assert(regs("X").count(_ == 0) == 0)
+  }
+
+  test("hllMerge of fine groups == direct build on the coarse group") {
+    val fine = Sketches.hllSketchTokens(corpus, Seq("g", "src"), "text")
+    val merged = Sketches.hllMerge(fine, Seq("g"))
+    val direct = Sketches.hllSketchTokens(corpus, Seq("g"), "text")
+    assertSameRows(merged, direct)
+  }
+
+  test("hll estimate within the ~1.04/sqrt(m) error envelope") {
+    val est = Sketches.hllEstimate(
+      Sketches.hllSketchTokens(corpus, Seq("g"), "text"))
+      .select(col("g"), col("est_distinct")).as[(String, Double)]
+      .collect().toMap
+    // m=64 → ~13% stddev; assert 3 sigma
+    assert(math.abs(est("X") - 2000.0) / 2000.0 < 0.4)
+    assert(math.abs(est("Y") - 500.0) / 500.0 < 0.4)
+  }
+
+  test("registers and estimate are partitioning-invariant") {
+    val a = Sketches.hllEstimate(
+      Sketches.hllSketchTokens(corpus.repartition(1), Seq("g"), "text"))
+    val b = Sketches.hllEstimate(
+      Sketches.hllSketchTokens(corpus.repartition(7), Seq("g"), "text"))
+    assertSameRows(a, b)
+  }
+
+  test("duplicates never change the sketch (max is idempotent)") {
+    val doubled = corpus.unionAll(corpus)
+    assertSameRows(
+      Sketches.hllSketchTokens(doubled, Seq("g"), "text"),
+      Sketches.hllSketchTokens(corpus, Seq("g"), "text"))
+  }
+
+  test("bloom: zero false negatives; planted misses stay misses") {
+    val sk = Sketches.bloomSketchTokens(corpus, Seq("g"), "text",
+      mBits = 1 << 20)
+    // every token that entered group Y must probe true there
+    val present = (0 until 500 by 50).map(i => s"w$i")
+    val absent = Seq("nope1", "nope2", "tok5")  // tok5 is X-only
+    val probes = (present ++ absent).toDF("word")
+    val got = Sketches.bloomContains(sk, Seq("g"), probes, "word",
+        mBits = 1 << 20)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2))
+      .toMap
+    present.foreach(w => assert(got(("Y", w)), s"false negative on $w"))
+    // at 2^20 bits / ~500 tokens the planted misses must stay false
+    absent.foreach(w => assert(!got(("Y", w)), s"unexpected hit on $w"))
+    assert(got(("X", "tok5")))
+  }
+
+  test("bloomMerge of fine groups == direct build on the coarse group") {
+    val fine = Sketches.bloomSketchTokens(corpus, Seq("g", "src"), "text")
+    assertSameRows(
+      Sketches.bloomMerge(fine, Seq("g")),
+      Sketches.bloomSketchTokens(corpus, Seq("g"), "text"))
+  }
+
+  test("bloom bitmap is partitioning-invariant; popcount sane") {
+    val a = Sketches.bloomSketchTokens(corpus.repartition(1), Seq("g"), "text")
+    val b = Sketches.bloomSketchTokens(corpus.repartition(9), Seq("g"), "text")
+    assertSameRows(a, b)
+    val pops = Sketches.bloomBitsSet(a)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Z has 4 distinct tokens × 3 hashes = at most 12 set bits
+    assert(pops("Z") > 0 && pops("Z") <= 12)
+    // X: 2000 distinct tokens × 3 hashes, minus collisions
+    assert(pops("X") > 4000 && pops("X") <= 6000)
+  }
+}

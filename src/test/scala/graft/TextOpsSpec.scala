@@ -426,4 +426,32 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
   }
+
+  test("bigramConditionals: integer P(w2|w1), prefix totals, minCount") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val q = graft.ops.TextAnalysis.LogQ
+    val all = TextAnalysis.bigramConditionals(docs, "text", minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // pairs: (a,b)x3, (b,a)x1, (b,c)x1, (b,x)x1; prefixes a=3, b=3
+    assert(all(("a", "b")) == ((3L, 3L, q)))          // P = 1 exactly
+    assert(all(("b", "a")) == ((1L, 3L, q / 3)))      // floor(Q/3)
+    assert(all.size == 4)                             // "solo" contributes none
+    val filtered = TextAnalysis.bigramConditionals(docs, "text", minCount = 2)
+      .collect()
+    assert(filtered.length == 1 && filtered.head.getString(0) == "a")
+  }
+
+  test("bigramConditionals: partitioning-invariant") {
+    val rng = new scala.util.Random(29)
+    val docs = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(20)(s"t${rng.nextInt(30)}").mkString(" ")))
+    val run = (p: Int) =>
+      TextAnalysis.bigramConditionals(
+        docs.toDF("doc_id", "text").repartition(p), "text")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(run(1) == run(7))
+  }
 }

@@ -75,6 +75,41 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Map(10L -> 4.0, 30L -> (0.25 * 8.0 + 0.75 * 4.0)))
   }
 
+  test("resampleOhlc: first/last by (ts, id) tie-break, exact extremes") {
+    val ev = Seq(
+      // key 1, bucket [0, 100): ties on ts=10 broken by id
+      (1L, 10L, 2L, 5.0), (1L, 10L, 1L, 3.0), (1L, 50L, 3L, 9.0),
+      (1L, 99L, 4L, 1.0),
+      // key 1, bucket [100, 200): single event
+      (1L, 150L, 5L, 7.0),
+      // key 2, bucket [0, 100)
+      (2L, 20L, 6L, 2.0), (2L, 80L, 7L, 4.0))
+      .toDF("k", "ts", "id", "x")
+    val got = TimeSeries.resampleOhlc(ev, "k", "ts", "id", "x", bucketUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    // open = value at (10, id=1) = 3.0; close = value at (99, id=4) = 1.0
+    assert(got((1L, 0L)) == (3.0, 9.0, 1.0, 1.0, 4L))
+    assert(got((1L, 100L)) == (7.0, 7.0, 7.0, 7.0, 1L))
+    assert(got((2L, 0L)) == (2.0, 4.0, 2.0, 4.0, 2L))
+  }
+
+  test("resampleOhlc: partitioning-invariant") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 1000).map(i =>
+      ((i % 7).toLong, rng.nextInt(5000).toLong, i.toLong,
+        math.floor(rng.nextDouble() * 10000) / 100))
+    val run = (parts: Int) =>
+      TimeSeries.resampleOhlc(
+        rows.toDF("k", "ts", "id", "x").repartition(parts),
+        "k", "ts", "id", "x", bucketUs = 500L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+          r.getDouble(7))).sortBy(t => (t._1, t._2)).toSeq
+    assert(run(1) == run(13))
+  }
+
   test("ewma: bit-identical across partitionings") {
     val rng = new scala.util.Random(21)
     val rows = (0 until 800).map(i =>
