@@ -615,6 +615,14 @@ object SparkEntry {
           "c_custkey"))
     }),
 
+    // ---- Profiling: chi-square independence (event_type × epoch-day
+    //      mod 7) — full grid incl. empty cells, strict sorted fold ----
+    "q_chi2" -> ((s, dir) =>
+      graft.ops.Profile.chiSquare(
+        t(s, dir, "events").select(col("event_type"),
+          expr("(ts div 86400000000000) % 7").as("dow")),
+        "event_type", "dow")),
+
     // ---- Privacy: k-anonymity audit over quasi-identifiers (violating
     //      equivalence classes only; empty result == fully k-anonymous) ----
     "q_k_anonymity" -> ((s, dir) =>
@@ -1137,17 +1145,34 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "a", "b", iters = 3)
     }),
 
-    // ---- Graph: per-node triangle counts on the co-supply graph
-    //      (suppliers sharing a part) — degree-ordered node-iterator,
-    //      O(E^1.5) wedge bound, hub-proof ----
+    // ---- Graph: per-node triangle counts on the market-basket graph
+    //      (parts co-purchased in one order; part-subsampled so the
+    //      graph stays sparse — the co-SUPPLY graph is complete at
+    //      every SF, a degenerate input) — degree-ordered
+    //      node-iterator, O(E^1.5) wedge bound, hub-proof ----
     "graph_triangles" -> ((s, dir) => {
-      val ps = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      val pairs = ps.as("x").join(ps.as("y"),
-          col("x.p") === col("y.p") && col("x.sk") < col("y.sk"))
-        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
       graft.ops.Graph.triangleCount(pairs, "a", "b")
+    }),
+
+    // ---- Graph: community detection via synchronous label propagation
+    //      (3 rounds, deterministic min-label tie-break) on the same
+    //      market-basket graph as graph_triangles ----
+    "graph_label_prop" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.labelPropagation(pairs, "a", "b", iters = 3)
     }),
 
     // ---- LLM pipeline: deterministic train/val/test split ----
@@ -1322,6 +1347,30 @@ object SparkEntry {
             t(s, dir, "documents"), Seq("lang", "source"), "text"),
           Seq("lang")))),
 
+    // ---- LLM pipeline: count-min sketch — approximate token frequencies
+    //      in fixed memory (≤ depth·width rows/group cross the shuffle,
+    //      no vocabulary state); min-over-depth point queries ----
+    "sketch_cms_counts" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Sketches.cmsEstimate(
+        graft.ops.Sketches.cmsSketchTokens(
+          t(s, dir, "documents"), Seq("lang"), "text"),
+        Seq("lang"), bloomProbes.toDF("word"), "word")
+    }),
+
+    // ---- LLM pipeline: CMS mergeability — per-(lang,source) sketches
+    //      SUM-merged to per-lang == direct build (probed; oracle
+    //      computes direct) ----
+    "sketch_cms_merge" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Sketches.cmsEstimate(
+        graft.ops.Sketches.cmsMerge(
+          graft.ops.Sketches.cmsSketchTokens(
+            t(s, dir, "documents"), Seq("lang", "source"), "text"),
+          Seq("lang")),
+        Seq("lang"), bloomProbes.toDF("word"), "word")
+    }),
+
     // ---- LLM pipeline: KMV distinct-count sketch (mergeable, hash-exact
     //      cross-engine; doubles as a set-overlap estimator, which HLL
     //      registers cannot) ----
@@ -1431,6 +1480,41 @@ object SparkEntry {
           .cast("double").as("running_spend"))
     }),
 
+    // ---- Windowing: time-RANGE rolling aggregate (trailing 1 h per
+    //      user at every event) — RANGE frames make equal-timestamp ties
+    //      frame-identical, so the result is tie-order independent ----
+    "q_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("sum_1h"))
+    }),
+
+    // ---- As-of join with staleness tolerance (feature-store freshness
+    //      contract; carried columns null out together) ----
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error").select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("err_us"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), expr("ts div 1000").as("purchase_us"),
+        col("value").as("purchase_value"), col("event_id"))
+      graft.ops.AsOf.joinAsOfTolerance(errors, purchases,
+        Seq("user_id"), "err_us", "purchase_us",
+        Seq("purchase_us", "purchase_value"),
+        toleranceUs = 1800000000L,
+        rightTieBreakCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("err_us"),
+          col("asof_purchase_us").as("purchase_us"),
+          col("asof_purchase_value").as("purchase_value"),
+          col("asof_matched").as("matched"))
+    }),
+
     // ---- Multimodal: opaque-binary decode plumbing (stub kernel) ----
     "mm_decode_meta" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(
@@ -1481,6 +1565,24 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("n_chars_norm")).cast("long").as("n_chars"),
           countDistinct(col("lang")).as("n_langs"))
+    }),
+
+    // ---- CAPSTONE 2: embedding curation pipeline in ONE composed plan —
+    //      JL-project 64→16, learn k-means cells on the projection,
+    //      SemDeDup-prune in-cell, report per-cell keep stats ----
+    "pipeline_embeddings" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val proj = Similarity.randomProject(emb, "vec_id", "embedding",
+        dim = 64, outDim = 16)
+      val pv = proj.select(col("vec_id"),
+        array((0 until 16).map(i => col(s"p$i")): _*).as("pv"))
+      val dd = Similarity.semanticDedup(pv, "vec_id", "pv",
+        Similarity.kmeansCentroids(pv, "vec_id", "pv", k = 4, iters = 1),
+        threshold = 0.3)
+      dd.groupBy("cell").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
     }),
 
     // ---- LLM pipeline: brute-force cosine top-k (ANN baseline) ----
@@ -2154,6 +2256,71 @@ object SparkEntry {
       "g AS (SELECT lang, CAST(count(DISTINCT p) AS BIGINT) AS n_bits_set " +
       "FROM pos GROUP BY lang) SELECT lang, n_bits_set FROM g"
 
+    // Count-min replay: cell j·width + (permute_j(h) mod width); per-cell
+    // exact counts; point query = min over the depth cells (0 when a cell
+    // was never touched). Shared by build and merge gates (sum-merge ==
+    // direct build is the mergeability claim).
+    val cmsOracle = {
+      val whl = OracleSql.wordHashes("lower(text)")
+      val width = 1024
+      val cellsOf = { (h: String) =>
+        (0 until 3).map(j =>
+          s"${j.toLong * width} + ((($h) * ${TextHash.permuteA(j)} + " +
+            s"${TextHash.permuteB(j)}) % ${TextHash.P}) % $width")
+          .mkString("[", ", ", "]")
+      }
+      val words = bloomProbes.map(w => s"'$w'").mkString(", ")
+      s"WITH t AS (SELECT lang, unnest($whl) AS h0 FROM documents), " +
+        "c AS (SELECT lang, cell, count(*) AS n FROM " +
+        s"(SELECT lang, unnest(${cellsOf("h0")}) AS cell FROM t) " +
+        "GROUP BY lang, cell), " +
+        s"pw AS (SELECT unnest([$words]) AS word), " +
+        s"ph AS (SELECT word, list_extract(${OracleSql.wordHashes("lower(word)")}, 1) " +
+        "AS h0 FROM pw), " +
+        s"pc AS (SELECT word, unnest(${cellsOf("h0")}) AS cell FROM ph), " +
+        "langs AS (SELECT DISTINCT lang FROM documents) " +
+        "SELECT l.lang, p.word, CAST(min(coalesce(c.n, 0)) AS BIGINT) " +
+        "AS est_count FROM langs l CROSS JOIN pc p " +
+        "LEFT JOIN c ON c.lang = l.lang AND c.cell = p.cell " +
+        "GROUP BY l.lang, p.word"
+    }
+
+    // Embedding-curation capstone replay: 16-way JL projection, the
+    // kmeans CTE chain over the PROJECTED vectors (dim=16), the
+    // semanticDedup cell/EXISTS stages, then per-cell keep counts.
+    val pipelineEmbeddings = {
+      val proj = (0 until 16).map { i =>
+        OracleSql.foldSum(s"list_transform(range(0, 64), j -> " +
+          s"v0[j+1] * ${OracleSql.planeSign(i, "j", 64)})") + s" AS p$i"
+      }.mkString(", ")
+      val pvList = (0 until 16).map(i => s"p$i").mkString("[", ", ", "]")
+      val dotVC = OracleSql.dot("n.v", "c.cv")
+      val dotXY = OracleSql.dot("x.v", "y.v")
+      "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 " +
+        "FROM embeddings), " +
+        s"pr AS (SELECT vec_id, $proj FROM e0), " +
+        s"pvt AS (SELECT vec_id, $pvList AS v FROM pr), " +
+        s"n AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) AS nrm " +
+        "FROM pvt), " +
+        "samp AS (SELECT * FROM n), " +
+        OracleSql.kmeansCtes("vec_id", k = 4, iters = 1, dim = 16) + ", " +
+        "c AS (SELECT * FROM c1), " +
+        s"a AS (SELECT n.vec_id, n.v, n.nrm, c.cid, " +
+        s"$dotVC / (n.nrm * c.cnrm) AS cos FROM n CROSS JOIN c), " +
+        "cell AS (SELECT vec_id, v, nrm, cid AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cos DESC, cid ASC) AS rn FROM a) WHERE rn = 1), " +
+        s"d AS (SELECT DISTINCT x.vec_id FROM cell x JOIN cell y " +
+        s"ON x.cell = y.cell AND y.vec_id < x.vec_id " +
+        s"AND $dotXY / (x.nrm * y.nrm) >= 0.3) " +
+        "SELECT cl.cell, count(*) AS n_vecs, " +
+        "CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_kept, " +
+        "CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) " +
+        "AS n_dropped FROM cell cl LEFT JOIN d ON cl.vec_id = d.vec_id " +
+        "GROUP BY cl.cell"
+    }
+
     val ivfNprobe = {
       val dotVC = OracleSql.dot("n.v", "c.cv")
       val dotQC = OracleSql.dot("q.qv", "c.cv")
@@ -2502,6 +2669,29 @@ object SparkEntry {
         ("SELECT c_nationkey, c_mktsegment, count(*) AS class_size " +
           "FROM customer GROUP BY c_nationkey, c_mktsegment " +
           "HAVING count(*) < 8"),
+      "q_chi2" -> {
+        // e and d repeated inline (DuckDB lambdas have no let-binding);
+        // every repetition is the identical float expression, so the
+        // fold replays Spark's term-for-term.
+        val e = "(CAST(x.rt * x.ct AS DOUBLE) / nn.n)"
+        val d = s"(CAST(x.o AS DOUBLE) - $e)"
+        "WITH base AS (SELECT event_type AS a, " +
+          "(epoch_us(ts) // 86400000000) % 7 AS b FROM events), " +
+          "cc AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b), " +
+          "ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cc GROUP BY a), " +
+          "cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cc GROUP BY b), " +
+          "nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cc), " +
+          "grid AS (SELECT ra.a, cb.b, ra.rt, cb.ct, coalesce(cc.o, 0) AS o " +
+          "FROM ra CROSS JOIN cb LEFT JOIN cc ON cc.a = ra.a AND cc.b = cb.b), " +
+          "lst AS (SELECT list(struct_pack(rt := rt, ct := ct, o := o) " +
+          "ORDER BY a, b) AS cs, CAST(count(DISTINCT a) AS BIGINT) AS r, " +
+          "CAST(count(DISTINCT b) AS BIGINT) AS c2 FROM grid) " +
+          "SELECT nn.n AS n_rows, l.r, l.c2 AS c, " +
+          "(l.r - 1) * (l.c2 - 1) AS dof, " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(l.cs, x -> $d * $d / $e)), " +
+          "(p, x) -> p + x) AS chi2 FROM lst l CROSS JOIN nn"
+      },
       "q_winsorize" ->
         ("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS clip_lo, " +
           "quantile_cont(value, 0.95) AS clip_hi FROM events GROUP BY event_type) " +
@@ -2634,17 +2824,28 @@ object SparkEntry {
       // degree-ordered enumeration (orientation reorders the search, not
       // the membership), tractable at oracle scale.
       "graph_triangles" ->
-        ("WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s " +
-          "FROM lineitem), " +
-          "ce AS (SELECT DISTINCT CAST(x.s AS BIGINT) AS a, " +
-          "CAST(y.s AS BIGINT) AS b FROM ps x JOIN ps y " +
-          "ON x.p = y.p AND x.s < y.s), " +
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
           "tri AS (SELECT e1.a AS u, e1.b AS x, e2.b AS y FROM ce e1 " +
           "JOIN ce e2 ON e2.a = e1.a AND e1.b < e2.b " +
           "JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b) " +
           "SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (" +
           "SELECT u AS node FROM tri UNION ALL SELECT x FROM tri " +
           "UNION ALL SELECT y FROM tri) GROUP BY node"),
+      "graph_label_prop" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e AS (SELECT a AS src, b AS dst FROM ce " +
+          "UNION ALL SELECT b, a FROM ce), " +
+          "nodes AS (SELECT DISTINCT src AS node FROM e), " +
+          graft.functions.OracleSql.labelPropCtes(iters = 3) +
+          " SELECT node, lbl FROM lp3"),
       "q_train_split" -> trainSplitSql,
       "pipeline_corpus" -> pipelineCorpusSql,
       "dedup_simhash" -> simhashSql,
@@ -2686,6 +2887,8 @@ object SparkEntry {
           "// n_prefix AS BIGINT) AS p_q FROM t WHERE n_pair >= 2"),
       "sketch_bloom_contains" -> bloomContainsOracle,
       "sketch_bloom_merge" -> bloomMergeOracle,
+      "sketch_cms_counts" -> cmsOracle,
+      "sketch_cms_merge" -> cmsOracle,
       "sketch_hll_distinct" -> hllOracle,
       // Mergeability IS the gate: the engine merges per-(lang,source)
       // registers by elementwise max; the oracle computes per-lang
@@ -2772,6 +2975,7 @@ object SparkEntry {
       "ann_lsh_multiprobe" -> lshMultiprobe,
       "ann_ivf_nprobe" -> ivfNprobe,
       "dedup_semantic" -> semanticDedup,
+      "pipeline_embeddings" -> pipelineEmbeddings,
       "text_langid" -> langIdSql,
       "text_token_classes" -> tokenClassesSql,
       "text_fingerprint" -> fingerprintSql,
@@ -2892,6 +3096,28 @@ object SparkEntry {
           "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
           "FROM events WHERE event_type = 'purchase') WHERE rn = 1) r " +
           "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+      "q_asof_tolerance" ->
+        ("SELECT event_id, user_id, err_us, " +
+          "CASE WHEN fresh THEN p_us END AS purchase_us, " +
+          "CASE WHEN fresh THEN p_val END AS purchase_value, " +
+          "fresh AS matched FROM (" +
+          "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS err_us, " +
+          "epoch_us(r.ts) AS p_us, r.value AS p_val, " +
+          "coalesce(epoch_us(l.ts) - epoch_us(r.ts) <= 1800000000, FALSE) " +
+          "AS fresh " +
+          "FROM (SELECT * FROM events WHERE event_type = 'error') l " +
+          "ASOF LEFT JOIN (SELECT user_id, ts, value FROM " +
+          "(SELECT user_id, ts, event_id, value, row_number() OVER " +
+          "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+          "FROM events WHERE event_type = 'purchase') WHERE rn = 1) r " +
+          "ON l.user_id = r.user_id AND l.ts >= r.ts)"),
+      "q_rolling_window" ->
+        ("SELECT user_id, ts_us, event_id, count(*) OVER w AS n_1h, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) " +
+          "AS sum_1h FROM (SELECT user_id, epoch_us(ts) AS ts_us, " +
+          "event_id, value FROM events) " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts_us " +
+          "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"),
       "q_interpolate" -> {
         val wb = "(PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING)"
         val wf = "(PARTITION BY user_id ORDER BY day " +

@@ -173,6 +173,29 @@ object OracleSql {
     (base +: steps).mkString(", ")
   }
 
+  /** Synchronous label-propagation CTE chain mirroring
+    * `Graph.labelPropagation` round-for-round, over prior CTEs
+    * `e`(src, dst) — SYMMETRIC, distinct, self-loop-free — and
+    * `nodes`(node). Emits `lp0 .. lp$iters`; the final `lp$iters` holds
+    * (node, lbl). Argmax tie-break (count DESC, lbl ASC) matches the
+    * engine's `max_by(lbl, struct(c, -lbl))`; isolated nodes keep their
+    * previous label via the LEFT JOIN + coalesce. */
+  def labelPropCtes(iters: Int): String = {
+    val init = "lp0 AS (SELECT node, node AS lbl FROM nodes)"
+    val steps = (1 to iters).map { i =>
+      s"a$i AS (SELECT e.dst AS node, l.lbl, count(*) AS c " +
+        s"FROM e JOIN lp${i - 1} l ON l.node = e.src " +
+        "GROUP BY e.dst, l.lbl), " +
+        s"m$i AS (SELECT node, lbl FROM (SELECT node, lbl, " +
+        "row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) " +
+        s"AS rn FROM a$i) WHERE rn = 1), " +
+        s"lp$i AS (SELECT n.node, coalesce(m.lbl, p.lbl) AS lbl " +
+        s"FROM nodes n LEFT JOIN m$i m USING (node) " +
+        s"JOIN lp${i - 1} p ON p.node = n.node)"
+    }
+    (init +: steps).mkString(", ")
+  }
+
   /** Farthest-point selection CTE chain mirroring
     * `Similarity.farthestPointSample` round-for-round, over a prior CTE
     * `kc`(vec_id, v, nrm). Emits `sel0 .. sel${k-1}`; the final

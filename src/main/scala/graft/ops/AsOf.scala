@@ -82,4 +82,33 @@ object AsOf {
         (leftOut.map(col) ++
           rightValCols.map(c => col(s"__rv.$c").as(s"asof_$c"))): _*)
   }
+
+  /** As-of join with a max-staleness tolerance (pandas `merge_asof
+    * tolerance` semantics): a match older than `toleranceUs` is no match
+    * at all — every carried column nulls out TOGETHER (they came from one
+    * struct, so there is no per-column mix-and-match) and `asof_matched`
+    * reports the outcome. The feature-store freshness contract: a label
+    * may only use features observed within the staleness budget.
+    *
+    * Same single-shuffle union+window plan as [[joinAsOf]] — the
+    * tolerance is one row-local comparison on top, nothing joins or
+    * shuffles again. */
+  def joinAsOfTolerance(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTsCol: String, rightTsCol: String,
+      rightValCols: Seq[String], toleranceUs: Long,
+      rightTieBreakCols: Seq[String] = Nil): DataFrame = {
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    val leftOut = left.columns.toSeq
+    val carried = (rightTsCol +: rightValCols).distinct
+    val base = joinAsOf(left, right, keyCols, leftTsCol, rightTsCol,
+      carried, rightTieBreakCols)
+    val fresh = col(s"asof_$rightTsCol").isNotNull &&
+      (col(leftTsCol) - col(s"asof_$rightTsCol")) <= toleranceUs
+    base.select(
+      (leftOut.map(col) ++
+        rightValCols.map(c =>
+          when(fresh, col(s"asof_$c")).as(s"asof_$c")) :+
+        fresh.as("asof_matched")): _*)
+  }
 }

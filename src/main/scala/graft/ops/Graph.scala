@@ -97,6 +97,61 @@ object Graph {
     } finally { e.unpersist(); ed.unpersist(); nodes.unpersist(); () }
   }
 
+  /** Synchronous label propagation — community detection, the modularity
+    * sibling of [[Components]]: components answer "connected at all?",
+    * LP answers "densely connected with whom?" (near-dup cluster
+    * refinement, host-graph community weighting). Every node starts as
+    * its own label; each round every node adopts the most frequent label
+    * among its neighbors, ties to the SMALLEST label, isolated or
+    * degree-0 nodes keep their own — fully deterministic (no async
+    * sweep, no random tie-break), so a DuckDB CTE chain replays it
+    * round-for-round (`OracleSql.labelPropCtes`). Fixed `iters` rounds:
+    * deterministic cost AND a deterministic oracle (sync LP may
+    * oscillate on bipartite structures rather than converge — callers
+    * pick the budget, the classic LPA caveat).
+    *
+    * Per round: one join of the (cached, symmetrized) edge list onto the
+    * current labels + one (node, label) count aggregate + one arg-max —
+    * all shuffles keyed by vertex, volume O(edges), map-side combinable;
+    * per-round localCheckpoint truncates lineage exactly like
+    * [[pageRank]]. Output: (node, label). */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).persist()
+    val sym = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .select(col("a").as("src"), col("b").as("dst")).persist()
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .unionByName(raw.filter(col("a") === col("b"))
+        .select(col("a").as("node")).distinct())
+      .distinct().persist()
+    try {
+      var ckpt = nodes.withColumn("lbl", col("node")).localCheckpoint()
+      var labels = ckpt
+      for (_ <- 0 until iters) {
+        val freq = sym
+          .join(labels.select(col("node").as("src"), col("lbl")), "src")
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("__c"))
+        val winner = freq
+          .groupBy("node")
+          .agg(max_by(col("lbl"), struct(col("__c"),
+            -col("lbl"))).as("__w"))
+        val next = nodes.join(winner, Seq("node"), "left_outer")
+          .join(labels.select(col("node"), col("lbl").as("__prev")), "node")
+          .select(col("node"), coalesce(col("__w"), col("__prev")).as("lbl"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
+        ckpt = next
+        labels = next
+      }
+      labels
+    } finally { raw.unpersist(); sym.unpersist(); nodes.unpersist(); () }
+  }
+
   /** Per-node triangle counts over an undirected simple graph (the input
     * edge list is symmetrized/deduped; self-loops dropped) — the local
     * clustering signal: spam/SEO link farms and bot follower rings show
@@ -120,8 +175,11 @@ object Graph {
     * enumeration, never the membership. */
   def triangleCount(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // Persisted BEFORE the symmetrize-union: both union branches read the
+    // cache instead of re-evaluating the (possibly expensive — e.g. a
+    // co-occurrence self-join) upstream lineage twice.
     val raw = edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b"))
+      col(dstCol).cast("long").as("b")).persist()
     // canonical undirected edges: a < b, deduped, no self-loops
     val und = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") < col("b")).distinct().persist()
@@ -155,6 +213,7 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
       out.localCheckpoint()
     } finally {
+      raw.unpersist()
       und.unpersist()
       if (oriented != null) oriented.unpersist()
       ()

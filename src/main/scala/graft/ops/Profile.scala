@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the `ANALYZE`-style data-quality pass a pipeline
@@ -99,6 +99,46 @@ object Profile {
     df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("class_size"))
       .filter(col("class_size") < k)
+  }
+
+  /** Chi-square independence statistic between two categorical columns —
+    * the profiling step behind "is this feature informative?" and "did
+    * the label distribution drift per shard?". Emits one row:
+    * (n_rows, r, c, dof, chi2). The p-value lookup (incomplete gamma) is
+    * deliberately out of scope — compare `chi2` against critical values.
+    *
+    * Determinism contract: all counts are exact integers off ONE
+    * aggregate scan; the full r×c grid (INCLUDING empty cells — their
+    * expected counts still contribute) is generated from the marginals,
+    * each cell term `(o-e)²/e` is a fixed-shape float expression over
+    * exact integers, and the final sum is a STRICT LEFT FOLD over the
+    * (a,b)-sorted cell list — the [[graft.ops.TimeSeries.ewma]]
+    * discipline — so the statistic is bit-identical across partitionings
+    * and engines (a parallel float SUM would not be). Categorical
+    * cardinalities are small by definition, so the fold list is tiny. */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum(col("o")).as("rt"))
+    val cb = cells.groupBy("b").agg(sum(col("o")).as("ct"))
+    val grid = ra.crossJoin(cb)
+      .join(cells, Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), col("rt"), col("ct"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val packed = grid
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("rt"),
+        col("ct"), col("o")))).as("cs"),
+        countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+      .crossJoin(broadcast(cells.agg(sum(col("o")).as("n"))))
+    val term = (x: Column) => {
+      val e = (x.getField("rt") * x.getField("ct")).cast("double") / col("n")
+      val d = x.getField("o").cast("double") - e
+      d * d / e
+    }
+    packed.select(
+      col("n").as("n_rows"), col("r"), col("c"),
+      ((col("r") - 1) * (col("c") - 1)).as("dof"),
+      aggregate(col("cs"), lit(0.0), (acc, x) => acc + term(x)).as("chi2"))
   }
 
   /** Per-group equi-width histogram of a numeric column: `bins` buckets

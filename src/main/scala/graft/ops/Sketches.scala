@@ -338,6 +338,86 @@ object Sketches {
           .as("maybe_contains"): _*)
   }
 
+  // ---- Count-min sketch over the shared hash family ----------------------
+
+  /** Per-group count-min sketch over whitespace tokens of
+    * `lower(textCol)`: (groupCols..., counts) with `counts` a flat
+    * depth×width array of BIGINT cell counts (cell `j·width + pos_j`).
+    * THE approximate-frequency sketch: point-queryable occurrence counts
+    * in fixed memory, one-sided error (never undercounts; overcount
+    * bounded by ~2·N/width at depth 3 with high probability).
+    *
+    * Scale shape: one (group, cell)-keyed SUM aggregate with map-side
+    * combine — ≤ depth·width rows per group cross the shuffle, no
+    * distinct, no vocabulary table (the difference from
+    * [[kmvDistinctTokens]]/top-k: no per-token state at all). Union =
+    * elementwise SUM ([[cmsMerge]]) — per-shard sketches roll up without
+    * rescanning text. Positions reuse the MinHash permutation family, so
+    * a DuckDB oracle replays every cell exactly. */
+  def cmsSketchTokens(
+      docs: DataFrame, groupCols: Seq[String], textCol: String,
+      width: Int = 1024, depth: Int = 3): DataFrame = {
+    require(width >= 16, s"width must be >= 16, got $width")
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val cells = array((0 until depth).map(j =>
+      lit(j.toLong * width) + TextHash.permute(j, col("__h0")) % width): _*)
+    val toks = docs
+      .select(groupCols.map(col) :+
+        explode(TextHash.wordHashes(lower(col(textCol)))).as("__h0"): _*)
+      .select(groupCols.map(col) :+ explode(cells).as("__c"): _*)
+    cellsAssemble(
+      toks.groupBy(groupCols.map(col) :+ col("__c"): _*)
+        .agg(count(lit(1)).as("__n")),
+      groupCols, depth * width)
+  }
+
+  private def cellsAssemble(
+      grouped: DataFrame, groupCols: Seq[String], len: Int): DataFrame =
+    grouped
+      .groupBy(groupCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__c"), col("__n"))))
+        .as("__mm"))
+      .select(groupCols.map(col) :+
+        transform(sequence(lit(0L), lit((len - 1).toLong)),
+          c => coalesce(element_at(col("__mm"), c), lit(0L)))
+          .as("counts"): _*)
+
+  /** Merge count-min sketches to a coarser grouping: elementwise sum —
+    * identical to sketching the union directly (spec + gate prove it). */
+  def cmsMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val len = sketches.select(size(col("counts"))).head().getInt(0)
+    cellsAssemble(
+      sketches
+        .select(groupCols.map(col) :+
+          posexplode(col("counts")).as(Seq("__p", "__v")): _*)
+        .select(groupCols.map(col) :+ col("__p").cast("long").as("__c") :+
+          col("__v"): _*)
+        .groupBy(groupCols.map(col) :+ col("__c"): _*)
+        .agg(sum(col("__v")).as("__n")),
+      groupCols, len)
+  }
+
+  /** Point-query every probe word against every group's sketch:
+    * (groupCols..., word, est_count) with `est_count` the min over the
+    * depth cells — the count-min estimator, never below the true count.
+    * Row-local bit of arithmetic on the (tiny) sketch table only. */
+  def cmsEstimate(
+      sketches: DataFrame, groupCols: Seq[String], probes: DataFrame,
+      wordCol: String, width: Int = 1024, depth: Int = 3): DataFrame = {
+    val cells = array((0 until depth).map(j =>
+      lit(j.toLong * width) + TextHash.permute(j, col("__h0")) % width): _*)
+    val pp = probes
+      .select(col(wordCol).as("word"),
+        TextHash.wordHash(lower(col(wordCol))).as("__h0"))
+      .select(col("word"), cells.as("__cs"))
+    sketches.crossJoin(broadcast(pp))
+      .select(groupCols.map(col) :+ col("word") :+
+        array_min(transform(col("__cs"),
+          c => element_at(col("counts"), (c + 1L).cast("int"))))
+          .as("est_count"): _*)
+  }
+
   /** Estimator columns from a `registers` array: (…, n_zero, sum_q,
     * est_distinct) where `sum_q = Σ_j 2^(W+1-M_j)` is the harmonic-mean
     * denominator held EXACTLY as a BIGINT (every term is a power of two;

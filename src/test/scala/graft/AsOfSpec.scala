@@ -63,6 +63,26 @@ class AsOfSpec extends SparkSpec {
     assert(row.getAs[String]("asof_rv") == "high") // greatest tie tuple wins
   }
 
+  test("tolerance: stale matches null out together, matched flag reports") {
+    val left = Seq(
+      (1L, 12L, "fresh"),      // gap 2 from rt=10 → within tol 5
+      (1L, 26L, "stale"),      // gap 6 from rt=20 → beyond tol 5
+      (1L, 30L, "exact-edge"), // gap 0 from rt=30
+      (3L, 50L, "no-match"))   // no right rows at all
+      .toDF("k", "lt", "tag")
+    val got = AsOf.joinAsOfTolerance(left, right, Seq("k"), "lt", "rt",
+        Seq("rt", "rv"), toleranceUs = 5L)
+      .collect().map(r => r.getAs[String]("tag") ->
+        ((Option(r.getAs[java.lang.Long]("asof_rt")).map(_.toLong),
+          Option(r.getAs[String]("asof_rv")),
+          r.getAs[Boolean]("asof_matched")))).toMap
+    assert(got("fresh") == ((Some(10L), Some("r10"), true)))
+    // the stale match must drop BOTH columns, not just one
+    assert(got("stale") == ((None, None, false)))
+    assert(got("exact-edge") == ((Some(30L), Some("r30"), true)))
+    assert(got("no-match") == ((None, None, false)))
+  }
+
   test("left rows and payload survive unchanged; one output row per left row") {
     val left = (0L until 50L).map(i => (1L, i, s"p$i")).toDF("k", "lt", "payload")
     val out = AsOf.joinAsOf(left, right, Seq("k"), "lt", "rt", Seq("rv"))

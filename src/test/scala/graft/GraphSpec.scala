@@ -82,6 +82,41 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  private def lp(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: cliques converge to their min label") {
+    // two triangles bridged by one edge: each triangle's majority is
+    // internal, so labels settle to each clique's minimum id
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L))
+    val got = lp(edges, 4)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(Set(10L, 11L, 12L).map(got).size == 1)
+    assert(got(10L) <= 10L) // the bridge can pull 10 toward 1's community
+  }
+
+  test("labelPropagation: iters=0 is the identity; isolated nodes keep labels") {
+    val got = lp(Seq((5L, 5L), (1L, 2L)), 0)
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 2L))
+    // a self-loop-only node never changes even after rounds
+    assert(lp(Seq((5L, 5L), (1L, 2L)), 3)(5L) == 5L)
+  }
+
+  test("labelPropagation: identical across partitionings") {
+    val rng = new scala.util.Random(23)
+    val edges = List.fill(600)(
+      (rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val run = (p: Int) =>
+      Graph.labelPropagation(edges.toDF("s", "d").repartition(p), "s", "d", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(1) == run(19))
+  }
+
   private def tc(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Graph.triangleCount(edges.toDF("s", "d"), "s", "d")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -76,6 +76,30 @@ class ProfileSpec extends SparkSpec {
       got.getBoolean(3)) == (("fk_check", 4L, 2L, false)))
   }
 
+  test("chiSquare: zero on independence, hand-checked with empty cells") {
+    // perfectly independent 2x2
+    val ind = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L),
+      ("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L)).toDF("a", "b")
+    val r0 = Profile.chiSquare(ind, "a", "b").head()
+    assert(r0.getAs[Double]("chi2") == 0.0)
+    assert(r0.getAs[Long]("dof") == 1L && r0.getAs[Long]("n_rows") == 8L)
+    // dependent with an EMPTY cell (x,2): cells (x,1)=4, (y,1)=1, (y,2)=3
+    // rt=4/4, ct=5/3, n=8 → chi2 = 0.9 + 1.5 + 0.9 + 1.5 = 4.8
+    val dep = (Seq.fill(4)(("x", 1L)) ++ Seq(("y", 1L)) ++
+      Seq.fill(3)(("y", 2L))).toDF("a", "b")
+    val r1 = Profile.chiSquare(dep, "a", "b").head()
+    assert(math.abs(r1.getAs[Double]("chi2") - 4.8) < 1e-12)
+  }
+
+  test("chiSquare is partitioning-invariant (strict fold, no float race)") {
+    val rng = new scala.util.Random(31)
+    val rows = Seq.fill(5000)((s"t${rng.nextInt(6)}", rng.nextInt(7).toLong))
+    val run = (p: Int) =>
+      Profile.chiSquare(rows.toDF("a", "b").repartition(p), "a", "b")
+        .head().getAs[Double]("chi2")
+    assert(run(1) == run(17))
+  }
+
   test("kAnonymityViolations emits only classes below k") {
     val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(2)(("US", "B")) ++
       Seq.fill(1)(("DE", "A"))).toDF("nation", "seg")

@@ -95,6 +95,37 @@ class SketchesSpec extends SparkSpec {
       Sketches.bloomSketchTokens(corpus, Seq("g"), "text"))
   }
 
+  test("cms: never undercounts; exact when cells don't collide") {
+    // tiny vocab vs width 1024 → collisions essentially impossible, so
+    // the estimate equals the true occurrence count
+    val docs = Seq(
+      ("G", "s", "alpha beta alpha"), ("G", "s", "alpha gamma"),
+      ("H", "s", "beta")).toDF("g", "src", "text")
+    val sk = Sketches.cmsSketchTokens(docs, Seq("g"), "text")
+    val probes = Seq("alpha", "beta", "gamma", "absent").toDF("word")
+    val got = Sketches.cmsEstimate(sk, Seq("g"), probes, "word")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got(("G", "alpha")) == 3L)
+    assert(got(("G", "beta")) == 1L)
+    assert(got(("G", "gamma")) == 1L)
+    assert(got(("G", "absent")) == 0L)
+    assert(got(("H", "beta")) == 1L && got(("H", "alpha")) == 0L)
+  }
+
+  test("cmsMerge of fine groups == direct build on the coarse group") {
+    val fine = Sketches.cmsSketchTokens(corpus, Seq("g", "src"), "text")
+    assertSameRows(
+      Sketches.cmsMerge(fine, Seq("g")),
+      Sketches.cmsSketchTokens(corpus, Seq("g"), "text"))
+  }
+
+  test("cms counts are partitioning-invariant") {
+    assertSameRows(
+      Sketches.cmsSketchTokens(corpus.repartition(1), Seq("g"), "text"),
+      Sketches.cmsSketchTokens(corpus.repartition(8), Seq("g"), "text"))
+  }
+
   test("bloom bitmap is partitioning-invariant; popcount sane") {
     val a = Sketches.bloomSketchTokens(corpus.repartition(1), Seq("g"), "text")
     val b = Sketches.bloomSketchTokens(corpus.repartition(9), Seq("g"), "text")
