@@ -623,6 +623,13 @@ object SparkEntry {
           expr("(ts div 86400000000000) % 7").as("dow")),
         "event_type", "dow")),
 
+    // ---- Profiling: one-way ANOVA F (does event_type shift the mean
+    //      value?) — exact quantized moments, strict sorted folds ----
+    "q_anova" -> ((s, dir) =>
+      graft.ops.Normalize.anovaF(
+        t(s, dir, "events").select(col("event_type"), col("value")),
+        "event_type", "value")),
+
     // ---- Privacy: k-anonymity audit over quasi-identifiers (violating
     //      equivalence classes only; empty result == fully k-anonymous) ----
     "q_k_anonymity" -> ((s, dir) =>
@@ -1479,6 +1486,20 @@ object SparkEntry {
         sum(col("o_totalprice").cast("decimal(18,2)")).over(run)
           .cast("double").as("running_spend"))
     }),
+
+    // ---- Sessionization with DYNAMIC per-event gaps (high-intent
+    //      events time out faster) — session_window(col, gapExpr),
+    //      transitive interval merge, oracle replays via running-max ----
+    "q_session_dynamic" -> ((s, dir) =>
+      graft.streaming.EventTime.sessionAggDynamicGap(
+        t(s, dir, "events").select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("tsm"),
+          col("event_type")),
+        "tsm",
+        expr("CASE WHEN event_type = 'purchase' " +
+          "THEN make_interval(0,0,0,0,1,0,0) " +
+          "ELSE make_interval(0,0,0,0,3,0,0) END"),
+        Seq("user_id"))),
 
     // ---- Windowing: time-RANGE rolling aggregate (trailing 1 h per
     //      user at every event) — RANGE frames make equal-timestamp ties
@@ -2669,6 +2690,28 @@ object SparkEntry {
         ("SELECT c_nationkey, c_mktsegment, count(*) AS class_size " +
           "FROM customer GROUP BY c_nationkey, c_mktsegment " +
           "HAVING count(*) < 8"),
+      "q_anova" -> {
+        val q = "1048576.0"
+        val qx = s"CAST(floor(value * $q) AS HUGEINT)"
+        val ssb = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(cs, x -> x.sd * x.sd / CAST(x.ng AS DOUBLE))), " +
+          "(a, b) -> a + b) - std * std / CAST(n AS DOUBLE)"
+        val ssw = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(cs, x -> x.ssd - x.sd * x.sd / " +
+          "CAST(x.ng AS DOUBLE))), (a, b) -> a + b)"
+        s"WITH c AS (SELECT event_type AS g, count(*) AS ng, sum($qx) AS s, " +
+          s"sum($qx * $qx) AS ss FROM events WHERE event_type IS NOT NULL " +
+          "AND value IS NOT NULL GROUP BY event_type), " +
+          "p AS (SELECT list(struct_pack(ng := ng, " +
+          "sd := CAST(s AS DOUBLE), ssd := CAST(ss AS DOUBLE)) " +
+          "ORDER BY g) AS cs, CAST(count(*) AS BIGINT) AS k, " +
+          "CAST(sum(ng) AS BIGINT) AS n, CAST(sum(s) AS DOUBLE) AS std " +
+          "FROM c), " +
+          s"r AS (SELECT k, n AS n_rows, $ssb AS ssb, $ssw AS ssw FROM p) " +
+          "SELECT k, n_rows, ssb, ssw, CASE WHEN k < 2 OR n_rows <= k " +
+          "OR ssw <= 0 THEN NULL ELSE (ssb / CAST(k - 1 AS DOUBLE)) / " +
+          "(ssw / CAST(n_rows - k AS DOUBLE)) END AS f_stat FROM r"
+      },
       "q_chi2" -> {
         // e and d repeated inline (DuckDB lambdas have no let-binding);
         // every repetition is the identical float expression, so the
@@ -3111,6 +3154,23 @@ object SparkEntry {
           "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
           "FROM events WHERE event_type = 'purchase') WHERE rn = 1) r " +
           "ON l.user_id = r.user_id AND l.ts >= r.ts)"),
+      "q_session_dynamic" ->
+        ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, " +
+          "CASE WHEN event_type = 'purchase' THEN 3600000000 " +
+          "ELSE 10800000000 END AS gap FROM events), " +
+          "m AS (SELECT user_id, us, us + gap AS en, " +
+          "max(us + gap) OVER (PARTITION BY user_id ORDER BY us, us + gap " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runend " +
+          "FROM e), " +
+          // Spark merges TOUCHING intervals (event start == session end
+          // joins the session), so a break needs strictly-after.
+          "f AS (SELECT user_id, us, en, CASE WHEN runend IS NULL " +
+          "OR us > runend THEN 1 ELSE 0 END AS brk FROM m), " +
+          "s AS (SELECT user_id, us, en, sum(brk) OVER (PARTITION BY " +
+          "user_id ORDER BY us, en ROWS UNBOUNDED PRECEDING) AS sid FROM f) " +
+          "SELECT user_id, min(us) AS session_start_us, " +
+          "CAST(max(en) AS BIGINT) AS session_end_us, " +
+          "count(*) AS n_events FROM s GROUP BY user_id, sid"),
       "q_rolling_window" ->
         ("SELECT user_id, ts_us, event_id, count(*) OVER w AS n_1h, " +
           "CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) " +

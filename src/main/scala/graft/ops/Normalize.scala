@@ -193,6 +193,48 @@ object Normalize {
     }.reduce(_ unionByName _)
   }
 
+  /** One-way ANOVA F-statistic of `valCol` across `groupCol` levels —
+    * "does the group affect the mean at all?", the continuous-outcome
+    * companion to [[graft.ops.Profile.chiSquare]]. Emits one row:
+    * (k, n_rows, ssb, ssw, f_stat); `f_stat` is NULL for degenerate
+    * designs (k < 2, n <= k, or zero within-group variance).
+    *
+    * Determinism: per-group moments (n_g, Σq, Σq²) are EXACT (the
+    * [[zscore]] quantization — values scale by 2^20 and sum as
+    * DECIMAL(38,0)/HUGEINT; F is scale-invariant so quantization only
+    * shifts the statistic by O(2^-20/σ)); each group's SSB/SSW terms are
+    * fixed-shape floats over those exact integers; and the cross-group
+    * totals are STRICT SORTED FOLDS (the [[graft.ops.Profile.chiSquare]]
+    * discipline) — bit-identical across partitionings and engines.
+    * Cost: one grouped aggregate + an O(k) fold; nulls drop. */
+  def anovaF(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val qz = floor(col(valCol) * lit(Q.toDouble)).cast("decimal(38,0)")
+    val cells = df.na.drop(Seq(groupCol, valCol))
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("ng"), sum(qz).as("s"), sum(qz * qz).as("ss"))
+    val packed = cells.agg(
+      sort_array(collect_list(struct(col("g"), col("ng"),
+        col("s").cast("double").as("sd"),
+        col("ss").cast("double").as("ssd")))).as("cs"),
+      count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("s")).as("st"))
+    val ssb = aggregate(col("cs"), lit(0.0), (acc, x) =>
+      acc + x.getField("sd") * x.getField("sd") /
+        x.getField("ng").cast("double")) -
+      col("st").cast("double") * col("st").cast("double") /
+        col("n").cast("double")
+    val ssw = aggregate(col("cs"), lit(0.0), (acc, x) =>
+      acc + (x.getField("ssd") - x.getField("sd") * x.getField("sd") /
+        x.getField("ng").cast("double")))
+    packed.select(col("k"), col("n").as("n_rows"),
+        ssb.as("ssb"), ssw.as("ssw"))
+      .withColumn("f_stat",
+        when(col("k") < 2 || col("n_rows") <= col("k") || col("ssw") <= 0,
+          lit(null).cast("double"))
+          .otherwise((col("ssb") / (col("k") - 1).cast("double")) /
+            (col("ssw") / (col("n_rows") - col("k")).cast("double"))))
+  }
+
   /** The DuckDB mirror of [[zscore]]'s arithmetic, for oracle authoring:
     * identical quantization, exact HUGEINT moments, identical float
     * expression shape. `table` must expose `$groupCol` and `$valCol`. */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -88,6 +88,31 @@ object EventTime {
         unix_micros(max(col(tsCol))).as("session_end_us"))
       .select(dims.map(col) :+ col("session_start_us") :+
         col("session_end_us") :+ col("n_events"): _*)
+
+  /** DYNAMIC-gap sessionization: each event carries its own inactivity
+    * gap (a Column, e.g. shorter for high-intent event types), and
+    * Spark's `session_window` merges the per-event intervals
+    * [ts, ts+gap] transitively — TOUCHING merges: an event starting
+    * exactly at the session's end joins it (observed Spark behavior,
+    * spec-locked). Semantically classic interval merging, which is how
+    * the DuckDB oracle replays it (running max of interval ends; a
+    * session breaks only where an event starts STRICTLY after every
+    * predecessor's end). Works batch and streaming; same state/watermark
+    * contract as [[sessionAgg]].
+    *
+    * Emits (dims..., session_start_us, session_end_us, n_events) where
+    * `session_end_us` is the merged window end (last event's ts + its
+    * gap — the thing the fixed-gap variant reports as max event ts). */
+  def sessionAggDynamicGap(
+      src: DataFrame, tsCol: String, gapExpr: Column,
+      dims: Seq[String]): DataFrame =
+    src
+      .groupBy(dims.map(col) :+ session_window(col(tsCol), gapExpr): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(dims.map(col) :+
+        unix_micros(col("session_window.start")).as("session_start_us") :+
+        unix_micros(col("session_window.end")).as("session_end_us") :+
+        col("n_events"): _*)
 }
 
 /** Streams an UPDATE-mode aggregation into a merge target: each micro-batch

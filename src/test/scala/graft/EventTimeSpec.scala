@@ -93,6 +93,28 @@ class EventTimeSpec extends SparkSpec {
       ("a", us(1), us(3), 2L), ("a", us(20), us(20), 1L), ("b", us(5), us(5), 1L)))
   }
 
+  test("dynamic-gap sessions: per-event gaps merge transitively") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("2024-03-01 10:00:00", "a"),  // end 10:10
+      ("2024-03-01 10:05:00", "b"),  // merges (10:05 < 10:10), end 10:35
+      ("2024-03-01 10:20:00", "a"),  // merges (10:20 < 10:35), end stays 10:35
+      ("2024-03-01 10:35:00", "a"),  // TOUCHING start==end merges, end 10:45
+      ("2024-03-01 10:46:00", "a"),  // 10:46 > 10:45 → NEW session, end 10:56
+      ("2024-03-01 09:00:00", "a"))  // isolated earlier session, end 09:10
+      .toDF("t", "kind")
+      .select(to_timestamp(col("t")).as("ts"), col("kind"), lit(7L).as("u"))
+    val got = EventTime.sessionAggDynamicGap(df, "ts",
+        expr("CASE WHEN kind = 'a' THEN make_interval(0,0,0,0,0,10,0) " +
+          "ELSE make_interval(0,0,0,0,0,30,0) END"), Seq("u"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000L
+    assert(got == Set(
+      (us("2024-03-01 09:00:00"), us("2024-03-01 09:10:00"), 1L),
+      (us("2024-03-01 10:00:00"), us("2024-03-01 10:45:00"), 4L),
+      (us("2024-03-01 10:46:00"), us("2024-03-01 10:56:00"), 1L)))
+  }
+
   test("streamed session agg (append) emits watermark-closed sessions") {
     implicit val sql = spark.sqlContext
     val all = Seq(

@@ -93,6 +93,35 @@ class NormalizeSpec extends SparkSpec {
     assert(got(("h", 7.0)) == (7.0, 7.0, 7.0))
   }
 
+  test("anovaF: hand-checked F, null on degenerate designs") {
+    // groups: a = {0, 2} (mean 1), b = {4, 6} (mean 5); grand mean 3
+    // SSB = 2*(1-3)^2 + 2*(5-3)^2 = 16; SSW = 2 + 2 = 4
+    // F = (16/1) / (4/2) = 8
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "x")
+    val r = graft.ops.Normalize.anovaF(df, "g", "x").head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n_rows") == 4L)
+    assert(math.abs(r.getAs[Double]("ssb") / (1L << 40).toDouble - 16.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("f_stat") - 8.0) < 1e-9)
+    // one group → k < 2 → NULL F
+    val one = graft.ops.Normalize.anovaF(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("g", "x"), "g", "x").head()
+    assert(one.isNullAt(one.fieldIndex("f_stat")))
+    // zero within-group variance → NULL F
+    val z = graft.ops.Normalize.anovaF(
+      Seq(("a", 1.0), ("a", 1.0), ("b", 5.0), ("b", 5.0)).toDF("g", "x"),
+      "g", "x").head()
+    assert(z.isNullAt(z.fieldIndex("f_stat")))
+  }
+
+  test("anovaF is partitioning-invariant") {
+    val rng = new scala.util.Random(37)
+    val rows = Seq.fill(4000)((s"g${rng.nextInt(5)}", rng.nextDouble() * 100))
+    val run = (p: Int) =>
+      graft.ops.Normalize.anovaF(rows.toDF("g", "x").repartition(p), "g", "x")
+        .head().getAs[Double]("f_stat")
+    assert(run(1) == run(13))
+  }
+
   test("bit-identical across partitionings") {
     val rng = new scala.util.Random(5)
     val rows = Seq.fill(2000)((s"g${rng.nextInt(7)}", rng.nextDouble() * 500))
