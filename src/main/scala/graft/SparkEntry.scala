@@ -844,6 +844,23 @@ object SparkEntry {
           col("value"), col("_change_type"))
     }),
 
+    // ---- Time travel: after a second merge, the FIRST retained version
+    //      must still read as batch 1's latest-wins state, bit-for-bit
+    //      (manifests are immutable; retention keeps referenced dirs) ----
+    "o15_time_travel" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o15_").toString
+      val target = TargetTable("events_tt", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4,
+        retainVersions = 4)
+      val cfg = IngestConfig(name = s"o15-tt-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, target)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
+      stateOut(pt.readVersion(1L).get)
+    }),
+
     // ---- CDC consumer: incremental aggregate maintenance — base agg
     //      over v1 + pre/post-image deltas from the v1→v3 feed must equal
     //      a direct re-aggregation of v3 (O(changes), no table rescan) ----
@@ -3073,6 +3090,13 @@ object SparkEntry {
       "o14_target_lookup" ->
         (s"SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, value " +
           s"FROM ($oracleDedup) WHERE rn = 1 AND pkey % 25 = 3"),
+      // Version 1 state == latest-wins over ONLY the first batch's rows.
+      "o15_time_travel" ->
+        ("SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, value " +
+          "FROM (SELECT user_id AS pkey, ts, event_id, event_type, value, " +
+          "row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events WHERE event_id % 2 = 0) WHERE rn = 1"),
       // incremental maintenance converges to a direct re-aggregation of
       // the post state (latest-wins minus deleted keys)
       "o13b_cdc_incremental_agg" ->
