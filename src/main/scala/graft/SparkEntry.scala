@@ -2252,7 +2252,8 @@ object SparkEntry {
         "(SELECT *, row_number() OVER (PARTITION BY vec_id " +
         "ORDER BY cos DESC, cid ASC) AS rn FROM a) WHERE rn = 1), " +
         s"d AS (SELECT DISTINCT x.vec_id FROM cell x JOIN cell y " +
-        s"ON x.cell = y.cell AND y.vec_id < x.vec_id " +
+        s"ON x.cell = y.cell AND x.nrm > 0 AND y.nrm > 0 " +
+        s"AND y.vec_id < x.vec_id " +
         s"AND $dotXY / (x.nrm * y.nrm) >= 0.2) " +
         "SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep " +
         "FROM cell c LEFT JOIN d ON c.vec_id = d.vec_id"
@@ -2349,7 +2350,8 @@ object SparkEntry {
         "(SELECT *, row_number() OVER (PARTITION BY vec_id " +
         "ORDER BY cos DESC, cid ASC) AS rn FROM a) WHERE rn = 1), " +
         s"d AS (SELECT DISTINCT x.vec_id FROM cell x JOIN cell y " +
-        s"ON x.cell = y.cell AND y.vec_id < x.vec_id " +
+        s"ON x.cell = y.cell AND x.nrm > 0 AND y.nrm > 0 " +
+        s"AND y.vec_id < x.vec_id " +
         s"AND $dotXY / (x.nrm * y.nrm) >= 0.3) " +
         "SELECT cl.cell, count(*) AS n_vecs, " +
         "CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +

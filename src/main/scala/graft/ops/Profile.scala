@@ -61,30 +61,38 @@ object Profile {
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
         .as(s"__v_$name")
     } :+ count(lit(1)).as("__n")
+    // coalesce: sum over ZERO rows is NULL, and `NULL === 0` is NULL —
+    // an empty input would make `pass` three-valued-logic-invisible to
+    // downstream filters, the exact silent skip this audit exists to
+    // prevent. Empty input = nothing violated = pass.
     val one = df.agg(aggs.head, aggs.tail: _*)
     val perRule = rules.map { case (name, _) =>
+      val v = coalesce(col(s"__v_$name"), lit(0L))
       struct(lit(name).as("rule"), col("__n").as("n_checked"),
-        col(s"__v_$name").as("n_violations"),
-        (col(s"__v_$name") === 0L).as("pass"))
+        v.as("n_violations"), (v === 0L).as("pass"))
     }
     one.select(explode(array(perRule: _*)).as("r")).select(col("r.*"))
   }
 
   /** Referential-integrity audit in the same output shape as [[expect]]:
-    * child rows whose key has no parent. A left ANTI join keyed by the
-    * parent key — broadcast when the parent is a dim, shuffle otherwise;
-    * Spark's runtime bloom filter prunes the child scan when selective. */
+    * child rows whose key has no parent. ONE lazy plan — a left outer
+    * join of the child keys onto the distinct parent keys feeding a
+    * single aggregate (no eager driver actions, one scan per side);
+    * broadcast when the parent is a dim, shuffle otherwise, and Spark's
+    * runtime bloom filter prunes the child scan when selective. */
   def orphanRule(
       name: String, child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String): DataFrame = {
-    val n = child.count()
-    val o = child.join(
-      parent.select(col(parentKey).as(childKey)).distinct(),
-      Seq(childKey), "left_anti").count()
-    child.sparkSession.range(1).select(
-      lit(name).as("rule"), lit(n).as("n_checked"),
-      lit(o).as("n_violations"), lit(o == 0L).as("pass"))
-  }
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(
+        parent.select(col(parentKey).as(childKey)).distinct()
+          .withColumn("__hit", lit(1)),
+        Seq(childKey), "left_outer")
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("__v"))
+      .select(lit(name).as("rule"), col("__n").as("n_checked"),
+        col("__v").as("n_violations"), (col("__v") === 0L).as("pass"))
 
   /** k-anonymity audit over quasi-identifier columns: every equivalence
     * class (distinct QI combination) with fewer than `k` members is a

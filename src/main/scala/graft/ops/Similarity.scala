@@ -329,12 +329,21 @@ object Similarity {
   /** Max cosine of (v, nrm) against the broadcast `__cents` array — the
     * farthest-point score. Same fold discipline as [[bestCell]]: strict
     * left-to-right, NaN beats every real cosine. */
+  /** Cosine that yields NaN (not an ANSI divide-by-zero error) on a
+    * zero denominator — the documented zero-norm contract of the
+    * centroid folds. Under `spark.sql.ansi.enabled` (the Spark 4
+    * default) a plain `/` THROWS on 0.0/0.0; the conditional restores
+    * IEEE NaN semantics, which both engines then rank greatest. */
+  private def nanSafeCos(num: Column, den: Column): Column =
+    when(den === 0.0, lit(Double.NaN)).otherwise(num / den)
+
   private def maxCos(v: Column, nrm: Column): Column =
     aggregate(
       col("__cents"),
       lit(-2.0),
       (acc, c) => {
-        val cos = dot(v, c.getField("cv")) / (nrm * c.getField("cnrm"))
+        val cos = nanSafeCos(dot(v, c.getField("cv")),
+          nrm * c.getField("cnrm"))
         when(cos > acc || (isnan(cos) && !isnan(acc)), cos).otherwise(acc)
       })
 
@@ -363,7 +372,8 @@ object Similarity {
       col("__cents"),
       struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
       (acc, c) => {
-        val cos = dot(v, c.getField("cv")) / (nrm * c.getField("cnrm"))
+        val cos = nanSafeCos(dot(v, c.getField("cv")),
+          nrm * c.getField("cnrm"))
         val wins = cos > acc.getField("cos") ||
           (isnan(cos) && !isnan(acc.getField("cos")))
         when(wins, struct(cos.as("cos"), c.getField("cid").as("cid")))
@@ -495,10 +505,11 @@ object Similarity {
     * Deterministic: assignment reuses the bit-deterministic
     * [[bestCell]] fold, the pair predicate is one fixed-shape cosine
     * (no cross-row accumulation), and keep/drop depends only on the id
-    * order — so a DuckDB oracle replays it row-for-row. NaN cosines
-    * (zero-norm vectors) compare "greater than everything" in BOTH
-    * Spark SQL and DuckDB, so degenerate vectors collapse to one
-    * representative consistently in either engine. */
+    * order — so a DuckDB oracle replays it row-for-row. Zero-norm
+    * vectors are excluded from the pair predicate on BOTH sides (their
+    * cosine is NaN, which compares greater-than-everything in Spark SQL
+    * and DuckDB alike — unguarded, one zero vector would absorb its
+    * whole cell); they always survive, and never absorb others. */
   def semanticDedup(
       emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double): DataFrame = {
@@ -508,7 +519,14 @@ object Similarity {
           col("nrm").as("__na"), col("cell"))
         .join(cells.select(col(idCol).as("__idb"), col("v").as("__vb"),
           col("nrm").as("__nb"), col("cell")), "cell")
-        .filter(col("__idb") < col("__ida") &&
+        // Zero-norm guard: cosine against a zero vector is NaN, and NaN
+        // compares GREATER than everything in Spark SQL — without the
+        // norm predicates one all-zeros embedding with the cell's lowest
+        // id would mark every other member a duplicate. Degenerate
+        // vectors neither absorb nor get absorbed; dedupe them upstream
+        // by exact hash if needed.
+        .filter(col("__na") > 0 && col("__nb") > 0 &&
+          col("__idb") < col("__ida") &&
           dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
             >= threshold)
         .select(col("__ida")).distinct()

@@ -226,13 +226,25 @@ object Sketches {
       groupCols, m)
   }
 
+  /** Runtime width check on a sketch column: `m` is a caller-supplied
+    * contract (deriving it with a `head()` would execute the whole build
+    * lineage twice), so a mismatched sketch must fail loud at execution,
+    * not silently truncate to the first m entries. `assert_true` returns
+    * NULL on pass — the filter keeps every row — and raises on the first
+    * violation. Cost: one `size()` per sketch row. */
+  private def requireWidth(df: DataFrame, c: String, m: Int, fn: String) =
+    df.filter(assert_true(size(col(c)) === m,
+      lit(s"$fn: '$c' width differs from the passed m/width=$m — " +
+        "pass the same size the sketch was built with")).isNull)
+
   /** Merge sketches down to a coarser grouping: elementwise register max —
     * identical to sketching the union directly (spec-proven), at
-    * O(sketch rows × m) cost with no text rescan. */
+    * O(sketch rows × m) cost with no text rescan. `m` must match the
+    * build (execution-time checked; a mismatch fails loud). */
   def hllMerge(
       sketches: DataFrame, groupCols: Seq[String], m: Int = 64): DataFrame =
     hllAssemble(
-      sketches
+      requireWidth(sketches, "registers", m, "hllMerge")
         .select(groupCols.map(col) :+
           posexplode(col("registers")).as(Seq("__p", "__rk")): _*)
         .select(groupCols.map(col) :+ col("__p").cast("long").as("__b") :+
@@ -294,19 +306,22 @@ object Sketches {
   }
 
   /** Merge bloom bitmaps to a coarser grouping: elementwise OR —
-    * identical to sketching the union directly (spec + gate prove it). */
+    * identical to sketching the union directly (spec + gate prove it).
+    * `mBits` must match the build (execution-time checked — deriving the
+    * width with a `head()` would run the whole build lineage twice). */
   def bloomMerge(
-      sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val words = sketches.select(size(col("bits"))).head().getInt(0)
+      sketches: DataFrame, groupCols: Seq[String],
+      mBits: Int = 65536): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
     bitsAssemble(
-      sketches
+      requireWidth(sketches, "bits", mBits / 64, "bloomMerge")
         .select(groupCols.map(col) :+
           posexplode(col("bits")).as(Seq("__pw", "__b")): _*)
         .select(groupCols.map(col) :+ col("__pw").cast("long").as("__w") :+
           col("__b"): _*)
         .groupBy(groupCols.map(col) :+ col("__w"): _*)
         .agg(expr("bit_or(__b)").as("__m")),
-      groupCols, words)
+      groupCols, mBits / 64)
   }
 
   /** Popcount summary of a bitmap sketch: (…, n_bits_set) — the merge
@@ -384,19 +399,20 @@ object Sketches {
           .as("counts"): _*)
 
   /** Merge count-min sketches to a coarser grouping: elementwise sum —
-    * identical to sketching the union directly (spec + gate prove it). */
-  def cmsMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val len = sketches.select(size(col("counts"))).head().getInt(0)
+    * identical to sketching the union directly (spec + gate prove it).
+    * `width`/`depth` must match the build (execution-time checked — a
+    * `head()`-derived length would run the build lineage twice). */
+  def cmsMerge(sketches: DataFrame, groupCols: Seq[String],
+      width: Int = 1024, depth: Int = 3): DataFrame =
     cellsAssemble(
-      sketches
+      requireWidth(sketches, "counts", depth * width, "cmsMerge")
         .select(groupCols.map(col) :+
           posexplode(col("counts")).as(Seq("__p", "__v")): _*)
         .select(groupCols.map(col) :+ col("__p").cast("long").as("__c") :+
           col("__v"): _*)
         .groupBy(groupCols.map(col) :+ col("__c"): _*)
         .agg(sum(col("__v")).as("__n")),
-      groupCols, len)
-  }
+      groupCols, depth * width)
 
   /** Point-query every probe word against every group's sketch:
     * (groupCols..., word, est_count) with `est_count` the min over the

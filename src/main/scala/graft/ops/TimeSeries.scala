@@ -159,7 +159,10 @@ object TimeSeries {
       df: DataFrame, keyCol: String, tsCol: String, idCol: String,
       valCol: String, bucketUs: Long): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
-    val bucket = expr(s"$tsCol div $bucketUs") * bucketUs
+    // FLOOR-division bucketing via pmod (`div` truncates toward zero, so
+    // a pre-epoch timestamp would land in a bucket that doesn't contain
+    // it — and disagree with DuckDB's `//`, which floors).
+    val bucket = col(tsCol) - pmod(col(tsCol), lit(bucketUs))
     val asc = Window.partitionBy(col(keyCol), col("__bk"))
       .orderBy(col(tsCol).asc, col(idCol).asc)
     val desc = Window.partitionBy(col(keyCol), col("__bk"))

@@ -138,24 +138,46 @@ object Stateful {
       gkey: String, rank: Long, id: Long, score: Double, upd_seq: Long)
 
   /** Streaming global top-k per key — the leaderboard operator: each key
-    * keeps its k best (score desc, id desc ties) rows seen ANYWHERE in
-    * the stream, re-emitting the full k-row slate whenever it changes.
+    * keeps its k best entries by (score desc, id desc ties), re-emitting
+    * the full k-row slate whenever it changes. Scores are MAX-aggregated
+    * per id — a re-delivered or re-scored id occupies ONE slot at its
+    * best score ever seen (an improvement moves it up; a lower re-score
+    * is ignored, the bounded state can't know whether the old high score
+    * should stand — document upstream if decay semantics are needed).
     * Pairs with a (gkey, rank)-keyed latest-wins merge sink (version =
     * `upd_seq`) so the target always holds exactly the current slate —
     * set-replacement semantics built from the engine's own upsert
     * primitive, no special sink needed.
     *
-    * State per key is O(k) — a bounded fold, NOT a running collect_list:
-    * a hub key that sees a billion rows still stores k tuples. The fold
-    * is order-insensitive (max-set with a total tie-break), so batch
-    * iterator order and micro-batch partitioning cannot change the
-    * converged slate. */
+    * State AND working memory per key are O(k): the batch iterator is
+    * consumed by a strict fold that keeps a k-bounded candidate slate —
+    * a hub key that sees a billion rows in one micro-batch never
+    * materializes them (no collect-then-sort). The fold is
+    * order-insensitive: per-id max is commutative, and the k-th score is
+    * monotone non-decreasing, so an entry evicted earlier can never be
+    * beaten by a lower later score for the same id — batch iterator
+    * order and micro-batch partitioning cannot change the converged
+    * slate. */
   def topKPerKey(src: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     implicit val eventEnc = Encoders.product[Scored]
     implicit val keyEnc = Encoders.STRING
     implicit val stateEnc = Encoders.product[TopState]
     implicit val outEnc = Encoders.product[TopRow]
+    // slate is kept sorted by (score desc, id desc), length <= k
+    def wins(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 > b._1)
+    def insert(top: Seq[(Long, Double)], e: (Long, Double)): Seq[(Long, Double)] =
+      top.indexWhere(_._1 == e._1) match {
+        case i if i >= 0 =>
+          if (top(i)._2 >= e._2) top // existing slot already as good
+          else ((top.take(i) ++ top.drop(i + 1)) :+ e)
+            .sortWith(wins) // improvement: re-rank the one moved entry
+        case _ =>
+          if (top.size < k) (top :+ e).sortWith(wins)
+          else if (wins(e, top.last)) (top.init :+ e).sortWith(wins)
+          else top
+      }
     src
       .select(col("gkey").cast("string").as("gkey"),
         col("id").cast("long").as("id"),
@@ -165,10 +187,9 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[Scored], state: GroupState[TopState]) =>
           val prev = state.getOption.getOrElse(TopState(0L, Nil))
-          val merged = (prev.top ++ rows.map(r => (r.id, r.score)))
-            .distinct
-            .sortBy { case (id, s) => (-s, -id) }
-            .take(k)
+          val merged = rows.foldLeft(prev.top) { (top, r) =>
+            insert(top, (r.id, r.score))
+          }
           if (merged == prev.top) Iterator.empty
           else {
             val next = TopState(prev.seq + 1L, merged)

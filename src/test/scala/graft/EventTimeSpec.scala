@@ -208,6 +208,37 @@ class EventTimeSpec extends SparkSpec {
       ("k2", 1L) -> ((20L, 4.0)), ("k2", 2L) -> ((22L, 3.5))))
   }
 
+  test("topKPerKey: a re-scored id keeps ONE slot at its max score") {
+    implicit val sql = spark.sqlContext
+    val events = MemoryStream[SEv]
+    val dir = Files.createTempDirectory("graft_tk2_").toString
+    val target = TargetTable("lb2", s"$dir/target",
+      keyCols = Seq("gkey", "rank"), versionCol = "upd_seq")
+    val cfg = IngestConfig(name = s"tk2-${System.nanoTime()}",
+      checkpointDir = Some(s"$dir/ckpt"))
+    val src = events.toDF().select(
+      concat(lit("k"), col("pkey")).as("gkey"),
+      col("tie").as("id"), col("value").as("score"))
+    val q = new AggUpsertStream(spark, cfg, target)
+      .run(graft.streaming.Stateful.topKPerKey(src, k = 2),
+        Trigger.ProcessingTime(0))
+    // id 10 arrives at 5.0, then re-scores to 8.0 in a later batch; a
+    // tuple-distinct slate would seat it at BOTH rank 1 and rank 2
+    events.addData(Seq(SEv(1, 0, 10, 5.0), SEv(1, 0, 11, 3.0)))
+    q.processAllAvailable()
+    events.addData(Seq(SEv(1, 0, 10, 8.0)))
+    q.processAllAvailable()
+    // and a lower re-score for an in-slate id is ignored
+    events.addData(Seq(SEv(1, 0, 11, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = new ParquetTarget(spark, target).read().get
+      .collect().map(r => (r.getAs[String]("gkey"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("id"), r.getAs[Double]("score")))).toMap
+    assert(got == Map(
+      ("k1", 1L) -> ((10L, 8.0)), ("k1", 2L) -> ((11L, 3.0))))
+  }
+
   test("stateful running counts + latest payload converge across splits") {
     implicit val sql = spark.sqlContext
     val all = Seq(

@@ -65,6 +65,16 @@ class ProfileSpec extends SparkSpec {
     assert(got("f_domain") == ((4L, 1L, false)))
   }
 
+  test("expect on an EMPTY input passes (no NULL three-valued escape)") {
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(Double, String)].toDF("q", "f")
+    val got = Profile.expect(empty, Seq("q_range" -> col("q").between(1, 50)))
+      .collect().head
+    assert(got.getLong(1) == 0L)       // n_checked
+    assert(got.getLong(2) == 0L)       // n_violations — NOT null
+    assert(got.getBoolean(3))          // pass == true — NOT null
+  }
+
   test("orphanRule counts child keys with no parent") {
     import org.apache.spark.sql.functions._
     val child = Seq((1L, "x"), (2L, "y"), (9L, "z"), (9L, "w"))

@@ -363,6 +363,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got(4L) == (1L, true))
   }
 
+  test("semanticDedup: a zero vector neither absorbs its cell nor is absorbed") {
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv").withColumn("cnrm", lit(1.0))
+    // the zero vector has the LOWEST id — unguarded NaN >= τ would mark
+    // every other cell member a duplicate of it
+    val df = emb(
+      1L -> Seq(0.0, 0.0), 2L -> Seq(1.0, 0.0), 3L -> Seq(0.1, 0.9),
+      4L -> Seq(0.99, 0.02))
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding",
+        cents, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(1L))            // zero vector survives
+    assert(got(2L) && got(3L)) // dissimilar real vectors survive
+    assert(!got(4L))           // true near-dup of 2 still pruned
+  }
+
   test("semanticDedup: identical across partitionings") {
     val rng = new scala.util.Random(17)
     val rows = (0L until 300L).map(i => i -> Seq.fill(8)(rng.nextGaussian()))

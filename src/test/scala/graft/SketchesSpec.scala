@@ -126,6 +126,22 @@ class SketchesSpec extends SparkSpec {
       Sketches.cmsSketchTokens(corpus.repartition(8), Seq("g"), "text"))
   }
 
+  test("merges fail loud on a width mismatch instead of truncating") {
+    val sk = Sketches.hllSketchTokens(corpus, Seq("g"), "text", m = 256)
+    val e = intercept[Exception] {
+      Sketches.hllMerge(sk, Seq("g"), m = 64).collect() // wrong m
+    }
+    assert(e.getMessage.contains("hllMerge") ||
+      e.getCause != null && e.getCause.getMessage.contains("hllMerge"))
+    val bl = Sketches.bloomSketchTokens(corpus, Seq("g"), "text",
+      mBits = 128)
+    val e2 = intercept[Exception] {
+      Sketches.bloomMerge(bl, Seq("g"), mBits = 65536).collect()
+    }
+    assert(e2.getMessage.contains("bloomMerge") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("bloomMerge"))
+  }
+
   test("bloom bitmap is partitioning-invariant; popcount sane") {
     val a = Sketches.bloomSketchTokens(corpus.repartition(1), Seq("g"), "text")
     val b = Sketches.bloomSketchTokens(corpus.repartition(9), Seq("g"), "text")

@@ -95,6 +95,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got((2L, 0L)) == (2.0, 4.0, 2.0, 4.0, 2L))
   }
 
+  test("resampleOhlc: pre-epoch timestamps bucket by FLOOR division") {
+    // ts = -100 with bucket 100 must land in [-100, 0), not [0, 100)
+    val ev = Seq((1L, -100L, 1L, 2.0), (1L, -1L, 2L, 4.0), (1L, 0L, 3L, 8.0))
+      .toDF("k", "ts", "id", "x")
+    val got = TimeSeries.resampleOhlc(ev, "k", "ts", "id", "x", bucketUs = 100L)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getDouble(5),
+        r.getLong(6))).toMap
+    assert(got(-100L) == ((2.0, 4.0, 2L))) // open=-100's, close=-1's
+    assert(got(0L) == ((8.0, 8.0, 1L)))
+  }
+
   test("resampleOhlc: partitioning-invariant") {
     val rng = new scala.util.Random(11)
     val rows = (0 until 1000).map(i =>
