@@ -269,6 +269,25 @@ object SparkEntry {
           col("last_event_id"), col("last_value"))
     }),
 
+    // ---- Streaming near-dup detection ON the ingest stream: MinHash
+    //      banding per arriving doc (same constants as the batch LSH →
+    //      identical candidates), watermarked band-key self-join bounded
+    //      to |Δts| <= 1 h, exact pair dedup across bands ----
+    "s11_stream_simjoin" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "documents").schema
+      val tmp = Files.createTempDirectory("graft_s11_").toString
+      val cfg = IngestConfig(name = s"s11-simjoin-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val docs = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/documents.parque[t]")
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(col("doc_id") * 1000000L).as("ts"))
+      val pairs = graft.streaming.StreamSimilarity.lshSelfJoinPairs(
+        docs, "doc_id", "text", "ts",
+        window = "1 hour", watermark = "3650 days")
+      appendStream(s, pairs, cfg, tmp)
+    }),
+
     // ---- Streaming leaderboard: global top-3 per event_type by value,
     //      O(k) custom state, slate re-emitted on change and converged
     //      through the (key, rank)-keyed latest-wins merge sink ----
@@ -2599,6 +2618,13 @@ object SparkEntry {
       "q_topk_agg" -> topkAggSql,
       "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
+      // The streaming self-join must surface EXACTLY the batch LSH pairs
+      // whose synthesized event times (doc_id seconds) fall within the
+      // 1-hour join window.
+      "s11_stream_simjoin" ->
+        (s"SELECT id_a, id_b, id_a * 1000000 AS ts_a_us, " +
+          s"id_b * 1000000 AS ts_b_us FROM ($minhashLsh) " +
+          "WHERE id_b - id_a <= 3600"),
       "dedup_clusters" -> clustersSql,
       "q_scd2" -> scd2Sql,
       "q_temporal_join" ->

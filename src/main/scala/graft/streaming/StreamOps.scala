@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Stream-stream relational operators — the remaining Structured-Streaming
@@ -100,6 +100,68 @@ object StreamJoins {
       s"enrichWithDim requires disjoint column names; shared: ${overlap.mkString(", ")}")
     val cond = keyPairs.map { case (a, b) => col(a) === col(b) }.reduce(_ && _)
     stream.join(if (broadcastDim) broadcast(dim) else dim, cond, joinType)
+  }
+}
+
+/** Streaming set-similarity self-join — near-duplicate detection ON the
+  * ingest stream (the Structured-Streaming form of distributed streaming
+  * set-similarity joins, cf. "Distributed Streaming Set Similarity
+  * Join", ICDE 2020): each arriving doc is banded by its MinHash
+  * signature (row-local, the SAME constants as the batch
+  * `NearDup.lshCandidatePairs`, so candidates match the batch operator
+  * exactly), and candidate pairs surface from a watermarked stream-stream
+  * equi-join on (band, key) bounded to |ts_a - ts_b| <= window.
+  *
+  * Scale shape: banding multiplies the stream by `m/r` rows (row-local,
+  * no shuffle); the join state is the watermark+window-bounded slice of
+  * banded rows per (band, key) bucket — the streaming analog of the
+  * batch band join's linear shuffle, NEVER an all-pairs buffer. The
+  * final exact `dropDuplicates` collapses multi-band hits; its state is
+  * one row per DISTINCT emitted pair (output-sized — the minimum any
+  * exact pair-dedup can hold; swap for dropDuplicatesWithinWatermark to
+  * TTL it when re-emission after the window is acceptable). */
+object StreamSimilarity {
+  import graft.functions.TextHash
+
+  /** Candidate near-dup pairs (id_a < id_b, ts_a, ts_b) among stream docs
+    * whose event times lie within `window` of each other. */
+  def lshSelfJoinPairs(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      m: Int = 8, n: Int = 3, r: Int = 2,
+      window: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    require(m % r == 0, s"signature size $m must divide into bands of $r")
+    val bands = m / r
+    // Banding inline (the batch helper's parallelism `spread` touches
+    // df.rdd, which streaming plans forbid); docs with < n words get
+    // NULL signatures -> NULL band keys -> never equi-join, as in batch.
+    def banded(suffix: String): DataFrame =
+      docs.select(col(idCol).as(s"id$suffix"), col(tsCol).as(s"ts$suffix"),
+          TextHash.wordHashes(col(textCol)).as("__wh"))
+        .select(col(s"id$suffix"), col(s"ts$suffix"),
+          TextHash.shingleHashes(col("__wh"), n).as("__sh"))
+        .select(col(s"id$suffix"), col(s"ts$suffix"),
+          TextHash.minhashSignature(col("__sh"), m).as("__sig"))
+        .select(col(s"id$suffix"), col(s"ts$suffix"),
+          explode(array((0 until bands).map { b =>
+            val key = (0 until r).foldLeft(lit(7L): Column)((acc, k) =>
+              (acc * 31L + element_at(col("__sig"), b * r + k + 1))
+                % TextHash.P)
+            struct(lit(b).as("band"), key.as("key"))
+          }: _*)).as("__bk"))
+        .select(col(s"id$suffix"), col(s"ts$suffix"),
+          col("__bk.band").as(s"band$suffix"),
+          col("__bk.key").as(s"key$suffix"))
+    val a = banded("_a").withWatermark("ts_a", watermark)
+    val b = banded("_b").withWatermark("ts_b", watermark)
+    a.join(b,
+        col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+          col("id_a") < col("id_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL '$window'") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL '$window'"))
+      .select(col("id_a"), col("id_b"),
+        unix_micros(col("ts_a")).as("ts_a_us"),
+        unix_micros(col("ts_b")).as("ts_b_us"))
+      .dropDuplicates("id_a", "id_b")
   }
 }
 

@@ -170,6 +170,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows == Set((100L, Some("gold")), (900L, None), (200L, Some("silver"))))
   }
 
+  test("streaming LSH self-join: batch-identical pairs, window bounds, " +
+      "cross-band dedup") {
+    implicit val sql = spark.sqlContext
+    val docs = MemoryStream[DEv] // (dk = doc id, dts = event time, tag = text)
+    val near = "the quick brown fox jumps over the lazy dog again today"
+    val src = docs.toDF().select(col("dk").as("doc_id"),
+      col("tag").as("text"), col("dts").as("ts"))
+    val out = graft.streaming.StreamSimilarity.lshSelfJoinPairs(
+      src, "doc_id", "text", "ts", window = "30 minutes", watermark = "1 day")
+      .select(col("id_a"), col("id_b"))
+    val dir = Files.createTempDirectory("graft_ssj_").toString
+    val q = out.writeStream.format("memory").queryName("ssj_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // 1 and 2: near-identical, 5 min apart → pair. 3: same text but 2 h
+    // later → outside the window. 4: unrelated text.
+    docs.addData(DEv(1, ts(0), near), DEv(2, ts(5), near + " x"))
+    q.processAllAvailable()
+    docs.addData(DEv(3, ts(120), near), DEv(4, ts(6),
+      "completely different words about entirely other topics here"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").as[(Long, Long)].collect().toSeq
+    assert(got.toSet == Set((1L, 2L)))
+    assert(got.size == 1) // multi-band agreement emits the pair ONCE
+    // and the candidates equal the batch operator on the in-window slice
+    val batch = graft.ops.NearDup.lshCandidatePairs(
+      Seq((1L, near), (2L, near + " x"), (4L,
+        "completely different words about entirely other topics here"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == got.toSet)
+  }
+
   test("enrichWithDim rejects unsupported join types and shared names") {
     val dim = Seq((1L, "x")).toDF("dk2", "tier")
     val st = Seq(LEv(1, 1, ts(0))).toDF()
