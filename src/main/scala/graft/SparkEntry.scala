@@ -1328,6 +1328,13 @@ object SparkEntry {
           k = 8, iters = 2), nprobe = 2)
     }),
 
+    // ---- LLM pipeline: product-quantized ANN — 4×16 spherical
+    //      codebooks (~64× compression), row-local encoding, ADC coarse
+    //      rank via codeword reconstruction, exact top-10 rerank ----
+    "ann_pq_topk" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, dim = 64)),
+
     // ---- LLM pipeline: SemDeDup — k-means cells + in-cell cosine
     //      prune, min-id representative per semantic duplicate set ----
     "dedup_semantic" -> ((s, dir) => {
@@ -2259,6 +2266,52 @@ object SparkEntry {
         OracleSql.kmeansCtes("vec_id", k = 8, iters = 2, dim = 64) + ", " +
         "c AS (SELECT * FROM c2), "
 
+    // PQ replay: one kmeans CTE chain per subspace (prefixed names), the
+    // same cosine-argmax encode as the engine's bestCell, codeword
+    // reconstruction by concatenation, ADC ranking, exact rerank.
+    val annPq = {
+      val mSub = 4; val dsub = 16; val kCodes = 16; val rerank = 32
+      val subCtes = (0 until mSub).map { s =>
+        val lo = s * dsub + 1
+        val hi = (s + 1) * dsub
+        val sv = s"v[$lo:$hi]"
+        s"p${s}samp AS (SELECT vec_id, $sv AS v, " +
+          s"sqrt(${OracleSql.dot(sv, sv)}) AS nrm FROM e), " +
+          OracleSql.kmeansCtes("vec_id", kCodes, iters = 1, dim = dsub,
+            prefix = s"p$s") + ", " +
+          s"enc$s AS (SELECT vec_id, cid AS code FROM (" +
+          s"SELECT s.vec_id, c.cid, row_number() OVER (PARTITION BY s.vec_id " +
+          s"ORDER BY ${OracleSql.dot("s.v", "c.cv")} / (s.nrm * c.cnrm) DESC, " +
+          s"c.cid ASC) AS rn FROM p${s}samp s CROSS JOIN p${s}c1 c) " +
+          "WHERE rn = 1)"
+      }.mkString(", ")
+      val bookJoins = (0 until mSub).map { s =>
+        s"JOIN enc$s ON enc$s.vec_id = e.vec_id " +
+          s"JOIN p${s}c1 b$s ON b$s.cid = enc$s.code"
+      }.mkString(" ")
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings), " +
+        s"n AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) AS nrm " +
+        "FROM e), " +
+        subCtes + ", " +
+        "rec AS (SELECT e.vec_id, list_concat(list_concat(b0.cv, b1.cv), " +
+        s"list_concat(b2.cv, b3.cv)) AS rv FROM e $bookJoins), " +
+        "pq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n " +
+        "WHERE vec_id < 10), " +
+        s"pr AS (SELECT q.query_id, r.vec_id, ${OracleSql.dot("q.qv", "r.rv")} " +
+        "AS sc FROM rec r CROSS JOIN pq q WHERE r.vec_id <> q.query_id), " +
+        "cand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, " +
+        s"vec_id ASC) AS rn FROM pr) WHERE rn <= $rerank), " +
+        s"x AS (SELECT c.query_id, c.vec_id, ${OracleSql.dot("nn.v", "q.qv")} " +
+        "/ (nn.nrm * q.qn) AS cos FROM cand c " +
+        "JOIN n nn ON nn.vec_id = c.vec_id " +
+        "JOIN pq q ON q.query_id = c.query_id) " +
+        "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank " +
+        "FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY " +
+        "query_id ORDER BY cos DESC, vec_id) AS rank FROM x) WHERE rank <= 10"
+    }
+
     // SemDeDup replay: the same learned cells as the IVF gates, then an
     // in-cell lower-id cosine-neighbor EXISTS decides keep/drop.
     val semanticDedup = {
@@ -3063,6 +3116,7 @@ object SparkEntry {
       "ann_lsh_multiprobe" -> lshMultiprobe,
       "ann_ivf_nprobe" -> ivfNprobe,
       "dedup_semantic" -> semanticDedup,
+      "ann_pq_topk" -> annPq,
       "pipeline_embeddings" -> pipelineEmbeddings,
       "text_langid" -> langIdSql,
       "text_token_classes" -> tokenClassesSql,

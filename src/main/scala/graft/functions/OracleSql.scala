@@ -114,27 +114,32 @@ object OracleSql {
     * `Similarity.kmeansCentroids`' bestCell fold assigns EVERY row — the
     * engines silently diverge on duplicate ids (the same pitfall
     * `Packing.packContiguous` documents for non-unique order keys). */
-  def kmeansCtes(idCol: String, k: Int, iters: Int, dim: Int): String = {
+  def kmeansCtes(idCol: String, k: Int, iters: Int, dim: Int,
+      prefix: String = ""): String = {
+    // `prefix` namespaces every CTE (and the expected input CTE
+    // `${prefix}samp`) so several independent chains — e.g. one per PQ
+    // subspace — can live in one statement.
     val q = 1048576L // Similarity.MeanQ
+    val samp = s"${prefix}samp"
     val init =
-      s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY $idCol) - 1 AS BIGINT) " +
+      s"${prefix}c0 AS (SELECT CAST(row_number() OVER (ORDER BY $idCol) - 1 AS BIGINT) " +
         "AS cid, v AS cv, nrm AS cnrm " +
-        s"FROM (SELECT * FROM samp ORDER BY $idCol LIMIT $k))"
+        s"FROM (SELECT * FROM $samp ORDER BY $idCol LIMIT $k))"
     val steps = (1 to iters).map { i =>
-      val p = s"c${i - 1}"
-      s"a$i AS (SELECT sid, sv, cid AS cell FROM (" +
+      val p = s"${prefix}c${i - 1}"
+      s"${prefix}a$i AS (SELECT sid, sv, cid AS cell FROM (" +
         s"SELECT s.$idCol AS sid, s.v AS sv, c.cid, row_number() OVER (" +
         s"PARTITION BY s.$idCol ORDER BY ${dot("s.v", "c.cv")} / " +
         "(s.nrm * c.cnrm) DESC, c.cid ASC) AS rn " +
-        s"FROM samp s CROSS JOIN $p c) WHERE rn = 1), " +
-        s"m$i AS (SELECT cell AS cid, t.j AS j, " +
+        s"FROM $samp s CROSS JOIN $p c) WHERE rn = 1), " +
+        s"${prefix}m$i AS (SELECT cell AS cid, t.j AS j, " +
         s"sum(CAST(floor(a.sv[t.j] * $q.0) AS BIGINT)) AS sq, count(*) AS cnt " +
-        s"FROM a$i a, range(1, ${dim + 1}) t(j) GROUP BY cell, t.j), " +
-        s"g$i AS (SELECT cid, list(CAST(sq AS DOUBLE) / " +
-        s"CAST(cnt * $q AS DOUBLE) ORDER BY j) AS cv FROM m$i GROUP BY cid), " +
-        s"c$i AS (SELECT cid, cv, sqrt(${dot("cv", "cv")}) AS cnrm FROM " +
+        s"FROM ${prefix}a$i a, range(1, ${dim + 1}) t(j) GROUP BY cell, t.j), " +
+        s"${prefix}g$i AS (SELECT cid, list(CAST(sq AS DOUBLE) / " +
+        s"CAST(cnt * $q AS DOUBLE) ORDER BY j) AS cv FROM ${prefix}m$i GROUP BY cid), " +
+        s"${prefix}c$i AS (SELECT cid, cv, sqrt(${dot("cv", "cv")}) AS cnrm FROM " +
         s"(SELECT p.cid, coalesce(g.cv, p.cv) AS cv " +
-        s"FROM $p p LEFT JOIN g$i g USING (cid)))"
+        s"FROM $p p LEFT JOIN ${prefix}g$i g USING (cid)))"
     }
     (init +: steps).mkString(", ")
   }

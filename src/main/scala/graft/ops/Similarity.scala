@@ -485,6 +485,71 @@ object Similarity {
     ivfCells(emb, idCol, vecCol,
       firstNCentroids(emb, idCol, vecCol, nCentroids))
 
+  /** Product-quantized (PQ) ANN top-k — the codebook compression point of
+    * the ANN family (Jégou et al., TPAMI 2011): split each vector into
+    * `mSub` subvectors, learn a small spherical-k-means codebook per
+    * subspace ([[kmeansCentroids]] on the subvectors — deterministic,
+    * fixed-point), store only the `mSub` code ids per vector
+    * (mSub·log2(kCodes) bits ≈ 64× compression at 4×16 over 64 floats),
+    * and rank by the asymmetric score dot(query, reconstruction) — the
+    * classic ADC, expressed here by reconstructing each corpus vector
+    * from its codewords (a broadcast join per subspace; the concatenated
+    * reconstruction IS the lookup-table sum) — then rerank the top
+    * `rerank` candidates with exact cosine on true vectors.
+    *
+    * Scale shape: codebooks are tiny and BROADCAST (kCodes rows per
+    * subspace); encoding is the row-local [[bestCell]] fold per subspace
+    * (zero corpus-side exchanges); the coarse ranking shuffle is the
+    * bounded TopK O(queries × rerank); only candidates fetch true
+    * vectors. Deterministic end-to-end, so the DuckDB oracle replays
+    * codebook training, encoding, reconstruction, and both rankings. */
+  def pqTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dim: Int,
+      mSub: Int = 4, kCodes: Int = 16, iters: Int = 1,
+      rerank: Int = 32): DataFrame = {
+    require(dim % mSub == 0, s"dim $dim must divide into $mSub subspaces")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val dsub = dim / mSub
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    try {
+      // per-subspace codebooks + row-local encoding
+      var coded: DataFrame = e
+      val books = (0 until mSub).map { s =>
+        val sub = e.select(col(idCol),
+          slice(col("v"), s * dsub + 1, dsub).as("sv"))
+        val book = kmeansCentroids(sub, idCol, "sv", kCodes, iters)
+        val cells = ivfCells(sub, idCol, "sv", book)
+          .select(col(idCol), col("cell").as(s"__code_$s"))
+        coded = coded.join(cells, idCol :: Nil)
+        book
+      }
+      // reconstruction: codes -> codewords (broadcast) -> concatenated
+      var rec = coded
+      for (s <- 0 until mSub)
+        rec = rec.join(
+          broadcast(books(s).select(col("cid").as(s"__code_$s"),
+            col("cv").as(s"__cv_$s"))),
+          s"__code_$s" :: Nil)
+      val recon = concat((0 until mSub).map(s => col(s"__cv_$s")): _*)
+      val q = e.filter(queryPred).select(
+        col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val pairs = rec.select(col(idCol), recon.as("__rv"))
+        .join(broadcast(q), col(idCol) =!= col("query_id"))
+      val cand = rankTopK(pairs, idCol, dot(col("qv"), col("__rv")), rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      // exact rerank on true vectors, candidates only
+      val exact = cand
+        .join(e.select(col(idCol).as("neighbor_id"), col("v"), col("nrm")),
+          "neighbor_id")
+        .join(broadcast(q), "query_id")
+      val cosx = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
+      rankTopK(exact, "neighbor_id", cosx, k).localCheckpoint()
+    } finally { e.unpersist(); () }
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space (k-means cells), then
     * within each cell mark every vector that has a LOWER-ID in-cell

@@ -116,6 +116,45 @@ class SimilaritySpec extends SparkSpec {
     assertSameRows(sq8, brute) // full-rerank = exact, quantization only prunes
   }
 
+  test("pqTopK with rerank = corpus size reproduces brute force exactly") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 8 + j + 1.0))))
+    val df = emb(vecs: _*)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 10)
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 10, dim = 8, mSub = 2, kCodes = 8,
+      rerank = 40)
+    assertSameRows(pq, brute) // full-rerank = exact; PQ only prunes
+  }
+
+  test("pqTopK achieves reasonable recall at modest rerank") {
+    val vecs = (0L until 80L).map(i =>
+      (i, Seq.tabulate(8)(j => math.cos(i * 3 + j * 1.7 + 1.0))))
+    val df = emb(vecs: _*)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 5, dim = 8, mSub = 2, kCodes = 8,
+      rerank = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall $recall below floor")
+  }
+
+  test("pqTopK rejects rerank < k and non-dividing subspaces") {
+    val df = emb(1L -> Seq(1.0, 0.0))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(df, "vec_id", "embedding", col("vec_id") < 1,
+        k = 5, dim = 2, rerank = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(df, "vec_id", "embedding", col("vec_id") < 1,
+        k = 1, dim = 2, mSub = 3, rerank = 1)
+    }
+  }
+
   test("sq8TopK achieves high recall at modest rerank") {
     val vecs = (0L until 60L).map(i =>
       (i, Seq.tabulate(8)(j => math.cos(i * 3 + j * 1.7 + 1.0))))
