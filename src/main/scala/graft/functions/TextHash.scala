@@ -67,6 +67,23 @@ object TextHash {
 
   /** j-th universal hash h_j(x) = (A_j*x + B_j) % P with fixed
     * pseudo-random odd multipliers — the MinHash permutation family. */
+  /** LSH band keys from MinHash signature slots: one struct(band, key)
+    * per band, key = polynomial fold (seed 7, ×31, mod P) of the band's
+    * `r` signature values. THE single source of the banding constants —
+    * batch (`NearDup.lshCandidatePairs`) and streaming
+    * (`StreamSimilarity.lshSelfJoinPairs`) both call this, and the
+    * DuckDB mirror (`OracleSql.lshBanded`) derives from the same fold,
+    * so candidates cannot drift between the three. */
+  def bandKeys(sigSlots: Seq[Column], r: Int): Column = {
+    require(sigSlots.nonEmpty && sigSlots.size % r == 0,
+      s"signature size ${sigSlots.size} must divide into bands of $r")
+    array((0 until sigSlots.size / r).map { b =>
+      val key = (0 until r).foldLeft(lit(7L): Column)((acc, k) =>
+        (acc * 31L + sigSlots(b * r + k)) % P)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+  }
+
   def permuteA(j: Int): Long = ((2L * j + 1L) * 1103515245L) % P
   def permuteB(j: Int): Long = (j * 12345L + 678910111L) % P
   def permute(j: Int, x: Column): Column = (x * permuteA(j) + permuteB(j)) % P

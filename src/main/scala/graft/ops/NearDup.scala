@@ -72,15 +72,12 @@ object NearDup {
     // expression substituted in — re-running the hash pipeline per row on
     // the unspread input (measured 60s+ at sf0.1 vs ~2s without).
     val sig = minhashSignatures(docs, idCol, textCol, m, n)
-    val bands = m / r
-    // band key = polynomial fold of the band's signature values
+    // band keys from the shared fold (TextHash.bandKeys — the single
+    // source of the banding constants, also used by the streaming twin)
     val banded = sig.select(
       col(idCol),
-      explode(array((0 until bands).map { b =>
-        val key = (0 until r).foldLeft(lit(7L): Column)((acc, k) =>
-          (acc * 31L + col(s"mh${b * r + k}")) % TextHash.P)
-        struct(lit(b).as("band"), key.as("key"))
-      }: _*)).as("bk"))
+      explode(TextHash.bandKeys((0 until m).map(j => col(s"mh$j")), r))
+        .as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"))

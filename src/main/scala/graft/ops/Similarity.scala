@@ -545,7 +545,11 @@ object Similarity {
         .join(e.select(col(idCol).as("neighbor_id"), col("v"), col("nrm")),
           "neighbor_id")
         .join(broadcast(q), "query_id")
-      val cosx = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
+      // NaN-safe: a zero-norm vector reaching the candidate or query set
+      // must rank (TopK's Double.compare totally orders NaN), not crash
+      // with an ANSI divide-by-zero — same contract as the centroid folds.
+      val cosx = nanSafeCos(dot(col("v"), col("qv")),
+        col("nrm") * col("qn"))
       rankTopK(exact, "neighbor_id", cosx, k).localCheckpoint()
     } finally { e.unpersist(); () }
   }

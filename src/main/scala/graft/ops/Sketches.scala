@@ -232,10 +232,12 @@ object Sketches {
     * not silently truncate to the first m entries. `assert_true` returns
     * NULL on pass — the filter keeps every row — and raises on the first
     * violation. Cost: one `size()` per sketch row. */
-  private def requireWidth(df: DataFrame, c: String, m: Int, fn: String) =
+  private def requireWidth(
+      df: DataFrame, c: String, m: Int, fn: String, param: String) =
     df.filter(assert_true(size(col(c)) === m,
-      lit(s"$fn: '$c' width differs from the passed m/width=$m — " +
-        "pass the same size the sketch was built with")).isNull)
+      lit(s"$fn: '$c' length differs from the $param this merge was " +
+        "called with — pass the same parameters the sketch was built " +
+        "with")).isNull)
 
   /** Merge sketches down to a coarser grouping: elementwise register max —
     * identical to sketching the union directly (spec-proven), at
@@ -244,7 +246,7 @@ object Sketches {
   def hllMerge(
       sketches: DataFrame, groupCols: Seq[String], m: Int = 64): DataFrame =
     hllAssemble(
-      requireWidth(sketches, "registers", m, "hllMerge")
+      requireWidth(sketches, "registers", m, "hllMerge", s"m=$m")
         .select(groupCols.map(col) :+
           posexplode(col("registers")).as(Seq("__p", "__rk")): _*)
         .select(groupCols.map(col) :+ col("__p").cast("long").as("__b") :+
@@ -314,7 +316,7 @@ object Sketches {
       mBits: Int = 65536): DataFrame = {
     require(mBits >= 64 && mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
     bitsAssemble(
-      requireWidth(sketches, "bits", mBits / 64, "bloomMerge")
+      requireWidth(sketches, "bits", mBits / 64, "bloomMerge", s"mBits=$mBits")
         .select(groupCols.map(col) :+
           posexplode(col("bits")).as(Seq("__pw", "__b")): _*)
         .select(groupCols.map(col) :+ col("__pw").cast("long").as("__w") :+
@@ -405,7 +407,7 @@ object Sketches {
   def cmsMerge(sketches: DataFrame, groupCols: Seq[String],
       width: Int = 1024, depth: Int = 3): DataFrame =
     cellsAssemble(
-      requireWidth(sketches, "counts", depth * width, "cmsMerge")
+      requireWidth(sketches, "counts", depth * width, "cmsMerge", s"width=$width, depth=$depth")
         .select(groupCols.map(col) :+
           posexplode(col("counts")).as(Seq("__p", "__v")): _*)
         .select(groupCols.map(col) :+ col("__p").cast("long").as("__c") :+

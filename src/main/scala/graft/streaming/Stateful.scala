@@ -164,19 +164,38 @@ object Stateful {
     implicit val keyEnc = Encoders.STRING
     implicit val stateEnc = Encoders.product[TopState]
     implicit val outEnc = Encoders.product[TopRow]
-    // slate is kept sorted by (score desc, id desc), length <= k
-    def wins(a: (Long, Double), b: (Long, Double)): Boolean =
-      a._2 > b._2 || (a._2 == b._2 && a._1 > b._1)
+    // slate is kept sorted by (score desc, id desc), length <= k.
+    // ALL comparisons go through Double.compare — the same total order
+    // the batch TopK Aggregator uses — so NaN scores rank consistently
+    // (greatest) instead of corrupting sortWith with an inconsistent
+    // comparator or defeating the as-good check.
+    def cmp(a: (Long, Double), b: (Long, Double)): Int = {
+      val c = java.lang.Double.compare(b._2, a._2) // score desc
+      if (c != 0) c else java.lang.Long.compare(b._1, a._1) // id desc
+    }
+    def wins(a: (Long, Double), b: (Long, Double)): Boolean = cmp(a, b) < 0
     def insert(top: Seq[(Long, Double)], e: (Long, Double)): Seq[(Long, Double)] =
       top.indexWhere(_._1 == e._1) match {
         case i if i >= 0 =>
-          if (top(i)._2 >= e._2) top // existing slot already as good
+          if (java.lang.Double.compare(top(i)._2, e._2) >= 0) top
           else ((top.take(i) ++ top.drop(i + 1)) :+ e)
             .sortWith(wins) // improvement: re-rank the one moved entry
         case _ =>
           if (top.size < k) (top :+ e).sortWith(wins)
           else if (wins(e, top.last)) (top.init :+ e).sortWith(wins)
           else top
+      }
+    // Heal state written by any earlier slate representation that could
+    // hold one id in several slots: keep each id's best entry. Bitwise
+    // slate equality (doubleToLongBits) so a NaN score can't force a
+    // rewrite + full re-emission on every batch (NaN != NaN under ==).
+    def healed(top: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      top.groupBy(_._1).values.map(_.sortWith(wins).head)
+        .toSeq.sortWith(wins).take(k)
+    def sameSlate(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Boolean =
+      a.corresponds(b) { (x, y) =>
+        x._1 == y._1 && java.lang.Double.doubleToLongBits(x._2) ==
+          java.lang.Double.doubleToLongBits(y._2)
       }
     src
       .select(col("gkey").cast("string").as("gkey"),
@@ -187,10 +206,10 @@ object Stateful {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[Scored], state: GroupState[TopState]) =>
           val prev = state.getOption.getOrElse(TopState(0L, Nil))
-          val merged = rows.foldLeft(prev.top) { (top, r) =>
+          val merged = rows.foldLeft(healed(prev.top)) { (top, r) =>
             insert(top, (r.id, r.score))
           }
-          if (merged == prev.top) Iterator.empty
+          if (sameSlate(merged, prev.top)) Iterator.empty
           else {
             val next = TopState(prev.seq + 1L, merged)
             state.update(next)

@@ -130,10 +130,11 @@ object StreamSimilarity {
       m: Int = 8, n: Int = 3, r: Int = 2,
       window: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
     require(m % r == 0, s"signature size $m must divide into bands of $r")
-    val bands = m / r
     // Banding inline (the batch helper's parallelism `spread` touches
-    // df.rdd, which streaming plans forbid); docs with < n words get
-    // NULL signatures -> NULL band keys -> never equi-join, as in batch.
+    // df.rdd, which streaming plans forbid), but the band keys come from
+    // the SHARED fold (TextHash.bandKeys) so batch/stream candidates
+    // cannot drift. Docs with < n words get NULL signatures -> NULL band
+    // keys -> never equi-join, as in batch.
     def banded(suffix: String): DataFrame =
       docs.select(col(idCol).as(s"id$suffix"), col(tsCol).as(s"ts$suffix"),
           TextHash.wordHashes(col(textCol)).as("__wh"))
@@ -142,12 +143,9 @@ object StreamSimilarity {
         .select(col(s"id$suffix"), col(s"ts$suffix"),
           TextHash.minhashSignature(col("__sh"), m).as("__sig"))
         .select(col(s"id$suffix"), col(s"ts$suffix"),
-          explode(array((0 until bands).map { b =>
-            val key = (0 until r).foldLeft(lit(7L): Column)((acc, k) =>
-              (acc * 31L + element_at(col("__sig"), b * r + k + 1))
-                % TextHash.P)
-            struct(lit(b).as("band"), key.as("key"))
-          }: _*)).as("__bk"))
+          explode(TextHash.bandKeys(
+            (0 until m).map(j => element_at(col("__sig"), j + 1)), r))
+            .as("__bk"))
         .select(col(s"id$suffix"), col(s"ts$suffix"),
           col("__bk.band").as(s"band$suffix"),
           col("__bk.key").as(s"key$suffix"))
