@@ -655,6 +655,64 @@ object SparkEntry {
       graft.ops.Profile.kAnonymityViolations(
         t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 8)),
 
+    // ---- Privacy: l-diversity audit (k-anonymity's companion — classes
+    //      whose sensitive attribute lacks diversity) ----
+    "q_l_diversity" -> ((s, dir) =>
+      graft.ops.Profile.lDiversityViolations(
+        t(s, dir, "events").select(col("event_type"),
+          pmod(col("user_id"), lit(200L)).as("uid_bucket"),
+          floor(col("value")).cast("long").as("sens")),
+        Seq("event_type", "uid_bucket"), "sens", l = 10)),
+
+    // ---- Profiling: deterministic per-group mode (count-desc,
+    //      value-asc tie-break — no engine-dependent mode() ties) ----
+    "q_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") / 10.0).cast("long").as("v"))
+        .groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("n_occurrences").desc, col("v").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("event_type"), col("v").as("mode_v"),
+          col("n_occurrences"))
+    }),
+
+    // ---- Reshaping: unpivot/melt wide measures to long (id, measure,
+    //      value) — row-local generator, no shuffle ----
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 97 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "m_value")),
+
+    // ---- ML features: hashing-trick buckets (stateless categorical ids
+    //      + a crossed feature; engine-mirrored mod-P fold) ----
+    "feature_hash" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        graft.ops.Features.hashBucket(
+          concat(lit("et="), col("event_type")), 1024).as("f_et"),
+        graft.ops.Features.hashBucket(
+          concat(lit("et_x_ub="), col("event_type"), lit("_"),
+            pmod(col("user_id"), lit(16L)).cast("string")), 1024)
+          .as("f_cross"))),
+
+    // ---- ML features: leave-one-out target encoding (leakage-free
+    //      categorical mean via exact quantized sums) ----
+    "feature_target_encode" -> ((s, dir) =>
+      graft.ops.Features.targetEncodeLoo(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("te"))),
+
     // ---- Data cleaning: per-group winsorization (clip to p05/p95
     //      exact-interpolation percentiles — tame tails, don't drop) ----
     "q_winsorize" -> ((s, dir) =>
@@ -1699,6 +1757,16 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- LLM pipeline: sentence-level shape stats (structural half of
+    //      the quality stack) ----
+    "text_sentences" -> ((s, dir) =>
+      TextAnalysis.sentenceStats(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- LLM pipeline: Flesch-style readability (deterministic
+    //      vowel-group syllable proxy; row-local) ----
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- LLM pipeline: per-domain cap sampling (anti-domination) ----
     "sample_domain_cap" -> ((s, dir) =>
       graft.ops.Sampling.capPerDomain(
@@ -1929,6 +1997,32 @@ object SparkEntry {
           "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey " +
           "GROUP BY c.c_mktsegment"),
       "text_repetition" -> repetitionSql,
+      "text_sentences" -> {
+        val ns = "len(list_filter(regexp_split_to_array(text, '[.!?]+'), " +
+          "s -> len(trim(s)) > 0))"
+        val nw = "len(list_filter(regexp_split_to_array(text, '\\s+'), " +
+          "w -> len(w) > 0))"
+        s"SELECT doc_id, CAST($ns AS BIGINT) AS n_sentences, " +
+          s"CAST($nw AS BIGINT) AS n_words, " +
+          "CASE WHEN n_sentences = 0 THEN NULL " +
+          "ELSE CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) " +
+          "END AS avg_words_per_sentence FROM documents"
+      },
+      "text_readability" -> {
+        val ns = "len(list_filter(regexp_split_to_array(text, '[.!?]+'), " +
+          "s -> len(trim(s)) > 0))"
+        val nw = "len(list_filter(regexp_split_to_array(text, '\\s+'), " +
+          "w -> len(w) > 0))"
+        val sy = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+        s"SELECT doc_id, CAST($ns AS BIGINT) AS n_sentences, " +
+          s"CAST($nw AS BIGINT) AS n_words, " +
+          s"CAST($sy AS BIGINT) AS n_syllables, " +
+          "CASE WHEN n_sentences = 0 OR n_words = 0 THEN NULL " +
+          "ELSE 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / " +
+          "CAST(n_sentences AS DOUBLE)) - 84.6 * " +
+          "(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
+          "END AS flesch FROM documents"
+      },
       "sample_domain_cap" -> domainCapSql,
       "sample_mixture" -> mixtureSql,
       "sample_curriculum" -> curriculumSql,
@@ -2788,6 +2882,47 @@ object SparkEntry {
         ("SELECT c_nationkey, c_mktsegment, count(*) AS class_size " +
           "FROM customer GROUP BY c_nationkey, c_mktsegment " +
           "HAVING count(*) < 8"),
+      "q_l_diversity" ->
+        ("SELECT event_type, ((user_id % 200) + 200) % 200 AS uid_bucket, " +
+          "count(*) AS class_size, " +
+          "count(DISTINCT CAST(floor(value) AS BIGINT)) " +
+          "AS n_distinct_sensitive FROM events " +
+          "GROUP BY 1, 2 " +
+          "HAVING count(DISTINCT CAST(floor(value) AS BIGINT)) < 10"),
+      "q_mode" ->
+        ("SELECT event_type, v AS mode_v, n_occurrences FROM (" +
+          "SELECT event_type, v, n_occurrences, row_number() OVER (" +
+          "PARTITION BY event_type " +
+          "ORDER BY n_occurrences DESC, v ASC) AS rn FROM (" +
+          "SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS v, " +
+          "count(*) AS n_occurrences FROM events GROUP BY 1, 2)) " +
+          "WHERE rn = 1"),
+      "q_unpivot" -> {
+        val ids = "l_orderkey, l_linenumber"
+        val ms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        ms.map(m => s"SELECT $ids, '$m' AS measure, $m AS m_value " +
+            "FROM lineitem WHERE l_orderkey % 97 = 0")
+          .mkString(" UNION ALL ")
+      },
+      "feature_hash" -> {
+        import graft.functions.OracleSql
+        val et = OracleSql.wordHash("'et=' || event_type")
+        val cross = OracleSql.wordHash(
+          "'et_x_ub=' || event_type || '_' || " +
+            "CAST(((user_id % 16) + 16) % 16 AS VARCHAR)")
+        s"SELECT event_id, ($et) % 1024 AS f_et, " +
+          s"($cross) % 1024 AS f_cross FROM events"
+      },
+      "feature_target_encode" ->
+        ("SELECT event_id, event_type, value, " +
+          "CASE WHEN n = 1 THEN NULL ELSE " +
+          "CAST(s - qx AS DOUBLE) / (CAST(n - 1 AS DOUBLE) * 1048576.0) " +
+          "END AS te FROM (" +
+          "SELECT event_id, event_type, value, qx, " +
+          "CAST(sum(qx) OVER (PARTITION BY event_type) AS BIGINT) AS s, " +
+          "count(*) OVER (PARTITION BY event_type) AS n FROM (" +
+          "SELECT event_id, event_type, value, " +
+          "CAST(floor(value * 1048576.0) AS BIGINT) AS qx FROM events))"),
       "q_anova" -> {
         val q = "1048576.0"
         val qx = s"CAST(floor(value * $q) AS HUGEINT)"

@@ -201,6 +201,58 @@ object OracleSql {
     (init +: steps).mkString(", ")
   }
 
+  /** k-core peeling CTE chain mirroring `Graph.kCore` round-for-round,
+    * over a prior CTE `e`(src, dst) that must be symmetrized, deduped,
+    * and self-loop-free. Emits `s0 .. s$rounds` (survivor sets with
+    * in-subgraph degree) and `e1 .. e$rounds`; the final `s$rounds`
+    * holds (node, core_deg).
+    *
+    * `rounds` is a FIXED budget that must be >= the engine's convergence
+    * round count — the k-core is a unique fixpoint, so extra rounds are
+    * no-ops and the fixed-round replay lands on exactly the engine's
+    * run-to-convergence answer (the same contract as `kmeansCtes`'
+    * fixed iteration count). */
+  def kCoreCtes(k: Int, rounds: Int): String = {
+    // Every CTE MATERIALIZED: s$i is referenced twice by round i+1 and
+    // e$i feeds a chain — default inlining would re-expand the prefix
+    // exponentially (the farthestPointCtes lesson).
+    def surv(i: Int, edges: String): String =
+      s"s$i AS MATERIALIZED (SELECT src AS node, " +
+        s"CAST(count(*) AS BIGINT) AS core_deg " +
+        s"FROM $edges GROUP BY src HAVING count(*) >= $k)"
+    val init = surv(0, "e")
+    val steps = (1 to rounds).map { i =>
+      s"e$i AS MATERIALIZED (SELECT t.src, t.dst " +
+        s"FROM ${if (i == 1) "e" else s"e${i - 1}"} t " +
+        s"JOIN s${i - 1} x ON t.src = x.node " +
+        s"JOIN s${i - 1} y ON t.dst = y.node), " +
+        surv(i, s"e$i")
+    }
+    (init +: steps).mkString(", ")
+  }
+
+  /** Bounded-depth multi-source BFS CTE chain mirroring `Graph.bfsHops`
+    * round-for-round, over prior CTEs `e`(src, dst) and `seeds`(node,
+    * distinct). Emits `d0 .. d$depth` and frontiers `f1 .. f$depth`; the
+    * final `d$depth` holds (node, dist). Fixed depth in both engines —
+    * no convergence dependence at all. */
+  def bfsCtes(depth: Int): String = {
+    // d$i is read twice per round (frontier scan + NOT EXISTS) —
+    // MATERIALIZED for the same anti-re-expansion reason as kCoreCtes.
+    val init =
+      "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)"
+    val steps = (1 to depth).map { i =>
+      val prevFrontier =
+        if (i == 1) "d0" else s"(SELECT node FROM d${i - 1} WHERE dist = ${i - 1})"
+      s"f$i AS MATERIALIZED (SELECT DISTINCT t.dst AS node FROM e t " +
+        s"JOIN $prevFrontier f ON t.src = f.node " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} p WHERE p.node = t.dst)), " +
+        s"d$i AS MATERIALIZED (SELECT node, dist FROM d${i - 1} UNION ALL " +
+        s"SELECT node, CAST($i AS BIGINT) FROM f$i)"
+    }
+    (init +: steps).mkString(", ")
+  }
+
   /** Farthest-point selection CTE chain mirroring
     * `Similarity.farthestPointSample` round-for-round, over a prior CTE
     * `kc`(vec_id, v, nrm). Emits `sel0 .. sel${k-1}`; the final

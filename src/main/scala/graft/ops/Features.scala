@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Model-input feature construction — the last hop of a training-data
+  * pipeline before rows become tensors: categorical values need stable
+  * integer ids without a fitted vocabulary, and categorical signals need
+  * numeric encodings that do not leak the row's own label.
+  *
+  * Both operators here are row-local or single-aggregate shapes that hold
+  * at 100 TB: no vocabulary broadcast, no per-category state on the
+  * driver, no shuffle beyond one map-side-combinable hash aggregate.
+  */
+object Features {
+
+  /** Hashing-trick feature index: `pmod(hash(name || '=' || value),
+    * buckets)` — the stateless replacement for a fitted StringIndexer.
+    * No vocabulary to build, broadcast, or version: any executor (and
+    * any ENGINE — the polynomial mod-P fold is [[TextHash.wordHash]],
+    * mirrored in SQL by `OracleSql.wordHash`) maps the same value to the
+    * same bucket, so train/serve skew is impossible by construction.
+    * Collisions are the accepted trade (buckets is the knob); crossed
+    * features are just a longer feature string. Row-local — zero
+    * shuffles, survives any scale. */
+  def hashBucket(feature: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    pmod(TextHash.wordHash(feature), lit(buckets.toLong))
+  }
+
+  /** Leave-one-out target encoding: each row gets the mean target of its
+    * category EXCLUDING itself — `(Σ_cat - x) / (n_cat - 1)` — the
+    * standard leakage-free encoding for high-cardinality categoricals.
+    * Categories with a single row emit NULL (no leave-one-out mean
+    * exists).
+    *
+    * Determinism contract (same as [[Normalize.zscore]]): the target
+    * quantizes to `floor(x * 2^20)` BIGINT and Σ_cat accumulates as an
+    * exact integer sum — partition-order independent, mirrored exactly
+    * by an oracle window sum — and the encoding is ONE double division
+    * from those integers. Headroom: |x| < 8e12 before Σ of a trillion
+    * rows threatens BIGINT; wider targets drop the scale.
+    *
+    * Cost: one hash aggregate keyed by category (map-side combinable),
+    * one broadcast join back (one row per category — set
+    * `broadcastMoments=false` to shuffle instead when categories number
+    * in the millions). Output: input columns + `te` (double). */
+  def targetEncodeLoo(
+      df: DataFrame, catCol: String, targetCol: String,
+      broadcastMoments: Boolean = true): DataFrame = {
+    val q = 1048576L // 2^20, the corpus-wide fixed-point scale
+    val qx = floor(col(targetCol) * lit(q.toDouble)).cast("long")
+    val moments = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("__n"), sum(qx).as("__s"))
+    val joined = df.join(
+      if (broadcastMoments) broadcast(moments) else moments, catCol)
+    joined
+      .withColumn("te",
+        when(col("__n") === 1, lit(null).cast("double"))
+          .otherwise((col("__s") - qx).cast("double") /
+            ((col("__n") - 1).cast("double") * lit(q.toDouble))))
+      .drop("__n", "__s")
+  }
+}

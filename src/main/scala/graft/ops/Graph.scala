@@ -219,4 +219,122 @@ object Graph {
       ()
     }
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly drop every
+    * vertex with (undirected) degree below `k` until the survivor set is
+    * stable — what remains is the k-core, the standard density filter for
+    * "keep the well-embedded part of the graph" (spam/host-graph
+    * pruning, dense-community seeds, robust dedup-cluster cores that a
+    * single bridge edge can't inflate).
+    *
+    * Deterministic: peeling has a unique fixpoint (the k-core is
+    * well-defined independent of removal order), so a DuckDB oracle
+    * replays it with a FIXED round count that merely must be >= the
+    * convergence round count (`OracleSql.kCoreCtes`; extra rounds are
+    * no-ops at the fixpoint).
+    *
+    * Per round: one degree aggregate keyed by vertex + two semi-joins
+    * filtering the edge list — all shuffles O(edges), map-side
+    * combinable, no all-pairs anything; the driver sees ONE scalar per
+    * round (the survivor count, the [[Components]] discipline) and
+    * lineage truncates with a per-round localCheckpoint. Rounds are
+    * bounded by `maxRounds` (real graphs peel in a handful; the
+    * pathological chain needs O(V) and fails loud rather than silently).
+    *
+    * @param edges undirected edge list, one (a, b) per row; symmetrized
+    *              and deduped internally, self-loops dropped
+    * @return (node, core_deg): the k-core members with their degree
+    *         INSIDE the core (>= k by construction) */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var cur = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var prev = -1L
+    var rounds = 0
+    var deg = cur.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+      .localCheckpoint()
+    var n = deg.count()
+    while (n != prev && n > 0 && rounds < maxRounds) {
+      prev = n
+      rounds += 1
+      val surv = deg.select(col("node"))
+      val next = cur
+        .join(surv.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(surv.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(cur)
+      cur = next
+      val nextDeg = cur.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(deg)
+      deg = nextDeg
+      n = deg.count()
+    }
+    require(n == prev || n == 0,
+      s"k-core peeling did not converge in $maxRounds rounds — " +
+        "raise maxRounds (adversarially chain-shaped graph?)")
+    deg
+  }
+
+  /** Multi-source BFS hop distance, bounded depth: every vertex within
+    * `depth` hops of the seed set gets its hop count to the NEAREST seed
+    * — provenance radius ("how far is this page from a trusted seed?"),
+    * blast-radius analysis, and the quality-prior companion to
+    * [[pageRank]]. Vertices beyond `depth` are absent from the output
+    * (bounded result by construction).
+    *
+    * Fixed `depth` rounds in BOTH engines — not run-to-convergence — so
+    * the result is deterministic at any scale and the DuckDB oracle
+    * (`OracleSql.bfsCtes`) replays it round-for-round. Hop distance has
+    * no tie to break (min is unique), so no ordering sensitivity
+    * anywhere.
+    *
+    * Per round: the FRONTIER (vertices first reached last round) joins
+    * the edge list once, anti-joins the settled set, dedups — shuffles
+    * keyed by vertex, volume O(frontier-adjacent edges), never the whole
+    * graph after round 1; per-round localCheckpoint truncates lineage.
+    *
+    * @param edges directed edge list (symmetrize for undirected graphs)
+    * @param seeds one column of seed vertex ids (distance 0)
+    * @return (node, dist), 0 <= dist <= depth */
+  def bfsHops(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 0, s"depth must be >= 0, got $depth")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    try {
+      var dist = seeds
+        .select(col(seeds.columns.head).cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L))
+        .localCheckpoint()
+      var frontier = dist.select(col("node"))
+      for (i <- 1 to depth) {
+        val reached = frontier
+          .join(e, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti")
+          .withColumn("dist", lit(i.toLong))
+        val next = dist.unionByName(reached).localCheckpoint()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(dist)
+        dist = next
+        frontier = dist.filter(col("dist") === i).select(col("node"))
+      }
+      dist
+    } finally { e.unpersist(); () }
+  }
 }

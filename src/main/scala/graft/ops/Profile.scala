@@ -109,6 +109,27 @@ object Profile {
       .filter(col("class_size") < k)
   }
 
+  /** l-diversity audit — the companion to [[kAnonymityViolations]]: a
+    * k-anonymous class is still disclosive if everyone in it shares the
+    * same sensitive value, so every equivalence class whose sensitive
+    * attribute takes fewer than `l` DISTINCT values is flagged. Emits
+    * only violating classes (qiCols..., class_size, n_distinct_sensitive)
+    * — empty result IS the pass.
+    *
+    * One aggregate keyed by the QI tuple with an exact COUNT(DISTINCT)
+    * (Spark plans it as a two-phase expand+aggregate, still
+    * shuffle-keyed by QI — no all-pairs anything). */
+  def lDiversityViolations(
+      df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_distinct_sensitive"))
+      .filter(col("n_distinct_sensitive") < l)
+  }
+
   /** Chi-square independence statistic between two categorical columns —
     * the profiling step behind "is this feature informative?" and "did
     * the label distribution drift per shard?". Emits one row:

@@ -370,4 +370,58 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("n_pair"), col("n_prefix"),
         expr(s"(n_pair * $q) div n_prefix").as("p_q"))
   }
+
+  /** Sentence-level shape statistics: `n_sentences` (non-empty segments
+    * after splitting on `[.!?]+` runs), `n_words` (whitespace tokens),
+    * and `avg_words_per_sentence` — the structural half of a
+    * quality-score stack (a corpus of 400-word "sentences" is markup or
+    * tables, not prose). NULL avg for sentence-free text.
+    *
+    * Row-local regex + array ops, one pass, no shuffle — the same scale
+    * contract as [[tokenClasses]]. */
+  def sentenceStats(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = filter(
+      split(col(textCol), "[.!?]+"), s => length(trim(s)) > 0)
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    docs.select(col(idCol),
+      size(sents).cast("long").as("n_sentences"),
+      size(words).cast("long").as("n_words"))
+      .withColumn("avg_words_per_sentence",
+        when(col("n_sentences") === 0, lit(null).cast("double"))
+          .otherwise(col("n_words").cast("double") /
+            col("n_sentences").cast("double")))
+  }
+
+  /** Flesch-style readability score with a deterministic syllable proxy
+    * (runs of `[aeiouy]+` in the lowercased text — the standard
+    * fitted-constant-free approximation; real syllabification is
+    * language-specific and needs no distributed machinery):
+    *
+    *   206.835 - 1.015·(words/sentences) - 84.6·(syllables/words)
+    *
+    * Degenerate docs (no words or no sentences) emit NULL. Each score is
+    * a handful of per-row IEEE operations on exact integer counts — no
+    * cross-row accumulation anywhere, so scores are bit-identical across
+    * engines. Row-local, zero shuffles. */
+  def readability(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = filter(
+      split(col(textCol), "[.!?]+"), s => length(trim(s)) > 0)
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val syls = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0)))
+    docs.select(col(idCol),
+      size(sents).cast("long").as("n_sentences"),
+      size(words).cast("long").as("n_words"),
+      syls.cast("long").as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_sentences") === 0 || col("n_words") === 0,
+          lit(null).cast("double"))
+          .otherwise(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))))
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.ops.Features
+
+/** Model-input feature construction: hashing-trick buckets and
+  * leave-one-out target encoding. */
+class FeaturesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hashBucket: stable, in range, equals the mod-P fold mod buckets") {
+    val df = Seq("et=click", "et=view", "et=click").toDF("f")
+      .select(col("f"), Features.hashBucket(col("f"), 64).as("b"),
+        TextHash.wordHash(col("f")).as("h"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val b = r.getLong(1)
+      assert(b >= 0L && b < 64L)
+      assert(b == ((r.getLong(2) % 64L) + 64L) % 64L)
+    }
+    // same value -> same bucket, regardless of row
+    assert(rows(0).getLong(1) == rows(2).getLong(1))
+    intercept[IllegalArgumentException] {
+      Features.hashBucket(col("f"), 0)
+    }
+  }
+
+  test("targetEncodeLoo: excludes self, exact on 2^-20-representable " +
+    "targets, NULL for singleton categories") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 4.5), // LOO means: 3.25, 2.75, 1.5
+      ("b", 7.0)) //                         singleton -> NULL
+      .toDF("cat", "y")
+    val got = Features.targetEncodeLoo(df, "cat", "y")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got(("a", 1.0)) == Some(3.25))
+    assert(got(("a", 2.0)) == Some(2.75))
+    assert(got(("a", 4.5)) == Some(1.5))
+    assert(got(("b", 7.0)).isEmpty)
+  }
+
+  test("targetEncodeLoo: partitioning-invariant (exact integer moments)") {
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 500).map(i =>
+      (s"c${i % 7}", rng.nextDouble() * 100.0))
+    val run = (p: Int) =>
+      Features.targetEncodeLoo(
+        rows.toDF("cat", "y").repartition(p), "cat", "y")
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
+    assert(run(1) == run(13))
+  }
+}

@@ -118,4 +118,19 @@ class ProfileSpec extends SparkSpec {
       .toMap
     assert(got == Map(("US", "B") -> 2L, ("DE", "A") -> 1L))
   }
+
+  test("lDiversityViolations flags classes whose sensitive attribute " +
+    "lacks diversity, regardless of class size") {
+    val df = (Seq.fill(5)(("US", "flu")) ++ //       large but uniform: flag
+      Seq(("DE", "flu"), ("DE", "cold")) ++ //       diverse: pass
+      Seq(("FR", "flu"), ("FR", "flu"))) //          2 rows, 1 value: flag
+      .toDF("nation", "dx")
+    val got = Profile.lDiversityViolations(df, Seq("nation"), "dx", l = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map("US" -> ((5L, 1L)), "FR" -> ((2L, 1L))))
+    intercept[IllegalArgumentException] {
+      Profile.lDiversityViolations(df, Seq("nation"), "dx", l = 1)
+    }
+  }
 }

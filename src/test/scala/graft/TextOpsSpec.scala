@@ -443,6 +443,33 @@ class TextOpsSpec extends SparkSpec {
     assert(filtered.length == 1 && filtered.head.getString(0) == "a")
   }
 
+  test("sentenceStats: segment counting, word counting, degenerate text") {
+    val df = Seq(
+      (1L, "Hi there. Bye! Ok??"), // 3 sentences, 4 ws tokens
+      (2L, "..."), //                 0 sentences -> NULL average
+      (3L, "no terminator here")) //  trailing segment still counts
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) == ((3L, 4L, Some(4.0 / 3.0))))
+    assert(got(2L) == ((0L, 1L, None)))
+    assert(got(3L) == ((1L, 3L, Some(3.0))))
+  }
+
+  test("readability: vowel-group syllable proxy and Flesch formula") {
+    val df = Seq((1L, "The cat sat."), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    // "the cat sat" vowel groups: e, a, a -> 3 syllables, 3 words, 1 sent
+    val expected = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert(got(1L) == ((1L, 3L, 3L, Some(expected))))
+    assert(got(2L)._4.isEmpty) // wordless text -> NULL score
+  }
+
   test("bigramConditionals: partitioning-invariant") {
     val rng = new scala.util.Random(29)
     val docs = (0 until 300).map(i =>
