@@ -649,6 +649,17 @@ object SparkEntry {
         t(s, dir, "events").select(col("event_type"), col("value")),
         "event_type", "value")),
 
+    // ---- Profiling: Benford first-digit audit (string-extracted
+    //      leading digit, driver-computed expectations) ----
+    "q_benford" -> ((s, dir) =>
+      graft.ops.Profile.benford(t(s, dir, "orders"), "o_totalprice")),
+
+    // ---- Profiling: per-language source entropy (corpus balance;
+    //      strict sorted fold, pinned at 8 decimals for libm ln) ----
+    "q_entropy" -> ((s, dir) =>
+      graft.ops.Profile.entropy(t(s, dir, "documents"), "lang", "source")
+        .withColumn("entropy", round(col("entropy"), 8))),
+
     // ---- Privacy: k-anonymity audit over quasi-identifiers (violating
     //      equivalence classes only; empty result == fully k-anonymous) ----
     "q_k_anonymity" -> ((s, dir) =>
@@ -720,6 +731,31 @@ object SparkEntry {
         t(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("value")),
         "event_type", "value")),
+
+    // ---- Time series: CUSUM change-point scan (integer cumulative
+    //      deviations over hourly quantized sums — exact argmax) ----
+    "ts_cusum" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.cusumChangePoint(hourly, "event_type", "hr", "hx")
+    }),
+
+    // ---- Time series: lag-k autocorrelation (exact n²-scaled integer
+    //      moments, one final division per lag) ----
+    "ts_acf" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.autocorr(
+        hourly, "event_type", "hr", "hx", maxLag = 6)
+    }),
 
     // ---- Time series: fixed-interval OHLC downsampling (hourly bars
     //      per user; single (key,bucket)-keyed exchange) ----
@@ -936,6 +972,26 @@ object SparkEntry {
       pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
       pt.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
       stateOut(pt.readVersion(1L).get)
+    }),
+
+    // ---- Storage: explicit schema evolution — migrate adds a derived
+    //      column (full-snapshot rewrite, one commit), then a widened
+    //      batch merges against the evolved schema; final state must
+    //      equal latest-wins with the column derived on every winner ----
+    "o16_schema_evolution" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o16_").toString
+      val target = TargetTable("events_evo", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val cfg = IngestConfig(name = s"o16-evo-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, target)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
+      pt.migrate(cfg)(_.withColumn("is_large", col("value") >= 100.0))
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 1)
+        .withColumn("is_large", col("value") >= 100.0), cfg)
+      pt.read().get.select(col("pkey"), col("modified_date_us"),
+        col("event_type"), col("value"), col("is_large"))
     }),
 
     // ---- CDC consumer: incremental aggregate maintenance — base agg
@@ -1274,6 +1330,36 @@ object SparkEntry {
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b"))
       graft.ops.Graph.labelPropagation(pairs, "a", "b", iters = 3)
+    }),
+
+    // ---- Graph: k-core density filter (iterative peeling to the unique
+    //      fixpoint) on the same market-basket graph ----
+    "graph_kcore" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.kCore(pairs, "a", "b", k = 20)
+    }),
+
+    // ---- Graph: bounded-depth multi-source BFS (hop distance to the
+    //      nearest trusted seed) on the same market-basket graph ----
+    "graph_bfs" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = pp.select(col("p")).distinct()
+        .filter(col("p") % 40 === 0)
+      graft.ops.Graph.bfsHops(edges, "a", "b", seeds, depth = 3)
     }),
 
     // ---- LLM pipeline: deterministic train/val/test split ----
@@ -1753,6 +1839,24 @@ object SparkEntry {
       graft.ops.TextRank.bm25TopK(
         t(s, dir, "documents"), "doc_id", "text", Bm25Terms, k = Bm25K)),
 
+    // ---- Retrieval: reciprocal-rank fusion of a lexical BM25 list and
+    //      a length-prior list (hybrid-search combiner; bounded lists,
+    //      broadcast joins, fixed-shape float sum) ----
+    "q_rank_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val bm = graft.ops.TextRank.bm25TopK(
+        docs, "doc_id", "text", Bm25Terms, k = Bm25K)
+      // single-partition windows: both lists are <= Bm25K rows
+      val bmRanked = bm.select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
+      val prior = docs
+        .orderBy(col("n_chars").desc, col("doc_id").asc).limit(Bm25K)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id").asc)).as("rank"))
+      graft.ops.TextRank.rrfFuse(Seq(bmRanked, prior), "doc_id", "rank")
+    }),
+
     // ---- LLM pipeline: Gopher-style repetition quality metrics ----
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")),
@@ -1772,6 +1876,13 @@ object SparkEntry {
       graft.ops.Sampling.capPerDomain(
         t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
         "source", "doc_id", cap = 12)),
+
+    // ---- LLM pipeline: proportional stratified sampling (every
+    //      language survives at its true proportion) ----
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
+        "lang", "doc_id", percent = 20)),
 
     // ---- LLM pipeline: unigram-LM quality scoring (perplexity proxy) ----
     "text_unigram_logprob" -> ((s, dir) =>
@@ -1894,12 +2005,14 @@ object SparkEntry {
         "min(md5(text)) AS min_md5, max(md5(text)) AS max_md5 " +
         "FROM documents GROUP BY lang"
 
-    val bm25Sql = {
+    // CTE body shared by the bm25 gate and the rank-fusion gate (which
+    // re-ranks the same `top` list before fusing).
+    val bm25Ctes = {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       val caseSums = Bm25Terms.map(t =>
         s"coalesce(sum(CASE WHEN term = '$t' THEN contrib END), " +
           "CAST(0 AS DOUBLE))").mkString(" + ")
-      "WITH toks AS (SELECT doc_id, " +
+      "toks AS (SELECT doc_id, " +
         "unnest(string_split_regex(lower(text), '\\s+')) AS term " +
         "FROM documents), " +
         "toksf AS (SELECT * FROM toks WHERE term <> ''), " +
@@ -1919,9 +2032,29 @@ object SparkEntry {
         s"agg AS (SELECT doc_id, $caseSums AS score " +
         "FROM scored GROUP BY doc_id), " +
         s"top AS (SELECT doc_id, score FROM agg " +
-        s"ORDER BY score DESC, doc_id LIMIT $Bm25K) " +
-        "SELECT doc_id, round(score, 8) AS score FROM top"
+        s"ORDER BY score DESC, doc_id LIMIT $Bm25K)"
     }
+    val bm25Sql =
+      s"WITH $bm25Ctes SELECT doc_id, round(score, 8) AS score FROM top"
+
+    val rankFusionSql =
+      s"WITH $bm25Ctes, " +
+        "bmr AS (SELECT doc_id, row_number() OVER (" +
+        "ORDER BY round(score, 8) DESC, doc_id) AS rank_0 FROM top), " +
+        "pr AS (SELECT doc_id, row_number() OVER (" +
+        "ORDER BY n_chars DESC, doc_id) AS rank_1 FROM (" +
+        "SELECT doc_id, n_chars FROM documents " +
+        s"ORDER BY n_chars DESC, doc_id LIMIT $Bm25K)), " +
+        "ids AS (SELECT doc_id FROM bmr UNION SELECT doc_id FROM pr) " +
+        "SELECT i.doc_id, CAST(b.rank_0 AS BIGINT) AS rank_0, " +
+        "CAST(p.rank_1 AS BIGINT) AS rank_1, " +
+        "CAST(CASE WHEN b.rank_0 IS NOT NULL THEN 1 ELSE 0 END + " +
+        "CASE WHEN p.rank_1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS n_lists, " +
+        "coalesce(1.0 / (60.0 + CAST(b.rank_0 AS DOUBLE)), 0.0) + " +
+        "coalesce(1.0 / (60.0 + CAST(p.rank_1 AS DOUBLE)), 0.0) AS rrf " +
+        "FROM ids i LEFT JOIN bmr b USING (doc_id) " +
+        "LEFT JOIN pr p USING (doc_id)"
 
     val repetitionSql =
       "WITH base AS (SELECT doc_id, " +
@@ -1957,6 +2090,15 @@ object SparkEntry {
         s"(doc_id * ${TextHash.permuteA(0)} + ${TextHash.permuteB(0)}) " +
         s"% ${TextHash.P}, doc_id) AS rn FROM documents) WHERE rn <= 12"
 
+    val stratifiedSql =
+      "SELECT doc_id, source, lang FROM (" +
+        "SELECT doc_id, source, lang, row_number() OVER (" +
+        "PARTITION BY lang ORDER BY " +
+        s"(doc_id * ${TextHash.permuteA(0)} + ${TextHash.permuteB(0)}) " +
+        s"% ${TextHash.P}, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS ng FROM documents) " +
+        "WHERE rn * 100 <= ng * 20 + 99"
+
     // Sampling.hashBucket mirror: pmod keeps negative ids non-negative.
     val hashBucket = s"((((doc_id * ${TextHash.permuteA(0)} + " +
       s"${TextHash.permuteB(0)}) % ${TextHash.P}) % 100) + 100) % 100"
@@ -1991,6 +2133,7 @@ object SparkEntry {
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
           "FROM documents WHERE lang = 'en' GROUP BY source"),
       "bm25_topk" -> bm25Sql,
+      "q_rank_fusion" -> rankFusionSql,
       "q_bucketed_join" ->
         ("SELECT c.c_mktsegment, count(*) AS n_orders, " +
           "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
@@ -2024,6 +2167,7 @@ object SparkEntry {
           "END AS flesch FROM documents"
       },
       "sample_domain_cap" -> domainCapSql,
+      "sample_stratified" -> stratifiedSql,
       "sample_mixture" -> mixtureSql,
       "sample_curriculum" -> curriculumSql,
       "sample_importance" -> importanceSql,
@@ -2882,6 +3026,36 @@ object SparkEntry {
         ("SELECT c_nationkey, c_mktsegment, count(*) AS class_size " +
           "FROM customer GROUP BY c_nationkey, c_mktsegment " +
           "HAVING count(*) < 8"),
+      "q_benford" -> {
+        // SAME driver-computed double literals as the Spark plan —
+        // Double.toString round-trips, so DuckDB parses the same value
+        val cases = (1 to 9).map(d =>
+          s"WHEN digit = $d THEN ${math.log10(1.0 + 1.0 / d)}")
+          .mkString(" ")
+        "WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) " +
+          "AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit " +
+          "FROM orders WHERE o_totalprice >= 1.0), " +
+          "g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit), " +
+          "t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g) " +
+          s"SELECT digit, n_obs, CAST(n AS DOUBLE) * (CASE $cases END) " +
+          "AS expected, " +
+          "(CAST(n_obs AS DOUBLE) - expected) * " +
+          "(CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_term " +
+          "FROM g CROSS JOIN t"
+      },
+      "q_entropy" ->
+        ("WITH c AS (SELECT lang, source AS cc, count(*) AS k " +
+          "FROM documents GROUP BY 1, 2), " +
+          "p AS (SELECT lang, " +
+          "list_sort(list(struct_pack(c := cc, k := k))) AS cs, " +
+          "CAST(sum(k) AS BIGINT) AS n_rows, " +
+          "CAST(count(*) AS BIGINT) AS n_categories FROM c GROUP BY lang) " +
+          "SELECT lang, n_rows, n_categories, " +
+          "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(cs, x -> " +
+          "-(CAST(x.k AS DOUBLE) / CAST(n_rows AS DOUBLE)) * " +
+          "ln(CAST(x.k AS DOUBLE) / CAST(n_rows AS DOUBLE)))), " +
+          "(a, b) -> a + b), 8) AS entropy FROM p"),
       "q_l_diversity" ->
         ("SELECT event_type, ((user_id % 200) + 200) % 200 AS uid_bucket, " +
           "count(*) AS class_size, " +
@@ -2975,6 +3149,52 @@ object SparkEntry {
           "CASE WHEN e.value < b.clip_lo THEN b.clip_lo " +
           "WHEN e.value > b.clip_hi THEN b.clip_hi ELSE e.value END " +
           "AS winsorized FROM events e JOIN b USING (event_type)"),
+      "ts_cusum" ->
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "sc AS (SELECT event_type, hr, " +
+          "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n, " +
+          "CAST(sum(hx) OVER (PARTITION BY event_type) AS BIGINT) AS s, " +
+          "CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr) " +
+          "AS BIGINT) AS i, " +
+          "CAST(sum(hx) OVER (PARTITION BY event_type ORDER BY hr " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx FROM h), " +
+          "c AS (SELECT event_type, hr, n, " +
+          "n * pfx - i * s AS cusum FROM sc) " +
+          "SELECT event_type, n AS n_points, hr AS cp_ord, " +
+          "cusum AS cusum_at_cp, " +
+          "CAST(abs(cusum) AS DOUBLE) / CAST(n AS DOUBLE) " +
+          "AS mean_shift_score FROM (" +
+          "SELECT *, row_number() OVER (PARTITION BY event_type " +
+          "ORDER BY abs(cusum) DESC, hr ASC) AS rn FROM c) WHERE rn = 1"),
+      "ts_acf" ->
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "b AS (SELECT event_type, hr, hx, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY hr) AS i FROM h), " +
+          "st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, " +
+          "CAST(sum(hx) AS HUGEINT) AS s, " +
+          "sum(CAST(hx AS HUGEINT) * CAST(hx AS HUGEINT)) AS sxx " +
+          "FROM b GROUP BY 1), " +
+          "p AS (SELECT hh.event_type, t.lag, " +
+          "sum(CAST(hh.hx AS HUGEINT) * CAST(tt.hx AS HUGEINT)) AS sxy, " +
+          "CAST(sum(hh.hx) AS HUGEINT) AS sh, " +
+          "CAST(sum(tt.hx) AS HUGEINT) AS st2, " +
+          "CAST(count(*) AS HUGEINT) AS m " +
+          "FROM b hh CROSS JOIN range(1, 7) t(lag) JOIN b tt " +
+          "ON tt.event_type = hh.event_type AND tt.i = hh.i + t.lag " +
+          "GROUP BY 1, 2) " +
+          "SELECT event_type, CAST(lag AS BIGINT) AS lag, " +
+          "CAST(n AS BIGINT) AS n_points, " +
+          "CASE WHEN den <= 0 THEN NULL " +
+          "ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf " +
+          "FROM (SELECT p.event_type, p.lag, st.n, " +
+          "st.n * st.n * p.sxy - st.n * st.s * (p.sh + p.st2) " +
+          "+ p.m * st.s * st.s AS num, " +
+          "st.n * st.n * st.sxx - st.n * st.s * st.s AS den " +
+          "FROM p JOIN st USING (event_type))"),
       "q_resample_ohlc" ->
         ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value " +
           "FROM events), " +
@@ -3122,6 +3342,31 @@ object SparkEntry {
           "nodes AS (SELECT DISTINCT src AS node FROM e), " +
           graft.functions.OracleSql.labelPropCtes(iters = 3) +
           " SELECT node, lbl FROM lp3"),
+      // Fixed 12 peel rounds: >= the measured convergence round count at
+      // both verify SFs (9 at sf0.01, 7 at sf0.1 for k=20); extra rounds
+      // are no-ops at the fixpoint.
+      "graph_kcore" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e AS (SELECT a AS src, b AS dst FROM ce " +
+          "UNION ALL SELECT b, a FROM ce), " +
+          graft.functions.OracleSql.kCoreCtes(k = 20, rounds = 12) +
+          " SELECT node, core_deg FROM s12"),
+      "graph_bfs" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e AS (SELECT a AS src, b AS dst FROM ce " +
+          "UNION ALL SELECT b, a FROM ce), " +
+          "seeds AS (SELECT DISTINCT CAST(p AS BIGINT) AS node FROM ps " +
+          "WHERE p % 40 = 0), " +
+          graft.functions.OracleSql.bfsCtes(depth = 3) +
+          " SELECT node, dist FROM d3"),
       "q_train_split" -> trainSplitSql,
       "pipeline_corpus" -> pipelineCorpusSql,
       "dedup_simhash" -> simhashSql,
@@ -3314,6 +3559,13 @@ object SparkEntry {
           "row_number() OVER (PARTITION BY user_id " +
           "ORDER BY ts DESC, event_id DESC) AS rn " +
           "FROM events WHERE event_id % 2 = 0) WHERE rn = 1"),
+      // whichever row wins latest-wins, its flag is derived from its own
+      // value — by the migration rewrite (stored rows) or by the widened
+      // batch (incoming rows)
+      "o16_schema_evolution" ->
+        (s"SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, " +
+          s"value, value >= 100.0 AS is_large FROM ($oracleDedup) " +
+          "WHERE rn = 1"),
       // incremental maintenance converges to a direct re-aggregation of
       // the post state (latest-wins minus deleted keys)
       "o13b_cdc_incremental_agg" ->

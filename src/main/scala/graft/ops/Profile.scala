@@ -170,6 +170,70 @@ object Profile {
       aggregate(col("cs"), lit(0.0), (acc, x) => acc + term(x)).as("chi2"))
   }
 
+  /** Benford first-digit audit — fraud/synthetic-data detection for
+    * naturally wide-ranging positive columns (prices, populations, file
+    * sizes): observed leading-digit counts vs the Benford expectation
+    * `n · log10(1 + 1/d)`. Emits one row per digit 1..9:
+    * (digit, n_obs, expected, chi2_term) — Σ chi2_term against a χ²(8)
+    * critical value is the test.
+    *
+    * Determinism: the leading digit comes from the DECIMAL STRING of
+    * `floor(x)` (never `log10` — libm rounding could flip a power-of-10
+    * boundary between engines); expected values are one multiply of an
+    * exact count by a driver-computed double literal, and each chi2 term
+    * is a fixed-shape row expression. Rows with x < 1 are dropped (no
+    * leading digit in [1,9]).
+    *
+    * Scale: one map-side-combinable 9-group aggregate; output is 9 rows. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .select(col(valueCol).cast("double").as("__x"))
+      .where(col("__x") >= 1.0)
+      .select(substring(floor(col("__x")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("__n"))
+    val probs = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val expected = probs.tail.foldLeft(
+      when(col("digit") === probs.head._1, lit(probs.head._2))) {
+      case (acc, (d, p)) => acc.when(col("digit") === d, lit(p))
+    }
+    digits.crossJoin(broadcast(total))
+      .withColumn("expected", col("__n").cast("double") * expected)
+      .withColumn("chi2_term", {
+        val dd = col("n_obs").cast("double") - col("expected")
+        dd * dd / col("expected")
+      })
+      .select(col("digit"), col("n_obs"), col("expected"), col("chi2_term"))
+  }
+
+  /** Per-group Shannon entropy of a categorical column (nats) — the
+    * balance metric of a corpus: low entropy of `source` within a
+    * language means one domain dominates it. Emits
+    * (groupCol, n_rows, n_categories, entropy).
+    *
+    * Determinism: category counts are exact; the entropy sum is a STRICT
+    * LEFT FOLD over the category-sorted (cat, count) list — the
+    * [[chiSquare]] discipline — so the float result is bit-identical
+    * across partitionings and engines. Category cardinality per group is
+    * small by definition (the packed list is bounded); the groupwise
+    * aggregate is map-side combinable. */
+  def entropy(
+      df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__k"))
+    val packed = counts.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("__c"), col("__k")))).as("cs"),
+        sum(col("__k")).as("n_rows"),
+        count(lit(1)).as("n_categories"))
+    val term = (x: Column) => {
+      val p = x.getField("__k").cast("double") / col("n_rows").cast("double")
+      -p * log(p)
+    }
+    packed.select(col(groupCol), col("n_rows"), col("n_categories"),
+      aggregate(col("cs"), lit(0.0), (acc, x) => acc + term(x)).as("entropy"))
+  }
+
   /** Per-group equi-width histogram of a numeric column: `bins` buckets
     * spanning the group's [min, max], max closing into the last bin;
     * null values are dropped. Deterministic across engines: the bin is

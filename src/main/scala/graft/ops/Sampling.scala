@@ -78,6 +78,34 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Proportional stratified sample: keep `percent`% of EVERY stratum —
+    * exactly ceil(n_g · percent / 100) rows, chosen in deterministic hash
+    * order `(permute(id), id)` — so small strata survive at their true
+    * proportion instead of vanishing by chance (the failure mode of a
+    * global [[sampleByHash]] on skewed strata: a 0.1% language can lose
+    * every row). The hash order makes each stratum's kept subset a
+    * uniform pseudo-random slice, reproducible across runs and engines.
+    *
+    * Scale: one window keyed by stratum (rank + count share the
+    * partitioning — a single exchange), same bounded-strata caveat as
+    * [[quantileBins]]. */
+  def stratifiedSample(
+      df: DataFrame, strataCol: String, idCol: String,
+      percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100,
+      s"percent must be in [0, 100], got $percent")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(TextHash.permute(0, col(idCol)), col(idCol))
+    val wAll = Window.partitionBy(col(strataCol))
+    // rn <= ceil(n_g·p/100)  ⇔  100·rn <= n_g·p + 99 (integer-exact;
+    // ceil keeps every nonempty stratum alive at any positive percent)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(wAll))
+      .filter(col("__rn") * 100 <= col("__ng") * percent + 99)
+      .drop("__rn", "__ng")
+  }
+
   /** Per-stratum quantile bins — curriculum/quality binning: rank rows
     * within each stratum (e.g. language) by `scoreCol` and cut into
     * `bins` equal-frequency bins via `ntile`. Ties break on `idCol`, so

@@ -211,4 +211,45 @@ object TextRank {
         .localCheckpoint()
     } finally { counts.unpersist(); () }
   }
+
+  /** Reciprocal-rank fusion — the standard scoreless combiner for hybrid
+    * retrieval (lexical BM25 list + dense ANN list, or any N rankers):
+    *
+    *   rrf(d) = Σ_lists 1 / (kRrf + rank_list(d))
+    *
+    * Robust because it ignores incomparable score scales and only reads
+    * ranks (Cormack et al.'s classic kRrf = 60 default). Input lists each
+    * carry (idCol, rankCol) with 1-based ranks and are top-k bounded by
+    * construction; ids absent from a list contribute 0.
+    *
+    * Determinism: each list joins back in FIXED position, so the rrf sum
+    * is a fixed-shape left-to-right expression (never a float SUM
+    * aggregate over rows — the [[graft.ops.Profile.chiSquare]]
+    * discipline), bit-identical across engines.
+    *
+    * Scale: every list is a bounded top-k, so the id spine and all joins
+    * broadcast; cost is O(Σ|lists|) regardless of corpus size. Output:
+    * (idCol, rank_0..rank_{n-1} LONG nullable, n_lists, rrf). */
+  def rrfFuse(
+      lists: Seq[DataFrame], idCol: String, rankCol: String,
+      kRrf: Int = 60): DataFrame = {
+    require(lists.size >= 2, s"rrfFuse needs >= 2 lists, got ${lists.size}")
+    require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
+    val ids = lists.map(_.select(col(idCol)))
+      .reduce(_.unionByName(_)).distinct()
+    val joined = lists.zipWithIndex.foldLeft(ids) { case (acc, (l, i)) =>
+      acc.join(
+        broadcast(l.select(col(idCol),
+          col(rankCol).cast("long").as(s"rank_$i"))),
+        Seq(idCol), "left_outer")
+    }
+    val contrib = lists.indices.map(i =>
+      coalesce(lit(1.0) / (lit(kRrf.toDouble) + col(s"rank_$i").cast("double")),
+        lit(0.0)))
+    val present = lists.indices.map(i =>
+      when(col(s"rank_$i").isNotNull, lit(1L)).otherwise(lit(0L)))
+    joined
+      .withColumn("n_lists", present.reduce(_ + _))
+      .withColumn("rrf", contrib.reduce(_ + _))
+  }
 }

@@ -180,4 +180,122 @@ object TimeSeries {
         count(lit(1)).as("n_events"),
         sum(col("__v").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
+
+  /** CUSUM change-point scan per key: over an ordered series of BIGINT
+    * values (quantize floats FIRST — the gate feeds daily sums of
+    * `floor(value * 1024)`), the cumulative-deviation statistic
+    *
+    *   cusum_i = Σ_{j<=i} (n·x_j - S)   (= n·prefix_i - i·S, exact)
+    *
+    * peaks where the series' mean shifts; the argmax of |cusum| is the
+    * classic single-change-point estimate. Multiplying the deviation
+    * through by `n` keeps EVERYTHING in integer arithmetic — no mean
+    * division, no float accumulation — so the scan is bit-identical
+    * across partitionings and engines (the oracle mirrors it with
+    * window sums CAST to BIGINT).
+    *
+    * Output per key: (keyCol, n_points, cp_ord, cusum_at_cp,
+    * mean_shift_score) where cp_ord is the argmax ordinate (earliest on
+    * ties) and mean_shift_score = |cusum| / n in original quantized
+    * units — ONE final division.
+    *
+    * Scale shape: one (key)-keyed window prefix sum over the
+    * pre-aggregated series (O(points-per-key), NOT raw events — callers
+    * bucket first, so a key's series fits a partition by construction),
+    * then one argmax row_number in the SAME partitioning — Catalyst
+    * plans a single exchange. Headroom: |n·prefix| <= n²·max|x| must fit
+    * BIGINT — 1e5 daily points of 1e8-scale sums is safe. */
+  def cusumChangePoint(
+      series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__o").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wKey = Window.partitionBy(col(keyCol))
+    val base = series.select(col(keyCol), col(ordCol).cast("long").as("__o"),
+      col(valCol).cast("long").as("__x"))
+    val scanned = base
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__s", sum(col("__x")).over(wKey))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__o").asc)))
+      .withColumn("__pfx", sum(col("__x")).over(wOrd))
+      .withColumn("__cusum",
+        col("__n") * col("__pfx") - col("__i") * col("__s"))
+    scanned
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(abs(col("__cusum")).desc, col("__o").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__n").as("n_points"),
+        col("__o").as("cp_ord"), col("__cusum").as("cusum_at_cp"),
+        (abs(col("__cusum")).cast("double") / col("__n").cast("double"))
+          .as("mean_shift_score"))
+  }
+
+  /** Lag-k autocorrelation per key over an ordered series of BIGINT
+    * values (quantize floats first, as in [[cusumChangePoint]]): for
+    * each lag in 1..maxLag,
+    *
+    *   r_k = Σ_{i<=n-k} (x_i - x̄)(x_{i+k} - x̄) / Σ_i (x_i - x̄)²
+    *
+    * computed with every term multiplied through by n² so numerator and
+    * denominator are EXACT integer aggregates (DECIMAL(38,0) — the
+    * [[Normalize.zscore]] moment discipline):
+    *
+    *   n²·num_k = n²·Σx_i·x_{i+k} - n·S·(Σ_head + Σ_tail) + (n-k)·S²
+    *   n²·den   = n²·Σx²          - n·S²
+    *
+    * and ONE final double division. Bit-identical across engines;
+    * the oracle mirrors term-for-term in HUGEINT.
+    *
+    * Scale shape: ranks come from one (key)-keyed window, the lag pairs
+    * from one self-join keyed by (key, rank+lag) — series are
+    * pre-bucketed and bounded per key, so both sides co-partition on the
+    * key; output is O(keys × maxLag). Headroom: n²·Σx² must fit 38
+    * digits — 1e5 points of 1e9-scale values is safe.
+    *
+    * Output: (keyCol, lag, n_points, acf); zero-variance keys emit NULL
+    * acf, and a (key, lag) with no pairs (series shorter than lag+1) is
+    * absent from the output entirely. */
+  def autocorr(
+      series: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val dec = "decimal(38,0)"
+    val base = series.select(col(keyCol), col(ordCol).cast("long").as("__o"),
+      col(valCol).cast("long").as("__x"))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__o").asc)))
+    val stats = base.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(col("__x").cast(dec)).as("__s"),
+      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+    val lags = (1 to maxLag).map(lit(_)).toArray
+    val pairs = base.select(col(keyCol), col("__i"), col("__x"),
+        explode(array(lags: _*)).as("lag"))
+      .withColumn("__j", col("__i") + col("lag"))
+      .as("h")
+      .join(base.as("t"),
+        col(s"h.$keyCol") === col(s"t.$keyCol") &&
+          col("h.__j") === col("t.__i"))
+      .select(col(s"h.$keyCol").as(keyCol), col("h.lag").as("lag"),
+        col("h.__x").cast(dec).as("__xh"), col("t.__x").cast(dec).as("__xt"))
+    val perLag = pairs.groupBy(col(keyCol), col("lag")).agg(
+      sum(col("__xh") * col("__xt")).as("__sxy"),
+      sum(col("__xh")).as("__sh"),
+      sum(col("__xt")).as("__st"),
+      count(lit(1)).cast(dec).as("__m"))
+    perLag.join(stats, keyCol)
+      .withColumn("__num",
+        col("__n") * col("__n") * col("__sxy")
+          - col("__n") * col("__s") * (col("__sh") + col("__st"))
+          + col("__m") * col("__s") * col("__s"))
+      .withColumn("__den",
+        col("__n") * col("__n") * col("__sxx")
+          - col("__n") * col("__s") * col("__s"))
+      .select(col(keyCol), col("lag").cast("long").as("lag"),
+        col("__n").cast("long").as("n_points"),
+        when(col("__den") <= 0, lit(null).cast("double"))
+          .otherwise(col("__num").cast("double") / col("__den").cast("double"))
+          .as("acf"))
+  }
 }

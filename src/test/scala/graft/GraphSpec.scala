@@ -136,6 +136,55 @@ class GraphSpec extends SparkSpec {
     assert(tc(noisy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("kCore: clique survives, appendages peel, k above max empties") {
+    // K5 clique (internal degree 4) with a pendant chain hanging off it
+    val clique = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val df = (clique ++ chain).toDF("a", "b")
+    val core3 = graft.ops.Graph.kCore(df, "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+    assert(graft.ops.Graph.kCore(df, "a", "b", k = 5).collect().isEmpty)
+  }
+
+  test("kCore matches reference peeling on a random graph") {
+    val rng = new scala.util.Random(11)
+    val edges = List.fill(300)(
+      (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    def refPeel(k: Int): Map[Long, Long] = {
+      var e = edges.flatMap(p => Seq(p, p.swap)).distinct
+      var stable = false
+      while (!stable) {
+        val deg = e.groupBy(_._1).map { case (n, xs) => n -> xs.size }
+        val surv = deg.filter(_._2 >= k).keySet
+        val next = e.filter(p => surv(p._1) && surv(p._2))
+        stable = next == e
+        e = next
+      }
+      e.groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    }
+    for (k <- Seq(3, 6, 9)) {
+      val got = graft.ops.Graph.kCore(edges.toDF("a", "b"), "a", "b", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == refPeel(k), s"k=$k")
+    }
+  }
+
+  test("bfsHops: nearest-seed hop counts, depth bound, unreachable absent") {
+    //   0 -> 1 -> 2 -> 3 -> 4      10 (isolated), seeds {0, 3}
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 10L))
+      .toDF("s", "d")
+    val seeds = Seq(0L, 3L).toDF("node")
+    val got = graft.ops.Graph.bfsHops(e, "s", "d", seeds, depth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 is one hop from... 1->2 (dist 2 via 0); 4 is one hop from seed 3
+    assert(got == Map(0L -> 0L, 3L -> 0L, 1L -> 1L, 4L -> 1L, 2L -> 2L))
+    val d0 = graft.ops.Graph.bfsHops(e, "s", "d", seeds, depth = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(d0 == Set(0L, 3L))
+  }
+
   test("triangles: degree-ordered enumeration matches brute force") {
     val rng = new scala.util.Random(7)
     val edges = List.fill(400)(

@@ -119,6 +119,32 @@ class ProfileSpec extends SparkSpec {
     assert(got == Map(("US", "B") -> 2L, ("DE", "A") -> 1L))
   }
 
+  test("benford: string-extracted leading digits, Benford expectations, " +
+    "sub-1 rows dropped") {
+    val df = (Seq.fill(30)(123.4) ++ Seq.fill(18)(2.7) ++ Seq.fill(2)(9000.0)
+      ++ Seq(0.5)).toDF("x") // 0.5 has no leading digit in [1,9]
+    val got = Profile.benford(df, "x")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 9L))
+    assert(got(1L)._1 == 30L && got(2L)._1 == 18L && got(9L)._1 == 2L)
+    val e1 = 50.0 * math.log10(2.0)
+    assert(got(1L)._2 == e1)
+    assert(got(1L)._3 == (30.0 - e1) * (30.0 - e1) / e1)
+  }
+
+  test("entropy: uniform = ln(k), single-category = 0, exact fold") {
+    val df = (Seq(("u", "a"), ("u", "b"), ("u", "c"), ("u", "d")) ++
+      Seq(("s", "only"), ("s", "only"))).toDF("g", "c")
+    val got = Profile.entropy(df, "g", "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // strict left fold of four identical 0.25·ln(4) terms
+    val h = Seq.fill(4)(-0.25 * math.log(0.25)).foldLeft(0.0)(_ + _)
+    assert(got("u") == ((4L, 4L, h)))
+    assert(got("s")._3 == 0.0)
+  }
+
   test("lDiversityViolations flags classes whose sensitive attribute " +
     "lacks diversity, regardless of class size") {
     val df = (Seq.fill(5)(("US", "flu")) ++ //       large but uniform: flag

@@ -139,4 +139,19 @@ class SamplingSpec extends SparkSpec {
     // the kept set is hash-ordered, not the first ids
     assert(byDomain("big") != Seq(0L, 1L, 2L))
   }
+
+  test("stratifiedSample keeps ceil(n·p/100) per stratum; tiny strata " +
+    "survive; 0% empties; deterministic") {
+    val in = ((0L until 200L).map(i => (i, "big")) ++
+      Seq((900L, "tiny"))).toDF("id", "stratum")
+    val kept = Sampling.stratifiedSample(in, "stratum", "id", percent = 10)
+    val byStratum = kept.collect().groupBy(_.getString(1))
+      .map { case (s, rs) => s -> rs.map(_.getLong(0)).sorted.toSeq }
+    assert(byStratum("big").size == 20) //  ceil(200·10/100)
+    assert(byStratum("tiny") == Seq(900L)) // ceil(1·10/100) = 1: survives
+    assert(Sampling.stratifiedSample(in, "stratum", "id", 0).count() == 0L)
+    assert(Sampling.stratifiedSample(in, "stratum", "id", 100).count() == 201L)
+    assertSameRows(kept,
+      Sampling.stratifiedSample(in.repartition(7), "stratum", "id", 10))
+  }
 }

@@ -123,4 +123,20 @@ class TextRankSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("a", "b")))
   }
+
+  test("rrfFuse: overlap sums both lists, singles keep one term, " +
+    "exact reciprocal arithmetic") {
+    val a = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (30L, 2L)).toDF("id", "rank")
+    val got = TextRank.rrfFuse(Seq(a, b), "id", "rank", kRrf = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(10L) == ((Some(1L), None, 1L, 1.0 / 61.0)))
+    assert(got(20L) == ((Some(2L), Some(1L), 2L, 1.0 / 62.0 + 1.0 / 61.0)))
+    assert(got(30L) == ((None, Some(2L), 1L, 1.0 / 62.0)))
+    intercept[IllegalArgumentException] {
+      TextRank.rrfFuse(Seq(a), "id", "rank")
+    }
+  }
 }

@@ -121,6 +121,50 @@ class TimeSeriesSpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("cusumChangePoint: level shift found at the last pre-shift point") {
+    // 0,0,0,10,10,10: cusum_i = 6*pfx_i - i*30 peaks (|-90|) at ord 3
+    val s = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L),
+      ("a", 4L, 10L), ("a", 5L, 10L), ("a", 6L, 10L))
+      .toDF("k", "o", "x")
+    val r = TimeSeries.cusumChangePoint(s, "k", "o", "x").head()
+    assert(r.getString(0) == "a" && r.getLong(1) == 6L &&
+      r.getLong(2) == 3L && r.getLong(3) == -90L &&
+      r.getDouble(4) == 15.0)
+  }
+
+  test("cusumChangePoint: constant series ties break to the earliest ord") {
+    val s = Seq(("c", 5L, 7L), ("c", 6L, 7L), ("c", 7L, 7L)).toDF("k", "o", "x")
+    val r = TimeSeries.cusumChangePoint(s, "k", "o", "x").head()
+    assert(r.getLong(2) == 5L && r.getLong(3) == 0L && r.getDouble(4) == 0.0)
+  }
+
+  test("autocorr: alternating series gives the exact textbook estimates") {
+    // x = 1,-1,1,-1,1,-1 (n=6, S=0): r_k = (n-k pairs of ±1)·n² / n²·Σx²
+    val s = (1 to 6).map(i => ("a", i.toLong, if (i % 2 == 1) 1L else -1L))
+      .toDF("k", "o", "x")
+    val got = TimeSeries.autocorr(s, "k", "o", "x", maxLag = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got(1L) == -5.0 / 6.0) // 36·(-5) / 36·6
+    assert(got(2L) == 4.0 / 6.0)  // 36·4 / 36·6
+  }
+
+  test("autocorr: zero variance -> NULL; short series lag absent; " +
+    "partitioning-invariant") {
+    val flat = Seq(("f", 1L, 3L), ("f", 2L, 3L), ("f", 3L, 3L)).toDF("k", "o", "x")
+    val gotFlat = TimeSeries.autocorr(flat, "k", "o", "x", maxLag = 4)
+      .collect().map(r => r.getLong(1) -> Option(r.get(3))).toMap
+    assert(gotFlat == Map(1L -> None, 2L -> None)) // lags 3,4: no pairs
+    val rng = new scala.util.Random(17)
+    val big = (0 until 400).map(i =>
+      (s"k${i % 3}", i.toLong, rng.nextInt(1000).toLong))
+    val run = (p: Int) =>
+      TimeSeries.autocorr(big.toDF("k", "o", "x").repartition(p),
+        "k", "o", "x", maxLag = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(run(1) == run(11))
+  }
+
   test("ewma: bit-identical across partitionings") {
     val rng = new scala.util.Random(21)
     val rows = (0 until 800).map(i =>
