@@ -269,6 +269,30 @@ object SparkEntry {
           col("last_event_id"), col("last_value"))
     }),
 
+    // ---- Streaming anomaly scoring: per-key EXACT integer moments in
+    //      state (order-insensitive), latest value z-scored against the
+    //      key's full history — one deterministic division + sqrt ----
+    "s12_stream_anomaly" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s12_").toString
+      val target = TargetTable("events_anomaly", s"$tmp/target",
+        keyCols = Seq("pkey"), versionCol = "n_events", buckets = 4)
+      val cfg = IngestConfig(name = s"s12-anomaly-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(
+          col("user_id").as("pkey"), expr("ts div 1000").as("ver"),
+          col("event_id").as("tie"), col("value"))
+      val updates = graft.streaming.Stateful.momentAnomalyPerKey(src)
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(updates, Trigger.AvailableNow())
+      q.awaitTermination()
+      new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("pkey"), col("n_events"), col("last_value"),
+          col("zscore"))
+    }),
+
     // ---- Streaming near-dup detection ON the ingest stream: MinHash
     //      banding per arriving doc (same constants as the batch LSH →
     //      identical candidates), watermarked band-key self-join bounded
@@ -1597,6 +1621,13 @@ object SparkEntry {
       Similarity.groupCentroids(
         t(s, dir, "embeddings"), "label", "embedding")),
 
+    // ---- LLM pipeline: label-centroid drift matrix (pairwise cosine
+    //      between per-label centroids; broadcast self-join of an
+    //      O(groups) frame) ----
+    "emb_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(
+        t(s, dir, "embeddings"), "label", "embedding")),
+
     // ---- LLM pipeline: random-projection dim reduction (JL sketch,
     //      deterministic hyperplane family, row-local) ----
     "emb_random_project" -> ((s, dir) =>
@@ -1839,6 +1870,32 @@ object SparkEntry {
       graft.ops.TextRank.bm25TopK(
         t(s, dir, "documents"), "doc_id", "text", Bm25Terms, k = Bm25K)),
 
+    // ---- LLM pipeline: TextRank-style keyword extraction — fixed-point
+    //      PageRank over the adjacent-word co-occurrence graph (word
+    //      nodes = mod-P hashes, so the oracle replays the whole loop),
+    //      top-20 by exact integer rank ----
+    "text_keywords_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wh = docs.select(
+        TextHash.wordHashes(lower(col("text"))).as("__wh"))
+      val adj = wh.filter(size(col("__wh")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("__wh")) - 1),
+          i => struct(element_at(col("__wh"), i).as("a"),
+            element_at(col("__wh"), i + 1).as("b")))).as("__p"))
+        .select(col("__p.a").as("a"), col("__p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = adj.unionByName(
+        adj.select(col("b").as("a"), col("a").as("b")))
+      val ranked = graft.ops.Graph.pageRank(edges, "a", "b", iters = 3)
+      val wmap = docs
+        .select(explode(TextHash.words(lower(col("text")))).as("w"))
+        .select(col("w"), TextHash.wordHash(col("w")).as("node"))
+        .groupBy(col("node")).agg(min(col("w")).as("word"))
+      ranked.orderBy(col("rank_q").desc, col("node").asc).limit(20)
+        .join(wmap, "node")
+        .select(col("node"), col("word"), col("rank_q"))
+    }),
+
     // ---- Retrieval: reciprocal-rank fusion of a lexical BM25 list and
     //      a length-prior list (hybrid-search combiner; bounded lists,
     //      broadcast joins, fixed-shape float sum) ----
@@ -2037,6 +2094,27 @@ object SparkEntry {
     val bm25Sql =
       s"WITH $bm25Ctes SELECT doc_id, round(score, 8) AS score FROM top"
 
+    val keywordsPagerankSql = {
+      val whs = OracleSql.wordHashes("t")
+      val wordHashW = OracleSql.wordHash("w")
+      "WITH dl AS (SELECT lower(text) AS t FROM documents), " +
+        s"wh AS (SELECT $whs AS whs FROM dl), " +
+        "adju AS (SELECT unnest(list_transform(range(1, len(whs)), " +
+        "i -> struct_pack(a := whs[i], b := whs[i + 1]))) AS p " +
+        "FROM wh WHERE len(whs) >= 2), " +
+        "adj AS (SELECT p.a AS a, p.b AS b FROM adju WHERE p.a <> p.b), " +
+        "e AS (SELECT a AS src, b AS dst FROM adj " +
+        "UNION SELECT b, a FROM adj), " +
+        OracleSql.pageRankCtes(iters = 3) + ", " +
+        "tp AS (SELECT node, rank_q FROM it3 " +
+        "ORDER BY rank_q DESC, node LIMIT 20), " +
+        "wmap AS (SELECT node, min(w) AS word FROM (" +
+        s"SELECT w, $wordHashW AS node FROM (" +
+        s"SELECT unnest(${OracleSql.words("t")}) AS w FROM dl)) GROUP BY node) " +
+        "SELECT t.node AS node, m.word, t.rank_q " +
+        "FROM tp t JOIN wmap m ON t.node = m.node"
+    }
+
     val rankFusionSql =
       s"WITH $bm25Ctes, " +
         "bmr AS (SELECT doc_id, row_number() OVER (" +
@@ -2134,6 +2212,7 @@ object SparkEntry {
           "FROM documents WHERE lang = 'en' GROUP BY source"),
       "bm25_topk" -> bm25Sql,
       "q_rank_fusion" -> rankFusionSql,
+      "text_keywords_pagerank" -> keywordsPagerankSql,
       "q_bucketed_join" ->
         ("SELECT c.c_mktsegment, count(*) AS n_orders, " +
           "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
@@ -3483,6 +3562,24 @@ object SparkEntry {
           "CAST(cnt AS BIGINT) AS n_vecs, " +
           "CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) " +
           "AS centroid FROM a"),
+      "emb_centroid_drift" -> {
+        val cos = OracleSql.dot("x.cv", "y.cv") +
+          s" / (sqrt(${OracleSql.dot("x.cv", "x.cv")}) * " +
+          s"sqrt(${OracleSql.dot("y.cv", "y.cv")}))"
+        "WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v " +
+          "FROM embeddings), " +
+          "x AS (SELECT label, unnest(list_transform(range(0, len(v)), " +
+          "j -> {'j': j, 'x': v[j+1]})) AS u FROM e), " +
+          "a AS (SELECT label, u.j AS j, " +
+          "sum(CAST(floor(u.x * 1048576.0) AS BIGINT)) AS sq, " +
+          "count(*) AS cnt FROM x GROUP BY label, u.j), " +
+          "c AS (SELECT label, list(CAST(sq AS DOUBLE) / " +
+          "(CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY j) AS cv " +
+          "FROM a GROUP BY label) " +
+          "SELECT x.label AS group_a, y.label AS group_b, " +
+          s"$cos AS cos_sim " +
+          "FROM c x JOIN c y ON x.label < y.label"
+      },
       "emb_random_project" -> {
         val proj = (0 until 8).map { i =>
           OracleSql.foldSum(s"list_transform(range(0, 64), j -> " +
@@ -3736,6 +3833,21 @@ object SparkEntry {
           "(SELECT user_id AS pkey, ts, event_id, value, " +
           "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, " +
           "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) WHERE rn = 1"),
+      "s12_stream_anomaly" ->
+        ("WITH b AS (SELECT user_id AS pkey, epoch_us(ts) AS ver, " +
+          "event_id, value, " +
+          "CAST(floor(value * 1024.0) AS BIGINT) AS qx FROM events), " +
+          "m AS (SELECT pkey, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(qx) AS BIGINT) AS s, " +
+          "CAST(sum(qx * qx) AS BIGINT) AS s2 FROM b GROUP BY pkey), " +
+          "l AS (SELECT pkey, value AS last_value, qx AS lastq FROM (" +
+          "SELECT pkey, value, qx, row_number() OVER (PARTITION BY pkey " +
+          "ORDER BY ver DESC, event_id DESC) AS rn FROM b) WHERE rn = 1) " +
+          "SELECT m.pkey, m.n AS n_events, l.last_value, " +
+          "CASE WHEN m.n * m.s2 - m.s * m.s <= 0 THEN NULL " +
+          "ELSE CAST(m.n * l.lastq - m.s AS DOUBLE) / " +
+          "sqrt(CAST(m.n * m.s2 - m.s * m.s AS DOUBLE)) END AS zscore " +
+          "FROM m JOIN l ON m.pkey = l.pkey"),
       "s3_stream_stream_join" ->
         ("SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us, " +
           "p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us, " +

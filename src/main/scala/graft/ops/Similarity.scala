@@ -266,6 +266,37 @@ object Similarity {
           (col("n_vecs").cast("double") * lit(MeanQ.toDouble)))
           .as("centroid"))
 
+  /** Pairwise cosine similarity between per-group centroids — the drift
+    * matrix of an embedding corpus: which domains/labels/snapshots sit
+    * close in embedding space (distribution drift monitoring, candidate
+    * label-merge detection, per-shard sanity checks). Builds on
+    * [[groupCentroids]] (exact fixed-point means, so the centroids are
+    * engine-identical doubles) and emits one row per unordered group
+    * pair (group_a < group_b): (group_a, group_b, cos_sim). A zero-norm
+    * centroid yields NaN for its pairs — same contract as the ANN
+    * kernels.
+    *
+    * Scale: centroid vectors number O(groups) — the pairwise join is a
+    * broadcast self-join of a frame that is tiny by construction (the
+    * corpus scan already happened inside groupCentroids); each cosine is
+    * the strict-fold [[dot]], bit-identical to the oracle's
+    * `list_reduce` fold. */
+  def centroidDrift(
+      emb: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val vecs = groupCentroids(emb, groupCol, vecCol)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("dim_idx"), col("centroid"))))
+        .as("__cs"))
+      .select(col(groupCol),
+        transform(col("__cs"), x => x.getField("centroid")).as("cv"))
+    val a = vecs.select(col(groupCol).as("group_a"), col("cv").as("__va"))
+    val b = vecs.select(col(groupCol).as("group_b"), col("cv").as("__vb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        (dot(col("__va"), col("__vb")) /
+          (norm(col("__va")) * norm(col("__vb")))).as("cos_sim"))
+  }
+
   /** Farthest-point (k-center greedy) coreset selection — the diversity
     * sampler of a curation pipeline: pick `k` vectors that spread over
     * the embedding space (each pick is the point LEAST similar to every

@@ -261,10 +261,15 @@ object TimeSeries {
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val dec = "decimal(38,0)"
+    // The ranked series feeds THREE consumers (both self-join sides and
+    // the per-key moments); materialize it once — it is the pre-bucketed
+    // series (bounded per key by construction), not the raw corpus, so
+    // the checkpoint is small while the saved re-aggregations are not.
     val base = series.select(col(keyCol), col(ordCol).cast("long").as("__o"),
       col(valCol).cast("long").as("__x"))
       .withColumn("__i", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col("__o").asc)))
+      .localCheckpoint()
     val stats = base.groupBy(col(keyCol)).agg(
       count(lit(1)).cast(dec).as("__n"),
       sum(col("__x").cast(dec)).as("__s"),

@@ -220,4 +220,76 @@ object Stateful {
       }
       .toDF()
   }
+
+  /** Per-key exact moments + latest-event payload. Every field is
+    * COMMUTATIVE (integer moment sums) or an argmax (latest by
+    * (ver, tie)), so the state — and everything derived from it — is
+    * independent of arrival order within and across micro-batches: the
+    * determinism contract of [[runningPerKey]] extended with second
+    * moments. */
+  final case class MomentState(
+      n: Long, s: Long, s2: Long,
+      ver: Long, tie: Long, lastQ: Long, lastV: Double)
+
+  /** One update row per (key, batch): the key's history size and the
+    * z-score of its LATEST value against its full history. */
+  final case class AnomalyRow(
+      pkey: Long, n_events: Long, last_value: Double,
+      zscore: Option[Double])
+
+  /** Streaming anomaly scoring: per key, carry EXACT integer moments
+    * (n, Σq, Σq² with q = floor(value·1024) — 1024 is a power of two, so
+    * the quantization itself is exact IEEE) plus the latest event, and
+    * emit the latest value's z-score against the key's entire history:
+    *
+    *   z = (n·x_q − S) / sqrt(n·Σq² − S²)
+    *
+    * — algebraically (x − μ)/σ_pop with every intermediate an exact
+    * BIGINT, so ONE division and ONE sqrt produce a bit-deterministic
+    * score regardless of arrival order, micro-batching, or engine (the
+    * oracle recomputes the same integers in SQL). Zero-variance or
+    * single-event keys emit NULL.
+    *
+    * State is one 7-field struct per key (NoTimeout — bounded-entity
+    * key domains, same contract as [[runningPerKey]]); merging updates
+    * with versionCol = n_events converges to the global answer.
+    * Headroom: Σq² needs n·(max|x|·1024)² < 2^63 — |x| ≤ 490 leaves
+    * room for ~3.5e7 events per key; wider values drop the quantum. */
+  def momentAnomalyPerKey(src: DataFrame): DataFrame = {
+    implicit val eventEnc = Encoders.product[KeyedEvent]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[MomentState]
+    implicit val outEnc = Encoders.product[AnomalyRow]
+    val q = 1024.0
+    src
+      .select(
+        col("pkey").cast("long").as("pkey"),
+        col("ver").cast("long").as("ver"),
+        col("tie").cast("long").as("tie"),
+        col("value").cast("double").as("value"))
+      .as[KeyedEvent]
+      .groupByKey(_.pkey)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[KeyedEvent], state: GroupState[MomentState]) =>
+          val next = rows.foldLeft(state.getOption.getOrElse(
+            MomentState(0L, 0L, 0L, Long.MinValue, Long.MinValue, 0L, 0.0))) {
+            (st, e) =>
+              val qx = math.floor(e.value * q).toLong
+              val newer = e.ver > st.ver || (e.ver == st.ver && e.tie > st.tie)
+              MomentState(st.n + 1L, st.s + qx, st.s2 + qx * qx,
+                if (newer) e.ver else st.ver,
+                if (newer) e.tie else st.tie,
+                if (newer) qx else st.lastQ,
+                if (newer) e.value else st.lastV)
+          }
+          state.update(next)
+          val num = next.n * next.s2 - next.s * next.s
+          val z =
+            if (num <= 0L) None
+            else Some((next.n * next.lastQ - next.s).toDouble /
+              math.sqrt(num.toDouble))
+          Iterator.single(AnomalyRow(key, next.n, next.lastV, z))
+      }
+      .toDF()
+  }
 }

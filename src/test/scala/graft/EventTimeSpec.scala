@@ -175,6 +175,42 @@ class EventTimeSpec extends SparkSpec {
       d(1) -> ((2L, e1)), d(2) -> ((4L, e2)), d(3) -> ((1L, e3))))
   }
 
+  test("momentAnomalyPerKey: moments carry across batches; degenerate " +
+    "keys emit NULL; state is arrival-order-insensitive") {
+    implicit val sql = spark.sqlContext
+    val events = MemoryStream[SEv]
+    val dir = Files.createTempDirectory("graft_an_").toString
+    val target = TargetTable("anom", s"$dir/target",
+      keyCols = Seq("pkey"), versionCol = "n_events")
+    val cfg = IngestConfig(name = s"an-${System.nanoTime()}",
+      checkpointDir = Some(s"$dir/ckpt"))
+    val q = new AggUpsertStream(spark, cfg, target)
+      .run(graft.streaming.Stateful.momentAnomalyPerKey(events.toDF()),
+        Trigger.ProcessingTime(0))
+    // key 1 builds history across TWO batches (state must carry Σq, Σq²);
+    // key 2 is a singleton (NULL z); key 3 has zero variance (NULL z).
+    // Key 1's batch-2 rows arrive ver-DESCENDING — latest must win by
+    // (ver, tie), not by arrival position.
+    events.addData(Seq(SEv(1, 1, 1, 2.0), SEv(1, 2, 2, 4.0),
+      SEv(2, 1, 1, 7.0), SEv(3, 1, 1, 5.0), SEv(3, 2, 2, 5.0)))
+    q.processAllAvailable()
+    events.addData(Seq(SEv(1, 3, 3, 9.0), SEv(1, 2, 9, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = new ParquetTarget(spark, target).read().get
+      .collect().map(r => r.getAs[Long]("pkey") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("last_value"),
+          Option(r.get(r.fieldIndex("zscore")))))).toMap
+    // key 1: q = 2048, 4096, 9216, 1024 (n=4); latest = ver 3 → 9.0
+    val s = 2048L + 4096L + 9216L + 1024L
+    val s2 = 2048L * 2048 + 4096L * 4096 + 9216L * 9216 + 1024L * 1024
+    val num = 4L * s2 - s * s
+    val z1 = (4L * 9216L - s).toDouble / math.sqrt(num.toDouble)
+    assert(got(1L) == ((4L, 9.0, Some(z1))))
+    assert(got(2L) == ((1L, 7.0, None)))
+    assert(got(3L) == ((2L, 5.0, None)))
+  }
+
   test("topKPerKey: slate converges across batches, displaced rows leave") {
     implicit val sql = spark.sqlContext
     val events = MemoryStream[SEv] // (pkey → gkey proxy, ver → id, value)

@@ -29,6 +29,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got((2, 1L)) == (1L, 0.25))
   }
 
+  test("centroidDrift: pairwise cosines between exact group centroids, " +
+    "a < b ordering") {
+    val df = Seq(
+      (0, Seq(1.0, 0.0)), (0, Seq(1.0, 0.0)), // centroid (1, 0)
+      (1, Seq(0.0, 2.0)),                     // centroid (0, 2)
+      (2, Seq(2.0, 0.0)))                     // centroid (2, 0)
+      .toDF("label", "embedding")
+    val got = Similarity.centroidDrift(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(got((0, 1)) == 0.0) // orthogonal
+    assert(got((0, 2)) == 1.0) // parallel
+    assert(got((1, 2)) == 0.0)
+  }
+
   test("dot and norm fold left-to-right over array columns") {
     val df = emb((1L, Seq(1.0, 2.0, 3.0)))
       .select(
