@@ -64,6 +64,10 @@ object GraftExtensions {
       (FunctionIdentifier("graft_dot"),
         info("graft_dot", "_FUNC_(a, b) - strict left-to-right dot product"),
         (args: Seq[Expression]) => DotExpr(args(0), args(1))),
+      (FunctionIdentifier("graft_jaro_winkler"),
+        info("graft_jaro_winkler",
+          "_FUNC_(a, b) - Jaro-Winkler similarity in [0, 1]"),
+        (args: Seq[Expression]) => JaroWinklerExpr(args(0), args(1))),
       (FunctionIdentifier("graft_hyperplane_bucket"),
         info("graft_hyperplane_bucket", "_FUNC_(v, dim, planes) - LSH bucket id"),
         (args: Seq[Expression]) => HyperplaneBucketExpr(args(0), lit(args(1)), lit(args(2)))),

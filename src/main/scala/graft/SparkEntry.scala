@@ -1870,6 +1870,31 @@ object SparkEntry {
       graft.ops.TextRank.bm25TopK(
         t(s, dir, "documents"), "doc_id", "text", Bm25Terms, k = Bm25K)),
 
+    // ---- Record linkage: sorted-neighborhood blocking + native
+    //      Jaro-Winkler verify (codegen kernel; oracle replays the
+    //      greedy match scan decision-for-decision) ----
+    "dedup_jaro_blocked" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        lower(substring(col("text"), 1, 16)).as("title"), col("lang"))
+      val ranked = docs.withColumn("rnk", row_number().over(Window
+        .partitionBy(col("lang"))
+        .orderBy(col("title").asc, col("doc_id").asc)))
+      // neighbor ranks exploded -> pure equi-join on (lang, rank)
+      val right = ranked.select(col("lang"),
+        col("doc_id").as("doc_b"), col("title").as("tb"),
+        col("rnk").as("rb"))
+      val pairs = ranked
+        .select(col("lang"), col("doc_id").as("doc_a"),
+          col("title").as("ta"),
+          explode(array((1 to 3).map(col("rnk") + _): _*)).as("rb"))
+        .join(right, Seq("lang", "rb"))
+      pairs
+        .withColumn("jw", TextHash.jaroWinkler(col("ta"), col("tb")))
+        .filter(col("jw") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("jw"))
+    }),
+
     // ---- LLM pipeline: TextRank-style keyword extraction — fixed-point
     //      PageRank over the adjacent-word co-occurrence graph (word
     //      nodes = mod-P hashes, so the oracle replays the whole loop),
@@ -2213,6 +2238,16 @@ object SparkEntry {
       "bm25_topk" -> bm25Sql,
       "q_rank_fusion" -> rankFusionSql,
       "text_keywords_pagerank" -> keywordsPagerankSql,
+      "dedup_jaro_blocked" ->
+        ("WITH d AS (SELECT doc_id, lower(substr(text, 1, 16)) AS title, " +
+          "lang FROM documents), " +
+          "r AS (SELECT doc_id, title, lang, row_number() OVER (" +
+          "PARTITION BY lang ORDER BY title, doc_id) AS rnk FROM d), " +
+          "prs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+          "x.title AS ta, y.title AS tb FROM r x JOIN r y " +
+          "ON x.lang = y.lang AND y.rnk BETWEEN x.rnk + 1 AND x.rnk + 3), " +
+          OracleSql.jaroWinklerCtes("prs", "ta", "tb") +
+          " SELECT doc_a, doc_b, jw FROM jwout WHERE jw >= 0.8"),
       "q_bucketed_join" ->
         ("SELECT c.c_mktsegment, count(*) AS n_orders, " +
           "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +

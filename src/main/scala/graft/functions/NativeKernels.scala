@@ -239,4 +239,71 @@ object NativeKernels {
     }
     bucket
   }
+
+  private def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Jaro-Winkler similarity in [0, 1] — the record-linkage staple for
+    * short identifier strings (names, titles): tolerant of character
+    * transpositions and rewards a shared prefix. Classic definition:
+    * greedy in-order match within a window of max(|a|,|b|)/2 − 1,
+    * transpositions = half the matched-sequence mismatches, Winkler
+    * prefix boost `l·0.1·(1−jaro)` with l ≤ 4.
+    *
+    * Deterministic contract: matching/transposition counts are exact
+    * integers from a fixed greedy order (smallest unused window position
+    * wins), and the final score is a FIXED sequence of IEEE operations —
+    * `(m/|a| + m/|b| + (m − t/2)/m)/3` then the prefix boost — which the
+    * DuckDB oracle replays operation-for-operation
+    * (`OracleSql.jaroWinkler`), so scores hash-gate bit-exactly.
+    * Code-point semantics (astral planes included), like [[wordHashes]]. */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val a = codePoints(ua.toString)
+    val b = codePoints(ub.toString)
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val w = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val used = new Array[Boolean](l2)
+    val cap = math.min(l1, l2)
+    val mi = new Array[Int](cap)
+    val mj = new Array[Int](cap)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - w)
+      val hi = math.min(l2 - 1, i + w)
+      var j = lo
+      var found = -1
+      while (j <= hi && found < 0) {
+        if (!used(j) && b(j) == a(i)) found = j
+        j += 1
+      }
+      if (found >= 0) { used(found) = true; mi(m) = a(i); mj(m) = found; m += 1 }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    val mjSorted = java.util.Arrays.copyOf(mj, m)
+    java.util.Arrays.sort(mjSorted)
+    var t2 = 0
+    var k = 0
+    while (k < m) { if (mi(k) != b(mjSorted(k))) t2 += 1; k += 1 }
+    val md = m.toDouble
+    val jaro = (md / l1 + md / l2 + (md - t2 / 2.0) / md) / 3.0
+    var l = 0
+    val lmax = math.min(4, cap)
+    while (l < lmax && a(l) == b(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
 }

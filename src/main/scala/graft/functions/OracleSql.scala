@@ -253,6 +253,68 @@ object OracleSql {
     (init +: steps).mkString(", ")
   }
 
+  /** Jaro-Winkler CTE stages mirroring `NativeKernels.jaroWinkler`
+    * decision-for-decision over a prior CTE `pairsCte`(…, $a, $b):
+    * emits `jwst`, `jwext`, `jwout`, where `jwout` carries every
+    * `pairsCte` column plus `jw` (DOUBLE).
+    *
+    * The greedy match scan is a `list_reduce` whose accumulator packs
+    * BOTH match sets as BIGINT bitmasks (b-side used positions, a-side
+    * matched positions) — DuckDB 1.0's `list_reduce` drops LIST fields
+    * from struct accumulators (observed: only the last `list_append`
+    * survives), so positions are recovered AFTER the fold by filtering
+    * `range` against the masks. The element struct smuggles the 1-based
+    * position i in its `am` field. Transpositions then compare the
+    * a-matched chars (ascending i = match order) against the b-matched
+    * chars (ascending j), exactly the kernel's sorted-mj comparison, and
+    * the score is the kernel's IEEE sequence operation-for-operation:
+    * `(m/|a| + m/|b| + (m − t/2)/m)/3` then `+ l·0.1·(1−jaro)`.
+    *
+    * CONSTRAINT: both strings must be ≤ 63 characters (BIGINT bitmask) —
+    * gates feed bounded title/name slices. Correlation note: built as
+    * table-level CTE stages, not a scalar subquery, because DuckDB does
+    * not resolve outer-row columns two subquery levels deep. */
+  def jaroWinklerCtes(pairsCte: String, a: String, b: String): String = {
+    val la = s"len($a)"
+    val lb = s"len($b)"
+    val w = s"greatest(greatest($la, $lb) // 2 - 1, 0)"
+    val empty = "{'bm': CAST(0 AS BIGINT), 'am': CAST(0 AS BIGINT)}"
+    val elems = s"list_transform(range(1, $la + 1), i -> " +
+      "{'bm': CAST(0 AS BIGINT), 'am': CAST(i AS BIGINT)})"
+    val js =
+      s"list_filter(range(greatest(1, x.am - ($w)), least($lb, x.am + ($w)) + 1), " +
+        s"j -> ((acc.bm >> (j - 1)) & 1) = 0 AND " +
+        s"substr($b, CAST(j AS BIGINT), 1) = substr($a, CAST(x.am AS BIGINT), 1))"
+    val step = s"CASE WHEN len($js) = 0 THEN acc ELSE " +
+      s"{'bm': acc.bm | (CAST(1 AS BIGINT) << (CAST(list_min($js) AS BIGINT) - 1)), " +
+      "'am': acc.am | (CAST(1 AS BIGINT) << (CAST(x.am AS BIGINT) - 1))} END"
+    val fold = s"list_reduce(list_prepend($empty, $elems), (acc, x) -> $step)"
+    val m = "CAST(len(al) AS BIGINT)"
+    val t2 = "CAST(len(list_filter(range(1, len(al) + 1), " +
+      s"k -> substr($a, CAST(al[k] AS BIGINT), 1) <> " +
+      s"substr($b, CAST(jl[k] AS BIGINT), 1))) AS BIGINT)"
+    val prefix =
+      s"least(4, $la, $lb, CASE WHEN substr($a,1,1) <> substr($b,1,1) THEN 0 " +
+        s"WHEN substr($a,2,1) <> substr($b,2,1) THEN 1 " +
+        s"WHEN substr($a,3,1) <> substr($b,3,1) THEN 2 " +
+        s"WHEN substr($a,4,1) <> substr($b,4,1) THEN 3 ELSE 4 END)"
+    val jaro =
+      s"(CAST($m AS DOUBLE) / CAST($la AS DOUBLE) + " +
+        s"CAST($m AS DOUBLE) / CAST($lb AS DOUBLE) + " +
+        s"(CAST($m AS DOUBLE) - CAST($t2 AS DOUBLE) / 2.0) / " +
+        s"CAST($m AS DOUBLE)) / 3.0"
+    s"jwst AS (SELECT *, $fold AS st FROM $pairsCte), " +
+      "jwext AS (SELECT *, " +
+      s"list_filter(range(1, $la + 1), p -> ((st.am >> (p - 1)) & 1) = 1) AS al, " +
+      s"list_filter(range(1, $lb + 1), p -> ((st.bm >> (p - 1)) & 1) = 1) AS jl " +
+      "FROM jwst), " +
+      s"jwout AS (SELECT *, CASE WHEN $la = 0 AND $lb = 0 THEN 1.0 " +
+      s"WHEN $la = 0 OR $lb = 0 THEN 0.0 " +
+      "WHEN len(al) = 0 THEN 0.0 " +
+      s"ELSE ($jaro) + CAST($prefix AS DOUBLE) * 0.1 * (1.0 - ($jaro)) END " +
+      "AS jw FROM jwext)"
+  }
+
   /** Farthest-point selection CTE chain mirroring
     * `Similarity.farthestPointSample` round-for-round, over a prior CTE
     * `kc`(vec_id, v, nrm). Emits `sel0 .. sel${k-1}`; the final

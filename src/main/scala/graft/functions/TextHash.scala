@@ -58,6 +58,12 @@ object TextHash {
   def docHash(wh: Column): Column =
     GraftSql.column(DocHashExpr(GraftSql.expression(wh)))
 
+  /** Jaro-Winkler similarity in [0, 1] (record linkage; see
+    * NativeKernels.jaroWinkler for the deterministic contract). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftSql.column(JaroWinklerExpr(
+      GraftSql.expression(a), GraftSql.expression(b)))
+
   /** Winnowing fingerprints: distinct sliding-window minima (window `w`)
     * of a shingle-hash array, first-occurrence order; O(len) native. */
   def winnow(sh: Column, w: Int): Column =

@@ -130,6 +130,23 @@ object TextHashExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Jaro-Winkler similarity of two strings (record linkage). */
+  case class JaroWinklerExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaro_winkler"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.jaroWinkler(
+        a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.NativeKernels.jaroWinkler($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Pack quantized integer-valued doubles into int8 bytes (BinaryType). */
   case class PackI8Expr(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {

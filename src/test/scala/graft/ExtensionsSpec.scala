@@ -38,6 +38,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("SQL surface: jaro-winkler") {
+    val jw = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw")
+      .head().getDouble(0)
+    assert(math.abs(jw - 0.9611111111111111) < 1e-12)
+  }
+
   test("SQL surface: dot and hyperplane bucket") {
     Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "v")
       .createOrReplaceTempView("vec_ext")

@@ -132,6 +132,57 @@ class NativeExprSpec extends SparkSpec {
       "graft_dot_i8")
   }
 
+  /** Independent Jaro-Winkler reference (chars, straightforward
+    * collection code) — a second implementation to check the kernel's
+    * imperative arrays/bitmask-free logic against. */
+  private def jwRef(a: String, b: String): Double = {
+    val l1 = a.length; val l2 = b.length // BMP-only test inputs
+    if (l1 == 0 && l2 == 0) return 1.0
+    if (l1 == 0 || l2 == 0) return 0.0
+    val w = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val used = collection.mutable.Set.empty[Int]
+    val matches = for {
+      i <- 0 until l1
+      j <- (math.max(0, i - w) to math.min(l2 - 1, i + w))
+        .find(j => !used(j) && b(j) == a(i))
+    } yield { used += j; (a(i), j) }
+    val m = matches.size
+    if (m == 0) return 0.0
+    val bs = matches.map(_._2).sorted.map(b(_))
+    val t2 = matches.map(_._1).zip(bs).count { case (x, y) => x != y }
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 +
+      (m.toDouble - t2 / 2.0) / m.toDouble) / 3.0
+    val l = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+
+  test("jaroWinkler: classic textbook values") {
+    val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
+      ("DWAYNE", "DUANE"), ("", ""), ("", "x"), ("abc", "abc"))
+      .toDF("a", "b")
+      .select(TextHash.jaroWinkler(col("a"), col("b")).as("jw"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.9611111111111111) < 1e-12) // MARTHA/MARHTA
+    assert(math.abs(got(1) - 0.8133333333333332) < 1e-12) // DIXON/DICKSONX
+    assert(got(3) == 1.0 && got(4) == 0.0 && got(5) == 1.0)
+  }
+
+  test("jaroWinkler: kernel == independent reference on random strings") {
+    val rng = new scala.util.Random(41)
+    val pool = "abcde "
+    val rows = Seq.fill(300)((
+      Seq.fill(rng.nextInt(13))(pool(rng.nextInt(pool.length))).mkString,
+      Seq.fill(rng.nextInt(13))(pool(rng.nextInt(pool.length))).mkString))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        TextHash.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(2) == jwRef(r.getString(0), r.getString(1)),
+        s"'${r.getString(0)}' vs '${r.getString(1)}'")
+    }
+  }
+
   test("null/empty semantics: signature NULL for shingle-less docs") {
     val df = Seq("one two", "one two three").toDF("t")
       .select(TextHash.minhashSignature(
