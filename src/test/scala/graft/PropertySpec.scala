@@ -151,4 +151,21 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("k-core: cores nest (k-core ⊆ (k-1)-core) and every member " +
+    "meets the degree bound, on random graphs") {
+    import graft.ops.Graph
+    val rng = new scala.util.Random(77)
+    val edges = List.fill(250)(
+      (rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).toDF("a", "b")
+    val byK = (2 to 6).map { k =>
+      k -> Graph.kCore(edges, "a", "b", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }.toMap
+    (3 to 6).foreach { k =>
+      assert(byK(k).keySet.subsetOf(byK(k - 1).keySet), s"k=$k nesting")
+      byK(k).values.foreach(d => assert(d >= k, s"k=$k degree bound"))
+    }
+  }
 }
