@@ -36,6 +36,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    // The driver captures only the TAIL of stdout; with 166 queries the
+    // line above can truncate from the front and lose the totals fields.
+    // Re-emit a compact totals-only line LAST so any tail capture keeps a
+    // machine-parseable total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"failed":${results.count(_._2 < 0)},"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

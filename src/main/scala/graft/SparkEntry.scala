@@ -598,7 +598,11 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
         .unionByName(base.filter(col("o_orderkey") % 101 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      // changed_cols is array<string> in the operator API; the gate
+      // flattens it to a CSV string so every gate output stays scalar
+      // (the driver's pandas compare cannot sort array cells).
       graft.ops.Diff.keyedDiff(base, right, Seq("o_orderkey"))
+        .withColumn("changed_cols", array_join(col("changed_cols"), ","))
     }),
 
     // ---- Product analytics: ordered funnel (view -> click -> purchase,
@@ -1929,9 +1933,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val bm = graft.ops.TextRank.bm25TopK(
         docs, "doc_id", "text", Bm25Terms, k = Bm25K)
-      // single-partition windows: both lists are <= Bm25K rows
+      // single-partition windows: both lists are <= Bm25K rows.
+      // Rank by round(score, 8) — the SAME key the DuckDB oracle orders
+      // by — so two docs whose raw scores differ only below 1e-8 get the
+      // identical doc_id tie-break in both engines.
       val bmRanked = bm.select(col("doc_id"), row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
+        Window.orderBy(round(col("score"), 8).desc, col("doc_id").asc))
+        .as("rank"))
       val prior = docs
         .orderBy(col("n_chars").desc, col("doc_id").asc).limit(Bm25K)
         .select(col("doc_id"), row_number().over(
@@ -3060,7 +3068,10 @@ object SparkEntry {
           "SELECT o_orderkey, CASE WHEN NOT rp THEN 'delete' " +
           "WHEN NOT lp THEN 'insert' " +
           "WHEN len(ch) > 0 THEN 'update' END AS change_type, " +
-          "CASE WHEN lp AND rp THEN ch ELSE CAST([] AS VARCHAR[]) END " +
+          // array_to_string is string_agg under the hood: NULL on an
+          // empty list, where Spark's array_join yields '' — coalesce.
+          "coalesce(array_to_string(CASE WHEN lp AND rp THEN ch " +
+          "ELSE CAST([] AS VARCHAR[]) END, ','), '') " +
           "AS changed_cols FROM j " +
           "WHERE (NOT rp) OR (NOT lp) OR len(ch) > 0"),
       "q_funnel" ->
@@ -3149,7 +3160,12 @@ object SparkEntry {
         "WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) " +
           "AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit " +
           "FROM orders WHERE o_totalprice >= 1.0), " +
-          "g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit), " +
+          "o AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit), " +
+          // full 1..9 spine — absent digits contribute (0-e)^2/e,
+          // mirroring the Spark-side empty-cell grid
+          "g AS (SELECT CAST(s.range AS BIGINT) AS digit, " +
+          "CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs " +
+          "FROM range(1,10) s LEFT JOIN o ON s.range = o.digit), " +
           "t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g) " +
           s"SELECT digit, n_obs, CAST(n AS DOUBLE) * (CASE $cases END) " +
           "AS expected, " +

@@ -57,17 +57,21 @@ object Profile {
   def expect(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)])
       : DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
-    val aggs = rules.map { case (name, pred) =>
+    // Internal columns are indexed POSITIONALLY (__v_0, __v_1, ...): a
+    // caller-supplied rule name containing a dot or backtick would break
+    // col() resolution; the display name only ever appears as a literal
+    // in the output struct.
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
-        .as(s"__v_$name")
+        .as(s"__v_$i")
     } :+ count(lit(1)).as("__n")
     // coalesce: sum over ZERO rows is NULL, and `NULL === 0` is NULL —
     // an empty input would make `pass` three-valued-logic-invisible to
     // downstream filters, the exact silent skip this audit exists to
     // prevent. Empty input = nothing violated = pass.
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val perRule = rules.map { case (name, _) =>
-      val v = coalesce(col(s"__v_$name"), lit(0L))
+    val perRule = rules.zipWithIndex.map { case ((name, _), i) =>
+      val v = coalesce(col(s"__v_$i"), lit(0L))
       struct(lit(name).as("rule"), col("__n").as("n_checked"),
         v.as("n_violations"), (v === 0L).as("pass"))
     }
@@ -186,12 +190,18 @@ object Profile {
     *
     * Scale: one map-side-combinable 9-group aggregate; output is 9 rows. */
   def benford(df: DataFrame, valueCol: String): DataFrame = {
-    val digits = df
+    val observed = df
       .select(col(valueCol).cast("double").as("__x"))
       .where(col("__x") >= 1.0)
       .select(substring(floor(col("__x")).cast("long").cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    // Full 1..9 spine: an absent digit must contribute its (0-e)²/e
+    // term, else the summed statistic understates on small/skewed
+    // inputs (mirrors chiSquare's empty-cell grid).
+    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val digits = spine.join(broadcast(observed), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
     val total = digits.agg(sum(col("n_obs")).as("__n"))
     val probs = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
     val expected = probs.tail.foldLeft(

@@ -293,8 +293,8 @@ object Similarity {
     val b = vecs.select(col(groupCol).as("group_b"), col("cv").as("__vb"))
     a.join(broadcast(b), col("group_a") < col("group_b"))
       .select(col("group_a"), col("group_b"),
-        (dot(col("__va"), col("__vb")) /
-          (norm(col("__va")) * norm(col("__vb")))).as("cos_sim"))
+        nanSafeCos(dot(col("__va"), col("__vb")),
+          norm(col("__va")) * norm(col("__vb"))).as("cos_sim"))
   }
 
   /** Farthest-point (k-center greedy) coreset selection — the diversity
@@ -625,10 +625,15 @@ object Similarity {
         // id would mark every other member a duplicate. Degenerate
         // vectors neither absorb nor get absorbed; dedupe them upstream
         // by exact hash if needed.
+        // nanSafeCos (not plain `/`): the optimizer may split and
+        // reorder filter conjuncts, so the norm guards below do NOT
+        // guarantee the division never sees 0.0/0.0 — which THROWS
+        // under ANSI. The norm predicates stay load-bearing regardless:
+        // NaN >= threshold is TRUE in Spark's NaN-greatest ordering.
         .filter(col("__na") > 0 && col("__nb") > 0 &&
           col("__idb") < col("__ida") &&
-          dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
-            >= threshold)
+          nanSafeCos(dot(col("__va"), col("__vb")),
+            col("__na") * col("__nb")) >= threshold)
         .select(col("__ida")).distinct()
       cells.select(col(idCol), col("cell"))
         .join(dup, col(idCol) === col("__ida"), "left_outer")

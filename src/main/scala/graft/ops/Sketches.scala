@@ -167,7 +167,17 @@ object Sketches {
 
   /** Register-value width: the permuted hash is uniform on [0, P), the low
     * log2(m) bits pick the register, and the remaining `hllW(m)` bits feed
-    * the leading-zero rank, so ranks live in [1, hllW(m)+1]. */
+    * the leading-zero rank, so ranks live in [1, hllW(m)+1].
+    *
+    * Known small bias (accepted, like the omitted linear-counting
+    * correction): P is prime, not a power of two, so the post-bucket
+    * remainder `h div m` is uniform on [0, (P-1) div m] ≈ 0.93·2^hllW —
+    * the top rank values are slightly over-likely (e.g. P(rank=1) ≈
+    * 0.466 rather than 0.5 at m=64). This is a systematic few-percent
+    * cardinality skew on TOP of the standard ±1.04/√m HLL error; both
+    * engines compute the identical estimate, so the oracle gate is
+    * unaffected. Folding the hash into a power-of-two range would
+    * remove it at the cost of a second multiply-shift stage. */
   def hllW(m: Int): Int = 64 - java.lang.Long.numberOfLeadingZeros(
     (TextHash.P - 1) / m)
 

@@ -126,11 +126,16 @@ class ProfileSpec extends SparkSpec {
     val got = Profile.benford(df, "x")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
-    assert(got.keySet == Set(1L, 2L, 9L))
+    // full 1..9 spine: absent digits are present with n_obs = 0 and
+    // still contribute their (0-e)^2/e term
+    assert(got.keySet == (1L to 9L).toSet)
     assert(got(1L)._1 == 30L && got(2L)._1 == 18L && got(9L)._1 == 2L)
+    assert(got(3L)._1 == 0L && got(8L)._1 == 0L)
     val e1 = 50.0 * math.log10(2.0)
     assert(got(1L)._2 == e1)
     assert(got(1L)._3 == (30.0 - e1) * (30.0 - e1) / e1)
+    val e3 = 50.0 * math.log10(1.0 + 1.0 / 3.0)
+    assert(got(3L)._2 == e3 && got(3L)._3 == e3)
   }
 
   test("entropy: uniform = ln(k), single-category = 0, exact fold") {
