@@ -1785,6 +1785,34 @@ object SparkEntry {
         .withColumn("frame_pos", col("frame_pos").cast("long"))
     }),
 
+    // ---- Multimodal: REAL container parse — synthesize valid
+    //      PNG/WAV/GIF/JPEG bytes with dimensions spliced into the
+    //      correct header offsets, decode with the pure-JVM header
+    //      parsers, and the arithmetic oracle predicts the round-trip.
+    //      (The unknown-codec fallback path stays gated by
+    //      mm_decode_meta; this gate proves the codec itself.) ----
+    "mm_decode_headers" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(
+        id,
+        (id % 4).as("cls"),
+        when(id % 4 === 0, MediaFixtures.pngHex(id % 640 + 1L, id % 480 + 1L))
+          .when(id % 4 === 1, MediaFixtures.wavHex(
+            id % 2 + 1L, (id % 5 + 1L) * 8000L, id % 200 + 1L))
+          .when(id % 4 === 2, MediaFixtures.gifHex(
+            id % 320 + 1L, id % 200 + 1L, id % 5 + 1L))
+          .otherwise(MediaFixtures.jpegHex(id % 600 + 1L, id % 400 + 1L))
+          .as("hx"))
+        .select(id,
+          when(col("cls") === 1, "audio").when(col("cls") === 2, "video")
+            .otherwise("image").as("mtype"),
+          unhex(col("hx")).as("content"))
+      Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
+        .select(col("id"), col("mediaType"), col("nBytes"),
+          col("width"), col("height"), col("nFrames"))
+    }),
+
     // ---- CAPSTONE: the composed corpus pipeline — normalize → quality
     //      filter → cluster-dedup (keep canonical docs) → split → stats.
     //      One gate proving the operators CHAIN, not just run alone. ----
@@ -3661,7 +3689,31 @@ object SparkEntry {
           "JOIN documents db ON db.doc_id = c.id_b " +
           "WHERE c.id_a % 7 = 0"),
       "text_shingles_explode" -> shinglesExplode,
-      "mm_decode_meta" -> mmSql)
+      "mm_decode_meta" -> mmSql,
+      // Pure arithmetic: the Spark side must PARSE these values back out
+      // of real container headers it synthesized at the documented
+      // offsets; matching here means the byte-level round-trip held.
+      "mm_decode_headers" ->
+        ("WITH d AS (SELECT doc_id AS id, doc_id % 4 AS cls FROM documents) " +
+          "SELECT id, " +
+          "CASE WHEN cls = 1 THEN 'audio' WHEN cls = 2 THEN 'video' " +
+          "ELSE 'image' END AS \"mediaType\", " +
+          "CAST(CASE cls WHEN 0 THEN 29 " +
+          "WHEN 1 THEN 44 + ((id % 200) + 1) * (((id % 2) + 1) * 2) " +
+          "WHEN 2 THEN 14 + 14 * ((id % 5) + 1) " +
+          "ELSE 41 END AS BIGINT) AS \"nBytes\", " +
+          "CAST(CASE cls WHEN 0 THEN (id % 640) + 1 " +
+          "WHEN 1 THEN (id % 2) + 1 " +
+          "WHEN 2 THEN (id % 320) + 1 " +
+          "ELSE (id % 600) + 1 END AS INT) AS width, " +
+          "CAST(CASE cls WHEN 0 THEN (id % 480) + 1 " +
+          "WHEN 1 THEN 8000 * ((id % 5) + 1) " +
+          "WHEN 2 THEN (id % 200) + 1 " +
+          "ELSE (id % 400) + 1 END AS INT) AS height, " +
+          "CAST(CASE cls WHEN 0 THEN 1 " +
+          "WHEN 1 THEN (id % 200) + 1 " +
+          "WHEN 2 THEN (id % 5) + 1 " +
+          "ELSE 1 END AS INT) AS \"nFrames\" FROM d"))
   }
 
   def oracleSql: Map[String, String] = {

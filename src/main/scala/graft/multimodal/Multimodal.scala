@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * Spark-side shape a real decoder (JNI image lib, ffmpeg bridge, ONNX
   * featurizer) plugs into.
   *
-  * The decode kernel here is a clearly-marked deterministic STUB (media
-  * codecs aren't available in this environment): it derives pseudo-metadata
-  * from a byte checksum. Everything around it — the schema, the typed
-  * Dataset API, the `mapPartitions` batching (amortize per-batch model/
-  * codec init, exactly like an Arrow-batched UDF), the binary column
+  * The decode kernel parses REAL container headers with pure-JVM byte
+  * arithmetic — PNG (IHDR), JPEG (SOFn scan), GIF (logical screen
+  * descriptor + image-descriptor block walk for the frame count), and
+  * RIFF/WAVE (fmt + data chunks) — all public file-format knowledge.
+  * Payloads in none of those containers fall back to deterministic
+  * checksum-derived pseudo-metadata (the documented unknown-codec path;
+  * full pixel/sample decode would need codec libraries this environment
+  * lacks). Everything around the kernel — the schema, the typed Dataset
+  * API, the `mapPartitions` batching (amortize per-batch model/codec
+  * init, exactly like an Arrow-batched UDF), the binary column
   * transport — is the real production plumbing and is tested end-to-end.
   *
   * Scale notes: decode is row-local map work after an optional
@@ -37,22 +42,133 @@ object Multimodal {
     * pipeline using the one constant. */
   private val P = graft.functions.TextHash.P
 
-  /** STUB decode kernel — deterministic fake standing in for a real codec.
-    * A production build replaces ONLY this function (same signature:
-    * one batch in, metadata out; per-batch init happens once per call). */
+  // ---- header parsers (public file-format structure; byte offsets cited
+  // against the format specs: PNG (RFC 2083 §3), JPEG (ITU T.81 B.2.2),
+  // GIF89a spec §§18-20, RIFF/WAVE (Microsoft multimedia formats)) -------
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+
+  /** PNG: 8-byte signature, then the IHDR chunk is REQUIRED first —
+    * width/height are the big-endian u32s at offsets 16 and 20. */
+  private def pngDims(b: Array[Byte]): Option[(Int, Int, Int)] =
+    if (b.length >= 24 &&
+      u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16).toInt, be32(b, 20).toInt, 1))
+    else None
+
+  /** JPEG: walk FF-prefixed segments from SOI until a frame header
+    * (SOF0-SOF15 minus DHT/JPG/DAC): height is the be16 at seg+5,
+    * width at seg+7. Segment length includes its own two bytes. */
+  private def jpegDims(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var i = 2
+    while (i + 8 < b.length && u8(b, i) == 0xff) {
+      val m = u8(b, i + 1)
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        return Some((be16(b, i + 7), be16(b, i + 5), 1))
+      else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // bare markers
+      else i += 2 + be16(b, i + 2)
+    }
+    None
+  }
+
+  /** GIF: width/height are the le16s of the logical screen descriptor
+    * (offsets 6/8); the frame count WALKS the block structure — skip the
+    * global color table if flagged, then 0x21 extensions and 0x2C image
+    * descriptors (each descriptor + optional local color table + LZW
+    * sub-blocks) until the 0x3B trailer. Truncated/corrupt block chains
+    * return None rather than a half-parsed frame count. */
+  private def gifDims(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 13 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+      (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    val packed = u8(b, 10)
+    var i = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    var frames = 0
+    def skipSubBlocks(from: Int): Int = { // returns index past the 0 terminator
+      var j = from
+      while (j < b.length && u8(b, j) != 0) j += 1 + u8(b, j)
+      j + 1
+    }
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x3b => return Some((w, h, frames)) //                    trailer
+        case 0x21 => //                                 extension: label + subs
+          if (i + 2 > b.length) return None
+          i = skipSubBlocks(i + 2)
+        case 0x2c => //  image descriptor: 9 bytes + LCT? + min-code + blocks
+          if (i + 10 >= b.length) return None //                     truncated
+          val lct = u8(b, i + 9)
+          i = i + 10 + (if ((lct & 0x80) != 0) 3 * (1 << ((lct & 7) + 1)) else 0)
+          if (i + 1 > b.length) return None
+          i = skipSubBlocks(i + 1)
+          frames += 1
+        case _ => return None //                          corrupt block chain
+      }
+    }
+    None //                                            ran off the end: truncated
+  }
+
+  /** RIFF/WAVE: chunk-walk from offset 12 for `fmt ` (channels le16 at
+    * data+2, sample rate le32 at +4, block align le16 at +12) and `data`
+    * (payload byte count). Audio maps onto the fixed meta schema as
+    * (width, height, nFrames) = (channels, sampleRate, samples-per-channel). */
+  private def wavDims(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var channels = 0; var rate = 0L; var align = 0; var dataLen = -1L
+    var corrupt = false
+    while (!corrupt && i + 8 <= b.length) {
+      val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(b, i + 4)
+      if (len > b.length) corrupt = true // corrupt chunk length: stop walking
+      else {
+        if (id == "fmt " && len >= 16 && i + 8 + 16 <= b.length) {
+          channels = le16(b, i + 10); rate = le32(b, i + 12); align = le16(b, i + 20)
+        } else if (id == "data") dataLen = len
+        i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      }
+    }
+    if (corrupt) return None
+    if (channels > 0 && align > 0 && dataLen >= 0)
+      Some((channels, rate.toInt, (dataLen / align).toInt))
+    else None
+  }
+
+  /** Decode kernel: real header parse first (PNG/JPEG/GIF/WAV), checksum
+    * always (it feeds [[featurePlan]]), deterministic checksum-derived
+    * pseudo-metadata as the unknown-codec fallback. A production build
+    * replaces ONLY the fallback with a full codec (same signature: one
+    * batch in, metadata out; per-batch init happens once per call). */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] = {
     // real codec init would happen here, once per batch
     batch.map { r =>
       var a = 7L
       var i = 0
       while (i < r.content.length) { a = (a * 31L + (r.content(i) & 0xff)) % P; i += 1 }
-      val frames = r.mediaType match {
-        case "video" => (a % 240L + 1L).toInt
-        case "audio" => (a % 48000L + 1L).toInt // samples, abusing the field
-        case _ => 1
+      val parsed = pngDims(r.content).orElse(jpegDims(r.content))
+        .orElse(gifDims(r.content)).orElse(wavDims(r.content))
+      parsed match {
+        case Some((w, h, f)) =>
+          MediaMeta(r.id, r.mediaType, r.content.length.toLong, a, w, h, f)
+        case None =>
+          val frames = r.mediaType match {
+            case "video" => (a % 240L + 1L).toInt
+            case "audio" => (a % 48000L + 1L).toInt // samples, abusing the field
+            case _ => 1
+          }
+          MediaMeta(r.id, r.mediaType, r.content.length.toLong, a,
+            (a % 640L + 1L).toInt, (a / 640L % 480L + 1L).toInt, frames)
       }
-      MediaMeta(r.id, r.mediaType, r.content.length.toLong, a,
-        (a % 640L + 1L).toInt, (a / 640L % 480L + 1L).toInt, frames)
     }
   }
 
@@ -123,4 +239,55 @@ object Multimodal {
     }
     meta.select((meta.columns.map(col).toSeq ++ feats): _*)
   }
+}
+
+/** Column-expression builders for REAL container bytes (valid headers,
+  * minimal bodies) — the fixture side of the codec gate: dimensions are
+  * spliced into the correct header offsets as hex, `unhex` materializes
+  * the binary, and the decode kernel must parse back the exact values an
+  * arithmetic oracle predicts. Codegen'd string ops end to end. */
+object MediaFixtures {
+
+  private def be16h(c: Column): Column = lpad(hex(c), 4, "0")
+  private def be32h(c: Column): Column = lpad(hex(c), 8, "0")
+  private def swapBytes(h: Column, nBytes: Int): Column =
+    concat((nBytes - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*)
+  private def le16h(c: Column): Column = swapBytes(be16h(c), 2)
+  private def le32h(c: Column): Column = swapBytes(be32h(c), 4)
+
+  /** PNG signature + IHDR (width/height be32 at offsets 16/20); 29 bytes. */
+  def pngHex(w: Column, h: Column): Column =
+    concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      be32h(w), be32h(h), lit("0806000000"))
+
+  /** RIFF/WAVE with a 16-byte PCM `fmt ` chunk and a zeroed `data` chunk
+    * of `samples` frames at 16-bit × `channels`; 44 + data bytes. */
+  def wavHex(channels: Column, sampleRate: Column, samples: Column): Column = {
+    val align = channels * 2
+    val dataSize = samples * align
+    concat(lit("52494646"), le32h(dataSize + 36L), lit("57415645"),
+      lit("666D7420" + "10000000" + "0100"), le16h(channels),
+      le32h(sampleRate), le32h(sampleRate * align), le16h(align), lit("1000"),
+      lit("64617461"), le32h(dataSize), repeatHex(lit("00"), dataSize))
+  }
+
+  /** GIF89a logical screen descriptor (w/h le16) + `frames` minimal
+    * image descriptors (1×1, one LZW sub-block) + trailer; 14 + 14·k bytes. */
+  def gifHex(w: Column, h: Column, frames: Column): Column = {
+    val frame = "2C" + "0000" + "0000" + "0100" + "0100" + "00" + "02" + "01" + "44" + "00"
+    concat(lit("474946383961"), le16h(w), le16h(h), lit("000000"),
+      repeatHex(lit(frame), frames), lit("3B"))
+  }
+
+  /** JPEG SOI + APP0/JFIF + SOF0 (height be16 at seg+5, width at seg+7)
+    * + EOI; 41 bytes. */
+  def jpegHex(w: Column, h: Column): Column =
+    concat(lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+      "0001" + "0001" + "0000" + "FFC0" + "0011" + "08"),
+      be16h(h), be16h(w), lit("03" + "011100" + "021101" + "031101" + "FFD9"))
+
+  /** `repeat` with a Column count (the functions-API overload takes a
+    * literal Int only). */
+  private def repeatHex(s: Column, n: Column): Column =
+    org.apache.spark.sql.functions.call_function("repeat", s, n)
 }
