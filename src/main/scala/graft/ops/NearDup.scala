@@ -406,10 +406,14 @@ object NearDup {
     * hash-bucket methods only find probabilistically; misses dups whose
     * difference is inside the key — run it alongside LSH, not instead.
     *
-    * Scale shape: the sort is Spark's range-partitioned distributed sort;
-    * the global rank comes from `zipWithIndex` (one count job; only
-    * per-partition counts touch the driver — a legitimate RDD drop-down,
-    * there is no DataFrame global rank that avoids a 1-partition window).
+    * Scale shape: the global rank stays COLUMNAR end to end —
+    * `repartitionByRange` on the sort key spreads the corpus into
+    * key-ordered partitions, a per-partition window (`partitionBy` the
+    * materialized partition id — full parallelism, never a 1-partition
+    * window) numbers rows locally, and a partition-count aggregate
+    * (#partitions rows, the only driver traffic — the same bound
+    * `zipWithIndex` had, without leaving Tungsten) turns local numbers
+    * into global ranks via cumulative offsets joined back broadcast.
     * Candidate pairing is an EQUI-join: each row joins block
     * `rank div (w-1)` and its successor block, then filters to
     * `1 ≤ rank_b - rank_a ≤ w-1` — never a range/nested-loop join.
@@ -417,19 +421,38 @@ object NearDup {
   def sortedNeighborhoodPairs(
       docs: DataFrame, idCol: String, textCol: String,
       w: Int = 5, minJaccard: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(w >= 2, s"window must be >= 2, got $w")
     val keyed = docs.select(col(idCol), col(textCol),
       substring(lower(regexp_replace(col(textCol), "\\s+", " ")), 1, 24)
         .as("__k"))
-    val sorted = keyed.orderBy(col("__k"), col(idCol))
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField(
-          "__rank", org.apache.spark.sql.types.LongType, nullable = false))
-    val ranked = sorted.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }, schema).persist()
+    // persist BEFORE the two consumers: range boundaries come from a
+    // sampling pass, so the counts job and the main job must see the
+    // SAME partitioning (a recompute could resample differently).
+    val parted = keyed
+      .repartitionByRange(col("__k"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val ranked = try {
+      val counts = parted.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // exclusive prefix sum in ascending pid order (empty partitions
+      // are absent from the aggregate and contribute 0 anyway)
+      val offsets = counts.map(_._1)
+        .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+      val offDf = parted.sparkSession
+        .createDataFrame(offsets).toDF("__pid", "__off")
+      // range partitions are key-ordered, so offset(pid) + local rank is
+      // the global (__k, id) rank; the window exchange re-clusters by
+      // __pid but re-sorts each group by the same key, preserving order
+      parted.join(broadcast(offDf), "__pid")
+        .withColumn("__rank",
+          col("__off") + row_number().over(
+            Window.partitionBy(col("__pid"))
+              .orderBy(col("__k"), col(idCol))) - 1L)
+        .drop("__pid", "__off")
+    } catch { case e: Throwable => parted.unpersist(); throw e }
     try {
       val dist = w - 1
       val a = ranked.select(col(idCol).as("id_a"), col("__rank").as("__ra"),
@@ -451,7 +474,7 @@ object NearDup {
         .where(col("jaccard") >= minJaccard)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .localCheckpoint()
-    } finally { ranked.unpersist(); () }
+    } finally { parted.unpersist(); () }
   }
 
   def ngramJaccardVerify(
