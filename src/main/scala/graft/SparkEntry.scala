@@ -1312,6 +1312,14 @@ object SparkEntry {
       Similarity.farthestPointSample(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
 
+    // ---- LLM pipeline: scalable k-center — 2 batched oversampling
+    //      passes (8 farthest admitted per pass) then exact greedy on
+    //      the 17 candidates; O(rounds) corpus scans, not O(k) ----
+    "sample_kcenter_scalable" -> ((s, dir) =>
+      Similarity.farthestPointSampleScalable(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, ell = 8, rounds = 2)),
+
     // ---- Heavy hitters: exact top-20 keys by frequency via a
     //      Misra-Gries candidate pass + exact recount (shuffle bounded
     //      by slots×partitions, not distinct keys) ----
@@ -3463,6 +3471,14 @@ object SparkEntry {
           "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
           graft.functions.OracleSql.farthestPointCtes(k = 8) +
           " SELECT pick, vec_id AS picked_id FROM sel7"),
+      "sample_kcenter_scalable" ->
+        ("WITH kc AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, " +
+          "CAST(embedding AS DOUBLE[]) AS v, " +
+          "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+          "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+          graft.functions.OracleSql.farthestPointBatchCtes(
+            k = 8, ell = 8, rounds = 2) +
+          " SELECT pick, vec_id AS picked_id FROM gsel7"),
       "q_heavy_hitters" ->
         ("SELECT CAST(user_id AS VARCHAR) AS key, cnt FROM " +
           "(SELECT user_id, count(*) AS cnt FROM events " +

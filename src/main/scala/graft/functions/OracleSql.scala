@@ -330,21 +330,47 @@ object OracleSql {
     * by round i+1 (the scan and the NOT IN), so DuckDB's default CTE
     * inlining would re-expand the whole prefix 2^k times — measured 283 s
     * for k=8 over 500 vectors; materialized, milliseconds. */
-  def farthestPointCtes(k: Int): String = {
+  def farthestPointCtes(k: Int, src: String = "kc", pre: String = ""): String = {
     val init =
-      "sel0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS pick, vec_id, v, nrm " +
-        "FROM (SELECT * FROM kc ORDER BY vec_id LIMIT 1))"
+      s"${pre}sel0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS pick, vec_id, v, nrm " +
+        s"FROM (SELECT * FROM $src ORDER BY vec_id LIMIT 1))"
     val steps = (1 until k).map { i =>
-      val p = s"sel${i - 1}"
-      s"m$i AS MATERIALIZED (SELECT e.vec_id, max(list_inner_product(e.v, s.v) / " +
-        s"(e.nrm * s.nrm)) AS mc FROM kc e, $p s " +
+      val p = s"${pre}sel${i - 1}"
+      s"${pre}m$i AS MATERIALIZED (SELECT e.vec_id, max(list_inner_product(e.v, s.v) / " +
+        s"(e.nrm * s.nrm)) AS mc FROM $src e, $p s " +
         s"WHERE e.vec_id NOT IN (SELECT vec_id FROM $p) GROUP BY e.vec_id), " +
-        s"pk$i AS (SELECT vec_id FROM m$i ORDER BY mc ASC, vec_id ASC LIMIT 1), " +
-        s"sel$i AS MATERIALIZED (SELECT * FROM $p UNION ALL " +
+        s"${pre}pk$i AS (SELECT vec_id FROM ${pre}m$i ORDER BY mc ASC, vec_id ASC LIMIT 1), " +
+        s"${pre}sel$i AS MATERIALIZED (SELECT * FROM $p UNION ALL " +
         s"SELECT CAST($i AS BIGINT), e.vec_id, e.v, e.nrm " +
-        s"FROM kc e JOIN pk$i USING (vec_id))"
+        s"FROM $src e JOIN ${pre}pk$i USING (vec_id))"
     }
     (init +: steps).mkString(", ")
+  }
+
+  /** Batched-oversampling k-center CTE chain mirroring
+    * `Similarity.farthestPointSampleScalable` round-for-round: `cand0`
+    * is the min-id seed; each round `r` scores every non-candidate by
+    * max cosine against the whole candidate set (`bm$r`) and admits the
+    * ℓ farthest at once (`bt$r`: mc ASC, vec_id ASC LIMIT ℓ); the final
+    * bounded candidate table `kcand` feeds the exact greedy chain
+    * ([[farthestPointCtes]] with the `g` prefix). Select from
+    * `gsel{k-1}`. Expects a prior CTE `kc`(vec_id, v, nrm). */
+  def farthestPointBatchCtes(k: Int, ell: Int, rounds: Int): String = {
+    val init =
+      "cand0 AS MATERIALIZED (SELECT vec_id, v, nrm " +
+        "FROM (SELECT * FROM kc ORDER BY vec_id LIMIT 1))"
+    val steps = (1 to rounds).map { r =>
+      val p = s"cand${r - 1}"
+      s"bm$r AS MATERIALIZED (SELECT e.vec_id, max(list_inner_product(e.v, s.v) / " +
+        s"(e.nrm * s.nrm)) AS mc FROM kc e, $p s " +
+        s"WHERE e.vec_id NOT IN (SELECT vec_id FROM $p) GROUP BY e.vec_id), " +
+        s"bt$r AS (SELECT vec_id FROM bm$r ORDER BY mc ASC, vec_id ASC LIMIT $ell), " +
+        s"cand$r AS MATERIALIZED (SELECT * FROM $p UNION ALL " +
+        s"SELECT e.vec_id, e.v, e.nrm FROM kc e JOIN bt$r USING (vec_id))"
+    }
+    val kcand = s"kcand AS MATERIALIZED (SELECT * FROM cand$rounds)"
+    ((init +: steps) :+ kcand :+ farthestPointCtes(k, "kcand", "g"))
+      .mkString(", ")
   }
 
   /** BPE merge-training CTE chain mirroring `Bpe.learnMerges`

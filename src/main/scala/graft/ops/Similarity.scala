@@ -316,8 +316,10 @@ object Similarity {
     * centers broadcast as a single array row (zero corpus-side
     * exchanges) feeding a global top-1 (TakeOrdered — no full sort);
     * only k (id, vector) rows ever reach the driver. Greedy selection is
-    * inherently sequential in k — keep k in the tens/hundreds and feed a
-    * pre-sampled corpus slice if the full scan per round is too hot. */
+    * inherently sequential in k — at corpus scale prefer
+    * [[farthestPointSampleScalable]], which collapses the k serialized
+    * scans into O(rounds) batched passes; this exact variant remains the
+    * small-k / audit twin. */
   def farthestPointSample(
       emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -354,6 +356,104 @@ object Similarity {
         }
       }
       picks.map { case (p, id, _, _) => (p, id) }.toDF("pick", "picked_id")
+    } finally { e.unpersist(); () }
+  }
+
+  /** Scalable k-center: batched farthest-point oversampling (the
+    * k-means‖ recipe of Bahmani et al., VLDB 2012, with the
+    * probabilistic draw replaced by a DETERMINISTIC farthest-top-ℓ so a
+    * DuckDB oracle replays it) — the 100-TB path that retires greedy's
+    * k serialized corpus scans.
+    *
+    * `rounds` batched passes each broadcast the current candidate set,
+    * score every remaining point by max-cosine against it (same per-row
+    * fold as greedy), and admit the ℓ FARTHEST points at once
+    * (mc asc, id asc — ties deterministic). The candidate set —
+    * 1 + ℓ·rounds vectors, bounded by construction — then feeds an
+    * exact greedy k-center run ON THE CANDIDATES in driver memory,
+    * bit-identical in fold order, comparison semantics (NaN greatest),
+    * and tie-breaks to [[farthestPointSample]]'s distributed rounds.
+    *
+    * When ℓ·rounds ≥ n-1 the candidate set IS the corpus and the result
+    * equals exact greedy (property-tested); otherwise it is the standard
+    * oversample-then-refine approximation. Scale: O(rounds) full scans
+    * (vs greedy's k), driver traffic = candidate vectors only. */
+  def farthestPointSampleScalable(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      ell: Int, rounds: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(ell > 0 && rounds > 0, s"need ell > 0 and rounds > 0")
+    require(ell.toLong * rounds + 1 >= k,
+      s"candidate budget 1 + $ell*$rounds cannot cover k=$k picks")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    try {
+      val seed = e.orderBy(col("__id").asc).limit(1)
+        .select(col("__id"), col("v"), col("nrm"))
+        .as[(Long, Seq[Double], Double)].collect()
+      require(seed.nonEmpty, "farthestPointSampleScalable needs a non-empty input")
+      var cands = Vector(seed(0))
+      var r = 0
+      var exhausted = false
+      while (r < rounds && !exhausted) {
+        val cents = cands.map { case (id, v, nr) => (id, v, nr) }
+          .toDF("cid", "cv", "cnrm")
+        val ids = cands.map(_._1)
+        val batch = e.filter(!col("__id").isInCollection(ids))
+          .join(broadcast(centroidArray(cents)))
+          .select(col("__id"), col("v"), col("nrm"),
+            maxCos(col("v"), col("nrm")).as("__mc"))
+          .orderBy(col("__mc").asc, col("__id").asc).limit(ell)
+          .select(col("__id"), col("v"), col("nrm"))
+          .as[(Long, Seq[Double], Double)].collect()
+        if (batch.isEmpty) exhausted = true else cands ++= batch
+        r += 1
+      }
+      // exact greedy over the bounded candidate set, driver-local —
+      // IDENTICAL semantics to the distributed greedy: strict
+      // left-to-right dot fold, NaN-greatest comparisons, (mc asc,
+      // id asc) argmin tie-break, seed = min id (cands(0) by
+      // construction: the seed query took the global min id)
+      def dotL(a: Seq[Double], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      def cos(a: (Long, Seq[Double], Double), b: (Long, Seq[Double], Double)): Double = {
+        val den = a._3 * b._3
+        if (den == 0.0) Double.NaN else dotL(a._2, b._2) / den
+      }
+      var picks = Vector(cands(0))
+      var remaining = cands.drop(1)
+      while (picks.length < k && remaining.nonEmpty) {
+        var best = -1
+        var bestMc = 0.0
+        var i = 0
+        while (i < remaining.length) {
+          // max cosine to picked centers; NaN beats every real value
+          var mc = -2.0
+          picks.foreach { p =>
+            val c = cos(remaining(i), p)
+            if (c > mc || (c.isNaN && !mc.isNaN)) mc = c
+          }
+          val cmp = java.lang.Double.compare(mc, bestMc) // NaN greatest
+          if (best < 0 || cmp < 0 ||
+            (cmp == 0 && remaining(i)._1 < remaining(best)._1)) {
+            best = i; bestMc = mc
+          }
+          i += 1
+        }
+        picks :+= remaining(best)
+        remaining = remaining.patch(best, Nil, 1)
+      }
+      picks.zipWithIndex
+        .map { case ((id, _, _), p) => (p.toLong, id) }
+        .toDF("pick", "picked_id")
     } finally { e.unpersist(); () }
   }
 

@@ -398,6 +398,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((0L, 7L), (1L, 9L)))
   }
 
+  private def kcenterScalable(
+      df: org.apache.spark.sql.DataFrame, k: Int, ell: Int, rounds: Int) =
+    Similarity.farthestPointSampleScalable(
+      df, "vec_id", "embedding", k, ell, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+
+  test("farthestPointSampleScalable equals exact greedy when the " +
+    "candidate budget covers the corpus") {
+    val rnd = new scala.util.Random(42)
+    val df = emb((1L to 30L).map(i =>
+      i -> Seq.fill(4)(rnd.nextGaussian())): _*)
+    // 1 + 16*2 = 33 >= 30: candidates are the whole corpus
+    assert(kcenterScalable(df, 6, ell = 16, rounds = 2) == kcenter(df, 6))
+  }
+
+  test("farthestPointSampleScalable: k distinct picks; objective within " +
+    "2x of greedy on random data even when oversampling truncates") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 120L).map(i => i -> Seq.fill(6)(rnd.nextGaussian()))
+    val df = emb(pts: _*)
+    val exact = kcenter(df, 8).map(_._2)
+    val approx = kcenterScalable(df, 8, ell = 4, rounds = 3).map(_._2)
+    assert(approx.distinct.size == 8)
+    assert(approx.forall(id => pts.exists(_._1 == id)))
+    // max-over-points of min angular distance to the chosen centers
+    def cosOf(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def objective(centers: Seq[Long]): Double = {
+      val cv = centers.map(id => pts.find(_._1 == id).get._2)
+      pts.map { case (_, v) =>
+        1.0 - cv.map(c => cosOf(v, c)).max // min distance = 1 - max cos
+      }.max
+    }
+    assert(objective(approx) <= 2.0 * objective(exact) + 1e-9)
+  }
+
   test("semanticDedup: min-id representative per in-cell near-dup set") {
     val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
       .toDF("cid", "cv").withColumn("cnrm", lit(1.0))
