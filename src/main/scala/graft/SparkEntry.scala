@@ -605,6 +605,16 @@ object SparkEntry {
         .withColumn("changed_cols", array_join(col("changed_cols"), ","))
     }),
 
+    // ---- Data ops: schema-drift companion to q_diff — added/removed/
+    //      type-changed columns, detected from metadata alone (no scan)
+    "q_schema_diff" -> ((s, dir) => {
+      val left = t(s, dir, "orders")
+      val right = left.drop("o_orderpriority")
+        .withColumn("o_totalprice", col("o_totalprice").cast("string"))
+        .withColumn("o_priority_rank", lit(1).cast("int"))
+      graft.ops.Diff.schemaDiff(left, right)
+    }),
+
     // ---- Product analytics: ordered funnel (view -> click -> purchase,
     //      strictly-after min-ts semantics; k user-keyed aggregates) ----
     "q_funnel" -> ((s, dir) =>
@@ -3110,6 +3120,14 @@ object SparkEntry {
           "ELSE CAST([] AS VARCHAR[]) END, ','), '') " +
           "AS changed_cols FROM j " +
           "WHERE (NOT rp) OR (NOT lp) OR len(ch) > 0"),
+      // metadata-level expectation: the drift of the gate's fixed
+      // projection is statically known, so the oracle states it
+      "q_schema_diff" ->
+        ("SELECT * FROM (VALUES " +
+          "('o_orderpriority', 'removed', 'string', CAST(NULL AS VARCHAR)), " +
+          "('o_totalprice', 'type_changed', 'double', 'string'), " +
+          "('o_priority_rank', 'added', CAST(NULL AS VARCHAR), 'int')) " +
+          "t(column_name, change_type, left_type, right_type)"),
       "q_funnel" ->
         ("WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 " +
           "FROM events WHERE event_type = 'view' GROUP BY user_id), " +

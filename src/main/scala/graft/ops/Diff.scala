@@ -60,4 +60,31 @@ object Diff {
       .select(keyCols.map(col) :+ col("change_type") :+
         col("changed_cols"): _*)
   }
+
+  /** Schema drift between two frames — the companion check to
+    * [[keyedDiff]] (which deliberately ignores columns present on one
+    * side only): one row per drifted column, `change_type` in
+    * ('added' | 'removed' | 'type_changed') with both sides' Spark
+    * `simpleString` types (NULL where the column is absent). 'added'
+    * means present in `right` only — read left→right as old→new.
+    *
+    * Pure metadata: computed from the analyzed schemas on the driver
+    * (O(columns), no job runs) and emitted as a local frame, which is
+    * the right altitude — schema drift must be detectable BEFORE paying
+    * for any scan of either side. */
+  def schemaDiff(left: DataFrame, right: DataFrame): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val lt = left.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rt = right.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val names = (left.schema.fieldNames ++ right.schema.fieldNames).distinct.toSeq
+    names.flatMap { n =>
+      (lt.get(n), rt.get(n)) match {
+        case (Some(a), None) => Some((n, "removed", Option(a), Option.empty[String]))
+        case (None, Some(b)) => Some((n, "added", Option.empty[String], Option(b)))
+        case (Some(a), Some(b)) if a != b => Some((n, "type_changed", Option(a), Option(b)))
+        case _ => None
+      }
+    }.toDF("column_name", "change_type", "left_type", "right_type")
+  }
 }

@@ -42,4 +42,17 @@ class DiffSpec extends SparkSpec {
     val r = Seq((1L, "a", true)).toDF("k", "s", "only_right")
     assert(Diff.keyedDiff(l, r, Seq("k")).collect().isEmpty)
   }
+
+  test("schemaDiff: added, removed, type_changed; identical schemas are empty") {
+    val l = Seq((1L, "a", 10)).toDF("k", "s", "gone")
+    val r = Seq((1L, 2.0, true)).toDF("k", "s", "novel")
+    val got = Diff.schemaDiff(l, r).collect()
+      .map(x => x.getString(0) -> ((x.getString(1),
+        Option(x.getString(2)), Option(x.getString(3))))).toMap
+    assert(got == Map(
+      "s" -> (("type_changed", Some("string"), Some("double"))),
+      "gone" -> (("removed", Some("int"), None)),
+      "novel" -> (("added", None, Some("boolean")))))
+    assert(Diff.schemaDiff(l, l).collect().isEmpty)
+  }
 }
