@@ -692,6 +692,17 @@ object SparkEntry {
     "q_benford" -> ((s, dir) =>
       graft.ops.Profile.benford(t(s, dir, "orders"), "o_totalprice")),
 
+    // ---- Profiling: PSI distribution drift between two snapshots
+    //      (B thins 1-URGENT by 20% → a real shift signal); per-bucket
+    //      terms, caller sums — never a float SUM aggregate ----
+    "q_psi_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderkey") % 2 === 0)
+      val b = o.filter(col("o_orderkey") % 2 === 1 &&
+        !(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 5 === 0))
+      graft.ops.Profile.psi(a, b, "o_orderpriority")
+    }),
+
     // ---- Profiling: per-language source entropy (corpus balance;
     //      strict sorted fold, pinned at 8 decimals for libm ln) ----
     "q_entropy" -> ((s, dir) =>
@@ -1329,6 +1340,33 @@ object SparkEntry {
       Similarity.farthestPointSampleScalable(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, ell = 8, rounds = 2)),
+
+    // ---- Sketches: mergeable decimal log-bucket quantile sketch —
+    //      ONE map-side-combinable aggregate (≤ ~17k buckets/group, no
+    //      full sort, no percentile state object), estimates within
+    //      ~0.5% via integer rank arithmetic + bucket midpoints ----
+    "sketch_quantile" -> ((s, dir) => {
+      val sk = graft.ops.Sketches.quantileSketch(
+        t(s, dir, "lineitem").select(
+          col("l_returnflag").as("g"), col("l_extendedprice")),
+        Seq("g"), "l_extendedprice")
+      graft.ops.Sketches.quantileFromSketch(sk, Seq("g"), Seq(50, 90, 99))
+    }),
+
+    // ---- Sketches: shard-merge path — two half-corpus sketches
+    //      unioned + re-summed estimate EXACTLY like the direct build
+    //      (bucket counts are additive), proving store-and-merge ----
+    "sketch_quantile_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"), col("l_orderkey"), col("l_extendedprice"))
+      val a = graft.ops.Sketches.quantileSketch(
+        li.filter(col("l_orderkey") % 2 === 0), Seq("g"), "l_extendedprice")
+      val b = graft.ops.Sketches.quantileSketch(
+        li.filter(col("l_orderkey") % 2 =!= 0), Seq("g"), "l_extendedprice")
+      val merged = graft.ops.Sketches.quantileSketchMerge(
+        a.unionByName(b), Seq("g"))
+      graft.ops.Sketches.quantileFromSketch(merged, Seq("g"), Seq(50, 95))
+    }),
 
     // ---- Heavy hitters: exact top-20 keys by frequency via a
     //      Misra-Gries candidate pass + exact recount (shuffle bounded
@@ -2058,6 +2096,13 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
         "doc_id", least(lit(90L), expr("n_chars div 20")))),
 
+    // ---- LLM pipeline: weighted sample WITHOUT replacement (exactly k
+    //      per language, inclusion odds ∝ length) — deterministic
+    //      Efraimidis–Sirivianos exponential keys off the shared hash ----
+    "sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling.sampleWeighted(
+        t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 12)),
+
     // ---- Sources: training-shard export (split dirs, capped files) ----
     "src_shard_export" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_shard_").toString
@@ -2339,6 +2384,18 @@ object SparkEntry {
       "sample_mixture" -> mixtureSql,
       "sample_curriculum" -> curriculumSql,
       "sample_importance" -> importanceSql,
+      "sample_weighted" -> {
+        val a0 = TextHash.permuteA(0); val b0 = TextHash.permuteB(0)
+        val p = TextHash.P
+        s"WITH w AS (SELECT lang, doc_id, n_chars, " +
+          s"round(-ln(((doc_id * $a0 + $b0) % $p + 1) / ($p + 1.0)) / " +
+          "CAST(n_chars AS DOUBLE), 8) AS skey " +
+          "FROM documents WHERE n_chars > 0), " +
+          "r AS (SELECT lang, doc_id, n_chars, " +
+          "CAST(row_number() OVER (PARTITION BY lang " +
+          "ORDER BY skey ASC, doc_id ASC) AS INT) AS wrank FROM w) " +
+          "SELECT lang, doc_id, n_chars, wrank FROM r WHERE wrank <= 12"
+      },
       "src_shard_export" -> shardExportSql,
       "text_unigram_logprob" -> {
         val q = graft.ops.TextAnalysis.LogQ
@@ -3205,6 +3262,25 @@ object SparkEntry {
         ("SELECT c_nationkey, c_mktsegment, count(*) AS class_size " +
           "FROM customer GROUP BY c_nationkey, c_mktsegment " +
           "HAVING count(*) < 8"),
+      "q_psi_drift" ->
+        ("WITH a AS (SELECT o_orderpriority AS bk, count(*) AS n_a " +
+          "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1), " +
+          "b AS (SELECT o_orderpriority AS bk, count(*) AS n_b " +
+          "FROM orders WHERE o_orderkey % 2 = 1 " +
+          "AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0) " +
+          "GROUP BY 1), " +
+          "g AS (SELECT coalesce(a.bk, b.bk) AS o_orderpriority, " +
+          "CAST(coalesce(n_a, 0) AS BIGINT) AS n_a, " +
+          "CAST(coalesce(n_b, 0) AS BIGINT) AS n_b " +
+          "FROM a FULL JOIN b ON a.bk = b.bk), " +
+          "t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, " +
+          "CAST(sum(n_b) AS BIGINT) AS tb, count(*) AS k FROM g) " +
+          "SELECT o_orderpriority, n_a, n_b, " +
+          "round((CAST(n_a + 1 AS DOUBLE) / (ta + k) - " +
+          "CAST(n_b + 1 AS DOUBLE) / (tb + k)) * " +
+          "ln((CAST(n_a + 1 AS DOUBLE) / (ta + k)) / " +
+          "(CAST(n_b + 1 AS DOUBLE) / (tb + k))), 8) AS psi_term " +
+          "FROM g CROSS JOIN t"),
       "q_benford" -> {
         // SAME driver-computed double literals as the Spark plan —
         // Double.toString round-trips, so DuckDB parses the same value
@@ -3482,6 +3558,18 @@ object SparkEntry {
           "AS score FROM pr CROSS JOIN tot " +
           "JOIN uni ux ON pr.w1 = ux.w JOIN uni uy ON pr.w2 = uy.w " +
           "ORDER BY score DESC, w1, w2 LIMIT 25"),
+      "sketch_quantile" ->
+        ("WITH qraw AS (SELECT l_returnflag AS g, " +
+          "CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem), " +
+          graft.functions.OracleSql.quantileSketchCtes(Seq(50, 90, 99)) +
+          " SELECT g, pct, n_rows, est FROM qest"),
+      // bucket counts are additive, so the shard-merged estimate equals
+      // the direct build — one oracle serves both paths
+      "sketch_quantile_merge" ->
+        ("WITH qraw AS (SELECT l_returnflag AS g, " +
+          "CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem), " +
+          graft.functions.OracleSql.quantileSketchCtes(Seq(50, 95)) +
+          " SELECT g, pct, n_rows, est FROM qest"),
       "sample_kcenter" ->
         ("WITH kc AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, " +
           "CAST(embedding AS DOUBLE[]) AS v, " +

@@ -217,6 +217,40 @@ object Profile {
       .select(col("digit"), col("n_obs"), col("expected"), col("chi2_term"))
   }
 
+  /** Population stability index between two snapshots of a bucketed
+    * feature — the standard distribution-drift monitor (banking
+    * scorecard lineage; Σ psi_term < 0.1 stable, > 0.25 shifted): one
+    * row per bucket with `psi_term = (p_a - p_b)·ln(p_a/p_b)`.
+    * Laplace-smoothed proportions `p = (n+1)/(N+K)` keep empty buckets
+    * finite, and the bucket grid is the FULL OUTER union of both sides
+    * (the benford/chiSquare empty-cell discipline — a bucket that
+    * vanished is exactly the drift you're looking for).
+    *
+    * Determinism: counts exact, proportions one division of exact
+    * integers, `round(psi_term, 8)` absorbs libm ln differences. The
+    * caller sums psi_term over the (bounded, fixed-shape) bucket rows —
+    * no float SUM aggregate inside the operator.
+    *
+    * Scale: two map-side-combinable counts + a bucket-grid join that is
+    * O(buckets), then row-local arithmetic. */
+  def psi(left: DataFrame, right: DataFrame, bucketCol: String): DataFrame = {
+    val a = left.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_a"))
+    val b = right.groupBy(col(bucketCol)).agg(count(lit(1)).as("n_b"))
+    val grid = a.join(b, Seq(bucketCol), "full_outer")
+      .select(col(bucketCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = grid.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"), count(lit(1)).as("__k"))
+    val pa = (col("n_a") + 1L).cast("double") /
+      (col("__ta") + col("__k")).cast("double")
+    val pb = (col("n_b") + 1L).cast("double") /
+      (col("__tb") + col("__k")).cast("double")
+    grid.crossJoin(broadcast(tot))
+      .withColumn("psi_term", round((pa - pb) * log(pa / pb), 8))
+      .select(col(bucketCol), col("n_a"), col("n_b"), col("psi_term"))
+  }
+
   /** Per-group Shannon entropy of a categorical column (nats) — the
     * balance metric of a corpus: low entropy of `source` within a
     * language means one domain dominates it. Emits

@@ -166,6 +166,41 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < rate)
   }
 
+  /** Weighted sample WITHOUT replacement, exactly k per group — the
+    * Efraimidis–Sirivianos reservoir scheme in its exponential-key
+    * form: each row gets key `-ln(u)/w` with `u ∈ (0, 1]` drawn from
+    * the deterministic hash of its id, and the k SMALLEST keys per
+    * group are a weighted sample without replacement (inclusion odds
+    * proportional to weight, no row twice). The pseudo-random draw is
+    * the engine's shared permutation hash, so the sample is stable
+    * across runs, partitionings, and engines — and `round(key, 8)`
+    * absorbs last-ulp `ln` differences between libms, with the id as
+    * the deterministic tie-break (the bm25 discipline).
+    *
+    * Emits (groupCol, idCol, weightCol, wrank), wrank 1..k by
+    * ascending key. Rows with weight <= 0 are excluded (zero weight =
+    * never sampled; the ln form would divide by zero).
+    *
+    * Scale: one row-local key computation + one k-bounded per-group
+    * window — the shuffle is by group only, state per group is the
+    * top-k heap. The classic one-pass distributed weighted sampler. */
+  def sampleWeighted(
+      df: DataFrame, groupCol: String, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = (TextHash.permute(0, col(idCol)) + 1L).cast("double") /
+      (TextHash.P + 1L).toDouble
+    val key = round(-log(u) / col(weightCol).cast("double"), 8)
+    df.where(col(weightCol) > 0)
+      .withColumn("__wkey", key)
+      .withColumn("wrank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("__wkey").asc, col(idCol).asc)))
+      .where(col("wrank") <= k)
+      .select(col(groupCol), col(idCol), col(weightCol), col("wrank"))
+  }
+
   /** Per-domain mixture sampling — the data-mixing step of corpus
     * assembly: each domain keeps a different deterministic fraction
     * (percent in [0, 100]) of its rows, so over-represented sources are

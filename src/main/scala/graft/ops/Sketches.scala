@@ -465,4 +465,97 @@ object Sketches {
           lit(1L << rmax), r.cast("int"))).as("sum_q"): _*)
       .withColumn("est_distinct", lit(num) / col("sum_q"))
   }
+
+  // ---- Mergeable quantile sketch (decimal log buckets) -------------------
+
+  /** Power-of-ten double literals 10^0..10^19 — every one exactly
+    * representable (10^i = 2^i·5^i, and 5^19 < 2^53), so scaling by them
+    * is pure IEEE multiply/divide with NO libm anywhere. The same
+    * literals are rendered into the DuckDB mirror via Double.toString. */
+  private[graft] val Pow10: IndexedSeq[Double] =
+    (0 to 19).map(i => ("1" + "0" * i).toDouble)
+
+  /** Decimal log-bucket index of a positive value — the DDSketch idea
+    * (Masson et al., VLDB 2019) with deterministic decimal buckets in
+    * place of γ-log ones: `d` = integer-digit count of floor(x), `m` =
+    * first three significant digits (∈ [100, 999], computed by one IEEE
+    * multiply-or-divide by an exact power of ten and a floor — never
+    * `log`, whose last-ulp behavior is libm-specific), bucket id =
+    * d·1000 + m. Relative bucket width ≤ 1/100 → midpoint estimates are
+    * within ~0.5 % of the true quantile value. Values in [0, 1) collapse
+    * to bucket 0 (they still count toward ranks); negatives are the
+    * caller's contract to exclude. */
+  private def decBucket(x: Column): Column = {
+    val d = length(floor(x).cast("long").cast("string"))
+    val m = (3 to 19).foldLeft(
+      when(d === 1, floor(x * Pow10(2)))
+        .when(d === 2, floor(x * Pow10(1)))) {
+      case (acc, dd) => acc.when(d === dd, floor(x / Pow10(dd - 3)))
+    }
+    when(x < 1.0, lit(0L)).otherwise(d.cast("long") * 1000L + m.cast("long"))
+  }
+
+  /** Bucket midpoint: (m + 0.5) · 10^(d-3) via the same exact literals. */
+  private def decBucketMid(bucket: Column): Column = {
+    val d = (bucket / 1000L).cast("int")
+    val m = (bucket % 1000L).cast("double") + 0.5
+    (3 to 19).foldLeft(
+      when(d === 1, m / Pow10(2))
+        .when(d === 2, m / Pow10(1))) {
+      case (acc, dd) => acc.when(d === dd, m * Pow10(dd - 3))
+    }.otherwise(lit(0.5)) // bucket 0: the [0, 1) underflow bucket
+  }
+
+  /** Per-group quantile sketch: (groupCols..., qbucket, qcnt) — ONE
+    * map-side-combinable aggregate, post-shuffle volume ≤ ~17k rows per
+    * group no matter the corpus size (19 digit classes × 900 mantissas),
+    * and trivially mergeable: union sketch rows and [[quantileSketchMerge]]
+    * re-sums. The distributed-quantile path that needs no full sort and
+    * no percentile state object — the sketch IS rows, so it stores,
+    * unions, and oracle-checks like any other table. */
+  def quantileSketch(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.select(groupCols.map(col) :+
+      decBucket(col(valueCol).cast("double")).as("qbucket"): _*)
+      .where(col("qbucket").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("qbucket"): _*)
+      .agg(count(lit(1)).as("qcnt"))
+
+  /** Merge sketches built on shards: sum counts per (group, bucket). */
+  def quantileSketchMerge(
+      sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col) :+ col("qbucket"): _*)
+      .agg(sum(col("qcnt")).as("qcnt"))
+
+  /** Quantile estimates from a sketch: one row per (group, percent) —
+    * (groupCols..., pct, n_rows, est). Rank arithmetic is EXACT integers
+    * (target rank = ceil(pct·n/100) = (pct·n + 99) div 100), the chosen
+    * bucket is the min bucket whose running count reaches the rank (the
+    * running sum is BIGINT — order-independent), and only the final
+    * midpoint touches doubles. Cost: one bucket-ordered window over
+    * sketch rows (≤ ~17k per group), not over data rows. */
+  def quantileFromSketch(
+      sketch: DataFrame, groupCols: Seq[String],
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100], got $percents")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("qbucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch
+      .withColumn("__cum", sum(col("qcnt")).over(w))
+      .withColumn("__n", sum(col("qcnt")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val pctDf = sketch.sparkSession
+      .createDataFrame(percents.map(Tuple1(_))).toDF("pct")
+    cum.join(broadcast(pctDf))
+      // ceil(pct·n/100) in INTEGER arithmetic — `/` on longs is double
+      // division in Spark, `div` is the exact one
+      .where(col("__cum") >= expr("(pct * __n + 99) div 100"))
+      .groupBy(groupCols.map(col) :+ col("pct"): _*)
+      .agg(max(col("__n")).as("n_rows"), min(col("qbucket")).as("__qb"))
+      .withColumn("est", decBucketMid(col("__qb")))
+      .drop("__qb")
+  }
 }

@@ -138,6 +138,27 @@ class ProfileSpec extends SparkSpec {
     assert(got(3L)._2 == e3 && got(3L)._3 == e3)
   }
 
+  test("psi: identical distributions give ~zero terms; a vanished " +
+    "bucket appears in the grid with a positive term") {
+    val a = (Seq.fill(50)("x") ++ Seq.fill(30)("y") ++ Seq.fill(20)("z"))
+      .toDF("bk")
+    val same = Profile.psi(a, a, "bk").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(same.values.forall(_ == 0.0)) // p_a == p_b exactly
+    val b = (Seq.fill(50)("x") ++ Seq.fill(50)("y")).toDF("bk") // z gone
+    val got = Profile.psi(a, b, "bk").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set("x", "y", "z"))
+    assert(got("z")._2 == 0L && got("z")._3 > 0.0) // vanished: big term
+    // hand-check one term with the same smoothing
+    val (na, nb, k, ta, tb) = (20.0, 0.0, 3.0, 100.0, 100.0)
+    val pa = (na + 1) / (ta + k); val pb = (nb + 1) / (tb + k)
+    val expect = BigDecimal((pa - pb) * math.log(pa / pb))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("z")._3 == expect)
+  }
+
   test("entropy: uniform = ln(k), single-category = 0, exact fold") {
     val df = (Seq(("u", "a"), ("u", "b"), ("u", "c"), ("u", "d")) ++
       Seq(("s", "only"), ("s", "only"))).toDF("g", "c")

@@ -154,4 +154,32 @@ class SamplingSpec extends SparkSpec {
     assertSameRows(kept,
       Sampling.stratifiedSample(in.repartition(7), "stratum", "id", 10))
   }
+
+  test("sampleWeighted: exactly k per group, no repeats, zero-weight " +
+    "excluded, deterministic under repartitioning") {
+    val in = ((1L to 300L).map(i => (i, "g1", i % 7 + 1)) ++
+      (301L to 320L).map(i => (i, "g2", 5L)) ++
+      Seq((999L, "g1", 0L))).toDF("id", "g", "w")
+    val got = Sampling.sampleWeighted(in, "g", "id", "w", k = 10)
+    val rows = got.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(rows.count(_._1 == "g1") == 10)
+    assert(rows.count(_._1 == "g2") == 10)
+    assert(rows.map(_._2).distinct.length == rows.length) // no repeats
+    assert(!rows.exists(_._2 == 999L)) //                zero weight: never
+    assert(rows.filter(_._1 == "g1").map(_._3).sorted.toSeq == (1 to 10))
+    assertSameRows(got,
+      Sampling.sampleWeighted(in.repartition(13), "g", "id", "w", k = 10))
+  }
+
+  test("sampleWeighted: inclusion odds scale with weight") {
+    // two weight classes, 500 ids each; heavy rows weigh 20x more —
+    // the sampled set should be dominated by the heavy class (the
+    // deterministic hash makes this exact, not flaky)
+    val in = (1L to 1000L)
+      .map(i => (i, "g", if (i <= 500) 200L else 10L)).toDF("id", "g", "w")
+    val heavy = Sampling.sampleWeighted(in, "g", "id", "w", k = 50)
+      .collect().count(_.getLong(1) <= 500L)
+    assert(heavy >= 35, s"expected heavy-class dominance, got $heavy/50")
+  }
 }

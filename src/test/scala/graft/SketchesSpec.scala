@@ -153,4 +153,42 @@ class SketchesSpec extends SparkSpec {
     // X: 2000 distinct tokens × 3 hashes, minus collisions
     assert(pops("X") > 4000 && pops("X") <= 6000)
   }
+
+  test("quantile sketch: estimates within the bucket-width bound of " +
+    "exact percentiles; shard merge equals direct build") {
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(5000)(math.exp(rnd.nextGaussian() * 2.0 + 5.0))
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, if (i % 2 == 0) "a" else "b", v) }
+      .toDF("id", "g", "x")
+    val sk = Sketches.quantileSketch(df, Seq("g"), "x")
+    val est = Sketches.quantileFromSketch(sk, Seq("g"), Seq(50, 90, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3))
+      .toMap
+    for (g <- Seq("a", "b"); p <- Seq(50, 90, 99)) {
+      val gv = vals.zipWithIndex
+        .filter { case (_, i) => (if (i % 2 == 0) "a" else "b") == g }
+        .map(_._1).sorted
+      val exact = gv(math.ceil(p / 100.0 * gv.size).toInt - 1)
+      // bucket relative width ≤ 1/100 → midpoint within ~0.5% + 1 bucket
+      assert(math.abs(est((g, p)) - exact) / exact <= 0.02,
+        s"($g, $p): est ${est((g, p))} vs exact $exact")
+    }
+    // shard merge: bucket counts are additive → EXACTLY the direct build
+    val h1 = Sketches.quantileSketch(df.filter(col("id") % 3 === 0), Seq("g"), "x")
+    val h2 = Sketches.quantileSketch(df.filter(col("id") % 3 =!= 0), Seq("g"), "x")
+    assertSameRows(
+      Sketches.quantileSketchMerge(h1.unionByName(h2), Seq("g")), sk)
+  }
+
+  test("quantile sketch: sub-1 values go to the underflow bucket and " +
+    "still count toward ranks") {
+    val df = (Seq.fill(50)(0.25) ++ Seq.fill(50)(123.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "x")
+    val est = Sketches.quantileFromSketch(
+      Sketches.quantileSketch(df, Seq("g"), "x"), Seq("g"), Seq(25, 75))
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(est(25) == ((100L, 0.5))) //   underflow bucket midpoint
+    assert(est(75)._2 > 122 && est(75)._2 < 124)
+  }
 }
