@@ -1368,6 +1368,12 @@ object SparkEntry {
       graft.ops.Sketches.quantileFromSketch(merged, Seq("g"), Seq(50, 95))
     }),
 
+    // ---- Profiling: join-key skew pre-flight — one row deciding
+    //      shuffle vs broadcast vs salt before paying for the plan ----
+    "q_skew_profile" -> ((s, dir) =>
+      graft.ops.Profile.keySkewProfile(
+        t(s, dir, "events"), "user_id")),
+
     // ---- Heavy hitters: exact top-20 keys by frequency via a
     //      Misra-Gries candidate pass + exact recount (shuffle bounded
     //      by slots×partitions, not distinct keys) ----
@@ -1478,6 +1484,13 @@ object SparkEntry {
       NearDup.ngramJaccardVerify(
         t(s, dir, "documents"), "doc_id", "text",
         m = 8, n = 3, r = 2, minJaccard = 0.01)),
+
+    // ---- LLM pipeline: containment scoring on the same candidates —
+    //      catches subset duplication Jaccard underweights ----
+    "dedup_containment" -> ((s, dir) =>
+      NearDup.containmentVerify(
+        t(s, dir, "documents"), "doc_id", "text",
+        m = 8, n = 3, r = 2, minContainment = 0.05)),
 
     // ---- LLM pipeline: eval-set decontamination (benchmark-leakage
     //      filter; eval = every 20th doc, broadcast hash-set semi-join) ----
@@ -2580,6 +2593,26 @@ object SparkEntry {
         "SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.01"
     }
 
+    // same candidate chain, containment = |∩| / min(|A|, |B|)
+    val containmentSql = {
+      val sigCols = (0 until 8).map(j =>
+        s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
+        s"sig AS (SELECT doc_id, $sigCols FROM sh_t), " +
+        s"banded AS (${OracleSql.lshBanded("doc_id", 8, 2)}), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+        s"gr AS (SELECT doc_id, list_distinct(${OracleSql.shingles("wh", 2)}) AS grams FROM base), " +
+        "p AS (SELECT c.id_a, c.id_b, " +
+        "CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE) / " +
+        "CAST(least(len(ga.grams), len(gb.grams)) AS DOUBLE) AS containment " +
+        "FROM cand c JOIN gr ga ON ga.doc_id = c.id_a JOIN gr gb ON gb.doc_id = c.id_b " +
+        "WHERE least(len(ga.grams), len(gb.grams)) > 0) " +
+        "SELECT id_a, id_b, containment FROM p WHERE containment >= 0.05"
+    }
+
     // Mirrors scd2Dim + Scd2.applyChanges branch-for-branch.
     val scd2Sql =
       "WITH hist AS (SELECT c_custkey, 'OLDSEG' AS c_mktsegment, " +
@@ -3585,6 +3618,18 @@ object SparkEntry {
           graft.functions.OracleSql.farthestPointBatchCtes(
             k = 8, ell = 8, rounds = 2) +
           " SELECT pick, vec_id AS picked_id FROM gsel7"),
+      "q_skew_profile" ->
+        ("WITH c AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt " +
+          "FROM events WHERE user_id IS NOT NULL GROUP BY 1), " +
+          "top AS (SELECT k, cnt FROM c ORDER BY cnt DESC, k DESC LIMIT 1) " +
+          "SELECT CAST(sum(c.cnt) AS BIGINT) AS n_rows, " +
+          "count(*) AS n_keys, CAST(max(c.cnt) AS BIGINT) AS max_cnt, " +
+          "quantile_cont(c.cnt, 0.5) AS p50_cnt, " +
+          "quantile_cont(c.cnt, 0.99) AS p99_cnt, " +
+          "CAST(max(c.cnt) AS DOUBLE) * count(*) / " +
+          "CAST(sum(c.cnt) AS DOUBLE) AS skew_ratio, " +
+          "top.k AS top_key, CAST(top.cnt AS BIGINT) AS top_cnt " +
+          "FROM c CROSS JOIN top GROUP BY top.k, top.cnt"),
       "q_heavy_hitters" ->
         ("SELECT CAST(user_id AS VARCHAR) AS key, cnt FROM " +
           "(SELECT user_id, count(*) AS cnt FROM events " +
@@ -3652,6 +3697,7 @@ object SparkEntry {
       "dedup_simhash" -> simhashSql,
       "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
       "dedup_ngram_jaccard" -> jaccardSql,
+      "dedup_containment" -> containmentSql,
       "dedup_prefix_jaccard" -> prefixJaccardSql,
       "dedup_decontaminate" -> decontaminateSql,
       "dedup_span_stats" -> spanStatsSql,

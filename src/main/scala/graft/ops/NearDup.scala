@@ -477,6 +477,38 @@ object NearDup {
     } finally { parted.unpersist(); () }
   }
 
+  /** Containment-scored near-dup verify — the asymmetric companion to
+    * [[ngramJaccardVerify]] for SUBSET duplication (a short doc quoted
+    * wholesale inside a long one scores near-zero Jaccard but
+    * containment ≈ 1): scores each LSH candidate pair by
+    * `|A∩B| / min(|A|,|B|)` over distinct word-bigram sets.
+    *
+    * Caveat by construction: candidates come from the same MinHash
+    * banding, which recalls by JACCARD — a contained-but-tiny doc inside
+    * a huge one may never become a candidate. This is the
+    * verify-on-candidates trade every two-stage pipeline makes; pair it
+    * with [[decontaminate]] (shingle-hit counting) when the contained
+    * side is a known small set that can be broadcast.
+    *
+    * Scale: identical shape to the Jaccard verify — banding proposes
+    * (linear), row-local set arithmetic disposes on candidates only. */
+  def containmentVerify(
+      docs: DataFrame, idCol: String, textCol: String,
+      m: Int = 8, n: Int = 3, r: Int = 2,
+      minContainment: Double = 0.05): DataFrame = {
+    val cand = lshCandidatePairs(docs, idCol, textCol, m, n, r)
+    val grams = gramSets(docs, idCol, textCol)
+    val ga = grams.select(col(idCol).as("id_a"), col("grams").as("g_a"))
+    val gb = grams.select(col(idCol).as("id_b"), col("grams").as("g_b"))
+    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast("double")
+    val smaller = least(size(col("g_a")), size(col("g_b"))).cast("double")
+    cand.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("containment",
+        when(smaller > 0, inter / smaller).otherwise(lit(0.0)))
+      .where(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   def ngramJaccardVerify(
       docs: DataFrame, idCol: String, textCol: String,
       m: Int = 8, n: Int = 3, r: Int = 2,

@@ -217,6 +217,38 @@ object Profile {
       .select(col("digit"), col("n_obs"), col("expected"), col("chi2_term"))
   }
 
+  /** Join-key skew profile — the pre-flight diagnostic for any keyed
+    * shuffle at 100 TB: ONE row summarizing the key-frequency
+    * distribution so a pipeline can decide between a plain shuffle
+    * join, broadcast, or salting BEFORE paying for the wrong plan.
+    * Emits (n_rows, n_keys, max_cnt, p50_cnt, p99_cnt, skew_ratio,
+    * top_key, top_cnt); `skew_ratio` = max over mean frequency — > ~20
+    * and the hottest key dominates a task (salt or isolate it).
+    *
+    * Determinism: counts exact; percentiles are Spark `percentile`
+    * (== DuckDB `quantile_cont`); skew_ratio is one double expression
+    * over exact integers; top key is max(struct(cnt, key)) — count
+    * first, key as the deterministic tie-break.
+    *
+    * Scale: one map-side-combinable count per key + one aggregate over
+    * the (already reduced) key-count frame. Output is exactly 1 row. */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"),
+        max(struct(col("cnt"), col(keyCol).cast("string").as("k"))).as("__top"))
+      .withColumn("skew_ratio",
+        col("max_cnt").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("p50_cnt"), col("p99_cnt"), col("skew_ratio"),
+        col("__top.k").as("top_key"), col("__top.cnt").as("top_cnt"))
+
   /** Population stability index between two snapshots of a bucketed
     * feature — the standard distribution-drift monitor (banking
     * scorecard lineage; Σ psi_term < 0.1 stable, > 0.25 shifted): one

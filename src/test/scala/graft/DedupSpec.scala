@@ -83,6 +83,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("containmentVerify: a quoted subset scores ~1 containment " +
+    "where Jaccard stays low") {
+    val small = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val big = small + " " + (13 to 120).map(i => s"pad$i").mkString(" ")
+    val other = (200 to 260).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val cont = graft.ops.NearDup.containmentVerify(
+      docs, "doc_id", "text", m = 8, n = 3, r = 2, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val jac = graft.ops.NearDup.ngramJaccardVerify(
+      docs, "doc_id", "text", m = 8, n = 3, r = 2, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the (1,2) pair: every bigram of doc 1 is in doc 2 except across
+    // the splice point → containment near 1, Jaccard near |A|/|B|
+    assert(cont.contains((1L, 2L)), s"candidates: ${cont.keySet}")
+    assert(cont((1L, 2L)) >= 0.9)
+    assert(jac.get((1L, 2L)).forall(_ < 0.2))
+    assert(!cont.contains((1L, 3L)) && !cont.contains((2L, 3L)))
+  }
+
   test("sortedNeighborhoodPairs: w=2 pairs only adjacent ranks") {
     import spark.implicits._
     val docs = Seq(

@@ -138,6 +138,20 @@ class ProfileSpec extends SparkSpec {
     assert(got(3L)._2 == e3 && got(3L)._3 == e3)
   }
 
+  test("keySkewProfile: one row, exact extremes, deterministic top key") {
+    val df = (Seq.fill(60)("hot") ++ (1 to 20).map(i => s"k$i") ++
+      Seq.fill(60)("hot2")).toDF("k")
+    val r = Profile.keySkewProfile(df, "k").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 140L && row.getLong(1) == 22L)
+    assert(row.getLong(2) == 60L)
+    // mean = 140/22; skew = 60*22/140
+    assert(row.getDouble(5) == 60.0 * 22.0 / 140.0)
+    // hot2 > hot lexicographically: the deterministic tie-break
+    assert(row.getString(6) == "hot2" && row.getLong(7) == 60L)
+  }
+
   test("psi: identical distributions give ~zero terms; a vanished " +
     "bucket appears in the grid with a positive term") {
     val a = (Seq.fill(50)("x") ++ Seq.fill(30)("y") ++ Seq.fill(20)("z"))
