@@ -203,6 +203,34 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    // ---- Streaming quantile sketch: daily per-type decimal-bucket
+    //      sketches as ONE watermarked streaming aggregate (bounded
+    //      state per window: the bucket map), estimates computed on
+    //      the completed windows — percentiles over a stream without
+    //      ever holding the stream ----
+    "s13_stream_quantile" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s13_").toString
+      val target = TargetTable("events_qsketch", s"$tmp/target",
+        keyCols = Seq("window_start_us", "event_type", "qbucket"),
+        versionCol = "qcnt", buckets = 4)
+      val cfg = IngestConfig(name = s"s13-quantile-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("ts_t"),
+          col("event_type"), col("value"))
+      val sk = graft.ops.Sketches.quantileSketchWindowed(
+        src, "ts_t", Seq("event_type"), "value", "1 day", "48 hours")
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(sk, Trigger.AvailableNow())
+      q.awaitTermination()
+      graft.ops.Sketches.quantileFromSketch(
+        new graft.sink.ParquetTarget(s, target).read().get,
+        Seq("window_start_us", "event_type"), Seq(50, 95))
+    }),
+
     // ---- Sliding event-time windows: daily totals every 12 h (each
     //      event in window/slide=2 windows), merged like s1 ----
     "s7_stream_sliding" -> ((s, dir) => {
@@ -4084,6 +4112,15 @@ object SparkEntry {
           "event_type, count(*) AS n_events, " +
           "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
           "FROM events GROUP BY 1, 2"),
+      // the streamed windowed sketch equals the batch sketch over the
+      // same day buckets — counts are additive across micro-batches
+      "s13_stream_quantile" ->
+        ("WITH qraw AS (SELECT " +
+          "(epoch_us(ts) - epoch_us(ts) % 86400000000) AS window_start_us, " +
+          "event_type, CAST(value AS DOUBLE) AS x FROM events), " +
+          graft.functions.OracleSql.quantileSketchCtes(
+            Seq(50, 95), Seq("window_start_us", "event_type")) +
+          " SELECT window_start_us, event_type, pct, n_rows, est FROM qest"),
       // each event belongs to exactly 2 sliding windows: the 12h-aligned
       // start and the one 12h earlier (window 1d / slide 12h)
       "s7_stream_sliding" ->

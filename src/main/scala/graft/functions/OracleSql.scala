@@ -415,7 +415,8 @@ object OracleSql {
     * multiplies by (`Sketches.Pow10` — every one exactly representable),
     * so bucketing is bit-identical: IEEE multiply/divide + floor, no
     * libm on either side. */
-  def quantileSketchCtes(percents: Seq[Int]): String = {
+  def quantileSketchCtes(
+      percents: Seq[Int], gCols: Seq[String] = Seq("g")): String = {
     val pow = graft.ops.Sketches.Pow10
     val mCase = "CASE d WHEN 1 THEN floor(x * 100.0) WHEN 2 THEN floor(x * 10.0) " +
       (3 to 19).map(dd => s"WHEN $dd THEN floor(x / ${pow(dd - 3)})").mkString(" ") +
@@ -424,20 +425,21 @@ object OracleSql {
       (3 to 19).map(dd => s"WHEN $dd THEN mm * ${pow(dd - 3)}").mkString(" ") +
       " END"
     val pctList = percents.mkString("[", ",", "]")
-    "qb0 AS (SELECT g, x, length(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR)) AS d " +
+    val g = gCols.mkString(", ")
+    s"qb0 AS (SELECT $g, x, length(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR)) AS d " +
       "FROM qraw WHERE x IS NOT NULL), " +
-      s"qb AS (SELECT g, CASE WHEN x < 1.0 THEN 0 ELSE d*1000 + CAST($mCase AS BIGINT) END AS qbucket FROM qb0), " +
-      "qs AS (SELECT g, qbucket, count(*) AS qcnt FROM qb " +
-      "WHERE qbucket IS NOT NULL GROUP BY 1, 2), " +
-      "qc AS (SELECT g, qbucket, qcnt, " +
-      "sum(qcnt) OVER (PARTITION BY g ORDER BY qbucket) AS cum, " +
-      "sum(qcnt) OVER (PARTITION BY g) AS n FROM qs), " +
+      s"qb AS (SELECT $g, CASE WHEN x < 1.0 THEN 0 ELSE d*1000 + CAST($mCase AS BIGINT) END AS qbucket FROM qb0), " +
+      s"qs AS (SELECT $g, qbucket, count(*) AS qcnt FROM qb " +
+      "WHERE qbucket IS NOT NULL GROUP BY ALL), " +
+      s"qc AS (SELECT $g, qbucket, qcnt, " +
+      s"sum(qcnt) OVER (PARTITION BY $g ORDER BY qbucket) AS cum, " +
+      s"sum(qcnt) OVER (PARTITION BY $g) AS n FROM qs), " +
       s"qp AS (SELECT CAST(unnest($pctList) AS INT) AS pct), " +
-      "qf AS (SELECT g, pct, CAST(max(n) AS BIGINT) AS n_rows, min(qbucket) AS qb " +
-      "FROM qc, qp WHERE cum >= (pct*n + 99) // 100 GROUP BY 1, 2), " +
-      "qm AS (SELECT g, pct, n_rows, qb // 1000 AS dd, " +
+      s"qf AS (SELECT $g, pct, CAST(max(n) AS BIGINT) AS n_rows, min(qbucket) AS qb " +
+      "FROM qc, qp WHERE cum >= (pct*n + 99) // 100 GROUP BY ALL), " +
+      s"qm AS (SELECT $g, pct, n_rows, qb // 1000 AS dd, " +
       "CAST(qb % 1000 AS DOUBLE) + 0.5 AS mm FROM qf), " +
-      s"qest AS (SELECT g, pct, n_rows, $midCase AS est FROM qm)"
+      s"qest AS (SELECT $g, pct, n_rows, $midCase AS est FROM qm)"
   }
 
   // ---- Multimodal mirror -------------------------------------------------

@@ -521,6 +521,26 @@ object Sketches {
       .groupBy(groupCols.map(col) :+ col("qbucket"): _*)
       .agg(count(lit(1)).as("qcnt"))
 
+  /** Streaming sibling of [[quantileSketch]]: event-time-windowed
+    * per-group bucket counts as ONE watermarked streaming aggregate —
+    * state per (window, group) is the bounded bucket map, counts merge
+    * incrementally across micro-batches exactly like the batch shard
+    * merge (they are the same addition). Emits
+    * (window_start_us, groupCols..., qbucket, qcnt); feed the completed
+    * windows to [[quantileFromSketch]] with window_start_us in the
+    * group key for per-window percentile estimates. */
+  def quantileSketchWindowed(
+      src: DataFrame, tsCol: String, groupCols: Seq[String],
+      valueCol: String, windowDur: String, watermarkDelay: String): DataFrame =
+    src.where(col(valueCol).isNotNull)
+      .withColumn("qbucket", decBucket(col(valueCol).cast("double")))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("__w") +:
+        (groupCols.map(col) :+ col("qbucket")): _*)
+      .agg(count(lit(1)).as("qcnt"))
+      .select(unix_micros(col("__w.start")).as("window_start_us") +:
+        (groupCols.map(col) :+ col("qbucket") :+ col("qcnt")): _*)
+
   /** Merge sketches built on shards: sum counts per (group, bucket). */
   def quantileSketchMerge(
       sketches: DataFrame, groupCols: Seq[String]): DataFrame =

@@ -181,6 +181,22 @@ class SketchesSpec extends SparkSpec {
       Sketches.quantileSketchMerge(h1.unionByName(h2), Seq("g")), sk)
   }
 
+  test("windowed quantile sketch groups by event-time day and matches " +
+    "the batch sketch per window") {
+    val day = 86400000000L
+    val df = (0 until 200).map { i =>
+      (new java.sql.Timestamp((i % 3) * 86400000L + 1000L * i),
+        if (i % 2 == 0) "a" else "b", (i + 1).toDouble)
+    }.toDF("ts_t", "g", "x")
+    val win = Sketches.quantileSketchWindowed(
+      df, "ts_t", Seq("g"), "x", "1 day", "48 hours")
+    val direct = Sketches.quantileSketch(
+      df.withColumn("window_start_us",
+        expr(s"(unix_micros(ts_t) div $day) * $day")),
+      Seq("window_start_us", "g"), "x")
+    assertSameRows(win, direct)
+  }
+
   test("quantile sketch: sub-1 values go to the underflow bucket and " +
     "still count toward ranks") {
     val df = (Seq.fill(50)(0.25) ++ Seq.fill(50)(123.0)).zipWithIndex
