@@ -1513,6 +1513,20 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         m = 8, n = 3, r = 2, minJaccard = 0.01)),
 
+    // ---- LLM pipeline: incremental dedup — the arriving shard (every
+    //      10th doc) probes the stored band index of the rest of the
+    //      corpus; the corpus is hashed once, the shard only hashes
+    //      itself ----
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = NearDup.lshBandIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        m = 8, n = 3, r = 2)
+      NearDup.lshProbeIndex(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        index, m = 8, n = 3, r = 2)
+    }),
+
     // ---- LLM pipeline: containment scoring on the same candidates —
     //      catches subset duplication Jaccard underweights ----
     "dedup_containment" -> ((s, dir) =>
@@ -3726,6 +3740,19 @@ object SparkEntry {
       "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
       "dedup_ngram_jaccard" -> jaccardSql,
       "dedup_containment" -> containmentSql,
+      // shard (doc_id % 10 = 0) probes the index of the rest — same
+      // banding chain, join constrained to shard × index
+      "dedup_incremental" -> {
+        val sigCols = (0 until 8).map(j =>
+          s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
+        s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+          s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
+          s"sig AS (SELECT doc_id, $sigCols FROM sh_t), " +
+          s"banded AS (${OracleSql.lshBanded("doc_id", 8, 2)}) " +
+          "SELECT DISTINCT n.doc_id AS id_new, i.doc_id AS id_idx " +
+          "FROM banded n JOIN banded i ON n.band = i.band AND n.key = i.key " +
+          "WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0"
+      },
       "dedup_prefix_jaccard" -> prefixJaccardSql,
       "dedup_decontaminate" -> decontaminateSql,
       "dedup_span_stats" -> spanStatsSql,

@@ -75,7 +75,11 @@ object Multimodal {
       if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
         return Some((be16(b, i + 7), be16(b, i + 5), 1))
       else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // bare markers
-      else i += 2 + be16(b, i + 2)
+      else {
+        val seglen = be16(b, i + 2)
+        if (seglen < 2) return None // corrupt length: would loop forever
+        i += 2 + seglen
+      }
     }
     None
   }

@@ -492,7 +492,14 @@ object Sketches {
         .when(d === 2, floor(x * Pow10(1)))) {
       case (acc, dd) => acc.when(d === dd, floor(x / Pow10(dd - 3)))
     }
-    when(x < 1.0, lit(0L)).otherwise(d.cast("long") * 1000L + m.cast("long"))
+    // Non-finite guard FIRST: under ANSI, casting NaN/Inf (or a double
+    // past Long.MaxValue ≈ 9.22e18) to BIGINT throws, and the otherwise
+    // branch would evaluate it. Such values bucket to NULL (excluded
+    // from the sketch) — out of the positive-magnitude contract.
+    when(isnan(x) || x >= 9.0e18 || x === Double.NegativeInfinity,
+      lit(null).cast("long"))
+      .when(x < 1.0, lit(0L))
+      .otherwise(d.cast("long") * 1000L + m.cast("long"))
   }
 
   /** Bucket midpoint: (m + 0.5) · 10^(d-3) via the same exact literals. */

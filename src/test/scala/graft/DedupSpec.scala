@@ -83,6 +83,37 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("lshProbeIndex: shard-vs-index candidates equal the cross-side " +
+    "subset of the self-join; re-delivered ids don't self-report") {
+    val mk = (i: Long, txt: String) => (i, txt)
+    val near = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      mk(1L, near), mk(2L, near + " iota"), //   near-dups across the split
+      mk(10L, near + " kappa"), //               shard member, near both
+      mk(3L, "completely different words here entirely unrelated")
+    ).toDF("doc_id", "text")
+    val index = graft.ops.NearDup.lshBandIndex(
+      docs.filter("doc_id < 10"), "doc_id", "text")
+    val probed = graft.ops.NearDup.lshProbeIndex(
+      docs.filter("doc_id >= 10"), "doc_id", "text", index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = graft.ops.NearDup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every probed pair is a self-join pair crossing the split
+    assert(probed.nonEmpty)
+    assert(probed.forall { case (n, i) => i < 10 && n >= 10 &&
+      self.contains((math.min(n, i), math.max(n, i))) })
+    // the cross-split self-join pairs are exactly the probed ones
+    val cross = self.filter { case (a, b) => (a < 10) != (b < 10) }
+      .map { case (a, b) => if (a >= 10) (a, b) else (b, a) }
+    assert(probed == cross)
+    // re-delivery: probing a doc already in the index must not self-pair
+    val redelivered = graft.ops.NearDup.lshProbeIndex(
+      docs.filter("doc_id = 1"), "doc_id", "text", index)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!redelivered.contains((1L, 1L)))
+  }
+
   test("containmentVerify: a quoted subset scores ~1 containment " +
     "where Jaccard stays low") {
     val small = (1 to 12).map(i => s"tok$i").mkString(" ")
