@@ -1369,6 +1369,18 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, ell = 8, rounds = 2)),
 
+    // ---- ML features: per-group median imputation + missing flag
+    //      (nulls synthesized on a fixed key residue) ----
+    "feature_impute_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        when(col("l_orderkey") % 13 === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity")).as("q"))
+      graft.ops.Features.imputeByGroupMedian(li, "l_returnflag", "q")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("was_missing"), col("q_imputed"))
+    }),
+
     // ---- Sketches: mergeable decimal log-bucket quantile sketch —
     //      ONE map-side-combinable aggregate (≤ ~17k buckets/group, no
     //      full sort, no percentile state object), estimates within
@@ -3633,6 +3645,15 @@ object SparkEntry {
           "AS score FROM pr CROSS JOIN tot " +
           "JOIN uni ux ON pr.w1 = ux.w JOIN uni uy ON pr.w2 = uy.w " +
           "ORDER BY score DESC, w1, w2 LIMIT 25"),
+      "feature_impute_median" ->
+        ("WITH src AS (SELECT l_orderkey, l_linenumber, l_returnflag, " +
+          "CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_quantity END AS q " +
+          "FROM lineitem), " +
+          "m AS (SELECT l_returnflag, quantile_cont(q, 0.5) AS med " +
+          "FROM src GROUP BY 1) " +
+          "SELECT s.l_orderkey, s.l_linenumber, s.l_returnflag, " +
+          "s.q IS NULL AS was_missing, coalesce(s.q, m.med) AS q_imputed " +
+          "FROM src s JOIN m USING (l_returnflag)"),
       "sketch_quantile" ->
         ("WITH qraw AS (SELECT l_returnflag AS g, " +
           "CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem), " +

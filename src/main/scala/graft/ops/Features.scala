@@ -63,4 +63,25 @@ object Features {
             ((col("__n") - 1).cast("double") * lit(q.toDouble))))
       .drop("__n", "__s")
   }
+
+  /** Missing-value imputation by per-group exact median — the standard
+    * repair pass before featurization (median, not mean: robust to the
+    * heavy tails corpus stats always have). Adds `was_missing` (the flag
+    * models usually want alongside the filled value) and
+    * `<valueCol>_imputed`; a group whose values are ALL null keeps null
+    * (there is nothing to impute from — flag stays true).
+    *
+    * Determinism: Spark `percentile` == DuckDB `quantile_cont`, both
+    * null-skipping. Scale: one per-group aggregate (groups reduce
+    * map-side) + one join back — broadcast by AQE when the group frame
+    * is small, shuffle otherwise; no window over the data rows. */
+  def imputeByGroupMedian(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    df.join(med, Seq(groupCol))
+      .withColumn("was_missing", col(valueCol).isNull)
+      .withColumn(s"${valueCol}_imputed", coalesce(col(valueCol), col("__med")))
+      .drop("__med")
+  }
 }

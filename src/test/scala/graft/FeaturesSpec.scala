@@ -44,6 +44,25 @@ class FeaturesSpec extends SparkSpec {
     assert(got(("b", 7.0)).isEmpty)
   }
 
+  test("imputeByGroupMedian: fills nulls with the group median, flags " +
+    "them, leaves all-null groups null") {
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(100.0)), ("a", None),
+      ("b", Some(7.0)), ("b", None),
+      ("c", None), ("c", None)).toDF("g", "v")
+    val got = Features.imputeByGroupMedian(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getBoolean(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    // a: median of (1, 3, 100) = 3 — the robust choice, not the mean
+    assert(got.filter(t => t._1 == "a" && t._2) ==
+      Seq(("a", true, Some(3.0))))
+    assert(got.filter(t => t._1 == "b" && t._2) ==
+      Seq(("b", true, Some(7.0))))
+    // all-null group: nothing to impute from
+    assert(got.filter(_._1 == "c").forall(t => t._2 && t._3.isEmpty))
+    assert(got.count(!_._2) == 4) //        non-missing rows pass through
+  }
+
   test("targetEncodeLoo: partitioning-invariant (exact integer moments)") {
     val rng = new scala.util.Random(31)
     val rows = (0 until 500).map(i =>

@@ -168,4 +168,37 @@ class PropertySpec extends SparkSpec {
       byK(k).values.foreach(d => assert(d >= k, s"k=$k degree bound"))
     }
   }
+
+  test("quantile sketch rank invariant: on random positive data the true " +
+    "ceil-rank quantile lands INSIDE the estimated bucket") {
+    // stronger than an accuracy tolerance: the integer rank walk must
+    // choose exactly the bucket containing the true order statistic
+    val rng = new scala.util.Random(97)
+    for (trial <- 1 to 3) {
+      val vals = List.fill(800)(math.exp(rng.nextGaussian() * 3.0))
+        .map(v => math.max(v, 1e-3))
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+        .toDF("id", "g", "x")
+      val est = graft.ops.Sketches.quantileFromSketch(
+        graft.ops.Sketches.quantileSketch(df, Seq("g"), "x"),
+        Seq("g"), Seq(10, 50, 90, 99))
+        .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+      val sorted = vals.sorted
+      for (p <- Seq(10, 50, 90, 99)) {
+        val truth = sorted((math.ceil(p / 100.0 * sorted.size) - 1).toInt.max(0))
+        val mid = est(p)
+        // bucket bounds from its midpoint: [mid - w/2, mid + w/2),
+        // width = 10^(d-3) for d >= 1, and the whole [0,1) underflow
+        // bucket for mid == 0.5
+        val ok =
+          if (mid == 0.5 && truth < 1.0) true
+          else {
+            val d = math.floor(math.log10(mid)).toInt + 1
+            val w = math.pow(10.0, (d - 3).toDouble)
+            truth >= mid - w / 2 - 1e-12 && truth < mid + w / 2 + 1e-12
+          }
+        assert(ok, s"trial $trial p$p: truth $truth outside bucket mid $mid")
+      }
+    }
+  }
 }
