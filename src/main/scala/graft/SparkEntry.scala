@@ -231,6 +231,35 @@ object SparkEntry {
         Seq("window_start_us", "event_type"), Seq(50, 95))
     }),
 
+    // ---- Streaming HLL: daily distinct users per event type with NO
+    //      distinct state — register maxes as the streaming aggregate,
+    //      estimates assembled from the completed windows ----
+    "s14_stream_hll" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s14_").toString
+      val target = TargetTable("events_hll", s"$tmp/target",
+        keyCols = Seq("window_start_us", "event_type", "hb"),
+        versionCol = "hr", buckets = 4)
+      val cfg = IngestConfig(name = s"s14-hll-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("ts_t"),
+          col("event_type"), col("user_id"))
+      val sk = graft.ops.Sketches.hllSketchIdsWindowed(
+        src, "ts_t", Seq("event_type"), "user_id", "1 day", "48 hours")
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(sk, Trigger.AvailableNow())
+      q.awaitTermination()
+      graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllFromRegisterRows(
+          new graft.sink.ParquetTarget(s, target).read().get,
+          Seq("window_start_us", "event_type")))
+        .select(col("window_start_us"), col("event_type"),
+          col("n_zero"), col("sum_q"), col("est_distinct"))
+    }),
+
     // ---- Sliding event-time windows: daily totals every 12 h (each
     //      event in window/slide=2 windows), merged like s1 ----
     "s7_stream_sliding" -> ((s, dir) => {
@@ -4160,6 +4189,30 @@ object SparkEntry {
           "event_type, count(*) AS n_events, " +
           "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
           "FROM events GROUP BY 1, 2"),
+      // register maxes are duplicate-insensitive, so the streamed HLL
+      // equals the batch build over the same day buckets
+      "s14_stream_hll" -> {
+        val m = 64
+        val rmax = graft.ops.Sketches.hllW(m) + 1
+        val num = graft.ops.Sketches.hllAlpha(m) *
+          m.toDouble * m.toDouble * math.pow(2.0, rmax)
+        s"WITH tp AS (SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) " +
+          "AS window_start_us, event_type, " +
+          s"(user_id * ${TextHash.permuteA(0)} + ${TextHash.permuteB(0)}) " +
+          s"% ${TextHash.P} AS h FROM events WHERE user_id IS NOT NULL), " +
+          s"br AS (SELECT window_start_us, event_type, h % $m AS b, " +
+          s"CASE WHEN h // $m = 0 THEN $rmax " +
+          s"ELSE $rmax - length(bin(h // $m)) END AS r FROM tp), " +
+          "mr AS (SELECT window_start_us, event_type, b, max(r) AS r " +
+          "FROM br GROUP BY 1, 2, 3), " +
+          "g AS (SELECT window_start_us, event_type, " +
+          s"CAST($m - count(*) AS BIGINT) AS n_zero, " +
+          s"CAST(sum((CAST(1 AS BIGINT) << $rmax) >> r) + " +
+          s"($m - count(*)) * (CAST(1 AS BIGINT) << $rmax) AS BIGINT) " +
+          "AS sum_q FROM mr GROUP BY 1, 2) " +
+          "SELECT window_start_us, event_type, n_zero, sum_q, " +
+          s"$num / sum_q AS est_distinct FROM g"
+      },
       // the streamed windowed sketch equals the batch sketch over the
       // same day buckets — counts are additive across micro-batches
       "s13_stream_quantile" ->

@@ -236,6 +236,41 @@ object Sketches {
       groupCols, m)
   }
 
+  /** Streaming windowed HLL over an integral id column (distinct users
+    * per window without DISTINCT state): per-(window, group, register)
+    * max rank as ONE watermarked streaming aggregate — `max` is
+    * duplicate-insensitive, so micro-batch increments need no distinct
+    * tracking and state per window is ≤ m register rows per group.
+    * Emits (window_start_us, groupCols..., hb, hr); upsert keyed by
+    * (window, group, hb) with `hr` as the version (the max rank only
+    * grows), then [[hllFromRegisterRows]] + [[hllEstimate]] on the
+    * completed windows. */
+  def hllSketchIdsWindowed(
+      src: DataFrame, tsCol: String, groupCols: Seq[String],
+      idColumn: String, windowDur: String, watermarkDelay: String,
+      m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    src.where(col(idColumn).isNotNull)
+      .withColumn("__h", TextHash.permute(0, col(idColumn)))
+      .withColumn("__b", col("__h") % m)
+      .withColumn("__rk", hllRank(expr(s"__h div $m"), m))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("__w") +:
+        (groupCols.map(col) :+ col("__b")): _*)
+      .agg(max(col("__rk")).as("__r"))
+      .select(unix_micros(col("__w.start")).as("window_start_us") +:
+        (groupCols.map(col) :+ col("__b").as("hb") :+ col("__r").as("hr")): _*)
+  }
+
+  /** Assemble a registers array from stored (groupCols..., hb, hr) rows —
+    * the read-back half of the streaming HLL path. */
+  def hllFromRegisterRows(
+      rows: DataFrame, groupCols: Seq[String], m: Int = 64): DataFrame =
+    hllAssemble(
+      rows.select(groupCols.map(col) :+ col("hb").as("__b") :+
+        col("hr").as("__r"): _*),
+      groupCols, m)
+
   /** Runtime width check on a sketch column: `m` is a caller-supplied
     * contract (deriving it with a `head()` would execute the whole build
     * lineage twice), so a mismatched sketch must fail loud at execution,

@@ -197,6 +197,26 @@ class SketchesSpec extends SparkSpec {
     assertSameRows(win, direct)
   }
 
+  test("windowed HLL register rows assemble to the batch registers and " +
+    "survive a duplicate-insensitive split") {
+    val df = (0 until 300).map { i =>
+      (new java.sql.Timestamp((i % 2) * 86400000L), "g", (i % 97).toLong)
+    }.toDF("ts_t", "g", "uid")
+    val win = Sketches.hllSketchIdsWindowed(
+      df, "ts_t", Seq("g"), "uid", "1 day", "48 hours")
+    // duplicate ids (i % 97 repeats) must not change any register:
+    // re-streaming the same data and max-merging is a no-op
+    val doubled = Sketches.hllSketchIdsWindowed(
+      df.unionByName(df), "ts_t", Seq("g"), "uid", "1 day", "48 hours")
+    assertSameRows(win, doubled)
+    val est = Sketches.hllEstimate(
+      Sketches.hllFromRegisterRows(win, Seq("window_start_us", "g")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // 97 distinct ids per day; HLL at m=64 is within ~2x here
+    est.values.foreach(e => assert(e > 40 && e < 250, s"est $e"))
+    assert(est.size == 2)
+  }
+
   test("quantile sketch: sub-1 values go to the underflow bucket and " +
     "still count toward ranks") {
     val df = (Seq.fill(50)(0.25) ++ Seq.fill(50)(123.0)).zipWithIndex
