@@ -959,6 +959,24 @@ object SparkEntry {
           col("asof_purchase_value").as("purchase_value"))
     }),
 
+    // ---- FORWARD as-of: the NEXT purchase at or after each error
+    //      (next-action attribution / time-to-event labels) ----
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error").select(
+        col("event_id"), col("user_id"), expr("ts div 1000").as("err_us"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), expr("ts div 1000").as("purchase_us"),
+        col("value").as("purchase_value"), col("event_id"))
+      graft.ops.AsOf.joinAsOfForward(errors, purchases,
+        Seq("user_id"), "err_us", "purchase_us",
+        Seq("purchase_us", "purchase_value"),
+        rightTieBreakCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("err_us"),
+          col("asof_purchase_us").as("purchase_us"),
+          col("asof_purchase_value").as("purchase_value"))
+    }),
+
     // ---- Time-series gap-fill: dense daily grid + LOCF per user ----
     "q_gapfill" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(
@@ -4105,6 +4123,16 @@ object SparkEntry {
           "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
           "FROM events WHERE event_type = 'purchase') WHERE rn = 1) r " +
           "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+      // forward direction: DuckDB ASOF with the inequality flipped
+      "q_asof_forward" ->
+        ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS err_us, " +
+          "epoch_us(r.ts) AS purchase_us, r.value AS purchase_value " +
+          "FROM (SELECT * FROM events WHERE event_type = 'error') l " +
+          "ASOF LEFT JOIN (SELECT user_id, ts, value FROM " +
+          "(SELECT user_id, ts, event_id, value, row_number() OVER " +
+          "(PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+          "FROM events WHERE event_type = 'purchase') WHERE rn = 1) r " +
+          "ON l.user_id = r.user_id AND l.ts <= r.ts"),
       "q_asof_tolerance" ->
         ("SELECT event_id, user_id, err_us, " +
           "CASE WHEN fresh THEN p_us END AS purchase_us, " +

@@ -34,7 +34,30 @@ object AsOf {
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTsCol: String, rightTsCol: String,
       rightValCols: Seq[String],
-      rightTieBreakCols: Seq[String] = Nil): DataFrame = {
+      rightTieBreakCols: Seq[String] = Nil): DataFrame =
+    joinAsOfDir(left, right, keyCols, leftTsCol, rightTsCol,
+      rightValCols, rightTieBreakCols, forward = false)
+
+  /** FORWARD as-of: each left row picks up the EARLIEST right row with
+    * right-ts >= left-ts — "the next event at or after t" (next-action
+    * attribution, forward fill to the following snapshot, time-to-event
+    * labels). Same single-shuffle union+window plan as [[joinAsOf]],
+    * with the window walked in descending time; ties on (key, ts) still
+    * resolve to the greatest tie-break tuple. */
+  def joinAsOfForward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTsCol: String, rightTsCol: String,
+      rightValCols: Seq[String],
+      rightTieBreakCols: Seq[String] = Nil): DataFrame =
+    joinAsOfDir(left, right, keyCols, leftTsCol, rightTsCol,
+      rightValCols, rightTieBreakCols, forward = true)
+
+  private def joinAsOfDir(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTsCol: String, rightTsCol: String,
+      rightValCols: Seq[String],
+      rightTieBreakCols: Seq[String],
+      forward: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "as-of join requires at least one key column")
     val leftOut = left.columns.toSeq
 
@@ -56,11 +79,14 @@ object AsOf {
           rightValCols.map(c => col(c).as(s"__rv_$c")) ++
           rightTieBreakCols.zip(tbNames).map { case (c, n) => col(c).as(n) }: _*)
 
-    // Order: time, then side (right rows before left at equal time →
-    // inclusive <=), then the right tie-break so equal-(key, ts) right
-    // rows resolve deterministically to the greatest tie tuple.
+    // Order: time (descending when forward — the running last then sees
+    // the NEAREST following right row), then side (right rows before
+    // left at equal time → inclusive <= / >=), then the right tie-break
+    // so equal-(key, ts) right rows resolve deterministically to the
+    // greatest tie tuple.
+    val tOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy((col("__t").asc +: col("__side").asc +:
+      .orderBy((tOrd +: col("__side").asc +:
         tbNames.map(col(_).asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // ONE running-last over a struct of all carried columns: every value

@@ -29,6 +29,32 @@ class AsOfSpec extends SparkSpec {
     assert(got("unknown-key") == ((None, None)))
   }
 
+  test("forward: picks the EARLIEST right row with rt >= lt; " +
+    "inclusive edge; ties by greatest tie tuple") {
+    val left = Seq(
+      (1L, 5L, "before-any"), (1L, 20L, "exact-tie"),
+      (1L, 25L, "between"), (1L, 99L, "after-all"),
+      (3L, 50L, "unknown-key")).toDF("k", "lt", "tag")
+    val got = AsOf.joinAsOfForward(
+      left, right, Seq("k"), "lt", "rt", Seq("rt", "rv"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        ((Option(r.getAs[java.lang.Long]("asof_rt")).map(_.toLong),
+          Option(r.getAs[String]("asof_rv"))))).toMap
+    assert(got("before-any") == ((Some(10L), Some("r10"))))
+    assert(got("exact-tie") == ((Some(20L), Some("r20")))) // inclusive >=
+    assert(got("between") == ((Some(30L), Some("r30"))))
+    assert(got("after-all") == ((None, None))) //     nothing follows
+    assert(got("unknown-key") == ((None, None)))
+    // equal-(key, ts) right rows: greatest tie tuple wins, same as back
+    val dupRight = Seq((1L, 10L, 1L, "low"), (1L, 10L, 9L, "high"))
+      .toDF("k", "rt", "seq", "rv")
+    val one = AsOf.joinAsOfForward(
+      Seq((1L, 5L, "x")).toDF("k", "lt", "tag"), dupRight,
+      Seq("k"), "lt", "rt", Seq("rv"), rightTieBreakCols = Seq("seq"))
+      .collect().head.getAs[String]("asof_rv")
+    assert(one == "high")
+  }
+
   test("NULL value in the matched right row stays NULL (no back-fill stitch)") {
     // r2 is the latest match but carries a NULL value: ASOF semantics
     // return (rt=20, NULL), never rt=20 paired with r1's value.
