@@ -260,6 +260,34 @@ object SparkEntry {
           col("n_zero"), col("sum_q"), col("est_distinct"))
     }),
 
+    // ---- Streaming CMS: per-user daily event frequencies in fixed
+    //      memory — additive cell counts as the streaming aggregate,
+    //      point estimates probed from completed windows ----
+    "s15_stream_cms" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s15_").toString
+      val target = TargetTable("events_cms", s"$tmp/target",
+        keyCols = Seq("window_start_us", "event_type", "cc"),
+        versionCol = "cn", buckets = 4)
+      val cfg = IngestConfig(name = s"s15-cms-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("ts_t"),
+          col("event_type"), col("user_id"))
+      val sk = graft.ops.Sketches.cmsSketchIdsWindowed(
+        src, "ts_t", Seq("event_type"), "user_id", "1 day", "48 hours")
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(sk, Trigger.AvailableNow())
+      q.awaitTermination()
+      graft.ops.Sketches.cmsEstimateIds(
+        graft.ops.Sketches.cmsFromCellRows(
+          new graft.sink.ParquetTarget(s, target).read().get,
+          Seq("window_start_us", "event_type")),
+        Seq("window_start_us", "event_type"), (1L to 8L))
+    }),
+
     // ---- Sliding event-time windows: daily totals every 12 h (each
     //      event in window/slide=2 windows), merged like s1 ----
     "s7_stream_sliding" -> ((s, dir) => {
@@ -4217,6 +4245,32 @@ object SparkEntry {
           "event_type, count(*) AS n_events, " +
           "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
           "FROM events GROUP BY 1, 2"),
+      // cell counts are additive, so the streamed CMS equals the batch
+      // build over the same day buckets
+      "s15_stream_cms" -> {
+        val width = 1024
+        val cellsOf = { (h: String) =>
+          (0 until 3).map(j =>
+            s"${j.toLong * width} + ((($h) * ${TextHash.permuteA(j)} + " +
+              s"${TextHash.permuteB(j)}) % ${TextHash.P}) % $width")
+            .mkString("[", ", ", "]")
+        }
+        "WITH t AS (SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) " +
+          "AS w, event_type, CAST(user_id AS BIGINT) AS h0 FROM events " +
+          "WHERE user_id IS NOT NULL), " +
+          "c AS (SELECT w, event_type, cell, count(*) AS n FROM " +
+          s"(SELECT w, event_type, unnest(${cellsOf("h0")}) AS cell FROM t) " +
+          "GROUP BY 1, 2, 3), " +
+          "pp AS (SELECT CAST(unnest([1,2,3,4,5,6,7,8]) AS BIGINT) AS probe_id), " +
+          s"pc AS (SELECT probe_id, unnest(${cellsOf("probe_id")}) AS cell FROM pp), " +
+          "wins AS (SELECT DISTINCT w, event_type FROM t) " +
+          "SELECT wi.w AS window_start_us, wi.event_type, p.probe_id, " +
+          "CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est_count " +
+          "FROM wins wi CROSS JOIN pc p " +
+          "LEFT JOIN c ON c.w = wi.w AND c.event_type = wi.event_type " +
+          "AND c.cell = p.cell " +
+          "GROUP BY 1, 2, 3"
+      },
       // register maxes are duplicate-insensitive, so the streamed HLL
       // equals the batch build over the same day buckets
       "s14_stream_hll" -> {

@@ -465,6 +465,62 @@ object Sketches {
     * (groupCols..., word, est_count) with `est_count` the min over the
     * depth cells — the count-min estimator, never below the true count.
     * Row-local bit of arithmetic on the (tiny) sketch table only. */
+  /** Streaming windowed CMS over an integral id column (per-key event
+    * frequencies per window in fixed memory): per-(window, group, cell)
+    * counts as ONE watermarked streaming aggregate — counts are
+    * additive and update-mode emissions are cumulative, so an upsert
+    * versioned by the count keeps the latest total per cell. Emits
+    * (window_start_us, groupCols..., cc, cn); reassemble completed
+    * windows with [[cmsFromCellRows]] and probe with
+    * [[cmsEstimateIds]]. */
+  def cmsSketchIdsWindowed(
+      src: DataFrame, tsCol: String, groupCols: Seq[String],
+      idColumn: String, windowDur: String, watermarkDelay: String,
+      width: Int = 1024, depth: Int = 3): DataFrame = {
+    require(width >= 16, s"width must be >= 16, got $width")
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val cells = array((0 until depth).map(j =>
+      lit(j.toLong * width) + TextHash.permute(j, col("__h0")) % width): _*)
+    src.where(col(idColumn).isNotNull)
+      .withColumn("__h0", col(idColumn).cast("long"))
+      .withColumn("__c", explode(cells))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("__w") +:
+        (groupCols.map(col) :+ col("__c")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(unix_micros(col("__w.start")).as("window_start_us") +:
+        (groupCols.map(col) :+ col("__c").as("cc") :+ col("__n").as("cn")): _*)
+  }
+
+  /** Assemble a counts array from stored (groupCols..., cc, cn) rows —
+    * the read-back half of the streaming CMS path. */
+  def cmsFromCellRows(
+      rows: DataFrame, groupCols: Seq[String],
+      width: Int = 1024, depth: Int = 3): DataFrame =
+    cellsAssemble(
+      rows.select(groupCols.map(col) :+ col("cc").as("__c") :+
+        col("cn").as("__n"): _*),
+      groupCols, depth * width)
+
+  /** Point-frequency estimates for integral probe ids: min over the
+    * depth cells, the standard CMS upper-bound estimate. */
+  def cmsEstimateIds(
+      sketches: DataFrame, groupCols: Seq[String], probeIds: Seq[Long],
+      width: Int = 1024, depth: Int = 3): DataFrame = {
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val cells = array((0 until depth).map(j =>
+      lit(j.toLong * width) + TextHash.permute(j, col("__h0")) % width): _*)
+    val pp = sketches.sparkSession
+      .createDataFrame(probeIds.map(Tuple1(_))).toDF("probe_id")
+      .withColumn("__h0", col("probe_id"))
+      .select(col("probe_id"), cells.as("__cs"))
+    sketches.crossJoin(broadcast(pp))
+      .select(groupCols.map(col) :+ col("probe_id") :+
+        array_min(transform(col("__cs"),
+          c => element_at(col("counts"), (c + 1L).cast("int"))))
+          .as("est_count"): _*)
+  }
+
   def cmsEstimate(
       sketches: DataFrame, groupCols: Seq[String], probes: DataFrame,
       wordCol: String, width: Int = 1024, depth: Int = 3): DataFrame = {

@@ -217,6 +217,37 @@ class SketchesSpec extends SparkSpec {
     assert(est.size == 2)
   }
 
+  test("windowed CMS cell rows assemble to exact probe counts when " +
+    "collision-free; doubling the stream doubles every count") {
+    val df = (0 until 240).map { i =>
+      (new java.sql.Timestamp((i % 2) * 86400000L), "g", (i % 6 + 1).toLong)
+    }.toDF("ts_t", "g", "uid") // uids 1..6, 20 events each per day
+    val win = Sketches.cmsSketchIdsWindowed(
+      df, "ts_t", Seq("g"), "uid", "1 day", "48 hours")
+    val est = Sketches.cmsEstimateIds(
+      Sketches.cmsFromCellRows(win, Seq("window_start_us", "g")),
+      Seq("window_start_us", "g"), (1L to 8L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    // CMS estimates are upper bounds, exact absent collisions: 6 ids in
+    // 3×1024 cells collide with nothing here. Even i lands on day 0
+    // with odd uid (i%6+1 ∈ {1,3,5}), odd i on day 1 with even uid —
+    // each present (day, uid) sees exactly 40 events.
+    val day = 86400000000L
+    est.foreach { case ((w, u), c) =>
+      val present = u <= 6 && (u % 2 == 1) == (w == 0L)
+      assert(c == (if (present) 40L else 0L), s"($w, $u) -> $c")
+    }
+    assert(est.keySet.map(_._1) == Set(0L, day))
+    val doubled = Sketches.cmsEstimateIds(
+      Sketches.cmsFromCellRows(
+        Sketches.cmsSketchIdsWindowed(
+          df.unionByName(df), "ts_t", Seq("g"), "uid", "1 day", "48 hours"),
+        Seq("window_start_us", "g")),
+      Seq("window_start_us", "g"), (1L to 6L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    doubled.foreach { case (k, v) => assert(v == 2 * est(k)) }
+  }
+
   test("quantile sketch: sub-1 values go to the underflow bucket and " +
     "still count toward ranks") {
     val df = (Seq.fill(50)(0.25) ++ Seq.fill(50)(123.0)).zipWithIndex
