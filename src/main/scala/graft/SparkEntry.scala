@@ -765,6 +765,34 @@ object SparkEntry {
           expr("(ts div 86400000000000) % 7").as("dow")),
         "event_type", "dow")),
 
+    // ---- Profiling: mutual information (event_type × day-of-week) —
+    //      dependence STRENGTH companion to q_chi2's significance test;
+    //      observed-cells-only strict sorted fold, pinned at 8 ----
+    "q_mutual_info" -> ((s, dir) =>
+      graft.ops.Profile.mutualInformation(
+        t(s, dir, "events").select(col("event_type"),
+          expr("(ts div 86400000000000) % 7").as("dow")),
+        "event_type", "dow")),
+
+    // ---- Ranking quality: binned ROC AUC (tie-corrected Mann-Whitney
+    //      U) — does `value` rank purchase events above the rest? All
+    //      integer until ONE final division ----
+    "q_auc" -> ((s, dir) =>
+      graft.ops.Profile.aucBinned(
+        t(s, dir, "events"),
+        col("event_type") === "purchase",
+        floor(col("value") * 16.0))),
+
+    // ---- Distribution shift: binned two-sample KS statistic (click vs
+    //      view value distributions) — exact integer numerator, ONE
+    //      division, earliest-bin tie-break ----
+    "q_ks_test" -> ((s, dir) =>
+      graft.ops.Profile.ksTestBinned(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        floor(col("value") * 16.0))),
+
     // ---- Profiling: one-way ANOVA F (does event_type shift the mean
     //      value?) — exact quantized moments, strict sorted folds ----
     "q_anova" -> ((s, dir) =>
@@ -3564,6 +3592,67 @@ object SparkEntry {
           s"list_transform(l.cs, x -> $d * $d / $e)), " +
           "(p, x) -> p + x) AS chi2 FROM lst l CROSS JOIN nn"
       },
+      "q_mutual_info" -> {
+        // p and the log argument repeated inline (DuckDB lambdas have no
+        // let-binding); identical float shape to the engine's fold.
+        val p = "(CAST(x.o AS DOUBLE) / CAST(n AS DOUBLE))"
+        val lg = "ln(CAST(n * x.o AS DOUBLE) / CAST(x.rt * x.ct AS DOUBLE))"
+        "WITH base AS (SELECT event_type AS a, " +
+          "(epoch_us(ts) // 86400000000) % 7 AS b FROM events), " +
+          "cc AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b), " +
+          "ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cc GROUP BY a), " +
+          "cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cc GROUP BY b), " +
+          "ann AS (SELECT cc.a, cc.b, ra.rt, cb.ct, cc.o " +
+          "FROM cc JOIN ra USING (a) JOIN cb USING (b)), " +
+          "lst AS (SELECT list(struct_pack(rt := rt, ct := ct, o := o) " +
+          "ORDER BY a, b) AS cs, " +
+          "CAST(count(DISTINCT a) AS BIGINT) AS r, " +
+          "CAST(count(DISTINCT b) AS BIGINT) AS c2, " +
+          "CAST(sum(o) AS BIGINT) AS n FROM ann) " +
+          "SELECT n AS n_rows, r, c2 AS c, " +
+          "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(cs, x -> $p * $lg)), " +
+          "(p, x) -> p + x), 8) AS mi FROM lst"
+      },
+      "q_auc" ->
+        ("WITH b AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 " +
+          "ELSE 0 END AS y, CAST(floor(value * 16.0) AS BIGINT) AS q " +
+          "FROM events WHERE value IS NOT NULL), " +
+          "g AS (SELECT q, CAST(sum(y) AS BIGINT) AS p, " +
+          "CAST(count(*) - sum(y) AS BIGINT) AS gg FROM b GROUP BY q), " +
+          "c AS (SELECT q, p, gg, CAST(coalesce(sum(gg) OVER (ORDER BY q " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+          "AS BIGINT) AS gb FROM g), " +
+          "o AS (SELECT CAST(coalesce(sum(p), 0) AS BIGINT) AS n_pos, " +
+          "CAST(coalesce(sum(gg), 0) AS BIGINT) AS n_neg, " +
+          "CAST(coalesce(sum(p * (2 * gb + gg)), 0) AS BIGINT) AS u2 " +
+          "FROM c) " +
+          "SELECT n_pos, n_neg, u2, CASE WHEN n_pos = 0 OR n_neg = 0 " +
+          "THEN NULL ELSE CAST(u2 AS DOUBLE) / " +
+          "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END " +
+          "AS auc FROM o"),
+      "q_ks_test" ->
+        ("WITH b AS (SELECT CASE WHEN event_type = 'click' THEN 1 " +
+          "ELSE 0 END AS a, CAST(floor(value * 16.0) AS BIGINT) AS q " +
+          "FROM events WHERE event_type IN ('click', 'view') " +
+          "AND value IS NOT NULL), " +
+          "g AS (SELECT q, CAST(sum(a) AS BIGINT) AS ca, " +
+          "CAST(count(*) - sum(a) AS BIGINT) AS cb FROM b GROUP BY q), " +
+          "c AS (SELECT q, CAST(sum(ca) OVER (ORDER BY q " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+          "AS BIGINT) AS fa, CAST(sum(cb) OVER (ORDER BY q " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+          "AS BIGINT) AS fb FROM g), " +
+          "t AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a, " +
+          "CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b FROM g), " +
+          "s AS (SELECT q, abs(fa * t.n_b - fb * t.n_a) AS d, " +
+          "t.n_a, t.n_b FROM c CROSS JOIN t) " +
+          "SELECT n_a, n_b, d AS ks_num, q AS at_bin, " +
+          "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE " +
+          "CAST(d AS DOUBLE) / (CAST(n_a AS DOUBLE) * " +
+          "CAST(n_b AS DOUBLE)) END AS ks FROM (" +
+          "SELECT *, row_number() OVER (ORDER BY d DESC, q ASC) AS rn " +
+          "FROM s) WHERE rn = 1"),
       "q_winsorize" ->
         ("WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS clip_lo, " +
           "quantile_cont(value, 0.95) AS clip_hi FROM events GROUP BY event_type) " +

@@ -343,4 +343,136 @@ object Profile {
           .as("bin_hi"),
         col("n"))
   }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * dependence STRENGTH companion to [[chiSquare]]'s significance test
+    * (feature selection, leakage audits: a near-deterministic mapping
+    * between a feature and the label shows up as MI ≈ H(label)). Emits
+    * one row: (n_rows, r, c, mi).
+    *
+    * Only OBSERVED cells contribute — an empty cell's term is
+    * `0·ln(0·…) = 0` by the usual convention, so unlike chi-square no
+    * marginal grid is needed. Cell/marginal counts are exact integers;
+    * each term `(o/n)·ln(n·o/(rt·ct))` is a fixed-shape float expression
+    * over them, summed by a STRICT LEFT FOLD over the (a,b)-sorted cell
+    * list and pinned at `round(·, 8)` for libm `ln` (the [[entropy]]
+    * discipline).
+    *
+    * Scale: one (a,b)-keyed aggregate over the scan (map-side
+    * combinable), two O(cells) marginal aggregates joined back onto the
+    * cells (broadcast — categorical cardinalities are small), one
+    * bounded fold. */
+  def mutualInformation(df: DataFrame, colA: String, colB: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum(col("o")).as("rt"))
+    val cb = cells.groupBy("b").agg(sum(col("o")).as("ct"))
+    val annotated = cells
+      .join(broadcast(ra), "a").join(broadcast(cb), "b")
+    val packed = annotated
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("rt"),
+        col("ct"), col("o")))).as("cs"),
+        countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"),
+        sum(col("o")).as("n"))
+    val term = (x: Column) => {
+      val p = x.getField("o").cast("double") / col("n").cast("double")
+      p * log((col("n") * x.getField("o")).cast("double") /
+        (x.getField("rt") * x.getField("ct")).cast("double"))
+    }
+    packed.select(col("n").as("n_rows"), col("r"), col("c"),
+      round(aggregate(col("cs"), lit(0.0), (acc, x) => acc + term(x)), 8)
+        .as("mi"))
+  }
+
+  /** Binned two-class ROC AUC via the tie-corrected Mann-Whitney U —
+    * the ranking-quality number every scored filter (quality classifier,
+    * toxicity model, dedup verifier) is judged by. `labelPred` marks the
+    * positive class; `scoreBin` is an INTEGER bin of the score (callers
+    * quantize, e.g. `floor(score·16)` — AUC over the bins equals AUC
+    * over the raw scores whenever the binning is order-preserving at
+    * the achieved resolution; ties inside a bin get the standard ½
+    * credit). Emits one row: (n_pos, n_neg, u2, auc).
+    *
+    * Exactness: per-bin positive/negative counts are exact; with
+    * `G_<` = negatives in strictly-lower bins,
+    * `2U = Σ_bins p·(2·G_< + g)` stays in BIGINT (2U ≤ 2·n_pos·n_neg),
+    * and `auc = 2U / (2·n_pos·n_neg)` is ONE division of exact integers
+    * — bit-identical across engines, no float accumulation anywhere.
+    *
+    * Scale: the corpus-sized work is one map-side-combinable aggregate
+    * keyed by bin; the cumulative pass is a single-partition window over
+    * O(bins) rows — bins are bounded by the quantization grid (the data
+    * RANGE, not the data size), the deliberate contract of binned AUC.
+    * Empty-class inputs yield auc = NULL. */
+  def aucBinned(df: DataFrame, labelPred: Column, scoreBin: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(when(labelPred, 1L).otherwise(0L).as("__y"),
+      scoreBin.cast("long").as("__q"))
+      .where(col("__q").isNotNull)
+    val g = b.groupBy("__q").agg(sum(col("__y")).as("__p"),
+      (count(lit(1)) - sum(col("__y"))).as("__g"))
+    val below = Window.orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val one = g
+      .withColumn("__gb", coalesce(sum(col("__g")).over(below), lit(0L)))
+      .agg(coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__g")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("__p") * (lit(2L) * col("__gb") + col("__g"))),
+          lit(0L)).as("u2"))
+    one.select(col("n_pos"), col("n_neg"), col("u2"),
+      when(col("n_pos") === 0L || col("n_neg") === 0L,
+        lit(null).cast("double"))
+        .otherwise(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
+  /** Binned two-sample Kolmogorov-Smirnov statistic — "did this
+    * distribution shift?" with a metric, where [[psi]] gives a monitor
+    * score: D = max over bins of |F_a − F_b| between the two empirical
+    * CDFs. `inA` tags sample membership; `scoreBin` is an integer bin
+    * (the [[aucBinned]] quantization contract — D over bins lower-bounds
+    * raw D and equals it at the achieved resolution). Emits one row:
+    * (n_a, n_b, ks_num, at_bin, ks).
+    *
+    * Exactness: with cumulative counts c_a, c_b, the numerator
+    * `|c_a·n_b − c_b·n_a|` is exact BIGINT; D = ks_num/(n_a·n_b) is ONE
+    * division. `at_bin` is the SMALLEST bin achieving the max (earliest
+    * tie-break — deterministic). Both samples ride one scan.
+    *
+    * Scale: one bin-keyed map-side-combinable aggregate over the union
+    * scan; the CDF pass is a single-partition window over O(bins) rows
+    * (bounded by the grid, not the data — the binned contract). */
+  def ksTestBinned(df: DataFrame, inA: Column, scoreBin: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(when(inA, 1L).otherwise(0L).as("__a"),
+      scoreBin.cast("long").as("__q"))
+      .where(col("__q").isNotNull)
+    val g = b.groupBy("__q").agg(sum(col("__a")).as("__ca"),
+      (count(lit(1)) - sum(col("__a"))).as("__cb"))
+    val upTo = Window.orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g
+      .withColumn("__fa", sum(col("__ca")).over(upTo))
+      .withColumn("__fb", sum(col("__cb")).over(upTo))
+    val tot = g.agg(coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .withColumn("__d",
+        abs(col("__fa") * col("n_b") - col("__fb") * col("n_a")))
+    scored
+      .agg(max(struct(col("__d"), (-col("__q")).as("__nq"),
+        col("n_a"), col("n_b"))).as("__top"))
+      .select(col("__top.n_a").as("n_a"), col("__top.n_b").as("n_b"),
+        col("__top.__d").as("ks_num"),
+        (-col("__top.__nq")).as("at_bin"),
+        when(col("__top.n_a") === 0L || col("__top.n_b") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("__top.__d").cast("double") /
+            (col("__top.n_a").cast("double") *
+              col("__top.n_b").cast("double"))).as("ks"))
+  }
 }

@@ -199,4 +199,88 @@ class ProfileSpec extends SparkSpec {
       Profile.lDiversityViolations(df, Seq("nation"), "dx", l = 1)
     }
   }
+
+  test("mutualInformation: zero on independence, H(a) when b determines a") {
+    val ind = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L),
+      ("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L)).toDF("a", "b")
+    val r0 = Profile.mutualInformation(ind, "a", "b").head()
+    assert(r0.getAs[Double]("mi") == 0.0)
+    assert(r0.getAs[Long]("n_rows") == 8L && r0.getAs[Long]("r") == 2L)
+    // b a bijection of a → MI = H(a) = ln 2 for a uniform 2-class a
+    val det = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L)).toDF("a", "b")
+    val r1 = Profile.mutualInformation(det, "a", "b").head()
+    assert(math.abs(r1.getAs[Double]("mi") - math.log(2.0)) < 1e-8)
+  }
+
+  test("mutualInformation is partitioning-invariant (strict fold)") {
+    val rng = new scala.util.Random(47)
+    val rows = Seq.fill(4000)((s"t${rng.nextInt(5)}", rng.nextInt(6).toLong))
+    val run = (p: Int) =>
+      Profile.mutualInformation(rows.toDF("a", "b").repartition(p), "a", "b")
+        .head().getAs[Double]("mi")
+    assert(run(1) == run(13))
+  }
+
+  test("aucBinned: perfect separation = 1, reversed = 0, ties get half " +
+    "credit, degenerate class = NULL") {
+    import org.apache.spark.sql.functions.col
+    // pos scores {3,4}, neg {1,2} → AUC 1
+    val perfect = Seq((true, 3L), (true, 4L), (false, 1L), (false, 2L))
+      .toDF("y", "q")
+    val r = Profile.aucBinned(perfect, col("y"), col("q")).head()
+    assert(r.getAs[Double]("auc") == 1.0 && r.getAs[Long]("u2") == 8L)
+    val rev = Profile.aucBinned(perfect, !col("y"), col("q")).head()
+    assert(rev.getAs[Double]("auc") == 0.0)
+    // all tied on one bin → AUC exactly 0.5 via the ½ tie credit
+    val tied = Seq((true, 7L), (true, 7L), (false, 7L)).toDF("y", "q")
+    assert(Profile.aucBinned(tied, col("y"), col("q")).head()
+      .getAs[Double]("auc") == 0.5)
+    // no negatives → NULL, counts still reported
+    val onePos = Seq((true, 1L), (true, 2L)).toDF("y", "q")
+    val d = Profile.aucBinned(onePos, col("y"), col("q")).head()
+    assert(d.isNullAt(d.fieldIndex("auc")) && d.getAs[Long]("n_pos") == 2L)
+  }
+
+  test("aucBinned matches the brute-force pair count on random data") {
+    val rng = new scala.util.Random(53)
+    val rows = Seq.fill(400)((rng.nextBoolean(), rng.nextInt(40).toLong))
+    val pos = rows.filter(_._1).map(_._2)
+    val neg = rows.filterNot(_._1).map(_._2)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = wins.toDouble / (2.0 * pos.size * neg.size)
+    import org.apache.spark.sql.functions.col
+    val got = Profile.aucBinned(rows.toDF("y", "q").repartition(7),
+      col("y"), col("q")).head()
+    assert(got.getAs[Long]("u2") == wins)
+    assert(got.getAs[Double]("auc") == expected)
+  }
+
+  test("ksTestBinned matches the brute-force CDF sweep, earliest-tie " +
+    "argmax, identical samples give 0") {
+    val rng = new scala.util.Random(59)
+    val rows = Seq.fill(500)((rng.nextBoolean(),
+      (rng.nextInt(30) + (if (rng.nextBoolean()) 5 else 0)).toLong))
+    val a = rows.filter(_._1).map(_._2)
+    val b = rows.filterNot(_._1).map(_._2)
+    val bins = rows.map(_._2).distinct.sorted
+    val sweep = bins.map { q =>
+      val d = math.abs(a.count(_ <= q).toLong * b.size -
+        b.count(_ <= q).toLong * a.size)
+      (d, q)
+    }
+    val dMax = sweep.map(_._1).max
+    val atBin = sweep.filter(_._1 == dMax).map(_._2).min
+    import org.apache.spark.sql.functions.col
+    val got = Profile.ksTestBinned(rows.toDF("a", "q").repartition(5),
+      col("a"), col("q")).head()
+    assert(got.getAs[Long]("ks_num") == dMax)
+    assert(got.getAs[Long]("at_bin") == atBin)
+    assert(got.getAs[Double]("ks") ==
+      dMax.toDouble / (a.size.toDouble * b.size.toDouble))
+    // a sample vs itself: D = 0
+    val same = (a.map((true, _)) ++ a.map((false, _))).toDF("a", "q")
+    assert(Profile.ksTestBinned(same, col("a"), col("q")).head()
+      .getAs[Long]("ks_num") == 0L)
+  }
 }
