@@ -1535,6 +1535,17 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "a", "b", iters = 3)
     }),
 
+    // ---- Graph: HITS hubs/authorities on the BIPARTITE supply graph
+    //      (supplier→part, where PageRank's single score conflates the
+    //      two roles) — fixed-point L1-normalized half-rounds, 3 iters;
+    //      part-subsampled like the market-basket gates ----
+    "graph_hits" -> ((s, dir) => {
+      val supply = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      graft.ops.Graph.hits(supply, "s", "p", iters = 3)
+    }),
+
     // ---- Graph: per-node triangle counts on the market-basket graph
     //      (parts co-purchased in one order; part-subsampled so the
     //      graph stays sparse — the co-SUPPLY graph is complete at
@@ -3868,6 +3879,14 @@ object SparkEntry {
           "e AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le), " +
           graft.functions.OracleSql.pageRankCtes(iters = 3) +
           " SELECT node, rank_q FROM it3"),
+      "graph_hits" ->
+        ("WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, " +
+          "CAST(l_partkey AS BIGINT) AS dst FROM lineitem " +
+          "WHERE l_partkey % 4 = 0), " +
+          graft.functions.OracleSql.hitsCtes(iters = 3) +
+          " SELECT node, 'hub' AS kind, h AS score_q FROM h3 " +
+          "UNION ALL " +
+          "SELECT node, 'authority' AS kind, a AS score_q FROM a3"),
       // Id-ordered 3-way self-join: same triangle SET as the engine's
       // degree-ordered enumeration (orientation reorders the search, not
       // the membership), tractable at oracle scale.

@@ -201,6 +201,31 @@ object OracleSql {
     (init +: steps).mkString(", ")
   }
 
+  /** HITS CTE chain mirroring `Graph.hits` half-round-for-half-round
+    * over a prior CTE `e`(src, dst) — DISTINCT directed edges. Emits
+    * `h0 .. h$iters` (hub scores) and `a1 .. a$iters` (authority
+    * scores); the final state is `h$iters` + `a$iters`, each
+    * (node, h|a) in exact fixed-point `q` units with L1 normalization
+    * via BIGINT floor division — DuckDB's `//` replays Spark's `div`
+    * exactly on the non-negative scores. */
+  def hitsCtes(iters: Int, q: Long = 1000000L): String = {
+    val init = "h0 AS (SELECT DISTINCT src AS node, " +
+      s"CAST($q AS BIGINT) AS h FROM e)"
+    val steps = (1 to iters).map { i =>
+      s"ra$i AS (SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS r " +
+        s"FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY e.dst), " +
+        s"ta$i AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM ra$i), " +
+        s"a$i AS (SELECT node, (r * $q) // t AS a " +
+        s"FROM ra$i CROSS JOIN ta$i), " +
+        s"rh$i AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS r " +
+        s"FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src), " +
+        s"th$i AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM rh$i), " +
+        s"h$i AS (SELECT node, (r * $q) // t AS h " +
+        s"FROM rh$i CROSS JOIN th$i)"
+    }
+    (init +: steps).mkString(", ")
+  }
+
   /** k-core peeling CTE chain mirroring `Graph.kCore` round-for-round,
     * over a prior CTE `e`(src, dst) that must be symmetrized, deduped,
     * and self-loop-free. Emits `s0 .. s$rounds` (survivor sets with

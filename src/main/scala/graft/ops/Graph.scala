@@ -337,4 +337,75 @@ object Graph {
       dist
     } finally { e.unpersist(); () }
   }
+
+  /** HITS hubs and authorities over a directed edge list — the
+    * query-independent form of Kleinberg's algorithm, and the natural
+    * ranking for BIPARTITE graphs where [[pageRank]]'s single score
+    * conflates the two roles: a supplier catalog (supplier→part: good
+    * hubs stock good parts), crawl seeds (hub pages→content pages), or
+    * user→item engagement. Emits one row per node role:
+    * (node, kind ∈ {hub, authority}, score_q).
+    *
+    * Same FIXED-POINT INTEGER discipline as [[pageRank]]: scores live in
+    * `q` units as BIGINT; each half-round is an exact integer sum over
+    * in-/out-edges followed by L1 normalization via ONE floor division
+    * `score·q div total` (L1 instead of the classical L2 — the ranking
+    * and the fixpoint direction are the same, and it needs no sqrt, so a
+    * DuckDB CTE chain replays every unit exactly). Deterministic across
+    * runs, partitionings, and engines.
+    *
+    * Overflow/underflow bounds (documented, not checked — they need a
+    * count): round-1 totals reach n_src·q before the first
+    * normalization, so `n_src·q·q` must fit BIGINT (n_src < 9e18/q² —
+    * at q=1e6, 9e6 source nodes; shrink q for larger graphs), and
+    * normalization floors scores to 0 only when a node's share is below
+    * 1/q, so node counts must stay < q for the totals to survive.
+    *
+    * Per half-round: one join of the (cached) edge list onto the current
+    * scores + one vertex-keyed sum + a 1-row total cross-joined back
+    * (broadcast, no driver round-trip) — O(edges) shuffle volume keyed
+    * by vertex, map-side combinable, per-round localCheckpoint lineage
+    * truncation. Every source has out-degree ≥ 1 and every target
+    * in-degree ≥ 1 by construction (node sets come from the edges), so
+    * no dangling-mass handling is needed. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, q: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(q > 0, s"q must be positive, got $q")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    try {
+      var hubs = e.select(col("src").as("node")).distinct()
+        .withColumn("h", lit(q)).localCheckpoint()
+      var auths: DataFrame = null
+      for (_ <- 0 until iters) {
+        val ra = e
+          .join(hubs.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("__r"))
+        val nextA = ra
+          .crossJoin(broadcast(ra.agg(sum(col("__r")).as("__t"))))
+          .select(col("node"), expr(s"__r * $q div __t").as("a"))
+          .localCheckpoint()
+        if (auths != null)
+          org.apache.spark.sql.GraftSql.freeLocalCheckpoint(auths)
+        auths = nextA
+        val rh = e
+          .join(auths.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("__r"))
+        val nextH = rh
+          .crossJoin(broadcast(rh.agg(sum(col("__r")).as("__t"))))
+          .select(col("node"), expr(s"__r * $q div __t").as("h"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(hubs)
+        hubs = nextH
+      }
+      hubs.select(col("node"), lit("hub").as("kind"),
+          col("h").as("score_q"))
+        .unionByName(auths.select(col("node"),
+          lit("authority").as("kind"), col("a").as("score_q")))
+    } finally { e.unpersist(); () }
+  }
 }

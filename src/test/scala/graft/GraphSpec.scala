@@ -200,4 +200,56 @@ class GraphSpec extends SparkSpec {
       .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
     assert(tc(edges) == brute)
   }
+
+  /** Driver-side replay of hits()'s exact fixed-point arithmetic. */
+  private def hitsModel(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val e = edges.distinct
+    var h = e.map(_._1).distinct.map(_ -> Q).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 0 until iters) {
+      val ra = e.groupBy(_._2).view.mapValues(_.map(p => h(p._1)).sum).toMap
+      val ta = ra.values.sum
+      a = ra.view.mapValues(r => r * Q / ta).toMap
+      val rh = e.groupBy(_._1).view.mapValues(_.map(p => a(p._2)).sum).toMap
+      val th = rh.values.sum
+      h = rh.view.mapValues(r => r * Q / th).toMap
+    }
+    (h, a)
+  }
+
+  private def hitsRun(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val rows = Graph.hits(edges.toDF("s", "d"), "s", "d", iters, Q)
+      .collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("node"),
+        r.getAs[Long]("score_q")))
+    (rows.collect { case ("hub", n, s) => n -> s }.toMap,
+      rows.collect { case ("authority", n, s) => n -> s }.toMap)
+  }
+
+  test("hits: popular authority outranks niche; its stocker is the top hub") {
+    // suppliers 1,2,3 → parts 10,11: part 10 stocked by all three,
+    // part 11 only by supplier 1; supplier 1 stocks both.
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+    val (h, a) = hitsRun(e, iters = 3)
+    assert(a(10L) > a(11L))
+    assert(h(1L) > h(2L) && h(2L) == h(3L))
+    assert(hitsModel(e, 3) == ((h, a)))
+  }
+
+  test("hits matches the exact fixed-point replay on a random bipartite " +
+    "graph, across partitionings") {
+    val rng = new scala.util.Random(61)
+    val edges = Seq.fill(600)(
+      (rng.nextInt(25).toLong, 100L + rng.nextInt(60).toLong))
+    val expected = hitsModel(edges, 3)
+    assert(hitsRun(edges, 3) == expected)
+    val repart = Graph.hits(edges.toDF("s", "d").repartition(11),
+      "s", "d", 3, Q).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val got = (repart.collect { case ("hub", n, s) => n -> s }.toMap,
+      repart.collect { case ("authority", n, s) => n -> s }.toMap)
+    assert(got == expected)
+  }
 }
