@@ -906,6 +906,20 @@ object SparkEntry {
       graft.ops.TimeSeries.cusumChangePoint(hourly, "event_type", "hr", "hx")
     }),
 
+    // ---- Time series: Holt linear-trend smoothing over the hourly
+    //      series (level + trend state, 3-step forecast) — ONE strict
+    //      fold per key; dyadic α=0.5, β=0.25 keep the mirror bit-safe ----
+    "ts_holt" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.holt(hourly, "event_type", "hr", "hx",
+        alpha = 0.5, beta = 0.25, horizon = 3)
+    }),
+
     // ---- Time series: lag-k autocorrelation (exact n²-scaled integer
     //      moments, one final division per lag) ----
     "ts_acf" -> ((s, dir) => {
@@ -3690,6 +3704,38 @@ object SparkEntry {
           "AS mean_shift_score FROM (" +
           "SELECT *, row_number() OVER (PARTITION BY event_type " +
           "ORDER BY abs(cusum) DESC, hr ASC) AS rn FROM c) WHERE rn = 1"),
+      "ts_holt" ->
+        // Replayed as a RECURSIVE CTE, one lockstep step per series
+        // position, NOT list_reduce: DuckDB's list_reduce mis-evaluates
+        // a multi-field struct accumulator whose later fields
+        // re-reference earlier accumulator fields once the fold is ≥ 2
+        // steps deep (observed empirically: step-1 result and
+        // single-field folds are fine; the packed-BIGINT jaro fold never
+        // hit it because its fields only reference themselves). The
+        // repeated new-level subexpression inside the trend term is
+        // duplicated identically to the engine's fold.
+        ("WITH RECURSIVE sr AS (" +
+          "SELECT event_type, CAST(hx AS DOUBLE) AS x, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i " +
+          "FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2)), " +
+          "rec AS (" +
+          "SELECT event_type, i, x AS l, CAST(0.0 AS DOUBLE) AS tr " +
+          "FROM sr WHERE i = 1 " +
+          "UNION ALL " +
+          "SELECT s.event_type, s.i, " +
+          "0.5 * s.x + 0.5 * (r.l + r.tr) AS l, " +
+          "0.25 * ((0.5 * s.x + 0.5 * (r.l + r.tr)) - r.l) + " +
+          "0.75 * r.tr AS tr " +
+          "FROM rec r JOIN sr s ON s.event_type = r.event_type " +
+          "AND s.i = r.i + 1), " +
+          "fin AS (SELECT event_type, i, l, tr, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY i DESC) " +
+          "AS rn FROM rec) " +
+          "SELECT f.event_type, CAST(f.i AS BIGINT) AS n_points, " +
+          "f.l AS level, f.tr AS trend, f.l + 3.0 * f.tr AS forecast " +
+          "FROM fin f WHERE rn = 1"),
       "ts_acf" ->
         ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
           "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +

@@ -303,4 +303,61 @@ object TimeSeries {
           .otherwise(col("__num").cast("double") / col("__den").cast("double"))
           .as("acf"))
   }
+
+  /** Holt's linear-trend smoothing (double exponential smoothing) — the
+    * step up from [[ewma]] when the series has a drift: a level AND a
+    * trend state evolve together, and `level + h·trend` is the h-step
+    * forecast (capacity planning, rate forecasting, data-volume
+    * projection per source). Emits one row per key:
+    * (keyCol, n_points, level, trend, forecast), with `forecast` the
+    * `horizon`-step-ahead projection from the series end.
+    *
+    * Recurrence (standard init: l₁ = x₁, b₁ = 0):
+    *   lₜ = α·xₜ + (1−α)·(lₜ₋₁ + bₜ₋₁)
+    *   bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+    *
+    * Determinism: ONE strict left fold over the order-sorted series per
+    * key carrying a (level, trend) struct accumulator — the [[ewma]]
+    * discipline — so the floats are bit-identical across partitionings
+    * and engines (DuckDB `list_reduce` over `struct_pack` replays it;
+    * the lₜ subexpression is repeated inside the bₜ term IDENTICALLY on
+    * both sides — DuckDB lambdas have no let-binding). Prefer dyadic α,
+    * β (0.5, 0.25) so 1−α, 1−β are exact and the mirror is bit-safe.
+    *
+    * Scale: one shuffle keyed by `keyCol`; a key's full series must fit
+    * in one task row (pre-aggregate to a bounded grid — e.g. hourly —
+    * first), but unlike [[ewma]]'s per-prefix output the fold here is
+    * O(n) per key. Rows with a NULL value are excluded (no observation,
+    * not zero). */
+  def holt(
+      df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      alpha: Double, beta: Double, horizon: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+    require(horizon >= 0, s"horizon must be >= 0, got $horizon")
+    val series = array_sort(collect_list(struct(
+      col(ordCol).cast("long").as("o"), col(valCol).cast("double").as("x"))))
+    val zero = struct(lit(null).cast("double").as("l"),
+      lit(null).cast("double").as("b"))
+    val step = (acc: Column, e: Column) => {
+      val newl = lit(alpha) * e.getField("l") +
+        (lit(1.0) - lit(alpha)) * (acc.getField("l") + acc.getField("b"))
+      when(acc.getField("l").isNull, e)
+        .otherwise(struct(newl.as("l"),
+          (lit(beta) * (newl - acc.getField("l")) +
+            (lit(1.0) - lit(beta)) * acc.getField("b")).as("b")))
+    }
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(series.as("__s"), count(lit(1)).as("n_points"))
+      .select(col(keyCol), col("n_points"),
+        aggregate(
+          transform(col("__s"),
+            e => struct(e.getField("x").as("l"), lit(0.0).as("b"))),
+          zero, step).as("__f"))
+      .select(col(keyCol), col("n_points"),
+        col("__f.l").as("level"), col("__f.b").as("trend"),
+        (col("__f.l") + lit(horizon.toDouble) * col("__f.b"))
+          .as("forecast"))
+  }
 }

@@ -177,4 +177,53 @@ class TimeSeriesSpec extends SparkSpec {
           r.getDouble(4))).sortBy(t => (t._1, t._2, t._3)).toSeq
     assert(run(1) == run(17))
   }
+
+  /** Driver-side replay of holt()'s exact recurrence. */
+  private def holtModel(xs: Seq[Double], alpha: Double, beta: Double)
+      : (Double, Double) = {
+    var l = xs.head
+    var b = 0.0
+    for (x <- xs.tail) {
+      val nl = alpha * x + (1.0 - alpha) * (l + b)
+      b = beta * (nl - l) + (1.0 - beta) * b
+      l = nl
+    }
+    (l, b)
+  }
+
+  test("holt matches the driver replay bit-for-bit, across partitionings") {
+    val rng = new scala.util.Random(67)
+    val rows = for (k <- 0 until 4; i <- 0 until 300)
+      yield (k.toLong, i.toLong, rng.nextDouble() * 500 + k * 50)
+    val byKey = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val run = (parts: Int) =>
+      TimeSeries.holt(rows.toDF("k", "o", "x").repartition(parts),
+        "k", "o", "x", alpha = 0.5, beta = 0.25, horizon = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    val got = run(1)
+    assert(got == run(13))
+    for ((k, xs) <- byKey) {
+      val (l, b) = holtModel(xs, 0.5, 0.25)
+      assert(got(k) == ((xs.size.toLong, l, b, l + 3.0 * b)))
+    }
+  }
+
+  test("holt locks onto an exact linear series: trend -> slope, " +
+    "forecast extrapolates the line; nulls are excluded") {
+    // x_t = 40 + 7t: after enough steps level ~ current point, trend ~ 7
+    val line = (0 until 200).map(i => (1L, i.toLong, Some(40.0 + 7.0 * i)))
+    val r = TimeSeries.holt(line.toDF("k", "o", "x"), "k", "o", "x",
+      alpha = 0.5, beta = 0.25, horizon = 2).head()
+    assert(math.abs(r.getDouble(3) - 7.0) < 1e-6)
+    assert(math.abs(r.getDouble(2) - (40.0 + 7.0 * 199)) < 1e-4)
+    assert(math.abs(r.getDouble(4) - (40.0 + 7.0 * 201)) < 1e-3)
+    // a null mid-series is "no observation": same as the compacted series
+    val withNull = line :+ ((1L, 500L, None: Option[Double]))
+    val a = TimeSeries.holt(withNull.toDF("k", "o", "x"), "k", "o", "x",
+      alpha = 0.5, beta = 0.25, horizon = 2).head()
+    assert(a.getLong(1) == 200L && a.getDouble(2) == r.getDouble(2))
+  }
 }
