@@ -1168,6 +1168,26 @@ object SparkEntry {
       stateOut(pt.readVersion(1L).get)
     }),
 
+    // ---- Storage: compaction — after three merge commits fragment the
+    //      buckets, compact() rewrites the snapshot one-file-per-bucket
+    //      in ONE commit; the read-back state must still equal global
+    //      latest-wins (layout changed, data bit-identical; file-count
+    //      collapse is asserted in BucketedTargetSpec) ----
+    "o17_compact" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o17_").toString
+      val target = TargetTable("events_cmp", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val cfg = IngestConfig(name = s"o17-cmp-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, target)
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 === 0), cfg)
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 === 1), cfg)
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 === 2), cfg)
+      pt.compact(cfg)
+      stateOut(pt.read().get)
+    }),
+
     // ---- Storage: explicit schema evolution — migrate adds a derived
     //      column (full-snapshot rewrite, one commit), then a widened
     //      batch merges against the evolved schema; final state must
@@ -4225,6 +4245,8 @@ object SparkEntry {
       "o14_target_lookup" ->
         (s"SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, value " +
           s"FROM ($oracleDedup) WHERE rn = 1 AND pkey % 25 = 3"),
+      // Compaction rewrites layout, never data: state == latest-wins.
+      "o17_compact" -> dedupState,
       // Version 1 state == latest-wins over ONLY the first batch's rows.
       "o15_time_travel" ->
         ("SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, value " +
