@@ -2260,6 +2260,25 @@ object SparkEntry {
     "text_readability" -> ((s, dir) =>
       TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- Crawl pipeline: URL decomposition (host / registered domain /
+    //      path / query / tld) — row-local regexp parse with an explicit
+    //      compound-suffix heuristic; URLs synthesized deterministically
+    //      from document fields (the corpus has no URL column), mixing
+    //      www subdomains, co.uk suffixes, ports-free hosts, queries ----
+    "text_url_parse" -> ((s, dir) => {
+      val url = concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example"),
+        when(col("doc_id") % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+        lit("/docs/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?lang="), col("lang"))).otherwise(lit("")))
+      TextAnalysis.urlParse(
+        t(s, dir, "documents").select(col("doc_id"), url.as("u")),
+        "doc_id", "u")
+    }),
+
     // ---- LLM pipeline: per-domain cap sampling (anti-domination) ----
     "sample_domain_cap" -> ((s, dir) =>
       graft.ops.Sampling.capPerDomain(
@@ -2594,6 +2613,32 @@ object SparkEntry {
           "(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
           "END AS flesch FROM documents"
       },
+      "text_url_parse" ->
+        ("WITH u0 AS (SELECT doc_id, 'https://' || " +
+          "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || source || " +
+          "'.example' || " +
+          "CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END || " +
+          "'/docs/' || CAST(doc_id AS VARCHAR) || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '?lang=' || lang ELSE '' END " +
+          "AS url FROM documents), " +
+          "p AS (SELECT doc_id, url, lower(trim(url)) AS lu FROM u0), " +
+          "h AS (SELECT doc_id, url, " +
+          "regexp_replace(regexp_extract(lu, " +
+          "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '') AS host, " +
+          "regexp_extract(lu, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) " +
+          "AS path, " +
+          "regexp_extract(lu, '\\?([^#]*)', 1) AS query_str FROM p), " +
+          "r AS (SELECT *, " +
+          "regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld, " +
+          "regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS r2, " +
+          "regexp_extract(host, " +
+          "'([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS r3 FROM h), " +
+          "f AS (SELECT *, regexp_extract(r2, '^([a-z0-9-]+)\\.', 1) " +
+          "AS sld FROM r) " +
+          "SELECT doc_id, url, host, " +
+          "CASE WHEN sld IN ('co','com','net','org','gov','ac','edu') " +
+          "AND r3 <> '' THEN r3 ELSE r2 END AS registered_domain, " +
+          "path, query_str, tld FROM f"),
       "sample_domain_cap" -> domainCapSql,
       "sample_stratified" -> stratifiedSql,
       "sample_mixture" -> mixtureSql,

@@ -424,4 +424,49 @@ object TextAnalysis {
             - lit(84.6) * (col("n_syllables").cast("double") /
               col("n_words").cast("double"))))
   }
+
+  /** URL decomposition — the first operator of every crawl-derived
+    * pipeline: per-domain caps, host-level dedup, and source mixing all
+    * key on the REGISTERED domain, not the raw host. Emits one row per
+    * input row: (idCol, url, host, registered_domain, path, query_str,
+    * tld).
+    *
+    * Pure regexp decomposition (codegen'd `regexp_extract`, row-local,
+    * no UDF) with an explicit public-suffix HEURISTIC: the registered
+    * domain is the last two host labels, or the last three when the
+    * middle label is a compound-suffix second level (co/com/net/org/
+    * gov/ac/edu — `example.co.uk` → `example.co.uk`, not `co.uk`).
+    * That list is deliberately tiny and documented rather than an
+    * embedded copy of the full public-suffix registry; swap in the real
+    * PSL table (broadcast join) when operating on live crawl data.
+    *
+    * Determinism: hosts are lowercased, ports stripped, and every field
+    * is a fixed regexp over the same string in both engines (empty
+    * string, not NULL, on no-match — both engines agree). Scale: fully
+    * row-local, pipelined inside whole-stage codegen. */
+  def urlParse(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = lower(trim(col("url")))
+    df.select(col(idCol), col(urlCol).as("url"))
+      .withColumn("__hp",
+        regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+      .withColumn("host", regexp_replace(col("__hp"), ":[0-9]+$", ""))
+      .withColumn("path",
+        regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      .withColumn("query_str", regexp_extract(u, "\\?([^#]*)", 1))
+      .withColumn("tld",
+        regexp_extract(col("host"), "\\.([a-z0-9-]+)$", 1))
+      .withColumn("__r2",
+        regexp_extract(col("host"), "([a-z0-9-]+\\.[a-z0-9-]+)$", 1))
+      .withColumn("__r3", regexp_extract(col("host"),
+        "([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$", 1))
+      .withColumn("__sld",
+        regexp_extract(col("__r2"), "^([a-z0-9-]+)\\.", 1))
+      .withColumn("registered_domain",
+        when(col("__sld").isin("co", "com", "net", "org", "gov", "ac",
+          "edu") && col("__r3") =!= "", col("__r3"))
+          .otherwise(col("__r2")))
+      .select(col(idCol), col("url"), col("host"),
+        col("registered_domain"), col("path"), col("query_str"),
+        col("tld"))
+  }
 }

@@ -481,4 +481,27 @@ class TextOpsSpec extends SparkSpec {
           r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
     assert(run(1) == run(7))
   }
+
+  test("urlParse: host/registered-domain/path/query/tld decomposition, " +
+    "ports stripped, compound suffixes, case-folding, junk input") {
+    val urls = Seq(
+      (1L, "https://WWW.News.Example.COM:8080/a/b?x=1&y=2#frag"),
+      (2L, "http://example.co.uk/path"),
+      (3L, "https://a.b.example.org"),
+      (4L, "ftp://files.example.net/pub"),
+      (5L, "not a url at all"))
+    val got = TextAnalysis.urlParse(urls.toDF("id", "u"), "id", "u")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getString(3), r.getString(4), r.getString(5),
+          r.getString(6)))).toMap
+    // (host, registered_domain, path, query_str, tld)
+    assert(got(1L) ==
+      (("www.news.example.com", "example.com", "/a/b", "x=1&y=2", "com")))
+    assert(got(2L) ==
+      (("example.co.uk", "example.co.uk", "/path", "", "uk")))
+    assert(got(3L) == (("a.b.example.org", "example.org", "", "", "org")))
+    assert(got(4L) == (("files.example.net", "example.net", "/pub", "",
+      "net")))
+    assert(got(5L) == (("", "", "", "", "")))
+  }
 }
