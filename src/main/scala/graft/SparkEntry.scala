@@ -288,6 +288,36 @@ object SparkEntry {
         Seq("window_start_us", "event_type"), (1L to 8L))
     }),
 
+    // ---- Streaming Bloom: per-day per-type membership bitmaps in
+    //      fixed memory — BIT_OR as the (idempotent) streaming
+    //      aggregate, popcount as the monotone sink version; completed
+    //      windows probed for present AND absent ids ----
+    "s16_stream_bloom" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "events").schema
+      val tmp = Files.createTempDirectory("graft_s16_").toString
+      val target = TargetTable("events_bloom", s"$tmp/target",
+        keyCols = Seq("window_start_us", "event_type", "bw"),
+        versionCol = "bn", buckets = 4)
+      val cfg = IngestConfig(name = s"s16-bloom-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+        .select(
+          timestamp_micros(expr("ts div 1000")).as("ts_t"),
+          col("event_type"), col("user_id"))
+      val sk = graft.ops.Sketches.bloomSketchIdsWindowed(
+        src, "ts_t", Seq("event_type"), "user_id", "1 day", "48 hours")
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(sk, Trigger.AvailableNow())
+      q.awaitTermination()
+      graft.ops.Sketches.bloomContainsIds(
+        graft.ops.Sketches.bloomFromWordRows(
+          new graft.sink.ParquetTarget(s, target).read().get,
+          Seq("window_start_us", "event_type")),
+        Seq("window_start_us", "event_type"),
+        Seq(1L, 2L, 3L, 4L, 100001L, 100002L, 100003L, 100004L))
+    }),
+
     // ---- Sliding event-time windows: daily totals every 12 h (each
     //      event in window/slide=2 windows), merged like s1 ----
     "s7_stream_sliding" -> ((s, dir) => {
@@ -4490,6 +4520,35 @@ object SparkEntry {
           "FROM wins wi CROSS JOIN pc p " +
           "LEFT JOIN c ON c.w = wi.w AND c.event_type = wi.event_type " +
           "AND c.cell = p.cell " +
+          "GROUP BY 1, 2, 3"
+      },
+      // set bits are duplicate-insensitive (OR), so the streamed Bloom
+      // equals the distinct position set of the same day buckets
+      "s16_stream_bloom" -> {
+        val mBits = 4096
+        val posOf = { (h: String) =>
+          (0 until 3).map(j =>
+            s"((($h) * ${graft.functions.TextHash.permuteA(j)} + " +
+              s"${graft.functions.TextHash.permuteB(j)}) % " +
+              s"${graft.functions.TextHash.P}) % $mBits")
+            .mkString("[", ", ", "]")
+        }
+        "WITH t AS (SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) " +
+          "AS w, event_type, CAST(user_id AS BIGINT) AS h0 FROM events " +
+          "WHERE user_id IS NOT NULL), " +
+          "ps AS (SELECT DISTINCT w, event_type, p FROM " +
+          s"(SELECT w, event_type, unnest(${posOf("h0")}) AS p FROM t)), " +
+          "pp AS (SELECT CAST(unnest([1,2,3,4,100001,100002,100003," +
+          "100004]) AS BIGINT) AS probe_id), " +
+          s"pc AS (SELECT probe_id, unnest(${posOf("probe_id")}) AS p " +
+          "FROM pp), " +
+          "wins AS (SELECT DISTINCT w, event_type FROM t) " +
+          "SELECT wi.w AS window_start_us, wi.event_type, pc.probe_id, " +
+          "CAST(count(*) FILTER (WHERE ps.p IS NULL) = 0 AS BOOLEAN) " +
+          "AS maybe_contains " +
+          "FROM wins wi CROSS JOIN pc " +
+          "LEFT JOIN ps ON ps.w = wi.w AND ps.event_type = wi.event_type " +
+          "AND ps.p = pc.p " +
           "GROUP BY 1, 2, 3"
       },
       // register maxes are duplicate-insensitive, so the streamed HLL

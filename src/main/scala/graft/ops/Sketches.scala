@@ -352,6 +352,78 @@ object Sketches {
       groupCols, mBits / 64)
   }
 
+  /** Streaming windowed Bloom-filter build over integral ids — the
+    * membership sibling of [[hllSketchIdsWindowed]] (distinct counts)
+    * and [[cmsSketchIdsWindowed]] (frequencies): per (window,
+    * groupCols), which ids APPEARED, in fixed memory, probeable after
+    * the window closes ("was this user active on day D?" without
+    * storing the id set). Emits (window_start_us, groupCols..., bw, bm,
+    * bn): word index, word mask, and the mask's popcount.
+    *
+    * BIT_OR is the streaming aggregate — commutative AND idempotent, so
+    * late or duplicate arrivals within the watermark only re-set the
+    * same bits. `bn` (bit_count of the word) is the MONOTONE version
+    * column for the latest-wins sink: the raw mask is unusable as a
+    * version because setting bit 63 flips its sign, while popcount only
+    * grows as bits accumulate — and equal popcounts imply equal masks
+    * along one word's accumulation history, so no tie-break is needed.
+    * State per group-window is ≤ mBits/64 word rows. */
+  def bloomSketchIdsWindowed(
+      src: DataFrame, tsCol: String, groupCols: Seq[String],
+      idColumn: String, windowDur: String, watermarkDelay: String,
+      mBits: Int = 4096, kHashes: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"mBits must be a multiple of 64, got $mBits")
+    require(kHashes >= 1, s"kHashes must be >= 1, got $kHashes")
+    src.where(col(idColumn).isNotNull)
+      .withColumn("__h0", col(idColumn).cast("long"))
+      .withColumn("__p", explode(bloomPositions(col("__h0"), mBits, kHashes)))
+      .withColumn("__wd", expr("__p div 64"))
+      .withColumn("__m0", call_function("shiftleft", lit(1L),
+        (col("__p") % 64).cast("int")))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("__w") +:
+        (groupCols.map(col) :+ col("__wd")): _*)
+      .agg(expr("bit_or(__m0)").as("bm"))
+      .select(unix_micros(col("__w.start")).as("window_start_us") +:
+        (groupCols.map(col) :+ col("__wd").as("bw") :+ col("bm") :+
+          bit_count(col("bm")).cast("long").as("bn")): _*)
+  }
+
+  /** Assemble a bits array from stored (groupCols..., bw, bm) word rows —
+    * the read-back half of the streaming Bloom path. */
+  def bloomFromWordRows(
+      rows: DataFrame, groupCols: Seq[String],
+      mBits: Int = 4096): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"mBits must be a multiple of 64, got $mBits")
+    bitsAssemble(
+      rows.select(groupCols.map(col) :+ col("bw").as("__w") :+
+        col("bm").as("__m"): _*),
+      groupCols, mBits / 64)
+  }
+
+  /** Probe integral ids against every group's bitmap — the id twin of
+    * [[bloomContains]]: (groupCols..., probe_id, maybe_contains), true
+    * iff ALL k bit positions are set (zero false negatives). */
+  def bloomContainsIds(
+      sketches: DataFrame, groupCols: Seq[String], probeIds: Seq[Long],
+      mBits: Int = 4096, kHashes: Int = 3): DataFrame = {
+    require(probeIds.nonEmpty, "need at least one probe id")
+    val pp = sketches.sparkSession
+      .createDataFrame(probeIds.map(Tuple1(_))).toDF("probe_id")
+      .withColumn("__h0", col("probe_id"))
+      .select(col("probe_id"),
+        bloomPositions(col("__h0"), mBits, kHashes).as("__ps"))
+    sketches.crossJoin(broadcast(pp))
+      .select(groupCols.map(col) :+ col("probe_id") :+
+        forall(col("__ps"), p =>
+          call_function("shiftright",
+            element_at(col("bits"), (shiftright(p, 6) + 1).cast("int")),
+            (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1L)
+          .as("maybe_contains"): _*)
+  }
+
   /** Merge bloom bitmaps to a coarser grouping: elementwise OR —
     * identical to sketching the union directly (spec + gate prove it).
     * `mBits` must match the build (execution-time checked — deriving the

@@ -248,6 +248,35 @@ class SketchesSpec extends SparkSpec {
     doubled.foreach { case (k, v) => assert(v == 2 * est(k)) }
   }
 
+  test("windowed Bloom: no false negatives per window, duplicate " +
+    "arrivals are a bitwise no-op, absent ids mostly reject") {
+    val df = (0 until 300).map { i =>
+      // day 0 sees uids 0..49, day 1 sees uids 50..99
+      (new java.sql.Timestamp((i % 2) * 86400000L), "g",
+        ((i % 2) * 50 + (i / 2 % 50)).toLong)
+    }.toDF("ts_t", "g", "uid")
+    val win = Sketches.bloomSketchIdsWindowed(
+      df, "ts_t", Seq("g"), "uid", "1 day", "48 hours")
+    // OR is idempotent: re-streaming the same data changes no word
+    val doubled = Sketches.bloomSketchIdsWindowed(
+      df.unionByName(df), "ts_t", Seq("g"), "uid", "1 day", "48 hours")
+    assertSameRows(win.drop("bn"), doubled.drop("bn"))
+    val got = Sketches.bloomContainsIds(
+      Sketches.bloomFromWordRows(win, Seq("window_start_us", "g")),
+      Seq("window_start_us", "g"), (0L until 100L) ++ (5000L until 5100L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getBoolean(3))
+      .toMap
+    val day = 86400000000L
+    // present ids: NEVER a false negative
+    for (u <- 0L until 50L) assert(got((0L, u)), s"fn day0 uid $u")
+    for (u <- 50L until 100L) assert(got((day, u)), s"fn day1 uid $u")
+    // far-away ids: overwhelmingly rejected (50 ids × k=3 in 4096 bits
+    // → fp rate ~0.1%; allow a little slack)
+    val fps = (5000L until 5100L).flatMap(u =>
+      Seq(got((0L, u)), got((day, u)))).count(identity)
+    assert(fps <= 4, s"implausible false-positive count $fps")
+  }
+
   test("quantile sketch: sub-1 values go to the underflow bucket and " +
     "still count toward ranks") {
     val df = (Seq.fill(50)(0.25) ++ Seq.fill(50)(123.0)).zipWithIndex
