@@ -1599,6 +1599,20 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "a", "b", iters = 3)
     }),
 
+    // ---- Graph: personalized PageRank — teleport concentrated on a
+    //      trusted seed set (suppliers of nation%5=0), ranks measure
+    //      proximity to the seeds on the part↔supplier graph ----
+    "graph_ppr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_partkey") * 2).cast("long").as("a"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+      val edges = li.unionByName(li.select(col("b").as("a"), col("a").as("b")))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_nationkey") % 5 === 0)
+        .select((col("s_suppkey") * 2 + 1).cast("long").as("node"))
+      graft.ops.Graph.personalizedPageRank(edges, "a", "b", seeds, iters = 3)
+    }),
+
     // ---- Graph: HITS hubs/authorities on the BIPARTITE supply graph
     //      (supplier→part, where PageRank's single score conflates the
     //      two roles) — fixed-point L1-normalized half-rounds, 3 iters;
@@ -4019,6 +4033,14 @@ object SparkEntry {
           "CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem), " +
           "e AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le), " +
           graft.functions.OracleSql.pageRankCtes(iters = 3) +
+          " SELECT node, rank_q FROM it3"),
+      "graph_ppr" ->
+        ("WITH le AS (SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src, " +
+          "CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem), " +
+          "e AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le), " +
+          "seeds AS (SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node " +
+          "FROM supplier WHERE s_nationkey % 5 = 0), " +
+          graft.functions.OracleSql.pprCtes(iters = 3) +
           " SELECT node, rank_q FROM it3"),
       "graph_hits" ->
         ("WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, " +

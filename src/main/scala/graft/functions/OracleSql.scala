@@ -201,6 +201,42 @@ object OracleSql {
     (init +: steps).mkString(", ")
   }
 
+  /** Personalized-PageRank CTE chain mirroring
+    * `Graph.personalizedPageRank` round-for-round, over prior CTEs
+    * `e`(src, dst) — DISTINCT directed edges — and `seeds`(node).
+    * Seeds outside the graph are dropped by the same node-set join the
+    * engine performs; teleport and init are the identical floor
+    * divisions. Emits `it0 .. it$iters`. */
+  def pprCtes(iters: Int, q: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): String = {
+    val telNum = (dampDen - dampNum) * q
+    val base =
+      "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "sd AS (SELECT DISTINCT s.node FROM seeds s " +
+        "JOIN nodes n ON n.node = s.node), " +
+        "sct AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sd), " +
+        s"it0 AS (SELECT n.node, CASE WHEN sd.node IS NOT NULL THEN " +
+        s"CAST($q AS BIGINT) // sct.ns ELSE CAST(0 AS BIGINT) END " +
+        "AS rank_q FROM nodes n CROSS JOIN sct " +
+        "LEFT JOIN sd ON sd.node = n.node)"
+    val steps = (1 to iters).map { i =>
+      val p = s"it${i - 1}"
+      s"s$i AS (SELECT e.dst AS node, " +
+        "CAST(sum(r.rank_q // d.outdeg) AS BIGINT) AS acc " +
+        s"FROM e JOIN deg d ON e.src = d.src JOIN $p r ON r.node = e.src " +
+        "GROUP BY e.dst), " +
+        s"it$i AS (SELECT nd.node, " +
+        s"CASE WHEN sd.node IS NOT NULL THEN CAST($telNum AS BIGINT) // " +
+        s"($dampDen * sct.ns) ELSE CAST(0 AS BIGINT) END + " +
+        s"($dampNum * coalesce(s$i.acc, CAST(0 AS BIGINT))) // $dampDen " +
+        "AS rank_q FROM nodes nd CROSS JOIN sct " +
+        "LEFT JOIN sd ON sd.node = nd.node " +
+        s"LEFT JOIN s$i ON s$i.node = nd.node)"
+    }
+    (base +: steps).mkString(", ")
+  }
+
   /** HITS CTE chain mirroring `Graph.hits` half-round-for-half-round
     * over a prior CTE `e`(src, dst) — DISTINCT directed edges. Emits
     * `h0 .. h$iters` (hub scores) and `a1 .. a$iters` (authority

@@ -338,6 +338,76 @@ object Graph {
     } finally { e.unpersist(); () }
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport vector
+    * concentrated on a SEED set instead of uniform: ranks measure
+    * proximity to the seeds (trusted-domain expansion for crawl
+    * curation, related-item retrieval from a query set, TrustRank-style
+    * spam demotion). Seeds outside the graph's node set are ignored
+    * (documented: they can neither receive nor emit mass).
+    *
+    * Same fixed-point integer discipline as [[pageRank]] — per-seed
+    * teleport `(1−d)·q div (den·|S|)` and init `q div |S|` are floor
+    * divisions of exact integers, so the oracle CTE chain replays every
+    * unit. Non-seed nodes start at 0 and receive only propagated mass.
+    * Cost shape identical to [[pageRank]] plus one broadcast-sized seed
+    * join per round; |S| reaches the driver as one scalar (the
+    * [[pageRank]] node-count precedent). Output: (node, rank_q). */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iters: Int, q: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(q > 0, s"q must be positive, got $q")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping must satisfy 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    val ed = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val sd = seeds
+      .select(col(seeds.columns.head).cast("long").as("node")).distinct()
+      .join(nodes, "node").withColumn("__seed", lit(1)).persist()
+    try {
+      val nS = sd.count()
+      require(nS > 0, "personalizedPageRank needs at least one seed in the graph")
+      val telQ = ((dampDen - dampNum) * q) / (dampDen * nS)
+      val initQ = q / nS
+      val tel = (seedMark: org.apache.spark.sql.Column) =>
+        when(seedMark.isNotNull, lit(telQ)).otherwise(lit(0L))
+      var ckpt = nodes.join(sd.select(col("node"), col("__seed")),
+          Seq("node"), "left_outer")
+        .select(col("node"),
+          when(col("__seed").isNotNull, lit(initQ)).otherwise(lit(0L))
+            .as("rank_q"))
+        .localCheckpoint()
+      var ranks = ckpt
+      for (_ <- 0 until iters) {
+        val contrib = ed
+          .join(ranks.select(col("node").as("src"), col("rank_q")), "src")
+          .select(col("dst").as("node"), expr("rank_q div outdeg").as("__c"))
+          .groupBy("node").agg(sum(col("__c")).as("__acc"))
+        val next = nodes
+          .join(sd.select(col("node"), col("__seed")), Seq("node"),
+            "left_outer")
+          .join(contrib, Seq("node"), "left_outer")
+          .select(col("node"), (tel(col("__seed")) + expr(
+            s"($dampNum * coalesce(__acc, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("rank_q"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
+        ckpt = next
+        ranks = next
+      }
+      ranks
+    } finally { e.unpersist(); ed.unpersist(); nodes.unpersist()
+      sd.unpersist(); () }
+  }
+
   /** HITS hubs and authorities over a directed edge list — the
     * query-independent form of Kleinberg's algorithm, and the natural
     * ranking for BIPARTITE graphs where [[pageRank]]'s single score

@@ -201,6 +201,53 @@ class GraphSpec extends SparkSpec {
     assert(tc(edges) == brute)
   }
 
+  /** Driver-side replay of personalizedPageRank()'s exact arithmetic. */
+  private def pprModel(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val out = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val in = e.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val sd = seeds.intersect(nodes.toSet)
+    val telQ = (15L * Q) / (100L * sd.size)
+    var r = nodes.map(n =>
+      n -> (if (sd(n)) Q / sd.size else 0L)).toMap
+    for (_ <- 0 until iters) {
+      r = nodes.map { n =>
+        val acc = in.getOrElse(n, Nil).map(u => r(u) / out(u)).sum
+        n -> ((if (sd(n)) telQ else 0L) + (85L * acc) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  test("personalized PageRank: mass concentrates near seeds, ghost " +
+    "seeds are dropped, exact replay matches across partitionings") {
+    // chain 1-2-3-4-5 (symmetric) with seed {1}: rank decays with hops
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap(p => Seq(p, p.swap))
+    val sdf = Seq(1L, 99L).toDF("node") // 99 is not in the graph
+    val got = Graph.personalizedPageRank(chain.toDF("s", "d"), "s", "d",
+      sdf, iters = 3, Q).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pprModel(chain, Set(1L, 99L), 3))
+    // mass ALTERNATES by parity on a path (odd iterations push it to
+    // the seed's neighbors), so compare within a parity class: each
+    // node outranks the node two more hops from the seed
+    assert(got(2L) > got(4L) && got(1L) > got(3L) && got(3L) > got(5L))
+    // random graph, multiple seeds, repartitioned input
+    val rng = new scala.util.Random(71)
+    val edges = Seq.fill(500)(
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val seeds = Set(0L, 5L, 11L)
+    val big = Graph.personalizedPageRank(
+      edges.toDF("s", "d").repartition(9), "s", "d",
+      seeds.toSeq.toDF("node"), iters = 4, Q).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(big == pprModel(edges, seeds, 4))
+  }
+
   /** Driver-side replay of hits()'s exact fixed-point arithmetic. */
   private def hitsModel(edges: Seq[(Long, Long)], iters: Int)
       : (Map[Long, Long], Map[Long, Long]) = {
