@@ -950,6 +950,34 @@ object SparkEntry {
         alpha = 0.5, beta = 0.25, horizon = 3)
     }),
 
+    // ---- Time series: hour-of-day seasonal index (multiplicative
+    //      profile vs the key's own mean) — exact integer cross
+    //      products, ONE division per bucket ----
+    "ts_seasonal" -> ((s, dir) =>
+      graft.ops.TimeSeries.seasonalIndex(
+        t(s, dir, "events").select(col("event_type"),
+          expr("(ts div 3600000000000) % 24").as("hod"),
+          floor(col("value") * 1024.0).cast("long").as("qx")),
+        "event_type", "hod", "qx")),
+
+    // ---- Feature normalization: per-group quantile ranks (rank-based,
+    //      outlier-immune; deterministic id tie-break, ONE division) ----
+    "q_quantile_norm" -> ((s, dir) =>
+      graft.ops.Normalize.quantileNormalize(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", "event_id")),
+
+    // ---- Profiling: per-group Gini concentration (how dominated is a
+    //      group by its heaviest members) — exact BIGINT moments over
+    //      the fixed (value, id) rank order, ONE division ----
+    "q_gini" -> ((s, dir) =>
+      graft.ops.Normalize.gini(
+        t(s, dir, "events").select(col("event_type"),
+          floor(col("value") * 1024.0).cast("long").as("qx"),
+          col("event_id")),
+        "event_type", "qx", "event_id")),
+
     // ---- Time series: lag-k autocorrelation (exact n²-scaled integer
     //      moments, one final division per lag) ----
     "ts_acf" -> ((s, dir) => {
@@ -3845,6 +3873,40 @@ object SparkEntry {
           "SELECT f.event_type, CAST(f.i AS BIGINT) AS n_points, " +
           "f.l AS level, f.tr AS trend, f.l + 3.0 * f.tr AS forecast " +
           "FROM fin f WHERE rn = 1"),
+      "ts_seasonal" ->
+        ("WITH b AS (SELECT event_type, " +
+          "(epoch_us(ts) // 3600000000) % 24 AS hod, " +
+          "CAST(floor(value * 1024.0) AS BIGINT) AS qx FROM events " +
+          "WHERE value IS NOT NULL), " +
+          "p AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n_obs, " +
+          "CAST(sum(qx) AS BIGINT) AS sb FROM b GROUP BY 1, 2), " +
+          "t2 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(qx) AS BIGINT) AS s FROM b GROUP BY 1) " +
+          "SELECT p.event_type, p.hod, p.n_obs, " +
+          "CASE WHEN t2.s <= 0 THEN NULL ELSE " +
+          "CAST(p.sb * t2.n AS DOUBLE) / CAST(p.n_obs * t2.s AS DOUBLE) " +
+          "END AS seasonal_idx FROM p JOIN t2 USING (event_type)"),
+      "q_quantile_norm" ->
+        ("SELECT event_id, event_type, value, CASE WHEN n = 1 THEN NULL " +
+          "ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS qn " +
+          "FROM (SELECT event_id, event_type, value, " +
+          "row_number() OVER (PARTITION BY event_type " +
+          "ORDER BY value ASC, event_id ASC) AS rn, " +
+          "count(*) OVER (PARTITION BY event_type) AS n FROM events " +
+          "WHERE value IS NOT NULL)"),
+      "q_gini" ->
+        ("WITH b AS (SELECT event_type, " +
+          "CAST(floor(value * 1024.0) AS BIGINT) AS x, event_id " +
+          "FROM events WHERE value IS NOT NULL), " +
+          "r AS (SELECT event_type, x, CAST(row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY x ASC, event_id ASC) " +
+          "AS BIGINT) AS rn FROM b), " +
+          "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, " +
+          "CAST(sum(x) AS BIGINT) AS s, " +
+          "CAST(sum(rn * x) AS BIGINT) AS tt FROM r GROUP BY 1) " +
+          "SELECT event_type, n_rows, CASE WHEN s <= 0 THEN NULL ELSE " +
+          "CAST(2 * tt - (n_rows + 1) * s AS DOUBLE) / " +
+          "CAST(n_rows * s AS DOUBLE) END AS gini FROM a"),
       "ts_acf" ->
         ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
           "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +

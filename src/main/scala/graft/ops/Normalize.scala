@@ -253,4 +253,70 @@ object Normalize {
       s"SELECT $outCols, CASE WHEN num <= 0 THEN NULL " +
       s"ELSE ($valCol - mean) / std END AS z FROM j"
   }
+
+  /** Per-group quantile normalization: map each value to its empirical
+    * quantile rank `(rn − 1)/(n − 1)` ∈ [0, 1] — the rank-based feature
+    * transform that is immune to outliers and monotone re-scalings
+    * (the [[zscore]] alternative when the distribution is unknown).
+    * Ties break by `idCol`, so the output is unique however the data
+    * arrives; a 1-row group maps to NULL (no rank span). Only ORDER
+    * matters, so no quantization is needed and the result is exact:
+    * integers until one final division.
+    *
+    * Scale: one window partitioned by group (per-group sort — the
+    * distribution across groups is Spark's shuffle; no global sort).
+    * Output: one row per input row. */
+  def quantileNormalize(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.where(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        when(col("__n") === 1L, lit(null).cast("double"))
+          .otherwise((col("__rn") - 1L).cast("double") /
+            (col("__n") - 1L).cast("double")).as("qn"))
+  }
+
+  /** Per-group Gini concentration of a NON-NEGATIVE integral value —
+    * "how dominated is this group by its heaviest members?" (corpus
+    * concentration per language, revenue concentration per segment;
+    * 0 = perfectly even, → 1 = one member holds everything). The
+    * gateable form: ranks are assigned in the fixed (value, id) order,
+    * so the statistic is the classic `(2·Σ i·xᵢ − (n+1)·Σx)/(n·Σx)`
+    * evaluated on a unique permutation — identical to the standard
+    * definition (which is tie-order-invariant) and deterministic.
+    *
+    * Exactness: every moment (n, Σx, Σ i·xᵢ) is an exact BIGINT — ONE
+    * final division. Overflow bound: `n·Σx` and `2·Σ i·xᵢ` must fit
+    * BIGINT (n·max(x) < ~3e9 per group at BIGINT scale — quantize
+    * coarser for larger groups; ANSI mode fails loud, never silently
+    * wraps). Zero-sum or empty groups yield NULL.
+    *
+    * Scale: one per-group sort window + one map-side-combinable
+    * aggregate; output is O(groups). */
+  def gini(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__x").asc, col(idCol).asc)
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__x"),
+        col(idCol))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__x")).as("__s"),
+        sum(col("__rn") * col("__x")).as("__t"))
+      .select(col(groupCol), col("n_rows"),
+        when(col("__s") <= 0L, lit(null).cast("double"))
+          .otherwise(
+            (lit(2L) * col("__t") - (col("n_rows") + 1L) * col("__s"))
+              .cast("double") /
+              (col("n_rows") * col("__s")).cast("double")).as("gini"))
+  }
 }

@@ -329,6 +329,37 @@ object TimeSeries {
     * first), but unlike [[ewma]]'s per-prefix output the fold here is
     * O(n) per key. Rows with a NULL value are excluded (no observation,
     * not zero). */
+  /** Per-key seasonal index over a caller-supplied period bucket
+    * (hour-of-day, day-of-week): `mean(x in bucket) / mean(x overall)`
+    * — the multiplicative seasonality profile that turns raw rates into
+    * "1.4× the daily average at 9am" (load shaping, anomaly baselines,
+    * the seasonal half of a decomposition whose trend half is [[holt]]).
+    * Emits (keyCol, periodCol, n_obs, seasonal_idx).
+    *
+    * Exactness: with integral values, the index is
+    * `(S_bucket·n)/(n_bucket·S)` — both products exact BIGINT, ONE
+    * division. A zero or negative total yields NULL (an index against
+    * no baseline). Scale: two map-side-combinable aggregates; the
+    * per-key totals (O(keys)) broadcast back onto the O(keys × periods)
+    * bucket rows. */
+  def seasonalIndex(
+      df: DataFrame, keyCol: String, periodCol: String, valCol: String)
+      : DataFrame = {
+    val base = df.where(col(valCol).isNotNull)
+      .select(col(keyCol), col(periodCol),
+        col(valCol).cast("long").as("__x"))
+    val byPeriod = base.groupBy(col(keyCol), col(periodCol))
+      .agg(count(lit(1)).as("n_obs"), sum(col("__x")).as("__sb"))
+    val tot = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    byPeriod.join(broadcast(tot), keyCol)
+      .select(col(keyCol), col(periodCol), col("n_obs"),
+        when(col("__s") <= 0L, lit(null).cast("double"))
+          .otherwise((col("__sb") * col("__n")).cast("double") /
+            (col("n_obs") * col("__s")).cast("double"))
+          .as("seasonal_idx"))
+  }
+
   def holt(
       df: DataFrame, keyCol: String, ordCol: String, valCol: String,
       alpha: Double, beta: Double, horizon: Int): DataFrame = {

@@ -136,4 +136,41 @@ class NormalizeSpec extends SparkSpec {
     val zs = a.filter(_._1 == "g0").map(_._3)
     assert(math.abs(zs.sum / zs.size) < 1e-6)
   }
+
+  test("quantileNormalize: min 0, max 1, id tie-break, singleton NULL") {
+    val df = Seq((1L, "a", 5.0), (2L, "a", 1.0), (3L, "a", 9.0),
+      (4L, "a", 5.0), (5L, "b", 7.0)).toDF("id", "g", "x")
+    val got = Normalize.quantileNormalize(df, "g", "x", "id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(2L).contains(0.0) && got(3L).contains(1.0))
+    // tied 5.0s: id 1 ranks before id 4 → 1/3 and 2/3
+    assert(got(1L).contains(1.0 / 3.0) && got(4L).contains(2.0 / 3.0))
+    assert(got(5L).isEmpty)
+  }
+
+  test("gini: 0 on uniform, (n-1)/n on a single holder, brute-force " +
+    "match on random data across partitionings") {
+    val uni = (1L to 8L).map((_, "u", 10L)).map(t => (t._1, t._2, t._3))
+      .toDF("id", "g", "x")
+    assert(Normalize.gini(uni, "g", "x", "id").head().getDouble(2) == 0.0)
+    val one = ((1L to 7L).map((_, "o", 0L)) :+ ((8L, "o", 100L)))
+      .toDF("id", "g", "x")
+    assert(Normalize.gini(one, "g", "x", "id").head().getDouble(2)
+      == 7.0 / 8.0)
+    val rng = new scala.util.Random(73)
+    val rows = (1L to 500L).map(i =>
+      (i, s"g${i % 3}", rng.nextInt(1000).toLong))
+    val expected = rows.groupBy(_._2).view.mapValues { xs =>
+      val sorted = xs.sortBy(t => (t._3, t._1)).map(_._3)
+      val n = sorted.size.toLong
+      val s = sorted.sum
+      val t = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (2.0 * t - (n + 1) * s).toDouble / (n * s).toDouble
+    }.toMap
+    val got = Normalize.gini(rows.toDF("id", "g", "x").repartition(7),
+      "g", "x", "id").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == expected)
+  }
 }

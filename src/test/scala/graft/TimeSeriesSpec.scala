@@ -211,6 +211,27 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("seasonalIndex: hand-checked two-bucket profile, NULL on zero " +
+    "total, weighted mean of indices is 1") {
+    // key k: bucket 0 has 2 obs summing 30, bucket 1 has 1 obs of 30
+    // → means 15 vs 30, overall 20 → indices 0.75 and 1.5
+    val df = Seq(("k", 0L, 10L), ("k", 0L, 20L), ("k", 1L, 30L),
+      ("z", 0L, 0L)).toDF("g", "p", "x")
+    val got = TimeSeries.seasonalIndex(df, "g", "p", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("k", 0L)).contains(0.75) && got(("k", 1L)).contains(1.5))
+    assert(got(("z", 0L)).isEmpty) // zero total → no baseline
+    val rng = new scala.util.Random(79)
+    val rows = (0 until 600).map(i =>
+      ("g", (i % 24).toLong, rng.nextInt(500).toLong))
+    val r = TimeSeries.seasonalIndex(rows.toDF("g", "p", "x"), "g", "p", "x")
+      .collect().map(x => (x.getLong(2), x.getDouble(3)))
+    val n = rows.size.toDouble
+    val wmean = r.map { case (nb, idx) => nb * idx }.sum / n
+    assert(math.abs(wmean - 1.0) < 1e-12)
+  }
+
   test("holt locks onto an exact linear series: trend -> slope, " +
     "forecast extrapolates the line; nulls are excluded") {
     // x_t = 40 + 7t: after enough steps level ~ current point, trend ~ 7
