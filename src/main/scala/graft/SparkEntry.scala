@@ -1799,6 +1799,34 @@ object SparkEntry {
         NearDup.lshCandidatePairs(docs, "doc_id", "text", m = 8, n = 3, r = 2))
     }),
 
+    // ---- Crawl pipeline: canonical-URL dedup — the parse → canonical
+    //      key → keep-best composition (scheme/www/query noise collapses
+    //      onto one canonical page; best fetch = longest, id tie);
+    //      synthesized URLs collide on doc_id % 50 by construction ----
+    "dedup_url_canonical" -> ((s, dir) => {
+      val url = concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example.com/docs/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents")
+      val parsed = graft.ops.TextAnalysis.urlParse(
+        docs.select(col("doc_id"), url.as("u")), "doc_id", "u")
+      val keyed = parsed
+        .select(col("doc_id"),
+          concat(col("registered_domain"),
+            regexp_replace(col("path"), "/$", "")).as("curl"))
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("neg_id", -col("doc_id"))
+      graft.ops.Dedup.latestWins(keyed, Seq("curl"), "n_chars",
+          Seq("neg_id"))
+        .select(col("curl"), col("doc_id").as("keep_doc_id"),
+          col("n_chars"))
+    }),
+
     // ---- LLM pipeline: duplicated-span SCRUB (ExactSubstr removal:
     //      drop token positions covered by any repeated 5-gram span,
     //      reassemble the surviving text; two linear shuffles) ----
@@ -2685,6 +2713,31 @@ object SparkEntry {
           "(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) " +
           "END AS flesch FROM documents"
       },
+      "dedup_url_canonical" ->
+        ("WITH u0 AS (SELECT doc_id, n_chars, 'https://' || " +
+          "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || source || " +
+          "'.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR) || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || " +
+          "CAST(doc_id AS VARCHAR) ELSE '' END AS url FROM documents), " +
+          "p AS (SELECT doc_id, n_chars, lower(trim(url)) AS lu FROM u0), " +
+          "h AS (SELECT doc_id, n_chars, " +
+          "regexp_replace(regexp_extract(lu, " +
+          "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '') AS host, " +
+          "regexp_extract(lu, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) " +
+          "AS path FROM p), " +
+          "r AS (SELECT *, " +
+          "regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS r2, " +
+          "regexp_extract(host, " +
+          "'([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS r3 FROM h), " +
+          "f AS (SELECT *, regexp_extract(r2, '^([a-z0-9-]+)\\.', 1) " +
+          "AS sld FROM r), " +
+          "k AS (SELECT doc_id, n_chars, " +
+          "(CASE WHEN sld IN ('co','com','net','org','gov','ac','edu') " +
+          "AND r3 <> '' THEN r3 ELSE r2 END) || " +
+          "regexp_replace(path, '/$', '') AS curl FROM f) " +
+          "SELECT curl, doc_id AS keep_doc_id, n_chars FROM (" +
+          "SELECT *, row_number() OVER (PARTITION BY curl " +
+          "ORDER BY n_chars DESC, doc_id ASC) AS rn FROM k) WHERE rn = 1"),
       "text_url_parse" ->
         ("WITH u0 AS (SELECT doc_id, 'https://' || " +
           "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || source || " +
