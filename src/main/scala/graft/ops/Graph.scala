@@ -371,16 +371,18 @@ object Graph {
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     val sd = seeds
       .select(col(seeds.columns.head).cast("long").as("node")).distinct()
-      .join(nodes, "node").withColumn("__seed", lit(1)).persist()
+      .join(nodes, "node").withColumn("__seed", lit(1))
+    // Seed membership is loop-invariant: annotate the node set ONCE and
+    // persist, so each round pays one contrib join, not contrib + seeds.
+    val nodesSeeded = nodes
+      .join(sd.select(col("node"), col("__seed")), Seq("node"), "left_outer")
+      .persist()
     try {
-      val nS = sd.count()
+      val nS = nodesSeeded.filter(col("__seed").isNotNull).count()
       require(nS > 0, "personalizedPageRank needs at least one seed in the graph")
       val telQ = ((dampDen - dampNum) * q) / (dampDen * nS)
       val initQ = q / nS
-      val tel = (seedMark: org.apache.spark.sql.Column) =>
-        when(seedMark.isNotNull, lit(telQ)).otherwise(lit(0L))
-      var ckpt = nodes.join(sd.select(col("node"), col("__seed")),
-          Seq("node"), "left_outer")
+      var ckpt = nodesSeeded
         .select(col("node"),
           when(col("__seed").isNotNull, lit(initQ)).otherwise(lit(0L))
             .as("rank_q"))
@@ -391,12 +393,12 @@ object Graph {
           .join(ranks.select(col("node").as("src"), col("rank_q")), "src")
           .select(col("dst").as("node"), expr("rank_q div outdeg").as("__c"))
           .groupBy("node").agg(sum(col("__c")).as("__acc"))
-        val next = nodes
-          .join(sd.select(col("node"), col("__seed")), Seq("node"),
-            "left_outer")
+        val next = nodesSeeded
           .join(contrib, Seq("node"), "left_outer")
-          .select(col("node"), (tel(col("__seed")) + expr(
-            s"($dampNum * coalesce(__acc, CAST(0 AS BIGINT))) div $dampDen"))
+          .select(col("node"),
+            (when(col("__seed").isNotNull, lit(telQ)).otherwise(lit(0L)) +
+              expr(s"($dampNum * coalesce(__acc, CAST(0 AS BIGINT))) " +
+                s"div $dampDen"))
             .as("rank_q"))
           .localCheckpoint()
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
@@ -405,7 +407,7 @@ object Graph {
       }
       ranks
     } finally { e.unpersist(); ed.unpersist(); nodes.unpersist()
-      sd.unpersist(); () }
+      nodesSeeded.unpersist(); () }
   }
 
   /** HITS hubs and authorities over a directed edge list — the
