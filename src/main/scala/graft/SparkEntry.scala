@@ -795,6 +795,22 @@ object SparkEntry {
           expr("(ts div 86400000000000) % 7").as("dow")),
         "event_type", "dow")),
 
+    // ---- Warehouse/recsys: market-basket association rules (support /
+    //      confidence / lift over co-purchased parts) — per-basket pair
+    //      self-join, prune-then-annotate, exact integer counts ----
+    "q_assoc_rules" -> ((s, dir) =>
+      graft.ops.Associations.associationRules(
+        t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", minPairCount = 2)),
+
+    // ---- Sampling: deterministic Poisson bootstrap — per-row
+    //      replication counts by inverse-CDF on the row hash (resamples
+    //      reproducible across runs, partitionings, engines) ----
+    "sample_bootstrap" -> ((s, dir) =>
+      graft.ops.Sampling.poissonReplication(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")),
+
     // ---- Profiling: mutual information (event_type × day-of-week) —
     //      dependence STRENGTH companion to q_chi2's significance test;
     //      observed-cells-only strict sorted fold, pinned at 8 ----
@@ -3806,6 +3822,35 @@ object SparkEntry {
           "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"list_transform(l.cs, x -> $d * $d / $e)), " +
           "(p, x) -> p + x) AS chi2 FROM lst l CROSS JOIN nn"
+      },
+      "q_assoc_rules" ->
+        ("WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM b), " +
+          "si AS (SELECT it, CAST(count(*) AS BIGINT) AS s FROM b " +
+          "GROUP BY it), " +
+          "pr AS (SELECT x.it AS a, y.it AS b2, " +
+          "CAST(count(*) AS BIGINT) AS s_ab FROM b x JOIN b y " +
+          "ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2 " +
+          "HAVING count(*) >= 2), " +
+          "d AS (SELECT a, b2, s_ab FROM pr " +
+          "UNION ALL SELECT b2, a, s_ab FROM pr) " +
+          "SELECT d.a AS antecedent, d.b2 AS consequent, d.s_ab, " +
+          "sa.s AS s_a, sb.s AS s_b, " +
+          "CAST(d.s_ab AS DOUBLE) / CAST(n.n AS DOUBLE) AS support, " +
+          "CAST(d.s_ab AS DOUBLE) / CAST(sa.s AS DOUBLE) AS confidence, " +
+          "CAST(n.n * d.s_ab AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE) " +
+          "AS lift FROM d JOIN si sa ON sa.it = d.a " +
+          "JOIN si sb ON sb.it = d.b2 CROSS JOIN n"),
+      "sample_bootstrap" -> {
+        import graft.functions.TextHash
+        val cdf = graft.ops.Sampling.poissonCdf(1.0, 8)
+        val u = s"(CAST(((doc_id * ${TextHash.permuteA(0)} + " +
+          s"${TextHash.permuteB(0)}) % ${TextHash.P}) AS DOUBLE) / " +
+          s"${TextHash.P.toDouble})"
+        val ks = cdf.map(c => s"CASE WHEN $u >= $c THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"SELECT doc_id, CAST($ks AS BIGINT) AS boot_k FROM documents"
       },
       "q_mutual_info" -> {
         // p and the log argument repeated inline (DuckDB lambdas have no

@@ -214,4 +214,41 @@ object Sampling {
       rates: Map[String, Int], defaultPercent: Int = 100): DataFrame =
     sampleByRate(df, domainCol, idCol,
       rates.map { case (k, v) => lit(k) -> v }, defaultPercent)
+
+  /** Cumulative Poisson(λ) thresholds P(X ≤ k), k = 0..maxK−1 —
+    * driver-computed double literals shared VERBATIM with any oracle
+    * (`Double.toString` round-trips, the benford precedent). */
+  def poissonCdf(lambda: Double, maxK: Int): Seq[Double] = {
+    require(lambda > 0.0, s"lambda must be positive, got $lambda")
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val pmf = (0 until maxK).scanLeft(math.exp(-lambda)) {
+      case (p, k) => p * lambda / (k + 1)
+    }
+    pmf.take(maxK).scanLeft(0.0)(_ + _).tail
+  }
+
+  /** Deterministic Poisson bootstrap — per-row replication counts
+    * k ~ Poisson(λ) drawn by inverse-CDF on the row's hash uniform:
+    * the standard distributed bootstrap (each resample re-weights rows
+    * by an independent Poisson(1) count; no global sampling pass, no
+    * shared state). Deterministic: the same row always draws the same
+    * k for a given `round`, so resamples are reproducible across runs,
+    * partitionings, and engines, and different `round` values give
+    * independent draws from the same hash family.
+    *
+    * Emits (idCol, boot_k). `boot_k` saturates at `maxK` (cdf tail
+    * truncation — P(X ≥ 8) < 1e-6 at λ=1, documented rather than
+    * looped). Row-local: one hash + maxK literal comparisons inside
+    * whole-stage codegen; `explode`-free (callers replicate with
+    * `explode(sequence(1, boot_k))` when materialization is wanted). */
+  def poissonReplication(
+      df: DataFrame, idCol: String, lambda: Double = 1.0,
+      maxK: Int = 8, round: Int = 0): DataFrame = {
+    val cdf = poissonCdf(lambda, maxK)
+    val u = (graft.functions.TextHash.permute(round, col(idCol))
+      .cast("double") / lit(graft.functions.TextHash.P.toDouble))
+    val k = cdf.map(c => when(u >= lit(c), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(idCol), k.as("boot_k"))
+  }
 }

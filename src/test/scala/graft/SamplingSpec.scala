@@ -182,4 +182,27 @@ class SamplingSpec extends SparkSpec {
       .collect().count(_.getLong(1) <= 500L)
     assert(heavy >= 35, s"expected heavy-class dominance, got $heavy/50")
   }
+
+  test("poissonReplication: deterministic, Poisson(1)-shaped, rounds " +
+    "are independent draws") {
+    val ids = (1L to 20000L).toDF("id")
+    val run = (p: Int) => Sampling.poissonReplication(
+      ids.repartition(p), "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(1)
+    assert(a == run(11)) //                      partitioning-invariant
+    val ks = a.values.toSeq
+    assert(ks.forall(k => k >= 0 && k <= 8))
+    // mean ~ 1 and P(0) ~ 1/e for Poisson(1); generous bounds
+    val mean = ks.sum.toDouble / ks.size
+    assert(mean > 0.95 && mean < 1.05, s"mean $mean")
+    val p0 = ks.count(_ == 0L).toDouble / ks.size
+    assert(p0 > 0.33 && p0 < 0.41, s"p0 $p0")
+    // a different round draws a different (but still deterministic) set
+    val b = Sampling.poissonReplication(ids, "id", round = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b != a)
+    val agree = a.keys.count(k => a(k) == b(k)).toDouble / a.size
+    assert(agree < 0.6, s"rounds implausibly correlated: $agree")
+  }
 }
