@@ -829,6 +829,15 @@ object SparkEntry {
         col("event_type") === "purchase",
         floor(col("value") * 16.0))),
 
+    // ---- A/B readout: two-proportion z-test (does the even-user arm
+    //      purchase at a different rate?) — four exact counts in ONE
+    //      scan, fixed-shape float statistic, no libm ----
+    "q_abtest" -> ((s, dir) =>
+      graft.ops.Profile.twoProportionZ(
+        t(s, dir, "events"),
+        pmod(col("user_id"), lit(2L)) === 0L,
+        col("event_type") === "purchase")),
+
     // ---- Distribution shift: binned two-sample KS statistic (click vs
     //      view value distributions) — exact integer numerator, ONE
     //      division, earliest-bin tie-break ----
@@ -2249,6 +2258,26 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10)),
 
+    // ---- LLM pipeline: ANN quality evaluation — recall@k of the LSH
+    //      path against the brute-force truth, the number an index is
+    //      tuned by (exact overlap counts, ONE division per query) ----
+    "ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, k = 10, dim = 64, planes = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+        .select(col("query_id"), col("k"), col("n_hit"),
+          (col("n_hit").cast("double") / col("k").cast("double"))
+            .as("recall"))
+    }),
+
     // ---- Sources: format round-trips — write the corpus out as CSV /
     //      JSON / ORC, read it back with the same schema, and prove
     //      fidelity with content-sensitive aggregates (md5 extrema). The
@@ -3120,6 +3149,18 @@ object SparkEntry {
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3"
 
+    val bruteTopK =
+      ("WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+        "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), " +
+        "p AS (SELECT q.query_id, n.vec_id, " +
+        "list_inner_product(n.v, q.qv) / (n.nrm * q.qn) AS cos " +
+        "FROM n, q WHERE n.vec_id <> q.query_id) " +
+        "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10")
+
     val lshTopK =
       s"$embNorm, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket " +
         "FROM n WHERE vec_id < 10), " +
@@ -3891,6 +3932,29 @@ object SparkEntry {
           "THEN NULL ELSE CAST(u2 AS DOUBLE) / " +
           "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) END " +
           "AS auc FROM o"),
+      "q_abtest" -> {
+        val pa = "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        val pb = "(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        val pp = "(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        val den = s"sqrt($pp * (1.0 - $pp) * " +
+          "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+        "WITH c AS (SELECT " +
+          "CAST(coalesce(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 " +
+          "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a, " +
+          "CAST(coalesce(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 " +
+          "AND event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+          "AS x_a, " +
+          "CAST(coalesce(sum(CASE WHEN NOT (((user_id % 2) + 2) % 2 = 0) " +
+          "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b, " +
+          "CAST(coalesce(sum(CASE WHEN NOT (((user_id % 2) + 2) % 2 = 0) " +
+          "AND event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+          "AS x_b FROM events) " +
+          "SELECT n_a, x_a, n_b, x_b, " +
+          s"CASE WHEN n_a = 0 THEN NULL ELSE $pa END AS p_a, " +
+          s"CASE WHEN n_b = 0 THEN NULL ELSE $pb END AS p_b, " +
+          s"CASE WHEN n_a = 0 OR n_b = 0 OR $den <= 0.0 THEN NULL " +
+          s"ELSE ($pa - $pb) / $den END AS z FROM c"
+      },
       "q_ks_test" ->
         ("WITH b AS (SELECT CASE WHEN event_type = 'click' THEN 1 " +
           "ELSE 0 END AS a, CAST(floor(value * 16.0) AS BIGINT) AS q " +
@@ -4418,6 +4482,18 @@ object SparkEntry {
           s"FROM embeddings) SELECT vec_id, $proj FROM e"
       },
       "ann_lsh_topk" -> lshTopK,
+      "ann_topk" -> bruteTopK,
+      // recall@k of the LSH path against the brute-force truth —
+      // both full statements (CTEs included) compose as subqueries
+      "ann_recall" ->
+        (s"WITH ex AS (SELECT query_id, neighbor_id FROM ($bruteTopK)), " +
+          s"ap AS (SELECT query_id, neighbor_id FROM ($lshTopK)) " +
+          "SELECT ex.query_id, CAST(count(*) AS BIGINT) AS k, " +
+          "CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit, " +
+          "CAST(count(ap.neighbor_id) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE) AS recall " +
+          "FROM ex LEFT JOIN ap USING (query_id, neighbor_id) " +
+          "GROUP BY 1"),
       "ann_ivf_topk" -> ivfTopK,
       "ann_lsh_multiprobe" -> lshMultiprobe,
       "ann_ivf_nprobe" -> ivfNprobe,
@@ -5009,17 +5085,6 @@ object SparkEntry {
           "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / " +
           "length(text) AS alpha_ratio, " +
           "len(regexp_extract_all(text, '\\bthe\\b')) AS n_the FROM documents"),
-      "ann_topk" ->
-        ("WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
-          "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
-          "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
-          "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10), " +
-          "p AS (SELECT q.query_id, n.vec_id, " +
-          "list_inner_product(n.v, q.qv) / (n.nrm * q.qn) AS cos " +
-          "FROM n, q WHERE n.vec_id <> q.query_id) " +
-          "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM " +
-          "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
-          "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10"),
     ) ++ docPipelineOracles ++ sourceAndRankOracles
   }
 }

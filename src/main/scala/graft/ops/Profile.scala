@@ -429,6 +429,44 @@ object Profile {
             col("n_neg").cast("double"))).as("auc"))
   }
 
+  /** Two-proportion z-test — the A/B-test readout: did variant A
+    * convert at a different rate than variant B? Emits one row:
+    * (n_a, x_a, n_b, x_b, p_a, p_b, z) with the pooled-variance
+    * statistic `z = (p_a − p_b) / √(p̄(1−p̄)(1/n_a + 1/n_b))`.
+    *
+    * Determinism: all four counts ride ONE aggregate over ONE scan and
+    * are exact; the statistic is a fixed-shape float expression over
+    * them (divisions and an IEEE-correctly-rounded sqrt — no libm
+    * transcendentals), so it hash-gates bit-exactly cross-engine.
+    * NULL-converted rows count as not-converted; a degenerate arm
+    * (n=0) or an all-or-nothing pooled rate yields z = NULL. */
+  def twoProportionZ(
+      df: DataFrame, variantA: Column, converted: Column): DataFrame = {
+    val conv = coalesce(converted, lit(false))
+    val one = df.agg(
+      coalesce(sum(when(variantA, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(variantA && conv, 1L).otherwise(0L)), lit(0L))
+        .as("x_a"),
+      coalesce(sum(when(!variantA, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(!variantA && conv, 1L).otherwise(0L)), lit(0L))
+        .as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val den = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    one.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(col("n_a") === 0L, lit(null).cast("double")).otherwise(pa)
+        .as("p_a"),
+      when(col("n_b") === 0L, lit(null).cast("double")).otherwise(pb)
+        .as("p_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L || den <= 0.0,
+        lit(null).cast("double"))
+        .otherwise((pa - pb) / den).as("z"))
+  }
+
   /** Binned two-sample Kolmogorov-Smirnov statistic — "did this
     * distribution shift?" with a metric, where [[psi]] gives a monitor
     * score: D = max over bins of |F_a − F_b| between the two empirical

@@ -256,6 +256,26 @@ class ProfileSpec extends SparkSpec {
     assert(got.getAs[Double]("auc") == expected)
   }
 
+  test("twoProportionZ: hand-checked statistic, degenerate arms NULL") {
+    import org.apache.spark.sql.functions.col
+    // A: 100 rows, 30 convert; B: 200 rows, 40 convert
+    val rows = (0 until 100).map(i => (true, i < 30)) ++
+      (0 until 200).map(i => (false, i < 40))
+    val r = Profile.twoProportionZ(rows.toDF("a", "c"), col("a"), col("c"))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 30L, 200L, 40L)))
+    val (pa, pb, pp) = (0.3, 0.2, 70.0 / 300.0)
+    val z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1.0 / 100 + 1.0 / 200))
+    assert(r.getDouble(4) == pa && r.getDouble(5) == pb)
+    assert(math.abs(r.getDouble(6) - z) < 1e-12)
+    // one-armed input: z and the missing arm's rate are NULL
+    val solo = Profile.twoProportionZ(
+      Seq((true, true), (true, false)).toDF("a", "c"), col("a"), col("c"))
+      .head()
+    assert(solo.isNullAt(5) && solo.isNullAt(6))
+  }
+
   test("ksTestBinned matches the brute-force CDF sweep, earliest-tie " +
     "argmax, identical samples give 0") {
     val rng = new scala.util.Random(59)
