@@ -31,14 +31,46 @@ import graft.sink.Merge
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // The driver's events table stores TIMESTAMP(NANOS), which Spark has no
-    // native type for; read the raw int64 and work in microseconds (all
-    // values are whole µs — verified — so truncation is lossless and
-    // matches DuckDB's epoch_us). Runtime-settable, so any caller-provided
-    // session works.
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // Engine-facing contract: `events.ts` is epoch-NANOS as BIGINT, whatever
+    // the fixture's physical type. Two fixture generations exist:
+    //  - TIMESTAMP(NANOS) int64 — Spark has no nanos type; `nanosAsLong`
+    //    surfaces the raw int64 (all values are whole µs, so downstream
+    //    µs math is lossless and matches DuckDB's epoch_us);
+    //  - plain TIMESTAMP/TIMESTAMP_NTZ micros (driver regeneration, r7) —
+    //    rebuild the nanos BIGINT from unix micros. Session tz is pinned
+    //    UTC first so the NTZ→TIMESTAMP cast can't shift epochs on a
+    //    caller-provided non-UTC session (GraftSession already pins it).
+    // Both confs are runtime-settable, so any caller session works.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema.find(_.name == "ts").exists(f =>
+          f.dataType.typeName.startsWith("timestamp")))
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    else df
+  }
+
+  /** Streaming twin of `t()` for the events table: a rate-limited parquet
+    * file stream carrying the SAME engine-facing contract (`ts`: epoch-nanos
+    * BIGINT). Reads with the file's own schema — passing the engine schema
+    * (ts: LongType) to `readStream` against a TIMESTAMP(µs) file surfaces
+    * raw µs int64, which silently breaks every `ts div 1000` site (the
+    * round-7/8 fixture drift, streaming edition) — then normalizes exactly
+    * as `t()` does. */
+  private def eventsStream(
+      s: SparkSession, cfg: IngestConfig, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val fileSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = graft.engine.Sources
+      .parquet(s, cfg, fileSchema, s"$dir/events.parque[t]")
+    if (fileSchema.find(_.name == "ts").exists(f =>
+        f.dataType.typeName.startsWith("timestamp")))
+      stream.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    else stream
   }
 
   /** Shared fixture for the q_scd2 / q_temporal_join gates: a customer
@@ -156,7 +188,6 @@ object SparkEntry {
     // state; the oracle is the global latest-wins dedup, proving the
     // incremental merge converges to it.
     "o4_stream_ingest_e2e" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_o4_").toString
       val target = TargetTable("events_state", s"$tmp/target",
         keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
@@ -165,8 +196,7 @@ object SparkEntry {
       // File-stream the events table via the rate-limited source helper;
       // glob form because the source path is a single parquet file, not a
       // directory.
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(
           col("user_id").as("pkey"), expr("ts div 1000").as("modified_date_us"),
           col("event_id"), col("event_type"), col("value"))
@@ -181,15 +211,13 @@ object SparkEntry {
     // batch aggregate regardless of micro-batching — the engine's
     // beyond-reference streaming surface (SURVEY.md §2.9 watermark row).
     "s1_stream_window_agg" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s1_").toString
       val target = TargetTable("events_windows", s"$tmp/target",
         keyCols = Seq("window_start_us", "event_type"), versionCol = "n_events",
         buckets = 4)
       val cfg = IngestConfig(name = s"s1-window-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(
           timestamp_micros(expr("ts div 1000")).as("ts_t"),
           col("event_type"), col("value"))
@@ -209,15 +237,13 @@ object SparkEntry {
     //      the completed windows — percentiles over a stream without
     //      ever holding the stream ----
     "s13_stream_quantile" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s13_").toString
       val target = TargetTable("events_qsketch", s"$tmp/target",
         keyCols = Seq("window_start_us", "event_type", "qbucket"),
         versionCol = "qcnt", buckets = 4)
       val cfg = IngestConfig(name = s"s13-quantile-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(
           timestamp_micros(expr("ts div 1000")).as("ts_t"),
           col("event_type"), col("value"))
@@ -235,15 +261,13 @@ object SparkEntry {
     //      distinct state — register maxes as the streaming aggregate,
     //      estimates assembled from the completed windows ----
     "s14_stream_hll" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s14_").toString
       val target = TargetTable("events_hll", s"$tmp/target",
         keyCols = Seq("window_start_us", "event_type", "hb"),
         versionCol = "hr", buckets = 4)
       val cfg = IngestConfig(name = s"s14-hll-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(
           timestamp_micros(expr("ts div 1000")).as("ts_t"),
           col("event_type"), col("user_id"))
@@ -264,15 +288,13 @@ object SparkEntry {
     //      memory — additive cell counts as the streaming aggregate,
     //      point estimates probed from completed windows ----
     "s15_stream_cms" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s15_").toString
       val target = TargetTable("events_cms", s"$tmp/target",
         keyCols = Seq("window_start_us", "event_type", "cc"),
         versionCol = "cn", buckets = 4)
       val cfg = IngestConfig(name = s"s15-cms-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(
           timestamp_micros(expr("ts div 1000")).as("ts_t"),
           col("event_type"), col("user_id"))
@@ -293,15 +315,13 @@ object SparkEntry {
     //      aggregate, popcount as the monotone sink version; completed
     //      windows probed for present AND absent ids ----
     "s16_stream_bloom" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s16_").toString
       val target = TargetTable("events_bloom", s"$tmp/target",
         keyCols = Seq("window_start_us", "event_type", "bw"),
         versionCol = "bn", buckets = 4)
       val cfg = IngestConfig(name = s"s16-bloom-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(
           timestamp_micros(expr("ts div 1000")).as("ts_t"),
           col("event_type"), col("user_id"))
@@ -321,15 +341,13 @@ object SparkEntry {
     // ---- Sliding event-time windows: daily totals every 12 h (each
     //      event in window/slide=2 windows), merged like s1 ----
     "s7_stream_sliding" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s7_").toString
       val target = TargetTable("events_sliding", s"$tmp/target",
         keyCols = Seq("window_start_us", "event_type"), versionCol = "n_events",
         buckets = 4)
       val cfg = IngestConfig(name = s"s7-sliding-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(
           timestamp_micros(expr("ts div 1000")).as("ts_t"),
           col("event_type"), col("value"))
@@ -346,12 +364,10 @@ object SparkEntry {
     // ---- Per-key event-time quota: admit first 3 events per
     //      (user, day), counter state evicted by event-time timeout ----
     "s8_stream_quota" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s8_").toString
       val cfg = IngestConfig(name = s"s8-quota-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(
           timestamp_micros(expr("ts div 1000")).as("ts_t"),
           col("user_id"), col("event_id"))
@@ -364,14 +380,12 @@ object SparkEntry {
 
     // ---- Custom streaming state: flatMapGroupsWithState running counts ----
     "s2_stream_stateful" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s2_").toString
       val target = TargetTable("events_running", s"$tmp/target",
         keyCols = Seq("pkey"), versionCol = "n_events", buckets = 4)
       val cfg = IngestConfig(name = s"s2-stateful-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(
           col("user_id").as("pkey"), expr("ts div 1000").as("ver"),
           col("event_id").as("tie"), col("value"))
@@ -388,14 +402,12 @@ object SparkEntry {
     //      state (order-insensitive), latest value z-scored against the
     //      key's full history — one deterministic division + sqrt ----
     "s12_stream_anomaly" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s12_").toString
       val target = TargetTable("events_anomaly", s"$tmp/target",
         keyCols = Seq("pkey"), versionCol = "n_events", buckets = 4)
       val cfg = IngestConfig(name = s"s12-anomaly-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(
           col("user_id").as("pkey"), expr("ts div 1000").as("ver"),
           col("event_id").as("tie"), col("value"))
@@ -431,14 +443,12 @@ object SparkEntry {
     //      O(k) custom state, slate re-emitted on change and converged
     //      through the (key, rank)-keyed latest-wins merge sink ----
     "s10_stream_topk" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s10_").toString
       val target = TargetTable("type_leaderboard", s"$tmp/target",
         keyCols = Seq("gkey", "rank"), versionCol = "upd_seq", buckets = 4)
       val cfg = IngestConfig(name = s"s10-topk-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(col("event_type").as("gkey"),
           col("event_id").as("id"), col("value").as("score"))
       val updates = graft.streaming.Stateful.topKPerKey(src, k = 3)
@@ -454,12 +464,10 @@ object SparkEntry {
     //      user's purchases in the following hour (symmetric hash join;
     //      watermark + range condition bound BOTH sides' state) ----
     "s3_stream_stream_join" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s3_").toString
       val cfg = IngestConfig(name = s"s3-join-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      def src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      def src = eventsStream(s, cfg, dir)
       val clicks = src.filter(col("event_type") === "click").select(
         col("user_id").as("c_user"), col("event_id").as("click_id"),
         timestamp_micros(expr("ts div 1000")).as("click_ts"))
@@ -485,12 +493,10 @@ object SparkEntry {
     //      following-hour purchases OR a null row once the watermark
     //      proves none can arrive; both engines cut at max ts - 1h - 1d ----
     "s3b_stream_left_join" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s3b_").toString
       val cfg = IngestConfig(name = s"s3b-ljoin-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      def src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      def src = eventsStream(s, cfg, dir)
       val clicks = src.filter(col("event_type") === "click").select(
         col("user_id").as("c_user"), col("event_id").as("click_id"),
         timestamp_micros(expr("ts div 1000")).as("click_ts"))
@@ -517,12 +523,10 @@ object SparkEntry {
     //      pair within the hour; BOTH sides null-extend on state expiry,
     //      so both engines cut both sides at max ts - 1h - 1d ----
     "s3c_stream_full_join" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s3c_").toString
       val cfg = IngestConfig(name = s"s3c-fjoin-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      def src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      def src = eventsStream(s, cfg, dir)
       val clicks = src.filter(col("event_type") === "click").select(
         col("user_id").as("c_user"), col("event_id").as("click_id"),
         timestamp_micros(expr("ts div 1000")).as("click_ts"))
@@ -551,12 +555,10 @@ object SparkEntry {
     // ---- Streaming dedup: first-wins per key across the whole stream;
     //      key-only projection so the emitted witness row is irrelevant ----
     "s4_stream_dedup" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s4_").toString
       val cfg = IngestConfig(name = s"s4-dedup-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(col("user_id"), col("event_type"))
       appendStream(s,
         graft.streaming.StreamDedup.exact(src, Seq("user_id", "event_type")),
@@ -566,12 +568,10 @@ object SparkEntry {
     // ---- Streaming per-key RATE baseline: daily event counts smoothed
     //      by a cross-window EWMA held as one state struct per key ----
     "s9_stream_rate_ewma" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s9_").toString
       val cfg = IngestConfig(name = s"s9-rate-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(col("user_id"),
           timestamp_micros(expr("ts div 1000")).as("ets"))
       appendStream(s, graft.streaming.Stateful.perKeyRateEwma(
@@ -581,12 +581,10 @@ object SparkEntry {
     // ---- Stream-static enrichment: events stream × customer dim
     //      (broadcast dim, no stream shuffle, no state store) ----
     "s5_stream_static_join" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s5_").toString
       val cfg = IngestConfig(name = s"s5-enrich-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .filter(col("user_id") < 150)
         .select(col("event_id"), col("user_id"), col("event_type"))
       val dim = t(s, dir, "customer")
@@ -605,12 +603,10 @@ object SparkEntry {
     //      BOTH engines are cut at a margin safely inside the emitted
     //      set: cutoff = max event time - gap - 1 day ----
     "s6_stream_session" -> ((s, dir) => {
-      val batchSchema = t(s, dir, "events").schema
       val tmp = Files.createTempDirectory("graft_s6_").toString
       val cfg = IngestConfig(name = s"s6-session-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val src = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/events.parque[t]")
+      val src = eventsStream(s, cfg, dir)
         .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts_t"))
       val agg = graft.streaming.EventTime.sessionAgg(
         src, "ts_t", "6 hours", "0 seconds", Seq("user_id"))
@@ -1130,6 +1126,34 @@ object SparkEntry {
           col("asof_purchase_value").as("purchase_value"))
     }),
 
+    // ---- Last-touch attribution: each purchase credited to the same
+    //      user's latest prior click/view (as-of back join — single
+    //      keyed shuffle), per-channel rollup with the DECIMAL(18,2)
+    //      exact-sum discipline; orphan purchases → 'direct' ----
+    "q_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), expr("ts div 1000").as("touch_us"),
+          col("event_type").as("channel"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("purchase_us"),
+          col("value"))
+      graft.ops.Attribution.lastTouch(purchases, touches,
+        Seq("user_id"), "purchase_us", "touch_us", "channel", "value",
+        tieBreakCols = Seq("event_id"))
+    }),
+
+    // ---- HLL set-overlap: distinct-user intersection of two event
+    //      types by inclusion–exclusion over mergeable registers (the
+    //      audience-overlap question answered in sketch space) ----
+    "sketch_hll_intersect" -> ((s, dir) =>
+      graft.ops.Sketches.hllIntersect(
+        graft.ops.Sketches.hllSketchIds(
+          t(s, dir, "events")
+            .filter(col("event_type").isin("click", "purchase")),
+          Seq("event_type"), "user_id"),
+        "event_type", "click", "purchase")),
+
     // ---- Time-series gap-fill: dense daily grid + LOCF per user ----
     "q_gapfill" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(
@@ -1574,16 +1598,20 @@ object SparkEntry {
       graft.ops.Bpe.encodeTokenCounts(
         t(s, dir, "documents"), "doc_id", "text", merges = 10)),
 
-    // ---- LLM pipeline: farthest-point (k-center greedy) diversity
-    //      sample over the embedding corpus — 8 picks, each round one
-    //      corpus pass with the centers broadcast as one array row ----
+    // ---- LLM pipeline: k-center diversity sample over the embedding
+    //      corpus. BOTH gates run the SCALABLE form (batched
+    //      oversampling passes, then exact greedy on the small candidate
+    //      set — O(rounds) corpus scans, not O(k)); the exact greedy
+    //      k-scan form is spec-only (SimilaritySpec) since round 8 —
+    //      its k serialized scans + per-round driver collect are the
+    //      wrong plan at 100× (round-7 verdict item 5) ----
     "sample_kcenter" -> ((s, dir) =>
-      Similarity.farthestPointSample(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
+      Similarity.farthestPointSampleScalable(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, ell = 4, rounds = 3)),
 
-    // ---- LLM pipeline: scalable k-center — 2 batched oversampling
-    //      passes (8 farthest admitted per pass) then exact greedy on
-    //      the 17 candidates; O(rounds) corpus scans, not O(k) ----
+    // ---- Same scalable k-center under a wider-batch config: fewer
+    //      passes admitting more per pass (ell=8 × 2 rounds) ----
     "sample_kcenter_scalable" -> ((s, dir) =>
       Similarity.farthestPointSampleScalable(
         t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -2458,6 +2486,14 @@ object SparkEntry {
         "source", "doc_id",
         Map("src0" -> 50, "src1" -> 25, "src2" -> 0), defaultPercent = 80)),
 
+    // ---- LLM pipeline: temperature-scaled domain mixture (p_d ∝ n_d^α
+    //      — mT5/ROOTS-style α-flattening of the source distribution;
+    //      expected 60% of the corpus kept, tail sources up-weighted) ----
+    "sample_temperature" -> ((s, dir) =>
+      graft.ops.Sampling.sampleTemperature(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", alpha = 0.6, targetFrac = 0.6)),
+
     // ---- LLM pipeline: curriculum binning + per-bin thinning (quality
     //      deciles per language; the two lowest deciles are thinned) ----
     "sample_curriculum" -> ((s, dir) => {
@@ -2814,6 +2850,24 @@ object SparkEntry {
       "sample_mixture" -> mixtureSql,
       "sample_curriculum" -> curriculumSql,
       "sample_importance" -> importanceSql,
+      "sample_temperature" -> {
+        val a0 = TextHash.permuteA(0); val b0 = TextHash.permuteB(0)
+        val p = TextHash.P
+        val alpha = 0.6; val frac = 0.6
+        s"WITH c AS (SELECT source, count(*) AS nd FROM documents " +
+          "GROUP BY 1), " +
+          "z AS (SELECT CAST(sum(nd) AS BIGINT) AS n, " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(list_sort(list(struct_pack(d := source, " +
+          s"k := nd))), x -> pow(CAST(x.k AS DOUBLE), $alpha))), " +
+          "(a, b) -> a + b) AS za FROM c), " +
+          s"r AS (SELECT source, round(least(1.0, $frac * " +
+          s"CAST(n AS DOUBLE) * pow(CAST(nd AS DOUBLE), ${alpha - 1.0}) " +
+          "/ za), 8) AS keep_rate FROM c, z) " +
+          "SELECT doc_id, source, keep_rate " +
+          "FROM documents JOIN r USING (source) " +
+          s"WHERE ((doc_id * $a0 + $b0) % $p + 1) / ($p + 1.0) < keep_rate"
+      },
       "sample_weighted" -> {
         val a0 = TextHash.permuteA(0); val b0 = TextHash.permuteB(0)
         val p = TextHash.P
@@ -4225,8 +4279,9 @@ object SparkEntry {
           "CAST(embedding AS DOUBLE[]) AS v, " +
           "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
           "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
-          graft.functions.OracleSql.farthestPointCtes(k = 8) +
-          " SELECT pick, vec_id AS picked_id FROM sel7"),
+          graft.functions.OracleSql.farthestPointBatchCtes(
+            k = 8, ell = 4, rounds = 3) +
+          " SELECT pick, vec_id AS picked_id FROM gsel7"),
       "sample_kcenter_scalable" ->
         ("WITH kc AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, " +
           "CAST(embedding AS DOUBLE[]) AS v, " +
@@ -4651,6 +4706,45 @@ object SparkEntry {
       // The right side is deduped to the max-event_id row per (user_id, ts)
       // BEFORE the ASOF join — mirrors rightTieBreakCols = event_id on the
       // Spark side (DuckDB's ASOF picks an arbitrary row on ts ties).
+      "q_attribution" ->
+        ("WITH t1 AS (SELECT user_id, ts, event_type AS channel FROM (" +
+          "SELECT user_id, ts, event_type, row_number() OVER (" +
+          "PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+          "FROM events WHERE event_type IN ('click', 'view')) " +
+          "WHERE rn = 1), " +
+          "j AS (SELECT coalesce(r.channel, 'direct') AS channel, " +
+          "l.value FROM (SELECT user_id, ts, value FROM events " +
+          "WHERE event_type = 'purchase') l " +
+          "ASOF LEFT JOIN t1 r " +
+          "ON l.user_id = r.user_id AND l.ts >= r.ts) " +
+          "SELECT channel, count(*) AS n_conversions, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
+          "AS sum_value FROM j GROUP BY 1"),
+      "sketch_hll_intersect" -> {
+        val m = 64
+        val rmax = graft.ops.Sketches.hllW(m) + 1
+        val num = graft.ops.Sketches.hllAlpha(m) *
+          m.toDouble * m.toDouble * math.pow(2.0, rmax)
+        val est = (alias: String, src: String) =>
+          s"SELECT $num / (sum((CAST(1 AS BIGINT) << $rmax) >> r) + " +
+            s"($m - count(*)) * (CAST(1 AS BIGINT) << $rmax)) " +
+            s"AS $alias FROM $src"
+        s"WITH tp AS (SELECT event_type, (user_id * " +
+          s"${TextHash.permuteA(0)} + ${TextHash.permuteB(0)}) % " +
+          s"${TextHash.P} AS h FROM events WHERE event_type IN " +
+          "('click', 'purchase') AND user_id IS NOT NULL), " +
+          s"br AS (SELECT event_type, h % $m AS b, " +
+          s"CASE WHEN h // $m = 0 THEN $rmax " +
+          s"ELSE $rmax - length(bin(h // $m)) END AS r FROM tp), " +
+          "mr AS (SELECT event_type, b, max(r) AS r FROM br " +
+          "GROUP BY event_type, b), " +
+          "mu AS (SELECT b, max(r) AS r FROM mr GROUP BY b), " +
+          s"ea AS (${est("est_a", "mr WHERE event_type = 'click'")}), " +
+          s"eb AS (${est("est_b", "mr WHERE event_type = 'purchase'")}), " +
+          s"eu AS (${est("est_union", "mu")}) " +
+          "SELECT est_a, est_b, est_union, " +
+          "est_a + est_b - est_union AS est_intersect FROM ea, eb, eu"
+      },
       "q_asof_join" ->
         ("SELECT l.event_id, l.user_id, epoch_us(l.ts) AS err_us, " +
           "epoch_us(r.ts) AS purchase_us, r.value AS purchase_value " +

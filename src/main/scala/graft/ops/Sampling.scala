@@ -215,6 +215,57 @@ object Sampling {
     sampleByRate(df, domainCol, idCol,
       rates.map { case (k, v) => lit(k) -> v }, defaultPercent)
 
+  /** Temperature-scaled domain mixture — the α-weighting step of
+    * multi-source corpus assembly (mT5/ROOTS-style): target domain
+    * probabilities p_d ∝ n_d^α with α ∈ (0, 1] flatten the natural
+    * distribution (α=1 keeps it; α→0 approaches uniform over domains),
+    * so tail domains are up-weighted relative to head domains without
+    * hand-tuned per-domain rates. For a THINNING pass keeping an
+    * expected `targetFrac` of the corpus, the per-domain keep rate is
+    *   r_d = min(1, targetFrac · N · n_d^(α−1) / Σ_e n_e^α)
+    * (expected kept per domain ∝ n_d^α; head domains hit the cap first).
+    *
+    * Determinism: domain counts are exact longs off one aggregate;
+    * Σ n^α is a STRICT domain-sorted fold (the chiSquare/entropy
+    * discipline — a parallel float sum would be order-dependent); the
+    * rate is pinned at round(·, 8) to absorb last-ulp `pow` differences
+    * between libms; the per-row draw u = (permute(id)+1)/(P+1) is exact
+    * rational arithmetic off the shared hash family, so the kept set is
+    * identical across runs, partitionings, and engines.
+    *
+    * Scale: one map-side-combinable count aggregate (O(domains) rows),
+    * one broadcast join of the rates back onto the scan, one row-local
+    * filter — no corpus-keyed shuffle anywhere. Emits
+    * (idCol, domainCol, keep_rate) for kept rows. */
+  def sampleTemperature(
+      df: DataFrame, domainCol: String, idCol: String,
+      alpha: Double, targetFrac: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac must be in (0,1], got $targetFrac")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__nd"))
+    val z = counts
+      .agg(
+        sort_array(collect_list(struct(col(domainCol).as("__d"),
+          col("__nd")))).as("cs"),
+        sum(col("__nd")).as("__n"))
+      .select(col("__n"),
+        aggregate(col("cs"), lit(0.0), (acc, x) =>
+          acc + pow(x.getField("__nd").cast("double"), lit(alpha)))
+          .as("__za"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(domainCol),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("__n").cast("double") *
+            pow(col("__nd").cast("double"), lit(alpha - 1.0)) / col("__za")),
+          8).as("keep_rate"))
+    val u = (TextHash.permute(0, col(idCol)) + 1L).cast("double") /
+      lit((TextHash.P + 1L).toDouble)
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(u < col("keep_rate"))
+      .select(col(idCol), col(domainCol), col("keep_rate"))
+  }
+
   /** Cumulative Poisson(λ) thresholds P(X ≤ k), k = 0..maxK−1 —
     * driver-computed double literals shared VERBATIM with any oracle
     * (`Double.toString` round-trips, the benford precedent). */

@@ -262,6 +262,64 @@ object Sketches {
         (groupCols.map(col) :+ col("__b").as("hb") :+ col("__r").as("hr")): _*)
   }
 
+  /** Batch HLL registers over an integral id column — the batch twin of
+    * [[hllSketchIdsWindowed]] (distinct ids per group with NO distinct
+    * shuffle): one map-side-combinable (group, register) max aggregate,
+    * state ≤ m rows per group. */
+  def hllSketchIds(
+      df: DataFrame, groupCols: Seq[String], idColumn: String,
+      m: Int = 64): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    hllAssemble(
+      df.where(col(idColumn).isNotNull)
+        .withColumn("__h", TextHash.permute(0, col(idColumn)))
+        .select(groupCols.map(col) :+ (col("__h") % m).as("__b") :+
+          hllRank(expr(s"__h div $m"), m).as("__rk"): _*)
+        .groupBy(groupCols.map(col) :+ col("__b"): _*)
+        .agg(max(col("__rk")).as("__r")),
+      groupCols, m)
+  }
+
+  /** Set-overlap estimates between two named sketch rows by
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
+    * union sketch the elementwise register max (exactly the sketch of
+    * the union — no rescan). ONE row out:
+    * (est_a, est_b, est_union, est_intersect).
+    *
+    * The intersection estimate inherits HLL's relative error on each
+    * term, so small overlaps between large sets can even go negative —
+    * emitted raw (deterministic; clamp at the call site if a
+    * non-negative display value is wanted). Both inputs are single
+    * sketch rows (≤ m longs), so the crossJoins are trivially broadcast.
+    * `m` must match the build (execution-time checked). */
+  def hllIntersect(
+      sketches: DataFrame, keyCol: String, a: String, b: String,
+      m: Int = 64): DataFrame = {
+    val checked = requireWidth(sketches, "registers", m,
+      "hllIntersect", s"m=$m")
+    val ra = checked.where(col(keyCol) === a)
+      .select(col("registers").as("__ra"))
+    val rb = checked.where(col(keyCol) === b)
+      .select(col("registers").as("__rb"))
+    val three = ra.crossJoin(rb).select(
+      explode(array(
+        struct(lit("a").as("__k"), col("__ra").as("registers")),
+        struct(lit("b").as("__k"), col("__rb").as("registers")),
+        struct(lit("u").as("__k"),
+          zip_with(col("__ra"), col("__rb"),
+            (x, y) => greatest(x, y)).as("registers")))).as("__s"))
+      .select(col("__s.__k").as("__k"), col("__s.registers").as("registers"))
+    hllEstimate(three, m)
+      .groupBy()
+      .agg(
+        max(when(col("__k") === "a", col("est_distinct"))).as("est_a"),
+        max(when(col("__k") === "b", col("est_distinct"))).as("est_b"),
+        max(when(col("__k") === "u", col("est_distinct"))).as("est_union"))
+      .withColumn("est_intersect",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
+
   /** Assemble a registers array from stored (groupCols..., hb, hr) rows —
     * the read-back half of the streaming HLL path. */
   def hllFromRegisterRows(

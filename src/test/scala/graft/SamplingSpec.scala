@@ -183,6 +183,37 @@ class SamplingSpec extends SparkSpec {
     assert(heavy >= 35, s"expected heavy-class dominance, got $heavy/50")
   }
 
+  test("sampleTemperature: α-flattening up-weights tail domains, " +
+    "hits the target fraction, deterministic across partitionings") {
+    import spark.implicits._
+    // head domain 800 rows, tail domain 200 rows
+    val df = ((1L to 800L).map(i => (i, "head")) ++
+      (801L to 1000L).map(i => (i, "tail"))).toDF("id", "d")
+    val kept = Sampling.sampleTemperature(df, "d", "id",
+      alpha = 0.5, targetFrac = 0.5)
+    val byDomain = kept.groupBy("d").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byDomain.values.sum.toDouble
+    // expected keep ∝ n^0.5: head √800 ≈ 28.3, tail √200 ≈ 14.1 —
+    // head keeps 2× the ROWS of tail (not 4×), i.e. the tail's keep
+    // RATE is 2× the head's. Generous bounds around 500 total.
+    assert(total > 420 && total < 580, s"total kept $total")
+    val headRate = byDomain("head") / 800.0
+    val tailRate = byDomain("tail") / 200.0
+    assert(tailRate > headRate * 1.6,
+      s"tail rate $tailRate not up-weighted vs head $headRate")
+    // deterministic + partitioning-invariant
+    val again = Sampling.sampleTemperature(df.repartition(13), "d", "id",
+      alpha = 0.5, targetFrac = 0.5)
+    assertSameRows(kept, again)
+    // α=1 degenerates to a flat targetFrac thinning: equal rates
+    val flat = Sampling.sampleTemperature(df, "d", "id",
+      alpha = 1.0, targetFrac = 0.5)
+    val rates = flat.select("keep_rate").distinct().collect()
+      .map(_.getDouble(0)).toSet
+    assert(rates == Set(0.5), s"α=1 rates should all be 0.5: $rates")
+  }
+
   test("poissonReplication: deterministic, Poisson(1)-shaped, rounds " +
     "are independent draws") {
     val ids = (1L to 20000L).toDF("id")

@@ -49,7 +49,16 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    try:
+        failed = json.load(open(f"{out_dir}/_failed.json"))
+    except Exception:  # noqa: BLE001
+        failed = {}
+    for name, msg in sorted(failed.items()):
+        print(f"FAIL {name}: gate threw: {msg}")
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in failed:
+            continue
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             s_types = types_of(spark_rel)
