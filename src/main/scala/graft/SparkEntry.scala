@@ -957,6 +957,30 @@ object SparkEntry {
       graft.ops.TimeSeries.cusumChangePoint(hourly, "event_type", "hr", "hx")
     }),
 
+    // ---- Time series: rolling robust (median/MAD) anomaly flags over
+    //      the hourly quantized series — all-integer element picks, the
+    //      outlier detector a rolling mean/σ can't be ----
+    "ts_rolling_mad" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.rollingMadAnomaly(
+        hourly, "event_type", "hr", "hx", window = 7, k = 3L)
+    }),
+
+    // ---- Events: first-order Markov transition matrix of user
+    //      behavior (what users do next, with exact-integer counts and
+    //      one IEEE division for P(to|from)) ----
+    "q_markov_transitions" -> ((s, dir) =>
+      graft.ops.Funnel.markovTransitions(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("us"), col("event_id"),
+          col("event_type")),
+        "user_id", "us", "event_id", "event_type")),
+
     // ---- Time series: Holt linear-trend smoothing over the hourly
     //      series (level + trend state, 3-step forecast) — ONE strict
     //      fold per key; dyadic α=0.5, β=0.25 keep the mirror bit-safe ----
@@ -2469,6 +2493,12 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- LLM pipeline: bigram-LM quality scoring (the sharper CCNet-
+    //      style perplexity proxy — conditional P(w2|w1), add-one
+    //      smoothed, same fixed-point determinism as the unigram) ----
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- Data quality: ANALYZE-style column profile ----
     "q_profile" -> ((s, dir) =>
       graft.ops.Profile.profile(t(s, dir, "documents"))),
@@ -2881,6 +2911,60 @@ object SparkEntry {
           "SELECT lang, doc_id, n_chars, wrank FROM r WHERE wrank <= 12"
       },
       "src_shard_export" -> shardExportSql,
+      "ts_rolling_mad" ->
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2), " +
+          "l AS (SELECT event_type, hr, hx, list(hx) OVER (" +
+          "PARTITION BY event_type ORDER BY hr " +
+          "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS lw FROM h), " +
+          "m AS (SELECT event_type, hr, hx, " +
+          "CAST(len(lw) AS BIGINT) AS n_win, " +
+          "list_sort(lw)[(len(lw) + 1) // 2] AS med, lw FROM l), " +
+          "md AS (SELECT event_type, hr, hx, n_win, med, " +
+          "list_sort(list_transform(lw, x -> abs(x - med)))" +
+          "[(len(lw) + 1) // 2] AS mad FROM m) " +
+          "SELECT event_type, hr, hx, n_win, med, mad, " +
+          "abs(hx - med) > 3 * mad AS is_anomaly FROM md"),
+      "q_markov_transitions" ->
+        ("WITH e AS (SELECT event_type, lead(event_type) OVER (" +
+          "PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+          "FROM events), " +
+          "pr AS (SELECT event_type AS from_type, next_type AS to_type, " +
+          "count(*) AS n FROM e WHERE next_type IS NOT NULL " +
+          "GROUP BY 1, 2), " +
+          "f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from " +
+          "FROM pr GROUP BY 1) " +
+          "SELECT from_type, to_type, n, n_from, " +
+          "CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p " +
+          "FROM pr JOIN f USING (from_type)"),
+      "text_bigram_logprob" -> {
+        val q = graft.ops.TextAnalysis.LogQ
+        val mean = s"CAST(sq AS DOUBLE) / (n_bigrams * $q)"
+        "WITH ws AS (SELECT doc_id, " +
+          "list_filter(string_split_regex(lower(text), '\\s+'), " +
+          "w -> w <> '') AS ws FROM documents), " +
+          "pr AS (SELECT doc_id, unnest(list_transform(" +
+          "range(1, len(ws)), i -> struct_pack(w1 := ws[i], " +
+          "w2 := ws[i + 1]))) AS p FROM ws WHERE len(ws) >= 2), " +
+          "pp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pr), " +
+          "c12 AS (SELECT w1, w2, count(*) AS n12 FROM pp GROUP BY 1, 2), " +
+          "c1 AS (SELECT w1, w2, n12, " +
+          "CAST(sum(n12) OVER (PARTITION BY w1) AS BIGINT) AS n1 " +
+          "FROM c12), " +
+          "vv AS (SELECT count(DISTINCT w) AS v FROM " +
+          "(SELECT unnest(ws) AS w FROM ws)), " +
+          "lm AS (SELECT w1, w2, CAST(floor(ln((n12 + 1) / (n1 + v)) * " +
+          s"$q.0) AS BIGINT) AS lpq FROM c1, vv), " +
+          "dt AS (SELECT doc_id, w1, w2, count(*) AS tf FROM pp " +
+          "GROUP BY 1, 2, 3), " +
+          "per AS (SELECT doc_id, CAST(sum(tf * lpq) AS BIGINT) AS sq, " +
+          "CAST(sum(tf) AS BIGINT) AS n_bigrams " +
+          "FROM dt JOIN lm USING (w1, w2) GROUP BY doc_id) " +
+          s"SELECT doc_id, n_bigrams, $mean AS mean_logp, " +
+          s"(-($mean)) / ${graft.ops.TextAnalysis.Ln2} AS bits_per_token " +
+          "FROM per"
+      },
       "text_unigram_logprob" -> {
         val q = graft.ops.TextAnalysis.LogQ
         val mean = s"CAST(sq AS DOUBLE) / (n_words * $q)"

@@ -76,4 +76,38 @@ object Funnel {
       .agg(count(lit(1)).as("n_active"))
       .join(sizes, "cohort_date")
   }
+
+  /** First-order Markov transition matrix of user behavior: for each
+    * ordered pair of consecutive events by the same user, count the
+    * (from_type → to_type) transition and its conditional probability
+    * P(to|from) = n / n_from — the "what do users do next" table feeding
+    * next-action prediction and journey analysis.
+    *
+    * Determinism: consecutive-ness is defined by (tsCol ASC, tieCol ASC)
+    * within the user — pass a unique `tieCol` (event id) or equal
+    * timestamps make the sequence shuffle-order dependent. Counts are
+    * exact longs; the probability is ONE IEEE division of exact integers
+    * (bit-identical across engines, no rounding pin needed).
+    *
+    * Scale: one shuffle on the user for the lead() window (frame is one
+    * row — constant state), then one map-side-combinable aggregate on
+    * the (from, to) pair; the n_from normalizer is a window over the
+    * aggregated O(types²) table, not the stream. */
+  def markovTransitions(
+      df: DataFrame, userCol: String, tsCol: String, tieCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = df
+      .withColumn("__next", lead(col(typeCol), 1).over(seq))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
 }

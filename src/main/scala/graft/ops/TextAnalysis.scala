@@ -276,6 +276,65 @@ object TextAnalysis {
     } finally { freq.unpersist(); () }
   }
 
+  /** Bigram language-model scoring — the sharper perplexity-proxy
+    * quality filter (CCNet-style): train an add-one-smoothed bigram LM
+    * on the corpus itself, score each doc by the mean conditional token
+    * log-probability P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) over its
+    * bigram occurrences. Repetitive/templated text scores HIGH, token
+    * salad scores LOW — complementary to [[unigramLogProb]] (which only
+    * sees marginal rarity). Docs shorter than 2 tokens have no bigrams
+    * and are dropped (the duplicatedSpanStats contract; oracle mirrors).
+    *
+    * Emits (idCol, n_bigrams, mean_logp, bits_per_token).
+    *
+    * Scale: pass 1 builds the bigram count table (map-side-combined,
+    * output O(distinct bigrams)) with the prefix totals as one window
+    * over that aggregated table — NOT a second corpus scan; pass 2 joins
+    * doc bigrams to the model keyed by pair. The vocab size is a
+    * one-row broadcast. Same two-pass shape and [[LogQ]] fixed-point
+    * determinism as [[unigramLogProb]]: log-probs quantize to longs
+    * before any per-doc summation, so shuffle order cannot perturb the
+    * score. The model table persists across its two consumers and the
+    * result localCheckpoints so it can unpersist before return. */
+  def bigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = docs
+      .select(col(idCol),
+        filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("__ws"))
+    val pairs = ws.filter(size(col("__ws")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__ws")) - 1),
+          i => struct(element_at(col("__ws"), i).as("w1"),
+            element_at(col("__ws"), i + 1).as("w2")))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .persist()
+    try {
+      val c12 = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n12"))
+        .withColumn("n1",
+          sum(col("n12")).over(Window.partitionBy(col("w1"))))
+      val vocab = ws
+        .select(explode(col("__ws")).as("w")).agg(countDistinct(col("w")).as("v"))
+      val lm = c12.crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          floor(log((col("n12") + lit(1L)) / (col("n1") + col("v"))) *
+            lit(LogQ)).cast("long").as("lpq"))
+      val docPairs = pairs.groupBy(col(idCol), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("tf"))
+      val mean = col("sq").cast("double") / (col("n_bigrams") * lit(LogQ))
+      docPairs.join(lm, Seq("w1", "w2"))
+        .groupBy(col(idCol))
+        .agg(sum(col("tf") * col("lpq")).as("sq"),
+          sum(col("tf")).as("n_bigrams"))
+        .select(col(idCol),
+          col("n_bigrams").cast("long").as("n_bigrams"),
+          mean.as("mean_logp"),
+          (-mean / lit(Ln2)).as("bits_per_token"))
+        .localCheckpoint()
+    } finally { pairs.unpersist(); () }
+  }
+
   /** Corpus-wide most-frequent word n-grams — the boilerplate detector
     * (navigation chrome, license headers, cookie banners surface as
     * high-count high-df n-grams; the output feeds a scrub list or a

@@ -391,4 +391,44 @@ object TimeSeries {
         (col("__f.l") + lit(horizon.toDouble) * col("__f.b"))
           .as("forecast"))
   }
+
+  /** Rolling robust anomaly flags over a regular integer-valued series —
+    * the outlier detector that survives the outliers it hunts (a rolling
+    * MEAN/σ is dragged by the very spike it should flag; median/MAD are
+    * not): for each (key, t) point, the LOWER median and MAD of the
+    * trailing `window` points (inclusive), and
+    * `|x − med| > k·mad` as the anomaly flag.
+    *
+    * ALL-INTEGER determinism contract: `xCol` must be an exact LONG
+    * (quantize doubles first — the `floor(value·1024)` ts_cusum
+    * discipline); medians are ELEMENT PICKS (lower median at position
+    * (n+1) div 2 of the sorted window — never the averaged middle pair,
+    * which would reintroduce float arithmetic), so med, mad, and the
+    * flag comparison are pure integer ops, bit-identical across engines
+    * and partitionings. Warm-up rows (fewer than `window` points yet)
+    * still emit over their shorter prefix — callers filter on `n_win` if
+    * they want full windows only.
+    *
+    * Scale: one shuffle on the key; per-row state is the `window`-sized
+    * list inside a rows-bounded frame (tiny, constant). The series is
+    * the DOWNSTREAM of an aggregation (hourly/daily rollup), so rows per
+    * key = time buckets, not raw events. */
+  def rollingMadAnomaly(
+      series: DataFrame, keyCol: String, tCol: String, xCol: String,
+      window: Int = 7, k: Long = 3L): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(k >= 1L, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val lowerMedian = (xs: Column) =>
+      element_at(sort_array(xs), ((size(xs) + 1) / 2).cast("int"))
+    series
+      .withColumn("__l", collect_list(col(xCol)).over(w))
+      .withColumn("med", lowerMedian(col("__l")))
+      .withColumn("mad",
+        lowerMedian(transform(col("__l"), x => abs(x - col("med")))))
+      .select(col(keyCol), col(tCol), col(xCol),
+        size(col("__l")).cast("long").as("n_win"), col("med"), col("mad"),
+        (abs(col(xCol) - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
+  }
 }

@@ -56,4 +56,31 @@ class FunnelSpec extends SparkSpec {
     assert(got(("2024-01-02", 0L)) == ((1L, 1L))) // user 3
     assert(got.size == 4)
   }
+
+  test("markovTransitions counts consecutive pairs per user, " +
+    "normalizes per from-state, tie-breaks equal timestamps") {
+    // user 1: a->b->a->b ; user 2: a->b ; user 3 single event (no pair)
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (1L, 40L, 4L, "b"),
+      (2L, 10L, 5L, "a"), (2L, 15L, 6L, "c"),
+      (3L, 10L, 7L, "a"))
+      .toDF("u", "ts", "id", "et")
+    val got = Funnel.markovTransitions(df, "u", "ts", "id", "et")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // transitions leaving 'a': a->b x2 (u1), a->c x1 (u2); each user's
+    // final event departs nowhere
+    assert(got(("a", "b")) == ((2L, 3L, 2.0 / 3.0)))
+    assert(got(("a", "c")) == ((1L, 3L, 1.0 / 3.0)))
+    assert(got(("b", "a")) == ((1L, 1L, 1.0)))
+    assert(got.size == 3) //    user 3 contributes nothing
+    // equal ts: sequence resolves by id -> a(id1)->b(id2) not reversed
+    val tied = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"))
+      .toDF("u", "ts", "id", "et")
+    val t2 = Funnel.markovTransitions(tied, "u", "ts", "id", "et")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t2 == Set(("a", "b")))
+  }
 }

@@ -504,4 +504,26 @@ class TextOpsSpec extends SparkSpec {
       "net")))
     assert(got(5L) == (("", "", "", "", "")))
   }
+
+  test("bigramLogProb: repeated bigrams score higher than token salad, " +
+    "short docs dropped, deterministic across partitionings") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat"), // one dominant pattern
+      (2L, "zap qux mop fee rah gox"), //             all-unique bigrams
+      (3L, "single"), //                              no bigram -> dropped
+      (4L, "")).toDF("id", "txt")
+    val r = TextAnalysis.bigramLogProb(docs, "id", "txt")
+    val got = r.collect().map(x =>
+      x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 8L && got(2L)._1 == 5L)
+    assert(got(1L)._2 > got(2L)._2,
+      s"repetitive doc should outscore salad: $got")
+    // mean_logp is a mean of negative logs
+    assert(got(1L)._2 < 0.0)
+    val again = TextAnalysis.bigramLogProb(
+      docs.repartition(7), "id", "txt")
+    assertSameRows(r, again)
+  }
 }

@@ -247,4 +247,36 @@ class TimeSeriesSpec extends SparkSpec {
       alpha = 0.5, beta = 0.25, horizon = 2).head()
     assert(a.getLong(1) == 200L && a.getDouble(2) == r.getDouble(2))
   }
+
+  test("rollingMadAnomaly flags the spike a rolling mean would smear, " +
+    "warm-up rows emit short windows, partitioning-invariant") {
+    // flat series of 10s with one 1000 spike at t=10
+    val rows = (0L until 20L).map(t =>
+      ("g", t, if (t == 10L) 1000L else 10L))
+    val r = TimeSeries.rollingMadAnomaly(
+      rows.toDF("g", "t", "x"), "g", "t", "x", window = 7, k = 3L)
+    val byT = r.collect().map(x =>
+      x.getLong(1) -> ((x.getLong(3), x.getLong(4), x.getLong(5),
+        x.getBoolean(6)))).toMap
+    // spike: window median stays 10, mad 0 -> |1000-10| > 0 flagged
+    assert(byT(10L) == ((7L, 10L, 0L, true)))
+    // flat rows: mad 0 and |x-med| = 0 -> NOT flagged (strict >)
+    assert(byT(5L) == ((6L, 10L, 0L, false)))
+    assert(byT(0L)._1 == 1L) //                         warm-up size
+    // trailing rows still see the spike in-window but median holds
+    assert(!byT(12L)._4 && byT(12L)._2 == 10L)
+    val again = TimeSeries.rollingMadAnomaly(
+      rows.toDF("g", "t", "x").repartition(7), "g", "t", "x", 7, 3L)
+    assertSameRows(r, again)
+  }
+
+  test("rollingMadAnomaly: lower-median element pick on even windows") {
+    // window=4 over [2,4,6,8]: sorted prefix medians pick (n+1) div 2
+    val rows = Seq(("g", 0L, 2L), ("g", 1L, 4L), ("g", 2L, 6L),
+      ("g", 3L, 8L))
+    val med = TimeSeries.rollingMadAnomaly(
+      rows.toDF("g", "t", "x"), "g", "t", "x", window = 4, k = 3L)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(med == Map(0L -> 2L, 1L -> 2L, 2L -> 4L, 3L -> 4L))
+  }
 }
