@@ -971,6 +971,23 @@ object SparkEntry {
         hourly, "event_type", "hr", "hx", window = 7, k = 3L)
     }),
 
+    // ---- Events: cohort lifetime-value curves — retention's revenue
+    //      companion; DECIMAL-exact daily and cumulative sums ----
+    "q_cohort_ltv" -> ((s, dir) =>
+      graft.ops.Funnel.cohortLtv(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 86400000000000").as("day"),
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0)).as("rev")),
+        "user_id", "day", "rev")),
+
+    // ---- Profiling: 2-D equi-width histogram (joint-distribution grid
+    //      for drift heatmaps) over lineitem quantity × price ----
+    "q_histogram2d" -> ((s, dir) =>
+      graft.ops.Profile.histogram2d(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice",
+        bins = 8)),
+
     // ---- Events: first-order Markov transition matrix of user
     //      behavior (what users do next, with exact-integer counts and
     //      one IEEE division for P(to|from)) ----
@@ -2926,6 +2943,38 @@ object SparkEntry {
           "[(len(lw) + 1) // 2] AS mad FROM m) " +
           "SELECT event_type, hr, hx, n_win, med, mad, " +
           "abs(hx - med) > 3 * mad AS is_anomaly FROM md"),
+      "q_cohort_ltv" ->
+        ("WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, " +
+          "CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END " +
+          "AS rev FROM events), " +
+          "c AS (SELECT user_id, min(day) AS cohort_day FROM e " +
+          "GROUP BY 1), " +
+          "d AS (SELECT cohort_day, day - cohort_day AS age_day, " +
+          "count(DISTINCT e.user_id) AS n_active, " +
+          "sum(CAST(rev AS DECIMAL(18,2))) AS rev " +
+          "FROM e JOIN c USING (user_id) GROUP BY 1, 2) " +
+          "SELECT cohort_day, age_day, n_active, " +
+          "CAST(rev AS DOUBLE) AS day_revenue, " +
+          "CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY age_day " +
+          "ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue FROM d"),
+      "q_histogram2d" ->
+        ("WITH r AS (SELECT CAST(l_quantity AS DOUBLE) AS x, " +
+          "CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem " +
+          "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), " +
+          "b AS (SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, " +
+          "max(y) AS ymx FROM r), " +
+          "g AS (SELECT CASE WHEN xmx = xmn THEN 0 ELSE least(7, " +
+          "CAST(floor((x - xmn) * 8 / (xmx - xmn)) AS BIGINT)) END " +
+          "AS bin_x, CASE WHEN ymx = ymn THEN 0 ELSE least(7, " +
+          "CAST(floor((y - ymn) * 8 / (ymx - ymn)) AS BIGINT)) END " +
+          "AS bin_y, xmn, xmx, ymn, ymx FROM r, b) " +
+          "SELECT bin_x, bin_y, " +
+          "xmn + bin_x * (xmx - xmn) / 8 AS x_lo, " +
+          "xmn + (bin_x + 1) * (xmx - xmn) / 8 AS x_hi, " +
+          "ymn + bin_y * (ymx - ymn) / 8 AS y_lo, " +
+          "ymn + (bin_y + 1) * (ymx - ymn) / 8 AS y_hi, " +
+          "count(*) AS n FROM g " +
+          "GROUP BY bin_x, bin_y, xmn, xmx, ymn, ymx"),
       "q_markov_transitions" ->
         ("WITH e AS (SELECT event_type, lead(event_type) OVER (" +
           "PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +

@@ -77,6 +77,41 @@ object Funnel {
       .join(sizes, "cohort_date")
   }
 
+  /** Cohort lifetime-value curves — [[retentionCohorts]]' revenue
+    * companion: users cohorted by first-activity day, each later day
+    * contributing that day's conversion revenue at its cohort age, plus
+    * the running cumulative ("day-N LTV"). Emits one row per
+    * (cohort_day, age_day) with activity:
+    * (cohort_day, age_day, n_active, day_revenue, cum_revenue).
+    *
+    * Determinism: revenue accumulates as DECIMAL(18,2) — exact and
+    * order-independent — through BOTH the daily aggregate and the
+    * running-cumulative window; only the final values cast to DOUBLE
+    * (a float running sum would be frame-order-fragile across engines).
+    *
+    * Scale: one user-keyed aggregate for cohorts (broadcast-joinable
+    * back — O(users) rows), one (cohort, age) hash aggregate with
+    * map-side combine, and the cumulative window runs over the
+    * aggregated O(days²/2) grid, never the event stream. */
+  def cohortLtv(
+      df: DataFrame, userCol: String, dayCol: String,
+      revenueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cohorts = df.groupBy(col(userCol))
+      .agg(min(col(dayCol)).as("cohort_day"))
+    val daily = df.join(cohorts, userCol)
+      .groupBy(col("cohort_day"),
+        (col(dayCol) - col("cohort_day")).as("age_day"))
+      .agg(
+        countDistinct(col(userCol)).as("n_active"),
+        sum(col(revenueCol).cast("decimal(18,2)")).as("__rev"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("cohort_day"), col("age_day"), col("n_active"),
+      col("__rev").cast("double").as("day_revenue"),
+      sum(col("__rev")).over(w).cast("double").as("cum_revenue"))
+  }
+
   /** First-order Markov transition matrix of user behavior: for each
     * ordered pair of consecutive events by the same user, count the
     * (from_type → to_type) transition and its conditional probability

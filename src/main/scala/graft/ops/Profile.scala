@@ -344,6 +344,49 @@ object Profile {
         col("n"))
   }
 
+  /** 2-D equi-width histogram — the joint-distribution grid behind drift
+    * heatmaps and bivariate profiling ("did the (price, quantity) shape
+    * move between snapshots?"): `bins × bins` buckets spanning the GLOBAL
+    * [min, max] of each axis, max closing into the last bin, rows with a
+    * null on either axis dropped. Emits only OCCUPIED cells
+    * (bin_x, bin_y, x_lo, x_hi, y_lo, y_hi, n) — downstream PSI/chi²
+    * style comparisons regenerate the empty cells from the grid bounds,
+    * exactly as [[chiSquare]] does.
+    *
+    * Determinism: the bin is the same fixed IEEE expression as
+    * [[histogram]] evaluated per axis; bounds are exact min/max.
+    * Scale: one bounds aggregate (one ROW out, broadcast back) + one
+    * (bin_x, bin_y) hash aggregate with map-side combine; output ≤
+    * bins². */
+  def histogram2d(
+      df: DataFrame, xCol: String, yCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val rows = df.where(x.isNotNull && y.isNotNull)
+    val bounds = rows.agg(
+      min(x).as("__xmn"), max(x).as("__xmx"),
+      min(y).as("__ymn"), max(y).as("__ymx"))
+    val bin = (v: Column, mn: Column, mx: Column) =>
+      when(mx === mn, lit(0L))
+        .otherwise(least(lit((bins - 1).toLong),
+          floor((v - mn) * bins / (mx - mn))))
+    val edge = (mn: Column, mx: Column, b: Column) =>
+      mn + b * (mx - mn) / bins
+    rows.crossJoin(broadcast(bounds))
+      .groupBy(
+        bin(x, col("__xmn"), col("__xmx")).as("bin_x"),
+        bin(y, col("__ymn"), col("__ymx")).as("bin_y"),
+        col("__xmn"), col("__xmx"), col("__ymn"), col("__ymx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin_x"), col("bin_y"),
+        edge(col("__xmn"), col("__xmx"), col("bin_x")).as("x_lo"),
+        edge(col("__xmn"), col("__xmx"), col("bin_x") + 1).as("x_hi"),
+        edge(col("__ymn"), col("__ymx"), col("bin_y")).as("y_lo"),
+        edge(col("__ymn"), col("__ymx"), col("bin_y") + 1).as("y_hi"),
+        col("n"))
+  }
+
   /** Mutual information (nats) between two categorical columns — the
     * dependence STRENGTH companion to [[chiSquare]]'s significance test
     * (feature selection, leakage audits: a near-deterministic mapping

@@ -57,6 +57,25 @@ class FunnelSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("cohortLtv: first-day cohorting, decimal-exact daily and " +
+    "cumulative revenue, active counts per age") {
+    // u1 joins day 0 (buys 10.50), active day 2 (buys 2.25)
+    // u2 joins day 0 (no revenue), active day 2 (nothing)
+    // u3 joins day 1 (buys 5.00)
+    val df = Seq(
+      (1L, 0L, 10.50), (1L, 2L, 2.25),
+      (2L, 0L, 0.0), (2L, 2L, 0.0),
+      (3L, 1L, 5.00))
+      .toDF("u", "day", "rev")
+    val got = Funnel.cohortLtv(df, "u", "day", "rev")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got((0L, 0L)) == ((2L, 10.50, 10.50)))
+    assert(got((0L, 2L)) == ((2L, 2.25, 12.75))) // cumulative carries
+    assert(got((1L, 0L)) == ((1L, 5.00, 5.00)))
+    assert(got.size == 3)
+  }
+
   test("markovTransitions counts consecutive pairs per user, " +
     "normalizes per from-state, tie-breaks equal timestamps") {
     // user 1: a->b->a->b ; user 2: a->b ; user 3 single event (no pair)

@@ -303,4 +303,26 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.ksTestBinned(same, col("a"), col("q")).head()
       .getAs[Long]("ks_num") == 0L)
   }
+
+  test("histogram2d: joint grid over global bounds, max closes into " +
+    "the last bin, null-on-either-axis drops, cells sum to rows") {
+    import spark.implicits._
+    // x in [0, 10], y in [0, 100]; 2 bins per axis -> quadrants
+    val df = Seq[(Option[Double], Option[Double])](
+      (Some(0.0), Some(0.0)), (Some(1.0), Some(10.0)),
+      (Some(9.0), Some(10.0)), (Some(10.0), Some(100.0)),
+      (Some(2.0), Some(90.0)), (None, Some(5.0)), (Some(3.0), None))
+      .toDF("x", "y")
+    val got = Profile.histogram2d(df, "x", "y", bins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(6)))).toMap
+    // (0,0): x<5,y<50 -> rows (0,0),(1,10) ; (1,0): (9,10)
+    // (1,1): (10,100) max closes in ; (0,1): (2,90)
+    assert(got((0L, 0L))._3 == 2L)
+    assert(got((1L, 0L))._3 == 1L)
+    assert(got((1L, 1L))._3 == 1L)
+    assert(got((0L, 1L))._3 == 1L)
+    assert(got.values.map(_._3).sum == 5L) //   both null rows dropped
+    assert(got((0L, 0L))._1 == 0.0 && got((0L, 0L))._2 == 5.0) // edges
+  }
 }
