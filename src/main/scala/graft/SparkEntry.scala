@@ -1762,6 +1762,41 @@ object SparkEntry {
       graft.ops.Graph.triangleCount(pairs, "a", "b")
     }),
 
+    // ---- Graph: common-neighbor link prediction — Jaccard-scored
+    //      2-hop pairs not already connected (missing-edge repair /
+    //      related-entity suggestion) on the part co-occurrence graph ----
+    "graph_jaccard_links" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.commonNeighborLinks(pairs, "a", "b",
+        minCommon = 3L)
+    }),
+
+    // ---- Streaming ops: event-lateness profile — the measurement that
+    //      SIZES a watermark (inversion rate + p99/max backward jump
+    //      over per-user arrival order) ----
+    "q_lateness_profile" -> ((s, dir) =>
+      graft.ops.Profile.latenessProfile(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("us")),
+        "user_id", "event_id", "us")),
+
+    // ---- Product analytics: funnel time-to-convert (view→purchase
+    //      gap distribution: exact mean + lower-median element pick) ----
+    "q_funnel_ttc" -> ((s, dir) =>
+      graft.ops.Funnel.timeToConvert(
+        graft.ops.Funnel.funnelStages(
+          t(s, dir, "events").select(col("user_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type")),
+          "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase")),
+        "t1", "t3")),
+
     // ---- Graph: community detection via synchronous label propagation
     //      (3 rounds, deterministic min-label tie-break) on the same
     //      market-basket graph as graph_triangles ----
@@ -3834,6 +3869,71 @@ object SparkEntry {
           "('o_totalprice', 'type_changed', 'double', 'string'), " +
           "('o_priority_rank', 'added', CAST(NULL AS VARCHAR), 'int')) " +
           "t(column_name, change_type, left_type, right_type)"),
+      "graph_jaccard_links" ->
+        ("WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "e0 AS (SELECT x.p AS a, y.p AS b FROM pp x JOIN pp y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "und AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM e0 " +
+          "UNION ALL SELECT b AS a, a AS b FROM e0) WHERE a < b), " +
+          "adj AS (SELECT a AS m, b AS n FROM und " +
+          "UNION ALL SELECT b AS m, a AS n FROM und), " +
+          "deg AS (SELECT m, count(*) AS d FROM adj GROUP BY 1), " +
+          "w AS (SELECT x.n AS na, y.n AS nb FROM adj x JOIN adj y " +
+          "ON x.m = y.m AND x.n < y.n), " +
+          "cn AS (SELECT na, nb, count(*) AS n_common FROM w " +
+          "GROUP BY 1, 2 HAVING count(*) >= 3), " +
+          "ne AS (SELECT cn.na, cn.nb, cn.n_common FROM cn " +
+          "LEFT JOIN und ON cn.na = und.a AND cn.nb = und.b " +
+          "WHERE und.a IS NULL) " +
+          "SELECT ne.na AS node_a, ne.nb AS node_b, ne.n_common, " +
+          "da.d AS deg_a, db.d AS deg_b, " +
+          "CAST(ne.n_common AS DOUBLE) / " +
+          "CAST(da.d + db.d - ne.n_common AS DOUBLE) AS jaccard " +
+          "FROM ne JOIN deg da ON ne.na = da.m " +
+          "JOIN deg db ON ne.nb = db.m"),
+      "q_lateness_profile" ->
+        ("WITH p AS (SELECT lag(epoch_us(ts)) OVER (" +
+          "PARTITION BY user_id ORDER BY event_id) - epoch_us(ts) " +
+          "AS reg FROM events), " +
+          "pp AS (SELECT reg FROM p WHERE reg IS NOT NULL), " +
+          "t AS (SELECT count(*) AS n_pairs, " +
+          "CAST(sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_inversions FROM pp), " +
+          "cm AS (SELECT reg, CAST(sum(count(*)) OVER (ORDER BY reg " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
+          "FROM pp WHERE reg > 0 GROUP BY reg), " +
+          "pk AS (SELECT max(reg) AS max_regression, " +
+          "min(CASE WHEN cum >= ceil(n_inversions * 0.99) THEN reg END) " +
+          "AS p99_regression FROM cm, t) " +
+          "SELECT n_pairs, n_inversions, " +
+          "CAST(n_inversions AS DOUBLE) / CAST(n_pairs AS DOUBLE) " +
+          "AS inversion_frac, " +
+          "coalesce(max_regression, 0) AS max_regression, " +
+          "coalesce(p99_regression, 0) AS p99_regression FROM t, pk"),
+      "q_funnel_ttc" ->
+        ("WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 " +
+          "FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+          "s2 AS (SELECT s1.user_id, s1.t1, " +
+          "min(CASE WHEN epoch_us(e.ts) > s1.t1 THEN epoch_us(e.ts) END) AS t2 " +
+          "FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id " +
+          "AND e.event_type = 'click' GROUP BY s1.user_id, s1.t1), " +
+          "s3 AS (SELECT s2.user_id, s2.t1, s2.t2, " +
+          "min(CASE WHEN epoch_us(e.ts) > s2.t2 THEN epoch_us(e.ts) END) AS t3 " +
+          "FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id " +
+          "AND e.event_type = 'purchase' GROUP BY s2.user_id, s2.t1, s2.t2), " +
+          "g AS (SELECT t3 - t1 AS d FROM s3 " +
+          "WHERE t1 IS NOT NULL AND t3 IS NOT NULL), " +
+          "t AS (SELECT count(*) AS n_converted, " +
+          "CAST(sum(d) AS BIGINT) AS s, min(d) AS min_gap, " +
+          "max(d) AS max_gap FROM g), " +
+          "cm AS (SELECT d, CAST(sum(count(*)) OVER (ORDER BY d " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g GROUP BY d), " +
+          "md AS (SELECT min(CASE WHEN cum >= (n_converted + 1) // 2 " +
+          "THEN d END) AS median_gap FROM cm, t) " +
+          "SELECT n_converted, min_gap, max_gap, " +
+          "CAST(s AS DOUBLE) / CAST(n_converted AS DOUBLE) AS mean_gap, " +
+          "median_gap FROM t, md"),
       "q_funnel" ->
         ("WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 " +
           "FROM events WHERE event_type = 'view' GROUP BY user_id), " +

@@ -77,6 +77,44 @@ object Funnel {
       .join(sizes, "cohort_date")
   }
 
+  /** Stage-transition timing over a [[funnelStages]] frame — "how long
+    * does conversion take": exact distribution summary of
+    * `toCol − fromCol` over users who completed both stages. ONE row:
+    * (n_converted, min_gap, max_gap, mean_gap, median_gap) in the
+    * funnel's time unit.
+    *
+    * Determinism: gaps are exact longs; mean is ONE IEEE division of an
+    * exact sum; the median is the exact LOWER-median element pick via a
+    * cumulative count over the DISTINCT gap values (the grid-not-data
+    * discipline — no global sort of users, no interpolated quantile).
+    * Scale: two aggregates + an O(distinct gaps) cumulative window. */
+  def timeToConvert(
+      funnel: DataFrame, fromCol: String, toCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gaps = funnel
+      .filter(col(fromCol).isNotNull && col(toCol).isNotNull)
+      .select((col(toCol) - col(fromCol)).as("__d")).persist()
+    try {
+      val tot = gaps.agg(count(lit(1)).as("n_converted"),
+        sum(col("__d")).as("__s"),
+        min(col("__d")).as("min_gap"), max(col("__d")).as("max_gap"))
+      val cum = gaps.groupBy(col("__d")).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          Window.orderBy(col("__d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val med = cum.crossJoin(broadcast(
+          tot.select(col("n_converted").as("__n"))))
+        .agg(min(when(col("__cum") >= expr("(__n + 1) div 2"),
+          col("__d"))).as("median_gap"))
+      tot.crossJoin(broadcast(med))
+        .select(col("n_converted"), col("min_gap"), col("max_gap"),
+          (col("__s").cast("double") / col("n_converted").cast("double"))
+            .as("mean_gap"),
+          col("median_gap"))
+        .localCheckpoint()
+    } finally { gaps.unpersist(); () }
+  }
+
   /** Cohort lifetime-value curves — [[retentionCohorts]]' revenue
     * companion: users cohorted by first-activity day, each later day
     * contributing that day's conversion revenue at its cohort age, plus

@@ -220,6 +220,60 @@ object Graph {
     }
   }
 
+  /** Common-neighbor link prediction — Jaccard-scored 2-hop pairs: for
+    * every unordered node pair NOT already connected, the count of
+    * shared neighbors and the neighborhood Jaccard
+    * `cn / (deg_a + deg_b − cn)` — the classic "who should be linked"
+    * score (missing-edge repair in dedup cluster graphs,
+    * related-entity suggestion). Emits
+    * (node_a, node_b, n_common, deg_a, deg_b, jaccard), a < b, pairs
+    * with at least `minCommon` shared neighbors.
+    *
+    * Scale: the wedge join through each middle node costs Σ_m d(m)², so
+    * super-hubs dominate; `maxDegree` excludes nodes above the cap from
+    * the MIDDLE position (their wedges — the standard power-law
+    * mitigation; full degrees still feed the Jaccard denominator, so
+    * scores stay exact for the pairs emitted). All counts exact longs,
+    * the score ONE IEEE division. Everything else is keyed
+    * joins/aggregates — no driver data path. */
+  def commonNeighborLinks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Long = 2L, maxDegree: Long = Long.MaxValue): DataFrame = {
+    require(minCommon >= 1L, s"minCommon must be >= 1, got $minCommon")
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).persist()
+    val und = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") < col("b")).distinct().persist()
+    try {
+      val adj = und.select(col("a").as("m"), col("b").as("n"))
+        .unionByName(und.select(col("b").as("m"), col("a").as("n")))
+        .persist()
+      try {
+        val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("d"))
+        val mid = adj.join(
+          deg.filter(col("d") <= maxDegree).select(col("m")), "m")
+        val wedges = mid.as("x").join(mid.as("y"),
+            col("x.m") === col("y.m") && col("x.n") < col("y.n"))
+          .select(col("x.n").as("na"), col("y.n").as("nb"))
+        val cn = wedges.groupBy(col("na"), col("nb"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter(col("n_common") >= minCommon)
+        val unlinked = cn.join(
+          und.select(col("a").as("na"), col("b").as("nb")),
+          Seq("na", "nb"), "left_anti")
+        unlinked
+          .join(deg.select(col("m").as("na"), col("d").as("deg_a")), "na")
+          .join(deg.select(col("m").as("nb"), col("d").as("deg_b")), "nb")
+          .select(col("na").as("node_a"), col("nb").as("node_b"),
+            col("n_common"), col("deg_a"), col("deg_b"),
+            (col("n_common").cast("double") /
+              (col("deg_a") + col("deg_b") - col("n_common"))
+                .cast("double")).as("jaccard"))
+          .localCheckpoint()
+      } finally { adj.unpersist(); () }
+    } finally { raw.unpersist(); und.unpersist(); () }
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly drop every
     * vertex with (undirected) degree below `k` until the survivor set is
     * stable — what remains is the k-core, the standard density filter for

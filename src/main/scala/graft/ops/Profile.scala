@@ -344,6 +344,58 @@ object Profile {
         col("n"))
   }
 
+  /** Event-lateness profile — the measurement that SIZES a watermark:
+    * over each key's arrival order (`seqCol`, e.g. an ingestion id),
+    * how often does event time run BACKWARD, and by how much? Emits one
+    * row: (n_pairs, n_inversions, inversion_frac, max_regression,
+    * p99_regression) — n_pairs the adjacent-arrival pairs, an inversion
+    * a pair whose event time decreased, regressions in `tsCol` units.
+    * A watermark delay at ~max (or p99, tolerating rare drops) of
+    * regression bounds state without dropping live data.
+    *
+    * Determinism: counts/extremes are exact longs off one lag window +
+    * one aggregate; the p99 is an exact ceil-rank ELEMENT PICK (the
+    * smallest magnitude whose cumulative count reaches ⌈0.99·c⌉ — no
+    * interpolation); the fraction is ONE IEEE division. Scale: one
+    * key-shuffled lag window (frame = 1 row), one global aggregate;
+    * the quantile's cumulative pass runs over the DISTINCT regression
+    * magnitudes (the aucBinned grid-not-data discipline), never the
+    * inversion rows. */
+  def latenessProfile(
+      df: DataFrame, keyCol: String, seqCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    val pairs = df
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select((col("__prev") - col(tsCol)).as("__reg"))
+      .persist()
+    try {
+      val totals = pairs
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("__reg") > 0, 1L).otherwise(0L)).as("n_inversions"))
+      val cum = pairs.filter(col("__reg") > 0)
+        .groupBy(col("__reg")).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          Window.orderBy(col("__reg"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val picks = cum.crossJoin(broadcast(
+          totals.select(col("n_inversions").as("__ni"))))
+        .agg(
+          max(col("__reg")).as("max_regression"),
+          min(when(col("__cum") >= ceil(col("__ni") * lit(0.99)),
+            col("__reg"))).as("p99_regression"))
+      totals.crossJoin(broadcast(picks))
+        .select(col("n_pairs"), col("n_inversions"),
+          (col("n_inversions").cast("double") /
+            col("n_pairs").cast("double")).as("inversion_frac"),
+          coalesce(col("max_regression"), lit(0L)).as("max_regression"),
+          coalesce(col("p99_regression"), lit(0L)).as("p99_regression"))
+        .localCheckpoint()
+    } finally { pairs.unpersist(); () }
+  }
+
   /** 2-D equi-width histogram — the joint-distribution grid behind drift
     * heatmaps and bivariate profiling ("did the (price, quantity) shape
     * move between snapshots?"): `bins × bins` buckets spanning the GLOBAL

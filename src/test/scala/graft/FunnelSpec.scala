@@ -57,6 +57,20 @@ class FunnelSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("timeToConvert: gap distribution over completed stages only — " +
+    "exact mean, lower-median element pick") {
+    // funnel frame directly: gaps 10, 20, 40; one non-converter
+    val f = Seq(
+      (1L, 0L, Some(10L)), (2L, 100L, Some(120L)),
+      (3L, 0L, Some(40L)), (4L, 0L, None))
+      .toDF("u", "t1", "t3")
+    val r = Funnel.timeToConvert(f, "t1", "t3").head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 40L)
+    assert(r.getDouble(3) == 70.0 / 3.0)
+    assert(r.getLong(4) == 20L) //   lower median of {10, 20, 40}
+  }
+
   test("cohortLtv: first-day cohorting, decimal-exact daily and " +
     "cumulative revenue, active counts per age") {
     // u1 joins day 0 (buys 10.50), active day 2 (buys 2.25)

@@ -299,4 +299,38 @@ class GraphSpec extends SparkSpec {
       repart.collect { case ("authority", n, s) => n -> s }.toMap)
     assert(got == expected)
   }
+
+  test("commonNeighborLinks: scores unlinked 2-hop pairs, excludes " +
+    "existing edges, hub cap prunes wedges but keeps true degrees") {
+    import spark.implicits._
+    // path 1-2, 1-3, 4-2, 4-3 (square without diagonals) plus edge 2-3:
+    // pair (1,4) shares {2,3} and is unlinked; (2,3) shares {1,4} but IS
+    // an edge -> excluded
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L), (2L, 3L))
+      .toDF("s", "d")
+    val r = graft.ops.Graph.commonNeighborLinks(edges, "s", "d",
+      minCommon = 2L)
+    val got = r.collect().map(x => (x.getLong(0), x.getLong(1)) ->
+      ((x.getLong(2), x.getLong(3), x.getLong(4), x.getDouble(5)))).toMap
+    // deg(1)=2, deg(4)=2, cn=2 -> jaccard 2/(2+2-2)=1.0
+    assert(got((1L, 4L)) == ((2L, 2L, 2L, 1.0)))
+    assert(!got.contains((2L, 3L)))
+    // hub cap: excluding node 1 (degree 2) as a middle with maxDegree=1
+    // kills the (2,3)-through-1 wedges AND the (1,4) pair's 2-count
+    val capped = graft.ops.Graph.commonNeighborLinks(edges, "s", "d",
+      minCommon = 1L, maxDegree = 1L)
+    assert(capped.count() == 0L)
+  }
+
+  test("commonNeighborLinks is partitioning-invariant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("s", "d")
+    val a = graft.ops.Graph.commonNeighborLinks(edges, "s", "d", 2L)
+    val b = graft.ops.Graph.commonNeighborLinks(
+      edges.repartition(13), "s", "d", 2L)
+    assertSameRows(a, b)
+  }
 }

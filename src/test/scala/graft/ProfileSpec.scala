@@ -304,6 +304,26 @@ class ProfileSpec extends SparkSpec {
       .getAs[Long]("ks_num") == 0L)
   }
 
+  test("latenessProfile: inversion rate + exact p99/max backward jump; " +
+    "in-order stream profiles clean") {
+    import spark.implicits._
+    // user 1 arrivals: ts 10, 20, 5 (jump back 15), 30
+    // user 2 arrivals: ts 10, 8 (jump back 2)
+    val df = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 5L), (1L, 4L, 30L),
+      (2L, 1L, 10L), (2L, 2L, 8L))
+      .toDF("u", "seq", "ts")
+    val r = Profile.latenessProfile(df, "u", "seq", "ts").head()
+    assert(r.getLong(0) == 4L) //                        adjacent pairs
+    assert(r.getLong(1) == 2L) //                        inversions
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getLong(3) == 15L) //                       max regression
+    assert(r.getLong(4) == 15L) //       p99 over {2,15}: ceil-rank pick
+    val clean = Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("u", "seq", "ts")
+    val c = Profile.latenessProfile(clean, "u", "seq", "ts").head()
+    assert(c.getLong(1) == 0L && c.getLong(3) == 0L && c.getLong(4) == 0L)
+  }
+
   test("histogram2d: joint grid over global bounds, max closes into " +
     "the last bin, null-on-either-axis drops, cells sum to rows") {
     import spark.implicits._
