@@ -1621,6 +1621,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("comp").as("canon_id"))
     }),
 
+    // ---- LLM pipeline: INCREMENTAL dup clusters — a deterministic
+    //      quarter of the candidate pairs arrives as the "new shard";
+    //      stored labels merge through the contracted component graph
+    //      (O(batch) solve + one relabel join). Oracle = FULL recompute
+    //      over all pairs: min-id labels are merge-order independent,
+    //      so incremental must equal from-scratch exactly ----
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val pairs = NearDup.lshCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3, r = 2)
+      val base = pairs.filter((col("id_a") + col("id_b")) % 4 =!= 0)
+      val fresh = pairs.filter((col("id_a") + col("id_b")) % 4 === 0)
+      val prior = graft.ops.Components.connectedComponents(
+        base, "id_a", "id_b")
+      graft.ops.Components.incrementalComponents(prior, fresh,
+        "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("canon_id"))
+    }),
+
     // ---- LLM pipeline: top collocations by pointwise lift (phrase
     //      detection; one corpus scan, one pair-keyed aggregate) ----
     "text_collocations" -> ((s, dir) =>
@@ -3826,6 +3844,9 @@ object SparkEntry {
           s"id_b * 1000000 AS ts_b_us FROM ($minhashLsh) " +
           "WHERE id_b - id_a <= 3600"),
       "dedup_clusters" -> clustersSql,
+      // incremental == full recompute (min-id labels are merge-order
+      // independent), so the oracle IS the from-scratch cluster SQL
+      "dedup_clusters_incremental" -> clustersSql,
       "q_scd2" -> scd2Sql,
       "q_temporal_join" ->
         (s"WITH scd AS ($scd2Sql), " +

@@ -79,6 +79,62 @@ object Components {
     } finally { sym.unpersist(); () }
   }
 
+  /** INCREMENTAL connected components — the arriving-shard path: given
+    * the stored labels of the already-clustered corpus and a batch of
+    * NEW edges, produce labels equal to a full recompute over the union
+    * WITHOUT touching the old edge list. Correctness rests on min-id
+    * labeling being merge-order independent: contract each new edge to
+    * the component ids of its endpoints (new vertices label themselves),
+    * solve components on that CONTRACTED graph — whose size is bounded
+    * by the new batch, not the corpus — and broadcast the relabel map
+    * back over the stored labels. Only components actually touched by
+    * new edges change labels.
+    *
+    * Scale: the corpus-sized work is ONE equi-join of the stored labels
+    * against the O(touched components) relabel map (broadcast when the
+    * batch is small — the normal case); the iterative solve runs
+    * entirely on the contracted graph. This is [[connectedComponents]]'
+    * answer to `NearDup.lshProbeIndex`: hash/solve once, then each
+    * delivery pays for itself. Spec-proven equal to the full recompute
+    * on the union. */
+  def incrementalComponents(
+      labels: DataFrame, newEdges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val prior = labels.select(col("id").cast("long").as("id"),
+      col("comp").cast("long").as("comp")).persist()
+    try {
+      val e = newEdges.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      // endpoints resolve to their stored component; unseen vertices are
+      // their own component (their id) — exactly a fresh vertex's label
+      val resolve = (end: String) =>
+        coalesce(col(s"__c_$end"), col(end)).as(s"__r_$end")
+      val contracted = e
+        .join(prior.select(col("id").as("a"), col("comp").as("__c_a")),
+          Seq("a"), "left_outer")
+        .join(prior.select(col("id").as("b"), col("comp").as("__c_b")),
+          Seq("b"), "left_outer")
+        .select(resolve("a"), resolve("b"))
+      val solved = connectedComponents(contracted, "__r_a", "__r_b",
+        maxRounds)
+      // stored labels flow through the relabel map (old comp -> merged
+      // comp); untouched components pass unchanged. New vertices appear
+      // with their contracted label.
+      val relabel = solved.select(col("id").as("comp"),
+        col("comp").as("__merged"))
+      val kept = prior.join(broadcast(relabel), Seq("comp"), "left_outer")
+        .select(col("id"), coalesce(col("__merged"), col("comp")).as("comp"))
+      val newIds = e.select(col("a").as("id"))
+        .unionByName(e.select(col("b").as("id"))).distinct()
+        .join(prior.select(col("id")), Seq("id"), "left_anti")
+      val fresh = newIds
+        .join(solved.select(col("id"), col("comp").as("__sc")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("__sc"), col("id")).as("comp"))
+      kept.unionByName(fresh)
+    } finally { prior.unpersist(); () }
+  }
+
   /** Log-round connected components: the alternating large-star/small-star
     * edge rewrite (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14). Same contract as [[connectedComponents]] — returns

@@ -133,4 +133,41 @@ class ComponentsSpec extends SparkSpec {
     assert(rows.length == 5001)
     assert(rows.forall(_._2 == 0L))
   }
+
+  test("incrementalComponents equals full recompute on the union: " +
+    "merges across stored components, relabels below the old min, " +
+    "fresh vertices, untouched components stable") {
+    import spark.implicits._
+    // stored graph: {10,11,12} (comp 10), {20,21} (comp 20), {30,31}
+    val base = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L))
+      .toDF("a", "b")
+    val prior = Components.connectedComponents(base, "a", "b")
+    // new batch: bridge 12-20 (merges comps 10+20), edge 5-11 (NEW
+    // vertex BELOW the old min -> whole merged comp relabels to 5),
+    // and an isolated fresh pair 40-41; {30,31} untouched
+    val fresh = Seq((12L, 20L), (5L, 11L), (40L, 41L)).toDF("a", "b")
+    val inc = Components.incrementalComponents(prior, fresh, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Components.connectedComponents(
+      base.unionByName(fresh), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    assert(inc(12L) == 5L && inc(21L) == 5L && inc(5L) == 5L)
+    assert(inc(30L) == 30L && inc(31L) == 30L)
+    assert(inc(40L) == 40L && inc(41L) == 40L)
+  }
+
+  test("incrementalComponents equals full recompute on random batches") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val all = (1 to 250).map(_ =>
+      (rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val (base, fresh) = all.partition(e => (e._1 + e._2) % 3 != 0)
+    val prior = Components.connectedComponents(base.toDF("a", "b"), "a", "b")
+    val inc = Components.incrementalComponents(
+      prior, fresh.toDF("a", "b"), "a", "b")
+    val full = Components.connectedComponents(all.toDF("a", "b"), "a", "b")
+    assertSameRows(inc.select("id", "comp"), full.select("id", "comp"))
+  }
 }
