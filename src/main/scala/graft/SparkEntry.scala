@@ -1639,6 +1639,39 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("comp").as("canon_id"))
     }),
 
+    // ---- LLM pipeline: leakage-free split — split by the dup-cluster
+    //      canonical id, so a doc and its near-copies can NEVER straddle
+    //      the train/test boundary (the contamination a per-row split
+    //      cannot prevent); singletons are their own cluster ----
+    "sample_split_by_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val labels = graft.ops.Components.connectedComponents(
+        NearDup.lshCandidatePairs(
+          t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3, r = 2),
+        "id_a", "id_b")
+      val canon = docs.join(
+          labels.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("canon_id"))
+      graft.ops.Sampling.assignSplits(canon, "canon_id")
+    }),
+
+    // ---- Profiling: Pareto coverage curve — "how many keys make 90%
+    //      of the rows" (concentration read for mixture weights) ----
+    "q_pareto_coverage" -> ((s, dir) =>
+      graft.ops.Profile.paretoCoverage(
+        t(s, dir, "lineitem").select(col("l_partkey")),
+        "l_partkey", k = 100)),
+
+    // ---- Product analytics: user-growth curve (first-seen per day +
+    //      running total) ----
+    "q_user_growth" -> ((s, dir) =>
+      graft.ops.Funnel.userGrowth(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 86400000000000").as("day")),
+        "user_id", "day")),
+
     // ---- LLM pipeline: top collocations by pointwise lift (phrase
     //      detection; one corpus scan, one pair-keyed aggregate) ----
     "text_collocations" -> ((s, dir) =>
@@ -3847,6 +3880,36 @@ object SparkEntry {
       // incremental == full recompute (min-id labels are merge-order
       // independent), so the oracle IS the from-scratch cluster SQL
       "dedup_clusters_incremental" -> clustersSql,
+      "sample_split_by_cluster" -> {
+        val a0 = TextHash.permuteA(0); val b0 = TextHash.permuteB(0)
+        val p = TextHash.P
+        val bkt = s"((((canon_id * $a0 + $b0) % $p) % 100) + 100) % 100"
+        s"WITH cl AS ($clustersSql), " +
+          "cn AS (SELECT d.doc_id, " +
+          "coalesce(cl.canon_id, d.doc_id) AS canon_id " +
+          "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id) " +
+          s"SELECT doc_id, canon_id, CASE WHEN $bkt < 80 THEN 'train' " +
+          s"WHEN $bkt < 90 THEN 'val' ELSE 'test' END AS split FROM cn"
+      },
+      "q_pareto_coverage" ->
+        ("WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem " +
+          "GROUP BY 1), " +
+          "t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM lineitem), " +
+          "r AS (SELECT l_partkey, n, " +
+          "CAST(row_number() OVER (ORDER BY n DESC, l_partkey ASC) " +
+          "AS BIGINT) AS rank, " +
+          "CAST(sum(n) OVER (ORDER BY n DESC, l_partkey ASC " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n FROM c) " +
+          "SELECT rank, l_partkey, n, cum_n, " +
+          "CAST(cum_n AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_frac " +
+          "FROM r, t WHERE rank <= 100"),
+      "q_user_growth" ->
+        ("WITH f AS (SELECT user_id, " +
+          "min(epoch_us(ts) // 86400000000) AS day FROM events " +
+          "GROUP BY 1), " +
+          "d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1) " +
+          "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM d"),
       "q_scd2" -> scd2Sql,
       "q_temporal_join" ->
         (s"WITH scd AS ($scd2Sql), " +

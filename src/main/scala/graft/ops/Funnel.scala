@@ -77,6 +77,25 @@ object Funnel {
       .join(sizes, "cohort_date")
   }
 
+  /** User-growth curve: per day, the count of FIRST-SEEN users and the
+    * running total — the acquisition read behind every growth dashboard,
+    * and the denominator feed for retention ratios. Emits
+    * (day, n_new, cum_users), days with at least one new user.
+    *
+    * Determinism: first-seen is a user-keyed min; both counts are exact
+    * longs; the cumulative sum runs in day order. Scale: one user-keyed
+    * aggregate, one day-keyed aggregate (both map-side combinable); the
+    * cumulative window runs over the O(days) grid, not events. */
+  def userGrowth(
+      df: DataFrame, userCol: String, dayCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(col(userCol)).agg(min(col(dayCol)).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Stage-transition timing over a [[funnelStages]] frame — "how long
     * does conversion take": exact distribution summary of
     * `toCol − fromCol` over users who completed both stages. ONE row:

@@ -344,6 +344,35 @@ object Profile {
         col("n"))
   }
 
+  /** Pareto coverage curve — "how concentrated is this corpus": keys
+    * ranked by descending exact count (key ASC tie-break), each with its
+    * cumulative row share. The first rank whose `cum_frac` crosses 0.9
+    * answers "how many domains make 90% of the data" — the
+    * concentration read behind mixture weights and domain caps. Emits
+    * the top `k` ranks: (rank, key, n, cum_n, cum_frac).
+    *
+    * Determinism: counts and cumulative sums are exact longs in a total
+    * (n DESC, key ASC) order; `cum_frac` is one IEEE division per row.
+    * Scale: one map-side-combinable count aggregate, then the rank and
+    * cumulative windows run over the AGGREGATED key table (grid, not
+    * data) with a k-bounded output. */
+  def paretoCoverage(
+      df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val ord = Window.orderBy(col("n").desc, col(keyCol).asc)
+    counts
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__t"))))
+      .select(col("rank"), col(keyCol), col("n"), col("cum_n"),
+        (col("cum_n").cast("double") / col("__t").cast("double"))
+          .as("cum_frac"))
+  }
+
   /** Event-lateness profile — the measurement that SIZES a watermark:
     * over each key's arrival order (`seqCol`, e.g. an ingestion id),
     * how often does event time run BACKWARD, and by how much? Emits one

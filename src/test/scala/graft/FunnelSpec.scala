@@ -57,6 +57,17 @@ class FunnelSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("userGrowth: first-seen day per user, running total") {
+    val df = Seq(
+      (1L, 0L), (1L, 5L), (2L, 0L), (3L, 2L), (3L, 0L), (4L, 5L))
+      .toDF("u", "day")
+    val got = Funnel.userGrowth(df, "u", "day")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // u3's first day is 0 (min over its rows), so day 2 has no entry
+    assert(got == Map(0L -> ((3L, 3L)), 5L -> ((1L, 4L))))
+  }
+
   test("timeToConvert: gap distribution over completed stages only — " +
     "exact mean, lower-median element pick") {
     // funnel frame directly: gaps 10, 20, 40; one non-converter

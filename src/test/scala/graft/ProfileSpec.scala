@@ -304,6 +304,22 @@ class ProfileSpec extends SparkSpec {
       .getAs[Long]("ks_num") == 0L)
   }
 
+  test("paretoCoverage: descending-count ranks with key tie-break, " +
+    "exact cumulative shares, k-bounded") {
+    import spark.implicits._
+    // key a x4, b x2, c x2, d x1, e x1 -> total 10
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq("d", "e")).toDF("k")
+    val got = Profile.paretoCoverage(df, "k", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == (("a", 4L, 4L, 0.4)))
+    assert(got(2L) == (("b", 2L, 6L, 0.6))) // tie b/c -> key ASC
+    assert(got(3L) == (("c", 2L, 8L, 0.8)))
+    assert(got.size == 3)
+  }
+
   test("latenessProfile: inversion rate + exact p99/max backward jump; " +
     "in-order stream profiles clean") {
     import spark.implicits._

@@ -183,6 +183,24 @@ class SamplingSpec extends SparkSpec {
     assert(heavy >= 35, s"expected heavy-class dominance, got $heavy/50")
   }
 
+  test("splitting on a cluster key keeps whole clusters in one split " +
+    "(the near-dup leakage guard)") {
+    import spark.implicits._
+    // 100 clusters of 5 members each, split on the cluster key
+    val rows = (0L until 100L).flatMap(c =>
+      (0L until 5L).map(m => (c * 1000L + m, c))).toDF("doc", "canon")
+    val split = Sampling.assignSplits(rows, "canon")
+    val perCluster = split.groupBy("canon")
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(perCluster.forall(_.getLong(1) == 1L),
+      "a cluster straddled a split boundary")
+    // and the cuts still roughly respect 80/10/10 at the cluster level
+    val byName = split.select("canon", "split").distinct()
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("train") > 60L && byName("train") < 95L, s"$byName")
+  }
+
   test("sampleTemperature: α-flattening up-weights tail domains, " +
     "hits the target fraction, deterministic across partitionings") {
     import spark.implicits._
