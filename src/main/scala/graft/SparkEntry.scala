@@ -1230,6 +1230,22 @@ object SparkEntry {
       stateOut(Merge.upsertBroadcast(existing, incoming, key, ver, tie))
     }),
 
+    // ---- O5 replay idempotence — the exactly-once-by-idempotence
+    //      contract a restarted stream leans on: merging the SAME batch
+    //      twice (and replaying half of it a third time) must equal the
+    //      single clean run, so at-least-once delivery upgrades to
+    //      exactly-once state. Oracle = the plain latest-wins state ----
+    "o5c_merge_replay" -> ((s, dir) => {
+      val ev = eventRecords(s, dir)
+      val existing = Dedup.latestWins(
+        ev.filter(col("event_id") % 2 === 0), key, ver, tie)
+      val incoming = ev.filter(col("event_id") % 2 === 1)
+      val once = Merge.upsertBroadcast(existing, incoming, key, ver, tie)
+      val twice = Merge.upsertBroadcast(once, incoming, key, ver, tie)
+      val replayedHalf = incoming.filter(col("event_id") % 4 === 1)
+      stateOut(Merge.upsertBroadcast(twice, replayedHalf, key, ver, tie))
+    }),
+
     // ---- O5: same semantics via the full-outer shuffle strategy ----
     "o5b_merge_shuffle" -> ((s, dir) => {
       val ev = eventRecords(s, dir)
@@ -4945,6 +4961,8 @@ object SparkEntry {
       "o4_stream_ingest_e2e" -> dedupState,
       "o5_merge_upsert" -> dedupState,
       "o5b_merge_shuffle" -> dedupState,
+      // replayed merges are no-ops: double-apply == single clean run
+      "o5c_merge_replay" -> dedupState,
       "o12_jdbc_upsert" -> dedupState,
       // bucket-pruned point lookup = global latest-wins restricted to keys
       "o14_target_lookup" ->
