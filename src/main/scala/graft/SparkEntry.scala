@@ -1878,6 +1878,35 @@ object SparkEntry {
       graft.ops.Graph.labelPropagation(pairs, "a", "b", iters = 3)
     }),
 
+    // ---- Graph: Newman modularity of the label-prop partition — did
+    //      the communities actually find structure? Exact-integer
+    //      4m·e_c − D_c² terms, one final division ----
+    "graph_modularity" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.modularity(pairs, "a", "b",
+        graft.ops.Graph.labelPropagation(pairs, "a", "b", iters = 3),
+        "node", "lbl")
+    }),
+
+    // ---- Time series: per-type OLS trend of the daily quantized
+    //      totals (slope/intercept/R² from exact decimal moments) ----
+    "ts_linregress" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("qx")).as("dx"))
+      graft.ops.TimeSeries.linearRegression(
+        daily, "event_type", "day", "dx")
+    }),
+
     // ---- Graph: k-core density filter (iterative peeling to the unique
     //      fixpoint) on the same market-basket graph ----
     "graph_kcore" -> ((s, dir) => {
@@ -4677,6 +4706,58 @@ object SparkEntry {
           "SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (" +
           "SELECT u AS node FROM tri UNION ALL SELECT x FROM tri " +
           "UNION ALL SELECT y FROM tri) GROUP BY node"),
+      "graph_modularity" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e AS (SELECT a AS src, b AS dst FROM ce " +
+          "UNION ALL SELECT b, a FROM ce), " +
+          "nodes AS (SELECT DISTINCT src AS node FROM e), " +
+          graft.functions.OracleSql.labelPropCtes(iters = 3) +
+          ", lab AS (SELECT node, lbl FROM lp3), " +
+          "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce), " +
+          "ecx AS (SELECT la.lbl AS c, CAST(count(*) AS BIGINT) AS ec " +
+          "FROM ce JOIN lab la ON ce.a = la.node " +
+          "JOIN lab lb ON ce.b = lb.node WHERE la.lbl = lb.lbl " +
+          "GROUP BY 1), " +
+          "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d " +
+          "FROM e GROUP BY 1), " +
+          "dcx AS (SELECT lbl AS c, CAST(sum(d) AS BIGINT) AS dc " +
+          "FROM deg JOIN lab USING (node) GROUP BY 1) " +
+          "SELECT m, CAST(count(*) AS BIGINT) AS n_communities, " +
+          "CAST(CAST(sum(4 * m * coalesce(ec, 0) - dc * dc) AS BIGINT) " +
+          "AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS modularity " +
+          "FROM dcx LEFT JOIN ecx USING (c), mm GROUP BY m"),
+      "ts_linregress" ->
+        ("WITH d AS (SELECT event_type, " +
+          "epoch_us(ts) // 86400000000 AS day, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS dx FROM events GROUP BY 1, 2), " +
+          "mo AS (SELECT event_type, " +
+          "CAST(count(*) AS HUGEINT) AS n, " +
+          "CAST(sum(CAST(day AS HUGEINT)) AS HUGEINT) AS sx, " +
+          "CAST(sum(CAST(dx AS HUGEINT)) AS HUGEINT) AS sy, " +
+          "CAST(sum(CAST(day AS HUGEINT) * CAST(dx AS HUGEINT)) " +
+          "AS HUGEINT) AS sxy, " +
+          "CAST(sum(CAST(day AS HUGEINT) * CAST(day AS HUGEINT)) " +
+          "AS HUGEINT) AS sxx, " +
+          "CAST(sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) " +
+          "AS HUGEINT) AS syy FROM d GROUP BY 1), " +
+          "nm AS (SELECT event_type, CAST(n AS BIGINT) AS n_points, " +
+          "CAST(n * sxy - sx * sy AS DOUBLE) AS sxyn, " +
+          "CAST(n * sxx - sx * sx AS DOUBLE) AS sxxn, " +
+          "CAST(n * syy - sy * sy AS DOUBLE) AS syyn, " +
+          "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, " +
+          "CAST(n AS DOUBLE) AS nd FROM mo), " +
+          "sl AS (SELECT event_type, n_points, " +
+          "CASE WHEN sxxn <> 0 THEN sxyn / sxxn END AS slope, " +
+          "sxd, syd, nd, sxyn, sxxn, syyn FROM nm) " +
+          "SELECT event_type, n_points, slope, " +
+          "(syd - slope * sxd) / nd AS intercept, " +
+          "CASE WHEN sxxn <> 0 AND syyn <> 0 THEN " +
+          "sxyn * sxyn / (sxxn * syyn) END AS r2 FROM sl"),
       "graph_label_prop" ->
         ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
           "FROM lineitem WHERE l_partkey % 4 = 0), " +

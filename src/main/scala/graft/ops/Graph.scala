@@ -220,6 +220,53 @@ object Graph {
     }
   }
 
+  /** Newman modularity of a community assignment — the score that says
+    * whether a partition (label propagation, dup clusters) actually
+    * found structure: Q = Σ_c [e_c/m − (D_c/2m)²], computed exactly as
+    * `Σ_c (4m·e_c − D_c²) / (4m²)` over undirected edge count m,
+    * intra-community edge counts e_c, and community degree sums D_c —
+    * all exact longs off keyed aggregates, ONE final IEEE division.
+    * Q ≈ 0: no better than random; Q ≳ 0.3: meaningful communities.
+    * Emits one row (m, n_communities, modularity).
+    *
+    * Bound: 4m² and D_c² fit a long for m < ~1.5e9 edges; beyond that
+    * lift the two products to DECIMAL(38,0) (the linearRegression
+    * pattern). Scale: two label-keyed aggregates + one broadcast of the
+    * single m row — no iteration, no driver data path. */
+  def modularity(
+      edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val raw = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val und = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") < col("b")).distinct().persist()
+    try {
+      val lab = labels.select(col(nodeCol).cast("long").as("__v"),
+        col(labelCol).cast("long").as("__c"))
+      val mRow = und.agg(count(lit(1)).as("m"))
+      val ec = und
+        .join(lab.select(col("__v").as("a"), col("__c").as("__ca")), "a")
+        .join(lab.select(col("__v").as("b"), col("__c").as("__cb")), "b")
+        .filter(col("__ca") === col("__cb"))
+        .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__ec"))
+      val deg = und.select(explode(array(col("a"), col("b"))).as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
+      val dc = deg.join(lab, "__v")
+        .groupBy(col("__c")).agg(sum(col("__d")).as("__dc"))
+      dc.join(ec, Seq("__c"), "left_outer")
+        .crossJoin(broadcast(mRow))
+        .agg(
+          max(col("m")).as("m"),
+          count(lit(1)).as("n_communities"),
+          sum(lit(4L) * col("m") * coalesce(col("__ec"), lit(0L)) -
+            col("__dc") * col("__dc")).as("__num"))
+        .select(col("m"), col("n_communities"),
+          (col("__num").cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"))
+            .as("modularity"))
+    } finally { und.unpersist(); () }
+  }
+
   /** Common-neighbor link prediction — Jaccard-scored 2-hop pairs: for
     * every unordered node pair NOT already connected, the count of
     * shared neighbors and the neighborhood Jaccard

@@ -392,6 +392,54 @@ object TimeSeries {
           .as("forecast"))
   }
 
+  /** Per-group ordinary least squares — the trend line behind "is this
+    * metric growing and how fast": slope, intercept, and R² of y over x
+    * for each key. Emits (keyCol, n_points, slope, intercept, r2).
+    *
+    * Determinism: both columns must be exact LONGS (quantize doubles
+    * first — the ts_cusum `floor(·1024)` discipline); all five moments
+    * (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0) — exact and
+    * order-independent, the [[autocorr]] pattern — and the normal-
+    * equation numerators (nΣxy − ΣxΣy etc.) are exact decimal products.
+    * Only the final slope/intercept/R² divisions run in IEEE doubles,
+    * in a fixed shape mirrored by the oracle. Groups with zero x-spread
+    * emit NaN slope/r2 (0/0) rather than failing.
+    *
+    * Bound: decimal(38,0) holds nΣx² for |x|,|y| ≤ ~1e12 at ~1e12 rows —
+    * beyond that, pre-center x per group before quantizing.
+    * Scale: ONE map-side-combinable aggregate per group; no windows, no
+    * joins. */
+  def linearRegression(
+      series: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long").cast(dec)
+    val y = col(yCol).cast("long").cast(dec)
+    val m = series.groupBy(col(keyCol)).agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+      sum(y * y).as("__syy"))
+    val sxyN = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val sxxN = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val syyN = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    // NULL (not NaN/Inf) on zero spread: ANSI double division THROWS on
+    // a zero divisor (the nanSafeCos lesson), and NULL is the honest
+    // "no trend defined" answer for a single-x or constant-y group.
+    m.withColumn("slope",
+        when(sxxN =!= 0.0, sxyN / sxxN))
+      .select(col(keyCol), col("__n").cast("long").as("n_points"),
+        col("slope"),
+        ((col("__sy").cast("double") -
+          col("slope") * col("__sx").cast("double")) /
+          col("__n").cast("double")).as("intercept"),
+        when(sxxN =!= 0.0 && syyN =!= 0.0,
+          sxyN * sxyN / (sxxN * syyN)).as("r2"))
+  }
+
   /** Rolling robust anomaly flags over a regular integer-valued series —
     * the outlier detector that survives the outliers it hunts (a rolling
     * MEAN/σ is dragged by the very spike it should flag; median/MAD are

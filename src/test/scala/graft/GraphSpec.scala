@@ -322,6 +322,30 @@ class GraphSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("modularity: two clean cliques score high, random labels score " +
+    "~0, exact-integer arithmetic") {
+    import spark.implicits._
+    // two 4-cliques joined by one bridge edge: 13 edges total
+    val cl = (g: Long) => for {
+      i <- 0L until 4L; j <- (i + 1) until 4L
+    } yield (g * 10 + i, g * 10 + j)
+    val edges = (cl(0) ++ cl(1) :+ ((3L, 10L))).toDF("a", "b")
+    val goodLabels = (0L until 4L).map(i => (i, 0L)) ++
+      (10L until 14L).map(i => (i, 10L))
+    val q = graft.ops.Graph.modularity(edges, "a", "b",
+      goodLabels.toDF("n", "c"), "n", "c").head()
+    assert(q.getLong(0) == 13L && q.getLong(1) == 2L)
+    // e_c = 6 each, D_0 = D_1 = 13, m = 13:
+    // Q = (4*13*6 - 169)*2 / (4*169)
+    assert(q.getDouble(2) == (2.0 * (4 * 13 * 6 - 169)) / (4 * 169))
+    assert(q.getDouble(2) > 0.3)
+    // everyone in ONE community: Q = e/m - 1 = 0 (13/13 - (26/26)^2)
+    val one = (0L until 14L).map(i => (i, 0L)).toDF("n", "c")
+    val q1 = graft.ops.Graph.modularity(edges, "a", "b", one, "n", "c")
+      .head()
+    assert(q1.getDouble(2) == 0.0)
+  }
+
   test("commonNeighborLinks is partitioning-invariant") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

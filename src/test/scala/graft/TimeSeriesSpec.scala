@@ -248,6 +248,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a.getLong(1) == 200L && a.getDouble(2) == r.getDouble(2))
   }
 
+  test("linearRegression recovers an exact line (slope, intercept, " +
+    "r2 = 1) and is partitioning-invariant") {
+    // y = 7x + 40 exactly
+    val line = (0L until 50L).map(i => ("g", i, 7L * i + 40L))
+    val df = line.toDF("g", "x", "y")
+    val r = TimeSeries.linearRegression(df, "g", "x", "y").head()
+    assert(r.getLong(1) == 50L)
+    assert(r.getDouble(2) == 7.0)
+    assert(r.getDouble(3) == 40.0)
+    assert(r.getDouble(4) == 1.0)
+    val again = TimeSeries.linearRegression(
+      df.repartition(11), "g", "x", "y").head()
+    assert(again.getDouble(2) == 7.0 && again.getDouble(4) == 1.0)
+  }
+
+  test("linearRegression: flat series has slope 0 and NULL r2; a " +
+    "single point has NULL slope (no spread — not an ANSI throw)") {
+    val flat = (0L until 10L).map(i => ("g", i, 5L)).toDF("g", "x", "y")
+    val r = TimeSeries.linearRegression(flat, "g", "x", "y").head()
+    assert(r.getDouble(2) == 0.0) //         Sxy = 0, Sxx > 0
+    assert(r.isNullAt(4)) //                 r2: Syy = 0 -> undefined
+    val single = Seq(("g", 3L, 5L)).toDF("g", "x", "y")
+    val s = TimeSeries.linearRegression(single, "g", "x", "y").head()
+    assert(s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
+  }
+
   test("rollingMadAnomaly flags the spike a rolling mean would smear, " +
     "warm-up rows emit short windows, partitioning-invariant") {
     // flat series of 10s with one 1000 spike at t=10
