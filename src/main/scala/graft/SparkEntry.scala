@@ -398,6 +398,35 @@ object SparkEntry {
           col("last_event_id"), col("last_value"))
     }),
 
+    // ---- Streaming Markov transitions: per-user last-event state +
+    //      running (from→to) counts in flatMapGroupsWithState, upserted
+    //      by the monotone count; read-back sums per-user counts and
+    //      normalizes — equals the batch transition matrix exactly ----
+    "s17_stream_markov" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s17_").toString
+      val target = TargetTable("events_markov", s"$tmp/target",
+        keyCols = Seq("user_id", "from_type", "to_type"),
+        versionCol = "n", buckets = 4)
+      val cfg = IngestConfig(name = s"s17-markov-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = eventsStream(s, cfg, dir)
+        .select(
+          col("user_id").as("pkey"), expr("ts div 1000").as("ver"),
+          col("event_id").as("tie"), col("event_type").as("etype"))
+      val updates = graft.streaming.Stateful.transitionsPerKey(src)
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(updates, Trigger.AvailableNow())
+      q.awaitTermination()
+      val pairs = new graft.sink.ParquetTarget(s, target).read().get
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(sum(col("n")).as("n"))
+      pairs
+        .withColumn("n_from", sum(col("n")).over(
+          Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+    }),
+
     // ---- Streaming anomaly scoring: per-key EXACT integer moments in
     //      state (order-insensitive), latest value z-scored against the
     //      key's full history — one deterministic division + sqrt ----
@@ -3106,6 +3135,19 @@ object SparkEntry {
           "ymn + (bin_y + 1) * (ymx - ymn) / 8 AS y_hi, " +
           "count(*) AS n FROM g " +
           "GROUP BY bin_x, bin_y, xmn, xmx, ymn, ymx"),
+      // streaming twin sums per-user stateful counts -> same pair table
+      "s17_stream_markov" ->
+        ("WITH e AS (SELECT event_type, lead(event_type) OVER (" +
+          "PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+          "FROM events), " +
+          "pr AS (SELECT event_type AS from_type, next_type AS to_type, " +
+          "count(*) AS n FROM e WHERE next_type IS NOT NULL " +
+          "GROUP BY 1, 2), " +
+          "f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from " +
+          "FROM pr GROUP BY 1) " +
+          "SELECT from_type, to_type, n, n_from, " +
+          "CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p " +
+          "FROM pr JOIN f USING (from_type)"),
       "q_markov_transitions" ->
         ("WITH e AS (SELECT event_type, lead(event_type) OVER (" +
           "PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +

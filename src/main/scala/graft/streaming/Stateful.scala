@@ -67,6 +67,70 @@ object Stateful {
       .toDF()
   }
 
+  /** Event for the transition fold: (key, version, tie, type). */
+  final case class TransEvent(pkey: Long, ver: Long, tie: Long, etype: String)
+
+  /** Last event seen per key + running (from→to) counts. The count map
+    * is bounded by |types|² — small by the categorical contract. */
+  final case class TransState(
+      lastVer: Long, lastTie: Long, lastType: String,
+      counts: Map[String, Long])
+
+  /** One output row per (key, transition) touched in the batch. */
+  final case class TransRow(
+      user_id: Long, from_type: String, to_type: String, n: Long)
+
+  /** Streaming first-order transition counts — the stateful twin of
+    * `ops/Funnel.markovTransitions`: per key, remember the LAST event
+    * (by (ver, tie), not arrival) and count each consecutive
+    * (from → to) pair as it happens; emit the keys' UPDATED transition
+    * counts each batch (monotone — upsert-safe with `n` as the
+    * version). Global probabilities fall out downstream:
+    * Σ_keys n per (from, to) equals the batch pair counts exactly.
+    *
+    * In-batch rows fold in (ver, tie) order, so a single-load replay
+    * reproduces the batch operator bit-for-bit; ACROSS batches the fold
+    * is arrival-ordered per key (state keeps only the last event) — the
+    * documented micro-batch caveat shared by every stateful gate here.
+    * State per key: one event + a |types|²-bounded count map. */
+  def transitionsPerKey(src: DataFrame): DataFrame = {
+    implicit val eventEnc = Encoders.product[TransEvent]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[TransState]
+    implicit val outEnc = Encoders.product[TransRow]
+    val Sep = "\u0000" // cannot appear in a categorical value
+    src
+      .select(
+        col("pkey").cast("long").as("pkey"),
+        col("ver").cast("long").as("ver"),
+        col("tie").cast("long").as("tie"),
+        col("etype").cast("string").as("etype"))
+      .as[TransEvent]
+      .groupByKey(_.pkey)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[TransEvent], state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ver, e.tie))
+          var st = state.getOption
+            .getOrElse(TransState(Long.MinValue, Long.MinValue, null, Map.empty))
+          val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+          sorted.foreach { e =>
+            if (st.lastType != null) {
+              val k = st.lastType + Sep + e.etype
+              st = st.copy(counts =
+                st.counts.updated(k, st.counts.getOrElse(k, 0L) + 1L))
+              touched += k
+            }
+            st = st.copy(lastVer = e.ver, lastTie = e.tie, lastType = e.etype)
+          }
+          state.update(st)
+          touched.iterator.map { k =>
+            val Array(f, t) = k.split(Sep, 2)
+            TransRow(key, f, t, st.counts(k))
+          }
+      }
+      .toDF()
+  }
+
   /** Event projected onto (key, tumbling-window start). */
   final case class RateEvent(key: Long, winStartUs: Long)
 

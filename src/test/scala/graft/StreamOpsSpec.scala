@@ -122,6 +122,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(tags == Set((1L, "early"), (2L, "advance"), (1L, "re-emit")))
   }
 
+  test("transitionsPerKey: counts continue across batches from the " +
+    "remembered last event; in-batch rows fold by (ver, tie)") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Long, Long, String)]
+    val out = graft.streaming.Stateful.transitionsPerKey(
+      src.toDF().toDF("pkey", "ver", "tie", "etype"))
+    val dir = Files.createTempDirectory("graft_s17_").toString
+    val q = out.writeStream.format("memory").queryName("tr_out")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // batch 1 delivered out of ver order: folds as a(1) -> b(2) -> a(3)
+    src.addData((1L, 3L, 1L, "a"), (1L, 1L, 1L, "a"), (1L, 2L, 1L, "b"))
+    q.processAllAvailable()
+    // batch 2: last event was a(ver 3) -> c continues the chain
+    src.addData((1L, 4L, 1L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    // latest-wins per (user, from, to): take the max n seen
+    val rows = spark.table("tr_out")
+      .groupBy("user_id", "from_type", "to_type")
+      .agg(max("n").as("n")).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(rows == Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("a", "c") -> 1L))
+  }
+
   test("StreamQuota: admits first N per key-window, state carries across batches") {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[DEv]
