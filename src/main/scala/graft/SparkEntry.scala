@@ -1017,6 +1017,15 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_quantity", "l_extendedprice",
         bins = 8)),
 
+    // ---- Customer analytics: RFM quintile scores with boundaries from
+    //      the mergeable quantile sketch (no global user sort) ----
+    "q_rfm" -> ((s, dir) =>
+      graft.ops.Funnel.rfmScores(
+        t(s, dir, "events").filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("ts div 86400000000000").as("day"), col("value")),
+        "user_id", "day", "value")),
+
     // ---- Events: first-order Markov transition matrix of user
     //      behavior (what users do next, with exact-integer counts and
     //      one IEEE division for P(to|from)) ----
@@ -3135,6 +3144,33 @@ object SparkEntry {
           "ymn + (bin_y + 1) * (ymx - ymn) / 8 AS y_hi, " +
           "count(*) AS n FROM g " +
           "GROUP BY bin_x, bin_y, xmn, xmx, ymn, ymx"),
+      "q_rfm" -> {
+        val cases = (for (g <- Seq("r", "f", "m"); p <- Seq(20, 40, 60, 80))
+          yield s"max(CASE WHEN g = '$g' AND pct = $p THEN est END) " +
+            s"AS b$g$p").mkString(", ")
+        val sc = (x: String, g: String) => Seq(20, 40, 60, 80)
+          .map(p => s"CAST($x > b$g$p AS INT)").mkString(" + ")
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, " +
+          "value FROM events WHERE event_type = 'purchase'), " +
+          "mx AS (SELECT max(day) AS mxd FROM e), " +
+          "per AS (SELECT user_id, mxd - max(day) AS recency, " +
+          "count(*) AS frequency, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary " +
+          "FROM e, mx GROUP BY user_id, mxd), " +
+          "qraw AS (SELECT 'r' AS g, CAST(recency AS DOUBLE) AS x " +
+          "FROM per UNION ALL SELECT 'f' AS g, " +
+          "CAST(frequency AS DOUBLE) AS x FROM per " +
+          "UNION ALL SELECT 'm' AS g, monetary AS x FROM per), " +
+          OracleSql.quantileSketchCtes(Seq(20, 40, 60, 80)) +
+          s", b AS (SELECT $cases FROM qest) " +
+          "SELECT user_id, recency, frequency, monetary, " +
+          s"CAST(5 - (${sc("CAST(recency AS DOUBLE)", "r")}) AS BIGINT) " +
+          "AS r_score, " +
+          s"CAST(1 + (${sc("CAST(frequency AS DOUBLE)", "f")}) AS BIGINT) " +
+          "AS f_score, " +
+          s"CAST(1 + (${sc("monetary", "m")}) AS BIGINT) AS m_score " +
+          "FROM per, b"
+      },
       // streaming twin sums per-user stateful counts -> same pair table
       "s17_stream_markov" ->
         ("WITH e AS (SELECT event_type, lead(event_type) OVER (" +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product-analytics aggregates over an event stream: ordered funnels and
@@ -75,6 +75,56 @@ object Funnel {
           .as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
       .join(sizes, "cohort_date")
+  }
+
+  /** RFM customer scoring — recency / frequency / monetary quintile
+    * scores, built the way it survives 100 TB: per-user metrics are one
+    * keyed aggregate; the quintile BOUNDARIES come from the engine's
+    * mergeable decimal-bucket quantile sketch (p20/40/60/80 per metric,
+    * one O(buckets) pass — never a global sort of users); scoring is a
+    * row-local compare against the 12 broadcast boundary values.
+    * Emits (userCol, recency, frequency, monetary, r_score, f_score,
+    * m_score), scores 1–5, recency inverted (recent = 5).
+    *
+    * Determinism: metrics are exact (day diffs, counts, DECIMAL sums);
+    * boundary estimates are the sketch's deterministic midpoints; each
+    * score is a fixed-shape comparison chain — no rank windows, no
+    * ntile. Treats every input row as one transaction. */
+  def rfmScores(
+      df: DataFrame, userCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val mx = df.agg(max(col(dayCol)).as("__mx"))
+    val per = df.groupBy(col(userCol))
+      .agg(max(col(dayCol)).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+      .crossJoin(broadcast(mx))
+      .select(col(userCol), (col("__mx") - col("__last")).as("recency"),
+        col("frequency"), col("monetary"))
+    val stacked = per.select(explode(array(
+        struct(lit("r").as("g"), col("recency").cast("double").as("x")),
+        struct(lit("f").as("g"), col("frequency").cast("double").as("x")),
+        struct(lit("m").as("g"), col("monetary").as("x")))).as("s"))
+      .select(col("s.g").as("g"), col("s.x").as("x"))
+    val est = Sketches.quantileFromSketch(
+      Sketches.quantileSketch(stacked, Seq("g"), "x"),
+      Seq("g"), Seq(20, 40, 60, 80))
+    val aggs = for (g <- Seq("r", "f", "m"); p <- Seq(20, 40, 60, 80))
+      yield max(when(col("g") === g && col("pct") === p, col("est")))
+        .as(s"__$g$p")
+    val one = est.groupBy().agg(aggs.head, aggs.tail: _*)
+    val sc = (x: Column, g: String) =>
+      Seq(20, 40, 60, 80)
+        .map(p => (x > col(s"__$g$p")).cast("int")).reduce(_ + _)
+    per.crossJoin(broadcast(one))
+      .select(col(userCol), col("recency"), col("frequency"),
+        col("monetary"),
+        (lit(5) - sc(col("recency").cast("double"), "r")).cast("long")
+          .as("r_score"),
+        (lit(1) + sc(col("frequency").cast("double"), "f")).cast("long")
+          .as("f_score"),
+        (lit(1) + sc(col("monetary"), "m")).cast("long").as("m_score"))
   }
 
   /** User-growth curve: per day, the count of FIRST-SEEN users and the

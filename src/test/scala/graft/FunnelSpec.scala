@@ -57,6 +57,30 @@ class FunnelSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("rfmScores: quintile scores in 1..5, recency inverted, heavy " +
+    "spenders outrank light ones") {
+    // 100 users: user i buys (i % 10 + 1) times of value 10*i on day i
+    val rows = (1L to 100L).flatMap(i =>
+      (0L until (i % 10) + 1).map(_ => (i, i, i * 10.0)))
+    val df = rows.toDF("u", "day", "v")
+    val rows2 = Funnel.rfmScores(df, "u", "day", "v").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(rows2.size == 100)
+    assert(rows2.values.forall { case (_, _, rs, fs, ms) =>
+      Seq(rs, fs, ms).forall(s => s >= 1L && s <= 5L) })
+    // most recent buyer (u=100, recency 0) maxes recency score;
+    // earliest (u=1) bottoms it
+    assert(rows2(100L)._1 == 0L && rows2(100L)._3 == 5L)
+    assert(rows2(1L)._3 == 1L)
+    // monetary quintiles follow total spend: the max spender scores 5,
+    // the min spender 1 (spend = value x n_purchases, NOT value alone)
+    val maxU = rows2.maxBy(_._2._2)._1
+    val minU = rows2.minBy(_._2._2)._1
+    assert(rows2(maxU)._5 == 5L && rows2(minU)._5 == 1L)
+  }
+
   test("userGrowth: first-seen day per user, running total") {
     val df = Seq(
       (1L, 0L), (1L, 5L), (2L, 0L), (3L, 2L), (3L, 0L), (4L, 5L))
