@@ -2689,6 +2689,15 @@ object SparkEntry {
     "q_profile" -> ((s, dir) =>
       graft.ops.Profile.profile(t(s, dir, "documents"))),
 
+    // ---- LLM pipeline: leading principal component of the embedding
+    //      corpus by deterministic power iteration (drift direction /
+    //      whitening seed) — exact quantized matrix products, strict
+    //      in-row folds, 3 rounds from the fixed e0 seed ----
+    "emb_pca_power" -> ((s, dir) =>
+      Similarity.pcaPowerIteration(
+        t(s, dir, "embeddings").select(col("embedding")),
+        "embedding", iters = 3)),
+
     // ---- LLM pipeline: int8 scalar-quantized ANN + exact rerank ----
     "ann_sq8_topk" -> ((s, dir) =>
       Similarity.sq8TopK(
@@ -4988,6 +4997,52 @@ object SparkEntry {
           "CASE WHEN est_union > 0 THEN " +
           "greatest(0.0, est_a + est_b - est_union) / est_union " +
           "ELSE 0.0 END AS jaccard_est FROM e"
+      },
+      "emb_pca_power" -> {
+        val q = "1048576.0"
+        val fold = (e: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $e), " +
+            "(a, b) -> a + b)"
+        val head =
+          "WITH kc AS (SELECT CAST(embedding AS DOUBLE[]) AS v " +
+            "FROM embeddings), " +
+            "xj AS (SELECT unnest(list_transform(range(0, len(v)), " +
+            "j -> {'j': j, 'x': v[j+1]})) AS u FROM kc), " +
+            s"m0 AS (SELECT u.j AS j, sum(CAST(floor(u.x * $q) " +
+            "AS BIGINT)) AS sq, count(*) AS n FROM xj GROUP BY u.j), " +
+            "muv AS (SELECT list_transform(list_sort(list(" +
+            s"{'j': j, 'm': CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * $q)" +
+            "})), s -> s.m) AS mv FROM m0), " +
+            "cq AS (SELECT list_transform(range(0, len(v)), " +
+            s"j -> CAST(floor((v[j+1] - mv[j+1]) * $q) AS BIGINT)) AS c " +
+            "FROM kc, muv), " +
+            "dd AS (SELECT len(c) AS nd FROM cq LIMIT 1), " +
+            "v0 AS (SELECT list_transform(range(0, nd), " +
+            "j -> CASE WHEN j = 0 THEN CAST(1.0 AS DOUBLE) " +
+            "ELSE CAST(0.0 AS DOUBLE) END) AS vv FROM dd)"
+        val its = (1 to 3).map { t =>
+          s", p$t AS (SELECT c, CAST(floor(${fold(
+            "list_transform(range(0, len(c)), " +
+              "j -> CAST(c[j+1] AS DOUBLE) * vv[j+1])")}) AS BIGINT) " +
+            s"AS q FROM cq, v${t - 1}), " +
+            s"s$t AS (SELECT u.j AS j, CAST(sum(CAST(q AS HUGEINT) * " +
+            "CAST(u.cx AS HUGEINT)) AS HUGEINT) AS s FROM " +
+            "(SELECT q, unnest(list_transform(range(0, len(c)), " +
+            s"j -> {'j': j, 'cx': c[j+1]})) AS u FROM p$t) " +
+            "GROUP BY u.j), " +
+            s"sa$t AS (SELECT list_transform(list_sort(list(" +
+            "{'j': j, 's': CAST(s AS DOUBLE)})), e -> e.s) AS sv " +
+            s"FROM s$t), " +
+            s"nm$t AS (SELECT sqrt(${fold(
+              "list_transform(sv, x -> x * x)")}) AS nrm, sv " +
+            s"FROM sa$t), " +
+            s"v$t AS (SELECT CASE WHEN nrm <> 0 THEN " +
+            s"list_transform(sv, x -> x / nrm) END AS vv FROM nm$t)"
+        }.mkString
+        head + its +
+          " SELECT CAST(u.j AS BIGINT) AS dim_idx, u.l AS loading " +
+          "FROM (SELECT unnest(list_transform(range(0, len(vv)), " +
+          "j -> {'j': j, 'l': vv[j+1]})) AS u FROM v3)"
       },
       "emb_centroid_by_label" ->
         // Mirrors Similarity.groupCentroids: MeanQ fixed-point sums.

@@ -266,6 +266,82 @@ object Similarity {
           (col("n_vecs").cast("double") * lit(MeanQ.toDouble)))
           .as("centroid"))
 
+  /** Leading principal component by deterministic power iteration — the
+    * drift DIRECTION of an embedding corpus (which axis explains the
+    * most variance; project onto it for 1-D drift monitoring, use it to
+    * seed whitening): v ← Xᵀ(Xv) over mean-centered vectors, `iters`
+    * rounds from the fixed seed e₀, L2-normalized each round. Emits
+    * (dim_idx, loading) — 64 rows for a 64-dim corpus.
+    *
+    * Cross-engine exactness, stage by stage (every float reduction is
+    * either exact integers or a strict in-row fold):
+    *  - the mean is the [[groupCentroids]] fixed-point mean;
+    *  - centered values quantize to longs: cq = floor((x−μ)·2^20);
+    *  - each row's projection is a strict fold Σⱼ cqⱼ·vⱼ, floored to a
+    *    long q;
+    *  - the new direction s_j = Σᵢ qᵢ·cqᵢⱼ accumulates as
+    *    DECIMAL(38,0) — exact, order-independent (the linearRegression
+    *    discipline);
+    *  - the norm is one strict dim-sorted fold + IEEE sqrt (correctly
+    *    rounded), the division IEEE. Degenerate zero-variance input
+    *    yields NULL loadings (ANSI ÷0 guard), not a throw.
+    *
+    * Scale: one corpus pass for μ, one to build the persisted quantized
+    * matrix, then TWO keyed passes per iteration (row projections +
+    * per-dim sums — map-side combinable); v is a 1-row broadcast. No
+    * driver data path; the d×1 direction localCheckpoints per round. */
+  def pcaPowerIteration(
+      emb: DataFrame, vecCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dec = "decimal(38,0)"
+    val q = MeanQ.toDouble
+    val mu = emb
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(sum(floor(col("x") * lit(q)).cast("long")).as("__sq"),
+        count(lit(1)).as("__n"))
+      .select(col("j"),
+        (col("__sq").cast("double") / (col("__n").cast("double") * lit(q)))
+          .as("mu"))
+    val muRow = mu
+      .agg(sort_array(collect_list(struct(col("j"), col("mu")))).as("__ms"))
+      .select(transform(col("__ms"), m => m.getField("mu")).as("__mu"))
+    val cq = emb.crossJoin(broadcast(muRow))
+      .select(zip_with(col(vecCol).cast("array<double>"), col("__mu"),
+        (x, m) => floor((x - m) * lit(q)).cast("long")).as("c"))
+      .persist()
+    try {
+      val dim = cq.select(size(col("c")).as("d")).limit(1)
+      var vRow = dim.select(transform(sequence(lit(0), col("d") - 1),
+        i => when(i === 0, lit(1.0)).otherwise(lit(0.0))).as("__v"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val proj = cq.crossJoin(broadcast(vRow))
+          .select(col("c"),
+            floor(aggregate(
+              zip_with(col("c"), col("__v"), (c, v) => c.cast("double") * v),
+              lit(0.0), (acc, x) => acc + x)).cast("long").as("__q"))
+        val s = proj
+          .select(col("__q"), posexplode(col("c")).as(Seq("j", "cx")))
+          .groupBy(col("j"))
+          .agg(sum((col("__q") * col("cx")).cast(dec)).as("__s"))
+        val sRow = s
+          .agg(sort_array(collect_list(struct(col("j"), col("__s"))))
+            .as("__ss"))
+          .select(transform(col("__ss"),
+            e => e.getField("__s").cast("double")).as("__sv"))
+        val nrm = sqrt(aggregate(col("__sv"), lit(0.0),
+          (acc, x) => acc + x * x))
+        vRow = sRow
+          .select(when(nrm =!= 0.0,
+            transform(col("__sv"), x => x / nrm)).as("__v"))
+          .localCheckpoint()
+      }
+      vRow.select(posexplode(col("__v")).as(Seq("dim_idx", "loading")))
+        .select(col("dim_idx").cast("long").as("dim_idx"), col("loading"))
+    } finally { cq.unpersist(); () }
+  }
+
   /** Pairwise cosine similarity between per-group centroids — the drift
     * matrix of an embedding corpus: which domains/labels/snapshots sit
     * close in embedding space (distribution drift monitoring, candidate

@@ -29,6 +29,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got((2, 1L)) == (1L, 0.25))
   }
 
+  test("pcaPowerIteration recovers the dominant axis of an " +
+    "anisotropic cloud, unit norm, partitioning-invariant") {
+    val rng = new scala.util.Random(5)
+    // variance 100x larger along dim 2 of 4; noise elsewhere
+    val rows = (1 to 400).map { _ =>
+      Seq(rng.nextGaussian() * 0.01, rng.nextGaussian() * 0.01,
+        rng.nextGaussian() * 0.5, rng.nextGaussian() * 0.01)
+    }.toDF("embedding")
+    val v = Similarity.pcaPowerIteration(rows, "embedding", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v.size == 4)
+    val norm = math.sqrt(v.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+    assert(math.abs(v(2L)) > 0.99,
+      s"dominant axis not recovered: $v")
+    val again = Similarity.pcaPowerIteration(
+      rows.repartition(13), "embedding", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == v)
+  }
+
   test("centroidDrift: pairwise cosines between exact group centroids, " +
     "a < b ordering") {
     val df = Seq(
