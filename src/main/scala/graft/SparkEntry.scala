@@ -73,6 +73,55 @@ object SparkEntry {
     else stream
   }
 
+  /** DuckDB CTE chain replaying [[graft.ops.Similarity.pcaPowerIteration]]
+    * round-for-round (3 iterations): fixed-point mean, quantized
+    * centered matrix `cq` (vec_id, c), strict-fold projections, HUGEINT
+    * per-dim sums, one sqrt+division per round. Ends with `v3`(vv) and
+    * `cq` in scope for the caller's final SELECT. */
+  private def pcaOracleCtes: String = {
+    val q = "1048576.0"
+    val fold = (e: String) =>
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $e), " +
+        "(a, b) -> a + b)"
+    val head =
+      "WITH kc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+        "FROM embeddings), " +
+        "xj AS (SELECT unnest(list_transform(range(0, len(v)), " +
+        "j -> {'j': j, 'x': v[j+1]})) AS u FROM kc), " +
+        s"m0 AS (SELECT u.j AS j, sum(CAST(floor(u.x * $q) " +
+        "AS BIGINT)) AS sq, count(*) AS n FROM xj GROUP BY u.j), " +
+        "muv AS (SELECT list_transform(list_sort(list(" +
+        s"{'j': j, 'm': CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * $q)" +
+        "})), s -> s.m) AS mv FROM m0), " +
+        "cq AS (SELECT vec_id, list_transform(range(0, len(v)), " +
+        s"j -> CAST(floor((v[j+1] - mv[j+1]) * $q) AS BIGINT)) AS c " +
+        "FROM kc, muv), " +
+        "dd AS (SELECT len(c) AS nd FROM cq LIMIT 1), " +
+        "v0 AS (SELECT list_transform(range(0, nd), " +
+        "j -> CASE WHEN j = 0 THEN CAST(1.0 AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END) AS vv FROM dd)"
+    val its = (1 to 3).map { t =>
+      s", p$t AS (SELECT c, CAST(floor(${fold(
+        "list_transform(range(0, len(c)), " +
+          "j -> CAST(c[j+1] AS DOUBLE) * vv[j+1])")}) AS BIGINT) " +
+        s"AS q FROM cq, v${t - 1}), " +
+        s"s$t AS (SELECT u.j AS j, CAST(sum(CAST(q AS HUGEINT) * " +
+        "CAST(u.cx AS HUGEINT)) AS HUGEINT) AS s FROM " +
+        "(SELECT q, unnest(list_transform(range(0, len(c)), " +
+        s"j -> {'j': j, 'cx': c[j+1]})) AS u FROM p$t) " +
+        "GROUP BY u.j), " +
+        s"sa$t AS (SELECT list_transform(list_sort(list(" +
+        "{'j': j, 's': CAST(s AS DOUBLE)})), e -> e.s) AS sv " +
+        s"FROM s$t), " +
+        s"nm$t AS (SELECT sqrt(${fold(
+          "list_transform(sv, x -> x * x)")}) AS nrm, sv " +
+        s"FROM sa$t), " +
+        s"v$t AS (SELECT CASE WHEN nrm <> 0 THEN " +
+        s"list_transform(sv, x -> x / nrm) END AS vv FROM nm$t)"
+    }.mkString
+    head + its
+  }
+
   /** Shared fixture for the q_scd2 / q_temporal_join gates: a customer
     * dimension with pre-existing history, run through one SCD2 change
     * batch covering the real-change / no-op / out-of-order / new-key
@@ -1916,6 +1965,19 @@ object SparkEntry {
       graft.ops.Graph.labelPropagation(pairs, "a", "b", iters = 3)
     }),
 
+    // ---- Graph: shape profile (degree extremes, power-law MLE α) —
+    //      the pre-flight that picks hub-capped vs plain plans ----
+    "graph_degree_stats" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.degreeStats(pairs, "a", "b")
+    }),
+
     // ---- Graph: Newman modularity of the label-prop partition — did
     //      the communities actually find structure? Exact-integer
     //      4m·e_c − D_c² terms, one final division ----
@@ -2697,6 +2759,14 @@ object SparkEntry {
       Similarity.pcaPowerIteration(
         t(s, dir, "embeddings").select(col("embedding")),
         "embedding", iters = 3)),
+
+    // ---- LLM pipeline: 1-D drift scores — every vector projected onto
+    //      the leading principal component (embedding drift as a plain
+    //      time series) ----
+    "emb_pca_project" -> ((s, dir) =>
+      Similarity.pcaProjection(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", iters = 3)),
 
     // ---- LLM pipeline: int8 scalar-quantized ANN + exact rerank ----
     "ann_sq8_topk" -> ((s, dir) =>
@@ -4793,6 +4863,30 @@ object SparkEntry {
           "SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (" +
           "SELECT u AS node FROM tri UNION ALL SELECT x FROM tri " +
           "UNION ALL SELECT y FROM tri) GROUP BY node"),
+      "graph_degree_stats" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e AS (SELECT a AS src FROM ce UNION ALL SELECT b FROM ce), " +
+          "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1), " +
+          "grid AS (SELECT d, count(*) AS c FROM deg GROUP BY 1), " +
+          "pk AS (SELECT list_sort(list({'d': d, 'c': c})) AS dc, " +
+          "CAST(sum(c) AS BIGINT) AS n_nodes, max(d) AS max_degree " +
+          "FROM grid), " +
+          "me AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ce), " +
+          "ln AS (SELECT n_nodes, max_degree, " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(dc, x -> CAST(x.c AS DOUBLE) * " +
+          "ln(CAST(x.d AS DOUBLE)))), (a, b) -> a + b) AS lnsum " +
+          "FROM pk) " +
+          "SELECT n_nodes, n_edges, max_degree, " +
+          "2.0 * CAST(n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE) " +
+          "AS mean_degree, " +
+          "round(CASE WHEN lnsum <> 0 THEN " +
+          "1.0 + CAST(n_nodes AS DOUBLE) / lnsum END, 8) AS alpha_mle " +
+          "FROM ln, me"),
       "graph_modularity" ->
         ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
           "FROM lineitem WHERE l_partkey % 4 = 0), " +
@@ -4998,52 +5092,15 @@ object SparkEntry {
           "greatest(0.0, est_a + est_b - est_union) / est_union " +
           "ELSE 0.0 END AS jaccard_est FROM e"
       },
-      "emb_pca_power" -> {
-        val q = "1048576.0"
-        val fold = (e: String) =>
-          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $e), " +
-            "(a, b) -> a + b)"
-        val head =
-          "WITH kc AS (SELECT CAST(embedding AS DOUBLE[]) AS v " +
-            "FROM embeddings), " +
-            "xj AS (SELECT unnest(list_transform(range(0, len(v)), " +
-            "j -> {'j': j, 'x': v[j+1]})) AS u FROM kc), " +
-            s"m0 AS (SELECT u.j AS j, sum(CAST(floor(u.x * $q) " +
-            "AS BIGINT)) AS sq, count(*) AS n FROM xj GROUP BY u.j), " +
-            "muv AS (SELECT list_transform(list_sort(list(" +
-            s"{'j': j, 'm': CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * $q)" +
-            "})), s -> s.m) AS mv FROM m0), " +
-            "cq AS (SELECT list_transform(range(0, len(v)), " +
-            s"j -> CAST(floor((v[j+1] - mv[j+1]) * $q) AS BIGINT)) AS c " +
-            "FROM kc, muv), " +
-            "dd AS (SELECT len(c) AS nd FROM cq LIMIT 1), " +
-            "v0 AS (SELECT list_transform(range(0, nd), " +
-            "j -> CASE WHEN j = 0 THEN CAST(1.0 AS DOUBLE) " +
-            "ELSE CAST(0.0 AS DOUBLE) END) AS vv FROM dd)"
-        val its = (1 to 3).map { t =>
-          s", p$t AS (SELECT c, CAST(floor(${fold(
-            "list_transform(range(0, len(c)), " +
-              "j -> CAST(c[j+1] AS DOUBLE) * vv[j+1])")}) AS BIGINT) " +
-            s"AS q FROM cq, v${t - 1}), " +
-            s"s$t AS (SELECT u.j AS j, CAST(sum(CAST(q AS HUGEINT) * " +
-            "CAST(u.cx AS HUGEINT)) AS HUGEINT) AS s FROM " +
-            "(SELECT q, unnest(list_transform(range(0, len(c)), " +
-            s"j -> {'j': j, 'cx': c[j+1]})) AS u FROM p$t) " +
-            "GROUP BY u.j), " +
-            s"sa$t AS (SELECT list_transform(list_sort(list(" +
-            "{'j': j, 's': CAST(s AS DOUBLE)})), e -> e.s) AS sv " +
-            s"FROM s$t), " +
-            s"nm$t AS (SELECT sqrt(${fold(
-              "list_transform(sv, x -> x * x)")}) AS nrm, sv " +
-            s"FROM sa$t), " +
-            s"v$t AS (SELECT CASE WHEN nrm <> 0 THEN " +
-            s"list_transform(sv, x -> x / nrm) END AS vv FROM nm$t)"
-        }.mkString
-        head + its +
-          " SELECT CAST(u.j AS BIGINT) AS dim_idx, u.l AS loading " +
-          "FROM (SELECT unnest(list_transform(range(0, len(vv)), " +
-          "j -> {'j': j, 'l': vv[j+1]})) AS u FROM v3)"
-      },
+      "emb_pca_power" -> (pcaOracleCtes +
+        " SELECT CAST(u.j AS BIGINT) AS dim_idx, u.l AS loading " +
+        "FROM (SELECT unnest(list_transform(range(0, len(vv)), " +
+        "j -> {'j': j, 'l': vv[j+1]})) AS u FROM v3)"),
+      "emb_pca_project" -> (pcaOracleCtes +
+        " SELECT vec_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list_transform(range(0, len(c)), " +
+        "j -> CAST(c[j+1] AS DOUBLE) * vv[j+1])), (a, b) -> a + b) " +
+        "/ 1048576.0 AS score FROM cq, v3"),
       "emb_centroid_by_label" ->
         // Mirrors Similarity.groupCentroids: MeanQ fixed-point sums.
         ("WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v " +

@@ -220,6 +220,46 @@ object Graph {
     }
   }
 
+  /** Graph shape profile — the pre-flight before any iterative graph
+    * op: node/edge counts, degree extremes, mean degree, and the
+    * discrete power-law MLE exponent
+    * `α = 1 + n / Σ_v ln(d_v)` (Clauset-Shalizi-Newman with d_min = 1)
+    * — "is this a hub-dominated graph that needs the degree-capped
+    * plans?". ONE row: (n_nodes, n_edges, max_degree, mean_degree,
+    * alpha_mle).
+    *
+    * Determinism: counts/extremes exact; the ln sum folds over the
+    * degree-sorted DISTINCT-degree grid (`Σ c_d·ln d` — grid, not
+    * nodes), pinned at round(·,8) for libm ln (the entropy discipline);
+    * mean is one IEEE division. All-degree-1 graphs (Σ ln = 0) yield
+    * NULL α rather than an ANSI divide throw. */
+  def degreeStats(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val raw = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val und = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") < col("b")).distinct().persist()
+    try {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val grid = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
+      val packed = grid
+        .agg(sort_array(collect_list(struct(col("d"), col("c"))))
+          .as("__dc"),
+          sum(col("c")).as("n_nodes"), max(col("d")).as("max_degree"))
+        .crossJoin(broadcast(und.agg(count(lit(1)).as("n_edges"))))
+      val lnSum = aggregate(col("__dc"), lit(0.0), (acc, x) =>
+        acc + x.getField("c").cast("double") *
+          log(x.getField("d").cast("double")))
+      packed.select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        (lit(2.0) * col("n_edges").cast("double") /
+          col("n_nodes").cast("double")).as("mean_degree"),
+        round(when(lnSum =!= 0.0,
+          lit(1.0) + col("n_nodes").cast("double") / lnSum), 8)
+          .as("alpha_mle"))
+    } finally { und.unpersist(); () }
+  }
+
   /** Newman modularity of a community assignment — the score that says
     * whether a partition (label propagation, dup clusters) actually
     * found structure: Q = Σ_c [e_c/m − (D_c/2m)²], computed exactly as

@@ -290,12 +290,11 @@ object Similarity {
     * matrix, then TWO keyed passes per iteration (row projections +
     * per-dim sums — map-side combinable); v is a 1-row broadcast. No
     * driver data path; the d×1 direction localCheckpoints per round. */
-  def pcaPowerIteration(
-      emb: DataFrame, vecCol: String, iters: Int = 3): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val dec = "decimal(38,0)"
+  /** Mean-centered, MeanQ-quantized corpus: (keep..., c: array<long>). */
+  private def centeredQuantized(
+      emb: DataFrame, vecCol: String, keep: Seq[String]): DataFrame = {
     val q = MeanQ.toDouble
-    val mu = emb
+    val muRow = emb
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("j", "x")))
       .groupBy(col("j"))
       .agg(sum(floor(col("x") * lit(q)).cast("long")).as("__sq"),
@@ -303,42 +302,80 @@ object Similarity {
       .select(col("j"),
         (col("__sq").cast("double") / (col("__n").cast("double") * lit(q)))
           .as("mu"))
-    val muRow = mu
       .agg(sort_array(collect_list(struct(col("j"), col("mu")))).as("__ms"))
       .select(transform(col("__ms"), m => m.getField("mu")).as("__mu"))
-    val cq = emb.crossJoin(broadcast(muRow))
-      .select(zip_with(col(vecCol).cast("array<double>"), col("__mu"),
-        (x, m) => floor((x - m) * lit(q)).cast("long")).as("c"))
-      .persist()
-    try {
-      val dim = cq.select(size(col("c")).as("d")).limit(1)
-      var vRow = dim.select(transform(sequence(lit(0), col("d") - 1),
-        i => when(i === 0, lit(1.0)).otherwise(lit(0.0))).as("__v"))
+    emb.crossJoin(broadcast(muRow))
+      .select(keep.map(col) :+
+        zip_with(col(vecCol).cast("array<double>"), col("__mu"),
+          (x, m) => floor((x - m) * lit(q)).cast("long")).as("c"): _*)
+  }
+
+  /** The power loop over a quantized matrix: one-row frame (__v). */
+  private def powerDirection(cq: DataFrame, iters: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val dim = cq.select(size(col("c")).as("d")).limit(1)
+    var vRow = dim.select(transform(sequence(lit(0), col("d") - 1),
+      i => when(i === 0, lit(1.0)).otherwise(lit(0.0))).as("__v"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val proj = cq.crossJoin(broadcast(vRow))
+        .select(col("c"),
+          floor(aggregate(
+            zip_with(col("c"), col("__v"), (c, v) => c.cast("double") * v),
+            lit(0.0), (acc, x) => acc + x)).cast("long").as("__q"))
+      val s = proj
+        .select(col("__q"), posexplode(col("c")).as(Seq("j", "cx")))
+        .groupBy(col("j"))
+        .agg(sum((col("__q") * col("cx")).cast(dec)).as("__s"))
+      val sRow = s
+        .agg(sort_array(collect_list(struct(col("j"), col("__s"))))
+          .as("__ss"))
+        .select(transform(col("__ss"),
+          e => e.getField("__s").cast("double")).as("__sv"))
+      val nrm = sqrt(aggregate(col("__sv"), lit(0.0),
+        (acc, x) => acc + x * x))
+      vRow = sRow
+        .select(when(nrm =!= 0.0,
+          transform(col("__sv"), x => x / nrm)).as("__v"))
         .localCheckpoint()
-      for (_ <- 1 to iters) {
-        val proj = cq.crossJoin(broadcast(vRow))
-          .select(col("c"),
-            floor(aggregate(
-              zip_with(col("c"), col("__v"), (c, v) => c.cast("double") * v),
-              lit(0.0), (acc, x) => acc + x)).cast("long").as("__q"))
-        val s = proj
-          .select(col("__q"), posexplode(col("c")).as(Seq("j", "cx")))
-          .groupBy(col("j"))
-          .agg(sum((col("__q") * col("cx")).cast(dec)).as("__s"))
-        val sRow = s
-          .agg(sort_array(collect_list(struct(col("j"), col("__s"))))
-            .as("__ss"))
-          .select(transform(col("__ss"),
-            e => e.getField("__s").cast("double")).as("__sv"))
-        val nrm = sqrt(aggregate(col("__sv"), lit(0.0),
-          (acc, x) => acc + x * x))
-        vRow = sRow
-          .select(when(nrm =!= 0.0,
-            transform(col("__sv"), x => x / nrm)).as("__v"))
-          .localCheckpoint()
-      }
-      vRow.select(posexplode(col("__v")).as(Seq("dim_idx", "loading")))
+    }
+    vRow
+  }
+
+  def pcaPowerIteration(
+      emb: DataFrame, vecCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val cq = centeredQuantized(emb, vecCol, Nil).persist()
+    try {
+      powerDirection(cq, iters)
+        .select(posexplode(col("__v")).as(Seq("dim_idx", "loading")))
         .select(col("dim_idx").cast("long").as("dim_idx"), col("loading"))
+    } finally { cq.unpersist(); () }
+  }
+
+  /** 1-D drift scores: each vector's projection onto the corpus's
+    * leading principal component ([[pcaPowerIteration]]) — the scalar
+    * that turns embedding drift into a plain time series the ts_*
+    * operators can watch. Emits (idCol, score) in value units
+    * (centered-x·v; the 2^-20 descale is an exact power-of-two
+    * multiply). Same determinism as the direction itself: the
+    * projection is a strict in-row fold of quantized longs against the
+    * broadcast unit vector. Degenerate zero-variance corpora yield NULL
+    * scores. */
+  def pcaProjection(
+      emb: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val cq = centeredQuantized(emb, vecCol, Seq(idCol)).persist()
+    try {
+      val v = powerDirection(cq.select(col("c")), iters)
+      cq.crossJoin(broadcast(v))
+        .select(col(idCol),
+          (aggregate(
+            zip_with(col("c"), col("__v"), (c, vv) => c.cast("double") * vv),
+            lit(0.0), (acc, x) => acc + x) / lit(MeanQ.toDouble))
+            .as("score"))
+        .localCheckpoint()
     } finally { cq.unpersist(); () }
   }
 

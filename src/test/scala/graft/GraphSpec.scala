@@ -322,6 +322,23 @@ class GraphSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("degreeStats: exact counts and extremes; star graph alpha; " +
+    "all-degree-1 graph yields NULL alpha, not a throw") {
+    import spark.implicits._
+    // star: center 0 connected to 1..5 -> degrees [5,1,1,1,1,1]
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val r = graft.ops.Graph.degreeStats(star, "a", "b").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 5L && r.getLong(2) == 5L)
+    assert(r.getDouble(3) == 10.0 / 6.0)
+    // alpha = 1 + 6 / (5*ln1 + 1*ln5) = 1 + 6/ln5
+    assert(math.abs(r.getDouble(4) -
+      (1.0 + 6.0 / math.log(5.0))) < 1e-7)
+    // a single edge: both degrees 1 -> ln sum 0 -> NULL alpha
+    val pair = Seq((1L, 2L)).toDF("a", "b")
+    val p = graft.ops.Graph.degreeStats(pair, "a", "b").head()
+    assert(p.isNullAt(4))
+  }
+
   test("modularity: two clean cliques score high, random labels score " +
     "~0, exact-integer arithmetic") {
     import spark.implicits._

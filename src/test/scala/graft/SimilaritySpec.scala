@@ -50,6 +50,31 @@ class SimilaritySpec extends SparkSpec {
     assert(again == v)
   }
 
+  test("pcaProjection: scores are the centered projection onto the " +
+    "dominant axis — anisotropic cloud scores track that dim") {
+    val rng = new scala.util.Random(9)
+    val rows = (1L to 300L).map { i =>
+      (i, Seq(rng.nextGaussian() * 0.01, rng.nextGaussian() * 0.5,
+        rng.nextGaussian() * 0.01))
+    }.toDF("vec_id", "embedding")
+    val scores = Similarity.pcaProjection(rows, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.size == 300)
+    // projection onto the dim-1 axis (up to sign): |score| correlates
+    // with |x_1 - mean_1|; check via the raw data
+    val raw = rows.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)(1)).toMap
+    val m1 = raw.values.sum / raw.size
+    val corr = {
+      val xs = raw.keys.toSeq.sorted.map(k => raw(k) - m1)
+      val ys = raw.keys.toSeq.sorted.map(scores)
+      val num = xs.zip(ys).map { case (a, b) => a * b }.sum
+      math.abs(num) / (math.sqrt(xs.map(a => a * a).sum) *
+        math.sqrt(ys.map(b => b * b).sum))
+    }
+    assert(corr > 0.99, s"projection not aligned with dominant dim: $corr")
+  }
+
   test("centroidDrift: pairwise cosines between exact group centroids, " +
     "a < b ordering") {
     val df = Seq(
