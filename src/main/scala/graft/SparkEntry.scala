@@ -1742,6 +1742,46 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("comp").as("canon_id"))
     }),
 
+    // ---- LLM pipeline: SOFT dedup — keep every copy but weight each
+    //      doc 1/cluster_size, so a 40-copy boilerplate page carries
+    //      the same total training mass as a unique one (the gentler
+    //      alternative to hard dedup; weight is ONE IEEE division) ----
+    "sample_soft_dedup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val labels = graft.ops.Components.connectedComponents(
+        NearDup.lshCandidatePairs(
+          t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3, r = 2),
+        "id_a", "id_b")
+      val canon = docs.join(
+          labels.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("canon_id"))
+      canon
+        .withColumn("cluster_size", count(lit(1)).over(
+          Window.partitionBy(col("canon_id"))))
+        .select(col("doc_id"), col("canon_id"), col("cluster_size"),
+          (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+    }),
+
+    // ---- LLM pipeline: dup-inflation histogram — how duplicated is
+    //      this corpus? (cluster_size, n_clusters, n_docs rows) ----
+    "q_dup_inflation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val labels = graft.ops.Components.connectedComponents(
+        NearDup.lshCandidatePairs(
+          t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3, r = 2),
+        "id_a", "id_b")
+      docs.join(
+          labels.select(col("id").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left_outer")
+        .select(coalesce(col("comp"), col("doc_id")).as("canon_id"))
+        .groupBy(col("canon_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+    }),
+
     // ---- LLM pipeline: leakage-free split — split by the dup-cluster
     //      canonical id, so a doc and its near-copies can NEVER straddle
     //      the train/test boundary (the contamination a per-row split
@@ -4082,6 +4122,26 @@ object SparkEntry {
       // incremental == full recompute (min-id labels are merge-order
       // independent), so the oracle IS the from-scratch cluster SQL
       "dedup_clusters_incremental" -> clustersSql,
+      "sample_soft_dedup_weights" ->
+        (s"WITH cl AS ($clustersSql), " +
+          "cn AS (SELECT d.doc_id, " +
+          "coalesce(cl.canon_id, d.doc_id) AS canon_id " +
+          "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id), " +
+          "sz AS (SELECT canon_id, CAST(count(*) AS BIGINT) AS " +
+          "cluster_size FROM cn GROUP BY 1) " +
+          "SELECT doc_id, canon_id, cluster_size, " +
+          "1.0 / CAST(cluster_size AS DOUBLE) AS weight " +
+          "FROM cn JOIN sz USING (canon_id)"),
+      "q_dup_inflation" ->
+        (s"WITH cl AS ($clustersSql), " +
+          "cn AS (SELECT d.doc_id, " +
+          "coalesce(cl.canon_id, d.doc_id) AS canon_id " +
+          "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id), " +
+          "sz AS (SELECT canon_id, count(*) AS cluster_size FROM cn " +
+          "GROUP BY 1) " +
+          "SELECT cluster_size, count(*) AS n_clusters, " +
+          "CAST(sum(cluster_size) AS BIGINT) AS n_docs FROM sz " +
+          "GROUP BY 1"),
       "sample_split_by_cluster" -> {
         val a0 = TextHash.permuteA(0); val b0 = TextHash.permuteB(0)
         val p = TextHash.P
