@@ -1800,6 +1800,14 @@ object SparkEntry {
       graft.ops.Sampling.assignSplits(canon, "canon_id")
     }),
 
+    // ---- Profiling: join-fanout pre-flight — exact output cardinality
+    //      and worst single-key fanout of orders⋈lineitem, computed on
+    //      the O(keys) grids before paying for the join ----
+    "q_join_fanout" -> ((s, dir) =>
+      graft.ops.Profile.joinFanout(
+        t(s, dir, "orders"), "o_orderkey",
+        t(s, dir, "lineitem"), "l_orderkey")),
+
     // ---- Profiling: Pareto coverage curve — "how many keys make 90%
     //      of the rows" (concentration read for mixture weights) ----
     "q_pareto_coverage" -> ((s, dir) =>
@@ -2378,6 +2386,18 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- LLM pipeline: language-ID EVALUATION — confusion matrix of
+    //      predicted vs labeled language (the accuracy read behind any
+    //      classifier-driven filter; exact counts) ----
+    "text_lang_confusion" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.langId(d, "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"))
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- LLM pipeline: BPE-style token-class counting ----
     "text_token_classes" -> ((s, dir) =>
       TextAnalysis.tokenClasses(t(s, dir, "documents"), "doc_id", "text")),
@@ -2865,6 +2885,23 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ---- Sources: JSONL training-shard export — the classic LLM
+    //      delivery format; split-partitioned, file-capped, read back
+    //      through the schema-carrying json reader and re-aggregated ----
+    "src_jsonl_export" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_jsonl_").toString
+      val split = graft.ops.Sampling.assignSplits(
+        t(s, dir, "documents"), "doc_id")
+      graft.sources.Formats.writeShards(split, s"$tmp/shards", "split",
+        maxRecordsPerShard = 100L, format = "json")
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING, " +
+          "source STRING, n_chars BIGINT, split STRING")
+        .json(s"$tmp/shards")
+        .groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ---- Sources: bucketed tables — the pre-shuffled co-location layout;
     //      the orders⋈customer join below runs with ZERO exchanges on the
     //      fact side (bucket metadata from the catalog; spec-proven) ----
@@ -3216,6 +3253,7 @@ object SparkEntry {
           "SELECT lang, doc_id, n_chars, wrank FROM r WHERE wrank <= 12"
       },
       "src_shard_export" -> shardExportSql,
+      "src_jsonl_export" -> shardExportSql,
       "ts_rolling_mad" ->
         ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
           "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
@@ -4153,6 +4191,22 @@ object SparkEntry {
           s"SELECT doc_id, canon_id, CASE WHEN $bkt < 80 THEN 'train' " +
           s"WHEN $bkt < 90 THEN 'val' ELSE 'test' END AS split FROM cn"
       },
+      "q_join_fanout" ->
+        ("WITH ca AS (SELECT o_orderkey AS k, count(*) AS ca " +
+          "FROM orders GROUP BY 1), " +
+          "cb AS (SELECT l_orderkey AS k, count(*) AS cb " +
+          "FROM lineitem GROUP BY 1), " +
+          "g AS (SELECT CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT) AS p " +
+          "FROM ca JOIN cb USING (k)), " +
+          "t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_both, " +
+          "sum(p) AS est, max(p) AS mx FROM g), " +
+          "nl AS (SELECT CAST(count(*) AS BIGINT) AS n_left FROM orders), " +
+          "nr AS (SELECT CAST(count(*) AS BIGINT) AS n_right " +
+          "FROM lineitem) " +
+          "SELECT n_left, n_right, n_keys_both, " +
+          "coalesce(CAST(est AS DOUBLE), 0.0) AS est_rows, " +
+          "coalesce(CAST(mx AS BIGINT), 0) AS max_key_fanout " +
+          "FROM t, nl, nr"),
       "q_pareto_coverage" ->
         ("WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem " +
           "GROUP BY 1), " +
@@ -5220,6 +5274,11 @@ object SparkEntry {
       "ann_pq_topk" -> annPq,
       "pipeline_embeddings" -> pipelineEmbeddings,
       "text_langid" -> langIdSql,
+      "text_lang_confusion" ->
+        (s"WITH pr AS ($langIdSql) " +
+          "SELECT d.lang, pr.pred_lang, count(*) AS n " +
+          "FROM pr JOIN documents d USING (doc_id) " +
+          "GROUP BY 1, 2"),
       "text_token_classes" -> tokenClassesSql,
       "text_fingerprint" -> fingerprintSql,
       "text_normalize" -> normalizeSql,

@@ -344,6 +344,33 @@ object Profile {
         col("n"))
   }
 
+  /** Join-fanout pre-flight — the COST of an equi-join before paying
+    * for it: exact output cardinality `Σ_k c_a(k)·c_b(k)` plus the
+    * worst single-key fanout (the skew hotspot a salted join would
+    * split). ONE row: (n_left, n_right, n_keys_both, est_rows,
+    * max_key_fanout). `est_rows` is EXACT, not an estimate — two
+    * per-side key aggregates (map-side combinable) joined on the
+    * O(keys) grids, never the data rows; products accumulate as
+    * DECIMAL(38,0) so a hot key cannot overflow. */
+  def joinFanout(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ca = left.groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = right.groupBy(col(rightKey).as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    val grid = ca.join(cb, "__k")
+      .select((col("__ca") * col("__cb")).cast(dec).as("__p"))
+    grid.agg(count(lit(1)).as("n_keys_both"),
+        sum(col("__p")).as("__est"), max(col("__p")).as("__mx"))
+      .crossJoin(broadcast(left.agg(count(lit(1)).as("n_left"))))
+      .crossJoin(broadcast(right.agg(count(lit(1)).as("n_right"))))
+      .select(col("n_left"), col("n_right"), col("n_keys_both"),
+        coalesce(col("__est").cast("double"), lit(0.0)).as("est_rows"),
+        coalesce(col("__mx").cast("long"), lit(0L)).as("max_key_fanout"))
+  }
+
   /** Pareto coverage curve — "how concentrated is this corpus": keys
     * ranked by descending exact count (key ASC tie-break), each with its
     * cumulative row share. The first rank whose `cum_frac` crosses 0.9

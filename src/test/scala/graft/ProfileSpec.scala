@@ -304,6 +304,23 @@ class ProfileSpec extends SparkSpec {
       .getAs[Long]("ks_num") == 0L)
   }
 
+  test("joinFanout: exact output cardinality and worst key, disjoint " +
+    "keys profile to zero") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k") //  counts 3,1,1
+    val b = Seq(1L, 1L, 2L, 9L).toDF("k") //      counts 2,1 (+9 unmatched)
+    val r = Profile.joinFanout(a, "k", b, "k").head()
+    // keys in both: 1 (3*2=6), 2 (1*1=1) -> est 7, max 6
+    assert(r.getLong(0) == 5L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 7.0 && r.getLong(4) == 6L)
+    // cross-check against the actual join
+    assert(a.join(b, "k").count() == 7L)
+    val disjoint = Profile.joinFanout(
+      a, "k", Seq(100L).toDF("k"), "k").head()
+    assert(disjoint.getDouble(3) == 0.0 && disjoint.getLong(4) == 0L)
+  }
+
   test("paretoCoverage: descending-count ranks with key tie-break, " +
     "exact cumulative shares, k-bounded") {
     import spark.implicits._
