@@ -1035,6 +1035,21 @@ object SparkEntry {
       graft.ops.TimeSeries.cusumChangePoint(hourly, "event_type", "hr", "hx")
     }),
 
+    // ---- Time series: classical additive decomposition of the hourly
+    //      quantized series (trend = centered 25-point MA, seasonal =
+    //      hour-of-day mean of detrended, residual) — exact numerators
+    //      end-to-end ----
+    "ts_decompose" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.decompose(
+        hourly, "event_type", "hr", "hx", window = 25, period = 24)
+    }),
+
     // ---- Time series: rolling robust (median/MAD) anomaly flags over
     //      the hourly quantized series — all-integer element picks, the
     //      outlier detector a rolling mean/σ can't be ----
@@ -2024,6 +2039,19 @@ object SparkEntry {
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b"))
       graft.ops.Graph.degreeStats(pairs, "a", "b")
+    }),
+
+    // ---- Graph: degree assortativity — do hubs link to hubs? Exact
+    //      integer edge moments, divisions last ----
+    "graph_assortativity" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.assortativity(pairs, "a", "b")
     }),
 
     // ---- Graph: Newman modularity of the label-prop partition — did
@@ -3254,6 +3282,27 @@ object SparkEntry {
       },
       "src_shard_export" -> shardExportSql,
       "src_jsonl_export" -> shardExportSql,
+      "ts_decompose" ->
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2), " +
+          "wn AS (SELECT event_type, hr, hx, " +
+          "CAST(sum(hx) OVER (PARTITION BY event_type ORDER BY hr " +
+          "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS s, " +
+          "count(*) OVER (PARTITION BY event_type ORDER BY hr " +
+          "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS nw FROM h), " +
+          "fw AS (SELECT event_type, hr, hx, s, hx * 25 - s AS dnum, " +
+          "hr % 24 AS ph FROM wn WHERE nw = 25), " +
+          "se AS (SELECT event_type, ph, " +
+          "CAST(sum(dnum) AS BIGINT) AS snum, " +
+          "CAST(count(*) AS BIGINT) AS scnt FROM fw GROUP BY 1, 2) " +
+          "SELECT fw.event_type, hr, hx, " +
+          "CAST(s AS DOUBLE) / 25 AS trend, " +
+          "CAST(snum AS DOUBLE) / CAST(scnt * 25 AS DOUBLE) AS seasonal, " +
+          "CAST(dnum AS DOUBLE) / 25 - CAST(snum AS DOUBLE) / " +
+          "CAST(scnt * 25 AS DOUBLE) AS resid " +
+          "FROM fw JOIN se ON fw.event_type = se.event_type " +
+          "AND fw.ph = se.ph"),
       "ts_rolling_mad" ->
         ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
           "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
@@ -4977,6 +5026,25 @@ object SparkEntry {
           "SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (" +
           "SELECT u AS node FROM tri UNION ALL SELECT x FROM tri " +
           "UNION ALL SELECT y FROM tri) GROUP BY node"),
+      "graph_assortativity" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e AS (SELECT a AS src FROM ce UNION ALL SELECT b FROM ce), " +
+          "deg AS (SELECT src, CAST(count(*) AS HUGEINT) AS d " +
+          "FROM e GROUP BY 1), " +
+          "jd AS (SELECT da.d AS dj, db.d AS dk FROM ce " +
+          "JOIN deg da ON ce.a = da.src JOIN deg db ON ce.b = db.src), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges, " +
+          "sum(dj * dk) AS sjk, sum(dj + dk) AS sj, " +
+          "sum(dj * dj + dk * dk) AS sj2 FROM jd) " +
+          "SELECT n_edges, round(CASE WHEN " +
+          "CAST(2 * n_edges * sj2 - sj * sj AS DOUBLE) <> 0 THEN " +
+          "CAST(4 * n_edges * sjk - sj * sj AS DOUBLE) / " +
+          "CAST(2 * n_edges * sj2 - sj * sj AS DOUBLE) END, 8) " +
+          "AS assortativity FROM m"),
       "graph_degree_stats" ->
         ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
           "FROM lineitem WHERE l_partkey % 4 = 0), " +

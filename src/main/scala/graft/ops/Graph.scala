@@ -260,6 +260,43 @@ object Graph {
     } finally { und.unpersist(); () }
   }
 
+  /** Degree assortativity (Newman's r): do hubs link to hubs (r > 0,
+    * social-graph shape) or to leaves (r < 0, web/biology shape)? The
+    * Pearson correlation of endpoint degrees over undirected edges,
+    * computed from EXACT integer moments (Σjk, Σ(j+k), Σ(j²+k²) as
+    * DECIMAL(38,0) — degrees are bounded by n, so products fit) with
+    * the divisions last:
+    * r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²).
+    * ONE row: (n_edges, assortativity); NULL on the degree-regular
+    * graph (zero variance). Two keyed aggregates, no iteration. */
+  def assortativity(
+      edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val raw = edges.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val und = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") < col("b")).distinct().persist()
+    try {
+      val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val jd = und
+        .join(deg.select(col("n").as("a"), col("d").as("__da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("__db")), "b")
+      val m = jd.agg(
+        count(lit(1)).as("n_edges"),
+        sum((col("__da") * col("__db")).cast(dec)).as("__sjk"),
+        sum((col("__da") + col("__db")).cast(dec)).as("__sj"),
+        sum((col("__da") * col("__da") + col("__db") * col("__db"))
+          .cast(dec)).as("__sj2"))
+      val num = (lit(4L) * col("n_edges") * col("__sjk") -
+        col("__sj") * col("__sj")).cast("double")
+      val den = (lit(2L) * col("n_edges") * col("__sj2") -
+        col("__sj") * col("__sj")).cast("double")
+      m.select(col("n_edges"),
+        round(when(den =!= 0.0, num / den), 8).as("assortativity"))
+    } finally { und.unpersist(); () }
+  }
+
   /** Newman modularity of a community assignment — the score that says
     * whether a partition (label propagation, dup clusters) actually
     * found structure: Q = Σ_c [e_c/m − (D_c/2m)²], computed exactly as

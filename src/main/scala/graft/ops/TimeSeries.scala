@@ -440,6 +440,55 @@ object TimeSeries {
           sxyN * sxyN / (sxxN * syyN)).as("r2"))
   }
 
+  /** Classical additive decomposition — x = trend + seasonal + residual
+    * over a regular integer-valued series: trend is the centered
+    * `window`-point moving average, the seasonal profile is the
+    * per-phase (t mod `period`) mean of the detrended values, and the
+    * residual is what's left — the ts-anomaly preprocessor that stops a
+    * daily rhythm from masquerading as drift. Emits one row per
+    * FULL-WINDOW point: (keyCol, tCol, xCol, trend, seasonal, resid);
+    * the `window/2` edge points have no centered average and are
+    * dropped (documented; the oracle mirrors).
+    *
+    * ALL-EXACT-NUMERATOR determinism (`xCol` must be an exact long —
+    * the ts_cusum quantization discipline): the window sum S is an
+    * exact long, the detrended numerator `x·window − S` is an exact
+    * long, the seasonal numerator Σ(x·window − S) per phase is an exact
+    * long sum — so trend = S/window, seasonal = Σ/(count·window) and
+    * the residual chain are fixed IEEE expressions over exact integers,
+    * bit-identical across engines and partitionings (a float detrended
+    * MEAN would be shuffle-order dependent).
+    *
+    * Scale: one key-shuffled rows-bounded window, one (key, phase)
+    * aggregate broadcast back — both map-side-friendly; no global
+    * state. */
+  def decompose(
+      series: DataFrame, keyCol: String, tCol: String, xCol: String,
+      window: Int, period: Int): DataFrame = {
+    require(window >= 3 && window % 2 == 1,
+      s"window must be odd >= 3, got $window")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val half = window / 2
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+      .rowsBetween(-half, half)
+    val full = series
+      .withColumn("__s", sum(col(xCol)).over(w))
+      .withColumn("__nw", count(lit(1)).over(w))
+      .filter(col("__nw") === window)
+      .withColumn("__dnum", col(xCol) * window - col("__s"))
+      .withColumn("__ph", pmod(col(tCol), lit(period)))
+    val seasonal = full.groupBy(col(keyCol), col("__ph"))
+      .agg(sum(col("__dnum")).as("__snum"), count(lit(1)).as("__scnt"))
+    full.join(seasonal, Seq(keyCol, "__ph"))
+      .select(col(keyCol), col(tCol), col(xCol),
+        (col("__s").cast("double") / window).as("trend"),
+        (col("__snum").cast("double") /
+          (col("__scnt") * window).cast("double")).as("seasonal"),
+        ((col("__dnum").cast("double") / window) -
+          col("__snum").cast("double") /
+            (col("__scnt") * window).cast("double")).as("resid"))
+  }
+
   /** Rolling robust anomaly flags over a regular integer-valued series —
     * the outlier detector that survives the outliers it hunts (a rolling
     * MEAN/σ is dragged by the very spike it should flag; median/MAD are

@@ -322,6 +322,19 @@ class GraphSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("assortativity: star graph is perfectly disassortative (-1), " +
+    "regular graph (zero variance) yields NULL") {
+    import spark.implicits._
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    val r = graft.ops.Graph.assortativity(star, "a", "b").head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getDouble(1) == -1.0)
+    // a cycle: every degree 2 -> zero degree variance -> NULL
+    val cycle = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("a", "b")
+    val c = graft.ops.Graph.assortativity(cycle, "a", "b").head()
+    assert(c.isNullAt(1))
+  }
+
   test("degreeStats: exact counts and extremes; star graph alpha; " +
     "all-degree-1 graph yields NULL alpha, not a throw") {
     import spark.implicits._

@@ -248,6 +248,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a.getLong(1) == 200L && a.getDouble(2) == r.getDouble(2))
   }
 
+  test("decompose: recovers a planted daily rhythm over a linear " +
+    "trend — residuals vanish, edges drop, partitioning-invariant") {
+    // x_t = 100*t + 1000*sin-ish daily pattern (integer, period 4)
+    val pattern = Seq(0L, 1000L, 0L, -1000L)
+    val rows = (0L until 40L).map(t =>
+      ("g", t, 100L * t + pattern((t % 4).toInt)))
+    val df = rows.toDF("g", "t", "x")
+    val r = TimeSeries.decompose(df, "g", "t", "x",
+      window = 5, period = 4)
+    val got = r.collect().map(x => x.getLong(1) ->
+      ((x.getDouble(3), x.getDouble(4), x.getDouble(5)))).toMap
+    // 40 points minus 2 edges each side
+    assert(got.size == 36)
+    // the 5-point centered MA of a linear trend is exact; the pattern
+    // sums to 0 over any 4 consecutive, but a 5-window double-counts
+    // one phase — trend wobbles by ±200; seasonal absorbs the rest and
+    // residuals stay small relative to the 1000-amplitude pattern
+    got.foreach { case (t, (trend, seasonal, resid)) =>
+      assert(math.abs(trend - 100.0 * t) <= 200.0, s"t=$t trend=$trend")
+      assert(math.abs(resid) <= 300.0, s"t=$t resid=$resid")
+    }
+    // seasonal profile has the planted shape (phase 1 high, 3 low)
+    val s1 = got.collect { case (t, (_, s, _)) if t % 4 == 1 => s }.head
+    val s3 = got.collect { case (t, (_, s, _)) if t % 4 == 3 => s }.head
+    assert(s1 > 700.0 && s3 < -700.0)
+    val again = TimeSeries.decompose(df.repartition(7), "g", "t", "x",
+      window = 5, period = 4)
+    assertSameRows(r, again)
+  }
+
   test("linearRegression recovers an exact line (slope, intercept, " +
     "r2 = 1) and is partitioning-invariant") {
     // y = 7x + 40 exactly
