@@ -2848,6 +2848,13 @@ object SparkEntry {
         t(s, dir, "embeddings").select(col("embedding")),
         "embedding", iters = 3)),
 
+    // ---- LLM pipeline: embedding outlier audit — per-label distance
+    //      to the exact centroid flagged against the sketch-p99
+    //      (mislabel/garbage detection; empty result IS the pass) ----
+    "emb_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(
+        t(s, dir, "embeddings"), "vec_id", "label", "embedding")),
+
     // ---- LLM pipeline: 1-D drift scores — every vector projected onto
     //      the leading principal component (embedding drift as a plain
     //      time series) ----
@@ -5273,6 +5280,32 @@ object SparkEntry {
           "CASE WHEN est_union > 0 THEN " +
           "greatest(0.0, est_a + est_b - est_union) / est_union " +
           "ELSE 0.0 END AS jaccard_est FROM e"
+      },
+      "emb_outliers" -> {
+        val fold = (e: String) =>
+          s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $e), " +
+            "(a, b) -> a + b)"
+        "WITH e AS (SELECT vec_id, label, " +
+          "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          "xj AS (SELECT label, unnest(list_transform(range(0, len(v)), " +
+          "j -> {'j': j, 'x': v[j+1]})) AS u FROM e), " +
+          "ag AS (SELECT label, u.j AS j, " +
+          "sum(CAST(floor(u.x * 1048576.0) AS BIGINT)) AS sq, " +
+          "count(*) AS cnt FROM xj GROUP BY label, u.j), " +
+          "cv AS (SELECT label, list_transform(list_sort(list(" +
+          "{'j': j, 'c': CAST(sq AS DOUBLE) / " +
+          "(CAST(cnt AS DOUBLE) * 1048576.0)})), s -> s.c) AS cv " +
+          "FROM ag GROUP BY label), " +
+          s"di AS (SELECT vec_id, e.label, sqrt(${fold(
+            "list_transform(range(0, len(v)), " +
+              "j -> (v[j+1] - cv[j+1]) * (v[j+1] - cv[j+1]))")}) " +
+          "AS dist FROM e JOIN cv ON e.label = cv.label), " +
+          "qraw AS (SELECT label, dist AS x FROM di), " +
+          OracleSql.quantileSketchCtes(Seq(99), Seq("label")) +
+          ", thr AS (SELECT label, est AS p99_dist FROM qest " +
+          "WHERE pct = 99) " +
+          "SELECT vec_id, di.label, dist, p99_dist FROM di " +
+          "JOIN thr ON di.label = thr.label WHERE dist > p99_dist"
       },
       "emb_pca_power" -> (pcaOracleCtes +
         " SELECT CAST(u.j AS BIGINT) AS dim_idx, u.l AS loading " +

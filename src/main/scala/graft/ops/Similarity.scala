@@ -379,6 +379,48 @@ object Similarity {
     } finally { cq.unpersist(); () }
   }
 
+  /** Embedding outlier audit — mislabel/garbage detection per group:
+    * each vector's Euclidean distance to its OWN group centroid,
+    * flagged against the group's sketch-p99 distance. Emits only the
+    * outliers (idCol, groupCol, dist, p99_dist) — empty result IS the
+    * pass, output bounded by the outlier count.
+    *
+    * Determinism: centroids are the exact fixed-point
+    * [[groupCentroids]] means; each distance is a strict in-row fold of
+    * squared diffs + IEEE sqrt; the threshold is the deterministic
+    * decimal-bucket sketch estimate (Sketches.quantileFromSketch) — no
+    * exact global sort of distances. Scale: one corpus pass for
+    * centroids (O(groups·dim) broadcast back), one row-local distance
+    * pass, one O(buckets) sketch per group. */
+  def centroidOutliers(
+      emb: DataFrame, idCol: String, groupCol: String, vecCol: String,
+      pct: Int = 99): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val cent = groupCentroids(emb, groupCol, vecCol)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("dim_idx"), col("centroid"))))
+        .as("__cs"))
+      .select(col(groupCol),
+        transform(col("__cs"), x => x.getField("centroid")).as("__cv"))
+    val dist = emb.join(broadcast(cent), groupCol)
+      .select(col(idCol), col(groupCol),
+        sqrt(aggregate(
+          zip_with(col(vecCol).cast("array<double>"), col("__cv"),
+            (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, v) => acc + v)).as("dist"))
+      .persist()
+    try {
+      val thr = Sketches.quantileFromSketch(
+        Sketches.quantileSketch(dist, Seq(groupCol), "dist"),
+        Seq(groupCol), Seq(pct))
+        .select(col(groupCol), col("est").as("p99_dist"))
+      dist.join(broadcast(thr), groupCol)
+        .filter(col("dist") > col("p99_dist"))
+        .select(col(idCol), col(groupCol), col("dist"), col("p99_dist"))
+        .localCheckpoint()
+    } finally { dist.unpersist(); () }
+  }
+
   /** Pairwise cosine similarity between per-group centroids — the drift
     * matrix of an embedding corpus: which domains/labels/snapshots sit
     * close in embedding space (distribution drift monitoring, candidate

@@ -50,6 +50,22 @@ class SimilaritySpec extends SparkSpec {
     assert(again == v)
   }
 
+  test("centroidOutliers flags the planted far point and nothing in " +
+    "the tight cluster below the threshold") {
+    val rng = new scala.util.Random(3)
+    // 200 points near the origin + one planted far outlier
+    val near = (1L to 200L).map(i =>
+      (i, 0, Seq(rng.nextGaussian() * 0.01, rng.nextGaussian() * 0.01)))
+    val far = Seq((999L, 0, Seq(5.0, 5.0)))
+    val df = (near ++ far).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidOutliers(df, "vec_id", "label",
+      "embedding")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.contains(999L), s"planted outlier not flagged: $out")
+    // p99 of 201 points flags at most a handful
+    assert(out.size <= 4, s"too many flagged: ${out.size}")
+  }
+
   test("pcaProjection: scores are the centered projection onto the " +
     "dominant axis — anisotropic cloud scores track that dim") {
     val rng = new scala.util.Random(9)
