@@ -1370,6 +1370,21 @@ object SparkEntry {
           col("row_active"))
     }),
 
+    // ---- O6 replay idempotence: the same tombstone batch applied
+    //      twice equals once (delete-side exactly-once contract) ----
+    "o6c_delete_replay" -> ((s, dir) => {
+      val ev = eventRecords(s, dir)
+      val target = Dedup.latestWins(ev, key, ver, tie)
+      val dels = ev.filter(col("event_type") === "error")
+      val once = Merge.softDelete(target, dels, key, ver, tie, "row_active")
+      Merge.softDelete(once, dels, key, ver, tie, "row_active")
+        .select(
+          col("pkey"),
+          col("modified_date_us"),
+          col("value"),
+          col("row_active"))
+    }),
+
     // ---- O6: hard delete ----
     "o6b_hard_delete" -> ((s, dir) => {
       val ev = eventRecords(s, dir)
@@ -1649,6 +1664,15 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))),
+
+    // ---- LLM pipeline: NEAR-exact dedup — exact dedup keyed on the
+    //      NORMALIZED text (case/whitespace/control variants collapse
+    //      onto one copy; the cheap first rung before MinHash) ----
+    "dedup_exact_normalized" -> ((s, dir) =>
+      TextAnalysis.normalize(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy(col("text_norm"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"))),
 
@@ -2645,6 +2669,14 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10)),
+
+    // ---- LLM pipeline: FILTERED vector search — top-k restricted to a
+    //      metadata predicate (the real vector-DB workload: "nearest
+    //      neighbors among label-even docs only") ----
+    "ann_filtered_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        t(s, dir, "embeddings").filter(col("label") % 2 === 0),
+        "vec_id", "embedding", col("vec_id") < 20, k = 10)),
 
     // ---- LLM pipeline: ANN quality evaluation — recall@k of the LSH
     //      path against the brute-force truth, the number an index is
@@ -5383,6 +5415,25 @@ object SparkEntry {
       "text_token_classes" -> tokenClassesSql,
       "text_fingerprint" -> fingerprintSql,
       "text_normalize" -> normalizeSql,
+      "dedup_exact_normalized" ->
+        (s"WITH nm AS ($normalizeSql) " +
+          "SELECT min(doc_id) AS keep_id, count(*) AS n_copies " +
+          "FROM nm GROUP BY text_norm"),
+      "ann_filtered_topk" ->
+        ("WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+          "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+          "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings " +
+          "WHERE label % 2 = 0), " +
+          "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n " +
+          "WHERE vec_id < 20), " +
+          "p AS (SELECT q.query_id, n.vec_id, " +
+          "list_inner_product(n.v, q.qv) / (n.nrm * q.qn) AS cos " +
+          "FROM n, q WHERE n.vec_id <> q.query_id) " +
+          "SELECT query_id, vec_id AS neighbor_id, " +
+          "CAST(rank AS BIGINT) AS rank FROM " +
+          "(SELECT query_id, vec_id, row_number() OVER (" +
+          "PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank " +
+          "FROM p) WHERE rank <= 10"),
       "text_redact" -> redactSql,
       "text_winnow" -> winnowSql,
       "dedup_winnow_pairs" -> winnowPairsSql,
@@ -5514,6 +5565,15 @@ object SparkEntry {
           "(d.pkey IS NULL OR (d.ts, d.event_id) < (t.ts, t.event_id)) AS row_active " +
           "FROM t LEFT JOIN (SELECT * FROM d WHERE rn = 1) d ON t.pkey = d.pkey"),
       "o6_soft_delete" ->
+        (s"WITH t AS (SELECT pkey, ts, event_id, value FROM ($oracleDedup) WHERE rn = 1), " +
+          "d AS (SELECT user_id AS pkey, ts, event_id, " +
+          "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events WHERE event_type = 'error') " +
+          "SELECT t.pkey, epoch_us(t.ts) AS modified_date_us, t.value, " +
+          "(d.pkey IS NULL OR (d.ts, d.event_id) < (t.ts, t.event_id)) AS row_active " +
+          "FROM t LEFT JOIN (SELECT * FROM d WHERE rn = 1) d ON t.pkey = d.pkey"),
+      // double-applied tombstones are a no-op -> same oracle as o6
+      "o6c_delete_replay" ->
         (s"WITH t AS (SELECT pkey, ts, event_id, value FROM ($oracleDedup) WHERE rn = 1), " +
           "d AS (SELECT user_id AS pkey, ts, event_id, " +
           "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
