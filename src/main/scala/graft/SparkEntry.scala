@@ -1839,6 +1839,16 @@ object SparkEntry {
       graft.ops.Sampling.assignSplits(canon, "canon_id")
     }),
 
+    // ---- ML-ops audit: split balance — chi² independence between the
+    //      assigned train/val/test split and the language label (a
+    //      skewed split leaks distribution shift into eval) ----
+    "q_split_balance" -> ((s, dir) =>
+      graft.ops.Profile.chiSquare(
+        graft.ops.Sampling.assignSplits(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id"),
+        "split", "lang")),
+
     // ---- Profiling: join-fanout pre-flight — exact output cardinality
     //      and worst single-key fanout of orders⋈lineitem, computed on
     //      the O(keys) grids before paying for the join ----
@@ -4615,6 +4625,30 @@ object SparkEntry {
           "SELECT k, n_rows, ssb, ssw, CASE WHEN k < 2 OR n_rows <= k " +
           "OR ssw <= 0 THEN NULL ELSE (ssb / CAST(k - 1 AS DOUBLE)) / " +
           "(ssw / CAST(n_rows - k AS DOUBLE)) END AS f_stat FROM r"
+      },
+      "q_split_balance" -> {
+        val e = "(CAST(x.rt * x.ct AS DOUBLE) / nn.n)"
+        val d = s"(CAST(x.o AS DOUBLE) - $e)"
+        val a0 = TextHash.permuteA(0); val b0 = TextHash.permuteB(0)
+        val p = TextHash.P
+        val bkt = s"((((doc_id * $a0 + $b0) % $p) % 100) + 100) % 100"
+        s"WITH base AS (SELECT CASE WHEN $bkt < 80 THEN 'train' " +
+          s"WHEN $bkt < 90 THEN 'val' ELSE 'test' END AS a, " +
+          "lang AS b FROM documents), " +
+          "cc AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b), " +
+          "ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cc GROUP BY a), " +
+          "cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cc GROUP BY b), " +
+          "nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cc), " +
+          "grid AS (SELECT ra.a, cb.b, ra.rt, cb.ct, coalesce(cc.o, 0) AS o " +
+          "FROM ra CROSS JOIN cb LEFT JOIN cc ON cc.a = ra.a AND cc.b = cb.b), " +
+          "lst AS (SELECT list(struct_pack(rt := rt, ct := ct, o := o) " +
+          "ORDER BY a, b) AS cs, CAST(count(DISTINCT a) AS BIGINT) AS r, " +
+          "CAST(count(DISTINCT b) AS BIGINT) AS c2 FROM grid) " +
+          "SELECT nn.n AS n_rows, l.r, l.c2 AS c, " +
+          "(l.r - 1) * (l.c2 - 1) AS dof, " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(l.cs, x -> $d * $d / $e)), " +
+          "(p, x) -> p + x) AS chi2 FROM lst l CROSS JOIN nn"
       },
       "q_chi2" -> {
         // e and d repeated inline (DuckDB lambdas have no let-binding);
