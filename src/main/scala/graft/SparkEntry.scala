@@ -1050,6 +1050,30 @@ object SparkEntry {
         hourly, "event_type", "hr", "hx", window = 25, period = 24)
     }),
 
+    // ---- Time series: seasonal-adjusted anomalies — |residual| of the
+    //      decomposition beyond the per-type sketch-p99 (a daily rhythm
+    //      can no longer masquerade as an anomaly) ----
+    "ts_resid_anomaly" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      val dc = graft.ops.TimeSeries.decompose(
+        hourly, "event_type", "hr", "hx", window = 25, period = 24)
+        .select(col("event_type"), col("hr"), col("resid"),
+          abs(col("resid")).as("__ar"))
+      val thr = graft.ops.Sketches.quantileFromSketch(
+        graft.ops.Sketches.quantileSketch(dc, Seq("event_type"), "__ar"),
+        Seq("event_type"), Seq(99))
+        .select(col("event_type"), col("est").as("p99_abs_resid"))
+      dc.join(broadcast(thr), "event_type")
+        .filter(col("__ar") > col("p99_abs_resid"))
+        .select(col("event_type"), col("hr"), col("resid"),
+          col("p99_abs_resid"))
+    }),
+
     // ---- Time series: rolling robust (median/MAD) anomaly flags over
     //      the hourly quantized series — all-integer element picks, the
     //      outlier detector a rolling mean/σ can't be ----
@@ -2180,6 +2204,21 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         m = 8, n = 3, r = 2, minJaccard = 0.01)),
 
+    // ---- LLM pipeline: dedup threshold sweep — how many verified
+    //      pairs survive each candidate Jaccard cut (the tuning curve
+    //      read before committing to a dedup threshold) ----
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val pairs = NearDup.ngramJaccardVerify(
+        t(s, dir, "documents"), "doc_id", "text",
+        m = 8, n = 3, r = 2, minJaccard = 0.01)
+      pairs
+        .select(explode(array(Seq(10, 25, 50, 75, 90).map(lit): _*))
+          .as("threshold_pct"), col("jaccard"))
+        .filter(col("jaccard") * 100 >= col("threshold_pct"))
+        .groupBy(col("threshold_pct"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // ---- LLM pipeline: incremental dedup — the arriving shard (every
     //      10th doc) probes the stored band index of the rest of the
     //      corpus; the corpus is hashed once, the shard only hashes
@@ -2867,6 +2906,11 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
         "lang", "doc_id", percent = 20)),
 
+    // ---- LLM pipeline: Zipf fit of the token distribution (corpus
+    //      health: exponent + head-mass shares) ----
+    "text_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text")),
+
     // ---- LLM pipeline: unigram-LM quality scoring (perplexity proxy) ----
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
@@ -3190,6 +3234,28 @@ object SparkEntry {
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM documents GROUP BY 1"
 
+    val tsDecomposeSql =
+      "WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+        "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+        "AS hx FROM events GROUP BY 1, 2), " +
+        "wn AS (SELECT event_type, hr, hx, " +
+        "CAST(sum(hx) OVER (PARTITION BY event_type ORDER BY hr " +
+        "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS s, " +
+        "count(*) OVER (PARTITION BY event_type ORDER BY hr " +
+        "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS nw FROM h), " +
+        "fw AS (SELECT event_type, hr, hx, s, hx * 25 - s AS dnum, " +
+        "hr % 24 AS ph FROM wn WHERE nw = 25), " +
+        "se AS (SELECT event_type, ph, " +
+        "CAST(sum(dnum) AS BIGINT) AS snum, " +
+        "CAST(count(*) AS BIGINT) AS scnt FROM fw GROUP BY 1, 2) " +
+        "SELECT fw.event_type, hr, hx, " +
+        "CAST(s AS DOUBLE) / 25 AS trend, " +
+        "CAST(snum AS DOUBLE) / CAST(scnt * 25 AS DOUBLE) AS seasonal, " +
+        "CAST(dnum AS DOUBLE) / 25 - CAST(snum AS DOUBLE) / " +
+        "CAST(scnt * 25 AS DOUBLE) AS resid " +
+        "FROM fw JOIN se ON fw.event_type = se.event_type " +
+        "AND fw.ph = se.ph"
+
     Map(
       "src_csv_roundtrip" -> fidelitySql,
       "src_json_roundtrip" -> fidelitySql,
@@ -3331,27 +3397,16 @@ object SparkEntry {
       },
       "src_shard_export" -> shardExportSql,
       "src_jsonl_export" -> shardExportSql,
-      "ts_decompose" ->
-        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
-          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
-          "AS hx FROM events GROUP BY 1, 2), " +
-          "wn AS (SELECT event_type, hr, hx, " +
-          "CAST(sum(hx) OVER (PARTITION BY event_type ORDER BY hr " +
-          "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS s, " +
-          "count(*) OVER (PARTITION BY event_type ORDER BY hr " +
-          "ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS nw FROM h), " +
-          "fw AS (SELECT event_type, hr, hx, s, hx * 25 - s AS dnum, " +
-          "hr % 24 AS ph FROM wn WHERE nw = 25), " +
-          "se AS (SELECT event_type, ph, " +
-          "CAST(sum(dnum) AS BIGINT) AS snum, " +
-          "CAST(count(*) AS BIGINT) AS scnt FROM fw GROUP BY 1, 2) " +
-          "SELECT fw.event_type, hr, hx, " +
-          "CAST(s AS DOUBLE) / 25 AS trend, " +
-          "CAST(snum AS DOUBLE) / CAST(scnt * 25 AS DOUBLE) AS seasonal, " +
-          "CAST(dnum AS DOUBLE) / 25 - CAST(snum AS DOUBLE) / " +
-          "CAST(scnt * 25 AS DOUBLE) AS resid " +
-          "FROM fw JOIN se ON fw.event_type = se.event_type " +
-          "AND fw.ph = se.ph"),
+      "ts_decompose" -> tsDecomposeSql,
+      "ts_resid_anomaly" ->
+        (s"WITH dc AS ($tsDecomposeSql), " +
+          "qraw AS (SELECT event_type, abs(resid) AS x FROM dc), " +
+          OracleSql.quantileSketchCtes(Seq(99), Seq("event_type")) +
+          ", thr AS (SELECT event_type, est AS p99_abs_resid FROM qest " +
+          "WHERE pct = 99) " +
+          "SELECT dc.event_type, hr, resid, p99_abs_resid " +
+          "FROM dc JOIN thr ON dc.event_type = thr.event_type " +
+          "WHERE abs(resid) > p99_abs_resid"),
       "ts_rolling_mad" ->
         ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
           "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
@@ -3478,6 +3533,33 @@ object SparkEntry {
           s"(-($mean)) / ${graft.ops.TextAnalysis.Ln2} AS bits_per_token " +
           "FROM per"
       },
+      "text_zipf_fit" ->
+        ("WITH toks AS (SELECT unnest(string_split_regex(lower(text), " +
+          "'\\s+')) AS w FROM documents), " +
+          "tf AS (SELECT w, count(*) AS c FROM toks WHERE w <> '' " +
+          "GROUP BY w), " +
+          "grid AS (SELECT c, count(*) AS nc FROM tf GROUP BY c), " +
+          "pk AS (SELECT list_sort(list({'c': c, 'nc': nc})) AS g, " +
+          "CAST(sum(c * nc) AS BIGINT) AS n_tokens, " +
+          "CAST(sum(nc) AS BIGINT) AS vocab FROM grid), " +
+          "rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) " +
+          "AS r FROM tf), " +
+          "tp AS (SELECT CAST(sum(CASE WHEN r <= 10 THEN c ELSE 0 END) " +
+          "AS BIGINT) AS t10, " +
+          "CAST(sum(CASE WHEN r <= 100 THEN c ELSE 0 END) AS BIGINT) " +
+          "AS t100 FROM rk), " +
+          "ln AS (SELECT n_tokens, vocab, " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(g, x -> CAST(x.nc AS DOUBLE) * " +
+          "ln(CAST(x.c AS DOUBLE)))), (a, b) -> a + b) AS lnsum " +
+          "FROM pk) " +
+          "SELECT n_tokens, vocab, " +
+          "round(CASE WHEN lnsum <> 0 THEN " +
+          "1.0 + CAST(vocab AS DOUBLE) / lnsum END, 8) AS alpha_mle, " +
+          "CAST(t10 AS DOUBLE) / CAST(n_tokens AS DOUBLE) " +
+          "AS top10_share, " +
+          "CAST(t100 AS DOUBLE) / CAST(n_tokens AS DOUBLE) " +
+          "AS top100_share FROM ln, tp"),
       "text_unigram_logprob" -> {
         val q = graft.ops.TextAnalysis.LogQ
         val mean = s"CAST(sq AS DOUBLE) / (n_words * $q)"
@@ -4125,6 +4207,7 @@ object SparkEntry {
         "SELECT split, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_chars, " +
         "count(DISTINCT lang) AS n_langs FROM sp GROUP BY split"
     }
+
 
     val langIdSql = {
       val scoreCols = LangProfiles.map { case (lang, re) =>
@@ -5235,6 +5318,12 @@ object SparkEntry {
       "dedup_simhash" -> simhashSql,
       "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
       "dedup_ngram_jaccard" -> jaccardSql,
+      "dedup_threshold_sweep" ->
+        (s"WITH j AS ($jaccardSql), " +
+          "t AS (SELECT CAST(unnest([10, 25, 50, 75, 90]) AS INT) " +
+          "AS threshold_pct) " +
+          "SELECT threshold_pct, count(*) AS n_pairs FROM j, t " +
+          "WHERE jaccard * 100 >= threshold_pct GROUP BY 1"),
       "dedup_containment" -> containmentSql,
       // shard (doc_id % 10 = 0) probes the index of the rest — same
       // banding chain, join constrained to shard × index

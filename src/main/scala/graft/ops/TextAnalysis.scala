@@ -335,6 +335,51 @@ object TextAnalysis {
     } finally { pairs.unpersist(); () }
   }
 
+  /** Zipf power-law fit of the token frequency distribution — the
+    * corpus-health diagnostic (natural text sits near exponent ~2 under
+    * the CSN discrete MLE with c_min = 1; token salad and templated
+    * spam drift away): `α = 1 + V / Σ_w ln(c_w)` over the vocabulary,
+    * plus the exact mass shares of the top-10/top-100 tokens. ONE row:
+    * (n_tokens, vocab, alpha_mle, top10_share, top100_share).
+    *
+    * Determinism: counts exact; the ln sum folds over the
+    * DISTINCT-count grid (Σ n_c·ln c — the degreeStats discipline),
+    * pinned round(·,8); top-k shares are exact integer sums over the
+    * (count DESC, token ASC) rank divided once. All-hapax corpora
+    * (Σ ln = 0) yield NULL α. Scale: one token aggregate (map-side
+    * combined, O(vocab) out), grid/rank windows over aggregated
+    * tables only. */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val grid = freq.groupBy(col("c")).agg(count(lit(1)).as("nc"))
+    val packed = grid
+      .agg(sort_array(collect_list(struct(col("c"), col("nc"))))
+        .as("__g"),
+        sum(col("c") * col("nc")).as("n_tokens"),
+        sum(col("nc")).as("vocab"))
+    val ranked = freq.withColumn("__r",
+      row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+    val tops = ranked.agg(
+      sum(when(col("__r") <= 10, col("c")).otherwise(0L)).as("__t10"),
+      sum(when(col("__r") <= 100, col("c")).otherwise(0L)).as("__t100"))
+    val lnSum = aggregate(col("__g"), lit(0.0), (acc, x) =>
+      acc + x.getField("nc").cast("double") *
+        log(x.getField("c").cast("double")))
+    packed.crossJoin(broadcast(tops))
+      .select(col("n_tokens"), col("vocab"),
+        round(when(lnSum =!= 0.0,
+          lit(1.0) + col("vocab").cast("double") / lnSum), 8)
+          .as("alpha_mle"),
+        (col("__t10").cast("double") / col("n_tokens").cast("double"))
+          .as("top10_share"),
+        (col("__t100").cast("double") / col("n_tokens").cast("double"))
+          .as("top100_share"))
+  }
+
   /** Corpus-wide most-frequent word n-grams — the boilerplate detector
     * (navigation chrome, license headers, cookie banners surface as
     * high-count high-df n-grams; the output feeds a scrub list or a
