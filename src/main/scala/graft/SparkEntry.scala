@@ -1114,6 +1114,15 @@ object SparkEntry {
             expr("ts div 86400000000000").as("day"), col("value")),
         "user_id", "day", "value")),
 
+    // ---- Events: top user journeys — most common 3-step event-type
+    //      paths (the sequence-mining read one order above Markov) ----
+    "q_top_paths" -> ((s, dir) =>
+      graft.ops.Funnel.topPaths(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("us"), col("event_id"),
+          col("event_type")),
+        "user_id", "us", "event_id", "event_type", n = 3, k = 20)),
+
     // ---- Events: first-order Markov transition matrix of user
     //      behavior (what users do next, with exact-integer counts and
     //      one IEEE division for P(to|from)) ----
@@ -3506,6 +3515,17 @@ object SparkEntry {
           "SELECT from_type, to_type, n, n_from, " +
           "CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p " +
           "FROM pr JOIN f USING (from_type)"),
+      "q_top_paths" ->
+        ("WITH e AS (SELECT event_type AS n0, " +
+          "lead(event_type, 1) OVER w AS n1, " +
+          "lead(event_type, 2) OVER w AS n2 FROM events " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+          "p AS (SELECT n0 || '>' || n1 || '>' || n2 AS path, " +
+          "count(*) AS n FROM e WHERE n1 IS NOT NULL AND n2 IS NOT NULL " +
+          "GROUP BY 1), " +
+          "r AS (SELECT path, n, CAST(row_number() OVER (" +
+          "ORDER BY n DESC, path ASC) AS BIGINT) AS rank FROM p) " +
+          "SELECT path, n, rank FROM r WHERE rank <= 20"),
       "text_bigram_logprob" -> {
         val q = graft.ops.TextAnalysis.LogQ
         val mean = s"CAST(sq AS DOUBLE) / (n_bigrams * $q)"

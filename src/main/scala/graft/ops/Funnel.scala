@@ -219,6 +219,40 @@ object Funnel {
       sum(col("__rev")).over(w).cast("double").as("cum_revenue"))
   }
 
+  /** Top event-type paths — journey mining one order above
+    * [[markovTransitions]]: the most common length-`n` consecutive
+    * event-type sequences across users, ranked by exact count with the
+    * path string as the tie-break. Emits the top `k`:
+    * (path, n, rank) — `path` the '>'-joined type sequence.
+    *
+    * Determinism: consecutive-ness is (tsCol ASC, tieCol ASC) within
+    * the user (pass a unique tieCol); counts exact; the rank is a
+    * window over the aggregated O(types^n) path table. Scale: one
+    * user-keyed window producing n-1 lead columns (frame = n-1 rows),
+    * one map-side-combinable path aggregate, top-k over the small
+    * aggregate. */
+  def topPaths(
+      df: DataFrame, userCol: String, tsCol: String, tieCol: String,
+      typeCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2 && n <= 6, s"path length must be in [2,6], got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val leads = (1 until n).map(i =>
+      lead(col(typeCol), i).over(seq).as(s"__n$i"))
+    val withLeads = df.select((col(typeCol).as("__n0") +: leads): _*)
+      .filter((1 until n).map(i => col(s"__n$i").isNotNull)
+        .reduce(_ && _))
+    withLeads
+      .select(concat_ws(">", (0 until n).map(i => col(s"__n$i")): _*)
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("path").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** First-order Markov transition matrix of user behavior: for each
     * ordered pair of consecutive events by the same user, count the
     * (from_type → to_type) transition and its conditional probability

@@ -57,6 +57,22 @@ class FunnelSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("topPaths: counts length-3 type sequences per user, ranks by " +
+    "count with path tie-break, cross-user sequences never join") {
+    val df = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "a"), //                      a>b>c, b>c>a
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"), (2L, 3L, 7L, "c"),
+      (3L, 1L, 8L, "x"), (3L, 2L, 9L, "y")) //   too short for n=3
+      .toDF("u", "ts", "id", "et")
+    val got = Funnel.topPaths(df, "u", "ts", "id", "et", n = 3, k = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("a>b>c") == ((2L, 1L)))
+    assert(got("b>c>a") == ((1L, 2L)))
+    assert(got.size == 2) //  user 3's pair contributes nothing
+  }
+
   test("rfmScores: quintile scores in 1..5, recency inverted, heavy " +
     "spenders outrank light ones") {
     // 100 users: user i buys (i % 10 + 1) times of value 10*i on day i
