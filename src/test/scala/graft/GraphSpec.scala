@@ -376,6 +376,16 @@ class GraphSpec extends SparkSpec {
     assert(q1.getDouble(2) == 0.0)
   }
 
+  test("commonNeighborLinks plans with equi-joins only — no cartesian " +
+    "product anywhere (the wedge join is keyed on the middle node)") {
+    import spark.implicits._
+    val edges = (1 to 60).map(i => (i.toLong % 12, (i * 7).toLong % 12))
+      .filter(e => e._1 != e._2).toDF("s", "d")
+    val plan = graft.ops.Graph.commonNeighborLinks(edges, "s", "d", 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("commonNeighborLinks is partitioning-invariant") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
