@@ -869,6 +869,45 @@ object SparkEntry {
           expr("(ts div 86400000000000) % 7").as("dow")),
         "event_type", "dow")),
 
+    // ---- Profiling: Cramér's V — the effect-SIZE companion to q_chi2
+    //      (same grid): is the dependence large, not just n-significant? ----
+    "q_cramers_v" -> ((s, dir) =>
+      graft.ops.Profile.cramersV(
+        t(s, dir, "events").select(col("event_type"),
+          expr("(ts div 86400000000000) % 7").as("dow")),
+        "event_type", "dow")),
+
+    // ---- Stats: Spearman rank correlation — do users who click more
+    //      also spend more? Binned ranks, exact BIGINT moments,
+    //      DECIMAL(38,0) combination, one float at the end ----
+    "q_spearman" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val per = ev.groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_clicks"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 16.0).cast("long"))), lit(0L))
+          .as("spend_q"))
+      graft.ops.Profile.spearman(per, col("n_clicks"), col("spend_q"))
+    }),
+
+    // ---- Stats: Kendall τ-b from the binned 2-D grid (value-bin ×
+    //      day-of-week) — concordance counted exactly from cells ----
+    "q_kendall_tau" -> ((s, dir) =>
+      graft.ops.Profile.kendallTauB(
+        t(s, dir, "events"),
+        floor(col("value") * 16.0),
+        expr("(ts div 86400000000000) % 7"))),
+
+    // ---- Stats: Welch's unequal-variance t-test (click vs view mean
+    //      value) — exact quantized moments, fixed-shape t and dof ----
+    "q_welch_ttest" -> ((s, dir) =>
+      graft.ops.Profile.welchT(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        floor(col("value") * 1024.0), 1024.0)),
+
     // ---- Warehouse/recsys: market-basket association rules (support /
     //      confidence / lift over co-purchased parts) — per-basket pair
     //      self-join, prune-then-annotate, exact integer counts ----
@@ -4776,6 +4815,129 @@ object SparkEntry {
           s"list_transform(l.cs, x -> $d * $d / $e)), " +
           "(p, x) -> p + x) AS chi2 FROM lst l CROSS JOIN nn"
       },
+      "q_cramers_v" -> {
+        // Same grid + fold as q_chi2, then one division + IEEE sqrt.
+        val e = "(CAST(x.rt * x.ct AS DOUBLE) / nn.n)"
+        val d = s"(CAST(x.o AS DOUBLE) - $e)"
+        "WITH base AS (SELECT event_type AS a, " +
+          "(epoch_us(ts) // 86400000000) % 7 AS b FROM events), " +
+          "cc AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b), " +
+          "ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cc GROUP BY a), " +
+          "cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cc GROUP BY b), " +
+          "nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cc), " +
+          "grid AS (SELECT ra.a, cb.b, ra.rt, cb.ct, coalesce(cc.o, 0) AS o " +
+          "FROM ra CROSS JOIN cb LEFT JOIN cc ON cc.a = ra.a AND cc.b = cb.b), " +
+          "lst AS (SELECT list(struct_pack(rt := rt, ct := ct, o := o) " +
+          "ORDER BY a, b) AS cs, CAST(count(DISTINCT a) AS BIGINT) AS r, " +
+          "CAST(count(DISTINCT b) AS BIGINT) AS c2 FROM grid), " +
+          "f AS (SELECT nn.n AS n_rows, l.r, l.c2 AS c, " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(l.cs, x -> $d * $d / $e)), " +
+          "(p, x) -> p + x) AS chi2 FROM lst l CROSS JOIN nn) " +
+          "SELECT n_rows, r, c, chi2, " +
+          "CASE WHEN least(r - 1, c - 1) <= 0 THEN NULL " +
+          "ELSE sqrt(chi2 / CAST(n_rows * least(r - 1, c - 1) AS DOUBLE)) " +
+          "END AS cramers_v FROM f"
+      },
+      "q_spearman" ->
+        // Doubled average ranks 2L+c+1 per bin; exact BIGINT moments;
+        // HUGEINT combination (Spark: DECIMAL(38,0)); one float + round 8.
+        ("WITH per AS (SELECT user_id, " +
+          "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS x, " +
+          "CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN " +
+          "CAST(floor(value * 16.0) AS BIGINT) END), 0) AS BIGINT) AS y " +
+          "FROM events GROUP BY user_id), " +
+          "gx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM per " +
+          "GROUP BY x), " +
+          "rx AS (SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 " +
+          "AS r2x FROM gx), " +
+          "gy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM per " +
+          "GROUP BY y), " +
+          "ry AS (SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 " +
+          "AS r2y FROM gy), " +
+          "j AS (SELECT rx.r2x, ry.r2y FROM per " +
+          "JOIN rx ON per.x = rx.x JOIN ry ON per.y = ry.y), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy, " +
+          "CAST(sum(r2x * r2x) AS BIGINT) AS sxx, " +
+          "CAST(sum(r2y * r2y) AS BIGINT) AS syy, " +
+          "CAST(sum(r2x * r2y) AS BIGINT) AS sxy FROM j), " +
+          "k AS (SELECT n, " +
+          "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num, " +
+          "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx, " +
+          "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy " +
+          "FROM m) " +
+          "SELECT n AS n_rows, CASE WHEN n < 2 OR dx <= 0 OR dy <= 0 " +
+          "THEN NULL ELSE round(CAST(num AS DOUBLE) / " +
+          "(sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 8) " +
+          "END AS rho FROM k"),
+      "q_kendall_tau" ->
+        // Concordance from the bounded cell grid; every count BIGINT;
+        // tie terms kept doubled (n(n-1), t(t-1)) so nothing halves.
+        ("WITH b AS (SELECT CAST(floor(value * 16.0) AS BIGINT) AS x, " +
+          "(epoch_us(ts) // 86400000000) % 7 AS y FROM events " +
+          "WHERE value IS NOT NULL AND ts IS NOT NULL), " +
+          "cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS o FROM b " +
+          "GROUP BY 1, 2), " +
+          "p AS (SELECT CAST(coalesce(sum(CASE WHEN i.y < j.y " +
+          "THEN i.o * j.o ELSE 0 END), 0) AS BIGINT) AS nc, " +
+          "CAST(coalesce(sum(CASE WHEN i.y > j.y THEN i.o * j.o " +
+          "ELSE 0 END), 0) AS BIGINT) AS nd " +
+          "FROM cells i JOIN cells j ON i.x < j.x), " +
+          "xt AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) " +
+          "AS tx2, CAST(coalesce(sum(t), 0) AS BIGINT) AS n FROM " +
+          "(SELECT CAST(sum(o) AS BIGINT) AS t FROM cells GROUP BY x)), " +
+          "yt AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) " +
+          "AS ty2 FROM " +
+          "(SELECT CAST(sum(o) AS BIGINT) AS t FROM cells GROUP BY y)) " +
+          "SELECT n AS n_rows, nc, nd, " +
+          "CASE WHEN n * (n - 1) - tx2 <= 0 OR n * (n - 1) - ty2 <= 0 " +
+          "THEN NULL ELSE 2.0 * CAST(nc - nd AS DOUBLE) / " +
+          "(sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)) * " +
+          "sqrt(CAST(n * (n - 1) - ty2 AS DOUBLE))) END AS tau_b " +
+          "FROM p, xt, yt"),
+      "q_welch_ttest" ->
+        // Exact quantized moments; n·Σq²−S² through HUGEINT (Spark:
+        // DECIMAL(38,0)); fixed-shape t and Welch–Satterthwaite dof.
+        ("WITH b AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 " +
+          "END AS a, CAST(floor(value * 1024.0) AS BIGINT) AS q " +
+          "FROM events WHERE event_type IN ('click', 'view') " +
+          "AND value IS NOT NULL), " +
+          "m AS (SELECT CAST(coalesce(sum(a), 0) AS BIGINT) AS na, " +
+          "CAST(coalesce(sum(1 - a), 0) AS BIGINT) AS nb, " +
+          "CAST(coalesce(sum(CASE WHEN a = 1 THEN q END), 0) AS BIGINT) " +
+          "AS sa, " +
+          "CAST(coalesce(sum(CASE WHEN a = 0 THEN q END), 0) AS BIGINT) " +
+          "AS sb, " +
+          "CAST(coalesce(sum(CASE WHEN a = 1 THEN q * q END), 0) " +
+          "AS BIGINT) AS qa, " +
+          "CAST(coalesce(sum(CASE WHEN a = 0 THEN q * q END), 0) " +
+          "AS BIGINT) AS qb FROM b), " +
+          "v AS (SELECT na, nb, sa, sb, " +
+          "CAST(CAST(na AS HUGEINT) * qa - CAST(sa AS HUGEINT) * sa " +
+          "AS DOUBLE) / (CAST(na * (na - 1) AS DOUBLE) * 1048576.0) AS va, " +
+          "CAST(CAST(nb AS HUGEINT) * qb - CAST(sb AS HUGEINT) * sb " +
+          "AS DOUBLE) / (CAST(nb * (nb - 1) AS DOUBLE) * 1048576.0) AS vb " +
+          "FROM m), " +
+          "w AS (SELECT na, nb, sa, sb, " +
+          "va / CAST(na AS DOUBLE) AS sea, vb / CAST(nb AS DOUBLE) AS seb " +
+          "FROM v) " +
+          "SELECT na AS n_a, nb AS n_b, " +
+          "CASE WHEN na = 0 THEN NULL ELSE " +
+          "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1024.0 END AS mean_a, " +
+          "CASE WHEN nb = 0 THEN NULL ELSE " +
+          "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1024.0 END AS mean_b, " +
+          "CASE WHEN na < 2 OR nb < 2 OR sea + seb <= 0.0 THEN NULL ELSE " +
+          "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1024.0 - " +
+          "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1024.0) / " +
+          "sqrt(sea + seb) END AS t, " +
+          "CASE WHEN na < 2 OR nb < 2 OR sea + seb <= 0.0 THEN NULL ELSE " +
+          "(sea + seb) * (sea + seb) / " +
+          "(sea * sea / CAST(na - 1 AS DOUBLE) + " +
+          "seb * seb / CAST(nb - 1 AS DOUBLE)) END AS dof FROM w"),
       "q_assoc_rules" ->
         ("WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it " +
           "FROM lineitem WHERE l_partkey % 4 = 0), " +

@@ -664,4 +664,174 @@ object Profile {
             (col("__top.n_a").cast("double") *
               col("__top.n_b").cast("double"))).as("ks"))
   }
+
+  /** Cramér's V — the [0,1] effect-size companion to [[chiSquare]]'s
+    * significance test: `V = √(χ² / (n · min(r−1, c−1)))`. A huge corpus
+    * makes ANY dependence "significant"; V says whether it is LARGE —
+    * the number a pipeline thresholds on before acting (e.g. "is quality
+    * actually associated with source, or just n-significant?").
+    *
+    * Determinism rides [[chiSquare]]'s: the statistic is a strict sorted
+    * fold, and V adds one division and one IEEE sqrt of it — fixed
+    * shape, bit-identical cross-engine. Degenerate grids (r or c = 1)
+    * yield V = NULL. Scale: identical to chiSquare (one cell aggregate;
+    * the grid is O(r·c), bounded by the category spaces). */
+  def cramersV(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val chi = chiSquare(df, colA, colB)
+    val mind = least(col("r") - 1, col("c") - 1)
+    chi.select(col("n_rows"), col("r"), col("c"), col("chi2"),
+      when(mind <= 0L, lit(null).cast("double"))
+        .otherwise(sqrt(col("chi2") /
+          (col("n_rows") * mind).cast("double"))).as("cramers_v"))
+  }
+
+  /** Spearman rank correlation over two INTEGER-quantized metrics —
+    * "do users who click more also spend more?" asked monotonically,
+    * robust to outliers that wreck Pearson. Callers quantize each metric
+    * to a bounded integer grid (the [[aucBinned]] binned contract:
+    * Spearman over order-preserving bins equals Spearman over the raw
+    * values at the achieved resolution; in-bin ties get the standard
+    * averaged rank).
+    *
+    * Exactness: doubled average ranks `r2 = 2·L + c + 1` (L = rows in
+    * strictly-lower bins, c = rows in this bin) are exact BIGINTs from
+    * one bin-keyed aggregate + an O(bins) cumulative window; every
+    * moment (Σr2x, Σr2y, Σr2x², Σr2y², Σr2x·r2y) is an exact BIGINT
+    * (r2 ≤ 2n keeps Σr2x·r2y ≤ 4n³ in range to n ≈ 10⁶ — beyond that,
+    * widen the moment columns to DECIMAL first), the n-scaled
+    * combinations go through DECIMAL(38,0) (DuckDB: HUGEINT), and
+    * `rho = num / (√dx · √dy)` is one fixed-shape float expression.
+    * The doubling cancels exactly (powers of two divide out even in
+    * IEEE terms — both engines compute the identical shape anyway).
+    *
+    * Scale: two bin-keyed aggregates + two O(bins) windows + two
+    * broadcast joins back onto the one corpus scan — no global
+    * row-numbering, no data-sized windows. Output one row:
+    * (n_rows, rho). */
+  def spearman(df: DataFrame, xBin: Column, yBin: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(xBin.cast("long").as("__x"),
+      yBin.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    def rank2(c: String): DataFrame = {
+      val g = b.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      val below = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("__l", coalesce(sum(col("__c")).over(below), lit(0L)))
+        .select(col(c), (lit(2L) * col("__l") + col("__c") + 1L)
+          .as(s"__r2$c"))
+    }
+    val ranked = b
+      .join(broadcast(rank2("__x")), "__x")
+      .join(broadcast(rank2("__y")), "__y")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("__r2__x")).as("sx"), sum(col("__r2__y")).as("sy"),
+      sum(col("__r2__x") * col("__r2__x")).as("sxx"),
+      sum(col("__r2__y") * col("__r2__y")).as("syy"),
+      sum(col("__r2__x") * col("__r2__y")).as("sxy"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val dx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val dy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    m.select(col("n").as("n_rows"),
+      when(col("n") < 2L || dx <= 0 || dy <= 0, lit(null).cast("double"))
+        .otherwise(round(num.cast("double") /
+          (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))), 8))
+        .as("rho"))
+  }
+
+  /** Kendall's τ-b over the binned 2-D grid — Spearman's
+    * concordance-counting sibling, exact from the contingency cells:
+    * `nc`/`nd` count concordant/discordant PAIRS as Σ over cell pairs
+    * (x₁<x₂, y₁<y₂ / y₁>y₂) of o₁·o₂, and the tie terms come from the
+    * marginal counts. τ-b = (nc − nd) / (√(n0−n1) · √(n0−n2)) with
+    * n0 = n(n−1)/2, n1/n2 = Σ t(t−1)/2 over x/y marginals.
+    *
+    * Exactness: every count is BIGINT (nc ≤ n²/2 — in range to
+    * n ≈ 10⁹ pairs-of-rows); the two sqrt factors are taken separately
+    * so nothing exceeds double range, one fixed-shape float at the end.
+    *
+    * Scale: ONE corpus aggregate to the O(r·c) cell grid; the pair
+    * enumeration is a broadcast self-join of the GRID (bounded by the
+    * bin spaces, e.g. 16×16 → ~32k cell pairs), never of the data. */
+  def kendallTauB(df: DataFrame, xBin: Column, yBin: Column): DataFrame = {
+    val cells = df.select(xBin.cast("long").as("__x"),
+      yBin.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val pairs = cells.as("i").join(broadcast(cells.as("j")),
+        col("i.__x") < col("j.__x"))
+      .agg(
+        coalesce(sum(when(col("i.__y") < col("j.__y"),
+          col("i.o") * col("j.o")).otherwise(0L)), lit(0L)).as("nc"),
+        coalesce(sum(when(col("i.__y") > col("j.__y"),
+          col("i.o") * col("j.o")).otherwise(0L)), lit(0L)).as("nd"))
+    val xt = cells.groupBy("__x").agg(sum(col("o")).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1L)), lit(0L)).as("tx2"),
+        coalesce(sum(col("t")), lit(0L)).as("n"))
+    val yt = cells.groupBy("__y").agg(sum(col("o")).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1L)), lit(0L)).as("ty2"))
+    val j = pairs.crossJoin(broadcast(xt)).crossJoin(broadcast(yt))
+    val n0x2 = col("n") * (col("n") - 1L) // 2·n0, kept doubled: exact
+    j.select(col("n").as("n_rows"), col("nc"), col("nd"),
+      when(n0x2 - col("tx2") <= 0L || n0x2 - col("ty2") <= 0L,
+        lit(null).cast("double"))
+        .otherwise(lit(2.0) * (col("nc") - col("nd")).cast("double") /
+          (sqrt((n0x2 - col("tx2")).cast("double")) *
+            sqrt((n0x2 - col("ty2")).cast("double")))).as("tau_b"))
+  }
+
+  /** Welch's unequal-variance t-test over a quantized measure — the
+    * two-sample mean comparison that does NOT assume equal variances
+    * (the realistic case for "did the new source shift mean quality?").
+    * Emits one row: (n_a, n_b, mean_a, mean_b, t, dof) with
+    * Welch–Satterthwaite degrees of freedom.
+    *
+    * Exactness: callers quantize (`floor(x·scale)` — the fixed-point
+    * discipline), so each arm's moments (n, Σq, Σq²) are exact BIGINTs
+    * riding ONE aggregate over ONE scan; n·Σq² − S² goes through
+    * DECIMAL(38,0) (DuckDB: HUGEINT), and mean/variance/t/dof are one
+    * fixed-shape float expression over the exact integers — divisions
+    * and IEEE sqrt only, no libm, bit-identical cross-engine. Arms with
+    * n < 2 or zero variance yield t = dof = NULL. */
+  def welchT(
+      df: DataFrame, inA: Column, q: Column, scale: Double): DataFrame = {
+    val b = df.select(when(inA, 1L).otherwise(0L).as("__a"),
+      q.cast("long").as("__q")).where(col("__q").isNotNull)
+    val m = b.agg(
+      coalesce(sum(col("__a")), lit(0L)).as("na"),
+      coalesce(sum(lit(1L) - col("__a")), lit(0L)).as("nb"),
+      coalesce(sum(when(col("__a") === 1L, col("__q"))), lit(0L)).as("sa"),
+      coalesce(sum(when(col("__a") === 0L, col("__q"))), lit(0L)).as("sb"),
+      coalesce(sum(when(col("__a") === 1L, col("__q") * col("__q"))),
+        lit(0L)).as("qa"),
+      coalesce(sum(when(col("__a") === 0L, col("__q") * col("__q"))),
+        lit(0L)).as("qb"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val s2 = lit(scale * scale)
+    val mean = (s: Column, n: Column) =>
+      s.cast("double") / n.cast("double") / lit(scale)
+    // Sample variance of q/scale: (n·Σq² − S²) / (n·(n−1)·scale²).
+    val vr = (n: Column, s: Column, qq: Column) =>
+      (d(n) * d(qq) - d(s) * d(s)).cast("double") /
+        ((n * (n - 1L)).cast("double") * s2)
+    val va = vr(col("na"), col("sa"), col("qa"))
+    val vb = vr(col("nb"), col("sb"), col("qb"))
+    val sea = va / col("na").cast("double")
+    val seb = vb / col("nb").cast("double")
+    val se = sea + seb
+    val bad = col("na") < 2L || col("nb") < 2L
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      when(col("na") === 0L, lit(null).cast("double"))
+        .otherwise(mean(col("sa"), col("na"))).as("mean_a"),
+      when(col("nb") === 0L, lit(null).cast("double"))
+        .otherwise(mean(col("sb"), col("nb"))).as("mean_b"),
+      when(bad || se <= 0.0, lit(null).cast("double"))
+        .otherwise((mean(col("sa"), col("na")) -
+          mean(col("sb"), col("nb"))) / sqrt(se)).as("t"),
+      when(bad || se <= 0.0, lit(null).cast("double"))
+        .otherwise(se * se / (sea * sea / (col("na") - 1L).cast("double") +
+          seb * seb / (col("nb") - 1L).cast("double"))).as("dof"))
+  }
 }
