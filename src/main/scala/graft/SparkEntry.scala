@@ -2100,6 +2100,20 @@ object SparkEntry {
         minCommon = 3L)
     }),
 
+    // ---- Graph: Adamic-Adar link prediction — shared neighbors
+    //      weighted 1/ln(deg) (rare neighbors count, hubs don't);
+    //      sorted-fold score pinned at 8 for libm ln ----
+    "graph_adamic_adar" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.adamicAdarLinks(pairs, "a", "b", minCommon = 3L)
+    }),
+
     // ---- Streaming ops: event-lateness profile — the measurement that
     //      SIZES a watermark (inversion rate + p99/max backward jump
     //      over per-user arrival order) ----
@@ -4532,6 +4546,32 @@ object SparkEntry {
           "CAST(da.d + db.d - ne.n_common AS DOUBLE) AS jaccard " +
           "FROM ne JOIN deg da ON ne.na = da.m " +
           "JOIN deg db ON ne.nb = db.m"),
+      "graph_adamic_adar" ->
+        // Same graph as graph_jaccard_links; per-pair SORTED common-
+        // neighbor degree list folded 1/ln(d), round 8 (libm ln).
+        ("WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "e0 AS (SELECT x.p AS a, y.p AS b FROM pp x JOIN pp y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "und AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM e0 " +
+          "UNION ALL SELECT b AS a, a AS b FROM e0) WHERE a < b), " +
+          "adj AS (SELECT a AS m, b AS n FROM und " +
+          "UNION ALL SELECT b AS m, a AS n FROM und), " +
+          "deg AS (SELECT m, CAST(count(*) AS BIGINT) AS d FROM adj " +
+          "GROUP BY 1), " +
+          "w AS (SELECT x.n AS na, y.n AS nb, dg.d AS dm " +
+          "FROM adj x JOIN adj y ON x.m = y.m AND x.n < y.n " +
+          "JOIN deg dg ON dg.m = x.m), " +
+          "cn AS (SELECT na, nb, CAST(count(*) AS BIGINT) AS n_common, " +
+          "list(dm ORDER BY dm) AS ds FROM w GROUP BY 1, 2 " +
+          "HAVING count(*) >= 3), " +
+          "ne AS (SELECT cn.na, cn.nb, cn.n_common, cn.ds FROM cn " +
+          "LEFT JOIN und ON cn.na = und.a AND cn.nb = und.b " +
+          "WHERE und.a IS NULL) " +
+          "SELECT na AS node_a, nb AS node_b, n_common, " +
+          "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(ds, d -> 1.0 / ln(CAST(d AS DOUBLE)))), " +
+          "(p, x) -> p + x), 8) AS aa FROM ne"),
       "q_lateness_profile" ->
         ("WITH p AS (SELECT lag(epoch_us(ts)) OVER (" +
           "PARTITION BY user_id ORDER BY event_id) - epoch_us(ts) " +
