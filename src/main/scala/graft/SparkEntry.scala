@@ -1227,6 +1227,20 @@ object SparkEntry {
         hourly, "event_type", "hr", "hx", maxLag = 6)
     }),
 
+    // ---- Time series: dominant period (ACF argmax over lags 2..12 on
+    //      the hourly series) — the pre-flight that SIZES a seasonal
+    //      decomposition's period instead of hard-coding it ----
+    "ts_dominant_period" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.dominantPeriod(
+        hourly, "event_type", "hr", "hx", minLag = 2, maxLag = 12)
+    }),
+
     // ---- Time series: fixed-interval OHLC downsampling (hourly bars
     //      per user; single (key,bucket)-keyed exchange) ----
     "q_resample_ohlc" -> ((s, dir) =>
@@ -5210,6 +5224,39 @@ object SparkEntry {
           "+ p.m * st.s * st.s AS num, " +
           "st.n * st.n * st.sxx - st.n * st.s * st.s AS den " +
           "FROM p JOIN st USING (event_type))"),
+      "ts_dominant_period" ->
+        // ts_acf's CTE chain over lags 2..12, then the per-key argmax
+        // ranked by round(acf,8) DESC, smallest lag on ties.
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "b AS (SELECT event_type, hr, hx, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY hr) AS i FROM h), " +
+          "st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, " +
+          "CAST(sum(hx) AS HUGEINT) AS s, " +
+          "sum(CAST(hx AS HUGEINT) * CAST(hx AS HUGEINT)) AS sxx " +
+          "FROM b GROUP BY 1), " +
+          "p AS (SELECT hh.event_type, t.lag, " +
+          "sum(CAST(hh.hx AS HUGEINT) * CAST(tt.hx AS HUGEINT)) AS sxy, " +
+          "CAST(sum(hh.hx) AS HUGEINT) AS sh, " +
+          "CAST(sum(tt.hx) AS HUGEINT) AS st2, " +
+          "CAST(count(*) AS HUGEINT) AS m " +
+          "FROM b hh CROSS JOIN range(2, 13) t(lag) JOIN b tt " +
+          "ON tt.event_type = hh.event_type AND tt.i = hh.i + t.lag " +
+          "GROUP BY 1, 2), " +
+          "a AS (SELECT event_type, CAST(lag AS BIGINT) AS lag, " +
+          "CAST(n AS BIGINT) AS n_points, " +
+          "CASE WHEN den <= 0 THEN NULL " +
+          "ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf " +
+          "FROM (SELECT p.event_type, p.lag, st.n, " +
+          "st.n * st.n * p.sxy - st.n * st.s * (p.sh + p.st2) " +
+          "+ p.m * st.s * st.s AS num, " +
+          "st.n * st.n * st.sxx - st.n * st.s * st.s AS den " +
+          "FROM p JOIN st USING (event_type))) " +
+          "SELECT event_type, n_points, lag AS period, " +
+          "round(acf, 8) AS acf_peak FROM a " +
+          "QUALIFY row_number() OVER (PARTITION BY event_type " +
+          "ORDER BY round(acf, 8) DESC NULLS LAST, lag ASC) = 1"),
       "q_resample_ohlc" ->
         ("WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value " +
           "FROM events), " +

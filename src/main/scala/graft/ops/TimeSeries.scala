@@ -304,6 +304,39 @@ object TimeSeries {
           .as("acf"))
   }
 
+  /** Dominant period detection — the ACF argmax: the lag in
+    * [minLag, maxLag] with the highest autocorrelation is the series'
+    * strongest cycle (24 for hourly data with a daily rhythm, 7 for
+    * daily data with a weekly one). The pre-flight that picks the
+    * `period` argument for [[seasonalIndex]]/[[decompose]] instead of
+    * hard-coding it. Emits one row per key:
+    * (keyCol, n_points, period, acf_peak).
+    *
+    * Determinism: [[autocorr]]'s values are ONE division of exact
+    * DECIMAL(38,0) integers — bit-identical cross-engine — and the
+    * argmax ranks by round(acf,8) DESC with the SMALLEST lag breaking
+    * ties, so the picked period is stable even when two lags round to
+    * the same peak. `minLag` ≥ 2 by default: lag 1 is trivially high
+    * for any smooth series and is not a "period".
+    *
+    * Scale: [[autocorr]]'s shape (lag-exploded self-join over the
+    * pre-bucketed series) plus one O(keys·lags) window — nothing new
+    * touches the corpus. */
+  def dominantPeriod(
+      series: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      minLag: Int = 2, maxLag: Int = 12): DataFrame = {
+    require(minLag >= 1 && maxLag >= minLag,
+      s"need 1 <= minLag <= maxLag, got [$minLag, $maxLag]")
+    val acf = autocorr(series, keyCol, ordCol, valCol, maxLag)
+      .filter(col("lag") >= minLag)
+    acf.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(round(col("acf"), 8).desc_nulls_last, col("lag").asc)))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("n_points"), col("lag").as("period"),
+        round(col("acf"), 8).as("acf_peak"))
+  }
+
   /** Holt's linear-trend smoothing (double exponential smoothing) — the
     * step up from [[ewma]] when the series has a drift: a level AND a
     * trend state evolve together, and `level + h·trend` is the h-step
