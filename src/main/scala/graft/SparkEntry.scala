@@ -1372,6 +1372,22 @@ object SparkEntry {
         tieBreakCols = Seq("event_id"))
     }),
 
+    // ---- Linear multi-touch attribution: value split equally over
+    //      all in-window touches (7-day lookback); exact micro-cent
+    //      floor shares, no-touch conversions credit 'direct' ----
+    "q_attribution_linear" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), expr("ts div 1000").as("touch_us"),
+          col("event_type").as("channel"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("purchase_us"), col("value"))
+      graft.ops.Attribution.linear(purchases, touches,
+        Seq("user_id"), "event_id", "purchase_us", "touch_us",
+        "channel", "value", windowUs = 604800000000L)
+    }),
+
     // ---- HLL set-overlap: distinct-user intersection of two event
     //      types by inclusion–exclusion over mergeable registers (the
     //      audience-overlap question answered in sketch space) ----
@@ -5998,6 +6014,27 @@ object SparkEntry {
           "SELECT channel, count(*) AS n_conversions, " +
           "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
           "AS sum_value FROM j GROUP BY 1"),
+      "q_attribution_linear" ->
+        // Equal-split micro-cent credit; // is floor division (the
+        // engine's (a - pmod)/n), BIGINT throughout, one final float.
+        ("WITH c AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS cts, " +
+          "CAST(floor(value * 100.0) AS BIGINT) * 1000000 AS micro " +
+          "FROM events WHERE event_type = 'purchase'), " +
+          "t2 AS (SELECT user_id, epoch_us(ts) AS tts, " +
+          "event_type AS channel FROM events " +
+          "WHERE event_type IN ('click', 'view')), " +
+          "j AS (SELECT c.cid, c.micro, t2.channel FROM c " +
+          "LEFT JOIN t2 ON t2.user_id = c.user_id " +
+          "AND t2.tts <= c.cts AND t2.tts > c.cts - 604800000000), " +
+          "n AS (SELECT cid, micro, channel, " +
+          "count(channel) OVER (PARTITION BY cid) AS nn FROM j), " +
+          "r AS (SELECT CASE WHEN nn = 0 THEN 'direct' ELSE channel END " +
+          "AS channel, CASE WHEN nn = 0 THEN micro ELSE micro // nn END " +
+          "AS credit FROM n) " +
+          "SELECT channel, CAST(count(*) AS BIGINT) AS n_credits, " +
+          "CAST(coalesce(sum(credit), 0) AS BIGINT) AS credit_micro, " +
+          "CAST(coalesce(sum(credit), 0) AS DOUBLE) / 1.0e8 " +
+          "AS credit_value FROM r GROUP BY channel"),
       "sketch_hll_intersect" -> {
         val m = 64
         val rmax = graft.ops.Sketches.hllW(m) + 1

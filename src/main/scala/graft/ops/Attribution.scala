@@ -47,4 +47,60 @@ object Attribution {
         count(lit(1)).as("n_conversions"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double")
           .as("sum_value"))
+
+  /** Linear (equal-split) multi-touch attribution — [[lastTouch]]'s
+    * fairer sibling: each conversion's value is split EQUALLY across
+    * every same-key touch inside the lookback window
+    * (conv_ts − windowUs < touch_ts ≤ conv_ts); conversions with no
+    * in-window touch credit `defaultChannel` in full. Emits the
+    * per-channel rollup (channel, n_credits, credit_micro,
+    * credit_value).
+    *
+    * Exactness: the value is quantized to cents (`floor(value·100)`),
+    * scaled to micro-cents, and each touch's share is the FLOOR
+    * division `micro // n` — computed sign-safely as
+    * `(a − pmod(a, n)) / n` so it replays bit-for-bit in any engine's
+    * floor-division (up to n−1 micro-cents per conversion round down;
+    * deterministic, documented, and 10⁻⁸ of a cent per dollar). All
+    * credits are BIGINT micro-cents; the one float is the final
+    * display division.
+    *
+    * Scale: one key-equi-join (per-key fanout bounded by a user's own
+    * touch count — never a corpus cross product) + one window keyed by
+    * the unique conversion id + one channel rollup; output is
+    * O(channels). */
+  def linear(
+      conversions: DataFrame, touches: DataFrame,
+      keyCols: Seq[String], convIdCol: String, convTsCol: String,
+      touchTsCol: String, channelCol: String, valueCol: String,
+      windowUs: Long, defaultChannel: String = "direct"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowUs > 0L, s"windowUs must be > 0, got $windowUs")
+    val c = conversions.select(
+      keyCols.map(col) :+ col(convIdCol).as("__cid") :+
+        col(convTsCol).cast("long").as("__cts") :+
+        (floor(col(valueCol) * 100.0).cast("long") * 1000000L)
+          .as("__micro"): _*)
+    val tch = touches.select(
+      keyCols.map(col) :+ col(touchTsCol).cast("long").as("__tts") :+
+        col(channelCol).as("__ch"): _*)
+    val cond = keyCols.map(k => c(k) === tch(k)).reduce(_ && _) &&
+      col("__tts") <= col("__cts") &&
+      col("__tts") > col("__cts") - lit(windowUs)
+    val j = c.join(tch, cond, "left_outer")
+    val n = count(col("__ch")).over(Window.partitionBy(col("__cid")))
+    val credit = (col("__micro") - pmod(col("__micro"), col("__n"))) /
+      col("__n")
+    j.withColumn("__n", n)
+      .select(
+        when(col("__n") === 0L, lit(defaultChannel)).otherwise(col("__ch"))
+          .as("channel"),
+        when(col("__n") === 0L, col("__micro"))
+          .otherwise(credit.cast("long")).as("__credit"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        coalesce(sum(col("__credit")), lit(0L)).as("credit_micro"))
+      .withColumn("credit_value",
+        col("credit_micro").cast("double") / lit(1.0e8))
+  }
 }
