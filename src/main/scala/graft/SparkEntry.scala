@@ -2406,6 +2406,14 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, planes = 4, minCos = 0.3)),
 
+    // ---- Embeddings: mutual kNN graph (LSH-bucketed top-3 per vector,
+    //      edge kept only when both endpoints chose each other) — the
+    //      similarity-graph substrate for density clustering ----
+    "emb_knn_graph" -> ((s, dir) =>
+      Similarity.mutualKnnGraph(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, planes = 4, k = 3)),
+
     // ---- LLM pipeline: LSH-bucketed ANN top-k (the scale path) ----
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(
@@ -3984,6 +3992,18 @@ object SparkEntry {
         s"${OracleSql.dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine " +
         "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
         "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3"
+
+    val mutualKnn =
+      s"$embNorm, p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+        s"${OracleSql.dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos " +
+        "FROM n a JOIN n b ON a.bucket = b.bucket " +
+        "AND a.vec_id <> b.vec_id), " +
+        "r AS (SELECT src, dst, cos, row_number() OVER (" +
+        "PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM p), " +
+        "ke AS (SELECT src, dst, cos FROM r WHERE rk <= 3) " +
+        "SELECT x.src AS id_a, x.dst AS id_b, x.cos AS cosine " +
+        "FROM ke x JOIN ke y ON x.src = y.dst AND x.dst = y.src " +
+        "AND x.src < x.dst"
 
     val bruteTopK =
       ("WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
@@ -5630,6 +5650,7 @@ object SparkEntry {
       "dedup_keep_best" -> keepBestSql,
       "text_top_ngrams" -> topNgramsSql,
       "dedup_embedding_cosine" -> cosineNearDup,
+      "emb_knn_graph" -> mutualKnn,
       "text_tfidf" ->
         ("WITH toks AS (SELECT doc_id, unnest(list_filter(" +
           "regexp_split_to_array(lower(text), '\\s+'), w -> len(w) > 0)) AS w " +

@@ -965,4 +965,50 @@ object Similarity {
       .where(col("cosine") >= minCos)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Mutual k-nearest-neighbor graph over an embedding corpus — the
+    * standard similarity-graph substrate for density clustering,
+    * semantic-dup cluster seeds, and manifold methods: each vector keeps
+    * its top-`k` in-bucket cosine neighbors, and an EDGE survives only
+    * when both endpoints chose each other (mutuality prunes asymmetric
+    * hub attraction — the classic fix for hubs swallowing the graph).
+    * Emits (id_a, id_b, cosine), a < b.
+    *
+    * Scale: candidate pairs come from the LSH hyperplane bucket
+    * ([[cosineNearDupPairs]]'s contract — add planes to shrink buckets
+    * as the corpus grows; never an all-pairs join), the per-source
+    * top-k is a (cos DESC, id) window INSIDE the bucket-join output,
+    * and the mutuality check is a self-equi-join of the k·N directed
+    * edge list — all keyed shuffles. Cosine determinism: the strict
+    * dot-product kernel shared with every ANN operator.
+    *
+    * At 100 TB, feed the bucket stage more planes (e.g. 16–20 → ~64k–1M
+    * buckets) so in-bucket joins stay bounded; mutual edges only ever
+    * shrink the k·N list. */
+  def mutualKnnGraph(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val n = e.withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, planes))
+    val a = n.select(col("bucket"), col(idCol).as("src"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = n.select(col("bucket"), col(idCol).as("dst"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val knn = a.join(b, Seq("bucket"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("cosine",
+        dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cosine").desc, col("dst").asc)))
+      .filter(col("__rk") <= k)
+      .select(col("src"), col("dst"), col("cosine"))
+    knn.as("x").join(knn.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
+        col("x.cosine").as("cosine"))
+  }
 }
