@@ -2882,6 +2882,43 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ---- Storage: dynamic partition overwrite — recompute ONE lang
+    //      partition in place; every other partition must survive
+    //      untouched (default overwrite would truncate the table) ----
+    "o18_partition_overwrite" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_dpo_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Formats.writePartitioned(docs, s"$tmp/docs", Seq("lang"))
+      val patch = docs.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      graft.sources.Formats.overwritePartitions(
+        patch, s"$tmp/docs", Seq("lang"))
+      graft.sources.Formats.readPartitioned(s, s"$tmp/docs")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // ---- Sources: schema-evolution read — shards written with and
+    //      without a later-added column reconcile under mergeSchema
+    //      (missing column -> NULL, by-name resolution) ----
+    "src_schema_merge" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_msch_").toString
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.parquet(s"$tmp/m/batch=0")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") * 2L).as("quality"))
+        .write.parquet(s"$tmp/m/batch=1")
+      graft.sources.Formats.readMergedSchema(s, s"$tmp/m")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          coalesce(sum(col("quality")), lit(0L)).as("sum_quality"))
+    }),
+
     // ---- LLM pipeline: BM25 keyword top-k (lexical search) ----
     "bm25_topk" -> ((s, dir) =>
       graft.ops.TextRank.bm25TopK(
@@ -3364,6 +3401,21 @@ object SparkEntry {
         ("SELECT source, count(*) AS n_docs, " +
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
           "FROM documents WHERE lang = 'en' GROUP BY source"),
+      "o18_partition_overwrite" ->
+        // en rows carry the patched n_chars; every other partition must
+        // read back byte-identical to the original write.
+        ("SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1000 " +
+          "ELSE n_chars END) AS BIGINT) AS sum_chars " +
+          "FROM documents GROUP BY lang"),
+      "src_schema_merge" ->
+        // quality exists only in the odd-doc shard; merged read must
+        // surface it as NULL (-> 0 here) for the even-doc shard.
+        ("SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * 2 " +
+          "ELSE 0 END) AS BIGINT) AS sum_quality " +
+          "FROM documents GROUP BY lang"),
       "bm25_topk" -> bm25Sql,
       "q_rank_fusion" -> rankFusionSql,
       "text_keywords_pagerank" -> keywordsPagerankSql,

@@ -74,6 +74,44 @@ object Formats {
     dataSchema.fold(r)(r.schema).load(path)
   }
 
+  /** Dynamic partition overwrite — replace ONLY the partitions present
+    * in `df`, leaving every other partition untouched: the idempotent
+    * re-run primitive for date/lang-partitioned corpora ("recompute
+    * yesterday" must not drop the rest of history). Spark's default
+    * overwrite mode would truncate the WHOLE table first; the
+    * `partitionOverwriteMode=dynamic` writer option scopes the delete to
+    * the partitions the job actually wrote — set per-writer here, not as
+    * a session conf, so concurrent jobs keep their own semantics.
+    *
+    * Scale: the write itself is the same partitioned write as
+    * [[writePartitioned]]; the replace is a directory swap per touched
+    * partition — O(touched), never O(table). */
+  def overwritePartitions(
+      df: DataFrame, path: String, partitionCols: Seq[String],
+      format: String = "parquet"): Unit = {
+    require(supported.contains(format),
+      s"format must be one of ${supported.mkString(", ")}, got $format")
+    require(partitionCols.nonEmpty, "partitionCols must not be empty")
+    df.write.format(format).partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").save(path)
+  }
+
+  /** Read a multi-shard layout whose shards were written with EVOLVING
+    * schemas (columns added over time), reconciling them into one wide
+    * schema: `mergeSchema=true` unions the footers' schemas (missing
+    * columns surface as NULL — by-name resolution, the parquet/ORC
+    * evolution contract). Off by default in Spark because footer-merging
+    * every file costs a listing pass — turn it on exactly where drift is
+    * expected (landing zones), not globally. */
+  def readMergedSchema(
+      spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame = {
+    require(format == "parquet" || format == "orc",
+      s"mergeSchema needs a self-describing format, got $format")
+    spark.read.format(format).option("mergeSchema", "true").load(path)
+  }
+
   /** Bucketed (pre-shuffled) table write — the co-location layout for
     * repeated big joins and aggregations: rows are hash-partitioned into
     * `buckets` files per partition by `bucketCols` AT WRITE TIME, so a
