@@ -476,6 +476,31 @@ object SparkEntry {
           (col("n").cast("double") / col("n_from").cast("double")).as("p"))
     }),
 
+    // ---- Streaming first-touch funnel: per-user per-stage MIN event
+    //      time in state (commutative -> exactly order- AND
+    //      batch-boundary-insensitive), conversion decided at read ----
+    "s18_stream_funnel" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s18_").toString
+      val target = TargetTable("events_funnel", s"$tmp/target",
+        keyCols = Seq("user_id"), versionCol = "n_events", buckets = 4)
+      val cfg = IngestConfig(name = s"s18-funnel-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = eventsStream(s, cfg, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id").as("pkey"), expr("ts div 1000").as("ver"),
+          col("event_type").as("etype"))
+      val updates = graft.streaming.Stateful.funnelPerKey(src)
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(updates, Trigger.AvailableNow())
+      q.awaitTermination()
+      new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("user_id"), col("n_events"), col("t_view_us"),
+          col("t_click_us"), col("t_purchase_us"),
+          coalesce(col("t_view_us") < col("t_click_us") &&
+            col("t_click_us") < col("t_purchase_us"), lit(false))
+            .as("converted"))
+    }),
+
     // ---- Streaming anomaly scoring: per-key EXACT integer moments in
     //      state (order-insensitive), latest value z-scored against the
     //      key's full history — one deterministic division + sqrt ----
@@ -3646,6 +3671,22 @@ object SparkEntry {
           "SELECT from_type, to_type, n, n_from, " +
           "CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p " +
           "FROM pr JOIN f USING (from_type)"),
+      "s18_stream_funnel" ->
+        // First-ever timestamp per stage; conversion = strictly ordered
+        // firsts. Per-stage MIN is commutative, so the streamed state
+        // equals this batch replay for ANY arrival order.
+        ("WITH m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+          "min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) " +
+          "AS t_view_us, " +
+          "min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) " +
+          "AS t_click_us, " +
+          "min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) " +
+          "AS t_purchase_us FROM events " +
+          "WHERE event_type IN ('view', 'click', 'purchase') " +
+          "GROUP BY user_id) " +
+          "SELECT user_id, n_events, t_view_us, t_click_us, " +
+          "t_purchase_us, coalesce(t_view_us < t_click_us AND " +
+          "t_click_us < t_purchase_us, false) AS converted FROM m"),
       "q_markov_transitions" ->
         ("WITH e AS (SELECT event_type, lead(event_type) OVER (" +
           "PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +

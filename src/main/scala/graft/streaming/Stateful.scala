@@ -131,6 +131,67 @@ object Stateful {
       .toDF()
   }
 
+  /** Event for the funnel fold: (key, event-time µs, stage name). */
+  final case class FunnelEvent(pkey: Long, ver: Long, etype: String)
+
+  /** First-ever timestamp per funnel stage (Long.MaxValue = not seen)
+    * plus the event count (the monotone upsert version). */
+  final case class FunnelState(
+      n: Long, tView: Long, tClick: Long, tPurchase: Long)
+
+  /** Per-key funnel row; stage times are NULL until the stage is seen. */
+  final case class FunnelRow(
+      user_id: Long, n_events: Long, t_view_us: Option[Long],
+      t_click_us: Option[Long], t_purchase_us: Option[Long])
+
+  /** Streaming first-touch funnel — per key, the FIRST-ever timestamp of
+    * each stage (view / click / purchase); a key "converts" when those
+    * firsts are strictly ordered (decided downstream at read time, where
+    * the final state is visible). The loose-ordering variant of
+    * `ops/Funnel.funnelStages`'s strict stage chaining — chosen for
+    * streaming because per-stage MIN is commutative, so unlike the
+    * transition fold this state is EXACTLY insensitive to arrival order
+    * AND micro-batch boundaries: any interleaving folds to the same
+    * final state. `n` counts stage events (additive → monotone), making
+    * updates upsert-safe with versionCol = n_events.
+    *
+    * State per key: three longs + a counter. At 100 TB keyspaces this
+    * shards with the state store like every stateful op here. */
+  def funnelPerKey(src: DataFrame): DataFrame = {
+    implicit val eventEnc = Encoders.product[FunnelEvent]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[FunnelState]
+    implicit val outEnc = Encoders.product[FunnelRow]
+    val Absent = Long.MaxValue
+    src
+      .select(
+        col("pkey").cast("long").as("pkey"),
+        col("ver").cast("long").as("ver"),
+        col("etype").cast("string").as("etype"))
+      .as[FunnelEvent]
+      .groupByKey(_.pkey)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]) =>
+          val next = rows.foldLeft(state.getOption
+            .getOrElse(FunnelState(0L, Absent, Absent, Absent))) { (s, e) =>
+            e.etype match {
+              case "view" => s.copy(n = s.n + 1L, tView = s.tView.min(e.ver))
+              case "click" =>
+                s.copy(n = s.n + 1L, tClick = s.tClick.min(e.ver))
+              case "purchase" =>
+                s.copy(n = s.n + 1L, tPurchase = s.tPurchase.min(e.ver))
+              case _ => s // not a funnel stage; don't bump the version
+            }
+          }
+          state.update(next)
+          def opt(v: Long): Option[Long] = if (v == Absent) None else Some(v)
+          Iterator.single(FunnelRow(key, next.n, opt(next.tView),
+            opt(next.tClick), opt(next.tPurchase)))
+      }
+      .toDF()
+  }
+
   /** Event projected onto (key, tumbling-window start). */
   final case class RateEvent(key: Long, winStartUs: Long)
 

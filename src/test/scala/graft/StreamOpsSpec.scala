@@ -148,6 +148,35 @@ class StreamOpsSpec extends SparkSpec {
       ("a", "c") -> 1L))
   }
 
+  test("funnelPerKey: per-stage first timestamps are order- and " +
+    "batch-boundary-insensitive; conversion readable from final state") {
+    implicit val sql = spark.sqlContext
+    val src = MemoryStream[(Long, Long, String)]
+    val out = graft.streaming.Stateful.funnelPerKey(
+      src.toDF().toDF("pkey", "ver", "etype"))
+    val dir = Files.createTempDirectory("graft_s18_").toString
+    val q = out.writeStream.format("memory").queryName("fn_out")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    // worst-case arrival: purchase first, then click, view arrives LAST
+    // and in a later batch — the mins must still land on 10 < 20 < 30
+    src.addData((1L, 30L, "purchase"), (1L, 20L, "click"))
+    q.processAllAvailable()
+    src.addData((1L, 10L, "view"), (1L, 25L, "view"), (2L, 5L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("fn_out")
+      .groupBy("user_id")
+      .agg(max(struct($"n_events", $"t_view_us", $"t_click_us",
+        $"t_purchase_us")).as("s"))
+      .select($"user_id", $"s.t_view_us", $"s.t_click_us",
+        $"s.t_purchase_us")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(fin(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(fin(2L) == ((None, Some(5L), None)))
+  }
+
   test("StreamQuota: admits first N per key-window, state carries across batches") {
     implicit val sql = spark.sqlContext
     val src = MemoryStream[DEv]
