@@ -1252,6 +1252,31 @@ object SparkEntry {
         hourly, "event_type", "hr", "hx", maxLag = 6)
     }),
 
+    // ---- Time series: Theil-Sen robust slope (median of pairwise
+    //      slopes over the hourly series — element pick, no float
+    //      averaging) ----
+    "ts_theil_sen" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.theilSen(hourly, "event_type", "hr", "hx")
+    }),
+
+    // ---- Time series: Mann-Kendall monotone-trend test (exact integer
+    //      S and tie-corrected variance, fixed-shape z) ----
+    "ts_mann_kendall" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.mannKendall(hourly, "event_type", "hr", "hx")
+    }),
+
     // ---- Time series: dominant period (ACF argmax over lags 2..12 on
     //      the hourly series) — the pre-flight that SIZES a seasonal
     //      decomposition's period instead of hard-coding it ----
@@ -5353,6 +5378,48 @@ object SparkEntry {
           "+ p.m * st.s * st.s AS num, " +
           "st.n * st.n * st.sxx - st.n * st.s * st.s AS den " +
           "FROM p JOIN st USING (event_type))"),
+      "ts_theil_sen" ->
+        // Exact-long pairwise slopes; lower-median ELEMENT pick ranked
+        // (slope, oi, oj) — no float averaging anywhere.
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "p AS (SELECT a.event_type, a.hr AS oi, b.hr AS oj, " +
+          "CAST(b.hx - a.hx AS DOUBLE) / CAST(b.hr - a.hr AS DOUBLE) " +
+          "AS slope FROM h a JOIN h b ON a.event_type = b.event_type " +
+          "AND a.hr < b.hr), " +
+          "r AS (SELECT event_type, slope, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY slope, oi, oj) AS rn, " +
+          "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt " +
+          "FROM p) " +
+          "SELECT event_type, cnt AS n_pairs, slope AS slope_per_x " +
+          "FROM r WHERE rn = (cnt + 1) // 2"),
+      "ts_mann_kendall" ->
+        // S and the tie-corrected variance numerator stay BIGINT; one
+        // /18.0, one sqrt, one division; S=0 -> z=0, zero var -> NULL.
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "s AS (SELECT a.event_type, CAST(coalesce(sum(CASE " +
+          "WHEN b.hx > a.hx THEN 1 WHEN b.hx < a.hx THEN -1 ELSE 0 END), " +
+          "0) AS BIGINT) AS s_stat FROM h a JOIN h b " +
+          "ON a.event_type = b.event_type AND a.hr < b.hr GROUP BY 1), " +
+          "n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nn " +
+          "FROM h GROUP BY 1), " +
+          "tt AS (SELECT event_type, CAST(coalesce(sum(t * (t - 1) * " +
+          "(2 * t + 5)), 0) AS BIGINT) AS tts FROM (SELECT event_type, " +
+          "hx, CAST(count(*) AS BIGINT) AS t FROM h GROUP BY 1, 2) " +
+          "GROUP BY 1) " +
+          "SELECT s.event_type, n.nn AS n_points, s.s_stat, " +
+          "CASE WHEN n.nn * (n.nn - 1) * (2 * n.nn + 5) - tt.tts <= 0 " +
+          "THEN NULL WHEN s.s_stat > 0 THEN " +
+          "CAST(s.s_stat - 1 AS DOUBLE) / " +
+          "sqrt(CAST(n.nn * (n.nn - 1) * (2 * n.nn + 5) - tt.tts " +
+          "AS DOUBLE) / 18.0) WHEN s.s_stat < 0 THEN " +
+          "CAST(s.s_stat + 1 AS DOUBLE) / " +
+          "sqrt(CAST(n.nn * (n.nn - 1) * (2 * n.nn + 5) - tt.tts " +
+          "AS DOUBLE) / 18.0) ELSE 0.0 END AS z " +
+          "FROM s JOIN n USING (event_type) JOIN tt USING (event_type)"),
       "ts_dominant_period" ->
         // ts_acf's CTE chain over lags 2..12, then the per-key argmax
         // ranked by round(acf,8) DESC, smallest lag on ties.

@@ -442,6 +442,85 @@ object TimeSeries {
     * beyond that, pre-center x per group before quantizing.
     * Scale: ONE map-side-combinable aggregate per group; no windows, no
     * joins. */
+  /** Theil-Sen robust trend — the median of all pairwise slopes
+    * `(y_j − y_i)/(x_j − x_i)`, i < j in x: one wild hour can drag an
+    * OLS slope ([[linearRegression]]) arbitrarily; the pairwise median
+    * shrugs off up to ~29% contamination (the estimator's breakdown
+    * point). Emits (keyCol, n_pairs, slope_per_x).
+    *
+    * Determinism: with integral inputs every slope is ONE division of
+    * exact longs (bit-identical cross-engine); the median is an ELEMENT
+    * PICK — rows ranked by (slope, x_i, x_j), take rank ⌈n/2⌉ (lower
+    * median) — never an average of floats. Scale: the pair join is
+    * per-key O(n²) over the PRE-BUCKETED series (the [[autocorr]]
+    * contract: bucket to hours/days first — 720 hourly points is 259k
+    * pairs, not a corpus join); ranking is a per-key window over those
+    * pairs. */
+  def theilSen(
+      series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val base = series.select(col(keyCol), col(ordCol).cast("long").as("__o"),
+      col(valCol).cast("long").as("__x"))
+    val pairs = base.as("a").join(base.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col("a.__o") < col("b.__o"))
+      .select(col(s"a.$keyCol").as(keyCol),
+        col("a.__o").as("__oi"), col("b.__o").as("__oj"),
+        ((col("b.__x") - col("a.__x")).cast("double") /
+          (col("b.__o") - col("a.__o")).cast("double")).as("__slope"))
+    pairs
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(col("__slope").asc, col("__oi").asc, col("__oj").asc)))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("__rn") === expr("(__cnt + 1) div 2"))
+      .select(col(keyCol), col("__cnt").as("n_pairs"),
+        col("__slope").as("slope_per_x"))
+  }
+
+  /** Mann-Kendall trend test — Theil-Sen's significance companion: is
+    * there ANY monotone trend? `S = Σ_{i<j} sign(y_j − y_i)` over the
+    * x-ordered series, tie-corrected variance
+    * `var = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18`, and the
+    * continuity-corrected `z = (S ∓ 1)/√var`. Emits
+    * (keyCol, n_points, s_stat, z).
+    *
+    * Exactness: S and the variance numerator are exact BIGINTs (n = 10⁴
+    * points keeps n³ < 10¹³); z is a fixed-shape float — one division
+    * by 18, one IEEE sqrt, one division. Zero variance (all values
+    * tied) yields z = NULL; S = 0 yields z = 0 (no-trend center, no
+    * correction). Scale: same per-key O(n²) pair join as [[theilSen]]
+    * over the pre-bucketed series, plus two O(n)-group aggregates. */
+  def mannKendall(
+      series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val base = series.select(col(keyCol), col(ordCol).cast("long").as("__o"),
+      col(valCol).cast("long").as("__x"))
+    val s = base.as("a").join(base.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col("a.__o") < col("b.__o"))
+      .groupBy(col(s"a.$keyCol").as(keyCol))
+      .agg(coalesce(sum(when(col("b.__x") > col("a.__x"), 1L)
+        .when(col("b.__x") < col("a.__x"), -1L).otherwise(0L)), lit(0L))
+        .as("s_stat"))
+    val n = base.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val ties = base.groupBy(col(keyCol), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L) *
+        (lit(2L) * col("__t") + 5L)), lit(0L)).as("__tt"))
+    val varNum = col("__n") * (col("__n") - 1L) *
+      (lit(2L) * col("__n") + 5L) - col("__tt")
+    val vr = varNum.cast("double") / lit(18.0)
+    s.join(n, keyCol).join(ties, keyCol)
+      .select(col(keyCol), col("__n").as("n_points"), col("s_stat"),
+        when(varNum <= 0L, lit(null).cast("double"))
+          .otherwise(when(col("s_stat") > 0L,
+              (col("s_stat") - 1L).cast("double") / sqrt(vr))
+            .when(col("s_stat") < 0L,
+              (col("s_stat") + 1L).cast("double") / sqrt(vr))
+            .otherwise(lit(0.0))).as("z"))
+  }
+
   def linearRegression(
       series: DataFrame, keyCol: String, xCol: String,
       yCol: String): DataFrame = {
