@@ -949,6 +949,14 @@ object SparkEntry {
       graft.ops.Sampling.poissonReplication(
         t(s, dir, "documents").select(col("doc_id")), "doc_id")),
 
+    // ---- Stats: bootstrap CI for the mean — 40 deterministic Poisson
+    //      resamples in ONE aggregate, element-picked 90% interval ----
+    "sample_bootstrap_ci" -> ((s, dir) =>
+      graft.ops.Sampling.bootstrapMeanCI(
+        t(s, dir, "events").select(col("event_id"),
+          floor(col("value") * 1024.0).cast("long").as("q")),
+        "event_id", "q", scale = 1024.0)),
+
     // ---- Profiling: mutual information (event_type × day-of-week) —
     //      dependence STRENGTH companion to q_chi2's significance test;
     //      observed-cells-only strict sorted fold, pinned at 8 ----
@@ -5174,6 +5182,41 @@ object SparkEntry {
         val ks = cdf.map(c => s"CASE WHEN $u >= $c THEN 1 ELSE 0 END")
           .mkString(" + ")
         s"SELECT doc_id, CAST($ks AS BIGINT) AS boot_k FROM documents"
+      },
+      "sample_bootstrap_ci" -> {
+        // 40 hash-permuted Poisson replicates in one aggregate; the CI
+        // is an element pick from the sorted replicate means.
+        import graft.functions.TextHash
+        val cdf = graft.ops.Sampling.poissonCdf(1.0, 8)
+        val reps = 40
+        def u(b: Int) = s"(CAST(((event_id * ${TextHash.permuteA(b)} + " +
+          s"${TextHash.permuteB(b)}) % ${TextHash.P}) AS DOUBLE) / " +
+          s"${TextHash.P.toDouble})"
+        def k(b: Int) = cdf
+          .map(c => s"CASE WHEN ${u(b)} >= $c THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        val kcols = (0 until reps).map(b => s"${k(b)} AS k$b")
+          .mkString(", ")
+        val aggs = (0 until reps).map(b =>
+          s"CAST(coalesce(sum(k$b * q), 0) AS BIGINT) AS skx$b, " +
+            s"CAST(coalesce(sum(k$b), 0) AS BIGINT) AS sk$b")
+          .mkString(", ")
+        val meanList = (0 until reps).map(b =>
+          s"CASE WHEN sk$b = 0 THEN NULL ELSE CAST(skx$b AS DOUBLE) / " +
+            s"CAST(sk$b AS DOUBLE) / 1024.0 END")
+          .mkString("list_sort(list_value(", ", ", "))")
+        // Ranks computed EXACTLY as the engine does (0.05*40 rounds up
+        // past 2.0 in IEEE — never hardcode ceil(alpha*reps) by eye).
+        val loRank = math.max(1, math.ceil(0.05 * reps).toInt)
+        val hiRank = math.min(reps, math.ceil((1.0 - 0.05) * reps).toInt)
+        s"WITH b AS (SELECT CAST(floor(value * 1024.0) AS BIGINT) AS q, " +
+          s"event_id, $kcols FROM events), " +
+          s"m AS (SELECT CAST(count(*) AS BIGINT) AS n0, " +
+          s"CAST(coalesce(sum(q), 0) AS BIGINT) AS s0, $aggs FROM b) " +
+          "SELECT n0 AS n_rows, CASE WHEN n0 = 0 THEN NULL ELSE " +
+          "CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 1024.0 END " +
+          s"AS mean_full, $meanList[$loRank] AS ci_lo, " +
+          s"$meanList[$hiRank] AS ci_hi FROM m"
       },
       "q_mutual_info" -> {
         // p and the log argument repeated inline (DuckDB lambdas have no

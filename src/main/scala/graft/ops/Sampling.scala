@@ -302,4 +302,61 @@ object Sampling {
       .reduce(_ + _)
     df.select(col(idCol), k.as("boot_k"))
   }
+
+  /** Bootstrap confidence interval for a mean — [[poissonReplication]]
+    * run to its conclusion: `reps` independent deterministic Poisson
+    * resamples ride ONE aggregate (per replicate b, the pair
+    * Σ k_b·q / Σ k_b from the row-hash replication counts), each
+    * replicate mean is one exact-integer division, and the interval is
+    * an ELEMENT PICK from the sorted replicate means (ranks
+    * ⌈α·reps⌉ / ⌈(1−α)·reps⌉) — never a float quantile interpolation.
+    * Emits one row: (n_rows, mean_full, ci_lo, ci_hi).
+    *
+    * Determinism: replicate b's counts come from hash permutation b
+    * (reproducible across runs, partitionings, engines — the
+    * [[poissonReplication]] contract); every accumulator is an exact
+    * BIGINT; the 2·reps aggregate columns are map-side combinable. The
+    * astronomically-improbable all-zero replicate (P ≈ e^−n) yields a
+    * NULL mean, which sorts first and would surface as a NULL bound —
+    * loud, not wrong.
+    *
+    * Scale: ONE scan, 2·reps + 2 agg columns, O(1) output — the whole
+    * point of the Poisson bootstrap at 100 TB (no per-replicate pass,
+    * no resampled copies of the corpus). */
+  def bootstrapMeanCI(
+      df: DataFrame, idCol: String, qCol: String, scale: Double,
+      reps: Int = 40, alpha: Double = 0.05, lambda: Double = 1.0,
+      maxK: Int = 8): DataFrame = {
+    require(reps >= 2, s"reps must be >= 2, got $reps")
+    require(alpha > 0.0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    val cdf = poissonCdf(lambda, maxK)
+    def kExpr(b: Int): Column = {
+      val u = (graft.functions.TextHash.permute(b, col(idCol))
+        .cast("double") / lit(graft.functions.TextHash.P.toDouble))
+      cdf.map(c => when(u >= lit(c), 1L).otherwise(0L)).reduce(_ + _)
+    }
+    // Materialize each replicate count once (the HOF lesson: never let
+    // the optimizer re-evaluate the hash chain per consumer).
+    val withK = df.select(
+      col(qCol).cast("long").as("__q") +:
+        (0 until reps).map(b => kExpr(b).as(s"__k$b")): _*)
+    val aggs =
+      Seq(count(lit(1)).as("__n0"),
+        coalesce(sum(col("__q")), lit(0L)).as("__s0")) ++
+        (0 until reps).flatMap(b => Seq(
+          coalesce(sum(col(s"__k$b") * col("__q")), lit(0L)).as(s"__skx$b"),
+          coalesce(sum(col(s"__k$b")), lit(0L)).as(s"__sk$b")))
+    val m = withK.agg(aggs.head, aggs.tail: _*)
+    val mean = (sx: Column, n: Column) =>
+      when(n === 0L, lit(null).cast("double"))
+        .otherwise(sx.cast("double") / n.cast("double") / lit(scale))
+    val means = array((0 until reps).map(b =>
+      mean(col(s"__skx$b"), col(s"__sk$b"))): _*)
+    val loRank = math.max(1, math.ceil(alpha * reps).toInt)
+    val hiRank = math.min(reps, math.ceil((1.0 - alpha) * reps).toInt)
+    m.select(col("__n0").as("n_rows"),
+      mean(col("__s0"), col("__n0")).as("mean_full"),
+      element_at(sort_array(means), loRank).as("ci_lo"),
+      element_at(sort_array(means), hiRank).as("ci_hi"))
+  }
 }
