@@ -1077,6 +1077,13 @@ object SparkEntry {
             pmod(col("user_id"), lit(16L)).cast("string")), 1024)
           .as("f_cross"))),
 
+    // ---- ML features: hashing-trick TF vectorizer — sparse
+    //      (doc, bucket, tf) triplets over 64 hash buckets; stateless,
+    //      no vocabulary, oracle replays bucket ids exactly ----
+    "feature_hash_tf" -> ((s, dir) =>
+      graft.ops.Features.hashingTfVectorizer(
+        t(s, dir, "documents"), "doc_id", "text", dim = 64)),
+
     // ---- ML features: leave-one-out target encoding (leakage-free
     //      categorical mean via exact quantized sums) ----
     "feature_target_encode" -> ((s, dir) =>
@@ -4951,6 +4958,14 @@ object SparkEntry {
             "CAST(((user_id % 16) + 16) % 16 AS VARCHAR)")
         s"SELECT event_id, ($et) % 1024 AS f_et, " +
           s"($cross) % 1024 AS f_cross FROM events"
+      },
+      "feature_hash_tf" -> {
+        import graft.functions.OracleSql
+        s"WITH w AS (SELECT doc_id, " +
+          s"unnest(${OracleSql.wordHashes("lower(text)")}) AS wh " +
+          "FROM documents) " +
+          "SELECT doc_id, wh % 64 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2"
       },
       "feature_target_encode" ->
         ("SELECT event_id, event_type, value, " +

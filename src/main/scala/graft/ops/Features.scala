@@ -84,4 +84,28 @@ object Features {
       .withColumn(s"${valueCol}_imputed", coalesce(col(valueCol), col("__med")))
       .drop("__med")
   }
+
+  /** Hashing-trick TF vectorizer — the stateless text twin of
+    * [[hashBucket]]: each document becomes a sparse term-frequency
+    * vector over `dim` hash buckets (token → word-hash mod dim), emitted
+    * in sparse triplet form (idCol, bucket, tf). No fitted vocabulary
+    * means no train/serve skew and no vocabulary broadcast — the
+    * classic trade (hash collisions fold rare terms together) accepted
+    * by every production hashing vectorizer.
+    *
+    * Scale: tokenize + hash are row-local (the shared codegen
+    * [[graft.functions.TextHash]] kernels — the oracle replays bucket
+    * ids exactly); the only shuffle is the (doc, bucket)-keyed count,
+    * map-side combinable. Dense downstream consumers pivot the triplets
+    * per doc; sparse ones (cosine, linear models) join on bucket. */
+  def hashingTfVectorizer(
+      df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    df.select(col(idCol),
+        explode(graft.functions.TextHash.wordHashes(lower(col(textCol))))
+          .as("__wh"))
+      .select(col(idCol), pmod(col("__wh"), lit(dim.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
 }
