@@ -501,6 +501,41 @@ object SparkEntry {
             .as("converted"))
     }),
 
+    // ---- Streaming distribution drift: daily value-bucket counts as
+    //      ONE watermarked windowed aggregate; per-window PSI terms vs
+    //      the all-time reference computed on the converged counts ----
+    "s19_stream_psi" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s19_").toString
+      val target = TargetTable("events_drift", s"$tmp/target",
+        keyCols = Seq("window_start_us", "bucket"),
+        versionCol = "n_events", buckets = 4)
+      val cfg = IngestConfig(name = s"s19-psi-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = eventsStream(s, cfg, dir)
+        .filter(col("value").isNotNull)
+        .select(timestamp_micros(expr("ts div 1000")).as("ts_t"),
+          floor(col("value") * 4.0).cast("long").as("bucket"),
+          col("value"))
+      val agg = graft.streaming.EventTime.tumblingAgg(
+        src, "ts_t", "value", "1 day", "48 hours", Seq("bucket"))
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(agg, Trigger.AvailableNow())
+      q.awaitTermination()
+      val c = new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("window_start_us").as("w"), col("bucket"),
+          col("n_events").as("n"))
+      val wt = c.groupBy("w").agg(sum(col("n")).as("wt"))
+      val bt = c.groupBy("bucket").agg(sum(col("n")).as("bt"))
+      val g = c.agg(sum(col("n")).as("t"))
+      val pw = col("n").cast("double") / col("wt").cast("double")
+      val pb = col("bt").cast("double") / col("t").cast("double")
+      // Buckets absent from a window contribute nothing (present-cell
+      // PSI — no epsilon smoothing to disagree about cross-engine).
+      c.join(wt, "w").join(bt, "bucket").crossJoin(broadcast(g))
+        .select(col("w").as("window_start_us"), col("bucket"), col("n"),
+          round((pw - pb) * (log(pw) - log(pb)), 8).as("psi_term"))
+    }),
+
     // ---- Streaming anomaly scoring: per-key EXACT integer moments in
     //      state (order-insensitive), latest value z-scored against the
     //      key's full history — one deterministic division + sqrt ----
@@ -3727,6 +3762,25 @@ object SparkEntry {
           "SELECT user_id, n_events, t_view_us, t_click_us, " +
           "t_purchase_us, coalesce(t_view_us < t_click_us AND " +
           "t_click_us < t_purchase_us, false) AS converted FROM m"),
+      "s19_stream_psi" ->
+        // Window counts are additive -> the streamed table equals this
+        // batch replay; PSI terms over present cells only, round 8.
+        ("WITH c AS (SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) " +
+          "AS w, CAST(floor(value * 4.0) AS BIGINT) AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n FROM events " +
+          "WHERE value IS NOT NULL GROUP BY 1, 2), " +
+          "wt AS (SELECT w, CAST(sum(n) AS BIGINT) AS wt FROM c " +
+          "GROUP BY 1), " +
+          "bt AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS bt FROM c " +
+          "GROUP BY 1), " +
+          "g AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c) " +
+          "SELECT c.w AS window_start_us, c.bucket, c.n, " +
+          "round((CAST(c.n AS DOUBLE) / CAST(wt.wt AS DOUBLE) - " +
+          "CAST(bt.bt AS DOUBLE) / CAST(g.t AS DOUBLE)) * " +
+          "(ln(CAST(c.n AS DOUBLE) / CAST(wt.wt AS DOUBLE)) - " +
+          "ln(CAST(bt.bt AS DOUBLE) / CAST(g.t AS DOUBLE))), 8) " +
+          "AS psi_term FROM c JOIN wt USING (w) " +
+          "JOIN bt USING (bucket) CROSS JOIN g"),
       "q_markov_transitions" ->
         ("WITH e AS (SELECT event_type, lead(event_type) OVER (" +
           "PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
