@@ -1129,6 +1129,38 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("te"))),
 
+    // ---- ML features: weight-of-evidence + information value per
+    //      category (Laplace-smoothed, one pinned ln, exact counts) ----
+    "feature_woe" -> ((s, dir) =>
+      graft.ops.Features.woeEncode(
+        t(s, dir, "documents"), "lang", col("n_chars") > 500L)),
+
+    // ---- Interval algebra: merge value-scaled overlapping spans per
+    //      user into islands (running-max merge, one keyed shuffle) ----
+    "q_interval_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val durUs = when(col("value").isNull || isnan(col("value")), 1L)
+        .otherwise(greatest(lit(1L), floor(col("value") * 3600.0)
+          .cast("long"))) * 1000000L
+      graft.ops.Intervals.mergeIntervals(
+        ev.select(col("user_id"), expr("ts div 1000").as("s_us"),
+          (expr("ts div 1000") + durUs).as("e_us"), col("event_id")),
+        Seq("user_id"), "s_us", "e_us", "event_id")
+    }),
+
+    // ---- Interval coverage rollup: per-user union length and
+    //      fragmentation over the merged islands ----
+    "q_interval_coverage" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val durUs = when(col("value").isNull || isnan(col("value")), 1L)
+        .otherwise(greatest(lit(1L), floor(col("value") * 3600.0)
+          .cast("long"))) * 1000000L
+      graft.ops.Intervals.coverage(
+        ev.select(col("user_id"), expr("ts div 1000").as("s_us"),
+          (expr("ts div 1000") + durUs).as("e_us"), col("event_id")),
+        Seq("user_id"), "s_us", "e_us", "event_id")
+    }),
+
     // ---- Data cleaning: per-group winsorization (clip to p05/p95
     //      exact-interpolation percentiles — tame tails, don't drop) ----
     "q_winsorize" -> ((s, dir) =>
@@ -1136,6 +1168,21 @@ object SparkEntry {
         t(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("value")),
         "event_type", "value")),
+
+    // ---- Survival analysis: Kaplan–Meier over per-user lifetimes
+    //      (right-censored at the 7-day activity horizon; pinned-ln
+    //      product replay, O(distinct durations) windows) ----
+    "q_survival_km" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(col("us")).as("fts"), max(col("us")).as("lts"))
+      val cutoff = ev.agg(max(col("us")).as("__m"))
+      val subj = perUser.crossJoin(broadcast(cutoff))
+        .select(expr("(lts - fts) div 86400000000").as("duration"),
+          (col("lts") <= col("__m") - 604800000000L).as("ev"))
+      graft.ops.TimeSeries.kaplanMeier(subj, "duration", "ev")
+    }),
 
     // ---- Time series: CUSUM change-point scan (integer cumulative
     //      deviations over hourly quantized sums — exact argmax) ----
@@ -1487,6 +1534,41 @@ object SparkEntry {
         Seq("user_id"), "event_id", "purchase_us", "touch_us",
         "channel", "value", windowUs = 604800000000L)
     }),
+
+    // ---- Position-based (U-shaped 40/20/40) attribution: first and
+    //      last in-window touches carry the weight; exact integer
+    //      credit schedule, same micro-cent discipline as linear ----
+    "q_attribution_position" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), expr("ts div 1000").as("touch_us"),
+          col("event_id").as("touch_id"), col("event_type").as("channel"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("purchase_us"), col("value"))
+      graft.ops.Attribution.positionBased(purchases, touches,
+        Seq("user_id"), "event_id", "purchase_us", "touch_us",
+        "touch_id", "channel", "value", windowUs = 604800000000L)
+    }),
+
+    // ---- Model calibration curve: does a high score MEAN a high
+    //      purchase rate? Quantized-score buckets, observed positive
+    //      rate vs mean claimed score — AUC's honest companion ----
+    "q_calibration" -> ((s, dir) =>
+      graft.ops.Profile.calibrationBins(
+        t(s, dir, "events"),
+        col("event_type") === "purchase",
+        floor(col("value") * 1000.0), binDiv = 100L)),
+
+    // ---- Decile lift & cumulative gain: rank by score (columnar
+    //      global rank — range partitions + local windows + broadcast
+    //      offsets, never a 1-partition sort), slice by rank·k // n ----
+    "q_lift_gain" -> ((s, dir) =>
+      graft.ops.Profile.liftDeciles(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull && !isnan(col("value"))),
+        col("event_type") === "purchase",
+        col("value"), col("event_id"))),
 
     // ---- HLL set-overlap: distinct-user intersection of two event
     //      types by inclusion–exclusion over mergeable registers (the
@@ -2927,6 +3009,15 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("label") % 2 === 0),
         "vec_id", "embedding", col("vec_id") < 20, k = 10)),
 
+    // ---- LLM pipeline: hard-example mining for contrastive training —
+    //      per broadcast anchor, the most-similar different-label and
+    //      least-similar same-label vectors via k=1 TopK aggregates
+    //      (ids only — the ann-family float-free gate discipline) ----
+    "emb_hard_mining" -> ((s, dir) =>
+      Similarity.hardMining(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        pmod(col("vec_id"), lit(199L)) === 0L)),
+
     // ---- LLM pipeline: ANN quality evaluation — recall@k of the LSH
     //      path against the brute-force truth, the number an index is
     //      tuned by (exact overlap counts, ONE division per query) ----
@@ -3101,6 +3192,11 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- LLM pipeline: lexical diversity (TTR + hapax ratio — the
+    //      vocabulary-richness quality signal) ----
+    "text_ttr" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- LLM pipeline: sentence-level shape stats (structural half of
     //      the quality stack) ----
     "text_sentences" -> ((s, dir) =>
@@ -3230,6 +3326,24 @@ object SparkEntry {
     "sample_weighted" -> ((s, dir) =>
       graft.ops.Sampling.sampleWeighted(
         t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 12)),
+
+    // ---- Sampling: class-rebalancing negative downsampling (keep all
+    //      positives, 10% hash sample of negatives, inverse-rate
+    //      importance weights — row-local, shuffle-free) ----
+    "sample_downsample_neg" -> ((s, dir) =>
+      graft.ops.Sampling.downsampleNegatives(
+        t(s, dir, "events"), "event_id",
+        col("event_type") === "purchase", keepPct = 10)),
+
+    // ---- Events: stationary distribution of the behavior Markov chain
+    //      (fixed-point power iteration — the pageRank integer
+    //      discipline over the transition matrix) ----
+    "q_markov_stationary" -> ((s, dir) =>
+      graft.ops.Funnel.markovStationary(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("us"), col("event_id"),
+          col("event_type")),
+        "user_id", "us", "event_id", "event_type")),
 
     // ---- Sources: training-shard export (split dirs, capped files) ----
     "src_shard_export" -> ((s, dir) => {
@@ -3793,6 +3907,39 @@ object SparkEntry {
           "SELECT from_type, to_type, n, n_from, " +
           "CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p " +
           "FROM pr JOIN f USING (from_type)"),
+      "q_markov_stationary" -> {
+        // 5 unrolled power-iteration CTEs, all BIGINT fixed-point in
+        // units of 1/1e9 — replays the engine's (pi·n) // nf exactly.
+        val iters = 5
+        val steps = (1 to iters).map { i =>
+          s"p$i AS (SELECT st.s, CAST(coalesce(sum((p.pi * ef.n) // " +
+            "ef.nf), 0) AS BIGINT) AS pi FROM st " +
+            "LEFT JOIN ef ON ef.t = st.s " +
+            s"LEFT JOIN p${i - 1} p ON p.s = ef.f GROUP BY st.s)"
+        }.mkString(", ")
+        "WITH pr AS (SELECT event_type AS f, lead(event_type) OVER (" +
+          "PARTITION BY user_id ORDER BY ts, event_id) AS t FROM events), " +
+          "e AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pr " +
+          "WHERE t IS NOT NULL GROUP BY 1, 2), " +
+          "ef AS (SELECT f, t, n, CAST(sum(n) OVER (PARTITION BY f) " +
+          "AS BIGINT) AS nf FROM e), " +
+          "st AS (SELECT f AS s FROM e UNION SELECT t FROM e), " +
+          "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st), " +
+          "p0 AS (SELECT s, CAST(1000000000 // (SELECT n FROM nn) " +
+          "AS BIGINT) AS pi FROM st), " +
+          steps +
+          s" SELECT s AS state, pi AS pi_q FROM p$iters"
+      },
+      "sample_downsample_neg" -> {
+        val a0 = TextHash.permuteA(0); val b0 = TextHash.permuteB(0)
+        val p = TextHash.P
+        s"SELECT event_id, CAST(CASE WHEN event_type = 'purchase' THEN 1 " +
+          "ELSE 0 END AS BIGINT) AS y, " +
+          "CASE WHEN event_type = 'purchase' THEN 1.0 " +
+          "ELSE 100.0 / 10.0 END AS weight FROM events " +
+          "WHERE event_type = 'purchase' OR " +
+          s"((((event_id * $a0 + $b0) % $p) % 100) + 100) % 100 < 10"
+      },
       "q_top_paths" ->
         ("WITH e AS (SELECT event_type AS n0, " +
           "lead(event_type, 1) OVER w AS n1, " +
@@ -5031,6 +5178,113 @@ object SparkEntry {
           "count(*) OVER (PARTITION BY event_type) AS n FROM (" +
           "SELECT event_id, event_type, value, " +
           "CAST(floor(value * 1048576.0) AS BIGINT) AS qx FROM events))"),
+      "feature_woe" ->
+        // One pinned ln (engine-wide libm round(·,8) discipline); the
+        // iv_term composes the PINNED woe, exactly as the engine does.
+        ("WITH b AS (SELECT lang AS category, " +
+          "CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS y FROM documents), " +
+          "g AS (SELECT category, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(y) AS BIGINT) AS n_pos, " +
+          "CAST(count(*) - sum(y) AS BIGINT) AS n_neg FROM b GROUP BY 1), " +
+          "t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp, " +
+          "CAST(sum(n_neg) AS BIGINT) AS tn FROM g), " +
+          "w AS (SELECT category, n, n_pos, n_neg, tp, tn, " +
+          "round(ln(((CAST(n_pos AS DOUBLE) + 0.5) / " +
+          "(CAST(tp AS DOUBLE) + 0.5)) / " +
+          "((CAST(n_neg AS DOUBLE) + 0.5) / " +
+          "(CAST(tn AS DOUBLE) + 0.5))), 8) AS woe FROM g, t) " +
+          "SELECT category, n, n_pos, n_neg, woe, " +
+          "CASE WHEN tp = 0 OR tn = 0 THEN NULL ELSE " +
+          "round((CAST(n_pos AS DOUBLE) / CAST(tp AS DOUBLE) - " +
+          "CAST(n_neg AS DOUBLE) / CAST(tn AS DOUBLE)) * woe, 8) END " +
+          "AS iv_term FROM w"),
+      "q_interval_merge" ->
+        // Running-max island merge; identical (s, e, id) total order in
+        // every window, durations value-scaled exactly as the engine.
+        ("WITH iv AS (SELECT user_id, epoch_us(ts) AS s, " +
+          "epoch_us(ts) + (CASE WHEN value IS NULL OR isnan(value) THEN 1 " +
+          "ELSE greatest(1, CAST(floor(value * 3600.0) AS BIGINT)) END) " +
+          "* 1000000 AS e, event_id AS id FROM events), " +
+          "w AS (SELECT user_id, s, e, id, max(e) OVER " +
+          "(PARTITION BY user_id ORDER BY s, e, id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), " +
+          "f AS (SELECT user_id, s, e, id, " +
+          "CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf FROM w), " +
+          "g AS (SELECT user_id, s, e, CAST(sum(nf) OVER " +
+          "(PARTITION BY user_id ORDER BY s, e, id " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island FROM f) " +
+          "SELECT user_id, island, min(s) AS island_start, " +
+          "max(e) AS island_end, CAST(count(*) AS BIGINT) AS n_intervals, " +
+          "max(e) - min(s) AS span_us FROM g GROUP BY user_id, island"),
+      "q_interval_coverage" ->
+        ("WITH iv AS (SELECT user_id, epoch_us(ts) AS s, " +
+          "epoch_us(ts) + (CASE WHEN value IS NULL OR isnan(value) THEN 1 " +
+          "ELSE greatest(1, CAST(floor(value * 3600.0) AS BIGINT)) END) " +
+          "* 1000000 AS e, event_id AS id FROM events), " +
+          "w AS (SELECT user_id, s, e, id, max(e) OVER " +
+          "(PARTITION BY user_id ORDER BY s, e, id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), " +
+          "f AS (SELECT user_id, s, e, id, " +
+          "CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf FROM w), " +
+          "g AS (SELECT user_id, s, e, CAST(sum(nf) OVER " +
+          "(PARTITION BY user_id ORDER BY s, e, id " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island FROM f), " +
+          "m AS (SELECT user_id, island, min(s) AS st, max(e) AS en, " +
+          "count(*) AS ni FROM g GROUP BY 1, 2) " +
+          "SELECT user_id, CAST(sum(ni) AS BIGINT) AS n_intervals, " +
+          "CAST(count(*) AS BIGINT) AS n_islands, " +
+          "CAST(sum(en - st) AS BIGINT) AS covered_us, " +
+          "CAST(max(en - st) AS BIGINT) AS max_island_us " +
+          "FROM m GROUP BY user_id"),
+      "q_survival_km" ->
+        // KM product as exp(Σ pinned-ln); the prefix sum is a STRICT
+        // list fold in duration order (never a float window sum — the
+        // engine's running frame is sequential, so both engines add in
+        // identical order); all-die duration → survival 0 exactly.
+        ("WITH s AS (SELECT user_id, min(epoch_us(ts)) AS fts, " +
+          "max(epoch_us(ts)) AS lts FROM events GROUP BY user_id), " +
+          "mx AS (SELECT max(epoch_us(ts)) AS m FROM events), " +
+          "subj AS (SELECT (lts - fts) // 86400000000 AS duration, " +
+          "CASE WHEN lts <= m - 604800000000 THEN 1 ELSE 0 END AS e " +
+          "FROM s, mx), " +
+          "g AS (SELECT duration, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(e) AS BIGINT) AS n_events FROM subj GROUP BY 1), " +
+          "w AS (SELECT duration, n, n_events, " +
+          "CAST(sum(n) OVER () - coalesce(sum(n) OVER (ORDER BY duration " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+          "AS BIGINT) AS n_at_risk FROM g), " +
+          "t AS (SELECT *, CASE WHEN n_events = n_at_risk THEN NULL " +
+          "ELSE round(ln(1.0 - CAST(n_events AS DOUBLE) / " +
+          "CAST(n_at_risk AS DOUBLE)), 8) END AS term FROM w), " +
+          "l AS (SELECT list(struct_pack(d := duration, t := term) " +
+          "ORDER BY duration) AS ts FROM t) " +
+          "SELECT t.duration, t.n_at_risk, t.n_events, " +
+          "t.n - t.n_events AS n_censored, " +
+          "CASE WHEN t.term IS NULL THEN 0.0 ELSE " +
+          "round(exp(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(list_filter(l.ts, x -> x.d <= t.duration), " +
+          "x -> x.t)), (a, b) -> a + b)), 8) END AS survival " +
+          "FROM t, l"),
+      "emb_hard_mining" ->
+        ("WITH n AS (SELECT vec_id, label, " +
+          "CAST(embedding AS DOUBLE[]) AS v, " +
+          "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+          "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+          "a AS (SELECT vec_id AS anchor_id, label AS al, v AS av, " +
+          "nrm AS an FROM n WHERE vec_id % 199 = 0), " +
+          "p AS (SELECT a.anchor_id, a.al, n.vec_id, n.label, " +
+          "list_inner_product(n.v, a.av) / (n.nrm * a.an) AS cos " +
+          "FROM n, a WHERE n.vec_id <> a.anchor_id), " +
+          "neg AS (SELECT anchor_id, vec_id, row_number() OVER " +
+          "(PARTITION BY anchor_id ORDER BY cos DESC, vec_id) AS rn " +
+          "FROM p WHERE label <> al), " +
+          "pos AS (SELECT anchor_id, vec_id, row_number() OVER " +
+          "(PARTITION BY anchor_id ORDER BY cos ASC, vec_id) AS rn " +
+          "FROM p WHERE label = al) " +
+          "SELECT neg.anchor_id, neg.vec_id AS hard_neg_id, " +
+          "pos.vec_id AS hard_pos_id FROM neg " +
+          "JOIN pos ON neg.anchor_id = pos.anchor_id " +
+          "WHERE neg.rn = 1 AND pos.rn = 1"),
       "q_anova" -> {
         val q = "1048576.0"
         val qx = s"CAST(floor(value * $q) AS HUGEINT)"
@@ -6328,6 +6582,66 @@ object SparkEntry {
           "CAST(coalesce(sum(credit), 0) AS BIGINT) AS credit_micro, " +
           "CAST(coalesce(sum(credit), 0) AS DOUBLE) / 1.0e8 " +
           "AS credit_value FROM r GROUP BY channel"),
+      "q_attribution_position" ->
+        // U-shaped 40/20/40; // replays the engine's sign-safe
+        // (a - pmod)/n floor division; n=2 conserves via remainder.
+        ("WITH c AS (SELECT user_id, event_id AS cid, epoch_us(ts) AS cts, " +
+          "CAST(floor(value * 100.0) AS BIGINT) * 1000000 AS micro " +
+          "FROM events WHERE event_type = 'purchase'), " +
+          "t2 AS (SELECT user_id, epoch_us(ts) AS tts, event_id AS tid, " +
+          "event_type AS channel FROM events " +
+          "WHERE event_type IN ('click', 'view')), " +
+          "j AS (SELECT c.cid, c.micro, t2.channel, t2.tts, t2.tid FROM c " +
+          "LEFT JOIN t2 ON t2.user_id = c.user_id " +
+          "AND t2.tts <= c.cts AND t2.tts > c.cts - 604800000000), " +
+          "w AS (SELECT cid, micro, channel, " +
+          "count(channel) OVER (PARTITION BY cid) AS nn, " +
+          "row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rn " +
+          "FROM j), " +
+          "r AS (SELECT CASE WHEN nn = 0 THEN 'direct' ELSE channel END " +
+          "AS channel, CASE WHEN nn = 0 THEN micro " +
+          "WHEN nn = 1 THEN micro " +
+          "WHEN nn = 2 AND rn = 1 THEN micro // 2 " +
+          "WHEN nn = 2 THEN micro - micro // 2 " +
+          "WHEN rn = 1 OR rn = nn THEN (micro * 40) // 100 " +
+          "ELSE (micro - 2 * ((micro * 40) // 100)) // (nn - 2) END " +
+          "AS credit FROM w) " +
+          "SELECT channel, CAST(count(*) AS BIGINT) AS n_credits, " +
+          "CAST(coalesce(sum(credit), 0) AS BIGINT) AS credit_micro, " +
+          "CAST(coalesce(sum(credit), 0) AS DOUBLE) / 1.0e8 " +
+          "AS credit_value FROM r GROUP BY channel"),
+      "q_calibration" ->
+        ("WITH b AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 " +
+          "ELSE 0 END AS y, CAST(floor(value * 1000.0) AS BIGINT) AS q " +
+          "FROM events WHERE value IS NOT NULL) " +
+          "SELECT q // 100 AS bin, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(y) AS BIGINT) AS n_pos, " +
+          "CAST(sum(q) AS BIGINT) AS sum_q, " +
+          "CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate, " +
+          "CAST(sum(q) AS DOUBLE) / count(*) AS mean_q " +
+          "FROM b GROUP BY 1"),
+      "q_lift_gain" ->
+        // Global rank replay: row_number(score DESC, id) - 1, slice
+        // id = rank*k // n — no reliance on ntile remainder rules.
+        ("WITH b AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 " +
+          "ELSE 0 END AS y, value AS s, event_id AS id FROM events " +
+          "WHERE value IS NOT NULL AND NOT isnan(value)), " +
+          "tot AS (SELECT count(*) AS nn FROM b), " +
+          "r AS (SELECT y, row_number() OVER (ORDER BY s DESC, id) - 1 " +
+          "AS rk FROM b), " +
+          "d AS (SELECT (rk * 10) // (SELECT nn FROM tot) AS decile, " +
+          "CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos " +
+          "FROM r GROUP BY 1), " +
+          "c AS (SELECT *, CAST(sum(n_pos) OVER (ORDER BY decile " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos, " +
+          "CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos FROM d) " +
+          "SELECT decile, n, n_pos, " +
+          "CASE WHEN tot_pos = 0 THEN NULL ELSE " +
+          "(CAST(n_pos AS DOUBLE) * (SELECT CAST(nn AS DOUBLE) FROM tot)) " +
+          "/ (CAST(n AS DOUBLE) * CAST(tot_pos AS DOUBLE)) END AS lift, " +
+          "cum_pos, CASE WHEN tot_pos = 0 THEN NULL ELSE " +
+          "CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) END " +
+          "AS cum_capture FROM c"),
       "sketch_hll_intersect" -> {
         val m = 64
         val rmax = graft.ops.Sketches.hllW(m) + 1
@@ -6781,6 +7095,19 @@ object SparkEntry {
           "CAST(tok_start % 256 AS BIGINT) AS offset_in_block, " +
           "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
           "AS BIGINT) AS n_blocks FROM s"),
+      "text_ttr" ->
+        ("WITH tk AS (SELECT doc_id, unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '\\s+'), " +
+          "x -> len(x) > 0)) AS w FROM documents), " +
+          "g AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY 1, 2) " +
+          "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+          "CAST(count(*) AS BIGINT) AS n_types, " +
+          "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_hapax, " +
+          "CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr, " +
+          "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(sum(c) AS DOUBLE) AS hapax_ratio " +
+          "FROM g GROUP BY doc_id"),
       "text_quality" ->
         ("SELECT doc_id, length(text) AS n_chars_out, " +
           "length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha, " +

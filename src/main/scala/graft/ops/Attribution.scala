@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Conversion attribution over an event stream — the marketing/product
@@ -97,6 +97,79 @@ object Attribution {
           .as("channel"),
         when(col("__n") === 0L, col("__micro"))
           .otherwise(credit.cast("long")).as("__credit"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        coalesce(sum(col("__credit")), lit(0L)).as("credit_micro"))
+      .withColumn("credit_value",
+        col("credit_micro").cast("double") / lit(1.0e8))
+  }
+
+  /** Position-based (U-shaped) multi-touch attribution — the third
+    * member of the family: 40% of each conversion's value to the FIRST
+    * in-window touch, 40% to the LAST, and the remaining pool split
+    * equally across the middle touches. The industry-standard shape for
+    * "discovery and closing both matter more than the middle".
+    *
+    * Exact integer credit schedule over BIGINT micro-cents (floor
+    * division is the sign-safe `(a − pmod(a, n)) / n`, replaying
+    * DuckDB's `//` bit-for-bit):
+    *   - 0 touches → `defaultChannel` gets the full amount;
+    *   - 1 touch   → it gets the full amount;
+    *   - 2 touches → first gets `micro // 2`, last the remainder
+    *     (50/50, the standard two-touch convention — conserving);
+    *   - ≥3        → first = last = `micro · 40 // 100`, each middle =
+    *     `(micro − first − last) // (n−2)` (up to n−3 micro-cents of
+    *     the middle pool round down; deterministic and documented, the
+    *     same floor-loss contract as [[linear]]).
+    *
+    * Position is the row_number over (touch_ts, tie-break id) inside the
+    * conversion's window — pass a unique `touchIdCol` or first/last are
+    * shuffle-order dependent under ts ties.
+    *
+    * Scale: identical shape to [[linear]] — one key-equi-join bounded by
+    * per-key touch counts, two windows keyed by the unique conversion id
+    * (never a global window), one channel rollup; output O(channels). */
+  def positionBased(
+      conversions: DataFrame, touches: DataFrame,
+      keyCols: Seq[String], convIdCol: String, convTsCol: String,
+      touchTsCol: String, touchIdCol: String, channelCol: String,
+      valueCol: String, windowUs: Long,
+      defaultChannel: String = "direct"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowUs > 0L, s"windowUs must be > 0, got $windowUs")
+    val c = conversions.select(
+      keyCols.map(col) :+ col(convIdCol).as("__cid") :+
+        col(convTsCol).cast("long").as("__cts") :+
+        (floor(col(valueCol) * 100.0).cast("long") * 1000000L)
+          .as("__micro"): _*)
+    val tch = touches.select(
+      keyCols.map(col) :+ col(touchTsCol).cast("long").as("__tts") :+
+        col(touchIdCol).as("__tid") :+ col(channelCol).as("__ch"): _*)
+    val cond = keyCols.map(k => c(k) === tch(k)).reduce(_ && _) &&
+      col("__tts") <= col("__cts") &&
+      col("__tts") > col("__cts") - lit(windowUs)
+    val byCid = Window.partitionBy(col("__cid"))
+    val ordered = byCid.orderBy(col("__tts"), col("__tid"))
+    def floorDiv(a: Column, n: Column): Column =
+      ((a - pmod(a, n)) / n).cast("long")
+    val fortyPct = floorDiv(col("__micro") * 40L, lit(100L))
+    val halfUp = col("__micro") - floorDiv(col("__micro"), lit(2L))
+    val midPool = col("__micro") - fortyPct * 2L
+    val credit =
+      when(col("__n") === 1L, col("__micro"))
+        .when(col("__n") === 2L,
+          when(col("__rn") === 1L, floorDiv(col("__micro"), lit(2L)))
+            .otherwise(halfUp))
+        .when(col("__rn") === 1L || col("__rn") === col("__n"), fortyPct)
+        .otherwise(floorDiv(midPool, col("__n") - 2L))
+    c.join(tch, cond, "left_outer")
+      .withColumn("__n", count(col("__ch")).over(byCid))
+      .withColumn("__rn", row_number().over(ordered))
+      .select(
+        when(col("__n") === 0L, lit(defaultChannel)).otherwise(col("__ch"))
+          .as("channel"),
+        when(col("__n") === 0L, col("__micro")).otherwise(credit)
+          .as("__credit"))
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_credits"),
         coalesce(sum(col("__credit")), lit(0L)).as("credit_micro"))

@@ -108,4 +108,51 @@ object Features {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("tf"))
   }
+
+  /** Weight-of-evidence category encoding + information value — the
+    * credit-scoring-lineage categorical encoder:
+    * `woe(c) = ln( (pos_c + ½)/(POS + ½) ÷ (neg_c + ½)/(NEG + ½) )`
+    * (the ½ is Laplace smoothing so empty cells stay finite), and each
+    * category's IV term `(pos_c/POS − neg_c/NEG) · woe` sums to the
+    * feature's predictive-power score.
+    *
+    * Emits per category: (category, n, n_pos, n_neg, woe, iv_term).
+    *
+    * Determinism: the four counts are exact BIGINTs off one aggregate;
+    * `woe` is ONE `ln` over a fixed-shape ratio, pinned `round(·, 8)`
+    * (the engine-wide libm discipline — BM25/entropy precedent), and
+    * `iv_term` composes the pinned woe with two exact-count divisions,
+    * itself pinned at 8.
+    *
+    * Scale: one map-side-combinable aggregate to O(categories) rows,
+    * then a broadcast 1-row crossJoin for the global totals (the
+    * engine's standard global-scalar application — never a collect). */
+  def woeEncode(
+      df: DataFrame, categoryCol: String, labelPred: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val perCat = df
+      .select(col(categoryCol).as("category"),
+        when(labelPred, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        (count(lit(1)) - sum(col("__y"))).as("n_neg"))
+    val totals = perCat.agg(
+      coalesce(sum(col("n_pos")), lit(0L)).as("__tp"),
+      coalesce(sum(col("n_neg")), lit(0L)).as("__tn"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val woe = round(log(
+      ((d(col("n_pos")) + 0.5) / (d(col("__tp")) + 0.5)) /
+        ((d(col("n_neg")) + 0.5) / (d(col("__tn")) + 0.5))), 8)
+    perCat.crossJoin(broadcast(totals))
+      .withColumn("woe", woe)
+      // a one-class corpus has no finite share difference: NULL, not a
+      // division by zero (ANSI double x/0 throws — engine-wide guard)
+      .withColumn("iv_term",
+        when(col("__tp") === 0L || col("__tn") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (d(col("n_pos")) / d(col("__tp")) -
+              d(col("n_neg")) / d(col("__tn"))) * col("woe"), 8)))
+      .drop("__tp", "__tn")
+  }
 }

@@ -286,4 +286,59 @@ object Funnel {
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         (col("n").cast("double") / col("n_from").cast("double")).as("p"))
   }
+
+  /** Stationary distribution of the [[markovTransitions]] chain by
+    * fixed-point power iteration — "where does user behavior settle?":
+    * π₊₁(j) = Σᵢ (π(i) · n(i,j)) div n_from(i), all BIGINT in units of
+    * 1/q (the [[Graph.pageRank]] fixed-point discipline — float-sum
+    * order can't matter because there are no float sums). Terminal
+    * states (inflow but no outflow) leak mass exactly as pageRank's
+    * dangling nodes do — the simplified formulation, documented;
+    * `iters` is caller-fixed so cost and oracle are deterministic.
+    *
+    * Emits (state, pi_q) for every state. Scale: the transition matrix
+    * aggregate is one windowed pass over O(states²) rows; each round is
+    * one join + one map-side-combinable sum keyed by state —
+    * Pregel-shaped, localCheckpoint per round, no driver data path
+    * beyond the one state count. */
+  def markovStationary(
+      df: DataFrame, userCol: String, tsCol: String, tieCol: String,
+      typeCol: String, iters: Int = 5, q: Long = 1000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(q > 0, s"q must be positive, got $q")
+    val seq = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val ef = df
+      .withColumn("__next", lead(col(typeCol), 1).over(seq))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("__f"), col("__next").as("__t"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__nf",
+        sum(col("__n")).over(Window.partitionBy(col("__f"))))
+      .persist()
+    val states = ef.select(col("__f").as("state"))
+      .unionByName(ef.select(col("__t").as("state"))).distinct().persist()
+    try {
+      val n = states.count()
+      require(n > 0, "markovStationary needs at least one transition")
+      var ckpt = states.withColumn("pi_q", lit(q / n)).localCheckpoint()
+      var pi = ckpt
+      for (_ <- 0 until iters) {
+        val contrib = ef
+          .join(pi.select(col("state").as("__f"), col("pi_q")), "__f")
+          .select(col("__t").as("state"),
+            expr("(pi_q * __n) div __nf").as("__c"))
+          .groupBy("state").agg(sum(col("__c")).as("__acc"))
+        val next = states.join(contrib, Seq("state"), "left_outer")
+          .select(col("state"),
+            coalesce(col("__acc"), lit(0L)).as("pi_q"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
+        ckpt = next
+        pi = next
+      }
+      pi
+    } finally { ef.unpersist(); states.unpersist(); () }
+  }
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval algebra over keyed spans — the variable-length sibling of
+  * gap-based sessionization: each row carries its OWN [start, end]
+  * extent, and overlapping-or-touching extents within a key coalesce
+  * into islands (the classic running-max merge). Sessionize can't
+  * express this: a short event inside a long event's span belongs to
+  * the long one's island regardless of gap-to-predecessor.
+  *
+  * Reference has no interval operator; this is part of the engine's
+  * beyond-reference events surface (SURVEY.md §2.8) — span coverage /
+  * availability / on-air merging for training-data time windows.
+  */
+object Intervals {
+
+  /** Merge overlapping intervals per key. Rows are ordered by
+    * (start, end, id) inside each key; a row OPENS a new island iff its
+    * start exceeds the running max end of all previous rows (strictly —
+    * touching intervals [1,5],[5,9] merge). Emits one row per island:
+    * (keyCols…, island, island_start, island_end, n_intervals,
+    * span_us = island_end − island_start).
+    *
+    * Determinism: the total (start, end, id) order (pass a unique
+    * `idCol`) makes the running max, the island flags, and the island
+    * numbering reproducible in any engine; all values stay exact
+    * BIGINTs.
+    *
+    * Scale: ONE shuffle on the key — both windows and the final
+    * aggregate share the (key) partitioning and (start, end, id) sort,
+    * so Catalyst plans a single exchange+sort; state per key is one
+    * running max. Output is O(islands). */
+  def mergeIntervals(
+      df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String, idCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mergeIntervals needs at least one key column")
+    val key = keyCols.map(col)
+    df.select(key :+ col(startCol).cast("long").as("__s") :+
+        col(endCol).cast("long").as("__e") :+ col(idCol).as("__id"): _*)
+      .withColumn("__pm", max(col("__e")).over(
+        Window.partitionBy(key: _*)
+          .orderBy(col("__s"), col("__e"), col("__id"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__nf",
+        when(col("__pm").isNull || col("__s") > col("__pm"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("__nf")).over(
+        Window.partitionBy(key: _*)
+          .orderBy(col("__s"), col("__e"), col("__id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(key :+ col("island"): _*)
+      .agg(min(col("__s")).as("island_start"),
+        max(col("__e")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .withColumn("span_us", col("island_end") - col("island_start"))
+  }
+
+  /** Per-key coverage rollup over [[mergeIntervals]] output: how much of
+    * the timeline does the key's merged span set actually cover, and how
+    * fragmented is it? Emits per key: (keyCols…, n_intervals, n_islands,
+    * covered_us, max_island_us) — `covered_us` is the union length
+    * (overlap-free by construction). One extra map-side-combinable
+    * aggregate; output O(keys). */
+  def coverage(
+      df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String, idCol: String): DataFrame =
+    mergeIntervals(df, keyCols, startCol, endCol, idCol)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n_intervals")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("span_us")).as("covered_us"),
+        max(col("span_us")).as("max_island_us"))
+}

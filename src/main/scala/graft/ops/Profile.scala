@@ -834,4 +834,108 @@ object Profile {
         .otherwise(se * se / (sea * sea / (col("na") - 1L).cast("double") +
           seb * seb / (col("nb") - 1L).cast("double"))).as("dof"))
   }
+
+  /** Model-calibration curve — [[aucBinned]]'s companion readout: AUC
+    * says the score RANKS well; calibration says the score MEANS what it
+    * claims. Rows are bucketed by quantized score (`scoreQ // binDiv`),
+    * and each bucket reports observed positive rate next to the mean
+    * claimed score — a calibrated model's buckets sit on the diagonal.
+    *
+    * Emits per bucket: (bin, n, n_pos, sum_q, pos_rate, mean_q) where
+    * `mean_q = sum_q / n` is on the quantized-score scale (caller maps
+    * back to the raw scale by dividing by their quantization factor).
+    *
+    * Determinism: counts and the quantized-score sum are exact BIGINTs
+    * off ONE map-side-combinable aggregate; the two divisions are final
+    * fixed-shape floats. Scale: one hash aggregate, output O(bins). */
+  def calibrationBins(
+      df: DataFrame, labelPred: Column, scoreQ: Column,
+      binDiv: Long): DataFrame = {
+    require(binDiv > 0L, s"binDiv must be > 0, got $binDiv")
+    val q = scoreQ.cast("long")
+    df.select(when(labelPred, 1L).otherwise(0L).as("__y"), q.as("__q"))
+      .where(col("__q").isNotNull)
+      .groupBy(((col("__q") - pmod(col("__q"), lit(binDiv))) / binDiv)
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__q")).as("sum_q"))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_q"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        (col("sum_q").cast("double") / col("n").cast("double"))
+          .as("mean_q"))
+  }
+
+  /** Decile lift & cumulative-gain table — the campaign-targeting
+    * readout: sort the population by model score (best first), cut into
+    * `k` equal ranks, and ask of each slice "how much richer in
+    * positives is it than random?" (lift) and "ranked this deep, what
+    * fraction of all positives have I captured?" (cum_capture).
+    *
+    * Rank is the GLOBAL (score DESC, id ASC) position computed columnar
+    * — `repartitionByRange` on the sort key, per-partition window
+    * numbering (full parallelism, never a 1-partition global window),
+    * and an exclusive prefix sum of per-partition counts broadcast back
+    * (#partitions rows of driver traffic, same shape as the
+    * sorted-neighborhood rank). The slice id is `rank·k // n` — pure
+    * arithmetic on the rank, replayable in any engine, no reliance on
+    * `ntile`'s remainder convention.
+    *
+    * Emits per slice: (decile 0-based, n, n_pos, lift, cum_pos,
+    * cum_capture); all counts exact BIGINTs, floats are final
+    * fixed-shape divisions. Requires a unique `idCol` (total order →
+    * deterministic slice membership under score ties).
+    *
+    * Scale: one range shuffle + one small aggregate + one O(k)-row
+    * window; never a global single-partition sort. */
+  def liftDeciles(
+      df: DataFrame, labelPred: Column, scoreCol: Column, idCol: Column,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    val base = df.select(when(labelPred, 1L).otherwise(0L).as("__y"),
+        scoreCol.cast("double").as("__s"), idCol.as("__id"))
+      .where(col("__s").isNotNull)
+    // negate the score so ascending range order = score DESC, id ASC
+    val parted = base.withColumn("__ns", -col("__s"))
+      .repartitionByRange(col("__ns"), col("__id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      val counts = parted.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.map(_._1)
+        .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+      val offDf = parted.sparkSession
+        .createDataFrame(offsets).toDF("__pid", "__off")
+      val ranked = parted.join(broadcast(offDf), "__pid")
+        .withColumn("__rank",
+          col("__off") + row_number().over(
+            Window.partitionBy(col("__pid"))
+              .orderBy(col("__ns"), col("__id"))) - 1L)
+      val slices = ranked
+        .groupBy(((col("__rank") * k) - pmod(col("__rank") * k, lit(n)))
+          .cast("long").divide(lit(n)).cast("long").as("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+      val cum = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      slices
+        .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+        .withColumn("__tot_pos", sum(col("n_pos")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("decile"), col("n"), col("n_pos"),
+          when(col("__tot_pos") === 0L, lit(null).cast("double"))
+            .otherwise((col("n_pos").cast("double") * lit(n.toDouble)) /
+              (col("n").cast("double") * col("__tot_pos").cast("double")))
+            .as("lift"),
+          col("cum_pos"),
+          when(col("__tot_pos") === 0L, lit(null).cast("double"))
+            .otherwise(col("cum_pos").cast("double") /
+              col("__tot_pos").cast("double")).as("cum_capture"))
+        .localCheckpoint()
+    } finally { parted.unpersist(); () }
+  }
 }

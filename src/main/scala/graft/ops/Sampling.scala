@@ -359,4 +359,30 @@ object Sampling {
       element_at(sort_array(means), loRank).as("ci_lo"),
       element_at(sort_array(means), hiRank).as("ci_hi"))
   }
+
+  /** Class-rebalancing negative downsampling — the classic trick for
+    * training on wildly imbalanced labels (CTR, abuse, conversion):
+    * keep EVERY positive, keep a deterministic `keepPct`% hash sample
+    * of the negatives, and attach the importance weight that makes the
+    * downsampled set unbiased (positives weigh 1, survivors weigh
+    * `100/keepPct` — the inverse of their sampling rate).
+    *
+    * Emits the surviving rows as (idCol, y, weight). Determinism: the
+    * same [[hashBucket]] spine as every sampling gate — membership is a
+    * pure function of the id, invariant to partitioning and re-runs;
+    * the weight is ONE fixed-shape division of two integer literals.
+    *
+    * Scale: a row-local filter — no shuffle at all; the scan prunes to
+    * (id, label) columns. */
+  def downsampleNegatives(
+      df: DataFrame, idCol: String, labelPred: Column,
+      keepPct: Int): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100,
+      s"keepPct must be in [1, 100], got $keepPct")
+    df.select(col(idCol), when(labelPred, 1L).otherwise(0L).as("y"))
+      .where(col("y") === 1L || hashBucket(col(idCol)) < keepPct)
+      .withColumn("weight",
+        when(col("y") === 1L, lit(1.0))
+          .otherwise(lit(100.0) / lit(keepPct.toDouble)))
+  }
 }

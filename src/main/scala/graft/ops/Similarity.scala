@@ -1011,4 +1011,48 @@ object Similarity {
       .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
         col("x.cosine").as("cosine"))
   }
+
+  /** Hard-example mining for contrastive/triplet training: for each
+    * anchor, the hardest NEGATIVE (most-similar different-label vector —
+    * the one a margin loss most needs to push away) and the hardest
+    * POSITIVE (least-similar same-label vector — the one it most needs
+    * to pull in). Emits (anchor_id, hard_neg_id, hard_pos_id); anchors
+    * missing either side (single-label corpus) drop via the inner join.
+    *
+    * Determinism: both argmaxes ride the [[graft.functions.Aggregators
+    * .TopK]] k=1 aggregator (Spark's SQL double total order, ties to the
+    * smaller id — bit-compatible with the oracle's `row_number` over
+    * (cos DESC, id) / (cos ASC, id); hardest-positive reuses the same
+    * order on the NEGATED cosine). Only ids ship in the output — the
+    * ann-family discipline that keeps the gate float-compare-free.
+    *
+    * Scale: anchors are broadcast (bounded by `anchorPred` — keep it
+    * selective); ONE corpus scan fans out to |corpus|·|anchors| pairs
+    * that immediately collapse in two map-side-combinable k=1
+    * aggregates — no window shuffle of the pair set, no corpus
+    * self-join. The pair fan-out is the brute-force baseline; at
+    * index scale, feed `emb` through the IVF cell filter first. */
+  def hardMining(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      anchorPred: Column): DataFrame = {
+    val n = emb.select(col(idCol), col(labelCol).as("__lbl"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = n.filter(anchorPred).select(
+      col(idCol).as("anchor_id"), col("__lbl").as("__albl"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = n.join(broadcast(q), col(idCol) =!= col("anchor_id"))
+      .withColumn("__cos",
+        dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    val top1 = udaf(new graft.functions.Aggregators.TopK(1))
+    val neg = pairs.filter(col("__lbl") =!= col("__albl"))
+      .groupBy(col("anchor_id"))
+      .agg(top1(col("__cos"), col(idCol)).as("__t"))
+      .select(col("anchor_id"), col("__t")(0)("id").as("hard_neg_id"))
+    val pos = pairs.filter(col("__lbl") === col("__albl"))
+      .groupBy(col("anchor_id"))
+      .agg(top1(-col("__cos"), col(idCol)).as("__t"))
+      .select(col("anchor_id"), col("__t")(0)("id").as("hard_pos_id"))
+    neg.join(pos, "anchor_id")
+  }
 }

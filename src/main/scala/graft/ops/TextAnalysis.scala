@@ -573,4 +573,40 @@ object TextAnalysis {
         col("registered_domain"), col("path"), col("query_str"),
         col("tld"))
   }
+
+  /** Lexical-diversity profile — TTR and hapax ratio per document, the
+    * quality signals that separate natural prose (rich vocabulary, long
+    * hapax tail) from template/boilerplate/spam text (few types, no
+    * tail). `ttr = types/tokens`, `hapax_ratio = once-words/tokens`.
+    *
+    * Tokens are the engine-wide whitespace split, lowercased, empties
+    * dropped (the [[bigramLogProb]] contract — replayed verbatim by the
+    * oracle's `regexp_split_to_array`). Emits per doc: (id, n_tokens,
+    * n_types, n_hapax, ttr, hapax_ratio); zero-token docs are absent
+    * from the output (explode drops them — the unnest twin), and the
+    * n_tokens=0 guard keeps the divisions ANSI-safe regardless.
+    *
+    * Determinism: all counts exact off one (doc, word) aggregate; the
+    * two divisions are final fixed-shape floats. Scale: explode + two
+    * map-side-combinable hash aggregates keyed by doc — row-local,
+    * no global state, output O(docs). */
+  def lexicalDiversity(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "\\s+"),
+          w => w =!= "")).as("__w"))
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("n_hapax"),
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_types").cast("double") /
+            col("n_tokens").cast("double")).as("ttr"),
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_hapax").cast("double") /
+            col("n_tokens").cast("double")).as("hapax_ratio"))
 }

@@ -640,4 +640,59 @@ object TimeSeries {
         size(col("__l")).cast("long").as("n_win"), col("med"), col("mad"),
         (abs(col(xCol) - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
   }
+
+  /** Kaplan–Meier survival estimator over right-censored durations —
+    * the churn/retention readout that handles "still active" users
+    * honestly: a subject contributes risk up to its observed duration,
+    * and only EVENTS (not censorings) step the curve down.
+    * `S(d) = Π_{d' ≤ d} (1 − events(d') / at_risk(d'))`.
+    *
+    * Input: one row per subject with an integer duration and an event
+    * flag (true = terminal event observed, false = censored). Emits one
+    * row per distinct duration: (duration, n_at_risk, n_events,
+    * n_censored, survival).
+    *
+    * Determinism: at-risk and event counts are exact BIGINTs (suffix
+    * window sums over the distinct-duration rows); the product is
+    * replayed as `exp(Σ ln(1 − d/n))` with each ln term pinned
+    * `round(·, 8)` (the engine libm discipline), summed in ascending
+    * duration order (a sequential running frame — the oracle replays
+    * with a strict list fold), and the final value pinned at 8. A
+    * duration where everyone at risk dies yields survival 0 exactly
+    * (the ln-term NULL guard, never a `ln(0)` engine discrepancy);
+    * later durations cannot exist by construction.
+    *
+    * Scale: one aggregate to O(distinct durations) rows, then windows
+    * OVER THAT AGGREGATE only (hundreds of rows — never a corpus-wide
+    * unpartitioned window); subject-level work is one map-side
+    * combinable groupBy. */
+  def kaplanMeier(
+      subjects: DataFrame, durationCol: String, eventCol: String)
+      : DataFrame = {
+    val perDur = subjects
+      .select(col(durationCol).cast("long").as("duration"),
+        when(col(eventCol), 1L).otherwise(0L).as("__e"))
+      .where(col("duration").isNotNull)
+      .groupBy(col("duration"))
+      .agg(count(lit(1)).as("__n"), sum(col("__e")).as("n_events"))
+    val asc = Window.orderBy(col("duration"))
+    val atRisk = sum(col("__n")).over(
+      Window.orderBy(col("duration"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val term = when(col("n_events") === col("n_at_risk"),
+      lit(null).cast("double"))
+      .otherwise(round(log(lit(1.0) -
+        col("n_events").cast("double") / col("n_at_risk").cast("double")),
+        8))
+    perDur
+      .withColumn("n_at_risk", atRisk)
+      .withColumn("__t", term)
+      .withColumn("survival",
+        when(col("__t").isNull, lit(0.0)).otherwise(
+          round(exp(sum(col("__t")).over(
+            asc.rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+            8)))
+      .select(col("duration"), col("n_at_risk"), col("n_events"),
+        (col("__n") - col("n_events")).as("n_censored"), col("survival"))
+  }
 }

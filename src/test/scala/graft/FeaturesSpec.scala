@@ -74,4 +74,30 @@ class FeaturesSpec extends SparkSpec {
           r.getDouble(2))).sortBy(t => (t._1, t._2)).toSeq
     assert(run(1) == run(13))
   }
+
+  test("woeEncode: smoothed WoE and IV terms from exact counts") {
+    import org.apache.spark.sql.functions._
+    // cat a: 3 pos / 1 neg; cat b: 1 pos / 3 neg → tp=4, tn=4
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),
+      ("b", 1), ("b", 0), ("b", 0), ("b", 0)).toDF("c", "y")
+    val got = Features.woeEncode(df, "c", col("y") === 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val woeA = java.math.BigDecimal.valueOf(math.log((3.5 / 4.5) / (1.5 / 4.5)))
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got("a")._1 == 4L && got("a")._2 == 3L && got("a")._3 == 1L)
+    assert(got("a")._4 == woeA)
+    // symmetric corpus → b's woe is exactly -woe(a), IV terms equal
+    assert(got("b")._4 == -woeA)
+    assert(got("a")._5 == got("b")._5 && got("a")._5 > 0.0)
+  }
+
+  test("woeEncode: one-class corpus yields NULL iv, finite woe") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("a", 1), ("b", 1)).toDF("c", "y")
+    val rows = Features.woeEncode(df, "c", col("y") === 1).collect()
+    assert(rows.forall(r => !r.isNullAt(4))) // smoothing keeps woe finite
+    assert(rows.forall(_.isNullAt(5)))       // no IV without both classes
+  }
 }

@@ -167,4 +167,43 @@ class FunnelSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(t2 == Set(("a", "b")))
   }
+
+  test("markovStationary: two-state chain converges to the exact " +
+    "fixed-point mass ratio") {
+    // chain: a→b always, b→a always → stationary (1/2, 1/2); uniform
+    // init IS the fixed point, so every iterate equals q/2 exactly
+    val ev = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (1L, 4L, 4L, "b"))
+      .toDF("u", "ts", "id", "et")
+    val got = Funnel.markovStationary(ev, "u", "ts", "id", "et",
+      iters = 5, q = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 500000L, "b" -> 500000L))
+  }
+
+  test("markovStationary: absorbing state accumulates the mass") {
+    // a→b, b→b: everything flows into b; a keeps only leaked floor dust
+    val ev = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "b"),
+      (1L, 4L, 4L, "b"),
+      (2L, 1L, 5L, "a"), (2L, 2L, 6L, "b"))
+      .toDF("u", "ts", "id", "et")
+    val got = Funnel.markovStationary(ev, "u", "ts", "id", "et",
+      iters = 5, q = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == 0L)       // no inflow to a after round 1
+    assert(got("b") == 1000000L) // a's initial half arrived intact
+  }
+
+  test("markovStationary: partitioning-invariant (integer fixed point)") {
+    val rng = new scala.util.Random(11)
+    val types = Array("v", "c", "p", "x")
+    val rows = (0 until 400).map(i =>
+      ((i % 23).toLong, i.toLong, i.toLong, types(rng.nextInt(4))))
+    val run = (p: Int) =>
+      Funnel.markovStationary(
+        rows.toDF("u", "ts", "id", "et").repartition(p),
+        "u", "ts", "id", "et")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(run(1) == run(13))
+  }
 }

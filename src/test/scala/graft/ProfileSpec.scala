@@ -378,4 +378,50 @@ class ProfileSpec extends SparkSpec {
     assert(got.values.map(_._3).sum == 5L) //   both null rows dropped
     assert(got((0L, 0L))._1 == 0.0 && got((0L, 0L))._2 == 5.0) // edges
   }
+
+  test("calibrationBins: exact bucket counts, rates, and mean scores") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq[(Option[Double], Int)](
+      (Some(0.05), 0), (Some(0.07), 1),
+      (Some(0.55), 1), (Some(0.52), 1), (Some(0.58), 0),
+      (None, 1))
+      .toDF("score", "y")
+    val got = Profile.calibrationBins(df, col("y") === 1,
+      floor(col("score") * 1000.0), binDiv = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(0L) == ((2L, 1L, 120L, 0.5, 60.0)))
+    assert(got(5L) == ((3L, 2L, 1650L, 2.0 / 3.0, 550.0)))
+    assert(got.size == 2) // null-score row dropped
+  }
+
+  test("liftDeciles: rank-sliced counts, lift, cumulative capture") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 20 rows, scores 20..1 on ids 1..20; positives are the top-5 scores
+    val df = (1 to 20).map(i => (i.toLong, 21.0 - i, if (i <= 5) 1 else 0))
+      .toDF("id", "score", "y")
+    val got = Profile.liftDeciles(df, col("y") === 1, col("score"),
+      col("id")).collect().sortBy(_.getLong(0))
+    assert(got.length == 10 && got.map(_.getLong(1)).forall(_ == 2L))
+    // decile 0 = ids 1,2 (both positive): lift = (2/2)/(5/20) = 4
+    assert(got(0).getLong(2) == 2L && got(0).getDouble(3) == 4.0)
+    // positives exhaust inside decile 2 (ids 5,6 → one positive)
+    assert(got(2).getLong(2) == 1L && got(2).getLong(4) == 5L)
+    assert(got(2).getDouble(5) == 1.0 && got(9).getDouble(5) == 1.0)
+    assert(got.map(_.getLong(2)).sum == 5L)
+  }
+
+  test("liftDeciles: score ties are resolved by the id tie-break") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, 1.0, i % 2)).toDF("id", "s", "y")
+    val got = Profile.liftDeciles(df, col("y") === 1, col("s"), col("id"),
+      k = 5).collect().sortBy(_.getLong(0))
+    // all scores equal → slices are pure id order: (1,2),(3,4)...
+    assert(got.length == 5 && got.map(_.getLong(1)).forall(_ == 2L))
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L, 1L, 1L))
+  }
 }

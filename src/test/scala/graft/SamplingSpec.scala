@@ -254,4 +254,23 @@ class SamplingSpec extends SparkSpec {
     val agree = a.keys.count(k => a(k) == b(k)).toDouble / a.size
     assert(agree < 0.6, s"rounds implausibly correlated: $agree")
   }
+
+  test("downsampleNegatives: all positives kept, negatives hash-sampled " +
+    "with inverse-rate weights") {
+    import org.apache.spark.sql.functions._
+    val df = (0L until 1000L).map(i => (i, i % 50L == 0L))
+      .toDF("id", "pos")
+    val got = Sampling.downsampleNegatives(df, "id", col("pos"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val (pos, neg) = got.partition(_._2 == 1L)
+    assert(pos.length == 20)                      // every positive kept
+    assert(pos.forall(_._3 == 1.0))
+    assert(neg.forall(_._3 == 10.0))              // 100/10
+    assert(neg.length > 50 && neg.length < 150,   // ~10% of 980
+      s"negative survivor count ${neg.length} implausible for 10%")
+    // membership is the hash spine: survivors match sampleByHash exactly
+    val spine = Sampling.sampleByHash(
+      df.filter(!col("pos")), "id", 10).collect().map(_.getLong(0)).toSet
+    assert(neg.map(_._1).toSet == spine)
+  }
 }

@@ -555,4 +555,32 @@ class SimilaritySpec extends SparkSpec {
     val b = kcenter(emb(rows: _*).repartition(13), 6)
     assert(a == b && a.map(_._2).distinct.size == 6)
   }
+
+  test("hardMining: most-similar other-label, least-similar same-label") {
+    import org.apache.spark.sql.functions._
+    // anchor 0 (label 0) at e1; same-label 1 (0.9-ish aligned), 2 (orthogonal-ish)
+    // other-label 3 (nearly aligned = hardest negative), 4 (opposite)
+    val df = Seq(
+      (0L, Seq(1.0, 0.0), 0),
+      (1L, Seq(0.9, 0.1), 0),
+      (2L, Seq(0.1, 0.9), 0),
+      (3L, Seq(0.95, 0.05), 1),
+      (4L, Seq(-1.0, 0.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardMining(df, "vec_id", "embedding", "label",
+      col("vec_id") === 0L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 3L) // hardest negative: closest other-label
+    assert(r.getLong(2) == 2L) // hardest positive: farthest same-label
+  }
+
+  test("hardMining: anchors without an other-label candidate drop") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, Seq(1.0, 0.0), 0), (1L, Seq(0.5, 0.5), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardMining(df, "vec_id", "embedding", "label",
+      col("vec_id") === 0L).count() == 0L)
+  }
 }

@@ -526,4 +526,21 @@ class TextOpsSpec extends SparkSpec {
       docs.repartition(7), "id", "txt")
     assertSameRows(r, again)
   }
+
+  test("lexicalDiversity: TTR and hapax off exact per-word counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat the dog the bird"), // 6 tokens, 4 types, 3 hapax
+      (2L, "A a  B"),                   // lowercased: a a b → hapax b
+      (3L, ""),                         // zero tokens → absent
+      (4L, "x")).toDF("id", "txt")
+    val got = TextAnalysis.lexicalDiversity(docs, "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got(1L) == ((6L, 4L, 3L, 4.0 / 6.0, 0.5)))
+    assert(got(2L) == ((3L, 2L, 1L, 2.0 / 3.0, 1.0 / 3.0)))
+    assert(got(4L) == ((1L, 1L, 1L, 1.0, 1.0)))
+    assert(!got.contains(3L))
+  }
 }

@@ -335,4 +335,35 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
     assert(med == Map(0L -> 2L, 1L -> 2L, 2L -> 4L, 3L -> 4L))
   }
+
+  test("kaplanMeier: textbook risk table with censoring") {
+    import org.apache.spark.sql.functions._
+    // durations: 2(event), 2(event), 3(censored), 5(event), 5(censored)
+    val df = Seq((2L, true), (2L, true), (3L, false), (5L, true),
+      (5L, false)).toDF("dur", "ev")
+    val got = TimeSeries.kaplanMeier(df, "dur", "ev")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // d=2: 5 at risk, 2 events → S = 3/5
+    assert(got(2L)._1 == 5L && got(2L)._2 == 2L)
+    val pin = (x: Double) => java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+    val t2 = pin(math.log(1.0 - 2.0 / 5.0))
+    assert(got(2L)._4 == pin(math.exp(t2)))
+    // d=3: 3 at risk, 0 events, 1 censored → curve flat
+    assert(got(3L) == ((3L, 0L, 1L, got(2L)._4)))
+    // d=5: 2 at risk, 1 event, 1 censored → S drops by factor 1/2
+    val t5 = pin(math.log(1.0 - 1.0 / 2.0))
+    assert(got(5L)._1 == 2L && got(5L)._2 == 1L && got(5L)._3 == 1L)
+    assert(got(5L)._4 == pin(math.exp(t2 + 0.0 + t5)))
+  }
+
+  test("kaplanMeier: everyone-dies terminal step hits exactly zero") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, true), (4L, true), (4L, true)).toDF("dur", "ev")
+    val got = TimeSeries.kaplanMeier(df, "dur", "ev")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got(4L) == 0.0)
+    assert(got(1L) > 0.0 && got(1L) < 1.0)
+  }
 }
