@@ -1019,6 +1019,35 @@ object SparkEntry {
         pmod(col("user_id"), lit(2L)) === 0L,
         col("event_type") === "purchase")),
 
+    // ---- A/B guardrail: sample-ratio mismatch over distinct units —
+    //      the validity check that must pass before any readout ----
+    "q_abtest_srm" -> ((s, dir) =>
+      graft.ops.Profile.srmCheck(
+        t(s, dir, "events").select(col("user_id")).distinct(),
+        pmod(col("user_id"), lit(2L)) === 0L)),
+
+    // ---- A/B variance reduction: CUPED-adjusted per-arm means using
+    //      the pre-period spend as covariate (exact cent moments,
+    //      fixed-shape θ and adjusted means) ----
+    "q_abtest_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("us"),
+        coalesce(floor(col("value") * 100.0).cast("long"), lit(0L))
+          .as("__c"))
+      val bounds = ev.agg(min(col("us")).as("__mn"), max(col("us")).as("__mx"))
+      val units = ev.crossJoin(broadcast(bounds))
+        .withColumn("__mid", expr("(__mn + __mx) div 2"))
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("us") <= col("__mid"), col("__c"))),
+            lit(0L)).as("x"),
+          coalesce(sum(when(col("us") > col("__mid"), col("__c"))),
+            lit(0L)).as("y"))
+        .withColumn("arm",
+          when(pmod(col("user_id"), lit(2L)) === 0L, "A").otherwise("B"))
+      graft.ops.Profile.cupedAdjust(units, "arm", "x", "y", scale = 100L)
+    }),
+
     // ---- Distribution shift: binned two-sample KS statistic (click vs
     //      view value distributions) — exact integer numerator, ONE
     //      division, earliest-bin tie-break ----
@@ -1293,6 +1322,20 @@ object SparkEntry {
           expr("ts div 1000").as("us"), col("event_id"),
           col("event_type")),
         "user_id", "us", "event_id", "event_type")),
+
+    // ---- Time series: seasonal-naive backtest with MASE — the
+    //      baseline every forecast must beat (exact integer MAEs,
+    //      one fixed-shape division chain) ----
+    "ts_snaive_mase" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 3600000000000").as("h"),
+          coalesce(floor(col("value") * 100.0).cast("long"), lit(0L))
+            .as("__c"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(sum(col("__c")).as("vq"))
+      graft.ops.TimeSeries.seasonalNaiveBacktest(hourly,
+        "event_type", "h", "vq", seasonLag = 168L, testLen = 24L)
+    }),
 
     // ---- Time series: Holt linear-trend smoothing over the hourly
     //      series (level + trend state, 3-step forecast) — ONE strict
@@ -5603,6 +5646,72 @@ object SparkEntry {
           s"CASE WHEN n_a = 0 OR n_b = 0 OR $den <= 0.0 THEN NULL " +
           s"ELSE ($pa - $pb) / $den END AS z FROM c"
       },
+      "q_abtest_srm" ->
+        ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+          "c AS (SELECT CAST(coalesce(sum(CASE WHEN ((user_id % 2) + 2) " +
+          "% 2 = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a, " +
+          "CAST(coalesce(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0 " +
+          "THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_b FROM u) " +
+          "SELECT n_a, n_b, CASE WHEN n_a + n_b = 0 THEN NULL ELSE " +
+          "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / " +
+          "CAST(n_a + n_b AS DOUBLE) END AS chi2 FROM c"),
+      "q_abtest_cuped" -> {
+        val my = "CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0"
+        val mxx = "CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0"
+        val gx = "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0"
+        val den = "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx"
+        val num = "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy"
+        "WITH ev AS (SELECT user_id, epoch_us(ts) AS us, " +
+          "coalesce(CAST(floor(value * 100.0) AS BIGINT), 0) AS c " +
+          "FROM events), " +
+          "bd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev), " +
+          "un AS (SELECT user_id, " +
+          "CAST(coalesce(sum(CASE WHEN us <= (SELECT mid FROM bd) " +
+          "THEN c END), 0) AS BIGINT) AS x, " +
+          "CAST(coalesce(sum(CASE WHEN us > (SELECT mid FROM bd) " +
+          "THEN c END), 0) AS BIGINT) AS y FROM ev GROUP BY user_id), " +
+          "ar AS (SELECT CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 'A' " +
+          "ELSE 'B' END AS arm, x, y FROM un), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+          "sum(CAST(x AS HUGEINT) * y) AS sxy, " +
+          "sum(CAST(x AS HUGEINT) * x) AS sxx FROM ar), " +
+          "g AS (SELECT arm, CAST(count(*) AS BIGINT) AS na, " +
+          "CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya " +
+          "FROM ar GROUP BY arm), " +
+          s"t2 AS (SELECT arm, na, sxa, sya, sx, n, CASE WHEN $den = 0 " +
+          s"THEN NULL ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) " +
+          "END AS theta FROM g, m) " +
+          s"SELECT arm, na AS n, $mxx AS mean_x, $my AS mean_y, theta, " +
+          s"CASE WHEN theta IS NULL THEN $my ELSE $my - theta * " +
+          s"($mxx - $gx) END AS adj_mean FROM t2"
+      },
+      "ts_snaive_mase" ->
+        ("WITH hr AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, " +
+          "coalesce(CAST(floor(value * 100.0) AS BIGINT), 0) AS c " +
+          "FROM events), " +
+          "g AS (SELECT event_type, h, CAST(sum(c) AS BIGINT) AS vq " +
+          "FROM hr GROUP BY 1, 2), " +
+          "mx AS (SELECT max(h) AS m FROM g), " +
+          "b AS (SELECT g.*, (h > (SELECT m FROM mx) - 24) AS ist FROM g), " +
+          "tst AS (SELECT event_type, h, vq FROM b WHERE ist), " +
+          "hist AS (SELECT event_type, h, vq FROM b WHERE NOT ist), " +
+          "fc AS (SELECT t2.event_type, abs(t2.vq - f.vq) AS e " +
+          "FROM tst t2 JOIN hist f ON f.event_type = t2.event_type " +
+          "AND f.h + 168 = t2.h), " +
+          "er AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_test, " +
+          "CAST(sum(e) AS BIGINT) AS sum_abs_err_q FROM fc GROUP BY 1), " +
+          "nv AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_naive, " +
+          "CAST(sum(d) AS BIGINT) AS sum_naive_q FROM (" +
+          "SELECT event_type, abs(vq - lag(vq) OVER (" +
+          "PARTITION BY event_type ORDER BY h)) AS d FROM hist) " +
+          "WHERE d IS NOT NULL GROUP BY 1) " +
+          "SELECT er.event_type, n_test, sum_abs_err_q, n_naive, " +
+          "sum_naive_q, CASE WHEN n_test = 0 OR n_naive = 0 " +
+          "OR sum_naive_q = 0 THEN NULL ELSE " +
+          "(CAST(sum_abs_err_q AS DOUBLE) / CAST(n_test AS DOUBLE)) / " +
+          "(CAST(sum_naive_q AS DOUBLE) / CAST(n_naive AS DOUBLE)) END " +
+          "AS mase FROM er JOIN nv USING (event_type)"),
       "q_ks_test" ->
         ("WITH b AS (SELECT CASE WHEN event_type = 'click' THEN 1 " +
           "ELSE 0 END AS a, CAST(floor(value * 16.0) AS BIGINT) AS q " +

@@ -835,6 +835,77 @@ object Profile {
           seb * seb / (col("nb") - 1L).cast("double"))).as("dof"))
   }
 
+  /** CUPED variance reduction for A/B readouts — the standard
+    * experimentation trick: shrink each arm's metric by the part a
+    * PRE-experiment covariate already explains,
+    * `adj = mean(Y) − θ·(mean(X) − mean(X_all))` with
+    * `θ = cov(X,Y)/var(X)`, cutting variance by the squared X–Y
+    * correlation without biasing the contrast.
+    *
+    * Input: one row per experimental unit with a string arm label and
+    * INTEGER-QUANTIZED covariate/metric columns (e.g. cents — the
+    * engine's money discipline). Emits per arm: (arm, n, mean_x,
+    * mean_y, theta, adj_mean); `theta` (shared by all arms) is NULL
+    * when var(X) = 0, in which case `adj_mean` falls back to the plain
+    * mean.
+    *
+    * Determinism: all five moments (n, Σx, Σy, Σxy, Σx²) are exact —
+    * per-row products stay in BIGINT (quantized inputs keep them far
+    * from overflow; at 10⁷-unit per-unit totals the product is 10¹⁴ of
+    * 9.2·10¹⁸), accumulated as DECIMAL(38,0); θ and the adjusted means
+    * are final fixed-shape float expressions over them (the Welch-t
+    * discipline). Scale: two map-side-combinable aggregates (global
+    * moments, per-arm sums) + a broadcast 1-row crossJoin. */
+  def cupedAdjust(
+      units: DataFrame, armCol: String, xCol: String, yCol: String,
+      scale: Long): DataFrame = {
+    require(scale > 0L, s"scale must be positive, got $scale")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val u = units.select(col(armCol).as("arm"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val m = u.agg(count(lit(1)).as("__n"),
+      coalesce(sum(col("__x")), lit(0L)).as("__sx"),
+      coalesce(sum(col("__y")), lit(0L)).as("__sy"),
+      coalesce(sum(d38(col("__x") * col("__y"))), d38(lit(0L))).as("__sxy"),
+      coalesce(sum(d38(col("__x") * col("__x"))), d38(lit(0L))).as("__sxx"))
+    val num = d38(col("__n")) * col("__sxy") - d38(col("__sx")) * d38(col("__sy"))
+    val den = d38(col("__n")) * col("__sxx") - d38(col("__sx")) * d38(col("__sx"))
+    val theta = when(den === d38(lit(0L)), lit(null).cast("double"))
+      .otherwise(dd(num) / dd(den))
+    val s = lit(scale.toDouble)
+    val meanY = dd(col("__sya")) / dd(col("__na")) / s
+    val meanX = dd(col("__sxa")) / dd(col("__na")) / s
+    val gx = dd(col("__sx")) / dd(col("__n")) / s
+    u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("__na"),
+        coalesce(sum(col("__x")), lit(0L)).as("__sxa"),
+        coalesce(sum(col("__y")), lit(0L)).as("__sya"))
+      .crossJoin(broadcast(m))
+      .withColumn("theta", theta)
+      .select(col("arm"), col("__na").as("n"),
+        meanX.as("mean_x"), meanY.as("mean_y"), col("theta"),
+        when(col("theta").isNull, meanY)
+          .otherwise(meanY - col("theta") * (meanX - gx)).as("adj_mean"))
+  }
+
+  /** Sample-ratio-mismatch guardrail — the first thing to check before
+    * reading ANY experiment: does the realized arm split match the
+    * design? Emits one row: (n_a, n_b, chi2) for an expected 50/50
+    * split, `chi2 = (n_a − n_b)² / (n_a + n_b)` (the 1-dof identity —
+    * exact integer numerator, ONE division). An SRM chi2 over ~3.84
+    * means the assignment itself is broken and the readout is void. */
+  def srmCheck(df: DataFrame, variantA: Column): DataFrame = {
+    val one = df.agg(
+      coalesce(sum(when(variantA, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(variantA, 0L).otherwise(1L)), lit(0L)).as("n_b"))
+    val diff = col("n_a") - col("n_b")
+    one.select(col("n_a"), col("n_b"),
+      when(col("n_a") + col("n_b") === 0L, lit(null).cast("double"))
+        .otherwise((diff * diff).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")).as("chi2"))
+  }
+
   /** Model-calibration curve — [[aucBinned]]'s companion readout: AUC
     * says the score RANKS well; calibration says the score MEANS what it
     * claims. Rows are bucketed by quantized score (`scoreQ // binDiv`),

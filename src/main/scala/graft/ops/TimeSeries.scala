@@ -641,6 +641,67 @@ object TimeSeries {
         (abs(col(xCol) - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
   }
 
+  /** Seasonal-naive forecast backtest with MASE — the honest first
+    * baseline every forecasting pipeline must beat: predict each test
+    * bucket by the value one season earlier (`t − seasonLag`), score
+    * MAE against actuals, and normalize by the in-sample one-step naive
+    * MAE (MASE, Hyndman's scale-free standard — MASE < 1 beats naive).
+    *
+    * Input: a keyed integer series (key, t, vq) with quantized values
+    * on an integer time grid. The last `testLen` buckets (by the GLOBAL
+    * max t — one broadcast scalar) are the test window; a test bucket
+    * scores only if `t − seasonLag` exists (inner join — gappy grids
+    * drop, counted by `n_test`). The naive denominator is
+    * |vq − lag(vq)| over the train window's EXISTING buckets in t-order
+    * (the gap-tolerant convention, deterministic and documented).
+    *
+    * Emits per key: (key, n_test, sum_abs_err_q, n_naive,
+    * sum_naive_q, mase) — sums exact BIGINTs, `mase =
+    * (sum_err/n_test)/(sum_naive/n_naive)` one fixed-shape float, NULL
+    * when either side is empty or the naive MAE is 0.
+    *
+    * Scale: one hash aggregate to the bucket grid, one keyed equi-join
+    * (t → t − seasonLag, never a range join), one keyed window, two
+    * rollups — all shuffles on the series key. */
+  def seasonalNaiveBacktest(
+      series: DataFrame, keyCol: String, tCol: String, vCol: String,
+      seasonLag: Long, testLen: Long): DataFrame = {
+    require(seasonLag > 0L, s"seasonLag must be > 0, got $seasonLag")
+    require(testLen > 0L, s"testLen must be > 0, got $testLen")
+    val base = series.select(col(keyCol).as("__k"),
+      col(tCol).cast("long").as("__t"), col(vCol).cast("long").as("__v"))
+    val mx = base.agg(max(col("__t")).as("__mx"))
+    val b = base.crossJoin(broadcast(mx))
+      .withColumn("__isTest", col("__t") > col("__mx") - testLen)
+    val test = b.filter(col("__isTest"))
+      .select(col("__k"), col("__t"), col("__v"))
+    val hist = b.filter(!col("__isTest"))
+    val fc = test.as("a").join(
+      hist.select(col("__k"), (col("__t") + seasonLag).as("__t"),
+        col("__v").as("__f")).as("f"),
+      Seq("__k", "__t"))
+    val errs = fc.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(abs(col("__v") - col("__f"))).as("sum_abs_err_q"))
+    val seq = Window.partitionBy(col("__k")).orderBy(col("__t"))
+    val naive = hist
+      .withColumn("__p", lag(col("__v"), 1).over(seq))
+      .filter(col("__p").isNotNull)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_naive"),
+        sum(abs(col("__v") - col("__p"))).as("sum_naive_q"))
+    errs.join(naive, Seq("__k"))
+      .select(col("__k").as(keyCol), col("n_test"), col("sum_abs_err_q"),
+        col("n_naive"), col("sum_naive_q"),
+        when(col("n_test") === 0L || col("n_naive") === 0L ||
+          col("sum_naive_q") === 0L, lit(null).cast("double"))
+          .otherwise(
+            (col("sum_abs_err_q").cast("double") /
+              col("n_test").cast("double")) /
+              (col("sum_naive_q").cast("double") /
+                col("n_naive").cast("double"))).as("mase"))
+  }
+
   /** Kaplan–Meier survival estimator over right-censored durations —
     * the churn/retention readout that handles "still active" users
     * honestly: a subject contributes risk up to its observed duration,

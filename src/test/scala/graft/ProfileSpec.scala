@@ -424,4 +424,40 @@ class ProfileSpec extends SparkSpec {
     assert(got.length == 5 && got.map(_.getLong(1)).forall(_ == 2L))
     assert(got.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L, 1L, 1L))
   }
+
+  test("cupedAdjust: a perfectly predictive covariate equalizes arms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // y = 2x exactly → θ = 2 and the adjusted means collapse to the
+    // same value even though the raw arm means differ wildly
+    val units = Seq(("A", 10L, 20L), ("A", 20L, 40L),
+      ("B", 30L, 60L), ("B", 40L, 80L)).toDF("arm", "x", "y")
+    val got = Profile.cupedAdjust(units, "arm", "x", "y", scale = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("A") == ((2L, 15.0, 30.0, 2.0, 50.0)))
+    assert(got("B") == ((2L, 35.0, 70.0, 2.0, 50.0)))
+  }
+
+  test("cupedAdjust: zero-variance covariate degrades to plain means") {
+    import spark.implicits._
+    val units = Seq(("A", 5L, 10L), ("B", 5L, 30L)).toDF("arm", "x", "y")
+    val got = Profile.cupedAdjust(units, "arm", "x", "y", scale = 1L)
+      .collect().map(r => r.getString(0) -> ((r.isNullAt(4), r.getDouble(5))))
+      .toMap
+    assert(got("A") == ((true, 10.0)) && got("B") == ((true, 30.0)))
+  }
+
+  test("srmCheck: exact counts, 1-dof chi-square identity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 100L).toDF("id") // 50 even / 50 odd → chi2 = 0
+    val r = Profile.srmCheck(df, col("id") % 2 === 0).collect().head
+    assert(r.getLong(0) == 50L && r.getLong(1) == 50L && r.getDouble(2) == 0.0)
+    val skew = (1L to 90L).map(i => i -> (i <= 60L)).toDF("id", "a")
+    val r2 = Profile.srmCheck(skew, col("a")).collect().head
+    // (60-30)^2 / 90 = 10 — far past 3.84: broken assignment
+    assert(r2.getDouble(2) == 10.0)
+  }
 }

@@ -358,6 +358,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(5L)._4 == pin(math.exp(t2 + 0.0 + t5)))
   }
 
+  test("seasonalNaiveBacktest: exact MAEs and the MASE ratio") {
+    import spark.implicits._
+    // season = 2, test = last 2 buckets; forecast(7)=v(5), forecast(8)=v(6)
+    val s = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 10L),
+      ("g", 4L, 20L), ("g", 5L, 10L), ("g", 6L, 20L),
+      ("g", 7L, 12L), ("g", 8L, 25L)).toDF("k", "t", "v")
+    val r = TimeSeries.seasonalNaiveBacktest(s, "k", "t", "v",
+      seasonLag = 2L, testLen = 2L).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 7L)   // |12-10| + |25-20|
+    assert(r.getLong(3) == 5L && r.getLong(4) == 50L)  // five |±10| steps
+    assert(r.getDouble(5) == (7.0 / 2.0) / (50.0 / 5.0)) // 0.35
+  }
+
+  test("seasonalNaiveBacktest: gappy grids drop unmatched test buckets") {
+    import spark.implicits._
+    // t=9 has no t=7 ancestor (7 missing) → only t=8 scores
+    val s = Seq(("g", 1L, 5L), ("g", 2L, 6L), ("g", 4L, 8L),
+      ("g", 6L, 9L), ("g", 8L, 7L), ("g", 9L, 1L)).toDF("k", "t", "v")
+    val r = TimeSeries.seasonalNaiveBacktest(s, "k", "t", "v",
+      seasonLag = 2L, testLen = 2L).collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 2L) // |7 - v(6)=9| = 2
+  }
+
   test("kaplanMeier: everyone-dies terminal step hits exactly zero") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, true), (4L, true), (4L, true)).toDF("dur", "ev")
