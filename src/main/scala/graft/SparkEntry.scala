@@ -2340,6 +2340,19 @@ object SparkEntry {
       graft.ops.Graph.triangleCount(pairs, "a", "b")
     }),
 
+    // ---- Graph: per-node local clustering coefficient — the
+    //      normalized triangle readout (neighbor-pair closure rate) ----
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.localClustering(pairs, "a", "b")
+    }),
+
     // ---- Graph: common-neighbor link prediction — Jaccard-scored
     //      2-hop pairs not already connected (missing-edge repair /
     //      related-entity suggestion) on the part co-occurrence graph ----
@@ -6122,6 +6135,27 @@ object SparkEntry {
           "SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (" +
           "SELECT u AS node FROM tri UNION ALL SELECT x FROM tri " +
           "UNION ALL SELECT y FROM tri) GROUP BY node"),
+      "graph_clustering_coeff" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e AS (SELECT a AS src FROM ce UNION ALL SELECT b FROM ce), " +
+          "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) " +
+          "AS degree FROM e GROUP BY 1), " +
+          "tri AS (SELECT e1.a AS u, e1.b AS x, e2.b AS y FROM ce e1 " +
+          "JOIN ce e2 ON e2.a = e1.a AND e1.b < e2.b " +
+          "JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+          "tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (" +
+          "SELECT u AS node FROM tri UNION ALL SELECT x FROM tri " +
+          "UNION ALL SELECT y FROM tri) GROUP BY node) " +
+          "SELECT d.node, d.degree, " +
+          "CAST(coalesce(tc.tri_cnt, 0) AS BIGINT) AS tri_cnt, " +
+          "CASE WHEN d.degree < 2 THEN NULL ELSE " +
+          "CAST(2 * coalesce(tc.tri_cnt, 0) AS DOUBLE) / " +
+          "CAST(d.degree * (d.degree - 1) AS DOUBLE) END AS lcc " +
+          "FROM deg d LEFT JOIN tc ON tc.node = d.node"),
       "graph_assortativity" ->
         ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
           "FROM lineitem WHERE l_partkey % 4 = 0), " +

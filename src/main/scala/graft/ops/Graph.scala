@@ -220,6 +220,41 @@ object Graph {
     }
   }
 
+  /** Per-node local clustering coefficient — [[triangleCount]]'s
+    * normalized readout: `lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`,
+    * the fraction of a node's neighbor pairs that are themselves
+    * connected (community tightness / spam-farm detection; degree-1
+    * nodes have no neighbor pair, so their lcc is NULL).
+    *
+    * Emits (node, degree, tri_cnt, lcc) for every node of the
+    * undirected simple graph. Exactness: degree and triangle counts
+    * are exact BIGINTs; lcc is ONE fixed-shape float division.
+    *
+    * Scale: triangle side is the same degree-ordered O(E^1.5) wedge
+    * join as [[triangleCount]]; degrees are one map-side-combinable
+    * aggregate; the combine is a keyed left join (triangle-free nodes
+    * coalesce to 0). */
+  def localClustering(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).persist()
+    try {
+      val und = raw
+        .unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") < col("b")).distinct()
+      val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val tri = triangleCount(und, "a", "b")
+      deg.join(tri, Seq("node"), "left_outer")
+        .select(col("node"), col("degree"),
+          coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+        .withColumn("lcc",
+          when(col("degree") < 2L, lit(null).cast("double"))
+            .otherwise((lit(2L) * col("tri_cnt")).cast("double") /
+              (col("degree") * (col("degree") - 1L)).cast("double")))
+    } finally { raw.unpersist(); () }
+  }
+
   /** Graph shape profile — the pre-flight before any iterative graph
     * op: node/edge counts, degree extremes, mean degree, and the
     * discrete power-law MLE exponent

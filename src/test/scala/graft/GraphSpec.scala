@@ -397,4 +397,21 @@ class GraphSpec extends SparkSpec {
       edges.repartition(13), "s", "d", 2L)
     assertSameRows(a, b)
   }
+
+  test("localClustering: closure rate per node, NULL under degree 2") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 hanging off 3, isolated pair 5-6
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("s", "d")
+    val got = graft.ops.Graph.localClustering(edges, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(1L) == ((2L, 1L, Some(1.0))))
+    assert(got(2L) == ((2L, 1L, Some(1.0))))
+    // node 3: degree 3, one closed pair of three → 2·1/(3·2) = 1/3
+    assert(got(3L) == ((3L, 1L, Some(1.0 / 3.0))))
+    assert(got(4L) == ((1L, 0L, None)))
+    assert(got(5L) == ((1L, 0L, None)) && got(6L) == ((1L, 0L, None)))
+  }
 }
