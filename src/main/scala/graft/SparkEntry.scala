@@ -2028,6 +2028,13 @@ object SparkEntry {
       NearDup.lshCandidatePairs(
         t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3, r = 2)),
 
+    // ---- LLM pipeline: LSH blocking-quality pre-flight — block sizes,
+    //      comparison count, skew hazard, reduction ratio vs all-pairs
+    //      (tune m/r BEFORE paying for the candidate join) ----
+    "dedup_blocking_stats" -> ((s, dir) =>
+      NearDup.blockingStats(
+        t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3, r = 2)),
+
     // ---- Custom UDAF: bounded top-k aggregator (O(groups*k) shuffle) ----
     "q_topk_agg" -> ((s, dir) => {
       val topk = udaf(new graft.functions.Aggregators.TopK(3))
@@ -3073,6 +3080,36 @@ object SparkEntry {
       Similarity.hardMining(
         t(s, dir, "embeddings"), "vec_id", "embedding", "label",
         pmod(col("vec_id"), lit(199L)) === 0L)),
+
+    // ---- LLM pipeline: coreset coverage audit — per-corpus-row best
+    //      cosine to the broadcast sample, quantized to exact integer
+    //      units before summing (no float-sum order dependence) ----
+    "emb_coverage" -> ((s, dir) =>
+      Similarity.sampleCoverage(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        pmod(col("vec_id"), lit(97L)) === 0L)),
+
+    // ---- LLM pipeline: Matryoshka truncation eval — recall@k of the
+    //      16-dim prefix against the full-dim brute-force truth (can
+    //      we serve from the cheap prefix index?) ----
+    "ann_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val trunc = Similarity.bruteForceTopK(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), 1, 16).as("embedding")),
+          "vec_id", "embedding", col("vec_id") < 10, k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      exact.join(trunc, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+        .select(col("query_id"), col("k"), col("n_hit"),
+          (col("n_hit").cast("double") / col("k").cast("double"))
+            .as("recall"))
+    }),
 
     // ---- LLM pipeline: ANN quality evaluation — recall@k of the LSH
     //      path against the brute-force truth, the number an index is
@@ -4186,6 +4223,27 @@ object SparkEntry {
         "(PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn " +
         "FROM events) WHERE rn <= 3"
 
+    val blockingStatsSql = {
+      val sigCols = (0 until 8).map(j =>
+        s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
+      s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
+        s"sig AS (SELECT doc_id, $sigCols FROM sh_t), " +
+        s"banded AS (${OracleSql.lshBanded("doc_id", 8, 2)}), " +
+        "blk AS (SELECT band, key, CAST(count(*) AS BIGINT) AS c " +
+        "FROM banded GROUP BY 1, 2), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks, " +
+        "CAST(coalesce(sum(c), 0) AS BIGINT) AS n_assignments, " +
+        "CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT) AS sum_pairs, " +
+        "CAST(coalesce(max(c), 0) AS BIGINT) AS max_block FROM blk) " +
+        "SELECT n_blocks, n_assignments, sum_pairs, max_block, " +
+        "nd.n AS n_docs, CASE WHEN nd.n < 2 THEN NULL ELSE " +
+        "1.0 - CAST(sum_pairs AS DOUBLE) / (CAST(nd.n AS DOUBLE) * " +
+        "CAST(nd.n - 1 AS DOUBLE) / 2.0) END AS reduction_ratio " +
+        "FROM m, nd"
+    }
+
     val minhashByLang = {
       val sigCols = (0 until 4).map(j =>
         s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
@@ -4843,6 +4901,7 @@ object SparkEntry {
       "q_topk_agg" -> topkAggSql,
       "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
+      "dedup_blocking_stats" -> blockingStatsSql,
       // The streaming self-join must surface EXACTLY the batch LSH pairs
       // whose synthesized event times (doc_id seconds) fall within the
       // 1-hour join window.
@@ -5341,6 +5400,59 @@ object SparkEntry {
           "pos.vec_id AS hard_pos_id FROM neg " +
           "JOIN pos ON neg.anchor_id = pos.anchor_id " +
           "WHERE neg.rn = 1 AND pos.rn = 1"),
+      "emb_coverage" ->
+        // Per-row best cosine is a float MAX (exact, order-free); the
+        // floor-quantized sum is then pure integer arithmetic.
+        ("WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+          "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+          "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+          "q AS (SELECT vec_id AS sid, v AS qv, nrm AS qn FROM n " +
+          "WHERE vec_id % 97 = 0), " +
+          "b AS (SELECT n.vec_id, CAST(floor(max(" +
+          "list_inner_product(n.v, q.qv) / (n.nrm * q.qn)) * 1.0e8) " +
+          "AS BIGINT) AS bq FROM n, q GROUP BY n.vec_id), " +
+          "c AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM q) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+          "(SELECT ns FROM c) AS n_sample, " +
+          "CAST(coalesce(sum(bq), 0) AS BIGINT) AS sum_cover_q, " +
+          "min(bq) AS min_cover_q, " +
+          "CASE WHEN count(*) = 0 THEN NULL ELSE " +
+          "CAST(coalesce(sum(bq), 0) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE) / 1.0e8 END AS mean_cover FROM b"),
+      "ann_matryoshka_recall" ->
+        // Two brute-force chains (full-dim truth, 16-dim prefix) and a
+        // per-query overlap count — ids and exact ints only.
+        ("WITH nf AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+          "FROM embeddings), " +
+          "na AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) " +
+          "AS nrm FROM nf), " +
+          "qa AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM na " +
+          "WHERE vec_id < 10), " +
+          "pa AS (SELECT q.query_id, n.vec_id, " +
+          "list_inner_product(n.v, q.qv) / (n.nrm * q.qn) AS cos " +
+          "FROM na n, qa q WHERE n.vec_id <> q.query_id), " +
+          "ex AS (SELECT query_id, vec_id AS neighbor_id FROM (" +
+          "SELECT query_id, vec_id, row_number() OVER (" +
+          "PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank " +
+          "FROM pa) WHERE rank <= 10), " +
+          "tf AS (SELECT vec_id, v[1:16] AS v FROM nf), " +
+          "nb AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) " +
+          "AS nrm FROM tf), " +
+          "qb AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nb " +
+          "WHERE vec_id < 10), " +
+          "pb AS (SELECT q.query_id, n.vec_id, " +
+          "list_inner_product(n.v, q.qv) / (n.nrm * q.qn) AS cos " +
+          "FROM nb n, qb q WHERE n.vec_id <> q.query_id), " +
+          "ap AS (SELECT query_id, vec_id AS neighbor_id, 1 AS hit FROM (" +
+          "SELECT query_id, vec_id, row_number() OVER (" +
+          "PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank " +
+          "FROM pb) WHERE rank <= 10) " +
+          "SELECT ex.query_id, CAST(count(*) AS BIGINT) AS k, " +
+          "CAST(coalesce(sum(ap.hit), 0) AS BIGINT) AS n_hit, " +
+          "CAST(coalesce(sum(ap.hit), 0) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE) AS recall FROM ex " +
+          "LEFT JOIN ap ON ap.query_id = ex.query_id " +
+          "AND ap.neighbor_id = ex.neighbor_id GROUP BY ex.query_id"),
       "q_anova" -> {
         val q = "1048576.0"
         val qx = s"CAST(floor(value * $q) AS HUGEINT)"

@@ -561,4 +561,38 @@ object NearDup {
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Blocking-quality pre-flight over the LSH band index — the numbers
+    * you tune (m, r) by BEFORE paying for a candidate join: how many
+    * blocks, how many candidate COMPARISONS they will generate
+    * (`Σ c·(c−1)/2` over block sizes — pairs sharing several bands count
+    * once per band, because each one is a real comparison the verify
+    * stage pays for), the biggest block (the skew hazard), and the
+    * reduction ratio vs the all-pairs N·(N−1)/2 baseline.
+    *
+    * Emits one row: (n_blocks, n_assignments, sum_pairs, max_block,
+    * n_docs, reduction_ratio). Counts exact BIGINTs off the block-size
+    * aggregate; the ratio is the single final float (NULL under 2
+    * docs). Scale: one hash aggregate over the band index to O(blocks)
+    * rows, one O(blocks) rollup, one broadcast 1-row crossJoin —
+    * strictly cheaper than the join it predicts. */
+  def blockingStats(
+      docs: DataFrame, idCol: String, textCol: String,
+      m: Int = 8, n: Int = 3, r: Int = 2): DataFrame = {
+    val blk = lshBandIndex(docs, idCol, textCol, m, n, r)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("__c"))
+    val mtr = blk.agg(count(lit(1)).as("n_blocks"),
+      coalesce(sum(col("__c")), lit(0L)).as("n_assignments"),
+      coalesce(sum(expr("__c * (__c - 1) div 2")), lit(0L)).as("sum_pairs"),
+      coalesce(max(col("__c")), lit(0L)).as("max_block"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    mtr.crossJoin(broadcast(nd))
+      .select(col("n_blocks"), col("n_assignments"), col("sum_pairs"),
+        col("max_block"), col("n_docs"),
+        when(col("n_docs") < 2L, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("sum_pairs").cast("double") /
+            (col("n_docs").cast("double") *
+              (col("n_docs") - 1L).cast("double") / lit(2.0)))
+          .as("reduction_ratio"))
+  }
 }

@@ -1055,4 +1055,49 @@ object Similarity {
       .select(col("anchor_id"), col("__t")(0)("id").as("hard_pos_id"))
     neg.join(pos, "anchor_id")
   }
+
+  /** Coverage audit of a coreset/sample against the corpus — the
+    * facility-location read on "does my k-center / random sample
+    * actually represent the data?": for EVERY corpus vector, the best
+    * cosine to any sample vector, rolled up as mean and worst-case
+    * coverage. Sample members self-match at cos 1 (the standard
+    * convention — they are covered by definition).
+    *
+    * Emits one row: (n_rows, n_sample, sum_cover_q, min_cover_q,
+    * mean_cover) with per-row best-cosine QUANTIZED to 1e-8 units
+    * (`floor(max_cos · 1e8)` — strict-fold cosines are bit-identical
+    * cross-engine, so the floor is stable, and the SUM is then exact
+    * integer arithmetic immune to shuffle order; the float-sum trap the
+    * engine never takes). `mean_cover = sum_q / n / 1e8` is the one
+    * final float.
+    *
+    * Scale: the sample is broadcast (keep `samplePred` selective); one
+    * corpus scan fans out to |corpus|·|sample| pairs that collapse in a
+    * map-side-combinable max per row, then one global rollup. At index
+    * scale, pre-filter candidates through IVF cells. */
+  def sampleCoverage(
+      emb: DataFrame, idCol: String, vecCol: String,
+      samplePred: Column): DataFrame = {
+    val n = emb.select(col(idCol),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = n.filter(samplePred).select(
+      col(idCol).as("__sid"), col("v").as("qv"), col("nrm").as("qn"))
+    val best = n.join(broadcast(q))
+      .withColumn("__cos",
+        dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("__best"))
+      .select(floor(col("__best") * 1.0e8).cast("long").as("__bq"))
+    val cnt = q.agg(count(lit(1)).as("n_sample"))
+    best.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("__bq")), lit(0L)).as("sum_cover_q"),
+        min(col("__bq")).as("min_cover_q"))
+      .crossJoin(broadcast(cnt))
+      .select(col("n_rows"), col("n_sample"), col("sum_cover_q"),
+        col("min_cover_q"),
+        when(col("n_rows") === 0L, lit(null).cast("double"))
+          .otherwise(col("sum_cover_q").cast("double") /
+            col("n_rows").cast("double") / lit(1.0e8)).as("mean_cover"))
+  }
 }

@@ -157,4 +157,23 @@ class DedupSpec extends SparkSpec {
     }
     assert(out == expect)
   }
+
+  test("blockingStats: comparison count and reduction vs all-pairs") {
+    import spark.implicits._
+    // two exact-duplicate trios → every band agrees inside each trio
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val docs = ((1L to 3L).map(i => (i, txt)) ++
+      (4L to 6L).map(i => (i, txt + " extra tail words here")))
+      .toDF("doc_id", "text")
+    val r = graft.ops.NearDup.blockingStats(docs, "doc_id", "text")
+      .collect().head
+    val sumPairs = r.getLong(2)
+    // identical docs share all 4 bands: each trio contributes ≥ 4·3
+    // comparisons; all-pairs baseline is 15
+    assert(sumPairs >= 24L)
+    assert(r.getLong(4) == 6L)
+    assert(!r.isNullAt(5))
+    // consistency: n_assignments = Σ block sizes ≥ n_blocks
+    assert(r.getLong(1) >= r.getLong(0))
+  }
 }

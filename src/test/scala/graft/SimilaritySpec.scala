@@ -576,6 +576,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(2) == 2L) // hardest positive: farthest same-label
   }
 
+  test("sampleCoverage: self-match pins sample rows, quantized exact sum") {
+    import org.apache.spark.sql.functions._
+    // sample = {id 0}: e1; corpus rows at e1 (cos 1), e2 (cos 0)
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(2.0, 0.0)), (2L, Seq(0.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.sampleCoverage(df, "vec_id", "embedding",
+      col("vec_id") === 0L).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    // covers: 1e8 (self), 1e8 (parallel), 0 (orthogonal)
+    assert(r.getLong(2) == 200000000L && r.getLong(3) == 0L)
+    assert(r.getDouble(4) == 2.0e8 / 3.0 / 1.0e8)
+  }
+
   test("hardMining: anchors without an other-label candidate drop") {
     import org.apache.spark.sql.functions._
     val df = Seq((0L, Seq(1.0, 0.0), 0), (1L, Seq(0.5, 0.5), 0))
