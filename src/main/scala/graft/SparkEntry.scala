@@ -1323,6 +1323,20 @@ object SparkEntry {
           col("event_type")),
         "user_id", "us", "event_id", "event_type")),
 
+    // ---- Time series: lagged cross-correlation — do clicks lead
+    //      purchases? Exact paired moments per lag, one float each ----
+    "ts_crosscorr" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(expr("ts div 3600000000000").as("h"), col("event_type"))
+        .groupBy(col("h"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      graft.ops.TimeSeries.crossCorrelation(hourly, "h", "x", "y",
+        maxLag = 6)
+    }),
+
     // ---- Time series: seasonal-naive backtest with MASE — the
     //      baseline every forecast must beat (exact integer MAEs,
     //      one fixed-shape division chain) ----
@@ -3289,6 +3303,20 @@ object SparkEntry {
     //      vocabulary-richness quality signal) ----
     "text_ttr" -> ((s, dir) =>
       TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- LLM pipeline: boilerplate-line detection (cross-doc line df —
+    //      the C4-style template cleaner; per-doc boilerplate ratio) ----
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateLines(
+        t(s, dir, "documents"), "doc_id", "text", minDf = 3L)),
+
+    // ---- LLM pipeline: kNN label-consistency eval — majority-vote
+    //      label prediction from the top-10 neighbors (does the
+    //      embedding space encode the labels?) ----
+    "emb_knn_accuracy" -> ((s, dir) =>
+      Similarity.knnLabelAccuracy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        col("vec_id") < 10, k = 10)),
 
     // ---- LLM pipeline: sentence-level shape stats (structural half of
     //      the quality stack) ----
@@ -5811,6 +5839,26 @@ object SparkEntry {
           s"CASE WHEN theta IS NULL THEN $my ELSE $my - theta * " +
           s"($mxx - $gx) END AS adj_mean FROM t2"
       },
+      "ts_crosscorr" ->
+        ("WITH hr AS (SELECT epoch_us(ts) // 3600000000 AS h, " +
+          "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS x, " +
+          "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS y FROM events GROUP BY 1), " +
+          "b AS (SELECT x, y, row_number() OVER (ORDER BY h) AS i FROM hr), " +
+          "lg AS (SELECT unnest(range(0, 7)) AS lag), " +
+          "p AS (SELECT lg.lag, CAST(h2.x AS HUGEINT) AS xd, " +
+          "CAST(t2.y AS HUGEINT) AS yd FROM b h2 CROSS JOIN lg " +
+          "JOIN b t2 ON t2.i = h2.i + lg.lag), " +
+          "m AS (SELECT lag, CAST(count(*) AS HUGEINT) AS m, " +
+          "sum(xd) AS sx, sum(yd) AS sy, sum(xd * yd) AS sxy, " +
+          "sum(xd * xd) AS sxx, sum(yd * yd) AS syy FROM p GROUP BY 1) " +
+          "SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) " +
+          "AS n_pairs, CASE WHEN m * sxx - sx * sx <= 0 " +
+          "OR m * syy - sy * sy <= 0 THEN NULL ELSE " +
+          "CAST(m * sxy - sx * sy AS DOUBLE) / " +
+          "sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * " +
+          "CAST(m * syy - sy * sy AS DOUBLE)) END AS xcorr FROM m"),
       "ts_snaive_mase" ->
         ("WITH hr AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h, " +
           "coalesce(CAST(floor(value * 100.0) AS BIGINT), 0) AS c " +
@@ -6610,6 +6658,17 @@ object SparkEntry {
           "CAST(count(*) AS DOUBLE) AS recall " +
           "FROM ex LEFT JOIN ap USING (query_id, neighbor_id) " +
           "GROUP BY 1"),
+      "emb_knn_accuracy" ->
+        (s"WITH tk AS (SELECT query_id, neighbor_id FROM ($bruteTopK)), " +
+          "v AS (SELECT tk.query_id, e.label AS nl, " +
+          "CAST(count(*) AS BIGINT) AS c FROM tk " +
+          "JOIN embeddings e ON e.vec_id = tk.neighbor_id " +
+          "GROUP BY 1, 2), " +
+          "m AS (SELECT query_id, nl, c, row_number() OVER (" +
+          "PARTITION BY query_id ORDER BY c DESC, nl ASC) AS rn FROM v) " +
+          "SELECT m.query_id, e.label AS true_label, m.nl AS pred_label, " +
+          "m.c AS votes, (m.nl = e.label) AS correct FROM m " +
+          "JOIN embeddings e ON e.vec_id = m.query_id WHERE m.rn = 1"),
       "ann_ivf_topk" -> ivfTopK,
       "ann_lsh_multiprobe" -> lshMultiprobe,
       "ann_ivf_nprobe" -> ivfNprobe,
@@ -7363,6 +7422,18 @@ object SparkEntry {
           "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / " +
           "CAST(sum(c) AS DOUBLE) AS hapax_ratio " +
           "FROM g GROUP BY doc_id"),
+      "text_boilerplate" ->
+        ("WITH ln AS (SELECT DISTINCT doc_id, trim(lower(l)) AS line " +
+          "FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l " +
+          "FROM documents) WHERE trim(lower(l)) <> ''), " +
+          "df AS (SELECT line, CAST(count(*) AS BIGINT) AS d FROM ln " +
+          "GROUP BY 1) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+          "CAST(sum(CASE WHEN d >= 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_boiler, " +
+          "CAST(sum(CASE WHEN d >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE) AS boiler_ratio " +
+          "FROM ln JOIN df USING (line) GROUP BY doc_id"),
       "text_quality" ->
         ("SELECT doc_id, length(text) AS n_chars_out, " +
           "length(regexp_replace(text, '[^a-z]', '', 'g')) AS n_alpha, " +

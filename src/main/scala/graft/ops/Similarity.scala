@@ -1056,6 +1056,43 @@ object Similarity {
     neg.join(pos, "anchor_id")
   }
 
+  /** kNN label-consistency eval — "do the embeddings actually encode
+    * the labels?": each query's label is predicted by majority vote of
+    * its k nearest neighbors (the sanity check run on any new embedding
+    * model before it ships). Ties break to the SMALLEST label —
+    * deterministic, and the oracle replays (votes DESC, label ASC).
+    *
+    * Emits per query: (query_id, true_label, pred_label, votes,
+    * correct). A high error rate here reads as embedding drift or a
+    * broken encoder; per-label error clusters read as confusable
+    * classes.
+    *
+    * Scale: neighbor lists come from [[bruteForceTopK]] (swap in the
+    * LSH/IVF path at index scale — the vote logic is source-agnostic);
+    * vote counting is one aggregate + one O(queries × labels) window
+    * keyed by query. */
+  def knnLabelAccuracy(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topk = bruteForceTopK(emb, idCol, vecCol, queryPred, k)
+    val nl = emb.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val ql = emb.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    topk.join(nl, "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__c").desc, col("__nl").asc)))
+      .filter(col("__rn") === 1)
+      .join(ql, "query_id")
+      .select(col("query_id"), col("__ql").as("true_label"),
+        col("__nl").as("pred_label"), col("__c").as("votes"),
+        (col("__nl") === col("__ql")).as("correct"))
+  }
+
   /** Coverage audit of a coreset/sample against the corpus — the
     * facility-location read on "does my k-center / random sample
     * actually represent the data?": for EVERY corpus vector, the best

@@ -574,6 +574,46 @@ object TextAnalysis {
         col("tld"))
   }
 
+  /** Boilerplate-line detection — the C4/RefinedWeb-style template
+    * cleaner: a LINE (newline-delimited, whitespace-trimmed, lowercased,
+    * non-empty) that repeats across ≥ `minDf` distinct documents is
+    * boilerplate (nav bars, cookie banners, footers); each document is
+    * then scored by how much of it is boilerplate. Line-level df is the
+    * natural unit here — token near-dup methods see "accept cookies"
+    * pages as unique documents while every LINE in them is template.
+    *
+    * Emits per doc: (id, n_lines, n_boiler, boiler_ratio) over the
+    * doc's DISTINCT normalized lines (a doc repeating its own line 50×
+    * is repetition — [[repetitionMetrics]]' job — not template); docs
+    * with zero non-empty lines are absent (explode semantics, the
+    * unnest twin). Counts exact; the ratio is one final division.
+    *
+    * Scale: explode + two hash aggregates (line df keyed by the line
+    * hash, then per-doc rollup) + one equi-join of doc-lines against
+    * the O(distinct lines) df grid — map-side combinable end to end,
+    * no all-pairs anything. */
+  def boilerplateLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 3L): DataFrame = {
+    require(minDf >= 2L, s"minDf must be >= 2, got $minDf")
+    val lines = docs
+      .select(col(idCol),
+        explode(filter(transform(split(col(textCol), "\n"),
+          l => trim(lower(l))), l => l =!= "")).as("__line"))
+      // (id, line) deduped first, so df below = distinct docs per line
+      .distinct()
+    val df = lines.groupBy(col("__line"))
+      .agg(count(lit(1)).as("__df"))
+    lines.join(df, "__line")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col(idCol), col("n_lines"), col("n_boiler"),
+        when(col("n_lines") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_boiler").cast("double") /
+            col("n_lines").cast("double")).as("boiler_ratio"))
+  }
+
   /** Lexical-diversity profile — TTR and hapax ratio per document, the
     * quality signals that separate natural prose (rich vocabulary, long
     * hapax tail) from template/boilerplate/spam text (few types, no

@@ -641,6 +641,54 @@ object TimeSeries {
         (abs(col(xCol) - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
   }
 
+  /** Lagged cross-correlation between two aligned integer series —
+    * [[autocorr]]'s two-signal sibling, the "does X lead Y?" readout
+    * (do clicks at hour t predict purchases at t+ℓ?): for each lag
+    * ℓ ∈ [0, maxLag], Pearson r over the pairs (x_i, y_{i+ℓ}) on the
+    * shared index grid.
+    *
+    * Determinism: all six paired moments (m, Σx, Σy, Σxy, Σx², Σy²)
+    * are exact DECIMAL(38,0) integers;
+    * `r = (m·Σxy − Σx·Σy) / √((m·Σxx − Σx²)·(m·Σyy − Σy²))` is one
+    * fixed-shape float (IEEE-correct sqrt, no libm transcendentals),
+    * NULL when either paired variance vanishes.
+    *
+    * Scale: the input is a pre-bucketed series (hundreds of rows, not
+    * the corpus), so the one unpartitioned row_number window is
+    * O(series); the lag pairing is an equi-join on the index, per-lag
+    * moments are one map-side-combinable aggregate. */
+  def crossCorrelation(
+      series: DataFrame, ordCol: String, xCol: String, yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val dec = "decimal(38,0)"
+    val base = series.select(col(ordCol).cast("long").as("__o"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .withColumn("__i", row_number().over(Window.orderBy(col("__o").asc)))
+      .localCheckpoint()
+    val lags = (0 to maxLag).map(lit(_)).toArray
+    val pairs = base.select(col("__i"), col("__x"),
+        explode(array(lags: _*)).as("lag"))
+      .withColumn("__j", col("__i") + col("lag")).as("h")
+      .join(base.select(col("__i").as("__j"), col("__y")).as("t2"), "__j")
+      .select(col("lag"), col("__x").cast(dec).as("__xd"),
+        col("__y").cast(dec).as("__yd"))
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).cast(dec).as("__m"),
+      sum(col("__xd")).as("__sx"), sum(col("__yd")).as("__sy"),
+      sum(col("__xd") * col("__yd")).as("__sxy"),
+      sum(col("__xd") * col("__xd")).as("__sxx"),
+      sum(col("__yd") * col("__yd")).as("__syy"))
+    val num = col("__m") * col("__sxy") - col("__sx") * col("__sy")
+    val dx = col("__m") * col("__sxx") - col("__sx") * col("__sx")
+    val dy = col("__m") * col("__syy") - col("__sy") * col("__sy")
+    m.select(col("lag").cast("long").as("lag"),
+      col("__m").cast("long").as("n_pairs"),
+      when(dx <= 0 || dy <= 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double"))).as("xcorr"))
+  }
+
   /** Seasonal-naive forecast backtest with MASE — the honest first
     * baseline every forecasting pipeline must beat: predict each test
     * bucket by the value one season earlier (`t − seasonLag`), score

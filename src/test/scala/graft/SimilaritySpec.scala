@@ -576,6 +576,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(2) == 2L) // hardest positive: farthest same-label
   }
 
+  test("knnLabelAccuracy: majority vote, ties to the smallest label") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (0L, Seq(1.0, 0.0), 0),    // query, label 0
+      (1L, Seq(0.99, 0.01), 0),  // close, label 0
+      (2L, Seq(0.98, 0.02), 0),  // close, label 0
+      (3L, Seq(0.0, 1.0), 1))    // far, label 1
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelAccuracy(df, "vec_id", "embedding",
+      "label", col("vec_id") === 0L, k = 3).collect().head
+    assert(r.getInt(1) == 0 && r.getInt(2) == 0 && r.getLong(3) == 2L)
+    assert(r.getBoolean(4))
+    // 1-1 vote tie → smaller label wins
+    val tie = Seq((0L, Seq(1.0, 0.0), 9),
+      (1L, Seq(0.9, 0.1), 5), (2L, Seq(0.8, 0.2), 3))
+      .toDF("vec_id", "embedding", "label")
+    val r2 = Similarity.knnLabelAccuracy(tie, "vec_id", "embedding",
+      "label", col("vec_id") === 0L, k = 2).collect().head
+    assert(r2.getInt(2) == 3 && !r2.getBoolean(4))
+  }
+
   test("sampleCoverage: self-match pins sample rows, quantized exact sum") {
     import org.apache.spark.sql.functions._
     // sample = {id 0}: e1; corpus rows at e1 (cos 1), e2 (cos 0)

@@ -527,6 +527,23 @@ class TextOpsSpec extends SparkSpec {
     assertSameRows(r, again)
   }
 
+  test("boilerplateLines: cross-doc line df, per-doc distinct lines") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Unique one\nFooter Text"),
+      (2L, "unique two\nfooter text\nfooter text"), // self-repeat: df once
+      (3L, "Unique three\n  FOOTER TEXT  "),        // trim+lower collapse
+      (4L, "all unique\nlines here"))
+      .toDF("id", "txt")
+    val got = TextAnalysis.boilerplateLines(docs, "id", "txt", minDf = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5))) // the in-doc repeat counted once
+    assert(got(3L) == ((2L, 1L, 0.5)))
+    assert(got(4L) == ((2L, 0L, 0.0)))
+  }
+
   test("lexicalDiversity: TTR and hapax off exact per-word counts") {
     import spark.implicits._
     val docs = Seq(

@@ -358,6 +358,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(5L)._4 == pin(math.exp(t2 + 0.0 + t5)))
   }
 
+  test("crossCorrelation: perfect lead-lag shows up at its lag") {
+    import spark.implicits._
+    // y is x shifted one step later: r(1) = 1 exactly
+    val x = Seq(1L, 5L, 2L, 8L, 3L, 9L, 4L)
+    val rows = x.indices.map(i =>
+      (i.toLong, x(i), if (i == 0) 7L else x(i - 1)))
+    val got = TimeSeries.crossCorrelation(
+      rows.toDF("t", "x", "y"), "t", "x", "y", maxLag = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got(1L)._1 == 6L && got(1L)._2 == Some(1.0))
+    assert(got(0L)._1 == 7L && got(0L)._2.exists(v => v < 1.0))
+  }
+
+  test("crossCorrelation: zero-variance side yields NULL, not a crash") {
+    import spark.implicits._
+    val rows = (0L until 5L).map(i => (i, 3L, i))
+    val got = TimeSeries.crossCorrelation(
+      rows.toDF("t", "x", "y"), "t", "x", "y", maxLag = 1)
+      .collect()
+    assert(got.forall(_.isNullAt(2)))
+  }
+
   test("seasonalNaiveBacktest: exact MAEs and the MASE ratio") {
     import spark.implicits._
     // season = 2, test = last 2 buckets; forecast(7)=v(5), forecast(8)=v(6)
