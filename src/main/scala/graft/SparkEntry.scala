@@ -3197,6 +3197,38 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // ---- Multimodal: exact blob dedup — BinaryType groupBy over the
+    //      synthesized frames (same params ⇒ same bytes; dims spliced
+    //      into real headers make distinct params distinct bytes) ----
+    "mm_dedup_exact" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.pngHex(id % 50 + 1L, id % 30 + 1L))
+          .as("content"))
+      d.groupBy(col("content"))
+        .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+    }),
+
+    // ---- Ingest validation: dead-letter quarantine split — rows
+    //      violating any rule divert with comma-joined reasons (rule
+    //      order), valid rows merge clean; row-local, shuffle-free ----
+    "o19_quarantine" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val (valid, bad) = graft.sink.Merge.quarantineSplit(ev, Seq(
+        "low_value" -> (col("value") >= 0.05),
+        "error_type" -> (col("event_type") =!= "error")))
+      // the valid side must still merge: exercise the broadcast upsert
+      // against an empty target and fold its row count into the output
+      val target = valid.limit(0)
+      val merged = graft.sink.Merge.upsertBroadcast(
+        target, valid, Seq("event_id"), "ts")
+      bad.select(col("event_id"), col("quarantine_reason"))
+        .crossJoin(broadcast(
+          merged.agg(count(lit(1)).as("n_merged"))))
+    }),
+
     // ---- Sources: schema-evolution read — shards written with and
     //      without a later-added column reconcile under mergeSchema
     //      (missing column -> NULL, by-name resolution) ----
@@ -5799,6 +5831,22 @@ object SparkEntry {
           s"CASE WHEN n_a = 0 OR n_b = 0 OR $den <= 0.0 THEN NULL " +
           s"ELSE ($pa - $pb) / $den END AS z FROM c"
       },
+      "mm_dedup_exact" ->
+        // Same synth params ⇒ byte-identical frames, so the binary
+        // groupBy is exactly the parameter-pair groupBy.
+        ("SELECT min(doc_id) AS keep_id, " +
+          "CAST(count(*) AS BIGINT) AS n_copies FROM documents " +
+          "GROUP BY doc_id % 50, doc_id % 30"),
+      "o19_quarantine" ->
+        ("WITH r AS (SELECT event_id, concat_ws(',', " +
+          "CASE WHEN coalesce(value >= 0.05, false) THEN NULL " +
+          "ELSE 'low_value' END, " +
+          "CASE WHEN coalesce(event_type <> 'error', false) THEN NULL " +
+          "ELSE 'error_type' END) AS reason FROM events), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS n_merged FROM r " +
+          "WHERE reason = '') " +
+          "SELECT event_id, reason AS quarantine_reason, m.n_merged " +
+          "FROM r, m WHERE reason <> ''"),
       "q_abtest_srm" ->
         ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
           "c AS (SELECT CAST(coalesce(sum(CASE WHEN ((user_id % 2) + 2) " +

@@ -183,4 +183,37 @@ object Merge {
         bD.col("__d_ord") < ordering(target, versionCol, tieBreakCols))
       .select(target.columns.toSeq.map(target.col): _*)
   }
+
+  /** Dead-letter split — the validating front door of every ingest
+    * pipeline: rows failing ANY rule are diverted to a quarantine
+    * stream carrying the comma-joined names of every rule they violate
+    * (in rule order — deterministic), instead of poisoning the target
+    * or silently dropping. Valid rows pass through untouched for the
+    * merge; the quarantine side keeps the FULL row for replay after the
+    * upstream fix.
+    *
+    * NULL rule results count as violations, never as passes (the
+    * [[graft.ops.Profile.expect]] contract — an unevaluable rule is a
+    * failed rule). Returns (valid, quarantined + `quarantine_reason`).
+    *
+    * Scale: one row-local projection per side — no shuffle, no
+    * aggregation; rules are ordinary Catalyst predicates, so scan
+    * pruning and codegen apply as if the split weren't there. */
+  def quarantineSplit(
+      updates: DataFrame, rules: Seq[(String, Column)])
+      : (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "quarantineSplit needs at least one rule")
+    require(!updates.columns.contains("quarantine_reason"),
+      "updates already carry a quarantine_reason column")
+    val marks = rules.map { case (name, pred) =>
+      when(coalesce(pred, lit(false)), lit(null).cast("string"))
+        .otherwise(lit(name))
+    }
+    val tagged = updates.withColumn("__viol",
+      concat_ws(",", array(marks: _*)))
+    val valid = tagged.filter(col("__viol") === "").drop("__viol")
+    val bad = tagged.filter(col("__viol") =!= "")
+      .withColumnRenamed("__viol", "quarantine_reason")
+    (valid, bad)
+  }
 }

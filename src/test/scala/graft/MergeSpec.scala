@@ -99,4 +99,26 @@ class MergeSpec extends SparkSpec {
     val out = Merge.hardDelete(target, dels, K, V, T)
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("quarantineSplit: multi-rule reasons in order, NULL = violation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val batch = Seq(
+      (1L, Some(5.0), "ok"),
+      (2L, Some(-1.0), "ok"),    // fails nonneg
+      (3L, None, "bad"),         // fails BOTH (null value = violation)
+      (4L, Some(2.0), "bad"))    // fails type
+      .toDF("id", "v", "kind")
+    val (valid, bad) = Merge.quarantineSplit(batch, Seq(
+      "nonneg" -> (col("v") >= 0.0),
+      "kind_ok" -> (col("kind") === "ok")))
+    assert(valid.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val reasons = bad.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(reasons == Map(2L -> "nonneg", 3L -> "nonneg,kind_ok",
+      4L -> "kind_ok"))
+    // the quarantine side keeps the full row for replay
+    assert(bad.columns.toSeq ==
+      Seq("id", "v", "kind", "quarantine_reason"))
+  }
 }
