@@ -504,6 +504,33 @@ object SparkEntry {
     // ---- Streaming distribution drift: daily value-bucket counts as
     //      ONE watermarked windowed aggregate; per-window PSI terms vs
     //      the all-time reference computed on the converged counts ----
+    // ---- Streaming dead-letter monitor: the quarantine split applied
+    //      to the live stream (row-local, so it composes with any
+    //      source), rolled into watermarked daily per-reason windows ----
+    "s20_stream_quarantine" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s20_").toString
+      val target = TargetTable("events_dlq", s"$tmp/target",
+        keyCols = Seq("window_start_us", "quarantine_reason"),
+        versionCol = "n_events", buckets = 4)
+      val cfg = IngestConfig(name = s"s20-dlq-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = eventsStream(s, cfg, dir)
+        .select(timestamp_micros(expr("ts div 1000")).as("ts_t"),
+          col("value"), col("event_type"))
+      val (_, bad) = graft.sink.Merge.quarantineSplit(src, Seq(
+        "low_value" -> (col("value") >= 0.05),
+        "error_type" -> (col("event_type") =!= "error")))
+      val agg = graft.streaming.EventTime.tumblingAgg(
+        bad, "ts_t", "value", "1 day", "48 hours",
+        Seq("quarantine_reason"))
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(agg, Trigger.AvailableNow())
+      q.awaitTermination()
+      new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("window_start_us"), col("quarantine_reason"),
+          col("n_events"), col("sum_value"))
+    }),
+
     "s19_stream_psi" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_s19_").toString
       val target = TargetTable("events_drift", s"$tmp/target",
@@ -4029,6 +4056,19 @@ object SparkEntry {
           "SELECT user_id, n_events, t_view_us, t_click_us, " +
           "t_purchase_us, coalesce(t_view_us < t_click_us AND " +
           "t_click_us < t_purchase_us, false) AS converted FROM m"),
+      "s20_stream_quarantine" ->
+        // Additive window counts -> the streamed table equals the batch
+        // replay of the same split + daily rollup.
+        ("WITH r AS (SELECT ts, value, concat_ws(',', " +
+          "CASE WHEN coalesce(value >= 0.05, false) THEN NULL " +
+          "ELSE 'low_value' END, " +
+          "CASE WHEN coalesce(event_type <> 'error', false) THEN NULL " +
+          "ELSE 'error_type' END) AS reason FROM events) " +
+          "SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) " +
+          "AS window_start_us, reason AS quarantine_reason, " +
+          "CAST(count(*) AS BIGINT) AS n_events, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
+          "AS sum_value FROM r WHERE reason <> '' GROUP BY 1, 2"),
       "s19_stream_psi" ->
         // Window counts are additive -> the streamed table equals this
         // batch replay; PSI terms over present cells only, round 8.
