@@ -2782,6 +2782,15 @@ object SparkEntry {
     // ---- LLM pipeline: Bloom membership sketch — 8 KiB bitmap per
     //      group, zero false negatives; the join-pruning primitive
     //      (probe a filter instead of shipping a token set) ----
+    // ---- Join pre-filter audit: explicit bloom prefilter over the
+    //      dim keys — rows passed / true matches / false positives and
+    //      the realized fp-rate; false negatives gated at ZERO ----
+    "q_bloom_prefilter" -> ((s, dir) =>
+      graft.ops.Sketches.bloomPrefilterJoinStats(
+        t(s, dir, "lineitem"), "l_suppkey",
+        t(s, dir, "supplier").filter(col("s_nationkey") < 5L),
+        "s_suppkey", mBits = 256, kHashes = 3)),
+
     "sketch_bloom_contains" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Sketches.bloomContains(
@@ -6597,6 +6606,44 @@ object SparkEntry {
           "// n_prefix AS BIGINT) AS p_q FROM t WHERE n_pair >= 2"),
       "sketch_bloom_contains" -> bloomContainsOracle,
       "sketch_bloom_merge" -> bloomMergeOracle,
+      "q_bloom_prefilter" -> {
+        val bp = (h: String) =>
+          (0 until 3).map(j =>
+            s"((($h) * ${TextHash.permuteA(j)} + ${TextHash.permuteB(j)}) " +
+              s"% ${TextHash.P}) % 256").mkString("[", ", ", "]")
+        "WITH dk AS (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS k " +
+          "FROM supplier WHERE s_nationkey < 5), " +
+          "pos AS (SELECT DISTINCT p FROM (SELECT " +
+          s"unnest(${bp("k")}) AS p FROM dk)), " +
+          "fkd AS (SELECT CAST(l_suppkey AS BIGINT) AS k, " +
+          "CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1), " +
+          "kp AS (SELECT DISTINCT k, p FROM (SELECT k, " +
+          s"unnest(${bp("k")}) AS p FROM fkd)), " +
+          "np AS (SELECT k, CAST(count(*) AS BIGINT) AS np FROM kp " +
+          "GROUP BY k), " +
+          "hit AS (SELECT kp.k, CAST(count(*) AS BIGINT) AS nh FROM kp " +
+          "JOIN pos ON pos.p = kp.p GROUP BY kp.k), " +
+          "pk AS (SELECT n.k FROM np n LEFT JOIN hit h ON h.k = n.k " +
+          "WHERE coalesce(h.nh, 0) = n.np), " +
+          "base AS (SELECT f.k, f.c, (t.k IS NOT NULL) AS m, " +
+          "(p2.k IS NOT NULL) AS pass FROM fkd f " +
+          "LEFT JOIN dk t ON t.k = f.k LEFT JOIN pk p2 ON p2.k = f.k) " +
+          "SELECT CAST(sum(c) AS BIGINT) AS n_fact, " +
+          "CAST(sum(CASE WHEN pass THEN c ELSE 0 END) AS BIGINT) " +
+          "AS n_pass, " +
+          "CAST(sum(CASE WHEN m THEN c ELSE 0 END) AS BIGINT) " +
+          "AS n_match, " +
+          "CAST(sum(CASE WHEN pass AND NOT m THEN c ELSE 0 END) " +
+          "AS BIGINT) AS n_false_pos, " +
+          "CAST(sum(CASE WHEN m AND NOT pass THEN c ELSE 0 END) " +
+          "AS BIGINT) AS n_false_neg, " +
+          "CASE WHEN sum(c) - sum(CASE WHEN m THEN c ELSE 0 END) = 0 " +
+          "THEN NULL ELSE " +
+          "CAST(sum(CASE WHEN pass AND NOT m THEN c ELSE 0 END) " +
+          "AS DOUBLE) / CAST(sum(c) - " +
+          "sum(CASE WHEN m THEN c ELSE 0 END) AS DOUBLE) END " +
+          "AS fp_rate FROM base"
+      },
       "sketch_cms_counts" -> cmsOracle,
       "sketch_cms_merge" -> cmsOracle,
       "sketch_hll_distinct" -> hllOracle,

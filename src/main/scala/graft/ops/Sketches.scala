@@ -806,4 +806,66 @@ object Sketches {
       .withColumn("est", decBucketMid(col("__qb")))
       .drop("__qb")
   }
+
+  /** Bloom-prefiltered join audit — the explicit form of the runtime
+    * bloom filter Spark injects implicitly: build one bitmap over the
+    * (filtered) dim keys, probe EVERY fact row against the broadcast
+    * bitmap, and measure what the prefilter would do to the join —
+    * rows passed, true matches, false positives, and the realized
+    * false-positive rate against the non-matching population. The
+    * sizing read for "ship an mBits bitmap instead of the key set":
+    * zero false negatives by construction (`n_false_neg` is emitted
+    * and GATED at 0), fp-rate is the tunable cost.
+    *
+    * Emits one row: (n_fact, n_pass, n_match, n_false_pos,
+    * n_false_neg, fp_rate). Counts exact; fp_rate is one final float
+    * over the exact non-match count (NULL when everything matches).
+    *
+    * Scale: the bitmap is mBits/8 bytes broadcast once; the probe is a
+    * row-local bit test (no shuffle of the fact side); the truth flag
+    * is a broadcast left join on the distinct dim keys — the audit
+    * costs one fact scan, strictly less than the join it sizes. */
+  def bloomPrefilterJoinStats(
+      fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
+      mBits: Int = 4096, kHashes: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"mBits must be a multiple of 64, got $mBits")
+    require(kHashes >= 1, s"kHashes must be >= 1, got $kHashes")
+    val dk = dim.select(col(dimKey).cast("long").as("__k"))
+      .where(col("__k").isNotNull).distinct()
+    val bits = bitsAssemble(
+      dk.select(explode(bloomPositions(col("__k"), mBits, kHashes))
+          .as("__p"))
+        .select(lit(1L).as("__g"), expr("__p div 64").as("__w"),
+          call_function("shiftleft", lit(1L),
+            (col("__p") % 64).cast("int")).as("__m0"))
+        .groupBy(col("__g"), col("__w"))
+        .agg(expr("bit_or(__m0)").as("__m")),
+      Seq("__g"), mBits / 64).drop("__g")
+    val pass = forall(col("__ps"), p =>
+      call_function("shiftright",
+        element_at(col("bits"), (shiftright(p, 6) + 1).cast("int")),
+        (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1L)
+    val probed = fact.select(col(factKey).cast("long").as("__k"))
+      .withColumn("__ps", bloomPositions(col("__k"), mBits, kHashes))
+      .crossJoin(broadcast(bits))
+      .withColumn("__pass", pass)
+      .join(broadcast(dk.withColumn("__true", lit(1L))),
+        Seq("__k"), "left_outer")
+    probed.agg(
+        count(lit(1)).as("n_fact"),
+        coalesce(sum(when(col("__pass"), 1L).otherwise(0L)), lit(0L))
+          .as("n_pass"),
+        coalesce(sum(when(col("__true").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_match"),
+        coalesce(sum(when(col("__pass") && col("__true").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_false_pos"),
+        coalesce(sum(when(!col("__pass") && col("__true").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_false_neg"))
+      .withColumn("fp_rate",
+        when(col("n_fact") - col("n_match") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("n_false_pos").cast("double") /
+            (col("n_fact") - col("n_match")).cast("double")))
+  }
 }

@@ -287,4 +287,21 @@ class SketchesSpec extends SparkSpec {
     assert(est(25) == ((100L, 0.5))) //   underflow bucket midpoint
     assert(est(75)._2 > 122 && est(75)._2 < 124)
   }
+
+  test("bloomPrefilterJoinStats: zero false negatives, exact accounting") {
+    import spark.implicits._
+    val dim = (1L to 20L).map(k => (k, "d")).toDF("k", "pad")
+    val fact = (1L to 400L).map(i => (i % 100L + 1L, i)).toDF("fk", "row")
+    val r = Sketches.bloomPrefilterJoinStats(fact, "fk", dim, "k",
+      mBits = 64, kHashes = 3).collect().head
+    val (nFact, nPass, nMatch, nFp, nFn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nFact == 400L)
+    assert(nFn == 0L)                      // blooms never miss a member
+    assert(nMatch == 80L)                  // keys 1..20, 4 rows each
+    assert(nPass == nMatch + nFp)          // pass partitions exactly
+    assert(nFp >= 0L && nFp <= nFact - nMatch)
+    if (nFact - nMatch > 0)
+      assert(r.getDouble(5) == nFp.toDouble / (nFact - nMatch).toDouble)
+  }
 }
