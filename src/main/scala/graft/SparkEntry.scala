@@ -2762,6 +2762,23 @@ object SparkEntry {
         graft.ops.Sketches.hllSketchTokens(
           t(s, dir, "documents"), Seq("lang"), "text"))),
 
+    // ---- Sketch accuracy eval: HLL estimate vs exact distinct per
+    //      group — the error read an m is tuned by (the ann_recall of
+    //      the cardinality world) ----
+    "sketch_hll_error" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val est = graft.ops.Sketches.hllEstimate(
+        graft.ops.Sketches.hllSketchIds(ev, Seq("event_type"), "user_id"))
+        .select(col("event_type"), col("est_distinct"))
+      val exact = ev.filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      exact.join(est, "event_type")
+        .withColumn("rel_err",
+          (col("est_distinct") - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double"))
+    }),
+
     // ---- LLM pipeline: HLL mergeability — per-(lang,source) registers
     //      rolled up to per-lang by elementwise max WITHOUT rescanning
     //      text must equal the direct per-lang sketch (oracle computes
@@ -7091,6 +7108,31 @@ object SparkEntry {
           "cum_pos, CASE WHEN tot_pos = 0 THEN NULL ELSE " +
           "CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) END " +
           "AS cum_capture FROM c"),
+      "sketch_hll_error" -> {
+        val m = 64
+        val rmax = graft.ops.Sketches.hllW(m) + 1
+        val num = graft.ops.Sketches.hllAlpha(m) *
+          m.toDouble * m.toDouble * math.pow(2.0, rmax)
+        s"WITH tp AS (SELECT event_type, (user_id * " +
+          s"${TextHash.permuteA(0)} + ${TextHash.permuteB(0)}) % " +
+          s"${TextHash.P} AS h FROM events WHERE user_id IS NOT NULL), " +
+          s"br AS (SELECT event_type, h % $m AS b, " +
+          s"CASE WHEN h // $m = 0 THEN $rmax " +
+          s"ELSE $rmax - length(bin(h // $m)) END AS r FROM tp), " +
+          "mr AS (SELECT event_type, b, max(r) AS r FROM br " +
+          "GROUP BY event_type, b), " +
+          "e AS (SELECT event_type, " +
+          s"$num / (sum((CAST(1 AS BIGINT) << $rmax) >> r) + " +
+          s"($m - count(*)) * (CAST(1 AS BIGINT) << $rmax)) " +
+          "AS est_distinct FROM mr GROUP BY event_type), " +
+          "x AS (SELECT event_type, CAST(count(DISTINCT user_id) " +
+          "AS BIGINT) AS exact_distinct FROM events " +
+          "WHERE user_id IS NOT NULL GROUP BY event_type) " +
+          "SELECT x.event_type, x.exact_distinct, e.est_distinct, " +
+          "(e.est_distinct - CAST(x.exact_distinct AS DOUBLE)) / " +
+          "CAST(x.exact_distinct AS DOUBLE) AS rel_err " +
+          "FROM x JOIN e USING (event_type)"
+      },
       "sketch_hll_intersect" -> {
         val m = 64
         val rmax = graft.ops.Sketches.hllW(m) + 1
