@@ -201,4 +201,92 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("liftDeciles: partitioning-invariant and model-exact slices") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(97)
+    // duplicate scores force the id tie-break to matter
+    val rows = (1 to 300).map(i =>
+      (i.toLong, rng.nextInt(20).toDouble, rng.nextInt(2)))
+    val run = (p: Int) =>
+      graft.ops.Profile.liftDeciles(
+        rows.toDF("id", "s", "y").repartition(p),
+        col("y") === 1, col("s"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(4))).sortBy(_._1).toSeq
+    val a = run(1)
+    assert(a == run(17))
+    // driver model: sort by (score desc, id), slice by rank*10/300
+    val sorted = rows.sortBy(r => (-r._2, r._1))
+    val m = sorted.zipWithIndex
+      .groupBy { case (_, rk) => rk.toLong * 10L / 300L }
+      .map { case (d, g) =>
+        d -> ((g.size.toLong, g.count(_._1._3 == 1).toLong)) }
+    a.foreach { case (d, n, np, _) =>
+      assert(m(d) == ((n, np)), s"decile $d mismatch") }
+  }
+
+  test("mergeIntervals: agrees with a driver-side sweep model") {
+    val rng = new scala.util.Random(55)
+    val rows = (1 to 200).map { i =>
+      val s = rng.nextInt(500).toLong
+      ("k" + rng.nextInt(5), s, s + 1L + rng.nextInt(40).toLong, i.toLong)
+    }
+    val got = graft.ops.Intervals
+      .mergeIntervals(rows.toDF("k", "s", "e", "id"), Seq("k"), "s", "e", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // model: per key, sort by (s, e, id), sweep a running max end
+    val model = rows.groupBy(_._1).flatMap { case (k, g) =>
+      val sorted = g.sortBy(r => (r._2, r._3, r._4))
+      val islands = collection.mutable.ListBuffer
+        .empty[(Long, Long, Long)] // (start, end, n)
+      sorted.foreach { r =>
+        if (islands.nonEmpty && r._2 <= islands.last._2)
+          islands(islands.size - 1) = (islands.last._1,
+            math.max(islands.last._2, r._3), islands.last._3 + 1)
+        else islands += ((r._2, r._3, 1L))
+      }
+      islands.map(i => (k, i._1, i._2, i._3))
+    }.toSet
+    assert(got == model)
+  }
+
+  test("kaplanMeier: invariant under partitioning, survival in [0,1] " +
+    "and non-increasing") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 400).map(_ =>
+      (rng.nextInt(30).toLong, rng.nextBoolean()))
+    val run = (p: Int) =>
+      graft.ops.TimeSeries.kaplanMeier(
+        rows.toDF("d", "e").repartition(p), "d", "e")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(4))).sortBy(_._1).toSeq
+    val a = run(1)
+    assert(a == run(11))
+    assert(a.forall(x => x._4 >= 0.0 && x._4 <= 1.0))
+    assert(a.sliding(2).forall {
+      case Seq(x, y) => y._4 <= x._4 + 1e-12; case _ => true })
+    // total at-risk bookkeeping: first row's n_at_risk = all subjects
+    assert(a.head._2 == 400L)
+  }
+
+  test("woeEncode: IV terms sum to a non-negative information value") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 500).map { _ =>
+      val c = "c" + rng.nextInt(8)
+      // category-dependent positive rate → real signal, positive IV
+      (c, if (rng.nextInt(10) < (c.hashCode.abs % 7) + 2) 1 else 0)
+    }
+    val got = graft.ops.Features.woeEncode(
+      rows.toDF("c", "y"), "c", col("y") === 1).collect()
+    val iv = got.map(r => if (r.isNullAt(5)) 0.0 else r.getDouble(5)).sum
+    // exact-share IV is >= 0; Laplace smoothing can dent individual
+    // terms, so allow a smoothing-sized tolerance, not an exact bound
+    assert(iv >= -0.01, s"total IV must be ~non-negative, got $iv")
+    assert(got.length == rows.map(_._1).distinct.length)
+  }
 }
