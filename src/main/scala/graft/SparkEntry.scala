@@ -1053,6 +1053,23 @@ object SparkEntry {
         t(s, dir, "events").select(col("user_id")).distinct(),
         pmod(col("user_id"), lit(2L)) === 0L)),
 
+    // ---- Quasi-experimental: difference-in-differences — treated vs
+    //      control pre→post change with pooled SE (exact cent moments) ----
+    "q_diff_in_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("us"),
+        coalesce(floor(col("value") * 100.0).cast("long"), lit(0L))
+          .as("__c"))
+      val bounds = ev.agg(min(col("us")).as("__mn"), max(col("us")).as("__mx"))
+      val obs = ev.crossJoin(broadcast(bounds))
+        .withColumn("__mid", expr("(__mn + __mx) div 2"))
+        .groupBy(col("user_id"), (col("us") > col("__mid")).as("post"))
+        .agg(sum(col("__c")).as("y"))
+      graft.ops.Profile.diffInDiff(obs,
+        pmod(col("user_id"), lit(2L)) === 0L, col("post"), "y",
+        scale = 100L)
+    }),
+
     // ---- A/B variance reduction: CUPED-adjusted per-arm means using
     //      the pre-period spend as covariate (exact cent moments,
     //      fixed-shape θ and adjusted means) ----
@@ -1834,6 +1851,24 @@ object SparkEntry {
       pt.mergeUpsert(ev.filter(col("event_id") % 3 === 1), cfg)
       pt.mergeUpsert(ev.filter(col("event_id") % 3 === 2), cfg)
       pt.compact(cfg)
+      stateOut(pt.read().get)
+    }),
+
+    // ---- Storage: row-level TTL retention delete — one bucket-pruned
+    //      commit drops rows older than the 30-day horizon; remaining
+    //      state must equal latest-wins filtered at the same cutoff ----
+    "o20_row_ttl" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o20_").toString
+      val target = TargetTable("events_ttl", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val cfg = IngestConfig(name = s"o20-ttl-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, target)
+      pt.mergeUpsert(eventRecords(s, dir), cfg)
+      // one driver scalar (the data horizon), like pageRank's node count
+      val cutoff = pt.read().get.agg(max(col("modified_date_us")))
+        .collect()(0).getLong(0) - 2592000000000L
+      pt.deleteWhere(cfg, col("modified_date_us") < cutoff)
       stateOut(pt.read().get)
     }),
 
@@ -5922,6 +5957,52 @@ object SparkEntry {
           "SELECT n_a, n_b, CASE WHEN n_a + n_b = 0 THEN NULL ELSE " +
           "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / " +
           "CAST(n_a + n_b AS DOUBLE) END AS chi2 FROM c"),
+      "q_diff_in_diff" -> {
+        val mean = (g: String) =>
+          s"CAST(s_$g AS DOUBLE) / CAST(n_$g AS DOUBLE) / 100.0"
+        val vr = (g: String) =>
+          s"CAST(CAST(n_$g AS HUGEINT) * q_$g - " +
+            s"CAST(s_$g AS HUGEINT) * s_$g AS DOUBLE) / " +
+            s"(CAST(n_$g * (n_$g - 1) AS DOUBLE) * 10000.0)"
+        val seSq = Seq("c0", "c1", "t0", "t1")
+          .map(g => s"${vr(g)} / CAST(n_$g AS DOUBLE)").mkString(" + ")
+        val did = s"((${mean("t1")}) - (${mean("t0")})) - " +
+          s"((${mean("c1")}) - (${mean("c0")}))"
+        val small = "n_c0 < 2 OR n_c1 < 2 OR n_t0 < 2 OR n_t1 < 2"
+        val cellAgg = Seq(("c0", "NOT t AND NOT post"),
+          ("c1", "NOT t AND post"), ("t0", "t AND NOT post"),
+          ("t1", "t AND post")).map { case (g, cond) =>
+          s"CAST(coalesce(sum(CASE WHEN $cond THEN 1 ELSE 0 END), 0) " +
+            s"AS BIGINT) AS n_$g, " +
+            s"CAST(coalesce(sum(CASE WHEN $cond THEN y END), 0) " +
+            s"AS BIGINT) AS s_$g, " +
+            s"coalesce(sum(CASE WHEN $cond THEN CAST(y AS HUGEINT) * y " +
+            s"END), 0) AS q_$g"
+        }.mkString(", ")
+        "WITH ev AS (SELECT user_id, epoch_us(ts) AS us, " +
+          "coalesce(CAST(floor(value * 100.0) AS BIGINT), 0) AS c " +
+          "FROM events), " +
+          "bd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev), " +
+          "obs AS (SELECT user_id, us > (SELECT mid FROM bd) AS post, " +
+          "CAST(sum(c) AS BIGINT) AS y FROM ev GROUP BY 1, 2), " +
+          "a AS (SELECT ((user_id % 2) + 2) % 2 = 0 AS t, post, y " +
+          "FROM obs), " +
+          s"m AS (SELECT $cellAgg FROM a) " +
+          "SELECT n_c0, n_c1, n_t0, n_t1, " +
+          s"CASE WHEN n_c0 = 0 THEN NULL ELSE ${mean("c0")} END " +
+          "AS mean_c0, " +
+          s"CASE WHEN n_c1 = 0 THEN NULL ELSE ${mean("c1")} END " +
+          "AS mean_c1, " +
+          s"CASE WHEN n_t0 = 0 THEN NULL ELSE ${mean("t0")} END " +
+          "AS mean_t0, " +
+          s"CASE WHEN n_t1 = 0 THEN NULL ELSE ${mean("t1")} END " +
+          "AS mean_t1, " +
+          s"CASE WHEN $small THEN NULL ELSE $did END AS did, " +
+          s"CASE WHEN $small OR ($seSq) <= 0.0 THEN NULL ELSE " +
+          s"sqrt($seSq) END AS se, " +
+          s"CASE WHEN $small OR ($seSq) <= 0.0 THEN NULL ELSE " +
+          s"($did) / sqrt($seSq) END AS t_stat FROM m"
+      },
       "q_abtest_cuped" -> {
         val my = "CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0"
         val mxx = "CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0"
@@ -6933,6 +7014,12 @@ object SparkEntry {
           s"FROM ($oracleDedup) WHERE rn = 1 AND pkey % 25 = 3"),
       // Compaction rewrites layout, never data: state == latest-wins.
       "o17_compact" -> dedupState,
+      "o20_row_ttl" ->
+        // TTL = latest-wins filtered at the same data-derived horizon.
+        (s"WITH st AS ($dedupState), " +
+          "mx AS (SELECT max(modified_date_us) AS m FROM st) " +
+          "SELECT st.pkey, st.modified_date_us, st.event_type, st.value " +
+          "FROM st, mx WHERE st.modified_date_us >= m - 2592000000000"),
       // Version 1 state == latest-wins over ONLY the first batch's rows.
       "o15_time_travel" ->
         ("SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, value " +

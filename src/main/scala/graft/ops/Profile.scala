@@ -889,6 +889,75 @@ object Profile {
           .otherwise(meanY - col("theta") * (meanX - gx)).as("adj_mean"))
   }
 
+  /** Difference-in-differences — the quasi-experimental readout when
+    * you could not randomize: the treatment effect is the TREATED
+    * group's pre→post change minus the CONTROL group's
+    * (`did = (μ_t1 − μ_t0) − (μ_c1 − μ_c0)`), which cancels both the
+    * group-level baseline difference and the common time trend.
+    *
+    * Input: one row per (unit, period) observation with boolean
+    * treated/post markers and an INTEGER-QUANTIZED outcome. Emits one
+    * row: per-cell ns and means, `did`, its pooled standard error
+    * `se = √(Σ s²_g/n_g)` over the four cells, and `t_stat = did/se`
+    * (NULL when any cell has n < 2 or the variance degenerates).
+    *
+    * Determinism: per-cell (n, Σy, Σy²) are exact — products BIGINT,
+    * accumulation DECIMAL(38,0) (the Welch discipline); means, did, se,
+    * t are final fixed-shape floats. Scale: ONE map-side-combinable
+    * aggregate over four cells. */
+  def diffInDiff(
+      obs: DataFrame, treatedCol: Column, postCol: Column, yCol: String,
+      scale: Long): DataFrame = {
+    require(scale > 0L, s"scale must be positive, got $scale")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val y = col(yCol).cast("long")
+    def cell(t: Boolean, p: Boolean, what: String): Column = {
+      val in = (if (t) treatedCol else !treatedCol) &&
+        (if (p) postCol else !postCol)
+      what match {
+        case "n" => coalesce(sum(when(in, 1L).otherwise(0L)), lit(0L))
+        case "s" => coalesce(sum(when(in, y)), lit(0L))
+        case "q" => coalesce(sum(when(in, d38(y * y))), d38(lit(0L)))
+      }
+    }
+    val cells = Seq(("c0", false, false), ("c1", false, true),
+      ("t0", true, false), ("t1", true, true))
+    val m = obs.agg(
+      cell(false, false, "n").as("n_c0"),
+      cells.flatMap { case (tag, t, p) =>
+        (if (tag == "c0") Nil
+         else Seq(cell(t, p, "n").as(s"n_$tag"))) ++
+          Seq(cell(t, p, "s").as(s"s_$tag"), cell(t, p, "q").as(s"q_$tag"))
+      }: _*)
+    val mean = (tag: String) =>
+      dd(col(s"s_$tag")) / dd(col(s"n_$tag")) / lit(scale.toDouble)
+    // sample variance of y/scale: (n·Σy² − S²) / (n·(n−1)·scale²)
+    val vr = (tag: String) =>
+      (d38(col(s"n_$tag")) * col(s"q_$tag") -
+        d38(col(s"s_$tag")) * d38(col(s"s_$tag"))).cast("double") /
+        ((col(s"n_$tag") * (col(s"n_$tag") - 1L)).cast("double") *
+          lit(scale.toDouble * scale.toDouble))
+    val anySmall = cells.map(c => col(s"n_${c._1}") < 2L).reduce(_ || _)
+    val seSq = cells.map(c => vr(c._1) / dd(col(s"n_${c._1}"))).reduce(_ + _)
+    val did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    m.select(
+      col("n_c0"), col("n_c1"), col("n_t0"), col("n_t1"),
+      when(col("n_c0") === 0L, lit(null).cast("double"))
+        .otherwise(mean("c0")).as("mean_c0"),
+      when(col("n_c1") === 0L, lit(null).cast("double"))
+        .otherwise(mean("c1")).as("mean_c1"),
+      when(col("n_t0") === 0L, lit(null).cast("double"))
+        .otherwise(mean("t0")).as("mean_t0"),
+      when(col("n_t1") === 0L, lit(null).cast("double"))
+        .otherwise(mean("t1")).as("mean_t1"),
+      when(anySmall, lit(null).cast("double")).otherwise(did).as("did"),
+      when(anySmall || seSq <= 0.0, lit(null).cast("double"))
+        .otherwise(sqrt(seSq)).as("se"),
+      when(anySmall || seSq <= 0.0, lit(null).cast("double"))
+        .otherwise(did / sqrt(seSq)).as("t_stat"))
+  }
+
   /** Sample-ratio-mismatch guardrail — the first thing to check before
     * reading ANY experiment: does the realized arm split match the
     * design? Emits one row: (n_a, n_b, chi2) for an expected 50/50

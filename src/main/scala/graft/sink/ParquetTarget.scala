@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, hash, input_file_name, lit, pmod, regexp_extract}
+import org.apache.spark.sql.functions.{coalesce, col, count, hash, input_file_name, lit, pmod, regexp_extract}
 import org.apache.spark.sql.types.StructType
 
 import graft.model.{IngestConfig, TargetTable}
@@ -286,6 +286,34 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
         onePerBucket = true)
     }
   }
+
+  /** Row-level retention delete (TTL / compliance erasure): drop every
+    * current row matching `pred` in ONE commit, rewriting ONLY the
+    * buckets that contain matching rows — untouched buckets carry their
+    * existing dirs into the next manifest unread and unwritten, the
+    * same partial-rewrite discipline as a merge. A NULL predicate
+    * result KEEPS the row (deletion is the action that must be
+    * explicit). No-op (no matching rows) publishes nothing.
+    *
+    * Scale: one pruned scan to find hit buckets (≤ `table.buckets` ids
+    * of driver traffic — the merge path's bound), one scan of ONLY the
+    * hit buckets to rewrite survivors; time travel still serves the
+    * pre-delete version while `retainVersions` keeps it. */
+  def deleteWhere(config: IngestConfig, pred: Column): Unit =
+    withCommitLock {
+      current().filter(_.nonEmpty).foreach { m =>
+        val cur = readDirs(m.values.toSeq.distinct)
+        val matched = cur.filter(coalesce(pred, lit(false)))
+        val hitB = matched.select(bucketOf(matched).as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (hitB.nonEmpty) {
+          val hitDirs = m.filter { case (b, _) => hitB(b) }
+          val keep = readDirs(hitDirs.values.toSeq.distinct)
+            .filter(!coalesce(pred, lit(false)))
+          commit(keep, m.view.filterKeys(b => !hitB(b)).toMap, config)
+        }
+      }
+    }
 
   /** Uniform schema of the current snapshot (invariant: every referenced
     * file shares it — migrations rewrite all buckets). */

@@ -64,6 +64,29 @@ class BucketedTargetSpec extends SparkSpec {
     assert(state(8L) == "v1-8")
   }
 
+  test("deleteWhere: drops matching rows, rewrites only hit buckets, " +
+    "no-op publishes nothing") {
+    import org.apache.spark.sql.functions._
+    val (sink, t) = mk(buckets = 8)
+    sink.mergeUpsert((0L until 64L).map(k => (k, k, k, s"v$k")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    val before = bucketVersions(t)
+    // drop a single key: only its bucket may move to d2
+    sink.deleteWhere(cfg, col("pkey") === 7L)
+    val after = bucketVersions(t)
+    assert(after.filter(_._2 == "d0000000002").keySet.size == 1)
+    assert(after.count(_._2 == "d0000000001") == before.size - 1)
+    val state = sink.read().get.collect().map(_.getAs[Long]("pkey")).toSet
+    assert(state == (0L until 64L).toSet - 7L)
+    // NULL predicate result keeps the row; no match -> no new version
+    sink.deleteWhere(cfg, when(col("pkey") === -1L, lit(true)))
+    assert(bucketVersions(t) == after)
+    // range TTL: everything below 32 goes in ONE commit
+    sink.deleteWhere(cfg, col("ver") < 32L)
+    val s2 = sink.read().get.collect().map(_.getAs[Long]("pkey")).toSet
+    assert(s2 == (32L until 64L).toSet)
+  }
+
   test("readChanges: keyed diff emits insert/update/delete, skips unchanged") {
     val dir = Files.createTempDirectory("graft_cdc_").toString
     val t = TargetTable("t", s"$dir/target", keyCols = Seq("pkey"),

@@ -449,6 +449,37 @@ class ProfileSpec extends SparkSpec {
     assert(got("A") == ((true, 10.0)) && got("B") == ((true, 30.0)))
   }
 
+  test("diffInDiff: cancels baseline and common trend, exact cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // control flat (10,20 both periods); treated shifts +15 on average
+    val obs = Seq(
+      (false, false, 10L), (false, false, 20L),
+      (false, true, 10L), (false, true, 20L),
+      (true, false, 30L), (true, false, 40L),
+      (true, true, 45L), (true, true, 55L))
+      .toDF("t", "post", "y")
+    val r = Profile.diffInDiff(obs, col("t"), col("post"), "y", scale = 1L)
+      .collect().head
+    assert((0 to 3).map(r.getLong) == Seq(2L, 2L, 2L, 2L))
+    assert(r.getDouble(4) == 15.0 && r.getDouble(5) == 15.0)
+    assert(r.getDouble(6) == 35.0 && r.getDouble(7) == 50.0)
+    assert(r.getDouble(8) == 15.0)      // the effect
+    assert(r.getDouble(9) > 0.0)        // pooled se defined
+    assert(r.getDouble(10) == 15.0 / r.getDouble(9))
+  }
+
+  test("diffInDiff: singleton cell suppresses did/se/t, keeps means") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val obs = Seq((false, false, 10L), (false, true, 10L),
+      (true, false, 10L), (true, true, 25L)).toDF("t", "post", "y")
+    val r = Profile.diffInDiff(obs, col("t"), col("post"), "y", scale = 1L)
+      .collect().head
+    assert(r.getDouble(7) == 25.0)
+    assert(r.isNullAt(8) && r.isNullAt(9) && r.isNullAt(10))
+  }
+
   test("srmCheck: exact counts, 1-dof chi-square identity") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
