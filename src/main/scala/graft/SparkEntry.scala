@@ -1053,6 +1053,23 @@ object SparkEntry {
         t(s, dir, "events").select(col("user_id")).distinct(),
         pmod(col("user_id"), lit(2L)) === 0L)),
 
+    // ---- Experiment sizing: minimum detectable effect at 80% power
+    //      from the population's observed variance — run BEFORE the
+    //      test, not after it fails ----
+    "q_power_mde" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        coalesce(floor(col("value") * 100.0).cast("long"), lit(0L))
+          .as("__c"))
+      val units = ev.groupBy(col("user_id")).agg(sum(col("__c")).as("y"))
+      graft.ops.Profile.powerMde(units, "y", scale = 100L)
+    }),
+
+    // ---- Embeddings: nearest-centroid (Rocchio) classification eval —
+    //      the O(labels) full-corpus accuracy read ----
+    "emb_centroid_classify" -> ((s, dir) =>
+      Similarity.nearestCentroidAccuracy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")),
+
     // ---- Quasi-experimental: difference-in-differences — treated vs
     //      control pre→post change with pooled SE (exact cent moments) ----
     "q_diff_in_diff" -> ((s, dir) => {
@@ -5957,6 +5974,55 @@ object SparkEntry {
           "SELECT n_a, n_b, CASE WHEN n_a + n_b = 0 THEN NULL ELSE " +
           "CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / " +
           "CAST(n_a + n_b AS DOUBLE) END AS chi2 FROM c"),
+      "q_power_mde" -> {
+        val zs = (1.959963984540054 + 0.8416212335729143).toString
+        val vr = "CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s " +
+          "AS DOUBLE) / (CAST(n * (n - 1) AS DOUBLE) * 10000.0)"
+        val mean = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0"
+        val mde = s"$zs * sqrt(2.0 * ($vr) / CAST(n_arm AS DOUBLE))"
+        "WITH ev AS (SELECT user_id, " +
+          "coalesce(CAST(floor(value * 100.0) AS BIGINT), 0) AS c " +
+          "FROM events), " +
+          "u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS y FROM ev " +
+          "GROUP BY 1), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(y) AS BIGINT) AS s, " +
+          "sum(CAST(y AS HUGEINT) * y) AS q FROM u), " +
+          "m2 AS (SELECT n, s, q, n // 2 AS n_arm FROM m) " +
+          "SELECT n AS n_units, CAST(n_arm AS BIGINT) AS n_per_arm, " +
+          s"CASE WHEN n = 0 THEN NULL ELSE $mean END AS mean_y, " +
+          s"CASE WHEN n < 2 THEN NULL ELSE $vr END AS var_y, " +
+          s"CASE WHEN n_arm < 2 THEN NULL ELSE $mde END AS mde_abs, " +
+          s"CASE WHEN n_arm < 2 OR s = 0 THEN NULL ELSE ($mde) / " +
+          s"($mean) END AS mde_rel FROM m2"
+      },
+      "emb_centroid_classify" ->
+        // Fixed-point centroids (the centroid_by_label arithmetic),
+        // strict-fold cosines, argmax ties to the smallest label.
+        ("WITH e AS (SELECT vec_id, label, " +
+          "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          "x AS (SELECT label, unnest(list_transform(range(0, len(v)), " +
+          "j -> {'j': j, 'x': v[j+1]})) AS u FROM e), " +
+          "a AS (SELECT label, u.j AS j, " +
+          "sum(CAST(floor(u.x * 1048576.0) AS BIGINT)) AS sq, " +
+          "count(*) AS cnt FROM x GROUP BY label, u.j), " +
+          "c AS (SELECT CAST(label AS BIGINT) AS cl, " +
+          "list(CAST(sq AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1048576.0) " +
+          "ORDER BY j) AS cv FROM a GROUP BY label), " +
+          "n AS (SELECT vec_id, CAST(label AS BIGINT) AS tl, v, " +
+          "sqrt(list_inner_product(v, v)) AS nrm FROM e), " +
+          "p AS (SELECT n.vec_id, n.tl, c.cl, " +
+          "list_inner_product(n.v, c.cv) / " +
+          "(n.nrm * sqrt(list_inner_product(c.cv, c.cv))) AS cos " +
+          "FROM n, c), " +
+          "w AS (SELECT vec_id, tl, cl, row_number() OVER (" +
+          "PARTITION BY vec_id ORDER BY cos DESC, cl) AS rn FROM p) " +
+          "SELECT tl AS label, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CASE WHEN cl = tl THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_correct, " +
+          "CAST(sum(CASE WHEN cl = tl THEN 1 ELSE 0 END) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE) AS accuracy " +
+          "FROM w WHERE rn = 1 GROUP BY tl"),
       "q_diff_in_diff" -> {
         val mean = (g: String) =>
           s"CAST(s_$g AS DOUBLE) / CAST(n_$g AS DOUBLE) / 100.0"

@@ -889,6 +889,51 @@ object Profile {
           .otherwise(meanY - col("theta") * (meanX - gx)).as("adj_mean"))
   }
 
+  /** Experiment power sizing — the pre-registration readout: with the
+    * metric variance this population actually exhibits, what's the
+    * smallest true effect a 50/50 split would detect at α=5% (two-sided)
+    * with 80% power? `MDE = (z_{α/2} + z_β) · √(2σ²/n_arm)`. Run BEFORE
+    * launching: an MDE far above the plausible effect means the test is
+    * theater.
+    *
+    * Input: one row per unit with an INTEGER-QUANTIZED metric. Emits one
+    * row: (n_units, n_per_arm, mean_y, var_y, mde_abs, mde_rel);
+    * `mde_rel` is NULL on a zero mean, everything NULL under 2 units
+    * per arm.
+    *
+    * Determinism: (n, Σy, Σy²) exact (the Welch discipline); the z-sum
+    * is ONE double literal shared verbatim with the oracle
+    * (`Double.toString` round-trips); mde is a fixed-shape float with an
+    * IEEE sqrt. Scale: one map-side-combinable aggregate. */
+  def powerMde(
+      units: DataFrame, yCol: String, scale: Long,
+      zSum: Double = 1.959963984540054 + 0.8416212335729143): DataFrame = {
+    require(scale > 0L, s"scale must be positive, got $scale")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val dd = (c: Column) => c.cast("double")
+    val y = col(yCol).cast("long")
+    val m = units.agg(count(lit(1)).as("n"),
+      coalesce(sum(y), lit(0L)).as("s"),
+      coalesce(sum(d38(y * y)), d38(lit(0L))).as("q"))
+      .withColumn("n_arm", expr("n div 2"))
+    val s2 = lit(scale.toDouble * scale.toDouble)
+    val mean = dd(col("s")) / dd(col("n")) / lit(scale.toDouble)
+    val vr = (d38(col("n")) * col("q") - d38(col("s")) * d38(col("s")))
+      .cast("double") / ((col("n") * (col("n") - 1L)).cast("double") * s2)
+    val small = col("n_arm") < 2L
+    val mde = lit(zSum) * sqrt(lit(2.0) * vr / dd(col("n_arm")))
+    m.select(col("n").as("n_units"), col("n_arm").as("n_per_arm"),
+      when(col("n") === 0L, lit(null).cast("double")).otherwise(mean)
+        .as("mean_y"),
+      when(col("n") < 2L, lit(null).cast("double")).otherwise(vr)
+        .as("var_y"),
+      when(small, lit(null).cast("double")).otherwise(mde).as("mde_abs"),
+      // integer zero-test on Σy, not a float compare against a division
+      // that would be 0/0 on an empty frame (ANSI throws)
+      when(small || col("s") === 0L, lit(null).cast("double"))
+        .otherwise(mde / mean).as("mde_rel"))
+  }
+
   /** Difference-in-differences — the quasi-experimental readout when
     * you could not randomize: the treatment effect is the TREATED
     * group's pre→post change minus the CONTROL group's

@@ -1093,6 +1093,50 @@ object Similarity {
         (col("__nl") === col("__ql")).as("correct"))
   }
 
+  /** Nearest-centroid classification eval — [[knnLabelAccuracy]]'s
+    * O(labels)-cost sibling (the Rocchio classifier): each vector is
+    * assigned to the label whose FIXED-POINT centroid it is most
+    * cosine-similar to, and per-label accuracy is reported. At 100 TB
+    * this is the eval you can actually afford on the full corpus —
+    * |labels| broadcast centroids and one scan, no neighbor search.
+    *
+    * Emits per true label: (label, n, n_correct, accuracy). Ties in the
+    * argmax break to the smallest label (TopK k=1 over (cos, label) —
+    * the oracle's (cos DESC, cl) row_number order).
+    *
+    * Scale: centroids come from [[groupCentroids]] (one map-side
+    * combinable pass), assembled into O(labels) broadcast vectors; the
+    * corpus fans out to |corpus|·|labels| pairs that collapse in a
+    * map-side k=1 aggregate keyed by vector — no window over the fan-out
+    * and no shuffle of the corpus itself beyond the per-vector combine. */
+  def nearestCentroidAccuracy(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String)
+      : DataFrame = {
+    val cent = groupCentroids(emb, labelCol, vecCol)
+      .groupBy(col(labelCol).cast("long").as("__cl"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim_idx"), col("centroid")))),
+        s => s("centroid")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val n = emb.select(col(idCol),
+        col(labelCol).cast("long").as("__tl"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val top1 = udaf(new graft.functions.Aggregators.TopK(1))
+    n.crossJoin(broadcast(cent))
+      .withColumn("__cos",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy(col(idCol), col("__tl"))
+      .agg(top1(col("__cos"), col("__cl")).as("__t"))
+      .select(col("__tl"), col("__t")(0)("id").as("__pl"))
+      .groupBy(col("__tl").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pl") === col("__tl"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n").cast("double"))
+  }
+
   /** Coverage audit of a coreset/sample against the corpus — the
     * facility-location read on "does my k-center / random sample
     * actually represent the data?": for EVERY corpus vector, the best

@@ -449,6 +449,22 @@ class ProfileSpec extends SparkSpec {
     assert(got("A") == ((true, 10.0)) && got("B") == ((true, 30.0)))
   }
 
+  test("powerMde: textbook MDE from exact moments") {
+    import spark.implicits._
+    // y in {0, 10} × 50 each: mean 5, var = 100·(1/4)·(100/99)
+    val units = (1L to 100L).map(i => (i, if (i <= 50) 0L else 10L))
+      .toDF("u", "y")
+    val r = Profile.powerMde(units, "y", scale = 1L).collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 50L)
+    assert(r.getDouble(2) == 5.0)
+    // var = (n·Σy² − S²)/(n(n−1)) = (100·5000 − 500²)/9900 = 2500/99
+    assert(math.abs(r.getDouble(3) - 2500.0 / 99.0) < 1e-9)
+    val zs = 1.959963984540054 + 0.8416212335729143
+    val mde = zs * math.sqrt(2.0 * r.getDouble(3) / 50.0)
+    assert(math.abs(r.getDouble(4) - mde) < 1e-12)
+    assert(math.abs(r.getDouble(5) - mde / 5.0) < 1e-12)
+  }
+
   test("diffInDiff: cancels baseline and common trend, exact cells") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

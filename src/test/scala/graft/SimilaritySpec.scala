@@ -576,6 +576,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(2) == 2L) // hardest positive: farthest same-label
   }
 
+  test("nearestCentroidAccuracy: clean clusters classify perfectly, " +
+    "a crossover misclassifies") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (0L, Seq(1.0, 0.0), 0), (1L, Seq(0.9, 0.1), 0),
+      (2L, Seq(0.0, 1.0), 1), (3L, Seq(0.1, 0.9), 1),
+      (4L, Seq(0.05, 0.95), 0)) // label-0 point sitting in cluster 1
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestCentroidAccuracy(
+      df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 2L)))        // cluster 1 all correct
+    assert(got(0L)._1 == 3L && got(0L)._2 <= 2L) // the stray drags 0 down
+  }
+
   test("knnLabelAccuracy: majority vote, ties to the smallest label") {
     import org.apache.spark.sql.functions._
     val df = Seq(
