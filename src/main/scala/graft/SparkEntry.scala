@@ -2889,6 +2889,52 @@ object SparkEntry {
         Seq("lang"), bloomProbes.toDF("word"), "word")
     }),
 
+    // ---- Sketch accuracy eval: CMS estimate vs exact token count —
+    //      the overestimate is gated ≥ 0 by construction ----
+    "sketch_cms_error" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val est = graft.ops.Sketches.cmsEstimate(
+        graft.ops.Sketches.cmsSketchTokens(docs, Seq("lang"), "text"),
+        Seq("lang"), bloomProbes.toDF("word"), "word")
+      val exact = docs
+        .select(col("lang"),
+          explode(filter(split(lower(col("text")), "\\s+"),
+            w => w =!= "")).as("word"))
+        .join(broadcast(bloomProbes.toDF("word")), "word")
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("lang", "word"), "left_outer")
+        .select(col("lang"), col("word"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+          col("est_count"),
+          (col("est_count") - coalesce(col("exact_count"), lit(0L)))
+            .as("overestimate"))
+    }),
+
+    // ---- Sketch accuracy eval: log-bucket quantile estimate vs the
+    //      exact interpolated percentile (≤0.5% by bucket design) ----
+    "sketch_quantile_error" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("x"))
+      val est = graft.ops.Sketches.quantileFromSketch(
+        graft.ops.Sketches.quantileSketch(base, Seq("g"), "x"),
+        Seq("g"), Seq(50, 90, 99))
+      val exw = base.groupBy("g").agg(
+        expr("percentile(x, 0.5)").as("e50"),
+        expr("percentile(x, 0.9)").as("e90"),
+        expr("percentile(x, 0.99)").as("e99"))
+      val ex = exw.select(col("g"), explode(map(
+        lit(50), col("e50"), lit(90), col("e90"), lit(99), col("e99")))
+        .as(Seq("pct", "exact")))
+      est.join(ex, Seq("g", "pct"))
+        .select(col("g"), col("pct").cast("long").as("pct"),
+          col("n_rows"), col("est"), col("exact"),
+          round(abs(col("est") - col("exact")) / col("exact"), 8)
+            .as("rel_err"))
+    }),
+
     // ---- LLM pipeline: CMS mergeability — per-(lang,source) sketches
     //      SUM-merged to per-lang == direct build (probed; oracle
     //      computes direct) ----
@@ -6479,6 +6525,20 @@ object SparkEntry {
           "CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem), " +
           graft.functions.OracleSql.quantileSketchCtes(Seq(50, 90, 99)) +
           " SELECT g, pct, n_rows, est FROM qest"),
+      "sketch_quantile_error" ->
+        ("WITH qraw AS (SELECT l_returnflag AS g, " +
+          "CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem), " +
+          graft.functions.OracleSql.quantileSketchCtes(Seq(50, 90, 99)) +
+          ", exw AS (SELECT g, quantile_cont(x, 0.5) AS e50, " +
+          "quantile_cont(x, 0.9) AS e90, quantile_cont(x, 0.99) AS e99 " +
+          "FROM qraw GROUP BY g), " +
+          "ex AS (SELECT g, 50 AS pct, e50 AS exact FROM exw " +
+          "UNION ALL SELECT g, 90, e90 FROM exw " +
+          "UNION ALL SELECT g, 99, e99 FROM exw) " +
+          "SELECT q.g, CAST(q.pct AS BIGINT) AS pct, q.n_rows, q.est, " +
+          "ex.exact, round(abs(q.est - ex.exact) / ex.exact, 8) " +
+          "AS rel_err FROM qest q " +
+          "JOIN ex ON ex.g = q.g AND ex.pct = q.pct"),
       // bucket counts are additive, so the shard-merged estimate equals
       // the direct build — one oracle serves both paths
       "sketch_quantile_merge" ->
@@ -6810,6 +6870,45 @@ object SparkEntry {
       },
       "sketch_cms_counts" -> cmsOracle,
       "sketch_cms_merge" -> cmsOracle,
+      "sketch_cms_error" -> {
+        // CMS estimate (the cmsOracle arithmetic) joined against the
+        // exact per-(lang, word) token count; overestimate ≥ 0 always.
+        val whl = OracleSql.wordHashes("lower(text)")
+        val width = 1024
+        val cellsOf = { (h: String) =>
+          (0 until 3).map(j =>
+            s"${j.toLong * width} + ((($h) * ${TextHash.permuteA(j)} + " +
+              s"${TextHash.permuteB(j)}) % ${TextHash.P}) % $width")
+            .mkString("[", ", ", "]")
+        }
+        val words = bloomProbes.map(w => s"'$w'").mkString(", ")
+        s"WITH t AS (SELECT lang, unnest($whl) AS h0 FROM documents), " +
+          "c AS (SELECT lang, cell, count(*) AS n FROM " +
+          s"(SELECT lang, unnest(${cellsOf("h0")}) AS cell FROM t) " +
+          "GROUP BY lang, cell), " +
+          s"pw AS (SELECT unnest([$words]) AS word), " +
+          "ph AS (SELECT word, " +
+          s"list_extract(${OracleSql.wordHashes("lower(word)")}, 1) " +
+          "AS h0 FROM pw), " +
+          s"pc AS (SELECT word, unnest(${cellsOf("h0")}) AS cell FROM ph), " +
+          "langs AS (SELECT DISTINCT lang FROM documents), " +
+          "est AS (SELECT l.lang, p.word, " +
+          "CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est_count " +
+          "FROM langs l CROSS JOIN pc p " +
+          "LEFT JOIN c ON c.lang = l.lang AND c.cell = p.cell " +
+          "GROUP BY l.lang, p.word), " +
+          "tk AS (SELECT lang, unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '\\s+'), " +
+          "x -> len(x) > 0)) AS w FROM documents), " +
+          "ex AS (SELECT lang, w AS word, CAST(count(*) AS BIGINT) " +
+          "AS exact_count FROM tk GROUP BY 1, 2) " +
+          "SELECT est.lang, est.word, " +
+          "CAST(coalesce(ex.exact_count, 0) AS BIGINT) AS exact_count, " +
+          "est.est_count, " +
+          "est.est_count - coalesce(ex.exact_count, 0) AS overestimate " +
+          "FROM est LEFT JOIN ex ON ex.lang = est.lang " +
+          "AND ex.word = est.word"
+      },
       "sketch_hll_distinct" -> hllOracle,
       // Mergeability IS the gate: the engine merges per-(lang,source)
       // registers by elementwise max; the oracle computes per-lang
