@@ -2121,6 +2121,40 @@ object SparkEntry {
       NearDup.lshCandidatePairs(
         t(s, dir, "documents"), "doc_id", "text", m = 8, n = 3, r = 2)),
 
+    // ---- Sketch accuracy eval: MinHash Jaccard estimate vs the exact
+    //      shingle-set Jaccard over the SAME candidate pairs — the
+    //      signature-size (m) tuning read ----
+    "dedup_minhash_est_error" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = NearDup.lshCandidatePairs(docs, "doc_id", "text",
+        m = 8, n = 3, r = 2)
+      val sig = NearDup.minhashSignatures(docs, "doc_id", "text",
+        m = 8, n = 3)
+      val sh = docs
+        .select(col("doc_id"), TextHash.wordHashes(col("text")).as("__wh"))
+        .select(col("doc_id"),
+          array_distinct(TextHash.shingleHashes(col("__wh"), 3)).as("__sh"))
+      val sa = sig.select(col("doc_id").as("id_a") +:
+        (0 until 8).map(j => col(s"mh$j").as(s"a$j")): _*)
+      val sb = sig.select(col("doc_id").as("id_b") +:
+        (0 until 8).map(j => col(s"mh$j").as(s"b$j")): _*)
+      val nMatch = (0 until 8).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val inter = size(array_intersect(col("__sa"), col("__sb")))
+      val union = size(array_union(col("__sa"), col("__sb")))
+      pairs.join(sa, "id_a").join(sb, "id_b")
+        .join(sh.select(col("doc_id").as("id_a"), col("__sh").as("__sa")),
+          "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("__sh").as("__sb")),
+          "id_b")
+        .select(col("id_a"), col("id_b"), nMatch.as("n_match"),
+          (nMatch.cast("double") / lit(8.0)).as("est_jaccard"),
+          (inter.cast("double") / union.cast("double")).as("jaccard"))
+        .withColumn("abs_err",
+          abs(col("est_jaccard") - col("jaccard")))
+    }),
+
     // ---- LLM pipeline: LSH blocking-quality pre-flight — block sizes,
     //      comparison count, skew hazard, reduction ratio vs all-pairs
     //      (tune m/r BEFORE paying for the candidate join) ----
@@ -5126,6 +5160,33 @@ object SparkEntry {
       "dedup_minhash_by_lang" -> minhashByLang,
       "dedup_minhash_lsh" -> minhashLsh,
       "dedup_blocking_stats" -> blockingStatsSql,
+      "dedup_minhash_est_error" -> {
+        val sigCols = (0 until 8).map(j =>
+          s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
+        val nMatch = (0 until 8).map(j =>
+          s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+          s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh " +
+          "FROM base), " +
+          s"sig AS (SELECT doc_id, $sigCols FROM sh_t), " +
+          s"banded AS (${OracleSql.lshBanded("doc_id", 8, 2)}), " +
+          "pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+          "FROM banded a JOIN banded b ON a.band = b.band " +
+          "AND a.key = b.key AND a.doc_id < b.doc_id), " +
+          "ds AS (SELECT doc_id, list_distinct(sh) AS s FROM sh_t), " +
+          s"m AS (SELECT pr.id_a, pr.id_b, CAST($nMatch AS BIGINT) " +
+          "AS n_match FROM pr JOIN sig a ON a.doc_id = pr.id_a " +
+          "JOIN sig b ON b.doc_id = pr.id_b), " +
+          "j AS (SELECT m.id_a, m.id_b, m.n_match, " +
+          "CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) " +
+          "AS jaccard FROM m JOIN ds x ON x.doc_id = m.id_a " +
+          "JOIN ds y ON y.doc_id = m.id_b) " +
+          "SELECT id_a, id_b, n_match, " +
+          "CAST(n_match AS DOUBLE) / 8.0 AS est_jaccard, jaccard, " +
+          "abs(CAST(n_match AS DOUBLE) / 8.0 - jaccard) AS abs_err " +
+          "FROM j"
+      },
       // The streaming self-join must surface EXACTLY the batch LSH pairs
       // whose synthesized event times (doc_id seconds) fall within the
       // 1-hour join window.
