@@ -1301,6 +1301,20 @@ object SparkEntry {
         hourly, "event_type", "hr", "hx", window = 25, period = 24)
     }),
 
+    // ---- Time series: trend/seasonal strength (Hyndman F_T, F_S) —
+    //      the "any structure worth forecasting?" health read off the
+    //      same decomposition, quantized-exact variance ratios ----
+    "ts_strength" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.decompositionStrength(
+        hourly, "event_type", "hr", "hx", window = 25, period = 24)
+    }),
+
     // ---- Time series: seasonal-adjusted anomalies — |residual| of the
     //      decomposition beyond the per-type sketch-p99 (a daily rhythm
     //      can no longer masquerade as an anomaly) ----
@@ -4102,6 +4116,31 @@ object SparkEntry {
       "src_shard_export" -> shardExportSql,
       "src_jsonl_export" -> shardExportSql,
       "ts_decompose" -> tsDecomposeSql,
+      "ts_strength" ->
+        // Quantize the fixed-shape decomposition doubles, then the
+        // variance ratios are exact-integer (scale cancels).
+        (s"WITH dc AS ($tsDecomposeSql), " +
+          "qz AS (SELECT event_type, " +
+          "CAST(floor(resid * 1048576.0) AS BIGINT) AS r, " +
+          "CAST(floor((trend + resid) * 1048576.0) AS BIGINT) AS tr, " +
+          "CAST(floor((seasonal + resid) * 1048576.0) AS BIGINT) AS sr " +
+          "FROM dc), " +
+          "m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, " +
+          "CAST(sum(r) AS HUGEINT) AS s_r, " +
+          "sum(CAST(r AS HUGEINT) * r) AS q_r, " +
+          "CAST(sum(tr) AS HUGEINT) AS s_tr, " +
+          "sum(CAST(tr AS HUGEINT) * tr) AS q_tr, " +
+          "CAST(sum(sr) AS HUGEINT) AS s_sr, " +
+          "sum(CAST(sr AS HUGEINT) * sr) AS q_sr FROM qz " +
+          "GROUP BY event_type) " +
+          "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+          "CASE WHEN n * q_tr - s_tr * s_tr <= 0 THEN NULL ELSE " +
+          "greatest(0.0, 1.0 - CAST(n * q_r - s_r * s_r AS DOUBLE) / " +
+          "CAST(n * q_tr - s_tr * s_tr AS DOUBLE)) END AS f_trend, " +
+          "CASE WHEN n * q_sr - s_sr * s_sr <= 0 THEN NULL ELSE " +
+          "greatest(0.0, 1.0 - CAST(n * q_r - s_r * s_r AS DOUBLE) / " +
+          "CAST(n * q_sr - s_sr * s_sr AS DOUBLE)) END AS f_seasonal " +
+          "FROM m"),
       "ts_resid_anomaly" ->
         (s"WITH dc AS ($tsDecomposeSql), " +
           "qraw AS (SELECT event_type, abs(resid) AS x FROM dc), " +

@@ -641,6 +641,49 @@ object TimeSeries {
         (abs(col(xCol) - col("med")) > lit(k) * col("mad")).as("is_anomaly"))
   }
 
+  /** Trend/seasonal strength of a decomposed series — Hyndman's
+    * scale-free series-health numbers on top of [[decompose]]:
+    * `F_T = max(0, 1 − Var(R)/Var(T+R))` and
+    * `F_S = max(0, 1 − Var(R)/Var(S+R))`, both in [0, 1] — the
+    * one-glance read of "is there any structure worth forecasting".
+    *
+    * Determinism: the decomposition's doubles are fixed-shape (bit
+    * reproducible cross-engine), so each component is floor-QUANTIZED
+    * to 2⁻²⁰ units and the variances become exact integer forms
+    * `n·Σq² − S²` (DECIMAL(38,0) products); the strengths are ratios of
+    * those exact integers — the quantization scale cancels — with one
+    * division and a `greatest(0, ·)` each. Degenerate variance → NULL.
+    *
+    * Scale: [[decompose]]'s cost plus one map-side-combinable moment
+    * aggregate; output O(keys). */
+  def decompositionStrength(
+      series: DataFrame, keyCol: String, tCol: String, xCol: String,
+      window: Int, period: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val q = 1048576.0
+    val d = decompose(series, keyCol, tCol, xCol, window, period)
+      .select(col(keyCol),
+        floor(col("resid") * q).cast("long").as("__r"),
+        floor((col("trend") + col("resid")) * q).cast("long").as("__tr"),
+        floor((col("seasonal") + col("resid")) * q).cast("long").as("__sr"))
+    def mom(c: String) = Seq(
+      sum(col(c).cast(dec)).as(s"s$c"),
+      sum(col(c).cast(dec) * col(c).cast(dec)).as(s"q$c"))
+    val m = d.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        (mom("__r") ++ mom("__tr") ++ mom("__sr")): _*)
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    def num(c: String) =
+      d38(col("n")) * col(s"q$c") - col(s"s$c") * col(s"s$c")
+    def strength(c: String) =
+      when(num(c) <= d38(lit(0L)), lit(null).cast("double"))
+        .otherwise(greatest(lit(0.0),
+          lit(1.0) - num("__r").cast("double") / num(c).cast("double")))
+    m.select(col(keyCol), col("n"),
+      strength("__tr").as("f_trend"),
+      strength("__sr").as("f_seasonal"))
+  }
+
   /** Lagged cross-correlation between two aligned integer series —
     * [[autocorr]]'s two-signal sibling, the "does X lead Y?" readout
     * (do clicks at hour t predict purchases at t+ℓ?): for each lag

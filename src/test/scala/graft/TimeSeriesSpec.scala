@@ -358,6 +358,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(5L)._4 == pin(math.exp(t2 + 0.0 + t5)))
   }
 
+  test("decompositionStrength: pure trend scores F_T = 1, no seasonal " +
+    "signal -> NULL") {
+    import spark.implicits._
+    val rows = (0L until 40L).map(t => ("g", t, 10L * t))
+    val got = TimeSeries.decompositionStrength(
+      rows.toDF("k", "t", "x"), "k", "t", "x", window = 3, period = 4)
+      .collect().head
+    // residuals are exactly zero on a line → full trend strength
+    assert(got.getDouble(2) == 1.0)
+    // seasonal+resid is identically 0 → degenerate variance → NULL
+    assert(got.isNullAt(3))
+  }
+
+  test("decompositionStrength: partitioning-invariant, bounded in [0,1]") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (0L until 200L).map(t =>
+      ("g", t, (100.0 * math.sin(t / 7.0)).toLong + rng.nextInt(20)))
+    val run = (p: Int) => TimeSeries.decompositionStrength(
+      rows.toDF("k", "t", "x").repartition(p), "k", "t", "x",
+      window = 7, period = 5)
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val a = run(1)
+    assert(a == run(13))
+    a.foreach { case (_, ft, fs) =>
+      ft.foreach(v => assert(v >= 0.0 && v <= 1.0))
+      fs.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    }
+  }
+
   test("crossCorrelation: perfect lead-lag shows up at its lag") {
     import spark.implicits._
     // y is x shifted one step later: r(1) = 1 exactly
