@@ -2488,6 +2488,19 @@ object SparkEntry {
       graft.ops.Graph.triangleCount(pairs, "a", "b")
     }),
 
+    // ---- Graph: global transitivity — 3·triangles/wedges in one row
+    //      (the corpus-level closure health number) ----
+    "graph_transitivity" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.transitivity(pairs, "a", "b")
+    }),
+
     // ---- Graph: per-node local clustering coefficient — the
     //      normalized triangle readout (neighbor-pair closure rate) ----
     "graph_clustering_coeff" -> ((s, dir) => {
@@ -6716,6 +6729,24 @@ object SparkEntry {
           "SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt FROM (" +
           "SELECT u AS node FROM tri UNION ALL SELECT x FROM tri " +
           "UNION ALL SELECT y FROM tri) GROUP BY node"),
+      "graph_transitivity" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "tri AS (SELECT e1.a AS u, e1.b AS x, e2.b AS y FROM ce e1 " +
+          "JOIN ce e2 ON e2.a = e1.a AND e1.b < e2.b " +
+          "JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+          "t3 AS (SELECT CAST(count(*) * 3 AS BIGINT) AS t3 FROM tri), " +
+          "e AS (SELECT a AS src FROM ce UNION ALL SELECT b FROM ce), " +
+          "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1), " +
+          "w AS (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) " +
+          "AS BIGINT) AS n_wedges FROM deg) " +
+          "SELECT CAST(t3.t3 // 3 AS BIGINT) AS n_triangles, " +
+          "w.n_wedges, CASE WHEN n_wedges = 0 THEN NULL ELSE " +
+          "CAST(t3.t3 AS DOUBLE) / CAST(n_wedges AS DOUBLE) END " +
+          "AS transitivity FROM t3, w"),
       "graph_clustering_coeff" ->
         ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
           "FROM lineitem WHERE l_partkey % 4 = 0), " +

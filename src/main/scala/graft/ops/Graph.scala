@@ -255,6 +255,40 @@ object Graph {
     } finally { raw.unpersist(); () }
   }
 
+  /** Global transitivity — the one-number closure summary
+    * `C = 3·triangles / wedges` (wedges = Σ_v d_v·(d_v−1)/2): what
+    * fraction of all open 2-paths actually close. The corpus-level
+    * companion of [[localClustering]]'s per-node readout — a social
+    * graph sits near 0.1–0.6, a random graph near d̄/n; a sudden drop
+    * after an ingest reads as edge corruption.
+    *
+    * Emits one row: (n_triangles, n_wedges, transitivity). Counts exact
+    * (triangle total = Σ per-node counts / 3 computed as an exact
+    * integer — every triangle is counted once per corner), ONE final
+    * division, NULL on a wedge-free graph. Scale: [[triangleCount]]'s
+    * O(E^1.5) wedge join + one degree aggregate. */
+  def transitivity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).persist()
+    try {
+      val und = raw
+        .unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") < col("b")).distinct()
+      val tri = triangleCount(und, "a", "b")
+        .agg(coalesce(sum(col("tri_cnt")), lit(0L)).as("__t3"))
+      val wed = und.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+          .as("n_wedges"))
+      tri.crossJoin(wed)
+        .select(expr("__t3 div 3").as("n_triangles"), col("n_wedges"),
+          when(col("n_wedges") === 0L, lit(null).cast("double"))
+            .otherwise(col("__t3").cast("double") /
+              col("n_wedges").cast("double")).as("transitivity"))
+    } finally { raw.unpersist(); () }
+  }
+
   /** Graph shape profile — the pre-flight before any iterative graph
     * op: node/edge counts, degree extremes, mean degree, and the
     * discrete power-law MLE exponent

@@ -398,6 +398,20 @@ class GraphSpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("transitivity: 3T/W on a known graph; NULL on a matching") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 4 on node 3:
+    // T = 1; wedges: deg (2,2,3,1) → 1+1+3+0 = 5 → C = 3/5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val r = graft.ops.Graph.transitivity(edges, "s", "d").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 3.0 / 5.0)
+    // perfect matching: no wedges at all → NULL, not a crash
+    val m = Seq((1L, 2L), (3L, 4L)).toDF("s", "d")
+    val r2 = graft.ops.Graph.transitivity(m, "s", "d").collect().head
+    assert(r2.getLong(1) == 0L && r2.isNullAt(2))
+  }
+
   test("localClustering: closure rate per node, NULL under degree 2") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant 4 hanging off 3, isolated pair 5-6
