@@ -900,6 +900,20 @@ object SparkEntry {
         "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"))),
 
+    // ---- Composition capstone: funnel completion BY EXPERIMENT ARM —
+    //      the ordered funnel feeding the two-proportion z-test (does
+    //      the even-user arm complete view→click→purchase differently?) ----
+    "q_funnel_by_arm" -> ((s, dir) => {
+      val f = graft.ops.Funnel.funnelStages(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"))
+      graft.ops.Profile.twoProportionZ(f,
+        pmod(col("user_id"), lit(2L)) === 0L,
+        col("stages_completed") === 3L)
+    }),
+
     // ---- Product analytics: retention triangle (cohort by first-active
     //      date, exact distinct actives per day offset) ----
     "q_retention" -> ((s, dir) =>
@@ -5465,6 +5479,40 @@ object SparkEntry {
           "CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END + " +
           "CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) " +
           "AS stages_completed FROM s3"),
+      "q_funnel_by_arm" -> {
+        val pa = "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        val pb = "(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        val pp = "(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        val den = s"sqrt($pp * (1.0 - $pp) * " +
+          "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+        val arm = "((user_id % 2) + 2) % 2 = 0"
+        val conv = "t2 IS NOT NULL AND t3 IS NOT NULL"
+        "WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 " +
+          "FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+          "s2 AS (SELECT s1.user_id, s1.t1, " +
+          "min(CASE WHEN epoch_us(e.ts) > s1.t1 THEN epoch_us(e.ts) END) " +
+          "AS t2 FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id " +
+          "AND e.event_type = 'click' GROUP BY s1.user_id, s1.t1), " +
+          "s3 AS (SELECT s2.user_id, s2.t1, s2.t2, " +
+          "min(CASE WHEN epoch_us(e.ts) > s2.t2 THEN epoch_us(e.ts) END) " +
+          "AS t3 FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id " +
+          "AND e.event_type = 'purchase' GROUP BY s2.user_id, s2.t1, " +
+          "s2.t2), " +
+          "c AS (SELECT " +
+          s"CAST(coalesce(sum(CASE WHEN $arm THEN 1 ELSE 0 END), 0) " +
+          "AS BIGINT) AS n_a, " +
+          s"CAST(coalesce(sum(CASE WHEN $arm AND $conv THEN 1 ELSE 0 " +
+          "END), 0) AS BIGINT) AS x_a, " +
+          s"CAST(coalesce(sum(CASE WHEN NOT ($arm) THEN 1 ELSE 0 END), " +
+          "0) AS BIGINT) AS n_b, " +
+          s"CAST(coalesce(sum(CASE WHEN NOT ($arm) AND $conv THEN 1 " +
+          "ELSE 0 END), 0) AS BIGINT) AS x_b FROM s3) " +
+          "SELECT n_a, x_a, n_b, x_b, " +
+          s"CASE WHEN n_a = 0 THEN NULL ELSE $pa END AS p_a, " +
+          s"CASE WHEN n_b = 0 THEN NULL ELSE $pb END AS p_b, " +
+          s"CASE WHEN n_a = 0 OR n_b = 0 OR $den <= 0.0 THEN NULL " +
+          s"ELSE ($pa - $pb) / $den END AS z FROM c"
+      },
       "q_retention" ->
         ("WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
           "c AS (SELECT user_id, min(day) AS cohort_date FROM d GROUP BY user_id), " +
