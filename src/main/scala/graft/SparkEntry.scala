@@ -3791,6 +3791,42 @@ object SparkEntry {
         l, r, "ls", "le", "rs", "re", bucketWidth = 1800000000L)
         .select(col("l_id"), col("r_id"), col("ls"), col("rs"))
     }),
+
+    // ---- Stats: Mann-Whitney rank-sum z (click vs view values) — the
+    //      significance companion to q_auc's ranking readout; exact
+    //      integer 2U and tie-corrected variance, ONE sqrt ----
+    "q_mann_whitney" -> ((s, dir) =>
+      graft.ops.Profile.mannWhitneyZ(
+        t(s, dir, "events").filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        floor(col("value") * 1024.0))),
+
+    // ---- Experimentation: Benjamini-Hochberg FDR over per-nation
+    //      two-proportion z-tests — the multiple-comparisons guard for
+    //      segment-level A/B readouts (m=25 nations, alpha=0.05) ----
+    "q_benjamini_hochberg" -> ((s, dir) =>
+      graft.ops.Profile.benjaminiHochbergZ(
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        "c_nationkey",
+        pmod(col("o_custkey"), lit(2L)) === 0L,
+        col("o_totalprice") > 250000.0)),
+
+    // ---- Corpus analysis: Dunning log-likelihood keyness — top-50
+    //      terms characterizing the src0-4 slice vs the rest ----
+    "text_keyness_llr" -> ((s, dir) =>
+      TextAnalysis.keynessLLR(
+        t(s, dir, "documents"), "text",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        k = 50)),
+
+    // ---- Corpus analysis: Jensen-Shannon divergence between the
+    //      src0-4 slice's unigram distribution and the rest — the
+    //      bounded domain-mix drift scalar; count-pair-grid fold ----
+    "text_jsd_domains" -> ((s, dir) =>
+      TextAnalysis.jsDivergence(
+        t(s, dir, "documents"), "text",
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))),
   )
 
   /** Content-fidelity aggregate for the format round-trip gates: per-lang
@@ -8048,6 +8084,130 @@ object SparkEntry {
           "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / " +
           "length(text) AS alpha_ratio, " +
           "len(regexp_extract_all(text, '\\bthe\\b')) AS n_the FROM documents"),
+      "q_mann_whitney" ->
+        // Exact-integer 2U over the binned grid; the tie bracket and the
+        // variance numerator ride HUGEINT (Spark: DECIMAL(38,0)); one
+        // division, one sqrt, identical float shape to the engine.
+        ("WITH b AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 " +
+          "END AS a, CAST(floor(value * 1024.0) AS BIGINT) AS q " +
+          "FROM events WHERE event_type IN ('click', 'view') " +
+          "AND value IS NOT NULL), " +
+          "g AS (SELECT q, CAST(sum(a) AS BIGINT) AS ca, " +
+          "CAST(count(*) - sum(a) AS BIGINT) AS cb FROM b GROUP BY q), " +
+          "c AS (SELECT q, ca, cb, CAST(coalesce(sum(cb) OVER (" +
+          "ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+          "0) AS BIGINT) AS bl FROM g), " +
+          "agg AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a, " +
+          "CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b, " +
+          "CAST(coalesce(sum(ca * (2 * bl + cb)), 0) AS BIGINT) AS u2, " +
+          "coalesce(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) " +
+          "- (ca + cb)), 0) AS tb FROM c), " +
+          "v AS (SELECT n_a, n_b, u2, " +
+          "CAST(n_a AS HUGEINT) * n_b * ((CAST(n_a + n_b AS HUGEINT) + 1) " +
+          "* (n_a + n_b) * (CAST(n_a + n_b AS HUGEINT) - 1) - tb) AS vn, " +
+          "12 * CAST(n_a + n_b AS HUGEINT) * " +
+          "(CAST(n_a + n_b AS HUGEINT) - 1) AS vd FROM agg) " +
+          "SELECT n_a, n_b, u2, " +
+          "CASE WHEN n_a = 0 OR n_b = 0 OR vn <= 0 THEN NULL ELSE " +
+          "(CAST(u2 AS DOUBLE) - CAST(n_a * n_b AS DOUBLE)) / " +
+          "(2.0 * sqrt(CAST(vn AS DOUBLE) / CAST(vd AS DOUBLE))) END AS z " +
+          "FROM v"),
+      "q_benjamini_hochberg" ->
+        // Per-nation z mirrors q_abtest's shape; p via the A&S 7.1.26
+        // erfc Horner chain (verbatim the engine's operation order);
+        // step-up kstar over the O(m) ranked rows.
+        ("WITH g AS (SELECT c_nationkey AS grp, " +
+          "CAST(coalesce(sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 " +
+          "END), 0) AS BIGINT) AS n_a, " +
+          "CAST(coalesce(sum(CASE WHEN o_custkey % 2 = 0 AND " +
+          "o_totalprice > 250000.0 THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+          "AS x_a, " +
+          "CAST(coalesce(sum(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 " +
+          "END), 0) AS BIGINT) AS n_b, " +
+          "CAST(coalesce(sum(CASE WHEN o_custkey % 2 <> 0 AND " +
+          "o_totalprice > 250000.0 THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+          "AS x_b FROM orders JOIN customer ON o_custkey = c_custkey " +
+          "GROUP BY 1), " +
+          "zc AS (SELECT grp, n_a, x_a, n_b, x_b, " +
+          "CASE WHEN n_a = 0 OR n_b = 0 OR den <= 0.0 THEN NULL " +
+          "ELSE (pa - pb) / den END AS z FROM (" +
+          "SELECT *, CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa, " +
+          "CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb, " +
+          "sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) " +
+          "* (1.0 - CAST(x_a + x_b AS DOUBLE) / " +
+          "CAST(n_a + n_b AS DOUBLE)) * (1.0 / CAST(n_a AS DOUBLE) " +
+          "+ 1.0 / CAST(n_b AS DOUBLE))) AS den FROM g)), " +
+          "pc AS (SELECT *, CASE WHEN z IS NULL THEN NULL ELSE " +
+          "(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) * " +
+          "(0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs(z) / " +
+          "sqrt(2.0)))) * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * " +
+          "(abs(z) / sqrt(2.0)))) * (1.421413741 + (1.0 / (1.0 + " +
+          "0.3275911 * (abs(z) / sqrt(2.0)))) * (-1.453152027 + (1.0 / " +
+          "(1.0 + 0.3275911 * (abs(z) / sqrt(2.0)))) * 1.061405429))))" +
+          " * exp(-((abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0)))) " +
+          "END AS p FROM zc), " +
+          "r AS (SELECT *, CASE WHEN p IS NULL THEN NULL ELSE " +
+          "CAST(row_number() OVER (PARTITION BY (p IS NOT NULL) " +
+          "ORDER BY p ASC, grp ASC) AS BIGINT) END AS k, " +
+          "CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) " +
+          "OVER () AS BIGINT) AS m FROM pc), " +
+          "ks AS (SELECT *, max(CASE WHEN p <= CAST(k AS DOUBLE) * 0.05 " +
+          "/ CAST(m AS DOUBLE) THEN k END) OVER () AS kstar FROM r) " +
+          "SELECT grp, n_a, x_a, n_b, x_b, z, p, k, m, " +
+          "(k IS NOT NULL AND kstar IS NOT NULL AND k <= kstar) " +
+          "AS rejected FROM ks"),
+      "text_keyness_llr" ->
+        // Exact counts to the log step; every log argument a ratio of
+        // exact-integer products in the engine's operand order.
+        ("WITH tk AS (SELECT CASE WHEN source IN ('src0', 'src1', " +
+          "'src2', 'src3', 'src4') THEN 1 ELSE 0 END AS a, " +
+          "unnest(list_filter(regexp_split_to_array(lower(text), " +
+          "'\\s+'), x -> len(x) > 0)) AS term FROM documents), " +
+          "per AS (SELECT term, CAST(sum(a) AS BIGINT) AS c_a, " +
+          "CAST(count(*) - sum(a) AS BIGINT) AS c_b FROM tk " +
+          "GROUP BY 1), " +
+          "tot AS (SELECT CAST(coalesce(sum(c_a), 0) AS BIGINT) AS na, " +
+          "CAST(coalesce(sum(c_b), 0) AS BIGINT) AS nb FROM per) " +
+          "SELECT term, c_a, c_b, " +
+          "2.0 * ((CASE WHEN c_a > 0 THEN CAST(c_a AS DOUBLE) * " +
+          "ln(CAST(c_a AS DOUBLE) * CAST(na + nb AS DOUBLE) / " +
+          "(CAST(na AS DOUBLE) * CAST(c_a + c_b AS DOUBLE))) " +
+          "ELSE 0.0 END) + (CASE WHEN c_b > 0 THEN " +
+          "CAST(c_b AS DOUBLE) * ln(CAST(c_b AS DOUBLE) * " +
+          "CAST(na + nb AS DOUBLE) / (CAST(nb AS DOUBLE) * " +
+          "CAST(c_a + c_b AS DOUBLE))) ELSE 0.0 END)) AS g2, " +
+          "CAST(sign(c_a * nb - c_b * na) AS BIGINT) AS direction " +
+          "FROM per, tot ORDER BY g2 DESC, term ASC LIMIT 50"),
+      "text_jsd_domains" -> {
+        // Count-pair-grid strict sorted fold (the q_mutual_info idiom);
+        // p, q, and the log arguments repeated inline per DuckDB's
+        // let-less lambdas — identical float shape to the engine.
+        val p = "(CAST(x.ca AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        val q = "(CAST(x.cb AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        val ha = s"(CASE WHEN x.ca > 0 THEN $p * ln(2.0 * $p / ($p + $q)) " +
+          "ELSE 0.0 END)"
+        val hb = s"(CASE WHEN x.cb > 0 THEN $q * ln(2.0 * $q / ($p + $q)) " +
+          "ELSE 0.0 END)"
+        "WITH tk AS (SELECT CASE WHEN source IN ('src0', 'src1', " +
+          "'src2', 'src3', 'src4') THEN 1 ELSE 0 END AS a, " +
+          "unnest(list_filter(regexp_split_to_array(lower(text), " +
+          "'\\s+'), x -> len(x) > 0)) AS term FROM documents), " +
+          "per AS (SELECT term, CAST(sum(a) AS BIGINT) AS ca, " +
+          "CAST(count(*) - sum(a) AS BIGINT) AS cb FROM tk " +
+          "GROUP BY 1), " +
+          "grid AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS m " +
+          "FROM per GROUP BY 1, 2), " +
+          "lst AS (SELECT list(struct_pack(ca := ca, cb := cb, m := m) " +
+          "ORDER BY ca, cb) AS cs, " +
+          "CAST(coalesce(sum(ca * m), 0) AS BIGINT) AS n_a, " +
+          "CAST(coalesce(sum(cb * m), 0) AS BIGINT) AS n_b, " +
+          "CAST(coalesce(sum(m), 0) AS BIGINT) AS vocab FROM grid) " +
+          "SELECT n_a, n_b, vocab, " +
+          "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE " +
+          "round(0.5 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(cs, x -> CAST(x.m AS DOUBLE) * ($ha + $hb))), " +
+          "(acc, x) -> acc + x), 8) END AS jsd_nats FROM lst"
+      },
     ) ++ docPipelineOracles ++ sourceAndRankOracles
   }
 }

@@ -1123,4 +1123,133 @@ object Profile {
         .localCheckpoint()
     } finally { parted.unpersist(); () }
   }
+
+  /** Mann-Whitney rank-sum z — the SIGNIFICANCE companion to
+    * [[aucBinned]]'s ranking-quality readout, over the same binned-score
+    * contract: does sample A stochastically dominate sample B, and is
+    * the shift larger than chance? `inA` tags membership, `scoreBin` is
+    * the caller-quantized integer bin. Emits one row:
+    * (n_a, n_b, u2, z).
+    *
+    * Exactness: per-bin counts are exact; `2U = Σ_bins a·(2·B_< + b)`
+    * stays BIGINT (the [[aucBinned]] identity). The tie-corrected
+    * variance rides exact integers to the last step:
+    * `σ² = n_a·n_b·[(n+1)·n·(n−1) − Σ(t³−t)] / (12·n·(n−1))` with the
+    * bracket in DECIMAL(38,0) (n³·n_a·n_b overflows BIGINT well below
+    * 100-TB row counts), then ONE division and ONE sqrt — fixed shape,
+    * bit-identical cross-engine. z = (2U − n_a·n_b) / (2σ).
+    *
+    * Scale: one bin-keyed map-side-combinable aggregate over the scan;
+    * the cumulative pass is a single-partition window over O(bins) rows
+    * (bounded by the quantization grid, not the data). Degenerate
+    * inputs (either sample empty, zero variance) yield z = NULL. */
+  def mannWhitneyZ(df: DataFrame, inA: Column, scoreBin: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val b = df.select(when(inA, 1L).otherwise(0L).as("__a"),
+      scoreBin.cast("long").as("__q"))
+      .where(col("__q").isNotNull)
+    val g = b.groupBy("__q").agg(sum(col("__a")).as("__ca"),
+      (count(lit(1)) - sum(col("__a"))).as("__cb"))
+    val below = Window.orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("__bl",
+      coalesce(sum(col("__cb")).over(below), lit(0L)))
+    val t3 = (col("__ca") + col("__cb")).cast(dec)
+    cum.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+      coalesce(sum(col("__ca") * (lit(2L) * col("__bl") + col("__cb"))),
+        lit(0L)).as("u2"),
+      coalesce(sum(t3 * t3 * t3 - t3), lit(0L).cast(dec)).as("__t"))
+      .select(col("n_a"), col("n_b"), col("u2"),
+        {
+          val n = (col("n_a") + col("n_b")).cast(dec)
+          val varNum = col("n_a").cast(dec) * col("n_b").cast(dec) *
+            ((n + lit(1)) * n * (n - lit(1)) - col("__t"))
+          val varDen = lit(12).cast(dec) * n * (n - lit(1))
+          val variance = varNum.cast("double") / varDen.cast("double")
+          when(col("n_a") === 0L || col("n_b") === 0L ||
+              varNum <= lit(0).cast(dec), lit(null).cast("double"))
+            .otherwise(
+              (col("u2").cast("double") -
+                (col("n_a") * col("n_b")).cast("double")) /
+                (lit(2.0) * sqrt(variance)))
+            .as("z")
+        })
+  }
+
+  /** Benjamini-Hochberg step-up FDR over per-group two-proportion
+    * z-tests — the multiple-comparisons guard every per-segment A/B
+    * readout needs: with m segments tested at once, raw p < 0.05 fires
+    * spuriously ~m/20 times; BH controls the expected false-discovery
+    * rate at `alpha` instead. One row per group:
+    * (group, n_a, x_a, n_b, x_b, z, p, k, m, rejected).
+    *
+    * p is the two-sided normal tail `erfc(|z|/√2)` via the
+    * Abramowitz-Stegun 7.1.26 polynomial (|err| < 1.5e-7 — far inside
+    * the 12-significant-digit compare window only if both engines run
+    * the SAME operation sequence, so the Horner chain here is mirrored
+    * verbatim in the oracle SQL). Step-up: rank p ascending (group id
+    * tie-break), k* = max{k: p_(k) ≤ k·alpha/m}, reject ranks ≤ k*.
+    * Groups too small or degenerate for a z (NULL) are excluded from m
+    * and never rejected.
+    *
+    * Scale: one grouped aggregate over the scan; the rank/step-up pass
+    * is a single-partition window over O(m) rows — m is the segment
+    * count (tens), not the data. */
+  def benjaminiHochbergZ(
+      df: DataFrame, groupCol: String, variantA: Column, converted: Column,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = coalesce(converted, lit(false))
+    val g = df.groupBy(col(groupCol).as("grp")).agg(
+      coalesce(sum(when(variantA, 1L).otherwise(0L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(variantA && conv, 1L).otherwise(0L)), lit(0L))
+        .as("x_a"),
+      coalesce(sum(when(!variantA, 1L).otherwise(0L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(!variantA && conv, 1L).otherwise(0L)), lit(0L))
+        .as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val den = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    val zed = g.withColumn("z",
+      when(col("n_a") === 0L || col("n_b") === 0L || den <= 0.0,
+        lit(null).cast("double")).otherwise((pa - pb) / den))
+    // A&S 7.1.26 erfc: y = |z|/√2, t = 1/(1 + 0.3275911·y),
+    // erfc(y) = t·(a1 + t·(a2 + t·(a3 + t·(a4 + t·a5))))·exp(−y·y).
+    val y = abs(col("z")) / sqrt(lit(2.0))
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * y)
+    val poly = tt * (lit(0.254829592) + tt * (lit(-0.284496736) +
+      tt * (lit(1.421413741) + tt * (lit(-1.453152027) +
+        tt * lit(1.061405429)))))
+    val withP = zed.withColumn("p",
+      when(col("z").isNull, lit(null).cast("double"))
+        .otherwise(poly * exp(-(y * y))))
+    val tested = Window.partitionBy(col("__t"))
+    val ranked = withP
+      .withColumn("__t", col("p").isNotNull)
+      .withColumn("k",
+        when(col("p").isNull, lit(null).cast("long")).otherwise(
+          row_number().over(tested.orderBy(col("p").asc, col("grp").asc))
+            .cast("long")))
+      .withColumn("m", coalesce(sum(when(col("p").isNotNull, 1L)
+          .otherwise(0L)).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)), lit(0L)))
+    val kStar = ranked.withColumn("__ks",
+      max(when(col("p") <= col("k").cast("double") * lit(alpha) /
+          col("m").cast("double"), col("k"))).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    kStar.select(col("grp"), col("n_a"), col("x_a"), col("n_b"),
+      col("x_b"), col("z"), col("p"), col("k"), col("m"),
+      (col("k").isNotNull && col("__ks").isNotNull &&
+        col("k") <= col("__ks")).as("rejected"))
+  }
 }

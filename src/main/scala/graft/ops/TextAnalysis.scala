@@ -649,4 +649,105 @@ object TextAnalysis {
         when(col("n_tokens") === 0L, lit(null).cast("double"))
           .otherwise(col("n_hapax").cast("double") /
             col("n_tokens").cast("double")).as("hapax_ratio"))
+
+  /** Corpus keyness — Dunning's log-likelihood-ratio G² per token
+    * between a focus slice (`inA`) and the rest of the corpus: the
+    * standard "what vocabulary characterizes this source/domain?"
+    * readout (Dunning 1993), sharper than raw frequency ratios for
+    * rare terms. Top-k terms by G²:
+    * (term, c_a, c_b, g2, direction) — direction +1 when the term is
+    * OVER-represented in the focus slice, −1 under, 0 proportional.
+    *
+    * Exactness: counts exact BIGINT; each log argument is a ratio of
+    * exact-integer products cast to double in fixed order
+    * (`c·N / (N_side·(c_a+c_b))`), so G² is bit-identical
+    * cross-engine; zero-count sides contribute 0 by convention.
+    * direction is an EXACT integer cross-product sign (c_a·N_b vs
+    * c_b·N_a) — no float compare. Rank ties break on term ASC.
+    *
+    * Scale: one token-keyed map-side-combinable aggregate (O(vocab)
+    * out), one broadcast of the two scalar totals; the top-k rank is a
+    * TakeOrdered over the vocab aggregate, not a global sort. */
+  def keynessLLR(
+      docs: DataFrame, textCol: String, inA: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tok = docs.select(when(inA, 1L).otherwise(0L).as("__a"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val per = tok.groupBy(col("term")).agg(
+      sum(col("__a")).as("c_a"),
+      (count(lit(1)) - sum(col("__a"))).as("c_b"))
+    val tot = per.agg(
+      coalesce(sum(col("c_a")), lit(0L)).as("__na"),
+      coalesce(sum(col("c_b")), lit(0L)).as("__nb"))
+    val n = (col("__na") + col("__nb")).cast("double")
+    val termA = when(col("c_a") > 0L,
+      col("c_a").cast("double") *
+        log(col("c_a").cast("double") * n /
+          (col("__na").cast("double") *
+            (col("c_a") + col("c_b")).cast("double")))).otherwise(lit(0.0))
+    val termB = when(col("c_b") > 0L,
+      col("c_b").cast("double") *
+        log(col("c_b").cast("double") * n /
+          (col("__nb").cast("double") *
+            (col("c_a") + col("c_b")).cast("double")))).otherwise(lit(0.0))
+    per.crossJoin(broadcast(tot))
+      .withColumn("g2", lit(2.0) * (termA + termB))
+      .withColumn("direction",
+        signum((col("c_a") * col("__nb") - col("c_b") * col("__na"))
+          .cast("double")).cast("long"))
+      .orderBy(col("g2").desc, col("term").asc)
+      .limit(k)
+      .select(col("term"), col("c_a"), col("c_b"), col("g2"),
+        col("direction"))
+  }
+
+  /** Jensen-Shannon divergence between the unigram distributions of a
+    * focus slice and the rest of the corpus — the bounded (≤ ln 2),
+    * symmetric "how different are these two corpora?" scalar used for
+    * domain-mixture monitoring and pretraining-mix drift. ONE row:
+    * (n_a, n_b, vocab, jsd_nats).
+    *
+    * Determinism: the float sum would be shuffle-order-dependent, so
+    * the fold runs over the (c_a, c_b) COUNT-PAIR GRID with
+    * multiplicities (the zipfFit/degreeStats discipline): terms sharing
+    * an exact count pair contribute identically, the grid is collected
+    * once via sort_array and folded strictly left-to-right, pinned
+    * round(·,8). Grid cardinality is bounded by the number of DISTINCT
+    * count pairs — Zipf corpora keep it orders below vocab.
+    *
+    * Scale: one token aggregate (map-side combined) → one pair-grid
+    * aggregate (O(grid) out) → one driver-bounded fold. */
+  def jsDivergence(docs: DataFrame, textCol: String, inA: Column)
+      : DataFrame = {
+    val tok = docs.select(when(inA, 1L).otherwise(0L).as("__a"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val per = tok.groupBy(col("term")).agg(
+      sum(col("__a")).as("ca"),
+      (count(lit(1)) - sum(col("__a"))).as("cb"))
+    val grid = per.groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("m"))
+    val packed = grid.agg(
+      sort_array(collect_list(struct(col("ca"), col("cb"), col("m"))))
+        .as("__g"),
+      coalesce(sum(col("ca") * col("m")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cb") * col("m")), lit(0L)).as("n_b"),
+      coalesce(sum(col("m")), lit(0L)).as("vocab"))
+    val term = (x: Column) => {
+      val p = x.getField("ca").cast("double") / col("n_a").cast("double")
+      val q = x.getField("cb").cast("double") / col("n_b").cast("double")
+      val halfA = when(x.getField("ca") > 0L,
+        p * log(lit(2.0) * p / (p + q))).otherwise(lit(0.0))
+      val halfB = when(x.getField("cb") > 0L,
+        q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))
+      x.getField("m").cast("double") * (halfA + halfB)
+    }
+    packed.select(col("n_a"), col("n_b"), col("vocab"),
+      when(col("n_a") === 0L || col("n_b") === 0L,
+        lit(null).cast("double"))
+        .otherwise(round(
+          lit(0.5) * aggregate(col("__g"), lit(0.0),
+            (acc, x) => acc + term(x)), 8)).as("jsd_nats"))
+  }
 }

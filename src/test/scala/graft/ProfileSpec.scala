@@ -507,4 +507,53 @@ class ProfileSpec extends SparkSpec {
     // (60-30)^2 / 90 = 10 — far past 3.84: broken assignment
     assert(r2.getDouble(2) == 10.0)
   }
+
+  test("mannWhitneyZ: exact 2U, tie correction, degenerate NULL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A = {3,4} beats B = {1,2} completely: U = n_a·n_b = 4,
+    // no ties → σ² = 4·(5·4·3)/(12·4·3) = 5/3, z = 2/√(5/3).
+    val sep = Seq(("a", 3L), ("a", 4L), ("b", 1L), ("b", 2L))
+      .toDF("g", "q")
+    val r = Profile.mannWhitneyZ(sep, col("g") === "a", col("q"))
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 8L)
+    assert(math.abs(r.getDouble(3) - 2.0 / math.sqrt(5.0 / 3.0)) < 1e-12)
+    // Ties: A = {1,1}, B = {1,2} → 2U = 2, T = 3³−3 = 24,
+    // σ² = 4·(60−24)/144 = 1, z = (2−4)/2 = −1.
+    val tied = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L))
+      .toDF("g", "q")
+    val r2 = Profile.mannWhitneyZ(tied, col("g") === "a", col("q"))
+      .collect().head
+    assert(r2.getLong(2) == 2L && r2.getDouble(3) == -1.0)
+    // One-sample input → z NULL.
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "q")
+    assert(Profile.mannWhitneyZ(one, col("g") === "a", col("q"))
+      .collect().head.isNullAt(3))
+  }
+
+  test("benjaminiHochbergZ: step-up rejection, m excludes degenerate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // g1: strong lift (50/50 vs 5/50) → tiny p, rejected.
+    // g2: no lift (25/50 vs 25/50) → z = 0, p ≈ 1, kept.
+    // g3: one-armed → z NULL, excluded from m, never rejected.
+    val rows =
+      (1 to 50).map(i => ("g1", true, true)) ++
+        (1 to 50).map(i => ("g1", false, i <= 5)) ++
+        (1 to 50).map(i => ("g2", true, i <= 25)) ++
+        (1 to 50).map(i => ("g2", false, i <= 25)) ++
+        (1 to 10).map(i => ("g3", true, i <= 3))
+    val df = rows.toDF("grp", "a", "c")
+    val got = Profile.benjaminiHochbergZ(df, "grp", col("a"), col("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("g1").getBoolean(9))
+    assert(!got("g2").getBoolean(9))
+    assert(got("g3").isNullAt(5) && got("g3").isNullAt(7) &&
+      !got("g3").getBoolean(9))
+    assert(got.values.forall(_.getLong(8) == 2L)) // m = 2 tested groups
+    assert(got("g1").getLong(7) == 1L && got("g2").getLong(7) == 2L)
+    // A&S 7.1.26 sanity: p(z≈0) ≈ 1 within the 1.5e-7 envelope.
+    assert(math.abs(got("g2").getDouble(6) - 1.0) < 1e-6)
+  }
 }

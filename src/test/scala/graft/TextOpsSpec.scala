@@ -560,4 +560,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L) == ((1L, 1L, 1L, 1.0, 1.0)))
     assert(!got.contains(3L))
   }
+
+  test("keynessLLR: Dunning G2 values, direction, rank order") {
+    // A: "x x y", B: "y z" → NA=3, NB=2.
+    // g2(x) = 4·ln(10/6), g2(z) = 2·ln(5/2),
+    // g2(y) = 2·(ln(5/6) + ln(5/4)).
+    val docs = Seq((1L, "x x y", "a"), (2L, "y z", "b"))
+      .toDF("id", "txt", "side")
+    val got = TextAnalysis.keynessLLR(docs, "txt", col("side") === "a", 2)
+      .collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("x", "z"))
+    val x = got(0); val z = got(1)
+    assert(x.getLong(1) == 2L && x.getLong(2) == 0L)
+    assert(math.abs(x.getDouble(3) - 4.0 * math.log(10.0 / 6.0)) < 1e-12)
+    assert(x.getLong(4) == 1L)
+    assert(math.abs(z.getDouble(3) - 2.0 * math.log(2.5)) < 1e-12)
+    assert(z.getLong(4) == -1L)
+  }
+
+  test("jsDivergence: zero on identical mixes, ln 2 on disjoint") {
+    val same = Seq((1L, "a b", "x"), (2L, "a b", "y"))
+      .toDF("id", "txt", "side")
+    val r = TextAnalysis.jsDivergence(same, "txt", col("side") === "x")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.0)
+    val disj = Seq((1L, "a", "x"), (2L, "b", "y"))
+      .toDF("id", "txt", "side")
+    val r2 = TextAnalysis.jsDivergence(disj, "txt", col("side") === "x")
+      .collect().head
+    assert(math.abs(r2.getDouble(3) - math.log(2.0)) < 1e-7)
+    // Empty side → NULL (no distribution to compare against).
+    val onesided = Seq((1L, "a", "x")).toDF("id", "txt", "side")
+    assert(TextAnalysis.jsDivergence(onesided, "txt", col("side") === "x")
+      .collect().head.isNullAt(3))
+  }
 }
