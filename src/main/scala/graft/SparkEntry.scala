@@ -3827,6 +3827,47 @@ object SparkEntry {
       TextAnalysis.jsDivergence(
         t(s, dir, "documents"), "text",
         col("source").isin("src0", "src1", "src2", "src3", "src4"))),
+
+    // ---- Time series: binary-segmentation changepoint (where did the
+    //      daily level break?) — exact DECIMAL(38,0) CUSUM argmax,
+    //      smallest-t ties; ts_cusum's retro segmentation twin ----
+    "ts_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("qx")).as("dx"))
+      graft.ops.TimeSeries.changepointBinary(
+        daily, "event_type", "day", "dx", scale = 1024.0)
+    }),
+
+    // ---- Time series: PACF lags 1-3 (Durbin-Levinson closed form over
+    //      the exact-form ACF) — the AR-order read ts_acf can't give ----
+    "ts_pacf" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.pacf(hourly, "event_type", "hr", "hx")
+    }),
+
+    // ---- LLM pipeline: label-centroid silhouette — cluster-quality
+    //      read over the labeled embeddings (O(rows·labels), quantized
+    //      exact rollup) ----
+    "emb_silhouette" -> ((s, dir) =>
+      Similarity.labelSilhouette(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")),
+
+    // ---- Sampling: Neyman-allocation stratified sample — the
+    //      variance-optimal budget split (n_h ∝ N_h·σ_h over n_chars),
+    //      largest-remainder rounding, shared permute-hash take ----
+    "sample_neyman" -> ((s, dir) =>
+      graft.ops.Sampling.neymanSample(
+        t(s, dir, "documents"), "source", "doc_id", "n_chars", k = 200)),
   )
 
   /** Content-fidelity aggregate for the format round-trip gates: per-lang
@@ -8208,6 +8249,137 @@ object SparkEntry {
           s"list_transform(cs, x -> CAST(x.m AS DOUBLE) * ($ha + $hb))), " +
           "(acc, x) -> acc + x), 8) END AS jsd_nats FROM lst"
       },
+      "ts_changepoint" ->
+        // Exact HUGEINT prefix/total sums (Spark: DECIMAL(38,0));
+        // g(t) is ONE division of exact operands; argmax ties on
+        // smallest t via the rank's (g DESC, i ASC).
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 86400000000 " +
+          "AS day, CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) " +
+          "AS BIGINT) AS dx FROM events WHERE value IS NOT NULL " +
+          "GROUP BY 1, 2), " +
+          "b AS (SELECT event_type, day, " +
+          "CAST(row_number() OVER w AS HUGEINT) AS i, " +
+          "CAST(sum(dx) OVER (PARTITION BY event_type ORDER BY day " +
+          "ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS p, " +
+          "CAST(count(*) OVER (PARTITION BY event_type) AS HUGEINT) AS n, " +
+          "CAST(sum(dx) OVER (PARTITION BY event_type) AS HUGEINT) AS s " +
+          "FROM h WINDOW w AS (PARTITION BY event_type ORDER BY day)), " +
+          "c AS (SELECT *, CAST((p * n - s * i) * (p * n - s * i) " +
+          "AS DOUBLE) / CAST(i * (n - i) AS DOUBLE) AS g FROM b " +
+          "WHERE i < n), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+          "ORDER BY g DESC, i ASC) AS rk FROM c) " +
+          "SELECT event_type, CAST(n AS BIGINT) AS n_points, " +
+          "CAST(i AS BIGINT) AS cp_index, day AS cp_ord, " +
+          "CAST(p AS DOUBLE) / (CAST(i AS DOUBLE) * 1024.0) AS mean_left, " +
+          "CAST(s - p AS DOUBLE) / (CAST(n - i AS DOUBLE) * 1024.0) " +
+          "AS mean_right, g AS g_stat FROM r WHERE rk = 1"),
+      "ts_pacf" ->
+        // The ts_acf exact-form rho CTEs at maxLag=3, pivoted, then the
+        // Durbin-Levinson chain in the engine's verbatim operand order.
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "b AS (SELECT event_type, hr, hx, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY hr) AS i FROM h), " +
+          "st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, " +
+          "CAST(sum(hx) AS HUGEINT) AS s, " +
+          "sum(CAST(hx AS HUGEINT) * CAST(hx AS HUGEINT)) AS sxx " +
+          "FROM b GROUP BY 1), " +
+          "pp AS (SELECT hh.event_type, t.lag, " +
+          "sum(CAST(hh.hx AS HUGEINT) * CAST(tt.hx AS HUGEINT)) AS sxy, " +
+          "CAST(sum(hh.hx) AS HUGEINT) AS sh, " +
+          "CAST(sum(tt.hx) AS HUGEINT) AS st2, " +
+          "CAST(count(*) AS HUGEINT) AS m " +
+          "FROM b hh CROSS JOIN range(1, 4) t(lag) JOIN b tt " +
+          "ON tt.event_type = hh.event_type AND tt.i = hh.i + t.lag " +
+          "GROUP BY 1, 2), " +
+          "acf AS (SELECT event_type, lag, n, " +
+          "CASE WHEN den <= 0 THEN NULL " +
+          "ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf " +
+          "FROM (SELECT pp.event_type, pp.lag, st.n, " +
+          "st.n * st.n * pp.sxy - st.n * st.s * (pp.sh + pp.st2) " +
+          "+ pp.m * st.s * st.s AS num, " +
+          "st.n * st.n * st.sxx - st.n * st.s * st.s AS den " +
+          "FROM pp JOIN st USING (event_type))), " +
+          "piv AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_points, " +
+          "max(CASE WHEN lag = 1 THEN acf END) AS r1, " +
+          "max(CASE WHEN lag = 2 THEN acf END) AS r2, " +
+          "max(CASE WHEN lag = 3 THEN acf END) AS r3 FROM acf " +
+          "GROUP BY 1), " +
+          "p2 AS (SELECT *, CASE WHEN r1 IS NULL OR r2 IS NULL OR " +
+          "1.0 - r1 * r1 = 0.0 THEN NULL ELSE " +
+          "(r2 - r1 * r1) / (1.0 - r1 * r1) END AS pacf2 FROM piv), " +
+          "p21 AS (SELECT *, r1 - pacf2 * r1 AS p21 FROM p2) " +
+          "SELECT event_type, n_points, r1 AS pacf1, pacf2, " +
+          "CASE WHEN pacf2 IS NULL OR r3 IS NULL OR " +
+          "1.0 - p21 * r1 - pacf2 * r2 = 0.0 THEN NULL ELSE " +
+          "(r3 - p21 * r2 - pacf2 * r1) / " +
+          "(1.0 - p21 * r1 - pacf2 * r2) END AS pacf3 FROM p21"),
+      "emb_silhouette" -> {
+        // Mirrors Similarity.labelSilhouette: fixed-point centroids,
+        // strict-fold cosines, per-row 1e-8 quantization, exact rollup.
+        val cosXc = OracleSql.dot("e.v", "c.cv") +
+          s" / (sqrt(${OracleSql.dot("e.v", "e.v")}) * " +
+          s"sqrt(${OracleSql.dot("c.cv", "c.cv")}))"
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) " +
+          "AS v FROM embeddings), " +
+          "x AS (SELECT label, unnest(list_transform(range(0, len(v)), " +
+          "j -> {'j': j, 'x': v[j+1]})) AS u FROM e), " +
+          "a AS (SELECT label, u.j AS j, " +
+          "sum(CAST(floor(u.x * 1048576.0) AS BIGINT)) AS sq, " +
+          "count(*) AS cnt FROM x GROUP BY label, u.j), " +
+          "c AS (SELECT label AS cl, list(CAST(sq AS DOUBLE) / " +
+          "(CAST(cnt AS DOUBLE) * 1048576.0) ORDER BY j) AS cv " +
+          "FROM a GROUP BY label), " +
+          s"p AS (SELECT e.vec_id, e.label, c.cl, $cosXc AS cs " +
+          "FROM e CROSS JOIN c), " +
+          "g AS (SELECT vec_id, label, " +
+          "max(CASE WHEN cl = label THEN cs END) AS co, " +
+          "max(CASE WHEN cl <> label THEN cs END) AS cx " +
+          "FROM p GROUP BY 1, 2), " +
+          "sl AS (SELECT label, CASE WHEN greatest(1.0 - co, 1.0 - cx) " +
+          "= 0.0 THEN 0.0 ELSE ((1.0 - cx) - (1.0 - co)) / " +
+          "greatest(1.0 - co, 1.0 - cx) END AS sil FROM g " +
+          "WHERE co IS NOT NULL AND cx IS NOT NULL) " +
+          "SELECT CAST(label AS BIGINT) AS label, " +
+          "CAST(count(*) AS BIGINT) AS n_vecs, " +
+          "CAST(sum(CAST(floor(sil * 100000000.0) AS BIGINT)) AS BIGINT) " +
+          "AS sum_sil_q, " +
+          "CAST(sum(CAST(floor(sil * 100000000.0) AS BIGINT)) AS DOUBLE) " +
+          "/ (CAST(count(*) AS DOUBLE) * 100000000.0) " +
+          "AS mean_silhouette FROM sl GROUP BY 1"
+      },
+      "sample_neyman" ->
+        // Mirrors Sampling.neymanSample: exact HUGEINT radicand, one
+        // sqrt per stratum, strata-sorted strict fold for W, largest-
+        // remainder rounding, the shared permute-hash rank take.
+        ("WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s, " +
+          "sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) " +
+          "AS sxx FROM documents GROUP BY 1), " +
+          "wh AS (SELECT source, n, sqrt(CAST(greatest(" +
+          "CAST(n AS HUGEINT) * sxx - s * s, 0) AS DOUBLE)) AS wgt " +
+          "FROM m), " +
+          "tw AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list(wgt ORDER BY source)), (acc, x) -> acc + x) AS wtot " +
+          "FROM wh), " +
+          "al AS (SELECT source, n, CASE WHEN wtot = 0.0 THEN 0.0 " +
+          "ELSE (200.0 * wgt) / wtot END AS q FROM wh, tw), " +
+          "b AS (SELECT *, CAST(floor(q) AS BIGINT) AS base, " +
+          "q - floor(q) AS rem FROM al), " +
+          "l AS (SELECT *, 200 - sum(base) OVER () AS leftover, " +
+          "row_number() OVER (ORDER BY rem DESC, source ASC) AS rk " +
+          "FROM b), " +
+          "a2 AS (SELECT source, n AS n_stratum, " +
+          "CAST(least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, " +
+          "n) AS BIGINT) AS alloc FROM l), " +
+          "r AS (SELECT source, doc_id, row_number() OVER (" +
+          "PARTITION BY source ORDER BY " +
+          s"(doc_id * ${TextHash.permuteA(0)} + ${TextHash.permuteB(0)}) " +
+          s"% ${TextHash.P}, doc_id) AS rn FROM documents) " +
+          "SELECT r.source, r.doc_id, a2.n_stratum, a2.alloc " +
+          "FROM r JOIN a2 USING (source) WHERE rn <= alloc"),
     ) ++ docPipelineOracles ++ sourceAndRankOracles
   }
 }

@@ -385,4 +385,72 @@ object Sampling {
         when(col("y") === 1L, lit(1.0))
           .otherwise(lit(100.0) / lit(keepPct.toDouble)))
   }
+
+  /** Neyman-allocation stratified sample — the variance-optimal budget
+    * split survey statistics prescribes: stratum h receives
+    * n_h ∝ N_h·σ_h of the total budget k (high-variance strata get
+    * proportionally MORE than proportional allocation gives them; a
+    * zero-variance stratum needs almost none). [[stratifiedSample]]
+    * takes the same percent everywhere; this is the
+    * metric-variance-aware upgrade. Emits the selected rows as
+    * (strataCol, idCol, n_stratum, alloc).
+    *
+    * Allocation arithmetic, exactly: the weight
+    * w_h = N_h·σ_h = √(N_h·Σx² − S_h²) has an EXACT DECIMAL(38,0)
+    * radicand (negative-rounding guard clamps at 0), one IEEE sqrt;
+    * W = Σ w_h folds strictly over the strata sorted by key (O(strata)
+    * array); quotas k·w_h/W round by largest remainder (ties on
+    * stratum key ASC) so Σ n_h = k exactly, each capped at N_h.
+    * Row selection is the [[stratifiedSample]] spine: rank by the
+    * shared permute hash (id tie-break), keep rn ≤ n_h — deterministic
+    * across runs, partitionings, and engines.
+    *
+    * Scale: one grouped-moments pass over the scan, O(strata) driver-
+    * bounded fold + windows, then one rank window per stratum (the
+    * stratifiedSample shape). W = 0 (every stratum constant) yields an
+    * empty sample by Neyman's own logic. */
+  def neymanSample(
+      df: DataFrame, strataCol: String, idCol: String, valCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val x = col(valCol).cast(dec)
+    val m = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(x).as("__s"),
+      sum(x * x).as("__sxx"))
+    val w = m.withColumn("__vn",
+        greatest(col("__n").cast(dec) * col("__sxx") -
+          col("__s") * col("__s"), lit(0).cast(dec)))
+      .withColumn("__w", sqrt(col("__vn").cast("double")))
+    val tot = w
+      .agg(sort_array(collect_list(struct(col(strataCol), col("__w"))))
+        .as("__g"))
+      .select(aggregate(col("__g"), lit(0.0),
+        (acc, s) => acc + s.getField("__w")).as("__tw"))
+    val whole = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val alloc = w.crossJoin(broadcast(tot))
+      .withColumn("__q",
+        when(col("__tw") === 0.0, lit(0.0))
+          .otherwise(lit(k.toDouble) * col("__w") / col("__tw")))
+      .withColumn("__base", floor(col("__q")).cast("long"))
+      .withColumn("__rem", col("__q") - floor(col("__q")))
+      .withColumn("__left", lit(k.toLong) - sum(col("__base")).over(whole))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(strataCol).asc)).cast("long"))
+      .withColumn("alloc",
+        least(col("__base") +
+          when(col("__rk") <= col("__left"), 1L).otherwise(0L),
+          col("__n")))
+      .select(col(strataCol), col("__n").as("n_stratum"), col("alloc"))
+    val rank = Window.partitionBy(col(strataCol))
+      .orderBy(TextHash.permute(0, col(idCol)), col(idCol))
+    df.select(col(strataCol), col(idCol))
+      .withColumn("__rn", row_number().over(rank).cast("long"))
+      .join(broadcast(alloc), strataCol)
+      .filter(col("__rn") <= col("alloc"))
+      .select(col(strataCol), col(idCol), col("n_stratum"), col("alloc"))
+  }
 }

@@ -1181,4 +1181,58 @@ object Similarity {
           .otherwise(col("sum_cover_q").cast("double") /
             col("n_rows").cast("double") / lit(1.0e8)).as("mean_cover"))
   }
+
+  /** Label-centroid silhouette — the clustering-quality read on a
+    * labeled embedding corpus (are the label clusters tight and
+    * separated, or is the labeling noise?): per vector, cosine distance
+    * a to its OWN label centroid and b to the NEAREST OTHER label
+    * centroid, s = (b−a)/max(a,b) ∈ [−1,1]; rolled up per label. The
+    * simplified (centroid-based) silhouette — O(rows·labels), not the
+    * O(rows²) pairwise form, the standard trade at corpus scale. One
+    * row per label: (label, n_vecs, sum_sil_q, mean_silhouette).
+    *
+    * Determinism: centroids are [[groupCentroids]] fixed-point means;
+    * per-row cosines are strict folds over them (bit-identical
+    * cross-engine); per-row s quantizes to `floor(s·1e8)` so the
+    * label rollup is EXACT integer summation immune to shuffle order —
+    * the [[sampleCoverage]] discipline. max(a,b) = 0 (vector equals
+    * both centroids) defines s = 0.
+    *
+    * Scale: labels are a broadcast O(labels·dim) frame; one corpus scan
+    * computes all cosines and collapses map-side. Single-label corpora
+    * emit nothing (no "other" centroid exists). */
+  def labelSilhouette(
+      emb: DataFrame, idCol: String, vecCol: String, labelCol: String)
+      : DataFrame = {
+    val cent = groupCentroids(emb, labelCol, vecCol)
+      .groupBy(col(labelCol).cast("long").as("__cl"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim_idx"), col("centroid")))),
+        s => s("centroid")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val n = emb.select(col(idCol),
+        col(labelCol).cast("long").as("__tl"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val per = n.crossJoin(broadcast(cent))
+      .withColumn("__cos",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy(col(idCol), col("__tl"))
+      .agg(max(when(col("__cl") === col("__tl"), col("__cos"))).as("__co"),
+        max(when(col("__cl") =!= col("__tl"), col("__cos"))).as("__cx"))
+      .filter(col("__co").isNotNull && col("__cx").isNotNull)
+    val a = lit(1.0) - col("__co")
+    val b = lit(1.0) - col("__cx")
+    per
+      .withColumn("__s",
+        when(greatest(a, b) === 0.0, lit(0.0))
+          .otherwise((b - a) / greatest(a, b)))
+      .select(col("__tl"),
+        floor(col("__s") * lit(1.0e8)).cast("long").as("__sq"))
+      .groupBy(col("__tl").as("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__sq")).as("sum_sil_q"))
+      .withColumn("mean_silhouette",
+        col("sum_sil_q").cast("double") /
+          (col("n_vecs").cast("double") * lit(1.0e8)))
+  }
 }

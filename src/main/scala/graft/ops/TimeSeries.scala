@@ -847,4 +847,102 @@ object TimeSeries {
       .select(col("duration"), col("n_at_risk"), col("n_events"),
         (col("__n") - col("n_events")).as("n_censored"), col("survival"))
   }
+
+  /** Single-changepoint detection by binary segmentation (the CUSUM
+    * mean-shift argmax — Scott & Knott / binary-seg's first split):
+    * across each key's ordered series, the split index t maximizing the
+    * between-segment separation `g(t) = (P_t·n − S·t)² / (t·(n−t))`
+    * (∝ the squared two-sample mean gap, weight t(n−t)/n). Where
+    * [[cusum]] ANSWERS "did the level drift past a threshold while
+    * streaming?", this answers "where exactly did the level break?" —
+    * the retro segmentation read. One row per key:
+    * (key, n_points, cp_index, cp_ord, mean_left, mean_right, g_stat).
+    *
+    * Exactness: values are caller-quantized longs; prefix sums, the
+    * squared numerator, and the denominator ride DECIMAL(38,0), so
+    * g(t)'s operands are exact and the double is ONE division —
+    * bit-identical cross-engine; the argmax ties break on SMALLEST t.
+    * Means are exact-integer ratios divided once by `scale`. Series
+    * with n < 2 emit nothing (no split exists).
+    *
+    * Scale: one shuffle keyed by `keyCol` for the rank/prefix windows
+    * over the PRE-AGGREGATED series (bounded per key by the caller's
+    * grid, not the raw corpus), then one grouped argmax. */
+  def changepointBinary(
+      series: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      scale: Double): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perKey = Window.partitionBy(col(keyCol))
+    val base = series.select(col(keyCol), col(ordCol).cast("long").as("__o"),
+        col(valCol).cast("long").as("__x"))
+      .withColumn("__i",
+        row_number().over(perKey.orderBy(col("__o").asc)).cast(dec))
+      .withColumn("__p",
+        sum(col("__x").cast(dec)).over(perKey.orderBy(col("__o").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", count(lit(1)).over(perKey).cast(dec))
+      .withColumn("__s", sum(col("__x").cast(dec)).over(perKey))
+    val cand = base.filter(col("__i") < col("__n"))
+      .withColumn("__d", col("__p") * col("__n") - col("__s") * col("__i"))
+      .withColumn("__g",
+        (col("__d") * col("__d")).cast("double") /
+          (col("__i") * (col("__n") - col("__i"))).cast("double"))
+    cand.groupBy(col(keyCol))
+      .agg(max(struct(col("__g"), (-col("__i").cast("long")).as("__ni"),
+        col("__o"), col("__p"), col("__n"), col("__s"))).as("__t"))
+      .select(col(keyCol),
+        col("__t.__n").cast("long").as("n_points"),
+        (-col("__t.__ni")).as("cp_index"),
+        col("__t.__o").as("cp_ord"),
+        (col("__t.__p").cast("double") /
+          ((-col("__t.__ni")).cast("double") * lit(scale)))
+          .as("mean_left"),
+        ((col("__t.__s") - col("__t.__p")).cast("double") /
+          ((col("__t.__n").cast("long") + col("__t.__ni")).cast("double") *
+            lit(scale))).as("mean_right"),
+        col("__t.__g").as("g_stat"))
+  }
+
+  /** Partial autocorrelation at lags 1–3 via the Durbin-Levinson
+    * recursion unrolled in closed form over [[autocorr]]'s exact-form
+    * ACF: φ₁₁ = ρ₁, φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²),
+    * φ₃₃ = (ρ₃−φ₂₁ρ₂−φ₂₂ρ₁)/(1−φ₂₁ρ₁−φ₂₂ρ₂) with φ₂₁ = ρ₁−φ₂₂ρ₁ —
+    * the AR-order read the ACF alone can't give (an AR(1)'s ACF decays
+    * forever; its PACF cuts off at 1). One row per key:
+    * (key, n_points, pacf1, pacf2, pacf3).
+    *
+    * Determinism: each ρ is [[autocorr]]'s single exact-integer
+    * division; every φ is a fixed chain of IEEE ·/−// on those doubles,
+    * written in one canonical operand order mirrored verbatim by the
+    * oracle. Degenerate denominators (|1−ρ₁²| = 0 etc.) yield NULL at
+    * that level and below. Scale: [[autocorr]] does the corpus work;
+    * the pivot+arithmetic runs on O(keys) rows. */
+  def pacf(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val acf = autocorr(series, keyCol, ordCol, valCol, maxLag = 3)
+    val piv = acf.groupBy(col(keyCol)).agg(
+      max(col("n_points")).as("n_points"),
+      max(when(col("lag") === 1L, col("acf"))).as("__r1"),
+      max(when(col("lag") === 2L, col("acf"))).as("__r2"),
+      max(when(col("lag") === 3L, col("acf"))).as("__r3"))
+    val p2den = lit(1.0) - col("__r1") * col("__r1")
+    val withP2 = piv
+      .withColumn("pacf1", col("__r1"))
+      .withColumn("pacf2",
+        when(col("__r1").isNull || col("__r2").isNull || p2den === 0.0,
+          lit(null).cast("double"))
+          .otherwise((col("__r2") - col("__r1") * col("__r1")) / p2den))
+      .withColumn("__p21",
+        col("__r1") - col("pacf2") * col("__r1"))
+    val p3den = lit(1.0) - col("__p21") * col("__r1") -
+      col("pacf2") * col("__r2")
+    withP2
+      .withColumn("pacf3",
+        when(col("pacf2").isNull || col("__r3").isNull || p3den === 0.0,
+          lit(null).cast("double"))
+          .otherwise((col("__r3") - col("__p21") * col("__r2") -
+            col("pacf2") * col("__r1")) / p3den))
+      .select(col(keyCol), col("n_points"), col("pacf1"), col("pacf2"),
+        col("pacf3"))
+  }
 }

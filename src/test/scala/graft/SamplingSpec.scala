@@ -273,4 +273,30 @@ class SamplingSpec extends SparkSpec {
       df.filter(!col("pos")), "id", 10).collect().map(_.getLong(0)).toSet
     assert(neg.map(_._1).toSet == spine)
   }
+
+  test("neymanSample: variance-driven allocation, exact budget, caps") {
+    import spark.implicits._
+    // Stratum a is CONSTANT (sigma = 0) → Neyman gives it nothing;
+    // b varies → the whole k = 4 budget lands there.
+    val rows = (1L to 10L).map(i => ("a", i, 5L)) ++
+      (11L to 20L).map(i => ("b", i, (i % 7) * 100L))
+    val df = rows.toDF("s", "id", "x")
+    val got = Sampling.neymanSample(df, "s", "id", "x", k = 4).collect()
+    assert(got.length == 4 && got.forall(_.getString(0) == "b"))
+    assert(got.forall(r => r.getLong(2) == 10L && r.getLong(3) == 4L))
+    // Identical strata → even split (largest remainder, no leftover).
+    val even = ((1L to 10L).map(i => ("a", i, i * 10L)) ++
+      (1L to 10L).map(i => ("b", i + 100L, i * 10L))).toDF("s", "id", "x")
+    val e = Sampling.neymanSample(even, "s", "id", "x", k = 6).collect()
+    assert(e.count(_.getString(0) == "a") == 3 &&
+      e.count(_.getString(0) == "b") == 3)
+    // Budget past the population: allocation caps at N_h.
+    val capped = Sampling.neymanSample(even, "s", "id", "x", k = 30)
+      .collect()
+    assert(capped.length == 20)
+    // Determinism: same membership on re-run.
+    val again = Sampling.neymanSample(df, "s", "id", "x", k = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(again == got.map(_.getLong(1)).toSet)
+  }
 }

@@ -634,4 +634,29 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hardMining(df, "vec_id", "embedding", "label",
       col("vec_id") === 0L).count() == 0L)
   }
+
+  test("labelSilhouette: orthogonal clusters score 1, single label empty") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0, 0.0), 0), (1L, Seq(1.0, 0.0), 0),
+      (2L, Seq(0.0, 1.0), 1), (3L, Seq(0.0, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelSilhouette(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3)))).toMap
+    // a = 0 (vector IS the centroid), b = 1 (orthogonal) → s = 1 exactly.
+    assert(got(0L) == ((2L, 1.0)) && got(1L) == ((2L, 1.0)))
+    // A vector midway between centroids drags its label's mean below 1.
+    val noisy = df.union(
+      Seq((4L, Seq(0.8, 0.6), 0)).toDF("vec_id", "embedding", "label"))
+    val m = Similarity
+      .labelSilhouette(noisy, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(0L) < 1.0 && m(0L) > 0.0 && m(1L) <= 1.0)
+    // One label only → no "other" centroid → empty result.
+    val single = Seq((0L, Seq(1.0, 0.0), 0), (1L, Seq(0.9, 0.1), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.labelSilhouette(single, "vec_id", "embedding",
+      "label").count() == 0L)
+  }
 }

@@ -445,4 +445,52 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(4L) == 0.0)
     assert(got(1L) > 0.0 && got(1L) < 1.0)
   }
+
+  test("changepointBinary: level break found, exact means, g argmax") {
+    import spark.implicits._
+    // [0,0,0,10,10]: g(3) = (0·5−20·3)²/(3·2) = 600 dominates.
+    val df = Seq(("k", 1L, 0L), ("k", 2L, 0L), ("k", 3L, 0L),
+      ("k", 4L, 10L), ("k", 5L, 10L)).toDF("key", "o", "x")
+    val r = TimeSeries.changepointBinary(df, "key", "o", "x", scale = 1.0)
+      .collect().head
+    assert(r.getLong(1) == 5L && r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 10.0)
+    assert(r.getDouble(6) == 600.0)
+    // Symmetric break lands mid-series: [1,1,5,5] → t = 2.
+    val sym = Seq(("k", 1L, 1L), ("k", 2L, 1L), ("k", 3L, 5L),
+      ("k", 4L, 5L)).toDF("key", "o", "x")
+    val r2 = TimeSeries.changepointBinary(sym, "key", "o", "x", 1.0)
+      .collect().head
+    assert(r2.getLong(2) == 2L &&
+      r2.getDouble(4) == 1.0 && r2.getDouble(5) == 5.0)
+    // n < 2 → no split exists → no row.
+    val one = Seq(("k", 1L, 7L)).toDF("key", "o", "x")
+    assert(TimeSeries.changepointBinary(one, "key", "o", "x", 1.0)
+      .count() == 0L)
+  }
+
+  test("pacf: lag-1 equals acf, AR cutoff shape, constant-series NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rows = (1 to 40).map(i => ("k", i.toLong,
+      (math.sin(i * 0.7) * 100).toLong))
+    val df = rows.toDF("key", "o", "x")
+    val acf1 = TimeSeries.autocorr(df, "key", "o", "x", maxLag = 3)
+      .filter(col("lag") === 1L).collect().head.getDouble(3)
+    val p = TimeSeries.pacf(df, "key", "o", "x").collect().head
+    assert(p.getDouble(2) == acf1) // pacf(1) IS rho_1
+    // Durbin-Levinson closed form replayed on the acf values.
+    val accAll = TimeSeries.autocorr(df, "key", "o", "x", maxLag = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val (r1, r2, r3) = (accAll(1L), accAll(2L), accAll(3L))
+    val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val phi21 = r1 - phi22 * r1
+    val phi33 = (r3 - phi21 * r2 - phi22 * r1) /
+      (1.0 - phi21 * r1 - phi22 * r2)
+    assert(p.getDouble(3) == phi22 && p.getDouble(4) == phi33)
+    // Constant series: zero variance → acf NULL → every pacf NULL.
+    val const = (1 to 10).map(i => ("c", i.toLong, 5L)).toDF("key", "o", "x")
+    val pc = TimeSeries.pacf(const, "key", "o", "x").collect().head
+    assert(pc.isNullAt(2) && pc.isNullAt(3) && pc.isNullAt(4))
+  }
 }
