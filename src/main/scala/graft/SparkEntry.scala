@@ -3868,6 +3868,44 @@ object SparkEntry {
     "sample_neyman" -> ((s, dir) =>
       graft.ops.Sampling.neymanSample(
         t(s, dir, "documents"), "source", "doc_id", "n_chars", k = 200)),
+
+    // ---- Stats: top-50 bivariate Mahalanobis outliers (value ×
+    //      day-of-week) — correlation-aware anomaly rank, exact-integer
+    //      numerator ordering, ONE division per emitted row ----
+    "q_mahalanobis_2d" -> ((s, dir) =>
+      graft.ops.Profile.mahalanobis2d(
+        t(s, dir, "events"), "event_id",
+        floor(col("value") * 1024.0),
+        expr("(ts div 86400000000000) % 7"), k = 50)),
+
+    // ---- Product analytics: DAU/MAU stickiness per 30-day bucket —
+    //      the engagement ratio; exact distinct counts, two divisions ----
+    "q_stickiness" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(expr("ts div 2592000000000000").as("m"),
+          expr("ts div 86400000000000").as("day"), col("user_id"))
+        .groupBy("m")
+        .agg(countDistinct(col("user_id"), col("day")).as("user_days"),
+          countDistinct(col("day")).as("n_days"),
+          countDistinct(col("user_id")).as("mau"))
+        .select(col("m"), col("n_days"), col("user_days"), col("mau"),
+          (col("user_days").cast("double") / col("n_days").cast("double"))
+            .as("avg_dau"),
+          (col("user_days").cast("double") / col("n_days").cast("double") /
+            col("mau").cast("double")).as("stickiness"))),
+
+    // ---- Time series: Hurst exponent by rescaled-range analysis at
+    //      block sizes 8/16/32 over the hourly series — exact-integer
+    //      block deviations, one sqrt per block, 3-point log-log slope ----
+    "ts_hurst" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.hurstRS(hourly, "event_type", "hr", "hx")
+    }),
   )
 
   /** Content-fidelity aggregate for the format round-trip gates: per-lang
@@ -8380,6 +8418,86 @@ object SparkEntry {
           s"% ${TextHash.P}, doc_id) AS rn FROM documents) " +
           "SELECT r.source, r.doc_id, a2.n_stratum, a2.alloc " +
           "FROM r JOIN a2 USING (source) WHERE rn <= alloc"),
+      "q_mahalanobis_2d" ->
+        // Mirrors Profile.mahalanobis2d: exact HUGEINT A/B/C/det and
+        // per-row numerator, integer-ordered rank, ONE final division.
+        ("WITH b AS (SELECT event_id, " +
+          "CAST(floor(value * 1024.0) AS BIGINT) AS x, " +
+          "(epoch_us(ts) // 86400000000) % 7 AS y FROM events " +
+          "WHERE value IS NOT NULL), " +
+          "mo AS (SELECT CAST(count(*) AS HUGEINT) AS n, " +
+          "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy, " +
+          "sum(CAST(x AS HUGEINT) * x) AS sxx, " +
+          "sum(CAST(x AS HUGEINT) * y) AS sxy, " +
+          "sum(CAST(y AS HUGEINT) * y) AS syy FROM b), " +
+          "abc AS (SELECT n, sx, sy, n * sxx - sx * sx AS a, " +
+          "n * sxy - sx * sy AS bb, n * syy - sy * sy AS c FROM mo), " +
+          "d AS (SELECT *, a * c - bb * bb AS det FROM abc " +
+          "WHERE a * c - bb * bb > 0), " +
+          "sc AS (SELECT event_id, " +
+          "(n * x - sx) * (n * x - sx) * c - " +
+          "2 * (n * x - sx) * (n * y - sy) * bb + " +
+          "(n * y - sy) * (n * y - sy) * a AS num, det " +
+          "FROM b, d) " +
+          "SELECT event_id, CAST(num AS DOUBLE) / CAST(det AS DOUBLE) " +
+          "AS md2 FROM sc ORDER BY num DESC, event_id ASC LIMIT 50"),
+      "q_stickiness" ->
+        ("WITH e AS (SELECT epoch_us(ts) // 2592000000000 AS m, " +
+          "epoch_us(ts) // 86400000000 AS day, user_id FROM events), " +
+          "ud AS (SELECT DISTINCT m, day, user_id FROM e), " +
+          "agg AS (SELECT m, CAST(count(*) AS BIGINT) AS user_days, " +
+          "CAST(count(DISTINCT day) AS BIGINT) AS n_days, " +
+          "CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM ud " +
+          "GROUP BY 1) " +
+          "SELECT m, n_days, user_days, mau, " +
+          "CAST(user_days AS DOUBLE) / CAST(n_days AS DOUBLE) AS avg_dau, " +
+          "CAST(user_days AS DOUBLE) / CAST(n_days AS DOUBLE) / " +
+          "CAST(mau AS DOUBLE) AS stickiness FROM agg"),
+      "ts_hurst" ->
+        // Mirrors TimeSeries.hurstRS: exact HUGEINT block deviations
+        // and radicands, one sqrt+division per block, grp-sorted strict
+        // fold per (key, w), the collapsed 3-point slope.
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2), " +
+          "b AS (SELECT event_type, hx, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY hr) AS i FROM h), " +
+          "e AS (SELECT event_type, i, hx, w FROM b CROSS JOIN " +
+          "(SELECT unnest([8, 16, 32]) AS w)), " +
+          "g AS (SELECT *, (i - 1) // w AS grp, (i - 1) % w + 1 AS j " +
+          "FROM e), " +
+          "f AS (SELECT *, count(*) OVER (PARTITION BY event_type, w, " +
+          "grp) AS cnt FROM g), " +
+          "s AS (SELECT *, CAST(sum(hx) OVER pb AS HUGEINT) AS sb, " +
+          "sum(CAST(hx AS HUGEINT) * hx) OVER pb AS sxx, " +
+          "CAST(sum(hx) OVER (PARTITION BY event_type, w, grp " +
+          "ORDER BY j ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS p " +
+          "FROM f WHERE cnt = w " +
+          "WINDOW pb AS (PARTITION BY event_type, w, grp)), " +
+          "d AS (SELECT event_type, w, grp, " +
+          "max(CAST(w AS HUGEINT) * p - CAST(j AS HUGEINT) * sb) AS dmax, " +
+          "min(CAST(w AS HUGEINT) * p - CAST(j AS HUGEINT) * sb) AS dmin, " +
+          "max(CAST(w AS HUGEINT) * sxx - sb * sb) AS rad " +
+          "FROM s GROUP BY 1, 2, 3), " +
+          "rs AS (SELECT event_type, w, grp, " +
+          "CAST(dmax - dmin AS DOUBLE) / sqrt(CAST(rad AS DOUBLE)) AS rs " +
+          "FROM d WHERE rad > 0), " +
+          "aw AS (SELECT event_type, w, " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list(rs ORDER BY grp)), (acc, x) -> acc + x) / " +
+          "CAST(count(*) AS DOUBLE) AS avg_rs FROM rs GROUP BY 1, 2), " +
+          "np AS (SELECT event_type, CAST(count(*) AS BIGINT) " +
+          "AS n_points FROM h GROUP BY 1), " +
+          "piv AS (SELECT event_type, " +
+          "max(CASE WHEN w = 8 THEN avg_rs END) AS rs8, " +
+          "max(CASE WHEN w = 16 THEN avg_rs END) AS rs16, " +
+          "max(CASE WHEN w = 32 THEN avg_rs END) AS rs32 FROM aw " +
+          "GROUP BY 1) " +
+          "SELECT np.event_type, n_points, rs8, rs16, rs32, " +
+          "CASE WHEN rs8 IS NULL OR rs32 IS NULL OR rs8 <= 0.0 OR " +
+          "rs32 <= 0.0 THEN NULL ELSE (ln(rs32) - ln(rs8)) / " +
+          "(2.0 * ln(2.0)) END AS hurst " +
+          "FROM np LEFT JOIN piv USING (event_type)"),
     ) ++ docPipelineOracles ++ sourceAndRankOracles
   }
 }

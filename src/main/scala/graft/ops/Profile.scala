@@ -1252,4 +1252,58 @@ object Profile {
       (col("k").isNotNull && col("__ks").isNotNull &&
         col("k") <= col("__ks")).as("rejected"))
   }
+
+  /** Top-k bivariate Mahalanobis outliers — [[iqrOutliers]]'s
+    * correlation-aware upgrade: a point far from the (x, y) cloud ALONG
+    * ITS CORRELATION STRUCTURE scores high even when each marginal
+    * looks normal (the "tall AND heavy but never both" anomaly a
+    * per-column z-score misses). Emits the k most outlying rows:
+    * (id, md2).
+    *
+    * Exactness: with quantized integer (x, y), both the per-row
+    * numerator `Dx²C − 2DxDyB + Dy²A` (Dx = n·x−Sx, A = nΣx²−Sx²,
+    * B = nΣxy−SxSy, C = nΣy²−Sy²) and the denominator `AC − B²` are
+    * EXACT DECIMAL(38,0) — the n-scalings cancel so md2 is their ONE
+    * exact-integer division (the pooled-moment discipline; derivation:
+    * md2 = d'Σ⁻¹d with the closed-form 2×2 inverse). Ranking compares
+    * the exact integer numerators (same denominator) — no float
+    * ordering anywhere; ties break on id ASC.
+    *
+    * Scale: one moments aggregate + one broadcast of 6 scalars + one
+    * row-local score pass + TakeOrdered(k). The 38-digit headroom
+    * bounds n·x to ~1e19 (n·Σx² ≤ 1e38); past that re-quantize x
+    * coarser. Degenerate clouds (det ≤ 0: constant or perfectly
+    * collinear) emit nothing — md2 is undefined there. */
+  def mahalanobis2d(
+      df: DataFrame, idCol: String, xBin: Column, yBin: Column, k: Int)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dec = "decimal(38,0)"
+    val b = df.select(col(idCol).as("__id"),
+        xBin.cast("long").as("__x"), yBin.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val xc = col("__x").cast(dec); val yc = col("__y").cast(dec)
+    val mom = b.agg(count(lit(1)).cast(dec).as("__n"),
+        sum(xc).as("__sx"), sum(yc).as("__sy"),
+        sum(xc * xc).as("__sxx"), sum(xc * yc).as("__sxy"),
+        sum(yc * yc).as("__syy"))
+      .select(col("__n"), col("__sx"), col("__sy"),
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).as("__a"),
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).as("__b"),
+        (col("__n") * col("__syy") - col("__sy") * col("__sy")).as("__c"))
+      .withColumn("__det",
+        col("__a") * col("__c") - col("__b") * col("__b"))
+      .filter(col("__det") > lit(0).cast(dec))
+    val dx = col("__n") * xc - col("__sx")
+    val dy = col("__n") * yc - col("__sy")
+    b.crossJoin(broadcast(mom))
+      .withColumn("__num",
+        dx * dx * col("__c") - lit(2).cast(dec) * dx * dy * col("__b") +
+          dy * dy * col("__a"))
+      .orderBy(col("__num").desc, col("__id").asc)
+      .limit(k)
+      .select(col("__id").as(idCol),
+        (col("__num").cast("double") / col("__det").cast("double"))
+          .as("md2"))
+  }
 }

@@ -556,4 +556,22 @@ class ProfileSpec extends SparkSpec {
     // A&S 7.1.26 sanity: p(z≈0) ≈ 1 within the 1.5e-7 envelope.
     assert(math.abs(got("g2").getDouble(6) - 1.0) < 1e-6)
   }
+
+  test("mahalanobis2d: correlation-aware outlier ranks first") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Tight x=y diagonal cloud + one off-diagonal point: (9,1) violates
+    // the correlation structure even though both marginals are in-range.
+    val rows = (1L to 9L).map(i => (i, i, i)) :+ ((10L, 9L, 1L))
+    val df = rows.toDF("id", "x", "y")
+    val got = Profile.mahalanobis2d(df, "id", col("x"), col("y"), k = 3)
+      .collect()
+    assert(got.head.getLong(0) == 10L)
+    assert(got.head.getDouble(1) > got(1).getDouble(1))
+    assert(got.forall(_.getDouble(1) >= 0.0))
+    // Degenerate cloud (constant y → det = 0) emits nothing.
+    val flat = (1L to 5L).map(i => (i, i, 1L)).toDF("id", "x", "y")
+    assert(Profile.mahalanobis2d(flat, "id", col("x"), col("y"), 3)
+      .count() == 0L)
+  }
 }

@@ -493,4 +493,30 @@ class TimeSeriesSpec extends SparkSpec {
     val pc = TimeSeries.pacf(const, "key", "o", "x").collect().head
     assert(pc.isNullAt(2) && pc.isNullAt(3) && pc.isNullAt(4))
   }
+
+  test("hurstRS: trending beats mean-reverting, degenerate NULLs") {
+    import spark.implicits._
+    val n = 96
+    // A pure trend is maximally persistent; a +1/-1 alternation is
+    // maximally anti-persistent. Their Hurst estimates must separate
+    // around 1/2 in the right order.
+    val trend = (1 to n).map(i => ("t", i.toLong, i.toLong * 10))
+    val alt = (1 to n).map(i => ("a", i.toLong, if (i % 2 == 0) 10L else 0L))
+    val df = (trend ++ alt).toDF("key", "o", "x")
+    val got = TimeSeries.hurstRS(df, "key", "o", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ht = got("t").getDouble(5); val ha = got("a").getDouble(5)
+    assert(got("t").getLong(1) == n.toLong)
+    assert(ht > 0.8 && ha < 0.2 && ht > ha)
+    assert(Seq(2, 3, 4).forall(i => got("t").getDouble(i) > 0.0))
+    // Constant series: every block radicand 0 → no R/S → NULL hurst.
+    val const = (1 to 40).map(i => ("c", i.toLong, 5L)).toDF("key", "o", "x")
+    val c = TimeSeries.hurstRS(const, "key", "o", "x").collect().head
+    assert(c.isNullAt(5) && c.isNullAt(2))
+    // Series shorter than the smallest window: no full block → NULLs.
+    val tiny = (1 to 5).map(i => ("s", i.toLong, i.toLong))
+      .toDF("key", "o", "x")
+    assert(TimeSeries.hurstRS(tiny, "key", "o", "x")
+      .collect().head.isNullAt(5))
+  }
 }
