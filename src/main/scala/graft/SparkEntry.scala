@@ -3894,6 +3894,53 @@ object SparkEntry {
           (col("user_days").cast("double") / col("n_days").cast("double") /
             col("mau").cast("double")).as("stickiness"))),
 
+    // ---- MDM: field-level survivorship — golden record per canonical-
+    //      URL duplicate cluster (longest content donates the id, min id
+    //      is provenance, langs union as sorted tags); ONE map-side-
+    //      combinable aggregate after the keying join ----
+    "dedup_survivorship" -> ((s, dir) => {
+      val url = concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example.com/docs/"),
+        (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&id="), col("doc_id").cast("string")))
+          .otherwise(lit("")))
+      val docs = t(s, dir, "documents")
+      val parsed = graft.ops.TextAnalysis.urlParse(
+        docs.select(col("doc_id"), url.as("u")), "doc_id", "u")
+      val keyed = parsed
+        .select(col("doc_id"),
+          concat(col("registered_domain"),
+            regexp_replace(col("path"), "/$", "")).as("curl"))
+        .join(docs.select(col("doc_id"), col("n_chars"), col("lang")),
+          "doc_id")
+      Dedup.survivorship(keyed, "curl", "doc_id", "n_chars", "lang")
+    }),
+
+    // ---- Storage: zero-copy snapshot clone (branch) — O(buckets)
+    //      metadata commit referencing the source's dirs by absolute
+    //      path; a merge onto the BRANCH copy-on-writes only its hit
+    //      buckets, and the branch state must equal global latest-wins
+    //      (the source stays at its pre-clone state; spec-asserted) ----
+    "o21_clone_branch" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o21_").toString
+      val src = graft.model.TargetTable("events_src", s"$tmp/src",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val cfg = IngestConfig(name = s"o21-cl-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, src)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
+      pt.cloneTo(s"$tmp/branch")
+      val branch = new graft.sink.ParquetTarget(s,
+        graft.model.TargetTable("events_branch", s"$tmp/branch",
+          keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4))
+      branch.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
+      stateOut(branch.read().get)
+    }),
+
     // ---- Time series: Hurst exponent by rescaled-range analysis at
     //      block sizes 8/16/32 over the hourly series — exact-integer
     //      block deviations, one sqrt per block, 3-point log-log slope ----
@@ -4194,6 +4241,43 @@ object SparkEntry {
           "SELECT curl, doc_id AS keep_doc_id, n_chars FROM (" +
           "SELECT *, row_number() OVER (PARTITION BY curl " +
           "ORDER BY n_chars DESC, doc_id ASC) AS rn FROM k) WHERE rn = 1"),
+      "dedup_survivorship" ->
+        // The dedup_url_canonical cluster key carrying lang; golden by
+        // (n_chars DESC, doc_id ASC) rank, provenance min, sorted-
+        // distinct tag union.
+        ("WITH u0 AS (SELECT doc_id, n_chars, lang, 'https://' || " +
+          "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || source || " +
+          "'.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR) || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || " +
+          "CAST(doc_id AS VARCHAR) ELSE '' END AS url FROM documents), " +
+          "p AS (SELECT doc_id, n_chars, lang, lower(trim(url)) AS lu " +
+          "FROM u0), " +
+          "h AS (SELECT doc_id, n_chars, lang, " +
+          "regexp_replace(regexp_extract(lu, " +
+          "'^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', '') AS host, " +
+          "regexp_extract(lu, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) " +
+          "AS path FROM p), " +
+          "r AS (SELECT *, " +
+          "regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS r2, " +
+          "regexp_extract(host, " +
+          "'([a-z0-9-]+\\.[a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS r3 FROM h), " +
+          "f AS (SELECT *, regexp_extract(r2, '^([a-z0-9-]+)\\.', 1) " +
+          "AS sld FROM r), " +
+          "k AS (SELECT doc_id, n_chars, lang, " +
+          "(CASE WHEN sld IN ('co','com','net','org','gov','ac','edu') " +
+          "AND r3 <> '' THEN r3 ELSE r2 END) || " +
+          "regexp_replace(path, '/$', '') AS curl FROM f), " +
+          "g AS (SELECT curl, doc_id, n_chars, row_number() OVER (" +
+          "PARTITION BY curl ORDER BY n_chars DESC, doc_id ASC) AS rn " +
+          "FROM k), " +
+          "a AS (SELECT curl, min(doc_id) AS first_id, " +
+          "CAST(count(*) AS BIGINT) AS n_members, " +
+          "CAST(sum(n_chars) AS BIGINT) AS total_len, " +
+          "string_agg(DISTINCT lang, ',' ORDER BY lang) AS tags " +
+          "FROM k GROUP BY 1) " +
+          "SELECT a.curl, g.doc_id AS golden_id, g.n_chars AS golden_len, " +
+          "a.first_id, a.n_members, a.total_len, a.tags " +
+          "FROM a JOIN g ON a.curl = g.curl AND g.rn = 1"),
       "text_url_parse" ->
         ("WITH u0 AS (SELECT doc_id, 'https://' || " +
           "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || source || " +
@@ -7473,6 +7557,9 @@ object SparkEntry {
           s"FROM ($oracleDedup) WHERE rn = 1 AND pkey % 25 = 3"),
       // Compaction rewrites layout, never data: state == latest-wins.
       "o17_compact" -> dedupState,
+      // the branch merged the odd half onto the cloned even half, so its
+      // state is global latest-wins over ALL events
+      "o21_clone_branch" -> dedupState,
       "o20_row_ttl" ->
         // TTL = latest-wins filtered at the same data-derived horizon.
         (s"WITH st AS ($dedupState), " +

@@ -54,4 +54,36 @@ object Dedup {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Field-level survivorship — the golden record per duplicate cluster:
+    * where [[latestWins]] keeps ONE member whole, MDM survivorship
+    * composes the best value of EACH field from different members (the
+    * longest content, the earliest id, the union of tags). Emits one
+    * golden row per cluster:
+    * (clusterCol, golden_id, golden_len, first_id, n_members, total_len,
+    * tags).
+    *
+    * Rules (the standard trio, each a deterministic aggregate):
+    *  - content: the member with max `lenCol` (id ASC ties) donates
+    *    golden_id/golden_len — max_by over a (len, −id) struct;
+    *  - provenance: first_id = min id (the earliest capture);
+    *  - tags: sorted-distinct union of `tagCol`, one joined string.
+    *
+    * Scale: ONE hash aggregate keyed by cluster, fully map-side
+    * combinable (collect_set is bounded by the tag vocabulary, not the
+    * cluster size). No windows, no joins. */
+  def survivorship(
+      df: DataFrame, clusterCol: String, idCol: String, lenCol: String,
+      tagCol: String): DataFrame =
+    df.groupBy(col(clusterCol))
+      .agg(
+        max_by(struct(col(idCol).as("__id"), col(lenCol).as("__len")),
+          struct(col(lenCol), (-col(idCol)).as("__nid"))).as("__best"),
+        min(col(idCol)).as("first_id"),
+        count(lit(1)).as("n_members"),
+        sum(col(lenCol)).as("total_len"),
+        array_join(array_sort(collect_set(col(tagCol))), ",").as("tags"))
+      .select(col(clusterCol), col("__best.__id").as("golden_id"),
+        col("__best.__len").as("golden_len"), col("first_id"),
+        col("n_members"), col("total_len"), col("tags"))
 }

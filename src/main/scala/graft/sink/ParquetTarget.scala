@@ -287,6 +287,45 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     }
   }
 
+  /** Zero-copy snapshot clone (branch): publish a manifest at `destRoot`
+    * whose bucket entries reference THIS target's committed dirs by
+    * ABSOLUTE path — no data bytes move, the clone commits in O(buckets)
+    * metadata regardless of table size (the Delta SHALLOW CLONE /
+    * Iceberg branch semantic). The clone is a full first-class target:
+    * reads serve the shared files; subsequent merges COPY-ON-WRITE —
+    * rewritten buckets land under the clone's own root while untouched
+    * buckets keep their absolute refs into the source.
+    *
+    * Caveat (inherent to shallow clones): the source's GC does not know
+    * about clone references, so compaction/retention on the SOURCE can
+    * delete dirs a clone still points at — clone from sources whose
+    * retention outlives the branch, or compact only the clone.
+    * `readManifest`'s existence validation turns a violated clone into
+    * "no intact version" (loud), never silently partial data. */
+  def cloneTo(destRoot: String): Unit = {
+    val m = current().getOrElse(throw new IllegalStateException(
+      s"cannot clone ${table.name}: no committed version"))
+    val dest = new Path(destRoot)
+    val dfs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dfs.exists(new Path(dest, "_LATEST")))
+      throw new IllegalStateException(
+        s"clone destination $destRoot already has a committed table")
+    dfs.mkdirs(dest)
+    val entries = m.map { case (b, d) =>
+      b -> new Path(root, d).toString
+    }
+    val mName = f"m${1L}%010d"
+    val mPath = new Path(dest, mName)
+    val out = dfs.create(mPath, true)
+    try out.write((s"#buckets=${table.buckets}" +:
+      entries.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val p = dfs.create(new Path(dest, "_LATEST"), true)
+    try p.write(mName.getBytes(StandardCharsets.UTF_8))
+    finally p.close()
+  }
+
   /** Row-level retention delete (TTL / compliance erasure): drop every
     * current row matching `pred` in ONE commit, rewriting ONLY the
     * buckets that contain matching rows — untouched buckets carry their

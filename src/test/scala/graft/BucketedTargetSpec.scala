@@ -407,4 +407,43 @@ class BucketedTargetSpec extends SparkSpec {
     assert(err.getMessage.contains("overwritten"))
     assert(sink.read().isEmpty) // nothing was published
   }
+
+  test("cloneTo: zero-copy branch, copy-on-write, source untouched") {
+    val (sink, t) = mk(buckets = 4)
+    sink.mergeUpsert((0L until 16L).map(k => (k, 1L, k, s"v1-$k")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    val branchDir = Files.createTempDirectory("graft_branch_").toString
+    sink.cloneTo(s"$branchDir/b")
+    val bt = TargetTable("b", s"$branchDir/b", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 4)
+    val branch = new ParquetTarget(spark, bt)
+    // Zero-copy: the branch root holds ONLY metadata (no parquet bytes).
+    val broot = new Path(bt.path)
+    val fs = broot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(broot).map(_.getPath.getName).toSet ==
+      Set("m0000000001", "_LATEST"))
+    // The branch reads the source's snapshot through shared files.
+    assert(branch.read().get.count() == 16L)
+    // Copy-on-write: a one-key branch merge writes ONLY that bucket
+    // under the branch root; the source's state is untouched.
+    branch.mergeUpsert(Seq((3L, 2L, 99L, "branch-3")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    val bFiles = branch.read().get.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(bFiles.exists(_.contains(branchDir)) &&
+      bFiles.exists(!_.contains(branchDir))) // mixed: own delta + shared
+    val bState = branch.read().get.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(bState(3L) == "branch-3" && bState(5L) == "v1-5")
+    val sState = sink.read().get.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(sState(3L) == "v1-3") // source never saw the branch write
+    // A committed destination refuses a second clone; an empty source
+    // refuses to clone at all.
+    intercept[IllegalStateException] { sink.cloneTo(s"$branchDir/b") }
+    val (empty, _) = mk(buckets = 4)
+    intercept[IllegalStateException] {
+      empty.cloneTo(s"$branchDir/c")
+    }
+  }
 }

@@ -176,4 +176,29 @@ class DedupSpec extends SparkSpec {
     // consistency: n_assignments = Σ block sizes ≥ n_blocks
     assert(r.getLong(1) >= r.getLong(0))
   }
+
+  test("survivorship: fields compose from DIFFERENT cluster members") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // Cluster c1: id 5 is earliest, id 9 is longest, langs {en, de}.
+    val df = Seq(
+      ("c1", 9L, 500L, "en"), ("c1", 5L, 100L, "de"), ("c1", 7L, 300L, "en"),
+      ("c2", 2L, 50L, "fr"))
+      .toDF("curl", "doc_id", "n_chars", "lang")
+    val got = graft.ops.Dedup.survivorship(df, "curl", "doc_id",
+      "n_chars", "lang").collect().map(r => r.getString(0) -> r).toMap
+    val c1 = got("c1")
+    assert(c1.getLong(1) == 9L && c1.getLong(2) == 500L) // longest wins id
+    assert(c1.getLong(3) == 5L)                          // earliest is provenance
+    assert(c1.getLong(4) == 3L && c1.getLong(5) == 900L)
+    assert(c1.getString(6) == "de,en")                   // sorted tag union
+    val c2 = got("c2")
+    assert(c2.getLong(1) == 2L && c2.getString(6) == "fr")
+    // Length tie resolves to the SMALLEST id, deterministically.
+    val tied = Seq(("c", 4L, 10L, "en"), ("c", 2L, 10L, "en"))
+      .toDF("curl", "doc_id", "n_chars", "lang")
+    assert(graft.ops.Dedup.survivorship(tied, "curl", "doc_id",
+      "n_chars", "lang").filter(col("curl") === "c")
+      .collect().head.getLong(1) == 2L)
+  }
 }
