@@ -3855,6 +3855,33 @@ object SparkEntry {
       graft.ops.TimeSeries.pacf(hourly, "event_type", "hr", "hx")
     }),
 
+    // ---- Time series: Ljung-Box portmanteau Q at h=6 over the exact-
+    //      form ACF — "any serial correlation left?" on the hourly
+    //      series; strict lag-order term chain ----
+    "ts_ljung_box" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.ljungBox(
+        hourly, "event_type", "hr", "hx", maxLag = 6)
+    }),
+
+    // ---- Time series: AR(2) Yule-Walker closed-form fit + one-step
+    //      forecast over the hourly series — the autoregressive
+    //      baseline beneath Holt ----
+    "ts_ar2_forecast" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.ar2YuleWalker(hourly, "event_type", "hr", "hx")
+    }),
+
     // ---- LLM pipeline: label-centroid silhouette — cluster-quality
     //      read over the labeled embeddings (O(rows·labels), quantized
     //      exact rollup) ----
@@ -8441,6 +8468,104 @@ object SparkEntry {
           "1.0 - p21 * r1 - pacf2 * r2 = 0.0 THEN NULL ELSE " +
           "(r3 - p21 * r2 - pacf2 * r1) / " +
           "(1.0 - p21 * r1 - pacf2 * r2) END AS pacf3 FROM p21"),
+      "ts_ljung_box" ->
+        // ts_acf's exact-form rho CTEs at h=6, pivoted; Q via the
+        // engine's strict left-to-right lag-order term chain.
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "b AS (SELECT event_type, hr, hx, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY hr) AS i FROM h), " +
+          "st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, " +
+          "CAST(sum(hx) AS HUGEINT) AS s, " +
+          "sum(CAST(hx AS HUGEINT) * CAST(hx AS HUGEINT)) AS sxx " +
+          "FROM b GROUP BY 1), " +
+          "pp AS (SELECT hh.event_type, t.lag, " +
+          "sum(CAST(hh.hx AS HUGEINT) * CAST(tt.hx AS HUGEINT)) AS sxy, " +
+          "CAST(sum(hh.hx) AS HUGEINT) AS sh, " +
+          "CAST(sum(tt.hx) AS HUGEINT) AS st2, " +
+          "CAST(count(*) AS HUGEINT) AS m " +
+          "FROM b hh CROSS JOIN range(1, 7) t(lag) JOIN b tt " +
+          "ON tt.event_type = hh.event_type AND tt.i = hh.i + t.lag " +
+          "GROUP BY 1, 2), " +
+          "acf AS (SELECT event_type, lag, n, " +
+          "CASE WHEN den <= 0 THEN NULL " +
+          "ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf " +
+          "FROM (SELECT pp.event_type, pp.lag, st.n, " +
+          "st.n * st.n * pp.sxy - st.n * st.s * (pp.sh + pp.st2) " +
+          "+ pp.m * st.s * st.s AS num, " +
+          "st.n * st.n * st.sxx - st.n * st.s * st.s AS den " +
+          "FROM pp JOIN st USING (event_type))), " +
+          "piv AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_points, " +
+          "max(CASE WHEN lag = 1 THEN acf END) AS r1, " +
+          "max(CASE WHEN lag = 2 THEN acf END) AS r2, " +
+          "max(CASE WHEN lag = 3 THEN acf END) AS r3, " +
+          "max(CASE WHEN lag = 4 THEN acf END) AS r4, " +
+          "max(CASE WHEN lag = 5 THEN acf END) AS r5, " +
+          "max(CASE WHEN lag = 6 THEN acf END) AS r6 FROM acf " +
+          "GROUP BY 1) " +
+          "SELECT event_type, n_points, CAST(6 AS BIGINT) AS df, " +
+          "CASE WHEN n_points <= 6 THEN NULL ELSE " +
+          "CAST(n_points AS DOUBLE) * (CAST(n_points AS DOUBLE) + 2.0) * " +
+          "(0.0 + COALESCE(r1 * r1 / (CAST(n_points AS DOUBLE) - 1.0), 0.0) " +
+          "+ COALESCE(r2 * r2 / (CAST(n_points AS DOUBLE) - 2.0), 0.0) " +
+          "+ COALESCE(r3 * r3 / (CAST(n_points AS DOUBLE) - 3.0), 0.0) " +
+          "+ COALESCE(r4 * r4 / (CAST(n_points AS DOUBLE) - 4.0), 0.0) " +
+          "+ COALESCE(r5 * r5 / (CAST(n_points AS DOUBLE) - 5.0), 0.0) " +
+          "+ COALESCE(r6 * r6 / (CAST(n_points AS DOUBLE) - 6.0), 0.0)) " +
+          "END AS q_stat FROM piv"),
+      "ts_ar2_forecast" ->
+        // ts_acf's rho CTEs at maxLag=2; Yule-Walker closed form and
+        // the one-step forecast in the engine's verbatim operand order.
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "b AS (SELECT event_type, hr, hx, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY hr) AS i FROM h), " +
+          "st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, " +
+          "CAST(sum(hx) AS HUGEINT) AS s, " +
+          "sum(CAST(hx AS HUGEINT) * CAST(hx AS HUGEINT)) AS sxx " +
+          "FROM b GROUP BY 1), " +
+          "pp AS (SELECT hh.event_type, t.lag, " +
+          "sum(CAST(hh.hx AS HUGEINT) * CAST(tt.hx AS HUGEINT)) AS sxy, " +
+          "CAST(sum(hh.hx) AS HUGEINT) AS sh, " +
+          "CAST(sum(tt.hx) AS HUGEINT) AS st2, " +
+          "CAST(count(*) AS HUGEINT) AS m " +
+          "FROM b hh CROSS JOIN range(1, 3) t(lag) JOIN b tt " +
+          "ON tt.event_type = hh.event_type AND tt.i = hh.i + t.lag " +
+          "GROUP BY 1, 2), " +
+          "acf AS (SELECT event_type, lag, n, " +
+          "CASE WHEN den <= 0 THEN NULL " +
+          "ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS acf " +
+          "FROM (SELECT pp.event_type, pp.lag, st.n, " +
+          "st.n * st.n * pp.sxy - st.n * st.s * (pp.sh + pp.st2) " +
+          "+ pp.m * st.s * st.s AS num, " +
+          "st.n * st.n * st.sxx - st.n * st.s * st.s AS den " +
+          "FROM pp JOIN st USING (event_type))), " +
+          "piv AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_points, " +
+          "max(CASE WHEN lag = 1 THEN acf END) AS r1, " +
+          "max(CASE WHEN lag = 2 THEN acf END) AS r2 FROM acf " +
+          "GROUP BY 1), " +
+          "tl AS (SELECT event_type, " +
+          "max(CASE WHEN rn = 1 THEN hx END) AS xn, " +
+          "max(CASE WHEN rn = 2 THEN hx END) AS xn1 FROM (" +
+          "SELECT event_type, hx, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY hr DESC) AS rn FROM h) " +
+          "WHERE rn <= 2 GROUP BY 1), " +
+          "stx AS (SELECT event_type, CAST(s AS DOUBLE) / " +
+          "CAST(n AS DOUBLE) AS mu FROM st) " +
+          "SELECT event_type, n_points, " +
+          "CASE WHEN r1 IS NULL OR r2 IS NULL OR 1.0 - r1 * r1 = 0.0 " +
+          "THEN NULL ELSE r1 * (1.0 - r2) / (1.0 - r1 * r1) END AS phi1, " +
+          "CASE WHEN r1 IS NULL OR r2 IS NULL OR 1.0 - r1 * r1 = 0.0 " +
+          "THEN NULL ELSE (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi2, " +
+          "CASE WHEN r1 IS NULL OR r2 IS NULL OR 1.0 - r1 * r1 = 0.0 " +
+          "OR xn1 IS NULL THEN NULL ELSE " +
+          "mu + r1 * (1.0 - r2) / (1.0 - r1 * r1) * " +
+          "(CAST(xn AS DOUBLE) - mu) + " +
+          "(r2 - r1 * r1) / (1.0 - r1 * r1) * " +
+          "(CAST(xn1 AS DOUBLE) - mu) END AS forecast " +
+          "FROM piv JOIN tl USING (event_type) JOIN stx USING (event_type)"),
       "emb_silhouette" -> {
         // Mirrors Similarity.labelSilhouette: fixed-point centroids,
         // strict-fold cosines, per-row 1e-8 quantization, exact rollup.

@@ -946,6 +946,83 @@ object TimeSeries {
         col("pacf3"))
   }
 
+  /** Ljung-Box portmanteau statistic over [[autocorr]]'s exact-form
+    * ACF: Q = n(n+2)·Σ_{k=1..h} ρ_k²/(n−k) — the "is there ANY serial
+    * correlation left" test run on model residuals before trusting a
+    * forecast. One row per key: (key, n_points, df, q_stat); q_stat is
+    * NULL when the series is shorter than h+1 points.
+    *
+    * Determinism: each ρ_k is one exact-integer division (see
+    * [[autocorr]]); the per-lag terms are summed in a strict
+    * left-to-right lag-order chain ((((t₁+t₂)+t₃)+…)) mirrored
+    * verbatim by the oracle, and a lag whose ACF is NULL (degenerate
+    * variance) contributes 0. Scale: [[autocorr]] does the corpus
+    * work; the pivot runs on O(keys·h) rows. */
+  def ljungBox(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String, maxLag: Int = 6): DataFrame = {
+    val acf = autocorr(series, keyCol, ordCol, valCol, maxLag)
+    val rCols = (1 to maxLag).map(k =>
+      max(when(col("lag") === k.toLong, col("acf"))).as(s"__r$k"))
+    val piv = acf.groupBy(col(keyCol))
+      .agg(max(col("n_points")).as("n_points"), rCols: _*)
+    val n = col("n_points").cast("double")
+    val terms = (1 to maxLag).foldLeft(lit(0.0)) { (acc, k) =>
+      acc + coalesce(
+        col(s"__r$k") * col(s"__r$k") / (n - lit(k.toDouble)), lit(0.0))
+    }
+    piv.select(col(keyCol), col("n_points"),
+      lit(maxLag.toLong).as("df"),
+      when(col("n_points") <= maxLag, lit(null).cast("double"))
+        .otherwise(n * (n + lit(2.0)) * terms).as("q_stat"))
+  }
+
+  /** AR(2) fit by the Yule-Walker equations in closed form over
+    * [[autocorr]]'s exact ACF — φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²),
+    * φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²) — plus the one-step-ahead forecast
+    * x̂ₙ₊₁ = μ + φ₁(xₙ−μ) + φ₂(xₙ₋₁−μ), the minimal autoregressive
+    * baseline a capacity forecaster reaches for before Holt. One row
+    * per key: (key, n_points, phi1, phi2, forecast).
+    *
+    * Determinism: ρ₁/ρ₂ are exact-integer divisions; μ = S/n is one
+    * division of exact DECIMAL sums; xₙ/xₙ₋₁ are integer element
+    * picks (row_number over the ord column); every float op is a
+    * fixed chain mirrored verbatim by the oracle. |1−ρ₁²| = 0 or a
+    * sub-2-point series yields NULL fit. Scale: [[autocorr]] plus one
+    * O(series) window over the PRE-AGGREGATED series. */
+  def ar2YuleWalker(series: DataFrame, keyCol: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val acf = autocorr(series, keyCol, ordCol, valCol, maxLag = 2)
+    val piv = acf.groupBy(col(keyCol)).agg(
+      max(col("n_points")).as("n_points"),
+      max(when(col("lag") === 1L, col("acf"))).as("__r1"),
+      max(when(col("lag") === 2L, col("acf"))).as("__r2"))
+    val base = series.select(col(keyCol),
+      col(ordCol).cast("long").as("__o"), col(valCol).cast("long").as("__x"))
+    val tail2 = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__o").desc)))
+      .filter(col("__rn") <= 2)
+      .groupBy(col(keyCol)).agg(
+        max(when(col("__rn") === 1, col("__x"))).as("__xn"),
+        max(when(col("__rn") === 2, col("__x"))).as("__xn1"))
+    val stats = base.groupBy(col(keyCol)).agg(
+      sum(col("__x").cast(dec)).as("__s"),
+      count(lit(1)).cast(dec).as("__n"))
+    val den = lit(1.0) - col("__r1") * col("__r1")
+    val mu = col("__s").cast("double") / col("__n").cast("double")
+    val phi1 = col("__r1") * (lit(1.0) - col("__r2")) / den
+    val phi2 = (col("__r2") - col("__r1") * col("__r1")) / den
+    val bad = col("__r1").isNull || col("__r2").isNull || den === 0.0
+    piv.join(tail2, keyCol).join(stats, keyCol)
+      .select(col(keyCol), col("n_points"),
+        when(bad, lit(null).cast("double")).otherwise(phi1).as("phi1"),
+        when(bad, lit(null).cast("double")).otherwise(phi2).as("phi2"),
+        when(bad || col("__xn1").isNull, lit(null).cast("double"))
+          .otherwise(mu + phi1 * (col("__xn").cast("double") - mu) +
+            phi2 * (col("__xn1").cast("double") - mu)).as("forecast"))
+  }
+
   /** Hurst exponent by rescaled-range (R/S) analysis at block sizes
     * 8/16/32 — the long-range-dependence read: H ≈ 0.5 for a memoryless
     * series, H > 0.5 for persistent (trending) load, H < 0.5 for

@@ -519,4 +519,65 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.hurstRS(tiny, "key", "o", "x")
       .collect().head.isNullAt(5))
   }
+
+  test("ljungBox: white noise small, strong AR large, short-series NULL") {
+    import spark.implicits._
+    // A hash scramble is serially uncorrelated → Q near its df; a slow
+    // sine is heavily autocorrelated → Q near the h-lag ceiling
+    // n(n+2)·Σ 1/(n−k).
+    val noise = (1 to 120).map { i =>
+      val h = i.toLong * 0x9E3779B97F4A7C15L
+      ("n", i.toLong, ((h ^ (h >>> 31)) & 0x7FFFFFFFL) % 997L)
+    }
+    val sine = (1 to 120).map(i =>
+      ("s", i.toLong, (math.sin(i * 0.1) * 1000).toLong))
+    val df = (noise ++ sine).toDF("key", "o", "x")
+    val got = TimeSeries.ljungBox(df, "key", "o", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("n").getLong(2) == 6L)
+    assert(got("s").getDouble(3) > 10.0 * got("n").getDouble(3))
+    assert(got("n").getDouble(3) < 30.0) // white noise: Q ~ chi2(6)
+    // Replay the Q formula on the acf values (strict lag-order chain).
+    val acc = TimeSeries.autocorr(df.filter($"key" === "s"),
+      "key", "o", "x", maxLag = 6)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    val n = 120.0
+    val terms = (1 to 6).foldLeft(0.0)((a, k) =>
+      a + acc(k.toLong) * acc(k.toLong) / (n - k))
+    assert(got("s").getDouble(3) == n * (n + 2.0) * terms)
+    // Series no longer than maxLag → NULL Q.
+    val tiny = (1 to 5).map(i => ("t", i.toLong, i.toLong))
+      .toDF("key", "o", "x")
+    assert(TimeSeries.ljungBox(tiny, "key", "o", "x").collect()
+      .head.isNullAt(3))
+  }
+
+  test("ar2YuleWalker: recovers AR structure, forecast replay, NULLs") {
+    import spark.implicits._
+    // Deterministic AR(2)-ish series x_t = x_{t-1} - 0.5 x_{t-2} + pulse.
+    var (a, b) = (100.0, 100.0)
+    val rows = (1 to 80).map { i =>
+      val nxt = a - 0.5 * b + (if (i % 7 == 0) 40.0 else 0.0)
+      b = a; a = nxt
+      ("k", i.toLong, nxt.toLong)
+    }
+    val df = rows.toDF("key", "o", "x")
+    val r = TimeSeries.ar2YuleWalker(df, "key", "o", "x").collect().head
+    val (phi1, phi2) = (r.getDouble(2), r.getDouble(3))
+    // Yule-Walker replay from the exact acf values.
+    val acc = TimeSeries.autocorr(df, "key", "o", "x", maxLag = 2)
+      .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    val (r1, r2) = (acc(1L), acc(2L))
+    assert(phi1 == r1 * (1.0 - r2) / (1.0 - r1 * r1))
+    assert(phi2 == (r2 - r1 * r1) / (1.0 - r1 * r1))
+    // Forecast replay: mu + phi1 (x_n - mu) + phi2 (x_{n-1} - mu).
+    val xs = rows.map(_._3)
+    val mu = xs.map(_.toDouble).sum / xs.size // integer-exact sum
+    val want = mu + phi1 * (xs.last - mu) + phi2 * (xs(xs.size - 2) - mu)
+    assert(math.abs(r.getDouble(4) - want) < 1e-9)
+    // Constant series: zero variance → NULL acf → NULL fit.
+    val const = (1 to 10).map(i => ("c", i.toLong, 5L)).toDF("key", "o", "x")
+    val c = TimeSeries.ar2YuleWalker(const, "key", "o", "x").collect().head
+    assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4))
+  }
 }
