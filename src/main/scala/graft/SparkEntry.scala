@@ -3801,6 +3801,23 @@ object SparkEntry {
         col("event_type") === "click",
         floor(col("value") * 1024.0))),
 
+    // ---- Stats: Kruskal-Wallis H across ALL event types — the k-group
+    //      rank test ANOVA can't give on heavy tails; doubled-rank
+    //      integers, one division per group, tie-corrected twin ----
+    "q_kruskal_wallis" -> ((s, dir) =>
+      graft.ops.Profile.kruskalWallis(
+        t(s, dir, "events"),
+        col("event_type"),
+        floor(col("value") * 1024.0))),
+
+    // ---- Stats: McNemar paired flip test — per-user purchase vs error
+    //      incidence; discordant cells only, exact ints, one division ----
+    "q_mcnemar" -> ((s, dir) =>
+      graft.ops.Profile.mcnemar(
+        t(s, dir, "events"), col("user_id"),
+        col("event_type") === "purchase",
+        col("event_type") === "error")),
+
     // ---- Experimentation: Benjamini-Hochberg FDR over per-nation
     //      two-proportion z-tests — the multiple-comparisons guard for
     //      segment-level A/B readouts (m=25 nations, alpha=0.05) ----
@@ -8305,6 +8322,61 @@ object SparkEntry {
           "(CAST(u2 AS DOUBLE) - CAST(n_a * n_b AS DOUBLE)) / " +
           "(2.0 * sqrt(CAST(vn AS DOUBLE) / CAST(vd AS DOUBLE))) END AS z " +
           "FROM v"),
+      "q_kruskal_wallis" ->
+        // Doubled average ranks (2R = 2*below + equal + 1) stay exact
+        // integers; per-group S_i^2/(4 n_i) is one division; the group
+        // fold and the H / tie chains mirror the engine verbatim.
+        ("WITH b AS (SELECT event_type AS g, " +
+          "CAST(floor(value * 1024.0) AS BIGINT) AS q FROM events " +
+          "WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
+          "pq AS (SELECT q, CAST(count(*) AS BIGINT) AS cq FROM b " +
+          "GROUP BY 1), " +
+          "r AS (SELECT q, cq, CAST(coalesce(sum(cq) OVER (" +
+          "ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+          "0) AS BIGINT) AS lt FROM pq), " +
+          "r2 AS (SELECT q, 2 * lt + cq + 1 AS s2 FROM r), " +
+          "grp AS (SELECT g, CAST(sum(cgq) AS BIGINT) AS ni, " +
+          "sum(CAST(cgq AS HUGEINT) * CAST(s2 AS HUGEINT)) AS si " +
+          "FROM (SELECT g, q, CAST(count(*) AS BIGINT) AS cgq FROM b " +
+          "GROUP BY 1, 2) JOIN r2 USING (q) GROUP BY 1), " +
+          "tm AS (SELECT g, CAST(si * si AS DOUBLE) / " +
+          "(4.0 * CAST(ni AS DOUBLE)) AS term FROM grp), " +
+          "tt AS (SELECT CAST(coalesce(sum(cq), 0) AS BIGINT) AS n, " +
+          "coalesce(sum(CAST(cq AS HUGEINT) * cq * cq - cq), 0) " +
+          "AS tiesum FROM pq), " +
+          "f AS (SELECT CAST(count(*) AS BIGINT) AS k_groups, " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list(term ORDER BY g)), (a, x) -> a + x) AS t FROM tm) " +
+          "SELECT n, k_groups, " +
+          "CASE WHEN n < 2 OR k_groups < 2 THEN NULL ELSE h END AS h, " +
+          "CASE WHEN n < 2 OR k_groups < 2 OR cden <= 0 THEN NULL ELSE " +
+          "h * CAST(nn AS DOUBLE) / CAST(cden AS DOUBLE) END AS h_tie " +
+          "FROM (SELECT tt.n, f.k_groups, " +
+          "12.0 * f.t / (CAST(tt.n AS DOUBLE) * " +
+          "(CAST(tt.n AS DOUBLE) + 1.0)) - " +
+          "3.0 * (CAST(tt.n AS DOUBLE) + 1.0) AS h, " +
+          "CAST(tt.n AS HUGEINT) * tt.n * tt.n - tt.n AS nn, " +
+          "CAST(tt.n AS HUGEINT) * tt.n * tt.n - tt.n - tiesum AS cden " +
+          "FROM tt CROSS JOIN f)"),
+      "q_mcnemar" ->
+        // Discordant cells from per-user max-of-indicator flags; both
+        // statistics are ONE division of exact integers.
+        ("WITH per AS (SELECT user_id, " +
+          "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x, " +
+          "max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS y " +
+          "FROM events GROUP BY 1), " +
+          "ct AS (SELECT CAST(coalesce(sum(CASE WHEN x = 1 AND y = 0 " +
+          "THEN 1 ELSE 0 END), 0) AS BIGINT) AS b, " +
+          "CAST(coalesce(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 " +
+          "END), 0) AS BIGINT) AS c FROM per) " +
+          "SELECT b, c, " +
+          "CASE WHEN b + c = 0 THEN NULL ELSE " +
+          "CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE) " +
+          "END AS chi2, " +
+          "CASE WHEN b + c = 0 THEN NULL ELSE " +
+          "CAST(greatest(abs(b - c) - 1, 0) * " +
+          "greatest(abs(b - c) - 1, 0) AS DOUBLE) / " +
+          "CAST(b + c AS DOUBLE) END AS chi2_cc FROM ct"),
       "q_benjamini_hochberg" ->
         // Per-nation z mirrors q_abtest's shape; p via the A&S 7.1.26
         // erfc Horner chain (verbatim the engine's operation order);

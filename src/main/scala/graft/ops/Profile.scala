@@ -1306,4 +1306,100 @@ object Profile {
         (col("__num").cast("double") / col("__det").cast("double"))
           .as("md2"))
   }
+
+  /** Kruskal-Wallis H — the k-group generalization of Mann-Whitney:
+    * "do any of these segments' value distributions differ?" asked
+    * rank-wise, so it survives the heavy-tailed metrics (latency,
+    * spend) that break ANOVA's normality assumption. One row out:
+    * (n, k_groups, h, h_tie) with h_tie the tie-corrected statistic
+    * (≈ chi²(k−1) under H0).
+    *
+    * Exactness: average ranks are kept as exact integers via the
+    * doubled form 2·rank = 2·cnt_below + cnt_equal + 1 (the same
+    * device as [[mannWhitneyZ]]); per-group rank sums S_i and the tie
+    * term Σ(t³−t) accumulate in DECIMAL(38,0); each group's
+    * R_i²/n_i = S_i²/(4n_i) is ONE division of an exact square, and
+    * the cross-group sum folds strictly in group-name order. H and the
+    * tie scaling are a fixed float chain mirrored verbatim by the
+    * oracle.
+    *
+    * Scale: two grouped aggregates over the scan (per-bin, per
+    * group×bin) plus a single-partition window over O(distinct bins)
+    * rows — the bin grid, not the corpus. The group fold is O(k). */
+  def kruskalWallis(df: DataFrame, groupCol: Column, scoreBin: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val b = df.select(groupCol.cast("string").as("__g"),
+        scoreBin.cast("long").as("__q"))
+      .where(col("__g").isNotNull && col("__q").isNotNull)
+    val perQ = b.groupBy("__q").agg(count(lit(1)).as("__cq"))
+    val below = Window.orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perQ
+      .withColumn("__lt", coalesce(sum(col("__cq")).over(below), lit(0L)))
+      .withColumn("__s2", lit(2L) * col("__lt") + col("__cq") + lit(1L))
+    val grp = b.groupBy("__g", "__q").agg(count(lit(1)).as("__cgq"))
+      .join(ranked.select(col("__q"), col("__s2")), "__q")
+      .groupBy("__g").agg(
+        sum(col("__cgq")).as("__ni"),
+        sum(col("__cgq").cast(dec) * col("__s2").cast(dec)).as("__si"))
+      .withColumn("__term",
+        (col("__si") * col("__si")).cast("double") /
+          (lit(4.0) * col("__ni").cast("double")))
+    val cq = col("__cq").cast(dec)
+    val ties = perQ.agg(
+      coalesce(sum(col("__cq")), lit(0L)).as("__n"),
+      coalesce(sum(cq * cq * cq - cq), lit(0).cast(dec)).as("__tiesum"))
+    val folded = grp.agg(
+      count(lit(1)).as("k_groups"),
+      aggregate(
+        sort_array(collect_list(struct(col("__g"), col("__term")))),
+        lit(0.0), (acc, x) => acc + x.getField("__term")).as("__t"))
+    val nd = col("__n").cast("double")
+    val nc = col("__n").cast(dec)
+    val nn = nc * nc * nc - nc
+    val cden = nn - col("__tiesum")
+    val h = lit(12.0) * col("__t") / (nd * (nd + lit(1.0))) -
+      lit(3.0) * (nd + lit(1.0))
+    folded.crossJoin(ties).select(
+      col("__n").as("n"), col("k_groups"),
+      when(col("__n") < 2L || col("k_groups") < 2L,
+        lit(null).cast("double")).otherwise(h).as("h"),
+      when(col("__n") < 2L || col("k_groups") < 2L ||
+          cden <= lit(0).cast(dec), lit(null).cast("double"))
+        .otherwise(h * nn.cast("double") / cden.cast("double"))
+        .as("h_tie"))
+  }
+
+  /** McNemar's test on paired binary outcomes — "did the same subjects
+    * flip?" The 2×2 cell counts share subjects, so a two-proportion z
+    * is wrong; only the discordant cells b (A yes, B no) and c (A no,
+    * B yes) carry information: χ² = (b−c)²/(b+c), plus the
+    * continuity-corrected (max(|b−c|−1,0))²/(b+c) twin. One row out:
+    * (b, c, chi2, chi2_cc); NULL when no discordant pairs exist.
+    *
+    * Exactness: per-subject flags are max-of-indicator aggregates,
+    * cell counts exact integers, each statistic ONE division. Scale:
+    * one shuffle keyed on the subject id, then a scalar rollup. */
+  def mcnemar(df: DataFrame, idCol: Column, condA: Column, condB: Column)
+      : DataFrame = {
+    val per = df.groupBy(idCol.as("__id")).agg(
+      max(when(condA, 1L).otherwise(0L)).as("__x"),
+      max(when(condB, 1L).otherwise(0L)).as("__y"))
+    val bMc = col("b"); val cMc = col("c")
+    val disc = (bMc + cMc).cast("double")
+    val cc = greatest(abs(bMc - cMc) - lit(1L), lit(0L))
+    per.agg(
+      coalesce(sum(when(col("__x") === 1L && col("__y") === 0L, 1L)
+        .otherwise(0L)), lit(0L)).as("b"),
+      coalesce(sum(when(col("__x") === 0L && col("__y") === 1L, 1L)
+        .otherwise(0L)), lit(0L)).as("c"))
+      .select(bMc, cMc,
+        when(bMc + cMc === 0L, lit(null).cast("double"))
+          .otherwise(((bMc - cMc) * (bMc - cMc)).cast("double") / disc)
+          .as("chi2"),
+        when(bMc + cMc === 0L, lit(null).cast("double"))
+          .otherwise((cc * cc).cast("double") / disc).as("chi2_cc"))
+  }
 }

@@ -574,4 +574,56 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.mahalanobis2d(flat, "id", col("x"), col("y"), 3)
       .count() == 0L)
   }
+
+  test("kruskalWallis: hand-check, shift sensitivity, tie correction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Textbook no-ties case: groups {1,2},{3,4},{5,6} — ranks are
+    // exact, H = 12/(6*7) * (3^2/2 + 7^2/2 + 11^2/2) - 21 = 4.5714...
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).toDF("g", "v")
+    val r = Profile.kruskalWallis(df, col("g"), col("v")).collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    val want = 12.0 * (9.0 / 2 + 49.0 / 2 + 121.0 / 2) / 42.0 - 21.0
+    assert(math.abs(r.getDouble(2) - want) < 1e-12)
+    assert(r.getDouble(3) == r.getDouble(2)) // no ties → same statistic
+    // Separated groups score higher than interleaved ones.
+    val mixed = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("a", 4L),
+      ("b", 5L), ("c", 6L)).toDF("g", "v")
+    val hm = Profile.kruskalWallis(mixed, col("g"), col("v"))
+      .collect().head.getDouble(2)
+    assert(r.getDouble(2) > hm)
+    // All values tied: tie denominator hits 0 → h_tie NULL.
+    val allTie = Seq(("a", 7L), ("a", 7L), ("b", 7L), ("b", 7L))
+      .toDF("g", "v")
+    val rt = Profile.kruskalWallis(allTie, col("g"), col("v"))
+      .collect().head
+    assert(rt.isNullAt(3))
+    // Single group → NULL (nothing to compare).
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(Profile.kruskalWallis(one, col("g"), col("v"))
+      .collect().head.isNullAt(2))
+  }
+
+  test("mcnemar: discordant-cell arithmetic and degenerate NULL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Users 1-6 flip A→yes B→no (b), users 7-8 the reverse (c);
+    // user 9 concordant-yes (ignored), user 10 concordant-no (ignored).
+    val rows =
+      (1L to 6L).flatMap(u => Seq((u, "p"))) ++
+        (7L to 8L).flatMap(u => Seq((u, "e"))) ++
+        Seq((9L, "p"), (9L, "e"), (10L, "x"))
+    val df = rows.toDF("u", "t")
+    val r = Profile.mcnemar(df, col("u"),
+      col("t") === "p", col("t") === "e").collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 16.0 / 8.0) // (6-2)^2 / 8
+    assert(r.getDouble(3) == 9.0 / 8.0) // (|6-2|-1)^2 / 8
+    // No discordant pairs → NULL statistics.
+    val conc = Seq((1L, "p"), (1L, "e"), (2L, "x")).toDF("u", "t")
+    val rc = Profile.mcnemar(conc, col("u"),
+      col("t") === "p", col("t") === "e").collect().head
+    assert(rc.isNullAt(2) && rc.isNullAt(3))
+  }
 }
