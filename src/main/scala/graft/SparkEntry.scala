@@ -3818,6 +3818,15 @@ object SparkEntry {
         col("event_type") === "purchase",
         col("event_type") === "error")),
 
+    // ---- Stats: deterministic permutation test — purchasers vs not on
+    //      mean event value; 64 affine label scrambles from the shared
+    //      permute-hash family, add-one p-value ----
+    "q_permutation_test" -> ((s, dir) =>
+      graft.ops.Profile.permutationTest(
+        t(s, dir, "events"), col("user_id"),
+        col("event_type") === "purchase",
+        floor(col("value") * 1024.0))),
+
     // ---- Experimentation: Benjamini-Hochberg FDR over per-nation
     //      two-proportion z-tests — the multiple-comparisons guard for
     //      segment-level A/B readouts (m=25 nations, alpha=0.05) ----
@@ -8377,6 +8386,46 @@ object SparkEntry {
           "CAST(greatest(abs(b - c) - 1, 0) * " +
           "greatest(abs(b - c) - 1, 0) AS DOUBLE) / " +
           "CAST(b + c AS DOUBLE) END AS chi2_cc FROM ct"),
+      "q_permutation_test" -> {
+        // The engine's 64 affine label scrambles, constants shared from
+        // TextHash.permute; every mean is one division of exact sums.
+        val permVals = (1 to 64).map(p =>
+          s"(${p}, ${graft.functions.TextHash.permuteA(p)}, " +
+            s"${graft.functions.TextHash.permuteB(p)})").mkString(", ")
+        val hp = graft.functions.TextHash.P
+        "WITH per AS (SELECT user_id AS id, " +
+          "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+          "AS tr, sum(CAST(CAST(floor(value * 1024.0) AS BIGINT) " +
+          "AS HUGEINT)) AS s, CAST(count(*) AS BIGINT) AS c FROM events " +
+          "WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1), " +
+          "obs AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects, " +
+          "sum(CASE WHEN tr = 1 THEN s END) AS sa, " +
+          "sum(CASE WHEN tr = 1 THEN c END) AS ca, " +
+          "sum(CASE WHEN tr = 0 THEN s END) AS sb, " +
+          "sum(CASE WHEN tr = 0 THEN c END) AS cb FROM per), " +
+          "o AS (SELECT n_subjects, CASE WHEN ca IS NULL OR cb IS NULL " +
+          "THEN NULL ELSE CAST(sa AS DOUBLE) / CAST(ca AS DOUBLE) - " +
+          "CAST(sb AS DOUBLE) / CAST(cb AS DOUBLE) END AS dobs " +
+          "FROM obs), " +
+          s"prm AS (SELECT * FROM (VALUES $permVals) v(p, pa, pb)), " +
+          "byp AS (SELECT p, sum(CASE WHEN side = 1 THEN s END) AS sa, " +
+          "sum(CASE WHEN side = 1 THEN c END) AS ca, " +
+          "sum(CASE WHEN side = 0 THEN s END) AS sb, " +
+          "sum(CASE WHEN side = 0 THEN c END) AS cb FROM (" +
+          s"SELECT per.*, prm.p, ((id % $hp) * pa + pb) % $hp % 2 " +
+          "AS side FROM per CROSS JOIN prm) GROUP BY 1), " +
+          "d AS (SELECT p, CASE WHEN ca IS NULL OR cb IS NULL THEN NULL " +
+          "ELSE CAST(sa AS DOUBLE) / CAST(ca AS DOUBLE) - " +
+          "CAST(sb AS DOUBLE) / CAST(cb AS DOUBLE) END AS dp FROM byp) " +
+          "SELECT o.n_subjects, CAST(64 AS BIGINT) AS n_perms, " +
+          "o.dobs AS obs_diff, " +
+          "CAST(coalesce(sum(CASE WHEN abs(dp) >= abs(o.dobs) THEN 1 " +
+          "ELSE 0 END), 0) AS BIGINT) AS n_ge, " +
+          "CASE WHEN o.dobs IS NULL THEN NULL ELSE " +
+          "(1.0 + CAST(coalesce(sum(CASE WHEN abs(dp) >= abs(o.dobs) " +
+          "THEN 1 ELSE 0 END), 0) AS DOUBLE)) / 65.0 END AS p_value " +
+          "FROM d CROSS JOIN o GROUP BY o.n_subjects, o.dobs"
+      },
       "q_benjamini_hochberg" ->
         // Per-nation z mirrors q_abtest's shape; p via the A&S 7.1.26
         // erfc Horner chain (verbatim the engine's operation order);

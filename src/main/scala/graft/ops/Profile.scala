@@ -1402,4 +1402,74 @@ object Profile {
         when(bMc + cMc === 0L, lit(null).cast("double"))
           .otherwise((cc * cc).cast("double") / disc).as("chi2_cc"))
   }
+
+  /** Exact-style permutation test on a difference of per-group means —
+    * the assumption-free significance read: how often does a random
+    * relabeling of SUBJECTS produce a gap at least as large as the
+    * observed one? Instead of RNG draws (irreproducible across engines
+    * and replays), the label shuffles are the deterministic
+    * [[graft.functions.TextHash.permute]] family: permutation p assigns
+    * subject id to side `((id % P)·A_p + B_p) % P % 2` — 64 independent
+    * affine scrambles shared bit-for-bit with the oracle. One row out:
+    * (n_subjects, n_perms, obs_diff, n_ge, p_value) with the add-one
+    * p = (1 + #{p: |d_p| ≥ |d_obs|}) / (1 + nPerms).
+    *
+    * Exactness: per-subject sums are DECIMAL(38,0); every mean is one
+    * division; each permuted diff is the same fixed float chain as the
+    * observed one, so the ≥ comparison sees bit-identical doubles in
+    * both engines.
+    *
+    * Scale: ONE pre-aggregation to subject grain, then the nPerms-way
+    * explode runs over subjects (not events) against a broadcast
+    * constants table — O(subjects·nPerms) map-side work, one grouped
+    * aggregate of 2·nPerms cells, no extra corpus scan. */
+  def permutationTest(df: DataFrame, idCol: Column, treated: Column,
+      valueBin: Column, nPerms: Int = 64): DataFrame = {
+    import graft.functions.TextHash
+    val dec = "decimal(38,0)"
+    val per = df.select(idCol.cast("long").as("__id"),
+        when(treated, 1L).otherwise(0L).as("__tr"),
+        valueBin.cast("long").as("__v"))
+      .where(col("__id").isNotNull && col("__v").isNotNull)
+      .groupBy("__id").agg(max(col("__tr")).as("__tr"),
+        sum(col("__v").cast(dec)).as("__s"), count(lit(1)).as("__c"))
+      .localCheckpoint()
+    def meanDiff(side: Column): Seq[Column] = Seq(
+      sum(when(side === 1L, col("__s"))).as("__sa"),
+      sum(when(side === 1L, col("__c"))).as("__ca"),
+      sum(when(side === 0L, col("__s"))).as("__sb"),
+      sum(when(side === 0L, col("__c"))).as("__cb"))
+    def d: Column =
+      col("__sa").cast("double") / col("__ca").cast("double") -
+        col("__sb").cast("double") / col("__cb").cast("double")
+    val obs = per.agg(count(lit(1)).as("n_subjects"),
+        meanDiff(col("__tr")): _*)
+      .select(col("n_subjects"),
+        when(col("__ca").isNull || col("__cb").isNull,
+          lit(null).cast("double")).otherwise(d).as("__dobs"))
+    val sp = df.sparkSession
+    val perms = sp.createDataFrame((1 to nPerms).map(p =>
+        (p.toLong, TextHash.permuteA(p), TextHash.permuteB(p))))
+      .toDF("__p", "__pa", "__pb")
+    val side = pmod(
+      pmod(col("__id"), lit(TextHash.P)) * col("__pa") + col("__pb"),
+      lit(TextHash.P)) % lit(2L)
+    val byP = per.crossJoin(broadcast(perms))
+      .withColumn("__side", side)
+      .groupBy("__p").agg(meanDiff(col("__side")).head,
+        meanDiff(col("__side")).tail: _*)
+      .select(col("__p"),
+        when(col("__ca").isNull || col("__cb").isNull,
+          lit(null).cast("double")).otherwise(d).as("__dp"))
+    byP.crossJoin(broadcast(obs))
+      .agg(max(col("n_subjects")).as("n_subjects"),
+        coalesce(sum(when(abs(col("__dp")) >= abs(col("__dobs")), 1L)
+          .otherwise(0L)), lit(0L)).as("__nge"),
+        max(col("__dobs")).as("__dobs"))
+      .select(col("n_subjects"), lit(nPerms.toLong).as("n_perms"),
+        col("__dobs").as("obs_diff"), col("__nge").as("n_ge"),
+        when(col("__dobs").isNull, lit(null).cast("double")).otherwise(
+          (lit(1.0) + col("__nge").cast("double")) /
+            lit((1 + nPerms).toDouble)).as("p_value"))
+  }
 }

@@ -626,4 +626,34 @@ class ProfileSpec extends SparkSpec {
       col("t") === "p", col("t") === "e").collect().head
     assert(rc.isNullAt(2) && rc.isNullAt(3))
   }
+
+  test("permutationTest: strong effect hits the p floor, null effect " +
+      "does not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 40 subjects; treated half's values are shifted by +1000 — almost
+    // no relabeling reproduces that gap (an affine scramble CAN land on
+    // a comparably extreme split, so assert near-floor, not floor).
+    val strong = (1L to 40L).map(u =>
+      (u, if (u <= 20) "t" else "c", if (u <= 20) 1000L + u else u))
+    val df = strong.toDF("u", "g", "v")
+    val r = Profile.permutationTest(df, col("u"), col("g") === "t",
+      col("v")).collect().head
+    assert(r.getLong(0) == 40L && r.getLong(1) == 64L)
+    assert(r.getDouble(2) > 900.0)
+    assert(r.getLong(3) <= 3L)
+    assert(r.getDouble(4) == (1.0 + r.getLong(3)) / 65.0)
+    // Null effect: treatment is unrelated to the value → many scrambles
+    // beat the observed gap.
+    val nullEff = (1L to 40L).map(u => (u, if (u % 2 == 0) "t" else "c",
+      (u * 37L) % 101L))
+    val rn = Profile.permutationTest(nullEff.toDF("u", "g", "v"),
+      col("u"), col("g") === "t", col("v")).collect().head
+    assert(rn.getLong(3) > 5L && rn.getDouble(4) > 0.09)
+    // One-sided universe (everyone treated) → NULL diff and p.
+    val only = Seq((1L, "t", 5L), (2L, "t", 6L)).toDF("u", "g", "v")
+    val ro = Profile.permutationTest(only.toDF("u", "g", "v"),
+      col("u"), col("g") === "t", col("v")).collect().head
+    assert(ro.isNullAt(2) && ro.isNullAt(4))
+  }
 }
