@@ -3827,6 +3827,15 @@ object SparkEntry {
         col("event_type") === "purchase",
         floor(col("value") * 1024.0))),
 
+    // ---- OLAP: recursive-CTE-class subtree rollup WITHOUT recursion —
+    //      ancestors-or-self chains are pure arithmetic on the implicit
+    //      heap hierarchy (parent = n>>1), one explode + one aggregate ----
+    "q_hierarchy_rollup" -> ((s, dir) =>
+      graft.ops.Graph.subtreeRollup(
+        t(s, dir, "documents")
+          .select((col("doc_id") + 1L).as("node"), col("n_chars")),
+        "node", "n_chars")),
+
     // ---- Experimentation: Benjamini-Hochberg FDR over per-nation
     //      two-proportion z-tests — the multiple-comparisons guard for
     //      segment-level A/B readouts (m=25 nations, alpha=0.05) ----
@@ -8426,6 +8435,21 @@ object SparkEntry {
           "THEN 1 ELSE 0 END), 0) AS DOUBLE)) / 65.0 END AS p_value " +
           "FROM d CROSS JOIN o GROUP BY o.n_subjects, o.dobs"
       },
+      "q_hierarchy_rollup" ->
+        // Ancestor chains by integer division by powers of two — the
+        // same arithmetic as the engine, no WITH RECURSIVE needed.
+        ("WITH b AS (SELECT doc_id + 1 AS node, n_chars FROM documents " +
+          "WHERE doc_id + 1 >= 1), " +
+          "e AS (SELECT unnest(list_filter(list_transform(range(0, 32), " +
+          "k -> node // CAST(pow(2, k) AS BIGINT)), a -> a >= 1)) " +
+          "AS node_id, n_chars FROM b), " +
+          "g AS (SELECT node_id, CAST(count(*) AS BIGINT) AS n_subtree, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_val FROM e GROUP BY 1) " +
+          "SELECT CAST(node_id AS BIGINT) AS node_id, " +
+          "CAST(len(list_filter(list_transform(range(0, 32), " +
+          "k -> node_id // CAST(pow(2, k) AS BIGINT)), a -> a >= 1)) - 1 " +
+          "AS BIGINT) AS depth, n_subtree, sum_val FROM g " +
+          "WHERE node_id < 64"),
       "q_benjamini_hochberg" ->
         // Per-nation z mirrors q_abtest's shape; p via the A&S 7.1.26
         // erfc Horner chain (verbatim the engine's operation order);

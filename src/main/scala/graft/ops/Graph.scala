@@ -783,4 +783,41 @@ object Graph {
           lit("authority").as("kind"), col("a").as("score_q")))
     } finally { e.unpersist(); () }
   }
+
+  /** Subtree rollup over an implicit binary-heap hierarchy (parent of
+    * node n is n>>1, root 1) — the recursive-CTE workload (BOM
+    * explosion, org rollup) done WITHOUT recursion or iteration: a
+    * node's full ancestors-or-self chain is pure arithmetic
+    * (n, n/2, n/4, …, 1), so each row emits its ≤`maxDepth` chain
+    * row-locally and ONE grouped aggregate produces every subtree's
+    * (member count, value sum). Output, restricted to node ids <
+    * `emitBelow` to keep the readout bounded:
+    * (node_id, depth, n_subtree, sum_val).
+    *
+    * Determinism: everything is integer arithmetic — chains are exact
+    * divisions by powers of two, depth is chain length − 1, sums are
+    * BIGINT. Scale: the explode is a flat ×log₂(maxId) map-side
+    * expansion feeding one shuffle keyed on the ancestor id — the same
+    * shape at any corpus size, no per-level join rounds (a recursive
+    * engine does O(depth) passes; this does one). Deep-ancestor skew
+    * (every row hits the root) is bounded by partial aggregation:
+    * map-side combine collapses each partition's root contribution to
+    * one row before the shuffle. */
+  def subtreeRollup(df: DataFrame, idCol: String, valCol: String,
+      maxDepth: Int = 32, emitBelow: Long = 64L): DataFrame = {
+    val chain = (c: String) =>
+      s"filter(transform(sequence(0, ${maxDepth - 1}), " +
+        s"k -> $c div CAST(pow(2, k) AS BIGINT)), a -> a >= 1)"
+    df.select(col(idCol).cast("long").as("__node"),
+        col(valCol).cast("long").as("__v"))
+      .where(col("__node") >= 1L)
+      .withColumn("__anc", expr(chain("__node")))
+      .select(explode(col("__anc")).as("node_id"), col("__v"))
+      .groupBy("node_id")
+      .agg(count(lit(1)).as("n_subtree"), sum(col("__v")).as("sum_val"))
+      .where(col("node_id") < emitBelow)
+      .select(col("node_id"),
+        (size(expr(chain("node_id"))) - 1).cast("long").as("depth"),
+        col("n_subtree"), col("sum_val"))
+  }
 }

@@ -428,4 +428,25 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) == ((1L, 0L, None)))
     assert(got(5L) == ((1L, 0L, None)) && got(6L) == ((1L, 0L, None)))
   }
+
+  test("subtreeRollup: heap-hierarchy counts, depths, and value sums") {
+    import spark.implicits._
+    // Full heap on nodes 1..7, value = node*10. Subtree of 2 = {2,4,5},
+    // of 3 = {3,6,7}, of 1 = all.
+    val df = (1L to 7L).map(n => (n, n * 10L)).toDF("node", "v")
+    val got = graft.ops.Graph.subtreeRollup(df, "node", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((0L, 7L, 280L)))
+    assert(got(2L) == ((1L, 3L, 110L)))
+    assert(got(3L) == ((1L, 3L, 160L)))
+    assert(got(4L) == ((2L, 1L, 40L)))
+    assert(got(7L) == ((2L, 1L, 70L)))
+    // emitBelow bounds the readout; node 0 (invalid heap id) is dropped.
+    val withZero = (0L to 7L).map(n => (n, 1L)).toDF("node", "v")
+    val small = graft.ops.Graph.subtreeRollup(withZero, "node", "v",
+      emitBelow = 4L).collect()
+    assert(small.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(small.find(_.getLong(0) == 1L).get.getLong(2) == 7L)
+  }
 }
