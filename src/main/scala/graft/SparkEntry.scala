@@ -3505,6 +3505,16 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), col("jw"))
     }),
 
+    // ---- MDM: Fellegi-Sunter probabilistic linkage — log-likelihood-
+    //      ratio field weights over sorted-neighborhood candidates;
+    //      score = sum of injected-literal weights, match/possible split ----
+    "dedup_fellegi_sunter" -> ((s, dir) =>
+      Dedup.fellegiSunter(
+        t(s, dir, "documents").select(col("doc_id"),
+          lower(substring(col("text"), 1, 16)).as("title"),
+          col("lang"), col("source"), col("n_chars")),
+        "doc_id", "lang", "title", "source", "n_chars")),
+
     // ---- LLM pipeline: TextRank-style keyword extraction — fixed-point
     //      PageRank over the adjacent-word co-occurrence graph (word
     //      nodes = mod-P hashes, so the oracle replays the whole loop),
@@ -4246,6 +4256,43 @@ object SparkEntry {
           "ON x.lang = y.lang AND y.rnk BETWEEN x.rnk + 1 AND x.rnk + 3), " +
           OracleSql.jaroWinklerCtes("prs", "ta", "tb") +
           " SELECT doc_a, doc_b, jw FROM jwout WHERE jw >= 0.8"),
+      "dedup_fellegi_sunter" -> {
+        // Same (m,u) priors as the engine; the six weights become
+        // round-trip double literals so neither engine runs a log.
+        val mU = Seq((0.9, 0.25), (0.85, 0.1), (0.95, 0.02))
+        val w = mU.map { case (m, u) =>
+          (math.log(m / u) / math.log(2.0),
+            math.log((1.0 - m) / (1.0 - u)) / math.log(2.0))
+        }
+        val conds = Seq("srca = srcb", "abs(lena - lenb) <= 16",
+          "jw >= 0.9")
+        val score = conds.zip(w).foldLeft("0.0") {
+          case (acc, (c, (aw, dw))) =>
+            s"$acc + CASE WHEN $c THEN CAST($aw AS DOUBLE) " +
+              s"ELSE CAST($dw AS DOUBLE) END"
+        }
+        "WITH d AS (SELECT doc_id, lower(substr(text, 1, 16)) AS title, " +
+          "lang, source, n_chars FROM documents), " +
+          "r AS (SELECT doc_id, title, lang, source, n_chars, " +
+          "row_number() OVER (PARTITION BY lang ORDER BY title, doc_id) " +
+          "AS rnk FROM d), " +
+          "prs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+          "x.title AS ta, y.title AS tb, x.source AS srca, " +
+          "y.source AS srcb, x.n_chars AS lena, y.n_chars AS lenb " +
+          "FROM r x JOIN r y ON x.lang = y.lang " +
+          "AND y.rnk BETWEEN x.rnk + 1 AND x.rnk + 3), " +
+          OracleSql.jaroWinklerCtes("prs", "ta", "tb") + ", " +
+          "sc AS (SELECT doc_a, doc_b, " +
+          "CAST(CASE WHEN srca = srcb THEN 1 ELSE 0 END AS BIGINT) " +
+          "AS agree_source, " +
+          "CAST(CASE WHEN abs(lena - lenb) <= 16 THEN 1 ELSE 0 END " +
+          "AS BIGINT) AS agree_len, " +
+          "CAST(CASE WHEN jw >= 0.9 THEN 1 ELSE 0 END AS BIGINT) " +
+          s"AS agree_title, $score AS score FROM jwout) " +
+          "SELECT doc_a, doc_b, agree_source, agree_len, agree_title, " +
+          "score, CASE WHEN score >= 4.0 THEN 'match' ELSE 'possible' " +
+          "END AS decision FROM sc WHERE score >= 0.0"
+      },
       "q_bucketed_join" ->
         ("SELECT c.c_mktsegment, count(*) AS n_orders, " +
           "CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +

@@ -201,4 +201,36 @@ class DedupSpec extends SparkSpec {
       "n_chars", "lang").filter(col("curl") === "c")
       .collect().head.getLong(1) == 2L)
   }
+
+  test("fellegiSunter: additive field weights, decisions, score gate") {
+    import spark.implicits._
+    // Same block; ids 1/2 agree on everything (identical title, same
+    // source, same length) → all three weights positive → match. Ids
+    // 3/4 share only the title neighborhood sort position but disagree
+    // on every field → negative score → filtered out.
+    val rows = Seq(
+      (1L, "b", "alpha document xx", "web", 100L),
+      (2L, "b", "alpha document xx", "web", 104L),
+      (3L, "b", "miss aaaaaaaaaaaa", "web", 100L),
+      (4L, "b", "zzzz zzzzzzzzzzzz", "api", 900L))
+      .toDF("id", "blk", "title", "src", "len")
+    val got = graft.ops.Dedup.fellegiSunter(
+      rows, "id", "blk", "title", "src", "len")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val m = got((1L, 2L))
+    assert(m.getLong(2) == 1L && m.getLong(3) == 1L && m.getLong(4) == 1L)
+    // Score replay: sum of the three agreement weights.
+    val w = Seq((0.9, 0.25), (0.85, 0.1), (0.95, 0.02)).map { case (mm, u) =>
+      math.log(mm / u) / math.log(2.0) }
+    assert(m.getDouble(5) == 0.0 + w(0) + w(1) + w(2))
+    assert(m.getString(6) == "match")
+    // The all-disagree neighbor pair never clears score >= 0.
+    assert(!got.contains((3L, 4L)))
+    // Source+length agreement alone (title differs) lands in
+    // "possible": positive but under the cutoff.
+    val p = got.get((2L, 3L)).orElse(got.get((3L, 2L)))
+    p.foreach { r =>
+      assert(r.getString(6) == "possible" || r.getString(6) == "match")
+    }
+  }
 }
