@@ -4013,6 +4013,21 @@ object SparkEntry {
       stateOut(branch.read().get)
     }),
 
+    // ---- Storage: zone-map-pruned version-range read — per-bucket
+    //      min/max sidecars maintained at commit; pruning is driver-side
+    //      metadata, the row filter still applies (conservative) ----
+    "o22_zonemap_skip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o22_").toString
+      val tbl = graft.model.TargetTable("events_zm", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 8)
+      val cfg = IngestConfig(name = s"o22-zm-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      pt.mergeUpsert(eventRecords(s, dir), cfg)
+      stateOut(pt.readWhereVersionBetween(
+        1706000000000000L, 2000000000000000L).get)
+    }),
+
     // ---- Time series: Hurst exponent by rescaled-range analysis at
     //      block sizes 8/16/32 over the hourly series — exact-integer
     //      block deviations, one sqrt per block, 3-point log-log slope ----
@@ -7669,6 +7684,12 @@ object SparkEntry {
       // the branch merged the odd half onto the cloned even half, so its
       // state is global latest-wins over ALL events
       "o21_clone_branch" -> dedupState,
+      // pruning is conservative: result == latest-wins state restricted
+      // to the version window
+      "o22_zonemap_skip" ->
+        (s"SELECT pkey, modified_date_us, event_type, value " +
+          s"FROM ($dedupState) WHERE modified_date_us " +
+          "BETWEEN 1706000000000000 AND 2000000000000000"),
       "o20_row_ttl" ->
         // TTL = latest-wins filtered at the same data-derived horizon.
         (s"WITH st AS ($dedupState), " +

@@ -4,8 +4,8 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, hash, input_file_name, lit, pmod, regexp_extract}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{coalesce, col, count, hash, input_file_name, lit, max, min, pmod, regexp_extract}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
 
 import graft.model.{IngestConfig, TargetTable}
 import graft.ops.Dedup
@@ -82,6 +82,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
 
   private def manifestName(v: Long): String = f"m$v%010d"
   private def deltaName(v: Long): String = f"d$v%010d"
+  private def zoneName(v: Long): String = f"z$v%010d"
 
   private def bucketOf(df: DataFrame): Column =
     pmod(hash(table.keyCols.map(df.col): _*), lit(table.buckets))
@@ -261,6 +262,73 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       .sorted
   }
 
+  /** Per-bucket zone maps (min/max of the version column) of a committed
+    * version — the data-skipping sidecar `commit` maintains for integral
+    * version columns. A bucket ABSENT from the map has unknown bounds
+    * (legacy table, non-integral version column) and must always be
+    * read; presence is therefore purely an optimization, never a
+    * correctness input. Empty map when no sidecar exists. */
+  def zoneMaps(): Map[Int, (Long, Long)] =
+    currentVersion().map(readZones).getOrElse(Map.empty)
+
+  private def readZones(v: Long): Map[Int, (Long, Long)] = {
+    val p = new Path(root, zoneName(v))
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(b, mn, mx) = line.split("\t", 3)
+      b.toInt -> (mn.toLong, mx.toLong)
+    }.toMap
+  }
+
+  /** Zone-map-pruned range scan: rows of the current snapshot whose
+    * version column lies in [lo, hi], reading ONLY the buckets whose
+    * recorded [min, max] intersects the range — the classic data-
+    * skipping contract (Delta/Iceberg file stats, here at bucket-dir
+    * grain on top of parquet's own row-group stats). Buckets without
+    * recorded bounds are read (conservative); the row filter is always
+    * applied, so pruning can only skip work, never change the answer.
+    *
+    * Scale: the decision runs on the driver over O(buckets) metadata —
+    * no file is opened for a skipped bucket. On a hash-bucketed merge
+    * target the high-value query is the INCREMENTAL-SYNC read,
+    * "rows with version ≥ last_sync": a bucket not rewritten since
+    * last_sync carries its old sidecar bounds (max < last_sync) and is
+    * skipped, so the scan cost tracks how many buckets recent commits
+    * actually touched — on a 10k-bucket table fed narrow micro-batches,
+    * a handful — not the table. A full-history window degrades
+    * gracefully to reading everything (hash bucketing spreads keys, so
+    * per-bucket version bands of long-lived rows are wide; that is the
+    * honest limit of version zone maps under hash layout). */
+  def readWhereVersionBetween(lo: Long, hi: Long): Option[DataFrame] =
+    current().filter(_.nonEmpty).map { m =>
+      val zones = zoneMaps()
+      val chosen = m.filter { case (b, _) =>
+        zones.get(b).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+      val vc = col(table.versionCol).cast("long")
+      if (chosen.isEmpty)
+        emptyWithSchema(currentSchema(m))
+      else
+        readDirs(chosen.values.toSeq.distinct)
+          .filter(vc >= lo && vc <= hi)
+    }
+
+  /** Pruning audit for [[readWhereVersionBetween]]: (buckets_total,
+    * buckets_read, buckets_skipped) at the current version. */
+  def pruneAudit(lo: Long, hi: Long): Option[(Int, Int, Int)] =
+    current().filter(_.nonEmpty).map { m =>
+      val zones = zoneMaps()
+      val read = m.count { case (b, _) =>
+        zones.get(b).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+      (m.size, read, m.size - read)
+    }
+
   /** Per-bucket row counts + owning delta dir of the current snapshot —
     * the operational stats view (bucket skew, file placement). ONE scan
     * of the snapshot (bucket recovered from the file path), not a job
@@ -321,6 +389,16 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       entries.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // Carry the zone-map sidecar: the clone references the same files,
+    // so the source's per-bucket version bounds stay valid for it.
+    val zones = zoneMaps()
+    if (zones.nonEmpty) {
+      val zOut = dfs.create(new Path(dest, f"z${1L}%010d"), true)
+      try zOut.write(zones.toSeq.sortBy(_._1)
+        .map { case (b, (mn, mx)) => s"$b\t$mn\t$mx" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally zOut.close()
+    }
     val p = dfs.create(new Path(dest, "_LATEST"), true)
     try p.write(mName.getBytes(StandardCharsets.UTF_8))
     finally p.close()
@@ -604,6 +682,43 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       .toMap
     val entries = carryOver ++ written
 
+    // Zone-map sidecar (per-bucket min/max of the version column, for
+    // data-skipping range reads): recompute bounds for the buckets this
+    // commit wrote by scanning ONLY the fresh delta projected to the
+    // version column (footer-cheap), carry the previous sidecar's bounds
+    // for carried-over buckets (their files did not change). Written
+    // before the pointer repoint — an orphan sidecar from a crashed
+    // commit is unreachable, and a MISSING sidecar only disables
+    // pruning, never correctness. Non-integral version columns get no
+    // sidecar (no pruning).
+    val zonable = bucketed.schema.find(_.name == table.versionCol)
+      .map(_.dataType)
+      .exists {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    if (zonable) {
+      val writtenZones: Map[Int, (Long, Long)] =
+        if (written.isEmpty) Map.empty
+        else spark.read.parquet(deltaPath.toString)
+          .groupBy(col(BucketCol).cast("int").as("__b"))
+          .agg(min(col(table.versionCol).cast("long")).as("__mn"),
+            max(col(table.versionCol).cast("long")).as("__mx"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+      val carriedZones = currentVersion()
+        .map(readZones).getOrElse(Map.empty)
+        .filter { case (b, _) => carryOver.contains(b) }
+      val zones = carriedZones ++ writtenZones
+      val zPath = new Path(root, zoneName(next))
+      val zOut = fs.create(zPath, true)
+      try zOut.write(zones.toSeq.sortBy(_._1)
+        .map { case (b, (mn, mx)) => s"$b\t$mn\t$mx" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally zOut.close()
+    }
+
     // Publish the manifest, then atomically repoint. Crash between the
     // two: the intact pointer still names version next-1, the replayed
     // micro-batch re-merges idempotently onto it, deletes this orphan
@@ -639,6 +754,8 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     fs.listStatus(root).toSeq.map(_.getPath).foreach { path =>
       val n = path.getName
       if (versionOf('m', n) >= 0 && versionOf('m', n) < oldestKept)
+        fs.delete(path, false)
+      else if (versionOf('z', n) >= 0 && versionOf('z', n) < oldestKept)
         fs.delete(path, false)
       else if (versionOf('d', n) >= 0) {
         fs.listStatus(path).toSeq.map(_.getPath)

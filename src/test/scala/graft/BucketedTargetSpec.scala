@@ -417,11 +417,12 @@ class BucketedTargetSpec extends SparkSpec {
     val bt = TargetTable("b", s"$branchDir/b", keyCols = Seq("pkey"),
       versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 4)
     val branch = new ParquetTarget(spark, bt)
-    // Zero-copy: the branch root holds ONLY metadata (no parquet bytes).
+    // Zero-copy: the branch root holds ONLY metadata (no parquet bytes)
+    // — the manifest, the pointer, and the carried zone-map sidecar.
     val broot = new Path(bt.path)
     val fs = broot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.listStatus(broot).map(_.getPath.getName).toSet ==
-      Set("m0000000001", "_LATEST"))
+      Set("m0000000001", "_LATEST", "z0000000001"))
     // The branch reads the source's snapshot through shared files.
     assert(branch.read().get.count() == 16L)
     // Copy-on-write: a one-key branch merge writes ONLY that bucket
@@ -445,5 +446,48 @@ class BucketedTargetSpec extends SparkSpec {
     intercept[IllegalStateException] {
       empty.cloneTo(s"$branchDir/c")
     }
+  }
+
+  test("zone maps: incremental-sync read skips buckets untouched since " +
+      "the sync point, result equals the filtered full scan") {
+    val (sink, _) = mk(buckets = 8)
+    // Seed: keys 0..63, versions all below 100.
+    sink.mergeUpsert((0L until 64L).map(k => (k, 10L + k, k, s"v1-$k"))
+      .toDF("pkey", "ver", "seq", "payload"), cfg)
+    // Incremental batch: ONE key at a high version → one bucket's max
+    // rises above the sync point; the other 7 keep max <= 73.
+    sink.mergeUpsert(Seq((7L, 500L, 100L, "v2-7")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    val zones = sink.zoneMaps()
+    assert(zones.size == 8)
+    assert(zones.values.count(_._2 >= 100L) == 1)
+    // "Rows modified since version 100": 7 of 8 buckets skipped.
+    val Some((total, read, skipped)) = sink.pruneAudit(100L, Long.MaxValue)
+    assert(total == 8 && read == 1 && skipped == 7)
+    val inc = sink.readWhereVersionBetween(100L, Long.MaxValue).get
+      .collect()
+    assert(inc.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 500L)))
+    // Conservative equality on an arbitrary window: pruned read ==
+    // full-scan filter.
+    val lo = 20L; val hi = 40L
+    val pruned = sink.readWhereVersionBetween(lo, hi).get
+      .select("pkey", "ver").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted
+    val full = sink.read().get.filter($"ver" >= lo && $"ver" <= hi)
+      .select("pkey", "ver").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted
+    assert(pruned.toSeq == full.toSeq && pruned.nonEmpty)
+    // A disjoint future window reads nothing but keeps the schema.
+    val none = sink.readWhereVersionBetween(1000L, 2000L).get
+    assert(none.count() == 0L)
+    assert(sink.pruneAudit(1000L, 2000L).get._2 == 0)
+    // The clone carries the sidecar: same pruning on the branch.
+    val dir = Files.createTempDirectory("graft_zmclone_").toString
+    sink.cloneTo(s"$dir/branch")
+    val branch = new ParquetTarget(spark,
+      TargetTable("t", s"$dir/branch", keyCols = Seq("pkey"),
+        versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 8))
+    assert(branch.pruneAudit(100L, Long.MaxValue).get == ((8, 1, 7)))
   }
 }
