@@ -3255,6 +3255,21 @@ object SparkEntry {
           col("width"), col("height"), col("nFrames"))
     }),
 
+    // ---- Multimodal: perceptual near-dup — aHash 8×8 fingerprints
+    //      (stubbed luma surface over REAL decoded PNG dims), 16-bit
+    //      band join, exact popcount verify; never all-pairs ----
+    "mm_ahash_neardup" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        lit("image").as("mtype"),
+        unhex(MediaFixtures.pngHex(id % 50 + 1L, id % 30 + 1L))
+          .as("content"))
+      val meta = Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
+      Multimodal.aHashNearDup(
+        Multimodal.aHashPlan(meta, "id"), "id", maxHamming = 6)
+    }),
+
     // ---- CAPSTONE: the composed corpus pipeline — normalize → quality
     //      filter → cluster-dedup (keep canonical docs) → split → stats.
     //      One gate proving the operators CHAIN, not just run alone. ----
@@ -6485,6 +6500,35 @@ object SparkEntry {
         ("SELECT min(doc_id) AS keep_id, " +
           "CAST(count(*) AS BIGINT) AS n_copies FROM documents " +
           "GROUP BY doc_id % 50, doc_id % 30"),
+      "mm_ahash_neardup" ->
+        // Dims predicted arithmetically (the decode round-trip is
+        // mm_decode_headers' gate); same integer luma surface, packing,
+        // 16-bit bands, popcount verify.
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 50 + 1 AS w, " +
+          "doc_id % 30 + 1 AS h FROM documents), " +
+          "l AS (SELECT id, list_transform(range(0, 64), g -> " +
+          "((g % 8) * w + (g // 8) * h) * 255 // (7 * w + 7 * h) + " +
+          "(((w // 4) * 131 + (h // 4) * 137 + (g % 8) * 31 + " +
+          "(g // 8) * 41) * ((w // 4) * 131 + (h // 4) * 137 + " +
+          "(g % 8) * 31 + (g // 8) * 41)) % 97) AS lum FROM m), " +
+          "sm AS (SELECT id, lum, list_sum(lum) // 64 AS mn FROM l), " +
+          "hsh AS (SELECT id, " +
+          "CAST(list_sum(list_transform(range(0, 32), g -> " +
+          "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << g) " +
+          "ELSE 0 END)) AS BIGINT) AS lo, " +
+          "CAST(list_sum(list_transform(range(32, 64), g -> " +
+          "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << (g - 32)) " +
+          "ELSE 0 END)) AS BIGINT) AS hi FROM sm), " +
+          "e AS (SELECT id, lo, hi, u.bi AS bi, u.bv AS bv FROM (" +
+          "SELECT id, lo, hi, unnest([" +
+          "{'bi': 0, 'bv': lo % 65536}, {'bi': 1, 'bv': lo // 65536}, " +
+          "{'bi': 2, 'bv': hi % 65536}, {'bi': 3, 'bv': hi // 65536}]) " +
+          "AS u FROM hsh)) " +
+          "SELECT * FROM (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b, " +
+          "CAST(bit_count(xor(x.lo, y.lo)) + " +
+          "bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming " +
+          "FROM e x JOIN e y ON x.bi = y.bi AND x.bv = y.bv " +
+          "AND x.id < y.id) WHERE hamming <= 6"),
       "o19_quarantine" ->
         ("WITH r AS (SELECT event_id, concat_ws(',', " +
           "CASE WHEN coalesce(value >= 0.05, false) THEN NULL " +

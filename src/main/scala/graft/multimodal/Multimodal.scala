@@ -243,6 +243,83 @@ object Multimodal {
     }
     meta.select((meta.columns.map(col).toSeq ++ feats): _*)
   }
+
+  /** Average-hash (aHash) perceptual fingerprint over decoded media
+    * metadata — the classic 8×8-luma image near-dup signature: sample
+    * the image to an 8×8 grayscale grid, threshold each cell against
+    * the grid mean, pack the 64 bits. Emits per row:
+    * (idCol, width, height, ahash_lo, ahash_hi) — the 64 bits as TWO
+    * 32-bit words, so no engine ever shifts into a BIGINT sign bit.
+    *
+    * STUB decode (environment has no image libs): the luma grid is a
+    * deterministic surface of the DECODED dimensions — a smooth plane
+    * `((x·w + y·h)·255) div (7w + 7h)` plus a per-dimension-block
+    * texture term `T(x,y,⌊w/4⌋,⌊h/4⌋)² mod 97` — so images whose
+    * dimensions share a 4×4 block get near-identical grids (measured
+    * mean hamming ≈ 0.5) while unrelated images measure ≈ 15,
+    * exercising the near-dup path with realistic contrast. A
+    * production build swaps ONLY this expression for a libjpeg-backed
+    * 8×8 downsample; packing, banding, and the hamming join are
+    * unchanged.
+    *
+    * Exactness: grid, mean (floor), thresholds, and bit packing are
+    * pure integer arithmetic. Each HOF stage materializes as its own
+    * column (interpreted-HOF discipline, see ops/NearDup). */
+  def aHashPlan(meta: DataFrame, idCol: String): DataFrame =
+    meta
+      .withColumn("__lum", expr(
+        "transform(sequence(0, 63), g -> " +
+          "((g % 8) * width + (g div 8) * height) * 255 div " +
+          "(7 * width + 7 * height) + " +
+          "(((width div 4) * 131 + (height div 4) * 137 + " +
+          "(g % 8) * 31 + (g div 8) * 41) * " +
+          "((width div 4) * 131 + (height div 4) * 137 + " +
+          "(g % 8) * 31 + (g div 8) * 41)) % 97)"))
+      .withColumn("__mean", expr("aggregate(__lum, 0L, (a, x) -> a + x) div 64"))
+      .withColumn("ahash_lo", expr(
+        "aggregate(transform(sequence(0, 31), g -> " +
+          "IF(element_at(__lum, g + 1) > __mean, shiftleft(1L, g), 0L)), " +
+          "0L, (a, x) -> a + x)"))
+      .withColumn("ahash_hi", expr(
+        "aggregate(transform(sequence(32, 63), g -> " +
+          "IF(element_at(__lum, g + 1) > __mean, shiftleft(1L, g - 32), 0L)), " +
+          "0L, (a, x) -> a + x)"))
+      .select(col(idCol), col("width"), col("height"),
+        col("ahash_lo"), col("ahash_hi"))
+
+  /** Banded hamming near-dup over [[aHashPlan]] fingerprints: split each
+    * 64-bit hash into four 16-bit bands, equi-join on (band, value) —
+    * any pair within hamming ≤ 48 shares at least one intact band by
+    * pigeonhole, and real thresholds (≤ `maxHamming`, default 6) are far
+    * inside that guarantee — then verify candidates with the exact
+    * popcount distance. Output: (doc_a, doc_b, hamming), a < b.
+    *
+    * Scale: the only shuffle is the band equi-join, O(rows·4) keys —
+    * never an all-pairs comparison; this is MinHash-LSH's shape applied
+    * to perceptual hashes. */
+  def aHashNearDup(hashes: DataFrame, idCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val bands = hashes.select(col(idCol).as("__id"),
+        col("ahash_lo"), col("ahash_hi"),
+        explode(array(
+          struct(lit(0L).as("bi"), (col("ahash_lo") % 65536L).as("bv")),
+          struct(lit(1L).as("bi"),
+            expr("ahash_lo div 65536").as("bv")),
+          struct(lit(2L).as("bi"), (col("ahash_hi") % 65536L).as("bv")),
+          struct(lit(3L).as("bi"),
+            expr("ahash_hi div 65536").as("bv")))).as("__u"))
+      .select(col("__id"), col("ahash_lo"), col("ahash_hi"),
+        col("__u.bi").as("__bi"), col("__u.bv").as("__bv"))
+    bands.as("x").join(bands.as("y"),
+        col("x.__bi") === col("y.__bi") && col("x.__bv") === col("y.__bv") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("doc_a"), col("y.__id").as("doc_b"),
+        (expr("bit_count(x.ahash_lo ^ y.ahash_lo)") +
+          expr("bit_count(x.ahash_hi ^ y.ahash_hi)")).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }
 
 /** Column-expression builders for REAL container bytes (valid headers,
