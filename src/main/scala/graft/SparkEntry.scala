@@ -3843,6 +3843,24 @@ object SparkEntry {
         col("event_type") === "purchase",
         col("event_type") === "error")),
 
+    // ---- Stats: Cochran's Q — k-treatment paired binary test (did the
+    //      same users respond differently across purchase/error/signup?);
+    //      all-integer aggregates, ONE division ----
+    "q_cochran_q" -> ((s, dir) =>
+      graft.ops.Profile.cochranQ(
+        t(s, dir, "events"), col("user_id"),
+        Seq(col("event_type") === "purchase",
+          col("event_type") === "error",
+          col("event_type") === "signup"))),
+
+    // ---- Stats: Brown-Forsythe spread test — median-centered Levene
+    //      over event types; exact |x−med| integers, kruskal-style
+    //      group fold, fixed F chain ----
+    "q_levene_bf" -> ((s, dir) =>
+      graft.ops.Profile.brownForsythe(
+        t(s, dir, "events"), col("event_type"),
+        floor(col("value") * 1024.0))),
+
     // ---- Stats: deterministic permutation test — purchasers vs not on
     //      mean event value; 64 affine label scrambles from the shared
     //      permute-hash family, add-one p-value ----
@@ -8507,6 +8525,57 @@ object SparkEntry {
           "CAST(greatest(abs(b - c) - 1, 0) * " +
           "greatest(abs(b - c) - 1, 0) AS DOUBLE) / " +
           "CAST(b + c AS DOUBLE) END AS chi2_cc FROM ct"),
+      "q_cochran_q" ->
+        // Per-subject max-of-indicator flags; exact BIGINT aggregates,
+        // one division (constant rows cancel in the denominator).
+        ("WITH per AS (SELECT user_id, " +
+          "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+          "AS x0, " +
+          "max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x1, " +
+          "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS x2 " +
+          "FROM events GROUP BY 1), " +
+          "t AS (SELECT CAST(sum(x0) AS BIGINT) AS c0, " +
+          "CAST(sum(x1) AS BIGINT) AS c1, " +
+          "CAST(sum(x2) AS BIGINT) AS c2, " +
+          "CAST(sum(x0 + x1 + x2) AS BIGINT) AS sr, " +
+          "CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS srr, " +
+          "CAST(count(*) AS BIGINT) AS n_subjects FROM per) " +
+          "SELECT n_subjects, CAST(3 AS BIGINT) AS k, " +
+          "CASE WHEN 3 * sr - srr = 0 THEN NULL ELSE " +
+          "CAST(2 * (3 * (c0 * c0 + c1 * c1 + c2 * c2) - " +
+          "(c0 + c1 + c2) * (c0 + c1 + c2)) AS DOUBLE) / " +
+          "CAST(3 * sr - srr AS DOUBLE) END AS q_stat, " +
+          "CAST(2 AS BIGINT) AS df FROM t"),
+      "q_levene_bf" ->
+        // Lower-median element pick per group, exact |x-med| integers,
+        // the kruskal-style ordered group fold, fixed F chain.
+        ("WITH b AS (SELECT event_type AS g, " +
+          "CAST(floor(value * 1024.0) AS BIGINT) AS q FROM events " +
+          "WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
+          "medr AS (SELECT g, q, row_number() OVER (" +
+          "PARTITION BY g ORDER BY q) AS rn, " +
+          "count(*) OVER (PARTITION BY g) AS n FROM b), " +
+          "med AS (SELECT g, q AS med FROM medr WHERE rn = (n + 1) // 2), " +
+          "z AS (SELECT b.g AS g, abs(b.q - med.med) AS z FROM b " +
+          "JOIN med ON b.g = med.g), " +
+          "grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ni, " +
+          "CAST(sum(z) AS HUGEINT) AS zi, " +
+          "sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS zz " +
+          "FROM z GROUP BY 1), " +
+          "tm AS (SELECT g, ni, zi, zz, CAST(zi * zi AS DOUBLE) / " +
+          "CAST(ni AS DOUBLE) AS term FROM grp), " +
+          "f AS (SELECT CAST(count(*) AS BIGINT) AS k_groups, " +
+          "CAST(coalesce(sum(ni), 0) AS BIGINT) AS n, " +
+          "coalesce(sum(zi), 0) AS ztot, coalesce(sum(zz), 0) AS zzt, " +
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list(term ORDER BY g)), (a, x) -> a + x) AS a FROM tm) " +
+          "SELECT n, k_groups, " +
+          "CASE WHEN k_groups < 2 OR n <= k_groups OR " +
+          "CAST(zzt AS DOUBLE) - a = 0.0 THEN NULL ELSE " +
+          "(CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)) * " +
+          "(a - CAST(ztot * ztot AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+          "((CAST(k_groups AS DOUBLE) - 1.0) * " +
+          "(CAST(zzt AS DOUBLE) - a)) END AS f_stat FROM f"),
       "q_permutation_test" -> {
         // The engine's 64 affine label scrambles, constants shared from
         // TextHash.permute; every mean is one division of exact sums.

@@ -1403,6 +1403,98 @@ object Profile {
           .otherwise((cc * cc).cast("double") / disc).as("chi2_cc"))
   }
 
+  /** Cochran's Q — McNemar's k-treatment generalization: did the same
+    * subjects respond differently across k binary treatments? Q =
+    * (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²) with C_j the
+    * per-treatment success counts and R_i the per-subject success
+    * counts; ≈ chi²(k−1) under H0. All-zero and all-success subjects
+    * contribute nothing to either side (their R_i terms cancel), so no
+    * filtering is needed. One row out: (n_subjects, k, q_stat, df).
+    *
+    * Exactness: every quantity is an exact BIGINT aggregate; Q is ONE
+    * division. Scale: one shuffle keyed on the subject id, then a
+    * scalar rollup. */
+  def cochranQ(df: DataFrame, idCol: Column,
+      treatments: Seq[Column]): DataFrame = {
+    require(treatments.size >= 2, "cochranQ needs >= 2 treatments")
+    val k = treatments.size
+    val flags = treatments.zipWithIndex.map { case (c, j) =>
+      max(when(c, 1L).otherwise(0L)).as(s"__x$j")
+    }
+    val per = df.groupBy(idCol.as("__id"))
+      .agg(flags.head, flags.tail: _*)
+      .withColumn("__r",
+        (0 until k).map(j => col(s"__x$j")).reduce(_ + _))
+    val aggs =
+      (0 until k).map(j => sum(col(s"__x$j")).as(s"__c$j")) ++ Seq(
+        sum(col("__r")).as("__sr"),
+        sum(col("__r") * col("__r")).as("__srr"),
+        count(lit(1)).as("n_subjects"))
+    val tot = per.agg(aggs.head, aggs.tail: _*)
+    val sumC = (0 until k).map(j => col(s"__c$j")).reduce(_ + _)
+    val sumC2 = (0 until k).map(j => col(s"__c$j") * col(s"__c$j"))
+      .reduce(_ + _)
+    val num = lit((k - 1).toLong) * (lit(k.toLong) * sumC2 - sumC * sumC)
+    val den = lit(k.toLong) * col("__sr") - col("__srr")
+    tot.select(col("n_subjects"), lit(k.toLong).as("k"),
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")).as("q_stat"),
+      lit((k - 1).toLong).as("df"))
+  }
+
+  /** Brown-Forsythe (median-centered Levene) test — "do these groups
+    * have the same spread?", robust to the heavy tails that invalidate
+    * the classic F-ratio: one-way ANOVA run on z_ij = |x_ij − med_i|
+    * with med_i the group's lower-median ELEMENT (an exact integer
+    * pick, not an interpolation). One row out: (n, k_groups, f_stat).
+    *
+    * Exactness: z values are exact integers, so Σz² and per-group sums
+    * Z_i are exact; the F numerator/denominator reuse the one-division-
+    * per-group fold of [[kruskalWallis]] (group-name order) and the
+    * final F is a fixed float chain. Scale: one window per group for
+    * the median pick, two grouped aggregates, O(k) fold. */
+  def brownForsythe(df: DataFrame, groupCol: Column, scoreBin: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val b = df.select(groupCol.cast("string").as("__g"),
+        scoreBin.cast("long").as("__q"))
+      .where(col("__g").isNotNull && col("__q").isNotNull)
+    val w = Window.partitionBy(col("__g")).orderBy(col("__q"))
+    val med = b
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("__g"), col("__q").as("__med"))
+    val z = b.join(med, "__g")
+      .select(col("__g"), abs(col("__q") - col("__med")).as("__z"))
+    val grp = z.groupBy("__g").agg(
+      count(lit(1)).as("__ni"),
+      sum(col("__z").cast(dec)).as("__zi"),
+      sum(col("__z").cast(dec) * col("__z").cast(dec)).as("__zz"))
+      .withColumn("__term",
+        (col("__zi") * col("__zi")).cast("double") /
+          col("__ni").cast("double"))
+    val folded = grp.agg(
+      count(lit(1)).as("k_groups"),
+      coalesce(sum(col("__ni")), lit(0L)).as("n"),
+      coalesce(sum(col("__zi")), lit(0).cast(dec)).as("__ztot"),
+      coalesce(sum(col("__zz")), lit(0).cast(dec)).as("__zzt"),
+      aggregate(
+        sort_array(collect_list(struct(col("__g"), col("__term")))),
+        lit(0.0), (acc, x) => acc + x.getField("__term")).as("__a"))
+    val nd = col("n").cast("double")
+    val kd = col("k_groups").cast("double")
+    val bTerm = (col("__ztot") * col("__ztot")).cast("double") / nd
+    val cTerm = col("__zzt").cast("double")
+    val f = (nd - kd) * (col("__a") - bTerm) /
+      ((kd - lit(1.0)) * (cTerm - col("__a")))
+    folded.select(col("n"), col("k_groups"),
+      when(col("k_groups") < 2L || col("n") <= col("k_groups") ||
+          cTerm - col("__a") === 0.0, lit(null).cast("double"))
+        .otherwise(f).as("f_stat"))
+  }
+
   /** Exact-style permutation test on a difference of per-group means —
     * the assumption-free significance read: how often does a random
     * relabeling of SUBJECTS produce a gap at least as large as the

@@ -627,6 +627,51 @@ class ProfileSpec extends SparkSpec {
     assert(rc.isNullAt(2) && rc.isNullAt(3))
   }
 
+  test("cochranQ: textbook arithmetic, constant rows cancel, degenerate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4 subjects × 3 treatments; subject s responds to treatment t iff
+    // (s,t) listed. C = (3,1,2), R = (2,2,1,1).
+    val resp = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "c"),
+      (3L, "a"), (4L, "c"))
+    val df = resp.toDF("u", "t")
+    val ts = Seq(col("t") === "a", col("t") === "b", col("t") === "c")
+    val r = Profile.cochranQ(df, col("u"), ts).collect().head
+    // Q = 2*(3*(9+1+4) - 36) / (3*6 - 10) = 2*6/8
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 12.0 / 8.0 && r.getLong(3) == 2L)
+    // Adding an all-success and an all-failure subject leaves Q fixed.
+    val padded = resp ++ Seq((5L, "a"), (5L, "b"), (5L, "c")) ++
+      Seq((6L, "x"))
+    val rp = Profile.cochranQ(padded.toDF("u", "t"), col("u"), ts)
+      .collect().head
+    assert(rp.getDouble(2) == 12.0 / 8.0)
+    // Everyone responds to everything → denominator 0 → NULL.
+    val allYes = Seq((1L, "a"), (1L, "b"), (1L, "c")).toDF("u", "t")
+    assert(Profile.cochranQ(allYes, col("u"), ts).collect().head.isNullAt(2))
+  }
+
+  test("brownForsythe: spread difference detected, equal spreads near 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Group a tight around 100, group b wide around 100: same center,
+    // very different spread → F large. Groups c/d identical spread → F 0.
+    val tight = (1 to 20).map(i => ("a", 100L + (i % 3) - 1L))
+    val wide = (1 to 20).map(i => ("b", 100L + ((i % 5) - 2L) * 40L))
+    val f1 = Profile.brownForsythe((tight ++ wide).toDF("g", "v"),
+      col("g"), col("v")).collect().head
+    assert(f1.getLong(0) == 40L && f1.getLong(1) == 2L)
+    assert(f1.getDouble(2) > 10.0)
+    val c = (1 to 10).map(i => ("c", (i % 5).toLong))
+    val d = (1 to 10).map(i => ("d", 50L + (i % 5)))
+    val f2 = Profile.brownForsythe((c ++ d).toDF("g", "v"),
+      col("g"), col("v")).collect().head
+    assert(f2.getDouble(2) == 0.0) // identical |x-med| multisets
+    // One group → NULL.
+    assert(Profile.brownForsythe(tight.toDF("g", "v"), col("g"), col("v"))
+      .collect().head.isNullAt(2))
+  }
+
   test("permutationTest: strong effect hits the p floor, null effect " +
       "does not") {
     import org.apache.spark.sql.functions._
