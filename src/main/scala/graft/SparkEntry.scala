@@ -3960,6 +3960,14 @@ object SparkEntry {
       graft.ops.TimeSeries.ar2YuleWalker(hourly, "event_type", "hr", "hx")
     }),
 
+    // ---- RAG: maximal-marginal-relevance diversified top-k — one
+    //      distributed relevance pass + bounded-pool greedy rerank;
+    //      λ=0.5 so both weights are exact binary doubles ----
+    "emb_mmr" -> ((s, dir) =>
+      Similarity.mmrSelect(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 8, poolSize = 48)),
+
     // ---- LLM pipeline: label-centroid silhouette — cluster-quality
     //      read over the labeled embeddings (O(rows·labels), quantized
     //      exact rollup) ----
@@ -7092,6 +7100,15 @@ object SparkEntry {
           "CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem), " +
           graft.functions.OracleSql.quantileSketchCtes(Seq(50, 95)) +
           " SELECT g, pct, n_rows, est FROM qest"),
+      "emb_mmr" ->
+        ("WITH kc0 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, " +
+          "CAST(embedding AS DOUBLE[]) AS v, " +
+          "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+          "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+          "kc AS (SELECT * FROM kc0 WHERE nrm > 0), " +
+          "q AS (SELECT v AS qv, nrm AS qn FROM kc WHERE vec_id = 0), " +
+          graft.functions.OracleSql.mmrCtes(k = 8, pool = 48) +
+          " SELECT pick, vec_id AS picked_id FROM msel7"),
       "sample_kcenter" ->
         ("WITH kc AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, " +
           "CAST(embedding AS DOUBLE[]) AS v, " +

@@ -434,6 +434,40 @@ object OracleSql {
       .mkString(", ")
   }
 
+  /** MMR (maximal-marginal-relevance) CTE chain mirroring
+    * `Similarity.mmrSelect` round-for-round at λ = 0.5: `mrel` scores
+    * relevance against a prior CTE `q`(qv, qn), `mpool` is the
+    * (rel DESC, vec_id ASC) top-`pool` cut, `msel0` seeds with the most
+    * relevant, and each round's argmax orders by
+    * `0.5 * rel - 0.5 * mx DESC, vec_id ASC` — the engine's exact score
+    * chain. Expects a prior CTE `kc`(vec_id, v, nrm) with zero-norm rows
+    * already excluded. Select from `msel${k-1}`. All chained CTEs
+    * MATERIALIZED (the farthestPointCtes inlining-blowup lesson). */
+  def mmrCtes(k: Int, pool: Int): String = {
+    val init =
+      "mrel AS MATERIALIZED (SELECT vec_id, v, nrm, " +
+        "list_inner_product(v, qv) / (nrm * qn) AS rel " +
+        "FROM kc CROSS JOIN q), " +
+        s"mpool AS MATERIALIZED (SELECT * FROM mrel " +
+        s"ORDER BY rel DESC, vec_id ASC LIMIT $pool), " +
+        "msel0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS pick, " +
+        "vec_id, v, nrm, rel FROM mpool " +
+        "ORDER BY rel DESC, vec_id ASC LIMIT 1)"
+    val steps = (1 until k).map { i =>
+      val p = s"msel${i - 1}"
+      s"mm$i AS MATERIALIZED (SELECT e.vec_id, e.rel, " +
+        "max(list_inner_product(e.v, s.v) / (e.nrm * s.nrm)) AS mx " +
+        s"FROM mpool e, $p s WHERE e.vec_id NOT IN " +
+        s"(SELECT vec_id FROM $p) GROUP BY e.vec_id, e.rel), " +
+        s"mpk$i AS (SELECT vec_id FROM mm$i " +
+        "ORDER BY 0.5 * rel - 0.5 * mx DESC, vec_id ASC LIMIT 1), " +
+        s"msel$i AS MATERIALIZED (SELECT * FROM $p UNION ALL " +
+        s"SELECT CAST($i AS BIGINT), e.vec_id, e.v, e.nrm, e.rel " +
+        s"FROM mpool e JOIN mpk$i USING (vec_id))"
+    }
+    (init +: steps).mkString(", ")
+  }
+
   /** BPE merge-training CTE chain mirroring `Bpe.learnMerges`
     * iteration-for-iteration, over a prior CTE `w0`(w, freq) — the
     * word-frequency dict. Emits `v0` (character split) and, per round r,

@@ -612,6 +612,78 @@ object Similarity {
     } finally { e.unpersist(); () }
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) —
+    * diversified top-k retrieval: greedily pick
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so each new result
+    * is relevant to the query AND novel against what's already
+    * selected — the standard rerank between ANN retrieval and a RAG
+    * context window. Two stages: (1) DISTRIBUTED relevance scoring +
+    * top-`poolSize` candidate cut (one corpus pass, a bounded
+    * TakeOrdered); (2) the O(pool²·k) greedy rerank driver-local on
+    * the bounded pool — the same split [[farthestPointSampleScalable]]
+    * uses, and how production rerankers run (the pool is hundreds,
+    * never the corpus). Output: (pick, picked_id).
+    *
+    * Determinism: relevance and pairwise sims are the strict-fold dot
+    * (bit-identical to `list_inner_product`); the pool cut and every
+    * argmax order by (score DESC, id ASC); λ defaults to 0.5 so both
+    * λ and 1−λ are exact binary doubles and the score chain
+    * `λ·rel − (1−λ)·maxSim` is reproduced operand-for-operand by the
+    * oracle. Zero-norm vectors are excluded up front (their cosine is
+    * undefined; a NaN would poison every max). */
+  def mmrSelect(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int = 8, poolSize: Int = 48,
+      lambda: Double = 0.5): DataFrame = {
+    require(k > 0 && poolSize >= k, s"need k <= poolSize, got $k/$poolSize")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val q = e.filter(col("__id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val rel = e.join(broadcast(q))
+      .select(col("__id"), col("v"), col("nrm"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("rel"))
+    val cand = rel.orderBy(col("rel").desc, col("__id").asc)
+      .limit(poolSize)
+      .as[(Long, Seq[Double], Double, Double)].collect()
+    require(cand.nonEmpty, s"mmrSelect: query $queryId missing or corpus empty")
+    def dotL(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val mu = 1.0 - lambda
+    val chosen = scala.collection.mutable.HashSet.empty[Long]
+    var selected = Vector.empty[(Long, Seq[Double], Double, Double)]
+    var picks = Vector.empty[(Long, Long)]
+    var i = 0
+    while (i < math.min(k, cand.length)) {
+      var best: (Long, Seq[Double], Double, Double) = null
+      var bestScore = 0.0
+      cand.foreach { c =>
+        if (!chosen.contains(c._1)) {
+          val ms =
+            if (selected.isEmpty) 0.0
+            else selected.iterator
+              .map(s => dotL(c._2, s._2) / (c._3 * s._3)).max
+          val score = lambda * c._4 - mu * ms
+          if (best == null || score > bestScore ||
+              (score == bestScore && c._1 < best._1)) {
+            best = c; bestScore = score
+          }
+        }
+      }
+      picks :+= ((i.toLong, best._1))
+      selected :+= best
+      chosen += best._1
+      i += 1
+    }
+    picks.toDF("pick", "picked_id")
+  }
+
   /** Max cosine of (v, nrm) against the broadcast `__cents` array — the
     * farthest-point score. Same fold discipline as [[bestCell]]: strict
     * left-to-right, NaN beats every real cosine. */

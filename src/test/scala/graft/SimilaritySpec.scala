@@ -659,4 +659,30 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.labelSilhouette(single, "vec_id", "embedding",
       "label").count() == 0L)
   }
+
+  test("mmrSelect: diversity term demotes the redundant runner-up") {
+    import spark.implicits._
+    // Query along x. Candidate 1 is nearly the query (top relevance);
+    // candidate 2 is almost identical to 1 (high relevance, redundant);
+    // candidate 3 is at 45° (lower relevance, novel). Pure top-2 by
+    // relevance = {1, 2}; MMR at λ=0.5 must pick {1, 3}.
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(1.0, 0.3)),
+      (2L, Seq(1.0, 0.31)),
+      (3L, Seq(1.0, -0.3)),
+      (9L, Seq(0.0, 0.0))) // zero-norm: excluded, never poisons a max
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(emb, "vec_id", "embedding",
+      queryId = 0L, k = 3, poolSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == 0L) // the query itself is its own best match
+    assert(got(1L) == 1L)
+    assert(got(2L) == 3L) // novelty beats redundancy at pick 3
+    // k capped by pool; picks are distinct.
+    val all = Similarity.mmrSelect(emb, "vec_id", "embedding",
+      queryId = 0L, k = 8, poolSize = 8).collect()
+    assert(all.length == 4) // 4 nonzero vectors
+    assert(all.map(_.getLong(1)).distinct.length == 4)
+  }
 }
