@@ -3870,6 +3870,16 @@ object SparkEntry {
         col("event_type") === "purchase",
         floor(col("value") * 1024.0))),
 
+    // ---- Clustering: grid DBSCAN over (value, hour-of-day) — density
+    //      cells ≥ minPts, 8-adjacent cores union via connected
+    //      components; O(core cells) graph, never per-point ε-balls ----
+    "q_dbscan_grid" -> ((s, dir) =>
+      graft.ops.Components.gridDbscan(
+        t(s, dir, "events"),
+        floor(col("value")),
+        expr("ts div 3600000000000 % 24"),
+        minPts = 8L)),
+
     // ---- OLAP: recursive-CTE-class subtree rollup WITHOUT recursion —
     //      ancestors-or-self chains are pure arithmetic on the implicit
     //      heap hierarchy (parent = n>>1), one explode + one aggregate ----
@@ -8633,6 +8643,32 @@ object SparkEntry {
           "THEN 1 ELSE 0 END), 0) AS DOUBLE)) / 65.0 END AS p_value " +
           "FROM d CROSS JOIN o GROUP BY o.n_subjects, o.dobs"
       },
+      "q_dbscan_grid" ->
+        // Same grid; adjacency via |dx|<=1 ∧ |dy|<=1 (y < 24 so the
+        // engine's packed-key arithmetic can never wrap), min-id
+        // closure via recursive reach.
+        ("WITH RECURSIVE c AS (SELECT CAST(floor(value) AS BIGINT) AS x, " +
+          "epoch_us(ts) // 3600000000 % 24 AS y, " +
+          "CAST(count(*) AS BIGINT) AS n FROM events " +
+          "WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2), " +
+          "core AS (SELECT x, y, n, x * 100000 + y AS cell FROM c " +
+          "WHERE n >= 8), " +
+          "e0 AS (SELECT a.cell AS ca, b.cell AS cb FROM core a " +
+          "JOIN core b ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1 " +
+          "AND a.cell < b.cell), " +
+          "edges AS (SELECT ca AS src, cb AS dst FROM e0 " +
+          "UNION SELECT cb, ca FROM e0), " +
+          "reach(id, r) AS (SELECT DISTINCT src, src FROM edges " +
+          "UNION SELECT e.src, reach.r FROM edges e " +
+          "JOIN reach ON e.dst = reach.id), " +
+          "lab AS (SELECT id AS cell, min(r) AS comp FROM reach " +
+          "GROUP BY 1) " +
+          "SELECT coalesce(lab.comp, core.cell) AS cluster_id, " +
+          "CAST(count(*) AS BIGINT) AS n_cells, " +
+          "CAST(sum(core.n) AS BIGINT) AS n_points, " +
+          "min(core.x) AS min_x, max(core.x) AS max_x, " +
+          "min(core.y) AS min_y, max(core.y) AS max_y " +
+          "FROM core LEFT JOIN lab ON core.cell = lab.cell GROUP BY 1"),
       "q_hierarchy_rollup" ->
         // Ancestor chains by integer division by powers of two — the
         // same arithmetic as the engine, no WITH RECURSIVE needed.

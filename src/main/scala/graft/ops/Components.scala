@@ -222,4 +222,53 @@ object Components {
       .unionByName(mins.select(col("u"), col("m").as("v")))
       .distinct()
   }
+
+  /** Grid DBSCAN — density clustering at corpus scale by trading the
+    * quadratic ε-neighborhood search for a fixed grid: bin points to
+    * integer cells, call a cell CORE when it holds ≥ `minPts` points,
+    * and union 8-adjacent core cells into clusters (the classic
+    * grid/cell variant — GriT-DBSCAN et al. — which is how DBSCAN is
+    * run distributed; per-point ε-balls don't shard, cells do). One
+    * row per cluster: (cluster_id, n_cells, n_points, min_x, max_x,
+    * min_y, max_y); `cluster_id` is the min member cell key, so labels
+    * are merge-order independent.
+    *
+    * Scale: one grouped count over the scan (map-side combinable), the
+    * core filter collapses the domain to occupied-dense cells, and the
+    * adjacency join + [[connectedComponents]] run on O(core cells) —
+    * bounded by the GRID, not the corpus. Cell keys pack as
+    * x·100000 + y (caller guarantees 0 ≤ y < 100000; x may be any
+    * sign). */
+  def gridDbscan(pts: DataFrame, xBin: org.apache.spark.sql.Column,
+      yBin: org.apache.spark.sql.Column, minPts: Long): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val cells = pts
+      .select(xBin.cast("long").as("__x"), yBin.cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("__n"))
+    val core = cells.filter(col("__n") >= minPts)
+      .withColumn("__cell", col("__x") * 100000L + col("__y"))
+      .localCheckpoint() // feeds the explode side, the join side, and the rollup
+    val offs = for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
+      yield (dx.toLong, dy.toLong)
+    val nbr = core.select(col("__cell").as("__ca"),
+        col("__x"), col("__y"),
+        explode(array(offs.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("__o"))
+      .select(col("__ca"),
+        ((col("__x") + col("__o.dx")) * 100000L +
+          (col("__y") + col("__o.dy"))).as("__cb"))
+    val edges = nbr
+      .join(core.select(col("__cell").as("__cb")), "__cb")
+      .filter(col("__ca") < col("__cb"))
+    val labels = connectedComponents(edges, "__ca", "__cb")
+    core
+      .join(labels.select(col("id").as("__cell"), col("comp")),
+        Seq("__cell"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("comp"), col("__cell")))
+      .groupBy("cluster_id").agg(
+        count(lit(1)).as("n_cells"), sum(col("__n")).as("n_points"),
+        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+  }
 }

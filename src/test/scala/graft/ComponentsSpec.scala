@@ -170,4 +170,32 @@ class ComponentsSpec extends SparkSpec {
     val full = Components.connectedComponents(all.toDF("a", "b"), "a", "b")
     assertSameRows(inc.select("id", "comp"), full.select("id", "comp"))
   }
+
+  test("gridDbscan: dense blobs cluster, sparse cells drop, diagonal " +
+      "adjacency unions, singleton core stands alone") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Blob A: cells (0,0),(1,1) diagonal neighbors, 3 points each.
+    // Blob B: cell (5,5), 4 points. Noise: (9,9) with 1 point.
+    def fill(x: Long, y: Long, n: Int) = Seq.fill(n)((x, y))
+    val pts = (fill(0, 0, 3) ++ fill(1, 1, 3) ++ fill(5, 5, 4) ++
+      fill(9, 9, 1)).toDF("x", "y")
+    val got = Components.gridDbscan(pts, col("x"), col("y"), minPts = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // Cluster A: min cell key 0*100000+0 = 0; 2 cells, 6 points,
+    // bbox (0..1, 0..1). Cluster B: key 500005, 1 cell, 4 points.
+    assert(got.keySet == Set(0L, 500005L))
+    assert(got(0L) == ((2L, 6L, 0L, 1L, 0L, 1L)))
+    assert(got(500005L) == ((1L, 4L, 5L, 5L, 5L, 5L)))
+    // Lower minPts: the noise cell becomes its own singleton cluster.
+    val loose = Components.gridDbscan(pts, col("x"), col("y"), minPts = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose.contains(900009L))
+    // Non-adjacent cores never merge even at distance 2.
+    val far = (fill(0, 0, 3) ++ fill(0, 2, 3)).toDF("x", "y")
+    assert(Components.gridDbscan(far, col("x"), col("y"), 3L)
+      .count() == 2L)
+  }
 }
