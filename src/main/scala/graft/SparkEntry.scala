@@ -4064,6 +4064,30 @@ object SparkEntry {
       stateOut(branch.read().get)
     }),
 
+    // ---- Storage: secondary value index — CDC-maintained inverted
+    //      index bucketed on the VALUE (one-bucket equality probes),
+    //      incremental refresh from the change feed, key-pruned fetch ----
+    "o23_value_index" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_o23_").toString
+      val tbl = graft.model.TargetTable("events_vx", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 8,
+        retainVersions = 4)
+      val cfg = IngestConfig(name = s"o23-vx-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      val ev = eventRecords(s, dir)
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 =!= 0), cfg)
+      val idx = new graft.sink.ValueIndex(s, pt, "event_type",
+        s"$tmp/ix", buckets = 8)
+      idx.rebuild(cfg)
+      // second batch inserts new keys AND flips some rows' event_type —
+      // the refresh must retire the stale index entries via pre-images
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 === 0), cfg)
+      idx.refresh(cfg)
+      stateOut(idx.lookupEq(Seq("purchase").toDF("ival")))
+    }),
+
     // ---- Storage: zone-map-pruned version-range read — per-bucket
     //      min/max sidecars maintained at commit; pruning is driver-side
     //      metadata, the row filter still applies (conservative) ----
@@ -7773,6 +7797,10 @@ object SparkEntry {
       // the branch merged the odd half onto the cloned even half, so its
       // state is global latest-wins over ALL events
       "o21_clone_branch" -> dedupState,
+      // the CDC-synced index must equal state filtered on the value
+      "o23_value_index" ->
+        (s"SELECT pkey, modified_date_us, event_type, value " +
+          s"FROM ($dedupState) WHERE event_type = 'purchase'"),
       // pruning is conservative: result == latest-wins state restricted
       // to the version window
       "o22_zonemap_skip" ->

@@ -55,13 +55,23 @@ final case class TargetTable(
     tieBreakCols: Seq[String] = Nil,
     softDeleteCol: String = "row_active",
     buckets: Int = 16,
-    retainVersions: Int = 1) {
+    retainVersions: Int = 1,
+    bucketCols: Seq[String] = Nil) {
   require(name.nonEmpty, "TargetTable.name must not be empty")
   require(path.nonEmpty, "TargetTable.path must not be empty")
   require(keyCols.nonEmpty, "TargetTable.keyCols must not be empty")
   require(buckets > 0, "TargetTable.buckets must be > 0")
   require(retainVersions >= 1, "TargetTable.retainVersions must be >= 1")
+  require(bucketCols.forall(keyCols.contains),
+    "TargetTable.bucketCols must be a subset of keyCols — bucketing on a " +
+      "non-key column would scatter one key's versions across buckets " +
+      "and break latest-wins merge pruning")
   def orderingCols: Seq[String] = versionCol +: tieBreakCols
+  /** Columns the bucket hash runs over: `bucketCols` when set (e.g. a
+    * value-bucketed secondary index keyed (value, pkey) but hashed on
+    * value alone, so equality lookups read ONE bucket), else the full
+    * key set (the default — even key spread). */
+  def hashCols: Seq[String] = if (bucketCols.nonEmpty) bucketCols else keyCols
 }
 
 /** Engine configuration mapping the reference builder's 17 knobs

@@ -85,7 +85,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   private def zoneName(v: Long): String = f"z$v%010d"
 
   private def bucketOf(df: DataFrame): Column =
-    pmod(hash(table.keyCols.map(df.col): _*), lit(table.buckets))
+    pmod(hash(table.hashCols.map(df.col): _*), lit(table.buckets))
 
   /** Parse a manifest into bucket -> relative dir; None unless every
     * referenced dir exists (an older manifest may reference GC'd dirs).
@@ -250,6 +250,26 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       else readDirs(dirs).join(
         org.apache.spark.sql.functions.broadcast(bk),
         table.keyCols, "left_semi")
+    }
+
+  /** Equality lookup by the BUCKET columns alone
+    * ([[graft.model.TargetTable.bucketCols]], a declared subset of the
+    * key): reads exactly the buckets those values hash into and
+    * left-semi filters rows. The read path of a value-bucketed
+    * secondary index — an equality probe on the indexed value opens
+    * ONE bucket dir however large the index. Falls back to the full
+    * key set when no bucketCols were declared (then it equals
+    * [[lookup]] semantics on the key prefix). */
+  def lookupByBucketCols(vals: DataFrame): Option[DataFrame] =
+    current().filter(_.nonEmpty).map { m =>
+      val schema = currentSchema(m)
+      val bk = conformKeys(
+        vals.select(table.hashCols.map(vals.col): _*).distinct(), schema)
+      val dirs = bucketsOf(bk).flatMap(m.get).distinct
+      if (dirs.isEmpty) emptyWithSchema(schema)
+      else readDirs(dirs).join(
+        org.apache.spark.sql.functions.broadcast(bk),
+        table.hashCols, "left_semi")
     }
 
   /** Intact (readable) committed versions, ascending — at most

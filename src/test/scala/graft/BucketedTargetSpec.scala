@@ -448,6 +448,45 @@ class BucketedTargetSpec extends SparkSpec {
     }
   }
 
+  test("value index: CDC refresh retires stale entries, equality probe " +
+      "is value-bucketed, replay is idempotent") {
+    val dir = Files.createTempDirectory("graft_vx_").toString
+    val t = TargetTable("t", s"$dir/base", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 8,
+      retainVersions = 4)
+    val sink = new ParquetTarget(spark, t)
+    sink.mergeUpsert(Seq((1L, 1L, 1L, "red"), (2L, 1L, 2L, "red"),
+      (3L, 1L, 3L, "blue")).toDF("pkey", "ver", "seq", "color"), cfg)
+    val ix = new graft.sink.ValueIndex(spark, sink, "color",
+      s"$dir/ix", buckets = 8)
+    ix.rebuild(cfg)
+    def probe(v: String) = ix.lookupEq(Seq(v).toDF("ival"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(probe("red") == Seq(1L, 2L) && probe("blue") == Seq(3L))
+    // All entries of one value live in ONE bucket: ≤ 2 distinct values
+    // present → ≤ 2 non-empty buckets in the index.
+    val occupied = ix.target.stats().get.filter($"n_rows" > 0).count()
+    assert(occupied <= 2)
+    // Update flips 2's color; delete removes 3; insert adds 4.
+    sink.mergeUpsert(Seq((2L, 2L, 9L, "blue"), (4L, 2L, 9L, "green"))
+      .toDF("pkey", "ver", "seq", "color"), cfg)
+    sink.mergeHardDelete(Seq((3L, 3L, 9L, "blue"))
+      .toDF("pkey", "ver", "seq", "color"), cfg)
+    ix.refresh(cfg)
+    assert(probe("red") == Seq(1L))
+    assert(probe("blue") == Seq(2L)) // 2 arrived, 3 retired
+    assert(probe("green") == Seq(4L))
+    // Refresh with nothing new is a no-op; marker tracks the base.
+    val v = ix.syncedBaseVersion.get
+    ix.refresh(cfg)
+    assert(ix.syncedBaseVersion.get == v)
+    assert(probe("blue") == Seq(2L))
+    // An unbuilt index refuses refresh loud.
+    val ix2 = new graft.sink.ValueIndex(spark, sink, "color",
+      s"$dir/ix2", buckets = 8)
+    intercept[IllegalStateException] { ix2.refresh(cfg) }
+  }
+
   test("zone maps: incremental-sync read skips buckets untouched since " +
       "the sync point, result equals the filtered full scan") {
     val (sink, _) = mk(buckets = 8)
