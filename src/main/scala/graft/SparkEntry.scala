@@ -3861,6 +3861,18 @@ object SparkEntry {
         t(s, dir, "events"), col("event_type"),
         floor(col("value") * 1024.0))),
 
+    // ---- Stats: Friedman test — within-user ranks of spend across
+    //      purchase/click/view; closed-form k=3 doubled ranks, exact
+    //      tie case split, two final divisions ----
+    "q_friedman" -> ((s, dir) => {
+      val qx = floor(col("value") * 1024.0)
+      graft.ops.Profile.friedman(
+        t(s, dir, "events"), col("user_id"),
+        Seq((col("event_type") === "purchase", qx),
+          (col("event_type") === "click", qx),
+          (col("event_type") === "view", qx)))
+    }),
+
     // ---- Stats: deterministic permutation test — purchasers vs not on
     //      mean event value; 64 affine label scrambles from the shared
     //      permute-hash family, add-one p-value ----
@@ -8631,6 +8643,44 @@ object SparkEntry {
           "(a - CAST(ztot * ztot AS DOUBLE) / CAST(n AS DOUBLE)) / " +
           "((CAST(k_groups AS DOUBLE) - 1.0) * " +
           "(CAST(zzt AS DOUBLE) - a)) END AS f_stat FROM f"),
+      "q_friedman" -> {
+        def lt(a: String, b: String) =
+          s"(CASE WHEN $a < $b THEN 1 ELSE 0 END)"
+        def eq(a: String, b: String) =
+          s"(CASE WHEN $a = $b THEN 1 ELSE 0 END)"
+        def r2(j: Int) = {
+          val o = Seq(0, 1, 2).filter(_ != j).map(l => s"x$l")
+          s"CAST(2 * (${lt(o(0), s"x$j")} + ${lt(o(1), s"x$j")}) + " +
+            s"(1 + ${eq(o(0), s"x$j")} + ${eq(o(1), s"x$j")}) + 1 " +
+            "AS HUGEINT)"
+        }
+        val qExpr = "CAST(s0 * s0 + s1 * s1 + s2x * s2x AS DOUBLE) / " +
+          "(4.0 * CAST(n AS DOUBLE)) - 12.0 * CAST(n AS DOUBLE)"
+        "WITH per AS (SELECT user_id, " +
+          "coalesce(sum(CASE WHEN event_type = 'purchase' THEN " +
+          "CAST(floor(value * 1024.0) AS BIGINT) ELSE 0 END), 0) AS x0, " +
+          "coalesce(sum(CASE WHEN event_type = 'click' THEN " +
+          "CAST(floor(value * 1024.0) AS BIGINT) ELSE 0 END), 0) AS x1, " +
+          "coalesce(sum(CASE WHEN event_type = 'view' THEN " +
+          "CAST(floor(value * 1024.0) AS BIGINT) ELSE 0 END), 0) AS x2 " +
+          "FROM events GROUP BY 1), " +
+          s"r AS (SELECT ${r2(0)} AS r0, ${r2(1)} AS r1, " +
+          s"${r2(2)} AS r2v, " +
+          "CAST(CASE WHEN eqp = 3 THEN 24 WHEN eqp = 1 THEN 6 ELSE 0 " +
+          "END AS HUGEINT) AS t FROM (SELECT x0, x1, x2, " +
+          s"${eq("x0", "x1")} + ${eq("x0", "x2")} + ${eq("x1", "x2")} " +
+          "AS eqp FROM per)), " +
+          "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+          "sum(r0) AS s0, sum(r1) AS s1, sum(r2v) AS s2x, " +
+          "coalesce(sum(t), 0) AS ts FROM r) " +
+          "SELECT n, CAST(3 AS BIGINT) AS k, " +
+          s"CASE WHEN n = 0 THEN NULL ELSE $qExpr END AS q_stat, " +
+          "CASE WHEN n = 0 OR CAST(n AS HUGEINT) * 24 - ts <= 0 " +
+          s"THEN NULL ELSE ($qExpr) * " +
+          "CAST(CAST(n AS HUGEINT) * 24 AS DOUBLE) / " +
+          "CAST(CAST(n AS HUGEINT) * 24 - ts AS DOUBLE) END AS q_tie " +
+          "FROM tot"
+      },
       "q_permutation_test" -> {
         // The engine's 64 affine label scrambles, constants shared from
         // TextHash.permute; every mean is one division of exact sums.

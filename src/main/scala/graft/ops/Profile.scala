@@ -1495,6 +1495,69 @@ object Profile {
         .otherwise(f).as("f_stat"))
   }
 
+  /** Friedman test — the rank-based repeated-measures companion to
+    * [[cochranQ]]: each SUBJECT ranks the k=3 treatments among
+    * themselves (so between-subject scale differences cancel), and
+    * Q = 12/(nk(k+1))·ΣR_j² − 3n(k+1) — which at k=3 with doubled rank
+    * sums S_j collapses to ΣS_j²/(4n) − 12n — asks whether any
+    * treatment consistently outranks the others. Doubled within-block average
+    * ranks (2r = 2·below + equal-incl-self + 1) stay exact integers —
+    * for k=3 they are closed-form comparisons, no window needed — and
+    * the per-block tie term Σ(t³−t) is a 3-value case split (24 for a
+    * triple tie, 6 for one pair, 0 otherwise). One row out:
+    * (n, k, q_stat, q_tie) with q_tie the tie-corrected statistic
+    * (NULL when every block is a triple tie).
+    *
+    * Exactness: all sums are DECIMAL(38,0); q is one division plus one
+    * exact subtraction; the tie scaling is one more division. Scale:
+    * one shuffle keyed on the subject, then row-local arithmetic and a
+    * scalar rollup. */
+  def friedman(df: DataFrame, idCol: Column,
+      treatments: Seq[(Column, Column)]): DataFrame = {
+    require(treatments.size == 3, "friedman: exactly 3 treatments")
+    val dec = "decimal(38,0)"
+    val xs = treatments.zipWithIndex.map { case ((cond, v), j) =>
+      coalesce(sum(when(cond, v.cast("long")).otherwise(0L)), lit(0L))
+        .as(s"__x$j")
+    }
+    val per = df.groupBy(idCol.as("__id")).agg(xs.head, xs.tail: _*)
+    def x(j: Int) = col(s"__x$j")
+    def r2(j: Int): Column = {
+      val others = (0 until 3).filter(_ != j)
+      lit(2L) * others.map(l =>
+        when(x(l) < x(j), 1L).otherwise(0L)).reduce(_ + _) +
+        (lit(1L) + others.map(l =>
+          when(x(l) === x(j), 1L).otherwise(0L)).reduce(_ + _)) + lit(1L)
+    }
+    val pairsEq = Seq((0, 1), (0, 2), (1, 2)).map { case (a, b) =>
+      when(x(a) === x(b), 1L).otherwise(0L) }.reduce(_ + _)
+    val tieT = when(pairsEq === 3L, 24L)
+      .when(pairsEq === 1L, 6L).otherwise(0L)
+    val ranked = per.select(
+      r2(0).cast(dec).as("__r0"), r2(1).cast(dec).as("__r1"),
+      r2(2).cast(dec).as("__r2"), tieT.cast(dec).as("__t"))
+    val tot = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("__r0")).as("__s0"), sum(col("__r1")).as("__s1"),
+      sum(col("__r2")).as("__s2"),
+      coalesce(sum(col("__t")), lit(0).cast(dec)).as("__ts"))
+    val s2 = col("__s0") * col("__s0") + col("__s1") * col("__s1") +
+      col("__s2") * col("__s2")
+    val nC = col("n").cast(dec)
+    // Q = 12/(nk(k+1))·ΣR² − 3n(k+1) with R = S/2, k = 3 collapses to
+    // ΣS²/(4n) − 12n.
+    val q = s2.cast("double") / (lit(4.0) * nC.cast("double")) -
+      lit(12.0) * nC.cast("double")
+    val tieDen = nC * lit(24L).cast(dec) - col("__ts") // nk(k²−1)=24n
+    tot.select(col("n"), lit(3L).as("k"),
+      when(col("n") === 0L, lit(null).cast("double")).otherwise(q)
+        .as("q_stat"),
+      when(col("n") === 0L || tieDen <= lit(0).cast(dec),
+        lit(null).cast("double"))
+        .otherwise(q * (nC * lit(24L).cast(dec)).cast("double") /
+          tieDen.cast("double")).as("q_tie"))
+  }
+
   /** Exact-style permutation test on a difference of per-group means —
     * the assumption-free significance read: how often does a random
     * relabeling of SUBJECTS produce a gap at least as large as the

@@ -672,6 +672,35 @@ class ProfileSpec extends SparkSpec {
       .collect().head.isNullAt(2))
   }
 
+  test("friedman: textbook ranks, tie cases, consistent-order maximum") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ts(v: org.apache.spark.sql.Column) = Seq(
+      (col("t") === "a", v), (col("t") === "b", v), (col("t") === "c", v))
+    // Every subject orders a < b < c → perfect consistency: ranks are
+    // (1,2,3) for all n=4 blocks → Q = n·k... closed form: S=(2R) sums
+    // s0=4·2=8, s1=4·4=16, s2=4·6=24 → Q = (64+256+576)/16 − 48 = 8.
+    val consistent = (1L to 4L).flatMap(u =>
+      Seq((u, "a", 1L), (u, "b", 2L), (u, "c", 3L)))
+    val r = Profile.friedman(consistent.toDF("u", "t", "v"), col("u"),
+      ts(col("v"))).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 8.0)
+    assert(r.getDouble(3) == 8.0) // no ties → correction is identity
+    // All-tied blocks: Q = 0 and the tie denominator collapses → NULL.
+    val tied = (1L to 3L).flatMap(u =>
+      Seq((u, "a", 5L), (u, "b", 5L), (u, "c", 5L)))
+    val rt = Profile.friedman(tied.toDF("u", "t", "v"), col("u"),
+      ts(col("v"))).collect().head
+    assert(rt.getDouble(2) == 0.0 && rt.isNullAt(3))
+    // A pair tie per block: correction inflates Q (denominator shrinks).
+    val pair = (1L to 4L).flatMap(u =>
+      Seq((u, "a", 1L), (u, "b", 1L), (u, "c", 9L)))
+    val rp = Profile.friedman(pair.toDF("u", "t", "v"), col("u"),
+      ts(col("v"))).collect().head
+    assert(rp.getDouble(3) > rp.getDouble(2))
+  }
+
   test("permutationTest: strong effect hits the p floor, null effect " +
       "does not") {
     import org.apache.spark.sql.functions._
