@@ -3861,6 +3861,16 @@ object SparkEntry {
         t(s, dir, "events"), col("event_type"),
         floor(col("value") * 1024.0))),
 
+    // ---- Experimentation: Wald SPRT monitor — is the purchase rate
+    //      0.2 or 0.25? exact per-row LLR (no float running sum),
+    //      injected log constants, first boundary crossing ----
+    "q_sprt" -> ((s, dir) =>
+      graft.ops.Profile.sprt(
+        t(s, dir, "events"),
+        Seq(col("ts"), col("event_id")),
+        col("event_type") === "purchase",
+        p0 = 0.2, p1 = 0.25)),
+
     // ---- Stats: Friedman test — within-user ranks of spend across
     //      purchase/click/view; closed-form k=3 doubled ranks, exact
     //      tie case split, two final divisions ----
@@ -8643,6 +8653,35 @@ object SparkEntry {
           "(a - CAST(ztot * ztot AS DOUBLE) / CAST(n AS DOUBLE)) / " +
           "((CAST(k_groups AS DOUBLE) - 1.0) * " +
           "(CAST(zzt AS DOUBLE) - a)) END AS f_stat FROM f"),
+      "q_sprt" -> {
+        // Same injected log constants as the engine; per-row LLR from
+        // exact (t, k) — no float accumulation anywhere.
+        val la = math.log((1.0 - 0.25) / (1.0 - 0.2))
+        val lb = math.log(0.25 / 0.2)
+        val logA = math.log((1.0 - 0.05) / 0.05)
+        val logB = math.log(0.05 / (1.0 - 0.05))
+        "WITH e AS (SELECT epoch_us(ts) AS us, event_id, " +
+          "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s " +
+          "FROM events), " +
+          "o AS (SELECT row_number() OVER (ORDER BY us, event_id) AS t, " +
+          "sum(s) OVER (ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) " +
+          "AS k FROM e), " +
+          s"l AS (SELECT t, k, CAST(k AS DOUBLE) * CAST($lb AS DOUBLE) " +
+          s"+ CAST(t - k AS DOUBLE) * CAST($la AS DOUBLE) AS llr " +
+          "FROM o), " +
+          "c AS (SELECT CAST(t AS BIGINT) AS first_cross, " +
+          s"CASE WHEN llr >= CAST($logA AS DOUBLE) THEN 'accept_h1' " +
+          "ELSE 'accept_h0' END AS decision FROM l " +
+          s"WHERE llr >= CAST($logA AS DOUBLE) " +
+          s"OR llr <= CAST($logB AS DOUBLE) ORDER BY t LIMIT 1), " +
+          "f AS (SELECT CAST(coalesce(max(t), 0) AS BIGINT) AS n_trials, " +
+          "CAST(coalesce(max(k), 0) AS BIGINT) AS n_success FROM l) " +
+          "SELECT f.n_trials, f.n_success, " +
+          s"CAST(f.n_success AS DOUBLE) * CAST($lb AS DOUBLE) + " +
+          "CAST(f.n_trials - f.n_success AS DOUBLE) * " +
+          s"CAST($la AS DOUBLE) AS llr_final, " +
+          "c.first_cross, c.decision FROM f LEFT JOIN c ON true"
+      },
       "q_friedman" -> {
         def lt(a: String, b: String) =
           s"(CASE WHEN $a < $b THEN 1 ELSE 0 END)"

@@ -1558,6 +1558,60 @@ object Profile {
           tieDen.cast("double")).as("q_tie"))
   }
 
+  /** Wald's Sequential Probability Ratio Test over an ordered Bernoulli
+    * stream — the "stop the experiment as soon as the data decides"
+    * monitor: after trial t with k successes the log-likelihood ratio
+    * is EXACTLY k·log(p1/p0) + (t−k)·log((1−p1)/(1−p0)) (no running
+    * float sum — each row's LLR is two multiplies on exact integers),
+    * and the first t where it exits [log B, log A] is the decision
+    * point (A = (1−β)/α, B = β/(1−α)). One row out: (n_trials,
+    * n_success, llr_final, first_cross, decision) — the last two NULL
+    * when the stream never decides.
+    *
+    * Determinism: the four log constants are computed ONCE in Scala
+    * and injected as round-trip literals into both engines; trial
+    * order is (ord columns, all exact) so t and k are exact integers.
+    *
+    * Scale note: the cumulative success count is a prefix sum over a
+    * total order — here one ordered window (fine for a monitoring
+    * stream); at corpus scale compute per-partition subtotals first
+    * and offset (two passes), or run it as the streaming gate does,
+    * incrementally. */
+  def sprt(df: DataFrame, ordCols: Seq[Column], success: Column,
+      p0: Double, p1: Double, alpha: Double = 0.05, beta: Double = 0.05)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct p0, p1 in (0,1), got $p0/$p1")
+    val la = math.log((1.0 - p1) / (1.0 - p0))
+    val lb = math.log(p1 / p0)
+    val logA = math.log((1.0 - beta) / alpha)
+    val logB = math.log(beta / (1.0 - alpha))
+    val b = df.select(when(success, 1L).otherwise(0L).as("__s") +:
+      ordCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") }: _*)
+    val w = Window.orderBy(ordCols.indices.map(i => col(s"__o$i").asc): _*)
+    val llr = b
+      .withColumn("__t", row_number().over(w))
+      .withColumn("__k", sum(col("__s")).over(w))
+      .select(col("__t"), col("__k"),
+        (col("__k").cast("double") * lit(lb) +
+          (col("__t") - col("__k")).cast("double") * lit(la)).as("__llr"))
+    val firstCross = llr
+      .filter(col("__llr") >= logA || col("__llr") <= logB)
+      .orderBy(col("__t").asc).limit(1)
+      .select(col("__t").cast("long").as("first_cross"),
+        when(col("__llr") >= logA, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"))
+    llr.agg(coalesce(max(col("__t")), lit(0L)).as("n_trials"),
+        coalesce(max(col("__k")), lit(0L)).as("n_success"))
+      .join(firstCross, lit(true), "left_outer")
+      .select(col("n_trials"), col("n_success"),
+        (col("n_success").cast("double") * lit(lb) +
+          (col("n_trials") - col("n_success")).cast("double") * lit(la))
+          .as("llr_final"),
+        col("first_cross"), col("decision"))
+  }
+
   /** Exact-style permutation test on a difference of per-group means —
     * the assumption-free significance read: how often does a random
     * relabeling of SUBJECTS produce a gap at least as large as the

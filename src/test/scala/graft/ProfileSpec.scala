@@ -701,6 +701,34 @@ class ProfileSpec extends SparkSpec {
     assert(rp.getDouble(3) > rp.getDouble(2))
   }
 
+  test("sprt: decisive streams cross the right boundary, ambiguous " +
+      "streams never decide") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def run(flags: Seq[Int]) = Profile.sprt(
+      flags.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+        .toDF("o", "s"),
+      Seq(col("o")), col("s") === 1, p0 = 0.2, p1 = 0.8)
+      .collect().head
+    // All successes: LLR climbs log(4) per trial → accepts H1 fast.
+    val h1 = run(Seq.fill(20)(1))
+    assert(h1.getString(4) == "accept_h1")
+    assert(h1.getLong(3) == math.ceil(
+      math.log(0.95 / 0.05) / math.log(0.8 / 0.2)).toLong)
+    // All failures: symmetric → accepts H0.
+    val h0 = run(Seq.fill(20)(0))
+    assert(h0.getString(4) == "accept_h0")
+    // Perfectly alternating at p=0.5 between 0.2 and 0.8: the LLR
+    // oscillates near 0 and never exits the band.
+    val amb = run(Seq.tabulate(20)(i => i % 2))
+    assert(amb.isNullAt(3) && amb.isNullAt(4))
+    assert(amb.getLong(0) == 20L && amb.getLong(1) == 10L)
+    // Final LLR replay from exact totals.
+    val la = math.log((1.0 - 0.8) / (1.0 - 0.2))
+    val lb = math.log(0.8 / 0.2)
+    assert(amb.getDouble(2) == 10.0 * lb + 10.0 * la)
+  }
+
   test("permutationTest: strong effect hits the p floor, null effect " +
       "does not") {
     import org.apache.spark.sql.functions._
