@@ -6601,16 +6601,17 @@ object SparkEntry {
           "CAST(list_sum(list_transform(range(32, 64), g -> " +
           "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << (g - 32)) " +
           "ELSE 0 END)) AS BIGINT) AS hi FROM sm), " +
+          "rp AS (SELECT min(id) AS id, lo, hi FROM hsh GROUP BY lo, hi), " +
           "e AS (SELECT id, lo, hi, u.bi AS bi, u.bv AS bv FROM (" +
           "SELECT id, lo, hi, unnest([" +
           "{'bi': 0, 'bv': lo % 65536}, {'bi': 1, 'bv': lo // 65536}, " +
           "{'bi': 2, 'bv': hi % 65536}, {'bi': 3, 'bv': hi // 65536}]) " +
-          "AS u FROM hsh)) " +
+          "AS u FROM rp)) " +
           "SELECT * FROM (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b, " +
           "CAST(bit_count(xor(x.lo, y.lo)) + " +
           "bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming " +
           "FROM e x JOIN e y ON x.bi = y.bi AND x.bv = y.bv " +
-          "AND x.id < y.id) WHERE hamming <= 6"),
+          "AND x.id < y.id) WHERE hamming BETWEEN 1 AND 6"),
       "o19_quarantine" ->
         ("WITH r AS (SELECT event_id, concat_ws(',', " +
           "CASE WHEN coalesce(value >= 0.05, false) THEN NULL " +

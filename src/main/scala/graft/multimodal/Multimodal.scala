@@ -265,8 +265,15 @@ object Multimodal {
     * Exactness: grid, mean (floor), thresholds, and bit packing are
     * pure integer arithmetic. Each HOF stage materializes as its own
     * column (interpreted-HOF discipline, see ops/NearDup). */
-  def aHashPlan(meta: DataFrame, idCol: String): DataFrame =
-    meta
+  def aHashPlan(meta: DataFrame, idCol: String): DataFrame = {
+    // Interpreted-HOF discipline, enforced with hard barriers: each
+    // stage's array/fold lands as a STORED column (localCheckpoint)
+    // before any lambda references it — CollapseProject would otherwise
+    // inline the 64-element grid expression into `element_at`, which
+    // re-evaluates its child PER ELEMENT (the measured 100×+ trap; see
+    // ops/NearDup). The checkpointed slice is (id, w, h, 64 ints) —
+    // tiny relative to the media bytes it summarizes.
+    val lum = meta.select(col(idCol), col("width"), col("height"))
       .withColumn("__lum", expr(
         "transform(sequence(0, 63), g -> " +
           "((g % 8) * width + (g div 8) * height) * 255 div " +
@@ -275,31 +282,43 @@ object Multimodal {
           "(g % 8) * 31 + (g div 8) * 41) * " +
           "((width div 4) * 131 + (height div 4) * 137 + " +
           "(g % 8) * 31 + (g div 8) * 41)) % 97)"))
-      .withColumn("__mean", expr("aggregate(__lum, 0L, (a, x) -> a + x) div 64"))
+      .localCheckpoint()
+    val withSum = lum
+      .withColumn("__ls", expr("aggregate(__lum, 0L, (a, x) -> a + x)"))
+      .localCheckpoint()
+    withSum
       .withColumn("ahash_lo", expr(
         "aggregate(transform(sequence(0, 31), g -> " +
-          "IF(element_at(__lum, g + 1) > __mean, shiftleft(1L, g), 0L)), " +
-          "0L, (a, x) -> a + x)"))
+          "IF(element_at(__lum, g + 1) > __ls div 64, " +
+          "shiftleft(1L, g), 0L)), 0L, (a, x) -> a + x)"))
       .withColumn("ahash_hi", expr(
         "aggregate(transform(sequence(32, 63), g -> " +
-          "IF(element_at(__lum, g + 1) > __mean, shiftleft(1L, g - 32), 0L)), " +
-          "0L, (a, x) -> a + x)"))
+          "IF(element_at(__lum, g + 1) > __ls div 64, " +
+          "shiftleft(1L, g - 32), 0L)), 0L, (a, x) -> a + x)"))
       .select(col(idCol), col("width"), col("height"),
         col("ahash_lo"), col("ahash_hi"))
+  }
 
-  /** Banded hamming near-dup over [[aHashPlan]] fingerprints: split each
-    * 64-bit hash into four 16-bit bands, equi-join on (band, value) —
-    * any pair within hamming ≤ 48 shares at least one intact band by
-    * pigeonhole, and real thresholds (≤ `maxHamming`, default 6) are far
-    * inside that guarantee — then verify candidates with the exact
-    * popcount distance. Output: (doc_a, doc_b, hamming), a < b.
+  /** Banded hamming near-dup over [[aHashPlan]] fingerprints, in the
+    * two-tier shape a dense corpus needs: first collapse EXACT hash
+    * duplicates to one representative per distinct fingerprint (a
+    * linear hash aggregate — identical images never meet pairwise), then
+    * find near pairs (1 ≤ hamming ≤ `maxHamming`) among the
+    * REPRESENTATIVES via a 16-bit-band equi-join — any pair within
+    * hamming ≤ 48 shares an intact band by pigeonhole — verified with
+    * the exact popcount distance. Output: (doc_a, doc_b, hamming) over
+    * representative ids (min id per fingerprint), a < b.
     *
-    * Scale: the only shuffle is the band equi-join, O(rows·4) keys —
-    * never an all-pairs comparison; this is MinHash-LSH's shape applied
-    * to perceptual hashes. */
+    * Scale: pair output and join cost are bounded by DISTINCT
+    * fingerprints, not corpus rows — a million copies of one image cost
+    * one aggregate row, where a single-tier pair join would emit ~10¹²
+    * pairs. The only shuffles are the group-by and the band equi-join.
+    * This is MinHash-LSH's shape applied to perceptual hashes. */
   def aHashNearDup(hashes: DataFrame, idCol: String,
       maxHamming: Int = 6): DataFrame = {
-    val bands = hashes.select(col(idCol).as("__id"),
+    val reps = hashes.groupBy(col("ahash_lo"), col("ahash_hi"))
+      .agg(min(col(idCol)).as("__id"))
+    val bands = reps.select(col("__id"),
         col("ahash_lo"), col("ahash_hi"),
         explode(array(
           struct(lit(0L).as("bi"), (col("ahash_lo") % 65536L).as("bv")),
@@ -317,7 +336,7 @@ object Multimodal {
         (expr("bit_count(x.ahash_lo ^ y.ahash_lo)") +
           expr("bit_count(x.ahash_hi ^ y.ahash_hi)")).cast("long")
           .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") >= 1L && col("hamming") <= maxHamming)
       .distinct()
   }
 }
