@@ -900,6 +900,17 @@ object SparkEntry {
         "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"))),
 
+    // ---- Product analytics: sliding-window funnel (windowFunnel) —
+    //      deepest view→click→purchase chain whose span fits in 72 h;
+    //      per-user latest-chain-start fold, depth histogram ----
+    "q_window_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.windowFunnel(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"),
+        windowUs = 259200000000L)),
+
     // ---- Composition capstone: funnel completion BY EXPERIMENT ARM —
     //      the ordered funnel feeding the two-proportion z-test (does
     //      the even-user arm complete view→click→purchase differently?) ----
@@ -8654,6 +8665,37 @@ object SparkEntry {
           "(a - CAST(ztot * ztot AS DOUBLE) / CAST(n AS DOUBLE)) / " +
           "((CAST(k_groups AS DOUBLE) - 1.0) * " +
           "(CAST(zzt AS DOUBLE) - a)) END AS f_stat FROM f"),
+      "q_window_funnel" -> {
+        // Same cascaded running maxes as the engine (the latest-chain-
+        // start invariant makes max-so-far optimal for every later
+        // window check). Pure window functions — exact integers only.
+        val w = 259200000000L
+        "WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us, " +
+          "CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 " +
+          "WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT) AS st " +
+          "FROM events), " +
+          "r1 AS (SELECT u, us, st, max(CASE WHEN st = 1 THEN us END) " +
+          "OVER (PARTITION BY u ORDER BY us, st " +
+          "ROWS UNBOUNDED PRECEDING) AS s1run FROM e WHERE st >= 1), " +
+          "r2 AS (SELECT u, us, st, s1run, " +
+          "CASE WHEN st = 2 AND s1run IS NOT NULL AND " +
+          s"us - s1run <= $w THEN s1run END AS c2 FROM r1), " +
+          "r3 AS (SELECT u, us, st, c2, max(c2) OVER (" +
+          "PARTITION BY u ORDER BY us, st ROWS UNBOUNDED PRECEDING) " +
+          "AS s2run FROM r2), " +
+          "r4 AS (SELECT u, st, c2, " +
+          "CASE WHEN st = 3 AND s2run IS NOT NULL AND " +
+          s"us - s2run <= $w THEN s2run END AS c3 FROM r3), " +
+          "d AS (SELECT u, " +
+          "max(CASE WHEN st = 1 THEN 1 ELSE 0 END) AS d1, " +
+          "max(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END) AS d2, " +
+          "max(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS d3 " +
+          "FROM r4 GROUP BY 1) " +
+          "SELECT CAST(depth AS BIGINT) AS depth, " +
+          "CAST(count(*) AS BIGINT) AS n_users FROM (" +
+          "SELECT CASE WHEN d3 = 1 THEN 3 WHEN d2 = 1 THEN 2 " +
+          "WHEN d1 = 1 THEN 1 ELSE 0 END AS depth FROM d) GROUP BY 1"
+      },
       "q_sprt" -> {
         // Same injected log constants as the engine; per-row LLR from
         // exact (t, k) — no float accumulation anywhere.

@@ -341,4 +341,61 @@ object Funnel {
       pi
     } finally { ef.unpersist(); states.unpersist(); () }
   }
+
+  /** Sliding-window funnel (the ClickHouse `windowFunnel` semantic,
+    * 3 fixed steps): a user's depth is the longest ordered prefix
+    * step1→step2→step3 completed by a chain of events whose TOTAL span
+    * fits in `windowUs` — the "did they sign up, click, AND buy within
+    * 72 h" ask [[funnelStages]]' unbounded min-ts chain can't answer.
+    * Per user, one strict left-to-right fold over the time-ordered step
+    * events keeping, per level j, the LATEST chain-start time s_j that
+    * completes levels 1..j (a step-j event promotes s_{j-1} when its
+    * own time is within the window of that start). Output: one row per
+    * depth 0..3 — (depth, n_users) — with every funnel-eligible user
+    * counted exactly once.
+    *
+    * Implementation: cascaded RUNNING MAXES, not a per-user fold — the
+    * greedy chain-start invariant ("keep the LATEST start reaching each
+    * level") makes the max-so-far chain start optimal for every later
+    * window check (a larger start can only shrink t − start), so three
+    * ordered window maxes compute exactly the fold's final state:
+    * s1run = running max step-1 time; chain2 = s1run admitted by a
+    * step-2 event within the window; s2run = running max chain2;
+    * chain3 likewise. Windows are per-user (the natural partition),
+    * events pre-filtered to the three step types — no global-stream
+    * window, no arrays, no interpreted folds. */
+  def windowFunnel(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String], windowUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps.size == 3, s"windowFunnel is fixed at 3 steps, got ${steps.size}")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val st = steps.zipWithIndex.foldLeft(lit(0L)) { case (acc, (s, i)) =>
+      when(col(typeCol) === s, (i + 1).toLong).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__us").asc, col("__st").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df
+      .select(col(userCol).as("__u"), col(tsCol).cast("long").as("__us"),
+        st.as("__st"))
+      .filter(col("__st") >= 1L)
+      .withColumn("__s1run", max(when(col("__st") === 1L, col("__us"))).over(w))
+      .withColumn("__c2",
+        when(col("__st") === 2L && col("__s1run").isNotNull &&
+          col("__us") - col("__s1run") <= windowUs, col("__s1run")))
+      .withColumn("__s2run", max(col("__c2")).over(w))
+      .withColumn("__c3",
+        when(col("__st") === 3L && col("__s2run").isNotNull &&
+          col("__us") - col("__s2run") <= windowUs, col("__s2run")))
+    base.groupBy("__u").agg(
+        max(when(col("__st") === 1L, 1L).otherwise(0L)).as("__d1"),
+        max(when(col("__c2").isNotNull, 1L).otherwise(0L)).as("__d2"),
+        max(when(col("__c3").isNotNull, 1L).otherwise(0L)).as("__d3"))
+      .select(when(col("__d3") === 1L, 3L)
+        .when(col("__d2") === 1L, 2L)
+        .when(col("__d1") === 1L, 1L)
+        .otherwise(0L).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -206,4 +206,51 @@ class FunnelSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
     assert(run(1) == run(13))
   }
+
+  test("windowFunnel: depth needs order AND window fit; latest chain " +
+      "start rescues a late conversion") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    def depths(rows: Seq[(Long, Long, String)]): Map[Long, Long] =
+      Funnel.windowFunnel(rows.toDF("u", "ts", "et"), "u", "ts", "et",
+        steps, windowUs = 100L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = depths(Seq(
+      // u1: a@0 b@50 c@90 — all within 100 → depth 3
+      (1L, 0L, "a"), (1L, 50L, "b"), (1L, 90L, "c"),
+      // u2: a@0 b@50 c@150 — c misses the window of start 0 → depth 2
+      (2L, 0L, "a"), (2L, 50L, "b"), (2L, 150L, "c"),
+      // u3: c@0 b@10 a@20 — wrong order → depth 1
+      (3L, 0L, "c"), (3L, 10L, "b"), (3L, 20L, "a"),
+      // u4: an early stale chain a@0 b@50, then a FRESH a@200 b@250
+      // rescues c@290 (within 100 of start 200) → depth 3: the
+      // latest-chain-start invariant at work
+      (4L, 0L, "a"), (4L, 50L, "b"), (4L, 200L, "a"),
+      (4L, 250L, "b"), (4L, 290L, "c"),
+      // u5: b-only → depth 0 (never started)
+      (5L, 10L, "b")))
+    assert(d == Map(3L -> 2L, 2L -> 1L, 1L -> 1L, 0L -> 1L))
+    // Brute-force cross-check on a scrambled corpus: depth 3 iff some
+    // ordered triple fits the window; depth 2 iff some ordered pair.
+    val rng = new scala.util.Random(7)
+    val rnd = (1L to 30L).flatMap { u =>
+      (1 to 12).map(_ => (u, rng.nextInt(400).toLong,
+        steps(rng.nextInt(3))))
+    }
+    val got = Funnel.windowFunnel(rnd.toDF("u", "ts", "et"),
+      "u", "ts", "et", steps, windowUs = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byU = rnd.groupBy(_._1)
+    val want = byU.values.map { es =>
+      val ts = steps.map(s =>
+        es.filter(_._3 == s).map(_._2).sorted).toIndexedSeq
+      val d3 = ts(0).exists(t1 => ts(1).exists(t2 => ts(2).exists(t3 =>
+        t1 <= t2 && t2 <= t3 && t2 - t1 <= 100L && t3 - t1 <= 100L)))
+      val d2 = ts(0).exists(t1 => ts(1).exists(t2 =>
+        t1 <= t2 && t2 - t1 <= 100L))
+      if (d3) 3L else if (d2) 2L else if (ts(0).nonEmpty) 1L else 0L
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+  }
 }
