@@ -4097,6 +4097,24 @@ object SparkEntry {
       stateOut(branch.read().get)
     }),
 
+    // ---- Storage: compaction with Z-order layout — one file per
+    //      bucket, rows Morton-clustered on (pkey, value) so row-group
+    //      min/max stats prune BOTH dimensions; data unchanged ----
+    "o24_compact_zorder" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o24_").toString
+      val tbl = graft.model.TargetTable("events_zo", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val cfg = IngestConfig(name = s"o24-zo-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      pt.mergeUpsert(eventRecords(s, dir), cfg)
+      pt.compactClustered(cfg, df => Seq(graft.ops.Layout.mortonKey(
+        pmod(df.col("pkey"), lit(1024L)),
+        pmod(floor(df.col("value") * 100).cast("long"), lit(1024L)),
+        bits = 10)))
+      stateOut(pt.read().get)
+    }),
+
     // ---- Storage: secondary value index — CDC-maintained inverted
     //      index bucketed on the VALUE (one-bucket equality probes),
     //      incremental refresh from the change feed, key-pruned fetch ----
@@ -7831,6 +7849,8 @@ object SparkEntry {
       // the branch merged the odd half onto the cloned even half, so its
       // state is global latest-wins over ALL events
       "o21_clone_branch" -> dedupState,
+      // layout moves, data doesn't: clustered compaction == latest-wins
+      "o24_compact_zorder" -> dedupState,
       // the CDC-synced index must equal state filtered on the value
       "o23_value_index" ->
         (s"SELECT pkey, modified_date_us, event_type, value " +

@@ -368,10 +368,24 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   /** Compaction: rewrite the current snapshot with exactly one file per
     * bucket (a long-lived target accumulates up to maxWriterPartitions
     * files per bucket per rewrite). One commit, data unchanged. */
-  def compact(config: IngestConfig): Unit = withCommitLock {
+  def compact(config: IngestConfig): Unit =
+    compactClustered(config, _ => Nil)
+
+  /** Compaction with DATA LAYOUT: one file per bucket, rows inside each
+    * file sorted by `clusterBy(snapshot)` — pass a Z-order (Morton) key
+    * over the hot filter dimensions ([[graft.ops.Layout.mortonKey]])
+    * and parquet's per-row-group min/max statistics become tight
+    * multi-dimensional zone maps: a range predicate on EITHER clustered
+    * dimension skips most row groups of every file it opens, on top of
+    * the bucket pruning the manifest already gives. Same commit
+    * semantics as [[compact]]: one version, data unchanged, only the
+    * physical order moves. */
+  def compactClustered(config: IngestConfig,
+      clusterBy: DataFrame => Seq[Column]): Unit = withCommitLock {
     current().filter(_.nonEmpty).foreach { m =>
-      commit(readDirs(m.values.toSeq.distinct), Map.empty, config,
-        onePerBucket = true)
+      val cur = readDirs(m.values.toSeq.distinct)
+      commit(cur, Map.empty, config, onePerBucket = true,
+        sortWithin = clusterBy(cur))
     }
   }
 
@@ -683,13 +697,19 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * `_LOCK` lease (every public mutator wraps itself in withCommitLock). */
   private def commit(
       df: DataFrame, carryOver: Map[Int, String], config: IngestConfig,
-      onePerBucket: Boolean = false): Unit = {
+      onePerBucket: Boolean = false,
+      sortWithin: Seq[Column] = Nil): Unit = {
     val next = currentVersion().getOrElse(0L) + 1L
     val delta = deltaName(next)
     val deltaPath = new Path(root, delta)
     val bucketed = df.withColumn(BucketCol, bucketOf(df))
     val placed =
-      if (onePerBucket) bucketed.repartition(table.buckets, col(BucketCol))
+      if (onePerBucket) {
+        val p = bucketed.repartition(table.buckets, col(BucketCol))
+        if (sortWithin.nonEmpty)
+          p.sortWithinPartitions(col(BucketCol) +: sortWithin: _*)
+        else p
+      }
       else bucketed.repartition(config.maxWriterPartitions,
         (BucketCol +: table.keyCols).map(col): _*)
     placed.write.partitionBy(BucketCol).mode("overwrite").parquet(deltaPath.toString)

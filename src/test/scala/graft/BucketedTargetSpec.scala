@@ -448,6 +448,32 @@ class BucketedTargetSpec extends SparkSpec {
     }
   }
 
+  test("compactClustered: state unchanged, rows inside each file sorted " +
+      "by the cluster key") {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val (sink, _) = mk(buckets = 4)
+    val rng = new scala.util.Random(3)
+    val rows = (0L until 200L).map(k =>
+      (k, 1L, k, rng.nextInt(1000).toLong))
+    sink.mergeUpsert(rows.toDF("pkey", "ver", "seq", "metric"), cfg)
+    val before = sink.read().get.collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sorted
+    sink.compactClustered(cfg, df => Seq(df.col("metric")))
+    val after = sink.read().get
+    assert(after.collect().map(r => (r.getLong(0), r.getLong(3)))
+      .sorted.toSeq == before.toSeq) // layout moved, data didn't
+    // One file per bucket, and within each file the cluster column is
+    // nondecreasing in physical read order.
+    val byFile = after.select(input_file_name().as("f"), col("metric"))
+      .collect().zipWithIndex
+      .groupBy(_._1.getString(0))
+    assert(byFile.size == 4)
+    byFile.values.foreach { rs =>
+      val ms = rs.sortBy(_._2).map(_._1.getLong(1)).toSeq
+      assert(ms == ms.sorted, s"file not clustered: $ms")
+    }
+  }
+
   test("value index: CDC refresh retires stale entries, equality probe " +
       "is value-bucketed, replay is idempotent") {
     val dir = Files.createTempDirectory("graft_vx_").toString
