@@ -254,6 +254,31 @@ object SparkEntry {
       stateOut(new graft.sink.ParquetTarget(s, target).read().get)
     }),
 
+    // ---- Streaming + storage composition: micro-batched ingest through
+    //      an index-maintaining sink — every batch leaves the state
+    //      table AND its secondary value index current ----
+    "s21_stream_indexed_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = Files.createTempDirectory("graft_s21_").toString
+      val target = TargetTable("events_ixd", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4,
+        retainVersions = 3)
+      val cfg = IngestConfig(name = s"s21-ix-${System.nanoTime()}",
+        maxWriterPartitions = 4, checkpointDir = Some(s"$tmp/ckpt"))
+      val pt = new graft.sink.ParquetTarget(s, target)
+      val idx = new graft.sink.ValueIndex(s, pt, "event_type",
+        s"$tmp/ix", buckets = 8)
+      val sink = new graft.sink.IndexedParquetSink(s, pt, idx)
+      val src = eventsStream(s, cfg, dir).select(
+        col("user_id").as("pkey"),
+        expr("ts div 1000").as("modified_date_us"),
+        col("event_id"), col("event_type"), col("value"))
+      val q = new UpsertStream(cfg, sink, s"$tmp/ckpt")
+        .run(src, Trigger.AvailableNow())
+      q.awaitTermination()
+      stateOut(idx.lookupEq(Seq("purchase").toDF("ival")))
+    }),
+
     // ---- Event-time streaming: windowed agg + watermark, merged sink ----
     // Update-mode tumbling windows flow through the latest-wins merge
     // (version = the monotone event count), so the final target equals the
@@ -7851,6 +7876,10 @@ object SparkEntry {
       "o21_clone_branch" -> dedupState,
       // layout moves, data doesn't: clustered compaction == latest-wins
       "o24_compact_zorder" -> dedupState,
+      // the per-batch-synced index serves exactly the filtered state
+      "s21_stream_indexed_ingest" ->
+        (s"SELECT pkey, modified_date_us, event_type, value " +
+          s"FROM ($dedupState) WHERE event_type = 'purchase'"),
       // the CDC-synced index must equal state filtered on the value
       "o23_value_index" ->
         (s"SELECT pkey, modified_date_us, event_type, value " +

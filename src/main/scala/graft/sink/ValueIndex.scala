@@ -121,3 +121,29 @@ final class ValueIndex(spark: SparkSession, base: ParquetTarget,
   /** The index target's own operational surface (stats, versions). */
   def target: ParquetTarget = ix
 }
+
+/** A [[MergeSink]] that keeps a [[ValueIndex]] transactionally-adjacent
+  * to its base target: every micro-batch merge is followed by an
+  * incremental index refresh off the base's change feed, so a streaming
+  * ingest ([[graft.engine.UpsertStream]] takes any MergeSink) leaves
+  * BOTH the state table and its secondary index current at every
+  * committed batch — the composition a CDC consumer would otherwise
+  * hand-roll. First merge bootstraps the index (rebuild); later merges
+  * pay O(batch changes). Crash between base commit and refresh is the
+  * documented ValueIndex replay case: the next refresh covers the gap
+  * from the marker, idempotently. */
+final class IndexedParquetSink(spark: SparkSession, base: ParquetTarget,
+    index: ValueIndex) extends MergeSink {
+  private def sync(cfg: IngestConfig): Unit =
+    if (index.syncedBaseVersion.isEmpty) index.rebuild(cfg)
+    else index.refresh(cfg)
+  def mergeUpsert(batch: DataFrame, config: IngestConfig): Unit = {
+    base.mergeUpsert(batch, config); sync(config)
+  }
+  def mergeSoftDelete(batch: DataFrame, config: IngestConfig): Unit = {
+    base.mergeSoftDelete(batch, config); sync(config)
+  }
+  def mergeHardDelete(batch: DataFrame, config: IngestConfig): Unit = {
+    base.mergeHardDelete(batch, config); sync(config)
+  }
+}

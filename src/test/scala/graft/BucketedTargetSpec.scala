@@ -513,6 +513,31 @@ class BucketedTargetSpec extends SparkSpec {
     intercept[IllegalStateException] { ix2.refresh(cfg) }
   }
 
+  test("IndexedParquetSink: index stays current through merge, update, " +
+      "and hard delete batches") {
+    val dir = Files.createTempDirectory("graft_ixs_").toString
+    val t = TargetTable("t", s"$dir/base", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 4,
+      retainVersions = 3)
+    val base = new ParquetTarget(spark, t)
+    val ix = new graft.sink.ValueIndex(spark, base, "color",
+      s"$dir/ix", buckets = 4)
+    val sink = new graft.sink.IndexedParquetSink(spark, base, ix)
+    def probe(v: String) = ix.lookupEq(Seq(v).toDF("ival"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // Batch 1 bootstraps (rebuild), batch 2 refreshes incrementally.
+    sink.mergeUpsert(Seq((1L, 1L, 1L, "red"), (2L, 1L, 2L, "blue"))
+      .toDF("pkey", "ver", "seq", "color"), cfg)
+    assert(probe("red") == Seq(1L))
+    sink.mergeUpsert(Seq((1L, 2L, 3L, "blue"), (3L, 2L, 3L, "red"))
+      .toDF("pkey", "ver", "seq", "color"), cfg)
+    assert(probe("red") == Seq(3L) && probe("blue") == Seq(1L, 2L))
+    sink.mergeHardDelete(Seq((2L, 3L, 9L, "blue"))
+      .toDF("pkey", "ver", "seq", "color"), cfg)
+    assert(probe("blue") == Seq(1L))
+    assert(ix.syncedBaseVersion.get == base.versions().last)
+  }
+
   test("zone maps: incremental-sync read skips buckets untouched since " +
       "the sync point, result equals the filtered full scan") {
     val (sink, _) = mk(buckets = 8)
