@@ -235,10 +235,12 @@ object Components {
     *
     * Scale: one grouped count over the scan (map-side combinable), the
     * core filter collapses the domain to occupied-dense cells, and the
-    * adjacency join + [[connectedComponents]] run on O(core cells) —
-    * bounded by the GRID, not the corpus. Cell keys pack as
-    * x·100000 + y (caller guarantees 0 ≤ y < 100000; x may be any
-    * sign). */
+    * adjacency join runs on O(core cells) — bounded by the GRID, not
+    * the corpus; the cell-graph components solve is driver-local
+    * union-find over that bounded edge set (distributed label rounds
+    * pay seconds of scheduling for a thousand-node graph). Cell keys
+    * pack as x·100000 + y (caller guarantees 0 ≤ y < 100000; x may be
+    * any sign). */
   def gridDbscan(pts: DataFrame, xBin: org.apache.spark.sql.Column,
       yBin: org.apache.spark.sql.Column, minPts: Long): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
@@ -261,10 +263,41 @@ object Components {
     val edges = nbr
       .join(core.select(col("__cell").as("__cb")), "__cb")
       .filter(col("__ca") < col("__cb"))
-    val labels = connectedComponents(edges, "__ca", "__cb")
+    // The core-cell graph is bounded by the GRID (occupied dense cells),
+    // not the corpus — and a dense value band makes it a long chain,
+    // where min-propagation needs diameter rounds (blew past 50 at ten
+    // times the data) and even the log-round star solver pays ~10
+    // distributed rounds for a thousand-node graph. Union-find on the
+    // driver is the honest shape: collect O(core cells) edges once,
+    // solve in microseconds, broadcast the min-member labels back.
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val edgeArr = edges.select(col("__ca"), col("__cb"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edgeArr.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labelMap = edgeArr.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .map(c => c -> find(c))
+    val byRoot = labelMap.groupBy(_._2).toSeq
+      .flatMap { case (_, ms) =>
+        val mn = ms.map(_._1).min
+        ms.map { case (c, _) => (c, mn) }
+      }
+    val labels = byRoot.toDF("__cell", "comp")
     core
-      .join(labels.select(col("id").as("__cell"), col("comp")),
-        Seq("__cell"), "left_outer")
+      .join(broadcast(labels), Seq("__cell"), "left_outer")
       .withColumn("cluster_id", coalesce(col("comp"), col("__cell")))
       .groupBy("cluster_id").agg(
         count(lit(1)).as("n_cells"), sum(col("__n")).as("n_points"),
