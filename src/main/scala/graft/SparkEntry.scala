@@ -3442,6 +3442,14 @@ object SparkEntry {
       formatFidelity(graft.sources.Formats.roundTrip(
         s, t(s, dir, "documents"), "orc", s"$tmp/docs"))
     }),
+    // Spark 4's built-in XML source (the spark-xml merge): rowTag-framed
+    // records; same fidelity contract as the other interchange formats.
+    "src_xml_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_xml_").toString
+      formatFidelity(graft.sources.Formats.roundTrip(
+        s, t(s, dir, "documents"), "xml", s"$tmp/docs",
+        options = Map("rowTag" -> "doc")))
+    }),
 
     // ---- Sources: hive-partitioned write + pruned read — the lang
     //      filter must resolve to directory pruning, not a scan-and-drop
@@ -4390,6 +4398,7 @@ object SparkEntry {
       "src_csv_roundtrip" -> fidelitySql,
       "src_json_roundtrip" -> fidelitySql,
       "src_orc_roundtrip" -> fidelitySql,
+      "src_xml_roundtrip" -> fidelitySql,
       "src_partitioned_prune" ->
         ("SELECT source, count(*) AS n_docs, " +
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +

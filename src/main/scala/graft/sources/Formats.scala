@@ -31,7 +31,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Formats {
 
-  private val supported = Set("csv", "json", "orc", "parquet")
+  private val supported = Set("csv", "json", "orc", "parquet", "xml")
 
   /** Write `df` to `path` as `format`, read it back with `df`'s own
     * schema. The returned frame is the round-tripped data — the gate shape

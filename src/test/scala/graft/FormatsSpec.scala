@@ -49,6 +49,16 @@ class FormatsSpec extends SparkSpec {
     }
   }
 
+  test("xml round-trip (Spark 4 native source) survives markup-hostile " +
+      "text and nulls") {
+    val df = Seq((1L, Some("a <b> & \"c\" </b>"), Some(2.5)),
+      (2L, None, None), (3L, Some("ünïcode 🎈"), Some(-0.5)))
+      .toDF("id", "text", "score")
+    val back = Formats.roundTrip(spark, df, "xml", tmp("fmt_xml_"),
+      options = Map("rowTag" -> "row"))
+    assertSameRows(back, df)
+  }
+
   test("unsupported format fails loud") {
     val df = Seq((1L, "x")).toDF("id", "text")
     val err = intercept[IllegalArgumentException] {
