@@ -807,6 +807,18 @@ object SparkEntry {
     }),
 
     // ---- Scalar functions: JSON + string + date + math over events ----
+    // ---- Semi-structured: Spark 4 VARIANT — parse_json into the binary
+    //      variant encoding, typed variant_get extraction, grouped
+    //      rollup; the open-schema path get_json_object can't optimize ----
+    "q_variant_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))),
+
     "q_scalar_json" -> ((s, dir) => {
       val ts = timestamp_micros(expr("ts div 1000"))
       t(s, dir, "events").select(
@@ -8422,6 +8434,15 @@ object SparkEntry {
           "c.c_nationkey, c.c_mktsegment " +
           "FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey " +
           "WHERE e.user_id < 150"),
+      "q_variant_extract" ->
+        ("SELECT event_type, " +
+          "CAST(count(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) " +
+          "AS n_with_k, " +
+          "CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) " +
+          "AS sum_k, " +
+          "min(CAST(props ->> '$.k' AS BIGINT)) AS min_k, " +
+          "max(CAST(props ->> '$.k' AS BIGINT)) AS max_k " +
+          "FROM events GROUP BY 1"),
       "q_scalar_json" ->
         ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k, " +
           "upper(event_type) AS type_uc, CAST(length(event_type) AS BIGINT) AS type_len, " +
