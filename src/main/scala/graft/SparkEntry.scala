@@ -937,6 +937,29 @@ object SparkEntry {
         "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"))),
 
+    // ---- Product analytics: sequence-pattern match (MATCH_RECOGNIZE-
+    //      lite) — each user's journey becomes an ordered symbol string,
+    //      patterns become regexes: count of view→click→purchase runs
+    //      (with other events between stages allowed) per user, rolled
+    //      into a matches-per-user histogram ----
+    "q_seq_pattern" -> ((s, dir) => {
+      val ini = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .when(col("event_type") === "signup", "s")
+        .otherwise("e")
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_id"), ini.as("ini"))
+        .groupBy("user_id")
+        .agg(expr("array_join(transform(sort_array(collect_list(" +
+          "struct(us, event_id, ini))), x -> x.ini), '')").as("journey"))
+      perUser
+        .select(expr("regexp_count(journey, 'v[^p]*c[^p]*p')")
+          .cast("long").as("n_matches"))
+        .groupBy("n_matches").agg(count(lit(1)).as("n_users"))
+    }),
+
     // ---- Product analytics: sliding-window funnel (windowFunnel) —
     //      deepest view→click→purchase chain whose span fits in 72 h;
     //      per-user latest-chain-start fold, depth histogram ----
@@ -8744,6 +8767,18 @@ object SparkEntry {
           "(a - CAST(ztot * ztot AS DOUBLE) / CAST(n AS DOUBLE)) / " +
           "((CAST(k_groups AS DOUBLE) - 1.0) * " +
           "(CAST(zzt AS DOUBLE) - a)) END AS f_stat FROM f"),
+      "q_seq_pattern" ->
+        // Identical symbolization, ordering, and regex; greedy and lazy
+        // quantifiers end every match at the same first terminal 'p',
+        // so non-overlapping counts agree across engines.
+        ("WITH j AS (SELECT user_id, string_agg(" +
+          "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' " +
+          "WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' " +
+          "END, '' ORDER BY epoch_us(ts), event_id) AS journey " +
+          "FROM events GROUP BY 1) " +
+          "SELECT n_matches, CAST(count(*) AS BIGINT) AS n_users FROM (" +
+          "SELECT CAST(len(regexp_extract_all(journey, " +
+          "'v[^p]*c[^p]*p')) AS BIGINT) AS n_matches FROM j) GROUP BY 1"),
       "q_window_funnel" -> {
         // Same cascaded running maxes as the engine (the latest-chain-
         // start invariant makes max-so-far optimal for every later
