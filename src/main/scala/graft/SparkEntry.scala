@@ -4165,6 +4165,37 @@ object SparkEntry {
       stateOut(branch.read().get)
     }),
 
+    // ---- Storage: incrementally-maintained JOIN view — a denormalized
+    //      (state ⋈ nation) target refreshed from the CDC feed; updates
+    //      overwrite latest-wins, deletes retire, O(changes) per sync ----
+    "o25_join_view" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o25_").toString
+      val tbl = graft.model.TargetTable("events_jv", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4,
+        retainVersions = 4)
+      val cfg = IngestConfig(name = s"o25-jv-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val enrich = (df: DataFrame) => df
+        .withColumn("__nk", pmod(col("pkey"), lit(25L)))
+        .join(broadcast(nation), col("__nk") === col("n_nationkey"),
+          "left_outer")
+        .drop("__nk", "n_nationkey")
+      val jv = new graft.sink.JoinView(s, pt, s"$tmp/view", enrich,
+        buckets = 4)
+      val ev = eventRecords(s, dir)
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 =!= 0), cfg)
+      jv.rebuild(cfg)
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 === 0), cfg)
+      pt.mergeHardDelete(ev.filter(col("pkey") % 25 === 7)
+        .select((key ++ Seq(ver) ++ tie).map(col): _*), cfg)
+      jv.refresh(cfg)
+      jv.read().get.select(col("pkey"), col("modified_date_us"),
+        col("event_type"), col("value"), col("n_name"))
+    }),
+
     // ---- Storage: compaction with Z-order layout — one file per
     //      bucket, rows Morton-clustered on (pkey, value) so row-group
     //      min/max stats prune BOTH dimensions; data unchanged ----
@@ -7920,6 +7951,13 @@ object SparkEntry {
       "o21_clone_branch" -> dedupState,
       // layout moves, data doesn't: clustered compaction == latest-wins
       "o24_compact_zorder" -> dedupState,
+      // the maintained view equals the full denormalizing join over the
+      // post-delete latest-wins state
+      "o25_join_view" ->
+        (s"SELECT st.pkey, st.modified_date_us, st.event_type, " +
+          "st.value, n.n_name " +
+          s"FROM ($dedupState) st JOIN nation n " +
+          "ON st.pkey % 25 = n.n_nationkey WHERE st.pkey % 25 <> 7"),
       // the per-batch-synced index serves exactly the filtered state
       "s21_stream_indexed_ingest" ->
         (s"SELECT pkey, modified_date_us, event_type, value " +

@@ -538,6 +538,43 @@ class BucketedTargetSpec extends SparkSpec {
     assert(ix.syncedBaseVersion.get == base.versions().last)
   }
 
+  test("JoinView: incremental refresh equals full re-enrichment through " +
+      "insert, update, and delete") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dir = Files.createTempDirectory("graft_jv_").toString
+    val t = TargetTable("t", s"$dir/base", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 4,
+      retainVersions = 4)
+    val base = new ParquetTarget(spark, t)
+    val dim = Seq((0L, "alpha"), (1L, "beta")).toDF("dk", "dname")
+    val enrich = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("__dk", col("pkey") % 2)
+      .join(broadcast(dim), col("__dk") === col("dk"), "left_outer")
+      .drop("__dk", "dk")
+    val jv = new graft.sink.JoinView(spark, base, s"$dir/view", enrich, 4)
+    base.mergeUpsert(Seq((1L, 1L, 1L, 10.0), (2L, 1L, 2L, 20.0))
+      .toDF("pkey", "ver", "seq", "metric"), cfg)
+    jv.rebuild(cfg)
+    base.mergeUpsert(Seq((2L, 2L, 3L, 25.0), (3L, 2L, 3L, 30.0))
+      .toDF("pkey", "ver", "seq", "metric"), cfg)
+    base.mergeHardDelete(Seq((1L, 3L, 9L, 0.0))
+      .toDF("pkey", "ver", "seq", "metric"), cfg)
+    jv.refresh(cfg)
+    val got = jv.read().get
+      .select("pkey", "metric", "dname").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+    assert(got.toSeq == Seq((2L, 25.0, "alpha"), (3L, 30.0, "beta")))
+    // Maintained view == full re-enrichment of the live state.
+    val full = enrich(base.read().get)
+      .select("pkey", "metric", "dname").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sorted
+    assert(got.toSeq == full.toSeq)
+    // Idempotent no-op when current.
+    val v = jv.syncedBaseVersion.get
+    jv.refresh(cfg)
+    assert(jv.syncedBaseVersion.get == v)
+  }
+
   test("zone maps: incremental-sync read skips buckets untouched since " +
       "the sync point, result equals the filtered full scan") {
     val (sink, _) = mk(buckets = 8)
