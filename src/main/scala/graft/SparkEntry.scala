@@ -2780,6 +2780,14 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         m = 8, n = 3, r = 2, minJaccard = 0.01)),
 
+    // ---- LLM pipeline: corpus novelty curve — per id-bucket share of
+    //      3-shingles never seen in earlier documents; the marginal-
+    //      information decay read before ingesting the next slice ----
+    "text_novelty_curve" -> ((s, dir) =>
+      TextAnalysis.noveltyCurve(
+        t(s, dir, "documents"), "doc_id", "text", n = 3,
+        bucketSize = 50L)),
+
     // ---- LLM pipeline: dedup threshold sweep — how many verified
     //      pairs survive each candidate Jaccard cut (the tuning curve
     //      read before committing to a dedup threshold) ----
@@ -7540,6 +7548,23 @@ object SparkEntry {
       "dedup_simhash" -> simhashSql,
       "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
       "dedup_ngram_jaccard" -> jaccardSql,
+      "text_novelty_curve" ->
+        // Same shingle kernel; first-seen = min doc_id per shingle.
+        (s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+          s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh " +
+          "FROM base), " +
+          "e AS (SELECT doc_id, unnest(list_distinct(sh)) AS h " +
+          "FROM sh_t), " +
+          "own AS (SELECT h, min(doc_id) AS o FROM e GROUP BY 1), " +
+          "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tot, " +
+          "CAST(sum(CASE WHEN o = doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS nov FROM e JOIN own USING (h) GROUP BY 1) " +
+          "SELECT doc_id // 50 AS bucket, " +
+          "CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(tot) AS BIGINT) AS n_shingles, " +
+          "CAST(sum(nov) AS BIGINT) AS n_novel, " +
+          "CAST(sum(nov) AS DOUBLE) / CAST(sum(tot) AS DOUBLE) " +
+          "AS novelty FROM per GROUP BY 1"),
       "dedup_threshold_sweep" ->
         (s"WITH j AS ($jaccardSql), " +
           "t AS (SELECT CAST(unnest([10, 25, 50, 75, 90]) AS INT) " +

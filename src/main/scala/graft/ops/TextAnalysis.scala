@@ -750,4 +750,45 @@ object TextAnalysis {
           lit(0.5) * aggregate(col("__g"), lit(0.0),
             (acc, x) => acc + term(x)), 8)).as("jsd_nats"))
   }
+
+  /** Corpus novelty curve — the "is new data still new?" diagnostic a
+    * training-data pipeline reads before ingesting the next crawl slice:
+    * with documents in arrival order (ascending id), a document's
+    * novelty is the fraction of its distinct word-n-gram shingles NEVER
+    * seen in any earlier document; averaged per id bucket it shows the
+    * marginal-information decay that motivates dedup and source rotation
+    * (near-dup corpora flatline early). Output one row per bucket:
+    * (bucket, n_docs, n_shingles, n_novel, novelty).
+    *
+    * Exactness: "first seen" is an arg-min over exact shingle hashes
+    * (the shared mod-P kernel), counts are exact integers, novelty is
+    * ONE division per bucket. Scale: two hash aggregates (per-shingle
+    * min owner; per-doc rollup) and one equi-join co-partitioned on the
+    * shingle hash — linear in corpus shingles, the same budget as exact
+    * dedup, never pairwise. */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bucketSize: Long = 50L): DataFrame = {
+    require(n >= 1 && bucketSize >= 1, s"bad n=$n / bucketSize=$bucketSize")
+    val sh = docs
+      .select(col(idCol).cast("long").as("__id"),
+        TextHash.wordHashes(col(textCol)).as("__wh"))
+      .select(col("__id"),
+        array_distinct(TextHash.shingleHashes(col("__wh"), n)).as("__sh"))
+      .select(col("__id"), explode(col("__sh")).as("__h"))
+    val owner = sh.groupBy("__h").agg(min(col("__id")).as("__owner"))
+    val per = sh.join(owner, "__h")
+      .groupBy("__id").agg(
+        count(lit(1)).as("__total"),
+        sum(when(col("__owner") === col("__id"), 1L).otherwise(0L))
+          .as("__novel"))
+    per
+      .groupBy(expr(s"__id div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__total")).as("n_shingles"),
+        sum(col("__novel")).as("n_novel"))
+      .select(col("bucket"), col("n_docs"), col("n_shingles"),
+        col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
 }

@@ -595,4 +595,28 @@ class TextOpsSpec extends SparkSpec {
     assert(TextAnalysis.jsDivergence(onesided, "txt", col("side") === "x")
       .collect().head.isNullAt(3))
   }
+
+  test("noveltyCurve: first doc fully novel, copies score zero, partial " +
+      "overlap in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"), // 2 shingles, all first-seen
+      (1L, "alpha beta gamma delta"), // exact copy → 0 novel
+      (2L, "alpha beta gamma epsilon zeta"), // 1 of 3 shingles seen
+      (3L, "one two three four")) // disjoint → fully novel
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyCurve(docs, "doc_id", "text",
+      n = 3, bucketSize = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((2L, 2L, 1.0)))
+    assert(got(1L) == ((2L, 0L, 0.0)))
+    assert(got(2L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    // Bucketed rollup sums the same exact integers.
+    val b = TextAnalysis.noveltyCurve(docs, "doc_id", "text",
+      n = 3, bucketSize = 4L).collect().head
+    assert(b.getLong(1) == 4L && b.getLong(2) == 9L && b.getLong(3) == 6L)
+    assert(b.getDouble(4) == 6.0 / 9.0)
+  }
 }
