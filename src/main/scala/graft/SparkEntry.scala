@@ -3779,6 +3779,13 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10, rerank = 50)),
 
+    // ---- ANN: binary quantization (sign bits, 256× compression) —
+    //      hamming coarse rank on two 32-bit words, exact cosine rerank ----
+    "ann_bq_topk" -> ((s, dir) =>
+      Similarity.bqTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, rerank = 50)),
+
     // ---- LLM pipeline: per-domain mixture sampling (data mixing) ----
     "sample_mixture" -> ((s, dir) =>
       graft.ops.Sampling.sampleMixture(
@@ -5008,6 +5015,38 @@ object SparkEntry {
             s"CAST(min($c) AS VARCHAR) AS min_val, " +
             s"CAST(max($c) AS VARCHAR) AS max_val FROM documents")
           .mkString(" UNION ALL "),
+      "ann_bq_topk" -> {
+        val dotX = OracleSql.dot("n.v", "q.qv2")
+        val pack = { (fromBit: Int, toBit: Int, shift: Int) =>
+          s"CAST(list_sum(list_transform(range($fromBit, $toBit), j -> " +
+            s"CASE WHEN v[j + 1] > 0 THEN (CAST(1 AS BIGINT) << (j - $shift)) " +
+            "ELSE 0 END)) AS BIGINT)"
+        }
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+          "FROM embeddings), " +
+          s"pk AS (SELECT vec_id, ${pack(0, 32, 0)} AS lo, " +
+          s"${pack(32, 64, 32)} AS hi FROM e), " +
+          "q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi " +
+          "FROM pk WHERE vec_id < 10), " +
+          "cp AS (SELECT q.query_id, n.vec_id, " +
+          "-CAST(bit_count(xor(n.lo, q.qlo)) + " +
+          "bit_count(xor(n.hi, q.qhi)) AS DOUBLE) AS coarse " +
+          "FROM pk n JOIN q ON n.vec_id <> q.query_id), " +
+          "cand AS (SELECT query_id, vec_id FROM (SELECT query_id, " +
+          "vec_id, row_number() OVER (PARTITION BY query_id " +
+          "ORDER BY coarse DESC, vec_id) AS rn FROM cp) WHERE rn <= 50), " +
+          s"nx AS (SELECT vec_id, v, sqrt(${OracleSql.dot("v", "v")}) " +
+          "AS nrm FROM e), " +
+          "qx AS (SELECT vec_id AS query_id, v AS qv2, nrm AS qn2 " +
+          "FROM nx WHERE vec_id < 10), " +
+          s"ex AS (SELECT c.query_id, c.vec_id, $dotX / (n.nrm * q.qn2) " +
+          "AS cos FROM cand c JOIN nx n ON n.vec_id = c.vec_id " +
+          "JOIN qx q ON q.query_id = c.query_id) " +
+          "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) " +
+          "AS rank FROM (SELECT query_id, vec_id, row_number() OVER " +
+          "(PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank " +
+          "FROM ex) WHERE rank <= 10"
+      },
       "ann_sq8_topk" -> {
         val dotQ = OracleSql.dot("n.qv", "q.qqv")
         val dotX = OracleSql.dot("n.v", "q.qv2")

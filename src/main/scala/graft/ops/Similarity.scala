@@ -230,6 +230,59 @@ object Similarity {
     } finally { quant.unpersist(); n.unpersist(); () }
   }
 
+  /** Binary-quantized ANN (1-bit embeddings): each vector compresses to
+    * its 64 SIGN BITS — a 256× memory cut over float32 that keeps
+    * enough angular information to shortlist neighbors (the
+    * binary-quantization recipe production vector stores ship as their
+    * cheapest tier) — coarse-ranked by HAMMING distance on two 32-bit
+    * words (popcount, never a float op), then exactly cosine-reranked
+    * on the true floats for the `rerank` shortlist only. Same two-stage
+    * contract as [[sq8TopK]]; the memory/recall trade sits one notch
+    * below SQ8.
+    *
+    * Packing puts bit j of dims 1-32 in word `lo`, dims 33-64 in `hi`
+    * (no BIGINT sign bit anywhere); `v[i] > 0` maps to 1 — exact on
+    * both engines. The sign arrays read a PERSISTED vector attribute,
+    * so the interpreted HOFs evaluate once per row. */
+  def bqTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, rerank: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val n = emb
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    val packed = n
+      .withColumn("lo", expr(
+        "aggregate(transform(sequence(0, 31), j -> " +
+          "IF(element_at(v, j + 1) > 0D, shiftleft(1L, j), 0L)), " +
+          "0L, (a, x) -> a + x)"))
+      .withColumn("hi", expr(
+        "aggregate(transform(sequence(32, 63), j -> " +
+          "IF(element_at(v, j + 1) > 0D, shiftleft(1L, j - 32), 0L)), " +
+          "0L, (a, x) -> a + x)"))
+      .drop("v", "nrm")
+      .persist()
+    try {
+      val q = packed.filter(queryPred).select(
+        col(idCol).as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val pairs = packed.join(broadcast(q), col(idCol) =!= col("query_id"))
+      val coarse = -(expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")
+        .cast("double"))
+      val cand = rankTopK(pairs, idCol, coarse, rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val qx = n.filter(queryPred).select(
+        col(idCol).as("query_id"), col("v").as("qv2"), col("nrm").as("qn2"))
+      val exact = cand
+        .join(n.select(col(idCol).as("neighbor_id"), col("v"), col("nrm")),
+          "neighbor_id")
+        .join(broadcast(qx), "query_id")
+      val cosx = dot(col("v"), col("qv2")) / (col("nrm") * col("qn2"))
+      rankTopK(exact, "neighbor_id", cosx, k).localCheckpoint()
+    } finally { packed.unpersist(); n.unpersist(); () }
+  }
+
   /** Fixed-point quantum for k-means mean accumulation: component sums
     * are `floor(x * 2^20)` BIGINTs, so the per-cell reduction is exact
     * integer addition — order-independent across partitions AND engines —

@@ -660,6 +660,32 @@ class SimilaritySpec extends SparkSpec {
       "label").count() == 0L)
   }
 
+  test("bqTopK: sign-bit shortlist still surfaces the exact nearest; " +
+      "recall tracks brute force at full rerank width") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(64)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+    val bq = Similarity.bqTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 3, k = 5, rerank = 59)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1))
+      .toMap
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1))
+      .toMap
+    // With rerank covering the whole corpus, the exact-rerank stage
+    // makes BQ equal brute force — the shortlist cannot lose anyone.
+    assert(bq == brute)
+    // A narrow shortlist still recalls most true neighbors (sign bits
+    // preserve angular neighborhoods on gaussian data).
+    val narrow = Similarity.bqTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 3, k = 5, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val inter = narrow.intersect(brute.keySet)
+    assert(inter.size >= 9, s"recall too low: ${inter.size}/15")
+  }
+
   test("mmrSelect: diversity term demotes the redundant runner-up") {
     import spark.implicits._
     // Query along x. Candidate 1 is nearly the query (top relevance);
