@@ -126,7 +126,10 @@ object SparkEntry {
     * dimension with pre-existing history, run through one SCD2 change
     * batch covering the real-change / no-op / out-of-order / new-key
     * classes. */
-  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+  /** The pre-change SCD2 state (closed OLDSEG history + open current
+    * rows) — transaction-time version 1 of the bitemporal gate, and the
+    * base [[scd2Dim]] applies its change set to. */
+  private def scd2Baseline(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val hist = c.filter(col("c_custkey") % 5 === 0).select(
       col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
@@ -136,6 +139,11 @@ object SparkEntry {
       col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
       lit(0L).as("valid_from_us"),
       lit(null).cast("long").as("valid_to_us"))
+    hist.unionByName(curr)
+  }
+
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
     val changes = c.filter(col("c_custkey") % 3 === 0)
       .select(col("c_custkey"), col("c_mktsegment"),
         (col("c_acctbal") + 10.5).as("c_acctbal"), lit(1000L).as("ts"))
@@ -150,7 +158,7 @@ object SparkEntry {
         .select((col("c_custkey") + 100000).as("c_custkey"),
           lit("NEWSEG").as("c_mktsegment"), lit(1.0).as("c_acctbal"),
           lit(3000L).as("ts")))
-    graft.ops.Scd2.applyChanges(hist.unionByName(curr), changes,
+    graft.ops.Scd2.applyChanges(scd2Baseline(s, dir), changes,
       "c_custkey", "ts", Seq("c_mktsegment", "c_acctbal"))
   }
 
@@ -883,6 +891,32 @@ object SparkEntry {
     //      versions in one full-outer join; no-op and out-of-order
     //      changes leave the current version untouched ----
     "q_scd2" -> ((s, dir) => scd2Dim(s, dir)),
+
+    // ---- Warehouse: BITEMPORAL query — valid time × transaction time:
+    //      the SCD2 dim lives in a versioned target (tx time = commit
+    //      version via time travel), and the same valid-time as-of
+    //      filter is answered AS KNOWN AT each transaction version ----
+    "q_bitemporal" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_bt_").toString
+      val tbl = graft.model.TargetTable("dim_bt", s"$tmp/t",
+        keyCols = Seq("c_custkey", "valid_from_us"), versionCol = "txn",
+        buckets = 4, retainVersions = 2)
+      val cfg = IngestConfig(name = s"bt-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      pt.mergeUpsert(scd2Baseline(s, dir).withColumn("txn", lit(1L)), cfg)
+      val v1 = pt.versions().last
+      pt.mergeUpsert(scd2Dim(s, dir).withColumn("txn", lit(2L)), cfg)
+      val v2 = pt.versions().last
+      val tAt = 1500L
+      def asKnownAt(v: Long, tx: Long) = pt.readVersion(v).get
+        .filter(col("valid_from_us") <= tAt &&
+          (col("valid_to_us").isNull || col("valid_to_us") > tAt))
+        .filter(col("c_custkey") % 10 === 0)
+        .select(lit(tx).as("tx"), col("c_custkey"),
+          col("c_mktsegment"), col("c_acctbal"))
+      asKnownAt(v1, 1L).unionByName(asKnownAt(v2, 2L))
+    }),
 
     // ---- Warehouse: point-in-time (temporal) join — each fact row joins
     //      the dim VERSION valid at its timestamp (equality on key +
@@ -5927,6 +5961,25 @@ object SparkEntry {
           "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day " +
           "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM d"),
       "q_scd2" -> scd2Sql,
+      "q_bitemporal" ->
+        // tx1 = the pre-change baseline, tx2 = the applied-changes dim;
+        // identical valid-time as-of filter on both transaction views.
+        (s"WITH s2 AS ($scd2Sql), " +
+          "tx1 AS (SELECT c_custkey, 'OLDSEG' AS c_mktsegment, " +
+          "c_acctbal - 5.0 AS c_acctbal, " +
+          "CAST(-1000000 AS BIGINT) AS valid_from_us, " +
+          "CAST(0 AS BIGINT) AS valid_to_us FROM customer " +
+          "WHERE c_custkey % 5 = 0 " +
+          "UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal, " +
+          "CAST(0 AS BIGINT), CAST(NULL AS BIGINT) FROM customer) " +
+          "SELECT CAST(1 AS BIGINT) AS tx, c_custkey, c_mktsegment, " +
+          "c_acctbal FROM tx1 WHERE valid_from_us <= 1500 AND " +
+          "(valid_to_us IS NULL OR valid_to_us > 1500) " +
+          "AND c_custkey % 10 = 0 " +
+          "UNION ALL SELECT CAST(2 AS BIGINT), c_custkey, c_mktsegment, " +
+          "c_acctbal FROM s2 WHERE valid_from_us <= 1500 AND " +
+          "(valid_to_us IS NULL OR valid_to_us > 1500) " +
+          "AND c_custkey % 10 = 0"),
       "q_temporal_join" ->
         (s"WITH scd AS ($scd2Sql), " +
           "f AS (SELECT o_orderkey, o_custkey, " +
