@@ -289,4 +289,80 @@ class PropertySpec extends SparkSpec {
     assert(iv >= -0.01, s"total IV must be ~non-negative, got $iv")
     assert(got.length == rows.map(_._1).distinct.length)
   }
+
+  test("rank tests are invariant under strictly monotone value " +
+      "transforms (Kruskal-Wallis, Friedman)") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(19)
+    val rows = List.fill(120)((
+      s"g${rng.nextInt(4)}", rng.nextInt(20).toLong,
+      (rng.nextInt(9) + 1).toLong))
+    val d1 = rows.toDF("g", "v", "u")
+    val d2 = rows.map { case (g, v, u) => (g, 3L * v + 11L, u) }
+      .toDF("g", "v", "u")
+    val kw1 = graft.ops.Profile.kruskalWallis(d1, col("g"), col("v"))
+      .collect().head
+    val kw2 = graft.ops.Profile.kruskalWallis(d2, col("g"), col("v"))
+      .collect().head
+    // Ranks see only order: the statistic is bit-identical.
+    assert(kw1.getDouble(2) == kw2.getDouble(2))
+    assert(kw1.getDouble(3) == kw2.getDouble(3))
+    // Friedman additionally shrugs off PER-SUBJECT monotone rescaling
+    // (each subject ranks its own treatments).
+    def ts(c: org.apache.spark.sql.Column) = Seq(
+      (col("g") === "g0", c), (col("g") === "g1", c), (col("g") === "g2", c))
+    val f1 = graft.ops.Profile.friedman(
+      rows.filter(r => r._1 != "g3").toDF("g", "u", "v")
+        .select(col("g"), col("u"), col("v")), col("u"), ts(col("v")))
+      .collect().head
+    val scaled = rows.filter(r => r._1 != "g3").map { case (g, u, v) =>
+      (g, u, v * (u + 1L)) } // positive per-subject scale
+    val f2 = graft.ops.Profile.friedman(
+      scaled.toDF("g", "u", "v"), col("u"), ts(col("v")))
+      .collect().head
+    assert(f1.getDouble(2) == f2.getDouble(2))
+  }
+
+  test("JoinView: maintained view equals full re-enrichment under a " +
+      "random merge/delete sequence") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val rng = new scala.util.Random(23)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jvp_").toString
+    val t = graft.model.TargetTable("t", s"$dir/base",
+      keyCols = Seq("pkey"), versionCol = "ver", tieBreakCols = Seq("seq"),
+      buckets = 4, retainVersions = 8)
+    val cfg = graft.model.IngestConfig(name = "jv-prop",
+      maxWriterPartitions = 2)
+    val base = new graft.sink.ParquetTarget(spark, t)
+    val dim = (0L until 3L).map(k => (k, s"d$k")).toDF("dk", "dname")
+    val enrich = (df: DataFrame) => df
+      .withColumn("__dk", col("pkey") % 3)
+      .join(broadcast(dim), col("__dk") === col("dk"), "left_outer")
+      .drop("__dk", "dk")
+    val jv = new graft.sink.JoinView(spark, base, s"$dir/view", enrich, 4)
+    var verSeq = 1L
+    def batch(n: Int) = {
+      verSeq += 1
+      List.fill(n)((rng.nextInt(9).toLong, verSeq,
+        rng.nextInt(1000).toLong, rng.nextDouble()))
+        .distinctBy(_._1)
+        .toDF("pkey", "ver", "seq", "metric")
+    }
+    base.mergeUpsert(batch(6), cfg)
+    jv.rebuild(cfg)
+    (1 to 4).foreach { i =>
+      if (i % 2 == 0 && base.read().get.count() > 2)
+        base.mergeHardDelete(batch(2), cfg)
+      else base.mergeUpsert(batch(4), cfg)
+      jv.refresh(cfg)
+      val got = jv.read().get.select("pkey", "ver", "metric", "dname")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getString(3))).sorted.toSeq
+      val want = enrich(base.read().get)
+        .select("pkey", "ver", "metric", "dname")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getString(3))).sorted.toSeq
+      assert(got == want, s"view diverged at step $i")
+    }
+  }
 }
