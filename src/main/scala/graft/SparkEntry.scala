@@ -3999,6 +3999,17 @@ object SparkEntry {
         col("event_type") === "purchase",
         p0 = 0.2, p1 = 0.25)),
 
+    // ---- ML eval: split-conformal prediction intervals — per-type
+    //      mean model on train, exact residual-rank pick on calibration,
+    //      distribution-free coverage audit on test ----
+    "q_conformal_interval" -> ((s, dir) =>
+      graft.ops.Profile.conformalInterval(
+        t(s, dir, "events"), col("event_type"), col("event_id"),
+        floor(col("value") * 1024.0),
+        when(pmod(col("event_id"), lit(4L)) <= 1L, 0L)
+          .when(pmod(col("event_id"), lit(4L)) === 2L, 1L)
+          .otherwise(2L))),
+
     // ---- Stats: Friedman test — within-user ranks of spend across
     //      purchase/click/view; closed-form k=3 doubled ranks, exact
     //      tie case split, two final divisions ----
@@ -8994,6 +9005,36 @@ object SparkEntry {
           s"CAST($la AS DOUBLE) AS llr_final, " +
           "c.first_cross, c.decision FROM f LEFT JOIN c ON true"
       },
+      "q_conformal_interval" ->
+        // Same split arithmetic; q-hat is an exact element pick at rank
+        // least(n, ceil((n+1)*0.9)); 1.0-0.1 and the 0.9 literal are the
+        // same IEEE double, so both engines pick identical ranks.
+        ("WITH b AS (SELECT event_type AS g, event_id AS i, " +
+          "CAST(floor(value * 1024.0) AS BIGINT) AS v, " +
+          "CASE WHEN event_id % 4 <= 1 THEN 0 " +
+          "WHEN event_id % 4 = 2 THEN 1 ELSE 2 END AS s FROM events " +
+          "WHERE event_type IS NOT NULL AND value IS NOT NULL), " +
+          "m AS (SELECT g, CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / " +
+          "CAST(count(*) AS DOUBLE) AS mu FROM b WHERE s = 0 " +
+          "GROUP BY 1), " +
+          "r AS (SELECT b.g AS g, b.i AS i, " +
+          "abs(CAST(b.v AS DOUBLE) - m.mu) AS r FROM b " +
+          "JOIN m ON b.g = m.g WHERE b.s = 1), " +
+          "rk AS (SELECT g, r, row_number() OVER (PARTITION BY g " +
+          "ORDER BY r, i) AS rn, count(*) OVER (PARTITION BY g) AS n " +
+          "FROM r), " +
+          "q AS (SELECT g, CAST(n AS BIGINT) AS n_cal, r AS qhat " +
+          "FROM rk WHERE rn = least(n, CAST(ceil(" +
+          "CAST(n + 1 AS DOUBLE) * 0.9) AS BIGINT))), " +
+          "tt AS (SELECT b.g AS g, q.n_cal, q.qhat, " +
+          "CAST(count(*) AS BIGINT) AS n_test, " +
+          "CAST(sum(CASE WHEN abs(CAST(b.v AS DOUBLE) - m.mu) <= " +
+          "q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS cov FROM b " +
+          "JOIN m ON b.g = m.g JOIN q ON b.g = q.g WHERE b.s = 2 " +
+          "GROUP BY 1, 2, 3) " +
+          "SELECT g AS grp, n_cal, qhat, n_test, " +
+          "CAST(cov AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage " +
+          "FROM tt"),
       "q_friedman" -> {
         def lt(a: String, b: String) =
           s"(CASE WHEN $a < $b THEN 1 ELSE 0 END)"

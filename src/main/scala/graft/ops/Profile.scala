@@ -1558,6 +1558,58 @@ object Profile {
           tieDen.cast("double")).as("q_tie"))
   }
 
+  /** Split-conformal prediction intervals — the distribution-free
+    * calibration recipe modern ML eval leans on: fit any point model on
+    * a TRAIN split (here the per-group mean), take the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual on a held-out
+    * CALIBRATION split as the interval half-width q̂, and the interval
+    * mean ± q̂ covers a fresh point with probability ≥ 1−α by exchange-
+    * ability alone — no normality, no variance model. Emits per group:
+    * (group, n_cal, qhat, n_test, coverage) with coverage measured on
+    * the TEST split (expect ≈ 1−α).
+    *
+    * Determinism: the model is one exact-sum division per group; q̂ is
+    * an exact ELEMENT pick (rank over (residual, id) — residuals are
+    * identical doubles in both engines, ids break ties); coverage is
+    * one division. Scale: two grouped aggregates and one per-group
+    * rank window over the CALIBRATION split only (the small split —
+    * the corpus-sized splits only feed cheap aggregates). */
+  def conformalInterval(df: DataFrame, groupCol: Column, idCol: Column,
+      valueBin: Column, split: Column, alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val dec = "decimal(38,0)"
+    val b = df.select(groupCol.cast("string").as("__g"),
+        idCol.cast("long").as("__i"), valueBin.cast("long").as("__v"),
+        split.cast("long").as("__s"))
+      .where(col("__g").isNotNull && col("__v").isNotNull)
+    val model = b.filter(col("__s") === 0L).groupBy("__g").agg(
+      (sum(col("__v").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("__mu"))
+    val resid = b.filter(col("__s") === 1L).join(model, "__g")
+      .withColumn("__r", abs(col("__v").cast("double") - col("__mu")))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__r").asc, col("__i").asc)
+    val ranked = resid
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+    val qhat = ranked
+      .filter(col("__rn") === least(col("__n"),
+        ceil((col("__n") + 1L).cast("double") * lit(1.0 - alpha))
+          .cast("long")))
+      .select(col("__g"), col("__n").as("n_cal"), col("__r").as("qhat"))
+    val test = b.filter(col("__s") === 2L).join(model, "__g")
+      .join(qhat, "__g")
+      .groupBy(col("__g"), col("n_cal"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("__v").cast("double") - col("__mu")) <=
+          col("qhat"), 1L).otherwise(0L)).as("__cov"))
+    test.select(col("__g").as("grp"), col("n_cal"), col("qhat"),
+      col("n_test"),
+      (col("__cov").cast("double") / col("n_test").cast("double"))
+        .as("coverage"))
+  }
+
   /** Wald's Sequential Probability Ratio Test over an ordered Bernoulli
     * stream — the "stop the experiment as soon as the data decides"
     * monitor: after trial t with k successes the log-likelihood ratio

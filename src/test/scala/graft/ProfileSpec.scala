@@ -701,6 +701,34 @@ class ProfileSpec extends SparkSpec {
     assert(rp.getDouble(3) > rp.getDouble(2))
   }
 
+  test("conformalInterval: coverage honors the guarantee on exchangeable " +
+      "data and the pick is the exact order statistic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // One group; values cycle deterministically so splits are
+    // exchangeable. alpha=0.1 on n_cal≈250 → coverage ≈ 0.9.
+    val rows = (1L to 1000L).map(i =>
+      ("g", i, ((i * 37L) % 101L), (i % 4 match {
+        case 0L | 1L => 0L; case 2L => 1L; case _ => 2L })))
+    val df = rows.toDF("g", "i", "v", "s")
+    val r = Profile.conformalInterval(df, col("g"), col("i"), col("v"),
+      col("s")).collect().head
+    val (nCal, qhat, cov) = (r.getLong(1), r.getDouble(2), r.getDouble(4))
+    assert(nCal == 250L)
+    assert(cov >= 0.85 && cov <= 0.97, s"coverage $cov")
+    // Replay the order-statistic pick on the driver.
+    val mu = rows.filter(_._4 == 0L).map(_._3.toDouble).sum /
+      rows.count(_._4 == 0L)
+    val res = rows.filter(_._4 == 1L)
+      .map(t => (math.abs(t._3 - mu), t._2)).sorted
+    val k = math.min(nCal, math.ceil((nCal + 1) * 0.9).toLong).toInt
+    assert(qhat == res(k - 1)._1)
+    // Tighter alpha → wider interval (monotone in 1-alpha).
+    val tight = Profile.conformalInterval(df, col("g"), col("i"),
+      col("v"), col("s"), alpha = 0.01).collect().head
+    assert(tight.getDouble(2) >= qhat)
+  }
+
   test("sprt: decisive streams cross the right boundary, ambiguous " +
       "streams never decide") {
     import org.apache.spark.sql.functions._
