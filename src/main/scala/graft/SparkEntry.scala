@@ -3999,6 +3999,16 @@ object SparkEntry {
         col("event_type") === "purchase",
         p0 = 0.2, p1 = 0.25)),
 
+    // ---- Marketing: EXACT Shapley attribution (k=3 closed form) —
+    //      coalition-fair conversion credit for view/click/signup
+    //      exposure toward purchase; 8-cell pivot, fixed weight chain ----
+    "q_shapley_attribution" -> ((s, dir) =>
+      graft.ops.Attribution.shapley3(
+        t(s, dir, "events"), col("user_id"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "signup"),
+        col("event_type") === "purchase")),
+
     // ---- ML eval: split-conformal prediction intervals — per-type
     //      mean model on train, exact residual-rank pick on calibration,
     //      distribution-free coverage audit on test ----
@@ -9004,6 +9014,44 @@ object SparkEntry {
           "CAST(f.n_trials - f.n_success AS DOUBLE) * " +
           s"CAST($la AS DOUBLE) AS llr_final, " +
           "c.first_cross, c.decision FROM f LEFT JOIN c ON true"
+      },
+      "q_shapley_attribution" -> {
+        val w0 = 1.0 / 3.0
+        val w1 = 1.0 / 6.0
+        val nTot = (0 until 8).map(t => s"n$t").mkString(" + ")
+        def v(s: Int) = {
+          val cov = (0 until 8).filter(t => (t & ~s) == 0)
+            .map(t => s"c$t").mkString(" + ")
+          s"CAST($cov AS DOUBLE) / CAST($nTot AS DOUBLE)"
+        }
+        def phi(bit: Int) = {
+          val others = Seq(1, 2, 4).filter(_ != (1 << bit))
+          val (a, b) = (others(0), others(1))
+          val i = 1 << bit
+          s"CAST($w0 AS DOUBLE) * (${v(i)} - ${v(0)}) + " +
+            s"CAST($w1 AS DOUBLE) * (${v(i + a)} - ${v(a)}) + " +
+            s"CAST($w1 AS DOUBLE) * (${v(i + b)} - ${v(b)}) + " +
+            s"CAST($w0 AS DOUBLE) * (${v(7)} - ${v(a + b)})"
+        }
+        val cells = (0 until 8).map(sid =>
+          "CAST(coalesce(sum(CASE WHEN t0 + 2 * t1 + 4 * t2 = " +
+            s"$sid THEN 1 ELSE 0 END), 0) AS BIGINT) AS n$sid, " +
+            "CAST(coalesce(sum(CASE WHEN t0 + 2 * t1 + 4 * t2 = " +
+            s"$sid THEN y ELSE 0 END), 0) AS BIGINT) AS c$sid")
+          .mkString(", ")
+        "WITH per AS (SELECT user_id, " +
+          "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS t0, " +
+          "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t1, " +
+          "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) " +
+          "AS t2, " +
+          "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+          "AS y FROM events GROUP BY 1), " +
+          s"a AS (SELECT $cells FROM per) " +
+          s"SELECT $nTot AS n_subjects, " +
+          s"CASE WHEN $nTot = 0 THEN NULL ELSE ${phi(0)} END AS phi_1, " +
+          s"CASE WHEN $nTot = 0 THEN NULL ELSE ${phi(1)} END AS phi_2, " +
+          s"CASE WHEN $nTot = 0 THEN NULL ELSE ${phi(2)} END AS phi_3 " +
+          "FROM a"
       },
       "q_conformal_interval" ->
         // Same split arithmetic; q-hat is an exact element pick at rank

@@ -176,4 +176,71 @@ object Attribution {
       .withColumn("credit_value",
         col("credit_micro").cast("double") / lit(1.0e8))
   }
+
+  /** EXACT Shapley-value attribution over three channels — the
+    * coalition-fair split heuristic rules (last-touch, linear,
+    * position) approximate: each channel's credit is its average
+    * marginal lift in conversion rate over every coalition it can
+    * join, weighted by the Shapley coefficients (k=3: 1/3 for joining
+    * ∅ or the full pair, 1/6 for joining a singleton). Characteristic
+    * function: the CUMULATIVE-COVERAGE game
+    * v(S) = (conversions among subjects whose touchset ⊆ S) / n — the
+    * formulation on which the Shapley axioms hold EXACTLY on observed
+    * data: a channel nobody touches changes no coverage (dummy → φ = 0,
+    * spec-asserted), interchangeable channels get equal credit
+    * (symmetry), and Σφ = v(full) − v(∅) (efficiency). An
+    * "exactly-S conversion rate" game looks natural but breaks the
+    * dummy axiom the moment any cell is empty. One row out:
+    * (n_subjects, phi_1, phi_2, phi_3) in the order of `channels`.
+    *
+    * Exactness: each v(S) is one division of exact subset-cumulated
+    * counts; the Shapley weights are the SAME two injected doubles in
+    * both engines, and each φ is a fixed 4-term chain. Scale: one
+    * shuffle to subject grain, one 8-cell pivot, scalar arithmetic —
+    * exact Shapley is exponential in channels, which is why this is
+    * the k=3 closed form, not a general loop. */
+  def shapley3(df: DataFrame, idCol: Column, channels: Seq[Column],
+      converted: Column): DataFrame = {
+    require(channels.size == 3, "shapley3 is the k=3 closed form")
+    val per = df.groupBy(idCol.as("__id")).agg(
+      max(when(channels(0), 1L).otherwise(0L)).as("__t0"),
+      max(when(channels(1), 1L).otherwise(0L)).as("__t1"),
+      max(when(channels(2), 1L).otherwise(0L)).as("__t2"),
+      max(when(converted, 1L).otherwise(0L)).as("__y"))
+    val subset = col("__t0") + lit(2L) * col("__t1") + lit(4L) * col("__t2")
+    val cellAggs = (0 until 8).flatMap { sId =>
+      Seq(
+        coalesce(sum(when(subset === sId.toLong, 1L).otherwise(0L)),
+          lit(0L)).as(s"__n$sId"),
+        coalesce(sum(when(subset === sId.toLong, col("__y"))
+          .otherwise(0L)), lit(0L)).as(s"__c$sId"))
+    }
+    val agg = per.agg(cellAggs.head, cellAggs.tail: _*)
+    val nTot = (0 until 8).map(s => col(s"__n$s")).reduce(_ + _)
+    // v(S): conversions among subjects whose touchset ⊆ S, over ALL
+    // subjects — always defined, monotone, dummy-axiom-safe.
+    def v(sId: Int): org.apache.spark.sql.Column = {
+      val covered = (0 until 8).filter(t => (t & ~sId) == 0)
+        .map(t => col(s"__c$t")).reduce(_ + _)
+      covered.cast("double") / nTot.cast("double")
+    }
+    val w0 = 1.0 / 3.0 // joining the empty or the full-pair coalition
+    val w1 = 1.0 / 6.0 // joining a singleton
+    def phi(bit: Int): org.apache.spark.sql.Column = {
+      val others = Seq(1, 2, 4).filter(_ != (1 << bit))
+      val (a, b) = (others(0), others(1))
+      val i = 1 << bit
+      lit(w0) * (v(i) - v(0)) +
+        lit(w1) * (v(i + a) - v(a)) +
+        lit(w1) * (v(i + b) - v(b)) +
+        lit(w0) * (v(7) - v(a + b))
+    }
+    agg.select(nTot.as("n_subjects"),
+      when(nTot === 0L, lit(null).cast("double")).otherwise(phi(0))
+        .as("phi_1"),
+      when(nTot === 0L, lit(null).cast("double")).otherwise(phi(1))
+        .as("phi_2"),
+      when(nTot === 0L, lit(null).cast("double")).otherwise(phi(2))
+        .as("phi_3"))
+  }
 }

@@ -61,4 +61,45 @@ class AttributionSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got("late") == 1L && got("direct") == 1L && !got.contains("early"))
   }
+
+  test("shapley3: symmetry, dummy-channel zero, efficiency") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)]) = Attribution.shapley3(
+      rows.toDF("u", "t"), col("u"),
+      Seq(col("t") === "a", col("t") === "b", col("t") === "c"),
+      col("t") === "buy").collect().head
+    // Channels a and b behave identically (same users, same
+    // conversions) → symmetric Shapley credit; c is a dummy no one
+    // touches → exactly zero.
+    val sym = Seq(
+      (1L, "a"), (1L, "b"), (1L, "buy"),
+      (2L, "a"), (2L, "b"),
+      (3L, "buy"), (4L, "x"))
+    val r = run(sym)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == r.getDouble(2)) // symmetry
+    assert(r.getDouble(3) == 0.0) // dummy
+    // Driver replay of the cumulative-coverage game
+    // v(S) = conversions of users with touchset ⊆ S, over n.
+    val cells = sym.groupBy(_._1).toSeq.map { case (_, es) =>
+      val ts = es.map(_._2).toSet
+      val sid = (if (ts("a")) 1 else 0) + (if (ts("b")) 2 else 0) +
+        (if (ts("c")) 4 else 0)
+      (sid, if (ts("buy")) 1 else 0)
+    }
+    val n = cells.size.toDouble
+    def v(s: Int) =
+      cells.filter(c => (c._1 & ~s) == 0).map(_._2).sum.toDouble / n
+    val w0 = 1.0 / 3.0; val w1 = 1.0 / 6.0
+    def phi(i: Int, a: Int, b: Int) =
+      w0 * (v(i) - v(0)) + w1 * (v(i + a) - v(a)) +
+        w1 * (v(i + b) - v(b)) + w0 * (v(7) - v(a + b))
+    assert(r.getDouble(1) == phi(1, 2, 4))
+    assert(r.getDouble(2) == phi(2, 1, 4))
+    assert(r.getDouble(3) == phi(4, 1, 2))
+    // Efficiency: credits sum to v(full) - v(empty).
+    val total = r.getDouble(1) + r.getDouble(2) + r.getDouble(3)
+    assert(math.abs(total - (v(7) - v(0))) < 1e-12)
+  }
 }
