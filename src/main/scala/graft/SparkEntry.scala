@@ -3999,6 +3999,15 @@ object SparkEntry {
         col("event_type") === "purchase",
         p0 = 0.2, p1 = 0.25)),
 
+    // ---- Survey weighting: IPF raking to uniform marginals — fixed-
+    //      point integer rescaling rounds over the contingency table,
+    //      order-free exact sums, floor-quantized convergence ----
+    "q_ipf_raking" -> ((s, dir) =>
+      graft.ops.Sampling.ipfRake(
+        t(s, dir, "customer"),
+        col("c_mktsegment"), pmod(col("c_nationkey"), lit(5L)),
+        rounds = 3)),
+
     // ---- Marketing: EXACT Shapley attribution (k=3 closed form) —
     //      coalition-fair conversion credit for view/click/signup
     //      exposure toward purchase; 8-cell pivot, fixed weight chain ----
@@ -9014,6 +9023,34 @@ object SparkEntry {
           "CAST(f.n_trials - f.n_success AS DOUBLE) * " +
           s"CAST($la AS DOUBLE) AS llr_final, " +
           "c.first_cross, c.decision FROM f LEFT JOIN c ON true"
+      },
+      "q_ipf_raking" -> {
+        // Same fixed-point rescaling rounds; HUGEINT intermediates cast
+        // back to BIGINT (no overflow inside the documented bound).
+        val chain = (1 to 3).map { k =>
+          val prev = if (k == 1) "c0" else s"cc${k - 1}"
+          s"rr$k AS (SELECT p.r, p.c, p.n, " +
+            "CAST(p.w * t.rowt // s.rsum AS BIGINT) AS w " +
+            s"FROM $prev p JOIN (SELECT r, sum(w) AS rsum FROM $prev " +
+            "GROUP BY 1) s ON p.r = s.r CROSS JOIN t), " +
+            s"cc$k AS (SELECT p.r, p.c, p.n, " +
+            "CAST(p.w * t.colt // s.csum AS BIGINT) AS w " +
+            s"FROM rr$k p JOIN (SELECT c AS c2, sum(w) AS csum " +
+            s"FROM rr$k GROUP BY 1) s ON p.c = s.c2 CROSS JOIN t)"
+        }.mkString(", ")
+        "WITH c0 AS (SELECT CAST(c_mktsegment AS VARCHAR) AS r, " +
+          "CAST(c_nationkey % 5 AS VARCHAR) AS c, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(count(*) AS BIGINT) * 1000 AS w FROM customer " +
+          "WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL " +
+          "GROUP BY 1, 2), " +
+          "t AS (SELECT CAST(CAST(sum(n) AS HUGEINT) * 1000 // " +
+          "count(DISTINCT r) AS BIGINT) AS rowt, " +
+          "CAST(CAST(sum(n) AS HUGEINT) * 1000 // " +
+          "count(DISTINCT c) AS BIGINT) AS colt FROM c0), " +
+          chain + " " +
+          "SELECT r AS row_key, c AS col_key, n, w AS w_milli, " +
+          "CAST(w AS DOUBLE) / 1000.0 AS w FROM cc3"
       },
       "q_shapley_attribution" -> {
         val w0 = 1.0 / 3.0

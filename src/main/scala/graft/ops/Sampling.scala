@@ -453,4 +453,55 @@ object Sampling {
       .filter(col("__rn") <= col("alloc"))
       .select(col(strataCol), col(idCol), col("n_stratum"), col("alloc"))
   }
+
+  /** Survey raking (iterative proportional fitting) to UNIFORM row and
+    * column marginals — the post-stratification weighting that makes a
+    * skewed sample speak for a balanced population: cell weights are
+    * alternately rescaled so each row's mass, then each column's,
+    * matches its target share, `rounds` times. Output one row per
+    * observed cell: (rowCol, colCol, n, w_milli, w).
+    *
+    * Determinism via FIXED-POINT arithmetic (the PageRank discipline):
+    * weights live in 1/1000 units as BIGINTs, every rescale is one
+    * integer multiply + floor division, and marginal sums are exact
+    * integer additions — order-free across partitions AND engines, so
+    * no float fold anywhere. Floor rounding makes this converge to
+    * within q-quantization of real IPF (the tolerance a weighting
+    * pipeline already accepts). Magnitude bound: w·target must fit a
+    * BIGINT — totals up to ~3·10⁹ rows at q=1000; rescale upstream
+    * counts beyond that.
+    *
+    * Scale: per round, two grouped integer aggregates over O(cells)
+    * (the CONTINGENCY TABLE, not the corpus) and two broadcast joins
+    * back. The corpus is touched once, in the initial count. */
+  def ipfRake(df: DataFrame, rowCol: Column, colCol: Column,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val q = 1000L
+    var cells = df
+      .select(rowCol.cast("string").as("__r"), colCol.cast("string").as("__c"))
+      .where(col("__r").isNotNull && col("__c").isNotNull)
+      .groupBy("__r", "__c").agg(count(lit(1)).as("n"))
+      .withColumn("__w", col("n") * q)
+    val t0 = cells.agg(
+      sum(col("n")).as("t"),
+      countDistinct(col("__r")).as("nr"),
+      countDistinct(col("__c")).as("nc")).collect().head
+    val (total, nR, nC) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
+    val rowT = total * q / nR
+    val colT = total * q / nC
+    (1 to rounds).foreach { _ =>
+      val rs = cells.groupBy("__r").agg(sum(col("__w")).as("__rsum"))
+      cells = cells.join(broadcast(rs), "__r")
+        .withColumn("__w", expr(s"__w * ${rowT}L div __rsum"))
+        .drop("__rsum")
+      val cs = cells.groupBy("__c").agg(sum(col("__w")).as("__csum"))
+      cells = cells.join(broadcast(cs), "__c")
+        .withColumn("__w", expr(s"__w * ${colT}L div __csum"))
+        .drop("__csum")
+    }
+    cells.select(col("__r").as("row_key"), col("__c").as("col_key"),
+      col("n"), col("__w").as("w_milli"),
+      (col("__w").cast("double") / lit(q.toDouble)).as("w"))
+  }
 }

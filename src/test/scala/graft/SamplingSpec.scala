@@ -299,4 +299,32 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(again == got.map(_.getLong(1)).toSet)
   }
+
+  test("ipfRake: marginals converge toward uniform targets, mass is " +
+      "preserved within quantization, partitioning-invariant") {
+    import org.apache.spark.sql.functions.col
+    // Skewed 2x2: row a has 3x the mass of row b; columns skewed too.
+    val rows = Seq.fill(60)(("a", "x")) ++ Seq.fill(30)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val df = rows.toDF("r", "c")
+    val got = Sampling.ipfRake(df, col("r"), col("c"), rounds = 5)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        x.getLong(3)).toMap
+    val total = 120000L // 120 rows in milli-units
+    // Row marginals after raking: each within quantization of total/2.
+    val rowA = got(("a", "x")) + got(("a", "y"))
+    val rowB = got(("b", "x")) + got(("b", "y"))
+    assert(math.abs(rowA - total / 2) <= 200, s"rowA=$rowA")
+    assert(math.abs(rowB - total / 2) <= 200, s"rowB=$rowB")
+    val colX = got(("a", "x")) + got(("b", "x"))
+    assert(math.abs(colX - total / 2) <= 200, s"colX=$colX")
+    // Floor rounding only ever loses sub-milli mass.
+    val mass = got.values.sum
+    assert(mass <= total && mass >= total - 400)
+    // Partitioning-invariant: fixed-point sums are order-free.
+    val re = Sampling.ipfRake(df.repartition(13), col("r"), col("c"),
+      rounds = 5).collect().map(x =>
+        (x.getString(0), x.getString(1)) -> x.getLong(3)).toMap
+    assert(re == got)
+  }
 }
