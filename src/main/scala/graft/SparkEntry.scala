@@ -142,9 +142,9 @@ object SparkEntry {
     hist.unionByName(curr)
   }
 
-  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+  private def scd2Changes(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val changes = c.filter(col("c_custkey") % 3 === 0)
+    c.filter(col("c_custkey") % 3 === 0)
       .select(col("c_custkey"), col("c_mktsegment"),
         (col("c_acctbal") + 10.5).as("c_acctbal"), lit(1000L).as("ts"))
       .unionByName(c.filter(col("c_custkey") % 3 === 1)
@@ -158,9 +158,12 @@ object SparkEntry {
         .select((col("c_custkey") + 100000).as("c_custkey"),
           lit("NEWSEG").as("c_mktsegment"), lit(1.0).as("c_acctbal"),
           lit(3000L).as("ts")))
-    graft.ops.Scd2.applyChanges(scd2Baseline(s, dir), changes,
-      "c_custkey", "ts", Seq("c_mktsegment", "c_acctbal"))
   }
+
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd2.applyChanges(scd2Baseline(s, dir),
+      scd2Changes(s, dir),
+      "c_custkey", "ts", Seq("c_mktsegment", "c_acctbal"))
 
   /** `events` mapped onto the ingestion-record contract of the reference
     * (quick_stream `src/upsert.rs:19-33`): pkey + modified_date + payload;
@@ -891,6 +894,19 @@ object SparkEntry {
     //      versions in one full-outer join; no-op and out-of-order
     //      changes leave the current version untouched ----
     "q_scd2" -> ((s, dir) => scd2Dim(s, dir)),
+
+    // ---- Warehouse: INCREMENTAL SCD2 — time-ordered change chunks
+    //      applied batch-by-batch must land on the one-shot history
+    //      (the fold property streaming dimension maintenance rests on) ----
+    "o26_scd2_incremental" -> ((s, dir) => {
+      val all = scd2Changes(s, dir)
+      val early = all.filter(col("ts") <= 1000L)
+      val late = all.filter(col("ts") > 1000L)
+      val step1 = graft.ops.Scd2.applyChanges(scd2Baseline(s, dir),
+        early, "c_custkey", "ts", Seq("c_mktsegment", "c_acctbal"))
+      graft.ops.Scd2.applyChanges(step1, late,
+        "c_custkey", "ts", Seq("c_mktsegment", "c_acctbal"))
+    }),
 
     // ---- Warehouse: BITEMPORAL query — valid time × transaction time:
     //      the SCD2 dim lives in a versioned target (tx time = commit
@@ -5991,6 +6007,8 @@ object SparkEntry {
           "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day " +
           "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM d"),
       "q_scd2" -> scd2Sql,
+      // chunked application converges on the same one-shot history
+      "o26_scd2_incremental" -> scd2Sql,
       "q_bitemporal" ->
         // tx1 = the pre-change baseline, tx2 = the applied-changes dim;
         // identical valid-time as-of filter on both transaction views.
