@@ -3535,6 +3535,41 @@ object SparkEntry {
       formatFidelity(graft.sources.Formats.roundTrip(
         s, t(s, dir, "documents"), "orc", s"$tmp/docs"))
     }),
+    // ---- Sources: malformed-JSONL ingestion — PERMISSIVE read with a
+    //      corrupt-record column; broken lines are counted into a
+    //      quarantine row instead of killing the read (FAILFAST) or
+    //      vanishing (DROPMALFORMED) ----
+    "src_jsonl_corrupt" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = Files.createTempDirectory("graft_jlc_").toString
+      t(s, dir, "documents")
+        .select(when(col("doc_id") % 97 === 0,
+          concat(lit("{broken json line "), col("doc_id").cast("string")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars")))).as("value"))
+        .write.mode("overwrite").text(s"$tmp/lines")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("_bad", StringType)))
+      // Spark disallows querying ONLY the corrupt column straight off a
+      // raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize the
+      // parsed batch first, which an ingestion pipeline does anyway.
+      val back = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(s"$tmp/lines")
+        .localCheckpoint()
+      val clean = back.filter(col("_bad").isNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val bad = back.filter(col("_bad").isNotNull)
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("_corrupt").as("lang"), col("n_docs"),
+          lit(null).cast("long").as("sum_chars"))
+      clean.unionByName(bad)
+    }),
+
     // Spark 4's built-in XML source (the spark-xml merge): rowTag-framed
     // records; same fidelity contract as the other interchange formats.
     "src_xml_roundtrip" -> ((s, dir) => {
@@ -4560,6 +4595,12 @@ object SparkEntry {
       "src_json_roundtrip" -> fidelitySql,
       "src_orc_roundtrip" -> fidelitySql,
       "src_xml_roundtrip" -> fidelitySql,
+      "src_jsonl_corrupt" ->
+        ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents " +
+          "WHERE doc_id % 97 <> 0 GROUP BY 1 " +
+          "UNION ALL SELECT '_corrupt', CAST(count(*) AS BIGINT), " +
+          "CAST(NULL AS BIGINT) FROM documents WHERE doc_id % 97 = 0"),
       "src_partitioned_prune" ->
         ("SELECT source, count(*) AS n_docs, " +
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
