@@ -895,6 +895,31 @@ object SparkEntry {
     //      changes leave the current version untouched ----
     "q_scd2" -> ((s, dir) => scd2Dim(s, dir)),
 
+    // ---- Governance: batch-level data contract on the merge path —
+    //      a dirty batch is rejected whole (target untouched), cleaned
+    //      batches land; final state = latest-wins over clean rows only ----
+    "o27_contract_gate" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o27_").toString
+      val tbl = graft.model.TargetTable("events_cg", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val cfg = IngestConfig(name = s"o27-cg-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      val rules = Seq("low_value" -> (col("value") >= 0.05))
+      val ev = eventRecords(s, dir)
+      graft.sink.Merge.contractUpsert(pt,
+        ev.filter(col("event_id") % 2 === 0 && col("value") >= 0.05),
+        cfg, rules)
+      // the raw odd half violates the contract → rejected whole
+      try graft.sink.Merge.contractUpsert(pt,
+        ev.filter(col("event_id") % 2 === 1), cfg, rules)
+      catch { case _: IllegalStateException => () }
+      graft.sink.Merge.contractUpsert(pt,
+        ev.filter(col("event_id") % 2 === 1 && col("value") >= 0.05),
+        cfg, rules)
+      stateOut(pt.read().get)
+    }),
+
     // ---- Warehouse: INCREMENTAL SCD2 — time-ordered change chunks
     //      applied batch-by-batch must land on the one-shot history
     //      (the fold property streaming dimension maintenance rests on) ----
@@ -6050,6 +6075,13 @@ object SparkEntry {
       "q_scd2" -> scd2Sql,
       // chunked application converges on the same one-shot history
       "o26_scd2_incremental" -> scd2Sql,
+      // the table only ever saw contract-clean rows
+      "o27_contract_gate" ->
+        ("SELECT pkey, modified_date_us, event_type, value FROM (" +
+          "SELECT user_id AS pkey, epoch_us(ts) AS modified_date_us, " +
+          "event_id, event_type, value, row_number() OVER (" +
+          "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events WHERE value >= 0.05) WHERE rn = 1"),
       "q_bitemporal" ->
         // tx1 = the pre-change baseline, tx2 = the applied-changes dim;
         // identical valid-time as-of filter on both transaction views.

@@ -216,4 +216,29 @@ object Merge {
       .withColumnRenamed("__viol", "quarantine_reason")
     (valid, bad)
   }
+
+  /** BATCH-level data contract on the write path (the Delta
+    * CHECK-constraint / expectations-on-write idea): count the batch's
+    * rule violations FIRST, and only if they stay within
+    * `maxViolations` does the merge run — otherwise the whole batch is
+    * rejected loud and the target is untouched (all-or-nothing, unlike
+    * [[quarantineSplit]]'s row-level diversion: a contract breach
+    * signals an upstream bug where half-ingesting the batch would
+    * poison the table AND mask the bug). A NULL rule result counts as
+    * a violation (unprovable ≠ valid). One extra aggregate over the
+    * batch — the target is never read before the verdict. */
+  def contractUpsert(sink: MergeSink, batch: DataFrame,
+      config: graft.model.IngestConfig, rules: Seq[(String, Column)],
+      maxViolations: Long = 0L): Unit = {
+    require(rules.nonEmpty, "contractUpsert needs at least one rule")
+    val bad = batch.filter(
+      rules.map { case (_, c) => !coalesce(c, lit(false)) }.reduce(_ || _))
+      .count()
+    if (bad > maxViolations)
+      throw new IllegalStateException(
+        s"data contract rejected batch: $bad violation(s) of " +
+          s"[${rules.map(_._1).mkString(", ")}] exceed " +
+          s"maxViolations=$maxViolations")
+    sink.mergeUpsert(batch, config)
+  }
 }

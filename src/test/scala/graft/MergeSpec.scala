@@ -121,4 +121,34 @@ class MergeSpec extends SparkSpec {
     assert(bad.columns.toSeq ==
       Seq("id", "v", "kind", "quarantine_reason"))
   }
+
+  test("contractUpsert: dirty batch rejected whole, clean batch lands, " +
+      "tolerance admits bounded violations, NULL counts as violation") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_cg_").toString
+    val t = graft.model.TargetTable("t", s"$dir/t", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 2)
+    val cfg = graft.model.IngestConfig(name = "cg", maxWriterPartitions = 2)
+    val pt = new graft.sink.ParquetTarget(spark, t)
+    val rules = Seq("pos" -> (col("v") > 0.0))
+    Merge.contractUpsert(pt, Seq((1L, 1L, 1L, 5.0), (2L, 1L, 1L, 3.0))
+      .toDF("pkey", "ver", "seq", "v"), cfg, rules)
+    assert(pt.read().get.count() == 2L)
+    // One bad row → whole batch (including its clean row) rejected.
+    intercept[IllegalStateException] {
+      Merge.contractUpsert(pt, Seq((3L, 2L, 2L, 7.0), (4L, 2L, 2L, -1.0))
+        .toDF("pkey", "ver", "seq", "v"), cfg, rules)
+    }
+    assert(pt.read().get.count() == 2L) // untouched
+    // NULL rule result is a violation, not a pass.
+    intercept[IllegalStateException] {
+      Merge.contractUpsert(pt,
+        Seq((5L, 3L, 3L, null.asInstanceOf[java.lang.Double]))
+          .toDF("pkey", "ver", "seq", "v"), cfg, rules)
+    }
+    // Tolerance: the same batch passes with maxViolations = 1.
+    Merge.contractUpsert(pt, Seq((3L, 4L, 4L, 7.0), (4L, 4L, 4L, -1.0))
+      .toDF("pkey", "ver", "seq", "v"), cfg, rules, maxViolations = 1L)
+    assert(pt.read().get.count() == 4L)
+  }
 }
