@@ -4199,6 +4199,46 @@ object SparkEntry {
       graft.ops.TimeSeries.pacf(hourly, "event_type", "hr", "hx")
     }),
 
+    // ---- Time series: peak detection — strict local maxima of the
+    //      hourly load with integer prominence over both neighbors ----
+    "ts_peaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hr"))
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+        .withColumn("__prev", lag(col("hx"), 1).over(w))
+        .withColumn("__next", lead(col("hx"), 1).over(w))
+        .filter(col("__prev").isNotNull && col("__next").isNotNull &&
+          col("hx") > col("__prev") && col("hx") > col("__next"))
+        .select(col("event_type"), col("hr"), col("hx"),
+          (col("hx") - greatest(col("__prev"), col("__next")))
+            .as("prominence"))
+        .filter(col("prominence") >= 2048L)
+    }),
+
+    // ---- OLAP: gaps-and-islands — longest consecutive-active-day
+    //      streak per user via the day − dense_rank island key, rolled
+    //      into a streak-length histogram ----
+    "q_streaks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val days = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val streaks = days
+        .withColumn("__grp", col("day") - dense_rank().over(w))
+        .groupBy(col("user_id"), col("__grp"))
+        .agg(count(lit(1)).as("__len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("__len")).as("longest_streak"))
+      streaks.groupBy("longest_streak")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // ---- Time series: Ljung-Box portmanteau Q at h=6 over the exact-
     //      form ACF — "any serial correlation left?" on the hourly
     //      series; strict lag-order term chain ----
@@ -9493,6 +9533,28 @@ object SparkEntry {
           "1.0 - p21 * r1 - pacf2 * r2 = 0.0 THEN NULL ELSE " +
           "(r3 - p21 * r2 - pacf2 * r1) / " +
           "(1.0 - p21 * r1 - pacf2 * r2) END AS pacf3 FROM p21"),
+      "ts_peaks" ->
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2), " +
+          "n AS (SELECT event_type, hr, hx, " +
+          "lag(hx) OVER (PARTITION BY event_type ORDER BY hr) AS p, " +
+          "lead(hx) OVER (PARTITION BY event_type ORDER BY hr) AS nx " +
+          "FROM h) " +
+          "SELECT event_type, hr, hx, hx - greatest(p, nx) AS prominence " +
+          "FROM n WHERE p IS NOT NULL AND nx IS NOT NULL " +
+          "AND hx > p AND hx > nx AND hx - greatest(p, nx) >= 2048"),
+      "q_streaks" ->
+        ("WITH d AS (SELECT DISTINCT user_id, " +
+          "epoch_us(ts) // 86400000000 AS day FROM events), " +
+          "g AS (SELECT user_id, day - dense_rank() OVER (" +
+          "PARTITION BY user_id ORDER BY day) AS grp FROM d), " +
+          "s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len " +
+          "FROM g GROUP BY user_id, grp), " +
+          "m AS (SELECT user_id, max(len) AS longest_streak FROM s " +
+          "GROUP BY 1) " +
+          "SELECT longest_streak, CAST(count(*) AS BIGINT) AS n_users " +
+          "FROM m GROUP BY 1"),
       "ts_ljung_box" ->
         // ts_acf's exact-form rho CTEs at h=6, pivoted; Q via the
         // engine's strict left-to-right lag-order term chain.
