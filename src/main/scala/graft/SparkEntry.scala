@@ -4460,6 +4460,50 @@ object SparkEntry {
         .agg(sum(col("qx")).as("hx"))
       graft.ops.TimeSeries.hurstRS(hourly, "event_type", "hr", "hx")
     }),
+
+    // ---- Ranking eval: NDCG@10 per query cohort — exact scaled-long
+    //      DCG (driver-literal log2 discounts, the benford precedent)
+    //      over per-cohort rank windows, ideal-DCG by prefix lookup ----
+    "q_ndcg" -> ((s, dir) =>
+      graft.ops.RankEval.ndcgAtK(
+        t(s, dir, "events"), pmod(col("user_id"), lit(100L)),
+        col("value"), col("event_id"),
+        col("event_type") === "purchase", k = 10)),
+
+    // ---- Ranking eval: mean reciprocal rank — first-relevant rank per
+    //      cohort, floor-scaled exact reciprocal sum, ONE division ----
+    "q_mrr" -> ((s, dir) =>
+      graft.ops.RankEval.meanReciprocalRank(
+        t(s, dir, "events"), pmod(col("user_id"), lit(100L)),
+        col("value"), col("event_id"),
+        col("event_type") === "purchase")),
+
+    // ---- Ranking eval: average precision (PR-AUC, step form) — the
+    //      global rank is columnar (range partitions + broadcast prefix
+    //      offsets), precision@k accumulates as exact scaled longs ----
+    "q_avg_precision" -> ((s, dir) =>
+      graft.ops.RankEval.averagePrecision(
+        t(s, dir, "events"), col("value"), col("event_id"),
+        col("event_type") === "purchase")),
+
+    // ---- Classifier eval: 2×2 confusion + accuracy/precision/recall/
+    //      F1/kappa/MCC in ONE scan — exact counts, fixed-shape IEEE
+    //      derivations shared verbatim with the oracle ----
+    "q_classifier_eval" -> ((s, dir) =>
+      graft.ops.RankEval.classifierEval(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("value") >= 50.0,
+        col("event_type") === "purchase")),
+
+    // ---- Calibration ECE: per-bin weighted |observed − claimed| gaps
+    //      collapse to exact integers (micro-unit probabilities), so
+    //      the headline number is ONE division — q_calibration's
+    //      single-number companion ----
+    "q_ece" -> ((s, dir) =>
+      graft.ops.RankEval.expectedCalibrationError(
+        t(s, dir, "events"),
+        least(floor(col("value") * 2000.0).cast("long"), lit(1000000L)),
+        col("event_type") === "purchase", nBins = 20)),
   )
 
   /** Content-fidelity aggregate for the format round-trip gates: per-lang
@@ -4477,6 +4521,123 @@ object SparkEntry {
     * cannot drift apart. */
   private val Bm25Terms = Seq("spark", "merge", "hash")
   private val Bm25K = 25
+
+  /** Oracles for the ranking/classifier evaluation gates
+    * ([[graft.ops.RankEval]]). The DCG discount weights and their
+    * prefix sums are generated HERE from the same driver functions the
+    * Spark op uses — literal-for-literal shared, the benford precedent
+    * — so both engines sum identical scaled longs; kappa/MCC mirror the
+    * Spark expression tree shape exactly (fixed IEEE op sequence). */
+  private def rankEvalOracles: Map[String, String] = {
+    val w = graft.ops.RankEval.dcgWeightsScaled(10).mkString(", ")
+    val prefix = graft.ops.RankEval.idcgPrefixScaled(10).mkString(", ")
+    val scoredEvents =
+      "SELECT (((user_id % 100) + 100) % 100) AS q, value AS s, " +
+        "event_id AS id, CASE WHEN event_type = 'purchase' THEN 1 " +
+        "ELSE 0 END AS y FROM events WHERE value IS NOT NULL"
+    Map(
+      "q_ndcg" ->
+        (s"WITH b AS ($scoredEvents), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY q " +
+          "ORDER BY s DESC, id) AS rn FROM b), " +
+          "g AS (SELECT CAST(q AS BIGINT) AS query, " +
+          "CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(y) AS BIGINT) AS n_pos, " +
+          "CAST(coalesce(sum(CASE WHEN rn <= 10 AND y = 1 THEN " +
+          s"list_extract([$w], CAST(rn AS INT)) END), 0) AS BIGINT) " +
+          "AS dcg_scaled FROM r GROUP BY q) " +
+          "SELECT query, n, n_pos, dcg_scaled, " +
+          "CASE WHEN n_pos > 0 THEN CAST(list_extract(" +
+          s"[$prefix], CAST(least(n_pos, 10) AS INT)) AS BIGINT) END " +
+          "AS idcg_scaled, " +
+          "CASE WHEN n_pos > 0 THEN CAST(dcg_scaled AS DOUBLE) / " +
+          s"CAST(list_extract([$prefix], CAST(least(n_pos, 10) AS INT)) " +
+          "AS DOUBLE) END AS ndcg FROM g"),
+      "q_mrr" ->
+        (s"WITH b AS ($scoredEvents), " +
+          "r AS (SELECT *, row_number() OVER (PARTITION BY q " +
+          "ORDER BY s DESC, id) AS rn FROM b), " +
+          "f AS (SELECT q, min(rn) AS fr FROM r WHERE y = 1 GROUP BY q) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+          "CAST(coalesce(sum(1000000 // fr), 0) AS BIGINT) " +
+          "AS sum_recip_scaled, " +
+          "CASE WHEN count(*) > 0 THEN " +
+          "CAST(coalesce(sum(1000000 // fr), 0) AS DOUBLE) / " +
+          "(CAST(count(*) AS DOUBLE) * 1e6) END AS mrr FROM f"),
+      "q_avg_precision" ->
+        ("WITH b AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 " +
+          "ELSE 0 END AS y, value AS s, event_id AS id FROM events " +
+          "WHERE value IS NOT NULL), " +
+          "r AS (SELECT y, row_number() OVER (ORDER BY s DESC, id) " +
+          "AS rk, sum(y) OVER (ORDER BY s DESC, id " +
+          "ROWS UNBOUNDED PRECEDING) AS cp FROM b) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n_pos, " +
+          "CAST(coalesce(sum((1000000 * cp) // rk), 0) AS BIGINT) " +
+          "AS sum_prec_scaled, " +
+          "CASE WHEN count(*) > 0 THEN " +
+          "CAST(coalesce(sum((1000000 * cp) // rk), 0) AS DOUBLE) / " +
+          "(CAST(count(*) AS DOUBLE) * 1e6) END AS avg_precision " +
+          "FROM r WHERE y = 1"),
+      "q_classifier_eval" -> {
+        val n = "CAST(n AS DOUBLE)"
+        val pe = s"(CAST(tp + fp AS DOUBLE) / $n) * " +
+          s"(CAST(tp + fn AS DOUBLE) / $n) + " +
+          s"(CAST(fn + tn AS DOUBLE) / $n) * " +
+          s"(CAST(fp + tn AS DOUBLE) / $n)"
+        "WITH c AS (SELECT " +
+          "CAST(coalesce(sum(CASE WHEN value >= 50.0 AND " +
+          "event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+          "AS tp, " +
+          "CAST(coalesce(sum(CASE WHEN value >= 50.0 AND " +
+          "NOT event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+          "AS fp, " +
+          "CAST(coalesce(sum(CASE WHEN NOT value >= 50.0 AND " +
+          "event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+          "AS fn, " +
+          "CAST(coalesce(sum(CASE WHEN NOT value >= 50.0 AND " +
+          "NOT event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) " +
+          "AS tn FROM events WHERE value IS NOT NULL), " +
+          "m AS (SELECT *, tp + fp + fn + tn AS n FROM c) " +
+          "SELECT tp, fp, fn, tn, CAST(n AS BIGINT) AS n, " +
+          s"CASE WHEN n > 0 THEN CAST(tp + tn AS DOUBLE) / $n END " +
+          "AS accuracy, " +
+          "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / " +
+          "CAST(tp + fp AS DOUBLE) END AS precision, " +
+          "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / " +
+          "CAST(tp + fn AS DOUBLE) END AS recall, " +
+          "CASE WHEN 2 * tp + fp + fn > 0 THEN " +
+          "(2.0 * CAST(tp AS DOUBLE)) / " +
+          "CAST(2 * tp + fp + fn AS DOUBLE) END AS f1, " +
+          s"CASE WHEN n > 0 THEN CASE WHEN $pe < 1.0 THEN " +
+          s"((CAST(tp + tn AS DOUBLE) / $n) - ($pe)) / (1.0 - ($pe)) " +
+          "END END AS kappa, " +
+          "CASE WHEN sqrt(CAST(tp + fp AS DOUBLE)) * " +
+          "sqrt(CAST(tp + fn AS DOUBLE)) * " +
+          "sqrt(CAST(tn + fp AS DOUBLE)) * " +
+          "sqrt(CAST(tn + fn AS DOUBLE)) > 0.0 THEN " +
+          "(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - " +
+          "CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / " +
+          "(sqrt(CAST(tp + fp AS DOUBLE)) * " +
+          "sqrt(CAST(tp + fn AS DOUBLE)) * " +
+          "sqrt(CAST(tn + fp AS DOUBLE)) * " +
+          "sqrt(CAST(tn + fn AS DOUBLE))) END AS mcc FROM m"
+      },
+      "q_ece" ->
+        ("WITH b AS (SELECT least(CAST(floor(value * 2000.0) AS BIGINT), " +
+          "1000000) AS pm, CASE WHEN event_type = 'purchase' THEN 1 " +
+          "ELSE 0 END AS y FROM events WHERE value IS NOT NULL), " +
+          "g AS (SELECT least((pm * 20) // 1000000, 19) AS bin, " +
+          "count(*) AS nb, sum(y) AS np, sum(pm) AS sp FROM b " +
+          "GROUP BY 1) " +
+          "SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n, " +
+          "CAST(count(*) AS BIGINT) AS n_bins_used, " +
+          "CAST(coalesce(sum(abs(np * 1000000 - sp)), 0) AS BIGINT) " +
+          "AS ece_num, " +
+          "CASE WHEN coalesce(sum(nb), 0) > 0 THEN " +
+          "CAST(coalesce(sum(abs(np * 1000000 - sp)), 0) AS DOUBLE) / " +
+          "(CAST(sum(nb) AS DOUBLE) * 1e6) END AS ece FROM g"),
+    )
+  }
 
   /** Oracles for the source-format, ranking, repetition, and domain-cap
     * gates. The round-trip oracles read the parquet originals — fidelity
@@ -9797,6 +9958,6 @@ object SparkEntry {
           "rs32 <= 0.0 THEN NULL ELSE (ln(rs32) - ln(rs8)) / " +
           "(2.0 * ln(2.0)) END AS hurst " +
           "FROM np LEFT JOIN piv USING (event_type)"),
-    ) ++ docPipelineOracles ++ sourceAndRankOracles
+    ) ++ docPipelineOracles ++ sourceAndRankOracles ++ rankEvalOracles
   }
 }

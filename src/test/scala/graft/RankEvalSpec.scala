@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.RankEval
+
+/** Hand-computed fixtures for the ranking/classifier eval metrics — the
+  * scaled-integer accumulation must reproduce the textbook values. */
+class RankEvalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val w = RankEval.dcgWeightsScaled(10)
+  private val prefix = RankEval.idcgPrefixScaled(10)
+
+  test("dcg weights: rank 1 is exactly 1e8, monotone decreasing, prefix sums align") {
+    assert(w.head == 100000000L)
+    assert(w == w.sorted.reverse)
+    assert(prefix == w.scanLeft(0L)(_ + _).tail)
+  }
+
+  test("ndcg: single relevant doc at rank 2 of 3 scores w2/w1") {
+    val df = Seq((1L, 30.0, 1L, false), (1L, 20.0, 2L, true),
+      (1L, 10.0, 3L, false))
+      .toDF("q", "s", "id", "rel")
+    val r = RankEval.ndcgAtK(df, col("q"), col("s"), col("id"),
+      col("rel"), k = 10).collect().head
+    assert(r.getAs[Long]("dcg_scaled") == w(1))
+    assert(r.getAs[Long]("idcg_scaled") == w(0))
+    assert(math.abs(r.getAs[Double]("ndcg") - w(1).toDouble / w(0)) < 1e-12)
+  }
+
+  test("ndcg: perfect ranking is exactly 1.0; no-relevant query is null") {
+    val df = Seq((1L, 3.0, 1L, true), (1L, 2.0, 2L, true),
+      (1L, 1.0, 3L, false), (2L, 9.0, 4L, false))
+      .toDF("q", "s", "id", "rel")
+    val rows = RankEval.ndcgAtK(df, col("q"), col("s"), col("id"),
+      col("rel"), k = 10).collect().map(r => r.getAs[Long]("query") -> r)
+      .toMap
+    assert(rows(1L).getAs[Double]("ndcg") == 1.0)
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("ndcg")))
+  }
+
+  test("mrr: first-relevant ranks 1 and 4 average to 0.625") {
+    val df = Seq(
+      (1L, 9.0, 1L, true), (1L, 8.0, 2L, false),
+      (2L, 9.0, 3L, false), (2L, 8.0, 4L, false), (2L, 7.0, 5L, false),
+      (2L, 6.0, 6L, true), (2L, 5.0, 7L, true),
+      (3L, 4.0, 8L, false))
+      .toDF("q", "s", "id", "rel")
+    val r = RankEval.meanReciprocalRank(df, col("q"), col("s"),
+      col("id"), col("rel")).collect().head
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Long]("sum_recip_scaled") == 1000000L + 250000L)
+    assert(math.abs(r.getAs[Double]("mrr") - 0.625) < 1e-12)
+  }
+
+  test("average precision: ranking [+,-,+] gives (1 + 2/3)/2 floored at 1e-6") {
+    val df = Seq((3.0, 1L, true), (2.0, 2L, false), (1.0, 3L, true))
+      .toDF("s", "id", "rel")
+    val r = RankEval.averagePrecision(df, col("s"), col("id"),
+      col("rel")).collect().head
+    assert(r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Long]("sum_prec_scaled") == 1000000L + 666666L)
+    assert(math.abs(r.getAs[Double]("avg_precision") - 0.833333) < 1e-6)
+  }
+
+  test("average precision matches the single-partition window replay on a corpus") {
+    val df = spark.range(2000).select(
+      (col("id") * 2654435761L % 1000L).cast("double").as("s"),
+      col("id"), (col("id") % 7L === 0L).as("rel"))
+    val fast = RankEval.averagePrecision(df.repartition(13), col("s"),
+      col("id"), col("rel")).collect().head
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.orderBy(col("s").desc, col("id"))
+    val slow = df.select(when(col("rel"), 1L).otherwise(0L).as("y"),
+        col("s"), col("id"))
+      .withColumn("rk", row_number().over(w0).cast("long"))
+      .withColumn("cp", sum(col("y")).over(
+        w0.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("y") === 1L)
+      .agg(sum(expr("(1000000 * cp) div rk")).as("sp")).collect().head
+    assert(fast.getAs[Long]("sum_prec_scaled") == slow.getAs[Long]("sp"))
+  }
+
+  test("classifier eval: textbook 2x2 (tp=2 fp=1 fn=1 tn=6)") {
+    val df = (Seq((true, true), (true, true), (true, false),
+      (false, true)) ++ Seq.fill(6)((false, false)))
+      .toDF("pred", "actual")
+    val r = RankEval.classifierEval(df, col("pred"), col("actual"))
+      .collect().head
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 1 &&
+      r.getAs[Long]("fn") == 1 && r.getAs[Long]("tn") == 6)
+    assert(r.getAs[Double]("accuracy") == 0.8)
+    assert(math.abs(r.getAs[Double]("precision") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("recall") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("f1") - 2.0 / 3.0) < 1e-12)
+    // po=.8, pe=.58 -> kappa = .22/.42; mcc = 11/21 (same here)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.22 / 0.42) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mcc") - 11.0 / 21.0) < 1e-12)
+  }
+
+  test("ece: two clean bins, exact integer numerator") {
+    // bin 0: two rows pm=100000 (claim .1), one positive -> |1e6*1 - 2e5| = 8e5
+    // bin 19: one row pm=980000 (claim .98), positive -> |1e6 - 98e4| = 2e4
+    val df = Seq((100000L, true), (100000L, false), (980000L, true))
+      .toDF("pm", "y")
+    val r = RankEval.expectedCalibrationError(df, col("pm"), col("y"),
+      nBins = 20).collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("n_bins_used") == 2L)
+    assert(r.getAs[Long]("ece_num") == 800000L + 20000L)
+    assert(math.abs(r.getAs[Double]("ece") - 820000.0 / 3e6) < 1e-12)
+  }
+}
