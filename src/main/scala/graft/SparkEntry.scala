@@ -4495,6 +4495,53 @@ object SparkEntry {
         col("value") >= 50.0,
         col("event_type") === "purchase")),
 
+    // ---- Graph: Katz centrality — in-degree-weighted reachability with
+    //      exact quantized α-damping (no out-degree normalization, the
+    //      PageRank contrast); 3 fixed-point rounds, Pregel joins ----
+    "graph_katz" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_partkey") * 2).cast("long").as("a"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("b"))
+      val edges = li.unionByName(li.select(col("b").as("a"), col("a").as("b")))
+      graft.ops.Graph.katz(edges, "a", "b", iters = 3)
+    }),
+
+    // ---- Experimentation: quantile treatment effect — per-arm exact
+    //      interpolated quantiles and their gaps; the distributional
+    //      readout a mean-diff z-test can't see ----
+    "q_qte" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select((pmod(col("user_id"), lit(2L)) === 0L).as("__arm"),
+          col("value"))
+      val byArm = ev.groupBy(col("__arm")).agg(
+        percentile(col("value"), lit(0.25)).as("p25"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.75)).as("p75"),
+        percentile(col("value"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+      def arm(c: String, a: Boolean) =
+        max(when(col("__arm") === a, col(c)))
+      byArm.agg(
+        arm("n", true).as("n_a"), arm("n", false).as("n_b"),
+        arm("p25", true).as("p25_a"), arm("p25", false).as("p25_b"),
+        arm("p50", true).as("p50_a"), arm("p50", false).as("p50_b"),
+        arm("p75", true).as("p75_a"), arm("p75", false).as("p75_b"),
+        arm("p90", true).as("p90_a"), arm("p90", false).as("p90_b"))
+        .withColumn("d25", col("p25_a") - col("p25_b"))
+        .withColumn("d50", col("p50_a") - col("p50_b"))
+        .withColumn("d75", col("p75_a") - col("p75_b"))
+        .withColumn("d90", col("p90_a") - col("p90_b"))
+    }),
+
+    // ---- Skyline (Pareto front): highest-value-earliest frontier per
+    //      event type — distributive two-level fronts, so no full-group
+    //      window ever sees raw rows ----
+    "q_skyline" -> ((s, dir) =>
+      graft.ops.Skyline.skyline2d(
+        t(s, dir, "events"), col("event_type"), col("value"), col("ts"))
+        .select(col("g").as("event_type"), col("x").as("value"),
+          col("y").as("ts_ns"))),
+
     // ---- Calibration ECE: per-bin weighted |observed − claimed| gaps
     //      collapse to exact integers (micro-unit probabilities), so
     //      the headline number is ONE division — q_calibration's
@@ -4622,6 +4669,42 @@ object SparkEntry {
           "sqrt(CAST(tn + fp AS DOUBLE)) * " +
           "sqrt(CAST(tn + fn AS DOUBLE))) END AS mcc FROM m"
       },
+      "graph_katz" ->
+        ("WITH le AS (SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src, " +
+          "CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem), " +
+          "e AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le), " +
+          graft.functions.OracleSql.katzCtes(iters = 3) +
+          " SELECT node, katz_q FROM kz3"),
+      "q_qte" -> {
+        def arm(c: String, a: String) =
+          s"max(CASE WHEN arm = $a THEN $c END)"
+        "WITH g AS (SELECT ((user_id % 2) + 2) % 2 = 0 AS arm, value " +
+          "FROM events WHERE value IS NOT NULL), " +
+          "a AS (SELECT arm, quantile_cont(value, 0.25) AS p25, " +
+          "quantile_cont(value, 0.5) AS p50, " +
+          "quantile_cont(value, 0.75) AS p75, " +
+          "quantile_cont(value, 0.9) AS p90, " +
+          "CAST(count(*) AS BIGINT) AS n FROM g GROUP BY arm) " +
+          "SELECT " +
+          s"${arm("n", "true")} AS n_a, ${arm("n", "false")} AS n_b, " +
+          s"${arm("p25", "true")} AS p25_a, ${arm("p25", "false")} AS p25_b, " +
+          s"${arm("p50", "true")} AS p50_a, ${arm("p50", "false")} AS p50_b, " +
+          s"${arm("p75", "true")} AS p75_a, ${arm("p75", "false")} AS p75_b, " +
+          s"${arm("p90", "true")} AS p90_a, ${arm("p90", "false")} AS p90_b, " +
+          s"${arm("p25", "true")} - ${arm("p25", "false")} AS d25, " +
+          s"${arm("p50", "true")} - ${arm("p50", "false")} AS d50, " +
+          s"${arm("p75", "true")} - ${arm("p75", "false")} AS d75, " +
+          s"${arm("p90", "true")} - ${arm("p90", "false")} AS d90 FROM a"
+      },
+      "q_skyline" ->
+        ("WITH b AS (SELECT DISTINCT event_type AS g, value AS x, " +
+          "epoch_us(ts) * 1000 AS y FROM events " +
+          "WHERE value IS NOT NULL AND ts IS NOT NULL), " +
+          "w AS (SELECT g, x, y, min(y) OVER (PARTITION BY g " +
+          "ORDER BY x DESC, y ASC ROWS BETWEEN UNBOUNDED PRECEDING " +
+          "AND 1 PRECEDING) AS my FROM b) " +
+          "SELECT g AS event_type, x AS value, CAST(y AS BIGINT) AS ts_ns " +
+          "FROM w WHERE my IS NULL OR y < my"),
       "q_ece" ->
         ("WITH b AS (SELECT least(CAST(floor(value * 2000.0) AS BIGINT), " +
           "1000000) AS pm, CASE WHEN event_type = 'purchase' THEN 1 " +

@@ -178,6 +178,26 @@ object OracleSql {
     (base +: steps).mkString(", ")
   }
 
+  /** Katz-centrality CTE chain mirroring `Graph.katz` round-for-round
+    * over prior CTEs `e`(src, dst) and the implicit node set: emits
+    * `kz0 .. kz$iters`, each (node, katz_q) in exact quantized integer
+    * arithmetic — x₀ = q, x_{t+1} = q + (alphaNum·Σ_in x_t) // alphaDen. */
+  def katzCtes(iters: Int, q: Long = 1000000L,
+      alphaNum: Long = 1L, alphaDen: Long = 32L): String = {
+    val base =
+      "knodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        s"kz0 AS (SELECT node, CAST($q AS BIGINT) AS katz_q FROM knodes)"
+    val steps = (1 to iters).map { i =>
+      s"ks$i AS (SELECT e.dst AS node, CAST(sum(r.katz_q) AS BIGINT) " +
+        s"AS acc FROM e JOIN kz${i - 1} r ON r.node = e.src " +
+        "GROUP BY e.dst), " +
+        s"kz$i AS (SELECT nd.node, $q + ($alphaNum * coalesce(ks$i.acc, " +
+        s"CAST(0 AS BIGINT))) // $alphaDen AS katz_q " +
+        s"FROM knodes nd LEFT JOIN ks$i ON ks$i.node = nd.node)"
+    }
+    (base +: steps).mkString(", ")
+  }
+
   /** Synchronous label-propagation CTE chain mirroring
     * `Graph.labelPropagation` round-for-round, over prior CTEs
     * `e`(src, dst) — SYMMETRIC, distinct, self-loop-free — and

@@ -713,6 +713,51 @@ object Graph {
       nodesSeeded.unpersist(); () }
   }
 
+  /** Katz centrality, quantized fixed-point: x₀ = q (scaled 1.0),
+    * x_{t+1}(v) = q + α·Σ_{u→v} x_t(u), with α = alphaNum/alphaDen kept
+    * as exact integer arithmetic (`div`). Unlike PageRank there is no
+    * out-degree normalization, so α must sit well under 1/λ_max or the
+    * scores blow up — callers pick a small α (the default 1/32 keeps
+    * 3-iteration scores inside BIGINT up to in-degrees of ~10⁴); the
+    * fixed `iters` budget makes both cost and the DuckDB replay
+    * (`OracleSql.katzCtes`) deterministic. Same Pregel discipline as
+    * [[pageRank]]: degree-free edge join per round, vertex-keyed
+    * shuffles only, localCheckpoint truncates lineage. */
+  def katz(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, q: Long = 1000000L,
+      alphaNum: Long = 1L, alphaDen: Long = 32L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(q > 0, s"q must be positive, got $q")
+    require(alphaDen > 0 && alphaNum >= 0 && alphaNum < alphaDen,
+      s"alpha must satisfy 0 <= alphaNum < alphaDen, got $alphaNum/$alphaDen")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    try {
+      var ckpt = nodes.withColumn("katz_q", lit(q)).localCheckpoint()
+      var ranks = ckpt
+      for (_ <- 0 until iters) {
+        val contrib = e
+          .join(ranks.select(col("node").as("src"), col("katz_q")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("katz_q")).as("__acc"))
+        val next = nodes.join(contrib, Seq("node"), "left_outer")
+          .select(col("node"), expr(
+            s"$q + ($alphaNum * coalesce(__acc, CAST(0 AS BIGINT))) " +
+              s"div $alphaDen").as("katz_q"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
+        ckpt = next
+        ranks = next
+      }
+      ranks
+    } finally { e.unpersist(); nodes.unpersist(); () }
+  }
+
   /** HITS hubs and authorities over a directed edge list — the
     * query-independent form of Kleinberg's algorithm, and the natural
     * ranking for BIPARTITE graphs where [[pageRank]]'s single score
