@@ -2063,6 +2063,24 @@ object SparkEntry {
       stateOut(pt.read().get)
     }),
 
+    // ---- Storage: merge-on-read DELETION VECTORS — position-marked
+    //      deletes in a sidecar, zero bucket rewrites at delete time;
+    //      a later merge reads through the vector (no resurrection)
+    //      and latest-wins may legitimately re-insert a deleted key ----
+    "o28_delete_vectors" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o28_").toString
+      val target = TargetTable("events_dv", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val cfg = IngestConfig(name = s"o28-dv-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, target)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
+      pt.deleteVectored(cfg, col("value") < 20.0)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
+      stateOut(pt.read().get)
+    }),
+
     // ---- Storage: explicit schema evolution — migrate adds a derived
     //      column (full-snapshot rewrite, one commit), then a widened
     //      batch merges against the evolved schema; final state must
@@ -8494,6 +8512,28 @@ object SparkEntry {
         (s"SELECT pkey, modified_date_us, event_type, value " +
           s"FROM ($dedupState) WHERE modified_date_us " +
           "BETWEEN 1706000000000000 AND 2000000000000000"),
+      "o28_delete_vectors" ->
+        // Even-batch latest-wins, minus the vectored marks (value < 20,
+        // NULL keeps), then latest-wins against the odd batch — the DV
+        // removes exact state rows, so the survivors-then-merge replay
+        // is position-faithful.
+        ("WITH se AS (SELECT user_id AS pkey, ts, event_id, event_type, " +
+          "value, row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events WHERE event_id % 2 = 0), " +
+          "kept AS (SELECT pkey, ts, event_id, event_type, value FROM se " +
+          "WHERE rn = 1 AND (value >= 20.0 OR value IS NULL)), " +
+          "so AS (SELECT user_id AS pkey, ts, event_id, event_type, value, " +
+          "row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events WHERE event_id % 2 = 1), " +
+          "ko AS (SELECT pkey, ts, event_id, event_type, value FROM so " +
+          "WHERE rn = 1), " +
+          "u AS (SELECT * FROM kept UNION ALL SELECT * FROM ko), " +
+          "f AS (SELECT *, row_number() OVER (PARTITION BY pkey " +
+          "ORDER BY ts DESC, event_id DESC) AS rn2 FROM u) " +
+          "SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, " +
+          "value FROM f WHERE rn2 = 1"),
       "o20_row_ttl" ->
         // TTL = latest-wins filtered at the same data-derived horizon.
         (s"WITH st AS ($dedupState), " +

@@ -71,6 +71,8 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   private val pointerTmp = new Path(root, "_LATEST.tmp")
   private val lockPath = new Path(root, "_LOCK")
   private val BucketCol = "__graft_bucket"
+  private val DvFileCol = "__graft_dv_file"
+  private val DvPosCol = "__graft_dv_pos"
 
   private def fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -83,6 +85,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   private def manifestName(v: Long): String = f"m$v%010d"
   private def deltaName(v: Long): String = f"d$v%010d"
   private def zoneName(v: Long): String = f"z$v%010d"
+  private def dvName(v: Long): String = f"x$v%010d"
 
   private def bucketOf(df: DataFrame): Column =
     pmod(hash(table.hashCols.map(df.col): _*), lit(table.buckets))
@@ -147,13 +150,64 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   private def readDirs(dirs: Seq[String]): DataFrame =
     spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
 
+  /** The deletion-vector sidecar applicable when reading version `v`:
+    * the newest `x…` sidecar committed at or before `v`. A DV written at
+    * version w stays authoritative for every later version until its
+    * rows are physically materialized away (rewritten buckets get fresh
+    * file paths, so stale DV entries simply stop matching — they can
+    * never delete a row they didn't mark). Versions BEFORE w read the
+    * previous sidecar (or none): time travel sees pre-delete rows. */
+  private def dvVersionFor(v: Long): Option[Long] = {
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).toSeq
+      .map(s => versionOf('x', s.getPath.getName))
+      .filter(x => x >= 0 && x <= v)
+      .maxOption
+  }
+
+  /** Snapshot read at version `v` with merge-on-read deletion vectors:
+    * the raw multi-dir scan, anti-joined against the applicable DV
+    * sidecar on (file path, in-file row position) — the parquet reader's
+    * `_metadata` columns, stable because committed files are immutable.
+    * No sidecar ⇒ exactly the raw scan (no metadata projection, no
+    * join). The DV is usually tiny relative to the table, so AQE picks a
+    * broadcast anti-join; schema is unchanged either way. */
+  private def readDirsDv(dirs: Seq[String], v: Long): DataFrame =
+    dvVersionFor(v) match {
+      case None => readDirs(dirs)
+      case Some(_) => readDirsWithMeta(dirs, v).drop(DvFileCol, DvPosCol)
+    }
+
+  /** Like [[readDirsDv]] but KEEPING the (file path, row position)
+    * metadata columns — for callers that need provenance past the DV
+    * anti-join (`input_file_name()` cannot cross a multi-source plan). */
+  private def readDirsWithMeta(dirs: Seq[String], v: Long): DataFrame = {
+    val base = readDirs(dirs)
+      .select(col("*"), col("_metadata.file_path").as(DvFileCol),
+        col("_metadata.row_index").as(DvPosCol))
+    dvVersionFor(v) match {
+      case None => base
+      case Some(x) =>
+        val dv = spark.read.parquet(new Path(root, dvName(x)).toString)
+        base.join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
+    }
+  }
+
+  /** Current (version, manifest) pair — the read sites that apply
+    * deletion vectors need both. */
+  private def currentVm(): Option[(Long, Map[Int, String])] =
+    currentVersion().flatMap(v => readManifest(v).map(v -> _))
+
   def read(): Option[DataFrame] =
-    current().filter(_.nonEmpty).map(m => readDirs(m.values.toSeq.distinct))
+    currentVm().filter(_._2.nonEmpty).map { case (v, m) =>
+      readDirsDv(m.values.toSeq.distinct, v)
+    }
 
   /** Time travel: the snapshot a specific committed version published;
     * None once GC'd past `TargetTable.retainVersions` (or never existed). */
   def readVersion(v: Long): Option[DataFrame] =
-    readManifest(v).filter(_.nonEmpty).map(m => readDirs(m.values.toSeq.distinct))
+    readManifest(v).filter(_.nonEmpty)
+      .map(m => readDirsDv(m.values.toSeq.distinct, v))
 
   /** Change data feed between two committed versions (CDC): the keyed
     * diff from → to, one row per inserted, updated, or deleted key with
@@ -188,8 +242,37 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     yield {
       val changed = (mo.keySet ++ mn.keySet).toSeq.sorted
         .filter(b => mo.get(b) != mn.get(b))
-      val oldDirs = changed.flatMap(mo.get).distinct
-      val newDirs = changed.flatMap(mn.get).distinct
+      // A vectored delete changes NO bucket dirs — its changes hide in
+      // the deletion-vector delta. Map the delta's file paths back to
+      // their bucket dirs and diff those too (still O(changes), the DV
+      // names exactly the touched files).
+      val dvHitDirs: Seq[String] = {
+        val dvFrom = dvVersionFor(fromVersion)
+        val dvTo = dvVersionFor(toVersion)
+        if (dvFrom == dvTo) Nil
+        else {
+          val newDv = spark.read.parquet(
+            new Path(root, dvName(dvTo.get)).toString)
+          val delta = dvFrom match {
+            case Some(x) => newDv.join(
+              spark.read.parquet(new Path(root, dvName(x)).toString),
+              Seq(DvFileCol, DvPosCol), "left_anti")
+            case None => newDv
+          }
+          val dirByQualified = (mo.values ++ mn.values).toSeq.distinct
+            .map(d => fs.makeQualified(new Path(root, d)).toString -> d)
+            .toMap
+          delta.select(col(DvFileCol)).distinct()
+            .collect().map(_.getString(0))
+            .flatMap(f => dirByQualified.get(
+              fs.makeQualified(new Path(f).getParent).toString))
+            .distinct.toSeq
+        }
+      }
+      val oldDirs =
+        (changed.flatMap(mo.get) ++ dvHitDirs.filter(mo.values.toSet)).distinct
+      val newDirs =
+        (changed.flatMap(mn.get) ++ dvHitDirs.filter(mn.values.toSet)).distinct
       val anyDirs = (mn ++ mo).values.toSeq.distinct
       if (anyDirs.isEmpty)
         // table empty at both versions: empty feed, marker column only
@@ -198,9 +281,13 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
             "_change_type", org.apache.spark.sql.types.StringType))))
       else {
         // each side's frame is built ONCE (driver-side file listing +
-        // parquet footer reads happen per readDirs call)
-        val oldFrame = if (oldDirs.nonEmpty) Some(readDirs(oldDirs)) else None
-        val newFrame = if (newDirs.nonEmpty) Some(readDirs(newDirs)) else None
+        // parquet footer reads happen per readDirs call); each side
+        // applies ITS version's deletion vector, so a vectored delete
+        // between the two versions surfaces as `delete` change rows
+        val oldFrame =
+          if (oldDirs.nonEmpty) Some(readDirsDv(oldDirs, fromVersion)) else None
+        val newFrame =
+          if (newDirs.nonEmpty) Some(readDirsDv(newDirs, toVersion)) else None
         val schema = newFrame.orElse(oldFrame).map(_.schema)
           .getOrElse(currentSchema(mn ++ mo)) // no changed buckets: empty feed
         for { of <- oldFrame; _ <- newFrame } require(of.schema == schema,
@@ -241,13 +328,13 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * set is broadcast and matched with a left-semi join, so the scan
     * side never shuffles. None when the target does not exist. */
   def lookup(keys: DataFrame): Option[DataFrame] =
-    current().filter(_.nonEmpty).map { m =>
+    currentVm().filter(_._2.nonEmpty).map { case (v, m) =>
       val schema = currentSchema(m)
       val bk = conformKeys(
         keys.select(table.keyCols.map(keys.col): _*).distinct(), schema)
       val dirs = bucketsOf(bk).flatMap(m.get).distinct
       if (dirs.isEmpty) emptyWithSchema(schema)
-      else readDirs(dirs).join(
+      else readDirsDv(dirs, v).join(
         org.apache.spark.sql.functions.broadcast(bk),
         table.keyCols, "left_semi")
     }
@@ -261,13 +348,13 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * key set when no bucketCols were declared (then it equals
     * [[lookup]] semantics on the key prefix). */
   def lookupByBucketCols(vals: DataFrame): Option[DataFrame] =
-    current().filter(_.nonEmpty).map { m =>
+    currentVm().filter(_._2.nonEmpty).map { case (v, m) =>
       val schema = currentSchema(m)
       val bk = conformKeys(
         vals.select(table.hashCols.map(vals.col): _*).distinct(), schema)
       val dirs = bucketsOf(bk).flatMap(m.get).distinct
       if (dirs.isEmpty) emptyWithSchema(schema)
-      else readDirs(dirs).join(
+      else readDirsDv(dirs, v).join(
         org.apache.spark.sql.functions.broadcast(bk),
         table.hashCols, "left_semi")
     }
@@ -325,7 +412,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * per-bucket version bands of long-lived rows are wide; that is the
     * honest limit of version zone maps under hash layout). */
   def readWhereVersionBetween(lo: Long, hi: Long): Option[DataFrame] =
-    current().filter(_.nonEmpty).map { m =>
+    currentVm().filter(_._2.nonEmpty).map { case (v, m) =>
       val zones = zoneMaps()
       val chosen = m.filter { case (b, _) =>
         zones.get(b).forall { case (mn, mx) => mx >= lo && mn <= hi }
@@ -334,7 +421,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       if (chosen.isEmpty)
         emptyWithSchema(currentSchema(m))
       else
-        readDirs(chosen.values.toSeq.distinct)
+        readDirsDv(chosen.values.toSeq.distinct, v)
           .filter(vc >= lo && vc <= hi)
     }
 
@@ -354,10 +441,10 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * of the snapshot (bucket recovered from the file path), not a job
     * per bucket — thousands of buckets is the intended regime. */
   def stats(): Option[DataFrame] =
-    current().filter(_.nonEmpty).map { m =>
+    currentVm().filter(_._2.nonEmpty).map { case (v, m) =>
       import spark.implicits._
-      val counts = readDirs(m.values.toSeq.distinct)
-        .groupBy(regexp_extract(input_file_name(), s"$BucketCol=(\\d+)", 1)
+      val counts = readDirsWithMeta(m.values.toSeq.distinct, v)
+        .groupBy(regexp_extract(col(DvFileCol), s"$BucketCol=(\\d+)", 1)
           .cast("int").as("bucket"))
         .agg(count(lit(1)).as("n_rows"))
       m.toSeq.toDF("bucket", "delta_dir")
@@ -382,8 +469,11 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * physical order moves. */
   def compactClustered(config: IngestConfig,
       clusterBy: DataFrame => Seq[Column]): Unit = withCommitLock {
-    current().filter(_.nonEmpty).foreach { m =>
-      val cur = readDirs(m.values.toSeq.distinct)
+    // reads through the deletion vector, so compaction MATERIALIZES
+    // vectored deletes — the rewritten files carry no deleted rows and
+    // the old DV entries dangle harmlessly against the retired paths
+    currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
+      val cur = readDirsDv(m.values.toSeq.distinct, v)
       commit(cur, Map.empty, config, onePerBucket = true,
         sortWithin = clusterBy(cur))
     }
@@ -433,6 +523,15 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
       finally zOut.close()
     }
+    // Carry the applicable deletion-vector sidecar: the clone references
+    // the same immutable files, so the source's (file, position) marks
+    // stay valid. Copied (tiny), not referenced — the source may GC its
+    // sidecar on its own schedule.
+    currentVersion().flatMap(dvVersionFor).foreach { x =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new Path(root, dvName(x)), dfs, new Path(dest, f"x${1L}%010d"),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
     val p = dfs.create(new Path(dest, "_LATEST"), true)
     try p.write(mName.getBytes(StandardCharsets.UTF_8))
     finally p.close()
@@ -452,17 +551,51 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * pre-delete version while `retainVersions` keeps it. */
   def deleteWhere(config: IngestConfig, pred: Column): Unit =
     withCommitLock {
-      current().filter(_.nonEmpty).foreach { m =>
-        val cur = readDirs(m.values.toSeq.distinct)
+      currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
+        val cur = readDirsDv(m.values.toSeq.distinct, v)
         val matched = cur.filter(coalesce(pred, lit(false)))
         val hitB = matched.select(bucketOf(matched).as("__b")).distinct()
           .collect().map(_.getInt(0)).toSet
         if (hitB.nonEmpty) {
           val hitDirs = m.filter { case (b, _) => hitB(b) }
-          val keep = readDirs(hitDirs.values.toSeq.distinct)
+          val keep = readDirsDv(hitDirs.values.toSeq.distinct, v)
             .filter(!coalesce(pred, lit(false)))
           commit(keep, m.view.filterKeys(b => !hitB(b)).toMap, config)
         }
+      }
+    }
+
+  /** Merge-on-read delete (DELETION VECTORS): mark every current row
+    * matching `pred` deleted by POSITION — (immutable file path, in-file
+    * row index) pairs in a parquet sidecar — and commit a new version
+    * whose manifest carries every bucket dir unchanged. NOTHING is
+    * rewritten: the commit cost is the predicate scan plus a sidecar of
+    * the matched positions, however many terabytes the matched buckets
+    * hold — the Delta/Iceberg deletion-vector contract, and the right
+    * half of the write-amplification trade against [[deleteWhere]]
+    * (copy-on-write: pay the rewrite now, reads stay raw scans).
+    * Every read path applies the sidecar as an anti-join (merge-on-read,
+    * see [[readDirsDv]]); [[compact]] materializes it away. Repeated
+    * vectored deletes fold into one cumulative sidecar. Time travel to a
+    * pre-delete version still serves the deleted rows (its applicable
+    * sidecar predates this one). A NULL predicate result KEEPS the row,
+    * exactly like [[deleteWhere]]; no matches ⇒ no commit. */
+  def deleteVectored(config: IngestConfig, pred: Column): Unit =
+    withCommitLock {
+      currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
+        val prior = dvVersionFor(v).map(x =>
+          spark.read.parquet(new Path(root, dvName(x)).toString))
+        val matched = readDirsWithMeta(m.values.toSeq.distinct, v)
+          .filter(coalesce(pred, lit(false)))
+          .select(col(DvFileCol), col(DvPosCol)).persist()
+        try {
+          if (matched.limit(1).count() > 0) {
+            val merged = prior
+              .map(_.unionByName(matched)).getOrElse(matched).distinct()
+            commit(emptyWithSchema(currentSchema(m)), m, config,
+              dvOverride = Some(merged))
+          }
+        } finally { matched.unpersist(); () }
       }
     }
 
@@ -508,17 +641,19 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       // zero entries and no schema to derive, so the next upsert
       // re-initializes exactly like a fresh table instead of crashing on
       // a zero-path schema read.
-      current().filter(_.nonEmpty) match {
+      currentVm().filter(_._2.nonEmpty) match {
         case None =>
           commit(Dedup.latestWins(b, table.keyCols, table.versionCol,
             table.tieBreakCols), Map.empty, config)
-        case Some(m) =>
+        case Some((v, m)) =>
           val schema = currentSchema(m)
           val bk = conformKeys(b, schema)
           val affected = bucketsOf(bk)
           val sliceDirs = affected.flatMap(m.get).distinct
+          // DV-aware slice: a rewritten bucket must not resurrect rows a
+          // vectored delete already marked
           val slice =
-            if (sliceDirs.nonEmpty) readDirs(sliceDirs)
+            if (sliceDirs.nonEmpty) readDirsDv(sliceDirs, v)
             else emptyWithSchema(schema)
           val merged = Merge.upsertBroadcast(slice, bk,
             table.keyCols, table.versionCol, table.tieBreakCols,
@@ -532,14 +667,15 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * schema stays uniform. */
   def mergeSoftDelete(batch: DataFrame, config: IngestConfig): Unit =
     withCommitLock { withCached(batch) { b =>
-      current().filter(_.nonEmpty).foreach { m =>
+      currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
         val schema = currentSchema(m)
         val bk = conformKeys(b, schema)
         val migrating = !schema.fieldNames.contains(table.softDeleteCol)
         val affected = if (migrating) m.keys.toSeq else bucketsOf(bk)
         val sliceDirs = affected.flatMap(m.get).distinct
         if (sliceDirs.nonEmpty) {
-          val merged = Merge.softDelete(readDirs(sliceDirs), bk, table.keyCols,
+          val merged = Merge.softDelete(readDirsDv(sliceDirs, v), bk,
+            table.keyCols,
             table.versionCol, table.tieBreakCols, table.softDeleteCol)
           commit(merged, m -- affected, config)
         }
@@ -549,12 +685,13 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   /** Hard delete (drops the rows). */
   def mergeHardDelete(batch: DataFrame, config: IngestConfig): Unit =
     withCommitLock { withCached(batch) { b =>
-      current().filter(_.nonEmpty).foreach { m =>
+      currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
         val bk = conformKeys(b, currentSchema(m))
         val affected = bucketsOf(bk)
         val sliceDirs = affected.flatMap(m.get).distinct
         if (sliceDirs.nonEmpty) {
-          val merged = Merge.hardDelete(readDirs(sliceDirs), bk, table.keyCols,
+          val merged = Merge.hardDelete(readDirsDv(sliceDirs, v), bk,
+            table.keyCols,
             table.versionCol, table.tieBreakCols)
           commit(merged, m -- affected, config)
         }
@@ -680,8 +817,8 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * survive the transform. No-op on an empty/absent target. */
   def migrate(config: IngestConfig)(transform: DataFrame => DataFrame): Unit =
     withCommitLock {
-      current().filter(_.nonEmpty).foreach { m =>
-        val out = transform(readDirs(m.values.toSeq.distinct))
+      currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
+        val out = transform(readDirsDv(m.values.toSeq.distinct, v))
         val missing =
           (table.keyCols ++ table.orderingCols).diff(out.columns.toSeq)
         require(missing.isEmpty,
@@ -698,8 +835,16 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   private def commit(
       df: DataFrame, carryOver: Map[Int, String], config: IngestConfig,
       onePerBucket: Boolean = false,
-      sortWithin: Seq[Column] = Nil): Unit = {
-    val next = currentVersion().getOrElse(0L) + 1L
+      sortWithin: Seq[Column] = Nil,
+      dvOverride: Option[DataFrame] = None): Unit = {
+    val cur = currentVersion().getOrElse(0L)
+    // Purge orphan deletion-vector sidecars from a crashed deleteVectored
+    // (sidecar written, manifest never published): left in place they
+    // would silently activate for THIS commit's version.
+    if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath).foreach {
+      p => if (versionOf('x', p.getName) > cur) fs.delete(p, true)
+    }
+    val next = cur + 1L
     val delta = deltaName(next)
     val deltaPath = new Path(root, delta)
     val bucketed = df.withColumn(BucketCol, bucketOf(df))
@@ -759,6 +904,15 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       finally zOut.close()
     }
 
+    // Deletion-vector sidecar (only a vectored delete writes one; normal
+    // commits leave the previous sidecar authoritative via the
+    // latest-at-or-before-version rule). Written before the pointer
+    // repoint: an orphan from a crash is purged at the next commit.
+    dvOverride.foreach { dv =>
+      dv.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(root, dvName(next)).toString)
+    }
+
     // Publish the manifest, then atomically repoint. Crash between the
     // two: the intact pointer still names version next-1, the replayed
     // micro-batch re-merges idempotently onto it, deletes this orphan
@@ -791,12 +945,22 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     val oldestKept = next - table.retainVersions + 1
     val referenced = entries.values.toSet ++
       (oldestKept until next).flatMap(readManifest(_)).flatMap(_.values)
+    // Deletion-vector sidecars outlive the manifest retention window: a
+    // sidecar below the window is still THE applicable vector for every
+    // retained version until a newer one supersedes it, so only sidecars
+    // strictly older than the newest at-or-below-window one are dead.
+    val dvKeepFloor = fs.listStatus(root).toSeq
+      .map(s => versionOf('x', s.getPath.getName))
+      .filter(x => x >= 0 && x <= oldestKept)
+      .maxOption.getOrElse(Long.MinValue)
     fs.listStatus(root).toSeq.map(_.getPath).foreach { path =>
       val n = path.getName
       if (versionOf('m', n) >= 0 && versionOf('m', n) < oldestKept)
         fs.delete(path, false)
       else if (versionOf('z', n) >= 0 && versionOf('z', n) < oldestKept)
         fs.delete(path, false)
+      else if (versionOf('x', n) >= 0 && versionOf('x', n) < dvKeepFloor)
+        fs.delete(path, true)
       else if (versionOf('d', n) >= 0) {
         fs.listStatus(path).toSeq.map(_.getPath)
           .filter(_.getName.startsWith(s"$BucketCol="))
