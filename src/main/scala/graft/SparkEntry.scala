@@ -4551,6 +4551,15 @@ object SparkEntry {
         .withColumn("d90", col("p90_a") - col("p90_b"))
     }),
 
+    // ---- Experimentation: delta-method ratio readout — revenue per
+    //      event with USER-clustered variance (the per-event z-test is
+    //      anticonservative when events correlate within users) ----
+    "q_delta_ratio" -> ((s, dir) =>
+      graft.ops.Profile.deltaMethodRatio(
+        t(s, dir, "events"), col("user_id"),
+        pmod(col("user_id"), lit(2L)) === 0L,
+        floor(col("value") * 100.0), scale = 100.0)),
+
     // ---- Skyline (Pareto front): highest-value-earliest frontier per
     //      event type — distributive two-level fronts, so no full-group
     //      window ever sees raw rows ----
@@ -4723,6 +4732,63 @@ object SparkEntry {
           "AND 1 PRECEDING) AS my FROM b) " +
           "SELECT g AS event_type, x AS value, CAST(y AS BIGINT) AS ts_ns " +
           "FROM w WHERE my IS NULL OR y < my"),
+      "q_delta_ratio" -> {
+        // Mirrors Profile.deltaMethodRatio float-for-float: exact
+        // HUGEINT moment sums, n·Σm − S·S subtracted exactly, one cast,
+        // the same associativity in every derived expression.
+        def varOf(s: String) = {
+          def v(m: String, p: String, q2: String) =
+            s"CAST(CAST(n_$s AS HUGEINT) * ${m}_$s - " +
+              s"CAST(${p}_$s AS HUGEINT) * ${q2}_$s AS DOUBLE) / " +
+              s"(CAST(n_$s AS DOUBLE) * CAST(n_$s - 1 AS DOUBLE))"
+          val vxx = v("sxx", "sx", s"sx")
+          val vyy = v("syy", "sy", s"sy")
+          val vxy = v("sxy", "sx", s"sy")
+          val rq = s"(CAST(sx_$s AS DOUBLE) / CAST(sy_$s AS DOUBLE))"
+          val ybar = s"(CAST(sy_$s AS DOUBLE) / CAST(n_$s AS DOUBLE))"
+          s"(($vxx) - 2.0 * $rq * ($vxy) + $rq * $rq * ($vyy)) / " +
+            s"(CAST(n_$s AS DOUBLE) * $ybar * $ybar)"
+        }
+        def ratioOf(s: String) =
+          s"(CAST(sx_$s AS DOUBLE) / CAST(sy_$s AS DOUBLE) / 100.0)"
+        def seOf(s: String) =
+          s"(CASE WHEN ${varOf(s)} >= 0.0 THEN sqrt(${varOf(s)}) / 100.0 " +
+            "END)"
+        def okOf(s: String) = s"(n_$s >= 2 AND sy_$s > 0)"
+        def pick(c: String, a: Int, as: String) =
+          s"max(CASE WHEN a = $a THEN $c END) AS ${as}"
+        "WITH u AS (SELECT user_id AS uu, " +
+          "CASE WHEN ((user_id % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END AS a, " +
+          "coalesce(CAST(floor(value * 100.0) AS BIGINT), 0) AS q " +
+          "FROM events), " +
+          "g AS (SELECT uu, a, CAST(sum(q) AS BIGINT) AS x, " +
+          "CAST(count(*) AS BIGINT) AS y FROM u GROUP BY uu, a), " +
+          "m AS (SELECT a, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+          "sum(CAST(x AS HUGEINT) * x) AS sxx, " +
+          "sum(CAST(y AS HUGEINT) * y) AS syy, " +
+          "sum(CAST(x AS HUGEINT) * y) AS sxy FROM g GROUP BY a), " +
+          "w AS (SELECT " +
+          Seq(pick("n", 1, "n_a"), pick("n", 0, "n_b"),
+            pick("sx", 1, "sx_a"), pick("sx", 0, "sx_b"),
+            pick("sy", 1, "sy_a"), pick("sy", 0, "sy_b"),
+            pick("sxx", 1, "sxx_a"), pick("sxx", 0, "sxx_b"),
+            pick("syy", 1, "syy_a"), pick("syy", 0, "syy_b"),
+            pick("sxy", 1, "sxy_a"), pick("sxy", 0, "sxy_b"))
+            .mkString(", ") +
+          " FROM m) " +
+          "SELECT n_a, n_b, " +
+          s"CASE WHEN ${okOf("a")} THEN ${ratioOf("a")} END AS ratio_a, " +
+          s"CASE WHEN ${okOf("b")} THEN ${ratioOf("b")} END AS ratio_b, " +
+          s"CASE WHEN ${okOf("a")} THEN ${seOf("a")} END AS se_a, " +
+          s"CASE WHEN ${okOf("b")} THEN ${seOf("b")} END AS se_b, " +
+          s"CASE WHEN ${okOf("a")} AND ${okOf("b")} THEN " +
+          s"CASE WHEN ${seOf("a")} * ${seOf("a")} + " +
+          s"${seOf("b")} * ${seOf("b")} > 0.0 THEN " +
+          s"(${ratioOf("a")} - ${ratioOf("b")}) / " +
+          s"sqrt(${seOf("a")} * ${seOf("a")} + ${seOf("b")} * ${seOf("b")}) " +
+          "END END AS z FROM w"
+      },
       "q_ece" ->
         ("WITH b AS (SELECT least(CAST(floor(value * 2000.0) AS BIGINT), " +
           "1000000) AS pm, CASE WHEN event_type = 'purchase' THEN 1 " +

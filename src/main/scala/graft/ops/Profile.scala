@@ -1009,6 +1009,77 @@ object Profile {
     * split, `chi2 = (n_a − n_b)² / (n_a + n_b)` (the 1-dof identity —
     * exact integer numerator, ONE division). An SRM chi2 over ~3.84
     * means the assignment itself is broken and the readout is void. */
+  /** Cluster-robust A/B readout for a RATIO metric (e.g. revenue per
+    * event) via the delta method: the randomization unit is the cluster
+    * (user), events inside a unit are correlated, so the naive per-event
+    * variance is wrong — the correct one treats each unit's
+    * (x_i = Σ quantized value, y_i = event count) as the iid draw and
+    * linearizes R = ΣX/ΣY:
+    * var(R) ≈ (s_xx − 2R·s_xy + R²·s_yy) / (n·ȳ²).
+    *
+    * Accumulation discipline: per-unit x, y are exact BIGINTs; the
+    * cross-moment sums Σx², Σy², Σxy ride DECIMAL(38,0) (n·Σ − S·S
+    * stays exact far past BIGINT at 1e12 units); every derived float is
+    * a fixed-shape IEEE tree the oracle mirrors token-for-token. One
+    * shuffle (unit groupBy), then a single-row aggregate. */
+  def deltaMethodRatio(
+      df: DataFrame, unitCol: Column, inA: Column, q: Column,
+      scale: Double): DataFrame = {
+    val units = df
+      .select(unitCol.as("__u"), when(inA, 1L).otherwise(0L).as("__a"),
+        coalesce(q.cast("long"), lit(0L)).as("__q"))
+      .groupBy(col("__u"), col("__a"))
+      .agg(sum(col("__q")).as("__x"), count(lit(1)).as("__y"))
+    val dd = (c: Column) => c.cast("decimal(38,0)")
+    val m = units.groupBy(col("__a")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(dd(col("__x")) * dd(col("__x"))).as("sxx"),
+      sum(dd(col("__y")) * dd(col("__y"))).as("syy"),
+      sum(dd(col("__x")) * dd(col("__y"))).as("sxy"))
+    def armCol(c: String, a: Int) = max(when(col("__a") === a, col(c)))
+    val w = m.agg(
+      armCol("n", 1).as("n_a"), armCol("n", 0).as("n_b"),
+      armCol("sx", 1).as("sx_a"), armCol("sx", 0).as("sx_b"),
+      armCol("sy", 1).as("sy_a"), armCol("sy", 0).as("sy_b"),
+      armCol("sxx", 1).as("sxx_a"), armCol("sxx", 0).as("sxx_b"),
+      armCol("syy", 1).as("syy_a"), armCol("syy", 0).as("syy_b"),
+      armCol("sxy", 1).as("sxy_a"), armCol("sxy", 0).as("sxy_b"))
+    val d = (c: Column) => c.cast("double")
+    def varOf(s: String) = {
+      val n = col(s"n_$s"); val sx = col(s"sx_$s"); val sy = col(s"sy_$s")
+      // n·Σm − S·S subtracted IN DECIMAL (exact), ONE cast to double —
+      // a double-side subtraction would cancel catastrophically
+      val vxx = (dd(n) * col(s"sxx_$s") - dd(sx) * dd(sx)).cast("double") /
+        (d(n) * d(n - 1L))
+      val vyy = (dd(n) * col(s"syy_$s") - dd(sy) * dd(sy)).cast("double") /
+        (d(n) * d(n - 1L))
+      val vxy = (dd(n) * col(s"sxy_$s") - dd(sx) * dd(sy)).cast("double") /
+        (d(n) * d(n - 1L))
+      val rq = d(sx) / d(sy)
+      val ybar = d(sy) / d(n)
+      (vxx - lit(2.0) * rq * vxy + rq * rq * vyy) / (d(n) * ybar * ybar)
+    }
+    def ratioOf(s: String) =
+      d(col(s"sx_$s")) / d(col(s"sy_$s")) / lit(scale)
+    def seOf(s: String) = {
+      val v = varOf(s)
+      when(v >= 0.0, sqrt(v) / lit(scale))
+    }
+    val ok = (s: String) => col(s"n_$s") >= 2L && col(s"sy_$s") > 0L
+    w.select(
+      col("n_a"), col("n_b"),
+      when(ok("a"), ratioOf("a")).as("ratio_a"),
+      when(ok("b"), ratioOf("b")).as("ratio_b"),
+      when(ok("a"), seOf("a")).as("se_a"),
+      when(ok("b"), seOf("b")).as("se_b"),
+      when(ok("a") && ok("b"),
+        when(seOf("a") * seOf("a") + seOf("b") * seOf("b") > 0.0,
+          (ratioOf("a") - ratioOf("b")) /
+            sqrt(seOf("a") * seOf("a") + seOf("b") * seOf("b"))))
+        .as("z"))
+  }
+
   def srmCheck(df: DataFrame, variantA: Column): DataFrame = {
     val one = df.agg(
       coalesce(sum(when(variantA, 1L).otherwise(0L)), lit(0L)).as("n_a"),

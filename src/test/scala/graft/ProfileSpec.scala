@@ -786,4 +786,22 @@ class ProfileSpec extends SparkSpec {
       col("u"), col("g") === "t", col("v")).collect().head
     assert(ro.isNullAt(2) && ro.isNullAt(4))
   }
+
+  test("delta-method ratio: hand-worked cluster variance, equal ratios give z = 0") {
+    // arm A units (x=Σq, y=events): (10,2) (20,2) (30,2) → R=10,
+    //   s_xx=100, s_xy=s_yy=0, var = 100/(3·4)
+    // arm B units: (8,1) (12,1) → R=10, s_xx=8, var = 8/(2·1)
+    val rows =
+      Seq((1L, 5L), (1L, 5L), (2L, 10L), (2L, 10L), (3L, 15L), (3L, 15L),
+        (11L, 8L), (12L, 12L))
+    val df = rows.toDF("u", "q")
+    val r = Profile.deltaMethodRatio(df, df("u"), df("u") < 10L,
+      df("q"), scale = 1.0).collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("ratio_a") == 10.0)
+    assert(r.getAs[Double]("ratio_b") == 10.0)
+    assert(math.abs(r.getAs[Double]("se_a") - math.sqrt(100.0 / 12.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("se_b") - 2.0) < 1e-12)
+    assert(r.getAs[Double]("z") == 0.0)
+  }
 }
