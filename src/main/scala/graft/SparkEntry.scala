@@ -4551,6 +4551,17 @@ object SparkEntry {
         .withColumn("d90", col("p90_a") - col("p90_b"))
     }),
 
+    // ---- Time series: pairwise DTW distance — alignment-tolerant
+    //      co-movement between event-type series; k-bucket collapse
+    //      first, then a row-local exact-integer min-plus DP ----
+    "ts_dtw" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("ts div 86400000000000").as("d"),
+        coalesce(floor(col("value") * 1024.0).cast("long"), lit(0L))
+          .as("q"))
+      graft.ops.TimeSeries.dtwPairwise(ev, "event_type", "d", "q")
+    }),
+
     // ---- Experimentation: delta-method ratio readout — revenue per
     //      event with USER-clustered variance (the per-event z-test is
     //      anticonservative when events correlate within users) ----
@@ -4732,6 +4743,43 @@ object SparkEntry {
           "AND 1 PRECEDING) AS my FROM b) " +
           "SELECT g AS event_type, x AS value, CAST(y AS BIGINT) AS ts_ns " +
           "FROM w WHERE my IS NULL OR y < my"),
+      "ts_dtw" -> {
+        // Same fixed 32-bucket series, same exact min-plus DP — DuckDB
+        // folds row-wise (list accumulator; the STRUCT-accumulator
+        // vectorization hazard does not apply) while Spark folds the
+        // identical integers, so the results agree exactly.
+        val k = 32
+        val inf = 1152921504606846976L
+        val init = (0L +: Seq.fill(k)(inf)).mkString("[", ", ", "]")
+        val dp =
+          s"list_extract(list_reduce(list_prepend(CAST($init AS BIGINT[]), " +
+            "list_transform(a, x -> [x])), " +
+            s"(p, ax) -> list_reduce(list_prepend(CAST([$inf] AS BIGINT[]), " +
+            s"list_transform(range(1, ${k + 1}), j -> [CAST(j AS BIGINT)])), " +
+            "(c, jx) -> list_append(c, " +
+            "abs(list_extract(ax, 1) - list_extract(b, list_extract(jx, 1))) + " +
+            "least(list_extract(p, list_extract(jx, 1)), " +
+            "list_extract(p, list_extract(jx, 1) + 1), " +
+            s"list_extract(c, list_extract(jx, 1)))))), ${k + 1})"
+        "WITH q AS (SELECT event_type AS g, " +
+          "epoch_us(ts) // 86400000000 AS d, " +
+          "coalesce(CAST(floor(value * 1024.0) AS BIGINT), 0) AS qv " +
+          "FROM events), " +
+          "mn AS (SELECT min(d) AS mind FROM q), " +
+          s"s AS (SELECT g, least(d - mind, ${k - 1}) AS bkt, " +
+          "CAST(sum(qv) AS BIGINT) AS sv FROM q, mn GROUP BY 1, 2), " +
+          "gs AS (SELECT DISTINCT g FROM q), " +
+          s"grid AS (SELECT gs.g, ii.i FROM gs CROSS JOIN " +
+          s"(SELECT unnest(range(0, $k)) AS i) ii), " +
+          "filled AS (SELECT grid.g, grid.i, coalesce(s.sv, 0) AS v " +
+          "FROM grid LEFT JOIN s ON s.g = grid.g AND s.bkt = grid.i), " +
+          "ser AS (SELECT g, list(v ORDER BY i) AS arr FROM filled " +
+          "GROUP BY g), " +
+          "pr AS (SELECT x.g AS type_a, y.g AS type_b, x.arr AS a, " +
+          "y.arr AS b FROM ser x JOIN ser y ON x.g < y.g) " +
+          s"SELECT type_a, type_b, CAST($dp AS BIGINT) AS dtw_q, " +
+          s"CAST($dp AS DOUBLE) / 1024.0 AS dtw FROM pr"
+      },
       "q_delta_ratio" -> {
         // Mirrors Profile.deltaMethodRatio float-for-float: exact
         // HUGEINT moment sums, n·Σm − S·S subtracted exactly, one cast,

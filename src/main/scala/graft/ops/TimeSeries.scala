@@ -1101,4 +1101,53 @@ object TimeSeries {
       .select(col(keyCol), col("n_points"), col("rs8"), col("rs16"),
         col("rs32"), col("hurst"))
   }
+
+  /** Pairwise dynamic-time-warping distance between per-group series —
+    * "which metrics move together, allowing for lag/stretch?", the
+    * alignment-tolerant complement of [[crossCorr]]'s fixed-lag scan.
+    *
+    * Scale shape: the raw table collapses FIRST to k fixed buckets per
+    * group (one shuffle, map-side combinable), so however many rows a
+    * group holds, the DP input is a bounded k-vector; the O(k²) Warping
+    * recurrence then runs as a nested higher-order `aggregate` on
+    * g(g−1)/2 pair rows — row-local, no further shuffle, exact integer
+    * min-plus algebra (quantized values, BIGINT costs, INF = 2⁶⁰ keeps
+    * k·INF far from overflow). Buckets are aligned on a SHARED origin
+    * (global min of `dayCol`, broadcast — never a driver collect) and
+    * the tail past bucket k−1 folds into the last bucket, so series
+    * length is exactly k for every group and the DuckDB replay is a
+    * fixed nested list-fold.
+    *
+    * Output per unordered pair (a < b): (type_a, type_b, dtw_q, dtw). */
+  def dtwPairwise(df: DataFrame, groupCol: String, dayCol: String,
+      qCol: String, k: Int = 32, scale: Double = 1024.0): DataFrame = {
+    require(k >= 2 && k <= 128, s"k must be in [2,128], got $k")
+    val inf = 1152921504606846976L // 2^60
+    val mins = df.agg(min(col(dayCol)).as("__mind"))
+    val sums = df.crossJoin(broadcast(mins))
+      .groupBy(col(groupCol).as("__g"),
+        least(col(dayCol) - col("__mind"), lit(k - 1L)).as("__bkt"))
+      .agg(sum(col(qCol)).as("__s"))
+    val series = sums.groupBy(col("__g"))
+      .agg(map_from_arrays(collect_list(col("__bkt")),
+        collect_list(col("__s"))).as("__m"))
+      .select(col("__g"), expr(
+        s"transform(sequence(0, ${k - 1}), " +
+          "i -> coalesce(element_at(__m, cast(i as bigint)), 0L))")
+        .as("__arr"))
+    val pairs = series.select(col("__g").as("type_a"), col("__arr").as("__a"))
+      .join(series.select(col("__g").as("type_b"), col("__arr").as("__b")),
+        col("type_a") < col("type_b"))
+    val start = (0L +: Seq.fill(k)(inf)).mkString("array(", "L, ", "L)")
+    val dp =
+      s"aggregate(__a, $start, " +
+        s"(p, ai) -> aggregate(sequence(1, $k), array(${inf}L), " +
+        "(c, j) -> concat(c, array(abs(ai - element_at(__b, j)) + " +
+        "least(element_at(p, j), element_at(p, j + 1), " +
+        "element_at(c, j))))), " +
+        s"r -> element_at(r, ${k + 1}))"
+    pairs.withColumn("dtw_q", expr(dp))
+      .withColumn("dtw", col("dtw_q").cast("double") / lit(scale))
+      .select(col("type_a"), col("type_b"), col("dtw_q"), col("dtw"))
+  }
 }

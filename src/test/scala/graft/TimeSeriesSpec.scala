@@ -580,4 +580,26 @@ class TimeSeriesSpec extends SparkSpec {
     val c = TimeSeries.ar2YuleWalker(const, "key", "o", "x").collect().head
     assert(c.isNullAt(2) && c.isNullAt(3) && c.isNullAt(4))
   }
+
+  test("dtw: identical series are distance 0; hand-worked 2x2 grid; tail folds") {
+    // A=[1,5], B=[2,4] at k=2: D11=1, D12=4, D21=4, D22=1+min(4,4,1)=2
+    val ev = Seq(("A", 0L, 1L), ("A", 1L, 5L),
+      ("B", 0L, 2L), ("B", 1L, 4L),
+      ("C", 0L, 1L), ("C", 1L, 5L))
+      .toDF("g", "d", "q")
+    val r = TimeSeries.dtwPairwise(ev, "g", "d", "q", k = 2, scale = 1.0)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        x.getAs[Long]("dtw_q")).toMap
+    assert(r(("A", "B")) == 2L)
+    assert(r(("A", "C")) == 0L) // identical series
+    assert(r(("B", "C")) == 2L) // symmetry of the grid
+    // days past bucket k-1 fold into the last bucket on BOTH series
+    val fold = Seq(("A", 0L, 1L), ("A", 5L, 2L), ("A", 9L, 3L),
+      ("B", 0L, 1L), ("B", 7L, 5L))
+      .toDF("g", "d", "q")
+    val rf = TimeSeries.dtwPairwise(fold, "g", "d", "q", k = 2, scale = 1.0)
+      .collect().head
+    // series A=[1, 2+3], B=[1, 5]: identical after folding
+    assert(rf.getAs[Long]("dtw_q") == 0L)
+  }
 }
