@@ -334,6 +334,26 @@ object OracleSql {
     (init +: steps).mkString(", ")
   }
 
+  /** Multi-source BFS CTE chain mirroring `Graph.bfsMultiSource` over
+    * prior CTEs `e`(src, dst) and `seeds`(node): emits `md0 .. md$depth`
+    * of (seed, node, dist). */
+  def bfsMultiCtes(depth: Int): String = {
+    val init = "md0 AS MATERIALIZED (SELECT node AS seed, node, " +
+      "CAST(0 AS BIGINT) AS dist FROM seeds)"
+    val steps = (1 to depth).map { i =>
+      val prevFrontier =
+        if (i == 1) "md0"
+        else s"(SELECT seed, node FROM md${i - 1} WHERE dist = ${i - 1})"
+      s"mf$i AS MATERIALIZED (SELECT DISTINCT f.seed, t.dst AS node " +
+        s"FROM e t JOIN $prevFrontier f ON t.src = f.node " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM md${i - 1} p " +
+        "WHERE p.seed = f.seed AND p.node = t.dst)), " +
+        s"md$i AS MATERIALIZED (SELECT seed, node, dist FROM md${i - 1} " +
+        s"UNION ALL SELECT seed, node, CAST($i AS BIGINT) FROM mf$i)"
+    }
+    (init +: steps).mkString(", ")
+  }
+
   /** Jaro-Winkler CTE stages mirroring `NativeKernels.jaroWinkler`
     * decision-for-decision over a prior CTE `pairsCte`(…, $a, $b):
     * emits `jwst`, `jwext`, `jwout`, where `jwout` carries every

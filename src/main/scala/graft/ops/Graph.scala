@@ -641,6 +641,60 @@ object Graph {
     } finally { e.unpersist(); () }
   }
 
+  /** Multi-source BFS: per-seed shortest hop counts, all seeds in ONE
+    * frontier wave — rows (seed, node, dist), cost O(|seeds|·E) per
+    * round keyed by vertex (the frontier join), the standard landmark
+    * pattern (pick a bounded landmark set, not all of V). Same
+    * anti-join frontier discipline and localCheckpoint lineage cuts as
+    * [[bfsHops]]. */
+  def bfsMultiSource(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 0, s"depth must be >= 0, got $depth")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    try {
+      var dist = seeds
+        .select(col(seeds.columns.head).cast("long").as("seed")).distinct()
+        .select(col("seed"), col("seed").as("node"))
+        .withColumn("dist", lit(0L))
+        .localCheckpoint()
+      var frontier = dist.select(col("seed"), col("node"))
+      for (i <- 1 to depth) {
+        val reached = frontier
+          .join(e, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+          .join(dist, Seq("seed", "node"), "left_anti")
+          .withColumn("dist", lit(i.toLong))
+        val next = dist.unionByName(reached).localCheckpoint()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(dist)
+        dist = next
+        frontier = dist.filter(col("dist") === i)
+          .select(col("seed"), col("node"))
+      }
+      dist
+    } finally { e.unpersist(); () }
+  }
+
+  /** Truncated (within-`depth`) closeness centrality of a LANDMARK set:
+    * closeness(s) = reached / Σ dist over the depth-bounded BFS ball —
+    * exact integer counts, one final division. The h-bounded form is
+    * the honest scalable one (full closeness is O(V·E)); landmarks make
+    * the frontier state O(|S|·V). Output per seed:
+    * (seed, n_reached, sum_dist, closeness). */
+  def closenessLandmarks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, depth: Int): DataFrame =
+    bfsMultiSource(edges, srcCol, dstCol, seeds, depth)
+      .groupBy(col("seed"))
+      .agg((count(lit(1)) - 1L).as("n_reached"),
+        sum(col("dist")).as("sum_dist"))
+      .withColumn("closeness",
+        when(col("sum_dist") > 0L,
+          col("n_reached").cast("double") / col("sum_dist").cast("double")))
+
   /** Personalized PageRank — [[pageRank]] with the teleport vector
     * concentrated on a SEED set instead of uniform: ranks measure
     * proximity to the seeds (trusted-domain expansion for crawl
