@@ -1323,6 +1323,40 @@ object SparkEntry {
           floor(col("value")).cast("long").as("sens")),
         Seq("event_type", "uid_bucket"), "sens", l = 10)),
 
+    // ---- Privacy: t-closeness audit (the trio's third — per-class
+    //      sensitive-distribution leak as total-variation distance,
+    //      exact integer numerator, one division per class) ----
+    "q_t_closeness" -> ((s, dir) =>
+      graft.ops.Profile.tCloseness(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            pmod(col("user_id"), lit(200L)).as("uid_bucket"),
+            floor(col("value")).cast("long").as("sens")),
+        Seq("event_type", "uid_bucket"), "sens")),
+
+    // ---- Time series: permutation entropy (ordinal 3-patterns of the
+    //      hourly series — regularity vs noise, outlier-robust) ----
+    "ts_perm_entropy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val pat = hourly
+        .withColumn("__x1", lag(col("hx"), 2).over(w))
+        .withColumn("__x2", lag(col("hx"), 1).over(w))
+        .filter(col("__x1").isNotNull)
+        .select(col("event_type"),
+          (when(col("__x1") <= col("__x2"), 4L).otherwise(0L) +
+            when(col("__x2") <= col("hx"), 2L).otherwise(0L) +
+            when(col("__x1") <= col("hx"), 1L).otherwise(0L)).as("pat"))
+      graft.ops.Profile.entropy(pat, "event_type", "pat")
+        .withColumn("entropy", round(col("entropy"), 8))
+    }),
+
     // ---- Profiling: deterministic per-group mode (count-desc,
     //      value-asc tie-break — no engine-dependent mode() ties) ----
     "q_mode" -> ((s, dir) => {
@@ -4761,6 +4795,56 @@ object SparkEntry {
           "AND 1 PRECEDING) AS my FROM b) " +
           "SELECT g AS event_type, x AS value, CAST(y AS BIGINT) AS ts_ns " +
           "FROM w WHERE my IS NULL OR y < my"),
+      "q_t_closeness" ->
+        ("WITH b AS (SELECT event_type, " +
+          "((user_id % 200) + 200) % 200 AS uid_bucket, " +
+          "CAST(floor(value) AS BIGINT) AS v FROM events " +
+          "WHERE value IS NOT NULL), " +
+          "cell AS (SELECT event_type, uid_bucket, v, count(*) AS c " +
+          "FROM b GROUP BY 1, 2, 3), " +
+          "gcnt AS (SELECT v, count(*) AS cv FROM b GROUP BY 1), " +
+          "tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b), " +
+          "grp AS (SELECT event_type, uid_bucket, count(*) AS ng " +
+          "FROM b GROUP BY 1, 2), " +
+          "terms AS (SELECT cell.event_type, cell.uid_bucket, grp.ng, " +
+          "abs(CAST(cell.c AS HUGEINT) * nn - " +
+          "CAST(gcnt.cv AS HUGEINT) * grp.ng) - " +
+          "CAST(gcnt.cv AS HUGEINT) * grp.ng AS trm " +
+          "FROM cell JOIN gcnt USING (v) " +
+          "JOIN grp USING (event_type, uid_bucket) CROSS JOIN tot), " +
+          "part AS (SELECT event_type, uid_bucket, ng, sum(trm) AS p " +
+          "FROM terms GROUP BY 1, 2, 3) " +
+          "SELECT event_type, uid_bucket, CAST(ng AS BIGINT) AS n, " +
+          "CAST(p + CAST(ng AS HUGEINT) * nn AS DOUBLE) / " +
+          "(2.0 * CAST(ng AS DOUBLE) * CAST(nn AS DOUBLE)) AS tv " +
+          "FROM part CROSS JOIN tot"),
+      "ts_perm_entropy" ->
+        ("WITH h AS (SELECT event_type, " +
+          "epoch_us(ts) // 3600000000 AS hr, " +
+          "sum(CAST(floor(value * 1024.0) AS BIGINT)) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "l AS (SELECT event_type, hx, " +
+          "lag(hx, 2) OVER w AS x1, lag(hx, 1) OVER w AS x2 FROM h " +
+          "WINDOW w AS (PARTITION BY event_type ORDER BY hr)), " +
+          "p AS (SELECT event_type, " +
+          "(CASE WHEN x1 <= x2 THEN 4 ELSE 0 END + " +
+          "CASE WHEN x2 <= hx THEN 2 ELSE 0 END + " +
+          "CASE WHEN x1 <= hx THEN 1 ELSE 0 END) AS cc " +
+          "FROM l WHERE x1 IS NOT NULL), " +
+          "c AS (SELECT event_type, cc, count(*) AS k FROM p " +
+          "GROUP BY 1, 2), " +
+          "pk AS (SELECT event_type, " +
+          "list_sort(list(struct_pack(c := CAST(cc AS BIGINT), " +
+          "k := k))) AS cs, " +
+          "CAST(sum(k) AS BIGINT) AS n_rows, " +
+          "CAST(count(*) AS BIGINT) AS n_categories FROM c " +
+          "GROUP BY event_type) " +
+          "SELECT event_type, n_rows, n_categories, " +
+          "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(cs, x -> " +
+          "-(CAST(x.k AS DOUBLE) / CAST(n_rows AS DOUBLE)) * " +
+          "ln(CAST(x.k AS DOUBLE) / CAST(n_rows AS DOUBLE)))), " +
+          "(a, b) -> a + b), 8) AS entropy FROM pk"),
       "ts_dtw" -> {
         // Same fixed 32-bucket series, same exact min-plus DP — DuckDB
         // folds row-wise (list accumulator; the STRUCT-accumulator

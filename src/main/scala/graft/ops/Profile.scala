@@ -1009,6 +1009,49 @@ object Profile {
     * split, `chi2 = (n_a − n_b)² / (n_a + n_b)` (the 1-dof identity —
     * exact integer numerator, ONE division). An SRM chi2 over ~3.84
     * means the assignment itself is broken and the readout is void. */
+  /** t-closeness audit — the third of the privacy trio (k-anonymity:
+    * "is the class big enough?", l-diversity: "are the sensitive values
+    * varied?", t-closeness: "does the class's sensitive DISTRIBUTION
+    * give away more than the global one?"). For categorical sensitive
+    * values the earth-mover distance reduces to total variation:
+    * tv(g) = ½·Σ_v |c_gv/n_g − C_v/N|. Values absent from a class
+    * contribute C_v·n_g, so over the common denominator
+    * tv = (Σ_{v∈g}(|c_gv·N − C_v·n_g| − C_v·n_g) + N·n_g) / (2·n_g·N)
+    * — an exact DECIMAL(38,0)/HUGEINT numerator (products reach ~1e25
+    * past BIGINT at corpus scale), ONE double division per class.
+    *
+    * Plan shape: three aggregates keyed by (class, value), value, and
+    * class; the per-value global counts broadcast onto the cell counts.
+    * Output per class: (qiCols…, n, tv). */
+  def tCloseness(
+      df: DataFrame, qiCols: Seq[String], sensCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "tCloseness needs at least one QI column")
+    val qi = qiCols.map(col)
+    val base = df.where(col(sensCol).isNotNull)
+    val cell = base.groupBy(qi :+ col(sensCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val glob = base.groupBy(col(sensCol).as("__v"))
+      .agg(count(lit(1)).as("__cv"))
+    val tot = base.agg(count(lit(1)).as("__nn"))
+    val grp = base.groupBy(qi: _*).agg(count(lit(1)).as("__ng"))
+    val dd = (c: Column) => c.cast("decimal(38,0)")
+    val terms = cell
+      .join(broadcast(glob), "__v")
+      .join(grp, qiCols)
+      .crossJoin(broadcast(tot))
+      .select(qi ++ Seq(col("__ng"),
+        (abs(dd(col("__c")) * dd(col("__nn")) -
+          dd(col("__cv")) * dd(col("__ng"))) -
+          dd(col("__cv")) * dd(col("__ng"))).as("__trm")): _*)
+    val part = terms.groupBy((qiCols :+ "__ng").map(col): _*)
+      .agg(sum(col("__trm")).as("__p"))
+    part.crossJoin(broadcast(tot))
+      .select(qi ++ Seq(col("__ng").cast("long").as("n"),
+        ((col("__p") + dd(col("__ng")) * dd(col("__nn"))).cast("double") /
+          (lit(2.0) * col("__ng").cast("double") *
+            col("__nn").cast("double"))).as("tv")): _*)
+  }
+
   /** Cluster-robust A/B readout for a RATIO metric (e.g. revenue per
     * event) via the delta method: the randomization unit is the cluster
     * (user), events inside a unit are correlated, so the naive per-event
