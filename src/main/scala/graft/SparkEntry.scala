@@ -3494,6 +3494,21 @@ object SparkEntry {
         Multimodal.aHashPlan(meta, "id"), "id", maxHamming = 6)
     }),
 
+    // ---- Multimodal: perceptual DCT hash (pHash) — frequency-domain
+    //      fingerprints over the decoded luma grid, exact integer DCT
+    //      with a driver-literal quantized basis, median-of-AC cut ----
+    "mm_phash" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        lit("image").as("mtype"),
+        unhex(MediaFixtures.pngHex(id % 50 + 1L, id % 30 + 1L))
+          .as("content"))
+      val meta = Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
+      Multimodal.pHashPlan(meta, "id")
+        .select(col("id"), col("phash_lo"), col("phash_hi"))
+    }),
+
     // ---- CAPSTONE: the composed corpus pipeline — normalize → quality
     //      filter → cluster-dedup (keep canonical docs) → split → stats.
     //      One gate proving the operators CHAIN, not just run alone. ----
@@ -7480,6 +7495,33 @@ object SparkEntry {
           "bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming " +
           "FROM e x JOIN e y ON x.bi = y.bi AND x.bv = y.bv " +
           "AND x.id < y.id) WHERE hamming BETWEEN 1 AND 6"),
+      "mm_phash" -> {
+        val tq = graft.multimodal.Multimodal.dctTableQ.mkString("[", ", ", "]")
+        // Same predicted dims + luma surface as mm_ahash_neardup; DCT
+        // replayed with the identical quantized basis literals.
+        "WITH m AS (SELECT doc_id AS id, doc_id % 50 + 1 AS w, " +
+          "doc_id % 30 + 1 AS h FROM documents), " +
+          "l AS (SELECT id, list_transform(range(0, 64), g -> " +
+          "((g % 8) * w + (g // 8) * h) * 255 // (7 * w + 7 * h) + " +
+          "(((w // 4) * 131 + (h // 4) * 137 + (g % 8) * 31 + " +
+          "(g // 8) * 41) * ((w // 4) * 131 + (h // 4) * 137 + " +
+          "(g % 8) * 31 + (g // 8) * 41)) % 97) AS lum FROM m), " +
+          s"cf AS (SELECT id, list_transform(range(0, 64), k -> " +
+          "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(range(0, 64), g -> " +
+          s"lum[g + 1] * ($tq)[(k // 8) * 8 + (g % 8) + 1] * " +
+          s"($tq)[(k % 8) * 8 + (g // 8) + 1])), " +
+          "(a, b) -> a + b)) AS coef FROM l), " +
+          "md AS (SELECT id, coef, " +
+          "list_sort(coef[2:64])[32] AS med FROM cf) " +
+          "SELECT id, " +
+          "CAST(list_sum(list_transform(range(0, 32), k -> " +
+          "CASE WHEN coef[k + 1] > med THEN (CAST(1 AS BIGINT) << k) " +
+          "ELSE 0 END)) AS BIGINT) AS phash_lo, " +
+          "CAST(list_sum(list_transform(range(32, 64), k -> " +
+          "CASE WHEN coef[k + 1] > med THEN (CAST(1 AS BIGINT) << (k - 32)) " +
+          "ELSE 0 END)) AS BIGINT) AS phash_hi FROM md"
+      },
       "o19_quarantine" ->
         ("WITH r AS (SELECT event_id, concat_ws(',', " +
           "CASE WHEN coalesce(value >= 0.05, false) THEN NULL " +

@@ -299,6 +299,64 @@ object Multimodal {
         col("ahash_lo"), col("ahash_hi"))
   }
 
+  /** Quantized 8×8 DCT-II basis, flat `u*8+x` layout: T_q[u][x] =
+    * round(1e4 · c(u) · cos(π(2x+1)u/16)), c(0)=1/√8, c(u>0)=1/2 —
+    * driver-computed longs shared verbatim with the DuckDB oracle, so
+    * the whole pHash pipeline stays exact integer arithmetic. */
+  def dctTableQ: Seq[Long] =
+    for (u <- 0 until 8; x <- 0 until 8) yield math.round(
+      1e4 * (if (u == 0) 1.0 / math.sqrt(8.0) else 0.5) *
+        math.cos(math.Pi * (2 * x + 1) * u / 16.0))
+
+  /** Perceptual DCT hash (pHash) over decoded media metadata — aHash's
+    * frequency-domain sibling: the same 8×8 luma grid, an exact integer
+    * 8×8 DCT-II (quantized basis [[dctTableQ]]), each of the 64
+    * coefficients thresholded against the MEDIAN of the 63 AC
+    * coefficients (the classic pHash cut — robust to global brightness
+    * shifts that flip aHash bits wholesale). Emits
+    * (idCol, width, height, phash_lo, phash_hi).
+    *
+    * Same STUB-decode caveat and interpreted-HOF barrier discipline as
+    * [[aHashPlan]]: luma grid, DCT coefficients, and the median each
+    * land as a STORED column before any lambda references them. All
+    * arithmetic is BIGINT-exact (|coef| ≤ 351·1e8·64 ≈ 2.2e12). */
+  def pHashPlan(meta: DataFrame, idCol: String): DataFrame = {
+    val tq = dctTableQ.mkString("array(", "L, ", "L)")
+    val lum = meta.select(col(idCol), col("width"), col("height"))
+      .withColumn("__lum", expr(
+        "transform(sequence(0, 63), g -> " +
+          "((g % 8) * width + (g div 8) * height) * 255 div " +
+          "(7 * width + 7 * height) + " +
+          "(((width div 4) * 131 + (height div 4) * 137 + " +
+          "(g % 8) * 31 + (g div 8) * 41) * " +
+          "((width div 4) * 131 + (height div 4) * 137 + " +
+          "(g % 8) * 31 + (g div 8) * 41)) % 97)"))
+      .localCheckpoint()
+    val coef = lum
+      .withColumn("__coef", expr(
+        s"transform(sequence(0, 63), k -> " +
+          s"aggregate(sequence(0, 63), 0L, (a, g) -> " +
+          s"a + element_at(__lum, g + 1) * " +
+          s"element_at($tq, cast((k div 8) * 8 + (g % 8) + 1 as int)) * " +
+          s"element_at($tq, cast((k % 8) * 8 + (g div 8) + 1 as int))))"))
+      .localCheckpoint()
+    val med = coef
+      .withColumn("__med", expr(
+        "element_at(array_sort(slice(__coef, 2, 63)), 32)"))
+      .localCheckpoint()
+    med
+      .withColumn("phash_lo", expr(
+        "aggregate(transform(sequence(0, 31), k -> " +
+          "IF(element_at(__coef, k + 1) > __med, " +
+          "shiftleft(1L, k), 0L)), 0L, (a, x) -> a + x)"))
+      .withColumn("phash_hi", expr(
+        "aggregate(transform(sequence(32, 63), k -> " +
+          "IF(element_at(__coef, k + 1) > __med, " +
+          "shiftleft(1L, k - 32), 0L)), 0L, (a, x) -> a + x)"))
+      .select(col(idCol), col("width"), col("height"),
+        col("phash_lo"), col("phash_hi"))
+  }
+
   /** Banded hamming near-dup over [[aHashPlan]] fingerprints, in the
     * two-tier shape a dense corpus needs: first collapse EXACT hash
     * duplicates to one representative per distinct fingerprint (a
