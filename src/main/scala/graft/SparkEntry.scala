@@ -290,6 +290,26 @@ object SparkEntry {
       stateOut(idx.lookupEq(Seq("purchase").toDF("ival")))
     }),
 
+    // ---- Streaming DELETE via deletion vectors: each micro-batch's
+    //      keys mark positions in the sidecar — zero-rewrite deletes
+    //      decoupled from row width; soft/hard's merge-on-read third ----
+    "s22_stream_vectored_delete" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_s22_").toString
+      val target = TargetTable("events_vdel", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val cfg = IngestConfig(name = s"s22-vdel-${System.nanoTime()}",
+        maxWriterPartitions = 4, checkpointDir = Some(s"$tmp/ckpt"))
+      val pt = new graft.sink.ParquetTarget(s, target)
+      pt.mergeUpsert(eventRecords(s, dir), cfg)
+      val delSrc = eventsStream(s, cfg, dir)
+        .filter(col("event_type") === "error" && col("user_id") % 3 === 0)
+        .select(col("user_id").as("pkey"))
+      val q = new graft.engine.VectoredDeleteStream(s, cfg, target)
+        .run(delSrc, Trigger.AvailableNow())
+      q.awaitTermination()
+      stateOut(pt.read().get)
+    }),
+
     // ---- Event-time streaming: windowed agg + watermark, merged sink ----
     // Update-mode tumbling windows flow through the latest-wins merge
     // (version = the monotone event count), so the final target equals the
@@ -1112,6 +1132,14 @@ object SparkEntry {
     //      mod 7) — full grid incl. empty cells, strict sorted fold ----
     "q_chi2" -> ((s, dir) =>
       graft.ops.Profile.chiSquare(
+        t(s, dir, "events").select(col("event_type"),
+          expr("(ts div 86400000000000) % 7").as("dow")),
+        "event_type", "dow")),
+
+    // ---- Profiling: per-cell chi² residuals — WHERE the dependence
+    //      lives (adjusted residuals, |adj| ≳ 2 = driving cells) ----
+    "q_chi2_residuals" -> ((s, dir) =>
+      graft.ops.Profile.chiSquareResiduals(
         t(s, dir, "events").select(col("event_type"),
           expr("(ts div 86400000000000) % 7").as("dow")),
         "event_type", "dow")),
@@ -7187,6 +7215,27 @@ object SparkEntry {
           s"list_transform(l.cs, x -> $d * $d / $e)), " +
           "(p, x) -> p + x) AS chi2 FROM lst l CROSS JOIN nn"
       },
+      "q_chi2_residuals" -> {
+        val e = "(CAST(rt * ct AS DOUBLE) / nn.n)"
+        val d = s"(CAST(o AS DOUBLE) - $e)"
+        val shrink = "((1.0 - CAST(rt AS DOUBLE) / nn.n) * " +
+          "(1.0 - CAST(ct AS DOUBLE) / nn.n))"
+        "WITH base AS (SELECT event_type AS a, " +
+          "(epoch_us(ts) // 86400000000) % 7 AS b FROM events), " +
+          "cc AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b), " +
+          "ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM cc GROUP BY a), " +
+          "cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM cc GROUP BY b), " +
+          "nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cc), " +
+          "grid AS (SELECT ra.a, cb.b, ra.rt, cb.ct, " +
+          "CAST(coalesce(cc.o, 0) AS BIGINT) AS o " +
+          "FROM ra CROSS JOIN cb LEFT JOIN cc ON cc.a = ra.a AND cc.b = cb.b) " +
+          "SELECT a, b, o, rt, ct, " +
+          s"$e AS expected, " +
+          s"CASE WHEN $e > 0.0 THEN $d / sqrt($e) END AS pearson_resid, " +
+          s"CASE WHEN $e > 0.0 THEN CASE WHEN $shrink > 0.0 THEN " +
+          s"$d / sqrt($e * $shrink) END END AS adj_resid " +
+          "FROM grid CROSS JOIN nn"
+      },
       "q_chi2" -> {
         // e and d repeated inline (DuckDB lambdas have no let-binding);
         // every repetition is the identical float expression, so the
@@ -8808,6 +8857,16 @@ object SparkEntry {
           "ORDER BY ts DESC, event_id DESC) AS rn2 FROM u) " +
           "SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, " +
           "value FROM f WHERE rn2 = 1"),
+      "s22_stream_vectored_delete" ->
+        // Post-ingest latest-wins state minus every key that has an
+        // error event (the streamed delete key set) — vectored marks
+        // remove exact state rows, keys never re-inserted afterwards.
+        (s"WITH st AS ($dedupState), " +
+          "errs AS (SELECT DISTINCT user_id AS pkey FROM events " +
+          "WHERE event_type = 'error' AND user_id % 3 = 0) " +
+          "SELECT st.pkey, st.modified_date_us, st.event_type, st.value " +
+          "FROM st LEFT JOIN errs ON st.pkey = errs.pkey " +
+          "WHERE errs.pkey IS NULL"),
       "o20_row_ttl" ->
         // TTL = latest-wins filtered at the same data-derived horizon.
         (s"WITH st AS ($dedupState), " +

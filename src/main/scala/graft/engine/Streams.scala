@@ -227,6 +227,35 @@ final class DeleteStream(
     }
 }
 
+/** Merge-on-read DELETE stream: each micro-batch's keys mark positions
+  * in the target's deletion-vector sidecar
+  * ([[graft.sink.ParquetTarget.deleteVectoredKeys]]) — the
+  * zero-rewrite third deletion mode beside [[DeleteStream]]'s soft
+  * (tombstone flag) and hard (bucket rewrite) paths: delete throughput
+  * is decoupled from row width and bucket size, the right trade when
+  * deletes are frequent and reads can absorb a small anti-join until
+  * the next compaction materializes the vector. */
+final class VectoredDeleteStream(
+    config: IngestConfig,
+    target: ParquetTarget,
+    defaultCheckpoint: String) {
+
+  def this(spark: SparkSession, config: IngestConfig, table: TargetTable) =
+    this(config, new ParquetTarget(spark, table, config.leaseSettleMillis),
+      table.path + "_vdel_ckpt")
+
+  def run(source: DataFrame): StreamingQuery = runWith(source, None)
+  def run(source: DataFrame, trigger: Trigger): StreamingQuery =
+    runWith(source, Some(trigger))
+
+  private def runWith(
+      source: DataFrame, trigger: Option[Trigger]): StreamingQuery =
+    Streams.start(source, config, defaultCheckpoint, trigger) {
+      (batch: Dataset[Row], _: Long) =>
+        target.deleteVectoredKeys(batch, config)
+    }
+}
+
 /** Multi-table fan-out (reference §3.3): records carry a routing column;
   * each batch is cached once and filtered per table — N cheap scans of one
   * in-memory batch, not N source scans (SURVEY.md §7 "what's hard" (b)).

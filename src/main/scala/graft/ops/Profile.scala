@@ -174,6 +174,34 @@ object Profile {
       aggregate(col("cs"), lit(0.0), (acc, x) => acc + term(x)).as("chi2"))
   }
 
+  /** Per-cell residuals for the [[chiSquare]] grid — WHERE the
+    * dependence lives, not just whether it exists: Pearson residual
+    * (o−e)/√e and the adjusted (standardized) residual
+    * (o−e)/√(e·(1−rt/n)·(1−ct/n)), |adj| ≳ 2 flagging the driving
+    * cells. Same empty-cell-completed grid, one fixed-shape IEEE
+    * expression per row, no cross-cell float accumulation at all. */
+  def chiSquareResiduals(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum(col("o")).as("rt"))
+    val cb = cells.groupBy("b").agg(sum(col("o")).as("ct"))
+    val grid = ra.crossJoin(cb)
+      .join(cells, Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), col("rt"), col("ct"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(cells.agg(sum(col("o")).as("n"))))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    val d = col("o").cast("double") - e
+    val shrink = (lit(1.0) - col("rt").cast("double") / col("n")) *
+      (lit(1.0) - col("ct").cast("double") / col("n"))
+    grid.select(col("a"), col("b"), col("o"), col("rt"), col("ct"),
+      e.as("expected"),
+      when(e > 0.0, d / sqrt(e)).as("pearson_resid"),
+      when(e > 0.0, when(shrink > 0.0, d / sqrt(e * shrink)))
+        .as("adj_resid"))
+  }
+
   /** Benford first-digit audit — fraud/synthetic-data detection for
     * naturally wide-ranging positive columns (prices, populations, file
     * sizes): observed leading-digit counts vs the Benford expectation

@@ -599,6 +599,39 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       }
     }
 
+  /** Key-addressed deletion vectors — [[deleteVectored]]'s merge-shaped
+    * twin, and the natural sink for a DELETE stream: mark the positions
+    * of every current row whose key appears in `keys`. Bucket-pruned
+    * like a merge (only the dirs the key set hashes into are scanned)
+    * and broadcast-semi-joined, so a micro-batch of b keys costs
+    * O(touched buckets) read and ZERO rewrite. No matches ⇒ no commit
+    * (idempotent replay-safe). */
+  def deleteVectoredKeys(keys: DataFrame, config: IngestConfig): Unit =
+    withCommitLock {
+      currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
+        val schema = currentSchema(m)
+        val bk = conformKeys(
+          keys.select(table.keyCols.map(keys.col): _*).distinct(), schema)
+        val dirs = bucketsOf(bk).flatMap(m.get).distinct
+        if (dirs.nonEmpty) {
+          val prior = dvVersionFor(v).map(x =>
+            spark.read.parquet(new Path(root, dvName(x)).toString))
+          val matched = readDirsWithMeta(dirs, v)
+            .join(org.apache.spark.sql.functions.broadcast(bk),
+              table.keyCols, "left_semi")
+            .select(col(DvFileCol), col(DvPosCol)).persist()
+          try {
+            if (matched.limit(1).count() > 0) {
+              val merged = prior
+                .map(_.unionByName(matched)).getOrElse(matched).distinct()
+              commit(emptyWithSchema(schema), m, config,
+                dvOverride = Some(merged))
+            }
+          } finally { matched.unpersist(); () }
+        }
+      }
+    }
+
   /** Uniform schema of the current snapshot (invariant: every referenced
     * file shares it — migrations rewrite all buckets). */
   private def currentSchema(m: Map[Int, String]): StructType =

@@ -108,6 +108,23 @@ class DeletionVectorSpec extends SparkSpec {
       ((20L until 40L).toSet ++ Set(51L, 52L)))
   }
 
+  test("key-addressed vectored delete: bucket-pruned, idempotent, no-match no-op") {
+    val (sink, t) = mk()
+    seed(sink)
+    val before = deltaDirs(t)
+    sink.deleteVectoredKeys(Seq(1L, 5L, 9L).toDF("pkey"), cfg)
+    assert(deltaDirs(t) == before)
+    assert(sink.read().get.select("pkey").as[Long].collect().toSet ==
+      (0L until 40L).toSet -- Set(1L, 5L, 9L))
+    // replaying the same key batch finds no live rows -> no new commit
+    val vBefore = sink.versions().last
+    sink.deleteVectoredKeys(Seq(1L, 5L).toDF("pkey"), cfg)
+    assert(sink.versions().last == vBefore)
+    // unknown keys are a clean no-op too
+    sink.deleteVectoredKeys(Seq(999L).toDF("pkey"), cfg)
+    assert(sink.versions().last == vBefore)
+  }
+
   test("clone carries the vector: branch reads exclude deleted rows") {
     val (sink, t) = mk()
     seed(sink)
