@@ -4675,6 +4675,15 @@ object SparkEntry {
         .select(col("g").as("event_type"), col("x").as("value"),
           col("y").as("ts_ns"))),
 
+    // ---- Isotonic calibration (PAV by its exact minimax form): the
+    //      monotone recalibration map, nested exact-rational folds
+    //      over the bounded nonempty-bin profile ----
+    "q_isotonic" -> ((s, dir) =>
+      graft.ops.RankEval.isotonicCalibration(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        floor(col("value") / 8.0),
+        col("event_type") === "purchase")),
+
     // ---- Calibration ECE: per-bin weighted |observed − claimed| gaps
     //      collapse to exact integers (micro-unit probabilities), so
     //      the headline number is ONE division — q_calibration's
@@ -4982,6 +4991,53 @@ object SparkEntry {
           s"sqrt(${seOf("a")} * ${seOf("a")} + ${seOf("b")} * ${seOf("b")}) " +
           "END END AS z FROM w"
       },
+      "q_isotonic" ->
+        // PAV via the exact minimax characterization, FLAT relational
+        // form (k×j×i grid + two argmin/argmax windows) — DuckDB's
+        // nested lambdas corrupt tail entries at 3-deep nesting over
+        // ~50-element outers (observed on this exact query; the
+        // struct-fold hazard's sibling), so no lambda nests here. The
+        // double-ratio ORDER BY is exact at these magnitudes (distinct
+        // rationals with den ≤ 1e6 differ by ≥ 1e-12 ≫ double eps) and
+        // ties break to the same (smallest i / smallest j) pair the
+        // Spark fold keeps.
+        ("WITH b AS (SELECT least(CAST(floor(value / 8.0) AS BIGINT), " +
+          "63) AS bin, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 " +
+          "END AS y FROM events WHERE value IS NOT NULL), " +
+          "g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(y) AS BIGINT) AS pos FROM b GROUP BY bin), " +
+          "pk AS (SELECT list_sort(list(struct_pack(bin := bin, " +
+          "n := n, pos := pos))) AS bs FROM g), " +
+          "ar AS (SELECT list_transform(bs, x -> x.bin) AS bins, " +
+          "list_transform(bs, x -> x.n) AS ns, " +
+          "list_transform(bs, x -> x.pos) AS ps, len(bs) AS kk FROM pk), " +
+          "pf AS (SELECT bins, ns, ps, kk, " +
+          "list_transform(range(1, kk + 1), j -> list_reduce(" +
+          "list_prepend(CAST(0 AS BIGINT), ns[1:j]), (a, x) -> a + x)) " +
+          "AS cw, " +
+          "list_transform(range(1, kk + 1), j -> list_reduce(" +
+          "list_prepend(CAST(0 AS BIGINT), ps[1:j]), (a, x) -> a + x)) " +
+          "AS cp FROM ar), " +
+          "rats AS (SELECT kx.k, jx.j, ix.i, " +
+          "cp[jx.j] - CASE WHEN ix.i > 1 THEN cp[ix.i - 1] ELSE 0 END " +
+          "AS num, " +
+          "cw[jx.j] - CASE WHEN ix.i > 1 THEN cw[ix.i - 1] ELSE 0 END " +
+          "AS den " +
+          "FROM pf, unnest(range(1, kk + 1)) AS kx(k), " +
+          "unnest(range(1, kk + 1)) AS jx(j), " +
+          "unnest(range(1, kk + 1)) AS ix(i) " +
+          "WHERE jx.j >= kx.k AND ix.i <= kx.k), " +
+          "mx AS (SELECT k, j, num, den FROM (SELECT *, row_number() " +
+          "OVER (PARTITION BY k, j ORDER BY CAST(num AS DOUBLE) / " +
+          "CAST(den AS DOUBLE) DESC, i) AS rn FROM rats) WHERE rn = 1), " +
+          "fitt AS (SELECT k, num, den FROM (SELECT *, row_number() " +
+          "OVER (PARTITION BY k ORDER BY CAST(num AS DOUBLE) / " +
+          "CAST(den AS DOUBLE) ASC, j) AS rn FROM mx) WHERE rn = 1) " +
+          "SELECT bins[f.k] AS bin, ns[f.k] AS n, ps[f.k] AS n_pos, " +
+          "CAST(f.num AS BIGINT) AS iso_num, " +
+          "CAST(f.den AS BIGINT) AS iso_den, " +
+          "CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE) AS iso_rate " +
+          "FROM fitt f CROSS JOIN pf"),
       "q_ece" ->
         ("WITH b AS (SELECT least(CAST(floor(value * 2000.0) AS BIGINT), " +
           "1000000) AS pm, CASE WHEN event_type = 'purchase' THEN 1 " +

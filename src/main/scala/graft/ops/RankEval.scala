@@ -185,6 +185,82 @@ object RankEval {
       })
   }
 
+  /** Isotonic calibration (PAV) over score bins — the nonparametric
+    * monotone fit of positive-rate against score, THE standard
+    * recalibration map when q_calibration shows a miscalibrated model.
+    *
+    * Algorithm: the pool-adjacent-violators solution is computed by its
+    * exact minimax characterization
+    * fit(k) = min_{j≥k} max_{i≤k} (pos(i..j) / n(i..j)) — no stack, no
+    * sequential merge cascade, so it runs as nested higher-order folds
+    * over the ≤`binCap` NONEMPTY score bins after one grouped
+    * aggregate. All comparisons are exact cross-multiplications in
+    * DECIMAL(38,0) (the rationals never touch a double until the final
+    * rate), so the DuckDB replay (HUGEINT) agrees bit-for-bit.
+    *
+    * Scale: the corpus collapses to one bounded bin profile (map-side
+    * combinable shuffle, one output row per nonempty bin); the O(K³)
+    * minimax runs on a single packed row. Output per nonempty bin:
+    * (bin, n, n_pos, iso_num, iso_den, iso_rate), iso_rate
+    * non-decreasing in bin. */
+  def isotonicCalibration(df: DataFrame, scoreBin: Column,
+      relevantCol: Column, binCap: Int = 64): DataFrame = {
+    val bins = df
+      .select(scoreBin.cast("long").as("__b"),
+        when(relevantCol, 1L).otherwise(0L).as("__y"))
+      .where(col("__b").isNotNull)
+      .groupBy(least(col("__b"), lit(binCap.toLong - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    val packed = bins
+      .agg(sort_array(collect_list(struct(col("bin"), col("n"),
+        col("pos")))).as("bs"))
+      .withColumn("bins", expr("transform(bs, x -> x.bin)"))
+      .withColumn("ns", expr("transform(bs, x -> x.n)"))
+      .withColumn("ps", expr("transform(bs, x -> x.pos)"))
+      .withColumn("kk", expr("size(bs)"))
+      // Spark sequence(1, 0) DESCENDS instead of being empty — an empty
+      // profile must drop out before any sequence(1, kk) is built
+      .where(col("kk") > 0)
+      .localCheckpoint()
+    val prefixed = packed
+      .withColumn("cw", expr("transform(sequence(1, kk), " +
+        "j -> aggregate(slice(ns, 1, j), 0L, (a, x) -> a + x))"))
+      .withColumn("cp", expr("transform(sequence(1, kk), " +
+        "j -> aggregate(slice(ps, 1, j), 0L, (a, x) -> a + x))"))
+      .localCheckpoint()
+    val dd = (s: String) => s"CAST($s AS DECIMAL(38,0))"
+    val num = "(element_at(cp, j) - IF(i > 1, element_at(cp, i - 1), 0L))"
+    val den = "(element_at(cw, j) - IF(i > 1, element_at(cw, i - 1), 0L))"
+    // max over i ≤ k of the rational (num/den) for a fixed j; sentinel
+    // (-1, 1) loses to every candidate (num ≥ 0, den ≥ 1)
+    val ratMax =
+      s"aggregate(sequence(1, k), array(-1L, 1L), (m, i) -> " +
+        s"IF(${dd(num)} * ${dd("element_at(m, 2)")} > " +
+        s"${dd("element_at(m, 1)")} * ${dd(den)}, array($num, $den), m))"
+    // min over j ≥ k of those maxima; sentinel den = 0 marks empty
+    val fit =
+      s"transform(sequence(1, kk), k -> " +
+        s"aggregate(sequence(k, kk), array(-1L, 0L), (mm, j) -> " +
+        s"IF(element_at(mm, 2) = 0L, $ratMax, " +
+        s"IF(${dd(s"element_at($ratMax, 1)")} * " +
+        s"${dd("element_at(mm, 2)")} < " +
+        s"${dd("element_at(mm, 1)")} * " +
+        s"${dd(s"element_at($ratMax, 2)")}, $ratMax, mm))))"
+    prefixed
+      .withColumn("fit", expr(fit))
+      .localCheckpoint()
+      .select(col("bins"), col("ns"), col("ps"),
+        posexplode(col("fit")).as(Seq("__i", "__f")))
+      .select(
+        expr("element_at(bins, __i + 1)").as("bin"),
+        expr("element_at(ns, __i + 1)").as("n"),
+        expr("element_at(ps, __i + 1)").as("n_pos"),
+        expr("element_at(__f, 1)").as("iso_num"),
+        expr("element_at(__f, 2)").as("iso_den"))
+      .withColumn("iso_rate",
+        col("iso_num").cast("double") / col("iso_den").cast("double"))
+  }
+
   /** Expected calibration error over equal-width probability bins.
     * `probMicroCol` is the claimed probability in exact micro-units
     * (0..1e6 BIGINT). Per bin the weighted |observed − claimed| gap

@@ -100,6 +100,43 @@ class RankEvalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mcc") - 11.0 / 21.0) < 1e-12)
   }
 
+  test("isotonic: [0, 1, 1/2] pools the violating tail to 3/4, exact rationals") {
+    // bins 0/1/2 with one row each at rates 0, 1, 0.5 -> PAV gives
+    // [0, 3/4, 3/4] (two rows per pooled bin here: use n=2 per bin)
+    val df = Seq((0L, false), (0L, false), (1L, true), (1L, true),
+      (2L, true), (2L, false))
+      .toDF("b", "y")
+    val r = RankEval.isotonicCalibration(df, col("b"), col("y"))
+      .collect().map(x => x.getAs[Long]("bin") ->
+        (x.getAs[Long]("iso_num"), x.getAs[Long]("iso_den"))).toMap
+    assert(r(0L) == (0L, 2L))
+    assert(r(1L) == (3L, 4L))
+    assert(r(2L) == (3L, 4L))
+  }
+
+  test("isotonic: monotone input is unchanged; output is always non-decreasing") {
+    val mono = Seq((0L, 1, 10), (1L, 3, 10), (2L, 7, 10))
+      .flatMap { case (b, p, n) =>
+        (0 until n).map(i => (b, i < p)) }
+      .toDF("b", "y")
+    val rows = RankEval.isotonicCalibration(mono, col("b"), col("y"))
+      .orderBy("bin").collect()
+    assert(rows.map(_.getAs[Double]("iso_rate")).toSeq ==
+      Seq(0.1, 0.3, 0.7))
+    // random-ish profile: monotone + weighted-mean-preserving
+    val noisy = (0 until 400).map { i =>
+      (((i * 37) % 16).toLong, (i * 2654435761L % 100) < 40 + (i % 16))
+    }.toDF("b", "y")
+    val out = RankEval.isotonicCalibration(noisy, col("b"), col("y"))
+      .orderBy("bin").collect()
+    val rates = out.map(_.getAs[Double]("iso_rate"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b + 1e-15 })
+    val fitMass = out.map(r =>
+      r.getAs[Long]("n") * r.getAs[Double]("iso_rate")).sum
+    val posMass = out.map(_.getAs[Long]("n_pos").toDouble).sum
+    assert(math.abs(fitMass - posMass) < 1e-6)
+  }
+
   test("ece: two clean bins, exact integer numerator") {
     // bin 0: two rows pm=100000 (claim .1), one positive -> |1e6*1 - 2e5| = 8e5
     // bin 19: one row pm=980000 (claim .98), positive -> |1e6 - 98e4| = 2e4
