@@ -1136,6 +1136,16 @@ object SparkEntry {
           expr("(ts div 86400000000000) % 7").as("dow")),
         "event_type", "dow")),
 
+    // ---- Profiling: Tukey median polish — robust two-way split of
+    //      the (event_type × weekday) revenue grid into row + column
+    //      effects and an interaction residual ----
+    "q_median_polish" -> ((s, dir) =>
+      graft.ops.Profile.medianPolish(
+        t(s, dir, "events").select(col("event_type"),
+          expr("(ts div 86400000000000) % 7").as("dow"),
+          col("value")),
+        "event_type", "dow", floor(col("value") * 100.0))),
+
     // ---- Profiling: per-cell chi² residuals — WHERE the dependence
     //      lives (adjusted residuals, |adj| ≳ 2 = driving cells) ----
     "q_chi2_residuals" -> ((s, dir) =>
@@ -4675,6 +4685,14 @@ object SparkEntry {
         .select(col("g").as("event_type"), col("x").as("value"),
           col("y").as("ts_ns"))),
 
+    // ---- Sampling: systematic PPS — every (W/k)-th point of the
+    //      weight line, inclusion exactly proportional to size;
+    //      columnar global cumsum (range partitions + broadcast
+    //      prefix), the survey-sampling draw for size-skewed corpora ----
+    "sample_pps" -> ((s, dir) =>
+      graft.ops.Sampling.systematicPps(
+        t(s, dir, "documents"), col("doc_id"), col("n_chars"), k = 50)),
+
     // ---- Isotonic calibration (PAV by its exact minimax form): the
     //      monotone recalibration map, nested exact-rational folds
     //      over the bounded nonempty-bin profile ----
@@ -4990,6 +5008,17 @@ object SparkEntry {
           s"(${ratioOf("a")} - ${ratioOf("b")}) / " +
           s"sqrt(${seOf("a")} * ${seOf("a")} + ${seOf("b")} * ${seOf("b")}) " +
           "END END AS z FROM w"
+      },
+      "sample_pps" -> {
+        val picks = "(cum * 50) // total - ((cum - w) * 50) // total"
+        "WITH b AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS w " +
+          "FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0), " +
+          "c AS (SELECT id, w, sum(w) OVER (ORDER BY id " +
+          "ROWS UNBOUNDED PRECEDING) AS cum FROM b), " +
+          "t2 AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM b) " +
+          "SELECT id, w AS weight, CAST(cum AS BIGINT) AS cum, " +
+          s"CAST($picks AS BIGINT) AS n_picks " +
+          s"FROM c CROSS JOIN t2 WHERE $picks > 0"
       },
       "q_isotonic" ->
         // PAV via the exact minimax characterization, FLAT relational
@@ -7270,6 +7299,29 @@ object SparkEntry {
           "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"list_transform(l.cs, x -> $d * $d / $e)), " +
           "(p, x) -> p + x) AS chi2 FROM lst l CROSS JOIN nn"
+      },
+      "q_median_polish" -> {
+        val med = "list_sort(list(r))[CAST((count(r) + 1) // 2 AS INT)]"
+        "WITH base AS (SELECT event_type AS a, " +
+          "(epoch_us(ts) // 86400000000) % 7 AS b, " +
+          "coalesce(CAST(floor(value * 100.0) AS BIGINT), 0) AS qv " +
+          "FROM events), " +
+          "g0 AS (SELECT a, b, CAST(sum(qv) AS BIGINT) AS cell, " +
+          "CAST(sum(qv) AS BIGINT) AS r FROM base GROUP BY a, b), " +
+          s"rm1 AS (SELECT a, $med AS m FROM g0 GROUP BY a), " +
+          "g1 AS (SELECT g0.a, g0.b, cell, r - m AS r, m AS ae " +
+          "FROM g0 JOIN rm1 USING (a)), " +
+          s"cm1 AS (SELECT b, $med AS m FROM g1 GROUP BY b), " +
+          "g2 AS (SELECT a, g1.b, cell, r - m AS r, ae, m AS be " +
+          "FROM g1 JOIN cm1 USING (b)), " +
+          s"rm2 AS (SELECT a, $med AS m FROM g2 GROUP BY a), " +
+          "g3 AS (SELECT g2.a, b, cell, r - m AS r, ae + m AS ae, be " +
+          "FROM g2 JOIN rm2 USING (a)), " +
+          s"cm2 AS (SELECT b, $med AS m FROM g3 GROUP BY b), " +
+          "g4 AS (SELECT a, g3.b, cell, r - m AS r, ae, be + m AS be " +
+          "FROM g3 JOIN cm2 USING (b)) " +
+          "SELECT a AS event_type, b AS dow, cell, r AS resid, " +
+          "ae AS row_eff, be AS col_eff FROM g4"
       },
       "q_chi2_residuals" -> {
         val e = "(CAST(rt * ct AS DOUBLE) / nn.n)"

@@ -1037,6 +1037,50 @@ object Profile {
     * split, `chi2 = (n_a − n_b)² / (n_a + n_b)` (the 1-dof identity —
     * exact integer numerator, ONE division). An SRM chi2 over ~3.84
     * means the assignment itself is broken and the readout is void. */
+  /** Tukey median polish — the robust two-way decomposition
+    * cell = row_eff + col_eff + residual, fit by alternately sweeping
+    * out row and column medians (`sweeps` full passes, fixed — a
+    * deterministic budget like the label-prop/PageRank loops). Means
+    * would be dragged by a few huge cells; medians give the resistant
+    * fit, and what's LEFT (the residual) is the interaction — the
+    * robust anomaly read on a contingency-style grid.
+    *
+    * Exactness: cell values are pre-quantized longs; each median is an
+    * exact order statistic (sorted-list pick, lower median on even
+    * counts) and every update is integer subtraction, so the DuckDB
+    * replay is sweep-for-sweep identical. Cost: the grid is O(rows ×
+    * cols) CELLS (the corpus collapses in the first aggregate);
+    * each sweep is two grouped aggregates + broadcast joins on cells. */
+  def medianPolish(df: DataFrame, rowCol: String, colCol: String,
+      q: Column, sweeps: Int = 2): DataFrame = {
+    require(sweeps >= 1, s"sweeps must be >= 1, got $sweeps")
+    val medExpr = "element_at(array_sort(collect_list(__r)), " +
+      "cast((count(__r) + 1) div 2 as int))"
+    var grid = df
+      .select(col(rowCol).as("__a"), col(colCol).as("__b"),
+        coalesce(q.cast("long"), lit(0L)).as("__q"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(sum(col("__q")).as("__cell"))
+      .withColumn("__r", col("__cell"))
+      .withColumn("__ae", lit(0L))
+      .withColumn("__be", lit(0L))
+    for (_ <- 1 to sweeps) {
+      val rm = grid.groupBy(col("__a")).agg(expr(medExpr).as("__m"))
+      grid = grid.join(broadcast(rm), "__a")
+        .withColumn("__r", col("__r") - col("__m"))
+        .withColumn("__ae", col("__ae") + col("__m"))
+        .drop("__m")
+      val cm = grid.groupBy(col("__b")).agg(expr(medExpr).as("__m"))
+      grid = grid.join(broadcast(cm), "__b")
+        .withColumn("__r", col("__r") - col("__m"))
+        .withColumn("__be", col("__be") + col("__m"))
+        .drop("__m")
+    }
+    grid.select(col("__a").as(rowCol), col("__b").as(colCol),
+      col("__cell").as("cell"), col("__r").as("resid"),
+      col("__ae").as("row_eff"), col("__be").as("col_eff"))
+  }
+
   /** t-closeness audit — the third of the privacy trio (k-anonymity:
     * "is the class big enough?", l-diversity: "are the sensitive values
     * varied?", t-closeness: "does the class's sensitive DISTRIBUTION

@@ -504,4 +504,52 @@ object Sampling {
       col("n"), col("__w").as("w_milli"),
       (col("__w").cast("double") / lit(q.toDouble)).as("w"))
   }
+
+  /** Systematic probability-proportional-to-size (PPS) sampling — the
+    * survey-sampling workhorse for size-skewed corpora: lay the items
+    * out on a line in id order, each occupying its weight, and take
+    * every (W/k)-th point; an item is drawn floor(cum·k/W) −
+    * floor((cum−w)·k/W) times, so items longer than the stride draw
+    * multiply and expected inclusion is exactly proportional to
+    * weight. Deterministic (no random start — the driver compare needs
+    * a reproducible draw; add a fixed offset upstream if rotation is
+    * wanted).
+    *
+    * Scale: the global cumulative sum is COLUMNAR — range partitions
+    * on the id, per-partition window sums, one broadcast exclusive
+    * prefix of partition totals — never a 1-partition window. Output:
+    * (id, weight, cum, n_picks > 0 rows only). Weights must be
+    * positive; w·k must fit BIGINT. */
+  def systematicPps(df: DataFrame, idCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.select(idCol.as("__id"),
+        weightCol.cast("long").as("__w"))
+      .where(col("__w").isNotNull && col("__w") > 0L)
+    val parted = base.repartitionByRange(col("__id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      val totals = parted.groupBy(col("__pid"))
+        .agg(sum(col("__w")).as("__t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = totals.map(_._1)
+        .zip(totals.map(_._2).scanLeft(0L)(_ + _).init)
+      val total = totals.map(_._2).sum
+      val offDf = parted.sparkSession.createDataFrame(offsets.toSeq)
+        .toDF("__pid", "__off")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid")).orderBy(col("__id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      parted.join(broadcast(offDf), "__pid")
+        .withColumn("__cum", col("__off") + sum(col("__w")).over(w))
+        .withColumn("__picks",
+          expr(s"(__cum * $k) div ${total}L - " +
+            s"((__cum - __w) * $k) div ${total}L"))
+        .where(col("__picks") > 0L)
+        .select(col("__id").as("id"), col("__w").as("weight"),
+          col("__cum").as("cum"), col("__picks").as("n_picks"))
+    } finally { parted.unpersist(); () }
+  }
 }
