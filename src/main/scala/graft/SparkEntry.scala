@@ -2912,6 +2912,25 @@ object SparkEntry {
       graft.ops.Graph.bfsHops(edges, "a", "b", seeds, depth = 3)
     }),
 
+    // ---- Graph: landmark betweenness (Brandes on the depth-3 ball) —
+    //      σ forward / quantized δ backward over the BFS DAG; the
+    //      broker-node read completing the centrality family ----
+    "graph_betweenness" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = pp.select(col("p")).distinct()
+        .filter(col("p") % 500 === 0)
+      graft.ops.Graph.betweennessLandmarks(edges, "a", "b", seeds,
+        depth = 3)
+    }),
+
     // ---- Graph: truncated closeness centrality of a landmark set —
     //      ONE multi-source BFS wave carries every landmark's frontier;
     //      closeness = reached / Σdist over the depth-3 ball ----
@@ -8473,6 +8492,19 @@ object SparkEntry {
           "WHERE p % 40 = 0), " +
           graft.functions.OracleSql.bfsCtes(depth = 3) +
           " SELECT node, dist FROM d3"),
+      "graph_betweenness" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e AS (SELECT a AS src, b AS dst FROM ce " +
+          "UNION ALL SELECT b, a FROM ce), " +
+          "seeds AS (SELECT DISTINCT CAST(p AS BIGINT) AS node FROM ps " +
+          "WHERE p % 500 = 0), " +
+          graft.functions.OracleSql.bfsMultiCtes(depth = 3) + ", " +
+          graft.functions.OracleSql.betweennessCtes(depth = 3) +
+          " SELECT node, betweenness_q FROM bq"),
       "graph_closeness" ->
         ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
           "FROM lineitem WHERE l_partkey % 4 = 0), " +

@@ -354,6 +354,43 @@ object OracleSql {
     (init +: steps).mkString(", ")
   }
 
+  /** Landmark-betweenness CTE chain mirroring
+    * `Graph.betweennessLandmarks` level-for-level over prior CTEs
+    * `e`(src, dst), `seeds`(node), and [[bfsMultiCtes]]'s `md$depth`:
+    * σ forward (`sg0..sg$depth`), quantized δ backward
+    * (`dq$depth..dq0`), betweenness in `bq`(node, betweenness_q). */
+  def betweennessCtes(depth: Int, q: Long = 1000000L): String = {
+    val d = depth
+    val sg = (1 to d).map { l =>
+      s"sg$l AS (SELECT dd.seed, dd.node, CAST(sum(p.sig) AS BIGINT) " +
+        s"AS sig FROM (SELECT seed, node FROM md$d WHERE dist = $l) dd " +
+        s"JOIN e ON e.dst = dd.node " +
+        s"JOIN sg${l - 1} p ON p.seed = dd.seed AND p.node = e.src " +
+        "GROUP BY dd.seed, dd.node)"
+    }
+    val sg0 = "sg0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) " +
+      "AS sig FROM seeds)"
+    val dqD = s"dq$d AS (SELECT seed, node, CAST(0 AS BIGINT) AS dq " +
+      s"FROM md$d WHERE dist = $d)"
+    val dq = ((d - 1) to 0 by -1).map { l =>
+      s"ct$l AS (SELECT su.seed, su.node, " +
+        s"CAST(sum((su.sig * ($q + w.dq)) // sw.sig) AS BIGINT) AS s " +
+        s"FROM sg$l su JOIN e ON e.src = su.node " +
+        s"JOIN dq${l + 1} w ON w.seed = su.seed AND w.node = e.dst " +
+        s"JOIN sg${l + 1} sw ON sw.seed = su.seed AND sw.node = e.dst " +
+        "GROUP BY su.seed, su.node), " +
+        s"dq$l AS (SELECT m.seed, m.node, coalesce(c.s, 0) AS dq " +
+        s"FROM (SELECT seed, node FROM md$d WHERE dist = $l) m " +
+        s"LEFT JOIN ct$l c ON c.seed = m.seed AND c.node = m.node)"
+    }
+    val bq = "bq AS (SELECT node, CAST(sum(dq) AS BIGINT) " +
+      "AS betweenness_q FROM (" +
+      (1 to d).map(l => s"SELECT node, dq FROM dq$l")
+        .mkString(" UNION ALL ") +
+      ") GROUP BY node)"
+    ((sg0 +: sg) ++ (dqD +: dq) :+ bq).mkString(", ")
+  }
+
   /** Jaro-Winkler CTE stages mirroring `NativeKernels.jaroWinkler`
     * decision-for-decision over a prior CTE `pairsCte`(…, $a, $b):
     * emits `jwst`, `jwext`, `jwout`, where `jwout` carries every

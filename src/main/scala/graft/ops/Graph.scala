@@ -695,6 +695,81 @@ object Graph {
         when(col("sum_dist") > 0L,
           col("n_reached").cast("double") / col("sum_dist").cast("double")))
 
+  /** Landmark betweenness (Brandes on the depth-bounded ball):
+    * dependency scores δ accumulated backward over the multi-source
+    * BFS DAG, quantized at `q` so every division is an exact integer
+    * floor — σ path counts forward by level (one vertex-keyed join per
+    * level), then δ_u = Σ_{u→w, dist w = dist u + 1}
+    * (σ_u · (q + δ_w)) div σ_w backward, summed over landmarks.
+    * The depth bound makes this the h-hop betweenness (the standard
+    * scalable surrogate — exact Brandes is O(V·E)); landmarks bound
+    * frontier state at O(|S|·V). Output: (node, betweenness_q), seeds'
+    * own rows excluded (endpoints don't count). σ and the δ products
+    * must fit BIGINT — on dense balls pick a smaller depth. */
+  def betweennessLandmarks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, depth: Int, q: Long = 1000000L): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(q > 0, s"q must be positive, got $q")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    val dist = bfsMultiSource(e, "src", "dst", seeds, depth).persist()
+    try {
+      // forward: σ per (seed, node), one checkpointed frame PER LEVEL
+      // (checkpointing the growing union would re-materialize every
+      // prior level each round)
+      val sigma = new Array[DataFrame](depth + 1)
+      sigma(0) = dist.filter(col("dist") === 0L)
+        .select(col("seed"), col("node"), lit(1L).as("sig"))
+        .localCheckpoint()
+      for (l <- 1 to depth)
+        sigma(l) = sigma(l - 1)
+          .join(e, col("node") === col("src"))
+          .select(col("seed"), col("dst").as("node"), col("sig"))
+          .join(dist.filter(col("dist") === l.toLong),
+            Seq("seed", "node"), "left_semi")
+          .groupBy(col("seed"), col("node"))
+          .agg(sum(col("sig")).as("sig"))
+          .localCheckpoint()
+      // backward: quantized δ per level
+      val deltas = new Array[DataFrame](depth + 1)
+      deltas(depth) = sigma(depth)
+        .select(col("seed"), col("node"), lit(0L).as("dq"))
+        .localCheckpoint()
+      for (l <- (depth - 1) to 1 by -1) {
+        val wRows = deltas(l + 1)
+          .join(sigma(l + 1), Seq("seed", "node"))
+          .select(col("seed"), col("node").as("dst"), col("sig"),
+            col("dq"))
+        val contrib = e.join(wRows, "dst")
+          .select(col("seed"), col("src").as("node"), col("sig"),
+            col("dq"))
+          .join(sigma(l).select(col("seed"), col("node"),
+            col("sig").as("__su")), Seq("seed", "node"))
+          .select(col("seed"), col("node"),
+            expr(s"(__su * ($q + dq)) div sig").as("__c"))
+          .groupBy(col("seed"), col("node"))
+          .agg(sum(col("__c")).as("__dq"))
+        deltas(l) = sigma(l).select(col("seed"), col("node"))
+          .join(contrib, Seq("seed", "node"), "left_outer")
+          .select(col("seed"), col("node"),
+            coalesce(col("__dq"), lit(0L)).as("dq"))
+          .localCheckpoint()
+      }
+      val out = (1 to depth).map(deltas)
+        .reduce(_ unionByName _)
+        .groupBy(col("node"))
+        .agg(sum(col("dq")).as("betweenness_q"))
+      // deltas 1..depth feed `out` lazily and stay checkpointed; the
+      // σ frames are fully consumed (every δ level is materialized)
+      (0 to depth).foreach(i =>
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(sigma(i)))
+      out
+    } finally { e.unpersist(); dist.unpersist(); () }
+  }
+
   /** Personalized PageRank — [[pageRank]] with the teleport vector
     * concentrated on a SEED set instead of uniform: ranks measure
     * proximity to the seeds (trusted-domain expansion for crawl
