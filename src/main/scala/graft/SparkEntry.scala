@@ -1136,6 +1136,16 @@ object SparkEntry {
           expr("(ts div 86400000000000) % 7").as("dow")),
         "event_type", "dow")),
 
+    // ---- Causal: sharp regression discontinuity at value = 50 —
+    //      local linear fits both sides, effect = limit gap at the
+    //      cutoff (the causal trio's continuity-identified third) ----
+    "q_rdd" -> ((s, dir) =>
+      graft.ops.Profile.regressionDiscontinuity(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        floor(col("value") * 100.0),
+        col("event_type") === "purchase",
+        cutoffQ = 5000L, bandwidthQ = 2000L)),
+
     // ---- Profiling: Tukey median polish — robust two-way split of
     //      the (event_type × weekday) revenue grid into row + column
     //      effects and an interaction residual ----
@@ -7318,6 +7328,50 @@ object SparkEntry {
           "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"list_transform(l.cs, x -> $d * $d / $e)), " +
           "(p, x) -> p + x) AS chi2 FROM lst l CROSS JOIN nn"
+      },
+      "q_rdd" -> {
+        def fit(s: String) = {
+          val den = s"CAST(CAST(n_$s AS HUGEINT) * sxx_$s - " +
+            s"CAST(sx_$s AS HUGEINT) * sx_$s AS DOUBLE)"
+          val num = s"CAST(CAST(n_$s AS HUGEINT) * sxy_$s - " +
+            s"CAST(sx_$s AS HUGEINT) * sy_$s AS DOUBLE)"
+          val b = s"(($num) / ($den))"
+          val a = s"(CAST(sy_$s AS DOUBLE) / CAST(n_$s AS DOUBLE) - " +
+            s"$b * (CAST(sx_$s AS DOUBLE) / CAST(n_$s AS DOUBLE)))"
+          (den, b, s"($a + $b * 5000.0)")
+        }
+        val (denl, bl, predl) = fit("l")
+        val (denr, br, predr) = fit("r")
+        def okOf(s: String, den: String) = s"(n_$s >= 2 AND $den <> 0.0)"
+        val okL = okOf("l", denl); val okR = okOf("r", denr)
+        "WITH b AS (SELECT CAST(floor(value * 100.0) AS BIGINT) AS x, " +
+          "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+          "FROM events WHERE value IS NOT NULL " +
+          "AND CAST(floor(value * 100.0) AS BIGINT) >= 3000 " +
+          "AND CAST(floor(value * 100.0) AS BIGINT) < 7000), " +
+          "s2 AS (SELECT CASE WHEN x >= 5000 THEN 1 ELSE 0 END AS r, " +
+          "x, y FROM b), " +
+          "m AS (SELECT " +
+          Seq("l" -> 0, "r" -> 1).map { case (s, r) =>
+            s"CAST(coalesce(sum(CASE WHEN r = $r THEN 1 ELSE 0 END), 0) " +
+              s"AS BIGINT) AS n_$s, " +
+              s"CAST(coalesce(sum(CASE WHEN r = $r THEN x ELSE 0 END), 0) " +
+              s"AS BIGINT) AS sx_$s, " +
+              s"CAST(coalesce(sum(CASE WHEN r = $r THEN y ELSE 0 END), 0) " +
+              s"AS BIGINT) AS sy_$s, " +
+              s"coalesce(sum(CASE WHEN r = $r THEN CAST(x AS HUGEINT) * x " +
+              s"ELSE 0 END), 0) AS sxx_$s, " +
+              s"coalesce(sum(CASE WHEN r = $r THEN CAST(x AS HUGEINT) * y " +
+              s"ELSE 0 END), 0) AS sxy_$s"
+          }.mkString(", ") +
+          " FROM s2) " +
+          "SELECT n_l, n_r, " +
+          s"CASE WHEN $okL THEN $bl END AS slope_l, " +
+          s"CASE WHEN $okR THEN $br END AS slope_r, " +
+          s"CASE WHEN $okL THEN $predl END AS pred_l, " +
+          s"CASE WHEN $okR THEN $predr END AS pred_r, " +
+          s"CASE WHEN $okL AND $okR THEN ($predr) - ($predl) END " +
+          "AS rdd_effect FROM m"
       },
       "q_median_polish" -> {
         val med = "list_sort(list(r))[CAST((count(r) + 1) // 2 AS INT)]"

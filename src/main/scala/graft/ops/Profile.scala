@@ -1037,6 +1037,57 @@ object Profile {
     * split, `chi2 = (n_a − n_b)² / (n_a + n_b)` (the 1-dof identity —
     * exact integer numerator, ONE division). An SRM chi2 over ~3.84
     * means the assignment itself is broken and the readout is void. */
+  /** Sharp regression discontinuity: local linear fits on both sides
+    * of a cutoff in the quantized running variable, treatment effect =
+    * right-limit minus left-limit of the fitted outcome at the cutoff.
+    * The causal trio's third read beside diff-in-diff (parallel-trends
+    * id) and the A/B z-test (randomized id): here identification comes
+    * from continuity at the threshold.
+    *
+    * Exactness: per-side OLS from five exact sums (BIGINT +
+    * DECIMAL(38,0) products; slope numerator/denominator subtracted in
+    * decimal before ONE double cast — no cancellation), predictions
+    * and the effect as fixed-shape IEEE trees the oracle mirrors.
+    * One scan, one single-row aggregate. */
+  def regressionDiscontinuity(df: DataFrame, xQ: Column, y: Column,
+      cutoffQ: Long, bandwidthQ: Long): DataFrame = {
+    require(bandwidthQ > 0, s"bandwidthQ must be positive, got $bandwidthQ")
+    val base = df.select(xQ.cast("long").as("__x"),
+        when(y, 1L).otherwise(0L).as("__y"))
+      .where(col("__x").isNotNull &&
+        col("__x") >= cutoffQ - bandwidthQ &&
+        col("__x") < cutoffQ + bandwidthQ)
+      .withColumn("__r", (col("__x") >= cutoffQ).cast("int"))
+    val dd = (c: Column) => c.cast("decimal(38,0)")
+    def side(s: String, r: Int) = Seq(
+      sum(when(col("__r") === r, 1L).otherwise(0L)).as(s"n_$s"),
+      sum(when(col("__r") === r, col("__x")).otherwise(0L)).as(s"sx_$s"),
+      sum(when(col("__r") === r, col("__y")).otherwise(0L)).as(s"sy_$s"),
+      sum(when(col("__r") === r, dd(col("__x")) * dd(col("__x")))
+        .otherwise(dd(lit(0L)))).as(s"sxx_$s"),
+      sum(when(col("__r") === r, dd(col("__x")) * dd(col("__y")))
+        .otherwise(dd(lit(0L)))).as(s"sxy_$s"))
+    val cols = side("l", 0) ++ side("r", 1)
+    val agged = base.agg(cols.head, cols.tail: _*)
+    val d = (c: Column) => c.cast("double")
+    def fit(s: String) = {
+      val n = col(s"n_$s"); val sx = col(s"sx_$s"); val sy = col(s"sy_$s")
+      val den = (dd(n) * col(s"sxx_$s") - dd(sx) * dd(sx)).cast("double")
+      val num = (dd(n) * col(s"sxy_$s") - dd(sx) * dd(sy)).cast("double")
+      val b = num / den
+      val a = d(sy) / d(n) - b * (d(sx) / d(n))
+      (n, den, b, a + b * lit(cutoffQ.toDouble))
+    }
+    val (nl, denl, bl, predl) = fit("l")
+    val (nr, denr, br, predr) = fit("r")
+    val okL = nl >= 2L && denl =!= 0.0
+    val okR = nr >= 2L && denr =!= 0.0
+    agged.select(col("n_l"), col("n_r"),
+      when(okL, bl).as("slope_l"), when(okR, br).as("slope_r"),
+      when(okL, predl).as("pred_l"), when(okR, predr).as("pred_r"),
+      when(okL && okR, predr - predl).as("rdd_effect"))
+  }
+
   /** Tukey median polish — the robust two-way decomposition
     * cell = row_eff + col_eff + residual, fit by alternately sweeping
     * out row and column medians (`sweeps` full passes, fixed — a
