@@ -1136,6 +1136,22 @@ object SparkEntry {
           expr("(ts div 86400000000000) % 7").as("dow")),
         "event_type", "dow")),
 
+    // ---- Causal: caliper nearest-neighbor matching ATT — clickers vs
+    //      non-clickers matched on activity volume; the observational
+    //      estimate with its overlap diagnostic ----
+    "q_psm_att" -> ((s, dir) => {
+      val users = t(s, dir, "events").groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_click"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100.0).cast("long"))), lit(0L))
+          .as("cents"))
+      graft.ops.Profile.caliperMatchAtt(users,
+        col("n_click") >= 3L, col("n_ev"), col("cents"),
+        caliper = 2L, col("user_id"))
+    }),
+
     // ---- Causal: sharp regression discontinuity at value = 50 —
     //      local linear fits both sides, effect = limit gap at the
     //      cutoff (the causal trio's continuity-identified third) ----
@@ -4512,6 +4528,29 @@ object SparkEntry {
       stateOut(branch.read().get)
     }),
 
+    // ---- Storage: branch divergence diff — clone, merge into the
+    //      branch copy-on-write, then the cross-target keyed diff
+    //      (what changed on the branch vs its source, summarized) ----
+    "o29_branch_diff" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o29_").toString
+      val src = graft.model.TargetTable("events_bd_src", s"$tmp/src",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val cfg = IngestConfig(name = s"o29-bd-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, src)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
+      pt.cloneTo(s"$tmp/branch")
+      val branch = new graft.sink.ParquetTarget(s,
+        graft.model.TargetTable("events_bd_br", s"$tmp/branch",
+          keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4))
+      branch.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
+      graft.ops.Diff.keyedDiff(pt.read().get, branch.read().get, key)
+        .withColumn("changed_cols", array_join(col("changed_cols"), ","))
+        .groupBy(col("change_type"), col("changed_cols"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // ---- Storage: incrementally-maintained JOIN view — a denormalized
     //      (state ⋈ nation) target refreshed from the CDC feed; updates
     //      overwrite latest-wins, deletes retire, O(changes) per sync ----
@@ -7329,6 +7368,36 @@ object SparkEntry {
           s"list_transform(l.cs, x -> $d * $d / $e)), " +
           "(p, x) -> p + x) AS chi2 FROM lst l CROSS JOIN nn"
       },
+      "q_psm_att" ->
+        // The oracle affords the direct |x_t − x_c| ≤ caliper join (the
+        // engine's bucket join finds the identical candidate set).
+        ("WITH u AS (SELECT user_id AS id, " +
+          "CAST(count(*) AS BIGINT) AS x, " +
+          "CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 " +
+          "ELSE 0 END), 0) AS BIGINT) AS nc, " +
+          "CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN " +
+          "CAST(floor(value * 100.0) AS BIGINT) ELSE 0 END), 0) " +
+          "AS BIGINT) AS y FROM events GROUP BY user_id), " +
+          "tr AS (SELECT * FROM u WHERE nc >= 3), " +
+          "co AS (SELECT * FROM u WHERE nc < 3), " +
+          "pairs AS (SELECT tr.id, tr.y AS yt, co.id AS cid, " +
+          "co.y AS yc, abs(tr.x - co.x) AS dist FROM tr JOIN co " +
+          "ON abs(tr.x - co.x) <= 2), " +
+          "best AS (SELECT id, yt, yc FROM (SELECT *, row_number() " +
+          "OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM pairs) " +
+          "WHERE rn = 1), " +
+          "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_matched, " +
+          "CAST(coalesce(sum(yt), 0) AS BIGINT) AS syt, " +
+          "CAST(coalesce(sum(yc), 0) AS BIGINT) AS syc FROM best), " +
+          "nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated FROM tr) " +
+          "SELECT n_treated, n_matched, syt - syc AS sum_dy, " +
+          "CASE WHEN n_matched > 0 THEN CAST(syt - syc AS DOUBLE) / " +
+          "CAST(n_matched AS DOUBLE) END AS att, " +
+          "CASE WHEN n_matched > 0 THEN CAST(syt AS DOUBLE) / " +
+          "CAST(n_matched AS DOUBLE) END AS mean_y_treated, " +
+          "CASE WHEN n_matched > 0 THEN CAST(syc AS DOUBLE) / " +
+          "CAST(n_matched AS DOUBLE) END AS mean_y_control " +
+          "FROM agg CROSS JOIN nt"),
       "q_rdd" -> {
         def fit(s: String) = {
           val den = s"CAST(CAST(n_$s AS HUGEINT) * sxx_$s - " +
@@ -9051,6 +9120,41 @@ object SparkEntry {
           "ORDER BY ts DESC, event_id DESC) AS rn2 FROM u) " +
           "SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, " +
           "value FROM f WHERE rn2 = 1"),
+      "o29_branch_diff" ->
+        // src = even latest-wins; branch = all latest-wins (clone then
+        // odd merge). Branch keys ⊇ src keys, so no deletes; a key
+        // updates iff the overall winner is an odd row, and the
+        // changed-column list replays keyedDiff's null-safe
+        // per-column compare in sorted column order.
+        ("WITH se AS (SELECT pkey, ts, event_id, event_type, value FROM " +
+          "(SELECT user_id AS pkey, ts, event_id, event_type, value, " +
+          "row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY ts DESC, event_id DESC) AS rn " +
+          "FROM events WHERE event_id % 2 = 0) WHERE rn = 1), " +
+          "sa AS (SELECT pkey, ts, event_id, event_type, value FROM " +
+          s"($oracleDedup) WHERE rn = 1), " +
+          "j AS (SELECT sa.pkey, se.pkey AS sp, " +
+          "se.event_id AS le, sa.event_id AS re, " +
+          "se.event_type AS lt, sa.event_type AS rt, " +
+          "epoch_us(se.ts) AS lts, epoch_us(sa.ts) AS rts, " +
+          "se.value AS lv, sa.value AS rv " +
+          "FROM sa LEFT JOIN se ON se.pkey = sa.pkey), " +
+          "typed AS (SELECT pkey, " +
+          "CASE WHEN sp IS NULL THEN 'insert' " +
+          "WHEN (le IS DISTINCT FROM re) OR (lt IS DISTINCT FROM rt) " +
+          "OR (lts IS DISTINCT FROM rts) OR (lv IS DISTINCT FROM rv) " +
+          "THEN 'update' END AS change_type, " +
+          "CASE WHEN sp IS NULL THEN '' " +
+          "ELSE coalesce(array_to_string(list_filter([" +
+          "CASE WHEN le IS DISTINCT FROM re THEN 'event_id' END, " +
+          "CASE WHEN lt IS DISTINCT FROM rt THEN 'event_type' END, " +
+          "CASE WHEN lts IS DISTINCT FROM rts THEN 'modified_date_us' " +
+          "END, " +
+          "CASE WHEN lv IS DISTINCT FROM rv THEN 'value' END], " +
+          "x -> x IS NOT NULL), ','), '') END AS cc FROM j) " +
+          "SELECT change_type, cc AS changed_cols, " +
+          "CAST(count(*) AS BIGINT) AS n FROM typed " +
+          "WHERE change_type IS NOT NULL GROUP BY 1, 2"),
       "s22_stream_vectored_delete" ->
         // Post-ingest latest-wins state minus every key that has an
         // error event (the streamed delete key set) — vectored marks

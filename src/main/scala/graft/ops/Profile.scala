@@ -1037,6 +1037,59 @@ object Profile {
     * split, `chi2 = (n_a − n_b)² / (n_a + n_b)` (the 1-dof identity —
     * exact integer numerator, ONE division). An SRM chi2 over ~3.84
     * means the assignment itself is broken and the readout is void. */
+  /** Caliper nearest-neighbor matching ATT — the observational-causal
+    * estimate when treatment is NOT randomized: each treated unit
+    * matches its nearest control on the quantized covariate within
+    * `caliper` (with replacement; ties break to the smaller control
+    * id), ATT = mean(y_treated − y_matched-control) over exact integer
+    * sums. Treated units with no in-caliper control drop (reported via
+    * n_treated vs n_matched — the honest overlap diagnostic).
+    *
+    * Scale: candidates come from a BUCKET equi-join (bucket width =
+    * caliper, each treated probes its own and both adjacent buckets),
+    * never a cross join or global sort; the per-treated argmin is a
+    * bucket-bounded window. */
+  def caliperMatchAtt(units: DataFrame, treated: Column, xQ: Column,
+      yQ: Column, caliper: Long, idCol: Column): DataFrame = {
+    require(caliper > 0, s"caliper must be positive, got $caliper")
+    import org.apache.spark.sql.expressions.Window
+    val base = units.select(idCol.as("__id"), treated.as("__t"),
+        xQ.cast("long").as("__x"), coalesce(yQ.cast("long"), lit(0L))
+          .as("__y"))
+      .where(col("__x").isNotNull)
+    val controls = base.where(!col("__t"))
+      .select(expr(s"__x div ${caliper}L").as("__b"),
+        col("__id").as("__cid"), col("__x").as("__cx"),
+        col("__y").as("__cy"))
+    val treatedRows = base.where(col("__t"))
+    val probes = treatedRows
+      .select(col("__id"), col("__x"), col("__y"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("__d"))
+      .withColumn("__b", expr(s"__x div ${caliper}L") + col("__d"))
+    val pairs = probes.join(controls, "__b")
+      .where(abs(col("__x") - col("__cx")) <= caliper)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id"))
+          .orderBy(abs(col("__x") - col("__cx")).asc, col("__cid").asc)))
+      .where(col("__rn") === 1)
+    val nT = treatedRows.agg(count(lit(1)).as("n_treated"))
+    pairs.agg(count(lit(1)).as("n_matched"),
+        coalesce(sum(col("__y")), lit(0L)).as("__syt"),
+        coalesce(sum(col("__cy")), lit(0L)).as("__syc"))
+      .crossJoin(broadcast(nT))
+      .select(col("n_treated"), col("n_matched"),
+        (col("__syt") - col("__syc")).as("sum_dy"),
+        when(col("n_matched") > 0L,
+          (col("__syt") - col("__syc")).cast("double") /
+            col("n_matched").cast("double")).as("att"),
+        when(col("n_matched") > 0L,
+          col("__syt").cast("double") / col("n_matched").cast("double"))
+          .as("mean_y_treated"),
+        when(col("n_matched") > 0L,
+          col("__syc").cast("double") / col("n_matched").cast("double"))
+          .as("mean_y_control"))
+  }
+
   /** Sharp regression discontinuity: local linear fits on both sides
     * of a cutoff in the quantized running variable, treatment effect =
     * right-limit minus left-limit of the fitted outcome at the cutoff.

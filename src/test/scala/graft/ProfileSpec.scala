@@ -787,6 +787,40 @@ class ProfileSpec extends SparkSpec {
     assert(ro.isNullAt(2) && ro.isNullAt(4))
   }
 
+  test("rdd: clean step function recovers a unit effect with zero slopes") {
+    val rows = (0 until 200).map { i =>
+      val x = 4000L + i * 10L // [4000, 6000) straddles cutoff 5000
+      (x, x >= 5000L)
+    }
+    val df = rows.toDF("x", "y")
+    val r = Profile.regressionDiscontinuity(df,
+      df("x"), df("y"), cutoffQ = 5000L, bandwidthQ = 1000L)
+      .collect().head
+    assert(math.abs(r.getAs[Double]("slope_l")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("slope_r")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("pred_l") - 0.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("pred_r") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("rdd_effect") - 1.0) < 1e-9)
+  }
+
+  test("caliper matching: nearest control wins, ties to smaller id, out-of-caliper drops") {
+    // treated u1 (x=10,y=100): controls at x=9 (id 20, y=30) and x=11
+    //   (id 21, y=50) — both dist 1, tie -> id 20
+    // treated u2 (x=14,y=80): nearest control x=12 (id 22, y=10), dist 2 ok
+    // treated u3 (x=25,y=70): no control within 2 -> unmatched
+    val units = Seq(
+      (1L, true, 10L, 100L), (2L, true, 14L, 80L), (3L, true, 25L, 70L),
+      (20L, false, 9L, 30L), (21L, false, 11L, 50L), (22L, false, 12L, 10L))
+      .toDF("id", "t", "x", "y")
+    val r = Profile.caliperMatchAtt(units, units("t"), units("x"),
+      units("y"), caliper = 2L, units("id")).collect().head
+    assert(r.getAs[Long]("n_treated") == 3L)
+    assert(r.getAs[Long]("n_matched") == 2L)
+    // diffs: (100-30) + (80-10) = 140 -> att 70
+    assert(r.getAs[Long]("sum_dy") == 140L)
+    assert(r.getAs[Double]("att") == 70.0)
+  }
+
   test("delta-method ratio: hand-worked cluster variance, equal ratios give z = 0") {
     // arm A units (x=Σq, y=events): (10,2) (20,2) (30,2) → R=10,
     //   s_xx=100, s_xy=s_yy=0, var = 100/(3·4)
