@@ -4724,6 +4724,16 @@ object SparkEntry {
         .withColumn("d90", col("p90_a") - col("p90_b"))
     }),
 
+    // ---- Time series: pairwise Granger causality (lag-1) — does one
+    //      metric's past improve another's forecast? Exact decimal
+    //      moments, Cramer-solved incremental F ----
+    "ts_granger" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        expr("ts div 86400000000000").as("d"),
+        coalesce(floor(col("value")).cast("long"), lit(0L)).as("q"))
+      graft.ops.TimeSeries.grangerPairs(ev, "event_type", "d", "q")
+    }),
+
     // ---- Time series: pairwise DTW distance — alignment-tolerant
     //      co-movement between event-type series; k-bucket collapse
     //      first, then a row-local exact-integer min-plus DP ----
@@ -4983,6 +4993,60 @@ object SparkEntry {
           "-(CAST(x.k AS DOUBLE) / CAST(n_rows AS DOUBLE)) * " +
           "ln(CAST(x.k AS DOUBLE) / CAST(n_rows AS DOUBLE)))), " +
           "(a, b) -> a + b), 8) AS entropy FROM pk"),
+      "ts_granger" -> {
+        // Mirrors TimeSeries.grangerPairs term-for-term: exact HUGEINT
+        // moments, then the identical IEEE tree for the Cramer solve,
+        // both RSS values, and the incremental F.
+        val nn = "CAST(n AS DOUBLE)"
+        def dv(c: String) = s"CAST($c AS DOUBLE)"
+        val (sy, sl, sx) = (dv("sy"), dv("sl"), dv("sx"))
+        val (syy, sll, sxx) = (dv("syy"), dv("sll"), dv("sxx"))
+        val (syl, syx, slx) = (dv("syl"), dv("syx"), dv("slx"))
+        val denR = s"($nn * $sll - $sl * $sl)"
+        val aR = s"(($nn * $syl - $sl * $sy) / $denR)"
+        val cR = s"(($sy - $aR * $sl) / $nn)"
+        val rssR = s"($syy - ($cR * $sy + $aR * $syl))"
+        val det = s"($nn * ($sll * $sxx - $slx * $slx) - " +
+          s"$sl * ($sl * $sxx - $slx * $sx) + " +
+          s"$sx * ($sl * $slx - $sll * $sx))"
+        val detC = s"($sy * ($sll * $sxx - $slx * $slx) - " +
+          s"$sl * ($syl * $sxx - $slx * $syx) + " +
+          s"$sx * ($syl * $slx - $sll * $syx))"
+        val detA = s"($nn * ($syl * $sxx - $syx * $slx) - " +
+          s"$sy * ($sl * $sxx - $slx * $sx) + " +
+          s"$sx * ($sl * $syx - $syl * $sx))"
+        val detB = s"($nn * ($sll * $syx - $slx * $syl) - " +
+          s"$sl * ($sl * $syx - $sx * $syl) + " +
+          s"$sy * ($sl * $slx - $sll * $sx))"
+        val rssU = s"($syy - ($detC * $sy + $detA * $syl + " +
+          s"$detB * $syx) / $det)"
+        val f = s"((($rssR - $rssU) * ($nn - 3.0)) / $rssU)"
+        "WITH q AS (SELECT event_type AS g, " +
+          "epoch_us(ts) // 86400000000 AS d, " +
+          "coalesce(CAST(floor(value) AS BIGINT), 0) AS qv FROM events), " +
+          "daily AS (SELECT g, d, CAST(sum(qv) AS BIGINT) AS dq " +
+          "FROM q GROUP BY 1, 2), " +
+          "p AS (SELECT a.g AS cause, b.g AS effect, a.d, " +
+          "a.dq AS qx, b.dq AS qy FROM daily a JOIN daily b USING (d) " +
+          "WHERE a.g <> b.g), " +
+          "r AS (SELECT cause, effect, qy AS y, lag(qy) OVER w AS yl, " +
+          "lag(qx) OVER w AS xl FROM p " +
+          "WINDOW w AS (PARTITION BY cause, effect ORDER BY d)), " +
+          "rr AS (SELECT * FROM r WHERE yl IS NOT NULL), " +
+          "m AS (SELECT cause, effect, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(yl) AS BIGINT) AS sl, " +
+          "CAST(sum(xl) AS BIGINT) AS sx, " +
+          "sum(CAST(y AS HUGEINT) * y) AS syy, " +
+          "sum(CAST(yl AS HUGEINT) * yl) AS sll, " +
+          "sum(CAST(xl AS HUGEINT) * xl) AS sxx, " +
+          "sum(CAST(y AS HUGEINT) * yl) AS syl, " +
+          "sum(CAST(y AS HUGEINT) * xl) AS syx, " +
+          "sum(CAST(yl AS HUGEINT) * xl) AS slx FROM rr GROUP BY 1, 2) " +
+          "SELECT cause, effect, n, " +
+          "CASE WHEN n >= 4 THEN " +
+          s"CASE WHEN $denR <> 0.0 AND $det <> 0.0 THEN " +
+          s"CASE WHEN $rssU > 0.0 THEN $f END END END AS f_stat FROM m"
+      },
       "ts_dtw" -> {
         // Same fixed 32-bucket series, same exact min-plus DP — DuckDB
         // folds row-wise (list accumulator; the STRUCT-accumulator

@@ -1102,6 +1102,81 @@ object TimeSeries {
         col("rs32"), col("hurst"))
   }
 
+  /** Pairwise Granger causality (lag-1): does series a's past improve
+    * the 1-step forecast of series b beyond b's own past? For each
+    * ordered pair, OLS of y_t on (1, y_{t−1}) — restricted — and on
+    * (1, y_{t−1}, x_{t−1}) — unrestricted — and the incremental F:
+    * F = (RSS_r − RSS_u)·(n−3)/RSS_u. The classic lead–lag screen
+    * (metric A's moves foreshadow metric B's), [[crossCorr]]'s
+    * regression-grade sibling.
+    *
+    * Determinism: all nine cross-moments accumulate EXACTLY in
+    * DECIMAL(38,0) (the shuffle never sees a float); the 3×3
+    * Cramer solve and both RSS values are fixed-shape IEEE trees the
+    * oracle mirrors term-for-term (one double cast per moment).
+    * Aligned on observed days (inner day join per pair); the first row
+    * of each pair drops (no lag).
+    *
+    * Scale: one grouped day-collapse of the corpus, then a pair×day
+    * join and a single-row-per-pair moment aggregate — no state beyond
+    * the day grid. Output: (cause, effect, n, f_stat). */
+  def grangerPairs(df: DataFrame, groupCol: String, dayCol: String,
+      qCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(groupCol).as("__g"), col(dayCol).as("__d"))
+      .agg(sum(col(qCol)).as("__q"))
+    val pairs = daily.select(col("__g").as("cause"), col("__d"),
+        col("__q").as("__qx"))
+      .join(daily.select(col("__g").as("effect"), col("__d"),
+        col("__q").as("__qy")), "__d")
+      .where(col("cause") =!= col("effect"))
+    val w = Window.partitionBy(col("cause"), col("effect"))
+      .orderBy(col("__d"))
+    val rows = pairs
+      .withColumn("__yl", lag(col("__qy"), 1).over(w))
+      .withColumn("__xl", lag(col("__qx"), 1).over(w))
+      .where(col("__yl").isNotNull)
+      .select(col("cause"), col("effect"), col("__qy").as("__y"),
+        col("__yl"), col("__xl"))
+    val dd = (c: Column) => c.cast("decimal(38,0)")
+    val m = rows.groupBy(col("cause"), col("effect")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__y")).as("sy"), sum(col("__yl")).as("sl"),
+      sum(col("__xl")).as("sx"),
+      sum(dd(col("__y")) * dd(col("__y"))).as("syy"),
+      sum(dd(col("__yl")) * dd(col("__yl"))).as("sll"),
+      sum(dd(col("__xl")) * dd(col("__xl"))).as("sxx"),
+      sum(dd(col("__y")) * dd(col("__yl"))).as("syl"),
+      sum(dd(col("__y")) * dd(col("__xl"))).as("syx"),
+      sum(dd(col("__yl")) * dd(col("__xl"))).as("slx"))
+    val d = (c: Column) => c.cast("double")
+    val (nn, sy, sl, sx) = (d(col("n")), d(col("sy")), d(col("sl")),
+      d(col("sx")))
+    val (syy, sll, sxx) = (d(col("syy")), d(col("sll")), d(col("sxx")))
+    val (syl, syx, slx) = (d(col("syl")), d(col("syx")), d(col("slx")))
+    // restricted: y ~ 1 + yl ; RSS_r = Syy − (c·Sy + a·Syl)
+    val denR = nn * sll - sl * sl
+    val aR = (nn * syl - sl * sy) / denR
+    val cR = (sy - aR * sl) / nn
+    val rssR = syy - (cR * sy + aR * syl)
+    // unrestricted: y ~ 1 + yl + xl via Cramer on the 3×3 Gram matrix
+    val det = nn * (sll * sxx - slx * slx) -
+      sl * (sl * sxx - slx * sx) + sx * (sl * slx - sll * sx)
+    val detC = sy * (sll * sxx - slx * slx) -
+      sl * (syl * sxx - slx * syx) + sx * (syl * slx - sll * syx)
+    val detA = nn * (syl * sxx - syx * slx) -
+      sy * (sl * sxx - slx * sx) + sx * (sl * syx - syl * sx)
+    val detB = nn * (sll * syx - slx * syl) -
+      sl * (sl * syx - sx * syl) + sy * (sl * slx - sll * sx)
+    val rssU = syy -
+      (detC * sy + detA * syl + detB * syx) / det
+    val f = ((rssR - rssU) * (nn - lit(3.0))) / rssU
+    m.select(col("cause"), col("effect"), col("n"),
+      when(col("n") >= 4L,
+        when(denR =!= 0.0 && det =!= 0.0,
+          when(rssU > 0.0, f))).as("f_stat"))
+  }
+
   /** Pairwise dynamic-time-warping distance between per-group series —
     * "which metrics move together, allowing for lag/stretch?", the
     * alignment-tolerant complement of [[crossCorr]]'s fixed-lag scan.
