@@ -1726,6 +1726,24 @@ object SparkEntry {
           col("event_id")),
         "event_type", "qx", "event_id")),
 
+    // ---- Profiling: Herfindahl concentration of value mass by USER
+    //      within each event type — "is one producer dominating this
+    //      stream?" (exact DECIMAL cross-moments, fixed IEEE readout) ----
+    "q_herfindahl" -> ((s, dir) =>
+      graft.ops.Normalize.herfindahl(
+        t(s, dir, "events").select(col("event_type"), col("user_id"),
+          floor(col("value") * 1024.0).cast("long").as("qx")),
+        "event_type", "user_id", "qx")),
+
+    // ---- Profiling: Theil T inequality of per-user value mass within
+    //      each event type (gini's decomposable complement; quantized-ln
+    //      fixed point, exact integer sum, ONE division) ----
+    "q_theil_index" -> ((s, dir) =>
+      graft.ops.Normalize.theil(
+        t(s, dir, "events").select(col("event_type"), col("user_id"),
+          floor(col("value") * 1024.0).cast("long").as("qx")),
+        "event_type", "user_id", "qx")),
+
     // ---- Time series: lag-k autocorrelation (exact n²-scaled integer
     //      moments, one final division per lag) ----
     "ts_acf" -> ((s, dir) => {
@@ -8190,6 +8208,39 @@ object SparkEntry {
           "SELECT event_type, n_rows, CASE WHEN s <= 0 THEN NULL ELSE " +
           "CAST(2 * tt - (n_rows + 1) * s AS DOUBLE) / " +
           "CAST(n_rows * s AS DOUBLE) END AS gini FROM a"),
+      "q_herfindahl" ->
+        ("WITH u AS (SELECT event_type, user_id, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS x " +
+          "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+          "up AS (SELECT * FROM u WHERE x > 0), " +
+          "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_units, " +
+          "sum(CAST(x AS HUGEINT)) AS s, " +
+          "sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss " +
+          "FROM up GROUP BY 1) " +
+          "SELECT event_type, n_units, " +
+          "CAST(ss AS DOUBLE) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) " +
+          "AS hhi, CASE WHEN n_units = 1 THEN NULL ELSE " +
+          "(CAST(n_units AS DOUBLE) * CAST(ss AS DOUBLE) - " +
+          "CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / " +
+          "((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) * " +
+          "(CAST(n_units AS DOUBLE) - 1.0)) END AS hhi_norm FROM g"),
+      "q_theil_index" ->
+        ("WITH u AS (SELECT event_type, user_id, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS x " +
+          "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+          "up AS (SELECT * FROM u WHERE x > 0), " +
+          "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_units, " +
+          "sum(CAST(x AS HUGEINT)) AS s FROM up GROUP BY 1), " +
+          "q AS (SELECT up.event_type, up.x, " +
+          "CAST(floor(ln(CAST(up.x AS DOUBLE) * " +
+          "CAST(g.n_units AS DOUBLE) / CAST(g.s AS DOUBLE)) * 1048576.0) " +
+          "AS BIGINT) AS lq FROM up JOIN g USING (event_type)), " +
+          "tt AS (SELECT event_type, " +
+          "sum(CAST(x AS HUGEINT) * CAST(lq AS HUGEINT)) AS num " +
+          "FROM q GROUP BY 1) " +
+          "SELECT g.event_type, g.n_units, CAST(tt.num AS DOUBLE) / " +
+          "(CAST(g.s AS DOUBLE) * 1048576.0) AS theil_t " +
+          "FROM tt JOIN g USING (event_type)"),
       "ts_acf" ->
         ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
           "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +

@@ -319,4 +319,83 @@ object Normalize {
               .cast("double") /
               (col("n_rows") * col("__s")).cast("double")).as("gini"))
   }
+
+  /** Per-group Herfindahl–Hirschman concentration of a POSITIVE integral
+    * mass over units — the antitrust-style "how concentrated is this
+    * market" statistic, applied to data-pipeline questions like "is one
+    * user/domain producing most of this event type's volume?".
+    * `HHI = Σ_u (x_u/S)² = Σx²/S²` (1/n = even, 1 = monopolized) plus
+    * the n-corrected `hhi_norm = (n·Σx² − S²)/(S²·(n−1))` in [0,1].
+    *
+    * Exactness: unit totals and the cross-moments (n, S=Σx, SS=Σx²)
+    * accumulate as DECIMAL(38,0) (Spark 128-bit exact sums, DuckDB
+    * HUGEINT) in any partition order; the statistics are then fixed
+    * IEEE expression trees over those exact integers, identical in both
+    * engines. Units with non-positive total mass are dropped (shares
+    * are undefined); single-unit groups emit NULL hhi_norm.
+    *
+    * Scale: two map-side-combinable hash aggregates (unit totals, then
+    * group moments); no sort, no window, output O(groups). */
+  def herfindahl(
+      df: DataFrame, groupCol: String, unitCol: String, valueCol: String)
+      : DataFrame = {
+    val units = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(unitCol))
+      .agg(sum(col(valueCol).cast("long")).as("__x"))
+      .where(col("__x") > 0L)
+    val qx = col("__x").cast("decimal(38,0)")
+    val g = units.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum(qx).as("__s"), sum(qx * qx).as("__ss"))
+    val nD = col("n_units").cast("double")
+    val sD = col("__s").cast("double")
+    val ssD = col("__ss").cast("double")
+    g.select(col(groupCol), col("n_units"),
+      (ssD / (sD * sD)).as("hhi"),
+      when(col("n_units") === 1L, lit(null).cast("double"))
+        .otherwise((nD * ssD - sD * sD) / ((sD * sD) * (nD - lit(1.0))))
+        .as("hhi_norm"))
+  }
+
+  /** Per-group Theil T inequality index of a POSITIVE integral mass over
+    * units: `T = (1/n)·Σ (x/μ)·ln(x/μ)` (0 = perfectly even,
+    * ln n = maximal). The between/within-decomposable complement of
+    * [[gini]] — the index a mixture-balancing pipeline monitors per
+    * domain.
+    *
+    * Determinism (the libm hazard): the per-unit log quantizes FIRST —
+    * `lq = floor(ln(x·n/S) · 2^20)` evaluated on one fixed IEEE
+    * expression shape — and only then enters the sum, which is the
+    * EXACT integer `Σ x·lq` in DECIMAL(38,0)/HUGEINT, so the total is
+    * partition-order-independent and `T = Σx·lq / (S·2^20)` is ONE
+    * final division. This is the [[graft.ops.TextAnalysis.unigramLogProb]]
+    * fixed-point discipline; quantization bias is ≤ 2⁻²⁰ per unit,
+    * uniform across engines.
+    *
+    * Scale: two hash aggregates plus one broadcast join of the O(groups)
+    * stats row back onto unit totals; no sort, no collect. */
+  def theil(
+      df: DataFrame, groupCol: String, unitCol: String, valueCol: String)
+      : DataFrame = {
+    val units = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(unitCol))
+      .agg(sum(col(valueCol).cast("long")).as("__x"))
+      .where(col("__x") > 0L)
+    val g = units.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("__x").cast("decimal(38,0)")).as("__s"))
+    val lq = floor(
+      log(col("__x").cast("double") * col("n_units").cast("double") /
+        col("__s").cast("double")) * lit(1048576.0)).cast("long")
+    units.join(broadcast(g), groupCol)
+      .withColumn("__lq", lq)
+      .groupBy(col(groupCol))
+      .agg(first(col("n_units")).as("n_units"),
+        first(col("__s")).as("__s2"),
+        sum(col("__x").cast("decimal(38,0)") *
+          col("__lq").cast("decimal(38,0)")).as("__num"))
+      .select(col(groupCol), col("n_units"),
+        (col("__num").cast("double") /
+          (col("__s2").cast("double") * lit(1048576.0))).as("theil_t"))
+  }
 }

@@ -173,4 +173,60 @@ class NormalizeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(got == expected)
   }
+
+  test("herfindahl: 1 on a monopoly, 1/n on even shares, norm in [0,1], " +
+    "partitioning-invariant on random data") {
+    val mono = Seq(("m", 1L, 50L), ("m", 2L, 0L)).toDF("g", "u", "x")
+    val mRow = Normalize.herfindahl(mono, "g", "u", "x").head()
+    assert(mRow.getLong(1) == 1L && mRow.getDouble(2) == 1.0 &&
+      mRow.isNullAt(3))
+    val even = (1L to 4L).map(u => ("e", u, 25L)).toDF("g", "u", "x")
+    val eRow = Normalize.herfindahl(even, "g", "u", "x").head()
+    assert(eRow.getDouble(2) == 0.25 && eRow.getDouble(3) == 0.0)
+    val rng = new scala.util.Random(41)
+    val rows = (1L to 800L).map(i =>
+      (s"g${i % 3}", i % 37, rng.nextInt(500).toLong + 1L))
+    val run = (p: Int) =>
+      Normalize.herfindahl(rows.toDF("g", "u", "x").repartition(p),
+        "g", "u", "x").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toMap
+    val a = run(1)
+    assert(a == run(17))
+    a.values.foreach { case (_, hhi, norm) =>
+      assert(hhi > 0.0 && hhi <= 1.0 && norm >= 0.0 && norm <= 1.0)
+    }
+  }
+
+  test("theil: ~0 on even shares, ~ln(n) on a monopoly, matches the " +
+    "quantized brute force, partitioning-invariant") {
+    val even = (1L to 8L).map(u => ("e", u, 10L)).toDF("g", "u", "x")
+    val eT = Normalize.theil(even, "g", "u", "x").head().getDouble(2)
+    assert(math.abs(eT) < 1e-6)
+    // one unit holds all positive mass → n=1 after the x>0 filter → T=0
+    val mono = Seq(("m", 1L, 80L), ("m", 2L, 0L)).toDF("g", "u", "x")
+    assert(Normalize.theil(mono, "g", "u", "x").head().getDouble(2) == 0.0)
+    val rng = new scala.util.Random(29)
+    val rows = (1L to 600L).map(i =>
+      (s"g${i % 2}", i % 23, rng.nextInt(400).toLong + 1L))
+    val expected = rows.groupBy(_._1).view.mapValues { xs =>
+      val tot = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val n = tot.size.toLong
+      val s = tot.values.sum
+      val num = tot.values.map(x =>
+        x * math.floor(math.log(x.toDouble * n / s) * Q).toLong).sum
+      num.toDouble / (s.toDouble * Q)
+    }.toMap
+    val run = (p: Int) =>
+      Normalize.theil(rows.toDF("g", "u", "x").repartition(p),
+        "g", "u", "x").collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val a = run(1)
+    assert(a == run(13) && a == expected)
+    // monopoly-ish upper bound sanity: T ≤ ln(n)
+    a.foreach { case (g, t) =>
+      val n = rows.filter(_._1 == g).map(_._2).distinct.size
+      assert(t >= -1e-6 && t <= math.log(n.toDouble) + 1e-6)
+    }
+  }
 }
