@@ -1509,6 +1509,20 @@ object SparkEntry {
         Seq("user_id"), "s_us", "e_us", "event_id")
     }),
 
+    // ---- Interval algebra: peak concurrency per event type — max
+    //      simultaneously-open value-scaled spans and the first instant
+    //      of that load (half-open boundary sweep, exact BIGINTs) ----
+    "q_peak_concurrency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val durUs = when(col("value").isNull || isnan(col("value")), 1L)
+        .otherwise(greatest(lit(1L), floor(col("value") * 3600.0)
+          .cast("long"))) * 1000000L
+      graft.ops.Intervals.peakConcurrency(
+        ev.select(col("event_type"), expr("ts div 1000").as("s_us"),
+          (expr("ts div 1000") + durUs).as("e_us")),
+        Seq("event_type"), "s_us", "e_us")
+    }),
+
     // ---- Data cleaning: per-group winsorization (clip to p05/p95
     //      exact-interpolation percentiles — tame tails, don't drop) ----
     "q_winsorize" -> ((s, dir) =>
@@ -7302,6 +7316,26 @@ object SparkEntry {
           "CAST(sum(en - st) AS BIGINT) AS covered_us, " +
           "CAST(max(en - st) AS BIGINT) AS max_island_us " +
           "FROM m GROUP BY user_id"),
+      "q_peak_concurrency" ->
+        ("WITH iv AS (SELECT event_type, epoch_us(ts) AS s, " +
+          "epoch_us(ts) + (CASE WHEN value IS NULL OR isnan(value) THEN 1 " +
+          "ELSE greatest(1, CAST(floor(value * 3600.0) AS BIGINT)) END) " +
+          "* 1000000 AS e FROM events), " +
+          "ne AS (SELECT * FROM iv WHERE e > s), " +
+          "b AS (SELECT event_type, s AS t, 1 AS d FROM ne " +
+          "UNION ALL SELECT event_type, e AS t, -1 AS d FROM ne), " +
+          "g AS (SELECT event_type, t, CAST(sum(d) AS BIGINT) AS dd, " +
+          "CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS opens FROM b GROUP BY 1, 2), " +
+          "r AS (SELECT event_type, t, dd, opens, " +
+          "CAST(sum(dd) OVER (PARTITION BY event_type ORDER BY t " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM g), " +
+          "p AS (SELECT event_type, t, opens, c, " +
+          "max(c) OVER (PARTITION BY event_type) AS pk FROM r) " +
+          "SELECT event_type, CAST(sum(opens) AS BIGINT) AS n_intervals, " +
+          "CAST(max(c) AS BIGINT) AS peak, " +
+          "CAST(min(CASE WHEN c = pk THEN t END) AS BIGINT) AS peak_at_us " +
+          "FROM p GROUP BY event_type"),
       "q_survival_km" ->
         // KM product as exp(Σ pinned-ln); the prefix sum is a STRICT
         // list fold in duration order (never a float window sum — the

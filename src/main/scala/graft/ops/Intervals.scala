@@ -73,4 +73,54 @@ object Intervals {
         count(lit(1)).as("n_islands"),
         sum(col("span_us")).as("covered_us"),
         max(col("span_us")).as("max_island_us"))
+
+  /** Per-key PEAK CONCURRENCY — the capacity question islands can't
+    * answer: at the busiest instant, how many intervals are open at
+    * once, and when does that load first occur? (Concurrent sessions
+    * per shard, simultaneous streams per tenant — the number that sizes
+    * state stores and connection pools.)
+    *
+    * Classic boundary sweep: each interval emits (+1 at start, −1 at
+    * end) under HALF-OPEN [start, end) semantics — an interval ending
+    * exactly when another starts does NOT overlap it (unlike
+    * [[mergeIntervals]], where touching spans coalesce); zero-length
+    * intervals contribute nothing. Boundaries collapse to one net
+    * delta per (key, instant) BEFORE the running sum, so the
+    * concurrency profile is a function of time and every value is an
+    * exact BIGINT — no tie-order ambiguity, engine-exact. `peak_at_us`
+    * is the earliest instant attaining the peak (always a net-opening
+    * instant).
+    *
+    * Scale: one map-side-combinable boundary aggregate, then windows
+    * that all share the (key) partitioning and (t) sort — one
+    * exchange; state per key is one running counter. Output O(keys). */
+  def peakConcurrency(
+      df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String): DataFrame = {
+    require(keyCols.nonEmpty,
+      "peakConcurrency needs at least one key column")
+    val key = keyCols.map(col)
+    val nonEmpty = df.where(
+      col(endCol).cast("long") > col(startCol).cast("long"))
+    val bounds = nonEmpty
+      .select(key :+ col(startCol).cast("long").as("__t") :+
+        lit(1L).as("__d"): _*)
+      .unionByName(nonEmpty
+        .select(key :+ col(endCol).cast("long").as("__t") :+
+          lit(-1L).as("__d"): _*))
+      .groupBy(key :+ col("__t"): _*)
+      .agg(sum(col("__d")).as("__dd"),
+        sum(when(col("__d") > 0L, 1L).otherwise(0L)).as("__opens"))
+    val run = Window.partitionBy(key: _*).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(key: _*)
+    bounds
+      .withColumn("__c", sum(col("__dd")).over(run))
+      .withColumn("__pk", max(col("__c")).over(whole))
+      .groupBy(key: _*)
+      .agg(sum(col("__opens")).as("n_intervals"),
+        max(col("__c")).as("peak"),
+        min(when(col("__c") === col("__pk"), col("__t")))
+          .as("peak_at_us"))
+  }
 }

@@ -48,4 +48,38 @@ class IntervalsSpec extends SparkSpec {
     assert(got("a") == ((3L, 2L, 13L, 12L))) // 12 + 1 covered
     assert(got("b") == ((1L, 1L, 1L, 1L)))
   }
+
+  test("peakConcurrency: half-open touch does not overlap, earliest " +
+    "peak instant, zero-length dropped, brute-force random match") {
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 10L, 20L), // touching: never concurrent
+      ("a", 15L, 30L), ("a", 16L, 17L), // 3 open in [16,17)
+      ("a", 25L, 25L), // zero-length: ignored
+      ("b", 5L, 6L))
+      .toDF("k", "s", "e")
+    val got = Intervals.peakConcurrency(df, Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") == ((4L, 3L, 16L)))
+    assert(got("b") == ((1L, 1L, 5L)))
+
+    val rng = new scala.util.Random(61)
+    val rows = (1 to 400).map { _ =>
+      val s = rng.nextInt(200).toLong
+      (s"g${rng.nextInt(3)}", s, s + rng.nextInt(30).toLong)
+    }
+    val expected = rows.filter(t => t._3 > t._2).groupBy(_._1)
+      .view.mapValues { iv =>
+        val profile = (0L to 240L).map(t =>
+          t -> iv.count(x => x._2 <= t && t < x._3).toLong)
+        val pk = profile.map(_._2).max
+        (iv.size.toLong, pk, profile.find(_._2 == pk).get._1)
+      }.toMap
+    val run = (p: Int) =>
+      Intervals.peakConcurrency(rows.toDF("k", "s", "e").repartition(p),
+        Seq("k"), "s", "e").collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val a = run(1)
+    assert(a == run(11) && a == expected)
+  }
 }
