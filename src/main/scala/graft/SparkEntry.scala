@@ -3624,6 +3624,34 @@ object SparkEntry {
         .select(col("id"), col("phash_lo"), col("phash_hi"))
     }),
 
+    // ---- Multimodal: difference hash (dHash) — horizontal-gradient
+    //      sign bits over a 9×8 luma grid; brightness-shift-immune,
+    //      same real-decode + stub-luma pipeline as aHash/pHash ----
+    "mm_dhash" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        lit("image").as("mtype"),
+        unhex(MediaFixtures.pngHex(id % 50 + 1L, id % 30 + 1L))
+          .as("content"))
+      val meta = Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
+      Multimodal.dHashPlan(meta, "id")
+        .select(col("id"), col("dhash_lo"), col("dhash_hi"))
+    }),
+
+    // ---- Multimodal: windowed PCM energy — REAL 16-bit sample decode
+    //      from synthesized RIFF/WAVE payloads (exact integer Σv² per
+    //      64-sample window; the oracle predicts the sawtooth closed
+    //      form the data chunk actually carries) ----
+    "mm_audio_energy" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.wavPcmHex(id % 2 + 1L, (id % 5 + 1L) * 8000L,
+          id % 200 + 1L, id % 97)).as("content"))
+      Multimodal.wavWindowEnergy(d, "doc_id", "content", window = 64)
+    }),
+
     // ---- CAPSTONE: the composed corpus pipeline — normalize → quality
     //      filter → cluster-dedup (keep canonical docs) → split → stats.
     //      One gate proving the operators CHAIN, not just run alone. ----
@@ -7937,6 +7965,41 @@ object SparkEntry {
           "CASE WHEN coef[k + 1] > med THEN (CAST(1 AS BIGINT) << (k - 32)) " +
           "ELSE 0 END)) AS BIGINT) AS phash_hi FROM md"
       },
+      "mm_dhash" ->
+        // 9×8 luma replay (x-span denominator 8w), gradient-sign bits.
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 50 + 1 AS w, " +
+          "doc_id % 30 + 1 AS h FROM documents), " +
+          "l AS (SELECT id, list_transform(range(0, 72), g -> " +
+          "((g % 9) * w + (g // 9) * h) * 255 // (8 * w + 7 * h) + " +
+          "(((w // 4) * 131 + (h // 4) * 137 + (g % 9) * 31 + " +
+          "(g // 9) * 41) * ((w // 4) * 131 + (h // 4) * 137 + " +
+          "(g % 9) * 31 + (g // 9) * 41)) % 97) AS lum FROM m) " +
+          "SELECT id, " +
+          "CAST(list_sum(list_transform(range(0, 32), k -> " +
+          "CASE WHEN lum[(k // 8) * 9 + (k % 8) + 2] > " +
+          "lum[(k // 8) * 9 + (k % 8) + 1] THEN " +
+          "(CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS dhash_lo, " +
+          "CAST(list_sum(list_transform(range(32, 64), k -> " +
+          "CASE WHEN lum[(k // 8) * 9 + (k % 8) + 2] > " +
+          "lum[(k // 8) * 9 + (k % 8) + 1] THEN " +
+          "(CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)) AS BIGINT) " +
+          "AS dhash_hi FROM l"),
+      "mm_audio_energy" ->
+        // The engine PARSES the data chunk; the oracle predicts the
+        // sawtooth the fixture spliced in: v(i) = ((i·2477 + seed) mod
+        // 4096) − 2048 over samples·channels flat samples, 64/window.
+        ("WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS ch, " +
+          "(doc_id % 200) + 1 AS smp, doc_id % 97 AS seed " +
+          "FROM documents), " +
+          "s AS (SELECT doc_id, seed, " +
+          "unnest(range(0, smp * ch)) AS i FROM p), " +
+          "v AS (SELECT doc_id, i // 64 AS win, " +
+          "((i * 2477 + seed) % 4096) - 2048 AS x FROM s) " +
+          "SELECT doc_id AS id, CAST(win AS BIGINT) AS win, " +
+          "CAST(count(*) AS BIGINT) AS n_samples, " +
+          "CAST(sum(x * x) AS BIGINT) AS sum_sq, " +
+          "sqrt(CAST(sum(x * x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) " +
+          "AS rms FROM v GROUP BY 1, 2"),
       "o19_quarantine" ->
         ("WITH r AS (SELECT event_id, concat_ws(',', " +
           "CASE WHEN coalesce(value >= 0.05, false) THEN NULL " +

@@ -198,6 +198,81 @@ object Multimodal {
     decode(ds, batchSize).toDF()
   }
 
+  /** One exact per-window PCM energy row. */
+  final case class AudioWindow(
+      id: Long, win: Long, n_samples: Long, sum_sq: Long)
+
+  /** Windowed PCM energy from a RIFF/WAVE payload — the first multimodal
+    * op that reads SAMPLE DATA, not just headers: walks the chunk list to
+    * the `data` chunk, decodes the flat 16-bit LE sample stream, and
+    * emits one row per `window`-sample block with the EXACT integer
+    * energy Σv² (and `rms = sqrt(sum_sq/n)`, one IEEE division + sqrt —
+    * both correctly-rounded, so engine-exact given exact integers).
+    * Rows that are not valid 16-bit PCM WAV emit nothing.
+    *
+    * This is real byte-level audio decode (public RIFF/WAVE structure —
+    * no codec library needed for uncompressed PCM), in the same batched
+    * `mapPartitions` shape as [[decode]]; a resampler or filterbank
+    * featurizer slots in behind the same sample iterator.
+    *
+    * Scale: row-local flatMap — no shuffle; output is
+    * ⌈samples·channels / window⌉ rows per payload and the binary column
+    * never survives past the operator. */
+  def wavWindowEnergy(
+      df: DataFrame, idCol: String, binCol: String, window: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("audio").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(
+        _.flatMap(r => pcmWindows(r.id, r.content, window))))
+      .toDF()
+      .withColumn("rms",
+        sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")))
+  }
+
+  private def pcmWindows(
+      id: Long, b: Array[Byte], window: Int): Seq[AudioWindow] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return Nil
+    var i = 12
+    var bits = 0; var dataOff = -1; var dataLen = -1L; var corrupt = false
+    while (!corrupt && i + 8 <= b.length) {
+      val cid = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = le32(b, i + 4)
+      if (len > b.length) corrupt = true
+      else {
+        if (cid == "fmt " && len >= 16 && i + 8 + 16 <= b.length)
+          bits = le16(b, i + 22)
+        else if (cid == "data") { dataOff = i + 8; dataLen = len }
+        i += 8 + len.toInt + (len.toInt & 1)
+      }
+    }
+    if (corrupt || dataOff < 0 || bits != 16) return Nil
+    val n = (math.min(dataLen, (b.length - dataOff).toLong) / 2L).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
+    var w = 0
+    while (w.toLong * window < n) {
+      val from = w * window
+      val until = math.min(n, from + window)
+      var s = 0L
+      var j = from
+      while (j < until) {
+        val v = le16(b, dataOff + 2 * j).toShort.toLong // sign-extend
+        s += v * v
+        j += 1
+      }
+      out += AudioWindow(id, w.toLong, (until - from).toLong, s)
+      w += 1
+    }
+    out.toSeq
+  }
+
   // ---- metadata-stage transforms (post-decode, pure column arithmetic —
   // codegen'd, no UDF; a real pixel/audio kernel would slot into the same
   // batched-partition shape as decodeBatch) ------------------------------
@@ -271,9 +346,14 @@ object Multimodal {
     // before any lambda references it — CollapseProject would otherwise
     // inline the 64-element grid expression into `element_at`, which
     // re-evaluates its child PER ELEMENT (the measured 100×+ trap; see
-    // ops/NearDup). The checkpointed slice is (id, w, h, 64 ints) —
-    // tiny relative to the media bytes it summarizes.
-    val lum = meta.select(col(idCol), col("width"), col("height"))
+    // ops/NearDup). The checkpointed slice is one row per DISTINCT
+    // (width, height) — the stub luma is a pure function of the decoded
+    // dimensions, so the interpreted fold runs once per distinct shape
+    // and broadcast-joins back (~10× on a dims-skewed corpus). A real
+    // pixel decoder makes the grid per-IMAGE: drop the distinct+join and
+    // hash per row (the fold itself is unchanged).
+    val dims = meta.select(col("width"), col("height")).distinct()
+    val lum = dims
       .withColumn("__lum", expr(
         "transform(sequence(0, 63), g -> " +
           "((g % 8) * width + (g div 8) * height) * 255 div " +
@@ -286,7 +366,7 @@ object Multimodal {
     val withSum = lum
       .withColumn("__ls", expr("aggregate(__lum, 0L, (a, x) -> a + x)"))
       .localCheckpoint()
-    withSum
+    val hashes = withSum
       .withColumn("ahash_lo", expr(
         "aggregate(transform(sequence(0, 31), g -> " +
           "IF(element_at(__lum, g + 1) > __ls div 64, " +
@@ -295,8 +375,54 @@ object Multimodal {
         "aggregate(transform(sequence(32, 63), g -> " +
           "IF(element_at(__lum, g + 1) > __ls div 64, " +
           "shiftleft(1L, g - 32), 0L)), 0L, (a, x) -> a + x)"))
+      .select(col("width"), col("height"),
+        col("ahash_lo"), col("ahash_hi"))
+    meta.select(col(idCol), col("width"), col("height"))
+      .join(broadcast(hashes), Seq("width", "height"))
       .select(col(idCol), col("width"), col("height"),
         col("ahash_lo"), col("ahash_hi"))
+  }
+
+  /** Difference-hash (dHash) fingerprint — aHash's gradient sibling: a
+    * 9×8 luma grid, each of the 64 bits records whether the RIGHT
+    * neighbour is brighter than the current cell (row-wise horizontal
+    * gradient sign), packed as two 32-bit words. More robust than aHash
+    * to global brightness/contrast shifts (a constant offset flips no
+    * gradient) at the same cost. Emits
+    * (idCol, width, height, dhash_lo, dhash_hi).
+    *
+    * Same STUB-decode caveat, interpreted-HOF barrier discipline, and
+    * distinct-dims collapse as [[aHashPlan]]; the 9-wide grid reuses the
+    * stub surface with the x-span denominator widened to 8·width. */
+  def dHashPlan(meta: DataFrame, idCol: String): DataFrame = {
+    val dims = meta.select(col("width"), col("height")).distinct()
+    val lum = dims
+      .withColumn("__lum", expr(
+        "transform(sequence(0, 71), g -> " +
+          "((g % 9) * width + (g div 9) * height) * 255 div " +
+          "(8 * width + 7 * height) + " +
+          "(((width div 4) * 131 + (height div 4) * 137 + " +
+          "(g % 9) * 31 + (g div 9) * 41) * " +
+          "((width div 4) * 131 + (height div 4) * 137 + " +
+          "(g % 9) * 31 + (g div 9) * 41)) % 97)"))
+      .localCheckpoint()
+    val hashes = lum
+      .withColumn("dhash_lo", expr(
+        "aggregate(transform(sequence(0, 31), k -> " +
+          "IF(element_at(__lum, cast((k div 8) * 9 + (k % 8) + 2 as int)) > " +
+          "element_at(__lum, cast((k div 8) * 9 + (k % 8) + 1 as int)), " +
+          "shiftleft(1L, k), 0L)), 0L, (a, x) -> a + x)"))
+      .withColumn("dhash_hi", expr(
+        "aggregate(transform(sequence(32, 63), k -> " +
+          "IF(element_at(__lum, cast((k div 8) * 9 + (k % 8) + 2 as int)) > " +
+          "element_at(__lum, cast((k div 8) * 9 + (k % 8) + 1 as int)), " +
+          "shiftleft(1L, k - 32), 0L)), 0L, (a, x) -> a + x)"))
+      .select(col("width"), col("height"),
+        col("dhash_lo"), col("dhash_hi"))
+    meta.select(col(idCol), col("width"), col("height"))
+      .join(broadcast(hashes), Seq("width", "height"))
+      .select(col(idCol), col("width"), col("height"),
+        col("dhash_lo"), col("dhash_hi"))
   }
 
   /** Quantized 8×8 DCT-II basis, flat `u*8+x` layout: T_q[u][x] =
@@ -322,7 +448,11 @@ object Multimodal {
     * arithmetic is BIGINT-exact (|coef| ≤ 351·1e8·64 ≈ 2.2e12). */
   def pHashPlan(meta: DataFrame, idCol: String): DataFrame = {
     val tq = dctTableQ.mkString("array(", "L, ", "L)")
-    val lum = meta.select(col(idCol), col("width"), col("height"))
+    // Distinct-dims collapse (see aHashPlan): the 64×64 interpreted DCT
+    // fold — the expensive stage — runs once per distinct shape, not per
+    // row. Remove with a real pixel decoder.
+    val dims = meta.select(col("width"), col("height")).distinct()
+    val lum = dims
       .withColumn("__lum", expr(
         "transform(sequence(0, 63), g -> " +
           "((g % 8) * width + (g div 8) * height) * 255 div " +
@@ -332,19 +462,30 @@ object Multimodal {
           "((width div 4) * 131 + (height div 4) * 137 + " +
           "(g % 8) * 31 + (g div 8) * 41)) % 97)"))
       .localCheckpoint()
-    val coef = lum
+    // Separable DCT: C = T·L·Tᵀ in two 8-point passes (64·8 + 64·8
+    // integer multiply-adds instead of the fused 64·64·2) — exact
+    // integers regroup freely, so the coefficients (and the oracle,
+    // which replays the fused form) are bit-identical. __mid[v·8+x] =
+    // Σ_y L[y·8+x]·T[v][y]; C[u·8+v] = Σ_x T[u][x]·__mid[v·8+x].
+    val mid = lum
+      .withColumn("__mid", expr(
+        s"transform(sequence(0, 63), m -> " +
+          s"aggregate(sequence(0, 7), 0L, (a, y) -> " +
+          s"a + element_at(__lum, cast(y * 8 + (m % 8) + 1 as int)) * " +
+          s"element_at($tq, cast((m div 8) * 8 + y + 1 as int))))"))
+      .localCheckpoint()
+    val coef = mid
       .withColumn("__coef", expr(
         s"transform(sequence(0, 63), k -> " +
-          s"aggregate(sequence(0, 63), 0L, (a, g) -> " +
-          s"a + element_at(__lum, g + 1) * " +
-          s"element_at($tq, cast((k div 8) * 8 + (g % 8) + 1 as int)) * " +
-          s"element_at($tq, cast((k % 8) * 8 + (g div 8) + 1 as int))))"))
+          s"aggregate(sequence(0, 7), 0L, (a, x) -> " +
+          s"a + element_at($tq, cast((k div 8) * 8 + x + 1 as int)) * " +
+          s"element_at(__mid, cast((k % 8) * 8 + x + 1 as int))))"))
       .localCheckpoint()
     val med = coef
       .withColumn("__med", expr(
         "element_at(array_sort(slice(__coef, 2, 63)), 32)"))
       .localCheckpoint()
-    med
+    val hashes = med
       .withColumn("phash_lo", expr(
         "aggregate(transform(sequence(0, 31), k -> " +
           "IF(element_at(__coef, k + 1) > __med, " +
@@ -353,6 +494,10 @@ object Multimodal {
         "aggregate(transform(sequence(32, 63), k -> " +
           "IF(element_at(__coef, k + 1) > __med, " +
           "shiftleft(1L, k - 32), 0L)), 0L, (a, x) -> a + x)"))
+      .select(col("width"), col("height"),
+        col("phash_lo"), col("phash_hi"))
+    meta.select(col(idCol), col("width"), col("height"))
+      .join(broadcast(hashes), Seq("width", "height"))
       .select(col(idCol), col("width"), col("height"),
         col("phash_lo"), col("phash_hi"))
   }
@@ -427,6 +572,31 @@ object MediaFixtures {
       lit("666D7420" + "10000000" + "0100"), le16h(channels),
       le32h(sampleRate), le32h(sampleRate * align), le16h(align), lit("1000"),
       lit("64617461"), le32h(dataSize), repeatHex(lit("00"), dataSize))
+  }
+
+  /** RIFF/WAVE like [[wavHex]] but with REAL nonzero PCM: flat sample
+    * `i` (i = 0 .. samples·channels−1) carries the deterministic
+    * sawtooth `v(i) = ((i·2477 + seed) mod 4096) − 2048` as 16-bit LE —
+    * a parser must actually walk the data chunk to reproduce the
+    * windowed energy an arithmetic oracle predicts from the closed
+    * form. */
+  def wavPcmHex(
+      channels: Column, sampleRate: Column, samples: Column,
+      seed: Column): Column = {
+    val align = channels * 2
+    val dataSize = samples * align
+    val total = (samples * channels).cast("long")
+    val data = concat_ws("",
+      transform(sequence(lit(0L), total - lit(1L)), { i =>
+        val u = ((i * lit(2477L) + seed.cast("long")) % lit(4096L) -
+          lit(2048L) + lit(65536L)) % lit(65536L)
+        val hx = lpad(hex(u), 4, "0")
+        concat(substring(hx, 3, 2), substring(hx, 1, 2))
+      }))
+    concat(lit("52494646"), le32h(dataSize + 36L), lit("57415645"),
+      lit("666D7420" + "10000000" + "0100"), le16h(channels),
+      le32h(sampleRate), le32h(sampleRate * align), le16h(align), lit("1000"),
+      lit("64617461"), le32h(dataSize), data)
   }
 
   /** GIF89a logical screen descriptor (w/h le16) + `frames` minimal
