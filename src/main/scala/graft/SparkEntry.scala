@@ -1467,6 +1467,15 @@ object SparkEntry {
       graft.ops.Features.hashingTfVectorizer(
         t(s, dir, "documents"), "doc_id", "text", dim = 64)),
 
+    // ---- ML features: per-group equal-frequency (quantile) binning —
+    //      ntile over the deterministic (value, id) order; NULLs pass
+    //      through unbinned ----
+    "feature_quantile_bin" -> ((s, dir) =>
+      graft.ops.Features.quantileBin(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", "event_id", bins = 8)),
+
     // ---- ML features: leave-one-out target encoding (leakage-free
     //      categorical mean via exact quantized sums) ----
     "feature_target_encode" -> ((s, dir) =>
@@ -1769,6 +1778,20 @@ object SparkEntry {
         .agg(sum(col("qx")).as("hx"))
       graft.ops.TimeSeries.autocorr(
         hourly, "event_type", "hr", "hx", maxLag = 6)
+    }),
+
+    // ---- Time series: SAX symbolization — PAA segment means over the
+    //      hourly series, z-bucketed into alphabet-4 symbols (exact
+    //      integer sign test at the dense z=0 breakpoint) ----
+    "ts_sax" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+        .where(col("hx").isNotNull)
+      graft.ops.TimeSeries.sax(hourly, "event_type", "hr", "hx", w = 4)
     }),
 
     // ---- Time series: Theil-Sen robust slope (median of pairwise
@@ -8305,6 +8328,46 @@ object SparkEntry {
           "SELECT event_type, n_rows, CASE WHEN s <= 0 THEN NULL ELSE " +
           "CAST(2 * tt - (n_rows + 1) * s AS DOUBLE) / " +
           "CAST(n_rows * s AS DOUBLE) END AS gini FROM a"),
+      "feature_quantile_bin" ->
+        ("WITH nn AS (SELECT event_id, event_type, value, " +
+          "CAST(ntile(8) OVER (PARTITION BY event_type " +
+          "ORDER BY value ASC, event_id ASC) AS BIGINT) AS bin " +
+          "FROM events WHERE value IS NOT NULL) " +
+          "SELECT * FROM nn UNION ALL " +
+          "SELECT event_id, event_type, value, NULL AS bin " +
+          "FROM events WHERE value IS NULL"),
+      "ts_sax" ->
+        ("WITH h AS (SELECT event_type, " +
+          "epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2), " +
+          "hn AS (SELECT * FROM h WHERE hx IS NOT NULL), " +
+          "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+          "sum(CAST(hx AS HUGEINT)) AS s, " +
+          "sum(CAST(hx AS HUGEINT) * CAST(hx AS HUGEINT)) AS ss " +
+          "FROM hn GROUP BY 1), " +
+          "r AS (SELECT event_type, hx, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY hr) - 1 AS i FROM hn), " +
+          "g AS (SELECT event_type, i // 4 AS segment, " +
+          "CAST(sum(hx) AS BIGINT) AS seg_sum, " +
+          "CAST(count(*) AS BIGINT) AS seg_n FROM r GROUP BY 1, 2), " +
+          "j AS (SELECT g.event_type, g.segment, g.seg_sum, g.seg_n, " +
+          "m.n, m.s, " +
+          "sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE) / " +
+          "(CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE))) AS sigma " +
+          "FROM g JOIN m USING (event_type)) " +
+          "SELECT event_type, CAST(segment AS BIGINT) AS segment, " +
+          "seg_n, seg_sum, CAST(CASE " +
+          "WHEN sigma = 0 THEN (CASE WHEN CAST(seg_sum AS HUGEINT) * n " +
+          "<= s * seg_n THEN 1 ELSE 2 END) " +
+          "WHEN CAST(seg_sum AS HUGEINT) * n < s * seg_n AND " +
+          "((CAST(seg_sum AS DOUBLE) / CAST(seg_n AS DOUBLE)) - " +
+          "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / sigma < -0.6745 " +
+          "THEN 0 " +
+          "WHEN CAST(seg_sum AS HUGEINT) * n <= s * seg_n THEN 1 " +
+          "WHEN ((CAST(seg_sum AS DOUBLE) / CAST(seg_n AS DOUBLE)) - " +
+          "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / sigma < 0.6745 " +
+          "THEN 2 ELSE 3 END AS BIGINT) AS symbol FROM j"),
       "q_herfindahl" ->
         ("WITH u AS (SELECT event_type, user_id, " +
           "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS x " +

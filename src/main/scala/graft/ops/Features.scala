@@ -155,4 +155,32 @@ object Features {
               d(col("n_neg")) / d(col("__tn"))) * col("woe"), 8)))
       .drop("__tp", "__tn")
   }
+
+  /** Per-group equal-frequency binning (quantile bins): each non-null
+    * row gets `bins` and its 1-based `bin` via `ntile` over the
+    * deterministic (value, id) total order — the discretizer a
+    * downstream WOE/monotonic model wants, immune to outliers in a way
+    * equal-width bins are not. SQL-standard ntile semantics (the first
+    * `n mod bins` bins take the extra row) are identical across
+    * engines, and the unique id tie-break pins every boundary, so bin
+    * assignments are engine-exact. NULL values pass through with NULL
+    * bin. Output: input columns + bin.
+    *
+    * Scale: ONE shuffle on the group key; ntile is a running counter
+    * over the sorted partition — no second pass, no percentile state.
+    * Groups must individually fit a partition's sort (the usual
+    * per-group window bound; salt or pre-aggregate far skewed groups). */
+  def quantileBin(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val binned = df.where(col(valueCol).isNotNull)
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+    df.where(col(valueCol).isNull)
+      .withColumn("bin", lit(null).cast("long"))
+      .unionByName(binned)
+  }
 }

@@ -1225,4 +1225,60 @@ object TimeSeries {
       .withColumn("dtw", col("dtw_q").cast("double") / lit(scale))
       .select(col("type_a"), col("type_b"), col("dtw_q"), col("dtw"))
   }
+
+  /** SAX (Symbolic Aggregate approXimation) over a keyed series —
+    * Lin/Keogh's classic: rank the points, average each `w`-point
+    * segment (PAA), z-score the segment means against the KEY's own
+    * moments, and bucket them with the alphabet-4 Gaussian breakpoints
+    * (−0.6745, 0, +0.6745) into symbols 0..3. The resulting short
+    * string is the shape fingerprint motif/discord mining joins on.
+    *
+    * Determinism: segment sums, counts, and the key moments (n, S, SS)
+    * are exact integers; μ, σ, and each PAA mean are ONE fixed IEEE
+    * expression from them, shared verbatim with the oracle — and the
+    * `z < 0` breakpoint is decided by the EXACT integer comparison
+    * `seg_sum·n < S·seg_n` (no float at the densest boundary). σ = 0
+    * keys emit symbol 1 for low/equal, 2 for high (z sign only).
+    *
+    * Scale: one shuffle on the key (rank + segment windows share it),
+    * one map-side-combinable segment aggregate, one broadcast join of
+    * O(keys) moments. Output O(segments) = O(points/w). */
+  def sax(
+      series: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, s"segment width must be positive, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val moments = series.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(dec(col(valCol))).as("__s"),
+        sum(dec(col(valCol)) * dec(col(valCol))).as("__ss"))
+    val segs = series
+      .withColumn("__i", row_number().over(rk) - 1)
+      .groupBy(col(keyCol), (col("__i") / w).cast("long").as("segment"))
+      .agg(sum(col(valCol)).as("seg_sum"), count(lit(1)).as("seg_n"))
+    val nD = col("__n").cast("double")
+    val sD = col("__s").cast("double")
+    val sigma = sqrt(
+      (col("__n").cast("decimal(38,0)") * col("__ss") -
+        col("__s") * col("__s")).cast("double") / (nD * nD))
+    val paa = col("seg_sum").cast("double") / col("seg_n").cast("double")
+    val z = (paa - sD / nD) / col("__sigma")
+    // exact-integer sign test: paa < μ ⟺ seg_sum·n < S·seg_n
+    val below = dec(col("seg_sum")) * col("__n") <
+      col("__s") * dec(col("seg_n"))
+    val eq = dec(col("seg_sum")) * col("__n") ===
+      col("__s") * dec(col("seg_n"))
+    segs.join(broadcast(moments), keyCol)
+      .withColumn("__sigma", sigma)
+      .withColumn("symbol",
+        when(col("__sigma") === 0.0,
+          when(below || eq, 1L).otherwise(2L))
+          .when(below && z < -0.6745, 0L)
+          .when(below || eq, 1L)
+          .when(z < 0.6745, 2L)
+          .otherwise(3L))
+      .select(col(keyCol), col("segment"), col("seg_n"), col("seg_sum"),
+        col("symbol"))
+  }
 }

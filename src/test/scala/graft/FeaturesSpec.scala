@@ -100,4 +100,29 @@ class FeaturesSpec extends SparkSpec {
     assert(rows.forall(r => !r.isNullAt(4))) // smoothing keeps woe finite
     assert(rows.forall(_.isNullAt(5)))       // no IV without both classes
   }
+
+  test("quantileBin: SQL ntile semantics (first bins take the extra " +
+    "rows), id tie-break, NULL passthrough, partitioning-invariant") {
+    import spark.implicits._
+    // 10 rows into 4 bins → sizes 3,3,2,2 in (value, id) order
+    val df = (1L to 10L).map(i => (i, "g", Some((i * 7 % 10).toDouble)))
+      .toDF("id", "g", "x")
+      .unionByName(Seq((99L, "g", Option.empty[Double])).toDF("id", "g", "x"))
+    val got = Features.quantileBin(df, "g", "x", "id", bins = 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(99L).isEmpty)
+    val order = (1L to 10L).sortBy(i => ((i * 7 % 10).toDouble, i))
+    val sizes = Seq(3, 3, 2, 2)
+    val expected = sizes.zipWithIndex.flatMap { case (sz, b) =>
+      Seq.fill(sz)(b + 1L)
+    }
+    order.zip(expected).foreach { case (id, b) =>
+      assert(got(id).contains(b), s"id $id expected bin $b, got ${got(id)}")
+    }
+    val p13 = Features.quantileBin(df.repartition(13), "g", "x", "id", 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(p13 == got)
+  }
 }

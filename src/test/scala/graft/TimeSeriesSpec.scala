@@ -602,4 +602,44 @@ class TimeSeriesSpec extends SparkSpec {
     // series A=[1, 2+3], B=[1, 5]: identical after folding
     assert(rf.getAs[Long]("dtw_q") == 0L)
   }
+
+  test("sax: symbols match a scalar replay, constant series emits 1s, " +
+    "exact z=0 boundary is integer-decided, partitioning-invariant") {
+    // constant series: σ=0 → every segment symbol 1
+    val const = (0L to 7L).map(t => ("c", t, 5L)).toDF("g", "t", "x")
+    val cGot = TimeSeries.sax(const, "g", "t", "x", w = 4).collect()
+    assert(cGot.length == 2 && cGot.forall(_.getAs[Long]("symbol") == 1L))
+    // alternating ±1 around 0 with w=2 segments of (−1,+1): each PAA
+    // mean equals μ=0 exactly → symbol 1 via the integer sign test
+    val alt = (0L to 7L).map(t =>
+      ("a", t, if (t % 2 == 0) -1L else 1L)).toDF("g", "t", "x")
+    val aGot = TimeSeries.sax(alt, "g", "t", "x", w = 2).collect()
+    assert(aGot.length == 4 && aGot.forall(_.getAs[Long]("symbol") == 1L))
+    // random series: replay symbols in Scala with the same arithmetic
+    val rng = new scala.util.Random(17)
+    val rows = (0L until 64L).map(t =>
+      ("r", t, rng.nextInt(1000).toLong))
+    val xs = rows.map(_._3)
+    val n = xs.size.toLong
+    val s = xs.sum
+    val ss = xs.map(x => x * x).sum
+    val sigma = math.sqrt((n * ss - s * s).toDouble / (n.toDouble * n))
+    val expected = xs.grouped(4).zipWithIndex.map { case (seg, i) =>
+      val segSum = seg.sum; val segN = seg.size.toLong
+      val below = segSum * n < s * segN
+      val eqm = segSum * n == s * segN
+      val z = (segSum.toDouble / segN - s.toDouble / n) / sigma
+      val sym =
+        if (below && z < -0.6745) 0L
+        else if (below || eqm) 1L
+        else if (z < 0.6745) 2L else 3L
+      i.toLong -> sym
+    }.toMap
+    val run = (p: Int) =>
+      TimeSeries.sax(rows.toDF("g", "t", "x").repartition(p),
+        "g", "t", "x", w = 4).collect()
+        .map(r => r.getLong(1) -> r.getAs[Long]("symbol")).toMap
+    val got = run(1)
+    assert(got == expected && got == run(9))
+  }
 }
