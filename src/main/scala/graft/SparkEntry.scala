@@ -1780,6 +1780,38 @@ object SparkEntry {
         hourly, "event_type", "hr", "hx", maxLag = 6)
     }),
 
+    // ---- Time series: rolling 24h correlation of each event type's
+    //      hourly mass against the corpus-wide series — the decoupling
+    //      monitor (exact BIGINT window moments, one IEEE readout) ----
+    "q_moving_corr" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value")).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+        .where(col("hx").isNotNull)
+      val global = hourly.groupBy(col("hr")).agg(sum(col("hx")).as("gx"))
+      graft.ops.TimeSeries.rollingCorr(
+        hourly.join(global, "hr"), "event_type", "hr", "hx", "gx",
+        win = 24)
+    }),
+
+    // ---- Growth: rolling 7-day active users (WAU) per activity day —
+    //      each (user, day) contributes to its next 7 report days, then
+    //      ONE exact distinct count per day ----
+    "q_rolling_active" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+        .distinct()
+      ud.select(explode(sequence(col("day"), col("day") + 6L)).as("rday"),
+          col("user_id"))
+        .groupBy(col("rday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .join(ud.select(col("day").as("rday")).distinct(), "rday")
+        .select(col("rday"), col("wau"))
+    }),
+
     // ---- Time series: SAX symbolization — PAA segment means over the
     //      hourly series, z-bucketed into alphabet-4 symbols (exact
     //      integer sign test at the dense z=0 breakpoint) ----
@@ -8328,6 +8360,39 @@ object SparkEntry {
           "SELECT event_type, n_rows, CASE WHEN s <= 0 THEN NULL ELSE " +
           "CAST(2 * tt - (n_rows + 1) * s AS DOUBLE) / " +
           "CAST(n_rows * s AS DOUBLE) END AS gini FROM a"),
+      "q_moving_corr" ->
+        ("WITH h AS (SELECT event_type, " +
+          "epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "hn AS (SELECT * FROM h WHERE hx IS NOT NULL), " +
+          "g AS (SELECT hr, CAST(sum(hx) AS BIGINT) AS gx " +
+          "FROM hn GROUP BY 1), " +
+          "j AS (SELECT hn.event_type, hn.hr, hn.hx, g.gx " +
+          "FROM hn JOIN g USING (hr)), " +
+          "w AS (SELECT event_type, hr, " +
+          "CAST(count(*) OVER fr AS BIGINT) AS n, " +
+          "CAST(sum(hx) OVER fr AS BIGINT) AS sx, " +
+          "CAST(sum(gx) OVER fr AS BIGINT) AS sy, " +
+          "CAST(sum(hx * gx) OVER fr AS BIGINT) AS sxy, " +
+          "CAST(sum(hx * hx) OVER fr AS BIGINT) AS sxx, " +
+          "CAST(sum(gx * gx) OVER fr AS BIGINT) AS syy FROM j " +
+          "WINDOW fr AS (PARTITION BY event_type ORDER BY hr " +
+          "ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
+          "SELECT event_type, hr, n AS n_window, " +
+          "CASE WHEN n < 24 OR n * sxx - sx * sx <= 0 " +
+          "OR n * syy - sy * sy <= 0 THEN NULL ELSE " +
+          "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+          "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr FROM w"),
+      "q_rolling_active" ->
+        ("WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 " +
+          "AS day, user_id FROM events), " +
+          "e AS (SELECT day + t.range AS rday, user_id " +
+          "FROM ud, range(7) t), " +
+          "d AS (SELECT DISTINCT day AS rday FROM ud) " +
+          "SELECT e.rday, CAST(count(DISTINCT e.user_id) AS BIGINT) " +
+          "AS wau FROM e JOIN d USING (rday) GROUP BY 1"),
       "feature_quantile_bin" ->
         ("WITH nn AS (SELECT event_id, event_type, value, " +
           "CAST(ntile(8) OVER (PARTITION BY event_type " +

@@ -1226,6 +1226,50 @@ object TimeSeries {
       .select(col("type_a"), col("type_b"), col("dtw_q"), col("dtw"))
   }
 
+  /** Rolling Pearson correlation between a keyed series and a paired
+    * reference series over a trailing `win`-row window — the co-movement
+    * monitor ("is this event type still tracking the corpus, or has it
+    * decoupled?"). Input: one row per (key, ord) carrying BOTH integral
+    * series x and y; emits every full window's corr plus the moments.
+    *
+    * Determinism: the five window sums (n, Σx, Σy, Σxy, Σx², Σy²) are
+    * exact BIGINTs (running frames add integers — order is the frame
+    * order, exact regardless); corr is ONE fixed IEEE tree over them:
+    * `(n·Σxy − ΣxΣy) / (sqrt(n·Σx²−Σx²̂) · sqrt(n·Σy²−Σy²̂))`, NULL
+    * when either variance is zero. Short (warm-up) windows emit NULL
+    * corr, keeping the row count oracle-stable.
+    *
+    * Overflow bound: n·Σxy needs |x·y|·win² within BIGINT — quantize
+    * inputs so |x|, |y| < ~3e8/win.
+    *
+    * Scale: ONE shuffle on the key; all frames share the (key, ord)
+    * sort. Output O(rows). */
+  def rollingCorr(
+      series: DataFrame, keyCol: String, ordCol: String, xCol: String,
+      yCol: String, win: Int): DataFrame = {
+    require(win > 1, s"window must exceed 1, got $win")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+      .rowsBetween(-(win - 1), Window.currentRow)
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val out = series
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sy", sum(y).over(w))
+      .withColumn("__sxy", sum(x * y).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+      .withColumn("__syy", sum(y * y).over(w))
+    val vx = out("__n") * out("__sxx") - out("__sx") * out("__sx")
+    val vy = out("__n") * out("__syy") - out("__sy") * out("__sy")
+    val cov = out("__n") * out("__sxy") - out("__sx") * out("__sy")
+    out.select(col(keyCol), col(ordCol), col("__n").as("n_window"),
+      when(col("__n") < win || vx <= 0L || vy <= 0L,
+        lit(null).cast("double"))
+        .otherwise(cov.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+        .as("corr"))
+  }
+
   /** SAX (Symbolic Aggregate approXimation) over a keyed series —
     * Lin/Keogh's classic: rank the points, average each `w`-point
     * segment (PAA), z-score the segment means against the KEY's own

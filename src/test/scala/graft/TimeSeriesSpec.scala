@@ -603,6 +603,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rf.getAs[Long]("dtw_q") == 0L)
   }
 
+  test("rollingCorr: matches a scalar Pearson replay on full windows, " +
+    "NULL on warm-up and zero variance, partitioning-invariant") {
+    // y = 2x + 1 on a full window → corr exactly 1.0
+    val lin = (0L until 6L).map(t => ("l", t, t, 2 * t + 1))
+      .toDF("g", "t", "x", "y")
+    val got = TimeSeries.rollingCorr(lin, "g", "t", "x", "y", win = 4)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(0L).isEmpty && got(2L).isEmpty) // warm-up
+    // sqrt(vx)·sqrt(vy) rounds twice, so "exactly 1" can land 1 ulp shy
+    assert(Seq(3L, 5L).forall(t => math.abs(got(t).get - 1.0) < 1e-12))
+    // constant y → zero variance → NULL even on full windows
+    val flat = (0L until 5L).map(t => ("f", t, t, 7L))
+      .toDF("g", "t", "x", "y")
+    assert(TimeSeries.rollingCorr(flat, "g", "t", "x", "y", 4)
+      .collect().forall(_.isNullAt(3)))
+    // random: scalar replay with the same integer moments
+    val rng = new scala.util.Random(83)
+    val rows = (0L until 40L).map(t =>
+      ("r", t, rng.nextInt(100).toLong, rng.nextInt(100).toLong))
+    val byT = rows.map(r => r._2 -> (r._3, r._4)).toMap
+    val expected = (0L until 40L).map { t =>
+      if (t < 3) t -> None
+      else {
+        val w = (t - 3 to t).map(byT)
+        val n = 4L
+        val sx = w.map(_._1).sum; val sy = w.map(_._2).sum
+        val sxy = w.map(p => p._1 * p._2).sum
+        val sxx = w.map(p => p._1 * p._1).sum
+        val syy = w.map(p => p._2 * p._2).sum
+        val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+        if (vx <= 0 || vy <= 0) t -> None
+        else t -> Some((n * sxy - sx * sy).toDouble /
+          (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)))
+      }
+    }.toMap
+    val run = (p: Int) =>
+      TimeSeries.rollingCorr(rows.toDF("g", "t", "x", "y").repartition(p),
+        "g", "t", "x", "y", win = 4).collect()
+        .map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val a = run(1)
+    assert(a == expected && a == run(7))
+  }
+
   test("sax: symbols match a scalar replay, constant series emits 1s, " +
     "exact z=0 boundary is integer-decided, partitioning-invariant") {
     // constant series: σ=0 → every segment symbol 1
