@@ -1219,6 +1219,31 @@ object SparkEntry {
         col("event_type") === "click",
         floor(col("value") * 1024.0), 1024.0)),
 
+    // ---- Stats: TOST equivalence test — is click vs view mean value
+    //      provably WITHIN ±5? (two one-sided z's from the same exact
+    //      quantized moments as Welch) ----
+    "q_tost" -> ((s, dir) =>
+      graft.ops.Profile.tostEquivalence(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        floor(col("value") * 1024.0), 1024.0, margin = 5.0)),
+
+    // ---- Time series: rolling 24h Bollinger bands over the hourly
+    //      mass per event type (exact BIGINT window moments, breach
+    //      flag against engine-identical band doubles) ----
+    "ts_bollinger" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value")).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+        .where(col("hx").isNotNull)
+      graft.ops.TimeSeries.rollingBands(
+        hourly, "event_type", "hr", "hx", win = 24, k = 2.0)
+    }),
+
     // ---- Warehouse/recsys: market-basket association rules (support /
     //      confidence / lift over co-purchased parts) — per-basket pair
     //      self-join, prune-then-annotate, exact integer counts ----
@@ -7831,6 +7856,67 @@ object SparkEntry {
           "(sea + seb) * (sea + seb) / " +
           "(sea * sea / CAST(na - 1 AS DOUBLE) + " +
           "seb * seb / CAST(nb - 1 AS DOUBLE)) END AS dof FROM w"),
+      "q_tost" ->
+        // Same quantized-moment pipeline as q_welch_ttest; two one-sided
+        // z's against the shared z₀.₉₅ literal.
+        ("WITH b AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 " +
+          "END AS a, CAST(floor(value * 1024.0) AS BIGINT) AS q " +
+          "FROM events WHERE event_type IN ('click', 'view') " +
+          "AND value IS NOT NULL), " +
+          "m AS (SELECT CAST(coalesce(sum(a), 0) AS BIGINT) AS na, " +
+          "CAST(coalesce(sum(1 - a), 0) AS BIGINT) AS nb, " +
+          "CAST(coalesce(sum(CASE WHEN a = 1 THEN q END), 0) AS BIGINT) " +
+          "AS sa, " +
+          "CAST(coalesce(sum(CASE WHEN a = 0 THEN q END), 0) AS BIGINT) " +
+          "AS sb, " +
+          "CAST(coalesce(sum(CASE WHEN a = 1 THEN q * q END), 0) " +
+          "AS BIGINT) AS qa, " +
+          "CAST(coalesce(sum(CASE WHEN a = 0 THEN q * q END), 0) " +
+          "AS BIGINT) AS qb FROM b), " +
+          "v AS (SELECT na, nb, sa, sb, " +
+          "CAST(CAST(na AS HUGEINT) * qa - CAST(sa AS HUGEINT) * sa " +
+          "AS DOUBLE) / (CAST(na * (na - 1) AS DOUBLE) * 1048576.0) " +
+          "/ CAST(na AS DOUBLE) AS sea, " +
+          "CAST(CAST(nb AS HUGEINT) * qb - CAST(sb AS HUGEINT) * sb " +
+          "AS DOUBLE) / (CAST(nb * (nb - 1) AS DOUBLE) * 1048576.0) " +
+          "/ CAST(nb AS DOUBLE) AS seb FROM m), " +
+          "w AS (SELECT na, nb, " +
+          "CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1024.0 - " +
+          "CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1024.0 AS df, " +
+          "sqrt(sea + seb) AS se, " +
+          "(na < 2 OR nb < 2 OR sea + seb <= 0.0) AS bad FROM v) " +
+          "SELECT na AS n_a, nb AS n_b, " +
+          "CASE WHEN bad THEN NULL ELSE df END AS diff, " +
+          "CASE WHEN bad THEN NULL ELSE se END AS se, " +
+          "CASE WHEN bad THEN NULL ELSE (df + 5.0) / se END AS t_lower, " +
+          "CASE WHEN bad THEN NULL ELSE (df - 5.0) / se END AS t_upper, " +
+          "CASE WHEN bad THEN false ELSE " +
+          "(df + 5.0) / se > 1.6448536269514722 AND " +
+          "(df - 5.0) / se < -1.6448536269514722 END AS equivalent " +
+          "FROM w"),
+      "ts_bollinger" ->
+        ("WITH h AS (SELECT event_type, " +
+          "epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "hn AS (SELECT * FROM h WHERE hx IS NOT NULL), " +
+          "w AS (SELECT event_type, hr, hx, " +
+          "CAST(count(*) OVER fr AS BIGINT) AS n, " +
+          "CAST(sum(hx) OVER fr AS BIGINT) AS sx, " +
+          "CAST(sum(hx * hx) OVER fr AS BIGINT) AS sxx FROM hn " +
+          "WINDOW fr AS (PARTITION BY event_type ORDER BY hr " +
+          "ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)), " +
+          "c AS (SELECT event_type, hr, hx, n, " +
+          "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mid, " +
+          "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / " +
+          "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sig FROM w) " +
+          "SELECT event_type, hr, hx AS x, n AS n_window, " +
+          "CASE WHEN n < 24 THEN NULL ELSE mid END AS mid, " +
+          "CASE WHEN n < 24 THEN NULL ELSE mid - 2.0 * sig END AS lo, " +
+          "CASE WHEN n < 24 THEN NULL ELSE mid + 2.0 * sig END AS hi, " +
+          "CASE WHEN n < 24 THEN NULL ELSE " +
+          "CAST(hx AS DOUBLE) < mid - 2.0 * sig OR " +
+          "CAST(hx AS DOUBLE) > mid + 2.0 * sig END AS breach FROM c"),
       "q_assoc_rules" ->
         ("WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it " +
           "FROM lineitem WHERE l_partkey % 4 = 0), " +

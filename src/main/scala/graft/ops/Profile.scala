@@ -863,6 +863,60 @@ object Profile {
           seb * seb / (col("nb") - 1L).cast("double"))).as("dof"))
   }
 
+  /** TOST equivalence test (two one-sided tests) — the question a plain
+    * t-test cannot answer: is the A−B mean difference provably WITHIN
+    * ±`margin`? (Did the cheaper pipeline variant leave quality
+    * unchanged, not merely "not significantly different"?) Declares
+    * equivalence when BOTH one-sided large-sample z statistics clear
+    * z₀.₉₅: `t_lower = (Δ+margin)/se > 1.645` and
+    * `t_upper = (Δ−margin)/se < −1.645`.
+    *
+    * Same exact-moment discipline as [[welchT]] (quantized inputs, one
+    * aggregate, DECIMAL(38,0) cross-moments, one fixed IEEE readout);
+    * the boolean verdict compares two engine-identical doubles against
+    * a shared literal. Emits one row: (n_a, n_b, diff, se, t_lower,
+    * t_upper, equivalent) — NULL stats (and false) when either arm has
+    * n < 2 or pooled variance is zero. */
+  def tostEquivalence(
+      df: DataFrame, inA: Column, q: Column, scale: Double,
+      margin: Double): DataFrame = {
+    require(margin > 0.0, s"margin must be positive, got $margin")
+    val z95 = 1.6448536269514722 // Φ⁻¹(0.95), shared with the oracle
+    val b = df.select(when(inA, 1L).otherwise(0L).as("__a"),
+      q.cast("long").as("__q")).where(col("__q").isNotNull)
+    val m = b.agg(
+      coalesce(sum(col("__a")), lit(0L)).as("na"),
+      coalesce(sum(lit(1L) - col("__a")), lit(0L)).as("nb"),
+      coalesce(sum(when(col("__a") === 1L, col("__q"))), lit(0L)).as("sa"),
+      coalesce(sum(when(col("__a") === 0L, col("__q"))), lit(0L)).as("sb"),
+      coalesce(sum(when(col("__a") === 1L, col("__q") * col("__q"))),
+        lit(0L)).as("qa"),
+      coalesce(sum(when(col("__a") === 0L, col("__q") * col("__q"))),
+        lit(0L)).as("qb"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val s2 = lit(scale * scale)
+    val mean = (s: Column, n: Column) =>
+      s.cast("double") / n.cast("double") / lit(scale)
+    val vr = (n: Column, s: Column, qq: Column) =>
+      (d(n) * d(qq) - d(s) * d(s)).cast("double") /
+        ((n * (n - 1L)).cast("double") * s2)
+    val sea = vr(col("na"), col("sa"), col("qa")) / col("na").cast("double")
+    val seb = vr(col("nb"), col("sb"), col("qb")) / col("nb").cast("double")
+    val se2 = sea + seb
+    val bad = col("na") < 2L || col("nb") < 2L || se2 <= 0.0
+    val diff = mean(col("sa"), col("na")) - mean(col("sb"), col("nb"))
+    val seC = sqrt(se2)
+    val tl = (diff + lit(margin)) / seC
+    val tu = (diff - lit(margin)) / seC
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      when(bad, lit(null).cast("double")).otherwise(diff).as("diff"),
+      when(bad, lit(null).cast("double")).otherwise(seC).as("se"),
+      when(bad, lit(null).cast("double")).otherwise(tl).as("t_lower"),
+      when(bad, lit(null).cast("double")).otherwise(tu).as("t_upper"),
+      when(bad, lit(false))
+        .otherwise(tl > z95 && tu < -z95).as("equivalent"))
+  }
+
   /** CUPED variance reduction for A/B readouts — the standard
     * experimentation trick: shrink each arm's metric by the part a
     * PRE-experiment covariate already explains,

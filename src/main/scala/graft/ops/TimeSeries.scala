@@ -1226,6 +1226,51 @@ object TimeSeries {
       .select(col("type_a"), col("type_b"), col("dtw_q"), col("dtw"))
   }
 
+  /** Rolling Bollinger bands over a keyed integral series: trailing
+    * `win`-row mean ± `k`·σ (population σ over the window) and a breach
+    * flag — the classic volatility envelope for "is this hour's volume
+    * outside its own recent regime?". Emits every row with
+    * (n_window, mid, lo, hi, breach); warm-up rows (n < win) carry NULL
+    * bands and NULL breach.
+    *
+    * Determinism: window sums (n, Σx, Σx²) are exact BIGINTs; mid/σ/
+    * bands are ONE fixed IEEE tree over them (σ via
+    * `sqrt((n·Σx²−Σx²̂)/n²)`), and the breach comparison pits the exact
+    * x against engine-identical band doubles. Same overflow bound as
+    * [[rollingCorr]].
+    *
+    * Scale: ONE shuffle on the key, frames share the (key, ord) sort,
+    * output O(rows). */
+  def rollingBands(
+      series: DataFrame, keyCol: String, ordCol: String, xCol: String,
+      win: Int, k: Double): DataFrame = {
+    require(win > 1, s"window must exceed 1, got $win")
+    require(k > 0.0, s"band width must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+      .rowsBetween(-(win - 1), Window.currentRow)
+    val x = col(xCol).cast("long")
+    val out = series
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(x).over(w))
+      .withColumn("__sxx", sum(x * x).over(w))
+    val nD = col("__n").cast("double")
+    val mid = col("__sx").cast("double") / nD
+    val sig = sqrt(
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast("double") / (nD * nD))
+    val short = col("__n") < win
+    val dn = lit(null).cast("double")
+    out.select(col(keyCol), col(ordCol), x.as("x"),
+        col("__n").as("n_window"),
+        when(short, dn).otherwise(mid).as("mid"),
+        when(short, dn).otherwise(mid - lit(k) * sig).as("lo"),
+        when(short, dn).otherwise(mid + lit(k) * sig).as("hi"),
+        when(short, lit(null).cast("boolean"))
+          .otherwise(x.cast("double") < mid - lit(k) * sig ||
+            x.cast("double") > mid + lit(k) * sig).as("breach"))
+  }
+
   /** Rolling Pearson correlation between a keyed series and a paired
     * reference series over a trailing `win`-row window — the co-movement
     * monitor ("is this event type still tracking the corpus, or has it

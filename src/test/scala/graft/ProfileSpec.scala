@@ -838,4 +838,33 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("se_b") - 2.0) < 1e-12)
     assert(r.getAs[Double]("z") == 0.0)
   }
+
+  test("tostEquivalence: identical tight arms are equivalent, a shifted " +
+    "arm is not, degenerate arms yield NULL stats and false") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    // both arms ~ N-ish around 100 with small spread, margin 5 → equivalent
+    val same = (1 to 400).map(i =>
+      (i % 2 == 0, 100L + rng.nextInt(5) - 2L)).toDF("a", "q")
+    val r1 = Profile.tostEquivalence(same, col("a"), col("q"), 1.0, 5.0)
+      .collect().head
+    assert(r1.getAs[Boolean]("equivalent"))
+    assert(math.abs(r1.getAs[Double]("diff")) < 5.0)
+    // B shifted by 50 with the same spread → decisively NOT equivalent
+    val far = (1 to 400).map { i =>
+      val a = i % 2 == 0
+      (a, (if (a) 100L else 150L) + rng.nextInt(5) - 2L)
+    }.toDF("a", "q")
+    val r2 = Profile.tostEquivalence(far, col("a"), col("q"), 1.0, 5.0)
+      .collect().head
+    assert(!r2.getAs[Boolean]("equivalent"))
+    assert(r2.getAs[Double]("t_upper") < -1.6448536269514722 &&
+      r2.getAs[Double]("t_lower") < 0.0)
+    // one-row arm → NULLs and false
+    val tiny = Seq((true, 1L), (false, 2L), (false, 3L)).toDF("a", "q")
+    val r3 = Profile.tostEquivalence(tiny, col("a"), col("q"), 1.0, 5.0)
+      .collect().head
+    assert(r3.isNullAt(2) && r3.isNullAt(4) && !r3.getAs[Boolean]("equivalent"))
+  }
 }

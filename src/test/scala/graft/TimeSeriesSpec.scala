@@ -603,6 +603,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rf.getAs[Long]("dtw_q") == 0L)
   }
 
+  test("rollingBands: scalar replay of mean±2σ, warm-up NULLs, breach " +
+    "flags only true outliers") {
+    val rng = new scala.util.Random(47)
+    val rows = (0L until 30L).map(t =>
+      ("g", t, rng.nextInt(50).toLong + (if (t == 20L) 500L else 0L)))
+    val byT = rows.map(r => r._2 -> r._3).toMap
+    val got = TimeSeries.rollingBands(
+      rows.toDF("g", "t", "x").repartition(5), "g", "t", "x", 8, 2.0)
+      .collect().map { r =>
+        r.getLong(1) -> (if (r.isNullAt(4)) None
+          else Some((r.getDouble(4), r.getDouble(5), r.getDouble(6),
+            r.getBoolean(7))))
+      }.toMap
+    assert((0L until 7L).forall(got(_).isEmpty))
+    (7L until 30L).foreach { t =>
+      val w = (t - 7 to t).map(byT)
+      val n = 8L
+      val sx = w.sum; val sxx = w.map(x => x * x).sum
+      val mid = sx.toDouble / n
+      val sig = math.sqrt((n * sxx - sx * sx).toDouble / (n.toDouble * n))
+      val (gm, gl, gh, gb) = got(t).get
+      assert(gm == mid && gl == mid - 2.0 * sig && gh == mid + 2.0 * sig)
+      assert(gb == (byT(t).toDouble < gl || byT(t).toDouble > gh))
+    }
+    // the spike at t=20 must breach its own window
+    assert(got(20L).get._4)
+  }
+
   test("rollingCorr: matches a scalar Pearson replay on full windows, " +
     "NULL on warm-up and zero variance, partitioning-invariant") {
     // y = 2x + 1 on a full window → corr exactly 1.0
