@@ -1543,6 +1543,29 @@ object SparkEntry {
         Seq("user_id"), "s_us", "e_us", "event_id")
     }),
 
+    // ---- Interval algebra: coverage gaps — the dark windows between
+    //      merged spans per user (exact BIGINT extents; the longest-gap
+    //      SLA readout) ----
+    "q_interval_gaps" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val durUs = when(col("value").isNull || isnan(col("value")), 1L)
+        .otherwise(greatest(lit(1L), floor(col("value") * 3600.0)
+          .cast("long"))) * 1000000L
+      graft.ops.Intervals.gaps(
+        ev.select(col("user_id"), expr("ts div 1000").as("s_us"),
+          (expr("ts div 1000") + durUs).as("e_us"), col("event_id")),
+        Seq("user_id"), "s_us", "e_us", "event_id")
+    }),
+
+    // ---- Profiling: Lorenz decile table of per-user value mass within
+    //      each event type — "the top decile produces X%" (exact BIGINT
+    //      bin sums, ONE division per share) ----
+    "q_lorenz" -> ((s, dir) =>
+      graft.ops.Normalize.lorenz(
+        t(s, dir, "events").select(col("event_type"), col("user_id"),
+          floor(col("value") * 1024.0).cast("long").as("qx")),
+        "event_type", "user_id", "qx", buckets = 10)),
+
     // ---- Interval algebra: peak concurrency per event type — max
     //      simultaneously-open value-scaled spans and the first instant
     //      of that load (half-open boundary sweep, exact BIGINTs) ----
@@ -7424,6 +7447,49 @@ object SparkEntry {
           "CAST(sum(en - st) AS BIGINT) AS covered_us, " +
           "CAST(max(en - st) AS BIGINT) AS max_island_us " +
           "FROM m GROUP BY user_id"),
+      "q_interval_gaps" ->
+        // Island replay (as q_interval_coverage), then lag between
+        // consecutive islands — merged islands never touch, so every
+        // step is a real gap.
+        ("WITH iv AS (SELECT user_id, epoch_us(ts) AS s, " +
+          "epoch_us(ts) + (CASE WHEN value IS NULL OR isnan(value) THEN 1 " +
+          "ELSE greatest(1, CAST(floor(value * 3600.0) AS BIGINT)) END) " +
+          "* 1000000 AS e, event_id AS id FROM events), " +
+          "w AS (SELECT user_id, s, e, id, max(e) OVER " +
+          "(PARTITION BY user_id ORDER BY s, e, id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), " +
+          "f AS (SELECT user_id, s, e, id, " +
+          "CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nf FROM w), " +
+          "g AS (SELECT user_id, s, e, CAST(sum(nf) OVER " +
+          "(PARTITION BY user_id ORDER BY s, e, id " +
+          "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island FROM f), " +
+          "m AS (SELECT user_id, island, min(s) AS st, max(e) AS en " +
+          "FROM g GROUP BY 1, 2), " +
+          "lg AS (SELECT user_id, st, " +
+          "lag(en) OVER (PARTITION BY user_id ORDER BY st) AS pe FROM m) " +
+          "SELECT user_id, pe AS gap_start, st AS gap_end, " +
+          "st - pe AS gap_us FROM lg WHERE pe IS NOT NULL"),
+      "q_lorenz" ->
+        ("WITH u AS (SELECT event_type, user_id, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS x " +
+          "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), " +
+          "b AS (SELECT event_type, " +
+          "CAST(ntile(10) OVER (PARTITION BY event_type " +
+          "ORDER BY x ASC, user_id ASC) AS BIGINT) AS bucket, x FROM u), " +
+          "g AS (SELECT event_type, bucket, " +
+          "CAST(count(*) AS BIGINT) AS n_units, " +
+          "CAST(sum(x) AS BIGINT) AS bucket_sum FROM b GROUP BY 1, 2), " +
+          "c AS (SELECT event_type, bucket, n_units, bucket_sum, " +
+          "CAST(sum(bucket_sum) OVER (PARTITION BY event_type) " +
+          "AS BIGINT) AS t, " +
+          "CAST(sum(bucket_sum) OVER (PARTITION BY event_type " +
+          "ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cx " +
+          "FROM g) " +
+          "SELECT event_type, bucket, n_units, bucket_sum, " +
+          "CASE WHEN t = 0 THEN NULL ELSE " +
+          "CAST(bucket_sum AS DOUBLE) / CAST(t AS DOUBLE) END AS share, " +
+          "CASE WHEN t = 0 THEN NULL ELSE " +
+          "CAST(cx AS DOUBLE) / CAST(t AS DOUBLE) END AS cum_share FROM c"),
       "q_peak_concurrency" ->
         ("WITH iv AS (SELECT event_type, epoch_us(ts) AS s, " +
           "epoch_us(ts) + (CASE WHEN value IS NULL OR isnan(value) THEN 1 " +

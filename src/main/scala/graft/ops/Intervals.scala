@@ -74,6 +74,33 @@ object Intervals {
         sum(col("span_us")).as("covered_us"),
         max(col("span_us")).as("max_island_us"))
 
+  /** Per-key COVERAGE GAPS — the complement of [[coverage]]: the dark
+    * windows BETWEEN merged islands, one row per gap with its exact
+    * extent (the "when were we blind / down / silent" question an
+    * availability rollup can't answer). A key with one island emits
+    * nothing.
+    *
+    * Built on [[mergeIntervals]] output: islands are disjoint per key by
+    * construction, so ordering by island_start is total and
+    * `gap = next.island_start − prev.island_end` (touching islands never
+    * exist post-merge, so every lag step is a real gap). Exact BIGINTs
+    * end to end.
+    *
+    * Scale: the merge's one keyed shuffle + one lag window sharing the
+    * same partitioning; output O(islands). */
+  def gaps(
+      df: DataFrame, keyCols: Seq[String], startCol: String,
+      endCol: String, idCol: String): DataFrame = {
+    val key = keyCols.map(col)
+    val w = Window.partitionBy(key: _*).orderBy(col("island_start"))
+    mergeIntervals(df, keyCols, startCol, endCol, idCol)
+      .withColumn("gap_start", lag(col("island_end"), 1).over(w))
+      .where(col("gap_start").isNotNull)
+      .select(key :+ col("gap_start") :+
+        col("island_start").as("gap_end") :+
+        (col("island_start") - col("gap_start")).as("gap_us"): _*)
+  }
+
   /** Per-key PEAK CONCURRENCY — the capacity question islands can't
     * answer: at the busiest instant, how many intervals are open at
     * once, and when does that load first occur? (Concurrent sessions

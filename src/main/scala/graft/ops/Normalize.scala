@@ -320,6 +320,50 @@ object Normalize {
               (col("n_rows") * col("__s")).cast("double")).as("gini"))
   }
 
+  /** Per-group Lorenz decile table over unit masses — [[gini]]'s
+    * readable companion: units (users, domains) rank into `buckets`
+    * equal-count bins by total mass, and each bin reports its exact
+    * mass, share, and cumulative share ("the top decile of users
+    * produces X% of this event type's volume"). SQL-standard ntile over
+    * the deterministic (mass, unit) order pins every boundary.
+    *
+    * Exactness: unit totals, bin sums, the group total, and the running
+    * cumulative are all exact BIGINTs (window sums of longs); share and
+    * cum_share are ONE division each. Output:
+    * (groupCol, bucket, n_units, bucket_sum, share, cum_share).
+    *
+    * Scale: one unit-total aggregate, ONE shuffle on the group for the
+    * ntile + bin windows (all share the sort), output O(groups·buckets). */
+  def lorenz(
+      df: DataFrame, groupCol: String, unitCol: String, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 1, s"buckets must exceed 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val units = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(unitCol))
+      .agg(sum(col(valueCol).cast("long")).as("__x"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__x").asc, col(unitCol).asc)
+    val binned = units
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__x")).as("bucket_sum"))
+    val whole = Window.partitionBy(col(groupCol))
+    val cum = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("__t", sum(col("bucket_sum")).over(whole))
+      .withColumn("__c", sum(col("bucket_sum")).over(cum))
+      .select(col(groupCol), col("bucket"), col("n_units"),
+        col("bucket_sum"),
+        when(col("__t") === 0L, lit(null).cast("double"))
+          .otherwise(col("bucket_sum").cast("double") /
+            col("__t").cast("double")).as("share"),
+        when(col("__t") === 0L, lit(null).cast("double"))
+          .otherwise(col("__c").cast("double") / col("__t").cast("double"))
+          .as("cum_share"))
+  }
+
   /** Per-group Herfindahl–Hirschman concentration of a POSITIVE integral
     * mass over units — the antitrust-style "how concentrated is this
     * market" statistic, applied to data-pipeline questions like "is one

@@ -49,6 +49,22 @@ class IntervalsSpec extends SparkSpec {
     assert(got("b") == ((1L, 1L, 1L, 1L)))
   }
 
+  test("gaps: one row per dark window between islands, single-island " +
+    "keys emit nothing, extents exact") {
+    val df = Seq(
+      ("a", 0L, 10L, 1L), ("a", 5L, 12L, 2L),   // island [0,12]
+      ("a", 100L, 101L, 3L),                     // island [100,101]
+      ("a", 200L, 210L, 4L),                     // island [200,210]
+      ("b", 0L, 5L, 5L))                         // single island
+      .toDF("k", "s", "e", "id")
+    val got = Intervals.gaps(df, Seq("k"), "s", "e", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 2)
+    assert(got(("a", 12L)) == ((100L, 88L)))
+    assert(got(("a", 101L)) == ((200L, 99L)))
+  }
+
   test("peakConcurrency: half-open touch does not overlap, earliest " +
     "peak instant, zero-length dropped, brute-force random match") {
     val df = Seq(

@@ -198,6 +198,24 @@ class NormalizeSpec extends SparkSpec {
     }
   }
 
+  test("lorenz: bin sizes follow ntile, shares sum to 1, cum_share is " +
+    "monotone and ends at 1, concentrated mass lands in the top bucket") {
+    // 25 units, one whale: unit 25 holds 760 of 1000 total
+    val rows = (1L to 24L).map(u => ("g", u, 10L)) :+ (("g", 25L, 760L))
+    val got = Normalize.lorenz(rows.toDF("g", "u", "x").repartition(7),
+      "g", "u", "x", buckets = 5)
+      .collect().sortBy(_.getLong(1))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    assert(got.map(_._2).toSeq == Seq(5L, 5L, 5L, 5L, 5L))
+    assert(got.map(_._3).sum == 1000L)
+    assert(got.last._3 == 800L && got.last._4 == 0.8)
+    val cums = got.map(_._5)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last == 1.0)
+  }
+
   test("theil: ~0 on even shares, ~ln(n) on a monopoly, matches the " +
     "quantized brute force, partitioning-invariant") {
     val even = (1L to 8L).map(u => ("e", u, 10L)).toDF("g", "u", "x")
