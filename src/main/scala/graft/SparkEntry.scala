@@ -2758,6 +2758,15 @@ object SparkEntry {
           expr("ts div 86400000000000").as("day")),
         "user_id", "day")),
 
+    // ---- Growth: daily growth accounting — DAU decomposed into
+    //      new / retained / resurrected, churn attributed to the next
+    //      day (one lag/lead window over per-user active days) ----
+    "q_growth_accounting" -> ((s, dir) =>
+      graft.ops.Funnel.growthAccounting(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 86400000000000").as("day")),
+        "user_id", "day")),
+
     // ---- LLM pipeline: top collocations by pointwise lift (phrase
     //      detection; one corpus scan, one pair-keyed aggregate) ----
     "text_collocations" -> ((s, dir) =>
@@ -8537,6 +8546,28 @@ object SparkEntry {
           "CAST(n * sxy - sx * sy AS DOUBLE) / " +
           "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
           "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr FROM w"),
+      "q_growth_accounting" ->
+        ("WITH ud AS (SELECT DISTINCT user_id AS u, " +
+          "epoch_us(ts) // 86400000000 AS d FROM events), " +
+          "m AS (SELECT u, d, " +
+          "lag(d) OVER (PARTITION BY u ORDER BY d) AS pv, " +
+          "lead(d) OVER (PARTITION BY u ORDER BY d) AS nx FROM ud), " +
+          "a AS (SELECT d AS day, " +
+          "CAST(sum(CASE WHEN pv IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_new, " +
+          "CAST(sum(CASE WHEN pv = d - 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_retained, " +
+          "CAST(sum(CASE WHEN pv IS NOT NULL AND pv < d - 1 THEN 1 " +
+          "ELSE 0 END) AS BIGINT) AS n_resurrected FROM m GROUP BY 1), " +
+          "c AS (SELECT d + 1 AS day, CAST(count(*) AS BIGINT) " +
+          "AS n_churned FROM m WHERE nx IS NULL OR nx <> d + 1 " +
+          "GROUP BY 1) " +
+          "SELECT coalesce(a.day, c.day) AS day, " +
+          "CAST(coalesce(n_new, 0) AS BIGINT) AS n_new, " +
+          "CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained, " +
+          "CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected, " +
+          "CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned " +
+          "FROM a FULL OUTER JOIN c ON a.day = c.day"),
       "q_rolling_active" ->
         ("WITH ud AS (SELECT DISTINCT epoch_us(ts) // 86400000000 " +
           "AS day, user_id FROM events), " +

@@ -398,4 +398,52 @@ object Funnel {
         .otherwise(0L).as("depth"))
       .groupBy("depth").agg(count(lit(1)).as("n_users"))
   }
+
+  /** Daily growth accounting — the standard DAU decomposition
+    * `new + retained + resurrected − churned`: for every activity day,
+    * how many users were brand new, carried over from the previous day,
+    * returned after a lapse, or (attributed to the FOLLOWING day)
+    * dropped out. Identity: `n_new + n_retained + n_resurrected` =
+    * that day's DAU, and day d's DAU − day d+1's retained = day d+1's
+    * churn from d — the bookkeeping growth teams reconcile against.
+    *
+    * Classification is one lag/lead window over each user's distinct
+    * active days: new (no prior day), retained (prior day = d−1),
+    * resurrected (prior day < d−1); a user churns AT day d+1 when day d
+    * has no successor at d+1 (including their final activity day, so
+    * the last day's cohort churns past the observation window — the
+    * convention that keeps the identity exact without a horizon
+    * parameter). Exact integer counts only.
+    *
+    * Scale: one (user, day) dedup aggregate, one user-keyed window, one
+    * day-keyed count — all map-side-combinable or sharing the user
+    * shuffle. Output O(days). */
+  def growthAccounting(
+      df: DataFrame, userCol: String, dayCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = df.select(col(userCol).as("__u"),
+      col(dayCol).cast("long").as("__d")).distinct()
+    val w = Window.partitionBy(col("__u")).orderBy(col("__d"))
+    val marked = ud
+      .withColumn("__prev", lag(col("__d"), 1).over(w))
+      .withColumn("__next", lead(col("__d"), 1).over(w))
+    val act = marked.groupBy(col("__d").as("day"))
+      .agg(
+        sum(when(col("__prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("__prev") === col("__d") - 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__prev").isNotNull &&
+          col("__prev") < col("__d") - 1L, 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = marked
+      .where(col("__next").isNull || col("__next") =!= col("__d") + 1L)
+      .groupBy((col("__d") + 1L).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
 }

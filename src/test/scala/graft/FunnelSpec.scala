@@ -253,4 +253,27 @@ class FunnelSpec extends SparkSpec {
     }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     assert(got == want)
   }
+
+  test("growthAccounting: hand-worked decomposition, DAU identity, " +
+    "churn attributed to the following day") {
+    import spark.implicits._
+    // u1: days 1,2,4 (new@1, retained@2, churn@3, resurrected@4, churn@5)
+    // u2: days 2,3   (new@2, retained@3, churn@4)
+    // u3: day 4      (new@4, churn@5)
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 4L), (2L, 2L), (2L, 3L),
+      (3L, 4L), (3L, 4L)).toDF("u", "day") // dup row: dedup is part of op
+    val got = graft.ops.Funnel.growthAccounting(df, "u", "day")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((1L, 0L, 0L, 0L)))
+    assert(got(2L) == ((1L, 1L, 0L, 0L)))
+    assert(got(3L) == ((0L, 1L, 0L, 1L)))
+    assert(got(4L) == ((1L, 0L, 1L, 1L)))
+    assert(got(5L) == ((0L, 0L, 0L, 2L)))
+    // identity: new+retained+resurrected == distinct actives per day
+    val dau = Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L)
+    dau.foreach { case (d, n) =>
+      val (nw, rt, rs, _) = got(d); assert(nw + rt + rs == n)
+    }
+  }
 }
