@@ -2758,6 +2758,31 @@ object SparkEntry {
           expr("ts div 86400000000000").as("day")),
         "user_id", "day")),
 
+    // ---- Audiences: pairwise Jaccard overlap between event-type user
+    //      sets — exact distinct-pair set algebra (|A∩B| via one
+    //      user-keyed self-join of the deduped pairs, union by
+    //      inclusion-exclusion, ONE division) ----
+    "q_jaccard_sets" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("event_type").as("et"), col("user_id")).distinct()
+      val sizes = ud.groupBy(col("et")).agg(count(lit(1)).as("n"))
+      val common = ud.select(col("et").as("type_a"), col("user_id"))
+        .join(ud.select(col("et").as("type_b"), col("user_id")), "user_id")
+        .where(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes.select(col("et").as("type_a"),
+          col("n").as("n_a"))), "type_a")
+        .join(broadcast(sizes.select(col("et").as("type_b"),
+          col("n").as("n_b"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .as("jaccard"))
+    }),
+
     // ---- Growth: daily growth accounting — DAU decomposed into
     //      new / retained / resurrected, churn attributed to the next
     //      day (one lag/lead window over per-user active days) ----
@@ -8546,6 +8571,20 @@ object SparkEntry {
           "CAST(n * sxy - sx * sy AS DOUBLE) / " +
           "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
           "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS corr FROM w"),
+      "q_jaccard_sets" ->
+        ("WITH ud AS (SELECT DISTINCT event_type AS et, user_id " +
+          "FROM events), " +
+          "s AS (SELECT et, CAST(count(*) AS BIGINT) AS n " +
+          "FROM ud GROUP BY 1), " +
+          "c AS (SELECT a.et AS type_a, b.et AS type_b, " +
+          "CAST(count(*) AS BIGINT) AS n_common " +
+          "FROM ud a JOIN ud b USING (user_id) WHERE a.et < b.et " +
+          "GROUP BY 1, 2) " +
+          "SELECT c.type_a, c.type_b, sa.n AS n_a, sb.n AS n_b, " +
+          "c.n_common, CAST(c.n_common AS DOUBLE) / " +
+          "CAST(sa.n + sb.n - c.n_common AS DOUBLE) AS jaccard " +
+          "FROM c JOIN s sa ON c.type_a = sa.et " +
+          "JOIN s sb ON c.type_b = sb.et"),
       "q_growth_accounting" ->
         ("WITH ud AS (SELECT DISTINCT user_id AS u, " +
           "epoch_us(ts) // 86400000000 AS d FROM events), " +
