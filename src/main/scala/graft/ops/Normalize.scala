@@ -332,8 +332,17 @@ object Normalize {
     * cum_share are ONE division each. Output:
     * (groupCol, bucket, n_units, bucket_sum, share, cum_share).
     *
-    * Scale: one unit-total aggregate, ONE shuffle on the group for the
-    * ntile + bin windows (all share the sort), output O(groups·buckets). */
+    * Scale: NO per-group window over the units. The bucket id is exact
+    * SQL-`ntile` semantics reproduced arithmetically from an exact
+    * per-group rank: range-partition on (group, mass, unit) → per-
+    * partition row_number at full parallelism → broadcast exclusive
+    * prefix offsets (#partitions driver rows) → global rank; the
+    * group-start rank and group size come from one O(groups) aggregate
+    * broadcast back, and `bucket = ntile(rank, n, b)` is pure row-local
+    * arithmetic (first `n mod b` bins take the extra row — the SQL
+    * remainder convention). A skewed group spreads across range
+    * partitions instead of funnelling one reducer (the liftDeciles
+    * discipline, [[graft.ops.Profile.liftDeciles]]). */
   def lorenz(
       df: DataFrame, groupCol: String, unitCol: String, valueCol: String,
       buckets: Int): DataFrame = {
@@ -342,12 +351,42 @@ object Normalize {
     val units = df.where(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(unitCol))
       .agg(sum(col(valueCol).cast("long")).as("__x"))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("__x").asc, col(unitCol).asc)
-    val binned = units
-      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
-      .groupBy(col(groupCol), col("bucket"))
-      .agg(count(lit(1)).as("n_units"), sum(col("__x")).as("bucket_sum"))
+    val parted = units
+      .repartitionByRange(col(groupCol), col("__x"), col(unitCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val binned = try {
+      val counts = parted.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = counts.map(_._1)
+        .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+      val offDf = parted.sparkSession
+        .createDataFrame(offsets).toDF("__pid", "__off")
+      val ranked = parted.join(broadcast(offDf), "__pid")
+        .withColumn("__g", col("__off") + row_number().over(
+          Window.partitionBy(col("__pid"))
+            .orderBy(col(groupCol), col("__x"), col(unitCol))))
+      val starts = ranked.groupBy(col(groupCol))
+        .agg(min(col("__g")).as("__g0"), count(lit(1)).as("__n"))
+      // per-group 1-based rank, then SQL ntile's remainder convention:
+      // sizes are q+1 for the first (n mod b) buckets, q for the rest
+      // (integral `div` keeps every step exact BIGINT — `/` on longs
+      // would detour through IEEE doubles)
+      ranked.join(broadcast(starts), groupCol)
+        .withColumn("__r", col("__g") - col("__g0") + 1L)
+        .withColumn("bucket", expr(
+          s"""CAST(CASE
+             |  WHEN __r <= (__n % $buckets) * ((__n div $buckets) + 1)
+             |  THEN (__r - 1) div ((__n div $buckets) + 1) + 1
+             |  ELSE (__n % $buckets) +
+             |    (__r - (__n % $buckets) * ((__n div $buckets) + 1) - 1)
+             |      div (__n div $buckets) + 1
+             |END AS BIGINT)""".stripMargin))
+        .groupBy(col(groupCol), col("bucket"))
+        .agg(count(lit(1)).as("n_units"), sum(col("__x")).as("bucket_sum"))
+        .localCheckpoint()
+    } finally { parted.unpersist(); () }
     val whole = Window.partitionBy(col(groupCol))
     val cum = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -347,8 +347,10 @@ object TextAnalysis {
     * pinned round(·,8); top-k shares are exact integer sums over the
     * (count DESC, token ASC) rank divided once. All-hapax corpora
     * (Σ ln = 0) yield NULL α. Scale: one token aggregate (map-side
-    * combined, O(vocab) out), grid/rank windows over aggregated
-    * tables only. */
+    * combined, O(vocab) out); the top-100 cut is TakeOrdered (per-
+    * partition top-100 merged on the driver, the topNgrams shape) so
+    * no task ever sorts the full vocabulary — the only rank window
+    * runs over those 100 rows. */
   def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val freq = docs
@@ -361,11 +363,12 @@ object TextAnalysis {
         .as("__g"),
         sum(col("c") * col("nc")).as("n_tokens"),
         sum(col("nc")).as("vocab"))
-    val ranked = freq.withColumn("__r",
+    val top100 = freq.orderBy(col("c").desc, col("w").asc).limit(100)
+    val ranked = top100.withColumn("__r",
       row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
     val tops = ranked.agg(
       sum(when(col("__r") <= 10, col("c")).otherwise(0L)).as("__t10"),
-      sum(when(col("__r") <= 100, col("c")).otherwise(0L)).as("__t100"))
+      sum(col("c")).as("__t100"))
     val lnSum = aggregate(col("__g"), lit(0.0), (acc, x) =>
       acc + x.getField("nc").cast("double") *
         log(x.getField("c").cast("double")))
