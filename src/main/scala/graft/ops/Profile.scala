@@ -408,9 +408,12 @@ object Profile {
     *
     * Determinism: counts and cumulative sums are exact longs in a total
     * (n DESC, key ASC) order; `cum_frac` is one IEEE division per row.
-    * Scale: one map-side-combinable count aggregate, then the rank and
-    * cumulative windows run over the AGGREGATED key table (grid, not
-    * data) with a k-bounded output. */
+    * Scale: one map-side-combinable count aggregate, then the top-k cut
+    * is TakeOrdered (`orderBy().limit(k)` — per-partition top-k, never
+    * a full sort of the distinct-key table, which at corpus scale is
+    * itself corpus-sized for high-cardinality keys); the rank and
+    * cumulative windows run over those k rows only. The cumulative at
+    * rank r needs exactly the ranks ≤ r, all inside the cut. */
   def paretoCoverage(
       df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -418,10 +421,10 @@ object Profile {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
     val ord = Window.orderBy(col("n").desc, col(keyCol).asc)
     counts
+      .orderBy(col("n").desc, col(keyCol).asc).limit(k)
       .withColumn("rank", row_number().over(ord).cast("long"))
       .withColumn("cum_n", sum(col("n")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("rank") <= k)
       .crossJoin(broadcast(df.agg(count(lit(1)).as("__t"))))
       .select(col("rank"), col(keyCol), col("n"), col("cum_n"),
         (col("cum_n").cast("double") / col("__t").cast("double"))
