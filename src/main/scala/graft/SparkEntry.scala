@@ -3732,47 +3732,45 @@ object SparkEntry {
     }),
 
     // ---- Multimodal: perceptual near-dup — aHash 8×8 fingerprints
-    //      (stubbed luma surface over REAL decoded PNG dims), 16-bit
-    //      band join, exact popcount verify; never all-pairs ----
+    //      from REAL decoded PNG pixels (zlib inflate + all five
+    //      scanline filters; the fixture splices a closed-form raster
+    //      the oracle replays arithmetically), 16-bit band join, exact
+    //      popcount verify; never all-pairs ----
     "mm_ahash_neardup" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
       val id = col("doc_id")
       val d = t(s, dir, "documents").select(id,
-        lit("image").as("mtype"),
-        unhex(MediaFixtures.pngHex(id % 50 + 1L, id % 30 + 1L))
-          .as("content"))
-      val meta = Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
+        unhex(MediaFixtures.pngPixelHex(
+          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
       Multimodal.aHashNearDup(
-        Multimodal.aHashPlan(meta, "id"), "id", maxHamming = 6)
+        Multimodal.perceptualHashes(d, "doc_id", "content"),
+        "id", maxHamming = 6)
     }),
 
     // ---- Multimodal: perceptual DCT hash (pHash) — frequency-domain
-    //      fingerprints over the decoded luma grid, exact integer DCT
-    //      with a driver-literal quantized basis, median-of-AC cut ----
+    //      fingerprints over the REAL decoded 8×8 area-averaged luma
+    //      grid, exact integer DCT with a driver-literal quantized
+    //      basis, median-of-AC cut ----
     "mm_phash" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
       val id = col("doc_id")
       val d = t(s, dir, "documents").select(id,
-        lit("image").as("mtype"),
-        unhex(MediaFixtures.pngHex(id % 50 + 1L, id % 30 + 1L))
-          .as("content"))
-      val meta = Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
-      Multimodal.pHashPlan(meta, "id")
+        unhex(MediaFixtures.pngPixelHex(
+          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      Multimodal.perceptualHashes(d, "doc_id", "content")
         .select(col("id"), col("phash_lo"), col("phash_hi"))
     }),
 
     // ---- Multimodal: difference hash (dHash) — horizontal-gradient
-    //      sign bits over a 9×8 luma grid; brightness-shift-immune,
-    //      same real-decode + stub-luma pipeline as aHash/pHash ----
+    //      sign bits over the REAL decoded 9×8 luma grid;
+    //      brightness-shift-immune, same decode kernel as aHash/pHash ----
     "mm_dhash" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
       val id = col("doc_id")
       val d = t(s, dir, "documents").select(id,
-        lit("image").as("mtype"),
-        unhex(MediaFixtures.pngHex(id % 50 + 1L, id % 30 + 1L))
-          .as("content"))
-      val meta = Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
-      Multimodal.dHashPlan(meta, "id")
+        unhex(MediaFixtures.pngPixelHex(
+          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      Multimodal.perceptualHashes(d, "doc_id", "content")
         .select(col("id"), col("dhash_lo"), col("dhash_hi"))
     }),
 
@@ -6911,6 +6909,27 @@ object SparkEntry {
         s"SELECT doc_id, ${OracleSql.docHash("wh")} AS doc_fp, " +
         "list_min(sh) AS min_shingle, CAST(len(sh) AS BIGINT) AS n_shingles FROM s"
 
+    // Shared real-pixel luma-grid replay for the perceptual-hash
+    // oracles: the fixture (MediaFixtures.pngPixelHex) splices the
+    // closed-form raster P(x,y) = (31x + 47y + 7xy + 101s) mod 256 into
+    // a genuine zlib/PNG byte stream; the engine must decode the BYTES
+    // (inflate, unfilter, area-average) while the oracle area-averages
+    // the formula directly over the same pixel blocks. Dims ≥ (9, 8) by
+    // fixture construction, so every grid cell is non-empty and the
+    // kernel's nearest-pixel fallback never fires.
+    def mmLumaCte(gw: Int, gh: Int): String =
+      "m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
+        "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+        s"l AS (SELECT id, list_transform(range(0, ${gw * gh}), g -> " +
+        s"list_sum(flatten(list_transform(" +
+        s"range((g // $gw) * h // $gh, ((g // $gw) + 1) * h // $gh), yy -> " +
+        s"list_transform(" +
+        s"range((g % $gw) * w // $gw, ((g % $gw) + 1) * w // $gw), xx -> " +
+        "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256)))) // " +
+        s"((((g % $gw) + 1) * w // $gw - (g % $gw) * w // $gw) * " +
+        s"(((g // $gw) + 1) * h // $gh - (g // $gw) * h // $gh))) " +
+        "AS lum FROM m)"
+
     val mmSql =
       "WITH m AS (SELECT doc_id AS id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mt, " +
@@ -8150,16 +8169,12 @@ object SparkEntry {
           "CAST(count(*) AS BIGINT) AS n_copies FROM documents " +
           "GROUP BY doc_id % 50, doc_id % 30"),
       "mm_ahash_neardup" ->
-        // Dims predicted arithmetically (the decode round-trip is
-        // mm_decode_headers' gate); same integer luma surface, packing,
-        // 16-bit bands, popcount verify.
-        ("WITH m AS (SELECT doc_id AS id, doc_id % 50 + 1 AS w, " +
-          "doc_id % 30 + 1 AS h FROM documents), " +
-          "l AS (SELECT id, list_transform(range(0, 64), g -> " +
-          "((g % 8) * w + (g // 8) * h) * 255 // (7 * w + 7 * h) + " +
-          "(((w // 4) * 131 + (h // 4) * 137 + (g % 8) * 31 + " +
-          "(g // 8) * 41) * ((w // 4) * 131 + (h // 4) * 137 + " +
-          "(g % 8) * 31 + (g // 8) * 41)) % 97) AS lum FROM m), " +
+        // The ENGINE inflates + unfilters the fixture PNG and
+        // area-averages real pixels; the oracle replays the closed-form
+        // raster the fixture spliced in (MediaFixtures.pixelFormula) —
+        // equality proves the byte-level decode. Same packing, 16-bit
+        // bands, popcount verify as before.
+        ("WITH " + mmLumaCte(8, 8) + ", " +
           "sm AS (SELECT id, lum, list_sum(lum) // 64 AS mn FROM l), " +
           "hsh AS (SELECT id, " +
           "CAST(list_sum(list_transform(range(0, 32), g -> " +
@@ -8181,15 +8196,9 @@ object SparkEntry {
           "AND x.id < y.id) WHERE hamming BETWEEN 1 AND 6"),
       "mm_phash" -> {
         val tq = graft.multimodal.Multimodal.dctTableQ.mkString("[", ", ", "]")
-        // Same predicted dims + luma surface as mm_ahash_neardup; DCT
+        // Same replayed real-pixel luma grid as mm_ahash_neardup; DCT
         // replayed with the identical quantized basis literals.
-        "WITH m AS (SELECT doc_id AS id, doc_id % 50 + 1 AS w, " +
-          "doc_id % 30 + 1 AS h FROM documents), " +
-          "l AS (SELECT id, list_transform(range(0, 64), g -> " +
-          "((g % 8) * w + (g // 8) * h) * 255 // (7 * w + 7 * h) + " +
-          "(((w // 4) * 131 + (h // 4) * 137 + (g % 8) * 31 + " +
-          "(g // 8) * 41) * ((w // 4) * 131 + (h // 4) * 137 + " +
-          "(g % 8) * 31 + (g // 8) * 41)) % 97) AS lum FROM m), " +
+        "WITH " + mmLumaCte(8, 8) + ", " +
           s"cf AS (SELECT id, list_transform(range(0, 64), k -> " +
           "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(range(0, 64), g -> " +
@@ -8207,14 +8216,8 @@ object SparkEntry {
           "ELSE 0 END)) AS BIGINT) AS phash_hi FROM md"
       },
       "mm_dhash" ->
-        // 9×8 luma replay (x-span denominator 8w), gradient-sign bits.
-        ("WITH m AS (SELECT doc_id AS id, doc_id % 50 + 1 AS w, " +
-          "doc_id % 30 + 1 AS h FROM documents), " +
-          "l AS (SELECT id, list_transform(range(0, 72), g -> " +
-          "((g % 9) * w + (g // 9) * h) * 255 // (8 * w + 7 * h) + " +
-          "(((w // 4) * 131 + (h // 4) * 137 + (g % 9) * 31 + " +
-          "(g // 9) * 41) * ((w // 4) * 131 + (h // 4) * 137 + " +
-          "(g % 9) * 31 + (g // 9) * 41)) % 97) AS lum FROM m) " +
+        // 9×8 real-pixel luma replay, gradient-sign bits.
+        ("WITH " + mmLumaCte(9, 8) + " " +
           "SELECT id, " +
           "CAST(list_sum(list_transform(range(0, 32), k -> " +
           "CASE WHEN lum[(k // 8) * 9 + (k % 8) + 2] > " +

@@ -9,17 +9,21 @@ import org.apache.spark.sql.functions._
   * Spark-side shape a real decoder (JNI image lib, ffmpeg bridge, ONNX
   * featurizer) plugs into.
   *
-  * The decode kernel parses REAL container headers with pure-JVM byte
-  * arithmetic — PNG (IHDR), JPEG (SOFn scan), GIF (logical screen
+  * The decode kernels are REAL pure-JVM byte decoders — container
+  * headers for PNG (IHDR), JPEG (SOFn scan), GIF (logical screen
   * descriptor + image-descriptor block walk for the frame count), and
-  * RIFF/WAVE (fmt + data chunks) — all public file-format knowledge.
-  * Payloads in none of those containers fall back to deterministic
-  * checksum-derived pseudo-metadata (the documented unknown-codec path;
-  * full pixel/sample decode would need codec libraries this environment
-  * lacks). Everything around the kernel — the schema, the typed Dataset
-  * API, the `mapPartitions` batching (amortize per-batch model/codec
-  * init, exactly like an Arrow-batched UDF), the binary column
-  * transport — is the real production plumbing and is tested end-to-end.
+  * RIFF/WAVE (fmt + data chunks); full PIXEL decode for 8-bit
+  * non-interlaced PNG ([[pngPixels]]: zlib inflate, the five scanline
+  * filters, gray/RGB/palette/alpha channel collapse to integer luma);
+  * full SAMPLE decode for 16-bit PCM WAV ([[wavWindowEnergy]]) — all
+  * public file-format knowledge, no codec libraries. Payloads in none
+  * of those containers fall back to deterministic checksum-derived
+  * pseudo-metadata (the documented unknown-codec path — e.g. JPEG
+  * entropy decode stays out of scope). Everything around the kernels —
+  * the schema, the typed Dataset API, the `mapPartitions` batching
+  * (amortize per-batch model/codec init, exactly like an Arrow-batched
+  * UDF), the binary column transport — is the real production plumbing
+  * and is tested end-to-end.
   *
   * Scale notes: decode is row-local map work after an optional
   * `repartition(n)` to right-size batches per executor; binary payloads
@@ -319,110 +323,237 @@ object Multimodal {
     meta.select((meta.columns.map(col).toSeq ++ feats): _*)
   }
 
-  /** Average-hash (aHash) perceptual fingerprint over decoded media
-    * metadata — the classic 8×8-luma image near-dup signature: sample
-    * the image to an 8×8 grayscale grid, threshold each cell against
-    * the grid mean, pack the 64 bits. Emits per row:
-    * (idCol, width, height, ahash_lo, ahash_hi) — the 64 bits as TWO
-    * 32-bit words, so no engine ever shifts into a BIGINT sign bit.
-    *
-    * STUB decode (environment has no image libs): the luma grid is a
-    * deterministic surface of the DECODED dimensions — a smooth plane
-    * `((x·w + y·h)·255) div (7w + 7h)` plus a per-dimension-block
-    * texture term `T(x,y,⌊w/4⌋,⌊h/4⌋)² mod 97` — so images whose
-    * dimensions share a 4×4 block get near-identical grids (measured
-    * mean hamming ≈ 0.5) while unrelated images measure ≈ 15,
-    * exercising the near-dup path with realistic contrast. A
-    * production build swaps ONLY this expression for a libjpeg-backed
-    * 8×8 downsample; packing, banding, and the hamming join are
-    * unchanged.
-    *
-    * Exactness: grid, mean (floor), thresholds, and bit packing are
-    * pure integer arithmetic. Each HOF stage materializes as its own
-    * column (interpreted-HOF discipline, see ops/NearDup). */
-  def aHashPlan(meta: DataFrame, idCol: String): DataFrame = {
-    // Interpreted-HOF discipline, enforced with hard barriers: each
-    // stage's array/fold lands as a STORED column (localCheckpoint)
-    // before any lambda references it — CollapseProject would otherwise
-    // inline the 64-element grid expression into `element_at`, which
-    // re-evaluates its child PER ELEMENT (the measured 100×+ trap; see
-    // ops/NearDup). The checkpointed slice is one row per DISTINCT
-    // (width, height) — the stub luma is a pure function of the decoded
-    // dimensions, so the interpreted fold runs once per distinct shape
-    // and broadcast-joins back (~10× on a dims-skewed corpus). A real
-    // pixel decoder makes the grid per-IMAGE: drop the distinct+join and
-    // hash per row (the fold itself is unchanged).
-    val dims = meta.select(col("width"), col("height")).distinct()
-    val lum = dims
-      .withColumn("__lum", expr(
-        "transform(sequence(0, 63), g -> " +
-          "((g % 8) * width + (g div 8) * height) * 255 div " +
-          "(7 * width + 7 * height) + " +
-          "(((width div 4) * 131 + (height div 4) * 137 + " +
-          "(g % 8) * 31 + (g div 8) * 41) * " +
-          "((width div 4) * 131 + (height div 4) * 137 + " +
-          "(g % 8) * 31 + (g div 8) * 41)) % 97)"))
-      .localCheckpoint()
-    val withSum = lum
-      .withColumn("__ls", expr("aggregate(__lum, 0L, (a, x) -> a + x)"))
-      .localCheckpoint()
-    val hashes = withSum
-      .withColumn("ahash_lo", expr(
-        "aggregate(transform(sequence(0, 31), g -> " +
-          "IF(element_at(__lum, g + 1) > __ls div 64, " +
-          "shiftleft(1L, g), 0L)), 0L, (a, x) -> a + x)"))
-      .withColumn("ahash_hi", expr(
-        "aggregate(transform(sequence(32, 63), g -> " +
-          "IF(element_at(__lum, g + 1) > __ls div 64, " +
-          "shiftleft(1L, g - 32), 0L)), 0L, (a, x) -> a + x)"))
-      .select(col("width"), col("height"),
-        col("ahash_lo"), col("ahash_hi"))
-    meta.select(col(idCol), col("width"), col("height"))
-      .join(broadcast(hashes), Seq("width", "height"))
-      .select(col(idCol), col("width"), col("height"),
-        col("ahash_lo"), col("ahash_hi"))
+  // ---- real PNG pixel decode (pure JVM: zlib Inflater + the five PNG
+  // scanline filters — public format structure, RFC 2083 §§4.1.3, 6) ---
+
+  /** Inflate a zlib stream to exactly `outLen` bytes. Reads only the
+    * payload (a streaming decoder's posture — the trailing Adler-32 is
+    * transport integrity, parquet's job here), so both fully-valid
+    * streams and truncated-trailer streams decode. */
+  private def inflateZlib(data: Array[Byte], outLen: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](outLen)
+    var off = 0
+    try {
+      var stuck = false
+      while (off < outLen && !inf.finished() && !stuck) {
+        val n = inf.inflate(out, off, outLen - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) stuck = true
+        off += n
+      }
+      if (off == outLen) Some(out) else None
+    } catch { case _: java.util.zip.DataFormatException => None }
+    finally inf.end()
   }
 
-  /** Difference-hash (dHash) fingerprint — aHash's gradient sibling: a
-    * 9×8 luma grid, each of the 64 bits records whether the RIGHT
-    * neighbour is brighter than the current cell (row-wise horizontal
-    * gradient sign), packed as two 32-bit words. More robust than aHash
-    * to global brightness/contrast shifts (a constant offset flips no
-    * gradient) at the same cost. Emits
-    * (idCol, width, height, dhash_lo, dhash_hi).
-    *
-    * Same STUB-decode caveat, interpreted-HOF barrier discipline, and
-    * distinct-dims collapse as [[aHashPlan]]; the 9-wide grid reuses the
-    * stub surface with the x-span denominator widened to 8·width. */
-  def dHashPlan(meta: DataFrame, idCol: String): DataFrame = {
-    val dims = meta.select(col("width"), col("height")).distinct()
-    val lum = dims
-      .withColumn("__lum", expr(
-        "transform(sequence(0, 71), g -> " +
-          "((g % 9) * width + (g div 9) * height) * 255 div " +
-          "(8 * width + 7 * height) + " +
-          "(((width div 4) * 131 + (height div 4) * 137 + " +
-          "(g % 9) * 31 + (g div 9) * 41) * " +
-          "((width div 4) * 131 + (height div 4) * 137 + " +
-          "(g % 9) * 31 + (g div 9) * 41)) % 97)"))
-      .localCheckpoint()
-    val hashes = lum
-      .withColumn("dhash_lo", expr(
-        "aggregate(transform(sequence(0, 31), k -> " +
-          "IF(element_at(__lum, cast((k div 8) * 9 + (k % 8) + 2 as int)) > " +
-          "element_at(__lum, cast((k div 8) * 9 + (k % 8) + 1 as int)), " +
-          "shiftleft(1L, k), 0L)), 0L, (a, x) -> a + x)"))
-      .withColumn("dhash_hi", expr(
-        "aggregate(transform(sequence(32, 63), k -> " +
-          "IF(element_at(__lum, cast((k div 8) * 9 + (k % 8) + 2 as int)) > " +
-          "element_at(__lum, cast((k div 8) * 9 + (k % 8) + 1 as int)), " +
-          "shiftleft(1L, k - 32), 0L)), 0L, (a, x) -> a + x)"))
-      .select(col("width"), col("height"),
-        col("dhash_lo"), col("dhash_hi"))
-    meta.select(col(idCol), col("width"), col("height"))
-      .join(broadcast(hashes), Seq("width", "height"))
-      .select(col(idCol), col("width"), col("height"),
-        col("dhash_lo"), col("dhash_hi"))
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Decode a non-interlaced 8-bit PNG to a per-pixel integer LUMA
+    * raster: chunk-walk to IHDR/PLTE/IDAT, inflate the concatenated
+    * IDAT zlib stream, undo the per-scanline filter (None/Sub/Up/
+    * Average/Paeth — the complete public filter set), then collapse
+    * channels to luma — grayscale passes through, RGB/RGBA and palette
+    * entries take the BT.601 integer weighting `(299R+587G+114B) div
+    * 1000`, alpha is ignored. Chunk CRCs are NOT verified (lenient
+    * decoder; corrupt streams fail at inflate/length checks instead).
+    * Returns (width, height, luma row-major) or None for anything that
+    * is not an 8-bit non-interlaced PNG of color type 0/2/3/4/6. */
+  private[graft] def pngPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (pngDims(b).isEmpty) return None
+    val w = be32(b, 16).toInt; val h = be32(b, 20).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    val bitDepth = u8(b, 24); val colorType = u8(b, 25)
+    val interlace = u8(b, 28)
+    if (bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4
+      case _ => return None
+    }
+    // chunk walk: collect concatenated IDAT payloads + the palette
+    var i = 8
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var end = false
+    while (!end && i + 8 <= b.length) {
+      val len = be32(b, i).toInt
+      if (len < 0 || i + 12 + len > b.length) return None
+      val ct = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      ct match {
+        case "IDAT" => idat.write(b, i + 8, len)
+        case "PLTE" => palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+        case "IEND" => end = true
+        case _ => ()
+      }
+      i += 12 + len // length + type + data + CRC (not verified)
+    }
+    if (colorType == 3 && palette == null) return None
+    val stride = w * channels
+    val raw = inflateZlib(idat.toByteArray, h * (stride + 1)).getOrElse(return None)
+    // unfilter in place, scanline by scanline (recon needs the previous
+    // reconstructed row, so the pass is inherently sequential per image
+    // — parallelism lives across images, one task decodes many)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (stride + 1)
+      val ft = raw(rowOff) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val p = rowOff + 1 + x
+        val left = if (x >= bpp) raw(p - bpp) & 0xff else 0
+        val up = if (y > 0) raw(p - stride - 1) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) raw(p - stride - 1 - bpp) & 0xff else 0
+        val rec = ft match {
+          case 0 => raw(p) & 0xff
+          case 1 => ((raw(p) & 0xff) + left) & 0xff
+          case 2 => ((raw(p) & 0xff) + up) & 0xff
+          case 3 => ((raw(p) & 0xff) + ((left + up) >> 1)) & 0xff
+          case 4 => ((raw(p) & 0xff) + paeth(left, up, ul)) & 0xff
+        }
+        raw(p) = rec.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // channels -> integer luma
+    val lum = new Array[Int](w * h)
+    var j = 0
+    while (j < w * h) {
+      val yy = j / w; val xx = j % w
+      val p = yy * (stride + 1) + 1 + xx * channels
+      lum(j) = colorType match {
+        case 0 | 4 => raw(p) & 0xff
+        case 2 | 6 =>
+          (299 * (raw(p) & 0xff) + 587 * (raw(p + 1) & 0xff) +
+            114 * (raw(p + 2) & 0xff)) / 1000
+        case 3 =>
+          val pi = (raw(p) & 0xff) * 3
+          if (pi + 2 >= palette.length) 0
+          else (299 * (palette(pi) & 0xff) + 587 * (palette(pi + 1) & 0xff) +
+            114 * (palette(pi + 2) & 0xff)) / 1000
+      }
+      j += 1
+    }
+    Some((w, h, lum))
+  }
+
+  /** Exact area-average downsample of a luma raster to a gw×gh grid:
+    * cell (gx,gy) floors the mean over pixel block
+    * [gx·w div gw, (gx+1)·w div gw) × [gy·h div gh, (gy+1)·h div gh)
+    * (nearest-pixel fallback when the image is narrower than the grid).
+    * Pure integer arithmetic — oracle-replayable from a closed-form
+    * raster. */
+  private[graft] def areaGrid(
+      lum: Array[Int], w: Int, h: Int, gw: Int, gh: Int): Array[Long] = {
+    val out = new Array[Long](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      var y0 = gy * h / gh; var y1 = (gy + 1) * h / gh
+      if (y1 <= y0) { y0 = math.min(y0, h - 1); y1 = y0 + 1 }
+      var gx = 0
+      while (gx < gw) {
+        var x0 = gx * w / gw; var x1 = (gx + 1) * w / gw
+        if (x1 <= x0) { x0 = math.min(x0, w - 1); x1 = x0 + 1 }
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          val base = y * w
+          while (x < x1) { s += lum(base + x); x += 1 }
+          y += 1
+        }
+        out(gy * gw + gx) = s / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /** Perceptual-hash row: decoded dims plus the three classic
+    * fingerprints as 32-bit word pairs (no BIGINT sign-bit shifts).
+    * Null hash words = the payload did not pixel-decode (the row
+    * SURFACES rather than disappearing — undecodable inputs are data,
+    * not absences). */
+  final case class MediaHashes(
+      id: Long, width: Option[Int], height: Option[Int],
+      ahash_lo: Option[Long], ahash_hi: Option[Long],
+      dhash_lo: Option[Long], dhash_hi: Option[Long],
+      phash_lo: Option[Long], phash_hi: Option[Long])
+
+  private def packBits(bit: Int => Boolean): (Long, Long) = {
+    var lo = 0L; var hi = 0L
+    var k = 0
+    while (k < 32) { if (bit(k)) lo |= 1L << k; k += 1 }
+    while (k < 64) { if (bit(k)) hi |= 1L << (k - 32); k += 1 }
+    (lo, hi)
+  }
+
+  private def hashOne(id: Long, content: Array[Byte]): MediaHashes =
+    pngPixels(content) match {
+      case None => MediaHashes(id, None, None, None, None, None, None, None, None)
+      case Some((w, h, lum)) =>
+        // aHash: 8×8 area grid, threshold vs the floored grid mean
+        val g8 = areaGrid(lum, w, h, 8, 8)
+        val mean = g8.sum / 64L
+        val (alo, ahi) = packBits(k => g8(k) > mean)
+        // dHash: 9×8 grid, bit k = right neighbour brighter
+        val g9 = areaGrid(lum, w, h, 9, 8)
+        val (dlo, dhi) = packBits { k =>
+          val i = (k / 8) * 9 + (k % 8); g9(i + 1) > g9(i)
+        }
+        // pHash: exact integer 8×8 DCT-II over g8 with the quantized
+        // basis dctTableQ (shared verbatim with the oracle), each
+        // coefficient thresholded against the lower median of the 63
+        // AC coefficients. |coef| <= 64·255·3536² ≈ 2.1e11 — long-exact.
+        val tq = dctTableQ.toArray
+        val coef = new Array[Long](64)
+        var k = 0
+        while (k < 64) {
+          var s = 0L
+          var g = 0
+          while (g < 64) {
+            s += g8(g) * tq((k / 8) * 8 + g % 8) * tq((k % 8) * 8 + g / 8)
+            g += 1
+          }
+          coef(k) = s
+          k += 1
+        }
+        val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+        java.util.Arrays.sort(ac)
+        val med = ac(31)
+        val (plo, phi) = packBits(k => coef(k) > med)
+        MediaHashes(id, Some(w), Some(h), Some(alo), Some(ahi),
+          Some(dlo), Some(dhi), Some(plo), Some(phi))
+    }
+
+  /** All three perceptual fingerprints (aHash / dHash / pHash) from
+    * REAL decoded pixels, one batched partition-local pass: inflate +
+    * unfilter each PNG once ([[pngPixels]]), area-average to the 8×8
+    * and 9×8 luma grids, pack bits in the kernel. Emits
+    * (id, width, height, ahash_lo/hi, dhash_lo/hi, phash_lo/hi);
+    * payloads that do not pixel-decode emit NULL hash words (never
+    * dropped). Row-local map work — no shuffle, binary column pruned
+    * away after the kernel; the [[decode]] batching shape, so a codec
+    * with per-batch init slots in unchanged. */
+  def perceptualHashes(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("image").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(
+        _.map(r => hashOne(r.id, r.content))))
+      .toDF()
   }
 
   /** Quantized 8×8 DCT-II basis, flat `u*8+x` layout: T_q[u][x] =
@@ -434,75 +565,7 @@ object Multimodal {
       1e4 * (if (u == 0) 1.0 / math.sqrt(8.0) else 0.5) *
         math.cos(math.Pi * (2 * x + 1) * u / 16.0))
 
-  /** Perceptual DCT hash (pHash) over decoded media metadata — aHash's
-    * frequency-domain sibling: the same 8×8 luma grid, an exact integer
-    * 8×8 DCT-II (quantized basis [[dctTableQ]]), each of the 64
-    * coefficients thresholded against the MEDIAN of the 63 AC
-    * coefficients (the classic pHash cut — robust to global brightness
-    * shifts that flip aHash bits wholesale). Emits
-    * (idCol, width, height, phash_lo, phash_hi).
-    *
-    * Same STUB-decode caveat and interpreted-HOF barrier discipline as
-    * [[aHashPlan]]: luma grid, DCT coefficients, and the median each
-    * land as a STORED column before any lambda references them. All
-    * arithmetic is BIGINT-exact (|coef| ≤ 351·1e8·64 ≈ 2.2e12). */
-  def pHashPlan(meta: DataFrame, idCol: String): DataFrame = {
-    val tq = dctTableQ.mkString("array(", "L, ", "L)")
-    // Distinct-dims collapse (see aHashPlan): the 64×64 interpreted DCT
-    // fold — the expensive stage — runs once per distinct shape, not per
-    // row. Remove with a real pixel decoder.
-    val dims = meta.select(col("width"), col("height")).distinct()
-    val lum = dims
-      .withColumn("__lum", expr(
-        "transform(sequence(0, 63), g -> " +
-          "((g % 8) * width + (g div 8) * height) * 255 div " +
-          "(7 * width + 7 * height) + " +
-          "(((width div 4) * 131 + (height div 4) * 137 + " +
-          "(g % 8) * 31 + (g div 8) * 41) * " +
-          "((width div 4) * 131 + (height div 4) * 137 + " +
-          "(g % 8) * 31 + (g div 8) * 41)) % 97)"))
-      .localCheckpoint()
-    // Separable DCT: C = T·L·Tᵀ in two 8-point passes (64·8 + 64·8
-    // integer multiply-adds instead of the fused 64·64·2) — exact
-    // integers regroup freely, so the coefficients (and the oracle,
-    // which replays the fused form) are bit-identical. __mid[v·8+x] =
-    // Σ_y L[y·8+x]·T[v][y]; C[u·8+v] = Σ_x T[u][x]·__mid[v·8+x].
-    val mid = lum
-      .withColumn("__mid", expr(
-        s"transform(sequence(0, 63), m -> " +
-          s"aggregate(sequence(0, 7), 0L, (a, y) -> " +
-          s"a + element_at(__lum, cast(y * 8 + (m % 8) + 1 as int)) * " +
-          s"element_at($tq, cast((m div 8) * 8 + y + 1 as int))))"))
-      .localCheckpoint()
-    val coef = mid
-      .withColumn("__coef", expr(
-        s"transform(sequence(0, 63), k -> " +
-          s"aggregate(sequence(0, 7), 0L, (a, x) -> " +
-          s"a + element_at($tq, cast((k div 8) * 8 + x + 1 as int)) * " +
-          s"element_at(__mid, cast((k % 8) * 8 + x + 1 as int))))"))
-      .localCheckpoint()
-    val med = coef
-      .withColumn("__med", expr(
-        "element_at(array_sort(slice(__coef, 2, 63)), 32)"))
-      .localCheckpoint()
-    val hashes = med
-      .withColumn("phash_lo", expr(
-        "aggregate(transform(sequence(0, 31), k -> " +
-          "IF(element_at(__coef, k + 1) > __med, " +
-          "shiftleft(1L, k), 0L)), 0L, (a, x) -> a + x)"))
-      .withColumn("phash_hi", expr(
-        "aggregate(transform(sequence(32, 63), k -> " +
-          "IF(element_at(__coef, k + 1) > __med, " +
-          "shiftleft(1L, k - 32), 0L)), 0L, (a, x) -> a + x)"))
-      .select(col("width"), col("height"),
-        col("phash_lo"), col("phash_hi"))
-    meta.select(col(idCol), col("width"), col("height"))
-      .join(broadcast(hashes), Seq("width", "height"))
-      .select(col(idCol), col("width"), col("height"),
-        col("phash_lo"), col("phash_hi"))
-  }
-
-  /** Banded hamming near-dup over [[aHashPlan]] fingerprints, in the
+  /** Banded hamming near-dup over [[perceptualHashes]] fingerprints, in the
     * two-tier shape a dense corpus needs: first collapse EXACT hash
     * duplicates to one representative per distinct fingerprint (a
     * linear hash aggregate — identical images never meet pairwise), then
@@ -618,4 +681,77 @@ object MediaFixtures {
     * literal Int only). */
   private def repeatHex(s: Column, n: Column): Column =
     org.apache.spark.sql.functions.call_function("repeat", s, n)
+
+  /** The closed-form grayscale raster behind [[pngPixelHex]] — shared
+    * with the DuckDB oracle, which replays the luma grids from this
+    * formula while the engine must reproduce them from the BYTES:
+    * inflate the zlib stream, undo the cycling scanline filters, then
+    * area-average. Both sides matching proves the decode is real. */
+  def pixelFormula(x: Column, y: Column, seed: Column): Column =
+    pmod(lit(31L) * x + lit(47L) * y + lit(7L) * x * y + lit(101L) * seed,
+      lit(256L))
+
+  /** A COMPLETE valid grayscale 8-bit PNG carrying the [[pixelFormula]]
+    * raster as real pixel data: per-scanline filters cycle
+    * None/Sub/Up/Average/Paeth (y mod 5 — every public filter type is
+    * exercised, and rows depend on PRIOR reconstructed rows, so only a
+    * full sequential unfilter recovers the raster), the filtered stream
+    * rides a stored-block zlib stream with a genuine Adler-32 computed
+    * by column fold, and proper chunk framing (IHDR/IDAT/IEND; chunk
+    * CRCs zeroed — the decoder is CRC-lenient by contract). Raw size
+    * h·(w+1) must stay ≤ 65535 (one stored block) — fixture dims are
+    * small by construction. Codegen'd column arithmetic end to end. */
+  def pngPixelHex(w: Column, h: Column, seed: Column): Column = {
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val wl = w.cast("long"); val hl = h.cast("long")
+    val sl = seed.cast("long")
+    val rowLen = wl + 1L
+    val lenF = hl * rowLen
+    // off-raster neighbours (x or y < 0) predict as 0, per the PNG spec
+    def pix(x: Column, y: Column): Column =
+      when(x < 0L || y < 0L, lit(0L)).otherwise(pixelFormula(x, y, sl))
+    // filtered byte at stream position pos
+    val f = transform(sequence(lit(0L), lenF - 1L), { pos =>
+      val y = idiv(pos, rowLen)
+      val k = pos % rowLen
+      val x = k - 1L
+      val ft = y % 5L
+      val cur = pix(x, y)
+      val left = pix(x - 1L, y)
+      val up = pix(x, y - 1L)
+      val ul = pix(x - 1L, y - 1L)
+      val p = left + up - ul
+      val pa = abs(p - left); val pb = abs(p - up); val pc = abs(p - ul)
+      val paethPred = when(pa <= pb && pa <= pc, left)
+        .when(pb <= pc, up).otherwise(ul)
+      when(k === 0L, ft) // leading filter-type byte of each scanline
+        .otherwise(
+          when(ft === 0L, cur)
+            .when(ft === 1L, pmod(cur - left, lit(256L)))
+            .when(ft === 2L, pmod(cur - up, lit(256L)))
+            .when(ft === 3L, pmod(cur - idiv(left + up, lit(2L)), lit(256L)))
+            .otherwise(pmod(cur - paethPred, lit(256L))))
+    })
+    // genuine Adler-32 over the filtered stream: a = 1 + Σd (mod 65521),
+    // b = n + Σ_i (n - i)·d_i with i 0-based (mod 65521) — the closed
+    // form of the running b = Σ a_i. Bounded: n ≤ 65535, terms ≤ n²·255.
+    val aSum = aggregate(f, lit(0L), (acc, x) => acc + x)
+    val bSum = aggregate(
+      zip_with(f, sequence(lit(0L), lenF - 1L), (d, i) => d * (lenF - i)),
+      lit(0L), (acc, x) => acc + x)
+    val adler = pmod(bSum + lenF, lit(65521L)) * 65536L +
+      pmod(aSum + 1L, lit(65521L))
+    val fHex = concat_ws("", transform(f, b => lpad(hex(b), 2, "0")))
+    val zlibLen = lenF + 11L // 2 hdr + 5 stored-block hdr + data + 4 adler
+    concat(
+      lit("89504E470D0A1A0A"), //                                 signature
+      lit("0000000D" + "49484452"), be32h(wl), be32h(hl), //           IHDR
+      lit("0800000000"), //    bit depth 8, color type 0 (gray), no interlace
+      lit("00000000"), //                            IHDR CRC (decoder-lenient)
+      be32h(zlibLen), lit("49444154"), //                    IDAT len + type
+      lit("7801" + "01"), le16h(lenF), le16h(lit(65535L) - lenF), //   zlib +
+      fHex, be32h(adler), //                  stored block + real Adler-32
+      lit("00000000"), //                                          IDAT CRC
+      lit("00000000" + "49454E44" + "AE426082")) //                    IEND
+  }
 }
