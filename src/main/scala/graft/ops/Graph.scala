@@ -758,16 +758,28 @@ object Graph {
             coalesce(col("__dq"), lit(0L)).as("dq"))
           .localCheckpoint()
       }
+      // materialize the final aggregate EAGERLY so every per-level
+      // checkpoint (σ and δ) can be freed before returning — otherwise
+      // each invocation would retain `depth` checkpointed frames for
+      // the session lifetime behind the lazy result
       val out = (1 to depth).map(deltas)
         .reduce(_ unionByName _)
         .groupBy(col("node"))
         .agg(sum(col("dq")).as("betweenness_q"))
-      // deltas 1..depth feed `out` lazily and stay checkpointed; the
-      // σ frames are fully consumed (every δ level is materialized)
-      (0 to depth).foreach(i =>
-        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(sigma(i)))
+        .localCheckpoint() // O(nodes) rows — the only surviving blocks
+      (0 to depth).foreach { i =>
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(sigma(i))
+        if (deltas(i) != null) // deltas(0) is never built
+          org.apache.spark.sql.GraftSql.freeLocalCheckpoint(deltas(i))
+      }
       out
-    } finally { e.unpersist(); dist.unpersist(); () }
+    } finally {
+      e.unpersist()
+      dist.unpersist()
+      // bfsMultiSource's result is checkpoint-backed; fully consumed here
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(dist)
+      ()
+    }
   }
 
   /** Personalized PageRank — [[pageRank]] with the teleport vector

@@ -1114,15 +1114,23 @@ object Profile {
         xQ.cast("long").as("__x"), coalesce(yQ.cast("long"), lit(0L))
           .as("__y"))
       .where(col("__x").isNotNull)
+    // FLOOR division (not `div`'s truncation toward zero) keeps every
+    // bucket exactly `caliper` wide for negative covariates too — `div`
+    // would make bucket 0 span (−caliper, caliper), doubling the
+    // candidate set near zero (results were still correct; the ±1 probe
+    // covers any ≥caliper-wide bucket)
+    val floorBucket =
+      expr(s"__x div ${caliper}L - (CASE WHEN __x % ${caliper}L < 0 " +
+        "THEN 1 ELSE 0 END)")
     val controls = base.where(!col("__t"))
-      .select(expr(s"__x div ${caliper}L").as("__b"),
+      .select(floorBucket.as("__b"),
         col("__id").as("__cid"), col("__x").as("__cx"),
         col("__y").as("__cy"))
     val treatedRows = base.where(col("__t"))
     val probes = treatedRows
       .select(col("__id"), col("__x"), col("__y"),
         explode(array(lit(-1L), lit(0L), lit(1L))).as("__d"))
-      .withColumn("__b", expr(s"__x div ${caliper}L") + col("__d"))
+      .withColumn("__b", floorBucket + col("__d"))
     val pairs = probes.join(controls, "__b")
       .where(abs(col("__x") - col("__cx")) <= caliper)
       .withColumn("__rn", row_number().over(

@@ -73,6 +73,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   private val BucketCol = "__graft_bucket"
   private val DvFileCol = "__graft_dv_file"
   private val DvPosCol = "__graft_dv_pos"
+  private val DvBucketCol = "__graft_dv_bucket"
 
   private def fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -178,6 +179,29 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       case Some(_) => readDirsWithMeta(dirs, v).drop(DvFileCol, DvPosCol)
     }
 
+  /** Read a DV sidecar down to its (file path, row position) contract,
+    * optionally PRUNING to the named buckets: the sidecar is written
+    * partitioned by the bucket parsed from each marked file's path, so
+    * a bucket-scoped read scans only the matching sidecar shards
+    * (partition pruning on [[DvBucketCol]]) — a reader of one bucket
+    * never pays for a corpus-wide delete's full position set. */
+  private def readDv(x: Long, buckets: Option[Seq[Int]] = None): DataFrame = {
+    val dv = spark.read.parquet(new Path(root, dvName(x)).toString)
+    val pruned = buckets match {
+      case Some(bs) if dv.columns.contains(DvBucketCol) =>
+        dv.filter(col(DvBucketCol).isin(bs: _*))
+      case _ => dv
+    }
+    pruned.select(col(DvFileCol), col(DvPosCol))
+  }
+
+  /** Bucket ids named by a set of manifest dir entries
+    * (`<delta>/__graft_bucket=N`) — the DV-pruning key. */
+  private def bucketIdsOfDirs(dirs: Seq[String]): Seq[Int] =
+    dirs.flatMap(_.split('/').lastOption
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt)).distinct
+
   /** Like [[readDirsDv]] but KEEPING the (file path, row position)
     * metadata columns — for callers that need provenance past the DV
     * anti-join (`input_file_name()` cannot cross a multi-source plan). */
@@ -188,7 +212,8 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     dvVersionFor(v) match {
       case None => base
       case Some(x) =>
-        val dv = spark.read.parquet(new Path(root, dvName(x)).toString)
+        val ids = bucketIdsOfDirs(dirs)
+        val dv = readDv(x, if (ids.nonEmpty) Some(ids) else None)
         base.join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
     }
   }
@@ -251,11 +276,9 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
         val dvTo = dvVersionFor(toVersion)
         if (dvFrom == dvTo) Nil
         else {
-          val newDv = spark.read.parquet(
-            new Path(root, dvName(dvTo.get)).toString)
+          val newDv = readDv(dvTo.get)
           val delta = dvFrom match {
-            case Some(x) => newDv.join(
-              spark.read.parquet(new Path(root, dvName(x)).toString),
+            case Some(x) => newDv.join(readDv(x),
               Seq(DvFileCol, DvPosCol), "left_anti")
             case None => newDv
           }
@@ -584,7 +607,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     withCommitLock {
       currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
         val prior = dvVersionFor(v).map(x =>
-          spark.read.parquet(new Path(root, dvName(x)).toString))
+          readDv(x))
         val matched = readDirsWithMeta(m.values.toSeq.distinct, v)
           .filter(coalesce(pred, lit(false)))
           .select(col(DvFileCol), col(DvPosCol)).persist()
@@ -615,7 +638,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
         val dirs = bucketsOf(bk).flatMap(m.get).distinct
         if (dirs.nonEmpty) {
           val prior = dvVersionFor(v).map(x =>
-            spark.read.parquet(new Path(root, dvName(x)).toString))
+            readDv(x))
           val matched = readDirsWithMeta(dirs, v)
             .join(org.apache.spark.sql.functions.broadcast(bk),
               table.keyCols, "left_semi")
@@ -941,8 +964,16 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     // commits leave the previous sidecar authoritative via the
     // latest-at-or-before-version rule). Written before the pointer
     // repoint: an orphan from a crash is purged at the next commit.
+    // SHARDED by the bucket each marked file belongs to (parsed from its
+    // path) so a corpus-wide predicate delete fans out across writer
+    // tasks instead of funnelling one coalesced task, and bucket-scoped
+    // readers partition-prune the sidecar to their shards ([[readDv]]).
     dvOverride.foreach { dv =>
-      dv.coalesce(1).write.mode("overwrite")
+      dv.withColumn(DvBucketCol,
+          regexp_extract(col(DvFileCol), s"$BucketCol=(\\d+)", 1)
+            .cast("int"))
+        .repartition(col(DvBucketCol))
+        .write.partitionBy(DvBucketCol).mode("overwrite")
         .parquet(new Path(root, dvName(next)).toString)
     }
 

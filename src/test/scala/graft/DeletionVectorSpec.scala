@@ -50,6 +50,28 @@ class DeletionVectorSpec extends SparkSpec {
     assert(sink.stats().get.agg(sum("n_rows")).as[Long].head == 30L)
   }
 
+  test("sidecar is SHARDED by bucket: a multi-bucket delete writes one " +
+      "shard dir per touched bucket and readers still see the merged view") {
+    val (sink, t) = mk()
+    seed(sink) // 40 keys over 4 buckets — the predicate hits all of them
+    sink.deleteVectored(cfg, col("pkey") % 2L === 0L)
+    val root = new Path(t.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvDir = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("x")).maxBy(_.getName)
+    val shards = fs.listStatus(dvDir).map(_.getPath.getName)
+      .filter(_.startsWith("__graft_dv_bucket=")).toSet
+    assert(shards.size > 1,
+      s"multi-bucket delete must fan out over >1 sidecar shard, got $shards")
+    // the sharded sidecar still reads back as one merged position set
+    val keys = sink.read().get.select("pkey").as[Long].collect().toSet
+    assert(keys == (1L until 40L by 2L).toSet)
+    // bucket-scoped lookups (which prune the DV to their shards) agree
+    val hit = sink.lookup(Seq(2L, 3L).toDF("pkey")).get
+      .select("pkey").as[Long].collect().toSet
+    assert(hit == Set(3L))
+  }
+
   test("repeated vectored deletes fold; merge after delete does not resurrect") {
     val (sink, _) = mk()
     seed(sink)
