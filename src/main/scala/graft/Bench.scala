@@ -16,17 +16,28 @@ object Bench {
     // n>=3 runs, median per query: single-run numbers at these scales mix
     // in GC/compilation noise that reads as phantom regressions. Reps
     // iterate outermost so rep k of every query sees an equally-warm JVM.
+    // ADAPTIVE repetition: queries whose first rep exceeds `slowCut`
+    // seconds are dominated by fixed machinery (micro-batch setup,
+    // multi-commit harnesses), not noise — re-running them 3x triples
+    // ~70s of constant cost for no extra signal, so they keep their
+    // single sample and the rep budget goes to the fast queries where
+    // jitter actually moves medians.
+    val slowCut = sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOWCUT", "2.0").toDouble
     val names = SparkEntry.queries.keys.toSeq
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (_ <- 1 to reps; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // A failed query must read as a failure (-1), not as a fast timing.
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
-      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      samples(name) = t :: samples(name)
+    for (rep <- 1 to reps; name <- names) {
+      val prior = samples(name)
+      val skip = rep > 1 && prior.exists(t => t < 0.0 || t >= slowCut)
+      if (!skip) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        // A failed query must read as a failure (-1), not a fast timing.
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        samples(name) = t :: prior
+      }
     }
     def median(xs: List[Double]): Double =
       if (xs.contains(-1.0)) -1.0

@@ -157,13 +157,30 @@ object Sources {
       bootstrapServers: String,
       subscribe: String,
       extraOptions: Map[String, String] = Map.empty): DataFrame = {
-    val r = spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", subscribe)
-      .option("maxOffsetsPerTrigger", config.maxRecordsPerTrigger.toString)
-    extraOptions.foreach { case (k, v) => r.option(k, v) }
+    val r = spark.readStream.format("kafka")
+    kafkaOptions(config, bootstrapServers, subscribe, extraOptions)
+      .foreach { case (k, v) => r.option(k, v) }
     r.load()
+  }
+
+  /** The exact option map [[kafka]] hands the connector — exposed as a
+    * pure function so the contract is assertable WITHOUT a broker or
+    * connector jar (`KafkaReadinessSpec`): admission control maps
+    * `IngestConfig.maxRecordsPerTrigger` onto `maxOffsetsPerTrigger`
+    * verbatim (the [[rateMicroBatch]] twin admits the same bound via
+    * `rowsPerBatch`), and caller options (auth/TLS `kafka.ssl.*`,
+    * `startingOffsets`, group prefixes) pass through UNLESS they would
+    * clobber the three core keys, which the engine owns. */
+  def kafkaOptions(
+      config: IngestConfig,
+      bootstrapServers: String,
+      subscribe: String,
+      extraOptions: Map[String, String] = Map.empty): Map[String, String] = {
+    val core = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> subscribe,
+      "maxOffsetsPerTrigger" -> config.maxRecordsPerTrigger.toString)
+    (extraOptions -- core.keySet) ++ core
   }
 
   /** Built-in offset-based source that admits EXACTLY
