@@ -3774,6 +3774,30 @@ object SparkEntry {
         .select(col("id"), col("dhash_lo"), col("dhash_hi"))
     }),
 
+    // ---- Multimodal: decoded-pixel quality stats — exact luma moments
+    //      + L1-gradient edge density (the blur/flat-image filter signal)
+    //      over REAL decoded PNG rasters ----
+    "mm_pixel_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.pngPixelHex(
+          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: REAL area-average thumbnail — decode, box-mean
+    //      downsample to 6×5, fingerprint the resized raster (rolling
+    //      polynomial hash the oracle replays from the closed form) ----
+    "mm_resize_pixels" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.pngPixelHex(
+          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      Multimodal.resizePixels(d, "doc_id", "content", outW = 6, outH = 5)
+    }),
+
     // ---- Multimodal: windowed PCM energy — REAL 16-bit sample decode
     //      from synthesized RIFF/WAVE payloads (exact integer Σv² per
     //      64-sample window; the oracle predicts the sawtooth closed
@@ -8215,6 +8239,40 @@ object SparkEntry {
           "CASE WHEN coef[k + 1] > med THEN (CAST(1 AS BIGINT) << (k - 32)) " +
           "ELSE 0 END)) AS BIGINT) AS phash_hi FROM md"
       },
+      "mm_pixel_stats" ->
+        // Full-raster replay of the closed form: exact luma moments and
+        // the L1-gradient edge count over the interior.
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
+          "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+          "px AS (SELECT id, w, h, flatten(list_transform(range(0, h), " +
+          "yy -> list_transform(range(0, w), xx -> " +
+          "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256))) AS l " +
+          "FROM m), " +
+          "eg AS (SELECT id, w, h, l, " +
+          "list_sum(flatten(list_transform(range(0, h - 1), yy -> " +
+          "list_transform(range(0, w - 1), xx -> " +
+          "CASE WHEN abs(l[yy * w + xx + 2] - l[yy * w + xx + 1]) + " +
+          "abs(l[(yy + 1) * w + xx + 1] - l[yy * w + xx + 1]) > 24 " +
+          "THEN 1 ELSE 0 END)))) AS ec FROM px) " +
+          "SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+          "CAST(w * h AS BIGINT) AS n_px, " +
+          "CAST(list_sum(l) AS BIGINT) AS luma_sum, " +
+          "CAST(list_sum(l) * 1000 // (w * h) AS BIGINT) AS luma_mean_q, " +
+          "CAST(list_min(l) AS BIGINT) AS luma_min, " +
+          "CAST(list_max(l) AS BIGINT) AS luma_max, " +
+          "CAST(ec AS BIGINT) AS edge_count, " +
+          "CAST(ec * 1000000 // ((w - 1) * (h - 1)) AS BIGINT) " +
+          "AS edge_density_q FROM eg"),
+      "mm_resize_pixels" ->
+        // 6×5 box-mean grid replay + the rolling polynomial fingerprint.
+        ("WITH " + mmLumaCte(6, 5) + " " +
+          "SELECT l.id, CAST(m.w AS INT) AS width, " +
+          "CAST(m.h AS INT) AS height, " +
+          "CAST(6 AS INT) AS out_w, CAST(5 AS INT) AS out_h, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lum), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS resized_fp " +
+          "FROM l JOIN m ON l.id = m.id"),
       "mm_dhash" ->
         // 9×8 real-pixel luma replay, gradient-sign bits.
         ("WITH " + mmLumaCte(9, 8) + " " +

@@ -556,6 +556,109 @@ object Multimodal {
       .toDF()
   }
 
+  /** Decoded-pixel quality statistics: exact luma moments plus EDGE
+    * DENSITY — the blur / flat-image / synthetic-gradient signal an
+    * image-corpus quality filter keys on (a near-constant or heavily
+    * blurred image has almost no pixel whose L1 gradient
+    * `|L(x+1,y)−L(x,y)| + |L(x,y+1)−L(x,y)|` clears the threshold).
+    * Per row: (id, width, height, n_px, luma_sum, luma_mean_q
+    * = sum·1000 div n, luma_min, luma_max, edge_count,
+    * edge_density_q = count·1000000 div interior) — all exact integers;
+    * 1-pixel-wide/tall images have no interior and emit NULL edge
+    * fields; undecodable payloads surface with NULL stats. */
+  final case class MediaPixelStats(
+      id: Long, width: Option[Int], height: Option[Int],
+      n_px: Option[Long], luma_sum: Option[Long], luma_mean_q: Option[Long],
+      luma_min: Option[Long], luma_max: Option[Long],
+      edge_count: Option[Long], edge_density_q: Option[Long])
+
+  def pixelStats(
+      df: DataFrame, idCol: String, binCol: String,
+      edgeThreshold: Int = 24, batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("image").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        pngPixels(r.content) match {
+          case None => MediaPixelStats(r.id, None, None, None, None,
+            None, None, None, None, None)
+          case Some((w, h, lum)) =>
+            val n = w.toLong * h
+            var s = 0L; var mn = 255L; var mx = 0L
+            var i = 0
+            while (i < lum.length) {
+              val v = lum(i)
+              s += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            val interior = (w - 1).toLong * (h - 1)
+            val edges =
+              if (interior <= 0) None
+              else {
+                var c = 0L
+                var y = 0
+                while (y < h - 1) {
+                  var x = 0
+                  val row = y * w
+                  while (x < w - 1) {
+                    val g = math.abs(lum(row + x + 1) - lum(row + x)) +
+                      math.abs(lum(row + w + x) - lum(row + x))
+                    if (g > edgeThreshold) c += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some(c)
+              }
+            MediaPixelStats(r.id, Some(w), Some(h), Some(n), Some(s),
+              Some(s * 1000L / n), Some(mn), Some(mx), edges,
+              edges.map(_ * 1000000L / interior))
+        }
+      }))
+      .toDF()
+  }
+
+  /** REAL area-average thumbnail: decode pixels, downsample to
+    * `outW`×`outH` with [[areaGrid]]'s exact integer box means, and
+    * fingerprint the resized raster with the rolling polynomial hash
+    * `fp = fold (acc·31 + v) mod P` in row-major order — the verifiable
+    * stand-in for shipping the thumbnail bytes (an oracle replays fp
+    * from the closed-form raster; a production sink would emit the grid
+    * as a binary column from the SAME kernel). Per row: (id, width,
+    * height, out_w, out_h, resized_fp); NULL fp when undecodable. */
+  final case class MediaResize(
+      id: Long, width: Option[Int], height: Option[Int],
+      out_w: Int, out_h: Int, resized_fp: Option[Long])
+
+  def resizePixels(
+      df: DataFrame, idCol: String, binCol: String, outW: Int, outH: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"bad thumbnail dims ${outW}x$outH")
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("image").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        pngPixels(r.content) match {
+          case None => MediaResize(r.id, None, None, outW, outH, None)
+          case Some((w, h, lum)) =>
+            val g = areaGrid(lum, w, h, outW, outH)
+            var fp = 0L
+            var i = 0
+            while (i < g.length) { fp = (fp * 31L + g(i)) % P; i += 1 }
+            MediaResize(r.id, Some(w), Some(h), outW, outH, Some(fp))
+        }
+      }))
+      .toDF()
+  }
+
   /** Quantized 8×8 DCT-II basis, flat `u*8+x` layout: T_q[u][x] =
     * round(1e4 · c(u) · cos(π(2x+1)u/16)), c(0)=1/√8, c(u>0)=1/2 —
     * driver-computed longs shared verbatim with the DuckDB oracle, so
