@@ -3786,6 +3786,18 @@ object SparkEntry {
       Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
     }),
 
+    // ---- Multimodal: luma-histogram Shannon entropy — the
+    //      information-content quality signal over decoded rasters
+    //      (quantized-ln exact-integer discipline) ----
+    "mm_luma_entropy" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.pngPixelHex(
+          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      Multimodal.lumaEntropy(d, "doc_id", "content")
+    }),
+
     // ---- Multimodal: REAL area-average thumbnail — decode, box-mean
     //      downsample to 6×5, fingerprint the resized raster (rolling
     //      polynomial hash the oracle replays from the closed form) ----
@@ -8263,6 +8275,27 @@ object SparkEntry {
           "CAST(ec AS BIGINT) AS edge_count, " +
           "CAST(ec * 1000000 // ((w - 1) * (h - 1)) AS BIGINT) " +
           "AS edge_density_q FROM eg"),
+      "mm_luma_entropy" ->
+        // 16-bin histogram replay + the quantized-ln entropy identity
+        // H_q = (n·lnq(n) − Σ c·lnq(c)) div n, all exact BIGINTs.
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
+          "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+          "px AS (SELECT id, w, h, flatten(list_transform(range(0, h), " +
+          "yy -> list_transform(range(0, w), xx -> " +
+          "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256))) AS l " +
+          "FROM m), " +
+          "hb AS (SELECT id, w, h, len(l) AS n, " +
+          "list_transform(range(0, 16), b -> " +
+          "len(list_filter(l, v -> v // 16 = b))) AS hist FROM px), " +
+          "e AS (SELECT id, w, h, n, " +
+          "len(list_filter(hist, c -> c > 0)) AS nz, " +
+          "list_sum(list_transform(hist, c -> CASE WHEN c > 0 THEN " +
+          "c * CAST(round(ln(c) * 100000000, 0) AS BIGINT) " +
+          "ELSE 0 END)) AS sq FROM hb) " +
+          "SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+          "CAST(n AS BIGINT) AS n_px, CAST(nz AS BIGINT) AS n_bins_nonzero, " +
+          "CAST((n * CAST(round(ln(n) * 100000000, 0) AS BIGINT) - sq) " +
+          "// n AS BIGINT) AS entropy_q FROM e"),
       "mm_resize_pixels" ->
         // 6×5 box-mean grid replay + the rolling polynomial fingerprint.
         ("WITH " + mmLumaCte(6, 5) + " " +

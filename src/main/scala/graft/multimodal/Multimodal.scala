@@ -623,6 +623,54 @@ object Multimodal {
       .toDF()
   }
 
+  /** Shannon entropy of the 16-bin luma histogram over REAL decoded
+    * pixels — the information-content quality signal (a flat color
+    * card or synthetic gradient scores near 0; natural photos sit
+    * high), complementing [[pixelStats]]'s edge density. Exact-integer
+    * discipline end to end: with bin counts c_i and n pixels,
+    * `H = ln n − (Σ c_i·ln c_i)/n`; each ln is quantized ONCE at 1e-8
+    * (`rint(ln·1e8)` — the engine libm rule, replayed by the oracle as
+    * `round(ln(x)·1e8)`), the weighted sum is an exact BIGINT, and
+    * `entropy_q = (n·lnq(n) − Σ c_i·lnq(c_i)) div n` emits in 1e-8
+    * nats. Per row: (id, width, height, n_px, n_bins_nonzero,
+    * entropy_q); NULLs when undecodable. */
+  final case class MediaEntropy(
+      id: Long, width: Option[Int], height: Option[Int],
+      n_px: Option[Long], n_bins_nonzero: Option[Long],
+      entropy_q: Option[Long])
+
+  def lumaEntropy(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("image").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    def lnq(x: Long): Long = math.rint(math.log(x.toDouble) * 1e8).toLong
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        pngPixels(r.content) match {
+          case None => MediaEntropy(r.id, None, None, None, None, None)
+          case Some((w, h, lum)) =>
+            val hist = new Array[Long](16)
+            var i = 0
+            while (i < lum.length) { hist(lum(i) / 16) += 1L; i += 1 }
+            val n = lum.length.toLong
+            var sq = 0L; var nz = 0L
+            var b = 0
+            while (b < 16) {
+              val c = hist(b)
+              if (c > 0L) { sq += c * lnq(c); nz += 1L }
+              b += 1
+            }
+            MediaEntropy(r.id, Some(w), Some(h), Some(n), Some(nz),
+              Some((n * lnq(n) - sq) / n))
+        }
+      }))
+      .toDF()
+  }
+
   /** REAL area-average thumbnail: decode pixels, downsample to
     * `outW`×`outH` with [[areaGrid]]'s exact integer box means, and
     * fingerprint the resized raster with the rolling polynomial hash
