@@ -660,6 +660,28 @@ object SparkEntry {
       appendStream(s, pairs, cfg, tmp)
     }),
 
+    // ---- Streaming MULTIMODAL dedup: arriving media payloads decode
+    //      to real pixels in-stream (stateless batched kernel), hash to
+    //      aHash fingerprints, and exact-dedup on the fingerprint —
+    //      the crawl-ingest image-dedup shape; output projects the
+    //      fingerprint only (which duplicate arrives first is
+    //      scheduling-dependent, the s4 discipline) ----
+    "s23_stream_media_dedup" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "documents").schema
+      val tmp = Files.createTempDirectory("graft_s23_").toString
+      val cfg = IngestConfig(name = s"s23-mediadedup-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val id = col("doc_id")
+      val docs = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/documents.parque[t]")
+        .select(id, unhex(graft.multimodal.MediaFixtures.pngPixelHex(
+          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      val hashed = Multimodal.perceptualHashes(docs, "doc_id", "content")
+        .select(col("ahash_lo"), col("ahash_hi"))
+      appendStream(s, graft.streaming.StreamDedup.exact(
+        hashed, Seq("ahash_lo", "ahash_hi")), cfg, tmp)
+    }),
+
     // ---- Streaming leaderboard: global top-3 per event_type by value,
     //      O(k) custom state, slate re-emitted on change and converged
     //      through the (key, rank)-keyed latest-wins merge sink ----
@@ -6966,6 +6988,19 @@ object SparkEntry {
         s"(((g // $gw) + 1) * h // $gh - (g // $gw) * h // $gh))) " +
         "AS lum FROM m)"
 
+    // Shared aHash replay (real-pixel luma grid -> mean threshold ->
+    // two 32-bit words) for mm_ahash_neardup and the streaming dedup twin.
+    val mmAHashCtes: String =
+      mmLumaCte(8, 8) + ", " +
+        "sm AS (SELECT id, lum, list_sum(lum) // 64 AS mn FROM l), " +
+        "hsh AS (SELECT id, " +
+        "CAST(list_sum(list_transform(range(0, 32), g -> " +
+        "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << g) " +
+        "ELSE 0 END)) AS BIGINT) AS lo, " +
+        "CAST(list_sum(list_transform(range(32, 64), g -> " +
+        "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << (g - 32)) " +
+        "ELSE 0 END)) AS BIGINT) AS hi FROM sm)"
+
     val mmSql =
       "WITH m AS (SELECT doc_id AS id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mt, " +
@@ -8210,15 +8245,7 @@ object SparkEntry {
         // raster the fixture spliced in (MediaFixtures.pixelFormula) —
         // equality proves the byte-level decode. Same packing, 16-bit
         // bands, popcount verify as before.
-        ("WITH " + mmLumaCte(8, 8) + ", " +
-          "sm AS (SELECT id, lum, list_sum(lum) // 64 AS mn FROM l), " +
-          "hsh AS (SELECT id, " +
-          "CAST(list_sum(list_transform(range(0, 32), g -> " +
-          "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << g) " +
-          "ELSE 0 END)) AS BIGINT) AS lo, " +
-          "CAST(list_sum(list_transform(range(32, 64), g -> " +
-          "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << (g - 32)) " +
-          "ELSE 0 END)) AS BIGINT) AS hi FROM sm), " +
+        ("WITH " + mmAHashCtes + ", " +
           "rp AS (SELECT min(id) AS id, lo, hi FROM hsh GROUP BY lo, hi), " +
           "e AS (SELECT id, lo, hi, u.bi AS bi, u.bv AS bv FROM (" +
           "SELECT id, lo, hi, unnest([" +
@@ -8275,6 +8302,12 @@ object SparkEntry {
           "CAST(ec AS BIGINT) AS edge_count, " +
           "CAST(ec * 1000000 // ((w - 1) * (h - 1)) AS BIGINT) " +
           "AS edge_density_q FROM eg"),
+      "s23_stream_media_dedup" ->
+        // The distinct fingerprint set is stream-order-independent even
+        // though the surviving doc id is not — replay the aHash per doc
+        // and project DISTINCT words (the s4_stream_dedup discipline).
+        ("WITH " + mmAHashCtes + " " +
+          "SELECT DISTINCT lo AS ahash_lo, hi AS ahash_hi FROM hsh"),
       "mm_luma_entropy" ->
         // 16-bin histogram replay + the quantized-ln entropy identity
         // H_q = (n·lnq(n) − Σ c·lnq(c)) div n, all exact BIGINTs.
