@@ -212,6 +212,33 @@ object SparkEntry {
       |                          ORDER BY ts DESC, event_id DESC) AS rn
       |FROM events""".stripMargin.replace("\n", " ")
 
+  /** PII-gate fixture: splice one synthetic email, IPv4 (octet 2 runs
+    * 0..299, so ~15% fail ≤255 validation), phone, and 16-digit card
+    * (Luhn passes only when the digits happen to sum right) into each
+    * document's text. Mirrored CHARACTER-FOR-CHARACTER by the DuckDB
+    * oracle ([[piiFixtureSql]]) — the gates compare regex + validation
+    * semantics across engines, so the input construction must be
+    * byte-identical. */
+  private def piiFixtureText(id: Column, txt: Column): Column = concat(
+    txt, lit(" contact user"), id.cast("string"), lit("@mail"),
+    (id % 7).cast("string"), lit(".org ip 10."), (id % 300).cast("string"),
+    lit(".4."), (id % 100).cast("string"), lit(" tel 555-"),
+    lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+    lpad((id % 10000).cast("string"), 4, "0"), lit(" card "),
+    lpad((id * 7919 % 100000000).cast("string"), 8, "0"),
+    lpad((id * 104729 % 100000000).cast("string"), 8, "0"))
+
+  /** DuckDB mirror of [[piiFixtureText]] (same constants, same order). */
+  private val piiFixtureSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.org ip 10.' || " +
+      "CAST(doc_id % 300 AS VARCHAR) || '.4.' || " +
+      "CAST(doc_id % 100 AS VARCHAR) || ' tel 555-' || " +
+      "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' card ' || " +
+      "lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 8, '0') || " +
+      "lpad(CAST(doc_id * 104729 % 100000000 AS VARCHAR), 8, '0')"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("o1_dedup_latest_wins")(spark, "/root/testdata/sf0.001")
@@ -3832,6 +3859,77 @@ object SparkEntry {
       Multimodal.resizePixels(d, "doc_id", "content", outW = 6, outH = 5)
     }),
 
+    // ---- Multimodal: GIF pixel decode — the SECOND real image codec.
+    //      The fixture is a complete valid GIF89a (gray-ramp palette,
+    //      genuine 9-bit LZW sub-blocks); the engine must LZW-decode
+    //      the bytes while the oracle replays the closed-form raster.
+    //      Dims differ from the PNG gates on purpose: a dispatcher
+    //      falling through to the wrong codec cannot match. ----
+    "mm_gif_pixel_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.gifPixelHex(
+          id % 21 + 7L, id % 13 + 6L, id % 89)).as("content"))
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: GIF thumbnail — LZW decode + exact area-average
+    //      box means to 5×4, rolling-hash fingerprint of the resized
+    //      raster (the full-raster proof: every grid cell must match) ----
+    "mm_gif_resize" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.gifPixelHex(
+          id % 21 + 7L, id % 13 + 6L, id % 89)).as("content"))
+      Multimodal.resizePixels(d, "doc_id", "content", outW = 5, outH = 4)
+    }),
+
+    // ---- Multimodal: mixed-codec corpus — docs rotate PNG / GIF / BMP
+    //      by id, SAME raster formula. One binary column, per-row codec
+    //      sniffing: an engine that routes by anything but the BYTES
+    //      (or decodes only some codecs) cannot match the oracle, which
+    //      replays the formula codec-blind. ----
+    "mm_mixed_codec_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val (w, h, sd) = (id % 19 + 8L, id % 11 + 7L, id % 83)
+      val d = t(s, dir, "documents").select(id,
+        unhex(when(id % 3 === 0, MediaFixtures.pngPixelHex(w, h, sd))
+          .when(id % 3 === 1, MediaFixtures.gifPixelHex(w, h, sd))
+          .otherwise(MediaFixtures.bmpPixelHex(w, h, sd))).as("content"))
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: BMP thumbnail — the third codec alone: bottom-up
+    //      row reversal + padding walk, box means to 7×3, rolling-hash
+    //      fingerprint (full-raster proof per codec, like the PNG and
+    //      GIF twins) ----
+    "mm_bmp_resize" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.bmpPixelHex(
+          id % 18 + 9L, id % 7 + 6L, id % 79)).as("content"))
+      Multimodal.resizePixels(d, "doc_id", "content", outW = 7, outH = 3)
+    }),
+
+    // ---- Multimodal: animated-GIF frame sampling + scene-change
+    //      detection — decode every frame of a multi-frame GIF (LZW per
+    //      frame, GCE extensions between descriptors), aHash each
+    //      raster, hamming distance between consecutive frames. The
+    //      fixture cuts every 2 frames, so holds (0) and cuts (large)
+    //      both appear and the oracle predicts each frame exactly. ----
+    "mm_gif_scene_change" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.gifAnimHex(
+          id % 14 + 8L, id % 9 + 8L, id % 4 + 2L, id % 73)).as("content"))
+      Multimodal.frameSceneChange(d, "doc_id", "content", maxFrames = 8)
+    }),
+
     // ---- Multimodal: windowed PCM energy — REAL 16-bit sample decode
     //      from synthesized RIFF/WAVE payloads (exact integer Σv² per
     //      64-sample window; the oracle predicts the sawtooth closed
@@ -3843,6 +3941,33 @@ object SparkEntry {
         unhex(MediaFixtures.wavPcmHex(id % 2 + 1L, (id % 5 + 1L) * 8000L,
           id % 200 + 1L, id % 97)).as("content"))
       Multimodal.wavWindowEnergy(d, "doc_id", "content", window = 64)
+    }),
+
+    // ---- Multimodal: windowed quantized-DFT filterbank — exact
+    //      integer correlations against the driver-literal cos/sin
+    //      basis per 64-sample window and bins {1,2,4,8}; power is the
+    //      one fixed-shape IEEE readout ----
+    "mm_audio_spectrum" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.wavPcmHex(id % 2 + 1L, (id % 5 + 1L) * 8000L,
+          id % 200 + 1L, id % 97)).as("content"))
+      Multimodal.wavWindowSpectrum(d, "doc_id", "content", window = 64,
+        bins = Seq(1, 2, 4, 8))
+    }),
+
+    // ---- Multimodal: windowed PCM zero-crossing count + amplitude
+    //      envelope — the voiced/silence discriminator beside energy;
+    //      exact sign-flip counts, peak |v|, Σ|v| per 64-sample window
+    //      over the same decoded sawtooth ----
+    "mm_audio_zcr" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.wavPcmHex(id % 2 + 1L, (id % 5 + 1L) * 8000L,
+          id % 200 + 1L, id % 97)).as("content"))
+      Multimodal.wavWindowZcr(d, "doc_id", "content", window = 64)
     }),
 
     // ---- CAPSTONE: the composed corpus pipeline — normalize → quality
@@ -4210,6 +4335,41 @@ object SparkEntry {
     "text_boilerplate" -> ((s, dir) =>
       TextAnalysis.boilerplateLines(
         t(s, dir, "documents"), "doc_id", "text", minDf = 3L)),
+
+    // ---- LLM pipeline: corpus-wide duplicate-LINE removal (the
+    //      CCNet/RefinedWeb scrub): keep only the FIRST occurrence of
+    //      each line across the corpus, in (doc, pos) order; fixture
+    //      manufactures lines by splitting the text on two frequent
+    //      words; md5 fingerprints the kept body per doc ----
+    "text_line_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        call_function("replace",
+          call_function("replace", col("text"), lit(" a "), lit("\n")),
+          lit(" the "), lit("\n")).as("txt"))
+      TextAnalysis.corpusLineDedup(d, "doc_id", "txt")
+    }),
+
+    // ---- LLM pipeline: PII scan — regex recall net + exact arithmetic
+    //      validation (octet ≤ 255, Luhn mod-10) over a fixture that
+    //      splices synthetic emails/IPs/phones/cards into each doc;
+    //      ~15% of IPs fail octet validation and most cards fail Luhn,
+    //      so candidates vs valid genuinely diverge ----
+    "text_pii_scan" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), piiFixtureText(col("doc_id"), col("text"))
+          .as("pii_text"))
+      graft.ops.Pii.scan(d, "doc_id", "pii_text")
+    }),
+
+    // ---- LLM pipeline: PII redaction — fixed-order global regex
+    //      rewrite to typed placeholders; gate ships length + md5 of
+    //      the redacted body (the verifiable stand-in) ----
+    "text_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), piiFixtureText(col("doc_id"), col("text"))
+          .as("pii_text"))
+      graft.ops.Pii.redact(d, "doc_id", "pii_text", keepText = false)
+    }),
 
     // ---- LLM pipeline: kNN label-consistency eval — majority-vote
     //      label prediction from the top-10 neighbors (does the
@@ -6976,8 +7136,43 @@ object SparkEntry {
     // fixture construction, so every grid cell is non-empty and the
     // kernel's nearest-pixel fallback never fires.
     def mmLumaCte(gw: Int, gh: Int): String =
-      "m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
-        "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+      mmLumaCteDims(gw, gh,
+        "doc_id % 24 + 9", "doc_id % 16 + 8", "doc_id % 97")
+
+    // Same replay with caller-chosen dims/seed expressions — the GIF
+    // gates use DIFFERENT dims than the PNG gates, so a decoder that
+    // silently fell through to the wrong codec path could not match.
+    // Full-raster moment replay (exact luma moments + L1-gradient edge
+    // count over the interior) for the pixel-stats gates — shared by
+    // the PNG, GIF, and mixed-codec fixtures, which all carry the same
+    // closed-form raster at their own dims.
+    def mmPixelStatsSql(wE: String, hE: String, sE: String): String =
+      s"WITH m AS (SELECT doc_id AS id, $wE AS w, " +
+        s"$hE AS h, $sE AS s FROM documents), " +
+        "px AS (SELECT id, w, h, flatten(list_transform(range(0, h), " +
+        "yy -> list_transform(range(0, w), xx -> " +
+        "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256))) AS l " +
+        "FROM m), " +
+        "eg AS (SELECT id, w, h, l, " +
+        "list_sum(flatten(list_transform(range(0, h - 1), yy -> " +
+        "list_transform(range(0, w - 1), xx -> " +
+        "CASE WHEN abs(l[yy * w + xx + 2] - l[yy * w + xx + 1]) + " +
+        "abs(l[(yy + 1) * w + xx + 1] - l[yy * w + xx + 1]) > 24 " +
+        "THEN 1 ELSE 0 END)))) AS ec FROM px) " +
+        "SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(w * h AS BIGINT) AS n_px, " +
+        "CAST(list_sum(l) AS BIGINT) AS luma_sum, " +
+        "CAST(list_sum(l) * 1000 // (w * h) AS BIGINT) AS luma_mean_q, " +
+        "CAST(list_min(l) AS BIGINT) AS luma_min, " +
+        "CAST(list_max(l) AS BIGINT) AS luma_max, " +
+        "CAST(ec AS BIGINT) AS edge_count, " +
+        "CAST(ec * 1000000 // ((w - 1) * (h - 1)) AS BIGINT) " +
+        "AS edge_density_q FROM eg"
+
+    def mmLumaCteDims(
+        gw: Int, gh: Int, wE: String, hE: String, sE: String): String =
+      s"m AS (SELECT doc_id AS id, $wE AS w, " +
+        s"$hE AS h, $sE AS s FROM documents), " +
         s"l AS (SELECT id, list_transform(range(0, ${gw * gh}), g -> " +
         s"list_sum(flatten(list_transform(" +
         s"range((g // $gw) * h // $gh, ((g // $gw) + 1) * h // $gh), yy -> " +
@@ -8281,33 +8476,76 @@ object SparkEntry {
       "mm_pixel_stats" ->
         // Full-raster replay of the closed form: exact luma moments and
         // the L1-gradient edge count over the interior.
-        ("WITH m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
-          "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
-          "px AS (SELECT id, w, h, flatten(list_transform(range(0, h), " +
-          "yy -> list_transform(range(0, w), xx -> " +
-          "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256))) AS l " +
-          "FROM m), " +
-          "eg AS (SELECT id, w, h, l, " +
-          "list_sum(flatten(list_transform(range(0, h - 1), yy -> " +
-          "list_transform(range(0, w - 1), xx -> " +
-          "CASE WHEN abs(l[yy * w + xx + 2] - l[yy * w + xx + 1]) + " +
-          "abs(l[(yy + 1) * w + xx + 1] - l[yy * w + xx + 1]) > 24 " +
-          "THEN 1 ELSE 0 END)))) AS ec FROM px) " +
-          "SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
-          "CAST(w * h AS BIGINT) AS n_px, " +
-          "CAST(list_sum(l) AS BIGINT) AS luma_sum, " +
-          "CAST(list_sum(l) * 1000 // (w * h) AS BIGINT) AS luma_mean_q, " +
-          "CAST(list_min(l) AS BIGINT) AS luma_min, " +
-          "CAST(list_max(l) AS BIGINT) AS luma_max, " +
-          "CAST(ec AS BIGINT) AS edge_count, " +
-          "CAST(ec * 1000000 // ((w - 1) * (h - 1)) AS BIGINT) " +
-          "AS edge_density_q FROM eg"),
+        mmPixelStatsSql("doc_id % 24 + 9", "doc_id % 16 + 8", "doc_id % 97"),
+      "mm_mixed_codec_stats" ->
+        // Codec-BLIND replay over the mixed PNG/GIF/BMP column's dims:
+        // all three fixtures carry the same formula raster, so the
+        // oracle never mentions a codec — only an engine that sniffs
+        // and decodes ALL THREE per row can match.
+        mmPixelStatsSql("doc_id % 19 + 8", "doc_id % 11 + 7", "doc_id % 83"),
+      "mm_bmp_resize" ->
+        // 7×3 box-mean grid over the BMP dims + the rolling fingerprint.
+        ("WITH " + mmLumaCteDims(7, 3, "doc_id % 18 + 9",
+          "doc_id % 7 + 6", "doc_id % 79") + " " +
+          "SELECT l.id, CAST(m.w AS INT) AS width, " +
+          "CAST(m.h AS INT) AS height, " +
+          "CAST(7 AS INT) AS out_w, CAST(3 AS INT) AS out_h, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lum), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS resized_fp " +
+          "FROM l JOIN m ON l.id = m.id"),
+      "mm_gif_scene_change" ->
+        // Per-frame aHash replay (seed steps 17 every SECOND frame —
+        // hold, hold, cut, …) + lag-window hamming via bit_count(xor).
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 14 + 8 AS w, " +
+          "doc_id % 9 + 8 AS h, doc_id % 4 + 2 AS nf, " +
+          "doc_id % 73 AS s FROM documents), " +
+          "mf AS (SELECT id, w, h, s + 17 * (g.f // 2) AS fs, " +
+          "CAST(g.f AS INT) AS frame FROM m CROSS JOIN " +
+          "(SELECT unnest(range(8)) AS f) g WHERE g.f < nf), " +
+          "l AS (SELECT id, frame, w, h, list_transform(range(0, 64), g -> " +
+          "list_sum(flatten(list_transform(" +
+          "range((g // 8) * h // 8, ((g // 8) + 1) * h // 8), yy -> " +
+          "list_transform(range((g % 8) * w // 8, ((g % 8) + 1) * w // 8), " +
+          "xx -> (31 * xx + 47 * yy + 7 * xx * yy + 101 * fs) % 256)))) // " +
+          "((((g % 8) + 1) * w // 8 - (g % 8) * w // 8) * " +
+          "(((g // 8) + 1) * h // 8 - (g // 8) * h // 8))) AS lum FROM mf), " +
+          "sm AS (SELECT id, frame, w, h, lum, " +
+          "list_sum(lum) // 64 AS mn FROM l), " +
+          "hsh AS (SELECT id, frame, CAST(w AS INT) AS width, " +
+          "CAST(h AS INT) AS height, " +
+          "CAST(list_sum(list_transform(range(0, 32), g -> " +
+          "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << g) " +
+          "ELSE 0 END)) AS BIGINT) AS ahash_lo, " +
+          "CAST(list_sum(list_transform(range(32, 64), g -> " +
+          "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << (g - 32)) " +
+          "ELSE 0 END)) AS BIGINT) AS ahash_hi FROM sm) " +
+          "SELECT id, frame, width, height, ahash_lo, ahash_hi, " +
+          "CAST(bit_count(xor(ahash_lo, lag(ahash_lo) OVER w)) + " +
+          "bit_count(xor(ahash_hi, lag(ahash_hi) OVER w)) AS BIGINT) " +
+          "AS hamming_prev FROM hsh " +
+          "WINDOW w AS (PARTITION BY id ORDER BY frame)"),
       "s23_stream_media_dedup" ->
         // The distinct fingerprint set is stream-order-independent even
         // though the surviving doc id is not — replay the aHash per doc
         // and project DISTINCT words (the s4_stream_dedup discipline).
         ("WITH " + mmAHashCtes + " " +
           "SELECT DISTINCT lo AS ahash_lo, hi AS ahash_hi FROM hsh"),
+      "mm_gif_pixel_stats" ->
+        // Same full-raster moment replay as mm_pixel_stats, over the
+        // GIF fixture's dims — the ENGINE side had to LZW-decode.
+        mmPixelStatsSql("doc_id % 21 + 7", "doc_id % 13 + 6", "doc_id % 89"),
+      "mm_gif_resize" ->
+        // 5×4 box-mean grid over the GIF dims + the rolling fingerprint.
+        ("WITH " + mmLumaCteDims(5, 4, "doc_id % 21 + 7",
+          "doc_id % 13 + 6", "doc_id % 89") + " " +
+          "SELECT l.id, CAST(m.w AS INT) AS width, " +
+          "CAST(m.h AS INT) AS height, " +
+          "CAST(5 AS INT) AS out_w, CAST(4 AS INT) AS out_h, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lum), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS resized_fp " +
+          "FROM l JOIN m ON l.id = m.id"),
       "mm_luma_entropy" ->
         // 16-bin histogram replay + the quantized-ln entropy identity
         // H_q = (n·lnq(n) − Σ c·lnq(c)) div n, all exact BIGINTs.
@@ -8368,6 +8606,56 @@ object SparkEntry {
           "CAST(sum(x * x) AS BIGINT) AS sum_sq, " +
           "sqrt(CAST(sum(x * x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) " +
           "AS rms FROM v GROUP BY 1, 2"),
+      "mm_audio_spectrum" -> {
+        // Sawtooth replay → per-window ordered sample lists → exact
+        // integer correlations against the SAME quantized basis
+        // literals the kernel uses (Multimodal.dftTableQ, interpolated
+        // here), power as the identical IEEE expression shape.
+        val bins = Seq(1, 2, 4, 8).map { k =>
+          val (c, s) = Multimodal.dftTableQ(64, k)
+          s"($k, ${c.mkString("[", ", ", "]")}, ${s.mkString("[", ", ", "]")})"
+        }.mkString(", ")
+        "WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS ch, " +
+          "(doc_id % 200) + 1 AS smp, doc_id % 97 AS seed " +
+          "FROM documents), " +
+          "s AS (SELECT doc_id, seed, " +
+          "unnest(range(0, smp * ch)) AS i FROM p), " +
+          "v AS (SELECT doc_id, i // 64 AS win, i % 64 AS j, " +
+          "((i * 2477 + seed) % 4096) - 2048 AS x FROM s), " +
+          "g AS (SELECT doc_id, win, list(x ORDER BY j) AS vs " +
+          "FROM v GROUP BY 1, 2), " +
+          s"b AS (SELECT * FROM (VALUES $bins) AS t(bin, ct, st)), " +
+          "r AS (SELECT doc_id, win, len(vs) AS ns, bin, " +
+          "CAST(list_sum(list_transform(range(len(vs)), j -> " +
+          "vs[j+1] * ct[j+1])) AS BIGINT) AS re, " +
+          "CAST(list_sum(list_transform(range(len(vs)), j -> " +
+          "vs[j+1] * st[j+1])) AS BIGINT) AS im " +
+          "FROM g CROSS JOIN b) " +
+          "SELECT doc_id AS id, CAST(win AS BIGINT) AS win, " +
+          "CAST(ns AS BIGINT) AS n_samples, CAST(bin AS INT) AS bin, " +
+          "re, im, CAST(re AS DOUBLE) * CAST(re AS DOUBLE) + " +
+          "CAST(im AS DOUBLE) * CAST(im AS DOUBLE) AS power FROM r"
+      },
+      "mm_audio_zcr" ->
+        // Same sawtooth replay; zero crossings are consecutive-sample
+        // sign flips WITHIN a window (pairs at i % 64 = 0 cross a
+        // boundary and belong to no window), plus peak |v| and Σ|v|.
+        ("WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS ch, " +
+          "(doc_id % 200) + 1 AS smp, doc_id % 97 AS seed " +
+          "FROM documents), " +
+          "s AS (SELECT doc_id, seed, " +
+          "unnest(range(0, smp * ch)) AS i FROM p), " +
+          "v AS (SELECT doc_id, i, i // 64 AS win, " +
+          "((i * 2477 + seed) % 4096) - 2048 AS x FROM s), " +
+          "w AS (SELECT doc_id, win, i, x, " +
+          "lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px FROM v) " +
+          "SELECT doc_id AS id, CAST(win AS BIGINT) AS win, " +
+          "CAST(count(*) AS BIGINT) AS n_samples, " +
+          "CAST(sum(CASE WHEN i % 64 <> 0 AND ((px < 0) <> (x < 0)) " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS zc_count, " +
+          "CAST(max(abs(x)) AS BIGINT) AS peak_abs, " +
+          "CAST(sum(abs(x)) AS BIGINT) AS sum_abs " +
+          "FROM w GROUP BY 1, 2"),
       "o19_quarantine" ->
         ("WITH r AS (SELECT event_id, concat_ws(',', " +
           "CASE WHEN coalesce(value >= 0.05, false) THEN NULL " +
@@ -10553,6 +10841,64 @@ object SparkEntry {
           "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / " +
           "length(text) AS alpha_ratio, " +
           "len(regexp_extract_all(text, '\\bthe\\b')) AS n_the FROM documents"),
+      "text_line_dedup" ->
+        // First-occurrence keep in (doc, pos) order; the oracle's
+        // row_number window partitions by LINE (bounded by the most
+        // duplicated line, not the corpus). Kept body re-joined by \n,
+        // md5 both sides; all-dropped docs hash the empty string.
+        ("WITH d AS (SELECT doc_id, replace(replace(text, ' a ', " +
+          "chr(10)), ' the ', chr(10)) AS txt FROM documents), " +
+          "sp AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM d), " +
+          "l0 AS (SELECT doc_id, unnest(range(len(ls))) AS pos, " +
+          "unnest(ls) AS raw FROM sp), " +
+          "l AS (SELECT doc_id, pos, trim(raw) AS line FROM l0 " +
+          "WHERE trim(raw) <> ''), " +
+          "k AS (SELECT doc_id, pos, line, " +
+          "row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1 " +
+          "AS keep FROM l) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+          "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "md5(coalesce(string_agg(CASE WHEN keep THEN line END, " +
+          "chr(10) ORDER BY pos), '')) AS kept_md5 " +
+          "FROM k GROUP BY doc_id"),
+      "text_pii_scan" -> {
+        // RE2 replay of the Java-regex scan: same patterns (common
+        // dialect subset), same octet/Luhn validation arithmetic.
+        def dig = "CAST(substr(dd, CAST(length(dd) - i AS INT), 1) AS BIGINT)"
+        s"WITH d AS (SELECT doc_id, $piiFixtureSql AS txt FROM documents) " +
+          "SELECT doc_id, " +
+          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.EmailPat}')) " +
+          "AS BIGINT) AS n_emails, " +
+          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.Ipv4Pat}')) " +
+          "AS BIGINT) AS n_ipv4_candidates, " +
+          s"CAST(len(list_filter(regexp_extract_all(txt, " +
+          s"'${graft.ops.Pii.Ipv4Pat}'), s -> " +
+          "len(list_filter(string_split(s, '.'), o -> " +
+          "CAST(o AS INT) > 255)) = 0)) AS BIGINT) AS n_ipv4_valid, " +
+          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.PhonePat}')) " +
+          "AS BIGINT) AS n_phones, " +
+          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.CardPat}')) " +
+          "AS BIGINT) AS n_card_candidates, " +
+          s"CAST(len(list_filter(regexp_extract_all(txt, " +
+          s"'${graft.ops.Pii.CardPat}'), dd -> " +
+          "list_sum(list_transform(range(0, length(dd)), i -> " +
+          s"CASE WHEN i % 2 = 1 THEN CASE WHEN 2 * $dig > 9 " +
+          s"THEN 2 * $dig - 9 ELSE 2 * $dig END ELSE $dig END)) % 10 = 0)) " +
+          "AS BIGINT) AS n_cards_luhn FROM d"
+      },
+      "text_pii_redact" ->
+        // Same fixed pass order (email, ip, phone, card), global
+        // replace; md5 is the portable fingerprint both engines emit
+        // as lowercase hex over the same UTF-8 body.
+        (s"WITH d AS (SELECT doc_id, $piiFixtureSql AS txt FROM documents), " +
+          "r AS (SELECT doc_id, regexp_replace(regexp_replace(" +
+          "regexp_replace(regexp_replace(txt, " +
+          s"'${graft.ops.Pii.EmailPat}', '<EMAIL>', 'g'), " +
+          s"'${graft.ops.Pii.Ipv4Pat}', '<IP>', 'g'), " +
+          s"'${graft.ops.Pii.PhonePat}', '<PHONE>', 'g'), " +
+          s"'${graft.ops.Pii.CardPat}', '<CARD>', 'g') AS red FROM d) " +
+          "SELECT doc_id, CAST(length(red) AS BIGINT) AS redacted_len, " +
+          "md5(red) AS redacted_md5 FROM r"),
       "q_mann_whitney" ->
         // Exact-integer 2U over the binned grid; the tie bracket and the
         // variance numerator ride HUGEINT (Spark: DECIMAL(38,0)); one

@@ -14,8 +14,16 @@ import org.apache.spark.sql.functions._
   * descriptor + image-descriptor block walk for the frame count), and
   * RIFF/WAVE (fmt + data chunks); full PIXEL decode for 8-bit
   * non-interlaced PNG ([[pngPixels]]: zlib inflate, the five scanline
-  * filters, gray/RGB/palette/alpha channel collapse to integer luma);
-  * full SAMPLE decode for 16-bit PCM WAV ([[wavWindowEnergy]]) — all
+  * filters, gray/RGB/palette/alpha channel collapse to integer luma)
+  * for GIF87a/89a ([[gifPixels]]/[[gifFrames]]: variable-width LZW with
+  * table growth and CLEAR/KwKwK handling, four-pass de-interlace,
+  * local-over-global palette, multi-frame walk with stride sampling
+  * that never LZW-decodes skipped frames), AND for uncompressed BMP
+  * ([[bmpPixels]]: 8-bit paletted / 24-bit BGR, bottom-up or top-down,
+  * row padding) — all collapsing to the same BT.601 luma, so one
+  * [[decodePixels]] sniff-dispatch point feeds every raster operator;
+  * full SAMPLE decode for 16-bit PCM WAV ([[wavWindowEnergy]],
+  * [[wavWindowZcr]]) — all
   * public file-format knowledge, no codec libraries. Payloads in none
   * of those containers fall back to deterministic checksum-derived
   * pseudo-metadata (the documented unknown-codec path — e.g. JPEG
@@ -239,11 +247,14 @@ object Multimodal {
         sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")))
   }
 
-  private def pcmWindows(
-      id: Long, b: Array[Byte], window: Int): Seq[AudioWindow] = {
+  /** RIFF chunk-walk to the 16-bit PCM sample stream: (data offset,
+    * flat sample count), or None when the container is not valid
+    * 16-bit PCM WAV. Sample j reads as
+    * `le16(b, off + 2j).toShort` (sign-extended). */
+  private def pcm16Data(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
-      b(11) != 'E') return Nil
+      b(11) != 'E') return None
     var i = 12
     var bits = 0; var dataOff = -1; var dataLen = -1L; var corrupt = false
     while (!corrupt && i + 8 <= b.length) {
@@ -257,8 +268,14 @@ object Multimodal {
         i += 8 + len.toInt + (len.toInt & 1)
       }
     }
-    if (corrupt || dataOff < 0 || bits != 16) return Nil
-    val n = (math.min(dataLen, (b.length - dataOff).toLong) / 2L).toInt
+    if (corrupt || dataOff < 0 || bits != 16) None
+    else Some((dataOff,
+      (math.min(dataLen, (b.length - dataOff).toLong) / 2L).toInt))
+  }
+
+  private def pcmWindows(
+      id: Long, b: Array[Byte], window: Int): Seq[AudioWindow] = {
+    val (dataOff, n) = pcm16Data(b).getOrElse(return Nil)
     val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
     var w = 0
     while (w.toLong * window < n) {
@@ -275,6 +292,62 @@ object Multimodal {
       w += 1
     }
     out.toSeq
+  }
+
+  /** One exact per-window PCM envelope/crossing row. */
+  final case class AudioZcrWindow(
+      id: Long, win: Long, n_samples: Long, zc_count: Long,
+      peak_abs: Long, sum_abs: Long)
+
+  /** Windowed zero-crossing count + amplitude envelope from 16-bit PCM —
+    * the classic cheap voiced/unvoiced/silence discriminator beside
+    * [[wavWindowEnergy]]'s energy: per `window`-sample block, the number
+    * of consecutive-sample sign flips WITHIN the window (`v<0` vs
+    * `v≥0`; boundary pairs belong to no window, so windows are
+    * independently recomputable), the peak |v|, and Σ|v| — all exact
+    * integers. A silence-trimmer keys on (zc, peak) jointly; a clipping
+    * detector on peak≈32768. Same row-local batched-kernel shape and
+    * scale posture as [[wavWindowEnergy]]. */
+  def wavWindowZcr(
+      df: DataFrame, idCol: String, binCol: String, window: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("audio").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        pcm16Data(r.content) match {
+          case None => Nil
+          case Some((dataOff, n)) =>
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[AudioZcrWindow]
+            var w = 0
+            while (w.toLong * window < n) {
+              val from = w * window
+              val until = math.min(n, from + window)
+              var zc = 0L; var peak = 0L; var sAbs = 0L
+              var prevNeg = false
+              var j = from
+              while (j < until) {
+                val v = le16(r.content, dataOff + 2 * j).toShort.toLong
+                val a = math.abs(v)
+                if (j > from && (v < 0L) != prevNeg) zc += 1L
+                prevNeg = v < 0L
+                if (a > peak) peak = a
+                sAbs += a
+                j += 1
+              }
+              out += AudioZcrWindow(r.id, w.toLong, (until - from).toLong,
+                zc, peak, sAbs)
+              w += 1
+            }
+            out.toSeq
+        }
+      }))
+      .toDF()
   }
 
   // ---- metadata-stage transforms (post-decode, pure column arithmetic —
@@ -443,6 +516,296 @@ object Multimodal {
     Some((w, h, lum))
   }
 
+  /** Full variable-width GIF LZW decode of an image data stream (the
+    * min-code-size byte already stripped, data sub-blocks already
+    * concatenated) to exactly `nPixels` palette indices. The complete
+    * public algorithm: code width grows from minCode+1 as the table
+    * fills (12-bit ceiling with deferred-clear behavior — at 4096
+    * entries the table freezes until a CLEAR), CLEAR resets
+    * width/table, the KwKwK self-reference case emits prev+first(prev),
+    * strings materialize by walking the prefix chain (no recursion).
+    * Lenient termination: a missing EOI after the full raster is
+    * accepted (common in the wild); short output, codes past the table
+    * head, or a literal ≥ clear right after reset return None. Output
+    * past `nPixels` is discarded (encoder padding). */
+  private def lzwDecode(
+      data: Array[Byte], minCode: Int, nPixels: Int): Option[Array[Int]] = {
+    if (minCode < 2 || minCode > 11) return None
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val stack = new Array[Int](4097)
+    val out = new Array[Int](nPixels)
+    var outN = 0
+    var next = clear + 2
+    var width = minCode + 1
+    var prev = -1
+    var bitPos = 0
+    val nBits = data.length * 8
+    while (bitPos + width <= nBits) {
+      var code = 0
+      var k = 0
+      while (k < width) {
+        val t = bitPos + k
+        if (((data(t >> 3) >> (t & 7)) & 1) != 0) code |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      if (code == clear) { next = clear + 2; width = minCode + 1; prev = -1 }
+      else if (code == eoi) {
+        return if (outN == nPixels) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code after reset: literal only
+        if (outN < nPixels) { out(outN) = code; outN += 1 }
+        prev = code
+      } else {
+        if (code > next || code == eoi || code == clear) return None
+        // materialize string(code) — for KwKwK (code == next) it is
+        // string(prev) + first(prev)
+        var sp = 0
+        var c = if (code == next) prev else code
+        if (code == next) { stack(sp) = firstChar(prefix, c, clear); sp += 1 }
+        while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        stack(sp) = c; sp += 1
+        val first = c
+        while (sp > 0) {
+          sp -= 1
+          if (outN < nPixels) { out(outN) = stack(sp); outN += 1 }
+        }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+      if (outN == nPixels && prev != -1) {
+        // raster complete; accept with or without a trailing EOI
+        return Some(out)
+      }
+    }
+    if (outN == nPixels) Some(out) else None
+  }
+
+  private def firstChar(prefix: Array[Int], code: Int, clear: Int): Int = {
+    var c = code
+    while (c >= clear + 2) c = prefix(c)
+    c
+  }
+
+  /** Decode ONE image-descriptor block (offset `i` points at 0x2C) to
+    * its LUMA raster: concatenate the LZW data sub-blocks, [[lzwDecode]]
+    * the palette indices (full variable-width decode — table growth,
+    * width bumps, CLEAR resets, KwKwK), undo four-pass interlacing when
+    * flagged, and map the active palette (local over global) to BT.601
+    * integer luma `(299R+587G+114B) div 1000` — the same weighting as
+    * the PNG path, so every downstream pixel operator is
+    * format-agnostic. Frame dims are the DESCRIPTOR's (the raster that
+    * actually decodes); out-of-palette indices clamp to luma 0. Returns
+    * (w, h, luma, offset-past-this-frame), or None for missing
+    * palettes, truncated chains, or an LZW stream that does not cover
+    * the raster. */
+  private def gifFrameAt(b: Array[Byte], i: Int, gctSize: Int)
+      : Option[(Int, Int, Array[Int], Int)] = {
+    if (i + 10 > b.length || u8(b, i) != 0x2c) return None
+    val iw = le16(b, i + 5); val ih = le16(b, i + 7)
+    val ipacked = u8(b, i + 9)
+    val interlaced = (ipacked & 0x40) != 0
+    val lctSize = if ((ipacked & 0x80) != 0) 1 << ((ipacked & 7) + 1) else 0
+    val (palOff, palSize) =
+      if (lctSize > 0) (i + 10, lctSize) else (13, gctSize)
+    if (palSize == 0) return None
+    if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 26)) return None
+    var j = i + 10 + 3 * lctSize
+    if (j >= b.length) return None
+    val minCode = u8(b, j); j += 1
+    val dat = new java.io.ByteArrayOutputStream()
+    while (j < b.length && u8(b, j) != 0) {
+      val len = u8(b, j)
+      if (j + 1 + len > b.length) return None
+      dat.write(b, j + 1, len)
+      j += 1 + len
+    }
+    if (j >= b.length) return None // missing sub-block terminator
+    val after = j + 1
+    val idx = lzwDecode(dat.toByteArray, minCode, iw * ih)
+      .getOrElse(return None)
+    // interlace pass schedule (row of decode order -> raster row)
+    val rowMap = new Array[Int](ih)
+    if (interlaced) {
+      var r = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+        var y = start
+        while (y < ih) { rowMap(r) = y; r += 1; y += step }
+      }
+    } else {
+      var y = 0
+      while (y < ih) { rowMap(y) = y; y += 1 }
+    }
+    val lum = new Array[Int](iw * ih)
+    var r = 0
+    while (r < ih) {
+      val dest = rowMap(r) * iw
+      val src = r * iw
+      var x = 0
+      while (x < iw) {
+        val pi = idx(src + x)
+        lum(dest + x) =
+          if (pi >= palSize) 0
+          else {
+            val p = palOff + pi * 3
+            (299 * (b(p) & 0xff) + 587 * (b(p + 1) & 0xff) +
+              114 * (b(p + 2) & 0xff)) / 1000
+          }
+        x += 1
+      }
+      r += 1
+    }
+    Some((iw, ih, lum, after))
+  }
+
+  private def gifSkipSubBlocks(b: Array[Byte], from: Int): Int = {
+    var j = from
+    while (j < b.length && u8(b, j) != 0) j += 1 + u8(b, j)
+    j + 1
+  }
+
+  /** Decode every `stride`-th frame of a GIF87a/89a (frames 0, stride,
+    * 2·stride, …, up to `maxFrames` kept — the scale guard for hostile
+    * frame counts) as independent LUMA rasters via [[gifFrameAt]],
+    * returning (original frame index, w, h, luma). UNSAMPLED frames are
+    * never LZW-decoded — only their sub-block chain is walked
+    * (length-prefix hops, O(bytes/255)), which is what makes stride
+    * sampling a real cost saver on long animations, not a decode-then-
+    * discard. Contract: each frame is decoded AT ITS DESCRIPTOR DIMS
+    * with no canvas compositing or disposal — the right semantics for
+    * fingerprint/sampling pipelines (every stored raster is hashed as
+    * the encoder wrote it), documented in lieu of GIF's animation
+    * render model. Extensions (graphic control, comments, app blocks)
+    * between frames are walked and skipped. Returns None for a
+    * non-GIF / truncated / block-corrupt container or any SAMPLED frame
+    * whose LZW stream fails — partial decodes do not masquerade as
+    * short animations. */
+  private[graft] def gifFrames(
+      b: Array[Byte], maxFrames: Int, stride: Int = 1)
+      : Option[Vector[(Int, Int, Int, Array[Int])]] = {
+    require(stride >= 1, s"bad frame stride $stride")
+    if (gifDims(b).forall(_._3 < 1)) return None // also rejects non-GIF
+    val packed = u8(b, 10)
+    val gctSize = if ((packed & 0x80) != 0) 1 << ((packed & 7) + 1) else 0
+    var i = 13 + 3 * gctSize
+    val out = Vector.newBuilder[(Int, Int, Int, Array[Int])]
+    var frame = 0
+    var kept = 0
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x3b => return Some(out.result())
+        case 0x21 =>
+          if (i + 2 > b.length) return None
+          i = gifSkipSubBlocks(b, i + 2)
+        case 0x2c =>
+          if (kept == maxFrames) return Some(out.result()) // cap: stop early
+          if (frame % stride == 0) {
+            gifFrameAt(b, i, gctSize) match {
+              case Some((w, h, lum, after)) =>
+                out += ((frame, w, h, lum)); kept += 1; i = after
+              case None => return None
+            }
+          } else {
+            // skip without decoding: descriptor + optional LCT +
+            // min-code byte + sub-block walk
+            if (i + 10 >= b.length) return None
+            val lct = u8(b, i + 9)
+            val lctSize =
+              if ((lct & 0x80) != 0) 3 * (1 << ((lct & 7) + 1)) else 0
+            i = gifSkipSubBlocks(b, i + 10 + lctSize + 1)
+          }
+          frame += 1
+        case _ => return None
+      }
+    }
+    None // ran off the end: truncated
+  }
+
+  /** Decode the FIRST frame of a GIF87a/89a to a per-pixel integer LUMA
+    * raster (the [[gifFrames]] walk stopped at one frame). */
+  private[graft] def gifPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    gifFrames(b, 1).flatMap(_.headOption).map { case (_, w, h, l) => (w, h, l) }
+
+  /** Full uncompressed-BMP (BI_RGB) decode to integer LUMA: 14-byte
+    * file header (data offset at 10), BITMAPINFOHEADER-or-later DIB
+    * (size ≥ 40 — V4/V5 headers just extend it; the palette starts at
+    * 14+dibSize), signed height (negative = top-down row order, the
+    * documented Windows convention; positive = bottom-up), 4-byte row
+    * padding, and either 8-bit paletted (BGRA quads, biClrUsed or 256)
+    * or 24-bit BGR pixels — all public file-format knowledge. Same
+    * BT.601 luma as PNG/GIF. Returns None for compressed BMPs
+    * (RLE or bitfields), other depths, truncated pixel arrays, or a
+    * palette that overruns the data offset. */
+  private[graft] def bmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER not supported
+    val w = le32(b, 18).toInt
+    val hRaw = le32(b, 22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (le16(b, 26) != 1) return None // planes
+    val bpp = le16(b, 28)
+    if (le32(b, 30) != 0L) return None // BI_RGB only
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    if (bpp != 8 && bpp != 24) return None
+    val rowBytes = ((w.toLong * bpp + 31L) / 32L) * 4L
+    if (dataOff < 0 || dataOff + rowBytes * h > b.length) return None
+    val palOff = 14 + dibSize.toInt
+    val palSize =
+      if (bpp != 8) 0
+      else {
+        val used = le32(b, 46).toInt
+        val n = if (used == 0) 256 else used
+        if (palOff + 4L * n > dataOff) return None // palette must fit
+        n
+      }
+    val lum = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val r = if (topDown) y else h - 1 - y
+      val rowOff = dataOff + r * rowBytes
+      var x = 0
+      while (x < w) {
+        val (bb, gg, rr) =
+          if (bpp == 24) {
+            val p = (rowOff + 3L * x).toInt
+            (u8(b, p), u8(b, p + 1), u8(b, p + 2))
+          } else {
+            val pi = u8(b, (rowOff + x).toInt)
+            if (pi >= palSize) (0, 0, 0)
+            else {
+              val p = palOff + 4 * pi // BGRA quad
+              (u8(b, p), u8(b, p + 1), u8(b, p + 2))
+            }
+          }
+        lum(y * w + x) = (299 * rr + 587 * gg + 114 * bb) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, lum))
+  }
+
+  /** Format-agnostic pixel decode: PNG ([[pngPixels]]), GIF
+    * ([[gifPixels]]), or BMP ([[bmpPixels]]) by magic-byte sniff —
+    * every luma-raster operator (perceptual hashes, pixel stats,
+    * entropy, resize) accepts any of them through this one dispatch
+    * point; a new codec lands here once. */
+  private[graft] def decodePixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P') pngPixels(b)
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') gifPixels(b)
+    else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') bmpPixels(b)
+    else None
+
   /** Exact area-average downsample of a luma raster to a gw×gh grid:
     * cell (gx,gy) floors the mean over pixel block
     * [gx·w div gw, (gx+1)·w div gw) × [gy·h div gh, (gy+1)·h div gh)
@@ -496,7 +859,7 @@ object Multimodal {
   }
 
   private def hashOne(id: Long, content: Array[Byte]): MediaHashes =
-    pngPixels(content) match {
+    decodePixels(content) match {
       case None => MediaHashes(id, None, None, None, None, None, None, None, None)
       case Some((w, h, lum)) =>
         // aHash: 8×8 area grid, threshold vs the floored grid mean
@@ -582,7 +945,7 @@ object Multimodal {
       lit("image").as("mediaType"),
       col(binCol).cast("binary").as("content")).as[MediaRecord]
     ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
-        pngPixels(r.content) match {
+        decodePixels(r.content) match {
           case None => MediaPixelStats(r.id, None, None, None, None,
             None, None, None, None, None)
           case Some((w, h, lum)) =>
@@ -650,7 +1013,7 @@ object Multimodal {
       col(binCol).cast("binary").as("content")).as[MediaRecord]
     def lnq(x: Long): Long = math.rint(math.log(x.toDouble) * 1e8).toLong
     ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
-        pngPixels(r.content) match {
+        decodePixels(r.content) match {
           case None => MediaEntropy(r.id, None, None, None, None, None)
           case Some((w, h, lum)) =>
             val hist = new Array[Long](16)
@@ -694,7 +1057,7 @@ object Multimodal {
       lit("image").as("mediaType"),
       col(binCol).cast("binary").as("content")).as[MediaRecord]
     ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
-        pngPixels(r.content) match {
+        decodePixels(r.content) match {
           case None => MediaResize(r.id, None, None, outW, outH, None)
           case Some((w, h, lum)) =>
             val g = areaGrid(lum, w, h, outW, outH)
@@ -702,6 +1065,143 @@ object Multimodal {
             var i = 0
             while (i < g.length) { fp = (fp * 31L + g(i)) % P; i += 1 }
             MediaResize(r.id, Some(w), Some(h), outW, outH, Some(fp))
+        }
+      }))
+      .toDF()
+  }
+
+  /** Quantized DFT basis for bin k over a `window`-point frame:
+    * (cosq, sinq) with cosq(i) = round(1e4·cos(2πki/window)), sinq(i) =
+    * round(1e4·sin(2πki/window)) — driver-computed longs shared
+    * VERBATIM with the DuckDB oracle (the [[dctTableQ]] discipline), so
+    * the per-window correlations Σv·cosq / Σv·sinq stay exact integer
+    * arithmetic end to end. */
+  def dftTableQ(window: Int, k: Int): (Seq[Long], Seq[Long]) = (
+    (0 until window).map(i =>
+      math.round(1e4 * math.cos(2.0 * math.Pi * k * i / window))),
+    (0 until window).map(i =>
+      math.round(1e4 * math.sin(2.0 * math.Pi * k * i / window))))
+
+  /** One exact per-(window, bin) spectral row: the quantized-basis DFT
+    * correlations re = Σv·cosq, im = Σv·sinq (EXACT BIGINTs — |re| ≤
+    * window·32768·10⁴ ≈ 2·10¹³ even at full scale) and the bin power
+    * re² + im² as ONE fixed-shape IEEE readout (the squares exceed
+    * BIGINT at full scale, so power is the documented float surface;
+    * re/im carry the exactness). */
+  final case class AudioSpectrumRow(
+      id: Long, win: Long, n_samples: Long, bin: Int,
+      re: Long, im: Long, power: Double)
+
+  /** Windowed quantized-DFT filterbank over 16-bit PCM — the tone /
+    * band-energy featurizer beside [[wavWindowEnergy]] (broadband) and
+    * [[wavWindowZcr]] (crossings): per `window`-sample block and
+    * requested bin k, the exact integer correlations against the
+    * quantized k-cycles-per-window basis and their power. A hum
+    * detector keys on one bin; a crude voiced-pitch estimate on the
+    * argmax; a band filterbank on a handful — all from ONE pass over
+    * the samples (bins iterate inside the kernel, samples stream once
+    * per window). Tail windows correlate against the basis PREFIX
+    * (i indexes within-window position). Row-local batched kernel, no
+    * shuffle; output O(windows · bins). */
+  def wavWindowSpectrum(
+      df: DataFrame, idCol: String, binCol: String, window: Int = 64,
+      bins: Seq[Int] = Seq(1, 2, 4, 8), batchSize: Int = 64): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(bins.nonEmpty && bins.forall(k => k >= 0 && k <= window / 2),
+      s"bins must lie in [0, window/2], got $bins")
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val tables = bins.map { k =>
+      val (c, s) = dftTableQ(window, k); (k, (c.toArray, s.toArray))
+    }.toArray
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("audio").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        pcm16Data(r.content) match {
+          case None => Nil
+          case Some((dataOff, n)) =>
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[AudioSpectrumRow]
+            var w = 0
+            while (w.toLong * window < n) {
+              val from = w * window
+              val until = math.min(n, from + window)
+              var b = 0
+              while (b < tables.length) {
+                val (k, (cosq, sinq)) = tables(b)
+                var re = 0L; var im = 0L
+                var j = from
+                while (j < until) {
+                  val v = le16(r.content, dataOff + 2 * j).toShort.toLong
+                  re += v * cosq(j - from)
+                  im += v * sinq(j - from)
+                  j += 1
+                }
+                out += AudioSpectrumRow(r.id, w.toLong,
+                  (until - from).toLong, k, re, im,
+                  re.toDouble * re.toDouble + im.toDouble * im.toDouble)
+                b += 1
+              }
+              w += 1
+            }
+            out.toSeq
+        }
+      }))
+      .toDF()
+  }
+
+  /** One sampled animation frame's fingerprint row: original frame
+    * index, that frame's dims, its 8×8 aHash words, and the hamming
+    * distance to the PREVIOUS SAMPLED frame's aHash (NULL on the first
+    * sampled frame) — the scene-change signal (a cut spikes the
+    * distance; a hold/slow pan stays near 0). Undecodable payloads
+    * surface as one all-NULL row at frame 0. */
+  final case class MediaFrameHash(
+      id: Long, frame: Int, width: Option[Int], height: Option[Int],
+      ahash_lo: Option[Long], ahash_hi: Option[Long],
+      hamming_prev: Option[Long])
+
+  /** Frame sampling + scene-change detection over animated GIFs: decode
+    * every `stride`-th frame ([[gifFrames]] — skipped frames are block-
+    * walked, never LZW-decoded), aHash each sampled raster (8×8 area
+    * grid vs floored mean, the [[perceptualHashes]] kernel), and emit
+    * per-frame rows with the hamming distance between consecutive
+    * sampled fingerprints. Row-local map work (one task decodes one
+    * blob's frames — no shuffle, no state); the per-blob frame cap
+    * `maxFrames` bounds memory against hostile containers. Downstream,
+    * `hamming_prev > threshold` marks cut points for per-scene
+    * sampling, and the per-frame hashes feed [[aHashNearDup]]'s banded
+    * join for cross-video near-dup at corpus scale. */
+  def frameSceneChange(
+      df: DataFrame, idCol: String, binCol: String,
+      maxFrames: Int = 64, stride: Int = 1, batchSize: Int = 16): DataFrame = {
+    require(maxFrames >= 1, s"bad frame cap $maxFrames")
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("video").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        gifFrames(r.content, maxFrames, stride) match {
+          case None =>
+            Seq(MediaFrameHash(r.id, 0, None, None, None, None, None))
+          case Some(frames) =>
+            var prev: Option[(Long, Long)] = None
+            frames.map { case (f, w, h, lum) =>
+              val g8 = areaGrid(lum, w, h, 8, 8)
+              val mean = g8.sum / 64L
+              val (alo, ahi) = packBits(k => g8(k) > mean)
+              val ham = prev.map { case (plo, phi) =>
+                (java.lang.Long.bitCount(alo ^ plo) +
+                  java.lang.Long.bitCount(ahi ^ phi)).toLong
+              }
+              prev = Some((alo, ahi))
+              MediaFrameHash(r.id, f, Some(w), Some(h),
+                Some(alo), Some(ahi), ham)
+            }
         }
       }))
       .toDF()
@@ -904,5 +1404,137 @@ object MediaFixtures {
       fHex, be32h(adler), //                  stored block + real Adler-32
       lit("00000000"), //                                          IDAT CRC
       lit("00000000" + "49454E44" + "AE426082")) //                    IEND
+  }
+
+  /** A COMPLETE valid GIF89a carrying the [[pixelFormula]] raster as
+    * REAL LZW-compressed pixel data. The palette is the 256-entry gray
+    * ramp (entry i = (i,i,i), so decoded BT.601 luma == the palette
+    * index == the formula value), and the code stream interleaves a
+    * CLEAR before every literal — [CLEAR, p₀, CLEAR, p₁, …, EOI] — the
+    * one LZW stream a column expression can emit: the dictionary never
+    * grows past its base, so every code is exactly 9 bits and byte i of
+    * the LSB-first packing closes over at most two codes
+    * (`(c(⌊8i/9⌋) >> 8i mod 9 | c(⌊8i/9⌋+1) << 9−8i mod 9) & 255`).
+    * A DECODER cannot shortcut it: each literal still round-trips the
+    * full variable-width machinery (reset → literal → reset), and the
+    * spec separately covers growing-table streams via an independent
+    * javax.imageio encoder. Data rides proper ≤255-byte sub-blocks;
+    * image descriptor at (0,0), no local table, non-interlaced. */
+  def gifPixelHex(w: Column, h: Column, seed: Column): Column = {
+    val wl = w.cast("long"); val hl = h.cast("long")
+    concat(
+      lit("474946383961"), le16h(wl), le16h(hl), //   GIF89a + screen w/h
+      lit("F70000"), //   GCT present, 256 entries, bg 0, no aspect ratio
+      lit(gifGrayGctHex), //                              gray-ramp table
+      gifFrameHex(wl, hl, seed.cast("long")), //  one full-canvas frame
+      lit("3B")) //                                               trailer
+  }
+
+  /** 256-entry gray global color table (entry i = (i,i,i)): constant,
+    * a driver literal shared by the single-frame and animated GIF
+    * fixtures. */
+  private val gifGrayGctHex: String =
+    (0 until 256).map(i => f"$i%02X" * 3).mkString
+
+  /** One image-descriptor block (descriptor at (0,0), no local table,
+    * non-interlaced) whose LZW data encodes [[pixelFormula]] at `seed`
+    * via the clear-per-pixel stream — the per-frame unit behind
+    * [[gifPixelHex]] and [[gifAnimHex]]. */
+  private def gifFrameHex(wl: Column, hl: Column, sl: Column): Column = {
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val n = wl * hl
+    val m = n * 2L + 1L // total codes: n CLEARs + n literals + EOI
+    def codeAt(j: Column): Column = {
+      val pi = idiv(j - 1L, lit(2L))
+      when(j >= m, lit(0L)) //               zero-pad past the final code
+        .when(j === m - 1L, lit(257L)) //                             EOI
+        .when(j % 2L === 0L, lit(256L)) //                          CLEAR
+        .otherwise(pixelFormula(pi % wl, idiv(pi, wl), sl))
+    }
+    def pow2(e: Column): Column = // e in 0..9, column-side 2^e
+      when(e === 0L, 1L).when(e === 1L, 2L).when(e === 2L, 4L)
+        .when(e === 3L, 8L).when(e === 4L, 16L).when(e === 5L, 32L)
+        .when(e === 6L, 64L).when(e === 7L, 128L).when(e === 8L, 256L)
+        .otherwise(512L)
+    val nBytes = idiv(m * 9L + 7L, lit(8L))
+    val fHex = concat_ws("", transform(sequence(lit(0L), nBytes - 1L), { i =>
+      val t0 = i * 8L
+      val j0 = idiv(t0, lit(9L))
+      val off = t0 % 9L
+      val b = pmod(
+        idiv(codeAt(j0), pow2(off)) + codeAt(j0 + 1L) * pow2(lit(9L) - off),
+        lit(256L))
+      lpad(hex(b), 2, "0")
+    }))
+    val nb = idiv(nBytes + 254L, lit(255L))
+    val framed = concat_ws("", transform(sequence(lit(0L), nb - 1L), { k =>
+      val sz = least(lit(255L), nBytes - k * 255L)
+      concat(lpad(hex(sz), 2, "0"), fHex.substr(k * 510L + 1L, sz * 2L))
+    }))
+    concat(
+      lit("2C" + "0000" + "0000"), le16h(wl), le16h(hl), //  frame at 0,0
+      lit("00"), //                          no local table, no interlace
+      lit("08"), //                                     LZW min code size
+      framed, lit("00")) //                  data sub-blocks + terminator
+  }
+
+  /** A COMPLETE valid 8-bit paletted BMP (BI_RGB, BITMAPINFOHEADER)
+    * carrying the [[pixelFormula]] raster: gray-ramp BGRA palette
+    * (entry i = (i,i,i,0), so decoded luma == index == formula), rows
+    * stored BOTTOM-UP (positive height — the decoder must reverse row
+    * order; a top-down misread flips the raster and every
+    * row-order-sensitive stat) with 4-byte row padding zeroed. Pure
+    * column arithmetic; the uncompressed format needs no stream
+    * machinery at all, which is exactly why it earns its keep as the
+    * third codec: byte layout, not entropy coding, is what it proves. */
+  def bmpPixelHex(w: Column, h: Column, seed: Column): Column = {
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val wl = w.cast("long"); val hl = h.cast("long")
+    val sl = seed.cast("long")
+    val rowBytes = idiv(wl + 3L, lit(4L)) * 4L
+    val imgSize = hl * rowBytes
+    val dataHex = concat_ws("", transform(sequence(lit(0L), imgSize - 1L), { i =>
+      val r = idiv(i, rowBytes)
+      val x = i % rowBytes
+      val v = when(x >= wl, lit(0L))
+        .otherwise(pixelFormula(x, hl - 1L - r, sl))
+      lpad(hex(v), 2, "0")
+    }))
+    // 256-entry gray BGRA palette: constant, a driver literal
+    val palHex = (0 until 256).map(i => f"$i%02X" * 3 + "00").mkString
+    concat(
+      lit("424D"), le32h(imgSize + 1078L), //       "BM" + file size
+      lit("00000000"), le32h(lit(1078L)), //   reserved + data offset
+      lit("28000000"), le32h(wl), le32h(hl), //  DIB 40, w, h bottom-up
+      lit("0100" + "0800"), lit("00000000"), //  planes 1, 8 bpp, BI_RGB
+      le32h(imgSize), lit("00000000" + "00000000"), //  size, ppm x/y
+      le32h(lit(256L)), le32h(lit(0L)), //   colors used / important
+      lit(palHex), dataHex)
+  }
+
+  /** An ANIMATED GIF89a: `nFrames` full-canvas frames, frame f carrying
+    * the [[pixelFormula]] raster at seed `seed + 17·(f div 2)` — frames
+    * come in identical PAIRS separated by cuts, so a scene-change
+    * detector must report BOTH holds (hamming 0) and cuts (large
+    * hamming), and the oracle can replay any frame in closed form.
+    * Each frame is preceded by a graphic-control extension (delay 5 cs,
+    * no disposal/transparency) — the extension is there so a frame
+    * walker that cannot skip extension blocks between descriptors fails
+    * loudly. Same gray-ramp GCT and clear-per-pixel LZW streams as
+    * [[gifPixelHex]]. */
+  def gifAnimHex(
+      w: Column, h: Column, nFrames: Column, seed: Column): Column = {
+    val wl = w.cast("long"); val hl = h.cast("long")
+    val sl = seed.cast("long")
+    val frames = concat_ws("",
+      transform(sequence(lit(0L), nFrames.cast("long") - 1L), { f =>
+        concat(
+          lit("21F9040005000000"), //  GCE: size 4, packed 0, delay 5, term
+          gifFrameHex(wl, hl, sl + floor(f / 2L).cast("long") * 17L))
+      }))
+    concat(
+      lit("474946383961"), le16h(wl), le16h(hl), //   GIF89a + screen w/h
+      lit("F70000"), lit(gifGrayGctHex), //        GCT header + gray ramp
+      frames, lit("3B"))
   }
 }

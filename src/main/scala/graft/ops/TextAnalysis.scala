@@ -617,6 +617,47 @@ object TextAnalysis {
             col("n_lines").cast("double")).as("boiler_ratio"))
   }
 
+  /** Corpus-wide duplicate-line removal (the CCNet/RefinedWeb scrub:
+    * drop every repeated paragraph/line ACROSS the corpus, keeping only
+    * its FIRST occurrence in (doc, position) order — boilerplate and
+    * mirrored content vanish while one canonical copy survives). Lines
+    * are `sep`-split, trimmed, empties dropped; the keep decision is
+    * `(doc_id, line_no) == argmin over the line's occurrences`. Emits
+    * per doc: (id, n_lines, n_kept, kept_md5) where kept_md5
+    * fingerprints the kept lines rejoined by `\n` in original order —
+    * the verifiable stand-in for shipping scrubbed bodies.
+    *
+    * Scale: ONE shuffle keyed by line content (the natural partition
+    * key — identical lines co-locate), an argmin aggregate (map-side
+    * combinable; never a corpus-wide window), a same-key join back,
+    * and a per-doc re-aggregate. Heavily duplicated lines make the
+    * aggregate's combiner do the collapsing map-side; the join's build
+    * side is O(distinct lines). */
+  def corpusLineDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), sep)).as(Seq("__pos", "__raw")))
+      .select(col("__id"), col("__pos"), trim(col("__raw")).as("__line"))
+      .where(col("__line") =!= "")
+    val first = lines.groupBy(col("__line"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__f"))
+    lines.join(first, "__line")
+      .withColumn("__keep",
+        col("__id") === col("__f.__id") && col("__pos") === col("__f.__pos"))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("__pos"), col("__line"))))),
+            s => s.getField("__line")),
+          "\n").cast("binary")).as("kept_md5"))
+  }
+
   /** Lexical-diversity profile — TTR and hapax ratio per document, the
     * quality signals that separate natural prose (rich vocabulary, long
     * hapax tail) from template/boilerplate/spam text (few types, no
