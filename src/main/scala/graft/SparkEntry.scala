@@ -239,6 +239,30 @@ object SparkEntry {
       "lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 8, '0') || " +
       "lpad(CAST(doc_id * 104729 % 100000000 AS VARCHAR), 8, '0')"
 
+  /** Image-gate fixtures, kernel-built (byte-identical to the column
+    * hex builders — FixtureParitySpec): (doc_id, content) with dims
+    * keyed off doc_id exactly as the oracles replay them. The kernel
+    * path keeps fixture generation off the timed decoder path. */
+  private def pngFixture(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"), "doc_id", id =>
+      graft.multimodal.MediaFixtures.pngPixelBytes(
+        (id % 24 + 9).toInt, (id % 16 + 8).toInt, id % 97))
+
+  private def gifFixture(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"), "doc_id", id =>
+      graft.multimodal.MediaFixtures.gifPixelBytes(
+        (id % 21 + 7).toInt, (id % 13 + 6).toInt, id % 89))
+
+  private def mixedCodecFixture(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"), "doc_id", { id =>
+      val (w, h, sd) = ((id % 19 + 8).toInt, (id % 11 + 7).toInt, id % 83)
+      (id % 3) match {
+        case 0 => graft.multimodal.MediaFixtures.pngPixelBytes(w, h, sd)
+        case 1 => graft.multimodal.MediaFixtures.gifPixelBytes(w, h, sd)
+        case _ => graft.multimodal.MediaFixtures.bmpPixelBytes(w, h, sd)
+      }
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("o1_dedup_latest_wins")(spark, "/root/testdata/sf0.001")
@@ -698,11 +722,11 @@ object SparkEntry {
       val tmp = Files.createTempDirectory("graft_s23_").toString
       val cfg = IngestConfig(name = s"s23-mediadedup-${System.nanoTime()}",
         checkpointDir = Some(s"$tmp/ckpt"))
-      val id = col("doc_id")
-      val docs = graft.engine.Sources
-        .parquet(s, cfg, batchSchema, s"$dir/documents.parque[t]")
-        .select(id, unhex(graft.multimodal.MediaFixtures.pngPixelHex(
-          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      val docs = graft.multimodal.MediaFixtures.withFixtureBytes(
+        graft.engine.Sources
+          .parquet(s, cfg, batchSchema, s"$dir/documents.parque[t]"),
+        "doc_id", id => graft.multimodal.MediaFixtures.pngPixelBytes(
+          (id % 24 + 9).toInt, (id % 16 + 8).toInt, id % 97))
       val hashed = Multimodal.perceptualHashes(docs, "doc_id", "content")
         .select(col("ahash_lo"), col("ahash_hi"))
       appendStream(s, graft.streaming.StreamDedup.exact(
@@ -3787,10 +3811,7 @@ object SparkEntry {
     //      popcount verify; never all-pairs ----
     "mm_ahash_neardup" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val d = t(s, dir, "documents").select(id,
-        unhex(MediaFixtures.pngPixelHex(
-          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      val d = pngFixture(s, dir)
       Multimodal.aHashNearDup(
         Multimodal.perceptualHashes(d, "doc_id", "content"),
         "id", maxHamming = 6)
@@ -3802,10 +3823,7 @@ object SparkEntry {
     //      basis, median-of-AC cut ----
     "mm_phash" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val d = t(s, dir, "documents").select(id,
-        unhex(MediaFixtures.pngPixelHex(
-          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      val d = pngFixture(s, dir)
       Multimodal.perceptualHashes(d, "doc_id", "content")
         .select(col("id"), col("phash_lo"), col("phash_hi"))
     }),
@@ -3815,10 +3833,7 @@ object SparkEntry {
     //      brightness-shift-immune, same decode kernel as aHash/pHash ----
     "mm_dhash" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val d = t(s, dir, "documents").select(id,
-        unhex(MediaFixtures.pngPixelHex(
-          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      val d = pngFixture(s, dir)
       Multimodal.perceptualHashes(d, "doc_id", "content")
         .select(col("id"), col("dhash_lo"), col("dhash_hi"))
     }),
@@ -3828,10 +3843,7 @@ object SparkEntry {
     //      over REAL decoded PNG rasters ----
     "mm_pixel_stats" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val d = t(s, dir, "documents").select(id,
-        unhex(MediaFixtures.pngPixelHex(
-          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      val d = pngFixture(s, dir)
       Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
     }),
 
@@ -3840,10 +3852,7 @@ object SparkEntry {
     //      (quantized-ln exact-integer discipline) ----
     "mm_luma_entropy" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val d = t(s, dir, "documents").select(id,
-        unhex(MediaFixtures.pngPixelHex(
-          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      val d = pngFixture(s, dir)
       Multimodal.lumaEntropy(d, "doc_id", "content")
     }),
 
@@ -3852,10 +3861,7 @@ object SparkEntry {
     //      polynomial hash the oracle replays from the closed form) ----
     "mm_resize_pixels" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val d = t(s, dir, "documents").select(id,
-        unhex(MediaFixtures.pngPixelHex(
-          id % 24 + 9L, id % 16 + 8L, id % 97)).as("content"))
+      val d = pngFixture(s, dir)
       Multimodal.resizePixels(d, "doc_id", "content", outW = 6, outH = 5)
     }),
 
@@ -3867,10 +3873,7 @@ object SparkEntry {
     //      falling through to the wrong codec cannot match. ----
     "mm_gif_pixel_stats" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val d = t(s, dir, "documents").select(id,
-        unhex(MediaFixtures.gifPixelHex(
-          id % 21 + 7L, id % 13 + 6L, id % 89)).as("content"))
+      val d = gifFixture(s, dir)
       Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
     }),
 
@@ -3879,10 +3882,7 @@ object SparkEntry {
     //      raster (the full-raster proof: every grid cell must match) ----
     "mm_gif_resize" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val d = t(s, dir, "documents").select(id,
-        unhex(MediaFixtures.gifPixelHex(
-          id % 21 + 7L, id % 13 + 6L, id % 89)).as("content"))
+      val d = gifFixture(s, dir)
       Multimodal.resizePixels(d, "doc_id", "content", outW = 5, outH = 4)
     }),
 
@@ -3893,12 +3893,7 @@ object SparkEntry {
     //      replays the formula codec-blind. ----
     "mm_mixed_codec_stats" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val (w, h, sd) = (id % 19 + 8L, id % 11 + 7L, id % 83)
-      val d = t(s, dir, "documents").select(id,
-        unhex(when(id % 3 === 0, MediaFixtures.pngPixelHex(w, h, sd))
-          .when(id % 3 === 1, MediaFixtures.gifPixelHex(w, h, sd))
-          .otherwise(MediaFixtures.bmpPixelHex(w, h, sd))).as("content"))
+      val d = mixedCodecFixture(s, dir)
       Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
     }),
 
@@ -3908,10 +3903,9 @@ object SparkEntry {
     //      GIF twins) ----
     "mm_bmp_resize" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val d = t(s, dir, "documents").select(id,
-        unhex(MediaFixtures.bmpPixelHex(
-          id % 18 + 9L, id % 7 + 6L, id % 79)).as("content"))
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"),
+        "doc_id", id => MediaFixtures.bmpPixelBytes(
+          (id % 18 + 9).toInt, (id % 7 + 6).toInt, id % 79))
       Multimodal.resizePixels(d, "doc_id", "content", outW = 7, outH = 3)
     }),
 
@@ -3923,10 +3917,10 @@ object SparkEntry {
     //      both appear and the oracle predicts each frame exactly. ----
     "mm_gif_scene_change" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
-      val id = col("doc_id")
-      val d = t(s, dir, "documents").select(id,
-        unhex(MediaFixtures.gifAnimHex(
-          id % 14 + 8L, id % 9 + 8L, id % 4 + 2L, id % 73)).as("content"))
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"),
+        "doc_id", id => MediaFixtures.gifAnimBytes(
+          (id % 14 + 8).toInt, (id % 9 + 8).toInt, (id % 4 + 2).toInt,
+          id % 73))
       Multimodal.frameSceneChange(d, "doc_id", "content", maxFrames = 8)
     }),
 

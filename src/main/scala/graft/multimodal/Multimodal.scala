@@ -1436,46 +1436,248 @@ object MediaFixtures {
   private val gifGrayGctHex: String =
     (0 until 256).map(i => f"$i%02X" * 3).mkString
 
+  /** Evaluate `x` ONCE and reference it as a bound lambda variable
+    * inside `f` — Spark's interpreted higher-order functions re-evaluate
+    * lambda-CAPTURED child expressions per element (the ops/NearDup
+    * hazard), but a lambda PARAMETER is a materialized value, so
+    * element_at/substr reads on it are O(1). `array(x)` evaluates x
+    * exactly once; the single-element transform applies f to it. */
+  private def bindOnce(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
+
   /** One image-descriptor block (descriptor at (0,0), no local table,
     * non-interlaced) whose LZW data encodes [[pixelFormula]] at `seed`
     * via the clear-per-pixel stream — the per-frame unit behind
-    * [[gifPixelHex]] and [[gifAnimHex]]. */
+    * [[gifPixelHex]] and [[gifAnimHex]]. Staged through [[bindOnce]]:
+    * the code stream materializes once as an array, the packed hex
+    * once as a string — without the binding, every packed byte
+    * re-evaluated two full code-expression trees and every sub-block
+    * re-built the whole hex string (measured 30×+ on the gates). */
   private def gifFrameHex(wl: Column, hl: Column, sl: Column): Column = {
     def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
     val n = wl * hl
     val m = n * 2L + 1L // total codes: n CLEARs + n literals + EOI
-    def codeAt(j: Column): Column = {
-      val pi = idiv(j - 1L, lit(2L))
-      when(j >= m, lit(0L)) //               zero-pad past the final code
-        .when(j === m - 1L, lit(257L)) //                             EOI
-        .when(j % 2L === 0L, lit(256L)) //                          CLEAR
-        .otherwise(pixelFormula(pi % wl, idiv(pi, wl), sl))
-    }
     def pow2(e: Column): Column = // e in 0..9, column-side 2^e
       when(e === 0L, 1L).when(e === 1L, 2L).when(e === 2L, 4L)
         .when(e === 3L, 8L).when(e === 4L, 16L).when(e === 5L, 32L)
         .when(e === 6L, 64L).when(e === 7L, 128L).when(e === 8L, 256L)
         .otherwise(512L)
     val nBytes = idiv(m * 9L + 7L, lit(8L))
-    val fHex = concat_ws("", transform(sequence(lit(0L), nBytes - 1L), { i =>
-      val t0 = i * 8L
-      val j0 = idiv(t0, lit(9L))
-      val off = t0 % 9L
-      val b = pmod(
-        idiv(codeAt(j0), pow2(off)) + codeAt(j0 + 1L) * pow2(lit(9L) - off),
-        lit(256L))
-      lpad(hex(b), 2, "0")
-    }))
-    val nb = idiv(nBytes + 254L, lit(255L))
-    val framed = concat_ws("", transform(sequence(lit(0L), nb - 1L), { k =>
-      val sz = least(lit(255L), nBytes - k * 255L)
-      concat(lpad(hex(sz), 2, "0"), fHex.substr(k * 510L + 1L, sz * 2L))
-    }))
-    concat(
-      lit("2C" + "0000" + "0000"), le16h(wl), le16h(hl), //  frame at 0,0
-      lit("00"), //                          no local table, no interlace
-      lit("08"), //                                     LZW min code size
-      framed, lit("00")) //                  data sub-blocks + terminator
+    // the full 9-bit code stream, zero-padded one code past EOI so the
+    // byte packer's j0+1 lookup never runs off the end
+    val codesArr = transform(sequence(lit(0L), m), { j =>
+      val pi = idiv(j - 1L, lit(2L))
+      when(j >= m, lit(0L)) //               zero-pad past the final code
+        .when(j === m - 1L, lit(257L)) //                             EOI
+        .when(j % 2L === 0L, lit(256L)) //                          CLEAR
+        .otherwise(pixelFormula(pi % wl, idiv(pi, wl), sl))
+    })
+    bindOnce(codesArr) { codes =>
+      val fHexE = concat_ws("",
+        transform(sequence(lit(0L), nBytes - 1L), { i =>
+          val t0 = i * 8L
+          val j0 = idiv(t0, lit(9L))
+          val off = t0 % 9L
+          val b = pmod(
+            idiv(element_at(codes, (j0 + 1L).cast("int")), pow2(off)) +
+              element_at(codes, (j0 + 2L).cast("int")) * pow2(lit(9L) - off),
+            lit(256L))
+          lpad(hex(b), 2, "0")
+        }))
+      bindOnce(fHexE) { fHex =>
+        val nb = idiv(nBytes + 254L, lit(255L))
+        val framed = concat_ws("",
+          transform(sequence(lit(0L), nb - 1L), { k =>
+            val sz = least(lit(255L), nBytes - k * 255L)
+            concat(lpad(hex(sz), 2, "0"), fHex.substr(k * 510L + 1L, sz * 2L))
+          }))
+        concat(
+          lit("2C" + "0000" + "0000"), le16h(wl), le16h(hl), // frame at 0,0
+          lit("00"), //                      no local table, no interlace
+          lit("08"), //                                 LZW min code size
+          framed, lit("00")) //              data sub-blocks + terminator
+      }
+    }
+  }
+
+  // ---- Kernel twins of the column fixture builders --------------------
+  //
+  // The hex-column builders above are the spec-verified contract (pure
+  // column arithmetic, no driver loop), but Spark's higher-order
+  // functions are interpreted — at gate scale (5000 docs × ~600 bytes)
+  // they price seconds of pure harness work per query. These Scala
+  // builders emit BYTE-IDENTICAL payloads (FixtureParitySpec pins
+  // kernel == unhex(column) across a dims grid, multi-sub-block streams
+  // included); the gates use them through one mapPartitions so the
+  // timed path measures the DECODER, not fixture generation.
+
+  /** [[pixelFormula]] in kernel form. */
+  def pixelFormulaV(x: Long, y: Long, seed: Long): Int =
+    (((31L * x + 47L * y + 7L * x * y + 101L * seed) % 256L + 256L) % 256L)
+      .toInt
+
+  /** Byte twin of [[pngPixelHex]]: same cycling filters, stored-block
+    * zlib, real Adler-32, zeroed chunk CRCs. */
+  def pngPixelBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val rowLen = w + 1
+    val lenF = h * rowLen
+    require(lenF <= 65535, s"raster too large for one stored block: $lenF")
+    val f = new Array[Int](lenF)
+    def pix(x: Int, y: Int): Int =
+      if (x < 0 || y < 0) 0 else pixelFormulaV(x, y, seed)
+    var pos = 0
+    while (pos < lenF) {
+      val y = pos / rowLen
+      val k = pos % rowLen
+      val x = k - 1
+      val ft = y % 5
+      f(pos) =
+        if (k == 0) ft
+        else {
+          val cur = pix(x, y); val left = pix(x - 1, y)
+          val up = pix(x, y - 1); val ul = pix(x - 1, y - 1)
+          val p = left + up - ul
+          val pa = math.abs(p - left); val pb = math.abs(p - up)
+          val pc = math.abs(p - ul)
+          val paeth =
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          ft match {
+            case 0 => cur
+            case 1 => ((cur - left) % 256 + 256) % 256
+            case 2 => ((cur - up) % 256 + 256) % 256
+            case 3 => ((cur - (left + up) / 2) % 256 + 256) % 256
+            case _ => ((cur - paeth) % 256 + 256) % 256
+          }
+        }
+      pos += 1
+    }
+    var a = 1L; var b = 0L
+    f.foreach { d => a = (a + d) % 65521L; b = (b + a) % 65521L }
+    val adler = b * 65536L + a
+    val bb = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    bb.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    be32(13); bb.write("IHDR".getBytes); be32(w.toLong); be32(h.toLong)
+    bb.write(8); bb.write(0); bb.write(0); bb.write(0); bb.write(0)
+    be32(0) // IHDR CRC (decoder-lenient)
+    be32(lenF + 11L); bb.write("IDAT".getBytes)
+    bb.write(0x78); bb.write(0x01); bb.write(0x01) // zlib + stored final
+    le16(lenF); le16(65535 - lenF)
+    f.foreach(bb.write)
+    be32(adler); be32(0) // real Adler-32, zeroed IDAT CRC
+    be32(0); bb.write("IEND".getBytes)
+    bb.write(Array(0xae, 0x42, 0x60, 0x82).map(_.toByte))
+    bb.toByteArray
+  }
+
+  private def gifFrameBytesInto(
+      bb: java.io.ByteArrayOutputStream, w: Int, h: Int, seed: Long): Unit = {
+    def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    bb.write(0x2c); le16(0); le16(0); le16(w); le16(h); bb.write(0)
+    bb.write(8) // LZW min code size
+    val n = w * h
+    val m = 2 * n + 1
+    val nBytes = (m * 9 + 7) / 8
+    val data = new Array[Byte](nBytes)
+    var j = 0
+    var t = 0
+    while (j < m) {
+      val code =
+        if (j == m - 1) 257
+        else if (j % 2 == 0) 256
+        else {
+          val pi = (j - 1) / 2
+          pixelFormulaV(pi % w, pi / w, seed)
+        }
+      var k = 0
+      while (k < 9) {
+        if (((code >> k) & 1) != 0)
+          data(t >> 3) = (data(t >> 3) | (1 << (t & 7))).toByte
+        t += 1; k += 1
+      }
+      j += 1
+    }
+    var off = 0
+    while (off < nBytes) {
+      val sz = math.min(255, nBytes - off)
+      bb.write(sz); bb.write(data, off, sz); off += sz
+    }
+    bb.write(0)
+  }
+
+  private def gifHeaderInto(
+      bb: java.io.ByteArrayOutputStream, w: Int, h: Int): Unit = {
+    def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    bb.write("GIF89a".getBytes); le16(w); le16(h)
+    bb.write(0xf7); bb.write(0); bb.write(0)
+    var i = 0
+    while (i < 256) { bb.write(i); bb.write(i); bb.write(i); i += 1 }
+  }
+
+  /** Byte twin of [[gifPixelHex]]. */
+  def gifPixelBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    gifHeaderInto(bb, w, h)
+    gifFrameBytesInto(bb, w, h, seed)
+    bb.write(0x3b)
+    bb.toByteArray
+  }
+
+  /** Byte twin of [[gifAnimHex]] (GCE + frame per f, seed steps 17
+    * every second frame). */
+  def gifAnimBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    gifHeaderInto(bb, w, h)
+    var f = 0
+    while (f < nFrames) {
+      bb.write(Array[Byte](0x21, 0xf9.toByte, 4, 0, 5, 0, 0, 0))
+      gifFrameBytesInto(bb, w, h, seed + (f / 2).toLong * 17L)
+      f += 1
+    }
+    bb.write(0x3b)
+    bb.toByteArray
+  }
+
+  /** Byte twin of [[bmpPixelHex]]. */
+  def bmpPixelBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val rowBytes = (w + 3) / 4 * 4
+    val imgSize = h * rowBytes
+    val bb = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    bb.write('B'); bb.write('M'); le32(imgSize + 1078)
+    le32(0); le32(1078)
+    le32(40); le32(w); le32(h); le16(1); le16(8); le32(0); le32(imgSize)
+    le32(0); le32(0); le32(256); le32(0)
+    var i = 0
+    while (i < 256) { bb.write(i); bb.write(i); bb.write(i); bb.write(0); i += 1 }
+    var r = 0
+    while (r < h) {
+      var x = 0
+      while (x < rowBytes) {
+        bb.write(if (x < w) pixelFormulaV(x, h - 1 - r, seed) else 0)
+        x += 1
+      }
+      r += 1
+    }
+    bb.toByteArray
+  }
+
+  /** Gate harness: attach a kernel-built binary fixture column to a
+    * Dataset of ids — one mapPartitions, no shuffle, fixture cost
+    * negligible beside the decoder under test. */
+  def withFixtureBytes(df: DataFrame, idCol: String,
+      build: Long => Array[Byte]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, build(id))))
+      .toDF(idCol, "content")
   }
 
   /** A COMPLETE valid 8-bit paletted BMP (BI_RGB, BITMAPINFOHEADER)
