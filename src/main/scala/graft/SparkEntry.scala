@@ -3937,6 +3937,23 @@ object SparkEntry {
       Multimodal.wavWindowEnergy(d, "doc_id", "content", window = 64)
     }),
 
+    // ---- Multimodal: TIFF/EXIF metadata parse — the routing pass
+    //      before pixel work (orientation-normalize, dims sanity).
+    //      Fixture alternates little/big endian per row and exercises
+    //      inline AND offset ASCII values; the oracle predicts the
+    //      tags in closed form, so only a real IFD walk matches. ----
+    "mm_exif" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", { id =>
+          val make =
+            if (id % 5 == 0) "c" + (id % 10) else "cam" + (id % 10)
+          MediaFixtures.tiffBytes(id % 2 == 0,
+            id % 500 + 1, id % 400 + 1, (id % 8 + 1).toInt, make)
+        })
+      Multimodal.exifMeta(d, "doc_id", "content")
+    }),
+
     // ---- Multimodal: windowed quantized-DFT filterbank — exact
     //      integer correlations against the driver-literal cos/sin
     //      basis per 64-sample window and bins {1,2,4,8}; power is the
@@ -8600,6 +8617,17 @@ object SparkEntry {
           "CAST(sum(x * x) AS BIGINT) AS sum_sq, " +
           "sqrt(CAST(sum(x * x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) " +
           "AS rms FROM v GROUP BY 1, 2"),
+      "mm_exif" ->
+        // Closed-form tag prediction — the ENGINE walked real TIFF
+        // bytes (II and MM, inline and offset ASCII) to match it.
+        ("SELECT doc_id AS id, " +
+          "CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order, " +
+          "CAST(doc_id % 500 + 1 AS BIGINT) AS width, " +
+          "CAST(doc_id % 400 + 1 AS BIGINT) AS height, " +
+          "CAST(doc_id % 8 + 1 AS INT) AS orientation, " +
+          "CASE WHEN doc_id % 5 = 0 THEN 'c' || CAST(doc_id % 10 AS VARCHAR) " +
+          "ELSE 'cam' || CAST(doc_id % 10 AS VARCHAR) END AS make, " +
+          "CAST(4 AS INT) AS n_entries FROM documents"),
       "mm_audio_spectrum" -> {
         // Sawtooth replay → per-window ordered sample lists → exact
         // integer correlations against the SAME quantized basis

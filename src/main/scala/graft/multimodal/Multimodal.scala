@@ -1152,6 +1152,97 @@ object Multimodal {
       .toDF()
   }
 
+  /** One TIFF/EXIF metadata row: byte order, the baseline tags an image
+    * pipeline routes on (dimensions, ORIENTATION — the tag whose
+    * mishandling silently rotates a training corpus), the Make string,
+    * and the IFD0 entry count. NULLs where a tag is absent. */
+  final case class TiffMeta(
+      id: Long, byte_order: String, width: Option[Long],
+      height: Option[Long], orientation: Option[Int], make: Option[String],
+      n_entries: Option[Int])
+
+  /** Parse TIFF (the container EXIF rides in): 'II'/'MM' endian mark,
+    * magic 42, IFD0 walk — u16 entry count, 12-byte entries
+    * (tag, type, count, value-or-offset; values ≤ 4 bytes inline,
+    * LEFT-JUSTIFIED in the big-endian case per the spec), reading
+    * BYTE/SHORT/LONG scalars and ASCII strings (inline or offset, NUL
+    * terminated). Tags: 0x0100 ImageWidth, 0x0101 ImageLength, 0x0112
+    * Orientation, 0x010F Make. Both byte orders are first-class — a
+    * corpus has both. Truncated structures return None; unknown tags
+    * are skipped, not errors. */
+  private[graft] def tiffMeta(b: Array[Byte]): Option[(String, Map[Int, Either[Long, String]], Int)] = {
+    if (b.length < 8) return None
+    val little =
+      if (b(0) == 'I' && b(1) == 'I') true
+      else if (b(0) == 'M' && b(1) == 'M') false
+      else return None
+    def u16(i: Int): Int =
+      if (i + 2 > b.length) -1
+      else if (little) le16(b, i) else be16(b, i)
+    def u32(i: Int): Long =
+      if (i + 4 > b.length) -1L
+      else if (little) le32(b, i) else be32(b, i)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    if (n < 0 || ifd + 2 + 12L * n + 4 > b.length) return None
+    val tags = Map.newBuilder[Int, Either[Long, String]]
+    var e = 0
+    while (e < n) {
+      val off = ifd.toInt + 2 + 12 * e
+      val tag = u16(off)
+      val typ = u16(off + 2)
+      val cnt = u32(off + 4)
+      typ match {
+        case 1 | 3 | 4 if cnt == 1L =>
+          // inline scalar; big-endian inlines are left-justified
+          val v = typ match {
+            case 1 => (b(off + 8) & 0xff).toLong
+            case 3 => u16(off + 8).toLong
+            case _ => u32(off + 8)
+          }
+          tags += tag -> Left(v)
+        case 2 if cnt >= 1L && cnt <= 4096L =>
+          val at = if (cnt <= 4L) off + 8 else u32(off + 8).toInt
+          if (at >= 0 && at + cnt <= b.length) {
+            val raw = new String(b, at, cnt.toInt - 1,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            tags += tag -> Right(raw)
+          }
+        case _ => () // rationals/arrays: not needed for the routed tags
+      }
+      e += 1
+    }
+    Some((if (little) "II" else "MM", tags.result(), n))
+  }
+
+  /** EXIF/TIFF metadata extraction over a binary column — the routing
+    * pass before any pixel work (orientation-normalize, reject
+    * degenerate dims). Same batched row-local kernel shape as
+    * [[decode]]; non-TIFF payloads surface as all-NULL rows. */
+  def exifMeta(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("image").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        tiffMeta(r.content) match {
+          case None => TiffMeta(r.id, null, None, None, None, None, None)
+          case Some((order, tags, n)) =>
+            def num(t: Int): Option[Long] =
+              tags.get(t).collect { case Left(v) => v }
+            TiffMeta(r.id, order,
+              num(0x0100), num(0x0101), num(0x0112).map(_.toInt),
+              tags.get(0x010f).collect { case Right(s) => s }, Some(n))
+        }
+      }))
+      .toDF()
+  }
+
   /** One sampled animation frame's fingerprint row: original frame
     * index, that frame's dims, its 8×8 aHash words, and the hamming
     * distance to the PREVIOUS SAMPLED frame's aHash (NULL on the first
@@ -1665,6 +1756,48 @@ object MediaFixtures {
       }
       r += 1
     }
+    bb.toByteArray
+  }
+
+  /** Kernel-built TIFF fixture (the EXIF container): header + IFD0 with
+    * four baseline entries — ImageWidth (LONG), ImageLength (LONG),
+    * Make (ASCII — inline when ≤ 4 bytes, else stored past the IFD at
+    * an offset, so BOTH value paths are exercised), Orientation
+    * (SHORT, left-justified inline in big-endian order per spec) —
+    * next-IFD 0. `little` picks the byte order; a corpus has both. */
+  def tiffBytes(little: Boolean, w: Long, h: Long, orientation: Int,
+      make: String): Array[Byte] = {
+    val makeBytes = make.getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte // NUL-term
+    val bb = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (little) { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+      else { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    def u32(v: Long): Unit =
+      if (little) {
+        bb.write((v & 0xff).toInt); bb.write(((v >> 8) & 0xff).toInt)
+        bb.write(((v >> 16) & 0xff).toInt); bb.write(((v >> 24) & 0xff).toInt)
+      } else {
+        bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+        bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+      }
+    bb.write(if (little) 'I' else 'M'); bb.write(if (little) 'I' else 'M')
+    u16(42); u32(8L)
+    u16(4) // entry count
+    // entries in ascending tag order (TIFF requirement)
+    u16(0x0100); u16(4); u32(1L); u32(w) //                    ImageWidth
+    u16(0x0101); u16(4); u32(1L); u32(h) //                   ImageLength
+    u16(0x010f); u16(2); u32(makeBytes.length.toLong) //             Make
+    val makeOff = 8 + 2 + 4 * 12 + 4
+    if (makeBytes.length <= 4) { //      inline, left-justified, 0-padded
+      bb.write(makeBytes, 0, makeBytes.length)
+      var p = makeBytes.length
+      while (p < 4) { bb.write(0); p += 1 }
+    } else u32(makeOff.toLong)
+    u16(0x0112); u16(3); u32(1L) //                           Orientation
+    u16(orientation); u16(0) // SHORT inline: first 2 value bytes, 0 pad
+    u32(0L) // next IFD
+    if (makeBytes.length > 4) bb.write(makeBytes)
     bb.toByteArray
   }
 
