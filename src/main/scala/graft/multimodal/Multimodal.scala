@@ -438,6 +438,7 @@ object Multimodal {
     * is not an 8-bit non-interlaced PNG of color type 0/2/3/4/6. */
   private[graft] def pngPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (pngDims(b).isEmpty) return None
+    if (b.length < 29) return None // full IHDR data incl. interlace byte
     val w = be32(b, 16).toInt; val h = be32(b, 20).toInt
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
     val bitDepth = u8(b, 24); val colorType = u8(b, 25)
@@ -747,7 +748,9 @@ object Multimodal {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val dataOff = le32(b, 10)
     val dibSize = le32(b, 14)
-    if (dibSize < 40) return None // BITMAPCOREHEADER not supported
+    // < 40: BITMAPCOREHEADER unsupported; upper bound rejects corrupt
+    // sizes whose Int truncation would go negative (found by fuzzing)
+    if (dibSize < 40 || dibSize > 65536) return None
     val w = le32(b, 18).toInt
     val hRaw = le32(b, 22).toInt
     val topDown = hRaw < 0

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{MediaFixtures, Multimodal}
+
+/** Adversarial-byte hardening for every byte-level decoder: at corpus
+  * scale corrupt payloads are a certainty, and the decode contract is
+  * None/empty — NEVER an exception (one throw in a mapPartitions kernel
+  * fails the task and, retried, the stage). Three attack surfaces per
+  * decoder: seeded-random byte soup, every-prefix truncation of a valid
+  * payload, and single-byte corruption at every offset of a valid
+  * payload. No Spark session needed — kernels are plain functions. */
+class DecoderFuzzSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(0x60d5eed)
+
+  private def decoders: Seq[(String, Array[Byte] => Any)] = Seq(
+    "pngPixels" -> (b => Multimodal.pngPixels(b)),
+    "gifPixels" -> (b => Multimodal.gifPixels(b)),
+    "gifFrames" -> (b => Multimodal.gifFrames(b, maxFrames = 8, stride = 2)),
+    "bmpPixels" -> (b => Multimodal.bmpPixels(b)),
+    "tiffMeta" -> (b => Multimodal.tiffMeta(b)),
+    "decodePixels" -> (b => Multimodal.decodePixels(b)))
+
+  private def validPayloads: Seq[(String, Array[Byte])] = Seq(
+    "png" -> MediaFixtures.pngPixelBytes(11, 9, 37L),
+    "gif" -> MediaFixtures.gifPixelBytes(10, 8, 21L),
+    "anim" -> MediaFixtures.gifAnimBytes(9, 8, 3, 5L),
+    "bmp" -> MediaFixtures.bmpPixelBytes(10, 7, 11L),
+    "tiffII" -> MediaFixtures.tiffBytes(little = true, 77L, 55L, 3, "camX"),
+    "tiffMM" -> MediaFixtures.tiffBytes(little = false, 77L, 55L, 3, "c1"))
+
+  test("random byte soup never throws (300 arrays, lengths 0..4096, " +
+      "plus magic-byte-prefixed soup per codec)") {
+    val magics = Seq[Array[Byte]](
+      Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      "GIF89a".getBytes, "BM".getBytes,
+      Array[Byte]('I', 'I', 42, 0), Array[Byte]('M', 'M', 0, 42),
+      "RIFF".getBytes)
+    for (i <- 0 until 300) {
+      val len = rnd.nextInt(4097)
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      for ((name, d) <- decoders)
+        try d(b) catch {
+          case e: Throwable => fail(s"$name threw on soup #$i: $e")
+        }
+      val m = magics(i % magics.length)
+      val withMagic = m ++ b
+      for ((name, d) <- decoders)
+        try d(withMagic) catch {
+          case e: Throwable => fail(s"$name threw on magic-soup #$i: $e")
+        }
+    }
+  }
+
+  test("every-prefix truncation of valid payloads never throws") {
+    for ((pname, payload) <- validPayloads; cut <- 0 to payload.length) {
+      val b = payload.take(cut)
+      for ((name, d) <- decoders)
+        try d(b) catch {
+          case e: Throwable =>
+            fail(s"$name threw on $pname truncated at $cut: $e")
+        }
+    }
+  }
+
+  test("single-byte corruption at every offset never throws") {
+    for ((pname, payload) <- validPayloads; off <- payload.indices) {
+      val b = payload.clone()
+      b(off) = (b(off) ^ 0xff).toByte
+      for ((name, d) <- decoders)
+        try d(b) catch {
+          case e: Throwable =>
+            fail(s"$name threw on $pname flipped at $off: $e")
+        }
+    }
+  }
+}
