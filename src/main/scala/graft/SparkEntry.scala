@@ -4360,6 +4360,30 @@ object SparkEntry {
       TextAnalysis.corpusLineDedup(d, "doc_id", "txt")
     }),
 
+    // ---- LLM pipeline CAPSTONE: the composed scrub pass — splice PII
+    //      into every doc, manufacture lines, corpus-dedup the lines
+    //      (first occurrence survives), redact PII in the KEPT body,
+    //      count surviving tokens. One gate proving the scrub stages
+    //      compose; the oracle chains the same stages in SQL. ----
+    "text_scrub_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        call_function("replace",
+          call_function("replace",
+            piiFixtureText(col("doc_id"), col("text")),
+            lit(" a "), lit("\n")),
+          lit(" the "), lit("\n")).as("txt"))
+      val dd = TextAnalysis.corpusLineDedup(d, "doc_id", "txt",
+        keepText = true)
+      val red = graft.ops.Pii.redact(dd, "doc_id", "kept_text")
+        .withColumnRenamed("redacted_text", "__red")
+      dd.select(col("doc_id"), col("n_lines"), col("n_kept"))
+        .join(red, "doc_id")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("redacted_len"), col("redacted_md5"),
+          size(filter(split(col("__red"), "\\s+"), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+    }),
+
     // ---- LLM pipeline: PII scan — regex recall net + exact arithmetic
     //      validation (octet ≤ 255, Luhn mod-10) over a fixture that
     //      splices synthetic emails/IPs/phones/cards into each doc;
@@ -10863,6 +10887,37 @@ object SparkEntry {
           "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / " +
           "length(text) AS alpha_ratio, " +
           "len(regexp_extract_all(text, '\\bthe\\b')) AS n_the FROM documents"),
+      "text_scrub_pipeline" ->
+        // The composed replay: pii-spliced text -> manufactured lines ->
+        // first-occurrence keep -> kept body -> fixed-order redaction ->
+        // md5 + whitespace token count. Stage order matters and is the
+        // contract.
+        (s"WITH d AS (SELECT doc_id, replace(replace($piiFixtureSql, " +
+          "' a ', chr(10)), ' the ', chr(10)) AS txt FROM documents), " +
+          "sp AS (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM d), " +
+          "l0 AS (SELECT doc_id, unnest(range(len(ls))) AS pos, " +
+          "unnest(ls) AS raw FROM sp), " +
+          "l AS (SELECT doc_id, pos, trim(raw) AS line FROM l0 " +
+          "WHERE trim(raw) <> ''), " +
+          "k AS (SELECT doc_id, pos, line, " +
+          "row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1 " +
+          "AS keep FROM l), " +
+          "g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+          "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_kept, " +
+          "coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) " +
+          "ORDER BY pos), '') AS kept FROM k GROUP BY doc_id), " +
+          "r AS (SELECT doc_id, n_lines, n_kept, " +
+          "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+          s"kept, '${graft.ops.Pii.EmailPat}', '<EMAIL>', 'g'), " +
+          s"'${graft.ops.Pii.Ipv4Pat}', '<IP>', 'g'), " +
+          s"'${graft.ops.Pii.PhonePat}', '<PHONE>', 'g'), " +
+          s"'${graft.ops.Pii.CardPat}', '<CARD>', 'g') AS red FROM g) " +
+          "SELECT doc_id, n_lines, n_kept, " +
+          "CAST(length(red) AS BIGINT) AS redacted_len, " +
+          "md5(red) AS redacted_md5, " +
+          "CAST(len(list_filter(regexp_split_to_array(red, '\\s+'), " +
+          "w -> w <> '')) AS BIGINT) AS n_tokens FROM r"),
       "text_line_dedup" ->
         // First-occurrence keep in (doc, pos) order; the oracle's
         // row_number window partitions by LINE (bounded by the most

@@ -635,7 +635,7 @@ object TextAnalysis {
     * side is O(distinct lines). */
   def corpusLineDedup(
       docs: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n", keepText: Boolean = false): DataFrame = {
     val lines = docs
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), sep)).as(Seq("__pos", "__raw")))
@@ -643,19 +643,22 @@ object TextAnalysis {
       .where(col("__line") =!= "")
     val first = lines.groupBy(col("__line"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__f"))
-    lines.join(first, "__line")
+    val keptText = array_join(
+      transform(
+        array_sort(collect_list(
+          when(col("__keep"), struct(col("__pos"), col("__line"))))),
+        s => s.getField("__line")),
+      "\n")
+    val base = lines.join(first, "__line")
       .withColumn("__keep",
         col("__id") === col("__f.__id") && col("__pos") === col("__f.__pos"))
       .groupBy(col("__id").as(idCol))
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        md5(array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("__keep"), struct(col("__pos"), col("__line"))))),
-            s => s.getField("__line")),
-          "\n").cast("binary")).as("kept_md5"))
+        md5(keptText.cast("binary")).as("kept_md5"),
+        keptText.as("kept_text"))
+    if (keepText) base else base.drop("kept_text")
   }
 
   /** Lexical-diversity profile — TTR and hapax ratio per document, the

@@ -151,6 +151,13 @@ object StreamSimilarity {
           col("__bk.key").as(s"key$suffix"))
     val a = banded("_a").withWatermark("ts_a", watermark)
     val b = banded("_b").withWatermark("ts_b", watermark)
+    // Planner note: Spark's state-constraint extractor attempts a state
+    // watermark from EVERY inequality conjunct and logs a scary (but
+    // caught) internal-error stack for the non-time `id_a < id_b` pair
+    // predicate before deriving the real state bound from the ts
+    // conjuncts — verified benign: state eviction comes from the time
+    // range. Writing the predicate as a post-join filter doesn't help;
+    // PushPredicateThroughJoin folds it straight back in.
     a.join(b,
         col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
           col("id_a") < col("id_b") &&
