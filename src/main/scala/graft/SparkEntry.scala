@@ -3937,6 +3937,14 @@ object SparkEntry {
       Multimodal.wavWindowEnergy(d, "doc_id", "content", window = 64)
     }),
 
+    // ---- Multimodal: patch extraction (the ViT patchify stage) —
+    //      non-overlapping 5×5 tiles of the decoded raster, exact mean
+    //      + rolling fingerprint per tile (tile-level dedup feed);
+    //      partial edge tiles dropped by contract ----
+    "mm_patchify" -> ((s, dir) =>
+      Multimodal.patchify(pngFixture(s, dir), "doc_id", "content",
+        patch = 5)),
+
     // ---- Multimodal: TIFF/EXIF metadata parse — the routing pass
     //      before pixel work (orientation-normalize, dims sanity).
     //      Fixture alternates little/big endian per row and exercises
@@ -4358,6 +4366,23 @@ object SparkEntry {
           call_function("replace", col("text"), lit(" a "), lit("\n")),
           lit(" the "), lit("\n")).as("txt"))
       TextAnalysis.corpusLineDedup(d, "doc_id", "txt")
+    }),
+
+    // ---- LLM pipeline: Unicode NFC normalization — fixture appends
+    //      decomposed (e+́ , A+̊ ) or precomposed (é) tails by id, so
+    //      `changed` splits the corpus and the md5 proves the engine
+    //      produced the same canonical bytes DuckDB's nfc_normalize
+    //      does ----
+    "text_nfc_normalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        concat(col("text"),
+          when(id % 3 === 0, lit(" cafe\u0301")) //  e + combining acute
+            .when(id % 3 === 1, lit(" caf\u00e9")) //       precomposed
+            .otherwise( //      A + combining ring, o + combining diaeresis
+              lit(" A\u030Angstro\u0308m")))
+          .as("txt"))
+      TextAnalysis.normalizeNfc(d, "doc_id", "txt")
     }),
 
     // ---- LLM pipeline CAPSTONE: the composed scrub pass — splice PII
@@ -8641,6 +8666,26 @@ object SparkEntry {
           "CAST(sum(x * x) AS BIGINT) AS sum_sq, " +
           "sqrt(CAST(sum(x * x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) " +
           "AS rms FROM v GROUP BY 1, 2"),
+      "mm_patchify" ->
+        // Tile replay: the patch grid is (w div 5) × (h div 5); each
+        // tile's mean and row-major rolling fingerprint from the
+        // closed-form raster.
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
+          "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+          "p AS (SELECT id, w, h, s, gx.px, gy.py FROM m " +
+          "CROSS JOIN (SELECT unnest(range(7)) AS px) gx " +
+          "CROSS JOIN (SELECT unnest(range(5)) AS py) gy " +
+          "WHERE gx.px < w // 5 AND gy.py < h // 5), " +
+          "t AS (SELECT id, CAST(px AS INT) AS px, CAST(py AS INT) AS py, " +
+          "flatten(list_transform(range(py * 5, py * 5 + 5), yy -> " +
+          "list_transform(range(px * 5, px * 5 + 5), xx -> " +
+          "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256))) AS tile " +
+          "FROM p) " +
+          "SELECT id, px, py, " +
+          "CAST(list_sum(tile) * 1000 // 25 AS BIGINT) AS patch_mean_q, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), tile), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS patch_fp FROM t"),
       "mm_exif" ->
         // Closed-form tag prediction — the ENGINE walked real TIFF
         // bytes (II and MM, inline and offset ASCII) to match it.
@@ -10887,6 +10932,19 @@ object SparkEntry {
           "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / " +
           "length(text) AS alpha_ratio, " +
           "len(regexp_extract_all(text, '\\bthe\\b')) AS n_the FROM documents"),
+      "text_nfc_normalize" ->
+        // DuckDB's own nfc_normalize + code-point length replay the
+        // JDK Normalizer — both implement the same public Unicode
+        // canonicalization tables, so md5 of the NFC bytes must agree.
+        ("WITH d AS (SELECT doc_id, text || CASE " +
+          "WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) " +
+          "WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) " +
+          "ELSE ' A' || chr(778) || 'ngstro' || chr(776) || 'm' END " +
+          "AS txt FROM documents) " +
+          "SELECT doc_id AS id, CAST(length(txt) AS BIGINT) AS n_cp_raw, " +
+          "CAST(length(nfc_normalize(txt)) AS BIGINT) AS n_cp_nfc, " +
+          "nfc_normalize(txt) <> txt AS changed, " +
+          "md5(nfc_normalize(txt)) AS nfc_md5 FROM d"),
       "text_scrub_pipeline" ->
         // The composed replay: pii-spliced text -> manufactured lines ->
         // first-occurrence keep -> kept body -> fixed-order redaction ->

@@ -1155,6 +1155,68 @@ object Multimodal {
       .toDF()
   }
 
+  /** One fixed-size image patch row: tile coordinates, the exact
+    * floored mean luma (×1000), and the rolling-polynomial fingerprint
+    * of the tile's pixels in row-major order. Undecodable payloads
+    * surface as one (px, py) = (−1, −1) row with NULL stats. */
+  final case class MediaPatch(
+      id: Long, px: Int, py: Int, patch_mean_q: Option[Long],
+      patch_fp: Option[Long])
+
+  /** Patch extraction (the ViT "patchify" stage): split each decoded
+    * raster into non-overlapping `patch`×`patch` tiles (partial edge
+    * tiles are DROPPED — the fixed-geometry contract vision models
+    * want; resize first if edges matter) and emit per-tile exact mean
+    * and fingerprint. The fingerprint lets a trainer dedup identical
+    * tiles corpus-wide (sky, letterbox bars, watermarks) with the same
+    * banded machinery as [[aHashNearDup]]. Row-local batched kernel —
+    * no shuffle; output O(tiles). */
+  def patchify(
+      df: DataFrame, idCol: String, binCol: String, patch: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    require(patch >= 1, s"bad patch size $patch")
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("image").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        decodePixels(r.content) match {
+          case None => Seq(MediaPatch(r.id, -1, -1, None, None))
+          case Some((w, h, lum)) =>
+            val nx = w / patch; val ny = h / patch
+            val out = new scala.collection.mutable.ArrayBuffer[MediaPatch](
+              nx * ny)
+            var py = 0
+            while (py < ny) {
+              var px = 0
+              while (px < nx) {
+                var s = 0L; var fp = 0L
+                var y = py * patch
+                while (y < (py + 1) * patch) {
+                  var x = px * patch
+                  val base = y * w
+                  while (x < (px + 1) * patch) {
+                    val v = lum(base + x)
+                    s += v
+                    fp = (fp * 31L + v) % P
+                    x += 1
+                  }
+                  y += 1
+                }
+                out += MediaPatch(r.id, px, py,
+                  Some(s * 1000L / (patch.toLong * patch)), Some(fp))
+                px += 1
+              }
+              py += 1
+            }
+            out.toSeq
+        }
+      }))
+      .toDF()
+  }
+
   /** One TIFF/EXIF metadata row: byte order, the baseline tags an image
     * pipeline routes on (dimensions, ORIENTATION — the tag whose
     * mishandling silently rotates a training corpus), the Make string,

@@ -661,6 +661,45 @@ object TextAnalysis {
     if (keepText) base else base.drop("kept_text")
   }
 
+  /** One Unicode-normalization row: code-point counts before/after NFC,
+    * whether normalization changed the text, and the md5 of the NFC
+    * form (UTF-8 bytes — the portable fingerprint). */
+  final case class TextNfc(
+      id: Long, n_cp_raw: Long, n_cp_nfc: Long, changed: Boolean,
+      nfc_md5: String)
+
+  /** Unicode NFC normalization — the canonicalization pass a text
+    * corpus needs before ANY hashing/dedup stage (the same visible
+    * string arrives both precomposed and decomposed from different
+    * sources; un-normalized, they hash apart and every downstream
+    * dedup/fingerprint silently misses). Emits code-point counts (the
+    * DuckDB `length` contract — NOT UTF-16 units), a changed flag (the
+    * monitoring signal: what fraction of the corpus needed fixing),
+    * and the md5 of the normalized form. Row-local kernel
+    * (java.text.Normalizer — the JDK's ICU-equivalent public Unicode
+    * tables); no shuffle. */
+  def normalizeNfc(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, raw) =>
+          val s = if (raw == null) "" else raw
+          val n = java.text.Normalizer.normalize(
+            s, java.text.Normalizer.Form.NFC)
+          md.reset()
+          val hex = md.digest(n.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          TextNfc(id, s.codePointCount(0, s.length).toLong,
+            n.codePointCount(0, n.length).toLong, n != s, hex)
+        }
+      }
+      .toDF()
+  }
+
   /** Lexical-diversity profile — TTR and hapax ratio per document, the
     * quality signals that separate natural prose (rich vocabulary, long
     * hapax tail) from template/boilerplate/spam text (few types, no
