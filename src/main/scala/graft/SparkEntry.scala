@@ -732,6 +732,23 @@ object SparkEntry {
       appendStream(s, graft.streaming.StreamDedup.exact(
         hashed, Seq("ahash_lo", "ahash_hi")), cfg, tmp)
     }),
+    // ---- Streaming PII scan: the scrub pass applied IN-STREAM — a
+    //      stateless codegen'd map over arriving docs (same regex +
+    //      validation arithmetic as the batch gate), so quarantine
+    //      decisions happen at ingest, not in a later batch sweep ----
+    "s24_stream_pii_scan" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "documents").schema
+      val tmp = Files.createTempDirectory("graft_s24_").toString
+      val cfg = IngestConfig(name = s"s24-piiscan-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val docs = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/documents.parque[t]")
+        .select(col("doc_id"),
+          piiFixtureText(col("doc_id"), col("text")).as("pii_text"))
+      appendStream(s, graft.ops.Pii.scan(docs, "doc_id", "pii_text"),
+        cfg, tmp)
+    }),
+
 
     // ---- Streaming leaderboard: global top-3 per event_type by value,
     //      O(k) custom state, slate re-emitted on change and converged
@@ -3945,6 +3962,21 @@ object SparkEntry {
       Multimodal.patchify(pngFixture(s, dir), "doc_id", "content",
         patch = 5)),
 
+    // ---- Multimodal: corpus-wide duplicate-TILE detection — patchify
+    //      feeds a fingerprint group-by (the watermark/letterbox/sky
+    //      detector): tiles appearing ≥2 times across the corpus, with
+    //      occurrence and distinct-doc counts. Fixture seeds repeat
+    //      every 97 docs, so identical tiles genuinely recur. ----
+    "mm_patch_dedup" -> ((s, dir) => {
+      val p = Multimodal.patchify(pngFixture(s, dir), "doc_id", "content",
+        patch = 5)
+      p.where(col("patch_fp").isNotNull)
+        .groupBy(col("patch_fp"))
+        .agg(count(lit(1)).as("n_tiles"),
+          countDistinct(col("id")).as("n_docs"))
+        .where(col("n_tiles") >= 2L)
+    }),
+
     // ---- Multimodal: TIFF/EXIF metadata parse — the routing pass
     //      before pixel work (orientation-normalize, dims sanity).
     //      Fixture alternates little/big endian per row and exercises
@@ -3960,6 +3992,19 @@ object SparkEntry {
             id % 500 + 1, id % 400 + 1, (id % 8 + 1).toInt, make)
         })
       Multimodal.exifMeta(d, "doc_id", "content")
+    }),
+
+    // ---- Multimodal: silence trimming — every third 64-sample window
+    //      of the gated fixture is silent; the op reports the crop plan
+    //      (first/last voiced window) from the exact Σ|v| test ----
+    "mm_audio_trim" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.wavPcmGatedBytes((id % 2 + 1).toInt,
+            (id % 5 + 1) * 8000L, (id % 200 + 1).toInt, id % 97))
+      Multimodal.wavTrimSilence(d, "doc_id", "content", window = 64,
+        meanAbsThreshold = 16L)
     }),
 
     // ---- Multimodal: windowed quantized-DFT filterbank — exact
@@ -8686,6 +8731,25 @@ object SparkEntry {
           "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), tile), " +
           s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
           "AS BIGINT) AS patch_fp FROM t"),
+      "mm_patch_dedup" ->
+        // Same tile replay grouped by fingerprint; only recurring tiles
+        // survive.
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
+          "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+          "p AS (SELECT id, w, h, s, gx.px, gy.py FROM m " +
+          "CROSS JOIN (SELECT unnest(range(7)) AS px) gx " +
+          "CROSS JOIN (SELECT unnest(range(5)) AS py) gy " +
+          "WHERE gx.px < w // 5 AND gy.py < h // 5), " +
+          "t AS (SELECT id, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "flatten(list_transform(range(py * 5, py * 5 + 5), yy -> " +
+          "list_transform(range(px * 5, px * 5 + 5), xx -> " +
+          "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256)))), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS patch_fp FROM p) " +
+          "SELECT patch_fp, CAST(count(*) AS BIGINT) AS n_tiles, " +
+          "CAST(count(DISTINCT id) AS BIGINT) AS n_docs FROM t " +
+          "GROUP BY patch_fp HAVING count(*) >= 2"),
       "mm_exif" ->
         // Closed-form tag prediction — the ENGINE walked real TIFF
         // bytes (II and MM, inline and offset ASCII) to match it.
@@ -8697,6 +8761,27 @@ object SparkEntry {
           "CASE WHEN doc_id % 5 = 0 THEN 'c' || CAST(doc_id % 10 AS VARCHAR) " +
           "ELSE 'cam' || CAST(doc_id % 10 AS VARCHAR) END AS make, " +
           "CAST(4 AS INT) AS n_entries FROM documents"),
+      "mm_audio_trim" ->
+        // Gated-sawtooth replay: window w silent iff w % 3 = 0; voiced
+        // = Σ|v| > 16·n (exact); min/max over voiced windows, NULL for
+        // all-silent payloads (≤ 64 samples -> only window 0, silent).
+        ("WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS ch, " +
+          "(doc_id % 200) + 1 AS smp, doc_id % 97 AS seed " +
+          "FROM documents), " +
+          "s AS (SELECT doc_id, seed, " +
+          "unnest(range(0, smp * ch)) AS i FROM p), " +
+          "v AS (SELECT doc_id, i // 64 AS win, " +
+          "CASE WHEN (i // 64) % 3 = 0 THEN 0 " +
+          "ELSE ((i * 2477 + seed) % 4096) - 2048 END AS x FROM s), " +
+          "w AS (SELECT doc_id, win, count(*) AS n, " +
+          "sum(abs(x)) AS sa FROM v GROUP BY 1, 2) " +
+          "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_windows, " +
+          "CAST(sum(CASE WHEN sa > 16 * n THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_voiced, " +
+          "CAST(min(CASE WHEN sa > 16 * n THEN win END) AS BIGINT) " +
+          "AS first_voiced, " +
+          "CAST(max(CASE WHEN sa > 16 * n THEN win END) AS BIGINT) " +
+          "AS last_voiced FROM w GROUP BY doc_id"),
       "mm_audio_spectrum" -> {
         // Sawtooth replay → per-window ordered sample lists → exact
         // integer correlations against the SAME quantized basis
@@ -10114,6 +10199,33 @@ object SparkEntry {
         "(PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
         "SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us, " +
         "count(*) AS n_events FROM sess GROUP BY user_id, sid"
+    // RE2 replay of the Java-regex PII scan: same patterns (common
+    // dialect subset), same octet/Luhn validation arithmetic. Shared
+    // by the batch gate and its stateless streaming twin.
+    val piiScanSql: String = {
+        def dig = "CAST(substr(dd, CAST(length(dd) - i AS INT), 1) AS BIGINT)"
+        s"WITH d AS (SELECT doc_id, $piiFixtureSql AS txt FROM documents) " +
+          "SELECT doc_id, " +
+          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.EmailPat}')) " +
+          "AS BIGINT) AS n_emails, " +
+          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.Ipv4Pat}')) " +
+          "AS BIGINT) AS n_ipv4_candidates, " +
+          s"CAST(len(list_filter(regexp_extract_all(txt, " +
+          s"'${graft.ops.Pii.Ipv4Pat}'), s -> " +
+          "len(list_filter(string_split(s, '.'), o -> " +
+          "CAST(o AS INT) > 255)) = 0)) AS BIGINT) AS n_ipv4_valid, " +
+          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.PhonePat}')) " +
+          "AS BIGINT) AS n_phones, " +
+          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.CardPat}')) " +
+          "AS BIGINT) AS n_card_candidates, " +
+          s"CAST(len(list_filter(regexp_extract_all(txt, " +
+          s"'${graft.ops.Pii.CardPat}'), dd -> " +
+          "list_sum(list_transform(range(0, length(dd)), i -> " +
+          s"CASE WHEN i % 2 = 1 THEN CASE WHEN 2 * $dig > 9 " +
+          s"THEN 2 * $dig - 9 ELSE 2 * $dig END ELSE $dig END)) % 10 = 0)) " +
+          "AS BIGINT) AS n_cards_luhn FROM d"
+    }
+
     Map(
       "o1_dedup_latest_wins" -> dedupState,
       "o1b_dedup_window" -> dedupState,
@@ -10996,31 +11108,10 @@ object SparkEntry {
           "md5(coalesce(string_agg(CASE WHEN keep THEN line END, " +
           "chr(10) ORDER BY pos), '')) AS kept_md5 " +
           "FROM k GROUP BY doc_id"),
-      "text_pii_scan" -> {
-        // RE2 replay of the Java-regex scan: same patterns (common
-        // dialect subset), same octet/Luhn validation arithmetic.
-        def dig = "CAST(substr(dd, CAST(length(dd) - i AS INT), 1) AS BIGINT)"
-        s"WITH d AS (SELECT doc_id, $piiFixtureSql AS txt FROM documents) " +
-          "SELECT doc_id, " +
-          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.EmailPat}')) " +
-          "AS BIGINT) AS n_emails, " +
-          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.Ipv4Pat}')) " +
-          "AS BIGINT) AS n_ipv4_candidates, " +
-          s"CAST(len(list_filter(regexp_extract_all(txt, " +
-          s"'${graft.ops.Pii.Ipv4Pat}'), s -> " +
-          "len(list_filter(string_split(s, '.'), o -> " +
-          "CAST(o AS INT) > 255)) = 0)) AS BIGINT) AS n_ipv4_valid, " +
-          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.PhonePat}')) " +
-          "AS BIGINT) AS n_phones, " +
-          s"CAST(len(regexp_extract_all(txt, '${graft.ops.Pii.CardPat}')) " +
-          "AS BIGINT) AS n_card_candidates, " +
-          s"CAST(len(list_filter(regexp_extract_all(txt, " +
-          s"'${graft.ops.Pii.CardPat}'), dd -> " +
-          "list_sum(list_transform(range(0, length(dd)), i -> " +
-          s"CASE WHEN i % 2 = 1 THEN CASE WHEN 2 * $dig > 9 " +
-          s"THEN 2 * $dig - 9 ELSE 2 * $dig END ELSE $dig END)) % 10 = 0)) " +
-          "AS BIGINT) AS n_cards_luhn FROM d"
-      },
+      "text_pii_scan" -> piiScanSql,
+      // The stream emits exactly the batch rows (stateless map) —
+      // same oracle.
+      "s24_stream_pii_scan" -> piiScanSql,
       "text_pii_redact" ->
         // Same fixed pass order (email, ip, phone, card), global
         // replace; md5 is the portable fingerprint both engines emit

@@ -1155,6 +1155,61 @@ object Multimodal {
       .toDF()
   }
 
+  /** One per-document silence-trim row: window count, voiced-window
+    * count, and the first/last voiced window indices (NULL when the
+    * whole payload is silent) — the crop plan for trimming lead-in /
+    * tail silence before featurization. */
+  final case class AudioTrim(
+      id: Long, n_windows: Long, n_voiced: Long,
+      first_voiced: Option[Long], last_voiced: Option[Long])
+
+  /** Silence trimming over 16-bit PCM: a `window`-sample block is
+    * VOICED when its mean |v| exceeds `meanAbsThreshold` (integer test
+    * `Σ|v| > threshold·n` — exact); emits the first/last voiced window
+    * per payload, the crop plan a resampler applies before spending
+    * decode/featurize work on lead-in silence. Same row-local batched
+    * kernel shape as [[wavWindowEnergy]]; non-WAV rows emit nothing. */
+  def wavTrimSilence(
+      df: DataFrame, idCol: String, binCol: String, window: Int = 64,
+      meanAbsThreshold: Long = 16L, batchSize: Int = 64): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("audio").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { r =>
+        pcm16Data(r.content) match {
+          case None => Nil
+          case Some((dataOff, n)) =>
+            var nWin = 0L; var nVoiced = 0L
+            var first: Option[Long] = None; var last: Option[Long] = None
+            var w = 0
+            while (w.toLong * window < n) {
+              val from = w * window
+              val until = math.min(n, from + window)
+              var sAbs = 0L
+              var j = from
+              while (j < until) {
+                sAbs += math.abs(
+                  le16(r.content, dataOff + 2 * j).toShort.toLong)
+                j += 1
+              }
+              if (sAbs > meanAbsThreshold * (until - from)) {
+                nVoiced += 1L
+                if (first.isEmpty) first = Some(w.toLong)
+                last = Some(w.toLong)
+              }
+              nWin += 1L
+              w += 1
+            }
+            Seq(AudioTrim(r.id, nWin, nVoiced, first, last))
+        }
+      }))
+      .toDF()
+  }
+
   /** One fixed-size image patch row: tile coordinates, the exact
     * floored mean luma (×1000), and the rolling-polynomial fingerprint
     * of the tile's pixels in row-major order. Undecodable payloads
@@ -1820,6 +1875,38 @@ object MediaFixtures {
         x += 1
       }
       r += 1
+    }
+    bb.toByteArray
+  }
+
+  /** Kernel-built RIFF/WAVE fixture with GATED PCM: flat sample i is
+    * SILENT (0) when `(i div 64) mod 3 == 0` and otherwise carries the
+    * [[wavPcmHex]] sawtooth `((i·2477 + seed) mod 4096) − 2048` — every
+    * third 64-sample window is silence, so a trim/VAD operator has real
+    * structure to find and the oracle can replay the gating in closed
+    * form. */
+  def wavPcmGatedBytes(
+      channels: Int, sampleRate: Long, samples: Int,
+      seed: Long): Array[Byte] = {
+    val total = samples * channels
+    val dataSize = total * 2
+    val bb = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt)
+    }
+    bb.write("RIFF".getBytes); le32(dataSize + 36L); bb.write("WAVE".getBytes)
+    bb.write("fmt ".getBytes); le32(16L); le16(1); le16(channels)
+    le32(sampleRate); le32(sampleRate * channels * 2); le16(channels * 2)
+    le16(16)
+    bb.write("data".getBytes); le32(dataSize.toLong)
+    var i = 0
+    while (i < total) {
+      val v =
+        if ((i / 64) % 3 == 0) 0
+        else (((i.toLong * 2477L + seed) % 4096L) - 2048L).toInt
+      le16(v & 0xffff)
+      i += 1
     }
     bb.toByteArray
   }
