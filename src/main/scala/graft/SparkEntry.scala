@@ -3962,6 +3962,19 @@ object SparkEntry {
       Multimodal.patchify(pngFixture(s, dir), "doc_id", "content",
         patch = 5)),
 
+    // ---- Multimodal: animation timing walk — frame count + Σ GCE
+    //      delays (per-frame delays VARY as 3+f centiseconds, so only a
+    //      real extension walk sums them); header-level, no LZW. The
+    //      number a frame-sampling policy divides by. ----
+    "mm_gif_duration" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.gifAnimBytes((id % 14 + 8).toInt,
+            (id % 9 + 8).toInt, (id % 4 + 2).toInt, id % 73))
+      Multimodal.gifTiming(d, "doc_id", "content")
+    }),
+
     // ---- Multimodal: corpus-wide duplicate-TILE detection — patchify
     //      feeds a fingerprint group-by (the watermark/letterbox/sky
     //      detector): tiles appearing ≥2 times across the corpus, with
@@ -8731,6 +8744,15 @@ object SparkEntry {
           "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), tile), " +
           s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
           "AS BIGINT) AS patch_fp FROM t"),
+      "mm_gif_duration" ->
+        // Closed-form timing: nf frames, delays 3, 4, …, nf+2 cs ->
+        // total = 3·nf + nf·(nf−1)/2; mean ×1000 floored.
+        ("WITH f AS (SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents), " +
+          "t AS (SELECT doc_id, nf, " +
+          "nf * 3 + nf * (nf - 1) // 2 AS total FROM f) " +
+          "SELECT doc_id AS id, CAST(nf AS INT) AS n_frames, " +
+          "CAST(total AS BIGINT) AS total_delay_cs, " +
+          "CAST(total * 1000 // nf AS BIGINT) AS mean_delay_mcs FROM t"),
       "mm_patch_dedup" ->
         // Same tile replay grouped by fingerprint; only recurring tiles
         // survive.

@@ -160,7 +160,28 @@ object Multimodal {
     else None
   }
 
-  /** Decode kernel: real header parse first (PNG/JPEG/GIF/WAV), checksum
+  /** BMP header dims (single-frame): delegates validation to the
+    * [[bmpPixels]] header rules without decoding the pixel array. */
+  private def bmpDims(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    if (le32(b, 14) < 40) return None
+    val w = le32(b, 18).toInt; val h = math.abs(le32(b, 22).toInt)
+    if (w <= 0 || h <= 0) None else Some((w, h, 1))
+  }
+
+  /** TIFF header dims (single-frame): ImageWidth/ImageLength from the
+    * [[tiffMeta]] IFD walk. */
+  private def tiffDims(b: Array[Byte]): Option[(Int, Int, Int)] =
+    tiffMeta(b).flatMap { case (_, tags, _) =>
+      for {
+        w <- tags.get(0x0100).collect { case Left(v) => v.toInt }
+        h <- tags.get(0x0101).collect { case Left(v) => v.toInt }
+        if w > 0 && h > 0
+      } yield (w, h, 1)
+    }
+
+  /** Decode kernel: real header parse first (PNG/JPEG/GIF/WAV/BMP/TIFF),
+    * checksum
     * always (it feeds [[featurePlan]]), deterministic checksum-derived
     * pseudo-metadata as the unknown-codec fallback. A production build
     * replaces ONLY the fallback with a full codec (same signature: one
@@ -173,6 +194,7 @@ object Multimodal {
       while (i < r.content.length) { a = (a * 31L + (r.content(i) & 0xff)) % P; i += 1 }
       val parsed = pngDims(r.content).orElse(jpegDims(r.content))
         .orElse(gifDims(r.content)).orElse(wavDims(r.content))
+        .orElse(bmpDims(r.content)).orElse(tiffDims(r.content))
       parsed match {
         case Some((w, h, f)) =>
           MediaMeta(r.id, r.mediaType, r.content.length.toLong, a, w, h, f)
@@ -1272,6 +1294,68 @@ object Multimodal {
       .toDF()
   }
 
+  /** One animated-GIF timing row: frame count, total animation
+    * duration in centiseconds (Σ per-frame GCE delays — the number a
+    * frame-sampling policy divides by), and the mean per-frame delay
+    * ×1000 (exact). NULLs for non-GIF / truncated containers. */
+  final case class GifTiming(
+      id: Long, n_frames: Option[Int], total_delay_cs: Option[Long],
+      mean_delay_mcs: Option[Long])
+
+  /** Animation timing walk: count image descriptors and sum each
+    * graphic-control extension's delay field (le16 centiseconds at GCE
+    * data offset 1) — header-level only, no LZW decode, so it prices a
+    * metadata scan, not a decode. The sampling planner runs THIS first
+    * to size `stride` for [[frameSceneChange]]. Invalid containers
+    * surface as NULL rows. */
+  def gifTiming(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("video").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        gifAnimTiming(r.content) match {
+          case None => GifTiming(r.id, None, None, None)
+          case Some((frames, delay)) =>
+            GifTiming(r.id, Some(frames), Some(delay),
+              if (frames == 0) None else Some(delay * 1000L / frames))
+        }
+      }))
+      .toDF()
+  }
+
+  private[graft] def gifAnimTiming(b: Array[Byte]): Option[(Int, Long)] = {
+    if (gifDims(b).isEmpty) return None // full-chain validation
+    val packed = u8(b, 10)
+    val gctSize = if ((packed & 0x80) != 0) 1 << ((packed & 7) + 1) else 0
+    var i = 13 + 3 * gctSize
+    var frames = 0
+    var delay = 0L
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x3b => return Some((frames, delay))
+        case 0x21 =>
+          if (i + 2 > b.length) return None
+          // GCE (label 0xF9, size ≥ 4): delay le16 at data offset 1
+          if (u8(b, i + 1) == 0xf9 && i + 5 < b.length && u8(b, i + 2) >= 4)
+            delay += le16(b, i + 4).toLong
+          i = gifSkipSubBlocks(b, i + 2)
+        case 0x2c =>
+          if (i + 10 >= b.length) return None
+          val lct = u8(b, i + 9)
+          val lctSize =
+            if ((lct & 0x80) != 0) 3 * (1 << ((lct & 7) + 1)) else 0
+          i = gifSkipSubBlocks(b, i + 10 + lctSize + 1)
+          frames += 1
+        case _ => return None
+      }
+    }
+    None
+  }
+
   /** One TIFF/EXIF metadata row: byte order, the baseline tags an image
     * pipeline routes on (dimensions, ORIENTATION — the tag whose
     * mishandling silently rotates a training corpus), the Make string,
@@ -1846,7 +1930,8 @@ object MediaFixtures {
     gifHeaderInto(bb, w, h)
     var f = 0
     while (f < nFrames) {
-      bb.write(Array[Byte](0x21, 0xf9.toByte, 4, 0, 5, 0, 0, 0))
+      bb.write(Array[Byte](0x21, 0xf9.toByte, 4, 0,
+        ((f + 3) & 0xff).toByte, ((f + 3) >> 8).toByte, 0, 0))
       gifFrameBytesInto(bb, w, h, seed + (f / 2).toLong * 17L)
       f += 1
     }
@@ -2016,7 +2101,9 @@ object MediaFixtures {
     val frames = concat_ws("",
       transform(sequence(lit(0L), nFrames.cast("long") - 1L), { f =>
         concat(
-          lit("21F9040005000000"), //  GCE: size 4, packed 0, delay 5, term
+          // GCE: size 4, packed 0, per-frame delay 3+f centiseconds
+          // (varying, so a duration op cannot shortcut), no transparency
+          lit("21F90400"), le16h(f + 3L), lit("0000"),
           gifFrameHex(wl, hl, sl + floor(f / 2L).cast("long") * 17L))
       }))
     concat(
