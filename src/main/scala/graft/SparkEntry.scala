@@ -253,6 +253,11 @@ object SparkEntry {
       graft.multimodal.MediaFixtures.gifPixelBytes(
         (id % 21 + 7).toInt, (id % 13 + 6).toInt, id % 89))
 
+  private def jpegFixture(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"), "doc_id", id =>
+      graft.multimodal.MediaFixtures.jpegPixelBytes(
+        (id % 26 + 10).toInt, (id % 15 + 9).toInt, id % 101))
+
   private def mixedCodecFixture(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"), "doc_id", { id =>
       val (w, h, sd) = ((id % 19 + 8).toInt, (id % 11 + 7).toInt, id % 83)
@@ -3926,6 +3931,44 @@ object SparkEntry {
       Multimodal.resizePixels(d, "doc_id", "content", outW = 7, outH = 3)
     }),
 
+    // ---- Multimodal: baseline JPEG pixel decode — the FOURTH real
+    //      codec, and the first entropy-coded one with huffman + IDCT.
+    //      The fixture is a complete valid grayscale JPEG whose blocks
+    //      are DC-only (IDCT output = F₀₀·Q₀₀/8, an exact integer), so
+    //      the engine must huffman-decode real entropy data while the
+    //      oracle replays the flat-block closed form. Dims differ from
+    //      every other codec gate: fall-through cannot match. ----
+    "mm_jpeg_pixel_stats" -> ((s, dir) => {
+      val d = jpegFixture(s, dir)
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: JPEG restart markers — DRI interval 2, RSTn
+    //      every two MCUs with DC-prediction resets. A decoder that
+    //      does not reset (or mis-aligns at the marker) mismatches
+    //      every block after the first restart. ----
+    "mm_jpeg_restart_stats" -> ((s, dir) => {
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id",
+        id => graft.multimodal.MediaFixtures.jpegPixelBytes(
+          (id % 20 + 12).toInt, (id % 9 + 10).toInt, id % 67,
+          restartInterval = 2))
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: 4:2:0 color JPEG thumbnail — each MCU
+    //      interleaves 2×2 Y blocks + Cb + Cr; the engine must walk the
+    //      T.81 interleave order, decode (and discard) chroma to keep
+    //      the bitstream aligned, and crop the 16-pixel MCU padding.
+    //      Same DC-only luma closed form as the grayscale twin. ----
+    "mm_jpeg420_resize" -> ((s, dir) => {
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id",
+        id => graft.multimodal.MediaFixtures.jpeg420PixelBytes(
+          (id % 23 + 17).toInt, (id % 13 + 16).toInt, id % 71))
+      Multimodal.resizePixels(d, "doc_id", "content", outW = 6, outH = 4)
+    }),
+
     // ---- Multimodal: animated-GIF frame sampling + scene-change
     //      detection — decode every frame of a multi-frame GIF (LZW per
     //      frame, GCE extensions between descriptors), aHash each
@@ -4425,6 +4468,14 @@ object SparkEntry {
           lit(" the "), lit("\n")).as("txt"))
       TextAnalysis.corpusLineDedup(d, "doc_id", "txt")
     }),
+
+    // ---- LLM pipeline: cross-document duplicate-SPAN detection (the
+    //      exact-substring dedup complement): 5-grams in ≥2 distinct
+    //      docs, consecutive duplicated positions merged to maximal
+    //      spans, overlap-exact coverage per doc ----
+    "text_dup_spans" -> ((s, dir) =>
+      TextAnalysis.dupSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 5, minDf = 2L)),
 
     // ---- LLM pipeline: Unicode NFC normalization — fixture appends
     //      decomposed (e+́ , A+̊ ) or precomposed (é) tails by id, so
@@ -7253,6 +7304,13 @@ object SparkEntry {
     // the formula directly over the same pixel blocks. Dims ≥ (9, 8) by
     // fixture construction, so every grid cell is non-empty and the
     // kernel's nearest-pixel fallback never fires.
+    // Per-pixel closed forms the image fixtures carry: the PNG/GIF/BMP
+    // raster formula, and the DC-only JPEG flat-block formula (pixel =
+    // 2·coef + 128 with coef keyed off the 8×8 block coordinates).
+    val mmPngPx = "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256"
+    val mmJpegPx = "2 * ((17 * (xx // 8) + 29 * (yy // 8) + " +
+      "13 * (xx // 8) * (yy // 8) + s) % 120 - 60) + 128"
+
     def mmLumaCte(gw: Int, gh: Int): String =
       mmLumaCteDims(gw, gh,
         "doc_id % 24 + 9", "doc_id % 16 + 8", "doc_id % 97")
@@ -7264,12 +7322,13 @@ object SparkEntry {
     // count over the interior) for the pixel-stats gates — shared by
     // the PNG, GIF, and mixed-codec fixtures, which all carry the same
     // closed-form raster at their own dims.
-    def mmPixelStatsSql(wE: String, hE: String, sE: String): String =
+    def mmPixelStatsSql(wE: String, hE: String, sE: String,
+        pxE: String = mmPngPx): String =
       s"WITH m AS (SELECT doc_id AS id, $wE AS w, " +
         s"$hE AS h, $sE AS s FROM documents), " +
         "px AS (SELECT id, w, h, flatten(list_transform(range(0, h), " +
         "yy -> list_transform(range(0, w), xx -> " +
-        "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256))) AS l " +
+        s"$pxE))) AS l " +
         "FROM m), " +
         "eg AS (SELECT id, w, h, l, " +
         "list_sum(flatten(list_transform(range(0, h - 1), yy -> " +
@@ -7288,7 +7347,8 @@ object SparkEntry {
         "AS edge_density_q FROM eg"
 
     def mmLumaCteDims(
-        gw: Int, gh: Int, wE: String, hE: String, sE: String): String =
+        gw: Int, gh: Int, wE: String, hE: String, sE: String,
+        pxE: String = mmPngPx): String =
       s"m AS (SELECT doc_id AS id, $wE AS w, " +
         s"$hE AS h, $sE AS s FROM documents), " +
         s"l AS (SELECT id, list_transform(range(0, ${gw * gh}), g -> " +
@@ -7296,7 +7356,7 @@ object SparkEntry {
         s"range((g // $gw) * h // $gh, ((g // $gw) + 1) * h // $gh), yy -> " +
         s"list_transform(" +
         s"range((g % $gw) * w // $gw, ((g % $gw) + 1) * w // $gw), xx -> " +
-        "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256)))) // " +
+        s"$pxE)))) // " +
         s"((((g % $gw) + 1) * w // $gw - (g % $gw) * w // $gw) * " +
         s"(((g // $gw) + 1) * h // $gh - (g // $gw) * h // $gh))) " +
         "AS lum FROM m)"
@@ -8601,6 +8661,30 @@ object SparkEntry {
         // oracle never mentions a codec — only an engine that sniffs
         // and decodes ALL THREE per row can match.
         mmPixelStatsSql("doc_id % 19 + 8", "doc_id % 11 + 7", "doc_id % 83"),
+      "mm_jpeg_pixel_stats" ->
+        // Flat-block replay over the grayscale JPEG dims: the ENGINE
+        // side had to huffman-decode + IDCT; the oracle replays the
+        // DC-only closed form (pixel = 2·coef(bx,by) + 128).
+        mmPixelStatsSql("doc_id % 26 + 10", "doc_id % 15 + 9",
+          "doc_id % 101", mmJpegPx),
+      "mm_jpeg_restart_stats" ->
+        // Same flat-block replay over the restart-marker fixture's dims
+        // — the oracle is restart-blind; only a decoder that consumes
+        // RSTn and resets DC prediction reproduces the raster.
+        mmPixelStatsSql("doc_id % 20 + 12", "doc_id % 9 + 10",
+          "doc_id % 67", mmJpegPx),
+      "mm_jpeg420_resize" ->
+        // 6×4 box-mean grid over the 4:2:0 fixture's luma + the rolling
+        // fingerprint — interleave-order and MCU-crop proof.
+        ("WITH " + mmLumaCteDims(6, 4, "doc_id % 23 + 17",
+          "doc_id % 13 + 16", "doc_id % 71", mmJpegPx) + " " +
+          "SELECT l.id, CAST(m.w AS INT) AS width, " +
+          "CAST(m.h AS INT) AS height, " +
+          "CAST(6 AS INT) AS out_w, CAST(4 AS INT) AS out_h, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lum), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS resized_fp " +
+          "FROM l JOIN m ON l.id = m.id"),
       "mm_bmp_resize" ->
         // 7×3 box-mean grid over the BMP dims + the rolling fingerprint.
         ("WITH " + mmLumaCteDims(7, 3, "doc_id % 18 + 9",
@@ -11130,6 +11214,34 @@ object SparkEntry {
           "md5(coalesce(string_agg(CASE WHEN keep THEN line END, " +
           "chr(10) ORDER BY pos), '')) AS kept_md5 " +
           "FROM k GROUP BY doc_id"),
+      "text_dup_spans" ->
+        // Duplicate 5-gram positions -> gaps-and-islands span merge.
+        // The lag/sum windows partition by DOCUMENT (bounded by doc
+        // length); coverage counts each token once across overlapping
+        // grams (max(pos)+5-min(pos) per island).
+        ("WITH toks AS (SELECT doc_id AS id, " +
+          OracleSql.words("text") + " AS t FROM documents), " +
+          "wn AS (SELECT id, t, len(t) AS ntok FROM toks), " +
+          "g AS (SELECT id, ntok, unnest(range(0, " +
+          "greatest(len(t) - 4, 0))) AS pos, t FROM wn), " +
+          "grams AS (SELECT id, ntok, pos, " +
+          "array_to_string(t[pos + 1:pos + 5], ' ') AS gram FROM g), " +
+          "dup AS (SELECT gram FROM grams GROUP BY gram " +
+          "HAVING count(DISTINCT id) >= 2), " +
+          "p AS (SELECT id, ntok, pos FROM grams JOIN dup USING (gram)), " +
+          "brk AS (SELECT id, ntok, pos, CASE WHEN pos > " +
+          "lag(pos) OVER (PARTITION BY id ORDER BY pos) + 5 " +
+          "THEN 1 ELSE 0 END AS b FROM p), " +
+          "isl AS (SELECT id, ntok, pos, sum(b) OVER " +
+          "(PARTITION BY id ORDER BY pos ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW) AS i FROM brk), " +
+          "sp AS (SELECT id, ntok, i, max(pos) + 5 - min(pos) AS cov " +
+          "FROM isl GROUP BY id, ntok, i) " +
+          "SELECT id, CAST(ntok AS BIGINT) AS n_tokens, " +
+          "CAST(count(*) AS BIGINT) AS n_dup_spans, " +
+          "CAST(sum(cov) AS BIGINT) AS dup_tokens, " +
+          "CAST(sum(cov) * 1000000 // ntok AS BIGINT) AS dup_ratio_q " +
+          "FROM sp GROUP BY id, ntok"),
       "text_pii_scan" -> piiScanSql,
       // The stream emits exactly the batch rows (stateless map) —
       // same oracle.

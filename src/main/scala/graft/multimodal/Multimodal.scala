@@ -820,15 +820,415 @@ object Multimodal {
     Some((w, h, lum))
   }
 
+  // ---- real baseline JPEG pixel decode (pure JVM: canonical huffman +
+  // dequant + deterministic separable IDCT — public format structure,
+  // ITU-T T.81 §§B.2 (syntax), F.2 (sequential decode)) ----
+
+  /** Zigzag scan position -> raster position in the 8×8 block
+    * (T.81 Figure 5). */
+  private val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Separable IDCT basis M(x)(u) = ½·a(u)·cos((2x+1)uπ/16), a(0)=1/√2.
+    * StrictMath keeps the table bit-identical on every JVM, so decode is
+    * deterministic (and EXACT for DC-only blocks: the output F₀₀·Q₀₀/8
+    * is an integer whenever 8 | F₀₀·Q₀₀ — the fixture contract). */
+  private val jpegIdctM: Array[Double] = {
+    val m = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var u = 0
+      while (u < 8) {
+        val a = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+        m(x * 8 + u) =
+          0.5 * a * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+        u += 1
+      }
+      x += 1
+    }
+    m
+  }
+
+  /** Canonical huffman decode tables (T.81 §C.2: mincode/maxcode/valptr
+    * per code length 1..16). `build` returns None for over-subscribed
+    * length counts (more codes at a length than the tree has slots). */
+  private final class JpegHuff(
+      val mincode: Array[Int], val maxcode: Array[Int],
+      val valptr: Array[Int], val vals: Array[Int])
+
+  private def jpegHuffBuild(
+      bits: Array[Int], vals: Array[Int]): Option[JpegHuff] = {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      val n = bits(l - 1)
+      if (n > 0) {
+        valptr(l) = k
+        mincode(l) = code
+        code += n
+        k += n
+        maxcode(l) = code - 1
+        if (code > (1 << l)) return None // over-subscribed
+      }
+      code <<= 1
+      l += 1
+    }
+    Some(new JpegHuff(mincode, maxcode, valptr, vals))
+  }
+
+  /** Entropy-segment bit reader with FF00 byte unstuffing; hitting any
+    * real marker (FF xx, xx≠00) flags `markerHit` and pins `pos` AT the
+    * FF so restart handling can consume the marker bytes directly. */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    var markerHit = false
+    def readBit(): Int = {
+      if (nbits == 0) {
+        if (markerHit || pos >= b.length) { markerHit = true; return -1 }
+        val byte = b(pos) & 0xff
+        pos += 1
+        if (byte == 0xff) {
+          if (pos >= b.length) { markerHit = true; return -1 }
+          if ((b(pos) & 0xff) == 0) pos += 1
+          else { markerHit = true; pos -= 1; return -1 }
+        }
+        cur = byte
+        nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    /** n extra amplitude bits, MSB first; Int.MinValue on starvation. */
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bit = readBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit
+        i += 1
+      }
+      v
+    }
+    /** Byte-align (drop partial-byte padding bits) and consume the
+      * expected RSTn marker, tolerating optional FF fill bytes. */
+    def consumeRst(n: Int): Boolean = {
+      nbits = 0
+      markerHit = false
+      while (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+        (b(pos + 1) & 0xff) == 0xff) pos += 1 // fill bytes
+      if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff ||
+        (b(pos + 1) & 0xff) != (0xd0 + n)) return false
+      pos += 2
+      true
+    }
+  }
+
+  private def jpegDecodeHuff(h: JpegHuff, r: JpegBits): Int = {
+    var code = 0
+    var l = 1
+    while (l <= 16) {
+      val bit = r.readBit()
+      if (bit < 0) return -1
+      code = (code << 1) | bit
+      if (h.maxcode(l) >= 0 && code <= h.maxcode(l) && code >= h.mincode(l))
+        return h.vals(h.valptr(l) + code - h.mincode(l))
+      l += 1
+    }
+    -1
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map `v` (s magnitude bits) to its signed
+    * coefficient value. */
+  private def jpegExtend(v: Int, s: Int): Int =
+    if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline sequential JPEG (SOF0/SOF1, huffman, 8-bit) to a
+    * per-pixel integer LUMA raster: marker walk for DQT/DHT/SOF/DRI,
+    * then the SOS entropy scan — canonical huffman DC+AC per block,
+    * dequantize, deterministic separable double IDCT (level shift +128,
+    * clamp 0..255), restart markers reset the DC predictions. Only the
+    * Y component's pixels are kept (JFIF Y IS the BT.601 luma — the
+    * same weighting the other codecs compute from RGB), but chroma
+    * blocks are still fully huffman-decoded to advance the bitstream.
+    * Subsampled Y (a component with smaller factors than the frame max,
+    * rare) upsamples by integral pixel replication; the MCU-padded
+    * plane is cropped to the declared w×h. Returns None — never throws
+    * — for progressive (SOF2), arithmetic-coded, 12-bit, >4:1 factors,
+    * non-integral upsampling, or any truncated/corrupt structure. */
+  private[graft] def jpegPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    val qt = Array.ofDim[Int](4, 64) // raster order after de-zigzag
+    val qtSet = new Array[Boolean](4)
+    val dcTab = new Array[JpegHuff](4)
+    val acTab = new Array[JpegHuff](4)
+    var w = 0; var h = 0; var nComp = 0
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var ri = 0 // restart interval in MCUs (0 = none)
+    var sofSeen = false
+    var i = 2
+    while (i + 2 <= b.length) {
+      if (u8(b, i) != 0xff) return None
+      val m = u8(b, i + 1)
+      if (m == 0xff) i += 1 // fill byte
+      else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // bare markers
+      else if (m == 0xd9) return None // EOI before a decodable scan
+      else {
+        if (i + 4 > b.length) return None
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val segEnd = i + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more (precision|id, 64/128 bytes)
+            var p = i + 4
+            while (p < segEnd) {
+              val pq = u8(b, p) >> 4
+              val tq = u8(b, p) & 15
+              if (tq > 3) return None
+              if (pq == 0) {
+                if (p + 65 > segEnd) return None
+                var k = 0
+                while (k < 64) { qt(tq)(jpegZigzag(k)) = u8(b, p + 1 + k); k += 1 }
+                p += 65
+              } else if (pq == 1) {
+                if (p + 129 > segEnd) return None
+                var k = 0
+                while (k < 64) { qt(tq)(jpegZigzag(k)) = be16(b, p + 1 + 2 * k); k += 1 }
+                p += 129
+              } else return None
+              qtSet(tq) = true
+            }
+          case 0xc4 => // DHT: one or more (class|id, 16 counts, symbols)
+            var p = i + 4
+            while (p < segEnd) {
+              val tc = u8(b, p) >> 4
+              val th = u8(b, p) & 15
+              if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+              val bits = Array.tabulate(16)(l => u8(b, p + 1 + l))
+              val total = bits.sum
+              if (total > 256 || p + 17 + total > segEnd) return None
+              val vals = Array.tabulate(total)(k => u8(b, p + 17 + k))
+              val huff = jpegHuffBuild(bits, vals).getOrElse(return None)
+              if (tc == 0) dcTab(th) = huff else acTab(th) = huff
+              p += 17 + total
+            }
+          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+            if (sofSeen || u8(b, i + 4) != 8) return None
+            h = be16(b, i + 5); w = be16(b, i + 7)
+            nComp = u8(b, i + 9)
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+            if ((nComp != 1 && nComp != 3) || len != 8 + 3 * nComp) return None
+            compId = new Array[Int](nComp)
+            compH = new Array[Int](nComp)
+            compV = new Array[Int](nComp)
+            compQ = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compId(c) = u8(b, i + 10 + 3 * c)
+              val hv = u8(b, i + 11 + 3 * c)
+              compH(c) = hv >> 4; compV(c) = hv & 15
+              compQ(c) = u8(b, i + 12 + 3 * c)
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
+                compV(c) > 4 || compQ(c) > 3) return None
+              c += 1
+            }
+            sofSeen = true
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+              0xcd | 0xce | 0xcf =>
+            return None // progressive / lossless / arithmetic / hierarchical
+          case 0xdd => // DRI
+            if (len != 4) return None
+            ri = be16(b, i + 4)
+          case 0xda => // SOS: the one interleaved scan this decoder reads
+            if (!sofSeen) return None
+            val ns = u8(b, i + 4)
+            if (ns != nComp || len != 6 + 2 * ns) return None
+            val dcSel = new Array[Int](nComp)
+            val acSel = new Array[Int](nComp)
+            var c = 0
+            while (c < ns) {
+              val cs = u8(b, i + 5 + 2 * c)
+              val fi = compId.indexOf(cs)
+              if (fi < 0 || fi != c) return None // frame order required
+              dcSel(c) = u8(b, i + 6 + 2 * c) >> 4
+              acSel(c) = u8(b, i + 6 + 2 * c) & 15
+              if (dcSel(c) > 3 || acSel(c) > 3 || dcTab(dcSel(c)) == null ||
+                acTab(acSel(c)) == null || !qtSet(compQ(c))) return None
+              c += 1
+            }
+            // Ss=0, Se=63, AhAl=0 for sequential
+            if (u8(b, segEnd - 3) != 0 || u8(b, segEnd - 2) != 63 ||
+              u8(b, segEnd - 1) != 0) return None
+            return jpegScan(b, segEnd, w, h, nComp, compH, compV, compQ,
+              dcSel.map(i => dcTab(i)), acSel.map(i => acTab(i)), qt, ri)
+          case _ => () // APPn / COM / DNL / others: skipped
+        }
+        i = segEnd
+      }
+    }
+    None
+  }
+
+  /** The SOS entropy scan of [[jpegPixels]]: MCU loop, per-component
+    * block decode + IDCT, Y-plane assembly, restart handling. */
+  private def jpegScan(
+      b: Array[Byte], start: Int, w: Int, h: Int, nComp: Int,
+      compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+      dc: Array[JpegHuff], ac: Array[JpegHuff], qt: Array[Array[Int]],
+      ri: Int): Option[(Int, Int, Array[Int])] = {
+    var maxH = 1; var maxV = 1
+    var c = 0
+    while (c < nComp) {
+      if (compH(c) > maxH) maxH = compH(c)
+      if (compV(c) > maxV) maxV = compV(c)
+      c += 1
+    }
+    // integral Y upsampling only (universal in practice: Y carries max)
+    if (maxH % compH(0) != 0 || maxV % compV(0) != 0) return None
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    val planeW = mcusX * compH(0) * 8
+    val planeH = mcusY * compV(0) * 8
+    if (planeW.toLong * planeH > (1L << 27)) return None
+    val plane = new Array[Int](planeW * planeH)
+    val r = new JpegBits(b, start)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    // decode one block of component c; place = top-left in the Y plane
+    // (negative = chroma / discard: decoded only to advance the stream)
+    def block(c: Int, px: Int, py: Int): Boolean = {
+      val q = qt(compQ(c))
+      java.util.Arrays.fill(coef, 0)
+      val t = jpegDecodeHuff(dc(c), r)
+      if (t < 0 || t > 15) return false
+      if (t > 0) {
+        val v = r.receive(t)
+        if (v == Int.MinValue) return false
+        pred(c) += jpegExtend(v, t)
+      }
+      coef(0) = pred(c) * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = jpegDecodeHuff(ac(c), r)
+        if (rs < 0) return false
+        val run = rs >> 4
+        val size = rs & 15
+        if (size == 0) {
+          if (run == 15) k += 16 else eob = true // ZRL / EOB
+        } else {
+          k += run
+          if (k > 63) return false
+          val v = r.receive(size)
+          if (v == Int.MinValue) return false
+          val rp = jpegZigzag(k)
+          coef(rp) = jpegExtend(v, size) * q(rp)
+          k += 1
+        }
+      }
+      if (px < 0) return true // chroma: bitstream advanced, nothing kept
+      // separable IDCT: rows over u, then columns over v
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) { s += jpegIdctM(x * 8 + u) * coef(v * 8 + u); u += 1 }
+          tmp(v * 8 + x) = s
+          x += 1
+        }
+        v += 1
+      }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var vv = 0
+          while (vv < 8) { s += jpegIdctM(y * 8 + vv) * tmp(vv * 8 + x); vv += 1 }
+          val pix = math.rint(s).toInt + 128
+          plane((py + y) * planeW + px + x) =
+            if (pix < 0) 0 else if (pix > 255) 255 else pix
+          x += 1
+        }
+        y += 1
+      }
+      true
+    }
+    val totalMcus = mcusX.toLong * mcusY
+    var mcu = 0L
+    while (mcu < totalMcus) {
+      if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+        if (!r.consumeRst(((mcu / ri - 1) % 8).toInt)) return None
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = (mcu % mcusX).toInt
+      val my = (mcu / mcusX).toInt
+      var c = 0
+      while (c < nComp) {
+        var bv = 0
+        while (bv < compV(c)) {
+          var bh = 0
+          while (bh < compH(c)) {
+            val keep = c == 0
+            val ok = block(c,
+              if (keep) (mx * compH(0) + bh) * 8 else -1,
+              if (keep) (my * compV(0) + bv) * 8 else -1)
+            if (!ok) return None
+            bh += 1
+          }
+          bv += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // crop + integral upsample to the declared raster
+    val fx = maxH / compH(0)
+    val fy = maxV / compV(0)
+    val lum = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = (y / fy) * planeW
+      val dstRow = y * w
+      var x = 0
+      while (x < w) {
+        lum(dstRow + x) = plane(srcRow + x / fx)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, lum))
+  }
+
   /** Format-agnostic pixel decode: PNG ([[pngPixels]]), GIF
-    * ([[gifPixels]]), or BMP ([[bmpPixels]]) by magic-byte sniff —
-    * every luma-raster operator (perceptual hashes, pixel stats,
-    * entropy, resize) accepts any of them through this one dispatch
-    * point; a new codec lands here once. */
+    * ([[gifPixels]]), BMP ([[bmpPixels]]), or baseline JPEG
+    * ([[jpegPixels]]) by magic-byte sniff — every luma-raster operator
+    * (perceptual hashes, pixel stats, entropy, resize) accepts any of
+    * them through this one dispatch point; a new codec lands here once. */
   private[graft] def decodePixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
     if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P') pngPixels(b)
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') gifPixels(b)
     else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') bmpPixels(b)
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      jpegPixels(b)
     else None
 
   /** Exact area-average downsample of a luma raster to a gw×gh grid:
@@ -1993,6 +2393,163 @@ object MediaFixtures {
       le16(v & 0xffff)
       i += 1
     }
+    bb.toByteArray
+  }
+
+  /** Block formula for the DC-only JPEG fixtures: block (bx,by) decodes
+    * to the EXACT flat value `2·coef + 128` with Q₀₀ = 16, where
+    * `coef = ((17bx + 29by + 13·bx·by + seed) mod 120) − 60` — the IDCT
+    * of a DC-only block is F₀₀·Q₀₀/8, an integer here, so decode output
+    * is immune to IDCT rounding conventions and the DuckDB oracle can
+    * replay it in closed form while the engine must huffman-decode real
+    * entropy-coded data. coef ∈ [−60, 59] keeps pixels in [8, 246]:
+    * the clamp never engages. */
+  def jpegBlockCoef(bx: Long, by: Long, seed: Long): Int =
+    (((17L * bx + 29L * by + 13L * bx * by + seed) % 120L + 120L) % 120L)
+      .toInt - 60
+
+  /** MSB-first entropy bit packer with FF00 byte stuffing and the
+    * T.81 1-bit padding rule. */
+  private final class JpegBitWriter {
+    private val bb = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          bb.write(cur)
+          if (cur == 0xff) bb.write(0) // byte stuffing
+          cur = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flushOnes(): Unit = while (n != 0) put(1, 1)
+    def drain(): Array[Byte] = { val a = bb.toByteArray; bb.reset(); a }
+  }
+
+  private def jpegDcEncode(bw: JpegBitWriter, diff: Int): Unit = {
+    val t =
+      if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+    bw.put(t, 4) // fixture DC table: code for category c IS c, 4 bits
+    if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+    bw.put(0, 2) // EOB (fixture AC table: single symbol 0x00, code "00")
+  }
+
+  /** Shared table/frame segments for the fixture JPEGs: DQT (id 0, all
+    * 16s), SOF0, minimal DHTs — DC table 0 = categories 0..7 at length
+    * 4 (code ≡ category), AC table 0 = EOB alone at length 2. */
+  private def jpegHeaderInto(
+      bb: java.io.ByteArrayOutputStream, w: Int, h: Int,
+      comps: Seq[(Int, Int)]): Unit = { // (id, HV-packed) per component
+    def be16(v: Int): Unit = { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    def marker(m: Int): Unit = { bb.write(0xff); bb.write(m) }
+    marker(0xd8)
+    marker(0xdb); be16(2 + 65); bb.write(0x00)
+    var k = 0
+    while (k < 64) { bb.write(16); k += 1 }
+    marker(0xc0); be16(8 + 3 * comps.size); bb.write(8); be16(h); be16(w)
+    bb.write(comps.size)
+    comps.foreach { case (id, hv) => bb.write(id); bb.write(hv); bb.write(0) }
+    marker(0xc4); be16(2 + 17 + 8 + 17 + 1)
+    bb.write(0x00)
+    val dcBits = Array(0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    dcBits.foreach(bb.write)
+    var c = 0
+    while (c < 8) { bb.write(c); c += 1 }
+    bb.write(0x10)
+    val acBits = Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    acBits.foreach(bb.write)
+    bb.write(0x00)
+  }
+
+  private def jpegSosInto(
+      bb: java.io.ByteArrayOutputStream, compIds: Seq[Int]): Unit = {
+    def be16(v: Int): Unit = { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    bb.write(0xff); bb.write(0xda); be16(6 + 2 * compIds.size)
+    bb.write(compIds.size)
+    compIds.foreach { id => bb.write(id); bb.write(0x00) }
+    bb.write(0); bb.write(63); bb.write(0)
+  }
+
+  /** A COMPLETE valid grayscale baseline JPEG carrying the
+    * [[jpegBlockCoef]] DC-only raster: real huffman-coded entropy data
+    * (DC category + amplitude bits + EOB per block, FF00 stuffing,
+    * 1-bit padding), one 8×8 block per MCU, optional restart markers
+    * every `restartInterval` MCUs (DC prediction resets — a decoder
+    * that does not reset mismatches every block after the first RST). */
+  def jpegPixelBytes(
+      w: Int, h: Int, seed: Long, restartInterval: Int = 0): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    jpegHeaderInto(bb, w, h, Seq((1, 0x11)))
+    if (restartInterval > 0) {
+      bb.write(0xff); bb.write(0xdd); bb.write(0); bb.write(4)
+      bb.write((restartInterval >> 8) & 0xff); bb.write(restartInterval & 0xff)
+    }
+    jpegSosInto(bb, Seq(1))
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val bw = new JpegBitWriter
+    var pred = 0
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flushOnes()
+        bb.write(bw.drain())
+        bb.write(0xff); bb.write(0xd0 + ((mcu / restartInterval - 1) % 8))
+        pred = 0
+      }
+      val coef = jpegBlockCoef(mcu % mcusX, mcu / mcusX, seed)
+      jpegDcEncode(bw, coef - pred)
+      pred = coef
+      mcu += 1
+    }
+    bw.flushOnes()
+    bb.write(bw.drain())
+    bb.write(0xff); bb.write(0xd9)
+    bb.toByteArray
+  }
+
+  /** A COMPLETE valid 4:2:0 color baseline JPEG, same DC-only luma
+    * raster: each MCU interleaves FOUR Y blocks (2×2, row-major within
+    * the MCU — the T.81 ordering a decoder must honor or scramble every
+    * multi-MCU image) plus one Cb and one Cr block (flat 128: DC diff
+    * 0). Luma output is identical in closed form to the grayscale twin,
+    * so one oracle serves both; only an engine that walks the
+    * interleave and crops the MCU padding can match. */
+  def jpeg420PixelBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    jpegHeaderInto(bb, w, h, Seq((1, 0x22), (2, 0x11), (3, 0x11)))
+    jpegSosInto(bb, Seq(1, 2, 3))
+    val mcusX = (w + 15) / 16
+    val mcusY = (h + 15) / 16
+    val bw = new JpegBitWriter
+    var predY = 0
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var bv = 0
+      while (bv < 2) {
+        var bh = 0
+        while (bh < 2) {
+          val coef = jpegBlockCoef(2L * mx + bh, 2L * my + bv, seed)
+          jpegDcEncode(bw, coef - predY)
+          predY = coef
+          bh += 1
+        }
+        bv += 1
+      }
+      jpegDcEncode(bw, 0) // Cb
+      jpegDcEncode(bw, 0) // Cr
+      mcu += 1
+    }
+    bw.flushOnes()
+    bb.write(bw.drain())
+    bb.write(0xff); bb.write(0xd9)
     bb.toByteArray
   }
 

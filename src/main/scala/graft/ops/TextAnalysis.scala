@@ -877,4 +877,68 @@ object TextAnalysis {
         (col("n_novel").cast("double") / col("n_shingles").cast("double"))
           .as("novelty"))
   }
+
+  /** Cross-document duplicate-SPAN detection — the exact-substring
+    * complement to MinHash/SimHash whole-doc dedup (the "deduplicating
+    * training data" recipe: long verbatim passages repeated across
+    * documents — licenses, templates, quoted wholesale — poison an LM
+    * even when the hosting docs differ). A token n-gram is *duplicated*
+    * when it appears in ≥ `minDf` DISTINCT documents; per document,
+    * consecutive duplicated gram positions merge into maximal spans,
+    * and overlapping span coverage is counted exactly (a token under
+    * two overlapping grams counts once). Emits per doc:
+    * (id, n_tokens, n_dup_spans, dup_tokens, dup_ratio_q) with
+    * `dup_ratio_q = dup_tokens·10⁶ div n_tokens` — the scrub/penalty
+    * signal.
+    *
+    * Scale: gram building is row-local (token array materialized once —
+    * the interpreted-HOF rule); duplicate grams come from ONE
+    * gram-keyed hash aggregate (map-side combined, O(distinct grams)
+    * table); the join back is same-key; span merging is a window
+    * PARTITIONED BY DOCUMENT over that doc's duplicated positions —
+    * bounded by document length, never corpus-sized. At 100 TB the only
+    * corpus-wide structure is the distinct-gram aggregate, the same
+    * shape as [[topNgrams]]. */
+  def dupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDf: Long = 2): DataFrame = {
+    require(n >= 1, s"ngram length must be >= 1, got $n")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("__id"),
+      TextHash.words(col(textCol)).as("__toks"))
+    val withN = toks.select(col("__id"),
+      size(col("__toks")).cast("long").as("__ntok"), col("__toks"))
+    // (id, pos, gram) — descending-sequence guard as in topNgrams
+    val grams = withN.select(col("__id"), col("__ntok"),
+      posexplode(when(size(col("__toks")) >= n,
+        transform(sequence(lit(0), size(col("__toks")) - n),
+          i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+        .as(Seq("__pos", "__gram")))
+    val dup = grams.groupBy(col("__gram"))
+      .agg(count_distinct(col("__id")).as("__df"))
+      .where(col("__df") >= minDf)
+      .select(col("__gram"))
+    // duplicated positions per doc -> islands (break when the next
+    // position starts past the running span end; equal gram lengths
+    // make the previous position's end the running max)
+    val pos = grams.join(dup, "__gram")
+      .select(col("__id"), col("__ntok"), col("__pos"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val isl = pos
+      .withColumn("__brk",
+        when(col("__pos") > lag(col("__pos"), 1).over(w) + n, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("__isl", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("__id"), col("__ntok"), col("__isl"))
+      .agg((max(col("__pos")) + n - min(col("__pos"))).as("__covered"))
+    spans.groupBy(col("__id"), col("__ntok"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__covered")).as("dup_tokens"))
+      .select(col("__id").as("id"), col("__ntok").as("n_tokens"),
+        col("n_dup_spans"), col("dup_tokens"),
+        expr("dup_tokens * 1000000L div __ntok").as("dup_ratio_q"))
+  }
 }

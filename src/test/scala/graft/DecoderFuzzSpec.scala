@@ -20,6 +20,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "gifPixels" -> (b => Multimodal.gifPixels(b)),
     "gifFrames" -> (b => Multimodal.gifFrames(b, maxFrames = 8, stride = 2)),
     "bmpPixels" -> (b => Multimodal.bmpPixels(b)),
+    "jpegPixels" -> (b => Multimodal.jpegPixels(b)),
     "tiffMeta" -> (b => Multimodal.tiffMeta(b)),
     "decodePixels" -> (b => Multimodal.decodePixels(b)))
 
@@ -29,7 +30,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "anim" -> MediaFixtures.gifAnimBytes(9, 8, 3, 5L),
     "bmp" -> MediaFixtures.bmpPixelBytes(10, 7, 11L),
     "tiffII" -> MediaFixtures.tiffBytes(little = true, 77L, 55L, 3, "camX"),
-    "tiffMM" -> MediaFixtures.tiffBytes(little = false, 77L, 55L, 3, "c1"))
+    "tiffMM" -> MediaFixtures.tiffBytes(little = false, 77L, 55L, 3, "c1"),
+    "jpeg" -> MediaFixtures.jpegPixelBytes(13, 10, 29L),
+    "jpegRst" -> MediaFixtures.jpegPixelBytes(18, 11, 41L, restartInterval = 2),
+    "jpeg420" -> MediaFixtures.jpeg420PixelBytes(19, 17, 7L))
 
   test("random byte soup never throws (300 arrays, lengths 0..4096, " +
       "plus magic-byte-prefixed soup per codec)") {
@@ -37,7 +41,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
       "GIF89a".getBytes, "BM".getBytes,
       Array[Byte]('I', 'I', 42, 0), Array[Byte]('M', 'M', 0, 42),
-      "RIFF".getBytes)
+      "RIFF".getBytes, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))
     for (i <- 0 until 300) {
       val len = rnd.nextInt(4097)
       val b = new Array[Byte](len)

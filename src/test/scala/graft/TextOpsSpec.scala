@@ -619,4 +619,30 @@ class TextOpsSpec extends SparkSpec {
     assert(b.getLong(1) == 4L && b.getLong(2) == 9L && b.getLong(3) == 6L)
     assert(b.getDouble(4) == 6.0 / 9.0)
   }
+
+  test("dupSpans: adjacent duplicated grams merge to one span, gap > n " +
+      "splits, overlap coverage counts each token once, clean docs are " +
+      "absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h"), //       grams at pos 0,1 dup'd with doc 1
+      (1L, "x a b c d e f y"), //                            at pos 1, 2
+      (2L, "p q r s t u v w"), //                     no cross-doc grams
+      // "a b c d e" at pos 0 AND 7: gap 7 > 5 → TWO spans of 5
+      (3L, "a b c d e z1 z2 a b c d e"),
+      // same gram at pos 0 AND 5: 5 <= 0+5 → ONE merged span of 10
+      (4L, "a b c d e a b c d e z3 z4"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpans(docs, "doc_id", "text", n = 5, minDf = 2L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 0: positions {0,1} (grams "a b c d e", "b c d e f") → one
+    // span covering tokens 0..5 = 6 of 8 tokens
+    assert(got(0L) == ((8L, 1L, 6L, 750000L)))
+    assert(got(1L) == ((8L, 1L, 6L, 750000L)))
+    assert(!got.contains(2L))
+    assert(got(3L) == ((12L, 2L, 10L, 833333L)))
+    assert(got(4L) == ((12L, 1L, 10L, 833333L)))
+  }
 }
