@@ -3919,6 +3919,28 @@ object SparkEntry {
       Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
     }),
 
+    // ---- Multimodal: FOUR-codec corpus — PNG / GIF / BMP / JPEG
+    //      rotate by id in one binary column. JPEG carries the
+    //      flat-block formula (entropy-coded data can't splice an
+    //      arbitrary raster exactly), the other three the pixel
+    //      formula, so the oracle picks the replay per id — the
+    //      engine side still sees only bytes and must sniff all four,
+    //      including the FFD8 path the 3-codec gate predates. ----
+    "mm_mixed_codec4_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", { id =>
+          val (w, h, sd) = ((id % 17 + 9).toInt, (id % 10 + 8).toInt, id % 61)
+          (id % 4) match {
+            case 0 => MediaFixtures.pngPixelBytes(w, h, sd)
+            case 1 => MediaFixtures.gifPixelBytes(w, h, sd)
+            case 2 => MediaFixtures.bmpPixelBytes(w, h, sd)
+            case _ => MediaFixtures.jpegPixelBytes(w, h, sd)
+          }
+        })
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
     // ---- Multimodal: BMP thumbnail — the third codec alone: bottom-up
     //      row reversal + padding walk, box means to 7×3, rolling-hash
     //      fingerprint (full-raster proof per codec, like the PNG and
@@ -3967,6 +3989,21 @@ object SparkEntry {
         id => graft.multimodal.MediaFixtures.jpeg420PixelBytes(
           (id % 23 + 17).toInt, (id % 13 + 16).toInt, id % 71))
       Multimodal.resizePixels(d, "doc_id", "content", outW = 6, outH = 4)
+    }),
+
+    // ---- Multimodal: MP4/ISO-BMFF box walk — the VIDEO container:
+    //      ftyp brand, mvhd timescale/duration (+ exact integer ms),
+    //      per-trak tkhd 16.16 dims MAXed over tracks (odd ids carry a
+    //      0×0 audio trak a first-match reader would trip on) ----
+    "mm_mp4_meta" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id",
+        id => MediaFixtures.mp4Bytes(
+          (id % 33 + 16).toInt, (id % 19 + 12).toInt,
+          1000L * (id % 3 + 1), id % 9000 + 100,
+          audioTrack = id % 2 == 1))
+      Multimodal.mp4MetaPlan(d, "doc_id", "content")
     }),
 
     // ---- Multimodal: animated-GIF frame sampling + scene-change
@@ -4075,6 +4112,20 @@ object SparkEntry {
           id % 200 + 1L, id % 97)).as("content"))
       Multimodal.wavWindowSpectrum(d, "doc_id", "content", window = 64,
         bins = Seq(1, 2, 4, 8))
+    }),
+
+    // ---- Multimodal: rational 2/3 PCM resample (48k→32k shape) —
+    //      exact integer linear interpolation at source position
+    //      j·3/2 with FLOOR division (negative samples round like the
+    //      oracle's //); output summarized as Σ|v| + rolling
+    //      fingerprint over the full resampled stream ----
+    "mm_audio_resample" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.wavPcmHex(id % 2 + 1L, (id % 5 + 1L) * 8000L,
+          id % 200 + 1L, id % 97)).as("content"))
+      Multimodal.wavResample(d, "doc_id", "content", upL = 2, downM = 3)
     }),
 
     // ---- Multimodal: windowed PCM zero-crossing count + amplitude
@@ -4226,6 +4277,20 @@ object SparkEntry {
       formatFidelity(graft.sources.Formats.roundTrip(
         s, t(s, dir, "documents"), "orc", s"$tmp/docs"))
     }),
+    // ---- Sources: gzip-compressed text ingestion — REAL DEFLATE
+    //      decode (java.util.zip) of per-record gzip members, the
+    //      .jsonl.gz / WARC-body interchange shape. The fixture gzips
+    //      each doc's text in the kernel; the engine must decompress
+    //      the BYTES while the oracle reads the plaintext directly. ----
+    "src_gzip_text" -> ((s, dir) => {
+      val d = graft.sources.Formats.gzipTextFixture(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.sources.Formats.gunzipText(d, "doc_id", "content")
+        .select(col("id"), col("n_bytes"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+    }),
+
     // ---- Sources: malformed-JSONL ingestion — PERMISSIVE read with a
     //      corrupt-record column; broken lines are counted into a
     //      quarantine row instead of killing the read (FAILFAST) or
@@ -5980,6 +6045,12 @@ object SparkEntry {
       "src_json_roundtrip" -> fidelitySql,
       "src_orc_roundtrip" -> fidelitySql,
       "src_xml_roundtrip" -> fidelitySql,
+      "src_gzip_text" ->
+        // The oracle never sees the gzip bytes — it reads the source
+        // text; only an engine that really inflates matches the md5.
+        ("SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+          "CAST(length(text) AS BIGINT) AS n_chars, " +
+          "md5(text) AS text_md5 FROM documents"),
       "src_jsonl_corrupt" ->
         ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents " +
@@ -8661,6 +8732,24 @@ object SparkEntry {
         // oracle never mentions a codec — only an engine that sniffs
         // and decodes ALL THREE per row can match.
         mmPixelStatsSql("doc_id % 19 + 8", "doc_id % 11 + 7", "doc_id % 83"),
+      "mm_mixed_codec4_stats" ->
+        // Per-id replay: rows 0/1/2 mod 4 carry the PNG/GIF/BMP pixel
+        // formula, rows 3 mod 4 the JPEG flat-block formula — the
+        // engine saw only bytes and had to sniff + decode all four.
+        mmPixelStatsSql("doc_id % 17 + 9", "doc_id % 10 + 8",
+          "doc_id % 61",
+          s"CASE WHEN id % 4 = 3 THEN $mmJpegPx ELSE $mmPngPx END"),
+      "mm_mp4_meta" ->
+        // Pure closed-form replay of the fixture's box parameters —
+        // the engine had to WALK real BMFF bytes to recover them.
+        ("SELECT doc_id AS id, 'isom' AS brand, " +
+          "CAST(1000 * (doc_id % 3 + 1) AS BIGINT) AS timescale, " +
+          "CAST(doc_id % 9000 + 100 AS BIGINT) AS duration, " +
+          "CAST((doc_id % 9000 + 100) * 1000 // " +
+          "(1000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms, " +
+          "CAST(doc_id % 33 + 16 AS INT) AS width, " +
+          "CAST(doc_id % 19 + 12 AS INT) AS height, " +
+          "CAST(1 + doc_id % 2 AS INT) AS n_tracks FROM documents"),
       "mm_jpeg_pixel_stats" ->
         // Flat-block replay over the grayscale JPEG dims: the ENGINE
         // side had to huffman-decode + IDCT; the oracle replays the
@@ -8808,6 +8897,27 @@ object SparkEntry {
           "CAST(sum(x * x) AS BIGINT) AS sum_sq, " +
           "sqrt(CAST(sum(x * x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) " +
           "AS rms FROM v GROUP BY 1, 2"),
+      "mm_audio_resample" ->
+        // Closed-form replay of the 2/3 resample over the sawtooth:
+        // output j reads source p = 3j/2 — whole positions pass
+        // through, half positions take the floored neighbor mean.
+        ("WITH p AS (SELECT doc_id AS id, " +
+          "((doc_id % 2) + 1) * ((doc_id % 200) + 1) AS n, " +
+          "doc_id % 97 AS sd FROM documents), " +
+          "r AS (SELECT id, n, sd, (n - 1) * 2 // 3 + 1 AS n_out FROM p), " +
+          "v AS (SELECT id, n, n_out, list_transform(range(0, n_out), " +
+          "j -> CASE WHEN (j * 3) % 2 = 0 THEN " +
+          "((j * 3 // 2) * 2477 + sd) % 4096 - 2048 " +
+          "ELSE (((j * 3 // 2) * 2477 + sd) % 4096 - 2048 + " +
+          "((j * 3 // 2 + 1) * 2477 + sd) % 4096 - 2048) // 2 END) " +
+          "AS vs FROM r) " +
+          "SELECT id, CAST(n AS BIGINT) AS n_in, " +
+          "CAST(n_out AS BIGINT) AS n_out, " +
+          "CAST(list_sum(list_transform(vs, x -> abs(x))) AS BIGINT) " +
+          "AS sum_abs_out, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vs), " +
+          s"(a, b) -> (a * 31 + b + 32768) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS resampled_fp FROM v"),
       "mm_patchify" ->
         // Tile replay: the patch grid is (w div 5) × (h div 5); each
         // tile's mean and row-major rolling fingerprint from the

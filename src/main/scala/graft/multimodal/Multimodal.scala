@@ -180,6 +180,15 @@ object Multimodal {
       } yield (w, h, 1)
     }
 
+  /** MP4 dims for the header-meta chain: presentation width/height from
+    * the [[mp4Meta]] box walk, integer milliseconds in the frames slot
+    * (the [[wavDims]] convention of mapping the container's native
+    * duration unit onto the fixed meta schema). */
+  private def mp4Dims(b: Array[Byte]): Option[(Int, Int, Int)] =
+    mp4Meta(b).collect { case (_, ts, dur, w, h, _) if w > 0 && h > 0 =>
+      (w, h, (dur * 1000L / ts).toInt)
+    }
+
   /** Decode kernel: real header parse first (PNG/JPEG/GIF/WAV/BMP/TIFF),
     * checksum
     * always (it feeds [[featurePlan]]), deterministic checksum-derived
@@ -195,6 +204,7 @@ object Multimodal {
       val parsed = pngDims(r.content).orElse(jpegDims(r.content))
         .orElse(gifDims(r.content)).orElse(wavDims(r.content))
         .orElse(bmpDims(r.content)).orElse(tiffDims(r.content))
+        .orElse(mp4Dims(r.content))
       parsed match {
         case Some((w, h, f)) =>
           MediaMeta(r.id, r.mediaType, r.content.length.toLong, a, w, h, f)
@@ -1495,6 +1505,64 @@ object Multimodal {
       .toDF()
   }
 
+  /** One resample summary row; NULLs when not valid 16-bit PCM. */
+  final case class AudioResample(
+      id: Long, n_in: Option[Long], n_out: Option[Long],
+      sum_abs_out: Option[Long], resampled_fp: Option[Long])
+
+  /** Rational L/M resampling of the flat 16-bit PCM stream by exact
+    * integer linear interpolation: output j sits at source position
+    * p = j·M/L; with num = j·M, k = num div L, r = num mod L, the
+    * sample is s(k) when r = 0 and
+    * `(s(k)·(L−r) + s(k+1)·r) / L` otherwise — TRUNCATING division
+    * (toward zero), the SQL `div` / DuckDB `//` convention, so
+    * negative samples round the same way the oracle does.
+    * n_out = (n−1)·L/M + 1 output
+    * positions land inside the stream. The resampled stream is
+    * summarized as Σ|v| plus the rolling fingerprint
+    * `fold (a·31 + v + 32768) mod P` (shifted non-negative) — the
+    * verifiable stand-in for shipping resampled bytes, as with
+    * [[resizePixels]]. Row-local kernel, no shuffle. */
+  def wavResample(
+      df: DataFrame, idCol: String, binCol: String, upL: Int, downM: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(upL >= 1 && downM >= 1, s"bad resample ratio $upL/$downM")
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("audio").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        pcm16Data(r.content) match {
+          case None => AudioResample(r.id, None, None, None, None)
+          case Some((dataOff, n)) if n > 0 =>
+            def s(i: Int): Long =
+              le16(r.content, dataOff + 2 * i).toShort.toLong
+            val nOut = ((n - 1).toLong * upL / downM + 1L).toInt
+            var fp = 0L
+            var sumAbs = 0L
+            var j = 0
+            while (j < nOut) {
+              val num = j.toLong * downM
+              val k = (num / upL).toInt // num >= 0: trunc == floor
+              val rr = (num - k.toLong * upL).toInt
+              val v =
+                if (rr == 0) s(k)
+                else (s(k) * (upL - rr) + s(k + 1) * rr) / upL
+              sumAbs += math.abs(v)
+              fp = (fp * 31L + v + 32768L) % P
+              j += 1
+            }
+            AudioResample(r.id, Some(n.toLong), Some(nOut.toLong),
+              Some(sumAbs), Some(fp))
+          case Some(_) =>
+            AudioResample(r.id, Some(0L), Some(0L), Some(0L), Some(0L))
+        }
+      }))
+      .toDF()
+  }
+
   /** Quantized DFT basis for bin k over a `window`-point frame:
     * (cosq, sinq) with cosq(i) = round(1e4·cos(2πki/window)), sinq(i) =
     * round(1e4·sin(2πki/window)) — driver-computed longs shared
@@ -1950,6 +2018,119 @@ object Multimodal {
           .as("hamming"))
       .filter(col("hamming") >= 1L && col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  // ---- MP4 / ISO BMFF box walk (ISO/IEC 14496-12 public structure):
+  // the VIDEO container parser — ftyp brand, mvhd timescale/duration,
+  // per-trak tkhd dims ----
+
+  /** Parse the ISO-BMFF box tree of an MP4/MOV payload:
+    * (major brand, timescale, duration, width, height, n_tracks).
+    * Handles 32-bit sizes, 64-bit `largesize` (size = 1), run-to-EOF
+    * (size = 0), and version-0 AND version-1 mvhd/tkhd layouts. Width/
+    * height are the 16.16 fixed-point tkhd values' integer parts,
+    * MAXed over tracks (audio tracks carry 0×0 — first-match would
+    * read the wrong track). Containers walked: moov, trak; depth
+    * capped; any malformed size/bound returns None, never throws. */
+  private[graft] def mp4Meta(
+      b: Array[Byte]): Option[(String, Long, Long, Int, Int, Int)] = {
+    if (b.length < 16) return None
+    // an MP4 must LEAD with a box whose type is well-known, else this
+    // is not BMFF at all (the dispatch guard: ftyp/moov/free/mdat/wide)
+    val first = new String(b, 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (first != "ftyp" && first != "moov") return None
+    var brand: String = null
+    var timescale = -1L
+    var duration = -1L
+    var width = 0
+    var height = 0
+    var nTracks = 0
+    def walk(from: Long, to: Long, depth: Int): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val ii = i.toInt
+        val sz0 = be32(b, ii)
+        val tp = new String(b, ii + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        var hdr = 8L
+        var sz = sz0
+        if (sz0 == 1L) {
+          if (i + 16 > to) return false
+          sz = (be32(b, ii + 8) << 32) | be32(b, ii + 12)
+          hdr = 16L
+        } else if (sz0 == 0L) sz = to - i
+        if (sz < hdr || sz > to - i) return false
+        val p = (i + hdr).toInt
+        val end = i + sz
+        tp match {
+          case "ftyp" =>
+            if (sz < hdr + 8) return false
+            brand = new String(b, p, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+          case "moov" =>
+            if (depth < 4 && !walk(i + hdr, end, depth + 1)) return false
+          case "trak" =>
+            nTracks += 1
+            if (depth < 4 && !walk(i + hdr, end, depth + 1)) return false
+          case "mvhd" =>
+            val v = u8(b, p)
+            if (v == 0) {
+              if (hdr + 20 > sz) return false
+              timescale = be32(b, p + 12)
+              duration = be32(b, p + 16)
+            } else if (v == 1) {
+              if (hdr + 32 > sz) return false
+              timescale = be32(b, p + 20)
+              duration = (be32(b, p + 24) << 32) | be32(b, p + 28)
+            } else return false
+          case "tkhd" =>
+            val v = u8(b, p)
+            val off = if (v == 0) 76 else if (v == 1) 88 else return false
+            if (hdr + off + 8 > sz) return false
+            val tw = (be32(b, p + off) >> 16).toInt
+            val th = (be32(b, p + off + 4) >> 16).toInt
+            if (tw > width) width = tw
+            if (th > height) height = th
+          case _ => () // mdat / free / udta / …: skipped by size
+        }
+        i = end
+      }
+      i == to // trailing sub-8-byte garbage in a container: corrupt
+    }
+    if (!walk(0L, b.length.toLong, 0)) return None
+    if (brand == null || timescale <= 0 || duration < 0) return None
+    Some((brand, timescale, duration, width, height, nTracks))
+  }
+
+  /** One parsed MP4 row; NULLs when the payload is not valid BMFF. */
+  final case class Mp4Meta(
+      id: Long, brand: Option[String], timescale: Option[Long],
+      duration: Option[Long], duration_ms: Option[Long],
+      width: Option[Int], height: Option[Int], n_tracks: Option[Int])
+
+  /** Batched MP4 metadata extraction over a binary column — the video
+    * twin of [[exifMeta]]: brand, clock (timescale/duration +
+    * integer-ms), presentation dims, track count. Row-local kernel, no
+    * shuffle; unparseable payloads surface as NULL rows. */
+  def mp4MetaPlan(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(
+      col(idCol).cast("long").as("id"),
+      lit("video").as("mediaType"),
+      col(binCol).cast("binary").as("content")).as[MediaRecord]
+    ds.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        mp4Meta(r.content) match {
+          case None =>
+            Mp4Meta(r.id, None, None, None, None, None, None, None)
+          case Some((brand, ts, dur, w, h, nt)) =>
+            Mp4Meta(r.id, Some(brand), Some(ts), Some(dur),
+              Some(dur * 1000L / ts), Some(w), Some(h), Some(nt))
+        }
+      }))
+      .toDF()
   }
 }
 
@@ -2593,6 +2774,56 @@ object MediaFixtures {
     u32(0L) // next IFD
     if (makeBytes.length > 4) bb.write(makeBytes)
     bb.toByteArray
+  }
+
+  /** Kernel-built minimal-but-valid MP4 (ISO BMFF, ISO/IEC 14496-12):
+    * ftyp (major brand isom + compat list), moov[ mvhd v0 (full
+    * 100-byte payload) + one video trak[tkhd v0, 16.16 fixed dims] +
+    * optionally one audio trak (0×0 dims — the real-world shape a
+    * dims-reader must max over, not first-match) ], free, empty mdat. */
+  def mp4Bytes(w: Int, h: Int, timescale: Long, duration: Long,
+      audioTrack: Boolean): Array[Byte] = {
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      val sz = payload.length + 8
+      bb.write((sz >> 24) & 0xff); bb.write((sz >> 16) & 0xff)
+      bb.write((sz >> 8) & 0xff); bb.write(sz & 0xff)
+      bb.write(tp.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.write(payload)
+      bb.toByteArray
+    }
+    def be32a(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = box("ftyp",
+      "isom".getBytes ++ be32a(0L) ++ "isom".getBytes ++ "mp42".getBytes)
+    // identity matrix: 0x00010000, 0, 0 / 0, 0x00010000, 0 / 0, 0, 0x40000000
+    val matrix = be32a(0x10000L) ++ be32a(0L) ++ be32a(0L) ++
+      be32a(0L) ++ be32a(0x10000L) ++ be32a(0L) ++
+      be32a(0L) ++ be32a(0L) ++ be32a(0x40000000L)
+    val mvhd = box("mvhd",
+      be32a(0L) ++ //                                    version 0 + flags
+        be32a(3600L) ++ be32a(3600L) ++ //          creation/modification
+        be32a(timescale) ++ be32a(duration) ++
+        be32a(0x10000L) ++ //                                    rate 1.0
+        Array[Byte](1, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ // volume + reserved
+        matrix ++
+        Array.fill[Byte](24)(0) ++ //                         pre_defined
+        be32a(3L)) //                                       next_track_ID
+    def tkhd(trackId: Long, tw: Int, th: Int): Array[Byte] = box("tkhd",
+      be32a(7L) ++ //                version 0 + flags (enabled|in movie)
+        be32a(3600L) ++ be32a(3600L) ++ //          creation/modification
+        be32a(trackId) ++ be32a(0L) ++ be32a(duration) ++
+        Array.fill[Byte](8)(0) ++ //                             reserved
+        Array[Byte](0, 0, 0, 0, 1, 0, 0, 0) ++ // layer/alt/volume/resv
+        matrix ++
+        be32a(tw.toLong << 16) ++ be32a(th.toLong << 16)) //  16.16 fixed
+    val traks = box("trak", tkhd(1L, w, h)) ++
+      (if (audioTrack) box("trak", tkhd(2L, 0, 0)) else Array.empty[Byte])
+    val moov = box("moov", mvhd ++ traks)
+    val free = box("free", Array.fill[Byte](4)(0))
+    val mdat = box("mdat", Array.empty[Byte])
+    ftyp ++ moov ++ free ++ mdat
   }
 
   /** Gate harness: attach a kernel-built binary fixture column to a

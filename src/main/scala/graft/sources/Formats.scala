@@ -158,4 +158,77 @@ object Formats {
       .option("maxRecordsPerFile", maxRecordsPerShard)
       .mode("overwrite").save(path)
   }
+
+  /** One decompressed payload row; NULL body when the bytes are not a
+    * valid gzip stream (or blow the size cap). */
+  final case class GunzipRow(
+      id: Long, n_gz: Long, n_bytes: Option[Long], text: Option[String])
+
+  /** Decompress a gzip BINARY column to UTF-8 text — the ingest step
+    * for the web-crawl interchange shape (WARC bodies, .jsonl.gz dumps
+    * land as per-record gzip members at least as often as whole files).
+    * Row-local kernel (java.util.zip.GZIPInputStream — the public
+    * DEFLATE/gzip format), no shuffle; corrupt streams and
+    * decompression bombs past `maxBytes` surface as NULL rows, never a
+    * task failure. Multi-member streams concatenate, per the gzip
+    * spec. */
+  def gunzipText(
+      df: DataFrame, idCol: String, binCol: String,
+      maxBytes: Long = 1L << 26, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, gz) =>
+        val body: Option[Array[Byte]] =
+          try {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(gz))
+            try {
+              val bb = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var n = 0
+              var total = 0L
+              while (n >= 0 && total <= maxBytes) {
+                n = in.read(buf)
+                if (n > 0) { bb.write(buf, 0, n); total += n }
+              }
+              if (total > maxBytes) None else Some(bb.toByteArray)
+            } finally in.close()
+          } catch {
+            // corrupt header/CRC/length or truncation — data, not a crash
+            case _: java.io.IOException => None
+            case _: java.lang.IndexOutOfBoundsException => None
+          }
+        body match {
+          case None => GunzipRow(id, gz.length.toLong, None, None)
+          case Some(b) => GunzipRow(id, gz.length.toLong,
+            Some(b.length.toLong),
+            Some(new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }))
+      .toDF()
+  }
+
+  /** Gate fixture: gzip each row's text in the kernel — (id, content)
+    * with content = gzip(UTF-8 bytes). One mapPartitions, no shuffle. */
+  def gzipTextFixture(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bb = new java.io.ByteArrayOutputStream()
+        val out = new java.util.zip.GZIPOutputStream(bb)
+        out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        (id, bb.toByteArray)
+      })
+      .toDF(idCol, "content")
+  }
 }

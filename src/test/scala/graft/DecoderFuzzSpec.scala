@@ -21,6 +21,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "gifFrames" -> (b => Multimodal.gifFrames(b, maxFrames = 8, stride = 2)),
     "bmpPixels" -> (b => Multimodal.bmpPixels(b)),
     "jpegPixels" -> (b => Multimodal.jpegPixels(b)),
+    "mp4Meta" -> (b => Multimodal.mp4Meta(b)),
     "tiffMeta" -> (b => Multimodal.tiffMeta(b)),
     "decodePixels" -> (b => Multimodal.decodePixels(b)))
 
@@ -33,7 +34,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "tiffMM" -> MediaFixtures.tiffBytes(little = false, 77L, 55L, 3, "c1"),
     "jpeg" -> MediaFixtures.jpegPixelBytes(13, 10, 29L),
     "jpegRst" -> MediaFixtures.jpegPixelBytes(18, 11, 41L, restartInterval = 2),
-    "jpeg420" -> MediaFixtures.jpeg420PixelBytes(19, 17, 7L))
+    "jpeg420" -> MediaFixtures.jpeg420PixelBytes(19, 17, 7L),
+    "mp4" -> MediaFixtures.mp4Bytes(33, 21, 1000L, 777L, audioTrack = true))
 
   test("random byte soup never throws (300 arrays, lengths 0..4096, " +
       "plus magic-byte-prefixed soup per codec)") {

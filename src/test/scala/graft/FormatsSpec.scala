@@ -126,4 +126,39 @@ class FormatsSpec extends SparkSpec {
       read.select("id", "text", "n", "lang"),
       df.filter(col("lang") === "en").select("id", "text", "n", "lang"))
   }
+
+  test("gunzipText: round-trips UTF-8 text through real gzip bytes; " +
+      "corrupt, truncated, and oversize streams yield NULL rows") {
+    import spark.implicits._
+    def gz(s: String): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      val o = new java.util.zip.GZIPOutputStream(bb)
+      o.write(s.getBytes("UTF-8")); o.close()
+      bb.toByteArray
+    }
+    val good = gz("hello gzip wörld") // multi-byte char: bytes != chars
+    val trunc = good.take(good.length / 2)
+    val corrupt = good.clone(); corrupt(12) = (corrupt(12) ^ 0x5a).toByte
+    val df = Seq(
+      (1L, good), (2L, trunc), (3L, corrupt),
+      (4L, "not gzip at all".getBytes)).toDF("id", "content")
+    val got = Formats.gunzipText(df, "id", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(2) == "hello gzip wörld".getBytes("UTF-8").length)
+    assert(got(1L).getString(3) == "hello gzip wörld")
+    for (k <- Seq(2L, 3L, 4L))
+      assert(got(k).isNullAt(2) && got(k).isNullAt(3), s"id $k")
+    // decompression-bomb cap: 100k zeros against a 10-byte cap
+    val bomb = gz("0" * 100000)
+    val capped = Formats.gunzipText(
+      Seq((9L, bomb)).toDF("id", "content"), "id", "content", maxBytes = 10L)
+      .collect().head
+    assert(capped.isNullAt(2) && capped.isNullAt(3))
+    // fixture round-trip: gzipTextFixture -> gunzipText is identity
+    val src = Seq((7L, "alpha beta"), (8L, "γδ ε")).toDF("doc_id", "text")
+    val rt = Formats.gunzipText(
+      Formats.gzipTextFixture(src, "doc_id", "text"), "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(rt == Map(7L -> "alpha beta", 8L -> "γδ ε"))
+  }
 }
