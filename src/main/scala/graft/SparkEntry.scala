@@ -741,6 +741,25 @@ object SparkEntry {
     //      stateless codegen'd map over arriving docs (same regex +
     //      validation arithmetic as the batch gate), so quarantine
     //      decisions happen at ingest, not in a later batch sweep ----
+    // ---- Streaming gzip ingestion: per-record gzip members arrive on
+    //      the stream; the kernel inflates INSIDE the streaming plan
+    //      (typed mapPartitions under a file-stream source) — the
+    //      .jsonl.gz tail -f shape. Stateless map, shared oracle. ----
+    "s25_stream_gunzip" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "documents").schema
+      val tmp = Files.createTempDirectory("graft_s25_").toString
+      val cfg = IngestConfig(name = s"s25-gunzip-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val docs = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/documents.parque[t]")
+      val gz = graft.sources.Formats.gzipTextFixture(docs, "doc_id", "text")
+      val out = graft.sources.Formats.gunzipText(gz, "doc_id", "content")
+        .select(col("id"), col("n_bytes"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+      appendStream(s, out, cfg, tmp)
+    }),
+
     "s24_stream_pii_scan" -> ((s, dir) => {
       val batchSchema = t(s, dir, "documents").schema
       val tmp = Files.createTempDirectory("graft_s24_").toString
@@ -6040,17 +6059,23 @@ object SparkEntry {
         "FROM fw JOIN se ON fw.event_type = se.event_type " +
         "AND fw.ph = se.ph"
 
+    // Shared by the batch gzip-ingest gate and its stateless streaming
+    // twin: the oracle never sees the gzip bytes — it reads the source
+    // text; only an engine that really inflates matches the md5.
+    val gzipTextSql: String =
+      "SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "CAST(length(text) AS BIGINT) AS n_chars, " +
+        "md5(text) AS text_md5 FROM documents"
+
     Map(
       "src_csv_roundtrip" -> fidelitySql,
       "src_json_roundtrip" -> fidelitySql,
       "src_orc_roundtrip" -> fidelitySql,
       "src_xml_roundtrip" -> fidelitySql,
-      "src_gzip_text" ->
-        // The oracle never sees the gzip bytes — it reads the source
-        // text; only an engine that really inflates matches the md5.
-        ("SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
-          "CAST(length(text) AS BIGINT) AS n_chars, " +
-          "md5(text) AS text_md5 FROM documents"),
+      "src_gzip_text" -> gzipTextSql,
+      // The stream emits exactly the batch rows (stateless map) —
+      // same oracle.
+      "s25_stream_gunzip" -> gzipTextSql,
       "src_jsonl_corrupt" ->
         ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
           "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents " +
