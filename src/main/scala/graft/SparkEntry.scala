@@ -2754,6 +2754,26 @@ object SparkEntry {
           levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
     }),
 
+    // ---- LLM pipeline: TRUE Damerau-Levenshtein verify over blocked
+    //      candidates — native codegen kernel (Lowrance-Wagner alphabet
+    //      DP; Spark ships only plain Levenshtein) vs DuckDB's
+    //      INDEPENDENT core damerau_levenshtein(); lev emitted beside
+    //      dl so the transposition discount is visible in the gate ----
+    "dedup_damerau" -> ((s, dir) => {
+      val cand = NearDup.winnowCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, w = 8,
+        maxDocFreq = 10)
+        .where(col("id_a") % 5 === 0)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
+      cand
+        .join(d.select(col("doc_id").as("id_a"), col("t").as("t_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("t").as("t_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          TextHash.damerauLevenshtein(col("t_a"), col("t_b")).as("dl_dist"),
+          levenshtein(col("t_a"), col("t_b")).cast("long").as("lev_dist"))
+    }),
+
     // ---- LLM pipeline: duplicate CLUSTERS (connected components over
     //      LSH candidate pairs; canon_id = min doc in the component) ----
     "dedup_clusters" -> ((s, dir) => {
@@ -10398,6 +10418,20 @@ object SparkEntry {
           "JOIN documents da ON da.doc_id = c.id_a " +
           "JOIN documents db ON db.doc_id = c.id_b " +
           "WHERE c.id_a % 7 = 0"),
+      "dedup_damerau" ->
+        // DuckDB's damerau_levenshtein is a fully independent
+        // implementation of the same unrestricted-transposition metric
+        // (verified on the "ca"/"abc" = 2 discriminator) — the
+        // strongest oracle shape: two codebases, one algorithm spec.
+        (s"SELECT c.id_a, c.id_b, " +
+          "CAST(damerau_levenshtein(substr(da.text, 1, 80), " +
+          "substr(db.text, 1, 80)) AS BIGINT) AS dl_dist, " +
+          "CAST(levenshtein(substr(da.text, 1, 80), " +
+          "substr(db.text, 1, 80)) AS BIGINT) AS lev_dist " +
+          s"FROM ($winnowPairsSql) c " +
+          "JOIN documents da ON da.doc_id = c.id_a " +
+          "JOIN documents db ON db.doc_id = c.id_b " +
+          "WHERE c.id_a % 5 = 0"),
       "text_shingles_explode" -> shinglesExplode,
       "mm_decode_meta" -> mmSql,
       // Pure arithmetic: the Spark side must PARSE these values back out

@@ -306,4 +306,65 @@ object NativeKernels {
     while (l < lmax && a(l) == b(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
+
+  /** TRUE Damerau-Levenshtein distance (unrestricted adjacent
+    * transpositions — "ca"→"abc" is 2, where the optimal-string-
+    * alignment variant says 3): the classic alphabet-table DP
+    * (Lowrance-Wagner). Spark ships only plain Levenshtein; DL is the
+    * record-linkage metric that prices the single most common human
+    * typo — a transposition — as one edit instead of two. Exact
+    * integers, code-point semantics (astral planes included), O(|a|·|b|)
+    * time and space over the candidate-pair verify set — never run
+    * all-pairs; feed it blocked candidates. The DuckDB oracle is the
+    * INDEPENDENT implementation `damerau_levenshtein()` (core, same
+    * unrestricted variant — verified on the discriminator pairs). */
+  def damerauLevenshtein(ua: UTF8String, ub: UTF8String): Long = {
+    val a = codePoints(ua.toString)
+    val b = codePoints(ub.toString)
+    val la = a.length
+    val lb = b.length
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    val inf = la + lb
+    // d is (la+2) x (lb+2) with a sentinel row/col of `inf`
+    val w = lb + 2
+    val d = new Array[Int]((la + 2) * w)
+    d(0) = inf
+    var i = 0
+    while (i <= la) {
+      d((i + 1) * w) = inf
+      d((i + 1) * w + 1) = i
+      i += 1
+    }
+    var j = 0
+    while (j <= lb) {
+      d(j + 1) = inf
+      d(w + j + 1) = j
+      j += 1
+    }
+    val da = new java.util.HashMap[Int, Int]() // last row of each symbol in a
+    i = 1
+    while (i <= la) {
+      var db = 0 // last column in THIS row where a(i-1) matched b
+      j = 1
+      while (j <= lb) {
+        val k = da.getOrDefault(b(j - 1), 0) // last row where b[j] occurs in a
+        val l = db
+        val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var best = sub
+        if (ins < best) best = ins
+        if (del < best) best = del
+        if (trans < best) best = trans
+        d((i + 1) * w + j + 1) = best
+        j += 1
+      }
+      da.put(a(i - 1), i)
+      i += 1
+    }
+    d((la + 1) * w + lb + 1).toLong
+  }
 }

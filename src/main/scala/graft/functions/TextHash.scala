@@ -64,6 +64,12 @@ object TextHash {
     GraftSql.column(JaroWinklerExpr(
       GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** True Damerau-Levenshtein distance (unrestricted adjacent
+    * transpositions; see NativeKernels.damerauLevenshtein). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    GraftSql.column(DamerauLevenshteinExpr(
+      GraftSql.expression(a), GraftSql.expression(b)))
+
   /** Winnowing fingerprints: distinct sliding-window minima (window `w`)
     * of a shingle-hash array, first-occurrence order; O(len) native. */
   def winnow(sh: Column, w: Int): Column =

@@ -147,6 +147,23 @@ object TextHashExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** True Damerau-Levenshtein distance (unrestricted transpositions). */
+  case class DamerauLevenshteinExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_damerau_levenshtein"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.damerauLevenshtein(
+        a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.NativeKernels.damerauLevenshtein($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DamerauLevenshteinExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Pack quantized integer-valued doubles into int8 bytes (BinaryType). */
   case class PackI8Expr(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {

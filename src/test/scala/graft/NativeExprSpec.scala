@@ -183,6 +183,67 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("damerauLevenshtein: unrestricted-transposition discriminators " +
+      "and classic values") {
+    val df = Seq(
+      ("ca", "abc"), //     TRUE DL = 2 (OSA would say 3 — the variant proof)
+      ("a cat", "an act"), //                            2 (same reason)
+      ("ab", "ba"), //                              one transposition = 1
+      ("thee", "the"), //                                      delete = 1
+      ("", "abc"), //                                                   3
+      ("kitten", "sitting"), //                       plain Levenshtein 3
+      ("abc", "abc")) //                                                0
+      .toDF("a", "b")
+      .select(TextHash.damerauLevenshtein(col("a"), col("b")).as("d"))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 2L, 1L, 1L, 3L, 3L, 0L))
+  }
+
+  // Reference DP (independent shape: full matrix with matches list per
+  // symbol) for randomized cross-checking of the kernel.
+  private def dlRef(a: String, b: String): Long = {
+    val la = a.length; val lb = b.length
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    val inf = la + lb
+    val d = Array.fill(la + 2, lb + 2)(0)
+    d(0)(0) = inf
+    for (i <- 0 to la) { d(i + 1)(0) = inf; d(i + 1)(1) = i }
+    for (j <- 0 to lb) { d(0)(j + 1) = inf; d(1)(j + 1) = j }
+    val da = scala.collection.mutable.Map.empty[Char, Int].withDefaultValue(0)
+    for (i <- 1 to la) {
+      var db = 0
+      for (j <- 1 to lb) {
+        val k = da(b(j - 1)); val l = db
+        val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
+        d(i + 1)(j + 1) = Seq(
+          d(i)(j) + cost, d(i + 1)(j) + 1, d(i)(j + 1) + 1,
+          d(k)(l) + (i - k - 1) + 1 + (j - l - 1)).min
+      }
+      da(a(i - 1)) = i
+    }
+    d(la + 1)(lb + 1).toLong
+  }
+
+  test("damerauLevenshtein: kernel == reference DP on random strings, " +
+      "and never exceeds plain Levenshtein") {
+    val rng = new scala.util.Random(73)
+    val pool = "abcd"
+    val rows = Seq.fill(300)((
+      Seq.fill(rng.nextInt(11))(pool(rng.nextInt(pool.length))).mkString,
+      Seq.fill(rng.nextInt(11))(pool(rng.nextInt(pool.length))).mkString))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        TextHash.damerauLevenshtein(col("a"), col("b")).as("dl"),
+        levenshtein(col("a"), col("b")).cast("long").as("lev"))
+      .collect()
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == dlRef(a, b), s"'$a' vs '$b'")
+      assert(r.getLong(2) <= r.getLong(3), s"DL > Lev for '$a' vs '$b'")
+    }
+  }
+
   test("null/empty semantics: signature NULL for shingle-less docs") {
     val df = Seq("one two", "one two three").toDF("t")
       .select(TextHash.minhashSignature(
