@@ -76,7 +76,15 @@ object GraftExtensions {
         (args: Seq[Expression]) => PackI8Expr(args.head)),
       (FunctionIdentifier("graft_dot_i8"),
         info("graft_dot_i8", "_FUNC_(a, b) - exact integer dot over int8 codes"),
-        (args: Seq[Expression]) => DotI8Expr(args(0), args(1))))
+        (args: Seq[Expression]) => DotI8Expr(args(0), args(1))),
+      (FunctionIdentifier("graft_damerau_levenshtein"),
+        info("graft_damerau_levenshtein",
+          "_FUNC_(a, b) - true Damerau-Levenshtein distance (unrestricted transpositions)"),
+        (args: Seq[Expression]) => DamerauLevenshteinExpr(args(0), args(1))),
+      (FunctionIdentifier("graft_dtw"),
+        info("graft_dtw",
+          "_FUNC_(a, b) - dynamic-time-warping alignment cost of two Long series"),
+        (args: Seq[Expression]) => DtwExpr(args(0), args(1))))
 
   /** Register into an already-running session (e.g. a REPL). */
   def install(spark: SparkSession): Unit =

@@ -1977,6 +1977,19 @@ object SparkEntry {
     // ---- Time series: SAX symbolization — PAA segment means over the
     //      hourly series, z-bucketed into alphabet-4 symbols (exact
     //      integer sign test at the dense z=0 breakpoint) ----
+    // ---- Time series: pairwise DTW shape distance between the daily
+    //      count series of the 5 event types (10 pairs, 30-point
+    //      series — the bounded-key contract): native codegen DP
+    //      kernel, exact integers; the oracle runs an INDEPENDENT
+    //      anti-diagonal recursive-CTE DP over the same series ----
+    "ts_dtw" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.dtwPairs(daily, "event_type", "day", "x")
+    }),
+
     "ts_sax" -> ((s, dir) => {
       val hourly = t(s, dir, "events")
         .select(col("event_type"),
@@ -9475,6 +9488,36 @@ object SparkEntry {
           "SELECT * FROM nn UNION ALL " +
           "SELECT event_id, event_type, value, NULL AS bin " +
           "FROM events WHERE value IS NULL"),
+      "ts_dtw" ->
+        // Independent DP: anti-diagonal recursive CTE carrying two
+        // diagonals (cells on diagonal d depend only on d-1 and d-2 —
+        // the one DP order a previous-iteration-only recursion can
+        // express); out-of-range neighbors go NULL and least() skips
+        // them, which IS the infinite-border DTW boundary rule.
+        ("WITH RECURSIVE s AS (SELECT event_type, " +
+          "epoch_us(ts) // 86400000000 AS day, count(*) AS x " +
+          "FROM events GROUP BY 1, 2), " +
+          "l AS (SELECT event_type AS k, " +
+          "list(x ORDER BY day) AS xs FROM s GROUP BY 1), " +
+          "p AS (SELECT a.k AS ka, b.k AS kb, a.xs AS la, b.xs AS lb, " +
+          "len(a.xs) AS n, len(b.xs) AS m FROM l a JOIN l b ON a.k < b.k), " +
+          "rec AS (SELECT ka, kb, n, m, la, lb, 2 AS d, " +
+          "[abs(la[1] - lb[1])] AS diag, " +
+          "CAST([] AS BIGINT[]) AS prevdiag FROM p " +
+          "UNION ALL " +
+          "SELECT ka, kb, n, m, la, lb, d + 1, " +
+          "list_transform(range(greatest(1, d + 1 - m), least(n, d) + 1), " +
+          "i -> abs(la[i] - lb[d + 1 - i]) + least(" +
+          "CASE WHEN i - greatest(1, d - m) >= 1 " +
+          "THEN diag[CAST(i - greatest(1, d - m) AS INT)] END, " +
+          "diag[CAST(i - greatest(1, d - m) + 1 AS INT)], " +
+          "CASE WHEN i - greatest(1, d - 1 - m) >= 1 " +
+          "THEN prevdiag[CAST(i - greatest(1, d - 1 - m) AS INT)] END)), " +
+          "diag FROM rec WHERE d < n + m) " +
+          "SELECT ka AS key_a, kb AS key_b, CAST(n AS BIGINT) AS n_a, " +
+          "CAST(m AS BIGINT) AS n_b, CAST(diag[1] AS BIGINT) AS dtw_cost, " +
+          "CAST(diag[1] * 1000000 // (n + m) AS BIGINT) AS dtw_per_step_q " +
+          "FROM rec WHERE d = n + m"),
       "ts_sax" ->
         ("WITH h AS (SELECT event_type, " +
           "epoch_us(ts) // 3600000000 AS hr, " +

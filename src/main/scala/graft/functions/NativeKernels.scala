@@ -367,4 +367,49 @@ object NativeKernels {
     }
     d((la + 1) * w + lb + 1).toLong
   }
+
+  /** Dynamic-time-warping alignment cost between two integer series:
+    * local cost |a_i − b_j|, full DP (no band), exact Long arithmetic,
+    * two rolling rows → O(n·m) time, O(m) space. DTW is the
+    * time-series twin of edit distance — it prices the best monotonic
+    * alignment, so phase-shifted or locally stretched series score
+    * close while genuinely different shapes score far. Feed it
+    * BOUNDED series (per-key daily/hourly aggregates — O(days), never
+    * raw events); the n·m ≤ 2²⁴ guard makes an unbounded series a loud
+    * error, not a silent executor stall. Empty series → -1 (callers
+    * null it out). */
+  def dtw(ad: ArrayData, bd: ArrayData): Long = {
+    val n = ad.numElements()
+    val m = bd.numElements()
+    if (n == 0 || m == 0) return -1L
+    require(n.toLong * m <= (1L << 24),
+      s"graft_dtw: $n x $m DP exceeds the 2^24 cell bound — " +
+        "aggregate the series first")
+    val a = new Array[Long](n)
+    val b = new Array[Long](m)
+    var i = 0
+    while (i < n) { a(i) = ad.getLong(i); i += 1 }
+    var j = 0
+    while (j < m) { b(j) = bd.getLong(j); j += 1 }
+    var prev = new Array[Long](m)
+    var cur = new Array[Long](m)
+    prev(0) = math.abs(a(0) - b(0))
+    j = 1
+    while (j < m) { prev(j) = prev(j - 1) + math.abs(a(0) - b(j)); j += 1 }
+    i = 1
+    while (i < n) {
+      cur(0) = prev(0) + math.abs(a(i) - b(0))
+      j = 1
+      while (j < m) {
+        var best = prev(j)
+        if (cur(j - 1) < best) best = cur(j - 1)
+        if (prev(j - 1) < best) best = prev(j - 1)
+        cur(j) = best + math.abs(a(i) - b(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m - 1)
+  }
 }

@@ -70,6 +70,10 @@ object TextHash {
     GraftSql.column(DamerauLevenshteinExpr(
       GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** DTW alignment cost of two Long series (see NativeKernels.dtw). */
+  def dtw(a: Column, b: Column): Column =
+    GraftSql.column(DtwExpr(GraftSql.expression(a), GraftSql.expression(b)))
+
   /** Winnowing fingerprints: distinct sliding-window minima (window `w`)
     * of a shingle-hash array, first-occurrence order; O(len) native. */
   def winnow(sh: Column, w: Int): Column =

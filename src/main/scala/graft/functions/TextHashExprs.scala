@@ -164,6 +164,30 @@ object TextHashExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** DTW alignment cost between two Long series; NULL for empty input. */
+  case class DtwExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_dtw"
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val v = NativeKernels.dtw(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (v < 0L) null else v
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |${ev.value} = graft.functions.NativeKernels.dtw($a, $b);
+           |${ev.isNull} = ${ev.value} < 0L;
+         """.stripMargin)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DtwExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Pack quantized integer-valued doubles into int8 bytes (BinaryType). */
   case class PackI8Expr(child: Expression)
       extends UnaryExpression with ExpectsInputTypes {

@@ -1370,4 +1370,38 @@ object TimeSeries {
       .select(col(keyCol), col("segment"), col("seg_n"), col("seg_sum"),
         col("symbol"))
   }
+
+  /** Pairwise dynamic-time-warping distance between the per-key series
+    * of an already-bucketed table (key, bucket, x): the shape-similarity
+    * matrix over a bounded key set — which metrics move together under
+    * phase shift/local stretch that plain correlation misses. Emits
+    * (key_a, key_b, n_a, n_b, dtw_cost, dtw_per_step_q) for key_a <
+    * key_b, where per-step is cost·10⁶ div (n_a + n_b) — the
+    * length-normalized readout.
+    *
+    * Scale: series materialize with ONE per-key sort_array(collect_list)
+    * aggregate (bounded by the bucket grid — O(days), never raw events);
+    * the pair join is over the AGGREGATED table (O(keys²) pairs of a
+    * bounded categorical key set — document the bound at the call site);
+    * the DP kernel is a native codegen expression, exact integers. */
+  def dtwPairs(
+      buckets: DataFrame, keyCol: String, bucketCol: String,
+      xCol: String): DataFrame = {
+    val series = buckets
+      .groupBy(col(keyCol).as("__k"))
+      .agg(transform(
+        array_sort(collect_list(struct(col(bucketCol).as("b"),
+          col(xCol).cast("long").as("x")))),
+        s => s.getField("x")).as("__xs"))
+    val a = series.select(col("__k").as("key_a"), col("__xs").as("__xa"))
+    val b = series.select(col("__k").as("key_b"), col("__xs").as("__xb"))
+    a.join(b, col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        size(col("__xa")).cast("long").as("n_a"),
+        size(col("__xb")).cast("long").as("n_b"),
+        graft.functions.TextHash.dtw(col("__xa"), col("__xb"))
+          .as("dtw_cost"))
+      .withColumn("dtw_per_step_q",
+        expr("dtw_cost * 1000000L div (n_a + n_b)"))
+  }
 }

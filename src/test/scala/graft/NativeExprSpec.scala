@@ -244,6 +244,41 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("dtw: hand-checked alignments, empty-series NULL, and kernel == " +
+      "reference DP on random series") {
+    val df = Seq(
+      (Seq(1L, 3L, 4L, 9L, 8L), Seq(1L, 6L, 2L, 3L, 0L, 9L, 4L)), // 12
+      (Seq(5L), Seq(2L, 2L, 9L)), //              |5-2|+|5-2|+|5-9| = 10
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)), //               identical = 0
+      (Seq(0L, 0L), Seq(7L, 7L, 7L))) //                       3·7 = 21
+      .toDF("a", "b")
+      .select(TextHash.dtw(col("a"), col("b")).as("d"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(12L, 10L, 0L, 21L))
+    val empty = Seq((Seq.empty[Long], Seq(1L, 2L)))
+      .toDF("a", "b").select(TextHash.dtw(col("a"), col("b")).as("d"))
+    assert(empty.collect().head.isNullAt(0))
+    def ref(a: Seq[Long], b: Seq[Long]): Long = {
+      val n = a.length; val m = b.length
+      val d = Array.fill(n + 1, m + 1)(Long.MaxValue / 4)
+      d(0)(0) = 0L
+      for (i <- 1 to n; j <- 1 to m)
+        d(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+          Seq(d(i - 1)(j), d(i)(j - 1), d(i - 1)(j - 1)).min
+      d(n)(m)
+    }
+    val rng = new scala.util.Random(99)
+    val rows = Seq.fill(120)((
+      Seq.fill(1 + rng.nextInt(12))(rng.nextInt(40).toLong),
+      Seq.fill(1 + rng.nextInt(12))(rng.nextInt(40).toLong)))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"), TextHash.dtw(col("a"), col("b")).as("d"))
+      .collect()
+    got.foreach { r =>
+      val a = r.getSeq[Long](0); val b = r.getSeq[Long](1)
+      assert(r.getLong(2) == ref(a, b), s"$a vs $b")
+    }
+  }
+
   test("null/empty semantics: signature NULL for shingle-less docs") {
     val df = Seq("one two", "one two three").toDF("t")
       .select(TextHash.minhashSignature(
