@@ -1977,12 +1977,12 @@ object SparkEntry {
     // ---- Time series: SAX symbolization — PAA segment means over the
     //      hourly series, z-bucketed into alphabet-4 symbols (exact
     //      integer sign test at the dense z=0 breakpoint) ----
-    // ---- Time series: pairwise DTW shape distance between the daily
-    //      count series of the 5 event types (10 pairs, 30-point
-    //      series — the bounded-key contract): native codegen DP
-    //      kernel, exact integers; the oracle runs an INDEPENDENT
-    //      anti-diagonal recursive-CTE DP over the same series ----
-    "ts_dtw" -> ((s, dir) => {
+    // ---- Time series: pairwise DTW via the NATIVE codegen DP kernel
+    //      over variable-length daily count series — the exact-length
+    //      twin of ts_dtw's fixed-k bucketed HOF min-plus (two
+    //      implementations, two oracle shapes: this one's oracle is an
+    //      INDEPENDENT anti-diagonal recursive-CTE DP) ----
+    "ts_dtw_kernel" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .select(col("event_type"), expr("ts div 86400000000000").as("day"))
         .groupBy(col("event_type"), col("day"))
@@ -9488,7 +9488,7 @@ object SparkEntry {
           "SELECT * FROM nn UNION ALL " +
           "SELECT event_id, event_type, value, NULL AS bin " +
           "FROM events WHERE value IS NULL"),
-      "ts_dtw" ->
+      "ts_dtw_kernel" ->
         // Independent DP: anti-diagonal recursive CTE carrying two
         // diagonals (cells on diagonal d depend only on d-1 and d-2 —
         // the one DP order a previous-iteration-only recursion can
