@@ -4343,6 +4343,21 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("text_md5"))
     }),
 
+    // ---- Sources: WARC record ingestion — the Common Crawl shape:
+    //      per-record gzip members, each a WARC/1.0 header block
+    //      framing an HTTP response. The engine must inflate, walk the
+    //      CRLF header blocks, honor Content-Length framing, and
+    //      extract the body; the oracle reads the plaintext source. ----
+    "src_warc_records" -> ((s, dir) => {
+      val d = graft.sources.Warc.warcGzFixture(
+        t(s, dir, "documents"), "doc_id", "text",
+        uriOf = id => s"https://example.com/doc/$id",
+        statusOf = id => if (id % 5 == 0) 404 else 200,
+        ctypeOf = id =>
+          if (id % 2 == 0) "text/html; charset=utf-8" else "text/plain")
+      graft.sources.Warc.records(d, "doc_id", "content")
+    }),
+
     // ---- Sources: malformed-JSONL ingestion — PERMISSIVE read with a
     //      corrupt-record column; broken lines are counted into a
     //      quarantine row instead of killing the read (FAILFAST) or
@@ -6106,6 +6121,18 @@ object SparkEntry {
       "src_orc_roundtrip" -> fidelitySql,
       "src_xml_roundtrip" -> fidelitySql,
       "src_gzip_text" -> gzipTextSql,
+      "src_warc_records" ->
+        // Closed-form WARC fields + the body md5 straight off the
+        // source text — only an engine that really unzips and walks
+        // the record framing reproduces all of them.
+        ("SELECT doc_id AS id, 'response' AS warc_type, " +
+          "'https://example.com/doc/' || doc_id AS target_uri, " +
+          "CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INT) " +
+          "AS http_status, " +
+          "CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8' " +
+          "ELSE 'text/plain' END AS content_type, " +
+          "CAST(strlen(text) AS BIGINT) AS body_len, " +
+          "md5(text) AS body_md5 FROM documents"),
       // The stream emits exactly the batch rows (stateless map) —
       // same oracle.
       "s25_stream_gunzip" -> gzipTextSql,

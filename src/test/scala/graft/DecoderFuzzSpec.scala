@@ -22,6 +22,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "bmpPixels" -> (b => Multimodal.bmpPixels(b)),
     "jpegPixels" -> (b => Multimodal.jpegPixels(b)),
     "mp4Meta" -> (b => Multimodal.mp4Meta(b)),
+    "warcParse" -> (b => graft.sources.Warc.parseRecord(b)),
     "tiffMeta" -> (b => Multimodal.tiffMeta(b)),
     "decodePixels" -> (b => Multimodal.decodePixels(b)))
 
@@ -35,7 +36,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "jpeg" -> MediaFixtures.jpegPixelBytes(13, 10, 29L),
     "jpegRst" -> MediaFixtures.jpegPixelBytes(18, 11, 41L, restartInterval = 2),
     "jpeg420" -> MediaFixtures.jpeg420PixelBytes(19, 17, 7L),
-    "mp4" -> MediaFixtures.mp4Bytes(33, 21, 1000L, 777L, audioTrack = true))
+    "mp4" -> MediaFixtures.mp4Bytes(33, 21, 1000L, 777L, audioTrack = true),
+    "warc" -> ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
+      "Content-Length: 57\r\n\r\nHTTP/1.1 200 OK\r\nContent-Length: 2\r\n" +
+      "Content-Type: t\r\n\r\nok").getBytes)
 
   test("random byte soup never throws (300 arrays, lengths 0..4096, " +
       "plus magic-byte-prefixed soup per codec)") {
