@@ -12,7 +12,7 @@ import graft.functions.{OracleSql, TextHash}
 import graft.ops.TextAnalysis.LangProfiles
 import graft.model.{IngestConfig, TargetTable}
 import graft.multimodal.Multimodal
-import graft.ops.{BatchSplit, Dedup, NearDup, Similarity, TextAnalysis}
+import graft.ops.{BatchSplit, Dedup, Html, NearDup, Similarity, TextAnalysis}
 import graft.sink.Merge
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -252,6 +252,26 @@ object SparkEntry {
     graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"), "doc_id", id =>
       graft.multimodal.MediaFixtures.gifPixelBytes(
         (id % 21 + 7).toInt, (id % 13 + 6).toInt, id % 89))
+
+  /** HTML-wrapped documents fixture shared by text_html_extract and
+    * pipeline_crawl: title carries the id, script/style/comment noise
+    * precedes the body, entities append after the text, id mod 3 links
+    * close it. The oracle replays the same concatenation. */
+  private def htmlFixture(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2;" +
+        "</script><style>p { color: red; }</style></head><body>" +
+        "<!-- comment <b>x</b> --><h1>Doc</h1><p>"),
+      col("text"),
+      lit(" &lt;tag&gt; &amp;co &quot;q&quot; &#39;s&#39;</p>"),
+      when(id % 3 >= 1, lit("<a href=\"/l1\">one</a>")).otherwise(lit("")),
+      when(id % 3 === 2, lit("<a class=\"z\" href=\"/l2\">two</a>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    t(s, dir, "documents").select(id, html.as("html"))
+  }
 
   private def jpegFixture(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"), "doc_id", id =>
@@ -4599,6 +4619,38 @@ object SparkEntry {
           call_function("replace", col("text"), lit(" a "), lit("\n")),
           lit(" the "), lit("\n")).as("txt"))
       TextAnalysis.corpusLineDedup(d, "doc_id", "txt")
+    }),
+
+    // ---- LLM pipeline: HTML → visible-text extraction (the step
+    //      between WARC and every text op): comment/script/style
+    //      removal BEFORE tag stripping, entity decode AFTER (the
+    //      order that can't double-decode or eat script '<'s), title
+    //      + link-count extraction. Patterns shared verbatim with the
+    //      oracle — both engines run the same automaton. ----
+    "text_html_extract" -> ((s, dir) =>
+      Html.extract(htmlFixture(s, dir), "doc_id", "html")),
+
+    // ---- LLM pipeline CAPSTONE: the crawl-ingest composition — gzip
+    //      WARC members (HTTP-framed HTML) -> record parse -> visible-
+    //      text extraction -> token count, one chained plan. The
+    //      oracle replays every stage from the plaintext source, so
+    //      stage ORDER and framing are the verified contract. ----
+    "pipeline_crawl" -> ((s, dir) => {
+      val warcGz = graft.sources.Warc.warcGzFixture(
+        htmlFixture(s, dir), "doc_id", "html",
+        uriOf = id => s"https://example.com/doc/$id",
+        statusOf = id => if (id % 5 == 0) 404 else 200,
+        ctypeOf = _ => "text/html; charset=utf-8")
+      graft.sources.Warc
+        .records(warcGz, "doc_id", "content", keepBody = true)
+        .select(col("id").as("doc_id"), col("http_status"), col("body"))
+        .withColumn("__txt", Html.visibleText(col("body")))
+        .select(col("doc_id"), col("http_status"),
+          trim(regexp_extract(col("body"), Html.TitlePat, 1)).as("title"),
+          (size(split(col("body"), Html.LinkPat, -1)) - 1)
+            .cast("long").as("n_links"),
+          size(TextHash.words(col("__txt"))).cast("long").as("n_tokens"),
+          md5(col("__txt").cast("binary")).as("text_md5"))
     }),
 
     // ---- LLM pipeline: cross-document duplicate-SPAN detection (the
@@ -10571,6 +10623,33 @@ object SparkEntry {
           "AS BIGINT) AS n_cards_luhn FROM d"
     }
 
+    // Shared HTML-fixture replay (text_html_extract + pipeline_crawl):
+    // the fixture concatenation, then the extraction chain — comment/
+    // script/style -> tags -> entities (&amp; last) -> ws collapse.
+    val htmlTxtCtes: String =
+      "h AS (SELECT doc_id, " +
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || " +
+        "'</title><script type=\"text/javascript\">var x = 1 < 2;" +
+        "</script><style>p { color: red; }</style></head><body>" +
+        "<!-- comment <b>x</b> --><h1>Doc</h1><p>' || text || " +
+        "' &lt;tag&gt; &amp;co &quot;q&quot; &#39;s&#39;</p>' || " +
+        "CASE WHEN doc_id % 3 >= 1 " +
+        "THEN '<a href=\"/l1\">one</a>' ELSE '' END || " +
+        "CASE WHEN doc_id % 3 = 2 " +
+        "THEN '<a class=\"z\" href=\"/l2\">two</a>' ELSE '' END || " +
+        "'</body></html>' AS html FROM documents), " +
+        "t0 AS (SELECT doc_id, html, regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(html, " +
+        s"'${graft.ops.Html.CommentPat}', ' ', 'g'), " +
+        s"'${graft.ops.Html.ScriptPat}', ' ', 'g'), " +
+        s"'${graft.ops.Html.StylePat}', ' ', 'g'), " +
+        s"'${graft.ops.Html.TagPat}', ' ', 'g') AS s FROM h), " +
+        "d AS (SELECT doc_id, html, trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(s, " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+        "'&#39;', chr(39)), '&amp;', '&'), " +
+        "'\\s+', ' ', 'g')) AS txt FROM t0)"
+
     Map(
       "o1_dedup_latest_wins" -> dedupState,
       "o1b_dedup_window" -> dedupState,
@@ -11453,6 +11532,31 @@ object SparkEntry {
           "md5(coalesce(string_agg(CASE WHEN keep THEN line END, " +
           "chr(10) ORDER BY pos), '')) AS kept_md5 " +
           "FROM k GROUP BY doc_id"),
+      "text_html_extract" ->
+        // Same automaton, same order: comment/script/style -> tags ->
+        // entities (&amp; last) -> whitespace collapse. Pattern
+        // constants interpolated from ops/Html — one source of truth.
+        (s"WITH $htmlTxtCtes " +
+          "SELECT doc_id, " +
+          s"trim(regexp_extract(html, '${Html.TitlePat}', 1)) AS title, " +
+          s"CAST(len(regexp_extract_all(html, '${Html.LinkPat}')) " +
+          "AS BIGINT) AS n_links, " +
+          "CAST(length(txt) AS BIGINT) AS text_len, " +
+          "md5(txt) AS text_md5 FROM d"),
+      "pipeline_crawl" ->
+        // Full-chain replay: the SAME html CTEs, plus the WARC layer's
+        // closed-form status and the token count of the extracted text
+        // — gzip framing, record parse, extraction, and tokenization
+        // all had to hold for the md5 to match.
+        (s"WITH $htmlTxtCtes " +
+          "SELECT doc_id, " +
+          "CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INT) " +
+          "AS http_status, " +
+          s"trim(regexp_extract(html, '${Html.TitlePat}', 1)) AS title, " +
+          s"CAST(len(regexp_extract_all(html, '${Html.LinkPat}')) " +
+          "AS BIGINT) AS n_links, " +
+          s"CAST(len(${OracleSql.words("txt")}) AS BIGINT) AS n_tokens, " +
+          "md5(txt) AS text_md5 FROM d"),
       "text_dup_spans" ->
         // Duplicate 5-gram positions -> gaps-and-islands span merge.
         // The lag/sum windows partition by DOCUMENT (bounded by doc

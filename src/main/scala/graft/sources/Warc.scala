@@ -20,11 +20,14 @@ import org.apache.spark.sql.functions.col
 object Warc {
 
   /** One parsed record; NULLs when the bytes are not a valid
-    * WARC-over-HTTP record. */
+    * WARC-over-HTTP record. `body` (UTF-8 text of the payload) is
+    * dropped unless the caller asks to keep it — the fingerprint
+    * columns travel, the payload doesn't have to. */
   final case class WarcRow(
       id: Long, warc_type: Option[String], target_uri: Option[String],
       http_status: Option[Int], content_type: Option[String],
-      body_len: Option[Long], body_md5: Option[String])
+      body_len: Option[Long], body_md5: Option[String],
+      body: Option[String])
 
   private def gunzip(gz: Array[Byte], maxBytes: Long): Option[Array[Byte]] =
     try {
@@ -117,10 +120,12 @@ object Warc {
     * inflate for already-uncompressed records. */
   def records(
       df: DataFrame, idCol: String, binCol: String, gzipped: Boolean = true,
-      maxBytes: Long = 1L << 26, batchSize: Int = 64): DataFrame = {
+      keepBody: Boolean = false, maxBytes: Long = 1L << 26,
+      batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    val out = df
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap { g =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -129,18 +134,23 @@ object Warc {
             (if (gzipped) gunzip(raw, maxBytes) else Some(raw))
               .flatMap(parseRecord)
           rec match {
-            case None => WarcRow(id, None, None, None, None, None, None)
+            case None =>
+              WarcRow(id, None, None, None, None, None, None, None)
             case Some((wt, uri, status, ctype, body)) =>
               md.reset()
               WarcRow(id, Some(wt), Some(uri),
                 if (status > 0) Some(status) else None,
                 if (ctype.nonEmpty) Some(ctype) else None,
                 Some(body.length.toLong),
-                Some(md.digest(body).map("%02x".format(_)).mkString))
+                Some(md.digest(body).map("%02x".format(_)).mkString),
+                // only materialize the payload string when it travels
+                if (keepBody) Some(new String(body,
+                  java.nio.charset.StandardCharsets.UTF_8)) else None)
           }
         }
       })
       .toDF()
+    if (keepBody) out else out.drop("body")
   }
 
   /** Gate fixture: wrap each row's text in a complete WARC response
