@@ -761,6 +761,27 @@ object SparkEntry {
     //      stateless codegen'd map over arriving docs (same regex +
     //      validation arithmetic as the batch gate), so quarantine
     //      decisions happen at ingest, not in a later batch sweep ----
+    // ---- Streaming WARC ingestion: crawl records arrive as gzip
+    //      members on the stream; gunzip + record parse run INSIDE the
+    //      streaming plan. Stateless map, shared oracle with the batch
+    //      gate. ----
+    "s26_stream_warc" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "documents").schema
+      val tmp = Files.createTempDirectory("graft_s26_").toString
+      val cfg = IngestConfig(name = s"s26-warc-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val docs = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/documents.parque[t]")
+      val warcGz = graft.sources.Warc.warcGzFixture(
+        docs, "doc_id", "text",
+        uriOf = id => s"https://example.com/doc/$id",
+        statusOf = id => if (id % 5 == 0) 404 else 200,
+        ctypeOf = id =>
+          if (id % 2 == 0) "text/html; charset=utf-8" else "text/plain")
+      appendStream(s,
+        graft.sources.Warc.records(warcGz, "doc_id", "content"), cfg, tmp)
+    }),
+
     // ---- Streaming gzip ingestion: per-record gzip members arrive on
     //      the stream; the kernel inflates INSIDE the streaming plan
     //      (typed mapPartitions under a file-stream source) — the
@@ -4363,6 +4384,18 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("text_md5"))
     }),
 
+    // ---- Sources: per-row charset decoding — half the fixture is
+    //      ISO-8859-1 with a non-ASCII suffix, half UTF-8; the md5 is
+    //      over the DECODED string's UTF-8 bytes, so reading latin-1
+    //      bytes as UTF-8 (the classic mojibake bug) cannot match.
+    //      STRICT decode: misdeclared charsets quarantine as NULLs. ----
+    "src_charset_decode" -> ((s, dir) => {
+      val d = graft.sources.Formats.charsetFixture(
+        t(s, dir, "documents"), "doc_id", "text",
+        suffix = " café ß ±½")
+      graft.sources.Formats.decodeText(d, "doc_id", "content", "charset")
+    }),
+
     // ---- Sources: WARC record ingestion — the Common Crawl shape:
     //      per-record gzip members, each a WARC/1.0 header block
     //      framing an HTTP response. The engine must inflate, walk the
@@ -6173,6 +6206,32 @@ object SparkEntry {
       "src_orc_roundtrip" -> fidelitySql,
       "src_xml_roundtrip" -> fidelitySql,
       "src_gzip_text" -> gzipTextSql,
+      "src_charset_decode" ->
+        // Plaintext replay: one md5 for both charsets (it hashes the
+        // DECODED text), byte length differing by encoding — latin-1
+        // bytes = codepoints, UTF-8 bytes = strlen.
+        ("SELECT doc_id AS id, " +
+          "CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE 'iso-8859-1' END " +
+          "AS charset, " +
+          "CAST(CASE WHEN doc_id % 2 = 0 " +
+          "THEN strlen(text || ' café ß ±½') " +
+          "ELSE length(text || ' café ß ±½') END " +
+          "AS BIGINT) AS n_bytes, " +
+          "CAST(length(text || ' café ß ±½') " +
+          "AS BIGINT) AS n_chars, " +
+          "md5(text || ' café ß ±½') AS text_md5 " +
+          "FROM documents"),
+      // The stream emits exactly the batch rows (stateless map) —
+      // same oracle as src_warc_records.
+      "s26_stream_warc" ->
+        ("SELECT doc_id AS id, 'response' AS warc_type, " +
+          "'https://example.com/doc/' || doc_id AS target_uri, " +
+          "CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INT) " +
+          "AS http_status, " +
+          "CASE WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8' " +
+          "ELSE 'text/plain' END AS content_type, " +
+          "CAST(strlen(text) AS BIGINT) AS body_len, " +
+          "md5(text) AS body_md5 FROM documents"),
       "src_warc_records" ->
         // Closed-form WARC fields + the body md5 straight off the
         // source text — only an engine that really unzips and walks

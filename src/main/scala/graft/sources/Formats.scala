@@ -212,6 +212,78 @@ object Formats {
       .toDF()
   }
 
+  /** One charset-decoded row; NULL text fields when the declared
+    * charset is unknown or the bytes are malformed UNDER it. */
+  final case class CharsetRow(
+      id: Long, charset: String, n_bytes: Long, n_chars: Option[Long],
+      text_md5: Option[String])
+
+  /** Decode a binary column using a PER-ROW declared charset (the
+    * Content-Type charset of a crawl record) — the step everyone
+    * skips until ISO-8859-1 bodies read as UTF-8 turn into mojibake
+    * that hashes "uniquely" and defeats every dedup stage downstream.
+    * STRICT decode (malformed input and unmappable characters REPORT,
+    * not replace): a misdeclared charset surfaces as a NULL row to
+    * quarantine, never as silently corrupted text. Emits
+    * (id, charset, n_bytes, n_chars, text_md5) with the md5 over the
+    * UTF-8 bytes of the DECODED string — charset-independent, so one
+    * oracle covers every encoding. Row-local kernel, no shuffle. */
+  def decodeText(
+      df: DataFrame, idCol: String, binCol: String, charsetCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(binCol).cast("binary"),
+        org.apache.spark.sql.functions.col(charsetCol).cast("string"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.grouped(batchSize).flatMap { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        g.map { case (id, bytes, cs) =>
+          val decoded: Option[String] =
+            try {
+              val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+                .onMalformedInput(
+                  java.nio.charset.CodingErrorAction.REPORT)
+                .onUnmappableCharacter(
+                  java.nio.charset.CodingErrorAction.REPORT)
+              Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+            } catch { case _: Exception => None }
+          decoded match {
+            case None => CharsetRow(id, cs, bytes.length.toLong, None, None)
+            case Some(t) =>
+              md.reset()
+              CharsetRow(id, cs, bytes.length.toLong,
+                Some(t.codePointCount(0, t.length).toLong),
+                Some(md.digest(t.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+                  .map("%02x".format(_)).mkString))
+          }
+        }
+      })
+      .toDF()
+  }
+
+  /** Gate fixture: per-row text re-encoded in an id-alternating
+    * charset (UTF-8 / ISO-8859-1), with a non-ASCII suffix so the two
+    * encodings genuinely differ at the byte level. */
+  def charsetFixture(
+      df: DataFrame, idCol: String, textCol: String,
+      suffix: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val cs = if (id % 2 == 0) "utf-8" else "iso-8859-1"
+        (id, (text + suffix).getBytes(cs), cs)
+      })
+      .toDF(idCol, "content", "charset")
+  }
+
   /** Gate fixture: gzip each row's text in the kernel — (id, content)
     * with content = gzip(UTF-8 bytes). One mapPartitions, no shuffle. */
   def gzipTextFixture(

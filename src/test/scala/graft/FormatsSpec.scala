@@ -161,4 +161,27 @@ class FormatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(rt == Map(7L -> "alpha beta", 8L -> "γδ ε"))
   }
+
+  test("decodeText: per-row charset honored; latin-1 bytes declared as " +
+      "utf-8 QUARANTINE (strict decode), unknown charset yields NULLs") {
+    import spark.implicits._
+    val latin1 = "café ß".getBytes("ISO-8859-1")
+    val utf8 = "café ß".getBytes("UTF-8")
+    val df = Seq(
+      (1L, latin1, "iso-8859-1"), //                    correct declaration
+      (2L, utf8, "utf-8"), //                           correct declaration
+      (3L, latin1, "utf-8"), //    mojibake: 0xE9 is malformed UTF-8 alone
+      (4L, utf8, "no-such-charset")) //                   unknown charset
+      .toDF("id", "content", "charset")
+    val got = Formats.decodeText(df, "id", "content", "charset")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest("café ß".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1L).getString(4) == want && got(2L).getString(4) == want)
+    assert(got(1L).getLong(2) == latin1.length)
+    assert(got(2L).getLong(2) == utf8.length && utf8.length > latin1.length)
+    assert(got(3L).isNullAt(3) && got(3L).isNullAt(4), "mojibake must quarantine")
+    assert(got(4L).isNullAt(4))
+  }
 }
