@@ -4384,6 +4384,15 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("text_md5"))
     }),
 
+    // ---- Sources: ZIP archive walk — two real DEFLATE entries per
+    //      row (text + json sidecar); per-entry inflate + md5, zip-bomb
+    //      caps, corrupt archives contribute zero rows ----
+    "src_zip_entries" -> ((s, dir) => {
+      val d = graft.sources.Formats.zipFixture(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.sources.Formats.zipEntries(d, "doc_id", "content")
+    }),
+
     // ---- Sources: per-row charset decoding — half the fixture is
     //      ISO-8859-1 with a non-ASCII suffix, half UTF-8; the md5 is
     //      over the DECODED string's UTF-8 bytes, so reading latin-1
@@ -4684,6 +4693,36 @@ object SparkEntry {
             .cast("long").as("n_links"),
           size(TextHash.words(col("__txt"))).cast("long").as("n_tokens"),
           md5(col("__txt").cast("binary")).as("text_md5"))
+    }),
+
+    // ---- Crawl pipeline: robots.txt evaluation (RFC 9309) — group
+    //      selection (a bot with its OWN group ignores the '*' group's
+    //      /tmp ban), wildcard + $-anchored rules, longest-match
+    //      precedence with Allow on ties. The oracle replays the
+    //      decision procedure over the same fixed rule table. ----
+    "text_robots_filter" -> ((s, dir) => {
+      val id = col("doc_id")
+      val path = when(id % 5 === 0, concat(lit("/private/"), id))
+        .when(id % 5 === 1, concat(lit("/private/ok/"), id))
+        .when(id % 5 === 2, concat(lit("/tmp/x"), id, lit(".html")))
+        .when(id % 5 === 3, concat(lit("/doc/"), id))
+        .otherwise(concat(lit("/cgi/"), id, lit(".php")))
+      val robots =
+        """# graft fixture
+          |User-agent: graftbot
+          |Disallow: /private/
+          |Allow: /private/ok/
+          |Disallow: /*.php$
+          |
+          |User-agent: other
+          |Disallow: /
+          |
+          |User-agent: *
+          |Disallow: /tmp
+          |""".stripMargin
+      graft.ops.Robots.filterAllowed(
+        t(s, dir, "documents").select(id, path.as("path")),
+        "doc_id", "path", robots, agent = "GraftBot")
     }),
 
     // ---- LLM pipeline: cross-document duplicate-SPAN detection (the
@@ -6206,6 +6245,15 @@ object SparkEntry {
       "src_orc_roundtrip" -> fidelitySql,
       "src_xml_roundtrip" -> fidelitySql,
       "src_gzip_text" -> gzipTextSql,
+      "src_zip_entries" ->
+        // Two rows per doc, straight off the plaintext — the engine
+        // had to walk local file headers and inflate each entry.
+        ("SELECT doc_id AS id, 'doc.txt' AS entry_name, " +
+          "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+          "md5(text) AS entry_md5 FROM documents " +
+          "UNION ALL SELECT doc_id, 'meta.json', " +
+          "CAST(strlen('{\"id\":' || doc_id || '}') AS BIGINT), " +
+          "md5('{\"id\":' || doc_id || '}') FROM documents"),
       "src_charset_decode" ->
         // Plaintext replay: one md5 for both charsets (it hashes the
         // DECODED text), byte length differing by encoding — latin-1
@@ -11616,6 +11664,26 @@ object SparkEntry {
           "AS BIGINT) AS n_links, " +
           s"CAST(len(${OracleSql.words("txt")}) AS BIGINT) AS n_tokens, " +
           "md5(txt) AS text_md5 FROM d"),
+      "text_robots_filter" ->
+        // Decision replay over the fixed rule table (the binding
+        // graftbot group: Disallow /private/ len 9, Allow /private/ok/
+        // len 12, Disallow /*.php$ len 7; the '*' group's /tmp rule
+        // does NOT bind): longest match wins, ties -> Allow, no match
+        // (-1 >= -1) -> allowed.
+        ("WITH p AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INT) " +
+          "WHEN 0 THEN '/private/' || doc_id " +
+          "WHEN 1 THEN '/private/ok/' || doc_id " +
+          "WHEN 2 THEN '/tmp/x' || doc_id || '.html' " +
+          "WHEN 3 THEN '/doc/' || doc_id " +
+          "ELSE '/cgi/' || doc_id || '.php' END AS path FROM documents), " +
+          "d AS (SELECT doc_id, path, " +
+          "CASE WHEN starts_with(path, '/private/ok/') THEN 12 " +
+          "ELSE -1 END AS alw, " +
+          "greatest(" +
+          "CASE WHEN starts_with(path, '/private/') THEN 9 ELSE -1 END, " +
+          "CASE WHEN regexp_matches(path, '^/.*\\.php$') THEN 7 " +
+          "ELSE -1 END) AS dis FROM p) " +
+          "SELECT doc_id, path, alw >= dis AS allowed FROM d"),
       "text_dup_spans" ->
         // Duplicate 5-gram positions -> gaps-and-islands span merge.
         // The lag/sum windows partition by DOCUMENT (bounded by doc

@@ -265,6 +265,92 @@ object Formats {
       .toDF()
   }
 
+  /** One ZIP entry row (1:N explode — corrupt archives emit nothing,
+    * the exploder posture; 1:1 decoders emit NULL rows instead). */
+  final case class ZipEntryRow(
+      id: Long, entry_name: String, n_bytes: Long, entry_md5: String)
+
+  /** Walk a ZIP archive column to per-entry rows (name, inflated size,
+    * md5) — dataset bundles and model artifacts arrive zipped at least
+    * as often as loose. JDK ZipInputStream (public PKZIP format:
+    * local-file-header walk + DEFLATE), per-entry and per-archive size
+    * caps against zip bombs; a corrupt archive contributes zero rows,
+    * never a task failure. Row-local, no shuffle. */
+  def zipEntries(
+      df: DataFrame, idCol: String, binCol: String,
+      maxBytesPerEntry: Long = 1L << 26, maxEntries: Int = 1024,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        g.flatMap { case (id, raw) =>
+          try {
+            val zin = new java.util.zip.ZipInputStream(
+              new java.io.ByteArrayInputStream(raw))
+            try {
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[ZipEntryRow]
+              var entry = zin.getNextEntry
+              var bomb = false
+              while (entry != null && out.length < maxEntries && !bomb) {
+                val bb = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](8192)
+                var n = 0
+                var total = 0L
+                while (n >= 0 && total <= maxBytesPerEntry) {
+                  n = zin.read(buf)
+                  if (n > 0) { bb.write(buf, 0, n); total += n }
+                }
+                if (total > maxBytesPerEntry) bomb = true
+                else {
+                  md.reset()
+                  out += ZipEntryRow(id, entry.getName, total,
+                    md.digest(bb.toByteArray).map("%02x".format(_)).mkString)
+                }
+                entry = zin.getNextEntry
+              }
+              if (bomb) Nil else out.toSeq
+            } finally zin.close()
+          } catch {
+            case _: java.io.IOException => Nil
+            case _: java.lang.IllegalArgumentException => Nil // bad names
+          }
+        }
+      })
+      .toDF()
+  }
+
+  /** Gate fixture: zip each row's text plus a small json sidecar into
+    * a real two-entry archive. */
+  def zipFixture(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bb = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bb)
+        z.putNextEntry(new java.util.zip.ZipEntry("doc.txt"))
+        z.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        z.closeEntry()
+        z.putNextEntry(new java.util.zip.ZipEntry("meta.json"))
+        z.write(s"""{"id":$id}""".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        z.closeEntry()
+        z.close()
+        (id, bb.toByteArray)
+      })
+      .toDF(idCol, "content")
+  }
+
   /** Gate fixture: per-row text re-encoded in an id-alternating
     * charset (UTF-8 / ISO-8859-1), with a non-ASCII suffix so the two
     * encodings genuinely differ at the byte level. */
