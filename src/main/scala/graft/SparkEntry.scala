@@ -3072,6 +3072,25 @@ object SparkEntry {
     // ---- Graph centrality: fixed-point PageRank over the symmetrized
     //      part↔supplier co-occurrence graph (3 power iterations; every
     //      op BIGINT floor arithmetic, so the oracle is hash-exact) ----
+    // ---- Graph: STRONGLY connected components of a DIRECTED graph
+    //      (Orzan coloring: forward min-label fixpoint, backward root
+    //      marking within color classes, phase-wise extraction). The
+    //      fixture derives intra-group ring edges from orders — wrap
+    //      edges (even orderkeys) close cycles, non-wrap edges stay a
+    //      DAG — so whole-group SCCs, partial SCCs, self-loop and
+    //      orderless singletons all occur; groups of 8 bound the
+    //      oracle's closure. ----
+    "graph_scc" -> ((s, dir) => {
+      val m = col("o_custkey") % 8
+      val delta = col("o_orderkey") % 3 + 1
+      val dstm = when(col("o_orderkey") % 2 === 0, (m + delta) % 8)
+        .otherwise(least(m + delta, lit(7)))
+      val edges = t(s, dir, "orders").select(
+        col("o_custkey").cast("long").as("src"),
+        (col("o_custkey") - m + dstm).cast("long").as("dst"))
+      graft.ops.Components.stronglyConnectedComponents(edges, "src", "dst")
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(
         (col("l_partkey") * 2).cast("long").as("a"),
@@ -10051,6 +10070,27 @@ object SparkEntry {
           "(SELECT user_id, count(*) AS cnt FROM events " +
           "WHERE user_id IS NOT NULL GROUP BY user_id) " +
           "ORDER BY cnt DESC, key ASC LIMIT 20"),
+      "graph_scc" ->
+        // Independent definition: scc_id(v) = min over {v} ∪ {w : v→*w
+        // AND w→*v} via recursive transitive closure — bounded because
+        // the fixture's edges never leave their 8-node group.
+        ("WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey AS src, " +
+          "o_custkey - o_custkey % 8 + " +
+          "CASE WHEN o_orderkey % 2 = 0 " +
+          "THEN (o_custkey % 8 + o_orderkey % 3 + 1) % 8 " +
+          "ELSE least(o_custkey % 8 + o_orderkey % 3 + 1, 7) END " +
+          "AS dst FROM orders), " +
+          // explicit DISTINCT: inside a WITH RECURSIVE list DuckDB does
+          // not apply set-UNION dedup to non-recursive CTEs
+          "n AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e0 " +
+          "UNION ALL SELECT dst FROM e0)), " +
+          "r AS (SELECT src AS u, dst AS w FROM e0 " +
+          "UNION SELECT r.u, e0.dst FROM r JOIN e0 ON r.w = e0.src), " +
+          "mut AS (SELECT r1.u AS v, min(r1.w) AS mn FROM r r1 " +
+          "JOIN r r2 ON r1.w = r2.u AND r2.w = r1.u GROUP BY r1.u) " +
+          "SELECT CAST(v AS BIGINT) AS id, " +
+          "CAST(least(v, coalesce(mn, v)) AS BIGINT) AS scc_id " +
+          "FROM n LEFT JOIN mut USING (v)"),
       "graph_pagerank" ->
         ("WITH le AS (SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src, " +
           "CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem), " +

@@ -198,4 +198,26 @@ class ComponentsSpec extends SparkSpec {
     assert(Components.gridDbscan(far, col("x"), col("y"), 3L)
       .count() == 2L)
   }
+
+  test("stronglyConnectedComponents: cycles collapse, DAG edges don't, " +
+      "a smaller non-mutual ancestor defers extraction to a later " +
+      "phase (multi-phase coloring), self-loop and sink singletons") {
+    import spark.implicits._
+    // 0 -> 1 -> 2 -> 3 -> 1 (SCC {1,2,3} shadowed by ancestor 0),
+    // 3 -> 4 <-> 5 (SCC {4,5}), 5 -> 6 (sink), 7 -> 7 (self loop)
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 4L), (5L, 6L), (7L, 7L))
+      .toDF("src", "dst")
+    val got = Components.stronglyConnectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
+    // partitioning invariance
+    val got2 = Components.stronglyConnectedComponents(
+      edges.repartition(7), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
 }
