@@ -2808,6 +2808,14 @@ object SparkEntry {
           levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
     }),
 
+    // ---- LLM pipeline: content-defined chunking (rsync/LBFS lineage,
+    //      the FILE-level dedup primitive): fixed-window Rabin
+    //      boundaries — insertions shift only the chunks they touch,
+    //      so shared content keeps shared chunk hashes. Oracle replays
+    //      the position-local boundary test per byte. ----
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      NearDup.cdcChunks(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- LLM pipeline: TRUE Damerau-Levenshtein verify over blocked
     //      candidates — native codegen kernel (Lowrance-Wagner alphabet
     //      DP; Spark ships only plain Levenshtein) vs DuckDB's
@@ -10687,6 +10695,29 @@ object SparkEntry {
           "JOIN documents da ON da.doc_id = c.id_a " +
           "JOIN documents db ON db.doc_id = c.id_b " +
           "WHERE c.id_a % 7 = 0"),
+      "dedup_cdc_chunks" ->
+        // Per-position boundary replay (H_i over the trailing 8 bytes,
+        // ASCII fixture: char == byte), prefix-count chunk ids, md5 of
+        // each substring.
+        ("WITH b AS (SELECT doc_id, text, strlen(text) AS n " +
+          "FROM documents WHERE strlen(text) > 0), " +
+          "pos AS (SELECT doc_id, text, n, " +
+          "unnest(range(0, n)) AS i FROM b), " +
+          "c AS (SELECT doc_id, text, i, CASE WHEN i >= 7 THEN " +
+          "(list_sum(list_transform(range(0, 8), k -> " +
+          "((2654435761 * (ascii(substr(text, " +
+          "CAST(i - k + 1 AS INT), 1)) + 1)) % 4294967296) * (1 << k)" +
+          ")) % 4294967296) % 64 = 0 ELSE false END AS cut FROM pos), " +
+          "idx AS (SELECT doc_id, text, i, " +
+          "coalesce(sum(CASE WHEN cut THEN 1 ELSE 0 END) OVER " +
+          "(PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND 1 PRECEDING), 0) AS ci FROM c), " +
+          "ch AS (SELECT doc_id, text, ci, min(i) AS st, " +
+          "count(*) AS ln FROM idx GROUP BY 1, 2, 3) " +
+          "SELECT doc_id AS id, CAST(ci AS BIGINT) AS chunk_idx, " +
+          "CAST(st AS BIGINT) AS start, CAST(ln AS BIGINT) AS len, " +
+          "md5(substr(text, CAST(st + 1 AS INT), CAST(ln AS INT))) " +
+          "AS chunk_md5 FROM ch"),
       "dedup_damerau" ->
         // DuckDB's damerau_levenshtein is a fully independent
         // implementation of the same unrestricted-transposition metric

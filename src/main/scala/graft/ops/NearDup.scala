@@ -595,4 +595,78 @@ object NearDup {
               (col("n_docs") - 1L).cast("double") / lit(2.0)))
           .as("reduction_ratio"))
   }
+
+  /** One content-defined chunk. */
+  final case class CdcChunk(
+      id: Long, chunk_idx: Long, start: Long, len: Long, chunk_md5: String)
+
+  private val CdcMod = 4294967296L // 2^32
+
+  /** Rabin-style gear value of an unsigned byte — a fixed multiplicative
+    * mix, shared in closed form with the oracle. */
+  private[graft] def cdcGear(b: Int): Long =
+    (2654435761L * (b + 1)) % CdcMod
+
+  /** Content-defined chunking — the FILE-level dedup primitive
+    * (rsync/LBFS lineage): chunk boundaries fall where a rolling hash
+    * of the LAST `window` bytes hits 0 mod `divisor`, so an insertion
+    * shifts only the chunks it touches — byte-offset chunking would
+    * shift every later chunk and defeat dedup entirely. Boundary test:
+    * H_i = (Σ_{k<window} gear(b_{i−k})·2^k) mod 2³² ≡ 0 mod divisor —
+    * position-LOCAL (a fixed-window Rabin fingerprint, the classic CDC
+    * definition), so the oracle can replay it per position; expected
+    * chunk length = divisor bytes. Emits per chunk
+    * (id, chunk_idx, start, len, chunk_md5) over the UTF-8 bytes;
+    * recurring chunk_md5 across the corpus = shared content.
+    *
+    * Scale: row-local kernel (one pass per doc), no shuffle; the
+    * downstream dedup is one md5-keyed aggregate. */
+  def cdcChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Long = 64L,
+      batchSize: Int = 64): DataFrame = {
+    require(window >= 2 && window <= 64, s"bad window $window")
+    require(divisor >= 2, s"bad divisor $divisor")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(batchSize).flatMap { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        g.flatMap { case (id, text) =>
+          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          if (b.length == 0) Nil
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[CdcChunk]
+            var start = 0
+            var idx = 0L
+            def close(endExcl: Int): Unit = {
+              md.reset()
+              md.update(b, start, endExcl - start)
+              out += CdcChunk(id, idx, start.toLong,
+                (endExcl - start).toLong,
+                md.digest().map("%02x".format(_)).mkString)
+              idx += 1L
+              start = endExcl
+            }
+            var i = 0
+            while (i < b.length) {
+              if (i >= window - 1) {
+                var h = 0L
+                var k = 0
+                while (k < window) {
+                  h += cdcGear(b(i - k) & 0xff) << k
+                  k += 1
+                }
+                if (h % CdcMod % divisor == 0L) close(i + 1)
+              }
+              i += 1
+            }
+            if (start < b.length) close(b.length)
+            out.toSeq
+          }
+        }
+      })
+      .toDF()
+  }
 }

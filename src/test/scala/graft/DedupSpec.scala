@@ -233,4 +233,37 @@ class DedupSpec extends SparkSpec {
       assert(r.getString(6) == "possible" || r.getString(6) == "match")
     }
   }
+
+  test("cdcChunks: the content-defined property — a prefix insertion " +
+      "shifts only the chunks it touches; shared suffix content keeps " +
+      "identical chunk hashes (byte-offset chunking would lose ALL)") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val body = Seq.fill(600)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq(
+      (1L, body),
+      (2L, "INSERTED PREFIX >> " + body)) //  same content, shifted bytes
+      .toDF("doc_id", "text")
+    val chunks = graft.ops.NearDup
+      .cdcChunks(docs, "doc_id", "text")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(4)).toSet).toMap
+    val shared = chunks(1L) intersect chunks(2L)
+    assert(shared.size >= chunks(1L).size - 2,
+      s"CDC must preserve suffix chunks: shared ${shared.size} of " +
+        s"${chunks(1L).size}")
+    assert(chunks(2L).size >= chunks(1L).size,
+      "the shifted doc gains at most prefix chunks, never loses suffix ones")
+    // chunk framing is exact: starts/lengths tile the doc
+    val rows = graft.ops.NearDup.cdcChunks(docs, "doc_id", "text")
+      .where($"id" === 1L).orderBy("chunk_idx").collect()
+    assert(rows.head.getLong(2) == 0L)
+    assert(rows.map(_.getLong(3)).sum == body.length)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + a.getLong(3), "gapless tiling")
+      case _ => ()
+    }
+  }
 }
