@@ -4411,6 +4411,15 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("text_md5"))
     }),
 
+    // ---- Sources: .tar.gz walk — gunzip + POSIX ustar header walk
+    //      (octal sizes, VERIFIED checksums, 512-block framing; the
+    //      JDK has no tar reader, so this is a real format parser) ----
+    "src_tar_entries" -> ((s, dir) => {
+      val d = graft.sources.Formats.tarGzFixture(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.sources.Formats.tarGzEntries(d, "doc_id", "content")
+    }),
+
     // ---- Sources: ZIP archive walk — two real DEFLATE entries per
     //      row (text + json sidecar); per-entry inflate + md5, zip-bomb
     //      caps, corrupt archives contribute zero rows ----
@@ -6272,6 +6281,15 @@ object SparkEntry {
       "src_orc_roundtrip" -> fidelitySql,
       "src_xml_roundtrip" -> fidelitySql,
       "src_gzip_text" -> gzipTextSql,
+      "src_tar_entries" ->
+        // Same two-row plaintext replay as the zip gate — the engine
+        // had to gunzip and walk checksum-verified ustar headers.
+        ("SELECT doc_id AS id, 'doc.txt' AS entry_name, " +
+          "CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+          "md5(text) AS entry_md5 FROM documents " +
+          "UNION ALL SELECT doc_id, 'meta.json', " +
+          "CAST(strlen('{\"id\":' || doc_id || '}') AS BIGINT), " +
+          "md5('{\"id\":' || doc_id || '}') FROM documents"),
       "src_zip_entries" ->
         // Two rows per doc, straight off the plaintext — the engine
         // had to walk local file headers and inflate each entry.

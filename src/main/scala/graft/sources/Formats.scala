@@ -351,6 +351,192 @@ object Formats {
       .toDF(idCol, "content")
   }
 
+  /** One TAR entry row (exploder posture, like [[zipEntries]]). */
+  final case class TarEntryRow(
+      id: Long, entry_name: String, n_bytes: Long, entry_md5: String)
+
+  /** Parse a POSIX ustar archive (the .tar.gz training-dump shape; the
+    * JDK ships gzip but NO tar reader, so this is a real byte-format
+    * walk): 512-byte header blocks — NUL-terminated name, size as
+    * 11-digit octal, header CHECKSUM VERIFIED (sum of header bytes
+    * with the checksum field read as spaces — a corrupted header
+    * refuses instead of mis-framing every later entry), ustar magic,
+    * typeflag — then ⌈size/512⌉ data blocks; two zero blocks end the
+    * archive. Regular files ('0'/NUL) emit rows; other types are
+    * skipped but still advance the block walk. Returns None for any
+    * malformed structure. */
+  private[graft] def tarEntries(
+      b: Array[Byte], maxBytesPerEntry: Long = 1L << 26,
+      maxEntries: Int = 1024): Option[Seq[(String, Long, Array[Byte])]] = {
+    def octal(off: Int, len: Int): Option[Long] = {
+      var v = 0L
+      var i = off
+      var seen = false
+      while (i < off + len) {
+        val c = b(i) & 0xff
+        if (c >= '0' && c <= '7') { v = v * 8 + (c - '0'); seen = true }
+        else if (c != ' ' && c != 0) return None
+        else if (seen) i = off + len // terminator after digits: stop
+        i += 1
+      }
+      if (seen) Some(v) else None
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Array[Byte])]
+    var p = 0
+    while (p + 512 <= b.length) {
+      if (b.slice(p, p + 512).forall(_ == 0)) {
+        // end marker: expect a second zero block (lenient if truncated)
+        return Some(out.toSeq)
+      }
+      if (out.length >= maxEntries) return None
+      // magic "ustar" at 257
+      if (p + 263 > b.length || b(p + 257) != 'u' || b(p + 258) != 's' ||
+        b(p + 259) != 't' || b(p + 260) != 'a' || b(p + 261) != 'r')
+        return None
+      val size = octal(p + 124, 12).getOrElse(return None)
+      if (size < 0 || size > maxBytesPerEntry) return None
+      val stored = octal(p + 148, 8).getOrElse(return None)
+      var sum = 0L
+      var i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) ' '.toInt else b(p + i) & 0xff)
+        i += 1
+      }
+      if (sum != stored) return None
+      val nameEnd = {
+        var e = p
+        while (e < p + 100 && b(e) != 0) e += 1
+        e
+      }
+      val name = new String(b, p, nameEnd - p,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val tf = b(p + 156)
+      val dataStart = p + 512
+      val dataBlocks = ((size + 511) / 512).toInt
+      if (dataStart + dataBlocks.toLong * 512 > b.length) return None
+      if (tf == '0' || tf == 0)
+        out += ((name, size, java.util.Arrays.copyOfRange(
+          b, dataStart, dataStart + size.toInt)))
+      p = dataStart + dataBlocks * 512
+    }
+    Some(out.toSeq) // no end marker: lenient (common with truncated pads)
+  }
+
+  /** Per-entry rows from a gzip-compressed ustar column (.tar.gz):
+    * gunzip, verified header walk, md5 per regular file. Corrupt
+    * archives contribute zero rows. */
+  def tarGzEntries(
+      df: DataFrame, idCol: String, binCol: String,
+      maxBytes: Long = 1L << 26, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { g =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        g.flatMap { case (id, gz) =>
+          gunzipBytes(gz, maxBytes).flatMap(tarEntries(_)) match {
+            case None => Nil
+            case Some(entries) => entries.map { case (name, size, body) =>
+              md.reset()
+              TarEntryRow(id, name, size,
+                md.digest(body).map("%02x".format(_)).mkString)
+            }
+          }
+        }
+      })
+      .toDF()
+  }
+
+  private def gunzipBytes(
+      gz: Array[Byte], maxBytes: Long): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz))
+      try {
+        val bb = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = 0
+        var total = 0L
+        while (n >= 0 && total <= maxBytes) {
+          n = in.read(buf)
+          if (n > 0) { bb.write(buf, 0, n); total += n }
+        }
+        if (total > maxBytes) None else Some(bb.toByteArray)
+      } finally in.close()
+    } catch {
+      case _: java.io.IOException => None
+      case _: java.lang.IndexOutOfBoundsException => None
+    }
+
+  /** Build a POSIX ustar archive with REAL octal sizes and valid
+    * checksums — the byte twin the parser is tested against. */
+  private[graft] def tarBytes(
+      entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    def header(name: String, size: Int): Array[Byte] = {
+      val h = new Array[Byte](512)
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val padded = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(padded.getBytes, 0, h, off, len - 1)
+        h(off + len - 1) = 0
+      }
+      oct(420, 100, 8) //                                      mode 0644
+      oct(0, 108, 8); oct(0, 116, 8) //                         uid/gid
+      oct(size.toLong, 124, 12) //                                  size
+      oct(0, 136, 12) //                                          mtime
+      h(156) = '0' //                                      regular file
+      System.arraycopy("ustar".getBytes, 0, h, 257, 5)
+      h(263) = '0'; h(264) = '0' //                        version "00"
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L
+      for (i <- 0 until 512) sum += h(i) & 0xff
+      val cs = java.lang.Long.toOctalString(sum)
+      val csp = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(csp.getBytes, 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      h
+    }
+    val bb = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, body) =>
+      bb.write(header(name, body.length))
+      bb.write(body)
+      bb.write(new Array[Byte]((512 - body.length % 512) % 512))
+    }
+    bb.write(new Array[Byte](1024)) // two zero end blocks
+    bb.toByteArray
+  }
+
+  /** Kernel-built .tar.gz fixture: a two-file ustar (text + json
+    * sidecar), gzipped. */
+  def tarGzFixture(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val tar = tarBytes(Seq(
+          "doc.txt" ->
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          "meta.json" -> s"""{"id":$id}""".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)))
+        val bb = new java.io.ByteArrayOutputStream()
+        val out = new java.util.zip.GZIPOutputStream(bb)
+        out.write(tar)
+        out.close()
+        (id, bb.toByteArray)
+      })
+      .toDF(idCol, "content")
+  }
+
   /** Gate fixture: per-row text re-encoded in an id-alternating
     * charset (UTF-8 / ISO-8859-1), with a non-ASCII suffix so the two
     * encodings genuinely differ at the byte level. */

@@ -23,6 +23,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "jpegPixels" -> (b => Multimodal.jpegPixels(b)),
     "mp4Meta" -> (b => Multimodal.mp4Meta(b)),
     "warcParse" -> (b => graft.sources.Warc.parseRecord(b)),
+    "tarEntries" -> (b => graft.sources.Formats.tarEntries(b)),
     "tiffMeta" -> (b => Multimodal.tiffMeta(b)),
     "decodePixels" -> (b => Multimodal.decodePixels(b)))
 
@@ -39,7 +40,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
     "mp4" -> MediaFixtures.mp4Bytes(33, 21, 1000L, 777L, audioTrack = true),
     "warc" -> ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" +
       "Content-Length: 57\r\n\r\nHTTP/1.1 200 OK\r\nContent-Length: 2\r\n" +
-      "Content-Type: t\r\n\r\nok").getBytes)
+      "Content-Type: t\r\n\r\nok").getBytes,
+    "tar" -> graft.sources.Formats.tarBytes(Seq(
+      "a.txt" -> "hello tar".getBytes,
+      "b/c.json" -> """{"k":1}""".getBytes)))
 
   test("random byte soup never throws (300 arrays, lengths 0..4096, " +
       "plus magic-byte-prefixed soup per codec)") {
