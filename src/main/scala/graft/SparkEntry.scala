@@ -757,6 +757,24 @@ object SparkEntry {
       appendStream(s, graft.streaming.StreamDedup.exact(
         hashed, Seq("ahash_lo", "ahash_hi")), cfg, tmp)
     }),
+    // ---- Streaming CDC dedup: content-defined chunking runs on docs
+    //      AS THEY ARRIVE; the streaming exact-dedup keeps first-seen
+    //      chunk hashes — the incremental store-once path. The
+    //      distinct hash set is stream-order independent, so the batch
+    //      replay oracles it (the s23 discipline). ----
+    "s27_stream_cdc_dedup" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "documents").schema
+      val tmp = Files.createTempDirectory("graft_s27_").toString
+      val cfg = IngestConfig(name = s"s27-cdcdedup-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val docs = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/documents.parque[t]")
+      val chunks = NearDup.cdcChunks(docs, "doc_id", "text")
+        .select(col("chunk_md5"), col("len"))
+      appendStream(s, graft.streaming.StreamDedup.exact(
+        chunks, Seq("chunk_md5")), cfg, tmp)
+    }),
+
     // ---- Streaming PII scan: the scrub pass applied IN-STREAM — a
     //      stateless codegen'd map over arriving docs (same regex +
     //      validation arithmetic as the batch gate), so quarantine
@@ -2815,6 +2833,25 @@ object SparkEntry {
     //      the position-local boundary test per byte. ----
     "dedup_cdc_chunks" -> ((s, dir) =>
       NearDup.cdcChunks(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- LLM pipeline: corpus-level CDC dedup accounting — the
+    //      business readout of content-defined chunking: bytes stored
+    //      once vs bytes referenced, dedup ratio in ppm. One
+    //      md5-keyed aggregate over the chunk stream. ----
+    "dedup_cdc_stats" -> ((s, dir) => {
+      val chunks = NearDup.cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+      chunks.groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("__n"), first(col("len")).as("__len"))
+        .agg(
+          count(lit(1)).as("n_unique_chunks"),
+          sum(col("__n")).as("n_chunk_refs"),
+          sum(col("__len")).as("bytes_stored"),
+          sum(col("__n") * col("__len")).as("bytes_referenced"))
+        .select(col("n_unique_chunks"), col("n_chunk_refs"),
+          col("bytes_stored"), col("bytes_referenced"),
+          expr("(bytes_referenced - bytes_stored) * 1000000L " +
+            "div bytes_referenced").as("saved_ppm"))
+    }),
 
     // ---- LLM pipeline: TRUE Damerau-Levenshtein verify over blocked
     //      candidates — native codegen kernel (Lowrance-Wagner alphabet
@@ -7637,6 +7674,30 @@ object SparkEntry {
 
     // w=8 fingerprint CTE (text_winnow's f uses w=4; this one selects over
     // 8-wide windows for the longer shared-run bar)
+    // Per-position CDC boundary replay (H_i over the trailing 8 bytes,
+    // ASCII fixture: char == byte), prefix-count chunk ids, md5 of each
+    // substring — shared by the chunk gate and the storage-stats gate.
+    val cdcChunksSql: String =
+      "WITH b AS (SELECT doc_id, text, strlen(text) AS n " +
+        "FROM documents WHERE strlen(text) > 0), " +
+        "pos AS (SELECT doc_id, text, n, " +
+        "unnest(range(0, n)) AS i FROM b), " +
+        "c AS (SELECT doc_id, text, i, CASE WHEN i >= 7 THEN " +
+        "(list_sum(list_transform(range(0, 8), k -> " +
+        "((2654435761 * (ascii(substr(text, " +
+        "CAST(i - k + 1 AS INT), 1)) + 1)) % 4294967296) * (1 << k)" +
+        ")) % 4294967296) % 64 = 0 ELSE false END AS cut FROM pos), " +
+        "idx AS (SELECT doc_id, text, i, " +
+        "coalesce(sum(CASE WHEN cut THEN 1 ELSE 0 END) OVER " +
+        "(PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND 1 PRECEDING), 0) AS ci FROM c), " +
+        "ch AS (SELECT doc_id, text, ci, min(i) AS st, " +
+        "count(*) AS ln FROM idx GROUP BY 1, 2, 3) " +
+        "SELECT doc_id AS id, CAST(ci AS BIGINT) AS chunk_idx, " +
+        "CAST(st AS BIGINT) AS start, CAST(ln AS BIGINT) AS len, " +
+        "md5(substr(text, CAST(st + 1 AS INT), CAST(ln AS INT))) " +
+        "AS chunk_md5 FROM ch"
+
     val winnowPairsSql =
       s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
         s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh FROM base), " +
@@ -10713,29 +10774,22 @@ object SparkEntry {
           "JOIN documents da ON da.doc_id = c.id_a " +
           "JOIN documents db ON db.doc_id = c.id_b " +
           "WHERE c.id_a % 7 = 0"),
-      "dedup_cdc_chunks" ->
-        // Per-position boundary replay (H_i over the trailing 8 bytes,
-        // ASCII fixture: char == byte), prefix-count chunk ids, md5 of
-        // each substring.
-        ("WITH b AS (SELECT doc_id, text, strlen(text) AS n " +
-          "FROM documents WHERE strlen(text) > 0), " +
-          "pos AS (SELECT doc_id, text, n, " +
-          "unnest(range(0, n)) AS i FROM b), " +
-          "c AS (SELECT doc_id, text, i, CASE WHEN i >= 7 THEN " +
-          "(list_sum(list_transform(range(0, 8), k -> " +
-          "((2654435761 * (ascii(substr(text, " +
-          "CAST(i - k + 1 AS INT), 1)) + 1)) % 4294967296) * (1 << k)" +
-          ")) % 4294967296) % 64 = 0 ELSE false END AS cut FROM pos), " +
-          "idx AS (SELECT doc_id, text, i, " +
-          "coalesce(sum(CASE WHEN cut THEN 1 ELSE 0 END) OVER " +
-          "(PARTITION BY doc_id ORDER BY i ROWS BETWEEN UNBOUNDED " +
-          "PRECEDING AND 1 PRECEDING), 0) AS ci FROM c), " +
-          "ch AS (SELECT doc_id, text, ci, min(i) AS st, " +
-          "count(*) AS ln FROM idx GROUP BY 1, 2, 3) " +
-          "SELECT doc_id AS id, CAST(ci AS BIGINT) AS chunk_idx, " +
-          "CAST(st AS BIGINT) AS start, CAST(ln AS BIGINT) AS len, " +
-          "md5(substr(text, CAST(st + 1 AS INT), CAST(ln AS INT))) " +
-          "AS chunk_md5 FROM ch"),
+      "dedup_cdc_chunks" -> cdcChunksSql,
+      // First-seen chunk set == distinct chunk set (order-free oracle).
+      "s27_stream_cdc_dedup" ->
+        s"SELECT DISTINCT chunk_md5, len FROM ($cdcChunksSql)",
+      "dedup_cdc_stats" ->
+        // Group the replayed chunk stream by md5, then the storage
+        // accounting identities.
+        (s"WITH chunks AS ($cdcChunksSql), " +
+          "u AS (SELECT chunk_md5, count(*) AS n, min(len) AS ln " +
+          "FROM chunks GROUP BY 1) " +
+          "SELECT CAST(count(*) AS BIGINT) AS n_unique_chunks, " +
+          "CAST(sum(n) AS BIGINT) AS n_chunk_refs, " +
+          "CAST(sum(ln) AS BIGINT) AS bytes_stored, " +
+          "CAST(sum(n * ln) AS BIGINT) AS bytes_referenced, " +
+          "CAST((sum(n * ln) - sum(ln)) * 1000000 // sum(n * ln) " +
+          "AS BIGINT) AS saved_ppm FROM u"),
       "dedup_damerau" ->
         // DuckDB's damerau_levenshtein is a fully independent
         // implementation of the same unrestricted-transposition metric
