@@ -3593,6 +3593,15 @@ object SparkEntry {
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10, dim = 64)),
 
+    // ---- LLM pipeline: IVF-PQ composed — the billion-scale ANN
+    //      architecture (FAISS IndexIVFPQ shape): coarse cells route,
+    //      PQ compresses the RESIDUAL v − centroid, queries probe
+    //      nprobe cells and rank by dot(q, centroid + reconstruction),
+    //      exact rerank last. Composes the two proven stages. ----
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 10, k = 10, dim = 64)),
+
     // ---- LLM pipeline: SemDeDup — k-means cells + in-cell cosine
     //      prune, min-id representative per semantic duplicate set ----
     "dedup_semantic" -> ((s, dir) => {
@@ -7485,6 +7494,70 @@ object SparkEntry {
         "GROUP BY cl.cell"
     }
 
+    // IVF-PQ replay: the coarse chain (ivfKmeans + cell assignment),
+    // per-vector residuals, one kmeans chain per residual subspace,
+    // codeword reconstruction ADDED BACK onto the cell centroid,
+    // nprobe=2 probing, ADC ranking, exact rerank — every stage the
+    // same arithmetic the standalone IVF and PQ oracles already pin.
+    val ivfPq = {
+      val mSub = 4; val dsub = 16; val kCodes = 16; val rerank = 32
+      val dotVC = OracleSql.dot("n.v", "c.cv")
+      val dotQC = OracleSql.dot("q.qv", "c.cv")
+      val subCtes = (0 until mSub).map { s =>
+        val lo = s * dsub + 1
+        val hi = (s + 1) * dsub
+        val sv = s"r[$lo:$hi]"
+        s"r${s}samp AS (SELECT vec_id, $sv AS v, " +
+          s"sqrt(${OracleSql.dot(sv, sv)}) AS nrm FROM res), " +
+          OracleSql.kmeansCtes("vec_id", kCodes, iters = 1, dim = dsub,
+            prefix = s"r$s") + ", " +
+          s"enc$s AS (SELECT vec_id, cid AS code FROM (" +
+          s"SELECT s.vec_id, c.cid, row_number() OVER (PARTITION BY s.vec_id " +
+          s"ORDER BY ${OracleSql.dot("s.v", "c.cv")} / (s.nrm * c.cnrm) DESC, " +
+          s"c.cid ASC) AS rn FROM r${s}samp s CROSS JOIN r${s}c1 c) " +
+          "WHERE rn = 1)"
+      }.mkString(", ")
+      val bookJoins = (0 until mSub).map { s =>
+        s"JOIN enc$s ON enc$s.vec_id = res.vec_id " +
+          s"JOIN r${s}c1 b$s ON b$s.cid = enc$s.code"
+      }.mkString(" ")
+      ivfKmeans +
+        s"a AS (SELECT n.vec_id, n.v, n.nrm, c.cid, $dotVC / (n.nrm * c.cnrm) AS cos " +
+        "FROM n CROSS JOIN c), " +
+        "cell AS (SELECT vec_id, v, nrm, cid AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cos DESC, cid ASC) AS rn FROM a) WHERE rn = 1), " +
+        "res AS (SELECT cell.vec_id, cell.v, cell.nrm, cell.cell, " +
+        "cc.cv AS ccv, list_transform(range(1, 65), i -> " +
+        "cell.v[i] - cc.cv[i]) AS r " +
+        "FROM cell JOIN c cc ON cc.cid = cell.cell), " +
+        subCtes + ", " +
+        "rrec AS (SELECT res.vec_id, res.cell, " +
+        "list_transform(range(1, 65), i -> res.ccv[i] + " +
+        "list_concat(list_concat(b0.cv, b1.cv), " +
+        "list_concat(b2.cv, b3.cv))[i]) AS fv " +
+        s"FROM res $bookJoins), " +
+        "q0 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn " +
+        "FROM cell WHERE vec_id < 10), " +
+        s"qc AS (SELECT q.query_id, q.qv, q.qn, c.cid, row_number() OVER " +
+        s"(PARTITION BY q.query_id ORDER BY $dotQC / (q.qn * c.cnrm) DESC, " +
+        "c.cid ASC) AS rn FROM q0 q CROSS JOIN c), " +
+        "qp AS (SELECT query_id, qv, qn, cid AS qcell FROM qc WHERE rn <= 2), " +
+        s"pr AS (SELECT q.query_id, s.vec_id, ${OracleSql.dot("q.qv", "s.fv")} " +
+        "AS sc FROM rrec s JOIN qp q ON s.cell = q.qcell " +
+        "AND s.vec_id <> q.query_id), " +
+        "cand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, " +
+        s"vec_id ASC) AS rn FROM pr) WHERE rn <= $rerank), " +
+        s"x AS (SELECT c.query_id, c.vec_id, ${OracleSql.dot("nn.v", "q.qv")} " +
+        "/ (nn.nrm * q.qn) AS cos FROM cand c " +
+        "JOIN n nn ON nn.vec_id = c.vec_id " +
+        "JOIN q0 q ON q.query_id = c.query_id) " +
+        "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank " +
+        "FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY " +
+        "query_id ORDER BY cos DESC, vec_id) AS rank FROM x) WHERE rank <= 10"
+    }
+
     val ivfNprobe = {
       val dotVC = OracleSql.dot("n.v", "c.cv")
       val dotQC = OracleSql.dot("q.qv", "c.cv")
@@ -10735,6 +10808,7 @@ object SparkEntry {
       "ann_ivf_nprobe" -> ivfNprobe,
       "dedup_semantic" -> semanticDedup,
       "ann_pq_topk" -> annPq,
+      "ann_ivfpq_topk" -> ivfPq,
       "pipeline_embeddings" -> pipelineEmbeddings,
       "text_langid" -> langIdSql,
       "text_lang_confusion" ->

@@ -965,6 +965,91 @@ object Similarity {
     } finally { e.unpersist(); () }
   }
 
+  /** IVF-PQ ANN top-k — the COMPOSED billion-scale architecture
+    * (FAISS's IndexIVFPQ shape, Jégou et al.): coarse k-means cells
+    * route each vector to an inverted list, product quantization
+    * compresses the RESIDUAL (v − cell centroid — residuals are
+    * smaller and better-centered than raw vectors, the whole point of
+    * composing), and a query probes only `nprobe` cells, ranks their
+    * candidates by dot(q, centroid + residual reconstruction) — the
+    * reconstructed full vector IS the ADC lookup sum — then reranks
+    * the top `rerank` with exact cosine. Every stage reuses the
+    * deterministic primitives the standalone IVF and PQ gates already
+    * prove ([[kmeansCentroids]] fixed-point means, [[ivfCells]]'
+    * bit-deterministic bestCell fold), so the DuckDB oracle replays
+    * coarse training, residuals, per-subspace codebooks, probing, and
+    * both rankings end to end.
+    *
+    * Scale shape: centroids and codebooks broadcast (k + mSub·kCodes
+    * rows); encoding is row-local; the scan per query touches only
+    * probed cells' code rows (nprobe/kCells of the corpus) at
+    * mSub·log₂(kCodes) bits per vector; exact vectors fetched for
+    * O(queries × rerank) candidates only. */
+  def ivfPqTopK(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dim: Int,
+      kCells: Int = 8, coarseIters: Int = 2, nprobe: Int = 2,
+      mSub: Int = 4, kCodes: Int = 16, pqIters: Int = 1,
+      rerank: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % mSub == 0, s"dim $dim must divide into $mSub subspaces")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(nprobe >= 1 && nprobe <= kCells, s"bad nprobe $nprobe")
+    val dsub = dim / mSub
+    val cents = kmeansCentroids(emb, idCol, vecCol, kCells, coarseIters)
+    val cells = ivfCells(emb, idCol, vecCol, cents)
+    val withRes = cells
+      .join(broadcast(cents.select(col("cid").as("cell"),
+        col("cv").as("__ccv"))), "cell")
+      .withColumn("__r", zip_with(col("v"), col("__ccv"), (a, b) => a - b))
+      .persist()
+    try {
+      var coded = withRes
+      val books = (0 until mSub).map { s =>
+        val sub = withRes.select(col(idCol),
+          slice(col("__r"), s * dsub + 1, dsub).as("sv"))
+        val book = kmeansCentroids(sub, idCol, "sv", kCodes, pqIters)
+        val enc = ivfCells(sub, idCol, "sv", book)
+          .select(col(idCol), col("cell").as(s"__code_$s"))
+        coded = coded.join(enc, idCol :: Nil)
+        book
+      }
+      var rec = coded
+      for (s <- 0 until mSub)
+        rec = rec.join(
+          broadcast(books(s).select(col("cid").as(s"__code_$s"),
+            col("cv").as(s"__rcv_$s"))),
+          s"__code_$s" :: Nil)
+      val reconRes = concat((0 until mSub).map(s => col(s"__rcv_$s")): _*)
+      val reconFull = zip_with(col("__ccv"), reconRes, (a, b) => a + b)
+      val q0 = cells.filter(queryPred).select(
+        col(idCol).as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val qcos = dot(col("qv"), col("cv")) / (col("qn") * col("cnrm"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(qcos.desc, col("cid").asc)
+      val probes = q0.join(broadcast(cents))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= nprobe)
+        .select(col("query_id"), col("qv"), col("qn"),
+          col("cid").as("qcell"))
+      val pairs = rec.select(col(idCol), col("cell"), reconFull.as("__fv"))
+        .join(broadcast(probes),
+          col("cell") === col("qcell") && col(idCol) =!= col("query_id"))
+      val cand = rankTopK(pairs, idCol, dot(col("qv"), col("__fv")), rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val e = emb
+        .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("nrm", norm(col("v")))
+      val exact = cand
+        .join(e.select(col(idCol).as("neighbor_id"), col("v"), col("nrm")),
+          "neighbor_id")
+        .join(broadcast(q0), "query_id")
+      val cosx = nanSafeCos(dot(col("v"), col("qv")),
+        col("nrm") * col("qn"))
+      rankTopK(exact, "neighbor_id", cosx, k).localCheckpoint()
+    } finally { withRes.unpersist(); () }
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space (k-means cells), then
     * within each cell mark every vector that has a LOWER-ID in-cell
