@@ -220,6 +220,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall $recall below floor")
   }
 
+  test("ivfPqTopK: nprobe = all cells + corpus-wide rerank reproduces " +
+      "brute force exactly; modest probe/rerank keeps useful recall") {
+    val vecs = (0L until 80L).map(i =>
+      (i, Seq.tabulate(8)(j => math.cos(i * 3 + j * 1.7 + 1.0))))
+    val df = emb(vecs: _*)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 5)
+    // exhaustive config: every cell probed, rerank = corpus — IVF-PQ
+    // only PRUNES, so this must equal brute force
+    val full = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 5, dim = 8, kCells = 4, coarseIters = 1,
+      nprobe = 4, mSub = 2, kCodes = 8, rerank = 80)
+    assertSameRows(full, brute)
+    val bruteSet = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(df, "vec_id", "embedding",
+      col("vec_id") < 3, k = 5, dim = 8, kCells = 4, coarseIters = 1,
+      nprobe = 2, mSub = 2, kCodes = 8, rerank = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteSet intersect ivfpq).size.toDouble / bruteSet.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall below floor")
+  }
+
   test("pqTopK rejects rerank < k and non-dividing subspaces") {
     val df = emb(1L -> Seq(1.0, 0.0))
     intercept[IllegalArgumentException] {
