@@ -278,6 +278,21 @@ object SparkEntry {
       graft.multimodal.MediaFixtures.jpegPixelBytes(
         (id % 26 + 10).toInt, (id % 15 + 9).toInt, id % 101))
 
+  /** Rejection-path fixture: ids 0 mod 3 carry a REAL Adam7-interlaced
+    * PNG, 1 mod 3 a REAL progressive-marked JPEG (both documented
+    * decoder rejections), 2 mod 3 a decodable PNG control — proving
+    * exotic streams yield NULL rows, never task failures, while the
+    * same plan still decodes the control rows. */
+  private def exoticFixture(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"), "doc_id", { id =>
+      val (w, h, sd) = ((id % 24 + 9).toInt, (id % 16 + 8).toInt, id % 97)
+      (id % 3) match {
+        case 0 => graft.multimodal.MediaFixtures.interlacedPngBytes(w, h, sd)
+        case 1 => graft.multimodal.MediaFixtures.progressiveJpegBytes(w, h, sd)
+        case _ => graft.multimodal.MediaFixtures.pngPixelBytes(w, h, sd)
+      }
+    })
+
   private def mixedCodecFixture(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"), "doc_id", { id =>
       val (w, h, sd) = ((id % 19 + 8).toInt, (id % 11 + 7).toInt, id % 83)
@@ -4024,6 +4039,18 @@ object SparkEntry {
       val d = pngFixture(s, dir)
       Multimodal.perceptualHashes(d, "doc_id", "content")
         .select(col("id"), col("dhash_lo"), col("dhash_hi"))
+    }),
+
+    // ---- Multimodal: exotic-stream rejection posture — REAL Adam7-
+    //      interlaced PNGs and progressive-marked JPEGs (the two
+    //      documented decoder rejections) yield NULL rows through the
+    //      same hash plan that still decodes the interleaved PNG
+    //      controls; a task failure or a dropped row fails the gate ----
+    "mm_reject_exotic" -> ((s, dir) => {
+      val d = exoticFixture(s, dir)
+      Multimodal.perceptualHashes(d, "doc_id", "content")
+        .select(col("id"), col("width"), col("height"),
+          col("ahash_lo").isNull.as("rejected"))
     }),
 
     // ---- Multimodal: decoded-pixel quality stats — exact luma moments
@@ -9149,6 +9176,16 @@ object SparkEntry {
         // Full-raster replay of the closed form: exact luma moments and
         // the L1-gradient edge count over the interior.
         mmPixelStatsSql("doc_id % 24 + 9", "doc_id % 16 + 8", "doc_id % 97"),
+      "mm_reject_exotic" ->
+        // Closed-form replay of the rejection posture: interlaced PNG
+        // (0 mod 3) and progressive JPEG (1 mod 3) rows survive as
+        // NULL-dims rejected rows; the PNG controls carry their dims.
+        ("SELECT doc_id AS id, " +
+          "CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 24 + 9 END " +
+          "AS INT) AS width, " +
+          "CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 16 + 8 END " +
+          "AS INT) AS height, " +
+          "doc_id % 3 <> 2 AS rejected FROM documents"),
       "mm_mixed_codec_stats" ->
         // Codec-BLIND replay over the mixed PNG/GIF/BMP column's dims:
         // all three fixtures carry the same formula raster, so the

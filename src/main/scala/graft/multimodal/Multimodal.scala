@@ -1234,7 +1234,8 @@ object Multimodal {
     * (perceptual hashes, pixel stats, entropy, resize) accepts any of
     * them through this one dispatch point; a new codec lands here once. */
   private[graft] def decodePixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
-    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P') pngPixels(b)
+    if (b == null) None // NULL cell — a NULL-hash row, never an NPE
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P') pngPixels(b)
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') gifPixels(b)
     else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') bmpPixels(b)
     else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
@@ -2451,6 +2452,36 @@ object MediaFixtures {
     bb.toByteArray
   }
 
+  /** Byte-real Adam7-INTERLACED PNG: [[pngPixelBytes]] with the IHDR
+    * interlace method set to 1 (offset 28 of the signature+IHDR
+    * layout). Structurally a complete PNG; the decoder's documented
+    * posture is to REJECT interlaced streams with a NULL row, never a
+    * task failure — this fixture exists to gate that path. */
+  def interlacedPngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val b = pngPixelBytes(w, h, seed)
+    b(28) = 1 // IHDR interlace: Adam7
+    b
+  }
+
+  /** Byte-real PROGRESSIVE-marked JPEG: [[jpegPixelBytes]] with the
+    * frame marker switched SOF0 (FFC0) -> SOF2 (FFC2). The header walk
+    * reaches a genuine progressive frame header; the decoder's
+    * documented posture is to reject it (NULL row, never a task
+    * failure) before touching scan data. */
+  def progressiveJpegBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val b = jpegPixelBytes(w, h, seed)
+    var i = 2
+    var done = false
+    while (i + 1 < b.length && !done) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0) {
+        b(i + 1) = 0xc2.toByte; done = true
+      }
+      i += 1
+    }
+    require(done, "fixture JPEG had no SOF0 marker to patch")
+    b
+  }
+
   private def gifFrameBytesInto(
       bb: java.io.ByteArrayOutputStream, w: Int, h: Int, seed: Long): Unit = {
     def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
@@ -2806,7 +2837,10 @@ object MediaFixtures {
         be32a(3600L) ++ be32a(3600L) ++ //          creation/modification
         be32a(timescale) ++ be32a(duration) ++
         be32a(0x10000L) ++ //                                    rate 1.0
-        Array[Byte](1, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ // volume + reserved
+        // volume 1.0 (2) + reserved (2) + reserved (8) = 12 bytes, the
+        // spec layout that lands matrix/pre_defined/next_track_ID at
+        // their conformant offsets (payload is exactly 100 bytes)
+        Array[Byte](1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
         matrix ++
         Array.fill[Byte](24)(0) ++ //                         pre_defined
         be32a(3L)) //                                       next_track_ID

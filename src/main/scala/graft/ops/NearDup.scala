@@ -655,10 +655,16 @@ object NearDup {
                 var h = 0L
                 var k = 0
                 while (k < window) {
-                  h += cdcGear(b(i - k) & 0xff) << k
+                  // reduce each term mod 2^32: Long ops are mod 2^64 and
+                  // (x mod 2^64) mod 2^32 = x mod 2^32, so masking the
+                  // shifted term keeps the documented H_i formula exact
+                  // for every window <= 64 (unmasked, gear<<k overflows
+                  // once k >= 32)
+                  h = (h + ((cdcGear(b(i - k) & 0xff) << k) &
+                    (CdcMod - 1L))) & (CdcMod - 1L)
                   k += 1
                 }
-                if (h % CdcMod % divisor == 0L) close(i + 1)
+                if (h % divisor == 0L) close(i + 1)
               }
               i += 1
             }

@@ -43,6 +43,19 @@ object Robots {
       .empty[(Set[String], scala.collection.mutable.ArrayBuffer[Rule])]
     var currentAgents = Set.empty[String]
     var inHeader = false
+    // the header closes on the first NON-header directive (any line
+    // that is not another User-agent) or at EOF — not only on the
+    // first Allow/Disallow. A group holding nothing but ignored
+    // directives (e.g. just `Crawl-delay:`) must still REGISTER: per
+    // RFC 9309 a matching specific group with zero rules means
+    // allow-all and SUPPRESSES the `*` group.
+    def closeHeader(): Unit =
+      if (inHeader) {
+        if (currentAgents.nonEmpty)
+          groups += ((currentAgents,
+            scala.collection.mutable.ArrayBuffer.empty[Rule]))
+        inHeader = false
+      }
     for (raw <- robots.split("\n")) {
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
@@ -55,20 +68,16 @@ object Robots {
             currentAgents += value.toLowerCase
             inHeader = true
           case "allow" | "disallow" =>
-            if (currentAgents.nonEmpty) {
-              if (inHeader) {
-                groups += ((currentAgents,
-                  scala.collection.mutable.ArrayBuffer.empty[Rule]))
-                inHeader = false
-              }
-              // empty Disallow = "allow all" = no rule; empty Allow too
-              if (value.nonEmpty)
-                groups.last._2 += Rule(directive == "allow", value)
-            }
-          case _ => () // crawl-delay, sitemap, unknown: ignored
+            closeHeader()
+            // empty Disallow = "allow all" = no rule; empty Allow too
+            if (groups.nonEmpty && value.nonEmpty &&
+              groups.last._1 == currentAgents)
+              groups.last._2 += Rule(directive == "allow", value)
+          case _ => closeHeader() // crawl-delay etc: ignored, ends header
         }
       }
     }
+    closeHeader()
     val a = agent.toLowerCase
     val specific = groups.filter(_._1.contains(a))
     val chosen = if (specific.nonEmpty) specific

@@ -183,7 +183,8 @@ object Formats {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, gz) =>
         val body: Option[Array[Byte]] =
-          try {
+          if (gz == null) None // NULL cell — quarantine row, not an NPE
+          else try {
             val in = new java.util.zip.GZIPInputStream(
               new java.io.ByteArrayInputStream(gz))
             try {
@@ -199,11 +200,11 @@ object Formats {
             } finally in.close()
           } catch {
             // corrupt header/CRC/length or truncation — data, not a crash
-            case _: java.io.IOException => None
-            case _: java.lang.IndexOutOfBoundsException => None
+            case scala.util.control.NonFatal(_) => None
           }
         body match {
-          case None => GunzipRow(id, gz.length.toLong, None, None)
+          case None => GunzipRow(id,
+            (if (gz == null) 0 else gz.length).toLong, None, None)
           case Some(b) => GunzipRow(id, gz.length.toLong,
             Some(b.length.toLong),
             Some(new String(b, java.nio.charset.StandardCharsets.UTF_8)))
@@ -289,7 +290,8 @@ object Formats {
       .mapPartitions(_.grouped(batchSize).flatMap { g =>
         val md = java.security.MessageDigest.getInstance("MD5")
         g.flatMap { case (id, raw) =>
-          try {
+          if (raw == null) Nil // NULL cell — zero rows, not an NPE
+          else try {
             val zin = new java.util.zip.ZipInputStream(
               new java.io.ByteArrayInputStream(raw))
             try {
@@ -314,11 +316,13 @@ object Formats {
                 }
                 entry = zin.getNextEntry
               }
-              if (bomb) Nil else out.toSeq
+              // over-long archive (entries remain past maxEntries) is
+              // quarantined whole like the bomb case — a truncated
+              // listing must never masquerade as a complete one
+              if (bomb || entry != null) Nil else out.toSeq
             } finally zin.close()
           } catch {
-            case _: java.io.IOException => Nil
-            case _: java.lang.IllegalArgumentException => Nil // bad names
+            case scala.util.control.NonFatal(_) => Nil // corrupt/bad names
           }
         }
       })
@@ -453,7 +457,8 @@ object Formats {
 
   private def gunzipBytes(
       gz: Array[Byte], maxBytes: Long): Option[Array[Byte]] =
-    try {
+    if (gz == null) None // NULL cell — quarantine, not an NPE
+    else try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(gz))
       try {
@@ -468,8 +473,7 @@ object Formats {
         if (total > maxBytes) None else Some(bb.toByteArray)
       } finally in.close()
     } catch {
-      case _: java.io.IOException => None
-      case _: java.lang.IndexOutOfBoundsException => None
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Build a POSIX ustar archive with REAL octal sizes and valid

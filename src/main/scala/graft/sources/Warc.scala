@@ -30,7 +30,8 @@ object Warc {
       body: Option[String])
 
   private def gunzip(gz: Array[Byte], maxBytes: Long): Option[Array[Byte]] =
-    try {
+    if (gz == null) None // NULL cell — quarantine, not an NPE
+    else try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(gz))
       try {
@@ -45,8 +46,7 @@ object Warc {
         if (total > maxBytes) None else Some(bb.toByteArray)
       } finally in.close()
     } catch {
-      case _: java.io.IOException => None
-      case _: java.lang.IndexOutOfBoundsException => None
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Find the end of a CRLF-CRLF-terminated header block starting at
@@ -80,7 +80,7 @@ object Warc {
     * anything that is not a well-formed WARC record. */
   private[graft] def parseRecord(
       b: Array[Byte]): Option[(String, String, Int, String, Array[Byte])] = {
-    if (b.length < 12) return None
+    if (b == null || b.length < 12) return None
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     if (!new String(b, 0, 5, ascii).equals("WARC/")) return None
     val we = headerEnd(b, 0)

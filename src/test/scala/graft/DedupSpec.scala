@@ -266,4 +266,30 @@ class DedupSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("cdcChunks window > 32 with a non-power-of-two divisor: chunk " +
+      "boundaries follow the EXACT documented mod-2^32 formula " +
+      "(independent BigInt replay) — no Long-overflow divergence") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val body = Seq.fill(900)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, body)).toDF("doc_id", "text")
+    val window = 40
+    val divisor = 48L // NOT a power of two: high bits of H matter
+    val rows = graft.ops.NearDup
+      .cdcChunks(docs, "doc_id", "text", window, divisor)
+      .orderBy("chunk_idx").collect()
+    val b = body.getBytes("UTF-8")
+    val mod = BigInt(1) << 32
+    def gear(x: Int): BigInt = BigInt((2654435761L * (x + 1)) % 4294967296L)
+    val cuts = (window - 1 until b.length).filter { i =>
+      val h = (0 until window)
+        .map(k => gear(b(i - k) & 0xff) * (BigInt(1) << k)).sum.mod(mod)
+      h % divisor == 0
+    }.map(_ + 1)
+    val expectedStarts = (0 +: cuts.filter(_ < b.length)).map(_.toLong)
+    assert(rows.map(_.getLong(2)).toSeq == expectedStarts,
+      "kernel boundaries must equal the BigInt formula replay")
+    assert(rows.map(_.getLong(3)).sum == b.length)
+  }
 }

@@ -184,4 +184,53 @@ class FormatsSpec extends SparkSpec {
     assert(got(3L).isNullAt(3) && got(3L).isNullAt(4), "mojibake must quarantine")
     assert(got(4L).isNullAt(4))
   }
+
+  test("NULL binary cells quarantine, never NPE: gunzipText emits a " +
+      "NULL row, zipEntries/tarGzEntries zero rows, Warc.records a " +
+      "NULL row — the 'data, not a crash' contract holds for nulls") {
+    import spark.implicits._
+    def gz(s: String): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bb)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bb.toByteArray
+    }
+    val df = Seq((1L, null: Array[Byte]), (2L, gz("alive")))
+      .toDF("doc_id", "content")
+    val gun = Formats.gunzipText(df, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(gun.size == 2, "the NULL cell's row must SURVIVE")
+    assert(gun(1L).isNullAt(3) && gun(1L).getLong(1) == 0L)
+    assert(gun(2L).getString(3) == "alive")
+    assert(Formats.zipEntries(df, "doc_id", "content")
+      .filter($"id" === 1L).count() == 0L)
+    assert(Formats.tarGzEntries(df, "doc_id", "content")
+      .filter($"id" === 1L).count() == 0L)
+    val warc = graft.sources.Warc.records(df, "doc_id", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(warc.size == 2 && warc(1L).isNullAt(1))
+  }
+
+  test("zipEntries: an archive with more than maxEntries entries is " +
+      "QUARANTINED whole (zero rows) like the bomb case — a truncated " +
+      "listing must never look fully ingested") {
+    import spark.implicits._
+    def zip(n: Int): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bb)
+      (0 until n).foreach { i =>
+        z.putNextEntry(new java.util.zip.ZipEntry(s"f$i.txt"))
+        z.write(s"payload $i".getBytes("UTF-8"))
+        z.closeEntry()
+      }
+      z.close()
+      bb.toByteArray
+    }
+    val df = Seq((1L, zip(5)), (2L, zip(3))).toDF("doc_id", "content")
+    val got = Formats.zipEntries(df, "doc_id", "content", maxEntries = 3)
+      .collect().map(_.getLong(0))
+    assert(!got.contains(1L), "over-long archive must contribute 0 rows")
+    assert(got.count(_ == 2L) == 3,
+      "an archive with EXACTLY maxEntries entries is complete, not truncated")
+  }
 }

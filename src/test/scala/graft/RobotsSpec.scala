@@ -46,6 +46,23 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.allowed(r, "/p/q"), "equal length -> Allow wins")
   }
 
+  test("a specific group holding ONLY ignored directives still " +
+      "registers: RFC 9309 allow-all, and it SUPPRESSES the '*' group") {
+    val txt = "User-agent: bot\nCrawl-delay: 10\n\n" +
+      "User-agent: *\nDisallow: /\n"
+    val r = Robots.rulesFor(txt, "bot")
+    assert(r.isEmpty, "registered group, zero rules")
+    assert(Robots.allowed(r, "/anything"), "no rules -> allow-all")
+    // '*' still binds agents with no specific group
+    assert(!Robots.allowed(Robots.rulesFor(txt, "other"), "/x"))
+    // rules arriving AFTER an ignored directive still attach to the group
+    val txt2 = "User-agent: bot\nCrawl-delay: 10\nDisallow: /p/\n"
+    assert(!Robots.allowed(Robots.rulesFor(txt2, "bot"), "/p/x"))
+    // a trailing header group at EOF registers too
+    val txt3 = "User-agent: *\nDisallow: /\n\nUser-agent: bot\n"
+    assert(Robots.allowed(Robots.rulesFor(txt3, "bot"), "/x"))
+  }
+
   test("wildcards and $ anchor; empty Disallow/Allow is no rule") {
     assert(!allow("botA", "/cgi/run.php"))
     assert(allow("botA", "/cgi/run.php?x=1"), "$ anchors the END")
