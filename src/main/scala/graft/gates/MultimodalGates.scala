@@ -1,0 +1,881 @@
+package graft.gates
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkEntry._
+import graft.engine.UpsertStream
+import graft.functions.{OracleSql, TextHash}
+import graft.ops.TextAnalysis.LangProfiles
+import graft.model.{IngestConfig, TargetTable}
+import graft.multimodal.Multimodal
+import graft.ops.{BatchSplit, Dedup, Html, NearDup, Similarity, TextAnalysis}
+import graft.sink.Merge
+import graft.gates.GateOracleShared._
+
+/** Multimodal gates: real PNG/GIF/BMP/JPEG pixel decode, WAV/MP4/TIFF walks (mm_*).
+  *
+  * Split from the monolithic SparkEntry registry (r10); see
+  * [[graft.SparkEntry]] for the oracle-safety conventions and the
+  * duplicate-refusing merge. Shared oracle CTEs live in
+  * [[GateOracleShared]]. */
+private[graft] object MultimodalGates {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Multimodal: opaque-binary decode plumbing (stub kernel) ----
+    "mm_decode_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("mtype"),
+        col("text").cast("binary").as("content"))
+      Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
+    }),
+
+    // ---- Multimodal: full metadata pipeline (decode → resize plan →
+    //      frame sampling → stub features), video payloads ----
+    "mm_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 2) // the video rows of mm_decode_meta
+        .select(col("doc_id"), lit("video").as("mtype"),
+          col("text").cast("binary").as("content"))
+      val meta = Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
+      val planned = Multimodal.featurePlan(
+        Multimodal.frameSamplePlan(Multimodal.resizePlan(meta, 320, 240), 5), 2)
+      planned.select(col("id"), col("out_w"), col("out_h"),
+        col("f0"), col("f1"),
+        posexplode(col("frame_idx")).as(Seq("frame_pos", "frame_idx")))
+        .withColumn("frame_pos", col("frame_pos").cast("long"))
+    }),
+
+    // ---- Multimodal: REAL container parse — synthesize valid
+    //      PNG/WAV/GIF/JPEG bytes with dimensions spliced into the
+    //      correct header offsets, decode with the pure-JVM header
+    //      parsers, and the arithmetic oracle predicts the round-trip.
+    //      (The unknown-codec fallback path stays gated by
+    //      mm_decode_meta; this gate proves the codec itself.) ----
+    "mm_decode_headers" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(
+        id,
+        (id % 4).as("cls"),
+        when(id % 4 === 0, MediaFixtures.pngHex(id % 640 + 1L, id % 480 + 1L))
+          .when(id % 4 === 1, MediaFixtures.wavHex(
+            id % 2 + 1L, (id % 5 + 1L) * 8000L, id % 200 + 1L))
+          .when(id % 4 === 2, MediaFixtures.gifHex(
+            id % 320 + 1L, id % 200 + 1L, id % 5 + 1L))
+          .otherwise(MediaFixtures.jpegHex(id % 600 + 1L, id % 400 + 1L))
+          .as("hx"))
+        .select(id,
+          when(col("cls") === 1, "audio").when(col("cls") === 2, "video")
+            .otherwise("image").as("mtype"),
+          unhex(col("hx")).as("content"))
+      Multimodal.decodeFrame(d, "doc_id", "content", "mtype")
+        .select(col("id"), col("mediaType"), col("nBytes"),
+          col("width"), col("height"), col("nFrames"))
+    }),
+
+    // ---- Multimodal: perceptual near-dup — aHash 8×8 fingerprints
+    //      from REAL decoded PNG pixels (zlib inflate + all five
+    //      scanline filters; the fixture splices a closed-form raster
+    //      the oracle replays arithmetically), 16-bit band join, exact
+    //      popcount verify; never all-pairs ----
+    "mm_ahash_neardup" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = pngFixture(s, dir)
+      Multimodal.aHashNearDup(
+        Multimodal.perceptualHashes(d, "doc_id", "content"),
+        "id", maxHamming = 6)
+    }),
+
+    // ---- Multimodal: perceptual DCT hash (pHash) — frequency-domain
+    //      fingerprints over the REAL decoded 8×8 area-averaged luma
+    //      grid, exact integer DCT with a driver-literal quantized
+    //      basis, median-of-AC cut ----
+    "mm_phash" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = pngFixture(s, dir)
+      Multimodal.perceptualHashes(d, "doc_id", "content")
+        .select(col("id"), col("phash_lo"), col("phash_hi"))
+    }),
+
+    // ---- Multimodal: difference hash (dHash) — horizontal-gradient
+    //      sign bits over the REAL decoded 9×8 luma grid;
+    //      brightness-shift-immune, same decode kernel as aHash/pHash ----
+    "mm_dhash" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = pngFixture(s, dir)
+      Multimodal.perceptualHashes(d, "doc_id", "content")
+        .select(col("id"), col("dhash_lo"), col("dhash_hi"))
+    }),
+
+    // ---- Multimodal: exotic-stream rejection posture — REAL Adam7-
+    //      interlaced PNGs and progressive-marked JPEGs (the two
+    //      documented decoder rejections) yield NULL rows through the
+    //      same hash plan that still decodes the interleaved PNG
+    //      controls; a task failure or a dropped row fails the gate ----
+    "mm_reject_exotic" -> ((s, dir) => {
+      val d = exoticFixture(s, dir)
+      Multimodal.perceptualHashes(d, "doc_id", "content")
+        .select(col("id"), col("width"), col("height"),
+          col("ahash_lo").isNull.as("rejected"))
+    }),
+
+    // ---- Multimodal: decoded-pixel quality stats — exact luma moments
+    //      + L1-gradient edge density (the blur/flat-image filter signal)
+    //      over REAL decoded PNG rasters ----
+    "mm_pixel_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = pngFixture(s, dir)
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: luma-histogram Shannon entropy — the
+    //      information-content quality signal over decoded rasters
+    //      (quantized-ln exact-integer discipline) ----
+    "mm_luma_entropy" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = pngFixture(s, dir)
+      Multimodal.lumaEntropy(d, "doc_id", "content")
+    }),
+
+    // ---- Multimodal: REAL area-average thumbnail — decode, box-mean
+    //      downsample to 6×5, fingerprint the resized raster (rolling
+    //      polynomial hash the oracle replays from the closed form) ----
+    "mm_resize_pixels" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = pngFixture(s, dir)
+      Multimodal.resizePixels(d, "doc_id", "content", outW = 6, outH = 5)
+    }),
+
+    // ---- Multimodal: GIF pixel decode — the SECOND real image codec.
+    //      The fixture is a complete valid GIF89a (gray-ramp palette,
+    //      genuine 9-bit LZW sub-blocks); the engine must LZW-decode
+    //      the bytes while the oracle replays the closed-form raster.
+    //      Dims differ from the PNG gates on purpose: a dispatcher
+    //      falling through to the wrong codec cannot match. ----
+    "mm_gif_pixel_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = gifFixture(s, dir)
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: GIF thumbnail — LZW decode + exact area-average
+    //      box means to 5×4, rolling-hash fingerprint of the resized
+    //      raster (the full-raster proof: every grid cell must match) ----
+    "mm_gif_resize" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = gifFixture(s, dir)
+      Multimodal.resizePixels(d, "doc_id", "content", outW = 5, outH = 4)
+    }),
+
+    // ---- Multimodal: mixed-codec corpus — docs rotate PNG / GIF / BMP
+    //      by id, SAME raster formula. One binary column, per-row codec
+    //      sniffing: an engine that routes by anything but the BYTES
+    //      (or decodes only some codecs) cannot match the oracle, which
+    //      replays the formula codec-blind. ----
+    "mm_mixed_codec_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = mixedCodecFixture(s, dir)
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: FOUR-codec corpus — PNG / GIF / BMP / JPEG
+    //      rotate by id in one binary column. JPEG carries the
+    //      flat-block formula (entropy-coded data can't splice an
+    //      arbitrary raster exactly), the other three the pixel
+    //      formula, so the oracle picks the replay per id — the
+    //      engine side still sees only bytes and must sniff all four,
+    //      including the FFD8 path the 3-codec gate predates. ----
+    "mm_mixed_codec4_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", { id =>
+          val (w, h, sd) = ((id % 17 + 9).toInt, (id % 10 + 8).toInt, id % 61)
+          (id % 4) match {
+            case 0 => MediaFixtures.pngPixelBytes(w, h, sd)
+            case 1 => MediaFixtures.gifPixelBytes(w, h, sd)
+            case 2 => MediaFixtures.bmpPixelBytes(w, h, sd)
+            case _ => MediaFixtures.jpegPixelBytes(w, h, sd)
+          }
+        })
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: BMP thumbnail — the third codec alone: bottom-up
+    //      row reversal + padding walk, box means to 7×3, rolling-hash
+    //      fingerprint (full-raster proof per codec, like the PNG and
+    //      GIF twins) ----
+    "mm_bmp_resize" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"),
+        "doc_id", id => MediaFixtures.bmpPixelBytes(
+          (id % 18 + 9).toInt, (id % 7 + 6).toInt, id % 79))
+      Multimodal.resizePixels(d, "doc_id", "content", outW = 7, outH = 3)
+    }),
+
+    // ---- Multimodal: baseline JPEG pixel decode — the FOURTH real
+    //      codec, and the first entropy-coded one with huffman + IDCT.
+    //      The fixture is a complete valid grayscale JPEG whose blocks
+    //      are DC-only (IDCT output = F₀₀·Q₀₀/8, an exact integer), so
+    //      the engine must huffman-decode real entropy data while the
+    //      oracle replays the flat-block closed form. Dims differ from
+    //      every other codec gate: fall-through cannot match. ----
+    "mm_jpeg_pixel_stats" -> ((s, dir) => {
+      val d = jpegFixture(s, dir)
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: JPEG restart markers — DRI interval 2, RSTn
+    //      every two MCUs with DC-prediction resets. A decoder that
+    //      does not reset (or mis-aligns at the marker) mismatches
+    //      every block after the first restart. ----
+    "mm_jpeg_restart_stats" -> ((s, dir) => {
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id",
+        id => graft.multimodal.MediaFixtures.jpegPixelBytes(
+          (id % 20 + 12).toInt, (id % 9 + 10).toInt, id % 67,
+          restartInterval = 2))
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: 4:2:0 color JPEG thumbnail — each MCU
+    //      interleaves 2×2 Y blocks + Cb + Cr; the engine must walk the
+    //      T.81 interleave order, decode (and discard) chroma to keep
+    //      the bitstream aligned, and crop the 16-pixel MCU padding.
+    //      Same DC-only luma closed form as the grayscale twin. ----
+    "mm_jpeg420_resize" -> ((s, dir) => {
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id",
+        id => graft.multimodal.MediaFixtures.jpeg420PixelBytes(
+          (id % 23 + 17).toInt, (id % 13 + 16).toInt, id % 71))
+      Multimodal.resizePixels(d, "doc_id", "content", outW = 6, outH = 4)
+    }),
+
+    // ---- Multimodal: MP4/ISO-BMFF box walk — the VIDEO container:
+    //      ftyp brand, mvhd timescale/duration (+ exact integer ms),
+    //      per-trak tkhd 16.16 dims MAXed over tracks (odd ids carry a
+    //      0×0 audio trak a first-match reader would trip on) ----
+    "mm_mp4_meta" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id",
+        id => MediaFixtures.mp4Bytes(
+          (id % 33 + 16).toInt, (id % 19 + 12).toInt,
+          1000L * (id % 3 + 1), id % 9000 + 100,
+          audioTrack = id % 2 == 1))
+      Multimodal.mp4MetaPlan(d, "doc_id", "content")
+    }),
+
+    // ---- Multimodal: animated-GIF frame sampling + scene-change
+    //      detection — decode every frame of a multi-frame GIF (LZW per
+    //      frame, GCE extensions between descriptors), aHash each
+    //      raster, hamming distance between consecutive frames. The
+    //      fixture cuts every 2 frames, so holds (0) and cuts (large)
+    //      both appear and the oracle predicts each frame exactly. ----
+    "mm_gif_scene_change" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(t(s, dir, "documents"),
+        "doc_id", id => MediaFixtures.gifAnimBytes(
+          (id % 14 + 8).toInt, (id % 9 + 8).toInt, (id % 4 + 2).toInt,
+          id % 73))
+      Multimodal.frameSceneChange(d, "doc_id", "content", maxFrames = 8)
+    }),
+
+    // ---- Multimodal: windowed PCM energy — REAL 16-bit sample decode
+    //      from synthesized RIFF/WAVE payloads (exact integer Σv² per
+    //      64-sample window; the oracle predicts the sawtooth closed
+    //      form the data chunk actually carries) ----
+    "mm_audio_energy" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.wavPcmHex(id % 2 + 1L, (id % 5 + 1L) * 8000L,
+          id % 200 + 1L, id % 97)).as("content"))
+      Multimodal.wavWindowEnergy(d, "doc_id", "content", window = 64)
+    }),
+
+    // ---- Multimodal: patch extraction (the ViT patchify stage) —
+    //      non-overlapping 5×5 tiles of the decoded raster, exact mean
+    //      + rolling fingerprint per tile (tile-level dedup feed);
+    //      partial edge tiles dropped by contract ----
+    "mm_patchify" -> ((s, dir) =>
+      Multimodal.patchify(pngFixture(s, dir), "doc_id", "content",
+        patch = 5)),
+
+    // ---- Multimodal: animation timing walk — frame count + Σ GCE
+    //      delays (per-frame delays VARY as 3+f centiseconds, so only a
+    //      real extension walk sums them); header-level, no LZW. The
+    //      number a frame-sampling policy divides by. ----
+    "mm_gif_duration" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.gifAnimBytes((id % 14 + 8).toInt,
+            (id % 9 + 8).toInt, (id % 4 + 2).toInt, id % 73))
+      Multimodal.gifTiming(d, "doc_id", "content")
+    }),
+
+    // ---- Multimodal: corpus-wide duplicate-TILE detection — patchify
+    //      feeds a fingerprint group-by (the watermark/letterbox/sky
+    //      detector): tiles appearing ≥2 times across the corpus, with
+    //      occurrence and distinct-doc counts. Fixture seeds repeat
+    //      every 97 docs, so identical tiles genuinely recur. ----
+    "mm_patch_dedup" -> ((s, dir) => {
+      val p = Multimodal.patchify(pngFixture(s, dir), "doc_id", "content",
+        patch = 5)
+      p.where(col("patch_fp").isNotNull)
+        .groupBy(col("patch_fp"))
+        .agg(count(lit(1)).as("n_tiles"),
+          countDistinct(col("id")).as("n_docs"))
+        .where(col("n_tiles") >= 2L)
+    }),
+
+    // ---- Multimodal: TIFF/EXIF metadata parse — the routing pass
+    //      before pixel work (orientation-normalize, dims sanity).
+    //      Fixture alternates little/big endian per row and exercises
+    //      inline AND offset ASCII values; the oracle predicts the
+    //      tags in closed form, so only a real IFD walk matches. ----
+    "mm_exif" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", { id =>
+          val make =
+            if (id % 5 == 0) "c" + (id % 10) else "cam" + (id % 10)
+          MediaFixtures.tiffBytes(id % 2 == 0,
+            id % 500 + 1, id % 400 + 1, (id % 8 + 1).toInt, make)
+        })
+      Multimodal.exifMeta(d, "doc_id", "content")
+    }),
+
+    // ---- Multimodal: silence trimming — every third 64-sample window
+    //      of the gated fixture is silent; the op reports the crop plan
+    //      (first/last voiced window) from the exact Σ|v| test ----
+    "mm_audio_trim" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.wavPcmGatedBytes((id % 2 + 1).toInt,
+            (id % 5 + 1) * 8000L, (id % 200 + 1).toInt, id % 97))
+      Multimodal.wavTrimSilence(d, "doc_id", "content", window = 64,
+        meanAbsThreshold = 16L)
+    }),
+
+    // ---- Multimodal: windowed quantized-DFT filterbank — exact
+    //      integer correlations against the driver-literal cos/sin
+    //      basis per 64-sample window and bins {1,2,4,8}; power is the
+    //      one fixed-shape IEEE readout ----
+    "mm_audio_spectrum" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.wavPcmHex(id % 2 + 1L, (id % 5 + 1L) * 8000L,
+          id % 200 + 1L, id % 97)).as("content"))
+      Multimodal.wavWindowSpectrum(d, "doc_id", "content", window = 64,
+        bins = Seq(1, 2, 4, 8))
+    }),
+
+    // ---- Multimodal: rational 2/3 PCM resample (48k→32k shape) —
+    //      exact integer linear interpolation at source position
+    //      j·3/2 with FLOOR division (negative samples round like the
+    //      oracle's //); output summarized as Σ|v| + rolling
+    //      fingerprint over the full resampled stream ----
+    "mm_audio_resample" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.wavPcmHex(id % 2 + 1L, (id % 5 + 1L) * 8000L,
+          id % 200 + 1L, id % 97)).as("content"))
+      Multimodal.wavResample(d, "doc_id", "content", upL = 2, downM = 3)
+    }),
+
+    // ---- Multimodal: windowed PCM zero-crossing count + amplitude
+    //      envelope — the voiced/silence discriminator beside energy;
+    //      exact sign-flip counts, peak |v|, Σ|v| per 64-sample window
+    //      over the same decoded sawtooth ----
+    "mm_audio_zcr" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.wavPcmHex(id % 2 + 1L, (id % 5 + 1L) * 8000L,
+          id % 200 + 1L, id % 97)).as("content"))
+      Multimodal.wavWindowZcr(d, "doc_id", "content", window = 64)
+    }),
+
+    // ---- Multimodal: exact blob dedup — BinaryType groupBy over the
+    //      synthesized frames (same params ⇒ same bytes; dims spliced
+    //      into real headers make distinct params distinct bytes) ----
+    "mm_dedup_exact" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val id = col("doc_id")
+      val d = t(s, dir, "documents").select(id,
+        unhex(MediaFixtures.pngHex(id % 50 + 1L, id % 30 + 1L))
+          .as("content"))
+      d.groupBy(col("content"))
+        .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+    }),
+  )
+
+  def oracles: Map[String, String] = {
+    val mmJpegPx = "2 * ((17 * (xx // 8) + 29 * (yy // 8) + " +
+      "13 * (xx // 8) * (yy // 8) + s) % 120 - 60) + 128"
+    def mmPixelStatsSql(wE: String, hE: String, sE: String,
+        pxE: String = mmPngPx): String =
+      s"WITH m AS (SELECT doc_id AS id, $wE AS w, " +
+        s"$hE AS h, $sE AS s FROM documents), " +
+        "px AS (SELECT id, w, h, flatten(list_transform(range(0, h), " +
+        "yy -> list_transform(range(0, w), xx -> " +
+        s"$pxE))) AS l " +
+        "FROM m), " +
+        "eg AS (SELECT id, w, h, l, " +
+        "list_sum(flatten(list_transform(range(0, h - 1), yy -> " +
+        "list_transform(range(0, w - 1), xx -> " +
+        "CASE WHEN abs(l[yy * w + xx + 2] - l[yy * w + xx + 1]) + " +
+        "abs(l[(yy + 1) * w + xx + 1] - l[yy * w + xx + 1]) > 24 " +
+        "THEN 1 ELSE 0 END)))) AS ec FROM px) " +
+        "SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "CAST(w * h AS BIGINT) AS n_px, " +
+        "CAST(list_sum(l) AS BIGINT) AS luma_sum, " +
+        "CAST(list_sum(l) * 1000 // (w * h) AS BIGINT) AS luma_mean_q, " +
+        "CAST(list_min(l) AS BIGINT) AS luma_min, " +
+        "CAST(list_max(l) AS BIGINT) AS luma_max, " +
+        "CAST(ec AS BIGINT) AS edge_count, " +
+        "CAST(ec * 1000000 // ((w - 1) * (h - 1)) AS BIGINT) " +
+        "AS edge_density_q FROM eg"
+    val mmSql =
+      "WITH m AS (SELECT doc_id AS id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mt, " +
+        s"CAST(length(text) AS BIGINT) AS nb, ${OracleSql.asciiChecksum("text")} AS checksum " +
+        "FROM documents) " +
+        "SELECT id, mt AS \"mediaType\", nb AS \"nBytes\", checksum, " +
+        "CAST(checksum % 640 + 1 AS INT) AS width, " +
+        "CAST((checksum // 640) % 480 + 1 AS INT) AS height, " +
+        "CAST(CASE mt WHEN 'video' THEN checksum % 240 + 1 " +
+        "WHEN 'audio' THEN checksum % 48000 + 1 ELSE 1 END AS INT) AS \"nFrames\" FROM m"
+    val mmPipeline =
+      s"WITH m AS (SELECT doc_id AS id, ${OracleSql.asciiChecksum("text")} AS ck " +
+        "FROM documents WHERE doc_id % 3 = 2), " +
+        "v AS (SELECT id, ck, CAST(ck % 240 + 1 AS BIGINT) AS n, " +
+        "ck % 640 + 1 AS w, (ck // 640) % 480 + 1 AS h FROM m), " +
+        "r AS (SELECT *, least(320000 // w, 240000 // h, 1000) AS scale FROM v), " +
+        "d AS (SELECT id, n, CAST(greatest(1, w * scale // 1000) AS INT) AS out_w, " +
+        "CAST(greatest(1, h * scale // 1000) AS INT) AS out_h, " +
+        "CAST((ck * 1 + 12345) % 1000000007 AS DOUBLE) / 1000000007 AS f0, " +
+        "CAST((ck * 3 + 24690) % 1000000007 AS DOUBLE) / 1000000007 AS f1 FROM r) " +
+        "SELECT id, out_w, out_h, f0, f1, CAST(g.i AS BIGINT) AS frame_pos, " +
+        "CAST(CASE WHEN n <= 5 THEN g.i ELSE g.i * (n-1) // 4 END AS BIGINT) AS frame_idx " +
+        "FROM d CROSS JOIN (SELECT unnest(range(5)) AS i) g " +
+        "WHERE g.i < CASE WHEN n <= 5 THEN n ELSE 5 END"
+    Map(
+      "mm_pipeline" -> mmPipeline,
+      "mm_dedup_exact" ->
+        // Same synth params ⇒ byte-identical frames, so the binary
+        // groupBy is exactly the parameter-pair groupBy.
+        ("SELECT min(doc_id) AS keep_id, " +
+          "CAST(count(*) AS BIGINT) AS n_copies FROM documents " +
+          "GROUP BY doc_id % 50, doc_id % 30"),
+      "mm_ahash_neardup" ->
+        // The ENGINE inflates + unfilters the fixture PNG and
+        // area-averages real pixels; the oracle replays the closed-form
+        // raster the fixture spliced in (MediaFixtures.pixelFormula) —
+        // equality proves the byte-level decode. Same packing, 16-bit
+        // bands, popcount verify as before.
+        ("WITH " + mmAHashCtes + ", " +
+          "rp AS (SELECT min(id) AS id, lo, hi FROM hsh GROUP BY lo, hi), " +
+          "e AS (SELECT id, lo, hi, u.bi AS bi, u.bv AS bv FROM (" +
+          "SELECT id, lo, hi, unnest([" +
+          "{'bi': 0, 'bv': lo % 65536}, {'bi': 1, 'bv': lo // 65536}, " +
+          "{'bi': 2, 'bv': hi % 65536}, {'bi': 3, 'bv': hi // 65536}]) " +
+          "AS u FROM rp)) " +
+          "SELECT * FROM (SELECT DISTINCT x.id AS doc_a, y.id AS doc_b, " +
+          "CAST(bit_count(xor(x.lo, y.lo)) + " +
+          "bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming " +
+          "FROM e x JOIN e y ON x.bi = y.bi AND x.bv = y.bv " +
+          "AND x.id < y.id) WHERE hamming BETWEEN 1 AND 6"),
+      "mm_phash" -> {
+        val tq = graft.multimodal.Multimodal.dctTableQ.mkString("[", ", ", "]")
+        // Same replayed real-pixel luma grid as mm_ahash_neardup; DCT
+        // replayed with the identical quantized basis literals.
+        "WITH " + mmLumaCte(8, 8) + ", " +
+          s"cf AS (SELECT id, list_transform(range(0, 64), k -> " +
+          "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(range(0, 64), g -> " +
+          s"lum[g + 1] * ($tq)[(k // 8) * 8 + (g % 8) + 1] * " +
+          s"($tq)[(k % 8) * 8 + (g // 8) + 1])), " +
+          "(a, b) -> a + b)) AS coef FROM l), " +
+          "md AS (SELECT id, coef, " +
+          "list_sort(coef[2:64])[32] AS med FROM cf) " +
+          "SELECT id, " +
+          "CAST(list_sum(list_transform(range(0, 32), k -> " +
+          "CASE WHEN coef[k + 1] > med THEN (CAST(1 AS BIGINT) << k) " +
+          "ELSE 0 END)) AS BIGINT) AS phash_lo, " +
+          "CAST(list_sum(list_transform(range(32, 64), k -> " +
+          "CASE WHEN coef[k + 1] > med THEN (CAST(1 AS BIGINT) << (k - 32)) " +
+          "ELSE 0 END)) AS BIGINT) AS phash_hi FROM md"
+      },
+      "mm_pixel_stats" ->
+        // Full-raster replay of the closed form: exact luma moments and
+        // the L1-gradient edge count over the interior.
+        mmPixelStatsSql("doc_id % 24 + 9", "doc_id % 16 + 8", "doc_id % 97"),
+      "mm_reject_exotic" ->
+        // Closed-form replay of the rejection posture: interlaced PNG
+        // (0 mod 3) and progressive JPEG (1 mod 3) rows survive as
+        // NULL-dims rejected rows; the PNG controls carry their dims.
+        ("SELECT doc_id AS id, " +
+          "CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 24 + 9 END " +
+          "AS INT) AS width, " +
+          "CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 16 + 8 END " +
+          "AS INT) AS height, " +
+          "doc_id % 3 <> 2 AS rejected FROM documents"),
+      "mm_mixed_codec_stats" ->
+        // Codec-BLIND replay over the mixed PNG/GIF/BMP column's dims:
+        // all three fixtures carry the same formula raster, so the
+        // oracle never mentions a codec — only an engine that sniffs
+        // and decodes ALL THREE per row can match.
+        mmPixelStatsSql("doc_id % 19 + 8", "doc_id % 11 + 7", "doc_id % 83"),
+      "mm_mixed_codec4_stats" ->
+        // Per-id replay: rows 0/1/2 mod 4 carry the PNG/GIF/BMP pixel
+        // formula, rows 3 mod 4 the JPEG flat-block formula — the
+        // engine saw only bytes and had to sniff + decode all four.
+        mmPixelStatsSql("doc_id % 17 + 9", "doc_id % 10 + 8",
+          "doc_id % 61",
+          s"CASE WHEN id % 4 = 3 THEN $mmJpegPx ELSE $mmPngPx END"),
+      "mm_mp4_meta" ->
+        // Pure closed-form replay of the fixture's box parameters —
+        // the engine had to WALK real BMFF bytes to recover them.
+        ("SELECT doc_id AS id, 'isom' AS brand, " +
+          "CAST(1000 * (doc_id % 3 + 1) AS BIGINT) AS timescale, " +
+          "CAST(doc_id % 9000 + 100 AS BIGINT) AS duration, " +
+          "CAST((doc_id % 9000 + 100) * 1000 // " +
+          "(1000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms, " +
+          "CAST(doc_id % 33 + 16 AS INT) AS width, " +
+          "CAST(doc_id % 19 + 12 AS INT) AS height, " +
+          "CAST(1 + doc_id % 2 AS INT) AS n_tracks FROM documents"),
+      "mm_jpeg_pixel_stats" ->
+        // Flat-block replay over the grayscale JPEG dims: the ENGINE
+        // side had to huffman-decode + IDCT; the oracle replays the
+        // DC-only closed form (pixel = 2·coef(bx,by) + 128).
+        mmPixelStatsSql("doc_id % 26 + 10", "doc_id % 15 + 9",
+          "doc_id % 101", mmJpegPx),
+      "mm_jpeg_restart_stats" ->
+        // Same flat-block replay over the restart-marker fixture's dims
+        // — the oracle is restart-blind; only a decoder that consumes
+        // RSTn and resets DC prediction reproduces the raster.
+        mmPixelStatsSql("doc_id % 20 + 12", "doc_id % 9 + 10",
+          "doc_id % 67", mmJpegPx),
+      "mm_jpeg420_resize" ->
+        // 6×4 box-mean grid over the 4:2:0 fixture's luma + the rolling
+        // fingerprint — interleave-order and MCU-crop proof.
+        ("WITH " + mmLumaCteDims(6, 4, "doc_id % 23 + 17",
+          "doc_id % 13 + 16", "doc_id % 71", mmJpegPx) + " " +
+          "SELECT l.id, CAST(m.w AS INT) AS width, " +
+          "CAST(m.h AS INT) AS height, " +
+          "CAST(6 AS INT) AS out_w, CAST(4 AS INT) AS out_h, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lum), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS resized_fp " +
+          "FROM l JOIN m ON l.id = m.id"),
+      "mm_bmp_resize" ->
+        // 7×3 box-mean grid over the BMP dims + the rolling fingerprint.
+        ("WITH " + mmLumaCteDims(7, 3, "doc_id % 18 + 9",
+          "doc_id % 7 + 6", "doc_id % 79") + " " +
+          "SELECT l.id, CAST(m.w AS INT) AS width, " +
+          "CAST(m.h AS INT) AS height, " +
+          "CAST(7 AS INT) AS out_w, CAST(3 AS INT) AS out_h, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lum), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS resized_fp " +
+          "FROM l JOIN m ON l.id = m.id"),
+      "mm_gif_scene_change" ->
+        // Per-frame aHash replay (seed steps 17 every SECOND frame —
+        // hold, hold, cut, …) + lag-window hamming via bit_count(xor).
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 14 + 8 AS w, " +
+          "doc_id % 9 + 8 AS h, doc_id % 4 + 2 AS nf, " +
+          "doc_id % 73 AS s FROM documents), " +
+          "mf AS (SELECT id, w, h, s + 17 * (g.f // 2) AS fs, " +
+          "CAST(g.f AS INT) AS frame FROM m CROSS JOIN " +
+          "(SELECT unnest(range(8)) AS f) g WHERE g.f < nf), " +
+          "l AS (SELECT id, frame, w, h, list_transform(range(0, 64), g -> " +
+          "list_sum(flatten(list_transform(" +
+          "range((g // 8) * h // 8, ((g // 8) + 1) * h // 8), yy -> " +
+          "list_transform(range((g % 8) * w // 8, ((g % 8) + 1) * w // 8), " +
+          "xx -> (31 * xx + 47 * yy + 7 * xx * yy + 101 * fs) % 256)))) // " +
+          "((((g % 8) + 1) * w // 8 - (g % 8) * w // 8) * " +
+          "(((g // 8) + 1) * h // 8 - (g // 8) * h // 8))) AS lum FROM mf), " +
+          "sm AS (SELECT id, frame, w, h, lum, " +
+          "list_sum(lum) // 64 AS mn FROM l), " +
+          "hsh AS (SELECT id, frame, CAST(w AS INT) AS width, " +
+          "CAST(h AS INT) AS height, " +
+          "CAST(list_sum(list_transform(range(0, 32), g -> " +
+          "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << g) " +
+          "ELSE 0 END)) AS BIGINT) AS ahash_lo, " +
+          "CAST(list_sum(list_transform(range(32, 64), g -> " +
+          "CASE WHEN lum[g + 1] > mn THEN (CAST(1 AS BIGINT) << (g - 32)) " +
+          "ELSE 0 END)) AS BIGINT) AS ahash_hi FROM sm) " +
+          "SELECT id, frame, width, height, ahash_lo, ahash_hi, " +
+          "CAST(bit_count(xor(ahash_lo, lag(ahash_lo) OVER w)) + " +
+          "bit_count(xor(ahash_hi, lag(ahash_hi) OVER w)) AS BIGINT) " +
+          "AS hamming_prev FROM hsh " +
+          "WINDOW w AS (PARTITION BY id ORDER BY frame)"),
+      "mm_gif_pixel_stats" ->
+        // Same full-raster moment replay as mm_pixel_stats, over the
+        // GIF fixture's dims — the ENGINE side had to LZW-decode.
+        mmPixelStatsSql("doc_id % 21 + 7", "doc_id % 13 + 6", "doc_id % 89"),
+      "mm_gif_resize" ->
+        // 5×4 box-mean grid over the GIF dims + the rolling fingerprint.
+        ("WITH " + mmLumaCteDims(5, 4, "doc_id % 21 + 7",
+          "doc_id % 13 + 6", "doc_id % 89") + " " +
+          "SELECT l.id, CAST(m.w AS INT) AS width, " +
+          "CAST(m.h AS INT) AS height, " +
+          "CAST(5 AS INT) AS out_w, CAST(4 AS INT) AS out_h, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lum), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS resized_fp " +
+          "FROM l JOIN m ON l.id = m.id"),
+      "mm_luma_entropy" ->
+        // 16-bin histogram replay + the quantized-ln entropy identity
+        // H_q = (n·lnq(n) − Σ c·lnq(c)) div n, all exact BIGINTs.
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
+          "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+          "px AS (SELECT id, w, h, flatten(list_transform(range(0, h), " +
+          "yy -> list_transform(range(0, w), xx -> " +
+          "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256))) AS l " +
+          "FROM m), " +
+          "hb AS (SELECT id, w, h, len(l) AS n, " +
+          "list_transform(range(0, 16), b -> " +
+          "len(list_filter(l, v -> v // 16 = b))) AS hist FROM px), " +
+          "e AS (SELECT id, w, h, n, " +
+          "len(list_filter(hist, c -> c > 0)) AS nz, " +
+          "list_sum(list_transform(hist, c -> CASE WHEN c > 0 THEN " +
+          "c * CAST(round(ln(c) * 100000000, 0) AS BIGINT) " +
+          "ELSE 0 END)) AS sq FROM hb) " +
+          "SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+          "CAST(n AS BIGINT) AS n_px, CAST(nz AS BIGINT) AS n_bins_nonzero, " +
+          "CAST((n * CAST(round(ln(n) * 100000000, 0) AS BIGINT) - sq) " +
+          "// n AS BIGINT) AS entropy_q FROM e"),
+      "mm_resize_pixels" ->
+        // 6×5 box-mean grid replay + the rolling polynomial fingerprint.
+        ("WITH " + mmLumaCte(6, 5) + " " +
+          "SELECT l.id, CAST(m.w AS INT) AS width, " +
+          "CAST(m.h AS INT) AS height, " +
+          "CAST(6 AS INT) AS out_w, CAST(5 AS INT) AS out_h, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lum), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS resized_fp " +
+          "FROM l JOIN m ON l.id = m.id"),
+      "mm_dhash" ->
+        // 9×8 real-pixel luma replay, gradient-sign bits.
+        ("WITH " + mmLumaCte(9, 8) + " " +
+          "SELECT id, " +
+          "CAST(list_sum(list_transform(range(0, 32), k -> " +
+          "CASE WHEN lum[(k // 8) * 9 + (k % 8) + 2] > " +
+          "lum[(k // 8) * 9 + (k % 8) + 1] THEN " +
+          "(CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS dhash_lo, " +
+          "CAST(list_sum(list_transform(range(32, 64), k -> " +
+          "CASE WHEN lum[(k // 8) * 9 + (k % 8) + 2] > " +
+          "lum[(k // 8) * 9 + (k % 8) + 1] THEN " +
+          "(CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)) AS BIGINT) " +
+          "AS dhash_hi FROM l"),
+      "mm_audio_energy" ->
+        // The engine PARSES the data chunk; the oracle predicts the
+        // sawtooth the fixture spliced in: v(i) = ((i·2477 + seed) mod
+        // 4096) − 2048 over samples·channels flat samples, 64/window.
+        ("WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS ch, " +
+          "(doc_id % 200) + 1 AS smp, doc_id % 97 AS seed " +
+          "FROM documents), " +
+          "s AS (SELECT doc_id, seed, " +
+          "unnest(range(0, smp * ch)) AS i FROM p), " +
+          "v AS (SELECT doc_id, i // 64 AS win, " +
+          "((i * 2477 + seed) % 4096) - 2048 AS x FROM s) " +
+          "SELECT doc_id AS id, CAST(win AS BIGINT) AS win, " +
+          "CAST(count(*) AS BIGINT) AS n_samples, " +
+          "CAST(sum(x * x) AS BIGINT) AS sum_sq, " +
+          "sqrt(CAST(sum(x * x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) " +
+          "AS rms FROM v GROUP BY 1, 2"),
+      "mm_audio_resample" ->
+        // Closed-form replay of the 2/3 resample over the sawtooth:
+        // output j reads source p = 3j/2 — whole positions pass
+        // through, half positions take the floored neighbor mean.
+        ("WITH p AS (SELECT doc_id AS id, " +
+          "((doc_id % 2) + 1) * ((doc_id % 200) + 1) AS n, " +
+          "doc_id % 97 AS sd FROM documents), " +
+          "r AS (SELECT id, n, sd, (n - 1) * 2 // 3 + 1 AS n_out FROM p), " +
+          "v AS (SELECT id, n, n_out, list_transform(range(0, n_out), " +
+          "j -> CASE WHEN (j * 3) % 2 = 0 THEN " +
+          "((j * 3 // 2) * 2477 + sd) % 4096 - 2048 " +
+          "ELSE (((j * 3 // 2) * 2477 + sd) % 4096 - 2048 + " +
+          "((j * 3 // 2 + 1) * 2477 + sd) % 4096 - 2048) // 2 END) " +
+          "AS vs FROM r) " +
+          "SELECT id, CAST(n AS BIGINT) AS n_in, " +
+          "CAST(n_out AS BIGINT) AS n_out, " +
+          "CAST(list_sum(list_transform(vs, x -> abs(x))) AS BIGINT) " +
+          "AS sum_abs_out, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vs), " +
+          s"(a, b) -> (a * 31 + b + 32768) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS resampled_fp FROM v"),
+      "mm_patchify" ->
+        // Tile replay: the patch grid is (w div 5) × (h div 5); each
+        // tile's mean and row-major rolling fingerprint from the
+        // closed-form raster.
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
+          "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+          "p AS (SELECT id, w, h, s, gx.px, gy.py FROM m " +
+          "CROSS JOIN (SELECT unnest(range(7)) AS px) gx " +
+          "CROSS JOIN (SELECT unnest(range(5)) AS py) gy " +
+          "WHERE gx.px < w // 5 AND gy.py < h // 5), " +
+          "t AS (SELECT id, CAST(px AS INT) AS px, CAST(py AS INT) AS py, " +
+          "flatten(list_transform(range(py * 5, py * 5 + 5), yy -> " +
+          "list_transform(range(px * 5, px * 5 + 5), xx -> " +
+          "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256))) AS tile " +
+          "FROM p) " +
+          "SELECT id, px, py, " +
+          "CAST(list_sum(tile) * 1000 // 25 AS BIGINT) AS patch_mean_q, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), tile), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS patch_fp FROM t"),
+      "mm_gif_duration" ->
+        // Closed-form timing: nf frames, delays 3, 4, …, nf+2 cs ->
+        // total = 3·nf + nf·(nf−1)/2; mean ×1000 floored.
+        ("WITH f AS (SELECT doc_id, doc_id % 4 + 2 AS nf FROM documents), " +
+          "t AS (SELECT doc_id, nf, " +
+          "nf * 3 + nf * (nf - 1) // 2 AS total FROM f) " +
+          "SELECT doc_id AS id, CAST(nf AS INT) AS n_frames, " +
+          "CAST(total AS BIGINT) AS total_delay_cs, " +
+          "CAST(total * 1000 // nf AS BIGINT) AS mean_delay_mcs FROM t"),
+      "mm_patch_dedup" ->
+        // Same tile replay grouped by fingerprint; only recurring tiles
+        // survive.
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
+          "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+          "p AS (SELECT id, w, h, s, gx.px, gy.py FROM m " +
+          "CROSS JOIN (SELECT unnest(range(7)) AS px) gx " +
+          "CROSS JOIN (SELECT unnest(range(5)) AS py) gy " +
+          "WHERE gx.px < w // 5 AND gy.py < h // 5), " +
+          "t AS (SELECT id, " +
+          "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "flatten(list_transform(range(py * 5, py * 5 + 5), yy -> " +
+          "list_transform(range(px * 5, px * 5 + 5), xx -> " +
+          "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256)))), " +
+          s"(a, b) -> (a * 31 + b) % ${graft.functions.TextHash.P}) " +
+          "AS BIGINT) AS patch_fp FROM p) " +
+          "SELECT patch_fp, CAST(count(*) AS BIGINT) AS n_tiles, " +
+          "CAST(count(DISTINCT id) AS BIGINT) AS n_docs FROM t " +
+          "GROUP BY patch_fp HAVING count(*) >= 2"),
+      "mm_exif" ->
+        // Closed-form tag prediction — the ENGINE walked real TIFF
+        // bytes (II and MM, inline and offset ASCII) to match it.
+        ("SELECT doc_id AS id, " +
+          "CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order, " +
+          "CAST(doc_id % 500 + 1 AS BIGINT) AS width, " +
+          "CAST(doc_id % 400 + 1 AS BIGINT) AS height, " +
+          "CAST(doc_id % 8 + 1 AS INT) AS orientation, " +
+          "CASE WHEN doc_id % 5 = 0 THEN 'c' || CAST(doc_id % 10 AS VARCHAR) " +
+          "ELSE 'cam' || CAST(doc_id % 10 AS VARCHAR) END AS make, " +
+          "CAST(4 AS INT) AS n_entries FROM documents"),
+      "mm_audio_trim" ->
+        // Gated-sawtooth replay: window w silent iff w % 3 = 0; voiced
+        // = Σ|v| > 16·n (exact); min/max over voiced windows, NULL for
+        // all-silent payloads (≤ 64 samples -> only window 0, silent).
+        ("WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS ch, " +
+          "(doc_id % 200) + 1 AS smp, doc_id % 97 AS seed " +
+          "FROM documents), " +
+          "s AS (SELECT doc_id, seed, " +
+          "unnest(range(0, smp * ch)) AS i FROM p), " +
+          "v AS (SELECT doc_id, i // 64 AS win, " +
+          "CASE WHEN (i // 64) % 3 = 0 THEN 0 " +
+          "ELSE ((i * 2477 + seed) % 4096) - 2048 END AS x FROM s), " +
+          "w AS (SELECT doc_id, win, count(*) AS n, " +
+          "sum(abs(x)) AS sa FROM v GROUP BY 1, 2) " +
+          "SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_windows, " +
+          "CAST(sum(CASE WHEN sa > 16 * n THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_voiced, " +
+          "CAST(min(CASE WHEN sa > 16 * n THEN win END) AS BIGINT) " +
+          "AS first_voiced, " +
+          "CAST(max(CASE WHEN sa > 16 * n THEN win END) AS BIGINT) " +
+          "AS last_voiced FROM w GROUP BY doc_id"),
+      "mm_audio_spectrum" -> {
+        // Sawtooth replay → per-window ordered sample lists → exact
+        // integer correlations against the SAME quantized basis
+        // literals the kernel uses (Multimodal.dftTableQ, interpolated
+        // here), power as the identical IEEE expression shape.
+        val bins = Seq(1, 2, 4, 8).map { k =>
+          val (c, s) = Multimodal.dftTableQ(64, k)
+          s"($k, ${c.mkString("[", ", ", "]")}, ${s.mkString("[", ", ", "]")})"
+        }.mkString(", ")
+        "WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS ch, " +
+          "(doc_id % 200) + 1 AS smp, doc_id % 97 AS seed " +
+          "FROM documents), " +
+          "s AS (SELECT doc_id, seed, " +
+          "unnest(range(0, smp * ch)) AS i FROM p), " +
+          "v AS (SELECT doc_id, i // 64 AS win, i % 64 AS j, " +
+          "((i * 2477 + seed) % 4096) - 2048 AS x FROM s), " +
+          "g AS (SELECT doc_id, win, list(x ORDER BY j) AS vs " +
+          "FROM v GROUP BY 1, 2), " +
+          s"b AS (SELECT * FROM (VALUES $bins) AS t(bin, ct, st)), " +
+          "r AS (SELECT doc_id, win, len(vs) AS ns, bin, " +
+          "CAST(list_sum(list_transform(range(len(vs)), j -> " +
+          "vs[j+1] * ct[j+1])) AS BIGINT) AS re, " +
+          "CAST(list_sum(list_transform(range(len(vs)), j -> " +
+          "vs[j+1] * st[j+1])) AS BIGINT) AS im " +
+          "FROM g CROSS JOIN b) " +
+          "SELECT doc_id AS id, CAST(win AS BIGINT) AS win, " +
+          "CAST(ns AS BIGINT) AS n_samples, CAST(bin AS INT) AS bin, " +
+          "re, im, CAST(re AS DOUBLE) * CAST(re AS DOUBLE) + " +
+          "CAST(im AS DOUBLE) * CAST(im AS DOUBLE) AS power FROM r"
+      },
+      "mm_audio_zcr" ->
+        // Same sawtooth replay; zero crossings are consecutive-sample
+        // sign flips WITHIN a window (pairs at i % 64 = 0 cross a
+        // boundary and belong to no window), plus peak |v| and Σ|v|.
+        ("WITH p AS (SELECT doc_id, (doc_id % 2) + 1 AS ch, " +
+          "(doc_id % 200) + 1 AS smp, doc_id % 97 AS seed " +
+          "FROM documents), " +
+          "s AS (SELECT doc_id, seed, " +
+          "unnest(range(0, smp * ch)) AS i FROM p), " +
+          "v AS (SELECT doc_id, i, i // 64 AS win, " +
+          "((i * 2477 + seed) % 4096) - 2048 AS x FROM s), " +
+          "w AS (SELECT doc_id, win, i, x, " +
+          "lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px FROM v) " +
+          "SELECT doc_id AS id, CAST(win AS BIGINT) AS win, " +
+          "CAST(count(*) AS BIGINT) AS n_samples, " +
+          "CAST(sum(CASE WHEN i % 64 <> 0 AND ((px < 0) <> (x < 0)) " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS zc_count, " +
+          "CAST(max(abs(x)) AS BIGINT) AS peak_abs, " +
+          "CAST(sum(abs(x)) AS BIGINT) AS sum_abs " +
+          "FROM w GROUP BY 1, 2"),
+      "mm_decode_meta" -> mmSql,
+      // Pure arithmetic: the Spark side must PARSE these values back out
+      // of real container headers it synthesized at the documented
+      // offsets; matching here means the byte-level round-trip held.
+      "mm_decode_headers" ->
+        ("WITH d AS (SELECT doc_id AS id, doc_id % 4 AS cls FROM documents) " +
+          "SELECT id, " +
+          "CASE WHEN cls = 1 THEN 'audio' WHEN cls = 2 THEN 'video' " +
+          "ELSE 'image' END AS \"mediaType\", " +
+          "CAST(CASE cls WHEN 0 THEN 29 " +
+          "WHEN 1 THEN 44 + ((id % 200) + 1) * (((id % 2) + 1) * 2) " +
+          "WHEN 2 THEN 14 + 14 * ((id % 5) + 1) " +
+          "ELSE 41 END AS BIGINT) AS \"nBytes\", " +
+          "CAST(CASE cls WHEN 0 THEN (id % 640) + 1 " +
+          "WHEN 1 THEN (id % 2) + 1 " +
+          "WHEN 2 THEN (id % 320) + 1 " +
+          "ELSE (id % 600) + 1 END AS INT) AS width, " +
+          "CAST(CASE cls WHEN 0 THEN (id % 480) + 1 " +
+          "WHEN 1 THEN 8000 * ((id % 5) + 1) " +
+          "WHEN 2 THEN (id % 200) + 1 " +
+          "ELSE (id % 400) + 1 END AS INT) AS height, " +
+          "CAST(CASE cls WHEN 0 THEN 1 " +
+          "WHEN 1 THEN (id % 200) + 1 " +
+          "WHEN 2 THEN (id % 5) + 1 " +
+          "ELSE 1 END AS INT) AS \"nFrames\" FROM d"),
+    )
+  }
+}

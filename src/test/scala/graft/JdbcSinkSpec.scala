@@ -225,4 +225,56 @@ class JdbcSinkSpec extends SparkSpec {
       "st", keyCols = Seq("pkey"), versionCol = "ver"))
     intercept[java.sql.SQLException] { sink.probe() }
   }
+
+  test("TLS contract (reference src/upsert.rs:213-244): EVERY ssl-" +
+      "relevant Postgres property passes VERBATIM into the driver's " +
+      "Properties and the URL is untouched — pinned via a capturing " +
+      "mock java.sql.Driver so the first live TLS run has a contract") {
+    val captured = new java.util.concurrent.atomic.AtomicReference[
+      (String, java.util.Properties)]()
+    val drv = new java.sql.Driver {
+      override def acceptsURL(u: String): Boolean =
+        u.startsWith("jdbc:graftmock:")
+      override def connect(
+          u: String, p: java.util.Properties): java.sql.Connection =
+        if (!acceptsURL(u)) null
+        else {
+          captured.set((u, p))
+          throw new java.sql.SQLException("mock: captured handshake")
+        }
+      override def getMajorVersion: Int = 1
+      override def getMinorVersion: Int = 0
+      override def getParentLogger: java.util.logging.Logger =
+        throw new java.sql.SQLFeatureNotSupportedException()
+      override def getPropertyInfo(u: String, p: java.util.Properties)
+          : Array[java.sql.DriverPropertyInfo] = Array.empty
+      override def jdbcCompliant(): Boolean = false
+    }
+    java.sql.DriverManager.registerDriver(drv)
+    try {
+      // the full PgJDBC TLS surface the reference's native-TLS connector
+      // maps onto: mode, root CA, client cert/key (+ key passphrase),
+      // custom factory and hostname verifier, plus credentials
+      val tls = Map(
+        "user" -> "svc", "password" -> "pw",
+        "ssl" -> "true", "sslmode" -> "verify-full",
+        "sslrootcert" -> "/etc/certs/root.crt",
+        "sslcert" -> "/etc/certs/client.crt",
+        "sslkey" -> "/etc/certs/client.pk8",
+        "sslpassword" -> "keypw",
+        "sslfactory" -> "org.postgresql.ssl.DefaultJavaSSLFactory",
+        "sslhostnameverifier" -> "org.postgresql.ssl.PGjdbcHostnameVerifier")
+      val url = "jdbc:graftmock://db.example:5432/app"
+      val sink = new JdbcSink(JdbcTarget(url, "st",
+        keyCols = Seq("pkey"), versionCol = "ver", properties = tls))
+      intercept[java.sql.SQLException] { sink.probe() }
+      val (gotUrl, gotProps) = captured.get()
+      assert(gotUrl == url, "connection string must pass through unchanged")
+      tls.foreach { case (k, v) =>
+        assert(gotProps.getProperty(k) == v, s"property $k must pass verbatim")
+      }
+      assert(gotProps.stringPropertyNames().size == tls.size,
+        "no extra properties invented by the sink")
+    } finally java.sql.DriverManager.deregisterDriver(drv)
+  }
 }

@@ -58,6 +58,69 @@ class KafkaReadinessSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.forall(_ <= 7L))
   }
 
+  test("consumer-group and data-loss posture: kafka.group.id / " +
+      "groupIdPrefix / failOnDataLoss / kafkaConsumer.pollTimeoutMs are " +
+      "CALLER-owned and pass through verbatim; the engine owns only the " +
+      "three core keys and invents no defaults for the rest") {
+    val callerOwned = Map(
+      "kafka.group.id" -> "graft-ingest",
+      "groupIdPrefix" -> "graft-",
+      "failOnDataLoss" -> "false",
+      "startingOffsets" -> """{"t":{"0":1234}}""",
+      "kafkaConsumer.pollTimeoutMs" -> "60000")
+    val opts = Sources.kafkaOptions(cfg, "b:9092", "t", callerOwned)
+    callerOwned.foreach { case (k, v) =>
+      assert(opts(k) == v, s"caller option $k must pass through verbatim")
+    }
+    // no invented defaults: exactly core + caller options
+    assert(opts.keySet == callerOwned.keySet ++
+      Set("kafka.bootstrap.servers", "subscribe", "maxOffsetsPerTrigger"),
+      "the engine must not inject options the caller did not ask for — " +
+        "startingOffsets/failOnDataLoss defaults are the CONNECTOR's " +
+        "documented ones (latest / true), not engine overrides")
+  }
+
+  test("mid-stream restart: the rate-micro-batch twin resumes from the " +
+      "checkpoint with NO gaps and NO duplicates while every batch " +
+      "honors the admission bound — the offset/checkpoint story a " +
+      "real-broker kafka run must reproduce (its superset of the " +
+      "reference, which has no restart recovery at all)") {
+    val small = cfg.copy(maxRecordsPerTrigger = 5L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_krestart_").toString
+    def committedRows(): Long =
+      try spark.read.parquet(s"$dir/data").count()
+      catch { case _: Throwable => 0L }
+    def runUntil(minRows: Long): Unit = {
+      val q = Sources.rateMicroBatch(spark, small).writeStream
+        .format("parquet")
+        .option("path", s"$dir/data")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try {
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline && committedRows() < minRows)
+          Thread.sleep(50)
+        assert(committedRows() >= minRows, "stream made no progress")
+      } finally { q.stop(); q.awaitTermination() }
+    }
+    runUntil(10L) //        >= 2 committed batches, then STOPPED mid-stream
+    val firstRun = committedRows()
+    runUntil(firstRun + 10L) //      resume from checkpoint, >= 2 more
+    val vals = spark.read.parquet(s"$dir/data")
+      .select("value").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals.distinct.size == vals.size,
+      "restart must not re-emit committed offsets (no duplicates)")
+    assert(vals == (vals.head to vals.last),
+      "restart must not skip offsets (no gaps)")
+    assert(vals.head == 0L, "the stream starts at offset 0")
+    val perBatch = spark.read.parquet(s"$dir/data")
+      .groupBy(expr("value div 5")).count()
+      .select("count").collect().map(_.getLong(0))
+    assert(perBatch.forall(_ <= 5L),
+      "the per-trigger admission bound holds across the restart")
+  }
+
   test("environment block fails loud: resolving the kafka format without " +
       "the connector jar raises at source lookup, never a half-started " +
       "stream") {
