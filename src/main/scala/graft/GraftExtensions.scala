@@ -84,7 +84,15 @@ object GraftExtensions {
       (FunctionIdentifier("graft_dtw"),
         info("graft_dtw",
           "_FUNC_(a, b) - dynamic-time-warping alignment cost of two Long series"),
-        (args: Seq[Expression]) => DtwExpr(args(0), args(1))))
+        (args: Seq[Expression]) => DtwExpr(args(0), args(1))),
+      (FunctionIdentifier("graft_hilbert_d"),
+        info("graft_hilbert_d",
+          "_FUNC_(x, y, bits) - Hilbert-curve index on the 2^bits grid"),
+        (args: Seq[Expression]) => HilbertDExpr(args(0), args(1), lit(args(2)))),
+      (FunctionIdentifier("graft_soundex"),
+        info("graft_soundex",
+          "_FUNC_(s) - pinned-variant US-Census Soundex phonetic code"),
+        (args: Seq[Expression]) => SoundexCodeExpr(args.head)))
 
   /** Register into an already-running session (e.g. a REPL). */
   def install(spark: SparkSession): Unit =

@@ -412,4 +412,170 @@ object NativeKernels {
     }
     prev(m - 1)
   }
+
+  /** Hilbert-curve index of a 2-D point on the 2^bits × 2^bits grid —
+    * the xy→d direction of the public iterative algorithm (per-level
+    * quadrant digit + Gray-style rotation). Unlike Morton interleave,
+    * consecutive d values are always GRID NEIGHBORS (unit step in one
+    * coordinate), so range-partitioning on d gives files whose (x, y)
+    * footprint has the best known worst-case locality of any
+    * space-filling curve — strictly better min-max pruning than
+    * Z-order on range predicates. Data-dependent per-level rotation
+    * makes this a loop, not an unrollable bit expression (an
+    * expression-tree unroll doubles per level — exponential), hence a
+    * native kernel behind a codegen'd expression. */
+  def hilbertD(x0: Long, y0: Long, bits: Int): Long = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    // Canonical public xy→d walk; the rotation complements against the
+    // FULL grid (n−1−x), so intermediates stay in [0, n) — the DuckDB
+    // replay depends on that (its // and % truncate on negatives).
+    val n = 1L << bits
+    var x = x0
+    var y = y0
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = n - 1 - x
+          y = n - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse (d→xy) of [[hilbertD]] — used by the spec to prove the
+    * two directions are mutually inverse and by consumers that need
+    * the cell back from a curve position. */
+  def hilbertXY(d0: Long, bits: Int): (Long, Long) = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    var x = 0L
+    var y = 0L
+    var d = d0
+    var s = 1L
+    while (s < (1L << bits)) {
+      val rx = 1L & (d / 2)
+      val ry = 1L & (d ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      x += s * rx
+      y += s * ry
+      d /= 4
+      s *= 2
+    }
+    (x, y)
+  }
+
+  /** US-Census Soundex code with the DOCUMENTED automaton both engines
+    * replay (variants differ on H/W; this one is pinned and mirrored
+    * character-for-character by the DuckDB oracle):
+    *  - letters only, case-insensitive; empty input → empty code;
+    *  - first letter kept verbatim (uppercased);
+    *  - classes b f p v→1, c g j k q s x z→2, d t→3, l→4, m n→5, r→6;
+    *  - a e i o u y reset the previous-code state (separators);
+    *  - h w are INVISIBLE (same-class consonants across h/w collapse);
+    *  - a digit equal to the previous emitted/first-letter code is
+    *    skipped; output is letter + first 3 digits, zero-padded. */
+  def soundex(u: UTF8String): UTF8String = {
+    val s = u.toString
+    def cls(c: Char): Int = c match {
+      case 'b' | 'f' | 'p' | 'v' => 1
+      case 'c' | 'g' | 'j' | 'k' | 'q' | 's' | 'x' | 'z' => 2
+      case 'd' | 't' => 3
+      case 'l' => 4
+      case 'm' | 'n' => 5
+      case 'r' => 6
+      case 'h' | 'w' => -1 //                                invisible
+      case _ => 0 //                               vowel-ish separator
+    }
+    val letters = s.toLowerCase.filter(c => c >= 'a' && c <= 'z')
+    if (letters.isEmpty) return UTF8String.fromString("")
+    val head = letters.head
+    val sb = new StringBuilder
+    sb.append(Character.toUpperCase(head))
+    var last = cls(head)
+    var i = 1
+    while (i < letters.length && sb.length < 4) {
+      val c = cls(letters(i))
+      if (c > 0) {
+        if (c != last) sb.append(('0' + c).toChar)
+        last = c
+      } else if (c == 0) last = 0 //     vowel: breaks the run; h/w: no-op
+      i += 1
+    }
+    while (sb.length < 4) sb.append('0')
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** G.711 μ-law byte → linear PCM (14-bit magnitude range, the public
+    * closed form): complement, split sign/exponent/mantissa,
+    * magnitude = ((2·mantissa + 33) << exponent) − 33. Exact integers
+    * end-to-end, so the oracle replays it per byte. */
+  def mulawToPcm(b: Int): Int = {
+    val u = (~b) & 0xff
+    val sign = u & 0x80
+    val exponent = (u >> 4) & 0x07
+    val mantissa = u & 0x0f
+    val mag = (((mantissa << 1) + 33) << exponent) - 33
+    if (sign != 0) -mag else mag
+  }
+
+  /** G.711 A-law byte → linear PCM (13-bit magnitude range, the public
+    * ITU closed form): XOR 0x55, split sign/segment/mantissa,
+    * magnitude = (mantissa·16 + 8) for segment 0,
+    * (mantissa·16 + 264) << (segment − 1) otherwise; the POST-XOR sign
+    * bit SET means positive (A-law's even-bit inversion flips it, the
+    * classic trap vs μ-law). Exact integers end-to-end, so the oracle
+    * replays it per byte. |pcm| ≤ 32256. */
+  def alawToPcm(b: Int): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a >> 4) & 0x07
+    val mantissa = a & 0x0f
+    val mag =
+      if (seg == 0) (mantissa << 4) + 8
+      else (((mantissa << 4) + 0x108) << (seg - 1))
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** IMA/DVI ADPCM step-size table (89 entries, the public spec
+    * constants) — shared by the decoder and its spec. */
+  val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+
+  /** IMA ADPCM per-nibble index adjustment (the public spec table). */
+  val AdpcmIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM decode step on state (predictor, index): returns the
+    * new clamped predictor; the caller advances the index via
+    * [[AdpcmIndexTable]]. Pure shift-add arithmetic (the spec's
+    * vpdiff = step>>3 + bit-selected step, step>>1, step>>2), exact
+    * integers — the oracle replays it as a recursive state walk. */
+  def adpcmStep(predictor: Int, index: Int, nibble: Int): Int = {
+    val step = AdpcmStepTable(index)
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    val p = if ((nibble & 8) != 0) predictor - diff else predictor + diff
+    math.max(-32768, math.min(32767, p))
+  }
 }

@@ -74,6 +74,17 @@ object TextHash {
   def dtw(a: Column, b: Column): Column =
     GraftSql.column(DtwExpr(GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** Hilbert-curve index of bounded (x, y) cells — the locality-optimal
+    * clustering key beside [[graft.ops.Layout.mortonKey]]. */
+  def hilbertD(a: Column, b: Column, bits: Int): Column =
+    GraftSql.column(HilbertDExpr(
+      GraftSql.expression(a), GraftSql.expression(b), bits))
+
+  /** Pinned-variant Soundex phonetic code (entity-resolution blocking;
+    * see NativeKernels.soundex). */
+  def soundexCode(a: Column): Column =
+    GraftSql.column(SoundexCodeExpr(GraftSql.expression(a)))
+
   /** Winnowing fingerprints: distinct sliding-window minima (window `w`)
     * of a shingle-hash array, first-occurrence order; O(len) native. */
   def winnow(sh: Column, w: Int): Column =

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, BinaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, ImplicitCastInputTypes, BinaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -186,6 +186,39 @@ object TextHashExprs {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): DtwExpr =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Hilbert-curve index of a 2-D cell on the 2^bits grid (layout
+    * clustering; see NativeKernels.hilbertD for why this is a kernel). */
+  case class HilbertDExpr(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hilbert_d"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.hilbertD(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.NativeKernels.hilbertD($a, $b, $bits)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): HilbertDExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Pinned-variant US-Census Soundex (see NativeKernels.soundex for
+    * the automaton the DuckDB oracle mirrors). */
+  case class SoundexCodeExpr(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_soundex"
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.soundex(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.NativeKernels.soundex($c)")
+    override protected def withNewChildInternal(newChild: Expression): SoundexCodeExpr =
+      copy(child = newChild)
   }
 
   /** Pack quantized integer-valued doubles into int8 bytes (BinaryType). */

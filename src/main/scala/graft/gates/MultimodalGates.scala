@@ -387,6 +387,20 @@ private[graft] object MultimodalGates {
     //      j·3/2 with FLOOR division (negative samples round like the
     //      oracle's //); output summarized as Σ|v| + rolling
     //      fingerprint over the full resampled stream ----
+    // ---- Multimodal: G.711 μ-LAW decode — the telephony audio byte
+    //      format (one log-companded byte per 8 kHz sample, no
+    //      container): the kernel expands each byte with the public
+    //      closed form and emits exact integer energy/peak stats; the
+    //      oracle replays byte formula AND expansion per sample ----
+    "mm_audio_mulaw" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          Array.tabulate(((id % 50) + 20).toInt)(i =>
+            ((7L * i + 13L * id + i.toLong * i) % 256L).toByte))
+      Multimodal.mulawStats(d, "doc_id", "content")
+    }),
+
     "mm_audio_resample" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
       val id = col("doc_id")
@@ -700,6 +714,25 @@ private[graft] object MultimodalGates {
           "CAST(sum(x * x) AS BIGINT) AS sum_sq, " +
           "sqrt(CAST(sum(x * x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) " +
           "AS rms FROM v GROUP BY 1, 2"),
+      // Per-sample replay: fixture byte formula -> complement ->
+      // sign/exponent/mantissa -> ((2m+33)<<e)-33, exact integers.
+      "mm_audio_mulaw" -> {
+        val mag = "(((2 * (u % 16) + 33) << ((u // 16) % 8)) - 33)"
+        val pcm = s"CASE WHEN u >= 128 THEN -$mag ELSE $mag END"
+        "WITH m AS (SELECT doc_id AS id, doc_id % 50 + 20 AS n " +
+          "FROM documents), " +
+          "p AS (SELECT id, n, list_transform(range(0, n), i -> " +
+          "255 - ((7 * i + 13 * id + i * i) % 256)) AS us FROM m), " +
+          s"v AS (SELECT id, n, list_transform(us, u -> $pcm) AS pcm " +
+          "FROM p) " +
+          "SELECT id, CAST(n AS BIGINT) AS n_samples, " +
+          "CAST(list_sum(list_transform(pcm, x -> abs(x))) AS BIGINT) " +
+          "AS sum_abs, " +
+          "CAST(list_max(list_transform(pcm, x -> abs(x))) AS BIGINT) " +
+          "AS peak_abs, " +
+          "CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT) " +
+          "AS energy FROM v"
+      },
       "mm_audio_resample" ->
         // Closed-form replay of the 2/3 resample over the sawtooth:
         // output j reads source p = 3j/2 — whole positions pass

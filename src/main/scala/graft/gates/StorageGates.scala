@@ -502,6 +502,38 @@ private[graft] object StorageGates {
       stateOut(pt.read().get)
     }),
 
+    // ---- Storage: compaction with HILBERT layout — Morton's locality-
+    //      optimal sibling (consecutive curve positions are always grid
+    //      neighbors, so per-file min-max boxes are compact blobs with
+    //      no Z-shape jumps); native codegen kernel, data unchanged ----
+    "o30_compact_hilbert" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o30_").toString
+      val tbl = graft.model.TargetTable("events_hc", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val cfg = IngestConfig(name = s"o30-hc-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      pt.mergeUpsert(eventRecords(s, dir), cfg)
+      pt.compactClustered(cfg, df => Seq(graft.functions.TextHash.hilbertD(
+        pmod(df.col("pkey"), lit(1024L)),
+        pmod(floor(df.col("value") * 100).cast("long"), lit(1024L)),
+        bits = 10)))
+      stateOut(pt.read().get)
+    }),
+
+    // ---- Storage: the Hilbert curve ITSELF cross-engine — the native
+    //      kernel's per-level rotate-and-accumulate against an
+    //      independent DuckDB list_reduce replay of the public
+    //      algorithm, over every event's bounded (x, y) cell ----
+    "o30b_hilbert_key" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        col("event_id"),
+        pmod(col("user_id"), lit(64L)).as("x"),
+        pmod(col("event_id"), lit(64L)).as("y"))
+      e.withColumn("hilbert_d",
+        graft.functions.TextHash.hilbertD(col("x"), col("y"), bits = 6))
+    }),
+
     // ---- Storage: secondary value index — CDC-maintained inverted
     //      index bucketed on the VALUE (one-bucket equality probes),
     //      incremental refresh from the change feed, key-pruned fetch ----
@@ -543,9 +575,45 @@ private[graft] object StorageGates {
   )
 
   def oracles: Map[String, String] = {
+    // Independent DuckDB replay of the PUBLIC xy->d Hilbert algorithm
+    // (per-level quadrant digit + rotation), UNROLLED into six chained
+    // CTE stages of plain column arithmetic — the engine side runs the
+    // native codegen kernel, so agreement proves the curve itself
+    // cross-engine. pmod mirrored as ((v % 64) + 64) % 64 (DuckDB %
+    // keeps the dividend's sign); the rotation complements against the
+    // FULL grid (63 - v) so intermediates stay in [0, 64), which the
+    // // and % bit probes REQUIRE (both truncate on negatives).
+    // Deliberately NOT a list_reduce: DuckDB 1.0.0 miscomputes struct-
+    // accumulator folds on multi-row batches (single-row runs of the
+    // identical fold are correct — minimal repro in the round-10
+    // SURVEY notes), so the oracle uses no lambda at all.
+    val hilbertSql = {
+      val levels = Seq(32, 16, 8, 4, 2, 1)
+      val stages = levels.zipWithIndex.map { case (s, i) =>
+        val rx = s"((x // $s) % 2)"
+        val ry = s"((y // $s) % 2)"
+        s"l${i + 1} AS (SELECT event_id, " +
+          s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 " +
+          "THEN 63 - y ELSE y END) ELSE x END AS x, " +
+          s"CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 " +
+          "THEN 63 - x ELSE x END) ELSE y END AS y, " +
+          s"d + $s * $s * xor(3 * $rx, $ry) AS d FROM l$i)"
+      }.mkString(", ")
+      "WITH m AS (SELECT event_id, ((user_id % 64) + 64) % 64 AS x, " +
+        "((event_id % 64) + 64) % 64 AS y FROM events), " +
+        "l0 AS (SELECT event_id, CAST(x AS BIGINT) AS x, " +
+        "CAST(y AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM m), " +
+        stages + " " +
+        "SELECT m.event_id, CAST(m.x AS BIGINT) AS x, " +
+        "CAST(m.y AS BIGINT) AS y, l6.d AS hilbert_d " +
+        "FROM m JOIN l6 ON m.event_id = l6.event_id"
+    }
     Map(
       "o1_dedup_latest_wins" -> dedupState,
       "o1b_dedup_window" -> dedupState,
+      // compaction must not change the data, whatever the layout curve
+      "o30_compact_hilbert" -> dedupState,
+      "o30b_hilbert_key" -> hilbertSql,
       "o2_sort_topk" ->
         ("SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type " +
           "FROM events ORDER BY ts DESC, event_id DESC LIMIT 100"),

@@ -397,6 +397,24 @@ private[graft] object TextGates {
     //      each line across the corpus, in (doc, pos) order; fixture
     //      manufactures lines by splitting the text on two frequent
     //      words; md5 fingerprints the kept body per doc ----
+    // ---- Text scrub: HOMOGLYPH confusables — Cyrillic/Greek
+    //      lookalikes spliced into Latin words defeat exact AND
+    //      shingle dedup (the text hashes "unique"); the scan counts
+    //      confusable codepoints and mixed-script tokens and emits the
+    //      UTS#39-style skeleton md5 (ids 1 mod 3 get three classes
+    //      swapped, 2 mod 3 only 'о', 0 mod 3 stay clean — their
+    //      skeleton md5 must equal the original text's) ----
+    "text_confusable_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spiked = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 1,
+          translate(col("text"), "aeo", "аео"))
+          .when(col("doc_id") % 3 === 2,
+            translate(col("text"), "o", "о"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.confusableScan(spiked, "doc_id", "text")
+    }),
+
     "text_line_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         call_function("replace",
@@ -629,6 +647,26 @@ private[graft] object TextGates {
   )
 
   def oracles: Map[String, String] = {
+    // Confusable scrub replay: rebuild the spiked fixture with the
+    // same translate splice, then mirror the scan — n_confusable via
+    // delete-translate length delta, mixed tokens via the shared char
+    // class, skeleton via the same from/to map (translate is
+    // per-codepoint in BOTH engines).
+    val confusableSql = {
+      val from = graft.ops.TextAnalysis.ConfusableFrom
+      val to = graft.ops.TextAnalysis.ConfusableTo
+      "WITH sp AS (SELECT doc_id AS id, CASE " +
+        "WHEN doc_id % 3 = 1 THEN translate(text, 'aeo', 'аео') " +
+        "WHEN doc_id % 3 = 2 THEN translate(text, 'o', 'о') " +
+        "ELSE text END AS t FROM documents) " +
+        "SELECT id, " +
+        s"CAST(length(t) - length(translate(t, '$from', '')) AS BIGINT) " +
+        "AS n_confusable, " +
+        "CAST(len(list_filter(string_split_regex(t, '\\s+'), tk -> " +
+        s"regexp_matches(tk, '[a-z]') AND regexp_matches(tk, '[$from]')" +
+        ")) AS BIGINT) AS n_mixed_tokens, " +
+        s"md5(translate(t, '$from', '$to')) AS skeleton_md5 FROM sp"
+    }
     val htmlTxtCtes: String =
       "h AS (SELECT doc_id, " +
         "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || " +
@@ -963,6 +1001,7 @@ private[graft] object TextGates {
           "md5(red) AS redacted_md5, " +
           "CAST(len(list_filter(regexp_split_to_array(red, '\\s+'), " +
           "w -> w <> '')) AS BIGINT) AS n_tokens FROM r"),
+      "text_confusable_scrub" -> confusableSql,
       "text_line_dedup" ->
         // First-occurrence keep in (doc, pos) order; the oracle's
         // row_number window partitions by LINE (bounded by the most

@@ -842,6 +842,24 @@ private[graft] object VectorGates {
         .select(col("doc_a"), col("doc_b"), col("jw"))
     }),
 
+    // ---- Entity resolution: PHONETIC blocking — the classic Soundex
+    //      blocking key (pinned automaton, native codegen kernel; the
+    //      oracle replays the same public algorithm as a DuckDB
+    //      list_reduce): same-sounding leading tokens land in one
+    //      block, per-block candidate stats bound the verify cost ----
+    "dedup_soundex_blocked" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_extract(lower(col("text")), "([a-z]+)", 1).as("tok"))
+      docs
+        .withColumn("code", TextHash.soundexCode(col("tok")))
+        .filter(col("code") =!= "")
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("tok")).as("n_tokens"),
+          min(col("tok")).as("min_tok"), max(col("tok")).as("max_tok"))
+        .filter(col("n_docs") > 1)
+    }),
+
     // ---- MDM: Fellegi-Sunter probabilistic linkage — log-likelihood-
     //      ratio field weights over sorted-neighborhood candidates;
     //      score = sum of injected-literal weights, match/possible split ----
@@ -1014,6 +1032,40 @@ private[graft] object VectorGates {
   )
 
   def oracles: Map[String, String] = {
+    // Independent DuckDB replay of the pinned Soundex automaton
+    // (NativeKernels.soundex scaladoc) in CLOSED FORM: position i
+    // emits its class digit iff the class is > 0 and differs from the
+    // class of the nearest previous non-h/w letter (h/w invisible,
+    // vowels present as class 0 so they break runs) — provably the
+    // same emission set as the sequential automaton. Deliberately NOT
+    // list_reduce: DuckDB 1.0.0 cross-contaminates accumulator rows
+    // when a lambda branch returns the accumulator unchanged over
+    // mixed-length lists (minimal repro in the round-10 notes).
+    val soundexSql = {
+      def cls(c: String) = s"CASE WHEN $c IN ('b','f','p','v') THEN 1 " +
+        s"WHEN $c IN ('c','g','j','k','q','s','x','z') THEN 2 " +
+        s"WHEN $c IN ('d','t') THEN 3 WHEN $c = 'l' THEN 4 " +
+        s"WHEN $c IN ('m','n') THEN 5 WHEN $c = 'r' THEN 6 " +
+        s"WHEN $c IN ('h','w') THEN -1 ELSE 0 END"
+      "WITH d AS (SELECT doc_id, regexp_extract(lower(text), " +
+        "'([a-z]+)', 1) AS tok FROM documents), " +
+        "f AS (SELECT doc_id, tok, list_transform(" +
+        "range(1, length(tok) + 1), i -> " +
+        s"${cls("substr(tok, CAST(i AS INT), 1)")}" +
+        ") AS codes FROM d WHERE tok <> ''), " +
+        "r AS (SELECT doc_id, tok, upper(substr(tok, 1, 1)) || " +
+        // coalesce: array_to_string of an EMPTY list is NULL in DuckDB
+        "substr(coalesce(array_to_string(list_transform(" +
+        "list_filter(range(2, len(codes) + 1), i -> " +
+        "codes[i] > 0 AND codes[i] <> coalesce(" +
+        "list_filter(codes[1:i-1], c -> c <> -1)[-1], -9)), " +
+        "i -> CAST(codes[i] AS VARCHAR)), ''), '') || '000', 1, 3) AS code " +
+        "FROM f) " +
+        "SELECT code, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens, " +
+        "min(tok) AS min_tok, max(tok) AS max_tok " +
+        "FROM r GROUP BY code HAVING count(*) > 1"
+    }
     val domainCapSql =
       "SELECT doc_id, source, lang FROM (" +
         "SELECT doc_id, source, lang, row_number() OVER (" +
@@ -1655,6 +1707,7 @@ private[graft] object VectorGates {
           s"CAST($picks AS BIGINT) AS n_picks " +
           s"FROM c CROSS JOIN t2 WHERE $picks > 0"
       },
+      "dedup_soundex_blocked" -> soundexSql,
       "dedup_jaro_blocked" ->
         ("WITH d AS (SELECT doc_id, lower(substr(text, 1, 16)) AS title, " +
           "lang FROM documents), " +

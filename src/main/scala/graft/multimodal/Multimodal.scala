@@ -382,6 +382,49 @@ object Multimodal {
       .toDF()
   }
 
+  /** One μ-law row: exact integer stats over the decoded linear PCM. */
+  final case class MulawRow(
+      id: Long, n_samples: Option[Long], sum_abs: Option[Long],
+      peak_abs: Option[Long], energy: Option[Long])
+
+  /** G.711 μ-law decode + stats — the telephony/callcenter audio shape
+    * (8 kHz log-companded bytes, one sample per byte, no container):
+    * decode each byte with the public closed form
+    * ([[graft.functions.NativeKernels.mulawToPcm]]) and emit exact
+    * integer (n_samples, Σ|pcm|, max|pcm|, Σpcm²) per row — the
+    * silence/clipping/energy signals a speech-corpus filter keys on.
+    * |pcm| ≤ 8159 so Σpcm² stays far inside BIGINT at any real clip
+    * length. NULL/empty payloads surface as NULL rows (the 1:1 decoder
+    * posture). Row-local batched kernel, no shuffle. */
+  def mulawStats(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        if (b == null || b.length == 0) MulawRow(id, None, None, None, None)
+        else {
+          var i = 0
+          var sAbs = 0L
+          var peak = 0L
+          var energy = 0L
+          while (i < b.length) {
+            val v = graft.functions.NativeKernels.mulawToPcm(b(i) & 0xff)
+            val a = math.abs(v).toLong
+            sAbs += a
+            if (a > peak) peak = a
+            energy += a * a
+            i += 1
+          }
+          MulawRow(id, Some(b.length.toLong), Some(sAbs), Some(peak),
+            Some(energy))
+        }
+      }))
+      .toDF()
+  }
+
   // ---- metadata-stage transforms (post-decode, pure column arithmetic —
   // codegen'd, no UDF; a real pixel/audio kernel would slot into the same
   // batched-partition shape as decodeBatch) ------------------------------

@@ -33,6 +33,33 @@ object Layout {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** Hilbert-curve key of two non-negative dimension columns on the
+    * 2^bits grid (native codegen kernel — the per-level rotation is
+    * data-dependent, so there is no Morton-style closed bit form).
+    * Hilbert beats Z-order for pruning because CONSECUTIVE curve
+    * positions are always grid neighbors: a contiguous d-range (one
+    * output file under range partitioning) covers a compact blob with
+    * no Z-shape jumps, so per-file min-max boxes are tighter on both
+    * dimensions. Callers bound the dimensions first, exactly as for
+    * [[mortonKey]]. */
+  def hilbertKey(a: Column, b: Column, bits: Int = 16): Column =
+    graft.functions.TextHash.hilbertD(a.cast("long"), b.cast("long"), bits)
+
+  /** [[clusterByZOrder]]'s Hilbert twin: range-repartition +
+    * in-partition sort on the Hilbert index. Same single-shuffle cost,
+    * strictly better worst-case file footprints. */
+  def clusterByHilbert(
+      df: DataFrame, aCol: String, bCol: String,
+      numFiles: Int, bits: Int = 16): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(!df.columns.contains("__hkey"),
+      "clusterByHilbert reserves the column name __hkey; rename it upstream")
+    df.withColumn("__hkey", hilbertKey(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__hkey"))
+      .sortWithinPartitions("__hkey")
+      .drop("__hkey")
+  }
+
   /** Rewrite `df` into `numFiles` files clustered along the Z-order curve
     * of two bounded dimension columns: range-repartition + in-partition
     * sort on the Morton key, so each output file covers a compact

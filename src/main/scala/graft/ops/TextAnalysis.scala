@@ -941,4 +941,40 @@ object TextAnalysis {
         col("n_dup_spans"), col("dup_tokens"),
         expr("dup_tokens * 1000000L div __ntok").as("dup_ratio_q"))
   }
+
+  /** Homoglyph-confusable map (UTS #39 skeleton, the high-frequency
+    * subset): Cyrillic lookalikes а е о р с у х і ј ѕ plus Greek
+    * omicron ο, each to its Latin visual twin. Shared VERBATIM with
+    * the oracle (`translate` is per-codepoint in both engines). */
+  val ConfusableFrom: String = "аеорсухіјѕο"
+  val ConfusableTo: String = "aeopcyxijso"
+
+  /** Confusable-homoglyph scan — the mixed-script spoof detector an
+    * LLM corpus needs before dedup: a Cyrillic 'о' spliced into a
+    * Latin word makes the text hash "unique", defeats exact AND
+    * shingle dedup, and smuggles near-duplicates past every filter.
+    * Emits per doc:
+    *  - n_confusable — count of mapped homoglyph codepoints;
+    *  - n_mixed_tokens — whitespace tokens carrying BOTH an ASCII
+    *    letter and a confusable (the spoof signature; an all-Cyrillic
+    *    token is just Russian, not spoofing);
+    *  - skeleton_md5 — md5 of the text with confusables folded to
+    *    their Latin twins, the dedup-ready canonical form.
+    * Pure codegen'd column arithmetic (`translate`/`length`), one
+    * row-local pass, no shuffle; the per-token filter runs on the
+    * small split array with only lambda-bound variables (no captured
+    * child re-evaluation hazard). */
+  def confusableScan(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val txt = col(textCol)
+    val mixedTok = filter(
+      split(txt, "\\s+"),
+      t => t.rlike("[a-z]") && t.rlike(s"[$ConfusableFrom]"))
+    docs.select(
+      col(idCol).cast("long").as("id"),
+      (length(txt) - length(translate(txt, ConfusableFrom, "")))
+        .cast("long").as("n_confusable"),
+      size(mixedTok).cast("long").as("n_mixed_tokens"),
+      md5(translate(txt, ConfusableFrom, ConfusableTo)).as("skeleton_md5"))
+  }
 }

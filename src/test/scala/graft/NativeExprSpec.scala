@@ -287,4 +287,49 @@ class NativeExprSpec extends SparkSpec {
     assert(rows(0).isNullAt(0))       // 2 words, no trigrams
     assert(rows(1).getSeq[Long](0).length == 4)
   }
+
+  test("soundex: census textbook codes incl. the H/W-invisible rule; " +
+      "empty and non-letter input yield the empty code") {
+    val df = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",
+      "Honeyman", "tymczak", "  123 !?", "", "a")
+      .toDF("s").select(TextHash.soundexCode(col("s")).as("c"))
+    val got = df.collect().map(_.getString(0))
+    assert(got(0) == "R163" && got(1) == "R163", "Robert/Rupert collide")
+    assert(got(2) == "A261", "Ashcraft: c across h collapses into s")
+    assert(got(3) == "T522", "Tymczak: z after c collapses, vowel splits")
+    assert(got(4) == "P236", "Pfister: pf collapses to P")
+    assert(got(5) == "H555")
+    assert(got(6) == "T522", "case-insensitive")
+    assert(got(7) == "" && got(8) == "", "no letters -> empty code")
+    assert(got(9) == "A000", "single letter zero-pads")
+  }
+
+  test("hilbertD expression == kernel, codegen and interpreted agree") {
+    val df = spark.range(500L).select(
+      (col("id") % 37L).as("x"), (col("id") % 53L).as("y"))
+    val got = df.select(col("x"), col("y"),
+      TextHash.hilbertD(col("x"), col("y"), 6).as("d")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == graft.functions.NativeKernels.hilbertD(
+        r.getLong(0), r.getLong(1), 6))
+    }
+    // SQL registration path
+    GraftExtensions.install(spark)
+    val viaSql = spark.sql("SELECT graft_hilbert_d(3, 4, 6)").head().getLong(0)
+    assert(viaSql == graft.functions.NativeKernels.hilbertD(3L, 4L, 6))
+  }
+
+  test("mulawToPcm: closed-form landmarks — 0xFF is digital silence, " +
+      "0x00 the negative peak -8031, sign symmetry holds") {
+    import graft.functions.NativeKernels.mulawToPcm
+    assert(mulawToPcm(0xff) == 0)
+    assert(mulawToPcm(0x7f) == 0) //            positive zero codeword
+    assert(mulawToPcm(0x00) == -8031)
+    assert(mulawToPcm(0x80) == 8031)
+    for (b <- 0 until 128)
+      assert(mulawToPcm(b) == -mulawToPcm(b | 0x80), s"symmetry at $b")
+    // monotone decreasing magnitude as the codeword index rises
+    val mags = (0 until 128).map(b => -mulawToPcm(b))
+    assert(mags == mags.sorted.reverse, "monotone companding")
+  }
 }

@@ -645,4 +645,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) == ((12L, 2L, 10L, 833333L)))
     assert(got(4L) == ((12L, 1L, 10L, 833333L)))
   }
+
+  test("confusableScan: homoglyph counts, mixed-script tokens only " +
+      "when Latin and confusables co-occur IN one token, skeleton " +
+      "folds back to the clean text's md5") {
+    import spark.implicits._
+    val clean = "the quick brown fox"
+    val spoofed = "the quiсk brоwn fox" //     Cyrillic с in quick, о in brown
+    val russian = "привет мир" //     real Cyrillic text, NOT spoofing
+    val mixedRu = "тест test тоже" //      'о' in тоже IS a confusable but
+    //     the token has no ASCII letter — counted, not mixed
+    val df = Seq((1L, clean), (2L, spoofed), (3L, russian), (4L, mixedRu))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.confusableScan(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val cleanMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((0L, 0L, cleanMd5)))
+    assert(got(2L)._1 == 2L && got(2L)._2 == 2L,
+      "two spoofed codepoints in two tokens")
+    assert(got(2L)._3 == cleanMd5,
+      "the skeleton must fold the spoof back to the clean text")
+    assert(got(3L)._2 == 0L, "pure Cyrillic is not mixed-script")
+    assert(got(4L)._1 >= 1L && got(4L)._2 == 0L,
+      "confusable in an all-Cyrillic token is counted but not mixed")
+  }
 }
