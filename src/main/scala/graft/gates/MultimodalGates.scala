@@ -401,6 +401,33 @@ private[graft] object MultimodalGates {
       Multimodal.mulawStats(d, "doc_id", "content")
     }),
 
+    // ---- Multimodal: G.711 A-LAW audio — μ-law's European twin,
+    //      same fixture byte formula through the other companding law
+    //      (post-XOR sign bit means POSITIVE — the classic trap both
+    //      engines must agree on) ----
+    "mm_audio_alaw" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          Array.tabulate(((id % 50) + 20).toInt)(i =>
+            ((7L * i + 13L * id + i.toLong * i) % 256L).toByte))
+      Multimodal.alawStats(d, "doc_id", "content")
+    }),
+
+    // ---- Multimodal: IMA ADPCM audio — the 4-bit predictor/step-index
+    //      STATE MACHINE (first sequentially-stateful audio codec on
+    //      the board); the oracle replays the walk as a recursive CTE
+    //      and the gate pins the final (predictor, index) state, which
+    //      no aggregate-only check could fake ----
+    "mm_audio_adpcm" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          Array.tabulate(((id % 40) + 10).toInt)(i =>
+            ((11L * i + 17L * id + i.toLong * i * i) % 256L).toByte))
+      Multimodal.adpcmStats(d, "doc_id", "content")
+    }),
+
     "mm_audio_resample" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
       val id = col("doc_id")
@@ -732,6 +759,72 @@ private[graft] object MultimodalGates {
           "AS peak_abs, " +
           "CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT) " +
           "AS energy FROM v"
+      },
+
+      // Per-sample replay of the ITU A-law closed form: byte XOR 0x55
+      // -> segment/mantissa -> (16m+8) or (16m+264)<<(seg-1); the
+      // POST-XOR sign bit SET means positive. All intermediates
+      // non-negative, so // and % replay exactly.
+      "mm_audio_alaw" -> {
+        val mag = "(CASE WHEN (u // 16) % 8 = 0 THEN 16 * (u % 16) + 8 " +
+          "ELSE (16 * (u % 16) + 264) << (((u // 16) % 8) - 1) END)"
+        val pcm = s"CASE WHEN u >= 128 THEN $mag ELSE -$mag END"
+        "WITH m AS (SELECT doc_id AS id, doc_id % 50 + 20 AS n " +
+          "FROM documents), " +
+          "p AS (SELECT id, n, list_transform(range(0, n), i -> " +
+          "xor((7 * i + 13 * id + i * i) % 256, 85)) AS us FROM m), " +
+          s"v AS (SELECT id, n, list_transform(us, u -> $pcm) AS pcm " +
+          "FROM p) " +
+          "SELECT id, CAST(n AS BIGINT) AS n_samples, " +
+          "CAST(list_sum(list_transform(pcm, x -> abs(x))) AS BIGINT) " +
+          "AS sum_abs, " +
+          "CAST(list_max(list_transform(pcm, x -> abs(x))) AS BIGINT) " +
+          "AS peak_abs, " +
+          "CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT) " +
+          "AS energy FROM v"
+      },
+
+      // Recursive-CTE replay of the IMA ADPCM state machine: one step
+      // per nibble (low nibble first) carrying (predictor, index);
+      // step/index tables as literal lists. UNION ALL (WITH RECURSIVE
+      // set-semantics dedup must not merge identical states). The
+      // divisions all act on non-negative operands (step, pos) —
+      // predictor can go negative but is never divided.
+      "mm_audio_adpcm" -> {
+        val stepTab = graft.functions.NativeKernels.AdpcmStepTable
+          .mkString("[", ", ", "]")
+        val idxTab = graft.functions.NativeKernels.AdpcmIndexTable
+          .mkString("[", ", ", "]")
+        val nib = "(CASE WHEN s.pos % 2 = 0 " +
+          "THEN m.bs[s.pos // 2 + 1] % 16 " +
+          "ELSE m.bs[s.pos // 2 + 1] // 16 END)"
+        val step = s"($stepTab)[s.idx + 1]"
+        val diff = s"($step // 8 " +
+          s"+ CASE WHEN $nib % 8 >= 4 THEN $step ELSE 0 END " +
+          s"+ CASE WHEN $nib % 4 >= 2 THEN $step // 2 ELSE 0 END " +
+          s"+ CASE WHEN $nib % 2 = 1 THEN $step // 4 ELSE 0 END)"
+        val rawPred = s"(CASE WHEN $nib >= 8 THEN s.pred - $diff " +
+          s"ELSE s.pred + $diff END)"
+        val newPred = s"greatest(-32768, least(32767, $rawPred))"
+        val newIdx = s"greatest(0, least(88, s.idx + ($idxTab)[$nib + 1]))"
+        "WITH RECURSIVE m AS (SELECT doc_id AS id, " +
+          "doc_id % 40 + 10 AS nb, " +
+          "list_transform(range(0, doc_id % 40 + 10), i -> " +
+          "(11 * i + 17 * doc_id + i * i * i) % 256) AS bs FROM documents), " +
+          "steps AS (" +
+          "SELECT id, 0 AS pos, 0 AS pred, 0 AS idx, " +
+          "CAST(NULL AS BIGINT) AS pcm FROM m " +
+          "UNION ALL " +
+          s"SELECT s.id, s.pos + 1, $newPred, $newIdx, " +
+          s"CAST($newPred AS BIGINT) " +
+          "FROM steps s JOIN m ON m.id = s.id WHERE s.pos < 2 * m.nb) " +
+          "SELECT id, CAST(count(pcm) AS BIGINT) AS n_samples, " +
+          "CAST(sum(abs(pcm)) AS BIGINT) AS sum_abs, " +
+          "CAST(max(abs(pcm)) AS BIGINT) AS peak_abs, " +
+          "CAST(sum(pcm * pcm) AS BIGINT) AS energy, " +
+          "CAST(arg_max(pred, pos) AS BIGINT) AS final_pred, " +
+          "CAST(arg_max(idx, pos) AS BIGINT) AS final_index " +
+          "FROM steps WHERE pcm IS NOT NULL GROUP BY id"
       },
       "mm_audio_resample" ->
         // Closed-form replay of the 2/3 resample over the sawtooth:

@@ -425,6 +425,97 @@ object Multimodal {
       .toDF()
   }
 
+  /** G.711 A-law decode + stats — μ-law's European twin (same one-byte-
+    * per-sample telephony shape, different companding law): decode each
+    * byte with the public ITU closed form
+    * ([[graft.functions.NativeKernels.alawToPcm]]; note the post-XOR
+    * sign-bit-set-means-POSITIVE trap) and emit the same exact integer
+    * (n_samples, Σ|pcm|, max|pcm|, Σpcm²) row. |pcm| ≤ 32256 keeps
+    * Σpcm² inside BIGINT at any real clip length. NULL/empty payloads
+    * surface as NULL rows. Row-local batched kernel, no shuffle. */
+  def alawStats(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        if (b == null || b.length == 0) MulawRow(id, None, None, None, None)
+        else {
+          var i = 0
+          var sAbs = 0L
+          var peak = 0L
+          var energy = 0L
+          while (i < b.length) {
+            val v = graft.functions.NativeKernels.alawToPcm(b(i) & 0xff)
+            val a = math.abs(v).toLong
+            sAbs += a
+            if (a > peak) peak = a
+            energy += a * a
+            i += 1
+          }
+          MulawRow(id, Some(b.length.toLong), Some(sAbs), Some(peak),
+            Some(energy))
+        }
+      }))
+      .toDF()
+  }
+
+  /** One IMA ADPCM row: exact integer stats over the decoded PCM plus
+    * the decoder's final (predictor, index) state — the state pair
+    * pins the WHOLE sequential walk, not just its aggregates. */
+  final case class AdpcmRow(
+      id: Long, n_samples: Option[Long], sum_abs: Option[Long],
+      peak_abs: Option[Long], energy: Option[Long],
+      final_pred: Option[Long], final_index: Option[Long])
+
+  /** IMA/DVI ADPCM decode + stats — the 4-bit compressed-telephony/
+    * game-audio shape: each byte carries TWO nibbles (low first, the
+    * WAV/IMA convention), decoded through the public predictor/step-
+    * index state machine ([[graft.functions.NativeKernels.adpcmStep]]
+    * + the 89-entry step and 16-entry index tables) from the zero
+    * initial state. Emits exact integer (n_samples, Σ|pcm|, max|pcm|,
+    * Σpcm², final predictor, final index) per row; the oracle replays
+    * the state machine as a recursive walk. NULL/empty payloads
+    * surface as NULL rows. Row-local batched kernel, no shuffle. */
+  def adpcmStats(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        if (b == null || b.length == 0)
+          AdpcmRow(id, None, None, None, None, None, None)
+        else {
+          var pred = 0
+          var index = 0
+          var sAbs = 0L
+          var peak = 0L
+          var energy = 0L
+          var k = 0
+          val n = 2 * b.length
+          while (k < n) {
+            val byte = b(k >> 1) & 0xff
+            val nib = if ((k & 1) == 0) byte & 0x0f else byte >> 4
+            pred = graft.functions.NativeKernels.adpcmStep(pred, index, nib)
+            index = math.max(0, math.min(88,
+              index + graft.functions.NativeKernels.AdpcmIndexTable(nib)))
+            val a = math.abs(pred).toLong
+            sAbs += a
+            if (a > peak) peak = a
+            energy += a * a
+            k += 1
+          }
+          AdpcmRow(id, Some(n.toLong), Some(sAbs), Some(peak),
+            Some(energy), Some(pred.toLong), Some(index.toLong))
+        }
+      }))
+      .toDF()
+  }
+
   // ---- metadata-stage transforms (post-decode, pure column arithmetic —
   // codegen'd, no UDF; a real pixel/audio kernel would slot into the same
   // batched-partition shape as decodeBatch) ------------------------------
