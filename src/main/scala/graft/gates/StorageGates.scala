@@ -502,6 +502,29 @@ private[graft] object StorageGates {
       stateOut(pt.read().get)
     }),
 
+    // ---- Storage: per-bucket BLOOM data-skipping sidecar — equality
+    //      probe on a NON-key column skips buckets whose bloom proves
+    //      absence (KB-scale sidecar, changed-buckets-only refresh);
+    //      conservative by construction: result == state filter ----
+    "o31_bloom_index" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o31_").toString
+      val tbl = graft.model.TargetTable("events_bx", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 8,
+        retainVersions = 4)
+      val cfg = IngestConfig(name = s"o31-bx-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      val ev = eventRecords(s, dir)
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 =!= 0), cfg)
+      val bx = new graft.sink.BloomIndex(s, pt, "event_type", s"$tmp/bx")
+      bx.rebuild()
+      // second batch changes data AFTER the build — the refresh must
+      // recompute exactly the touched buckets' blooms
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 === 0), cfg)
+      bx.refresh()
+      stateOut(bx.lookupEq("purchase"))
+    }),
+
     // ---- Storage: compaction with HILBERT layout — Morton's locality-
     //      optimal sibling (consecutive curve positions are always grid
     //      neighbors, so per-file min-max boxes are compact blobs with
@@ -650,6 +673,11 @@ private[graft] object StorageGates {
           "ON st.pkey % 25 = n.n_nationkey WHERE st.pkey % 25 <> 7"),
       // the CDC-synced index must equal state filtered on the value
       "o23_value_index" ->
+        (s"SELECT pkey, modified_date_us, event_type, value " +
+          s"FROM ($dedupState) WHERE event_type = 'purchase'"),
+      // bloom skipping is one-sided: false positives are read then
+      // filtered, absences are skipped — result == the exact filter
+      "o31_bloom_index" ->
         (s"SELECT pkey, modified_date_us, event_type, value " +
           s"FROM ($dedupState) WHERE event_type = 'purchase'"),
       // pruning is conservative: result == latest-wins state restricted

@@ -362,6 +362,18 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
         table.keyCols, "left_semi")
     }
 
+  /** Current rows of an explicit set of buckets — the read primitive a
+    * data-skipping sidecar (zone map, Bloom index) resolves its pruning
+    * decision into: scan cost is O(selected bucket dirs), never the
+    * table. Unknown bucket ids simply select nothing. None when the
+    * target does not exist. */
+  def readBuckets(bucketIds: Seq[Int]): Option[DataFrame] =
+    currentVm().filter(_._2.nonEmpty).map { case (v, m) =>
+      val schema = currentSchema(m)
+      val dirs = bucketIds.distinct.flatMap(m.get).distinct
+      if (dirs.isEmpty) emptyWithSchema(schema) else readDirsDv(dirs, v)
+    }
+
   /** Equality lookup by the BUCKET columns alone
     * ([[graft.model.TargetTable.bucketCols]], a declared subset of the
     * key): reads exactly the buckets those values hash into and
