@@ -656,6 +656,21 @@ private[graft] object GraphTsGates {
           .as("q"))
       graft.ops.TimeSeries.dtwPairwise(ev, "event_type", "d", "q")
     }),
+
+    // ---- Time series: MATRIX PROFILE over the daily series — each
+    //      7-day window's nearest non-trivial neighbor (|i-j| >= 7);
+    //      minima = motifs, maxima = discords; exact integers ----
+    "ts_matrix_profile" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("d"),
+          coalesce(floor(col("value") * 1024.0).cast("long"), lit(0L))
+            .as("q"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("q")).as("x"))
+      graft.ops.TimeSeries.matrixProfile(
+        daily, "event_type", "d", "x", window = 7, exclusion = 7)
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -1029,6 +1044,35 @@ private[graft] object GraphTsGates {
           "y.arr AS b FROM ser x JOIN ser y ON x.g < y.g) " +
           s"SELECT type_a, type_b, CAST($dp AS BIGINT) AS dtw_q, " +
           s"CAST($dp AS DOUBLE) / 1024.0 AS dtw FROM pr"
+      },
+
+      // Independent replay of the all-pairs subsequence scan: same
+      // daily integer series, windows via list_slice, per-pair squared
+      // Euclidean over a positional list_transform, deterministic
+      // rank-1 pick (ORDER BY dist, j) — no struct-accumulator fold.
+      "ts_matrix_profile" -> {
+        val m = 7
+        val dist = s"list_sum(list_transform(range(1, ${m + 1}), t -> " +
+          "(a.v[CAST(t AS INT)] - b.v[CAST(t AS INT)]) * " +
+          "(a.v[CAST(t AS INT)] - b.v[CAST(t AS INT)])))"
+        "WITH q AS (SELECT event_type AS g, " +
+          "epoch_us(ts) // 86400000000 AS d, " +
+          "coalesce(CAST(floor(value * 1024.0) AS BIGINT), 0) AS qv " +
+          "FROM events), " +
+          "s AS (SELECT g, d, CAST(sum(qv) AS BIGINT) AS x FROM q " +
+          "GROUP BY 1, 2), " +
+          "ser AS (SELECT g, list(x ORDER BY d) AS xs FROM s GROUP BY g), " +
+          s"w AS (SELECT g, unnest(range(0, len(xs) - $m + 1)) AS i, " +
+          "xs FROM ser), " +
+          s"v AS (SELECT g, i, list_slice(xs, CAST(i + 1 AS INT), " +
+          s"CAST(i + $m AS INT)) AS v FROM w), " +
+          "p AS (SELECT a.g AS g, a.i AS i, b.i AS j, " +
+          s"CAST($dist AS BIGINT) AS dist " +
+          s"FROM v a JOIN v b ON a.g = b.g AND abs(a.i - b.i) >= $m), " +
+          "r AS (SELECT g, i, j, dist, row_number() OVER (" +
+          "PARTITION BY g, i ORDER BY dist, j) AS rn FROM p) " +
+          "SELECT g AS event_type, CAST(i AS BIGINT) AS i, " +
+          "CAST(j AS BIGINT) AS nn_j, dist AS mp_dist FROM r WHERE rn = 1"
       },
       "ts_decompose" -> tsDecomposeSql,
       "ts_strength" ->

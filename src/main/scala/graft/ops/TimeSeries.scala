@@ -1384,6 +1384,62 @@ object TimeSeries {
     * the pair join is over the AGGREGATED table (O(keys²) pairs of a
     * bounded categorical key set — document the bound at the call site);
     * the DP kernel is a native codegen expression, exact integers. */
+  /** MATRIX PROFILE (non-normalized, exact-integer variant) of each
+    * key's bucketed series: for every length-`window` subsequence
+    * starting at i, the squared-Euclidean distance to its NEAREST
+    * non-trivial neighbor subsequence (|i−j| ≥ `exclusion`, the
+    * standard trivial-match zone) and that neighbor's start. The
+    * profile's minima are the series' MOTIFS (repeated shapes), its
+    * maxima the DISCORDS (anomalous windows) — the classic all-pairs
+    * subsequence-similarity readout (Yeh et al., ICDM 2016), here on
+    * integer-quantized values so both engines replay exactly; the
+    * z-normalized variant trades exactness for amplitude invariance
+    * and is deliberately not the gated path.
+    *
+    * Emits (key, i, nn_j, mp_dist) for every i with at least one
+    * admissible j; ties break to the smallest j (deterministic).
+    *
+    * Scale: series materialize with ONE per-key sort_array aggregate
+    * (bounded by the bucket grid — O(buckets), never raw events); the
+    * self-join emits O(grid²) pairs per key over the AGGREGATED table;
+    * the distance is a zip_with/aggregate over two MATERIALIZED array
+    * columns (no lambda-captured recompute); the rank-1 pick is a
+    * window partitioned by (key, i) — never corpus-wide. */
+  def matrixProfile(
+      buckets: DataFrame, keyCol: String, bucketCol: String,
+      xCol: String, window: Int, exclusion: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(exclusion >= 1, s"exclusion must be >= 1, got $exclusion")
+    val series = buckets
+      .groupBy(col(keyCol).as("__k"))
+      .agg(transform(
+        array_sort(collect_list(struct(col(bucketCol).as("b"),
+          col(xCol).cast("long").as("x")))),
+        s => s.getField("x")).as("__xs"))
+    val wins = series
+      .select(col("__k"),
+        explode(sequence(lit(0), size(col("__xs")) - window)).as("i"),
+        col("__xs"))
+      .select(col("__k"), col("i"),
+        slice(col("__xs"), col("i") + 1, lit(window)).as("__v"))
+    val a = wins.select(col("__k"), col("i"), col("__v").as("__va"))
+    val b = wins.select(col("__k").as("__kb"), col("i").as("j"),
+      col("__v").as("__vb"))
+    val pairs = a.join(b,
+        col("__k") === col("__kb") &&
+          abs(col("i") - col("j")) >= exclusion)
+      .select(col("__k").as(keyCol), col("i"), col("j"),
+        aggregate(zip_with(col("__va"), col("__vb"),
+            (p, q) => (p - q) * (p - q)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+    val w = Window.partitionBy(col(keyCol), col("i"))
+      .orderBy(col("dist"), col("j"))
+    pairs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(keyCol), col("i").cast("long").as("i"),
+        col("j").cast("long").as("nn_j"), col("dist").as("mp_dist"))
+  }
+
   def dtwPairs(
       buckets: DataFrame, keyCol: String, bucketCol: String,
       xCol: String): DataFrame = {

@@ -715,4 +715,33 @@ class TimeSeriesSpec extends SparkSpec {
     val got = run(1)
     assert(got == expected && got == run(9))
   }
+
+  test("matrixProfile finds the planted motif (distance 0, mutual " +
+    "pointers) and ranks the spiked window as the discord") {
+    // 20-point series: the shape [5,1,4,1,5] planted at i=0 and i=10
+    // (gap >= exclusion 5); a huge spike at position 17
+    val base = Array.fill(20)(2L)
+    val motif = Array(5L, 1L, 4L, 1L, 5L)
+    motif.zipWithIndex.foreach { case (v, t) => base(t) = v; base(10 + t) = v }
+    base(17) = 1000L
+    val df = base.zipWithIndex
+      .map { case (v, d) => ("k", d.toLong, v) }.toSeq
+      .toDF("k", "d", "x")
+    val got = TimeSeries.matrixProfile(df, "k", "d", "x",
+      window = 5, exclusion = 5)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 16) // starts 0..15, every i has an admissible j
+    assert(got(0L) == ((10L, 0L)), "motif copy 1 -> copy 2 at distance 0")
+    assert(got(10L) == ((0L, 0L)), "motif copy 2 -> copy 1 at distance 0")
+    // the discord: every window covering the spike is far from all
+    // neighbors; the max profile value must belong to one of them
+    val discordI = got.maxBy { case (_, (_, dist)) => dist }._1
+    assert(discordI >= 13L && discordI <= 15L,
+      s"discord window should cover the spike at 17, got i=$discordI")
+    // the flat window i=5 has NO exact admissible match (all j with
+    // |5-j| >= 5 overlap a motif or the spike); its nearest neighbor
+    // is the hand-computed j=12 at distance (2-4)^2+(2-1)^2+(2-5)^2=14
+    assert(got(5L) == ((12L, 14L)))
+  }
 }
