@@ -500,6 +500,26 @@ private[graft] object GraphTsGates {
       graft.ops.Graph.bfsHops(edges, "a", "b", seeds, depth = 3)
     }),
 
+    // ---- Graph: BIPARTITENESS per component — BFS-parity 2-coloring
+    //      plus odd-edge witnesses over a deterministic RING fixture
+    //      (8-rings bipartite, 7-rings odd cycles); the engine runs the
+    //      real CC + BFS fixpoints, the oracle replays parity closed-
+    //      form from ring positions — fully independent derivations ----
+    "graph_bipartite" -> ((s, dir) => {
+      val nodes = t(s, dir, "documents")
+        .select(col("doc_id").as("n"), expr("doc_id div 8").as("g"))
+        .filter(!(pmod(col("n"), lit(8)) === 7 &&
+          pmod(col("g"), lit(2)) === 0))
+      val rings = nodes.groupBy(col("g"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .filter(size(col("ns")) >= 2)
+      val edges = rings
+        .select(col("ns"), posexplode(col("ns")).as(Seq("i", "a")))
+        .select(col("a"), element_at(col("ns"),
+          pmod(col("i") + 1, size(col("ns"))) + 1).as("b"))
+      graft.ops.Graph.bipartiteCheck(edges, "a", "b", maxDepth = 6)
+    }),
+
     // ---- Graph: landmark betweenness (Brandes on the depth-3 ball) —
     //      σ forward / quantized δ backward over the BFS DAG; the
     //      broker-node read completing the centrality family ----
@@ -1045,6 +1065,37 @@ private[graft] object GraphTsGates {
           s"SELECT type_a, type_b, CAST($dp AS BIGINT) AS dtw_q, " +
           s"CAST($dp AS DOUBLE) / 1024.0 AS dtw FROM pr"
       },
+
+      // Closed-form ring replay: dist from the ring's min node is
+      // least(pos, L - pos) (pos = sorted rank), parity mod 2, the
+      // single possible odd edge surfaces where consecutive-or-wrap
+      // positions share parity — derived WITHOUT running CC or BFS,
+      // so it cross-checks the engine's two fixpoints end-to-end.
+      "graph_bipartite" ->
+        ("WITH k AS (SELECT doc_id AS n, doc_id // 8 AS g " +
+          "FROM documents WHERE NOT (doc_id % 8 = 7 " +
+          "AND (doc_id // 8) % 2 = 0)), " +
+          "r AS (SELECT n, g, CAST(row_number() OVER (PARTITION BY g " +
+          "ORDER BY n) - 1 AS BIGINT) AS pos, " +
+          "CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS l, " +
+          "min(n) OVER (PARTITION BY g) AS root FROM k), " +
+          "p AS (SELECT g, root, l, n, pos, " +
+          "least(pos, l - pos) % 2 AS par FROM r WHERE l >= 2), " +
+          "ed AS (SELECT a.g, a.par AS pa, b.par AS pb FROM p a " +
+          "JOIN p b ON a.g = b.g AND b.pos = a.pos + 1 " +
+          "UNION ALL SELECT a.g, a.par, b.par FROM p a JOIN p b " +
+          "ON a.g = b.g AND a.pos = a.l - 1 AND b.pos = 0 AND a.l > 2), " +
+          "oe AS (SELECT g, CAST(count(*) FILTER (WHERE pa = pb) " +
+          "AS BIGINT) AS odd_edges FROM ed GROUP BY g), " +
+          "agg AS (SELECT g, root AS component, l AS n_nodes, " +
+          "CAST(count(*) FILTER (WHERE par = 0) AS BIGINT) AS n_even, " +
+          "CAST(count(*) FILTER (WHERE par = 1) AS BIGINT) AS n_odd, " +
+          "CAST(0 AS BIGINT) AS n_unreached FROM p " +
+          "GROUP BY g, root, l) " +
+          "SELECT component, n_nodes, n_even, n_odd, n_unreached, " +
+          "coalesce(oe.odd_edges, 0) AS odd_edges, " +
+          "coalesce(oe.odd_edges, 0) = 0 AS is_bipartite " +
+          "FROM agg LEFT JOIN oe USING (g)"),
 
       // Independent replay of the all-pairs subsequence scan: same
       // daily integer series, windows via list_slice, per-pair squared

@@ -641,6 +641,60 @@ object Graph {
     } finally { e.unpersist(); () }
   }
 
+  /** BIPARTITENESS test per connected component — the two-colorability
+    * check behind conflict-free assignment, matching feasibility and
+    * odd-cycle detection: color each node by the PARITY of its BFS
+    * distance from its component's root (the min node id — components
+    * are disjoint, so one multi-seed BFS wave from all roots settles
+    * every node from exactly its own root), then an edge whose
+    * endpoints share a parity WITNESSES an odd cycle. Emits per
+    * component: (component, n_nodes, n_even, n_odd, n_unreached,
+    * odd_edges, is_bipartite), where is_bipartite also demands every
+    * node was reached within `maxDepth` (unreached = unknown parity —
+    * refuse to certify, never guess).
+    *
+    * Scale: one min-label CC fixpoint + one frontier BFS (both the
+    * proven O(edges)-per-round plans with localCheckpoint lineage
+    * cuts), one edge-parity join, one aggregate keyed by component.
+    * `maxDepth` must cover the eccentricity of each root — size it
+    * like [[bfsHops]]'s depth. */
+  def bipartiteCheck(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxDepth: Int): DataFrame = {
+    // normalized undirected edge list (a < b, deduped) for the parity
+    // probe; the CC/BFS helpers symmetrize internally as needed
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("ea"),
+        greatest(col(aCol), col(bCol)).cast("long").as("eb"))
+      .where(col("ea") =!= col("eb"))
+      .distinct()
+    val sym = und.unionByName(
+      und.select(col("eb").as("ea"), col("ea").as("eb")))
+    val cc = graft.ops.Components.connectedComponents(und, "ea", "eb")
+    val roots = cc.select(col("comp")).distinct()
+    val dist = bfsHops(sym, "ea", "eb", roots, maxDepth)
+    val par = cc.join(dist, cc("id") === dist("node"), "left_outer")
+      .select(col("id"), col("comp"), (col("dist") % 2).as("par"))
+    val oddE = und
+      .join(par.select(col("id").as("ea"), col("par").as("pa")), "ea")
+      .join(par.select(col("id").as("eb"), col("par").as("pb"),
+        col("comp")), "eb")
+      .where(col("pa").isNotNull && col("pa") === col("pb"))
+      .groupBy(col("comp")).agg(count(lit(1)).as("odd_edges"))
+    par.groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("n_nodes"),
+        count(when(col("par") === 0, 1)).as("n_even"),
+        count(when(col("par") === 1, 1)).as("n_odd"),
+        count(when(col("par").isNull, 1)).as("n_unreached"))
+      .join(oddE.withColumnRenamed("comp", "component"),
+        Seq("component"), "left_outer")
+      .select(col("component"), col("n_nodes"), col("n_even"),
+        col("n_odd"), col("n_unreached"),
+        coalesce(col("odd_edges"), lit(0L)).as("odd_edges"),
+        (coalesce(col("odd_edges"), lit(0L)) === 0 &&
+          col("n_unreached") === 0).as("is_bipartite"))
+  }
+
   /** Multi-source BFS: per-seed shortest hop counts, all seeds in ONE
     * frontier wave — rows (seed, node, dist), cost O(|seeds|·E) per
     * round keyed by vertex (the frontier join), the standard landmark

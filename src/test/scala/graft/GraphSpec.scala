@@ -449,4 +449,35 @@ class GraphSpec extends SparkSpec {
     assert(small.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
     assert(small.find(_.getLong(0) == 1L).get.getLong(2) == 7L)
   }
+
+  test("bipartiteCheck: even cycle passes, odd cycle fails with a " +
+    "witness edge, a path is bipartite, depth exhaustion refuses") {
+    // component A: square 0-1-2-3-0 (bipartite)
+    // component B: triangle 10-11-12 (one odd edge)
+    // component C: path 20-21-22 (bipartite)
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (21L, 22L)).toDF("a", "b")
+    val got = Graph.bipartiteCheck(edges, "a", "b", maxDepth = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(got.keySet == Set(0L, 10L, 20L))
+    assert(got(0L) == ((4L, 2L, 2L, 0L, 0L, true)))
+    assert(got(10L) == ((3L, 1L, 2L, 0L, 1L, false)))
+    assert(got(20L) == ((3L, 2L, 1L, 0L, 0L, true)))
+
+    // a 9-path from node 30 with maxDepth 3: tail nodes unreached ->
+    // parity unknown -> the component must REFUSE certification
+    val path = (30L until 39L).sliding(2)
+      .map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val shallow = Graph.bipartiteCheck(path, "a", "b", maxDepth = 3)
+      .collect().head
+    assert(shallow.getLong(0) == 30L)
+    assert(shallow.getLong(4) > 0L, "tail must be unreached at depth 3")
+    assert(!shallow.getBoolean(6), "unknown parity must not certify")
+  }
 }
