@@ -428,6 +428,20 @@ private[graft] object MultimodalGates {
       Multimodal.adpcmStats(d, "doc_id", "content")
     }),
 
+    // ---- Multimodal: QOI pixel decode — the FIFTH codec, first with
+    //      a running-palette op set (INDEX/DIFF/LUMA/RUN/RGB chunks);
+    //      the fixture is a real greedy encode of the gray formula
+    //      raster (div-3 quantized so runs exist), the oracle replays
+    //      the formula closed-form with no QOI decoder ----
+    "mm_qoi_pixel_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.qoiPixelBytes(
+            (id % 23 + 10).toInt, (id % 12 + 7).toInt, id % 71))
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
     "mm_audio_resample" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
       val id = col("doc_id")
@@ -566,6 +580,13 @@ private[graft] object MultimodalGates {
         // Full-raster replay of the closed form: exact luma moments and
         // the L1-gradient edge count over the interior.
         mmPixelStatsSql("doc_id % 24 + 9", "doc_id % 16 + 8", "doc_id % 97"),
+      "mm_qoi_pixel_stats" ->
+        // The QOI fixture's gray raster is the div-3-quantized formula
+        // (runs exist by construction); BT.601 luma of gray is exact,
+        // so the replay needs no codec at all.
+        mmPixelStatsSql("doc_id % 23 + 10", "doc_id % 12 + 7",
+          "doc_id % 71",
+          "(31 * (xx // 3) + 47 * yy + 7 * (xx // 3) * yy + 101 * s) % 256"),
       "mm_reject_exotic" ->
         // Closed-form replay of the rejection posture: interlaced PNG
         // (0 mod 3) and progressive JPEG (1 mod 3) rows survive as

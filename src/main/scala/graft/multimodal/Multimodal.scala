@@ -910,6 +910,88 @@ object Multimodal {
     * BT.601 luma as PNG/GIF. Returns None for compressed BMPs
     * (RLE or bitfields), other depths, truncated pixel arrays, or a
     * palette that overruns the data offset. */
+  /** QOI (Quite OK Image, the public one-page spec) pixel decode —
+    * the FIFTH codec, and the first with a running-palette op set:
+    * every chunk is one of RGB/RGBA (literal), INDEX (64-slot hash
+    * array of previously seen pixels, hash = (3r+5g+7b+11a) mod 64),
+    * DIFF (2-bit channel deltas, bias 2, byte wraparound), LUMA
+    * (6-bit green delta ± 4-bit red/blue-vs-green deltas), RUN
+    * (1..62 repeats of the previous pixel); decode state is
+    * (prev pixel, 64-slot index) updated after every chunk exactly as
+    * the reference decoder does. Luma out is the BT.601 integer form
+    * (77r + 150g + 29b) >> 8 — exactly v on gray pixels, so gray
+    * fixtures replay closed-form. Rejections (bad magic/header, bomb
+    * dims, truncation, missing end marker, over-long stream) → None,
+    * the exploder posture shared by every codec here. */
+  private[graft] def qoiPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 22 || b(0) != 'q' || b(1) != 'o' || b(2) != 'i' ||
+      b(3) != 'f') return None
+    def be32(off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    val w = be32(4)
+    val h = be32(8)
+    val channels = b(12) & 0xff
+    val colorspace = b(13) & 0xff
+    if (w <= 0 || h <= 0 || w * h > (1L << 26)) return None
+    if ((channels != 3 && channels != 4) || colorspace > 1) return None
+    val n = (w * h).toInt
+    val lum = new Array[Int](n)
+    // packed RGBA ints in the 64-slot running index; start pixel a=255
+    val index = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0; var pa = 255
+    var p = 14
+    var out = 0
+    while (out < n) {
+      if (p >= b.length - 8) return None // ran into the end marker
+      val b1 = b(p) & 0xff; p += 1
+      if (b1 == 0xfe) { //                                     QOI_OP_RGB
+        if (p + 3 > b.length - 8) return None
+        pr = b(p) & 0xff; pg = b(p + 1) & 0xff; pb = b(p + 2) & 0xff
+        p += 3
+      } else if (b1 == 0xff) { //                             QOI_OP_RGBA
+        if (p + 4 > b.length - 8) return None
+        pr = b(p) & 0xff; pg = b(p + 1) & 0xff; pb = b(p + 2) & 0xff
+        pa = b(p + 3) & 0xff
+        p += 4
+      } else (b1 >> 6) match {
+        case 0 => //                                          QOI_OP_INDEX
+          val v = index(b1 & 0x3f)
+          pr = (v >>> 24) & 0xff; pg = (v >>> 16) & 0xff
+          pb = (v >>> 8) & 0xff; pa = v & 0xff
+        case 1 => //                                           QOI_OP_DIFF
+          pr = (pr + ((b1 >> 4) & 0x03) - 2) & 0xff
+          pg = (pg + ((b1 >> 2) & 0x03) - 2) & 0xff
+          pb = (pb + (b1 & 0x03) - 2) & 0xff
+        case 2 => //                                           QOI_OP_LUMA
+          if (p + 1 > b.length - 8) return None
+          val dg = (b1 & 0x3f) - 32
+          val b2 = b(p) & 0xff; p += 1
+          pr = (pr + dg + ((b2 >> 4) & 0x0f) - 8) & 0xff
+          pg = (pg + dg) & 0xff
+          pb = (pb + dg + (b2 & 0x0f) - 8) & 0xff
+        case _ => //                                            QOI_OP_RUN
+          val run = (b1 & 0x3f) + 1
+          if (run > n - out) return None // over-long run
+          val lv = (77 * pr + 150 * pg + 29 * pb) >> 8
+          var k = 0
+          while (k < run) { lum(out) = lv; out += 1; k += 1 }
+      }
+      if ((b1 >> 6) != 3 || b1 == 0xfe || b1 == 0xff) {
+        index((3 * pr + 5 * pg + 7 * pb + 11 * pa) % 64) =
+          (pr << 24) | (pg << 16) | (pb << 8) | pa
+        lum(out) = (77 * pr + 150 * pg + 29 * pb) >> 8
+        out += 1
+      }
+    }
+    // strict end: exactly the 7×0x00 + 0x01 marker, nothing else
+    if (p + 8 != b.length) return None
+    var k = 0
+    while (k < 7) { if (b(p + k) != 0) return None; k += 1 }
+    if (b(p + 7) != 1) return None
+    Some((w.toInt, h.toInt, lum))
+  }
+
   private[graft] def bmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val dataOff = le32(b, 10)
@@ -1374,6 +1456,8 @@ object Multimodal {
     else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') bmpPixels(b)
     else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
       jpegPixels(b)
+    else if (b.length >= 14 && b(0) == 'q' && b(1) == 'o' && b(2) == 'i' &&
+      b(3) == 'f') qoiPixels(b)
     else None
 
   /** Exact area-average downsample of a luma raster to a gw×gh grid:
@@ -2707,6 +2791,64 @@ object MediaFixtures {
       }
       r += 1
     }
+    bb.toByteArray
+  }
+
+  /** Real greedy QOI encoding (reference encoder's op preference:
+    * RUN > INDEX > DIFF > LUMA > RGB) of the GRAY raster
+    * v = pixelFormulaV(x div 3, y, seed) — the div-3 quantization
+    * manufactures horizontal runs so every op class appears in real
+    * streams. Gray pixels make the decoder's BT.601 luma exact
+    * ((77+150+29) = 256 → luma = v), so the oracle replays the formula
+    * without a QOI decoder. channels=3, colorspace=0, correct BE dims,
+    * 7×0x00+0x01 end marker — a conformant stream for any reader. */
+  def qoiPixelBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = {
+      bb.write((v >>> 24) & 0xff); bb.write((v >>> 16) & 0xff)
+      bb.write((v >>> 8) & 0xff); bb.write(v & 0xff)
+    }
+    bb.write('q'); bb.write('o'); bb.write('i'); bb.write('f')
+    be32(w); be32(h); bb.write(3); bb.write(0)
+    val index = new Array[Int](64) // packed rgba, zero-initialized
+    var pr = 0; var pg = 0; var pb = 0; val pa = 255
+    var run = 0
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val v = pixelFormulaV((i % w) / 3, i / w, seed)
+      if (v == pr && v == pg && v == pb) {
+        run += 1
+        if (run == 62) { bb.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { bb.write(0xc0 | (run - 1)); run = 0 }
+        val packed = (v << 24) | (v << 16) | (v << 8) | pa
+        val slot = (3 * v + 5 * v + 7 * v + 11 * pa) % 64
+        if (index(slot) == packed) bb.write(slot) //        QOI_OP_INDEX
+        else {
+          index(slot) = packed
+          // wrapped signed deltas, matching the decoder's & 0xff
+          def wrap(d: Int): Int = ((d + 128) & 0xff) - 128
+          val dr = wrap(v - pr); val dg = wrap(v - pg); val db = wrap(v - pb)
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 &&
+            db >= -2 && db <= 1)
+            bb.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          else if (dg >= -32 && dg <= 31 && dr - dg >= -8 && dr - dg <= 7 &&
+            db - dg >= -8 && db - dg <= 7) { //              QOI_OP_LUMA
+            bb.write(0x80 | (dg + 32))
+            bb.write(((dr - dg + 8) << 4) | (db - dg + 8))
+          } else { //                                         QOI_OP_RGB
+            bb.write(0xfe); bb.write(v); bb.write(v); bb.write(v)
+          }
+        }
+        pr = v; pg = v; pb = v
+      }
+      i += 1
+    }
+    if (run > 0) bb.write(0xc0 | (run - 1))
+    var k = 0
+    while (k < 7) { bb.write(0); k += 1 }
+    bb.write(1)
     bb.toByteArray
   }
 

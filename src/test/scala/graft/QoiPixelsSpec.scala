@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{MediaFixtures, Multimodal}
+
+/** QOI decode pinned to HAND-ASSEMBLED streams derived from the public
+  * one-page spec (not to this repo's encoder — the bytes below were
+  * written chunk by chunk from the spec text, so an encoder/decoder
+  * bug pair cannot cancel), plus encoder op coverage, the formula
+  * roundtrip, and the exploder rejection paths. */
+class QoiPixelsSpec extends AnyFunSuite {
+
+  private def header(w: Int, h: Int, ch: Int = 4): Array[Int] =
+    Array('q'.toInt, 'o'.toInt, 'i'.toInt, 'f'.toInt,
+      w >>> 24, (w >>> 16) & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      h >>> 24, (h >>> 16) & 0xff, (h >>> 8) & 0xff, h & 0xff, ch, 0)
+
+  private val endMarker = Array(0, 0, 0, 0, 0, 0, 0, 1)
+
+  private def bytes(xs: Array[Int]*): Array[Byte] =
+    xs.flatten.map(_.toByte).toArray
+
+  private def luma(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
+
+  test("hand-assembled RGB + DIFF + RUN + INDEX stream decodes exactly " +
+    "(index slot of (10,20,30,255) is 9 per the spec's hash)") {
+    // p1 RGB(10,20,30); p2 DIFF(+1,+1,+1); p3 RUN 1; p4 INDEX[9] = p1
+    val img = bytes(header(4, 1),
+      Array(0xfe, 10, 20, 30),
+      Array(0x40 | (3 << 4) | (3 << 2) | 3),
+      Array(0xc0),
+      Array(0x09),
+      endMarker)
+    val Some((w, h, lum)) = Multimodal.qoiPixels(img)
+    assert(w == 4 && h == 1)
+    assert(lum.toSeq == Seq(
+      luma(10, 20, 30), luma(11, 21, 31), luma(11, 21, 31), luma(10, 20, 30)))
+  }
+
+  test("hand-assembled LUMA and RGBA chunks decode per the spec's " +
+    "bias/wrap arithmetic") {
+    // p1 RGB(100,100,100); p2 LUMA dg=+10, dr-dg=-2, db-dg=+3
+    //   -> (108, 110, 113); p3 RGBA(1,2,3,128)
+    val img = bytes(header(3, 1),
+      Array(0xfe, 100, 100, 100),
+      Array(0x80 | (10 + 32), ((-2 + 8) << 4) | (3 + 8)),
+      Array(0xff, 1, 2, 3, 128),
+      endMarker)
+    val Some((_, _, lum)) = Multimodal.qoiPixels(img)
+    assert(lum.toSeq == Seq(100, luma(108, 110, 113), luma(1, 2, 3)))
+  }
+
+  test("DIFF wraps around the byte per the spec (0 - 2 = 254)") {
+    // start pixel is (0,0,0,255); DIFF(-2,-2,-2) -> (254,254,254)
+    val img = bytes(header(1, 1), Array(0x40), endMarker)
+    val Some((_, _, lum)) = Multimodal.qoiPixels(img)
+    assert(lum.toSeq == Seq(254))
+  }
+
+  test("rejections: truncation, bad end marker, trailing garbage, " +
+    "over-long run, bomb dims, bad channels") {
+    val good = bytes(header(4, 1), Array(0xfe, 10, 20, 30),
+      Array(0x40 | 0x3f), Array(0xc0), Array(0x09), endMarker)
+    assert(Multimodal.qoiPixels(good).isDefined)
+    assert(Multimodal.qoiPixels(good.dropRight(1)).isEmpty, "truncated")
+    val badEnd = good.clone(); badEnd(badEnd.length - 1) = 2
+    assert(Multimodal.qoiPixels(badEnd).isEmpty, "bad marker")
+    assert(Multimodal.qoiPixels(
+      bytes(header(4, 1), Array(0xfe, 10, 20, 30), Array(0x40 | 0x3f),
+        Array(0xc0), Array(0x09), Array(0x00), endMarker)).isEmpty,
+      "trailing garbage")
+    assert(Multimodal.qoiPixels(
+      bytes(header(2, 1), Array(0xfd), endMarker)).isEmpty,
+      "62-run into a 2-pixel image")
+    assert(Multimodal.qoiPixels(
+      bytes(header(20000, 20000), Array(0xc0), endMarker)).isEmpty, "bomb")
+    assert(Multimodal.qoiPixels(
+      bytes(header(1, 1, ch = 5), Array(0xc0), endMarker)).isEmpty,
+      "bad channels")
+  }
+
+  test("fixture encoder exercises every op class and roundtrips to the " +
+    "formula raster through the real decoder") {
+    // count op tags in the encoded stream of one representative fixture
+    val enc = MediaFixtures.qoiPixelBytes(33, 19, seed = 5)
+    var p = 14
+    var nRgb = 0; var nIdx = 0; var nDiff = 0; var nLuma = 0; var nRun = 0
+    while (p < enc.length - 8) {
+      val b1 = enc(p) & 0xff
+      if (b1 == 0xfe) { nRgb += 1; p += 4 }
+      else (b1 >> 6) match {
+        case 0 => nIdx += 1; p += 1
+        case 1 => nDiff += 1; p += 1
+        case 2 => nLuma += 1; p += 2
+        case _ => nRun += 1; p += 1
+      }
+    }
+    assert(nRgb > 0 && nIdx > 0 && nLuma > 0 && nRun > 0,
+      s"ops rgb=$nRgb idx=$nIdx diff=$nDiff luma=$nLuma run=$nRun")
+    // full roundtrip against the closed-form raster for several shapes
+    for (seed <- 0L until 8L; (w, h) <- Seq((33, 19), (10, 7), (3, 3))) {
+      val Some((gw, gh, lum)) =
+        Multimodal.qoiPixels(MediaFixtures.qoiPixelBytes(w, h, seed))
+      assert(gw == w && gh == h)
+      var i = 0
+      while (i < w * h) {
+        assert(lum(i) == MediaFixtures.pixelFormulaV((i % w) / 3, i / w, seed),
+          s"pixel $i of ${w}x$h seed $seed")
+        i += 1
+      }
+    }
+  }
+}
