@@ -520,6 +520,30 @@ private[graft] object GraphTsGates {
       graft.ops.Graph.bipartiteCheck(edges, "a", "b", maxDepth = 6)
     }),
 
+    // ---- Graph: minimum spanning forest by distributed BORUVKA —
+    //      per-round lightest-outgoing-edge contraction (THE parallel
+    //      MST); ring fixture whose MST is closed-form (cycle minus
+    //      its max edge under the (w,a,b) total order) ----
+    "graph_mst" -> ((s, dir) => {
+      val nodes = t(s, dir, "documents")
+        .select(col("doc_id").as("n"), expr("doc_id div 8").as("g"))
+        .filter(!(pmod(col("n"), lit(8)) === 7 &&
+          pmod(col("g"), lit(2)) === 0))
+      val rings = nodes.groupBy(col("g"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .filter(size(col("ns")) >= 2)
+      val edges = rings
+        .select(col("ns"), posexplode(col("ns")).as(Seq("i", "ea")))
+        .select(col("ea"), element_at(col("ns"),
+          pmod(col("i") + 1, size(col("ns"))) + 1).as("eb"))
+        .select(least(col("ea"), col("eb")).as("a"),
+          greatest(col("ea"), col("eb")).as("b"))
+        .distinct()
+        .withColumn("w",
+          lit(1L) + pmod(col("a") * 31 + col("b") * 17, lit(97L)))
+      graft.ops.Graph.boruvkaMst(edges, "a", "b", "w")
+    }),
+
     // ---- Graph: landmark betweenness (Brandes on the depth-3 ball) —
     //      σ forward / quantized δ backward over the BFS DAG; the
     //      broker-node read completing the centrality family ----
@@ -1065,6 +1089,33 @@ private[graft] object GraphTsGates {
           s"SELECT type_a, type_b, CAST($dp AS BIGINT) AS dtw_q, " +
           s"CAST($dp AS DOUBLE) / 1024.0 AS dtw FROM pr"
       },
+
+      // Closed-form MST of each ring: a cycle's unique MST under the
+      // (w, a, b) total order is ALL edges minus the maximum one; a
+      // 2-node ring is a single edge (nothing excluded). Derived
+      // without running Boruvka — the engine's contraction fixpoint is
+      // cross-checked edge-for-edge.
+      "graph_mst" ->
+        ("WITH k AS (SELECT doc_id AS n, doc_id // 8 AS g " +
+          "FROM documents WHERE NOT (doc_id % 8 = 7 " +
+          "AND (doc_id // 8) % 2 = 0)), " +
+          "r AS (SELECT n, g, CAST(row_number() OVER (PARTITION BY g " +
+          "ORDER BY n) - 1 AS BIGINT) AS pos, " +
+          "CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS l FROM k), " +
+          "p2 AS (SELECT * FROM r WHERE l >= 2), " +
+          "ed0 AS (SELECT a.g, a.l, least(a.n, b.n) AS a, " +
+          "greatest(a.n, b.n) AS b FROM p2 a JOIN p2 b " +
+          "ON a.g = b.g AND b.pos = a.pos + 1 " +
+          "UNION ALL SELECT a.g, a.l, least(a.n, b.n), " +
+          "greatest(a.n, b.n) FROM p2 a JOIN p2 b " +
+          "ON a.g = b.g AND a.pos = a.l - 1 AND b.pos = 0 AND a.l > 2), " +
+          "ed AS (SELECT DISTINCT g, l, a, b, " +
+          "1 + (31 * a + 17 * b) % 97 AS w FROM ed0), " +
+          "x AS (SELECT g, l, a, b, w, row_number() OVER (" +
+          "PARTITION BY g ORDER BY w DESC, a DESC, b DESC) AS rn " +
+          "FROM ed) " +
+          "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, " +
+          "CAST(w AS BIGINT) AS w FROM x WHERE l = 2 OR rn > 1"),
 
       // Closed-form ring replay: dist from the ring's min node is
       // least(pos, L - pos) (pos = sorted rank), parity mod 2, the

@@ -525,6 +525,21 @@ private[graft] object StorageGates {
       stateOut(bx.lookupEq("purchase"))
     }),
 
+    // ---- Storage: ANALYZE TABLE — optimizer statistics (rows, nulls,
+    //      exact NDV, typed min/max) per column of the merged state;
+    //      the mergeable-HLL family is the documented approx twin for
+    //      columns where exact distinct would dominate at scale ----
+    "o32_analyze" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o32_").toString
+      val tbl = graft.model.TargetTable("events_an", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 8)
+      val cfg = IngestConfig(name = s"o32-an-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      pt.mergeUpsert(eventRecords(s, dir), cfg)
+      graft.sink.Analyze.columnStats(stateOut(pt.read().get))
+    }),
+
     // ---- Storage: compaction with HILBERT layout — Morton's locality-
     //      optimal sibling (consecutive curve positions are always grid
     //      neighbors, so per-file min-max boxes are compact blobs with
@@ -680,6 +695,27 @@ private[graft] object StorageGates {
       "o31_bloom_index" ->
         (s"SELECT pkey, modified_date_us, event_type, value " +
           s"FROM ($dedupState) WHERE event_type = 'purchase'"),
+      // per-column stats replayed as one UNION of plain aggregates:
+      // numeric extremes in the _num pair, string extremes in _str
+      "o32_analyze" -> {
+        def num(c: String) =
+          s"SELECT '$c' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_null, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS ndv, " +
+            s"CAST(min($c) AS DOUBLE) AS min_num, " +
+            s"CAST(max($c) AS DOUBLE) AS max_num, " +
+            "CAST(NULL AS VARCHAR) AS min_str, " +
+            s"CAST(NULL AS VARCHAR) AS max_str FROM st"
+        def str(c: String) =
+          s"SELECT '$c', CAST(count(*) AS BIGINT), " +
+            s"CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT), " +
+            s"CAST(count(DISTINCT $c) AS BIGINT), " +
+            "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+            s"min($c), max($c) FROM st"
+        s"WITH st AS ($dedupState) " +
+          Seq(num("pkey"), num("modified_date_us"), str("event_type"),
+            num("value")).mkString(" UNION ALL ")
+      },
       // pruning is conservative: result == latest-wins state restricted
       // to the version window
       "o22_zonemap_skip" ->

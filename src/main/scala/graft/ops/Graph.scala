@@ -695,6 +695,89 @@ object Graph {
           col("n_unreached") === 0).as("is_bipartite"))
   }
 
+  /** Minimum spanning FOREST by distributed Borůvka — THE parallel MST
+    * algorithm (each round every component picks its lightest outgoing
+    * edge, chosen edges contract, component count at least halves →
+    * O(log V) rounds of O(E)-shuffle work; Kruskal/Prim's sequential
+    * orderings don't distribute). Ties are broken by the TOTAL order
+    * (w, a, b), which makes the forest UNIQUE — the classic
+    * distinct-weight argument applies verbatim to any total order, so
+    * no cycle can form and both engines agree edge-for-edge.
+    *
+    * Emits the chosen edges (a, b, w), a < b. Per round: two hash
+    * joins against the label map, a per-component rank-1 pick
+    * (window partitioned by component — never corpus-wide), a CC solve
+    * on the CONTRACTED component graph (nodes = components, at most
+    * halving each round), one relabel join. localCheckpoint truncates
+    * the per-round lineage exactly as the other fixpoints here. */
+  def boruvkaMst(
+      edges: DataFrame, aCol: String, bCol: String, wCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("ea"),
+        greatest(col(aCol), col(bCol)).cast("long").as("eb"),
+        col(wCol).cast("long").as("w"))
+      .where(col("ea") =!= col("eb"))
+      .groupBy(col("ea"), col("eb")).agg(min(col("w")).as("w"))
+      .persist()
+    try {
+      val spark = edges.sparkSession
+      var labels = und.select(col("ea").as("id"))
+        .unionByName(und.select(col("eb").as("id"))).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint()
+      var mst = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        und.schema).localCheckpoint()
+      var round = 0
+      var crossEdges = 1L
+      while (crossEdges > 0 && round < maxRounds) {
+        val lab = labels
+        val tagged = und
+          .join(lab.select(col("id").as("ea"), col("comp").as("ca")), "ea")
+          .join(lab.select(col("id").as("eb"), col("comp").as("cb")), "eb")
+          .where(col("ca") =!= col("cb"))
+        crossEdges = tagged.count()
+        if (crossEdges > 0) {
+          val cands = tagged.select(col("ca").as("c"), col("w"),
+              col("ea"), col("eb"), col("cb").as("oc"))
+            .unionByName(tagged.select(col("cb").as("c"), col("w"),
+              col("ea"), col("eb"), col("ca").as("oc")))
+          val win = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("c"))
+            .orderBy(col("w"), col("ea"), col("eb"))
+          val chosen = cands
+            .withColumn("__rn", row_number().over(win))
+            .where(col("__rn") === 1)
+            .select(col("ea"), col("eb"), col("w"), col("c"), col("oc"))
+            .localCheckpoint()
+          val nextMst = mst.unionByName(
+            chosen.select(col("ea"), col("eb"), col("w"))).distinct()
+            .localCheckpoint()
+          // contract: components joined by chosen edges merge; solve CC
+          // on the comp graph (nodes = components — at most halving)
+          val relabel = graft.ops.Components.connectedComponents(
+            chosen.select(col("c"), col("oc")), "c", "oc")
+            .select(col("id").as("comp"), col("comp").as("__nc"))
+          val nextLabels = labels.join(relabel, Seq("comp"), "left_outer")
+            .select(col("id"),
+              coalesce(col("__nc"), col("comp")).as("comp"))
+            .localCheckpoint()
+          org.apache.spark.sql.GraftSql.freeLocalCheckpoint(labels)
+          org.apache.spark.sql.GraftSql.freeLocalCheckpoint(mst)
+          org.apache.spark.sql.GraftSql.freeLocalCheckpoint(chosen)
+          labels = nextLabels
+          mst = nextMst
+        }
+        round += 1
+      }
+      require(crossEdges == 0,
+        s"Boruvka did not converge in $maxRounds rounds (log2(V) suffices " +
+          "on any graph — raise maxRounds only for pathological inputs)")
+      mst.select(col("ea").as("a"), col("eb").as("b"), col("w"))
+    } finally { und.unpersist(); () }
+  }
+
   /** Multi-source BFS: per-seed shortest hop counts, all seeds in ONE
     * frontier wave — rows (seed, node, dist), cost O(|seeds|·E) per
     * round keyed by vertex (the frontier join), the standard landmark

@@ -480,4 +480,44 @@ class GraphSpec extends SparkSpec {
     assert(shallow.getLong(4) > 0L, "tail must be unreached at depth 3")
     assert(!shallow.getBoolean(6), "unknown parity must not certify")
   }
+
+  test("boruvkaMst: hand-computed forest over two components, ties " +
+    "broken by the (w, a, b) total order, duplicate edges collapse " +
+    "to their min weight") {
+    // component 1: square 1-2-3-4 with a heavy diagonal
+    //   (1,2,w5) (2,3,w3) (3,4,w4) (1,4,w6) (1,3,w9)
+    //   MST: 2-3(3), 3-4(4), 1-2(5)  [drops 1-4(6) and the diagonal]
+    // component 2: triangle 10-11-12 with a WEIGHT TIE:
+    //   (10,11,w7) (11,12,w7) (10,12,w8)
+    //   total order keeps (10,11) over (11,12) at w7? both kept? a
+    //   triangle MST keeps 2 of 3 edges: drops the max = (10,12,w8)
+    // plus a duplicate (2,3) row at a WORSE weight that must collapse
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 3L), (3L, 4L, 4L), (1L, 4L, 6L),
+      (1L, 3L, 9L), (3L, 2L, 11L),
+      (10L, 11L, 7L), (11L, 12L, 7L), (10L, 12L, 8L)).toDF("a", "b", "w")
+    val got = Graph.boruvkaMst(edges, "a", "b", "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 5L), (2L, 3L, 3L), (3L, 4L, 4L),
+      (10L, 11L, 7L), (11L, 12L, 7L)))
+  }
+
+  test("boruvkaMst on a weighted ring equals ring-minus-max-edge, and " +
+    "the forest always has n_nodes - n_components edges") {
+    val n = 12L
+    val ring = (0L until n)
+      .map(i => (i, (i + 1) % n))
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .map { case (x, y) => (x, y, 1L + (31L * x + 17L * y) % 97L) }
+      .toDF("a", "b", "w")
+    val got = Graph.boruvkaMst(ring, "a", "b", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = ring.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dropped = all.maxBy { case (a, b, w) => (w, a, b) }
+    assert(got == all - dropped)
+    assert(got.size == n.toInt - 1)
+  }
 }
