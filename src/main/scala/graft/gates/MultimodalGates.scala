@@ -209,6 +209,26 @@ private[graft] object MultimodalGates {
       Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
     }),
 
+    // ---- Multimodal: FIVE-codec dispatch — PNG/GIF/BMP/JPEG/QOI
+    //      rotating per row through one binary column; the oracle is
+    //      per-id formula replay, so only an engine that sniffs and
+    //      decodes all five codecs can match every row ----
+    "mm_mixed_codec5_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", { id =>
+          val (w, h, sd) = ((id % 15 + 9).toInt, (id % 9 + 8).toInt, id % 53)
+          (id % 5) match {
+            case 0 => MediaFixtures.pngPixelBytes(w, h, sd)
+            case 1 => MediaFixtures.gifPixelBytes(w, h, sd)
+            case 2 => MediaFixtures.bmpPixelBytes(w, h, sd)
+            case 3 => MediaFixtures.jpegPixelBytes(w, h, sd)
+            case _ => MediaFixtures.qoiPixelBytes(w, h, sd)
+          }
+        })
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
     // ---- Multimodal: BMP thumbnail — the third codec alone: bottom-up
     //      row reversal + padding walk, box means to 7×3, rolling-hash
     //      fingerprint (full-raster proof per codec, like the PNG and
@@ -610,6 +630,15 @@ private[graft] object MultimodalGates {
         mmPixelStatsSql("doc_id % 17 + 9", "doc_id % 10 + 8",
           "doc_id % 61",
           s"CASE WHEN id % 4 = 3 THEN $mmJpegPx ELSE $mmPngPx END"),
+      "mm_mixed_codec5_stats" ->
+        // Five-way replay: JPEG rows the flat-block formula, QOI rows
+        // the div-3-quantized gray formula, PNG/GIF/BMP rows the
+        // shared raster formula.
+        mmPixelStatsSql("doc_id % 15 + 9", "doc_id % 9 + 8",
+          "doc_id % 53",
+          s"CASE WHEN id % 5 = 3 THEN $mmJpegPx WHEN id % 5 = 4 THEN " +
+            "(31 * (xx // 3) + 47 * yy + 7 * (xx // 3) * yy + 101 * s) " +
+            s"% 256 ELSE $mmPngPx END"),
       "mm_mp4_meta" ->
         // Pure closed-form replay of the fixture's box parameters —
         // the engine had to WALK real BMFF bytes to recover them.

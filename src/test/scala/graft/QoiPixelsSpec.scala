@@ -80,6 +80,32 @@ class QoiPixelsSpec extends AnyFunSuite {
       "bad channels")
   }
 
+  test("fuzz: random and mutated streams never throw — they decode or " +
+    "reject (the exploder posture the other codecs pin)") {
+    val rnd = new scala.util.Random(42)
+    // pure-random payloads behind a valid-looking header
+    (0 until 300).foreach { _ =>
+      val w = 1 + rnd.nextInt(16); val h = 1 + rnd.nextInt(16)
+      val body = Array.fill(rnd.nextInt(80))(rnd.nextInt(256))
+      val img = bytes(header(w, h), body, endMarker)
+      Multimodal.qoiPixels(img) match {
+        case Some((gw, gh, lum)) =>
+          assert(gw == w && gh == h && lum.length == w * h)
+        case None => // rejected — fine
+      }
+    }
+    // single-byte mutations of a VALID stream
+    val good = MediaFixtures.qoiPixelBytes(9, 7, seed = 3)
+    (0 until good.length).foreach { i =>
+      val m = good.clone()
+      m(i) = (m(i) ^ 0x5a).toByte
+      Multimodal.qoiPixels(m) match {
+        case Some((gw, gh, lum)) => assert(lum.length == gw * gh)
+        case None => // rejected
+      }
+    }
+  }
+
   test("fixture encoder exercises every op class and roundtrips to the " +
     "formula raster through the real decoder") {
     // count op tags in the encoded stream of one representative fixture
