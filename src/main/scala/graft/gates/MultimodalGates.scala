@@ -209,6 +209,21 @@ private[graft] object MultimodalGates {
       Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
     }),
 
+    // ---- Multimodal: Netpbm P5/P6 decode — the SIXTH codec, the only
+    //      one with a free-form ASCII header (#-comments legal between
+    //      tokens); P5 gray and P6 gray-RGB alternate per row over the
+    //      same raster, so the oracle is codec-blind ----
+    "mm_pnm_pixel_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = graft.multimodal.MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", { id =>
+          val (w, h, sd) = ((id % 20 + 9).toInt, (id % 13 + 7).toInt, id % 43)
+          if (id % 2 == 0) MediaFixtures.pgmPixelBytes(w, h, sd)
+          else MediaFixtures.ppmPixelBytes(w, h, sd)
+        })
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
     // ---- Multimodal: FIVE-codec dispatch — PNG/GIF/BMP/JPEG/QOI
     //      rotating per row through one binary column; the oracle is
     //      per-id formula replay, so only an engine that sniffs and
@@ -630,6 +645,11 @@ private[graft] object MultimodalGates {
         mmPixelStatsSql("doc_id % 17 + 9", "doc_id % 10 + 8",
           "doc_id % 61",
           s"CASE WHEN id % 4 = 3 THEN $mmJpegPx ELSE $mmPngPx END"),
+      "mm_pnm_pixel_stats" ->
+        // Codec-blind replay: P5 and P6 rows carry the same formula
+        // raster (P6 as gray RGB, BT.601-exact).
+        mmPixelStatsSql("doc_id % 20 + 9", "doc_id % 13 + 7",
+          "doc_id % 43"),
       "mm_mixed_codec5_stats" ->
         // Five-way replay: JPEG rows the flat-block formula, QOI rows
         // the div-3-quantized gray formula, PNG/GIF/BMP rows the

@@ -910,6 +910,61 @@ object Multimodal {
     * BT.601 luma as PNG/GIF. Returns None for compressed BMPs
     * (RLE or bitfields), other depths, truncated pixel arrays, or a
     * palette that overruns the data offset. */
+  /** Netpbm binary decode (P5 grayscale / P6 RGB, the public spec) —
+    * the SIXTH codec, and the only one with a free-form ASCII header:
+    * whitespace-separated magic, width, height, maxval tokens with
+    * `#`-comment lines legal ANYWHERE between them (the part naive
+    * parsers get wrong), then exactly ONE whitespace byte, then raw
+    * big-endian samples. maxval must be in [1, 255] (16-bit Netpbm is
+    * rejected, documented); luma = sample for P5, BT.601 integer form
+    * for P6 (exact on gray). Truncation, bomb dims, trailing garbage,
+    * bad maxval → None — the shared exploder posture. */
+  private[graft] def pnmPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 10 || b(0) != 'P' || (b(1) != '5' && b(1) != '6'))
+      return None
+    val rgb = b(1) == '6'
+    var p = 2
+    def isWs(c: Int) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    // read the next decimal token, skipping whitespace and # comments
+    def token(): Long = {
+      var inComment = false
+      while (p < b.length && (inComment || isWs(b(p)) || b(p) == '#')) {
+        if (b(p) == '#') inComment = true
+        else if (b(p) == '\n') inComment = false
+        p += 1
+      }
+      if (p >= b.length || b(p) < '0' || b(p) > '9') return -1L
+      var v = 0L
+      while (p < b.length && b(p) >= '0' && b(p) <= '9') {
+        v = v * 10 + (b(p) - '0')
+        if (v > Int.MaxValue) return -1L
+        p += 1
+      }
+      v
+    }
+    val w = token(); val h = token(); val maxval = token()
+    if (w <= 0 || h <= 0 || w * h > (1L << 26)) return None
+    if (maxval < 1 || maxval > 255) return None
+    // exactly one whitespace byte separates the header from the raster
+    if (p >= b.length || !isWs(b(p))) return None
+    p += 1
+    val n = (w * h).toInt
+    val stride = if (rgb) 3 else 1
+    if (p + n.toLong * stride != b.length) return None // truncated/trailing
+    val lum = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      lum(i) =
+        if (rgb) {
+          val r = b(p) & 0xff; val g = b(p + 1) & 0xff; val bl = b(p + 2) & 0xff
+          p += 3
+          (77 * r + 150 * g + 29 * bl) >> 8
+        } else { val v = b(p) & 0xff; p += 1; v }
+      i += 1
+    }
+    Some((w.toInt, h.toInt, lum))
+  }
+
   /** QOI (Quite OK Image, the public one-page spec) pixel decode —
     * the FIFTH codec, and the first with a running-palette op set:
     * every chunk is one of RGB/RGBA (literal), INDEX (64-slot hash
@@ -1458,6 +1513,8 @@ object Multimodal {
       jpegPixels(b)
     else if (b.length >= 14 && b(0) == 'q' && b(1) == 'o' && b(2) == 'i' &&
       b(3) == 'f') qoiPixels(b)
+    else if (b.length >= 10 && b(0) == 'P' && (b(1) == '5' || b(1) == '6'))
+      pnmPixels(b)
     else None
 
   /** Exact area-average downsample of a luma raster to a gw×gh grid:
@@ -2790,6 +2847,32 @@ object MediaFixtures {
         x += 1
       }
       r += 1
+    }
+    bb.toByteArray
+  }
+
+  /** Netpbm P5 (binary graymap) fixture of the formula raster, with a
+    * `#` comment INSIDE the header token stream — the part naive
+    * parsers break on — and the spec's single separator byte. */
+  def pgmPixelBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    val header = s"P5\n# graft fixture seed=$seed\n$w # width\n $h\n255\n"
+    header.getBytes("US-ASCII").foreach(bb.write(_))
+    var i = 0
+    while (i < w * h) { bb.write(pixelFormulaV(i % w, i / w, seed)); i += 1 }
+    bb.toByteArray
+  }
+
+  /** Netpbm P6 (binary pixmap) twin: the same raster as GRAY RGB
+    * triplets, so the decoder's BT.601 luma is exact. */
+  def ppmPixelBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    s"P6 $w $h 255\n".getBytes("US-ASCII").foreach(bb.write(_))
+    var i = 0
+    while (i < w * h) {
+      val v = pixelFormulaV(i % w, i / w, seed)
+      bb.write(v); bb.write(v); bb.write(v)
+      i += 1
     }
     bb.toByteArray
   }

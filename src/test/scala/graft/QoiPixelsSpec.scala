@@ -80,6 +80,43 @@ class QoiPixelsSpec extends AnyFunSuite {
       "bad channels")
   }
 
+  test("Netpbm: comment-laden P5 header parses, P6 gray RGB lumas are " +
+    "exact, and the strict rejections hold") {
+    // hand-written P5 with comments BETWEEN every token (after maxval
+    // the spec demands exactly ONE separator byte — no comment there)
+    val p5 = ("P5 # magic\n# full comment line\n 3 # w\n\t2\n" +
+      "# before maxval\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val Some((w5, h5, l5)) = Multimodal.pnmPixels(p5)
+    assert(w5 == 3 && h5 == 2 && l5.toSeq == Seq(10, 20, 30, 40, 50, 60))
+    // P6: gray triplets give exact luma; a colored pixel uses BT.601
+    val p6 = "P6 2 1 255\n".getBytes("US-ASCII") ++
+      Array[Byte](9, 9, 9, 100, (200 & 0xff).toByte, 50)
+    val Some((_, _, l6)) = Multimodal.pnmPixels(p6)
+    assert(l6.toSeq == Seq(9, (77 * 100 + 150 * 200 + 29 * 50) >> 8))
+    // rejections: truncated raster, trailing garbage, 16-bit maxval,
+    // zero dims, bomb dims
+    assert(Multimodal.pnmPixels(p5.dropRight(1)).isEmpty)
+    assert(Multimodal.pnmPixels(p5 :+ 0.toByte).isEmpty)
+    assert(Multimodal.pnmPixels(
+      "P5 2 1 65535\n".getBytes("US-ASCII") ++ Array[Byte](1, 2)).isEmpty)
+    assert(Multimodal.pnmPixels(
+      "P5 0 4 255\n".getBytes("US-ASCII") ++ Array[Byte]()).isEmpty)
+    assert(Multimodal.pnmPixels(
+      "P5 99999 99999 255\n".getBytes("US-ASCII")).isEmpty)
+    // fixture builders roundtrip through the dispatch
+    for (seed <- 0L until 4L) {
+      val Some((gw, gh, lum)) =
+        Multimodal.pnmPixels(MediaFixtures.pgmPixelBytes(7, 5, seed))
+      assert(gw == 7 && gh == 5)
+      assert(lum.toSeq == (0 until 35).map(i =>
+        MediaFixtures.pixelFormulaV(i % 7, i / 7, seed)))
+      val Some((_, _, lum6)) =
+        Multimodal.pnmPixels(MediaFixtures.ppmPixelBytes(7, 5, seed))
+      assert(lum6.toSeq == lum.toSeq)
+    }
+  }
+
   test("fuzz: random and mutated streams never throw — they decode or " +
     "reject (the exploder posture the other codecs pin)") {
     val rnd = new scala.util.Random(42)
