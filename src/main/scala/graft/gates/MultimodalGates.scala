@@ -477,6 +477,20 @@ private[graft] object MultimodalGates {
       Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
     }),
 
+    // ---- Multimodal: IMA ADPCM in its REAL WAV container (format
+    //      tag 0x0011) — per-block 4-byte state headers reseed the
+    //      decoder (the format's seek feature), header predictor IS
+    //      the first sample; container walk + block walk + state
+    //      machine in one gate, final predictor pinned ----
+    "mm_audio_adpcm_wav" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.wavAdpcmBytes(
+            (id % 3 + 1).toInt, (12 + (id % 2) * 4).toInt, id % 101))
+      Multimodal.adpcmWavStats(d, "doc_id", "content")
+    }),
+
     "mm_audio_resample" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
       val id = col("doc_id")
@@ -852,6 +866,56 @@ private[graft] object MultimodalGates {
           "AS peak_abs, " +
           "CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT) " +
           "AS energy FROM v"
+      },
+
+      // Per-(id, block) recursive replay of the WAV-contained walk:
+      // each block reseeds (predictor, index) from its header formula,
+      // pos 0 emits the header predictor itself, the nibble for the
+      // row at pos+1 is nibble index s.pos (low first). Validated
+      // against an independent Python decode before wiring.
+      "mm_audio_adpcm_wav" -> {
+        val stepTab = graft.functions.NativeKernels.AdpcmStepTable
+          .mkString("[", ", ", "]")
+        val idxTab = graft.functions.NativeKernels.AdpcmIndexTable
+          .mkString("[", ", ", "]")
+        val nib = "(CASE WHEN s.pos % 2 = 0 " +
+          "THEN m.bs[s.pos // 2 + 1] % 16 " +
+          "ELSE m.bs[s.pos // 2 + 1] // 16 END)"
+        val step = s"($stepTab)[s.idx + 1]"
+        val diff = s"($step // 8 " +
+          s"+ CASE WHEN $nib % 8 >= 4 THEN $step ELSE 0 END " +
+          s"+ CASE WHEN $nib % 4 >= 2 THEN $step // 2 ELSE 0 END " +
+          s"+ CASE WHEN $nib % 2 = 1 THEN $step // 4 ELSE 0 END)"
+        val rawPred = s"(CASE WHEN $nib >= 8 THEN s.pred - $diff " +
+          s"ELSE s.pred + $diff END)"
+        val newPred = s"greatest(-32768, least(32767, $rawPred))"
+        val newIdx = s"greatest(0, least(88, s.idx + ($idxTab)[$nib + 1]))"
+        "WITH RECURSIVE m AS (SELECT doc_id AS id, bk.k AS blk, " +
+          "(7 * (doc_id % 101) + 13 * bk.k) % 4096 - 2048 AS pred0, " +
+          "((doc_id % 101) + 3 * bk.k) % 89 AS idx0, " +
+          "12 + (doc_id % 2) * 4 AS ba, " +
+          "doc_id % 3 + 1 AS nb, " +
+          "list_transform(range(0, 12 + (doc_id % 2) * 4 - 4), i -> " +
+          "(11 * i + 17 * (doc_id % 101) + 5 * bk.k) % 256) AS bs " +
+          "FROM documents, (SELECT unnest(range(0, 3)) AS k) bk " +
+          "WHERE bk.k < doc_id % 3 + 1), " +
+          "steps AS (" +
+          "SELECT id, blk, 0 AS pos, pred0 AS pred, idx0 AS idx, " +
+          "CAST(pred0 AS BIGINT) AS pcm FROM m " +
+          "UNION ALL " +
+          s"SELECT s.id, s.blk, s.pos + 1, $newPred, $newIdx, " +
+          s"CAST($newPred AS BIGINT) " +
+          "FROM steps s JOIN m ON m.id = s.id AND m.blk = s.blk " +
+          "WHERE s.pos < 2 * (m.ba - 4)) " +
+          "SELECT id, CAST(count(pcm) AS BIGINT) AS n_samples, " +
+          "CAST(sum(abs(pcm)) AS BIGINT) AS sum_abs, " +
+          "CAST(max(abs(pcm)) AS BIGINT) AS peak_abs, " +
+          "CAST(sum(pcm * pcm) AS BIGINT) AS energy, " +
+          "CAST(max(m2.nb) AS BIGINT) AS n_blocks, " +
+          "CAST(arg_max(pred, blk * 100000 + pos) AS BIGINT) " +
+          "AS final_pred " +
+          "FROM steps JOIN (SELECT DISTINCT id AS id2, nb FROM m) m2 " +
+          "ON m2.id2 = steps.id GROUP BY id"
       },
 
       // Recursive-CTE replay of the IMA ADPCM state machine: one step

@@ -516,6 +516,104 @@ object Multimodal {
       .toDF()
   }
 
+  /** One WAV-ADPCM row: stats plus block count and the final
+    * predictor — the block-seeded walk's end state. */
+  final case class AdpcmWavRow(
+      id: Long, n_samples: Option[Long], sum_abs: Option[Long],
+      peak_abs: Option[Long], energy: Option[Long],
+      n_blocks: Option[Long], final_pred: Option[Long])
+
+  /** IMA ADPCM inside its REAL container — RIFF/WAVE with format tag
+    * 0x0011 (the shape actual .wav files carry, unlike
+    * [[adpcmStats]]'s raw nibble stream): the fmt chunk declares
+    * blockAlign, and the data chunk is a sequence of independent
+    * blocks, each reseeding the decoder from its own 4-byte header
+    * (initial predictor i16 LE — which IS the block's first output
+    * sample — initial step index u8, reserved u8) followed by
+    * blockAlign−4 nibble bytes, low nibble first. Block independence
+    * is the format's seek/robustness feature; it also means the oracle
+    * can replay blocks in parallel. Mono 4-bit only; anything else —
+    * wrong tag, bad index seed (> 88), partial trailing block,
+    * non-mono — quarantines the row as NULL (the decoder posture).
+    * Emits exact integer (n_samples, Σ|pcm|, max|pcm|, Σpcm²,
+    * n_blocks, final predictor). Row-local batched kernel. */
+  def adpcmWavStats(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(
+        _.map { case (id, b) => decodeAdpcmWav(id, b) }))
+      .toDF()
+  }
+
+  private def decodeAdpcmWav(id: Long, b: Array[Byte]): AdpcmWavRow = {
+    def nullRow(id: Long): AdpcmWavRow =
+      AdpcmWavRow(id, None, None, None, None, None, None)
+    locally {
+      if (b == null || b.length < 48 || b(0) != 'R' || b(1) != 'I' ||
+        b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'A' ||
+        b(10) != 'V' || b(11) != 'E') return nullRow(id)
+      var i = 12
+      var tag = 0; var channels = 0; var blockAlign = 0; var bits = 0
+      var dataOff = -1; var dataLen = -1L; var corrupt = false
+      while (!corrupt && i + 8 <= b.length) {
+        val cid = new String(b, i, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val len = le32(b, i + 4)
+        if (len > b.length) corrupt = true
+        else {
+          if (cid == "fmt " && len >= 16 && i + 8 + 16 <= b.length) {
+            tag = le16(b, i + 8)
+            channels = le16(b, i + 10)
+            blockAlign = le16(b, i + 20)
+            bits = le16(b, i + 22)
+          } else if (cid == "data") { dataOff = i + 8; dataLen = len }
+          i += 8 + len.toInt + (len.toInt & 1)
+        }
+      }
+      if (corrupt || dataOff < 0 || tag != 0x11 || channels != 1 ||
+        bits != 4 || blockAlign < 5) return nullRow(id)
+      val avail = math.min(dataLen, (b.length - dataOff).toLong)
+      if (avail % blockAlign != 0) return nullRow(id) // partial block
+      val nBlocks = (avail / blockAlign).toInt
+      var sAbs = 0L; var peak = 0L; var energy = 0L; var nSamp = 0L
+      var finalPred = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val base = dataOff + blk * blockAlign
+        var pred = le16(b, base).toShort.toInt // sign-extended seed
+        val idx0 = b(base + 2) & 0xff
+        if (idx0 > 88) return nullRow(id) //            bad index seed
+        var index = idx0
+        // the header predictor IS the block's first output sample
+        def emit(v: Int): Unit = {
+          val a = math.abs(v).toLong
+          sAbs += a; if (a > peak) peak = a; energy += a * a
+          nSamp += 1
+        }
+        emit(pred)
+        var k = 0
+        val nNib = 2 * (blockAlign - 4)
+        while (k < nNib) {
+          val byte = b(base + 4 + (k >> 1)) & 0xff
+          val nib = if ((k & 1) == 0) byte & 0x0f else byte >> 4
+          pred = graft.functions.NativeKernels.adpcmStep(pred, index, nib)
+          index = math.max(0, math.min(88,
+            index + graft.functions.NativeKernels.AdpcmIndexTable(nib)))
+          emit(pred)
+          k += 1
+        }
+        finalPred = pred
+        blk += 1
+      }
+      AdpcmWavRow(id, Some(nSamp), Some(sAbs), Some(peak), Some(energy),
+        Some(nBlocks.toLong), Some(finalPred.toLong))
+    }
+  }
+
   // ---- metadata-stage transforms (post-decode, pure column arithmetic —
   // codegen'd, no UDF; a real pixel/audio kernel would slot into the same
   // batched-partition shape as decodeBatch) ------------------------------
@@ -2932,6 +3030,42 @@ object MediaFixtures {
     var k = 0
     while (k < 7) { bb.write(0); k += 1 }
     bb.write(1)
+    bb.toByteArray
+  }
+
+  /** RIFF/WAVE IMA-ADPCM fixture (format tag 0x0011, mono, 4-bit):
+    * `nBlocks` independent blocks of `blockAlign` bytes, each seeded
+    * by its 4-byte header — predictor ((7·seed + 13·k) mod 4096) −
+    * 2048, index (seed + 3·k) mod 89 — followed by formula nibble
+    * bytes (11·i + 17·seed + 5·k) mod 256. Conformant fmt chunk with
+    * cbSize=2 and samplesPerBlock, so external readers parse it. */
+  def wavAdpcmBytes(nBlocks: Int, blockAlign: Int, seed: Long): Array[Byte] = {
+    require(blockAlign >= 5, s"blockAlign must be >= 5, got $blockAlign")
+    val bb = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      le16((v & 0xffffL).toInt); le16(((v >> 16) & 0xffffL).toInt)
+    }
+    val dataSize = nBlocks.toLong * blockAlign
+    val samplesPerBlock = 2 * (blockAlign - 4) + 1
+    bb.write("RIFF".getBytes); le32(40L + dataSize); bb.write("WAVE".getBytes)
+    bb.write("fmt ".getBytes); le32(20L)
+    le16(0x11); le16(1); le32(8000L)
+    le32(8000L * blockAlign / samplesPerBlock) //   nominal byte rate
+    le16(blockAlign); le16(4); le16(2); le16(samplesPerBlock)
+    bb.write("data".getBytes); le32(dataSize)
+    var k = 0
+    while (k < nBlocks) {
+      val pred0 = ((7L * seed + 13L * k) % 4096L - 2048L).toInt
+      le16(pred0 & 0xffff)
+      bb.write(((seed + 3L * k) % 89L).toInt); bb.write(0)
+      var i = 0
+      while (i < blockAlign - 4) {
+        bb.write(((11L * i + 17L * seed + 5L * k) % 256L).toInt)
+        i += 1
+      }
+      k += 1
+    }
     bb.toByteArray
   }
 
