@@ -525,6 +525,46 @@ private[graft] object StorageGates {
       stateOut(bx.lookupEq("purchase"))
     }),
 
+    // ---- Storage: BRANCH MERGE-BACK — the third leg of the
+    //      git-for-data arc (clone o21, diff o29, merge o33): replay
+    //      the branch's change feed since the clone point onto the
+    //      DIVERGED main — deletes apply VERSION-GUARDED (the feed's
+    //      tombstone carries the branch's pre-image version, so a main
+    //      row that advanced PAST the branch's deletion survives — the
+    //      optimistic-concurrency conflict rule), then post-images
+    //      merge latest-wins against main's own advances. O(branch
+    //      changes), never a branch rescan ----
+    "o33_branch_merge_back" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o33_").toString
+      val tbl = graft.model.TargetTable("events_mb", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4,
+        retainVersions = 6)
+      val cfg = IngestConfig(name = s"o33-mb-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      val ev = eventRecords(s, dir)
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 === 0), cfg) // v1
+      pt.cloneTo(s"$tmp/branch")
+      val br = new graft.sink.ParquetTarget(s,
+        graft.model.TargetTable("events_mbb", s"$tmp/branch",
+          keyCols = key, versionCol = ver, tieBreakCols = tie,
+          buckets = 4, retainVersions = 6))
+      // diverge both sides, then delete on the branch
+      pt.mergeUpsert(ev.filter(col("event_id") % 3 === 1), cfg)
+      br.mergeUpsert(ev.filter(col("event_id") % 3 === 2), cfg)
+      br.mergeHardDelete(ev.filter(col("pkey") % 25 === 7)
+        .select((key ++ Seq(ver) ++ tie).map(col): _*), cfg)
+      // merge back: only what the branch changed since the clone point
+      val feed = br.readChanges(1L, br.versions().last).get
+      val gone = feed.where(col("_change_type") === "delete")
+        .select((key ++ Seq(ver) ++ tie).map(col): _*)
+      val live = feed.where(col("_change_type").isin("insert", "update"))
+        .drop("_change_type")
+      if (!gone.isEmpty) pt.mergeHardDelete(gone, cfg)
+      if (!live.isEmpty) pt.mergeUpsert(live, cfg)
+      stateOut(pt.read().get)
+    }),
+
     // ---- Storage: ANALYZE TABLE — optimizer statistics (rows, nulls,
     //      exact NDV, typed min/max) per column of the merged state;
     //      the mergeable-HLL family is the documented approx twin for
@@ -695,6 +735,40 @@ private[graft] object StorageGates {
       "o31_bloom_index" ->
         (s"SELECT pkey, modified_date_us, event_type, value " +
           s"FROM ($dedupState) WHERE event_type = 'purchase'"),
+      // Three-way merge replay: branch pre/post latest-wins states
+      // over the same deterministic event subsets. The feed's deletes
+      // carry the clone-point PRE-IMAGE version of each pkey%25=7 key,
+      // and hardDelete is version-guarded — a main row survives its
+      // tombstone iff it ordered STRICTLY NEWER (main advanced past
+      // the branch's deletion: the optimistic-concurrency rule). The
+      // feed's post-images are branch-final rows that DIFFER from the
+      // clone-point row; they merge latest-wins ((ts, event_id)
+      // argmax) against main's own state.
+      "o33_branch_merge_back" -> {
+        def lw(pred: String) =
+          "SELECT pkey, ts, event_id, event_type, value FROM (" +
+            "SELECT user_id AS pkey, ts, event_id, event_type, value, " +
+            "row_number() OVER (PARTITION BY user_id " +
+            "ORDER BY ts DESC, event_id DESC) AS rn " +
+            s"FROM events WHERE $pred) WHERE rn = 1"
+        s"WITH pre AS (${lw("event_id % 3 = 0")}), " +
+          s"bpost0 AS (${lw("event_id % 3 IN (0, 2)")}), " +
+          "bpost AS (SELECT * FROM bpost0 WHERE pkey % 25 <> 7), " +
+          "gone AS (SELECT pkey, ts AS gts, event_id AS gid FROM pre " +
+          "WHERE pkey % 25 = 7), " +
+          "live AS (SELECT p.* FROM bpost p LEFT JOIN pre a " +
+          "USING (pkey) WHERE a.pkey IS NULL OR a.ts <> p.ts " +
+          "OR a.event_id <> p.event_id), " +
+          s"mainb AS (${lw("event_id % 3 IN (0, 1)")}), " +
+          "main1 AS (SELECT m.* FROM mainb m LEFT JOIN gone g " +
+          "USING (pkey) WHERE g.pkey IS NULL OR m.ts > g.gts " +
+          "OR (m.ts = g.gts AND m.event_id > g.gid)), " +
+          "u AS (SELECT * FROM main1 UNION ALL SELECT * FROM live), " +
+          "f AS (SELECT *, row_number() OVER (PARTITION BY pkey " +
+          "ORDER BY ts DESC, event_id DESC) AS rn2 FROM u) " +
+          "SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, " +
+          "value FROM f WHERE rn2 = 1"
+      },
       // per-column stats replayed as one UNION of plain aggregates:
       // numeric extremes in the _num pair, string extremes in _str
       "o32_analyze" -> {
