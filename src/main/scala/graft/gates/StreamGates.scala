@@ -75,6 +75,30 @@ private[graft] object StreamGates {
       stateOut(idx.lookupEq(Seq("purchase").toDF("ival")))
     }),
 
+    // ---- Streaming + storage composition: micro-batched ingest
+    //      through a BLOOM-maintaining sink — every batch leaves the
+    //      state table AND its data-skipping sidecar current; the
+    //      final probe prunes buckets through the freshly-synced bloom ----
+    "s28_stream_bloom_ingest" -> ((s, dir) => {
+      val tmp = stableTmp("s28")
+      val target = TargetTable("events_bxd", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 8,
+        retainVersions = 3)
+      val cfg = IngestConfig(name = s"s28-bx-${System.nanoTime()}",
+        maxWriterPartitions = 4, checkpointDir = Some(s"$tmp/ckpt"))
+      val pt = new graft.sink.ParquetTarget(s, target)
+      val bx = new graft.sink.BloomIndex(s, pt, "event_type", s"$tmp/bx")
+      val sink = new graft.sink.BloomIndexedSink(pt, bx)
+      val src = eventsStream(s, cfg, dir).select(
+        col("user_id").as("pkey"),
+        expr("ts div 1000").as("modified_date_us"),
+        col("event_id"), col("event_type"), col("value"))
+      val q = new UpsertStream(cfg, sink, s"$tmp/ckpt")
+        .run(src, Trigger.AvailableNow())
+      q.awaitTermination()
+      stateOut(bx.lookupEq("purchase"))
+    }),
+
     // ---- Streaming DELETE via deletion vectors: each micro-batch's
     //      keys mark positions in the sidecar — zero-rewrite deletes
     //      decoupled from row width; soft/hard's merge-on-read third ----
@@ -730,6 +754,11 @@ private[graft] object StreamGates {
       "o4_stream_ingest_e2e" -> dedupState,
       // the per-batch-synced index serves exactly the filtered state
       "s21_stream_indexed_ingest" ->
+        (s"SELECT pkey, modified_date_us, event_type, value " +
+          s"FROM ($dedupState) WHERE event_type = 'purchase'"),
+      // bloom pruning is one-sided: the per-batch-synced sidecar probe
+      // serves exactly the filtered state
+      "s28_stream_bloom_ingest" ->
         (s"SELECT pkey, modified_date_us, event_type, value " +
           s"FROM ($dedupState) WHERE event_type = 'purchase'"),
       "s22_stream_vectored_delete" ->

@@ -192,3 +192,26 @@ final class BloomIndex(spark: SparkSession, base: ParquetTarget,
     base.readBuckets(candidateBuckets(value)).get
       .filter(col(indexedCol) === lit(value))
 }
+
+/** A [[MergeSink]] that keeps a [[BloomIndex]] transactionally-adjacent
+  * to its base target — [[IndexedParquetSink]]'s data-skipping sibling:
+  * every micro-batch merge is followed by a changed-buckets-only bloom
+  * refresh, so a streaming ingest leaves the state table AND its
+  * skipping sidecar current at every committed batch. First merge
+  * bootstraps (rebuild); later merges pay O(batch-touched buckets).
+  * Crash between base commit and refresh replays idempotently from the
+  * `_BASE_VERSION` marker, exactly the ValueIndex contract. */
+final class BloomIndexedSink(base: ParquetTarget, bloom: BloomIndex)
+    extends MergeSink {
+  private def sync(): Unit =
+    if (bloom.syncedBaseVersion.isEmpty) bloom.rebuild() else bloom.refresh()
+  def mergeUpsert(batch: DataFrame, config: graft.model.IngestConfig): Unit = {
+    base.mergeUpsert(batch, config); sync()
+  }
+  def mergeSoftDelete(batch: DataFrame, config: graft.model.IngestConfig): Unit = {
+    base.mergeSoftDelete(batch, config); sync()
+  }
+  def mergeHardDelete(batch: DataFrame, config: graft.model.IngestConfig): Unit = {
+    base.mergeHardDelete(batch, config); sync()
+  }
+}
