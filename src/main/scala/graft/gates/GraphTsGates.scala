@@ -520,6 +520,26 @@ private[graft] object GraphTsGates {
       graft.ops.Graph.bipartiteCheck(edges, "a", "b", maxDepth = 6)
     }),
 
+    // ---- Graph: double-sweep diameter — two multi-seed BFS waves
+    //      bound every component's diameter at O(E)-per-round cost
+    //      (exact all-pairs is quadratic); ring fixture's closed form:
+    //      ecc(root) = diameter = floor(L/2), peripheral node = the
+    //      antipode (ties to the smaller id) ----
+    "graph_diameter" -> ((s, dir) => {
+      val nodes = t(s, dir, "documents")
+        .select(col("doc_id").as("n"), expr("doc_id div 8").as("g"))
+        .filter(!(pmod(col("n"), lit(8)) === 7 &&
+          pmod(col("g"), lit(2)) === 0))
+      val rings = nodes.groupBy(col("g"))
+        .agg(sort_array(collect_list(col("n"))).as("ns"))
+        .filter(size(col("ns")) >= 2)
+      val edges = rings
+        .select(col("ns"), posexplode(col("ns")).as(Seq("i", "a")))
+        .select(col("a"), element_at(col("ns"),
+          pmod(col("i") + 1, size(col("ns"))) + 1).as("b"))
+      graft.ops.Graph.doubleSweepDiameter(edges, "a", "b", maxDepth = 6)
+    }),
+
     // ---- Graph: minimum spanning forest by distributed BORUVKA —
     //      per-round lightest-outgoing-edge contraction (THE parallel
     //      MST); ring fixture whose MST is closed-form (cycle minus
@@ -1089,6 +1109,22 @@ private[graft] object GraphTsGates {
           s"SELECT type_a, type_b, CAST($dp AS BIGINT) AS dtw_q, " +
           s"CAST($dp AS DOUBLE) / 1024.0 AS dtw FROM pr"
       },
+
+      // Closed-form ring geometry: ecc(root) = diameter = floor(L/2);
+      // the peripheral node is the antipode at sorted position
+      // floor(L/2) (for odd L the two antipodes tie at (L-1)/2 hops
+      // and the smaller id — the lower position — wins).
+      "graph_diameter" ->
+        ("WITH k AS (SELECT doc_id AS n, doc_id // 8 AS g " +
+          "FROM documents WHERE NOT (doc_id % 8 = 7 " +
+          "AND (doc_id // 8) % 2 = 0)), " +
+          "r AS (SELECT n, g, CAST(row_number() OVER (PARTITION BY g " +
+          "ORDER BY n) - 1 AS BIGINT) AS pos, " +
+          "CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS l, " +
+          "min(n) OVER (PARTITION BY g) AS root FROM k) " +
+          "SELECT root AS component, l // 2 AS ecc_root, " +
+          "n AS peripheral_node, l // 2 AS diameter_lb " +
+          "FROM r WHERE l >= 2 AND pos = l // 2"),
 
       // Closed-form MST of each ring: a cycle's unique MST under the
       // (w, a, b) total order is ALL edges minus the maximum one; a

@@ -695,6 +695,48 @@ object Graph {
           col("n_unreached") === 0).as("is_bipartite"))
   }
 
+  /** Diameter LOWER BOUND per component by the classic double sweep:
+    * BFS from the component root (min node) finds a farthest node u
+    * (ecc(root)); a second BFS from u finds ecc(u) ≥ the first — on
+    * trees and many real graphs the exact diameter, in general a lower
+    * bound at a two-BFS price where exact all-pairs is quadratic. Ties
+    * for the peripheral node break to the smallest id (deterministic).
+    * Emits (component, ecc_root, peripheral_node, diameter_lb); both
+    * sweeps are the proven multi-seed frontier BFS (components are
+    * disjoint, so one wave serves every component at once). */
+  def doubleSweepDiameter(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxDepth: Int): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("ea"),
+        greatest(col(aCol), col(bCol)).cast("long").as("eb"))
+      .where(col("ea") =!= col("eb"))
+      .distinct()
+    val sym = und.unionByName(
+      und.select(col("eb").as("ea"), col("ea").as("eb")))
+    val cc = graft.ops.Components.connectedComponents(und, "ea", "eb")
+    val roots = cc.select(col("comp")).distinct()
+    val d1 = bfsHops(sym, "ea", "eb", roots, maxDepth)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col("dist").desc, col("node"))
+    val far = cc.join(d1, cc("id") === d1("node"))
+      .select(col("comp"), col("node"), col("dist"))
+      .withColumn("__rn", row_number().over(w))
+    val ecc = far.groupBy(col("comp"))
+      .agg(max(col("dist")).as("ecc_root"))
+    val u = far.where(col("__rn") === 1)
+      .select(col("comp").as("__uc"), col("node").as("peripheral_node"))
+    val d2 = bfsHops(sym, "ea", "eb",
+      u.select(col("peripheral_node")), maxDepth)
+    val diam = cc.join(d2, cc("id") === d2("node"))
+      .groupBy(col("comp")).agg(max(col("dist")).as("diameter_lb"))
+    ecc.join(u, col("comp") === col("__uc"))
+      .join(diam, Seq("comp"))
+      .select(col("comp").as("component"), col("ecc_root"),
+        col("peripheral_node"), col("diameter_lb"))
+  }
+
   /** Minimum spanning FOREST by distributed Borůvka — THE parallel MST
     * algorithm (each round every component picks its lightest outgoing
     * edge, chosen edges contract, component count at least halves →

@@ -504,6 +504,30 @@ class GraphSpec extends SparkSpec {
       (10L, 11L, 7L), (11L, 12L, 7L)))
   }
 
+  test("doubleSweepDiameter: exact on a path (tree), a lower bound " +
+    "that equals the true diameter on an even ring; ties break to the " +
+    "smaller peripheral id") {
+    // path 0-1-2-3-4: root 0, ecc(0)=4, u=4, diameter 4 (exact on trees)
+    val path = (0L until 4L).map(i => (i, i + 1)).toDF("a", "b")
+    val p = Graph.doubleSweepDiameter(path, "a", "b", maxDepth = 6)
+      .collect().head
+    assert(p.getLong(0) == 0L && p.getLong(1) == 4L &&
+      p.getLong(2) == 4L && p.getLong(3) == 4L)
+    // 6-ring 10..15: ecc(10)=3, antipode 13, diameter 3
+    val ring = (0L until 6L).map(i => (10L + i, 10L + (i + 1) % 6))
+      .toDF("a", "b")
+    val r = Graph.doubleSweepDiameter(ring, "a", "b", maxDepth = 6)
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 3L &&
+      r.getLong(2) == 13L && r.getLong(3) == 3L)
+    // 5-ring 20..24: two antipodes (22, 23) tie at 2 hops -> 22 wins
+    val odd = (0L until 5L).map(i => (20L + i, 20L + (i + 1) % 5))
+      .toDF("a", "b")
+    val o = Graph.doubleSweepDiameter(odd, "a", "b", maxDepth = 6)
+      .collect().head
+    assert(o.getLong(2) == 22L && o.getLong(3) == 2L)
+  }
+
   test("boruvkaMst on a weighted ring equals ring-minus-max-edge, and " +
     "the forest always has n_nodes - n_components edges") {
     val n = 12L
