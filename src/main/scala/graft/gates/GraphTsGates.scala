@@ -186,6 +186,34 @@ private[graft] object GraphTsGates {
         alpha = 0.5, beta = 0.25, horizon = 3)
     }),
 
+    // ---- Time series: 1-D Kalman filter (local-level model) over the
+    //      hourly series — variance-adaptive smoothing; final level,
+    //      posterior variance, and steady-state gain ----
+    "ts_kalman_level" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.kalmanLevel(hourly, "event_type", "hr", "hx",
+        q = 0.25, r = 2.0)
+    }),
+
+    // ---- Time series: Holt–Winters additive triple smoothing over the
+    //      daily series (m=7 weekly seasonality, online-learned season
+    //      state, exact-binary smoothing constants) ----
+    "ts_holt_winters" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("d"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.holtWinters(daily, "event_type", "d", "hx",
+        alpha = 0.5, beta = 0.25, gamma = 0.25, m = 7)
+    }),
+
     // ---- Time series: hour-of-day seasonal index (multiplicative
     //      profile vs the key's own mean) — exact integer cross
     //      products, ONE division per bucket ----
@@ -538,6 +566,45 @@ private[graft] object GraphTsGates {
         .select(col("a"), element_at(col("ns"),
           pmod(col("i") + 1, size(col("ns"))) + 1).as("b"))
       graft.ops.Graph.doubleSweepDiameter(edges, "a", "b", maxDepth = 6)
+    }),
+
+    // ---- Graph: truncated HARMONIC centrality of a landmark set —
+    //      the disconnected-safe closeness (Σ 1/d over the depth-3
+    //      ball); exact per-ring integer counts, harmonic as ONE
+    //      fixed-order double expression ----
+    "graph_harmonic" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = pp.select(col("p")).distinct()
+        .filter(col("p") % 100 === 0)
+      graft.ops.Graph.harmonicLandmarks(edges, "a", "b", seeds, depth = 3)
+    }),
+
+    // ---- Graph: deterministic hash-guided random walks (the
+    //      node2vec/DeepWalk sampling primitive made replayable) —
+    //      argmin-hash next-hop choice precomputed as one window,
+    //      then six O(|walkers|) position joins ----
+    "graph_random_walks" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = pp.select(col("p")).distinct()
+        .filter(col("p") % 400 === 0)
+      graft.ops.Graph.deterministicWalks(edges, "a", "b", seeds,
+        steps = 6)
     }),
 
     // ---- Graph: minimum spanning forest by distributed BORUVKA —
@@ -1431,6 +1498,70 @@ private[graft] object GraphTsGates {
           "SELECT f.event_type, CAST(f.i AS BIGINT) AS n_points, " +
           "f.l AS level, f.tr AS trend, f.l + 3.0 * f.tr AS forecast " +
           "FROM fin f WHERE rn = 1"),
+      // Kalman local-level replay: lockstep recursive CTE, the gain
+      // subexpression (p + q)/((p + q) + r) duplicated textually at
+      // every use site exactly as the engine's fold spells it, so the
+      // IEEE results match bit-for-bit.
+      "ts_kalman_level" ->
+        ("WITH RECURSIVE sr AS (" +
+          "SELECT event_type, CAST(hx AS DOUBLE) AS x, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i " +
+          "FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2) WHERE hx IS NOT NULL), " +
+          "rec AS (" +
+          "SELECT event_type, i, x AS l, CAST(1.0 AS DOUBLE) AS p " +
+          "FROM sr WHERE i = 1 " +
+          "UNION ALL " +
+          "SELECT s.event_type, s.i, " +
+          "r.l + ((r.p + 0.25) / ((r.p + 0.25) + 2.0)) * (s.x - r.l) " +
+          "AS l, " +
+          "(1.0 - ((r.p + 0.25) / ((r.p + 0.25) + 2.0))) * (r.p + 0.25) " +
+          "AS p " +
+          "FROM rec r JOIN sr s ON s.event_type = r.event_type " +
+          "AND s.i = r.i + 1), " +
+          "fin AS (SELECT event_type, i, l, p, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY i DESC) " +
+          "AS rn FROM rec) " +
+          "SELECT event_type, CAST(i AS BIGINT) AS n_points, " +
+          "l AS level, p AS p_var, " +
+          "(p + 0.25) / ((p + 0.25) + 2.0) AS gain FROM fin WHERE rn = 1"),
+      // Holt-Winters additive replay: the 7-slot seasonal list carried
+      // through the recursion, the new-level subexpression duplicated
+      // at its three use sites (trend, season, level) exactly like the
+      // engine's fold; smoothing constants (0.5, 0.25) chosen so the
+      // complements (0.5, 0.75) are exact binary doubles on both sides.
+      "ts_holt_winters" -> {
+        val sOld = "r.s[CAST((s.i - 1) % 7 AS INT) + 1]"
+        val newl = s"0.5 * (s.x - $sOld) + 0.5 * (r.l + r.b)"
+        "WITH RECURSIVE sr AS (" +
+          "SELECT event_type, CAST(hx AS DOUBLE) AS x, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY d) AS i " +
+          "FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS d, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2) WHERE hx IS NOT NULL), " +
+          "rec AS (" +
+          "SELECT event_type, i, x AS l, CAST(0.0 AS DOUBLE) AS b, " +
+          "list_transform(range(0, 7), j -> CAST(0.0 AS DOUBLE)) AS s " +
+          "FROM sr WHERE i = 1 " +
+          "UNION ALL " +
+          s"SELECT s.event_type, s.i, $newl AS l, " +
+          s"0.25 * (($newl) - r.l) + 0.75 * r.b AS b, " +
+          "list_transform(range(0, 7), j -> " +
+          "CASE WHEN j = (s.i - 1) % 7 " +
+          s"THEN 0.25 * (s.x - ($newl)) + 0.75 * $sOld " +
+          "ELSE r.s[CAST(j AS INT) + 1] END) AS s " +
+          "FROM rec r JOIN sr s ON s.event_type = r.event_type " +
+          "AND s.i = r.i + 1), " +
+          "fin AS (SELECT event_type, i, l, b, s, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY i DESC) " +
+          "AS rn FROM rec) " +
+          "SELECT event_type, CAST(i AS BIGINT) AS n_points, " +
+          "l AS level, b AS trend, " +
+          "s[CAST(i % 7 AS INT) + 1] AS s_next, " +
+          "(l + b) + s[CAST(i % 7 AS INT) + 1] AS forecast " +
+          "FROM fin WHERE rn = 1"
+      },
       "ts_seasonal" ->
         ("WITH b AS (SELECT event_type, " +
           "(epoch_us(ts) // 3600000000) % 24 AS hod, " +
@@ -1865,6 +1996,58 @@ private[graft] object GraphTsGates {
           "CASE WHEN sum(dist) > 0 THEN CAST(count(*) - 1 AS DOUBLE) / " +
           "CAST(sum(dist) AS DOUBLE) END AS closeness " +
           "FROM md3 GROUP BY seed"),
+      // Same BFS-ball CTEs as closeness; harmonic is the fixed-order
+      // ((n1/1 + n2/2) + n3/3) double expression over exact per-ring
+      // counts — one division per ring, never a per-row 1/d sum.
+      "graph_harmonic" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e AS (SELECT a AS src, b AS dst FROM ce " +
+          "UNION ALL SELECT b, a FROM ce), " +
+          "seeds AS (SELECT DISTINCT CAST(p AS BIGINT) AS node FROM ps " +
+          "WHERE p % 100 = 0), " +
+          graft.functions.OracleSql.bfsMultiCtes(depth = 3) + ", " +
+          "hb AS (SELECT seed, " +
+          "CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_1, " +
+          "CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_2, " +
+          "CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_3 FROM md3 GROUP BY seed) " +
+          "SELECT seed, n_1, n_2, n_3, " +
+          "(CAST(n_1 AS DOUBLE) / 1.0 + CAST(n_2 AS DOUBLE) / 2.0) + " +
+          "CAST(n_3 AS DOUBLE) / 3.0 AS harmonic FROM hb"),
+      // Walk replay: the per-(node, step) argmin-hash transition table
+      // is computed NON-recursively (one window over edges x steps),
+      // then a recursive CTE replays the six position hops — the same
+      // factoring that makes the engine's plan cheap, and it sidesteps
+      // the no-aggregates-in-recursive-term SQL restriction.
+      "graph_random_walks" ->
+        ("WITH RECURSIVE ps AS (SELECT DISTINCT l_orderkey AS o, " +
+          "l_partkey AS p FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e AS (SELECT a AS src, b AS dst FROM ce " +
+          "UNION ALL SELECT b, a FROM ce), " +
+          "seeds AS (SELECT DISTINCT CAST(p AS BIGINT) AS node FROM ps " +
+          "WHERE p % 400 = 0), " +
+          "st AS (SELECT unnest(range(0, 6)) AS step), " +
+          "sc AS (SELECT e.src, st.step, e.dst, " +
+          "(7919 * (st.step + 1) + 104729 * e.src + 130363 * e.dst) " +
+          "% 999983 AS score FROM e CROSS JOIN st), " +
+          "ch AS (SELECT src, step, dst FROM (SELECT src, step, dst, " +
+          "row_number() OVER (PARTITION BY src, step " +
+          "ORDER BY score, dst) AS rn FROM sc) WHERE rn = 1), " +
+          "walk AS (SELECT node AS walker, CAST(0 AS BIGINT) AS step, " +
+          "node FROM seeds " +
+          "UNION ALL SELECT w.walker, w.step + 1, c.dst " +
+          "FROM walk w JOIN ch c ON c.src = w.node " +
+          "AND c.step = w.step) " +
+          "SELECT walker, step, node FROM walk"),
     )
   }
 }

@@ -874,6 +874,95 @@ object Graph {
         when(col("sum_dist") > 0L,
           col("n_reached").cast("double") / col("sum_dist").cast("double")))
 
+  /** Truncated HARMONIC centrality of a landmark set — the closeness
+    * variant that stays well-defined on disconnected graphs (Boldi &
+    * Vigna's recommendation): harmonic(s) = Σ_{v reached, v≠s} 1/d(s,v),
+    * unreachable nodes contribute 0 instead of poisoning the sum.
+    *
+    * Determinism: the BFS ball gives exact integer per-distance counts
+    * n_1..n_depth; harmonic is the FIXED-ORDER double expression
+    * ((n_1/1 + n_2/2) + ... + n_d/d) — one division per ring, left-
+    * associated, so Spark and the oracle produce bit-identical doubles
+    * regardless of row order (a per-row Σ1/d would be order-sensitive).
+    *
+    * Scale: one multi-seed BFS wave (state O(|S|·ball)) + one
+    * map-side-combinable aggregate. Output:
+    * (seed, n_1..n_depth, harmonic). */
+  def harmonicLandmarks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val counts = (1 to depth).map(d =>
+      sum(when(col("dist") === d.toLong, 1L).otherwise(0L)).as(s"n_$d"))
+    bfsMultiSource(edges, srcCol, dstCol, seeds, depth)
+      .groupBy(col("seed"))
+      .agg(counts.head, counts.tail: _*)
+      .withColumn("harmonic",
+        (1 to depth).map(d =>
+          col(s"n_$d").cast("double") / lit(d.toDouble)).reduce(_ + _))
+  }
+
+  /** Deterministic hash-guided random walks — the distributed stand-in
+    * for node2vec/DeepWalk corpus sampling, made REPLAYABLE: at step t a
+    * walker on node u moves to the out-neighbor v minimizing
+    * `(a1·(t+1) + a2·u + a3·v) mod p` (ties — impossible for distinct
+    * v < p with gcd(a3,p)=1, but broken by (score, v) anyway). The
+    * choice depends only on (t, u), so the per-step transition table is
+    * precomputed ONCE as a single window over edges × steps (O(E·steps)
+    * — at a trillion edges, compute each step's slice inside the loop
+    * instead; same plan per step, steps× less peak state), then the walk
+    * itself is `steps` cheap position-table joins, each O(|seeds|).
+    * A sink node (no out-edges) ends its walk early — the join drops it.
+    *
+    * Output: (walker, step, node) — every visited position, step 0 =
+    * the seed itself. */
+  def deterministicWalks(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, steps: Int,
+      a1: Long = 7919L, a2: Long = 104729L, a3: Long = 130363L,
+      p: Long = 999983L): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val scored = e
+      .withColumn("step",
+        explode(sequence(lit(0L), lit(steps.toLong - 1L))))
+      .withColumn("score",
+        pmod(lit(a1) * (col("step") + 1L) + lit(a2) * col("src") +
+          lit(a3) * col("dst"), lit(p)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"), col("step"))
+      .orderBy(col("score"), col("dst"))
+    val choice = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("src"), col("step"), col("dst"))
+      .persist()
+    try {
+      choice.count() // materialize once; every step joins this table
+      var pos = seeds
+        .select(col(seeds.columns.head).cast("long").as("walker"))
+        .distinct()
+        .select(col("walker"), lit(0L).as("step"),
+          col("walker").as("node"))
+        .localCheckpoint()
+      val out = collection.mutable.ArrayBuffer[DataFrame](pos)
+      for (i <- 0 until steps) {
+        val next = pos
+          .join(choice,
+            pos("node") === choice("src") && choice("step") === i.toLong)
+          .select(col("walker"), (pos("step") + 1L).as("step"),
+            col("dst").as("node"))
+          .localCheckpoint()
+        out += next
+        pos = next
+      }
+      out.reduce(_ unionByName _)
+    } finally { choice.unpersist(); () }
+  }
+
   /** Landmark betweenness (Brandes on the depth-bounded ball):
     * dependency scores δ accumulated backward over the multi-source
     * BFS DAG, quantized at `q` so every division is an exact integer

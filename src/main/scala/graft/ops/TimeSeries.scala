@@ -425,6 +425,125 @@ object TimeSeries {
           .as("forecast"))
   }
 
+  /** 1-D Kalman filter, local-level model — the probabilistic sibling of
+    * [[ewma]]: the smoothing weight (gain) is not a fixed α but adapts to
+    * the tracked state variance. Per observation:
+    * {{{
+    *   p_pred = p + q                    // process noise inflates variance
+    *   k      = p_pred / (p_pred + r)    // gain: trust data vs model
+    *   l'     = l + k·(x − l)            // update level toward observation
+    *   p'     = (1 − k)·p_pred           // posterior variance shrinks
+    * }}}
+    * Initialization: l = x_1, p = 1.0. Steady state: p converges to the
+    * positive root of p² + pq − qr = 0, so the gate's final gain is a
+    * stable regression target.
+    *
+    * Determinism: the fold runs over the `array_sort`-collected per-key
+    * series (one aggregate, no windows); every step is a FIXED double
+    * expression shape — `p_pred` is spelled `(p + q)` at each use site so
+    * an oracle replaying the same text gets bit-identical IEEE results.
+    * Scale: per-key state is 2 doubles; series must be pre-bucketed (the
+    * [[autocorr]] contract). Output:
+    * (keyCol, n_points, level, p_var, gain) — gain recomputed from the
+    * final p in the same shape, forecast_1 = level (local-level model). */
+  def kalmanLevel(
+      df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      q: Double, r: Double): DataFrame = {
+    require(q > 0.0 && r > 0.0, s"noise variances must be > 0: q=$q r=$r")
+    val series = array_sort(collect_list(struct(
+      col(ordCol).cast("long").as("o"), col(valCol).cast("double").as("x"))))
+    val zero = struct(lit(null).cast("double").as("l"),
+      lit(null).cast("double").as("p"))
+    val step = (acc: Column, e: Column) => {
+      val x = e.getField("l")
+      val gain = (acc.getField("p") + lit(q)) /
+        ((acc.getField("p") + lit(q)) + lit(r))
+      when(acc.getField("l").isNull,
+        struct(x.as("l"), lit(1.0).as("p")))
+        .otherwise(struct(
+          (acc.getField("l") + gain * (x - acc.getField("l"))).as("l"),
+          ((lit(1.0) - gain) * (acc.getField("p") + lit(q))).as("p")))
+    }
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(series.as("__s"), count(lit(1)).as("n_points"))
+      .select(col(keyCol), col("n_points"),
+        aggregate(
+          transform(col("__s"),
+            e => struct(e.getField("x").as("l"), lit(0.0).as("p"))),
+          zero, step).as("__f"))
+      .select(col(keyCol), col("n_points"),
+        col("__f.l").as("level"), col("__f.p").as("p_var"),
+        ((col("__f.p") + lit(q)) / ((col("__f.p") + lit(q)) + lit(r)))
+          .as("gain"))
+  }
+
+  /** Holt–Winters ADDITIVE triple exponential smoothing — [[holt]] plus a
+    * length-`m` seasonal state vector:
+    * {{{
+    *   l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(x_t − l_t)     + (1−γ)·s_{t−m}
+    * }}}
+    * Deterministic initialization (both engine and oracle replay it):
+    * l = x_1, b = 0, s = 0⃗ — the seasonal profile is learned online, so
+    * early forecasts are Holt-like and season emerges after one period.
+    * Observation i (0-based) updates seasonal slot `i mod m`.
+    *
+    * IEEE discipline: pick α/β/γ whose complements are EXACT binary
+    * doubles (0.5, 0.25, …) — the engine computes `1−α` by constant
+    * folding and an oracle writes the literal; for non-exact α the two
+    * differ in the last ulp. The updated-level subexpression inside the
+    * trend and season terms is duplicated textually, same as [[holt]].
+    *
+    * Scale: one collect-per-key aggregate, state = m+2 doubles. Output:
+    * (keyCol, n_points, level, trend, s_next, forecast) where s_next is
+    * the seasonal slot the NEXT observation would hit (index n mod m)
+    * and forecast = level + trend + s_next (horizon 1). */
+  def holtWinters(
+      df: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      alpha: Double, beta: Double, gamma: Double, m: Int): DataFrame = {
+    require(m >= 2, s"season length must be >= 2, got $m")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    val series = array_sort(collect_list(struct(
+      col(ordCol).cast("long").as("o"), col(valCol).cast("double").as("x"))))
+    val zero = struct(lit(null).cast("double").as("l"),
+      lit(0.0).as("b"),
+      array_repeat(lit(0.0), m).as("s"),
+      lit(0L).as("i"))
+    val step = (acc: Column, x: Column) => {
+      val i = acc.getField("i") // 0-based index of THIS observation
+      val pos = pmod(i, lit(m.toLong))
+      val sOld = element_at(acc.getField("s"), pos.cast("int") + 1)
+      val newl = lit(alpha) * (x - sOld) +
+        (lit(1.0) - lit(alpha)) * (acc.getField("l") + acc.getField("b"))
+      val newb = lit(beta) * (newl - acc.getField("l")) +
+        (lit(1.0) - lit(beta)) * acc.getField("b")
+      val news = lit(gamma) * (x - newl) + (lit(1.0) - lit(gamma)) * sOld
+      val sUpd = zip_with(acc.getField("s"),
+        sequence(lit(0L), lit(m.toLong - 1L)),
+        (v, j) => when(j === pos, news).otherwise(v))
+      when(acc.getField("l").isNull,
+        struct(x.as("l"), lit(0.0).as("b"), acc.getField("s").as("s"),
+          lit(1L).as("i")))
+        .otherwise(struct(newl.as("l"), newb.as("b"), sUpd.as("s"),
+          (i + 1L).as("i")))
+    }
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(series.as("__s"), count(lit(1)).as("n_points"))
+      .select(col(keyCol), col("n_points"),
+        aggregate(transform(col("__s"), _.getField("x")), zero, step)
+          .as("__f"))
+      .select(col(keyCol), col("n_points"),
+        col("__f.l").as("level"), col("__f.b").as("trend"),
+        element_at(col("__f.s"),
+          pmod(col("n_points"), lit(m.toLong)).cast("int") + 1)
+          .as("s_next"))
+      .withColumn("forecast",
+        col("level") + col("trend") + col("s_next"))
+  }
+
   /** Per-group ordinary least squares — the trend line behind "is this
     * metric growing and how fast": slope, intercept, and R² of y over x
     * for each key. Emits (keyCol, n_points, slope, intercept, r2).

@@ -544,4 +544,60 @@ class GraphSpec extends SparkSpec {
     assert(got == all - dropped)
     assert(got.size == n.toInt - 1)
   }
+
+  test("harmonicLandmarks on a path graph matches hand-computed " +
+    "ring counts and fixed-order harmonic") {
+    // path 0-1-2-3-4-5, seed 0: n1=1, n2=1, n3=1 -> 1 + 1/2 + 1/3
+    val path = (0L until 5L).map(i => (i, i + 1))
+    val edges = (path ++ path.map(_.swap)).toDF("a", "b")
+    val seeds = Seq(0L, 2L).toDF("n")
+    val got = Graph.harmonicLandmarks(edges, "a", "b", seeds, depth = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(0L) == ((1L, 1L, 1L, (1.0 / 1.0 + 1.0 / 2.0) + 1.0 / 3.0)))
+    // seed 2: dist1 = {1,3}, dist2 = {0,4}, dist3 = {5}
+    assert(got(2L) == ((2L, 2L, 1L, (2.0 / 1.0 + 2.0 / 2.0) + 1.0 / 3.0)))
+  }
+
+  test("deterministicWalks replays the argmin-hash choice and stops " +
+    "at sinks") {
+    // directed: 0->1, 0->2, 1->3 (3 is a sink); walker from 0
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L)).toDF("a", "b")
+    val seeds = Seq(0L).toDF("n")
+    val got = Graph.deterministicWalks(edges, "a", "b", seeds, steps = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // step-0 hash from node 0: h(v) = (7919*1 + 104729*0 + 130363*v) % p
+    val p = 999983L
+    def h(step: Long, u: Long, v: Long) =
+      (7919L * (step + 1) + 104729L * u + 130363L * v) % p
+    val first = Seq(1L, 2L).minBy(v => (h(0, 0, v), v))
+    assert(got.head == ((0L, 0L)))
+    assert(got(1) == ((1L, first)))
+    if (first == 1L) {
+      // 1 -> 3, then 3 is a sink: walk ends after step 2
+      assert(got.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 3L)))
+    } else {
+      // 2 is a sink: walk ends after step 1
+      assert(got.toSeq == Seq((0L, 0L), (1L, 2L)))
+    }
+  }
+
+  test("deterministicWalks on a complete digraph visits steps+1 nodes " +
+    "per walker and every hop is an edge") {
+    val nodes = 0L until 6L
+    val edges = (for (a <- nodes; b <- nodes if a != b) yield (a, b))
+      .toDF("a", "b")
+    val seeds = Seq(0L, 3L).toDF("n")
+    val rows = Graph.deterministicWalks(edges, "a", "b", seeds, steps = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 2 * 6) // 2 walkers x (5 steps + seed)
+    for (w <- Seq(0L, 3L)) {
+      val walk = rows.filter(_._1 == w).sortBy(_._2).map(_._3)
+      assert(walk.head == w)
+      walk.sliding(2).foreach { case Array(u, v) =>
+        assert(u != v, s"self-hop $u in walker $w")
+      }
+    }
+  }
 }

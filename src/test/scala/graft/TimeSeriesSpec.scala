@@ -744,4 +744,63 @@ class TimeSeriesSpec extends SparkSpec {
     // is the hand-computed j=12 at distance (2-4)^2+(2-1)^2+(2-5)^2=14
     assert(got(5L) == ((12L, 14L)))
   }
+
+  test("kalmanLevel: constant series converges level to the constant " +
+    "and variance to the steady-state Riccati root") {
+    val df = (0 until 40).map(i => ("k", i.toLong, 10.0))
+      .toDF("k", "o", "x")
+    val r = TimeSeries.kalmanLevel(df, "k", "o", "x", q = 0.25, r = 2.0)
+      .collect().head
+    assert(r.getLong(1) == 40L)
+    assert(math.abs(r.getDouble(2) - 10.0) < 1e-9, "level locks on")
+    // steady state: p = (-q + sqrt(q^2 + 4qr)) / 2 with q=.25 r=2
+    val pStar = (-0.25 + math.sqrt(0.25 * 0.25 + 4 * 0.25 * 2.0)) / 2
+    assert(math.abs(r.getDouble(3) - pStar) < 1e-6,
+      s"p_var ${r.getDouble(3)} vs riccati $pStar")
+    val gain = (r.getDouble(3) + 0.25) / ((r.getDouble(3) + 0.25) + 2.0)
+    assert(math.abs(r.getDouble(4) - gain) < 1e-12)
+  }
+
+  test("kalmanLevel follows a step change faster than its steady gain " +
+    "would and matches a driver-side replay exactly") {
+    val xs = (0 until 10).map(_ => 0.0) ++ (0 until 10).map(_ => 100.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "o", "x")
+    val r = TimeSeries.kalmanLevel(df, "k", "o", "x", q = 0.25, r = 2.0)
+      .collect().head
+    var (l, p) = (xs.head, 1.0)
+    for (x <- xs.tail) {
+      val k = (p + 0.25) / ((p + 0.25) + 2.0)
+      l = l + k * (x - l); p = (1.0 - k) * (p + 0.25)
+    }
+    assert(r.getDouble(2) == l, "bit-exact driver replay (level)")
+    assert(r.getDouble(3) == p, "bit-exact driver replay (p)")
+    assert(r.getDouble(2) > 90.0, "level has tracked the step")
+  }
+
+  test("holtWinters learns a pure additive season: trend ~ 0, seasonal " +
+    "slots ordered like the true profile, and a driver replay is exact") {
+    val season = Array(0.0, 10.0, 20.0, 5.0, 15.0, 25.0, 2.0)
+    val xs = (0 until 35).map(i => 50.0 + season(i % 7))
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "o", "x")
+    val r = TimeSeries.holtWinters(df, "k", "o", "x",
+      alpha = 0.5, beta = 0.25, gamma = 0.25, m = 7)
+      .collect().head
+    // driver-side replay of the documented recursion
+    var l = xs.head; var b = 0.0; val s = Array.fill(7)(0.0)
+    for (i <- 1 until xs.length) {
+      val sOld = s(i % 7)
+      val nl = 0.5 * (xs(i) - sOld) + 0.5 * (l + b)
+      val nb = 0.25 * (nl - l) + 0.75 * b
+      s(i % 7) = 0.25 * (xs(i) - nl) + 0.75 * sOld
+      l = nl; b = nb
+    }
+    assert(r.getLong(1) == 35L)
+    assert(r.getDouble(2) == l && r.getDouble(3) == b,
+      "bit-exact driver replay (level, trend)")
+    assert(r.getDouble(4) == s(35 % 7), "s_next is slot n mod m")
+    assert(r.getDouble(5) == (l + b) + s(35 % 7))
+    assert(math.abs(b) < 1.0, "no spurious trend on a stationary season")
+  }
 }
