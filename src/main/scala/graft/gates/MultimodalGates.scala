@@ -422,6 +422,52 @@ private[graft] object MultimodalGates {
     //      j·3/2 with FLOOR division (negative samples round like the
     //      oracle's //); output summarized as Σ|v| + rolling
     //      fingerprint over the full resampled stream ----
+    // ---- Multimodal: TGA truecolor decode — the SEVENTH codec, first
+    //      footer-dispatched one, covering both uncompressed and RLE
+    //      image types, BGR channel order (three DIFFERENT channel
+    //      formulas so a swap can't cancel), and both row orders ----
+    "mm_tga_pixel_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.tgaPixelBytes(
+            (id % 21 + 8).toInt, (id % 11 + 6).toInt, id % 83,
+            rle = id % 2 == 1, topDown = id % 4 < 2))
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
+    // ---- Multimodal: Otsu automatic threshold over decoded rasters —
+    //      histogram binarization with exact integer between-class
+    //      variance (BigInt intermediates mirror the oracle's HUGEINT),
+    //      floored-quotient comparison, ties to the smaller t ----
+    "mm_otsu_threshold" -> ((s, dir) =>
+      Multimodal.otsuThreshold(pngFixture(s, dir), "doc_id", "content")),
+
+    // ---- Multimodal: Sun AU (.au/.snd) container — the third audio
+    //      container shape: big-endian header, annotation-padding skip,
+    //      "unknown size" sentinel, and THREE encodings (mu-law,
+    //      signed-8, 16-bit BE) behind one dispatch ----
+    "mm_audio_au" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", MediaFixtures.auBytes)
+      Multimodal.auStats(d, "doc_id", "content")
+    }),
+
+    // ---- Multimodal: dual-tone keypad detection (DTMF-shaped) by
+    //      quadrature square-wave correlation — the exact-integer
+    //      Goertzel stand-in; argmax per frequency group decodes the
+    //      4x4 keypad digit ----
+    "mm_audio_dtmf" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents").filter(col("doc_id") % 8 === 0),
+        "doc_id", id =>
+          MediaFixtures.toneBytes(id, DtmfLowPeriods, DtmfHighPeriods))
+      Multimodal.toneDetect(d, "doc_id", "content",
+        DtmfLowPeriods, DtmfHighPeriods)
+    }),
+
     // ---- Multimodal: G.711 μ-LAW decode — the telephony audio byte
     //      format (one log-companded byte per 8 kHz sample, no
     //      container): the kernel expands each byte with the public
@@ -527,6 +573,13 @@ private[graft] object MultimodalGates {
         .select(col("keep_id"), col("n_copies"))
     }),
   )
+
+  /** Candidate period tables for the dual-tone gate — shared by the
+    * fixture, the detector, and the oracle SQL so they cannot drift.
+    * Multiples of 4 (integer quarter-phase shift for the quadrature
+    * correlator); rows = low group, columns = high group. */
+  private[graft] val DtmfLowPeriods = Array(40, 36, 32, 28)
+  private[graft] val DtmfHighPeriods = Array(20, 16, 12, 8)
 
   def oracles: Map[String, String] = {
     val mmJpegPx = "2 * ((17 * (xx // 8) + 29 * (yy // 8) + " +
@@ -664,6 +717,134 @@ private[graft] object MultimodalGates {
         // raster (P6 as gray RGB, BT.601-exact).
         mmPixelStatsSql("doc_id % 20 + 9", "doc_id % 13 + 7",
           "doc_id % 43"),
+      "mm_tga_pixel_stats" -> {
+        // Three distinct channel formulas through the BT.601 integer
+        // luma — the engine recovered them from BGR bytes (RLE packets
+        // for odd ids, which also quantize x by 3 so runs exist); the
+        // stats are row-order invariant, so one replay covers both the
+        // top-down and bottom-up fixtures.
+        val q = "(CASE WHEN id % 2 = 1 THEN xx // 3 ELSE xx END)"
+        val rC = s"((17 * $q + 71 * yy + 3 * $q * yy + 59 * s) % 256)"
+        val gC = s"((53 * $q + 29 * yy + 11 * $q * yy + 97 * s) % 256)"
+        val bC = s"((31 * $q + 47 * yy + 7 * $q * yy + 101 * s) % 256)"
+        mmPixelStatsSql("doc_id % 21 + 8", "doc_id % 11 + 6",
+          "doc_id % 83", s"(77 * $rC + 150 * $gC + 29 * $bC) // 256")
+      },
+      "mm_otsu_threshold" ->
+        // Histogram replay over the PNG formula raster: cumulative
+        // class moments by luma value (present values only — between
+        // two present values the engine's score is constant and its
+        // first-wins scan lands on the present one), HUGEINT products
+        // mirroring the engine's BigInt, floored-quotient key, ties to
+        // the smaller threshold.
+        ("WITH m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
+          "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+          "px AS (SELECT id, w, h, flatten(list_transform(range(0, h), " +
+          s"yy -> list_transform(range(0, w), xx -> $mmPngPx))) AS l " +
+          "FROM m), " +
+          "pr AS (SELECT id, w, h, unnest(l) AS v FROM px), " +
+          "hc AS (SELECT id, w, h, v, count(*) AS c FROM pr " +
+          "GROUP BY 1, 2, 3, 4), " +
+          "cm AS (SELECT id, w, h, v, " +
+          "sum(c) OVER (PARTITION BY id ORDER BY v) AS wb, " +
+          "sum(v * c) OVER (PARTITION BY id ORDER BY v) AS sumb, " +
+          "sum(c) OVER (PARTITION BY id) AS n, " +
+          "sum(v * c) OVER (PARTITION BY id) AS sumt FROM hc), " +
+          "sc AS (SELECT id, w, h, v, wb, n, " +
+          "(sumb * n - sumt * wb) * (sumb * n - sumt * wb) // " +
+          "(wb * (n - wb)) AS score FROM cm " +
+          "WHERE v <= 254 AND wb < n), " +
+          "rk AS (SELECT *, row_number() OVER (PARTITION BY id " +
+          "ORDER BY score DESC, v) AS rn FROM sc) " +
+          "SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+          "CAST(v AS BIGINT) AS threshold, CAST(wb AS BIGINT) AS n_below, " +
+          "CAST(n - wb AS BIGINT) AS n_above, " +
+          "CAST(score AS BIGINT) AS score FROM rk WHERE rn = 1"),
+      "mm_audio_au" -> {
+        // Per-encoding sample replay: the same byte formulas the
+        // fixture wrote, expanded through mu-law / signed-8 / signed-16
+        // closed forms — the engine had to parse the big-endian header
+        // (and skip the annotation pad) to know which one applies.
+        val f1 = "((7 * i + 13 * id + i * i) % 256)"
+        val f2 = "((11 * i + 17 * id) % 256)"
+        val u = s"(255 - $f1)"
+        val mag = s"(((2 * ($u % 16) + 33) << (($u // 16) % 8)) - 33)"
+        val mulaw = s"CASE WHEN $u >= 128 THEN -$mag ELSE $mag END"
+        val lin8 = s"CASE WHEN $f1 >= 128 THEN $f1 - 256 ELSE $f1 END"
+        val raw16 = s"($f1 * 256 + $f2)"
+        val lin16 =
+          s"CASE WHEN $raw16 >= 32768 THEN $raw16 - 65536 ELSE $raw16 END"
+        "WITH m AS (SELECT doc_id AS id, doc_id % 3 + 1 AS enc, " +
+          "doc_id % 50 + 20 AS n FROM documents), " +
+          "v AS (SELECT id, enc, n, list_transform(range(0, n), i -> " +
+          s"CASE WHEN enc = 1 THEN $mulaw WHEN enc = 2 THEN $lin8 " +
+          s"ELSE $lin16 END) AS pcm FROM m) " +
+          "SELECT id, CAST(enc AS BIGINT) AS encoding, " +
+          "CAST(8000 AS BIGINT) AS sample_rate, " +
+          "CAST(1 AS BIGINT) AS channels, CAST(n AS BIGINT) AS n_samples, " +
+          "CAST(list_sum(list_transform(pcm, x -> abs(x))) AS BIGINT) " +
+          "AS sum_abs, " +
+          "CAST(list_max(list_transform(pcm, x -> abs(x))) AS BIGINT) " +
+          "AS peak_abs, " +
+          "CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT) " +
+          "AS energy FROM v"
+      },
+      "mm_audio_dtmf" -> {
+        // Full quadrature-bank replay: regenerate the integer square
+        // tones closed-form, correlate against all eight candidate
+        // periods, first-wins argmax per group — every quantity an
+        // exact integer, so no Goertzel-style libm hazard exists.
+        val pls = DtmfLowPeriods; val phs = DtmfHighPeriods
+        def corr(p: Int, quad: Boolean): String = {
+          val idx = if (quad) s"(i + ${p / 4}) % $p" else s"i % $p"
+          "list_sum(list_transform(range(0, n), i -> " +
+            s"x[CAST(i AS INT) + 1] * " +
+            s"(CASE WHEN $idx < ${p / 2} THEN 1 ELSE -1 END)))"
+        }
+        val ipCols = (pls ++ phs).map(p =>
+          s"${corr(p, quad = false)} AS ip$p, " +
+            s"${corr(p, quad = true)} AS qp$p").mkString(", ")
+        val scCols = (pls ++ phs).map(p =>
+          s"(ip$p * ip$p + qp$p * qp$p) AS s$p").mkString(", ")
+        def amax(ps: Array[Int]): String = {
+          val arms = ps.indices.init.map { j =>
+            val conds = (j + 1 until ps.length)
+              .map(k => s"s${ps(j)} >= s${ps(k)}").mkString(" AND ")
+            s"WHEN $conds THEN $j"
+          }.mkString(" ")
+          s"CASE $arms ELSE ${ps.length - 1} END"
+        }
+        def pick(ps: Array[Int], ix: String, of: Int => String): String = {
+          val arms = ps.indices.init
+            .map(j => s"WHEN $j THEN ${of(ps(j))}").mkString(" ")
+          s"CASE $ix $arms ELSE ${of(ps.last)} END"
+        }
+        val pl = pick(pls.indices.toArray.map(pls), "dg // 4", _.toString)
+        val ph = pick(phs.indices.toArray.map(phs), "dg % 4", _.toString)
+        "WITH m AS (SELECT doc_id AS id, 200 + (doc_id % 7) * 40 AS n, " +
+          "doc_id % 16 AS dg FROM documents WHERE doc_id % 8 = 0), " +
+          s"tp AS (SELECT id, n, $pl AS pl, $ph AS ph FROM m), " +
+          "sm AS (SELECT id, n, list_transform(range(0, n), i -> " +
+          "(CASE WHEN i % pl < pl // 2 THEN 100 ELSE -100 END) + " +
+          "(CASE WHEN i % ph < ph // 2 THEN 100 ELSE -100 END)) AS x " +
+          "FROM tp), " +
+          s"cr AS (SELECT id, n, $ipCols FROM sm), " +
+          s"sc AS (SELECT id, n, $scCols FROM cr), " +
+          s"ax AS (SELECT id, n, ${amax(pls)} AS li, ${amax(phs)} AS hi " +
+          "FROM sc), " +
+          "j AS (SELECT sc.id, sc.n, ax.li, ax.hi, " +
+          s"${pick(pls, "ax.li", p => s"sc.s$p")} AS sl, " +
+          s"${pick(phs, "ax.hi", p => s"sc.s$p")} AS sh, " +
+          s"${pick(pls, "ax.li", _.toString)} AS lp, " +
+          s"${pick(phs, "ax.hi", _.toString)} AS hp " +
+          "FROM sc JOIN ax ON sc.id = ax.id) " +
+          "SELECT id, CAST(n AS BIGINT) AS n_samples, " +
+          "CAST(lp AS BIGINT) AS low_period, " +
+          "CAST(hp AS BIGINT) AS high_period, " +
+          "CAST(li * 4 + hi AS BIGINT) AS digit, " +
+          "CAST(sl AS BIGINT) AS score_low, " +
+          "CAST(sh AS BIGINT) AS score_high FROM j"
+      },
       "mm_mixed_codec5_stats" ->
         // Five-way replay: JPEG rows the flat-block formula, QOI rows
         // the div-3-quantized gray formula, PNG/GIF/BMP rows the

@@ -462,6 +462,210 @@ object Multimodal {
       .toDF()
   }
 
+  /** One Sun AU row: container header fields plus exact integer stats
+    * over the decoded linear PCM. */
+  final case class AuRow(
+      id: Long, encoding: Option[Long], sample_rate: Option[Long],
+      channels: Option[Long], n_samples: Option[Long],
+      sum_abs: Option[Long], peak_abs: Option[Long], energy: Option[Long])
+
+  /** Sun AU (.au/.snd) container decode + stats — the THIRD audio
+    * container shape (after raw G.711 and WAV): a big-endian header
+    * (magic ".snd", data offset ≥ 24 — annotation bytes between header
+    * and data are skipped — data size or 0xffffffff for "unknown",
+    * encoding, rate, channels) wrapping one of the three classic
+    * encodings: 1 = 8-bit G.711 μ-law (decoded via the same
+    * [[graft.functions.NativeKernels.mulawToPcm]] closed form as the
+    * raw gate), 2 = 8-bit SIGNED linear PCM, 3 = 16-bit big-endian
+    * linear PCM. Emits exact integer (Σ|pcm|, max|pcm|, Σpcm²) plus
+    * the header fields. Bad magic, short header, offset past the
+    * payload, unsupported encoding, or a half sample (odd byte count at
+    * encoding 3) → NULL row, never a task failure. Row-local, no
+    * shuffle. */
+  def auStats(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        val bad = AuRow(id, None, None, None, None, None, None, None)
+        if (b == null || b.length < 24 || b(0) != '.' || b(1) != 's' ||
+          b(2) != 'n' || b(3) != 'd') bad
+        else {
+          def be32(o: Int): Long =
+            ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+              ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+          val off = be32(4); val size = be32(8)
+          val enc = be32(12); val rate = be32(16); val ch = be32(20)
+          val end =
+            if (size == 0xffffffffL) b.length.toLong
+            else math.min(b.length.toLong, off + size)
+          if (off < 24L || off > b.length.toLong || end < off ||
+            enc < 1L || enc > 3L) bad
+          else if (enc == 3L && ((end - off) & 1L) != 0L) bad
+          else {
+            val n =
+              if (enc == 3L) ((end - off) / 2L).toInt else (end - off).toInt
+            var sAbs = 0L; var peak = 0L; var energy = 0L
+            var i = 0
+            var p = off.toInt
+            while (i < n) {
+              val v = enc match {
+                case 1L => graft.functions.NativeKernels.mulawToPcm(b(p) & 0xff)
+                case 2L => b(p).toInt //              8-bit SIGNED linear
+                case _ => (b(p) << 8) | (b(p + 1) & 0xff) //     16-bit BE
+              }
+              p += (if (enc == 3L) 2 else 1)
+              val a = math.abs(v).toLong
+              sAbs += a
+              if (a > peak) peak = a
+              energy += a * a
+              i += 1
+            }
+            AuRow(id, Some(enc), Some(rate), Some(ch), Some(n.toLong),
+              Some(sAbs), Some(peak), Some(energy))
+          }
+        }
+      }))
+      .toDF()
+  }
+
+  /** One dual-tone detection row: the winning low/high periods, the
+    * decoded keypad digit, and the quadrature scores that won. */
+  final case class ToneRow(
+      id: Long, n_samples: Option[Long], low_period: Option[Long],
+      high_period: Option[Long], digit: Option[Long],
+      score_low: Option[Long], score_high: Option[Long])
+
+  /** Dual-tone (DTMF-shaped) keypad detection over raw PCM16LE audio by
+    * QUADRATURE SQUARE-WAVE CORRELATION — the exact-integer stand-in
+    * for the Goertzel bank (same argmax on clean tones, but every
+    * quantity is an integer, so a DuckDB oracle replays it
+    * bit-for-bit; a true Goertzel needs cos() coefficients whose last
+    * ulp differs across libm builds). For each candidate period p:
+    * I = Σ sᵢ·sq(i mod p), Q = Σ sᵢ·sq((i + p/4) mod p) with
+    * sq = ±1 by half-period, score = I² + Q²; the detected row/column
+    * is the FIRST period attaining the maximal score in its group
+    * (ties → lower index), digit = 4·rowIdx + colIdx. Periods must be
+    * multiples of 4 (integer quarter-phase shift). Empty/odd-length
+    * payloads → NULL row. Row-local, no shuffle; cost O(n·|periods|)
+    * per clip. */
+  def toneDetect(
+      df: DataFrame, idCol: String, binCol: String,
+      lowPeriods: Array[Int], highPeriods: Array[Int],
+      batchSize: Int = 64): DataFrame = {
+    require((lowPeriods ++ highPeriods).forall(p => p >= 4 && p % 4 == 0),
+      "periods must be multiples of 4")
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        if (b == null || b.length < 2 || b.length % 2 != 0)
+          ToneRow(id, None, None, None, None, None, None)
+        else {
+          val n = b.length / 2
+          val s = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            s(i) = ((b(2 * i + 1) << 8) | (b(2 * i) & 0xff)).toShort.toInt
+            i += 1
+          }
+          def score(p: Int): Long = {
+            var iq = 0L; var qq = 0L
+            var k = 0
+            while (k < n) {
+              val v = s(k).toLong
+              iq += (if (k % p < p / 2) v else -v)
+              qq += (if ((k + p / 4) % p < p / 2) v else -v)
+              k += 1
+            }
+            iq * iq + qq * qq
+          }
+          def argmax(ps: Array[Int]): (Int, Long) = {
+            var best = 0; var bestScore = score(ps(0))
+            var j = 1
+            while (j < ps.length) {
+              val sc = score(ps(j))
+              if (sc > bestScore) { best = j; bestScore = sc }
+              j += 1
+            }
+            (best, bestScore)
+          }
+          val (li, ls) = argmax(lowPeriods)
+          val (hi, hs) = argmax(highPeriods)
+          ToneRow(id, Some(n.toLong), Some(lowPeriods(li).toLong),
+            Some(highPeriods(hi).toLong), Some(li.toLong * 4L + hi),
+            Some(ls), Some(hs))
+        }
+      }))
+      .toDF()
+  }
+
+  /** One Otsu row: the chosen threshold, the class split it induces,
+    * and the (floored) between-class-variance score that won. */
+  final case class OtsuRow(
+      id: Long, width: Option[Int], height: Option[Int],
+      threshold: Option[Long], n_below: Option[Long],
+      n_above: Option[Long], score: Option[Long])
+
+  /** Otsu's automatic threshold over a decoded luma raster — the
+    * classic histogram-based binarization (document-scan cleanup, mask
+    * extraction) in EXACT integer arithmetic: for each candidate
+    * threshold t the between-class variance is proportional to
+    * num(t)/den(t) with num = (sumB·w − sumT·wB)² and
+    * den = wB·(w − wB) (wB, sumB = count/sum of luma ≤ t; w, sumT =
+    * totals). num can exceed 64 bits already at ~2.4k px, so the
+    * intermediates run in BigInt — the mirror of DuckDB's HUGEINT — and
+    * only the QUOTIENT (≤ (255/2)²·w², inside BIGINT up to ~1e6 px) is
+    * emitted; the comparison key is the floored quotient num div den
+    * and ties break toward the smaller t, so engine and oracle agree
+    * exactly. Any
+    * [[decodePixels]] format is accepted; undecodable → NULL row.
+    * Row-local, no shuffle. */
+  def otsuThreshold(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        decodePixels(b) match {
+          case None => OtsuRow(id, None, None, None, None, None, None)
+          case Some((w, h, lum)) =>
+            val hist = new Array[Long](256)
+            lum.foreach(v => hist(v) += 1L)
+            val n = lum.length.toLong
+            var sumT = 0L
+            var v = 0
+            while (v < 256) { sumT += v.toLong * hist(v); v += 1 }
+            var wB = 0L; var sumB = 0L
+            var bestT = -1L; var bestScore = -1L
+            var bestWb = 0L
+            var t = 0
+            while (t <= 254) {
+              wB += hist(t); sumB += t.toLong * hist(t)
+              if (wB > 0L && wB < n) {
+                val d = BigInt(sumB) * n - BigInt(sumT) * wB
+                val sc = ((d * d) / (BigInt(wB) * (n - wB))).toLong
+                if (sc > bestScore) {
+                  bestScore = sc; bestT = t.toLong; bestWb = wB
+                }
+              }
+              t += 1
+            }
+            if (bestT < 0L) // constant image: no valid split
+              OtsuRow(id, Some(w), Some(h), None, Some(n), Some(0L), None)
+            else OtsuRow(id, Some(w), Some(h), Some(bestT), Some(bestWb),
+              Some(n - bestWb), Some(bestScore))
+        }
+      }))
+      .toDF()
+  }
+
   /** One IMA ADPCM row: exact integer stats over the decoded PCM plus
     * the decoder's final (predictor, index) state — the state pair
     * pins the WHOLE sequential walk, not just its aggregates. */
@@ -1613,7 +1817,89 @@ object Multimodal {
       b(3) == 'f') qoiPixels(b)
     else if (b.length >= 10 && b(0) == 'P' && (b(1) == '5' || b(1) == '6'))
       pnmPixels(b)
+    else if (b.length >= 44 && b(b.length - 2) == '.' &&
+      b(b.length - 3) == 'E' && b(b.length - 18) == 'T') tgaPixels(b)
     else None
+
+  /** Targa (TGA) truecolor decode — the SEVENTH codec, and the only one
+    * identified by a TRAILER (the TGA 2.0 26-byte footer ending in
+    * "TRUEVISION-XFILE.\0" — headerless TGA 1.0 is undetectable among
+    * arbitrary bytes, so this engine requires the footer; documented
+    * posture). Supports image types 2 (uncompressed truecolor) and 10
+    * (run-length encoded): packet header high bit selects a RUN packet
+    * (one BGR pixel repeated count times) vs a RAW packet (count literal
+    * pixels), count = low 7 bits + 1; runs MAY cross scanline
+    * boundaries (the liberal reading most encoders rely on). Pixels are
+    * stored B,G,R (the classic channel-order trap — the fixture's three
+    * channels carry DIFFERENT formulas so a swap cannot cancel);
+    * `imageDescriptor` bit 5 selects top-down row order, otherwise rows
+    * are bottom-up and the decoder reverses them. 24-bit only, color
+    * maps rejected, exact payload length enforced (trailing slack
+    * before the footer → None, the exploder posture). Luma is the same
+    * BT.601 integer form as P6/QOI: (77R + 150G + 29B) >> 8. */
+  private[graft] def tgaPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 18 + 26) return None
+    val sig = "TRUEVISION-XFILE."
+    val off = b.length - 18
+    var i = 0
+    while (i < 17) {
+      if (b(off + i) != sig.charAt(i).toByte) return None
+      i += 1
+    }
+    if (b(b.length - 1) != 0) return None
+    val idLen = b(0) & 0xff
+    if ((b(1) & 0xff) != 0) return None //        color-mapped: rejected
+    val itype = b(2) & 0xff
+    if (itype != 2 && itype != 10) return None
+    val w = (b(12) & 0xff) | ((b(13) & 0xff) << 8)
+    val h = (b(14) & 0xff) | ((b(15) & 0xff) << 8)
+    if ((b(16) & 0xff) != 24) return None //            24-bit BGR only
+    val topDown = ((b(17) & 0xff) & 0x20) != 0
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    var p = 18 + idLen
+    val end = b.length - 26
+    val n = w * h
+    if (p > end) return None
+    val lum = new Array[Int](n)
+    @inline def luma(pos: Int): Int = {
+      val bl = b(pos) & 0xff; val g = b(pos + 1) & 0xff
+      val r = b(pos + 2) & 0xff
+      (77 * r + 150 * g + 29 * bl) >> 8
+    }
+    var idx = 0
+    if (itype == 2) {
+      if (end - p != n.toLong * 3) return None
+      while (idx < n) { lum(idx) = luma(p); p += 3; idx += 1 }
+    } else {
+      while (idx < n) {
+        if (p >= end) return None
+        val hd = b(p) & 0xff; p += 1
+        val cnt = (hd & 0x7f) + 1
+        if (idx + cnt > n) return None
+        if ((hd & 0x80) != 0) {
+          if (p + 3 > end) return None
+          val v = luma(p); p += 3
+          var k = 0
+          while (k < cnt) { lum(idx) = v; idx += 1; k += 1 }
+        } else {
+          if (p + 3L * cnt > end) return None
+          var k = 0
+          while (k < cnt) { lum(idx) = luma(p); p += 3; idx += 1; k += 1 }
+        }
+      }
+      if (p != end) return None
+    }
+    if (topDown) Some((w, h, lum))
+    else {
+      val out = new Array[Int](n)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(lum, y * w, out, (h - 1 - y) * w, w)
+        y += 1
+      }
+      Some((w, h, out))
+    }
+  }
 
   /** Exact area-average downsample of a luma raster to a gw×gh grid:
     * cell (gx,gy) floors the mean over pixel block
@@ -2945,6 +3231,132 @@ object MediaFixtures {
         x += 1
       }
       r += 1
+    }
+    bb.toByteArray
+  }
+
+  /** TGA truecolor fixture: a COMPLETE Targa file (18-byte header, an
+    * id field of junk bytes the decoder must skip, BGR pixel data
+    * uncompressed or greedily run-length encoded, and the TGA 2.0
+    * footer the engine keys its dispatch on). The three channels carry
+    * THREE DIFFERENT formulas so a BGR/RGB swap cannot cancel in the
+    * luma; `rle` quantizes x by 3 so horizontal runs actually exist
+    * (same trick as the QOI fixture); `topDown` toggles descriptor
+    * bit 5 vs bottom-up row storage. */
+  def tgaPixelBytes(
+      w: Int, h: Int, seed: Long, rle: Boolean, topDown: Boolean): Array[Byte] = {
+    def chB(x: Long, y: Long): Int = pixelFormulaV(x, y, seed)
+    def chG(x: Long, y: Long): Int =
+      (((53L * x + 29L * y + 11L * x * y + 97L * seed) % 256L + 256L) % 256L).toInt
+    def chR(x: Long, y: Long): Int =
+      (((17L * x + 71L * y + 3L * x * y + 59L * seed) % 256L + 256L) % 256L).toInt
+    val bb = new java.io.ByteArrayOutputStream()
+    val idLen = (seed % 5).toInt
+    bb.write(idLen); bb.write(0); bb.write(if (rle) 10 else 2)
+    (0 until 5).foreach(_ => bb.write(0)) //         color-map spec: none
+    bb.write(0); bb.write(0); bb.write(0); bb.write(0) //       x/y origin
+    bb.write(w & 0xff); bb.write((w >> 8) & 0xff)
+    bb.write(h & 0xff); bb.write((h >> 8) & 0xff)
+    bb.write(24); bb.write(if (topDown) 0x20 else 0x00)
+    (0 until idLen).foreach(i => bb.write(0x55 + i))
+    // pixels in file order: file row r is image row r (top-down) or
+    // h-1-r (bottom-up)
+    val px = new Array[(Int, Int, Int)](w * h)
+    var r = 0
+    while (r < h) {
+      val y = if (topDown) r else h - 1 - r
+      var x = 0
+      while (x < w) {
+        val xq = if (rle) x / 3 else x
+        px(r * w + x) = (chB(xq, y), chG(xq, y), chR(xq, y))
+        x += 1
+      }
+      r += 1
+    }
+    if (!rle) px.foreach { case (bl, g, rr) =>
+      bb.write(bl); bb.write(g); bb.write(rr)
+    }
+    else {
+      var i = 0
+      while (i < px.length) {
+        var run = 1
+        while (i + run < px.length && run < 128 && px(i + run) == px(i))
+          run += 1
+        if (run >= 2) {
+          bb.write(0x80 | (run - 1))
+          val (bl, g, rr) = px(i); bb.write(bl); bb.write(g); bb.write(rr)
+          i += run
+        } else {
+          // raw packet: literals up to the next run of >= 2 (max 128)
+          var lit = 1
+          while (i + lit < px.length && lit < 128 &&
+            !(i + lit + 1 < px.length && px(i + lit + 1) == px(i + lit)))
+            lit += 1
+          bb.write(lit - 1)
+          var k = 0
+          while (k < lit) {
+            val (bl, g, rr) = px(i + k)
+            bb.write(bl); bb.write(g); bb.write(rr)
+            k += 1
+          }
+          i += lit
+        }
+      }
+    }
+    // TGA 2.0 footer: no extension/developer areas, the literal tag
+    (0 until 8).foreach(_ => bb.write(0))
+    "TRUEVISION-XFILE.".getBytes("US-ASCII").foreach(bb.write(_))
+    bb.write(0)
+    bb.toByteArray
+  }
+
+  /** Sun AU (.au/.snd) fixture: big-endian header (magic, data offset
+    * with optional annotation padding the decoder must skip, size —
+    * exact or the spec's 0xffffffff "unknown" — encoding, rate,
+    * channels) followed by sample data in the chosen encoding, all from
+    * the shared byte formula. */
+  def auBytes(id: Long): Array[Byte] = {
+    val enc = (id % 3 + 1).toInt //      1 mu-law, 2 linear-8, 3 linear-16
+    val pad = (id % 2).toInt * 4
+    val nSamp = (id % 50 + 20).toInt
+    val dataLen = if (enc == 3) nSamp * 2 else nSamp
+    val bb = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    bb.write('.'); bb.write('s'); bb.write('n'); bb.write('d')
+    be32(24L + pad)
+    be32(if (id % 5 == 0) 0xffffffffL else dataLen.toLong)
+    be32(enc.toLong); be32(8000L); be32(1L)
+    (0 until pad).foreach(_ => bb.write(0))
+    var i = 0
+    while (i < nSamp) {
+      val hi = ((7L * i + 13L * id + i.toLong * i) % 256L).toInt
+      bb.write(hi)
+      if (enc == 3) bb.write(((11L * i + 17L * id) % 256L).toInt)
+      i += 1
+    }
+    bb.toByteArray
+  }
+
+  /** Dual-tone keypad fixture: raw PCM16LE samples of the SUM of two
+    * square waves whose periods come from a 4x4 keypad table (rows =
+    * low group, columns = high group, digit = id mod 16) — the
+    * DTMF-shaped signal with every quantity an exact integer, so the
+    * oracle regenerates the identical samples closed-form. */
+  def toneBytes(id: Long, lowPeriods: Array[Int], highPeriods: Array[Int]): Array[Byte] = {
+    val digit = (id % 16).toInt
+    val pl = lowPeriods(digit / 4)
+    val ph = highPeriods(digit % 4)
+    val n = 200 + (id % 7).toInt * 40
+    val bb = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < n) {
+      val s = (if (i % pl < pl / 2) 100 else -100) +
+        (if (i % ph < ph / 2) 100 else -100)
+      bb.write(s & 0xff); bb.write((s >> 8) & 0xff)
+      i += 1
     }
     bb.toByteArray
   }
