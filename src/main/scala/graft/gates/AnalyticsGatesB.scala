@@ -836,6 +836,28 @@ private[graft] object AnalyticsGatesB {
         col("event_type") === "click",
         floor(col("value") * 1024.0))),
 
+    // ---- Stats: Jonckheere-Terpstra ordered trend — per-month-pair
+    //      doubled Mann-Whitney counts over the dense price-bin grid
+    //      (grid-bounded cross join, exact BIGINTs end to end) ----
+    "q_jonckheere" -> ((s, dir) =>
+      graft.ops.Profile.jonckheereTerpstra(
+        t(s, dir, "orders"),
+        month(col("o_orderdate")),
+        floor(col("o_totalprice") / 5000.0))),
+
+    // ---- Stats: Wald-Wolfowitz runs test per event type — streakiness
+    //      of the daily series vs its own lower median; pinned IEEE z
+    //      shape mirrored by the oracle ----
+    "q_runs_test" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("d"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.Profile.runsTest(daily, "event_type", "d", "hx")
+    }),
+
     // ---- Stats: Kruskal-Wallis H across ALL event types — the k-group
     //      rank test ANOVA can't give on heavy tails; doubled-rank
     //      integers, one division per group, tie-corrected twin ----
@@ -1206,6 +1228,62 @@ private[graft] object AnalyticsGatesB {
           "CAST(tok_start % 256 AS BIGINT) AS offset_in_block, " +
           "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
           "AS BIGINT) AS n_blocks FROM s"),
+      // Dense-grid replay of the per-pair doubled U: same 0-filled
+      // groups x bins cross join, same strictly-below cumulative, same
+      // pair equi-join on the bin — exact BIGINTs, no floats at all.
+      "q_jonckheere" ->
+        ("WITH b AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS g, " +
+          "CAST(floor(o_totalprice / 5000.0) AS BIGINT) AS q FROM orders " +
+          "WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL), " +
+          "g1 AS (SELECT g, q, CAST(count(*) AS BIGINT) AS c FROM b " +
+          "GROUP BY 1, 2), " +
+          "gs AS (SELECT DISTINCT g FROM g1), " +
+          "vs AS (SELECT DISTINCT q FROM g1), " +
+          "dense AS (SELECT gs.g, vs.q, coalesce(g1.c, 0) AS c " +
+          "FROM gs CROSS JOIN vs " +
+          "LEFT JOIN g1 ON g1.g = gs.g AND g1.q = vs.q), " +
+          "cum AS (SELECT g, q, c, coalesce(sum(c) OVER (PARTITION BY g " +
+          "ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+          "0) AS bl, sum(c) OVER (PARTITION BY g) AS n FROM dense) " +
+          "SELECT x.g AS g_lo, y.g AS g_hi, " +
+          "CAST(max(x.n) AS BIGINT) AS n_lo, " +
+          "CAST(max(y.n) AS BIGINT) AS n_hi, " +
+          "CAST(sum(y.c * (2 * x.bl + x.c)) AS BIGINT) AS u2 " +
+          "FROM cum x JOIN cum y ON x.g < y.g AND x.q = y.q " +
+          "GROUP BY 1, 2"),
+      // Runs-test replay: same lower-median element pick, same tie
+      // drop, same run-boundary lag flag, and the z formula spelled in
+      // the engine's exact IEEE shape (p, nn, mu, s2 subexpressions
+      // duplicated textually).
+      "q_runs_test" -> {
+        val p = "(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+        val nn = "CAST(n1 + n2 AS DOUBLE)"
+        val mu = s"($p / $nn + 1.0)"
+        val s2 = s"(($p * ($p - $nn)) / ($nn * $nn * ($nn - 1.0)))"
+        "WITH h AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2), " +
+          "b AS (SELECT event_type AS k, d AS o, hx AS v FROM h " +
+          "WHERE hx IS NOT NULL), " +
+          "r AS (SELECT k, o, v, row_number() OVER (PARTITION BY k " +
+          "ORDER BY v, o) AS rn, count(*) OVER (PARTITION BY k) AS n " +
+          "FROM b), " +
+          "md AS (SELECT k, v AS med FROM r WHERE rn = (n + 1) // 2), " +
+          "sg AS (SELECT b.k, b.o, CASE WHEN b.v > md.med THEN 1 " +
+          "ELSE -1 END AS s FROM b JOIN md ON b.k = md.k " +
+          "WHERE b.v <> md.med), " +
+          "fl AS (SELECT k, s, CASE WHEN lag(s) OVER (PARTITION BY k " +
+          "ORDER BY o) IS NULL OR lag(s) OVER (PARTITION BY k " +
+          "ORDER BY o) <> s THEN 1 ELSE 0 END AS nw FROM sg), " +
+          "ag AS (SELECT k AS event_type, " +
+          "CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+          "CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+          "CAST(sum(nw) AS BIGINT) AS runs FROM fl GROUP BY 1) " +
+          "SELECT event_type, n1, n2, runs, " +
+          s"CASE WHEN n1 = 0 OR n2 = 0 OR $s2 <= 0.0 THEN NULL " +
+          s"ELSE (CAST(runs AS DOUBLE) - $mu) / sqrt($s2) END AS z " +
+          "FROM ag"
+      },
       "q_mann_whitney" ->
         // Exact-integer 2U over the binned grid; the tie bracket and the
         // variance numerator ride HUGEINT (Spark: DECIMAL(38,0)); one

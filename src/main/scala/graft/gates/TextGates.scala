@@ -111,6 +111,26 @@ private[graft] object TextGates {
     "text_token_classes" -> ((s, dir) =>
       TextAnalysis.tokenClasses(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- LLM pipeline: Unicode script census — the multilingual-
+    //      corpus filter signal; the fixture splices Cyrillic/CJK/Greek
+    //      words into the ASCII corpus so every class is exercised ----
+    "text_script_profile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cyrW = element_at(
+        array(lit("привет"), lit("мир"), lit("данные"), lit("поток")),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val cjkW = element_at(
+        array(lit("数据"), lit("模型"), lit("训练")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val grkW = element_at(
+        array(lit("αβγ"), lit("δεζ")),
+        (pmod(col("doc_id"), lit(2)) + 1).cast("int"))
+      val txt = concat_ws(" ", col("text"), cyrW, cjkW, grkW,
+        col("doc_id").cast("string"))
+      TextAnalysis.scriptProfile(
+        d.select(col("doc_id"), txt.as("text")), "doc_id", "text")
+    }),
+
     // ---- Generator (UDTF shape): explode per-doc shingles to rows ----
     "text_shingles_explode" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1453,6 +1473,36 @@ private[graft] object TextGates {
           "FROM pr JOIN documents d USING (doc_id) " +
           "GROUP BY 1, 2"),
       "text_token_classes" -> tokenClassesSql,
+      // Script-census replay: identical fixture splice, counts as
+      // length - length(strip) with RE2 \x{...} ranges (the engine's
+      // Java-regex ranges cover the same BMP intervals; all counted
+      // chars are BMP so UTF-16 units == codepoints).
+      "text_script_profile" -> {
+        def strip(cls: String) =
+          s"length(txt) - length(regexp_replace(txt, '$cls', '', 'g'))"
+        val latin = strip("[A-Za-z]")
+        val cyr = strip("[\\x{0400}-\\x{04FF}]")
+        val cjk = strip("[\\x{4E00}-\\x{9FFF}]")
+        val greek = strip("[\\x{0370}-\\x{03FF}]")
+        val digit = strip("[0-9]")
+        val space = strip("\\s")
+        "WITH d AS (SELECT doc_id, text || ' ' || " +
+          "(CASE doc_id % 4 WHEN 0 THEN 'привет' WHEN 1 THEN 'мир' " +
+          "WHEN 2 THEN 'данные' ELSE 'поток' END) || ' ' || " +
+          "(CASE doc_id % 3 WHEN 0 THEN '数据' WHEN 1 THEN '模型' " +
+          "ELSE '训练' END) || ' ' || " +
+          "(CASE doc_id % 2 WHEN 0 THEN 'αβγ' ELSE 'δεζ' END) || ' ' || " +
+          "CAST(doc_id AS VARCHAR) AS txt FROM documents) " +
+          "SELECT doc_id, CAST(length(txt) AS BIGINT) AS n_units, " +
+          s"CAST($latin AS BIGINT) AS n_latin, " +
+          s"CAST($cyr AS BIGINT) AS n_cyrillic, " +
+          s"CAST($cjk AS BIGINT) AS n_cjk, " +
+          s"CAST($greek AS BIGINT) AS n_greek, " +
+          s"CAST($digit AS BIGINT) AS n_digit, " +
+          s"CAST($space AS BIGINT) AS n_space, " +
+          s"CAST(length(txt) - ($latin) - ($cyr) - ($cjk) - ($greek) - " +
+          s"($digit) - ($space) AS BIGINT) AS n_other FROM d"
+      },
       "text_fingerprint" -> fingerprintSql,
       "text_normalize" -> normalizeSql,
       "text_redact" -> redactSql,

@@ -1662,6 +1662,104 @@ object Profile {
           .as("md2"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative test, per ordered group
+    * pair: the trend-aware sibling of [[kruskalWallis]] (KW asks "any
+    * group differs", JT asks "do the groups INCREASE in their given
+    * order" — the right question for dose/month/cohort-ordered data).
+    * For each pair g_lo < g_hi the doubled Mann-Whitney count
+    * u2 = 2·#{x∈lo, y∈hi : x < y} + #{x = y} stays an exact BIGINT
+    * (the JT statistic is Σ u2/2 over pairs; per-pair rows are emitted
+    * so the trend's SOURCE is visible, not just its sum).
+    *
+    * Scale: everything happens on the DENSE COUNT GRID (groups ×
+    * distinct quantized values, 0-filled): one grouped count over the
+    * scan, a cross join bounded by the quantization (not the data), a
+    * per-group cumulative window over grid rows, and a pair equi-join
+    * on the value — O(G²·V) grid work for G groups and V bins, zero
+    * per-row pair comparisons. Output:
+    * (g_lo, g_hi, n_lo, n_hi, u2). */
+  def jonckheereTerpstra(
+      df: DataFrame, groupCol: Column, scoreBin: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(groupCol.cast("long").as("__g"),
+        scoreBin.cast("long").as("__q"))
+      .where(col("__g").isNotNull && col("__q").isNotNull)
+    val g = b.groupBy("__g", "__q").agg(count(lit(1)).as("__c"))
+    val groups = g.select(col("__g")).distinct()
+    val vals = g.select(col("__q")).distinct()
+    val dense = groups.crossJoin(vals)
+      .join(g, Seq("__g", "__q"), "left")
+      .select(col("__g"), col("__q"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val below = Window.partitionBy(col("__g")).orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dense
+      .withColumn("__bl", coalesce(sum(col("__c")).over(below), lit(0L)))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col("__g"))))
+    cum.as("x").join(cum.as("y"),
+        col("x.__g") < col("y.__g") && col("x.__q") === col("y.__q"))
+      .groupBy(col("x.__g").as("g_lo"), col("y.__g").as("g_hi"))
+      .agg(max(col("x.__n")).as("n_lo"), max(col("y.__n")).as("n_hi"),
+        sum(col("y.__c") * (lit(2L) * col("x.__bl") + col("x.__c")))
+          .as("u2"))
+  }
+
+  /** Wald–Wolfowitz runs test per key — "is this sequence random or
+    * does it streak": signs vs the key's own LOWER MEDIAN (element
+    * pick at rank (n+1) div 2 under (value, ord) order — never an
+    * average), ties to the median DROPPED (the standard treatment),
+    * R = number of maximal same-sign runs in `ord` order. The normal
+    * approximation is emitted in a PINNED IEEE shape mirrored by the
+    * oracle (every op correctly rounded, so bit-identical):
+    * {{{
+    *   p  = 2.0·n1·n2          nn = n1 + n2
+    *   mu = p / nn + 1.0
+    *   s2 = (p·(p − nn)) / (nn·nn·(nn − 1.0))
+    *   z  = (R − mu) / sqrt(s2)
+    * }}}
+    * NULL z when either sign class is empty or s2 ≤ 0. Output:
+    * (key, n1, n2, runs, z).
+    *
+    * Scale: series must be pre-bucketed per the [[TimeSeries.autocorr]]
+    * contract; two windows and one aggregate, all partitioned by key. */
+  def runsTest(
+      df: DataFrame, keyCol: String, ordCol: String, valCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(keyCol).as("__k"),
+        col(ordCol).cast("long").as("__o"),
+        col(valCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val wRank = Window.partitionBy(col("__k")).orderBy(col("__v"), col("__o"))
+    val wAll = Window.partitionBy(col("__k"))
+    val med = b
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // integer div, not Column./ (which is DOUBLE division and would
+      // make the rank comparison silently never match for even n)
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col("__k"), col("__v").as("__med"))
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__o"))
+    val signs = b.join(med, "__k")
+      .filter(col("__v") =!= col("__med"))
+      .withColumn("__sg", when(col("__v") > col("__med"), 1L).otherwise(-1L))
+      .withColumn("__new",
+        when(lag(col("__sg"), 1).over(wOrd).isNull ||
+          lag(col("__sg"), 1).over(wOrd) =!= col("__sg"), 1L).otherwise(0L))
+    val agg = signs.groupBy(col("__k").as(keyCol)).agg(
+      sum(when(col("__sg") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__sg") === -1L, 1L).otherwise(0L)).as("n2"),
+      sum(col("__new")).as("runs"))
+    val p = lit(2.0) * col("n1").cast("double") * col("n2").cast("double")
+    val nn = (col("n1") + col("n2")).cast("double")
+    val mu = p / nn + lit(1.0)
+    val s2 = (p * (p - nn)) / (nn * nn * (nn - lit(1.0)))
+    agg.withColumn("z",
+      when(col("n1") === 0L || col("n2") === 0L || s2 <= 0.0,
+        lit(null).cast("double"))
+        .otherwise((col("runs").cast("double") - mu) / sqrt(s2)))
+  }
+
   /** Kruskal-Wallis H — the k-group generalization of Mann-Whitney:
     * "do any of these segments' value distributions differ?" asked
     * rank-wise, so it survives the heavy-tailed metrics (latency,

@@ -55,6 +55,41 @@ object TextAnalysis {
       (alpha + digit + punct).as("n_bpe_tokens"))
   }
 
+  /** Unicode SCRIPT profile — the writing-system census a multilingual
+    * corpus filter keys on ("mostly-CJK doc labeled `en`" and "Cyrillic
+    * homoglyph spam inside Latin text" both fall out of these counts):
+    * per doc, the number of UTF-16 units in each of the major BMP
+    * script ranges (Latin letters, Cyrillic U+0400–04FF, CJK Unified
+    * U+4E00–9FFF, Greek U+0370–03FF), plus digits, whitespace, and the
+    * remainder. Counts are computed as `length − length(strip(range))`
+    * — one regexp pass per class, codegen'd, row-local, no shuffle.
+    * All counted ranges are BMP-only, so Spark's UTF-16 `length` and an
+    * oracle's codepoint `length` agree exactly (a supplementary-plane
+    * census would need codepoint-aware counting on the Spark side).
+    * Output: (id, n_units, n_latin, n_cyrillic, n_cjk, n_greek,
+    * n_digit, n_space, n_other). */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(lo: Char, hi: Char): Column =
+      (length(t) - length(regexp_replace(t, s"[$lo-$hi]", ""))).cast("long")
+    val latin = (length(t) -
+      length(regexp_replace(t, "[A-Za-z]", ""))).cast("long")
+    val cyr = cnt('Ѐ', 'ӿ')
+    val cjk = cnt('一', '鿿')
+    val greek = cnt('Ͱ', 'Ͽ')
+    val digit = (length(t) -
+      length(regexp_replace(t, "[0-9]", ""))).cast("long")
+    val space = (length(t) -
+      length(regexp_replace(t, "\\s", ""))).cast("long")
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("n_units"),
+      latin.as("n_latin"), cyr.as("n_cyrillic"), cjk.as("n_cjk"),
+      greek.as("n_greek"), digit.as("n_digit"), space.as("n_space"),
+      (length(t).cast("long") - latin - cyr - cjk - greek - digit - space)
+        .as("n_other"))
+  }
+
   /** Text normalization for training corpora: lowercase, collapse all
     * whitespace runs to single spaces, trim, and strip control chars —
     * the canonical pre-dedup cleanup (dedup keyed on raw text misses

@@ -867,4 +867,50 @@ class ProfileSpec extends SparkSpec {
       .collect().head
     assert(r3.isNullAt(2) && r3.isNullAt(4) && !r3.getAs[Boolean]("equivalent"))
   }
+
+  test("jonckheereTerpstra: hand-computed doubled U per ordered pair, " +
+    "with ties counted once") {
+    val df = Seq(
+      (1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 4L), (3L, 5L))
+      .toDF("g", "v")
+    val got = Profile.jonckheereTerpstra(df,
+      org.apache.spark.sql.functions.col("g"),
+      org.apache.spark.sql.functions.col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_lo"), r.getAs[Long]("n_hi"), r.getAs[Long]("u2"))))
+      .toMap
+    // (1,2): less {(1,2),(1,3),(2,3)}=3, tie {(2,2)}=1 -> u2 = 7
+    assert(got((1L, 2L)) == ((2L, 2L, 7L)))
+    assert(got((1L, 3L)) == ((2L, 2L, 8L)))
+    assert(got((2L, 3L)) == ((2L, 2L, 8L)))
+  }
+
+  test("runsTest: alternating series counts every run; z matches the " +
+    "driver-side replay of the pinned formula") {
+    val vals = Seq(1L, 9L, 1L, 9L, 1L, 9L, 1L, 9L, 2L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "o", "v")
+    val r = Profile.runsTest(df, "k", "o", "v").collect().head
+    // lower median of the 9 values is 2 (rank 5 of the sorted list);
+    // the tie row is dropped, leaving 8 alternating signs -> 8 runs
+    assert(r.getAs[Long]("n1") == 4L && r.getAs[Long]("n2") == 4L)
+    assert(r.getAs[Long]("runs") == 8L)
+    val p = 2.0 * 4.0 * 4.0; val nn = 8.0
+    val mu = p / nn + 1.0
+    val s2 = (p * (p - nn)) / (nn * nn * (nn - 1.0))
+    assert(r.getAs[Double]("z") == (8.0 - mu) / math.sqrt(s2))
+    // a perfectly streaky series (lows, one median row, highs) has 2
+    // runs once the median row drops
+    val streak = (Seq.fill(4)(1L) ++ Seq(5L) ++ Seq.fill(4)(9L)).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "o", "v")
+    val s = Profile.runsTest(streak, "k", "o", "v").collect().head
+    assert(s.getAs[Long]("runs") == 2L)
+    assert(s.getAs[Double]("z") < -2.0, "streaks give a deeply negative z")
+    // one-sided series -> NULL z
+    val one = Seq(("k", 0L, 5L), ("k", 1L, 5L), ("k", 2L, 7L))
+      .toDF("k", "o", "v")
+    val o = Profile.runsTest(one, "k", "o", "v").collect().head
+    assert(o.isNullAt(o.fieldIndex("z")))
+  }
 }

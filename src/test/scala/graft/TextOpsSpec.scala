@@ -671,4 +671,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4L)._1 >= 1L && got(4L)._2 == 0L,
       "confusable in an all-Cyrillic token is counted but not mixed")
   }
+
+  test("scriptProfile counts each BMP script class exactly once and " +
+    "the remainder lands in n_other") {
+    val txt = "ab мир 数据 αβ 12 !?" //  2 latin, 3 cyr, 2 cjk, 2 greek,
+    //                                  2 digit, 5 spaces, 2 punct
+    val df = Seq((1L, txt)).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.scriptProfile(df, "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_units") == txt.length.toLong)
+    assert(r.getAs[Long]("n_latin") == 2L)
+    assert(r.getAs[Long]("n_cyrillic") == 3L)
+    assert(r.getAs[Long]("n_cjk") == 2L)
+    assert(r.getAs[Long]("n_greek") == 2L)
+    assert(r.getAs[Long]("n_digit") == 2L)
+    assert(r.getAs[Long]("n_space") == 5L)
+    assert(r.getAs[Long]("n_other") == 2L)
+  }
 }
