@@ -568,6 +568,21 @@ private[graft] object GraphTsGates {
       graft.ops.Graph.doubleSweepDiameter(edges, "a", "b", maxDepth = 6)
     }),
 
+    // ---- Graph: k-TRUSS by simultaneous edge peeling — the triangle-
+    //      density community kernel (stricter than k-core); order-free
+    //      peel fixpoint, so the fixed-depth oracle replay of the
+    //      adaptive engine loop is exact ----
+    "graph_ktruss" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 8 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.kTruss(pairs, "a", "b", k = 4)
+    }),
+
     // ---- Graph: truncated HARMONIC centrality of a landmark set —
     //      the disconnected-safe closeness (Σ 1/d over the depth-3
     //      ball); exact per-ring integer counts, harmonic as ONE
@@ -1996,6 +2011,39 @@ private[graft] object GraphTsGates {
           "CASE WHEN sum(dist) > 0 THEN CAST(count(*) - 1 AS DOUBLE) / " +
           "CAST(sum(dist) AS DOUBLE) END AS closeness " +
           "FROM md3 GROUP BY seed"),
+      // Eight unrolled simultaneous-peel rounds (fixpoint reached in <=6
+      // at both SFs; extra rounds are idempotent because the peel is
+      // order-free), every CTE MATERIALIZED so the chain stays linear,
+      // final support recomputed on the surviving edge set exactly like
+      // the engine's fixpoint round.
+      "graph_ktruss" -> {
+        def round(i: Int): String =
+          s"t$i AS MATERIALIZED (SELECT xy.a AS ta, xy.b AS tb, " +
+            s"xz.b AS tc FROM e$i xy " +
+            s"JOIN e$i xz ON xz.a = xy.a AND xz.b > xy.b " +
+            s"JOIN e$i yz ON yz.a = xy.b AND yz.b = xz.b), " +
+            s"r$i AS MATERIALIZED (SELECT ta AS a, tb AS b FROM t$i " +
+            s"UNION ALL SELECT ta, tc FROM t$i " +
+            s"UNION ALL SELECT tb, tc FROM t$i), " +
+            s"s$i AS MATERIALIZED (SELECT e.a, e.b, " +
+            s"coalesce(c.c, 0) AS sup FROM e$i e LEFT JOIN " +
+            s"(SELECT a, b, count(*) AS c FROM r$i GROUP BY 1, 2) c " +
+            s"ON c.a = e.a AND c.b = e.b)"
+        val rounds = (0 to 8).map { i =>
+          if (i < 8)
+            round(i) + ", " +
+              s"e${i + 1} AS MATERIALIZED (SELECT a, b FROM s$i " +
+              "WHERE sup >= 2)"
+          else round(i)
+        }.mkString(", ")
+        "WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 8 = 0), " +
+          "e0 AS MATERIALIZED (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          rounds +
+          " SELECT a, b, CAST(sup AS BIGINT) AS support FROM s8"
+      },
       // Same BFS-ball CTEs as closeness; harmonic is the fixed-order
       // ((n1/1 + n2/2) + n3/3) double expression over exact per-ring
       // counts — one division per ring, never a per-row 1/d sum.

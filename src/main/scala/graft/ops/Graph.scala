@@ -820,6 +820,71 @@ object Graph {
     } finally { und.unpersist(); () }
   }
 
+  /** k-truss by SIMULTANEOUS edge peeling — the triangle-density
+    * community kernel (every surviving edge sits in ≥ k−2 triangles of
+    * the surviving graph; stricter than k-core, which only counts
+    * degree): per round, enumerate each triangle ONCE over the
+    * canonically-oriented edge list (a < b; wedge join + closing-edge
+    * probe, the [[transitivity]] shape — at production scale orient by
+    * (degree, id) instead of id to bound wedge work by arboricity, an
+    * orientation swap that changes no semantics), credit all three
+    * edges, drop every edge with support < k−2, repeat until no edge
+    * drops. Simultaneous peeling is ORDER-FREE — the fixpoint is the
+    * unique maximal k-truss, and any round count ≥ the convergence
+    * round reproduces it exactly (what lets a fixed-depth oracle replay
+    * an adaptive engine loop). Per round: one self-join bounded by
+    * oriented wedges + one grouped count, all vertex/edge-keyed
+    * shuffles; rounds ≤ peel depth (graph-dependent, small on real
+    * graphs). Output: surviving (a, b, support). */
+  def kTruss(
+      edges: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.as("xy")
+        .join(e.as("xz"),
+          col("xz.a") === col("xy.a") && col("xz.b") > col("xy.b"))
+        .join(e.as("yz"),
+          col("yz.a") === col("xy.b") && col("yz.b") === col("xz.b"))
+        .select(col("xy.a").as("ta"), col("xy.b").as("tb"),
+          col("xz.b").as("tc"))
+      val roles = tri.select(col("ta").as("a"), col("tb").as("b"))
+        .unionByName(tri.select(col("ta").as("a"), col("tc").as("b")))
+        .unionByName(tri.select(col("tb").as("a"), col("tc").as("b")))
+      e.join(
+          roles.groupBy(col("a"), col("b")).agg(count(lit(1)).as("support")),
+          Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+    }
+    var e = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var round = 0
+    var result: DataFrame = null
+    while (result == null && round < maxRounds) {
+      val sup = support(e).localCheckpoint()
+      val kept = sup.filter(col("support") >= (k - 2).toLong)
+      val kn = kept.count()
+      if (kn == n) result = sup //  fixpoint: sup IS the final support
+      else {
+        val next = kept.select(col("a"), col("b")).localCheckpoint()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(e)
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(sup)
+        e = next
+        n = kn
+      }
+      round += 1
+    }
+    require(result != null,
+      s"k-truss did not converge in $maxRounds rounds")
+    result
+  }
+
   /** Multi-source BFS: per-seed shortest hop counts, all seeds in ONE
     * frontier wave — rows (seed, node, dist), cost O(|seeds|·E) per
     * round keyed by vertex (the frontier join), the standard landmark

@@ -545,6 +545,25 @@ class GraphSpec extends SparkSpec {
     assert(got.size == n.toInt - 1)
   }
 
+  test("kTruss peels cascades: a triangle chain collapses while the " +
+    "clique core survives with exact supports") {
+    // K5 on 0..4 (every edge in 3 triangles) plus a pendant triangle
+    // chain 4-5-6, 5-6-7: edge supports in the chain are 1, so a
+    // 4-truss (support >= 2) peels the whole chain, including the
+    // cascade onto (4,5)/(4,6) after (5,6) loses its second triangle.
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 5L), (4L, 6L), (5L, 6L), (5L, 7L), (6L, 7L))
+    val edges = (k5 ++ chain).toDF("a", "b")
+    val got = Graph.kTruss(edges, "a", "b", k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == k5.toSet, s"only K5 survives, got ${got.keySet}")
+    assert(got.values.forall(_ == 3L), "every K5 edge sits in 3 triangles")
+    // k=5 on K5: support >= 3 everywhere -> survives whole
+    assert(Graph.kTruss(edges, "a", "b", k = 5).count() == 10L)
+    // k=6 needs support 4: nothing survives
+    assert(Graph.kTruss(edges, "a", "b", k = 6).count() == 0L)
+  }
+
   test("harmonicLandmarks on a path graph matches hand-computed " +
     "ring counts and fixed-order harmonic") {
     // path 0-1-2-3-4-5, seed 0: n1=1, n2=1, n3=1 -> 1 + 1/2 + 1/3
