@@ -215,6 +215,33 @@ private[graft] object StorageGates {
       stateOut(pt.readVersion(1L).get)
     }),
 
+    // ---- Storage: explicit snapshot expiry (VACUUM) — four commits,
+    //      then shrink the live window to 2 WITHOUT writing data; the
+    //      current state must stay byte-identical, expired versions
+    //      must be gone, survivors readable ----
+    "o34_snapshot_expire" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o34_").toString
+      val target = TargetTable("events_exp", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4,
+        retainVersions = 8)
+      val cfg = IngestConfig(name = s"o34-exp-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, target)
+      (0 to 3).foreach(m =>
+        pt.mergeUpsert(ev.filter(col("event_id") % 4 === m), cfg))
+      val (nb, na) = pt.expireSnapshots(keep = 2)
+      val expiredGone =
+        pt.readVersion(1L).isEmpty && pt.readVersion(2L).isEmpty
+      val survivors =
+        pt.readVersion(3L).isDefined && pt.readVersion(4L).isDefined
+      stateOut(pt.read().get)
+        .withColumn("n_versions_before", lit(nb))
+        .withColumn("n_versions_after", lit(na))
+        .withColumn("expired_gone", lit(expiredGone))
+        .withColumn("survivors_intact", lit(survivors))
+    }),
+
     // ---- Storage: compaction — after three merge commits fragment the
     //      buckets, compact() rewrites the snapshot one-file-per-bucket
     //      in ONE commit; the read-back state must still equal global
@@ -860,6 +887,18 @@ private[graft] object StorageGates {
           "SELECT st.pkey, st.modified_date_us, st.event_type, st.value " +
           "FROM st, mx WHERE st.modified_date_us >= m - 2592000000000"),
       // Version 1 state == latest-wins over ONLY the first batch's rows.
+      // Expiry must not disturb the current snapshot: state = global
+      // latest-wins (all four residue classes cover every event); the
+      // window accounting and survivor/expired probes are closed-form.
+      "o34_snapshot_expire" ->
+        (s"SELECT pkey, modified_date_us, event_type, value, " +
+          "CAST(4 AS BIGINT) AS n_versions_before, " +
+          "CAST(2 AS BIGINT) AS n_versions_after, " +
+          "TRUE AS expired_gone, TRUE AS survivors_intact " +
+          "FROM (SELECT user_id AS pkey, epoch_us(ts) AS modified_date_us, " +
+          "event_type, value, row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+          "WHERE rn = 1"),
       "o15_time_travel" ->
         ("SELECT pkey, epoch_us(ts) AS modified_date_us, event_type, value " +
           "FROM (SELECT user_id AS pkey, ts, event_id, event_type, value, " +

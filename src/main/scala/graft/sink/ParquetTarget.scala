@@ -1018,9 +1018,38 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     // GC: manifests older than the retention window, and bucket dirs no
     // RETAINED manifest references (readers resolved against any retained
     // version keep their files; retainVersions = 1 keeps only `next`).
-    val oldestKept = next - table.retainVersions + 1
-    val referenced = entries.values.toSet ++
-      (oldestKept until next).flatMap(readManifest(_)).flatMap(_.values)
+    gcRetained(next, entries, table.retainVersions)
+  }
+
+  /** Explicit snapshot expiry — the on-demand VACUUM twin of the
+    * per-commit GC (Iceberg `expire_snapshots` / Delta `VACUUM`):
+    * shrink the LIVE retention window to `keep` versions without
+    * writing any data. Same rules as commit-time GC — a bucket dir
+    * survives iff some retained manifest still references it, the
+    * newest at-or-below-window deletion-vector sidecar stays
+    * authoritative for the window floor — so a crash mid-expiry leaves
+    * a superset of the retained state (idempotent; rerun to finish).
+    * Time travel to an expired version returns None afterwards; every
+    * retained version stays byte-identical. No-op (0 removed) when the
+    * table already holds ≤ `keep` versions or does not exist. Returns
+    * (versions_before, versions_after). */
+  def expireSnapshots(keep: Int): (Long, Long) = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val before = versions().size.toLong
+    currentVm().foreach { case (v, entries) => gcRetained(v, entries, keep) }
+    (before, versions().size.toLong)
+  }
+
+  /** Shared GC kernel: retain `retain` versions ending at `newest`
+    * (whose manifest entries are `newestEntries`); delete every older
+    * manifest/zone sidecar, every bucket dir no retained manifest
+    * references, and every deletion-vector sidecar superseded at the
+    * window floor. */
+  private def gcRetained(
+      newest: Long, newestEntries: Map[Int, String], retain: Int): Unit = {
+    val oldestKept = newest - retain + 1
+    val referenced = newestEntries.values.toSet ++
+      (oldestKept until newest).flatMap(readManifest(_)).flatMap(_.values)
     // Deletion-vector sidecars outlive the manifest retention window: a
     // sidecar below the window is still THE applicable vector for every
     // retained version until a newer one supersedes it, so only sidecars

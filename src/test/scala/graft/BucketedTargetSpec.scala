@@ -280,6 +280,35 @@ class BucketedTargetSpec extends SparkSpec {
       == Seq("p5"))
   }
 
+  test("expireSnapshots shrinks the live window on demand: survivors " +
+    "byte-identical, expired gone, idempotent, no-op below keep") {
+    val dir = Files.createTempDirectory("graft_expire_").toString
+    val t = TargetTable("t", s"$dir/target", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 4,
+      retainVersions = 10)
+    val sink = new ParquetTarget(spark, t)
+    (1 to 5).foreach { v =>
+      sink.mergeUpsert(Seq((v.toLong % 2, v.toLong, v.toLong, s"p$v"))
+        .toDF("pkey", "ver", "seq", "payload"), cfg)
+    }
+    assert(sink.versions() == Seq(1L, 2L, 3L, 4L, 5L))
+    val v4Before = sink.readVersion(4L).get.collect()
+      .map(r => (r.getAs[Long]("pkey"), r.getAs[String]("payload")))
+      .toSet
+    assert((sink.expireSnapshots(2): (Long, Long)) == ((5L, 2L)))
+    assert(sink.versions() == Seq(4L, 5L))
+    assert(sink.readVersion(3L).isEmpty && sink.readVersion(1L).isEmpty)
+    val v4After = sink.readVersion(4L).get.collect()
+      .map(r => (r.getAs[Long]("pkey"), r.getAs[String]("payload")))
+      .toSet
+    assert(v4After == v4Before, "survivor snapshot must be untouched")
+    // idempotent rerun and no-op when already inside the window
+    assert((sink.expireSnapshots(2): (Long, Long)) == ((2L, 2L)))
+    assert((sink.expireSnapshots(5): (Long, Long)) == ((2L, 2L)))
+    // the change feed across the retained window still works
+    assert(sink.readChanges(4L, 5L).isDefined)
+  }
+
   test("compact rewrites to one file per bucket without changing state") {
     val dir = Files.createTempDirectory("graft_compact_").toString
     val t = TargetTable("t", s"$dir/target", keyCols = Seq("pkey"),
