@@ -836,6 +836,14 @@ private[graft] object AnalyticsGatesB {
         col("event_type") === "click",
         floor(col("value") * 1024.0))),
 
+    // ---- Stats: Cliff's delta effect size — dominance counts off the
+    //      same binned grid as Mann-Whitney; one division total ----
+    "q_cliffs_delta" -> ((s, dir) =>
+      graft.ops.Profile.cliffsDelta(
+        t(s, dir, "events").filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        floor(col("value") * 1024.0))),
+
     // ---- Stats: Jonckheere-Terpstra ordered trend — per-month-pair
     //      doubled Mann-Whitney counts over the dense price-bin grid
     //      (grid-bounded cross join, exact BIGINTs end to end) ----
@@ -1228,6 +1236,29 @@ private[graft] object AnalyticsGatesB {
           "CAST(tok_start % 256 AS BIGINT) AS offset_in_block, " +
           "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
           "AS BIGINT) AS n_blocks FROM s"),
+      // Same binned grid as the MW oracle; n_gt = A-mass times the
+      // strictly-below B cumulative, n_lt via the strictly-above
+      // complement, one division.
+      "q_cliffs_delta" ->
+        ("WITH b AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 " +
+          "END AS a, CAST(floor(value * 1024.0) AS BIGINT) AS q " +
+          "FROM events WHERE event_type IN ('click', 'view') " +
+          "AND value IS NOT NULL), " +
+          "g AS (SELECT q, CAST(sum(a) AS BIGINT) AS ca, " +
+          "CAST(count(*) - sum(a) AS BIGINT) AS cb FROM b GROUP BY q), " +
+          "c AS (SELECT q, ca, cb, CAST(coalesce(sum(cb) OVER (" +
+          "ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+          "0) AS BIGINT) AS bl, CAST(sum(cb) OVER () AS BIGINT) AS tb " +
+          "FROM g), " +
+          "agg AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a, " +
+          "CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b, " +
+          "CAST(coalesce(sum(ca * bl), 0) AS BIGINT) AS n_gt, " +
+          "CAST(coalesce(sum(ca * (tb - bl - cb)), 0) AS BIGINT) AS n_lt " +
+          "FROM c) " +
+          "SELECT n_a, n_b, n_gt, n_lt, " +
+          "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL " +
+          "ELSE CAST(n_gt - n_lt AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) " +
+          "END AS delta FROM agg"),
       // Dense-grid replay of the per-pair doubled U: same 0-filled
       // groups x bins cross join, same strictly-below cumulative, same
       // pair equi-join on the bin — exact BIGINTs, no floats at all.

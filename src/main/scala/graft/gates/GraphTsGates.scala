@@ -289,6 +289,36 @@ private[graft] object GraphTsGates {
       graft.ops.TimeSeries.mannKendall(hourly, "event_type", "hr", "hx")
     }),
 
+    // ---- Time series: SEASONAL Mann-Kendall — same-season-only pair
+    //      trend test (Hirsch-Slack) over the daily series with a
+    //      day-of-week season; per-season exact S and tie-corrected
+    //      variance, summed, pinned continuity-corrected z ----
+    "ts_mk_seasonal" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("d"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("qx")).as("hx"))
+        .withColumn("dow", pmod(col("d"), lit(7L)))
+      graft.ops.TimeSeries.seasonalMannKendall(
+        daily, "event_type", "d", "hx", "dow")
+    }),
+
+    // ---- Graph: DAG longest-path layering (topological levels) —
+    //      Bellman relaxation to the order-free fixpoint; deterministic
+    //      intra-block dependency DAG over doc ids ----
+    "graph_dag_layers" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id").as("i"))
+      val e1 = ids.select(col("i").as("a"),
+        (col("i") + pmod(col("i"), lit(3L)) + 1L).as("b"))
+      val e2 = ids.filter(pmod(col("i"), lit(2L)) === 0)
+        .select(col("i").as("a"), (col("i") + 5L).as("b"))
+      val edges = e1.unionByName(e2)
+        .filter(expr("a div 12") === expr("b div 12"))
+      graft.ops.Graph.dagLayers(edges, "a", "b")
+    }),
+
     // ---- Time series: dominant period (ACF argmax over lags 2..12 on
     //      the hourly series) — the pre-flight that SIZES a seasonal
     //      decomposition's period instead of hard-coding it ----
@@ -2011,6 +2041,59 @@ private[graft] object GraphTsGates {
           "CASE WHEN sum(dist) > 0 THEN CAST(count(*) - 1 AS DOUBLE) / " +
           "CAST(sum(dist) AS DOUBLE) END AS closeness " +
           "FROM md3 GROUP BY seed"),
+      // Per-season replay of the MK machinery: same-season pair signs,
+      // per-season tie bracket, integer variance sum, and the plain-MK
+      // continuity-corrected z shape.
+      "ts_mk_seasonal" -> {
+        val vr = "(CAST(vn.varnum AS DOUBLE) / 18.0)"
+        "WITH h AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2), " +
+          "b AS (SELECT event_type AS k, d % 7 AS m, d AS o, hx AS x " +
+          "FROM h), " +
+          "s AS (SELECT x.k, CAST(coalesce(sum(CASE WHEN y.x > x.x THEN 1 " +
+          "WHEN y.x < x.x THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat " +
+          "FROM b x JOIN b y ON x.k = y.k AND x.m = y.m AND x.o < y.o " +
+          "GROUP BY 1), " +
+          "n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_points, " +
+          "CAST(count(DISTINCT m) AS BIGINT) AS n_seasons FROM b " +
+          "GROUP BY 1), " +
+          "ns AS (SELECT k, m, CAST(count(*) AS BIGINT) AS nsz FROM b " +
+          "GROUP BY 1, 2), " +
+          "tt AS (SELECT k, m, CAST(coalesce(sum(t * (t - 1) * " +
+          "(2 * t + 5)), 0) AS BIGINT) AS tt FROM (SELECT k, m, x, " +
+          "count(*) AS t FROM b GROUP BY 1, 2, 3) GROUP BY 1, 2), " +
+          "vn AS (SELECT ns.k, CAST(sum(ns.nsz * (ns.nsz - 1) * " +
+          "(2 * ns.nsz + 5) - tt.tt) AS BIGINT) AS varnum FROM ns " +
+          "JOIN tt ON ns.k = tt.k AND ns.m = tt.m GROUP BY 1) " +
+          "SELECT s.k AS event_type, n.n_points, n.n_seasons, s.s_stat, " +
+          "CASE WHEN vn.varnum <= 0 THEN NULL " +
+          s"WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE) / sqrt($vr) " +
+          s"WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE) / sqrt($vr) " +
+          "ELSE 0.0 END AS z " +
+          "FROM s JOIN n ON s.k = n.k JOIN vn ON s.k = vn.k"
+      },
+      // Fourteen unrolled Bellman relaxation rounds (longest chain in a
+      // 12-wide block is <= 11 edges; extra rounds idempotent), every
+      // CTE MATERIALIZED to keep the chain linear.
+      "graph_dag_layers" -> {
+        def round(i: Int): String =
+          s"l${i + 1} AS MATERIALIZED (SELECT v, max(layer) AS layer " +
+            s"FROM (SELECT v, layer FROM l$i " +
+            s"UNION ALL SELECT e.b AS v, l.layer + 1 AS layer " +
+            s"FROM e JOIN l$i l ON l.v = e.a) GROUP BY v)"
+        "WITH ids AS (SELECT doc_id AS i FROM documents), " +
+          "e0 AS (SELECT i AS a, i + (i % 3) + 1 AS b FROM ids " +
+          "UNION ALL SELECT i, i + 5 FROM ids WHERE i % 2 = 0), " +
+          "e AS MATERIALIZED (SELECT DISTINCT CAST(a AS BIGINT) AS a, " +
+          "CAST(b AS BIGINT) AS b FROM e0 " +
+          "WHERE a // 12 = b // 12 AND a <> b), " +
+          "l0 AS MATERIALIZED (SELECT DISTINCT v, CAST(0 AS BIGINT) " +
+          "AS layer FROM (SELECT a AS v FROM e " +
+          "UNION ALL SELECT b FROM e)), " +
+          (0 until 14).map(round).mkString(", ") +
+          " SELECT v, layer FROM l14"
+      },
       // Eight unrolled simultaneous-peel rounds (fixpoint reached in <=6
       // at both SFs; extra rounds are idempotent because the peel is
       // order-free), every CTE MATERIALIZED so the chain stays linear,

@@ -820,6 +820,54 @@ object Graph {
     } finally { und.unpersist(); () }
   }
 
+  /** DAG longest-path LAYERING (topological levels): layer(v) = length
+    * of the longest directed path ending at v — the schedule depth of a
+    * dependency graph (build systems, pipeline DAGs, feature lineage):
+    * everything in layer L can run in parallel once layers < L are
+    * done. Bellman-style simultaneous relaxation
+    * `l'(v) = max(l(v), max over u→v of l(u) + 1)` from all-zeros;
+    * converges in (longest path) rounds, and EXTRA rounds are
+    * idempotent — the same order-free-fixpoint property as [[kTruss]],
+    * so a fixed-depth oracle replays the adaptive loop exactly. Cycles
+    * never converge (layers grow each round) — the round cap turns an
+    * accidental cycle into a loud error instead of a wrong answer.
+    * Per round: one edge join + one vertex-keyed max. Output:
+    * (node, layer). */
+  def dagLayers(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().persist()
+    try {
+      var lv = e.select(col("a").as("v"))
+        .unionByName(e.select(col("b").as("v"))).distinct()
+        .withColumn("layer", lit(0L))
+        .localCheckpoint()
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < maxRounds) {
+        val relaxed = lv
+          .unionByName(
+            e.join(lv, col("v") === col("a"))
+              .select(col("b").as("v"), (col("layer") + 1L).as("layer")))
+          .groupBy(col("v")).agg(max(col("layer")).as("layer"))
+          .localCheckpoint()
+        changed = relaxed.join(lv.withColumnRenamed("layer", "__old"), "v")
+          .filter(col("layer") =!= col("__old")).count()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(lv)
+        lv = relaxed
+        round += 1
+      }
+      require(changed == 0,
+        s"dagLayers did not converge in $maxRounds rounds — cycle in the " +
+          "input, or raise maxRounds for a deeper DAG")
+      lv
+    } finally { e.unpersist(); () }
+  }
+
   /** k-truss by SIMULTANEOUS edge peeling — the triangle-density
     * community kernel (every surviving edge sits in ≥ k−2 triangles of
     * the surviving graph; stricter than k-core, which only counts

@@ -1704,6 +1704,39 @@ object Profile {
           .as("u2"))
   }
 
+  /** Cliff's delta — the nonparametric EFFECT SIZE companion to
+    * [[mannWhitneyZ]] (the z says "different", delta says "by how
+    * much"): δ = (#{x>y} − #{x<y}) / (n_a·n_b) over cross-group pairs,
+    * in [−1, 1]. Dominance counts come off the same binned count grid
+    * as MW (one cumulative window over distinct bins, zero per-row pair
+    * work); the single division is the only float. Output:
+    * (n_a, n_b, n_gt, n_lt, delta). */
+  def cliffsDelta(df: DataFrame, inA: Column, scoreBin: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(when(inA, 1L).otherwise(0L).as("__a"),
+      scoreBin.cast("long").as("__q"))
+      .where(col("__q").isNotNull)
+    val g = b.groupBy("__q").agg(sum(col("__a")).as("__ca"),
+      (count(lit(1)) - sum(col("__a"))).as("__cb"))
+    val below = Window.orderBy(col("__q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g
+      .withColumn("__bl", coalesce(sum(col("__cb")).over(below), lit(0L)))
+      .withColumn("__tb",
+        sum(col("__cb")).over(Window.partitionBy(lit(1))))
+    cum.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"),
+      coalesce(sum(col("__ca") * col("__bl")), lit(0L)).as("n_gt"),
+      coalesce(sum(col("__ca") *
+        (col("__tb") - col("__bl") - col("__cb"))), lit(0L)).as("n_lt"))
+      .withColumn("delta",
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("double"))
+          .otherwise((col("n_gt") - col("n_lt")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")))
+  }
+
   /** Wald–Wolfowitz runs test per key — "is this sequence random or
     * does it streak": signs vs the key's own LOWER MEDIAN (element
     * pick at rank (n+1) div 2 under (value, ord) order — never an

@@ -640,6 +640,56 @@ object TimeSeries {
             .otherwise(lit(0.0))).as("z"))
   }
 
+  /** SEASONAL Mann-Kendall — [[mannKendall]] restricted to same-season
+    * pairs (Hirsch–Slack): a daily series with a weekly cycle shows a
+    * spurious plain-MK "trend" inside every week; comparing day-k only
+    * with other day-k observations removes the cycle from the test.
+    * S and the tie-corrected variance accumulate PER SEASON as exact
+    * integers, then sum (the seasons are independent under H0); the
+    * continuity-corrected z runs in the same pinned float shape as
+    * plain MK. Output: (key, n_points, n_seasons, s_stat, z).
+    *
+    * Scale: the pair join is per-(key, season) O(n_s²) over the
+    * PRE-BUCKETED series ([[autocorr]] contract) — seasons split the
+    * quadratic term m ways. */
+  def seasonalMannKendall(
+      series: DataFrame, keyCol: String, ordCol: String, valCol: String,
+      seasonCol: String): DataFrame = {
+    val base = series.select(col(keyCol),
+      col(seasonCol).cast("long").as("__m"),
+      col(ordCol).cast("long").as("__o"), col(valCol).cast("long").as("__x"))
+    val s = base.as("a").join(base.as("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") &&
+          col("a.__m") === col("b.__m") && col("a.__o") < col("b.__o"))
+      .groupBy(col(s"a.$keyCol").as(keyCol))
+      .agg(coalesce(sum(when(col("b.__x") > col("a.__x"), 1L)
+        .when(col("b.__x") < col("a.__x"), -1L).otherwise(0L)), lit(0L))
+        .as("s_stat"))
+    val n = base.groupBy(col(keyCol)).agg(count(lit(1)).as("n_points"),
+      countDistinct(col("__m")).as("n_seasons"))
+    val perSeason = base.groupBy(col(keyCol), col("__m"))
+      .agg(count(lit(1)).as("__ns"))
+    val ties = base.groupBy(col(keyCol), col("__m"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol), col("__m"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L) *
+        (lit(2L) * col("__t") + 5L)), lit(0L)).as("__tt"))
+    val varNumSeason = perSeason.join(ties, Seq(keyCol, "__m"))
+      .select(col(keyCol),
+        (col("__ns") * (col("__ns") - 1L) * (lit(2L) * col("__ns") + 5L) -
+          col("__tt")).as("__vn"))
+      .groupBy(col(keyCol)).agg(sum(col("__vn")).as("__varnum"))
+    val vr = col("__varnum").cast("double") / lit(18.0)
+    s.join(n, keyCol).join(varNumSeason, keyCol)
+      .select(col(keyCol), col("n_points"), col("n_seasons"), col("s_stat"),
+        when(col("__varnum") <= 0L, lit(null).cast("double"))
+          .otherwise(when(col("s_stat") > 0L,
+              (col("s_stat") - 1L).cast("double") / sqrt(vr))
+            .when(col("s_stat") < 0L,
+              (col("s_stat") + 1L).cast("double") / sqrt(vr))
+            .otherwise(lit(0.0))).as("z"))
+  }
+
   def linearRegression(
       series: DataFrame, keyCol: String, xCol: String,
       yCol: String): DataFrame = {

@@ -545,6 +545,22 @@ class GraphSpec extends SparkSpec {
     assert(got.size == n.toInt - 1)
   }
 
+  test("dagLayers assigns longest-path levels: diamond + long tail, " +
+    "and a cycle fails loud") {
+    // diamond 0->{1,2}->3 plus tail 3->4->5: layers 0,1,1,2,3,4
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (0L, 5L)) //     shortcut 0->5 must NOT shorten layer(5)
+      .toDF("a", "b")
+    val got = Graph.dagLayers(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L,
+      4L -> 3L, 5L -> 4L))
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Graph.dagLayers(cyc, "a", "b", maxRounds = 6).collect()
+    }
+  }
+
   test("kTruss peels cascades: a triangle chain collapses while the " +
     "clique core survives with exact supports") {
     // K5 on 0..4 (every edge in 3 triangles) plus a pendant triangle

@@ -886,6 +886,24 @@ class ProfileSpec extends SparkSpec {
     assert(got((2L, 3L)) == ((2L, 2L, 8L)))
   }
 
+  test("cliffsDelta: hand-computed dominance counts, full separation " +
+    "hits +-1, identical groups hit 0") {
+    import org.apache.spark.sql.functions.{col => c}
+    // A = {3, 5}, B = {1, 4}: gt pairs (3,1),(5,1),(5,4)=3, lt (3,4)=1
+    val df = Seq((true, 3L), (true, 5L), (false, 1L), (false, 4L))
+      .toDF("a", "q")
+    val r = Profile.cliffsDelta(df, c("a"), c("q")).collect().head
+    assert(r.getAs[Long]("n_gt") == 3L && r.getAs[Long]("n_lt") == 1L)
+    assert(r.getAs[Double]("delta") == (3.0 - 1.0) / 4.0)
+    val sep = Seq((true, 10L), (true, 11L), (false, 1L), (false, 2L))
+      .toDF("a", "q")
+    assert(Profile.cliffsDelta(sep, c("a"), c("q"))
+      .collect().head.getAs[Double]("delta") == 1.0)
+    val same = Seq((true, 7L), (false, 7L)).toDF("a", "q")
+    assert(Profile.cliffsDelta(same, c("a"), c("q"))
+      .collect().head.getAs[Double]("delta") == 0.0)
+  }
+
   test("runsTest: alternating series counts every run; z matches the " +
     "driver-side replay of the pinned formula") {
     val vals = Seq(1L, 9L, 1L, 9L, 1L, 9L, 1L, 9L, 2L)

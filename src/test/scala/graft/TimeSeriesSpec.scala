@@ -745,6 +745,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(5L) == ((12L, 14L)))
   }
 
+  test("seasonalMannKendall removes a pure weekly cycle (S=0) but " +
+    "keeps a real cross-week trend (S = max positive)") {
+    // 21 days, value = day-of-week: every same-season pair ties -> S=0
+    val cyc = (0 until 21).map(d => ("k", d.toLong, (d % 7).toLong))
+      .toDF("k", "d", "x").withColumn("m",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("d"),
+          org.apache.spark.sql.functions.lit(7L)))
+    val r0 = TimeSeries.seasonalMannKendall(cyc, "k", "d", "x", "m")
+      .collect().head
+    assert(r0.getAs[Long]("s_stat") == 0L)
+    assert(r0.getAs[Long]("n_seasons") == 7L)
+    assert(r0.getAs[Double]("z") == 0.0)
+    // cycle + strictly increasing week level: every same-season pair
+    // increases -> S = 7 seasons x C(3,2) pairs = 21
+    val trend = (0 until 21).map(d =>
+      ("k", d.toLong, (d % 7).toLong + 100L * (d / 7)))
+      .toDF("k", "d", "x").withColumn("m",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("d"),
+          org.apache.spark.sql.functions.lit(7L)))
+    val r1 = TimeSeries.seasonalMannKendall(trend, "k", "d", "x", "m")
+      .collect().head
+    assert(r1.getAs[Long]("s_stat") == 21L)
+    assert(r1.getAs[Double]("z") > 3.0)
+  }
+
   test("kalmanLevel: constant series converges level to the constant " +
     "and variance to the steady-state Riccati root") {
     val df = (0 until 40).map(i => ("k", i.toLong, 10.0))
