@@ -215,6 +215,33 @@ private[graft] object StorageGates {
       stateOut(pt.readVersion(1L).get)
     }),
 
+    // ---- Storage: bucket-count evolution — rewrite the snapshot into
+    //      a wider layout (4 -> 8 buckets) in one commit; the gate
+    //      asserts the layout internally (loud red on violation), the
+    //      oracle checks the data is byte-identical ----
+    "o35_rebucket" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o35_").toString
+      val src = TargetTable("events_rb", s"$tmp/src",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val dst = TargetTable("events_rb", s"$tmp/dst",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 8)
+      val cfg = IngestConfig(name = s"o35-rb-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, src)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
+      val dest = pt.rebucketTo(dst, cfg)
+      require(dest.versions() == Seq(1L), "rebucket must be ONE commit")
+      require(dest.stats().get.agg(max(col("bucket"))).head.getInt(0) >= 4,
+        "wider layout must actually use high bucket ids")
+      require(pt.read().get.count() == dest.read().get.count(),
+        "source stays untouched and row counts agree")
+      stateOut(dest.read().get)
+        .withColumn("n_buckets_before", lit(4))
+        .withColumn("n_buckets_after", lit(8))
+    }),
+
     // ---- Storage: explicit snapshot expiry (VACUUM) — four commits,
     //      then shrink the live window to 2 WITHOUT writing data; the
     //      current state must stay byte-identical, expired versions
@@ -887,6 +914,16 @@ private[graft] object StorageGates {
           "SELECT st.pkey, st.modified_date_us, st.event_type, st.value " +
           "FROM st, mx WHERE st.modified_date_us >= m - 2592000000000"),
       // Version 1 state == latest-wins over ONLY the first batch's rows.
+      // The rewrite must carry every row across the layout change:
+      // state = global latest-wins, layout literals static.
+      "o35_rebucket" ->
+        ("SELECT pkey, modified_date_us, event_type, value, " +
+          "CAST(4 AS INT) AS n_buckets_before, " +
+          "CAST(8 AS INT) AS n_buckets_after " +
+          "FROM (SELECT user_id AS pkey, epoch_us(ts) AS modified_date_us, " +
+          "event_type, value, row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+          "WHERE rn = 1"),
       // Expiry must not disturb the current snapshot: state = global
       // latest-wins (all four residue classes cover every event); the
       // window accounting and survivor/expired probes are closed-form.

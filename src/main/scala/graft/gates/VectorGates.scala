@@ -860,6 +860,23 @@ private[graft] object VectorGates {
         .filter(col("n_docs") > 1)
     }),
 
+    // ---- Entity resolution: NYSIIS phonetic blocking — the second
+    //      phonetic key family (finer than Soundex on vowel-heavy
+    //      names); ONE shared rewrite-step table drives both the Spark
+    //      regexp chain and the DuckDB oracle, so they cannot drift ----
+    "dedup_nysiis_blocked" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        regexp_extract(lower(col("text")), "([a-z]+)", 1).as("tok"))
+      docs
+        .withColumn("code", graft.functions.Nysiis.keyCol(col("tok")))
+        .filter(col("code") =!= "")
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("tok")).as("n_tokens"),
+          min(col("tok")).as("min_tok"), max(col("tok")).as("max_tok"))
+        .filter(col("n_docs") > 1)
+    }),
+
     // ---- MDM: Fellegi-Sunter probabilistic linkage — log-likelihood-
     //      ratio field weights over sorted-neighborhood candidates;
     //      score = sum of injected-literal weights, match/possible split ----
@@ -1708,6 +1725,19 @@ private[graft] object VectorGates {
           s"FROM c CROSS JOIN t2 WHERE $picks > 0"
       },
       "dedup_soundex_blocked" -> soundexSql,
+      // The oracle folds the SAME shared step table (Nysiis.keySql)
+      // over the leading token — equality proves nothing drifted
+      // between the Spark chain and the RE2 chain.
+      "dedup_nysiis_blocked" ->
+        ("WITH d AS (SELECT doc_id, " +
+          "regexp_extract(lower(text), '([a-z]+)', 1) AS tok " +
+          "FROM documents), " +
+          s"k AS (SELECT doc_id, tok, ${graft.functions.Nysiis.keySql("tok")} " +
+          "AS code FROM d) " +
+          "SELECT code, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens, " +
+          "min(tok) AS min_tok, max(tok) AS max_tok FROM k " +
+          "WHERE code <> '' GROUP BY code HAVING count(*) > 1"),
       "dedup_jaro_blocked" ->
         ("WITH d AS (SELECT doc_id, lower(substr(text, 1, 16)) AS title, " +
           "lang FROM documents), " +

@@ -514,6 +514,32 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     }
   }
 
+  /** Bucket-count EVOLUTION: rewrite the current snapshot into a fresh
+    * target with a different bucket count — the migration path when a
+    * table outgrows its layout (the manifest's `#buckets=` header pins
+    * the count per root precisely so this can never happen silently
+    * in place; Iceberg likewise requires a rewrite for a bucket-spec
+    * change). Reads through the deletion vector (vectored deletes
+    * materialize), lands as ONE commit at the destination, and leaves
+    * the source untouched — cut over readers, then expire the old
+    * root. Merge-contract columns must match; the destination root
+    * must be empty. Cost: one full-table read + write, the honest
+    * price of a partitioning change at any scale. */
+  def rebucketTo(destTable: TargetTable, config: IngestConfig)
+      : ParquetTarget = {
+    require(destTable.path != table.path,
+      "rebucket rewrites into a FRESH root; in-place bucket change is " +
+        "exactly what the #buckets manifest pin forbids")
+    require(destTable.keyCols == table.keyCols &&
+      destTable.versionCol == table.versionCol &&
+      destTable.tieBreakCols == table.tieBreakCols,
+      "rebucket must keep the merge contract (key/version/tie columns)")
+    val dest = new ParquetTarget(spark, destTable)
+    require(!dest.exists, s"destination ${destTable.path} already exists")
+    read().foreach(snap => dest.mergeUpsert(snap, config))
+    dest
+  }
+
   /** Zero-copy snapshot clone (branch): publish a manifest at `destRoot`
     * whose bucket entries reference THIS target's committed dirs by
     * ABSOLUTE path — no data bytes move, the clone commits in O(buckets)

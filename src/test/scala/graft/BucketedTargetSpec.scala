@@ -309,6 +309,41 @@ class BucketedTargetSpec extends SparkSpec {
     assert(sink.readChanges(4L, 5L).isDefined)
   }
 
+  test("rebucketTo migrates to a wider layout: state identical, one " +
+    "commit, source untouched, contract violations loud") {
+    val dir = Files.createTempDirectory("graft_rebkt_").toString
+    val srcT = TargetTable("t", s"$dir/src", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 2)
+    val src = new ParquetTarget(spark, srcT)
+    val rows = (1L to 40L).map(i => (i, i, i, s"p$i"))
+    src.mergeUpsert(rows.toDF("pkey", "ver", "seq", "payload"), cfg)
+    val dstT = TargetTable("t", s"$dir/dst", keyCols = Seq("pkey"),
+      versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 8)
+    val dst = src.rebucketTo(dstT, cfg)
+    assert(dst.versions() == Seq(1L))
+    val before = src.read().get.collect()
+      .map(r => (r.getAs[Long]("pkey"), r.getAs[String]("payload"))).toSet
+    val after = dst.read().get.collect()
+      .map(r => (r.getAs[Long]("pkey"), r.getAs[String]("payload"))).toSet
+    assert(after == before)
+    // lookups prune against the NEW bucket map
+    val hit = dst.lookup(Seq(7L).toDF("pkey")).get.collect()
+    assert(hit.map(_.getAs[Long]("pkey")).toSeq == Seq(7L))
+    // wider layout actually spreads: more than 2 nonempty buckets
+    assert(dst.stats().get.filter("n_rows > 0").count() > 2L)
+    // contract violations fail loud
+    intercept[IllegalArgumentException] {
+      src.rebucketTo(srcT, cfg) //                          same root
+    }
+    intercept[IllegalArgumentException] {
+      src.rebucketTo(dstT, cfg) //                destination nonempty
+    }
+    intercept[IllegalArgumentException] {
+      src.rebucketTo(TargetTable("t", s"$dir/dst2", keyCols = Seq("pkey"),
+        versionCol = "seq", tieBreakCols = Seq("ver"), buckets = 8), cfg)
+    } //                                            contract drift
+  }
+
   test("compact rewrites to one file per bucket without changing state") {
     val dir = Files.createTempDirectory("graft_compact_").toString
     val t = TargetTable("t", s"$dir/target", keyCols = Seq("pkey"),

@@ -672,6 +672,25 @@ class TextOpsSpec extends SparkSpec {
       "confusable in an all-Cyrillic token is counted but not mixed")
   }
 
+  test("Nysiis.keyCol: hand-derived keys of the pinned variant, " +
+    "same-sounding names block together, junk handled") {
+    val names = Seq("knight", "night", "MacDonald", "phillips",
+      "Phillips!", "ferguson", "fergusson", "", "123")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    val got = df.select(col("id"),
+      graft.functions.Nysiis.keyCol(col("name")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // derived step-by-step from the documented rule table
+    assert(got(0L) == "NNAGT") //  KN->NN head keeps the doubled boundary
+    assert(got(1L) == "NAGT")
+    assert(got(2L) == "MCDANA") //        MAC->MCC, CC collapse, truncate
+    assert(got(3L) == "FFALAP") //           PH->FF head, LL collapse, -S
+    assert(got(4L) == got(3L), "case and punctuation are invisible")
+    assert(got(5L) == got(6L), "ferguson/fergusson share a block")
+    assert(got(7L) == "" && got(8L) == "", "empty/non-letter -> empty")
+  }
+
   test("scriptProfile counts each BMP script class exactly once and " +
     "the remainder lands in n_other") {
     val txt = "ab мир 数据 αβ 12 !?" //  2 latin, 3 cyr, 2 cjk, 2 greek,
