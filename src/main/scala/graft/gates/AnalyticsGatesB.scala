@@ -836,6 +836,15 @@ private[graft] object AnalyticsGatesB {
         col("event_type") === "click",
         floor(col("value") * 1024.0))),
 
+    // ---- Stats: Hodges-Lehmann shift — lower median of all pairwise
+    //      differences as an ELEMENT PICK over the binned-grid diff
+    //      distribution; exact BIGINT in bin units ----
+    "q_hodges_lehmann" -> ((s, dir) =>
+      graft.ops.Profile.hodgesLehmann(
+        t(s, dir, "events").filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        floor(col("value")))),
+
     // ---- Stats: Cliff's delta effect size — dominance counts off the
     //      same binned grid as Mann-Whitney; one division total ----
     "q_cliffs_delta" -> ((s, dir) =>
@@ -1236,6 +1245,26 @@ private[graft] object AnalyticsGatesB {
           "CAST(tok_start % 256 AS BIGINT) AS offset_in_block, " +
           "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
           "AS BIGINT) AS n_blocks FROM s"),
+      // Weighted-median replay: same binned diff grid, same cumulative
+      // rank pick at (T+1) div 2, smallest qualifying diff wins.
+      "q_hodges_lehmann" ->
+        ("WITH b AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 " +
+          "END AS a, CAST(floor(value) AS BIGINT) AS q FROM events " +
+          "WHERE event_type IN ('click', 'view') AND value IS NOT NULL), " +
+          "g AS (SELECT q, CAST(sum(a) AS BIGINT) AS ca, " +
+          "CAST(count(*) - sum(a) AS BIGINT) AS cb FROM b GROUP BY q), " +
+          "ga AS (SELECT q AS qa, ca FROM g WHERE ca > 0), " +
+          "gb AS (SELECT q AS qb, cb FROM g WHERE cb > 0), " +
+          "dd AS (SELECT qa - qb AS d, CAST(sum(ca * cb) AS BIGINT) AS w " +
+          "FROM ga CROSS JOIN gb GROUP BY 1), " +
+          "cm AS (SELECT d, sum(w) OVER (ORDER BY d " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+          "FROM dd), " +
+          "tt AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a, " +
+          "CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b FROM g) " +
+          "SELECT tt.n_a, tt.n_b, tt.n_a * tt.n_b AS n_pairs, " +
+          "(SELECT min(d) FROM cm, tt " +
+          "WHERE cum >= (tt.n_a * tt.n_b + 1) // 2) AS hl_shift FROM tt"),
       // Same binned grid as the MW oracle; n_gt = A-mass times the
       // strictly-below B cumulative, n_lt via the strictly-above
       // complement, one division.

@@ -422,6 +422,20 @@ private[graft] object MultimodalGates {
     //      j·3/2 with FLOOR division (negative samples round like the
     //      oracle's //); output summarized as Σ|v| + rolling
     //      fingerprint over the full resampled stream ----
+    // ---- Multimodal: Motion-JPEG AVI — the first video container
+    //      whose FRAMES are decoded (RIFF walk + the real baseline-JPEG
+    //      decoder per 00dc chunk); per-frame luma rows, frame-level
+    //      quarantine, idx1 skipped cleanly ----
+    "mm_avi_frame_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.aviMjpegBytes(
+            (id % 18 + 10).toInt, (id % 11 + 9).toInt,
+            (id % 3 + 2).toInt, id % 101, 40000L + (id % 5) * 1000L))
+      Multimodal.aviFrameStats(d, "doc_id", "content")
+    }),
+
     // ---- Multimodal: TGA truecolor decode — the SEVENTH codec, first
     //      footer-dispatched one, covering both uncompressed and RLE
     //      image types, BGR channel order (three DIFFERENT channel
@@ -717,6 +731,27 @@ private[graft] object MultimodalGates {
         // raster (P6 as gray RGB, BT.601-exact).
         mmPixelStatsSql("doc_id % 20 + 9", "doc_id % 13 + 7",
           "doc_id % 43"),
+      "mm_avi_frame_stats" -> {
+        // Frame f of doc id carries the DC-only formula at seed s0+f:
+        // the oracle replays every frame's raster closed-form; the
+        // engine had to walk the RIFF tree and huffman-decode each one.
+        val px = "2 * ((17 * (xx // 8) + 29 * (yy // 8) + " +
+          "13 * (xx // 8) * (yy // 8) + (s0 + f)) % 120 - 60) + 128"
+        "WITH m AS (SELECT doc_id AS id, doc_id % 18 + 10 AS w, " +
+          "doc_id % 11 + 9 AS h, doc_id % 3 + 2 AS nf, " +
+          "doc_id % 101 AS s0, 40000 + (doc_id % 5) * 1000 AS upf " +
+          "FROM documents), " +
+          "fr AS (SELECT id, w, h, nf, s0, upf, " +
+          "unnest(range(0, nf)) AS f FROM m), " +
+          "px AS (SELECT id, f, w, h, upf, nf, " +
+          "list_sum(flatten(list_transform(range(0, h), yy -> " +
+          s"list_transform(range(0, w), xx -> $px)))) AS ls FROM fr) " +
+          "SELECT id, CAST(f AS BIGINT) AS frame, CAST(w AS INT) AS width, " +
+          "CAST(h AS INT) AS height, CAST(upf AS BIGINT) AS us_per_frame, " +
+          "CAST(nf AS BIGINT) AS n_frames_declared, " +
+          "CAST(w * h AS BIGINT) AS n_px, " +
+          "CAST(ls AS BIGINT) AS luma_sum FROM px"
+      },
       "mm_tga_pixel_stats" -> {
         // Three distinct channel formulas through the BT.601 integer
         // luma — the engine recovered them from BGR bytes (RLE packets

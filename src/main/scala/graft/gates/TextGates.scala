@@ -111,6 +111,23 @@ private[graft] object TextGates {
     "text_token_classes" -> ((s, dir) =>
       TextAnalysis.tokenClasses(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- LLM pipeline: markdown corpus cleanup — strip structure,
+    //      keep prose; structure census on the original text; one
+    //      shared rewrite-step table drives both dialects ----
+    "text_markdown_strip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val md = concat(
+        lit("# Title "), substring(col("text"), 1, 20),
+        lit("\n**bold** see [docs](http://ex.com/"),
+        col("doc_id").cast("string"),
+        lit(") and `x = 1` ![img](http://i/"),
+        col("doc_id").cast("string"),
+        lit(".png)\n- item one\n2. item two\n> quote\n---\n"),
+        col("text"))
+      TextAnalysis.markdownStrip(
+        d.select(col("doc_id"), md.as("text")), "doc_id", "text")
+    }),
+
     // ---- LLM pipeline: Unicode script census — the multilingual-
     //      corpus filter signal; the fixture splices Cyrillic/CJK/Greek
     //      words into the ASCII corpus so every class is exercised ----
@@ -1473,6 +1490,33 @@ private[graft] object TextGates {
           "FROM pr JOIN documents d USING (doc_id) " +
           "GROUP BY 1, 2"),
       "text_token_classes" -> tokenClassesSql,
+      // Markdown replay: identical fixture splice, then the SAME shared
+      // step table folded as RE2 (markdownStripSql); counts replayed as
+      // regexp_extract_all lengths on the original text.
+      "text_markdown_strip" -> {
+        val md = "'# Title ' || substr(text, 1, 20) || chr(10) || " +
+          "'**bold** see [docs](http://ex.com/' || " +
+          "CAST(doc_id AS VARCHAR) || ') and `x = 1` ![img](http://i/' " +
+          "|| CAST(doc_id AS VARCHAR) || '.png)' || chr(10) || " +
+          "'- item one' || chr(10) || '2. item two' || chr(10) || " +
+          "'> quote' || chr(10) || '---' || chr(10) || text"
+        def cnt(pat: String) =
+          s"CAST(len(regexp_extract_all(md, '$pat')) AS BIGINT)"
+        s"WITH d AS (SELECT doc_id, $md AS md FROM documents) " +
+          "SELECT doc_id, " +
+          graft.ops.TextAnalysis.markdownStripSql("md") +
+          " AS text_plain, " +
+          "CAST(length(md) AS BIGINT) AS n_chars_in, " +
+          s"CAST(length(${graft.ops.TextAnalysis.markdownStripSql("md")}) " +
+          "AS BIGINT) AS n_chars_out, " +
+          cnt("\\[([^\\]]*)\\]\\(") + " - " + cnt("!\\[([^\\]]*)\\]\\(") +
+          " AS n_links, " +
+          cnt("!\\[([^\\]]*)\\]\\(") + " AS n_images, " +
+          "CAST(len(regexp_extract_all(regexp_replace(md, " +
+          "'(?s)```.*?```', ' ', 'g'), '`[^`]+`')) AS BIGINT) " +
+          "AS n_code_spans, " +
+          cnt("(?m)^#{1,6}[ \\t]+") + " AS n_headings FROM d"
+      },
       // Script-census replay: identical fixture splice, counts as
       // length - length(strip) with RE2 \x{...} ranges (the engine's
       // Java-regex ranges cover the same BMP intervals; all counted

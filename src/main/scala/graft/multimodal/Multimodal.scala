@@ -604,6 +604,102 @@ object Multimodal {
       .toDF()
   }
 
+  /** One decoded AVI frame (or one NULL row for an unparseable
+    * container): stream header fields plus exact luma stats of the
+    * frame the embedded JPEG decoder recovered. */
+  final case class AviFrameRow(
+      id: Long, frame: Option[Long], width: Option[Int],
+      height: Option[Int], us_per_frame: Option[Long],
+      n_frames_declared: Option[Long], n_px: Option[Long],
+      luma_sum: Option[Long])
+
+  /** Motion-JPEG-in-AVI decode — the first VIDEO container whose FRAMES
+    * are actually decoded (the MP4 gate walks boxes; this one walks the
+    * RIFF tree AND runs the baseline-JPEG decoder on every `00dc`
+    * chunk): parse `RIFF/AVI ` → `LIST hdrl` → `avih` (µs/frame, total
+    * frames, dims) → `LIST movi` → word-aligned `00dc` frame chunks →
+    * [[jpegPixels]] per frame, emitting one row per decoded frame with
+    * exact integer luma moments. This is the video-corpus ingestion
+    * shape: per-frame features without ever materializing the video as
+    * one object. Bad magic / truncated header → single NULL row; an
+    * undecodable FRAME keeps its row with NULL stats (frame-level
+    * quarantine — one corrupt frame must not sink the clip); frames
+    * past `maxFrames` are not decoded (bounded work per row).
+    * Row-local, no shuffle. */
+  def aviFrameStats(
+      df: DataFrame, idCol: String, binCol: String,
+      maxFrames: Int = 8, batchSize: Int = 16): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { case (id, b) =>
+        val bad =
+          Seq(AviFrameRow(id, None, None, None, None, None, None, None))
+        def fcc(o: Int): String =
+          if (o + 4 > b.length) ""
+          else new String(b.slice(o, o + 4), "US-ASCII")
+        def le32(o: Int): Long =
+          (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        if (b == null || b.length < 24 || fcc(0) != "RIFF" ||
+          fcc(8) != "AVI ") bad
+        else {
+          var usPerFrame = -1L; var totalFrames = -1L
+          var aw = -1; var ah = -1
+          val frames = collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var p = 12
+          val end = math.min(b.length.toLong, 8L + le32(4)).toInt
+          var ok = true
+          while (ok && p + 8 <= end) {
+            val id4 = fcc(p); val sz = le32(p + 4)
+            val body = p + 8
+            if (body + sz > end) { ok = false }
+            else {
+              if (id4 == "LIST" && sz >= 4) {
+                val lt = fcc(body)
+                var q = body + 4
+                val lend = (body + sz).toInt
+                while (q + 8 <= lend) {
+                  val c4 = fcc(q); val csz = le32(q + 4)
+                  val cb = q + 8
+                  if (cb + csz > lend) { q = lend }
+                  else {
+                    if (lt == "hdrl" && c4 == "avih" && csz >= 40) {
+                      usPerFrame = le32(cb)
+                      totalFrames = le32(cb + 16)
+                      aw = le32(cb + 32).toInt; ah = le32(cb + 36).toInt
+                    }
+                    if (lt == "movi" && c4 == "00dc" &&
+                      frames.length < maxFrames)
+                      frames += b.slice(cb, (cb + csz).toInt)
+                    q = (cb + csz + (csz & 1L)).toInt
+                  }
+                }
+              }
+              p = (body + sz + (sz & 1L)).toInt
+            }
+          }
+          if (usPerFrame < 0) bad //                      no avih header
+          else if (frames.isEmpty) bad
+          else frames.zipWithIndex.map { case (fb, i) =>
+            jpegPixels(fb) match {
+              case Some((w, h, lum)) =>
+                var s = 0L; var j = 0
+                while (j < lum.length) { s += lum(j); j += 1 }
+                AviFrameRow(id, Some(i.toLong), Some(w), Some(h),
+                  Some(usPerFrame), Some(totalFrames),
+                  Some(w.toLong * h), Some(s))
+              case None => //     frame-level quarantine, clip survives
+                AviFrameRow(id, Some(i.toLong), None, None,
+                  Some(usPerFrame), Some(totalFrames), None, None)
+            }
+          }.toSeq
+        }
+      }))
+      .toDF()
+  }
+
   /** One Otsu row: the chosen threshold, the class split it induces,
     * and the (floored) between-class-variance score that won. */
   final case class OtsuRow(
@@ -3359,6 +3455,59 @@ object MediaFixtures {
       i += 1
     }
     bb.toByteArray
+  }
+
+  /** A COMPLETE Motion-JPEG AVI: RIFF/AVI tree with a real `avih`
+    * header, a `strl` stream-list (vids/MJPG, BITMAPINFOHEADER), the
+    * `movi` list carrying one REAL baseline-JPEG ([[jpegPixelBytes]])
+    * per frame in word-aligned `00dc` chunks (frame f's raster is the
+    * DC-only formula at seed+f, so per-frame stats are closed-form),
+    * and a trailing `idx1` index the parser must skip cleanly. */
+  def aviMjpegBytes(w: Int, h: Int, nFrames: Int, seed: Long,
+      usPerFrame: Long): Array[Byte] = {
+    val frames = (0 until nFrames).map(f => jpegPixelBytes(w, h, seed + f))
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      id.getBytes("US-ASCII").foreach(bb.write(_))
+      val sz = body.length
+      bb.write(sz & 0xff); bb.write((sz >> 8) & 0xff)
+      bb.write((sz >> 16) & 0xff); bb.write((sz >> 24) & 0xff)
+      bb.write(body, 0, body.length)
+      if ((sz & 1) == 1) bb.write(0) //                  word alignment
+      bb.toByteArray
+    }
+    def list(lt: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", lt.getBytes("US-ASCII") ++ body)
+    def le32a(vs: Long*): Array[Byte] = vs.flatMap(v => Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)).toArray
+    val avih = chunk("avih", le32a(usPerFrame, 0L, 0L, 0x10L,
+      nFrames.toLong, 0L, 1L, (w.toLong * h * 3), w.toLong, h.toLong,
+      0L, 0L, 0L, 0L))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        le32a(0L, 0L, 0L, 1L, 25L, 0L, nFrames.toLong,
+          (w.toLong * h * 3), 0L, 0L) ++
+        Array[Byte](0, 0, 0, 0, (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+          (h & 0xff).toByte, ((h >> 8) & 0xff).toByte))
+    val strf = chunk("strf", le32a(40L, w.toLong, h.toLong) ++
+      Array[Byte](1, 0, 24, 0) ++ "MJPG".getBytes("US-ASCII") ++
+      le32a((w.toLong * h * 3), 0L, 0L, 0L, 0L))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val moviBody = frames.map(fb => chunk("00dc", fb))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    val movi = list("movi", moviBody)
+    // idx1: offsets relative to the 'movi' fourcc position + 4
+    var off = 4L
+    val idxBody = frames.map { fb =>
+      val e = "00dc".getBytes("US-ASCII") ++
+        le32a(0x10L, off, fb.length.toLong)
+      off += 8L + fb.length + (fb.length & 1)
+      e
+    }.foldLeft(Array.empty[Byte])(_ ++ _)
+    val idx1 = chunk("idx1", idxBody)
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ idx1
+    chunk("RIFF", riffBody)
   }
 
   /** Netpbm P5 (binary graymap) fixture of the formula raster, with a

@@ -1737,6 +1737,47 @@ object Profile {
             (col("n_a") * col("n_b")).cast("double")))
   }
 
+  /** Hodges–Lehmann shift estimator between two groups — the robust
+    * "HOW FAR apart" companion to [[cliffsDelta]]'s "how often": the
+    * LOWER MEDIAN of the multiset of all n_a·n_b pairwise differences
+    * x − y, an ELEMENT PICK (rank (T+1) div 2 of the weighted diff
+    * distribution), never an average — so with binned integer inputs
+    * the estimate is an exact BIGINT in bin units.
+    *
+    * Scale: pairwise diffs are materialized on the BINNED GRID — the
+    * cross join is V_a × V_b distinct bins (quantization-bounded, not
+    * data-bounded), each diff carrying multiplicity ca·cb; the median
+    * pick is one cumulative window over O(V²) grid rows. Output:
+    * (n_a, n_b, n_pairs, hl_shift). */
+  def hodgesLehmann(df: DataFrame, inA: Column, scoreBin: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(when(inA, 1L).otherwise(0L).as("__a"),
+      scoreBin.cast("long").as("__q"))
+      .where(col("__q").isNotNull)
+    val g = b.groupBy("__q").agg(sum(col("__a")).as("__ca"),
+      (count(lit(1)) - sum(col("__a"))).as("__cb"))
+    val ga = g.filter(col("__ca") > 0L).select(col("__q").as("__qa"),
+      col("__ca"))
+    val gb = g.filter(col("__cb") > 0L).select(col("__q").as("__qb"),
+      col("__cb"))
+    val dd = ga.crossJoin(gb)
+      .groupBy((col("__qa") - col("__qb")).as("__d"))
+      .agg(sum(col("__ca") * col("__cb")).as("__w"))
+    val cum = dd.withColumn("__cum",
+      sum(col("__w")).over(Window.orderBy(col("__d"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = g.agg(coalesce(sum(col("__ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("__cb")), lit(0L)).as("n_b"))
+      .withColumn("n_pairs", col("n_a") * col("n_b"))
+    val pick = cum.crossJoin(tot)
+      .filter(col("__cum") >= expr("(n_pairs + 1) div 2"))
+      .orderBy(col("__d")).limit(1)
+      .select(col("__d").as("hl_shift"))
+    tot.crossJoin(pick)
+      .select(col("n_a"), col("n_b"), col("n_pairs"), col("hl_shift"))
+  }
+
   /** Wald–Wolfowitz runs test per key — "is this sequence random or
     * does it streak": signs vs the key's own LOWER MEDIAN (element
     * pick at rank (n+1) div 2 under (value, ord) order — never an

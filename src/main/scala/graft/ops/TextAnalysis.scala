@@ -55,6 +55,74 @@ object TextAnalysis {
       (alpha + digit + punct).as("n_bpe_tokens"))
   }
 
+  /** Markdown-to-visible-text rewrite steps — ONE shared table folded
+    * by both the Spark chain ([[markdownStrip]]) and the DuckDB oracle
+    * ([[markdownStripSql]]), the [[graft.functions.Nysiis]] discipline:
+    * a rule change edits exactly one Seq. Replacement `<1>` means
+    * "group 1" and is translated per dialect (`$1` Java, `\1` RE2);
+    * patterns are RE2-safe (inline (?s)/(?m) flags, no backrefs, no
+    * lookaround). Order matters: fences before inline code, images
+    * before links (the leading `!` would otherwise leave a bang). */
+  val MarkdownSteps: Seq[(String, String)] = Seq(
+    "(?s)```.*?```" -> " ",
+    "`([^`]*)`" -> "<1>",
+    "!\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "<1>",
+    "\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "<1>",
+    "(?m)^#{1,6}[ \\t]+" -> "",
+    "(?m)^[ \\t]*[-*+][ \\t]+" -> "",
+    "(?m)^[ \\t]*[0-9]+\\.[ \\t]+" -> "",
+    "(?m)^>[ \\t]?" -> "",
+    "\\*\\*([^*]+)\\*\\*" -> "<1>",
+    "\\*([^*]+)\\*" -> "<1>",
+    "__([^_]+)__" -> "<1>",
+    "_([^_]+)_" -> "<1>",
+    "(?m)^[-=]{3,}[ \\t]*$" -> "")
+
+  /** Markdown corpus cleanup — strip structure, keep the prose (the
+    * pre-tokenization step for markdown-heavy crawls; README/doc dumps
+    * tokenized raw waste context on syntax and skew dedup shingles):
+    * fold [[MarkdownSteps]], then collapse whitespace and trim. Also
+    * emits the structure census (links, images, code spans, headings)
+    * counted on the ORIGINAL text — the "how markdown-y was this doc"
+    * signal a mixture sampler keys on. Row-local regexp chain,
+    * codegen'd, no shuffle. Output: (id, text_plain, n_chars_in,
+    * n_chars_out, n_links, n_images, n_code_spans, n_headings). */
+  def markdownStrip(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val chain = MarkdownSteps.foldLeft(t) { case (c, (p, r)) =>
+      regexp_replace(c, p, r.replace("<1>", "$1"))
+    }
+    val plain = trim(regexp_replace(chain, "\\s+", " "))
+    docs.select(
+      col(idCol),
+      plain.as("text_plain"),
+      length(t).cast("long").as("n_chars_in"),
+      length(plain).cast("long").as("n_chars_out"),
+      // links = bracket-paren pairs minus the image subset — RE2 has no
+      // lookbehind, so the oracle-replayable form is the subtraction
+      (regexp_count(t, lit("\\[([^\\]]*)\\]\\(")) -
+        regexp_count(t, lit("!\\[([^\\]]*)\\]\\("))).cast("long")
+        .as("n_links"),
+      regexp_count(t, lit("!\\[([^\\]]*)\\]\\(")).cast("long")
+        .as("n_images"),
+      // inline spans counted on the fence-stripped text — the interior
+      // of a ``` fence would otherwise read as one giant inline span
+      regexp_count(regexp_replace(t, "(?s)```.*?```", " "),
+        lit("`[^`]+`")).cast("long").as("n_code_spans"),
+      regexp_count(t, lit("(?m)^#{1,6}[ \\t]+")).cast("long")
+        .as("n_headings"))
+  }
+
+  /** DuckDB twin of [[markdownStrip]]'s rewrite chain over SQL
+    * expression `in` (counts are written inline by the oracle). */
+  def markdownStripSql(in: String): String = {
+    val chain = MarkdownSteps.foldLeft(in) { case (e, (p, r)) =>
+      s"regexp_replace($e, '$p', '${r.replace("<1>", "\\1")}', 'g')"
+    }
+    s"trim(regexp_replace($chain, '\\s+', ' ', 'g'))"
+  }
+
   /** Unicode SCRIPT profile — the writing-system census a multilingual
     * corpus filter keys on ("mostly-CJK doc labeled `en`" and "Cyrillic
     * homoglyph spam inside Latin text" both fall out of these counts):

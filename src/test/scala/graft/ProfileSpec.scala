@@ -886,6 +886,28 @@ class ProfileSpec extends SparkSpec {
     assert(got((2L, 3L)) == ((2L, 2L, 8L)))
   }
 
+  test("hodgesLehmann: lower median of all pairwise differences, " +
+    "element pick with multiplicities") {
+    import org.apache.spark.sql.functions.{col => c}
+    // A = {10, 20}, B = {1, 2}: diffs {8, 9, 18, 19} -> lower median
+    // at rank (4+1) div 2 = 2 -> 9
+    val df = Seq((true, 10L), (true, 20L), (false, 1L), (false, 2L))
+      .toDF("a", "q")
+    val r = Profile.hodgesLehmann(df, c("a"), c("q")).collect().head
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(r.getAs[Long]("hl_shift") == 9L)
+    // multiplicity: A = {5, 5, 5}, B = {1}: diffs {4 x3} -> 4
+    val m = Seq((true, 5L), (true, 5L), (true, 5L), (false, 1L))
+      .toDF("a", "q")
+    assert(Profile.hodgesLehmann(m, c("a"), c("q"))
+      .collect().head.getAs[Long]("hl_shift") == 4L)
+    // swapping groups: diffs {-19,-18,-9,-8}, lower median (rank 2)
+    // is -18 — the lower-median convention is NOT antisymmetric, which
+    // is exactly why the convention must be pinned
+    val sw = Profile.hodgesLehmann(df, !c("a"), c("q")).collect().head
+    assert(sw.getAs[Long]("hl_shift") == -18L)
+  }
+
   test("cliffsDelta: hand-computed dominance counts, full separation " +
     "hits +-1, identical groups hit 0") {
     import org.apache.spark.sql.functions.{col => c}

@@ -672,6 +672,26 @@ class TextOpsSpec extends SparkSpec {
       "confusable in an all-Cyrillic token is counted but not mixed")
   }
 
+  test("markdownStrip keeps prose, drops structure, and censuses the " +
+    "original text") {
+    val md = "# Head\nSome **bold** and *em* text with [a link](http://x) " +
+      "and ![pic](http://y.png).\n\n```\ncode block\n```\n" +
+      "- bullet one\n2. numbered\n> quoted words\n---\n`inline` end_s_"
+    val df = Seq((1L, md)).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.markdownStrip(df, "doc_id", "text")
+      .collect().head
+    val plain = r.getAs[String]("text_plain")
+    assert(plain == "Head Some bold and em text with a link and pic. " +
+      "bullet one numbered quoted words inline ends",
+      s"got: $plain") //   `end_s_` -> `ends`: the _..._ emphasis rule
+    //   is blind to intra-word underscores (documented variant choice)
+    assert(r.getAs[Long]("n_links") == 1L)
+    assert(r.getAs[Long]("n_images") == 1L)
+    assert(r.getAs[Long]("n_code_spans") == 1L)
+    assert(r.getAs[Long]("n_headings") == 1L)
+    assert(r.getAs[Long]("n_chars_out") < r.getAs[Long]("n_chars_in"))
+  }
+
   test("Nysiis.keyCol: hand-derived keys of the pinned variant, " +
     "same-sounding names block together, junk handled") {
     val names = Seq("knight", "night", "MacDonald", "phillips",

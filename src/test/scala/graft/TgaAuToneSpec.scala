@@ -134,6 +134,43 @@ class TgaAuToneSpec extends SparkSpec {
     assert(nr.isNullAt(nr.fieldIndex("encoding")))
   }
 
+  test("aviFrameStats walks the RIFF tree, decodes every 00dc JPEG, " +
+    "quarantines corrupt frames, rejects junk") {
+    val good = MediaFixtures.aviMjpegBytes(17, 11, 3, 7L, 40000L)
+    // corrupt ONE frame's entropy data in a copy: find the 2nd SOS
+    // marker and trash bytes after it
+    val bad = good.clone()
+    var sos = 0; var hits = 0
+    for (i <- 0 until bad.length - 1
+         if (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xd9) {
+      hits += 1; if (hits == 2) sos = i
+    }
+    bad(sos - 3) = 0x00; bad(sos - 2) = 0x7f //       break the padding
+    val d = MediaFixtures.withFixtureBytes(
+      Seq(0L, 1L, 2L).toDF("doc_id"), "doc_id",
+      id => if (id == 0L) good
+      else if (id == 1L) bad else "not an avi".getBytes)
+    val rows = Multimodal.aviFrameStats(d, "doc_id", "content").collect()
+    val byId = rows.groupBy(_.getAs[Long]("id"))
+    assert(byId(0L).length == 3, "three frames decoded")
+    byId(0L).foreach { r =>
+      assert(r.getAs[Int]("width") == 17 && r.getAs[Int]("height") == 11)
+      assert(r.getAs[Long]("us_per_frame") == 40000L)
+      assert(r.getAs[Long]("n_frames_declared") == 3L)
+      assert(r.getAs[Long]("n_px") == 187L)
+    }
+    // frame luma sums differ across frames (seed advances per frame)
+    assert(byId(0L).map(_.getAs[Long]("luma_sum")).distinct.length == 3)
+    // the junk id yields one NULL row
+    val j = byId(2L)
+    assert(j.length == 1 && j.head.isNullAt(j.head.fieldIndex("frame")))
+    // the corrupted clip keeps 3 rows; at most one lost its stats, and
+    // the OTHER frames still decoded (frame-level quarantine)
+    val c = byId(1L)
+    assert(c.length == 3)
+    assert(c.count(r => !r.isNullAt(r.fieldIndex("luma_sum"))) >= 2)
+  }
+
   test("toneDetect decodes every keypad digit from its own tone") {
     val low = Array(40, 36, 32, 28); val high = Array(20, 16, 12, 8)
     val ids = (0L until 16L).toDF("doc_id")
