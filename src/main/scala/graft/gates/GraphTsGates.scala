@@ -289,6 +289,19 @@ private[graft] object GraphTsGates {
       graft.ops.TimeSeries.mannKendall(hourly, "event_type", "hr", "hx")
     }),
 
+    // ---- Time series: MACD with signal-line crossover counting —
+    //      two-EWMA momentum, strict-sign-flip events, exact-binary
+    //      constants, kalman-style pinned fold ----
+    "ts_macd" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.macd(hourly, "event_type", "hr", "hx")
+    }),
+
     // ---- Time series: SEASONAL Mann-Kendall — same-season-only pair
     //      trend test (Hirsch-Slack) over the daily series with a
     //      day-of-week season; per-season exact S and tie-corrected
@@ -2041,6 +2054,38 @@ private[graft] object GraphTsGates {
           "CASE WHEN sum(dist) > 0 THEN CAST(count(*) - 1 AS DOUBLE) / " +
           "CAST(sum(dist) AS DOUBLE) END AS closeness " +
           "FROM md3 GROUP BY seed"),
+      // MACD replay: the fast/slow/macd/signal/diff subexpressions
+      // duplicated textually per the kalman discipline; strict sign
+      // flips only.
+      "ts_macd" -> {
+        val f = "(0.5 * s.x + 0.5 * r.f)"
+        val sl = "(0.25 * s.x + 0.75 * r.sl)"
+        val m = s"($f - $sl)"
+        val sg = s"(0.5 * $m + 0.5 * r.sg)"
+        val d = s"($m - $sg)"
+        "WITH RECURSIVE sr AS (" +
+          "SELECT event_type, CAST(hx AS DOUBLE) AS x, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY hr) AS i " +
+          "FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) " +
+          "AS hx FROM events GROUP BY 1, 2) WHERE hx IS NOT NULL), " +
+          "rec AS (" +
+          "SELECT event_type, i, x AS f, x AS sl, CAST(0.0 AS DOUBLE) " +
+          "AS sg, CAST(0.0 AS DOUBLE) AS pd, CAST(0 AS BIGINT) AS cx " +
+          "FROM sr WHERE i = 1 " +
+          "UNION ALL " +
+          s"SELECT s.event_type, s.i, $f AS f, $sl AS sl, $sg AS sg, " +
+          s"$d AS pd, r.cx + (CASE WHEN (r.pd > 0.0 AND $d < 0.0) OR " +
+          s"(r.pd < 0.0 AND $d > 0.0) THEN 1 ELSE 0 END) AS cx " +
+          "FROM rec r JOIN sr s ON s.event_type = r.event_type " +
+          "AND s.i = r.i + 1), " +
+          "fin AS (SELECT event_type, i, f, sl, sg, pd, cx, " +
+          "row_number() OVER (PARTITION BY event_type ORDER BY i DESC) " +
+          "AS rn FROM rec) " +
+          "SELECT event_type, CAST(i AS BIGINT) AS n_points, " +
+          "f - sl AS macd, sg AS signal, pd AS histogram, " +
+          "cx AS n_crossovers FROM fin WHERE rn = 1"
+      },
       // Per-season replay of the MK machinery: same-season pair signs,
       // per-season tie bracket, integer variance sum, and the plain-MK
       // continuity-corrected z shape.

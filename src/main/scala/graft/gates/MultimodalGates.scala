@@ -422,6 +422,19 @@ private[graft] object MultimodalGates {
     //      j·3/2 with FLOOR division (negative samples round like the
     //      oracle's //); output summarized as Σ|v| + rolling
     //      fingerprint over the full resampled stream ----
+    // ---- Multimodal: ICO icon directory — TWO codecs behind one
+    //      directory (a real PNG and the headerless doubled-height
+    //      BMP-in-ICO with its AND mask); per-image rows + quarantine ----
+    "mm_ico_pixel_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.icoBytes(
+            (id % 13 + 8).toInt, (id % 9 + 7).toInt, id % 59,
+            (id % 17 + 9).toInt, (id % 7 + 6).toInt, id % 67))
+      Multimodal.icoPixelStats(d, "doc_id", "content")
+    }),
+
     // ---- Multimodal: Motion-JPEG AVI — the first video container
     //      whose FRAMES are decoded (RIFF walk + the real baseline-JPEG
     //      decoder per 00dc chunk); per-frame luma rows, frame-level
@@ -731,6 +744,27 @@ private[graft] object MultimodalGates {
         // raster (P6 as gray RGB, BT.601-exact).
         mmPixelStatsSql("doc_id % 20 + 9", "doc_id % 13 + 7",
           "doc_id % 43"),
+      "mm_ico_pixel_stats" -> {
+        // Both payloads carry the same grid formula at different
+        // (w, h, s): the PNG through zlib+unfilter, the BMP-in-ICO
+        // through palette + doubled height + AND-mask accounting —
+        // one codec-blind replay covers both rows.
+        val px = "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256"
+        "WITH m AS (SELECT doc_id AS id, doc_id % 13 + 8 AS wp, " +
+          "doc_id % 9 + 7 AS hp, doc_id % 59 AS sp, " +
+          "doc_id % 17 + 9 AS wb, doc_id % 7 + 6 AS hb, " +
+          "doc_id % 67 AS sb FROM documents), " +
+          "u AS (SELECT id, 0 AS image, wp AS w, hp AS h, sp AS s, " +
+          "TRUE AS is_png FROM m " +
+          "UNION ALL SELECT id, 1, wb, hb, sb, FALSE FROM m), " +
+          "px AS (SELECT id, image, w, h, is_png, " +
+          "list_sum(flatten(list_transform(range(0, h), yy -> " +
+          s"list_transform(range(0, w), xx -> $px)))) AS ls FROM u) " +
+          "SELECT id, CAST(image AS BIGINT) AS image, " +
+          "CAST(w AS INT) AS width, CAST(h AS INT) AS height, is_png, " +
+          "CAST(w * h AS BIGINT) AS n_px, " +
+          "CAST(ls AS BIGINT) AS luma_sum FROM px"
+      },
       "mm_avi_frame_stats" -> {
         // Frame f of doc id carries the DC-only formula at seed s0+f:
         // the oracle replays every frame's raster closed-form; the

@@ -231,6 +231,30 @@ private[graft] object TextGates {
     //      fidelity with content-sensitive aggregates (md5 extrema). The
     //      oracle reads the parquet originals: equal aggregates ⇒ the
     //      round-trip was lossless. ----
+    // ---- Source format: FIXED-WIDTH records (the mainframe/legacy
+    //      extract shape Spark lacks a reader for) — format orders into
+    //      padded lines, write/read as text, parse by column slices,
+    //      aggregate; the oracle aggregates the source directly, so the
+    //      round trip must be lossless field-for-field ----
+    "src_fixed_width" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_fw_").toString
+      val lines = t(s, dir, "orders").select(concat(
+        lpad(col("o_orderkey").cast("string"), 10, "0"),
+        rpad(col("o_orderstatus"), 1, " "),
+        lpad(floor(col("o_totalprice") * 100).cast("long").cast("string"),
+          12, "0"),
+        date_format(col("o_orderdate"), "yyyyMMdd")).as("value"))
+      lines.write.mode("overwrite").text(tmp)
+      val parsed = graft.sources.Formats.parseFixedWidth(
+        s.read.text(tmp), "value", Seq(
+          ("okey", 1, 10, "long"), ("status", 11, 1, "string"),
+          ("cents", 12, 12, "long"), ("ymd", 24, 8, "string")))
+      parsed.groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+          min(col("okey")).as("min_key"), max(col("okey")).as("max_key"),
+          min(col("ymd")).as("min_ymd"), max(col("ymd")).as("max_ymd"))
+    }),
+
     "src_csv_roundtrip" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_csv_").toString
       formatFidelity(graft.sources.Formats.roundTrip(
@@ -1198,6 +1222,19 @@ private[graft] object TextGates {
           s"list_transform(cs, x -> CAST(x.m AS DOUBLE) * ($ha + $hb))), " +
           "(acc, x) -> acc + x), 8) END AS jsd_nats FROM lst"
       },
+      // Direct source aggregation: if any field corrupted in the padded
+      // round trip (key digits, status char, price cents, date), some
+      // group stat moves.
+      "src_fixed_width" ->
+        ("SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) " +
+          "AS n_rows, " +
+          "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+          "AS sum_cents, " +
+          "CAST(min(o_orderkey) AS BIGINT) AS min_key, " +
+          "CAST(max(o_orderkey) AS BIGINT) AS max_key, " +
+          "min(strftime(o_orderdate, '%Y%m%d')) AS min_ymd, " +
+          "max(strftime(o_orderdate, '%Y%m%d')) AS max_ymd " +
+          "FROM orders GROUP BY 1"),
       "src_csv_roundtrip" -> fidelitySql,
       "src_json_roundtrip" -> fidelitySql,
       "src_orc_roundtrip" -> fidelitySql,

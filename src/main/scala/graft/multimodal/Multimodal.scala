@@ -604,6 +604,118 @@ object Multimodal {
       .toDF()
   }
 
+  /** One ICO directory image (or one NULL row for an unparseable
+    * container): the entry's declared dims, the decoded payload kind,
+    * and exact luma stats. */
+  final case class IcoImageRow(
+      id: Long, image: Option[Long], width: Option[Int],
+      height: Option[Int], is_png: Option[Boolean], n_px: Option[Long],
+      luma_sum: Option[Long])
+
+  /** ICO container decode — the Windows icon directory, and the only
+    * format here whose payloads are TWO DIFFERENT codecs behind one
+    * directory: each ICONDIRENTRY points at either a complete PNG
+    * (dispatched to [[pngPixels]]) or a HEADERLESS BMP — a raw
+    * BITMAPINFOHEADER whose biHeight is DOUBLED (XOR pixel data plus a
+    * 1-bpp AND transparency mask, rows 32-bit padded) and no 'BM' file
+    * header, the part naive "just call the BMP decoder" ports get
+    * wrong. Supported BMP payloads: 8-bit paletted, bottom-up (the
+    * classic icon shape); the AND mask is length-checked then ignored
+    * (luma comes from the XOR plane). Per-image quarantine: a broken
+    * entry keeps its row with NULL stats. Bad magic / truncated
+    * directory → one NULL row. Row-local, no shuffle. */
+  def icoPixelStats(
+      df: DataFrame, idCol: String, binCol: String,
+      maxImages: Int = 8, batchSize: Int = 32): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { case (id, b) =>
+        val bad = Seq(IcoImageRow(id, None, None, None, None, None, None))
+        def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def u32(o: Int): Long =
+          (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        if (b == null || b.length < 6 || u16(0) != 0 || u16(2) != 1) bad
+        else {
+          val count = math.min(u16(4), maxImages)
+          if (count == 0 || 6 + 16 * count > b.length) bad
+          else (0 until count).map { i =>
+            val e = 6 + 16 * i
+            val size = u32(e + 8); val off = u32(e + 12)
+            if (off < 0 || size < 8 || off + size > b.length)
+              IcoImageRow(id, Some(i.toLong), None, None, None, None, None)
+            else {
+              val payload = b.slice(off.toInt, (off + size).toInt)
+              val isPng = payload.length >= 8 &&
+                (payload(0) & 0xff) == 0x89 && payload(1) == 'P'
+              val decoded =
+                if (isPng) pngPixels(payload)
+                else icoBmpPixels(payload)
+              decoded match {
+                case Some((w, h, lum)) =>
+                  var s = 0L; var j = 0
+                  while (j < lum.length) { s += lum(j); j += 1 }
+                  IcoImageRow(id, Some(i.toLong), Some(w), Some(h),
+                    Some(isPng), Some(w.toLong * h), Some(s))
+                case None =>
+                  IcoImageRow(id, Some(i.toLong), None, None,
+                    Some(isPng), None, None)
+              }
+            }
+          }
+        }
+      }))
+      .toDF()
+  }
+
+  /** The ICO-embedded headerless BMP: BITMAPINFOHEADER with DOUBLED
+    * height, 8-bit palette, bottom-up XOR rows (4-byte padded), then
+    * the 1-bpp AND mask (rows padded to 32 bits) whose length is
+    * verified. Luma = gray palette entry (BT.601 of (g,g,g) is g). */
+  private[graft] def icoBmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 40) return None
+    def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    if (le32(0) != 40L) return None //                 BITMAPINFOHEADER
+    val w = le32(4).toInt
+    val h2 = le32(8).toInt
+    if (w <= 0 || h2 <= 0 || (h2 & 1) != 0) return None //  XOR+AND pair
+    val h = h2 / 2
+    if (w.toLong * h > (1L << 26)) return None
+    if (le16(12) != 1 || le16(14) != 8) return None //   8-bit paletted
+    if (le32(16) != 0L) return None //                      BI_RGB only
+    val palEntries = { val c = le32(32); if (c == 0L) 256 else c.toInt }
+    val palOff = 40
+    val xorOff = palOff + 4 * palEntries
+    val xorRow = (w + 3) / 4 * 4
+    val andRow = (w + 31) / 32 * 4
+    val need = xorOff.toLong + h.toLong * xorRow + h.toLong * andRow
+    if (need != b.length) return None //     exact payload, no slack
+    val lum = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r //                                   bottom-up
+      var x = 0
+      val base = xorOff + r * xorRow
+      while (x < w) {
+        val pi = b(base + x) & 0xff
+        lum(y * w + x) =
+          if (pi < palEntries) {
+            val p = palOff + 4 * pi //                          BGRX
+            (77 * (b(p + 2) & 0xff) + 150 * (b(p + 1) & 0xff) +
+              29 * (b(p) & 0xff)) >> 8
+          } else 0
+        x += 1
+      }
+      r += 1
+    }
+    Some((w, h, lum))
+  }
+
   /** One decoded AVI frame (or one NULL row for an unparseable
     * container): stream header fields plus exact luma stats of the
     * frame the embedded JPEG decoder recovered. */
@@ -3455,6 +3567,57 @@ object MediaFixtures {
       i += 1
     }
     bb.toByteArray
+  }
+
+  /** A COMPLETE two-image ICO: image 0 a real PNG ([[pngPixelBytes]]),
+    * image 1 the ICO-style HEADERLESS BMP (doubled-height
+    * BITMAPINFOHEADER, gray palette so luma == formula index, bottom-up
+    * XOR rows, zeroed 1-bpp AND mask at 32-bit row padding). */
+  def icoBytes(wp: Int, hp: Int, sp: Long,
+      wb: Int, hb: Int, sb: Long): Array[Byte] = {
+    val png = pngPixelBytes(wp, hp, sp)
+    val bb = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      bb.write((v & 0xff).toInt); bb.write(((v >> 8) & 0xff).toInt)
+      bb.write(((v >> 16) & 0xff).toInt); bb.write(((v >> 24) & 0xff).toInt)
+    }
+    val xorRow = (wb + 3) / 4 * 4
+    val andRow = (wb + 31) / 32 * 4
+    le32(40L); le32(wb.toLong); le32(2L * hb); le16(1); le16(8)
+    le32(0L); le32((hb * (xorRow + andRow)).toLong)
+    le32(0L); le32(0L); le32(256L); le32(0L)
+    var i = 0
+    while (i < 256) { bb.write(i); bb.write(i); bb.write(i); bb.write(0); i += 1 }
+    var r = 0
+    while (r < hb) {
+      val y = hb - 1 - r
+      var x = 0
+      while (x < xorRow) {
+        bb.write(if (x < wb) pixelFormulaV(x, y, sb) else 0)
+        x += 1
+      }
+      r += 1
+    }
+    (0 until hb * andRow).foreach(_ => bb.write(0))
+    val bmp = bb.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def ole16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def ole32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    ole16(0); ole16(1); ole16(2)
+    def entry(w: Int, h: Int, bpp: Int, size: Int, off: Long): Unit = {
+      out.write(w & 0xff); out.write(h & 0xff); out.write(0); out.write(0)
+      ole16(1); ole16(bpp); ole32(size.toLong); ole32(off)
+    }
+    val off0 = 6L + 32L
+    entry(wp, hp, 32, png.length, off0)
+    entry(wb, hb, 8, bmp.length, off0 + png.length)
+    out.write(png, 0, png.length)
+    out.write(bmp, 0, bmp.length)
+    out.toByteArray
   }
 
   /** A COMPLETE Motion-JPEG AVI: RIFF/AVI tree with a real `avih`

@@ -640,6 +640,52 @@ object TimeSeries {
             .otherwise(lit(0.0))).as("z"))
   }
 
+  /** MACD (moving-average convergence/divergence) with signal-line
+    * crossover counting — the classic two-EWMA momentum detector, made
+    * oracle-exact: fast (α=1/2) and slow (α=1/4) EWMAs, macd = fast −
+    * slow, signal = EWMA(α=1/2) of macd, histogram = macd − signal;
+    * a CROSSOVER is a strict sign flip of the histogram between
+    * consecutive points (zero does not flip — the pinned convention).
+    * All smoothing constants exact binary, every sub-expression
+    * duplicated textually in the oracle's recursive CTE (the
+    * [[kalmanLevel]] discipline), init f=s=x₁ ⇒ macd/signal/hist = 0.
+    * One fold per key over the collected pre-bucketed series. Output:
+    * (key, n_points, macd, signal, histogram, n_crossovers). */
+  def macd(
+      df: DataFrame, keyCol: String, ordCol: String, valCol: String)
+      : DataFrame = {
+    val series = array_sort(collect_list(struct(
+      col(ordCol).cast("long").as("o"), col(valCol).cast("double").as("x"))))
+    val zero = struct(lit(null).cast("double").as("f"),
+      lit(0.0).as("sl"), lit(0.0).as("sg"), lit(0.0).as("pd"),
+      lit(0L).as("cx"))
+    val step = (acc: Column, x: Column) => {
+      val f = lit(0.5) * x + lit(0.5) * acc.getField("f")
+      val sl = lit(0.25) * x + lit(0.75) * acc.getField("sl")
+      val m = f - sl
+      val sg = lit(0.5) * m + lit(0.5) * acc.getField("sg")
+      val d = m - sg
+      val flip = (acc.getField("pd") > 0.0 && d < 0.0) ||
+        (acc.getField("pd") < 0.0 && d > 0.0)
+      when(acc.getField("f").isNull,
+        struct(x.as("f"), x.as("sl"), lit(0.0).as("sg"), lit(0.0).as("pd"),
+          lit(0L).as("cx")))
+        .otherwise(struct(f.as("f"), sl.as("sl"), sg.as("sg"), d.as("pd"),
+          (acc.getField("cx") + when(flip, 1L).otherwise(0L)).as("cx")))
+    }
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(series.as("__s"), count(lit(1)).as("n_points"))
+      .select(col(keyCol), col("n_points"),
+        aggregate(transform(col("__s"), _.getField("x")), zero, step)
+          .as("__f"))
+      .select(col(keyCol), col("n_points"),
+        (col("__f.f") - col("__f.sl")).as("macd"),
+        col("__f.sg").as("signal"),
+        col("__f.pd").as("histogram"),
+        col("__f.cx").as("n_crossovers"))
+  }
+
   /** SEASONAL Mann-Kendall — [[mannKendall]] restricted to same-season
     * pairs (Hirsch–Slack): a daily series with a weekly cycle shows a
     * spurious plain-MK "trend" inside every week; comparing day-k only

@@ -48,6 +48,31 @@ object Formats {
     spark.read.format(format).options(options).schema(df.schema).load(path)
   }
 
+  /** FIXED-WIDTH record parse — the mainframe/EDI/legacy-extract text
+    * shape Spark has no native reader for: each field is a (name,
+    * 1-based start, length, type) slice of the line; strings are
+    * right-trimmed (the format pads with spaces), other types go
+    * through `try_cast` after a full trim so a malformed field yields
+    * NULL instead of an ANSI cast failure (the quarantine posture —
+    * route NULL-keyed rows to a dead-letter table downstream). Pure
+    * column expressions (substring/trim/cast, all codegen'd);
+    * row-local, no shuffle, columns prune as usual. */
+  def parseFixedWidth(
+      df: DataFrame, lineCol: String,
+      specs: Seq[(String, Int, Int, String)]): DataFrame = {
+    require(specs.nonEmpty, "at least one field spec")
+    specs.foreach { case (n, st, len, _) =>
+      require(st >= 1 && len >= 1, s"bad slice for $n: start=$st len=$len")
+    }
+    import org.apache.spark.sql.functions.{col, expr, rtrim, substring}
+    df.select(specs.map { case (n, st, len, tp) =>
+      (tp match {
+        case "string" => rtrim(substring(col(lineCol), st, len))
+        case t => expr(s"try_cast(trim(substring($lineCol, $st, $len)) AS $t)")
+      }).as(n)
+    }: _*)
+  }
+
   /** Hive-style partitioned write: one directory per value of
     * `partitionCols` (in order). Readers filtering on those columns scan
     * only the matching directories. */

@@ -233,4 +233,23 @@ class FormatsSpec extends SparkSpec {
     assert(got.count(_ == 2L) == 3,
       "an archive with EXACTLY maxEntries entries is complete, not truncated")
   }
+
+  test("parseFixedWidth slices by 1-based columns, right-trims strings, " +
+    "and quarantines malformed numerics as NULL") {
+    val lines = Seq(
+      "0000000042Alpha     00123",
+      "0000000007Beta      00007",
+      "00000000XXGamma     abcde" //        both numeric fields malformed
+    ).map(Tuple1(_)).toDF("value")
+    val got = Formats.parseFixedWidth(lines, "value", Seq(
+      ("id", 1, 10, "long"), ("name", 11, 10, "string"),
+      ("qty", 21, 5, "int"))).collect()
+    assert(got(0).getAs[Long]("id") == 42L &&
+      got(0).getAs[String]("name") == "Alpha" &&
+      got(0).getAs[Int]("qty") == 123)
+    assert(got(1).getAs[Long]("id") == 7L &&
+      got(1).getAs[Int]("qty") == 7)
+    assert(got(2).isNullAt(0) && got(2).getAs[String]("name") == "Gamma" &&
+      got(2).isNullAt(2), "malformed numerics -> NULL, never a throw")
+  }
 }

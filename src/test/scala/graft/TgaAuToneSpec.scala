@@ -134,6 +134,39 @@ class TgaAuToneSpec extends SparkSpec {
     assert(nr.isNullAt(nr.fieldIndex("encoding")))
   }
 
+  test("icoPixelStats: PNG and headerless-BMP payloads behind one " +
+    "directory; AND-mask accounting strict; per-image quarantine") {
+    val ico = MediaFixtures.icoBytes(9, 7, 11L, 13, 6, 23L)
+    val d = MediaFixtures.withFixtureBytes(Seq(0L).toDF("doc_id"),
+      "doc_id", _ => ico)
+    val rows = Multimodal.icoPixelStats(d, "doc_id", "content").collect()
+      .sortBy(_.getAs[Long]("image"))
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Boolean]("is_png") &&
+      rows(0).getAs[Int]("width") == 9 && rows(0).getAs[Int]("height") == 7)
+    assert(!rows(1).getAs[Boolean]("is_png") &&
+      rows(1).getAs[Int]("width") == 13 && rows(1).getAs[Int]("height") == 6)
+    // BMP luma spot check: formula raster through the gray palette
+    def m(v: Long) = (((v % 256) + 256) % 256)
+    val want = (for (y <- 0L until 6L; x <- 0L until 13L)
+      yield m(31 * x + 47 * y + 7 * x * y + 101 * 23)).sum
+    assert(rows(1).getAs[Long]("luma_sum") == want)
+    // truncated AND mask must reject THAT image, not the container
+    val cut = ico.dropRight(2)
+    val d2 = MediaFixtures.withFixtureBytes(Seq(0L).toDF("doc_id"),
+      "doc_id", _ => cut)
+    val r2 = Multimodal.icoPixelStats(d2, "doc_id", "content").collect()
+      .sortBy(_.getAs[Long]("image"))
+    assert(r2.length == 2)
+    assert(!r2(0).isNullAt(r2(0).fieldIndex("luma_sum")), "png intact")
+    assert(r2(1).isNullAt(r2(1).fieldIndex("luma_sum")), "bmp rejected")
+    // junk container -> single NULL row
+    val j = Multimodal.icoPixelStats(
+      MediaFixtures.withFixtureBytes(Seq(0L).toDF("doc_id"), "doc_id",
+        _ => "nope".getBytes), "doc_id", "content").collect()
+    assert(j.length == 1 && j.head.isNullAt(j.head.fieldIndex("image")))
+  }
+
   test("aviFrameStats walks the RIFF tree, decodes every 00dc JPEG, " +
     "quarantines corrupt frames, rejects junk") {
     val good = MediaFixtures.aviMjpegBytes(17, 11, 3, 7L, 40000L)

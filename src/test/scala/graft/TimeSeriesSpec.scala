@@ -745,6 +745,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(5L) == ((12L, 14L)))
   }
 
+  test("macd: driver-exact fold replay, and a step change produces at " +
+    "least one signal crossover") {
+    val xs = (0 until 15).map(_ => 10.0) ++ (0 until 15).map(_ => 100.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "o", "x")
+    val r = TimeSeries.macd(df, "k", "o", "x").collect().head
+    var f = xs.head; var sl = xs.head; var sg = 0.0; var pd = 0.0
+    var cx = 0L
+    for (x <- xs.tail) {
+      val nf = 0.5 * x + 0.5 * f
+      val nsl = 0.25 * x + 0.75 * sl
+      val m = nf - nsl
+      val nsg = 0.5 * m + 0.5 * sg
+      val d = m - nsg
+      if ((pd > 0 && d < 0) || (pd < 0 && d > 0)) cx += 1
+      f = nf; sl = nsl; sg = nsg; pd = d
+    }
+    assert(r.getAs[Double]("macd") == f - sl, "bit-exact replay")
+    assert(r.getAs[Double]("signal") == sg)
+    assert(r.getAs[Double]("histogram") == pd)
+    assert(r.getAs[Long]("n_crossovers") == cx && cx >= 1L,
+      s"step change must cross the signal line at least once (got $cx)")
+  }
+
   test("seasonalMannKendall removes a pure weekly cycle (S=0) but " +
     "keeps a real cross-week trend (S = max positive)") {
     // 21 days, value = day-of-week: every same-season pair ties -> S=0
