@@ -836,6 +836,25 @@ private[graft] object AnalyticsGatesB {
         col("event_type") === "click",
         floor(col("value") * 1024.0))),
 
+    // ---- Causal: stratified IPW ATE — empirical per-stratum
+    //      propensity, Hajek means with integer weight denominators,
+    //      positivity-violating strata excluded and counted ----
+    "q_ipw_ate" -> ((s, dir) =>
+      graft.ops.Profile.ipwAte(
+        t(s, dir, "events").filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        floor(col("value")),
+        pmod(col("user_id"), lit(8L)))),
+
+    // ---- LLM pipeline: fixed-k deterministic RESERVOIR per stratum —
+    //      bottom-k by hash tag (mergeable by the KMV property: the
+    //      distributed/streaming reservoir) ----
+    "sample_reservoir" -> ((s, dir) =>
+      graft.ops.Sampling.reservoirPerStratum(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source")),
+        "lang", "doc_id", k = 7)),
+
     // ---- Stats: Hodges-Lehmann shift — lower median of all pairwise
     //      differences as an ELEMENT PICK over the binned-grid diff
     //      distribution; exact BIGINT in bin units ----
@@ -1245,6 +1264,54 @@ private[graft] object AnalyticsGatesB {
           "CAST(tok_start % 256 AS BIGINT) AS offset_in_block, " +
           "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
           "AS BIGINT) AS n_blocks FROM s"),
+      // IPW replay: identical per-stratum integer moments, the float
+      // numerators folded left-to-right over the stratum-ordered list
+      // (0.0 prepended so the fold init matches Spark's aggregate).
+      "q_ipw_ate" -> {
+        def fold(numer: String) =
+          "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+            s"list_transform(a, e -> $numer)), (acc, x) -> acc + x)"
+        val numT = fold("CAST(e.syt AS DOUBLE) * CAST(e.n AS DOUBLE) / " +
+          "CAST(e.nt AS DOUBLE)")
+        val numC = fold("CAST(e.syc AS DOUBLE) * CAST(e.n AS DOUBLE) / " +
+          "CAST(e.n - e.nt AS DOUBLE)")
+        "WITH b AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 " +
+          "END AS t, CAST(floor(value) AS BIGINT) AS y, user_id % 8 AS s " +
+          "FROM events WHERE event_type IN ('click', 'view') " +
+          "AND value IS NOT NULL AND user_id IS NOT NULL), " +
+          "g AS (SELECT s, CAST(count(*) AS BIGINT) AS n, " +
+          "CAST(sum(t) AS BIGINT) AS nt, " +
+          "CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt, " +
+          "CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc " +
+          "FROM b GROUP BY 1), " +
+          "inc AS (SELECT * FROM g WHERE nt > 0 AND nt < n), " +
+          "pk AS (SELECT CAST(count(*) AS BIGINT) AS n_inc, " +
+          "CAST(coalesce(sum(n), 0) AS BIGINT) AS nn, " +
+          "list(struct_pack(n := n, nt := nt, syt := syt, syc := syc) " +
+          "ORDER BY s) AS a FROM inc), " +
+          "tt AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM g) " +
+          "SELECT pk.n_inc AS n_strata_included, " +
+          "tt.n_all - pk.n_inc AS n_strata_excluded, " +
+          "pk.nn AS n_rows_included, " +
+          s"CASE WHEN pk.nn = 0 THEN NULL ELSE $numT / " +
+          "CAST(pk.nn AS DOUBLE) END AS treated_mean, " +
+          s"CASE WHEN pk.nn = 0 THEN NULL ELSE $numC / " +
+          "CAST(pk.nn AS DOUBLE) END AS control_mean, " +
+          s"CASE WHEN pk.nn = 0 THEN NULL ELSE $numT / " +
+          s"CAST(pk.nn AS DOUBLE) - $numC / CAST(pk.nn AS DOUBLE) " +
+          "END AS ate FROM pk, tt"
+      },
+      // Bottom-k-by-hash replay: same permutation-1 tag, same
+      // (hash, id) rank, k = 7 per language.
+      "sample_reservoir" -> {
+        val a1 = graft.functions.TextHash.permuteA(1)
+        val b1 = graft.functions.TextHash.permuteB(1)
+        val p = graft.functions.TextHash.P
+        "SELECT doc_id, lang, source, CAST(rn AS BIGINT) AS sample_rank " +
+          "FROM (SELECT doc_id, lang, source, row_number() OVER (" +
+          s"PARTITION BY lang ORDER BY (doc_id * $a1 + $b1) % $p, doc_id) " +
+          "AS rn FROM documents) WHERE rn <= 7"
+      },
       // Weighted-median replay: same binned diff grid, same cumulative
       // rank pick at (T+1) div 2, smallest qualifying diff wins.
       "q_hodges_lehmann" ->

@@ -1737,6 +1737,60 @@ object Profile {
             (col("n_a") * col("n_b")).cast("double")))
   }
 
+  /** Stratified inverse-propensity-weighted ATE — the causal-inference
+    * companion to [[benjaminiHochbergZ]]'s A/B family when treatment
+    * was NOT randomized: within stratum s the empirical propensity is
+    * p_s = n_t/n, treated rows weight 1/p_s, controls 1/(1−p_s), and
+    * the Hajek means reduce to Σ_s syt_s·n_s/nt_s over N (exactly: the
+    * weight DENOMINATORS are integers — Σ over treated of n/nt is
+    * Σ n_s — so only the numerators are floats). No-overlap strata
+    * (all-treated or all-control) are EXCLUDED and counted — the
+    * positivity check made visible instead of an Inf weight.
+    *
+    * Determinism: per-stratum moments are exact BIGINTs; the two float
+    * numerator sums fold over the stratum list SORTED BY STRATUM ID
+    * (the [[kruskalWallis]] pinned-fold discipline), one division per
+    * stratum, so the oracle's left-to-right list_reduce is
+    * bit-identical. Output: (n_strata_included, n_strata_excluded,
+    * n_rows_included, treated_mean, control_mean, ate). */
+  def ipwAte(
+      df: DataFrame, treated: Column, outcomeBin: Column,
+      stratum: Column): DataFrame = {
+    val b = df.select(when(treated, 1L).otherwise(0L).as("__t"),
+      outcomeBin.cast("long").as("__y"), stratum.cast("long").as("__s"))
+      .where(col("__y").isNotNull && col("__s").isNotNull)
+    val g = b.groupBy("__s").agg(count(lit(1)).as("__n"),
+      sum(col("__t")).as("__nt"),
+      sum(when(col("__t") === 1L, col("__y")).otherwise(0L)).as("__syt"),
+      sum(when(col("__t") === 0L, col("__y")).otherwise(0L)).as("__syc"))
+    val inc = g.filter(col("__nt") > 0L && col("__nt") < col("__n"))
+    val packed = inc.agg(
+      count(lit(1)).as("n_strata_included"),
+      coalesce(sum(col("__n")), lit(0L)).as("__N"),
+      array_sort(collect_list(struct(col("__s").as("s"),
+        col("__n").as("n"), col("__nt").as("nt"),
+        col("__syt").as("syt"), col("__syc").as("syc")))).as("__arr"))
+    val tot = g.agg(count(lit(1)).as("__all"))
+    def foldNum(num: Column => Column): Column =
+      aggregate(transform(col("__arr"), num), lit(0.0), (a, x) => a + x)
+    val numT = foldNum(e => e.getField("syt").cast("double") *
+      e.getField("n").cast("double") / e.getField("nt").cast("double"))
+    val numC = foldNum(e => e.getField("syc").cast("double") *
+      e.getField("n").cast("double") /
+      (e.getField("n") - e.getField("nt")).cast("double"))
+    packed.crossJoin(tot)
+      .select(col("n_strata_included"),
+        (col("__all") - col("n_strata_included")).as("n_strata_excluded"),
+        col("__N").as("n_rows_included"),
+        when(col("__N") === 0L, lit(null).cast("double"))
+          .otherwise(numT / col("__N").cast("double")).as("treated_mean"),
+        when(col("__N") === 0L, lit(null).cast("double"))
+          .otherwise(numC / col("__N").cast("double")).as("control_mean"),
+        when(col("__N") === 0L, lit(null).cast("double"))
+          .otherwise(numT / col("__N").cast("double") -
+            numC / col("__N").cast("double")).as("ate"))
+  }
+
   /** Hodges–Lehmann shift estimator between two groups — the robust
     * "HOW FAR apart" companion to [[cliffsDelta]]'s "how often": the
     * LOWER MEDIAN of the multiset of all n_a·n_b pairwise differences

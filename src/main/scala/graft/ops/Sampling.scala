@@ -106,6 +106,30 @@ object Sampling {
       .drop("__rn", "__ng")
   }
 
+  /** Fixed-k-per-stratum RESERVOIR sample, deterministic: keep each
+    * stratum's k rows with the smallest (hash, id) tag — the
+    * distributed equivalent of Algorithm R with the min-hash rank
+    * playing the random tag (a "bottom-k sample"). Bottom-k by a fixed
+    * hash is MERGEABLE by construction: the bottom-k of a union is the
+    * bottom-k of the per-part bottom-k's (the KMV property), which is
+    * what makes this the streaming/partition-parallel reservoir — no
+    * sequential scan, no RNG state. Emits the surviving rows plus
+    * `sample_rank` (1..k in tag order).
+    *
+    * Scale: one window per stratum (the [[stratifiedSample]] contract:
+    * bounded strata); for a single giant stratum run the mergeable
+    * form — per-partition bottom-k then re-rank — which this hash
+    * construction makes semantically identical. */
+  def reservoirPerStratum(
+      df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(TextHash.permute(1, col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k.toLong)
+  }
+
   /** Per-stratum quantile bins — curriculum/quality binning: rank rows
     * within each stratum (e.g. language) by `scoreCol` and cut into
     * `bins` equal-frequency bins via `ntile`. Ties break on `idCol`, so

@@ -886,6 +886,29 @@ class ProfileSpec extends SparkSpec {
     assert(got((2L, 3L)) == ((2L, 2L, 8L)))
   }
 
+  test("ipwAte recovers a confounded effect that the naive difference " +
+    "misses, and excludes no-overlap strata") {
+    import org.apache.spark.sql.functions.{col => c}
+    // stratum 0: baseline 10, stratum 1: baseline 100; treatment adds 5
+    // everywhere, but treatment is concentrated in stratum 1 (3 of 4)
+    // while stratum 0 is mostly control -> naive diff is inflated by
+    // the baseline gap; IPW recovers exactly +5.
+    val rows = Seq(
+      (true, 15L, 0L), (false, 10L, 0L), (false, 10L, 0L), (false, 10L, 0L),
+      (true, 105L, 1L), (true, 105L, 1L), (true, 105L, 1L), (false, 100L, 1L),
+      (true, 7L, 2L), (true, 7L, 2L)) //    stratum 2: all treated -> OUT
+      .toDF("t", "y", "s")
+    val r = Profile.ipwAte(rows, c("t"), c("y"), c("s")).collect().head
+    assert(r.getAs[Long]("n_strata_included") == 2L)
+    assert(r.getAs[Long]("n_strata_excluded") == 1L)
+    assert(r.getAs[Long]("n_rows_included") == 8L)
+    assert(math.abs(r.getAs[Double]("ate") - 5.0) < 1e-12,
+      s"IPW must deconfound to +5, got ${r.getAs[Double]("ate")}")
+    // the naive pooled difference is badly wrong (far from 5)
+    val naive = (15.0 + 105.0 * 3) / 4 - (10.0 * 3 + 100.0) / 4
+    assert(math.abs(naive - 5.0) > 20.0)
+  }
+
   test("hodgesLehmann: lower median of all pairwise differences, " +
     "element pick with multiplicities") {
     import org.apache.spark.sql.functions.{col => c}

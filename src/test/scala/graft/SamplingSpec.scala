@@ -327,4 +327,34 @@ class SamplingSpec extends SparkSpec {
         (x.getString(0), x.getString(1)) -> x.getLong(3)).toMap
     assert(re == got)
   }
+
+  test("reservoirPerStratum: exact k per stratum, deterministic, " +
+    "small strata survive whole, and bottom-k is mergeable") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "big" else "small"))
+      .toDF("id", "g")
+    val got = Sampling.reservoirPerStratum(df, "g", "id", k = 10)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id"),
+        r.getAs[Long]("sample_rank")))
+    assert(got.count(_._1 == "big") == 10)
+    assert(got.count(_._1 == "small") == 10, "k > |stratum| keeps all")
+    assert(got.filter(_._1 == "big").map(_._3).sorted.toSeq ==
+      (1L to 10L), "ranks are 1..k")
+    // determinism + partitioning invariance
+    val re = Sampling.reservoirPerStratum(df.repartition(7), "g", "id", 10)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id"),
+        r.getAs[Long]("sample_rank"))).toSet
+    assert(re == got.toSet)
+    // mergeability (the KMV property): bottom-10 of the union equals
+    // bottom-10 over the concatenation of two per-half bottom-10s
+    val h1 = df.filter(col("id") <= 50L)
+    val h2 = df.filter(col("id") > 50L)
+    val merged = Sampling.reservoirPerStratum(
+      Sampling.reservoirPerStratum(h1, "g", "id", 10).drop("sample_rank")
+        .unionByName(Sampling.reservoirPerStratum(h2, "g", "id", 10)
+          .drop("sample_rank")),
+      "g", "id", 10)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id"),
+        r.getAs[Long]("sample_rank"))).toSet
+    assert(merged == got.toSet)
+  }
 }
