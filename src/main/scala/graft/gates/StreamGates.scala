@@ -542,6 +542,29 @@ private[graft] object StreamGates {
     //      the stream; the kernel inflates INSIDE the streaming plan
     //      (typed mapPartitions under a file-stream source) — the
     //      .jsonl.gz tail -f shape. Stateless map, shared oracle. ----
+    // ---- Streaming fixed-width ingest: format orders into padded
+    //      lines inside the stream, parse by column slices (stateless,
+    //      append mode), every parsed field checked against a direct
+    //      source oracle ----
+    "s29_stream_fixed_width" -> ((s, dir) => {
+      val batchSchema = t(s, dir, "orders").schema
+      val tmp = stableTmp("s29")
+      val cfg = IngestConfig(name = s"s29-fw-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val orders = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/orders.parque[t]")
+      val lines = orders.select(concat(
+        lpad(col("o_orderkey").cast("string"), 10, "0"),
+        rpad(col("o_orderstatus"), 1, " "),
+        lpad(floor(col("o_totalprice") * 100).cast("long").cast("string"),
+          12, "0"),
+        date_format(col("o_orderdate"), "yyyyMMdd")).as("value"))
+      val parsed = graft.sources.Formats.parseFixedWidth(lines, "value",
+        Seq(("okey", 1, 10, "long"), ("status", 11, 1, "string"),
+          ("cents", 12, 12, "long"), ("ymd", 24, 8, "string")))
+      appendStream(s, parsed, cfg, tmp)
+    }),
+
     "s25_stream_gunzip" -> ((s, dir) => {
       val batchSchema = t(s, dir, "documents").schema
       val tmp = stableTmp("s25")
@@ -987,6 +1010,12 @@ private[graft] object StreamGates {
       // The stream emits exactly the batch rows (stateless map) —
       // same oracle.
       "s25_stream_gunzip" -> gzipTextSql,
+      // Direct source replay: the streamed pad/parse round trip must be
+      // lossless field-for-field.
+      "s29_stream_fixed_width" ->
+        ("SELECT o_orderkey AS okey, o_orderstatus AS status, " +
+          "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, " +
+          "strftime(o_orderdate, '%Y%m%d') AS ymd FROM orders"),
       // streaming twin sums per-user stateful counts -> same pair table
       "s17_stream_markov" ->
         ("WITH e AS (SELECT event_type, lead(event_type) OVER (" +
