@@ -542,6 +542,33 @@ private[graft] object StreamGates {
     //      the stream; the kernel inflates INSIDE the streaming plan
     //      (typed mapPartitions under a file-stream source) — the
     //      .jsonl.gz tail -f shape. Stateless map, shared oracle. ----
+    // ---- Streaming RESERVOIR maintenance: the deterministic bottom-k
+    //      sample kept live over a stream — the batch reservoir's tag
+    //      (negated, since the slate keeps maxima) through the O(k)
+    //      leaderboard state; converged slate == batch bottom-k ----
+    "s30_stream_reservoir" -> ((s, dir) => {
+      val tmp = stableTmp("s30")
+      val target = TargetTable("lang_reservoir", s"$tmp/target",
+        keyCols = Seq("gkey", "rank"), versionCol = "upd_seq", buckets = 4)
+      val cfg = IngestConfig(name = s"s30-resv-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val batchSchema = t(s, dir, "documents").schema
+      val docs = graft.engine.Sources
+        .parquet(s, cfg, batchSchema, s"$dir/documents.parque[t]")
+      val a1 = TextHash.permuteA(1); val b1 = TextHash.permuteB(1)
+      val src = docs.select(col("lang").as("gkey"),
+        col("doc_id").as("id"),
+        (-pmod(col("doc_id") * a1 + b1, lit(TextHash.P)))
+          .cast("double").as("score"))
+      val updates = graft.streaming.Stateful.topKPerKey(src, k = 7)
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(updates, Trigger.AvailableNow())
+      q.awaitTermination()
+      new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("gkey").as("lang"), col("rank").as("sample_rank"),
+          col("id").as("doc_id"), col("score").as("neg_tag"))
+    }),
+
     // ---- Streaming fixed-width ingest: format orders into padded
     //      lines inside the stream, parse by column slices (stateless,
     //      append mode), every parsed field checked against a direct
@@ -1010,6 +1037,18 @@ private[graft] object StreamGates {
       // The stream emits exactly the batch rows (stateless map) —
       // same oracle.
       "s25_stream_gunzip" -> gzipTextSql,
+      // The converged streaming slate must equal the batch bottom-k
+      // (negated tag, hash ties impossible: the permutation is
+      // injective below P).
+      "s30_stream_reservoir" -> {
+        val a1 = TextHash.permuteA(1); val b1 = TextHash.permuteB(1)
+        val p = TextHash.P
+        "SELECT lang, CAST(rn AS BIGINT) AS sample_rank, doc_id, " +
+          s"CAST(-((doc_id * $a1 + $b1) % $p) AS DOUBLE) AS neg_tag " +
+          "FROM (SELECT lang, doc_id, row_number() OVER (" +
+          s"PARTITION BY lang ORDER BY (doc_id * $a1 + $b1) % $p, doc_id) " +
+          "AS rn FROM documents) WHERE rn <= 7"
+      },
       // Direct source replay: the streamed pad/parse round trip must be
       // lossless field-for-field.
       "s29_stream_fixed_width" ->
