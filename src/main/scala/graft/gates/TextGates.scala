@@ -111,6 +111,19 @@ private[graft] object TextGates {
     "text_token_classes" -> ((s, dir) =>
       TextAnalysis.tokenClasses(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- LLM pipeline: code-vs-prose routing — surface-feature census
+    //      with a pinned linear score; every fourth doc gets a spliced
+    //      code block so both verdicts are exercised ----
+    "text_code_detect" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val code = lit("def f(x):\n    return x + 1\nclass A {\n" +
+        "    int y = 0;\n}\nimport os\n")
+      val txt = when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(code, col("text"))).otherwise(col("text"))
+      TextAnalysis.codeDetect(
+        d.select(col("doc_id"), txt.as("text")), "doc_id", "text")
+    }),
+
     // ---- LLM pipeline: markdown corpus cleanup — strip structure,
     //      keep prose; structure census on the original text; one
     //      shared rewrite-step table drives both dialects ----
@@ -1527,6 +1540,30 @@ private[graft] object TextGates {
           "FROM pr JOIN documents d USING (doc_id) " +
           "GROUP BY 1, 2"),
       "text_token_classes" -> tokenClassesSql,
+      // Code-census replay: same splice, same RE2 feature counts, same
+      // pinned score weights and threshold.
+      "text_code_detect" -> {
+        val code = "def f(x):" + "\n" + "    return x + 1" + "\n" +
+          "class A {" + "\n" + "    int y = 0;" + "\n" + "}" + "\n" +
+          "import os" + "\n"
+        val codeLit = "'" + code.replace("\n", "' || chr(10) || '") + "'"
+        def cnt(pat: String) =
+          s"CAST(len(regexp_extract_all(txt, '$pat')) AS BIGINT)"
+        val braces = cnt("[{}]")
+        val semis = cnt(";")
+        val kws = cnt("\\b(def|class|import|return|function|var|const|" +
+          "void|public)\\b")
+        val ind = cnt("(?m)^(    |\\t)")
+        val score = s"(3 * $kws + 2 * $braces + 2 * $semis + $ind)"
+        "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN " +
+          s"$codeLit || text ELSE text END AS txt FROM documents) " +
+          "SELECT doc_id, " +
+          "CAST(len(regexp_extract_all(txt, '\\n')) + 1 AS BIGINT) " +
+          "AS n_lines, " +
+          s"$braces AS n_braces, $semis AS n_semicolons, " +
+          s"$kws AS n_keyword_hits, $ind AS n_indented_lines, " +
+          s"$score AS code_score, $score >= 8 AS is_code FROM d"
+      },
       // Markdown replay: identical fixture splice, then the SAME shared
       // step table folded as RE2 (markdownStripSql); counts replayed as
       // regexp_extract_all lengths on the original text.

@@ -55,6 +55,38 @@ object TextAnalysis {
       (alpha + digit + punct).as("n_bpe_tokens"))
   }
 
+  /** Source-code detection — the prose-vs-code router an LLM data
+    * pipeline needs before language ID, quality scoring, or dedup
+    * shingling (code tokenizes, dedups, and scores like noise under
+    * prose heuristics): exact integer counts of code-shaped surface
+    * features (braces, semicolons, assignment ops, indented lines,
+    * language keywords) and a PINNED linear score
+    * 3·keywords + 2·braces + 2·semicolons + indented, with
+    * `is_code` = score ≥ 8 (the documented operating point; callers
+    * needing a different precision/recall trade re-threshold the
+    * emitted score). Every count is one RE2-replayable regexp —
+    * word-boundary keyword hits, (?m)-anchored indent lines — so the
+    * oracle replays the whole feature vector. Row-local, codegen'd. */
+  def codeDetect(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val braces = regexp_count(t, lit("[{}]")).cast("long")
+    val semis = regexp_count(t, lit(";")).cast("long")
+    val kws = regexp_count(t, lit(
+      "\\b(def|class|import|return|function|var|const|void|public)\\b"))
+      .cast("long")
+    val indented = regexp_count(t, lit("(?m)^(    |\\t)")).cast("long")
+    val score = lit(3L) * kws + lit(2L) * braces + lit(2L) * semis +
+      indented
+    docs.select(
+      col(idCol),
+      (regexp_count(t, lit("\n")) + 1L).cast("long").as("n_lines"),
+      braces.as("n_braces"), semis.as("n_semicolons"),
+      kws.as("n_keyword_hits"), indented.as("n_indented_lines"),
+      score.as("code_score"),
+      (score >= 8L).as("is_code"))
+  }
+
   /** Markdown-to-visible-text rewrite steps — ONE shared table folded
     * by both the Spark chain ([[markdownStrip]]) and the DuckDB oracle
     * ([[markdownStripSql]]), the [[graft.functions.Nysiis]] discipline:

@@ -672,6 +672,27 @@ class TextOpsSpec extends SparkSpec {
       "confusable in an all-Cyrillic token is counted but not mixed")
   }
 
+  test("codeDetect: a code snippet scores as code, plain prose does " +
+    "not, and the census counts are exact") {
+    val code = "def add(a, b):\n    return a + b\n\n" +
+      "class Box {\n\tint v = 0;\n}\nimport sys\n"
+    val prose = "the quick brown fox jumps over the lazy dog and " +
+      "continues running through the forest every day"
+    val df = Seq((1L, code), (2L, prose)).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.codeDetect(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val c = got(1L)
+    assert(c.getAs[Long]("n_braces") == 2L)
+    assert(c.getAs[Long]("n_semicolons") == 1L)
+    // def, return, class, import -- "int" is not in the keyword set
+    assert(c.getAs[Long]("n_keyword_hits") == 4L)
+    assert(c.getAs[Long]("n_indented_lines") == 2L) // 4-space + tab
+    assert(c.getAs[Long]("code_score") == 3 * 4 + 2 * 2 + 2 * 1 + 2)
+    assert(c.getAs[Boolean]("is_code"))
+    val p = got(2L)
+    assert(p.getAs[Long]("code_score") == 0L && !p.getAs[Boolean]("is_code"))
+  }
+
   test("markdownStrip keeps prose, drops structure, and censuses the " +
     "original text") {
     val md = "# Head\nSome **bold** and *em* text with [a link](http://x) " +

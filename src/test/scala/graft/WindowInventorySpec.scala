@@ -61,6 +61,11 @@ class WindowInventorySpec extends SparkSpec {
     "q_spearman" -> (2, "per-axis bin-grid rank tables (binned contract)"),
     "q_kruskal_wallis" -> (1, "bin-grid average-rank pass"),
     "q_mann_whitney" -> (2, "score-bin grid"),
+    "q_cliffs_delta" -> (1,
+      "score-bin grid cumulative (same MW grid, quantization-bounded)"),
+    "q_hodges_lehmann" -> (1,
+      "pairwise-diff grid cumulative: O(V_a x V_b) distinct bins, " +
+        "quantization-bounded (floor(value) keeps V in the hundreds)"),
     "q_benjamini_hochberg" -> (2,
       "BH step-up over O(m) per-group z rows — m = segment count"),
     "q_survival_km" -> (2,
