@@ -836,6 +836,16 @@ private[graft] object AnalyticsGatesB {
         col("event_type") === "click",
         floor(col("value") * 1024.0))),
 
+    // ---- Causal: event-study leads/lags — per-relative-period gap
+    //      minus the pooled pre-period baseline; pre rows ARE the
+    //      parallel-trends diagnostic ----
+    "q_event_study" -> ((s, dir) =>
+      graft.ops.Profile.eventStudy(
+        t(s, dir, "events"),
+        pmod(col("user_id"), lit(2L)) === 0,
+        floor(col("value")),
+        expr("ts div 86400000000000 - 15"))),
+
     // ---- Causal: stratified IPW ATE — empirical per-stratum
     //      propensity, Hajek means with integer weight denominators,
     //      positivity-violating strata excluded and counted ----
@@ -1264,6 +1274,34 @@ private[graft] object AnalyticsGatesB {
           "CAST(tok_start % 256 AS BIGINT) AS offset_in_block, " +
           "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
           "AS BIGINT) AS n_blocks FROM s"),
+      // Event-study replay: identical per-(period, arm) integer
+      // moments; diff and baseline as pinned a/b - c/d shapes.
+      "q_event_study" -> {
+        val diff = "CAST(sum_treat AS DOUBLE) / CAST(n_treat AS DOUBLE) " +
+          "- CAST(sum_ctrl AS DOUBLE) / CAST(n_ctrl AS DOUBLE)"
+        val base = "CAST(pst AS DOUBLE) / CAST(pnt AS DOUBLE) - " +
+          "CAST(psc AS DOUBLE) / CAST(pnc AS DOUBLE)"
+        "WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END " +
+          "AS t, CAST(floor(value) AS BIGINT) AS y, " +
+          "epoch_us(ts) // 86400000000 - 15 AS k FROM events " +
+          "WHERE value IS NOT NULL), " +
+          "g AS (SELECT k, CAST(sum(t) AS BIGINT) AS n_treat, " +
+          "CAST(count(*) - sum(t) AS BIGINT) AS n_ctrl, " +
+          "CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) " +
+          "AS sum_treat, " +
+          "CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) " +
+          "AS sum_ctrl FROM b GROUP BY 1), " +
+          "pre AS (SELECT CAST(coalesce(sum(n_treat), 0) AS BIGINT) " +
+          "AS pnt, CAST(coalesce(sum(n_ctrl), 0) AS BIGINT) AS pnc, " +
+          "CAST(coalesce(sum(sum_treat), 0) AS BIGINT) AS pst, " +
+          "CAST(coalesce(sum(sum_ctrl), 0) AS BIGINT) AS psc " +
+          "FROM g WHERE k < 0) " +
+          "SELECT k AS rel_period, n_treat, n_ctrl, sum_treat, sum_ctrl, " +
+          s"CASE WHEN n_treat = 0 OR n_ctrl = 0 THEN NULL ELSE $diff END " +
+          "AS diff, " +
+          "CASE WHEN n_treat = 0 OR n_ctrl = 0 OR pnt = 0 OR pnc = 0 " +
+          s"THEN NULL ELSE ($diff) - ($base) END AS effect FROM g, pre"
+      },
       // IPW replay: identical per-stratum integer moments, the float
       // numerators folded left-to-right over the stratum-ordered list
       // (0.0 prepended so the fold init matches Spark's aggregate).

@@ -318,6 +318,19 @@ private[graft] object GraphTsGates {
         daily, "event_type", "d", "hx", "dow")
     }),
 
+    // ---- Graph: directed-edge reciprocity (follows-back share) over
+    //      a deterministic two-family digraph (a rotation family plus
+    //      an all-mutual half-shift family) ----
+    "graph_reciprocity" -> ((s, dir) => {
+      val n = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(1024L)).as("a")).distinct()
+      val edges = n.select(col("a"),
+          pmod(col("a") * 7L + 3L, lit(1024L)).as("b"))
+        .unionByName(n.select(col("a"),
+          pmod(col("a") + 512L, lit(1024L)).as("b")))
+      graft.ops.Graph.reciprocity(edges, "a", "b")
+    }),
+
     // ---- Graph: DAG longest-path layering (topological levels) —
     //      Bellman relaxation to the order-free fixpoint; deterministic
     //      intra-block dependency DAG over doc ids ----
@@ -2118,6 +2131,21 @@ private[graft] object GraphTsGates {
           "ELSE 0.0 END AS z " +
           "FROM s JOIN n ON s.k = n.k JOIN vn ON s.k = vn.k"
       },
+      // Reciprocity replay: same two edge families, mutual pairs via
+      // EXISTS on the reversed edge.
+      "graph_reciprocity" ->
+        ("WITH n AS (SELECT DISTINCT doc_id % 1024 AS a FROM documents), " +
+          "e AS (SELECT DISTINCT CAST(a AS BIGINT) AS a, " +
+          "CAST(b AS BIGINT) AS b FROM (" +
+          "SELECT a, (a * 7 + 3) % 1024 AS b FROM n " +
+          "UNION ALL SELECT a, (a + 512) % 1024 FROM n) WHERE a <> b), " +
+          "r AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal FROM e x " +
+          "WHERE EXISTS (SELECT 1 FROM e y WHERE y.a = x.b " +
+          "AND y.b = x.a)), " +
+          "t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e) " +
+          "SELECT t.n_edges, r.n_reciprocal, " +
+          "CAST(r.n_reciprocal AS DOUBLE) / CAST(t.n_edges AS DOUBLE) " +
+          "AS reciprocity FROM t, r"),
       // Fourteen unrolled Bellman relaxation rounds (longest chain in a
       // 12-wide block is <= 11 edges; extra rounds idempotent), every
       // CTE MATERIALIZED to keep the chain linear.

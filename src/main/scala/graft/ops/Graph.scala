@@ -820,6 +820,28 @@ object Graph {
     } finally { und.unpersist(); () }
   }
 
+  /** Edge RECIPROCITY of a directed graph — the mutual-link share
+    * (follows-back rate, cite-back rate): |{(a,b) ∈ E : (b,a) ∈ E}|
+    * over |E|, self-loops excluded. One deduplicated self-join keyed by
+    * the reversed edge, one count — no per-vertex state. Output one
+    * row: (n_edges, n_reciprocal, reciprocity). */
+  def reciprocity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val rec = e.as("x").join(e.as("y"),
+      col("x.a") === col("y.b") && col("x.b") === col("y.a"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(rec.agg(count(lit(1)).as("n_reciprocal")))
+      .withColumn("reciprocity",
+        when(col("n_edges") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_reciprocal").cast("double") /
+            col("n_edges").cast("double")))
+  }
+
   /** DAG longest-path LAYERING (topological levels): layer(v) = length
     * of the longest directed path ending at v — the schedule depth of a
     * dependency graph (build systems, pipeline DAGs, feature lineage):

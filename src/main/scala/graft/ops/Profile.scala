@@ -1737,6 +1737,49 @@ object Profile {
             (col("n_a") * col("n_b")).cast("double")))
   }
 
+  /** Event-study (leads-and-lags) estimator — the dynamic extension of
+    * the 2×2 diff-in-diff: per RELATIVE period k the treated-vs-control
+    * outcome gap, minus the POOLED PRE-PERIOD gap (the parallel-trends
+    * baseline), so pre-treatment rows hovering near zero ARE the
+    * parallel-trends diagnostic and post rows trace the effect's
+    * dynamics. Per (period, arm): exact integer (n, Σy); each mean is
+    * ONE pinned division; effect_k = (ȳ_t,k − ȳ_c,k) − (ȳ_t,pre −
+    * ȳ_c,pre) in a fixed float shape the oracle mirrors. Periods where
+    * either arm is empty emit NULL diff/effect. Output per period:
+    * (rel_period, n_treat, n_ctrl, sum_treat, sum_ctrl, diff, effect).
+    *
+    * Scale: one grouped aggregate over the scan + one O(periods)
+    * baseline cross join — no windows, no per-row float work. */
+  def eventStudy(
+      df: DataFrame, treated: Column, outcomeBin: Column,
+      relPeriod: Column): DataFrame = {
+    val b = df.select(when(treated, 1L).otherwise(0L).as("__t"),
+      outcomeBin.cast("long").as("__y"), relPeriod.cast("long").as("__k"))
+      .where(col("__y").isNotNull && col("__k").isNotNull)
+    val g = b.groupBy(col("__k")).agg(
+      sum(col("__t")).as("n_treat"),
+      (count(lit(1)) - sum(col("__t"))).as("n_ctrl"),
+      sum(when(col("__t") === 1L, col("__y")).otherwise(0L)).as("sum_treat"),
+      sum(when(col("__t") === 0L, col("__y")).otherwise(0L)).as("sum_ctrl"))
+    val pre = g.filter(col("__k") < 0L).agg(
+      coalesce(sum(col("n_treat")), lit(0L)).as("__pnt"),
+      coalesce(sum(col("n_ctrl")), lit(0L)).as("__pnc"),
+      coalesce(sum(col("sum_treat")), lit(0L)).as("__pst"),
+      coalesce(sum(col("sum_ctrl")), lit(0L)).as("__psc"))
+    val diff = col("sum_treat").cast("double") / col("n_treat").cast("double") -
+      col("sum_ctrl").cast("double") / col("n_ctrl").cast("double")
+    val base = col("__pst").cast("double") / col("__pnt").cast("double") -
+      col("__psc").cast("double") / col("__pnc").cast("double")
+    g.crossJoin(pre)
+      .select(col("__k").as("rel_period"), col("n_treat"), col("n_ctrl"),
+        col("sum_treat"), col("sum_ctrl"),
+        when(col("n_treat") === 0L || col("n_ctrl") === 0L,
+          lit(null).cast("double")).otherwise(diff).as("diff"),
+        when(col("n_treat") === 0L || col("n_ctrl") === 0L ||
+          col("__pnt") === 0L || col("__pnc") === 0L,
+          lit(null).cast("double")).otherwise(diff - base).as("effect"))
+  }
+
   /** Stratified inverse-propensity-weighted ATE — the causal-inference
     * companion to [[benjaminiHochbergZ]]'s A/B family when treatment
     * was NOT randomized: within stratum s the empirical propensity is

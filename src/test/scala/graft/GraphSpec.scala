@@ -545,6 +545,16 @@ class GraphSpec extends SparkSpec {
     assert(got.size == n.toInt - 1)
   }
 
+  test("reciprocity counts mutual directed pairs exactly") {
+    // mutual: (1,2),(2,1); one-way: (1,3),(3,4); self-loop dropped
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (5L, 5L))
+      .toDF("a", "b")
+    val r = Graph.reciprocity(e, "a", "b").collect().head
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_reciprocal") == 2L)
+    assert(r.getAs[Double]("reciprocity") == 0.5)
+  }
+
   test("dagLayers assigns longest-path levels: diamond + long tail, " +
     "and a cycle fails loud") {
     // diamond 0->{1,2}->3 plus tail 3->4->5: layers 0,1,1,2,3,4

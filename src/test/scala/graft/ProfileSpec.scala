@@ -886,6 +886,25 @@ class ProfileSpec extends SparkSpec {
     assert(got((2L, 3L)) == ((2L, 2L, 8L)))
   }
 
+  test("eventStudy: pre periods read zero under parallel trends, post " +
+    "periods read the true dynamic effect net of a level gap") {
+    import org.apache.spark.sql.functions.{col => c}
+    // treated baseline 20, control 10 (constant gap 10 = parallel
+    // trends); treatment at k>=0 adds 5 at k=0 and 7 at k=1
+    val rows = for {
+      k <- -2L to 1L
+      (t, base) <- Seq((true, 20L), (false, 10L))
+      rep <- 1 to 3
+    } yield (t, base + (if (t && k == 0) 5L else if (t && k == 1) 7L
+      else 0L), k)
+    val df = rows.toDF("t", "y", "k")
+    val got = Profile.eventStudy(df, c("t"), c("y"), c("k"))
+      .collect().map(r => r.getAs[Long]("rel_period") ->
+        r.getAs[Double]("effect")).toMap
+    assert(got(-2L) == 0.0 && got(-1L) == 0.0, "parallel pre-trends")
+    assert(got(0L) == 5.0 && got(1L) == 7.0, "dynamic effects recovered")
+  }
+
   test("ipwAte recovers a confounded effect that the naive difference " +
     "misses, and excludes no-overlap strata") {
     import org.apache.spark.sql.functions.{col => c}
