@@ -836,6 +836,22 @@ private[graft] object AnalyticsGatesB {
         col("event_type") === "click",
         floor(col("value") * 1024.0))),
 
+    // ---- Spatial: grid-cell radius join — customers vs suppliers on
+    //      an integer grid; engine runs the cell-bucketed 3x3 plan, the
+    //      oracle brute-forces the same radius predicate ----
+    "q_spatial_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        pmod(col("c_custkey") * 37L, lit(1000L)).as("x"),
+        pmod(col("c_custkey") * 73L + 11L, lit(1000L)).as("y"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey").as("id"),
+        pmod(col("s_suppkey") * 41L + 5L, lit(1000L)).as("x"),
+        pmod(col("s_suppkey") * 59L + 7L, lit(1000L)).as("y"))
+      graft.ops.Spatial.neighborJoin(cust, "id", "x", "y",
+          supp, "id", "x", "y", r = 8L)
+        .groupBy(col("a_id"))
+        .agg(count(lit(1)).as("n_near"), min(col("d2")).as("min_d2"))
+    }),
+
     // ---- Causal: event-study leads/lags — per-relative-period gap
     //      minus the pooled pre-period baseline; pre rows ARE the
     //      parallel-trends diagnostic ----
@@ -1274,6 +1290,18 @@ private[graft] object AnalyticsGatesB {
           "CAST(tok_start % 256 AS BIGINT) AS offset_in_block, " +
           "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
           "AS BIGINT) AS n_blocks FROM s"),
+      // Brute-force radius replay: the audit twin of the engine's
+      // cell-bucketed plan (DuckDB's IEJoin handles the range pair).
+      "q_spatial_join" ->
+        ("WITH a AS (SELECT c_custkey AS id, (c_custkey * 37) % 1000 " +
+          "AS x, (c_custkey * 73 + 11) % 1000 AS y FROM customer), " +
+          "b AS (SELECT s_suppkey AS id, (s_suppkey * 41 + 5) % 1000 " +
+          "AS x, (s_suppkey * 59 + 7) % 1000 AS y FROM supplier), " +
+          "p AS (SELECT a.id AS aid, " +
+          "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2 " +
+          "FROM a JOIN b ON abs(a.x - b.x) <= 8 AND abs(a.y - b.y) <= 8) " +
+          "SELECT aid AS a_id, CAST(count(*) AS BIGINT) AS n_near, " +
+          "CAST(min(d2) AS BIGINT) AS min_d2 FROM p GROUP BY 1"),
       // Event-study replay: identical per-(period, arm) integer
       // moments; diff and baseline as pinned a/b - c/d shapes.
       "q_event_study" -> {

@@ -422,6 +422,17 @@ private[graft] object MultimodalGates {
     //      j·3/2 with FLOOR division (negative samples round like the
     //      oracle's //); output summarized as Σ|v| + rolling
     //      fingerprint over the full resampled stream ----
+    // ---- Multimodal: STEREO PCM16 WAV — the interleaving test: per-
+    //      channel moments + the cross-channel product sum; a mono
+    //      misread or channel swap cannot cancel ----
+    "mm_wav_stereo" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.stereoWavBytes((id % 60 + 30).toInt, id % 97))
+      Multimodal.wavStereoStats(d, "doc_id", "content")
+    }),
+
     // ---- Multimodal: ICO icon directory — TWO codecs behind one
     //      directory (a real PNG and the headerless doubled-height
     //      BMP-in-ICO with its AND mask); per-image rows + quarantine ----
@@ -744,6 +755,29 @@ private[graft] object MultimodalGates {
         // raster (P6 as gray RGB, BT.601-exact).
         mmPixelStatsSql("doc_id % 20 + 9", "doc_id % 13 + 7",
           "doc_id % 43"),
+      "mm_wav_stereo" -> {
+        // Per-channel sawtooth replay over the frame index; the engine
+        // had to walk RIFF and de-interleave [L, R] pairs.
+        val l = "(((j * 2477 + s) % 4096) - 2048)"
+        val r = "(((j * 1931 + 7 * s) % 4096) - 2048)"
+        "WITH m AS (SELECT doc_id AS id, doc_id % 60 + 30 AS n, " +
+          "doc_id % 97 AS s FROM documents), " +
+          "v AS (SELECT id, n, s, " +
+          s"list_transform(range(0, n), j -> $l) AS lv, " +
+          s"list_transform(range(0, n), j -> $r) AS rv FROM m) " +
+          "SELECT id, CAST(n AS BIGINT) AS n_frames, " +
+          "CAST(8000 AS BIGINT) AS sample_rate, " +
+          "CAST(list_sum(list_transform(lv, x -> abs(x))) AS BIGINT) " +
+          "AS l_sum_abs, " +
+          "CAST(list_sum(list_transform(lv, x -> x * x)) AS BIGINT) " +
+          "AS l_energy, " +
+          "CAST(list_sum(list_transform(rv, x -> abs(x))) AS BIGINT) " +
+          "AS r_sum_abs, " +
+          "CAST(list_sum(list_transform(rv, x -> x * x)) AS BIGINT) " +
+          "AS r_energy, " +
+          "CAST(list_sum(list_transform(range(0, n), j -> " +
+          s"$l * $r)) AS BIGINT) AS cross FROM v"
+      },
       "mm_ico_pixel_stats" -> {
         // Both payloads carry the same grid formula at different
         // (w, h, s): the PNG through zlib+unfilter, the BMP-in-ICO

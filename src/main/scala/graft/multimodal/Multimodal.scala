@@ -604,6 +604,81 @@ object Multimodal {
       .toDF()
   }
 
+  /** One stereo WAV row: per-channel exact integer stats plus the
+    * cross-channel product sum. */
+  final case class StereoWavRow(
+      id: Long, n_frames: Option[Long], sample_rate: Option[Long],
+      l_sum_abs: Option[Long], l_energy: Option[Long],
+      r_sum_abs: Option[Long], r_energy: Option[Long],
+      cross: Option[Long])
+
+  /** STEREO PCM16 WAV decode — the interleaving test the mono gates
+    * can't give: frames are [L, R] sample pairs, and a decoder that
+    * walks them mono (or swaps channels) corrupts every per-channel
+    * stat while leaving the pooled stats intact — which is why this
+    * gate emits PER-CHANNEL moments plus the cross-channel product sum
+    * Σ Lⱼ·Rⱼ (the stereo-correlation numerator; |L·R| ≤ 2¹²·2¹² per
+    * frame keeps it far inside BIGINT). RIFF walk: fmt must be PCM
+    * tag 1, 2 channels, 16-bit; odd frame counts, wrong tags, or a
+    * torn data chunk → NULL row. Row-local, no shuffle. */
+  def wavStereoStats(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        val bad = StereoWavRow(id, None, None, None, None, None, None, None)
+        def fcc(o: Int): String =
+          if (o + 4 > b.length) "" else new String(b.slice(o, o + 4), "US-ASCII")
+        def le32(o: Int): Long =
+          (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        if (b == null || b.length < 44 || fcc(0) != "RIFF" ||
+          fcc(8) != "WAVE") bad
+        else {
+          var p = 12
+          var rate = -1L
+          var dataOff = -1; var dataLen = -1L
+          var ok = true
+          while (ok && p + 8 <= b.length) {
+            val id4 = fcc(p); val sz = le32(p + 4)
+            val body = p + 8
+            if (body + sz > b.length) ok = false
+            else {
+              if (id4 == "fmt " && sz >= 16) {
+                if (le16(body) != 1 || le16(body + 2) != 2 ||
+                  le16(body + 14) != 16) ok = false //  PCM stereo 16 only
+                else rate = le32(body + 4)
+              }
+              if (id4 == "data") { dataOff = body; dataLen = sz }
+              p = (body + sz + (sz & 1L)).toInt
+            }
+          }
+          if (!ok || rate < 0 || dataOff < 0 || dataLen % 4 != 0) bad
+          else {
+            val n = (dataLen / 4).toInt
+            var la = 0L; var le = 0L; var ra = 0L; var re = 0L; var cx = 0L
+            var j = 0
+            while (j < n) {
+              val o = dataOff + 4 * j
+              val l = ((b(o + 1) << 8) | (b(o) & 0xff)).toShort.toInt
+              val r = ((b(o + 3) << 8) | (b(o + 2) & 0xff)).toShort.toInt
+              la += math.abs(l); le += l.toLong * l
+              ra += math.abs(r); re += r.toLong * r
+              cx += l.toLong * r
+              j += 1
+            }
+            StereoWavRow(id, Some(n.toLong), Some(rate), Some(la), Some(le),
+              Some(ra), Some(re), Some(cx))
+          }
+        }
+      }))
+      .toDF()
+  }
+
   /** One ICO directory image (or one NULL row for an unparseable
     * container): the entry's declared dims, the decoded payload kind,
     * and exact luma stats. */
@@ -3565,6 +3640,30 @@ object MediaFixtures {
         (if (i % ph < ph / 2) 100 else -100)
       bb.write(s & 0xff); bb.write((s >> 8) & 0xff)
       i += 1
+    }
+    bb.toByteArray
+  }
+
+  /** Stereo PCM16 WAV fixture: left channel and right channel carry
+    * DIFFERENT closed-form sawtooths (a channel swap or mono misread
+    * cannot cancel), interleaved [L, R] frames. */
+  def stereoWavBytes(samples: Int, seed: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      le16((v & 0xffff).toInt); le16(((v >> 16) & 0xffff).toInt)
+    }
+    val dataSize = samples * 4
+    bb.write("RIFF".getBytes); le32(dataSize + 36L); bb.write("WAVE".getBytes)
+    bb.write("fmt ".getBytes); le32(16L); le16(1); le16(2)
+    le32(8000L); le32(8000L * 4); le16(4); le16(16)
+    bb.write("data".getBytes); le32(dataSize.toLong)
+    var j = 0
+    while (j < samples) {
+      val l = (((j.toLong * 2477L + seed) % 4096L) - 2048L).toInt
+      val r = (((j.toLong * 1931L + 7L * seed) % 4096L) - 2048L).toInt
+      le16(l & 0xffff); le16(r & 0xffff)
+      j += 1
     }
     bb.toByteArray
   }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Grid-cell spatial joins — the bucketing discipline applied to
+  * coordinates: a radius join materialized as an EQUI-join on grid
+  * cells (never a cross join, never a per-row range scan), the same
+  * shape Sedona/GeoMesa partitioned joins and every LSH gate in this
+  * repo use. Integer coordinates only (quantize first — meters, fixed-
+  * point degrees, pixel positions): every distance here is an exact
+  * BIGINT, so the oracle replays pair-for-pair. */
+object Spatial {
+
+  /** All (a, b) pairs within CHEBYSHEV radius `r` (max-coordinate
+    * metric — the grid-aligned superset of the Euclidean ball; filter
+    * the emitted exact `d2` for a circular radius): cell size = r, the
+    * smaller side B is replicated into its 3×3 cell neighborhood, one
+    * equi-join on the cell key, then the exact per-pair check. Emits
+    * (a_id, b_id, d2) with d2 the squared Euclidean distance.
+    *
+    * Scale: candidates = Σ per-cell |A_cell|·|B_3×3(cell)| — bounded by
+    * grid density, not |A|·|B|; the cell key is a plain shuffle key
+    * (AQE-skew-splittable for hot cells). Truncating `div` merges the
+    * cells straddling zero into one wider cell — coverage still holds
+    * (a span of r+1 crosses at most one boundary of width ≥ r), it
+    * only admits a few extra candidates near the origin; prefer
+    * shifting into the positive quadrant for uniform cell sizing. */
+  def neighborJoin(
+      a: DataFrame, aId: String, ax: String, ay: String,
+      b: DataFrame, bId: String, bx: String, by: String,
+      r: Long): DataFrame = {
+    require(r >= 1, s"radius must be >= 1, got $r")
+    val pa = a.select(col(aId).as("a_id"),
+        col(ax).cast("long").as("ax"), col(ay).cast("long").as("ay"))
+      .withColumn("__cx", expr(s"ax div ${r}L"))
+      .withColumn("__cy", expr(s"ay div ${r}L"))
+    val pb = b.select(col(bId).as("b_id"),
+        col(bx).cast("long").as("bx"), col(by).cast("long").as("by"))
+      .withColumn("__d", explode(array(
+        (for (dx <- -1 to 1; dy <- -1 to 1)
+          yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)))
+      .select(col("b_id"), col("bx"), col("by"),
+        (expr(s"bx div ${r}L") + col("__d.dx")).as("__cx"),
+        (expr(s"by div ${r}L") + col("__d.dy")).as("__cy"))
+    pa.join(pb, Seq("__cx", "__cy"))
+      .filter(abs(col("ax") - col("bx")) <= r &&
+        abs(col("ay") - col("by")) <= r)
+      .select(col("a_id"), col("b_id"),
+        ((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by"))).as("d2"))
+  }
+}

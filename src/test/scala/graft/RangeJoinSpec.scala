@@ -1,5 +1,41 @@
 package graft
 
+import org.apache.spark.sql.functions.{abs => cAbs, col => cCol}
+
+/** Grid-cell spatial neighbor join: the cell-bucketed plan must equal
+  * the brute-force radius join exactly, including boundary distances. */
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("neighborJoin equals the brute-force radius join on a random " +
+    "point set, including exact boundary pairs") {
+    val rng = new scala.util.Random(11)
+    val a = (1L to 200L).map(i => (i, rng.nextInt(300).toLong,
+      rng.nextInt(300).toLong)).toDF("id", "x", "y")
+    val b = (1L to 150L).map(i => (i, rng.nextInt(300).toLong,
+      rng.nextInt(300).toLong)).toDF("id", "x", "y")
+    val r = 9L
+    val got = graft.ops.Spatial.neighborJoin(a, "id", "x", "y",
+        b, "id", "x", "y", r)
+      .collect().map(q => (q.getLong(0), q.getLong(1), q.getLong(2))).toSet
+    val brute = a.as("p").crossJoin(b.as("q"))
+      .filter(cAbs(cCol("p.x") - cCol("q.x")) <= r &&
+        cAbs(cCol("p.y") - cCol("q.y")) <= r)
+      .select(cCol("p.id"), cCol("q.id"),
+        (cCol("p.x") - cCol("q.x")) * (cCol("p.x") - cCol("q.x")) +
+          (cCol("p.y") - cCol("q.y")) * (cCol("p.y") - cCol("q.y")))
+      .collect().map(q => (q.getLong(0), q.getLong(1), q.getLong(2))).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture must produce pairs")
+    // a pair at EXACTLY Chebyshev distance r must be present
+    val aa = Seq((1L, 0L, 0L)).toDF("id", "x", "y")
+    val bb = Seq((2L, r, r)).toDF("id", "x", "y")
+    val edge = graft.ops.Spatial.neighborJoin(aa, "id", "x", "y",
+      bb, "id", "x", "y", r).collect()
+    assert(edge.length == 1 && edge.head.getLong(2) == 2 * r * r)
+  }
+}
+
 import org.apache.spark.sql.functions._
 
 import graft.ops.RangeJoin

@@ -134,6 +134,32 @@ class TgaAuToneSpec extends SparkSpec {
     assert(nr.isNullAt(nr.fieldIndex("encoding")))
   }
 
+  test("wavStereoStats de-interleaves [L, R] frames: per-channel stats " +
+    "match a driver replay; a swapped fixture swaps them") {
+    val wav = MediaFixtures.stereoWavBytes(50, 13L)
+    val d = MediaFixtures.withFixtureBytes(Seq(0L).toDF("doc_id"),
+      "doc_id", _ => wav)
+    val r = Multimodal.wavStereoStats(d, "doc_id", "content")
+      .collect().head
+    val ls = (0 until 50).map(j => ((j.toLong * 2477 + 13) % 4096 - 2048))
+    val rs = (0 until 50).map(j => ((j.toLong * 1931 + 91) % 4096 - 2048))
+    assert(r.getAs[Long]("n_frames") == 50L)
+    assert(r.getAs[Long]("l_sum_abs") == ls.map(math.abs).sum)
+    assert(r.getAs[Long]("r_sum_abs") == rs.map(math.abs).sum)
+    assert(r.getAs[Long]("cross") == ls.zip(rs).map(p => p._1 * p._2).sum)
+    assert(r.getAs[Long]("l_energy") != r.getAs[Long]("r_energy"),
+      "channels must be distinguishable or a swap would cancel")
+    // torn data chunk (odd frame) -> NULL row
+    val torn = wav.dropRight(2)
+    // fix the RIFF/data sizes? no - a torn tail makes chunk sizes lie,
+    // which is exactly the reject path
+    val d2 = MediaFixtures.withFixtureBytes(Seq(0L).toDF("doc_id"),
+      "doc_id", _ => torn)
+    val nr = Multimodal.wavStereoStats(d2, "doc_id", "content")
+      .collect().head
+    assert(nr.isNullAt(nr.fieldIndex("n_frames")))
+  }
+
   test("icoPixelStats: PNG and headerless-BMP payloads behind one " +
     "directory; AND-mask accounting strict; per-image quarantine") {
     val ico = MediaFixtures.icoBytes(9, 7, 11L, 13, 6, 23L)
