@@ -836,6 +836,16 @@ private[graft] object AnalyticsGatesB {
         col("event_type") === "click",
         floor(col("value") * 1024.0))),
 
+    // ---- Spatial: local-density hotspots — per occupied cell the
+    //      3x3-neighborhood mass and the quantized concentration
+    //      ratio; grid-bounded, no per-point pair work ----
+    "q_spatial_hotspot" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        pmod(col("c_custkey") * 37L, lit(1000L)).as("x"),
+        pmod(col("c_custkey") * 73L + 11L, lit(1000L)).as("y"))
+      graft.ops.Spatial.hotspotCells(cust, "x", "y", cell = 50L)
+    }),
+
     // ---- Spatial: grid-cell radius join — customers vs suppliers on
     //      an integer grid; engine runs the cell-bucketed 3x3 plan, the
     //      oracle brute-forces the same radius predicate ----
@@ -1290,6 +1300,24 @@ private[graft] object AnalyticsGatesB {
           "CAST(tok_start % 256 AS BIGINT) AS offset_in_block, " +
           "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
           "AS BIGINT) AS n_blocks FROM s"),
+      // Hotspot replay: same cell counts, 3x3 neighborhood via a 9-row
+      // offset cross join, integer ratio.
+      "q_spatial_hotspot" ->
+        ("WITH pt AS (SELECT (c_custkey * 37) % 1000 AS x, " +
+          "(c_custkey * 73 + 11) % 1000 AS y FROM customer), " +
+          "g AS (SELECT x // 50 AS cell_x, y // 50 AS cell_y, " +
+          "CAST(count(*) AS BIGINT) AS n FROM pt GROUP BY 1, 2), " +
+          "dd AS (SELECT dx.d AS dx, dy.d AS dy FROM " +
+          "(SELECT unnest([-1, 0, 1]) AS d) dx CROSS JOIN " +
+          "(SELECT unnest([-1, 0, 1]) AS d) dy), " +
+          "sp AS (SELECT g.cell_x + dd.dx AS cell_x, " +
+          "g.cell_y + dd.dy AS cell_y, " +
+          "CAST(sum(g.n) AS BIGINT) AS neigh_n FROM g CROSS JOIN dd " +
+          "GROUP BY 1, 2) " +
+          "SELECT g.cell_x, g.cell_y, g.n, sp.neigh_n, " +
+          "CAST(g.n * 1000 // sp.neigh_n AS BIGINT) AS ratio_q " +
+          "FROM g JOIN sp ON g.cell_x = sp.cell_x " +
+          "AND g.cell_y = sp.cell_y"),
       // Brute-force radius replay: the audit twin of the engine's
       // cell-bucketed plan (DuckDB's IEJoin handles the range pair).
       "q_spatial_join" ->

@@ -50,4 +50,32 @@ object Spatial {
         ((col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by"))).as("d2"))
   }
+
+  /** Local density HOTSPOTS on the cell grid (the integer-exact core
+    * of a Getis-Ord scan): per occupied cell, its point count n, the
+    * 3×3-neighborhood count (self included; absent cells contribute 0),
+    * and the quantized concentration ratio n·1000 div neigh — a cell
+    * whose mass dominates its own neighborhood. One grouped count, one
+    * 9-way cell replication, one equi-join — grid-bounded, never
+    * per-point pair work. Output: (cell_x, cell_y, n, neigh_n,
+    * ratio_q). */
+  def hotspotCells(
+      points: DataFrame, x: String, y: String, cell: Long): DataFrame = {
+    require(cell >= 1, s"cell must be >= 1, got $cell")
+    val g = points
+      .select(expr(s"cast($x as bigint) div ${cell}L").as("cell_x"),
+        expr(s"cast($y as bigint) div ${cell}L").as("cell_y"))
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(count(lit(1)).as("n"))
+    val spread = g
+      .withColumn("__d", explode(array(
+        (for (dx <- -1 to 1; dy <- -1 to 1)
+          yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)))
+      .select((col("cell_x") + col("__d.dx")).as("cell_x"),
+        (col("cell_y") + col("__d.dy")).as("cell_y"), col("n"))
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(sum(col("n")).as("neigh_n"))
+    g.join(spread, Seq("cell_x", "cell_y"))
+      .withColumn("ratio_q", expr("n * 1000 div neigh_n"))
+  }
 }

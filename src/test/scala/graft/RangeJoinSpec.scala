@@ -34,6 +34,24 @@ class SpatialSpec extends SparkSpec {
       bb, "id", "x", "y", r).collect()
     assert(edge.length == 1 && edge.head.getLong(2) == 2 * r * r)
   }
+
+  test("hotspotCells: an isolated dense cell scores ratio 1000; a cell " +
+    "among equal neighbors scores its fair share") {
+    // 5 points in cell (0,0); 1 point each in every cell of the 3x3
+    // block around (10,10)
+    val dense = Seq.fill(5)((2L, 3L))
+    val block = for (dx <- 0L to 2L; dy <- 0L to 2L)
+      yield (500L + 50 * dx + 5, 500L + 50 * dy + 5)
+    val df = (dense ++ block).toDF("x", "y")
+    val got = graft.ops.Spatial.hotspotCells(df, "x", "y", cell = 50L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((0L, 0L)) == ((5L, 5L, 1000L)), "isolated cell owns 100%")
+    assert(got((11L, 11L)) == ((1L, 9L, 111L)), "center of the block " +
+      "sees all 9 neighbors")
+    assert(got((10L, 10L)) == ((1L, 4L, 250L)), "corner sees 4")
+  }
 }
 
 import org.apache.spark.sql.functions._
