@@ -836,6 +836,24 @@ private[graft] object AnalyticsGatesB {
         col("event_type") === "click",
         floor(col("value") * 1024.0))),
 
+    // ---- Spatial: bounded kNN — the 3 nearest suppliers within the
+    //      cell-join radius per customer, deterministic (d2, id) rank;
+    //      the honest scalable kNN (radius-bounded, never global) ----
+    "q_spatial_knn" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("id"),
+        pmod(col("c_custkey") * 37L, lit(1000L)).as("x"),
+        pmod(col("c_custkey") * 73L + 11L, lit(1000L)).as("y"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey").as("id"),
+        pmod(col("s_suppkey") * 41L + 5L, lit(1000L)).as("x"),
+        pmod(col("s_suppkey") * 59L + 7L, lit(1000L)).as("y"))
+      val pairs = graft.ops.Spatial.neighborJoin(cust, "id", "x", "y",
+        supp, "id", "x", "y", r = 16L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))
+      pairs.withColumn("knn_rank", row_number().over(w).cast("long"))
+        .filter(col("knn_rank") <= 3L)
+    }),
+
     // ---- Spatial: local-density hotspots — per occupied cell the
     //      3x3-neighborhood mass and the quantized concentration
     //      ratio; grid-bounded, no per-point pair work ----
@@ -1300,6 +1318,20 @@ private[graft] object AnalyticsGatesB {
           "CAST(tok_start % 256 AS BIGINT) AS offset_in_block, " +
           "CAST((tok_start + greatest(n_tokens - 1, 0)) // 256 - tok_start // 256 + 1 " +
           "AS BIGINT) AS n_blocks FROM s"),
+      // Bounded-kNN replay: brute radius pairs + (d2, id) rank.
+      "q_spatial_knn" ->
+        ("WITH a AS (SELECT c_custkey AS id, (c_custkey * 37) % 1000 " +
+          "AS x, (c_custkey * 73 + 11) % 1000 AS y FROM customer), " +
+          "b AS (SELECT s_suppkey AS id, (s_suppkey * 41 + 5) % 1000 " +
+          "AS x, (s_suppkey * 59 + 7) % 1000 AS y FROM supplier), " +
+          "p AS (SELECT a.id AS a_id, b.id AS b_id, " +
+          "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2 " +
+          "FROM a JOIN b ON abs(a.x - b.x) <= 16 " +
+          "AND abs(a.y - b.y) <= 16) " +
+          "SELECT a_id, b_id, CAST(d2 AS BIGINT) AS d2, " +
+          "CAST(rn AS BIGINT) AS knn_rank FROM (" +
+          "SELECT a_id, b_id, d2, row_number() OVER (PARTITION BY a_id " +
+          "ORDER BY d2, b_id) AS rn FROM p) WHERE rn <= 3"),
       // Hotspot replay: same cell counts, 3x3 neighborhood via a 9-row
       // offset cross join, integer ratio.
       "q_spatial_hotspot" ->
