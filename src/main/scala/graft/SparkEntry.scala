@@ -365,7 +365,8 @@ object SparkEntry {
     ("analyticsA", gates.AnalyticsGatesA.queries,
       gates.AnalyticsGatesA.oracles),
     ("analyticsB", gates.AnalyticsGatesB.queries,
-      gates.AnalyticsGatesB.oracles))
+      gates.AnalyticsGatesB.oracles),
+    ("quality", gates.QualityGates.queries, gates.QualityGates.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     strictMerge(registries.map(r => (r._1, r._2)))

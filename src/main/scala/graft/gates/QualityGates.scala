@@ -1,0 +1,292 @@
+package graft.gates
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry.t
+import graft.ops.Agreement
+
+/** Annotation-QA and preference-aggregation gates — the labeling /
+  * RLHF-data layer: chance-corrected inter-annotator agreement (Cohen,
+  * Fleiss, Krippendorff), majority-vote consensus with per-rater
+  * quality, and pairwise-preference voting rules (Copeland, Borda) plus
+  * the rank-concordance statistics (Kendall's W, Page's L). The rater
+  * panel is a deterministic hash fixture over `events` (5 raters with
+  * an accuracy ramp, abstentions for the missing-data regime), shared
+  * constant-for-constant with the oracles via `Agreement.raterLabelSql`.
+  * Every statistic is an exact integer rational — no float aggregation
+  * anywhere in the family. */
+private[graft] object QualityGates {
+
+  /** The 5-rater panel over events: (item, rater, lbl). */
+  private def ratings(s: SparkSession, dir: String,
+      withAbstain: Boolean): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
+    val arr = array((0 until 5).map(r =>
+      if (withAbstain) Agreement.raterLabelOrNull(r)
+      else Agreement.raterLabel(r)): _*)
+    ev.select(col("event_id").as("item"), posexplode(arr).as(Seq("rater", "lbl")))
+      .select(col("item"), col("rater").cast("long").as("rater"), col("lbl"))
+  }
+
+  /** Oracle CTE body for the same panel. */
+  private def ratingsSql(withAbstain: Boolean): String =
+    (0 until 5).map { r =>
+      val lbl = if (withAbstain) Agreement.raterLabelOrNullSql(r)
+        else Agreement.raterLabelSql(r)
+      s"SELECT event_id AS item, CAST($r AS BIGINT) AS rater, $lbl AS lbl " +
+        "FROM events"
+    }.mkString(" UNION ALL ")
+
+  /** Complete blocks×treatments count grid: every (user, label) cell,
+    * zeros included — Page/Kendall ranks are over the full slate. */
+  private def userLabelGrid(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val users = ev.select(col("user_id")).distinct()
+    val labels = Agreement.Labels
+      .foldLeft(Seq.empty[(String, Int)])((a, l) => a :+ (l, a.size))
+    val labelDf = s.createDataFrame(labels).toDF("lbl", "_i").select(col("lbl"))
+    val cnts = ev.groupBy(col("user_id").as("u"), col("event_type").as("e"))
+      .agg(count(lit(1)).as("m"))
+    users.crossJoin(labelDf)
+      .join(cnts, col("user_id") === col("u") && col("lbl") === col("e"),
+        "left")
+      .select(col("user_id"), col("lbl"),
+        coalesce(col("m"), lit(0L)).as("metric"))
+  }
+
+  private val gridSql =
+    "u AS (SELECT DISTINCT user_id FROM events), " +
+      "lbls AS (SELECT unnest(['click','error','purchase','signup','view']) AS lbl), " +
+      "c AS (SELECT user_id, event_type, count(*) AS m FROM events GROUP BY 1, 2), " +
+      "g AS (SELECT u.user_id, lbls.lbl, coalesce(c.m, 0) AS metric " +
+      "FROM u CROSS JOIN lbls " +
+      "LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = lbls.lbl), " +
+      "r2 AS (SELECT user_id, lbl, metric, " +
+      "2 * rank() OVER (PARTITION BY user_id ORDER BY metric) + " +
+      "count(*) OVER (PARTITION BY user_id, metric) - 1 AS rank2 FROM g)"
+
+  /** Pairwise model duels (8 pseudo-models) derived per event from the
+    * rater-hash stream 9: challenger pair + deterministic
+    * strength-weighted winner. */
+  private def duels(s: SparkSession, dir: String): DataFrame = {
+    val h = Agreement.raterHash(9)
+    val hi = ((h - pmod(h, lit(8L))) / lit(8L)).cast("long")
+    val hw = ((h - pmod(h, lit(56L))) / lit(56L)).cast("long")
+    val i = pmod(h, lit(8L))
+    val j = pmod(i + lit(1L) + pmod(hi, lit(7L)), lit(8L))
+    t(s, dir, "events").select(
+      i.as("a"), j.as("b"),
+      when(pmod(hw, i + j + lit(2L)) < i + 1L, i).otherwise(j).as("w"))
+  }
+
+  private val duelsSql = {
+    val h = Agreement.raterHashSql(9)
+    s"d AS (SELECT ($h) % 8 AS a, " +
+      s"(($h) % 8 + 1 + (($h) // 8) % 7) % 8 AS b, " +
+      s"CASE WHEN (($h) // 56) % (($h) % 8 + (($h) % 8 + 1 + (($h) // 8) % 7) % 8 + 2) " +
+      s"< ($h) % 8 + 1 THEN ($h) % 8 " +
+      s"ELSE (($h) % 8 + 1 + (($h) // 8) % 7) % 8 END AS w FROM events)"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Agreement: Cohen's κ between raters 0 and 1 — the two-rater
+    //      chance-corrected agreement, exact rational from the k×k
+    //      confusion grid (one corpus aggregate → 25 cells) ----
+    "q_cohens_kappa" -> ((s, dir) =>
+      Agreement.cohensKappa(
+        t(s, dir, "events").select(
+          Agreement.raterLabel(0).as("a"), Agreement.raterLabel(1).as("b")),
+        "a", "b")),
+
+    // ---- Agreement: Fleiss' κ over the full 5-rater panel — exact
+    //      rational from per-item label counts; one (item,label)
+    //      aggregate, grid-local arithmetic after ----
+    "q_fleiss_kappa" -> ((s, dir) =>
+      Agreement.fleissKappa(ratings(s, dir, withAbstain = false),
+        "item", "lbl", m = 5)),
+
+    // ---- Agreement: Krippendorff's α (nominal) with abstentions —
+    //      the missing-data agreement coefficient; per-unit
+    //      disagreement made integer by the ×12 lcm scale ----
+    "q_krippendorff_alpha" -> ((s, dir) =>
+      Agreement.krippendorffAlpha(ratings(s, dir, withAbstain = true),
+        "item", "lbl")),
+
+    // ---- Consensus: majority vote with the deterministic tie posture
+    //      (max votes, then smallest label), read out as the
+    //      truth×consensus confusion summary ----
+    "q_majority_label" -> ((s, dir) => {
+      val maj = Agreement.majorityVote(ratings(s, dir, withAbstain = false),
+        "item", "lbl")
+      maj.join(t(s, dir, "events")
+          .select(col("event_id").as("item"), col("event_type").as("truth")),
+          "item")
+        .groupBy(col("truth"), col("maj_label"))
+        .agg(count(lit(1)).as("n_items"), sum(col("n_votes")).as("sum_votes"))
+    }),
+
+    // ---- Consensus: per-rater quality vs the majority label — the
+    //      annotator leaderboard (n, matches, ×10000 accuracy) ----
+    "q_rater_quality" -> ((s, dir) =>
+      Agreement.raterQuality(ratings(s, dir, withAbstain = false),
+        "item", "rater", "lbl")),
+
+    // ---- Preference: Copeland scores over pairwise duels — majority
+    //      winner per unordered model pair, then wins/losses/ties and
+    //      the ×2-scaled Copeland score ----
+    "q_copeland_rank" -> ((s, dir) =>
+      Agreement.copelandScores(duels(s, dir), "a", "b", "w")),
+
+    // ---- Preference: Borda aggregation of per-user rankings of the
+    //      event types (present candidates, count-desc ranking) ----
+    "q_borda_rank" -> ((s, dir) =>
+      Agreement.bordaScores(
+        t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type").as("candidate"))
+          .agg(count(lit(1)).as("m")),
+        "user_id", "candidate", "m")),
+
+    // ---- Concordance: Kendall's W across users ranking the 5 types —
+    //      tie-corrected exact rational over the ×2 rank grid ----
+    "q_kendall_w" -> ((s, dir) =>
+      Agreement.kendallW(userLabelGrid(s, dir), "user_id", "lbl", "metric")),
+
+    // ---- Concordance: Page's trend L (×2-scaled) with alphabetical
+    //      hypothesis order — the ordered-alternative sibling of the
+    //      Friedman family ----
+    "q_page_trend" -> ((s, dir) =>
+      Agreement.pageTrendL(userLabelGrid(s, dir), "user_id", "lbl", "metric",
+        Agreement.Labels)))
+
+  val oracles: Map[String, String] = Map(
+
+    "q_cohens_kappa" ->
+      (s"WITH p AS (SELECT ${Agreement.raterLabelSql(0)} AS a, " +
+        s"${Agreement.raterLabelSql(1)} AS b FROM events), " +
+        "conf AS (SELECT a, b, count(*) AS cnt FROM p GROUP BY a, b), " +
+        "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) AS n_agree " +
+        "FROM conf), " +
+        "ra AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS r FROM conf GROUP BY a), " +
+        "cb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c FROM conf GROUP BY b), " +
+        "rc AS (SELECT CAST(sum(r * c) AS BIGINT) AS sum_rc " +
+        "FROM ra JOIN cb ON ra.a = cb.b) " +
+        "SELECT n, n_agree, " +
+        "CAST(n * n_agree - sum_rc AS BIGINT) AS kappa_num, " +
+        "CAST(n * n - sum_rc AS BIGINT) AS kappa_den FROM tot, rc"),
+
+    "q_fleiss_kappa" ->
+      (s"WITH r AS (${ratingsSql(withAbstain = false)}), " +
+        "nij AS (SELECT item, lbl, count(*) AS cnt FROM r GROUP BY 1, 2), " +
+        "core AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq, " +
+        "CAST(sum(cnt) AS BIGINT) AS nm, " +
+        "CAST(count(DISTINCT item) AS BIGINT) AS n_items FROM nij), " +
+        "cj AS (SELECT CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM " +
+        "(SELECT lbl, sum(cnt) AS c FROM nij GROUP BY lbl)) " +
+        "SELECT n_items, CAST(5 AS BIGINT) AS m, " +
+        "CAST((sum_sq - n_items * 5) * nm * nm - " +
+        "sum_c2 * (n_items * 20) AS BIGINT) AS kappa_num, " +
+        "CAST(n_items * 20 * (nm * nm - sum_c2) AS BIGINT) AS kappa_den " +
+        "FROM core, cj"),
+
+    "q_krippendorff_alpha" ->
+      (s"WITH r AS (${ratingsSql(withAbstain = true)}), " +
+        "nuc AS (SELECT item, lbl, count(*) AS cnt FROM r " +
+        "WHERE lbl IS NOT NULL GROUP BY 1, 2), " +
+        "mu AS (SELECT item, sum(cnt) AS m_u FROM nuc GROUP BY item " +
+        "HAVING sum(cnt) >= 2), " +
+        "kept AS (SELECT nuc.item, nuc.lbl, nuc.cnt, mu.m_u " +
+        "FROM nuc JOIN mu USING (item)), " +
+        "core AS (SELECT CAST(sum(cnt * (m_u - cnt) * 12 // (m_u - 1)) " +
+        "AS BIGINT) AS do12, CAST(sum(cnt) AS BIGINT) AS n_ratings, " +
+        "CAST(count(DISTINCT item) AS BIGINT) AS n_units FROM kept), " +
+        "de AS (SELECT CAST(sum(c * (n_tot - c)) AS BIGINT) AS de_num FROM " +
+        "(SELECT lbl, sum(cnt) AS c FROM kept GROUP BY lbl), " +
+        "(SELECT sum(cnt) AS n_tot FROM kept)) " +
+        "SELECT n_ratings, n_units, do12, de_num, " +
+        "CAST(12 * de_num - do12 * (n_ratings - 1) AS BIGINT) AS alpha_num, " +
+        "CAST(12 * de_num AS BIGINT) AS alpha_den FROM core, de"),
+
+    "q_majority_label" ->
+      (s"WITH r AS (${ratingsSql(withAbstain = false)}), " +
+        "cnts AS (SELECT item, lbl, count(*) AS n FROM r GROUP BY 1, 2), " +
+        "tot AS (SELECT item, CAST(sum(n) AS BIGINT) AS m_raters " +
+        "FROM cnts GROUP BY item), " +
+        "maj AS (SELECT item, lbl AS maj_label, n AS n_votes FROM " +
+        "(SELECT item, lbl, n, row_number() OVER " +
+        "(PARTITION BY item ORDER BY n DESC, lbl) AS rn FROM cnts) " +
+        "WHERE rn = 1) " +
+        "SELECT e.event_type AS truth, m.maj_label, " +
+        "CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(m.n_votes) AS BIGINT) AS sum_votes " +
+        "FROM maj m JOIN events e ON m.item = e.event_id GROUP BY 1, 2"),
+
+    "q_rater_quality" ->
+      (s"WITH r AS (${ratingsSql(withAbstain = false)}), " +
+        "cnts AS (SELECT item, lbl, count(*) AS n FROM r GROUP BY 1, 2), " +
+        "maj AS (SELECT item, lbl AS maj_label FROM " +
+        "(SELECT item, lbl, row_number() OVER " +
+        "(PARTITION BY item ORDER BY n DESC, lbl) AS rn FROM cnts) " +
+        "WHERE rn = 1) " +
+        "SELECT r.rater, CAST(count(*) AS BIGINT) AS n_rated, " +
+        "CAST(sum(CASE WHEN r.lbl = maj.maj_label THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_match, " +
+        "CAST(sum(CASE WHEN r.lbl = maj.maj_label THEN 1 ELSE 0 END) " +
+        "* 10000 // count(*) AS BIGINT) AS acc_q " +
+        "FROM r JOIN maj USING (item) GROUP BY r.rater"),
+
+    "q_copeland_rank" ->
+      (s"WITH $duelsSql, " +
+        "norm AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi, w FROM d), " +
+        "pair AS (SELECT lo, hi, " +
+        "sum(CASE WHEN w = lo THEN 1 ELSE 0 END) AS w_lo, " +
+        "sum(CASE WHEN w = hi THEN 1 ELSE 0 END) AS w_hi " +
+        "FROM norm GROUP BY lo, hi), " +
+        "res AS (SELECT lo, hi, CASE WHEN w_lo > w_hi THEN 1 " +
+        "WHEN w_hi > w_lo THEN -1 ELSE 0 END AS r FROM pair), " +
+        "sides AS (SELECT lo AS model, r FROM res " +
+        "UNION ALL SELECT hi AS model, -r AS r FROM res) " +
+        "SELECT CAST(model AS BIGINT) AS model, " +
+        "CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS wins, " +
+        "CAST(sum(CASE WHEN r = -1 THEN 1 ELSE 0 END) AS BIGINT) AS losses, " +
+        "CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties, " +
+        "CAST(2 * sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) + " +
+        "sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS copeland_x2 " +
+        "FROM sides GROUP BY model"),
+
+    "q_borda_rank" ->
+      ("WITH c AS (SELECT user_id, event_type AS candidate, count(*) AS m " +
+        "FROM events GROUP BY 1, 2), " +
+        "rk AS (SELECT user_id, candidate, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY m DESC, candidate) " +
+        "AS rnk, count(*) OVER (PARTITION BY user_id) AS np FROM c) " +
+        "SELECT candidate, CAST(sum(np - rnk) AS BIGINT) AS borda_points, " +
+        "CAST(count(*) AS BIGINT) AS n_voters FROM rk GROUP BY candidate"),
+
+    "q_kendall_w" ->
+      (s"WITH $gridSql, " +
+        "rj AS (SELECT lbl, CAST(sum(rank2) AS BIGINT) AS r2 FROM r2 GROUP BY lbl), " +
+        "dims AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS m, " +
+        "CAST(count(DISTINCT lbl) AS BIGINT) AS n FROM r2), " +
+        "ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum FROM " +
+        "(SELECT user_id, metric, count(*) AS t FROM g GROUP BY 1, 2)), " +
+        "s4 AS (SELECT CAST(sum((r2 - m * (n + 1)) * (r2 - m * (n + 1))) " +
+        "AS BIGINT) AS s4 FROM rj, dims) " +
+        "SELECT CAST(3 * s4 AS BIGINT) AS w_num, " +
+        "CAST(m * m * (n * n * n - n) - m * tie_sum AS BIGINT) AS w_den, " +
+        "s4, tie_sum, m AS n_blocks, n AS k_treatments " +
+        "FROM dims, ties, s4"),
+
+    "q_page_trend" ->
+      (s"WITH $gridSql, " +
+        "rj AS (SELECT lbl, CAST(sum(rank2) AS BIGINT) AS r2, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS m FROM r2 GROUP BY lbl), " +
+        "j AS (SELECT lbl, r2, m, CASE lbl WHEN 'click' THEN 1 " +
+        "WHEN 'error' THEN 2 WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 " +
+        "WHEN 'view' THEN 5 END AS jj FROM rj) " +
+        "SELECT CAST(sum(jj * r2) AS BIGINT) AS l2, " +
+        "CAST(max(m) AS BIGINT) AS n_blocks, " +
+        "CAST(count(*) AS BIGINT) AS k_treatments FROM j"))
+}
