@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry.t
-import graft.ops.Agreement
+import graft.ops.{Agreement, CorpusFilters}
 
 /** Annotation-QA and preference-aggregation gates — the labeling /
   * RLHF-data layer: chance-corrected inter-annotator agreement (Cohen,
@@ -89,7 +89,56 @@ private[graft] object QualityGates {
       s"ELSE (($h) % 8 + 1 + (($h) // 8) % 7) % 8 END AS w FROM events)"
   }
 
+  /** Deterministic "web page" fixture: the word-soup corpus rebuilt as
+    * a multi-line pseudo page (bullet line, conditional sentence /
+    * boilerplate / lorem-ipsum / ellipsis lines, a symbol run) so the
+    * published filter rules have real pass AND fail paths. Shared
+    * constant-for-constant with [[webFixtureSql]]. */
+  private def webFixture(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    def on(m: Long, frag: String) =
+      when(pmod(id, lit(m)) === 0L, lit("\n" + frag)).otherwise(lit(""))
+    t(s, dir, "documents").select(id, concat(
+      col("text"),
+      lit("\n- bullet "), pmod(id, lit(5L)).cast("string"),
+      on(3L, "The data of the run is good. It has to be checked. " +
+        "We have that and more with it."),
+      on(4L, "tiny line"),
+      on(7L, "please enable javascript to view this page."),
+      on(11L, "lorem ipsum dolor sit amet."),
+      on(6L, "the story continues and trails off..."),
+      lit("\nsym "),
+      substr(lit("# # # # # # # # "), lit(1),
+        (pmod(id, lit(9L)) * 2L).cast("int"))).as("page"))
+  }
+
+  private val webFixtureSql: String = {
+    def on(m: Long, frag: String) =
+      s"CASE WHEN doc_id % $m = 0 THEN chr(10) || '$frag' ELSE '' END"
+    "text || chr(10) || '- bullet ' || CAST(doc_id % 5 AS VARCHAR) || " +
+      on(3L, "The data of the run is good. It has to be checked. " +
+        "We have that and more with it.") + " || " +
+      on(4L, "tiny line") + " || " +
+      on(7L, "please enable javascript to view this page.") + " || " +
+      on(11L, "lorem ipsum dolor sit amet.") + " || " +
+      on(6L, "the story continues and trails off...") + " || " +
+      "chr(10) || 'sym ' || " +
+      "substr('# # # # # # # # ', 1, CAST(doc_id % 9 * 2 AS INT))"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Corpus filters: the Gopher quality rule set (Rae et al.
+    //      2021) per document, every ratio cross-multiplied to integer
+    //      comparisons; row-local, no shuffle ----
+    "text_gopher_filters" -> ((s, dir) =>
+      CorpusFilters.gopherQuality(webFixture(s, dir), "doc_id", "page")),
+
+    // ---- Corpus filters: C4 line-level cleaning (Raffel et al. 2020)
+    //      — terminal-punctuation / ≥5-token / javascript line rules +
+    //      lorem-ipsum/brace/3-sentence document rules ----
+    "text_c4_filters" -> ((s, dir) =>
+      CorpusFilters.c4LineFilter(webFixture(s, dir), "doc_id", "page")),
 
     // ---- Agreement: Cohen's κ between raters 0 and 1 — the two-rater
     //      chance-corrected agreement, exact rational from the k×k
@@ -161,6 +210,68 @@ private[graft] object QualityGates {
         Agreement.Labels)))
 
   val oracles: Map[String, String] = Map(
+
+    "text_gopher_filters" -> {
+      val stopSum = CorpusFilters.Stopwords.map(sw =>
+        s"(CASE WHEN list_contains(words, '$sw') THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"WITH d AS (SELECT doc_id, $webFixtureSql AS txt FROM documents), " +
+        "w AS (SELECT doc_id, txt, " +
+        "list_filter(regexp_split_to_array(txt, '[ \n]'), x -> len(x) > 0) " +
+        "AS words, string_split(txt, chr(10)) AS lines FROM d), " +
+        "m AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words, " +
+        "CAST(length(replace(replace(txt, ' ', ''), chr(10), '')) AS BIGINT) " +
+        "AS swc, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(length(txt) - length(replace(txt, '#', '')) AS BIGINT) AS n_hash, " +
+        "CAST((length(txt) - length(replace(txt, '...', ''))) // 3 AS BIGINT) " +
+        "AS n_ell, " +
+        "CAST(len(list_filter(lines, l -> starts_with(l, '- '))) AS BIGINT) " +
+        "AS n_bl, " +
+        "CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS BIGINT) " +
+        "AS n_el, " +
+        "CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) " +
+        "AS BIGINT) AS n_aw, " +
+        s"CAST($stopSum AS BIGINT) AS n_sw FROM w), " +
+        "f AS (SELECT doc_id, n_words, n_lines, " +
+        "CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END " +
+        "AS r_word_count, " +
+        "CASE WHEN swc >= 3 * n_words AND swc <= 10 * n_words THEN 1 ELSE 0 " +
+        "END AS r_mean_wlen, " +
+        "CASE WHEN 10 * (n_hash + n_ell) <= n_words THEN 1 ELSE 0 END " +
+        "AS r_symbol_ratio, " +
+        "CASE WHEN 10 * n_bl <= 9 * n_lines THEN 1 ELSE 0 END AS r_bullet, " +
+        "CASE WHEN 10 * n_el <= 3 * n_lines THEN 1 ELSE 0 END AS r_ellipsis, " +
+        "CASE WHEN 10 * n_aw >= 8 * n_words THEN 1 ELSE 0 END " +
+        "AS r_alpha_words, " +
+        s"CASE WHEN n_sw >= ${CorpusFilters.MinStopwords} THEN 1 ELSE 0 END " +
+        "AS r_stopwords FROM m) " +
+        "SELECT doc_id, n_words, n_lines, r_word_count, r_mean_wlen, " +
+        "r_symbol_ratio, r_bullet, r_ellipsis, r_alpha_words, r_stopwords, " +
+        "CAST(CASE WHEN r_word_count + r_mean_wlen + r_symbol_ratio + " +
+        "r_bullet + r_ellipsis + r_alpha_words + r_stopwords = 7 " +
+        "THEN 1 ELSE 0 END AS INT) AS gopher_keep FROM f"
+    },
+
+    "text_c4_filters" ->
+      (s"WITH d AS (SELECT doc_id, $webFixtureSql AS txt FROM documents), " +
+        "l AS (SELECT doc_id, CAST(length(txt) - length(replace(replace(" +
+        "replace(txt, '.', ''), '!', ''), '?', '')) AS BIGINT) " +
+        "AS n_sentences, " +
+        "(contains(txt, 'lorem ipsum') OR contains(txt, '{')) AS banned, " +
+        "unnest(string_split(txt, chr(10))) AS line FROM d), " +
+        "f AS (SELECT doc_id, n_sentences, banned, line, " +
+        "(ends_with(line, '.') OR ends_with(line, '!') OR " +
+        "ends_with(line, '?') OR ends_with(line, '\"')) AND " +
+        "len(list_filter(string_split(line, ' '), x -> len(x) > 0)) >= 5 " +
+        "AND NOT contains(lower(line), 'javascript') AS kept FROM l) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_lines_kept, " +
+        "CAST(max(n_sentences) AS BIGINT) AS n_sentences, " +
+        "CAST(coalesce(sum(CASE WHEN kept THEN length(line) END), 0) " +
+        "AS BIGINT) AS kept_chars, " +
+        "CAST(CASE WHEN max(n_sentences) >= 3 AND NOT bool_or(banned) " +
+        "THEN 1 ELSE 0 END AS INT) AS c4_keep FROM f GROUP BY doc_id"),
 
     "q_cohens_kappa" ->
       (s"WITH p AS (SELECT ${Agreement.raterLabelSql(0)} AS a, " +
