@@ -873,6 +873,45 @@ private[graft] object GraphTsGates {
       graft.ops.TimeSeries.matrixProfile(
         daily, "event_type", "d", "x", window = 7, exclusion = 7)
     }),
+
+    // ---- Time series: Chatterjee's ξ (2020) between time order and
+    //      the daily value series — the modern rank-based dependence
+    //      coefficient, exact integer rational; two grid-bounded
+    //      windows ----
+    "ts_chatterjee_xi" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("d"),
+          floor(col("value")).cast("long").as("q"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("q")).as("y"))
+      graft.ops.TimeSeries.chatterjeeXi(daily, "event_type", "d", "y")
+    }),
+
+    // ---- Time series: Durbin–Watson of the daily series around its
+    //      mean — serial-correlation readout as an exact rational (the
+    //      scaled identity folds the mean pass away) ----
+    "ts_durbin_watson" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 86400000000000").as("d"),
+          floor(col("value")).cast("long").as("q"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("q")).as("y"))
+      graft.ops.TimeSeries.durbinWatson(daily, "event_type", "d", "y")
+    }),
+
+    // ---- Time series: sample-entropy template counts (m=2, Chebyshev
+    //      r = range div 6) over the daily count series — regularity /
+    //      complexity readout; per-key grid self-join, integer-exact ----
+    "ts_sample_entropy" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), expr("ts div 86400000000000").as("d"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.sampleEntropyCounts(
+        daily, "event_type", "d", "x", rDiv = 6L)
+    }),
   )
 
   def oracles: Map[String, String] = {
@@ -1350,6 +1389,50 @@ private[graft] object GraphTsGates {
           "SELECT g AS event_type, CAST(i AS BIGINT) AS i, " +
           "CAST(j AS BIGINT) AS nn_j, dist AS mp_dist FROM r WHERE rn = 1"
       },
+      "ts_chatterjee_xi" ->
+        ("WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d, " +
+          "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS y " +
+          "FROM events GROUP BY 1, 2), " +
+          "r AS (SELECT event_type, d, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY y, d) AS rk FROM g), " +
+          "dd AS (SELECT event_type, abs(rk - lag(rk) OVER (" +
+          "PARTITION BY event_type ORDER BY d)) AS dr FROM r) " +
+          "SELECT event_type, CAST(count(*) AS BIGINT) AS n_points, " +
+          "CAST(count(*) * count(*) - 1 - 3 * sum(dr) AS BIGINT) AS xi_num, " +
+          "CAST(count(*) * count(*) - 1 AS BIGINT) AS xi_den " +
+          "FROM dd GROUP BY event_type"),
+      "ts_durbin_watson" ->
+        ("WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d, " +
+          "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS y " +
+          "FROM events GROUP BY 1, 2), " +
+          "dd AS (SELECT event_type, y, y - lag(y) OVER (" +
+          "PARTITION BY event_type ORDER BY d) AS dy FROM g) " +
+          "SELECT event_type, CAST(count(*) AS BIGINT) AS n_points, " +
+          "CAST(count(*) * count(*) * sum(dy * dy) AS BIGINT) AS dw_num, " +
+          "CAST(count(*) * count(*) * sum(y * y) - " +
+          "count(*) * sum(y) * sum(y) AS BIGINT) AS dw_den " +
+          "FROM dd GROUP BY event_type"),
+      "ts_sample_entropy" ->
+        ("WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d, " +
+          "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+          "tol AS (SELECT event_type, (max(x) - min(x)) // 6 AS r " +
+          "FROM g GROUP BY 1), " +
+          "s AS (SELECT event_type, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY d) AS i, x AS x0, " +
+          "lead(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1, " +
+          "lead(x, 2) OVER (PARTITION BY event_type ORDER BY d) AS x2 " +
+          "FROM g), " +
+          "tm AS (SELECT * FROM s WHERE x2 IS NOT NULL), " +
+          "p AS (SELECT a.event_type AS et, " +
+          "CASE WHEN greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1)) <= t.r " +
+          "THEN 1 ELSE 0 END AS bm, " +
+          "CASE WHEN greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1), " +
+          "abs(a.x2 - b.x2)) <= t.r THEN 1 ELSE 0 END AS am " +
+          "FROM tm a JOIN tm b ON a.event_type = b.event_type " +
+          "AND b.i > a.i JOIN tol t ON t.event_type = a.event_type) " +
+          "SELECT et AS event_type, CAST(sum(bm) AS BIGINT) AS b_count, " +
+          "CAST(sum(am) AS BIGINT) AS a_count, " +
+          "CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY et"),
       "ts_decompose" -> tsDecomposeSql,
       "ts_strength" ->
         // Quantize the fixed-shape decomposition doubles, then the

@@ -1675,4 +1675,89 @@ object TimeSeries {
       .withColumn("dtw_per_step_q",
         expr("dtw_cost * 1000000L div (n_a + n_b)"))
   }
+
+  /** Chatterjee's ξ rank correlation (Chatterjee 2020) between time
+    * order and value per key: with unique y-ranks r_i (ties broken by
+    * the time column) read off in time order,
+    * ξ = 1 − 3·Σ|r_{i+1} − r_i| / (n² − 1) — emitted as the exact
+    * integer rational (xi_num = n²−1−3Σ|Δr|, xi_den = n²−1). ξ ≈ 0 for
+    * independence, → 1 when y is a (noisy) function of time. Two
+    * key-partitioned windows over the aggregated per-key grid —
+    * grid-bounded, never corpus-sized. */
+  def chatterjeeXi(grid: DataFrame, keyCol: String, tCol: String,
+      yCol: String): DataFrame = {
+    val wy = Window.partitionBy(col(keyCol)).orderBy(col(yCol), col(tCol))
+    val wt = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    grid
+      .withColumn("__r", row_number().over(wy).cast("long"))
+      .withColumn("__dr", abs(col("__r") - lag(col("__r"), 1).over(wt)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_points"), sum(col("__dr")).as("__sdr"))
+      .select(col(keyCol), col("n_points"),
+        (col("n_points") * col("n_points") - 1L - lit(3L) * col("__sdr"))
+          .as("xi_num"),
+        (col("n_points") * col("n_points") - 1L).as("xi_den"))
+  }
+
+  /** Durbin–Watson statistic of the per-key series around its mean, as
+    * an exact integer rational: with e_t·n = n·y_t − S (mean-centering
+    * scaled by n so everything stays integral),
+    * DW = n²·Σ(Δy)² / (n²·Σy² − n·S²). One lag window over the per-key
+    * grid + one aggregate — no second pass for the mean (the scaled
+    * identity Σ(n·y−S)² = n²Σy² − n·S² folds it away). */
+  def durbinWatson(grid: DataFrame, keyCol: String, tCol: String,
+      yCol: String): DataFrame = {
+    val wt = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    grid
+      .withColumn("__dy", col(yCol) - lag(col(yCol), 1).over(wt))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col(yCol)).as("__s"),
+        sum(col(yCol) * col(yCol)).as("__sq"),
+        sum(col("__dy") * col("__dy")).as("__sdq"))
+      .select(col(keyCol), col("n_points"),
+        (col("n_points") * col("n_points") * col("__sdq")).as("dw_num"),
+        (col("n_points") * col("n_points") * col("__sq") -
+          col("n_points") * col("__s") * col("__s")).as("dw_den"))
+  }
+
+  /** Sample-entropy template counts (Richman & Moorman 2000) per key:
+    * B = #pairs of length-m templates within Chebyshev tolerance r,
+    * A = same at length m+1; SampEn = −ln(A/B) is left to the consumer
+    * — the counts are the exact, oracle-comparable part. Tolerance is
+    * per-key data-driven: r = (max−min) div rDiv (integer, replayable).
+    * Fixed m = 2. The template self-join is per-key over the aggregated
+    * grid (O(grid²) pairs per key — the grid is days, not events). */
+  def sampleEntropyCounts(grid: DataFrame, keyCol: String, tCol: String,
+      yCol: String, rDiv: Long = 6L): DataFrame = {
+    val wt = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+    val tol = grid.groupBy(col(keyCol).as("__k"))
+      .agg((((max(col(yCol)) - min(col(yCol))) -
+        pmod(max(col(yCol)) - min(col(yCol)), lit(rDiv))) / rDiv)
+        .cast("long").as("__r"))
+    val tmpl = grid
+      .withColumn("__i", row_number().over(wt).cast("long"))
+      .withColumn("__x0", col(yCol).cast("long"))
+      .withColumn("__x1", lead(col(yCol), 1).over(wt).cast("long"))
+      .withColumn("__x2", lead(col(yCol), 2).over(wt).cast("long"))
+      .filter(col("__x2").isNotNull)
+      .select(col(keyCol).as("__k"), col("__i"), col("__x0"), col("__x1"),
+        col("__x2"))
+      .join(tol, "__k")
+    val a = tmpl.select(col("__k"), col("__i").as("ia"),
+      col("__x0").as("a0"), col("__x1").as("a1"), col("__x2").as("a2"),
+      col("__r"))
+    val b = tmpl.select(col("__k"), col("__i").as("ib"),
+      col("__x0").as("b0"), col("__x1").as("b1"), col("__x2").as("b2"))
+    val pairs = a.join(b, Seq("__k")).filter(col("ib") > col("ia"))
+      .select(col("__k"),
+        (greatest(abs(col("a0") - col("b0")), abs(col("a1") - col("b1")))
+          <= col("__r")).cast("long").as("bm"),
+        (greatest(abs(col("a0") - col("b0")), abs(col("a1") - col("b1")),
+          abs(col("a2") - col("b2"))) <= col("__r")).cast("long").as("am"))
+    pairs.groupBy(col("__k"))
+      .agg(sum(col("bm")).as("b_count"), sum(col("am")).as("a_count"),
+        count(lit(1)).as("n_pairs"))
+      .withColumnRenamed("__k", keyCol)
+  }
 }

@@ -854,4 +854,63 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(5) == (l + b) + s(35 % 7))
     assert(math.abs(b) < 1.0, "no spurious trend on a stationary season")
   }
+
+  test("chatterjeeXi: strictly increasing series gives xi_num = " +
+      "(n-1)(n-2), i.e. the finite-n maximum 1 - 3/(n+1)") {
+    val inc = (1L to 20L).map(i => ("k", i, i * 10L)).toDF("k", "t", "y")
+    val r = TimeSeries.chatterjeeXi(inc, "k", "t", "y").head()
+    // Sum|Δr| = n-1 -> num = n²-1-3(n-1) = (n-1)(n-2)
+    assert(r.getAs[Long]("xi_num") == 19L * 18L)
+    assert(r.getAs[Long]("xi_den") == 399L)
+  }
+
+  test("chatterjeeXi: a maximally alternating series drives xi negative") {
+    val alt = (1L to 20L).map(i =>
+      ("k", i, if (i % 2 == 0) 100L + i else i)).toDF("k", "t", "y")
+    val r = TimeSeries.chatterjeeXi(alt, "k", "t", "y").head()
+    assert(r.getAs[Long]("xi_num") < 0L,
+      s"alternating series should give negative xi, got ${r}")
+  }
+
+  test("durbinWatson: hand case y = (1,2,4) -> DW = 10n²/(14n² - 49n)") {
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 2L), ("k", 3L, 4L))
+      .toDF("k", "t", "y")
+    val r = TimeSeries.durbinWatson(df, "k", "t", "y").head()
+    // S=7, Σy²=21, Σdy²=1+4=5; num=9*5=45, den=9*21-3*49=42
+    assert(r.getAs[Long]("dw_num") == 45L)
+    assert(r.getAs[Long]("dw_den") == 42L)
+  }
+
+  test("durbinWatson: slow drift gives DW well below 2 (positive serial " +
+      "correlation), alternation well above 2") {
+    val drift = (1L to 30L).map(i => ("k", i, i)).toDF("k", "t", "y")
+    val rd = TimeSeries.durbinWatson(drift, "k", "t", "y").head()
+    assert(rd.getAs[Long]("dw_num") * 2 < rd.getAs[Long]("dw_den"),
+      "drift should give DW < 0.5")
+    val alt = (1L to 30L).map(i =>
+      ("k", i, if (i % 2 == 0) 10L else -10L)).toDF("k", "t", "y")
+    val ra = TimeSeries.durbinWatson(alt, "k", "t", "y").head()
+    assert(ra.getAs[Long]("dw_num") > 3 * ra.getAs[Long]("dw_den"),
+      "alternation should give DW > 3")
+  }
+
+  test("sampleEntropyCounts: a constant series matches every template " +
+      "(A = B = n_pairs); a one-spike series loses the spike templates") {
+    val const = (1L to 10L).map(i => ("k", i, 5L)).toDF("k", "t", "y")
+    val rc = TimeSeries.sampleEntropyCounts(const, "k", "t", "y").head()
+    // 8 templates of length 3 -> 28 pairs, all within r=0
+    assert(rc.getAs[Long]("n_pairs") == 28L)
+    assert(rc.getAs[Long]("b_count") == 28L)
+    assert(rc.getAs[Long]("a_count") == 28L)
+    val spike = (1L to 10L).map(i =>
+      ("k", i, if (i == 5) 600L else 5L)).toDF("k", "t", "y")
+    val rs = TimeSeries.sampleEntropyCounts(spike, "k", "t", "y").head()
+    // r = 595/6 = 99; templates covering t=5 (i=3,4,5) miss all others
+    assert(rs.getAs[Long]("a_count") < rs.getAs[Long]("n_pairs"))
+    assert(rs.getAs[Long]("a_count") <= rs.getAs[Long]("b_count"),
+      "A (longer template) can never exceed B")
+    // the 5 spike-free templates still all match each other
+    assert(rs.getAs[Long]("a_count") == 10L,
+      s"expected C(5,2)=10 clean matches, got $rs")
+  }
 }
