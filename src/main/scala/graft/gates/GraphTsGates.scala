@@ -639,6 +639,21 @@ private[graft] object GraphTsGates {
       graft.ops.Graph.kTruss(pairs, "a", "b", k = 4)
     }),
 
+    // ---- Graph: Luby's maximal independent set (derandomized) — the
+    //      distributed MIS classic with a deterministic hash priority,
+    //      so the adaptive engine loop and the fixed-unroll oracle
+    //      replay the SAME run; O(E) shuffle per round ----
+    "graph_mis" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.lubyMis(pairs, "a", "b")
+    }),
+
     // ---- Graph: truncated HARMONIC centrality of a landmark set —
     //      the disconnected-safe closeness (Σ 1/d over the depth-3
     //      ball); exact per-ring integer counts, harmonic as ONE
@@ -1928,6 +1943,45 @@ private[graft] object GraphTsGates {
           "FROM supplier WHERE s_nationkey % 5 = 0), " +
           graft.functions.OracleSql.pprCtes(iters = 3) +
           " SELECT node, rank_q FROM it3"),
+      // Luby MIS replay: the engine's adaptive loop unrolled to a fixed
+      // 10 rounds (measured max is ~5 at both SFs; extra rounds are
+      // no-ops on the empty active set) — same deterministic priority
+      // pr(v) = hash(v)·2^32 + v, same select/remove algebra per round.
+      "graph_mis" -> {
+        def pr(c: String) =
+          s"((($c) * 2654435761 + 12345) % 1000000007) * 4294967296 + ($c)"
+        val rounds = 10
+        // MATERIALIZED: DuckDB inlines plain CTEs, so each of the ~60
+        // round-CTE references would re-scan the parquet (observed as
+        // fd exhaustion); materializing pins one computation per round.
+        val base = "ps AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, " +
+          "l_partkey AS p FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS MATERIALIZED (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "e1 AS MATERIALIZED (SELECT a, b FROM ce UNION " +
+          "SELECT b AS a, a AS b FROM ce), " +
+          "n1 AS MATERIALIZED (SELECT DISTINCT a AS n FROM e1)"
+        val roundCtes = (1 to rounds).map { r =>
+          s"m$r AS MATERIALIZED (SELECT a AS n, min(${pr("b")}) AS mn " +
+            s"FROM e$r GROUP BY a), " +
+            s"sel$r AS MATERIALIZED (SELECT x.n FROM n$r x LEFT JOIN m$r y " +
+            s"ON x.n = y.n WHERE y.mn IS NULL OR ${pr("x.n")} < y.mn), " +
+            s"rem$r AS MATERIALIZED (SELECT DISTINCT e.b AS n FROM e$r e " +
+            s"JOIN sel$r s ON e.a = s.n), " +
+            s"n${r + 1} AS MATERIALIZED (SELECT n FROM n$r WHERE n NOT IN " +
+            s"(SELECT n FROM sel$r) AND n NOT IN (SELECT n FROM rem$r)), " +
+            s"e${r + 1} AS MATERIALIZED (SELECT a, b FROM e$r WHERE a IN " +
+            s"(SELECT n FROM n${r + 1}) AND b IN (SELECT n FROM n${r + 1}))"
+        }.mkString(", ")
+        val unions = (1 to rounds).map { r =>
+          s"SELECT n, 1 AS in_mis, $r AS rr FROM sel$r " +
+            s"UNION ALL SELECT n, 0 AS in_mis, $r AS rr FROM rem$r"
+        }.mkString(" UNION ALL ")
+        s"WITH $base, $roundCtes " +
+          "SELECT CAST(n AS BIGINT) AS n, CAST(in_mis AS INT) AS in_mis, " +
+          s"CAST(rr AS BIGINT) AS round FROM ($unions)"
+      },
       "graph_hits" ->
         ("WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, " +
           "CAST(l_partkey AS BIGINT) AS dst FROM lineitem " +

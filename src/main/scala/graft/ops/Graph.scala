@@ -591,6 +591,73 @@ object Graph {
     deg
   }
 
+  /** Luby's maximal-independent-set, derandomized: the classic
+    * O(log n)-round distributed MIS (Luby 1986) with the random draw
+    * replaced by a DETERMINISTIC per-node priority
+    * pr(v) = hash(v)·2³² + v (unique, replayable), so the run is a
+    * fixed function of the graph and a DuckDB oracle can replay it
+    * round-for-round. Per round every active node with a priority
+    * smaller than all its active neighbors' joins the MIS; its
+    * neighbors leave the graph. MIS nodes of one round can never be
+    * adjacent (mutual strict inequality), and the loop ends with every
+    * node decided — independence AND maximality hold by construction
+    * (spec-checked on random graphs).
+    *
+    * Per round: one neighbor-min aggregate + two anti-joins — O(E)
+    * shuffle keyed by vertex, no driver data, localCheckpoint
+    * truncates lineage. Only nodes incident to an edge participate
+    * (isolated nodes are trivially MIS and never reach the edge list).
+    *
+    * @return (n, in_mis INT, round) — round = when the node was
+    *         selected (in_mis=1) or removed as a neighbor (0). */
+  def lubyMis(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val raw = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    def pr(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(c * 2654435761L + 12345L, lit(1000000007L)) * 4294967296L + c
+    var cur = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var active = cur.select(col("a").as("n")).distinct().localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var nActive = active.count()
+    while (nActive > 0 && round < maxRounds) {
+      round += 1
+      val nbrMin = cur.groupBy(col("a").as("n"))
+        .agg(min(pr(col("b"))).as("mn"))
+      val sel = active.join(nbrMin, Seq("n"), "left")
+        .filter(col("mn").isNull || pr(col("n")) < col("mn"))
+        .select(col("n")).localCheckpoint()
+      val removed = cur
+        .join(sel.select(col("n").as("a")), Seq("a"), "left_semi")
+        .select(col("b").as("n")).distinct().localCheckpoint()
+      out += sel.select(col("n"), lit(1).as("in_mis"),
+        lit(round.toLong).as("round"))
+      out += removed.select(col("n"), lit(0).as("in_mis"),
+        lit(round.toLong).as("round"))
+      val nextActive = active
+        .join(sel, Seq("n"), "left_anti")
+        .join(removed, Seq("n"), "left_anti")
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(active)
+      active = nextActive
+      val nextCur = cur
+        .join(active.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(active.select(col("n").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint()
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(cur)
+      cur = nextCur
+      nActive = active.count()
+    }
+    require(nActive == 0,
+      s"Luby MIS did not decide every node in $maxRounds rounds")
+    out.reduce(_ unionByName _)
+  }
+
   /** Multi-source BFS hop distance, bounded depth: every vertex within
     * `depth` hops of the seed set gets its hop count to the NEAREST seed
     * — provenance radius ("how far is this page from a trusted seed?"),

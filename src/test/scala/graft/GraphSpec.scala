@@ -645,4 +645,36 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("lubyMis: independence, maximality, and equality with the " +
+      "sequential greedy-by-priority MIS on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = (for (_ <- 1 to n * 3) yield
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val out = Graph.lubyMis(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getAs[Long]("n") ->
+          (r.getAs[Int]("in_mis"), r.getAs[Long]("round"))).toMap
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+      assert(out.keySet == nodes.toSet, "every edge-incident node decided")
+      assert(nodes.forall(v => out(v)._1 == 1 ||
+        adj(v).exists(u => out(u)._1 == 1)),
+        "maximality: every non-MIS node has a MIS neighbor")
+      val mis = nodes.filter(v => out(v)._1 == 1).toSet
+      assert(mis.forall(v => adj(v).intersect(mis).isEmpty),
+        "independence: no two MIS nodes adjacent")
+      // greedy by deterministic priority == derandomized Luby
+      def prio(v: Long) =
+        (((v * 2654435761L + 12345L) % 1000000007L) << 32) + v
+      val greedy = scala.collection.mutable.Set.empty[Long]
+      for (v <- nodes.sortBy(prio))
+        if (adj(v).intersect(greedy.toSet).isEmpty) greedy += v
+      assert(mis == greedy.toSet,
+        s"trial $trial: Luby MIS differs from greedy-by-priority")
+    }
+  }
 }
