@@ -269,6 +269,35 @@ private[graft] object StorageGates {
         .withColumn("survivors_intact", lit(survivors))
     }),
 
+    // ---- Storage: metadata-only ROLLBACK — upsert twice, vectored-
+    //      delete (writes a DV sidecar), then roll back to the
+    //      pre-delete version: ZERO data IO, the deleted rows return
+    //      because an explicit empty DV sidecar masks the rolled-over
+    //      vector; bad commits stay in history for audit ----
+    "o36_rollback" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o36_").toString
+      val target = TargetTable("events_rbk", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4,
+        retainVersions = 8)
+      val cfg = IngestConfig(name = s"o36-rbk-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val ev = eventRecords(s, dir)
+      val pt = new graft.sink.ParquetTarget(s, target)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
+      val preDelete = pt.read().get.count()
+      pt.deleteVectored(cfg, pmod(col("pkey"), lit(10L)) === 3L)
+      val postDelete = pt.read().get.count()
+      require(postDelete < preDelete, "vectored delete must drop rows")
+      pt.rollbackTo(2L)
+      require(pt.versions().contains(4L), "rollback must be a NEW commit")
+      require(pt.read().get.count() == preDelete,
+        "rolled-back state must restore the pre-delete row count")
+      stateOut(pt.read().get)
+        .withColumn("rows_deleted_then_restored",
+          lit(preDelete - postDelete > 0))
+    }),
+
     // ---- Storage: compaction — after three merge commits fragment the
     //      buckets, compact() rewrites the snapshot one-file-per-bucket
     //      in ONE commit; the read-back state must still equal global
@@ -932,6 +961,16 @@ private[graft] object StorageGates {
           "CAST(4 AS BIGINT) AS n_versions_before, " +
           "CAST(2 AS BIGINT) AS n_versions_after, " +
           "TRUE AS expired_gone, TRUE AS survivors_intact " +
+          "FROM (SELECT user_id AS pkey, epoch_us(ts) AS modified_date_us, " +
+          "event_type, value, row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+          "WHERE rn = 1"),
+      // Rollback restores the pre-delete snapshot exactly: global
+      // latest-wins over all events (both halves upserted), the
+      // vectored delete undone by the manifest republication.
+      "o36_rollback" ->
+        ("SELECT pkey, modified_date_us, event_type, value, " +
+          "TRUE AS rows_deleted_then_restored " +
           "FROM (SELECT user_id AS pkey, epoch_us(ts) AS modified_date_us, " +
           "event_type, value, row_number() OVER (PARTITION BY user_id " +
           "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +

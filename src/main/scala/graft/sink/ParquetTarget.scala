@@ -1066,6 +1066,75 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     (before, versions().size.toLong)
   }
 
+  /** Metadata-only ROLLBACK (Iceberg `rollback_to_snapshot`): republish
+    * version `v`'s manifest as a NEW commit. No data file is rewritten
+    * or deleted — the bad commits stay in history for audit until GC
+    * ages them out — and the new current state is bit-identical to
+    * `readVersion(v)`. Sidecars are re-pinned alongside the manifest:
+    * the zone map is copied from z_v (same entries ⇒ same bounds; a
+    * GC'd z_v just disables pruning, never correctness), and the
+    * deletion-vector state applicable AT v is copied to the new
+    * version — or, when v predates every vector, an explicit EMPTY
+    * sidecar is published so vectors from the rolled-back-over commits
+    * cannot leak into the restored state (the at-or-before resolution
+    * rule would otherwise pick them up). O(metadata) cost: one manifest
+    * copy + sidecar copies, zero data IO — the property that makes
+    * rollback instant at 100 TB. */
+  def rollbackTo(v: Long): Unit = withCommitLock {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = currentVersion().getOrElse(
+      throw new IllegalStateException("rollback on an empty target"))
+    require(v >= 1 && v <= cur, s"version $v out of range 1..$cur")
+    require(readManifest(v).isDefined,
+      s"version $v is expired or references GC'd files — cannot roll back")
+    // purge orphan DV sidecars from crashed commits (commit() posture)
+    fs.listStatus(root).toSeq.map(_.getPath).foreach { p =>
+      if (versionOf('x', p.getName) > cur) fs.delete(p, true)
+    }
+    val next = cur + 1L
+    val zSrc = new Path(root, zoneName(v))
+    if (fs.exists(zSrc))
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, zSrc, fs, new Path(root, zoneName(next)), false, conf)
+    dvVersionFor(v) match {
+      case Some(x) =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(root, dvName(x)), fs, new Path(root, dvName(next)),
+          false, conf)
+      case None =>
+        val laterDvExists = fs.listStatus(root).exists(s =>
+          versionOf('x', s.getPath.getName) >= 0)
+        if (laterDvExists) {
+          // one empty parquet part WITH a footer (repartition(1) forces
+          // a task) so the at-or-before DV resolution lands here and
+          // reads an empty vector, masking the rolled-back-over ones
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(DvFileCol,
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(DvPosCol,
+              org.apache.spark.sql.types.LongType)))
+          spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              schema)
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(new Path(root, dvName(next)).toString)
+        }
+    }
+    // republish v's manifest verbatim as m_next, then repoint
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(root, manifestName(v)), fs,
+      new Path(root, manifestName(next)), false, conf)
+    val p = fs.create(pointerTmp, true)
+    try p.write(manifestName(next).getBytes(StandardCharsets.UTF_8))
+    finally p.close()
+    if (fs.exists(pointer)) fs.delete(pointer, false)
+    if (!fs.rename(pointerTmp, pointer))
+      throw new IllegalStateException(s"failed to repoint $pointer")
+    gcRetained(next, readManifest(next).getOrElse(Map.empty),
+      table.retainVersions)
+  }
+
   /** Shared GC kernel: retain `retain` versions ending at `newest`
     * (whose manifest entries are `newestEntries`); delete every older
     * manifest/zone sidecar, every bucket dir no retained manifest

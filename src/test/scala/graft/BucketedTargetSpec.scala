@@ -681,4 +681,55 @@ class BucketedTargetSpec extends SparkSpec {
         versionCol = "ver", tieBreakCols = Seq("seq"), buckets = 8))
     assert(branch.pruneAudit(100L, Long.MaxValue).get == ((8, 1, 7)))
   }
+
+  /** Rollback needs the target version still retained. */
+  private def mkRetained(buckets: Int): ParquetTarget = {
+    val dir = Files.createTempDirectory("graft_bkt_").toString
+    new ParquetTarget(spark, TargetTable("t", s"$dir/target",
+      keyCols = Seq("pkey"), versionCol = "ver", tieBreakCols = Seq("seq"),
+      buckets = buckets, retainVersions = 8))
+  }
+
+  test("rollbackTo: metadata-only restore is bit-identical to the " +
+      "target version, is a NEW commit, and masks later deletion " +
+      "vectors with an empty sidecar") {
+    val sink = mkRetained(buckets = 4)
+    sink.mergeUpsert((0L until 40L).map(k => (k, 1L, k, s"v1-$k")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    sink.mergeUpsert((0L until 20L).map(k => (k, 2L, k, s"v2-$k")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    val v2 = sink.readVersion(2L).get.collect().map(_.toSeq).toSet
+    // v3: vectored delete writes a DV sidecar
+    sink.deleteVectored(cfg, org.apache.spark.sql.functions.col("pkey") < 10L)
+    assert(sink.read().get.count() == 30L)
+    sink.rollbackTo(2L)
+    assert(sink.versions().contains(4L), "rollback is a new version")
+    assert(sink.read().get.collect().map(_.toSeq).toSet == v2,
+      "restored state must be bit-identical to version 2")
+    // history preserved: the deleted state is still time-travelable
+    assert(sink.readVersion(3L).get.count() == 30L)
+  }
+
+  test("rollbackTo: rolling back to a version WITH an applicable DV " +
+      "re-pins that vector (copy path)") {
+    val sink = mkRetained(buckets = 4)
+    sink.mergeUpsert((0L until 40L).map(k => (k, 1L, k, s"v1-$k")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    sink.deleteVectored(cfg, org.apache.spark.sql.functions.col("pkey") < 5L) // v2
+    val v2 = sink.read().get.collect().map(_.toSeq).toSet
+    assert(v2.size == 35)
+    sink.mergeUpsert((0L until 40L).map(k => (k, 3L, k, s"v3-$k")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg) // v3
+    sink.rollbackTo(2L)
+    assert(sink.read().get.collect().map(_.toSeq).toSet == v2,
+      "restored state must include the version-2 deletion vector")
+  }
+
+  test("rollbackTo refuses out-of-range and expired versions") {
+    val sink = mkRetained(buckets = 4)
+    sink.mergeUpsert((0L until 8L).map(k => (k, 1L, k, "x")).toDF
+      ("pkey", "ver", "seq", "payload"), cfg)
+    intercept[IllegalArgumentException](sink.rollbackTo(5L))
+    intercept[IllegalArgumentException](sink.rollbackTo(0L))
+  }
 }
