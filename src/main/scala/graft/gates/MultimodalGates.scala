@@ -474,6 +474,20 @@ private[graft] object MultimodalGates {
       Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
     }),
 
+    // ---- Multimodal: PCX 8-bpp decode — the EIGHTH codec, the only
+    //      one with a TRAILING palette (0x0C-marked VGA block after the
+    //      RLE data) and even bytesPerLine padding the decoder must
+    //      drop; three distinct palette-channel formulas so a channel
+    //      swap can't cancel ----
+    "mm_pcx_pixel_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.pcxPixelBytes(
+            (id % 19 + 7).toInt, (id % 13 + 6).toInt, id % 89))
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
     // ---- Multimodal: Otsu automatic threshold over decoded rasters —
     //      histogram binarization with exact integer between-class
     //      variance (BigInt intermediates mirror the oracle's HUGEINT),
@@ -832,6 +846,18 @@ private[graft] object MultimodalGates {
         val bC = s"((31 * $q + 47 * yy + 7 * $q * yy + 101 * s) % 256)"
         mmPixelStatsSql("doc_id % 21 + 8", "doc_id % 11 + 6",
           "doc_id % 83", s"(77 * $rC + 150 * $gC + 29 * $bC) // 256")
+      },
+      "mm_pcx_pixel_stats" -> {
+        // Palette-indexed replay: index raster (x quantized by 3 so RLE
+        // runs exist) looked up through the three distinct channel
+        // formulas, then the shared BT.601 integer luma.
+        val q = "(xx // 3)"
+        val ix = s"((13 * $q + 29 * yy + 7 * $q * yy + s) % 256)"
+        val rr = s"((37 * $ix + 11 * s) % 256)"
+        val gg = s"((23 * $ix + 5 * s) % 256)"
+        val bb2 = s"((53 * $ix + 3 * s) % 256)"
+        mmPixelStatsSql("doc_id % 19 + 7", "doc_id % 13 + 6",
+          "doc_id % 89", s"(77 * $rr + 150 * $gg + 29 * $bb2) // 256")
       },
       "mm_otsu_threshold" ->
         // Histogram replay over the PNG formula raster: cumulative

@@ -2100,6 +2100,8 @@ object Multimodal {
       b(3) == 'f') qoiPixels(b)
     else if (b.length >= 10 && b(0) == 'P' && (b(1) == '5' || b(1) == '6'))
       pnmPixels(b)
+    else if (b.length >= 128 && (b(0) & 0xff) == 0x0a && b(2) == 1 &&
+      b(3) == 8) pcxPixels(b)
     else if (b.length >= 44 && b(b.length - 2) == '.' &&
       b(b.length - 3) == 'E' && b(b.length - 18) == 'T') tgaPixels(b)
     else None
@@ -2182,6 +2184,73 @@ object Multimodal {
       }
       Some((w, h, out))
     }
+  }
+
+  /** ZSoft PCX 8-bpp decode — the EIGHTH codec, and the only one whose
+    * palette TRAILS the image data (the 0x0C-marked 768-byte VGA
+    * palette block PCX version 5 appends). Header: manufacturer 0x0A,
+    * encoding 1 (PCX is always RLE), window (xmin..xmax, ymin..ymax)
+    * little-endian, one plane, `bytesPerLine` ≥ width (even padding is
+    * the norm — the decoder must DROP the pad columns, the classic PCX
+    * trap). RLE: a byte with both top bits set is a run header (count =
+    * low 6 bits, next byte repeated); any other byte is a literal —
+    * which is why literal values ≥ 0xC0 must be written as runs of 1.
+    * Runs may cross scanline boundaries (liberal posture, like the TGA
+    * reader); the stream must produce exactly bytesPerLine·h bytes and
+    * be followed by exactly marker+palette (trailing slack → None, the
+    * exploder posture). Luma: BT.601 integer (77R+150G+29B) >> 8
+    * through the palette. */
+  private[graft] def pcxPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 128 + 769) return None
+    if ((b(0) & 0xff) != 0x0a || (b(2) & 0xff) != 1 ||
+      (b(3) & 0xff) != 8) return None
+    @inline def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val xmin = le16(4); val ymin = le16(6)
+    val xmax = le16(8); val ymax = le16(10)
+    val w = xmax - xmin + 1
+    val h = ymax - ymin + 1
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    if ((b(65) & 0xff) != 1) return None //      multi-plane: rejected
+    val bpl = le16(66)
+    if (bpl < w) return None
+    val total = bpl * h
+    val plane = new Array[Int](total)
+    var p = 128
+    var idx = 0
+    val dataEnd = b.length - 769
+    while (idx < total) {
+      if (p >= dataEnd) return None
+      val v = b(p) & 0xff; p += 1
+      if ((v & 0xc0) == 0xc0) {
+        val cnt = v & 0x3f
+        if (p >= dataEnd || idx + cnt > total) return None
+        val pv = b(p) & 0xff; p += 1
+        var k = 0
+        while (k < cnt) { plane(idx) = pv; idx += 1; k += 1 }
+      } else {
+        plane(idx) = v; idx += 1
+      }
+    }
+    if (p != dataEnd) return None //    trailing slack before the palette
+    if ((b(p) & 0xff) != 0x0c) return None
+    val palOff = p + 1
+    val lum = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val src = y * bpl
+      val dst = y * w
+      while (x < w) {
+        val ci = plane(src + x)
+        val r = b(palOff + 3 * ci) & 0xff
+        val g = b(palOff + 3 * ci + 1) & 0xff
+        val bl = b(palOff + 3 * ci + 2) & 0xff
+        lum(dst + x) = (77 * r + 150 * g + 29 * bl) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, lum))
   }
 
   /** Exact area-average downsample of a luma raster to a gw×gh grid:
@@ -3590,6 +3659,56 @@ object MediaFixtures {
     (0 until 8).foreach(_ => bb.write(0))
     "TRUEVISION-XFILE.".getBytes("US-ASCII").foreach(bb.write(_))
     bb.write(0)
+    bb.toByteArray
+  }
+
+  /** PCX version-5 8-bpp fixture: index raster from the x-quantized
+    * formula (so RLE runs exist), even `bytesPerLine` padding, greedy
+    * per-scanline RLE (runs ≤ 63; literals ≥ 0xC0 forced into runs of
+    * 1), and a trailing 0x0C-marked VGA palette whose three channels
+    * carry DIFFERENT formulas so a channel-order bug cannot cancel.
+    * Nonzero window origin exercises the xmin/ymin subtraction. */
+  def pcxPixelBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    def idxAt(x: Long, y: Long): Int =
+      (((13L * (x / 3) + 29L * y + 7L * (x / 3) * y + seed) % 256L + 256L)
+        % 256L).toInt
+    val bpl = w + (w & 1)
+    val xmin = (seed % 3).toInt; val ymin = (seed % 2).toInt
+    val bb = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    bb.write(0x0a); bb.write(5); bb.write(1); bb.write(8)
+    le16(xmin); le16(ymin); le16(xmin + w - 1); le16(ymin + h - 1)
+    le16(72); le16(72) //                                        dpi
+    (0 until 48).foreach(_ => bb.write(0)) //            EGA palette
+    bb.write(0) //                                          reserved
+    bb.write(1) //                                          nPlanes
+    le16(bpl)
+    le16(1) //                                     paletteInfo: color
+    (0 until 58).foreach(_ => bb.write(0)) //        header pad to 128
+    val row = new Array[Int](bpl)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { row(x) = idxAt(x, y); x += 1 }
+      while (x < bpl) { row(x) = 0; x += 1 } //        even-pad column
+      var i = 0
+      while (i < bpl) {
+        var run = 1
+        while (i + run < bpl && run < 63 && row(i + run) == row(i)) run += 1
+        if (run >= 2 || row(i) >= 0xc0) {
+          bb.write(0xc0 | run); bb.write(row(i)); i += run
+        } else { bb.write(row(i)); i += 1 }
+      }
+      y += 1
+    }
+    bb.write(0x0c)
+    var ci = 0
+    while (ci < 256) {
+      bb.write(((37 * ci + 11 * seed) % 256).toInt)
+      bb.write(((23 * ci + 5 * seed) % 256).toInt)
+      bb.write(((53 * ci + 3 * seed) % 256).toInt)
+      ci += 1
+    }
     bb.toByteArray
   }
 
