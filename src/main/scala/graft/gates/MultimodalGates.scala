@@ -495,6 +495,24 @@ private[graft] object MultimodalGates {
     "mm_otsu_threshold" -> ((s, dir) =>
       Multimodal.otsuThreshold(pngFixture(s, dir), "doc_id", "content")),
 
+    // ---- Multimodal: Sobel gradient energy — the 3x3 edge operator
+    //      as an exact L1 integer aggregate over the decoded interior;
+    //      the sharpness/structure readout for image filtering ----
+    "mm_sobel_energy" -> ((s, dir) =>
+      Multimodal.sobelEnergy(pngFixture(s, dir), "doc_id", "content",
+        strongThreshold = 160)),
+
+    // ---- Multimodal: AIFF container — the big-endian WAV sibling,
+    //      with an IFF chunk walk (odd-size padding), a COMM chunk
+    //      carrying the 80-bit extended-float sample rate (decoded
+    //      exactly), and PCM16 BE samples in SSND ----
+    "mm_audio_aiff" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", MediaFixtures.aiffBytes)
+      Multimodal.aiffStats(d, "doc_id", "content")
+    }),
+
     // ---- Multimodal: Sun AU (.au/.snd) container — the third audio
     //      container shape: big-endian header, annotation-padding skip,
     //      "unknown size" sentinel, and THREE encodings (mu-law,
@@ -846,6 +864,56 @@ private[graft] object MultimodalGates {
         val bC = s"((31 * $q + 47 * yy + 7 * $q * yy + 101 * s) % 256)"
         mmPixelStatsSql("doc_id % 21 + 8", "doc_id % 11 + 6",
           "doc_id % 83", s"(77 * $rC + 150 * $gC + 29 * $bC) // 256")
+      },
+      "mm_sobel_energy" -> {
+        // Sobel replay over the closed-form PNG raster: 1-indexed list
+        // lookups, pixel (x,y) at l[y*w + x + 1].
+        val gx = "(l[(yy - 1) * w + xx + 2] + 2 * l[yy * w + xx + 2] + " +
+          "l[(yy + 1) * w + xx + 2]) - (l[(yy - 1) * w + xx] + " +
+          "2 * l[yy * w + xx] + l[(yy + 1) * w + xx])"
+        val gy = "(l[(yy + 1) * w + xx] + 2 * l[(yy + 1) * w + xx + 1] + " +
+          "l[(yy + 1) * w + xx + 2]) - (l[(yy - 1) * w + xx] + " +
+          "2 * l[(yy - 1) * w + xx + 1] + l[(yy - 1) * w + xx + 2])"
+        "WITH m AS (SELECT doc_id AS id, doc_id % 24 + 9 AS w, " +
+          "doc_id % 16 + 8 AS h, doc_id % 97 AS s FROM documents), " +
+          "px AS (SELECT id, w, h, flatten(list_transform(range(0, h), " +
+          s"yy -> list_transform(range(0, w), xx -> $mmPngPx))) AS l " +
+          "FROM m), " +
+          "gr AS (SELECT id, w, h, " +
+          "flatten(list_transform(range(1, h - 1), yy -> " +
+          "list_transform(range(1, w - 1), xx -> " +
+          s"abs($gx) + abs($gy)))) AS es FROM px) " +
+          "SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+          "CAST((w - 2) * (h - 2) AS BIGINT) AS n_interior, " +
+          "CAST(list_sum(es) AS BIGINT) AS sobel_energy, " +
+          "CAST(len(list_filter(es, e -> e > 160)) AS BIGINT) " +
+          "AS strong_edges, " +
+          "CAST(list_sum(es) * 1000 // ((w - 2) * (h - 2)) AS BIGINT) " +
+          "AS energy_mean_q FROM gr"
+      },
+      "mm_audio_aiff" -> {
+        // Sample replay: the same PCM16 formula the fixture wrote; the
+        // engine had to walk the IFF chunks (odd-size pad), read the
+        // big-endian COMM, and decode the 80-bit extended rate to agree.
+        val raw = "((7 * i + 13 * id + i * i) % 65536)"
+        val pcm = s"CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END"
+        "WITH m AS (SELECT doc_id AS id, doc_id % 2 + 1 AS ch, " +
+          "list_extract([8000, 11025, 22050, 44100], " +
+          "CAST(doc_id % 4 + 1 AS INT)) AS rate, " +
+          "doc_id % 40 + 20 AS frames FROM documents), " +
+          "v AS (SELECT id, ch, rate, frames, ch * frames AS n, " +
+          s"list_transform(range(0, ch * frames), i -> $pcm) AS pcm " +
+          "FROM m) " +
+          "SELECT id, CAST(ch AS BIGINT) AS channels, " +
+          "CAST(rate AS BIGINT) AS sample_rate, " +
+          "CAST(frames AS BIGINT) AS n_frames_declared, " +
+          "CAST(n AS BIGINT) AS n_samples, " +
+          "CAST(list_sum(list_transform(pcm, x -> abs(x))) AS BIGINT) " +
+          "AS sum_abs, " +
+          "CAST(list_max(list_transform(pcm, x -> abs(x))) AS BIGINT) " +
+          "AS peak_abs, " +
+          "CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT) " +
+          "AS energy FROM v"
       },
       "mm_pcx_pixel_stats" -> {
         // Palette-indexed replay: index raster (x quantized by 3 so RLE

@@ -532,6 +532,153 @@ object Multimodal {
       .toDF()
   }
 
+  /** One Sobel row: exact integer gradient-energy stats over the
+    * interior of the decoded luma raster. */
+  final case class SobelRow(
+      id: Long, width: Option[Int], height: Option[Int],
+      n_interior: Option[Long], sobel_energy: Option[Long],
+      strong_edges: Option[Long], energy_mean_q: Option[Long])
+
+  /** Sobel gradient energy over the decoded luma raster — the classic
+    * 3×3 edge operator as an exact integer aggregate: per interior
+    * pixel gx/gy are the standard Sobel convolutions, the per-pixel
+    * energy is |gx| + |gy| (L1 — stays integral, unlike the L2 norm),
+    * and the row reports Σ energy, the count of strong edges
+    * (energy > threshold), and the ×1000 mean. The sharpness /
+    * structure readout used to filter blank or degenerate images in a
+    * multimodal ingest pipeline. Any [[decodePixels]] codec feeds it;
+    * degenerate rasters (w or h < 3) and undecodable bytes emit NULL
+    * stats, never a task failure. Row-local, no shuffle. */
+  def sobelEnergy(
+      df: DataFrame, idCol: String, binCol: String,
+      strongThreshold: Int = 160, batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        decodePixels(b) match {
+          case Some((w, h, lum)) if w >= 3 && h >= 3 =>
+            var energy = 0L
+            var strong = 0L
+            var y = 1
+            while (y < h - 1) {
+              val rm = (y - 1) * w; val r0 = y * w; val rp = (y + 1) * w
+              var x = 1
+              while (x < w - 1) {
+                val gx = (lum(rm + x + 1) + 2 * lum(r0 + x + 1) +
+                  lum(rp + x + 1)) -
+                  (lum(rm + x - 1) + 2 * lum(r0 + x - 1) + lum(rp + x - 1))
+                val gy = (lum(rp + x - 1) + 2 * lum(rp + x) +
+                  lum(rp + x + 1)) -
+                  (lum(rm + x - 1) + 2 * lum(rm + x) + lum(rm + x + 1))
+                val e = math.abs(gx) + math.abs(gy)
+                energy += e
+                if (e > strongThreshold) strong += 1L
+                x += 1
+              }
+              y += 1
+            }
+            val nInt = (w - 2).toLong * (h - 2)
+            SobelRow(id, Some(w), Some(h), Some(nInt), Some(energy),
+              Some(strong), Some(energy * 1000L / nInt))
+          case _ =>
+            SobelRow(id, None, None, None, None, None, None)
+        }
+      }))
+      .toDF()
+  }
+
+  /** One AIFF row: container fields (channel count, the 80-bit extended
+    * sample rate decoded to an integer, declared frame count) plus
+    * exact integer stats over the 16-bit big-endian PCM. */
+  final case class AiffRow(
+      id: Long, channels: Option[Long], sample_rate: Option[Long],
+      n_frames_declared: Option[Long], n_samples: Option[Long],
+      sum_abs: Option[Long], peak_abs: Option[Long], energy: Option[Long])
+
+  /** AIFF (Audio IFF) container decode + stats — the FOURTH audio
+    * container shape, and the big-endian sibling of WAV: an IFF FORM
+    * walk (4-byte chunk ids, BE32 sizes, odd sizes padded) finding COMM
+    * (channels BE16, frame count BE32, 16-bit sample size required,
+    * and the sample rate as an 80-bit IEEE 754 EXTENDED float — the
+    * format's famous quirk, decoded exactly for integer rates via
+    * mant · 2^(exp−16383−63)) and SSND (offset/blockSize preamble, then
+    * interleaved PCM16 BE). Emits exact integer (Σ|pcm|, max|pcm|,
+    * Σpcm²). Bad magic, missing chunks, non-16-bit, fractional or
+    * out-of-range rates, or a half sample → NULL row, never a task
+    * failure. Row-local, no shuffle. */
+  def aiffStats(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        val bad = AiffRow(id, None, None, None, None, None, None, None)
+        if (b == null || b.length < 12 || b(0) != 'F' || b(1) != 'O' ||
+          b(2) != 'R' || b(3) != 'M' ||
+          b(8) != 'A' || b(9) != 'I' || b(10) != 'F' || b(11) != 'F') bad
+        else try {
+          def be16(o: Int): Int = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+          def be32(o: Int): Long =
+            ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+              ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+          var p = 12
+          var comm = -1; var ssnd = -1; var ssndSize = 0L
+          while (p + 8 <= b.length) {
+            val size = be32(p + 4)
+            val tag = new String(b, p, 4, "US-ASCII")
+            if (tag == "COMM") comm = p + 8
+            else if (tag == "SSND") { ssnd = p + 8; ssndSize = size }
+            p += 8 + size.toInt + (size.toInt & 1) //   odd sizes padded
+          }
+          if (comm < 0 || ssnd < 0 || be16(comm + 6) != 16) bad
+          else {
+            val ch = be16(comm).toLong
+            val frames = be32(comm + 2)
+            // 80-bit extended float: 15-bit biased exponent + explicit
+            // 64-bit mantissa; exact for the integer rates audio uses
+            val exp = be16(comm + 8) & 0x7fff
+            var mant = 0L
+            var i = 0
+            while (i < 8) { mant = (mant << 8) | (b(comm + 10 + i) & 0xffL); i += 1 }
+            val shift = 16383 + 63 - exp
+            val rate =
+              if (shift < 0 || shift > 63 ||
+                (shift > 0 && (mant & ((1L << shift) - 1)) != 0L)) -1L
+              else mant >>> shift
+            val dataOff = be32(ssnd) //   offset into the sound data
+            val dataStart = ssnd + 8 + dataOff.toInt
+            val dataLen = ssndSize - 8 - dataOff
+            if (rate < 0L || ch < 1L || dataLen < 0L || (dataLen & 1L) != 0L ||
+              dataStart + dataLen > b.length) bad
+            else {
+              val n = (dataLen / 2L).toInt
+              var sAbs = 0L; var peak = 0L; var energy = 0L
+              var q = dataStart
+              var k = 0
+              while (k < n) {
+                val v = (b(q) << 8) | (b(q + 1) & 0xff)
+                q += 2
+                val a = math.abs(v).toLong
+                sAbs += a
+                if (a > peak) peak = a
+                energy += a * a
+                k += 1
+              }
+              AiffRow(id, Some(ch), Some(rate), Some(frames),
+                Some(n.toLong), Some(sAbs), Some(peak), Some(energy))
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => bad
+        }
+      }))
+      .toDF()
+  }
+
   /** One dual-tone detection row: the winning low/high periods, the
     * decoded keypad digit, and the quadrature scores that won. */
   final case class ToneRow(
@@ -3708,6 +3855,48 @@ object MediaFixtures {
       bb.write(((23 * ci + 5 * seed) % 256).toInt)
       bb.write(((53 * ci + 3 * seed) % 256).toInt)
       ci += 1
+    }
+    bb.toByteArray
+  }
+
+  /** AIFF fixture: FORM/AIFF walk with an odd-sized ANNO chunk (pad
+    * byte exercised), COMM carrying the rate as a real 80-bit extended
+    * float, SSND with PCM16 BE samples from the shared byte formula. */
+  def aiffBytes(id: Long): Array[Byte] = {
+    val ch = (id % 2 + 1).toInt
+    val rate = Seq(8000L, 11025L, 22050L, 44100L)((id % 4).toInt)
+    val frames = (id % 40 + 20).toInt
+    val n = frames * ch
+    val bb = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    def be32(v: Long): Unit = {
+      bb.write(((v >> 24) & 0xff).toInt); bb.write(((v >> 16) & 0xff).toInt)
+      bb.write(((v >> 8) & 0xff).toInt); bb.write((v & 0xff).toInt)
+    }
+    def tag(t: String): Unit = t.getBytes("US-ASCII").foreach(bb.write(_))
+    val annoLen = (id % 3).toInt * 2 + 1 //              always odd
+    val commLen = 18
+    val ssndLen = 8 + 2 * n
+    val formLen = 4 + (8 + annoLen + 1) + (8 + commLen) + (8 + ssndLen)
+    tag("FORM"); be32(formLen.toLong); tag("AIFF")
+    tag("ANNO"); be32(annoLen.toLong)
+    (0 until annoLen).foreach(i => bb.write('a' + (i % 3)))
+    bb.write(0) //                             odd-size pad byte
+    tag("COMM"); be32(commLen.toLong)
+    be16(ch); be32(frames.toLong); be16(16)
+    // 80-bit extended: normalize rate into a top-bit-set mantissa
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(rate)
+    val k = 63 - (bl - 1)
+    val mant = rate << k
+    val exp = 16383 + 63 - k
+    be16(exp)
+    (7 to 0 by -1).foreach(i => bb.write(((mant >>> (8 * i)) & 0xffL).toInt))
+    tag("SSND"); be32(ssndLen.toLong); be32(0L); be32(0L)
+    var i = 0
+    while (i < n) {
+      val raw = ((7L * i + 13L * id + i.toLong * i) % 65536L).toInt
+      bb.write((raw >> 8) & 0xff); bb.write(raw & 0xff)
+      i += 1
     }
     bb.toByteArray
   }
