@@ -413,6 +413,44 @@ object NativeKernels {
     prev(m - 1)
   }
 
+  /** Longest-common-subsequence LENGTH between two Long sequences —
+    * the kernel under ROUGE-L (Lin 2004): token sequences share score
+    * 2·LCS/(n+m), the order-sensitive overlap metric exact n-gram
+    * counts miss. Standard DP with two rolling rows — O(n·m) time,
+    * O(m) space, exact Long arithmetic; the n·m ≤ 2²⁴ guard makes an
+    * unbounded pair a loud error (truncate token sequences first).
+    * Empty side → 0. */
+  def lcsLength(ad: ArrayData, bd: ArrayData): Long = {
+    val n = ad.numElements()
+    val m = bd.numElements()
+    if (n == 0 || m == 0) return 0L
+    require(n.toLong * m <= (1L << 24),
+      s"graft_lcs: $n x $m DP exceeds the 2^24 cell bound — " +
+        "truncate the sequences first")
+    val a = new Array[Long](n)
+    val b = new Array[Long](m)
+    var i = 0
+    while (i < n) { a(i) = ad.getLong(i); i += 1 }
+    var j = 0
+    while (j < m) { b(j) = bd.getLong(j); j += 1 }
+    var prev = new Array[Long](m + 1)
+    var cur = new Array[Long](m + 1)
+    i = 1
+    while (i <= n) {
+      j = 1
+      while (j <= m) {
+        cur(j) =
+          if (a(i - 1) == b(j - 1)) prev(j - 1) + 1L
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0L)
+      i += 1
+    }
+    prev(m)
+  }
+
   /** Hilbert-curve index of a 2-D point on the 2^bits × 2^bits grid —
     * the xy→d direction of the public iterative algorithm (per-level
     * quadrant digit + Gray-style rotation). Unlike Morton interleave,

@@ -74,6 +74,10 @@ object TextHash {
   def dtw(a: Column, b: Column): Column =
     GraftSql.column(DtwExpr(GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** LCS length of two Long sequences (see NativeKernels.lcsLength). */
+  def lcs(a: Column, b: Column): Column =
+    GraftSql.column(LcsExpr(GraftSql.expression(a), GraftSql.expression(b)))
+
   /** Hilbert-curve index of bounded (x, y) cells — the locality-optimal
     * clustering key beside [[graft.ops.Layout.mortonKey]]. */
   def hilbertD(a: Column, b: Column, bits: Int): Column =

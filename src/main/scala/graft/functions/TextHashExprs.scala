@@ -188,6 +188,25 @@ object TextHashExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** LCS length between two Long sequences (ROUGE-L kernel; see
+    * NativeKernels.lcsLength). */
+  case class LcsExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_lcs"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.lcsLength(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.NativeKernels.lcsLength($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): LcsExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Hilbert-curve index of a 2-D cell on the 2^bits grid (layout
     * clustering; see NativeKernels.hilbertD for why this is a kernel). */
   case class HilbertDExpr(left: Expression, right: Expression, bits: Int)

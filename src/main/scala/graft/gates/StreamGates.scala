@@ -747,6 +747,25 @@ private[graft] object StreamGates {
         cfg, tmp)
     }),
 
+    // ---- Streaming dedup, WATERMARK-BOUNDED state: the unbounded-key-
+    //      domain twin of s4 (dropDuplicatesWithinWatermark) — state
+    //      evicts once the watermark passes a key; the 40-day horizon
+    //      covers the fixture's whole span, so the output is the exact
+    //      distinct set while exercising the eviction-state operator ----
+    "s31_stream_dedup_watermark" -> ((s, dir) => {
+      val tmp = stableTmp("s31")
+      val cfg = IngestConfig(name = s"s31-dedupwm-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = eventsStream(s, cfg, dir)
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+      appendStream(s,
+        graft.streaming.StreamDedup.withinWatermark(
+          src, Seq("user_id", "event_type"), "ets", "40 days")
+          .select(col("user_id"), col("event_type")),
+        cfg, tmp)
+    }),
+
     // ---- Streaming per-key RATE baseline: daily event counts smoothed
     //      by a cross-window EWMA held as one state struct per key ----
     "s9_stream_rate_ewma" -> ((s, dir) => {
@@ -984,6 +1003,11 @@ private[graft] object StreamGates {
           "AND (p.event_id IS NULL OR epoch_us(p.ts) <= " +
           "(SELECT max(epoch_us(ts)) FROM events) - 90000000000)"),
       "s4_stream_dedup" ->
+        "SELECT DISTINCT user_id, event_type FROM events",
+      // watermark horizon exceeds the fixture span -> no key re-emits,
+      // the output is exactly the distinct set (the operator under test
+      // is the state-evicting dedup, not the set algebra)
+      "s31_stream_dedup_watermark" ->
         "SELECT DISTINCT user_id, event_type FROM events",
       // single AvailableNow batch → admission = global (ts, id)-first 3
       "s8_stream_quota" ->

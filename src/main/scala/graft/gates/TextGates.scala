@@ -191,6 +191,27 @@ private[graft] object TextGates {
         .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
           array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))),
 
+    // ---- LLM pipeline: ROUGE-L via the native LCS codegen kernel —
+    //      the order-sensitive overlap score near-dup verification
+    //      wants where n-gram Jaccard misses reordered spans; pairs =
+    //      consecutive doc ids (the deterministic stand-in for LSH
+    //      candidates, one equi-join, scale-safe); sequences truncated
+    //      to 24 token hashes so the oracle DP stays bounded ----
+    "text_rouge_lcs" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id").as("id_a"),
+        slice(TextHash.wordHashes(col("text")), 1, 24).as("xs_a"))
+      val right = t(s, dir, "documents").select(
+        (col("doc_id") - 1L).as("id_a"), col("doc_id").as("id_b"),
+        slice(TextHash.wordHashes(col("text")), 1, 24).as("xs_b"))
+      toks.join(right, "id_a")
+        .select(col("id_a"), col("id_b"),
+          size(col("xs_a")).cast("long").as("n_a"),
+          size(col("xs_b")).cast("long").as("n_b"),
+          TextHash.lcs(col("xs_a"), col("xs_b")).as("lcs_len"))
+        .withColumn("rouge_num", lit(2L) * col("lcs_len"))
+        .withColumn("rouge_den", col("n_a") + col("n_b"))
+    }),
+
     // ---- LLM pipeline: context-window chunking (200 chars, 20 overlap) ----
     "text_chunk" -> ((s, dir) =>
       TextAnalysis.chunkChars(
@@ -1620,6 +1641,39 @@ private[graft] object TextGates {
           s"CAST($space AS BIGINT) AS n_space, " +
           s"CAST(length(txt) - ($latin) - ($cyr) - ($cjk) - ($greek) - " +
           s"($digit) - ($space) AS BIGINT) AS n_other FROM d"
+      },
+      "text_rouge_lcs" -> {
+        // Independent LCS DP: the ts_dtw_kernel anti-diagonal recursive
+        // CTE shape (cells on diagonal d depend only on d-1 and d-2)
+        // with the LCS recurrence — match takes prevdiag+1, mismatch
+        // takes max(up, left); out-of-range neighbors coalesce to the
+        // LCS zero border.
+        val wh = OracleSql.wordHashes("text")
+        "WITH RECURSIVE d AS (SELECT doc_id, " +
+          s"list_slice($wh, 1, 24) AS xs FROM documents), " +
+          "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+          "a.xs AS la, b.xs AS lb, len(a.xs) AS n, len(b.xs) AS m " +
+          "FROM d a JOIN d b ON b.doc_id = a.doc_id + 1), " +
+          "rec AS (SELECT id_a, id_b, n, m, la, lb, 2 AS dd, " +
+          "[CAST(CASE WHEN la[1] = lb[1] THEN 1 ELSE 0 END AS BIGINT)] " +
+          "AS diag, CAST([] AS BIGINT[]) AS prevdiag FROM p " +
+          "UNION ALL " +
+          "SELECT id_a, id_b, n, m, la, lb, dd + 1, " +
+          "list_transform(range(greatest(1, dd + 1 - m), " +
+          "least(n, dd) + 1), i -> " +
+          "CASE WHEN la[i] = lb[dd + 1 - i] THEN " +
+          "coalesce(CASE WHEN i - greatest(1, dd - 1 - m) >= 1 " +
+          "THEN prevdiag[CAST(i - greatest(1, dd - 1 - m) AS INT)] END, 0) " +
+          "+ 1 ELSE greatest(" +
+          "coalesce(CASE WHEN i - greatest(1, dd - m) >= 1 " +
+          "THEN diag[CAST(i - greatest(1, dd - m) AS INT)] END, 0), " +
+          "coalesce(diag[CAST(i - greatest(1, dd - m) + 1 AS INT)], 0)) " +
+          "END), diag FROM rec WHERE dd < n + m) " +
+          "SELECT id_a, id_b, CAST(n AS BIGINT) AS n_a, " +
+          "CAST(m AS BIGINT) AS n_b, CAST(diag[1] AS BIGINT) AS lcs_len, " +
+          "CAST(2 * diag[1] AS BIGINT) AS rouge_num, " +
+          "CAST(n + m AS BIGINT) AS rouge_den " +
+          "FROM rec WHERE dd = n + m"
       },
       "text_fingerprint" -> fingerprintSql,
       "text_normalize" -> normalizeSql,

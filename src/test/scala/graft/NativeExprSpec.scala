@@ -319,6 +319,36 @@ class NativeExprSpec extends SparkSpec {
     assert(viaSql == graft.functions.NativeKernels.hilbertD(3L, 4L, 6))
   }
 
+  test("lcs: hand cases, empty sides, and kernel == driver-side " +
+      "reference DP on random sequences") {
+    import spark.implicits._
+    def lcsCol(a: Seq[Long], b: Seq[Long]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(TextHash.lcs(col("a"), col("b")).as("l")).head().getLong(0)
+    // classic: "ABCBDAB" vs "BDCABA" -> 4
+    val s1 = "ABCBDAB".map(_.toLong); val s2 = "BDCABA".map(_.toLong)
+    assert(lcsCol(s1, s2) == 4L)
+    assert(lcsCol(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 3L)
+    assert(lcsCol(Seq(1L, 2L), Seq(3L, 4L)) == 0L)
+    assert(lcsCol(Seq.empty, Seq(1L)) == 0L)
+    assert(lcsCol(Seq(1L), Seq.empty) == 0L)
+    // reference DP (full matrix, independent shape) on random input
+    def ref(a: Seq[Long], b: Seq[Long]): Long = {
+      val dp = Array.ofDim[Long](a.size + 1, b.size + 1)
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.size)(b.size)
+    }
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val a = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(5).toLong)
+      val b = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(5).toLong)
+      assert(lcsCol(a, b) == ref(a, b), s"mismatch on $a vs $b")
+    }
+  }
+
   test("mulawToPcm: closed-form landmarks — 0xFF is digital silence, " +
       "0x00 the negative peak -8031, sign symmetry holds") {
     import graft.functions.NativeKernels.mulawToPcm
