@@ -854,6 +854,18 @@ private[graft] object AnalyticsGatesB {
         .filter(col("knn_rank") <= 3L)
     }),
 
+    // ---- Spatial: geohash-style base32 cell keys on the integer grid
+    //      — Morton interleave rendered MSB-first in the public geohash
+    //      alphabet; prefixes name coarser enclosing cells (geo2 ⊂
+    //      geo4), pure codegen bit arithmetic ----
+    "q_geohash_encode" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("id"),
+          pmod(col("c_custkey") * 37L, lit(1000L)).as("x"),
+          pmod(col("c_custkey") * 73L + 11L, lit(1000L)).as("y"))
+        .withColumn("geo4",
+          graft.ops.Spatial.geohashCell(col("x"), col("y"), bits = 10))
+        .withColumn("geo2", substring(col("geo4"), 1, 2))),
+
     // ---- Spatial: local-density hotspots — per occupied cell the
     //      3x3-neighborhood mass and the quantized concentration
     //      ratio; grid-bounded, no per-point pair work ----
@@ -1332,6 +1344,22 @@ private[graft] object AnalyticsGatesB {
           "CAST(rn AS BIGINT) AS knn_rank FROM (" +
           "SELECT a_id, b_id, d2, row_number() OVER (PARTITION BY a_id " +
           "ORDER BY d2, b_id) AS rn FROM p) WHERE rn <= 3"),
+      // Geohash replay: the Morton bit-sum expanded term-by-term, then
+      // MSB-first base32 digits via substr over the shared alphabet.
+      "q_geohash_encode" -> {
+        val code = (0 until 10).flatMap(i => Seq(
+          s"(((x >> $i) & 1) << ${2 * i})",
+          s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+        val alpha = graft.ops.Spatial.GeohashAlphabet
+        val chars = Seq(15, 10, 5, 0).map(sh =>
+          s"substr('$alpha', CAST((code >> $sh) & 31 AS INT) + 1, 1)")
+          .mkString(" || ")
+        "WITH a AS (SELECT c_custkey AS id, (c_custkey * 37) % 1000 AS x, " +
+          "(c_custkey * 73 + 11) % 1000 AS y FROM customer), " +
+          s"m AS (SELECT id, x, y, $code AS code FROM a) " +
+          s"SELECT id, x, y, $chars AS geo4, " +
+          s"substr($chars, 1, 2) AS geo2 FROM m"
+      },
       // Hotspot replay: same cell counts, 3x3 neighborhood via a 9-row
       // offset cross join, integer ratio.
       "q_spatial_hotspot" ->

@@ -518,6 +518,15 @@ private[graft] object VectorGates {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, planes = 4, k = 3)),
 
+    // ---- LLM pipeline: one NN-DESCENT round — the kNN-graph
+    //      construction algorithm behind graph ANN indexes: LSH-seeded
+    //      lists refined through the undirected two-hop candidate set
+    //      (bounded (2k)² fan-out per node, never n²) ----
+    "ann_nndescent" -> ((s, dir) =>
+      Similarity.nnDescentRound(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, planes = 4, k = 4)),
+
     // ---- LLM pipeline: LSH-bucketed ANN top-k (the scale path) ----
     "ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(
@@ -2300,6 +2309,38 @@ private[graft] object VectorGates {
       "dedup_keep_best" -> keepBestSql,
       "dedup_embedding_cosine" -> cosineNearDup,
       "emb_knn_graph" -> mutualKnn,
+      // NN-descent replay: the same TWO LSH seed tables (second over
+      // the reversed vector), the same undirected two-hop candidate
+      // expansion, the same (cos DESC, dst) rescore.
+      "ann_nndescent" ->
+        (s"$embNorm, n2 AS (SELECT vec_id, v, nrm, bucket, " +
+          s"${OracleSql.hyperplaneBucket("list_reverse(v)", 64, 4)} " +
+          "AS bucket2 FROM n), " +
+          "p AS (SELECT a.vec_id AS src, b.vec_id AS dst, " +
+          s"${OracleSql.dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos, " +
+          "1 AS tbl FROM n2 a JOIN n2 b ON a.bucket = b.bucket " +
+          "AND a.vec_id <> b.vec_id " +
+          "UNION ALL SELECT a.vec_id AS src, b.vec_id AS dst, " +
+          s"${OracleSql.dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos, " +
+          "2 AS tbl FROM n2 a JOIN n2 b ON a.bucket2 = b.bucket2 " +
+          "AND a.vec_id <> b.vec_id), " +
+          "k0 AS (SELECT DISTINCT src, dst FROM (SELECT src, dst, " +
+          "row_number() OVER (PARTITION BY src, tbl " +
+          "ORDER BY cos DESC, dst) AS rk FROM p) WHERE rk <= 4), " +
+          "und AS (SELECT src, dst FROM k0 " +
+          "UNION SELECT dst AS src, src AS dst FROM k0), " +
+          "cand AS (SELECT DISTINCT src, dst FROM (" +
+          "SELECT p2.src, q2.dst FROM und p2 JOIN und q2 " +
+          "ON p2.dst = q2.src WHERE p2.src <> q2.dst " +
+          "UNION ALL SELECT src, dst FROM k0)), " +
+          "rs AS (SELECT c.src, c.dst, " +
+          s"${OracleSql.dot("x.v", "y.v")} / (x.nrm * y.nrm) AS cos " +
+          "FROM cand c JOIN n x ON x.vec_id = c.src " +
+          "JOIN n y ON y.vec_id = c.dst) " +
+          "SELECT src, dst, CAST(rk AS BIGINT) AS rank FROM (" +
+          "SELECT src, dst, row_number() OVER (" +
+          "PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM rs) " +
+          "WHERE rk <= 4"),
       "sketch_bloom_contains" -> bloomContainsOracle,
       "sketch_bloom_merge" -> bloomMergeOracle,
       "sketch_cms_counts" -> cmsOracle,

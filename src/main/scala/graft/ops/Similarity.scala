@@ -1222,6 +1222,76 @@ object Similarity {
         col("x.cosine").as("cosine"))
   }
 
+  /** One NN-DESCENT refinement round (Dong et al. 2011) over a
+    * TWO-TABLE LSH-seeded kNN graph — the algorithm production systems
+    * use to build the kNN graphs behind graph ANN indexes (HNSW/NSG
+    * layers, kNN-graph dedup) at corpus scale: start from a cheap
+    * approximate graph, then exploit "a neighbor of my neighbor is
+    * likely my neighbor" — rescore the two-hop candidate set (through
+    * the UNDIRECTED neighbor relation, i.e. forward ∪ reverse lists,
+    * the detail that makes NN-descent converge) and keep the best k.
+    *
+    * The seed must span MORE THAN ONE partition of the corpus or the
+    * descent is a provable no-op: a single-table seed already holds the
+    * top-k of each node's whole bucket, and two-hop expansion can never
+    * leave the bucket. Hence two independent hyperplane tables (the
+    * second over the coordinate-reversed vector — different hyperplanes
+    * from the same shared constants, so the oracle replays both); their
+    * union gives the cross-partition edges a round then propagates.
+    *
+    * Per-node fan-out is bounded by (4k)² candidates, so the round is
+    * one id-keyed join chain + one bounded rescore — O(n·k²) pairs
+    * total, never the n² brute product; rounds stack (call again on
+    * the output) with monotone recall. Output is ids + rank only (the
+    * ann-family float-free gate discipline); cosine ties break to the
+    * smaller neighbor id.
+    *
+    * @return (src, dst, rank) — the refined directed kNN lists */
+  def nnDescentRound(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val n = e.withColumn("nrm", norm(col("v")))
+      .withColumn("b1", hyperplaneBucket(col("v"), dim, planes))
+      .withColumn("b2", hyperplaneBucket(reverse(col("v")), dim, planes))
+    def tableKnn(bCol: String): DataFrame = {
+      val a = n.select(col(bCol).as("bucket"), col("id").as("src"),
+        col("v").as("v_a"), col("nrm").as("n_a"))
+      val b = n.select(col(bCol).as("bucket"), col("id").as("dst"),
+        col("v").as("v_b"), col("nrm").as("n_b"))
+      a.join(b, Seq("bucket"))
+        .where(col("src") =!= col("dst"))
+        .withColumn("cos",
+          dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        .withColumn("__rk", row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst").asc)))
+        .filter(col("__rk") <= k)
+        .select(col("src"), col("dst"))
+    }
+    val knn0 = tableKnn("b1").unionAll(tableKnn("b2")).distinct()
+    val und = knn0.unionAll(
+      knn0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val cand = und.as("p").join(und.as("q"), col("p.dst") === col("q.src"))
+      .select(col("p.src").as("src"), col("q.dst").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .unionAll(knn0)
+      .distinct()
+    val va = n.select(col("id").as("src"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val vb = n.select(col("id").as("dst"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
+    cand.join(va, "src").join(vb, "dst")
+      .withColumn("cos",
+        dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank"))
+  }
+
   /** Hard-example mining for contrastive/triplet training: for each
     * anchor, the hardest NEGATIVE (most-similar different-label vector —
     * the one a margin loss most needs to push away) and the hardest

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Grid-cell spatial joins — the bucketing discipline applied to
@@ -77,5 +77,30 @@ object Spatial {
       .agg(sum(col("n")).as("neigh_n"))
     g.join(spread, Seq("cell_x", "cell_y"))
       .withColumn("ratio_q", expr("n * 1000 div neigh_n"))
+  }
+
+  /** The geohash base32 alphabet (no a/i/l/o — the public geohash
+    * digit set). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash-style cell key of an INTEGER grid point: Morton-interleave
+    * the two bits-bit coordinates (x even positions, y odd — the
+    * lng/lat alternation) and render the 2·bits code MSB-first in the
+    * public geohash base32 alphabet. The defining property survives the
+    * integer-grid variant: every string PREFIX names a coarser
+    * enclosing cell, so prefix-grouping = hierarchical spatial
+    * bucketing with plain string equality. Pure Column bit arithmetic —
+    * codegen'd, no UDF — and exactly replayable in the oracle. 2·bits
+    * must divide by 5 (whole base32 digits). */
+  def geohashCell(x: Column, y: Column, bits: Int = 10): Column = {
+    require(bits >= 1 && bits <= 31 && (2 * bits) % 5 == 0,
+      s"2*bits must be a multiple of 5, got bits=$bits")
+    val nChars = 2 * bits / 5
+    val code = Layout.mortonKey(x, y, bits)
+    val alphabet = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
+    concat((0 until nChars).map(k =>
+      element_at(alphabet,
+        (shiftright(code, 5 * (nChars - 1 - k)).bitwiseAND(lit(31L)) + 1L)
+          .cast("int"))): _*)
   }
 }

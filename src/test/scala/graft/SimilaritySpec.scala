@@ -734,4 +734,48 @@ class SimilaritySpec extends SparkSpec {
     assert(all.length == 4) // 4 nonzero vectors
     assert(all.map(_.getLong(1)).distinct.length == 4)
   }
+
+  test("nnDescentRound: exactly k ranked rows per node, and recall vs " +
+      "brute-force kNN clears a floor the bare LSH buckets cannot") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val k = 4
+    val refined = Similarity.nnDescentRound(
+      emb, "vec_id", "embedding", dim = 64, planes = 4, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val perSrc = refined.groupBy(_._1).view.mapValues(_.size)
+    assert(perSrc.forall(_._2 <= k), "no node exceeds k neighbors")
+    assert(perSrc.count(_._2 == k) > perSrc.size / 2,
+      "most nodes reach the full k after candidate expansion")
+    // brute-force truth on the driver
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val truth = vecs.keys.map { s =>
+      s -> vecs.keys.filter(_ != s).toSeq
+        .sortBy(t => (-cos(vecs(s), vecs(t)), t)).take(k).toSet
+    }.toMap
+    def recall(g: Set[(Long, Long)]): Double = {
+      val hits = g.count { case (s, t) => truth(s).contains(t) }
+      hits.toDouble / (truth.size * k)
+    }
+    // seed graph recall: the same LSH-bucket kNN the op starts from,
+    // derived on the driver with the op's own bucket function
+    val buckets = emb.select(col("vec_id"),
+        Similarity.hyperplaneBucket(
+          col("embedding").cast("array<double>"), 64, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seed = vecs.keys.flatMap { s =>
+      vecs.keys.filter(t => t != s && buckets(t) == buckets(s)).toSeq
+        .sortBy(t => (-cos(vecs(s), vecs(t)), t)).take(k).map(s -> _)
+    }.toSet
+    val (rSeed, rRefined) = (recall(seed), recall(refined))
+    assert(rRefined > rSeed,
+      s"one NN-descent round must beat the seed: seed=$rSeed refined=$rRefined")
+    assert(rRefined > 0.1, s"refined recall too low: $rRefined")
+  }
 }
