@@ -191,6 +191,13 @@ private[graft] object TextGates {
         .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
           array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))),
 
+    // ---- LLM pipeline: Kneser-Ney smoothed bigram LM (the KenLM
+    //      default smoothing) as exact integer rationals — discount
+    //      3/4, continuation counts, one common denominator ----
+    "text_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.kneserNeyBigrams(
+        t(s, dir, "documents"), "text", topK = 50)),
+
     // ---- LLM pipeline: ROUGE-L via the native LCS codegen kernel —
     //      the order-sensitive overlap score near-dup verification
     //      wants where n-gram Jaccard misses reordered spans; pairs =
@@ -1642,6 +1649,24 @@ private[graft] object TextGates {
           s"CAST(length(txt) - ($latin) - ($cyr) - ($cjk) - ($greek) - " +
           s"($digit) - ($space) AS BIGINT) AS n_other FROM d"
       },
+      "text_kneser_ney" ->
+        ("WITH wf AS (SELECT list_filter(string_split_regex(lower(text), " +
+          "'\\s+'), w -> w <> '') AS ws FROM documents), " +
+          "p AS (SELECT unnest(list_transform(range(1, len(ws)), " +
+          "i -> {'w1': ws[i], 'w2': ws[i+1]})) AS pr FROM wf " +
+          "WHERE len(ws) >= 2), " +
+          "c AS (SELECT pr.w1 AS w1, pr.w2 AS w2, " +
+          "CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY 1, 2), " +
+          "lm AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, " +
+          "CAST(count(*) AS BIGINT) AS b1 FROM c GROUP BY w1), " +
+          "rm AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2t " +
+          "FROM c GROUP BY w2), " +
+          "ee AS (SELECT CAST(count(*) AS BIGINT) AS e FROM c) " +
+          "SELECT c.w1, c.w2, c.c12, lm.c1, lm.b1, rm.c2t, ee.e, " +
+          "CAST((4 * c.c12 - 3) * ee.e + 3 * lm.b1 * rm.c2t AS BIGINT) " +
+          "AS kn_num, CAST(4 * lm.c1 * ee.e AS BIGINT) AS kn_den " +
+          "FROM c JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN ee " +
+          "ORDER BY c.c12 DESC, c.w1, c.w2 LIMIT 50"),
       "text_rouge_lcs" -> {
         // Independent LCS DP: the ts_dtw_kernel anti-diagonal recursive
         // CTE shape (cells on diagonal d depend only on d-1 and d-2)

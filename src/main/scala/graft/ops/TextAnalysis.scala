@@ -613,6 +613,53 @@ object TextAnalysis {
         expr(s"(n_pair * $q) div n_prefix").as("p_q"))
   }
 
+  /** Interpolated Kneser-Ney smoothed bigram probabilities (Kneser &
+    * Ney 1995; the smoothing behind every serious count-based LM and
+    * the KenLM default) as EXACT integer rationals. With absolute
+    * discount D = 3/4 (rational so everything stays integral):
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + (D·B1/c1) · (C2/E)
+    *
+    * where c12 = bigram count, c1 = Σ_w c(w1 w), B1 = |{w: c(w1 w)>0}|
+    * (the left continuation fan-out the discount mass is spread over),
+    * C2 = |{w: c(w w2)>0}| (the CONTINUATION count — how many contexts
+    * w2 completes, the insight that distinguishes KN from Katz), and
+    * E = total distinct bigrams. Over the common denominator 4·c1·E
+    * (c12 ≥ 1 for every emitted pair):
+    *
+    *   kn_num = (4·c12 − 3)·E + 3·B1·C2,   kn_den = 4·c1·E
+    *
+    * Emits the topK most frequent bigrams (ties by word order) with
+    * all count components. Three count aggregates + one scalar cross
+    * join — shuffles keyed on words/bigrams, no windows, no corpus
+    * sorts (the top-k is an orderBy().limit()). */
+  def kneserNeyBigrams(
+      docs: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val pairs = docs
+      .select(filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+        .as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val c = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val leftM = c.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("b1"))
+    val rightM = c.groupBy(col("w2")).agg(count(lit(1)).as("c2t"))
+    val e = c.agg(count(lit(1)).as("e"))
+    c.join(leftM, "w1").join(rightM, "w2").crossJoin(e)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("b1"),
+        col("c2t"), col("e"),
+        ((lit(4L) * col("c12") - 3L) * col("e") +
+          lit(3L) * col("b1") * col("c2t")).as("kn_num"),
+        (lit(4L) * col("c1") * col("e")).as("kn_den"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Sentence-level shape statistics: `n_sentences` (non-empty segments
     * after splitting on `[.!?]+` runs), `n_words` (whitespace tokens),
     * and `avg_words_per_sentence` — the structural half of a

@@ -748,4 +748,26 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_space") == 5L)
     assert(r.getAs[Long]("n_other") == 2L)
   }
+
+  test("kneserNeyBigrams: probabilities per context sum EXACTLY to 1 " +
+      "when every vocab word is observed as a continuation") {
+    import spark.implicits._
+    // "a b a b a a b b": all four bigrams over {a, b} observed
+    val docs = Seq("a b a b a a b b").toDF("text")
+    val rows = graft.ops.TextAnalysis
+      .kneserNeyBigrams(docs, "text", topK = 10).collect()
+    assert(rows.length == 4)
+    val byW1 = rows.groupBy(_.getAs[String]("w1"))
+    byW1.foreach { case (w1, rs) =>
+      val den = rs.map(_.getAs[Long]("kn_den")).distinct
+      assert(den.size == 1, s"one common denominator per context $w1")
+      assert(rs.map(_.getAs[Long]("kn_num")).sum == den.head,
+        s"KN must sum to exactly 1 over the full continuation set ($w1)")
+    }
+    // hand counts: c(ab)=3, c(ba)=2, c(aa)=1, c(bb)=1; E=4
+    val m = rows.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+      r.getAs[Long]("c12")).toMap
+    assert(m(("a", "b")) == 3L && m(("b", "a")) == 2L)
+    assert(m(("a", "a")) == 1L && m(("b", "b")) == 1L)
+  }
 }
