@@ -188,6 +188,12 @@ private[graft] object QualityGates {
     "q_copeland_rank" -> ((s, dir) =>
       Agreement.copelandScores(duels(s, dir), "a", "b", "w")),
 
+    // ---- Preference: Bradley–Terry strengths by two MM rounds — the
+    //      RLHF preference-model fit; bounded models² collect, fold-
+    //      order-pinned doubles bit-exact against the oracle ----
+    "q_bradley_terry" -> ((s, dir) =>
+      Agreement.bradleyTerryMM(duels(s, dir), "a", "b", "w")),
+
     // ---- Preference: Borda aggregation of per-user rankings of the
     //      event types (present candidates, count-desc ranking) ----
     "q_borda_rank" -> ((s, dir) =>
@@ -366,6 +372,33 @@ private[graft] object QualityGates {
         "CAST(2 * sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) + " +
         "sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS copeland_x2 " +
         "FROM sides GROUP BY model"),
+
+    "q_bradley_terry" ->
+      (s"WITH $duelsSql, " +
+        "wn AS (SELECT w AS i, CAST(count(*) AS BIGINT) AS wins " +
+        "FROM d GROUP BY w), " +
+        "pm AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi, " +
+        "CAST(count(*) AS BIGINT) AS m FROM d GROUP BY 1, 2), " +
+        "adj AS (SELECT lo AS i, hi AS j, m FROM pm " +
+        "UNION ALL SELECT hi AS i, lo AS j, m FROM pm), " +
+        "nd AS (SELECT i, CAST(sum(m) AS BIGINT) AS n_duels " +
+        "FROM adj GROUP BY i), " +
+        // round 1 from p0 = 1: denominator folded in ascending-j order
+        "p1 AS (SELECT wn.i, wn.wins, CAST(wn.wins AS DOUBLE) / " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list(CAST(adj.m AS DOUBLE) / (1.0 + 1.0) ORDER BY adj.j)), " +
+        "(acc, x) -> acc + x) AS p " +
+        "FROM wn JOIN adj ON adj.i = wn.i GROUP BY wn.i, wn.wins), " +
+        "p2 AS (SELECT w2.i, CAST(w2.wins AS DOUBLE) / " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list(CAST(a2.m AS DOUBLE) / (pi.p + pj.p) ORDER BY a2.j)), " +
+        "(acc, x) -> acc + x) AS p " +
+        "FROM wn w2 JOIN adj a2 ON a2.i = w2.i " +
+        "JOIN p1 pi ON pi.i = a2.i JOIN p1 pj ON pj.i = a2.j " +
+        "GROUP BY w2.i, w2.wins) " +
+        "SELECT p1.i AS model, p1.wins, nd.n_duels, p1.p AS p1, " +
+        "p2.p AS p2 FROM p1 JOIN p2 ON p2.i = p1.i " +
+        "JOIN nd ON nd.i = p1.i"),
 
     "q_borda_rank" ->
       ("WITH c AS (SELECT user_id, event_type AS candidate, count(*) AS m " +

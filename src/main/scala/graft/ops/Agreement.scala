@@ -251,6 +251,56 @@ object Agreement {
       .withColumn("copeland_x2", lit(2L) * col("wins") + col("ties"))
   }
 
+  /** Bradley–Terry strength fit by MM iteration (Hunter 2004) — the
+    * model behind RLHF preference scores and chess-style leaderboards:
+    * pairwise win counts → latent strengths p with
+    * P(i beats j) = pᵢ/(pᵢ+pⱼ). Two MM rounds from p⁰ = 1:
+    *
+    *   pᵢ' = Wᵢ / Σ_{j≠i} m_ij/(pᵢ+pⱼ)
+    *
+    * (Wᵢ = total wins, m_ij = comparisons of the pair). Determinism:
+    * the duel corpus collapses to a models²-bounded count table (the
+    * ONE collect, documented), and each denominator is a LEFT FOLD in
+    * ascending-j order — the oracle replays the identical IEEE op
+    * sequence with an ORDER BY j list_reduce, so the doubles are
+    * bit-exact, not merely close. Requires every model to have ≥ 1 win
+    * (loud failure otherwise — a zero-strength model would divide by
+    * zero in round 2). Emits (model, wins, n_duels, p1, p2). */
+  def bradleyTerryMM(duels: DataFrame, aCol: String, bCol: String,
+      winnerCol: String): DataFrame = {
+    val spark = duels.sparkSession
+    val d = duels.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"), col(winnerCol).cast("long").as("w"))
+    val winRows = d.groupBy(col("w")).agg(count(lit(1)).as("wins"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairRows = d.select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bounded driver state: models + models² pair counts
+    val models = (pairRows.flatMap(p => Seq(p._1, p._2)) ++ winRows.keys)
+      .distinct.sorted
+    require(models.forall(m => winRows.getOrElse(m, 0L) > 0L),
+      "Bradley-Terry MM needs every model to win at least once")
+    val adj: Map[Long, Seq[(Long, Long)]] = pairRows
+      .flatMap { case (lo, hi, m) => Seq(lo -> (hi, m), hi -> (lo, m)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    def round(p: Map[Long, Double]): Map[Long, Double] =
+      models.map { i =>
+        val den = adj.getOrElse(i, Nil).foldLeft(0.0) { case (acc, (j, m)) =>
+          acc + m.toDouble / (p(i) + p(j))
+        }
+        i -> winRows(i).toDouble / den
+      }.toMap
+    val p0 = models.map(_ -> 1.0).toMap
+    val p1 = round(p0)
+    val p2 = round(p1)
+    val out = models.map(i => (i, winRows(i),
+      adj.getOrElse(i, Nil).map(_._2).sum, p1(i), p2(i)))
+    spark.createDataFrame(out)
+      .toDF("model", "wins", "n_duels", "p1", "p2")
+  }
+
   /** Borda aggregation of per-voter rankings: each voter ranks their
     * PRESENT candidates (metric desc, label asc tie-break) and awards
     * n_present − rank points. Emits (candidate, borda_points,

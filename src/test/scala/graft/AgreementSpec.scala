@@ -142,6 +142,36 @@ class AgreementSpec extends SparkSpec {
     assert(out.getAs[Long]("k_treatments") == 3L)
   }
 
+  test("Bradley-Terry MM: strengths order by true dominance, and the " +
+      "two-model closed form is exact") {
+    // two models, A beats B 3 of 4 -> after round 1:
+    // pA = 3 / (4/2) = 1.5, pB = 1 / (4/2) = 0.5
+    // round 2: pA = 3 / (4/(1.5+0.5)) = 1.5, pB = 1/(4/2) = 0.5 (fixed point)
+    val duels = Seq((0L, 1L, 0L), (0L, 1L, 0L), (1L, 0L, 0L), (1L, 0L, 1L))
+      .toDF("a", "b", "w")
+    val rows = Agreement.bradleyTerryMM(duels, "a", "b", "w")
+      .collect().map(r => r.getAs[Long]("model") ->
+        (r.getAs[Long]("wins"), r.getAs[Double]("p1"),
+          r.getAs[Double]("p2"))).toMap
+    assert(rows(0L) == ((3L, 1.5, 1.5)))
+    assert(rows(1L) == ((1L, 0.5, 0.5)))
+    // three models with transitive dominance: strengths must order
+    val tri = Seq(
+      (0L, 1L, 0L), (0L, 1L, 0L), (0L, 1L, 1L),
+      (1L, 2L, 1L), (1L, 2L, 1L), (1L, 2L, 2L),
+      (0L, 2L, 0L), (0L, 2L, 0L), (0L, 2L, 0L), (0L, 2L, 2L))
+      .toDF("a", "b", "w")
+    val p2 = Agreement.bradleyTerryMM(tri, "a", "b", "w")
+      .collect().map(r => r.getAs[Long]("model") -> r.getAs[Double]("p2"))
+      .toMap
+    assert(p2(0L) > p2(1L) && p2(1L) > p2(2L),
+      s"dominance order must survive the fit: $p2")
+    // a model with zero wins fails loud
+    val zero = Seq((0L, 1L, 0L), (0L, 1L, 0L)).toDF("a", "b", "w")
+    intercept[IllegalArgumentException](
+      Agreement.bradleyTerryMM(zero, "a", "b", "w").collect())
+  }
+
   test("fixture: rater accuracy ramps with rater index (the hash panel " +
       "really encodes skill)") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
