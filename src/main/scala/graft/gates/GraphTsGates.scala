@@ -889,6 +889,18 @@ private[graft] object GraphTsGates {
         daily, "event_type", "d", "x", window = 7, exclusion = 7)
     }),
 
+    // ---- Time series: Croston's intermittent-demand method — split
+    //      SES over demand sizes and inter-demand intervals (α = 1/2,
+    //      dyadic-exact doubles), forecast = z/q; rare-event daily
+    //      demand (value > 300) is the intermittent series ----
+    "ts_croston" -> ((s, dir) => {
+      val demand = t(s, dir, "events").filter(col("value") > 300)
+        .select(col("event_type"), expr("ts div 86400000000000").as("d"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("dem"))
+      graft.ops.TimeSeries.croston(demand, "event_type", "d", "dem")
+    }),
+
     // ---- Time series: Chatterjee's ξ (2020) between time order and
     //      the daily value series — the modern rank-based dependence
     //      coefficient, exact integer rational; two grid-bounded
@@ -1404,6 +1416,31 @@ private[graft] object GraphTsGates {
           "SELECT g AS event_type, CAST(i AS BIGINT) AS i, " +
           "CAST(j AS BIGINT) AS nn_j, dist AS mp_dist FROM r WHERE rn = 1"
       },
+      "ts_croston" ->
+        // Recursive-CTE replay of the dyadic fold: same /2.0 halving
+        // order, q born at the second demand's gap (kalman discipline:
+        // state expressions duplicated textually).
+        ("WITH RECURSIVE g AS (SELECT event_type, " +
+          "epoch_us(ts) // 86400000000 AS day, " +
+          "CAST(count(*) AS DOUBLE) AS d FROM events " +
+          "WHERE value > 300 GROUP BY 1, 2), " +
+          "s AS (SELECT event_type, day, d, row_number() OVER (" +
+          "PARTITION BY event_type ORDER BY day) AS i FROM g), " +
+          "nn AS (SELECT event_type, CAST(count(*) AS BIGINT) " +
+          "AS n_nonzero FROM g GROUP BY 1), " +
+          "mx AS (SELECT event_type, max(i) AS mi FROM s GROUP BY 1), " +
+          "rec AS (SELECT event_type, i, d AS z, " +
+          "CAST(NULL AS DOUBLE) AS q, day AS last FROM s WHERE i = 1 " +
+          "UNION ALL " +
+          "SELECT s.event_type, s.i, r.z / 2.0 + s.d / 2.0 AS z, " +
+          "CASE WHEN r.q IS NULL THEN CAST(s.day - r.last AS DOUBLE) " +
+          "ELSE r.q / 2.0 + CAST(s.day - r.last AS DOUBLE) / 2.0 END AS q, " +
+          "s.day AS last FROM rec r JOIN s " +
+          "ON s.event_type = r.event_type AND s.i = r.i + 1) " +
+          "SELECT r.event_type, nn.n_nonzero, r.z AS z_final, " +
+          "r.q AS q_final, r.z / r.q AS croston_forecast " +
+          "FROM rec r JOIN nn ON nn.event_type = r.event_type " +
+          "JOIN mx ON mx.event_type = r.event_type AND r.i = mx.mi"),
       "ts_chatterjee_xi" ->
         ("WITH g AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d, " +
           "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS y " +

@@ -1676,6 +1676,48 @@ object TimeSeries {
         expr("dtw_cost * 1000000L div (n_a + n_b)"))
   }
 
+  /** Croston's method (1972) for INTERMITTENT demand — the forecasting
+    * standard when most periods are zero (spare parts, rare events,
+    * long-tail SKUs), where plain exponential smoothing biases toward
+    * zero: smooth the nonzero demand SIZES z and the INTERVALS q
+    * between them separately, forecast z/q per period. α = 1/2 keeps
+    * every state dyadic (halves of integers), so the recursive-CTE
+    * oracle replays the doubles bit-exactly — the kalman/holt
+    * discipline. Contract: z starts at the first demand; q starts at
+    * the SECOND demand's gap; both update z' = z/2 + d/2,
+    * q' = q/2 + gap/2 from then on. Keys with < 2 demands emit NULL
+    * q/forecast. Only NONZERO demand rows are consumed (gaps come from
+    * the ord column differences — no dense grid materialization).
+    * One collect_list fold per key over the aggregated grid. */
+  def croston(grid: DataFrame, keyCol: String, ordCol: String,
+      demandCol: String): DataFrame = {
+    val series = array_sort(collect_list(struct(
+      col(ordCol).cast("long").as("o"),
+      col(demandCol).cast("double").as("d"))))
+    val zero = struct(
+      lit(null).cast("double").as("z"), lit(null).cast("double").as("q"),
+      lit(null).cast("long").as("last"))
+    val step = (acc: Column, e: Column) => {
+      val gap = (e.getField("o") - acc.getField("last")).cast("double")
+      when(acc.getField("z").isNull,
+        struct(e.getField("d").as("z"), lit(null).cast("double").as("q"),
+          e.getField("o").as("last")))
+        .otherwise(struct(
+          (acc.getField("z") / 2.0 + e.getField("d") / 2.0).as("z"),
+          when(acc.getField("q").isNull, gap)
+            .otherwise(acc.getField("q") / 2.0 + gap / 2.0).as("q"),
+          e.getField("o").as("last")))
+    }
+    grid.filter(col(demandCol) > 0)
+      .groupBy(col(keyCol))
+      .agg(series.as("__s"), count(lit(1)).as("n_nonzero"))
+      .select(col(keyCol), col("n_nonzero"),
+        aggregate(col("__s"), zero, step).as("__f"))
+      .select(col(keyCol), col("n_nonzero"),
+        col("__f.z").as("z_final"), col("__f.q").as("q_final"),
+        (col("__f.z") / col("__f.q")).as("croston_forecast"))
+  }
+
   /** Chatterjee's ξ rank correlation (Chatterjee 2020) between time
     * order and value per key: with unique y-ranks r_i (ties broken by
     * the time column) read off in time order,

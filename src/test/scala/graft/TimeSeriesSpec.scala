@@ -894,6 +894,27 @@ class TimeSeriesSpec extends SparkSpec {
       "alternation should give DW > 3")
   }
 
+  test("croston: hand-walked intermittent series — z and q are exact " +
+      "dyadic folds, forecast z/q; single-demand keys have NULL q") {
+    // demands at days 2 (d=4), 5 (d=2), 11 (d=6):
+    // init: z=4, q=null, last=2
+    // day 5: z=4/2+2/2=3, q=gap=3, last=5
+    // day 11: z=3/2+6/2=4.5, q=3/2+6/2=4.5 -> forecast 1.0
+    val df = Seq(("k", 2L, 4L), ("k", 5L, 2L), ("k", 11L, 6L),
+      ("solo", 7L, 9L)).toDF("k", "t", "d")
+    val rows = TimeSeries.croston(df, "k", "t", "d")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val k = rows("k")
+    assert(k.getAs[Long]("n_nonzero") == 3L)
+    assert(k.getAs[Double]("z_final") == 4.5)
+    assert(k.getAs[Double]("q_final") == 4.5)
+    assert(k.getAs[Double]("croston_forecast") == 1.0)
+    val solo = rows("solo")
+    assert(solo.getAs[Double]("z_final") == 9.0)
+    assert(solo.isNullAt(solo.fieldIndex("q_final")))
+    assert(solo.isNullAt(solo.fieldIndex("croston_forecast")))
+  }
+
   test("sampleEntropyCounts: a constant series matches every template " +
       "(A = B = n_pairs); a one-spike series loses the spike templates") {
     val const = (1L to 10L).map(i => ("k", i, 5L)).toDF("k", "t", "y")
