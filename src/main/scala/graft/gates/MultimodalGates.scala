@@ -513,6 +513,16 @@ private[graft] object MultimodalGates {
       Multimodal.aiffStats(d, "doc_id", "content")
     }),
 
+    // ---- Multimodal: ID3v2 tag extraction — synchsafe sizes, the
+    //      v2.3 (BE32) / v2.4 (synchsafe) frame-size split per parity,
+    //      ISO-8859-1 text frames, padding/trailing-audio boundaries ----
+    "mm_id3_tags" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", MediaFixtures.id3Bytes)
+      Multimodal.id3Tags(d, "doc_id", "content")
+    }),
+
     // ---- Multimodal: Sun AU (.au/.snd) container — the third audio
     //      container shape: big-endian header, annotation-padding skip,
     //      "unknown size" sentinel, and THREE encodings (mu-law,
@@ -891,6 +901,23 @@ private[graft] object MultimodalGates {
           "CAST(list_sum(es) * 1000 // ((w - 2) * (h - 2)) AS BIGINT) " +
           "AS energy_mean_q FROM gr"
       },
+      "mm_id3_tags" ->
+        // Closed-form replay: the same strings the fixture wrote; the
+        // engine had to parse the synchsafe header and per-version
+        // frame sizes to agree. tag_size = 4 frames x (10 hdr + 1 enc)
+        // + text lengths.
+        ("SELECT doc_id AS id, " +
+          "CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS BIGINT) " +
+          "AS version, " +
+          "CAST(44 + 19 + length(CAST(doc_id % 100 AS VARCHAR)) + " +
+          "length(CAST(doc_id % 10 AS VARCHAR)) + " +
+          "length(CAST(doc_id % 7 AS VARCHAR)) + " +
+          "length(CAST(doc_id % 20 + 1 AS VARCHAR)) AS BIGINT) " +
+          "AS tag_size, " +
+          "'Title ' || CAST(doc_id % 100 AS VARCHAR) AS title, " +
+          "'Artist ' || CAST(doc_id % 10 AS VARCHAR) AS artist, " +
+          "'Album ' || CAST(doc_id % 7 AS VARCHAR) AS album, " +
+          "CAST(doc_id % 20 + 1 AS BIGINT) AS track FROM documents"),
       "mm_audio_aiff" -> {
         // Sample replay: the same PCM16 formula the fixture wrote; the
         // engine had to walk the IFF chunks (odd-size pad), read the

@@ -679,6 +679,92 @@ object Multimodal {
       .toDF()
   }
 
+  /** One ID3 row: tag header fields plus the classic text frames. */
+  final case class Id3Row(
+      id: Long, version: Option[Long], tag_size: Option[Long],
+      title: Option[String], artist: Option[String], album: Option[String],
+      track: Option[Long])
+
+  /** ID3v2 metadata extraction (the MP3 tag container — the metadata
+    * sidecar audio ingest pipelines mine before any sample decode):
+    * "ID3" magic, version 2.3/2.4, SYNCHSAFE 28-bit tag size (7 bits
+    * per byte — the format's signature quirk, so a size byte can never
+    * alias an MPEG sync pattern), then a frame walk — 4-char frame id,
+    * frame size (plain BE32 in v2.3, synchsafe again in v2.4), 2 flag
+    * bytes, payload. Text frames (T***) carry an encoding byte:
+    * 0 = ISO-8859-1, 3 = UTF-8 (others → NULL field). The walk stops at
+    * the first padding zero byte. Extracts TIT2/TPE1/TALB/TRCK. Bad
+    * magic, truncation, extended headers, or an overrunning frame →
+    * NULL row, never a task failure. Row-local, no shuffle. */
+  def id3Tags(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        val bad = Id3Row(id, None, None, None, None, None, None)
+        try {
+          if (b == null || b.length < 10 || b(0) != 'I' || b(1) != 'D' ||
+            b(2) != '3') bad
+          else {
+            val ver = b(3) & 0xff
+            val flags = b(5) & 0xff
+            def ss(o: Int): Int =
+              ((b(o) & 0x7f) << 21) | ((b(o + 1) & 0x7f) << 14) |
+                ((b(o + 2) & 0x7f) << 7) | (b(o + 3) & 0x7f)
+            def be32(o: Int): Int =
+              ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+                ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+            val size = ss(6)
+            if ((ver != 3 && ver != 4) || (flags & 0x40) != 0 ||
+              10 + size > b.length) bad
+            else {
+              var p = 10
+              val end = 10 + size
+              var title: Option[String] = None
+              var artist: Option[String] = None
+              var album: Option[String] = None
+              var track: Option[Long] = None
+              var ok = true
+              while (ok && p + 10 <= end && b(p) != 0) {
+                val fid = new String(b, p, 4, "US-ASCII")
+                val fsz = if (ver == 4) ss(p + 4) else be32(p + 4)
+                if (fsz < 0 || p + 10 + fsz > end) ok = false
+                else {
+                  if (fid.startsWith("T") && fsz >= 1) {
+                    val enc = b(p + 10) & 0xff
+                    val txt =
+                      if (enc == 0)
+                        Some(new String(b, p + 11, fsz - 1, "ISO-8859-1"))
+                      else if (enc == 3)
+                        Some(new String(b, p + 11, fsz - 1, "UTF-8"))
+                      else None
+                    fid match {
+                      case "TIT2" => title = txt
+                      case "TPE1" => artist = txt
+                      case "TALB" => album = txt
+                      case "TRCK" => track = txt.flatMap(t =>
+                        scala.util.Try(t.takeWhile(_.isDigit).toLong).toOption)
+                      case _ => ()
+                    }
+                  }
+                  p += 10 + fsz
+                }
+              }
+              if (!ok) bad
+              else Id3Row(id, Some(ver.toLong), Some(size.toLong),
+                title, artist, album, track)
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => bad
+        }
+      }))
+      .toDF()
+  }
+
   /** One dual-tone detection row: the winning low/high periods, the
     * decoded keypad digit, and the quadrature scores that won. */
   final case class ToneRow(
@@ -3856,6 +3942,41 @@ object MediaFixtures {
       bb.write(((53 * ci + 3 * seed) % 256).toInt)
       ci += 1
     }
+    bb.toByteArray
+  }
+
+  /** ID3v2 fixture: v2.3 for even ids (plain BE32 frame sizes), v2.4
+    * for odd (synchsafe frame sizes), four text frames from closed-form
+    * strings, then non-tag trailing bytes the walk must ignore. */
+  def id3Bytes(id: Long): Array[Byte] = {
+    val ver = if (id % 2 == 0) 3 else 4
+    val title = s"Title ${id % 100}"
+    val artist = s"Artist ${id % 10}"
+    val album = s"Album ${id % 7}"
+    val track = s"${id % 20 + 1}"
+    val frames = Seq("TIT2" -> title, "TPE1" -> artist,
+      "TALB" -> album, "TRCK" -> track)
+    val bb = new java.io.ByteArrayOutputStream()
+    def ss(v: Int): Unit = {
+      bb.write((v >> 21) & 0x7f); bb.write((v >> 14) & 0x7f)
+      bb.write((v >> 7) & 0x7f); bb.write(v & 0x7f)
+    }
+    def be32(v: Int): Unit = {
+      bb.write((v >> 24) & 0xff); bb.write((v >> 16) & 0xff)
+      bb.write((v >> 8) & 0xff); bb.write(v & 0xff)
+    }
+    val tagSize = frames.map(f => 10 + 1 + f._2.length).sum
+    bb.write('I'); bb.write('D'); bb.write('3')
+    bb.write(ver); bb.write(0); bb.write(0)
+    ss(tagSize)
+    frames.foreach { case (fid, txt) =>
+      fid.getBytes("US-ASCII").foreach(bb.write(_))
+      if (ver == 4) ss(1 + txt.length) else be32(1 + txt.length)
+      bb.write(0); bb.write(0)
+      bb.write(0) //                      encoding 0 = ISO-8859-1
+      txt.getBytes("ISO-8859-1").foreach(bb.write(_))
+    }
+    "AUDIOFOLLOWS".getBytes("US-ASCII").foreach(bb.write(_))
     bb.toByteArray
   }
 

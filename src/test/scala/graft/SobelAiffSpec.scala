@@ -92,6 +92,50 @@ class SobelAiffSpec extends SparkSpec {
     }
   }
 
+  test("id3: hand-built v2.3 and v2.4 tags parse; padding stops the " +
+      "walk; overruns and bad magic reject") {
+    import graft.multimodal.MediaFixtures
+    // fixture parity, both versions
+    for (id <- Seq(0L, 1L, 42L, 99L)) {
+      val out = Multimodal.id3Tags(
+        Seq((id, MediaFixtures.id3Bytes(id))).toDF("doc_id", "content"),
+        "doc_id", "content").head()
+      assert(out.getAs[Long]("version") == (if (id % 2 == 0) 3L else 4L))
+      assert(out.getAs[String]("title") == s"Title ${id % 100}")
+      assert(out.getAs[Long]("track") == id % 20 + 1)
+    }
+    // padding: a tag whose declared size extends past the frames stops
+    // at the zero byte instead of misreading padding as a frame
+    val base = MediaFixtures.id3Bytes(4L)
+    val padded = {
+      val bb = new java.io.ByteArrayOutputStream()
+      bb.write(base, 0, 6)
+      val tagSize = ((base(6) & 0x7f) << 21) | ((base(7) & 0x7f) << 14) |
+        ((base(8) & 0x7f) << 7) | (base(9) & 0x7f)
+      val np = tagSize + 8
+      bb.write((np >> 21) & 0x7f); bb.write((np >> 14) & 0x7f)
+      bb.write((np >> 7) & 0x7f); bb.write(np & 0x7f)
+      bb.write(base, 10, base.length - 10 - 12) // frames, minus trailer
+      (0 until 8).foreach(_ => bb.write(0)) //    padding
+      bb.toByteArray
+    }
+    val pr = Multimodal.id3Tags(
+      Seq((4L, padded)).toDF("doc_id", "content"), "doc_id", "content")
+      .head()
+    assert(pr.getAs[String]("album") == "Album 4")
+    // overrunning frame size rejects as a NULL row
+    val broken = base.clone()
+    broken(14) = 0x7f // TIT2 frame size high byte -> huge
+    val br = Multimodal.id3Tags(
+      Seq((4L, broken)).toDF("doc_id", "content"), "doc_id", "content")
+      .head()
+    assert(br.isNullAt(br.fieldIndex("title")))
+    val bad = base.clone(); bad(0) = 'X'
+    val bm = Multimodal.id3Tags(
+      Seq((4L, bad)).toDF("doc_id", "content"), "doc_id", "content").head()
+    assert(bm.isNullAt(bm.fieldIndex("version")))
+  }
+
   test("aiff: fractional 80-bit rates and bad magic reject as NULL rows") {
     val good = MediaFixtures.aiffBytes(5L)
     // corrupt the mantissa low byte: rate becomes fractional
