@@ -149,6 +149,15 @@ private[graft] object QualityGates {
           Agreement.raterLabel(0).as("a"), Agreement.raterLabel(1).as("b")),
         "a", "b")),
 
+    // ---- Agreement: WEIGHTED Cohen's κ (quadratic weights, labels as
+    //      ordinal scores) between raters 0 and 2 — near-misses cost
+    //      less than far misses; exact integers off the same grid ----
+    "q_weighted_kappa" -> ((s, dir) =>
+      Agreement.weightedKappa(
+        t(s, dir, "events").select(
+          Agreement.raterLabel(0).as("a"), Agreement.raterLabel(2).as("b")),
+        "a", "b", Agreement.Labels)),
+
     // ---- Agreement: Fleiss' κ over the full 5-rater panel — exact
     //      rational from per-item label counts; one (item,label)
     //      aggregate, grid-local arithmetic after ----
@@ -293,6 +302,29 @@ private[graft] object QualityGates {
         "SELECT n, n_agree, " +
         "CAST(n * n_agree - sum_rc AS BIGINT) AS kappa_num, " +
         "CAST(n * n - sum_rc AS BIGINT) AS kappa_den FROM tot, rc"),
+
+    "q_weighted_kappa" -> {
+      def sc(c: String) = Agreement.Labels.zipWithIndex
+        .map { case (l, i) => s"WHEN $c = '$l' THEN $i" }
+        .mkString("CASE ", " ", " END")
+      s"WITH p AS (SELECT ${Agreement.raterLabelSql(0)} AS a, " +
+        s"${Agreement.raterLabelSql(2)} AS b FROM events), " +
+        "conf AS (SELECT a, b, count(*) AS cnt FROM p GROUP BY a, b), " +
+        s"w AS (SELECT a, b, cnt, (${sc("a")} - ${sc("b")}) * " +
+        s"(${sc("a")} - ${sc("b")}) AS ww FROM conf), " +
+        "obs AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, " +
+        "CAST(sum(ww * cnt) AS BIGINT) AS obs_w FROM w), " +
+        "ra AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS r FROM conf " +
+        "GROUP BY a), " +
+        "cb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c FROM conf " +
+        "GROUP BY b), " +
+        s"ex AS (SELECT CAST(sum((${sc("ra.a")} - ${sc("cb.b")}) * " +
+        s"(${sc("ra.a")} - ${sc("cb.b")}) * ra.r * cb.c) AS BIGINT) " +
+        "AS exp_w FROM ra CROSS JOIN cb) " +
+        "SELECT n, obs_w, exp_w, " +
+        "CAST(exp_w - n * obs_w AS BIGINT) AS kappa_num, " +
+        "exp_w AS kappa_den FROM obs, ex"
+    },
 
     "q_fleiss_kappa" ->
       (s"WITH r AS (${ratingsSql(withAbstain = false)}), " +

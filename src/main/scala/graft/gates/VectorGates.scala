@@ -1055,6 +1055,17 @@ private[graft] object VectorGates {
     "sample_pps" -> ((s, dir) =>
       graft.ops.Sampling.systematicPps(
         t(s, dir, "documents"), col("doc_id"), col("n_chars"), k = 50)),
+
+    // ---- Sampling: PRIORITY sampling (Duffield–Lund–Thorup) — the
+    //      weighted without-replacement scheme with near-optimal
+    //      subset-sum variance; deterministic hash uniforms, top-k by
+    //      w·P/h, one TakeOrdered ----
+    "sample_priority" -> ((s, dir) =>
+      graft.ops.Sampling.prioritySample(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (floor(col("o_totalprice")).cast("long") + 1L).as("w")),
+        "o_orderkey", "w", k = 40)),
   )
 
   def oracles: Map[String, String] = {
@@ -1722,6 +1733,15 @@ private[graft] object VectorGates {
           s"% ${TextHash.P}, doc_id) AS rn FROM documents) " +
           "SELECT r.source, r.doc_id, a2.n_stratum, a2.alloc " +
           "FROM r JOIN a2 USING (source) WHERE rn <= alloc"),
+      "sample_priority" ->
+        (s"WITH b AS (SELECT o_orderkey AS id, " +
+          "CAST(floor(o_totalprice) AS BIGINT) + 1 AS weight, " +
+          s"(o_orderkey * 1103515245 + 45567) % ${graft.functions.TextHash.P} " +
+          "+ 1 AS h FROM orders) " +
+          "SELECT id, weight, h, " +
+          s"CAST(weight * ${graft.functions.TextHash.P} AS DOUBLE) / h " +
+          "AS priority FROM b " +
+          "ORDER BY priority DESC, id LIMIT 40"),
       "sample_pps" -> {
         val picks = "(cum * 50) // total - ((cum - w) * 50) // total"
         "WITH b AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS w " +

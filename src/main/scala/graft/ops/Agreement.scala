@@ -126,6 +126,42 @@ object Agreement {
       (col("n") * col("n") - col("sum_rc")).cast("long").as("kappa_den"))
   }
 
+  /** WEIGHTED Cohen's κ (quadratic weights) for ORDINAL labels — the
+    * agreement coefficient when disagreeing by one grade is better
+    * than by four (quality scores, Likert annotations). With
+    * w_ij = (score_i − score_j)² over the k×k confusion grid:
+    * κ_w = 1 − n·Σ w_ij·n_ij / Σ w_ij·rᵢ·cⱼ — exact integers. Emits
+    * (n, obs_w, exp_w, kappa_num = exp_w − n·obs_w... both scaled by
+    * the same Σ, kappa_den). Label → score via the caller's ordered
+    * label list. */
+  def weightedKappa(pairs: DataFrame, aCol: String, bCol: String,
+      order: Seq[String]): DataFrame = {
+    val scoreOf: Column => Column = c =>
+      order.zipWithIndex.tail.foldLeft(when(c === order.head, 0L)) {
+        case (acc, (l, i)) => acc.when(c === l, i.toLong)
+      }
+    val conf = pairs.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w",
+        (scoreOf(col("a")) - scoreOf(col("b"))) *
+          (scoreOf(col("a")) - scoreOf(col("b"))))
+    val obs = conf.agg(sum(col("cnt")).as("n"),
+      sum(col("w") * col("cnt")).as("obs_w"))
+    val marg = conf.groupBy(col("a")).agg(sum(col("cnt")).as("ra"))
+      .crossJoin(conf.groupBy(col("b")).agg(sum(col("cnt")).as("cb"))
+        .withColumnRenamed("b", "b2"))
+      .withColumn("w",
+        (scoreOf(col("a")) - scoreOf(col("b2"))) *
+          (scoreOf(col("a")) - scoreOf(col("b2"))))
+      .agg(sum(col("w") * col("ra") * col("cb")).as("exp_w"))
+    obs.crossJoin(marg).select(
+      col("n").cast("long").as("n"),
+      col("obs_w").cast("long").as("obs_w"),
+      col("exp_w").cast("long").as("exp_w"),
+      (col("exp_w") - col("n") * col("obs_w")).cast("long").as("kappa_num"),
+      col("exp_w").cast("long").as("kappa_den"))
+  }
+
   /** Fleiss' κ for a fixed m-rater panel as an exact rational. With
     * A = Σᵢⱼ n_ij² − N·m, B = N·m(m−1), C = Σⱼ cⱼ², D = (N·m)²:
     * κ = (A·D − C·B) / (B·(D − C)). One (item,label) count aggregate,

@@ -576,4 +576,26 @@ object Sampling {
           col("__cum").as("cum"), col("__picks").as("n_picks"))
     } finally { parted.unpersist(); () }
   }
+
+  /** PRIORITY sampling (Duffield–Lund–Thorup 2007) — the weighted
+    * without-replacement scheme with near-optimal subset-sum variance:
+    * each row draws u_i ∈ (0,1] (here the DETERMINISTIC hash
+    * u = h/P, so the sample is reproducible and oracle-replayable) and
+    * gets priority q_i = w_i/u_i = w_i·P/h_i; the sample is the top-k
+    * by priority. w·P stays under 2⁵³ for the weights this corpus
+    * carries, so the one double division is the only float op — bit-
+    * exact in both engines. Emits (id, weight, h, priority) for the k
+    * winners (ties to the smaller id). Top-k is an orderBy().limit()
+    * — TakeOrdered, never a corpus window. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = pmod(col(idCol) * 1103515245L + 45567L, lit(TextHash.P)) + 1L
+    df.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("weight"), h.as("h"))
+      .withColumn("priority",
+        (col("weight") * TextHash.P).cast("double") / col("h"))
+      .orderBy(col("priority").desc, col("id"))
+      .limit(k)
+  }
 }

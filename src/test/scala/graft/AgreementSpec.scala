@@ -142,6 +142,23 @@ class AgreementSpec extends SparkSpec {
     assert(out.getAs[Long]("k_treatments") == 3L)
   }
 
+  test("weighted kappa: perfect agreement gives num == den; adjacent " +
+      "disagreements hurt less than distant ones") {
+    val order = Seq("a", "b", "c")
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c"), ("a", "a"))
+      .toDF("x", "y")
+    val p = Agreement.weightedKappa(perfect, "x", "y", order).head()
+    assert(p.getAs[Long]("obs_w") == 0L)
+    assert(p.getAs[Long]("kappa_num") == p.getAs[Long]("kappa_den"))
+    // same marginals, one near-miss vs one far-miss: far-miss has the
+    // larger observed weight, so the smaller kappa numerator
+    val near = Seq(("a", "b"), ("b", "b"), ("c", "c")).toDF("x", "y")
+    val far = Seq(("a", "c"), ("b", "b"), ("c", "c")).toDF("x", "y")
+    val kn = Agreement.weightedKappa(near, "x", "y", order).head()
+    val kf = Agreement.weightedKappa(far, "x", "y", order).head()
+    assert(kn.getAs[Long]("obs_w") == 1L && kf.getAs[Long]("obs_w") == 4L)
+  }
+
   test("Bradley-Terry MM: strengths order by true dominance, and the " +
       "two-model closed form is exact") {
     // two models, A beats B 3 of 4 -> after round 1:
