@@ -212,6 +212,26 @@ private[graft] object QualityGates {
           .agg(count(lit(1)).as("m")),
         "user_id", "candidate", "m")),
 
+    // ---- Stratified causal readout: Mantel–Haenszel common odds
+    //      ratio (treatment = user parity, outcome = click vs view,
+    //      strata = day of week); stratum-ordered fold, bit-exact ----
+    "q_mantel_haenszel" -> ((s, dir) =>
+      graft.ops.Profile.mantelHaenszel(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("click", "view")),
+        pmod(expr("ts div 86400000000000"), lit(7L)),
+        pmod(col("user_id"), lit(2L)) === 0L,
+        col("event_type") === "click")),
+
+    // ---- Dose–response: Cochran–Armitage trend components over
+    //      graded value buckets — exact BIGINTs only ----
+    "q_cochran_armitage" -> ((s, dir) =>
+      graft.ops.Profile.cochranArmitage(
+        t(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase")),
+        expr("cast(floor(value) as bigint) div 100"),
+        col("event_type") === "purchase")),
+
     // ---- Concordance: Kendall's W across users ranking the 5 types —
     //      tie-corrected exact rational over the ×2 rank grid ----
     "q_kendall_w" -> ((s, dir) =>
@@ -440,6 +460,39 @@ private[graft] object QualityGates {
         "AS rnk, count(*) OVER (PARTITION BY user_id) AS np FROM c) " +
         "SELECT candidate, CAST(sum(np - rnk) AS BIGINT) AS borda_points, " +
         "CAST(count(*) AS BIGINT) AS n_voters FROM rk GROUP BY candidate"),
+
+    "q_mantel_haenszel" ->
+      ("WITH e AS (SELECT epoch_us(ts) // 86400000000 % 7 AS s, " +
+        "(user_id % 2 = 0) AS tr, (event_type = 'click') AS oc " +
+        "FROM events WHERE event_type IN ('click', 'view')), " +
+        "c AS (SELECT s, " +
+        "CAST(sum(CASE WHEN tr AND oc THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(sum(CASE WHEN tr AND NOT oc THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN NOT tr AND oc THEN 1 ELSE 0 END) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN NOT tr AND NOT oc THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS d FROM e GROUP BY s), " +
+        "f AS (SELECT CAST(count(*) AS BIGINT) AS n_strata, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list(CAST(a * d AS DOUBLE) / (a + b + c + d) ORDER BY s)), " +
+        "(x, y) -> x + y) AS mh_num, " +
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list(CAST(b * c AS DOUBLE) / (a + b + c + d) ORDER BY s)), " +
+        "(x, y) -> x + y) AS mh_den FROM c) " +
+        "SELECT n_strata, mh_num, mh_den, mh_num / mh_den AS mh_or FROM f"),
+
+    "q_cochran_armitage" ->
+      ("WITH e AS (SELECT CAST(floor(value) AS BIGINT) // 100 AS s, " +
+        "(event_type = 'purchase') AS oc FROM events " +
+        "WHERE event_type IN ('click', 'purchase')), " +
+        "g AS (SELECT s, " +
+        "CAST(sum(CASE WHEN oc THEN 1 ELSE 0 END) AS BIGINT) AS a, " +
+        "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY s) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(a) AS BIGINT) AS total_success, " +
+        "CAST(sum(n) AS BIGINT) AS total_n, " +
+        "CAST(sum(n) * sum(s * a) - sum(a) * sum(s * n) AS BIGINT) " +
+        "AS t_num, CAST(sum(s * n) AS BIGINT) AS sum_sn, " +
+        "CAST(sum(s * s * n) AS BIGINT) AS sum_s2n FROM g"),
 
     "q_kendall_w" ->
       (s"WITH $gridSql, " +

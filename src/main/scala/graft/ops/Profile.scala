@@ -2357,4 +2357,69 @@ object Profile {
           (lit(1.0) + col("__nge").cast("double")) /
             lit((1 + nPerms).toDouble)).as("p_value"))
   }
+
+  /** Mantel–Haenszel common odds ratio across strata — the stratified
+    * 2×2 estimator (epidemiology / segmented A-B tests): with per-
+    * stratum cells (a = treated-success, b, c, d; n = a+b+c+d),
+    *
+    *   OR_MH = Σᵢ aᵢdᵢ/nᵢ  /  Σᵢ bᵢcᵢ/nᵢ
+    *
+    * Determinism: per-stratum terms are one exact-integer product +
+    * one division each, folded in STRATUM ORDER (the chi2 sorted-fold
+    * discipline) — the doubles are bit-identical across engines, not
+    * merely close. One strata-keyed count aggregate, then a fold over
+    * the O(strata) grid. Emits (n_strata, mh_num, mh_den, mh_or). */
+  def mantelHaenszel(df: DataFrame, strataCol: Column, treated: Column,
+      outcome: Column): DataFrame = {
+    val cells = df.groupBy(strataCol.as("s")).agg(
+      sum(when(treated && outcome, 1L).otherwise(0L)).as("a"),
+      sum(when(treated && !outcome, 1L).otherwise(0L)).as("b"),
+      sum(when(!treated && outcome, 1L).otherwise(0L)).as("c"),
+      sum(when(!treated && !outcome, 1L).otherwise(0L)).as("d"))
+    val series = array_sort(collect_list(struct(col("s"), col("a"),
+      col("b"), col("c"), col("d"))))
+    val zero = struct(lit(0.0).as("num"), lit(0.0).as("den"))
+    val step = (acc: Column, e: Column) => {
+      val n = (e.getField("a") + e.getField("b") + e.getField("c") +
+        e.getField("d")).cast("double")
+      struct(
+        (acc.getField("num") +
+          (e.getField("a") * e.getField("d")).cast("double") / n).as("num"),
+        (acc.getField("den") +
+          (e.getField("b") * e.getField("c")).cast("double") / n).as("den"))
+    }
+    cells.agg(series.as("__s"), count(lit(1)).as("n_strata"))
+      .select(col("n_strata"), aggregate(col("__s"), zero, step).as("__f"))
+      .select(col("n_strata"),
+        col("__f.num").as("mh_num"), col("__f.den").as("mh_den"),
+        (col("__f.num") / col("__f.den")).as("mh_or"))
+  }
+
+  /** Cochran–Armitage trend-test components for ordered binomial
+    * groups (dose–response over graded exposures): with score sᵢ,
+    * successes aᵢ, totals nᵢ, A = Σa, N = Σn, the statistic
+    * T = Σsᵢ(aᵢ·N − nᵢ·A)/N has the exact-integer numerator
+    * t_num = N·Σsᵢaᵢ − A·Σsᵢnᵢ, and its variance needs only
+    * (A, N, Σsᵢnᵢ, Σsᵢ²nᵢ) — all emitted as exact BIGINTs so the
+    * z² assembly is consumer-side, nothing floating here. One
+    * group-keyed aggregate over the graded grid. */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+      success: Column): DataFrame = {
+    val g = df.groupBy(scoreCol.as("s")).agg(
+      sum(when(success, 1L).otherwise(0L)).as("a"),
+      count(lit(1)).as("n"))
+    g.agg(
+      sum(col("a")).as("__A"), sum(col("n")).as("__N"),
+      sum(col("s") * col("a")).as("__sa"),
+      sum(col("s") * col("n")).as("__sn"),
+      sum(col("s") * col("s") * col("n")).as("__s2n"),
+      count(lit(1)).as("n_groups"))
+      .select(col("n_groups"),
+        col("__A").cast("long").as("total_success"),
+        col("__N").cast("long").as("total_n"),
+        (col("__N") * col("__sa") - col("__A") * col("__sn")).cast("long")
+          .as("t_num"),
+        col("__sn").cast("long").as("sum_sn"),
+        col("__s2n").cast("long").as("sum_s2n"))
+  }
 }
