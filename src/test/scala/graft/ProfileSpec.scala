@@ -995,4 +995,44 @@ class ProfileSpec extends SparkSpec {
     val o = Profile.runsTest(one, "k", "o", "v").collect().head
     assert(o.isNullAt(o.fieldIndex("z")))
   }
+
+  test("mantelHaenszel: single stratum reduces to the plain odds ratio; " +
+      "a confounded pair of strata pulls OR_MH toward 1") {
+    import org.apache.spark.sql.functions.col
+    // one stratum: a=30 d=20, b=10 c=15 -> OR = (30*20/75)/(10*15/75) = 4
+    def rows(s: Long, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val single = rows(0L, 30, 10, 15, 20).toDF("s", "tr", "oc")
+    val r1 = Profile.mantelHaenszel(single, col("s"), col("tr"), col("oc"))
+      .head()
+    assert(r1.getAs[Long]("n_strata") == 1L)
+    assert(r1.getAs[Double]("mh_or") == 4.0)
+    // two strata, each with NO within-stratum effect (OR=1), but
+    // opposite base rates: MH stays 1 where the pooled table would not
+    val conf = (rows(0L, 40, 10, 40, 10) ++ rows(1L, 5, 20, 5, 20))
+      .toDF("s", "tr", "oc")
+    val r2 = Profile.mantelHaenszel(conf, col("s"), col("tr"), col("oc"))
+      .head()
+    assert(r2.getAs[Double]("mh_or") == 1.0,
+      s"stratification must remove the confounding: ${r2}")
+  }
+
+  test("cochranArmitage: a clean positive dose-response gives t_num > 0; " +
+      "a flat response gives exactly 0") {
+    import org.apache.spark.sql.functions.col
+    def grp(s: Long, succ: Int, fail: Int) =
+      Seq.fill(succ)((s, true)) ++ Seq.fill(fail)((s, false))
+    val up = (grp(0L, 1, 9) ++ grp(1L, 5, 5) ++ grp(2L, 9, 1))
+      .toDF("s", "oc")
+    val r = Profile.cochranArmitage(up, col("s"), col("oc")).head()
+    assert(r.getAs[Long]("t_num") > 0L)
+    assert(r.getAs[Long]("total_success") == 15L)
+    assert(r.getAs[Long]("total_n") == 30L)
+    // flat: same proportion everywhere -> N*Σsa == A*Σsn exactly
+    val flat = (grp(0L, 3, 7) ++ grp(1L, 3, 7) ++ grp(2L, 3, 7))
+      .toDF("s", "oc")
+    val rf = Profile.cochranArmitage(flat, col("s"), col("oc")).head()
+    assert(rf.getAs[Long]("t_num") == 0L)
+  }
 }
