@@ -212,6 +212,21 @@ private[graft] object QualityGates {
           .agg(count(lit(1)).as("m")),
         "user_id", "candidate", "m")),
 
+    // ---- Policy replay: deterministic epsilon-greedy bandit over the
+    //      daily per-arm reward grid — off-policy counterfactual
+    //      evaluation (Li et al. 2011 replay method); exact-integer
+    //      state, cross-multiplied argmax, hash exploration ----
+    "q_bandit_replay" -> ((s, dir) => {
+      val rewards = t(s, dir, "events")
+        .select(expr("ts div 86400000000000").as("period"),
+          col("event_type").as("arm"),
+          floor(col("value")).cast("long").as("r"))
+        .groupBy(col("period"), col("arm"))
+        .agg(sum(col("r")).as("reward"))
+      graft.ops.Bandit.epsilonGreedyReplay(
+        rewards, "period", "arm", "reward", Agreement.Labels)
+    }),
+
     // ---- Stratified causal readout: Mantel–Haenszel common odds
     //      ratio (treatment = user parity, outcome = click vs view,
     //      strata = day of week); stratum-ordered fold, bit-exact ----
@@ -460,6 +475,61 @@ private[graft] object QualityGates {
         "AS rnk, count(*) OVER (PARTITION BY user_id) AS np FROM c) " +
         "SELECT candidate, CAST(sum(np - rnk) AS BIGINT) AS borda_points, " +
         "CAST(count(*) AS BIGINT) AS n_voters FROM rk GROUP BY candidate"),
+
+    "q_bandit_replay" -> {
+      // Recursive replay of the deterministic policy walk: the inner
+      // nesting binds the chosen arm (cold-start first-unplayed, else
+      // cross-multiplied argmax with earliest-max ties), the next binds
+      // its reward, the outer updates the 5x(sum,count) integer state.
+      val arms = Agreement.Labels
+      val idx = arms.indices
+      val rcols = idx.map(i =>
+        s"CAST(sum(CASE WHEN arm = '${arms(i)}' THEN r ELSE 0 END) " +
+          s"AS BIGINT) AS r$i").mkString(", ")
+      val h = s"((sq.period * ${graft.ops.Bandit.HashA} + " +
+        s"${graft.ops.Bandit.HashC}) % ${graft.ops.Bandit.HashP})"
+      val cold = idx.map(i => s"WHEN pr.c$i = 0 THEN $i").mkString(" ")
+      val argmax = idx.map { i =>
+        val conds = idx.filter(_ != i)
+          .map(j => s"pr.s$i * pr.c$j >= pr.s$j * pr.c$i")
+        s"WHEN ${conds.mkString(" AND ")} THEN $i"
+      }.mkString(" ")
+      val chosen = s"CASE WHEN $h % 4 = 0 THEN ($h // 4) % ${arms.size} " +
+        s"ELSE (CASE $cold $argmax END) END"
+      val rw = s"CASE ch ${idx.map(i => s"WHEN $i THEN r$i").mkString(" ")} END"
+      val armName =
+        s"CASE ch ${idx.map(i => s"WHEN $i THEN '${arms(i)}'").mkString(" ")} END"
+      val stateInit = idx.map(i =>
+        s"CAST(0 AS BIGINT) AS s$i, CAST(0 AS BIGINT) AS c$i").mkString(", ")
+      val stateStep = idx.map(i =>
+        s"s$i + CASE WHEN ch = $i THEN rw ELSE 0 END AS s$i, " +
+          s"c$i + CASE WHEN ch = $i THEN 1 ELSE 0 END AS c$i").mkString(", ")
+      val passState = idx.map(i => s"pr.s$i, pr.c$i").mkString(", ")
+      "WITH RECURSIVE base AS (SELECT epoch_us(ts) // 86400000000 " +
+        "AS period, event_type AS arm, CAST(floor(value) AS BIGINT) AS r " +
+        "FROM events), " +
+        s"g AS (SELECT period, $rcols FROM base GROUP BY period), " +
+        "seq AS (SELECT *, row_number() OVER (ORDER BY period) AS t " +
+        "FROM g), " +
+        "rec AS (SELECT CAST(0 AS BIGINT) AS t, " +
+        "CAST(NULL AS BIGINT) AS period, CAST(NULL AS INT) AS explored, " +
+        "CAST(NULL AS VARCHAR) AS chosen_arm, " +
+        "CAST(NULL AS BIGINT) AS reward, CAST(0 AS BIGINT) AS cum_reward, " +
+        s"$stateInit " +
+        "UNION ALL " +
+        "SELECT t, period, explored, " +
+        s"$armName AS chosen_arm, rw AS reward, " +
+        s"cum_reward + rw AS cum_reward, $stateStep FROM (" +
+        s"SELECT i1.*, $rw AS rw FROM (" +
+        "SELECT sq.t, sq.period, " +
+        s"CAST(CASE WHEN $h % 4 = 0 THEN 1 ELSE 0 END AS INT) AS explored, " +
+        s"$chosen AS ch, " +
+        idx.map(i => s"sq.r$i").mkString(", ") + ", " +
+        s"pr.cum_reward, $passState " +
+        "FROM rec pr JOIN seq sq ON sq.t = pr.t + 1) i1)) " +
+        "SELECT period, t, explored, chosen_arm, reward, cum_reward " +
+        "FROM rec WHERE t >= 1"
+    },
 
     "q_mantel_haenszel" ->
       ("WITH e AS (SELECT epoch_us(ts) // 86400000000 % 7 AS s, " +
