@@ -518,6 +518,33 @@ private[graft] object VectorGates {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, planes = 4, k = 3)),
 
+    // ---- Embedding QA: linear-kernel MMD² drift between the two id-
+    //      parity halves, per-dimension exact integers (×64 power-of-
+    //      two quantization is rounding-free) ----
+    "emb_mmd_shift" -> ((s, dir) =>
+      Similarity.mmdShift(t(s, dir, "embeddings"), "vec_id", "embedding",
+        pmod(col("vec_id"), lit(2L)))),
+
+    // ---- Dedup: b-bit minhash (Li & König 2011) — keep only the LOW
+    //      BIT of each of the 8 minhash permutations; matching-bit
+    //      counts on consecutive-id pairs are the storage-compressed
+    //      similarity signal (8 bits vs 8×64-bit signature) ----
+    "dedup_bbit_minhash" -> ((s, dir) => {
+      val sig = t(s, dir, "documents").select(col("doc_id"),
+        TextHash.minhashSignature(
+          TextHash.shingleHashes(
+            TextHash.wordHashes(col("text")), 3), 8).as("sig"))
+      val a = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val b = sig.select((col("doc_id") - 1L).as("id_a"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          (0 until 8).map(j =>
+            when(pmod(element_at(col("sig_a"), j + 1), lit(2L)) ===
+              pmod(element_at(col("sig_b"), j + 1), lit(2L)), 1L)
+              .otherwise(0L)).reduce(_ + _).as("n_match_bits"))
+    }),
+
     // ---- LLM pipeline: one NN-DESCENT round — the kNN-graph
     //      construction algorithm behind graph ANN indexes: LSH-seeded
     //      lists refined through the undirected two-hop candidate set
@@ -1733,6 +1760,34 @@ private[graft] object VectorGates {
           s"% ${TextHash.P}, doc_id) AS rn FROM documents) " +
           "SELECT r.source, r.doc_id, a2.n_stratum, a2.alloc " +
           "FROM r JOIN a2 USING (source) WHERE rn <= alloc"),
+      "emb_mmd_shift" ->
+        ("WITH e AS (SELECT vec_id % 2 AS g, " +
+          "unnest(list_transform(range(1, len(embedding) + 1), " +
+          "i -> {'d': i, 'v': embedding[i]})) AS s FROM embeddings), " +
+          "f AS (SELECT g, CAST(s.d - 1 AS BIGINT) AS dim, " +
+          "CAST(floor(CAST(s.v AS DOUBLE) * 64.0) AS BIGINT) AS q FROM e), " +
+          "agg AS (SELECT dim, g, CAST(sum(q) AS BIGINT) AS sm, " +
+          "CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2) " +
+          "SELECT a.dim, a.sm AS sa, b.sm AS sb, a.n AS na, b.n AS nb, " +
+          "CAST(a.sm * b.n - b.sm * a.n AS BIGINT) AS diff, " +
+          "CAST((a.sm * b.n - b.sm * a.n) * (a.sm * b.n - b.sm * a.n) " +
+          "AS BIGINT) AS diff_sq FROM agg a JOIN agg b " +
+          "ON a.dim = b.dim AND a.g = 0 AND b.g = 1"),
+      "dedup_bbit_minhash" -> {
+        val wh = OracleSql.wordHashes("text")
+        val sigCols = (0 until 8).map(j =>
+          s"${OracleSql.minhash("sh", j)} AS mh$j").mkString(", ")
+        val matches = (0 until 8).map(j =>
+          s"CASE WHEN a.mh$j % 2 = b.mh$j % 2 THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+          s"sh_t AS (SELECT doc_id, ${OracleSql.shingles("wh", 3)} AS sh " +
+          "FROM base), " +
+          s"sig AS (SELECT doc_id, $sigCols FROM sh_t) " +
+          "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+          s"CAST($matches AS BIGINT) AS n_match_bits " +
+          "FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1"
+      },
       "sample_priority" ->
         (s"WITH b AS (SELECT o_orderkey AS id, " +
           "CAST(floor(o_totalprice) AS BIGINT) + 1 AS weight, " +

@@ -1222,6 +1222,35 @@ object Similarity {
         col("x.cosine").as("cosine"))
   }
 
+  /** Linear-kernel MMD² distribution-shift readout between two
+    * embedding groups — "did this batch drift?" for vector corpora:
+    * with per-dim quantized sums Sa_d, Sb_d and group sizes na, nb,
+    * ‖μa − μb‖² scaled by (na·nb)² is Σ_d (Sa_d·nb − Sb_d·na)² — all
+    * EXACT integers (quantization multiplies by 64, a power of two, so
+    * even the float→int step is rounding-free). Emits one row per
+    * dimension (dim, sa, sb, na, nb, diff, diff_sq) — the per-dim
+    * decomposition names WHICH directions drifted, and keeps every
+    * value Long-safe at any corpus size (the consumer sums diff_sq
+    * for the scalar MMD²). One (dim, group)-keyed aggregate over the
+    * exploded vectors — the standard columnar shuffle. */
+  def mmdShift(emb: DataFrame, idCol: String, vecCol: String,
+      grp: Column): DataFrame = {
+    val e = emb.select(grp.as("g"),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val agg = e.groupBy(col("dim"), col("g"))
+      .agg(sum(floor(col("v").cast("double") * 64.0).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+    val a = agg.filter(col("g") === 0L).select(col("dim"),
+      col("s").as("sa"), col("n").as("na"))
+    val b = agg.filter(col("g") === 1L).select(col("dim"),
+      col("s").as("sb"), col("n").as("nb"))
+    a.join(b, "dim")
+      .withColumn("diff", col("sa") * col("nb") - col("sb") * col("na"))
+      .withColumn("diff_sq", col("diff") * col("diff"))
+      .select(col("dim").cast("long").as("dim"), col("sa"), col("sb"),
+        col("na"), col("nb"), col("diff"), col("diff_sq"))
+  }
+
   /** One NN-DESCENT refinement round (Dong et al. 2011) over a
     * TWO-TABLE LSH-seeded kNN graph — the algorithm production systems
     * use to build the kNN graphs behind graph ANN indexes (HNSW/NSG
