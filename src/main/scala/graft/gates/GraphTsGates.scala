@@ -485,6 +485,20 @@ private[graft] object GraphTsGates {
       graft.ops.Graph.adamicAdarLinks(pairs, "a", "b", minCommon = 3L)
     }),
 
+    // ---- Graph: link-prediction panel — common neighbors AND
+    //      preferential attachment on identical unlinked 2-hop
+    //      candidates (the adamic-adar siblings), exact integers ----
+    "graph_link_pred" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.linkPredPanel(pairs, "a", "b", minCommon = 3L)
+    }),
+
     // ---- Graph: community detection via synchronous label propagation
     //      (3 rounds, deterministic min-label tie-break) on the same
     //      market-basket graph as graph_triangles ----
@@ -2019,6 +2033,27 @@ private[graft] object GraphTsGates {
           "SELECT CAST(n AS BIGINT) AS n, CAST(in_mis AS INT) AS in_mis, " +
           s"CAST(rr AS BIGINT) AS round FROM ($unions)"
       },
+      "graph_link_pred" ->
+        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "adj AS (SELECT a AS m, b AS n FROM ce " +
+          "UNION ALL SELECT b AS m, a AS n FROM ce), " +
+          "deg AS (SELECT m, CAST(count(*) AS BIGINT) AS d " +
+          "FROM adj GROUP BY m), " +
+          "w AS (SELECT x.n AS na, y.n AS nb FROM adj x JOIN adj y " +
+          "ON x.m = y.m AND x.n < y.n), " +
+          "cn AS (SELECT na, nb, CAST(count(*) AS BIGINT) AS n_common " +
+          "FROM w GROUP BY na, nb HAVING count(*) >= 3), " +
+          "ul AS (SELECT cn.* FROM cn LEFT JOIN ce " +
+          "ON ce.a = cn.na AND ce.b = cn.nb WHERE ce.a IS NULL) " +
+          "SELECT ul.na AS node_a, ul.nb AS node_b, ul.n_common, " +
+          "da.d AS deg_a, db.d AS deg_b, " +
+          "CAST(da.d * db.d AS BIGINT) AS pref_attach " +
+          "FROM ul JOIN deg da ON da.m = ul.na " +
+          "JOIN deg db ON db.m = ul.nb"),
       "graph_hits" ->
         ("WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, " +
           "CAST(l_partkey AS BIGINT) AS dst FROM lineitem " +

@@ -591,6 +591,47 @@ object Graph {
     deg
   }
 
+  /** Link-prediction PANEL for unlinked 2-hop pairs: common-neighbor
+    * count AND preferential attachment deg(u)·deg(v) — the two classic
+    * baselines beside [[adamicAdarLinks]] (Liben-Nowell & Kleinberg
+    * 2003); emitting them together lets a downstream ranker compare
+    * the signals on identical candidates. Same wedge equi-join shape
+    * as adamic-adar (O(Σ deg²) candidate generation, hub-boundable via
+    * the same degree cap upstream), exact integers only. */
+  def linkPredPanel(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Long = 2L): DataFrame = {
+    require(minCommon >= 1L, s"minCommon must be >= 1, got $minCommon")
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b")).persist()
+    val und = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") < col("b")).distinct().persist()
+    try {
+      val adj2 = und.select(col("a").as("m"), col("b").as("n"))
+        .unionByName(und.select(col("b").as("m"), col("a").as("n")))
+        .persist()
+      try {
+        val deg = adj2.groupBy(col("m")).agg(count(lit(1)).as("d"))
+        val wedges = adj2.as("x").join(adj2.as("y"),
+            col("x.m") === col("y.m") && col("x.n") < col("y.n"))
+          .select(col("x.n").as("na"), col("y.n").as("nb"))
+        val cn = wedges.groupBy(col("na"), col("nb"))
+          .agg(count(lit(1)).as("n_common"))
+          .filter(col("n_common") >= minCommon)
+        val unlinked = cn.join(
+          und.select(col("a").as("na"), col("b").as("nb")),
+          Seq("na", "nb"), "left_anti")
+        unlinked
+          .join(deg.select(col("m").as("na"), col("d").as("deg_a")), "na")
+          .join(deg.select(col("m").as("nb"), col("d").as("deg_b")), "nb")
+          .select(col("na").as("node_a"), col("nb").as("node_b"),
+            col("n_common"), col("deg_a"), col("deg_b"),
+            (col("deg_a") * col("deg_b")).as("pref_attach"))
+          .localCheckpoint()
+      } finally { adj2.unpersist(); () }
+    } finally { raw.unpersist(); und.unpersist(); () }
+  }
+
   /** Luby's maximal-independent-set, derandomized: the classic
     * O(log n)-round distributed MIS (Luby 1986) with the random draw
     * replaced by a DETERMINISTIC per-node priority
