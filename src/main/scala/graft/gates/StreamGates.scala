@@ -747,6 +747,30 @@ private[graft] object StreamGates {
         cfg, tmp)
     }),
 
+    // ---- Streaming MAJORITY-VOTE consensus: the incremental twin of
+    //      q_majority_label — per-item tallies in
+    //      flatMapGroupsWithState, monotone m_raters versioning the
+    //      upsert sink, so replays converge to the batch consensus ----
+    "s32_stream_majority" -> ((s, dir) => {
+      val tmp = stableTmp("s32")
+      val target = TargetTable("votes_maj", s"$tmp/target",
+        keyCols = Seq("item"), versionCol = "m_raters", buckets = 4)
+      val cfg = IngestConfig(name = s"s32-maj-${System.nanoTime()}",
+        checkpointDir = Some(s"$tmp/ckpt"))
+      val src = eventsStream(s, cfg, dir)
+        .select(col("event_id"), col("event_type"))
+        .select(col("event_id").as("item"),
+          explode(array((0 until 5).map(r =>
+            graft.ops.Agreement.raterLabel(r)): _*)).as("lbl"))
+      val q = new graft.streaming.AggUpsertStream(s, cfg, target)
+        .run(graft.streaming.Stateful.runningMajority(src),
+          Trigger.AvailableNow())
+      q.awaitTermination()
+      new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("item"), col("maj_label"), col("n_votes"),
+          col("m_raters"))
+    }),
+
     // ---- Streaming dedup, WATERMARK-BOUNDED state: the unbounded-key-
     //      domain twin of s4 (dropDuplicatesWithinWatermark) — state
     //      evicts once the watermark passes a key; the 40-day horizon
@@ -1009,6 +1033,22 @@ private[graft] object StreamGates {
       // is the state-evicting dedup, not the set algebra)
       "s31_stream_dedup_watermark" ->
         "SELECT DISTINCT user_id, event_type FROM events",
+      // streaming consensus converges to the batch majority per item
+      "s32_stream_majority" -> {
+        val ratings = (0 until 5).map(r =>
+          s"SELECT event_id AS item, " +
+            s"${graft.ops.Agreement.raterLabelSql(r)} AS lbl FROM events")
+          .mkString(" UNION ALL ")
+        s"WITH r AS ($ratings), " +
+          "cnts AS (SELECT item, lbl, count(*) AS n FROM r GROUP BY 1, 2), " +
+          "tot AS (SELECT item, CAST(sum(n) AS BIGINT) AS m_raters " +
+          "FROM cnts GROUP BY item) " +
+          "SELECT c.item, c.lbl AS maj_label, " +
+          "CAST(c.n AS BIGINT) AS n_votes, tot.m_raters FROM (" +
+          "SELECT item, lbl, n, row_number() OVER (PARTITION BY item " +
+          "ORDER BY n DESC, lbl) AS rn FROM cnts) c " +
+          "JOIN tot ON tot.item = c.item WHERE c.rn = 1"
+      },
       // single AvailableNow batch → admission = global (ts, id)-first 3
       "s8_stream_quota" ->
         ("SELECT user_id, window_start_us, event_id, ts_us, " +

@@ -67,6 +67,48 @@ object Stateful {
       .toDF()
   }
 
+  /** Vote record for the streaming consensus fold: (item, label). */
+  final case class VoteEvent(item: Long, lbl: String)
+
+  /** Per-item vote tallies — bounded by the label universe. */
+  final case class VoteState(counts: Map[String, Long])
+
+  /** Current consensus per item: majority label (ties to the
+    * lexicographically smallest — the batch majorityVote posture),
+    * its votes, and total raters seen. */
+  final case class VoteUpdate(
+      item: Long, maj_label: String, n_votes: Long, m_raters: Long)
+
+  /** Streaming MAJORITY-VOTE consensus per item — the incremental twin
+    * of [[graft.ops.Agreement.majorityVote]]: per-item label tallies in
+    * flatMapGroupsWithState, emitting the current majority whenever an
+    * item gains votes. `m_raters` is monotone per item, so a latest-wins
+    * upsert keyed on it converges to the batch consensus exactly —
+    * annotation pipelines get live consensus rows without re-reading
+    * the vote log. State is one |labels|-entry map per item. */
+  def runningMajority(src: DataFrame): DataFrame = {
+    implicit val voteEnc = Encoders.product[VoteEvent]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val stateEnc = Encoders.product[VoteState]
+    implicit val outEnc = Encoders.product[VoteUpdate]
+    src
+      .select(col("item").cast("long").as("item"),
+        col("lbl").cast("string").as("lbl"))
+      .as[VoteEvent]
+      .groupByKey(_.item)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[VoteEvent], state: GroupState[VoteState]) =>
+          val counts = rows.foldLeft(
+            state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])) {
+            (m, e) => m + (e.lbl -> (m.getOrElse(e.lbl, 0L) + 1L))
+          }
+          state.update(VoteState(counts))
+          val (maj, n) = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+          Iterator.single(VoteUpdate(key, maj, n, counts.values.sum))
+      }
+      .toDF()
+  }
+
   /** Event for the transition fold: (key, version, tie, type). */
   final case class TransEvent(pkey: Long, ver: Long, tie: Long, etype: String)
 
