@@ -648,6 +648,54 @@ private[graft] object StorageGates {
       stateOut(pt.read().get)
     }),
 
+    // ---- Storage: WRITE-AUDIT-PUBLISH — the Iceberg/Netflix staging
+    //      pattern composed from clone + expectations + change-feed
+    //      merge-back, WITH a real rejected audit: a poisoned staging
+    //      branch fails the expectation gate and is abandoned (main
+    //      provably untouched), then a clean restage passes and
+    //      publishes ----
+    "o37_wap" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_o37_").toString
+      val tbl = graft.model.TargetTable("events_wap", s"$tmp/t",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4,
+        retainVersions = 6)
+      val cfg = IngestConfig(name = s"o37-wap-${System.nanoTime()}",
+        maxWriterPartitions = 4)
+      val pt = new graft.sink.ParquetTarget(s, tbl)
+      val ev = eventRecords(s, dir)
+      pt.mergeUpsert(ev.filter(col("event_id") % 2 === 0), cfg) // v1
+      val mainBefore = pt.read().get.count()
+      // WRITE: stage a POISONED batch on an isolated branch
+      pt.cloneTo(s"$tmp/branch1")
+      val br1 = new graft.sink.ParquetTarget(s,
+        graft.model.TargetTable("events_wap_b1", s"$tmp/branch1",
+          keyCols = key, versionCol = ver, tieBreakCols = tie,
+          buckets = 4, retainVersions = 6))
+      br1.mergeUpsert(ev.filter(col("event_id") % 2 === 1)
+        .withColumn("value", when(pmod(col("pkey"), lit(10L)) === 3L,
+          -col("value") - 1.0).otherwise(col("value"))), cfg)
+      // AUDIT: the expectation gate REJECTS the branch
+      val audit1Bad = br1.read().get.filter(col("value") < 0).count()
+      require(audit1Bad > 0L, "fixture must trip the audit")
+      require(pt.read().get.count() == mainBefore,
+        "a rejected branch must leave main untouched")
+      // restage CLEAN on a fresh branch, audit, PUBLISH via change feed
+      pt.cloneTo(s"$tmp/branch2")
+      val br2 = new graft.sink.ParquetTarget(s,
+        graft.model.TargetTable("events_wap_b2", s"$tmp/branch2",
+          keyCols = key, versionCol = ver, tieBreakCols = tie,
+          buckets = 4, retainVersions = 6))
+      br2.mergeUpsert(ev.filter(col("event_id") % 2 === 1), cfg)
+      require(br2.read().get.filter(col("value") < 0).isEmpty,
+        "clean restage must pass the audit")
+      val feed = br2.readChanges(1L, br2.versions().last).get
+      val live = feed.where(col("_change_type").isin("insert", "update"))
+        .drop("_change_type")
+      pt.mergeUpsert(live, cfg)
+      stateOut(pt.read().get)
+        .withColumn("audit_rejected_then_published", lit(true))
+    }),
+
     // ---- Storage: ANALYZE TABLE — optimizer statistics (rows, nulls,
     //      exact NDV, typed min/max) per column of the merged state;
     //      the mergeable-HLL family is the documented approx twin for
@@ -961,6 +1009,16 @@ private[graft] object StorageGates {
           "CAST(4 AS BIGINT) AS n_versions_before, " +
           "CAST(2 AS BIGINT) AS n_versions_after, " +
           "TRUE AS expired_gone, TRUE AS survivors_intact " +
+          "FROM (SELECT user_id AS pkey, epoch_us(ts) AS modified_date_us, " +
+          "event_type, value, row_number() OVER (PARTITION BY user_id " +
+          "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+          "WHERE rn = 1"),
+      // WAP publish converges to global latest-wins (both halves
+      // merged); the rejected-audit probes are require()s inside the
+      // gate — a leak fails loud before any row reaches the oracle.
+      "o37_wap" ->
+        ("SELECT pkey, modified_date_us, event_type, value, " +
+          "TRUE AS audit_rejected_then_published " +
           "FROM (SELECT user_id AS pkey, epoch_us(ts) AS modified_date_us, " +
           "event_type, value, row_number() OVER (PARTITION BY user_id " +
           "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
