@@ -191,6 +191,14 @@ private[graft] object TextGates {
         .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
           array_min(col("fp")).as("min_fp"), array_max(col("fp")).as("max_fp"))),
 
+    // ---- Source: parquet FOOTER introspection — row-group statistics
+    //      via parquet-mr (the metadata min-max pruning trusts),
+    //      cross-checked against plain data aggregates computed by a
+    //      completely independent reader ----
+    "src_parquet_footer" -> ((s, dir) =>
+      graft.sources.Formats.parquetFooterStats(
+        s, s"$dir/events.parquet", Seq("event_id", "user_id"))),
+
     // ---- LLM pipeline: Kneser-Ney smoothed bigram LM (the KenLM
     //      default smoothing) as exact integer rationals — discount
     //      3/4, continuation counts, one common denominator ----
@@ -1649,6 +1657,16 @@ private[graft] object TextGates {
           s"CAST(length(txt) - ($latin) - ($cyr) - ($cjk) - ($greek) - " +
           s"($digit) - ($space) AS BIGINT) AS n_other FROM d"
       },
+      "src_parquet_footer" ->
+        ("SELECT 'event_id' AS column_name, " +
+          "CAST(count(*) AS BIGINT) AS num_values, " +
+          "CAST(count(*) - count(event_id) AS BIGINT) AS null_count, " +
+          "CAST(min(event_id) AS BIGINT) AS min_value, " +
+          "CAST(max(event_id) AS BIGINT) AS max_value FROM events " +
+          "UNION ALL SELECT 'user_id', CAST(count(*) AS BIGINT), " +
+          "CAST(count(*) - count(user_id) AS BIGINT), " +
+          "CAST(min(user_id) AS BIGINT), CAST(max(user_id) AS BIGINT) " +
+          "FROM events"),
       "text_kneser_ney" ->
         ("WITH wf AS (SELECT list_filter(string_split_regex(lower(text), " +
           "'\\s+'), w -> w <> '') AS ws FROM documents), " +

@@ -189,6 +189,42 @@ object Formats {
   final case class GunzipRow(
       id: Long, n_gz: Long, n_bytes: Option[Long], text: Option[String])
 
+  /** Parquet FOOTER introspection — the metadata scan planning trusts:
+    * per requested INT64 column, the row-group statistics aggregated
+    * across the file's groups (Σ value counts, Σ null counts, min of
+    * minima, max of maxima). Read via parquet-mr's footer API — a
+    * fully independent implementation from any query engine's reader —
+    * so a cross-engine compare against plain data aggregates proves
+    * the footers faithfully describe the data (the property every
+    * min-max-pruning optimizer silently assumes). Driver-side O(file
+    * metadata) — footers are KBs regardless of data volume; that IS
+    * the point of reading them. */
+  def parquetFooterStats(spark: org.apache.spark.sql.SparkSession,
+      file: String, cols: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
+    val rows = try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.map { c =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .find(_.getPath.toDotString == c))
+        require(chunks.nonEmpty, s"column $c not present in $file")
+        val nValues = chunks.map(_.getValueCount).sum
+        val nNulls = chunks.map(_.getStatistics.getNumNulls).sum
+        val mins = chunks.map(_.getStatistics.genericGetMin
+          .asInstanceOf[java.lang.Long].longValue)
+        val maxs = chunks.map(_.getStatistics.genericGetMax
+          .asInstanceOf[java.lang.Long].longValue)
+        (c, nValues, nNulls, mins.min, maxs.max)
+      }
+    } finally reader.close()
+    spark.createDataFrame(rows).toDF(
+      "column_name", "num_values", "null_count", "min_value", "max_value")
+  }
+
   /** Decompress a gzip BINARY column to UTF-8 text — the ingest step
     * for the web-crawl interchange shape (WARC bodies, .jsonl.gz dumps
     * land as per-record gzip members at least as often as whole files).
