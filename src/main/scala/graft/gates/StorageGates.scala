@@ -671,9 +671,14 @@ private[graft] object StorageGates {
         graft.model.TargetTable("events_wap_b1", s"$tmp/branch1",
           keyCols = key, versionCol = ver, tieBreakCols = tie,
           buckets = 4, retainVersions = 6))
-      br1.mergeUpsert(ev.filter(col("event_id") % 2 === 1)
-        .withColumn("value", when(pmod(col("pkey"), lit(10L)) === 3L,
-          -col("value") - 1.0).otherwise(col("value"))), cfg)
+      // the staged batch carries a poisoned row on its OWN key (so it
+      // wins latest-wins at every SF and the audit deterministically
+      // trips) plus the legitimate half
+      br1.mergeUpsert(ev.filter(col("event_id") % 2 === 1).unionByName(
+        ev.limit(1).select(lit(999999L).as("pkey"),
+          lit(4102444800000000L).as("modified_date_us"),
+          lit(-1L).as("event_id"), lit("poison").as("event_type"),
+          lit(-7.0).as("value"))), cfg)
       // AUDIT: the expectation gate REJECTS the branch
       val audit1Bad = br1.read().get.filter(col("value") < 0).count()
       require(audit1Bad > 0L, "fixture must trip the audit")
