@@ -488,6 +488,18 @@ private[graft] object MultimodalGates {
       Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
     }),
 
+    // ---- Multimodal: PCX COLOR statistics — the first color-space
+    //      readout: distinct palette indices, dominant color
+    //      (background detector), exact per-channel sums ----
+    "mm_pcx_color_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.pcxPixelBytes(
+            (id % 19 + 7).toInt, (id % 13 + 6).toInt, id % 89))
+      Multimodal.pcxColorStats(d, "doc_id", "content")
+    }),
+
     // ---- Multimodal: Otsu automatic threshold over decoded rasters —
     //      histogram binarization with exact integer between-class
     //      variance (BigInt intermediates mirror the oracle's HUGEINT),
@@ -941,6 +953,33 @@ private[graft] object MultimodalGates {
           "AS peak_abs, " +
           "CAST(list_sum(list_transform(pcm, x -> x * x)) AS BIGINT) " +
           "AS energy FROM v"
+      },
+      "mm_pcx_color_stats" -> {
+        // Index-raster replay: count per palette index, dominant by
+        // (count DESC, index), channel sums through the three distinct
+        // palette formulas.
+        val ix = "((13 * (xx // 3) + 29 * yy + 7 * (xx // 3) * yy + s) % 256)"
+        "WITH m AS (SELECT doc_id AS id, doc_id % 19 + 7 AS w, " +
+          "doc_id % 13 + 6 AS h, doc_id % 89 AS s FROM documents), " +
+          "px AS (SELECT id, w, h, s, unnest(flatten(list_transform(" +
+          "range(0, h), yy -> list_transform(range(0, w), xx -> " +
+          s"$ix)))) AS ix FROM m), " +
+          "cnt AS (SELECT id, w, h, s, ix, CAST(count(*) AS BIGINT) AS c " +
+          "FROM px GROUP BY 1, 2, 3, 4, 5), " +
+          "dom AS (SELECT id, ix AS dominant_index, c AS dominant_count " +
+          "FROM (SELECT id, ix, c, row_number() OVER (PARTITION BY id " +
+          "ORDER BY c DESC, ix) AS rn FROM cnt) WHERE rn = 1), " +
+          "agg AS (SELECT id, w, h, CAST(count(*) AS BIGINT) AS nd, " +
+          "CAST(sum(c * ((37 * ix + 11 * s) % 256)) AS BIGINT) AS sum_r, " +
+          "CAST(sum(c * ((23 * ix + 5 * s) % 256)) AS BIGINT) AS sum_g, " +
+          "CAST(sum(c * ((53 * ix + 3 * s) % 256)) AS BIGINT) AS sum_b " +
+          "FROM cnt GROUP BY id, w, h, s) " +
+          "SELECT agg.id, CAST(w AS INT) AS width, CAST(h AS INT) " +
+          "AS height, CAST(w * h AS BIGINT) AS n_px, " +
+          "nd AS n_distinct_colors, " +
+          "CAST(dominant_index AS BIGINT) AS dominant_index, " +
+          "dominant_count, sum_r, sum_g, sum_b " +
+          "FROM agg JOIN dom ON dom.id = agg.id"
       },
       "mm_pcx_pixel_stats" -> {
         // Palette-indexed replay: index raster (x quantized by 3 so RLE

@@ -2433,7 +2433,26 @@ object Multimodal {
     * be followed by exactly marker+palette (trailing slack → None, the
     * exploder posture). Luma: BT.601 integer (77R+150G+29B) >> 8
     * through the palette. */
-  private[graft] def pcxPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  private[graft] def pcxPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    pcxDecode(b).map { case (w, h, idxRaster, palOff) =>
+      val lum = new Array[Int](w * h)
+      var i = 0
+      while (i < idxRaster.length) {
+        val ci = idxRaster(i)
+        val r = b(palOff + 3 * ci) & 0xff
+        val g = b(palOff + 3 * ci + 1) & 0xff
+        val bl = b(palOff + 3 * ci + 2) & 0xff
+        lum(i) = (77 * r + 150 * g + 29 * bl) >> 8
+        i += 1
+      }
+      (w, h, lum)
+    }
+
+  /** Shared PCX walk: header/RLE/palette validation, returning the
+    * de-padded INDEX raster and the palette offset (so both the luma
+    * path and the color-stats path share one decode). */
+  private[graft] def pcxDecode(
+      b: Array[Byte]): Option[(Int, Int, Array[Int], Int)] = {
     if (b.length < 128 + 769) return None
     if ((b(0) & 0xff) != 0x0a || (b(2) & 0xff) != 1 ||
       (b(3) & 0xff) != 8) return None
@@ -2466,24 +2485,67 @@ object Multimodal {
     }
     if (p != dataEnd) return None //    trailing slack before the palette
     if ((b(p) & 0xff) != 0x0c) return None
-    val palOff = p + 1
-    val lum = new Array[Int](w * h)
+    val out = new Array[Int](w * h)
     var y = 0
     while (y < h) {
-      var x = 0
-      val src = y * bpl
-      val dst = y * w
-      while (x < w) {
-        val ci = plane(src + x)
-        val r = b(palOff + 3 * ci) & 0xff
-        val g = b(palOff + 3 * ci + 1) & 0xff
-        val bl = b(palOff + 3 * ci + 2) & 0xff
-        lum(dst + x) = (77 * r + 150 * g + 29 * bl) >> 8
-        x += 1
-      }
+      System.arraycopy(plane, y * bpl, out, y * w, w)
       y += 1
     }
-    Some((w, h, lum))
+    Some((w, h, out, p + 1))
+  }
+
+  /** One PCX color row: palette-space statistics. */
+  final case class PcxColorRow(
+      id: Long, width: Option[Int], height: Option[Int],
+      n_px: Option[Long], n_distinct_colors: Option[Long],
+      dominant_index: Option[Long], dominant_count: Option[Long],
+      sum_r: Option[Long], sum_g: Option[Long], sum_b: Option[Long])
+
+  /** PCX COLOR statistics — the first color-space readout (every other
+    * image operator works on luma): per image the distinct palette
+    * indices used, the dominant index (max count, ties to the smaller
+    * index — the "background color" detector), and the exact per-
+    * channel sums through the palette. Same [[pcxDecode]] walk as the
+    * luma path; undecodable bytes → NULL row. Row-local, no shuffle. */
+  def pcxColorStats(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        pcxDecode(if (b == null) Array.emptyByteArray else b) match {
+          case None => PcxColorRow(id, None, None, None, None, None,
+            None, None, None, None)
+          case Some((w, h, idxRaster, palOff)) =>
+            val counts = new Array[Long](256)
+            var i = 0
+            while (i < idxRaster.length) {
+              counts(idxRaster(i)) += 1L; i += 1
+            }
+            var distinct = 0L
+            var domIdx = -1
+            var domCnt = -1L
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var ci = 0
+            while (ci < 256) {
+              val c = counts(ci)
+              if (c > 0L) {
+                distinct += 1L
+                if (c > domCnt) { domCnt = c; domIdx = ci }
+                sr += c * (b(palOff + 3 * ci) & 0xff)
+                sg += c * (b(palOff + 3 * ci + 1) & 0xff)
+                sb += c * (b(palOff + 3 * ci + 2) & 0xff)
+              }
+              ci += 1
+            }
+            PcxColorRow(id, Some(w), Some(h), Some(w.toLong * h),
+              Some(distinct), Some(domIdx.toLong), Some(domCnt),
+              Some(sr), Some(sg), Some(sb))
+        }
+      }))
+      .toDF()
   }
 
   /** Exact area-average downsample of a luma raster to a gw×gh grid:
