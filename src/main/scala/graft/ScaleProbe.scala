@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade empirical scaling probe (r11 verdict item 3): the 100-TB
+  * design arguments (bucketed candidates, O(edges)-per-round fixpoints,
+  * O(metadata) commits) were design-audited but never MEASURED past
+  * sf0.1. This main synthesizes a 10× replica of the sf0.1 fixture —
+  * entity keys shifted per replica (nation/region dims kept fixed, like
+  * real dims), document text passed through a per-replica letter
+  * translation and embeddings through a per-id gain so the near-dup /
+  * ANN structure grows like a real 10× corpus instead of 10 exact
+  * copies (exact copies would inflate candidate cliques quadratically
+  * BY CONSTRUCTION and measure the fixture, not the plan) — then times
+  * the heaviest gate families at both scales and prints one JSON line
+  * of per-gate (sf0.1 s, sf1.0 s, log10 exponent). An exponent near 1
+  * is linear scaling; graph fixpoints may exceed 1 by their documented
+  * O(E·rounds) factor.
+  *
+  * Usage: `runMain graft.ScaleProbe <sf01Dir> <bigDir>` (bigDir is
+  * created; `_READY` marks a completed generation for reuse). */
+object ScaleProbe {
+
+  /** The audited heavy families: graph fixpoints, storage commit
+    * machinery, the prefix-filter audit twin, IVF probing, NN-descent,
+    * manifest replay, and the pagerank-family text gate. */
+  val Gates: Seq[String] = Seq(
+    "graph_closeness", "graph_scc", "graph_transitivity", "graph_katz",
+    "graph_mis", "graph_harmonic",
+    "dedup_prefix_jaccard", "ann_ivf_nprobe", "ann_nndescent",
+    "q_bitemporal", "text_keywords_pagerank",
+    "o33_branch_merge_back", "o36_rollback", "o37_wap")
+
+  private val Replicas = 10
+  private val KeyShift = 1000000000L // far above any sf0.1 id
+
+  /** Entity-id columns shifted per replica; nation/region keys are NOT
+    * here — dimension domains stay fixed as they would in production. */
+  private val ShiftCols = Set(
+    "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey",
+    "doc_id", "vec_id", "user_id", "event_id")
+
+  private def replicate(df: DataFrame, i: Int): DataFrame = {
+    val shifted = df.columns.foldLeft(df) { (d, c) =>
+      if (ShiftCols(c)) d.withColumn(c, col(c) + lit(i * KeyShift)) else d
+    }
+    val vowels = "aeiou"
+    val rot = vowels.drop(i % 5) + vowels.take(i % 5)
+    val trans = if (i % 2 == 0) rot else rot.reverse
+    val texted =
+      if (i > 0 && shifted.columns.contains("text"))
+        shifted.withColumn("text", translate(col("text"), vowels, trans))
+      else shifted
+    if (i > 0 && texted.columns.contains("embedding"))
+      texted.withColumn("embedding",
+        transform(col("embedding"),
+          x => x * (lit(1.0f) +
+            (pmod(col("vec_id"), lit(89L)).cast("float") - 44.0f) / 1000.0f)))
+    else texted
+  }
+
+  private def generate(spark: SparkSession, src: String, dst: String): Unit = {
+    Files.createDirectories(Paths.get(dst))
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { name =>
+      val base = SparkEntry.t(spark, src, name)
+      val out =
+        if (name == "region" || name == "nation") base
+        else (0 until Replicas).map(i => replicate(base, i))
+          .reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleprobe] generated $name: ${out.count()} rows")
+    }
+    Files.writeString(Paths.get(dst, "_READY"), "ok")
+  }
+
+  private def time(spark: SparkSession, gate: String, dir: String,
+      reps: Int = 2): Double = {
+    val fn = SparkEntry.queries(gate)
+    var best = Double.MaxValue
+    (1 to reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, bigDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.engine.GraftSession.local("graft-scaleprobe", cpus)
+    if (!Files.exists(Paths.get(bigDir, "_READY")))
+      generate(spark, srcDir, bigDir)
+    val rows = Gates.map { g =>
+      val t01 = time(spark, g, srcDir)
+      val t10 = time(spark, g, bigDir)
+      val exp = math.log10(t10 / t01) // per decade of data
+      println(f"[scaleprobe] $g%-24s sf0.1 $t01%7.2fs  sf1.0 $t10%7.2fs  exp $exp%5.2f")
+      s""""$g":{"t01":${f"$t01%.3f"},"t10":${f"$t10%.3f"},"exp":${f"$exp%.3f"}}"""
+    }
+    println(s"""{"metric":"scaleprobe","cpus":$cpus,${rows.mkString(",")}}""")
+    spark.stop()
+  }
+}

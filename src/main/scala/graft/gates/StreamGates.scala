@@ -50,6 +50,66 @@ private[graft] object StreamGates {
       stateOut(new graft.sink.ParquetTarget(s, target).read().get)
     }),
 
+    // ---- O11 superset: kill-and-resume exactly-once from the SAME
+    //      checkpoint — the restart story the reference lacks entirely
+    //      (quick_stream `src/shutdown_service.rs:5-52` can only cancel
+    //      in-flight work and drain; whatever the channel held is gone).
+    //      Run 1 ingests one-file-per-trigger micro-batches and is
+    //      stopped the moment batch 0's commit is visible — MID-STREAM,
+    //      a second file pending; a THIRD file then arrives while the
+    //      engine is down; run 2 restarts a NEW query on the SAME
+    //      checkpoint dir and drains with AvailableNow. The final target
+    //      must equal the global latest-wins state of an uninterrupted
+    //      run (o4's oracle): offsets resume, committed batches are not
+    //      re-read, and the latest-wins merge absorbs any in-flight
+    //      batch the stop interrupted (replay-idempotence, the o5c
+    //      property, here exercised across a real restart). Bench reps
+    //      2+ skip the kill dance (checkpoint already committed) and
+    //      time the no-op resume, like every streaming gate.
+    //      Deterministic crash-point injection (data committed, offset
+    //      not) lives in RestartResumeSpec. ----
+    "o38_restart_resume" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val tmp = stableTmp("o38")
+      val target = TargetTable("events_restart", s"$tmp/target",
+        keyCols = key, versionCol = ver, tieBreakCols = tie, buckets = 4)
+      val ckpt = s"$tmp/ckpt"
+      val srcDir = java.nio.file.Paths.get(tmp, "src")
+      val schema = eventRecords(s, dir).schema
+      def oneFile(part: Int, name: String): Unit = {
+        val stage = s"$tmp/stage_$name"
+        eventRecords(s, dir).filter(col("pkey") % 3 === part)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        Files.createDirectories(srcDir)
+        val p = Files.list(java.nio.file.Paths.get(stage))
+          .iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(p, srcDir.resolve(name))
+      }
+      def stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val alreadyCommitted =
+        Files.exists(java.nio.file.Paths.get(ckpt, "commits", "0"))
+      if (!alreadyCommitted) {
+        oneFile(0, "f0.parquet"); oneFile(1, "f1.parquet")
+        val cfg1 = IngestConfig(name = s"o38-a-${System.nanoTime()}",
+          maxWriterPartitions = 4, checkpointDir = Some(ckpt))
+        val q1 = new UpsertStream(s, cfg1, target)
+          .run(stream, Trigger.ProcessingTime(10L))
+        val deadline = System.nanoTime() + 300L * 1000L * 1000L * 1000L
+        while (!q1.recentProgress.exists(_.numInputRows > 0) &&
+            q1.isActive && System.nanoTime() < deadline) Thread.sleep(25)
+        q1.stop()
+        oneFile(2, "f2.parquet") // late data while the engine is down
+      }
+      val cfg2 = IngestConfig(name = s"o38-b-${System.nanoTime()}",
+        maxWriterPartitions = 4, checkpointDir = Some(ckpt))
+      val q2 = new UpsertStream(s, cfg2, target)
+        .run(stream, Trigger.AvailableNow())
+      q2.awaitTermination()
+      stateOut(new graft.sink.ParquetTarget(s, target).read().get)
+    }),
+
     // ---- Streaming + storage composition: micro-batched ingest through
     //      an index-maintaining sink — every batch leaves the state
     //      table AND its secondary value index current ----
@@ -845,6 +905,9 @@ private[graft] object StreamGates {
   def oracles: Map[String, String] = {
     Map(
       "o4_stream_ingest_e2e" -> dedupState,
+      // restart on the same checkpoint converges to the exact state an
+      // uninterrupted run produces
+      "o38_restart_resume" -> dedupState,
       // the per-batch-synced index serves exactly the filtered state
       "s21_stream_indexed_ingest" ->
         (s"SELECT pkey, modified_date_us, event_type, value " +

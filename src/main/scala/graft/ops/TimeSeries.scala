@@ -1616,21 +1616,42 @@ object TimeSeries {
     *
     * Scale: series materialize with ONE per-key sort_array aggregate
     * (bounded by the bucket grid — O(buckets), never raw events); the
-    * self-join emits O(grid²) pairs per key over the AGGREGATED table;
-    * the distance is a zip_with/aggregate over two MATERIALIZED array
-    * columns (no lambda-captured recompute); the rank-1 pick is a
-    * window partitioned by (key, i) — never corpus-wide. */
+    * self-join emits O(grid²) pairs per key over the AGGREGATED table
+    * — a DESIGNED quadratic (the Yeh 2016 profile is all-pairs by
+    * definition), safe ONLY because the grid is an aggregated daily/
+    * bucket axis, so the bound is enforced, not assumed: any key whose
+    * grid exceeds `maxGridLen` fails the job loudly (`raise_error` in
+    * the plan, negligible cost) instead of silently exploding to
+    * grid² pairs on raw-resolution input. Callers with genuinely long
+    * series must re-bucket coarser or raise the bound DELIBERATELY
+    * (grid² · 8·window bytes per key is the shuffle they are signing
+    * up for). The distance is a zip_with/aggregate over two
+    * MATERIALIZED array columns (no lambda-captured recompute); the
+    * rank-1 pick is a window partitioned by (key, i) — never
+    * corpus-wide. */
   def matrixProfile(
       buckets: DataFrame, keyCol: String, bucketCol: String,
-      xCol: String, window: Int, exclusion: Int): DataFrame = {
+      xCol: String, window: Int, exclusion: Int,
+      maxGridLen: Int = 1024): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(exclusion >= 1, s"exclusion must be >= 1, got $exclusion")
+    require(maxGridLen >= window,
+      s"maxGridLen ($maxGridLen) must be >= window ($window)")
     val series = buckets
       .groupBy(col(keyCol).as("__k"))
       .agg(transform(
         array_sort(collect_list(struct(col(bucketCol).as("b"),
           col(xCol).cast("long").as("x")))),
         s => s.getField("x")).as("__xs"))
+      .withColumn("__xs",
+        when(size(col("__xs")) <= maxGridLen, col("__xs"))
+          .otherwise(raise_error(concat(
+            lit("matrixProfile: per-key grid length "),
+            size(col("__xs")).cast("string"),
+            lit(s" exceeds maxGridLen=$maxGridLen; the profile " +
+              "self-join is O(grid²) per key by design - " +
+              "re-bucket to a coarser grid or raise maxGridLen " +
+              "deliberately")))))
     val wins = series
       .select(col("__k"),
         explode(sequence(lit(0), size(col("__xs")) - window)).as("i"),

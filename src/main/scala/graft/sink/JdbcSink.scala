@@ -199,8 +199,15 @@ final class JdbcSink(target: JdbcTarget, dialect: JdbcDialect = JdbcDialect.Derb
 private[sink] object JdbcExec {
 
   def withConnection[A](t: JdbcTarget)(f: Connection => A): A = {
+    // Explicit TLS establishment before the driver sees the endpoint —
+    // the reference's TlsConnector construction (src/upsert.rs:213-244)
+    // made executable: a real JSSE handshake per connection attempt when
+    // `graft.tls.preflight=true`. Engine-owned graft.tls.* keys never
+    // reach the driver.
+    TlsPreflight.preflight(t.properties)
     val props = new Properties()
-    t.properties.foreach { case (k, v) => props.setProperty(k, v) }
+    TlsPreflight.driverProperties(t.properties)
+      .foreach { case (k, v) => props.setProperty(k, v) }
     val conn = DriverManager.getConnection(t.url, props)
     try f(conn) finally conn.close()
   }

@@ -66,4 +66,29 @@ class GateKeySpec extends AnyFunSuite {
     val over = gateFiles.filter(_._2.count(_ == '\n') > 3000).map(_._1)
     assert(over.isEmpty, s"registry files over 3000 lines: $over")
   }
+
+  test("SURVEY.md §2.8 inventory table reconciles key-for-key with the " +
+      "gate board (r10 verdict: the table drifted 40 gates behind twice; " +
+      "this makes a gate without its inventory row a failing build)") {
+    val survey = new String(Files.readAllBytes(Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n", -1).toSeq
+    val from = survey.indexWhere(_.startsWith("### 2.8"))
+    val to = survey.indexWhere(_.startsWith("### 2.9"))
+    assert(from >= 0 && to > from, "SURVEY.md §2.8/§2.9 headings moved")
+    val keyPat = """`([a-z0-9_]+)`""".r
+    val tableKeys = survey.slice(from, to).iterator
+      .filter(_.startsWith("| "))
+      .map(_.split("\\|")(1)) // first cell only: gate key(s), `/`-separated
+      .filterNot(_.contains("(rows of")) // q_expectations' per-rule output
+      // rows, documented in-table as NOT gate keys
+      .flatMap(cell => keyPat.findAllMatchIn(cell).map(_.group(1)))
+      .toSet
+    val gates = SparkEntry.queries.keySet
+    val missingRows = (gates -- tableKeys).toSeq.sorted
+    val staleRows = (tableKeys -- gates).toSeq.sorted
+    assert(missingRows.isEmpty,
+      s"gates missing an inventory row in SURVEY §2.8: $missingRows")
+    assert(staleRows.isEmpty,
+      s"SURVEY §2.8 rows naming no existing gate: $staleRows")
+  }
 }

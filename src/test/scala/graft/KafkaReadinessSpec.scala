@@ -121,6 +121,53 @@ class KafkaReadinessSpec extends SparkSpec {
       "the per-trigger admission bound holds across the restart")
   }
 
+  test("replay determinism across a CRASHED restart: the batch whose " +
+      "offsets reached the WAL but not the commit log replays with " +
+      "IDENTICAL content, and committed batches never re-run — the " +
+      "exactly-once precondition a real-broker run must satisfy (kafka " +
+      "pins each batch's offset range in the WAL exactly like this twin; " +
+      "startingOffsets only ever applies to a FRESH checkpoint, so a " +
+      "restart consults the WAL, never the option)") {
+    val small = cfg.copy(maxRecordsPerTrigger = 5L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kreplay_").toString
+    val run1 = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val run2 = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    def start(record: java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]],
+        crashAt: Option[Long]) =
+      Sources.rateMicroBatch(spark, small).writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          record.put(id, df.collect().map(_.getAs[Long]("value")).sorted.toSeq)
+          if (crashAt.contains(id))
+            throw new RuntimeException("injected crash before offset commit")
+        }
+        .start()
+    // Run 1: batches 0 and 1 commit; batch 2's data is SEEN (WAL written,
+    // foreachBatch entered) but its commit never lands — the query dies.
+    val q1 = start(run1, crashAt = Some(2L))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(run1.containsKey(2L), "the crash batch must have been delivered")
+    // Run 2: resume from the same checkpoint; wait until the replayed
+    // batch and one successor have run.
+    val q2 = start(run2, crashAt = None)
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          !(run2.containsKey(2L) && run2.containsKey(3L))) Thread.sleep(50)
+    } finally { q2.stop(); q2.awaitTermination() }
+    assert(!run2.containsKey(0L) && !run2.containsKey(1L),
+      "committed batches must never re-run after a restart")
+    assert(run2.get(2L) == run1.get(2L),
+      "the WAL-pinned batch must replay with IDENTICAL content")
+    val all = (run1.get(0L) ++ run1.get(1L) ++ run2.get(2L) ++ run2.get(3L))
+    assert(all.sorted == (0L until all.size.toLong),
+      "across crash + restart the delivered offsets are gap-free")
+  }
+
   test("environment block fails loud: resolving the kafka format without " +
       "the connector jar raises at source lookup, never a half-started " +
       "stream") {

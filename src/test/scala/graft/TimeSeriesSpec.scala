@@ -745,6 +745,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(5L) == ((12L, 14L)))
   }
 
+  test("matrixProfile refuses a grid longer than maxGridLen loudly — " +
+    "the designed O(grid²) self-join must never run on raw-resolution " +
+    "input by accident") {
+    val df = (0 until 40).map(d => ("k", d.toLong, (d % 7).toLong))
+      .toDF("k", "d", "x")
+    val e = intercept[Exception] {
+      TimeSeries.matrixProfile(df, "k", "d", "x",
+        window = 3, exclusion = 2, maxGridLen = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("exceeds maxGridLen")),
+      s"expected the designed-cost refusal, got: ${msgs(e)}")
+    // at or under the bound the same input profiles normally
+    assert(TimeSeries.matrixProfile(df, "k", "d", "x",
+      window = 3, exclusion = 2, maxGridLen = 40).count() > 0)
+    // and the bound must admit the window itself
+    intercept[IllegalArgumentException] {
+      TimeSeries.matrixProfile(df, "k", "d", "x",
+        window = 8, exclusion = 2, maxGridLen = 4)
+    }
+  }
+
   test("macd: driver-exact fold replay, and a step change produces at " +
     "least one signal crossover") {
     val xs = (0 until 15).map(_ => 10.0) ++ (0 until 15).map(_ => 100.0)
