@@ -35,7 +35,10 @@ object ScaleProbe {
     "o33_branch_merge_back", "o36_rollback", "o37_wap")
 
   private val Replicas = 10
-  private val KeyShift = 1000000000L // far above any sf0.1 id
+  // Above every sf0.1 id (max ~600k) but small enough that downstream
+  // id·2³² pair/priority encodings (graph_mis, edge keys) stay in Long:
+  // max shifted id ≈ 1.7e8 → ·2³² ≈ 7e17 < 2⁶³. 1e9 overflowed them.
+  private val KeyShift = 1L << 24
 
   /** Entity-id columns shifted per replica; nation/region keys are NOT
     * here — dimension domains stay fixed as they would in production. */
@@ -98,11 +101,17 @@ object ScaleProbe {
     if (!Files.exists(Paths.get(bigDir, "_READY")))
       generate(spark, srcDir, bigDir)
     val rows = Gates.map { g =>
-      val t01 = time(spark, g, srcDir)
-      val t10 = time(spark, g, bigDir)
-      val exp = math.log10(t10 / t01) // per decade of data
-      println(f"[scaleprobe] $g%-24s sf0.1 $t01%7.2fs  sf1.0 $t10%7.2fs  exp $exp%5.2f")
-      s""""$g":{"t01":${f"$t01%.3f"},"t10":${f"$t10%.3f"},"exp":${f"$exp%.3f"}}"""
+      try {
+        val t01 = time(spark, g, srcDir)
+        val t10 = time(spark, g, bigDir)
+        val exp = math.log10(t10 / t01) // per decade of data
+        println(f"[scaleprobe] $g%-24s sf0.1 $t01%7.2fs  sf1.0 $t10%7.2fs  exp $exp%5.2f")
+        s""""$g":{"t01":${f"$t01%.3f"},"t10":${f"$t10%.3f"},"exp":${f"$exp%.3f"}}"""
+      } catch {
+        case e: Exception =>
+          println(s"[scaleprobe] $g ERR ${e.getMessage.take(120)}")
+          s""""$g":{"err":true}"""
+      }
     }
     println(s"""{"metric":"scaleprobe","cpus":$cpus,${rows.mkString(",")}}""")
     spark.stop()

@@ -451,6 +451,50 @@ object NativeKernels {
     prev(m)
   }
 
+  /** Levenshtein EDIT DISTANCE between two Long sequences — the
+    * token-level mutation metric ROUGE-L's LCS cannot give (LCS ignores
+    * substitutions; edit distance prices insert/delete/substitute at 1
+    * each), used for typo-class near-dup verification and
+    * reference-vs-candidate drift. Standard Wagner–Fischer DP with two
+    * rolling rows — O(n·m) time, O(m) space, exact Long arithmetic,
+    * the same n·m ≤ 2²⁴ loud-error bound as [[lcsLength]] (truncate
+    * token sequences first). Empty side → the other side's length. */
+  def editDistance(ad: ArrayData, bd: ArrayData): Long = {
+    val n = ad.numElements()
+    val m = bd.numElements()
+    if (n == 0) return m.toLong
+    if (m == 0) return n.toLong
+    require(n.toLong * m <= (1L << 24),
+      s"graft_editdist: $n x $m DP exceeds the 2^24 cell bound — " +
+        "truncate the sequences first")
+    val a = new Array[Long](n)
+    val b = new Array[Long](m)
+    var i = 0
+    while (i < n) { a(i) = ad.getLong(i); i += 1 }
+    var j = 0
+    while (j < m) { b(j) = bd.getLong(j); j += 1 }
+    var prev = new Array[Long](m + 1)
+    var cur = new Array[Long](m + 1)
+    j = 0
+    while (j <= m) { prev(j) = j.toLong; j += 1 }
+    i = 1
+    while (i <= n) {
+      cur(0) = i.toLong
+      j = 1
+      while (j <= m) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0L else 1L)
+        var best = prev(j) + 1L // delete
+        if (cur(j - 1) + 1L < best) best = cur(j - 1) + 1L // insert
+        if (sub < best) best = sub
+        cur(j) = best
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
   /** Hilbert-curve index of a 2-D point on the 2^bits × 2^bits grid —
     * the xy→d direction of the public iterative algorithm (per-level
     * quadrant digit + Gray-style rotation). Unlike Morton interleave,

@@ -78,6 +78,14 @@ object TextHash {
   def lcs(a: Column, b: Column): Column =
     GraftSql.column(LcsExpr(GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** Levenshtein edit distance of two Long TOKEN sequences — the
+    * token-granularity sibling of [[lcs]] (ROUGE-L) and the
+    * sequence-level counterpart of the char-level
+    * [[damerauLevenshtein]]; see NativeKernels.editDistance. */
+  def editDistance(a: Column, b: Column): Column =
+    GraftSql.column(EditDistExpr(
+      GraftSql.expression(a), GraftSql.expression(b)))
+
   /** Hilbert-curve index of bounded (x, y) cells — the locality-optimal
     * clustering key beside [[graft.ops.Layout.mortonKey]]. */
   def hilbertD(a: Column, b: Column, bits: Int): Column =

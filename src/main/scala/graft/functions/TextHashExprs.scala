@@ -207,6 +207,25 @@ object TextHashExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Levenshtein edit distance between two Long sequences (token-level
+    * mutation metric; see NativeKernels.editDistance). */
+  case class EditDistExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_editdist"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.editDistance(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.NativeKernels.editDistance($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): EditDistExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Hilbert-curve index of a 2-D cell on the 2^bits grid (layout
     * clustering; see NativeKernels.hilbertD for why this is a kernel). */
   case class HilbertDExpr(left: Expression, right: Expression, bits: Int)

@@ -77,6 +77,21 @@ private[graft] object GraphTsGates {
       graft.ops.TimeSeries.cusumChangePoint(hourly, "event_type", "hr", "hx")
     }),
 
+    // ---- Time series: robust MEDIAN+MAD outlier census over the
+    //      hourly quantized sums — the loss-spike detector a mean±kσ
+    //      rule cannot give (50% breakdown point); every decision a
+    //      BIGINT comparison via the ×2/×4 carry (see
+    //      TimeSeries.madOutliers) ----
+    "ts_mad_outliers" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("ts div 3600000000000").as("hr"),
+          floor(col("value") * 1024.0).cast("long").as("qx"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("qx")).as("hx"))
+      graft.ops.TimeSeries.madOutliers(hourly, "event_type", "hx", k = 3L)
+    }),
+
     // ---- Time series: classical additive decomposition of the hourly
     //      quantized series (trend = centered 25-point MA, seasonal =
     //      hour-of-day mean of detrended, residual) — exact numerators
@@ -1667,6 +1682,27 @@ private[graft] object GraphTsGates {
           "(CAST(sum_abs_err_q AS DOUBLE) / CAST(n_test AS DOUBLE)) / " +
           "(CAST(sum_naive_q AS DOUBLE) / CAST(n_naive AS DOUBLE)) END " +
           "AS mase FROM er JOIN nv USING (event_type)"),
+      "ts_mad_outliers" ->
+        ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
+          "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +
+          "FROM events GROUP BY 1, 2), " +
+          "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points, " +
+          "CAST(quantile_cont(hx, 0.5) * 2 AS BIGINT) AS med_x2 " +
+          "FROM h GROUP BY event_type), " +
+          "d AS (SELECT h.event_type, abs(2 * hx - med_x2) AS dev_x2, " +
+          "n_points, med_x2 FROM h JOIN m ON h.event_type = m.event_type), " +
+          "mads AS (SELECT event_type, " +
+          "CAST(quantile_cont(dev_x2, 0.5) * 2 AS BIGINT) AS mad_x4 " +
+          "FROM d GROUP BY event_type) " +
+          "SELECT d.event_type, CAST(max(n_points) AS BIGINT) AS n_points, " +
+          "CAST(max(med_x2) AS BIGINT) AS med_x2, " +
+          "CAST(max(mad_x4) AS BIGINT) AS mad_x4, " +
+          "CAST(sum(CASE WHEN 2 * dev_x2 > mad_x4 * 3 " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+          "CAST(max(dev_x2) AS BIGINT) AS max_dev_x2 " +
+          "FROM d JOIN mads ON d.event_type = mads.event_type " +
+          "GROUP BY d.event_type"),
+
       "ts_cusum" ->
         ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, " +
           "CAST(sum(CAST(floor(value * 1024.0) AS BIGINT)) AS BIGINT) AS hx " +

@@ -525,6 +525,28 @@ private[graft] object MultimodalGates {
       Multimodal.aiffStats(d, "doc_id", "content")
     }),
 
+    // ---- Multimodal: WebP container dims — the NINTH image container
+    //      (RIFF form): lossy "VP8 " start-code + 14-bit LE dims vs
+    //      lossless "VP8L" packed w−1/h−1 bit fields, with a corrupted
+    //      start code as the rejection path (id%3==2 → NULL row) ----
+    "mm_webp_dims" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", MediaFixtures.webpBytes)
+      Multimodal.webpMeta(d, "doc_id", "content")
+    }),
+
+    // ---- Multimodal: SubRip (SRT) subtitle cue census — the video
+    //      text-track side: cue count, Σ duration, consecutive-overlap
+    //      count, span, longest cue; a swapped-timestamp block (id%7==0)
+    //      is the malformed rejection path ----
+    "mm_srt_cues" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", MediaFixtures.srtBytes)
+      Multimodal.srtCues(d, "doc_id", "content")
+    }),
+
     // ---- Multimodal: ID3v2 tag extraction — synchsafe sizes, the
     //      v2.3 (BE32) / v2.4 (synchsafe) frame-size split per parity,
     //      ISO-8859-1 text frames, padding/trailing-audio boundaries ----
@@ -913,6 +935,41 @@ private[graft] object MultimodalGates {
           "CAST(list_sum(es) * 1000 // ((w - 2) * (h - 2)) AS BIGINT) " +
           "AS energy_mean_q FROM gr"
       },
+      // Closed-form replay of the WebP fixture arithmetic — the engine
+      // had to walk the RIFF form, check the VP8 start code / VP8L
+      // signature, and unpack the 14-bit fields to agree; the corrupted
+      // start code (id%3==2) must surface as the NULL row.
+      "mm_webp_dims" ->
+        ("SELECT doc_id AS id, " +
+          "CASE WHEN doc_id % 3 = 0 THEN 'VP8' " +
+          "WHEN doc_id % 3 = 1 THEN 'VP8L' END AS codec, " +
+          "CASE WHEN doc_id % 3 <= 1 THEN CAST(doc_id % 24 + 9 AS BIGINT) " +
+          "END AS width, " +
+          "CASE WHEN doc_id % 3 <= 1 THEN CAST(doc_id % 16 + 8 AS BIGINT) " +
+          "END AS height FROM documents"),
+      // Closed-form replay of the SRT fixture arithmetic (cue durations
+      // 800 + 137·((id+i)%9), overlap gaps at (id+i)%4==0) — the engine
+      // had to parse every timestamp block to agree; the swapped block
+      // (id%7==0) must surface as the NULL row.
+      "mm_srt_cues" ->
+        ("WITH p AS (SELECT doc_id, doc_id % 5 + 2 AS n FROM documents), " +
+          "c AS (SELECT doc_id, n, list_transform(range(0, n), " +
+          "i -> 800 + 137 * ((doc_id + i) % 9)) AS durs FROM p), " +
+          "st AS (SELECT doc_id, n, " +
+          "CAST(list_aggregate(durs, 'sum') AS BIGINT) AS tot, " +
+          "CAST(len(list_filter(range(1, n), " +
+          "i -> (doc_id + i - 1) % 4 = 0)) AS BIGINT) AS ovl, " +
+          "CAST(list_aggregate(durs, 'sum') + " +
+          "list_aggregate(list_transform(range(1, n), " +
+          "i -> CASE WHEN (doc_id + i - 1) % 4 = 0 THEN -200 ELSE 300 END), " +
+          "'sum') AS BIGINT) AS span, " +
+          "CAST(list_aggregate(durs, 'max') AS BIGINT) AS mx FROM c) " +
+          "SELECT doc_id AS id, " +
+          "CASE WHEN doc_id % 7 <> 0 THEN CAST(n AS BIGINT) END AS n_cues, " +
+          "CASE WHEN doc_id % 7 <> 0 THEN tot END AS total_dur_ms, " +
+          "CASE WHEN doc_id % 7 <> 0 THEN ovl END AS n_overlaps, " +
+          "CASE WHEN doc_id % 7 <> 0 THEN span END AS span_ms, " +
+          "CASE WHEN doc_id % 7 <> 0 THEN mx END AS max_cue_ms FROM st"),
       "mm_id3_tags" ->
         // Closed-form replay: the same strings the fixture wrote; the
         // engine had to parse the synchsafe header and per-version

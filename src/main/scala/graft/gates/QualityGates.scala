@@ -149,6 +149,16 @@ private[graft] object QualityGates {
           Agreement.raterLabel(0).as("a"), Agreement.raterLabel(1).as("b")),
         "a", "b")),
 
+    // ---- Agreement: McNemar's paired test between raters 0 and 1
+    //      judged against the item's true label — the paired-eval
+    //      significance core (discordant counts b, c; statistic
+    //      (b−c)²/(b+c) as an exact rational per truth stratum) ----
+    "q_mcnemar_raters" -> ((s, dir) =>
+      Agreement.mcnemar(
+        t(s, dir, "events").select(col("event_type").as("truth"),
+          Agreement.raterLabel(0).as("a"), Agreement.raterLabel(1).as("b")),
+        "truth", "a", "b")),
+
     // ---- Agreement: WEIGHTED Cohen's κ (quadratic weights, labels as
     //      ordinal scores) between raters 0 and 2 — near-misses cost
     //      less than far misses; exact integers off the same grid ----
@@ -322,6 +332,20 @@ private[graft] object QualityGates {
         "AS BIGINT) AS kept_chars, " +
         "CAST(CASE WHEN max(n_sentences) >= 3 AND NOT bool_or(banned) " +
         "THEN 1 ELSE 0 END AS INT) AS c4_keep FROM f GROUP BY doc_id"),
+
+    "q_mcnemar_raters" ->
+      (s"WITH p AS (SELECT event_type AS truth, " +
+        s"${Agreement.raterLabelSql(0)} AS a, " +
+        s"${Agreement.raterLabelSql(1)} AS b FROM events), " +
+        "g AS (SELECT truth, CAST(count(*) AS BIGINT) AS n_items, " +
+        "CAST(sum(CASE WHEN a = truth AND b <> truth THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_a_only, " +
+        "CAST(sum(CASE WHEN b = truth AND a <> truth THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_b_only FROM p GROUP BY truth) " +
+        "SELECT truth, n_items, n_a_only, n_b_only, " +
+        "CAST((n_a_only - n_b_only) * (n_a_only - n_b_only) AS BIGINT) " +
+        "AS mcnemar_num, " +
+        "CAST(n_a_only + n_b_only AS BIGINT) AS mcnemar_den FROM g"),
 
     "q_cohens_kappa" ->
       (s"WITH p AS (SELECT ${Agreement.raterLabelSql(0)} AS a, " +

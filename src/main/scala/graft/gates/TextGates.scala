@@ -227,6 +227,34 @@ private[graft] object TextGates {
         .withColumn("rouge_den", col("n_a") + col("n_b"))
     }),
 
+    // ---- LLM pipeline: TOKEN-level Levenshtein edit distance via the
+    //      native Wagner–Fischer kernel — the mutation metric ROUGE-L
+    //      cannot give (LCS ignores substitutions; here every
+    //      insert/delete/substitute costs 1). Same consecutive-id pair
+    //      plan and 24-token truncation as text_rouge_lcs; tokens are
+    //      reduced mod 94 on BOTH sides so DuckDB's own independent
+    //      levenshtein() over the chr-embedded strings replays the
+    //      token-level distance exactly (the embedding token→printable
+    //      ASCII char is injective after the shared reduction). ----
+    "text_edit_distance" -> ((s, dir) => {
+      def codes(c: Column): Column =
+        transform(slice(TextHash.wordHashes(c), 1, 24),
+          h => pmod(h, lit(94L)))
+      val a = t(s, dir, "documents").select(col("doc_id").as("id_a"),
+        codes(col("text")).as("xs_a"))
+      val b = t(s, dir, "documents").select(
+        (col("doc_id") - 1L).as("id_a"), col("doc_id").as("id_b"),
+        codes(col("text")).as("xs_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          size(col("xs_a")).cast("long").as("n_a"),
+          size(col("xs_b")).cast("long").as("n_b"),
+          TextHash.editDistance(col("xs_a"), col("xs_b")).as("edit_dist"))
+        .withColumn("sim_num",
+          greatest(col("n_a"), col("n_b")) - col("edit_dist"))
+        .withColumn("sim_den", greatest(col("n_a"), col("n_b")))
+    }),
+
     // ---- LLM pipeline: context-window chunking (200 chars, 20 overlap) ----
     "text_chunk" -> ((s, dir) =>
       TextAnalysis.chunkChars(
@@ -1717,6 +1745,24 @@ private[graft] object TextGates {
           "CAST(2 * diag[1] AS BIGINT) AS rouge_num, " +
           "CAST(n + m AS BIGINT) AS rouge_den " +
           "FROM rec WHERE dd = n + m"
+      },
+      // DuckDB's OWN levenshtein over the chr-embedded mod-94 token
+      // codes — a fully independent char-DP replaying the token-level
+      // kernel through an injective alphabet embedding
+      "text_edit_distance" -> {
+        val wh = OracleSql.wordHashes("text")
+        s"WITH d AS (SELECT doc_id, list_slice($wh, 1, 24) AS xs " +
+          "FROM documents), " +
+          "e AS (SELECT doc_id, len(xs) AS n, " +
+          "array_to_string(list_transform(xs, " +
+          "h -> chr(CAST(33 + h % 94 AS INT))), '') AS s FROM d) " +
+          "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+          "CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b, " +
+          "CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist, " +
+          "CAST(greatest(a.n, b.n) - levenshtein(a.s, b.s) AS BIGINT) " +
+          "AS sim_num, " +
+          "CAST(greatest(a.n, b.n) AS BIGINT) AS sim_den " +
+          "FROM e a JOIN e b ON b.doc_id = a.doc_id + 1"
       },
       "text_fingerprint" -> fingerprintSql,
       "text_normalize" -> normalizeSql,

@@ -1232,6 +1232,65 @@ object MediaFixtures {
   /** Gate harness: attach a kernel-built binary fixture column to a
     * Dataset of ids — one mapPartitions, no shuffle, fixture cost
     * negligible beside the decoder under test. */
+  /** WebP container fixture: id%3==0 → lossy "VP8 " (frame tag + the
+    * mandatory 9D 01 2A start code + 14-bit LE dims), id%3==1 →
+    * lossless "VP8L" (0x2F signature + packed w−1/h−1 bit fields),
+    * id%3==2 → a lossy stream with a CORRUPTED start code (the
+    * documented rejection path). Dims mirror the PNG fixture
+    * (w = id%24+9, h = id%16+8). */
+  def webpBytes(id: Long): Array[Byte] = {
+    val w = (id % 24 + 9).toInt
+    val h = (id % 16 + 8).toInt
+    val bb = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      bb.write((v & 0xff).toInt); bb.write(((v >> 8) & 0xff).toInt)
+      bb.write(((v >> 16) & 0xff).toInt); bb.write(((v >> 24) & 0xff).toInt)
+    }
+    def ascii(s: String): Unit = s.foreach(c => bb.write(c.toInt))
+    if (id % 3 == 1) {
+      ascii("RIFF"); le32(4 + 8 + 5); ascii("WEBP")
+      ascii("VP8L"); le32(5)
+      bb.write(0x2f)
+      le32((w - 1).toLong | ((h - 1).toLong << 14))
+    } else {
+      ascii("RIFF"); le32(4 + 8 + 10); ascii("WEBP")
+      ascii("VP8 "); le32(10)
+      bb.write(0x00); bb.write(0x00); bb.write(0x00) // frame tag
+      bb.write(0x9d); bb.write(0x01)
+      bb.write(if (id % 3 == 2) 0x2b else 0x2a) // corrupt start code path
+      bb.write(w & 0xff); bb.write((w >> 8) & 0x3f)
+      bb.write(h & 0xff); bb.write((h >> 8) & 0x3f)
+    }
+    bb.toByteArray
+  }
+
+  /** SubRip (SRT) fixture: n = id%5+2 cues, first start id%997 ms,
+    * cue i lasts 800 + 137·((id+i)%9) ms, and cue i starts 200 ms
+    * BEFORE its predecessor ends when (id+i−1)%4==0 (the overlap
+    * path) else 300 ms after; ids ≡ 0 (mod 7) carry one cue with
+    * end < start — the documented malformed-block rejection. The
+    * oracle replays the same arithmetic from doc_id without parsing. */
+  def srtBytes(id: Long): Array[Byte] = {
+    val n = (id % 5 + 2).toInt
+    val sb = new StringBuilder
+    def ts(ms: Long): String =
+      f"${ms / 3600000}%02d:${ms / 60000 % 60}%02d:" +
+        f"${ms / 1000 % 60}%02d,${ms % 1000}%03d"
+    var s = id % 997
+    (0 until n).foreach { i =>
+      val dur = 800L + 137L * ((id + i) % 9)
+      val e = s + dur
+      sb.append(i + 1).append('\n')
+      if (id % 7 == 0 && i == 1)
+        sb.append(ts(e)).append(" --> ").append(ts(s)) // end before start
+      else
+        sb.append(ts(s)).append(" --> ").append(ts(e))
+      sb.append('\n').append(s"cue $id $i").append("\n\n")
+      s = e + (if ((id + i) % 4 == 0) -200L else 300L)
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   def withFixtureBytes(df: DataFrame, idCol: String,
       build: Long => Array[Byte]): DataFrame = {
     val spark = df.sparkSession

@@ -2466,5 +2466,128 @@ object Multimodal extends AudioCodecs {
       }))
       .toDF()
   }
+
+  /** One WebP row: container variant and the parsed frame dimensions. */
+  final case class WebpRow(
+      id: Long, codec: Option[String],
+      width: Option[Long], height: Option[Long])
+
+  /** WebP container dims — the NINTH image container shape: a RIFF
+    * form (like WAV, but big-media): "RIFF" + le32 size + "WEBP", then
+    * either a lossy "VP8 " chunk (3-byte frame tag, the mandatory
+    * 0x9D 0x01 0x2A start code, then 14-bit little-endian width and
+    * height — VP8 spec RFC 6386 §9.1) or a lossless "VP8L" chunk
+    * (0x2F signature byte, then width−1 and height−1 as consecutive
+    * 14-bit fields of a little-endian bit stream — WebP lossless
+    * spec §3). Header-only parse, the [[mp4Meta]] discipline: bad
+    * magic, wrong start code, or truncation → NULL row, never a task
+    * failure. Row-local, no shuffle. */
+  private[graft] def webpDims(b: Array[Byte]): Option[(String, Long, Long)] = {
+    if (b == null || b.length < 25 || // VP8L min; the VP8 arm re-checks 30
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') None
+    else {
+      val fourcc = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      fourcc match {
+        case "VP8 " =>
+          // 3-byte frame tag at 20, start code at 23, dims at 26/28
+          if (b.length < 30 || u8(b, 23) != 0x9d || u8(b, 24) != 0x01 ||
+            u8(b, 25) != 0x2a) None
+          else Some(("VP8",
+            (le16(b, 26) & 0x3fff).toLong, (le16(b, 28) & 0x3fff).toLong))
+        case "VP8L" =>
+          if (b.length < 25 || u8(b, 20) != 0x2f) None
+          else {
+            val bits = le32(b, 21)
+            Some(("VP8L",
+              (bits & 0x3fff) + 1L, ((bits >> 14) & 0x3fff) + 1L))
+          }
+        case _ => None
+      }
+    }
+  }
+
+  def webpMeta(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        webpDims(b) match {
+          case None => WebpRow(id, None, None, None)
+          case Some((c, w, h)) => WebpRow(id, Some(c), Some(w), Some(h))
+        }
+      }))
+      .toDF()
+  }
+
+  /** One SRT row: cue census over a SubRip subtitle payload. */
+  final case class SrtRow(
+      id: Long, n_cues: Option[Long], total_dur_ms: Option[Long],
+      n_overlaps: Option[Long], span_ms: Option[Long],
+      max_cue_ms: Option[Long])
+
+  /** SubRip (SRT) subtitle cue census — the text-track side of a video
+    * ingest pipeline (caption alignment, speech-span statistics,
+    * audio/text contrastive pairs all start from the cue list): parse
+    * `index / HH:MM:SS,mmm --> HH:MM:SS,mmm / text...` blocks separated
+    * by blank lines and emit exact integer cue statistics — cue count,
+    * Σ duration, consecutive-overlap count (cue starts before its
+    * predecessor ends — the caption-collision signal), first-start to
+    * last-end span, and the longest cue. Malformed blocks (bad
+    * timestamp shape, non-numeric index, end before start) → NULL row,
+    * never a task failure. Row-local, no shuffle. */
+  def srtCues(
+      df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark: SparkSession = df.sparkSession
+    import spark.implicits._
+    val TsPat = """(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})""".r
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, b) =>
+        val bad = SrtRow(id, None, None, None, None, None)
+        try {
+          if (b == null || b.length == 0) bad
+          else {
+            val txt = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+            val blocks = txt.split("\n\n").map(_.trim).filter(_.nonEmpty)
+            if (blocks.isEmpty) bad
+            else {
+              val cues = blocks.map { blk =>
+                val lines = blk.split("\n")
+                if (lines.length < 2 || lines(0).exists(!_.isDigit)) None
+                else lines(1) match {
+                  case TsPat(h1, m1, s1, ms1, h2, m2, s2, ms2) =>
+                    def ms(h: String, m: String, s: String, f: String): Long =
+                      ((h.toLong * 60 + m.toLong) * 60 + s.toLong) * 1000 +
+                        f.toLong
+                    val st = ms(h1, m1, s1, ms1)
+                    val en = ms(h2, m2, s2, ms2)
+                    if (en <= st) None else Some((st, en))
+                  case _ => None
+                }
+              }
+              if (cues.exists(_.isEmpty)) bad
+              else {
+                val cs = cues.flatten
+                val overlaps = cs.sliding(2).count {
+                  case Array((_, e0), (s1b, _)) => s1b < e0
+                  case _ => false
+                }
+                SrtRow(id, Some(cs.length.toLong),
+                  Some(cs.map(c => c._2 - c._1).sum),
+                  Some(overlaps.toLong),
+                  Some(cs.last._2 - cs.head._1),
+                  Some(cs.map(c => c._2 - c._1).max))
+              }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => bad }
+      }))
+      .toDF()
+  }
 }
 

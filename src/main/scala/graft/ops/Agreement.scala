@@ -126,6 +126,33 @@ object Agreement {
       (col("n") * col("n") - col("sum_rc")).cast("long").as("kappa_den"))
   }
 
+  /** McNemar's paired test core for two raters/models judged against a
+    * shared truth — THE significance question of paired eval ("did B
+    * beat A on the same items?"): only the DISCORDANT pairs carry
+    * information (n_a_only = A correct ∧ B wrong, n_b_only = the
+    * reverse); the test statistic is (b−c)²/(b+c), emitted as the
+    * exact integer rational (mcnemar_num, mcnemar_den) per truth
+    * stratum (den 0 when the raters never disagree — the caller's
+    * NULL-division surface, like every stat in this family). ONE
+    * contingency aggregate over the corpus; grid-local arithmetic —
+    * scale-safe by construction. */
+  def mcnemar(pairs: DataFrame, truthCol: String,
+      aCol: String, bCol: String): DataFrame =
+    pairs.groupBy(col(truthCol))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col(aCol) === col(truthCol) &&
+          col(bCol) =!= col(truthCol), 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(col(bCol) === col(truthCol) &&
+          col(aCol) =!= col(truthCol), 1L).otherwise(0L)).as("n_b_only"))
+      .select(col(truthCol), col("n_items").cast("long").as("n_items"),
+        col("n_a_only").cast("long").as("n_a_only"),
+        col("n_b_only").cast("long").as("n_b_only"),
+        ((col("n_a_only") - col("n_b_only")) *
+          (col("n_a_only") - col("n_b_only")))
+          .cast("long").as("mcnemar_num"),
+        (col("n_a_only") + col("n_b_only")).cast("long").as("mcnemar_den"))
+
   /** WEIGHTED Cohen's κ (quadratic weights) for ORDINAL labels — the
     * agreement coefficient when disagreeing by one grade is better
     * than by four (quality scores, Likert annotations). With

@@ -1697,6 +1697,41 @@ object TimeSeries {
         expr("dtw_cost * 1000000L div (n_a + n_b)"))
   }
 
+  /** Robust outlier census via MEDIAN + MAD (median absolute
+    * deviation) — the loss-spike / corrupt-day detector that, unlike a
+    * mean±kσ rule, a single extreme value cannot poison (breakdown
+    * point 50%). Exactness discipline: medians of BIGINTs are either
+    * integers or exact halves, so EVERYTHING is carried ×2 —
+    * med_x2 = 2·median(x), dev_x2_i = |2·x_i − med_x2| (integer),
+    * mad_x2 = 2·median(dev_x2)/... specifically median(dev_x2) again
+    * ×1 stays possibly half-integral, so the flag
+    * |x_i − med| > k·mad is evaluated as 2·dev_x2_i > k·mad_x4 with
+    * mad_x4 = 2·median(dev_x2) — every comparison pure BIGINT, zero
+    * float decisions. Emits per key: (n_points, med_x2, mad_x4,
+    * n_outliers, max_dev_x2). Two grouped aggregates over the bucket
+    * grid + one broadcast-size join back — O(grid) rows, scale-safe. */
+  def madOutliers(grid: DataFrame, keyCol: String, xCol: String,
+      k: Long = 3L): DataFrame = {
+    require(k >= 1L, s"k must be >= 1, got $k")
+    val med = grid.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_points"),
+        (expr(s"percentile($xCol, 0.5D)") * 2.0).cast("long").as("med_x2"))
+    val dev = grid.join(broadcast(med), keyCol)
+      .withColumn("__dev_x2", abs(lit(2L) * col(xCol) - col("med_x2")))
+    dev.groupBy(col(keyCol))
+      .agg(
+        first(col("n_points")).as("n_points"),
+        first(col("med_x2")).as("med_x2"),
+        (expr("percentile(__dev_x2, 0.5D)") * 2.0).cast("long").as("mad_x4"),
+        max(col("__dev_x2")).as("max_dev_x2"),
+        collect_list(col("__dev_x2")).as("__devs"))
+      .select(col(keyCol), col("n_points"), col("med_x2"), col("mad_x4"),
+        size(filter(col("__devs"),
+          d => d * 2L > col("mad_x4") * k)).cast("long").as("n_outliers"),
+        col("max_dev_x2"))
+  }
+
   /** Croston's method (1972) for INTERMITTENT demand — the forecasting
     * standard when most periods are zero (spare parts, rare events,
     * long-tail SKUs), where plain exponential smoothing biases toward

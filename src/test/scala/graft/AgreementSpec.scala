@@ -32,6 +32,24 @@ class AgreementSpec extends SparkSpec {
     assert(out.getAs[Long]("kappa_num") == out.getAs[Long]("kappa_den"))
   }
 
+  test("McNemar: hand-counted discordant pairs per truth stratum; " +
+      "concordant pairs carry no information") {
+    // truth "x": A-only correct 3x, B-only 1x, both 1x, neither 2x
+    //  -> b=3, c=1, num=(3-1)^2=4, den=4
+    // truth "y": raters never disagree -> den=0 (caller's NULL surface)
+    val rows =
+      Seq.fill(3)(("x", "x", "w")) ++ Seq(("x", "w", "x")) ++
+        Seq(("x", "x", "x")) ++ Seq.fill(2)(("x", "w", "w")) ++
+        Seq.fill(4)(("y", "y", "y"))
+    val out = Agreement.mcnemar(rows.toDF("truth", "a", "b"),
+      "truth", "a", "b")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    assert(out("x") == ((7L, 3L, 1L, 4L, 4L)))
+    assert(out("y") == ((4L, 0L, 0L, 0L, 0L)))
+  }
+
   test("Fleiss' kappa: unanimous panel gives kappa = 1, split panel < 1") {
     val unan = (0L until 10L).flatMap(i =>
       Seq.fill(3)((i, if (i % 2 == 0) "a" else "b")))

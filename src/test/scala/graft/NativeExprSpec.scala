@@ -349,6 +349,40 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("editDistance: hand cases (substitution/insert/delete, plain " +
+      "Levenshtein prices a transposition at 2), empty sides, and " +
+      "kernel == driver-side reference DP on random sequences") {
+    import spark.implicits._
+    def edCol(a: Seq[Long], b: Seq[Long]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(TextHash.editDistance(col("a"), col("b")).as("d"))
+        .head().getLong(0)
+    assert(edCol(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) == 0L)
+    assert(edCol(Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)) == 1L) // substitute
+    assert(edCol(Seq(1L, 2L, 3L), Seq(1L, 3L)) == 1L) //      delete
+    assert(edCol(Seq(1L, 3L), Seq(1L, 2L, 3L)) == 1L) //      insert
+    assert(edCol(Seq(1L, 2L), Seq(2L, 1L)) == 2L) // NOT Damerau: swap = 2
+    assert(edCol(Seq.empty, Seq(1L, 2L)) == 2L)
+    assert(edCol(Seq(1L, 2L), Seq.empty) == 2L)
+    // reference DP (full matrix, independent shape) on random input
+    def ref(a: Seq[Long], b: Seq[Long]): Long = {
+      val dp = Array.ofDim[Long](a.size + 1, b.size + 1)
+      for (i <- 0 to a.size) dp(i)(0) = i.toLong
+      for (j <- 0 to b.size) dp(0)(j) = j.toLong
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        dp(i)(j) = math.min(
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0L else 1L),
+          math.min(dp(i - 1)(j) + 1L, dp(i)(j - 1) + 1L))
+      dp(a.size)(b.size)
+    }
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 20) {
+      val a = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(5).toLong)
+      val b = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(5).toLong)
+      assert(edCol(a, b) == ref(a, b), s"mismatch on $a vs $b")
+    }
+  }
+
   test("mulawToPcm: closed-form landmarks — 0xFF is digital silence, " +
       "0x00 the negative peak -8031, sign symmetry holds") {
     import graft.functions.NativeKernels.mulawToPcm

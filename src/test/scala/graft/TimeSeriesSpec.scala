@@ -769,6 +769,29 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: hand-computed x2/x4 medians; one spike cannot " +
+    "poison the threshold (the 50% breakdown point a mean±kσ rule " +
+    "lacks)") {
+    // {1..9, 1000}: median = 5.5 -> med_x2 = 11;
+    // dev_x2 = |2x-11| = {9,7,5,3,1,1,3,5,7,1989}; median(dev)=5 ->
+    // mad_x4 = 10; flag 2*dev > 3*10 -> only the spike. A mean±3σ rule
+    // on the same data flags NOTHING (σ inflated by the spike itself).
+    val df = ((1L to 9L) :+ 1000L).zipWithIndex
+      .map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "d", "x")
+    val r = TimeSeries.madOutliers(df, "k", "x", k = 3L).head()
+    assert(r.getAs[Long]("n_points") == 10L)
+    assert(r.getAs[Long]("med_x2") == 11L)
+    assert(r.getAs[Long]("mad_x4") == 10L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Long]("max_dev_x2") == 1989L)
+    // mean = 104.5, σ ≈ 298 -> spike z ≈ 3.0 NOT > 3: the classical
+    // rule misses what MAD catches
+    val xs = (1L to 9L) :+ 1000L
+    val mean = xs.sum.toDouble / xs.size
+    val sd = math.sqrt(xs.map(v => (v - mean) * (v - mean)).sum / xs.size)
+    assert((1000.0 - mean) / sd < 3.05)
+  }
+
   test("macd: driver-exact fold replay, and a step change produces at " +
     "least one signal crossover") {
     val xs = (0 until 15).map(_ => 10.0) ++ (0 until 15).map(_ => 100.0)
