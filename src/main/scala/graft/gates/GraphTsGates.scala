@@ -474,6 +474,21 @@ private[graft] object GraphTsGates {
     // ---- Graph: common-neighbor link prediction — Jaccard-scored
     //      2-hop pairs not already connected (missing-edge repair /
     //      related-entity suggestion) on the part co-occurrence graph ----
+    // ---- Graph: rich-club profile — per degree threshold k the
+    //      hubs-only induced subgraph's node/edge counts and
+    //      φ(k) = 2E_k/(N_k(N_k−1)) as exact rationals; rising φ is
+    //      the hub-interlinking signal degree histograms miss ----
+    "graph_rich_club" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val pairs = pp.as("x").join(pp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b"))
+      graft.ops.Graph.richClub(pairs, "a", "b", maxK = 8)
+    }),
+
     "graph_jaccard_links" -> ((s, dir) => {
       val pp = t(s, dir, "lineitem")
         .filter(col("l_partkey") % 4 === 0)
@@ -1564,6 +1579,27 @@ private[graft] object GraphTsGates {
           "[(len(lw) + 1) // 2] AS mad FROM m) " +
           "SELECT event_type, hr, hx, n_win, med, mad, " +
           "abs(hx - med) > 3 * mad AS is_anomaly FROM md"),
+      "graph_rich_club" ->
+        ("WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+          "FROM lineitem WHERE l_partkey % 4 = 0), " +
+          "e0 AS (SELECT x.p AS a, y.p AS b FROM pp x JOIN pp y " +
+          "ON x.o = y.o AND x.p < y.p), " +
+          "und AS (SELECT DISTINCT a, b FROM e0), " +
+          "adj AS (SELECT a AS m FROM und UNION ALL SELECT b FROM und), " +
+          "deg AS (SELECT m, CAST(count(*) AS BIGINT) AS d " +
+          "FROM adj GROUP BY 1), " +
+          "ks AS (SELECT unnest(range(1, 9)) AS k), " +
+          "nk AS (SELECT k, CAST(sum(CASE WHEN d > k THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_nodes FROM ks CROSS JOIN deg GROUP BY k), " +
+          "wd AS (SELECT und.a, und.b, da.d AS da, db.d AS db FROM und " +
+          "JOIN deg da ON da.m = und.a JOIN deg db ON db.m = und.b), " +
+          "ek AS (SELECT k, CAST(sum(CASE WHEN da > k AND db > k " +
+          "THEN 1 ELSE 0 END) AS BIGINT) AS n_edges " +
+          "FROM ks CROSS JOIN wd GROUP BY k) " +
+          "SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes, ek.n_edges, " +
+          "CAST(2 * ek.n_edges AS BIGINT) AS phi_num, " +
+          "CAST(nk.n_nodes * (nk.n_nodes - 1) AS BIGINT) AS phi_den " +
+          "FROM nk JOIN ek ON nk.k = ek.k"),
       "graph_jaccard_links" ->
         ("WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
           "FROM lineitem WHERE l_partkey % 4 = 0), " +

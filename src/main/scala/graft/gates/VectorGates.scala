@@ -560,6 +560,15 @@ private[graft] object VectorGates {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 10, k = 10, dim = 64, planes = 4)),
 
+    // ---- LLM pipeline: semi-hard negative mining for triplet /
+    //      contrastive training (FaceNet rule, margin = d²(a,p)):
+    //      LSH-bucketed candidates, exact integer quantized distances,
+    //      hardest qualifying negative per anchor ----
+    "emb_triplet_mining" -> ((s, dir) =>
+      Similarity.tripletMining(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, planes = 4)),
+
     // ---- LLM pipeline: IVF ANN top-k over LEARNED cells (2 Lloyd's
     //      iterations of deterministic fixed-point k-means) ----
     "ann_ivf_topk" -> ((s, dir) => {
@@ -1365,6 +1374,32 @@ private[graft] object VectorGates {
         "SELECT query_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM " +
         "(SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cos DESC, vec_id) AS rank FROM p) WHERE rank <= 10")
+    // Semi-hard mining replay: same bucket CTE, exact integer quantized
+    // distances (floor(x*2^20) per dim, Σ Δq² as HUGEINT→BIGINT), the
+    // FaceNet band (d2_pos, 2·d2_pos], hardest-negative window.
+    def d2Sql(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($a)+1), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val tripletMining =
+      s"$embNorm, q AS (SELECT vec_id AS id, bucket AS b, " +
+        "list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) " +
+        "AS qv FROM n), " +
+        "ap AS (SELECT a.id AS id_a, p.id AS id_pos, a.b AS ba, " +
+        s"a.qv AS va, ${d2Sql("a.qv", "p.qv")} AS d2_pos " +
+        "FROM q a JOIN q p ON p.id = a.id + 1), " +
+        "neg AS (SELECT ap.id_a, ap.d2_pos, c.id AS id_neg, " +
+        s"${d2Sql("ap.va", "c.qv")} AS d2_neg FROM ap JOIN q c " +
+        "ON c.b = ap.ba AND c.id <> ap.id_a AND c.id <> ap.id_pos), " +
+        "sh AS (SELECT * FROM neg WHERE d2_neg > d2_pos " +
+        "AND d2_neg <= 2 * d2_pos), " +
+        "rk AS (SELECT id_a, id_neg, d2_neg, " +
+        "row_number() OVER (PARTITION BY id_a ORDER BY d2_neg, id_neg) " +
+        "AS rn, CAST(count(*) OVER (PARTITION BY id_a) AS BIGINT) AS cnt " +
+        "FROM sh) " +
+        "SELECT ap.id_a, ap.id_pos, ap.d2_pos, " +
+        "CAST(coalesce(rk.cnt, 0) AS BIGINT) AS n_semihard, " +
+        "rk.id_neg, rk.d2_neg " +
+        "FROM ap LEFT JOIN rk ON rk.id_a = ap.id_a AND rk.rn = 1"
     val lshTopK =
       s"$embNorm, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket " +
         "FROM n WHERE vec_id < 10), " +
@@ -2594,6 +2629,7 @@ private[graft] object VectorGates {
           s"FROM embeddings) SELECT vec_id, $proj FROM e"
       },
       "ann_lsh_topk" -> lshTopK,
+      "emb_triplet_mining" -> tripletMining,
       "ann_topk" -> bruteTopK,
       // recall@k of the LSH path against the brute-force truth —
       // both full statements (CTEs included) compose as subqueries

@@ -591,6 +591,52 @@ object Graph {
     deg
   }
 
+  /** Rich-club profile (Zhou & Mondragón 2004): for every degree
+    * threshold k in 1..maxK, the subgraph induced by nodes with
+    * degree > k — node count N_k, edge count E_k, and the rich-club
+    * coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) emitted as the exact
+    * integer rational (phi_num, phi_den). Rising φ(k) means hubs
+    * preferentially interlink — the "core elite" structural signal
+    * degree distribution alone cannot give. Cost: one degree
+    * aggregate, then the edge list and degree table each crossed with
+    * the maxK-row threshold table (O(E·maxK) predicate work, no new
+    * shuffle key) — scale-safe for the small fixed maxK. */
+  def richClub(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxK: Int = 8): DataFrame = {
+    require(maxK >= 1 && maxK <= 64, s"maxK must be in [1, 64], got $maxK")
+    val spark = edges.sparkSession
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val und = raw.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().persist()
+    try {
+      val deg = und.select(col("a").as("m"))
+        .unionByName(und.select(col("b").as("m")))
+        .groupBy(col("m")).agg(count(lit(1)).as("d"))
+      val ks = spark.range(1, maxK + 1).toDF("k")
+      val nk = ks.crossJoin(deg)
+        .groupBy(col("k"))
+        .agg(sum(when(col("d") > col("k"), 1L).otherwise(0L)).as("n_nodes"))
+      val withDeg = und
+        .join(deg.select(col("m").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("m").as("b"), col("d").as("db")), "b")
+      val ek = ks.crossJoin(withDeg)
+        .groupBy(col("k"))
+        .agg(sum(when(col("da") > col("k") && col("db") > col("k"), 1L)
+          .otherwise(0L)).as("n_edges"))
+      nk.join(ek, "k")
+        .select(col("k").cast("long").as("k"),
+          col("n_nodes").cast("long").as("n_nodes"),
+          col("n_edges").cast("long").as("n_edges"),
+          (lit(2L) * col("n_edges")).as("phi_num"),
+          (col("n_nodes") * (col("n_nodes") - 1L)).as("phi_den"))
+        .localCheckpoint()
+    } finally { und.unpersist(); () }
+  }
+
   /** Link-prediction PANEL for unlinked 2-hop pairs: common-neighbor
     * count AND preferential attachment deg(u)·deg(v) — the two classic
     * baselines beside [[adamicAdarLinks]] (Liben-Nowell & Kleinberg

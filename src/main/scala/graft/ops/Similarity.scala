@@ -159,6 +159,66 @@ object Similarity {
     rankTopK(pairs, idCol, cos, k)
   }
 
+  /** Semi-hard negative MINING for triplet/contrastive training — the
+    * batch-prep operator an embedding-training pipeline runs over the
+    * corpus before every epoch (Schroff 2015 FaceNet §3.2): for each
+    * (anchor a, positive p = next id) pair, the negatives n satisfying
+    * d²(a,p) < d²(a,n) ≤ 2·d²(a,p) — farther than the positive (not
+    * trivially hard/collapsed) but within the margin (still
+    * informative); margin = d²(a,p) itself, so the rule is
+    * parameter-free and scale-equivariant. Emits per anchor:
+    * (id_a, id_pos, d2_pos, n_semihard, id_neg, d2_neg) with the
+    * HARDEST qualifying negative (min d², ties to smaller id) and
+    * NULLs when none qualifies.
+    *
+    * Exactness: vectors quantize per-dim to floor(x·2²⁰) BIGINTs and
+    * every distance is an exact integer Σ(Δq)² — no float comparisons
+    * anywhere, so the mined set is bit-reproducible. Scale: candidates
+    * come from the anchor's hyperplane LSH bucket ONLY (the ann_lsh
+    * discipline — O(N²/2^planes) pairs, never all-pairs); the argmin
+    * window is partitioned per anchor. Identical vectors (d²=0) mine
+    * nothing — the strict lower bound excludes them by design. */
+  def tripletMining(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int): DataFrame = {
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("qv", transform(col("v"),
+        x => floor(x * lit(1048576.0)).cast("long")))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, planes))
+      .select(col("id"), col("qv"), col("bucket"))
+      .persist()
+    try {
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
+          lit(0L), (acc, x) => acc + x)
+      val ap = e.select(col("id").as("id_a"), col("qv").as("va"),
+          col("bucket").as("ba"))
+        .join(e.select((col("id") - 1L).as("id_a"), col("id").as("id_pos"),
+          col("qv").as("vp")), "id_a")
+        .select(col("id_a"), col("id_pos"), col("ba"), col("va"),
+          d2(col("va"), col("vp")).as("d2_pos"))
+      val neg = ap.join(
+          e.select(col("bucket").as("ba"), col("id").as("id_neg"),
+            col("qv").as("vn")), Seq("ba"))
+        .filter(col("id_neg") =!= col("id_a") &&
+          col("id_neg") =!= col("id_pos"))
+        .withColumn("d2_neg", d2(col("va"), col("vn")))
+        .filter(col("d2_neg") > col("d2_pos") &&
+          col("d2_neg") <= lit(2L) * col("d2_pos"))
+      val mined = neg.groupBy(col("id_a"))
+        .agg(count(lit(1)).as("n_semihard"),
+          min(struct(col("d2_neg"), col("id_neg"))).as("best"))
+      ap.select(col("id_a"), col("id_pos"), col("d2_pos"))
+        .join(mined, Seq("id_a"), "left")
+        .select(col("id_a"), col("id_pos"), col("d2_pos"),
+          coalesce(col("n_semihard"), lit(0L)).as("n_semihard"),
+          col("best.id_neg").as("id_neg"),
+          col("best.d2_neg").as("d2_neg"))
+        .localCheckpoint()
+    } finally { e.unpersist(); () }
+  }
+
   /** Scalar-quantized (int8-range) ANN with exact rerank — the
     * memory-bandwidth scale path: embeddings are quantized to integers in
     * [-127, 127] with ONE corpus-wide symmetric scale (`q = clamp(floor(x

@@ -677,4 +677,23 @@ class GraphSpec extends SparkSpec {
         s"trial $trial: Luby MIS differs from greedy-by-priority")
     }
   }
+
+  test("richClub: K4 plus a pendant — hand-computed N_k/E_k/phi per " +
+      "threshold; empty club gives the zero-denominator rational") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (all deg 3) + pendant edge (1,5): deg1=4, deg5=1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("a", "b")
+    val got = graft.ops.Graph.richClub(edges, "a", "b", maxK = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 5)
+    // k=1,2: club = {1,2,3,4}, all 6 K4 edges inside -> phi = 12/12
+    assert(got(1L) == ((4L, 6L, 12L, 12L)))
+    assert(got(2L) == ((4L, 6L, 12L, 12L)))
+    // k=3: only node 1 (deg 4) qualifies -> no edges, den = 0
+    assert(got(3L) == ((1L, 0L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L, 0L)))
+    assert(got(5L) == ((0L, 0L, 0L, 0L)))
+  }
 }

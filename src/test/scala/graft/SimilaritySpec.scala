@@ -778,4 +778,34 @@ class SimilaritySpec extends SparkSpec {
       s"one NN-descent round must beat the seed: seed=$rSeed refined=$rRefined")
     assert(rRefined > 0.1, s"refined recall too low: $rRefined")
   }
+
+  test("tripletMining: colinear hand fixture — the FaceNet band " +
+      "(d2_pos, 2*d2_pos] admits exactly the planted semi-hard " +
+      "negative; anchors with none surface NULLs") {
+    import spark.implicits._
+    // All vectors colinear (c * u) -> identical hyperplane signs ->
+    // ONE bucket regardless of the hash; dyadic scalars make the
+    // floor(x*2^20) quantization exact, so distances are exactly
+    // (ca-cb)^2 * S in quantized space.
+    val u = Seq(1.0, 0.5, 0.25, 0.125)
+    val cs = Map(1L -> 1.0, 2L -> 1.25, 3L -> 1.3125, 4L -> 2.0)
+    val emb = cs.toSeq.map { case (id, c) => (id, u.map(_ * c)) }
+      .toDF("vec_id", "embedding")
+    def qv(id: Long): Seq[Long] =
+      u.map(x => math.floor(x * cs(id) * 1048576.0).toLong)
+    def d2(a: Long, b: Long): Long =
+      qv(a).zip(qv(b)).map { case (p, q) => (p - q) * (p - q) }.sum
+    val got = graft.ops.Similarity
+      .tripletMining(emb, "vec_id", "embedding", dim = 4, planes = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "one row per anchor with a +1 positive")
+    // anchor 1 (pos 2): candidate 3 has d2 in (d2_pos, 2*d2_pos]; 4 is too far
+    assert(got(1L).getLong(2) == d2(1L, 2L))
+    assert(got(1L).getLong(3) == 1L)
+    assert(got(1L).getLong(4) == 3L && got(1L).getLong(5) == d2(1L, 3L))
+    assert(d2(1L, 3L) > d2(1L, 2L) && d2(1L, 3L) <= 2L * d2(1L, 2L))
+    // anchors 2 and 3: nothing lands in the band -> zero + NULLs
+    assert(got(2L).getLong(3) == 0L && got(2L).isNullAt(4))
+    assert(got(3L).getLong(3) == 0L && got(3L).isNullAt(4))
+  }
 }
