@@ -149,6 +149,16 @@ private[graft] object QualityGates {
           Agreement.raterLabel(0).as("a"), Agreement.raterLabel(1).as("b")),
         "a", "b")),
 
+    // ---- Agreement: Gwet's AC1 between raters 0 and 1 — the
+    //      prevalence-robust alternative to κ (no kappa paradox);
+    //      DECIMAL(38,0) rationals because the n³ products outgrow
+    //      BIGINT past n ≈ 10⁶ ----
+    "q_gwet_ac1" -> ((s, dir) =>
+      Agreement.gwetAc1(
+        t(s, dir, "events").select(
+          Agreement.raterLabel(0).as("a"), Agreement.raterLabel(1).as("b")),
+        "a", "b")),
+
     // ---- Agreement: McNemar's paired test between raters 0 and 1
     //      judged against the item's true label — the paired-eval
     //      significance core (discordant counts b, c; statistic
@@ -332,6 +342,29 @@ private[graft] object QualityGates {
         "AS BIGINT) AS kept_chars, " +
         "CAST(CASE WHEN max(n_sentences) >= 3 AND NOT bool_or(banned) " +
         "THEN 1 ELSE 0 END AS INT) AS c4_keep FROM f GROUP BY doc_id"),
+
+    "q_gwet_ac1" ->
+      (s"WITH p AS (SELECT ${Agreement.raterLabelSql(0)} AS a, " +
+        s"${Agreement.raterLabelSql(1)} AS b FROM events), " +
+        "conf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM p GROUP BY a, b), " +
+        "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) " +
+        "AS n_agree FROM conf), " +
+        "cats AS (SELECT CAST(count(DISTINCT q) AS BIGINT) AS k_cats " +
+        "FROM (SELECT a AS q FROM conf UNION ALL SELECT b FROM conf)), " +
+        "ra AS (SELECT a AS q, sum(cnt) AS r FROM conf GROUP BY a), " +
+        "cb AS (SELECT b AS q, sum(cnt) AS c FROM conf GROUP BY b), " +
+        "marg AS (SELECT CAST(sum(CAST(coalesce(r, 0) + coalesce(c, 0) " +
+        "AS HUGEINT) * (2 * tot.n - coalesce(r, 0) - coalesce(c, 0))) " +
+        "AS HUGEINT) AS p FROM ra FULL JOIN cb USING (q) CROSS JOIN tot) " +
+        "SELECT tot.n, tot.n_agree, cats.k_cats AS n_categories, " +
+        "CAST(CAST(tot.n_agree AS HUGEINT) * (CAST(4 AS HUGEINT) * " +
+        "tot.n * tot.n * (cats.k_cats - 1)) - " +
+        "CAST(tot.n AS HUGEINT) * marg.p AS DECIMAL(38,0)) AS ac1_num, " +
+        "CAST(CAST(tot.n AS HUGEINT) * (CAST(4 AS HUGEINT) * tot.n * " +
+        "tot.n * (cats.k_cats - 1) - marg.p) AS DECIMAL(38,0)) " +
+        "AS ac1_den FROM tot CROSS JOIN cats CROSS JOIN marg"),
 
     "q_mcnemar_raters" ->
       (s"WITH p AS (SELECT event_type AS truth, " +

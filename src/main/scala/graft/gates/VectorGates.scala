@@ -569,6 +569,15 @@ private[graft] object VectorGates {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, planes = 4)),
 
+    // ---- LLM pipeline: hubness census — the k-occurrence histogram
+    //      (Radovanović 2010), the ANN-pathology diagnostic to run
+    //      BEFORE trusting embedding-based dedup; exact bucketed kNN,
+    //      zero-occurrence points included ----
+    "emb_hubness" -> ((s, dir) =>
+      Similarity.hubnessCensus(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, dim = 64, planes = 4)),
+
     // ---- LLM pipeline: IVF ANN top-k over LEARNED cells (2 Lloyd's
     //      iterations of deterministic fixed-point k-means) ----
     "ann_ivf_topk" -> ((s, dir) => {
@@ -2630,6 +2639,22 @@ private[graft] object VectorGates {
       },
       "ann_lsh_topk" -> lshTopK,
       "emb_triplet_mining" -> tripletMining,
+      // k-occurrence histogram over the same bucketed exact-integer kNN
+      "emb_hubness" ->
+        (s"$embNorm, q AS (SELECT vec_id AS id, bucket AS b, " +
+          "list_transform(v, x -> CAST(floor(x * 1048576.0) AS BIGINT)) " +
+          "AS qv FROM n), " +
+          "pr AS (SELECT a.id AS src, c.id AS dst, " +
+          s"${d2Sql("a.qv", "c.qv")} AS d2 FROM q a JOIN q c " +
+          "ON c.b = a.b AND c.id <> a.id), " +
+          "knn AS (SELECT dst FROM (SELECT dst, row_number() OVER " +
+          "(PARTITION BY src ORDER BY d2, dst) AS rn FROM pr) " +
+          "WHERE rn <= 5), " +
+          "occ AS (SELECT q.id, CAST(coalesce(o.c, 0) AS BIGINT) " +
+          "AS k_occurrences FROM q LEFT JOIN (SELECT dst, count(*) AS c " +
+          "FROM knn GROUP BY dst) o ON o.dst = q.id) " +
+          "SELECT k_occurrences, CAST(count(*) AS BIGINT) AS n_points " +
+          "FROM occ GROUP BY k_occurrences"),
       "ann_topk" -> bruteTopK,
       // recall@k of the LSH path against the brute-force truth —
       // both full statements (CTEs included) compose as subqueries

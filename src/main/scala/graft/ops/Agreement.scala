@@ -126,6 +126,52 @@ object Agreement {
       (col("n") * col("n") - col("sum_rc")).cast("long").as("kappa_den"))
   }
 
+  /** Gwet's AC1 (2008) between two raters — the chance-corrected
+    * agreement coefficient the annotation-QA literature prefers over
+    * Cohen's κ under skewed label prevalence (κ collapses toward 0
+    * when one label dominates even at high raw agreement — the "kappa
+    * paradox"; AC1's chance term π_q(1−π_q)/(K−1) stays calibrated).
+    * With marginals r_q, c_q over the k×k confusion grid and
+    * K = observed category count:
+    *   po = A/n,  pe = Σ_q (r_q+c_q)(2n−r_q−c_q) / (4n²(K−1))
+    *   AC1 = (po − pe)/(1 − pe) = (A·D − n·P) / (n·(D − P))
+    * with P = Σ(r_q+c_q)(2n−r_q−c_q), D = 4n²(K−1). The rational is
+    * emitted as DECIMAL(38,0) num/den — the n³-order products overflow
+    * BIGINT past n ≈ 10⁶, and the decimal lane keeps them exact (the
+    * DECIMAL(18,2) money-sum discipline, wider). ONE contingency
+    * aggregate; grid-local arithmetic. */
+  def gwetAc1(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec38 = "decimal(38,0)"
+    val conf = pairs.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val cats = conf.select(col("a").as("q"))
+      .unionByName(conf.select(col("b").as("q")))
+      .distinct().agg(count(lit(1)).as("k_cats"))
+    val ra = conf.groupBy(col("a").as("q")).agg(sum(col("cnt")).as("r"))
+    val cb = conf.groupBy(col("b").as("q")).agg(sum(col("cnt")).as("c"))
+    val tot = conf.agg(sum(col("cnt")).as("n"),
+      sum(when(col("a") === col("b"), col("cnt")).otherwise(0L)).as("n_agree"))
+    val marg = ra.join(cb, Seq("q"), "full")
+      .select(coalesce(col("r"), lit(0L)).as("r"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(tot.select(col("n").as("__n")))
+      .agg(sum((col("r") + col("c")).cast(dec38) *
+        (lit(2L) * col("__n") - col("r") - col("c")).cast(dec38)).as("p"))
+    tot.crossJoin(cats).crossJoin(marg)
+      .select(
+        col("n").cast("long").as("n"),
+        col("n_agree").cast("long").as("n_agree"),
+        col("k_cats").cast("long").as("n_categories"),
+        (col("n_agree").cast(dec38) *
+          (lit(4L).cast(dec38) * col("n").cast(dec38) * col("n").cast(dec38) *
+            (col("k_cats") - 1L).cast(dec38)) -
+          col("n").cast(dec38) * col("p")).cast(dec38).as("ac1_num"),
+        (col("n").cast(dec38) *
+          (lit(4L).cast(dec38) * col("n").cast(dec38) * col("n").cast(dec38) *
+            (col("k_cats") - 1L).cast(dec38) - col("p"))).cast(dec38)
+          .as("ac1_den"))
+  }
+
   /** McNemar's paired test core for two raters/models judged against a
     * shared truth — THE significance question of paired eval ("did B
     * beat A on the same items?"): only the DISCORDANT pairs carry

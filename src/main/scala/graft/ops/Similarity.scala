@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -157,6 +158,52 @@ object Similarity {
       col("bucket") === col("qbucket") && col(idCol) =!= col("query_id"))
     val cos = dot(col("v"), col("qv")) / (col("nrm") * col("qn"))
     rankTopK(pairs, idCol, cos, k)
+  }
+
+  /** HUBNESS census — the high-dimensional ANN pathology diagnostic
+    * (Radovanović 2010): the k-occurrence distribution N_k(x) = how
+    * often x appears in other points' k-NN lists. In healthy spaces
+    * N_k concentrates near k; in hubby spaces a few points dominate
+    * every neighbor list (and near-dup/retrieval quality silently
+    * degrades — the thing to MEASURE before trusting any ANN-based
+    * dedup). Emits the exact histogram (k_occurrences, n_points),
+    * zero-occurrence points included. Candidates come from the
+    * hyperplane LSH bucket (the ann_lsh discipline — never all-pairs);
+    * distances are exact integer quantized d², (d², id) tie-break, so
+    * the census is bit-reproducible. */
+  def hubnessCensus(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, planes: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("qv", transform(col("v"),
+        x => floor(x * lit(1048576.0)).cast("long")))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, planes))
+      .select(col("id"), col("qv"), col("bucket"))
+      .persist()
+    try {
+      val pairs = e.select(col("id").as("src"), col("qv").as("vs"),
+          col("bucket").as("bk"))
+        .join(e.select(col("bucket").as("bk"), col("id").as("dst"),
+          col("qv").as("vd")), Seq("bk"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          aggregate(zip_with(col("vs"), col("vd"),
+              (p, q) => (p - q) * (p - q)),
+            lit(0L), (acc, x) => acc + x).as("d2"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("d2"), col("dst"))
+      val knn = pairs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+      val occ = e.select(col("id"))
+        .join(knn.groupBy(col("dst").as("id"))
+          .agg(count(lit(1)).as("n_occ")), Seq("id"), "left")
+        .select(coalesce(col("n_occ"), lit(0L)).as("k_occurrences"))
+      occ.groupBy(col("k_occurrences"))
+        .agg(count(lit(1)).as("n_points"))
+        .localCheckpoint()
+    } finally { e.unpersist(); () }
   }
 
   /** Semi-hard negative MINING for triplet/contrastive training — the

@@ -808,4 +808,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L).getLong(3) == 0L && got(2L).isNullAt(4))
     assert(got(3L).getLong(3) == 0L && got(3L).isNullAt(4))
   }
+
+  test("hubnessCensus: colinear hand fixture — exact k-occurrence " +
+      "histogram including the zero-occurrence antihub") {
+    import spark.implicits._
+    // c in {1,2,3,4,5,100} on one direction (one bucket): kNN(k=2) by
+    // |dc| gives occurrences 1->1, 2->2, 3->4, 4->3, 5->2, 100->0
+    // -> histogram {0:1, 1:1, 2:2, 3:1, 4:1}
+    val u = Seq(1.0, 0.5, 0.25, 0.125)
+    val emb = Seq(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0,
+      5L -> 5.0, 6L -> 100.0)
+      .map { case (id, c) => (id, u.map(_ * c)) }
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity
+      .hubnessCensus(emb, "vec_id", "embedding", k = 2, dim = 4, planes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
 }
