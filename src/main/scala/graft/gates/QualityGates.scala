@@ -149,6 +149,16 @@ private[graft] object QualityGates {
           Agreement.raterLabel(0).as("a"), Agreement.raterLabel(1).as("b")),
         "a", "b")),
 
+    // ---- Agreement: KR-20 panel reliability (Cronbach's α for binary
+    //      items) over the 5 raters' correctness indicators — the
+    //      screening statistic before any majority vote is trusted ----
+    "q_kr20" -> ((s, dir) =>
+      Agreement.kr20(
+        t(s, dir, "events").select((0 until 5).map(r =>
+          when(Agreement.raterLabel(r) === col("event_type"), 1L)
+            .otherwise(0L).as(s"ok$r")): _*),
+        (0 until 5).map(r => s"ok$r"))),
+
     // ---- Agreement: Gwet's AC1 between raters 0 and 1 — the
     //      prevalence-robust alternative to κ (no kappa paradox);
     //      DECIMAL(38,0) rationals because the n³ products outgrow
@@ -342,6 +352,24 @@ private[graft] object QualityGates {
         "AS BIGINT) AS kept_chars, " +
         "CAST(CASE WHEN max(n_sentences) >= 3 AND NOT bool_or(banned) " +
         "THEN 1 ELSE 0 END AS INT) AS c4_keep FROM f GROUP BY doc_id"),
+
+    "q_kr20" -> {
+      val oks = (0 until 5).map(r =>
+        s"CASE WHEN ${Agreement.raterLabelSql(r)} = event_type " +
+          s"THEN 1 ELSE 0 END AS ok$r").mkString(", ")
+      val tSum = (0 until 5).map(r => s"ok$r").mkString(" + ")
+      val cSums = (0 until 5).map(r =>
+        s"CAST(sum(ok$r) AS BIGINT) AS c$r").mkString(", ")
+      val ciNci = (0 until 5).map(r => s"c$r * (n - c$r)").mkString(" + ")
+      s"WITH f AS (SELECT $oks FROM events), " +
+        s"a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(sum($tSum) AS BIGINT) AS st, " +
+        s"CAST(sum(($tSum) * ($tSum)) AS BIGINT) AS st2, $cSums FROM f) " +
+        "SELECT n, CAST(5 AS BIGINT) AS k_raters, " +
+        "CAST(n * st2 - st * st AS BIGINT) AS var_n2, " +
+        s"CAST(5 * (n * st2 - st * st - ($ciNci)) AS BIGINT) AS kr20_num, " +
+        "CAST(4 * (n * st2 - st * st) AS BIGINT) AS kr20_den FROM a"
+    },
 
     "q_gwet_ac1" ->
       (s"WITH p AS (SELECT ${Agreement.raterLabelSql(0)} AS a, " +

@@ -110,6 +110,79 @@ private[graft] object StreamGates {
       stateOut(new graft.sink.ParquetTarget(s, target).read().get)
     }),
 
+    // ---- O11 superset, STATE-STORE edition: kill-and-resume of a
+    //      WINDOWED AGGREGATION — o38 proves file-offset recovery; the
+    //      stateful operator surface (HDFSBackedStateStore reload of
+    //      per-window counts + the restored watermark) is a different
+    //      recovery path entirely, exercised here: run 1 aggregates
+    //      batch 0 and is stopped mid-stream with a file pending, late
+    //      data arrives while the engine is down, run 2 resumes the
+    //      SAME checkpoint — the reloaded window state must keep
+    //      accumulating to the exact batch aggregate (s1's oracle).
+    //      Bench reps 2+ skip the kill dance like every streaming gate. ----
+    "s33_stream_agg_restart" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val tmp = stableTmp("s33")
+      val target = TargetTable("events_agg_restart", s"$tmp/target",
+        keyCols = Seq("window_start_us", "event_type"),
+        versionCol = "n_events", buckets = 4)
+      val ckpt = s"$tmp/ckpt"
+      val srcDir = java.nio.file.Paths.get(tmp, "src")
+      val schema = eventRecords(s, dir).schema
+      // Phase by TIME tertiles, not keys: each later file is strictly
+      // newer, so the watermark RESTORED from the checkpoint (global
+      // max of the committed batch − 48 h) can never classify a
+      // pending file's rows as late — the restart exercises state
+      // reload, not accidental late-drop (a pkey split silently lost
+      // ~40% of rows to the restored watermark; found by the oracle).
+      def oneFile(part: Int, name: String): Unit = {
+        val stage = s"$tmp/stage_$name"
+        val b = eventRecords(s, dir)
+          .agg(min(col("modified_date_us")), max(col("modified_date_us")))
+          .head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        eventRecords(s, dir).filter(
+          expr(s"((modified_date_us - ${mn}L) * 3) div ${mx - mn + 1}L")
+            === part)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        Files.createDirectories(srcDir)
+        val p = Files.list(java.nio.file.Paths.get(stage))
+          .iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(p, srcDir.resolve(name))
+      }
+      def aggStream = {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+          .select(timestamp_micros(col("modified_date_us")).as("ts_t"),
+            col("event_type"), col("value"))
+        graft.streaming.EventTime.tumblingAgg(
+          src, "ts_t", "value", "1 day", "48 hours", Seq("event_type"))
+      }
+      val alreadyCommitted =
+        Files.exists(java.nio.file.Paths.get(ckpt, "commits", "0"))
+      if (!alreadyCommitted) {
+        oneFile(0, "f0.parquet"); oneFile(1, "f1.parquet")
+        val cfg1 = IngestConfig(name = s"s33-a-${System.nanoTime()}",
+          maxWriterPartitions = 4, checkpointDir = Some(ckpt))
+        val q1 = new graft.streaming.AggUpsertStream(s, cfg1, target)
+          .run(aggStream, Trigger.ProcessingTime(10L))
+        val deadline = System.nanoTime() + 300L * 1000L * 1000L * 1000L
+        while (!q1.recentProgress.exists(_.numInputRows > 0) &&
+            q1.isActive && System.nanoTime() < deadline) Thread.sleep(25)
+        q1.stop()
+        oneFile(2, "f2.parquet") // late data while the engine is down
+      }
+      val cfg2 = IngestConfig(name = s"s33-b-${System.nanoTime()}",
+        maxWriterPartitions = 4, checkpointDir = Some(ckpt))
+      val q2 = new graft.streaming.AggUpsertStream(s, cfg2, target)
+        .run(aggStream, Trigger.AvailableNow())
+      q2.awaitTermination()
+      new graft.sink.ParquetTarget(s, target).read().get
+        .select(col("window_start_us"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
+
     // ---- Streaming + storage composition: micro-batched ingest through
     //      an index-maintaining sink — every batch leaves the state
     //      table AND its secondary value index current ----
@@ -927,6 +1000,12 @@ private[graft] object StreamGates {
           "SELECT st.pkey, st.modified_date_us, st.event_type, st.value " +
           "FROM st LEFT JOIN errs ON st.pkey = errs.pkey " +
           "WHERE errs.pkey IS NULL"),
+      // state-store recovery converges to the same full-batch aggregate
+      "s33_stream_agg_restart" ->
+        ("SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) AS window_start_us, " +
+          "event_type, count(*) AS n_events, " +
+          "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+          "FROM events GROUP BY 1, 2"),
       "s1_stream_window_agg" ->
         ("SELECT (epoch_us(ts) - epoch_us(ts) % 86400000000) AS window_start_us, " +
           "event_type, count(*) AS n_events, " +

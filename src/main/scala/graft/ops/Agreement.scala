@@ -126,6 +126,36 @@ object Agreement {
       (col("n") * col("n") - col("sum_rc")).cast("long").as("kappa_den"))
   }
 
+  /** Kuder–Richardson 20 (KR-20) — Cronbach's α for BINARY items: the
+    * internal-consistency reliability of a rater PANEL when each
+    * rater's per-item correctness is the item score. With K raters,
+    * c_i = rater i's correct count, t_j = item j's total correct:
+    *   KR20 = K/(K−1) · (1 − Σ c_i(n−c_i)/n / σ²·n)   — equivalently
+    *   num = K·(n·Σt² − (Σt)² − Σ c_i(n−c_i))
+    *   den = (K−1)·(n·Σt² − (Σt)²)
+    * — exact BIGINTs (n·Σt² ≤ n·K² stays far under 2⁶³ for n ≤ 10⁸).
+    * High KR-20 = the panel measures ONE consistent thing; low = raters
+    * disagree on what the task is — the screening statistic before any
+    * majority vote is trusted. `flagCols` are 0/1 LongType columns, one
+    * per rater; ONE corpus aggregate, constant-width. */
+  def kr20(flags: DataFrame, flagCols: Seq[String]): DataFrame = {
+    val k = flagCols.size
+    require(k >= 2, s"KR-20 needs >= 2 items, got $k")
+    val t = flagCols.map(col).reduce(_ + _)
+    val aggCols = Seq(sum(t).as("st"), sum(t * t).as("st2")) ++
+      flagCols.map(c => sum(col(c)).as(s"c_$c"))
+    val agg = flags.agg(count(lit(1)).as("n"), aggCols: _*)
+    val sumCiNci = flagCols.map(c =>
+      col(s"c_$c") * (col("n") - col(s"c_$c"))).reduce(_ + _)
+    val sigmaN2 = col("n") * col("st2") - col("st") * col("st")
+    agg.select(
+      col("n").cast("long").as("n"),
+      lit(k.toLong).as("k_raters"),
+      sigmaN2.cast("long").as("var_n2"),
+      (lit(k.toLong) * (sigmaN2 - sumCiNci)).cast("long").as("kr20_num"),
+      (lit(k.toLong - 1L) * sigmaN2).cast("long").as("kr20_den"))
+  }
+
   /** Gwet's AC1 (2008) between two raters — the chance-corrected
     * agreement coefficient the annotation-QA literature prefers over
     * Cohen's κ under skewed label prevalence (κ collapses toward 0

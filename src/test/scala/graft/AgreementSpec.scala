@@ -32,6 +32,27 @@ class AgreementSpec extends SparkSpec {
     assert(out.getAs[Long]("kappa_num") == out.getAs[Long]("kappa_den"))
   }
 
+  test("KR-20: hand-computed 3-rater/4-item panel (Guttman ladder) " +
+      "gives exactly 30/40; a random-flag panel drives it toward 0") {
+    // t = (3,2,1,0), c = (3,2,1): var_n2 = 4*14-36 = 20,
+    // sum c(n-c) = 10 -> num = 3*(20-10) = 30, den = 2*20 = 40
+    val rows = Seq((1L, 1L, 1L), (1L, 1L, 0L), (1L, 0L, 0L), (0L, 0L, 0L))
+    val r = Agreement.kr20(rows.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("k_raters") == 3L)
+    assert(r.getAs[Long]("var_n2") == 20L)
+    assert(r.getAs[Long]("kr20_num") == 30L)
+    assert(r.getAs[Long]("kr20_den") == 40L)
+    // independent-looking flags: reliability far below the ladder's 3/4
+    val noisy = (0 until 64).map(i =>
+      ((i & 1).toLong, ((i >> 1) & 1).toLong, ((i >> 2) & 1).toLong))
+    val nr = Agreement.kr20(noisy.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .head()
+    // exact zero for fully balanced independent items
+    assert(nr.getAs[Long]("kr20_num") == 0L)
+  }
+
   test("Gwet AC1: hand-computed prevalence-skewed grid — AC1 stays " +
       "calibrated where kappa collapses (the kappa paradox)") {
     // 80 yy / 10 yn / 5 ny / 5 nn: po=0.85; AC1 pe = 8750/40000 ->
