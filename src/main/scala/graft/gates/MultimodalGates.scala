@@ -479,6 +479,19 @@ private[graft] object MultimodalGates {
     //      RLE data) and even bytesPerLine padding the decoder must
     //      drop; three distinct palette-channel formulas so a channel
     //      swap can't cancel ----
+    // ---- Multimodal: BI_RLE8 compressed BMP — the run-length branch
+    //      of the BMP decoder (runs, end-of-line/bitmap escapes, and
+    //      ABSOLUTE mode with its word-alignment pad on every third
+    //      row); same luma == formula contract as the uncompressed gate ----
+    "mm_bmp_rle_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaFixtures
+      val d = MediaFixtures.withFixtureBytes(
+        t(s, dir, "documents"), "doc_id", id =>
+          MediaFixtures.bmpRlePixelBytes(
+            (id % 17 + 8).toInt, (id % 9 + 7).toInt, id % 73))
+      Multimodal.pixelStats(d, "doc_id", "content", edgeThreshold = 24)
+    }),
+
     "mm_pcx_pixel_stats" -> ((s, dir) => {
       import graft.multimodal.MediaFixtures
       val d = MediaFixtures.withFixtureBytes(
@@ -1038,6 +1051,14 @@ private[graft] object MultimodalGates {
           "dominant_count, sum_r, sum_g, sum_b " +
           "FROM agg JOIN dom ON dom.id = agg.id"
       },
+      // Gray palette: decoded luma == the raw pixelFormulaV index
+      // (299v+587v+114v)/1000 = v — so the oracle replays the formula
+      // raster directly; the engine had to walk the RLE stream (runs,
+      // EOL/EOB escapes, absolute mode + pad) to agree.
+      "mm_bmp_rle_stats" ->
+        mmPixelStatsSql("doc_id % 17 + 8", "doc_id % 9 + 7",
+          "doc_id % 73",
+          "(31 * xx + 47 * yy + 7 * xx * yy + 101 * s) % 256"),
       "mm_pcx_pixel_stats" -> {
         // Palette-indexed replay: index raster (x quantized by 3 so RLE
         // runs exist) looked up through the three distinct channel

@@ -444,6 +444,55 @@ object MediaFixtures {
     bb.toByteArray
   }
 
+  /** BI_RLE8 twin of [[bmpPixelBytes]]: the same gray-palette
+    * [[pixelFormulaV]] raster, stored RUN-LENGTH ENCODED (Windows RLE8:
+    * (count,value) runs, end-of-line after every row, end-of-bitmap
+    * terminator) with every third file row's first three pixels in
+    * ABSOLUTE mode (0x00, n, literals + word pad) so the decoder's
+    * literal path and its padding rule are exercised by the gate, not
+    * just by hand specs. Delta escapes stay spec-only — a skipped cell
+    * decodes to palette 0, which would break raster == formula. */
+  def bmpRlePixelBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val data = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r < h) { // file order: row 0 = bottom of the image
+      val y = h - 1 - r
+      var x = 0
+      if (r % 3 == 2 && w >= 3) { // absolute-mode run of 3 + pad
+        data.write(0); data.write(3)
+        data.write(pixelFormulaV(0, y, seed))
+        data.write(pixelFormulaV(1, y, seed))
+        data.write(pixelFormulaV(2, y, seed))
+        data.write(0) // word-align pad for odd literal count
+        x = 3
+      }
+      while (x < w) { // greedy literal runs (<= 255)
+        val v = pixelFormulaV(x, y, seed)
+        var n = 1
+        while (x + n < w && n < 255 && pixelFormulaV(x + n, y, seed) == v)
+          n += 1
+        data.write(n); data.write(v)
+        x += n
+      }
+      data.write(0); data.write(0) // end of line
+      r += 1
+    }
+    data.write(0); data.write(1) // end of bitmap
+    val enc = data.toByteArray
+    val bb = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    bb.write('B'); bb.write('M'); le32(enc.length + 1078)
+    le32(0); le32(1078)
+    le32(40); le32(w); le32(h); le16(1); le16(8); le32(1) // BI_RLE8
+    le32(enc.length)
+    le32(0); le32(0); le32(256); le32(0)
+    var i = 0
+    while (i < 256) { bb.write(i); bb.write(i); bb.write(i); bb.write(0); i += 1 }
+    bb.write(enc, 0, enc.length)
+    bb.toByteArray
+  }
+
   /** TGA truecolor fixture: a COMPLETE Targa file (18-byte header, an
     * id field of junk bytes the decoder must skip, BGR pixel data
     * uncompressed or greedily run-length encoded, and the TGA 2.0

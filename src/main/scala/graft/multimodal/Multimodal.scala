@@ -1108,11 +1108,17 @@ object Multimodal extends AudioCodecs {
     val h = math.abs(hRaw)
     if (le16(b, 26) != 1) return None // planes
     val bpp = le16(b, 28)
-    if (le32(b, 30) != 0L) return None // BI_RGB only
+    val comp = le32(b, 30)
+    // BI_RGB everywhere; BI_RLE8 (comp=1) only with 8-bpp paletted
+    // data, per the format (RLE8 is defined for 8-bit only, and the
+    // spec requires bottom-up storage — hRaw < 0 with RLE rejects).
+    if (comp != 0L && !(comp == 1L && bpp == 8 && !topDown)) return None
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
     if (bpp != 8 && bpp != 24) return None
     val rowBytes = ((w.toLong * bpp + 31L) / 32L) * 4L
-    if (dataOff < 0 || dataOff + rowBytes * h > b.length) return None
+    if (dataOff < 0) return None
+    if (comp == 0L && dataOff + rowBytes * h > b.length) return None
+    if (comp == 1L && dataOff + 2L > b.length) return None
     val palOff = 14 + dibSize.toInt
     val palSize =
       if (bpp != 8) 0
@@ -1122,6 +1128,58 @@ object Multimodal extends AudioCodecs {
         if (palOff + 4L * n > dataOff) return None // palette must fit
         n
       }
+    if (comp == 1L) {
+      // RLE8 stream walk (Windows BMP spec): (n>0, v) = run of n
+      // copies of v; (0,0) end of line; (0,1) end of bitmap; (0,2)
+      // delta dx,dy (skipped cells stay index 0); (0, n>=3) absolute
+      // run of n literal bytes padded to a word boundary. Rows are
+      // bottom-up; any overrun of the buffer or the raster rejects.
+      val idx = new Array[Int](w * h) // file order: row 0 = bottom
+      var p = dataOff.toInt
+      var xf = 0
+      var yf = 0
+      var done = false
+      while (!done) {
+        if (p + 2 > b.length) return None
+        val c = u8(b, p); val v = u8(b, p + 1); p += 2
+        if (c > 0) {
+          if (yf >= h || xf + c > w) return None
+          var i = 0
+          while (i < c) { idx(yf * w + xf) = v; xf += 1; i += 1 }
+        } else v match {
+          case 0 => yf += 1; xf = 0; if (yf > h) return None
+          case 1 => done = true
+          case 2 =>
+            if (p + 2 > b.length) return None
+            xf += u8(b, p); yf += u8(b, p + 1); p += 2
+            if (xf > w || yf > h) return None
+          case n =>
+            if (p + n + (n & 1) > b.length) return None
+            if (yf >= h || xf + n > w) return None
+            var i = 0
+            while (i < n) { idx(yf * w + xf) = u8(b, p + i); xf += 1; i += 1 }
+            p += n + (n & 1)
+        }
+      }
+      val lum = new Array[Int](w * h)
+      var yT = 0
+      while (yT < h) {
+        var x = 0
+        while (x < w) {
+          val pi = idx((h - 1 - yT) * w + x)
+          val (bb, gg, rr) =
+            if (pi >= palSize) (0, 0, 0)
+            else {
+              val q = palOff + 4 * pi
+              (u8(b, q), u8(b, q + 1), u8(b, q + 2))
+            }
+          lum(yT * w + x) = (299 * rr + 587 * gg + 114 * bb) / 1000
+          x += 1
+        }
+        yT += 1
+      }
+      return Some((w, h, lum))
+    }
     val lum = new Array[Int](w * h)
     var y = 0
     while (y < h) {
