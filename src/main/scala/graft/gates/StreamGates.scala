@@ -778,6 +778,74 @@ private[graft] object StreamGates {
     // ---- Stream-stream interval join: each click paired with the same
     //      user's purchases in the following hour (symmetric hash join;
     //      watermark + range condition bound BOTH sides' state) ----
+    // ---- O11 superset, JOIN-STATE edition: kill-and-resume of a
+    //      STREAM-STREAM interval join — the third recovery surface
+    //      beside o38 (file offsets) and s33 (aggregation state): the
+    //      buffered-row join state of BOTH sides must reload so clicks
+    //      ingested before the kill still pair with purchases that
+    //      only arrive after the restart. Files are split by KEY (not
+    //      time) precisely to force those cross-restart matches; the
+    //      gate watermark is effectively unbounded so the result equals
+    //      the batch join exactly (s3's oracle). The file sink's
+    //      _spark_metadata commit log makes the killed batch's orphan
+    //      output invisible to the final read — exactly-once output. ----
+    "s34_stream_join_restart" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val tmp = stableTmp("s34")
+      val ckpt = s"$tmp/ckpt"
+      val srcDir = java.nio.file.Paths.get(tmp, "src")
+      val schema = eventRecords(s, dir).schema
+      def oneFile(part: Int, name: String): Unit = {
+        val stage = s"$tmp/stage_$name"
+        eventRecords(s, dir).filter(col("pkey") % 3 === part)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        Files.createDirectories(srcDir)
+        val p = Files.list(java.nio.file.Paths.get(stage))
+          .iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(p, srcDir.resolve(name))
+      }
+      def joined = {
+        def src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        val clicks = src.filter(col("event_type") === "click").select(
+          col("pkey").as("c_user"), col("event_id").as("click_id"),
+          timestamp_micros(col("modified_date_us")).as("click_ts"))
+        val purchases = src.filter(col("event_type") === "purchase").select(
+          col("pkey").as("p_user"), col("event_id").as("purchase_id"),
+          timestamp_micros(col("modified_date_us")).as("purchase_ts"),
+          col("value").as("purchase_value"))
+        graft.streaming.StreamJoins.intervalJoin(
+          clicks, purchases, Seq("c_user" -> "p_user"),
+          "click_ts", "purchase_ts", "0 seconds", "1 hour", "3650 days")
+          .select(col("c_user").as("user_id"), col("click_id"),
+            unix_micros(col("click_ts")).as("click_us"),
+            col("purchase_id"),
+            unix_micros(col("purchase_ts")).as("purchase_us"),
+            col("purchase_value"))
+      }
+      def start(name: String, trigger: Trigger) =
+        joined.writeStream.queryName(name)
+          .format("parquet").option("path", s"$tmp/out")
+          .option("checkpointLocation", ckpt)
+          .trigger(trigger).start()
+      val alreadyCommitted =
+        Files.exists(java.nio.file.Paths.get(ckpt, "commits", "0"))
+      if (!alreadyCommitted) {
+        oneFile(0, "f0.parquet"); oneFile(1, "f1.parquet")
+        val q1 = start(s"s34-a-${System.nanoTime()}",
+          Trigger.ProcessingTime(10L))
+        val deadline = System.nanoTime() + 300L * 1000L * 1000L * 1000L
+        while (!q1.recentProgress.exists(_.numInputRows > 0) &&
+            q1.isActive && System.nanoTime() < deadline) Thread.sleep(25)
+        q1.stop()
+        oneFile(2, "f2.parquet") // late data while the engine is down
+      }
+      val q2 = start(s"s34-b-${System.nanoTime()}", Trigger.AvailableNow())
+      q2.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+    }),
+
     "s3_stream_stream_join" -> ((s, dir) => {
       val tmp = stableTmp("s3")
       val cfg = IngestConfig(name = s"s3-join-${System.nanoTime()}",
@@ -1134,6 +1202,14 @@ private[graft] object StreamGates {
           "ELSE CAST(m.n * l.lastq - m.s AS DOUBLE) / " +
           "sqrt(CAST(m.n * m.s2 - m.s * m.s AS DOUBLE)) END AS zscore " +
           "FROM m JOIN l ON m.pkey = l.pkey"),
+      // join-state recovery converges to the same batch interval join
+      "s34_stream_join_restart" ->
+        ("SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us, " +
+          "p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us, " +
+          "p.value AS purchase_value " +
+          "FROM events c JOIN events p ON c.user_id = p.user_id " +
+          "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR " +
+          "WHERE c.event_type = 'click' AND p.event_type = 'purchase'"),
       "s3_stream_stream_join" ->
         ("SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us, " +
           "p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us, " +
