@@ -149,6 +149,30 @@ private[graft] object QualityGates {
           Agreement.raterLabel(0).as("a"), Agreement.raterLabel(1).as("b")),
         "a", "b")),
 
+    // ---- CAPSTONE: the composed annotation-ops pipeline — score the
+    //      panel against its own consensus, DROP the noisiest rater
+    //      (min majority-match, deterministic tie), and re-measure
+    //      Fleiss' κ on the pruned panel: the operators CHAIN
+    //      (majorityVote → raterQuality → argmin → fleissKappa ×2),
+    //      and the emitted before/after rationals show the labeling-ops
+    //      workflow's payoff exactly ----
+    "pipeline_annotation" -> ((s, dir) => {
+      val panel = ratings(s, dir, withAbstain = false)
+      val rq = Agreement.raterQuality(panel, "item", "rater", "lbl")
+      val worst = rq.orderBy(col("n_match").asc, col("rater").asc).limit(1)
+        .select(col("rater").as("worst_rater"))
+      val before = Agreement.fleissKappa(panel, "item", "lbl", m = 5)
+        .select(col("n_items"),
+          col("kappa_num").as("kappa_before_num"),
+          col("kappa_den").as("kappa_before_den"))
+      val pruned = panel.join(broadcast(worst),
+        col("rater") === col("worst_rater"), "left_anti")
+      val after = Agreement.fleissKappa(pruned, "item", "lbl", m = 4)
+        .select(col("kappa_num").as("kappa_after_num"),
+          col("kappa_den").as("kappa_after_den"))
+      before.crossJoin(worst).crossJoin(after)
+    }),
+
     // ---- Agreement: KR-20 panel reliability (Cronbach's α for binary
     //      items) over the 5 raters' correctness indicators — the
     //      screening statistic before any majority vote is trusted ----
@@ -352,6 +376,41 @@ private[graft] object QualityGates {
         "AS BIGINT) AS kept_chars, " +
         "CAST(CASE WHEN max(n_sentences) >= 3 AND NOT bool_or(banned) " +
         "THEN 1 ELSE 0 END AS INT) AS c4_keep FROM f GROUP BY doc_id"),
+
+    "pipeline_annotation" -> {
+      def fleiss(src: String, m: Int, tag: String): String =
+        s"nij$tag AS (SELECT item, lbl, count(*) AS cnt FROM $src " +
+          "GROUP BY 1, 2), " +
+          s"core$tag AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq, " +
+          "CAST(sum(cnt) AS BIGINT) AS nm, " +
+          s"CAST(count(DISTINCT item) AS BIGINT) AS n_items FROM nij$tag), " +
+          s"cj$tag AS (SELECT CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM " +
+          s"(SELECT lbl, sum(cnt) AS c FROM nij$tag GROUP BY lbl)), " +
+          s"k$tag AS (SELECT core$tag.n_items, " +
+          s"CAST((sum_sq - n_items * $m) * nm * nm - " +
+          s"sum_c2 * (n_items * ${m * (m - 1)}) AS BIGINT) AS knum, " +
+          s"CAST(n_items * ${m * (m - 1)} * (nm * nm - sum_c2) AS BIGINT) " +
+          s"AS kden FROM core$tag, cj$tag)"
+      s"WITH r AS (${ratingsSql(withAbstain = false)}), " +
+        "cnts AS (SELECT item, lbl, count(*) AS n FROM r GROUP BY 1, 2), " +
+        "maj AS (SELECT item, lbl AS maj_label FROM (SELECT item, lbl, " +
+        "row_number() OVER (PARTITION BY item ORDER BY n DESC, lbl) AS rn " +
+        "FROM cnts) WHERE rn = 1), " +
+        "rq AS (SELECT rater, sum(CASE WHEN r.lbl = maj.maj_label " +
+        "THEN 1 ELSE 0 END) AS n_match FROM r JOIN maj USING (item) " +
+        "GROUP BY rater), " +
+        "worst AS (SELECT rater AS worst_rater FROM (SELECT rater, " +
+        "row_number() OVER (ORDER BY n_match ASC, rater ASC) AS rn " +
+        "FROM rq) WHERE rn = 1), " +
+        "rp AS (SELECT r.* FROM r CROSS JOIN worst " +
+        "WHERE r.rater <> worst.worst_rater), " +
+        fleiss("r", 5, "b") + ", " + fleiss("rp", 4, "a") + " " +
+        "SELECT kb.n_items, kb.knum AS kappa_before_num, " +
+        "kb.kden AS kappa_before_den, " +
+        "CAST(worst.worst_rater AS BIGINT) AS worst_rater, " +
+        "ka.knum AS kappa_after_num, ka.kden AS kappa_after_den " +
+        "FROM kb, worst, ka"
+    },
 
     "q_kr20" -> {
       val oks = (0 until 5).map(r =>
