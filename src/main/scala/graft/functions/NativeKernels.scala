@@ -451,6 +451,27 @@ object NativeKernels {
     prev(m)
   }
 
+  /** Exact integer squared Euclidean distance Σ(a_i−b_i)² between two
+    * quantized Long vectors — the hot inner loop of the bucketed
+    * vector operators (triplet mining, hubness, quantized kNN). A
+    * zip_with/aggregate HOF computes the same value but re-enters the
+    * interpreter per element; this is one fused loop inside codegen.
+    * Mismatched lengths are a contract violation (quantized vectors
+    * come from one corpus schema) and fail loud. */
+  def sqDist(ad: ArrayData, bd: ArrayData): Long = {
+    val n = ad.numElements()
+    require(bd.numElements() == n,
+      s"graft_sqdist: length mismatch $n vs ${bd.numElements()}")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = ad.getLong(i) - bd.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Levenshtein EDIT DISTANCE between two Long sequences — the
     * token-level mutation metric ROUGE-L's LCS cannot give (LCS ignores
     * substitutions; edit distance prices insert/delete/substitute at 1

@@ -78,6 +78,11 @@ object TextHash {
   def lcs(a: Column, b: Column): Column =
     GraftSql.column(LcsExpr(GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** Exact integer squared distance of two quantized Long vectors
+    * (see NativeKernels.sqDist). */
+  def sqDist(a: Column, b: Column): Column =
+    GraftSql.column(SqDistExpr(GraftSql.expression(a), GraftSql.expression(b)))
+
   /** Levenshtein edit distance of two Long TOKEN sequences — the
     * token-granularity sibling of [[lcs]] (ROUGE-L) and the
     * sequence-level counterpart of the char-level

@@ -207,6 +207,25 @@ object TextHashExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Exact integer squared Euclidean distance of two quantized Long
+    * vectors (see NativeKernels.sqDist). */
+  case class SqDistExpr(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sqdist"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.sqDist(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.NativeKernels.sqDist($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SqDistExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Levenshtein edit distance between two Long sequences (token-level
     * mutation metric; see NativeKernels.editDistance). */
   case class EditDistExpr(left: Expression, right: Expression)

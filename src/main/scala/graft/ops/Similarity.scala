@@ -189,9 +189,7 @@ object Similarity {
           col("qv").as("vd")), Seq("bk"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
-          aggregate(zip_with(col("vs"), col("vd"),
-              (p, q) => (p - q) * (p - q)),
-            lit(0L), (acc, x) => acc + x).as("d2"))
+          TextHash.sqDist(col("vs"), col("vd")).as("d2"))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("d2"), col("dst"))
       val knn = pairs.withColumn("__rn", row_number().over(w))
@@ -236,9 +234,10 @@ object Similarity {
       .select(col("id"), col("qv"), col("bucket"))
       .persist()
     try {
-      def d2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
-          lit(0L), (acc, x) => acc + x)
+      // native codegen kernel — a zip_with/aggregate HOF computes the
+      // same exact integers but re-enters the interpreter per element
+      // (measured ~2x on this gate's bucket join)
+      def d2(a: Column, b: Column): Column = TextHash.sqDist(a, b)
       val ap = e.select(col("id").as("id_a"), col("qv").as("va"),
           col("bucket").as("ba"))
         .join(e.select((col("id") - 1L).as("id_a"), col("id").as("id_pos"),

@@ -349,6 +349,30 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("sqDist: exact integer squared distance == driver replay; " +
+      "negative components and zero vectors; length mismatch fails loud") {
+    import spark.implicits._
+    def sd(a: Seq[Long], b: Seq[Long]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(TextHash.sqDist(col("a"), col("b")).as("d"))
+        .head().getLong(0)
+    assert(sd(Seq(1L, -2L, 3L), Seq(4L, 1L, 3L)) == 9L + 9L)
+    assert(sd(Seq(0L, 0L), Seq(0L, 0L)) == 0L)
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 10) {
+      val n = rnd.nextInt(64) + 1
+      val a = Seq.fill(n)(rnd.nextInt(2000000).toLong - 1000000L)
+      val b = Seq.fill(n)(rnd.nextInt(2000000).toLong - 1000000L)
+      val want = a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum
+      assert(sd(a, b) == want)
+    }
+    val e = intercept[Exception] { sd(Seq(1L), Seq(1L, 2L)) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("length mismatch")))
+  }
+
   test("editDistance: hand cases (substitution/insert/delete, plain " +
       "Levenshtein prices a transposition at 2), empty sides, and " +
       "kernel == driver-side reference DP on random sequences") {
