@@ -27,7 +27,12 @@ import graft.sink.Merge
   *    (exact, order-independent) and only the final value is cast to
   *    DOUBLE — a raw double sum would be shuffle-order-dependent;
   *  - every computed column is aliased identically in the Spark plan and
-  *    the oracle SQL.
+  *    the oracle SQL;
+  *  - integer rationals whose products outgrow BIGINT (n³-order terms,
+  *    e.g. q_gwet_ac1) ride the DECIMAL(38,0) lane on BOTH sides — the
+  *    oracle computes in HUGEINT and casts to the same decimal type,
+  *    because the driver's compare is TYPE-sensitive (HUGEINT vs BIGINT
+  *    with identical values was round 4's only red gate).
   */
 object SparkEntry {
 
