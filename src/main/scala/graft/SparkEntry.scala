@@ -29,10 +29,14 @@ import graft.sink.Merge
   *  - every computed column is aliased identically in the Spark plan and
   *    the oracle SQL;
   *  - integer rationals whose products outgrow BIGINT (n³-order terms,
-  *    e.g. q_gwet_ac1) ride the DECIMAL(38,0) lane on BOTH sides — the
-  *    oracle computes in HUGEINT and casts to the same decimal type,
-  *    because the driver's compare is TYPE-sensitive (HUGEINT vs BIGINT
-  *    with identical values was round 4's only red gate).
+  *    e.g. q_gwet_ac1) ride a DECIMAL(38,0)/HUGEINT lane INTERNALLY on
+  *    both sides, but the EMITTED columns are the gcd-reduced rational
+  *    as BIGINT — gate output schemas may never contain DECIMAL columns
+  *    (GateSchemaSpec bans them): round 11 showed the driver's hash
+  *    canonicalization of decimal outputs diverges from the local
+  *    compare even when values and DuckDB-visible types are identical,
+  *    and the driver's compare is also TYPE-sensitive (HUGEINT vs
+  *    BIGINT with identical values was round 4's only red gate).
   */
 object SparkEntry {
 

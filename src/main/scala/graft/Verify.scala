@@ -1,17 +1,23 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. The dump body
+  * is a reusable def so ScaleProbe can replay the SAME correctness
+  * surface over its synthesized sf1.0 replica (r11 verdict item 4 —
+  * turning the probe's timing claim into a correctness claim). */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.engine.GraftSession.local("graft-verify", cpus.toInt)
+
+  /** Dump `only` (or all) gates over sfDir into outDir: one parquet dir
+    * per gate, `oracle_sql.json` for the DuckDB side, `_failed.json`
+    * for gates that threw (round-7 lesson: an erred gate must surface
+    * as a red row, not a silent absence). */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]]): Unit = {
     new java.io.File(outDir).mkdirs()
-    // GRAFT_ONLY=name1,name2 restricts the dump for fast local
-    // iteration; the driver never sets it, so driver runs stay full.
-    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n))
     }
@@ -40,12 +46,19 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // An erred gate must surface as a red row with its message, not as a
-    // silent absence from the result dir (round-7 lesson: 51 failures were
-    // invisible in CORRECTNESS because only stderr knew).
     val failedJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.engine.GraftSession.local("graft-verify", cpus.toInt)
+    // GRAFT_ONLY=name1,name2 restricts the dump for fast local
+    // iteration; the driver never sets it, so driver runs stay full.
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    dump(spark, sfDir, outDir, only)
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.Decimal
 import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM kernels behind the native Catalyst expressions (TextHashExprs):
@@ -666,6 +667,27 @@ object NativeKernels {
   /** IMA ADPCM per-nibble index adjustment (the public spec table). */
   val AdpcmIndexTable: Array[Int] =
     Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Canonical gcd-reduction of an exact integer rational carried as a
+    * DECIMAL(38,0) pair: returns num/g (emitNum) or den/g, g =
+    * gcd(num, den) (1 when both are zero), as BIGINT. This is the
+    * decimal-free OUTPUT lane for statistics whose intermediates need
+    * the 38-digit width (Gwet's AC1 n³ products overflow BIGINT past
+    * n ≈ 10⁶): the wide lane stays internal, the emitted rational is
+    * the reduced canonical form. DuckDB replays it as
+    * `num // greatest(gcd(num, den), 1)` over HUGEINT — BigInteger
+    * truncating division equals floor division here because the
+    * division is exact by construction. `longValueExact` fails LOUD if
+    * a reduced quotient ever outgrows BIGINT (for AC1 both num and den
+    * share the factor n, so quotients are O(n²·k): safe past n = 10⁹;
+    * a corpus beyond that must emit the string lane instead). */
+  def ratReduce(num: Decimal, den: Decimal, emitNum: Boolean): Long = {
+    val n = num.toJavaBigDecimal.toBigIntegerExact
+    val d = den.toJavaBigDecimal.toBigIntegerExact
+    val g0 = n.gcd(d)
+    val g = if (g0.signum == 0) java.math.BigInteger.ONE else g0
+    (if (emitNum) n else d).divide(g).longValueExact()
+  }
 
   /** One IMA ADPCM decode step on state (predictor, index): returns the
     * new clamped predictor; the caller advances the index via

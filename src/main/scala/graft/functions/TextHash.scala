@@ -83,6 +83,17 @@ object TextHash {
   def sqDist(a: Column, b: Column): Column =
     GraftSql.column(SqDistExpr(GraftSql.expression(a), GraftSql.expression(b)))
 
+  /** Canonical gcd-reduced numerator of a DECIMAL(38,0) rational,
+    * emitted BIGINT (see NativeKernels.ratReduce). */
+  def ratNum(num: Column, den: Column): Column =
+    GraftSql.column(RatReduceExpr(
+      GraftSql.expression(num), GraftSql.expression(den), emitNum = true))
+
+  /** Canonical gcd-reduced denominator twin of [[ratNum]]. */
+  def ratDen(num: Column, den: Column): Column =
+    GraftSql.column(RatReduceExpr(
+      GraftSql.expression(num), GraftSql.expression(den), emitNum = false))
+
   /** Levenshtein edit distance of two Long TOKEN sequences — the
     * token-granularity sibling of [[lcs]] (ROUGE-L) and the
     * sequence-level counterpart of the char-level

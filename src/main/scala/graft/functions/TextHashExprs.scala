@@ -226,6 +226,32 @@ object TextHashExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Canonical gcd-reduction of a DECIMAL(38,0) exact rational to a
+    * BIGINT numerator or denominator (see NativeKernels.ratReduce) —
+    * the decimal-free output lane mandated for gate schemas: the
+    * driver's hash canonicalization of DECIMAL output columns diverges
+    * from the local oracle compare (round-11 `q_gwet_ac1` lesson), so
+    * wide-decimal statistics keep the 38-digit lane INTERNAL and emit
+    * the reduced rational. */
+  case class RatReduceExpr(left: Expression, right: Expression,
+      emitNum: Boolean)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(DecimalType(38, 0), DecimalType(38, 0))
+    override def dataType: DataType = LongType
+    override def prettyName: String =
+      if (emitNum) "graft_rat_num" else "graft_rat_den"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.ratReduce(
+        a.asInstanceOf[Decimal], b.asInstanceOf[Decimal], emitNum)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.NativeKernels.ratReduce($a, $b, $emitNum)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): RatReduceExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Levenshtein edit distance between two Long sequences (token-level
     * mutation metric; see NativeKernels.editDistance). */
   case class EditDistExpr(left: Expression, right: Expression)

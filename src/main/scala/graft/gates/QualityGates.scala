@@ -185,8 +185,8 @@ private[graft] object QualityGates {
 
     // ---- Agreement: Gwet's AC1 between raters 0 and 1 — the
     //      prevalence-robust alternative to κ (no kappa paradox);
-    //      DECIMAL(38,0) rationals because the n³ products outgrow
-    //      BIGINT past n ≈ 10⁶ ----
+    //      DECIMAL(38,0) INTERNALLY (n³ products outgrow BIGINT past
+    //      n ≈ 10⁶), emitted as the gcd-reduced BIGINT rational ----
     "q_gwet_ac1" -> ((s, dir) =>
       Agreement.gwetAc1(
         t(s, dir, "events").select(
@@ -444,14 +444,21 @@ private[graft] object QualityGates {
         "cb AS (SELECT b AS q, sum(cnt) AS c FROM conf GROUP BY b), " +
         "marg AS (SELECT CAST(sum(CAST(coalesce(r, 0) + coalesce(c, 0) " +
         "AS HUGEINT) * (2 * tot.n - coalesce(r, 0) - coalesce(c, 0))) " +
-        "AS HUGEINT) AS p FROM ra FULL JOIN cb USING (q) CROSS JOIN tot) " +
-        "SELECT tot.n, tot.n_agree, cats.k_cats AS n_categories, " +
-        "CAST(CAST(tot.n_agree AS HUGEINT) * (CAST(4 AS HUGEINT) * " +
+        "AS HUGEINT) AS p FROM ra FULL JOIN cb USING (q) CROSS JOIN tot), " +
+        // HUGEINT rational kept internal; emitted gcd-reduced as BIGINT
+        // (gate outputs may not be DECIMAL — GateSchemaSpec; `//` is
+        // exact here so truncating == floor == BigInteger.divide)
+        "rat AS (SELECT tot.n, tot.n_agree, cats.k_cats, " +
+        "CAST(tot.n_agree AS HUGEINT) * (CAST(4 AS HUGEINT) * " +
         "tot.n * tot.n * (cats.k_cats - 1)) - " +
-        "CAST(tot.n AS HUGEINT) * marg.p AS DECIMAL(38,0)) AS ac1_num, " +
-        "CAST(CAST(tot.n AS HUGEINT) * (CAST(4 AS HUGEINT) * tot.n * " +
-        "tot.n * (cats.k_cats - 1) - marg.p) AS DECIMAL(38,0)) " +
-        "AS ac1_den FROM tot CROSS JOIN cats CROSS JOIN marg"),
+        "CAST(tot.n AS HUGEINT) * marg.p AS num, " +
+        "CAST(tot.n AS HUGEINT) * (CAST(4 AS HUGEINT) * tot.n * " +
+        "tot.n * (cats.k_cats - 1) - marg.p) AS den " +
+        "FROM tot CROSS JOIN cats CROSS JOIN marg) " +
+        "SELECT n, n_agree, k_cats AS n_categories, " +
+        "CAST(num // greatest(gcd(num, den), 1) AS BIGINT) AS ac1_num, " +
+        "CAST(den // greatest(gcd(num, den), 1) AS BIGINT) AS ac1_den " +
+        "FROM rat"),
 
     "q_mcnemar_raters" ->
       (s"WITH p AS (SELECT event_type AS truth, " +

@@ -165,11 +165,17 @@ object Agreement {
     * K = observed category count:
     *   po = A/n,  pe = Σ_q (r_q+c_q)(2n−r_q−c_q) / (4n²(K−1))
     *   AC1 = (po − pe)/(1 − pe) = (A·D − n·P) / (n·(D − P))
-    * with P = Σ(r_q+c_q)(2n−r_q−c_q), D = 4n²(K−1). The rational is
-    * emitted as DECIMAL(38,0) num/den — the n³-order products overflow
-    * BIGINT past n ≈ 10⁶, and the decimal lane keeps them exact (the
-    * DECIMAL(18,2) money-sum discipline, wider). ONE contingency
-    * aggregate; grid-local arithmetic. */
+    * with P = Σ(r_q+c_q)(2n−r_q−c_q), D = 4n²(K−1). The n³-order
+    * products overflow BIGINT past n ≈ 10⁶, so the INTERMEDIATES ride
+    * a DECIMAL(38,0) lane (the DECIMAL(18,2) money-sum discipline,
+    * wider) — but the EMITTED rational is the canonical gcd-reduced
+    * form as BIGINT (`TextHash.ratNum`/`ratDen`): gate output schemas
+    * may not contain DECIMAL columns (round-11 lesson — the driver's
+    * hash canonicalization of decimal outputs diverges from the local
+    * oracle compare; GateSchemaSpec enforces the ban). Both num and den
+    * share the factor n, so the reduced pair is O(n²·k) — exact BIGINT
+    * through n = 10⁹, fail-loud past it. ONE contingency aggregate;
+    * grid-local arithmetic. */
   def gwetAc1(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val dec38 = "decimal(38,0)"
     val conf = pairs.groupBy(col(aCol).as("a"), col(bCol).as("b"))
@@ -187,19 +193,18 @@ object Agreement {
       .crossJoin(tot.select(col("n").as("__n")))
       .agg(sum((col("r") + col("c")).cast(dec38) *
         (lit(2L) * col("__n") - col("r") - col("c")).cast(dec38)).as("p"))
+    val dD = lit(4L).cast(dec38) * col("n").cast(dec38) *
+      col("n").cast(dec38) * (col("k_cats") - 1L).cast(dec38)
+    val numD = (col("n_agree").cast(dec38) * dD -
+      col("n").cast(dec38) * col("p")).cast(dec38)
+    val denD = (col("n").cast(dec38) * (dD - col("p"))).cast(dec38)
     tot.crossJoin(cats).crossJoin(marg)
       .select(
         col("n").cast("long").as("n"),
         col("n_agree").cast("long").as("n_agree"),
         col("k_cats").cast("long").as("n_categories"),
-        (col("n_agree").cast(dec38) *
-          (lit(4L).cast(dec38) * col("n").cast(dec38) * col("n").cast(dec38) *
-            (col("k_cats") - 1L).cast(dec38)) -
-          col("n").cast(dec38) * col("p")).cast(dec38).as("ac1_num"),
-        (col("n").cast(dec38) *
-          (lit(4L).cast(dec38) * col("n").cast(dec38) * col("n").cast(dec38) *
-            (col("k_cats") - 1L).cast(dec38) - col("p"))).cast(dec38)
-          .as("ac1_den"))
+        graft.functions.TextHash.ratNum(numD, denD).as("ac1_num"),
+        graft.functions.TextHash.ratDen(numD, denD).as("ac1_den"))
   }
 
   /** McNemar's paired test core for two raters/models judged against a

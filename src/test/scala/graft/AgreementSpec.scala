@@ -56,16 +56,17 @@ class AgreementSpec extends SparkSpec {
   test("Gwet AC1: hand-computed prevalence-skewed grid — AC1 stays " +
       "calibrated where kappa collapses (the kappa paradox)") {
     // 80 yy / 10 yn / 5 ny / 5 nn: po=0.85; AC1 pe = 8750/40000 ->
-    // AC1 = 2525000/3125000 = 0.808; kappa = 0.07/0.22 ~ 0.318.
+    // AC1 = 2525000/3125000 = 101/125 = 0.808 (emitted gcd-reduced,
+    // gcd = 25000); kappa = 0.07/0.22 ~ 0.318.
     val rows = Seq.fill(80)(("y", "y")) ++ Seq.fill(10)(("y", "n")) ++
       Seq.fill(5)(("n", "y")) ++ Seq.fill(5)(("n", "n"))
     val r = Agreement.gwetAc1(rows.toDF("a", "b"), "a", "b").head()
     assert(r.getAs[Long]("n") == 100L)
     assert(r.getAs[Long]("n_agree") == 85L)
     assert(r.getAs[Long]("n_categories") == 2L)
-    val num = r.getDecimal(3).toBigInteger.longValueExact()
-    val den = r.getDecimal(4).toBigInteger.longValueExact()
-    assert(num == 2525000L && den == 3125000L)
+    val num = r.getAs[Long]("ac1_num")
+    val den = r.getAs[Long]("ac1_den")
+    assert(num == 101L && den == 125L)
     // the paradox: on the same grid AC1 > kappa (cross-multiplied)
     val k = Agreement.cohensKappa(rows.toDF("a", "b"), "a", "b").head()
     val kNum = k.getAs[Long]("kappa_num")
