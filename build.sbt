@@ -32,4 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 531-query board compiles enough whole-stage-codegen classes to
+  // run the segmented code cache at ~75% of the JDK-17 default 240 MB
+  // (Bench prints a [bench-jit] report) — sweeping hot methods under
+  // that pressure reads as a broad ~1.1-1.3x per-query drift. Headroom
+  // is cheap: the cache is reserved, committed only as used.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -64,6 +64,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    // JIT health report (r11 drift investigation): a 531-query board
+    // compiles enough whole-stage-codegen classes to threaten the JVM's
+    // code cache (default ReservedCodeCacheSize is 240 MB on JDK 17;
+    // when it fills, the sweeper starts flushing hot methods — or the
+    // compiler shuts off — and EVERY query drifts ~1.1-1.3x, which is
+    // exactly the r11 signature). Printed to stderr so the driver's
+    // stdout JSON capture is untouched.
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") ||
+        p.getName == "Metaspace")
+      .foreach { p =>
+        val u = p.getUsage
+        System.err.println(f"[bench-jit] ${p.getName}%-28s used ${u.getUsed / 1048576}%5d MB  max ${u.getMax / 1048576}%5d MB")
+      }
     // The driver captures only the TAIL of stdout; with 166 queries the
     // line above can truncate from the front and lose the totals fields.
     // Re-emit a compact totals-only line LAST so any tail capture keeps a
