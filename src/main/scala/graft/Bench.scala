@@ -79,6 +79,12 @@ object Bench {
         val u = p.getUsage
         System.err.println(f"[bench-jit] ${p.getName}%-28s used ${u.getUsed / 1048576}%5d MB  max ${u.getMax / 1048576}%5d MB")
       }
+    // GC pressure is the other whole-board tax: cumulative collector
+    // wall time should stay a small fraction of bench wall time.
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .foreach { gc =>
+        System.err.println(f"[bench-jit] GC ${gc.getName}%-25s count ${gc.getCollectionCount}%6d  time ${gc.getCollectionTime / 1000.0}%8.1f s")
+      }
     // The driver captures only the TAIL of stdout; with 166 queries the
     // line above can truncate from the front and lose the totals fields.
     // Re-emit a compact totals-only line LAST so any tail capture keeps a

@@ -34,6 +34,46 @@ object ScaleProbe {
     "q_bitemporal", "text_keywords_pagerank",
     "o33_branch_merge_back", "o36_rollback", "o37_wap")
 
+  /** sf1.0-feasible oracle substitutions for the verify mode. The
+    * DRIVER oracle for `dedup_prefix_jaccard` is the intentionally
+    * quadratic all-pairs audit (plan-independent — it proves the
+    * prefix filter loses nothing, and stays the driver gate at
+    * sf0.01); at the replica's 50k docs that is 1.25e9
+    * list_intersects — infeasible in DuckDB. This twin replays the
+    * SAME rarest-first prefix-filter candidate step in SQL (PPJoin
+    * theorem: identical verified output), so it checks the full
+    * hash/shingle/df/verify pipeline at sf1.0 in near-linear time
+    * (measured 21 s vs 181 s at sf0.1; equal rows at sf0.01 AND
+    * sf0.1 against the all-pairs form). Constants come from the same
+    * OracleSql generators as every other text oracle. */
+  private[graft] def Sf1OracleTwins: Map[String, String] = {
+    import graft.functions.OracleSql
+    val wh = OracleSql.wordHashes("text")
+    val sh2 = OracleSql.shingles("wh", 2)
+    Map("dedup_prefix_jaccard" ->
+      (s"WITH base AS (SELECT doc_id, $wh AS wh FROM documents), " +
+        s"gr AS (SELECT doc_id, list_distinct($sh2) AS g0 FROM base), " +
+        "tt AS (SELECT doc_id, g0 FROM gr WHERE len(g0) > 0), " +
+        "ex AS (SELECT doc_id, unnest(g0) AS h FROM tt), " +
+        "dfr AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY h), " +
+        "ordg AS (SELECT e.doc_id, list(e.h ORDER BY d.df, e.h) AS g, " +
+        "CAST(count(*) AS BIGINT) AS n " +
+        "FROM ex e JOIN dfr d ON e.h = d.h GROUP BY e.doc_id), " +
+        // prefix length n - ceil(3n/5) + 1, the Spark plan's formula
+        "pfx AS (SELECT doc_id, n, " +
+        "unnest(g[1:CAST(n - ((3*n + 4) // 5) + 1 AS INT)]) AS h FROM ordg), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id " +
+        "WHERE 3 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)), " +
+        "v AS (SELECT c.id_a, c.id_b, " +
+        "CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS n_inter, " +
+        "CAST(ga.n + gb.n - len(list_intersect(ga.g, gb.g)) AS BIGINT) AS n_union " +
+        "FROM cand c JOIN ordg ga ON ga.doc_id = c.id_a " +
+        "JOIN ordg gb ON gb.doc_id = c.id_b) " +
+        "SELECT id_a, id_b, n_inter, n_union FROM v " +
+        "WHERE n_inter * 5 >= 3 * n_union"))
+  }
+
   private val Replicas = 10
   // Above every sf0.1 id (max ~600k) but small enough that downstream
   // id·2³² pair/priority encodings (graph_mis, edge keys) stay in Long:
@@ -118,7 +158,8 @@ object ScaleProbe {
       // subset over the replica for `tools/compare_oracle.py
       // <bigDir> <bigDir>/_verify` — converting the timing claim into
       // a correctness claim at one decade up.
-      Verify.dump(spark, bigDir, s"$bigDir/_verify", Some(Gates.toSet))
+      Verify.dump(spark, bigDir, s"$bigDir/_verify", Some(Gates.toSet),
+        oracleOverrides = Sf1OracleTwins)
       println(s"[scaleprobe] verify dump at $bigDir/_verify")
       spark.stop()
       return

@@ -319,6 +319,38 @@ class NativeExprSpec extends SparkSpec {
     assert(viaSql == graft.functions.NativeKernels.hilbertD(3L, 4L, 6))
   }
 
+  test("ratReduce: gcd-reduced BIGINT rational — hand cases incl. " +
+      "negative numerator, zero, and huge exact-division decimals") {
+    import org.apache.spark.sql.types.Decimal
+    def red(n: BigInt, d: BigInt): (Long, Long) = (
+      graft.functions.NativeKernels.ratReduce(
+        Decimal(scala.math.BigDecimal(n), 38, 0),
+        Decimal(scala.math.BigDecimal(d), 38, 0), emitNum = true),
+      graft.functions.NativeKernels.ratReduce(
+        Decimal(scala.math.BigDecimal(n), 38, 0),
+        Decimal(scala.math.BigDecimal(d), 38, 0), emitNum = false))
+    assert(red(2525000, 3125000) == (101L, 125L))       // the AC1 spec grid
+    assert(red(-6, 4) == (-3L, 2L))                     // sign stays on num
+    assert(red(0, 7) == (0L, 1L))                       // zero num -> 0/1
+    assert(red(0, 0) == (0L, 0L))                       // gcd guard: g = 1
+    // n^3-order decimals sharing a large factor reduce into BIGINT
+    val big = BigInt("123456789012345678901234")        // > Long.MaxValue
+    assert(red(big * 3, big * 5) == (3L, 5L))
+    // Plan path: codegen and interpreted agree with the kernel (the
+    // same DECIMAL(38,0) casts the gwetAc1 gate emits through)
+    val df = Seq((2525000L, 3125000L), (-6L, 4L), (81L, 27L))
+      .toDF("n", "d")
+      .select(
+        graft.functions.TextHash.ratNum(
+          col("n").cast("decimal(38,0)"), col("d").cast("decimal(38,0)"))
+          .as("rn"),
+        graft.functions.TextHash.ratDen(
+          col("n").cast("decimal(38,0)"), col("d").cast("decimal(38,0)"))
+          .as("rd"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((101L, 125L), (-3L, 2L), (3L, 1L)))
+  }
+
   test("lcs: hand cases, empty sides, and kernel == driver-side " +
       "reference DP on random sequences") {
     import spark.implicits._
