@@ -77,7 +77,12 @@ object Bench {
         p.getName == "Metaspace")
       .foreach { p =>
         val u = p.getUsage
-        System.err.println(f"[bench-jit] ${p.getName}%-28s used ${u.getUsed / 1048576}%5d MB  max ${u.getMax / 1048576}%5d MB")
+        // getMax is -1 for unbounded pools (e.g. Metaspace without
+        // MaxMetaspaceSize) — print that honestly instead of a
+        // misleading 0/negative MB figure.
+        val maxTxt =
+          if (u.getMax < 0) "unbounded" else f"${u.getMax / 1048576}%5d MB"
+        System.err.println(f"[bench-jit] ${p.getName}%-28s used ${u.getUsed / 1048576}%5d MB  max $maxTxt")
       }
     // GC pressure is the other whole-board tax: cumulative collector
     // wall time should stay a small fraction of bench wall time.

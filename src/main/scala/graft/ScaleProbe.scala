@@ -122,9 +122,16 @@ object ScaleProbe {
       // too (all fixture values are whole µs: lossless round-trip, and
       // `t()` converts it right back on read).
       val out =
-        if (name == "events")
+        if (name == "events") {
+          // The µs rewrite below is lossless ONLY under the fixture
+          // contract that every ts value is whole microseconds; enforce
+          // it so a future fixture with true nanos fails generation loud
+          // instead of silently diverging replica from source.
+          require(rep.filter(expr("ts % 1000 != 0")).limit(1).count() == 0L,
+            "events.ts carries sub-microsecond nanos; the timestamp_micros" +
+              " replica rewrite would be lossy")
           rep.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else rep
+        } else rep
       out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleprobe] generated $name: ${out.count()} rows")
     }
@@ -148,6 +155,9 @@ object ScaleProbe {
       case Array(s, b)    => (s, b, "time")
       case Array(s, b, m) => (s, b, m)
     }
+    // A typo'd mode must not silently burn a full timing pass.
+    require(mode == "time" || mode == "verify",
+      s"unknown mode '$mode' (expected 'time' or 'verify')")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.engine.GraftSession.local("graft-scaleprobe", cpus)
     if (!Files.exists(Paths.get(bigDir, "_READY")))

@@ -232,21 +232,54 @@ object TextHashExprs {
     * driver's hash canonicalization of DECIMAL output columns diverges
     * from the local oracle compare (round-11 `q_gwet_ac1` lesson), so
     * wide-decimal statistics keep the 38-digit lane INTERNAL and emit
-    * the reduced rational. */
+    * the reduced rational.
+    *
+    * FAIL-LOUD input contract: a null operand here is never a
+    * legitimate value — the only way the exact rational lane produces
+    * one is a DECIMAL(38,0) product outgrowing 38 digits, which Spark's
+    * non-ANSI decimal arithmetic turns into NULL instead of raising. A
+    * nullSafeEval would propagate that into silently-null gate output,
+    * so both eval paths throw ArithmeticException on null input
+    * instead (r12 advice item). */
   case class RatReduceExpr(left: Expression, right: Expression,
       emitNum: Boolean)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[DataType] =
       Seq(DecimalType(38, 0), DecimalType(38, 0))
     override def dataType: DataType = LongType
+    override def nullable: Boolean = false
     override def prettyName: String =
       if (emitNum) "graft_rat_num" else "graft_rat_den"
-    override protected def nullSafeEval(a: Any, b: Any): Any =
+    private def overflow(): Nothing =
+      throw new ArithmeticException(
+        s"$prettyName: null rational operand — the DECIMAL(38,0) exact " +
+          "lane overflowed 38 digits (Spark non-ANSI decimal returns " +
+          "NULL past that); the statistic cannot be emitted exactly")
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val a = left.eval(input)
+      val b = right.eval(input)
+      if (a == null || b == null) overflow()
       NativeKernels.ratReduce(
         a.asInstanceOf[Decimal], b.asInstanceOf[Decimal], emitNum)
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev,
-        (a, b) => s"graft.functions.NativeKernels.ratReduce($a, $b, $emitNum)")
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val l = left.genCode(ctx)
+      val r = right.genCode(ctx)
+      val self = ctx.addReferenceObj("ratReduceExpr", this,
+        classOf[RatReduceExpr].getName)
+      ev.copy(
+        code = code"""
+          ${l.code}
+          ${r.code}
+          if (${l.isNull} || ${r.isNull}) { $self.overflowFromCodegen(); }
+          long ${ev.value} = graft.functions.NativeKernels.ratReduce(
+            ${l.value}, ${r.value}, $emitNum);""",
+        isNull = FalseLiteral)
+    }
+    /** Public trampoline for generated code (overflow() is private). */
+    def overflowFromCodegen(): Unit = overflow()
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): RatReduceExpr =
       copy(left = newLeft, right = newRight)

@@ -174,8 +174,14 @@ object Agreement {
     * hash canonicalization of decimal outputs diverges from the local
     * oracle compare; GateSchemaSpec enforces the ban). Both num and den
     * share the factor n, so the reduced pair is O(n²·k) — exact BIGINT
-    * through n = 10⁹, fail-loud past it. ONE contingency aggregate;
-    * grid-local arithmetic. */
+    * through n = 10⁹, fail-loud past it. Overflow bound of the LANE
+    * itself: under Spark's non-ANSI decimal arithmetic a DECIMAL(38,0)
+    * product that outgrows 38 digits returns NULL rather than raising;
+    * `RatReduceExpr` therefore treats a null operand as overflow and
+    * throws (both eval paths — r12 advice item). The n³-order terms
+    * stay inside 38 digits through n ≈ 4.6·10¹² rows; past that the
+    * gate fails loud, it does not emit silent nulls. ONE contingency
+    * aggregate; grid-local arithmetic. */
   def gwetAc1(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val dec38 = "decimal(38,0)"
     val conf = pairs.groupBy(col(aCol).as("a"), col(bCol).as("b"))

@@ -351,6 +351,38 @@ class NativeExprSpec extends SparkSpec {
       Seq((101L, 125L), (-3L, 2L), (3L, 1L)))
   }
 
+  test("ratReduce: a NULL rational operand (the decimal-overflow " +
+      "signature) fails loud on both eval paths, never emits null") {
+    import spark.implicits._
+    // A DECIMAL(38,0) product past 38 digits nulls under non-ANSI
+    // decimal arithmetic; RatReduceExpr must refuse to launder that
+    // into a null gate column (r12 advice item on q_gwet_ac1).
+    def run(codegen: Boolean): Unit = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      spark.conf.set("spark.sql.codegen.factoryMode",
+        if (codegen) "CODEGEN_ONLY" else "NO_CODEGEN")
+      try {
+        val df = Seq((Some(6L), None: Option[Long]), (Some(6L), Some(4L)))
+          .toDF("n", "d")
+          .select(graft.functions.TextHash.ratNum(
+            col("n").cast("decimal(38,0)"),
+            col("d").cast("decimal(38,0)")).as("rn"))
+        val e = intercept[Exception] { df.collect() }
+        def causes(t: Throwable): Seq[Throwable] =
+          if (t == null) Nil else t +: causes(t.getCause)
+        assert(causes(e).exists(c =>
+          c.isInstanceOf[ArithmeticException] &&
+            c.getMessage.contains("DECIMAL(38,0)")),
+          s"expected ArithmeticException cause, got $e")
+      } finally {
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    run(codegen = true)
+    run(codegen = false)
+  }
+
   test("lcs: hand cases, empty sides, and kernel == driver-side " +
       "reference DP on random sequences") {
     import spark.implicits._
