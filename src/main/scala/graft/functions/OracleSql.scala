@@ -623,4 +623,97 @@ object OracleSql {
       s"list_transform(range(1, len($t)+1), i -> CAST(ascii(substr($t, i, 1)) AS BIGINT))"
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), $codes), (x, c) -> (x*31 + c) % $P)"
   }
+
+  // ---- Unigram-LM tokenizer mirror ---------------------------------------
+  //
+  // LAMBDA-FOLD HAZARD (duckdb 1.0.0, found live in r13): a list_reduce
+  // whose lambda CAPTURES other columns of the same row (`substr(w, …)`,
+  // `dp[…]` inside the fold body) evaluates nondeterministically —
+  // ~30% of runs paired one word's fold result with another row, and a
+  // struct-packed workaround corrupted the accumulator itself. bpeCtes
+  // is immune because its fold only touches acc/x and one-row-CTE
+  // constants. The sequential parts below therefore use WITH RECURSIVE
+  // (plain scans + hash joins, no lambdas); 0/12 flaky vs 4-8/15 for
+  // every fold variant tried.
+
+  /** Viterbi DP for round `r` as a recursive CTE reading cost table
+    * `csrc`(piece, costq): emits `udp{r}`(w, freq, arr) where arr is the
+    * packed BIGINT dp list of `Unigram.dpCol` — dp[i] = cost·4 + (3−L),
+    * seed 3 at position 0. Candidate lookups are three LEFT JOINs on the
+    * ≤3 pieces ending at the position being filled; `least` skips the
+    * NULLs of absent pieces, and single chars are always in vocab so
+    * every position is reachable. Recursion depth = max word length. */
+  private def unigramDpCte(r: Int, csrc: String): String =
+    s"udp$r AS MATERIALIZED (WITH RECURSIVE rec(w, freq, i, n, arr) AS (" +
+      "SELECT w, freq, 0, CAST(len(w) AS INT), [CAST(3 AS BIGINT)] FROM w0 " +
+      "UNION ALL " +
+      "SELECT rec.w, rec.freq, rec.i + 1, rec.n, " +
+      "list_append(rec.arr, least(" +
+      "((rec.arr[rec.i + 1] // 4) + ca.costq) * 4 + 2, " +
+      "CASE WHEN rec.i >= 1 THEN ((rec.arr[rec.i] // 4) + cb.costq) * 4 + 1 END, " +
+      "CASE WHEN rec.i >= 2 THEN ((rec.arr[rec.i - 1] // 4) + cc.costq) * 4 + 0 END)) " +
+      "FROM rec " +
+      s"LEFT JOIN $csrc ca ON ca.piece = substr(rec.w, rec.i + 1, 1) " +
+      s"LEFT JOIN $csrc cb ON rec.i >= 1 AND cb.piece = substr(rec.w, rec.i, 2) " +
+      s"LEFT JOIN $csrc cc ON rec.i >= 2 AND cc.piece = substr(rec.w, rec.i - 1, 3) " +
+      "WHERE rec.i < rec.n) " +
+      "SELECT w, freq, arr FROM rec WHERE i = n)"
+
+  /** Backtrace of `udp{r}` as a recursive CTE: walk pos ← pos − L with
+    * L = 3 − (arr[pos] & 3), collecting pieces; emits `d{r}`(w, freq,
+    * pieces) once pos reaches 0. */
+  private def unigramBtCte(r: Int): String = {
+    val l = "(3 - (arr[pos + 1] % 4))"
+    s"d$r AS MATERIALIZED (WITH RECURSIVE bt(w, freq, arr, pos, ps) AS (" +
+      s"SELECT w, freq, arr, CAST(len(w) AS INT), CAST([] AS VARCHAR[]) FROM udp$r " +
+      "UNION ALL " +
+      s"SELECT w, freq, arr, pos - $l, " +
+      s"list_append(ps, substr(w, pos - $l + 1, $l)) FROM bt WHERE pos > 0) " +
+      "SELECT w, freq, ps AS pieces FROM bt WHERE pos = 0)"
+  }
+
+  /** The full unigram-LM training run as a MATERIALIZED CTE chain
+    * (`Unigram.trained`): expects a prior CTE `w0`(w, freq); emits
+    * per-round CTEs `d{r}`(w, freq, pieces), `n{r}`(piece, cnt) and
+    * `c{r}`(piece, costq) for r = 1..rounds (plus `c0` seed costs).
+    * Costs are the LogQ fixed-point convention; the census / seed-vocab
+    * / EM-round semantics mirror the Scala scaladoc line for line. */
+  def unigramCtes(rounds: Int, multiVocab: Int): String = {
+    val maxL = graft.ops.Unigram.MaxPieceLen
+    val q = graft.ops.TextAnalysis.LogQ
+    val base =
+      "ucensus AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt " +
+        "FROM (SELECT substr(w, p.i, p.L) AS piece, freq FROM (" +
+        "SELECT w, freq, unnest(flatten(list_transform(range(1, len(w) + 1), i -> " +
+        s"list_transform(range(1, least($maxL, len(w) - i + 1) + 1), L -> " +
+        "struct_pack(i := i, L := L))))) AS p FROM w0)) GROUP BY piece), " +
+        "vocab0 AS MATERIALIZED (SELECT piece, cnt FROM ucensus WHERE len(piece) = 1 " +
+        "UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM ucensus " +
+        s"WHERE len(piece) >= 2 ORDER BY cnt DESC, piece ASC LIMIT $multiVocab)), " +
+        "uvs AS (SELECT CAST(count(*) AS BIGINT) AS vs, " +
+        "CAST(sum(cnt) AS BIGINT) AS t0 FROM vocab0), " +
+        "c0 AS MATERIALIZED (SELECT piece, " +
+        s"CAST(-floor(ln((cnt + 1) / (t0 + vs)) * $q.0) AS BIGINT) AS costq " +
+        "FROM vocab0, uvs)"
+    val steps = (1 to rounds).map { r =>
+      unigramDpCte(r, s"c${r - 1}") + ", " + unigramBtCte(r) + ", " +
+        s"n$r AS MATERIALIZED (SELECT v.piece, CAST(coalesce(u.n, 0) AS BIGINT) AS cnt " +
+        "FROM vocab0 v LEFT JOIN (SELECT piece, sum(freq) AS n FROM " +
+        s"(SELECT unnest(pieces) AS piece, freq FROM d$r) GROUP BY piece) u " +
+        "ON v.piece = u.piece), " +
+        s"t$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM n$r), " +
+        s"c$r AS MATERIALIZED (SELECT piece, " +
+        s"CAST(-floor(ln((cnt + 1) / (t + vs)) * $q.0) AS BIGINT) AS costq " +
+        s"FROM n$r, t$r, uvs)"
+    }
+    (base +: steps).mkString(", ")
+  }
+
+  /** One extra segmentation pass under the final costs `c{rounds}`
+    * (encode side): emits `useg`(w, n_p) — per-word trained token count. */
+  def unigramEncodeCtes(rounds: Int): String =
+    unigramDpCte(rounds + 1, s"c$rounds") + ", " +
+      unigramBtCte(rounds + 1) + ", " +
+      "useg AS MATERIALIZED (SELECT w, " +
+      s"CAST(len(pieces) AS BIGINT) AS n_p FROM d${rounds + 1})"
 }

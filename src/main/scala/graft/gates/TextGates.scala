@@ -65,6 +65,21 @@ private[graft] object TextGates {
       graft.ops.Bpe.encodeTokenCounts(
         t(s, dir, "documents"), "doc_id", "text", merges = 10)),
 
+    // ---- LLM pipeline: unigram-LM (SentencePiece-style) tokenizer
+    //      TRAINING — substring-census seed vocab + 2 hard-EM rounds of
+    //      row-local Viterbi segmentation; only the learned model
+    //      reaches the driver ----
+    "tok_unigram_train" -> ((s, dir) =>
+      graft.ops.Unigram.train(
+        t(s, dir, "documents"), "text", multiVocab = 64, rounds = 2)),
+
+    // ---- LLM pipeline: unigram-LM encode — per-doc token counts under
+    //      the trained model (tokens-per-word compression metric) ----
+    "tok_unigram_encode" -> ((s, dir) =>
+      graft.ops.Unigram.encodeTokenCounts(
+        t(s, dir, "documents"), "doc_id", "text",
+        multiVocab = 64, rounds = 2)),
+
     // ---- LLM pipeline: corpus novelty curve — per id-bucket share of
     //      3-shingles never seen in earlier documents; the marginal-
     //      information decay read before ingesting the next slice ----
@@ -1531,6 +1546,25 @@ private[graft] object TextGates {
           "SELECT dw.doc_id, count(*) AS n_words, " +
           "CAST(sum(len(v10.s)) AS BIGINT) AS n_bpe_tokens " +
           "FROM dw JOIN v10 USING (w) GROUP BY dw.doc_id"),
+      "tok_unigram_train" ->
+        ("WITH w0 AS MATERIALIZED (SELECT w, count(*) AS freq FROM (SELECT unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w " +
+          "FROM documents) GROUP BY w), " +
+          graft.functions.OracleSql.unigramCtes(rounds = 2, multiVocab = 64) + " " +
+          "SELECT n2.piece, n2.cnt AS n_uses, c2.costq FROM n2 " +
+          "JOIN c2 ON n2.piece = c2.piece WHERE n2.cnt > 0"),
+      "tok_unigram_encode" ->
+        ("WITH w0 AS MATERIALIZED (SELECT w, count(*) AS freq FROM (SELECT unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w " +
+          "FROM documents) GROUP BY w), " +
+          graft.functions.OracleSql.unigramCtes(rounds = 2, multiVocab = 64) + ", " +
+          graft.functions.OracleSql.unigramEncodeCtes(rounds = 2) + ", " +
+          "dw AS (SELECT doc_id, unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w " +
+          "FROM documents) " +
+          "SELECT dw.doc_id, count(*) AS n_words, " +
+          "CAST(sum(useg.n_p) AS BIGINT) AS n_tokens " +
+          "FROM dw JOIN useg ON dw.w = useg.w GROUP BY dw.doc_id"),
       "text_collocations" ->
         ("WITH tk AS (SELECT list_filter(regexp_split_to_array(lower(text), " +
           "'\\s+'), w -> len(w) > 0) AS toks FROM documents), " +
