@@ -43,6 +43,17 @@ object OracleSql {
       s"ELSE list_transform(range(0, len($wh)-$n+1), i -> $fold) END"
   }
 
+  /** Position-carrying twin of [[shingles]]: (pos, h) structs with pos
+    * 1-based — the anchor form the maximal-span dedup joins on. */
+  def shingleStructs(wh: String, n: Int): String = {
+    val fold = (0 until n).foldLeft("CAST(7 AS BIGINT)") { (acc, k) =>
+      s"(($acc)*31 + $wh[i+$k+1]) % $P"
+    }
+    s"CASE WHEN len($wh) < $n THEN CAST([] AS STRUCT(pos BIGINT, h BIGINT)[]) " +
+      s"ELSE list_transform(range(0, len($wh)-$n+1), " +
+      s"i -> struct_pack(pos := CAST(i + 1 AS BIGINT), h := $fold)) END"
+  }
+
   /** minhash(sh, j) with the same permutation coefficients as TextHash. */
   def minhash(sh: String, j: Int): String =
     s"list_min(list_transform(list_distinct($sh), s -> " +

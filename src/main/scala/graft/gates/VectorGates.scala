@@ -459,6 +459,14 @@ private[graft] object VectorGates {
       NearDup.duplicatedSpanStats(
         t(s, dir, "documents"), "doc_id", "text", n = 5)),
 
+    // ---- LLM pipeline: MAXIMAL duplicated spans — variable-length
+    //      exact cross-doc repeats ≥ 8 tokens with positions and exact
+    //      length (suffix-group bucket join + row-local extension; the
+    //      span-level truth dedup_span_stats only summarizes) ----
+    "dedup_longest_span" -> ((s, dir) =>
+      NearDup.maximalDupSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 8, maxAnchorDf = 64)),
+
     // ---- LLM pipeline: cluster representative selection (keep the
     //      longest member of each near-dup cluster, singletons keep
     //      themselves; the keep-list stage after dedup_clusters) ----
@@ -1326,6 +1334,38 @@ private[graft] object VectorGates {
         "CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_frac, " +
         "CAST(max(df) AS BIGINT) AS max_df " +
         "FROM d GROUP BY doc_id"
+
+    // Mirrors NearDup.maximalDupSpans: anchor k-grams with positions,
+    // df-capped bucket join, left-maximal filter, row-local extension
+    // to the first mismatch (IS DISTINCT FROM handles both-arrays-end:
+    // null vs null is NOT distinct, so full overlap falls to the bound).
+    val dupSpansSql = {
+      val k = 8
+      val cap = 64
+      s"WITH sbase AS MATERIALIZED (SELECT doc_id, $wh AS wh FROM documents), " +
+        "san AS MATERIALIZED (SELECT doc_id, g.pos AS pos, g.h AS h FROM (" +
+        s"SELECT doc_id, unnest(${OracleSql.shingleStructs("wh", k)}) AS g " +
+        "FROM sbase)), " +
+        s"sdf AS (SELECT h FROM san GROUP BY h HAVING count(*) <= $cap), " +
+        "scap AS MATERIALIZED (SELECT san.doc_id, san.pos, san.h " +
+        "FROM san JOIN sdf USING (h)), " +
+        "scand AS MATERIALIZED (SELECT a.doc_id AS id_a, a.pos AS pos_a, " +
+        "b.doc_id AS id_b, b.pos AS pos_b " +
+        "FROM scap a JOIN scap b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+        "sj AS MATERIALIZED (SELECT c.id_a, c.pos_a, c.id_b, c.pos_b, " +
+        "ta.wh AS ta, tb.wh AS tb " +
+        "FROM scand c JOIN sbase ta ON ta.doc_id = c.id_a " +
+        "JOIN sbase tb ON tb.doc_id = c.id_b " +
+        "WHERE (c.pos_a = 1 OR c.pos_b = 1 " +
+        "OR ta.wh[c.pos_a - 1] IS DISTINCT FROM tb.wh[c.pos_b - 1])), " +
+        "sext AS (SELECT id_a, id_b, pos_a, pos_b, CAST(coalesce(" +
+        "list_filter(range(0, least(len(ta) - pos_a, len(tb) - pos_b) + 2), " +
+        "i -> ta[pos_a + i] IS DISTINCT FROM tb[pos_b + i])[1], " +
+        "least(len(ta) - pos_a, len(tb) - pos_b) + 1) AS BIGINT) AS match_len " +
+        "FROM sj) " +
+        "SELECT id_a, id_b, pos_a, pos_b, match_len FROM sext " +
+        s"WHERE match_len >= $k"
+    }
 
     // Mirrors NearDup.scrubDuplicatedSpans: one struct-unnest gives
     // (pos, tok, span-start hash); occurrence count windowed by hash,
@@ -2424,6 +2464,7 @@ private[graft] object VectorGates {
       "dedup_prefix_jaccard" -> prefixJaccardSql,
       "dedup_decontaminate" -> decontaminateSql,
       "dedup_span_stats" -> spanStatsSql,
+      "dedup_longest_span" -> dupSpansSql,
       "dedup_span_scrub" -> spanScrubSql,
       "dedup_keep_best" -> keepBestSql,
       "dedup_embedding_cosine" -> cosineNearDup,

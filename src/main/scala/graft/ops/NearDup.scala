@@ -249,6 +249,79 @@ object NearDup {
         col("max_df"))
   }
 
+  /** Maximal duplicated SPANS — the variable-length exact-substring
+    * dedup the fixed-width [[duplicatedSpanStats]] only approximates
+    * (Lee et al. 2022's ExactSubstr at suffix-array fidelity): every
+    * maximal cross-doc token-span match of length ≥ `k`, with positions
+    * and exact length. Emitted once per maximal pair: (id_a, id_b,
+    * pos_a, pos_b, match_len), ids ordered, positions 1-based.
+    *
+    * Algorithm (bucketed suffix groups, never all-pairs):
+    *  1. anchor every suffix by its first-k-token-gram hash (the
+    *     existing shingle kernel, order-preserving with positions);
+    *  2. join anchors on the gram hash with id_a < id_b — the
+    *     suffix-group bucket join; a `maxAnchorDf` stop-gram cap bounds
+    *     any boilerplate gram's group (df ≤ cap keeps the fixture run
+    *     EXACT — corpus max df is 4 — while capping the quadratic term
+    *     at web scale, the [[winnowCandidatePairs]] discipline);
+    *  3. keep only LEFT-MAXIMAL candidates (a span of length L would
+    *     otherwise surface from all its L−k+1 interior anchors): pos=1
+    *     on either side, or the preceding tokens differ;
+    *  4. extend row-locally to the first mismatch — the exact match
+    *     length. Hash collisions inside a bucket die here (match_len
+    *     < k), so the output is exact, not probabilistic.
+    *
+    * Scale shape: one gram-keyed shuffle for the bucket join, one
+    * id-keyed join-back of the two token arrays for surviving
+    * candidates only, extension O(match) per row, nothing driver-side.
+    */
+  def maximalDupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maxAnchorDf: Int = 64): DataFrame = {
+    require(k >= 2, s"span anchor width must be >= 2, got $k")
+    val base = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__id"),
+        TextHash.wordHashes(col(textCol)).as("__wh"))
+      .localCheckpoint() // reused three times (anchors + both join-backs)
+    val anchors = base
+      .select(col("__id"),
+        posexplode(TextHash.shingleHashes(col("__wh"), k)).as(Seq("__i", "h")))
+      .select(col("__id"), (col("__i") + 1).cast("long").as("__pos"), col("h"))
+    val wdw = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val capped = anchors.withColumn("__df", count(lit(1)).over(wdw))
+      .filter(col("__df") <= maxAnchorDf).drop("__df")
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.h") === col("b.h") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("a.__pos").as("pos_a"),
+        col("b.__id").as("id_b"), col("b.__pos").as("pos_b"))
+    val j = cand
+      .join(base.select(col("__id").as("id_a"), col("__wh").as("__ta")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__wh").as("__tb")), "id_b")
+      .filter(col("pos_a") === 1 || col("pos_b") === 1 ||
+        !(try_element_at(col("__ta"), (col("pos_a") - 1).cast("int")) <=>
+          try_element_at(col("__tb"), (col("pos_b") - 1).cast("int"))))
+    // First mismatch offset = exact match length; when both arrays end
+    // together no mismatch fires (null <=> null is true), so the bound
+    // itself — full overlap — is the answer.
+    val bound = least(size(col("__ta")) - col("pos_a"),
+      size(col("__tb")) - col("pos_b")) + 1
+    // try_element_at: the scan deliberately runs one step past the
+    // shorter array (OOB -> null -> mismatch), and ANSI element_at throws.
+    val firstMismatch = try_element_at(
+      filter(sequence(lit(0), bound), i =>
+        !(try_element_at(col("__ta"), (col("pos_a") + i).cast("int")) <=>
+          try_element_at(col("__tb"), (col("pos_b") + i).cast("int")))), lit(1))
+    val out = j
+      .withColumn("match_len",
+        coalesce(firstMismatch, bound).cast("long"))
+      .filter(col("match_len") >= k)
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        col("match_len"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftSql.freeLocalCheckpoint(base)
+    out
+  }
+
   /** Cluster-representative selection — the decision stage that turns
     * near-dup CLUSTERS into a training-set keep-list: group every doc by
     * its duplicate cluster (connected components over `pairs`; docs in no

@@ -144,6 +144,64 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("maximalDupSpans: hand case — maximal spans emitted exactly once " +
+      "with positions, interior anchors and sub-k repeats suppressed") {
+    val docs = Seq(
+      // docs 1-2 share a 5-token span mid-doc; left context differs
+      (1L, "p q r s a b c d e x y"),
+      (2L, "m n a b c d e z w"),
+      // doc 3 shares only a 3-token run with doc 1 (< k, must not emit)
+      (3L, "a b c nothing else here at all")).toDF("doc_id", "text")
+    val got = NearDup.maximalDupSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // "a b c d e": doc1 pos 5, doc2 pos 3, len 5; nothing else >= 4.
+    assert(got == Set((1L, 2L, 5L, 3L, 5L)))
+  }
+
+  test("maximalDupSpans equals brute force on the sf0.001 corpus " +
+      "(every maximal cross-doc repeat >= k, exact positions/lengths)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val k = 8
+    val got = NearDup.maximalDupSpans(docs, "doc_id", "text", k = k)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // Brute force: token arrays driver-side (500 docs), all anchor pairs
+    // via an exact-gram index, left-maximal filter, linear extension.
+    val toks = docs.select(col("doc_id"), TextHash.wordHashes(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val idx = collection.mutable.Map.empty[Seq[Long], List[(Long, Int)]]
+      .withDefaultValue(Nil)
+    toks.foreach { case (d, t) =>
+      (0 to t.length - k).foreach(i => idx(t.slice(i, i + k).toSeq) :+= (d, i))
+    }
+    val ref = collection.mutable.Set.empty[(Long, Long, Long, Long, Long)]
+    idx.valuesIterator.foreach { occs =>
+      for ((da, pa) <- occs; (db, pb) <- occs if da < db) {
+        val ta = toks(da); val tb = toks(db)
+        val leftMax = pa == 0 || pb == 0 || ta(pa - 1) != tb(pb - 1)
+        if (leftMax) {
+          var l = 0
+          while (pa + l < ta.length && pb + l < tb.length &&
+            ta(pa + l) == tb(pb + l)) l += 1
+          if (l >= k) ref += ((da, db, pa + 1L, pb + 1L, l.toLong))
+        }
+      }
+    }
+    assert(got == ref.toSet && ref.nonEmpty)
+  }
+
+  test("maximalDupSpans is partition-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    assertSameRows(
+      NearDup.maximalDupSpans(docs.repartition(1), "doc_id", "text"),
+      NearDup.maximalDupSpans(docs.repartition(11), "doc_id", "text"))
+  }
+
   test("scrubDuplicatedSpans drops covered positions, keeps short docs whole") {
     val docs = Seq(
       (1L, "a b c d e x1 y1 z1"),
