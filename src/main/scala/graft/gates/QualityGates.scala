@@ -128,6 +128,21 @@ private[graft] object QualityGates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- Quality classifier TRAINING: logistic regression by IRLS
+    //      over surface features (intercept, alpha-ratio, capped token
+    //      count), label = lang-is-en — the fastText-style quality-
+    //      filter loop, exact-integer moments per round ----
+    "feature_logreg_train" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(length(col("text")) > 0)
+      val feats = d.select(
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+          length(col("text"))).as("x1"),
+        (least(size(split(col("text"), "\\s+")), lit(500)).cast("double") /
+          lit(100.0)).as("x2"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      graft.ops.Features.irlsLogreg(feats, "x1", "x2", "y", rounds = 2)
+    }),
+
     // ---- Corpus filters: the Gopher quality rule set (Rae et al.
     //      2021) per document, every ratio cross-multiplied to integer
     //      comparisons; row-local, no shuffle ----
@@ -314,6 +329,53 @@ private[graft] object QualityGates {
         Agreement.Labels)))
 
   val oracles: Map[String, String] = Map(
+
+    // Replays the IRLS run: per round one quantized-moment aggregate
+    // (floor to BIGINT before summing — exact), then the SAME Cramer
+    // token sequence Features.irlsLogreg runs on the driver.
+    "feature_logreg_train" -> {
+      val det = "(a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02) + " +
+        "a02*(a01*a12 - a11*a02))"
+      val d0 = "(b0*(a11*a22 - a12*a12) - a01*(b1*a22 - a12*b2) + " +
+        "a02*(b1*a12 - a11*b2))"
+      val d1 = "(a00*(b1*a22 - a12*b2) - b0*(a01*a22 - a12*a02) + " +
+        "a02*(a01*b2 - b1*a02))"
+      val d2 = "(a00*(a11*b2 - b1*a12) - a01*(a01*b2 - b1*a02) + " +
+        "b0*(a01*a12 - a11*a02))"
+      def roundCtes(r: Int): String = {
+        val prevW = s"wr${r - 1}"
+        def m(e: String) = s"CAST(sum(CAST(floor(($e)*1048576.0) AS BIGINT)) AS BIGINT)"
+        s"p$r AS (SELECT x1, x2, y, " +
+          s"1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2))) AS mu FROM lrf, $prevW), " +
+          s"pr$r AS (SELECT x1, x2, y, mu, mu*(1.0 - mu) AS rr FROM p$r), " +
+          s"m$r AS (SELECT ${m("rr")} AS h00, ${m("x1*rr")} AS h01, " +
+          s"${m("x2*rr")} AS h02, ${m("(x1*x1)*rr")} AS h11, " +
+          s"${m("(x1*x2)*rr")} AS h12, ${m("(x2*x2)*rr")} AS h22, " +
+          s"${m("y - mu")} AS g0, ${m("x1*(y - mu)")} AS g1, " +
+          s"${m("x2*(y - mu)")} AS g2 FROM pr$r), " +
+          s"a$r AS (SELECT CAST(h00 AS DOUBLE)/1048576.0 AS a00, " +
+          "CAST(h01 AS DOUBLE)/1048576.0 AS a01, " +
+          "CAST(h02 AS DOUBLE)/1048576.0 AS a02, " +
+          "CAST(h11 AS DOUBLE)/1048576.0 AS a11, " +
+          "CAST(h12 AS DOUBLE)/1048576.0 AS a12, " +
+          "CAST(h22 AS DOUBLE)/1048576.0 AS a22, " +
+          "CAST(g0 AS DOUBLE)/1048576.0 AS b0, " +
+          "CAST(g1 AS DOUBLE)/1048576.0 AS b1, " +
+          s"CAST(g2 AS DOUBLE)/1048576.0 AS b2 FROM m$r), " +
+          s"wr$r AS (SELECT w0 + $d0/$det AS w0, w1 + $d1/$det AS w1, " +
+          s"w2 + $d2/$det AS w2 FROM a$r, $prevW)"
+      }
+      "WITH lrf AS MATERIALIZED (SELECT " +
+        "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / " +
+        "length(text) AS x1, " +
+        "least(len(string_split_regex(text, '\\s+')), 500) / 100.0 AS x2, " +
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y " +
+        "FROM documents WHERE length(text) > 0), " +
+        "wr0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2), " +
+        roundCtes(1) + ", " + roundCtes(2) + " " +
+        "SELECT CAST(1 AS BIGINT) AS round, w0, w1, w2 FROM wr1 " +
+        "UNION ALL SELECT CAST(2 AS BIGINT) AS round, w0, w1, w2 FROM wr2"
+    },
 
     "text_gopher_filters" -> {
       val stopSum = CorpusFilters.Stopwords.map(sw =>

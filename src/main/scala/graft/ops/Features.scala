@@ -183,4 +183,72 @@ object Features {
       .withColumn("bin", lit(null).cast("long"))
       .unionByName(binned)
   }
+
+  /** Quantization denominator for the IRLS moment lane (2²⁰, the
+    * [[graft.ops.TextAnalysis.LogQ]] convention as a double). */
+  val IrlsQ: Double = 1048576.0
+
+  /** Logistic-regression TRAINING by IRLS (Newton–Raphson on the
+    * log-likelihood) — the fastText-style quality-classifier loop run
+    * where the data lives: per round ONE corpus pass aggregates the
+    * 3×3 Hessian XᵀRX and gradient Xᵀ(y−μ), the driver solves the
+    * 3-variable normal equations in closed form (Cramer), and the new
+    * weights broadcast back as literals. Features here: intercept,
+    * x1 ∈ (0,1], x2 bounded; caller supplies the two feature columns
+    * and the 0/1 label column as DOUBLE.
+    *
+    * Determinism (the [[Normalize.zscore]] moment discipline, lifted to
+    * a trained model): every per-row Hessian/gradient contribution is
+    * floor-quantized to BIGINT — floor(((xᵢ·xⱼ)·r)·2²⁰) — BEFORE the
+    * sum, so the aggregates are exact integers, order- and
+    * partitioning-independent; the driver-side Cramer solve is a pinned
+    * IEEE op sequence the oracle replays token-for-token; and round 1's
+    * μ = 0.5, r = 0.25 are exact (w⁰ = 0), so the only libm call is
+    * round 2's exp — whose cross-engine parity the q_anderson_darling /
+    * survival-curve gates already prove. Output: one row per round,
+    * (round, w0, w1, w2) — the weights AFTER that round's update.
+    *
+    * Scale: per round one map-side-combinable aggregate (9 BIGINT
+    * sums), one O(1) collect, zero joins — rounds × one corpus scan. */
+  def irlsLogreg(
+      feats: DataFrame, x1Col: String, x2Col: String, yCol: String,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val f = feats.select(col(x1Col).cast("double").as("x1"),
+      col(x2Col).cast("double").as("x2"), col(yCol).cast("double").as("y"))
+    var w = (0.0, 0.0, 0.0)
+    val out = Seq.newBuilder[(Long, Double, Double, Double)]
+    (1 to rounds).foreach { round =>
+      val z = lit(w._1) + lit(w._2) * col("x1") + lit(w._3) * col("x2")
+      val mu = lit(1.0) / (lit(1.0) + exp(-z))
+      val r = mu * (lit(1.0) - mu)
+      def q(e: Column): Column = sum(floor(e * lit(IrlsQ)).cast("long"))
+      val row = f.agg(
+        q(r).as("h00"), q(col("x1") * r).as("h01"), q(col("x2") * r).as("h02"),
+        q((col("x1") * col("x1")) * r).as("h11"),
+        q((col("x1") * col("x2")) * r).as("h12"),
+        q((col("x2") * col("x2")) * r).as("h22"),
+        q(col("y") - mu).as("g0"),
+        q(col("x1") * (col("y") - mu)).as("g1"),
+        q(col("x2") * (col("y") - mu)).as("g2")).head()
+      def d(i: Int): Double = row.getLong(i).toDouble / IrlsQ
+      val (a00, a01, a02, a11, a12, a22) = (d(0), d(1), d(2), d(3), d(4), d(5))
+      val (b0, b1, b2) = (d(6), d(7), d(8))
+      // Cramer, token-for-token the oracle's formulas (IEEE-exact twins)
+      val det = a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) +
+        a02 * (a01 * a12 - a11 * a02)
+      val d0 = b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) +
+        a02 * (b1 * a12 - a11 * b2)
+      val d1 = a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) +
+        a02 * (a01 * b2 - b1 * a02)
+      val d2 = a00 * (a11 * b2 - b1 * a12) - a01 * (a01 * b2 - b1 * a02) +
+        b0 * (a01 * a12 - a11 * a02)
+      require(det != 0.0, "IRLS: singular quantized Hessian")
+      w = (w._1 + d0 / det, w._2 + d1 / det, w._3 + d2 / det)
+      out += ((round.toLong, w._1, w._2, w._3))
+    }
+    out.result().toDF("round", "w0", "w1", "w2")
+  }
 }

@@ -125,4 +125,64 @@ class FeaturesSpec extends SparkSpec {
         (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
     assert(p13 == got)
   }
+
+  // A linearly separable fixture: y = 1 iff x1 > 0.5, with x2 noise
+  // decorrelated from y. Big enough that the quantized Hessian is
+  // comfortably non-singular.
+  private def logregFixture(n: Int) = {
+    val rows = (1 to n).map { i =>
+      val x1 = (i % 101).toDouble / 100.0
+      val x2 = ((i * 37) % 97).toDouble / 97.0
+      (x1, x2, if (x1 > 0.5) 1.0 else 0.0)
+    }
+    rows.toDF("x1", "x2", "y")
+  }
+
+  test("irlsLogreg: bit-identical weights across partitionings (the " +
+      "floor-quantized BIGINT moment lane is order-independent)") {
+    val df = logregFixture(500)
+    val base = Features.irlsLogreg(df, "x1", "x2", "y", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    Seq(1, 7, 32).foreach { p =>
+      val got = Features.irlsLogreg(df.repartition(p), "x1", "x2", "y", 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3))).sortBy(_._1)
+      // == on Double tuples: bit-identity, not approximate equality
+      assert(got.sameElements(base), s"weights drifted at p=$p")
+    }
+  }
+
+  test("irlsLogreg: learns the separating direction and improves " +
+      "round over round on a separable fixture") {
+    val df = logregFixture(500)
+    val w = Features.irlsLogreg(df, "x1", "x2", "y", rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (_, w1r1, _) = w(1L)
+    val (w0, w1, w2) = w(2L)
+    assert(w1r1 > 0.0, "round-1 x1 weight should already be positive")
+    assert(w1 > w1r1, "Newton step 2 should sharpen the x1 weight")
+    assert(math.abs(w2) < w1 / 2,
+      "noise feature x2 should carry much less weight than x1")
+    // The learned boundary classifies the fixture well: check accuracy
+    val rows = df.collect()
+    val acc = rows.count { r =>
+      val z = w0 + w1 * r.getDouble(0) + w2 * r.getDouble(1)
+      (z > 0) == (r.getDouble(2) > 0.5)
+    }.toDouble / rows.length
+    assert(acc > 0.9, s"post-round-2 training accuracy $acc <= 0.9")
+  }
+
+  test("irlsLogreg: rejects rounds < 1 and a singular Hessian fails " +
+      "loud (constant features)") {
+    intercept[IllegalArgumentException] {
+      Features.irlsLogreg(logregFixture(10), "x1", "x2", "y", rounds = 0)
+    }
+    val degenerate = Seq((1.0, 1.0, 1.0), (1.0, 1.0, 0.0))
+      .toDF("x1", "x2", "y")
+    intercept[IllegalArgumentException] {
+      Features.irlsLogreg(degenerate, "x1", "x2", "y", rounds = 1).collect()
+    }
+  }
 }
