@@ -143,6 +143,37 @@ private[graft] object QualityGates {
       graft.ops.Features.irlsLogreg(feats, "x1", "x2", "y", rounds = 2)
     }),
 
+    // ---- Eval harness: unbiased pass@k (Chen et al. 2021, HumanEval
+    //      §2.1) — per task with n samples / c correct, pass@k =
+    //      1 − C(n−c,k)/C(n,k), computed as falling-factorial BIGINT
+    //      products and emitted as a gcd-reduced exact rational (the
+    //      q_gwet_ac1 lane; DECIMAL stays internal). Task fixture:
+    //      customer = task, orders = samples, status 'F' = pass.
+    //      One grouped aggregate + row-local arithmetic — no joins.
+    //      Magnitude: products of k≤10 terms ≤ n each fit DECIMAL(38,0)
+    //      through n ≈ 6000 samples/task; past that RatReduceExpr
+    //      fails loud (never silently-null output) ----
+    "q_pass_at_k" -> ((s, dir) => {
+      val byTask = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("task"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c"))
+      Seq(1, 5, 10).map { k =>
+        val dec = "decimal(38,0)"
+        val numRaw = when(col("n") - col("c") < k, lit(0L).cast(dec))
+          .otherwise((0 until k).map(i =>
+            (col("n") - col("c") - lit(i.toLong)).cast(dec)).reduce(_ * _))
+        val denRaw = (0 until k).map(i =>
+          (col("n") - lit(i.toLong)).cast(dec)).reduce(_ * _)
+        byTask.filter(col("n") >= k)
+          .select(col("task"), lit(k.toLong).as("k"), col("n"), col("c"),
+            graft.functions.TextHash.ratNum(denRaw - numRaw, denRaw)
+              .as("pass_num"),
+            graft.functions.TextHash.ratDen(denRaw - numRaw, denRaw)
+              .as("pass_den"))
+      }.reduce(_ unionByName _)
+    }),
+
     // ---- Corpus filters: the Gopher quality rule set (Rae et al.
     //      2021) per document, every ratio cross-multiplied to integer
     //      comparisons; row-local, no shuffle ----
@@ -375,6 +406,29 @@ private[graft] object QualityGates {
         roundCtes(1) + ", " + roundCtes(2) + " " +
         "SELECT CAST(1 AS BIGINT) AS round, w0, w1, w2 FROM wr1 " +
         "UNION ALL SELECT CAST(2 AS BIGINT) AS round, w0, w1, w2 FROM wr2"
+    },
+
+    // pass@k as exact HUGEINT falling-factorial products, gcd-reduced
+    // — mirrors the Spark DECIMAL(38,0)+RatReduceExpr lane term-for-term.
+    "q_pass_at_k" -> {
+      def perK(k: Int): String = {
+        val num = (0 until k).map(i => s"CAST(n - c - $i AS HUGEINT)")
+          .mkString(" * ")
+        val den = (0 until k).map(i => s"CAST(n - $i AS HUGEINT)")
+          .mkString(" * ")
+        s"SELECT task, CAST($k AS BIGINT) AS k, n, c, " +
+          s"(CASE WHEN n - c < $k THEN $den ELSE $den - ($num) END) AS num, " +
+          s"($den) AS den FROM bt WHERE n >= $k"
+      }
+      "WITH bt AS (SELECT o_custkey AS task, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)" +
+        " AS c FROM orders GROUP BY 1), " +
+        s"raw AS (${perK(1)} UNION ALL ${perK(5)} UNION ALL ${perK(10)}) " +
+        "SELECT task, k, n, c, " +
+        "CAST(num // greatest(gcd(num, den), 1) AS BIGINT) AS pass_num, " +
+        "CAST(den // greatest(gcd(num, den), 1) AS BIGINT) AS pass_den " +
+        "FROM raw"
     },
 
     "text_gopher_filters" -> {

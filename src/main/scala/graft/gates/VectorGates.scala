@@ -526,6 +526,19 @@ private[graft] object VectorGates {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, planes = 4, k = 3)),
 
+    // ---- LLM pipeline: margin-based bitext mining (Artetxe & Schwenk
+    //      2019) — en vectors paired to non-en vectors by RATIO MARGIN
+    //      (cosine over the mean of both sides' kNN cosines), LSH-
+    //      bucketed candidates, best target per source above margin 1 ----
+    "emb_bitext_margin" -> ((s, dir) => {
+      val lang = t(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      Similarity.bitextMarginMine(
+        t(s, dir, "embeddings").join(lang, "vec_id"),
+        "vec_id", "embedding", col("lang") === "en",
+        k = 4, dim = 64, planes = 4, minMargin = 1.0)
+    }),
+
     // ---- Embedding QA: linear-kernel MMD² drift between the two id-
     //      parity halves, per-dimension exact integers (×64 power-of-
     //      two quantization is rounding-free) ----
@@ -1412,6 +1425,40 @@ private[graft] object VectorGates {
         "SELECT x.src AS id_a, x.dst AS id_b, x.cos AS cosine " +
         "FROM ke x JOIN ke y ON x.src = y.dst AND x.dst = y.src " +
         "AND x.src < x.dst"
+    // Bitext ratio-margin replay: same bucket/dot constants; the kNN
+    // means fold cosines in rank order from 0.0 (Spark's `aggregate`
+    // over sort_array), margin token-for-token.
+    val bitextMargin = {
+      val fold = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        "list(cos ORDER BY rk)), (a, b) -> a + b) / " +
+        "CAST(count(*) AS DOUBLE)"
+      "WITH e0 AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, " +
+        "d.lang = 'en' AS is_src FROM embeddings e " +
+        "JOIN documents d ON d.doc_id = e.vec_id), " +
+        s"n AS (SELECT vec_id, v, is_src, sqrt(${OracleSql.dot("v", "v")}) " +
+        s"AS nrm, ${OracleSql.hyperplaneBucket("v", 64, 4)} AS bucket " +
+        "FROM e0), " +
+        "p AS (SELECT s.vec_id AS src, t.vec_id AS tgt, " +
+        s"${OracleSql.dot("s.v", "t.v")} / (s.nrm * t.nrm) AS cos " +
+        "FROM n s JOIN n t ON s.bucket = t.bucket " +
+        "AND s.is_src AND NOT t.is_src), " +
+        "fw AS (SELECT * FROM (SELECT src, tgt, cos, row_number() OVER (" +
+        "PARTITION BY src ORDER BY cos DESC, tgt) AS rk FROM p) " +
+        "WHERE rk <= 4), " +
+        "bw AS (SELECT * FROM (SELECT src, tgt, cos, row_number() OVER (" +
+        "PARTITION BY tgt ORDER BY cos DESC, src) AS rk FROM p) " +
+        "WHERE rk <= 4), " +
+        s"ms AS (SELECT src, $fold AS avg_src FROM fw GROUP BY src), " +
+        s"mt AS (SELECT tgt, $fold AS avg_tgt FROM bw GROUP BY tgt), " +
+        "sc AS (SELECT fw.src, fw.tgt, fw.cos, " +
+        "fw.cos / ((ms.avg_src + mt.avg_tgt) / 2.0) AS margin " +
+        "FROM fw JOIN ms ON ms.src = fw.src JOIN mt ON mt.tgt = fw.tgt " +
+        "WHERE ms.avg_src + mt.avg_tgt > 0.0) " +
+        "SELECT src AS src_id, tgt AS tgt_id, cos AS cosine, margin FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY src " +
+        "ORDER BY margin DESC, tgt) AS best FROM sc) " +
+        "WHERE best = 1 AND margin > 1.0"
+    }
     val bruteTopK =
       ("WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
         "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
@@ -2469,6 +2516,7 @@ private[graft] object VectorGates {
       "dedup_keep_best" -> keepBestSql,
       "dedup_embedding_cosine" -> cosineNearDup,
       "emb_knn_graph" -> mutualKnn,
+      "emb_bitext_margin" -> bitextMargin,
       // NN-descent replay: the same TWO LSH seed tables (second over
       // the reversed vector), the same undirected two-hop candidate
       // expansion, the same (cos DESC, dst) rescore.

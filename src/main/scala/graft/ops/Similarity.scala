@@ -1328,6 +1328,78 @@ object Similarity {
         col("x.cosine").as("cosine"))
   }
 
+  /** Margin-based BITEXT MINING (Artetxe & Schwenk 2019, ACL — the
+    * LASER/CCMatrix recipe) — the parallel-corpus extraction step of a
+    * multilingual training pipeline: a source-language vector pairs
+    * with a target-language vector not by raw cosine (hubness and
+    * per-language scale shifts corrupt absolute similarities) but by
+    * the RATIO MARGIN — cosine divided by the mean of the two sides'
+    * k-nearest-neighbor cosines — keeping only pairs whose margin
+    * clears `minMargin`. Candidates come from the shared hyperplane
+    * LSH bucket (the ann_lsh discipline — never the src × tgt cross
+    * product), so mining is linear in corpus size with per-bucket
+    * fan-out; forward/backward kNN are ranked over the SAME candidate
+    * pairs.
+    *
+    * Determinism: kNN is (cos DESC, id ASC)-ranked; each side's
+    * neighborhood mean folds its cosines IN RANK ORDER from 0.0 (the
+    * pinned IEEE sum the oracle replays with `list_reduce` over
+    * `list(cos ORDER BY rk)`), and margin = cos / ((avgS + avgT) /
+    * 2.0) token-for-token in both engines. Degenerate neighborhoods
+    * (avgS + avgT ≤ 0 — possible only on adversarial fixtures) are
+    * excluded before ranking so the ratio's sign never flips an
+    * ordering. Output: per source vector its best-margin target
+    * (margin DESC, tgt ASC) above threshold:
+    * (src_id, tgt_id, cosine, margin). */
+  def bitextMarginMine(
+      emb: DataFrame, idCol: String, vecCol: String,
+      srcPred: Column, k: Int, dim: Int, planes: Int,
+      minMargin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"),
+      srcPred.as("is_src"))
+    val n = e.withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, planes))
+    val s0 = n.filter(col("is_src")).select(col("bucket"),
+      col(idCol).as("src"), col("v").as("vs"), col("nrm").as("ns"))
+    val t0 = n.filter(!col("is_src")).select(col("bucket"),
+      col(idCol).as("tgt"), col("v").as("vt"), col("nrm").as("nt"))
+    val pairs = s0.join(t0, Seq("bucket"))
+      .withColumn("cos", dot(col("vs"), col("vt")) / (col("ns") * col("nt")))
+      .select(col("src"), col("tgt"), col("cos"))
+    val fw = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("tgt").asc)))
+      .filter(col("rk") <= k)
+    val bw = pairs.withColumn("rk", row_number().over(
+        Window.partitionBy(col("tgt"))
+          .orderBy(col("cos").desc, col("src").asc)))
+      .filter(col("rk") <= k)
+    // Rank-ordered IEEE fold: sort by rk, fold from 0.0, divide by the
+    // ACTUAL neighborhood size (sparse buckets may hold < k neighbors).
+    def rankedMean(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key))
+        .agg(sort_array(collect_list(struct(col("rk"), col("cos"))))
+          .as("arr"))
+        .select(col(key),
+          (aggregate(col("arr"), lit(0.0),
+            (acc, x) => acc + x.getField("cos")) /
+            size(col("arr")).cast("double")).as(s"avg_$key"))
+    val scored = fw.select(col("src"), col("tgt"), col("cos"))
+      .join(rankedMean(fw, "src"), "src")
+      .join(rankedMean(bw, "tgt"), "tgt")
+      .filter(col("avg_src") + col("avg_tgt") > 0.0)
+      .withColumn("margin",
+        col("cos") / ((col("avg_src") + col("avg_tgt")) / lit(2.0)))
+    scored.withColumn("__best", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("margin").desc, col("tgt").asc)))
+      .filter(col("__best") === 1 && col("margin") > lit(minMargin))
+      .select(col("src").as("src_id"), col("tgt").as("tgt_id"),
+        col("cos").as("cosine"), col("margin"))
+  }
+
   /** Linear-kernel MMD² distribution-shift readout between two
     * embedding groups — "did this batch drift?" for vector corpora:
     * with per-dim quantized sums Sa_d, Sb_d and group sizes na, nb,

@@ -149,4 +149,41 @@ class RankEvalSpec extends SparkSpec {
     assert(r.getAs[Long]("ece_num") == 800000L + 20000L)
     assert(math.abs(r.getAs[Double]("ece") - 820000.0 / 3e6) < 1e-12)
   }
+
+  test("q_pass_at_k gate: every emitted rational equals the BigInt " +
+      "binomial form 1 - C(n-c,k)/C(n,k), reduced to lowest terms") {
+    // Independent re-derivation: the gate computes falling-factorial
+    // DECIMAL products + RatReduceExpr; this check uses BigInt
+    // binomial coefficients — a different algorithm on a different
+    // number lane.
+    def choose(n: Long, k: Long): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (0L until k).foldLeft(BigInt(1))((a, i) => a * (n - i) / (i + 1))
+    val rows = SparkEntry.queries("q_pass_at_k")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val ks = rows.map(_.getAs[Long]("k")).toSet
+    assert(ks == Set(1L, 5L, 10L))
+    rows.foreach { r =>
+      val (k, n, c) = (r.getAs[Long]("k"), r.getAs[Long]("n"),
+        r.getAs[Long]("c"))
+      val (pn, pd) = (r.getAs[Long]("pass_num"), r.getAs[Long]("pass_den"))
+      assert(n >= k && c >= 0 && c <= n)
+      val miss = choose(n - c, k)
+      val tot = choose(n, k)
+      val g = (tot - miss).gcd(tot)
+      assert(BigInt(pn) == (tot - miss) / g && BigInt(pd) == tot / g,
+        s"task n=$n c=$c k=$k: got $pn/$pd, want ${tot - miss}/$tot reduced")
+      assert(BigInt(pn).gcd(BigInt(pd)) == 1, s"not in lowest terms: $pn/$pd")
+    }
+    // sanity anchors: c = n → pass@k = 1/1; c = 0 → 0/1
+    rows.filter(r => r.getAs[Long]("c") == r.getAs[Long]("n")).foreach { r =>
+      assert(r.getAs[Long]("pass_num") == 1L &&
+        r.getAs[Long]("pass_den") == 1L)
+    }
+    rows.filter(_.getAs[Long]("c") == 0L).foreach { r =>
+      assert(r.getAs[Long]("pass_num") == 0L &&
+        r.getAs[Long]("pass_den") == 1L)
+    }
+  }
 }

@@ -825,4 +825,57 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("bitextMarginMine: near-colinear hand fixture — each source " +
+      "pairs with its closest target, margins brute-force verified, " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    // All vectors u + a*w with tiny |a| and w ⊥ u share one hyperplane
+    // bucket (the hubnessCensus colinearity trick: perturbations can't
+    // flip any plane sign). cos(u+aw, u+bw) is monotone in how close
+    // a and b are, so src a=0.001 pairs with tgt a=0.0011 and src
+    // a=-0.002 with tgt a=-0.0019.
+    val u = Seq(1.0, 0.5, 0.25, 0.125)
+    val w = Seq(0.125, -0.25, 0.5, -1.0) // u·w = 0 exactly
+    def vec(a: Double) = u.zip(w).map { case (x, y) => x + a * y }
+    val rows = Seq(
+      (1L, vec(0.001), 1), (2L, vec(-0.002), 1),            // sources
+      (10L, vec(0.0011), 0), (11L, vec(-0.0019), 0),        // targets
+      (12L, vec(0.01), 0))
+    val emb = rows.toDF("vec_id", "embedding", "is_src")
+    def run(df: org.apache.spark.sql.DataFrame) = Similarity
+      .bitextMarginMine(df, "vec_id", "embedding",
+        col("is_src") === 1, k = 4, dim = 4, planes = 2, minMargin = 1.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    val got = run(emb)
+    assert(got.map(g => g._1 -> g._2).toSeq == Seq(1L -> 10L, 2L -> 11L))
+    // brute-force margin recomputation (no LSH, rank-ordered folds)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dotSeq(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b)))
+    }
+    val srcs = rows.filter(_._3 == 1).map(r => r._1 -> r._2)
+    val tgts = rows.filter(_._3 == 0).map(r => r._1 -> r._2)
+    def topMean(self: Seq[Double], others: Seq[(Long, Seq[Double])]) = {
+      val cs = others.map { case (id, v) => (cos(self, v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(4).map(_._1)
+      cs.foldLeft(0.0)(_ + _) / cs.size
+    }
+    got.foreach { case (sid, tid, gcos, gmargin) =>
+      val sv = srcs.find(_._1 == sid).get._2
+      val tv = tgts.find(_._1 == tid).get._2
+      assert(math.abs(gcos - cos(sv, tv)) < 1e-12)
+      val m = cos(sv, tv) / ((topMean(sv, tgts) + topMean(tv, srcs)) / 2.0)
+      assert(math.abs(gmargin - m) < 1e-12, s"margin $gmargin vs brute $m")
+      assert(gmargin > 1.0)
+    }
+    // bit-identical across partitionings
+    Seq(1, 7).foreach { p =>
+      assert(run(emb.repartition(p)).sameElements(got),
+        s"drifted at p=$p")
+    }
+  }
 }
