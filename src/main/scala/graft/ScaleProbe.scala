@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * created; `_READY` marks a completed generation for reuse). */
 object ScaleProbe {
 
-  /** The audited heavy families: graph fixpoints, storage commit
+  /** The TIMED heavy families: graph fixpoints, storage commit
     * machinery, the prefix-filter audit twin, IVF probing, NN-descent,
     * manifest replay, and the pagerank-family text gate. */
   val Gates: Seq[String] = Seq(
@@ -33,6 +33,20 @@ object ScaleProbe {
     "dedup_prefix_jaccard", "ann_ivf_nprobe", "ann_nndescent",
     "q_bitemporal", "text_keywords_pagerank",
     "o33_branch_merge_back", "o36_rollback", "o37_wap")
+
+  /** The sf1.0 VERIFICATION set (r12 verdict item 6): every dedup_*,
+    * ann_*, graph_* gate — the three families whose 100-TB safety the
+    * probe exists to prove — plus the timed set above. Derived from
+    * the live board so a new family gate is scale-verified
+    * automatically. All 75 r12-board family oracles were measured
+    * feasible over the 10× replica (73 under 240 s on 8 threads;
+    * ann_ivfpq_topk needs the compare step's explicit DuckDB
+    * memory_limit+spill, 464 s; dedup_prefix_jaccard runs through its
+    * PPJoin twin below). */
+  def VerifyGates: Set[String] =
+    SparkEntry.queries.keySet.filter(k =>
+      k.startsWith("dedup_") || k.startsWith("ann_") ||
+        k.startsWith("graph_")) ++ Gates
 
   /** sf1.0-feasible oracle substitutions for the verify mode. The
     * DRIVER oracle for `dedup_prefix_jaccard` is the intentionally
@@ -163,12 +177,13 @@ object ScaleProbe {
     if (!Files.exists(Paths.get(bigDir, "_READY")))
       generate(spark, srcDir, bigDir)
     if (mode == "verify") {
-      // r11 verdict item 4: the probe TIMED the heavy families at
-      // sf1.0 but never hash-verified above sf0.1. Dump the same gate
-      // subset over the replica for `tools/compare_oracle.py
-      // <bigDir> <bigDir>/_verify` — converting the timing claim into
-      // a correctness claim at one decade up.
-      Verify.dump(spark, bigDir, s"$bigDir/_verify", Some(Gates.toSet),
+      // r11 verdict item 4 (widened per r12 item 6): hash-verify the
+      // FULL dedup/ann/graph families at sf1.0, not just the timed
+      // subset. Dump over the replica for `DUCKDB_MEMORY_LIMIT=60GB
+      // tools/compare_oracle.py <bigDir> <bigDir>/_verify` —
+      // converting the timing claim into a correctness claim at one
+      // decade up.
+      Verify.dump(spark, bigDir, s"$bigDir/_verify", Some(VerifyGates),
         oracleOverrides = Sf1OracleTwins)
       println(s"[scaleprobe] verify dump at $bigDir/_verify")
       spark.stop()

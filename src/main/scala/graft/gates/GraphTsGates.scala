@@ -2059,9 +2059,9 @@ private[graft] object GraphTsGates {
           graft.functions.OracleSql.pageRankCtes(iters = 3) +
           " SELECT node, rank_q FROM it3"),
       "graph_ppr" ->
-        ("WITH le AS (SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src, " +
+        ("WITH le AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey * 2 AS BIGINT) AS src, " +
           "CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst FROM lineitem), " +
-          "e AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le), " +
+          "e AS MATERIALIZED (SELECT src, dst FROM le UNION SELECT dst, src FROM le), " +
           "seeds AS (SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node " +
           "FROM supplier WHERE s_nationkey % 5 = 0), " +
           graft.functions.OracleSql.pprCtes(iters = 3) +
@@ -2126,8 +2126,14 @@ private[graft] object GraphTsGates {
           "CAST(da.d * db.d AS BIGINT) AS pref_attach " +
           "FROM ul JOIN deg da ON da.m = ul.na " +
           "JOIN deg db ON db.m = ul.nb"),
+      // MATERIALIZED on the multi-referenced base CTEs here and in
+      // graph_ppr/graph_modularity below: DuckDB inlines CTEs by
+      // default, and an ITERATIVE chain referencing its predecessor
+      // (and the edge set) more than once re-expands the whole tree
+      // per level — exponential; measured live at sf1.0 as a 55 GB
+      // spill vs 6.6 s materialized. Results are byte-identical.
       "graph_hits" ->
-        ("WITH e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, " +
+        ("WITH e AS MATERIALIZED (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src, " +
           "CAST(l_partkey AS BIGINT) AS dst FROM lineitem " +
           "WHERE l_partkey % 4 = 0), " +
           graft.functions.OracleSql.hitsCtes(iters = 3) +
@@ -2232,12 +2238,12 @@ private[graft] object GraphTsGates {
           "1.0 + CAST(n_nodes AS DOUBLE) / lnsum END, 8) AS alpha_mle " +
           "FROM ln, me"),
       "graph_modularity" ->
-        ("WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
+        ("WITH ps AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p " +
           "FROM lineitem WHERE l_partkey % 4 = 0), " +
-          "ce AS (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
+          "ce AS MATERIALIZED (SELECT DISTINCT CAST(x.p AS BIGINT) AS a, " +
           "CAST(y.p AS BIGINT) AS b FROM ps x JOIN ps y " +
           "ON x.o = y.o AND x.p < y.p), " +
-          "e AS (SELECT a AS src, b AS dst FROM ce " +
+          "e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ce " +
           "UNION ALL SELECT b, a FROM ce), " +
           "nodes AS (SELECT DISTINCT src AS node FROM e), " +
           graft.functions.OracleSql.labelPropCtes(iters = 3) +

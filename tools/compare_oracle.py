@@ -54,14 +54,32 @@ def types_of(rel):
     return [str(rel.types[i]) for i in order]
 
 
-def main(sf_dir, out_dir, json_out=None):
+def connect(sf_dir):
     con = duckdb.connect()
+    # Heavy sf1.0 oracles (ann_ivfpq's 16M-row PQ-code joins) exceed
+    # DuckDB's default in-memory budget when other JVMs share the box;
+    # an explicit limit + spill dir lets them finish instead of OOMing.
+    lim = os.environ.get("DUCKDB_MEMORY_LIMIT")
+    if lim:
+        con.execute(f"SET memory_limit = '{lim}'")
+        con.execute("SET temp_directory = '/tmp/duckspill'")
+        con.execute("SET max_temp_directory_size = '60GB'")
     for t in TABLES:
         # driver fixtures are single files; ScaleProbe replicas are
         # Spark-written directories -> glob their part files
         path = f"{sf_dir}/{t}.parquet"
         src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def main(sf_dir, out_dir, json_out=None):
+    con = connect(sf_dir)
+    # Spill blocks live until connection close, so one monster oracle
+    # can exhaust the shared temp cap for every LATER gate in the run
+    # (seen live: ann_ivfpq left 49 GB that OOM'd graph_hits). Under a
+    # memory limit, give each gate a fresh connection.
+    per_gate_con = os.environ.get("DUCKDB_MEMORY_LIMIT") is not None
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     n_pass = n_fail = 0
@@ -76,6 +94,9 @@ def main(sf_dir, out_dir, json_out=None):
     for name, sql in sorted(oracle.items()):
         if name in failed:
             continue
+        if per_gate_con:
+            con.close()
+            con = connect(sf_dir)
         try:
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             s_types = types_of(spark_rel)
