@@ -339,6 +339,15 @@ private[graft] object VectorGates {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, ell = 8, rounds = 2)),
 
+    // ---- TRUE k-means‖ init (Bahmani 2012): per round each point
+    //      flips an INDEPENDENT derandomized coin u·Σd² < ℓ·2²⁰·d² —
+    //      row-local admission, no global TakeOrdered; exact integer
+    //      lanes end-to-end; output = the weighted coreset ----
+    "sample_kmeans_parallel" -> ((s, dir) =>
+      Similarity.kmeansParallelInit(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        ell = 8, rounds = 2)),
+
     // ---- ML features: per-group median imputation + missing flag
     //      (nulls synthesized on a fixed key residue) ----
     "feature_impute_median" -> ((s, dir) => {
@@ -1496,6 +1505,41 @@ private[graft] object VectorGates {
         "CAST(coalesce(rk.cnt, 0) AS BIGINT) AS n_semihard, " +
         "rk.id_neg, rk.d2_neg " +
         "FROM ap LEFT JOIN rk ON rk.id_a = ap.id_a AND rk.rn = 1"
+    // k-means‖ replay: same quantized d² kernel, same permute-mod-2²⁰
+    // coin, HUGEINT acceptance test mirroring Spark's DECIMAL(38,0)
+    // lane; weight pass = (d² asc, cid asc) argmin.
+    val kmeansParallel = {
+      import graft.functions.TextHash.{permuteA, permuteB}
+      val P = 1000000007L
+      def coin(r: Int) =
+        s"CAST(((id * ${permuteA(r)} + ${permuteB(r)}) % $P) % 1048576 AS HUGEINT)"
+      def round(r: Int) =
+        s"d$r AS (SELECT e.id, e.qv, min(${d2Sql("e.qv", "c.cqv")}) AS d2 " +
+          s"FROM e CROSS JOIN c${r - 1} c GROUP BY e.id, e.qv), " +
+          s"s$r AS (SELECT CAST(sum(CAST(d2 AS HUGEINT)) AS HUGEINT) AS s " +
+          s"FROM d$r), " +
+          s"a$r AS (SELECT id, qv FROM d$r CROSS JOIN s$r " +
+          s"WHERE ${coin(r)} * s < CAST(${8L * 1048576L} AS HUGEINT) * " +
+          "CAST(d2 AS HUGEINT)), " +
+          s"c$r AS (SELECT * FROM c${r - 1} UNION ALL " +
+          s"SELECT id, qv, CAST($r AS BIGINT) FROM a$r)"
+      "WITH e AS MATERIALIZED (SELECT vec_id AS id, " +
+        "list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv " +
+        "FROM embeddings), " +
+        "c0 AS (SELECT id AS cid, qv AS cqv, CAST(0 AS BIGINT) AS rnd " +
+        "FROM e ORDER BY id LIMIT 1), " +
+        s"${round(1)}, ${round(2)}, " +
+        s"dz AS (SELECT e.id, c.cid, ${d2Sql("e.qv", "c.cqv")} AS d2 " +
+        "FROM e CROSS JOIN c2 c), " +
+        "bz AS (SELECT id, cid, row_number() OVER (PARTITION BY id " +
+        "ORDER BY d2, cid) AS rn FROM dz), " +
+        "w AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM bz " +
+        "WHERE rn = 1 GROUP BY cid) " +
+        "SELECT c.cid AS picked_id, c.rnd AS round, " +
+        "CAST(coalesce(w.n, 0) AS BIGINT) AS weight " +
+        "FROM c2 c LEFT JOIN w ON w.cid = c.cid"
+    }
     val lshTopK =
       s"$embNorm, q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket " +
         "FROM n WHERE vec_id < 10), " +
@@ -2485,6 +2529,7 @@ private[graft] object VectorGates {
           graft.functions.OracleSql.farthestPointBatchCtes(
             k = 8, ell = 8, rounds = 2) +
           " SELECT pick, vec_id AS picked_id FROM gsel7"),
+      "sample_kmeans_parallel" -> kmeansParallel,
       "dedup_simhash" -> simhashSql,
       "dedup_sorted_neighborhood" -> sortedNeighborhoodSql,
       "dedup_ngram_jaccard" -> jaccardSql,

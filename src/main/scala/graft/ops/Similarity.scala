@@ -771,6 +771,97 @@ object Similarity {
     } finally { e.unpersist(); () }
   }
 
+  /** TRUE k-means‖ initialization (Bahmani et al., VLDB 2012 §3) — the
+    * probabilistic-draw form [[farthestPointSampleScalable]]'s
+    * deterministic top-ℓ stands in for: per round every point flips an
+    * INDEPENDENT coin with p = min(1, ℓ·d²(x,C)/Σd²) and the accepted
+    * points join the candidate set. Independence is the scale property
+    * — admission is a row-local predicate (one map-side pass, no
+    * global TakeOrdered bottleneck), so the round is a scan + one
+    * scalar aggregate regardless of cluster width.
+    *
+    * The coin is DERANDOMIZED the board's way: u(x, r) =
+    * permute(r, id) mod 2²⁰ (the shared MinHash constants), and the
+    * acceptance test u·Σd² < ℓ·2²⁰·d² is evaluated in EXACT integer
+    * arithmetic — d² is the quantized-BIGINT [[graft.functions
+    * .NativeKernels sqDist]] kernel, Σd² a DECIMAL(38,0) sum (HUGEINT
+    * in the oracle), so acceptance is bit-reproducible across engines
+    * and partitionings with zero float anywhere. Already-admitted
+    * points have d² = 0 and can never re-enter (strict <).
+    *
+    * Output — the weighted coreset the k-means‖ finish clusters:
+    * (picked_id, round admitted, weight = how many corpus points
+    * assign to it by (d² asc, cid asc)); a duplicate-coordinate center
+    * keeps weight 0 (its points tie to the lower cid). Feed it to
+    * [[kmeansCentroids]]-style Lloyd's for the final k.
+    *
+    * Scale: `rounds` × (one corpus pass + one O(1) collect); driver
+    * holds only the O(ℓ·rounds) expected candidates; the weight pass
+    * is one more scan with the bounded center array broadcast. */
+  def kmeansParallelInit(
+      emb: DataFrame, idCol: String, vecCol: String,
+      ell: Int, rounds: Int): DataFrame = {
+    require(ell > 0 && rounds > 0, s"need ell > 0 and rounds > 0")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = 1048576L // 2^20: the quantization AND the coin denominator
+    val dec = "decimal(38,0)"
+    val e = emb
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("qv", transform(col("v"),
+        x => floor(x * lit(q.toDouble)).cast("long")))
+      .select(col("__id"), col("qv"))
+      .persist()
+    try {
+      val seed = e.orderBy(col("__id").asc).limit(1)
+        .as[(Long, Seq[Long])].collect()
+      require(seed.nonEmpty, "kmeansParallelInit needs a non-empty input")
+      var cands = Vector((seed(0)._1, seed(0)._2, 0L))
+      def centArr = cands.map { case (id, qv, _) => (id, qv) }
+        .toDF("cid", "cqv")
+        .select(struct(col("cid"), col("cqv")).as("c"))
+        .agg(array_sort(collect_list(col("c"))).as("__cents"))
+      // min d² against the broadcast center array: per-row fold over a
+      // cid-sorted array; min is order-free, the sort pins the WEIGHT
+      // pass's tie-break below to (d² asc, cid asc)
+      def minD2 = aggregate(col("__cents"), lit(Long.MaxValue),
+        (acc, c) => least(acc,
+          graft.functions.TextHash.sqDist(col("qv"), c.getField("cqv"))))
+      (1 to rounds).foreach { r =>
+        val scored = e.join(broadcast(centArr))
+          .withColumn("d2", minD2)
+        val s = scored.agg(sum(col("d2").cast(dec))).head().getDecimal(0)
+        val u = graft.functions.TextHash.permute(r, col("__id")) % q
+        val accepted = scored
+          .filter(u.cast(dec) * lit(s).cast(dec) <
+            lit(ell * q).cast(dec) * col("d2").cast(dec))
+          .select(col("__id"), col("qv"))
+          .as[(Long, Seq[Long])].collect()
+        cands ++= accepted.map { case (id, qv) => (id, qv, r.toLong) }
+      }
+      // weight pass: first strict-min over the cid-sorted array keeps
+      // the lowest-cid minimizer = (d² asc, cid asc)
+      val bestCid = aggregate(col("__cents"),
+        struct(lit(Long.MaxValue).as("d2"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val d2 = graft.functions.TextHash.sqDist(col("qv"),
+            c.getField("cqv"))
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.getField("cid").as("cid")))
+            .otherwise(acc)
+        }).getField("cid")
+      val weights = e.join(broadcast(centArr))
+        .select(bestCid.as("picked_id"))
+        .groupBy(col("picked_id")).agg(count(lit(1)).as("weight"))
+      cands.map { case (id, _, r) => (id, r) }
+        .toDF("picked_id", "round")
+        .join(weights, Seq("picked_id"), "left")
+        .select(col("picked_id"), col("round"),
+          coalesce(col("weight"), lit(0L)).as("weight"))
+    } finally { e.unpersist(); () }
+  }
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) —
     * diversified top-k retrieval: greedily pick
     * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so each new result

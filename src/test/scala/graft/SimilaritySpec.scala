@@ -826,6 +826,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("kmeansParallelInit: weights partition the corpus, rounds are " +
+      "bounded, seed is the min id, and everything is " +
+      "partitioning-invariant") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) = Similarity
+      .kmeansParallelInit(df, "vec_id", "embedding", ell = 8, rounds = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val got = run(emb)
+    val n = emb.count()
+    // every corpus point assigns to exactly one center
+    assert(got.map(_._3).sum == n, s"weights must partition the corpus")
+    assert(got.map(_._2).forall(r => r >= 0L && r <= 2L))
+    // the seed (round 0) is the minimum vec_id, by construction
+    val minId = emb.agg(min(col("vec_id"))).head().getLong(0)
+    assert(got.filter(_._2 == 0L).map(_._1).toSeq == Seq(minId))
+    // independent coins admit ~ell per round (loose envelope, not luck:
+    // sum of n Bernoullis with Σp ≈ ell)
+    val admitted = got.count(_._2 > 0L)
+    assert(admitted >= 2 && admitted <= 40, s"admitted $admitted")
+    Seq(1, 13).foreach { p =>
+      assert(run(emb.repartition(p)).sameElements(got), s"drifted at p=$p")
+    }
+  }
+
   test("bitextMarginMine: near-colinear hand fixture — each source " +
       "pairs with its closest target, margins brute-force verified, " +
       "partitioning-invariant") {
