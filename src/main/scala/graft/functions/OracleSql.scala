@@ -720,6 +720,37 @@ object OracleSql {
     (base +: steps).mkString(", ")
   }
 
+  /** Prune-and-refit extension of [[unigramCtes]] (the
+    * `Unigram.trainPruned` replay): keep singles + top-`keepMulti`
+    * multi-char pieces of `n{rounds}` by (cnt DESC, piece ASC),
+    * renormalize costs over the kept vocab, one more DP/backtrace
+    * round under the pruned costs, re-count, refit. Emits `vocabP`,
+    * `cP` (pruned seed costs), `d{rounds+1}`, `nP` (post-round
+    * counts), `cF` (refit costs). */
+  def unigramPruneCtes(rounds: Int, keepMulti: Int): String = {
+    val q = graft.ops.TextAnalysis.LogQ
+    val r1 = rounds + 1
+    s"vocabP AS MATERIALIZED (SELECT piece, cnt FROM n$rounds " +
+      "WHERE len(piece) = 1 " +
+      s"UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM n$rounds " +
+      s"WHERE len(piece) >= 2 ORDER BY cnt DESC, piece ASC LIMIT $keepMulti)), " +
+      "uvsP AS (SELECT CAST(count(*) AS BIGINT) AS vs, " +
+      "CAST(sum(cnt) AS BIGINT) AS t0 FROM vocabP), " +
+      "cP AS MATERIALIZED (SELECT piece, " +
+      s"CAST(-floor(ln((cnt + 1) / (t0 + vs)) * $q.0) AS BIGINT) AS costq " +
+      "FROM vocabP, uvsP), " +
+      unigramDpCte(r1, "cP") + ", " + unigramBtCte(r1) + ", " +
+      "nP AS MATERIALIZED (SELECT v.piece, " +
+      "CAST(coalesce(u.n, 0) AS BIGINT) AS cnt " +
+      "FROM vocabP v LEFT JOIN (SELECT piece, sum(freq) AS n FROM " +
+      s"(SELECT unnest(pieces) AS piece, freq FROM d$r1) GROUP BY piece) u " +
+      "ON v.piece = u.piece), " +
+      "tP AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM nP), " +
+      "cF AS MATERIALIZED (SELECT piece, " +
+      s"CAST(-floor(ln((cnt + 1) / (t + vs)) * $q.0) AS BIGINT) AS costq " +
+      "FROM nP, tP, uvsP)"
+  }
+
   /** One extra segmentation pass under the final costs `c{rounds}`
     * (encode side): emits `useg`(w, n_p) — per-word trained token count. */
   def unigramEncodeCtes(rounds: Int): String =

@@ -502,11 +502,17 @@ private[graft] object QualityGates {
           s"CAST(count(DISTINCT item) AS BIGINT) AS n_items FROM nij$tag), " +
           s"cj$tag AS (SELECT CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM " +
           s"(SELECT lbl, sum(cnt) AS c FROM nij$tag GROUP BY lbl)), " +
-          s"k$tag AS (SELECT core$tag.n_items, " +
-          s"CAST((sum_sq - n_items * $m) * nm * nm - " +
-          s"sum_c2 * (n_items * ${m * (m - 1)}) AS BIGINT) AS knum, " +
-          s"CAST(n_items * ${m * (m - 1)} * (nm * nm - sum_c2) AS BIGINT) " +
-          s"AS kden FROM core$tag, cj$tag)"
+          s"kraw$tag AS (SELECT core$tag.n_items, " +
+          s"CAST(sum_sq - n_items * $m AS HUGEINT) * CAST(nm AS HUGEINT) * " +
+          "CAST(nm AS HUGEINT) - CAST(sum_c2 AS HUGEINT) * " +
+          s"CAST(n_items * ${m * (m - 1)} AS HUGEINT) AS knum, " +
+          s"CAST(n_items * ${m * (m - 1)} AS HUGEINT) * " +
+          "(CAST(nm AS HUGEINT) * CAST(nm AS HUGEINT) - " +
+          s"CAST(sum_c2 AS HUGEINT)) AS kden FROM core$tag, cj$tag), " +
+          s"k$tag AS (SELECT n_items, " +
+          "CAST(knum // greatest(gcd(knum, kden), 1) AS BIGINT) AS knum, " +
+          "CAST(kden // greatest(gcd(knum, kden), 1) AS BIGINT) AS kden " +
+          s"FROM kraw$tag)"
       s"WITH r AS (${ratingsSql(withAbstain = false)}), " +
         "cnts AS (SELECT item, lbl, count(*) AS n FROM r GROUP BY 1, 2), " +
         "maj AS (SELECT item, lbl AS maj_label FROM (SELECT item, lbl, " +
@@ -635,12 +641,20 @@ private[graft] object QualityGates {
         "CAST(sum(cnt) AS BIGINT) AS nm, " +
         "CAST(count(DISTINCT item) AS BIGINT) AS n_items FROM nij), " +
         "cj AS (SELECT CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM " +
-        "(SELECT lbl, sum(cnt) AS c FROM nij GROUP BY lbl)) " +
+        "(SELECT lbl, sum(cnt) AS c FROM nij GROUP BY lbl)), " +
+        // HUGEINT products + gcd-reduce, mirroring the Scala
+        // DECIMAL(38,0) + RatReduceExpr lane (N³m⁴ outgrows BIGINT)
+        "raw AS (SELECT n_items, " +
+        "CAST(sum_sq - n_items * 5 AS HUGEINT) * CAST(nm AS HUGEINT) * " +
+        "CAST(nm AS HUGEINT) - CAST(sum_c2 AS HUGEINT) * " +
+        "CAST(n_items * 20 AS HUGEINT) AS knum, " +
+        "CAST(n_items * 20 AS HUGEINT) * (CAST(nm AS HUGEINT) * " +
+        "CAST(nm AS HUGEINT) - CAST(sum_c2 AS HUGEINT)) AS kden " +
+        "FROM core, cj) " +
         "SELECT n_items, CAST(5 AS BIGINT) AS m, " +
-        "CAST((sum_sq - n_items * 5) * nm * nm - " +
-        "sum_c2 * (n_items * 20) AS BIGINT) AS kappa_num, " +
-        "CAST(n_items * 20 * (nm * nm - sum_c2) AS BIGINT) AS kappa_den " +
-        "FROM core, cj"),
+        "CAST(knum // greatest(gcd(knum, kden), 1) AS BIGINT) AS kappa_num, " +
+        "CAST(kden // greatest(gcd(knum, kden), 1) AS BIGINT) AS kappa_den " +
+        "FROM raw"),
 
     "q_krippendorff_alpha" ->
       (s"WITH r AS (${ratingsSql(withAbstain = true)}), " +

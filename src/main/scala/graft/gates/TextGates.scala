@@ -80,6 +80,14 @@ private[graft] object TextGates {
         t(s, dir, "documents"), "doc_id", "text",
         multiVocab = 64, rounds = 2)),
 
+    // ---- LLM pipeline: unigram-LM vocabulary PRUNE + refit — keep
+    //      singles + top-32 multi pieces by trained usage, renormalize,
+    //      one more EM round (the SentencePiece shrink schedule) ----
+    "tok_unigram_prune" -> ((s, dir) =>
+      graft.ops.Unigram.trainPruned(
+        t(s, dir, "documents"), "text",
+        multiVocab = 64, rounds = 2, keepMulti = 32)),
+
     // ---- LLM pipeline: corpus novelty curve — per id-bucket share of
     //      3-shingles never seen in earlier documents; the marginal-
     //      information decay read before ingesting the next slice ----
@@ -1565,6 +1573,14 @@ private[graft] object TextGates {
           "SELECT dw.doc_id, count(*) AS n_words, " +
           "CAST(sum(useg.n_p) AS BIGINT) AS n_tokens " +
           "FROM dw JOIN useg ON dw.w = useg.w GROUP BY dw.doc_id"),
+      "tok_unigram_prune" ->
+        ("WITH w0 AS MATERIALIZED (SELECT w, count(*) AS freq FROM (SELECT unnest(list_filter(" +
+          "regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) AS w " +
+          "FROM documents) GROUP BY w), " +
+          graft.functions.OracleSql.unigramCtes(rounds = 2, multiVocab = 64) + ", " +
+          graft.functions.OracleSql.unigramPruneCtes(rounds = 2, keepMulti = 32) + " " +
+          "SELECT nP.piece, nP.cnt AS n_uses, cF.costq FROM nP " +
+          "JOIN cF ON nP.piece = cF.piece WHERE nP.cnt > 0"),
       "text_collocations" ->
         ("WITH tk AS (SELECT list_filter(regexp_split_to_array(lower(text), " +
           "'\\s+'), w -> len(w) > 0) AS toks FROM documents), " +

@@ -535,6 +535,14 @@ private[graft] object VectorGates {
         t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, planes = 4, k = 3)),
 
+    // ---- Embedding QA: anisotropy census — corpus-wide average
+    //      pairwise cosine WITHOUT pair enumeration (resultant-vector
+    //      identity, exact quantized integers) + mean resultant
+    //      length; the run-before-trusting-cosine diagnostic ----
+    "emb_anisotropy" -> ((s, dir) =>
+      Similarity.anisotropyCensus(
+        t(s, dir, "embeddings"), "vec_id", "embedding")),
+
     // ---- LLM pipeline: margin-based bitext mining (Artetxe & Schwenk
     //      2019) — en vectors paired to non-en vectors by RATIO MARGIN
     //      (cosine over the mean of both sides' kNN cosines), LSH-
@@ -1434,6 +1442,31 @@ private[graft] object VectorGates {
         "SELECT x.src AS id_a, x.dst AS id_b, x.cos AS cosine " +
         "FROM ke x JOIN ke y ON x.src = y.dst AND x.dst = y.src " +
         "AND x.src < x.dst"
+    // Anisotropy replay: same unit-quantization, HUGEINT squares
+    // mirroring Spark's DECIMAL(38,0) lane, identical cast+divide
+    // token sequence for the two emitted doubles.
+    val anisotropy =
+      "WITH e0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"e1 AS (SELECT v, sqrt(${OracleSql.dot("v", "v")}) AS nrm FROM e0), " +
+        "q AS (SELECT list_transform(v, x -> CAST(floor((x / nrm) * " +
+        "1048576.0) AS BIGINT)) AS uq FROM e1 WHERE nrm > 0.0), " +
+        "ra AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(uq, x -> x * x)), (a, b) -> a + b) AS HUGEINT)) " +
+        "AS HUGEINT) AS self_sq FROM q), " +
+        "ds AS (SELECT CAST(s.d AS BIGINT) AS d, CAST(sum(s.x) AS BIGINT) " +
+        "AS sm FROM (SELECT unnest(list_transform(range(1, len(uq) + 1), " +
+        "i -> {'d': i, 'x': uq[i]})) AS s FROM q) GROUP BY 1), " +
+        "s2 AS (SELECT CAST(sum(CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)) " +
+        "AS HUGEINT) AS sum_s2 FROM ds) " +
+        "SELECT n, CAST(sum_s2 - self_sq AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) * " +
+        "CAST(1099511627776 AS HUGEINT) AS DOUBLE) AS avg_cos, " +
+        "CAST(sum_s2 AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * " +
+        "CAST(1099511627776 AS HUGEINT) AS DOUBLE) AS r_sq " +
+        "FROM ra CROSS JOIN s2"
+
     // Bitext ratio-margin replay: same bucket/dot constants; the kNN
     // means fold cosines in rank order from 0.0 (Spark's `aggregate`
     // over sort_array), margin token-for-token.
@@ -2562,6 +2595,7 @@ private[graft] object VectorGates {
       "dedup_embedding_cosine" -> cosineNearDup,
       "emb_knn_graph" -> mutualKnn,
       "emb_bitext_margin" -> bitextMargin,
+      "emb_anisotropy" -> anisotropy,
       // NN-descent replay: the same TWO LSH seed tables (second over
       // the reversed vector), the same undirected two-hop candidate
       // expansion, the same (cos DESC, dst) rescore.

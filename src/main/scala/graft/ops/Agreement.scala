@@ -279,9 +279,18 @@ object Agreement {
   /** Fleiss' κ for a fixed m-rater panel as an exact rational. With
     * A = Σᵢⱼ n_ij² − N·m, B = N·m(m−1), C = Σⱼ cⱼ², D = (N·m)²:
     * κ = (A·D − C·B) / (B·(D − C)). One (item,label) count aggregate,
-    * then scalar arithmetic. Emits (n_items, m, kappa_num, kappa_den). */
+    * then scalar arithmetic. Emits (n_items, m, kappa_num, kappa_den)
+    * GCD-REDUCED (the `q_gwet_ac1` lane): the raw A·D products are
+    * O(N³m⁴) and outgrow BIGINT past N ≈ 50k items — at the 10×
+    * scale probe a Long lane silently WRAPPED where DuckDB failed
+    * loud, so the products live in DECIMAL(38,0) (exact through
+    * N ≈ 10⁹) and the emitted pair is canonical. Both num and den
+    * share the factor N·m, so the reduced pair is O(N²m³) —
+    * BIGINT-exact through N ≈ 2.7·10⁸ items; RatReduceExpr fails
+    * loud past either bound, never silently. */
   def fleissKappa(ratings: DataFrame, itemCol: String, labelCol: String,
       m: Int): DataFrame = {
+    val dec = "decimal(38,0)"
     val nij = ratings.groupBy(col(itemCol).as("item"), col(labelCol).as("lbl"))
       .agg(count(lit(1)).as("cnt"))
     val core = nij.agg(
@@ -290,14 +299,16 @@ object Agreement {
       countDistinct(col("item")).as("n_items"))
     val cj = nij.groupBy(col("lbl")).agg(sum(col("cnt")).as("c"))
       .agg(sum(col("c") * col("c")).as("sum_c2"))
+    val a = (col("sum_sq") - col("n_items") * m).cast(dec)
+    val nm2 = col("nm").cast(dec) * col("nm").cast(dec)
+    val b = col("n_items").cast(dec) * lit(m.toLong * (m - 1)).cast(dec)
+    val num = a * nm2 - col("sum_c2").cast(dec) * b
+    val den = b * (nm2 - col("sum_c2").cast(dec))
     core.crossJoin(cj).select(
       col("n_items").cast("long").as("n_items"),
       lit(m.toLong).as("m"),
-      ((col("sum_sq") - col("n_items") * m) * col("nm") * col("nm") -
-        col("sum_c2") * (col("n_items") * (m.toLong * (m - 1)))).cast("long")
-        .as("kappa_num"),
-      ((col("n_items") * (m.toLong * (m - 1))) *
-        (col("nm") * col("nm") - col("sum_c2"))).cast("long").as("kappa_den"))
+      graft.functions.TextHash.ratNum(num, den).as("kappa_num"),
+      graft.functions.TextHash.ratDen(num, den).as("kappa_den"))
   }
 
   /** Krippendorff's α (nominal metric) with missing ratings: units with

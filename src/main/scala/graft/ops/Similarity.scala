@@ -862,6 +862,52 @@ object Similarity {
     } finally { e.unpersist(); () }
   }
 
+  /** ANISOTROPY census of an embedding space (Ethayarajh 2019 /
+    * Mu & Viswanath 2018's diagnostic): the corpus-wide average
+    * pairwise cosine of the UNIT vectors, computed WITHOUT any pair
+    * enumeration via the resultant-vector identity
+    * Σ_{i≠j} cos(i,j) = ‖Σ û‖² − Σ‖û‖² — one pass, two aggregates,
+    * O(dim) driver rows. High avg-cos = the anisotropic cone where
+    * cosine-based dedup/retrieval silently loses contrast (the thing
+    * to measure BEFORE trusting emb_* similarity ops on a new
+    * embedding model); R² = ‖Σ û‖²/n² is the mean-resultant-length
+    * companion (→ 0 isotropic, → 1 collapsed).
+    *
+    * Exactness: unit vectors quantize per-dim to floor((x/‖v‖)·2²⁰)
+    * BIGINTs, so the per-dim sums S_d, the self-term Σ‖uq‖², and
+    * ‖Σuq‖² = Σ S_d² are exact integers (DECIMAL lane for the
+    * squares — S_d² exceeds Long past ~9k rows); the two emitted
+    * doubles are each ONE exact-integer→double cast pair and ONE
+    * division, token-replayed by the oracle. Zero-norm vectors are
+    * excluded (their direction is undefined). */
+  def anisotropyCensus(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val q = 1048576.0
+    val dec = "decimal(38,0)"
+    val e = emb
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0.0)
+      .withColumn("uq", transform(col("v"),
+        x => floor((x / col("nrm")) * lit(q)).cast("long")))
+      .select(col("uq"))
+    val rowAgg = e.agg(
+      count(lit(1)).as("n"),
+      sum(aggregate(col("uq"), lit(0L), (acc, x) => acc + x * x).cast(dec))
+        .as("self_sq"))
+    val dimSums = e.select(posexplode(col("uq")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(sum(col("x")).as("s"))
+      .agg(sum(col("s").cast(dec) * col("s").cast(dec)).as("sum_s2"))
+    rowAgg.join(dimSums)
+      .select(col("n"),
+        ((col("sum_s2") - col("self_sq")).cast("double") /
+          (col("n").cast(dec) * (col("n") - 1).cast(dec) *
+            lit(q * q).cast(dec)).cast("double")).as("avg_cos"),
+        (col("sum_s2").cast("double") /
+          (col("n").cast(dec) * col("n").cast(dec) *
+            lit(q * q).cast(dec)).cast("double")).as("r_sq"))
+  }
+
   /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98) —
     * diversified top-k retrieval: greedily pick
     * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so each new result

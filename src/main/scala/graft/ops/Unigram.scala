@@ -176,6 +176,46 @@ object Unigram {
       .toDF("piece", "n_uses", "costq")
   }
 
+  /** Train, PRUNE, refit — the vocabulary-shrink step of the
+    * SentencePiece schedule [[train]] deliberately omits: after the EM
+    * rounds, keep every single char plus only the top-`keepMulti`
+    * multi-char pieces by final-round usage (cnt DESC, piece ASC —
+    * the seed-vocab tie-break), renormalize costs over the kept vocab
+    * (same costq formula, pruned totals), run ONE more EM round under
+    * the pruned costs, and emit the refit model (piece, n_uses,
+    * costq). Distribution shape is unchanged — the prune itself is
+    * driver-local arithmetic on the O(vocab) learned state; the refit
+    * round is the same one dict pass + piece-keyed aggregate. */
+  def trainPruned(docs: DataFrame, textCol: String, multiVocab: Int = 64,
+      rounds: Int = 2, keepMulti: Int = 32): DataFrame = {
+    require(keepMulti >= 0, s"keepMulti must be >= 0, got $keepMulti")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (dict, counts, _) = trained(docs, textCol, multiVocab, rounds)
+    try {
+      val singles = counts.toSeq.filter(_._1.length == 1)
+      val multis = counts.toSeq.filter(_._1.length >= 2)
+        .sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+      val kept = (singles ++ multis).sortBy(_._1)
+      val vsP = kept.size.toLong
+      val tP = kept.map(_._2).sum
+      val costsP = kept.map { case (p, c) => p -> costqOf(c, tP, vsP) }
+      val used = segment(dict, costsP)
+        .select(explode(col("pieces")).as("piece"), col("freq"))
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val countsP = kept.map { case (p, _) => p -> used.getOrElse(p, 0L) }
+      val tF = countsP.map(_._2).sum
+      val costsF = countsP
+        .map { case (p, c) => p -> costqOf(c, tF, vsP) }.toMap
+      countsP.filter(_._2 > 0L).sortBy(_._1)
+        .map { case (p, n) => (p, n, costsF(p)) }
+        .toDF("piece", "n_uses", "costq")
+    } finally {
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(dict); ()
+    }
+  }
+
   /** Train, then tokenize: per-doc (n_words, n_tokens) under one final
     * Viterbi pass with the trained costs — the tokens-per-word
     * compression diagnostic, [[Bpe.encodeTokenCounts]]'s twin. */

@@ -282,8 +282,17 @@ object StreamQuota {
               if (room <= 0) Seq.empty[QEvent]
               else batch.sortBy(e => (micros(e.ts), e.eventId)).take(room.toInt)
             state.update(QState(already + admitted.length))
-            // evict once the watermark proves the window can't refill
-            state.setTimeoutTimestamp(batch.head.winEndUs / 1000L)
+            // Evict once the watermark proves the window can't refill.
+            // CLAMPED above the current watermark: at one-batch volume
+            // the watermark is still 0 here, but when AvailableNow
+            // splits the backlog (seen live at the 10× scale probe) a
+            // later batch can process a group whose window end the
+            // watermark has already passed — a raw winEndUs timeout
+            // then throws "timeout earlier than watermark". The clamp
+            // fires the eviction on the very next batch instead.
+            state.setTimeoutTimestamp(
+              math.max(batch.head.winEndUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             admitted.iterator.zipWithIndex.map { case (e, i) =>
               QAdmit(k._1, k._2, e.eventId, micros(e.ts), already + i + 1L)
             }

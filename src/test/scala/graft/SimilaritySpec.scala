@@ -826,6 +826,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("anisotropyCensus: orthonormal basis -> avg_cos exactly 0; " +
+      "identical vectors -> avg_cos ~ 1; zero vectors excluded; " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    // 4 orthonormal basis vectors: every component of each unit vector
+    // is exactly 0 or 1, so quantization is lossless and the pairwise
+    // cosine sum is exactly zero. A zero vector must be dropped.
+    val basis = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0),
+      Seq(0.0, 0.0, 0.0, 0.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val b = Similarity.anisotropyCensus(basis, "vec_id", "embedding")
+      .collect().head
+    assert(b.getLong(0) == 4L)
+    assert(b.getDouble(1) == 0.0)
+    assert(math.abs(b.getDouble(2) - 0.25) < 1e-5) // R^2 = n/n^2
+    val same = (1 to 50).map(i => (i.toLong, Seq(3.0, 4.0, 0.0, 12.0)))
+      .toDF("vec_id", "embedding")
+    val s = Similarity.anisotropyCensus(same, "vec_id", "embedding")
+      .collect().head
+    assert(s.getDouble(1) > 0.999 && s.getDouble(1) <= 1.0)
+    assert(s.getDouble(2) > 0.999)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = Similarity.anisotropyCensus(emb, "vec_id", "embedding")
+      .collect().head
+    val p7 = Similarity.anisotropyCensus(
+      emb.repartition(7), "vec_id", "embedding").collect().head
+    assert(base.getLong(0) == p7.getLong(0) &&
+      base.getDouble(1) == p7.getDouble(1) &&
+      base.getDouble(2) == p7.getDouble(2))
+  }
+
   test("kmeansParallelInit: weights partition the corpus, rounds are " +
       "bounded, seed is the min id, and everything is " +
       "partitioning-invariant") {

@@ -60,4 +60,30 @@ class UnigramSpec extends SparkSpec {
       .filter(col("n_tokens") > col("nc")).count()
     assert(over == 0L, "a word never yields more pieces than characters")
   }
+
+  test("trainPruned: kept multis are a subset of the trained model's " +
+      "top multis, singles survive, keepMulti=0 degenerates to " +
+      "chars-only, and the refit is partition-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val full = Unigram.train(docs, "text", multiVocab = 64, rounds = 2)
+      .collect().map(r => r.getString(0)).toSet
+    val pruned = Unigram.trainPruned(docs, "text",
+      multiVocab = 64, rounds = 2, keepMulti = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val multis = pruned.filter(_._1.length >= 2)
+    assert(multis.length <= 8)
+    // every kept multi was in the trained model's used vocab
+    assert(multis.forall(m => full.contains(m._1)),
+      s"pruned multis must come from the trained vocab")
+    assert(pruned.forall(_._2 > 0L))
+    val charsOnly = Unigram.trainPruned(docs, "text",
+      multiVocab = 64, rounds = 2, keepMulti = 0)
+      .collect().map(_.getString(0))
+    assert(charsOnly.forall(_.length == 1), "keepMulti=0 leaves only chars")
+    val p7 = Unigram.trainPruned(docs.repartition(7), "text",
+      multiVocab = 64, rounds = 2, keepMulti = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(p7.sortBy(_._1).sameElements(pruned.sortBy(_._1)))
+  }
 }
