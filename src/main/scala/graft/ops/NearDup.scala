@@ -534,13 +534,16 @@ object NearDup {
     val keyed = docs.select(col(idCol), col(textCol),
       substring(lower(regexp_replace(col(textCol), "\\s+", " ")), 1, 24)
         .as("__k"))
-    // persist BEFORE the two consumers: range boundaries come from a
-    // sampling pass, so the counts job and the main job must see the
-    // SAME partitioning (a recompute could resample differently).
+    // localCheckpoint BEFORE the two consumers: range boundaries come
+    // from a sampling pass, so the counts job and the main job must
+    // see the SAME partitioning — and a persist is only a HINT; an
+    // evicted/recomputed cache re-samples different boundaries against
+    // the already-collected offsets (see RankEval.averagePrecision,
+    // found at the 10× probe). Checkpointing pins rows + partitioning.
     val parted = keyed
       .repartitionByRange(col("__k"), col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     val ranked = try {
       val counts = parted.groupBy(col("__pid"))
         .agg(count(lit(1)).as("__c"))
@@ -560,7 +563,10 @@ object NearDup {
             Window.partitionBy(col("__pid"))
               .orderBy(col("__k"), col(idCol))) - 1L)
         .drop("__pid", "__off")
-    } catch { case e: Throwable => parted.unpersist(); throw e }
+    } catch {
+      case e: Throwable =>
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(parted); throw e
+    }
     try {
       val dist = w - 1
       val a = ranked.select(col(idCol).as("id_a"), col("__rank").as("__ra"),
@@ -582,7 +588,9 @@ object NearDup {
         .where(col("jaccard") >= minJaccard)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .localCheckpoint()
-    } finally { parted.unpersist(); () }
+    } finally {
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(parted); ()
+    }
   }
 
   /** Containment-scored near-dup verify — the asymmetric companion to

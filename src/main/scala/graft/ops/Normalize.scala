@@ -351,10 +351,14 @@ object Normalize {
     val units = df.where(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(unitCol))
       .agg(sum(col(valueCol).cast("long")).as("__x"))
+    // localCheckpoint, not persist: the counts collect and the binned
+    // materialization must see the SAME sampled range boundaries — a
+    // cache can evict between the two jobs and re-sample (see
+    // RankEval.averagePrecision, found at the 10× probe).
     val parted = units
       .repartitionByRange(col(groupCol), col("__x"), col(unitCol))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     val binned = try {
       val counts = parted.groupBy(col("__pid"))
         .agg(count(lit(1)).as("__c"))
@@ -386,7 +390,9 @@ object Normalize {
         .groupBy(col(groupCol), col("bucket"))
         .agg(count(lit(1)).as("n_units"), sum(col("__x")).as("bucket_sum"))
         .localCheckpoint()
-    } finally { parted.unpersist(); () }
+    } finally {
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(parted); ()
+    }
     val whole = Window.partitionBy(col(groupCol))
     val cum = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1437,10 +1437,13 @@ object Profile {
         scoreCol.cast("double").as("__s"), idCol.as("__id"))
       .where(col("__s").isNotNull)
     // negate the score so ascending range order = score DESC, id ASC
+    // localCheckpoint, not persist: the counts collect and the decile
+    // materialization must see the SAME sampled range boundaries (see
+    // RankEval.averagePrecision, found at the 10× probe).
     val parted = base.withColumn("__ns", -col("__s"))
       .repartitionByRange(col("__ns"), col("__id"))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     try {
       val counts = parted.groupBy(col("__pid"))
         .agg(count(lit(1)).as("__c"))
@@ -1476,7 +1479,9 @@ object Profile {
             .otherwise(col("cum_pos").cast("double") /
               col("__tot_pos").cast("double")).as("cum_capture"))
         .localCheckpoint()
-    } finally { parted.unpersist(); () }
+    } finally {
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(parted); ()
+    }
   }
 
   /** Mann-Whitney rank-sum z — the SIGNIFICANCE companion to

@@ -103,11 +103,21 @@ object RankEval {
     val base = df.select(when(relevantCol, 1L).otherwise(0L).as("__y"),
         scoreCol.cast("double").as("__s"), tieCol.as("__id"))
       .where(col("__s").isNotNull)
-    // negate the score so ascending range order = score DESC, id ASC
+    // negate the score so ascending range order = score DESC, id ASC.
+    // localCheckpoint, NOT persist, and the result MATERIALIZES before
+    // the checkpoint is freed: the range boundaries come from a
+    // sampling pass whose seed changes per recompute, so any consumer
+    // that re-evaluates `parted` (the old finally-unpersist freed the
+    // cache BEFORE the caller ran the returned lazy plan — every
+    // caller re-sampled!) pairs fresh boundaries with the previously
+    // collected offsets and the reconstructed global ranks are
+    // silently wrong. Seen live at the 10× scale probe: per-call
+    // nondeterminism in the final AP. Checkpointing pins the rows AND
+    // the partitioning for every downstream consumer.
     val parted = base.withColumn("__ns", -col("__s"))
       .repartitionByRange(col("__ns"), col("__id"))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     try {
       val counts = parted.groupBy(col("__pid"))
         .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
@@ -133,7 +143,8 @@ object RankEval {
           when(col("n_pos") > 0L,
             col("sum_prec_scaled").cast("double") /
               (col("n_pos").cast("double") * 1e6)))
-    } finally parted.unpersist()
+        .localCheckpoint() // one row: force NOW, while parted is alive
+    } finally org.apache.spark.sql.GraftSql.freeLocalCheckpoint(parted)
   }
 
   /** Full binary-classifier readout in ONE scan: the 2×2 confusion

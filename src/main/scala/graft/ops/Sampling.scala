@@ -550,9 +550,14 @@ object Sampling {
     val base = df.select(idCol.as("__id"),
         weightCol.cast("long").as("__w"))
       .where(col("__w").isNotNull && col("__w") > 0L)
+    // localCheckpoint, not persist: the totals collect and the final
+    // plan must see the SAME sampled range boundaries — a cache is a
+    // hint, and the old finally-unpersist freed it before the caller
+    // ran the returned plan, re-sampling boundaries against stale
+    // offsets (see RankEval.averagePrecision, found at the 10× probe).
     val parted = base.repartitionByRange(col("__id"))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     try {
       val totals = parted.groupBy(col("__pid"))
         .agg(sum(col("__w")).as("__t"))
@@ -574,7 +579,10 @@ object Sampling {
         .where(col("__picks") > 0L)
         .select(col("__id").as("id"), col("__w").as("weight"),
           col("__cum").as("cum"), col("__picks").as("n_picks"))
-    } finally { parted.unpersist(); () }
+        .localCheckpoint() // ≤ k picked rows: force while parted lives
+    } finally {
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(parted); ()
+    }
   }
 
   /** PRIORITY sampling (Duffield–Lund–Thorup 2007) — the weighted
