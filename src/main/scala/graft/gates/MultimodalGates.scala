@@ -787,14 +787,18 @@ private[graft] object MultimodalGates {
       "mm_phash" -> {
         val tq = graft.multimodal.Multimodal.dctTableQ.mkString("[", ", ", "]")
         // Same replayed real-pixel luma grid as mm_ahash_neardup; DCT
-        // replayed with the identical quantized basis literals.
-        "WITH " + mmLumaCte(8, 8) + ", " +
+        // replayed with the identical quantized basis literals. The
+        // basis list is HOISTED into a one-row CTE (`dctm.t`): inlined,
+        // DuckDB re-constructs the 64-element literal per (k, g)
+        // element — >900 s over the 10× replica vs 32 s hoisted.
+        // Integer sums, so the restructure is value-identical.
+        s"WITH dctm AS (SELECT $tq AS t), " + mmLumaCte(8, 8) + ", " +
           s"cf AS (SELECT id, list_transform(range(0, 64), k -> " +
           "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
           "list_transform(range(0, 64), g -> " +
-          s"lum[g + 1] * ($tq)[(k // 8) * 8 + (g % 8) + 1] * " +
-          s"($tq)[(k % 8) * 8 + (g // 8) + 1])), " +
-          "(a, b) -> a + b)) AS coef FROM l), " +
+          s"lum[g + 1] * dctm.t[(k // 8) * 8 + (g % 8) + 1] * " +
+          s"dctm.t[(k % 8) * 8 + (g // 8) + 1])), " +
+          "(a, b) -> a + b)) AS coef FROM l CROSS JOIN dctm), " +
           "md AS (SELECT id, coef, " +
           "list_sort(coef[2:64])[32] AS med FROM cf) " +
           "SELECT id, " +

@@ -103,7 +103,7 @@ final case class TargetTable(
 final case class IngestConfig(
     name: String = "graft-ingest",
     maxWriterPartitions: Int = 10,
-    maxRecordsPerTrigger: Long = 10000L,
+    maxRecordsPerTrigger: Long = IngestConfig.DefaultRate,
     lagCycles: Int = 1,
     lagMillis: Long = 10L,
     checkpointDir: Option[String] = None,
@@ -119,4 +119,17 @@ final case class IngestConfig(
   /** Trigger interval = debounce budget, like the reference's lag-cycle
     * accumulation loop (`src/upsert.rs:143-207`). */
   def triggerMillis: Long = lagCycles * lagMillis
+}
+
+object IngestConfig {
+  /** Default source admission rate (reference
+    * `max_records_per_cycle_batch`). `GRAFT_STREAM_RATE` overrides it
+    * for callers that leave the field at its default — a probe knob:
+    * the sf1.0 scale verification raises it so the whole 10-file
+    * replica lands in ONE micro-batch and the single-batch
+    * determinism contract (which the DuckDB oracles replay) holds at
+    * scale too. Deployments configure the field explicitly; the
+    * driver never sets the env, so its behavior is unchanged. */
+  val DefaultRate: Long =
+    sys.env.get("GRAFT_STREAM_RATE").map(_.toLong).getOrElse(10000L)
 }

@@ -203,24 +203,43 @@ object Formats {
       file: String, cols: Seq[String]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    val inFile = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inFile)
-    val rows = try {
-      val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      cols.map { c =>
-        val chunks = blocks.flatMap(_.getColumns.asScala
-          .find(_.getPath.toDotString == c))
-        require(chunks.nonEmpty, s"column $c not present in $file")
-        val nValues = chunks.map(_.getValueCount).sum
-        val nNulls = chunks.map(_.getStatistics.getNumNulls).sum
-        val mins = chunks.map(_.getStatistics.genericGetMin
-          .asInstanceOf[java.lang.Long].longValue)
-        val maxs = chunks.map(_.getStatistics.genericGetMax
-          .asInstanceOf[java.lang.Long].longValue)
-        (c, nValues, nNulls, mins.min, maxs.max)
-      }
-    } finally reader.close()
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(conf)
+    // A sharded table (Spark-written directory) is the common layout
+    // at scale: aggregate every part file's footer — sums of counts,
+    // min of minima, max of maxima — which is exactly what a pruning
+    // optimizer derives from a multi-file scan. Single files keep the
+    // original behavior.
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      else Seq(path)
+    require(files.nonEmpty, s"no parquet files under $file")
+    val perFile = files.map { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        cols.map { c =>
+          val chunks = blocks.flatMap(_.getColumns.asScala
+            .find(_.getPath.toDotString == c))
+          require(chunks.nonEmpty, s"column $c not present in $p")
+          val nValues = chunks.map(_.getValueCount).sum
+          val nNulls = chunks.map(_.getStatistics.getNumNulls).sum
+          val mins = chunks.map(_.getStatistics.genericGetMin
+            .asInstanceOf[java.lang.Long].longValue)
+          val maxs = chunks.map(_.getStatistics.genericGetMax
+            .asInstanceOf[java.lang.Long].longValue)
+          (c, nValues, nNulls, mins.min, maxs.max)
+        }
+      } finally reader.close()
+    }
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val fc = perFile.map(_(i))
+      (c, fc.map(_._2).sum, fc.map(_._3).sum,
+        fc.map(_._4).min, fc.map(_._5).max)
+    }
     spark.createDataFrame(rows).toDF(
       "column_name", "num_values", "null_count", "min_value", "max_value")
   }

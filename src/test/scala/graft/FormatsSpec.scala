@@ -252,4 +252,24 @@ class FormatsSpec extends SparkSpec {
     assert(got(2).isNullAt(0) && got(2).getAs[String]("name") == "Gamma" &&
       got(2).isNullAt(2), "malformed numerics -> NULL, never a throw")
   }
+
+  test("parquetFooterStats: sharded directory aggregates every part " +
+      "file's footer and equals the single-file stats on the same data") {
+    val data = (1L to 1000L).map(i => (i, i % 97)).toDF("a", "b")
+    val one = tmp("footer1")
+    data.coalesce(1).write.mode("overwrite").parquet(one)
+    val many = tmp("footerN")
+    data.repartition(7).write.mode("overwrite").parquet(many)
+    def stats(path: String) = Formats
+      .parquetFooterStats(spark, path, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val singleFile = new java.io.File(one).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val s1 = stats(singleFile)
+    assert(s1("a") == ((1000L, 0L, 1L, 1000L)))
+    assert(s1("b") == ((1000L, 0L, 0L, 96L)))
+    assert(stats(one) == s1, "directory with one part == that part")
+    assert(stats(many) == s1, "7-shard directory aggregates to the same")
+  }
 }
