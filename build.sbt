@@ -38,4 +38,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // that pressure reads as a broad ~1.1-1.3x per-query drift. Headroom
   // is cheap: the cache is reserved, committed only as used.
   "-XX:ReservedCodeCacheSize=512m",
-)
+) ++
+  // Dev affordance: extra JVM flags for the forked run (e.g.
+  // -Dspark.eventLog.enabled=true to capture an event log for a perf
+  // investigation) without editing this file. Spark reads spark.* system
+  // properties into the session conf. Unset in normal/driver runs.
+  sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

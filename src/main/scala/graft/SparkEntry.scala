@@ -40,6 +40,18 @@ import graft.sink.Merge
   */
 object SparkEntry {
 
+  /** Per-JVM cache of fixture parquet SCHEMAS (metadata only — never
+    * data, never results: every action still scans the files). Without
+    * it every gate invocation pays a schema-inference job per input
+    * table (~35-80 ms + a driver gap at local scales; a footer read per
+    * file at any scale) — across a 540-query bench that is tens of
+    * seconds of pure planning overhead. Keyed by full path; fixture
+    * files are immutable for the life of a JVM. The nanosAsLong conf is
+    * set identically before every inference, so cached and fresh
+    * schemas agree. */
+  private val fixtureSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // Engine-facing contract: `events.ts` is epoch-NANOS as BIGINT, whatever
     // the fixture's physical type. Two fixture generations exist:
@@ -53,7 +65,10 @@ object SparkEntry {
     // Both confs are runtime-settable, so any caller session works.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    val df = s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = fixtureSchemas.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    val df = s.read.schema(schema).parquet(path)
     if (name == "events" &&
         df.schema.find(_.name == "ts").exists(f =>
           f.dataType.typeName.startsWith("timestamp")))
@@ -72,7 +87,8 @@ object SparkEntry {
       s: SparkSession, cfg: IngestConfig, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    val fileSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val fileSchema = fixtureSchemas.computeIfAbsent(s"$dir/events.parquet",
+      p => s.read.parquet(p).schema)
     val stream = graft.engine.Sources
       .parquet(s, cfg, fileSchema, s"$dir/events.parque[t]")
     if (fileSchema.find(_.name == "ts").exists(f =>

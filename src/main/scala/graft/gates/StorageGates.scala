@@ -637,14 +637,17 @@ private[graft] object StorageGates {
       br.mergeUpsert(ev.filter(col("event_id") % 3 === 2), cfg)
       br.mergeHardDelete(ev.filter(col("pkey") % 25 === 7)
         .select((key ++ Seq(ver) ++ tie).map(col): _*), cfg)
-      // merge back: only what the branch changed since the clone point
-      val feed = br.readChanges(1L, br.versions().last).get
+      // merge back: only what the branch changed since the clone point.
+      // The feed is checkpointed once — the two isEmpty probes and both
+      // merges would otherwise each recompute the CDC diff join.
+      val feed = br.readChanges(1L, br.versions().last).get.localCheckpoint()
       val gone = feed.where(col("_change_type") === "delete")
         .select((key ++ Seq(ver) ++ tie).map(col): _*)
       val live = feed.where(col("_change_type").isin("insert", "update"))
         .drop("_change_type")
       if (!gone.isEmpty) pt.mergeHardDelete(gone, cfg)
       if (!live.isEmpty) pt.mergeUpsert(live, cfg)
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(feed)
       stateOut(pt.read().get)
     }),
 

@@ -60,12 +60,16 @@ object Components {
           .join(labels.select(col("id").as("dst"), col("comp").as("__nc")), "dst")
           .groupBy(col("src").as("id"))
           .agg(min(col("__nc")).as("__nbr_min"))
-        val next = labels.join(nbrMin, Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("__nbr_min"), col("comp"))).as("comp"),
-            (col("__nbr_min") < col("comp")).as("__changed"))
-          .localCheckpoint()
-        changed = next.where(col("__changed")).count()
+        // checkpointCount fuses the convergence probe into the round's
+        // materialization job — the separate `.where(__changed).count()`
+        // used to cost a whole extra driver round-trip per round.
+        val (next, _, chg) = org.apache.spark.sql.GraftSql.checkpointCount(
+          labels.join(nbrMin, Seq("id"), "left_outer")
+            .select(col("id"),
+              least(col("comp"), coalesce(col("__nbr_min"), col("comp"))).as("comp"),
+              (col("__nbr_min") < col("comp")).as("__changed")),
+          Some("__changed"))
+        changed = chg
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
         ckpt = next
         labels = next.drop("__changed")
@@ -167,17 +171,17 @@ object Components {
       .unionByName(raw.select(col("v").as("id"))).distinct().persist()
     try {
       // Canonical undirected form (u > v), self-loops dropped.
-      var cur = raw.filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .distinct()
-        .localCheckpoint()
-      var curCnt = cur.count()
+      var (cur, curCnt, _) = org.apache.spark.sql.GraftSql.checkpointCount(
+        raw.filter(col("u") =!= col("v"))
+          .select(greatest(col("u"), col("v")).as("u"),
+            least(col("u"), col("v")).as("v"))
+          .distinct())
       var round = 0
       var converged = curCnt == 0L
       while (!converged && round < maxRounds) {
-        val next = smallStar(largeStar(cur)).localCheckpoint()
-        val nextCnt = next.count()
+        // one job materializes the round AND counts it (see checkpointCount)
+        val (next, nextCnt, _) =
+          org.apache.spark.sql.GraftSql.checkpointCount(smallStar(largeStar(cur)))
         converged = nextCnt == curCnt && next.except(cur).isEmpty
         // The convergence check above is the last read of the previous
         // round — free its checkpoint before stepping.
@@ -338,17 +342,20 @@ object Components {
       .persist()
     try {
       var remEdges = e0.localCheckpoint()
-      var remaining = e0.select(col("src").as("id"))
-        .unionByName(e0.select(col("dst").as("id")))
-        .distinct()
-        .localCheckpoint()
+      var (remaining, left, _) = org.apache.spark.sql.GraftSql.checkpointCount(
+        e0.select(col("src").as("id"))
+          .unionByName(e0.select(col("dst").as("id")))
+          .distinct())
       var result: DataFrame = null
       var phase = 0
-      var left = remaining.count()
       while (left > 0 && phase < maxPhases) {
-        // (1) forward min-label to fixpoint on the remaining subgraph
-        var colors = remaining.withColumn("color", col("id"))
+        // (1) forward min-label to fixpoint on the remaining subgraph.
+        // colorsCkpt tracks the checkpointed frame itself — colors is a
+        // projection over it after round 1, which freeLocalCheckpoint
+        // cannot free (it matches only a bare LogicalRDD plan).
+        var colorsCkpt = remaining.withColumn("color", col("id"))
           .localCheckpoint()
+        var colors = colorsCkpt
         var round = 0
         var changed = 1L
         while (changed > 0 && round < maxRounds) {
@@ -357,14 +364,17 @@ object Components {
               col("color").as("__c")), "src")
             .groupBy(col("dst").as("id"))
             .agg(min(col("__c")).as("__in"))
-          val next = colors.join(push, Seq("id"), "left_outer")
-            .select(col("id"),
-              least(col("color"), coalesce(col("__in"), col("color")))
-                .as("color"),
-              (col("__in") < col("color")).as("__chg"))
-            .localCheckpoint()
-          changed = next.where(col("__chg")).count()
-          freeLocalCheckpoint(colors)
+          // probe fused into the materialization job (checkpointCount)
+          val (next, _, chg) = org.apache.spark.sql.GraftSql.checkpointCount(
+            colors.join(push, Seq("id"), "left_outer")
+              .select(col("id"),
+                least(col("color"), coalesce(col("__in"), col("color")))
+                  .as("color"),
+                (col("__in") < col("color")).as("__chg")),
+            Some("__chg"))
+          changed = chg
+          freeLocalCheckpoint(colorsCkpt)
+          colorsCkpt = next
           colors = next.drop("__chg")
           round += 1
         }
@@ -379,8 +389,8 @@ object Components {
           .where(col("__cs") === col("__cd"))
           .select(col("src"), col("dst"))
           .localCheckpoint()
-        var marked = colors.where(col("id") === col("color"))
-          .localCheckpoint()
+        var (marked, markedCnt, _) = org.apache.spark.sql.GraftSql
+          .checkpointCount(colors.where(col("id") === col("color")))
         round = 0
         changed = 1L
         while (changed > 0 && round < maxRounds) {
@@ -391,10 +401,13 @@ object Components {
             .join(colors, "id")
             .join(marked.select(col("id"), lit(1).as("__seen")),
               Seq("id"), "left_anti")
-          val next = marked.unionByName(grow).localCheckpoint()
-          changed = next.count() - marked.count()
+          // growth probe = total delta, read off the materialization job
+          val (next, nextCnt, _) = org.apache.spark.sql.GraftSql
+            .checkpointCount(marked.unionByName(grow))
+          changed = nextCnt - markedCnt
           freeLocalCheckpoint(marked)
           marked = next
+          markedCnt = nextCnt
           round += 1
         }
         val scc = marked.select(col("id"), col("color").as("scc_id"))
@@ -408,9 +421,9 @@ object Components {
             freeLocalCheckpoint(scc)
             merged
           }
-        val nextRemaining = remaining
-          .join(marked.select(col("id")), Seq("id"), "left_anti")
-          .localCheckpoint()
+        val (nextRemaining, nextLeft, _) = org.apache.spark.sql.GraftSql
+          .checkpointCount(remaining
+            .join(marked.select(col("id")), Seq("id"), "left_anti"))
         val nextEdges = remEdges
           .join(marked.select(col("id").as("src")), Seq("src"), "left_anti")
           .join(marked.select(col("id").as("dst")), Seq("dst"), "left_anti")
@@ -418,12 +431,12 @@ object Components {
           .localCheckpoint()
         freeLocalCheckpoint(remaining)
         freeLocalCheckpoint(remEdges)
-        freeLocalCheckpoint(colors)
+        freeLocalCheckpoint(colorsCkpt)
         freeLocalCheckpoint(colorEdges)
         freeLocalCheckpoint(marked)
         remaining = nextRemaining
         remEdges = nextEdges
-        left = remaining.count()
+        left = nextLeft
         phase += 1
       }
       require(left == 0,

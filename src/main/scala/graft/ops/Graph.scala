@@ -80,13 +80,17 @@ object Graph {
       var ckpt = nodes.withColumn("rank_q", lit(initQ)).localCheckpoint()
       var ranks = ckpt
       for (_ <- 0 until iters) {
+        // Union-fold (see katz): the explicit 0 row per node replaces the
+        // per-round left_outer join against `nodes` — same grouped-sum
+        // result, one less join and one less exchange per round.
         val contrib = ed
           .join(ranks.select(col("node").as("src"), col("rank_q")), "src")
           .select(col("dst").as("node"), expr("rank_q div outdeg").as("__c"))
+          .unionByName(nodes.select(col("node"), lit(0L).as("__c")))
           .groupBy("node").agg(sum(col("__c")).as("__acc"))
-        val next = nodes.join(contrib, Seq("node"), "left_outer")
+        val next = contrib
           .select(col("node"), expr(
-            s"$telQ + ($dampNum * coalesce(__acc, CAST(0 AS BIGINT))) div $dampDen")
+            s"$telQ + ($dampNum * __acc) div $dampDen")
             .as("rank_q"))
           .localCheckpoint()
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
@@ -140,9 +144,13 @@ object Graph {
           .groupBy("node")
           .agg(max_by(col("lbl"), struct(col("__c"),
             -col("lbl"))).as("__w"))
+        // A node missing from `winner` has no sym-neighbor (sym is
+        // symmetric, so src set = dst set): it is self-loop-only, and its
+        // label never leaves its own id (lbl0 = node; each round keeps
+        // prev). So coalesce to `node` directly — identical to the old
+        // coalesce(__w, __prev) without re-joining the labels per round.
         val next = nodes.join(winner, Seq("node"), "left_outer")
-          .join(labels.select(col("node"), col("lbl").as("__prev")), "node")
-          .select(col("node"), coalesce(col("__w"), col("__prev")).as("lbl"))
+          .select(col("node"), coalesce(col("__w"), col("node")).as("lbl"))
           .localCheckpoint()
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
         ckpt = next
@@ -561,11 +569,13 @@ object Graph {
       .distinct().localCheckpoint()
     var prev = -1L
     var rounds = 0
-    var deg = cur.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("core_deg"))
-      .filter(col("core_deg") >= k)
-      .localCheckpoint()
-    var n = deg.count()
+    // degree state materializes and counts in ONE job per round
+    // (GraftSql.checkpointCount) — the convergence probe used to be a
+    // second driver round-trip
+    var (deg, n, _) = org.apache.spark.sql.GraftSql.checkpointCount(
+      cur.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k))
     while (n != prev && n > 0 && rounds < maxRounds) {
       prev = n
       rounds += 1
@@ -577,13 +587,13 @@ object Graph {
         .localCheckpoint()
       org.apache.spark.sql.GraftSql.freeLocalCheckpoint(cur)
       cur = next
-      val nextDeg = cur.groupBy(col("a").as("node"))
-        .agg(count(lit(1)).as("core_deg"))
-        .filter(col("core_deg") >= k)
-        .localCheckpoint()
+      val (nextDeg, nextN, _) = org.apache.spark.sql.GraftSql.checkpointCount(
+        cur.groupBy(col("a").as("node"))
+          .agg(count(lit(1)).as("core_deg"))
+          .filter(col("core_deg") >= k))
       org.apache.spark.sql.GraftSql.freeLocalCheckpoint(deg)
       deg = nextDeg
-      n = deg.count()
+      n = nextN
     }
     require(n == prev || n == 0,
       s"k-core peeling did not converge in $maxRounds rounds — " +
@@ -708,10 +718,12 @@ object Graph {
       pmod(c * 2654435761L + 12345L, lit(1000000007L)) * 4294967296L + c
     var cur = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
-    var active = cur.select(col("a").as("n")).distinct().localCheckpoint()
+    // materialize + count in one job (GraftSql.checkpointCount) — the
+    // active-count probe is pure driver latency at fixpoint scales
+    var (active, nActive, _) = org.apache.spark.sql.GraftSql
+      .checkpointCount(cur.select(col("a").as("n")).distinct())
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
-    var nActive = active.count()
     while (nActive > 0 && round < maxRounds) {
       round += 1
       val nbrMin = cur.groupBy(col("a").as("n"))
@@ -726,19 +738,21 @@ object Graph {
         lit(round.toLong).as("round"))
       out += removed.select(col("n"), lit(0).as("in_mis"),
         lit(round.toLong).as("round"))
-      val nextActive = active
-        .join(sel, Seq("n"), "left_anti")
-        .join(removed, Seq("n"), "left_anti")
-        .localCheckpoint()
+      val (nextActive, nextN, _) = org.apache.spark.sql.GraftSql
+        .checkpointCount(active
+          .join(sel, Seq("n"), "left_anti")
+          .join(removed, Seq("n"), "left_anti"))
       org.apache.spark.sql.GraftSql.freeLocalCheckpoint(active)
       active = nextActive
-      val nextCur = cur
-        .join(active.select(col("n").as("a")), Seq("a"), "left_semi")
-        .join(active.select(col("n").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b")).localCheckpoint()
-      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(cur)
-      cur = nextCur
-      nActive = active.count()
+      nActive = nextN
+      if (nActive > 0) { // the final round's edge restriction is dead work
+        val nextCur = cur
+          .join(active.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(active.select(col("n").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b")).localCheckpoint()
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(cur)
+        cur = nextCur
+      }
     }
     require(nActive == 0,
       s"Luby MIS did not decide every node in $maxRounds rounds")
@@ -775,21 +789,32 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .distinct().persist()
     try {
-      var dist = seeds
-        .select(col(seeds.columns.head).cast("long").as("node")).distinct()
-        .withColumn("dist", lit(0L))
-        .localCheckpoint()
+      var (dist, distCnt, _) = org.apache.spark.sql.GraftSql.checkpointCount(
+        seeds
+          .select(col(seeds.columns.head).cast("long").as("node")).distinct()
+          .withColumn("dist", lit(0L)))
       var frontier = dist.select(col("node"))
-      for (i <- 1 to depth) {
+      var i = 1
+      var exhausted = false
+      while (i <= depth && !exhausted) {
         val reached = frontier
           .join(e, col("node") === col("src"))
           .select(col("dst").as("node")).distinct()
           .join(dist, Seq("node"), "left_anti")
           .withColumn("dist", lit(i.toLong))
-        val next = dist.unionByName(reached).localCheckpoint()
+        val (next, nextCnt, _) = org.apache.spark.sql.GraftSql
+          .checkpointCount(dist.unionByName(reached))
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(dist)
         dist = next
+        // Early exit on an exhausted frontier: an empty round reaches
+        // nothing, so every remaining round is a no-op — the result is
+        // IDENTICAL to running all `depth` rounds (fixed-depth contract
+        // preserved), the remaining per-round jobs are just skipped. The
+        // frontier size is the total-row delta of the materialization job.
+        exhausted = nextCnt == distCnt
+        distCnt = nextCnt
         frontier = dist.filter(col("dist") === i).select(col("node"))
+        i += 1
       }
       dist
     } finally { e.unpersist(); () }
@@ -929,11 +954,15 @@ object Graph {
       var crossEdges = 1L
       while (crossEdges > 0 && round < maxRounds) {
         val lab = labels
-        val tagged = und
-          .join(lab.select(col("id").as("ea"), col("comp").as("ca")), "ea")
-          .join(lab.select(col("id").as("eb"), col("comp").as("cb")), "eb")
-          .where(col("ca") =!= col("cb"))
-        crossEdges = tagged.count()
+        // checkpointCount: the cross-edge probe and the materialization
+        // share one job, and the checkpoint stops `cands` (which unions
+        // two selects of tagged) from recomputing the two label joins
+        val (tagged, crossCnt, _) = org.apache.spark.sql.GraftSql
+          .checkpointCount(und
+            .join(lab.select(col("id").as("ea"), col("comp").as("ca")), "ea")
+            .join(lab.select(col("id").as("eb"), col("comp").as("cb")), "eb")
+            .where(col("ca") =!= col("cb")))
+        crossEdges = crossCnt
         if (crossEdges > 0) {
           val cands = tagged.select(col("ca").as("c"), col("w"),
               col("ea"), col("eb"), col("cb").as("oc"))
@@ -965,6 +994,7 @@ object Graph {
           labels = nextLabels
           mst = nextMst
         }
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(tagged)
         round += 1
       }
       require(crossEdges == 0,
@@ -1025,16 +1055,26 @@ object Graph {
       var changed = 1L
       var round = 0
       while (changed > 0 && round < maxRounds) {
-        val relaxed = lv
-          .unionByName(
-            e.join(lv, col("v") === col("a"))
-              .select(col("b").as("v"), (col("layer") + 1L).as("layer")))
-          .groupBy(col("v")).agg(max(col("layer")).as("layer"))
-          .localCheckpoint()
-        changed = relaxed.join(lv.withColumnRenamed("layer", "__old"), "v")
-          .filter(col("layer") =!= col("__old")).count()
+        // Same fixpoint as the old union+groupBy form — layer'(v) =
+        // max(layer(v), max over in-edges layer(u)+1); every candidate
+        // vertex is already in lv (lv holds both endpoints of e), so the
+        // left_outer join covers the identical row set. Shaped like the
+        // CC round so the convergence probe (__chg) rides the
+        // checkpointCount materialization job instead of paying a
+        // separate join+count per round.
+        val cand = e.join(lv, col("v") === col("a"))
+          .groupBy(col("b").as("v"))
+          .agg(max(col("layer") + 1L).as("__cand"))
+        val (relaxed, _, chg) = org.apache.spark.sql.GraftSql.checkpointCount(
+          lv.join(cand, Seq("v"), "left_outer")
+            .select(col("v"),
+              greatest(col("layer"), coalesce(col("__cand"), col("layer")))
+                .as("layer"),
+              (col("__cand") > col("layer")).as("__chg")),
+          Some("__chg"))
+        changed = chg
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(lv)
-        lv = relaxed
+        lv = relaxed.drop("__chg")
         round += 1
       }
       require(changed == 0,
@@ -1081,24 +1121,26 @@ object Graph {
         .select(col("a"), col("b"),
           coalesce(col("support"), lit(0L)).as("support"))
     }
-    var e = edges
+    var (e, n, _) = org.apache.spark.sql.GraftSql.checkpointCount(edges
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    var n = e.count()
+      .distinct())
     var round = 0
     var result: DataFrame = null
     while (result == null && round < maxRounds) {
-      val sup = support(e).localCheckpoint()
+      // the survivor count rides the support materialization job
+      val (supF, _, kn) = org.apache.spark.sql.GraftSql.checkpointCount(
+        support(e).withColumn("__keep", col("support") >= (k - 2).toLong),
+        Some("__keep"))
+      val sup = supF.drop("__keep")
       val kept = sup.filter(col("support") >= (k - 2).toLong)
-      val kn = kept.count()
       if (kn == n) result = sup //  fixpoint: sup IS the final support
       else {
         val next = kept.select(col("a"), col("b")).localCheckpoint()
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(e)
-        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(sup)
+        // free the checkpointed frame itself (sup is a projection over it)
+        org.apache.spark.sql.GraftSql.freeLocalCheckpoint(supF)
         e = next
         n = kn
       }
@@ -1124,23 +1166,30 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .distinct().persist()
     try {
-      var dist = seeds
-        .select(col(seeds.columns.head).cast("long").as("seed")).distinct()
-        .select(col("seed"), col("seed").as("node"))
-        .withColumn("dist", lit(0L))
-        .localCheckpoint()
+      var (dist, distCnt, _) = org.apache.spark.sql.GraftSql.checkpointCount(
+        seeds
+          .select(col(seeds.columns.head).cast("long").as("seed")).distinct()
+          .select(col("seed"), col("seed").as("node"))
+          .withColumn("dist", lit(0L)))
       var frontier = dist.select(col("seed"), col("node"))
-      for (i <- 1 to depth) {
+      var i = 1
+      var exhausted = false
+      while (i <= depth && !exhausted) {
         val reached = frontier
           .join(e, col("node") === col("src"))
           .select(col("seed"), col("dst").as("node")).distinct()
           .join(dist, Seq("seed", "node"), "left_anti")
           .withColumn("dist", lit(i.toLong))
-        val next = dist.unionByName(reached).localCheckpoint()
+        val (next, nextCnt, _) = org.apache.spark.sql.GraftSql
+          .checkpointCount(dist.unionByName(reached))
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(dist)
         dist = next
+        // same exhausted-frontier early exit as bfsHops — result identical
+        exhausted = nextCnt == distCnt
+        distCnt = nextCnt
         frontier = dist.filter(col("dist") === i)
           .select(col("seed"), col("node"))
+        i += 1
       }
       dist
     } finally { e.unpersist(); () }
@@ -1390,17 +1439,25 @@ object Graph {
         .localCheckpoint()
       var ranks = ckpt
       for (_ <- 0 until iters) {
+        // Union-fold (see katz/pageRank): each node contributes one row
+        // carrying 0 mass and its loop-invariant teleport term; the edge
+        // rows carry mass and teleport 0. sum(__c) equals the old
+        // coalesce(acc, 0) and max(__t) is exactly the node's teleport
+        // (one node row, edge rows are 0) — the per-round left_outer
+        // join against nodesSeeded disappears.
         val contrib = ed
           .join(ranks.select(col("node").as("src"), col("rank_q")), "src")
-          .select(col("dst").as("node"), expr("rank_q div outdeg").as("__c"))
-          .groupBy("node").agg(sum(col("__c")).as("__acc"))
-        val next = nodesSeeded
-          .join(contrib, Seq("node"), "left_outer")
+          .select(col("dst").as("node"), expr("rank_q div outdeg").as("__c"),
+            lit(0L).as("__t"))
+          .unionByName(nodesSeeded.select(col("node"), lit(0L).as("__c"),
+            when(col("__seed").isNotNull, lit(telQ)).otherwise(lit(0L))
+              .as("__t")))
+          .groupBy("node")
+          .agg(sum(col("__c")).as("__acc"), max(col("__t")).as("__tel"))
+        val next = contrib
           .select(col("node"),
-            (when(col("__seed").isNotNull, lit(telQ)).otherwise(lit(0L)) +
-              expr(s"($dampNum * coalesce(__acc, CAST(0 AS BIGINT))) " +
-                s"div $dampDen"))
-            .as("rank_q"))
+            (col("__tel") + expr(s"($dampNum * __acc) div $dampDen"))
+              .as("rank_q"))
           .localCheckpoint()
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
         ckpt = next
@@ -1439,14 +1496,19 @@ object Graph {
       var ckpt = nodes.withColumn("katz_q", lit(q)).localCheckpoint()
       var ranks = ckpt
       for (_ <- 0 until iters) {
+        // Union-fold instead of a second (left_outer) join per round:
+        // every node contributes an explicit 0 row, so the grouped sum
+        // covers exactly the node set and equals coalesce(acc, 0) of the
+        // old join form — one aggregation, no join, same integer result.
         val contrib = e
           .join(ranks.select(col("node").as("src"), col("katz_q")), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("katz_q")).as("__acc"))
-        val next = nodes.join(contrib, Seq("node"), "left_outer")
+          .select(col("dst").as("node"), col("katz_q").as("__c"))
+          .unionByName(nodes.select(col("node"), lit(0L).as("__c")))
+          .groupBy(col("node"))
+          .agg(sum(col("__c")).as("__acc"))
+        val next = contrib
           .select(col("node"), expr(
-            s"$q + ($alphaNum * coalesce(__acc, CAST(0 AS BIGINT))) " +
-              s"div $alphaDen").as("katz_q"))
+            s"$q + ($alphaNum * __acc) div $alphaDen").as("katz_q"))
           .localCheckpoint()
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
         ckpt = next

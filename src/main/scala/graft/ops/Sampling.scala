@@ -502,11 +502,20 @@ object Sampling {
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val q = 1000L
+    // Materialize the contingency table ONCE. The loop below references
+    // `cells` twice per marginal step (as the aggregate side of the
+    // broadcast and as the join's probe side), so an unmaterialized plan
+    // doubles per step — 2^(2·rounds) copies of the base scan+groupBy by
+    // the final action, and the broadcast subplans re-aggregate the base
+    // table each time. Checkpointing the (tiny: nR·nC rows) cell table
+    // per step keeps the plan flat; the integer arithmetic is
+    // partitioning-independent, so results are bit-identical.
     var cells = df
       .select(rowCol.cast("string").as("__r"), colCol.cast("string").as("__c"))
       .where(col("__r").isNotNull && col("__c").isNotNull)
       .groupBy("__r", "__c").agg(count(lit(1)).as("n"))
       .withColumn("__w", col("n") * q)
+      .localCheckpoint()
     val t0 = cells.agg(
       sum(col("n")).as("t"),
       countDistinct(col("__r")).as("nr"),
@@ -516,13 +525,16 @@ object Sampling {
     val colT = total * q / nC
     (1 to rounds).foreach { _ =>
       val rs = cells.groupBy("__r").agg(sum(col("__w")).as("__rsum"))
-      cells = cells.join(broadcast(rs), "__r")
+      val rowScaled = cells.join(broadcast(rs), "__r")
         .withColumn("__w", expr(s"__w * ${rowT}L div __rsum"))
         .drop("__rsum")
-      val cs = cells.groupBy("__c").agg(sum(col("__w")).as("__csum"))
-      cells = cells.join(broadcast(cs), "__c")
+      val cs = rowScaled.groupBy("__c").agg(sum(col("__w")).as("__csum"))
+      val next = rowScaled.join(broadcast(cs), "__c")
         .withColumn("__w", expr(s"__w * ${colT}L div __csum"))
         .drop("__csum")
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.freeLocalCheckpoint(cells)
+      cells = next
     }
     cells.select(col("__r").as("row_key"), col("__c").as("col_key"),
       col("n"), col("__w").as("w_milli"),

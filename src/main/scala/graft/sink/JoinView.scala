@@ -77,19 +77,25 @@ final class JoinView(spark: SparkSession, base: ParquetTarget,
     val from = syncedBaseVersion.getOrElse(throw new IllegalStateException(
       s"view ${table.name} was never built — call rebuild first"))
     if (cur == from) return
+    // Materialize the change feed ONCE: it is read up to four times
+    // below (two isEmpty probes + both merges), and the CDC diff join
+    // behind readChanges would otherwise recompute for each.
     val feed = base.readChanges(from, cur)
       .getOrElse(throw new IllegalStateException(
         s"base versions $from..$cur no longer retained — the view " +
           s"aged out of ${base.table.name}'s retention window; rebuild"))
-    val keyAndOrder = base.table.keyCols ++ base.table.orderingCols
-    val gone = feed.where(col("_change_type") === "delete")
-      .select(keyAndOrder.map(col): _*)
-    val live = enrich(feed
-      .where(col("_change_type").isin("insert", "update"))
-      .drop("_change_type"))
-    if (!gone.isEmpty) vt.mergeHardDelete(gone, cfg)
-    if (!live.isEmpty) vt.mergeUpsert(live, cfg)
-    writeMarker(cur)
+      .localCheckpoint()
+    try {
+      val keyAndOrder = base.table.keyCols ++ base.table.orderingCols
+      val gone = feed.where(col("_change_type") === "delete")
+        .select(keyAndOrder.map(col): _*)
+      val live = enrich(feed
+        .where(col("_change_type").isin("insert", "update"))
+        .drop("_change_type"))
+      if (!gone.isEmpty) vt.mergeHardDelete(gone, cfg)
+      if (!live.isEmpty) vt.mergeUpsert(live, cfg)
+      writeMarker(cur)
+    } finally org.apache.spark.sql.GraftSql.freeLocalCheckpoint(feed)
   }
 
   def read(): Option[DataFrame] = vt.read()

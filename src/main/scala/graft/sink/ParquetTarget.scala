@@ -148,8 +148,24 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   private def current(): Option[Map[Int, String]] =
     currentVersion().flatMap(readManifest)
 
-  private def readDirs(dirs: Seq[String]): DataFrame =
-    spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
+  /** Snapshot schema per committed version (schemas are uniform across a
+    * version's files by the migration invariant, and a committed
+    * version's files are immutable) — caching it lets every read pass an
+    * explicit schema and skip the per-read footer-inference Spark job,
+    * which at micro-batch cadence costs more driver time than the merge
+    * planning itself. Metadata only; no data or results are cached. */
+  private val schemaByVersion =
+    scala.collection.mutable.HashMap.empty[Long, StructType]
+
+  private def schemaAt(v: Long, anyDir: String): StructType = synchronized {
+    schemaByVersion.getOrElseUpdate(v, readDirs(Seq(anyDir)).schema)
+  }
+
+  private def readDirs(dirs: Seq[String],
+      schema: Option[StructType] = None): DataFrame = {
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(dirs.map(d => new Path(root, d).toString): _*)
+  }
 
   /** The deletion-vector sidecar applicable when reading version `v`:
     * the newest `x…` sidecar committed at or before `v`. A DV written at
@@ -175,7 +191,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * broadcast anti-join; schema is unchanged either way. */
   private def readDirsDv(dirs: Seq[String], v: Long): DataFrame =
     dvVersionFor(v) match {
-      case None => readDirs(dirs)
+      case None => readDirs(dirs, Some(schemaAt(v, dirs.head)))
       case Some(_) => readDirsWithMeta(dirs, v).drop(DvFileCol, DvPosCol)
     }
 
@@ -206,7 +222,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * metadata columns — for callers that need provenance past the DV
     * anti-join (`input_file_name()` cannot cross a multi-source plan). */
   private def readDirsWithMeta(dirs: Seq[String], v: Long): DataFrame = {
-    val base = readDirs(dirs)
+    val base = readDirs(dirs, Some(schemaAt(v, dirs.head)))
       .select(col("*"), col("_metadata.file_path").as(DvFileCol),
         col("_metadata.row_index").as(DvPosCol))
     dvVersionFor(v) match {
@@ -696,7 +712,9 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   /** Uniform schema of the current snapshot (invariant: every referenced
     * file shares it — migrations rewrite all buckets). */
   private def currentSchema(m: Map[Int, String]): StructType =
-    readDirs(m.values.toSeq.distinct.take(1)).schema
+    currentVersion()
+      .map(v => schemaAt(v, m.values.toSeq.distinct.head))
+      .getOrElse(readDirs(m.values.toSeq.distinct.take(1)).schema)
 
   private def emptyWithSchema(s: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)

@@ -92,17 +92,22 @@ final class ValueIndex(spark: SparkSession, base: ParquetTarget,
     val from = syncedBaseVersion.getOrElse(throw new IllegalStateException(
       s"index ${table.name} was never built — call rebuild first"))
     if (cur == from) return
+    // Materialize the change feed ONCE (two isEmpty probes + two merges
+    // read it; the CDC diff join would otherwise recompute each time).
     val feed = base.readChanges(from, cur, updatePreimages = true)
       .getOrElse(throw new IllegalStateException(
         s"base versions $from..$cur no longer retained — the index " +
           s"aged out of ${base.table.name}'s retention window; rebuild"))
-    val gone = project(feed.where(
-      col("_change_type").isin("delete", "update_preimage")))
-    val live = project(feed.where(
-      col("_change_type").isin("insert", "update_postimage")))
-    if (!gone.isEmpty) ix.mergeHardDelete(gone, cfg)
-    if (!live.isEmpty) ix.mergeUpsert(live, cfg)
-    writeMarker(cur)
+      .localCheckpoint()
+    try {
+      val gone = project(feed.where(
+        col("_change_type").isin("delete", "update_preimage")))
+      val live = project(feed.where(
+        col("_change_type").isin("insert", "update_postimage")))
+      if (!gone.isEmpty) ix.mergeHardDelete(gone, cfg)
+      if (!live.isEmpty) ix.mergeUpsert(live, cfg)
+      writeMarker(cur)
+    } finally org.apache.spark.sql.GraftSql.freeLocalCheckpoint(feed)
   }
 
   /** Index-accelerated equality lookup: all current base rows whose
