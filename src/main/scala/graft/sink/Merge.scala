@@ -100,9 +100,14 @@ object Merge {
 
     // Incoming rows that win: restrict the (huge) target to the batch's
     // keys with a broadcast semi-join — O(|batch|) rows — then compare.
+    // The semi-join probes bOrd (already key-unique: u is latest-wins
+    // deduped) rather than a separate distinct-keys frame, so the
+    // survivors' and winners' broadcast subplans are identical and
+    // ReuseExchange materializes ONE broadcast per merge, not two.
     val tMatched = target
-      .join(broadcast(u.select(keyCols.map(u.col): _*).distinct()),
-        keyCols, "left_semi")
+      .join(bOrd,
+        keyCols.map(k => target.col(k) === bOrd.col(k)).reduce(_ && _),
+        "left_semi")
     val tM = tMatched.select(
       (keyCols.map(tMatched.col) :+ ordering(tMatched, versionCol, tieBreakCols).as("__t_ord")): _*)
     val winners = u
