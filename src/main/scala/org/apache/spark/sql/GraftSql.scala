@@ -35,10 +35,18 @@ object GraftSql {
     * the round's real work. This fuses the probe into the
     * materialization: one pass, one job, identical state and counts.
     *
-    * The flag count rides a LongAccumulator updated inside the count()
-    * action — Spark applies each task's accumulator updates exactly once
-    * for actions, and the blocks are cached by the localCheckpoint so no
-    * later recomputation can re-fire them. A NULL flag counts as false.
+    * Both counts come from ONE `runJob` over the checkpoint-marked RDD
+    * (the job that also materializes the blocks), as per-partition
+    * (rows, flagged) pairs merged on the driver. A retried or speculative
+    * task REPLACES its partition's result rather than adding to it —
+    * Spark's result handler fires once per partition index — so the
+    * counts are EXACT under task retry and speculation at cluster scale.
+    * (An accumulator updated inside the mapPartitions transformation, the
+    * previous implementation, could only ever OVER-count on retries; that
+    * was convergence-safe for the monotone fixpoints here but not for
+    * exact-count call sites like kTruss's `kn == n` test. runJob removes
+    * the caveat entirely; CheckpointCountSpec pins both counts.)
+    * A NULL flag counts as false.
     *
     * The returned frame is the checkpointed twin of `df` — same rows,
     * same schema, partitioning/ordering metadata preserved via
@@ -50,21 +58,46 @@ object GraftSql {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
     val flagIdx = flagCol.map(c => ds.schema.fieldIndex(c))
-    val flagged = spark.sparkContext.longAccumulator("graft.checkpointCount.flagged")
-    val internal = ds.queryExecution.toRdd.mapPartitions { it =>
-      flagIdx match {
-        case Some(i) => it.map { r =>
-          if (!r.isNullAt(i) && r.getBoolean(i)) flagged.add(1L)
-          r.copy()
-        }
-        case None => it.map(_.copy())
-      }
-    }
+    val internal = ds.queryExecution.toRdd.mapPartitions(_.map(_.copy()))
     internal.localCheckpoint()
-    val total = internal.count()
+    val perPart = spark.sparkContext.runJob(internal,
+      (it: Iterator[catalyst.InternalRow]) => {
+        var rows = 0L
+        var flags = 0L
+        flagIdx match {
+          case Some(i) => it.foreach { r =>
+            rows += 1L
+            if (!r.isNullAt(i) && r.getBoolean(i)) flags += 1L
+          }
+          case None => it.foreach { _ => rows += 1L }
+        }
+        (rows, flags)
+      })
+    val total = perPart.iterator.map(_._1).sum
+    val flagged = perPart.iterator.map(_._2).sum
     val out = classic.Dataset.ofRows(spark,
       execution.LogicalRDD.fromDataset(internal, ds, isStreaming = false))
-    (out, total, flagged.value)
+    (out, total, flagged)
+  }
+
+  /** Dev-only plan-evidence hook: when `$GRAFT_PLAN_DIR` is set, write
+    * `df`'s formatted physical plan to `$GRAFT_PLAN_DIR/<name>.txt`. The
+    * FIRST call per name per JVM wins, so a call inside an iterative
+    * operator's loop dumps round 1's INNER plan — the part a post-
+    * checkpoint `explain()` can no longer show (it prints only a `Scan
+    * ExistingRDD` stub; r13 verdict item 2). No-op when the env var is
+    * unset (driver/bench runs); never throws. */
+  private lazy val planDir: Option[String] = sys.env.get("GRAFT_PLAN_DIR")
+  private val planSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def planDump(name: String, df: Dataset[_]): Unit = planDir.foreach { d =>
+    if (planSeen.add(name)) try {
+      val qe = df.asInstanceOf[classic.Dataset[_]].queryExecution
+      val txt = qe.explainString(execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d, s"$name.txt"), txt)
+      ()
+    } catch { case _: Throwable => () }
   }
 
   /** Register function builders into a live session's FunctionRegistry
