@@ -45,12 +45,23 @@ object SparkEntry {
     * it every gate invocation pays a schema-inference job per input
     * table (~35-80 ms + a driver gap at local scales; a footer read per
     * file at any scale) — across a 540-query bench that is tens of
-    * seconds of pure planning overhead. Keyed by full path; fixture
-    * files are immutable for the life of a JVM. The nanosAsLong conf is
-    * set identically before every inference, so cached and fresh
-    * schemas agree. */
+    * seconds of pure planning overhead. Keyed by (path, mtime, length)
+    * (r13 advice): a fixture regenerated IN PLACE within one JVM gets a
+    * fresh inference instead of a silently stale schema — the explicit
+    * schema would otherwise suppress the footer check that would catch
+    * it. The nanosAsLong conf is set identically before every inference,
+    * so cached and fresh schemas agree. */
   private val fixtureSchemas =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  /** Cache key for `path` (a parquet file or directory): its mtime and
+    * length. For a directory the mtime moves on any child add/remove —
+    * the way Spark's own write path replaces fixture dirs. One local
+    * stat per gate input; no Spark job. */
+  private def fixtureKey(path: String): (String, Long, Long) = {
+    val f = new java.io.File(path)
+    (path, f.lastModified(), f.length())
+  }
 
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // Engine-facing contract: `events.ts` is epoch-NANOS as BIGINT, whatever
@@ -66,8 +77,8 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$dir/$name.parquet"
-    val schema = fixtureSchemas.computeIfAbsent(path,
-      p => s.read.parquet(p).schema)
+    val schema = fixtureSchemas.computeIfAbsent(fixtureKey(path),
+      k => s.read.parquet(k._1).schema)
     val df = s.read.schema(schema).parquet(path)
     if (name == "events" &&
         df.schema.find(_.name == "ts").exists(f =>
@@ -87,8 +98,9 @@ object SparkEntry {
       s: SparkSession, cfg: IngestConfig, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    val fileSchema = fixtureSchemas.computeIfAbsent(s"$dir/events.parquet",
-      p => s.read.parquet(p).schema)
+    val fileSchema = fixtureSchemas.computeIfAbsent(
+      fixtureKey(s"$dir/events.parquet"),
+      k => s.read.parquet(k._1).schema)
     val stream = graft.engine.Sources
       .parquet(s, cfg, fileSchema, s"$dir/events.parque[t]")
     if (fileSchema.find(_.name == "ts").exists(f =>

@@ -157,8 +157,19 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   private val schemaByVersion =
     scala.collection.mutable.HashMap.empty[Long, StructType]
 
+  /** Cache bound (r13 advice): only retained versions stay readable, so
+    * a long-lived micro-batch target must not accumulate one StructType
+    * per commit for the life of the JVM. Generously above any
+    * `retainVersions` in use; eviction drops the OLDEST versions, which
+    * are the ones GC retires. */
+  private val schemaCacheMax = 64
+
   private def schemaAt(v: Long, anyDir: String): StructType = synchronized {
-    schemaByVersion.getOrElseUpdate(v, readDirs(Seq(anyDir)).schema)
+    val s = schemaByVersion.getOrElseUpdate(v, readDirs(Seq(anyDir)).schema)
+    if (schemaByVersion.size > schemaCacheMax)
+      schemaByVersion --= schemaByVersion.keys.toSeq.sorted
+        .dropRight(schemaCacheMax)
+    s
   }
 
   private def readDirs(dirs: Seq[String],
@@ -327,8 +338,15 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
           if (oldDirs.nonEmpty) Some(readDirsDv(oldDirs, fromVersion)) else None
         val newFrame =
           if (newDirs.nonEmpty) Some(readDirsDv(newDirs, toVersion)) else None
+        // No changed buckets: empty feed. The schema must come from the
+        // FEED's own versions (prefer toVersion; fall back to fromVersion
+        // when the table was empty at toVersion) — routing through the
+        // CURRENT version here either poisoned the schema cache across a
+        // migration or stamped the feed with a later schema (r13 advice).
         val schema = newFrame.orElse(oldFrame).map(_.schema)
-          .getOrElse(currentSchema(mn ++ mo)) // no changed buckets: empty feed
+          .getOrElse(
+            if (mn.nonEmpty) schemaAt(toVersion, mn.values.toSeq.distinct.head)
+            else schemaAt(fromVersion, mo.values.toSeq.distinct.head))
         for { of <- oldFrame; _ <- newFrame } require(of.schema == schema,
           s"readChanges across a schema migration is unsupported: version " +
             s"$fromVersion schema ${of.schema} != version $toVersion schema $schema")
@@ -368,7 +386,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * side never shuffles. None when the target does not exist. */
   def lookup(keys: DataFrame): Option[DataFrame] =
     currentVm().filter(_._2.nonEmpty).map { case (v, m) =>
-      val schema = currentSchema(m)
+      val schema = currentSchema(v, m)
       val bk = conformKeys(
         keys.select(table.keyCols.map(keys.col): _*).distinct(), schema)
       val dirs = bucketsOf(bk).flatMap(m.get).distinct
@@ -385,7 +403,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * target does not exist. */
   def readBuckets(bucketIds: Seq[Int]): Option[DataFrame] =
     currentVm().filter(_._2.nonEmpty).map { case (v, m) =>
-      val schema = currentSchema(m)
+      val schema = currentSchema(v, m)
       val dirs = bucketIds.distinct.flatMap(m.get).distinct
       if (dirs.isEmpty) emptyWithSchema(schema) else readDirsDv(dirs, v)
     }
@@ -400,7 +418,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
     * [[lookup]] semantics on the key prefix). */
   def lookupByBucketCols(vals: DataFrame): Option[DataFrame] =
     currentVm().filter(_._2.nonEmpty).map { case (v, m) =>
-      val schema = currentSchema(m)
+      val schema = currentSchema(v, m)
       val bk = conformKeys(
         vals.select(table.hashCols.map(vals.col): _*).distinct(), schema)
       val dirs = bucketsOf(bk).flatMap(m.get).distinct
@@ -470,7 +488,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       }
       val vc = col(table.versionCol).cast("long")
       if (chosen.isEmpty)
-        emptyWithSchema(currentSchema(m))
+        emptyWithSchema(currentSchema(v, m))
       else
         readDirsDv(chosen.values.toSeq.distinct, v)
           .filter(vc >= lo && vc <= hi)
@@ -669,7 +687,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
           if (matched.limit(1).count() > 0) {
             val merged = prior
               .map(_.unionByName(matched)).getOrElse(matched).distinct()
-            commit(emptyWithSchema(currentSchema(m)), m, config,
+            commit(emptyWithSchema(currentSchema(v, m)), m, config,
               dvOverride = Some(merged))
           }
         } finally { matched.unpersist(); () }
@@ -686,7 +704,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   def deleteVectoredKeys(keys: DataFrame, config: IngestConfig): Unit =
     withCommitLock {
       currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
-        val schema = currentSchema(m)
+        val schema = currentSchema(v, m)
         val bk = conformKeys(
           keys.select(table.keyCols.map(keys.col): _*).distinct(), schema)
         val dirs = bucketsOf(bk).flatMap(m.get).distinct
@@ -709,12 +727,16 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
       }
     }
 
-  /** Uniform schema of the current snapshot (invariant: every referenced
-    * file shares it — migrations rewrite all buckets). */
-  private def currentSchema(m: Map[Int, String]): StructType =
-    currentVersion()
-      .map(v => schemaAt(v, m.values.toSeq.distinct.head))
-      .getOrElse(readDirs(m.values.toSeq.distinct.take(1)).schema)
+  /** Uniform schema of version `v`'s snapshot (invariant: every file a
+    * version references shares it — migrations rewrite all buckets).
+    * `m` must be `v`'s OWN manifest: the schema cache is keyed by the
+    * version whose dirs are read, so threading a mismatched (v, m) pair
+    * would poison the cache across a schema migration (the r13 advice
+    * defect — the old form keyed every lookup by currentVersion() while
+    * reading whatever manifest the caller held). Every caller already
+    * holds the pair from [[currentVm]] or [[readManifest]]. */
+  private def currentSchema(v: Long, m: Map[Int, String]): StructType =
+    schemaAt(v, m.values.toSeq.distinct.head)
 
   private def emptyWithSchema(s: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -758,7 +780,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
           commit(Dedup.latestWins(b, table.keyCols, table.versionCol,
             table.tieBreakCols), Map.empty, config)
         case Some((v, m)) =>
-          val schema = currentSchema(m)
+          val schema = currentSchema(v, m)
           val bk = conformKeys(b, schema)
           val affected = bucketsOf(bk)
           val sliceDirs = affected.flatMap(m.get).distinct
@@ -780,7 +802,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   def mergeSoftDelete(batch: DataFrame, config: IngestConfig): Unit =
     withCommitLock { withCached(batch) { b =>
       currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
-        val schema = currentSchema(m)
+        val schema = currentSchema(v, m)
         val bk = conformKeys(b, schema)
         val migrating = !schema.fieldNames.contains(table.softDeleteCol)
         val affected = if (migrating) m.keys.toSeq else bucketsOf(bk)
@@ -798,7 +820,7 @@ final class ParquetTarget(spark: SparkSession, val table: TargetTable,
   def mergeHardDelete(batch: DataFrame, config: IngestConfig): Unit =
     withCommitLock { withCached(batch) { b =>
       currentVm().filter(_._2.nonEmpty).foreach { case (v, m) =>
-        val bk = conformKeys(b, currentSchema(m))
+        val bk = conformKeys(b, currentSchema(v, m))
         val affected = bucketsOf(bk)
         val sliceDirs = affected.flatMap(m.get).distinct
         if (sliceDirs.nonEmpty) {
