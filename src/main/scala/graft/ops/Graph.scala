@@ -39,6 +39,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lay a loop-invariant edge frame out on its per-round join key:
+    * hash-partitioned and sorted by `key`, so the cached/checkpointed
+    * layout already satisfies the per-round join's required distribution
+    * AND ordering — at scale each fixpoint round then exchanges (and
+    * sorts) only the O(V) state table, never the O(E) edge table (guide
+    * §2.4, r13 verdict item 3). One setup exchange buys one per round;
+    * results are identical (repartition is pure layout).
+    *
+    * Scale-dependent knob, parameterised per the optimization contract:
+    * `GRAFT_PREPARTITION_EDGES=0` disables it (and is how the 'before'
+    * plan evidence is dumped). Default ON — the local bench carries the
+    * one extra setup exchange, the cluster posture saves a per-round
+    * O(E) exchange. */
+  private[ops] def keyLayout(df: DataFrame, key: String): DataFrame =
+    if (sys.env.get("GRAFT_PREPARTITION_EDGES").contains("0")) df
+    else df.repartition(col(key)).sortWithinPartitions(key)
+
   /** Fixed-point PageRank.
     *
     * rank0(v)   = q / N
@@ -66,9 +83,15 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .distinct().persist()
     // Degree-annotated edges, joined ONCE and cached — the loop body then
-    // pays one join per round (ranks onto ed), not two.
-    val ed = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    // pays one join per round (ranks onto ed), not two. The cache is
+    // PRE-PARTITIONED and PRE-SORTED by the per-round join key (guide
+    // §2.4, r13 verdict item 3): the cached layout already satisfies the
+    // join's required distribution and ordering, so at scale each round
+    // exchanges (and sorts) only the O(nodes) rank table — never the
+    // O(edges) table. One setup exchange buys one per round for `iters`
+    // rounds; results are unchanged (repartition is pure layout).
+    val ed = keyLayout(e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"), "src")
       .persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
@@ -88,11 +111,12 @@ object Graph {
           .select(col("dst").as("node"), expr("rank_q div outdeg").as("__c"))
           .unionByName(nodes.select(col("node"), lit(0L).as("__c")))
           .groupBy("node").agg(sum(col("__c")).as("__acc"))
-        val next = contrib
+        val body = contrib
           .select(col("node"), expr(
             s"$telQ + ($dampNum * __acc) div $dampDen")
             .as("rank_q"))
-          .localCheckpoint()
+        org.apache.spark.sql.GraftSql.planDump("pagerank_round", body)
+        val next = body.localCheckpoint()
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
         ckpt = next
         ranks = next
@@ -125,9 +149,13 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val raw = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b")).persist()
-    val sym = raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
-      .filter(col("a") =!= col("b")).distinct()
-      .select(col("a").as("src"), col("b").as("dst")).persist()
+    // loop-invariant edge cache laid out on the per-round join key
+    // (guide §2.4): each round exchanges only the label table
+    val sym = keyLayout(
+      raw.unionByName(raw.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .select(col("a").as("src"), col("b").as("dst")), "src")
+      .persist()
     val nodes = sym.select(col("src").as("node")).distinct()
       .unionByName(raw.filter(col("a") === col("b"))
         .select(col("a").as("node")).distinct())
@@ -149,9 +177,10 @@ object Graph {
         // label never leaves its own id (lbl0 = node; each round keeps
         // prev). So coalesce to `node` directly — identical to the old
         // coalesce(__w, __prev) without re-joining the labels per round.
-        val next = nodes.join(winner, Seq("node"), "left_outer")
+        val body = nodes.join(winner, Seq("node"), "left_outer")
           .select(col("node"), coalesce(col("__w"), col("node")).as("lbl"))
-          .localCheckpoint()
+        org.apache.spark.sql.GraftSql.planDump("labelprop_round", body)
+        val next = body.localCheckpoint()
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
         ckpt = next
         labels = next
@@ -784,10 +813,12 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, depth: Int): DataFrame = {
     require(depth >= 0, s"depth must be >= 0, got $depth")
-    val e = edges
+    // per-round join-key layout, see pageRank (guide §2.4)
+    val e = keyLayout(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
+      .distinct(), "src")
+      .persist()
     try {
       var (dist, distCnt, _) = org.apache.spark.sql.GraftSql.checkpointCount(
         seeds
@@ -1161,10 +1192,12 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, depth: Int): DataFrame = {
     require(depth >= 0, s"depth must be >= 0, got $depth")
-    val e = edges
+    // per-round join-key layout, see pageRank (guide §2.4)
+    val e = keyLayout(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
+      .distinct(), "src")
+      .persist()
     try {
       var (dist, distCnt, _) = org.apache.spark.sql.GraftSql.checkpointCount(
         seeds
@@ -1414,8 +1447,9 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct().persist()
-    val ed = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    // per-round join-key layout, see pageRank (guide §2.4)
+    val ed = keyLayout(e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src"), "src")
       .persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
@@ -1454,11 +1488,12 @@ object Graph {
               .as("__t")))
           .groupBy("node")
           .agg(sum(col("__c")).as("__acc"), max(col("__t")).as("__tel"))
-        val next = contrib
+        val body = contrib
           .select(col("node"),
             (col("__tel") + expr(s"($dampNum * __acc) div $dampDen"))
               .as("rank_q"))
-          .localCheckpoint()
+        org.apache.spark.sql.GraftSql.planDump("ppr_round", body)
+        val next = body.localCheckpoint()
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
         ckpt = next
         ranks = next
@@ -1486,10 +1521,12 @@ object Graph {
     require(q > 0, s"q must be positive, got $q")
     require(alphaDen > 0 && alphaNum >= 0 && alphaNum < alphaDen,
       s"alpha must satisfy 0 <= alphaNum < alphaDen, got $alphaNum/$alphaDen")
-    val e = edges
+    // per-round join-key layout, see pageRank (guide §2.4)
+    val e = keyLayout(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
+      .distinct(), "src")
+      .persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     try {
@@ -1506,10 +1543,11 @@ object Graph {
           .unionByName(nodes.select(col("node"), lit(0L).as("__c")))
           .groupBy(col("node"))
           .agg(sum(col("__c")).as("__acc"))
-        val next = contrib
+        val body = contrib
           .select(col("node"), expr(
             s"$q + ($alphaNum * __acc) div $alphaDen").as("katz_q"))
-          .localCheckpoint()
+        org.apache.spark.sql.GraftSql.planDump("katz_round", body)
+        val next = body.localCheckpoint()
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
         ckpt = next
         ranks = next
