@@ -44,6 +44,13 @@ object Components {
       .unionByName(edges
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
+      // Loop-invariant edge cache laid out on the per-round join key
+      // (guide §2.4, r13 verdict item 3): at scale each round then
+      // exchanges only the O(V) label table, never the O(E) edges —
+      // and since the labels come out of the previous round partitioned
+      // by id (= this join's key), the co-partitioned rounds need no
+      // edge-side exchange at all. One setup shuffle; same rows.
+      .transform(Graph.keyLayout(_, "dst"))
       .persist()
     try {
       // Per-round checkpoints are freed as soon as the next round's state
@@ -63,12 +70,13 @@ object Components {
         // checkpointCount fuses the convergence probe into the round's
         // materialization job — the separate `.where(__changed).count()`
         // used to cost a whole extra driver round-trip per round.
+        val body = labels.join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("__nbr_min"), col("comp"))).as("comp"),
+            (col("__nbr_min") < col("comp")).as("__changed"))
+        org.apache.spark.sql.GraftSql.planDump("cc_round", body)
         val (next, _, chg) = org.apache.spark.sql.GraftSql.checkpointCount(
-          labels.join(nbrMin, Seq("id"), "left_outer")
-            .select(col("id"),
-              least(col("comp"), coalesce(col("__nbr_min"), col("comp"))).as("comp"),
-              (col("__nbr_min") < col("comp")).as("__changed")),
-          Some("__changed"))
+          body, Some("__changed"))
         changed = chg
         org.apache.spark.sql.GraftSql.freeLocalCheckpoint(ckpt)
         ckpt = next
@@ -341,12 +349,65 @@ object Components {
       .distinct()
       .persist()
     try {
-      var remEdges = e0.localCheckpoint()
+      // Edge state laid out on the forward pass's join key (guide §2.4):
+      // every forward round then exchanges only the color table.
+      var remEdges = Graph.keyLayout(e0, "src").localCheckpoint()
       var (remaining, left, _) = org.apache.spark.sql.GraftSql.checkpointCount(
         e0.select(col("src").as("id"))
           .unionByName(e0.select(col("dst").as("id")))
           .distinct())
       var result: DataFrame = null
+      // TRIM (r14, guide §1.2 step 1): iteratively peel TRIVIAL SCCs
+      // before any Orzan phase. A node with no in-edge or no out-edge in
+      // the remaining subgraph can lie on no cycle (a cycle through an
+      // already-removed node would put that node in the same SCC, but
+      // only COMPLETE SCCs are ever removed), so it is a singleton SCC
+      // and its emitted row is (id, scc_id = id) — exactly what the
+      // phase machinery would produce for it (scc_id = the SCC's min
+      // node; a singleton's min is itself; the label is intrinsic to the
+      // SCC, so the output is hash-identical by construction). Each peel
+      // round costs ~3 jobs; each Orzan phase it avoids costs two whole
+      // fixpoint LOOPS (forward coloring + backward marking, each
+      // O(intra-SCC diameter) rounds). On DAG-heavy graphs — real link
+      // graphs at scale — trimming retires most nodes outright.
+      var trimming = left > 0
+      var trimRound = 0
+      while (trimming && trimRound < maxRounds) {
+        val biNodes = remEdges.select(col("src").as("id")).distinct()
+          .join(remEdges.select(col("dst").as("id")).distinct(),
+            Seq("id"), "left_semi")
+        val (core, coreCnt, _) = org.apache.spark.sql.GraftSql
+          .checkpointCount(remaining.join(biNodes, Seq("id"), "left_semi"))
+        if (coreCnt == left) {
+          freeLocalCheckpoint(core)
+          trimming = false
+        } else {
+          val trivial = remaining.join(core, Seq("id"), "left_anti")
+            .select(col("id"), col("id").as("scc_id"))
+            .localCheckpoint()
+          result =
+            if (result == null) trivial
+            else {
+              val prev = result
+              val merged = result.unionByName(trivial).localCheckpoint()
+              freeLocalCheckpoint(prev)
+              freeLocalCheckpoint(trivial)
+              merged
+            }
+          val nextEdges = Graph.keyLayout(remEdges
+            .join(core.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(core.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")), "src")
+            .localCheckpoint()
+          freeLocalCheckpoint(remaining)
+          freeLocalCheckpoint(remEdges)
+          remaining = core
+          remEdges = nextEdges
+          left = coreCnt
+          trimming = left > 0
+        }
+        trimRound += 1
+      }
       var phase = 0
       while (left > 0 && phase < maxPhases) {
         // (1) forward min-label to fixpoint on the remaining subgraph.
@@ -365,13 +426,14 @@ object Components {
             .groupBy(col("dst").as("id"))
             .agg(min(col("__c")).as("__in"))
           // probe fused into the materialization job (checkpointCount)
+          val body = colors.join(push, Seq("id"), "left_outer")
+            .select(col("id"),
+              least(col("color"), coalesce(col("__in"), col("color")))
+                .as("color"),
+              (col("__in") < col("color")).as("__chg"))
+          org.apache.spark.sql.GraftSql.planDump("scc_forward_round", body)
           val (next, _, chg) = org.apache.spark.sql.GraftSql.checkpointCount(
-            colors.join(push, Seq("id"), "left_outer")
-              .select(col("id"),
-                least(col("color"), coalesce(col("__in"), col("color")))
-                  .as("color"),
-                (col("__in") < col("color")).as("__chg")),
-            Some("__chg"))
+            body, Some("__chg"))
           changed = chg
           freeLocalCheckpoint(colorsCkpt)
           colorsCkpt = next
@@ -388,6 +450,8 @@ object Components {
             "dst")
           .where(col("__cs") === col("__cd"))
           .select(col("src"), col("dst"))
+          // backward rounds join on dst — lay the phase's edges out once
+          .transform(Graph.keyLayout(_, "dst"))
           .localCheckpoint()
         var (marked, markedCnt, _) = org.apache.spark.sql.GraftSql
           .checkpointCount(colors.where(col("id") === col("color")))
@@ -424,10 +488,10 @@ object Components {
         val (nextRemaining, nextLeft, _) = org.apache.spark.sql.GraftSql
           .checkpointCount(remaining
             .join(marked.select(col("id")), Seq("id"), "left_anti"))
-        val nextEdges = remEdges
+        val nextEdges = Graph.keyLayout(remEdges
           .join(marked.select(col("id").as("src")), Seq("src"), "left_anti")
           .join(marked.select(col("id").as("dst")), Seq("dst"), "left_anti")
-          .select(col("src"), col("dst"))
+          .select(col("src"), col("dst")), "src")
           .localCheckpoint()
         freeLocalCheckpoint(remaining)
         freeLocalCheckpoint(remEdges)
