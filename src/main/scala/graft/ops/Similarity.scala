@@ -1139,6 +1139,29 @@ object Similarity {
     ivfCells(emb, idCol, vecCol,
       firstNCentroids(emb, idCol, vecCol, nCentroids))
 
+  /** Run `mSub` independent, deterministic codebook trainings with at
+    * most 3 in flight (guide §2.6 "overlap independent jobs"): each
+    * training is a short chain of driver-blocking collects, so running
+    * them sequentially leaves the executors idle through every chain's
+    * driver-side tail. Each training is a pure function of its own input
+    * slice (deterministic seed rows, fixed-point means — no shared
+    * mutable state), and results are returned IN SUBSPACE ORDER, so the
+    * outcome is bit-identical to the sequential loop; only the job
+    * overlap changes. The pool is per-call and torn down on exit. */
+  private def trainBooksConcurrently(
+      mSub: Int, train: Int => DataFrame): IndexedSeq[DataFrame] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, math.max(1, mSub)))
+    try {
+      val futs = (0 until mSub).map { s =>
+        pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = train(s)
+        })
+      }
+      futs.map(_.get())
+    } finally { pool.shutdown(); () }
+  }
+
   /** Product-quantized (PQ) ANN top-k — the codebook compression point of
     * the ANN family (Jégou et al., TPAMI 2011): split each vector into
     * `mSub` subvectors, learn a small spherical-k-means codebook per
@@ -1169,16 +1192,26 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
       .persist()
     try {
-      // per-subspace codebooks + row-local encoding
+      // per-subspace codebooks + row-local encoding. The mSub codebook
+      // trainings are INDEPENDENT (each reads its own slice of the cached
+      // vectors, each is deterministic in isolation — fixed seed rows,
+      // fixed-point means), so they run from a small driver thread pool
+      // (guide §2.6): each training is a short chain of driver-blocking
+      // collects whose tail would otherwise leave the executors idle
+      // while the next subspace waits. Result per subspace is identical
+      // to the sequential run — only the job overlap changes.
       var coded: DataFrame = e
-      val books = (0 until mSub).map { s =>
+      val books = trainBooksConcurrently(mSub, s => {
         val sub = e.select(col(idCol),
           slice(col("v"), s * dsub + 1, dsub).as("sv"))
-        val book = kmeansCentroids(sub, idCol, "sv", kCodes, iters)
-        val cells = ivfCells(sub, idCol, "sv", book)
+        kmeansCentroids(sub, idCol, "sv", kCodes, iters)
+      })
+      (0 until mSub).foreach { s =>
+        val sub = e.select(col(idCol),
+          slice(col("v"), s * dsub + 1, dsub).as("sv"))
+        val cells = ivfCells(sub, idCol, "sv", books(s))
           .select(col(idCol), col("cell").as(s"__code_$s"))
         coded = coded.join(cells, idCol :: Nil)
-        book
       }
       // reconstruction: codes -> codewords (broadcast) -> concatenated
       var rec = coded
@@ -1247,15 +1280,19 @@ object Similarity {
       .withColumn("__r", zip_with(col("v"), col("__ccv"), (a, b) => a - b))
       .persist()
     try {
+      // concurrent per-subspace trainings — see pqTopK (guide §2.6)
       var coded = withRes
-      val books = (0 until mSub).map { s =>
+      val books = trainBooksConcurrently(mSub, s => {
         val sub = withRes.select(col(idCol),
           slice(col("__r"), s * dsub + 1, dsub).as("sv"))
-        val book = kmeansCentroids(sub, idCol, "sv", kCodes, pqIters)
-        val enc = ivfCells(sub, idCol, "sv", book)
+        kmeansCentroids(sub, idCol, "sv", kCodes, pqIters)
+      })
+      (0 until mSub).foreach { s =>
+        val sub = withRes.select(col(idCol),
+          slice(col("__r"), s * dsub + 1, dsub).as("sv"))
+        val enc = ivfCells(sub, idCol, "sv", books(s))
           .select(col(idCol), col("cell").as(s"__code_$s"))
         coded = coded.join(enc, idCol :: Nil)
-        book
       }
       var rec = coded
       for (s <- 0 until mSub)
